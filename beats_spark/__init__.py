@@ -1,0 +1,30 @@
+"""beats_spark — a PySpark-native parse → enrich → route → aggregate engine.
+
+A from-scratch reimagining of the data-processing semantics of the
+elastic/beats shipper pipeline (filebeat harvest → processors → output
+fan-out), rebuilt idiomatically on the Spark DataFrame / Catalyst / Arrow
+stack over tables of multi-turn agent transcripts.
+
+This is NOT a port: the reference (at /root/reference, elastic/beats, Go)
+tells us WHAT to compute — operator semantics, routing behavior, flag
+conventions, checkpoint guarantees — while the execution strategy here is
+whole-stage-codegen Column expressions, broadcast hash joins, windowed
+aggregations, and Arrow-batched pandas UDFs only where Catalyst genuinely
+cannot express the semantics (full dissect grammar).
+
+Layout:
+  session.py        SparkSession factory (AQE, Arrow, UTC, skew-join)
+  events.py         canonical transcript schema + flag conventions
+  synth.py          deterministic transcript derivation + lookup tables
+  dissect.py        dissect tokenizer engine (Column fast path + Arrow UDF)
+  conditions.py     Beats conditions DSL → pyspark Column predicates
+  selectors.py      output selector (first-match-wins sink routing)
+  processors/       processor registry (mutate / parse / enrich / stateful)
+  routing.py        fan-out writer to per-sink tables
+  aggregates.py     flows-style per-sink windowed aggregates
+  pipeline.py       declarative spec → compiled stages → run
+  checkpoint.py     per-partition manifests, lineage + resume planner
+  datapipe/         training-data ops: dedup, similarity, text, multimodal
+"""
+
+__version__ = "0.1.0"

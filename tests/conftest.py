@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from beats_spark.session import get_spark
+
+    s = get_spark("beats_spark_tests", master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
