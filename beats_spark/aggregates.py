@@ -1,0 +1,76 @@
+"""Per-sink windowed aggregates — packetbeat-flows semantics on Spark.
+
+The reference's only real aggregation engine is packetbeat's flow table:
+keyed counters emitted per report interval with inactivity timeouts
+(/root/reference/packetbeat/flows/worker.go:127-232, flows.go:46-81).
+The batch equivalents:
+
+  periodic report   → groupBy(key, time-bucket).agg(counters)
+  inactivity close  → session_window(ts, gap) aggregation
+  final counters    → plain groupBy(key)
+
+All are single-shuffle hash aggregates with map-side partial combine —
+hot conversation keys are absorbed by partial aggregation before the
+exchange, so no salting is required for counts (unlike joins/writes).
+
+We bucket with date_trunc (not window()) so results are a plain
+timestamp column — directly comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .events import SINK_COL
+
+
+def events_per_key(
+    df: DataFrame,
+    key: str,
+    bucket: str = "hour",
+    ts_col: str = "ts",
+    by_sink: bool = True,
+) -> DataFrame:
+    """events/<key> per time bucket (per sink) — the flows 'periodic report'."""
+    groups = [F.date_trunc(bucket, F.col(ts_col)).alias("bucket"), F.col(key)]
+    if by_sink and SINK_COL in df.columns:
+        groups.insert(0, F.col(SINK_COL))
+    return df.groupBy(*groups).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def events_per_conv(df: DataFrame, bucket: str = "hour", **kw) -> DataFrame:
+    return events_per_key(df, "conv_id", bucket, **kw)
+
+
+def events_per_tool(df: DataFrame, bucket: str = "hour", **kw) -> DataFrame:
+    return events_per_key(df, "tool", bucket, **kw)
+
+
+def session_flows(
+    df: DataFrame,
+    keys: list[str],
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Inactivity-timeout aggregation (flow close on idle) — session window."""
+    return (
+        df.groupBy(*[F.col(k) for k in keys], F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("first_ts"),
+            F.max(ts_col).alias("last_ts"),
+        )
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def pipeline_metrics(df: DataFrame) -> DataFrame:
+    """Monitoring counters analog (pipeline/monitoring.go:87-113):
+    events.total / published-per-sink / flagged."""
+    return df.groupBy(SINK_COL).agg(
+        F.count(F.lit(1)).alias("events_total"),
+        F.sum(F.when(F.size(F.col("log_flags")) > 0, 1).otherwise(0)).alias("events_flagged"),
+    )

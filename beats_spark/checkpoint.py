@@ -1,0 +1,115 @@
+"""Checkpoint / resume — the registrar + ACK path as partition manifests.
+
+Reference semantics being reproduced (SURVEY.md §1.2, §3.3):
+  * filebeat persists a cursor per source ONLY after the pipeline ACKs
+    the events that advanced it (input-logfile/publish.go:29-99,
+    registrar.go:131-160) — state never runs ahead of delivered data;
+  * on restart, stored cursors seed the harvesters so only un-acked
+    input is re-read (registrar.go:96-106).
+
+Spark re-expression: the unit of progress is a deterministic input
+partition (pmod(hash(conv_id), N) here; days(ts) partitions on a real
+Iceberg deployment). For each partition we (1) run the pipeline on that
+slice, (2) commit its sink output with an idempotent overwrite, and only
+then (3) atomically write a manifest carrying lineage + throughput
+metrics:
+  {partition, input_files, rows_in, rows_per_sink, bytes, wall_ms}
+
+A resume run diffs existing manifests against the partition list and
+recomputes only the missing ones. Task-level retry inside a partition is
+Spark's; partition-level idempotence comes from the overwrite — together
+they upgrade Beats' at-least-once to effectively-once per partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .events import SINK_COL
+
+
+class CheckpointedRun:
+    def __init__(self, out_dir: str, n_partitions: int = 8):
+        self.out_dir = out_dir
+        self.n_partitions = n_partitions
+        self.manifest_dir = os.path.join(out_dir, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def _manifest_path(self, p: int) -> str:
+        return os.path.join(self.manifest_dir, f"part-{p:05d}.json")
+
+    def completed_partitions(self) -> set[int]:
+        done = set()
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("part-") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(self.manifest_dir, f)) as fh:
+                        m = json.load(fh)
+                    done.add(int(m["partition"]))
+                except (json.JSONDecodeError, KeyError):
+                    continue  # torn write ⇒ not committed ⇒ recompute
+        return done
+
+    def run(
+        self,
+        routed: DataFrame,
+        input_files: list[str],
+        fail_after: int | None = None,
+    ) -> list[dict]:
+        """Process partition-by-partition with manifests; resume-safe.
+
+        `routed` must contain conv_id + SINK_COL. `fail_after=k` aborts
+        after k manifests are committed (kill/resume tests).
+        """
+        part_col = F.pmod(F.hash(F.col("conv_id")), F.lit(self.n_partitions))
+        routed = routed.withColumn("_part", part_col)
+        done = self.completed_partitions()
+        manifests = []
+        processed = 0
+        for p in range(self.n_partitions):
+            if p in done:
+                continue
+            t0 = time.perf_counter()
+            slice_df = routed.filter(F.col("_part") == p).drop("_part")
+            path = os.path.join(self.out_dir, "sinks", f"part={p}")
+            slice_df.write.mode("overwrite").partitionBy(SINK_COL).parquet(path)
+            per_sink = {
+                r[SINK_COL]: r["cnt"]
+                for r in slice_df.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()
+            }
+            rows_in = sum(per_sink.values())
+            wall_ms = round((time.perf_counter() - t0) * 1000)
+            size = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+            manifest = {
+                "partition": p,
+                "input_files": input_files,
+                "rows_in": rows_in,
+                "rows_per_sink": per_sink,
+                "bytes": size,
+                "wall_ms": wall_ms,
+                "throughput_rows_per_sec": round(rows_in / max(wall_ms, 1) * 1000, 1),
+            }
+            # Atomic commit: manifest appears only after the data is down.
+            tmp = self._manifest_path(p) + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, self._manifest_path(p))
+            manifests.append(manifest)
+            processed += 1
+            if fail_after is not None and processed >= fail_after:
+                raise RuntimeError(f"injected failure after {processed} partitions")
+        return manifests
+
+    def read_output(self, spark: SparkSession) -> DataFrame:
+        return spark.read.option("basePath", os.path.join(self.out_dir, "sinks")).parquet(
+            os.path.join(self.out_dir, "sinks", "part=*")
+        )

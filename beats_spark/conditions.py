@@ -1,0 +1,145 @@
+"""Beats conditions DSL → pyspark Column predicates.
+
+Semantics from /root/reference/libbeat/conditions/ (conditions.go:30-99,
+equals.go:30-106, range.go:27-76, network.go, and.go/or.go/not.go):
+
+  {"equals":   {"role": "tool", "turn_idx": 3}}        # AND of exact matches
+  {"contains": {"text": "debug"}}                      # substring
+  {"regexp":   {"text": "^level="}}                    # RE2-ish regex
+  {"range":    {"turn_idx.gte": 100, "value.lt": 2.5}} # gt/gte/lt/lte suffixes
+  {"has_fields": ["tool", "attrs.level"]}              # non-null check
+  {"network":  {"ip": "10.0.0.0/8"}}                   # CIDR / named networks
+  {"and": [c, ...]}  {"or": [c, ...]}  {"not": c}
+
+Everything compiles to a single Column expression tree on the driver —
+the analog of Beats' compile-once closures — and executes inside
+whole-stage codegen (no UDFs).
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
+
+# Named networks (network.go): name → list of CIDRs.
+NAMED_NETWORKS: dict[str, list[str]] = {
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
+    "public": [],  # complement of private+loopback+link_local — handled specially
+    "multicast": ["224.0.0.0/4", "ff00::/8"],
+    "unicast": [],
+    "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
+    "unspecified": ["0.0.0.0/32", "::/128"],
+}
+
+
+def _field(name: str) -> Column:
+    """Dot-path access: top-level column, else attrs map lookup.
+
+    Beats fields are dot-paths into a nested map (event.go:84-104); our
+    schema puts dynamic keys in the `attrs` map.
+    """
+    if name.startswith("attrs."):
+        return F.col("attrs").getItem(name[len("attrs.") :])
+    return F.col(name.replace(".", "_")) if "." in name else F.col(name)
+
+
+def ip_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 → int64 (pure Column arithmetic, no UDF)."""
+    p = F.split(col, r"\.")
+    return (
+        p.getItem(0).try_cast("bigint") * 16777216
+        + p.getItem(1).try_cast("bigint") * 65536
+        + p.getItem(2).try_cast("bigint") * 256
+        + p.getItem(3).try_cast("bigint")
+    )
+
+
+def _cidr_match(col: Column, cidr: str) -> Column:
+    net = ipaddress.ip_network(cidr, strict=False)
+    if net.version == 6:
+        # v6: prefix string compare is enough for the named nets we support.
+        prefix = cidr.split("/")[0].rstrip(":")
+        return col.startswith(prefix) if prefix else F.lit(False)
+    lo, hi = int(net.network_address), int(net.broadcast_address)
+    v = ip_to_long(col)
+    return col.rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & (v >= F.lit(lo)) & (v <= F.lit(hi))
+
+
+def _network_cond(field: str, spec: Any) -> Column:
+    col = _field(field)
+    specs = spec if isinstance(spec, list) else [spec]
+    conds = []
+    for s in specs:
+        if s in NAMED_NETWORKS:
+            cidrs = NAMED_NETWORKS[s]
+            if s == "public":
+                inner = [
+                    _cidr_match(col, c)
+                    for name in ("private", "loopback", "link_local_unicast")
+                    for c in NAMED_NETWORKS[name]
+                ]
+                cond = ~_any(inner)
+            elif s == "unicast":
+                cond = ~_any([_cidr_match(col, c) for c in NAMED_NETWORKS["multicast"]])
+            else:
+                cond = _any([_cidr_match(col, c) for c in cidrs])
+        else:
+            cond = _cidr_match(col, s)
+        conds.append(cond)
+    return _any(conds)
+
+
+def _any(conds: list[Column]) -> Column:
+    out = None
+    for c in conds:
+        out = c if out is None else (out | c)
+    return out if out is not None else F.lit(False)
+
+
+def _all(conds: list[Column]) -> Column:
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return out if out is not None else F.lit(True)
+
+
+def compile_condition(cfg: dict[str, Any]) -> Column:
+    """Condition config dict → boolean Column (null-safe: nulls → False)."""
+    if not isinstance(cfg, dict) or len(cfg) != 1:
+        raise ValueError(f"condition must be a single-key dict, got: {cfg!r}")
+    op, arg = next(iter(cfg.items()))
+
+    if op == "and":
+        return _all([compile_condition(c) for c in arg])
+    if op == "or":
+        return _any([compile_condition(c) for c in arg])
+    if op == "not":
+        return ~F.coalesce(compile_condition(arg), F.lit(False))
+    if op == "equals":
+        return _all([_field(k).eqNullSafe(F.lit(v)) for k, v in arg.items()])
+    if op == "contains":
+        return _all(
+            [F.coalesce(_field(k).contains(F.lit(v)), F.lit(False)) for k, v in arg.items()]
+        )
+    if op == "regexp":
+        return _all([F.coalesce(_field(k).rlike(v), F.lit(False)) for k, v in arg.items()])
+    if op == "range":
+        conds = []
+        for key, bound in arg.items():
+            fname, _, suffix = key.rpartition(".")
+            if suffix not in _RANGE_OPS:
+                raise ValueError(f"range key needs .gt/.gte/.lt/.lte suffix: {key}")
+            col = _field(fname)
+            conds.append(F.coalesce(getattr(col, _RANGE_OPS[suffix])(F.lit(bound)), F.lit(False)))
+        return _all(conds)
+    if op == "has_fields":
+        return _all([_field(k).isNotNull() for k in (arg if isinstance(arg, list) else [arg])])
+    if op == "network":
+        return _all([F.coalesce(_network_cond(k, v), F.lit(False)) for k, v in arg.items()])
+    raise ValueError(f"unknown condition operator: {op!r}")

@@ -1,0 +1,9 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+Beyond the reference's operator surface: the operations a large-scale
+training-data pipeline needs at 100 TB — deduplication (exact, MinHash-
+LSH, SimHash, n-gram Jaccard), similarity search (brute-force + bucketed
+ANN), text analysis (language-ID, quality, tokens, fingerprints), and
+multimodal column plumbing. All are DataFrame-native: the only UDFs are
+Arrow-batched and off the hot path.
+"""

@@ -1,0 +1,221 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+  * exact_dedup: one hash-shuffle on the 16-byte digest, not the text —
+    shuffle bytes ∝ rows, not corpus size.
+  * minhash_lsh: signatures are computed map-side as pure Column
+    expressions (array_min over xxhash64-transformed shingle arrays — no
+    UDF, no explode of the corpus); only (band_hash → doc_id) pairs are
+    shuffled, then candidate pairs are verified with exact Jaccard.
+    Shuffle volume ∝ rows × bands, independent of document length.
+  * simhash: explode(tokens) + 64 conditional sums per doc — one shuffle
+    keyed by doc_id; bit arithmetic stays in codegen.
+  * ngram_jaccard_pairs: candidate generation via shared-shingle join is
+    quadratic in the worst case — always feed it LSH/blocking output at
+    scale; provided standalone for small blocks and verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(col: Column, n: int = 5, word: bool = False) -> Column:
+    """Distinct character (default) or word n-gram array of normalized text."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    if word:
+        toks = F.split(norm, " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    else:
+        ln = F.length(norm)
+        idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
+        grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+# -- exact -------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact content hash (hash-groupBy dedup)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(col: Column, num_perm: int = 32, n: int = 5) -> list[Column]:
+    """num_perm min-hashes: min over shingles of xxhash64(shingle, seed=i).
+
+    Pure Column (array_min ∘ transform) — evaluated in codegen per row."""
+    sh = shingles(col, n)
+    return [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_perm)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 5,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets."""
+    rows = num_perm // bands
+    sig = minhash_signature(F.col(text_col), num_perm, n)
+    band_cols = [
+        F.xxhash64(*sig[b * rows : (b + 1) * rows]).alias(f"_band{b}") for b in range(bands)
+    ]
+    withb = df.select(F.col(id_col), *band_cols)
+    # (band_idx, band_hash) → bucket join; only ids shuffle.
+    buckets = withb.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"_band{b}").alias("h")) for b in range(bands)])
+        ).alias("bk"),
+    ).select(id_col, "bk.b", "bk.h")
+    a = buckets.alias("a")
+    bdf = buckets.alias("bq")
+    pairs = (
+        a.join(bdf, (F.col("a.b") == F.col("bq.b")) & (F.col("a.h") == F.col("bq.h")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"bq.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"bq.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-Jaccard on candidate pairs; keep ≥ threshold."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop near-duplicates: every id_b of a verified pair is removed
+    (keep-lowest-id policy, transitive via repeated pair edges)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, n)
+    dupes = jaccard_verify(df, cands, text_col, id_col, n, threshold).select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+# -- SimHash ------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document — explode tokens, 64 signed bit-sums,
+    reassemble; all JVM-side, one doc_id shuffle."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("bigint")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return sums.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over 4×16-bit block index
+    (pigeonhole: ≤3 differing bits ⇒ at least one identical block)."""
+    blocks = sims.select(
+        id_col,
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
+            for i in range(4)
+        ],
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cond = F.lit(False)
+    for i in range(4):
+        cond = cond | (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
+    pairs = (
+        a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "hamming")
+    )
+    return pairs
+
+
+# -- n-gram Jaccard (direct) ---------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+    max_shingles_for_blocking: int = 8,
+) -> DataFrame:
+    """All pairs ≥ threshold via shared-minimal-shingle blocking:
+    block key = the k smallest shingle hashes per doc (a doc pair with
+    Jaccard ≥ t shares one of the union's minima with high probability —
+    exact verification follows, so blocking only affects recall)."""
+    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    keyed = sh.select(
+        id_col,
+        F.explode(
+            F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))), 1, max_shingles_for_blocking)
+        ).alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(df, cands, text_col, id_col, n, threshold)

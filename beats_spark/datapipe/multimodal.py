@@ -1,0 +1,118 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+The Spark-side machinery (schema, partition sizing, Arrow batch shape,
+UDF signatures) is real and tested; the actual media decode is STUBBED —
+the container has no image/audio libraries — behind either a clearly
+marked NotImplementedError (`fake=False`) or a deterministic fake
+feature extractor (`fake=True`, default in tests).
+
+Design for scale:
+  * payloads ride a `binary` column next to a typed metadata struct, so
+    metadata predicates prune parquet row groups WITHOUT reading blobs
+    (column pruning keeps the scan cheap when only metadata is needed);
+  * decode/featurize runs via mapInPandas with a bounded Arrow batch
+    size: blobs never materialize on the driver and each task holds at
+    most `maxRecordsPerBatch` blobs in memory;
+  * frame-sampling/resize parameters are plan-time literals so repeated
+    runs are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id int, kind string, n_bytes int, sha string, feat array<float>"
+)
+
+
+def synth_media(spark, documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table: payload = utf-8 bytes of the
+    doc text (stand-in for encoded media), metadata derived from doc_id."""
+    return documents.select(
+        F.col("doc_id").cast("int").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.lit("image/png" if kind == "image" else "audio/wav").alias("mime"),
+        (F.col("doc_id") % 640 + 64).cast("int").alias("width"),
+        (F.col("doc_id") % 480 + 48).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def _fake_features(payload: pd.Series, dim: int = 8) -> pd.Series:
+    """Deterministic fake 'decode': normalized byte histogram moments."""
+    import hashlib
+
+    def one(b: bytes):
+        if b is None:
+            return None
+        h = hashlib.sha256(b).digest()
+        return [round(x / 255.0, 6) for x in h[:dim]]
+
+    return payload.map(one)
+
+
+def extract_features(df: DataFrame, dim: int = 8, fake: bool = True) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow-batched, executor-side).
+
+    fake=False is the REAL decode path — deliberately NotImplementedError
+    until media libraries are available in the runtime image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires image/audio libs not present "
+                    "in this runtime; use fake=True for plumbing tests"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["payload"].map(lambda b: 0 if b is None else len(b)),
+                    "sha": pdf["payload"].map(
+                        lambda b: None if b is None else hashlib.sha256(b).hexdigest()
+                    ),
+                    "feat": _fake_features(pdf["payload"], dim),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per planned frame with
+    byte-range metadata (decode itself is the stubbed step above)."""
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.coalesce(F.col("duration_ms"), F.lit(0)) - 1, F.lit(0)), F.lit(every_ms)
+    )
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", F.explode(frames).alias("frame_ts_ms"), F.length("payload").alias("n_bytes")
+    )

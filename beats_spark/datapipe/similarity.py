@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (array<float>).
+
+  cosine_sim        pure-Column dot/norm via zip_with + aggregate
+  brute_topk        exact top-k neighbors (baseline; Q queries × N corpus)
+  lsh_bucket_topk   sign-random-projection bucketed ANN (the scale path):
+                    corpus hashed into 2^p hyperplane-sign buckets; each
+                    query probes its own bucket (+ optional 1-bit flips).
+                    Shuffle ∝ rows, probe cost ∝ N/2^p per query.
+
+At 100 TB the brute-force path is only for verification samples; the
+bucketed path broadcast-joins the (small) query set against the bucketed
+corpus so the corpus never shuffles more than once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query (query set broadcast).
+
+    Deterministic ranking: (rounded sim desc, neighbor id asc) so results
+    are reproducible and oracle-comparable across engines."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos_sim",
+        F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(dot(vec, plane_i))."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(vec.cast("array<double>"), p) > 0, F.lit(2**i)).otherwise(0)
+    return bucket
+
+
+def _planes(dim: int, p_bits: int, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(p_bits)]
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    p_bits: int = 6,
+    tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: `tables` independent SRP hash tables; a query
+    probes its bucket in every table (+ `multiprobe` single-bit flips per
+    table). Candidates = union over tables — the standard recall lever
+    when a single table's collision probability is low."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
+
+    def buckets_for(vec: Column) -> Column:
+        # one (table_id, bucket) struct per table → explode
+        return F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), _srp_bucket(vec, table_planes[t]).alias("bk"))
+                for t in range(tables)
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(buckets_for(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket"))
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(buckets_for(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("q_bucket"))
+    probes = [F.col("q_bucket")] + [
+        F.col("q_bucket").bitwiseXOR(F.lit(2**i)) for i in range(min(multiprobe, p_bits))
+    ]
+    q = q0.withColumn("bucket", F.explode(F.array(*probes)))
+    joined = c.join(F.broadcast(q), ["t", "bucket"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.withColumn(
+        "cos_sim",
+        F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+    ).select("query_id", "neighbor_id", "cos_sim").distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    threshold: float = 0.95,
+    p_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP buckets + verify."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = _planes(dim, p_bits)
+    b = df.select(
+        F.col(id_col), F.col(vec_col), _srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_sim(
+                    F.col(f"a.{vec_col}").cast("array<double>"),
+                    F.col(f"b.{vec_col}").cast("array<double>"),
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cos_sim"
+        )
+    )
+    return pairs

@@ -1,0 +1,101 @@
+"""Text analysis operators over the `documents` table — all pure Column.
+
+  token_count      whitespace tokenization count
+  quality_score    length / punctuation / stopword / uppercase ratios
+  lang_id          stopword-marker n-gram heuristic (argmax over languages)
+  doc_fingerprint  normalized-text content hash (rolling-hash analog)
+
+Scale: every operator is a map-side projection (no shuffle, no UDF) —
+at 100 TB these run at parquet-scan speed with column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker words per language — deliberately simple & SQL-expressible so the
+# DuckDB oracle can replicate the heuristic exactly.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|that|with)\b",
+    "es": r"\b(el|la|los|las|es|de|que|con)\b",
+    "de": r"\b(der|die|das|und|ist|mit|nicht)\b",
+    "fr": r"\b(le|la|les|est|et|que|avec)\b",
+}
+
+STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace tokens; empty/blank string → 0."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword proxy: words + digits + punctuation marks counted
+    separately (a cheap, deterministic stand-in for tokenizer length)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|\d|[^\sA-Za-z\d]"), F.lit(0)))
+
+
+def quality_columns(col: Column) -> dict[str, Column]:
+    n_chars = F.length(col)
+    n_tokens = token_count(col)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
+    n_stop = F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS_RE), F.lit(0)))
+    n_upper = F.size(F.regexp_extract_all(col, F.lit(r"[A-Z]"), F.lit(0)))
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / safe_chars, 6),
+        "stopword_ratio": F.round(n_stop / safe_tokens, 6),
+        "upper_ratio": F.round(n_upper / safe_chars, 6),
+        "mean_token_len": F.round(safe_chars / safe_tokens, 6),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane punctuation,
+    some stopwords (prose-ness), not shouting."""
+    q = quality_columns(col)
+    score = (
+        F.when(q["n_tokens"] >= 20, F.lit(0.25)).otherwise(q["n_tokens"] / F.lit(80.0))
+        + F.when(q["punct_ratio"] <= 0.2, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((q["stopword_ratio"] >= 0.05) & (q["stopword_ratio"] <= 0.6), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(q["upper_ratio"] <= 0.3, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax of marker-regex hit counts; tie/zero → 'und'. Deterministic
+    tie-break: language order as listed (en > es > de > fr)."""
+    low = F.lower(col)
+    counts = {lang: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))) for lang, pat in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when(counts[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Content fingerprint of whitespace-normalized lowercased text."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm)
+
+
+def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
+    col = F.col(text_col)
+    out = df
+    for name, c in quality_columns(col).items():
+        out = out.withColumn(name, c)
+    return (
+        out.withColumn("quality", quality_score(col))
+        .withColumn("lang_pred", lang_id(col))
+        .withColumn("fingerprint", doc_fingerprint(col))
+    )

@@ -508,11 +508,11 @@ def cast_column(col: Column, data_type: str) -> Column:
     if data_type in ("", "string", "ip"):
         return col
     if data_type in ("long", "integer"):
-        hexv = F.conv(F.regexp_replace(col, "(?i)^0x", ""), 16, 10).cast(_SPARK_TYPES[data_type])
+        hexv = F.conv(F.regexp_replace(col, "(?i)^0x", ""), 16, 10).try_cast(_SPARK_TYPES[data_type])
         return F.when(col.rlike("(?i)^[+-]?0x[0-9a-f]+$"), hexv).otherwise(
-            col.cast(_SPARK_TYPES[data_type])
+            col.try_cast(_SPARK_TYPES[data_type])
         )
-    return col.cast(_SPARK_TYPES[data_type])
+    return col.try_cast(_SPARK_TYPES[data_type])
 
 
 # ---------------------------------------------------------------------------

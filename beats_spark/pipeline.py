@@ -1,0 +1,105 @@
+"""The flagship parse → enrich → route → aggregate pipeline.
+
+This is the Spark re-expression of the filebeat event data path
+(SURVEY.md §3.1): scan → reader/parse chain → processors → selector →
+per-sink fan-out + flows-style aggregates. The whole chain up to the
+aggregates compiles into a single Catalyst plan: one parquet scan, one
+Project span with the dissect regexes + casts + enrich-broadcast-joins,
+no exchange until the windowed aggregates / fan-out write.
+
+Stage list (FIXTURES.md §§1,4,5):
+ 1. dissect `text` with the flagship tokenizer (Column fast path) →
+    level / ts_str / tool_tok / msg (+ dissect_parsing_error flag)
+ 2. dissect `msg` → step; convert step|long, ts_str|timestamp
+    (+ convert_error flag)
+ 3. broadcast-enrich role→(team,is_agent), tool→(tool_kind,risk)
+ 4. drop_event: dissect-failed AND text contains 'debug'
+ 5. selector: dead-letter (convert_error) → role=='tool' →
+    assistant-with-tool → long-tail (turn_idx≥100) → default sink_main
+ 6. aggregates: events/conv and events/tool per hour per sink
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import synth
+from .dissect import dissect_columns
+from .events import FLAG_CONVERT_FAILURE, FLAG_DISSECT_FAILURE, FLAGS_COL, SINK_COL
+from .processors import compile_chain
+from .processors.enrich import lookup_join
+from .routing import DEAD_LETTER_SINK, route
+from .selectors import Rule, Selector
+
+FLAGSHIP_TOK = 'level=%{level} ts=%{ts_str} tool=%{tool_tok} msg="%{msg}"'
+STEP_TOK = "ran step %{step}"
+
+SINK_TOOL = "sink_tool_events"
+SINK_AGENT = "sink_agent_tool_calls"
+SINK_LONG_TAIL = "sink_long_tail"
+SINK_MAIN = "sink_main"
+ALL_SINKS = [DEAD_LETTER_SINK, SINK_TOOL, SINK_AGENT, SINK_LONG_TAIL, SINK_MAIN]
+
+
+def flagship_selector() -> Selector:
+    """FIXTURES.md §4 rule list — first match wins (select.go:341-354)."""
+    return Selector(
+        rules=[
+            Rule(index=DEAD_LETTER_SINK, when={"equals": {"has_convert_error": True}}),
+            Rule(index=SINK_TOOL, when={"equals": {"role": "tool"}}),
+            Rule(
+                index=SINK_AGENT,
+                when={"and": [{"equals": {"role": "assistant"}}, {"not": {"equals": {"tool": ""}}}]},
+            ),
+            Rule(index=SINK_LONG_TAIL, when={"range": {"turn_idx.gte": 100}}),
+        ],
+        fallback=SINK_MAIN,
+    )
+
+
+def parse_enrich(transcripts: DataFrame, spark: SparkSession) -> DataFrame:
+    """Stages 1-3: pure map-side (no shuffle) + broadcast joins."""
+    df = dissect_columns(transcripts, FLAGSHIP_TOK, src="text")
+    df = dissect_columns(df, STEP_TOK, src="msg", flag_failures=False)
+
+    chain = compile_chain(
+        [
+            {
+                "convert": {
+                    "fields": [{"from": "step", "to": "step_num", "type": "long"}],
+                    "fail_on_error": False,
+                }
+            },
+        ]
+    )
+    df = chain(df)
+    df = df.withColumn("event_ts", F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    df = lookup_join(synth.lookup_role(spark), on="role", defaults={"team": "unknown"})(df)
+    df = lookup_join(synth.lookup_tool(spark), on="tool", defaults={"tool_kind": "none", "risk": "low"})(df)
+    return df
+
+
+def route_events(df: DataFrame) -> DataFrame:
+    """Stages 4-5: drop_event + selector routing (+ dead-letter)."""
+    dissect_failed = F.array_contains(F.col(FLAGS_COL), FLAG_DISSECT_FAILURE)
+    df = df.filter(~(dissect_failed & F.col("text").contains("debug")))
+    df = df.withColumn(
+        "has_convert_error", F.array_contains(F.col(FLAGS_COL), FLAG_CONVERT_FAILURE)
+    )
+    return route(df, flagship_selector())
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full routed event stream (one row per surviving turn, with sink)."""
+    t = synth.transcripts(spark, sf_dir)
+    return route_events(parse_enrich(t, spark))
+
+
+def flagship_aggregates(routed: DataFrame) -> dict[str, DataFrame]:
+    from .aggregates import events_per_conv, events_per_tool
+
+    return {
+        "events_per_conv": events_per_conv(routed),
+        "events_per_tool": events_per_tool(routed),
+    }

@@ -1,0 +1,60 @@
+"""Processor registry — the `processors.New` analog.
+
+The reference registers each processor constructor under a config name
+(/root/reference/libbeat/processors/registry.go:27-39) and runs the list
+serially per event (processor.go:88-148).  Here each processor is a stage
+builder `config -> (DataFrame -> DataFrame)` and a pipeline is a function
+composition compiled once on the driver — Catalyst fuses the whole chain
+into one whole-stage-codegen plan, so "running processors serially" costs
+one pass over the data regardless of chain length.
+
+`when` guards (conditionals.go:59-100) wrap any stage: matching rows get
+the transformed columns, the rest pass through untouched.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+from . import actions, enrich, parsers, stateful
+
+Stage = Callable[[DataFrame], DataFrame]
+
+REGISTRY: dict[str, Callable[..., Stage]] = {}
+
+
+def register(name: str):
+    def deco(builder):
+        REGISTRY[name] = builder
+        return builder
+
+    return deco
+
+
+def build(name: str, **config: Any) -> Stage:
+    if name not in REGISTRY:
+        raise KeyError(f"unknown processor: {name!r} (have: {sorted(REGISTRY)})")
+    return REGISTRY[name](**config)
+
+
+def compile_chain(spec: list[dict[str, Any]]) -> Stage:
+    """[{name: {config}}, ...] → one composed stage."""
+    stages = []
+    for entry in spec:
+        if len(entry) != 1:
+            raise ValueError(f"each processor entry must be a single-key dict: {entry!r}")
+        name, cfg = next(iter(entry.items()))
+        stages.append(build(name, **(cfg or {})))
+
+    def run(df: DataFrame) -> DataFrame:
+        for s in stages:
+            df = s(df)
+        return df
+
+    return run
+
+
+# Populate the registry.
+from . import _register  # noqa: E402,F401

@@ -1,0 +1,65 @@
+"""Registry population — name → stage builder (registry.go:27-39 analog)."""
+
+from __future__ import annotations
+
+from . import REGISTRY, actions, enrich, parsers, stateful
+
+REGISTRY.update(
+    {
+        # mutate family
+        "add_fields": actions.add_fields,
+        "add_tags": actions.add_tags,
+        "copy_fields": actions.copy_fields,
+        "rename": actions.rename,
+        "drop_fields": actions.drop_fields,
+        "include_fields": actions.include_fields,
+        "drop_event": actions.drop_event,
+        "replace": actions.replace,
+        "truncate_fields": actions.truncate_fields,
+        "lowercase": actions.lowercase,
+        "uppercase": actions.uppercase,
+        "append": actions.append,
+        "add_id": actions.add_id,
+        "fingerprint": actions.fingerprint,
+        "add_formatted_index": actions.add_formatted_index,
+        # parse / decode
+        "convert": parsers.convert,
+        "decode_json_fields": parsers.decode_json_fields,
+        "decode_csv_fields": parsers.decode_csv_fields,
+        "decode_base64_field": parsers.decode_base64_field,
+        "urldecode": parsers.urldecode,
+        "extract_array": parsers.extract_array,
+        "extract_field": parsers.extract_field,
+        "decode_duration": parsers.decode_duration,
+        "timestamp": parsers.timestamp,
+        "syslog": parsers.syslog,
+        "decompress_gzip_field": parsers.decompress_gzip_field,
+        # enrich
+        "lookup_join": enrich.lookup_join,
+        "add_constant_metadata": enrich.add_constant_metadata,
+        "registered_domain": enrich.registered_domain,
+        "community_id": enrich.community_id,
+        "add_network_direction": enrich.add_network_direction,
+        # stateful
+        "rate_limit": stateful.rate_limit,
+        "multiline_pattern": stateful.multiline_pattern,
+        "multiline_count": stateful.multiline_count,
+        "timeseries_instance": stateful.timeseries_instance,
+    }
+)
+
+
+def dissect_builder(**cfg):
+    from ..dissect import dissect_attrs, dissect_columns
+
+    mode = cfg.pop("mode", "columns")
+
+    def stage(df):
+        if mode == "attrs":
+            return dissect_attrs(df, **cfg)
+        return dissect_columns(df, **cfg)
+
+    return stage
+
+
+REGISTRY["dissect"] = dissect_builder

@@ -1,0 +1,301 @@
+"""Mutate-family processors (reference: libbeat/processors/actions/, 2,792 LoC).
+
+Each function returns a Stage (DataFrame -> DataFrame). All are pure
+Column expressions — zero UDFs, zero shuffles; Catalyst collapses a chain
+of these into a single Project.
+
+Dot-path fields map to: top-level column when it exists, else an entry in
+the `attrs` map (SURVEY.md §1.3 schema-on-write rule).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..conditions import compile_condition
+from ..events import ATTRS_COL, ATTRS_TYPE, FLAG_TRUNCATED, FLAGS_COL, append_flag
+
+
+def _guard(df: DataFrame, when: dict | None):
+    return compile_condition(when) if when else None
+
+
+def _with_guarded(df: DataFrame, name: str, new_col: Column, when: dict | None) -> DataFrame:
+    """withColumn under an optional `when` guard: non-matching rows keep
+    the original value (conditionals.go:59-100)."""
+    if when is None:
+        return df.withColumn(name, new_col)
+    cond = compile_condition(when)
+    orig = F.col(name) if name in df.columns else F.lit(None)
+    return df.withColumn(name, F.when(cond, new_col).otherwise(orig))
+
+
+def _attrs(df: DataFrame) -> Column:
+    if ATTRS_COL in df.columns:
+        return F.coalesce(F.col(ATTRS_COL), F.create_map().cast(ATTRS_TYPE))
+    return F.create_map().cast(ATTRS_TYPE)
+
+
+# -- add/copy/rename/drop ----------------------------------------------------
+
+
+def add_fields(fields: dict[str, Any], target: str = "fields", when: dict | None = None):
+    """add_fields.go:28-60 — literal fields under `target`.
+
+    target '' (fields_under_root) ⇒ top-level columns; otherwise merged
+    into the attrs map as `target.key` entries (DeepUpdate analog).
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        if target == "":
+            for k, v in fields.items():
+                df = _with_guarded(df, k, F.lit(v), when)
+            return df
+        kv = []
+        for k, v in fields.items():
+            kv.extend([F.lit(f"{target}.{k}" if target else k), F.lit(str(v))])
+        merged = F.map_concat(_attrs(df), F.create_map(*kv))
+        return _with_guarded(df, ATTRS_COL, merged, when)
+
+    return stage
+
+
+def add_tags(tags: list[str], target: str = "tags", when: dict | None = None):
+    """add_tags.go:38 — append tags, no dedup."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        base = (
+            F.coalesce(F.col(target), F.array().cast("array<string>"))
+            if target in df.columns
+            else F.array().cast("array<string>")
+        )
+        return _with_guarded(df, target, F.concat(base, F.array(*[F.lit(t) for t in tags])), when)
+
+    return stage
+
+
+def copy_fields(fields: list[dict[str, str]], when: dict | None = None):
+    """copy_fields.go:45 — [{'from': a, 'to': b}, ...]."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            df = _with_guarded(df, f["to"], F.col(f["from"]), when)
+        return df
+
+    return stage
+
+
+def rename(fields: list[dict[str, str]], fail_on_error: bool = True):
+    """rename.go:34-51 — move a column; target must not exist."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            src, dst = f["from"], f["to"]
+            if dst in df.columns:
+                if fail_on_error:
+                    raise ValueError(f"rename: target field {dst!r} already exists")
+                continue
+            if src not in df.columns:
+                if fail_on_error:
+                    raise ValueError(f"rename: source field {src!r} missing")
+                continue
+            df = df.withColumnRenamed(src, dst)
+        return df
+
+    return stage
+
+
+def drop_fields(fields: list[str], ignore_missing: bool = True):
+    """drop_fields.go:50 — @timestamp ('ts') and identity keys protected."""
+    protected = {"ts", "conv_id", "turn_idx"}
+
+    def stage(df: DataFrame) -> DataFrame:
+        top = [f for f in fields if f in df.columns and f not in protected]
+        if not ignore_missing:
+            missing = [f for f in fields if f not in df.columns and not f.startswith("attrs.")]
+            if missing:
+                raise ValueError(f"drop_fields: missing {missing}")
+        out = df.drop(*top)
+        map_keys = [f[len("attrs.") :] for f in fields if f.startswith("attrs.")]
+        if map_keys and ATTRS_COL in df.columns:
+            keys_arr = F.array(*[F.lit(k) for k in map_keys])
+            out = out.withColumn(
+                ATTRS_COL,
+                F.map_filter(F.col(ATTRS_COL), lambda k, _: ~F.array_contains(keys_arr, k)),
+            )
+        return out
+
+    return stage
+
+
+def include_fields(fields: list[str]):
+    """include_fields.go:38 — keep-list; @timestamp + identity always kept."""
+    always = ["conv_id", "turn_idx", "ts"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        keep = [c for c in df.columns if c in set(fields) | set(always) or c in (FLAGS_COL,)]
+        return df.select(*keep)
+
+    return stage
+
+
+def drop_event(when: dict):
+    """drop_event.go:31-44 — always guarded by `when`."""
+    cond = compile_condition(when)
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+
+    return stage
+
+
+# -- string mutations ----------------------------------------------------------
+
+
+def replace(fields: list[dict[str, str]], when: dict | None = None):
+    """replace.go:34-59 — [{'field': f, 'pattern': p, 'replacement': r}]."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            new = F.regexp_replace(F.col(f["field"]), f["pattern"], f["replacement"])
+            df = _with_guarded(df, f["field"], new, when)
+        return df
+
+    return stage
+
+
+def truncate_fields(fields: list[str], max_characters: int, when: dict | None = None):
+    """truncate_fields.go:50-53 — truncate + `truncated` flag."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        # Flag BEFORE truncating — the flag condition must see the
+        # original lengths, not the already-truncated values.
+        flag_cond = F.lit(False)
+        for f in fields:
+            flag_cond = flag_cond | (F.length(F.col(f)) > max_characters)
+        if when is not None:
+            flag_cond = flag_cond & F.coalesce(compile_condition(when), F.lit(False))
+        flags = F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
+        df = df.withColumn(FLAGS_COL, append_flag(flags, FLAG_TRUNCATED, flag_cond))
+        for f in fields:
+            df = _with_guarded(df, f, F.substring(F.col(f), 1, max_characters), when)
+        return df
+
+    return stage
+
+
+def lowercase(fields: list[str], values: bool = True, when: dict | None = None):
+    """lowercase.go:31 — case-fold values (column-name folding is a
+    compile-time rename in a fixed schema, apply via `rename`)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            if values:
+                df = _with_guarded(df, f, F.lower(F.col(f)), when)
+        return df
+
+    return stage
+
+
+def uppercase(fields: list[str], values: bool = True, when: dict | None = None):
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            if values:
+                df = _with_guarded(df, f, F.upper(F.col(f)), when)
+        return df
+
+    return stage
+
+
+def append(
+    target_field: str,
+    fields: list[str] | None = None,
+    values: list[Any] | None = None,
+    allow_duplicate: bool = True,
+    when: dict | None = None,
+):
+    """append.go:33-49 — append values/other-field values to an array field."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        base = (
+            F.coalesce(F.col(target_field), F.array().cast("array<string>"))
+            if target_field in df.columns
+            else F.array().cast("array<string>")
+        )
+        extra = [F.col(f).cast("string") for f in (fields or [])] + [
+            F.lit(str(v)) for v in (values or [])
+        ]
+        new = F.concat(base, F.array(*extra))
+        if not allow_duplicate:
+            new = F.array_distinct(new)
+        return _with_guarded(df, target_field, new, when)
+
+    return stage
+
+
+# -- ids / hashes ----------------------------------------------------------------
+
+
+def add_id(target_field: str = "event_id", deterministic: bool = True):
+    """add_id/add_id.go:32 — ES-style id. We default to a deterministic
+    content id (sha2 of the natural key) so retried partitions write
+    identical rows — the idempotence invariant of SURVEY.md §3.1."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        if deterministic:
+            col = F.sha2(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
+        else:
+            col = F.expr("uuid()")
+        return df.withColumn(target_field, col)
+
+    return stage
+
+
+_HASHES = {"md5", "sha1", "sha256", "sha384", "sha512", "xxhash64"}
+
+
+def fingerprint(
+    fields: list[str],
+    target_field: str = "fingerprint",
+    method: str = "sha256",
+    encoding: str = "hex",
+    when: dict | None = None,
+):
+    """fingerprint/fingerprint.go:40 — hash of '|'-joined ordered field values.
+
+    The reference hashes a length-prefixed concatenation; we document the
+    '|' separator as our canonical form (stable, collision-safe for our
+    field set) and verify against the oracle with the same form.
+    """
+    if method not in _HASHES:
+        raise ValueError(f"fingerprint: unknown method {method!r}")
+
+    def stage(df: DataFrame) -> DataFrame:
+        joined = F.concat_ws("|", *[F.col(f).cast("string") for f in sorted(fields)])
+        if method == "md5":
+            h = F.md5(joined)
+        elif method == "sha1":
+            h = F.sha1(joined)
+        elif method == "xxhash64":
+            h = F.hex(F.xxhash64(joined))
+        else:
+            h = F.sha2(joined, int(method[3:]))
+        if encoding == "base64":
+            h = F.base64(F.unhex(h))
+        return _with_guarded(df, target_field, h, when)
+
+    return stage
+
+
+def add_formatted_index(index: str):
+    """add_formatted_index.go:33 — set the routing index meta column."""
+    from ..selectors import compile_fmtstr
+
+    def stage(df: DataFrame) -> DataFrame:
+        value, defined = compile_fmtstr(index)
+        return df.withColumn("_meta_index", F.when(defined, value))
+
+    return stage

@@ -1,0 +1,144 @@
+"""Enrichment processors — Beats' lookup-join family as broadcast joins.
+
+The reference enriches one event at a time against cached side state
+(translate_sid, dns, cache, add_*_metadata — SURVEY.md §2.6). On Spark
+the same semantics are a LEFT broadcast hash join against a small lookup
+DataFrame: build side ships once per executor, probe is map-side, no
+shuffle of the big side — the plan that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..conditions import ip_to_long
+
+
+def lookup_join(
+    lookup: DataFrame,
+    on: str | list[str],
+    defaults: dict[str, str] | None = None,
+    how: str = "left",
+):
+    """Generic broadcast-enrich (translate_sid/translatesid.go:43 analog).
+
+    `defaults` fills missing-key rows — the mappings+default semantics of
+    outil (select.go:224-250)."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = df.join(F.broadcast(lookup), on=keys, how=how)
+        for col, default in (defaults or {}).items():
+            out = out.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+        return out
+
+    return stage
+
+
+def add_constant_metadata(fields: dict[str, str], prefix: str = ""):
+    """add_host_metadata / add_agent_metadata / add_locale analog —
+    per-process constants become literal columns (driver-computed)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for k, v in fields.items():
+            df = df.withColumn(prefix + k, F.lit(v))
+        return df
+
+    return stage
+
+
+# A small built-in multi-label public suffix list; single-label TLDs are the
+# regex fallback. (registered_domain.go:41 uses the full publicsuffix table —
+# the table is data, the operator is "strip to eTLD+1".)
+_MULTI_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "com.sg", "co.za", "com.tr", "com.ar",
+]
+
+
+def registered_domain(field: str, target: str):
+    """registered_domain.go:41 — eTLD+1 extraction, pure Column:
+    try the multi-label suffixes first (longest match), else last 2 labels."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = F.col(field)
+        result = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
+        for suf in _MULTI_SUFFIXES:
+            esc = suf.replace(".", r"\.")
+            cand = F.regexp_extract(col, rf"([^.]+\.{esc})$", 1)
+            result = F.when(col.endswith("." + suf) | (col == suf), cand).otherwise(result)
+        return df.withColumn(target, F.when(result != "", result))
+
+    return stage
+
+
+def community_id(
+    src_ip: str, dst_ip: str, src_port: str, dst_port: str, proto: str, target: str = "community_id", seed: int = 0
+):
+    """communityid/communityid.go:38 — deterministic flow hash.
+
+    Canonical ordering (lower endpoint first) + sha1, '1:' prefix. We hash
+    the ascii tuple rather than the packed binary — same determinism and
+    collision properties for routing/correlation purposes."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        s_ip, d_ip = F.col(src_ip), F.col(dst_ip)
+        s_p, d_p = F.col(src_port).cast("bigint"), F.col(dst_port).cast("bigint")
+        flip = (ip_to_long(s_ip) > ip_to_long(d_ip)) | (
+            (ip_to_long(s_ip) == ip_to_long(d_ip)) & (s_p > d_p)
+        )
+        a_ip = F.when(flip, d_ip).otherwise(s_ip)
+        b_ip = F.when(flip, s_ip).otherwise(d_ip)
+        a_p = F.when(flip, d_p).otherwise(s_p)
+        b_p = F.when(flip, s_p).otherwise(d_p)
+        tup = F.concat_ws(
+            ":", F.lit(str(seed)), a_ip, b_ip, F.col(proto).cast("string"), a_p.cast("string"), b_p.cast("string")
+        )
+        return df.withColumn(target, F.concat(F.lit("1:"), F.sha1(tup)))
+
+    return stage
+
+
+def add_network_direction(
+    source: str, destination: str, target: str = "network_direction", internal_networks: list[str] | None = None
+):
+    """add_network_direction.go:34 — classify vs internal CIDRs."""
+    from ..conditions import _cidr_match  # driver-compiled CIDR ranges
+
+    nets = internal_networks or ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"]
+
+    def is_internal(col: Column) -> Column:
+        cond = F.lit(False)
+        for n in nets:
+            cond = cond | _cidr_match(col, n)
+        return cond
+
+    def stage(df: DataFrame) -> DataFrame:
+        src_in = is_internal(F.col(source))
+        dst_in = is_internal(F.col(destination))
+        return df.withColumn(
+            target,
+            F.when(src_in & dst_in, "internal")
+            .when(src_in, "outbound")
+            .when(dst_in, "inbound")
+            .otherwise("external"),
+        )
+
+    return stage
+
+
+def cache_get(lookup: DataFrame, key_field: str, value_cols: list[str], ttl_seconds: int | None = None, ts_col: str = "ts"):
+    """cache processor `get` op (cache/cache.go:40) — broadcast left join;
+    TTL becomes a time-window condition on the joined `cached_at` column."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = df.join(F.broadcast(lookup), on=df[key_field] == lookup.columns and F.col(key_field) == lookup[lookup.columns[0]], how="left")
+        if ttl_seconds is not None and "cached_at" in lookup.columns:
+            fresh = F.col("cached_at") >= (F.col(ts_col) - F.expr(f"INTERVAL {ttl_seconds} SECONDS"))
+            for c in value_cols:
+                out = out.withColumn(c, F.when(fresh, F.col(c)))
+        return out.drop(lookup[lookup.columns[0]])
+
+    return stage

@@ -1,0 +1,267 @@
+"""Parse / decode / convert processors.
+
+Reference semantics:
+  convert        libbeat/processors/convert/convert.go:74-184
+  decode_json    libbeat/processors/actions/decode_json_fields.go:38-93
+  decode_csv     libbeat/processors/decode_csv_fields/decode_csv_fields.go:59
+  decode_base64  libbeat/processors/actions/decode_base64_field.go:51
+  urldecode      libbeat/processors/urldecode/urldecode.go:51
+  extract_array  libbeat/processors/extract_array/extract_array.go:63
+  extract_field  libbeat/processors/actions/extract_field.go:30-41
+  decode_duration libbeat/processors/decode_duration/decode_duration.go:33
+  timestamp      libbeat/processors/timestamp/timestamp.go:37
+  syslog         libbeat/processors/syslog/syslog.go:79 (+ reader/syslog)
+  decompress_gzip libbeat/processors/actions/decompress_gzip_field.go:47
+
+All but gzip are pure Column expressions. Typed-cast failures produce
+NULL + a convert_error flag (typed columns can't keep the raw string the
+way the reference's dynamic map does — SURVEY.md §1.3 design rule).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..dissect import cast_column
+from ..events import ATTRS_COL, ATTRS_TYPE, FLAG_CONVERT_FAILURE, FLAGS_COL, append_flag
+
+
+def _flags(df: DataFrame) -> Column:
+    return F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
+
+
+def _get(df: DataFrame, name: str) -> Column:
+    if name.startswith("attrs."):
+        return F.col(ATTRS_COL).getItem(name[len("attrs.") :])
+    return F.col(name)
+
+
+def convert(
+    fields: list[dict[str, str]],
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+    mode: str = "copy",
+):
+    """convert.go:74-163 — [{'from': f, 'to': t, 'type': ty}].
+
+    fail_on_error=True gives the reference's transactional rollback: if ANY
+    field fails, NO target column is written (all-or-nothing CASE over the
+    pre-computed casts — targets come out NULL, sources stay intact) and
+    convert_error is flagged. fail_on_error=False writes the successes and
+    leaves failures null. (The reference restores the original dynamic-map
+    values on rollback; in a typed column the original string can't live in
+    the target, so rollback ⇒ NULL target + flag — SURVEY.md §1.3 rule.)
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        casts: list[tuple[str, Column, Column]] = []  # (to, cast, failed)
+        for f in fields:
+            src = f["from"]
+            dst = f.get("to", src)
+            ty = f.get("type", "string")
+            col = _get(df, src)
+            casted = cast_column(col, ty)
+            failed = col.isNotNull() & casted.isNull() if ty not in ("string", "ip") else F.lit(False)
+            if ty == "ip":
+                ok = col.rlike(r"^((\d{1,3}\.){3}\d{1,3}|([0-9A-Fa-f:]+))$")
+                failed = col.isNotNull() & ~ok
+                casted = F.when(ok, col)
+            casts.append((dst, casted, failed))
+        any_failed = F.lit(False)
+        for _, _, failed in casts:
+            any_failed = any_failed | failed
+        for dst, casted, _ in casts:
+            if fail_on_error:
+                orig = F.col(dst) if dst in df.columns else F.lit(None).cast("string")
+                df = df.withColumn(dst, F.when(~any_failed, casted).otherwise(orig.cast("string")))
+            else:
+                df = df.withColumn(dst, casted)
+        if mode == "rename":
+            drop = {f["from"] for f in fields if f.get("to") and f["to"] != f["from"]}
+            df = df.drop(*[c for c in drop if c in df.columns])
+        return df.withColumn(FLAGS_COL, append_flag(_flags(df), FLAG_CONVERT_FAILURE, any_failed))
+
+    return stage
+
+
+def decode_json_fields(
+    fields: list[str],
+    target: str = ATTRS_COL,
+    overwrite_keys: bool = False,
+    when: dict | None = None,
+):
+    """decode_json_fields.go:38-93 — parse JSON object strings into the
+    attrs map (unknown shape ⇒ map<string,string>)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for fname in fields:
+            parsed = F.from_json(_get(df, fname), ATTRS_TYPE)
+            if target in df.columns:
+                base = F.coalesce(F.col(target), F.create_map().cast(ATTRS_TYPE))
+                merged = (
+                    F.map_concat(base, parsed)  # later keys win → overwrite
+                    if overwrite_keys
+                    else F.map_concat(parsed, base)
+                )
+                new = F.when(parsed.isNotNull(), merged).otherwise(F.col(target))
+            else:
+                new = parsed
+            df = df.withColumn(target, new)
+        return df
+
+    return stage
+
+
+def decode_csv_fields(field: str, target: str, separator: str = ","):
+    """decode_csv_fields.go:59 — RFC-4180 split into array<string>.
+
+    Implemented with from_csv over a generous fixed arity then trimmed;
+    quoting/escapes handled by the CSV parser, not regex.
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        n = 20
+        schema = ", ".join(f"_c{i} string" for i in range(n))
+        parsed = F.from_csv(_get(df, field), schema, {"sep": separator})
+        arr = F.array_compact(F.array(*[parsed.getItem(f"_c{i}") for i in range(n)]))
+        return df.withColumn(target, arr)
+
+    return stage
+
+
+def decode_base64_field(field: str, target: str):
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(target, F.unbase64(_get(df, field)).cast("string"))
+
+    return stage
+
+
+def urldecode(fields: list[dict[str, str]]):
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            df = df.withColumn(f.get("to", f["from"]), F.url_decode(_get(df, f["from"])))
+        return df
+
+    return stage
+
+
+def extract_array(field: str, mappings: dict[str, int]):
+    """extract_array.go:63 — {'target_col': index}."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for target, idx in mappings.items():
+            df = df.withColumn(target, _get(df, field).getItem(idx))
+        return df
+
+    return stage
+
+
+def extract_field(field: str, separator: str, index: int, target: str):
+    """extract_field.go:30-41."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        import re as _re
+
+        return df.withColumn(target, F.split(_get(df, field), _re.escape(separator)).getItem(index))
+
+    return stage
+
+
+def decode_duration(field: str, target: str | None = None, unit: str = "s"):
+    """decode_duration.go:33 — '1h3m50.5s' → numeric duration.
+
+    Pure-Column: regexp_extract per unit + arithmetic (hours/minutes/
+    seconds/ms, fractional seconds supported)."""
+    div = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = _get(df, field)
+
+        def num(pat: str) -> Column:
+            return F.coalesce(F.regexp_extract(col, pat, 1).try_cast("double"), F.lit(0.0)).cast(
+                "double"
+            )
+
+        h = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)h", 1) != "", num(r"(\d+(?:\.\d+)?)h")).otherwise(F.lit(0.0))
+        m = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)m(?!s)", 1) != "", num(r"(\d+(?:\.\d+)?)m(?!s)")).otherwise(F.lit(0.0))
+        s = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)s", 1) != "", num(r"(\d+(?:\.\d+)?)s")).otherwise(F.lit(0.0))
+        ms = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)ms", 1) != "", num(r"(\d+(?:\.\d+)?)ms")).otherwise(F.lit(0.0))
+        # plain 's' regex also matches the 's' of 'ms' value — subtract.
+        total = h * 3600 + m * 60 + F.when(ms > 0, ms / 1000.0).otherwise(s)
+        return df.withColumn(target or field, total / F.lit(div))
+
+    return stage
+
+
+def timestamp(field: str, layouts: list[str], target: str = "ts", timezone: str = "UTC"):
+    """timestamp.go:37 — try layouts in order (Java patterns), first parse wins."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = _get(df, field)
+        parsed = None
+        for layout in layouts:
+            p = F.try_to_timestamp(col, F.lit(layout))
+            parsed = p if parsed is None else F.coalesce(parsed, p)
+        return df.withColumn(target, F.to_utc_timestamp(parsed, timezone))
+
+    return stage
+
+
+# RFC3164: <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG
+_RFC3164 = (
+    r"^(?:<(\d{1,3})>)?"  # pri
+    r"([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s"  # timestamp
+    r"([^\s:]+)\s"  # hostname
+    r"(?:([^\s:\[]+)(?:\[(\d+)\])?:\s?)?"  # tag[pid]:
+    r"(.*)$"  # message
+)
+
+
+def syslog(field: str = "text", prefix: str = "syslog_"):
+    """syslog.go:79 / reader/syslog — RFC3164 regex battery.
+
+    PRI arithmetic: severity = pri % 8, facility = pri / 8
+    (reader/syslog/syslog.go:83-133)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = _get(df, field)
+        pri = F.regexp_extract(col, _RFC3164, 1)
+        prin = F.when(pri != "", pri.try_cast("int"))
+        return (
+            df.withColumn(prefix + "priority", prin)
+            .withColumn(prefix + "severity", prin % 8)
+            .withColumn(prefix + "facility", (prin / 8).cast("int"))
+            .withColumn(prefix + "timestamp", F.regexp_extract(col, _RFC3164, 2))
+            .withColumn(prefix + "hostname", F.regexp_extract(col, _RFC3164, 3))
+            .withColumn(prefix + "program", F.regexp_extract(col, _RFC3164, 4))
+            .withColumn(prefix + "pid", F.regexp_extract(col, _RFC3164, 5))
+            .withColumn(prefix + "message", F.regexp_extract(col, _RFC3164, 6))
+        )
+
+    return stage
+
+
+def decompress_gzip_field(field: str, target: str):
+    """decompress_gzip_field.go:47 — rare path, Arrow-batched zlib."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def gunzip(s: pd.Series) -> pd.Series:
+        import gzip
+
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return gzip.decompress(b).decode("utf-8", errors="replace")
+            except OSError:
+                return None
+
+        return s.map(one)
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(target, gunzip(_get(df, field)))
+
+    return stage

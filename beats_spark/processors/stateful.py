@@ -1,0 +1,140 @@
+"""Stateful / windowed operators (SURVEY.md §2.7).
+
+rate_limit   ratelimit/rate_limit.go:45-100 (token_bucket per key)
+multiline    reader/multiline/{pattern,counter,while}.go
+timeseries   processors/timeseries (instance hash of dimensions)
+
+Batch semantics: the token bucket's steady state admits `limit` events
+per period per key; the batch analog is row_number() over
+(key, time-bucket) ≤ limit in arrival (ts, turn_idx) order. The
+streaming variant (transformWithState) reuses the same keying.
+
+Scale note: rate_limit and multiline shuffle once on their key — the
+same partitioning the downstream per-conv aggregates need, so Catalyst
+reuses the exchange when keys align (conv_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ordered_join(order_col: str, text_col: str, sep: str):
+    """collect_list is unordered — sort by the order key inside the array
+    (struct sort on first field) before joining, preserving the per-file
+    offset-order guarantee of the reference reader (session.go:220)."""
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return F.array_join(F.transform(pairs, lambda s: s["t"]), sep).alias(text_col)
+
+
+def rate_limit(
+    key_fields: list[str],
+    limit: int,
+    period: str = "1 minute",
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+):
+    """Keep at most `limit` events per key per period-bucket; drop the rest."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        bucket = F.window(F.col(ts_col), period).getField("start")
+        order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or ["turn_idx"]) if c in df.columns]
+        w = Window.partitionBy(*[F.col(k) for k in key_fields], bucket).orderBy(*order)
+        return (
+            df.withColumn("_rl_rn", F.row_number().over(w))
+            .filter(F.col("_rl_rn") <= limit)
+            .drop("_rl_rn")
+        )
+
+    return stage
+
+
+def multiline_pattern(
+    pattern: str,
+    match: str = "after",
+    negate: bool = False,
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    max_lines: int = 500,
+    sep: str = "\n",
+):
+    """multiline/pattern.go:44-129 — join physical lines into logical events.
+
+    A line L is a *continuation* when (pattern matches L) XOR negate —
+    with match='after' the flag applies to the line itself; with
+    match='before' a matching line joins the FOLLOWING line's group.
+    Group id = running sum of boundary flags over (group, order) — the
+    session-grouping window idiom for the reader's sequential loop.
+    Emits one row per logical event: first line's metadata, joined text,
+    line count (capped at max_lines per event via sub-splitting).
+    """
+    groups = group_cols or ["conv_id"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        matches = F.col(text_col).rlike(pattern)
+        is_continuation = ~matches if negate else matches
+        if match == "after":
+            boundary = ~is_continuation
+        else:  # 'before': line joins the following one ⇒ boundary when the PREVIOUS line did not match
+            w0 = Window.partitionBy(*groups).orderBy(order_col)
+            prev_cont = F.lag(is_continuation, 1, False).over(w0)
+            boundary = ~F.coalesce(prev_cont, F.lit(False))
+        w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
+        # cap group size at max_lines: sub-split index = (rank within group) // max_lines
+        wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
+        df = df.withColumn("_ml_sub", ((F.row_number().over(wg) - 1) / max_lines).cast("int"))
+        agg = (
+            df.groupBy(*groups, "_ml_grp", "_ml_sub")
+            .agg(
+                F.min(order_col).alias(order_col),
+                F.min("ts").alias("ts") if "ts" in df.columns else F.lit(None).alias("ts"),
+                _ordered_join(order_col, text_col, sep),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .drop("_ml_grp", "_ml_sub")
+        )
+        return agg
+
+    return stage
+
+
+def multiline_count(
+    count: int,
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+):
+    """multiline/counter.go — join every N lines."""
+    groups = group_cols or ["conv_id"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*groups).orderBy(order_col)
+        df = df.withColumn("_ml_grp", ((F.row_number().over(w) - 1) / count).cast("int"))
+        return (
+            df.groupBy(*groups, "_ml_grp")
+            .agg(
+                F.min(order_col).alias(order_col),
+                _ordered_join(order_col, text_col, sep),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .drop("_ml_grp")
+        )
+
+    return stage
+
+
+def timeseries_instance(dimension_fields: list[str], target: str = "timeseries_instance"):
+    """timeseries processor — stable hash of ordered dimension values."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            target, F.xxhash64(*[F.col(c) for c in sorted(dimension_fields)])
+        )
+
+    return stage

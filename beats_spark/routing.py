@@ -1,0 +1,77 @@
+"""Routing / output fan-out — the Beats output layer as a partitioned write.
+
+The reference evaluates the selector per event and groups bulk requests
+per sink (elasticsearch.go:144-166); we evaluate the selector as ONE
+Column and fan out with a single `partitionBy(_sink)` write — one pass,
+one shuffle-free write (file-per-sink-per-task), Iceberg/Hive-style
+partition layout so downstream readers partition-prune by sink.
+
+Skew: hot conversations (one conv = 5% of rows) would make one output
+file/task giant. `salted_repartition` spreads a hot key over S buckets
+while keeping turn-order recoverable via (conv_id, turn_idx) sort keys —
+the explicit skew handling the north rule requires (kafka's hash
+partitioner, partition.go:114-143, hotspots instead).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .events import SINK_COL
+from .selectors import Selector
+
+DEAD_LETTER_SINK = "sink_dead_letter"  # dead_letter_index analog (client.go:63-65)
+
+
+def route(df: DataFrame, selector: Selector, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn(SINK_COL, selector.column(ts_col, set(df.columns)))
+
+
+def salted_repartition(
+    df: DataFrame, key: str = "conv_id", salt_buckets: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Spread skewed keys: partition on (key, pmod(hash(turn_idx), S)).
+
+    Rows of one hot conv land in S partitions instead of 1; everything
+    stays deterministic (hash of turn_idx, not rand())."""
+    salt = F.pmod(F.hash(F.col("turn_idx")), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col(key), salt)
+    return df.repartition(F.col(key), salt)
+
+
+def write_sinks(
+    df: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    salt_buckets: int = 16,
+) -> dict[str, int]:
+    """Fan out routed rows to per-sink partitions; returns per-sink counts.
+
+    Idempotence: `overwrite` of the static sink partitions replaces prior
+    output — re-running a failed job converges to the same bytes
+    (replaces Beats' at-least-once retry with effectively-once, §3.1).
+    """
+    routed = df.filter(F.col(SINK_COL).isNotNull())
+    salted = salted_repartition(routed, "conv_id", salt_buckets)
+    (
+        salted.write.mode(mode)
+        .format(fmt)
+        .partitionBy(SINK_COL)
+        .option("partitionOverwriteMode", "dynamic")
+        .save(os.path.join(out_dir, "sinks"))
+    )
+    counts = {r[SINK_COL]: r["cnt"] for r in routed.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()}
+    return counts
+
+
+def read_sink(spark, out_dir: str, sink: str, fmt: str = "parquet") -> DataFrame:
+    return (
+        spark.read.format(fmt)
+        .load(os.path.join(out_dir, "sinks"))
+        .filter(F.col(SINK_COL) == sink)
+    )

@@ -1,0 +1,127 @@
+"""Output selector + event format strings → a single `sink` Column.
+
+Reimplements the observable semantics of the reference's outil.Selector
+(/root/reference/libbeat/outputs/outil/select.go:30-113, 341-399) and
+fmtstr.EventFormatString (libbeat/common/fmtstr/formatevents.go:39-121):
+
+  * ordered rule list; each rule = optional `when` condition + format
+    template + optional `mappings{}` + optional `default`;
+  * FIRST rule producing a non-empty string wins (listSelector eval);
+  * a template referencing a missing field with no :default produces
+    nothing → falls through to the next rule (fmtSelector fallback);
+  * `mappings` re-keys the evaluated template through a literal dict.
+
+Compiled on the driver into one nested CASE WHEN Column — evaluated by
+Catalyst inside codegen, fanned out later by routing.write_sinks. This is
+the "which index/topic does each event go to" query of Beats, as a column.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .conditions import compile_condition
+
+# %{[a][b]}, %{[a]:default}, %{+yyyy.MM.dd} (timestamp format on @timestamp/ts)
+_FMT_RE = re.compile(r"%\{([^}]+)\}")
+
+
+def _go_time_to_java(fmt: str) -> str:
+    # Beats' +FORMAT strings are already joda/java-style (yyyy.MM.dd).
+    return fmt
+
+
+def compile_fmtstr(
+    template: str, ts_col: str = "ts", columns: set[str] | None = None
+) -> tuple[Column, Column]:
+    """template → (value Column, defined Column).
+
+    `defined` is False when any referenced field without a default is
+    null or absent from the schema — the caller treats that as "rule
+    produced nothing" (fmtSelector fallback-on-missing-field). Pass the
+    DataFrame's column set so absent top-level fields resolve to the
+    default instead of failing analysis.
+    """
+    parts: list[Column] = []
+    required: list[Column] = []
+    pos = 0
+    for m in _FMT_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        expr = m.group(1)
+        if expr.startswith("+"):
+            parts.append(F.date_format(F.col(ts_col), _go_time_to_java(expr[1:])))
+        else:
+            ref, _, default = expr.partition(":")
+            fields = re.findall(r"\[([^\]]+)\]", ref) or [ref]
+            absent = columns is not None and fields[0] not in columns
+            if absent:
+                col = F.lit(None).cast("string")
+            else:
+                col = F.col(fields[0])
+                for sub in fields[1:]:
+                    col = col.getItem(sub)
+            if default:
+                parts.append(F.coalesce(col.cast("string"), F.lit(default)))
+            else:
+                required.append(col)
+                parts.append(col.cast("string"))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        parts = [F.lit("")]
+    value = F.concat(*parts) if len(parts) > 1 else parts[0]
+    defined = F.lit(True)
+    for r in required:
+        defined = defined & r.isNotNull()
+    return value, defined
+
+
+@dataclass
+class Rule:
+    """One selector rule (select.go:260-335)."""
+
+    index: str  # format template
+    when: dict[str, Any] | None = None
+    mappings: dict[str, str] | None = None
+    default: str | None = None
+    case_insensitive: bool = False
+
+
+class Selector:
+    """Ordered first-match-wins selector → one Column."""
+
+    def __init__(self, rules: list[Rule], fallback: str | None = None):
+        self.rules = rules
+        self.fallback = fallback
+
+    def column(self, ts_col: str = "ts", columns: set[str] | None = None) -> Column:
+        result = F.lit(self.fallback) if self.fallback is not None else F.lit(None).cast("string")
+        # Build the nested CASE from the last rule backwards so the first
+        # matching (non-empty-producing) rule wins.
+        for rule in reversed(self.rules):
+            value, defined = compile_fmtstr(rule.index, ts_col, columns)
+            if rule.case_insensitive:
+                value = F.lower(value)
+            if rule.mappings is not None:
+                kv = []
+                for k, v in rule.mappings.items():
+                    kv.extend([F.lit(k), F.lit(v)])
+                mapped = F.create_map(*kv).getItem(value)
+                if rule.default is not None:
+                    mapped = F.coalesce(mapped, F.lit(rule.default))
+                value = mapped
+            elif rule.default is not None:
+                value = F.coalesce(value, F.lit(rule.default))
+            produced = defined & value.isNotNull() & (value != F.lit(""))
+            cond = produced
+            if rule.when is not None:
+                cond = F.coalesce(compile_condition(rule.when), F.lit(False)) & produced
+            result = F.when(cond, value).otherwise(result)
+        return result

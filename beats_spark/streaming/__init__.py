@@ -1,0 +1,94 @@
+"""Structured Streaming surface — the same compiled stages, unbounded.
+
+Beats is fundamentally a streaming shipper; our batch pipeline's stages
+are all expressible on a streaming DataFrame because they are pure
+Column transformations (parse/enrich/route) or time-windowed aggregates.
+This module wires them to readStream/writeStream:
+
+  * parse/enrich/route: identical stage functions — a streaming df goes
+    through `parse_enrich` + `route_events` unchanged;
+  * per-sink windowed counts: window() + watermark for late data (the
+    flows periodic-report semantics, worker.go:127-184; watermark gap =
+    the flows inactivity timeout);
+  * queue batching (memqueue flush.timeout, config.go:30-43) maps to
+    trigger(processingTime=...);
+  * at-least-once + ack (ttl_batch.go) maps to checkpointLocation-backed
+    exactly-once file sinks.
+
+The kafka source/sink (filebeat kafka input / kafka output) is
+`format("kafka")` — not exercisable in this sandbox, but the plan
+construction is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..events import SINK_COL
+
+
+def streaming_transcripts_from_rate(spark, rows_per_second: int = 500) -> DataFrame:
+    """Deterministic-shape streaming source for tests/demos: the built-in
+    rate source shaped into the transcript schema (benchmark-input analog,
+    x-pack/filebeat/input/benchmark/config.go:10-29)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    v = F.col("value")
+    level = (
+        F.when(v % 7 == 3, "debug").when(v % 5 == 0, "error").otherwise("info")
+    )
+    msg = F.concat(F.lit("ran step "), (v % 100).cast("string"))
+    tool = F.element_at(
+        F.array(F.lit(""), F.lit("bash"), F.lit("read"), F.lit("write"), F.lit("search")),
+        (v % 5 + 1).cast("int"),
+    )
+    ts_str = F.concat(F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
+    return rate.select(
+        F.concat(F.lit("conv-"), F.lpad((v % 50).cast("string"), 8, "0")).alias("conv_id"),
+        (v / 50).cast("int").alias("turn_idx"),
+        F.when(v % 3 == 0, "assistant").when(v % 3 == 1, "user").otherwise("tool").alias("role"),
+        F.when(
+            v % 10 == 7, F.concat(F.lit("level "), level, F.lit(" corrupted "), msg)
+        )
+        .otherwise(
+            F.concat(
+                F.lit("level="), level, F.lit(" ts="), ts_str,
+                F.lit(" tool="), tool, F.lit(' msg="'), msg, F.lit('"'),
+            )
+        )
+        .alias("text"),
+        tool.alias("tool"),
+        F.col("timestamp").alias("ts"),
+        v.alias("event_id"),
+    )
+
+
+def windowed_sink_counts(
+    routed: DataFrame,
+    key: str = "conv_id",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming flows-report: per-sink per-key tumbling-window counts with
+    a watermark bounding state (late rows beyond it are dropped, the
+    inactivity-timeout analog)."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.col(SINK_COL), F.window("ts", window).getField("start").alias("bucket"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_stream_to_memory(spark, routed: DataFrame, name: str = "sink_counts", timeout_s: int = 20):
+    """Drive a short streaming run into an in-memory table (tests)."""
+    q = (
+        windowed_sink_counts(routed)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,145 @@
+"""Benchmark harness — end-to-end throughput + N-vs-4N scaling efficiency.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (SPARK_GRAFT_SCALING=1): additionally run the flagship
+pipeline at local[8] (N) and local[32] (4N) on identical input — the
+sandbox stand-in for two cluster sizes — and write throughput at both
+plus scaling efficiency (T_4N/T_N)/4 to BENCH/BASELINE.md.
+
+Each query is forced with a noop-format write so the full plan executes
+(a bare count() would let Catalyst prune the parse/enrich projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def headline_queries():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = [
+        "pipeline_routed",
+        "agg_events_per_conv",
+        "agg_events_per_tool",
+        "rate_limit",
+        "multiline_count",
+        "sessionize",
+    ]
+    extra = [n for n in ("dedup_exact", "ann_cosine_topk", "text_quality") if n in qs]
+    return {n: qs[n] for n in names + extra if n in qs}
+
+
+def run_bench(spark, sf_dir: str) -> dict[str, float]:
+    times: dict[str, float] = {}
+    for name, q in headline_queries().items():
+        df = q(spark, sf_dir)
+        df.count()  # warm: plan + scan cache metadata
+        t0 = time.perf_counter()
+        _force(q(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def input_rows(spark, sf_dir: str) -> int:
+    return spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def scaling_run(sf_dir: str) -> dict:
+    """Same job at two parallelism levels (N=8, 4N=32 cores)."""
+    from beats_spark.session import get_spark
+
+    results = {}
+    rows = None
+    for label, cores in (("N(local[8])", 8), ("4N(local[32])", 32)):
+        spark = get_spark(f"bench_{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 8))
+        import __spark_entry__ as e
+
+        if rows is None:
+            rows = input_rows(spark, sf_dir)
+        q = e.queries()["pipeline_routed"]
+        _force(q(spark, sf_dir))  # warm JIT + file listing
+        t0 = time.perf_counter()
+        _force(q(spark, sf_dir))
+        elapsed = time.perf_counter() - t0
+        results[label] = {"cores": cores, "sec": round(elapsed, 3), "turns_per_sec": round(rows / elapsed)}
+        spark.stop()
+    n, n4 = results["N(local[8])"], results["4N(local[32])"]
+    speedup = n["sec"] / n4["sec"]
+    results["speedup"] = round(speedup, 3)
+    results["scaling_efficiency"] = round(speedup / 4, 3)
+    results["rows"] = rows
+    return results
+
+
+def write_scaling_report(res: dict, sf_dir: str) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    n, n4 = res["N(local[8])"], res["4N(local[32])"]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH baseline — flagship pipeline throughput & scaling
+
+Input: {sf_dir} ({res['rows']} turns), end-to-end parse→enrich→route
+(pipeline_routed, forced via noop write).
+
+| parallelism | cores | wall (s) | throughput (turns/s) |
+|---|---|---|---|
+| N = local[8] | 8 | {n['sec']} | {n['turns_per_sec']} |
+| 4N = local[32] | 32 | {n4['sec']} | {n4['turns_per_sec']} |
+
+**Speedup N→4N:** {res['speedup']}×  ·  **Scaling efficiency (T_4N/T_N)/4:** {res['scaling_efficiency']}
+(target ≥ 0.8 per BASELINE.json north rule)
+
+Notes: the pipeline is a single map-side stage (scan → dissect regex →
+casts → broadcast enrich joins → selector CASE) plus one window for the
+synthetic turn_idx derivation; scaling is bounded by the parquet scan +
+shuffle of that derivation window, not by the operators themselves.
+"""
+        )
+
+
+def main() -> None:
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        res = scaling_run(SF_DIR)
+        write_scaling_report(res, SF_DIR)
+        print(json.dumps({"scaling": res}), file=sys.stderr)
+
+    from beats_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    times = run_bench(spark, SF_DIR)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end parse→enrich→route→aggregate wall time (headline queries)",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

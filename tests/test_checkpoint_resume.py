@@ -1,0 +1,79 @@
+"""Resume fixture (FIXTURES.md §7): kill after partition k, re-run, assert
+only remaining partitions are recomputed and final state matches an
+uninterrupted run."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from beats_spark.checkpoint import CheckpointedRun
+from beats_spark.pipeline import flagship
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def routed(spark):
+    return flagship(spark, SF_DIR)
+
+
+def _collect(df):
+    return sorted(
+        tuple(r) for r in df.select("conv_id", "turn_idx", "_sink").collect()
+    )
+
+
+def test_kill_and_resume(spark, routed, tmp_path):
+    clean_dir, resumed_dir = str(tmp_path / "clean"), str(tmp_path / "resumed")
+
+    clean = CheckpointedRun(clean_dir, n_partitions=8)
+    clean.run(routed, input_files=[SF_DIR + "/events.parquet"])
+    assert clean.completed_partitions() == set(range(8))
+
+    run = CheckpointedRun(resumed_dir, n_partitions=8)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run.run(routed, input_files=[SF_DIR + "/events.parquet"], fail_after=5)
+    done_before = run.completed_partitions()
+    assert len(done_before) == 5
+
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(run.manifest_dir, f))
+        for f in os.listdir(run.manifest_dir)
+    }
+    manifests = run.run(routed, input_files=[SF_DIR + "/events.parquet"])
+    # only the 3 missing partitions were recomputed
+    assert len(manifests) == 3
+    assert {m["partition"] for m in manifests} == set(range(8)) - done_before
+    for f, mt in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(run.manifest_dir, f)) == mt, "completed manifest rewritten"
+
+    assert _collect(run.read_output(spark)) == _collect(clean.read_output(spark))
+
+
+def test_manifest_contents(spark, routed, tmp_path):
+    run = CheckpointedRun(str(tmp_path / "m"), n_partitions=4)
+    manifests = run.run(routed, input_files=["f1"])
+    assert len(manifests) == 4
+    total = 0
+    for m in manifests:
+        assert set(m) >= {"partition", "input_files", "rows_in", "rows_per_sink", "bytes", "wall_ms"}
+        assert m["bytes"] > 0 and m["wall_ms"] >= 0
+        assert m["rows_in"] == sum(m["rows_per_sink"].values())
+        total += m["rows_in"]
+    assert total == routed.count()
+
+
+def test_torn_manifest_recomputed(spark, routed, tmp_path):
+    run = CheckpointedRun(str(tmp_path / "t"), n_partitions=4)
+    run.run(routed, input_files=["f1"])
+    # corrupt one manifest → that partition must be recomputed
+    victim = os.path.join(run.manifest_dir, "part-00002.json")
+    with open(victim, "w") as f:
+        f.write('{"partition": 2, "rows_in"')  # torn write
+    redo = run.run(routed, input_files=["f1"])
+    assert [m["partition"] for m in redo] == [2]
+    with open(victim) as f:
+        assert json.load(f)["rows_in"] > 0

@@ -1,0 +1,131 @@
+"""Training-data ops: planted-fixture tests for the non-SQL-expressible
+dedup/similarity operators + multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id int, text string",
+    )
+    from beats_spark.datapipe.dedup import exact_dedup
+
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_finds_planted_near_dupes(spark, docs):
+    """Plant near-duplicates: copy of a doc with one word changed."""
+    from beats_spark.datapipe.dedup import minhash_dedup, minhash_lsh_candidates, jaccard_verify
+
+    base = docs.limit(20).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(planted)
+    cands = minhash_lsh_candidates(corpus, num_perm=32, bands=16)
+    verified = jaccard_verify(corpus, cands, threshold=0.7)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in pairs, f"planted dup {i} not found"
+    out = minhash_dedup(corpus, num_perm=32, bands=16, threshold=0.7)
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert all(i in kept for i in range(5))
+    assert all(i + 100000 not in kept for i in range(5))
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    from beats_spark.datapipe.dedup import simhash, simhash_near_pairs
+
+    base = docs.limit(10).select("doc_id", "text")
+    s1 = {r.doc_id: r.simhash for r in simhash(base).collect()}
+    s2 = {r.doc_id: r.simhash for r in simhash(base).collect()}
+    assert s1 == s2
+    # identical text ⇒ identical simhash ⇒ hamming 0 pair
+    twin = base.filter(F.col("doc_id") == 0).select(
+        F.lit(999999).alias("doc_id"), F.col("text")
+    )
+    pairs = simhash_near_pairs(simhash(base.unionByName(twin)), max_hamming=0).collect()
+    assert any(r.id_a == 0 and r.id_b == 999999 for r in pairs)
+
+
+def test_lsh_bucket_topk_recall(spark):
+    """Bucketed ANN recall@5 vs brute force ≥ 0.6 on the real embeddings."""
+    from beats_spark.datapipe.similarity import brute_topk, lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_topk(emb, q, k=5).select("query_id", "neighbor_id").collect()
+    approx = lsh_bucket_topk(emb, q, k=5, p_bits=4, multiprobe=2).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_embedding_near_dupes_finds_twin(spark):
+    from beats_spark.datapipe.similarity import embedding_near_dupes
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(50)
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(777777).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_near_dupes(emb.unionByName(twin), threshold=0.999)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 777777) in got
+
+
+def test_multimodal_plumbing(spark, docs):
+    from beats_spark.datapipe.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, docs.limit(25))
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 25
+    by_id = {r.media_id: r for r in feats}
+    # payload is utf-8 of text ⇒ n_bytes == byte length; features deterministic
+    row0 = docs.filter(F.col("doc_id") == feats[0].media_id).first()
+    assert by_id[feats[0].media_id].n_bytes == len(row0.text.encode())
+    assert all(len(r.feat) == 8 for r in feats)
+    feats2 = {r.media_id: (r.sha, tuple(r.feat)) for r in extract_features(media, dim=8).collect()}
+    assert feats2 == {r.media_id: (r.sha, tuple(r.feat)) for r in feats}
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark, docs):
+    from beats_spark.datapipe.multimodal import extract_features, synth_media
+    from py4j.protocol import Py4JJavaError
+
+    media = synth_media(spark, docs.limit(2))
+    with pytest.raises(Exception) as ei:
+        extract_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decode" in str(ei.value)
+
+
+def test_ngram_jaccard_pairs(spark):
+    from beats_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content here entirely unrelated"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = ngram_jaccard_pairs(df, n=5, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)

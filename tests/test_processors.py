@@ -1,0 +1,282 @@
+"""Processor unit fixtures (FIXTURES.md §6) — event-level behavior,
+mirroring filebeat/tests/system/test_processors.py style: tiny input,
+assert exact output columns/flags."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build, compile_chain
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello world", "", "2026-01-01T00:00:00"),
+            ("c1", 1, "assistant", "running BASH now", "bash", "2026-01-01T00:01:00"),
+            ("c2", 0, "tool", "debug output line", "read", "2026-01-01T00:02:00"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts_raw string",
+    ).withColumn("ts", F.to_timestamp("ts_raw"))
+
+
+def test_drop_event_when_contains(df):
+    out = build("drop_event", when={"contains": {"text": "debug"}})(df)
+    assert out.count() == 2
+    assert all(r.conv_id == "c1" for r in out.collect())
+
+
+def test_drop_and_include_fields(df):
+    out = build("drop_fields", fields=["role", "ts", "conv_id"])(df)  # ts/conv_id protected
+    assert "role" not in out.columns and "ts" in out.columns and "conv_id" in out.columns
+    out2 = build("include_fields", fields=["text"])(df)
+    assert set(out2.columns) == {"conv_id", "turn_idx", "ts", "text"}
+
+
+def test_rename_target_exists_fails(df):
+    with pytest.raises(ValueError, match="already exists"):
+        build("rename", fields=[{"from": "text", "to": "role"}])(df)
+    ok = build("rename", fields=[{"from": "text", "to": "message"}])(df)
+    assert "message" in ok.columns and "text" not in ok.columns
+
+
+def test_replace_and_case(df):
+    out = build("replace", fields=[{"field": "text", "pattern": "world", "replacement": "earth"}])(df)
+    assert out.first().text == "hello earth"
+    up = build("uppercase", fields=["role"])(df)
+    assert up.first().role == "USER"
+    low = build("lowercase", fields=["text"])(df)
+    assert low.collect()[1].text == "running bash now"
+
+
+def test_truncate_flags_only_long_rows(df):
+    out = build("truncate_fields", fields=["text"], max_characters=12)(df)
+    rows = {r.turn_idx: r for r in out.filter("conv_id='c1'").collect()}
+    assert rows[0].text == "hello world" and "truncated" not in rows[0].log_flags
+    assert rows[1].text == "running BASH" and "truncated" in rows[1].log_flags
+
+
+def test_append_dedup(df):
+    base = df.withColumn("tags", F.array(F.lit("a")))
+    out = build("append", target_field="tags", values=["a", "b"], allow_duplicate=False)(base)
+    assert sorted(out.first().tags) == ["a", "b"]
+    out2 = build("append", target_field="tags", values=["a"], allow_duplicate=True)(base)
+    assert out2.first().tags == ["a", "a"]
+
+
+def test_add_fields_and_tags(df):
+    out = build("add_fields", fields={"env": "prod"}, target="meta")(df)
+    assert out.first().attrs["meta.env"] == "prod"
+    root = build("add_fields", fields={"env": "prod"}, target="")(df)
+    assert root.first().env == "prod"
+    tagged = build("add_tags", tags=["t1", "t2"])(df)
+    assert tagged.first().tags == ["t1", "t2"]
+
+
+def test_when_guard_passthrough(df):
+    out = build("uppercase", fields=["text"], when={"equals": {"role": "user"}})(df)
+    rows = sorted(out.collect(), key=lambda r: (r.conv_id, r.turn_idx))
+    assert rows[0].text == "HELLO WORLD"
+    assert rows[1].text == "running BASH now"  # untouched
+
+
+def test_fingerprint_methods(df):
+    for method in ("md5", "sha1", "sha256", "xxhash64"):
+        out = build("fingerprint", fields=["conv_id", "turn_idx"], method=method)(df)
+        vals = [r.fingerprint for r in out.collect()]
+        assert len(set(vals)) == 3 and all(v for v in vals)
+
+
+def test_convert_rollback(spark):
+    df = spark.createDataFrame(
+        [("1", "2"), ("x", "3")], "a string, b string"
+    )
+    # fail_on_error=True: a row with ANY failing cast writes NO targets
+    # (all-or-nothing; typed columns can't keep the raw string, so the
+    # rollback manifests as NULL targets + flag, originals intact in src)
+    out = compile_chain(
+        [{"convert": {"fields": [{"from": "a", "to": "a2", "type": "long"}, {"from": "b", "to": "b2", "type": "long"}], "fail_on_error": True}}]
+    )(df)
+    rows = {r.a: r for r in out.collect()}
+    assert rows["1"].a2 == 1 and rows["1"].b2 == 2
+    assert rows["x"].a2 is None and rows["x"].b2 is None  # b='3' valid but rolled back
+    assert "convert_error" in rows["x"].log_flags and "convert_error" not in rows["1"].log_flags
+
+
+def test_decode_base64_and_urldecode(spark):
+    df = spark.createDataFrame([("aGVsbG8=", "a%20b%2Fc")], "b64 string, url string")
+    out = build("decode_base64_field", field="b64", target="plain")(df)
+    assert out.first().plain == "hello"
+    out2 = build("urldecode", fields=[{"from": "url", "to": "decoded"}])(df)
+    assert out2.first().decoded == "a b/c"
+
+
+def test_decode_csv_and_extract_array(spark):
+    df = spark.createDataFrame([('a,"b,c",d',)], "line string")
+    out = build("decode_csv_fields", field="line", target="cells")(df)
+    assert out.first().cells == ["a", "b,c", "d"]
+    out2 = build("extract_array", field="cells", mappings={"first": 0, "third": 2})(out)
+    r = out2.first()
+    assert r.first == "a" and r.third == "d"
+
+
+def test_decode_duration(spark):
+    df = spark.createDataFrame([("1h3m50s",), ("250ms",), ("2m",)], "d string")
+    out = build("decode_duration", field="d", target="secs")(df).collect()
+    vals = [r.secs for r in out]
+    assert vals[0] == pytest.approx(3830.0)
+    assert vals[1] == pytest.approx(0.25)
+    assert vals[2] == pytest.approx(120.0)
+
+
+def test_timestamp_layouts(spark):
+    df = spark.createDataFrame(
+        [("2026-01-02 03:04:05",), ("02/Jan/2026 03:04:05",)], "t string"
+    )
+    out = build(
+        "timestamp", field="t", layouts=["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy HH:mm:ss"], target="parsed"
+    )(df).collect()
+    assert all(r.parsed is not None for r in out)
+    assert out[0].parsed == out[1].parsed
+
+
+def test_syslog_rfc3164(spark):
+    df = spark.createDataFrame(
+        [("<34>Oct 11 22:14:15 myhost su[42]: 'su root' failed",)], "text string"
+    )
+    r = build("syslog")(df).first()
+    assert r.syslog_priority == 34
+    assert r.syslog_severity == 2 and r.syslog_facility == 4
+    assert r.syslog_hostname == "myhost" and r.syslog_program == "su" and r.syslog_pid == "42"
+    assert r.syslog_message == "'su root' failed"
+
+
+def test_decompress_gzip(spark):
+    import gzip
+
+    df = spark.createDataFrame([(gzip.compress(b"payload"),)], "blob binary")
+    r = build("decompress_gzip_field", field="blob", target="plain")(df).first()
+    assert r.plain == "payload"
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [("www.example.co.uk",), ("a.b.example.com",), ("localhost",)], "host string"
+    )
+    out = build("registered_domain", field="host", target="rd")(df).collect()
+    assert out[0].rd == "example.co.uk"
+    assert out[1].rd == "example.com"
+    assert out[2].rd is None
+
+
+def test_community_id_symmetry(spark):
+    df = spark.createDataFrame(
+        [("10.0.0.1", "10.0.0.2", 10, 20, 6), ("10.0.0.2", "10.0.0.1", 20, 10, 6)],
+        "sip string, dip string, sp int, dp int, proto int",
+    )
+    out = build(
+        "community_id", src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto"
+    )(df).collect()
+    assert out[0].community_id == out[1].community_id
+    assert out[0].community_id.startswith("1:")
+
+
+def test_network_direction_and_conditions(spark):
+    df = spark.createDataFrame(
+        [("10.1.2.3", "8.8.8.8"), ("8.8.8.8", "192.168.0.9"), ("10.0.0.1", "172.16.5.5")],
+        "src string, dst string",
+    )
+    out = build("add_network_direction", source="src", destination="dst")(df).collect()
+    assert [r.network_direction for r in out] == ["outbound", "inbound", "internal"]
+
+
+def test_network_condition_named(spark):
+    from beats_spark.conditions import compile_condition
+
+    df = spark.createDataFrame(
+        [("127.0.0.1",), ("10.1.1.1",), ("8.8.8.8",), ("not-an-ip",)], "ip string"
+    )
+    loop = df.filter(compile_condition({"network": {"ip": "loopback"}})).collect()
+    assert [r.ip for r in loop] == ["127.0.0.1"]
+    priv = df.filter(compile_condition({"network": {"ip": "private"}})).collect()
+    assert [r.ip for r in priv] == ["10.1.1.1"]
+    pub = df.filter(compile_condition({"network": {"ip": "public"}})).collect()
+    assert "8.8.8.8" in [r.ip for r in pub]
+
+
+def test_selector_first_match_and_mappings(spark):
+    from beats_spark.routing import route
+    from beats_spark.selectors import Rule, Selector
+
+    df = spark.createDataFrame(
+        [("alerts", "err"), ("logs", "info"), (None, "info")],
+        "stream string, level string",
+    ).withColumn("ts", F.current_timestamp())
+    sel = Selector(
+        rules=[
+            Rule(index="%{stream}", when={"equals": {"level": "err"}}),
+            Rule(index="%{stream}", mappings={"logs": "sink_logs"}, default="sink_other"),
+        ],
+        fallback="sink_fallback",
+    )
+    out = route(df, sel).collect()
+    assert [r._sink for r in out] == ["alerts", "sink_logs", "sink_fallback"]
+
+
+def test_fmtstr_timestamp_and_default(spark):
+    from beats_spark.selectors import compile_fmtstr
+
+    df = spark.createDataFrame([("x",)], "a string").withColumn(
+        "ts", F.to_timestamp(F.lit("2026-03-04 05:06:07"))
+    )
+    cols = {"a", "ts"}
+    value, defined = compile_fmtstr("idx-%{+yyyy.MM.dd}-%{[missing]:fallback}-%{[a]}", columns=cols)
+    r = df.select(value.alias("v"), defined.alias("d")).first()
+    assert r.v == "idx-2026.03.04-fallback-x" and r.d
+
+    # absent field without default ⇒ rule produces nothing (defined=False)
+    value2, defined2 = compile_fmtstr("p-%{[nope]}", columns=cols)
+    r2 = df.select(defined2.alias("d")).first()
+    assert not r2.d
+
+    # present-but-null field without default ⇒ also nothing
+    value3, defined3 = compile_fmtstr("p-%{[nn]}", columns=cols | {"nn"})
+    df3 = df.withColumn("nn", F.lit(None).cast("string"))
+    r3 = df3.select(defined3.alias("d")).first()
+    assert not r3.d
+
+
+def test_multiline_pattern_after(spark):
+    """Stack-trace style: continuation lines start with whitespace."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "Error: boom"),
+            ("c1", 1, "  at foo()"),
+            ("c1", 2, "  at bar()"),
+            ("c1", 3, "OK done"),
+            ("c1", 4, "Error: again"),
+            ("c1", 5, "  at baz()"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    ).withColumn("ts", F.current_timestamp())
+    out = multiline_pattern(pattern=r"^\s", match="after")(df)
+    rows = sorted(out.collect(), key=lambda r: r.turn_idx)
+    assert [r.n_lines for r in rows] == [3, 1, 2]
+    assert rows[0].text == "Error: boom\n  at foo()\n  at bar()"
+    assert rows[2].text == "Error: again\n  at baz()"
+
+
+def test_rate_limit_survivors(spark):
+    from beats_spark.processors.stateful import rate_limit
+
+    rows = [("k1", i, f"2026-01-01 00:{i:02d}:00") for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, t string").withColumn(
+        "ts", F.to_timestamp("t")
+    )
+    out = rate_limit(["conv_id"], limit=2, period="5 minutes")(df)
+    kept = sorted(r.turn_idx for r in out.collect())
+    assert kept == [0, 1, 5, 6]

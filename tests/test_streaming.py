@@ -1,0 +1,42 @@
+"""Structured Streaming surface: the same compiled stages over an
+unbounded source, watermarked windowed aggregates (flows periodic-report
+analog)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.slow
+def test_stream_parse_route_window(spark):
+    from beats_spark.pipeline import parse_enrich, route_events
+    from beats_spark.streaming import streaming_transcripts_from_rate, windowed_sink_counts
+
+    src = streaming_transcripts_from_rate(spark, rows_per_second=200)
+    assert src.isStreaming
+    routed = route_events(parse_enrich(src, spark))
+    counts = windowed_sink_counts(routed, key="conv_id", window="10 seconds", watermark="20 seconds")
+    q = (
+        counts.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stream_counts")
+        .trigger(processingTime="2 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("stream_counts").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(2)
+    finally:
+        q.stop()
+    assert len(rows) >= 3, "streaming pipeline produced no windowed counts"
+    sinks = {r["_sink"] for r in rows}
+    assert sinks & {"sink_main", "sink_tool_events", "sink_agent_tool_calls"}
+    assert all(r["n_events"] > 0 for r in rows)
