@@ -266,6 +266,111 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "session_start", "n_events")
 
 
+def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog processor: RFC3164 regex battery + PRI arithmetic, verified
+    against direct arithmetic in the oracle."""
+    from beats_spark.processors.parsers import syslog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = F.concat(
+        F.lit("<"), (F.col("event_id") % 190).cast("string"), F.lit(">"),
+        F.lit("Oct 11 22:14:"), F.lpad((F.col("event_id") % 60).cast("string"), 2, "0"),
+        F.lit(" host"), F.col("user_id").cast("string"),
+        F.lit(" app["), (F.col("event_id") % 100).cast("string"), F.lit("]: message "),
+        (F.col("event_id") % 7).cast("string"),
+    )
+    df = ev.withColumn("text", line)
+    out = syslog("text")(df)
+    return out.select(
+        "event_id",
+        "syslog_priority",
+        "syslog_severity",
+        "syslog_facility",
+        "syslog_hostname",
+        "syslog_pid",
+        "syslog_message",
+    )
+
+
+def q_registered_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.enrich import registered_domain
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    host = (
+        F.when(F.col("event_id") % 3 == 0, F.concat(F.lit("a"), F.col("user_id").cast("string"), F.lit(".example.co.uk")))
+        .when(F.col("event_id") % 3 == 1, F.lit("svc.example.com"))
+        .otherwise(F.lit("b.c.d.test.org"))
+    )
+    df = ev.withColumn("host", host)
+    return registered_domain("host", "rd")(df).select("event_id", "host", "rd")
+
+
+def q_decode_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.parsers import decode_duration
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dur = F.concat(
+        (F.col("event_id") % 5).cast("string"), F.lit("h"),
+        (F.col("event_id") % 60).cast("string"), F.lit("m"),
+        (F.col("event_id") % 59).cast("string"), F.lit("s"),
+    )
+    df = ev.withColumn("dur", dur)
+    return decode_duration("dur", target="secs")(df).select("event_id", "dur", "secs")
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """codec surface: base64 + url-encoding round trips (decode_base64_field
+    / urldecode analogs on constructed columns)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    frag = F.substring(F.col("event_type"), 1, 20)
+    encoded_url = F.concat(F.lit("v%20"), frag, F.lit("%2Fx"))
+    return ev.select(
+        "event_id",
+        F.base64(F.encode(frag, "utf-8")).alias("b64"),
+        F.url_decode(encoded_url).alias("decoded_url"),
+    )
+
+
+def q_fingerprint_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.actions import fingerprint
+
+    t = synth.transcripts(spark, sf_dir)
+    out = fingerprint(["conv_id", "turn_idx"], target_field="fp", method="sha256")(t)
+    return out.select("conv_id", "turn_idx", "fp")
+
+
+def q_multiline_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline (pattern mode): malformed lines (starting 'level ') join
+    the preceding event — stack-trace-style grouping."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    t = synth.transcripts(spark, sf_dir)
+    out = multiline_pattern(pattern="^level ", match="after", group_cols=["conv_id"], order_col="turn_idx")(t)
+    return out.select("conv_id", "turn_idx", "text", "n_lines")
+
+
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic windowed aggregation over the raw events stream (flows
+    periodic-report shape on a non-transcript table)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("sum_value"),
+    )
+
+
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-counters analog (pipeline/monitoring.go:87-113):
+    per-sink totals + flagged-event counts."""
+    r = _routed(spark, sf_dir)
+    return r.groupBy("sink").agg(
+        F.count(F.lit(1)).alias("events_total"),
+        F.sum(F.when(F.size(F.col("log_flags")) > 0, 1).otherwise(0)).alias("events_flagged"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep lowest doc_id per content hash."""
     from beats_spark.datapipe.dedup import exact_dedup
@@ -364,6 +469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_flag": q_truncate_flag,
         "extract_field": q_extract_field,
         "sessionize": q_sessionize,
+        "syslog_parse": q_syslog_parse,
+        "registered_domain": q_registered_domain,
+        "decode_duration": q_decode_duration,
+        "codec_roundtrip": q_codec_roundtrip,
+        "fingerprint_sha256": q_fingerprint_sha256,
+        "multiline_pattern": q_multiline_pattern,
+        "events_windowed": q_events_windowed,
+        "pipeline_metrics": q_pipeline_metrics,
         # training-data pipeline ops (datapipe/)
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -443,6 +556,58 @@ def oracle_sql() -> dict[str, str]:
         "extract_field": _ORACLE_WITH
         + """SELECT conv_id, turn_idx, split_part(text, ' ', 1) AS first_token
              FROM transcripts_base""",
+        "syslog_parse": """
+            SELECT event_id,
+                   CAST(event_id % 190 AS INTEGER) AS syslog_priority,
+                   CAST((event_id % 190) % 8 AS INTEGER) AS syslog_severity,
+                   CAST((event_id % 190) // 8 AS INTEGER) AS syslog_facility,
+                   'host' || CAST(user_id AS VARCHAR) AS syslog_hostname,
+                   CAST(event_id % 100 AS VARCHAR) AS syslog_pid,
+                   'message ' || CAST(event_id % 7 AS VARCHAR) AS syslog_message
+            FROM events""",
+        "registered_domain": """
+            SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'a' || CAST(user_id AS VARCHAR) || '.example.co.uk'
+                        WHEN event_id % 3 = 1 THEN 'svc.example.com'
+                        ELSE 'b.c.d.test.org' END AS host,
+                   CASE WHEN event_id % 3 = 0 THEN 'example.co.uk'
+                        WHEN event_id % 3 = 1 THEN 'example.com'
+                        ELSE 'test.org' END AS rd
+            FROM events""",
+        "decode_duration": """
+            SELECT event_id,
+                   CAST(event_id % 5 AS VARCHAR) || 'h' || CAST(event_id % 60 AS VARCHAR)
+                     || 'm' || CAST(event_id % 59 AS VARCHAR) || 's' AS dur,
+                   CAST((event_id % 5) * 3600 + (event_id % 60) * 60 + (event_id % 59) AS DOUBLE) AS secs
+            FROM events""",
+        "codec_roundtrip": """
+            SELECT event_id,
+                   to_base64(encode(substr(event_type, 1, 20))) AS b64,
+                   'v ' || substr(event_type, 1, 20) || '/x' AS decoded_url
+            FROM events""",
+        "fingerprint_sha256": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS fp
+             FROM transcripts_base""",
+        "multiline_pattern": _ORACLE_WITH
+        + r"""SELECT conv_id, min(turn_idx) AS turn_idx,
+                    string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                    count(*) AS n_lines
+             FROM (
+               SELECT *, sum(CASE WHEN regexp_matches(text, '^level ') THEN 0 ELSE 1 END)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS grp
+               FROM transcripts_base)
+             GROUP BY conv_id, grp""",
+        "events_windowed": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        "pipeline_metrics": _ORACLE_WITH
+        + """SELECT sink, count(*) AS events_total,
+                    sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS events_flagged
+             FROM routed GROUP BY sink""",
         "dedup_exact": """
             SELECT doc_id, lang, source, n_chars FROM (
               SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

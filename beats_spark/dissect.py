@@ -418,25 +418,48 @@ class Dissector:
                     parts.append(".*$")
         return "(?s)" + "".join(parts)
 
-    def column_plan(self, col: Column) -> tuple[Column, dict[str, Column]] | None:
-        """(matched_predicate, {key: string Column}) — pure-Catalyst plan."""
+    def column_plan(self, col: Column, strategy: str = "extract") -> tuple[Column, dict[str, Column]] | None:
+        """(matched_predicate, {key: string Column}) — pure-Catalyst plan.
+
+        strategy='extract': one regexp_extract per key (k+1 regex passes).
+        strategy='packed': ONE regexp_replace packs all groups into a
+        \\x1f-separated string, then split — 2 regex passes total
+        regardless of key count (wins when k is large)."""
         pattern = self.regex_pattern()
         if pattern is None:
             return None
         matched = col.rlike(pattern)
         out: dict[str, Column] = {}
+        if strategy == "packed":
+            n_groups = len(self.fields)
+            # Java replacement syntax: numbered refs are $1..$n (the ${name}
+            # form is for NAMED groups only and errors on digits).
+            repl = "\x1f".join(f"${i}" for i in range(1, n_groups + 1))
+            packed = F.split(F.regexp_replace(col, pattern, repl), "\x1f", -1)
+            group = 0
+            for f in self.fields:
+                group += 1
+                if f.kind == SKIP:
+                    continue
+                v = packed.getItem(group - 1)
+                v = self._trim_col(v)
+                out[f.key] = v
+            return matched, out
         group = 0
         for f in self.fields:
             group += 1
             if f.kind == SKIP:
                 continue
             v = F.regexp_extract(col, pattern, group)
-            if self.trim_values in ("left", "all"):
-                v = F.ltrim(v) if self.trim_chars == " " else F.regexp_replace(v, f"^[{re.escape(self.trim_chars)}]+", "")
-            if self.trim_values in ("right", "all"):
-                v = F.rtrim(v) if self.trim_chars == " " else F.regexp_replace(v, f"[{re.escape(self.trim_chars)}]+$", "")
-            out[f.key] = v
+            out[f.key] = self._trim_col(v)
         return matched, out
+
+    def _trim_col(self, v: Column) -> Column:
+        if self.trim_values in ("left", "all"):
+            v = F.ltrim(v) if self.trim_chars == " " else F.regexp_replace(v, f"^[{re.escape(self.trim_chars)}]+", "")
+        if self.trim_values in ("right", "all"):
+            v = F.rtrim(v) if self.trim_chars == " " else F.regexp_replace(v, f"[{re.escape(self.trim_chars)}]+$", "")
+        return v
 
 
 # ---------------------------------------------------------------------------
@@ -529,6 +552,7 @@ def dissect_columns(
     flag_failures: bool = True,
     trim_values: str | None = None,
     trim_chars: str = " ",
+    strategy: str = "extract",
 ) -> DataFrame:
     """Dissect `src` into one top-level string column per capture key.
 
@@ -536,13 +560,15 @@ def dissect_columns(
     path — stays inside WholeStageCodegen); otherwise an Arrow-batched
     struct UDF. Parse failure ⇒ NULL columns + `dissect_parsing_error`
     appended to log_flags (processor.go:107-117 semantics).
+    `strategy` tunes the fast path: 'extract' (k regex passes) vs
+    'packed' (2 passes via replace+split; wins at high key counts).
     """
     d = Dissector(tokenizer, trim_values=trim_values, trim_chars=trim_chars)
     if d.has_dynamic_keys:
         raise DissectError("dynamic (indirect) keys need dissect_attrs()")
     out_keys = keys or d.output_keys()
     col = F.col(src)
-    plan = d.column_plan(col)
+    plan = d.column_plan(col, strategy=strategy)
     if plan is not None:
         matched, cols = plan
         # errEmpty parity: an empty input string is a parse failure even if

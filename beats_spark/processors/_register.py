@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from . import REGISTRY, actions, enrich, parsers, stateful
+from . import REGISTRY, actions, enrich, misc, parsers, reader, stateful
 
 REGISTRY.update(
     {
@@ -40,11 +40,28 @@ REGISTRY.update(
         "registered_domain": enrich.registered_domain,
         "community_id": enrich.community_id,
         "add_network_direction": enrich.add_network_direction,
+        # reader chain
+        "include_lines": reader.include_lines,
+        "exclude_lines": reader.exclude_lines,
+        "max_bytes": reader.max_bytes,
+        "ndjson": reader.ndjson,
+        "container": reader.container,
         # stateful
         "rate_limit": stateful.rate_limit,
         "multiline_pattern": stateful.multiline_pattern,
         "multiline_count": stateful.multiline_count,
         "timeseries_instance": stateful.timeseries_instance,
+        # misc / completion of the §2 inventory
+        "if_then_else": misc.if_then_else,
+        "add_labels": misc.add_labels,
+        "move_fields": misc.move_fields,
+        "add_data_stream": misc.add_data_stream,
+        "now": misc.now,
+        "codec_json": misc.codec_json,
+        "codec_format": misc.codec_format,
+        "schema_conv": misc.schema_conv,
+        "decode_xml": misc.decode_xml,
+        "multiline_while": misc.multiline_while,
     }
 )
 
@@ -63,3 +80,7 @@ def dissect_builder(**cfg):
 
 
 REGISTRY["dissect"] = dissect_builder
+
+from .script import script as _script  # noqa: E402
+
+REGISTRY["script"] = _script

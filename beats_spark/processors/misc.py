@@ -1,0 +1,195 @@
+"""Remaining small operators to complete the SURVEY.md §2 inventory.
+
+  if_then_else     processors/conditionals.go:181-268
+  add_labels       actions/add_labels.go:36 (flattened labels)
+  move_fields      move_fields/move_fields.go:34 (re-parent)
+  add_data_stream  add_data_stream/ (routing meta triple)
+  now              now/now.go:44
+  codec_json       outputs/codec/json/json.go:54 (serialization)
+  codec_format     outputs/codec/format/format.go:38 (fmtstr line)
+  schema_conv      common/schema/schema.go:30-60 (declarative projection)
+  decode_xml       decode_xml/decode_xml.go:53 (gated: needs from_xml)
+  multiline_while  reader/multiline/while.go
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..conditions import compile_condition
+from ..dissect import cast_column
+
+Stage = Callable[[DataFrame], DataFrame]
+
+
+def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None = None):
+    """Conditional sub-pipelines (conditionals.go:181-268).
+
+    Batch semantics: run both branches' column transformations, select
+    per-row with the condition. Row-dropping stages inside branches are
+    expressed as a union of filtered branches (rows can't half-exist)."""
+    from . import compile_chain
+
+    then_chain = compile_chain(then)
+    else_chain = compile_chain(otherwise or [])
+
+    def stage(df: DataFrame) -> DataFrame:
+        cond = F.coalesce(compile_condition(condition), F.lit(False))
+        then_df = then_chain(df.filter(cond))
+        else_df = else_chain(df.filter(~cond))
+        missing_in_else = [c for c in then_df.columns if c not in else_df.columns]
+        missing_in_then = [c for c in else_df.columns if c not in then_df.columns]
+        for c in missing_in_else:
+            else_df = else_df.withColumn(c, F.lit(None).cast(dict(then_df.dtypes)[c]))
+        for c in missing_in_then:
+            then_df = then_df.withColumn(c, F.lit(None).cast(dict(else_df.dtypes)[c]))
+        return then_df.unionByName(else_df)
+
+    return stage
+
+
+def add_labels(labels: dict[str, Any], when: dict | None = None):
+    """Flattened `labels.*` entries in the attrs map (add_labels.go:36)."""
+    from .actions import add_fields
+
+    flat = {k.replace(".", "_"): v for k, v in labels.items()}
+    return add_fields(flat, target="labels", when=when)
+
+
+def move_fields(fields: list[str], from_prefix: str = "", to_prefix: str = ""):
+    """Re-parent columns by renaming prefix (move_fields.go:34)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        for f in fields:
+            src = from_prefix + f
+            if src in df.columns:
+                df = df.withColumnRenamed(src, to_prefix + f)
+        return df
+
+    return stage
+
+
+def add_data_stream(ds_type: str = "logs", dataset: str = "generic", namespace: str = "default"):
+    """data_stream triple + derived index meta (add_data_stream/)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("data_stream_type", F.lit(ds_type))
+            .withColumn("data_stream_dataset", F.lit(dataset))
+            .withColumn("data_stream_namespace", F.lit(namespace))
+            .withColumn("_meta_index", F.lit(f"{ds_type}-{dataset}-{namespace}"))
+        )
+
+    return stage
+
+
+def now(target_field: str = "ingested_ts"):
+    """now/now.go:44 — wall-clock stamp (testing aid; non-deterministic
+    by design, excluded from oracle-compared outputs)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.withColumn(target_field, F.current_timestamp())
+
+    return stage
+
+
+def codec_json(target: str = "serialized", columns: list[str] | None = None, escape_html: bool = False):
+    """JSON codec (codec/json/json.go:54): serialize the event row for a
+    sink that wants one JSON document per row."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        cols = columns or [c for c in df.columns if not c.startswith("_")]
+        out = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        if escape_html:
+            for ch, esc in (("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026")):
+                out = F.replace(out, F.lit(ch), F.lit(esc))
+        return df.withColumn(target, out)
+
+    return stage
+
+
+def codec_format(template: str, target: str = "serialized"):
+    """format codec (codec/format/format.go:38): fmtstr line per event."""
+    from ..selectors import compile_fmtstr
+
+    def stage(df: DataFrame) -> DataFrame:
+        value, _ = compile_fmtstr(template, columns=set(df.columns))
+        return df.withColumn(target, value)
+
+    return stage
+
+
+def schema_conv(spec: dict[str, dict], source_map: str = "attrs"):
+    """Declarative map→event projection (schema.Conv, schema.go:30-60):
+    {target_col: {"key": map_key, "type": t, "required": bool}}.
+    Required-and-missing ⇒ row dropped (IgnoreAllErrors=false analog)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        required = []
+        for target, conf in spec.items():
+            raw = F.col(source_map).getItem(conf.get("key", target))
+            df = df.withColumn(target, cast_column(raw, conf.get("type", "string")))
+            if conf.get("required"):
+                required.append(F.col(target).isNotNull())
+        for cond in required:
+            df = df.filter(cond)
+        return df
+
+    return stage
+
+
+def decode_xml(field: str, target: str = "xml"):
+    """decode_xml.go:53 — gated on Spark's from_xml availability."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        if not hasattr(F, "from_xml"):
+            raise NotImplementedError(
+                "decode_xml requires pyspark.sql.functions.from_xml (Spark 4 with "
+                "XML support); not available in this runtime"
+            )
+        # unknown shape: extract into a value map via xpath fallback
+        return df.withColumn(
+            target,
+            F.from_xml(F.col(field), "value string"),
+        )
+
+    return stage
+
+
+def multiline_while(
+    pattern: str,
+    negate: bool = False,
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    sep: str = "\n",
+):
+    """multiline/while.go — join CONSECUTIVE lines while pattern matches;
+    a non-matching line is its own single-line event."""
+    groups = group_cols or ["conv_id"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        from .stateful import _ordered_join
+
+        matches = F.col(text_col).rlike(pattern)
+        in_run = ~matches if negate else matches
+        w0 = Window.partitionBy(*groups).orderBy(order_col)
+        prev_in_run = F.lag(in_run, 1, False).over(w0)
+        # boundary: not in a run, or run just started
+        boundary = (~in_run) | (in_run & ~F.coalesce(prev_in_run, F.lit(False)))
+        w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
+        return (
+            df.groupBy(*groups, "_ml_grp")
+            .agg(
+                F.min(order_col).alias(order_col),
+                _ordered_join(order_col, text_col, sep),
+                F.count(F.lit(1)).alias("n_lines"),
+            )
+            .drop("_ml_grp")
+        )
+
+    return stage

@@ -1,0 +1,151 @@
+"""Reader-chain parse operators (SURVEY.md §2.2) — the stages Beats runs
+on raw lines BEFORE an event exists, as DataFrame stages.
+
+  include_lines / exclude_lines  filestream/input.go:646-665
+  max_bytes                      libbeat/reader/readfile/limit.go
+  ndjson parser                  libbeat/reader/readjson/json.go
+  container parser               libbeat/reader/readjson/docker_json.go
+
+All pure Column expressions (from_json / rlike / substring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..events import ATTRS_COL, ATTRS_TYPE, FLAG_TRUNCATED, FLAGS_COL, append_flag
+
+
+def include_lines(patterns: list[str], field: str = "text"):
+    """Keep lines matching ANY pattern (include runs before exclude)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        cond = F.lit(False)
+        for p in patterns:
+            cond = cond | F.col(field).rlike(p)
+        return df.filter(cond)
+
+    return stage
+
+
+def exclude_lines(patterns: list[str], field: str = "text"):
+    def stage(df: DataFrame) -> DataFrame:
+        cond = F.lit(False)
+        for p in patterns:
+            cond = cond | F.col(field).rlike(p)
+        return df.filter(~F.coalesce(cond, F.lit(False)))
+
+    return stage
+
+
+def max_bytes(limit: int, field: str = "text"):
+    """Truncate oversized messages + `truncated` flag (limit.go)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        over = F.length(F.col(field)) > limit
+        flags = F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
+        return df.withColumn(FLAGS_COL, append_flag(flags, FLAG_TRUNCATED, over)).withColumn(
+            field, F.substring(F.col(field), 1, limit)
+        )
+
+    return stage
+
+
+def ndjson(
+    field: str = "text",
+    target: str = ATTRS_COL,
+    message_key: str | None = None,
+    keys_under_root: bool = False,
+    overwrite_keys: bool = False,
+    add_error_key: bool = True,
+    expand_schema: str | None = None,
+):
+    """NDJSON line parser (readjson/json.go, json_config.go:21-35).
+
+    Default shape-unknown mode decodes into the attrs map; pass
+    `expand_schema` (DDL string) to decode into typed top-level columns
+    (keys_under_root with a declared schema — the 100 TB-friendly form,
+    since typed columns prune and push down; the map form does not).
+    `message_key` lifts that key back into `field` (the Beats option that
+    re-points the message at a JSON member). JSON errors → error_message
+    (add_error_key, event.go:300-316).
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = F.col(field)
+        if expand_schema:
+            parsed = F.from_json(col, expand_schema)
+            failed = col.isNotNull() & parsed.isNull()
+            names = [p.strip().split()[0].strip("`") for p in expand_schema.split(",")]
+            if keys_under_root:
+                for name in names:
+                    df = df.withColumn(name, parsed.getField(name))
+            else:
+                df = df.withColumn("json", parsed)
+        else:
+            parsed = F.from_json(col, ATTRS_TYPE)
+            failed = col.isNotNull() & parsed.isNull()
+            if target in df.columns:
+                base = F.coalesce(F.col(target), F.create_map().cast(ATTRS_TYPE))
+                merged = F.map_concat(base, parsed) if overwrite_keys else F.map_concat(parsed, base)
+                df = df.withColumn(target, F.when(parsed.isNotNull(), merged).otherwise(F.col(target)))
+            else:
+                df = df.withColumn(target, parsed)
+        # Column exprs are lazy name references: the error column must be
+        # materialized BEFORE message_key overwrites `field`, or `failed`
+        # would re-evaluate from_json against the replaced text.
+        if add_error_key:
+            df = df.withColumn(
+                "error_message",
+                F.when(failed, F.concat(F.lit("Error decoding JSON: "), F.substring(col, 1, 80))),
+            )
+        if not expand_schema and message_key:
+            df = df.withColumn(field, F.coalesce(parsed.getItem(message_key), F.col(field)))
+        return df
+
+    return stage
+
+
+# docker json-file log line: {"log":"...\n","stream":"stdout","time":"RFC3339"}
+_DOCKER_SCHEMA = "log string, stream string, time string"
+# CRI format: 2019-01-01T00:00:00.000Z stdout F log content
+_CRI_RE = r"^(\S+) (stdout|stderr) ([PF]) (.*)$"
+
+
+def container(field: str = "text", stream: str = "all", fmt: str = "auto"):
+    """Container log parser (docker_json.go): docker-json or CRI, with
+    stdout/stderr stream filtering."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = F.col(field)
+        docker = F.from_json(col, _DOCKER_SCHEMA)
+        is_docker = col.startswith("{") & docker.isNotNull() & docker.getField("log").isNotNull()
+        is_cri = col.rlike(_CRI_RE)
+        log_col = F.when(is_docker, F.regexp_replace(docker.getField("log"), r"[\r\n]+$", "")).when(
+            is_cri, F.regexp_extract(col, _CRI_RE, 4)
+        )
+        stream_col = F.when(is_docker, docker.getField("stream")).when(
+            is_cri, F.regexp_extract(col, _CRI_RE, 2)
+        )
+        time_col = F.when(is_docker, docker.getField("time")).when(
+            is_cri, F.regexp_extract(col, _CRI_RE, 1)
+        )
+        if fmt == "docker":
+            log_col = F.regexp_replace(docker.getField("log"), r"[\r\n]+$", "")
+            stream_col = docker.getField("stream")
+            time_col = docker.getField("time")
+        elif fmt == "cri":
+            log_col = F.regexp_extract(col, _CRI_RE, 4)
+            stream_col = F.regexp_extract(col, _CRI_RE, 2)
+            time_col = F.regexp_extract(col, _CRI_RE, 1)
+        df = (
+            df.withColumn("container_log", log_col)
+            .withColumn("container_stream", stream_col)
+            .withColumn("container_time", F.try_to_timestamp(time_col))
+        )
+        if stream != "all":
+            df = df.filter(F.col("container_stream") == stream)
+        return df
+
+    return stage

@@ -1,0 +1,50 @@
+"""`script` processor analog — the only user-logic escape hatch.
+
+The reference embeds a JavaScript VM per event
+(/root/reference/libbeat/processors/script/javascript/, processor.go:35)
+with an event API: Get/Put/Rename/Delete/Cancel/Tag
+(beatevent_v0.go:80-88). Per-event interpreted JS is the antithesis of
+the no-per-row-Python invariant, so our analog is an **Arrow-batched
+pandas stage**: the user function receives a pandas DataFrame batch and
+returns the transformed batch; Cancel becomes returning fewer rows; Tag
+becomes appending to log_flags.
+
+Like the reference's `test` config (processor validated against sample
+events at load), `test_rows` runs the function against a driver-side
+sample at build time so a broken script fails fast at compile, not
+mid-job on an executor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def script(
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: str | None = None,
+    test_rows: list[dict] | None = None,
+):
+    """Build a script stage from a batch-level pandas function.
+
+    `schema` is the output schema DDL; None means schema-preserving.
+    """
+    if test_rows is not None:
+        sample = pd.DataFrame(test_rows)
+        out = fn(sample.copy())
+        if not isinstance(out, pd.DataFrame):
+            raise TypeError("script fn must return a pandas DataFrame")
+
+    def stage(df: DataFrame) -> DataFrame:
+        out_schema = schema or df.schema
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield fn(pdf)
+
+        return df.mapInPandas(run, out_schema)
+
+    return stage

@@ -30,10 +30,14 @@ TOOLS = ["bash", "read", "write", "search", "browser"]
 # Spark derivation (SQL dialect: Spark)
 # ---------------------------------------------------------------------------
 
+# Layering note (scale): the inner layer computes ONLY the window key
+# (conv_id) before the row_number exchange, so the single-task scan stage
+# stays cheap; all heavy string construction happens AFTER the shuffle
+# where it parallelizes across shuffle partitions.
 _SPARK_BASE = """
 SELECT
   conv_id,
-  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+  turn_idx,
   role,
   CASE WHEN event_id % 10 = 7
        THEN concat('level ', level, ' corrupted ', msg)
@@ -43,14 +47,7 @@ SELECT
   ts,
   event_id
 FROM (
-  SELECT
-    event_id, ts,
-    CASE WHEN event_id % 20 = 0 THEN 'conv-00000000'
-         ELSE concat('conv-', lpad(CAST(user_id + 1 AS STRING), 8, '0')) END AS conv_id,
-    CASE WHEN (event_id div 3) % 20 < 8  THEN 'user'
-         WHEN (event_id div 3) % 20 < 16 THEN 'assistant'
-         WHEN (event_id div 3) % 20 < 19 THEN 'tool'
-         ELSE 'system' END AS role,
+  SELECT *,
     CASE WHEN (event_id div 3) % 20 >= 8 AND (event_id div 3) % 20 < 19
               AND event_id % 3 != 1
          THEN element_at(array('bash','read','write','search','browser'),
@@ -63,7 +60,22 @@ FROM (
     concat('ran step ', CASE WHEN event_id % 13 = 5 THEN 'xx'
                              ELSE CAST(event_id % 100 AS STRING) END) AS msg,
     concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), 'Z') AS ts_str
-  FROM {events}
+  FROM (
+    SELECT
+      event_id, ts, event_type, value,
+      CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id) - 1 AS INT) AS turn_idx,
+      conv_id,
+      CASE WHEN (event_id div 3) % 20 < 8  THEN 'user'
+           WHEN (event_id div 3) % 20 < 16 THEN 'assistant'
+           WHEN (event_id div 3) % 20 < 19 THEN 'tool'
+           ELSE 'system' END AS role
+    FROM (
+      SELECT event_id, ts, event_type, value,
+        CASE WHEN event_id % 20 = 0 THEN 'conv-00000000'
+             ELSE concat('conv-', lpad(CAST(user_id + 1 AS STRING), 8, '0')) END AS conv_id
+      FROM {events}
+    )
+  )
 )
 """
 
@@ -119,6 +131,37 @@ def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     events.createOrReplaceTempView("_bs_events")
     return spark.sql(_SPARK_BASE.format(events="_bs_events"))
+
+
+def transcripts_scaled(spark: SparkSession, sf_dir: str, replicas: int = 10) -> DataFrame:
+    """Deterministically replicate the transcript table ×replicas (distinct
+    conv_ids per replica) — load generator for throughput/scaling benches
+    (benchmark-input `count` knob analog)."""
+    from pyspark.sql import functions as F
+
+    base = transcripts(spark, sf_dir)
+    if replicas <= 1:
+        return base
+    r = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("_r")
+    return base.select("*", r).select(
+        F.concat_ws("#", F.col("conv_id"), F.col("_r")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        (F.col("event_id") * replicas + F.col("_r")).alias("event_id"),
+    )
+
+
+def materialize_transcripts(
+    spark: SparkSession, sf_dir: str, out_path: str, replicas: int = 10, files: int = 64
+) -> str:
+    """Write a production-shaped transcripts table: many parquet files so
+    the scan parallelizes like a real multi-file/Iceberg table would."""
+    df = transcripts_scaled(spark, sf_dir, replicas)
+    df.repartition(files, "conv_id", "turn_idx").write.mode("overwrite").parquet(out_path)
+    return out_path
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,101 @@
+"""§2-inventory completion operators: if/then/else, codecs, schema_conv,
+multiline while-mode, data_stream, move_fields."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "working"),
+            ("c2", 0, "tool", "output"),
+        ],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+
+
+def test_if_then_else_branches(df):
+    stage = build(
+        "if_then_else",
+        condition={"equals": {"role": "user"}},
+        then=[{"uppercase": {"fields": ["text"]}}],
+        otherwise=[{"add_fields": {"fields": {"branch": "else"}, "target": ""}}],
+    )
+    rows = {(r.conv_id, r.turn_idx): r for r in stage(df).collect()}
+    assert rows[("c1", 0)].text == "HELLO" and rows[("c1", 0)].branch is None
+    assert rows[("c1", 1)].text == "working" and rows[("c1", 1)].branch == "else"
+
+
+def test_codec_json_roundtrip(df):
+    out = build("codec_json", columns=["conv_id", "turn_idx"])(df).first()
+    assert json.loads(out.serialized) == {"conv_id": "c1", "turn_idx": 0}
+
+
+def test_codec_format(df):
+    out = build("codec_format", template="%{[role]}@%{[conv_id]}:%{[turn_idx]}")(df).first()
+    assert out.serialized == "user@c1:0"
+
+
+def test_schema_conv_projection(spark):
+    df = spark.createDataFrame(
+        [({"n": "42", "s": "x"},), ({"s": "y"},)], "attrs map<string,string>"
+    )
+    out = build("schema_conv", spec={"n": {"type": "long", "required": True}, "s": {}})(df)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].n == 42 and rows[0].s == "x"
+
+
+def test_add_data_stream_and_labels(df):
+    out = build("add_data_stream", dataset="agentlogs")(df).first()
+    assert out._meta_index == "logs-agentlogs-default"
+    lab = build("add_labels", labels={"env.zone": "a"})(df).first()
+    assert lab.attrs["labels.env_zone"] == "a"
+
+
+def test_move_fields(df):
+    out = build("move_fields", fields=["text"], to_prefix="raw_")(df)
+    assert "raw_text" in out.columns and "text" not in out.columns
+
+
+def test_now_nondeterministic_stamp(df):
+    out = build("now")(df).first()
+    assert out.ingested_ts is not None
+
+
+def test_decode_xml_gated(df):
+    stage = build("decode_xml", field="text")
+    try:
+        from pyspark.sql import functions as F2
+
+        has_xml = hasattr(F2, "from_xml")
+    except ImportError:
+        has_xml = False
+    if not has_xml:
+        with pytest.raises(NotImplementedError):
+            stage(df)
+
+
+def test_multiline_while(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "| row a"),
+            ("c1", 1, "| row b"),
+            ("c1", 2, "plain"),
+            ("c1", 3, "| row c"),
+            ("c1", 4, "also plain"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = build("multiline_while", pattern=r"^\|")(df)
+    rows = sorted(out.collect(), key=lambda r: r.turn_idx)
+    assert [(r.turn_idx, r.n_lines) for r in rows] == [(0, 2), (2, 1), (3, 1), (4, 1)]
+    assert rows[0].text == "| row a\n| row b"

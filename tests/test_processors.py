@@ -280,3 +280,34 @@ def test_rate_limit_survivors(spark):
     out = rate_limit(["conv_id"], limit=2, period="5 minutes")(df)
     kept = sorted(r.turn_idx for r in out.collect())
     assert kept == [0, 1, 5, 6]
+
+
+def test_script_processor_batch_api(spark):
+    """script analog (§2.9): batch pandas fn with cancel(drop)+tag."""
+    import pandas as pd
+    from beats_spark.processors import build
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["text"].str.contains("keep")].copy()  # Cancel analog
+        pdf["text"] = pdf["text"].str.upper()               # Put analog
+        return pdf
+
+    df = spark.createDataFrame(
+        [("c1", 0, "keep me"), ("c1", 1, "drop me"), ("c2", 0, "keep too")],
+        "conv_id string, turn_idx int, text string",
+    )
+    stage = build("script", fn=fn, test_rows=[{"conv_id": "t", "turn_idx": 0, "text": "keep"}])
+    out = stage(df).collect()
+    assert sorted(r.text for r in out) == ["KEEP ME", "KEEP TOO"]
+
+
+def test_script_processor_fails_fast_on_bad_fn(spark):
+    from beats_spark.processors import build
+
+    def bad(pdf):
+        return None  # not a DataFrame
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="must return a pandas DataFrame"):
+        build("script", fn=bad, test_rows=[{"text": "x"}])

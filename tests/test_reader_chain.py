@@ -1,0 +1,58 @@
+"""Reader-chain operators (§2.2): include/exclude lines, max_bytes,
+ndjson, container (docker + CRI)."""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.processors import build
+
+
+def test_include_then_exclude_lines(spark):
+    df = spark.createDataFrame(
+        [("ERR: boom",), ("INFO: fine",), ("ERR: debug noise",)], "text string"
+    )
+    out = build("include_lines", patterns=["^ERR"])(df)
+    out = build("exclude_lines", patterns=["debug"])(out)
+    assert [r.text for r in out.collect()] == ["ERR: boom"]
+
+
+def test_max_bytes(spark):
+    df = spark.createDataFrame([("x" * 100,), ("short",)], "text string")
+    out = {r.text[:5]: r for r in build("max_bytes", limit=10)(df).collect()}
+    assert len(out["xxxxx"].text) == 10 and "truncated" in out["xxxxx"].log_flags
+    assert out["short"].text == "short" and "truncated" not in out["short"].log_flags
+
+
+def test_ndjson_map_mode_with_message_key(spark):
+    df = spark.createDataFrame(
+        [('{"msg": "hello", "level": "info"}',), ("not json",)], "text string"
+    )
+    out = build("ndjson", message_key="msg")(df).collect()
+    good = next(r for r in out if r.error_message is None)
+    bad = next(r for r in out if r.error_message is not None)
+    assert good.text == "hello" and good.attrs["level"] == "info"
+    assert bad.text == "not json" and bad.error_message.startswith("Error decoding JSON")
+
+
+def test_ndjson_typed_expand(spark):
+    df = spark.createDataFrame([('{"a": 1, "b": "x"}',)], "text string")
+    r = build("ndjson", expand_schema="a int, b string", keys_under_root=True)(df).first()
+    assert r.a == 1 and r.b == "x"
+
+
+def test_container_docker_and_cri(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"log":"docker line\\n","stream":"stdout","time":"2026-01-02T03:04:05.0Z"}',),
+            ("2026-01-02T03:04:05.123Z stderr F cri line",),
+        ],
+        "text string",
+    )
+    rows = build("container")(df).collect()
+    assert rows[0].container_log == "docker line" and rows[0].container_stream == "stdout"
+    assert rows[1].container_log == "cri line" and rows[1].container_stream == "stderr"
+    assert rows[0].container_time is not None and rows[1].container_time is not None
+
+    only_out = build("container", stream="stdout")(df).collect()
+    assert len(only_out) == 1 and only_out[0].container_stream == "stdout"
