@@ -57,8 +57,18 @@ FLAGS_TYPE = ArrayType(StringType())
 def append_flag(flags_col, flag: str, cond):
     """Append `flag` to the flags array where `cond` holds.
 
-    Mirrors mapstr AddTags semantics (append, no dedup needed here since
-    each stage appends a distinct flag once).
+    Mirrors mapstr AddTags semantics (append; each stage appends a
+    distinct flag name once, so no dedup is needed).
+
+    Expression-size note: the accumulated flags expression must be
+    referenced exactly ONCE here. The obvious form
+    `when(cond, array_union(base, ...)).otherwise(base)` embeds `base`
+    in BOTH branches — after k flag stages that is 2^k copies of the
+    first stage's (regex-bearing) condition, which overflows janino's
+    64 KB generated-method limit and silently drops the whole stage out
+    of whole-stage codegen. concat(base, when(cond, [flag], []))
+    keeps growth linear.
     """
     base = F.coalesce(flags_col, F.array().cast(FLAGS_TYPE))
-    return F.when(cond, F.array_union(base, F.array(F.lit(flag)))).otherwise(base)
+    extra = F.when(cond, F.array(F.lit(flag))).otherwise(F.array().cast(FLAGS_TYPE))
+    return F.concat(base, extra)

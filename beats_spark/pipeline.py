@@ -59,21 +59,27 @@ def flagship_selector() -> Selector:
 
 
 def parse_enrich(transcripts: DataFrame, spark: SparkSession) -> DataFrame:
-    """Stages 1-3: pure map-side (no shuffle) + broadcast joins."""
-    df = dissect_columns(transcripts, FLAGSHIP_TOK, src="text")
-    df = dissect_columns(df, STEP_TOK, src="msg", flag_failures=False)
+    """Stages 1-3: pure map-side (no shuffle) + broadcast joins.
 
-    chain = compile_chain(
-        [
-            {
-                "convert": {
-                    "fields": [{"from": "step", "to": "step_num", "type": "long"}],
-                    "fail_on_error": False,
-                }
-            },
-        ]
-    )
-    df = chain(df)
+    Codegen-size discipline: downstream predicates (drop_event filter,
+    dead-letter rule) reference parse outcomes via cheap BOOLEAN columns
+    (`_f_dissect`, `_f_convert`), not via the log_flags array. A pushed-
+    down filter substitutes the full expression tree of whatever it
+    references — referencing an array built from the whole parse chain
+    inlines that chain into the Filter and overflows janino's 64 KB
+    generated-method limit, silently dropping the stage out of
+    whole-stage codegen. The array form is assembled once, at the end,
+    from the booleans (route_events).
+    """
+    df = dissect_columns(transcripts, FLAGSHIP_TOK, src="text", flag_failures=False)
+    df = dissect_columns(df, STEP_TOK, src="msg", flag_failures=False)
+    from .dissect import cast_column
+
+    # convert semantics (fail_on_error=False): try-cast, failure → null
+    df = df.withColumn("step_num", cast_column(F.col("step"), "long"))
+    # fast path invariant: capture columns are NULL iff the parse failed
+    df = df.withColumn("_f_dissect", F.col("level").isNull())
+    df = df.withColumn("_f_convert", F.col("step").isNotNull() & F.col("step_num").isNull())
     df = df.withColumn("event_ts", F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
     df = lookup_join(synth.lookup_role(spark), on="role", defaults={"team": "unknown"})(df)
     df = lookup_join(synth.lookup_tool(spark), on="tool", defaults={"tool_kind": "none", "risk": "low"})(df)
@@ -82,10 +88,19 @@ def parse_enrich(transcripts: DataFrame, spark: SparkSession) -> DataFrame:
 
 def route_events(df: DataFrame) -> DataFrame:
     """Stages 4-5: drop_event + selector routing (+ dead-letter)."""
-    dissect_failed = F.array_contains(F.col(FLAGS_COL), FLAG_DISSECT_FAILURE)
-    df = df.filter(~(dissect_failed & F.col("text").contains("debug")))
+    df = df.filter(~(F.col("_f_dissect") & F.col("text").contains("debug")))
+    df = df.withColumn("has_convert_error", F.col("_f_convert"))
+    # materialize the Beats-convention flags array once, from the booleans
     df = df.withColumn(
-        "has_convert_error", F.array_contains(F.col(FLAGS_COL), FLAG_CONVERT_FAILURE)
+        FLAGS_COL,
+        F.concat(
+            F.when(F.col("_f_dissect"), F.array(F.lit(FLAG_DISSECT_FAILURE))).otherwise(
+                F.array().cast("array<string>")
+            ),
+            F.when(F.col("_f_convert"), F.array(F.lit(FLAG_CONVERT_FAILURE))).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ),
     )
     return route(df, flagship_selector())
 

@@ -1,0 +1,77 @@
+"""Property-based dissect testing (hypothesis): for random tokenizers and
+messages, the vectorized Arrow-batch path must agree exactly with the
+scalar reference walk — including failure classification."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not available", allow_module_level=True)
+
+from beats_spark.dissect import Dissector, DissectError
+
+# delimiters/keys drawn from a small alphabet so collisions (delimiter
+# text appearing inside values) actually happen — that's where the
+# find-first-occurrence semantics bite.
+DELIMS = st.sampled_from([" ", ", ", "=", " | ", "\t", "::", "x"])
+KEYS = st.sampled_from(["a", "b", "c", "dd", "e1"])
+MODS = st.sampled_from(["", "", "", "->", "#2", "|long"])
+VALUES = st.text(alphabet="abx 0=,:", min_size=0, max_size=6)
+
+
+@st.composite
+def tokenizer_and_message(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    parts = []
+    lead = draw(DELIMS) if draw(st.booleans()) else ""
+    parts.append(lead)
+    used = []
+    for i in range(n):
+        key = draw(KEYS) + str(i)  # unique keys: isolate from append semantics
+        mod = draw(MODS)
+        tok_key = key + mod if mod != "->" else key + "->"
+        parts.append("%{" + tok_key + "}")
+        used.append(key)
+        if i < n - 1:
+            parts.append(draw(DELIMS))
+    if draw(st.booleans()):
+        parts.append(draw(DELIMS))
+    tok = "".join(parts)
+    msg = draw(st.text(alphabet="abx 0=,:|\t", min_size=0, max_size=30))
+    return tok, msg
+
+
+@given(tokenizer_and_message())
+@settings(max_examples=300, deadline=None)
+def test_vectorized_agrees_with_scalar(tm):
+    tok, msg = tm
+    try:
+        d = Dissector(tok)
+    except DissectError:
+        return  # invalid tokenizer: nothing to compare
+    try:
+        expected = d.dissect(msg)
+        expect_fail = False
+    except DissectError:
+        expected = None
+        expect_fail = True
+    out = d.pandas_dissect(pd.Series([msg, msg]))
+    for i in range(2):
+        got = out.iloc[i]
+        if expect_fail:
+            assert got is None, f"tok={tok!r} msg={msg!r}: scalar failed, vector gave {got!r}"
+        else:
+            assert got == expected, f"tok={tok!r} msg={msg!r}: {got!r} != {expected!r}"
+
+
+@given(st.text(alphabet="ab =,x", min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_flagship_tokenizer_never_crashes(msg):
+    d = Dissector('level=%{level} ts=%{ts} tool=%{tool} msg="%{msg}"')
+    out = d.pandas_dissect(pd.Series([msg]))
+    v = out.iloc[0]
+    assert v is None or set(v) == {"level", "ts", "tool", "msg"}

@@ -15,7 +15,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = __import__("os").environ.get("SPARK_GRAFT_PARITY_SF", "/root/testdata/sf0.001")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
