@@ -361,6 +361,71 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_ips(ev: DataFrame) -> DataFrame:
+    src = (
+        F.when(F.col("event_id") % 4 == 0, F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"), F.lit(".0.1")))
+        .when(F.col("event_id") % 4 == 1, F.concat(F.lit("192.168."), (F.col("user_id") % 256).cast("string"), F.lit(".5")))
+        .when(F.col("event_id") % 4 == 2, F.concat(F.lit("8.8."), (F.col("user_id") % 200).cast("string"), F.lit(".8")))
+        .otherwise(F.concat(F.lit("172.16."), (F.col("user_id") % 16).cast("string"), F.lit(".9")))
+    )
+    dst = (
+        F.when(F.col("event_id") % 3 == 0, F.lit("10.0.0.2"))
+        .when(F.col("event_id") % 3 == 1, F.lit("8.8.4.4"))
+        .otherwise(F.lit("192.168.1.1"))
+    )
+    return ev.withColumn("src_ip", src).withColumn("dst_ip", dst)
+
+
+def q_network_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_network_direction: CIDR classification vs internal networks."""
+    from beats_spark.processors.enrich import add_network_direction
+
+    ev = _with_ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    out = add_network_direction("src_ip", "dst_ip")(ev)
+    return out.select("event_id", "src_ip", "dst_ip", "network_direction")
+
+
+def q_conditions_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """conditions DSL `network`: keep rows whose src_ip is in a private CIDR."""
+    from beats_spark.conditions import compile_condition
+
+    ev = _with_ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return ev.filter(compile_condition({"network": {"src_ip": "private"}})).select(
+        "event_id", "src_ip"
+    )
+
+
+def q_add_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_id: deterministic content id (sha256 of the natural key)."""
+    from beats_spark.processors.actions import add_id
+
+    t = synth.transcripts(spark, sf_dir)
+    return add_id(target_field="doc_key")(t).select("conv_id", "turn_idx", "doc_key")
+
+
+def q_community_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """community_id canonical flow tuple (endpoint ordering semantics;
+    the sha1 digest itself is covered by pytest — DuckDB lacks sha1)."""
+    from beats_spark.conditions import ip_to_long
+
+    ev = _with_ips(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    s_p = (F.col("event_id") % 60000).cast("bigint")
+    d_p = (F.col("event_id") % 443).cast("bigint")
+    flip = (ip_to_long(F.col("src_ip")) > ip_to_long(F.col("dst_ip"))) | (
+        (ip_to_long(F.col("src_ip")) == ip_to_long(F.col("dst_ip"))) & (s_p > d_p)
+    )
+    tup = F.concat_ws(
+        ":",
+        F.lit("0"),
+        F.when(flip, F.col("dst_ip")).otherwise(F.col("src_ip")),
+        F.when(flip, F.col("src_ip")).otherwise(F.col("dst_ip")),
+        F.lit("6"),
+        F.when(flip, d_p).otherwise(s_p).cast("string"),
+        F.when(flip, s_p).otherwise(d_p).cast("string"),
+    )
+    return ev.select("event_id", tup.alias("flow_tuple"))
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring-counters analog (pipeline/monitoring.go:87-113):
     per-sink totals + flagged-event counts."""
@@ -477,6 +542,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiline_pattern": q_multiline_pattern,
         "events_windowed": q_events_windowed,
         "pipeline_metrics": q_pipeline_metrics,
+        "network_direction": q_network_direction,
+        "conditions_network": q_conditions_network,
+        "add_id": q_add_id,
+        "community_tuple": q_community_tuple,
         # training-data pipeline ops (datapipe/)
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -604,6 +673,57 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "network_direction": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1'
+                        WHEN event_id % 4 = 1 THEN '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.5'
+                        WHEN event_id % 4 = 2 THEN '8.8.' || CAST(user_id % 200 AS VARCHAR) || '.8'
+                        ELSE '172.16.' || CAST(user_id % 16 AS VARCHAR) || '.9' END AS src_ip,
+                   CASE WHEN event_id % 3 = 0 THEN '10.0.0.2'
+                        WHEN event_id % 3 = 1 THEN '8.8.4.4'
+                        ELSE '192.168.1.1' END AS dst_ip,
+                   CASE WHEN event_id % 4 IN (0,1,3) AND event_id % 3 IN (0,2) THEN 'internal'
+                        WHEN event_id % 4 IN (0,1,3) THEN 'outbound'
+                        WHEN event_id % 3 IN (0,2) THEN 'inbound'
+                        ELSE 'external' END AS network_direction
+            FROM events""",
+        "conditions_network": """
+            SELECT event_id,
+                   CASE WHEN event_id % 4 = 0 THEN '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1'
+                        WHEN event_id % 4 = 1 THEN '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.5'
+                        WHEN event_id % 4 = 2 THEN '8.8.' || CAST(user_id % 200 AS VARCHAR) || '.8'
+                        ELSE '172.16.' || CAST(user_id % 16 AS VARCHAR) || '.9' END AS src_ip
+            FROM events WHERE event_id % 4 IN (0, 1, 3)""",
+        "add_id": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS doc_key
+             FROM transcripts_base""",
+        "community_tuple": """
+            WITH base AS (
+              SELECT event_id,
+                CASE WHEN event_id % 4 = 0 THEN '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1'
+                     WHEN event_id % 4 = 1 THEN '192.168.' || CAST(user_id % 256 AS VARCHAR) || '.5'
+                     WHEN event_id % 4 = 2 THEN '8.8.' || CAST(user_id % 200 AS VARCHAR) || '.8'
+                     ELSE '172.16.' || CAST(user_id % 16 AS VARCHAR) || '.9' END AS src_ip,
+                CASE WHEN event_id % 3 = 0 THEN '10.0.0.2'
+                     WHEN event_id % 3 = 1 THEN '8.8.4.4'
+                     ELSE '192.168.1.1' END AS dst_ip,
+                CAST(event_id % 60000 AS BIGINT) AS sp,
+                CAST(event_id % 443 AS BIGINT) AS dp
+              FROM events),
+            v AS (
+              SELECT *,
+                CAST(split_part(src_ip,'.',1) AS BIGINT)*16777216 + CAST(split_part(src_ip,'.',2) AS BIGINT)*65536
+                  + CAST(split_part(src_ip,'.',3) AS BIGINT)*256 + CAST(split_part(src_ip,'.',4) AS BIGINT) AS s_l,
+                CAST(split_part(dst_ip,'.',1) AS BIGINT)*16777216 + CAST(split_part(dst_ip,'.',2) AS BIGINT)*65536
+                  + CAST(split_part(dst_ip,'.',3) AS BIGINT)*256 + CAST(split_part(dst_ip,'.',4) AS BIGINT) AS d_l
+              FROM base)
+            SELECT event_id,
+                   '0:' || (CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN dst_ip ELSE src_ip END)
+                   || ':' || (CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN src_ip ELSE dst_ip END)
+                   || ':6:' || CAST(CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN dp ELSE sp END AS VARCHAR)
+                   || ':' || CAST(CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN sp ELSE dp END AS VARCHAR) AS flow_tuple
+            FROM v""",
         "pipeline_metrics": _ORACLE_WITH
         + """SELECT sink, count(*) AS events_total,
                     sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS events_flagged

@@ -57,7 +57,12 @@ def write_sinks(
     (replaces Beats' at-least-once retry with effectively-once, §3.1).
     """
     routed = df.filter(F.col(SINK_COL).isNotNull())
-    salted = salted_repartition(routed, "conv_id", salt_buckets)
+    # Explicit partition count: a column-only repartition is subject to
+    # AQE partition coalescing, which at small volumes collapses the
+    # salted exchange back to ONE task and silently undoes the skew
+    # spreading on disk. An explicit N pins the layout.
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salted = salted_repartition(routed, "conv_id", salt_buckets, num_partitions=max(n_parts, salt_buckets))
     (
         salted.write.mode(mode)
         .format(fmt)

@@ -1,0 +1,58 @@
+"""Fan-out write path: sink partitioning + hot-key salting evidence.
+
+The hot conversation owns 5% of all rows; without salting it would land
+in one task's file per sink. salted_repartition must spread it across
+multiple files while keeping rows recoverable and exactly-once counts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from beats_spark.pipeline import flagship
+from beats_spark.routing import salted_repartition, write_sinks
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_write_sinks_counts_and_partition_layout(spark, tmp_path):
+    routed = flagship(spark, SF)
+    expected = {r["_sink"]: r["count"] for r in routed.groupBy("_sink").count().collect()}
+    counts = write_sinks(routed, str(tmp_path), salt_buckets=8)
+    assert counts == expected
+    # partition layout: one directory per sink (prunable by sink)
+    sink_dirs = {d for d in os.listdir(tmp_path / "sinks") if d.startswith("_sink=")}
+    assert sink_dirs == {f"_sink={s}" for s in expected}
+    # read back: per-sink row counts survive the round trip
+    back = spark.read.parquet(str(tmp_path / "sinks"))
+    got = {r["_sink"]: r["count"] for r in back.groupBy("_sink").count().collect()}
+    assert got == expected
+
+
+def test_salted_repartition_spreads_hot_conv(spark):
+    routed = flagship(spark, SF)
+    salted = salted_repartition(routed, "conv_id", salt_buckets=8, num_partitions=16)
+    dist = (
+        salted.withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv-00000000")
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    # the hot conversation must occupy >1 partition (no single-task hotspot)
+    assert len(dist) > 1, f"hot conv landed in a single partition: {dist}"
+    biggest = max(r["count"] for r in dist)
+    total = sum(r["count"] for r in dist)
+    assert biggest / total < 0.5, f"salting too skewed: {dist}"
+    # determinism: same salt → same distribution
+    dist2 = (
+        salted_repartition(routed, "conv_id", salt_buckets=8, num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .filter(F.col("conv_id") == "conv-00000000")
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert sorted((r.pid, r["count"]) for r in dist) == sorted((r.pid, r["count"]) for r in dist2)
