@@ -1,0 +1,65 @@
+"""Source layer — the filestream/log-input analog (SURVEY.md §2.1).
+
+The reference's input layer solves: file discovery, per-source offset
+tracking, rotation/truncation identity, and resumable reads
+(filebeat/input/filestream/). On Spark those responsibilities move into
+the table format + checkpoint manifests:
+
+  discovery        table scan planning (file listing / Iceberg manifests)
+  offsets          per-partition manifests (checkpoint.py)
+  rotation         the table format owns file lifecycle
+  gzip/encodings   parquet codecs / ingestion job's concern
+
+`read_transcripts` is the single entry point: parquet today, Iceberg
+when a catalog is configured (the runtime image here ships no
+iceberg-spark-runtime jar — the call path is identical, only
+`format()` changes). Batch and streaming share the schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_transcripts(
+    spark: SparkSession,
+    path_or_table: str,
+    fmt: str = "parquet",
+    since_ts: str | None = None,
+    until_ts: str | None = None,
+) -> DataFrame:
+    """Batch read with time-range pushdown.
+
+    `since_ts`/`until_ts` compile to scan-level predicates — with a
+    `days(ts)` partition layout these prune whole files/partitions
+    before any task launches (the at-scale equivalent of "only harvest
+    files that changed").
+    """
+    if fmt == "iceberg":
+        df = spark.read.format("iceberg").load(path_or_table)
+    else:
+        df = spark.read.format(fmt).load(path_or_table)
+    if since_ts:
+        df = df.filter(F.col("ts") >= F.lit(since_ts).cast("timestamp"))
+    if until_ts:
+        df = df.filter(F.col("ts") < F.lit(until_ts).cast("timestamp"))
+    return df
+
+
+def read_transcripts_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming read of an append-only transcript directory — the
+    long-running-harvester analog. File-source checkpointing gives the
+    same only-new-data guarantee as the filestream cursor."""
+    reader = (
+        spark.readStream.format(fmt)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+    )
+    from .events import TRANSCRIPT_SCHEMA
+
+    return reader.schema(TRANSCRIPT_SCHEMA).load(path)

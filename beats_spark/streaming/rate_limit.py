@@ -1,0 +1,107 @@
+"""Streaming token-bucket rate limit — the reference's algorithm, stateful.
+
+Batch mode approximates rate_limit with row_number-per-window
+(processors/stateful.py). This is the faithful streaming version of
+ratelimit/token_bucket.go:40-63: one bucket per key, capacity = limit,
+continuous refill at limit/period tokens per second, each event takes
+one token, depleted ⇒ drop. State lives in the Structured Streaming
+state store (checkpointed, resumable — the same guarantee surface as
+the reference's in-memory buckets + registry, but fault tolerant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+from pyspark.sql.types import (
+    DoubleType,
+    StructField,
+    StructType,
+)
+
+
+class TokenBucketProcessor(StatefulProcessor):
+    """Per-key token bucket over event-time (token_bucket.go semantics)."""
+
+    def __init__(self, limit: int, period_seconds: float, ts_col: str = "ts"):
+        self.limit = float(limit)
+        self.period = float(period_seconds)
+        self.ts_col = ts_col
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        state_schema = StructType(
+            [
+                StructField("tokens", DoubleType(), True),
+                StructField("last_epoch", DoubleType(), True),
+            ]
+        )
+        self.bucket = handle.getValueState("bucket", state_schema)
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        if self.bucket.exists():
+            tokens, last_epoch = self.bucket.get()
+        else:
+            tokens, last_epoch = self.limit, None
+        rate = self.limit / self.period  # tokens per second
+        out = []
+        for pdf in rows:
+            pdf = pdf.sort_values(self.ts_col)
+            epochs = pdf[self.ts_col].astype("int64") / 1e9
+            keep = []
+            for e in epochs:
+                if last_epoch is not None and e > last_epoch:
+                    tokens = min(self.limit, tokens + (e - last_epoch) * rate)
+                if last_epoch is None or e > last_epoch:
+                    last_epoch = e
+                if tokens >= 1.0:
+                    tokens -= 1.0
+                    keep.append(True)
+                else:
+                    keep.append(False)
+            kept = pdf[pd.Series(keep, index=pdf.index)]
+            if len(kept):
+                out.append(kept)
+        self.bucket.update((float(tokens), float(last_epoch) if last_epoch is not None else None))
+        for pdf in out:
+            yield pdf
+
+    def close(self) -> None:
+        pass
+
+
+def rate_limit_stream(
+    df: DataFrame,
+    key_fields: list[str],
+    limit: int,
+    period_seconds: float = 60.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Apply the streaming token bucket; schema-preserving.
+
+    Runtime gate: transformWithStateInPandas speaks a protobuf state
+    protocol to the JVM; this container ships pyspark without the
+    `protobuf` package, so the stateful path cannot execute here (the
+    batch analog, processors.stateful.rate_limit, always works). The
+    operator is fully implemented and unit-testable where protobuf is
+    present — we fail fast with a clear message instead of a worker
+    crash deep inside the state server.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "rate_limit_stream requires the 'protobuf' package for Spark's "
+            "transformWithState state protocol; not available in this "
+            "runtime — use processors.stateful.rate_limit (batch) or a "
+            "windowed-count trigger instead"
+        ) from e
+    proc = TokenBucketProcessor(limit, period_seconds, ts_col)
+    return df.groupBy(*key_fields).transformWithStateInPandas(
+        statefulProcessor=proc,
+        outputStructType=df.schema,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -40,3 +40,71 @@ def test_stream_parse_route_window(spark):
     sinks = {r["_sink"] for r in rows}
     assert sinks & {"sink_main", "sink_tool_events", "sink_agent_tool_calls"}
     assert all(r["n_events"] > 0 for r in rows)
+
+
+def test_rate_limit_stream_gated_or_works(spark):
+    """Token-bucket streaming rate limit: runs where protobuf exists,
+    fails fast with a clear message where it doesn't (this image)."""
+    from beats_spark.streaming import streaming_transcripts_from_rate
+    from beats_spark.streaming.rate_limit import rate_limit_stream
+
+    src = streaming_transcripts_from_rate(spark, rows_per_second=50)
+    try:
+        limited = rate_limit_stream(src, ["conv_id"], limit=2, period_seconds=10.0)
+    except NotImplementedError as e:
+        assert "protobuf" in str(e)
+        return
+    assert limited.isStreaming
+
+
+def test_token_bucket_algorithm_pure():
+    """token_bucket.go semantics, tested against the processor directly
+    with a fake state handle: capacity=limit, refill limit/period per
+    second, depleted => drop."""
+    import pandas as pd
+    from beats_spark.streaming.rate_limit import TokenBucketProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+        def exists(self):
+            return self.v is not None
+        def get(self):
+            return self.v
+        def update(self, v):
+            self.v = v
+
+    proc = TokenBucketProcessor(limit=2, period_seconds=10.0)
+    proc.bucket = FakeState()
+
+    def batch(ts_list):
+        pdf = pd.DataFrame({"ts": pd.to_datetime(ts_list, format="mixed"), "v": range(len(ts_list))})
+        return list(proc.handleInputRows(("k",), iter([pdf]), None))
+
+    # burst of 4 at t=0s..3s: capacity 2 → first 2 pass, then refill 0.2/s
+    out = batch(["2026-01-01 00:00:00", "2026-01-01 00:00:01",
+                 "2026-01-01 00:00:02", "2026-01-01 00:00:03"])
+    kept = pd.concat(out) if out else pd.DataFrame(columns=["ts", "v"])
+    assert list(kept["v"]) == [0, 1]
+
+    # 10s later: bucket refilled by 2 tokens (10s * 0.2/s) → 2 more pass
+    out2 = batch(["2026-01-01 00:00:13", "2026-01-01 00:00:13.5",
+                  "2026-01-01 00:00:14"])
+    kept2 = pd.concat(out2) if out2 else pd.DataFrame(columns=["ts", "v"])
+    assert list(kept2["v"]) == [0, 1]
+
+    # state persisted across micro-batches
+    assert proc.bucket.exists() and proc.bucket.get()[0] < 1.0
+
+
+def test_sources_time_range_pushdown(spark, tmp_path):
+    """read_transcripts: ts-range predicates reach the scan (pruning)."""
+    from beats_spark import synth
+    from beats_spark.sources import read_transcripts
+
+    synth.materialize_transcripts(spark, "/root/testdata/sf0.001", str(tmp_path / "t"), replicas=1, files=4)
+    df = read_transcripts(spark, str(tmp_path / "t"), since_ts="2024-01-10 00:00:00")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "ts" in plan
+    assert df.count() > 0
+    assert df.agg({"ts": "min"}).first()[0].strftime("%Y-%m-%d") >= "2024-01-10"
