@@ -480,9 +480,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return brute_topk(emb, queries_df, k=5).select(
-        "query_id", "neighbor_id", F.round("cos_sim", 3).alias("cos_sim_3"), "rank"
-    )
+    # integer-only output: a double cosine differs between engines in the
+    # last ULP even after rounding, which an exact value-hash flags; the
+    # ranking (with rounded-sim + id tie-break) IS the checked semantics,
+    # numeric closeness is asserted in pytest with tolerance.
+    return brute_topk(emb, queries_df, k=5).select("query_id", "neighbor_id", "rank")
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,7 +763,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
             FROM documents""",
         "ann_cosine_topk": """
-            SELECT query_id, neighbor_id, round(cos_sim, 3) AS cos_sim_3, rank FROM (
+            SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                      round(list_cosine_similarity(q.embedding, c.embedding), 6) AS cos_sim,
                      row_number() OVER (
