@@ -426,6 +426,39 @@ def q_community_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("event_id", tup.alias("flow_tuple"))
 
 
+def q_reader_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader-chain composition: include_lines → exclude_lines →
+    max_bytes truncation with flag (filestream parse stack, §2.2)."""
+    from beats_spark.processors import compile_chain
+
+    t = synth.transcripts(spark, sf_dir)
+    chain = compile_chain(
+        [
+            {"include_lines": {"patterns": ["^level="]}},
+            {"exclude_lines": {"patterns": ["level=debug"]}},
+            {"max_bytes": {"limit": 60}},
+        ]
+    )
+    out = chain(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        F.array_contains("log_flags", "truncated").alias("was_truncated"),
+    )
+
+
+def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only:
+    bucket assignment is seed-dependent; twin-detection is pytest-covered)."""
+    from beats_spark.datapipe.similarity import embedding_near_dupes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # threshold tuned to the synthetic embedding distribution (64-dim,
+    # near-orthogonal): 0.3 yields a meaningful non-empty pair set.
+    return embedding_near_dupes(emb, threshold=0.3, p_bits=6).select("id_a", "id_b")
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitoring-counters analog (pipeline/monitoring.go:87-113):
     per-sink totals + flagged-event counts."""
@@ -548,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conditions_network": q_conditions_network,
         "add_id": q_add_id,
         "community_tuple": q_community_tuple,
+        "reader_chain": q_reader_chain,
+        "embedding_near_dupes": q_embedding_near_dupes,
         # training-data pipeline ops (datapipe/)
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -675,6 +710,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "reader_chain": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    substr(text, 1, 60) AS text,
+                    (length(text) > 60) AS was_truncated
+             FROM transcripts_base
+             WHERE regexp_matches(text, '^level=')
+               AND NOT regexp_matches(text, 'level=debug')""",
         "network_direction": """
             SELECT event_id,
                    CASE WHEN event_id % 4 = 0 THEN '10.' || CAST(user_id % 256 AS VARCHAR) || '.0.1'

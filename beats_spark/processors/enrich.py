@@ -129,16 +129,45 @@ def add_network_direction(
     return stage
 
 
-def cache_get(lookup: DataFrame, key_field: str, value_cols: list[str], ttl_seconds: int | None = None, ts_col: str = "ts"):
-    """cache processor `get` op (cache/cache.go:40) — broadcast left join;
-    TTL becomes a time-window condition on the joined `cached_at` column."""
+def cache_get(
+    lookup: DataFrame,
+    key_field: str,
+    value_cols: list[str],
+    ttl_seconds: int | None = None,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+):
+    """cache processor `get` op (cache/cache.go:40, config.go:79-100) —
+    broadcast left join against the KV build side; the TTL becomes a
+    freshness predicate on the cached_at column relative to event time
+    (expired entries read as misses → NULL values, like an evicted key).
+    """
+    kc = key_col or lookup.columns[0]
 
     def stage(df: DataFrame) -> DataFrame:
-        out = df.join(F.broadcast(lookup), on=df[key_field] == lookup.columns and F.col(key_field) == lookup[lookup.columns[0]], how="left")
+        build = F.broadcast(lookup.withColumnRenamed(kc, "_cache_key"))
+        out = df.join(build, on=F.col(key_field) == F.col("_cache_key"), how="left")
         if ttl_seconds is not None and "cached_at" in lookup.columns:
-            fresh = F.col("cached_at") >= (F.col(ts_col) - F.expr(f"INTERVAL {ttl_seconds} SECONDS"))
+            fresh = F.col("cached_at") >= (
+                F.col(ts_col) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+            )
             for c in value_cols:
                 out = out.withColumn(c, F.when(fresh, F.col(c)))
-        return out.drop(lookup[lookup.columns[0]])
+        return out.drop("_cache_key")
 
     return stage
+
+
+def cache_put(df: DataFrame, key_field: str, value_cols: list[str], ts_col: str = "ts") -> DataFrame:
+    """cache processor `put` op — the build side as its own aggregate
+    output: latest value per key (by event time), written/broadcast as
+    the next run's lookup table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as W
+
+    w = Window.partitionBy(key_field).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("_rn", W.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(key_field, *value_cols, F.col(ts_col).alias("cached_at"))
+    )

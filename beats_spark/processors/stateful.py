@@ -61,6 +61,8 @@ def multiline_pattern(
     text_col: str = "text",
     max_lines: int = 500,
     sep: str = "\n",
+    timeout_seconds: float | None = None,
+    ts_col: str = "ts",
 ):
     """multiline/pattern.go:44-129 — join physical lines into logical events.
 
@@ -83,6 +85,15 @@ def multiline_pattern(
             w0 = Window.partitionBy(*groups).orderBy(order_col)
             prev_cont = F.lag(is_continuation, 1, False).over(w0)
             boundary = ~F.coalesce(prev_cont, F.lit(False))
+        if timeout_seconds is not None:
+            # flush-on-idle (multiline/pattern.go:88-94): a gap larger than
+            # the timeout starts a new logical event even mid-continuation.
+            wt = Window.partitionBy(*groups).orderBy(order_col)
+            # unix_micros via an explicit TIMESTAMP cast: parquet columns
+            # arrive as TIMESTAMP_NTZ, which has no direct numeric cast.
+            epoch = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+            gap = epoch - F.lag(epoch, 1).over(wt)
+            boundary = boundary | (F.coalesce(gap, F.lit(0.0)) > timeout_seconds)
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
         # cap group size at max_lines: sub-split index = (rank within group) // max_lines

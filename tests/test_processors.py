@@ -311,3 +311,45 @@ def test_script_processor_fails_fast_on_bad_fn(spark):
 
     with _pytest.raises(TypeError, match="must return a pandas DataFrame"):
         build("script", fn=bad, test_rows=[{"text": "x"}])
+
+
+def test_multiline_timeout_flush(spark):
+    """multiline/pattern.go:88-94 — idle gap flushes a partial group."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "Error: boom", "2026-01-01 00:00:00"),
+            ("c1", 1, "  at foo()", "2026-01-01 00:00:01"),
+            ("c1", 2, "  at bar()", "2026-01-01 00:00:30"),  # 29s idle > 5s timeout
+        ],
+        "conv_id string, turn_idx int, text string, t string",
+    ).withColumn("ts", F.to_timestamp("t")).drop("t")
+    out = multiline_pattern(pattern=r"^\s", match="after", timeout_seconds=5.0)(df)
+    rows = sorted(out.collect(), key=lambda r: r.turn_idx)
+    assert [(r.turn_idx, r.n_lines) for r in rows] == [(0, 2), (2, 1)]
+
+
+def test_cache_get_ttl_and_put(spark):
+    from beats_spark.processors.enrich import cache_get, cache_put
+
+    events = spark.createDataFrame(
+        [("k1", "2026-01-01 10:00:00"), ("k2", "2026-01-01 10:00:00")],
+        "key string, t string",
+    ).withColumn("ts", F.to_timestamp("t")).drop("t")
+    kv = spark.createDataFrame(
+        [("k1", "v1", "2026-01-01 09:59:30"), ("k2", "v2", "2026-01-01 08:00:00")],
+        "key string, val string, c string",
+    ).withColumn("cached_at", F.to_timestamp("c")).drop("c")
+
+    out = {r.key: r for r in cache_get(kv, "key", ["val"], ttl_seconds=60)(events).collect()}
+    assert out["k1"].val == "v1"          # fresh (30s old)
+    assert out["k2"].val is None          # expired (2h old) → miss
+
+    # put: latest value per key becomes the next build side
+    stream = spark.createDataFrame(
+        [("k1", "old", "2026-01-01 09:00:00"), ("k1", "new", "2026-01-01 09:30:00")],
+        "key string, val string, t string",
+    ).withColumn("ts", F.to_timestamp("t")).drop("t")
+    built = {r.key: r for r in cache_put(stream, "key", ["val"]).collect()}
+    assert built["k1"].val == "new" and built["k1"].cached_at is not None
