@@ -18,7 +18,7 @@ Layout:
   synth.py          deterministic transcript derivation + lookup tables
   dissect.py        dissect tokenizer engine (Column fast path + Arrow UDF)
   conditions.py     Beats conditions DSL → pyspark Column predicates
-  selectors.py      output selector (first-match-wins sink routing)
+  selector.py       output selector (first-match-wins sink routing)
   processors/       processor registry (mutate / parse / enrich / stateful)
   routing.py        fan-out writer to per-sink tables
   aggregates.py     flows-style per-sink windowed aggregates

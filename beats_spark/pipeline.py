@@ -30,7 +30,7 @@ from .events import FLAG_CONVERT_FAILURE, FLAG_DISSECT_FAILURE, FLAGS_COL, SINK_
 from .processors import compile_chain
 from .processors.enrich import lookup_join
 from .routing import DEAD_LETTER_SINK, route
-from .selectors import Rule, Selector
+from .selector import Rule, Selector
 
 FLAGSHIP_TOK = 'level=%{level} ts=%{ts_str} tool=%{tool_tok} msg="%{msg}"'
 STEP_TOK = "ran step %{step}"

@@ -292,7 +292,7 @@ def fingerprint(
 
 def add_formatted_index(index: str):
     """add_formatted_index.go:33 — set the routing index meta column."""
-    from ..selectors import compile_fmtstr
+    from ..selector import compile_fmtstr
 
     def stage(df: DataFrame) -> DataFrame:
         value, defined = compile_fmtstr(index)

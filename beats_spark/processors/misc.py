@@ -113,7 +113,7 @@ def codec_json(target: str = "serialized", columns: list[str] | None = None, esc
 
 def codec_format(template: str, target: str = "serialized"):
     """format codec (codec/format/format.go:38): fmtstr line per event."""
-    from ..selectors import compile_fmtstr
+    from ..selector import compile_fmtstr
 
     def stage(df: DataFrame) -> DataFrame:
         value, _ = compile_fmtstr(template, columns=set(df.columns))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .events import SINK_COL
-from .selectors import Selector
+from .selector import Selector
 
 DEAD_LETTER_SINK = "sink_dead_letter"  # dead_letter_index analog (client.go:63-65)
 

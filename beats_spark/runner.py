@@ -1,0 +1,98 @@
+"""spark-submit entry point — the `filebeat run` analog.
+
+Deploy exactly as the north rule describes:
+
+    zip -r beats_spark.zip beats_spark/
+    spark-submit --py-files beats_spark.zip beats_spark/runner.py \\
+        --events /data/sfX  --out /data/out  --partitions 64 [--resume]
+
+One invocation = one checkpointed pipeline run:
+  derive/scan transcripts → parse → enrich → route → per-sink fan-out
+  (partition-by-partition with manifests) → per-sink windowed
+  aggregates as sidecar tables → one JSON metrics line on stdout
+  (lineage + throughput, the registrar/monitoring analog).
+
+Re-running with --resume skips every partition whose manifest is
+already committed (kill-safe, effectively-once).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="beats_spark pipeline runner")
+    ap.add_argument("--events", required=True, help="dir containing events.parquet (or a transcripts table with --table)")
+    ap.add_argument("--table", action="store_true", help="--events points at a transcripts table, not the events fixture")
+    ap.add_argument("--out", required=True, help="output root (sinks/ + aggregates/ + _manifests/)")
+    ap.add_argument("--partitions", type=int, default=8, help="checkpoint partitions")
+    ap.add_argument("--resume", action="store_true", help="skip partitions with committed manifests (default behavior; flag is documentation)")
+    ap.add_argument("--fresh", action="store_true", help="ignore existing manifests and recompute everything")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from beats_spark import synth
+    from beats_spark.aggregates import events_per_conv, events_per_tool
+    from beats_spark.checkpoint import CheckpointedRun
+    from beats_spark.pipeline import parse_enrich, route_events
+    from beats_spark.session import get_spark
+    from beats_spark.sources import read_transcripts
+
+    t0 = time.perf_counter()
+    spark = get_spark("beats_spark_runner", master=args.master)
+
+    if args.table:
+        transcripts = read_transcripts(spark, args.events)
+        input_files = [args.events]
+    else:
+        transcripts = synth.transcripts(spark, args.events)
+        input_files = [os.path.join(args.events, "events.parquet")]
+
+    routed = route_events(parse_enrich(transcripts, spark))
+
+    run = CheckpointedRun(args.out, n_partitions=args.partitions)
+    if args.fresh:
+        for f in os.listdir(run.manifest_dir):
+            os.remove(os.path.join(run.manifest_dir, f))
+    already = run.completed_partitions()
+    manifests = run.run(routed, input_files=input_files)
+
+    out_df = run.read_output(spark)
+    for name, agg in (
+        ("events_per_conv", events_per_conv(out_df)),
+        ("events_per_tool", events_per_tool(out_df)),
+    ):
+        agg.write.mode("overwrite").parquet(os.path.join(args.out, "aggregates", name))
+
+    rows = 0
+    per_sink: dict[str, int] = {}
+    for m in manifests:
+        rows += m["rows_in"]
+        for sink, n in m["rows_per_sink"].items():
+            per_sink[sink] = per_sink.get(sink, 0) + n
+    wall = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "partitions_total": args.partitions,
+                "partitions_resumed": sorted(already),
+                "partitions_computed": [m["partition"] for m in manifests],
+                "rows_processed": rows,
+                "per_sink": per_sink,
+                "wall_sec": round(wall, 2),
+                "turns_per_sec": round(rows / wall) if wall > 0 else None,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -208,7 +208,7 @@ def test_network_condition_named(spark):
 
 def test_selector_first_match_and_mappings(spark):
     from beats_spark.routing import route
-    from beats_spark.selectors import Rule, Selector
+    from beats_spark.selector import Rule, Selector
 
     df = spark.createDataFrame(
         [("alerts", "err"), ("logs", "info"), (None, "info")],
@@ -226,7 +226,7 @@ def test_selector_first_match_and_mappings(spark):
 
 
 def test_fmtstr_timestamp_and_default(spark):
-    from beats_spark.selectors import compile_fmtstr
+    from beats_spark.selector import compile_fmtstr
 
     df = spark.createDataFrame([("x",)], "a string").withColumn(
         "ts", F.to_timestamp(F.lit("2026-03-04 05:06:07"))

@@ -1,0 +1,38 @@
+"""Runner entry point (spark-submit analog) — fresh run + resume via a
+real subprocess invocation of beats_spark/runner.py."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def _run(out_dir: str, extra: list[str] | None = None) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "beats_spark", "runner.py"),
+        "--events", "/root/testdata/sf0.001",
+        "--out", out_dir,
+        "--partitions", "4",
+        "--master", "local[4]",
+    ] + (extra or [])
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_runner_fresh_then_resume(tmp_path):
+    out = str(tmp_path / "run")
+    first = _run(out)
+    assert first["partitions_computed"] == [0, 1, 2, 3]
+    assert first["rows_processed"] == 988
+    assert first["per_sink"]["sink_dead_letter"] == 69
+    assert os.path.isdir(os.path.join(out, "aggregates", "events_per_conv"))
+
+    second = _run(out, ["--resume"])
+    assert second["partitions_resumed"] == [0, 1, 2, 3]
+    assert second["partitions_computed"] == []
+    assert second["rows_processed"] == 0
