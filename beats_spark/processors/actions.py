@@ -19,10 +19,6 @@ from ..conditions import compile_condition
 from ..events import ATTRS_COL, ATTRS_TYPE, FLAG_TRUNCATED, FLAGS_COL, append_flag
 
 
-def _guard(df: DataFrame, when: dict | None):
-    return compile_condition(when) if when else None
-
-
 def _with_guarded(df: DataFrame, name: str, new_col: Column, when: dict | None) -> DataFrame:
     """withColumn under an optional `when` guard: non-matching rows keep
     the original value (conditionals.go:59-100)."""
