@@ -86,9 +86,13 @@ routed AS (
 """
 )
 
+# per-turn text + ts equality under stable (conv_id, turn_idx) ordering is
+# part of the north-rule correctness gate — both are compared verbatim.
 _ROUTED_COLS = [
     "conv_id",
     "turn_idx",
+    "text",
+    "ts",
     "role",
     "tool",
     "level",

@@ -129,3 +129,32 @@ def test_ngram_jaccard_pairs(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_sessionize_matches_pandas_reference(spark):
+    """session_flows vs an independent pandas session-gap implementation
+    (FIXTURES.md: rows-only queries get a pandas reference)."""
+    import pandas as pd
+    from beats_spark import synth
+    from beats_spark.aggregates import session_flows
+
+    t = synth.transcripts(spark, SF)
+    got = {
+        (r.conv_id, r.session_start, r.n_events)
+        for r in session_flows(t, keys=["conv_id"], gap="30 minutes").collect()
+    }
+
+    pdf = t.select("conv_id", "ts").toPandas().sort_values(["conv_id", "ts"])
+    expected = set()
+    for conv, grp in pdf.groupby("conv_id"):
+        ts = grp["ts"].tolist()
+        start, count, prev = ts[0], 1, ts[0]
+        for cur in ts[1:]:
+            if (cur - prev).total_seconds() > 30 * 60:
+                expected.add((conv, start, count))
+                start, count = cur, 1
+            else:
+                count += 1
+            prev = cur
+        expected.add((conv, start, count))
+    assert got == expected
