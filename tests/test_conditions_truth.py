@@ -1,0 +1,80 @@
+"""Conditions DSL truth tables — mirrors the table-driven style of
+libbeat/conditions/*_test.go (equals/contains/regexp/range/has_fields
+combinations over typed fields, including null handling)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            # id, s, n, f, b, maybe
+            (1, "apache", 200, 1.5, True, "x"),
+            (2, "nginx", 404, 0.0, False, None),
+            (3, "redis", 200, -2.5, True, "y"),
+            (4, "", 500, 99.9, False, None),
+        ],
+        "id int, s string, n int, f double, b boolean, maybe string",
+    ).cache()
+
+
+def ids(df, cond):
+    return sorted(r.id for r in df.filter(compile_condition(cond)).collect())
+
+
+TRUTH = [
+    # equals: string / int / bool / empty-string
+    ({"equals": {"s": "apache"}}, [1]),
+    ({"equals": {"n": 200}}, [1, 3]),
+    ({"equals": {"b": True}}, [1, 3]),
+    ({"equals": {"s": ""}}, [4]),
+    ({"equals": {"s": "apache", "n": 200}}, [1]),          # AND of pairs
+    ({"equals": {"s": "apache", "n": 404}}, []),
+    # contains / regexp
+    ({"contains": {"s": "ngin"}}, [2]),
+    ({"contains": {"maybe": "x"}}, [1]),                   # null → False, not error
+    ({"regexp": {"s": "^(apache|redis)$"}}, [1, 3]),
+    # range: gt/gte/lt/lte, open and closed intervals
+    ({"range": {"n.gte": 200, "n.lt": 500}}, [1, 2, 3]),
+    ({"range": {"n.gt": 200}}, [2, 4]),
+    ({"range": {"f.lte": 0.0}}, [2, 3]),
+    ({"range": {"n.gte": 200, "n.lte": 200}}, [1, 3]),     # point interval
+    # has_fields
+    ({"has_fields": ["maybe"]}, [1, 3]),
+    ({"has_fields": ["s", "maybe"]}, [1, 3]),
+    # combinators incl. nesting + De Morgan sanity
+    ({"not": {"equals": {"n": 200}}}, [2, 4]),
+    ({"or": [{"equals": {"id": 1}}, {"equals": {"id": 4}}]}, [1, 4]),
+    ({"and": [{"range": {"n.gte": 200}}, {"not": {"contains": {"s": "redis"}}}]}, [1, 2, 4]),
+    (
+        {"not": {"or": [{"equals": {"id": 1}}, {"equals": {"id": 2}}]}},
+        [3, 4],
+    ),
+]
+
+
+@pytest.mark.parametrize("cond,expected", TRUTH, ids=[str(c)[:60] for c, _ in TRUTH])
+def test_truth_table(df, cond, expected):
+    assert ids(df, cond) == expected
+
+
+def test_demorgan_equivalence(df):
+    a = {"not": {"and": [{"equals": {"b": True}}, {"range": {"n.gte": 300}}]}}
+    b = {"or": [{"not": {"equals": {"b": True}}}, {"not": {"range": {"n.gte": 300}}}]}
+    assert ids(df, a) == ids(df, b)
+
+
+def test_invalid_configs_fail_at_compile():
+    for bad in (
+        {"range": {"n.between": 3}},
+        {"nope": {"s": "x"}},
+        {"equals": {"a": 1}, "contains": {"b": "c"}},  # two ops in one dict
+    ):
+        with pytest.raises(ValueError):
+            compile_condition(bad)

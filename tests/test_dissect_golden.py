@@ -110,3 +110,15 @@ def test_dissect_convert_typed():
     d = Dissector("%{n|long} %{f|double} %{b|boolean} %{s}")
     out = d.dissect_convert("7 1.5 true xyz")
     assert out == {"n": 7, "f": 1.5, "b": True, "s": "xyz"}
+
+
+def test_fast_path_trim_values(spark):
+    """trim_values through the Column fast path (not just scalar/UDF)."""
+    from beats_spark.dissect import dissect_columns
+
+    df = spark.createDataFrame([("a=  hello  ,b=  world  !",)], "text string")
+    out = dissect_columns(df, "a=%{x},b=%{y}!", trim_values="all").first()
+    assert out.x == "hello" and out.y == "world"
+    # right-only
+    out2 = dissect_columns(df, "a=%{x},b=%{y}!", trim_values="right", prefix="r_").first()
+    assert out2.r_x == "  hello" and out2.r_y == "  world"
