@@ -1,0 +1,78 @@
+"""Streaming end-to-end with a file source + checkpointLocation restart —
+the harvester-resume guarantee (filestream cursor / registrar analog) on
+Structured Streaming's own state: stop the query mid-stream, append new
+files, restart from the checkpoint, verify exactly-once per input row.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark import synth
+from beats_spark.pipeline import parse_enrich, route_events
+from beats_spark.sources import read_transcripts_stream
+
+
+def _await_rows(spark, path: str, want: int, timeout_s: int = 60) -> int:
+    deadline = time.time() + timeout_s
+    n = 0
+    while time.time() < deadline:
+        try:
+            n = spark.read.parquet(path).count()
+        except Exception:
+            n = 0
+        if n >= want:
+            break
+        time.sleep(2)
+    return n
+
+
+@pytest.mark.slow
+def test_file_stream_restart_exactly_once(spark, tmp_path):
+    src_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src_dir)
+
+    base = synth.transcripts(spark, "/root/testdata/sf0.001")
+    half1 = base.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = base.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    n1, n2 = half1.count(), half2.count()
+    half1.coalesce(2).write.mode("append").parquet(src_dir)
+
+    def start():
+        stream = read_transcripts_stream(spark, src_dir, max_files_per_trigger=4)
+        routed = route_events(parse_enrich(stream, spark))
+        return (
+            routed.drop("_sink")  # plain append sink; routing col tested elsewhere
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="2 seconds")
+            .start()
+        )
+
+    # phase 1: first half flows through
+    q = start()
+    # dropped rows: dissect-failed AND 'debug' — compute expected survivors
+    expect1 = route_events(parse_enrich(half1, spark)).count()
+    got1 = _await_rows(spark, out_dir, expect1)
+    q.stop()
+    assert got1 == expect1, f"phase1: {got1} != {expect1}"
+
+    # phase 2: append the second half, RESTART from checkpoint
+    half2.coalesce(2).write.mode("append").parquet(src_dir)
+    q2 = start()
+    expect_total = route_events(parse_enrich(base.drop("event_id"), spark)).count()
+    got2 = _await_rows(spark, out_dir, expect_total)
+    q2.stop()
+    # exactly-once: no duplicates from re-reading phase-1 files
+    assert got2 == expect_total, f"phase2: {got2} != {expect_total}"
+
+    # per-turn identity intact across the restart
+    out = spark.read.parquet(out_dir)
+    assert out.select("conv_id", "turn_idx").distinct().count() == expect_total
