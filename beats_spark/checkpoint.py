@@ -78,10 +78,19 @@ class CheckpointedRun:
             slice_df = routed.filter(F.col("_part") == p).drop("_part")
             path = os.path.join(self.out_dir, "sinks", f"part={p}")
             slice_df.write.mode("overwrite").partitionBy(SINK_COL).parquet(path)
-            per_sink = {
-                r[SINK_COL]: r["cnt"]
-                for r in slice_df.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()
-            }
+            # count from the just-written files: re-aggregating slice_df
+            # would re-run the whole upstream pipeline a second time per
+            # partition (2N total evaluations of the parse/enrich plan)
+            from pyspark.errors import AnalysisException
+
+            try:
+                written = slice_df.sparkSession.read.parquet(path)
+                per_sink = {
+                    r[SINK_COL]: r["cnt"]
+                    for r in written.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()
+                }
+            except AnalysisException:
+                per_sink = {}  # empty partition: only _SUCCESS written, no schema
             rows_in = sum(per_sink.values())
             wall_ms = round((time.perf_counter() - t0) * 1000)
             size = sum(

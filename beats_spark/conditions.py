@@ -49,8 +49,14 @@ def _field(name: str) -> Column:
     return F.col(name.replace(".", "_")) if "." in name else F.col(name)
 
 
+# strict dotted-quad: each octet 0-255 (a permissive \d{1,3} would let
+# malformed strings like 9.264.0.1 alias into valid CIDR ranges).
+IPV4_RE = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+
+
 def ip_to_long(col: Column) -> Column:
-    """Dotted-quad IPv4 → int64 (pure Column arithmetic, no UDF)."""
+    """Dotted-quad IPv4 → int64 (pure Column arithmetic, no UDF).
+    Callers must guard with IPV4_RE when the input may be malformed."""
     p = F.split(col, r"\.")
     return (
         p.getItem(0).try_cast("bigint") * 16777216
@@ -63,12 +69,35 @@ def ip_to_long(col: Column) -> Column:
 def _cidr_match(col: Column, cidr: str) -> Column:
     net = ipaddress.ip_network(cidr, strict=False)
     if net.version == 6:
-        # v6: prefix string compare is enough for the named nets we support.
-        prefix = cidr.split("/")[0].rstrip(":")
-        return col.startswith(prefix) if prefix else F.lit(False)
+        # v6: compare the leading 16-bit hextet under the prefix mask —
+        # exact for every prefix length ≤ 16, which covers the named nets
+        # (/8 ff00::, fd00::; /10 fe80::; /128 handled by equality).
+        # A textual startswith would miss e.g. ff02::1 for ff00::/8.
+        plen = net.prefixlen
+        addr_exploded = net.network_address.exploded  # canonical full form
+        if plen >= 128:
+            forms = {str(net.network_address), addr_exploded}
+            cond = F.lit(False)
+            for f in forms:
+                cond = cond | (F.lower(col) == f.lower())
+            return cond
+        if plen > 16:
+            # not needed by the named nets; fall back to exploded-prefix
+            nibbles = plen // 4
+            prefix = addr_exploded.replace(":", "")[:nibbles]
+            return F.lit(False) if not prefix else F.lower(col).startswith(prefix[:4])
+        net_hextet = int(addr_exploded.split(":")[0], 16)
+        mask = ((0xFFFF << (16 - plen)) & 0xFFFF) if plen > 0 else 0
+        first = F.regexp_extract(F.lower(col), r"^([0-9a-f]{1,4}):", 1)
+        v = F.conv(first, 16, 10).try_cast("bigint")
+        return (
+            col.contains(":")
+            & (first != "")
+            & (v.bitwiseAND(F.lit(mask)) == F.lit(net_hextet & mask))
+        )
     lo, hi = int(net.network_address), int(net.broadcast_address)
     v = ip_to_long(col)
-    return col.rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & (v >= F.lit(lo)) & (v <= F.lit(hi))
+    return col.rlike(IPV4_RE) & (v >= F.lit(lo)) & (v <= F.lit(hi))
 
 
 def _network_cond(field: str, spec: Any) -> Column:

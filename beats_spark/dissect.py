@@ -531,7 +531,13 @@ def cast_column(col: Column, data_type: str) -> Column:
     if data_type in ("", "string", "ip"):
         return col
     if data_type in ("long", "integer"):
-        hexv = F.conv(F.regexp_replace(col, "(?i)^0x", ""), 16, 10).try_cast(_SPARK_TYPES[data_type])
+        # conv() has no sign handling — strip the sign and 0x prefix, convert,
+        # then re-apply the sign (a bare regexp_replace of '0x' would feed
+        # '-0x1f' to conv as '-0x1f' → 0, silently corrupt and unflagged).
+        mag = F.conv(F.regexp_replace(col, "(?i)^[+-]?0x", ""), 16, 10).try_cast(
+            _SPARK_TYPES[data_type]
+        )
+        hexv = F.when(col.rlike("^-"), -mag).otherwise(mag)
         return F.when(col.rlike("(?i)^[+-]?0x[0-9a-f]+$"), hexv).otherwise(
             col.try_cast(_SPARK_TYPES[data_type])
         )
@@ -595,7 +601,13 @@ def dissect_columns(
         for k in out_keys:
             df = df.withColumn(prefix + k, F.col(tmp)[k])
         fail_cond = F.col(tmp).isNull() | F.col(f"{tmp}.{out_keys[0]}").isNull()
-        df = df.drop(tmp)
+        # flag BEFORE dropping the temp struct — fail_cond references it
+        if flag_failures:
+            flags = (
+                F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
+            )
+            df = df.withColumn(FLAGS_COL, append_flag(flags, FLAG_DISSECT_FAILURE, fail_cond))
+        return df.drop(tmp)
     if flag_failures:
         flags = F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
         df = df.withColumn(FLAGS_COL, append_flag(flags, FLAG_DISSECT_FAILURE, fail_cond))

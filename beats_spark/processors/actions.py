@@ -291,7 +291,9 @@ def add_formatted_index(index: str):
     from ..selector import compile_fmtstr
 
     def stage(df: DataFrame) -> DataFrame:
-        value, defined = compile_fmtstr(index)
+        # pass the schema so absent fields resolve to "produced nothing"
+        # (fmtstr semantics) instead of an AnalysisException
+        value, defined = compile_fmtstr(index, columns=set(df.columns))
         return df.withColumn("_meta_index", F.when(defined, value))
 
     return stage

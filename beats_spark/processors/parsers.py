@@ -188,8 +188,10 @@ def decode_duration(field: str, target: str | None = None, unit: str = "s"):
         m = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)m(?!s)", 1) != "", num(r"(\d+(?:\.\d+)?)m(?!s)")).otherwise(F.lit(0.0))
         s = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)s", 1) != "", num(r"(\d+(?:\.\d+)?)s")).otherwise(F.lit(0.0))
         ms = F.when(F.regexp_extract(col, r"(\d+(?:\.\d+)?)ms", 1) != "", num(r"(\d+(?:\.\d+)?)ms")).otherwise(F.lit(0.0))
-        # plain 's' regex also matches the 's' of 'ms' value — subtract.
-        total = h * 3600 + m * 60 + F.when(ms > 0, ms / 1000.0).otherwise(s)
+        # note: the plain-'s' pattern requires a digit immediately before
+        # 's', so it does NOT match the 's' of 'ms' — the components are
+        # disjoint and simply sum (Go time.ParseDuration semantics).
+        total = h * 3600 + m * 60 + s + ms / 1000.0
         return df.withColumn(target or field, total / F.lit(div))
 
     return stage

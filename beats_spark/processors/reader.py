@@ -75,9 +75,13 @@ def ndjson(
     def stage(df: DataFrame) -> DataFrame:
         col = F.col(field)
         if expand_schema:
+            from pyspark.sql.types import StructType
+
             parsed = F.from_json(col, expand_schema)
             failed = col.isNotNull() & parsed.isNull()
-            names = [p.strip().split()[0].strip("`") for p in expand_schema.split(",")]
+            # proper DDL parse — a naive split(',') breaks on parameterized
+            # types like map<string,string> or decimal(10,2)
+            names = [f.name for f in StructType.fromDDL(expand_schema)]
             if keys_under_root:
                 for name in names:
                     df = df.withColumn(name, parsed.getField(name))

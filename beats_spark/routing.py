@@ -70,7 +70,13 @@ def write_sinks(
         .option("partitionOverwriteMode", "dynamic")
         .save(os.path.join(out_dir, "sinks"))
     )
-    counts = {r[SINK_COL]: r["cnt"] for r in routed.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()}
+    # derive counts from the written table — recounting `routed` would
+    # execute the full upstream plan a second time
+    written = df.sparkSession.read.format(fmt).load(os.path.join(out_dir, "sinks"))
+    counts = {
+        r[SINK_COL]: r["cnt"]
+        for r in written.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()
+    }
     return counts
 
 

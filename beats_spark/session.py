@@ -68,6 +68,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps (parity with the DuckDB oracle).
         .config("spark.sql.session.timeZone", "UTC")
+        # map_concat merge semantics: the attrs-map operators (add_fields,
+        # decode_json_fields, ndjson, dissect_attrs) rely on later-keys-win
+        # overwrite; the Spark default (EXCEPTION) would crash the job on
+        # any duplicate key instead.
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # Every enrich lookup table is tiny → always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

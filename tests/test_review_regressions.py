@@ -1,0 +1,99 @@
+"""Regression tests for the round-1 code-review findings — each test
+reproduces a defect that existed before the fix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.conditions import compile_condition
+from beats_spark.dissect import cast_column, dissect_columns
+from beats_spark.processors import build
+
+
+def test_udf_path_dissect_flags_after_drop(spark):
+    """Finding 1: full-grammar tokenizer + flag_failures=True crashed with
+    UNRESOLVED_COLUMN because fail_cond referenced the dropped temp struct."""
+    df = spark.createDataFrame([("a b c",), ("nope",)], "text string")
+    out = dissect_columns(df, "%{+x} %{+x} %{y}", src="text")  # append → UDF path
+    rows = sorted(out.collect(), key=lambda r: r.text)
+    good = next(r for r in rows if r.text == "a b c")
+    bad = next(r for r in rows if r.text == "nope")
+    assert good.x == "a b" and good.y == "c" and "dissect_parsing_error" not in good.log_flags
+    assert bad.x is None and "dissect_parsing_error" in bad.log_flags
+
+
+def test_map_concat_duplicate_keys_overwrite(spark):
+    """Finding 2: duplicate map keys crashed with DUPLICATED_MAP_KEY under
+    the default dedup policy; LAST_WIN gives the documented overwrite."""
+    df = spark.createDataFrame(
+        [('{"k": "new", "other": "o"}',)], "text string"
+    ).withColumn("attrs", F.create_map(F.lit("k"), F.lit("old")))
+    over = build("decode_json_fields", fields=["text"], overwrite_keys=True)(df).first()
+    assert over.attrs["k"] == "new"
+    keep = build("decode_json_fields", fields=["text"], overwrite_keys=False)(df).first()
+    assert keep.attrs["k"] == "old" and keep.attrs["other"] == "o"
+    # add_fields re-applied with the same key must not crash either
+    twice = build("add_fields", fields={"a": "1"}, target="t")(
+        build("add_fields", fields={"a": "0"}, target="t")(df)
+    ).first()
+    assert twice.attrs["t.a"] == "1"
+
+
+def test_decode_duration_seconds_plus_ms(spark):
+    """Finding 4: '1s500ms' returned 0.5 (seconds dropped when ms present)."""
+    df = spark.createDataFrame([("1s500ms",), ("2m1s250ms",)], "d string")
+    vals = [r.secs for r in build("decode_duration", field="d", target="secs")(df).collect()]
+    assert vals[0] == pytest.approx(1.5)
+    assert vals[1] == pytest.approx(121.25)
+
+
+def test_negative_hex_cast(spark):
+    """Finding 5: '-0x1f' silently converted to 0 (unflagged corruption)."""
+    df = spark.createDataFrame([("-0x1f",), ("0x1F",), ("+0xa",)], "v string")
+    out = df.select(cast_column(F.col("v"), "long").alias("n")).collect()
+    assert [r.n for r in out] == [-31, 31, 10]
+
+
+def test_ipv6_cidr_named_networks(spark):
+    """Finding 3: textual startswith missed ff02::1 for multicast and
+    fdab::1 for private (classified public)."""
+    df = spark.createDataFrame(
+        [("ff02::1",), ("fdab::1",), ("fe80::5",), ("::1",), ("2001:db8::1",)],
+        "ip string",
+    )
+    multicast = {r.ip for r in df.filter(compile_condition({"network": {"ip": "multicast"}})).collect()}
+    assert multicast == {"ff02::1"}
+    private = {r.ip for r in df.filter(compile_condition({"network": {"ip": "private"}})).collect()}
+    assert "fdab::1" in private
+    link_local = {r.ip for r in df.filter(compile_condition({"network": {"ip": "link_local_unicast"}})).collect()}
+    assert link_local == {"fe80::5"}
+    loopback = {r.ip for r in df.filter(compile_condition({"network": {"ip": "loopback"}})).collect()}
+    assert loopback == {"::1"}
+    public = {r.ip for r in df.filter(compile_condition({"network": {"ip": "public"}})).collect()}
+    assert "2001:db8::1" in public and "fdab::1" not in public
+
+
+def test_malformed_ipv4_not_in_cidr(spark):
+    """Finding 6: '9.264.0.1' aliased into 10.0.0.0/8 via unvalidated octets."""
+    df = spark.createDataFrame([("9.264.0.1",), ("10.0.0.1",), ("256.1.1.1",)], "ip string")
+    private = {r.ip for r in df.filter(compile_condition({"network": {"ip": "private"}})).collect()}
+    assert private == {"10.0.0.1"}
+
+
+def test_add_formatted_index_missing_field(spark):
+    """Finding 7: template referencing an absent field crashed at analysis."""
+    df = spark.createDataFrame([("c1",)], "conv_id string")
+    out = build("add_formatted_index", index="logs-%{[not_there]}")(df).first()
+    assert out._meta_index is None
+    ok = build("add_formatted_index", index="logs-%{[conv_id]}")(df).first()
+    assert ok._meta_index == "logs-c1"
+
+
+def test_ndjson_expand_schema_with_parameterized_types(spark):
+    """Finding 8: DDL name extraction broke on map<string,string>."""
+    df = spark.createDataFrame([('{"a": 1, "m": {"x": "y"}}',)], "text string")
+    r = build(
+        "ndjson", expand_schema="a int, m map<string,string>", keys_under_root=True
+    )(df).first()
+    assert r.a == 1 and r.m == {"x": "y"}
