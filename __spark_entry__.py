@@ -541,6 +541,29 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with minimal-shingle blocking
+    (rows-only: set-valued shingle algebra isn't one ANSI query; planted-
+    pair behavior is pytest-covered)."""
+    from beats_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.4).select("id_a", "id_b")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (multi-table SRP) ANN — the scale path next to the
+    brute-force baseline (rows-only; recall vs brute force is pytest-
+    asserted ≥ 0.6)."""
+    from beats_spark.datapipe.similarity import lsh_bucket_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synth media + mapInPandas feature stub
     (rows-only; sha/byte determinism in pytest)."""
@@ -595,6 +618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
 
