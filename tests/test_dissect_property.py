@@ -75,3 +75,42 @@ def test_flagship_tokenizer_never_crashes(msg):
     out = d.pandas_dissect(pd.Series([msg]))
     v = out.iloc[0]
     assert v is None or set(v) == {"level", "ts", "tool", "msg"}
+
+
+@given(tokenizer_and_message())
+@settings(max_examples=300, deadline=None)
+def test_fast_path_regex_agrees_with_scalar(tm):
+    """The Column fast path lowers a tokenizer to one anchored lazy regex;
+    verify the LOWERING (pattern + group mapping) against the scalar walk
+    by evaluating the same pattern with Python re (leftmost-lazy matching
+    over escaped literals is engine-agnostic)."""
+    import re as _re
+
+    tok, msg = tm
+    try:
+        d = Dissector(tok)
+    except DissectError:
+        return
+    pattern = d.regex_pattern()
+    if pattern is None:
+        return  # UDF-only grammar: covered by the other property test
+    try:
+        expected = d.dissect(msg)
+        expect_fail = False
+    except DissectError:
+        expected = None
+        expect_fail = True
+
+    m = _re.match(pattern.replace("(?s)", "", 1), msg, _re.S)
+    matched = m is not None and len(msg) > 0
+    if expect_fail:
+        assert not matched, f"tok={tok!r} msg={msg!r}: scalar failed but regex matched {m.groups()!r}"
+        return
+    assert matched, f"tok={tok!r} msg={msg!r}: scalar ok but regex failed"
+    got = {}
+    group = 0
+    for f in d.fields:
+        group += 1
+        if f.kind == 0:  # NORMAL
+            got[f.key] = m.group(group)
+    assert got == expected, f"tok={tok!r} msg={msg!r}: {got!r} != {expected!r}"
