@@ -460,7 +460,9 @@ def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # threshold tuned to the synthetic embedding distribution (64-dim,
     # near-orthogonal): 0.3 yields a meaningful non-empty pair set.
-    return embedding_near_dupes(emb, threshold=0.3, p_bits=6).select("id_a", "id_b")
+    return embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, tables=2).select(
+        "id_a", "id_b"
+    )
 
 
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,7 +471,9 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _routed(spark, sf_dir)
     return r.groupBy("sink").agg(
         F.count(F.lit(1)).alias("events_total"),
-        F.sum(F.when(F.size(F.col("log_flags")) > 0, 1).otherwise(0)).alias("events_flagged"),
+        # .cast("long") on BOTH engines: DuckDB's sum(CASE…) yields HUGEINT,
+        # which value-hashes differently from Spark's bigint even when equal.
+        F.sum(F.when(F.size(F.col("log_flags")) > 0, 1).otherwise(0)).cast("long").alias("events_flagged"),
     )
 
 
@@ -559,7 +563,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2).select(
+    return lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2, dim=64).select(
         "query_id", "neighbor_id", "rank"
     )
 
@@ -799,7 +803,7 @@ def oracle_sql() -> dict[str, str]:
             FROM v""",
         "pipeline_metrics": _ORACLE_WITH
         + """SELECT sink, count(*) AS events_total,
-                    sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS events_flagged
+                    CAST(sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS BIGINT) AS events_flagged
              FROM routed GROUP BY sink""",
         "dedup_exact": """
             SELECT doc_id, lang, source, n_chars FROM (

@@ -9,16 +9,26 @@ Reference semantics being reproduced (SURVEY.md §1.2, §3.3):
 
 Spark re-expression: the unit of progress is a deterministic input
 partition (pmod(hash(conv_id), N) here; days(ts) partitions on a real
-Iceberg deployment). For each partition we (1) run the pipeline on that
-slice, (2) commit its sink output with an idempotent overwrite, and only
-then (3) atomically write a manifest carrying lineage + throughput
-metrics:
+Iceberg deployment). A run executes ONE write job over all missing
+partitions — `write.partitionBy("_part", SINK_COL)` with DYNAMIC
+partition overwrite, so the input is scanned exactly once regardless of
+N (a per-partition loop would rescan the input N times: 6.4 PB of reads
+for a 100 TB table at N=64). Completed partitions' directories are never
+touched. Per-partition manifests carrying lineage + throughput metrics
+are then derived from the *written* output (a footer-cheap read of the
+new files, not a re-run of the pipeline):
   {partition, input_files, rows_in, rows_per_sink, bytes, wall_ms}
 
 A resume run diffs existing manifests against the partition list and
-recomputes only the missing ones. Task-level retry inside a partition is
-Spark's; partition-level idempotence comes from the overwrite — together
-they upgrade Beats' at-least-once to effectively-once per partition.
+rewrites only the missing `_part=` directories (one job for all of
+them). Task-level retry inside the job is Spark's; partition-level
+idempotence comes from the dynamic overwrite — together they upgrade
+Beats' at-least-once to effectively-once per partition.
+
+`fail_after=k` (kill/resume tests) forces one-partition-at-a-time
+commits so a failure can be injected between manifest commits; that
+path re-filters the input per batch and exists only for fault
+injection, not production use.
 """
 
 from __future__ import annotations
@@ -38,7 +48,9 @@ class CheckpointedRun:
         self.out_dir = out_dir
         self.n_partitions = n_partitions
         self.manifest_dir = os.path.join(out_dir, "_manifests")
+        self.sinks_dir = os.path.join(out_dir, "sinks")
         os.makedirs(self.manifest_dir, exist_ok=True)
+        self.write_jobs = 0  # write jobs executed by the last run() call
 
     def _manifest_path(self, p: int) -> str:
         return os.path.join(self.manifest_dir, f"part-{p:05d}.json")
@@ -55,70 +67,101 @@ class CheckpointedRun:
                     continue  # torn write ⇒ not committed ⇒ recompute
         return done
 
+    def _partition_bytes(self, p: int) -> int:
+        path = os.path.join(self.sinks_dir, f"_part={p}")
+        if not os.path.isdir(path):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
+    def _written_counts(self, spark: SparkSession, parts: list[int]) -> dict[int, dict[str, int]]:
+        """Per-sink row counts for the given partitions, read from the
+        files just written (footer-cheap; never re-runs the pipeline)."""
+        paths = [
+            os.path.join(self.sinks_dir, f"_part={p}")
+            for p in parts
+            if os.path.isdir(os.path.join(self.sinks_dir, f"_part={p}"))
+        ]
+        out: dict[int, dict[str, int]] = {p: {} for p in parts}
+        if not paths:
+            return out
+        written = spark.read.option("basePath", self.sinks_dir).parquet(*paths)
+        for r in (
+            written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        ):
+            out[int(r["_part"])][r[SINK_COL]] = r["cnt"]
+        return out
+
     def run(
         self,
         routed: DataFrame,
         input_files: list[str],
         fail_after: int | None = None,
     ) -> list[dict]:
-        """Process partition-by-partition with manifests; resume-safe.
+        """Process all missing partitions in ONE write job; resume-safe.
 
         `routed` must contain conv_id + SINK_COL. `fail_after=k` aborts
-        after k manifests are committed (kill/resume tests).
+        after k manifests are committed (kill/resume tests; forces
+        single-partition batches).
         """
+        spark = routed.sparkSession
         part_col = F.pmod(F.hash(F.col("conv_id")), F.lit(self.n_partitions))
         routed = routed.withColumn("_part", part_col)
         done = self.completed_partitions()
+        missing = [p for p in range(self.n_partitions) if p not in done]
+        self.write_jobs = 0
+        if not missing:
+            return []
+        # fault-injection path commits one partition at a time; the
+        # production path is a single batch = a single input scan.
+        batches = [[p] for p in missing] if fail_after is not None else [missing]
         manifests = []
         processed = 0
-        for p in range(self.n_partitions):
-            if p in done:
-                continue
+        for batch in batches:
             t0 = time.perf_counter()
-            slice_df = routed.filter(F.col("_part") == p).drop("_part")
-            path = os.path.join(self.out_dir, "sinks", f"part={p}")
-            slice_df.write.mode("overwrite").partitionBy(SINK_COL).parquet(path)
-            # count from the just-written files: re-aggregating slice_df
-            # would re-run the whole upstream pipeline a second time per
-            # partition (2N total evaluations of the parse/enrich plan)
-            from pyspark.errors import AnalysisException
-
-            try:
-                written = slice_df.sparkSession.read.parquet(path)
-                per_sink = {
-                    r[SINK_COL]: r["cnt"]
-                    for r in written.groupBy(SINK_COL).agg(F.count("*").alias("cnt")).collect()
-                }
-            except AnalysisException:
-                per_sink = {}  # empty partition: only _SUCCESS written, no schema
-            rows_in = sum(per_sink.values())
-            wall_ms = round((time.perf_counter() - t0) * 1000)
-            size = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
+            df = routed
+            if len(batch) < self.n_partitions:
+                df = df.filter(F.col("_part").isin(batch))
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_part", SINK_COL)
+                .parquet(self.sinks_dir)
             )
-            manifest = {
-                "partition": p,
-                "input_files": input_files,
-                "rows_in": rows_in,
-                "rows_per_sink": per_sink,
-                "bytes": size,
-                "wall_ms": wall_ms,
-                "throughput_rows_per_sec": round(rows_in / max(wall_ms, 1) * 1000, 1),
-            }
-            # Atomic commit: manifest appears only after the data is down.
-            tmp = self._manifest_path(p) + ".tmp"
-            with open(tmp, "w") as fh:
-                json.dump(manifest, fh)
-            os.replace(tmp, self._manifest_path(p))
-            manifests.append(manifest)
-            processed += 1
-            if fail_after is not None and processed >= fail_after:
-                raise RuntimeError(f"injected failure after {processed} partitions")
+            self.write_jobs += 1
+            wall_ms = round((time.perf_counter() - t0) * 1000)
+            counts = self._written_counts(spark, batch)
+            batch_rows = sum(sum(c.values()) for c in counts.values())
+            for p in batch:
+                per_sink = counts.get(p, {})
+                rows_in = sum(per_sink.values())
+                # wall time of the shared job apportioned by row share —
+                # manifests stay comparable across single- and multi-
+                # partition batches.
+                share = rows_in / batch_rows if batch_rows else 1.0 / len(batch)
+                p_wall = max(1, round(wall_ms * share))
+                manifest = {
+                    "partition": p,
+                    "input_files": input_files,
+                    "rows_in": rows_in,
+                    "rows_per_sink": per_sink,
+                    "bytes": self._partition_bytes(p),
+                    "wall_ms": p_wall,
+                    "throughput_rows_per_sec": round(rows_in / max(p_wall, 1) * 1000, 1),
+                }
+                # Atomic commit: manifest appears only after the data is down.
+                tmp = self._manifest_path(p) + ".tmp"
+                with open(tmp, "w") as fh:
+                    json.dump(manifest, fh)
+                os.replace(tmp, self._manifest_path(p))
+                manifests.append(manifest)
+                processed += 1
+                if fail_after is not None and processed >= fail_after:
+                    raise RuntimeError(f"injected failure after {processed} partitions")
         return manifests
 
     def read_output(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", os.path.join(self.out_dir, "sinks")).parquet(
-            os.path.join(self.out_dir, "sinks", "part=*")
-        )
+        return spark.read.parquet(self.sinks_dir)

@@ -66,35 +66,52 @@ def ip_to_long(col: Column) -> Column:
     )
 
 
+def _ipv6_hextets(col: Column) -> Column:
+    """IPv6 string → array of 8 bigint hextets, or NULL when unparseable.
+
+    Pure Column: '::' compression is expanded by splitting around the
+    double colon and padding zero groups in the middle. Zone ids
+    ('fe80::1%eth0') and dotted IPv4-mapped tails do not parse as hextets
+    and yield NULL (no match) rather than a wrong match.
+    """
+    has_dc = col.contains("::")
+    left_p = F.filter(F.split(F.regexp_extract(col, r"^(.*?)::", 1), ":"), lambda x: x != "")
+    right_p = F.filter(F.split(F.regexp_extract(col, r"::(.*)$", 1), ":"), lambda x: x != "")
+    mid = F.array_repeat(
+        F.lit("0"), F.greatest(F.lit(0), F.lit(8) - F.size(left_p) - F.size(right_p))
+    )
+    expanded = F.when(has_dc, F.concat(left_p, mid, right_p)).otherwise(F.split(col, ":"))
+    hx = F.transform(
+        expanded,
+        lambda x: F.when(x.rlike("^[0-9a-fA-F]{1,4}$"), F.conv(x, 16, 10).try_cast("bigint")),
+    )
+    ok = (
+        col.contains(":")
+        & (F.size(expanded) == 8)
+        & (F.size(F.filter(hx, lambda v: v.isNull())) == 0)
+    )
+    return F.when(ok, hx)
+
+
 def _cidr_match(col: Column, cidr: str) -> Column:
     net = ipaddress.ip_network(cidr, strict=False)
     if net.version == 6:
-        # v6: compare the leading 16-bit hextet under the prefix mask —
-        # exact for every prefix length ≤ 16, which covers the named nets
-        # (/8 ff00::, fd00::; /10 fe80::; /128 handled by equality).
-        # A textual startswith would miss e.g. ff02::1 for ff00::/8.
+        # v6: expand to 8 hextets and compare the full prefix under the
+        # proper mask — exact for EVERY prefix length 0..128 (a first-
+        # hextet-only compare would false-positive e.g. 2001:dead::1
+        # against 2001:db8::/32).
         plen = net.prefixlen
-        addr_exploded = net.network_address.exploded  # canonical full form
-        if plen >= 128:
-            forms = {str(net.network_address), addr_exploded}
-            cond = F.lit(False)
-            for f in forms:
-                cond = cond | (F.lower(col) == f.lower())
-            return cond
-        if plen > 16:
-            # not needed by the named nets; fall back to exploded-prefix
-            nibbles = plen // 4
-            prefix = addr_exploded.replace(":", "")[:nibbles]
-            return F.lit(False) if not prefix else F.lower(col).startswith(prefix[:4])
-        net_hextet = int(addr_exploded.split(":")[0], 16)
-        mask = ((0xFFFF << (16 - plen)) & 0xFFFF) if plen > 0 else 0
-        first = F.regexp_extract(F.lower(col), r"^([0-9a-f]{1,4}):", 1)
-        v = F.conv(first, 16, 10).try_cast("bigint")
-        return (
-            col.contains(":")
-            & (first != "")
-            & (v.bitwiseAND(F.lit(mask)) == F.lit(net_hextet & mask))
-        )
+        net_hx = [int(h, 16) for h in net.network_address.exploded.split(":")]
+        hx = _ipv6_hextets(col)
+        cond = hx.isNotNull()
+        full = plen // 16
+        for i in range(full):
+            cond = cond & (hx.getItem(i) == F.lit(net_hx[i]))
+        rem = plen - 16 * full
+        if rem:
+            mask = (0xFFFF << (16 - rem)) & 0xFFFF
+            cond = cond & (hx.getItem(full).bitwiseAND(F.lit(mask)) == F.lit(net_hx[full] & mask))
+        return F.coalesce(cond, F.lit(False))
     lo, hi = int(net.network_address), int(net.broadcast_address)
     v = ip_to_long(col)
     return col.rlike(IPV4_RE) & (v >= F.lit(lo)) & (v <= F.lit(hi))

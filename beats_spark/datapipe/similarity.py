@@ -140,29 +140,64 @@ def embedding_near_dupes(
     p_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    tables: int = 2,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP buckets + verify."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _planes(dim, p_bits)
-    b = df.select(
-        F.col(id_col), F.col(vec_col), _srp_bucket(F.col(vec_col), planes).alias("bucket")
+    """Embedding-cosine near-duplicate pairs via multi-table SRP buckets.
+
+    Scale hardening vs the single-table form:
+      * `tables` independent hyperplane sets — a true near-dup pair lands
+        in the same bucket in SOME table with much higher probability, so
+        p_bits can stay high (small buckets) without losing recall;
+      * per-(table, bucket) row cap — a hot bucket self-join is quadratic;
+        the cap bounds any bucket's join to max_bucket_rows² and only
+        affects recall (verification is exact cosine on candidates);
+      * `dim` must be passed explicitly — sniffing it with .first() runs
+        a job at plan-construction time.
+    """
+    if dim is None:
+        raise ValueError(
+            "embedding_near_dupes requires explicit dim= (plan-time schema "
+            "knowledge); sniffing it would execute a job during planning"
+        )
+    table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
+    buckets = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), _srp_bucket(F.col(vec_col), table_planes[t]).alias("bk"))
+            for t in range(tables)
+        ]
     )
+    b = df.select(F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")).select(
+        id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket")
+    )
+    wcap = Window.partitionBy("t", "bucket").orderBy(F.col(id_col))
+    b = b.withColumn("_rn", F.row_number().over(wcap)).filter(
+        F.col("_rn") <= max_bucket_rows
+    ).drop("_rn")
     a, c = b.alias("a"), b.alias("b")
     pairs = (
-        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            c,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn(
             "cos_sim",
             F.round(
-                cosine_sim(
-                    F.col(f"a.{vec_col}").cast("array<double>"),
-                    F.col(f"b.{vec_col}").cast("array<double>"),
-                ),
+                cosine_sim(F.col("_va").cast("array<double>"), F.col("_vb").cast("array<double>")),
                 6,
             ),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "cos_sim"
-        )
+        .select("id_a", "id_b", "cos_sim")
     )
     return pairs

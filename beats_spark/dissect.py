@@ -476,10 +476,21 @@ _IP_RE = re.compile(
 )
 
 
+# strconv-parity gates (dissect.go strToInt semantics): hex must be an
+# UNSIGNED 0x/0X form (signed hex fails and keeps the raw string); decimal
+# must be pure digits with an optional sign — Python's int()/float() are
+# laxer (underscores, surrounding whitespace) and must not leak through.
+_HEX_INT_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
+_DEC_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
 def _parse_int(s: str) -> int:
-    if s.lower().startswith(("0x", "-0x", "+0x")):
+    if _HEX_INT_RE.match(s):
         return int(s, 16)
-    return int(s, 10)
+    if _DEC_INT_RE.match(s):
+        return int(s, 10)
+    raise ValueError(s)
 
 
 def convert_value(data_type: str, value: str):
@@ -500,7 +511,15 @@ def convert_value(data_type: str, value: str):
                 raise ValueError
             return i
         if data_type in ("float", "double"):
-            return float(v)
+            if not _FLOAT_RE.match(v):
+                raise ValueError(v)
+            f = float(v)
+            if data_type == "float":
+                # round through float32 (reference parses float32 here)
+                import struct
+
+                f = struct.unpack("f", struct.pack("f", f))[0]
+            return f
         if data_type == "boolean":
             if v in _BOOL_MAP:
                 return _BOOL_MAP[v]
@@ -531,15 +550,20 @@ def cast_column(col: Column, data_type: str) -> Column:
     if data_type in ("", "string", "ip"):
         return col
     if data_type in ("long", "integer"):
-        # conv() has no sign handling — strip the sign and 0x prefix, convert,
-        # then re-apply the sign (a bare regexp_replace of '0x' would feed
-        # '-0x1f' to conv as '-0x1f' → 0, silently corrupt and unflagged).
-        mag = F.conv(F.regexp_replace(col, "(?i)^[+-]?0x", ""), 16, 10).try_cast(
+        # strconv parity (matches _parse_int): hex only as UNSIGNED 0x/0X;
+        # decimal only as pure signed digits — Spark's bare cast would also
+        # accept surrounding whitespace, which the reference rejects.
+        hexv = F.conv(F.regexp_replace(col, "(?i)^0x", ""), 16, 10).try_cast(
             _SPARK_TYPES[data_type]
         )
-        hexv = F.when(col.rlike("^-"), -mag).otherwise(mag)
-        return F.when(col.rlike("(?i)^[+-]?0x[0-9a-f]+$"), hexv).otherwise(
-            col.try_cast(_SPARK_TYPES[data_type])
+        return (
+            F.when(col.rlike("^0[xX][0-9a-fA-F]+$"), hexv)
+            .when(col.rlike(r"^[+-]?[0-9]+$"), col.try_cast(_SPARK_TYPES[data_type]))
+        )
+    if data_type in ("float", "double"):
+        return F.when(
+            col.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+            col.try_cast(_SPARK_TYPES[data_type]),
         )
     return col.try_cast(_SPARK_TYPES[data_type])
 

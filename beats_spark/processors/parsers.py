@@ -114,19 +114,36 @@ def decode_json_fields(
     return stage
 
 
-def decode_csv_fields(field: str, target: str, separator: str = ","):
+def decode_csv_fields(field: str, target: str, separator: str = ",", max_columns: int = 64):
     """decode_csv_fields.go:59 — RFC-4180 split into array<string>.
 
-    Implemented with from_csv over a generous fixed arity then trimmed;
-    quoting/escapes handled by the CSV parser, not regex.
+    Implemented with from_csv over a fixed arity (`max_columns`);
+    quoting/escapes handled by the CSV parser, not regex. Empty cells are
+    PRESERVED as '' (the reference's csv reader returns "" for `a,,c`):
+    the parser maps empties to NULL, so we recover the row's true arity
+    by counting top-level separators (quoted sections stripped first —
+    RFC4180-aware), coalesce NULL cells back to '' and slice to arity.
+    Rows with more than `max_columns` fields get a NULL target + flag
+    (the fixed-arity deviation from the reference's unbounded csv.Read
+    is made loud, not silently truncated).
     """
+    import re as _re
 
     def stage(df: DataFrame) -> DataFrame:
-        n = 20
+        src = _get(df, field)
+        n = max_columns
         schema = ", ".join(f"_c{i} string" for i in range(n))
-        parsed = F.from_csv(_get(df, field), schema, {"sep": separator})
-        arr = F.array_compact(F.array(*[parsed.getItem(f"_c{i}") for i in range(n)]))
-        return df.withColumn(target, arr)
+        parsed = F.from_csv(src, schema, {"sep": separator})
+        stripped = F.regexp_replace(src, '"([^"]|"")*"', "")
+        arity = F.regexp_count(stripped, F.lit(_re.escape(separator))) + F.lit(1)
+        cells = F.array(*[F.coalesce(parsed.getItem(f"_c{i}"), F.lit("")) for i in range(n)])
+        overflow = arity > n
+        df = df.withColumn(
+            target, F.when(~overflow, F.slice(cells, 1, F.least(arity, F.lit(n))))
+        )
+        return df.withColumn(
+            FLAGS_COL, append_flag(_flags(df), "decode_csv_arity_exceeded", overflow)
+        )
 
     return stage
 
@@ -220,27 +237,82 @@ _RFC3164 = (
     r"(.*)$"  # message
 )
 
+# RFC5424: <PRI>VERSION TS HOST APP PROCID MSGID SD [MSG]
+# (reader/syslog/rfc5424_gen.go / syslog.go:83-133); NILVALUE = '-';
+# STRUCTURED-DATA is '-' or one-or-more [id k="v" ...] elements.
+_RFC5424 = (
+    r"^<(\d{1,3})>(\d{1,2})\s"  # pri, version
+    r"(\S+)\s"  # timestamp or -
+    r"(\S+)\s"  # hostname or -
+    r"(\S+)\s"  # app-name or -
+    r"(\S+)\s"  # procid or -
+    r"(\S+)\s"  # msgid or -
+    r"(-|(?:\[[^\]]*\])+)"  # structured data
+    r"(?:\s(.*))?$"  # message (optional)
+)
 
-def syslog(field: str = "text", prefix: str = "syslog_"):
-    """syslog.go:79 / reader/syslog — RFC3164 regex battery.
+# detection gate for format='auto': a version digit right after PRI
+_RFC5424_GATE = r"^<\d{1,3}>\d{1,2}\s"
 
-    PRI arithmetic: severity = pri % 8, facility = pri / 8
-    (reader/syslog/syslog.go:83-133)."""
+
+def _nil(col: Column) -> Column:
+    return F.when((col != "-") & (col != ""), col)
+
+
+def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"):
+    """syslog.go:79 / reader/syslog — RFC3164 + RFC5424 regex battery.
+
+    format: 'rfc3164' | 'rfc5424' | 'auto' (try 5424, fall back to 3164 —
+    reader/syslog/syslog.go:83-133). PRI arithmetic: severity = pri % 8,
+    facility = pri / 8. RFC5424 adds version, msgid and structured-data:
+    `{prefix}sd` keeps the raw SD string, `{prefix}sd_id` the first
+    element id, `{prefix}sd_params` a map of all k="v" params (later
+    duplicates win — mapKeyDedupPolicy=LAST_WIN session invariant).
+    NILVALUE '-' reads as NULL.
+    """
+    if format not in ("rfc3164", "rfc5424", "auto"):
+        raise ValueError(f"unknown syslog format: {format}")
 
     def stage(df: DataFrame) -> DataFrame:
         col = _get(df, field)
-        pri = F.regexp_extract(col, _RFC3164, 1)
+        is24 = (
+            F.lit(False)
+            if format == "rfc3164"
+            else (col.rlike(_RFC5424_GATE) if format == "auto" else F.lit(True))
+        )
+
+        def pick(g24: int | None, g64: int | None) -> Column:
+            """group g24 from the 5424 regex when the row is 5424, else g64
+            from the 3164 regex (either side may be absent)."""
+            v24 = F.regexp_extract(col, _RFC5424, g24) if g24 else F.lit("")
+            v64 = F.regexp_extract(col, _RFC3164, g64) if g64 else F.lit("")
+            return F.when(is24, v24).otherwise(v64)
+
+        pri = pick(1, 1)
         prin = F.when(pri != "", pri.try_cast("int"))
-        return (
+        version = F.when(is24, F.regexp_extract(col, _RFC5424, 2)).try_cast("int")
+        sd = F.when(is24, _nil(F.regexp_extract(col, _RFC5424, 8)))
+        kv_keys = F.regexp_extract_all(sd, F.lit(r'(\w+)="[^"]*"'), F.lit(1))
+        kv_vals = F.regexp_extract_all(sd, F.lit(r'\w+="([^"]*)"'), F.lit(1))
+        df = (
             df.withColumn(prefix + "priority", prin)
             .withColumn(prefix + "severity", prin % 8)
             .withColumn(prefix + "facility", (prin / 8).cast("int"))
-            .withColumn(prefix + "timestamp", F.regexp_extract(col, _RFC3164, 2))
-            .withColumn(prefix + "hostname", F.regexp_extract(col, _RFC3164, 3))
-            .withColumn(prefix + "program", F.regexp_extract(col, _RFC3164, 4))
-            .withColumn(prefix + "pid", F.regexp_extract(col, _RFC3164, 5))
-            .withColumn(prefix + "message", F.regexp_extract(col, _RFC3164, 6))
+            .withColumn(prefix + "version", version)
+            .withColumn(prefix + "timestamp", _nil(pick(3, 2)))
+            .withColumn(prefix + "hostname", _nil(pick(4, 3)))
+            .withColumn(prefix + "program", _nil(pick(5, 4)))
+            .withColumn(prefix + "pid", _nil(pick(6, 5)))
+            .withColumn(prefix + "msgid", F.when(is24, _nil(F.regexp_extract(col, _RFC5424, 7))))
+            .withColumn(prefix + "sd", sd)
+            .withColumn(prefix + "sd_id", F.regexp_extract(sd, r"^\[(\S+)", 1))
+            .withColumn(
+                prefix + "sd_params",
+                F.when(sd.isNotNull(), F.map_from_arrays(kv_keys, kv_vals)),
+            )
+            .withColumn(prefix + "message", pick(9, 6))
         )
+        return df
 
     return stage
 

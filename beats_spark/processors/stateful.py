@@ -36,13 +36,34 @@ def rate_limit(
     period: str = "1 minute",
     ts_col: str = "ts",
     order_cols: list[str] | None = None,
+    salt_buckets: int = 16,
 ):
-    """Keep at most `limit` events per key per period-bucket; drop the rest."""
+    """Keep at most `limit` events per key per period-bucket; drop the rest.
+
+    Two-phase salted cap (skew-safe): a single window over (key, bucket)
+    puts a hot key's entire bucket in ONE task — a 5%-of-corpus key is a
+    50 TB straggler at design scale, and AQE does not split window
+    partitions. Phase 1 windows over (key, bucket, salt) where salt is a
+    deterministic hash of the order columns: the hot key's rows spread
+    across `salt_buckets` tasks and each keeps at most `limit` rows.
+    Any row in the global top-`limit` is in its own salt's top-`limit`,
+    so phase 1's ≤ salt_buckets×limit survivors are a superset of the
+    winners; phase 2 re-ranks that tiny set exactly. Result is identical
+    to the single-window form for any input.
+    """
 
     def stage(df: DataFrame) -> DataFrame:
         bucket = F.window(F.col(ts_col), period).getField("start")
         order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or ["turn_idx"]) if c in df.columns]
-        w = Window.partitionBy(*[F.col(k) for k in key_fields], bucket).orderBy(*order)
+        keys = [F.col(k) for k in key_fields]
+        salt = F.pmod(F.xxhash64(*order), F.lit(salt_buckets))
+        w1 = Window.partitionBy(*keys, bucket, salt).orderBy(*order)
+        df = (
+            df.withColumn("_rl_p1", F.row_number().over(w1))
+            .filter(F.col("_rl_p1") <= limit)
+            .drop("_rl_p1")
+        )
+        w = Window.partitionBy(*keys, bucket).orderBy(*order)
         return (
             df.withColumn("_rl_rn", F.row_number().over(w))
             .filter(F.col("_rl_rn") <= limit)
@@ -63,6 +84,7 @@ def multiline_pattern(
     sep: str = "\n",
     timeout_seconds: float | None = None,
     ts_col: str = "ts",
+    flush_pattern: str | None = None,
 ):
     """multiline/pattern.go:44-129 — join physical lines into logical events.
 
@@ -71,8 +93,12 @@ def multiline_pattern(
     match='before' a matching line joins the FOLLOWING line's group.
     Group id = running sum of boundary flags over (group, order) — the
     session-grouping window idiom for the reader's sequential loop.
+    `flush_pattern` (pattern.go:44-129): a line matching it is the LAST
+    line of its event — the event flushes immediately and the next line
+    starts a new one regardless of continuation state.
     Emits one row per logical event: first line's metadata, joined text,
-    line count (capped at max_lines per event via sub-splitting).
+    line count; a group longer than max_lines keeps its first max_lines
+    lines, drops the rest, and carries the `truncated` flag.
     """
     groups = group_cols or ["conv_id"]
 
@@ -85,6 +111,10 @@ def multiline_pattern(
             w0 = Window.partitionBy(*groups).orderBy(order_col)
             prev_cont = F.lag(is_continuation, 1, False).over(w0)
             boundary = ~F.coalesce(prev_cont, F.lit(False))
+        if flush_pattern is not None:
+            wf = Window.partitionBy(*groups).orderBy(order_col)
+            prev_flush = F.lag(F.col(text_col).rlike(flush_pattern), 1, False).over(wf)
+            boundary = boundary | F.coalesce(prev_flush, F.lit(False))
         if timeout_seconds is not None:
             # flush-on-idle (multiline/pattern.go:88-94): a gap larger than
             # the timeout starts a new logical event even mid-continuation.
@@ -96,18 +126,30 @@ def multiline_pattern(
             boundary = boundary | (F.coalesce(gap, F.lit(0.0)) > timeout_seconds)
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
-        # cap group size at max_lines: sub-split index = (rank within group) // max_lines
+        # max_lines semantics (multiline/pattern.go, message.go): an
+        # oversized group keeps its FIRST max_lines lines, DROPS the rest,
+        # and the emitted event carries the truncated flag — no sub-split
+        # into extra logical events. The size window shares the group-key
+        # partitioning, so no extra shuffle.
         wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
-        df = df.withColumn("_ml_sub", ((F.row_number().over(wg) - 1) / max_lines).cast("int"))
+        wsz = Window.partitionBy(*groups, "_ml_grp")
+        df = (
+            df.withColumn("_ml_rn", F.row_number().over(wg))
+            .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_ml_rn") <= max_lines)
+        )
         agg = (
-            df.groupBy(*groups, "_ml_grp", "_ml_sub")
+            df.groupBy(*groups, "_ml_grp")
             .agg(
                 F.min(order_col).alias(order_col),
                 F.min("ts").alias("ts") if "ts" in df.columns else F.lit(None).alias("ts"),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
+                F.when(F.max("_ml_sz") > max_lines, F.array(F.lit("truncated")))
+                .otherwise(F.array().cast("array<string>"))
+                .alias("log_flags"),
             )
-            .drop("_ml_grp", "_ml_sub")
+            .drop("_ml_grp")
         )
         return agg
 

@@ -58,8 +58,13 @@ def main(argv: list[str] | None = None) -> int:
 
     run = CheckpointedRun(args.out, n_partitions=args.partitions)
     if args.fresh:
+        import shutil
+
         for f in os.listdir(run.manifest_dir):
             os.remove(os.path.join(run.manifest_dir, f))
+        # dynamic partition overwrite only clears re-written _part= dirs —
+        # a fresh run with a different partition count must not leave stale ones
+        shutil.rmtree(run.sinks_dir, ignore_errors=True)
     already = run.completed_partitions()
     manifests = run.run(routed, input_files=input_files)
 

@@ -77,3 +77,19 @@ def test_torn_manifest_recomputed(spark, routed, tmp_path):
     assert [m["partition"] for m in redo] == [2]
     with open(victim) as f:
         assert json.load(f)["rows_in"] > 0
+
+
+def test_full_run_is_single_write_job(spark, routed, tmp_path):
+    """Scale regression (VERDICT round-1 #2): a full run must execute ONE
+    write job over the input — not one scan per partition."""
+    run = CheckpointedRun(str(tmp_path / "single"), n_partitions=16)
+    manifests = run.run(routed, input_files=["f1"])
+    assert len(manifests) == 16
+    assert run.write_jobs == 1
+    # resume with 2 torn manifests: still exactly one (filtered) write job
+    for p in (3, 7):
+        with open(os.path.join(run.manifest_dir, f"part-{p:05d}.json"), "w") as f:
+            f.write("{torn")
+    redo = run.run(routed, input_files=["f1"])
+    assert sorted(m["partition"] for m in redo) == [3, 7]
+    assert run.write_jobs == 1

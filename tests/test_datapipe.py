@@ -84,9 +84,14 @@ def test_embedding_near_dupes_finds_twin(spark):
     twin = emb.filter(F.col("vec_id") == 0).select(
         F.lit(777777).alias("vec_id"), "embedding", "label"
     )
-    pairs = embedding_near_dupes(emb.unionByName(twin), threshold=0.999)
+    pairs = embedding_near_dupes(emb.unionByName(twin), threshold=0.999, dim=64)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (0, 777777) in got
+    # explicit-dim contract: sniffing dim at plan time would run a job
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit dim"):
+        embedding_near_dupes(emb, threshold=0.9)
 
 
 def test_multimodal_plumbing(spark, docs):

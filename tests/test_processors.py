@@ -353,3 +353,40 @@ def test_cache_get_ttl_and_put(spark):
     ).withColumn("ts", F.to_timestamp("t")).drop("t")
     built = {r.key: r for r in cache_put(stream, "key", ["val"]).collect()}
     assert built["k1"].val == "new" and built["k1"].cached_at is not None
+
+
+def test_syslog_rfc5424_and_auto(spark):
+    """RFC5424 (reader/syslog/rfc5424_gen.go semantics): version, msgid,
+    structured-data capture, NIL handling; auto = try 5424 then 3164."""
+    from beats_spark.processors.parsers import syslog
+
+    lines = [
+        # canonical RFC 5424 §6.5 examples
+        ('<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 '
+         '[exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"] An application event',),
+        ("<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - 'su root' failed",),
+        # RFC3164 line through the same auto parser
+        ("<34>Oct 11 22:14:15 myhost su[42]: 'su root' failed",),
+    ]
+    df = spark.createDataFrame(lines, "text string")
+    out = syslog("text", format="auto")(df).collect()
+    r0, r1, r2 = out
+    assert (r0.syslog_priority, r0.syslog_severity, r0.syslog_facility) == (165, 5, 20)
+    assert r0.syslog_version == 1
+    assert r0.syslog_hostname == "mymachine.example.com"
+    assert r0.syslog_program == "evntslog"
+    assert r0.syslog_pid is None  # NILVALUE
+    assert r0.syslog_msgid == "ID47"
+    assert r0.syslog_sd_id == "exampleSDID@32473"
+    assert r0.syslog_sd_params["iut"] == "3"
+    assert r0.syslog_sd_params["eventSource"] == "Application"
+    assert r0.syslog_message == "An application event"
+    assert r1.syslog_sd is None and r1.syslog_sd_params is None
+    assert r1.syslog_message == "'su root' failed"
+    # 3164 fallback: no version/msgid, tag[pid] split
+    assert r2.syslog_version is None and r2.syslog_msgid is None
+    assert (r2.syslog_priority, r2.syslog_program, r2.syslog_pid) == (34, "su", "42")
+    assert r2.syslog_message == "'su root' failed"
+    # explicit rfc5424 mode parses only 5424
+    strict = syslog("text", format="rfc5424")(df).collect()
+    assert strict[2].syslog_hostname is None

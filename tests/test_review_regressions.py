@@ -49,10 +49,13 @@ def test_decode_duration_seconds_plus_ms(spark):
 
 
 def test_negative_hex_cast(spark):
-    """Finding 5: '-0x1f' silently converted to 0 (unflagged corruption)."""
-    df = spark.createDataFrame([("-0x1f",), ("0x1F",), ("+0xa",)], "v string")
+    """Finding 5: '-0x1f' silently converted to 0 (unflagged corruption).
+    Round-2 parity update: the reference's strToInt accepts only UNSIGNED
+    0x/0X hex — signed hex now fails the cast (NULL + flag downstream)
+    instead of parsing; the original corruption (silent 0) stays dead."""
+    df = spark.createDataFrame([("-0x1f",), ("0x1F",), ("+0xa",), (" 5 ",), ("1_0",)], "v string")
     out = df.select(cast_column(F.col("v"), "long").alias("n")).collect()
-    assert [r.n for r in out] == [-31, 31, 10]
+    assert [r.n for r in out] == [None, 31, None, None, None]
 
 
 def test_ipv6_cidr_named_networks(spark):

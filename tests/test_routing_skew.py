@@ -56,3 +56,30 @@ def test_salted_repartition_spreads_hot_conv(spark):
         .collect()
     )
     assert sorted((r.pid, r["count"]) for r in dist) == sorted((r.pid, r["count"]) for r in dist2)
+
+
+def test_rate_limit_two_phase_matches_single_window_and_spreads(spark):
+    """De-skew regression (VERDICT round-1 #3): the salted two-phase
+    rate_limit must (a) return exactly the single-window result and
+    (b) split the hot key's phase-1 work across multiple salt groups."""
+    from pyspark.sql import Window
+
+    from beats_spark import synth
+    from beats_spark.processors.stateful import rate_limit
+
+    t = synth.transcripts(spark, SF)
+    two_phase = rate_limit(["conv_id"], limit=3, period="1 hour", order_cols=["turn_idx"])(t)
+    bucket = F.window(F.col("ts"), "1 hour").getField("start")
+    w = Window.partitionBy(F.col("conv_id"), bucket).orderBy("ts", "turn_idx")
+    single = t.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= 3).drop("_rn")
+    got = {(r.conv_id, r.turn_idx) for r in two_phase.select("conv_id", "turn_idx").collect()}
+    want = {(r.conv_id, r.turn_idx) for r in single.select("conv_id", "turn_idx").collect()}
+    assert got == want
+    # hot key's rows hash into many phase-1 salt groups (the straggler split)
+    salts = (
+        t.filter(F.col("conv_id") == "conv-00000000")
+        .select(F.pmod(F.xxhash64("ts", "turn_idx"), F.lit(16)).alias("salt"))
+        .distinct()
+        .count()
+    )
+    assert salts >= 8, f"hot conv only spread over {salts} salt groups"
