@@ -9,10 +9,12 @@ shuffle of the big side — the plan that survives a 100× scale-up.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..conditions import ip_to_long
+from ..conditions import IPV4_RE, _ipv6_hextets, ip_to_long
 
 
 def lookup_join(
@@ -48,55 +50,163 @@ def add_constant_metadata(fields: dict[str, str], prefix: str = ""):
     return stage
 
 
-# A small built-in multi-label public suffix list; single-label TLDs are the
-# regex fallback. (registered_domain.go:41 uses the full publicsuffix table —
-# the table is data, the operator is "strip to eTLD+1".)
-_MULTI_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-    "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
-    "co.nz", "com.sg", "co.za", "com.tr", "com.ar",
-]
+# Full public suffix list (https://publicsuffix.org, MPL 2.0 — public data),
+# vendored at beats_spark/data/public_suffix_list.dat. The reference uses the
+# same table via golang.org/x/net/publicsuffix (registered_domain.go:25,93).
+_PSL_PATH = os.path.join(os.path.dirname(__file__), "..", "data", "public_suffix_list.dat")
+_PSL_MAX_LABELS = 5  # deepest stored rule key in the current list
+_psl_cache: list[tuple] | None = None
+
+
+def _psl_rules() -> list[tuple]:
+    """Parse the PSL into (key, nlab, is_exact, is_wild, is_exc) rows.
+    Wildcard rules `*.X` are stored under key X; exceptions `!Y` under Y.
+    Keys are unique (flags OR-merged) so the broadcast join stays 1:1."""
+    global _psl_cache
+    if _psl_cache is None:
+        merged: dict[str, list] = {}
+        with open(_PSL_PATH, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    continue
+                exc = line.startswith("!")
+                if exc:
+                    line = line[1:]
+                wild = line.startswith("*.")
+                if wild:
+                    line = line[2:]
+                key = line.lower()
+                row = merged.setdefault(key, [key.count(".") + 1, False, False, False])
+                row[1] = row[1] or (not wild and not exc)
+                row[2] = row[2] or wild
+                row[3] = row[3] or exc
+        _psl_cache = [(k, *v) for k, v in merged.items()]
+    return _psl_cache
 
 
 def registered_domain(field: str, target: str):
-    """registered_domain.go:41 — eTLD+1 extraction, pure Column:
-    try the multi-label suffixes first (longest match), else last 2 labels."""
+    """registered_domain.go:41-110 — eTLD+1 per the full public suffix list.
+
+    Spark-first shape: the PSL (~11k rules) is a BROADCAST lookup joined
+    once per candidate suffix depth (5 map-side hash joins, zero shuffles
+    of the event stream — the plan that survives 100×). Prevailing rule
+    per the PSL algorithm: exceptions beat everything (public suffix =
+    exception minus its leftmost label), else the longest matching rule
+    (wildcard `*.X` ⇒ suffix one label deeper than X), else the implicit
+    `*` rule (bare TLD). registered domain = public suffix + 1 label;
+    NULL when the host IS a public suffix.
+    """
 
     def stage(df: DataFrame) -> DataFrame:
-        col = F.col(field)
-        result = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
-        for suf in _MULTI_SUFFIXES:
-            esc = suf.replace(".", r"\.")
-            cand = F.regexp_extract(col, rf"([^.]+\.{esc})$", 1)
-            result = F.when(col.endswith("." + suf) | (col == suf), cand).otherwise(result)
-        return df.withColumn(target, F.when(result != "", result))
+        spark = df.sparkSession
+        lookup = spark.createDataFrame(
+            _psl_rules(), "rule string, nlab int, x boolean, w boolean, e boolean"
+        )
+        host = F.lower(F.regexp_replace(F.col(field), r"\.$", ""))
+        df = df.withColumn("_psl_parts", F.split(host, r"\."))
+        n = F.size(F.col("_psl_parts"))
+        for k in range(1, _PSL_MAX_LABELS + 1):
+            sfx = F.when(
+                n >= k, F.array_join(F.slice(F.col("_psl_parts"), n - k + 1, k), ".")
+            )
+            df = df.withColumn(f"_sfx{k}", sfx)
+            lk = F.broadcast(
+                lookup.filter(F.col("nlab") == k).select(
+                    F.col("rule").alias(f"_sfx{k}"),
+                    F.col("x").alias(f"_x{k}"),
+                    F.col("w").alias(f"_w{k}"),
+                    F.col("e").alias(f"_e{k}"),
+                )
+            )
+            df = df.join(lk, on=f"_sfx{k}", how="left")
+        depth = F.lit(1)
+        for k in range(1, _PSL_MAX_LABELS + 1):
+            depth = F.when(F.coalesce(F.col(f"_x{k}"), F.lit(False)), F.greatest(depth, F.lit(k))).otherwise(depth)
+            # a wildcard rule `*.X` (key X, k labels) has k+1 labels and
+            # only matches hosts with at least k+1 of them (PSL algorithm:
+            # "domain contains as many or more labels than the rule")
+            depth = F.when(
+                F.coalesce(F.col(f"_w{k}"), F.lit(False)) & (n >= k + 1),
+                F.greatest(depth, F.lit(k + 1)),
+            ).otherwise(depth)
+        exc = F.coalesce(
+            *[
+                F.when(F.coalesce(F.col(f"_e{k}"), F.lit(False)), F.lit(k - 1))
+                for k in range(_PSL_MAX_LABELS, 0, -1)
+            ],
+            F.lit(None).cast("int"),
+        )
+        ps_depth = F.coalesce(exc, depth)
+        rd = F.when(
+            (n > ps_depth) & host.rlike(r"^[^.]+(\.[^.]+)*$"),
+            F.array_join(F.slice(F.col("_psl_parts"), n - ps_depth, ps_depth + 1), "."),
+        )
+        drop = ["_psl_parts"] + [
+            c for k in range(1, _PSL_MAX_LABELS + 1) for c in (f"_sfx{k}", f"_x{k}", f"_w{k}", f"_e{k}")
+        ]
+        return df.withColumn(target, rd).drop(*drop)
 
     return stage
+
+
+def _ip_raw_hex(col: Column) -> Column:
+    """IP string → hex of the raw bytes the reference hashes
+    (flowhash/communityid.go:87-94 getRawIP): 8 hex chars for IPv4
+    (4 bytes), 32 for IPv6 (16 bytes). NULL when unparseable."""
+    v4 = F.lpad(F.lower(F.hex(ip_to_long(col))), 8, "0")
+    hx = _ipv6_hextets(col)
+    v6 = F.array_join(
+        F.transform(hx, lambda h: F.lpad(F.lower(F.hex(h)), 4, "0")), ""
+    )
+    return F.when(col.rlike(IPV4_RE), v4).when(hx.isNotNull(), v6)
+
+
+def _ip_cmp_hex(col: Column) -> Column:
+    """Hex form used ONLY for endpoint ordering: IPv4 as its v6-mapped
+    16-byte form so mixed v4/v6 flows sort exactly like the reference's
+    bytes.Compare over net.IP 16-byte values (flow.go:88-91)."""
+    raw = _ip_raw_hex(col)
+    return F.when(
+        F.length(raw) == 8, F.concat(F.lit("00000000000000000000ffff"), raw)
+    ).otherwise(raw)
 
 
 def community_id(
     src_ip: str, dst_ip: str, src_port: str, dst_port: str, proto: str, target: str = "community_id", seed: int = 0
 ):
-    """communityid/communityid.go:38 — deterministic flow hash.
+    """communityid/communityid.go:38 + flowhash/communityid.go:43-84 —
+    byte-compatible Community ID v1 (joinable with Beats/Zeek/Suricata):
 
-    Canonical ordering (lower endpoint first) + sha1, '1:' prefix. We hash
-    the ascii tuple rather than the packed binary — same determinism and
-    collision properties for routing/correlation purposes."""
+        '1:' + base64(sha1(seed_be16 ‖ raw_src_ip ‖ raw_dst_ip ‖
+                           proto ‖ 0x00 ‖ sport_be16 ‖ dport_be16))
+
+    with endpoints ordered so (ip, port) of the source sorts ≤ the
+    destination (flow.go:88-91). Pure Column: the packed binary tuple is
+    built as a hex string → unhex → sha1 → unhex → base64, all in codegen.
+    """
 
     def stage(df: DataFrame) -> DataFrame:
         s_ip, d_ip = F.col(src_ip), F.col(dst_ip)
         s_p, d_p = F.col(src_port).cast("bigint"), F.col(dst_port).cast("bigint")
-        flip = (ip_to_long(s_ip) > ip_to_long(d_ip)) | (
-            (ip_to_long(s_ip) == ip_to_long(d_ip)) & (s_p > d_p)
-        )
-        a_ip = F.when(flip, d_ip).otherwise(s_ip)
-        b_ip = F.when(flip, s_ip).otherwise(d_ip)
+        s_cmp, d_cmp = _ip_cmp_hex(s_ip), _ip_cmp_hex(d_ip)
+        # reverse unless (src < dst) or (src == dst and sport < dport)
+        flip = ~((s_cmp < d_cmp) | ((s_cmp == d_cmp) & (s_p < d_p)))
+        a_hex = F.when(flip, _ip_raw_hex(d_ip)).otherwise(_ip_raw_hex(s_ip))
+        b_hex = F.when(flip, _ip_raw_hex(s_ip)).otherwise(_ip_raw_hex(d_ip))
         a_p = F.when(flip, d_p).otherwise(s_p)
         b_p = F.when(flip, s_p).otherwise(d_p)
-        tup = F.concat_ws(
-            ":", F.lit(str(seed)), a_ip, b_ip, F.col(proto).cast("string"), a_p.cast("string"), b_p.cast("string")
+        packed = F.concat(
+            F.lpad(F.lower(F.hex(F.lit(seed))), 4, "0"),
+            a_hex,
+            b_hex,
+            F.lpad(F.lower(F.hex(F.col(proto).cast("int"))), 2, "0"),
+            F.lit("00"),
+            F.lpad(F.lower(F.hex(a_p)), 4, "0"),
+            F.lpad(F.lower(F.hex(b_p)), 4, "0"),
         )
-        return df.withColumn(target, F.concat(F.lit("1:"), F.sha1(tup)))
+        digest = F.base64(F.unhex(F.sha1(F.unhex(packed))))
+        return df.withColumn(target, F.when(packed.isNotNull(), F.concat(F.lit("1:"), digest)))
 
     return stage
 

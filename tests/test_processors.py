@@ -390,3 +390,76 @@ def test_syslog_rfc5424_and_auto(spark):
     # explicit rfc5424 mode parses only 5424
     strict = syslog("text", format="rfc5424")(df).collect()
     assert strict[2].syslog_hostname is None
+
+
+def test_community_id_reference_golden(spark):
+    """Byte-compatible Community ID v1: golden vectors from
+    /root/reference/libbeat/processors/communityid/communityid_test.go:44-66
+    plus an IPv6 flow cross-checked against an independent hashlib impl."""
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    df = spark.createDataFrame(
+        [
+            ("128.232.110.120", "66.35.250.204", 34855, 80, 6),
+            ("66.35.250.204", "128.232.110.120", 80, 34855, 6),  # reversed
+            ("2001:db8::1", "2001:db8::2", 1000, 2000, 17),
+        ],
+        "sip string, dip string, sp int, dp int, proto int",
+    )
+    out = build(
+        "community_id", src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto"
+    )(df).collect()
+    assert out[0].community_id == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert out[1].community_id == out[0].community_id  # direction-invariant
+    s123 = build(
+        "community_id",
+        src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto", seed=123,
+    )(df).collect()
+    assert s123[0].community_id == "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
+
+    def ref(seed, s, d, sp, dp, proto):
+        def raw(ip):
+            try:
+                return socket.inet_aton(ip)
+            except OSError:
+                return socket.inet_pton(socket.AF_INET6, ip)
+
+        a, b = (s, sp), (d, dp)
+        if not (raw(s) < raw(d) or (raw(s) == raw(d) and sp < dp)):
+            a, b = b, a
+        h = hashlib.sha1()
+        h.update(struct.pack(">H", seed))
+        h.update(raw(a[0]))
+        h.update(raw(b[0]))
+        h.update(struct.pack(">BB", proto, 0))
+        h.update(struct.pack(">H", a[1]))
+        h.update(struct.pack(">H", b[1]))
+        return "1:" + base64.b64encode(h.digest()).decode()
+
+    assert out[2].community_id == ref(0, "2001:db8::1", "2001:db8::2", 1000, 2000, 17)
+
+
+def test_registered_domain_full_psl(spark):
+    """Full public-suffix-list semantics incl. wildcard and exception rules
+    (the official PSL test vectors for *.ck / !www.ck and friends)."""
+    cases = {
+        "a.b.github.io": "b.github.io",          # private-section suffix
+        "foo.s3.amazonaws.com": "foo.s3.amazonaws.com",
+        "x.example.co.uk": "example.co.uk",
+        "sub.city.kawasaki.jp": "city.kawasaki.jp",  # exception rule
+        "demo.kawasaki.jp": None,                 # wildcard: IS a public suffix
+        "kawasaki.jp": "kawasaki.jp",             # wildcard needs an extra label
+        "test.ck": None,
+        "b.test.ck": "b.test.ck",
+        "a.b.test.ck": "b.test.ck",
+        "www.ck": "www.ck",                       # exception rule
+        "com": None,
+        "WWW.Example.COM": "example.com",         # case-normalized
+        "foo.example.unknowntld": "example.unknowntld",  # implicit * rule
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r.host: r.rd for r in build("registered_domain", field="host", target="rd")(df).collect()}
+    assert out == cases
