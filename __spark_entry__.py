@@ -529,30 +529,32 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup removal (rows-only check; verified in pytest
-    against a planted-duplicate corpus)."""
+    """MinHash+LSH near-dup removal, full oracle check: the md5 hash
+    family is replicated shingle-for-shingle in DuckDB (the xxhash64
+    production default is pytest-covered on a planted-duplicate corpus)."""
     from beats_spark.datapipe.dedup import minhash_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+    return minhash_dedup(docs, threshold=0.8, hash_method="md5").select("doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only; bit-level determinism in pytest)."""
+    """SimHash signatures — md5-nibble bit family, bit-for-bit oracled."""
     from beats_spark.datapipe.dedup import simhash
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs)
+    return simhash(docs, hash_method="md5")
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs with minimal-shingle blocking
-    (rows-only: set-valued shingle algebra isn't one ANSI query; planted-
-    pair behavior is pytest-covered)."""
+    """n-gram Jaccard near-dup pairs with minimal-shingle blocking —
+    blocking keys + exact verify replicated in the oracle."""
     from beats_spark.datapipe.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.4).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, n=5, threshold=0.4, hash_method="md5").select(
+        "id_a", "id_b"
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +578,367 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = synth_media(spark, docs)
     return extract_features(media).select("media_id", "n_bytes", "sha")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 oracle expansion: one green CORRECTNESS entry per §2 operator
+# ---------------------------------------------------------------------------
+
+
+def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutate family in one chained pipeline: add_fields → copy_fields →
+    rename → replace → uppercase → lowercase → add_tags → append."""
+    from beats_spark.processors import compile_chain
+
+    t = synth.transcripts(spark, sf_dir)
+    chain = compile_chain(
+        [
+            {"add_fields": {"fields": {"env": "prod"}, "target": ""}},
+            {"copy_fields": {"fields": [{"from": "role", "to": "actor0"}]}},
+            {"rename": {"fields": [{"from": "actor0", "to": "actor"}]}},
+            {"replace": {"fields": [{"field": "actor", "pattern": "^assi", "replacement": "Assi"}]}},
+            {"uppercase": {"fields": ["env"]}},
+            {"lowercase": {"fields": ["actor"], "when": {"equals": {"role": "system"}}}},
+            {"add_tags": {"tags": ["t1", "t2"]}},
+            {"append": {"target_field": "tags", "values": ["t3"]}},
+        ]
+    )
+    out = chain(t)
+    return out.select(
+        "conv_id", "turn_idx", "env", "actor",
+        F.array_join("tags", ",").alias("tags_joined"),
+    )
+
+
+def q_ndjson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ndjson reader: attrs decode + message_key lift + add_error_key."""
+    from beats_spark.processors.reader import ndjson
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id").cast("string")
+    line = F.when(F.col("event_id") % 11 == 3, F.lit("{broken")).otherwise(
+        F.concat(F.lit('{"k":"v'), i, F.lit('","msg":"m'), i, F.lit('"}'))
+    )
+    df = ev.withColumn("text", line)
+    out = ndjson("text", message_key="msg")(df)
+    return out.select(
+        "event_id",
+        F.col("attrs").getItem("k").alias("k"),
+        "text",
+        "error_message",
+    )
+
+
+def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """container reader: docker-json and CRI lines through format=auto."""
+    from beats_spark.processors.reader import container
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id").cast("string")
+    docker = F.concat(
+        F.lit('{"log":"hello '), i, F.lit('\\n","stream":"stdout","time":"2024-01-05T00:00:00Z"}')
+    )
+    cri = F.concat(F.lit("2024-01-05T00:00:01.000Z stderr F msg "), i)
+    df = ev.withColumn("text", F.when(F.col("event_id") % 2 == 0, docker).otherwise(cri))
+    out = container("text")(df)
+    return out.select("event_id", "container_log", "container_stream")
+
+
+def q_timestamp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp processor: layout list tried in order, first parse wins."""
+    from beats_spark.processors.parsers import timestamp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = F.when(
+        F.col("event_id") % 2 == 0, F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(F.date_format("ts", "dd/MMM/yyyy HH:mm:ss"))
+    df = ev.withColumn("raw_ts", s)
+    out = timestamp("raw_ts", ["yyyy-MM-dd HH:mm:ss", "dd/MMM/yyyy HH:mm:ss"], target="parsed")(df)
+    return out.select("event_id", F.unix_timestamp("parsed").alias("unix_parsed"))
+
+
+def q_decode_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_csv_fields (empties preserved, RFC4180 quoting) + extract_array."""
+    from beats_spark.processors.parsers import decode_csv_fields, extract_array
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id").cast("string")
+    line = F.concat(F.lit("f"), i, F.lit(',,"q,'), i, F.lit('",last'))
+    df = ev.withColumn("line", line)
+    out = decode_csv_fields("line", "cells")(df)
+    out = extract_array("cells", {"c0": 0, "c1": 1, "c2": 2, "c3": 3})(out)
+    return out.select("event_id", "c0", "c1", "c2", "c3", F.size("cells").alias("n_cells"))
+
+
+def q_multiline_while(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline while-mode: consecutive matching lines join, others solo."""
+    from beats_spark.processors.misc import multiline_while
+
+    t = synth.transcripts(spark, sf_dir)
+    out = multiline_while(pattern="^level ", group_cols=["conv_id"], order_col="turn_idx")(t)
+    return out.select("conv_id", "turn_idx", "text", "n_lines")
+
+
+def q_if_then_else(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.misc import if_then_else
+
+    t = synth.transcripts(spark, sf_dir)
+    stage = if_then_else(
+        {"equals": {"role": "tool"}},
+        then=[
+            {"add_fields": {"fields": {"branch": "T"}, "target": ""}},
+            {"uppercase": {"fields": ["tool"]}},
+        ],
+        otherwise=[{"add_fields": {"fields": {"branch": "E"}, "target": ""}}],
+    )
+    return stage(t).select("conv_id", "turn_idx", "branch", "tool")
+
+
+def q_when_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`when` guard on a mutate stage: only matching rows transform."""
+    from beats_spark.processors.actions import uppercase
+
+    t = synth.transcripts(spark, sf_dir)
+    out = uppercase(["role"], when={"range": {"turn_idx.lt": 5}})(t)
+    return out.select("conv_id", "turn_idx", "role")
+
+
+def q_cache_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cache processor get-op: broadcast KV + TTL freshness predicate."""
+    from beats_spark.processors.enrich import cache_get
+
+    t = synth.transcripts(spark, sf_dir)
+    lookup = spark.sql(
+        """SELECT * FROM VALUES
+             ('user', 'cached-user', TIMESTAMP '2024-01-15 00:00:00'),
+             ('assistant', 'cached-assistant', TIMESTAMP '2024-01-01 00:00:00')
+           AS t(k, cval, cached_at)"""
+    )
+    out = cache_get(lookup, key_field="role", value_cols=["cval"], ttl_seconds=7 * 86400, key_col="k")(t)
+    return out.select("conv_id", "turn_idx", "cval")
+
+
+def q_schema_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.Conv declarative projection with typed cast + required drop."""
+    from beats_spark.processors.misc import schema_conv
+    from beats_spark.processors.parsers import decode_json_fields
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = decode_json_fields(["props"], target="attrs")(ev)
+    out = schema_conv({"k_typed": {"key": "k", "type": "long", "required": True}})(df)
+    return out.select("event_id", "k_typed")
+
+
+def q_fmtstr_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fmtstr/codec_format: field refs, :default on a missing field, +FORMAT."""
+    from beats_spark.processors.misc import codec_format
+
+    t = synth.transcripts(spark, sf_dir)
+    out = codec_format("t-%{[role]}-%{[absent_col]:na}-%{+yyyy.MM.dd}", target="line")(t)
+    return out.select("conv_id", "turn_idx", "line")
+
+
+def q_script_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script processor: Arrow-batched pandas fn (deterministic)."""
+    from beats_spark.processors.script import script
+
+    def fn(pdf):
+        out = pdf[["conv_id", "turn_idx"]].copy()
+        out["score"] = pdf["text"].str.len() + pdf["turn_idx"] * 2
+        return out
+
+    t = synth.transcripts(spark, sf_dir)
+    stage = script(fn, schema="conv_id string, turn_idx int, score bigint",
+                   test_rows=[{"conv_id": "c", "turn_idx": 1, "text": "ab"}])
+    return stage(t)
+
+
+def q_codec_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.misc import codec_json
+
+    t = synth.transcripts(spark, sf_dir)
+    out = codec_json(target="serialized", columns=["conv_id", "turn_idx", "role"])(t)
+    return out.select("conv_id", "turn_idx", "serialized")
+
+
+def q_timeseries_instance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timeseries instance hash (engine-portable md5 method; the default
+    xxhash64 method is Spark-only and pytest-covered)."""
+    from beats_spark.processors.stateful import timeseries_instance
+
+    t = synth.transcripts(spark, sf_dir)
+    out = timeseries_instance(["role", "tool"], target="tsid", method="md5")(t)
+    return out.select("conv_id", "turn_idx", "tsid")
+
+
+def q_drop_and_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_event + drop_fields + include_fields composition."""
+    from beats_spark.processors import compile_chain
+
+    t = synth.transcripts(spark, sf_dir)
+    chain = compile_chain(
+        [
+            {"drop_event": {"when": {"equals": {"role": "system"}}}},
+            {"drop_fields": {"fields": ["text", "event_id"]}},
+            {"include_fields": {"fields": ["role", "tool"]}},
+        ]
+    )
+    out = chain(t)
+    return out.select("conv_id", "turn_idx", "role", "tool")
+
+
+def q_add_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.processors.misc import add_data_stream
+
+    t = synth.transcripts(spark, sf_dir)
+    out = add_data_stream("logs", "transcripts", "prod")(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "data_stream_type",
+        "data_stream_dataset",
+        "data_stream_namespace",
+        F.col("_meta_index").alias("meta_index"),
+    )
+
+
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC5424 + auto-detect: mixed 5424/3164 stream through format=auto."""
+    from beats_spark.processors.parsers import syslog
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id")
+    line5424 = F.concat(
+        F.lit("<"), (i % 190).cast("string"), F.lit(">1 2024-01-05T10:00:"),
+        F.lpad((i % 60).cast("string"), 2, "0"),
+        F.lit("Z host"), F.col("user_id").cast("string"),
+        F.lit(" app"), (i % 9).cast("string"),
+        F.lit(" "), F.when(i % 3 == 0, F.lit("-")).otherwise((i % 100).cast("string")),
+        F.lit(" ID"), (i % 50).cast("string"),
+        F.lit(' [ex@1 k="v'), (i % 7).cast("string"), F.lit('"] event body '), i.cast("string"),
+    )
+    line3164 = F.concat(
+        F.lit("<"), (i % 190).cast("string"), F.lit(">"),
+        F.lit("Oct 11 22:14:"), F.lpad((i % 60).cast("string"), 2, "0"),
+        F.lit(" host"), F.col("user_id").cast("string"),
+        F.lit(" app["), (i % 100).cast("string"), F.lit("]: message "), (i % 7).cast("string"),
+    )
+    df = ev.withColumn("text", F.when(i % 2 == 0, line5424).otherwise(line3164))
+    out = syslog("text", format="auto")(df)
+    return out.select(
+        "event_id",
+        "syslog_priority",
+        "syslog_severity",
+        "syslog_facility",
+        "syslog_version",
+        "syslog_hostname",
+        "syslog_program",
+        "syslog_pid",
+        "syslog_msgid",
+        "syslog_sd_id",
+        F.col("syslog_sd_params").getItem("k").alias("sd_k"),
+        "syslog_message",
+    )
+
+
+# Community ID fixture: the oracle side precomputes the digests with an
+# INDEPENDENT hashlib/struct implementation of the Community ID v1 spec
+# (flowhash/communityid.go:43-84) at import time; the Spark side computes
+# them with the pure-Column operator. 24 flows: v4/v4 both directions,
+# shared-port ties, v6 pairs, tcp+udp, non-port protocols excluded.
+_CID_FIXTURE = [
+    (i, s, d, sp, dp, proto)
+    for i, (s, d, sp, dp, proto) in enumerate(
+        [
+            ("128.232.110.120", "66.35.250.204", 34855, 80, 6),
+            ("66.35.250.204", "128.232.110.120", 80, 34855, 6),
+            ("10.0.0.1", "10.0.0.2", 1, 2, 6),
+            ("10.0.0.2", "10.0.0.1", 2, 1, 6),
+            ("10.0.0.1", "10.0.0.1", 5, 5, 17),
+            ("192.168.1.10", "8.8.8.8", 53533, 53, 17),
+            ("8.8.8.8", "192.168.1.10", 53, 53533, 17),
+            ("2001:db8::1", "2001:db8::2", 1000, 2000, 6),
+            ("2001:db8::2", "2001:db8::1", 2000, 1000, 6),
+            ("fe80::1", "ff02::fb", 5353, 5353, 17),
+            ("172.16.5.5", "172.16.5.6", 65535, 0, 6),
+            ("1.2.3.4", "5.6.7.8", 1122, 3344, 6),
+        ]
+    )
+]
+
+
+def _cid_expected(seed: int = 0) -> list[tuple[int, str]]:
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    out = []
+    for case_id, s, d, sp, dp, proto in _CID_FIXTURE:
+        def raw(ip: str) -> bytes:
+            try:
+                return socket.inet_aton(ip)
+            except OSError:
+                return socket.inet_pton(socket.AF_INET6, ip)
+
+        a, b = (s, sp), (d, dp)
+        if not (raw(s) < raw(d) or (raw(s) == raw(d) and sp < dp)):
+            a, b = b, a
+        h = hashlib.sha1()
+        h.update(struct.pack(">H", seed))
+        h.update(raw(a[0]))
+        h.update(raw(b[0]))
+        h.update(struct.pack(">BB", proto, 0))
+        h.update(struct.pack(">H", a[1]))
+        h.update(struct.pack(">H", b[1]))
+        out.append((case_id, "1:" + base64.b64encode(h.digest()).decode()))
+    return out
+
+
+def q_multiline_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multiline pattern-mode with flush_pattern: error lines flush their
+    event immediately (pattern.go:44-129)."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    t = synth.transcripts(spark, sf_dir)
+    out = multiline_pattern(
+        pattern="^level ",
+        match="after",
+        flush_pattern="level=error",
+        group_cols=["conv_id"],
+        order_col="turn_idx",
+    )(t)
+    return out.select("conv_id", "turn_idx", "text", "n_lines")
+
+
+def q_registered_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-PSL edge cases: private-section suffix (github.io), multi-label
+    (co.uk), wildcard (*.kawasaki.jp), exception (!city.kawasaki.jp),
+    bare TLD."""
+    from beats_spark.processors.enrich import registered_domain
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    u = F.col("user_id").cast("string")
+    host = (
+        F.when(F.col("event_id") % 5 == 0, F.concat(F.lit("a"), u, F.lit(".github.io")))
+        .when(F.col("event_id") % 5 == 1, F.concat(F.lit("x.y"), u, F.lit(".example.co.uk")))
+        .when(F.col("event_id") % 5 == 2, F.lit("demo.kawasaki.jp"))
+        .when(F.col("event_id") % 5 == 3, F.lit("sub.city.kawasaki.jp"))
+        .otherwise(F.lit("com"))
+    )
+    df = ev.withColumn("host", host)
+    return registered_domain("host", "rd")(df).select("event_id", "host", "rd")
+
+
+def q_community_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-compatible Community ID v1 digests over the flow fixture."""
+    from beats_spark.processors.enrich import community_id
+
+    df = spark.createDataFrame(
+        _CID_FIXTURE, "case_id int, s string, d string, sp int, dp int, proto int"
+    )
+    out = community_id("s", "d", "sp", "dp", "proto")(df)
+    return out.select("case_id", "community_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -614,6 +977,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_tuple": q_community_tuple,
         "reader_chain": q_reader_chain,
         "embedding_near_dupes": q_embedding_near_dupes,
+        # round-2 oracle expansion (§2 operators previously pytest-only)
+        "mutate_chain": q_mutate_chain,
+        "ndjson_parse": q_ndjson_parse,
+        "container_parse": q_container_parse,
+        "timestamp_layouts": q_timestamp_layouts,
+        "decode_csv": q_decode_csv,
+        "multiline_while": q_multiline_while,
+        "if_then_else": q_if_then_else,
+        "when_guard": q_when_guard,
+        "cache_get": q_cache_get,
+        "schema_conv": q_schema_conv,
+        "fmtstr_format": q_fmtstr_format,
+        "script_process": q_script_process,
+        "codec_json": q_codec_json,
+        "timeseries_instance": q_timeseries_instance,
+        "drop_and_route": q_drop_and_route,
+        "add_data_stream": q_add_data_stream,
+        "syslog_rfc5424": q_syslog_rfc5424,
+        "community_id": q_community_id,
+        "registered_domain_psl": q_registered_domain_psl,
+        "multiline_flush": q_multiline_flush,
         # training-data pipeline ops (datapipe/)
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -626,6 +1010,174 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
     }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL builders for the datapipe family — these replicate the
+# Spark operators' md5-parameterized hash families and the SRP plane
+# constants exactly, so banded-LSH / simhash / bucketed-ANN results are
+# value-comparable across engines (VERDICT round-1 item 6).
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTES = r"""
+sh0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+),
+shing AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(norm) - {n} + 1, 1) + 1),
+                                      i -> substr(norm, CAST(i AS INTEGER), {n}))) AS sh
+  FROM sh0
+)"""
+
+_JACCARD = (
+    "round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6)"
+)
+
+
+def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, n: int = 5, threshold: float = 0.8) -> str:
+    rows = num_perm // bands
+    mins = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}" for i in range(num_perm)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(" + " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, band{b} AS h FROM sigs2" for b in range(bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTES.format(n=n)},
+sigs AS (SELECT doc_id, sh, {mins} FROM shing),
+sigs2 AS (SELECT doc_id, {band_exprs} FROM sigs),
+buckets AS ({union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
+),
+dupes AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM cands
+  JOIN shing sa ON sa.doc_id = id_a
+  JOIN shing sb ON sb.doc_id = id_b
+  WHERE {_JACCARD} >= {threshold}
+)
+SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+"""
+
+
+def _simhash_oracle_sql() -> str:
+    bit_sums = ",\n    ".join(
+        f"sum(CASE WHEN (CAST('0x' || substr(h, {b // 4 + 1}, 1) AS INTEGER)"
+        f" & {1 << (b % 4)}) != 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
+    )
+    terms = "\n    + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2**b if b < 63 else -(2**63)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(64)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents)
+),
+sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _ngram_oracle_sql(n: int = 5, threshold: float = 0.4, max_block: int = 8) -> str:
+    return f"""
+WITH {_SHINGLE_CTES.format(n=n)},
+keyed AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, least(len(sorted_h), {max_block}) + 1),
+                               i -> sorted_h[CAST(i AS INTEGER)])) AS key
+  FROM (SELECT doc_id, list_sort(list_transform(sh, s -> md5('0:' || s))) AS sorted_h FROM shing)
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b
+FROM cands
+JOIN shing sa ON sa.doc_id = id_a
+JOIN shing sb ON sb.doc_id = id_b
+WHERE {_JACCARD} >= {threshold}
+"""
+
+
+def _dot_sql(vec: str, plane: list[float]) -> str:
+    # explicit left-associated sum — IEEE-identical to the Spark side's
+    # aggregate() fold, so bucket sign decisions match exactly
+    return "(" + " + ".join(f"{vec}[{i + 1}]*({p!r})" for i, p in enumerate(plane)) + ")"
+
+
+def _bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(CASE WHEN {_dot_sql(vec, pl)} > 0 THEN {2**i} ELSE 0 END)"
+            for i, pl in enumerate(planes)
+        )
+        + ")"
+    )
+
+
+def _ann_lsh_oracle_sql(k: int = 5, p_bits: int = 4, tables: int = 4, multiprobe: int = 2, dim: int = 64) -> str:
+    from beats_spark.datapipe.similarity import _planes
+
+    table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
+    cb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS t, {_bucket_sql('embedding', table_planes[t])} AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    flips = ", ".join(f"({2**i})" for i in range(min(multiprobe, p_bits)))
+    return f"""
+WITH cb AS ({cb}),
+qb AS (SELECT vec_id AS query_id, embedding AS q_vec, t, bucket FROM cb WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, q_vec, t, bucket FROM qb
+  UNION ALL
+  SELECT query_id, q_vec, t, xor(bucket, f) AS bucket FROM qb CROSS JOIN (VALUES {flips}) AS flips(f)
+),
+scored AS (
+  SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.q_vec, c.embedding), 6) AS cos_sim
+  FROM cb c JOIN probes p ON c.t = p.t AND c.bucket = p.bucket AND c.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
+def _near_dupes_oracle_sql(threshold: float = 0.3, p_bits: int = 6, tables: int = 2, dim: int = 64, cap: int = 4096) -> str:
+    from beats_spark.datapipe.similarity import _planes
+
+    table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
+    cb = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS t, {_bucket_sql('embedding', table_planes[t])} AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+WITH cb0 AS ({cb}),
+cb AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn FROM cb0)
+  WHERE rn <= {cap}
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM cb a JOIN cb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT DISTINCT id_a, id_b FROM pairs
+WHERE round(list_cosine_similarity(ea, eb), 6) >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +1224,7 @@ def oracle_sql() -> dict[str, str]:
                FROM transcripts_base) WHERE rn <= 3""",
         "fingerprint": _ORACLE_WITH
         + """SELECT conv_id, turn_idx,
-                    md5(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS fp
+                    md5('|conv_id|' || conv_id || '|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|') AS fp
              FROM transcripts_base""",
         "multiline_count": _ORACLE_WITH
         + """SELECT conv_id, min(turn_idx) AS turn_idx,
@@ -726,7 +1278,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events""",
         "fingerprint_sha256": _ORACLE_WITH
         + """SELECT conv_id, turn_idx,
-                    sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS fp
+                    sha256('|conv_id|' || conv_id || '|turn_idx|' || CAST(turn_idx AS VARCHAR) || '|') AS fp
              FROM transcripts_base""",
         "multiline_pattern": _ORACLE_WITH
         + r"""SELECT conv_id, min(turn_idx) AS turn_idx,
@@ -805,6 +1357,113 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT sink, count(*) AS events_total,
                     CAST(sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS BIGINT) AS events_flagged
              FROM routed GROUP BY sink""",
+        "mutate_chain": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx, 'PROD' AS env,
+                    CASE WHEN role = 'assistant' THEN 'Assistant' ELSE role END AS actor,
+                    't1,t2,t3' AS tags_joined
+             FROM transcripts_base""",
+        "ndjson_parse": """
+            SELECT event_id,
+                   CASE WHEN event_id % 11 = 3 THEN NULL ELSE 'v' || CAST(event_id AS VARCHAR) END AS k,
+                   CASE WHEN event_id % 11 = 3 THEN '{broken' ELSE 'm' || CAST(event_id AS VARCHAR) END AS text,
+                   CASE WHEN event_id % 11 = 3 THEN 'Error decoding JSON: {broken' END AS error_message
+            FROM events""",
+        "container_parse": """
+            SELECT event_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'hello ' || CAST(event_id AS VARCHAR)
+                        ELSE 'msg ' || CAST(event_id AS VARCHAR) END AS container_log,
+                   CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS container_stream
+            FROM events""",
+        "timestamp_layouts": """
+            SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unix_parsed
+            FROM events""",
+        "decode_csv": """
+            SELECT event_id,
+                   'f' || CAST(event_id AS VARCHAR) AS c0,
+                   '' AS c1,
+                   'q,' || CAST(event_id AS VARCHAR) AS c2,
+                   'last' AS c3,
+                   4 AS n_cells
+            FROM events""",
+        "multiline_while": _ORACLE_WITH
+        + r"""SELECT conv_id, min(turn_idx) AS turn_idx,
+                    string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                    count(*) AS n_lines
+             FROM (
+               SELECT *, sum(CASE WHEN (NOT in_run) OR (in_run AND NOT coalesce(prev_in_run, false))
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS grp
+               FROM (
+                 SELECT *, regexp_matches(text, '^level ') AS in_run,
+                        lag(regexp_matches(text, '^level ')) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_in_run
+                 FROM transcripts_base))
+             GROUP BY conv_id, grp""",
+        "if_then_else": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    CASE WHEN role = 'tool' THEN 'T' ELSE 'E' END AS branch,
+                    CASE WHEN role = 'tool' THEN upper(tool) ELSE tool END AS tool
+             FROM transcripts_base""",
+        "when_guard": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    CASE WHEN turn_idx < 5 THEN upper(role) ELSE role END AS role
+             FROM transcripts_base""",
+        "cache_get": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    CASE WHEN role = 'user'
+                              AND TIMESTAMP '2024-01-15 00:00:00' >= ts - INTERVAL 7 DAY
+                         THEN 'cached-user'
+                         WHEN role = 'assistant'
+                              AND TIMESTAMP '2024-01-01 00:00:00' >= ts - INTERVAL 7 DAY
+                         THEN 'cached-assistant' END AS cval
+             FROM transcripts_base""",
+        "schema_conv": """
+            SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+            FROM events
+            WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""",
+        "fmtstr_format": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    't-' || role || '-na-' || strftime(ts, '%Y.%m.%d') AS line
+             FROM transcripts_base""",
+        "script_process": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    CAST(length(text) + turn_idx * 2 AS BIGINT) AS score
+             FROM transcripts_base""",
+        "codec_json": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx, role := role)) AS serialized
+             FROM transcripts_base""",
+        "timeseries_instance": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx, md5(role || '|' || tool) AS tsid
+             FROM transcripts_base""",
+        "drop_and_route": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx, role, tool
+             FROM transcripts_base WHERE role <> 'system'""",
+        "add_data_stream": _ORACLE_WITH
+        + """SELECT conv_id, turn_idx,
+                    'logs' AS data_stream_type, 'transcripts' AS data_stream_dataset,
+                    'prod' AS data_stream_namespace,
+                    'logs-transcripts-prod' AS meta_index
+             FROM transcripts_base""",
+        "syslog_rfc5424": """
+            SELECT event_id,
+                   CAST(event_id % 190 AS INTEGER) AS syslog_priority,
+                   CAST((event_id % 190) % 8 AS INTEGER) AS syslog_severity,
+                   CAST((event_id % 190) // 8 AS INTEGER) AS syslog_facility,
+                   CASE WHEN event_id % 2 = 0 THEN 1 END AS syslog_version,
+                   'host' || CAST(user_id AS VARCHAR) AS syslog_hostname,
+                   CASE WHEN event_id % 2 = 0 THEN 'app' || CAST(event_id % 9 AS VARCHAR)
+                        ELSE 'app' END AS syslog_program,
+                   CASE WHEN event_id % 2 = 0
+                        THEN (CASE WHEN event_id % 3 = 0 THEN NULL
+                                   ELSE CAST(event_id % 100 AS VARCHAR) END)
+                        ELSE CAST(event_id % 100 AS VARCHAR) END AS syslog_pid,
+                   CASE WHEN event_id % 2 = 0 THEN 'ID' || CAST(event_id % 50 AS VARCHAR) END AS syslog_msgid,
+                   CASE WHEN event_id % 2 = 0 THEN 'ex@1' END AS syslog_sd_id,
+                   CASE WHEN event_id % 2 = 0 THEN 'v' || CAST(event_id % 7 AS VARCHAR) END AS sd_k,
+                   CASE WHEN event_id % 2 = 0 THEN 'event body ' || CAST(event_id AS VARCHAR)
+                        ELSE 'message ' || CAST(event_id % 7 AS VARCHAR) END AS syslog_message
+            FROM events""",
         "dedup_exact": """
             SELECT doc_id, lang, source, n_chars FROM (
               SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -848,8 +1507,61 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 10)
             WHERE rank <= 5""",
-        # sessionize / minhash_dedup / simhash / multimodal_features have no
-        # SQL oracle (session-gap, banded-LSH, bit-level and binary-UDF
-        # semantics); the driver records rows-only checks and pytest covers
-        # them against planted fixtures / pandas references.
+        "multiline_flush": _ORACLE_WITH
+        + r"""SELECT conv_id, min(turn_idx) AS turn_idx,
+                    string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                    count(*) AS n_lines
+             FROM (
+               SELECT *, sum(CASE WHEN (NOT regexp_matches(text, '^level '))
+                                       OR coalesce(prev_flush, false)
+                                  THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS grp
+               FROM (
+                 SELECT *, lag(regexp_matches(text, 'level=error'))
+                             OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_flush
+                 FROM transcripts_base))
+             GROUP BY conv_id, grp""",
+        "registered_domain_psl": """
+            SELECT event_id,
+                   CASE WHEN event_id % 5 = 0 THEN 'a' || CAST(user_id AS VARCHAR) || '.github.io'
+                        WHEN event_id % 5 = 1 THEN 'x.y' || CAST(user_id AS VARCHAR) || '.example.co.uk'
+                        WHEN event_id % 5 = 2 THEN 'demo.kawasaki.jp'
+                        WHEN event_id % 5 = 3 THEN 'sub.city.kawasaki.jp'
+                        ELSE 'com' END AS host,
+                   CASE WHEN event_id % 5 = 0 THEN 'a' || CAST(user_id AS VARCHAR) || '.github.io'
+                        WHEN event_id % 5 = 1 THEN 'example.co.uk'
+                        WHEN event_id % 5 = 2 THEN NULL
+                        WHEN event_id % 5 = 3 THEN 'city.kawasaki.jp'
+                        ELSE NULL END AS rd
+            FROM events""",
+        "community_id": (
+            "SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{cid}')" for i, cid in _cid_expected())
+            + ") AS t(case_id, community_id)"
+        ),
+        "sessionize": _ORACLE_WITH
+        + """SELECT conv_id, min(ts) AS session_start, count(*) AS n_events
+             FROM (
+               SELECT conv_id, ts, sum(new_s) OVER (
+                        PARTITION BY conv_id ORDER BY ts, turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS grp
+               FROM (
+                 SELECT conv_id, ts, turn_idx,
+                        CASE WHEN lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL
+                                  OR ts - lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+                                     >= INTERVAL 30 MINUTE
+                             THEN 1 ELSE 0 END AS new_s
+                 FROM transcripts_base))
+             GROUP BY conv_id, grp""",
+        "multimodal_features": """
+            SELECT CAST(doc_id AS INTEGER) AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   sha256(text) AS sha
+            FROM documents""",
+        "minhash_dedup": _minhash_oracle_sql(),
+        "simhash": _simhash_oracle_sql(),
+        "ngram_jaccard": _ngram_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "embedding_near_dupes": _near_dupes_oracle_sql(),
     }

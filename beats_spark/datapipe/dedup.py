@@ -52,13 +52,25 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # -- MinHash + LSH -----------------------------------------------------------
 
 
-def minhash_signature(col: Column, num_perm: int = 32, n: int = 5) -> list[Column]:
-    """num_perm min-hashes: min over shingles of xxhash64(shingle, seed=i).
+def _seeded_hash(s: Column, seed: int, method: str) -> Column:
+    """Seeded per-shingle hash. 'xxhash64' (default, cheapest JVM path) or
+    'md5' — hex STRINGS compared lexicographically, which is an equally
+    uniform min-hash family AND replicable in DuckDB (the oracle engine
+    has no xxhash64); VERDICT round-1 item 6."""
+    if method == "md5":
+        return F.md5(F.concat_ws(":", F.lit(str(seed)), s))
+    return F.xxhash64(s, F.lit(seed))
+
+
+def minhash_signature(
+    col: Column, num_perm: int = 32, n: int = 5, hash_method: str = "xxhash64"
+) -> list[Column]:
+    """num_perm min-hashes: min over shingles of hash(shingle, seed=i).
 
     Pure Column (array_min ∘ transform) — evaluated in codegen per row."""
     sh = shingles(col, n)
     return [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(sh, lambda s: _seeded_hash(s, i, hash_method)))
         for i in range(num_perm)
     ]
 
@@ -70,13 +82,20 @@ def minhash_lsh_candidates(
     num_perm: int = 32,
     bands: int = 8,
     n: int = 5,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets."""
     rows = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, n)
-    band_cols = [
-        F.xxhash64(*sig[b * rows : (b + 1) * rows]).alias(f"_band{b}") for b in range(bands)
-    ]
+    sig = minhash_signature(F.col(text_col), num_perm, n, hash_method)
+    if hash_method == "md5":
+        band_cols = [
+            F.md5(F.concat_ws("|", *sig[b * rows : (b + 1) * rows])).alias(f"_band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*sig[b * rows : (b + 1) * rows]).alias(f"_band{b}") for b in range(bands)
+        ]
     withb = df.select(F.col(id_col), *band_cols)
     # (band_idx, band_hash) → bucket join; only ids shuffle.
     buckets = withb.select(
@@ -130,10 +149,11 @@ def minhash_dedup(
     bands: int = 8,
     n: int = 5,
     threshold: float = 0.8,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Drop near-duplicates: every id_b of a verified pair is removed
     (keep-lowest-id policy, transitive via repeated pair edges)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, n)
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, n, hash_method)
     dupes = jaccard_verify(df, cands, text_col, id_col, n, threshold).select(
         F.col("id_b").alias(id_col)
     ).distinct()
@@ -143,19 +163,31 @@ def minhash_dedup(
 # -- SimHash ------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_method: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document — explode tokens, 64 signed bit-sums,
-    reassemble; all JVM-side, one doc_id shuffle."""
+    reassemble; all JVM-side, one doc_id shuffle.
+
+    hash_method='md5' derives bit b from hex nibble b//4 of md5(token)
+    (bit-in-nibble b%4) — replicable in the DuckDB oracle."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_method == "md5":
+        toks = toks.withColumn("h", F.md5("tok"))
+
+        def bit(b: int) -> Column:
+            nib = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
+            return nib.bitwiseAND(F.lit(1 << (b % 4))) != 0
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+
+        def bit(b: int) -> Column:
+            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
+
     sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"_b{b}")
-            for b in range(64)
-        ]
+        *[F.sum(F.when(bit(b), 1).otherwise(-1)).alias(f"_b{b}") for b in range(64)]
     )
     sim = F.lit(0).cast("bigint")
     for b in range(64):
@@ -200,6 +232,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_shingles_for_blocking: int = 8,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """All pairs ≥ threshold via shared-minimal-shingle blocking:
     block key = the k smallest shingle hashes per doc (a doc pair with
@@ -209,7 +242,13 @@ def ngram_jaccard_pairs(
     keyed = sh.select(
         id_col,
         F.explode(
-            F.slice(F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))), 1, max_shingles_for_blocking)
+            F.slice(
+                F.array_sort(
+                    F.transform(F.col("sh"), lambda s: _seeded_hash(s, 0, hash_method))
+                ),
+                1,
+                max_shingles_for_blocking,
+            )
         ).alias("key"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")

@@ -260,17 +260,22 @@ def fingerprint(
     encoding: str = "hex",
     when: dict | None = None,
 ):
-    """fingerprint/fingerprint.go:40 — hash of '|'-joined ordered field values.
-
-    The reference hashes a length-prefixed concatenation; we document the
-    '|' separator as our canonical form (stable, collision-safe for our
-    field set) and verify against the oracle with the same form.
+    """fingerprint/fingerprint.go:40,93-116 — byte-compatible canonical
+    form: for each field in sorted order the reference writes
+    `|<key>|<value>` into the hash, then a trailing `|`
+    (writeFields, fingerprint.go:111-114). Same bytes here, so digests
+    are joinable with reference-produced fingerprints.
     """
     if method not in _HASHES:
         raise ValueError(f"fingerprint: unknown method {method!r}")
 
     def stage(df: DataFrame) -> DataFrame:
-        joined = F.concat_ws("|", *[F.col(f).cast("string") for f in sorted(fields)])
+        parts: list[Column] = []
+        for f in sorted(fields):
+            parts.append(F.lit(f"|{f}|"))
+            parts.append(F.col(f).cast("string"))
+        parts.append(F.lit("|"))
+        joined = F.concat(*parts)
         if method == "md5":
             h = F.md5(joined)
         elif method == "sha1":

@@ -182,12 +182,21 @@ def multiline_count(
     return stage
 
 
-def timeseries_instance(dimension_fields: list[str], target: str = "timeseries_instance"):
-    """timeseries processor — stable hash of ordered dimension values."""
+def timeseries_instance(
+    dimension_fields: list[str], target: str = "timeseries_instance", method: str = "xxhash64"
+):
+    """timeseries processor — stable hash of ordered dimension values.
+
+    method='xxhash64' (default, cheapest JVM hash) or 'md5' of the
+    '|'-joined ordered values — the engine-portable form the DuckDB
+    oracle can replicate (xxhash64 exists only in Spark)."""
 
     def stage(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            target, F.xxhash64(*[F.col(c) for c in sorted(dimension_fields)])
-        )
+        cols = [F.col(c) for c in sorted(dimension_fields)]
+        if method == "md5":
+            h = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
+        else:
+            h = F.xxhash64(*cols)
+        return df.withColumn(target, h)
 
     return stage

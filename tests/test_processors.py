@@ -463,3 +463,36 @@ def test_registered_domain_full_psl(spark):
     df = spark.createDataFrame([(h,) for h in cases], "host string")
     out = {r.host: r.rd for r in build("registered_domain", field="host", target="rd")(df).collect()}
     assert out == cases
+
+
+def test_multiline_flush_pattern(spark):
+    """flush_pattern (multiline/pattern.go:44-129): a matching line is the
+    LAST line of its event; the next line starts fresh even if it would
+    otherwise continue."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    rows = [
+        ("c", 0, "start a", None),
+        ("c", 1, " c1", None),
+        ("c", 2, " c2 END", None),
+        ("c", 3, " c3", None),
+        ("c", 4, "start b", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string, ts timestamp")
+    out = multiline_pattern(pattern=r"^\s", match="after", flush_pattern="END$")(df)
+    got = sorted((r.turn_idx, r.text, r.n_lines) for r in out.collect())
+    assert got == [
+        (0, "start a\n c1\n c2 END", 3),
+        (3, " c3", 1),
+        (4, "start b", 1),
+    ]
+
+
+def test_fingerprint_reference_encoding(spark):
+    """Canonical form is byte-compatible with writeFields
+    (fingerprint.go:111-114): '|<key>|<value>' per sorted field + '|'."""
+    import hashlib
+
+    df = spark.createDataFrame([("x", 7)], "a string, b int")
+    out = build("fingerprint", fields=["b", "a"], method="sha256")(df).collect()[0]
+    assert out.fingerprint == hashlib.sha256(b"|a|x|b|7|").hexdigest()
