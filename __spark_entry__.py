@@ -895,6 +895,27 @@ def _cid_expected(seed: int = 0) -> list[tuple[int, str]]:
     return out
 
 
+def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_xml: typed from_xml decode of constructed XML docs."""
+    from beats_spark.processors.misc import decode_xml
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id")
+    xml = F.concat(
+        F.lit("<event><id>"), (i % 1000).cast("string"),
+        F.lit("</id><lvl>"),
+        F.when(i % 3 == 0, F.lit("warn")).otherwise(F.lit("info")),
+        F.lit("</lvl></event>"),
+    )
+    df = ev.withColumn("raw", xml)
+    out = decode_xml("raw", target="ev", schema="id bigint, lvl string")(df)
+    return out.select(
+        "event_id",
+        F.col("ev").getField("id").alias("xml_id"),
+        F.col("ev").getField("lvl").alias("xml_lvl"),
+    )
+
+
 def q_multiline_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     """multiline pattern-mode with flush_pattern: error lines flush their
     event immediately (pattern.go:44-129)."""
@@ -998,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_id": q_community_id,
         "registered_domain_psl": q_registered_domain_psl,
         "multiline_flush": q_multiline_flush,
+        "decode_xml": q_decode_xml,
         # training-data pipeline ops (datapipe/)
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
@@ -1507,6 +1529,11 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
               WHERE q.vec_id < 10)
             WHERE rank <= 5""",
+        "decode_xml": """
+            SELECT event_id,
+                   event_id % 1000 AS xml_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'warn' ELSE 'info' END AS xml_lvl
+            FROM events""",
         "multiline_flush": _ORACLE_WITH
         + r"""SELECT conv_id, min(turn_idx) AS turn_idx,
                     string_agg(text, chr(10) ORDER BY turn_idx) AS text,

@@ -141,20 +141,30 @@ def schema_conv(spec: dict[str, dict], source_map: str = "attrs"):
     return stage
 
 
-def decode_xml(field: str, target: str = "xml"):
-    """decode_xml.go:53 — gated on Spark's from_xml availability."""
+def decode_xml(field: str, target: str = "xml", schema: str | None = None, fields: list[str] | None = None):
+    """decode_xml.go:53 — XML document → typed struct (from_xml).
+
+    Two modes, both real on Spark 4:
+      * `schema` (DDL string): full typed decode — the 100 TB-friendly
+        form (typed columns prune and push down);
+      * `fields` (element names): schema-less extraction of the named
+        child elements as strings via xpath_string — the analog of the
+        reference's dynamic map for a known key set.
+    The reference's fully-dynamic any-shape decode has no typed-column
+    equivalent; pass one of the two. (decode_xml_wineventlog is this
+    with the fixed wineventlog schema.)
+    """
+    if schema is None and fields is None:
+        raise ValueError("decode_xml requires schema= (typed) or fields= (xpath)")
 
     def stage(df: DataFrame) -> DataFrame:
-        if not hasattr(F, "from_xml"):
-            raise NotImplementedError(
-                "decode_xml requires pyspark.sql.functions.from_xml (Spark 4 with "
-                "XML support); not available in this runtime"
-            )
-        # unknown shape: extract into a value map via xpath fallback
-        return df.withColumn(
-            target,
-            F.from_xml(F.col(field), "value string"),
-        )
+        col = F.col(field)
+        if schema is not None:
+            return df.withColumn(target, F.from_xml(col, schema))
+        kv = []
+        for name in fields:
+            kv.extend([F.lit(name), F.xpath_string(col, F.lit(f"/*/{name}"))])
+        return df.withColumn(target, F.create_map(*kv))
 
     return stage
 

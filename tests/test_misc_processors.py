@@ -71,17 +71,11 @@ def test_now_nondeterministic_stamp(df):
     assert out.ingested_ts is not None
 
 
-def test_decode_xml_gated(df):
-    stage = build("decode_xml", field="text")
-    try:
-        from pyspark.sql import functions as F2
-
-        has_xml = hasattr(F2, "from_xml")
-    except ImportError:
-        has_xml = False
-    if not has_xml:
-        with pytest.raises(NotImplementedError):
-            stage(df)
+def test_decode_xml_requires_shape(df):
+    """Round-2: decode_xml is un-gated (Spark 4 ships from_xml); a call
+    without schema= or fields= is a config error, not a runtime gate."""
+    with pytest.raises(ValueError, match="schema"):
+        build("decode_xml", field="text")
 
 
 def test_multiline_while(spark):
@@ -99,3 +93,19 @@ def test_multiline_while(spark):
     rows = sorted(out.collect(), key=lambda r: r.turn_idx)
     assert [(r.turn_idx, r.n_lines) for r in rows] == [(0, 2), (2, 1), (3, 1), (4, 1)]
     assert rows[0].text == "| row a\n| row b"
+
+
+def test_decode_xml_typed_and_xpath(spark):
+    """decode_xml (decode_xml.go:53): typed from_xml decode + schema-less
+    xpath extraction for a known key set."""
+    from beats_spark.processors.misc import decode_xml
+
+    xml = '<event><id>7</id><level>warn</level><msg>disk low</msg></event>'
+    df = spark.createDataFrame([(xml,)], "raw string")
+    typed = decode_xml("raw", target="ev", schema="id int, level string, msg string")(df).collect()[0]
+    assert (typed.ev.id, typed.ev.level, typed.ev.msg) == (7, "warn", "disk low")
+    dyn = decode_xml("raw", target="m", fields=["level", "msg"])(df).collect()[0]
+    assert dyn.m == {"level": "warn", "msg": "disk low"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema"):
+        decode_xml("raw")
