@@ -570,6 +570,30 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data hygiene: typed PII masking + per-kind hit counts
+    (email/ipv4/ssn/phone regexes, pure map-side Column)."""
+    from beats_spark.datapipe.text import pii_counts, scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    t = F.concat(
+        F.lit("contact a"), i, F.lit("@corp.example and 192.168."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 or call +1 (555) 010-0042 ssn 123-45-6789 end"),
+    )
+    df = docs.withColumn("t", t)
+    counts = pii_counts(F.col("t"))
+    return df.select(
+        "doc_id",
+        scrub_pii(F.col("t")).alias("scrubbed"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: synth media + mapInPandas feature stub
     (rows-only; sha/byte determinism in pytest)."""
@@ -1030,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "pii_scrub": q_pii_scrub,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1585,6 +1610,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS INTEGER) AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    sha256(text) AS sha
+            FROM documents""",
+        "pii_scrub": """
+            SELECT doc_id,
+                   'contact <EMAIL> and <IP> or call <PHONE> ssn <SSN> end' AS scrubbed,
+                   1 AS n_email, 1 AS n_ipv4, 1 AS n_ssn, 2 AS n_phone
             FROM documents""",
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash": _simhash_oracle_sql(),

@@ -89,6 +89,37 @@ def doc_fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+# PII scrubbing — training-data hygiene pass. Patterns deliberately
+# conservative & SQL-replicable (the oracle runs the same regexes).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # name -> (pattern, replacement token)
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b", "<IP>"),
+    "phone": (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+}
+
+
+def scrub_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans with typed placeholder tokens — pure Column
+    regexp_replace chain, map-side at scan speed. Order matters: SSN
+    before phone (an SSN is also a phone-shaped digit run)."""
+    order = [k for k in ("email", "ipv4", "ssn", "phone") if kinds is None or k in kinds]
+    out = col
+    for k in order:
+        pat, repl = PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII hit counts (for corpus auditing before scrubbing)."""
+    return {
+        f"n_{k}": F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for k, (pat, _) in PII_PATTERNS.items()
+    }
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     col = F.col(text_col)
     out = df
