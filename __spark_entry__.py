@@ -668,6 +668,23 @@ def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "container_log", "container_stream")
 
 
+def q_cri_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRI partial-line joining: P,P,F fragment runs concatenate into one
+    logical event per (conv, run); trailing partials flush at EOF."""
+    from beats_spark.processors.reader import container, cri_join_partials
+
+    t = synth.transcripts(spark, sf_dir)
+    flag = F.when(F.col("turn_idx") % 3 == 2, F.lit("F")).otherwise(F.lit("P"))
+    line = F.concat(
+        F.lit("2024-01-05T00:00:01.000Z stdout "), flag,
+        F.lit(" t"), F.col("turn_idx").cast("string"), F.lit(";"),
+    )
+    df = t.withColumn("text", line)
+    df = container("text", fmt="cri")(df)
+    out = cri_join_partials(group_cols=["conv_id"], order_col="turn_idx")(df)
+    return out.select("conv_id", "turn_idx", "container_log", "complete", "n_fragments")
+
+
 def q_timestamp_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """timestamp processor: layout list tried in order, first parse wins."""
     from beats_spark.processors.parsers import timestamp
@@ -1026,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutate_chain": q_mutate_chain,
         "ndjson_parse": q_ndjson_parse,
         "container_parse": q_container_parse,
+        "cri_partials": q_cri_partials,
         "timestamp_layouts": q_timestamp_layouts,
         "decode_csv": q_decode_csv,
         "multiline_while": q_multiline_while,
@@ -1421,6 +1439,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'msg ' || CAST(event_id AS VARCHAR) END AS container_log,
                    CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS container_stream
             FROM events""",
+        "cri_partials": _ORACLE_WITH
+        + """SELECT conv_id, min(turn_idx) AS turn_idx,
+                    string_agg('t' || CAST(turn_idx AS VARCHAR) || ';', '' ORDER BY turn_idx) AS container_log,
+                    CAST(max(CASE WHEN turn_idx % 3 = 2 THEN 1 ELSE 0 END) AS BOOLEAN) AS complete,
+                    count(*) AS n_fragments
+             FROM (
+               SELECT *, sum(CASE WHEN coalesce(prev_final, true) THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx
+                               ROWS UNBOUNDED PRECEDING) AS grp
+               FROM (
+                 SELECT conv_id, turn_idx,
+                        lag(turn_idx % 3 = 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_final
+                 FROM transcripts_base))
+             GROUP BY conv_id, grp""",
         "timestamp_layouts": """
             SELECT event_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS unix_parsed
             FROM events""",

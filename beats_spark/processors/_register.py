@@ -46,6 +46,7 @@ REGISTRY.update(
         "max_bytes": reader.max_bytes,
         "ndjson": reader.ndjson,
         "container": reader.container,
+        "cri_join_partials": reader.cri_join_partials,
         # stateful
         "rate_limit": stateful.rate_limit,
         "multiline_pattern": stateful.multiline_pattern,

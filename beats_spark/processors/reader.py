@@ -143,13 +143,67 @@ def container(field: str = "text", stream: str = "all", fmt: str = "auto"):
             log_col = F.regexp_extract(col, _CRI_RE, 4)
             stream_col = F.regexp_extract(col, _CRI_RE, 2)
             time_col = F.regexp_extract(col, _CRI_RE, 1)
+        # CRI partial-line flag: 'P' = fragment, 'F' = final. Docker's
+        # json-file format has no partial marker — docker lines read 'F'.
+        flag_col = F.when(is_cri, F.regexp_extract(col, _CRI_RE, 3)).otherwise(
+            F.when(is_docker, F.lit("F"))
+        )
+        if fmt == "docker":
+            flag_col = F.lit("F")
+        elif fmt == "cri":
+            flag_col = F.regexp_extract(col, _CRI_RE, 3)
         df = (
             df.withColumn("container_log", log_col)
             .withColumn("container_stream", stream_col)
             .withColumn("container_time", F.try_to_timestamp(time_col))
+            .withColumn("container_flag", flag_col)
         )
         if stream != "all":
             df = df.filter(F.col("container_stream") == stream)
         return df
+
+    return stage
+
+
+def cri_join_partials(
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+    log_col: str = "container_log",
+    flag_col: str = "container_flag",
+):
+    """Join CRI partial lines into full log events (docker_json.go's
+    partial-line handling): consecutive 'P' fragments concatenate (no
+    separator — they are fragments of one line) until the 'F' line that
+    completes the event; a trailing partial run without an 'F' still
+    flushes as one event (reader-EOF flush analog).
+
+    Boundary rule: a row starts a new logical event iff the PREVIOUS row
+    (per group, in order) was final ('F') or absent. Same windowed
+    running-sum idiom as multiline — order-dependent per-key fold, same
+    scale constraint documented in processors/stateful.py.
+    """
+    from pyspark.sql import Window
+
+    groups = group_cols or ["conv_id"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        w0 = Window.partitionBy(*groups).orderBy(order_col)
+        prev_final = F.lag(F.col(flag_col) == "F", 1, True).over(w0)
+        boundary = F.coalesce(prev_final, F.lit(True))
+        w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+        df = df.withColumn("_cri_grp", F.sum(boundary.cast("int")).over(w))
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(log_col).alias("t")))
+        )
+        return (
+            df.groupBy(*groups, "_cri_grp")
+            .agg(
+                F.min(order_col).alias(order_col),
+                F.array_join(F.transform(pairs, lambda s: s["t"]), "").alias(log_col),
+                F.max(F.col(flag_col) == "F").alias("complete"),
+                F.count(F.lit(1)).alias("n_fragments"),
+            )
+            .drop("_cri_grp")
+        )
 
     return stage

@@ -9,9 +9,20 @@ per period per key; the batch analog is row_number() over
 (key, time-bucket) ≤ limit in arrival (ts, turn_idx) order. The
 streaming variant (transformWithState) reuses the same keying.
 
-Scale note: rate_limit and multiline shuffle once on their key — the
-same partitioning the downstream per-conv aggregates need, so Catalyst
-reuses the exchange when keys align (conv_id).
+Scale notes:
+  * rate_limit is skew-safe by construction (two-phase salted cap — see
+    its docstring; the hot key splits across salt groups and Spark 4's
+    WindowGroupLimit pre-filters map-side before both exchanges).
+  * multiline (and sessionize in aggregates.py) are ORDER-DEPENDENT
+    per-key folds — they cannot be salted without changing semantics
+    (a group may span any two adjacent rows). Constraint at scale: one
+    key's rows land in one task. With the 5%-hot-conversation synth this
+    is bounded by WindowGroupLimit-free sorts of that key's rows only;
+    for truly pathological keys, pre-partition the INPUT by
+    (conv_id, days(ts)) so a key's state is bounded per day — multiline
+    events never straddle days in log practice, and the reference's
+    reader has the same per-file sequential constraint
+    (reader/multiline runs inside one harvester goroutine).
 """
 
 from __future__ import annotations

@@ -56,3 +56,26 @@ def test_container_docker_and_cri(spark):
 
     only_out = build("container", stream="stdout")(df).collect()
     assert len(only_out) == 1 and only_out[0].container_stream == "stdout"
+
+
+def test_cri_join_partials(spark):
+    """docker_json.go partial handling: P fragments concatenate until F;
+    trailing partials flush as an (incomplete) event at EOF."""
+    from beats_spark.processors.reader import container, cri_join_partials
+
+    lines = [
+        ("c", 0, "2024-01-01T00:00:00Z stdout P ab"),
+        ("c", 1, "2024-01-01T00:00:00Z stdout P cd"),
+        ("c", 2, "2024-01-01T00:00:00Z stdout F ef"),
+        ("c", 3, "2024-01-01T00:00:01Z stdout F solo"),
+        ("c", 4, "2024-01-01T00:00:02Z stdout P tail"),
+    ]
+    df = spark.createDataFrame(lines, "conv_id string, turn_idx int, text string")
+    parsed = container("text", fmt="cri")(df)
+    out = cri_join_partials(group_cols=["conv_id"], order_col="turn_idx")(parsed)
+    got = sorted((r.turn_idx, r.container_log, r.complete, r.n_fragments) for r in out.collect())
+    assert got == [
+        (0, "abcdef", True, 3),
+        (3, "solo", True, 1),
+        (4, "tail", False, 1),
+    ]

@@ -108,3 +108,49 @@ def test_sources_time_range_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "ts" in plan
     assert df.count() > 0
     assert df.agg({"ts": "min"}).first()[0].strftime("%Y-%m-%d") >= "2024-01-10"
+
+
+@pytest.mark.slow
+def test_stream_session_flows(spark, tmp_path):
+    """Inactivity-timeout sessions (flows close-on-idle) in STREAMING mode:
+    session_window + watermark over a file source, results match the batch
+    session_flows on the same input."""
+    import os
+
+    from beats_spark.aggregates import session_flows
+
+    rows = [
+        ("c1", 0, "2024-01-01 00:00:00"),
+        ("c1", 1, "2024-01-01 00:00:30"),
+        ("c1", 2, "2024-01-01 00:10:00"),   # > 5 min gap -> new session
+        ("c2", 0, "2024-01-01 00:00:05"),
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts_s string").withColumn(
+        "ts", F.col("ts_s").cast("timestamp")
+    ).drop("ts_s")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src).withWatermark("ts", "1 minute")
+    sessions = session_flows(stream, keys=["conv_id"], gap="5 minutes")
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r.conv_id, str(r.session_start), r.n_events)
+        for r in spark.table("stream_sessions").collect()
+    }
+    want = {
+        (r.conv_id, str(r.session_start), r.n_events)
+        for r in session_flows(df, keys=["conv_id"], gap="5 minutes").collect()
+    }
+    # append mode only emits watermark-closed sessions; every emitted row
+    # must match the batch result, and the closed c1 session must be there
+    assert got <= want and len(got) >= 1
+    assert ("c1", "2024-01-01 00:00:00", 2) in got
