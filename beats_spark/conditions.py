@@ -87,6 +87,7 @@ def _ipv6_hextets(col: Column) -> Column:
     )
     ok = (
         col.contains(":")
+        & (F.size(F.split(col, "::")) <= 2)  # at most one '::' (1::2::3 is invalid)
         & (F.size(expanded) == 8)
         & (F.size(F.filter(hx, lambda v: v.isNull())) == 0)
     )

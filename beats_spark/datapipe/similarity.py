@@ -94,7 +94,10 @@ def lsh_bucket_topk(
     table). Candidates = union over tables — the standard recall lever
     when a single table's collision probability is low."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_bucket_topk requires explicit dim= (plan-time schema "
+            "knowledge); sniffing it would execute a job during planning"
+        )
     table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
 
     def buckets_for(vec: Column) -> Column:

@@ -104,6 +104,11 @@ def scrub_pii(col: Column, kinds: list[str] | None = None) -> Column:
     """Mask PII spans with typed placeholder tokens — pure Column
     regexp_replace chain, map-side at scan speed. Order matters: SSN
     before phone (an SSN is also a phone-shaped digit run)."""
+    if kinds is not None:
+        unknown = set(kinds) - set(PII_PATTERNS)
+        if unknown:
+            # a typo here means that PII class ships unscrubbed — fail loud
+            raise ValueError(f"scrub_pii: unknown kinds {sorted(unknown)}; have {sorted(PII_PATTERNS)}")
     order = [k for k in ("email", "ipv4", "ssn", "phone") if kinds is None or k in kinds]
     out = col
     for k in order:

@@ -482,7 +482,7 @@ _IP_RE = re.compile(
 # laxer (underscores, surrounding whitespace) and must not leak through.
 _HEX_INT_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
 _DEC_INT_RE = re.compile(r"^[+-]?[0-9]+$")
-_FLOAT_RE = re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+_FLOAT_RE = re.compile(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")
 
 
 def _parse_int(s: str) -> int:
@@ -550,20 +550,23 @@ def cast_column(col: Column, data_type: str) -> Column:
     if data_type in ("", "string", "ip"):
         return col
     if data_type in ("long", "integer"):
-        # strconv parity (matches _parse_int): hex only as UNSIGNED 0x/0X;
-        # decimal only as pure signed digits — Spark's bare cast would also
-        # accept surrounding whitespace, which the reference rejects.
-        hexv = F.conv(F.regexp_replace(col, "(?i)^0x", ""), 16, 10).try_cast(
+        # strconv parity (matches _parse_int + convert_value's rstrip of
+        # trailing spaces): hex only as UNSIGNED 0x/0X; decimal only as
+        # pure signed digits — Spark's bare cast would also accept
+        # leading whitespace/underscores, which the reference rejects.
+        v = F.rtrim(col)
+        hexv = F.conv(F.regexp_replace(v, "(?i)^0x", ""), 16, 10).try_cast(
             _SPARK_TYPES[data_type]
         )
         return (
-            F.when(col.rlike("^0[xX][0-9a-fA-F]+$"), hexv)
-            .when(col.rlike(r"^[+-]?[0-9]+$"), col.try_cast(_SPARK_TYPES[data_type]))
+            F.when(v.rlike("^0[xX][0-9a-fA-F]+$"), hexv)
+            .when(v.rlike(r"^[+-]?[0-9]+$"), v.try_cast(_SPARK_TYPES[data_type]))
         )
     if data_type in ("float", "double"):
+        v = F.rtrim(col)
         return F.when(
-            col.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-            col.try_cast(_SPARK_TYPES[data_type]),
+            v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+            v.try_cast(_SPARK_TYPES[data_type]),
         )
     return col.try_cast(_SPARK_TYPES[data_type])
 

@@ -270,10 +270,14 @@ def fingerprint(
         raise ValueError(f"fingerprint: unknown method {method!r}")
 
     def stage(df: DataFrame) -> DataFrame:
+        # coalesce each value to '' so one NULL field can't NULL the whole
+        # digest via F.concat (the reference errors the event on a missing
+        # field; a typed column's NULL maps to the empty value here — the
+        # |key| marker still separates it from an absent field)
         parts: list[Column] = []
         for f in sorted(fields):
             parts.append(F.lit(f"|{f}|"))
-            parts.append(F.col(f).cast("string"))
+            parts.append(F.coalesce(F.col(f).cast("string"), F.lit("")))
         parts.append(F.lit("|"))
         joined = F.concat(*parts)
         if method == "md5":

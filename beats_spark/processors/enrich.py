@@ -64,23 +64,32 @@ def _psl_rules() -> list[tuple]:
     Keys are unique (flags OR-merged) so the broadcast join stays 1:1."""
     global _psl_cache
     if _psl_cache is None:
+        try:
+            with open(_PSL_PATH, encoding="utf-8") as fh:
+                text = fh.read()
+        except OSError:
+            # package deployed as a --py-files zip: read via importlib
+            import importlib.resources as ir
+
+            text = (ir.files("beats_spark") / "data" / "public_suffix_list.dat").read_text(
+                "utf-8"
+            )
         merged: dict[str, list] = {}
-        with open(_PSL_PATH, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.strip()
-                if not line or line.startswith("//"):
-                    continue
-                exc = line.startswith("!")
-                if exc:
-                    line = line[1:]
-                wild = line.startswith("*.")
-                if wild:
-                    line = line[2:]
-                key = line.lower()
-                row = merged.setdefault(key, [key.count(".") + 1, False, False, False])
-                row[1] = row[1] or (not wild and not exc)
-                row[2] = row[2] or wild
-                row[3] = row[3] or exc
+        for line in text.splitlines():
+            line = line.strip()
+            if not line or line.startswith("//"):
+                continue
+            exc = line.startswith("!")
+            if exc:
+                line = line[1:]
+            wild = line.startswith("*.")
+            if wild:
+                line = line[2:]
+            key = line.lower()
+            row = merged.setdefault(key, [key.count(".") + 1, False, False, False])
+            row[1] = row[1] or (not wild and not exc)
+            row[2] = row[2] or wild
+            row[3] = row[3] or exc
         _psl_cache = [(k, *v) for k, v in merged.items()]
     return _psl_cache
 

@@ -275,10 +275,18 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
 
     def stage(df: DataFrame) -> DataFrame:
         col = _get(df, field)
+        # auto = try 5424, FALL BACK to 3164 (syslog.go:83-133): the cheap
+        # version-digit gate alone would misroute a 3164 line whose free-
+        # form content happens to start with a digit — require the full
+        # 5424 grammar to match before committing to it.
         is24 = (
             F.lit(False)
             if format == "rfc3164"
-            else (col.rlike(_RFC5424_GATE) if format == "auto" else F.lit(True))
+            else (
+                col.rlike(_RFC5424_GATE) & col.rlike(_RFC5424)
+                if format == "auto"
+                else F.lit(True)
+            )
         )
 
         def pick(g24: int | None, g64: int | None) -> Column:
@@ -305,7 +313,7 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
             .withColumn(prefix + "pid", _nil(pick(6, 5)))
             .withColumn(prefix + "msgid", F.when(is24, _nil(F.regexp_extract(col, _RFC5424, 7))))
             .withColumn(prefix + "sd", sd)
-            .withColumn(prefix + "sd_id", F.regexp_extract(sd, r"^\[(\S+)", 1))
+            .withColumn(prefix + "sd_id", F.regexp_extract(sd, r"^\[([^\s\]]+)", 1))
             .withColumn(
                 prefix + "sd_params",
                 F.when(sd.isNotNull(), F.map_from_arrays(kv_keys, kv_vals)),

@@ -187,19 +187,18 @@ def cri_join_partials(
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
+        from .stateful import _ordered_join
+
         w0 = Window.partitionBy(*groups).orderBy(order_col)
         prev_final = F.lag(F.col(flag_col) == "F", 1, True).over(w0)
         boundary = F.coalesce(prev_final, F.lit(True))
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_cri_grp", F.sum(boundary.cast("int")).over(w))
-        pairs = F.array_sort(
-            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(log_col).alias("t")))
-        )
         return (
             df.groupBy(*groups, "_cri_grp")
             .agg(
                 F.min(order_col).alias(order_col),
-                F.array_join(F.transform(pairs, lambda s: s["t"]), "").alias(log_col),
+                _ordered_join(order_col, log_col, ""),  # fragments: no separator
                 F.max(F.col(flag_col) == "F").alias("complete"),
                 F.count(F.lit(1)).alias("n_fragments"),
             )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..events import FLAG_TRUNCATED, FLAGS_COL
+
 
 def _ordered_join(order_col: str, text_col: str, sep: str):
     """collect_list is unordered — sort by the order key inside the array
@@ -156,9 +158,9 @@ def multiline_pattern(
                 F.min("ts").alias("ts") if "ts" in df.columns else F.lit(None).alias("ts"),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
-                F.when(F.max("_ml_sz") > max_lines, F.array(F.lit("truncated")))
+                F.when(F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED)))
                 .otherwise(F.array().cast("array<string>"))
-                .alias("log_flags"),
+                .alias(FLAGS_COL),
             )
             .drop("_ml_grp")
         )

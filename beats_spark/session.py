@@ -25,6 +25,11 @@ def _ship_package(spark: SparkSession) -> None:
     workers regardless of the driver's cwd.
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    if not os.path.isdir(pkg_dir):
+        # already running FROM a zip (spark-submit --py-files shipped it):
+        # the archive is distributed to executors by spark-submit itself —
+        # nothing to do, and os.walk over a zip path would yield nothing.
+        return
     zip_path = os.path.join(tempfile.gettempdir(), "beats_spark_pkg.zip")
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
         os.path.getmtime(os.path.join(r, f))

@@ -68,7 +68,7 @@ def test_lsh_bucket_topk_recall(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
     q = emb.filter(F.col("vec_id") < 10)
     exact = brute_topk(emb, q, k=5).select("query_id", "neighbor_id").collect()
-    approx = lsh_bucket_topk(emb, q, k=5, p_bits=4, multiprobe=2).select(
+    approx = lsh_bucket_topk(emb, q, k=5, p_bits=4, multiprobe=2, dim=64).select(
         "query_id", "neighbor_id"
     ).collect()
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}

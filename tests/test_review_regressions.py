@@ -100,3 +100,89 @@ def test_ndjson_expand_schema_with_parameterized_types(spark):
         "ndjson", expand_schema="a int, m map<string,string>", keys_under_root=True
     )(df).first()
     assert r.a == 1 and r.m == {"x": "y"}
+
+
+# --- round-2 self-review findings ------------------------------------------
+
+
+def test_cast_trailing_space_matches_scalar_walk(spark):
+    """R2 finding 1+6: Column fast path must rstrip spaces like
+    convert_value (dissect.go rstrips), and reject Unicode digits."""
+    from beats_spark.dissect import convert_value
+
+    df = spark.createDataFrame([("42 ",), (" 42",), ("3.5 ",)], "v string")
+    out = df.select(
+        cast_column(F.col("v"), "long").alias("n"),
+        cast_column(F.col("v"), "double").alias("d"),
+    ).collect()
+    assert out[0].n == 42 and convert_value("long", "42 ") == 42
+    assert out[1].n is None and convert_value("long", " 42") == " 42"
+    assert out[2].d == 3.5 and convert_value("double", "3.5 ") == 3.5
+    # Unicode digits: Python float() accepts them, strconv does not
+    assert convert_value("float", "٥.٥") == "٥.٥"
+
+
+def test_syslog_auto_requires_full_5424_grammar(spark):
+    """R2 finding 2: auto-detection must require the FULL 5424 grammar,
+    not just the <PRI>VERSION prefix — a prefix-only line must not be
+    committed to the 5424 branch (version stays NULL; note no line can
+    match the version gate AND be valid 3164, so both grammars reject)."""
+    from beats_spark.processors.parsers import syslog
+
+    df = spark.createDataFrame(
+        [
+            ("<13>7 errors found on host1",),  # gate matches, 5424 doesn't
+            ("<34>1 2003-10-11T22:14:15.003Z mymachine su - ID47 - msg",),
+        ],
+        "text string",
+    )
+    out = syslog("text", format="auto")(df).collect()
+    assert out[0].syslog_version is None  # NOT misrouted to 5424
+    assert out[0].syslog_msgid is None and out[0].syslog_sd is None
+    assert out[1].syslog_version == 1 and out[1].syslog_priority == 34
+
+
+def test_ipv6_double_compression_rejected(spark):
+    """R2 finding 3: '1::2::3' is not valid IPv6 and must not match."""
+    df = spark.createDataFrame([("1::2::3",), ("1::2",)], "ip string")
+    got = {r.ip for r in df.filter(compile_condition({"network": {"ip": "1::/16"}})).collect()}
+    assert got == {"1::2"}
+
+
+def test_fingerprint_null_field_keeps_digest(spark):
+    """R2 finding 4: one NULL field must not NULL the whole fingerprint."""
+    import hashlib
+
+    from beats_spark.processors.actions import fingerprint
+
+    df = spark.createDataFrame([(None, 7)], "a string, b int")
+    r = fingerprint(["a", "b"], target_field="fp", method="sha256")(df).collect()[0]
+    assert r.fp == hashlib.sha256(b"|a||b|7|").hexdigest()
+
+
+def test_syslog_sd_id_without_params(spark):
+    """R2 finding 5: SD-ELEMENT with no params must not capture ']'."""
+    from beats_spark.processors.parsers import syslog
+
+    df = spark.createDataFrame(
+        [("<165>1 2024-01-01T00:00:00Z h app - ID1 [exampleSDID@32473] msg",)], "text string"
+    )
+    r = syslog("text", format="rfc5424")(df).collect()[0]
+    assert r.syslog_sd_id == "exampleSDID@32473"
+
+
+def test_lsh_requires_explicit_dim(spark):
+    """R2 finding 7: no plan-time .first() job to sniff dim."""
+    from beats_spark.datapipe.similarity import lsh_bucket_topk
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="explicit dim"):
+        lsh_bucket_topk(df, df)
+
+
+def test_scrub_pii_unknown_kind_raises():
+    """R2 finding 10: a typo'd kind must fail loud, not skip scrubbing."""
+    from beats_spark.datapipe.text import scrub_pii
+
+    with pytest.raises(ValueError, match="phones"):
+        scrub_pii(F.lit("x"), kinds=["email", "phones"])

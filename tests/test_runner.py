@@ -36,3 +36,38 @@ def test_runner_fresh_then_resume(tmp_path):
     assert second["partitions_resumed"] == [0, 1, 2, 3]
     assert second["partitions_computed"] == []
     assert second["rows_processed"] == 0
+
+
+def test_runner_via_real_spark_submit(tmp_path):
+    """The north-rule deploy mode, for real: `spark-submit --py-files
+    beats_spark.zip runner.py`. The runner script is COPIED outside the
+    repo so the package can only be imported from the shipped zip."""
+    import shutil
+
+    spark_submit = "/opt/spark/bin/spark-submit"
+    if not os.path.exists(spark_submit):
+        import pytest
+
+        pytest.skip("no spark-submit in this image")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_zip = shutil.make_archive(str(tmp_path / "beats_spark"), "zip", root_dir=repo, base_dir="beats_spark")
+    runner_copy = str(tmp_path / "runner.py")
+    shutil.copy(os.path.join(repo, "beats_spark", "runner.py"), runner_copy)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
+    cmd = [
+        spark_submit, "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--py-files", pkg_zip,
+        runner_copy,
+        "--events", "/root/testdata/sf0.001",
+        "--out", out,
+        "--partitions", "2",
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600, env=env)
+    assert proc.returncode == 0, (proc.stderr or "")[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    assert metrics["rows_processed"] == 988
+    assert metrics["partitions_computed"] == [0, 1]
+    assert metrics["per_sink"]["sink_dead_letter"] == 69
