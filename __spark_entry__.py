@@ -570,6 +570,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of embeddings (4× ANN memory cut): codes
+    + per-vector (min, scale), value-checked against DuckDB replicating
+    the same floor arithmetic."""
+    from beats_spark.datapipe.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform(F.col("codes"), lambda c: c.cast("string")), ",").alias(
+            "codes_csv"
+        ),
+        F.round("q_min", 6).alias("q_min"),
+        F.round("q_scale", 6).alias("q_scale"),
+    )
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data hygiene: typed PII masking + per-kind hit counts
     (email/ipv4/ssn/phone regexes, pure map-side Column)."""
@@ -1073,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
         "pii_scrub": q_pii_scrub,
+        "quantize_int8": q_quantize_int8,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1643,6 +1662,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
                    sha256(text) AS sha
             FROM documents""",
+        "quantize_int8": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM v),
+            p AS (SELECT vec_id, v, mn,
+                         CASE WHEN mx > mn THEN (mx - mn) / 255.0 ELSE 1.0 END AS sc
+                  FROM s)
+            SELECT vec_id,
+                   array_to_string(list_transform(v,
+                     x -> CAST(least(255, CAST(floor((x - mn) / sc) AS INTEGER)) AS VARCHAR)), ',') AS codes_csv,
+                   round(mn, 6) AS q_min,
+                   round(sc, 6) AS q_scale
+            FROM p""",
         "pii_scrub": """
             SELECT doc_id,
                    'contact <EMAIL> and <IP> or call <PHONE> ssn <SSN> end' AS scrubbed,

@@ -137,6 +137,130 @@ def lsh_bucket_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector scalar int8 quantization: uint8 codes + (min, scale) —
+    a 4× memory cut for ANN candidate storage/scans. Pure Column
+    (array_min/max + transform), map-side at scan speed; exact floats are
+    recovered within `scale` by dequantize()."""
+    v = F.col(vec_col).cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = F.when(mx > mn, (mx - mn) / F.lit(255.0)).otherwise(F.lit(1.0))
+    codes = F.transform(
+        v, lambda x: F.least(F.lit(255), F.floor((x - mn) / scale).cast("int"))
+    )
+    return df.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        mn.alias("q_min"),
+        scale.alias("q_scale"),
+    )
+
+
+def dequantize(codes: Column, q_min: Column, q_scale: Column) -> Column:
+    """uint8 codes → approximate doubles (midpoint-free floor inverse)."""
+    return F.transform(codes, lambda c: c.cast("double") * q_scale + q_min)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic mini-Lloyd for IVF coarse centroids.
+
+    Init = the k lowest-id vectors (reproducible, no RNG); each iteration
+    is one distributed pass (assign via literal-centroid expressions →
+    groupBy avg per dimension). This is the TRAIN step — small, bounded,
+    run once; the scale path is ivf_topk's bucketed probe, which never
+    shuffles the corpus more than once. (The IVF counterpart of
+    lsh_bucket_topk; centroid quality only affects recall.)
+    """
+    if dim is None:
+        raise ValueError("ivf_centroids requires explicit dim=")
+    seed_rows = (
+        corpus.orderBy(id_col).limit(k).select(F.col(vec_col).cast("array<double>")).collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    for _ in range(iters):
+        cid = _nearest_centroid(F.col(vec_col), cents)
+        agg = (
+            corpus.select(cid.alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v"))
+            .groupBy("_cid")
+            .agg(*[F.avg(F.col("_v").getItem(i)).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {int(r["_cid"]): [r[f"d{i}"] for i in range(dim)] for r in agg}
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def _sq_dist(vec: Column, cent: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    v = vec.cast("array<double>")
+    dists = [_sq_dist(v, c) for c in cents]
+    m = F.least(*dists)
+    out = F.lit(len(cents) - 1)
+    for i in range(len(cents) - 2, -1, -1):
+        out = F.when(dists[i] == m, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: corpus bucketed by nearest centroid (ONE shuffle-free
+    map-side assignment), each query scans its `nprobe` nearest inverted
+    lists — probe cost ∝ nprobe/k_centroids of the corpus per query."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cid"),
+    )
+    qv = F.col(vec_col).cast("array<double>")
+    ranked = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(qv, cents[i]).alias("d"), F.lit(i).alias("i"))
+                    for i in range(len(cents))
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.transform(ranked, lambda s: s["i"])).alias("cid"),
+    )
+    joined = c.join(F.broadcast(q), "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cos_sim",
+        F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+    ).select("query_id", "neighbor_id", "cos_sim").distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dupes(
     df: DataFrame,
     threshold: float = 0.95,

@@ -79,6 +79,49 @@ def windowed_sink_counts(
     )
 
 
+def stream_to_sinks(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Streaming output fan-out — the ES/kafka multi-sink write as a
+    foreachBatch over the routed stream (outputs/output_reg.go's role).
+
+    Exactly-once across restarts: each micro-batch writes with OVERWRITE
+    into its own `_batch=<id>` directory (partitioned by sink inside), so
+    a replayed batch after a crash rewrites the same files instead of
+    duplicating — the same idempotent-overwrite upgrade the batch
+    checkpoint runner uses. checkpointLocation carries the source cursor
+    (registrar analog). Read back with read_sink_output().
+    """
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(SINK_COL)
+            .parquet(os.path.join(out_dir, f"_batch={batch_id}"))
+        )
+
+    writer = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def read_sink_output(spark, out_dir: str) -> DataFrame:
+    """Read everything stream_to_sinks wrote (all batches, sink column
+    restored from partition dirs)."""
+    return spark.read.option("basePath", out_dir).parquet(f"{out_dir}/_batch=*")
+
+
 def run_stream_to_memory(spark, routed: DataFrame, name: str = "sink_counts", timeout_s: int = 20):
     """Drive a short streaming run into an in-memory table (tests)."""
     q = (

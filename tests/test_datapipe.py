@@ -163,3 +163,47 @@ def test_sessionize_matches_pandas_reference(spark):
             prev = cur
         expected.add((conv, start, count))
     assert got == expected
+
+
+def test_quantize_int8_roundtrip(spark):
+    from beats_spark.datapipe.similarity import dequantize, quantize_int8
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    q = quantize_int8(emb)
+    back = q.join(emb, "vec_id").select(
+        "vec_id",
+        dequantize(F.col("codes"), F.col("q_min"), F.col("q_scale")).alias("approx"),
+        F.col("embedding").cast("array<double>").alias("orig"),
+        "q_scale",
+    )
+    err = back.select(
+        F.max(
+            F.aggregate(
+                F.zip_with("approx", "orig", lambda a, b: F.abs(a - b)),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            )
+            / F.col("q_scale")
+        ).alias("worst")
+    ).collect()[0].worst
+    assert err <= 1.0 + 1e-9  # floor quantization: off by at most one step
+    codes = q.select(F.array_min("codes").alias("lo"), F.array_max("codes").alias("hi")).collect()
+    assert all(0 <= r.lo and r.hi <= 255 for r in codes)
+
+
+def test_ivf_topk_recall(spark):
+    """IVF coarse-quantizer ANN: recall@5 vs brute force ≥ 0.5 with
+    nprobe=4 of 8 lists (deterministic mini-Lloyd centroids)."""
+    from beats_spark.datapipe.similarity import brute_topk, ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8, iters=2, dim=64)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall}"

@@ -76,3 +76,41 @@ def test_file_stream_restart_exactly_once(spark, tmp_path):
     # per-turn identity intact across the restart
     out = spark.read.parquet(out_dir)
     assert out.select("conv_id", "turn_idx").distinct().count() == expect_total
+
+
+@pytest.mark.slow
+def test_stream_fanout_sinks_exactly_once(spark, tmp_path):
+    """Streaming fan-out (stream_to_sinks): per-sink partitioned output,
+    idempotent per-batch overwrite, restart picks up only new files and
+    the final routed-row multiset equals the batch pipeline's."""
+    from beats_spark.streaming import read_sink_output, stream_to_sinks
+
+    src_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src_dir)
+    base = synth.transcripts(spark, "/root/testdata/sf0.001")
+    half1 = base.filter(F.col("event_id") % 2 == 0).drop("event_id")
+    half2 = base.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    half1.coalesce(2).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        stream = read_transcripts_stream(spark, src_dir, max_files_per_trigger=4)
+        routed = route_events(parse_enrich(stream, spark))
+        q = stream_to_sinks(routed, out_dir, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    run_once()
+    half2.coalesce(2).write.mode("append").parquet(src_dir)
+    run_once()  # restart from checkpoint: only the new files process
+
+    got = read_sink_output(spark, out_dir)
+    want = route_events(parse_enrich(spark.read.parquet(src_dir), spark))
+    key = lambda df: sorted(
+        (r.conv_id, r.turn_idx, r["_sink"]) for r in df.select("conv_id", "turn_idx", "_sink").collect()
+    )
+    assert key(got) == key(want)
+    # per-sink partition dirs exist under each batch (prunable by sink)
+    batch_dirs = [d for d in os.listdir(out_dir) if d.startswith("_batch=")]
+    assert batch_dirs
+    assert any(
+        d.startswith("_sink=") for b in batch_dirs for d in os.listdir(os.path.join(out_dir, b))
+    )
