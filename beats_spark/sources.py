@@ -47,6 +47,24 @@ def read_transcripts(
     return df
 
 
+def read_tcp_lines(spark: SparkSession, host: str = "localhost", port: int = 9999) -> DataFrame:
+    """TCP input analog (filebeat/input/tcp: line-delimited text over a
+    socket). Spark's built-in socket source yields one row per line in a
+    `line` column; the whole reader/parse stack (syslog, ndjson,
+    dissect, …) applies to it unchanged — the framing/splitting the
+    reference does in its tcp harvester is the source's job here.
+    (UDP has no built-in Spark source; on a real deployment both arrive
+    via kafka — format("kafka") — with an identical downstream plan.)
+    """
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+        .withColumnRenamed("value", "line")
+    )
+
+
 def read_transcripts_stream(
     spark: SparkSession,
     path: str,

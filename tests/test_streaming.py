@@ -154,3 +154,58 @@ def test_stream_session_flows(spark, tmp_path):
     # must match the batch result, and the closed c1 session must be there
     assert got <= want and len(got) >= 1
     assert ("c1", "2024-01-01 00:00:00", 2) in got
+
+
+@pytest.mark.slow
+def test_tcp_input_to_syslog_parse(spark):
+    """Protocol input (§2.1 tcp): a real local TCP server feeds syslog
+    lines into the socket source; the standard parse stack runs on the
+    stream and the parsed fields land in the sink."""
+    import socket
+    import threading
+
+    from beats_spark.processors.parsers import syslog
+    from beats_spark.sources import read_tcp_lines
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for i in range(20):
+                conn.sendall(f"<34>Oct 11 22:14:{i:02d} tcphost app[{i}]: msg {i}\n".encode())
+            stop.wait(30)  # keep the connection open while Spark reads
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    stream = read_tcp_lines(spark, "127.0.0.1", port)
+    parsed = syslog("line")(stream)
+    q = (
+        parsed.select("syslog_priority", "syslog_hostname", "syslog_pid", "syslog_message")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tcp_syslog")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("tcp_syslog").collect()
+            if len(rows) >= 20:
+                break
+            time.sleep(1)
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+    assert len(rows) >= 20
+    assert all(r.syslog_priority == 34 and r.syslog_hostname == "tcphost" for r in rows[:20])
+    msgs = {r.syslog_message for r in rows}
+    assert "msg 0" in msgs and "msg 19" in msgs
