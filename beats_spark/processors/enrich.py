@@ -94,8 +94,18 @@ def _psl_rules() -> list[tuple]:
     return _psl_cache
 
 
-def registered_domain(field: str, target: str):
+def registered_domain(
+    field: str,
+    target: str,
+    target_subdomain: str | None = None,
+    target_etld: str | None = None,
+):
     """registered_domain.go:41-110 — eTLD+1 per the full public suffix list.
+
+    `target_subdomain` / `target_etld` mirror the reference's optional
+    TargetSubdomainField / TargetETLDField (registered_domain.go:100-110):
+    subdomain = labels left of the registered domain, etld = the public
+    suffix itself; both NULL whenever the registered domain is NULL.
 
     Spark-first shape: the PSL (~11k rules) is a BROADCAST lookup joined
     once per candidate suffix depth (5 map-side hash joins, zero shuffles
@@ -154,7 +164,20 @@ def registered_domain(field: str, target: str):
         drop = ["_psl_parts"] + [
             c for k in range(1, _PSL_MAX_LABELS + 1) for c in (f"_sfx{k}", f"_x{k}", f"_w{k}", f"_e{k}")
         ]
-        return df.withColumn(target, rd).drop(*drop)
+        df = df.withColumn(target, rd)
+        if target_subdomain is not None:
+            sub = F.when(
+                F.col(target).isNotNull() & (n > ps_depth + 1),
+                F.array_join(F.slice(F.col("_psl_parts"), 1, n - ps_depth - 1), "."),
+            )
+            df = df.withColumn(target_subdomain, sub)
+        if target_etld is not None:
+            etld = F.when(
+                F.col(target).isNotNull(),
+                F.array_join(F.slice(F.col("_psl_parts"), n - ps_depth + 1, ps_depth), "."),
+            )
+            df = df.withColumn(target_etld, etld)
+        return df.drop(*drop)
 
     return stage
 

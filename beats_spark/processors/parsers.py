@@ -133,7 +133,10 @@ def decode_csv_fields(field: str, target: str, separator: str = ",", max_columns
         src = _get(df, field)
         n = max_columns
         schema = ", ".join(f"_c{i} string" for i in range(n))
-        parsed = F.from_csv(src, schema, {"sep": separator})
+        # escape='"' ⇒ doubled-quote escaping, pure RFC4180 like the
+        # reference's Go csv.Reader (Spark's default escape is backslash,
+        # which silently mis-parses `"xb"","` -> 'xb"' + a stray cell)
+        parsed = F.from_csv(src, schema, {"sep": separator, "escape": '"'})
         stripped = F.regexp_replace(src, '"([^"]|"")*"', "")
         arity = F.regexp_count(stripped, F.lit(_re.escape(separator))) + F.lit(1)
         cells = F.array(*[F.coalesce(parsed.getItem(f"_c{i}"), F.lit("")) for i in range(n)])

@@ -60,6 +60,7 @@ def ndjson(
     overwrite_keys: bool = False,
     add_error_key: bool = True,
     expand_schema: str | None = None,
+    document_id: str | None = None,
 ):
     """NDJSON line parser (readjson/json.go, json_config.go:21-35).
 
@@ -106,6 +107,13 @@ def ndjson(
             )
         if not expand_schema and message_key:
             df = df.withColumn(field, F.coalesce(parsed.getItem(message_key), F.col(field)))
+        if document_id:
+            # json.document_id (json_config.go): lift the named JSON member
+            # into the event id metadata (@metadata._id analog)
+            src = (
+                parsed.getField(document_id) if expand_schema else parsed.getItem(document_id)
+            )
+            df = df.withColumn("_meta_id", src.cast("string"))
         return df
 
     return stage

@@ -496,3 +496,58 @@ def test_fingerprint_reference_encoding(spark):
     df = spark.createDataFrame([("x", 7)], "a string, b int")
     out = build("fingerprint", fields=["b", "a"], method="sha256")(df).collect()[0]
     assert out.fingerprint == hashlib.sha256(b"|a|x|b|7|").hexdigest()
+
+
+def test_registered_domain_reference_golden(spark):
+    """The reference's own test vectors (registered_domain_test.go:
+    TestProcessorRun) incl. subdomain + etld target fields; error cases
+    map to NULL registered_domain (typed-column analog of the Run error)."""
+    cases = [
+        # (domain, rd, subdomain, etld)
+        ("www.google.com", "google.com", "www", "com"),
+        ("www.google.co.uk", "google.co.uk", "www", "co.uk"),
+        ("www.mail.google.co.uk", "google.co.uk", "www.mail", "co.uk"),
+        ("google.com", "google.com", None, "com"),
+        ("www.ak.local", "ak.local", "www", "local"),
+        ("www.navy.mil", "navy.mil", "www", "mil"),
+        ("com", None, None, None),
+        ("localhost", None, None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "domain string")
+    out = build(
+        "registered_domain",
+        field="domain",
+        target="rd",
+        target_subdomain="subdomain",
+        target_etld="etld",
+    )(df)
+    got = {r.domain: (r.rd, r.subdomain, r.etld) for r in out.collect()}
+    for domain, rd, sub, etld in cases:
+        assert got[domain] == (rd, sub, etld), f"{domain}: {got[domain]}"
+
+
+def test_decode_csv_property_vs_python_csv(spark):
+    """200 randomized RFC4180 lines (quotes, embedded commas/newlines/
+    doubled quotes, empty cells) written by Python's csv module must
+    round-trip exactly through decode_csv_fields."""
+    import csv
+    import io
+    import random
+
+    rnd = random.Random(7)
+    alphabet = 'ab",\n x'
+    cases = []
+    for i in range(200):
+        cells = [
+            "".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 6)))
+            for _ in range(rnd.randint(1, 6))
+        ]
+        buf = io.StringIO()
+        # standard lineterminator so newline-bearing cells get quoted,
+        # then strip the trailing terminator to get one logical line
+        csv.writer(buf, quoting=csv.QUOTE_MINIMAL, lineterminator="\r\n").writerow(cells)
+        cases.append((i, buf.getvalue()[:-2], cells))
+    df = spark.createDataFrame([(i, line) for i, line, _ in cases], "id int, line string")
+    out = {r.id: r.cells for r in build("decode_csv_fields", field="line", target="cells")(df).collect()}
+    for i, line, cells in cases:
+        assert out[i] == cells, f"case {i}: {line!r} -> {out[i]} != {cells}"

@@ -79,3 +79,15 @@ def test_cri_join_partials(spark):
         (3, "solo", True, 1),
         (4, "tail", False, 1),
     ]
+
+
+def test_ndjson_document_id(spark):
+    """json.document_id (json_config.go): named member becomes _meta_id."""
+    from beats_spark.processors.reader import ndjson
+
+    df = spark.createDataFrame(
+        [('{"id": "doc-1", "msg": "m"}',), ("{broken",)], "text string"
+    )
+    out = ndjson("text", document_id="id")(df).collect()
+    assert out[0]._meta_id == "doc-1"
+    assert out[1]._meta_id is None
