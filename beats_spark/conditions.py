@@ -118,8 +118,9 @@ def _cidr_match(col: Column, cidr: str) -> Column:
     return col.rlike(IPV4_RE) & (v >= F.lit(lo)) & (v <= F.lit(hi))
 
 
-def _network_cond(field: str, spec: Any) -> Column:
-    col = _field(field)
+def network_match(col: Column, spec: Any) -> Column:
+    """CIDR / named-network match against a Column (shared by the
+    conditions DSL and add_network_direction's internal_networks)."""
     specs = spec if isinstance(spec, list) else [spec]
     conds = []
     for s in specs:
@@ -188,5 +189,5 @@ def compile_condition(cfg: dict[str, Any]) -> Column:
     if op == "has_fields":
         return _all([_field(k).isNotNull() for k in (arg if isinstance(arg, list) else [arg])])
     if op == "network":
-        return _all([F.coalesce(_network_cond(k, v), F.lit(False)) for k, v in arg.items()])
+        return _all([F.coalesce(network_match(_field(k), v), F.lit(False)) for k, v in arg.items()])
     raise ValueError(f"unknown condition operator: {op!r}")

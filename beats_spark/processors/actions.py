@@ -163,21 +163,45 @@ def replace(fields: list[dict[str, str]], when: dict | None = None):
     return stage
 
 
-def truncate_fields(fields: list[str], max_characters: int, when: dict | None = None):
-    """truncate_fields.go:50-53 — truncate + `truncated` flag."""
+def truncate_fields(
+    fields: list[str],
+    max_characters: int | None = None,
+    max_bytes: int | None = None,
+    when: dict | None = None,
+):
+    """truncate_fields.go:38-71 — truncate + `truncated` flag.
+
+    Exactly one of max_characters / max_bytes (the reference's mutually-
+    exclusive pair). Byte mode measures the UTF-8 encoding; a cut that
+    would split a multi-byte rune decodes its torn tail as U+FFFD
+    (the reference slices raw bytes, leaving the torn tail torn — same
+    byte budget, different rendering of the final partial rune).
+    """
+    if (max_characters is None) == (max_bytes is None):
+        raise ValueError("truncate_fields: exactly one of max_characters/max_bytes")
+
+    def measure(col: Column) -> Column:
+        return F.length(col) if max_bytes is None else F.octet_length(col)
+
+    def cut(col: Column) -> Column:
+        if max_bytes is None:
+            return F.substring(col, 1, max_characters)
+        return F.decode(F.substring(F.encode(col, "utf-8"), 1, max_bytes), "utf-8")
+
+    lim = max_characters if max_bytes is None else max_bytes
 
     def stage(df: DataFrame) -> DataFrame:
         # Flag BEFORE truncating — the flag condition must see the
         # original lengths, not the already-truncated values.
         flag_cond = F.lit(False)
         for f in fields:
-            flag_cond = flag_cond | (F.length(F.col(f)) > max_characters)
+            flag_cond = flag_cond | (measure(F.col(f)) > lim)
         if when is not None:
             flag_cond = flag_cond & F.coalesce(compile_condition(when), F.lit(False))
         flags = F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
         df = df.withColumn(FLAGS_COL, append_flag(flags, FLAG_TRUNCATED, flag_cond))
         for f in fields:
-            df = _with_guarded(df, f, F.substring(F.col(f), 1, max_characters), when)
+            df = _with_guarded(df, f, cut(F.col(f)), when)
         return df
 
     return stage

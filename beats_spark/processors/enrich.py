@@ -246,16 +246,17 @@ def community_id(
 def add_network_direction(
     source: str, destination: str, target: str = "network_direction", internal_networks: list[str] | None = None
 ):
-    """add_network_direction.go:34 — classify vs internal CIDRs."""
-    from ..conditions import _cidr_match  # driver-compiled CIDR ranges
+    """add_network_direction.go:34 — classify vs internal networks.
+
+    `internal_networks` accepts CIDRs AND the named networks the
+    reference supports ('private', 'loopback', …) — same resolver as
+    the conditions DSL's `network` operator."""
+    from ..conditions import network_match
 
     nets = internal_networks or ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"]
 
     def is_internal(col: Column) -> Column:
-        cond = F.lit(False)
-        for n in nets:
-            cond = cond | _cidr_match(col, n)
-        return cond
+        return network_match(col, nets)
 
     def stage(df: DataFrame) -> DataFrame:
         src_in = is_internal(F.col(source))

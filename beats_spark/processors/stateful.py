@@ -43,15 +43,21 @@ def _ordered_join(order_col: str, text_col: str, sep: str):
     return F.array_join(F.transform(pairs, lambda s: s["t"]), sep).alias(text_col)
 
 
+_RATE_UNITS = {"s": "1 second", "m": "1 minute", "h": "1 hour", "d": "1 day"}
+
+
 def rate_limit(
     key_fields: list[str],
-    limit: int,
+    limit: int | str,
     period: str = "1 minute",
     ts_col: str = "ts",
     order_cols: list[str] | None = None,
     salt_buckets: int = 16,
 ):
     """Keep at most `limit` events per key per period-bucket; drop the rest.
+
+    `limit` also accepts the reference's rate-string form ('100/m',
+    ratelimit/rate.go) — '<N>/<s|m|h|d>' sets both limit and period.
 
     Two-phase salted cap (skew-safe): a single window over (key, bucket)
     puts a hot key's entire bucket in ONE task — a 5%-of-corpus key is a
@@ -64,6 +70,13 @@ def rate_limit(
     winners; phase 2 re-ranks that tiny set exactly. Result is identical
     to the single-window form for any input.
     """
+    if isinstance(limit, str):
+        import re
+
+        m = re.fullmatch(r"(\d+)\s*/\s*([smhd])", limit)
+        if not m:
+            raise ValueError(f"rate_limit: bad rate string {limit!r} (want e.g. '100/m')")
+        limit, period = int(m.group(1)), _RATE_UNITS[m.group(2)]
 
     def stage(df: DataFrame) -> DataFrame:
         bucket = F.window(F.col(ts_col), period).getField("start")

@@ -551,3 +551,43 @@ def test_decode_csv_property_vs_python_csv(spark):
     out = {r.id: r.cells for r in build("decode_csv_fields", field="line", target="cells")(df).collect()}
     for i, line, cells in cases:
         assert out[i] == cells, f"case {i}: {line!r} -> {out[i]} != {cells}"
+
+
+def test_rate_limit_rate_string(spark):
+    """Reference rate-string config ('3/h', ratelimit/rate.go) ≡ explicit
+    limit+period."""
+    from beats_spark import synth
+    from beats_spark.processors.stateful import rate_limit
+
+    t = synth.transcripts(spark, "/root/testdata/sf0.001")
+    a = rate_limit(["conv_id"], limit="3/h", order_cols=["turn_idx"])(t)
+    b = rate_limit(["conv_id"], limit=3, period="1 hour", order_cols=["turn_idx"])(t)
+    ka = {(r.conv_id, r.turn_idx) for r in a.select("conv_id", "turn_idx").collect()}
+    kb = {(r.conv_id, r.turn_idx) for r in b.select("conv_id", "turn_idx").collect()}
+    assert ka == kb
+    with pytest.raises(ValueError, match="rate string"):
+        rate_limit(["conv_id"], limit="3 per hour")
+
+
+def test_truncate_fields_byte_mode(spark):
+    """max_bytes (truncate_fields.go:38-71): UTF-8 byte budget, flag on
+    overflow, mutually exclusive with max_characters."""
+    df = spark.createDataFrame([("héllo wörld",), ("hi",)], "text string")
+    out = build("truncate_fields", fields=["text"], max_bytes=6)(df).collect()
+    assert len(out[0].text.encode()) <= 6
+    assert "truncated" in out[0].log_flags
+    assert out[1].text == "hi" and "truncated" not in out[1].log_flags
+    with pytest.raises(ValueError, match="exactly one"):
+        build("truncate_fields", fields=["text"], max_characters=5, max_bytes=5)
+
+
+def test_network_direction_named_networks(spark):
+    """internal_networks accepts named networks (add_network_direction_test.go:96)."""
+    df = spark.createDataFrame(
+        [("192.168.1.5", "8.8.8.8"), ("8.8.8.8", "10.0.0.1"), ("1.1.1.1", "8.8.8.8")],
+        "s string, d string",
+    )
+    out = build(
+        "add_network_direction", source="s", destination="d", internal_networks=["private"]
+    )(df).collect()
+    assert [r.network_direction for r in out] == ["outbound", "inbound", "external"]
