@@ -207,27 +207,48 @@ def truncate_fields(
     return stage
 
 
-def lowercase(fields: list[str], values: bool = True, when: dict | None = None):
-    """lowercase.go:31 — case-fold values (column-name folding is a
-    compile-time rename in a fixed schema, apply via `rename`)."""
-
+def _case_fold(fold, fields, values, field_names, when):
     def stage(df: DataFrame) -> DataFrame:
-        for f in fields:
+        # alterFieldProcessor.go:31 — the reference's primary action is
+        # case-folding FIELD NAMES (a compile-time rename in a fixed
+        # schema); `values` additionally folds the values of `fields`.
+        # value folds first (they reference original names), then renames
+        for f in fields or []:
             if values:
-                df = _with_guarded(df, f, F.lower(F.col(f)), when)
+                df = _with_guarded(df, f, fold(F.col(f)), when)
+        for f in field_names or []:
+            folded = fold(f)
+            if f in df.columns and folded != f:
+                df = df.withColumnRenamed(f, folded)
         return df
 
     return stage
 
 
-def uppercase(fields: list[str], values: bool = True, when: dict | None = None):
-    def stage(df: DataFrame) -> DataFrame:
-        for f in fields:
-            if values:
-                df = _with_guarded(df, f, F.upper(F.col(f)), when)
-        return df
+def lowercase(
+    fields: list[str] | None = None,
+    values: bool = True,
+    field_names: list[str] | None = None,
+    when: dict | None = None,
+):
+    """lowercase.go:31 + alterFieldProcessor.go:31 — fold the values of
+    `fields` and/or rename the columns in `field_names` to lowercase."""
+    return _case_fold(
+        lambda x: F.lower(x) if isinstance(x, Column) else x.lower(),
+        fields, values, field_names, when,
+    )
 
-    return stage
+
+def uppercase(
+    fields: list[str] | None = None,
+    values: bool = True,
+    field_names: list[str] | None = None,
+    when: dict | None = None,
+):
+    return _case_fold(
+        lambda x: F.upper(x) if isinstance(x, Column) else x.upper(),
+        fields, values, field_names, when,
+    )
 
 
 def append(

@@ -591,3 +591,12 @@ def test_network_direction_named_networks(spark):
         "add_network_direction", source="s", destination="d", internal_networks=["private"]
     )(df).collect()
     assert [r.network_direction for r in out] == ["outbound", "inbound", "external"]
+
+
+def test_case_fold_field_names(spark):
+    """alterFieldProcessor: lowercase/uppercase fold FIELD NAMES too."""
+    df = spark.createDataFrame([("v", "w")], "MixedCase string, other string")
+    out = build("lowercase", field_names=["MixedCase"])(df)
+    assert "mixedcase" in out.columns and "MixedCase" not in out.columns
+    up = build("uppercase", field_names=["other"], fields=["other"])(df)
+    assert "OTHER" in up.columns
