@@ -34,8 +34,23 @@ REGISTRY.update(
         "timestamp": parsers.timestamp,
         "syslog": parsers.syslog,
         "decompress_gzip_field": parsers.decompress_gzip_field,
-        # enrich
+        # enrich — the reference's whole lookup family IS a broadcast join
+        # with a different build side; keep the reference config names so
+        # a beats YAML translates 1:1 (caller supplies the lookup table
+        # where the reference would call the OS/LDAP/DNS/cloud service)
         "lookup_join": enrich.lookup_join,
+        "translate_sid": enrich.lookup_join,
+        "translate_ldap_attribute": enrich.lookup_join,
+        "dns": enrich.lookup_join,
+        "add_cloud_metadata": enrich.lookup_join,
+        "add_docker_metadata": enrich.lookup_join,
+        "add_kubernetes_metadata": enrich.lookup_join,
+        "add_process_metadata": enrich.lookup_join,
+        "add_host_metadata": enrich.add_constant_metadata,
+        "add_agent_metadata": enrich.add_constant_metadata,
+        "add_observer_metadata": enrich.add_constant_metadata,
+        "add_locale": enrich.add_constant_metadata,
+        "cache_get": enrich.cache_get,
         "add_constant_metadata": enrich.add_constant_metadata,
         "registered_domain": enrich.registered_domain,
         "community_id": enrich.community_id,

@@ -43,6 +43,29 @@ def salted_repartition(
     return df.repartition(F.col(key), salt)
 
 
+def kafka_partitioner(
+    df: DataFrame,
+    n_partitions: int,
+    mode: str = "hash",
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """kafka/partition.go:64-143 — the three partitioner strategies as
+    deterministic repartitions. 'random' hashes the event's natural key
+    instead of calling rand(): Spark stages must be replay-deterministic
+    or task retry duplicates rows — the same reason the reference caches
+    a sticky partition per event for retry stability (partition.go:64-68).
+    """
+    if mode == "hash":
+        cols = [F.col(c) for c in (fields or ["conv_id"])]
+        return df.repartition(n_partitions, *cols)
+    if mode == "round_robin":
+        return df.repartition(n_partitions)  # Spark's round-robin partitioning
+    if mode == "random":
+        cols = [F.col(c) for c in (fields or ["conv_id", "turn_idx"])]
+        return df.repartition(n_partitions, F.pmod(F.xxhash64(*cols), F.lit(n_partitions)))
+    raise ValueError(f"kafka_partitioner: unknown mode {mode!r}")
+
+
 def write_sinks(
     df: DataFrame,
     out_dir: str,

@@ -83,3 +83,30 @@ def test_rate_limit_two_phase_matches_single_window_and_spreads(spark):
         .count()
     )
     assert salts >= 8, f"hot conv only spread over {salts} salt groups"
+
+
+def test_kafka_partitioner_modes(spark):
+    """partition.go:64-143 analogs: hash keeps a key in one partition,
+    round_robin balances, 'random' is deterministic across retries."""
+    from beats_spark import synth
+    from beats_spark.routing import kafka_partitioner
+
+    t = synth.transcripts(spark, "/root/testdata/sf0.001")
+    hashed = kafka_partitioner(t, 8, mode="hash", fields=["conv_id"])
+    per_key = (
+        hashed.withColumn("pid", F.spark_partition_id())
+        .groupBy("conv_id")
+        .agg(F.countDistinct("pid").alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert per_key == 1  # a key never splits under the hash partitioner
+    rr = kafka_partitioner(t, 8, mode="round_robin")
+    sizes = [r["count"] for r in rr.withColumn("pid", F.spark_partition_id()).groupBy("pid").count().collect()]
+    assert len(sizes) == 8 and max(sizes) - min(sizes) <= 1
+    r1 = kafka_partitioner(t, 8, mode="random").withColumn("pid", F.spark_partition_id())
+    r2 = kafka_partitioner(t, 8, mode="random").withColumn("pid", F.spark_partition_id())
+    a = sorted((r.conv_id, r.turn_idx, r.pid) for r in r1.select("conv_id", "turn_idx", "pid").collect())
+    b = sorted((r.conv_id, r.turn_idx, r.pid) for r in r2.select("conv_id", "turn_idx", "pid").collect())
+    assert a == b  # retry-stable ("sticky partition") determinism
