@@ -78,3 +78,37 @@ def test_invalid_configs_fail_at_compile():
     ):
         with pytest.raises(ValueError):
             compile_condition(bad)
+
+
+def test_cidr_property_vs_ipaddress(spark):
+    """150 random v4/v6 addresses × 12 random CIDRs: _cidr_match must agree
+    exactly with Python's ipaddress module (the independent reference)."""
+    import ipaddress
+    import random
+
+    from beats_spark.conditions import _cidr_match
+
+    rnd = random.Random(11)
+    addrs = []
+    for _ in range(150):
+        if rnd.random() < 0.5:
+            addrs.append(str(ipaddress.IPv4Address(rnd.getrandbits(32))))
+        else:
+            a = ipaddress.IPv6Address(rnd.getrandbits(128))
+            addrs.append(a.compressed if rnd.random() < 0.7 else a.exploded)
+    cidrs = []
+    for _ in range(6):
+        cidrs.append(f"{ipaddress.IPv4Address(rnd.getrandbits(32))}/{rnd.randint(0, 32)}")
+        cidrs.append(f"{ipaddress.IPv6Address(rnd.getrandbits(128))}/{rnd.randint(1, 128)}")
+    # targeted adversarial prefixes on top of the random ones
+    cidrs += ["2001:db8::/32", "ff00::/8", "::/0", "0.0.0.0/0"]
+    df = spark.createDataFrame([(a,) for a in addrs], "ip string").cache()
+    for cidr in cidrs:
+        net = ipaddress.ip_network(cidr, strict=False)
+        got = {r.ip for r in df.filter(_cidr_match(F.col("ip"), cidr)).collect()}
+        want = {
+            a
+            for a in addrs
+            if ipaddress.ip_address(a).version == net.version and ipaddress.ip_address(a) in net
+        }
+        assert got == want, f"{cidr}: extra={got - want} missing={want - got}"

@@ -600,3 +600,78 @@ def test_case_fold_field_names(spark):
     assert "mixedcase" in out.columns and "MixedCase" not in out.columns
     up = build("uppercase", field_names=["other"], fields=["other"])(df)
     assert "OTHER" in up.columns
+
+
+def test_decode_duration_property(spark):
+    """120 random Go-style duration strings vs an independent Python
+    evaluation of the component sum."""
+    import random
+
+    rnd = random.Random(13)
+    cases = []
+    for i in range(120):
+        parts, secs = [], 0.0
+        if rnd.random() < 0.5:
+            h = rnd.randint(0, 99)
+            parts.append(f"{h}h")
+            secs += h * 3600
+        if rnd.random() < 0.6:
+            m = rnd.randint(0, 180)
+            parts.append(f"{m}m")
+            secs += m * 60
+        if rnd.random() < 0.7:
+            s = round(rnd.uniform(0, 90), rnd.randint(0, 3))
+            txt = f"{s:g}s"
+            parts.append(txt)
+            secs += float(txt[:-1])
+        if rnd.random() < 0.4:
+            ms = rnd.randint(0, 2500)
+            parts.append(f"{ms}ms")
+            secs += ms / 1000.0
+        if not parts:
+            parts, secs = ["1s"], 1.0
+        cases.append((i, "".join(parts), secs))
+    df = spark.createDataFrame([(i, d) for i, d, _ in cases], "id int, d string")
+    out = {r.id: r.secs for r in build("decode_duration", field="d", target="secs")(df).collect()}
+    for i, d, want in cases:
+        assert out[i] == pytest.approx(want, abs=1e-9), (d, out[i], want)
+
+
+def test_syslog_roundtrip_property(spark):
+    """150 randomized RFC3164/RFC5424 lines built from known components:
+    the auto parser must recover every component exactly."""
+    import random
+
+    from beats_spark.processors.parsers import syslog
+
+    rnd = random.Random(17)
+    host_chars = "abcz019.-"
+    msg_chars = "abc xyz0 9!\"[]{}=:/\\"
+    cases = []
+    for i in range(150):
+        pri = rnd.randint(0, 191)
+        host = "h" + "".join(rnd.choice(host_chars) for _ in range(rnd.randint(1, 8)))
+        msg = "".join(rnd.choice(msg_chars) for _ in range(rnd.randint(1, 20))).strip() or "m"
+        if rnd.random() < 0.5:
+            tag = "app" + str(rnd.randint(0, 99))
+            pid = rnd.randint(1, 65535)
+            line = f"<{pri}>Oct 11 22:14:{rnd.randint(0,59):02d} {host} {tag}[{pid}]: {msg}"
+            cases.append((i, line, dict(pri=pri, host=host, pid=str(pid), msg=msg, version=None)))
+        else:
+            app = "svc" + str(rnd.randint(0, 9))
+            msgid = "ID" + str(rnd.randint(0, 999))
+            sd = f'[x@1 k="{rnd.randint(0,9)}"]' if rnd.random() < 0.5 else "-"
+            line = (
+                f"<{pri}>1 2024-01-05T10:00:{rnd.randint(0,59):02d}Z {host} {app} - {msgid} {sd} {msg}"
+            )
+            cases.append((i, line, dict(pri=pri, host=host, pid=None, msg=msg, version=1)))
+    df = spark.createDataFrame([(i, l) for i, l, _ in cases], "id int, text string")
+    out = {r.id: r for r in syslog("text", format="auto")(df).collect()}
+    for i, line, want in cases:
+        r = out[i]
+        assert r.syslog_priority == want["pri"], line
+        assert r.syslog_severity == want["pri"] % 8 and r.syslog_facility == want["pri"] // 8
+        assert r.syslog_hostname == want["host"], line
+        assert r.syslog_pid == want["pid"], line
+        assert r.syslog_message == want["msg"], (line, r.syslog_message)
+        assert r.syslog_version == want["version"], line

@@ -91,3 +91,92 @@ def test_ndjson_document_id(spark):
     out = ndjson("text", document_id="id")(df).collect()
     assert out[0]._meta_id == "doc-1"
     assert out[1]._meta_id is None
+
+
+def test_selector_property_vs_python_reference(spark):
+    """Routing tie-break fidelity (select.go:341-399): randomized rule
+    lists (when / mappings / defaults / missing fields / empty values)
+    evaluated by Selector.column must match an independent Python
+    interpreter of the documented semantics on every row."""
+    import random
+
+    from beats_spark import synth
+    from beats_spark.routing import route
+    from beats_spark.selector import Rule, Selector
+
+    rnd = random.Random(19)
+    t = synth.transcripts(spark, "/root/testdata/sf0.001").select(
+        "conv_id", "turn_idx", "role", "tool", "ts"
+    )
+    rows = [r.asDict() for r in t.collect()]
+    columns = {"conv_id", "turn_idx", "role", "tool", "ts"}
+
+    def py_fmtstr(prefix, field, dflt, row):
+        """(value, defined) per compile_fmtstr semantics."""
+        present = field in columns
+        val = row.get(field) if present else None
+        if val is None:
+            if dflt:
+                return prefix + dflt, True
+            return prefix + "None", False  # value poisoned; defined=False
+        return prefix + str(val), True
+
+    def py_rule(rule_spec, row):
+        prefix, field, dflt, when, mappings, default = rule_spec
+        if when is not None:
+            k, v = when
+            if k == "role" and row["role"] != v:
+                return None
+            if k == "turn" and not row["turn_idx"] < v:
+                return None
+        value, defined = py_fmtstr(prefix, field, dflt, row)
+        if mappings is not None:
+            value = mappings.get(value, default)
+        elif value is None and default is not None:
+            value = default
+        if not defined or value is None or value == "":
+            return None
+        return value
+
+    for trial in range(4):
+        specs = []
+        rules = []
+        for i in range(rnd.randint(2, 6)):
+            field = rnd.choice(["role", "tool", "absent_col"])
+            prefix = rnd.choice(["", f"p{i}-"])
+            dflt = rnd.choice([None, "dd"])
+            when = rnd.choice([None, ("role", rnd.choice(["user", "tool", "assistant"])), ("turn", rnd.randint(1, 30))])
+            mappings = None
+            default = rnd.choice([None, f"def{i}"])
+            if rnd.random() < 0.3 and field == "role":
+                mappings = {f"{prefix}user": f"mu{i}", f"{prefix}tool": f"mt{i}"}
+            ref = f"%{{[{field}]{':' + dflt if dflt else ''}}}"
+            rules.append(
+                Rule(
+                    index=prefix + ref,
+                    when=(
+                        None
+                        if when is None
+                        else ({"equals": {"role": when[1]}} if when[0] == "role" else {"range": {"turn_idx.lt": when[1]}})
+                    ),
+                    mappings=mappings,
+                    default=default,
+                )
+            )
+            specs.append((prefix, field, dflt, when, mappings, default))
+        fallback = rnd.choice([None, "fb"])
+        sel = Selector(rules, fallback=fallback)
+        got = {
+            (r.conv_id, r.turn_idx): r["_sink"]
+            for r in route(t, sel).select("conv_id", "turn_idx", "_sink").collect()
+        }
+        for row in rows:
+            want = None
+            for spec in specs:
+                want = py_rule(spec, row)
+                if want is not None:
+                    break
+            if want is None:
+                want = fallback
+            key = (row["conv_id"], row["turn_idx"])
+            assert got[key] == want, f"trial {trial} row {key}: {got[key]!r} != {want!r} specs={specs}"
