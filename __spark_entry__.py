@@ -639,8 +639,8 @@ def q_mutate_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"copy_fields": {"fields": [{"from": "role", "to": "actor0"}]}},
             {"rename": {"fields": [{"from": "actor0", "to": "actor"}]}},
             {"replace": {"fields": [{"field": "actor", "pattern": "^assi", "replacement": "Assi"}]}},
-            {"uppercase": {"fields": ["env"]}},
-            {"lowercase": {"fields": ["actor"], "when": {"equals": {"role": "system"}}}},
+            {"uppercase": {"values": ["env"]}},
+            {"lowercase": {"values": ["actor"], "when": {"equals": {"role": "system"}}}},
             {"add_tags": {"tags": ["t1", "t2"]}},
             {"append": {"target_field": "tags", "values": ["t3"]}},
         ]
@@ -746,7 +746,7 @@ def q_if_then_else(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"equals": {"role": "tool"}},
         then=[
             {"add_fields": {"fields": {"branch": "T"}, "target": ""}},
-            {"uppercase": {"fields": ["tool"]}},
+            {"uppercase": {"values": ["tool"]}},
         ],
         otherwise=[{"add_fields": {"fields": {"branch": "E"}, "target": ""}}],
     )
@@ -758,7 +758,7 @@ def q_when_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.processors.actions import uppercase
 
     t = synth.transcripts(spark, sf_dir)
-    out = uppercase(["role"], when={"range": {"turn_idx.lt": 5}})(t)
+    out = uppercase(values=["role"], when={"range": {"turn_idx.lt": 5}})(t)
     return out.select("conv_id", "turn_idx", "role")
 
 

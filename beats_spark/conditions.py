@@ -122,6 +122,10 @@ def network_match(col: Column, spec: Any) -> Column:
     """CIDR / named-network match against a Column (shared by the
     conditions DSL and add_network_direction's internal_networks)."""
     specs = spec if isinstance(spec, list) else [spec]
+    # complement-defined networks (public/unicast) must first require the
+    # string to BE an ip — network.go parses before classifying; without
+    # this, 'host.example' matches 'unicast' (not multicast ⇒ true)
+    is_ip = col.rlike(IPV4_RE) | _ipv6_hextets(col).isNotNull()
     conds = []
     for s in specs:
         if s in NAMED_NETWORKS:
@@ -132,9 +136,9 @@ def network_match(col: Column, spec: Any) -> Column:
                     for name in ("private", "loopback", "link_local_unicast")
                     for c in NAMED_NETWORKS[name]
                 ]
-                cond = ~_any(inner)
+                cond = is_ip & ~_any(inner)
             elif s == "unicast":
-                cond = ~_any([_cidr_match(col, c) for c in NAMED_NETWORKS["multicast"]])
+                cond = is_ip & ~_any([_cidr_match(col, c) for c in NAMED_NETWORKS["multicast"]])
             else:
                 cond = _any([_cidr_match(col, c) for c in cidrs])
         else:

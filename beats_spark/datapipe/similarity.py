@@ -209,6 +209,8 @@ def _sq_dist(vec: Column, cent: list[float]) -> Column:
 
 def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     v = vec.cast("array<double>")
+    if len(cents) == 1:
+        return F.lit(0)  # F.least needs ≥2 columns
     dists = [_sq_dist(v, c) for c in cents]
     m = F.least(*dists)
     out = F.lit(len(cents) - 1)
@@ -253,10 +255,14 @@ def ivf_topk(
         F.explode(F.transform(ranked, lambda s: s["i"])).alias("cid"),
     )
     joined = c.join(F.broadcast(q), "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    # no distinct(): each corpus row has exactly one cid and a query's
+    # probed cids are distinct, so (query_id, neighbor_id) is already
+    # unique — unlike the multi-table LSH path, a dedup here is a pure-
+    # overhead full shuffle of the candidate set
     scored = joined.withColumn(
         "cos_sim",
         F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
-    ).select("query_id", "neighbor_id", "cos_sim").distinct()
+    ).select("query_id", "neighbor_id", "cos_sim")
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -57,6 +57,7 @@ REGISTRY.update(
         "add_network_direction": enrich.add_network_direction,
         # reader chain
         "include_lines": reader.include_lines,
+        "include_message": reader.include_lines,  # filestream's message-filter alias
         "exclude_lines": reader.exclude_lines,
         "max_bytes": reader.max_bytes,
         "ndjson": reader.ndjson,

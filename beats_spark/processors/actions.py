@@ -183,10 +183,46 @@ def truncate_fields(
     def measure(col: Column) -> Column:
         return F.length(col) if max_bytes is None else F.octet_length(col)
 
+    def _utf8_safe_cut(col: Column, nbytes: int) -> Column:
+        """Byte-truncate WITHOUT tearing a multi-byte rune: Spark 4's
+        decode() throws MALFORMED_CHARACTER_CODING on a torn tail (it does
+        not substitute U+FFFD), so a cut landing mid-rune would kill the
+        job. Inspect the ≤4 trailing bytes of the cut, find the last lead
+        byte, and drop the sequence if it is incomplete."""
+        b = F.substring(F.encode(col, "utf-8"), 1, nbytes)
+        ln = F.octet_length(b)
+
+        def byte_at(pos: Column) -> Column:
+            # byte value at 1-based pos; 0 when out of range
+            return F.coalesce(
+                F.conv(F.hex(F.substring(b, pos, F.lit(1))), 16, 10).try_cast("int"), F.lit(0)
+            )
+
+        def is_cont(v: Column) -> Column:
+            return (v >= 128) & (v < 192)
+
+        # t = number of trailing continuation bytes (0..3)
+        b1, b2, b3 = byte_at(ln), byte_at(ln - 1), byte_at(ln - 2)
+        t = (
+            F.when(~is_cont(b1), F.lit(0))
+            .when(~is_cont(b2), F.lit(1))
+            .when(~is_cont(b3), F.lit(2))
+            .otherwise(F.lit(3))
+        )
+        lead = byte_at(ln - t)
+        expected = (
+            F.when(lead >= 240, F.lit(3))
+            .when(lead >= 224, F.lit(2))
+            .when(lead >= 192, F.lit(1))
+            .otherwise(t)  # ASCII/none: whatever trails is complete (valid input)
+        )
+        keep = F.when((ln > t) & (expected != t), ln - t - 1).otherwise(ln)
+        return F.decode(F.substring(b, 1, keep), "utf-8")
+
     def cut(col: Column) -> Column:
         if max_bytes is None:
             return F.substring(col, 1, max_characters)
-        return F.decode(F.substring(F.encode(col, "utf-8"), 1, max_bytes), "utf-8")
+        return _utf8_safe_cut(col, max_bytes)
 
     lim = max_characters if max_bytes is None else max_bytes
 
@@ -207,19 +243,26 @@ def truncate_fields(
     return stage
 
 
-def _case_fold(fold, fields, values, field_names, when):
+def _case_fold(fold, fields, values, when):
     def stage(df: DataFrame) -> DataFrame:
-        # alterFieldProcessor.go:31 — the reference's primary action is
-        # case-folding FIELD NAMES (a compile-time rename in a fixed
-        # schema); `values` additionally folds the values of `fields`.
-        # value folds first (they reference original names), then renames
+        # Beats contract (alterFieldProcessor.go:31, lowercase.go:31):
+        # `fields` names the KEYS to case-fold (a compile-time column
+        # rename here); `values` is the LIST of fields whose VALUES fold.
+        # Value folds first (they reference original names), then renames.
+        for f in values or []:
+            df = _with_guarded(df, f, fold(F.col(f)), when)
         for f in fields or []:
-            if values:
-                df = _with_guarded(df, f, fold(F.col(f)), when)
-        for f in field_names or []:
             folded = fold(f)
-            if f in df.columns and folded != f:
-                df = df.withColumnRenamed(f, folded)
+            if f not in df.columns or folded == f:
+                continue
+            if folded in df.columns:
+                # reference errors loudly on target collision — a silent
+                # rename would produce duplicate column names and fail
+                # with AMBIGUOUS_REFERENCE far from the cause
+                raise ValueError(
+                    f"case-fold: renaming {f!r} would collide with existing column {folded!r}"
+                )
+            df = df.withColumnRenamed(f, folded)
         return df
 
     return stage
@@ -227,27 +270,24 @@ def _case_fold(fold, fields, values, field_names, when):
 
 def lowercase(
     fields: list[str] | None = None,
-    values: bool = True,
-    field_names: list[str] | None = None,
+    values: list[str] | None = None,
     when: dict | None = None,
 ):
-    """lowercase.go:31 + alterFieldProcessor.go:31 — fold the values of
-    `fields` and/or rename the columns in `field_names` to lowercase."""
+    """lowercase.go:31 + alterFieldProcessor.go:31 — Beats option shape:
+    `fields` = keys (column names) to fold, `values` = fields whose
+    values fold. A 1:1 YAML translation keeps its meaning."""
     return _case_fold(
-        lambda x: F.lower(x) if isinstance(x, Column) else x.lower(),
-        fields, values, field_names, when,
+        lambda x: F.lower(x) if isinstance(x, Column) else x.lower(), fields, values, when
     )
 
 
 def uppercase(
     fields: list[str] | None = None,
-    values: bool = True,
-    field_names: list[str] | None = None,
+    values: list[str] | None = None,
     when: dict | None = None,
 ):
     return _case_fold(
-        lambda x: F.upper(x) if isinstance(x, Column) else x.upper(),
-        fields, values, field_names, when,
+        lambda x: F.upper(x) if isinstance(x, Column) else x.upper(), fields, values, when
     )
 
 

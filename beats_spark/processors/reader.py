@@ -105,15 +105,18 @@ def ndjson(
                 "error_message",
                 F.when(failed, F.concat(F.lit("Error decoding JSON: "), F.substring(col, 1, 80))),
             )
-        if not expand_schema and message_key:
-            df = df.withColumn(field, F.coalesce(parsed.getItem(message_key), F.col(field)))
         if document_id:
             # json.document_id (json_config.go): lift the named JSON member
-            # into the event id metadata (@metadata._id analog)
+            # into the event id metadata (@metadata._id analog). MUST run
+            # BEFORE message_key overwrites `field` — `parsed` is a lazy
+            # name reference and would re-parse the replaced text (same
+            # ordering invariant as error_message above).
             src = (
                 parsed.getField(document_id) if expand_schema else parsed.getItem(document_id)
             )
             df = df.withColumn("_meta_id", src.cast("string"))
+        if not expand_schema and message_key:
+            df = df.withColumn(field, F.coalesce(parsed.getItem(message_key), F.col(field)))
         return df
 
     return stage

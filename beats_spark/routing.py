@@ -61,8 +61,11 @@ def kafka_partitioner(
     if mode == "round_robin":
         return df.repartition(n_partitions)  # Spark's round-robin partitioning
     if mode == "random":
+        # hash the full 64-bit key, NOT a value pre-folded mod n — feeding
+        # pmod(h, n) through repartition's own murmur3 collapses the key
+        # space to n values of which ~1/e collide, leaving partitions empty
         cols = [F.col(c) for c in (fields or ["conv_id", "turn_idx"])]
-        return df.repartition(n_partitions, F.pmod(F.xxhash64(*cols), F.lit(n_partitions)))
+        return df.repartition(n_partitions, F.xxhash64(*cols))
     raise ValueError(f"kafka_partitioner: unknown mode {mode!r}")
 
 

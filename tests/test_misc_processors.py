@@ -27,7 +27,7 @@ def test_if_then_else_branches(df):
     stage = build(
         "if_then_else",
         condition={"equals": {"role": "user"}},
-        then=[{"uppercase": {"fields": ["text"]}}],
+        then=[{"uppercase": {"values": ["text"]}}],
         otherwise=[{"add_fields": {"fields": {"branch": "else"}, "target": ""}}],
     )
     rows = {(r.conv_id, r.turn_idx): r for r in stage(df).collect()}

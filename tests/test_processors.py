@@ -45,9 +45,9 @@ def test_rename_target_exists_fails(df):
 def test_replace_and_case(df):
     out = build("replace", fields=[{"field": "text", "pattern": "world", "replacement": "earth"}])(df)
     assert out.first().text == "hello earth"
-    up = build("uppercase", fields=["role"])(df)
+    up = build("uppercase", values=["role"])(df)
     assert up.first().role == "USER"
-    low = build("lowercase", fields=["text"])(df)
+    low = build("lowercase", values=["text"])(df)
     assert low.collect()[1].text == "running bash now"
 
 
@@ -76,7 +76,7 @@ def test_add_fields_and_tags(df):
 
 
 def test_when_guard_passthrough(df):
-    out = build("uppercase", fields=["text"], when={"equals": {"role": "user"}})(df)
+    out = build("uppercase", values=["text"], when={"equals": {"role": "user"}})(df)
     rows = sorted(out.collect(), key=lambda r: (r.conv_id, r.turn_idx))
     assert rows[0].text == "HELLO WORLD"
     assert rows[1].text == "running BASH now"  # untouched
@@ -596,9 +596,9 @@ def test_network_direction_named_networks(spark):
 def test_case_fold_field_names(spark):
     """alterFieldProcessor: lowercase/uppercase fold FIELD NAMES too."""
     df = spark.createDataFrame([("v", "w")], "MixedCase string, other string")
-    out = build("lowercase", field_names=["MixedCase"])(df)
+    out = build("lowercase", fields=["MixedCase"])(df)
     assert "mixedcase" in out.columns and "MixedCase" not in out.columns
-    up = build("uppercase", field_names=["other"], fields=["other"])(df)
+    up = build("uppercase", fields=["other"], values=["other"])(df)
     assert "OTHER" in up.columns
 
 

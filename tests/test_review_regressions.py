@@ -186,3 +186,71 @@ def test_scrub_pii_unknown_kind_raises():
 
     with pytest.raises(ValueError, match="phones"):
         scrub_pii(F.lit("x"), kinds=["email", "phones"])
+
+
+# --- round-2b self-review findings (post-feature review pass) ----------------
+
+
+def test_truncate_max_bytes_mid_rune_safe(spark):
+    """R2b: a byte cut landing mid-rune must not throw
+    MALFORMED_CHARACTER_CODING — the torn tail is dropped instead."""
+    df = spark.createDataFrame([("éé",), ("aéz",), ("abc",), ("",)], "text string")
+    out = build("truncate_fields", fields=["text"], max_bytes=3)(df).collect()
+    assert out[0].text == "é"       # 4-byte cut at 3 tears the 2nd é -> dropped
+    assert out[1].text == "aé"      # exactly 3 bytes, complete
+    assert out[2].text == "abc"
+    assert out[3].text == ""
+    for r in out[:2]:
+        assert "truncated" in r.log_flags
+
+
+def test_ndjson_document_id_with_message_key(spark):
+    """R2b: document_id must be read from the ORIGINAL json, not after
+    message_key replaces the text (readjson/json.go:180)."""
+    from beats_spark.processors.reader import ndjson
+
+    df = spark.createDataFrame([('{"id": "doc-1", "msg": "hello"}',)], "text string")
+    r = ndjson("text", message_key="msg", document_id="id")(df).collect()[0]
+    assert r.text == "hello" and r._meta_id == "doc-1"
+
+
+def test_kafka_random_partitioner_fills_partitions(spark):
+    """R2b: 'random' must not pre-fold the hash mod n (empty partitions)."""
+    from beats_spark import synth
+    from beats_spark.routing import kafka_partitioner
+
+    t = synth.transcripts(spark, "/root/testdata/sf0.001")
+    pids = {
+        r.pid
+        for r in kafka_partitioner(t, 8, mode="random")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .collect()
+    }
+    assert len(pids) == 8, f"only {len(pids)} of 8 partitions populated"
+
+
+def test_complement_networks_require_ip(spark):
+    """R2b: 'public'/'unicast' must not match non-IP strings."""
+    df = spark.createDataFrame([("host.example",), ("8.8.8.8",), ("abc",)], "ip string")
+    for name in ("public", "unicast"):
+        got = {r.ip for r in df.filter(compile_condition({"network": {"ip": name}})).collect()}
+        assert got == {"8.8.8.8"}, (name, got)
+
+
+def test_case_fold_collision_raises(spark):
+    """R2b: renaming into an existing column must fail loud."""
+    df = spark.createDataFrame([("a", "b")], "Foo string, foo string")
+    with pytest.raises(ValueError, match="collide"):
+        build("lowercase", fields=["Foo"])(df)
+
+
+def test_ivf_single_centroid(spark):
+    """R2b: k=1 centroid must not crash F.least."""
+    from beats_spark.datapipe.similarity import ivf_centroids, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(30)
+    cents = ivf_centroids(emb, k=1, iters=1, dim=64)
+    q = emb.filter(F.col("vec_id") < 2)
+    out = ivf_topk(emb, q, cents, k=3, nprobe=1).collect()
+    assert len(out) == 6  # 2 queries x top-3 (single inverted list = brute force)
