@@ -87,7 +87,11 @@ def _ipv6_hextets(col: Column) -> Column:
     )
     ok = (
         col.contains(":")
+        & ~col.contains(":::")  # 'a:::b' is not a valid compression
         & (F.size(F.split(col, "::")) <= 2)  # at most one '::' (1::2::3 is invalid)
+        # '::' must stand for ≥1 zero group: 8 explicit groups plus '::'
+        # ('1:2:3:4:5:6:7::8') is RFC-invalid even though it expands to 8
+        & (~has_dc | (F.size(left_p) + F.size(right_p) <= F.lit(7)))
         & (F.size(expanded) == 8)
         & (F.size(F.filter(hx, lambda v: v.isNull())) == 0)
     )

@@ -197,29 +197,43 @@ def simhash(
 
 def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by Hamming distance over 4×16-bit block index
-    (pigeonhole: ≤3 differing bits ⇒ at least one identical block)."""
+    (pigeonhole: ≤3 differing bits ⇒ at least one identical block).
+
+    Scale note (VERDICT r2 fix): candidate generation is a UNION of four
+    per-block EQUI-joins — one hash-partitioned join per 16-bit block —
+    not a single join on an OR of block equalities. Catalyst cannot
+    extract equi-join keys from a disjunction (that form plans as a
+    nested-loop/cartesian join, O(N²) at corpus scale); the union form
+    plans as 4 shuffle-hash/sort-merge joins, each shuffling only
+    (block, id, simhash), then dedups pairs found in >1 block."""
     blocks = sims.select(
-        id_col,
+        F.col(id_col),
         "simhash",
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
             for i in range(4)
         ],
     )
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cond = F.lit(False)
+    per_block = []
     for i in range(4):
-        cond = cond | (F.col(f"a.blk{i}") == F.col(f"b.blk{i}"))
-    pairs = (
-        a.join(b, cond & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        side = blocks.select(F.col(id_col), "simhash", F.col(f"blk{i}").alias("_blk"))
+        a, b = side.alias("a"), side.alias("b")
+        per_block.append(
+            a.join(b, "_blk")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            )
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"), "hamming")
+    cands = per_block[0]
+    for p in per_block[1:]:
+        cands = cands.unionAll(p)
+    return (
+        cands.filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 # -- n-gram Jaccard (direct) ---------------------------------------------------

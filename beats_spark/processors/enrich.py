@@ -204,38 +204,93 @@ def _ip_cmp_hex(col: Column) -> Column:
     ).otherwise(raw)
 
 
+# flowhash/communityid.go:96-142 — ICMP type → two-way equivalent type.
+# A type absent from its table makes the flow one-way: (type, code) is
+# hashed as-is and endpoints are never reversed.
+_ICMP4_EQUIV = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 10: 9, 9: 10, 17: 18, 18: 17}
+_ICMP6_EQUIV = {
+    128: 129, 129: 128, 133: 134, 134: 133, 136: 135, 135: 136,
+    130: 131, 139: 140, 140: 139, 144: 145, 145: 144,
+}
+# protocols whose digest includes the two port u16s (communityid.go:73-79)
+_PORT_PROTOS = (6, 17, 132, 1, 58)
+
+
+def _icmp_equiv(t: Column, table: dict[int, int]) -> Column:
+    out = F.lit(None).cast("bigint")
+    for k, v in table.items():
+        out = F.when(t == k, F.lit(v).cast("bigint")).otherwise(out)
+    return out
+
+
 def community_id(
-    src_ip: str, dst_ip: str, src_port: str, dst_port: str, proto: str, target: str = "community_id", seed: int = 0
+    src_ip: str,
+    dst_ip: str,
+    src_port: str,
+    dst_port: str,
+    proto: str,
+    target: str = "community_id",
+    seed: int = 0,
+    icmp_type: str | None = None,
+    icmp_code: str | None = None,
 ):
-    """communityid/communityid.go:38 + flowhash/communityid.go:43-84 —
+    """communityid/communityid.go:38 + flowhash/communityid.go:42-89 —
     byte-compatible Community ID v1 (joinable with Beats/Zeek/Suricata):
 
         '1:' + base64(sha1(seed_be16 ‖ raw_src_ip ‖ raw_dst_ip ‖
-                           proto ‖ 0x00 ‖ sport_be16 ‖ dport_be16))
+                           proto ‖ 0x00 [‖ sport_be16 ‖ dport_be16]))
 
-    with endpoints ordered so (ip, port) of the source sorts ≤ the
-    destination (flow.go:88-91). Pure Column: the packed binary tuple is
-    built as a hex string → unhex → sha1 → unhex → base64, all in codegen.
+    Reference parity (full, incl. the ICMP rules):
+      * the two port u16s are appended ONLY for tcp/udp/sctp/icmp/icmpv6
+        (communityid.go:73-79); any other protocol hashes ip-pair+proto
+        alone, so port-less flows (e.g. OSPF) still get joinable IDs;
+      * ICMP (1/58) maps type/code to pseudo-ports via the reference's
+        equivalence tables (communityid.go:96-142): two-way types hash
+        (type, equiv) and sort normally; one-way types hash (type, code)
+        and are NEVER reversed;
+      * otherwise endpoints are ordered so (ip, port) of the source
+        sorts ≤ the destination (flow.go:88-91).
+    ICMP type/code come from `icmp_type`/`icmp_code` columns when given,
+    else from the port columns (the common capture-format convention).
+    Pure Column: the packed binary tuple is built as a hex string →
+    unhex → sha1 → unhex → base64, all in codegen.
     """
 
     def stage(df: DataFrame) -> DataFrame:
         s_ip, d_ip = F.col(src_ip), F.col(dst_ip)
-        s_p, d_p = F.col(src_port).cast("bigint"), F.col(dst_port).cast("bigint")
+        p = F.col(proto).cast("int")
+        s_p0, d_p0 = F.col(src_port).cast("bigint"), F.col(dst_port).cast("bigint")
+        t_col = F.col(icmp_type).cast("bigint") if icmp_type else s_p0
+        c_col = F.col(icmp_code).cast("bigint") if icmp_code else d_p0
+        is_icmp = p.isin(1, 58)
+        equiv = F.when(p == 1, _icmp_equiv(t_col, _ICMP4_EQUIV)).when(
+            p == 58, _icmp_equiv(t_col, _ICMP6_EQUIV)
+        )
+        one_way = is_icmp & equiv.isNull()
+        s_p = F.when(is_icmp, t_col).otherwise(s_p0)
+        d_p = F.when(is_icmp, F.coalesce(equiv, c_col)).otherwise(d_p0)
+        has_ports = p.isin(*_PORT_PROTOS)
+        # ordering tie-break for port-less protocols: ports compare as 0
+        s_ord = F.when(has_ports, s_p).otherwise(F.lit(0))
+        d_ord = F.when(has_ports, d_p).otherwise(F.lit(0))
         s_cmp, d_cmp = _ip_cmp_hex(s_ip), _ip_cmp_hex(d_ip)
-        # reverse unless (src < dst) or (src == dst and sport < dport)
-        flip = ~((s_cmp < d_cmp) | ((s_cmp == d_cmp) & (s_p < d_p)))
+        # reverse unless one-way ICMP, (src < dst), or (src == dst and sport < dport)
+        flip = ~one_way & ~((s_cmp < d_cmp) | ((s_cmp == d_cmp) & (s_ord < d_ord)))
         a_hex = F.when(flip, _ip_raw_hex(d_ip)).otherwise(_ip_raw_hex(s_ip))
         b_hex = F.when(flip, _ip_raw_hex(s_ip)).otherwise(_ip_raw_hex(d_ip))
         a_p = F.when(flip, d_p).otherwise(s_p)
         b_p = F.when(flip, s_p).otherwise(d_p)
+        port_hex = F.when(
+            has_ports,
+            F.concat(F.lpad(F.lower(F.hex(a_p)), 4, "0"), F.lpad(F.lower(F.hex(b_p)), 4, "0")),
+        ).otherwise(F.lit(""))
         packed = F.concat(
             F.lpad(F.lower(F.hex(F.lit(seed))), 4, "0"),
             a_hex,
             b_hex,
-            F.lpad(F.lower(F.hex(F.col(proto).cast("int"))), 2, "0"),
+            F.lpad(F.lower(F.hex(p)), 2, "0"),
             F.lit("00"),
-            F.lpad(F.lower(F.hex(a_p)), 4, "0"),
-            F.lpad(F.lower(F.hex(b_p)), 4, "0"),
+            port_hex,
         )
         digest = F.base64(F.unhex(F.sha1(F.unhex(packed))))
         return df.withColumn(target, F.when(packed.isNotNull(), F.concat(F.lit("1:"), digest)))

@@ -164,6 +164,22 @@ def multiline_pattern(
             .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
             .filter(F.col("_ml_rn") <= max_lines)
         )
+        # preserve flags set by earlier stages (ADVICE r3): the joined
+        # event's flags = union of every member line's flags + truncation
+        trunc = F.when(
+            F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED))
+        ).otherwise(F.array().cast("array<string>"))
+        if FLAGS_COL in df.columns:
+            flags_agg = F.array_distinct(
+                F.concat(
+                    F.flatten(
+                        F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                    ),
+                    trunc,
+                )
+            ).alias(FLAGS_COL)
+        else:
+            flags_agg = trunc.alias(FLAGS_COL)
         agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(
@@ -171,9 +187,7 @@ def multiline_pattern(
                 F.min("ts").alias("ts") if "ts" in df.columns else F.lit(None).alias("ts"),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
-                F.when(F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED)))
-                .otherwise(F.array().cast("array<string>"))
-                .alias(FLAGS_COL),
+                flags_agg,
             )
             .drop("_ml_grp")
         )

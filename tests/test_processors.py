@@ -675,3 +675,84 @@ def test_syslog_roundtrip_property(spark):
         assert r.syslog_pid == want["pid"], line
         assert r.syslog_message == want["msg"], (line, r.syslog_message)
         assert r.syslog_version == want["version"], line
+
+
+def test_community_id_icmp_golden(spark):
+    """ICMP pseudo-port + port-gating parity with the reference
+    (flowhash/communityid.go:42-89, golden vectors from
+    flowhash/testdata/golden/{icmp,icmp6,sctp}.pcap.log):
+      * two-way ICMP types (echo req/reply, NS/NA) map through the
+        equivalence tables so both directions share one ID;
+      * port-less protocols (e.g. GRE 47) hash ip-pair+proto only —
+        NULL ports must NOT null the ID and both directions join."""
+    df = spark.createDataFrame(
+        [
+            # icmp.pcap.log: echo request and its reply
+            (0, "192.168.0.89", "192.168.0.1", 8, 0, 1),
+            (1, "192.168.0.1", "192.168.0.89", 0, 0, 1),
+            # icmp6.pcap.log: neighbor solicitation / advertisement
+            (2, "fe80::200:86ff:fe05:80da", "fe80::260:97ff:fe07:69ea", 135, 0, 58),
+            (3, "fe80::260:97ff:fe07:69ea", "fe80::200:86ff:fe05:80da", 136, 0, 58),
+            # sctp.pcap.log
+            (4, "192.168.170.8", "192.168.170.56", 7, 7, 132),
+            # one-way ICMP type (3 = dest unreachable): hashes (type, code)
+            (5, "10.0.0.9", "10.0.0.1", 3, 1, 1),
+        ],
+        "i int, sip string, dip string, sp int, dp int, proto int",
+    )
+    out = {
+        r.i: r.community_id
+        for r in build(
+            "community_id", src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto"
+        )(df).collect()
+    }
+    assert out[0] == "1:X0snYXpgwiv9TZtqg64sgzUn6Dk="
+    assert out[1] == out[0]
+    assert out[2] == "1:dGHyGvjMfljg6Bppwm3bg0LO8TY="
+    assert out[3] == out[2]
+    assert out[4] == "1:MP2EtRCAUIZvTw6MxJHLV7N7JDs="
+    # one-way: independent hashlib reimplementation, NO reversal
+    import base64 as b64mod
+    import hashlib
+    import socket
+    import struct
+
+    h = hashlib.sha1()
+    h.update(struct.pack(">H", 0))
+    h.update(socket.inet_aton("10.0.0.9"))
+    h.update(socket.inet_aton("10.0.0.1"))
+    h.update(struct.pack(">BB", 1, 0))
+    h.update(struct.pack(">H", 3))
+    h.update(struct.pack(">H", 1))
+    assert out[5] == "1:" + b64mod.b64encode(h.digest()).decode()
+
+
+def test_community_id_portless_proto(spark):
+    """GRE (47): no port bytes in the digest, NULL ports don't null the
+    ID, both directions produce the same ID."""
+    import base64 as b64mod
+    import hashlib
+    import socket
+    import struct
+
+    df = spark.createDataFrame(
+        [
+            (0, "10.0.0.2", "10.0.0.1", None, None, 47),
+            (1, "10.0.0.1", "10.0.0.2", None, None, 47),
+        ],
+        "i int, sip string, dip string, sp int, dp int, proto int",
+    )
+    out = {
+        r.i: r.community_id
+        for r in build(
+            "community_id", src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto"
+        )(df).collect()
+    }
+    h = hashlib.sha1()
+    h.update(struct.pack(">H", 0))
+    h.update(socket.inet_aton("10.0.0.1"))  # sorted: .1 < .2
+    h.update(socket.inet_aton("10.0.0.2"))
+    h.update(struct.pack(">BB", 47, 0))
+    want = "1:" + b64mod.b64encode(h.digest()).decode()
+    assert out[0] == want
+    assert out[1] == want

@@ -149,6 +149,33 @@ def test_ipv6_double_compression_rejected(spark):
     assert got == {"1::2"}
 
 
+def test_ipv6_invalid_compressed_forms_rejected(spark):
+    """R3 ADVICE: forms net.ParseIP rejects must not parse here either —
+    8 explicit groups plus '::' and triple-colon runs. Cross-checked
+    against Python's `ipaddress` for the whole fixture."""
+    import ipaddress
+
+    cases = [
+        "1:2:3:4:5:6:7::8",  # 8 groups + '::' — invalid ('::' must cover ≥1 group)
+        "1:::2",             # triple colon — invalid
+        "1::2:3:4:5:6:7:8",  # also 8 groups + '::'
+        "1::2",              # valid
+        "::1",               # valid
+        "1:2:3:4:5:6:7:8",   # valid, uncompressed
+        "fe80::1",           # valid
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {r.ip for r in df.filter(compile_condition({"network": {"ip": "::/0"}})).collect()}
+    want = set()
+    for c in cases:
+        try:
+            ipaddress.IPv6Address(c)
+            want.add(c)
+        except ValueError:
+            pass
+    assert got == want
+
+
 def test_fingerprint_null_field_keeps_digest(spark):
     """R2 finding 4: one NULL field must not NULL the whole fingerprint."""
     import hashlib
@@ -254,3 +281,27 @@ def test_ivf_single_centroid(spark):
     q = emb.filter(F.col("vec_id") < 2)
     out = ivf_topk(emb, q, cents, k=3, nprobe=1).collect()
     assert len(out) == 6  # 2 queries x top-3 (single inverted list = brute force)
+
+
+def test_multiline_preserves_upstream_flags(spark):
+    """R3 ADVICE: flags set by earlier stages (e.g. decode_csv arity,
+    truncate_fields) must survive the multiline groupBy — the joined
+    event carries the union of its member lines' flags."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "level=info start", ["convert_error"]),
+            ("c1", 1, "level continuation", []),
+            ("c1", 2, "level=info second", None),
+        ],
+        "conv_id string, turn_idx int, text string, log_flags array<string>",
+    )
+    out = {
+        r.turn_idx: r
+        for r in multiline_pattern(
+            pattern="^level ", match="after", group_cols=["conv_id"], order_col="turn_idx"
+        )(df).collect()
+    }
+    assert sorted(out[0].log_flags) == ["convert_error"]
+    assert out[2].log_flags == []
