@@ -8,12 +8,25 @@ Reference semantics being reproduced (SURVEY.md §1.2, §3.3):
     input is re-read (registrar.go:96-106).
 
 Spark re-expression: the unit of progress is a deterministic input
-partition (pmod(hash(conv_id), N) here; days(ts) partitions on a real
-Iceberg deployment). A run executes ONE write job over all missing
-partitions — `write.partitionBy("_part", SINK_COL)` with DYNAMIC
-partition overwrite, so the input is scanned exactly once regardless of
-N (a per-partition loop would rescan the input N times: 6.4 PB of reads
-for a 100 TB table at N=64). Completed partitions' directories are never
+partition. Two units are supported:
+  * partition_expr="hash" (default): pmod(hash(conv_id), N). Resume
+    re-filters the derived column — one full input scan on resume, no
+    scan pruning (fine locally; the honest fallback when the input has
+    no physical layout).
+  * partition_expr="days": the unit is the calendar day of `ts` — the
+    same unit as Iceberg's days(ts) hidden partitioning. When the input
+    table is physically partitioned by day (pass `day_col`, e.g. a
+    `date=YYYY-MM-DD` directory column; on real Iceberg the ts filter
+    itself prunes), the resume filter `_part IN missing` reaches the
+    scan as a PartitionFilter, so a resumed run READS ONLY THE
+    MISSING DAYS' FILES — at 100 TB this is the difference between
+    re-scanning a day and re-scanning the table.
+
+A run executes ONE write job over all missing partitions —
+`write.partitionBy("_part", SINK_COL)` with DYNAMIC partition
+overwrite, so the input is scanned exactly once regardless of N (a
+per-partition loop would rescan the input N times: 6.4 PB of reads for
+a 100 TB table at N=64). Completed partitions' directories are never
 touched. Per-partition manifests carrying lineage + throughput metrics
 are then derived from the *written* output (a footer-cheap read of the
 new files, not a re-run of the pipeline):
@@ -44,30 +57,45 @@ from .events import SINK_COL
 
 
 class CheckpointedRun:
-    def __init__(self, out_dir: str, n_partitions: int = 8):
+    def __init__(
+        self,
+        out_dir: str,
+        n_partitions: int = 8,
+        partition_expr: str = "hash",
+        ts_col: str = "ts",
+        day_col: str | None = None,
+    ):
+        if partition_expr not in ("hash", "days"):
+            raise ValueError(f"partition_expr must be 'hash' or 'days', got {partition_expr!r}")
         self.out_dir = out_dir
         self.n_partitions = n_partitions
+        self.partition_expr = partition_expr
+        self.ts_col = ts_col
+        self.day_col = day_col
         self.manifest_dir = os.path.join(out_dir, "_manifests")
         self.sinks_dir = os.path.join(out_dir, "sinks")
         os.makedirs(self.manifest_dir, exist_ok=True)
         self.write_jobs = 0  # write jobs executed by the last run() call
+        self.last_plan = ""  # physical plan of the last write's input (audit)
 
-    def _manifest_path(self, p: int) -> str:
-        return os.path.join(self.manifest_dir, f"part-{p:05d}.json")
+    def _manifest_path(self, p) -> str:
+        name = f"part-{p:05d}" if isinstance(p, int) else f"part-{p}"
+        return os.path.join(self.manifest_dir, f"{name}.json")
 
-    def completed_partitions(self) -> set[int]:
+    def completed_partitions(self) -> set:
         done = set()
         for f in os.listdir(self.manifest_dir):
             if f.startswith("part-") and f.endswith(".json"):
                 try:
                     with open(os.path.join(self.manifest_dir, f)) as fh:
                         m = json.load(fh)
-                    done.add(int(m["partition"]))
+                    p = m["partition"]
+                    done.add(int(p) if isinstance(p, int) or str(p).isdigit() else str(p))
                 except (json.JSONDecodeError, KeyError):
                     continue  # torn write ⇒ not committed ⇒ recompute
         return done
 
-    def _partition_bytes(self, p: int) -> int:
+    def _partition_bytes(self, p) -> int:
         path = os.path.join(self.sinks_dir, f"_part={p}")
         if not os.path.isdir(path):
             return 0
@@ -77,7 +105,7 @@ class CheckpointedRun:
             for f in fs
         )
 
-    def _written_counts(self, spark: SparkSession, parts: list[int]) -> dict[int, dict[str, int]]:
+    def _written_counts(self, spark: SparkSession, parts: list) -> dict:
         """Per-sink row counts for the given partitions, read from the
         files just written (footer-cheap; never re-runs the pipeline)."""
         paths = [
@@ -85,15 +113,33 @@ class CheckpointedRun:
             for p in parts
             if os.path.isdir(os.path.join(self.sinks_dir, f"_part={p}"))
         ]
-        out: dict[int, dict[str, int]] = {p: {} for p in parts}
+        out: dict = {p: {} for p in parts}
         if not paths:
             return out
         written = spark.read.option("basePath", self.sinks_dir).parquet(*paths)
+        key = {str(p): p for p in parts}
         for r in (
             written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
         ):
-            out[int(r["_part"])][r[SINK_COL]] = r["cnt"]
+            out[key[str(r["_part"])]][r[SINK_COL]] = r["cnt"]
         return out
+
+    def _part_column(self) -> F.Column:
+        if self.partition_expr == "days":
+            if self.day_col:
+                # physical day-partition column of the input (dir-level
+                # pruning on resume; Iceberg's days(ts) analog)
+                return F.col(self.day_col).cast("string")
+            return F.date_format(F.col(self.ts_col), "yyyy-MM-dd")
+        return F.pmod(F.hash(F.col("conv_id")), F.lit(self.n_partitions))
+
+    def _all_partitions(self, routed: DataFrame) -> list:
+        if self.partition_expr == "hash":
+            return list(range(self.n_partitions))
+        # partition inventory: metadata-only on Iceberg (hidden days(ts)
+        # partitioning); a single column-pruned scan of the day/ts column
+        # on raw parquet (day-partition dirs make it a pure file listing).
+        return sorted(r["_part"] for r in routed.select("_part").distinct().collect())
 
     def run(
         self,
@@ -103,15 +149,15 @@ class CheckpointedRun:
     ) -> list[dict]:
         """Process all missing partitions in ONE write job; resume-safe.
 
-        `routed` must contain conv_id + SINK_COL. `fail_after=k` aborts
-        after k manifests are committed (kill/resume tests; forces
-        single-partition batches).
+        `routed` must contain conv_id + SINK_COL (+ ts/day_col in days
+        mode). `fail_after=k` aborts after k manifests are committed
+        (kill/resume tests; forces single-partition batches).
         """
         spark = routed.sparkSession
-        part_col = F.pmod(F.hash(F.col("conv_id")), F.lit(self.n_partitions))
-        routed = routed.withColumn("_part", part_col)
+        routed = routed.withColumn("_part", self._part_column())
         done = self.completed_partitions()
-        missing = [p for p in range(self.n_partitions) if p not in done]
+        all_parts = self._all_partitions(routed)
+        missing = [p for p in all_parts if p not in done]
         self.write_jobs = 0
         if not missing:
             return []
@@ -123,8 +169,12 @@ class CheckpointedRun:
         for batch in batches:
             t0 = time.perf_counter()
             df = routed
-            if len(batch) < self.n_partitions:
+            if len(batch) < len(all_parts):
+                # days mode over a day-partitioned input: this filter
+                # reaches the scan as a PartitionFilter → only missing
+                # days' files are read (asserted in tests via last_plan)
                 df = df.filter(F.col("_part").isin(batch))
+            self.last_plan = df._jdf.queryExecution().executedPlan().toString()
             (
                 df.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

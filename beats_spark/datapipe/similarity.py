@@ -174,28 +174,56 @@ def ivf_centroids(
 ) -> list[list[float]]:
     """Deterministic mini-Lloyd for IVF coarse centroids.
 
-    Init = the k lowest-id vectors (reproducible, no RNG); each iteration
-    is one distributed pass (assign via literal-centroid expressions →
-    groupBy avg per dimension). This is the TRAIN step — small, bounded,
-    run once; the scale path is ivf_topk's bucketed probe, which never
-    shuffles the corpus more than once. (The IVF counterpart of
-    lsh_bucket_topk; centroid quality only affects recall.)
+    Init = the k lowest-id vectors (reproducible, no RNG). Assignment is
+    a BROADCAST cross join against a tiny (cid, cvec) centroid DataFrame
+    (VERDICT r2 item 5): the plan carries no k×dim literal expression
+    tree, so k=256+ trains with a constant-size plan. Each iteration is
+    one distributed pass — broadcast join → squared distance via
+    zip_with/aggregate → min-struct per vector (map-side partial
+    aggregation collapses the k candidates per vector BEFORE the
+    shuffle) → per-dimension mean via posexplode. Only the k×dim means
+    (~k·dim·8 bytes) ever reach the driver. This is the TRAIN step —
+    small, bounded, run once; the scale path is ivf_topk's bucketed
+    probe, which never shuffles the corpus more than once.
     """
     if dim is None:
         raise ValueError("ivf_centroids requires explicit dim=")
+    spark = corpus.sparkSession
     seed_rows = (
         corpus.orderBy(id_col).limit(k).select(F.col(vec_col).cast("array<double>")).collect()
     )
     cents = [list(r[0]) for r in seed_rows]
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
     for _ in range(iters):
-        cid = _nearest_centroid(F.col(vec_col), cents)
-        agg = (
-            corpus.select(cid.alias("_cid"), F.col(vec_col).cast("array<double>").alias("_v"))
-            .groupBy("_cid")
-            .agg(*[F.avg(F.col("_v").getItem(i)).alias(f"d{i}") for i in range(dim)])
+        cdf = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cid int, cvec array<double>",
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        # min(struct(d, cid)): lowest distance, lowest cid on ties —
+        # identical assignment rule to the literal-expression form
+        best = (
+            base.crossJoin(F.broadcast(cdf))
+            .select("_id", "_v", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_dc"))
+            .groupBy("_id")
+            .agg(F.min("_dc").alias("_m"), F.first("_v").alias("_v"))
+            .select(F.col("_m").getField("cid").alias("_cid"), "_v")
+        )
+        rows = (
+            best.select("_cid", F.posexplode("_v").alias("_pos", "_val"))
+            .groupBy("_cid", "_pos")
+            .agg(F.avg("_val").alias("_avg"))
             .collect()
         )
-        new = {int(r["_cid"]): [r[f"d{i}"] for i in range(dim)] for r in agg}
+        new: dict[int, list[float]] = {}
+        for r in rows:
+            new.setdefault(int(r["_cid"]), [0.0] * dim)[int(r["_pos"])] = r["_avg"]
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     return cents
 

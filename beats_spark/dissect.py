@@ -483,6 +483,12 @@ _IP_RE = re.compile(
 _HEX_INT_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
 _DEC_INT_RE = re.compile(r"^[+-]?[0-9]+$")
 _FLOAT_RE = re.compile(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")
+# strconv.ParseFloat also accepts the special names (case-insensitive,
+# optional sign) and Go-style hex floats (mantissa REQUIRES the p-exponent)
+_SPECIAL_FLOAT_RE = re.compile(r"^[+-]?(inf(inity)?|nan)$", re.IGNORECASE)
+_HEX_FLOAT_RE = re.compile(
+    r"^[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)[pP][+-]?[0-9]+$"
+)
 
 
 def _parse_int(s: str) -> int:
@@ -511,9 +517,12 @@ def convert_value(data_type: str, value: str):
                 raise ValueError
             return i
         if data_type in ("float", "double"):
-            if not _FLOAT_RE.match(v):
+            if _FLOAT_RE.match(v) or _SPECIAL_FLOAT_RE.match(v):
+                f = float(v)  # float() handles inf/infinity/nan like Go
+            elif _HEX_FLOAT_RE.match(v):
+                f = float.fromhex(v)
+            else:
                 raise ValueError(v)
-            f = float(v)
             if data_type == "float":
                 # round through float32 (reference parses float32 here)
                 import struct
@@ -563,10 +572,22 @@ def cast_column(col: Column, data_type: str) -> Column:
             .when(v.rlike(r"^[+-]?[0-9]+$"), v.try_cast(_SPARK_TYPES[data_type]))
         )
     if data_type in ("float", "double"):
+        # strconv parity incl. the special names (Inf/Infinity/NaN, any
+        # case, optional sign). Go-style HEX floats (0x1p-2) are scalar-
+        # path only — this Column path yields NULL + convert flag for
+        # them (deliberate: no Spark builtin parses them; they do not
+        # occur in log data).
         v = F.rtrim(col)
-        return F.when(
-            v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-            v.try_cast(_SPARK_TYPES[data_type]),
+        low = F.lower(v)
+        ty = _SPARK_TYPES[data_type]
+        return (
+            F.when(
+                v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+                v.try_cast(ty),
+            )
+            .when(low.rlike(r"^[+-]?nan$"), F.lit(float("nan")).cast(ty))
+            .when(low.rlike(r"^-inf(inity)?$"), F.lit(float("-inf")).cast(ty))
+            .when(low.rlike(r"^[+]?inf(inity)?$"), F.lit(float("inf")).cast(ty))
         )
     return col.try_cast(_SPARK_TYPES[data_type])
 

@@ -250,8 +250,38 @@ def _case_fold(fold, fields, values, when):
         # rename here); `values` is the LIST of fields whose VALUES fold.
         # Value folds first (they reference original names), then renames.
         for f in values or []:
-            df = _with_guarded(df, f, fold(F.col(f)), when)
+            if f.startswith(f"{ATTRS_COL}."):
+                key = f[len(ATTRS_COL) + 1 :]
+                folded_v = F.transform_values(
+                    _attrs(df), lambda k, v: F.when(k == key, fold(v)).otherwise(v)
+                )
+                df = _with_guarded(df, ATTRS_COL, folded_v, when)
+            else:
+                df = _with_guarded(df, f, fold(F.col(f)), when)
         for f in fields or []:
+            if f.startswith(f"{ATTRS_COL}."):
+                # nested-map key fold (alterFieldProcessor walks nested
+                # maps): rename the key INSIDE the attrs map, row-level —
+                # collisions with an existing folded key fail loudly at
+                # runtime via DUPLICATED_MAP_KEY, mirroring the loud
+                # top-level behavior below.
+                key = f[len(ATTRS_COL) + 1 :]
+                folded_key = fold(key)
+                if folded_key == key or ATTRS_COL not in df.columns:
+                    continue
+                renamed = F.map_from_entries(
+                    F.transform(
+                        F.map_entries(_attrs(df)),
+                        lambda e: F.struct(
+                            F.when(e.getField("key") == key, F.lit(folded_key))
+                            .otherwise(e.getField("key"))
+                            .alias("key"),
+                            e.getField("value").alias("value"),
+                        ),
+                    )
+                )
+                df = _with_guarded(df, ATTRS_COL, renamed, when)
+                continue
             folded = fold(f)
             if f not in df.columns or folded == f:
                 continue

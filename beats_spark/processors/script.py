@@ -22,28 +22,130 @@ from collections.abc import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from ..events import FLAGS_COL
+
+
+class ScriptBatch:
+    """Vectorized analog of the reference's script event API
+    (beatevent_v0.go:80-88: Get/Put/Rename/Delete/Cancel/Tag/AppendTo) so
+    a reference JS processor's logic ports verb-for-verb. One instance
+    wraps one Arrow batch; where a reference script branches per event,
+    pass `mask` (a boolean Series aligned to the batch) to scope a verb
+    to matching rows."""
+
+    def __init__(self, pdf: pd.DataFrame):
+        self._df = pdf.copy()
+        self._cancel = pd.Series(False, index=self._df.index)
+
+    def Get(self, field: str) -> pd.Series:
+        """Field values; missing field → all-null (get → null, beatevent_v0.go:110)."""
+        if field in self._df.columns:
+            return self._df[field]
+        return pd.Series([None] * len(self._df), index=self._df.index)
+
+    def Put(self, field: str, value, mask: pd.Series | None = None) -> pd.Series:
+        """Set a field (whole batch or masked rows); returns the old values."""
+        old = self.Get(field).copy()
+        if mask is None:
+            self._df[field] = value
+        else:
+            if field not in self._df.columns:
+                self._df[field] = None
+            self._df.loc[mask, field] = value
+        return old
+
+    def Rename(self, src: str, dst: str) -> bool:
+        if src not in self._df.columns or dst in self._df.columns:
+            return False
+        self._df = self._df.rename(columns={src: dst})
+        return True
+
+    def Delete(self, field: str) -> bool:
+        if field not in self._df.columns:
+            return False
+        self._df = self._df.drop(columns=[field])
+        return True
+
+    def Cancel(self, mask: pd.Series | None = None) -> None:
+        """Drop rows from the output (whole batch, or just masked rows)."""
+        self._cancel = self._cancel | (mask if mask is not None else True)
+
+    def Tag(self, *tags: str, mask: pd.Series | None = None) -> None:
+        """Append tags to log_flags, deduplicated (tag, beatevent_v0.go)."""
+        for tag in tags:
+            self.AppendTo(FLAGS_COL, tag, mask=mask, dedup=True)
+
+    def AppendTo(
+        self, field: str, value, mask: pd.Series | None = None, dedup: bool = False
+    ) -> None:
+        """Append `value` to an array field, creating it if absent."""
+        if field in self._df.columns:
+            base = self._df[field]
+        else:
+            base = pd.Series([None] * len(self._df), index=self._df.index)
+        sel = mask if mask is not None else pd.Series(True, index=self._df.index)
+
+        def app(cur, do):
+            if not do:
+                return cur if isinstance(cur, list) else ([] if cur is None else list(cur))
+            cur = [] if cur is None else list(cur)
+            if dedup and value in cur:
+                return cur
+            return cur + [value]
+
+        self._df[field] = [app(c, d) for c, d in zip(base, sel)]
+
+    def result(self) -> pd.DataFrame:
+        return self._df[~self._cancel]
+
 
 def script(
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    fn: Callable,
     schema: str | None = None,
     test_rows: list[dict] | None = None,
+    api: bool = False,
 ):
     """Build a script stage from a batch-level pandas function.
 
     `schema` is the output schema DDL; None means schema-preserving.
+    `api=True` passes a ScriptBatch (the reference event-API shim) to
+    `fn` instead of a raw pandas frame; the stage output is then
+    ev.result() (Put/Rename/Delete applied, Cancelled rows dropped)
+    unless `fn` returns a DataFrame itself.
     """
+
+    def call(pdf: pd.DataFrame) -> pd.DataFrame:
+        if api:
+            ev = ScriptBatch(pdf)
+            ret = fn(ev)
+            return ret if isinstance(ret, pd.DataFrame) else ev.result()
+        return fn(pdf)
+
     if test_rows is not None:
-        sample = pd.DataFrame(test_rows)
-        out = fn(sample.copy())
+        out = call(pd.DataFrame(test_rows))
         if not isinstance(out, pd.DataFrame):
             raise TypeError("script fn must return a pandas DataFrame")
 
     def stage(df: DataFrame) -> DataFrame:
         out_schema = schema or df.schema
+        if isinstance(out_schema, str):
+            from pyspark.sql.types import StructType
+
+            names = StructType.fromDDL(out_schema).names
+        else:
+            names = out_schema.names
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                yield fn(pdf)
+                res = call(pdf)
+                # project to the declared schema (the reference script
+                # keeps all event fields; the output schema is OUR
+                # contract) — a column the schema names but the script
+                # didn't produce is a real error, surfaced by name
+                missing = [c for c in names if c not in res.columns]
+                if missing:
+                    raise KeyError(f"script output missing schema columns: {missing}")
+                yield res[names]
 
         return df.mapInPandas(run, out_schema)
 

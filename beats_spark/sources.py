@@ -81,3 +81,48 @@ def read_transcripts_stream(
     from .events import TRANSCRIPT_SCHEMA
 
     return reader.schema(TRANSCRIPT_SCHEMA).load(path)
+
+
+# Kafka wire schema as Spark's kafka source presents it — used by tests
+# to analysis-check the projection without the connector jar in the image.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_line_projection(df: DataFrame) -> DataFrame:
+    """Kafka record → line event: value bytes decoded to text plus the
+    source coordinates the reference's kafka input exposes as fields
+    (filebeat/input/kafka/input.go: topic/partition/offset/timestamp).
+    Split from read_kafka_lines so the projection is testable against a
+    static frame when the connector jar is absent."""
+    return df.select(
+        F.col("value").cast("string").alias("line"),
+        F.col("topic").alias("kafka_topic"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("timestamp").alias("ts"),
+    )
+
+
+def read_kafka_lines(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka input analog (filebeat/input/kafka): one row per record,
+    value decoded to a `line` column — the whole reader/parse stack
+    applies unchanged, exactly like the tcp/socket source. Requires the
+    spark-sql-kafka connector jar at runtime (absent in this image; the
+    option set + projection are analysis-checked in tests, and the
+    downstream plan is identical to the file/tcp paths by construction).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    return kafka_line_projection(reader.load())

@@ -95,8 +95,17 @@ def stream_to_sinks(
     duplicating — the same idempotent-overwrite upgrade the batch
     checkpoint runner uses. checkpointLocation carries the source cursor
     (registrar analog). Read back with read_sink_output().
+
+    out_dir and checkpoint_dir live or die together: a FRESH checkpoint
+    restarts batch ids at 0, so stale `_batch=*` dirs from a prior run
+    would mix into read_sink_output (batch 0 overwritten, higher ids
+    stale). On start with no checkpoint we therefore clear out_dir.
     """
     import os
+    import shutil
+
+    if not os.path.exists(checkpoint_dir) and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

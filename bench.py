@@ -248,6 +248,60 @@ dependencies except the final aggregate's single exchange.
         )
 
 
+def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
+    """10× the bench SF (sf0.1 × 10 ≈ sf1): the cliff check — an O(N²)
+    join or memory blow-up that a 5 s query hides at sf0.1 shows up as a
+    ≫10× wall here. Transcripts are materialized as a 64-file table
+    (production scan shape); documents/embeddings are replicated with
+    remapped ids in-memory (operator scaling is what's under test)."""
+    import shutil
+    import tempfile
+
+    from beats_spark import synth
+    from beats_spark.pipeline import parse_enrich, route_events
+    from beats_spark.processors.stateful import multiline_count, rate_limit
+    from beats_spark.aggregates import session_flows
+    from beats_spark.datapipe.dedup import exact_dedup, simhash, simhash_near_pairs
+    from beats_spark.datapipe.similarity import brute_topk
+    from pyspark.sql import functions as F
+
+    path = os.path.join(tempfile.gettempdir(), "beats_spark_sf1_input")
+    synth.materialize_transcripts(spark, sf_dir, path, replicas=scale, files=64)
+    t = spark.read.parquet(path)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("_r")
+    docs10 = docs.select("*", r).withColumn(
+        "doc_id", F.col("doc_id") * scale + F.col("_r")
+    ).drop("_r")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10 = emb.select("*", r).withColumn(
+        "vec_id", F.col("vec_id") * scale + F.col("_r")
+    ).drop("_r")
+
+    jobs = {
+        "pipeline_routed": lambda: route_events(parse_enrich(t, spark)),
+        "agg_events_per_conv": lambda: route_events(parse_enrich(t, spark))
+        .groupBy("_sink", F.date_trunc("hour", F.col("ts")).alias("bucket"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_events")),
+        "rate_limit": lambda: rate_limit(
+            ["conv_id"], limit=3, period="1 hour", order_cols=["turn_idx"]
+        )(t),
+        "multiline_count": lambda: multiline_count(count=5, group_cols=["conv_id"], order_col="turn_idx")(t),
+        "sessionize": lambda: session_flows(t, keys=["conv_id"], gap="30 minutes"),
+        "dedup_exact": lambda: exact_dedup(docs10),
+        "simhash_pairs": lambda: simhash_near_pairs(simhash(docs10), max_hamming=3),
+        "ann_cosine_topk": lambda: brute_topk(emb10, emb10.filter(F.col("vec_id") < 10), k=5),
+    }
+    times: dict[str, float] = {}
+    for name, job in jobs.items():
+        t0 = time.perf_counter()
+        _force(job())
+        times[name] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(path, ignore_errors=True)
+    return times
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--scaling-worker":
         _scaling_worker(int(sys.argv[2]), sys.argv[3])
@@ -262,17 +316,18 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     times = run_bench(spark, SF_DIR)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "end-to-end parse→enrich→route→aggregate wall time (headline queries)",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "end-to-end parse→enrich→route→aggregate wall time (headline queries)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # sf1 cliff check (VERDICT r2 item 8): 10× the bench input, same
+    # operators — disable with SPARK_GRAFT_NO_SF1=1 for quick loops.
+    if not os.environ.get("SPARK_GRAFT_NO_SF1"):
+        out["sf1"] = {"scale": "10x sf" + str(out["sf"]), "queries": sf1_run(spark, SF_DIR)}
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -93,3 +93,46 @@ def test_full_run_is_single_write_job(spark, routed, tmp_path):
     redo = run.run(routed, input_files=["f1"])
     assert sorted(m["partition"] for m in redo) == [3, 7]
     assert run.write_jobs == 1
+
+
+def test_days_mode_resume_prunes_scan(spark, routed, tmp_path):
+    """R3 (VERDICT item 4): partition_expr='days' over a day-partitioned
+    input — a resume run's filter must reach the scan as a
+    PartitionFilter so only the missing days' files are read."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "day_input")
+    routed.withColumn("date", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "date"
+    ).parquet(src)
+    day_routed = spark.read.parquet(src)
+    all_days = sorted(
+        str(r.date) for r in day_routed.select("date").distinct().collect()
+    )
+    assert len(all_days) >= 3
+
+    clean = CheckpointedRun(
+        str(tmp_path / "days_clean"), partition_expr="days", day_col="date"
+    )
+    clean.run(day_routed, input_files=[src])
+
+    run = CheckpointedRun(str(tmp_path / "days"), partition_expr="days", day_col="date")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run.run(day_routed, input_files=[src], fail_after=2)
+    done = run.completed_partitions()
+    assert len(done) == 2
+
+    manifests = run.run(day_routed, input_files=[src])
+    missing = sorted(str(m["partition"]) for m in manifests)
+    assert missing == sorted(set(all_days) - {str(d) for d in done})
+    # the resume job's scan was partition-pruned to the missing days:
+    # the _part IN (...) predicate appears as a PartitionFilter on the
+    # file scan, not a post-scan Filter over all days
+    scan_lines = [l for l in run.last_plan.splitlines() if "PartitionFilters" in l]
+    assert scan_lines, run.last_plan
+    assert any("date" in l and "empty" not in l.split("PartitionFilters")[1][:200]
+               for l in scan_lines), scan_lines
+    # resumed output identical to the uninterrupted run
+    got = _collect(run.read_output(spark))
+    want = _collect(clean.read_output(spark))
+    assert got == want

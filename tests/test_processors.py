@@ -756,3 +756,67 @@ def test_community_id_portless_proto(spark):
     want = "1:" + b64mod.b64encode(h.digest()).decode()
     assert out[0] == want
     assert out[1] == want
+
+
+def test_script_event_api_ported_reference_verbs(spark):
+    """R3: event-API shim (ScriptBatch) — the reference's beatevent_v0
+    verbs (beatevent_v0_test.go: Put/Get/Delete/Rename/Cancel/Tag +
+    AppendTo) ported verb-for-verb from the JS test cases."""
+    from beats_spark.processors.script import script
+
+    def process(evt):
+        # `evt.Put("hello", "world");`
+        evt.Put("hello", "world")
+        # `var ip = evt.Get("source_ip"); if (...) throw`
+        ip = evt.Get("source_ip")
+        assert (ip.dropna() == "192.0.2.1").all()
+        # `if (!evt.Rename("source_ip", "destination_ip")) throw`
+        assert evt.Rename("source_ip", "destination_ip")
+        # `if (!evt.Delete("obsolete")) throw`
+        assert evt.Delete("obsolete")
+        # per-event Cancel → masked Cancel over the batch
+        evt.Cancel(mask=evt.Get("destination_ip").isna())
+        # `evt.Tag("x")` — dedup on double-tag
+        evt.Tag("scripted", mask=None)
+        evt.Tag("scripted")
+        evt.AppendTo("related_ip", "192.0.2.1")
+
+    df = spark.createDataFrame(
+        [(1, "192.0.2.1", "x"), (2, None, "y"), (3, "192.0.2.1", "z")],
+        "id int, source_ip string, obsolete string",
+    )
+    out_schema = (
+        "id int, destination_ip string, hello string, "
+        "log_flags array<string>, related_ip array<string>"
+    )
+    rows = script(
+        process,
+        schema=out_schema,
+        api=True,
+        test_rows=[{"id": 0, "source_ip": "192.0.2.1", "obsolete": "o"}],
+    )(df).collect()
+    assert sorted(r.id for r in rows) == [1, 3]  # null-ip row cancelled
+    for r in rows:
+        assert r.hello == "world"
+        assert r.destination_ip == "192.0.2.1"
+        assert r.log_flags == ["scripted"]  # deduped
+        assert r.related_ip == ["192.0.2.1"]
+
+
+def test_case_fold_attrs_map_keys(spark):
+    """R3 (VERDICT item 7): lowercase/uppercase `fields` entries that
+    point into the attrs map fold the MAP KEY (and `values` entries fold
+    the map value), matching alterFieldProcessor's nested-map walk."""
+    from beats_spark.processors.actions import lowercase, uppercase
+
+    df = spark.createDataFrame([(1,)], "id int").withColumn(
+        "attrs",
+        F.create_map(
+            F.lit("Foo.Bar"), F.lit("KeepCase"), F.lit("other"), F.lit("x")
+        ),
+    )
+    low = lowercase(fields=["attrs.Foo.Bar"])(df).first()
+    assert low.attrs == {"foo.bar": "KeepCase", "other": "x"}  # key folded, value kept
+
+    upv = uppercase(values=["attrs.other"])(df).first()
+    assert upv.attrs == {"Foo.Bar": "KeepCase", "other": "X"}  # value folded, keys kept

@@ -305,3 +305,31 @@ def test_multiline_preserves_upstream_flags(spark):
     }
     assert sorted(out[0].log_flags) == ["convert_error"]
     assert out[2].log_flags == []
+
+
+def test_float_special_forms_strconv_parity(spark):
+    """R3 ADVICE: strconv.ParseFloat accepts Inf/Infinity/NaN (any case,
+    optional sign) and Go hex floats — the 'strconv parity' paths must
+    agree. Column path: special names convert; hex floats stay NULL
+    (documented divergence). Scalar path: both convert."""
+    import math
+
+    from beats_spark.dissect import convert_value
+
+    assert convert_value("double", "Inf") == float("inf")
+    assert convert_value("double", "-Infinity") == float("-inf")
+    assert math.isnan(convert_value("float", "NaN"))
+    assert convert_value("double", "0x1p-2") == 0.25
+    assert convert_value("double", "-0x1.8p1") == -3.0
+    assert convert_value("double", "0x12") == "0x12"  # Go requires the p-exponent for hex floats
+    assert convert_value("double", "infx") == "infx"  # not a special name
+
+    df = spark.createDataFrame(
+        [("Inf",), ("-Infinity",), ("NaN",), ("3.5",), ("junk",)], "v string"
+    )
+    out = df.select(cast_column(F.col("v"), "double").alias("d")).collect()
+    assert out[0].d == float("inf")
+    assert out[1].d == float("-inf")
+    assert math.isnan(out[2].d)
+    assert out[3].d == 3.5
+    assert out[4].d is None

@@ -209,3 +209,31 @@ def test_tcp_input_to_syslog_parse(spark):
     assert all(r.syslog_priority == 34 and r.syslog_hostname == "tcphost" for r in rows[:20])
     msgs = {r.syslog_message for r in rows}
     assert "msg 0" in msgs and "msg 19" in msgs
+
+
+def test_kafka_plan_shape_without_jar(spark):
+    """R3 (VERDICT item 6): the kafka input path is analysis-checked
+    without the connector jar — the record→line projection runs on a
+    static frame with kafka's wire schema, feeds the normal parse stack,
+    and the reader construction fails only at load() with the documented
+    missing-source error."""
+    from beats_spark.processors.parsers import syslog
+    from beats_spark.sources import KAFKA_WIRE_SCHEMA, kafka_line_projection, read_kafka_lines
+
+    wire = spark.createDataFrame(
+        [
+            (None, b"<34>Oct 11 22:14:15 host1 app[42]: boom", "t", 0, 0,
+             __import__("datetime").datetime(2024, 1, 5), 0),
+        ],
+        KAFKA_WIRE_SCHEMA,
+    )
+    lines = kafka_line_projection(wire)
+    r = syslog("line")(lines).collect()[0]
+    assert r.kafka_topic == "t" and r.kafka_offset == 0
+    assert r.syslog_priority == 34 and r.syslog_hostname == "host1"
+
+    # reader construction is valid; only load() needs the jar
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)kafka|DATA_SOURCE|Failed to find"):
+        read_kafka_lines(spark, "broker:9092", "transcripts")
