@@ -25,19 +25,53 @@ from ..dissect import cast_column
 Stage = Callable[[DataFrame], DataFrame]
 
 
+_ITE_COND = "__ite_cond"
+
+
+def _guarded_specs(specs: list[dict], guard: dict) -> list[dict]:
+    out = []
+    for spec in specs:
+        ((name, opts),) = spec.items()
+        opts = dict(opts)
+        w = opts.get("when")
+        opts["when"] = {"and": [guard, w]} if w else guard
+        out.append({name: opts})
+    return out
+
+
 def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None = None):
     """Conditional sub-pipelines (conditionals.go:181-268).
 
-    Batch semantics: run both branches' column transformations, select
-    per-row with the condition. Row-dropping stages inside branches are
-    expressed as a union of filtered branches (rows can't half-exist)."""
+    Single-scan fast path (VERDICT r2 carried item): when every branch
+    stage accepts a `when` guard, the branch condition is evaluated ONCE
+    into a temp boolean column (Beats evaluates the if-condition once
+    per event, so later stages mutating condition fields must not
+    re-decide the branch) and folded into each stage's guard — one pass
+    over the input, no union, row-dropping stages included (drop_event's
+    own `when` composes with the branch guard). Falls back to the
+    union-of-filtered-branches form when a branch stage has no `when`
+    parameter (e.g. reshaping stages)."""
     from . import compile_chain
 
-    then_chain = compile_chain(then)
-    else_chain = compile_chain(otherwise or [])
+    try:
+        g_then = compile_chain(_guarded_specs(then, {"equals": {_ITE_COND: True}}))
+        g_else = compile_chain(
+            _guarded_specs(otherwise or [], {"equals": {_ITE_COND: False}})
+        )
+        then_chain = else_chain = None
+    except TypeError:
+        # a branch stage without a `when` parameter (or one whose guarded
+        # form is invalid): compile the plain chains for the union path
+        g_then = g_else = None
+        then_chain = compile_chain(then)
+        else_chain = compile_chain(otherwise or [])
 
     def stage(df: DataFrame) -> DataFrame:
         cond = F.coalesce(compile_condition(condition), F.lit(False))
+        if g_then is not None:
+            out = df.withColumn(_ITE_COND, cond)
+            out = g_else(g_then(out))
+            return out.drop(_ITE_COND)
         then_df = then_chain(df.filter(cond))
         else_df = else_chain(df.filter(~cond))
         missing_in_else = [c for c in then_df.columns if c not in else_df.columns]

@@ -820,3 +820,41 @@ def test_case_fold_attrs_map_keys(spark):
 
     upv = uppercase(values=["attrs.other"])(df).first()
     assert upv.attrs == {"Foo.Bar": "KeepCase", "other": "X"}  # value folded, keys kept
+
+
+def test_if_then_else_single_scan_fast_path(spark):
+    """R3: guardable branch stages fold into one pass — the plan scans
+    the input once (no Union), the branch is decided ONCE per row (a
+    then-stage mutating the condition field must not flip later stages
+    into the other branch), and row-dropping stages still compose."""
+    from beats_spark.processors.misc import if_then_else
+
+    df = spark.createDataFrame(
+        [("tool", 1), ("user", 2), (None, 3)], "role string, i int"
+    )
+    stage = if_then_else(
+        {"equals": {"role": "tool"}},
+        then=[
+            {"uppercase": {"values": ["role"]}},  # mutates the condition field
+            {"add_fields": {"fields": {"branch": "T"}, "target": ""}},
+        ],
+        otherwise=[{"add_fields": {"fields": {"branch": "E"}, "target": ""}}],
+    )
+    out = stage(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, plan
+    rows = {r.i: r for r in out.collect()}
+    # role mutated to TOOL by stage 1, but stage 2 still runs the THEN branch
+    assert rows[1].role == "TOOL" and rows[1].branch == "T"
+    assert rows[2].branch == "E"
+    assert rows[3].branch == "E"  # null condition -> else (Beats: false)
+
+    # drop_event inside a branch: drops only branch rows
+    dropper = if_then_else(
+        {"equals": {"role": "tool"}},
+        then=[{"drop_event": {}}],
+        otherwise=[{"add_fields": {"fields": {"kept": "y"}, "target": ""}}],
+    )
+    kept = dropper(df).collect()
+    assert sorted(r.i for r in kept) == [2, 3]
+    assert all(r.kept == "y" for r in kept)
