@@ -89,8 +89,10 @@ class CheckpointedRun:
                 try:
                     with open(os.path.join(self.manifest_dir, f)) as fh:
                         m = json.load(fh)
-                    p = m["partition"]
-                    done.add(int(p) if isinstance(p, int) or str(p).isdigit() else str(p))
+                    # JSON round-trips the partition id's type (int for
+                    # hash mode, str for days mode) — no coercion, so a
+                    # digit-valued day string never aliases an int id
+                    done.add(m["partition"])
                 except (json.JSONDecodeError, KeyError):
                     continue  # torn write ⇒ not committed ⇒ recompute
         return done

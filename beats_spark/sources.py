@@ -126,3 +126,109 @@ def read_kafka_lines(
         .option("startingOffsets", starting_offsets)
     )
     return kafka_line_projection(reader.load())
+
+
+# ---------------------------------------------------------------------------
+# UDP input — a real Spark streaming source for datagram lines
+# (filebeat/input/udp: reads datagrams, one event per packet). Spark has
+# no built-in UDP source; this one uses the PySpark 4 Python Data Source
+# API. The reader runs driver-side (SimpleDataSourceStreamReader), drains
+# whatever datagrams arrived since the last trigger, and advances a
+# counting offset. Replay semantics match UDP itself: at-most-once — a
+# datagram consumed into a batch is gone, so readBetweenOffsets (crash
+# replay of a committed-but-unprocessed range) returns nothing and the
+# rows of an in-flight batch are prefetch-buffered by Spark, exactly the
+# delivery guarantee the reference's udp input has (no ACK, no cursor).
+# ---------------------------------------------------------------------------
+
+UDP_SOURCE_SCHEMA = "line string, sender string, recv_ts timestamp"
+
+
+def register_udp_source(spark: SparkSession) -> None:
+    """Register the `beats_udp` streaming format on this session.
+
+    EVERYTHING the source needs is defined inside this function body:
+    Spark ships the DataSource class to a separate Python runner process
+    via cloudpickle, which serializes nested classes BY VALUE but
+    module-level names by reference — a reference to anything in
+    beats_spark would make the runner try (and possibly fail) to import
+    the package. Self-containment is what makes the source work from a
+    bare `spark-submit --py-files` deploy and from any cwd (caught by a
+    ModuleNotFoundError in the driver drive, not by pytest-from-repo-root).
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class UDPDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "beats_udp"
+
+        def schema(self) -> str:
+            return "line string, sender string, recv_ts timestamp"
+
+        def simpleStreamReader(self, schema):
+            options = dict(self.options)
+
+            class UDPSimpleStreamReader(SimpleDataSourceStreamReader):
+                def __init__(self):
+                    # bind lazily: Spark instantiates the reader during
+                    # analysis AND at stream start — an eager bind in the
+                    # first instance would hold the port against the one
+                    # that actually reads
+                    self._sock = None
+                    self._max_per_batch = int(options.get("maxdatagramsperbatch", "10000"))
+
+                def _socket_lazy(self):
+                    import socket as _socket
+
+                    if self._sock is None:
+                        self._sock = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+                        self._sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+                        self._sock.bind(
+                            (options.get("host", "127.0.0.1"), int(options.get("port", "9999")))
+                        )
+                        self._sock.setblocking(False)
+                    return self._sock
+
+                def initialOffset(self) -> dict:
+                    return {"count": 0}
+
+                def read(self, start: dict):
+                    import datetime
+
+                    sock = self._socket_lazy()
+                    rows = []
+                    while len(rows) < self._max_per_batch:
+                        try:
+                            data, addr = sock.recvfrom(65535)
+                        except BlockingIOError:
+                            break
+                        rows.append(
+                            (
+                                data.decode("utf-8", errors="replace"),
+                                f"{addr[0]}:{addr[1]}",
+                                datetime.datetime.now(),
+                            )
+                        )
+                    return iter(rows), {"count": start["count"] + len(rows)}
+
+                def readBetweenOffsets(self, start: dict, end: dict):
+                    return iter([])  # datagrams are not replayable (at-most-once)
+
+            return UDPSimpleStreamReader()
+
+    spark.dataSource.register(UDPDataSource)
+
+
+def read_udp_lines(spark: SparkSession, host: str = "127.0.0.1", port: int = 9998) -> DataFrame:
+    """UDP input analog (filebeat/input/udp): one row per datagram with
+    the sender address and receive time — the reader/parse stack applies
+    unchanged, like the tcp and kafka paths."""
+    register_udp_source(spark)
+    return (
+        spark.readStream.format("beats_udp")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+        .withColumnRenamed("line", "line")
+    )

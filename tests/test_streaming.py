@@ -237,3 +237,67 @@ def test_kafka_plan_shape_without_jar(spark):
 
     with _pytest.raises(Exception, match="(?i)kafka|DATA_SOURCE|Failed to find"):
         read_kafka_lines(spark, "broker:9092", "transcripts")
+
+
+def test_udp_input_to_syslog_parse(spark):
+    """Protocol input (§2.1 udp): a real Python-Data-Source UDP reader —
+    datagrams sent from the test land as rows, flow through the standard
+    syslog parse stack, and carry the sender address."""
+    import socket
+    import threading
+
+    from beats_spark.processors.parsers import syslog
+    from beats_spark.sources import read_udp_lines
+
+    # pick a free UDP port
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    stream = read_udp_lines(spark, "127.0.0.1", port)
+    parsed = syslog("line")(stream)
+    q = (
+        parsed.select("sender", "syslog_priority", "syslog_hostname", "syslog_message")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("udp_syslog")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    stop = threading.Event()
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # keep sending until the sink sees data (UDP is lossy; the
+        # reader may bind a beat after the first sends)
+        i = 0
+        while not stop.is_set() and i < 600:
+            tx.sendto(
+                f"<34>Oct 11 22:14:{i % 60:02d} udphost app[{i}]: msg {i}".encode(),
+                ("127.0.0.1", port),
+            )
+            i += 1
+            time.sleep(0.05)
+        tx.close()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    try:
+        deadline = time.time() + 45
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table("udp_syslog").collect()
+            if len(rows) >= 5:
+                break
+            time.sleep(1)
+    finally:
+        stop.set()
+        q.stop()
+        th.join(5)
+    assert len(rows) >= 5, f"only {len(rows)} udp rows arrived"
+    r = rows[0]
+    assert r.syslog_priority == 34
+    assert r.syslog_hostname == "udphost"
+    assert r.sender.startswith("127.0.0.1:")
