@@ -586,6 +586,26 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, hash_method="md5")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: verified MinHash pairs → connected
+    components (min-label propagation) → every doc labeled with the min
+    id reachable through the pair graph (singletons label themselves).
+    Oracle: the same pair set closed with a DuckDB recursive CTE."""
+    from beats_spark.datapipe.dedup import (
+        connected_components,
+        jaccard_verify,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = minhash_lsh_candidates(docs, hash_method="md5")
+    pairs = jaccard_verify(docs, cands, threshold=0.8)
+    cc = connected_components(pairs)
+    return docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 16-bit pigeonhole blocks — candidate
     generation is a union of 4 per-block EQUI-joins (VERDICT r2 item 2:
@@ -1101,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_signals": q_text_signals,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1183,6 +1204,51 @@ WITH toks AS (
 ),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def _clusters_oracle_sql(num_perm: int = 32, bands: int = 8, n: int = 5, threshold: float = 0.8) -> str:
+    """Transitive closure of the verified MinHash pair set via a recursive
+    CTE: reach(node, r) starts as the identity and propagates along
+    undirected pair edges; cluster_id = min reachable id."""
+    rows = num_perm // bands
+    mins = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}" for i in range(num_perm)
+    )
+    band_exprs = ",\n    ".join(
+        "md5(" + " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS b, band{b} AS h FROM sigs2" for b in range(bands)
+    )
+    return f"""
+WITH RECURSIVE {_SHINGLE_CTES.format(n=n).lstrip()},
+sigs AS (SELECT doc_id, sh, {mins} FROM shing),
+sigs2 AS (SELECT doc_id, {band_exprs} FROM sigs),
+buckets AS ({union}),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cands
+  JOIN shing sa ON sa.doc_id = id_a
+  JOIN shing sb ON sb.doc_id = id_b
+  WHERE {_JACCARD} >= {threshold}
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.node = e.d
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """
 
 
@@ -1712,6 +1778,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sc, 6) AS q_scale
             FROM p""",
         "minhash_dedup": _minhash_oracle_sql(),
+        "dedup_clusters": _clusters_oracle_sql(),
         "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),

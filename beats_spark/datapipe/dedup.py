@@ -272,3 +272,84 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     return jaccard_verify(df, cands, text_col, id_col, n, threshold)
+
+
+# -- transitive clustering (connected components) ------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster near-dup pair edges transitively: returns (node, cluster_id)
+    where cluster_id = the minimum id reachable through the pair graph.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels — converges in O(component diameter)
+    rounds, and near-dup components are shallow (stars around a few hub
+    docs), so the practical round count is 2-4. Each round is one
+    edge⋈label join + a min-aggregate (two shuffles on ids only);
+    `localCheckpoint` truncates the iterative lineage so the plan stays
+    constant-size. At 10^12-edge scale swap the loop body for the
+    alternating large-star/small-star rounds (Kiveris et al.) — same
+    per-round shuffle shape, O(log² N) worst-case rounds; the loop
+    structure and convergence test here carry over unchanged.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def dedup_transitive(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    n: int = 5,
+    threshold: float = 0.8,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """MinHash near-dup removal with TRANSITIVE cluster semantics: verified
+    pairs are clustered via connected_components and only the minimum-id
+    document of each cluster survives (a-b + b-c drops b AND c even when
+    a-c itself is below threshold — the chain policy real training-data
+    dedup uses, vs minhash_dedup's per-edge drop)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands, n, hash_method)
+    pairs = jaccard_verify(df, cands, text_col, id_col, n, threshold)
+    cc = connected_components(pairs, id_col=id_col)
+    keep = df.join(
+        cc.filter(F.col(id_col) != F.col("cluster_id")).select(id_col),
+        on=id_col,
+        how="left_anti",
+    )
+    return keep

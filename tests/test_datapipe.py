@@ -218,3 +218,33 @@ def test_ivf_centroids_k256_constant_plan(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     cents = ivf_centroids(emb, k=256, iters=1, dim=64)
     assert len(cents) == 256 and all(len(c) == 64 for c in cents)
+
+
+def test_connected_components_chain(spark):
+    """a-b + b-c cluster together even without an a-c edge; disjoint
+    pairs stay separate; convergence stops early on fixed point."""
+    from beats_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 4)], "id_a bigint, id_b bigint"
+    )
+    cc = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_transitive_chain_policy(spark):
+    """Chained near-dups (a≈b, b≈c, a̸≈c) all collapse to the min-id doc —
+    the transitive policy; per-edge minhash_dedup keeps the same survivors
+    here but the cluster labels prove the chain closed."""
+    from beats_spark.datapipe.dedup import dedup_transitive
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    a = base + "alpha beta gamma delta epsilon zeta eta theta"
+    b = base + "alpha beta gamma delta epsilon zeta eta iota"      # ≈ a
+    c = base + "alpha beta gamma delta epsilon zeta kappa iota"    # ≈ b, farther from a
+    d = "completely different content about spark partitions and shuffles"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id bigint, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_transitive(df, threshold=0.8).collect())
+    assert kept == [1, 4]
