@@ -667,7 +667,13 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     + `doc_fingerprint` + `pii_scrub`): n-gram language id, rolling-hash
     fingerprint, typed PII masking + per-kind hit counts — all pure
     map-side Column regexes."""
-    from beats_spark.datapipe.text import doc_fingerprint, lang_id, pii_counts, scrub_pii
+    from beats_spark.datapipe.text import (
+        doc_fingerprint,
+        gopher_quality_flags,
+        lang_id,
+        pii_counts,
+        scrub_pii,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id").cast("string")
@@ -678,6 +684,7 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = docs.withColumn("t", t)
     counts = pii_counts(F.col("t"))
+    gopher = gopher_quality_flags(F.col("text"))
     return df.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
@@ -687,6 +694,12 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["n_ipv4"].alias("n_ipv4"),
         counts["n_ssn"].alias("n_ssn"),
         counts["n_phone"].alias("n_phone"),
+        gopher["fail_word_count"].alias("g_fail_word_count"),
+        gopher["fail_mean_word_len"].alias("g_fail_mean_word_len"),
+        gopher["fail_symbol_ratio"].alias("g_fail_symbol_ratio"),
+        gopher["fail_alpha_words"].alias("g_fail_alpha_words"),
+        gopher["fail_stop_words"].alias("g_fail_stop_words"),
+        gopher["gopher_pass"].alias("gopher_pass"),
     )
 
 
@@ -1683,7 +1696,34 @@ def oracle_sql() -> dict[str, str]:
                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|que|con)\b')) AS c_es,
                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit|nicht)\b')) AS c_de,
                 len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|que|avec)\b')) AS c_fr
-              FROM documents)
+              FROM documents),
+            gopher AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+                len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
+                len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
+                len(list_filter(regexp_split_to_array(text, '\n'),
+                                l -> regexp_matches(trim(l), '^([-*•‣▪])'))) AS bullet_lines,
+                len(list_filter(regexp_split_to_array(text, '\n'),
+                                l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+                greatest(len(regexp_split_to_array(text, '\n')), 1) AS n_lines,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+                len(regexp_extract_all(lower(text),
+                    '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop
+              FROM documents),
+            gflags AS (
+              SELECT doc_id,
+                (words < 50 OR words > 100000) AS g_fail_word_count,
+                (n_letters / CAST(greatest(words, 1) AS DOUBLE) < 3.0
+                 OR n_letters / CAST(greatest(words, 1) AS DOUBLE) > 10.0) AS g_fail_mean_word_len,
+                (n_symbols / CAST(greatest(words, 1) AS DOUBLE) > 0.1) AS g_fail_symbol_ratio,
+                (bullet_lines / CAST(n_lines AS DOUBLE) > 0.9) AS g_fail_bullet_lines,
+                (ellipsis_lines / CAST(n_lines AS DOUBLE) > 0.3) AS g_fail_ellipsis_lines,
+                (alpha_words / CAST(greatest(words, 1) AS DOUBLE) < 0.8) AS g_fail_alpha_words,
+                (n_stop < 2) AS g_fail_stop_words
+              FROM gopher)
             SELECT d.doc_id,
                    CASE WHEN greatest(c_en, c_es, c_de, c_fr) = 0 THEN 'und'
                         WHEN c_en = greatest(c_en, c_es, c_de, c_fr) THEN 'en'
@@ -1692,8 +1732,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fingerprint,
                    'contact <EMAIL> and <IP> or call <PHONE> ssn <SSN> end' AS scrubbed,
-                   1 AS n_email, 1 AS n_ipv4, 1 AS n_ssn, 2 AS n_phone
-            FROM documents d JOIN counts c ON d.doc_id = c.doc_id""",
+                   1 AS n_email, 1 AS n_ipv4, 1 AS n_ssn, 2 AS n_phone,
+                   g.g_fail_word_count, g.g_fail_mean_word_len,
+                   g.g_fail_symbol_ratio, g.g_fail_alpha_words, g.g_fail_stop_words,
+                   NOT (g.g_fail_word_count OR g.g_fail_mean_word_len
+                        OR g.g_fail_symbol_ratio OR g.g_fail_bullet_lines
+                        OR g.g_fail_ellipsis_lines OR g.g_fail_alpha_words
+                        OR g.g_fail_stop_words) AS gopher_pass
+            FROM documents d
+            JOIN counts c ON d.doc_id = c.doc_id
+            JOIN gflags g ON d.doc_id = g.doc_id""",
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -362,3 +362,170 @@ def embedding_near_dupes(
         .select("id_a", "id_b", "cos_sim")
     )
     return pairs
+
+
+# -- product quantization ------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train m sub-codebooks of k centroids each (product quantization,
+    Jégou et al. 2011): the vector is split into m equal subspaces and
+    each gets its own mini-Lloyd codebook — reuses ivf_centroids'
+    broadcast-joined train (no literal expression trees), so m×iters
+    bounded distributed passes. Returns codebooks[j][c] = centroid c of
+    subspace j. Memory for codes: m bytes/vector at k≤256 — 32× smaller
+    than float32 at dim=64, m=8."""
+    if dim is None or dim % m != 0:
+        raise ValueError("pq_train requires dim divisible by m")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        subdf = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("_sv")
+        )
+        codebooks.append(
+            ivf_centroids(subdf, k=k, iters=iters, dim=sub, id_col=id_col, vec_col="_sv")
+        )
+    return codebooks
+
+
+def _codebook_df(spark, codebooks: list[list[list[float]]]):
+    rows = [
+        (j, c, [float(x) for x in vec])
+        for j, book in enumerate(codebooks)
+        for c, vec in enumerate(book)
+    ]
+    return spark.createDataFrame(rows, "j int, cid int, cvec array<double>")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors to m small codes: explode each vector into its m
+    subvectors, broadcast-join the (j, cid, cvec) codebook, min-struct
+    per (vector, subspace), reassemble codes ordered by subspace. No
+    k×dim literal trees; shuffle ∝ rows×m id-sized tuples."""
+    spark = df.sparkSession
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cdf = _codebook_df(spark, codebooks)
+    subvecs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.j", "e.sv")
+    dist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        subvecs.join(F.broadcast(cdf), "j")
+        .select(id_col, "j", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_dc"))
+        .groupBy(id_col, "j")
+        .agg(F.min("_dc").getField("cid").alias("code"))
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("code")))),
+            lambda s: s.getField("code"),
+        ).alias("pq_codes")
+    )
+
+
+def pq_decode(
+    codes: DataFrame, codebooks: list[list[list[float]]], id_col: str = "vec_id"
+) -> DataFrame:
+    """Reconstruct approximate vectors from codes (broadcast-join per
+    subspace entry, concat ordered subvectors)."""
+    spark = codes.sparkSession
+    cdf = _codebook_df(spark, codebooks)
+    m = len(codebooks)
+    exploded = codes.select(
+        F.col(id_col), F.posexplode(F.col("pq_codes")).alias("j", "cid")
+    )
+    joined = exploded.join(F.broadcast(cdf), ["j", "cid"])
+    return joined.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("cvec")))),
+                lambda s: s.getField("cvec"),
+            )
+        ).alias("vec_approx")
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per (query, subspace, code) a lookup
+    table of exact query-to-centroid squared distances is built by
+    broadcast cross join (q×m×k rows — tiny), then the corpus codes
+    explode to (id, j, code), join the LUT, and sum per (query, id).
+    Scan cost ∝ corpus×m small rows — the PQ memory/scan trade the
+    production ANN stacks (FAISS IVFPQ) make; recall is bounded by
+    quantization error, asserted in tests against brute force."""
+    spark = codes.sparkSession
+    cdf = _codebook_df(spark, codebooks)
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "e.j", "e.qv")
+    lut = qsub.join(F.broadcast(cdf), "j").select(
+        "query_id",
+        "j",
+        F.col("cid").alias("code"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    corpus_codes = codes.select(
+        F.col(id_col).alias("neighbor_id"), F.posexplode(F.col("pq_codes")).alias("j", "code")
+    )
+    scored = (
+        corpus_codes.join(F.broadcast(lut), ["j", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

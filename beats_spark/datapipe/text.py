@@ -135,3 +135,50 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(col))
         .withColumn("fingerprint", doc_fingerprint(col))
     )
+
+
+def gopher_quality_flags(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1 —
+    public heuristics used by most LLM pretraining pipelines). Each flag
+    is True when the document FAILS that rule; `gopher_pass` = passed
+    all. Pure Column regex battery, map-side at scan speed, and every
+    component is SQL-expressible so the oracle replicates it exactly.
+
+    Rules (thresholds per the paper):
+      word count outside [50, 100_000]; mean word length outside [3, 10];
+      symbol-to-word ratio (# or …) > 0.1; > 90% of lines start with a
+      bullet; > 30% of lines end with an ellipsis; < 80% of words contain
+      an alphabetic character; fewer than 2 of the 8 stop words.
+    """
+    words = token_count(col)
+    safe_words = F.greatest(words, F.lit(1)).cast("double")
+    # mean word length over alphabetic-ish word chars (letters only)
+    n_letters = F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]"), F.lit(0)))
+    mean_wlen = n_letters / safe_words
+    n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    lines = F.split(col, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪])")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    alpha_words = F.size(
+        F.filter(F.split(F.trim(col), r"\s+"), lambda w: w.rlike(r"[A-Za-z]"))
+    )
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(col), F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(0)
+        )
+    )
+    flags = {
+        "fail_word_count": (words < 50) | (words > 100000),
+        "fail_mean_word_len": (mean_wlen < 3.0) | (mean_wlen > 10.0),
+        "fail_symbol_ratio": (n_symbols / safe_words) > 0.1,
+        "fail_bullet_lines": (bullet_lines / n_lines) > 0.9,
+        "fail_ellipsis_lines": (ellipsis_lines / n_lines) > 0.3,
+        "fail_alpha_words": (alpha_words / safe_words) < 0.8,
+        "fail_stop_words": n_stop < 2,
+    }
+    gopher_pass = F.lit(True)
+    for k in flags:
+        gopher_pass = gopher_pass & ~flags[k]
+    flags["gopher_pass"] = gopher_pass
+    return flags
