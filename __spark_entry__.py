@@ -587,20 +587,31 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clustering: verified MinHash pairs → connected
-    components (min-label propagation) → every doc labeled with the min
-    id reachable through the pair graph (singletons label themselves).
-    Oracle: the same pair set closed with a DuckDB recursive CTE."""
-    from beats_spark.datapipe.dedup import (
-        connected_components,
-        jaccard_verify,
-        minhash_lsh_candidates,
-    )
+    """Transitive clustering (connected components, min-label
+    propagation): the thing under test is the CLOSURE, so the edge set is
+    cheap and deterministic — all pairs within exact-content-hash groups
+    UNION planted id-chains (d→d+1 for d%7<3, diameter-3 components that
+    force multi-round propagation). The minhash→CC composition is
+    pytest-covered (dedup_transitive); oracle = DuckDB recursive CTE over
+    the identical edge set."""
+    from beats_spark.datapipe.dedup import connected_components
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    cands = minhash_lsh_candidates(docs, hash_method="md5")
-    pairs = jaccard_verify(docs, cands, threshold=0.8)
-    cc = connected_components(pairs)
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    a, b = h.alias("a"), h.alias("b")
+    exact_pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    d = F.col("doc_id")
+    chains = (
+        docs.alias("x")
+        .join(docs.select(F.col("doc_id").alias("nxt")).alias("y"), d + 1 == F.col("nxt"))
+        .filter(d % 7 < 3)
+        .select(d.alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    cc = connected_components(exact_pairs.unionByName(chains))
     return docs.select("doc_id").join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
     )
@@ -1220,36 +1231,20 @@ SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
 """
 
 
-def _clusters_oracle_sql(num_perm: int = 32, bands: int = 8, n: int = 5, threshold: float = 0.8) -> str:
-    """Transitive closure of the verified MinHash pair set via a recursive
-    CTE: reach(node, r) starts as the identity and propagates along
-    undirected pair edges; cluster_id = min reachable id."""
-    rows = num_perm // bands
-    mins = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS m{i}" for i in range(num_perm)
-    )
-    band_exprs = ",\n    ".join(
-        "md5(" + " || '|' || ".join(f"m{i}" for i in range(b * rows, (b + 1) * rows)) + f") AS band{b}"
-        for b in range(bands)
-    )
-    union = "\n  UNION ALL ".join(
-        f"SELECT doc_id, {b} AS b, band{b} AS h FROM sigs2" for b in range(bands)
-    )
-    return f"""
-WITH RECURSIVE {_SHINGLE_CTES.format(n=n).lstrip()},
-sigs AS (SELECT doc_id, sh, {mins} FROM shing),
-sigs2 AS (SELECT doc_id, {band_exprs} FROM sigs),
-buckets AS ({union}),
-cands AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM buckets a JOIN buckets b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
-),
-pairs AS (
-  SELECT id_a, id_b
-  FROM cands
-  JOIN shing sa ON sa.doc_id = id_a
-  JOIN shing sb ON sb.doc_id = id_b
-  WHERE {_JACCARD} >= {threshold}
+def _clusters_oracle_sql() -> str:
+    """Transitive closure of the q_dedup_clusters edge set (exact-dup
+    group pairs + planted d→d+1 chains for d%7<3) via a recursive CTE:
+    reach(node, r) starts as the identity and propagates along undirected
+    edges; cluster_id = min reachable id."""
+    return """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM documents x JOIN documents y ON x.doc_id + 1 = y.doc_id
+  WHERE x.doc_id % 7 < 3
 ),
 edges AS (
   SELECT id_a AS s, id_b AS d FROM pairs

@@ -86,7 +86,16 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets."""
     rows = num_perm // bands
-    sig = minhash_signature(F.col(text_col), num_perm, n, hash_method)
+    # materialize the shingle array ONCE per row, then derive all
+    # num_perm min-hashes from the materialized column — embedding
+    # shingles() in every signature expression makes the normalizing
+    # regex+split run num_perm times per row (measured ~2× wall on the
+    # md5 family at 32 perms)
+    withsh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("_sh"))
+    sig = [
+        F.array_min(F.transform(F.col("_sh"), lambda s: _seeded_hash(s, i, hash_method)))
+        for i in range(num_perm)
+    ]
     if hash_method == "md5":
         band_cols = [
             F.md5(F.concat_ws("|", *sig[b * rows : (b + 1) * rows])).alias(f"_band{b}")
@@ -96,7 +105,7 @@ def minhash_lsh_candidates(
         band_cols = [
             F.xxhash64(*sig[b * rows : (b + 1) * rows]).alias(f"_band{b}") for b in range(bands)
         ]
-    withb = df.select(F.col(id_col), *band_cols)
+    withb = withsh.select(F.col(id_col), *band_cols)
     # (band_idx, band_hash) → bucket join; only ids shuffle.
     buckets = withb.select(
         id_col,
