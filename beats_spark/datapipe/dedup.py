@@ -67,7 +67,12 @@ def minhash_signature(
 ) -> list[Column]:
     """num_perm min-hashes: min over shingles of hash(shingle, seed=i).
 
-    Pure Column (array_min ∘ transform) — evaluated in codegen per row."""
+    Pure Column (array_min ∘ transform) — evaluated in codegen per row.
+    NOTE: each returned expression embeds its own shingles() subtree, and
+    Spark does not CSE it across select items — materialize the shingle
+    array in a prior projection and build the signatures from that column
+    when computing many signatures (measured 6× at 32 perms; see
+    minhash_lsh_candidates)."""
     sh = shingles(col, n)
     return [
         F.array_min(F.transform(sh, lambda s: _seeded_hash(s, i, hash_method)))

@@ -144,3 +144,25 @@ def run_stream_to_memory(spark, routed: DataFrame, name: str = "sink_counts", ti
     q.awaitTermination(timeout_s)
     q.stop()
     return spark.table(name)
+
+
+def stream_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the batch hash-groupBy dedup's streaming
+    counterpart: rows whose content hash was already seen within the
+    watermark horizon are dropped. dropDuplicatesWithinWatermark bounds
+    the dedup state by event time (state ∝ distinct hashes per horizon,
+    not per stream lifetime), which is the only state contract that
+    survives an unbounded stream; exact-once-ever dedup on an infinite
+    stream is unbounded state by definition — run the batch exact_dedup
+    over the sink table for the historical guarantee."""
+    hashed = df.withColumn("_content_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_content_hash"])
+        .drop("_content_hash")
+    )

@@ -349,3 +349,63 @@ def test_pq_roundtrip_and_adc_recall(spark):
         by_q.setdefault(r.query_id, []).append(r.neighbor_id)
     found = sum(1 for qid, ns in by_q.items() if (qid - 10000) in ns)
     assert found >= 8, (found, by_q)
+
+
+def test_gopher_flags_property_vs_python(spark):
+    """Property check: the Column gopher battery agrees with an
+    independent pure-Python implementation on a batch of generated
+    documents covering the threshold boundaries."""
+    import re as _re
+
+    def py_gopher(text: str) -> dict:
+        words = len(text.strip().split()) if text.strip() else 0
+        safe_w = max(words, 1)
+        n_letters = len(_re.findall(r"[A-Za-z]", text))
+        n_symbols = len(_re.findall(r"#|\.\.\.|…", text))
+        lines = text.split("\n")
+        n_lines = max(len(lines), 1)
+        bullet = sum(1 for l in lines if _re.match(r"^([-*•‣▪])", l.strip()))
+        ellipsis = sum(1 for l in lines if _re.search(r"(\.\.\.|…)$", l.strip()))
+        alpha = sum(1 for w in text.strip().split() if _re.search(r"[A-Za-z]", w))
+        stops = len(
+            _re.findall(r"\b(the|be|to|of|and|that|have|with)\b", text.lower())
+        )
+        f = {
+            "fail_word_count": words < 50 or words > 100000,
+            "fail_mean_word_len": (n_letters / safe_w) < 3.0 or (n_letters / safe_w) > 10.0,
+            "fail_symbol_ratio": (n_symbols / safe_w) > 0.1,
+            "fail_bullet_lines": (bullet / n_lines) > 0.9,
+            "fail_ellipsis_lines": (ellipsis / n_lines) > 0.3,
+            "fail_alpha_words": (alpha / safe_w) < 0.8,
+            "fail_stop_words": stops < 2,
+        }
+        f["gopher_pass"] = not any(f.values())
+        return f
+
+    import random
+
+    from beats_spark.datapipe.text import gopher_quality_flags
+
+    rnd = random.Random(7)
+    vocab = ["the", "data", "spark", "x#y", "...", "runs", "-", "be", "12",
+             "pipeline", "•", "of", "with", "zz", "…"]
+    docs = []
+    for i in range(120):
+        n = rnd.randint(0, 130)
+        words = [rnd.choice(vocab) for _ in range(n)]
+        text = " ".join(words)
+        if rnd.random() < 0.4:  # multi-line variants for the line rules
+            text = "\n".join(
+                " ".join(words[j : j + 8]) for j in range(0, len(words), 8)
+            )
+        docs.append((i, text))
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    flags = gopher_quality_flags(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select("doc_id", *[v.alias(k) for k, v in flags.items()]).collect()
+    }
+    for i, text in docs:
+        want = py_gopher(text)
+        for key, wv in want.items():
+            assert bool(got[i][key]) == wv, (i, key, text[:80])

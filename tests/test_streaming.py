@@ -301,3 +301,40 @@ def test_udp_input_to_syslog_parse(spark):
     assert r.syslog_priority == 34
     assert r.syslog_hostname == "udphost"
     assert r.sender.startswith("127.0.0.1:")
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Streaming exact dedup: duplicate texts within the watermark horizon
+    collapse to one row; distinct texts all pass."""
+    import os
+
+    from beats_spark.streaming import stream_exact_dedup
+
+    src = str(tmp_path / "in")
+    rows = [
+        ("c1", 0, "dup text", "2024-01-01 00:00:00"),
+        ("c1", 1, "dup text", "2024-01-01 00:00:30"),
+        ("c2", 0, "unique one", "2024-01-01 00:01:00"),
+        ("c2", 1, "dup text", "2024-01-01 00:01:30"),
+        ("c3", 0, "unique two", "2024-01-01 00:02:00"),
+    ]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts_s string"
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, text string, ts timestamp"
+    ).parquet(src)
+    q = (
+        stream_exact_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.table("dedup_stream").collect()
+    texts = sorted(r.text for r in got)
+    assert texts == ["dup text", "unique one", "unique two"], texts
