@@ -1085,12 +1085,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """49 registered queries. The r02 driver ran exactly the FIRST 50
-    dict entries (CORRECTNESS_r02.json holds positions 0-49 of 63), so
-    the round-3 consolidation folds every overlapping query pair into
-    one (zero operator-coverage loss — each fold UNIONs or composes both
-    checks; see the per-query docstrings) to keep the registry under the
-    observed cap with one spare slot. Folds:
+    """EXACTLY 50 registered queries — the registry is FULL. The r02
+    driver ran exactly the FIRST 50 dict entries (CORRECTNESS_r02.json
+    holds positions 0-49 of 63), so the round-3 consolidation folds
+    every overlapping query pair into one (zero operator-coverage loss —
+    each fold UNIONs or composes both checks; see the per-query
+    docstrings) to fit the observed cap. To add a query, FOLD an
+    existing one first; entry #51 would silently never be validated.
+    Folds:
       fingerprint_sha256→fingerprint, codec_roundtrip→codec_json,
       community_tuple→community_id, registered_domain(+psl)→registered_domain,
       syslog_rfc5424→syslog_parse, multiline_flush→multiline_pattern,
@@ -1677,8 +1679,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars_measured,
-                   CASE WHEN length(trim(text)) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z]+|\d|[^\sA-Za-z\d]')) AS n_subtokens,
                    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
                    len(regexp_extract_all(lower(text),
@@ -1694,16 +1696,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             gopher AS (
               SELECT doc_id,
-                CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS words,
+                CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS words,
                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
                 len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
                 len(list_filter(regexp_split_to_array(text, '\n'),
-                                l -> regexp_matches(trim(l), '^([-*•‣▪])'))) AS bullet_lines,
+                                l -> regexp_matches(regexp_replace(l, '^\s+|\s+$', '', 'g'), '^([-*•‣▪])'))) AS bullet_lines,
                 len(list_filter(regexp_split_to_array(text, '\n'),
-                                l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+                                l -> regexp_matches(regexp_replace(l, '^\s+|\s+$', '', 'g'), '(\.\.\.|…)$'))) AS ellipsis_lines,
                 greatest(len(regexp_split_to_array(text, '\n')), 1) AS n_lines,
-                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                 w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
                 len(regexp_extract_all(lower(text),
                     '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop

@@ -141,7 +141,15 @@ class CheckpointedRun:
         # partition inventory: metadata-only on Iceberg (hidden days(ts)
         # partitioning); a single column-pruned scan of the day/ts column
         # on raw parquet (day-partition dirs make it a pure file listing).
-        return sorted(r["_part"] for r in routed.select("_part").distinct().collect())
+        parts = [r["_part"] for r in routed.select("_part").distinct().collect()]
+        if any(p is None for p in parts):
+            raise ValueError(
+                "days-mode checkpoint: input contains rows with a NULL "
+                f"day ({self.day_col or self.ts_col}) — filter or default "
+                "them before run(); a NULL partition id has no manifest/"
+                "directory representation"
+            )
+        return sorted(parts)
 
     def run(
         self,

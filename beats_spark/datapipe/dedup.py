@@ -340,6 +340,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # silent non-convergence returns WRONG (split) clusters — refuse
+        # (r3 review). A component with diameter > max_iters needs more
+        # rounds or the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing) — raise max_iters"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -27,8 +27,10 @@ STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace tokens; empty/blank string → 0."""
-    trimmed = F.trim(col)
+    """Whitespace tokens; empty/blank string → 0. Full-whitespace strip
+    (F.trim strips ASCII space only — a leading tab/newline would inject
+    an empty first token and inflate the count)."""
+    trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -158,10 +160,16 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), F.lit(0)))
     lines = F.split(col, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•‣▪])")))
-    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    # full-whitespace strip (F.trim strips ASCII space only — a
+    # tab-indented bullet line must still count; r3 review)
+    strip = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
+    bullet_lines = F.size(F.filter(lines, lambda l: strip(l).rlike(r"^([-*•‣▪])")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: strip(l).rlike(r"(\.\.\.|…)$")))
     alpha_words = F.size(
-        F.filter(F.split(F.trim(col), r"\s+"), lambda w: w.rlike(r"[A-Za-z]"))
+        F.filter(
+            F.split(F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+"),
+            lambda w: w.rlike(r"[A-Za-z]"),
+        )
     )
     n_stop = F.size(
         F.regexp_extract_all(

@@ -483,9 +483,11 @@ _IP_RE = re.compile(
 _HEX_INT_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
 _DEC_INT_RE = re.compile(r"^[+-]?[0-9]+$")
 _FLOAT_RE = re.compile(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$")
-# strconv.ParseFloat also accepts the special names (case-insensitive,
-# optional sign) and Go-style hex floats (mantissa REQUIRES the p-exponent)
-_SPECIAL_FLOAT_RE = re.compile(r"^[+-]?(inf(inity)?|nan)$", re.IGNORECASE)
+# strconv.ParseFloat also accepts the special names (case-insensitive;
+# sign allowed on Inf/Infinity but NOT on NaN — Go's special() only
+# reaches the nan case when no sign was consumed) and Go-style hex
+# floats (mantissa REQUIRES the p-exponent)
+_SPECIAL_FLOAT_RE = re.compile(r"^([+-]?inf(inity)?|nan)$", re.IGNORECASE)
 _HEX_FLOAT_RE = re.compile(
     r"^[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)[pP][+-]?[0-9]+$"
 )
@@ -585,7 +587,7 @@ def cast_column(col: Column, data_type: str) -> Column:
                 v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
                 v.try_cast(ty),
             )
-            .when(low.rlike(r"^[+-]?nan$"), F.lit(float("nan")).cast(ty))
+            .when(low.rlike(r"^nan$"), F.lit(float("nan")).cast(ty))
             .when(low.rlike(r"^-inf(inity)?$"), F.lit(float("-inf")).cast(ty))
             .when(low.rlike(r"^[+]?inf(inity)?$"), F.lit(float("inf")).cast(ty))
         )

@@ -244,6 +244,20 @@ def truncate_fields(
 
 
 def _case_fold(fold, fields, values, when):
+    # a top-level key rename is a compile-time schema change and cannot be
+    # row-guarded — combining it with `when` would silently rename for
+    # non-matching rows too (found in r3 review). attrs.* key folds are
+    # row-level and compose with `when` fine. Raising ValueError here also
+    # makes if_then_else's guarded fast path fall back to the union form.
+    if when is not None:
+        top = [f for f in (fields or []) if not f.startswith(f"{ATTRS_COL}.")]
+        if top:
+            raise ValueError(
+                f"case-fold: field-NAME folding of top-level columns {top} "
+                "cannot be combined with a `when` guard (a column rename is "
+                "not row-scoped); guard the values= form or drop the guard"
+            )
+
     def stage(df: DataFrame) -> DataFrame:
         # Beats contract (alterFieldProcessor.go:31, lowercase.go:31):
         # `fields` names the KEYS to case-fold (a compile-time column
@@ -251,6 +265,8 @@ def _case_fold(fold, fields, values, when):
         # Value folds first (they reference original names), then renames.
         for f in values or []:
             if f.startswith(f"{ATTRS_COL}."):
+                if ATTRS_COL not in df.columns:
+                    continue  # no attrs map — nothing to fold (don't create one)
                 key = f[len(ATTRS_COL) + 1 :]
                 folded_v = F.transform_values(
                     _attrs(df), lambda k, v: F.when(k == key, fold(v)).otherwise(v)

@@ -59,9 +59,10 @@ def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None
             _guarded_specs(otherwise or [], {"equals": {_ITE_COND: False}})
         )
         then_chain = else_chain = None
-    except TypeError:
-        # a branch stage without a `when` parameter (or one whose guarded
-        # form is invalid): compile the plain chains for the union path
+    except (TypeError, ValueError):
+        # a branch stage without a `when` parameter, or one that rejects
+        # guarding (e.g. a compile-time column rename): compile the plain
+        # chains for the union path
         g_then = g_else = None
         then_chain = compile_chain(then)
         else_chain = compile_chain(otherwise or [])
@@ -74,11 +75,16 @@ def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None
             return out.drop(_ITE_COND)
         then_df = then_chain(df.filter(cond))
         else_df = else_chain(df.filter(~cond))
-        missing_in_else = [c for c in then_df.columns if c not in else_df.columns]
-        missing_in_then = [c for c in else_df.columns if c not in then_df.columns]
-        for c in missing_in_else:
+        # align branch schemas CASE-INSENSITIVELY (Spark's default name
+        # resolution): a branch renaming role→ROLE must not null-pad —
+        # withColumn("ROLE") on a frame holding "role" silently replaces
+        # it under caseSensitive=false, and unionByName matches the two
+        # spellings anyway (r3 review fallout)
+        else_names = {c.lower() for c in else_df.columns}
+        then_names = {c.lower() for c in then_df.columns}
+        for c in [c for c in then_df.columns if c.lower() not in else_names]:
             else_df = else_df.withColumn(c, F.lit(None).cast(dict(then_df.dtypes)[c]))
-        for c in missing_in_then:
+        for c in [c for c in else_df.columns if c.lower() not in then_names]:
             then_df = then_df.withColumn(c, F.lit(None).cast(dict(else_df.dtypes)[c]))
         return then_df.unionByName(else_df)
 

@@ -94,10 +94,17 @@ def decode_json_fields(
 ):
     """decode_json_fields.go:38-93 — parse JSON object strings into the
     attrs map (unknown shape ⇒ map<string,string>)."""
+    from ..conditions import compile_condition
+
+    guard = compile_condition(when) if when is not None else None
 
     def stage(df: DataFrame) -> DataFrame:
         for fname in fields:
             parsed = F.from_json(_get(df, fname), ATTRS_TYPE)
+            if guard is not None:
+                # non-matching rows keep their original value (the `when`
+                # guard was previously accepted but silently ignored)
+                parsed = F.when(F.coalesce(guard, F.lit(False)), parsed)
             if target in df.columns:
                 base = F.coalesce(F.col(target), F.create_map().cast(ATTRS_TYPE))
                 merged = (

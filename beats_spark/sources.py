@@ -230,5 +230,4 @@ def read_udp_lines(spark: SparkSession, host: str = "127.0.0.1", port: int = 999
         .option("host", host)
         .option("port", str(port))
         .load()
-        .withColumnRenamed("line", "line")
     )

@@ -105,7 +105,19 @@ def stream_to_sinks(
     import shutil
 
     if not os.path.exists(checkpoint_dir) and os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+        # blast-radius bound (r3 review): only ever delete the `_batch=*`
+        # children this writer owns; anything else in out_dir means the
+        # caller pointed at a directory that is NOT a prior sink output —
+        # refuse loudly instead of destroying it
+        entries = os.listdir(out_dir)
+        foreign = [e for e in entries if not e.startswith("_batch=")]
+        if foreign:
+            raise ValueError(
+                f"stream_to_sinks: fresh checkpoint but out_dir {out_dir!r} "
+                f"contains non-sink entries {foreign[:5]} — refusing to clear it"
+            )
+        for e in entries:
+            shutil.rmtree(os.path.join(out_dir, e))
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

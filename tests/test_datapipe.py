@@ -395,8 +395,9 @@ def test_gopher_flags_property_vs_python(spark):
         words = [rnd.choice(vocab) for _ in range(n)]
         text = " ".join(words)
         if rnd.random() < 0.4:  # multi-line variants for the line rules
+            indent = rnd.choice(["", "\t", "  ", "\t "])
             text = "\n".join(
-                " ".join(words[j : j + 8]) for j in range(0, len(words), 8)
+                indent + " ".join(words[j : j + 8]) for j in range(0, len(words), 8)
             )
         docs.append((i, text))
     df = spark.createDataFrame(docs, "doc_id int, text string")

