@@ -322,6 +322,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # hardware context: the sandbox's effective parallel capacity
+        # varies 2× between runs (hypervisor steal — observed 12.9 vs 6.7
+        # effective cores at 32 threads within ONE session), so wall
+        # times are only comparable across rounds via this field
+        "cpu_calibration": cpu_calibration((CPUS,)),
     }
     # sf1 cliff check (VERDICT r2 item 8): 10× the bench input, same
     # operators — disable with SPARK_GRAFT_NO_SF1=1 for quick loops.
