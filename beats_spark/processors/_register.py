@@ -22,6 +22,7 @@ REGISTRY.update(
         "add_id": actions.add_id,
         "fingerprint": actions.fingerprint,
         "add_formatted_index": actions.add_formatted_index,
+        "detect_mime_type": actions.detect_mime_type,
         # parse / decode
         "convert": parsers.convert,
         "decode_json_fields": parsers.decode_json_fields,

@@ -437,3 +437,69 @@ def add_formatted_index(index: str):
         return df.withColumn("_meta_index", F.when(defined, value))
 
     return stage
+
+
+# magic-number prefix (hex, uppercase) → MIME, matching the filetype
+# library values the reference returns (libbeat/mime/byte.go;
+# detect_mime_type_test.go vectors)
+_MIME_MAGIC: list[tuple[str, str]] = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("7F454C46", "application/x-executable"),
+    ("CFFAEDFE", "application/x-mach-binary"),
+    ("CEFAEDFE", "application/x-mach-binary"),
+    ("FEEDFACE", "application/x-mach-binary"),
+    ("FEEDFACF", "application/x-mach-binary"),
+    ("4D5A", "application/vnd.microsoft.portable-executable"),
+]
+
+
+def detect_mime_type(field: str, target: str = "mime_type", when: dict | None = None):
+    """detect_mime_type (actions/detect_mime_type.go + libbeat/mime) —
+    sniff the MIME type of a field's content. Reference order: magic
+    numbers first (filetype lib), then textual sniffing (http.Detect +
+    json/xml upgrade), else no detection (target stays NULL — the
+    reference sets nothing on application/octet-stream).
+
+    Pure Column: binary columns match hex magic prefixes; string columns
+    go through the textual battery (html / xml / json via try_parse_json
+    / printable-text fallback). The magic table is the common subset of
+    the filetype lib (documented; an unknown binary yields NULL, never a
+    wrong type)."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        dt = df.schema[field].dataType.simpleString()
+        col = F.col(field)
+        if dt == "binary":
+            hx = F.upper(F.hex(F.substring(col, 1, 8)))
+            out = F.lit(None).cast("string")
+            for magic, mime in reversed(_MIME_MAGIC):
+                out = F.when(hx.startswith(magic), F.lit(mime)).otherwise(out)
+        else:
+            t = F.regexp_replace(col, r"^\s+", "")
+            low = F.lower(t)
+            printable = ~col.rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+            out = (
+                F.when(col.isNull() | (F.length(col) == 0), F.lit(None).cast("string"))
+                .when(
+                    low.startswith("<html") | low.startswith("<!doctype html"),
+                    F.lit("text/html; charset=utf-8"),
+                )
+                .when(
+                    F.try_parse_json(col).isNotNull()
+                    & (t.startswith("{") | t.startswith("[")),
+                    F.lit("application/json"),
+                )
+                .when(
+                    low.startswith("<?xml") | t.rlike(r"^<[A-Za-z][^>]*>"),
+                    F.lit("text/xml"),
+                )
+                .when(printable, F.lit("text/plain; charset=utf-8"))
+            )
+        return _with_guarded(df, target, out, when)
+
+    return stage

@@ -858,3 +858,43 @@ def test_if_then_else_single_scan_fast_path(spark):
     kept = dropper(df).collect()
     assert sorted(r.i for r in kept) == [2, 3]
     assert all(r.kept == "y" for r in kept)
+
+
+def test_detect_mime_type_reference_vectors(spark):
+    """detect_mime_type parity with the reference's mime test vectors
+    (libbeat/mime/mime_test.go): textual sniffing on string columns,
+    magic numbers on binary columns; undetectable → NULL (the reference
+    sets nothing for octet-stream)."""
+    sdf = spark.createDataFrame(
+        [
+            (1, "<html>Test</html>"),
+            (2, "{}"),
+            (3, "<test></test>"),
+            (4, "Hello world!"),
+            (5, ""),
+        ],
+        "i int, body string",
+    )
+    out = {r.i: r.mime_type for r in build("detect_mime_type", field="body")(sdf).collect()}
+    assert out[1] == "text/html; charset=utf-8"
+    assert out[2] == "application/json"
+    assert out[3] == "text/xml"
+    assert out[4] == "text/plain; charset=utf-8"
+    assert out[5] is None
+
+    bdf = spark.createDataFrame(
+        [
+            (1, bytes.fromhex("89504e470d0a1a0a0000000d49484452")),
+            (2, bytes.fromhex("4d5a90000300000004000000ffff")),
+            (3, bytes.fromhex("7f454c46010101000000000000000000")),
+            (4, bytes.fromhex("cffaedfe07000001030000000200")),
+            (5, bytes.fromhex("0011223344556677")),
+        ],
+        "i int, body binary",
+    )
+    bout = {r.i: r.mime_type for r in build("detect_mime_type", field="body")(bdf).collect()}
+    assert bout[1] == "image/png"
+    assert bout[2] == "application/vnd.microsoft.portable-executable"
+    assert bout[3] == "application/x-executable"
+    assert bout[4] == "application/x-mach-binary"
+    assert bout[5] is None
