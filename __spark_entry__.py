@@ -1166,7 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _SHINGLE_CTES = r"""
 sh0 AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm FROM documents
 ),
 shing AS (
   SELECT doc_id,
@@ -1226,7 +1226,7 @@ def _simhash_oracle_sql() -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, md5(tok) AS h
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS tok FROM documents)
 ),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
@@ -1281,7 +1281,7 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
     return rf"""
 WITH toks AS (
   SELECT doc_id, md5(tok) AS h
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok FROM documents)
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS tok FROM documents)
 ),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
 sims AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums),
@@ -1679,10 +1679,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": r"""
             SELECT doc_id,
                    length(text) AS n_chars_measured,
-                   CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS n_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|\d|[^\sA-Za-z\d]')) AS n_subtokens,
-                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\d|[^ \t\n\x0b\f\rA-Za-z\d]')) AS n_subtokens,
+                   len(regexp_extract_all(text, '[^\w \t\n\x0b\f\r]')) AS n_punct,
                    len(regexp_extract_all(lower(text),
                        '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS n_stopwords
             FROM documents""",
@@ -1696,16 +1696,16 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             gopher AS (
               SELECT doc_id,
-                CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END AS words,
+                CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS words,
                 len(regexp_extract_all(text, '[A-Za-z]')) AS n_letters,
                 len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
                 len(list_filter(regexp_split_to_array(text, '\n'),
-                                l -> regexp_matches(regexp_replace(l, '^\s+|\s+$', '', 'g'), '^([-*•‣▪])'))) AS bullet_lines,
+                                l -> regexp_matches(regexp_replace(l, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '^([-*•‣▪])'))) AS bullet_lines,
                 len(list_filter(regexp_split_to_array(text, '\n'),
-                                l -> regexp_matches(regexp_replace(l, '^\s+|\s+$', '', 'g'), '(\.\.\.|…)$'))) AS ellipsis_lines,
+                                l -> regexp_matches(regexp_replace(l, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '(\.\.\.|…)$'))) AS ellipsis_lines,
                 greatest(len(regexp_split_to_array(text, '\n')), 1) AS n_lines,
-                len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                len(list_filter(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+'),
                                 w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
                 len(regexp_extract_all(lower(text),
                     '\b(the|be|to|of|and|that|have|with)\b')) AS n_stop
@@ -1727,7 +1727,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN c_es = greatest(c_en, c_es, c_de, c_fr) THEN 'es'
                         WHEN c_de = greatest(c_en, c_es, c_de, c_fr) THEN 'de'
                         ELSE 'fr' END AS lang_pred,
-                   md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g'))) AS fingerprint,
+                   md5(trim(regexp_replace(lower(d.text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fingerprint,
                    'contact <EMAIL> and <IP> or call <PHONE> ssn <SSN> end' AS scrubbed,
                    1 AS n_email, 1 AS n_ipv4, 1 AS n_ssn, 2 AS n_phone,
                    g.g_fail_word_count, g.g_fail_mean_word_len,

@@ -315,6 +315,7 @@ def connected_components(
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=True)
+    changed = -1  # keeps the non-convergence message valid for max_iters <= 0
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])

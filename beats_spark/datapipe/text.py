@@ -30,7 +30,7 @@ def token_count(col: Column) -> Column:
     """Whitespace tokens; empty/blank string → 0. Full-whitespace strip
     (F.trim strips ASCII space only — a leading tab/newline would inject
     an empty first token and inflate the count)."""
-    trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
+    trimmed = strip_ws(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -162,14 +162,10 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     # full-whitespace strip (F.trim strips ASCII space only — a
     # tab-indented bullet line must still count; r3 review)
-    strip = lambda l: F.regexp_replace(l, r"^\s+|\s+$", "")  # noqa: E731
-    bullet_lines = F.size(F.filter(lines, lambda l: strip(l).rlike(r"^([-*•‣▪])")))
-    ellipsis_lines = F.size(F.filter(lines, lambda l: strip(l).rlike(r"(\.\.\.|…)$")))
+    bullet_lines = F.size(F.filter(lines, lambda l: strip_ws(l).rlike(r"^([-*•‣▪])")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: strip_ws(l).rlike(r"(\.\.\.|…)$")))
     alpha_words = F.size(
-        F.filter(
-            F.split(F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+"),
-            lambda w: w.rlike(r"[A-Za-z]"),
-        )
+        F.filter(F.split(strip_ws(col), r"\s+"), lambda w: w.rlike(r"[A-Za-z]"))
     )
     n_stop = F.size(
         F.regexp_extract_all(
@@ -190,3 +186,10 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
         gopher_pass = gopher_pass & ~flags[k]
     flags["gopher_pass"] = gopher_pass
     return flags
+
+
+def strip_ws(col: Column) -> Column:
+    """Full-whitespace strip (Java \\s class = [ \\t\\n\\x0B\\f\\r]);
+    F.trim strips ASCII space only. Shared by token_count / the gopher
+    battery so whitespace semantics stay engine-consistent in one place."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")

@@ -482,22 +482,34 @@ def detect_mime_type(field: str, target: str = "mime_type", when: dict | None = 
         else:
             t = F.regexp_replace(col, r"^\s+", "")
             low = F.lower(t)
-            printable = ~col.rlike(r"[\x00-\x08\x0B\x0C\x0E-\x1F]")
+            # WHATWG binary-byte set (http.DetectContentType): 0x00-0x08,
+            # 0x0B, 0x0E-0x1A, 0x1C-0x1F. TAB/LF/FF/CR/ESC are TEXT —
+            # ANSI-colored log lines must sniff as text/plain.
+            printable = ~col.rlike(r"[\x00-\x08\x0B\x0E-\x1A\x1C-\x1F]")
+            # http sniff table's HTML signatures, each requiring a
+            # tag-terminating byte (space or '>') after the name
+            html_sig = low.rlike(
+                r"^(<!doctype html|<html|<head|<script|<iframe|<h1|<div|<font"
+                r"|<table|<a|<style|<title|<b|<body|<br|<p|<!--)[ >]"
+            )
+            # xml: '<?xml' prefix, or a well-formed-looking document —
+            # opening tag with a MATCHING close tag (backreference) or
+            # self-closing root; an unclosed '<tag>' stays text/plain
+            # like the reference's xml.Unmarshal failure path
+            xml_like = (
+                low.startswith("<?xml")
+                | t.rlike(r"(?s)^<([A-Za-z][A-Za-z0-9]*)[^>]*>.*</\1\s*>\s*$")
+                | t.rlike(r"^<([A-Za-z][A-Za-z0-9]*)[^>]*/>\s*$")
+            )
             out = (
                 F.when(col.isNull() | (F.length(col) == 0), F.lit(None).cast("string"))
-                .when(
-                    low.startswith("<html") | low.startswith("<!doctype html"),
-                    F.lit("text/html; charset=utf-8"),
-                )
+                .when(html_sig, F.lit("text/html; charset=utf-8"))
                 .when(
                     F.try_parse_json(col).isNotNull()
                     & (t.startswith("{") | t.startswith("[")),
                     F.lit("application/json"),
                 )
-                .when(
-                    low.startswith("<?xml") | t.rlike(r"^<[A-Za-z][^>]*>"),
-                    F.lit("text/xml"),
-                )
+                .when(xml_like, F.lit("text/xml"))
                 .when(printable, F.lit("text/plain; charset=utf-8"))
             )
         return _with_guarded(df, target, out, when)

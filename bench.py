@@ -98,7 +98,7 @@ def _burn(n: int) -> int:
     return x
 
 
-def cpu_calibration(levels: tuple[int, int]) -> dict:
+def cpu_calibration(levels: tuple[int, ...]) -> dict:
     """Measure the sandbox's EFFECTIVE parallel capacity with a pure-CPU
     burn (no Spark). The container advertises 32 CPUs but delivers ~14
     effective parallel cores, so the honest N→4N pair must sit within
@@ -313,6 +313,10 @@ def main() -> None:
 
     from beats_spark.session import get_spark
 
+    # calibration BEFORE and AFTER the measured run: steal swings 2×
+    # within a session, so a single post-hoc sample can misattribute —
+    # the pair bounds the capacity the queries actually saw
+    cal_before = cpu_calibration((CPUS,))
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
     times = run_bench(spark, SF_DIR)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -325,8 +329,9 @@ def main() -> None:
         # hardware context: the sandbox's effective parallel capacity
         # varies 2× between runs (hypervisor steal — observed 12.9 vs 6.7
         # effective cores at 32 threads within ONE session), so wall
-        # times are only comparable across rounds via this field
-        "cpu_calibration": cpu_calibration((CPUS,)),
+        # times are only comparable across rounds via these fields
+        "cpu_calibration_before": cal_before,
+        "cpu_calibration_after": cpu_calibration((CPUS,)),
     }
     # sf1 cliff check (VERDICT r2 item 8): 10× the bench input, same
     # operators — disable with SPARK_GRAFT_NO_SF1=1 for quick loops.

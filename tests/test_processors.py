@@ -882,6 +882,25 @@ def test_detect_mime_type_reference_vectors(spark):
     assert out[4] == "text/plain; charset=utf-8"
     assert out[5] is None
 
+    extra = spark.createDataFrame(
+        [
+            (1, '<p>Hello</p>'),            # http sniff HTML sig
+            (2, '<a href="x">y</a>'),
+            (3, "<!-- comment -->"),
+            (4, "\x1b[31mERROR\x1b[0m failed"),  # ANSI colors = text
+            (5, "<htmlingest>"),             # no tag-terminator: NOT html; unclosed: NOT xml
+            (6, "<a/>"),                     # self-closing root = xml
+        ],
+        "i int, body string",
+    )
+    xout = {r.i: r.mime_type for r in build("detect_mime_type", field="body")(extra).collect()}
+    assert xout[1] == "text/html; charset=utf-8"
+    assert xout[2] == "text/html; charset=utf-8"
+    assert xout[3] == "text/html; charset=utf-8"
+    assert xout[4] == "text/plain; charset=utf-8"
+    assert xout[5] == "text/plain; charset=utf-8"
+    assert xout[6] == "text/xml"
+
     bdf = spark.createDataFrame(
         [
             (1, bytes.fromhex("89504e470d0a1a0a0000000d49484452")),

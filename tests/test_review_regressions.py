@@ -377,9 +377,17 @@ def test_case_fold_rename_rejects_when(spark):
         otherwise=[],
     )
     out = ite(df)
-    assert "Union" in out._jdf.queryExecution().executedPlan().toString() or True
+    # the rename forces the union fallback (the guarded fast path would
+    # have renamed for BOTH branches)
+    assert "Union" in out._jdf.queryExecution().executedPlan().toString()
     rows = out.collect()
     assert len(rows) == 2  # both branches survive with aligned schemas
+    by_i = {r.i: r.asDict() for r in rows}
+    # `fields` folds the KEY (column name), not values: the union result
+    # takes the then-branch casing 'ROLE' and both branches' VALUES survive
+    role_col = next(c for c in by_i[1] if c.lower() == "role")
+    assert role_col == "ROLE"
+    assert by_i[1][role_col] == "tool" and by_i[2][role_col] == "user"
 
 
 def test_stream_to_sinks_refuses_foreign_out_dir(spark, tmp_path):
