@@ -200,7 +200,19 @@ def write_scaling_report(res: dict, sf_dir: str) -> None:
     nc, n4c = res["levels"]
     n, n4 = res[f"N(local[{nc}])"], res[f"4N(local[{n4c}])"]
     cal = res.get("cpu_calibration", {})
+    # preserve manually-appended sections (absolute-throughput, sf1,
+    # variance notes) across regenerations of the scaling block
+    extra = ""
+    try:
+        old = open("BENCH/BASELINE.md").read()
+        marker = "\n## Absolute throughput"
+        if marker in old:
+            extra = marker + old.split(marker, 1)[1]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
+        if extra:
+            pass  # appended below after the scaling block
         f.write(
             f"""# BENCH baseline — flagship pipeline throughput & scaling
 
@@ -246,6 +258,8 @@ executor-for-executor: no stage in the plan has cross-partition
 dependencies except the final aggregate's single exchange.
 """
         )
+        if extra:
+            f.write(extra)
 
 
 def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
