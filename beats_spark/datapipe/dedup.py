@@ -376,3 +376,60 @@ def dedup_transitive(
         how="left_anti",
     )
     return keep
+
+
+# -- benchmark decontamination -------------------------------------------------
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Pretraining decontamination: flag every training document sharing
+    at least one word n-gram with the evaluation/benchmark corpus (the
+    standard 13-gram collision rule, GPT-3 appendix C / PaLM §7).
+
+    Scale shape: both sides reduce to (ngram_hash) sets map-side (word
+    shingles → seeded hash, no text leaves the scan); the benchmark side
+    is distinct-hashed and BROADCAST (eval suites are tiny next to the
+    corpus), so the check is one broadcast semi-join — no corpus shuffle.
+    Returns docs + `contaminated` boolean + `n_hits` (distinct colliding
+    n-grams). Drop with `.filter(~F.col('contaminated'))`.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(text_col), n, word=True),
+                    lambda s: _seeded_hash(s, 0, hash_method),
+                )
+            )
+        ).alias("_g"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.transform(
+                    shingles(F.col(bench_text_col), n, word=True),
+                    lambda s: _seeded_hash(s, 0, hash_method),
+                )
+            ).alias("_g")
+        )
+        .distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_hits") > 0)
+    )

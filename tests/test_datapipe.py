@@ -410,3 +410,32 @@ def test_gopher_flags_property_vs_python(spark):
         want = py_gopher(text)
         for key, wv in want.items():
             assert bool(got[i][key]) == wv, (i, key, text[:80])
+
+
+def test_ngram_decontaminate(spark):
+    """13-gram decontamination: a doc embedding a benchmark passage is
+    flagged; clean docs aren't; short benchmark lines (<n words) flag
+    nothing. Plan: benchmark side broadcast, no corpus shuffle join."""
+    from beats_spark.datapipe.dedup import ngram_decontaminate
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "quietly brew azure potions beneath the ancient stone bridge"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then " + passage + " and a closing remark"),
+            (2, "completely unrelated content about spark shuffle partitions "
+                "and adaptive query execution behavior at large scale today"),
+            (3, "the quick brown fox jumps over the lazy dog"),  # < 13-gram overlap only
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(passage,), ("too short",)], "text string")
+    out = ngram_decontaminate(docs, bench, n=13)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].contaminated and rows[1].n_hits >= 1
+    assert not rows[2].contaminated
+    assert not rows[3].contaminated  # shares words but no full 13-gram
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
