@@ -1,0 +1,38 @@
+"""Driver-contract invariants — the lessons of CORRECTNESS_r02 encoded
+as tests so they cannot silently regress."""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as entry_mod
+
+
+def test_registry_within_driver_cap():
+    """The correctness driver runs only the FIRST 50 dict entries
+    (observed in r02: exactly positions 0-49 of 63 got rows). Any entry
+    past 50 is silently never validated — fold queries instead."""
+    qs = entry_mod.queries()
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries registered — the driver validates only the "
+        "first 50; fold overlapping queries (see queries() docstring)"
+    )
+
+
+def test_every_query_has_oracle_and_vice_versa():
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(qs) == set(osql), (
+        sorted(set(qs) ^ set(osql)),
+        "queries() and oracle_sql() must cover identical keys",
+    )
+
+
+def test_query_callables_take_spark_and_sfdir():
+    for name, fn in entry_mod.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert len(params) == 2, (name, params)
+
+
+def test_oracle_sql_strings_nonempty():
+    for name, sql in entry_mod.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
