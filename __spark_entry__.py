@@ -587,8 +587,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive clustering (connected components, min-label
-    propagation): the thing under test is the CLOSURE, so the edge set is
+    """Transitive clustering (connected components — large-star/small-star
+    default, r4): the thing under test is the CLOSURE, so the edge set is
     cheap and deterministic — all pairs within exact-content-hash groups
     UNION planted id-chains (d→d+1 for d%7<3, diameter-3 components that
     force multi-round propagation). The minhash→CC composition is

@@ -13,6 +13,13 @@ Scale design notes (the part that matters at 100 TB):
   * ngram_jaccard_pairs: candidate generation via shared-shingle join is
     quadratic in the worst case — always feed it LSH/blocking output at
     scale; provided standalone for small blocks and verification.
+  * all three candidate generators cap each bucket/block at
+    max_bucket_rows before the self-join (run exact_dedup first; the cap
+    affects recall only — see _cap_buckets).
+  * connected_components defaults to alternating large-star/small-star
+    rounds (Kiveris et al. 2014): O(log² N) rounds worst-case regardless
+    of component diameter, one bounded driver action per round; min-label
+    propagation is retained as its property-test oracle.
 """
 
 from __future__ import annotations
@@ -22,12 +29,22 @@ from pyspark.sql import functions as F
 
 
 def shingles(col: Column, n: int = 5, word: bool = False) -> Column:
-    """Distinct character (default) or word n-gram array of normalized text."""
+    """Distinct character (default) or word n-gram array of normalized text.
+
+    Word mode emits ONLY full n-grams: a text with fewer than n words
+    yields an empty array (no sub-n pseudo-gram), so consumers like
+    ngram_decontaminate honour the documented "at least one word n-gram"
+    contract — short benchmark lines never collide on their whole text
+    (r3 ADVICE). Char mode keeps the whole-text fallback for sub-n texts
+    (standard MinHash practice: a short doc still gets a signature)."""
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     if word:
         toks = F.split(norm, " ")
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
     else:
         ln = F.length(norm)
         idx = F.sequence(F.lit(1), F.greatest(ln - n + 1, F.lit(1)))
@@ -80,6 +97,29 @@ def minhash_signature(
     ]
 
 
+def _cap_buckets(df: DataFrame, bucket_cols: list[str], id_col: str, cap: int | None) -> DataFrame:
+    """Per-bucket row cap (embedding_near_dupes pattern, similarity.py).
+
+    A bucket self-join is O(rows²) per bucket; pretraining corpora are
+    duplicate-heavy (boilerplate pages repeated 10⁴-10⁶×) and an m-copy
+    identical-doc cluster shares EVERY band/block, so one uncapped bucket
+    can be 10¹⁰ pairs in a single task. The cap bounds any bucket's join
+    to cap² pairs and — under the exact-dedup-first contract (run
+    exact_dedup before near-dup candidate generation so identical docs
+    are already collapsed) — only affects recall, never precision:
+    verification (exact Jaccard / Hamming) follows candidate generation.
+    Ordering by id keeps the capped survivor set deterministic and keeps
+    the minimum-id representative, so keep-lowest-id dedup policies see
+    the same representatives. The window's partition key equals the join
+    key, so the Exchange is reused by the join — the cap adds a sort
+    within each bucket partition, not an extra shuffle.
+    """
+    if cap is None:
+        return df
+    w = Window.partitionBy(*bucket_cols).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= cap).drop("_rn")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -88,8 +128,13 @@ def minhash_lsh_candidates(
     bands: int = 8,
     n: int = 5,
     hash_method: str = "xxhash64",
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets."""
+    """Candidate near-dup pairs (id_a < id_b) from banded MinHash buckets.
+
+    Scale contract: run exact_dedup FIRST (identical docs share every
+    band; the per-bucket cap then only trims pathological near-dup
+    megaclusters, affecting recall only — see _cap_buckets)."""
     rows = num_perm // bands
     # materialize the shingle array ONCE per row, then derive all
     # num_perm min-hashes from the materialized column — embedding
@@ -118,6 +163,7 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"_band{b}").alias("h")) for b in range(bands)])
         ).alias("bk"),
     ).select(id_col, "bk.b", "bk.h")
+    buckets = _cap_buckets(buckets, ["b", "h"], id_col, max_bucket_rows)
     a = buckets.alias("a")
     bdf = buckets.alias("bq")
     pairs = (
@@ -209,7 +255,12 @@ def simhash(
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sims: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_rows: int | None = 4096,
+) -> DataFrame:
     """Near-dup pairs by Hamming distance over 4×16-bit block index
     (pigeonhole: ≤3 differing bits ⇒ at least one identical block).
 
@@ -219,7 +270,12 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int
     extract equi-join keys from a disjunction (that form plans as a
     nested-loop/cartesian join, O(N²) at corpus scale); the union form
     plans as 4 shuffle-hash/sort-merge joins, each shuffling only
-    (block, id, simhash), then dedups pairs found in >1 block."""
+    (block, id, simhash), then dedups pairs found in >1 block.
+
+    Scale contract: run exact_dedup first; identical docs share all 4
+    blocks, so a hot 16-bit block value would otherwise self-join
+    quadratically — max_bucket_rows caps each block bucket
+    (see _cap_buckets)."""
     blocks = sims.select(
         F.col(id_col),
         "simhash",
@@ -231,6 +287,7 @@ def simhash_near_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int
     per_block = []
     for i in range(4):
         side = blocks.select(F.col(id_col), "simhash", F.col(f"blk{i}").alias("_blk"))
+        side = _cap_buckets(side, ["_blk"], id_col, max_bucket_rows)
         a, b = side.alias("a"), side.alias("b")
         per_block.append(
             a.join(b, "_blk")
@@ -261,11 +318,15 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingles_for_blocking: int = 8,
     hash_method: str = "xxhash64",
+    max_bucket_rows: int | None = 4096,
 ) -> DataFrame:
     """All pairs ≥ threshold via shared-minimal-shingle blocking:
     block key = the k smallest shingle hashes per doc (a doc pair with
     Jaccard ≥ t shares one of the union's minima with high probability —
-    exact verification follows, so blocking only affects recall)."""
+    exact verification follows, so blocking only affects recall).
+
+    Scale contract: run exact_dedup first; max_bucket_rows caps each
+    shared-shingle block's self-join (see _cap_buckets)."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
     keyed = sh.select(
         id_col,
@@ -279,6 +340,7 @@ def ngram_jaccard_pairs(
             )
         ).alias("key"),
     )
+    keyed = _cap_buckets(keyed, ["key"], id_col, max_bucket_rows)
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -292,22 +354,109 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iters: int = 20, id_col: str = "doc_id"
+    pairs: DataFrame,
+    max_iters: int = 20,
+    id_col: str = "doc_id",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Cluster near-dup pair edges transitively: returns (node, cluster_id)
     where cluster_id = the minimum id reachable through the pair graph.
 
-    Min-label propagation: each round every node takes the min of its own
-    label and its neighbors' labels — converges in O(component diameter)
-    rounds, and near-dup components are shallow (stars around a few hub
-    docs), so the practical round count is 2-4. Each round is one
-    edge⋈label join + a min-aggregate (two shuffles on ids only);
-    `localCheckpoint` truncates the iterative lineage so the plan stays
-    constant-size. At 10^12-edge scale swap the loop body for the
-    alternating large-star/small-star rounds (Kiveris et al.) — same
-    per-round shuffle shape, O(log² N) worst-case rounds; the loop
-    structure and convergence test here carry over unchanged.
+    algorithm='star' (default): alternating large-star/small-star rounds
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    Components in MapReduce and Beyond", SoCC 2014). Converges in
+    O(log² N) rounds REGARDLESS of component diameter — the right shape
+    for 10^12-edge dedup graphs, where min-label propagation's
+    O(diameter) rounds is unbounded on chain-shaped components. Each
+    round is two groupBy-min aggregations + two joins keyed on node ids
+    only; one bounded driver action pair per round checks edge-set
+    convergence.
+
+    algorithm='propagation': min-label propagation — each round every
+    node takes the min of its own label and its neighbors' labels;
+    O(component diameter) rounds. Kept as the property-test ORACLE for
+    the star variant (simpler to reason about; refuses loudly rather
+    than returning split clusters when diameter > max_iters).
     """
+    if algorithm == "star":
+        return _cc_star(pairs, max_iters, id_col)
+    if algorithm == "propagation":
+        return _cc_propagation(pairs, max_iters, id_col)
+    raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge set normal form: (src=min, dst=max), no self-loops,
+    distinct."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _cc_star(pairs: DataFrame, max_iters: int, id_col: str) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014, Alg. 2/3).
+
+    large-star: symmetrize edges; per node u with neighborhood Γ(u), let
+    m = min(Γ(u) ∪ {u}); emit edge (v, m) for every v ∈ Γ(u) with v > u.
+    small-star: orient each edge toward its larger endpoint (key u, value
+    v < u); let m = min(N(u)); emit (u, m) and (v, m) for v ∈ N(u)\\{m}.
+    Both steps preserve connectivity and only ever decrease the partner
+    ids; at the joint fixpoint the edge set is a union of stars centered
+    on each component's minimum id. Convergence = edge-set equality
+    (count + one-sided exceptAll — exact, not a checksum), one bounded
+    action pair per round; localCheckpoint truncates the iterative
+    lineage so the plan stays constant-size.
+    """
+    edges = _canonical_edges(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    prev_cnt = edges.count()
+    converged = False
+    for _ in range(max_iters):
+        # large-star
+        sym = edges.unionAll(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("_m"))
+        mins = mins.select("src", F.least("src", "_m").alias("_m"))
+        large = _canonical_edges(
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        )
+        # small-star (input already oriented src=min < dst=max)
+        smins = large.groupBy("dst").agg(F.min("src").alias("_m"))
+        e_center = smins.select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        e_leaves = (
+            large.join(smins, "dst")
+            .filter(F.col("src") != F.col("_m"))
+            .select(F.col("src"), F.col("_m").alias("dst"))
+        )
+        new = _canonical_edges(e_center.unionAll(e_leaves)).localCheckpoint(eager=True)
+        new_cnt = new.count()
+        same = new_cnt == prev_cnt and new.exceptAll(edges).isEmpty()
+        edges, prev_cnt = new, new_cnt
+        if same:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iters} "
+            "rounds — raise max_iters (worst case is O(log² N) rounds)"
+        )
+    # fixpoint edges are stars (src = component min, dst = member)
+    labels = edges.select(F.col("dst").alias("node"), F.col("src").alias("label")).unionAll(
+        edges.select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def _cc_propagation(pairs: DataFrame, max_iters: int, id_col: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -439,3 +439,99 @@ def test_ngram_decontaminate(spark):
     assert not rows[3].contaminated  # shares words but no full 13-gram
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_candidate_caps_bound_degenerate_input(spark):
+    """10k identical docs (the boilerplate-page pathology): every doc
+    shares every band/block, so uncapped candidate generation is O(N²)
+    in ONE bucket. With the per-bucket cap the candidate count is bounded
+    by cap²/2 per bucket and the job completes. VERDICT r3 item 1."""
+    from beats_spark.datapipe.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash,
+        simhash_near_pairs,
+    )
+
+    n, cap = 10_000, 32
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate navigation footer text repeated on every page").alias(
+            "text"
+        ),
+    )
+    bound = cap * (cap - 1) // 2  # identical docs land in ONE bucket per band/block
+    mh = minhash_lsh_candidates(docs, max_bucket_rows=cap).count()
+    assert 0 < mh <= bound
+    sh = simhash_near_pairs(simhash(docs), max_bucket_rows=cap).count()
+    assert 0 < sh <= bound
+    ng = ngram_jaccard_pairs(docs, max_bucket_rows=cap).count()
+    assert 0 < ng <= bound
+    # the capped survivor set keeps the minimum ids → keep-lowest-id
+    # representatives are unchanged
+    first = minhash_lsh_candidates(docs, max_bucket_rows=cap).agg(
+        F.min("id_a").alias("m")
+    ).first()
+    assert first.m == 0
+
+
+def test_cc_star_matches_propagation_on_random_graphs(spark):
+    """Property test: large-star/small-star (the scale default) produces
+    the same clusters as min-label propagation (the oracle) on seeded
+    random edge sets of several densities. VERDICT r3 item 2."""
+    import random
+
+    from beats_spark.datapipe.dedup import connected_components
+
+    for seed, n_nodes, n_edges in [(7, 60, 30), (11, 60, 80), (13, 200, 150)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        star = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        prop = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                pairs, max_iters=n_nodes, algorithm="propagation"
+            ).collect()
+        }
+        assert star == prop, f"seed {seed}: star != propagation"
+
+
+def test_cc_chain_propagation_refuses_star_converges(spark):
+    """Chain graph with diameter > max_iters: propagation refuses loudly
+    (never returns split clusters); the star variant converges in
+    O(log² N) rounds on the same budget."""
+    from beats_spark.datapipe.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=7, algorithm="propagation")
+    # same 7-round budget: star closes the diameter-40 chain (6 working
+    # rounds + 1 fixpoint-detection round ≪ 40 propagation would need)
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, max_iters=7, algorithm="star").collect()
+    }
+    assert cc == {i: 0 for i in range(41)}
+
+
+def test_word_shingles_sub_n_empty(spark):
+    """shingles(word=True) emits NO pseudo-gram for texts shorter than n
+    words (r3 ADVICE: sub-n full-text collisions violated the 13-gram
+    contract); texts with exactly n words emit one gram."""
+    from beats_spark.datapipe.dedup import shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, "a b c d e")], "i int, text string"
+    )
+    out = {r.i: r.g for r in df.select("i", shingles(F.col("text"), 5, word=True).alias("g")).collect()}
+    assert out[1] == []
+    assert out[2] == ["a b c d e"]
