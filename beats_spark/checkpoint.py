@@ -118,12 +118,22 @@ class CheckpointedRun:
         out: dict = {p: {} for p in parts}
         if not paths:
             return out
-        written = spark.read.option("basePath", self.sinks_dir).parquet(*paths)
-        key = {str(p): p for p in parts}
-        for r in (
-            written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
-        ):
-            out[key[str(r["_part"])]][r[SINK_COL]] = r["cnt"]
+        # read `_part` back as a STRING: partition type inference can
+        # canonicalize a non-canonical day value (e.g. '2024-1-5' inferred
+        # as date reads back '2024-01-05'), breaking the str() round-trip
+        # keying below (r3 ADVICE)
+        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(conf, "true")
+        spark.conf.set(conf, "false")
+        try:
+            written = spark.read.option("basePath", self.sinks_dir).parquet(*paths)
+            key = {str(p): p for p in parts}
+            for r in (
+                written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            ):
+                out[key[str(r["_part"])]][r[SINK_COL]] = r["cnt"]
+        finally:
+            spark.conf.set(conf, prev)
         return out
 
     def _part_column(self) -> F.Column:

@@ -87,7 +87,10 @@ class ScriptBatch:
 
         def app(cur, do):
             if not do:
-                return cur if isinstance(cur, list) else ([] if cur is None else list(cur))
+                # unselected rows pass through UNCHANGED — normalizing
+                # None to [] here would make a masked append rewrite
+                # other rows' nulls (r3 ADVICE)
+                return cur
             cur = [] if cur is None else list(cur)
             if dedup and value in cur:
                 return cur

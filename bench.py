@@ -211,8 +211,6 @@ def write_scaling_report(res: dict, sf_dir: str) -> None:
     except FileNotFoundError:
         pass
     with open("BENCH/BASELINE.md", "w") as f:
-        if extra:
-            pass  # appended below after the scaling block
         f.write(
             f"""# BENCH baseline — flagship pipeline throughput & scaling
 

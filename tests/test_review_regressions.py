@@ -431,3 +431,56 @@ def test_float_nan_sign_rejected(spark):
     import math
 
     assert math.isnan(out[1].d)
+
+
+def test_scriptbatch_masked_append_preserves_other_rows(spark):
+    """R4 ADVICE 1: AppendTo with a mask must leave unselected rows'
+    values UNCHANGED — a NULL array field outside the mask stays NULL
+    instead of being coerced to []."""
+    import pandas as pd
+
+    from beats_spark.processors.script import ScriptBatch
+
+    pdf = pd.DataFrame({"i": [1, 2, 3], "arr": [None, ["x"], None]})
+    b = ScriptBatch(pdf)
+    b.AppendTo("arr", "y", mask=pdf["i"] == 2)
+    out = b.result()
+    got = {r.i: r.arr for r in out.itertuples()}
+    assert got[1] is None and got[3] is None
+    assert got[2] == ["x", "y"]
+
+
+def test_days_checkpoint_noncanonical_day_string(spark, tmp_path):
+    """R4 ADVICE 3: a non-canonical day value ('2024-1-5') must round-trip
+    through the written-partition read-back (partition type inference
+    would canonicalize it to '2024-01-05' and KeyError the manifest
+    keying)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.checkpoint import CheckpointedRun
+    from beats_spark.events import SINK_COL
+
+    df = spark.createDataFrame(
+        [("c1", 0, "2024-1-5", "s_a"), ("c1", 1, "2024-1-6", "s_b")],
+        f"conv_id string, turn_idx int, date string, {SINK_COL} string",
+    ).withColumn("ts", F.lit("2024-01-05 00:00:00").cast("timestamp"))
+    run = CheckpointedRun(
+        str(tmp_path / "nc"), partition_expr="days", day_col="date"
+    )
+    manifests = run.run(df, input_files=[])
+    parts = sorted(m["partition"] for m in manifests)
+    assert parts == ["2024-1-5", "2024-1-6"]
+    assert all(m["rows_in"] == 1 for m in manifests)
+
+
+def test_stream_to_sinks_clears_stale_batch_file(spark, tmp_path):
+    """R4 ADVICE 4: a stale `_batch=*` entry that is a regular FILE
+    (partial leftover) is removed, not rmtree-crashed."""
+    from beats_spark.streaming import stream_to_sinks
+
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "_batch=0").write_text("torn partial write")
+    stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    stream_to_sinks(stream, str(out), str(tmp_path / "ckpt2"))
+    assert not (out / "_batch=0").exists()

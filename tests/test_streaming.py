@@ -42,19 +42,64 @@ def test_stream_parse_route_window(spark):
     assert all(r["n_events"] > 0 for r in rows)
 
 
-def test_rate_limit_stream_gated_or_works(spark):
-    """Token-bucket streaming rate limit: runs where protobuf exists,
-    fails fast with a clear message where it doesn't (this image)."""
+def test_rate_limit_stream_tws_gated_or_works(spark):
+    """transformWithState binding: runs where protobuf exists, fails fast
+    with a clear message where it doesn't (this image)."""
     from beats_spark.streaming import streaming_transcripts_from_rate
-    from beats_spark.streaming.rate_limit import rate_limit_stream
+    from beats_spark.streaming.rate_limit import rate_limit_stream_tws
 
     src = streaming_transcripts_from_rate(spark, rows_per_second=50)
     try:
-        limited = rate_limit_stream(src, ["conv_id"], limit=2, period_seconds=10.0)
+        limited = rate_limit_stream_tws(src, ["conv_id"], limit=2, period_seconds=10.0)
     except NotImplementedError as e:
         assert "protobuf" in str(e)
         return
     assert limited.isStreaming
+
+
+def test_rate_limit_stream_live_matches_batch(spark, tmp_path):
+    """LIVE streaming token bucket (applyInPandasWithState — no protobuf
+    needed; VERDICT r3 item 3): per-key admissions on a bursty input
+    match the batch rate_limit stage on the same data. Input is built so
+    the two semantics provably coincide: bursts are sub-second (refill
+    within a burst < 1 token) and bucket-aligned one period apart (bucket
+    refills to capacity between bursts = batch's fresh window)."""
+    import os
+
+    from beats_spark.processors.stateful import rate_limit
+    from beats_spark.streaming.rate_limit import rate_limit_stream
+
+    rows = []
+    for key in ("c1", "c2"):
+        for burst_start in ("2024-01-01 00:00:00", "2024-01-01 00:00:10"):
+            for i in range(5):
+                rows.append((key, i, f"{burst_start}.{100 + i}"))
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = (
+        spark.createDataFrame(rows, "conv_id string, turn_idx int, ts_s string")
+        .withColumn("ts", F.col("ts_s").cast("timestamp"))
+        .drop("ts_s")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    limited = rate_limit_stream(stream, ["conv_id"], limit=2, period_seconds=10.0)
+    assert limited.isStreaming
+    q = (
+        limited.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.conv_id, r.turn_idx, r.ts) for r in spark.table("rl_stream").collect()
+    }
+    batch_stage = rate_limit(["conv_id"], limit=2, period="10 seconds")
+    want = {(r.conv_id, r.turn_idx, r.ts) for r in batch_stage(df).collect()}
+    assert got == want and len(want) == 8  # 2 admitted × 2 bursts × 2 keys
 
 
 def test_token_bucket_algorithm_pure():
