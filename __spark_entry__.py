@@ -518,19 +518,6 @@ def q_reader_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embedding_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via SRP buckets (rows-only:
-    bucket assignment is seed-dependent; twin-detection is pytest-covered)."""
-    from beats_spark.datapipe.similarity import embedding_near_dupes
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    # threshold tuned to the synthetic embedding distribution (64-dim,
-    # near-orthogonal): 0.3 yields a meaningful non-empty pair set.
-    return embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, tables=2).select(
-        "id_a", "id_b"
-    )
-
-
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep lowest doc_id per content hash."""
     from beats_spark.datapipe.dedup import exact_dedup
@@ -578,12 +565,63 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, threshold=0.8, hash_method="md5").select("doc_id")
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — md5-nibble bit family, bit-for-bit oracled."""
-    from beats_spark.datapipe.dedup import simhash
+def q_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (13-gram collision rule; promoted to a
+    driver row in r4 — VERDICT item 9). The 'benchmark' is a
+    deterministic slice of the corpus itself (doc_id % 37 == 0), so
+    every ≥13-word benchmark doc is planted truth; output is the full
+    per-doc verdict. Oracle: DuckDB recomputes the word 13-grams with
+    the identical normalization and counts distinct collisions."""
+    from beats_spark.datapipe.dedup import ngram_decontaminate
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash(docs, hash_method="md5")
+    bench = docs.filter(F.col("doc_id") % 37 == 0).select("text")
+    out = ngram_decontaminate(docs, bench, n=13, hash_method="md5")
+    return out.select(
+        "doc_id",
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def _pq_fixed_codebooks(m: int = 8, sub: int = 8, k: int = 8) -> list[list[list[float]]]:
+    """Deterministic integer-grid codebooks: no k-means training, so the
+    oracle can carry the identical literals; centroid values are small
+    INTEGERS so every squared-distance/sum below is integer-exact in
+    doubles (bit-identical across engines, addition-order-independent)."""
+    return [
+        [[float((c * 31 + j * 17 + d * 7) % 19 - 9) for d in range(sub)] for c in range(k)]
+        for j in range(m)
+    ]
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (promoted to a driver row in r4 —
+    VERDICT item 9): encode the corpus against fixed integer codebooks,
+    then asymmetric-distance top-5 for the first 10 query vectors.
+    Embeddings are floored onto an integer grid first (floor(x*8) — *8
+    is exact for any float), making every distance integer-exact so the
+    DuckDB oracle matches bit-for-bit including tie-breaks."""
+    from beats_spark.datapipe.similarity import pq_adc_topk, pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivec = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * 8).cast("double"),
+        ).alias("embedding"),
+    )
+    books = _pq_fixed_codebooks()
+    codes = pq_encode(ivec, books)
+    queries_df = ivec.filter(F.col("vec_id") < 10)
+    out = pq_adc_topk(codes, queries_df, books, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,17 +656,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit pigeonhole blocks — candidate
-    generation is a union of 4 per-block EQUI-joins (VERDICT r2 item 2:
-    no nested-loop join anywhere in the plan), verified bit-for-bit
-    against the DuckDB oracle's block join."""
+    """SimHash surface (r4 consolidation: was `simhash` + `simhash_pairs`):
+    kind='sig' rows carry every document's 64-bit signature (bit-for-bit
+    md5-nibble oracle), kind='pair' rows the near-dup pairs from the
+    4×16-bit pigeonhole equi-join union (VERDICT r2 item 2: no
+    nested-loop join in the plan)."""
     from beats_spark.datapipe.dedup import simhash, simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sims = simhash(docs, hash_method="md5")
-    return simhash_near_pairs(sims, max_hamming=3).select(
-        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    sig_rows = sims.select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("simhash").alias("val"),
     )
+    pair_rows = simhash_near_pairs(sims, max_hamming=3).select(
+        F.lit("pair").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.col("hamming").cast("bigint").alias("val"),
+    )
+    return sig_rows.unionByName(pair_rows)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,16 +692,30 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed (multi-table SRP) ANN — the scale path next to the
-    brute-force baseline (rows-only; recall vs brute force is pytest-
-    asserted ≥ 0.6)."""
-    from beats_spark.datapipe.similarity import lsh_bucket_topk
+    """SRP-bucket family (r4 consolidation: was `ann_lsh_topk` +
+    `embedding_near_dupes`): kind='topk' rows are the multi-table
+    multiprobe ANN ranks (plane-literal oracle), kind='neardup' rows the
+    capped-bucket embedding near-dup pairs. Both share the SRP bucketing
+    machinery; each keeps its full value-level oracle."""
+    from beats_spark.datapipe.similarity import embedding_near_dupes, lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2, dim=64).select(
-        "query_id", "neighbor_id", "rank"
+    topk = lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2, dim=64).select(
+        F.lit("topk").alias("kind"),
+        F.col("query_id").alias("a"),
+        F.col("neighbor_id").alias("b"),
+        F.col("rank").cast("bigint").alias("val"),
     )
+    # threshold tuned to the synthetic embedding distribution (64-dim,
+    # near-orthogonal): 0.3 yields a meaningful non-empty pair set.
+    dupes = embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, tables=2).select(
+        F.lit("neardup").alias("kind"),
+        F.col("id_a").alias("a"),
+        F.col("id_b").alias("b"),
+        F.lit(0).cast("bigint").alias("val"),
+    )
+    return topk.unionByName(dupes)
 
 
 def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,21 +973,56 @@ def q_script_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage(t)
 
 
+# the 8 magic-number vectors exercised through the codec_json driver row
+# (subset of actions._MIME_MAGIC, mime/detect_mime_type_test.go)
+_MIME_BIN_VECTORS = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("25504446", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("7F454C46", "application/x-executable"),
+    ("4D5A", "application/vnd.microsoft.portable-executable"),
+]
+
+
 def q_codec_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """codec surface (r3 consolidation: was `codec_json` + `codec_roundtrip`):
-    json event serialization + base64 / url-decode round trips."""
+    """codec surface (r3 consolidation: was `codec_json` + `codec_roundtrip`;
+    r4 fold — VERDICT item 5: + detect_mime_type): json event
+    serialization, base64 / url-decode round trips, and MIME sniffing of
+    a constructed per-row body — textual battery (html/json/xml/plain/
+    control-byte→NULL) on mime_text, magic numbers on mime_bin."""
+    from beats_spark.processors import build
     from beats_spark.processors.misc import codec_json
 
     t = synth.transcripts(spark, sf_dir)
     out = codec_json(target="serialized", columns=["conv_id", "turn_idx", "role"])(t)
     frag = F.substring(F.col("text"), 1, 20)
     encoded_url = F.concat(F.lit("v%20"), F.col("role"), F.lit("%2Fx"))
+    tmod = F.col("turn_idx") % 5
+    body_txt = (
+        F.when(tmod == 0, F.lit("<html><body>x</body></html>"))
+        .when(tmod == 1, F.concat(F.lit('{"k": '), F.col("turn_idx").cast("string"), F.lit("}")))
+        .when(tmod == 2, F.lit('<doc a="1">v</doc>'))
+        .when(tmod == 3, F.concat(F.lit("plain line "), F.col("role")))
+        .otherwise(F.concat(F.lit("x\x01"), F.col("role")))
+    )
+    bmod = F.col("turn_idx") % len(_MIME_BIN_VECTORS)
+    magic = F.lit(None).cast("string")
+    for i, (hx, _) in reversed(list(enumerate(_MIME_BIN_VECTORS))):
+        magic = F.when(bmod == i, F.lit(hx + "DEADBEEF")).otherwise(magic)
+    out = out.withColumn("body_txt", body_txt).withColumn("body_bin", F.unhex(magic))
+    out = build("detect_mime_type", field="body_txt", target="mime_text")(out)
+    out = build("detect_mime_type", field="body_bin", target="mime_bin")(out)
     return out.select(
         "conv_id",
         "turn_idx",
         "serialized",
         F.base64(F.encode(frag, "utf-8")).alias("b64"),
         F.url_decode(encoded_url).alias("decoded_url"),
+        "mime_text",
+        "mime_bin",
     )
 
 
@@ -1009,8 +1107,11 @@ def _cid_expected(seed: int = 0) -> list[tuple[int, str]]:
 
 
 def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode_xml: typed from_xml decode of constructed XML docs."""
-    from beats_spark.processors.misc import decode_xml
+    """decode_xml: typed from_xml decode of constructed XML docs; r4 fold
+    (VERDICT item 6): + decode_xml_wineventlog over a constructed
+    winevent doc per row — System/EventData/RenderingInfo projection,
+    Keywords audit-bit outcome, level lowering, ECS event_kind."""
+    from beats_spark.processors.misc import decode_xml, decode_xml_wineventlog
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     i = F.col("event_id")
@@ -1020,12 +1121,47 @@ def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(i % 3 == 0, F.lit("warn")).otherwise(F.lit("info")),
         F.lit("</lvl></event>"),
     )
-    df = ev.withColumn("raw", xml)
+    kw = (
+        F.when(i % 3 == 0, F.lit("0x8020000000000000"))
+        .when(i % 3 == 1, F.lit("0x8010000000000000"))
+        .otherwise(F.lit("0x4000000000000000"))
+    )
+    lvl = F.when(i % 2 == 0, F.lit("Information")).otherwise(F.lit("Warning"))
+    wxml = F.concat(
+        F.lit("<Event><System><Provider Name='prov-"), (i % 7).cast("string"),
+        F.lit("'/><EventID>"), (i % 5000).cast("string"),
+        F.lit("</EventID><Keywords>"), kw,
+        F.lit("</Keywords><EventRecordID>"), i.cast("string"),
+        F.lit("</EventRecordID><Execution ProcessID='"), (i % 1000).cast("string"),
+        F.lit("' ThreadID='"), (i % 500).cast("string"),
+        F.lit("'/><Channel>Security</Channel><Computer>host-"), (i % 13).cast("string"),
+        F.lit("</Computer></System><EventData><Data Name='SubjectUserName'>u"),
+        (i % 10).cast("string"),
+        F.lit("</Data></EventData><RenderingInfo><Message>msg "), i.cast("string"),
+        F.lit("</Message><Level>"), lvl,
+        F.lit("</Level><Task>Task-"), (i % 7).cast("string"),
+        F.lit("</Task></RenderingInfo></Event>"),
+    )
+    df = ev.withColumn("raw", xml).withColumn("raw_win", wxml)
     out = decode_xml("raw", target="ev", schema="id bigint, lvl string")(df)
+    out = decode_xml_wineventlog(field="raw_win", target="winlog")(out)
+    w = F.col("winlog")
     return out.select(
         "event_id",
         F.col("ev").getField("id").alias("xml_id"),
         F.col("ev").getField("lvl").alias("xml_lvl"),
+        w["event_id"].alias("wl_event_id"),
+        w["provider_name"].alias("wl_provider"),
+        w["record_id"].alias("wl_record_id"),
+        w["outcome"].alias("wl_outcome"),
+        w["level"].alias("wl_level"),
+        w["task"].alias("wl_task"),
+        w["message"].alias("wl_message"),
+        w["process"]["pid"].alias("wl_pid"),
+        w["process"]["thread"]["id"].alias("wl_tid"),
+        w["event_data"]["SubjectUserName"].alias("wl_user"),
+        F.col("host_name").alias("wl_host"),
+        F.col("event_kind").alias("wl_kind"),
     )
 
 
@@ -1101,7 +1237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       add_data_stream→add_id, pipeline_metrics→routing_sink_counts,
       timestamp_layouts→events_windowed,
       lang_id+doc_fingerprint+pii_scrub→text_signals.
-    New: simhash_pairs (equi-join near-dup candidate generation)."""
+    r4 folds (freeing two slots for the promoted LLM-pipeline ops):
+      simhash→simhash_pairs (kind='sig'|'pair' union, both fully
+      oracled), embedding_near_dupes→ann_lsh_topk (kind='topk'|'neardup'
+      union of the SRP-bucket family); detect_mime_type folded into
+      codec_json; decode_xml_wineventlog folded into decode_xml.
+    New r4: ngram_decontaminate, pq_adc_topk (VERDICT item 9)."""
     return {
         "pipeline_routed": q_pipeline_routed,
         "routing_sink_counts": q_routing_sink_counts,
@@ -1124,7 +1265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "network_direction": q_network_direction,
         "add_id": q_add_id,
         "reader_chain": q_reader_chain,
-        "embedding_near_dupes": q_embedding_near_dupes,
         "mutate_chain": q_mutate_chain,
         "ndjson_parse": q_ndjson_parse,
         "container_parse": q_container_parse,
@@ -1148,8 +1288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "ngram_decontaminate": q_ngram_decontaminate,
+        "pq_adc_topk": q_pq_adc_topk,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_lsh_topk": q_ann_lsh_topk,
         "quantize_int8": q_quantize_int8,
@@ -1213,26 +1354,6 @@ SELECT d.doc_id FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes
 """
 
 
-def _simhash_oracle_sql() -> str:
-    bit_sums = ",\n    ".join(
-        f"sum(CASE WHEN (CAST('0x' || substr(h, {b // 4 + 1}, 1) AS INTEGER)"
-        f" & {1 << (b % 4)}) != 0 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(64)
-    )
-    terms = "\n    + ".join(
-        f"CASE WHEN b{b} > 0 THEN CAST({2**b if b < 63 else -(2**63)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(64)
-    )
-    return rf"""
-WITH toks AS (
-  SELECT doc_id, md5(tok) AS h
-  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+')) AS tok FROM documents)
-),
-sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id)
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums
-"""
-
-
 def _clusters_oracle_sql() -> str:
     """Transitive closure of the q_dedup_clusters edge set (exact-dup
     group pairs + planted d→d+1 chains for d%7<3) via a recursive CTE:
@@ -1263,7 +1384,7 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 
 
 def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
-    """Near-dup pair oracle: same md5-nibble simhash as _simhash_oracle_sql,
+    """SimHash surface oracle (r4: sig + pair union): md5-nibble simhash,
     then the 4×16-bit pigeonhole block join.  `(x >> s) & 65535` keeps only
     bits that come directly from x (mask below the shifted-in sign bits),
     so DuckDB's arithmetic shift matches Spark's shiftrightunsigned here."""
@@ -1286,10 +1407,88 @@ WITH toks AS (
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
 sims AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums),
 blocks AS (SELECT doc_id, simhash, {blks} FROM sims)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+SELECT 'sig' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b, simhash AS val FROM sims
+UNION ALL
+SELECT DISTINCT 'pair' AS kind, a.doc_id AS a, b.doc_id AS b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
 FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id AND ({blk_cond})
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _ann_family_oracle_sql() -> str:
+    """r4 consolidation: ann_lsh_topk + embedding_near_dupes as one
+    kind-tagged union — each side keeps its full value-level oracle."""
+    return f"""
+SELECT 'topk' AS kind, query_id AS a, neighbor_id AS b, CAST(rank AS BIGINT) AS val
+FROM ({_ann_lsh_oracle_sql()})
+UNION ALL
+SELECT 'neardup' AS kind, id_a AS a, id_b AS b, CAST(0 AS BIGINT) AS val
+FROM ({_near_dupes_oracle_sql()})
+"""
+
+
+def _decontaminate_oracle_sql(n: int = 13, bench_mod: int = 37) -> str:
+    """Word n-gram decontamination: identical normalization (lower,
+    whitespace-runs → single space, trim), full n-grams only (sub-n texts
+    emit nothing), distinct collisions counted per doc."""
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS nrm
+  FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(nrm, ' ') AS t FROM norm),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= {n}
+    THEN list_transform(range(1, len(t) - {n} + 2),
+         i -> array_to_string(t[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)], ' '))
+    ELSE CAST([] AS VARCHAR[]) END)) AS g
+  FROM toks),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % {bench_mod} = 0),
+hits AS (SELECT doc_id, count(*) AS n_hits FROM grams JOIN bg USING (g) GROUP BY doc_id)
+SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def _pq_oracle_sql(m: int = 8, sub: int = 8, kcent: int = 8, k: int = 5) -> str:
+    """PQ encode + ADC top-k against the SAME fixed integer codebooks the
+    Spark query uses; all distance arithmetic is integer-exact in doubles
+    (floor(x*8) grid), so argmins and ranks match bit-for-bit."""
+    books = _pq_fixed_codebooks(m, sub, kcent)
+    vals = ", ".join(
+        f"({j}, {c}, [{', '.join(str(x) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(kcent)
+    )
+    dist = " + ".join(
+        f"(iv.v[cb.j*{sub} + {d + 1}] - cb.cv[{d + 1}])"
+        f"*(iv.v[cb.j*{sub} + {d + 1}] - cb.cv[{d + 1}])"
+        for d in range(sub)
+    )
+    return f"""
+WITH iv AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 8)) AS v
+  FROM embeddings),
+cb(j, cid, cv) AS (VALUES {vals}),
+enc0 AS (
+  SELECT iv.vec_id, cb.j, cb.cid, {dist} AS d
+  FROM iv CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM enc0)
+  WHERE rn = 1),
+lut AS (
+  SELECT iv.vec_id AS query_id, cb.j, cb.cid AS code, {dist} AS d
+  FROM iv CROSS JOIN cb WHERE iv.vec_id < 10),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes c JOIN lut l ON c.j = l.j AND c.code = l.code AND c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
 """
 
 
@@ -1664,7 +1863,22 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT conv_id, turn_idx,
                     to_json(struct_pack(conv_id := conv_id, turn_idx := turn_idx, role := role)) AS serialized,
                     to_base64(encode(substr(text, 1, 20))) AS b64,
-                    'v ' || role || '/x' AS decoded_url
+                    'v ' || role || '/x' AS decoded_url,
+                    CASE turn_idx % 5
+                      WHEN 0 THEN 'text/html; charset=utf-8'
+                      WHEN 1 THEN 'application/json'
+                      WHEN 2 THEN 'text/xml'
+                      WHEN 3 THEN 'text/plain; charset=utf-8'
+                      ELSE NULL END AS mime_text,
+                    CASE turn_idx % 8
+                      WHEN 0 THEN 'image/png'
+                      WHEN 1 THEN 'image/jpeg'
+                      WHEN 2 THEN 'image/gif'
+                      WHEN 3 THEN 'application/pdf'
+                      WHEN 4 THEN 'application/gzip'
+                      WHEN 5 THEN 'application/zip'
+                      WHEN 6 THEN 'application/x-executable'
+                      ELSE 'application/vnd.microsoft.portable-executable' END AS mime_bin
              FROM transcripts_base""",
         "timeseries_instance": _ORACLE_WITH
         + """SELECT conv_id, turn_idx, md5(role || '|' || tool) AS tsid
@@ -1753,7 +1967,21 @@ def oracle_sql() -> dict[str, str]:
         "decode_xml": """
             SELECT event_id,
                    event_id % 1000 AS xml_id,
-                   CASE WHEN event_id % 3 = 0 THEN 'warn' ELSE 'info' END AS xml_lvl
+                   CASE WHEN event_id % 3 = 0 THEN 'warn' ELSE 'info' END AS xml_lvl,
+                   CAST(event_id % 5000 AS VARCHAR) AS wl_event_id,
+                   'prov-' || CAST(event_id % 7 AS VARCHAR) AS wl_provider,
+                   CAST(event_id AS BIGINT) AS wl_record_id,
+                   CASE WHEN event_id % 3 = 0 THEN 'success'
+                        WHEN event_id % 3 = 1 THEN 'failure'
+                        ELSE NULL END AS wl_outcome,
+                   CASE WHEN event_id % 2 = 0 THEN 'information' ELSE 'warning' END AS wl_level,
+                   'Task-' || CAST(event_id % 7 AS VARCHAR) AS wl_task,
+                   'msg ' || CAST(event_id AS VARCHAR) AS wl_message,
+                   CAST(event_id % 1000 AS BIGINT) AS wl_pid,
+                   CAST(event_id % 500 AS BIGINT) AS wl_tid,
+                   'u' || CAST(event_id % 10 AS VARCHAR) AS wl_user,
+                   'host-' || CAST(event_id % 13 AS VARCHAR) AS wl_host,
+                   'event' AS wl_kind
             FROM events""",
         "community_id": (
             "SELECT 'digest' AS kind, CAST(case_id AS BIGINT) AS case_id, community_id AS val"
@@ -1824,9 +2052,9 @@ def oracle_sql() -> dict[str, str]:
             FROM p""",
         "minhash_dedup": _minhash_oracle_sql(),
         "dedup_clusters": _clusters_oracle_sql(),
-        "simhash": _simhash_oracle_sql(),
         "simhash_pairs": _simhash_pairs_oracle_sql(),
         "ngram_jaccard": _ngram_oracle_sql(),
-        "ann_lsh_topk": _ann_lsh_oracle_sql(),
-        "embedding_near_dupes": _near_dupes_oracle_sql(),
+        "ann_lsh_topk": _ann_family_oracle_sql(),
+        "ngram_decontaminate": _decontaminate_oracle_sql(),
+        "pq_adc_topk": _pq_oracle_sql(),
     }

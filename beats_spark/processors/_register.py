@@ -79,6 +79,7 @@ REGISTRY.update(
         "codec_format": misc.codec_format,
         "schema_conv": misc.schema_conv,
         "decode_xml": misc.decode_xml,
+        "decode_xml_wineventlog": misc.decode_xml_wineventlog,
         "multiline_while": misc.multiline_while,
     }
 )

@@ -209,6 +209,123 @@ def decode_xml(field: str, target: str = "xml", schema: str | None = None, field
     return stage
 
 
+# winevent keyword bits (winlogbeat/sys/winevent/event.go:45-46): the
+# audit-outcome bits live in nibble 13 (0-indexed from the LSB) of the
+# 64-bit Keywords mask — 0x10000000000000 = failure, 0x20000000000000 =
+# success; failure is checked first (event.go:107-111).
+_WINEVENT_XML_SCHEMA = """struct<
+  System: struct<
+    Provider: struct<_Name: string, _Guid: string, _EventSourceName: string>,
+    EventID: bigint,
+    Version: bigint, Level: bigint, Task: bigint, Opcode: bigint, Keywords: string,
+    TimeCreated: struct<_SystemTime: string>,
+    EventRecordID: bigint,
+    Correlation: struct<_ActivityID: string, _RelatedActivityID: string>,
+    Execution: struct<_ProcessID: bigint, _ThreadID: bigint>,
+    Channel: string, Computer: string, Security: struct<_UserID: string>
+  >,
+  EventData: struct<Data: array<struct<_Name: string, _VALUE: string>>>,
+  RenderingInfo: struct<Message: string, Level: string, Task: string, Opcode: string,
+                        Channel: string, Provider: string,
+                        Keywords: struct<Keyword: array<string>>>
+>"""
+
+
+def decode_xml_wineventlog(
+    field: str = "message",
+    target: str = "winlog",
+    map_ecs_fields: bool = True,
+):
+    """decode_xml_wineventlog (decode_xml_wineventlog/processor.go:100-131
+    + winlogbeat/sys/winevent/event.go:92-153) — Windows Event Log XML →
+    a `winlog` struct column (+ flat ECS columns when map_ecs_fields).
+
+    One typed from_xml pass (pure Column, codegen) projects the winevent
+    shape; the winlog struct mirrors Event.Fields():
+      channel, event_id (string form of EventID), provider_name/guid,
+      record_id, version, task/opcode/level (the RenderingInfo rendered
+      strings; level lowercased), keywords, time_created, outcome
+      (Keywords audit bits: failure beats success), message (Windows
+      line endings normalized), event_data (Data name→value map),
+      activity_id / related_activity_id, process.pid / process.thread.id.
+
+    ECS mapping (processor.go:140-153), flat-column convention of this
+    engine (dots → underscores): event_code, event_kind='event',
+    event_provider, event_action (task), host_name, event_outcome,
+    log_level, message (overwrites `message` only when target field is
+    not itself 'message' — the reference writes into the event root the
+    same way).
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        e = F.from_xml(F.col(field), _WINEVENT_XML_SCHEMA)
+        sysf, rend = e["System"], e["RenderingInfo"]
+        # audit outcome from the Keywords hex mask: nibble 13 from LSB =
+        # char 3 of the 0x-stripped, 16-lpadded hex string
+        nib = F.conv(
+            F.substring(F.lpad(F.regexp_replace(sysf["Keywords"], "^0x", ""), 16, "0"), 3, 1),
+            16,
+            10,
+        ).cast("int")
+        outcome = (
+            F.when(nib.bitwiseAND(F.lit(1)) > 0, F.lit("failure"))
+            .when(nib.bitwiseAND(F.lit(2)) > 0, F.lit("success"))
+        )
+        msg = F.regexp_replace(rend["Message"], "\r\n", "\n")
+        win = F.struct(
+            sysf["Channel"].alias("channel"),
+            sysf["EventID"].cast("string").alias("event_id"),
+            sysf["Provider"]["_Name"].alias("provider_name"),
+            sysf["EventRecordID"].alias("record_id"),
+            rend["Task"].alias("task"),
+            sysf["Computer"].alias("computer_name"),
+            rend["Keywords"]["Keyword"].alias("keywords"),
+            rend["Opcode"].alias("opcode"),
+            sysf["Provider"]["_Guid"].alias("provider_guid"),
+            sysf["Version"].alias("version"),
+            F.try_to_timestamp(
+                F.regexp_replace(
+                    sysf["TimeCreated"]["_SystemTime"], r"(\.\d{6})\d*Z?$", "$1"
+                )
+            ).alias("time_created"),
+            outcome.alias("outcome"),
+            F.lower(rend["Level"]).alias("level"),
+            msg.alias("message"),
+            F.map_from_entries(
+                F.transform(
+                    e["EventData"]["Data"],
+                    lambda d: F.struct(d["_Name"].alias("key"), d["_VALUE"].alias("value")),
+                )
+            ).alias("event_data"),
+            sysf["Correlation"]["_ActivityID"].alias("activity_id"),
+            sysf["Correlation"]["_RelatedActivityID"].alias("related_activity_id"),
+            F.struct(
+                sysf["Execution"]["_ProcessID"].alias("pid"),
+                F.struct(sysf["Execution"]["_ThreadID"].alias("id")).alias("thread"),
+            ).alias("process"),
+            F.struct(sysf["Security"]["_UserID"].alias("identifier")).alias("user"),
+        )
+        out = df.withColumn(target, win)
+        if map_ecs_fields:
+            t = F.col(target)
+            out = (
+                out.withColumn("event_code", t["event_id"])
+                .withColumn("event_kind", F.lit("event"))
+                .withColumn("event_provider", t["provider_name"])
+                .withColumn("event_action", t["task"])
+                .withColumn("host_name", t["computer_name"])
+                .withColumn("event_outcome", t["outcome"])
+                .withColumn("log_level", t["level"])
+            )
+            if field != "message":
+                out = out.withColumn("message", t["message"])
+            else:
+                out = out.withColumn("ecs_message", t["message"])
+        return out
+
+    return stage
+
+
 def multiline_while(
     pattern: str,
     negate: bool = False,

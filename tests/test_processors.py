@@ -917,3 +917,77 @@ def test_detect_mime_type_reference_vectors(spark):
     assert bout[3] == "application/x-executable"
     assert bout[4] == "application/x-mach-binary"
     assert bout[5] is None
+
+
+_WINEVENT_MSG = (
+    "<Event xmlns='http://schemas.microsoft.com/win/2004/08/events/event'><System>"
+    "<Provider Name='Microsoft-Windows-Security-Auditing' Guid='{54849625-5478-4994-a5ba-3e3b0328c30d}'/>"
+    "<EventID>4672</EventID><Version>0</Version><Level>0</Level><Task>12548</Task><Opcode>0</Opcode>"
+    "<Keywords>0x8020000000000000</Keywords><TimeCreated SystemTime='2021-03-23T09:56:13.137310000Z'/>"
+    "<EventRecordID>11303</EventRecordID><Correlation ActivityID='{ffb23523-1f32-0000-c335-b2ff321fd701}'/>"
+    "<Execution ProcessID='652' ThreadID='4660'/><Channel>Security</Channel><Computer>vagrant</Computer>"
+    "<Security/></System><EventData><Data Name='SubjectUserSid'>S-1-5-18</Data>"
+    "<Data Name='SubjectUserName'>SYSTEM</Data><Data Name='SubjectDomainName'>NT AUTHORITY</Data>"
+    "<Data Name='SubjectLogonId'>0x3e7</Data></EventData>"
+    "<RenderingInfo Culture='en-US'><Message>Special privileges assigned to new logon.\r\n\r\nSubject:</Message>"
+    "<Level>Information</Level><Task>Special Logon</Task><Opcode>Info</Opcode><Channel>Security</Channel>"
+    "<Provider>Microsoft Windows security auditing.</Provider>"
+    "<Keywords><Keyword>Audit Success</Keyword></Keywords></RenderingInfo></Event>"
+)
+
+
+def test_decode_xml_wineventlog_golden(spark):
+    """decode_xml_wineventlog parity with the reference's processor_test.go
+    golden event (testMessage/testMessageOutput): winlog struct fields +
+    ECS mapping (decode_xml_wineventlog/processor.go:140-153,
+    winlogbeat/sys/winevent/event.go:92-153)."""
+    df = spark.createDataFrame([(1, _WINEVENT_MSG)], "i int, message string")
+    out = build("decode_xml_wineventlog", field="message")(df).first()
+    w = out.winlog
+    assert w.channel == "Security"
+    assert w.event_id == "4672"
+    assert w.provider_name == "Microsoft-Windows-Security-Auditing"
+    assert w.provider_guid == "{54849625-5478-4994-a5ba-3e3b0328c30d}"
+    assert w.record_id == 11303
+    assert w.version == 0
+    assert w.task == "Special Logon"
+    assert w.opcode == "Info"
+    assert w.level == "information"
+    assert w.outcome == "success"  # 0x8020... & AuditSuccess bit
+    assert w.computer_name == "vagrant"
+    assert w.keywords == ["Audit Success"]
+    assert w.activity_id == "{ffb23523-1f32-0000-c335-b2ff321fd701}"
+    assert w.process.pid == 652 and w.process.thread.id == 4660
+    assert w.event_data == {
+        "SubjectUserSid": "S-1-5-18",
+        "SubjectUserName": "SYSTEM",
+        "SubjectDomainName": "NT AUTHORITY",
+        "SubjectLogonId": "0x3e7",
+    }
+    # Windows line endings normalized (sys.RemoveWindowsLineEndings)
+    assert "\r" not in w.message and "\n\n" in w.message
+    assert w.time_created.strftime("%Y-%m-%d %H:%M:%S.%f") == "2021-03-23 09:56:13.137310"
+    # ECS mapping
+    assert out.event_code == "4672"
+    assert out.event_kind == "event"
+    assert out.event_provider == "Microsoft-Windows-Security-Auditing"
+    assert out.event_action == "Special Logon"
+    assert out.host_name == "vagrant"
+    assert out.event_outcome == "success"
+    assert out.log_level == "information"
+    assert out.ecs_message.startswith("Special privileges")
+
+
+def test_decode_xml_wineventlog_outcome_failure_and_minimal(spark):
+    """Audit Failure bit beats success (event.go:107-111); minimal events
+    decode with NULL optionals instead of erroring."""
+    fail_msg = _WINEVENT_MSG.replace("0x8020000000000000", "0x8010000000000000")
+    tiny = "<Event><System><EventID>1</EventID><Channel>App</Channel></System></Event>"
+    df = spark.createDataFrame(
+        [(1, fail_msg), (2, tiny)], "i int, message string"
+    )
+    rows = {r.i: r for r in build("decode_xml_wineventlog", field="message")(df).collect()}
+    assert rows[1].winlog.outcome == "failure"
+    t = rows[2].winlog
+    assert t.event_id == "1" and t.channel == "App"
+    assert t.outcome is None and t.provider_name is None and t.event_data is None
