@@ -539,7 +539,10 @@ def convert_value(data_type: str, value: str):
             if _IP_RE.match(v) and _valid_ip(v):
                 return v
             raise ValueError
-    except ValueError:
+    except (ValueError, OverflowError):
+        # OverflowError: float.fromhex on an out-of-range hex float —
+        # strconv.ParseFloat reports ErrRange there and the reference's
+        # converter keeps the raw string
         return value
     return value
 
@@ -575,17 +578,46 @@ def cast_column(col: Column, data_type: str) -> Column:
         )
     if data_type in ("float", "double"):
         # strconv parity incl. the special names (Inf/Infinity/NaN, any
-        # case, optional sign). Go-style HEX floats (0x1p-2) are scalar-
-        # path only — this Column path yields NULL + convert flag for
-        # them (deliberate: no Spark builtin parses them; they do not
-        # occur in log data).
+        # case, optional sign) and Go-style HEX floats (0x1.8p-2) —
+        # lowered to Column arithmetic (r4, closing the r3 documented
+        # divergence): value = sign × int(mantissa_digits, 16) ×
+        # 2^(exp − 4·fraclen). Mantissas up to 15 significant hex digits
+        # (60 bits > the 53 double keeps) convert with ONE rounding —
+        # bit-identical to strconv/fromhex; longer mantissas truncate to
+        # 15 significant digits (sub-ulp effect only). The float32 form
+        # rounds double→float32, the same composition the scalar path
+        # (fromhex + float32 round-trip) uses.
         v = F.rtrim(col)
         low = F.lower(v)
         ty = _SPARK_TYPES[data_type]
+        hex_sign = F.when(v.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
+        core = F.regexp_replace(v, r"(?i)^[+-]?0x", "")
+        hmant = F.regexp_extract(core, r"^([0-9a-fA-F.]+)[pP]", 1)
+        hexp = F.regexp_extract(core, r"(?i)p([+-]?[0-9]+)$", 1).try_cast("int")
+        hdigits = F.regexp_replace(hmant, r"\.", "")
+        fraclen = F.when(
+            hmant.contains("."), F.length(hmant) - F.instr(hmant, ".")
+        ).otherwise(F.lit(0))
+        sig = F.regexp_replace(hdigits, "^0+", "")
+        dropped = F.greatest(F.length(sig) - 15, F.lit(0))
+        mant_i = F.coalesce(
+            F.conv(F.substring(sig, 1, 15), 16, 10).try_cast("double"), F.lit(0.0)
+        )
+        p2 = (hexp - 4 * fraclen + 4 * dropped).cast("double")
+        # |p2| > 1100 is out of double range either way: strconv reports
+        # a range error there (the reference keeps the raw string), this
+        # typed column reports failure as NULL — same failure surface.
+        hex_val = F.when(
+            F.abs(p2) <= 1100, hex_sign * mant_i * F.pow(F.lit(2.0), p2)
+        )
         return (
             F.when(
                 v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"),
                 v.try_cast(ty),
+            )
+            .when(
+                v.rlike(r"^[+-]?0[xX]([0-9a-fA-F]+(\.[0-9a-fA-F]*)?|\.[0-9a-fA-F]+)[pP][+-]?[0-9]+$"),
+                hex_val.cast(ty),
             )
             .when(low.rlike(r"^nan$"), F.lit(float("nan")).cast(ty))
             .when(low.rlike(r"^-inf(inity)?$"), F.lit(float("-inf")).cast(ty))

@@ -308,10 +308,11 @@ def test_multiline_preserves_upstream_flags(spark):
 
 
 def test_float_special_forms_strconv_parity(spark):
-    """R3 ADVICE: strconv.ParseFloat accepts Inf/Infinity/NaN (any case,
-    optional sign) and Go hex floats — the 'strconv parity' paths must
-    agree. Column path: special names convert; hex floats stay NULL
-    (documented divergence). Scalar path: both convert."""
+    """R3 ADVICE (closed r4): strconv.ParseFloat accepts Inf/Infinity/NaN
+    (any case, optional sign) and Go hex floats — the 'strconv parity'
+    paths must agree. BOTH paths now convert hex floats (the r3
+    documented divergence is gone: the Column path lowers the mantissa/
+    exponent arithmetic to conv + pow-of-two scaling)."""
     import math
 
     from beats_spark.dissect import convert_value
@@ -323,6 +324,9 @@ def test_float_special_forms_strconv_parity(spark):
     assert convert_value("double", "-0x1.8p1") == -3.0
     assert convert_value("double", "0x12") == "0x12"  # Go requires the p-exponent for hex floats
     assert convert_value("double", "infx") == "infx"  # not a special name
+    # strconv range error keeps the raw string; fromhex raises
+    # OverflowError — must map to the same raw-string fallback
+    assert convert_value("double", "0x1p99999") == "0x1p99999"
 
     df = spark.createDataFrame(
         [("Inf",), ("-Infinity",), ("NaN",), ("3.5",), ("junk",)], "v string"
@@ -333,6 +337,43 @@ def test_float_special_forms_strconv_parity(spark):
     assert math.isnan(out[2].d)
     assert out[3].d == 3.5
     assert out[4].d is None
+
+
+def test_hex_float_column_scalar_parity(spark):
+    """R4 (VERDICT item 7): the Column fast path parses Go hex floats
+    bit-identically to the scalar path (float.fromhex) — fixed vectors
+    plus a generated sweep over mantissa shapes and exponents."""
+    from beats_spark.dissect import convert_value
+
+    vectors = [
+        "0x1p-2", "-0x1.8p1", "0X1.Fp+4", "0x.8p0", "0x1.p3",
+        "0xABCDEFp-10", "0x0.0p0", "-0x0p5", "0x1fffffffffffffp0",
+        "0x123456789abcdefp-30", "+0x2p10", "0x1p-1060", "0x1p1020",
+        "0x000001p4", "0x1p99999", "junk0x1p2",
+    ]
+    import random
+
+    rng = random.Random(42)
+    hexd = "0123456789abcdefABCDEF"
+    for _ in range(60):
+        ip = "".join(rng.choice(hexd) for _ in range(rng.randrange(0, 8)))
+        fp = "".join(rng.choice(hexd) for _ in range(rng.randrange(0, 8)))
+        if not ip and not fp:
+            continue
+        mant = f"{ip}.{fp}" if (fp or rng.random() < 0.3) else ip
+        s = f"{rng.choice(['', '+', '-'])}0x{mant}p{rng.choice(['', '+', '-'])}{rng.randrange(0, 300)}"
+        vectors.append(s)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vectors)], "i int, v string")
+    got = {
+        r.i: r.d
+        for r in df.select("i", cast_column(F.col("v"), "double").alias("d")).collect()
+    }
+    for i, v in enumerate(vectors):
+        want = convert_value("double", v)
+        if isinstance(want, str):  # scalar failure keeps raw → Column NULL
+            assert got[i] is None, (v, got[i])
+        else:
+            assert got[i] == want, (v, got[i], want)
 
 
 def test_decode_json_fields_honors_when(spark):
