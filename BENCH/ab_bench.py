@@ -1,0 +1,82 @@
+"""Same-session A/B bench (VERDICT r3 item 4): settle the r2→r3 +11-24%
+deltas on rate_limit / text_quality / agg_events_per_tool by running the
+r2-tagged checkout and HEAD interleaved, each sample in its own JVM,
+with the sandbox CPU calibration bracketing the run.
+
+Usage: python BENCH/ab_bench.py <r2_checkout_path> [rounds]
+Writes BENCH/AB_r4.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+HEAD = os.path.dirname(HERE)
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+QUERIES = "rate_limit,text_quality,agg_events_per_tool"
+
+
+def worker(repo: str, reps: int = 3) -> dict[str, list[float]]:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "ab_worker.py"), repo, SF, str(CORES), str(reps), QUERIES],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd="/tmp",
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    r2 = sys.argv[1]
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    sys.path.insert(0, HEAD)
+    from bench import cpu_calibration
+
+    cal_before = cpu_calibration((CORES,))
+    samples: dict[str, dict[str, list[float]]] = {"r2": {}, "head": {}}
+    for rnd in range(rounds):
+        # alternate which side goes first so steal drift cancels
+        order = [("r2", r2), ("head", HEAD)] if rnd % 2 == 0 else [("head", HEAD), ("r2", r2)]
+        for label, path in order:
+            res = worker(path)
+            for q, vals in res.items():
+                samples[label].setdefault(q, []).extend(vals)
+            print(f"round {rnd} {label}: " + ", ".join(f"{q}={min(v):.2f}s" for q, v in res.items()))
+    cal_after = cpu_calibration((CORES,))
+    summary = {}
+    for q in QUERIES.split(","):
+        a = samples["r2"][q]
+        b = samples["head"][q]
+        summary[q] = {
+            "r2_median": round(statistics.median(a), 3),
+            "r2_min": min(a),
+            "head_median": round(statistics.median(b), 3),
+            "head_min": min(b),
+            "delta_median_pct": round(
+                (statistics.median(b) - statistics.median(a)) / statistics.median(a) * 100, 1
+            ),
+            "delta_min_pct": round((min(b) - min(a)) / min(a) * 100, 1),
+        }
+    out = {
+        "sf_dir": SF,
+        "cores": CORES,
+        "rounds": rounds,
+        "queries": summary,
+        "samples": samples,
+        "cpu_calibration_before": cal_before,
+        "cpu_calibration_after": cal_after,
+    }
+    with open(os.path.join(HERE, "AB_r4.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({q: s["delta_median_pct"] for q, s in summary.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""A/B bench worker: measure named driver queries from ONE repo checkout
+in a fresh JVM. Invoked as a subprocess by ab_bench.py — one process per
+(checkout, round) so JIT warm-up and steal noise interleave fairly.
+
+Usage: python ab_worker.py <repo_path> <sf_dir> <cores> <reps> <q1,q2,...>
+Prints one JSON line: {"query": [wall_s, ...], ...}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    repo, sf_dir, cores, reps, names = (
+        sys.argv[1],
+        sys.argv[2],
+        int(sys.argv[3]),
+        int(sys.argv[4]),
+        sys.argv[5].split(","),
+    )
+    sys.path.insert(0, repo)
+    import __spark_entry__ as e
+    from beats_spark.session import get_spark
+
+    spark = get_spark(
+        f"ab-{cores}", master=f"local[{cores}]", shuffle_partitions=cores
+    )
+    qs = e.queries()
+    out: dict[str, list[float]] = {}
+    for name in names:
+        q = qs[name]
+        q(spark, sf_dir).count()  # warm: plan + scan metadata + JIT
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            samples.append(round(time.perf_counter() - t0, 4))
+        out[name] = samples
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

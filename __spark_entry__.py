@@ -1338,7 +1338,12 @@ def _minhash_oracle_sql(num_perm: int = 32, bands: int = 8, n: int = 5, threshol
 WITH {_SHINGLE_CTES.format(n=n)},
 sigs AS (SELECT doc_id, sh, {mins} FROM shing),
 sigs2 AS (SELECT doc_id, {band_exprs} FROM sigs),
-buckets AS ({union}),
+buckets0 AS ({union}),
+buckets AS (
+  SELECT doc_id, b, h FROM (
+    SELECT *, row_number() OVER (PARTITION BY b, h ORDER BY doc_id) AS rn FROM buckets0)
+  WHERE rn <= 4096
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
@@ -1398,7 +1403,9 @@ def _simhash_pairs_oracle_sql(max_hamming: int = 3) -> str:
         for b in range(64)
     )
     blks = ", ".join(f"(simhash >> {16 * i}) & 65535 AS blk{i}" for i in range(4))
-    blk_cond = " OR ".join(f"a.blk{i} = b.blk{i}" for i in range(4))
+    sides_union = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS i, blk{i} AS blk FROM blocks" for i in range(4)
+    )
     return rf"""
 WITH toks AS (
   SELECT doc_id, md5(tok) AS h
@@ -1406,12 +1413,18 @@ WITH toks AS (
 ),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
 sims AS (SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM sums),
-blocks AS (SELECT doc_id, simhash, {blks} FROM sims)
+blocks AS (SELECT doc_id, simhash, {blks} FROM sims),
+sides AS ({sides_union}),
+capped AS (
+  SELECT doc_id, simhash, i, blk FROM (
+    SELECT *, row_number() OVER (PARTITION BY i, blk ORDER BY doc_id) AS rn FROM sides)
+  WHERE rn <= 4096
+)
 SELECT 'sig' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b, simhash AS val FROM sims
 UNION ALL
 SELECT DISTINCT 'pair' AS kind, a.doc_id AS a, b.doc_id AS b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS val
-FROM blocks a JOIN blocks b ON a.doc_id < b.doc_id AND ({blk_cond})
+FROM capped a JOIN capped b ON a.i = b.i AND a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
@@ -1501,9 +1514,14 @@ keyed AS (
                                i -> sorted_h[CAST(i AS INTEGER)])) AS key
   FROM (SELECT doc_id, list_sort(list_transform(sh, s -> md5('0:' || s))) AS sorted_h FROM shing)
 ),
+keyc AS (
+  SELECT doc_id, key FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM keyed)
+  WHERE rn <= 4096
+),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+  FROM keyc a JOIN keyc b ON a.key = b.key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b
 FROM cands

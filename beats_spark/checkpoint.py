@@ -122,6 +122,10 @@ class CheckpointedRun:
         # canonicalize a non-canonical day value (e.g. '2024-1-5' inferred
         # as date reads back '2024-01-05'), breaking the str() round-trip
         # keying below (r3 ADVICE)
+        # NOTE: session-scoped flip (no per-read option exists for this);
+        # safe here because the checkpoint runner is sequential driver
+        # code — nothing else reads through this session inside the
+        # set/restore window (collect happens before the restore).
         conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = spark.conf.get(conf, "true")
         spark.conf.set(conf, "false")

@@ -411,6 +411,15 @@ def _cc_star(pairs: DataFrame, max_iters: int, id_col: str) -> DataFrame:
     action pair per round; localCheckpoint truncates the iterative
     lineage so the plan stays constant-size.
     """
+    # node inventory BEFORE self-loop removal: a node appearing only in
+    # self-loop pairs must still come back as its own singleton cluster
+    # (the propagation oracle's contract; r4 review)
+    nodes = (
+        pairs.select(F.col("id_a").alias("node"))
+        .unionAll(pairs.select(F.col("id_b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     edges = _canonical_edges(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     ).localCheckpoint(eager=True)
@@ -453,6 +462,10 @@ def _cc_star(pairs: DataFrame, max_iters: int, id_col: str) -> DataFrame:
         edges.select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
     labels = labels.groupBy("node").agg(F.min("label").alias("label"))
+    # self-loop-only nodes have no star edge — they label themselves
+    labels = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", F.col("node")).alias("label")
+    )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -593,7 +593,7 @@ def cast_column(col: Column, data_type: str) -> Column:
         hex_sign = F.when(v.startswith("-"), F.lit(-1.0)).otherwise(F.lit(1.0))
         core = F.regexp_replace(v, r"(?i)^[+-]?0x", "")
         hmant = F.regexp_extract(core, r"^([0-9a-fA-F.]+)[pP]", 1)
-        hexp = F.regexp_extract(core, r"(?i)p([+-]?[0-9]+)$", 1).try_cast("int")
+        hexp = F.regexp_extract(core, r"(?i)p([+-]?[0-9]+)$", 1).try_cast("bigint")
         hdigits = F.regexp_replace(hmant, r"\.", "")
         fraclen = F.when(
             hmant.contains("."), F.length(hmant) - F.instr(hmant, ".")
@@ -603,12 +603,25 @@ def cast_column(col: Column, data_type: str) -> Column:
         mant_i = F.coalesce(
             F.conv(F.substring(sig, 1, 15), 16, 10).try_cast("double"), F.lit(0.0)
         )
-        p2 = (hexp - 4 * fraclen + 4 * dropped).cast("double")
-        # |p2| > 1100 is out of double range either way: strconv reports
-        # a range error there (the reference keeps the raw string), this
-        # typed column reports failure as NULL — same failure surface.
-        hex_val = F.when(
-            F.abs(p2) <= 1100, hex_sign * mant_i * F.pow(F.lit(2.0), p2)
+        p2 = (hexp - 4 * fraclen + 4 * dropped).cast("bigint")
+        # Scale in TWO power-of-two steps: a single pow(2, p2) under/
+        # overflows for |p2| > ~1022 even when mant_i × 2^p2 itself is
+        # representable (r4 review: '0xFFFp-1082' must give the subnormal
+        # 8e-323, not 0.0). Each half-exponent stays in normal range for
+        # |p2| ≤ 1200; the first multiply is exact (power-of-two scaling
+        # of a normal double), the second rounds once — correct even into
+        # the subnormal band.
+        p2a = F.floor(p2 / 2).cast("double")
+        p2b = p2.cast("double") - p2a
+        signed = hex_sign * mant_i * F.pow(F.lit(2.0), p2a) * F.pow(F.lit(2.0), p2b)
+        # parity target is the scalar path (float.fromhex): underflow →
+        # signed zero; overflow → failure (fromhex raises OverflowError
+        # and convert_value keeps the raw string, so this typed column
+        # yields NULL — never Infinity for a finite input).
+        hex_val = (
+            F.when(mant_i == 0.0, hex_sign * F.lit(0.0))
+            .when(p2 < -1200, hex_sign * F.lit(0.0))
+            .when((p2 <= 1200) & (F.abs(signed) != F.lit(float("inf"))), signed)
         )
         return (
             F.when(

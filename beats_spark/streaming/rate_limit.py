@@ -34,6 +34,24 @@ from pyspark.sql.types import (
 )
 
 
+def _sort_deterministic(pdf: pd.DataFrame, ts_col: str) -> pd.DataFrame:
+    """Event-time order with a DETERMINISTIC total tie-break: chunk
+    arrival order within a micro-batch depends on shuffle fetch order,
+    which can differ across task re-attempts — an unstable sort would
+    then admit a different row among equal-timestamp ties on replay,
+    breaking the state store's exactly-once replay surface (r4 review).
+    Stable mergesort over (ts, every other column) makes the admitted
+    set a pure function of the batch's row set."""
+    cols = [ts_col] + [c for c in pdf.columns if c != ts_col]
+    try:
+        return pdf.sort_values(cols, kind="mergesort")
+    except TypeError:
+        # unorderable payload column (e.g. dict/array cells) — fall back
+        # to ts + string rendering of the rest, still deterministic
+        key = pdf[cols[1:]].astype(str).apply(lambda r: "|".join(r), axis=1)
+        return pdf.assign(_tb=key).sort_values([ts_col, "_tb"], kind="mergesort").drop(columns="_tb")
+
+
 def _drain_token_bucket(
     epochs,
     tokens: float,
@@ -82,7 +100,7 @@ class TokenBucketProcessor(StatefulProcessor):
         else:
             tokens, last_epoch = self.limit, None
         for pdf in rows:
-            pdf = pdf.sort_values(self.ts_col)
+            pdf = _sort_deterministic(pdf, self.ts_col)
             epochs = pdf[self.ts_col].astype("int64") / 1e9
             keep, tokens, last_epoch = _drain_token_bucket(
                 epochs, tokens, last_epoch, self.limit, self.period
@@ -125,7 +143,7 @@ def rate_limit_stream(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            pdf = pdf.sort_values(tcol)
+            pdf = _sort_deterministic(pdf, tcol)
             epochs = pdf[tcol].astype("int64") / 1e9
             keep, tokens, last_epoch = _drain_token_bucket(
                 epochs, tokens, last_epoch, lim, per

@@ -485,10 +485,12 @@ def test_cc_star_matches_propagation_on_random_graphs(spark):
 
     for seed, n_nodes, n_edges in [(7, 60, 30), (11, 60, 80), (13, 200, 150)]:
         rng = random.Random(seed)
+        # self-loops deliberately INCLUDED: a node appearing only in a
+        # self-loop pair must come back as a singleton cluster from both
+        # algorithms (r4 review)
         edges = [
             (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
         pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
         star = {
             r.doc_id: r.cluster_id

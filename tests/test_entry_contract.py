@@ -36,3 +36,21 @@ def test_query_callables_take_spark_and_sfdir():
 def test_oracle_sql_strings_nonempty():
     for name, sql in entry_mod.oracle_sql().items():
         assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_mime_bin_vectors_subset_of_product_table():
+    """R4 review 6: the codec_json driver row pins its own (magic, mime)
+    golden pairs (so the oracle stays independent of product code), but
+    they must be a subset of the product's _MIME_MAGIC table — if the
+    product table changes, THIS fails with a pointed message instead of
+    a confusing hash mismatch in the driver."""
+    import __spark_entry__ as e
+    from beats_spark.processors.actions import _MIME_MAGIC
+
+    product = dict(_MIME_MAGIC)
+    for hx, mime in e._MIME_BIN_VECTORS:
+        assert product.get(hx) == mime, (
+            f"codec_json golden vector ({hx!r}, {mime!r}) no longer matches "
+            f"processors/actions._MIME_MAGIC ({product.get(hx)!r}) — update "
+            "_MIME_BIN_VECTORS and the codec_json DuckDB oracle CASE together"
+        )

@@ -350,6 +350,12 @@ def test_hex_float_column_scalar_parity(spark):
         "0xABCDEFp-10", "0x0.0p0", "-0x0p5", "0x1fffffffffffffp0",
         "0x123456789abcdefp-30", "+0x2p10", "0x1p-1060", "0x1p1020",
         "0x000001p4", "0x1p99999", "junk0x1p2",
+        # range edges (r4 review): overflow must be NULL (never Inf),
+        # subnormals must survive the two-step scaling, deep underflow
+        # and zero-mantissa-huge-exponent follow fromhex (signed zero)
+        "0x1p1024", "0x10000000000000p980", "0xFFFp-1082",
+        "0xFFFFFFFFFFFFFFFp-1130", "0x1p-1074", "0x1p-1075",
+        "-0x1p-9999", "0x0p99999", "0x1p-99999999", "0x1p99999999999",
     ]
     import random
 
@@ -361,7 +367,7 @@ def test_hex_float_column_scalar_parity(spark):
         if not ip and not fp:
             continue
         mant = f"{ip}.{fp}" if (fp or rng.random() < 0.3) else ip
-        s = f"{rng.choice(['', '+', '-'])}0x{mant}p{rng.choice(['', '+', '-'])}{rng.randrange(0, 300)}"
+        s = f"{rng.choice(['', '+', '-'])}0x{mant}p{rng.choice(['', '+', '-'])}{rng.randrange(0, 1200)}"
         vectors.append(s)
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vectors)], "i int, v string")
     got = {
