@@ -164,6 +164,12 @@ def minhash_lsh_candidates(
         ).alias("bk"),
     ).select(id_col, "bk.b", "bk.h")
     buckets = _cap_buckets(buckets, ["b", "h"], id_col, max_bucket_rows)
+    # materialize the (id, band, hash) table ONCE: Spark does not reuse
+    # the exchange across the two self-join sides (verified from the
+    # post-AQE plan), so without this the whole shingle+signature subtree
+    # — the dominant cost — runs twice. The materialized table is
+    # rows×bands short tuples, spill-safe (r4 plan audit).
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     bdf = buckets.alias("bq")
     pairs = (
@@ -284,6 +290,12 @@ def simhash_near_pairs(
             for i in range(4)
         ],
     )
+    # materialize ONCE: the 4 per-block equi-joins reference this table
+    # on BOTH sides (8 subtree copies) and Spark does not deduplicate
+    # them — without this the upstream simhash explode+aggregate would
+    # run 8× over the corpus (r4 plan audit). (id, simhash, 4×int) rows
+    # are tiny and spill-safe.
+    blocks = blocks.localCheckpoint(eager=False)
     per_block = []
     for i in range(4):
         side = blocks.select(F.col(id_col), "simhash", F.col(f"blk{i}").alias("_blk"))
@@ -341,6 +353,9 @@ def ngram_jaccard_pairs(
         ).alias("key"),
     )
     keyed = _cap_buckets(keyed, ["key"], id_col, max_bucket_rows)
+    # materialize the (id, key) blocking table once — same
+    # two-sided-subtree recompute argument as minhash_lsh_candidates
+    keyed = keyed.localCheckpoint(eager=False)
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
