@@ -189,8 +189,25 @@ def jaccard_verify(
     n: int = 5,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact shingle-Jaccard on candidate pairs; keep ≥ threshold."""
-    sh = df.select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+    """Exact shingle-Jaccard on candidate pairs; keep ≥ threshold.
+
+    Scale shape (r4): shingles are computed ONLY for documents that
+    appear in a candidate pair (candidates ≪ corpus after LSH), and
+    that reduced (id, shingles) table is materialized once — the naive
+    form shingled the ENTIRE corpus twice (once per join side), which
+    at design scale is 2× corpus regex cost for a verification step
+    that touches a fraction of the documents."""
+    pairs = pairs.localCheckpoint(eager=False)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, id_col)
+        .select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
+        .localCheckpoint(eager=False)
+    )
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
