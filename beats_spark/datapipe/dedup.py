@@ -26,6 +26,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a reused subtree once across self-join sides.
+
+    persist(MEMORY_AND_DISK), NOT localCheckpoint: both dedupe the
+    subtree (each side reads the cache), but persist keeps the lineage —
+    an executor lost after materialization recomputes its partitions
+    instead of failing the job (r4 review pass 2; localCheckpoint blocks
+    are executor-local and unrecoverable). Blocks are released by the
+    ContextCleaner when the plan is garbage-collected.
+    """
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def shingles(col: Column, n: int = 5, word: bool = False) -> Column:
@@ -169,7 +183,7 @@ def minhash_lsh_candidates(
     # post-AQE plan), so without this the whole shingle+signature subtree
     # — the dominant cost — runs twice. The materialized table is
     # rows×bands short tuples, spill-safe (r4 plan audit).
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = _materialize(buckets)
     a = buckets.alias("a")
     bdf = buckets.alias("bq")
     pairs = (
@@ -197,7 +211,7 @@ def jaccard_verify(
     form shingled the ENTIRE corpus twice (once per join side), which
     at design scale is 2× corpus regex cost for a verification step
     that touches a fraction of the documents."""
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = _materialize(pairs)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionAll(pairs.select(F.col("id_b").alias(id_col)))
@@ -206,8 +220,8 @@ def jaccard_verify(
     sh = (
         df.join(ids, id_col)
         .select(F.col(id_col), shingles(F.col(text_col), n).alias("sh"))
-        .localCheckpoint(eager=False)
     )
+    sh = _materialize(sh)
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -312,7 +326,7 @@ def simhash_near_pairs(
     # them — without this the upstream simhash explode+aggregate would
     # run 8× over the corpus (r4 plan audit). (id, simhash, 4×int) rows
     # are tiny and spill-safe.
-    blocks = blocks.localCheckpoint(eager=False)
+    blocks = _materialize(blocks)
     per_block = []
     for i in range(4):
         side = blocks.select(F.col(id_col), "simhash", F.col(f"blk{i}").alias("_blk"))
@@ -372,7 +386,7 @@ def ngram_jaccard_pairs(
     keyed = _cap_buckets(keyed, ["key"], id_col, max_bucket_rows)
     # materialize the (id, key) blocking table once — same
     # two-sided-subtree recompute argument as minhash_lsh_candidates
-    keyed = keyed.localCheckpoint(eager=False)
+    keyed = _materialize(keyed)
     a, b = keyed.alias("a"), keyed.alias("b")
     cands = (
         a.join(b, (F.col("a.key") == F.col("b.key")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

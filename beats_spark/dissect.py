@@ -609,8 +609,14 @@ def cast_column(col: Column, data_type: str) -> Column:
         # representable (r4 review: '0xFFFp-1082' must give the subnormal
         # 8e-323, not 0.0). Each half-exponent stays in normal range for
         # |p2| ≤ 1200; the first multiply is exact (power-of-two scaling
-        # of a normal double), the second rounds once — correct even into
-        # the subnormal band.
+        # of a normal double), the second rounds once. KNOWN sub-ulp
+        # corner (documented, pinned by test): a mantissa with >13
+        # significant hex digits whose value lands in the SUBNORMAL band
+        # at an exact halfway bit pattern double-rounds (mant_i is
+        # rounded 60→53 bits first), e.g. '0x20000000000001p-1128' gives
+        # 0.0 where fromhex gives 5e-324 — one ulp_subnormal apart;
+        # normal-range results are exempt (power-of-two scaling of the
+        # correctly-rounded 53-bit mantissa is exact).
         p2a = F.floor(p2 / 2).cast("double")
         p2b = p2.cast("double") - p2a
         signed = hex_sign * mant_i * F.pow(F.lit(2.0), p2a) * F.pow(F.lit(2.0), p2b)
@@ -618,9 +624,22 @@ def cast_column(col: Column, data_type: str) -> Column:
         # signed zero; overflow → failure (fromhex raises OverflowError
         # and convert_value keeps the raw string, so this typed column
         # yields NULL — never Infinity for a finite input).
+        # an exponent whose digit string overflows int64 leaves hexp NULL
+        # — the SIGN of the unparseable exponent still decides the scalar
+        # outcome (fromhex: deep underflow → signed zero; overflow →
+        # OverflowError → raw string → NULL here)
+        exp_neg = core.rlike("(?i)p-")
+        # SIGNED zero, fromhex-style. Construction matters: a
+        # CASE WHEN neg THEN -0.0 ELSE 0.0 collapses (Catalyst
+        # canonicalizes literal -0.0 equal to 0.0, merging the
+        # branches), and sign*0.0 gets constant-folded — coalesce over a
+        # no-otherwise CASE survives optimization with the sign intact.
+        zero = F.coalesce(F.when(v.startswith("-"), F.lit(-0.0)), F.lit(0.0))
         hex_val = (
-            F.when(mant_i == 0.0, hex_sign * F.lit(0.0))
-            .when(p2 < -1200, hex_sign * F.lit(0.0))
+            F.when(mant_i == 0.0, zero)
+            .when(hexp.isNull() & exp_neg, zero)
+            .when(hexp.isNull(), F.lit(None).cast("double"))
+            .when(p2 < -1200, zero)
             .when((p2 <= 1200) & (F.abs(signed) != F.lit(float("inf"))), signed)
         )
         return (

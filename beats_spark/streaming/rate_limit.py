@@ -99,7 +99,13 @@ class TokenBucketProcessor(StatefulProcessor):
             tokens, last_epoch = self.bucket.get()
         else:
             tokens, last_epoch = self.limit, None
-        for pdf in rows:
+        # concatenate ALL chunks before draining: per-chunk draining
+        # threads bucket state across chunks in ARRIVAL order, which
+        # varies across task re-attempts — the whole micro-batch must be
+        # one deterministically-ordered drain (r4 review pass 2)
+        chunks = [p for p in rows if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             pdf = _sort_deterministic(pdf, self.ts_col)
             epochs = pdf[self.ts_col].astype("int64") / 1e9
             keep, tokens, last_epoch = _drain_token_bucket(
