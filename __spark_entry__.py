@@ -738,12 +738,15 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-signal battery (r3 consolidation: was `lang_id`
-    + `doc_fingerprint` + `pii_scrub`): n-gram language id, rolling-hash
-    fingerprint, typed PII masking + per-kind hit counts — all pure
-    map-side Column regexes."""
+    + `doc_fingerprint` + `pii_scrub`; r4: + the Gopher REPETITION
+    battery — dup line/para fractions, top/dup n-gram char fractions,
+    rep_pass): language id, rolling-hash fingerprint, typed PII masking,
+    quality flags are pure map-side Column regexes; the repetition
+    signals add one explode + two doc-keyed aggregations."""
     from beats_spark.datapipe.text import (
         doc_fingerprint,
         gopher_quality_flags,
+        gopher_repetition_signals,
         lang_id,
         pii_counts,
         scrub_pii,
@@ -759,7 +762,7 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs.withColumn("t", t)
     counts = pii_counts(F.col("t"))
     gopher = gopher_quality_flags(F.col("text"))
-    return df.select(
+    base = df.select(
         "doc_id",
         lang_id(F.col("text")).alias("lang_pred"),
         doc_fingerprint(F.col("text")).alias("fingerprint"),
@@ -775,6 +778,13 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher["fail_stop_words"].alias("g_fail_stop_words"),
         gopher["gopher_pass"].alias("gopher_pass"),
     )
+    rep = gopher_repetition_signals(docs)
+    rep = rep.select(
+        "doc_id",
+        *[c for c in rep.columns if c.endswith("_frac")],
+        F.col("rep_pass").cast("int").alias("rep_pass"),
+    )
+    return base.join(rep, "doc_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1441,6 +1451,124 @@ FROM ({_near_dupes_oracle_sql()})
 """
 
 
+def _repetition_oracle_ctes() -> str:
+    """Gopher repetition battery oracle: same unit construction as
+    gopher_repetition_signals (non-empty lines / paragraphs, word
+    n-grams 2..10 over the lower+ws-collapsed text), counted with
+    multiplicity, integer-exact until the final rounded division.
+    Top-gram tie-break mirrors Spark's max(struct(c, cov, val)):
+    ORDER BY c DESC, cov DESC, val DESC."""
+    gram_units = "\n  UNION ALL ".join(
+        f"""SELECT doc_id, 'g{n}' AS kind, u.val AS val
+  FROM rtoks, unnest(CASE WHEN len(t) >= {n}
+    THEN list_transform(range(1, len(t) - {n} + 2),
+         i -> array_to_string(t[CAST(i AS INTEGER):CAST(i + {n - 1} AS INTEGER)], ' '))
+    ELSE CAST([] AS VARCHAR[]) END) AS u(val)"""
+        for n in range(2, 11)
+    )
+    top_cols = ",\n    ".join(
+        f"round(coalesce(max(CASE WHEN kind = 'g{n}' THEN top_cov / tc END), 0), 6) AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dup_cols = ",\n    ".join(
+        f"round(coalesce(max(CASE WHEN kind = 'g{n}' THEN dup_all / tc END), 0), 6) AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    thr = " AND ".join(
+        f"{k} <= {v}"
+        for k, v in [
+            ("dup_line_frac", 0.30), ("dup_para_frac", 0.30),
+            ("dup_line_char_frac", 0.20), ("dup_para_char_frac", 0.20),
+            ("top_2gram_char_frac", 0.20), ("top_3gram_char_frac", 0.18),
+            ("top_4gram_char_frac", 0.16), ("dup_5gram_char_frac", 0.15),
+            ("dup_6gram_char_frac", 0.14), ("dup_7gram_char_frac", 0.13),
+            ("dup_8gram_char_frac", 0.12), ("dup_9gram_char_frac", 0.11),
+            ("dup_10gram_char_frac", 0.10),
+        ]
+    )
+    return f"""
+rtoks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')), ' ') AS t
+  FROM documents),
+runits AS (
+  SELECT doc_id, 'line' AS kind, u.val AS val
+  FROM documents, unnest(list_filter(string_split(text, chr(10)), x -> length(x) > 0)) AS u(val)
+  UNION ALL
+  SELECT doc_id, 'para' AS kind, u.val AS val
+  FROM documents, unnest(list_filter(string_split(text, chr(10) || chr(10)), x -> length(x) > 0)) AS u(val)
+  UNION ALL
+  {gram_units}
+),
+rcounts AS (
+  SELECT doc_id, kind, val, count(*) AS c FROM runits GROUP BY doc_id, kind, val),
+rper AS (
+  SELECT doc_id, kind,
+    sum(c) AS n_units,
+    sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS n_dup,
+    sum(CASE WHEN c > 1 THEN (c - 1) * length(val) ELSE 0 END) AS dup_extra,
+    sum(CASE WHEN c > 1 THEN c * length(val) ELSE 0 END) AS dup_all
+  FROM rcounts GROUP BY doc_id, kind),
+rtop AS (
+  SELECT doc_id, kind, c * length(val) AS top_cov
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, kind
+        ORDER BY c DESC, c * length(val) DESC, val DESC) AS rn FROM rcounts)
+  WHERE rn = 1),
+rmetrics0 AS (
+  SELECT p.doc_id,
+    greatest(length(d.text), 1) * 1.0 AS tc,
+    p.kind, p.n_units, p.n_dup, p.dup_extra, p.dup_all, tp.top_cov
+  FROM rper p
+  JOIN documents d ON d.doc_id = p.doc_id
+  JOIN rtop tp ON tp.doc_id = p.doc_id AND tp.kind = p.kind),
+rmetrics AS (
+  SELECT doc_id,
+    round(coalesce(max(CASE WHEN kind = 'line' THEN CAST(n_dup AS DOUBLE) / n_units END), 0), 6) AS dup_line_frac,
+    round(coalesce(max(CASE WHEN kind = 'para' THEN CAST(n_dup AS DOUBLE) / n_units END), 0), 6) AS dup_para_frac,
+    round(coalesce(max(CASE WHEN kind = 'line' THEN dup_extra / tc END), 0), 6) AS dup_line_char_frac,
+    round(coalesce(max(CASE WHEN kind = 'para' THEN dup_extra / tc END), 0), 6) AS dup_para_char_frac,
+    {top_cols},
+    {dup_cols}
+  FROM rmetrics0 GROUP BY doc_id),
+rep AS (
+  SELECT d.doc_id,
+    coalesce(m.dup_line_frac, 0) AS dup_line_frac,
+    coalesce(m.dup_para_frac, 0) AS dup_para_frac,
+    coalesce(m.dup_line_char_frac, 0) AS dup_line_char_frac,
+    coalesce(m.dup_para_char_frac, 0) AS dup_para_char_frac,
+    coalesce(m.top_2gram_char_frac, 0) AS top_2gram_char_frac,
+    coalesce(m.top_3gram_char_frac, 0) AS top_3gram_char_frac,
+    coalesce(m.top_4gram_char_frac, 0) AS top_4gram_char_frac,
+    coalesce(m.dup_5gram_char_frac, 0) AS dup_5gram_char_frac,
+    coalesce(m.dup_6gram_char_frac, 0) AS dup_6gram_char_frac,
+    coalesce(m.dup_7gram_char_frac, 0) AS dup_7gram_char_frac,
+    coalesce(m.dup_8gram_char_frac, 0) AS dup_8gram_char_frac,
+    coalesce(m.dup_9gram_char_frac, 0) AS dup_9gram_char_frac,
+    coalesce(m.dup_10gram_char_frac, 0) AS dup_10gram_char_frac
+  FROM documents d LEFT JOIN rmetrics m ON d.doc_id = m.doc_id)"""
+
+
+def _rep_select_cols() -> str:
+    cols = [
+        "dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+        "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac",
+    ]
+    thr = {
+        "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+        "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+        "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+        "top_4gram_char_frac": 0.16, "dup_5gram_char_frac": 0.15,
+        "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+        "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11,
+        "dup_10gram_char_frac": 0.10,
+    }
+    sel = ",\n                   ".join(f"r.{c}" for c in cols)
+    passes = " AND ".join(f"r.{c} <= {thr[c]}" for c in cols)
+    return f"{sel},\n                   CAST(CASE WHEN {passes} THEN 1 ELSE 0 END AS INTEGER) AS rep_pass"
+
+
 def _decontaminate_oracle_sql(n: int = 13, bench_mod: int = 37) -> str:
     """Word n-gram decontamination: identical normalization (lower,
     whitespace-runs → single space, trim), full n-grams only (sub-n texts
@@ -1918,8 +2046,8 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text),
                        '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS n_stopwords
             FROM documents""",
-        "text_signals": r"""
-            WITH counts AS (
+        "text_signals": "WITH" + _repetition_oracle_ctes() + "," + r"""
+            counts AS (
               SELECT doc_id,
                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS c_en,
                 len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|de|que|con)\b')) AS c_es,
@@ -1967,10 +2095,12 @@ def oracle_sql() -> dict[str, str]:
                    NOT (g.g_fail_word_count OR g.g_fail_mean_word_len
                         OR g.g_fail_symbol_ratio OR g.g_fail_bullet_lines
                         OR g.g_fail_ellipsis_lines OR g.g_fail_alpha_words
-                        OR g.g_fail_stop_words) AS gopher_pass
+                        OR g.g_fail_stop_words) AS gopher_pass,
+                   """ + _rep_select_cols() + r"""
             FROM documents d
             JOIN counts c ON d.doc_id = c.doc_id
-            JOIN gflags g ON d.doc_id = g.doc_id""",
+            JOIN gflags g ON d.doc_id = g.doc_id
+            JOIN rep r ON d.doc_id = r.doc_id""",
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

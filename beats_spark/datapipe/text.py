@@ -193,3 +193,139 @@ def strip_ws(col: Column) -> Column:
     F.trim strips ASCII space only. Shared by token_count / the gopher
     battery so whitespace semantics stay engine-consistent in one place."""
     return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def _word_grams_all(col: Column, n: int) -> Column:
+    """ALL word n-gram occurrences (not distinct — repetition counting
+    needs multiplicity), same normalization as dedup.shingles: lower,
+    whitespace runs → single space, trim; texts with < n words emit
+    nothing."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    toks = F.split(norm, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1) — a doc FAILS
+# repetition filtering when any fraction exceeds its threshold.
+GOPHER_REPETITION_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, §A1.1 — the
+    duplicate-content half of the battery, used by essentially every
+    production pretraining pipeline alongside gopher_quality_flags):
+
+      dup_line_frac / dup_para_frac      fraction of lines/paragraphs
+                                         that repeat an earlier one
+                                         (Σ(count−1) / Σcount)
+      dup_line_char_frac / _para_        chars of those repeat
+                                         occurrences / total chars
+      top_{2,3,4}gram_char_frac          chars covered by the single
+                                         most frequent word n-gram
+                                         (count × len / total chars)
+      dup_{5..10}gram_char_frac          chars covered by ALL
+                                         occurrences of duplicated
+                                         n-grams (count ≥ 2), overlaps
+                                         counted as the standard
+                                         implementations do
+      rep_pass                           True iff every fraction is
+                                         within its Table-A1 threshold
+
+    Unlike the rest of this module these need per-unit multiplicities,
+    so the shape is ONE explode of (kind, unit) rows + two aggregations
+    keyed by doc_id — map-side partial combine bounds hot docs, shuffle
+    rows ∝ doc length, all counting integer-exact (fractions are one
+    final division, rounded to 6 so the DuckDB oracle matches
+    bit-for-bit). Ties for the top n-gram break by (count, coverage,
+    gram) — deterministic across engines.
+
+    Empty lines/paragraphs are excluded; a doc with < n words has no
+    n-grams (fraction 0).
+    """
+    txt = F.col(text_col)
+    total_chars = F.greatest(F.length(txt), F.lit(1)).alias("_tc")
+    lines = F.filter(F.split(txt, r"\n"), lambda x: F.length(x) > 0)
+    paras = F.filter(F.split(txt, r"\n\n"), lambda x: F.length(x) > 0)
+
+    def tag(kind: str, arr: Column) -> Column:
+        return F.transform(
+            arr, lambda x: F.struct(F.lit(kind).alias("kind"), x.alias("val"))
+        )
+
+    units = F.concat(
+        tag("line", lines),
+        tag("para", paras),
+        *[tag(f"g{n}", _word_grams_all(txt, n)) for n in range(2, 11)],
+    )
+    exploded = df.select(
+        F.col(id_col), total_chars, F.explode(units).alias("u")
+    ).select(id_col, "_tc", "u.kind", "u.val")
+    counts = exploded.groupBy(id_col, "_tc", "kind", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    l = F.length("val")
+    per_kind = counts.groupBy(id_col, "_tc", "kind").agg(
+        F.sum("c").alias("n_units"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("n_dup"),
+        F.sum(F.when(F.col("c") > 1, (F.col("c") - 1) * l).otherwise(0)).alias(
+            "dup_extra_chars"
+        ),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * l).otherwise(0)).alias(
+            "dup_all_chars"
+        ),
+        F.max(
+            F.struct(F.col("c"), (F.col("c") * l).alias("cov"), F.col("val"))
+        ).alias("top"),
+    )
+
+    def metric(kind: str, expr: Column) -> Column:
+        return F.round(
+            F.coalesce(F.max(F.when(F.col("kind") == kind, expr)), F.lit(0.0)), 6
+        )
+
+    frac = lambda num: num / F.col("_tc").cast("double")  # noqa: E731
+    aggs = {
+        "dup_line_frac": metric("line", F.col("n_dup") / F.col("n_units").cast("double")),
+        "dup_para_frac": metric("para", F.col("n_dup") / F.col("n_units").cast("double")),
+        "dup_line_char_frac": metric("line", frac(F.col("dup_extra_chars"))),
+        "dup_para_char_frac": metric("para", frac(F.col("dup_extra_chars"))),
+    }
+    for n in (2, 3, 4):
+        aggs[f"top_{n}gram_char_frac"] = metric(f"g{n}", frac(F.col("top.cov")))
+    for n in range(5, 11):
+        aggs[f"dup_{n}gram_char_frac"] = metric(f"g{n}", frac(F.col("dup_all_chars")))
+    out = per_kind.groupBy(id_col).agg(*[c.alias(k) for k, c in aggs.items()])
+    # docs whose text produced no units at all (empty text) drop out of
+    # the aggregation — restore them with all-zero signals
+    out = (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            id_col,
+            *[F.coalesce(F.col(k), F.lit(0.0)).alias(k) for k in aggs],
+        )
+    )
+    rep_pass = F.lit(True)
+    for k, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        rep_pass = rep_pass & (F.col(k) <= thr)
+    return out.withColumn("rep_pass", rep_pass)

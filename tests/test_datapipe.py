@@ -537,3 +537,78 @@ def test_word_shingles_sub_n_empty(spark):
     out = {r.i: r.g for r in df.select("i", shingles(F.col("text"), 5, word=True).alias("g")).collect()}
     assert out[1] == []
     assert out[2] == ["a b c d e"]
+
+
+def _py_repetition(text):
+    """Independent reference implementation of the Gopher repetition
+    signals (same definitions, plain Python)."""
+    import re
+    from collections import Counter
+
+    tc = max(len(text), 1)
+    out = {}
+
+    def dup_stats(units):
+        c = Counter(units)
+        n = sum(c.values())
+        ndup = sum(v - 1 for v in c.values() if v > 1)
+        extra = sum((v - 1) * len(u) for u, v in c.items() if v > 1)
+        return (ndup / n if n else 0.0), extra / tc
+
+    lines = [x for x in text.split("\n") if x]
+    paras = [x for x in text.split("\n\n") if x]
+    out["dup_line_frac"], out["dup_line_char_frac"] = dup_stats(lines)
+    out["dup_para_frac"], out["dup_para_char_frac"] = dup_stats(paras)
+    norm = re.sub(r"\s+", " ", text.lower()).strip()
+    toks = norm.split(" ") if norm else []
+    for n in range(2, 11):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)] if len(toks) >= n else []
+        c = Counter(grams)
+        if not grams:
+            top_cov, dup_all = 0, 0
+        else:
+            top = max(c.items(), key=lambda kv: (kv[1], kv[1] * len(kv[0]), kv[0]))
+            top_cov = top[1] * len(top[0])
+            dup_all = sum(v * len(g) for g, v in c.items() if v > 1)
+        if n in (2, 3, 4):
+            out[f"top_{n}gram_char_frac"] = top_cov / tc
+        else:
+            out[f"dup_{n}gram_char_frac"] = dup_all / tc
+    return {k: round(v, 6) for k, v in out.items()}
+
+
+def test_gopher_repetition_signals(spark):
+    """Repetition battery vs the independent Python implementation on
+    constructed violators + clean docs + synthetic corpus samples."""
+    from beats_spark.datapipe.text import gopher_repetition_signals
+
+    docs = [
+        (1, "same line\nsame line\nsame line\nother content here"),
+        (2, "para one text\n\npara one text\n\nunique paragraph"),
+        (3, "buy now " * 30 + "unique tail words"),          # dominant 2-gram
+        # clean doc must be LONG: the top-n-gram rules are fractions of
+        # total chars, so any short doc fails them by construction (the
+        # paper applies repetition rules after the >=50-word gate)
+        (4, " ".join(f"w{i:03d}token" for i in range(80))),
+        (5, ""),                                              # empty text
+        (6, "alpha beta gamma delta " * 10),                  # heavy n-gram dup
+        (7, "one two"),                                       # < 5 words
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition_signals(df).collect()}
+    for doc_id, text in docs:
+        want = _py_repetition(text)
+        for k, v in want.items():
+            assert abs(got[doc_id][k] - v) < 1e-9, (doc_id, k, got[doc_id][k], v)
+    assert got[4]["rep_pass"] is True
+    assert got[1]["rep_pass"] is False   # 2/4 duplicate lines > 0.30
+    assert got[3]["rep_pass"] is False   # dominant "buy now" 2-gram
+    assert got[5]["rep_pass"] is True    # empty doc: all-zero signals
+    # property sweep over the synthetic corpus
+    sf_docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40)
+    rows = {r.doc_id: r.asDict() for r in gopher_repetition_signals(sf_docs).collect()}
+    texts = {r.doc_id: r.text for r in sf_docs.collect()}
+    for doc_id, text in texts.items():
+        want = _py_repetition(text)
+        for k, v in want.items():
+            assert abs(rows[doc_id][k] - v) < 1e-9, (doc_id, k, rows[doc_id][k], v)
