@@ -529,3 +529,191 @@ def pq_adc_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- IVF-PQ (coarse quantizer + residual product quantization) -----------------
+
+
+def _assign_and_residual(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, residual): nearest coarse centroid + residual vector.
+
+    Broadcast join against the tiny (cid, cvec) frame + min-struct —
+    no k×dim literal tree (the ivf_centroids assignment pattern); ties
+    break by lowest cid. Map-side only; no corpus shuffle beyond the
+    per-id min-combine."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>",
+    )
+    base = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    dist = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = (
+        base.crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            "_v",
+            F.struct(dist.alias("d"), F.col("cid").alias("cid"), F.col("cvec").alias("cvec")).alias("_dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_dc").alias("_m"), F.first("_v").alias("_v"))
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("_m").getField("cid").alias("cid"),
+        F.zip_with(F.col("_v"), F.col("_m").getField("cvec"), lambda a, b: a - b).alias(
+            "residual"
+        ),
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    k_coarse: int = 16,
+    m: int = 8,
+    k_pq: int = 16,
+    iters: int = 3,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the FAISS-style IVFPQ pair: coarse IVF centroids + PQ
+    sub-codebooks over the RESIDUALS (vec − assigned centroid) — the
+    residual trick is what makes m×k_pq tiny codebooks competitive: the
+    coarse quantizer removes the corpus-level structure, PQ only has to
+    model the (much lower-variance) remainder. Returns (cents,
+    codebooks). Train is bounded: the only driver-side data is
+    k_coarse×dim + m×k_pq×(dim/m) floats."""
+    cents = ivf_centroids(corpus, k=k_coarse, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
+    resid = _assign_and_residual(corpus, cents, id_col, vec_col)
+    books = pq_train(resid, m=m, k=k_pq, iters=iters, dim=dim, id_col=id_col, vec_col="residual")
+    return cents, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, pq_codes): coarse assignment + residual PQ codes —
+    the full index is 4+m bytes per vector."""
+    resid = _assign_and_residual(corpus, cents, id_col, vec_col)
+    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="residual")
+    return resid.select(id_col, "cid").join(codes, id_col)
+
+
+def ivfpq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ search: each query probes its `nprobe` nearest inverted
+    lists and scores ONLY those lists' codes by asymmetric distance to
+    the query residual (per probed centroid, since residuals are
+    centroid-relative).
+
+    Scale shape: the LUT is queries × nprobe × m × k_pq rows (tiny,
+    broadcast); the corpus side is the exploded (cid, j, code) rows of
+    the PROBED lists only — one equi-join + one (query, neighbor)
+    aggregation; probe cost ∝ nprobe/k_coarse of the corpus per query,
+    memory ∝ m bytes/vector. This is the FAISS IVFPQ trade expressed as
+    two Catalyst joins."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    spark = codes.sparkSession
+    # query → probed centroids (literal cents: k_coarse is small by
+    # construction; the corpus side never sees a literal tree)
+    qv = F.col(vec_col).cast("array<double>")
+    ranked = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(_sq_dist(qv, cents[i]).alias("d"), F.lit(i).alias("i"))
+                    for i in range(len(cents))
+                ]
+            )
+        ),
+        1,
+        nprobe,
+    )
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cid int, cvec array<double>",
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            qv.alias("q_vec"),
+            F.explode(F.transform(ranked, lambda s: s["i"])).alias("cid"),
+        )
+        .join(F.broadcast(cdf), "cid")
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with(F.col("q_vec"), F.col("cvec"), lambda a, b: a - b).alias("q_resid"),
+        )
+    )
+    # rename the PQ codebook's `cid` (the CODE index) before joining —
+    # the probe frame's `cid` is the COARSE list id
+    bdf = _codebook_df(spark, codebooks).select(
+        "j", F.col("cid").alias("code"), F.col("cvec").alias("book_vec")
+    )
+    qsub = probes.select(
+        "query_id",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col("q_resid"), j * sub + 1, sub).alias("qv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "cid", "e.j", "e.qv")
+    lut = qsub.join(F.broadcast(bdf), "j").select(
+        "query_id",
+        "cid",
+        "j",
+        "code",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("book_vec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d"),
+    )
+    corpus_codes = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("cid"),
+        F.posexplode(F.col("pq_codes")).alias("j", "code"),
+    )
+    scored = (
+        corpus_codes.join(F.broadcast(lut), ["cid", "j", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adc_dist"), F.count(F.lit(1)).alias("_nj"))
+        # a neighbor scores only if ALL m subspace codes joined (it did:
+        # the LUT covers every (j, code) of a probed cid) — guard anyway
+        .filter(F.col("_nj") == m)
+        .drop("_nj")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -612,3 +612,47 @@ def test_gopher_repetition_signals(spark):
         want = _py_repetition(text)
         for k, v in want.items():
             assert abs(rows[doc_id][k] - v) < 1e-9, (doc_id, k, rows[doc_id][k], v)
+
+
+def test_ivfpq_twin_and_recall(spark):
+    """IVF-PQ composition (coarse quantizer + residual PQ + probed ADC —
+    the FAISS IVFPQ trade): an exact duplicate vector shares the coarse
+    list and all residual codes, so its ADC distance equals the query's
+    own quantization error — the minimum any candidate can reach — and
+    it ranks first; recall@5 vs brute force stays useful at m=8,
+    k_pq=64 — the synthetic near-orthogonal embeddings are the
+    adversarial case for PQ (no low-rank structure for the codebooks to
+    exploit), so this is a sanity floor, not a quality ceiling."""
+    from beats_spark.datapipe.similarity import (
+        brute_topk,
+        ivfpq_encode,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    cents, books = ivfpq_train(emb, k_coarse=8, m=8, k_pq=64, dim=64)
+    assert len(cents) == 8 and len(books) == 8 and len(books[0]) == 64
+    twin = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(888888).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(twin)
+    codes = ivfpq_encode(corpus, cents, books)
+    q = corpus.filter(F.col("vec_id") == 888888)
+    top = ivfpq_topk(codes, q, cents, books, k=3, nprobe=2).collect()
+    best = min(top, key=lambda r: r.rank)
+    assert best.neighbor_id == 3
+    # ADC is asymmetric: the twin's distance = the query residual's own
+    # quantization error, strictly the smallest among all candidates
+    assert all(best.adc_dist <= r.adc_dist for r in top)
+
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    codes0 = ivfpq_encode(emb, cents, books)
+    approx = ivfpq_topk(codes0, queries_df, cents, books, k=5, nprobe=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    exact = brute_topk(emb, queries_df, k=5).select("query_id", "neighbor_id").collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.3, f"recall {recall}"
