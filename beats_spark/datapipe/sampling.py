@@ -1,0 +1,106 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+Every op here is a pure map-side Column predicate over a stable content
+hash — NO rand(): random() is neither reproducible across retries of a
+failed task nor portable across engines, while a hash split gives the
+same assignment for the same key on every run, every engine, every
+cluster size (the property training pipelines actually need: a document
+must never migrate between train and validation across reruns).
+
+Hash family: md5 of the key string — engine-portable (DuckDB has md5;
+xxhash64 it does not), uniform, and independent of Spark's partitioning
+hash (using hash() would correlate the split with partition placement).
+The first 12 hex digits (48 bits) are used as an integer in [0, 2^48):
+collision-free headroom for fraction resolution of 1e-9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 48
+_HASH_MOD = 1 << _HASH_BITS
+
+
+def _hash_unit(key: Column, seed: str) -> Column:
+    """Uniform value in [0, 1) from md5(seed:key) — deterministic,
+    engine-portable, partitioning-independent."""
+    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), key.cast("string"))), 1, 12), 16, 10)
+    return h.cast("double") / F.lit(float(_HASH_MOD))
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "split",
+    target: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by stable hash of its key.
+
+    `fractions` maps split name → fraction; they must sum to 1 (±1e-9).
+    Assignment is by cumulative ranges over the hash unit, in the
+    DICT'S ORDER (Python dicts are insertion-ordered; document the
+    order in calling code). Same key + seed ⇒ same split, forever —
+    rows never migrate between train/val across reruns, retries,
+    engines, or cluster sizes.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split fractions must sum to 1, got {total}")
+    u = _hash_unit(F.col(key_col), seed)
+    out = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        out = branch if out is None else out.when(u < F.lit(acc), F.lit(name))
+    # last split takes the remainder — no float-sum edge at u ≈ 1.0
+    out = F.lit(names[0]) if out is None else out.otherwise(F.lit(names[-1]))
+    return df.withColumn(target, out)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep a stable `fraction` of rows by key hash. Unlike df.sample(),
+    re-running (or re-trying a failed task) selects the SAME rows, and
+    the sample of a superset contains the sample of a subset (hash
+    thresholding is monotone — lets you grow a corpus without
+    invalidating earlier samples)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(fraction))
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_cols: list[str],
+    max_rows_per_stratum: int,
+    key_col: str = "doc_id",
+    order_by_hash: bool = True,
+    seed: str = "cap",
+) -> DataFrame:
+    """At most N rows per stratum (e.g. per language / per source /
+    per domain) — the standard mix-balancing step before training.
+    Selection within a stratum is by hash order (deterministic,
+    placement-independent) or by key order when order_by_hash=False.
+    One window per stratum key; Spark 4's WindowGroupLimit pre-filters
+    the top-N map-side before the exchange, so hot strata don't become
+    single-task stragglers."""
+    from pyspark.sql import Window
+
+    order = (
+        _hash_unit(F.col(key_col), seed) if order_by_hash else F.col(key_col)
+    )
+    w = Window.partitionBy(*[F.col(c) for c in strata_cols]).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_rows_per_stratum)
+        .drop("_rn")
+    )

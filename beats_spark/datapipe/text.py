@@ -329,3 +329,55 @@ def gopher_repetition_signals(
     for k, thr in GOPHER_REPETITION_THRESHOLDS.items():
         rep_pass = rep_pass & (F.col(k) <= thr)
     return out.withColumn("rep_pass", rep_pass)
+
+
+# tracking query parameters stripped by normalize_url (the common
+# analytics/click-id families — public knowledge, e.g. utm_* is
+# Google Analytics' urchin tag set)
+URL_TRACKING_PARAMS_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|igshid)="
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical URL form for dedup / domain statistics — pure Column.
+
+    Rules (each documented because canonicalization IS the contract):
+      * scheme and host lowercased (RFC 3986 §6.2.2.1);
+      * default ports stripped (http:80, https:443);
+      * fragment removed;
+      * tracking params (URL_TRACKING_PARAMS_RE) removed;
+      * remaining query params SORTED bytewise (order-insensitive
+        dedup), empty query dropped;
+      * empty path becomes '/';
+      * no percent-decoding (decoding can change semantics; two
+        differently-encoded equivalent URLs stay distinct — the
+        conservative choice for dedup).
+    Non-URL strings (no scheme://) pass through unchanged.
+    """
+    no_frag = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    is_url = scheme != ""
+    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    # only strip the port matching the scheme's default
+    host = (
+        F.when((scheme == "http") & hostport.endswith(":80"), F.regexp_replace(hostport, r":80$", ""))
+        .when((scheme == "https") & hostport.endswith(":443"), F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(after, r"^[^/?]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(pathq.contains("?"), F.regexp_replace(pathq, r"^[^?]*\?", "")).otherwise(F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(URL_TRACKING_PARAMS_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(params), "&")
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(F.lit("")),
+    )
+    return F.when(is_url, rebuilt).otherwise(col)

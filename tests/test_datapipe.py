@@ -656,3 +656,89 @@ def test_ivfpq_twin_and_recall(spark):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_hash_split_deterministic_and_portable(spark, docs):
+    """hash_split: stable assignment (rerun-identical), fractions honored
+    approximately, and the md5-hash unit replicates EXACTLY in DuckDB —
+    the engine-portability property that lets another system reproduce
+    the same train/val membership."""
+    import duckdb
+
+    from beats_spark.datapipe.sampling import hash_split
+
+    d = docs.select("doc_id")
+    out1 = {r.doc_id: r.split for r in hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    out2 = {r.doc_id: r.split for r in hash_split(d, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert out1 == out2
+    n = len(out1)
+    n_train = sum(1 for v in out1.values() if v == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n
+    # DuckDB replication of the same assignment rule
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.sql("""
+        SELECT doc_id,
+               CASE WHEN u < 0.8 THEN 'train'
+                    WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 AS u
+              FROM documents)
+    """).fetchall()
+    assert {r[0]: r[1] for r in rows} == out1
+
+
+def test_deterministic_sample_monotone(spark, docs):
+    """deterministic_sample: rerun-stable, monotone in fraction (the 10%
+    sample is a subset of the 20% sample), and a superset corpus's
+    sample contains the subset corpus's sample."""
+    from beats_spark.datapipe.sampling import deterministic_sample
+
+    d = docs.select("doc_id")
+    s10 = {r.doc_id for r in deterministic_sample(d, 0.1).collect()}
+    s10b = {r.doc_id for r in deterministic_sample(d, 0.1).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(d, 0.2).collect()}
+    assert s10 == s10b
+    assert s10 <= s20
+    half = {r.doc_id for r in deterministic_sample(d.filter(F.col("doc_id") < 250), 0.1).collect()}
+    assert half == {x for x in s10 if x < 250}
+
+
+def test_stratified_cap(spark, docs):
+    """stratified_cap: at most N per stratum, deterministic selection,
+    and the plan pre-filters map-side (WindowGroupLimit)."""
+    from beats_spark.datapipe.sampling import stratified_cap
+
+    capped = stratified_cap(docs, ["lang"], max_rows_per_stratum=5)
+    counts = {r.lang: r.c for r in capped.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert all(c <= 5 for c in counts.values())
+    again = {r.doc_id for r in stratified_cap(docs, ["lang"], 5).select("doc_id").collect()}
+    assert again == {r.doc_id for r in capped.select("doc_id").collect()}
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_normalize_url(spark):
+    """URL canonicalization vectors: case, default ports, fragments,
+    tracking params, query order; non-URLs pass through."""
+    from beats_spark.datapipe.text import normalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/Path?b=2&a=1#frag", "http://example.com/Path?a=1&b=2"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("https://example.com:8443/x", "https://example.com:8443/x"),
+        ("http://example.com:443/x", "http://example.com:443/x"),  # non-default port kept
+        ("https://ex.com/p?utm_source=x&q=1&fbclid=abc", "https://ex.com/p?q=1"),
+        ("https://ex.com/p?utm_source=x", "https://ex.com/p"),
+        ("http://ex.com", "http://ex.com/"),
+        ("ftp://Mixed.Case/KeepPath", "ftp://mixed.case/KeepPath"),
+        ("not a url at all", "not a url at all"),
+        ("https://ex.com/a%20b?z=%2F", "https://ex.com/a%20b?z=%2F"),  # no decoding
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i int, url string")
+    got = {r.i: r.n for r in df.select("i", normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
