@@ -1474,18 +1474,6 @@ def _repetition_oracle_ctes() -> str:
         f"round(coalesce(max(CASE WHEN kind = 'g{n}' THEN dup_all / tc END), 0), 6) AS dup_{n}gram_char_frac"
         for n in range(5, 11)
     )
-    thr = " AND ".join(
-        f"{k} <= {v}"
-        for k, v in [
-            ("dup_line_frac", 0.30), ("dup_para_frac", 0.30),
-            ("dup_line_char_frac", 0.20), ("dup_para_char_frac", 0.20),
-            ("top_2gram_char_frac", 0.20), ("top_3gram_char_frac", 0.18),
-            ("top_4gram_char_frac", 0.16), ("dup_5gram_char_frac", 0.15),
-            ("dup_6gram_char_frac", 0.14), ("dup_7gram_char_frac", 0.13),
-            ("dup_8gram_char_frac", 0.12), ("dup_9gram_char_frac", 0.11),
-            ("dup_10gram_char_frac", 0.10),
-        ]
-    )
     return f"""
 rtoks AS (
   SELECT doc_id,

@@ -23,11 +23,26 @@ _HASH_BITS = 48
 _HASH_MOD = 1 << _HASH_BITS
 
 
+def _hash_int(key: Column, seed: str) -> Column:
+    """Uniform 48-bit integer from md5(seed:key) — deterministic,
+    engine-portable, partitioning-independent. Thresholds compare
+    against INTEGER cutoffs (round(fraction × 2^48)) so an external
+    replica can reproduce split boundaries exactly — a cumulative FLOAT
+    sum (0.7 + 0.2 = 0.8999999999999999) would not equal the decimal
+    threshold another engine writes (r4 review)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(seed), key.cast("string"))), 1, 12), 16, 10
+    ).cast("bigint")
+
+
+def _cut(fraction_acc: float) -> int:
+    return int(round(fraction_acc * _HASH_MOD))
+
+
 def _hash_unit(key: Column, seed: str) -> Column:
-    """Uniform value in [0, 1) from md5(seed:key) — deterministic,
-    engine-portable, partitioning-independent."""
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), key.cast("string"))), 1, 12), 16, 10)
-    return h.cast("double") / F.lit(float(_HASH_MOD))
+    """Uniform value in [0, 1) — for ORDERING uses (stratified_cap);
+    membership predicates use _hash_int + integer cutoffs."""
+    return _hash_int(key, seed).cast("double") / F.lit(float(_HASH_MOD))
 
 
 def hash_split(
@@ -49,14 +64,17 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"hash_split fractions must sum to 1, got {total}")
-    u = _hash_unit(F.col(key_col), seed)
+    if any(v < 0 for v in fractions.values()):
+        raise ValueError("hash_split fractions must be non-negative")
+    u = _hash_int(F.col(key_col), seed)
     out = None
     acc = 0.0
     names = list(fractions)
     for name in names[:-1]:
         acc += fractions[name]
-        branch = F.when(u < F.lit(acc), F.lit(name))
-        out = branch if out is None else out.when(u < F.lit(acc), F.lit(name))
+        cut = F.lit(_cut(acc))
+        branch = F.when(u < cut, F.lit(name))
+        out = branch if out is None else out.when(u < cut, F.lit(name))
     # last split takes the remainder — no float-sum edge at u ≈ 1.0
     out = F.lit(names[0]) if out is None else out.otherwise(F.lit(names[-1]))
     return df.withColumn(target, out)
@@ -75,7 +93,7 @@ def deterministic_sample(
     invalidating earlier samples)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(_hash_unit(F.col(key_col), seed) < F.lit(fraction))
+    return df.filter(_hash_int(F.col(key_col), seed) < F.lit(_cut(fraction)))
 
 
 def stratified_cap(

@@ -593,9 +593,20 @@ def ivfpq_train(
     model the (much lower-variance) remainder. Returns (cents,
     codebooks). Train is bounded: the only driver-side data is
     k_coarse×dim + m×k_pq×(dim/m) floats."""
+    from pyspark.storagelevel import StorageLevel
+
     cents = ivf_centroids(corpus, k=k_coarse, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col)
-    resid = _assign_and_residual(corpus, cents, id_col, vec_col)
-    books = pq_train(resid, m=m, k=k_pq, iters=iters, dim=dim, id_col=id_col, vec_col="residual")
+    # persist the residual frame: pq_train runs m×(iters+1) actions over
+    # it (per-subspace mini-Lloyd collects) and each would otherwise
+    # re-execute the corpus-wide assignment crossJoin+min-agg (the r4
+    # dedup lesson — Spark reuses nothing across actions without a cache)
+    resid = _assign_and_residual(corpus, cents, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        books = pq_train(resid, m=m, k=k_pq, iters=iters, dim=dim, id_col=id_col, vec_col="residual")
+    finally:
+        resid.unpersist()
     return cents, books
 
 
@@ -608,7 +619,13 @@ def ivfpq_encode(
 ) -> DataFrame:
     """(id, cid, pq_codes): coarse assignment + residual PQ codes —
     the full index is 4+m bytes per vector."""
-    resid = _assign_and_residual(corpus, cents, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # persisted: the frame feeds BOTH pq_encode and the cid projection —
+    # without a cache the assignment subtree executes twice
+    resid = _assign_and_residual(corpus, cents, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="residual")
     return resid.select(id_col, "cid").join(codes, id_col)
 

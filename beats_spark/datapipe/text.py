@@ -357,13 +357,19 @@ def normalize_url(col: Column) -> Column:
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     is_url = scheme != ""
     after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    authority = F.regexp_extract(after, r"^([^/?]*)", 1)
+    # userinfo (user:pass@) is CASE-SENSITIVE (RFC 3986 §6.2.2.1 makes
+    # only scheme and host case-insensitive) — keep it verbatim and
+    # lowercase the host[:port] part only
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.lower(F.regexp_replace(authority, r"^.*@", ""))
     # only strip the port matching the scheme's default
     host = (
         F.when((scheme == "http") & hostport.endswith(":80"), F.regexp_replace(hostport, r":80$", ""))
         .when((scheme == "https") & hostport.endswith(":443"), F.regexp_replace(hostport, r":443$", ""))
         .otherwise(hostport)
     )
+    host = F.concat(userinfo, host)
     pathq = F.regexp_replace(after, r"^[^/?]*", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
