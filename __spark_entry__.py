@@ -595,14 +595,28 @@ def _pq_fixed_codebooks(m: int = 8, sub: int = 8, k: int = 8) -> list[list[list[
     ]
 
 
+def _ivfpq_fixed_cents(kc: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic integer-grid coarse centroids for the driver row —
+    same rationale as _pq_fixed_codebooks (no training → the oracle
+    carries identical literals; integer values → exact arithmetic)."""
+    return [[float((c * 13 + d * 5) % 17 - 8) for d in range(dim)] for c in range(kc)]
+
+
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC top-k (promoted to a driver row in r4 —
-    VERDICT item 9): encode the corpus against fixed integer codebooks,
-    then asymmetric-distance top-5 for the first 10 query vectors.
-    Embeddings are floored onto an integer grid first (floor(x*8) — *8
-    is exact for any float), making every distance integer-exact so the
-    DuckDB oracle matches bit-for-bit including tie-breaks."""
-    from beats_spark.datapipe.similarity import pq_adc_topk, pq_encode
+    """Product-quantization search surface (r4; extended with the IVF-PQ
+    composite the same round): kind='pq' rows are plain ADC top-5 over
+    fixed integer codebooks, kind='ivfpq' rows the full coarse-assign →
+    residual-encode → probed-list ADC path over fixed integer centroids
+    + codebooks. Embeddings are floored onto an integer grid first
+    (floor(x*8) — *8 is exact for any float), so every distance —
+    assignment, residual, LUT, ADC — is integer-exact and the DuckDB
+    oracle matches bit-for-bit including tie-breaks."""
+    from beats_spark.datapipe.similarity import (
+        ivfpq_encode,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ivec = emb.select(
@@ -615,13 +629,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_fixed_codebooks()
     codes = pq_encode(ivec, books)
     queries_df = ivec.filter(F.col("vec_id") < 10)
-    out = pq_adc_topk(codes, queries_df, books, k=5)
-    return out.select(
+    pq_rows = pq_adc_topk(codes, queries_df, books, k=5).select(
+        F.lit("pq").alias("kind"),
         "query_id",
         "neighbor_id",
         F.col("adc_dist").cast("bigint").alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+    cents = _ivfpq_fixed_cents()
+    ivf_codes = ivfpq_encode(ivec, cents, books)
+    ivfpq_rows = ivfpq_topk(ivf_codes, queries_df, cents, books, k=5, nprobe=2).select(
+        F.lit("ivfpq").alias("kind"),
+        "query_id",
+        "neighbor_id",
+        F.col("adc_dist").cast("bigint").alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return pq_rows.unionByName(ivfpq_rows)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1621,6 +1645,80 @@ WHERE rank <= {k}
 """
 
 
+def _ivfpq_oracle_sql(
+    kc: int = 4, dim: int = 64, m: int = 8, sub: int = 8, kcent: int = 8, k: int = 5, nprobe: int = 2
+) -> str:
+    """IVF-PQ search oracle: coarse-assign on the fixed integer centroids,
+    residual-encode against the fixed PQ codebooks, probe the nprobe
+    nearest lists per query, ADC over probed codes — every step
+    integer-exact, identical tie-breaks (assignment: d,cid; probes:
+    d,cid; rank: adc,neighbor)."""
+    cents = _ivfpq_fixed_cents(kc, dim)
+    books = _pq_fixed_codebooks(m, sub, kcent)
+    cvals = ", ".join(
+        f"({c}, [{', '.join(str(x) for x in cents[c])}]::DOUBLE[])" for c in range(kc)
+    )
+    bvals = ", ".join(
+        f"({j}, {c}, [{', '.join(str(x) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(kcent)
+    )
+    cdist = " + ".join(
+        f"(iv.v[{d}] - cc.cv[{d}])*(iv.v[{d}] - cc.cv[{d}])" for d in range(1, dim + 1)
+    )
+    resid = (
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> iv.v[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)])"
+    )
+    rdist = " + ".join(
+        f"(a.resid[cb.j*{sub} + {d}] - cb.cv[{d}])*(a.resid[cb.j*{sub} + {d}] - cb.cv[{d}])"
+        for d in range(1, sub + 1)
+    )
+    qdist = " + ".join(
+        f"(p.qresid[cb.j*{sub} + {d}] - cb.cv[{d}])*(p.qresid[cb.j*{sub} + {d}] - cb.cv[{d}])"
+        for d in range(1, sub + 1)
+    )
+    return f"""
+WITH iv AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 8)) AS v
+  FROM embeddings),
+cc(cid, cv) AS (VALUES {cvals}),
+cb(j, cid, cv) AS (VALUES {bvals}),
+adist AS (
+  SELECT iv.vec_id, cc.cid, {cdist} AS d, {resid} AS resid
+  FROM iv CROSS JOIN cc),
+assign AS (
+  SELECT vec_id, cid, resid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM adist)
+  WHERE rn = 1),
+enc0 AS (
+  SELECT a.vec_id, a.cid AS list_cid, cb.j, cb.cid, {rdist} AS d
+  FROM assign a CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, list_cid, j, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn FROM enc0)
+  WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid, resid AS qresid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM adist
+    WHERE vec_id < 10)
+  WHERE rn <= {nprobe}),
+lut AS (
+  SELECT p.query_id, p.cid AS list_cid, cb.j, cb.cid AS code, {qdist} AS d
+  FROM probes p CROSS JOIN cb),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, CAST(sum(l.d) AS BIGINT) AS adc_dist
+  FROM codes c
+  JOIN lut l ON c.list_cid = l.list_cid AND c.j = l.j AND c.code = l.code
+            AND c.vec_id != l.query_id
+  GROUP BY l.query_id, c.vec_id)
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+
+
 def _ngram_oracle_sql(n: int = 5, threshold: float = 0.4, max_block: int = 8) -> str:
     return f"""
 WITH {_SHINGLE_CTES.format(n=n)},
@@ -2192,5 +2290,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _ngram_oracle_sql(),
         "ann_lsh_topk": _ann_family_oracle_sql(),
         "ngram_decontaminate": _decontaminate_oracle_sql(),
-        "pq_adc_topk": _pq_oracle_sql(),
+        "pq_adc_topk": (
+            f"SELECT 'pq' AS kind, * FROM ({_pq_oracle_sql()})\n"
+            f"UNION ALL\nSELECT 'ivfpq' AS kind, * FROM ({_ivfpq_oracle_sql()})"
+        ),
     }

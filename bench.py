@@ -273,7 +273,12 @@ def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
     from beats_spark.pipeline import parse_enrich, route_events
     from beats_spark.processors.stateful import multiline_count, rate_limit
     from beats_spark.aggregates import session_flows
-    from beats_spark.datapipe.dedup import exact_dedup, simhash, simhash_near_pairs
+    from beats_spark.datapipe.dedup import (
+        exact_dedup,
+        ngram_decontaminate,
+        simhash,
+        simhash_near_pairs,
+    )
     from beats_spark.datapipe.similarity import brute_topk
     from pyspark.sql import functions as F
 
@@ -303,6 +308,11 @@ def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
         "sessionize": lambda: session_flows(t, keys=["conv_id"], gap="30 minutes"),
         "dedup_exact": lambda: exact_dedup(docs10),
         "simhash_pairs": lambda: simhash_near_pairs(simhash(docs10), max_hamming=3),
+        # decontamination at 10× corpus vs a ~1/37 benchmark slice — the
+        # broadcast-semi-join shape must stay corpus-scan-bound
+        "ngram_decontaminate": lambda: ngram_decontaminate(
+            docs10, docs10.filter(F.col("doc_id") % 37 == 0).select("text"), n=13
+        ),
         "ann_cosine_topk": lambda: brute_topk(emb10, emb10.filter(F.col("vec_id") < 10), k=5),
     }
     times: dict[str, float] = {}
