@@ -629,22 +629,19 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_fixed_codebooks()
     codes = pq_encode(ivec, books)
     queries_df = ivec.filter(F.col("vec_id") < 10)
-    pq_rows = pq_adc_topk(codes, queries_df, books, k=5).select(
-        F.lit("pq").alias("kind"),
-        "query_id",
-        "neighbor_id",
-        F.col("adc_dist").cast("bigint").alias("adc_dist"),
-        F.col("rank").cast("int").alias("rank"),
-    )
+    def proj(kind: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            "query_id",
+            "neighbor_id",
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+
+    pq_rows = proj("pq", pq_adc_topk(codes, queries_df, books, k=5))
     cents = _ivfpq_fixed_cents()
     ivf_codes = ivfpq_encode(ivec, cents, books)
-    ivfpq_rows = ivfpq_topk(ivf_codes, queries_df, cents, books, k=5, nprobe=2).select(
-        F.lit("ivfpq").alias("kind"),
-        "query_id",
-        "neighbor_id",
-        F.col("adc_dist").cast("bigint").alias("adc_dist"),
-        F.col("rank").cast("int").alias("rank"),
-    )
+    ivfpq_rows = proj("ivfpq", ivfpq_topk(ivf_codes, queries_df, cents, books, k=5, nprobe=2))
     return pq_rows.unionByName(ivfpq_rows)
 
 
@@ -1604,25 +1601,41 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 """
 
 
+# shared SQL fragments for the PQ / IVF-PQ oracles (one source for the
+# floored-vector CTE, codebook VALUES and squared-distance expansion —
+# the two builders MUST stay in lockstep; r4 review pass 4)
+_IV_CTE = (
+    "iv AS (\n"
+    "  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 8)) AS v\n"
+    "  FROM embeddings)"
+)
+
+
+def _book_vals(books: list[list[list[float]]]) -> str:
+    return ", ".join(
+        f"({j}, {c}, [{', '.join(str(x) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(len(books))
+        for c in range(len(books[j]))
+    )
+
+
+def _sq_sum(a_fmt: str, b_fmt: str, n: int) -> str:
+    """Σ (a_d − b_d)² as a literal expression; {d} is the 1-based index."""
+    return " + ".join(
+        f"({a_fmt.format(d=d)} - {b_fmt.format(d=d)})*({a_fmt.format(d=d)} - {b_fmt.format(d=d)})"
+        for d in range(1, n + 1)
+    )
+
+
 def _pq_oracle_sql(m: int = 8, sub: int = 8, kcent: int = 8, k: int = 5) -> str:
     """PQ encode + ADC top-k against the SAME fixed integer codebooks the
     Spark query uses; all distance arithmetic is integer-exact in doubles
     (floor(x*8) grid), so argmins and ranks match bit-for-bit."""
     books = _pq_fixed_codebooks(m, sub, kcent)
-    vals = ", ".join(
-        f"({j}, {c}, [{', '.join(str(x) for x in books[j][c])}]::DOUBLE[])"
-        for j in range(m)
-        for c in range(kcent)
-    )
-    dist = " + ".join(
-        f"(iv.v[cb.j*{sub} + {d + 1}] - cb.cv[{d + 1}])"
-        f"*(iv.v[cb.j*{sub} + {d + 1}] - cb.cv[{d + 1}])"
-        for d in range(sub)
-    )
+    vals = _book_vals(books)
+    dist = _sq_sum(f"iv.v[cb.j*{sub} + {{d}}]", "cb.cv[{d}]", sub)
     return f"""
-WITH iv AS (
-  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 8)) AS v
-  FROM embeddings),
+WITH {_IV_CTE},
 cb(j, cid, cv) AS (VALUES {vals}),
 enc0 AS (
   SELECT iv.vec_id, cb.j, cb.cid, {dist} AS d
@@ -1658,30 +1671,16 @@ def _ivfpq_oracle_sql(
     cvals = ", ".join(
         f"({c}, [{', '.join(str(x) for x in cents[c])}]::DOUBLE[])" for c in range(kc)
     )
-    bvals = ", ".join(
-        f"({j}, {c}, [{', '.join(str(x) for x in books[j][c])}]::DOUBLE[])"
-        for j in range(m)
-        for c in range(kcent)
-    )
-    cdist = " + ".join(
-        f"(iv.v[{d}] - cc.cv[{d}])*(iv.v[{d}] - cc.cv[{d}])" for d in range(1, dim + 1)
-    )
+    bvals = _book_vals(books)
+    cdist = _sq_sum("iv.v[{d}]", "cc.cv[{d}]", dim)
     resid = (
         f"list_transform(range(1, {dim + 1}), "
         "i -> iv.v[CAST(i AS INTEGER)] - cc.cv[CAST(i AS INTEGER)])"
     )
-    rdist = " + ".join(
-        f"(a.resid[cb.j*{sub} + {d}] - cb.cv[{d}])*(a.resid[cb.j*{sub} + {d}] - cb.cv[{d}])"
-        for d in range(1, sub + 1)
-    )
-    qdist = " + ".join(
-        f"(p.qresid[cb.j*{sub} + {d}] - cb.cv[{d}])*(p.qresid[cb.j*{sub} + {d}] - cb.cv[{d}])"
-        for d in range(1, sub + 1)
-    )
+    rdist = _sq_sum(f"a.resid[cb.j*{sub} + {{d}}]", "cb.cv[{d}]", sub)
+    qdist = _sq_sum(f"p.qresid[cb.j*{sub} + {{d}}]", "cb.cv[{d}]", sub)
     return f"""
-WITH iv AS (
-  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 8)) AS v
-  FROM embeddings),
+WITH {_IV_CTE},
 cc(cid, cv) AS (VALUES {cvals}),
 cb(j, cid, cv) AS (VALUES {bvals}),
 adist AS (

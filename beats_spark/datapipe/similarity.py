@@ -411,6 +411,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode vectors to m small codes: explode each vector into its m
     subvectors, broadcast-join the (j, cid, cvec) codebook, min-struct
@@ -419,9 +420,14 @@ def pq_encode(
     spark = df.sparkSession
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    carry = carry_cols or []
+    # carry columns ride under reserved names: the codebook join brings
+    # in its own `cid` column, which would collide with a carried `cid`
+    cmap = {c: f"_carry_{i}" for i, c in enumerate(carry)}
     cdf = _codebook_df(spark, codebooks)
     subvecs = df.select(
         F.col(id_col),
+        *[F.col(c).alias(cmap[c]) for c in carry],
         F.explode(
             F.array(
                 *[
@@ -433,7 +439,7 @@ def pq_encode(
                 ]
             )
         ).alias("e"),
-    ).select(id_col, "e.j", "e.sv")
+    ).select(id_col, *cmap.values(), "e.j", "e.sv")
     dist = F.aggregate(
         F.zip_with(F.col("sv"), F.col("cvec"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -441,15 +447,24 @@ def pq_encode(
     )
     best = (
         subvecs.join(F.broadcast(cdf), "j")
-        .select(id_col, "j", F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_dc"))
+        .select(
+            id_col,
+            *cmap.values(),
+            "j",
+            F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_dc"),
+        )
         .groupBy(id_col, "j")
-        .agg(F.min("_dc").getField("cid").alias("code"))
+        .agg(
+            F.min("_dc").getField("cid").alias("code"),
+            *[F.first(t).alias(t) for t in cmap.values()],
+        )
     )
     return best.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("code")))),
             lambda s: s.getField("code"),
-        ).alias("pq_codes")
+        ).alias("pq_codes"),
+        *[F.first(t).alias(c) for c, t in cmap.items()],
     )
 
 
@@ -619,15 +634,12 @@ def ivfpq_encode(
 ) -> DataFrame:
     """(id, cid, pq_codes): coarse assignment + residual PQ codes —
     the full index is 4+m bytes per vector."""
-    from pyspark.storagelevel import StorageLevel
-
-    # persisted: the frame feeds BOTH pq_encode and the cid projection —
-    # without a cache the assignment subtree executes twice
-    resid = _assign_and_residual(corpus, cents, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="residual")
-    return resid.select(id_col, "cid").join(codes, id_col)
+    # cid rides THROUGH pq_encode (carry_cols) so the residual frame has
+    # exactly one consumer — no persist, no session-lifetime cache leak,
+    # and the assignment subtree executes once (r4 review pass 4)
+    resid = _assign_and_residual(corpus, cents, id_col, vec_col)
+    codes = pq_encode(resid, codebooks, id_col=id_col, vec_col="residual", carry_cols=["cid"])
+    return codes.select(id_col, "cid", "pq_codes")
 
 
 def ivfpq_topk(
