@@ -107,19 +107,43 @@ class Selector:
         # matching (non-empty-producing) rule wins.
         for rule in reversed(self.rules):
             value, defined = compile_fmtstr(rule.index, ts_col, columns)
+            # select.go eval semantics (select_test.go matrix, ported r4):
+            #   * case folding applies to the FORMAT OUTPUT at eval and to
+            #     the mapping table (keys AND values) and default at BUILD
+            #     (copyTable/buildSingle);
+            #   * fmt rule: missing key OR empty format result → default;
+            #   * mapping rule: empty key, lookup miss, or a lookup that
+            #     maps to "" → default;
+            #   * an empty/absent default means the rule produces nothing
+            #     and the next rule is tried (listSelector).
+            fold = (lambda s: s.lower()) if rule.case_insensitive else (lambda s: s)
             if rule.case_insensitive:
                 value = F.lower(value)
+            default_lit = (
+                F.lit(fold(rule.default)) if rule.default is not None else F.lit(None).cast("string")
+            )
+            empty_to_default = lambda c: F.when(  # noqa: E731
+                c.isNull() | (c == F.lit("")), default_lit
+            ).otherwise(c)
             if rule.mappings is not None:
                 kv = []
                 for k, v in rule.mappings.items():
-                    kv.extend([F.lit(k), F.lit(v)])
+                    kv.extend([F.lit(fold(k)), F.lit(fold(v))])
                 mapped = F.create_map(*kv).getItem(value)
-                if rule.default is not None:
-                    mapped = F.coalesce(mapped, F.lit(rule.default))
-                value = mapped
-            elif rule.default is not None:
-                value = F.coalesce(value, F.lit(rule.default))
-            produced = defined & value.isNotNull() & (value != F.lit(""))
+                # empty KEY short-circuits to default before the lookup
+                # (mapSelector.sel: n == "" → otherwise)
+                mapped = F.when(value.isNull() | (value == F.lit("")), default_lit).otherwise(mapped)
+                value = empty_to_default(mapped)
+            else:
+                value = empty_to_default(value)
+            produced = value.isNotNull() & (value != F.lit(""))
+            if rule.default is None:
+                # without a default an unresolvable format means "rule
+                # produced nothing"; WITH a default the default applies
+                # exactly on those unresolvable/empty cases, so `defined`
+                # must not suppress it (fmtSelector.sel returns otherwise
+                # on Run error)
+                produced = defined & produced
             cond = produced
             if rule.when is not None:
                 cond = F.coalesce(compile_condition(rule.when), F.lit(False)) & produced

