@@ -165,24 +165,49 @@ def _all(conds: list[Column]) -> Column:
     return out if out is not None else F.lit(True)
 
 
-def compile_condition(cfg: dict[str, Any]) -> Column:
-    """Condition config dict → boolean Column (null-safe: nulls → False)."""
+def _flat_name(name: str) -> str:
+    """The engine's flattened column name for a dotted Beats field ref."""
+    if name.startswith("attrs."):
+        return "attrs"
+    return name.replace(".", "_") if "." in name else name
+
+
+def _is_array(name: str, schema: dict[str, str] | None) -> bool:
+    return schema is not None and schema.get(_flat_name(name), "").startswith("array")
+
+
+def compile_condition(cfg: dict[str, Any], schema: dict[str, str] | None = None) -> Column:
+    """Condition config dict → boolean Column (null-safe: nulls → False).
+
+    `schema` (dict(df.dtypes), optional) enables the reference's
+    LIST-field semantics (matcher.go / network.go walk list elements):
+    `contains` on an array<string> field matches when ANY element
+    contains the substring (the canonical `contains.tags: prod` form),
+    and `network` on an array field matches when any element is in the
+    network. Without a schema those fields compile scalar — the r1-r3
+    behavior — so existing call sites are unchanged.
+    """
     if not isinstance(cfg, dict) or len(cfg) != 1:
         raise ValueError(f"condition must be a single-key dict, got: {cfg!r}")
     op, arg = next(iter(cfg.items()))
 
     if op == "and":
-        return _all([compile_condition(c) for c in arg])
+        return _all([compile_condition(c, schema) for c in arg])
     if op == "or":
-        return _any([compile_condition(c) for c in arg])
+        return _any([compile_condition(c, schema) for c in arg])
     if op == "not":
-        return ~F.coalesce(compile_condition(arg), F.lit(False))
+        return ~F.coalesce(compile_condition(arg, schema), F.lit(False))
     if op == "equals":
         return _all([_field(k).eqNullSafe(F.lit(v)) for k, v in arg.items()])
     if op == "contains":
-        return _all(
-            [F.coalesce(_field(k).contains(F.lit(v)), F.lit(False)) for k, v in arg.items()]
-        )
+        conds = []
+        for k, v in arg.items():
+            if _is_array(k, schema):
+                c = F.exists(_field(k), lambda x: x.contains(F.lit(v)))
+            else:
+                c = _field(k).contains(F.lit(v))
+            conds.append(F.coalesce(c, F.lit(False)))
+        return _all(conds)
     if op == "regexp":
         return _all([F.coalesce(_field(k).rlike(v), F.lit(False)) for k, v in arg.items()])
     if op == "range":
@@ -197,5 +222,12 @@ def compile_condition(cfg: dict[str, Any]) -> Column:
     if op == "has_fields":
         return _all([_field(k).isNotNull() for k in (arg if isinstance(arg, list) else [arg])])
     if op == "network":
-        return _all([F.coalesce(network_match(_field(k), v), F.lit(False)) for k, v in arg.items()])
+        conds = []
+        for k, v in arg.items():
+            if _is_array(k, schema):
+                c = F.exists(_field(k), lambda x: network_match(x, v))
+            else:
+                c = network_match(_field(k), v)
+            conds.append(F.coalesce(c, F.lit(False)))
+        return _all(conds)
     raise ValueError(f"unknown condition operator: {op!r}")

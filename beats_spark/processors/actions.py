@@ -24,7 +24,7 @@ def _with_guarded(df: DataFrame, name: str, new_col: Column, when: dict | None) 
     the original value (conditionals.go:59-100)."""
     if when is None:
         return df.withColumn(name, new_col)
-    cond = compile_condition(when)
+    cond = compile_condition(when, schema=dict(df.dtypes))
     orig = F.col(name) if name in df.columns else F.lit(None)
     return df.withColumn(name, F.when(cond, new_col).otherwise(orig))
 
@@ -140,9 +140,9 @@ def include_fields(fields: list[str]):
 
 def drop_event(when: dict):
     """drop_event.go:31-44 — always guarded by `when`."""
-    cond = compile_condition(when)
 
     def stage(df: DataFrame) -> DataFrame:
+        cond = compile_condition(when, schema=dict(df.dtypes))
         return df.filter(~F.coalesce(cond, F.lit(False)))
 
     return stage
@@ -233,7 +233,9 @@ def truncate_fields(
         for f in fields:
             flag_cond = flag_cond | (measure(F.col(f)) > lim)
         if when is not None:
-            flag_cond = flag_cond & F.coalesce(compile_condition(when), F.lit(False))
+            flag_cond = flag_cond & F.coalesce(
+                compile_condition(when, schema=dict(df.dtypes)), F.lit(False)
+            )
         flags = F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
         df = df.withColumn(FLAGS_COL, append_flag(flags, FLAG_TRUNCATED, flag_cond))
         for f in fields:

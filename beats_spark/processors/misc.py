@@ -68,7 +68,7 @@ def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None
         else_chain = compile_chain(otherwise or [])
 
     def stage(df: DataFrame) -> DataFrame:
-        cond = F.coalesce(compile_condition(condition), F.lit(False))
+        cond = F.coalesce(compile_condition(condition, schema=dict(df.dtypes)), F.lit(False))
         if g_then is not None:
             out = df.withColumn(_ITE_COND, cond)
             out = g_else(g_then(out))

@@ -96,9 +96,10 @@ def decode_json_fields(
     attrs map (unknown shape ⇒ map<string,string>)."""
     from ..conditions import compile_condition
 
-    guard = compile_condition(when) if when is not None else None
-
     def stage(df: DataFrame) -> DataFrame:
+        guard = (
+            compile_condition(when, schema=dict(df.dtypes)) if when is not None else None
+        )
         for fname in fields:
             parsed = F.from_json(_get(df, fname), ATTRS_TYPE)
             if guard is not None:

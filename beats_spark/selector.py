@@ -31,9 +31,27 @@ from .conditions import compile_condition
 _FMT_RE = re.compile(r"%\{([^}]+)\}")
 
 
+# Joda/dtfmt pattern letters Beats' +FORMAT accepts; anything else that
+# is an ASCII letter makes the pattern invalid (formatevents_test.go:
+# '%{+abc}' must fail to compile)
+_JODA_LETTERS = set("GCYxwyeEDMdaKhHkmsSzZ")
+
+
 def _go_time_to_java(fmt: str) -> str:
-    # Beats' +FORMAT strings are already joda/java-style (yyyy.MM.dd).
-    return fmt
+    """Beats +FORMAT is Joda-style (dtfmt). One semantic trap: Joda 'Y'
+    is year-of-era while Java/Spark 'Y' is WEEK-based year (differs
+    around Dec 29 - Jan 1) — translate Y→y. Validates pattern letters
+    (CompileEvent rejects '%{+abc}')."""
+    unquoted = re.sub(r"'[^']*'", "", fmt)  # 'T' etc. inside quotes is literal
+    bad = [c for c in unquoted if c.isalpha() and c not in _JODA_LETTERS]
+    if bad:
+        raise ValueError(f"fmtstr: invalid timestamp pattern letter(s) {bad} in %{{+{fmt}}}")
+    return re.sub("Y+", lambda m: "y" * len(m.group(0)), fmt)
+
+
+# ISO8601 with milliseconds + literal Z — the form Beats renders
+# %{[@timestamp]} in (formatevents.go TimestampFormatString)
+_TS_ISO = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
 def compile_fmtstr(
@@ -46,6 +64,16 @@ def compile_fmtstr(
     produced nothing" (fmtSelector fallback-on-missing-field). Pass the
     DataFrame's column set so absent top-level fields resolve to the
     default instead of failing analysis.
+
+    Reference grammar parity (formatevents_test.go matrix, ported r4):
+    `%{[a][b]}` and `%{[a.b]}` nested forms, `%{[key]:default}`,
+    `%{[@timestamp]}` (ISO8601 ms Z from ts_col), `%{+JODA}` timestamp
+    patterns (Y translated to year-of-era). Malformed forms raise at
+    compile like CompileEvent: empty `%{[]}`, unclosed `%{[field}`,
+    multi-operator `%{[f]:a:b}`, invalid pattern letters `%{+abc}`.
+    EXTENSION (documented divergence): the bare `%{field}` form —
+    rejected by the reference — is accepted as `%{[field]}`; this
+    engine's configs use it widely.
     """
     parts: list[Column] = []
     required: list[Column] = []
@@ -57,15 +85,30 @@ def compile_fmtstr(
         if expr.startswith("+"):
             parts.append(F.date_format(F.col(ts_col), _go_time_to_java(expr[1:])))
         else:
-            ref, _, default = expr.partition(":")
-            fields = re.findall(r"\[([^\]]+)\]", ref) or [ref]
-            absent = columns is not None and fields[0] not in columns
-            if absent:
-                col = F.lit(None).cast("string")
+            ref, op, default = expr.partition(":")
+            if op and ":" in default:
+                raise ValueError(f"fmtstr: too many ':' operators in %{{{expr}}}")
+            brackets = re.findall(r"\[([^\]]*)\]", ref)
+            if brackets:
+                # bracket syntax must cover the whole ref (reject '%{[f}')
+                if re.sub(r"\[[^\]]*\]", "", ref):
+                    raise ValueError(f"fmtstr: malformed field accessor %{{{expr}}}")
+                if any(b == "" for b in brackets):
+                    raise ValueError(f"fmtstr: empty field accessor %{{{expr}}}")
+            elif "[" in ref or "]" in ref:
+                raise ValueError(f"fmtstr: malformed field accessor %{{{expr}}}")
+            # [a.b] and [a][b] both address nested field b under a
+            fields = [seg for b in (brackets or [ref]) for seg in b.split(".")]
+            if fields == ["@timestamp"]:
+                col = F.date_format(F.col(ts_col), _TS_ISO)
             else:
-                col = F.col(fields[0])
-                for sub in fields[1:]:
-                    col = col.getItem(sub)
+                absent = columns is not None and fields[0] not in columns
+                if absent:
+                    col = F.lit(None).cast("string")
+                else:
+                    col = F.col(fields[0])
+                    for sub in fields[1:]:
+                        col = col.getItem(sub)
             if default:
                 parts.append(F.coalesce(col.cast("string"), F.lit(default)))
             else:
@@ -101,7 +144,12 @@ class Selector:
         self.rules = rules
         self.fallback = fallback
 
-    def column(self, ts_col: str = "ts", columns: set[str] | None = None) -> Column:
+    def column(
+        self,
+        ts_col: str = "ts",
+        columns: set[str] | None = None,
+        dtypes: dict[str, str] | None = None,
+    ) -> Column:
         result = F.lit(self.fallback) if self.fallback is not None else F.lit(None).cast("string")
         # Build the nested CASE from the last rule backwards so the first
         # matching (non-empty-producing) rule wins.
@@ -146,6 +194,9 @@ class Selector:
                 produced = defined & produced
             cond = produced
             if rule.when is not None:
-                cond = F.coalesce(compile_condition(rule.when), F.lit(False)) & produced
+                cond = (
+                    F.coalesce(compile_condition(rule.when, schema=dtypes), F.lit(False))
+                    & produced
+                )
             result = F.when(cond, value).otherwise(result)
         return result

@@ -112,3 +112,60 @@ def test_cidr_property_vs_ipaddress(spark):
             if ipaddress.ip_address(a).version == net.version and ipaddress.ip_address(a) in net
         }
         assert got == want, f"{cidr}: extra={got - want} missing={want - got}"
+
+
+def test_reference_event_conditions(spark):
+    """Conditions over the reference's own test events
+    (conditions_test.go secd/httpResponse/IP-list fixtures, fields
+    flattened per the engine's column model): the combined OR/AND
+    condition, list-field `contains` (matcher.go walks list elements —
+    the canonical `contains.tags: prod` form), and `network` over a
+    host.ip LIST (network.go matches any element)."""
+    df = spark.createDataFrame(
+        [
+            (
+                "process", 305, False, "/usr/libexec/secd",
+                ["auditbeat", "prod", "security"], None, None,
+            ),
+            ("http", 200, None, None, None, 200, ["127.0.0.1"]),
+            (
+                "ecs", None, None, None, None, None,
+                ["10.1.0.55", "fe80::4001:aff:fe9a:55"],
+            ),
+        ],
+        "type string, proc_pid int, final boolean, proc_cmdline string, "
+        "tags array<string>, http_code int, host_ip array<string>",
+    )
+    schema = dict(df.dtypes)
+
+    def match(cond):
+        return sorted(
+            r.type for r in df.filter(compile_condition(cond, schema=schema)).collect()
+        )
+
+    # TestEqualsSingleFieldPositiveMatch / BooleanFieldNegativeMatch /
+    # MultiFieldAndType
+    assert match({"equals": {"type": "process"}}) == ["process"]
+    assert match({"equals": {"final": True}}) == []
+    assert match({"equals": {"type": "process", "proc.pid": 305}}) == ["process"]
+    # TestCombinedCondition: range OR (equals AND equals)
+    combined = {
+        "or": [
+            {"range": {"http.code.gte": 100, "http.code.lt": 300}},
+            {"and": [{"equals": {"proc.pid": 305}}, {"equals": {"type": "process"}}]},
+        ]
+    }
+    assert match(combined) == ["http", "process"]
+    # list-field contains (matcher walks elements)
+    assert match({"contains": {"tags": "prod"}}) == ["process"]
+    assert match({"contains": {"tags": "nope"}}) == []
+    assert match({"contains": {"proc.cmdline": "secd"}}) == ["process"]
+    # network over an IP LIST: any element in the network matches
+    assert match({"network": {"host.ip": "10.0.0.0/8"}}) == ["ecs"]
+    assert match({"network": {"host.ip": "fe80::/10"}}) == ["ecs"]
+    assert match({"network": {"host.ip": "loopback"}}) == ["http"]
+    assert match({"network": {"host.ip": "192.168.0.0/16"}}) == []
+    # scalar fallback without schema stays the r1-r3 behavior (no crash)
+    assert sorted(
+        r.type for r in df.filter(compile_condition({"equals": {"type": "http"}})).collect()
+    ) == ["http"]

@@ -187,3 +187,51 @@ def test_selector_reference_matrix(spark):
     ]
     for rules, event, want, lower in cases:
         _sel_case(rules, event, want, spark, lower=lower)
+
+
+def test_fmtstr_reference_matrix(spark):
+    """The reference's formatevents_test.go TestEventFormatString matrix
+    ported mechanically (nested field syntaxes, defaults, repeated keys,
+    @timestamp ISO rendering, Joda Y→year-of-era translation) + every
+    compile-error case the engine's grammar covers. Documented
+    divergence: the bare %{field} form is an accepted extension here."""
+    import pytest as _pytest
+
+    from beats_spark.selector import compile_fmtstr
+
+    df = spark.createDataFrame(
+        [("value", "v1", "v2", ("value",))],
+        "key string, key1 string, key2 string, nested struct<key: string>",
+    ).withColumn("ts", F.to_timestamp(F.lit("2015-05-01 20:12:34")))
+    cols = {"key", "key1", "key2", "nested", "ts"}
+
+    def run(template):
+        value, defined = compile_fmtstr(template, columns=cols)
+        r = df.select(value.alias("v"), defined.alias("d")).first()
+        return r.v, r.d
+
+    cases = [
+        ("", ""),                                        # empty string
+        ("format string", "format string"),              # no fields
+        ("%{[key]}", "value"),                           # expand field
+        ("%{[missing]:default}", "default"),             # default
+        ("%{[nested.key]}", "value"),                    # dot syntax
+        ("%{[nested][key]}", "value"),                   # alt syntax
+        ("%{[key1]} - %{[key2]}", "v1 - v2"),            # multiple fields
+        ("%{[key]} - %{[key]}", "value - value"),        # same field twice
+        ("%{[key]:default} - %{[key]}", "value - value"),
+        ("%{[key]} - %{[key]:default}", "value - value"),
+        ("%{[key]}: %{+YYYY.MM.dd}", "timestamp: 2015.05.01".replace("timestamp", "value")),
+        ("%{[@timestamp]}: %{+YYYY.MM.dd}", "2015-05-01T20:12:34.000Z: 2015.05.01"),
+    ]
+    for template, want in cases:
+        got, defined = run(template)
+        assert got == want, (template, got, want)
+        assert defined
+    # missing required field compiles but produces nothing
+    _, defined = run("%{[nope]}")
+    assert not defined
+    # compile errors (TestEventFormatStringErrors)
+    for bad in ("%{[]}", "%{[field}", "%{[field]:a:b}", "%{+abc}"):
+        with _pytest.raises(ValueError):
+            compile_fmtstr(bad, columns=cols)

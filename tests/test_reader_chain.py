@@ -122,6 +122,10 @@ def test_selector_property_vs_python_reference(spark):
         return prefix + str(val), True
 
     def py_rule(rule_spec, row):
+        """select.go eval semantics exactly (r4 matrix port): an
+        unresolvable or empty format result takes the RULE default;
+        mapping rules route empty key / lookup miss / maps-to-'' to the
+        default; '' or absent default → rule produces nothing."""
         prefix, field, dflt, when, mappings, default = rule_spec
         if when is not None:
             k, v = when
@@ -130,11 +134,16 @@ def test_selector_property_vs_python_reference(spark):
             if k == "turn" and not row["turn_idx"] < v:
                 return None
         value, defined = py_fmtstr(prefix, field, dflt, row)
+        if not defined:
+            value = None
         if mappings is not None:
-            value = mappings.get(value, default)
-        elif value is None and default is not None:
+            if value in (None, ""):
+                value = default
+            else:
+                value = mappings.get(value) or default
+        elif value in (None, ""):
             value = default
-        if not defined or value is None or value == "":
+        if value is None or value == "":
             return None
         return value
 
