@@ -995,3 +995,72 @@ def test_decode_xml_wineventlog_outcome_failure_and_minimal(spark):
     t = rows[2].winlog
     assert t.event_id == "1" and t.channel == "App"
     assert t.outcome is None and t.provider_name is None and t.event_data is None
+
+
+def test_multiline_reference_matrix(spark):
+    """The reference's multiline_test.go pattern-mode cases, ported
+    mechanically (reader/multiline/multiline_test.go:49-200): after /
+    before, negate variants, flush_pattern (incl. leading non-matching
+    lines), empty lines inside a before-negate event, and max_lines
+    truncation. Each case: physical lines in, expected logical events
+    out (the reference's testMultilineOK expected strings minus the
+    trailing newline its line-reader strips)."""
+    from beats_spark.processors.stateful import multiline_pattern
+
+    cases = [
+        # (kwargs, input_events_as_strings, expected_events)
+        (  # TestMultilineAfterOK: next line indented by spaces
+            dict(pattern=r"^[ \t] +", match="after"),
+            ["line1\n  line1.1\n  line1.2", "line2\n  line2.1\n  line2.2"],
+            None,
+        ),
+        (  # TestMultilineBeforeOK: previous line ends with backslash
+            dict(pattern=r"\\$", match="before"),
+            ["line1 \\\nline1.1 \\\nline1.2", "line2 \\\nline2.1 \\\nline2.2"],
+            None,
+        ),
+        (  # TestMultilineAfterNegateOK: first line starts with '-'
+            dict(pattern=r"^-", match="after", negate=True),
+            ["-line1\n  - line1.1\n  - line1.2", "-line2\n  - line2.1\n  - line2.2"],
+            None,
+        ),
+        (  # TestMultilineBeforeNegateOK: last line ends with ';'
+            dict(pattern=r";$", match="before", negate=True),
+            ["line1\nline1.1\nline1.2;", "line2\nline2.1\nline2.2;"],
+            None,
+        ),
+        (  # TestMultilineAfterNegateOKFlushPattern
+            dict(pattern=r"EventStart", match="after", negate=True, flush_pattern=r"EventEnd"),
+            ["EventStart\nEventId: 1\nEventEnd", "OtherThingInBetween",
+             "EventStart\nEventId: 2\nEventEnd"],
+            None,
+        ),
+        (  # ...WhereTheFirstLinesDosentMatchTheStartPattern
+            dict(pattern=r"EventStart", match="after", negate=True, flush_pattern=r"EventEnd"),
+            ["StartLineThatDosentMatchTheEvent\nOtherThingInBetween",
+             "EventStart\nEventId: 2\nEventEnd", "EventStart\nEventId: 3\nEventEnd"],
+            None,
+        ),
+        (  # TestMultilineBeforeNegateOKWithEmptyLine
+            dict(pattern=r";$", match="before", negate=True),
+            ["line1\n\n\nline1.2;", "line2\nline2.1\nline2.2;"],
+            None,
+        ),
+        (  # TestMultilineAfterTruncated (max_lines=2 keeps 2, flags)
+            dict(pattern=r"^[ ]", match="after", max_lines=2),
+            ["line1\n line1.1\n line1.2", "line2\n line2.1\n line2.2"],
+            ["line1\n line1.1", "line2\n line2.1"],
+        ),
+    ]
+    for kwargs, events_in, want in cases:
+        lines = [ln for ev in events_in for ln in ev.split("\n")]
+        df = spark.createDataFrame(
+            [("c", i, ln) for i, ln in enumerate(lines)],
+            "conv_id string, turn_idx int, text string",
+        )
+        out = multiline_pattern(group_cols=["conv_id"], order_col="turn_idx", **kwargs)(df)
+        got = [r.text for r in out.orderBy("turn_idx").collect()]
+        assert got == (want or events_in), (kwargs, got, want or events_in)
+        if want is not None:  # truncation case flags the cut events
+            flags = [r.log_flags for r in out.orderBy("turn_idx").collect()]
+            assert all("multiline" in " ".join(f or []) or "truncated" in " ".join(f or []) for f in flags), flags
