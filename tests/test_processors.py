@@ -1064,3 +1064,42 @@ def test_multiline_reference_matrix(spark):
         if want is not None:  # truncation case flags the cut events
             flags = [r.log_flags for r in out.orderBy("turn_idx").collect()]
             assert all("multiline" in " ".join(f or []) or "truncated" in " ".join(f or []) for f in flags), flags
+
+
+def test_truncate_fields_reference_matrix(spark):
+    """The reference's truncate_fields_test.go table (string forms; the
+    []byte rows map to the same string columns in this engine's model,
+    and the integer-field error row is a schema-level impossibility
+    here): byte vs character budgets over multibyte UTF-8, incl. the
+    rune-boundary-safe byte cut ('ez egy túl hosszú sor' @ 10 bytes →
+    'ez egy tú', 9 bytes — never a torn rune)."""
+    cases = [
+        # (kwargs, input, expected, flagged)
+        (dict(max_bytes=3), "too long line", "too", True),
+        (dict(max_bytes=15), "shorter line", "shorter line", False),
+        (dict(max_characters=6), "ez jó", "ez jó", False),
+        (dict(max_bytes=6), "ez jó", "ez jó", False),
+        (dict(max_characters=10), "ez egy túl hosszú sor", "ez egy túl", True),
+        (dict(max_bytes=10), "ez egy túl hosszú sor", "ez egy tú", True),
+    ]
+    for kwargs, inp, want, flagged in cases:
+        df = spark.createDataFrame([(inp,)], "message string")
+        r = build("truncate_fields", fields=["message"], **kwargs)(df).first()
+        assert r.message == want, (kwargs, inp, r.message, want)
+        flags = r.log_flags or []
+        assert ("truncated" in flags) == flagged, (kwargs, inp, flags)
+
+
+def test_rename_order_matters(spark):
+    """rename_test.go 'overwrites existing field but renames it first,
+    order matters': entries apply SEQUENTIALLY, so freeing the target
+    name in an earlier entry makes a later rename into it legal."""
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    out = build("rename", fields=[{"from": "b", "to": "c"}, {"from": "a", "to": "b"}])(df)
+    r = out.first()
+    assert set(out.columns) == {"b", "c"} and r.b == 1 and r.c == 2
+    # without freeing first: target exists → error (same table, row 3)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exists"):
+        build("rename", fields=[{"from": "a", "to": "b"}])(df)
