@@ -38,6 +38,13 @@ NAMED_NETWORKS: dict[str, list[str]] = {
 }
 
 
+def _flat_name(name: str) -> str:
+    """The engine's flattened column name for a dotted Beats field ref."""
+    if name.startswith("attrs."):
+        return "attrs"
+    return name.replace(".", "_") if "." in name else name
+
+
 def _field(name: str) -> Column:
     """Dot-path access: top-level column, else attrs map lookup.
 
@@ -46,7 +53,7 @@ def _field(name: str) -> Column:
     """
     if name.startswith("attrs."):
         return F.col("attrs").getItem(name[len("attrs.") :])
-    return F.col(name.replace(".", "_")) if "." in name else F.col(name)
+    return F.col(_flat_name(name))
 
 
 # strict dotted-quad: each octet 0-255 (a permissive \d{1,3} would let
@@ -163,13 +170,6 @@ def _all(conds: list[Column]) -> Column:
     for c in conds:
         out = c if out is None else (out & c)
     return out if out is not None else F.lit(True)
-
-
-def _flat_name(name: str) -> str:
-    """The engine's flattened column name for a dotted Beats field ref."""
-    if name.startswith("attrs."):
-        return "attrs"
-    return name.replace(".", "_") if "." in name else name
 
 
 def _is_array(name: str, schema: dict[str, str] | None) -> bool:

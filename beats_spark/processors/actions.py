@@ -140,6 +140,7 @@ def include_fields(fields: list[str]):
 
 def drop_event(when: dict):
     """drop_event.go:31-44 — always guarded by `when`."""
+    compile_condition(when)  # fail-fast config validation at BUILD time
 
     def stage(df: DataFrame) -> DataFrame:
         cond = compile_condition(when, schema=dict(df.dtypes))

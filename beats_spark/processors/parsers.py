@@ -96,6 +96,9 @@ def decode_json_fields(
     attrs map (unknown shape ⇒ map<string,string>)."""
     from ..conditions import compile_condition
 
+    if when is not None:
+        compile_condition(when)  # fail-fast config validation at BUILD time
+
     def stage(df: DataFrame) -> DataFrame:
         guard = (
             compile_condition(when, schema=dict(df.dtypes)) if when is not None else None

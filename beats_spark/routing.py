@@ -27,9 +27,7 @@ DEAD_LETTER_SINK = "sink_dead_letter"  # dead_letter_index analog (client.go:63-
 
 
 def route(df: DataFrame, selector: Selector, ts_col: str = "ts") -> DataFrame:
-    return df.withColumn(
-        SINK_COL, selector.column(ts_col, set(df.columns), dtypes=dict(df.dtypes))
-    )
+    return df.withColumn(SINK_COL, selector.column(ts_col, dtypes=dict(df.dtypes)))
 
 
 def salted_repartition(

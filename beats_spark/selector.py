@@ -31,10 +31,13 @@ from .conditions import compile_condition
 _FMT_RE = re.compile(r"%\{([^}]+)\}")
 
 
-# Joda/dtfmt pattern letters Beats' +FORMAT accepts; anything else that
-# is an ASCII letter makes the pattern invalid (formatevents_test.go:
-# '%{+abc}' must fail to compile)
-_JODA_LETTERS = set("GCYxwyeEDMdaKhHkmsSzZ")
+# Joda/dtfmt pattern letters Beats' +FORMAT accepts AND Spark's
+# date_format can run: week-based letters (w/W/x/e) are banned since
+# Spark 3.0 and 'C' is unknown to Java — rejecting them at COMPILE keeps
+# the CompileEvent-style fail-fast honest instead of crashing (or, for
+# 'x', silently rendering a zone offset where Joda means weekyear)
+# (r4 review pass 5).
+_JODA_LETTERS = set("GyYEDMdaKhHkmsSzZ")
 
 
 def _go_time_to_java(fmt: str) -> str:
@@ -42,11 +45,15 @@ def _go_time_to_java(fmt: str) -> str:
     is year-of-era while Java/Spark 'Y' is WEEK-based year (differs
     around Dec 29 - Jan 1) — translate Y→y. Validates pattern letters
     (CompileEvent rejects '%{+abc}')."""
-    unquoted = re.sub(r"'[^']*'", "", fmt)  # 'T' etc. inside quotes is literal
-    bad = [c for c in unquoted if c.isalpha() and c not in _JODA_LETTERS]
+    pieces = re.split(r"('[^']*')", fmt)  # odd indices = quoted literals
+    bad = [c for p in pieces[::2] for c in p if c.isalpha() and c not in _JODA_LETTERS]
     if bad:
         raise ValueError(f"fmtstr: invalid timestamp pattern letter(s) {bad} in %{{+{fmt}}}")
-    return re.sub("Y+", lambda m: "y" * len(m.group(0)), fmt)
+    # Y→y only outside quotes: a quoted 'YTD' literal must stay verbatim
+    return "".join(
+        p if i % 2 else re.sub("Y+", lambda m: "y" * len(m.group(0)), p)
+        for i, p in enumerate(pieces)
+    )
 
 
 # ISO8601 with milliseconds + literal Z — the form Beats renders
@@ -55,7 +62,10 @@ _TS_ISO = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
 
 def compile_fmtstr(
-    template: str, ts_col: str = "ts", columns: set[str] | None = None
+    template: str,
+    ts_col: str = "ts",
+    columns: set[str] | None = None,
+    dtypes: dict[str, str] | None = None,
 ) -> tuple[Column, Column]:
     """template → (value Column, defined Column).
 
@@ -75,6 +85,8 @@ def compile_fmtstr(
     rejected by the reference — is accepted as `%{[field]}`; this
     engine's configs use it widely.
     """
+    if columns is None and dtypes is not None:
+        columns = set(dtypes)
     parts: list[Column] = []
     required: list[Column] = []
     pos = 0
@@ -97,12 +109,23 @@ def compile_fmtstr(
                     raise ValueError(f"fmtstr: empty field accessor %{{{expr}}}")
             elif "[" in ref or "]" in ref:
                 raise ValueError(f"fmtstr: malformed field accessor %{{{expr}}}")
-            # [a.b] and [a][b] both address nested field b under a
+            # [a.b] and [a][b] both address nested field b under a —
+            # resolution order mirrors the conditions DSL (one addressing
+            # model, r4 review pass 5): the FLATTENED engine column
+            # (a.b → a_b) wins when it exists; otherwise the nested chain
+            # applies only when dtypes says the root is a struct/map (a
+            # scalar root must fall through to absent, not crash the
+            # analysis with getItem-on-string).
             fields = [seg for b in (brackets or [ref]) for seg in b.split(".")]
+            flat = "_".join(fields)
             if fields == ["@timestamp"]:
                 col = F.date_format(F.col(ts_col), _TS_ISO)
+            elif len(fields) > 1 and columns is not None and flat in columns:
+                col = F.col(flat)
             else:
-                absent = columns is not None and fields[0] not in columns
+                root_t = (dtypes or {}).get(fields[0], "")
+                nested_ok = len(fields) == 1 or root_t.startswith(("struct", "map"))
+                absent = (columns is not None and fields[0] not in columns) or not nested_ok
                 if absent:
                     col = F.lit(None).cast("string")
                 else:
@@ -153,8 +176,10 @@ class Selector:
         result = F.lit(self.fallback) if self.fallback is not None else F.lit(None).cast("string")
         # Build the nested CASE from the last rule backwards so the first
         # matching (non-empty-producing) rule wins.
+        if columns is None and dtypes is not None:
+            columns = set(dtypes)
         for rule in reversed(self.rules):
-            value, defined = compile_fmtstr(rule.index, ts_col, columns)
+            value, defined = compile_fmtstr(rule.index, ts_col, columns, dtypes)
             # select.go eval semantics (select_test.go matrix, ported r4):
             #   * case folding applies to the FORMAT OUTPUT at eval and to
             #     the mapping table (keys AND values) and default at BUILD
@@ -174,9 +199,13 @@ class Selector:
                 c.isNull() | (c == F.lit("")), default_lit
             ).otherwise(c)
             if rule.mappings is not None:
+                # fold-at-build can COLLAPSE keys ('Prod'/'prod') — dedupe
+                # last-wins like Go's copyTable map copy; leaving both in
+                # create_map would crash under mapKeyDedupPolicy=EXCEPTION
+                folded = {fold(k): fold(v) for k, v in rule.mappings.items()}
                 kv = []
-                for k, v in rule.mappings.items():
-                    kv.extend([F.lit(fold(k)), F.lit(fold(v))])
+                for k, v in folded.items():
+                    kv.extend([F.lit(k), F.lit(v)])
                 mapped = F.create_map(*kv).getItem(value)
                 # empty KEY short-circuits to default before the lookup
                 # (mapSelector.sel: n == "" → otherwise)

@@ -203,10 +203,11 @@ def test_fmtstr_reference_matrix(spark):
         [("value", "v1", "v2", ("value",))],
         "key string, key1 string, key2 string, nested struct<key: string>",
     ).withColumn("ts", F.to_timestamp(F.lit("2015-05-01 20:12:34")))
-    cols = {"key", "key1", "key2", "nested", "ts"}
+    dts = {"key": "string", "key1": "string", "key2": "string",
+           "nested": "struct<key:string>", "ts": "timestamp"}
 
     def run(template):
-        value, defined = compile_fmtstr(template, columns=cols)
+        value, defined = compile_fmtstr(template, dtypes=dts)
         r = df.select(value.alias("v"), defined.alias("d")).first()
         return r.v, r.d
 
@@ -231,7 +232,49 @@ def test_fmtstr_reference_matrix(spark):
     # missing required field compiles but produces nothing
     _, defined = run("%{[nope]}")
     assert not defined
-    # compile errors (TestEventFormatStringErrors)
-    for bad in ("%{[]}", "%{[field}", "%{[field]:a:b}", "%{+abc}"):
+    # compile errors (TestEventFormatStringErrors) + Spark-unrunnable
+    # week-based/unknown Joda letters (r4 review pass 5)
+    for bad in ("%{[]}", "%{[field}", "%{[field]:a:b}", "%{+abc}", "%{+xxxx.ww}", "%{+CC}"):
         with _pytest.raises(ValueError):
-            compile_fmtstr(bad, columns=cols)
+            compile_fmtstr(bad, dtypes=dts)
+    # dot ref whose root is a SCALAR column: falls through (absent),
+    # never getItem-on-string AnalysisException (r4 review pass 5)
+    v, d = compile_fmtstr("%{[key.sub]}", dtypes=dts)
+    r = df.select(v.alias("v"), d.alias("d")).first()
+    assert r.v is None and not r.d
+    # dotted ref matching a FLATTENED engine column wins over nesting
+    df2 = df.withColumn("proc_pid", F.lit("305"))
+    v2, _ = compile_fmtstr("%{[proc.pid]}", dtypes={**dts, "proc_pid": "string"})
+    assert df2.select(v2.alias("v")).first().v == "305"
+    # quoted literal text survives the Y->y translation
+    vq, _ = compile_fmtstr("%{+yyyy-'YTD'}", dtypes=dts)
+    assert df.select(vq.alias("v")).first().v == "2015-YTD"
+
+
+def test_selector_folded_duplicate_mapping_keys(spark):
+    """R4 review pass 5: case-folding can collapse mapping keys
+    ('Prod'/'prod') — last-wins like Go's copyTable, never a
+    Duplicate-map-key crash."""
+    from beats_spark.selector import Rule, Selector
+
+    df = spark.createDataFrame([("v",)], "key string").withColumn(
+        "ts", F.current_timestamp()
+    )
+    sel = Selector(
+        [Rule("%{[key]}", mappings={"V": "a", "v": "b"}, case_insensitive=True)]
+    )
+    got = df.select(sel.column(dtypes=dict(df.dtypes)).alias("s")).first().s
+    assert got == "b"  # last-wins on the folded key
+
+
+def test_condition_build_time_validation(spark):
+    """R4 review pass 5: bad condition configs fail at pipeline BUILD,
+    not at first micro-batch."""
+    import pytest as _pytest
+
+    from beats_spark.processors import build
+
+    with _pytest.raises(ValueError, match="unknown condition operator"):
+        build("drop_event", when={"bogus_op": {}})
+    with _pytest.raises(ValueError, match="unknown condition operator"):
+        build("decode_json_fields", fields=["text"], when={"bogus_op": {}})
