@@ -1103,3 +1103,64 @@ def test_rename_order_matters(spark):
 
     with _pytest.raises(ValueError, match="already exists"):
         build("rename", fields=[{"from": "a", "to": "b"}])(df)
+
+
+def test_decode_json_fields_reference_cases(spark):
+    """decode_json_fields_test.go behavior cases that map to the engine's
+    map<string,string> model (which IS the reference's default
+    max_depth=1: nested objects/arrays stay as their JSON text):
+    TestNotJsonObjectOrArray depth-1, TestInvalidJSON /
+    TestInvalidJSONMultiple (unparseable input leaves the event
+    untouched), TestValidJSONDepthOne. The deeper-recursion options
+    (max_depth>1, expand_keys, process_array) are out of the flat-column
+    model's scope — documented divergence."""
+    js = (
+        '{"someDate": "2016-09-28T01:40:26.760+0000",'
+        '"someNumberAsString": "1475026826760",'
+        '"someNumber": 1475026826760,'
+        '"someString": "foobar",'
+        '"someString2": "2017 is awesome",'
+        '"someMap": {"a":"b"},'
+        '"someArray": [1,2,3]}'
+    )
+    truncated = '{"log":"{\\"level\\":\\"info\\"}","stream":"stderr","count":3'
+    plain = "11:38:04,323 |-INFO testing"
+    df = spark.createDataFrame(
+        [(1, js), (2, truncated), (3, plain)], "i int, text string"
+    )
+    out = {r.i: r for r in build("decode_json_fields", fields=["text"])(df).collect()}
+    m = out[1].attrs
+    assert m["someDate"] == "2016-09-28T01:40:26.760+0000"
+    assert m["someNumber"] == "1475026826760"
+    assert m["someNumberAsString"] == "1475026826760"
+    assert m["someString"] == "foobar"
+    assert m["someString2"] == "2017 is awesome"
+    assert m["someMap"] == '{"a":"b"}'       # depth-1: nested stays JSON text
+    assert m["someArray"] == "[1,2,3]"
+    # invalid JSON: event untouched (no attrs, original text intact)
+    for i, original in ((2, truncated), (3, plain)):
+        assert out[i].text == original
+        assert not out[i].attrs
+
+
+def test_replace_reference_cases(spark):
+    """replace_test.go TestReplaceRun behavior rows (flat-column forms):
+    simple replace, empty replacement, regex patterns, two fields in one
+    processor — Go ReplaceAllString semantics = regexp_replace
+    (all occurrences)."""
+    df = spark.createDataFrame([("abc", "def", "aaa")], "f string, g string, h string")
+    r = build("replace", fields=[{"field": "f", "pattern": "a", "replacement": "b"}])(df).first()
+    assert r.f == "bbc"
+    r = build("replace", fields=[{"field": "f", "pattern": "a", "replacement": ""}])(df).first()
+    assert r.f == "bc"
+    r = build(
+        "replace",
+        fields=[
+            {"field": "f", "pattern": "a.*c", "replacement": "cab"},
+            {"field": "g", "pattern": "ef", "replacement": "oor"},
+        ],
+    )(df).first()
+    assert r.f == "cab" and r.g == "door"
+    # replace-ALL semantics (ReplaceAllString)
+    r = build("replace", fields=[{"field": "h", "pattern": "a", "replacement": "x"}])(df).first()
+    assert r.h == "xxx"
