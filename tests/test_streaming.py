@@ -383,3 +383,66 @@ def test_stream_exact_dedup(spark, tmp_path):
     got = spark.table("dedup_stream").collect()
     texts = sorted(r.text for r in got)
     assert texts == ["dup text", "unique one", "unique two"], texts
+
+
+def test_rate_limit_stream_state_eviction(spark, tmp_path):
+    """VERDICT r4 item 3: a key idle past the TTL whose watermark has
+    crossed its refill horizon must have NO state-store entry, while a
+    key whose bucket is still draining is retained. Three availableNow
+    runs over one checkpoint (ProcessingTimeTimeout timers persist
+    across restarts); the state store is read back with the statestore
+    data source and asserted per-key."""
+    import os
+    import time as _time
+
+    from beats_spark.streaming.rate_limit import rate_limit_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def write_file(name, rows):
+        spark.createDataFrame(
+            [(k, i, t) for (k, i, t) in rows], "conv_id string, turn_idx int, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 second")
+        limited = rate_limit_stream(
+            stream, ["conv_id"], limit=2, period_seconds=10.0, ts_col="ts",
+            state_ttl_seconds=0.3,
+        )
+        q = (
+            limited.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: keys A and B burst at t0 — both overdraw (3 events, limit 2),
+    # so both hold partially-drained buckets (refill horizon t0+2 + 10 s)
+    t0 = "2024-01-01 00:00:0"
+    write_file("f1", [(k, i, f"{t0}{i}") for k in ("A", "B") for i in range(3)])
+    run_once()
+    _time.sleep(0.5)  # > ttl: timers for A and B are due at the next batch
+    # run 2: only B speaks again, far in the future — the watermark jumps
+    # past A's horizon, but A's timer fires DURING this batch, when the
+    # batch's watermark is still the run-1 value (< horizon) → retained
+    write_file("f2", [("B", i, f"2024-01-01 01:00:0{i}") for i in range(3)])
+    run_once()
+    _time.sleep(0.5)
+    # run 3: an unrelated key C triggers a batch; now A times out with
+    # watermark ≈ 01:00:02 ≥ A's horizon (00:00:12) → evicted. B's
+    # horizon is 01:00:12 (> watermark) → retained.
+    write_file("f3", [("C", 0, "2024-01-01 01:00:03")])
+    run_once()
+
+    state = spark.read.format("statestore").load(ckpt)
+    keys = sorted(r["key"]["conv_id"] for r in state.collect())
+    assert "A" not in keys, f"idle key A still holds state: {keys}"
+    assert "B" in keys and "C" in keys, keys
