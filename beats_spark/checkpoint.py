@@ -121,23 +121,21 @@ class CheckpointedRun:
         # read `_part` back as a STRING: partition type inference can
         # canonicalize a non-canonical day value (e.g. '2024-1-5' inferred
         # as date reads back '2024-01-05'), breaking the str() round-trip
-        # keying below (r3 ADVICE)
-        # NOTE: session-scoped flip (no per-read option exists for this);
-        # safe here because the checkpoint runner is sequential driver
-        # code — nothing else reads through this session inside the
-        # set/restore window (collect happens before the restore).
-        conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        prev = spark.conf.get(conf, "true")
-        spark.conf.set(conf, "false")
-        try:
-            written = spark.read.option("basePath", self.sinks_dir).parquet(*paths)
-            key = {str(p): p for p in parts}
-            for r in (
-                written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
-            ):
-                out[key[str(r["_part"])]][r[SINK_COL]] = r["cnt"]
-        finally:
-            spark.conf.set(conf, prev)
+        # keying below (r3 ADVICE). A user-specified schema typing the
+        # two directory-partition columns as string disables inference
+        # FOR THIS READ ONLY — no session-wide conf flip that could race
+        # a concurrent reader on the same session (r4 ADVICE) — and
+        # prunes the scan to the partition columns (no data pages read).
+        written = (
+            spark.read.schema(f"_part string, {SINK_COL} string")
+            .option("basePath", self.sinks_dir)
+            .parquet(*paths)
+        )
+        key = {str(p): p for p in parts}
+        for r in (
+            written.groupBy("_part", SINK_COL).agg(F.count(F.lit(1)).alias("cnt")).collect()
+        ):
+            out[key[str(r["_part"])]][r[SINK_COL]] = r["cnt"]
         return out
 
     def _part_column(self) -> F.Column:

@@ -198,7 +198,18 @@ def compile_condition(cfg: dict[str, Any], schema: dict[str, str] | None = None)
     if op == "not":
         return ~F.coalesce(compile_condition(arg, schema), F.lit(False))
     if op == "equals":
-        return _all([_field(k).eqNullSafe(F.lit(v)) for k, v in arg.items()])
+        conds = []
+        for k, v in arg.items():
+            if _is_array(k, schema):
+                # equals supports only string/int scalars in the
+                # reference (equals.go createEquals*Condition); on any
+                # other type it warns and compiles a never-matching
+                # check — mirror that rather than failing analysis with
+                # array = scalar (r4 ADVICE)
+                conds.append(F.lit(False))
+            else:
+                conds.append(_field(k).eqNullSafe(F.lit(v)))
+        return _all(conds)
     if op == "contains":
         conds = []
         for k, v in arg.items():
@@ -209,7 +220,17 @@ def compile_condition(cfg: dict[str, Any], schema: dict[str, str] | None = None)
             conds.append(F.coalesce(c, F.lit(False)))
         return _all(conds)
     if op == "regexp":
-        return _all([F.coalesce(_field(k).rlike(v), F.lit(False)) for k, v in arg.items()])
+        conds = []
+        for k, v in arg.items():
+            if _is_array(k, schema):
+                # the reference Matcher walks list elements for regexp
+                # too (matcher.go:91-94 MatchAnyString) — same
+                # any-element semantics as `contains` (r4 ADVICE)
+                c = F.exists(_field(k), lambda x: x.rlike(v))
+            else:
+                c = _field(k).rlike(v)
+            conds.append(F.coalesce(c, F.lit(False)))
+        return _all(conds)
     if op == "range":
         conds = []
         for key, bound in arg.items():

@@ -434,9 +434,11 @@ def add_formatted_index(index: str):
     from ..selector import compile_fmtstr
 
     def stage(df: DataFrame) -> DataFrame:
-        # pass the schema so absent fields resolve to "produced nothing"
-        # (fmtstr semantics) instead of an AnalysisException
-        value, defined = compile_fmtstr(index, columns=set(df.columns))
+        # pass the full dtypes so absent fields resolve to "produced
+        # nothing" (fmtstr semantics) instead of an AnalysisException,
+        # AND nested refs under struct/map roots still resolve (passing
+        # names only nulled every multi-segment ref — r4 ADVICE)
+        value, defined = compile_fmtstr(index, dtypes=dict(df.dtypes))
         return df.withColumn("_meta_index", F.when(defined, value))
 
     return stage

@@ -156,7 +156,10 @@ def codec_format(template: str, target: str = "serialized"):
     from ..selector import compile_fmtstr
 
     def stage(df: DataFrame) -> DataFrame:
-        value, _ = compile_fmtstr(template, columns=set(df.columns))
+        # dtypes too, not just names: nested refs (%{[attrs][x]}) need
+        # the root's type to prove getItem is analyzable (r4 ADVICE —
+        # names alone made every multi-segment ref render null)
+        value, _ = compile_fmtstr(template, dtypes=dict(df.dtypes))
         return df.withColumn(target, value)
 
     return stage

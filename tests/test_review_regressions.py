@@ -561,3 +561,54 @@ def test_stream_to_sinks_clears_stale_batch_file(spark, tmp_path):
     stream = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
     stream_to_sinks(stream, str(out), str(tmp_path / "ckpt2"))
     assert not (out / "_batch=0").exists()
+
+
+def test_regexp_and_equals_on_array_fields(spark):
+    """r4 ADVICE: regexp on an array<string> field must walk elements
+    (matcher.go MatchAnyString) instead of raising at analysis; equals on
+    an array field compiles to never-match (reference returns false on
+    unsupported types) rather than failing analysis."""
+    df = spark.createDataFrame(
+        [(1, ["prod", "eu-west"]), (2, ["dev"]), (3, None)],
+        "id int, tags array<string>",
+    )
+    schema = dict(df.dtypes)
+    rx = compile_condition({"regexp": {"tags": "^prod$"}}, schema=schema)
+    assert [r.id for r in df.filter(rx).collect()] == [1]
+    eq = compile_condition({"equals": {"tags": "prod"}}, schema=schema)
+    assert df.filter(eq).count() == 0
+
+
+def test_fmtstr_nested_refs_resolve_at_stage_callsites(spark):
+    """r4 ADVICE: codec_format and add_formatted_index pass full dtypes to
+    compile_fmtstr, so %{[attrs][x]}-style nested refs resolve instead of
+    silently rendering null."""
+    df = spark.createDataFrame([("c1",)], "conv_id string").withColumn(
+        "attrs", F.create_map(F.lit("x"), F.lit("V"))
+    ).withColumn("ts", F.lit("2024-01-02 03:04:05").cast("timestamp"))
+    out = build("codec_format", template="v=%{[attrs][x]}")(df).first()
+    assert out.serialized == "v=V"
+    idx = build("add_formatted_index", index="idx-%{[attrs][x]}")(df).first()
+    assert idx._meta_index == "idx-V"
+
+
+def test_dedup_release_intermediates(spark):
+    """r4 ADVICE: dedup results own their persisted intermediates;
+    release_intermediates frees them eagerly (per-batch loop callers)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from beats_spark.datapipe.dedup import minhash_dedup, release_intermediates
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i % 3}") for i in range(30)],
+        "doc_id int, text string",
+    )
+    kept = minhash_dedup(df, num_perm=8, bands=4, threshold=0.5)
+    kept.count()  # consume — persists materialize during execution
+    owned = list(getattr(kept, "_bs_persisted", []))
+    assert len(owned) >= 3  # buckets + candidate pairs + shingle table
+    assert any(p.storageLevel != StorageLevel.NONE for p in owned)
+    released = release_intermediates(kept)
+    assert released == len(owned)
+    assert all(p.storageLevel == StorageLevel.NONE for p in owned)
+    assert release_intermediates(kept) == 0  # idempotent
