@@ -184,3 +184,47 @@ def stream_exact_dedup(
         .dropDuplicatesWithinWatermark(["_content_hash"])
         .drop("_content_hash")
     )
+
+
+def flagship_stream(
+    spark,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 16,
+    available_now: bool = False,
+    trigger_seconds: int = 5,
+):
+    """The readStream variant of `pipeline.flagship` — ONE entry composing
+    scan → dissect/convert → enrich → selector → per-sink idempotent
+    fan-out as a continuously-running query. This is the reference's
+    actual operating mode (a long-running shipper: filebeat's run loop,
+    beater/filebeat.go); the batch `flagship` is the same plan over a
+    bounded scan.
+
+    Semantic parity with the batch run holds by CONSTRUCTION, not by
+    reimplementation: `parse_enrich` + `route_events` are the same
+    compiled stages (pure Column expressions + stream-static broadcast
+    lookup joins — both legal on streaming frames), the file source's
+    checkpoint cursor is the harvester registry analog (only new files
+    process after a restart), and `stream_to_sinks`' per-batch overwrite
+    makes a replayed batch rewrite rather than duplicate. Therefore
+    after any stop/restart sequence that drains the input, the union of
+    `_batch=*` outputs equals the batch flagship's routed row set —
+    per-sink counts, per-turn text, and sink assignment (asserted in
+    tests/test_streaming_restart.py::test_flagship_stream_*, PARITY.md).
+
+    Returns the StreamingQuery (caller owns stop/awaitTermination).
+    """
+    from ..pipeline import parse_enrich, route_events
+    from ..sources import read_transcripts_stream
+
+    t = read_transcripts_stream(spark, src_dir, max_files_per_trigger=max_files_per_trigger)
+    routed = route_events(parse_enrich(t, spark))
+    return stream_to_sinks(
+        routed,
+        out_dir,
+        checkpoint_dir,
+        trigger_seconds=trigger_seconds,
+        available_now=available_now,
+    )

@@ -114,3 +114,48 @@ def test_stream_fanout_sinks_exactly_once(spark, tmp_path):
     assert any(
         d.startswith("_sink=") for b in batch_dirs for d in os.listdir(os.path.join(out_dir, b))
     )
+
+
+@pytest.mark.slow
+def test_flagship_stream_restart_matches_batch(spark, tmp_path):
+    """VERDICT r4 item 4: the first-class streaming flagship entry,
+    killed mid-stream and restarted, ends with per-sink counts AND the
+    per-turn (conv_id, turn_idx, text, sink) row set equal to the batch
+    flagship over the same input — the closest semantic-parity statement
+    to the reference's continuously-running shipper."""
+    from beats_spark.pipeline import parse_enrich, route_events
+    from beats_spark.streaming import flagship_stream, read_sink_output
+
+    src_dir, out_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(src_dir)
+    base = synth.transcripts(spark, "/root/testdata/sf0.001").drop("event_id")
+    # many small files so the kill lands mid-stream deterministically
+    base.repartition(8).write.mode("append").parquet(src_dir)
+
+    # phase 1: one-file-per-trigger; kill after the first committed batch
+    q = flagship_stream(spark, src_dir, out_dir, ckpt, max_files_per_trigger=1, trigger_seconds=0)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p and p["numInputRows"] > 0:
+            break
+        time.sleep(0.5)
+    q.stop()  # mid-stream: some files processed, most not
+
+    # phase 2: restart from the checkpoint, drain everything
+    q2 = flagship_stream(spark, src_dir, out_dir, ckpt, available_now=True)
+    q2.awaitTermination(180)
+
+    got = read_sink_output(spark, out_dir)
+    want = route_events(parse_enrich(spark.read.parquet(src_dir), spark))
+    # per-sink aggregate counts equal
+    counts = lambda df: {
+        r["_sink"]: r["n"] for r in df.groupBy("_sink").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts(got) == counts(want)
+    # routed-row set equality incl. per-turn text under stable ordering
+    key = lambda df: sorted(
+        (r.conv_id, r.turn_idx, r.text, r["_sink"])
+        for r in df.select("conv_id", "turn_idx", "text", "_sink").collect()
+    )
+    assert key(got) == key(want)
