@@ -189,6 +189,131 @@ def dequantize(codes: Column, q_min: Column, q_scale: Column) -> Column:
     return F.transform(codes, lambda c: c.cast("double") * q_scale + q_min)
 
 
+def _det_uniform(id_c: Column, salt: str) -> Column:
+    """Deterministic (0,1) uniform from an id — md5 prefix as a 48-bit
+    integer (no rand(): replayable across retries/resumes/engines)."""
+    h = F.conv(F.substring(F.md5(F.concat(id_c.cast("string"), F.lit(salt))), 1, 12), 16, 10)
+    return (h.cast("double") + 1.0) / (2.0**48 + 2.0)
+
+
+def _kmeans_par_seed(
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rounds: int = 4,
+) -> list[list[float]]:
+    """Deterministic k-means‖ seeding (Bahmani et al., VLDB 2012) — the
+    scalable replacement for the r1-r4 first-k-ids init, which degrades
+    recall on clustered corpora (VERDICT r4 item 5). No rand() anywhere:
+
+      * c0 = the vector with the smallest md5(id) (hash-ordered — a
+        corpus-layout-independent pick, unlike lowest id);
+      * each of `rounds` passes draws l = 2k candidates WITHOUT
+        replacement, weighted by d²(x) to the nearest candidate so far,
+        via the Efraimidis-Spirakis A-Res rule: key = u^(1/d²) with u a
+        deterministic per-(id, round) uniform; global top-l keys ARE the
+        weighted sample. d² is maintained INCREMENTALLY (min against the
+        round's new candidates only), so each pass costs l×dim per row,
+        not candidates×dim;
+      * candidates are weighted by assigned corpus counts (one pass) and
+        reduced to k by a bounded DRIVER-side weighted Lloyd over
+        ≤ 1 + rounds·2k points (numpy; greedy weighted-farthest-point
+        init — argmax ties resolve to the lowest index).
+
+    Driver-side data is bounded: ≤ (1 + rounds·2k) × dim doubles
+    (~12 MB at k=256, dim=768) plus one count row per candidate.
+    """
+    import numpy as np
+
+    l = 2 * k
+    first = (
+        corpus.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(1)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not first:
+        return []
+    cands: list[list[float]] = [list(first[0][0])]
+    cur = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.lit(float("inf")).alias("_d2"),
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    new_cands = cands
+    persisted = []
+    try:
+        for rnd in range(rounds):
+            scored = _nested_lit(cur, "_nc", new_cands, "array<array<double>>").select(
+                "_id",
+                "_v",
+                F.least(
+                    F.col("_d2"),
+                    F.array_min(F.transform(F.col("_nc"), lambda c: _sq_dist(F.col("_v"), c))),
+                ).alias("_d2"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(scored)
+            cur = scored
+            key = F.pow(_det_uniform(F.col("_id"), f"#km{rnd}"), 1.0 / F.col("_d2"))
+            rows = (
+                scored.select("_id", "_v", key.alias("_key"))
+                .filter(F.col("_d2") > 0)
+                .orderBy(F.col("_key").desc(), F.col("_id"))
+                .limit(l)
+                .select("_v")
+                .collect()
+            )
+            new_cands = [list(r[0]) for r in rows]
+            if not new_cands:
+                break
+            cands.extend(new_cands)
+        # weight pass: corpus points per candidate
+        assign = _nested_lit(corpus, "_cand", cands, "array<array<double>>").select(
+            _nearest_centroid(F.col(vec_col), F.col("_cand")).alias("_cid")
+        )
+        wrows = assign.groupBy("_cid").agg(F.count(F.lit(1)).alias("_n")).collect()
+    finally:
+        for p in persisted:
+            p.unpersist()
+    w = np.zeros(len(cands))
+    for r in wrows:
+        w[int(r["_cid"])] = float(r["_n"])
+    C = np.asarray(cands, dtype=float)
+    if len(C) <= k:
+        return [[float(x) for x in row] for row in C]
+    # driver-side weighted Lloyd (bounded, deterministic)
+    cn = (C * C).sum(axis=1)
+
+    def d2_to(idx: int) -> np.ndarray:
+        diff = C - C[idx]
+        return (diff * diff).sum(axis=1)
+
+    centers = [int(np.argmax(w))]
+    d2 = d2_to(centers[0])
+    for _ in range(k - 1):
+        nxt = int(np.argmax(w * d2))
+        centers.append(nxt)
+        d2 = np.minimum(d2, d2_to(nxt))
+    M = C[centers].copy()
+    for _ in range(25):
+        # ||a-b||² via the dot trick: n×k scores without an n×k×dim tensor
+        dist = cn[:, None] + (M * M).sum(axis=1)[None, :] - 2.0 * (C @ M.T)
+        a = dist.argmin(axis=1)
+        newM = M.copy()
+        for j in range(k):
+            mask = a == j
+            ws = w[mask].sum()
+            if ws > 0:
+                newM[j] = (C[mask] * w[mask, None]).sum(axis=0) / ws
+        if np.allclose(newM, M):
+            break
+        M = newM
+    return [[float(x) for x in row] for row in M]
+
+
 def ivf_centroids(
     corpus: DataFrame,
     k: int = 16,
@@ -196,16 +321,19 @@ def ivf_centroids(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "kmeans||",
 ) -> list[list[float]]:
     """Deterministic mini-Lloyd for IVF coarse centroids.
 
-    Init = the k lowest-id vectors (reproducible, no RNG). Assignment is
-    a BROADCAST cross join against a tiny (cid, cvec) centroid DataFrame
-    (VERDICT r2 item 5): the plan carries no k×dim literal expression
-    tree, so k=256+ trains with a constant-size plan. Each iteration is
-    one distributed pass — broadcast join → squared distance via
-    zip_with/aggregate → min-struct per vector (map-side partial
-    aggregation collapses the k candidates per vector BEFORE the
+    Init: `kmeans||` (default, r5) = deterministic k-means‖ seeding —
+    see _kmeans_par_seed; `first` = the k lowest-id vectors (the r1-r4
+    init, kept as the cheap fallback for tests/tiny corpora). Assignment
+    is a BROADCAST cross join against a tiny (cid, cvec) centroid
+    DataFrame (VERDICT r2 item 5): the plan carries no k×dim literal
+    expression tree, so k=256+ trains with a constant-size plan. Each
+    iteration is one distributed pass — broadcast join → squared
+    distance via zip_with/aggregate → min-struct per vector (map-side
+    partial aggregation collapses the k candidates per vector BEFORE the
     shuffle) → per-dimension mean via posexplode. Only the k×dim means
     (~k·dim·8 bytes) ever reach the driver. This is the TRAIN step —
     small, bounded, run once; the scale path is ivf_topk's bucketed
@@ -214,10 +342,15 @@ def ivf_centroids(
     if dim is None:
         raise ValueError("ivf_centroids requires explicit dim=")
     spark = corpus.sparkSession
-    seed_rows = (
-        corpus.orderBy(id_col).limit(k).select(F.col(vec_col).cast("array<double>")).collect()
-    )
-    cents = [list(r[0]) for r in seed_rows]
+    if init == "kmeans||":
+        cents = _kmeans_par_seed(corpus, k, id_col, vec_col)
+    elif init == "first":
+        seed_rows = (
+            corpus.orderBy(id_col).limit(k).select(F.col(vec_col).cast("array<double>")).collect()
+        )
+        cents = [list(r[0]) for r in seed_rows]
+    else:
+        raise ValueError(f"ivf_centroids: unknown init {init!r}")
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
     )
@@ -414,6 +547,7 @@ def pq_train(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "kmeans||",
 ) -> list[list[list[float]]]:
     """Train m sub-codebooks of k centroids each (product quantization,
     Jégou et al. 2011): the vector is split into m equal subspaces and
@@ -431,7 +565,7 @@ def pq_train(
             F.col(id_col), F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub).alias("_sv")
         )
         codebooks.append(
-            ivf_centroids(subdf, k=k, iters=iters, dim=sub, id_col=id_col, vec_col="_sv")
+            ivf_centroids(subdf, k=k, iters=iters, dim=sub, id_col=id_col, vec_col="_sv", init=init)
         )
     return codebooks
 

@@ -192,8 +192,9 @@ def test_quantize_int8_roundtrip(spark):
 
 
 def test_ivf_topk_recall(spark):
-    """IVF coarse-quantizer ANN: recall@5 vs brute force ≥ 0.5 with
-    nprobe=4 of 8 lists (deterministic mini-Lloyd centroids)."""
+    """IVF coarse-quantizer ANN: recall@5 vs brute force ≥ 0.7 with
+    nprobe=4 of 8 lists (deterministic k-means‖-seeded mini-Lloyd;
+    floor tightened from 0.5 with the r5 seeding — measured 0.84)."""
     from beats_spark.datapipe.similarity import brute_topk, ivf_centroids, ivf_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
@@ -206,7 +207,57 @@ def test_ivf_topk_recall(spark):
         for r in ivf_topk(emb, q, cents, k=5, nprobe=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"recall {recall}"
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_kmeans_par_seeding_beats_first_on_clustered_corpus(spark):
+    """VERDICT r4 item 5: first-k-ids init degrades on clustered corpora
+    whose clusters arrive in id order (every seed lands in cluster 0);
+    the deterministic k-means‖ seeding must fix distortion AND list
+    balance — at 100 TB an unbalanced inverted list is a probe-cost
+    straggler. Measured on this corpus: first → distortion 26.6, 7/8
+    lists, hottest list 500/2000; kmeans‖ → 1.33, 8/8, 250."""
+    import math
+
+    from beats_spark.datapipe.similarity import (
+        _nearest_centroid,
+        _nested_lit,
+        _sq_dist,
+        ivf_centroids,
+    )
+
+    rows = []
+    for i in range(2000):
+        c = i // 250  # clusters in id order — adversarial for first-k init
+        base = [math.sin(0.7 * c * (d + 1)) * 5.0 for d in range(16)]
+        jit = [((i * 31 + d * 17) % 97) / 97.0 - 0.5 for d in range(16)]
+        rows.append((i, [b + j for b, j in zip(base, jit)]))
+    blob = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+    def stats(init):
+        cents = ivf_centroids(blob, k=8, iters=2, dim=16, init=init)
+        asg = _nested_lit(blob, "_c", cents, "array<array<double>>").select(
+            _nearest_centroid(F.col("embedding"), F.col("_c")).alias("cid"),
+            F.array_min(
+                F.transform(
+                    F.col("_c"),
+                    lambda c: _sq_dist(F.col("embedding").cast("array<double>"), c),
+                )
+            ).alias("d2"),
+        )
+        r = asg.agg(F.avg("d2").alias("dist"), F.countDistinct("cid").alias("lists")).collect()[0]
+        mx = asg.groupBy("cid").count().agg(F.max("count")).collect()[0][0]
+        return r.dist, r.lists, mx
+
+    d_first, _, _ = stats("first")
+    d_km, lists_km, max_km = stats("kmeans||")
+    assert d_km < d_first / 5, (d_km, d_first)
+    assert lists_km == 8
+    assert max_km <= 300  # balanced: ideal is 250/list
+    # determinism: same input → identical centroids
+    c1 = ivf_centroids(blob, k=8, iters=2, dim=16)
+    c2 = ivf_centroids(blob, k=8, iters=2, dim=16)
+    assert c1 == c2
 
 
 def test_ivf_centroids_k256_constant_plan(spark):
