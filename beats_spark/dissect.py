@@ -673,6 +673,8 @@ def dissect_columns(
     trim_values: str | None = None,
     trim_chars: str = " ",
     strategy: str = "extract",
+    overwrite_keys: bool = False,
+    convert_types: bool = True,
 ) -> DataFrame:
     """Dissect `src` into one top-level string column per capture key.
 
@@ -683,11 +685,36 @@ def dissect_columns(
     `strategy` tunes the fast path: 'extract' (k regex passes, measured
     fastest at all key counts on JVM regex) vs 'packed' (2 passes via
     replace+split, kept as an alternative).
+
+    Processor-level semantics (processor.go:83-105, r5 matrix port):
+      * `prefix` is the target_prefix analog under the engine's flat
+        column convention (target 'dissect' → columns 'dissect_<key>');
+      * `overwrite_keys=False` (the reference default) REFUSES to write
+        over an existing column — the per-event "cannot override
+        existing key" error is a PLAN-time DissectError here, which is
+        strictly stronger than the reference's pre-check (no partial
+        writes by construction: processor_test.go's clone-skip safety);
+      * typed captures (`%{k|integer}`) cast via cast_column when
+        `convert_types` (divergence: the reference keeps the raw string
+        on conversion failure, impossible in a typed column — failures
+        become NULL, see cast_column).
     """
     d = Dissector(tokenizer, trim_values=trim_values, trim_chars=trim_chars)
     if d.has_dynamic_keys:
         raise DissectError("dynamic (indirect) keys need dissect_attrs()")
     out_keys = keys or d.output_keys()
+    if not overwrite_keys:
+        clash = [k for k in out_keys if prefix + k in df.columns]
+        if clash:
+            raise DissectError(
+                f"cannot override existing key with `{clash[0]}` "
+                "(pass overwrite_keys=True to allow; processor.go:91-99)"
+            )
+    types = {f.key: f.data_type for f in d.fields if f.data_type} if convert_types else {}
+
+    def _typed(k: str, v: Column) -> Column:
+        return cast_column(v, types[k]) if k in types else v
+
     col = F.col(src)
     plan = d.column_plan(col, strategy=strategy)
     if plan is not None:
@@ -696,7 +723,7 @@ def dissect_columns(
         # the regex technically matches it (dissect.go:58-60).
         matched = matched & (F.length(col) > 0)
         for k in out_keys:
-            df = df.withColumn(prefix + k, F.when(matched, cols[k]))
+            df = df.withColumn(prefix + k, _typed(k, F.when(matched, cols[k])))
         fail_cond = ~F.coalesce(matched, F.lit(False))
     else:
         struct_type = ", ".join(f"`{k}` string" for k in out_keys)
@@ -713,7 +740,7 @@ def dissect_columns(
         tmp = "_dissect_struct"
         df = df.withColumn(tmp, u(col))
         for k in out_keys:
-            df = df.withColumn(prefix + k, F.col(tmp)[k])
+            df = df.withColumn(prefix + k, _typed(k, F.col(tmp)[k]))
         fail_cond = F.col(tmp).isNull() | F.col(f"{tmp}.{out_keys[0]}").isNull()
         # flag BEFORE dropping the temp struct — fail_cond references it
         if flag_failures:
