@@ -628,6 +628,26 @@ def dedup_transitive(
 # -- benchmark decontamination -------------------------------------------------
 
 
+def _word_gram_hashes(col: Column, n: int, hash_method: str, seed: int = 0) -> Column:
+    """Hashed word n-grams, joined-string form (array_join per gram →
+    seeded hash).
+
+    RECORDED NEGATIVE RESULT (VERDICT r4 item 7, measured r5): two
+    string-free variants were A/B'd at the sf1 bench shape (500k docs,
+    interleaved reps, same session) against this form and both LOST —
+    (a) per-token xxhash64 then xxhash64 over the n-element SLICE of the
+    token-hash array: 42.6-47.1 s vs 34.1-36.1 s (+25%) — array-typed
+    hashing + the per-gram slice allocation cost more than the ~13-word
+    string it avoids building; (b) multi-arg xxhash64 over 13
+    element_at() lookups per gram: >10 min (killed). Spark's UTF8String
+    hashing is simply the fastest payload for this explode, so the
+    joined-string gram stays. Full numbers in BENCH/BASELINE.md.
+    """
+    return F.transform(
+        shingles(col, n, word=True), lambda s: _seeded_hash(s, seed, hash_method)
+    )
+
+
 def ngram_decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -651,22 +671,12 @@ def ngram_decontaminate(
     doc_grams = docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col(text_col), n, word=True),
-                    lambda s: _seeded_hash(s, 0, hash_method),
-                )
-            )
+            F.array_distinct(_word_gram_hashes(F.col(text_col), n, hash_method))
         ).alias("_g"),
     )
     bench_grams = (
         benchmark.select(
-            F.explode(
-                F.transform(
-                    shingles(F.col(bench_text_col), n, word=True),
-                    lambda s: _seeded_hash(s, 0, hash_method),
-                )
-            ).alias("_g")
+            F.explode(_word_gram_hashes(F.col(bench_text_col), n, hash_method)).alias("_g")
         )
         .distinct()
     )

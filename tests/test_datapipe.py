@@ -805,3 +805,29 @@ def test_normalize_url(spark):
     got = {r.i: r.n for r in df.select("i", normalize_url(F.col("url")).alias("n")).collect()}
     for i, (u, want) in enumerate(cases):
         assert got[i] == want, (u, got[i], want)
+
+
+def test_word_gram_hash_paths_agree_on_contamination(spark):
+    """r5: the xxhash64 fast path (token-hash-array grams, no string
+    materialization) and the md5 oracle path (joined-string grams) must
+    flag the same contaminated set — hash values differ, collisions on
+    real grams cannot."""
+    from beats_spark.datapipe.dedup import ngram_decontaminate
+
+    words = lambda a, k: " ".join(f"w{a}{i}" for i in range(k))
+    docs = spark.createDataFrame(
+        [
+            (1, words("a", 20)),          # shares a 13-gram with bench
+            (2, words("b", 20)),          # disjoint vocabulary
+            (3, words("a", 12)),          # sub-n: never contaminated
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(words("a", 15),)], "text string")
+    out = {}
+    for method in ("xxhash64", "md5"):
+        r = ngram_decontaminate(docs, bench, n=13, hash_method=method)
+        out[method] = {(x.doc_id, x.contaminated, x.n_hits) for x in r.collect()}
+    assert out["xxhash64"] == out["md5"]
+    assert (1, True, 3) in out["md5"]  # 20-gram doc vs 15-gram bench: 3 shared 13-grams
+    assert (2, False, 0) in out["md5"] and (3, False, 0) in out["md5"]
