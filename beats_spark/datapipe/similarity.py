@@ -104,6 +104,48 @@ def _planes(dim: int, p_bits: int, seed: int = 42) -> list[list[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(p_bits)]
 
 
+def _srp_buckets_arrow(
+    df: DataFrame,
+    table_planes: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow-batched SRP bucketing: per record batch, one BLAS matmul
+    per hash table (bits = sign(V @ P.T), bucket = bits · 2^i). Emits
+    one row per (input row, table): (id, vec, t, bucket) — the same
+    exploded shape the expression bucketer produces. Same rationale and
+    float caveat as _assign_arrow (sign flips only when a dot product
+    sits within an ulp of zero); opt-in, the expression path stays the
+    bit-stable oracle-checked default."""
+    import numpy as np
+    import pandas as pd
+
+    P = [np.asarray(p, dtype=np.float64) for p in table_planes]
+    W = [(2 ** np.arange(p.shape[0])).astype("int64") for p in P]
+    base = df.select(id_col, vec_col)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy, don't .add() — see _assign_arrow
+    out_schema = StructType(
+        list(base.schema.fields)
+        + [StructField("t", IntegerType()), StructField("bucket", IntegerType())]
+    )
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.asarray(np.vstack(pdf[vec_col].to_numpy()), dtype=np.float64)
+            outs = []
+            for t, (p, w) in enumerate(zip(P, W)):
+                bits = (V @ p.T) > 0
+                o = pdf[[id_col, vec_col]].copy()
+                o["t"] = np.int32(t)
+                o["bucket"] = (bits * w).sum(axis=1).astype("int32")
+                outs.append(o)
+            yield pd.concat(outs)
+
+    return base.mapInPandas(fn, out_schema)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,6 +156,7 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 1,
+    bucketer: str = "expr",
 ) -> DataFrame:
     """Approximate top-k: `tables` independent SRP hash tables; a query
     probes its bucket in every table (+ `multiprobe` single-bit flips per
@@ -134,16 +177,34 @@ def lsh_bucket_topk(
             lambda tp, t: F.struct(t.cast("int").alias("t"), _srp_bucket(vec, tp).alias("bk")),
         )
 
-    c = _nested_lit(corpus, "_tplanes", table_planes, "array<array<array<double>>>").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(buckets_for(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket"))
-    q0 = _nested_lit(queries, "_tplanes", table_planes, "array<array<array<double>>>").select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(buckets_for(F.col(vec_col))).alias("tb"),
-    ).select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("q_bucket"))
+    if bucketer == "arrow":
+        cb = _srp_buckets_arrow(corpus, table_planes, id_col, vec_col)
+        c = cb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            "t",
+            "bucket",
+        )
+        qb = _srp_buckets_arrow(queries, table_planes, id_col, vec_col)
+        q0 = qb.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "t",
+            F.col("bucket").alias("q_bucket"),
+        )
+    elif bucketer == "expr":
+        c = _nested_lit(corpus, "_tplanes", table_planes, "array<array<array<double>>>").select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.explode(buckets_for(F.col(vec_col))).alias("tb"),
+        ).select("neighbor_id", "c_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket"))
+        q0 = _nested_lit(queries, "_tplanes", table_planes, "array<array<array<double>>>").select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(buckets_for(F.col(vec_col))).alias("tb"),
+        ).select("query_id", "q_vec", F.col("tb.t").alias("t"), F.col("tb.bk").alias("q_bucket"))
+    else:
+        raise ValueError(f"lsh_bucket_topk: unknown bucketer {bucketer!r}")
     probes = [F.col("q_bucket")] + [
         F.col("q_bucket").bitwiseXOR(F.lit(2**i)) for i in range(min(multiprobe, p_bits))
     ]
@@ -422,6 +483,50 @@ def _nearest_centroid(vec: Column, cents_col: Column) -> Column:
     ).getField("i")
 
 
+def _assign_arrow(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    out_col: str = "cid",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment: one BLAS matmul per
+    record batch (||v-c||² via the dot trick, argmin per row — first
+    occurrence = lowest cid, the same tie rule as the expression path).
+
+    WHY a pandas UDF here, against the no-per-row-Python rule: dense
+    k×dim matvec per row is the one workload where expression-tree
+    evaluation loses by orders of magnitude — the HOF form evaluates
+    ~70 MFLOP/s/core (measured: 100k rows × k=256 × dim=768 did not
+    finish 20 GFLOP in 290 s on 4 cores) while numpy's matmul streams
+    the same batch through BLAS. This is batched Arrow columnar work,
+    not per-row Python. Float caveat: BLAS pairwise summation differs
+    from the expression path's left-fold in the last ulp, so assignments
+    can flip ONLY on near-exact distance ties — why `assign='expr'`
+    stays the default (bit-stable, oracle-checked) and this is the
+    opt-in scale path.
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.float64)
+    Cn = (C * C).sum(axis=1)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy, don't .add(): StructType.add mutates in place and df.schema
+    # is cached on the DataFrame — mutating it corrupts df.columns
+    names = [f.name for f in df.schema.fields]
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def fn(batches):
+        for pdf in batches:
+            V = np.asarray(np.vstack(pdf[vec_col].to_numpy()), dtype=np.float64)
+            d = (V * V).sum(axis=1)[:, None] + Cn[None, :] - 2.0 * (V @ C.T)
+            pdf = pdf[names].copy()
+            pdf[out_col] = d.argmin(axis=1).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(fn, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -430,6 +535,7 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> DataFrame:
     """IVF probe: corpus bucketed by nearest centroid (ONE shuffle-free
     map-side assignment), each query scans its `nprobe` nearest inverted
@@ -441,13 +547,27 @@ def ivf_topk(
     k_coarse=256, dim=768) in the corpus-side plan — the
     analysis/codegen blowup VERDICT r4 item 1 flags. Assignment rule
     (min distance, min index on ties) and float op order are unchanged,
-    so results are bit-identical."""
+    so results are bit-identical.
+
+    `assign='arrow'` routes the corpus-side assignment through a
+    BLAS-batched pandas UDF (see _assign_arrow) — the opt-in for
+    production dims where expression-evaluated matvec is compute-bound;
+    same tie rule, last-ulp float caveat documented there."""
     clist = [[float(x) for x in c] for c in cents]
-    c = _nested_lit(corpus, "_cents", clist, "array<array<double>>").select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _nearest_centroid(F.col(vec_col), F.col("_cents")).alias("cid"),
-    )
+    if assign == "arrow":
+        c = _assign_arrow(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+            clist,
+            "c_vec",
+        )
+    elif assign == "expr":
+        c = _nested_lit(corpus, "_cents", clist, "array<array<double>>").select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _nearest_centroid(F.col(vec_col), F.col("_cents")).alias("cid"),
+        )
+    else:
+        raise ValueError(f"ivf_topk: unknown assign {assign!r}")
     ranked = F.slice(_ranked_centroids(F.col(vec_col), F.col("_cents")), 1, nprobe)
     q = _nested_lit(queries, "_cents", clist, "array<array<double>>").select(
         F.col(id_col).alias("query_id"),
@@ -476,6 +596,7 @@ def embedding_near_dupes(
     dim: int | None = None,
     tables: int = 2,
     max_bucket_rows: int = 4096,
+    bucketer: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table SRP buckets.
 
@@ -495,15 +616,20 @@ def embedding_near_dupes(
             "knowledge); sniffing it would execute a job during planning"
         )
     table_planes = [_planes(dim, p_bits, seed=42 + 1000 * t) for t in range(tables)]
-    buckets = F.transform(
-        F.col("_tplanes"),
-        lambda tp, t: F.struct(
-            t.cast("int").alias("t"), _srp_bucket(F.col(vec_col), tp).alias("bk")
-        ),
-    )
-    b = _nested_lit(df, "_tplanes", table_planes, "array<array<array<double>>>").select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")
-    ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket"))
+    if bucketer == "arrow":
+        b = _srp_buckets_arrow(df, table_planes, id_col, vec_col)
+    elif bucketer == "expr":
+        buckets = F.transform(
+            F.col("_tplanes"),
+            lambda tp, t: F.struct(
+                t.cast("int").alias("t"), _srp_bucket(F.col(vec_col), tp).alias("bk")
+            ),
+        )
+        b = _nested_lit(df, "_tplanes", table_planes, "array<array<array<double>>>").select(
+            F.col(id_col), F.col(vec_col), F.explode(buckets).alias("tb")
+        ).select(id_col, vec_col, F.col("tb.t").alias("t"), F.col("tb.bk").alias("bucket"))
+    else:
+        raise ValueError(f"embedding_near_dupes: unknown bucketer {bucketer!r}")
     wcap = Window.partitionBy("t", "bucket").orderBy(F.col(id_col))
     b = b.withColumn("_rn", F.row_number().over(wcap)).filter(
         F.col("_rn") <= max_bucket_rows

@@ -831,3 +831,35 @@ def test_word_gram_hash_paths_agree_on_contamination(spark):
     assert out["xxhash64"] == out["md5"]
     assert (1, True, 3) in out["md5"]  # 20-gram doc vs 15-gram bench: 3 shared 13-grams
     assert (2, False, 0) in out["md5"] and (3, False, 0) in out["md5"]
+
+
+def test_arrow_assignment_paths_agree(spark):
+    """r5: the BLAS-batched (assign/bucketer='arrow') paths produce the
+    same assignments/buckets/results as the expression paths on the real
+    embeddings (dim 64 — distance margins ≫ the last-ulp float
+    difference between left-fold and pairwise summation)."""
+    from beats_spark.datapipe.similarity import (
+        embedding_near_dupes,
+        ivf_centroids,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = ivf_centroids(emb, k=8, iters=2, dim=64)
+    key = lambda df: sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in df.collect()
+    )
+    assert key(ivf_topk(emb, q, cents, k=5, nprobe=4, assign="arrow")) == key(
+        ivf_topk(emb, q, cents, k=5, nprobe=4, assign="expr")
+    )
+    assert key(
+        lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2, dim=64, bucketer="arrow")
+    ) == key(
+        lsh_bucket_topk(emb, q, k=5, p_bits=4, tables=4, multiprobe=2, dim=64, bucketer="expr")
+    )
+    pkey = lambda df: sorted((r.id_a, r.id_b) for r in df.collect())
+    assert pkey(embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, bucketer="arrow")) == pkey(
+        embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, bucketer="expr")
+    )

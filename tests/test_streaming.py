@@ -409,7 +409,11 @@ def test_rate_limit_stream_state_eviction(spark, tmp_path):
             "append"
         ).parquet(src)
 
-    def run_once():
+    def run_once(extra_batches: int = 0):
+        # NOTE: with ProcessingTimeTimeout there are always armed timers,
+        # so an availableNow query never self-terminates (it keeps
+        # scheduling timeout batches) — poll progress for the data batch
+        # (+ `extra_batches` timer batches) and stop explicitly.
         stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 second")
         limited = rate_limit_stream(
             stream, ["conv_id"], limit=2, period_seconds=10.0, ts_col="ts",
@@ -422,7 +426,20 @@ def test_rate_limit_stream_state_eviction(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        deadline = _time.time() + 90
+        try:
+            while _time.time() < deadline:
+                progresses = q.recentProgress
+                data_batches = [p for p in progresses if p["numInputRows"] > 0]
+                if data_batches and len(progresses) >= len(data_batches) + extra_batches:
+                    break
+                if not q.isActive:
+                    break
+                _time.sleep(0.2)
+        finally:
+            if q.isActive:
+                q.stop()
+        q.awaitTermination(30)
 
     # run 1: keys A and B burst at t0 — both overdraw (3 events, limit 2),
     # so both hold partially-drained buckets (refill horizon t0+2 + 10 s)
@@ -440,7 +457,7 @@ def test_rate_limit_stream_state_eviction(spark, tmp_path):
     # watermark ≈ 01:00:02 ≥ A's horizon (00:00:12) → evicted. B's
     # horizon is 01:00:12 (> watermark) → retained.
     write_file("f3", [("C", 0, "2024-01-01 01:00:03")])
-    run_once()
+    run_once(extra_batches=1)  # the eviction happens in a TIMER batch after C's data batch
 
     state = spark.read.format("statestore").load(ckpt)
     keys = sorted(r["key"]["conv_id"] for r in state.collect())
