@@ -245,7 +245,12 @@ def timestamp(field: str, layouts: list[str], target: str = "ts", timezone: str 
 # RFC3164: <PRI>MMM dd HH:mm:ss HOST TAG[PID]: MSG
 _RFC3164 = (
     r"^(?:<(\d{1,3})>)?"  # pri
-    r"([A-Z][a-z]{2}\s+\d{1,2}\s\d{2}:\d{2}:\d{2})\s"  # timestamp
+    # timestamp: BSD Stamp OR RFC3339 — the reference's 3164 parser
+    # accepts both (rfc3164_test.go "ok-rfc3339"; r5 matrix port). The
+    # month must be a REAL month: time.Parse rejects "Foo 11 22:14:15"
+    # (err-ts-invalid-bsd), so a bare [A-Z][a-z]{2} is too loose.
+    r"((?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\s+\d{1,2}\s\d{2}:\d{2}:\d{2}"
+    r"|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?)\s"
     r"([^\s:]+)\s"  # hostname
     r"(?:([^\s:\[]+)(?:\[(\d+)\])?:\s?)?"  # tag[pid]:
     r"(.*)$"  # message
@@ -261,7 +266,11 @@ _RFC5424 = (
     r"(\S+)\s"  # app-name or -
     r"(\S+)\s"  # procid or -
     r"(\S+)\s"  # msgid or -
-    r"(-|(?:\[[^\]]*\])+)"  # structured data
+    # structured data: '-' or one-or-more [..] elements whose quoted
+    # param values may contain ESCAPED ']' and '"' (rfc5424_test.go
+    # sd-with-escape / non-compliant-sd; a bare [^\]]* would cut the
+    # element at the first escaped bracket — r5 matrix port)
+    r'(-|(?:\[(?:[^"\]]|"(?:[^"\\]|\\.)*")*\])+)'
     r"(?:\s(.*))?$"  # message (optional)
 )
 
@@ -314,8 +323,10 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
         prin = F.when(pri != "", pri.try_cast("int"))
         version = F.when(is24, F.regexp_extract(col, _RFC5424, 2)).try_cast("int")
         sd = F.when(is24, _nil(F.regexp_extract(col, _RFC5424, 8)))
-        kv_keys = F.regexp_extract_all(sd, F.lit(r'(\w+)="[^"]*"'), F.lit(1))
-        kv_vals = F.regexp_extract_all(sd, F.lit(r'\w+="([^"]*)"'), F.lit(1))
+        # param values may contain escaped quotes (rfc5424_test.go
+        # sd-with-escaped-quote) — the value is escape-aware
+        kv_keys = F.regexp_extract_all(sd, F.lit(r'(\w+)="(?:[^"\\]|\\.)*"'), F.lit(1))
+        kv_vals = F.regexp_extract_all(sd, F.lit(r'\w+="((?:[^"\\]|\\.)*)"'), F.lit(1))
         df = (
             df.withColumn(prefix + "priority", prin)
             .withColumn(prefix + "severity", prin % 8)
@@ -332,7 +343,15 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
                 prefix + "sd_params",
                 F.when(sd.isNotNull(), F.map_from_arrays(kv_keys, kv_vals)),
             )
-            .withColumn(prefix + "message", pick(9, 6))
+            # RFC5424 MSG is (BOM) UTF-8-STRING — the BOM marks encoding,
+            # it is not content; the reference strips it (syslog.go /
+            # rfc5424_test.go example-4). 3164 messages stay verbatim.
+            .withColumn(
+                prefix + "message",
+                F.when(
+                    is24, F.regexp_replace(F.regexp_extract(col, _RFC5424, 9), "^\\uFEFF", "")
+                ).otherwise(F.regexp_extract(col, _RFC3164, 6)),
+            )
         )
         return df
 

@@ -1,0 +1,254 @@
+"""Syslog parser matrix — ported from the reference's
+libbeat/reader/syslog/rfc3164_test.go (TestParseRFC3164) and
+rfc5424_test.go (TestParseRFC5424).
+
+Engine mapping (documented divergences):
+  * `timestamp` is the RAW captured string — parsing/zone resolution is
+    the separate `timestamp` processor's job (typed engine split); the
+    reference parses in place.
+  * the reference returns (partial message, error) on invalid input;
+    this engine has no per-row error channel — a line that fails the
+    grammar yields NULL fields (the err-* cases assert that), and
+    invalid timestamp TEXT inside an otherwise-grammatical 5424 line is
+    kept raw (validation happens at the cast).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.processors import build
+
+BOM = "﻿"
+
+# (name, line, expected column→value); absent column ⇒ no assertion,
+# None ⇒ NULL expected. Columns: priority/severity/facility/version/
+# timestamp/hostname/program/pid/msgid/sd/message.
+RFC3164_CASES = [
+    (
+        "ok",
+        "<13>Oct 11 22:14:15 test-host this is the message",
+        {
+            "priority": 13, "facility": 1, "severity": 5,
+            "timestamp": "Oct 11 22:14:15", "hostname": "test-host",
+            "program": None, "pid": None, "message": "this is the message",
+        },
+    ),
+    (
+        "ok-rfc3339",
+        "<13>2003-08-24T05:14:15.000003-07:00 test-host this is the message",
+        {
+            "priority": 13, "facility": 1, "severity": 5,
+            "timestamp": "2003-08-24T05:14:15.000003-07:00",
+            "hostname": "test-host", "message": "this is the message",
+        },
+    ),
+    (
+        "ok-process",
+        "<13>Oct 11 22:14:15 test-host su: this is the message",
+        {
+            "priority": 13, "facility": 1, "severity": 5,
+            "hostname": "test-host", "program": "su", "pid": None,
+            "message": "this is the message",
+        },
+    ),
+    (
+        "ok-process-pid",
+        "<13>Oct 11 22:14:15 test-host su[1024]: this is the message",
+        {
+            "priority": 13, "facility": 1, "severity": 5,
+            "hostname": "test-host", "program": "su", "pid": "1024",
+            "message": "this is the message",
+        },
+    ),
+    (
+        "non-standard-date",
+        "<123>Sep 01 02:03:04 hostname message",
+        {
+            "priority": 123, "facility": 15, "severity": 3,
+            "timestamp": "Sep 01 02:03:04", "hostname": "hostname",
+            "message": "message",
+        },
+    ),
+    (
+        "ok-procid-with-square-brackets-msg",
+        '<114>Apr 12 13:30:01 aaaaaa001.adm.domain aaaaaa001[25259]: '
+        'my.some.domain 10.11.12.13 - USERNAME [12/Apr/2024:13:29:59.993 +0200] '
+        '/skodas "GET /skodas/group/pod-documentation/aaa HTTP/1.1" 301 301 290bytes 1 10327',
+        {
+            "priority": 114, "facility": 14, "severity": 2,
+            "hostname": "aaaaaa001.adm.domain", "program": "aaaaaa001", "pid": "25259",
+            "message": 'my.some.domain 10.11.12.13 - USERNAME '
+            '[12/Apr/2024:13:29:59.993 +0200] /skodas '
+            '"GET /skodas/group/pod-documentation/aaa HTTP/1.1" 301 301 290bytes 1 10327',
+        },
+    ),
+    # reference: partial parse + error; engine: NULL fields (no per-row
+    # error channel — divergence documented in the module docstring)
+    ("err-pri-not-a-number", "<abc>Oct 11 22:14:15 test-host msg", {"priority": None, "hostname": None}),
+    ("err-ts-invalid-missing", "<13> test-host this is the message", {"priority": None, "hostname": None}),
+    ("err-ts-invalid-bsd", "<13>Foo 11 22:14:15 test-host msg", {"priority": None, "hostname": None}),
+    ("err-ts-invalid-rfc3339", "<13>24-08-2003T05:14:15-07:00 test-host msg", {"priority": None, "hostname": None}),
+]
+
+SD1 = '[exampleSDID@32473 iut="3" eventSource="Application" eventID="1011"][examplePriority@32473 class="high"]'
+SD_ESC = (
+    '[exampleSDID@32473 iut="3" eventSource="Application" eventID="1011" '
+    'somekey="[value\\] more data"][examplePriority@32473 class="high"]'
+)
+SD_CP = (
+    '[action:"Drop"; flags:"278528"; ifdir:"inbound"; ifname:"bond1.3999"; '
+    'loguid:"{0x60928f1d,0x8,0x40de101f,0xfcdbb197}"; origin:"127.0.0.1"; '
+    'originsicname:"CN=CP,O=cp.com.9jjkfo"; sequencenum:"62"; time:"1620217629"; '
+    'version:"5"; __policy_id_tag:"product=VPN-1 & FireWall-1[db_tag='
+    "{F6212FB3-54CE-6344-9164-B224119E2B92};mgmt=cp-m;date=1620031791;"
+    'policy_name=CP-Cluster\\]"; action_reason:"Dropped by multiportal '
+    'infrastructure"; dst:"81.2.69.144"; product:"VPN & FireWall"; proto:"6"; '
+    's_port:"52780"; service:"80"; src:"81.2.69.144"]'
+)
+
+RFC5424_CASES = [
+    (
+        "example-1",
+        "<13>1 2003-08-24T05:14:15.000003-07:00 test-host su 1234 msg-5678 - This is a test message",
+        {
+            "priority": 13, "facility": 1, "severity": 5, "version": 1,
+            "timestamp": "2003-08-24T05:14:15.000003-07:00",
+            "hostname": "test-host", "program": "su", "pid": "1234",
+            "msgid": "msg-5678", "sd": None, "message": "This is a test message",
+        },
+    ),
+    (
+        "example-2",
+        '<13>1 2003-08-24T05:14:15.000003-07:00 test-host su 1234 msg-5678 [sd-id-1 foo="bar"] This is a test message',
+        {
+            "priority": 13, "version": 1, "sd": '[sd-id-1 foo="bar"]',
+            "message": "This is a test message",
+        },
+    ),
+    (
+        "example-3",
+        "<13>1 - - - - - -",
+        {
+            "priority": 13, "facility": 1, "severity": 5, "version": 1,
+            "timestamp": None, "hostname": None, "program": None,
+            "pid": None, "msgid": None, "sd": None, "message": "",
+        },
+    ),
+    (
+        "example-4-bom-stripped",
+        "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - "
+        + BOM + "'su root' failed for user1 on /dev/pts/8",
+        {
+            "priority": 34, "facility": 4, "severity": 2, "version": 1,
+            "hostname": "mymachine.example.com", "program": "su", "pid": None,
+            "msgid": "ID47", "message": "'su root' failed for user1 on /dev/pts/8",
+        },
+    ),
+    (
+        "example-5",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 " + SD1,
+        {
+            "priority": 165, "facility": 20, "severity": 5, "version": 1,
+            "program": "evntslog", "msgid": "ID47", "sd": SD1, "message": "",
+        },
+    ),
+    (
+        "sd-with-bare-backslash",
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 '
+        '[exampleSDID@32473 DisplayName="Domain\\Username"] This is a message',
+        {"sd": '[exampleSDID@32473 DisplayName="Domain\\Username"]', "message": "This is a message"},
+    ),
+    (
+        "sd-with-escaped-quote",
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 '
+        '[exampleSDID@32473 key="value with \\"quotes\\""] This is a message',
+        {"sd": '[exampleSDID@32473 key="value with \\"quotes\\""]', "message": "This is a message"},
+    ),
+    (
+        "sd-with-escape",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 "
+        + SD_ESC + " This is a message",
+        {"sd": SD_ESC, "message": "This is a message"},
+    ),
+    (
+        "sd-with-escape-2",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 "
+        + SD_ESC + " Some message [value] more data",
+        {"sd": SD_ESC, "message": "Some message [value] more data"},
+    ),
+    (
+        "sd-with-escape-3-bom",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 "
+        + SD_ESC + " " + BOM + "Some message [value] more data",
+        {"sd": SD_ESC, "message": "Some message [value] more data"},
+    ),
+    (
+        "non-compliant-sd",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 " + SD_CP,
+        {"priority": 165, "version": 1, "msgid": "ID47", "sd": SD_CP, "message": ""},
+    ),
+    (
+        "non-compliant-sd-with-msg",
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog - ID47 "
+        + SD_CP + " This is a test message",
+        {"sd": SD_CP, "message": "This is a test message"},
+    ),
+    # grammatical line with invalid timestamp TEXT: the reference errors
+    # at validation; the engine keeps the raw string (cast validates later)
+    (
+        "invalid-timestamp-kept-raw",
+        "<165>1 10-11-2003T22:14:15.003Z mymachine.example.com evntslog - ID47 " + SD1,
+        {"priority": 165, "version": 1, "timestamp": "10-11-2003T22:14:15.003Z", "sd": SD1},
+    ),
+    # ungrammatical version: NULL fields under format='rfc5424'
+    ("err-invalid-version", "<165>A 2003-10-11T22:14:15.003Z host evntslog - ID47 " + SD1, {"priority": None}),
+    ("err-eof", "<13>1 2003-08-24T05:14:15.000003-07:00 test-host su 1234 msg-", {"priority": None}),
+]
+
+
+def _parse(spark, line, fmt):
+    df = spark.createDataFrame([(line,)], "text string")
+    return build("syslog", field="text", format=fmt)(df).first()
+
+
+@pytest.mark.parametrize("case", RFC3164_CASES, ids=[c[0] for c in RFC3164_CASES])
+def test_rfc3164_matrix(spark, case):
+    _, line, want = case
+    r = _parse(spark, line, "rfc3164")
+    for col, val in want.items():
+        got = r["syslog_" + col]
+        assert got == val, (col, got, val)
+
+
+@pytest.mark.parametrize("case", RFC5424_CASES, ids=[c[0] for c in RFC5424_CASES])
+def test_rfc5424_matrix(spark, case):
+    _, line, want = case
+    r = _parse(spark, line, "rfc5424")
+    for col, val in want.items():
+        got = r["syslog_" + col]
+        assert got == val, (col, got, val)
+
+
+def test_auto_routes_both_formats(spark):
+    """syslog.go:83-133 auto-detect: full-5424-grammar gate, 3164 fallback."""
+    r24 = _parse(spark, RFC5424_CASES[0][1], "auto")
+    assert r24.syslog_version == 1 and r24.syslog_msgid == "msg-5678"
+    r64 = _parse(spark, RFC3164_CASES[0][1], "auto")
+    assert r64.syslog_version is None and r64.syslog_hostname == "test-host"
+    # a 3164 line whose content starts with digits must NOT misroute
+    tricky = "<13>Oct 11 22:14:15 test-host 42 is the answer"
+    rt = _parse(spark, tricky, "auto")
+    assert rt.syslog_version is None and rt.syslog_message == "42 is the answer"
+
+
+def test_sd_params_with_escaped_quotes(spark):
+    r = _parse(
+        spark,
+        '<165>1 2003-10-11T22:14:15.003Z host evntslog - ID47 '
+        '[ex@1 key="value with \\"quotes\\"" other="plain"] msg',
+        "rfc5424",
+    )
+    assert r.syslog_sd_params["key"] == 'value with \\"quotes\\"'
+    assert r.syslog_sd_params["other"] == "plain"
+    assert r.syslog_sd_id == "ex@1"
