@@ -282,6 +282,63 @@ def _nil(col: Column) -> Column:
     return F.when((col != "-") & (col != ""), col)
 
 
+_SD_ELEMENT = r'\[(?:[^"\]]|"(?:[^"\\]|\\.)*")*\]'
+# RFC5424 §6.3: SD-NAME = 1..32 PRINTUSASCII except '=', SP, ']', '"';
+# a compliant element is [SD-ID (SP PARAM-NAME="value")*]
+_SD_COMPLIANT = r'^\[[^ =\]"]+( +[^ =\]"]+="(?:[^"\\]|\\.)*")*\]$'
+
+
+def _sd_structured(sd: Column) -> Column:
+    """Raw STRUCTURED-DATA → map<sd-id, map<param, value>>, the
+    reference's parseStructuredData (message.go / message_test.go, r5
+    matrix port): repeated sd-ids MERGE (later element's params win per
+    key — deep update), escapes in PARAM-VALUE are unescaped (\\] → ],
+    \\" → ", \\\\ → \\), and a non-compliant element (e.g. the Check
+    Point `key:"value";` dialect) makes the WHOLE result NULL — only the
+    raw string survives, exactly like the reference returning nil.
+    Pure-Column: HOFs over the element array; duplicate-key merge rides
+    the session's LAST_WIN map policy."""
+    elements = F.regexp_extract_all(sd, F.lit(_SD_ELEMENT), F.lit(0))
+    compliant = (F.size(elements) > 0) & F.forall(
+        elements, lambda e: e.rlike(_SD_COMPLIANT)
+    )
+    structs = F.transform(
+        elements,
+        lambda e: F.struct(
+            F.regexp_extract(e, r"^\[([^\s\]]+)", 1).alias("id"),
+            F.regexp_extract_all(e, F.lit(r'([^ =\]"]+)="(?:[^"\\]|\\.)*"'), F.lit(1)).alias(
+                "ks"
+            ),
+            F.transform(
+                F.regexp_extract_all(e, F.lit(r'[^ =\]"]+="((?:[^"\\]|\\.)*)"'), F.lit(1)),
+                lambda v: F.regexp_replace(v, r"\\(.)", r"$1"),
+            ).alias("vs"),
+        ),
+    )
+    ids = F.array_distinct(F.transform(structs, lambda s: s.getField("id")))
+    merged = F.map_from_arrays(
+        ids,
+        F.transform(
+            ids,
+            lambda i: F.map_from_arrays(
+                F.flatten(
+                    F.transform(
+                        F.filter(structs, lambda s: s.getField("id") == i),
+                        lambda s: s.getField("ks"),
+                    )
+                ),
+                F.flatten(
+                    F.transform(
+                        F.filter(structs, lambda s: s.getField("id") == i),
+                        lambda s: s.getField("vs"),
+                    )
+                ),
+            ),
+        ),
+    )
+    return F.when(sd.isNotNull() & compliant, merged)
+
+
 def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"):
     """syslog.go:79 / reader/syslog — RFC3164 + RFC5424 regex battery.
 
@@ -343,6 +400,7 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
                 prefix + "sd_params",
                 F.when(sd.isNotNull(), F.map_from_arrays(kv_keys, kv_vals)),
             )
+            .withColumn(prefix + "sd_structured", _sd_structured(sd))
             # RFC5424 MSG is (BOM) UTF-8-STRING — the BOM marks encoding,
             # it is not content; the reference strips it (syslog.go /
             # rfc5424_test.go example-4). 3164 messages stay verbatim.

@@ -252,3 +252,61 @@ def test_sd_params_with_escaped_quotes(spark):
     assert r.syslog_sd_params["key"] == 'value with \\"quotes\\"'
     assert r.syslog_sd_params["other"] == "plain"
     assert r.syslog_sd_id == "ex@1"
+
+
+# ParseStructuredData matrix (message_test.go TestParseStructuredData):
+# nested per-sd-id maps, deep-merge of repeated ids, unescaped values,
+# nil on non-compliant/empty/'-'.
+SD_STRUCTURED_CASES = [
+    ("basic", '[value@1 foo="bar"]', {"value@1": {"foo": "bar"}}),
+    (
+        "multi-key",
+        SD1,
+        {
+            "exampleSDID@32473": {"iut": "3", "eventSource": "Application", "eventID": "1011"},
+            "examplePriority@32473": {"class": "high"},
+        },
+    ),
+    (
+        "multi-key-with-escape",
+        SD_ESC,
+        {
+            "exampleSDID@32473": {
+                "iut": "3",
+                "eventSource": "Application",
+                "eventID": "1011",
+                "somekey": "[value] more data",  # \] unescaped
+            },
+            "examplePriority@32473": {"class": "high"},
+        },
+    ),
+    (
+        "repeated-id-merges",
+        '[exampleSDID@32473 iut="3"][exampleSDID@32473 class="high"]',
+        {"exampleSDID@32473": {"iut": "3", "class": "high"}},
+    ),
+    (
+        "repeated-id-value-later-wins",
+        '[exampleSDID@32473 class="low"][exampleSDID@32473 class="high"]',
+        {"exampleSDID@32473": {"class": "high"}},
+    ),
+    ("non-compliant-is-null", SD_CP, None),
+]
+
+
+@pytest.mark.parametrize("case", SD_STRUCTURED_CASES, ids=[c[0] for c in SD_STRUCTURED_CASES])
+def test_parse_structured_data(spark, case):
+    _, sd, want = case
+    line = "<165>1 2003-10-11T22:14:15.003Z host evntslog - ID47 " + sd
+    r = _parse(spark, line, "rfc5424")
+    got = r.syslog_sd_structured
+    if want is None:
+        assert got is None
+        assert r.syslog_sd == sd  # raw value still survives
+    else:
+        assert {k: dict(v) for k, v in got.items()} == want
+
+
+def test_structured_data_nilvalue_is_null(spark):
+    r = _parse(spark, "<13>1 - - - - - -", "rfc5424")
+    assert r.syslog_sd_structured is None
