@@ -557,23 +557,40 @@ def _valid_ip(v: str) -> bool:
         return False
 
 
-def cast_column(col: Column, data_type: str) -> Column:
+def cast_column(col: Column, data_type: str, signed_hex: bool = False) -> Column:
     """Column-side typed conversion. Unlike the reference (which keeps the
     raw string on failure — impossible in a typed column), failures become
-    NULL; callers pair this with a convert_error flag (SURVEY.md §1.3)."""
+    NULL; callers pair this with a convert_error flag (SURVEY.md §1.3).
+
+    `signed_hex` selects between the reference's TWO strToInt dialects
+    (r5 convert_test.go port): dissect's (dissect.go:239-246) demands a
+    literal leading '0x' — unsigned hex only — while the convert
+    processor's (convert/convert.go:400-418, hasHexPrefix skips a sign)
+    accepts '-0x12' → -18 and, via ParseInt base 0, digit-group
+    underscores ('0x1_2' → 18)."""
     if data_type in ("", "string", "ip"):
         return col
     if data_type in ("long", "integer"):
         # strconv parity (matches _parse_int + convert_value's rstrip of
-        # trailing spaces): hex only as UNSIGNED 0x/0X; decimal only as
-        # pure signed digits — Spark's bare cast would also accept
-        # leading whitespace/underscores, which the reference rejects.
+        # trailing spaces): decimal only as pure signed digits — Spark's
+        # bare cast would also accept leading whitespace/underscores,
+        # which the reference rejects. '017'/'08' are DECIMAL 17/8
+        # (base 10 unless hex-prefixed — never octal; convert_test.go).
         v = F.rtrim(col)
-        hexv = F.conv(F.regexp_replace(v, "(?i)^0x", ""), 16, 10).try_cast(
-            _SPARK_TYPES[data_type]
-        )
+        if signed_hex:
+            hex_re = r"^[+-]?0[xX](_?[0-9a-fA-F])+$"
+            digits = F.regexp_replace(F.regexp_replace(v, r"(?i)^[+-]?0x", ""), "_", "")
+            sign = F.when(v.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+            hexv = (sign * F.conv(digits, 16, 10).try_cast("bigint")).try_cast(
+                _SPARK_TYPES[data_type]
+            )
+        else:
+            hex_re = "^0[xX][0-9a-fA-F]+$"
+            hexv = F.conv(F.regexp_replace(v, "(?i)^0x", ""), 16, 10).try_cast(
+                _SPARK_TYPES[data_type]
+            )
         return (
-            F.when(v.rlike("^0[xX][0-9a-fA-F]+$"), hexv)
+            F.when(v.rlike(hex_re), hexv)
             .when(v.rlike(r"^[+-]?[0-9]+$"), v.try_cast(_SPARK_TYPES[data_type]))
         )
     if data_type in ("float", "double"):
@@ -654,6 +671,15 @@ def cast_column(col: Column, data_type: str) -> Column:
             .when(low.rlike(r"^nan$"), F.lit(float("nan")).cast(ty))
             .when(low.rlike(r"^-inf(inity)?$"), F.lit(float("-inf")).cast(ty))
             .when(low.rlike(r"^[+]?inf(inity)?$"), F.lit(float("inf")).cast(ty))
+        )
+    if data_type == "boolean":
+        # strconv.ParseBool parity (convert_test.go): EXACTLY
+        # 1/t/T/TRUE/true/True and 0/f/F/FALSE/false/False — Spark's
+        # boolean cast also accepts yes/no/y/n and any case ('TrUe'),
+        # which the reference rejects.
+        return (
+            F.when(col.isin("1", "t", "T", "TRUE", "true", "True"), F.lit(True))
+            .when(col.isin("0", "f", "F", "FALSE", "false", "False"), F.lit(False))
         )
     return col.try_cast(_SPARK_TYPES[data_type])
 

@@ -53,19 +53,32 @@ def convert(
     leaves failures null. (The reference restores the original dynamic-map
     values on rollback; in a typed column the original string can't live in
     the target, so rollback ⇒ NULL target + flag — SURVEY.md §1.3 rule.)
+
+    r5 (convert_test.go port): integers use the convert dialect of
+    strToInt — SIGNED hex accepted ('-0x12' → -18), unlike dissect's;
+    booleans are strict ParseBool; ip validates strict dotted-quad /
+    RFC-4291 ('365.0.0.0' fails like net.ParseIP); a missing source
+    COLUMN raises at build unless ignore_missing=True skips the field
+    (the plan-time analog of Run()'s "field [src] is missing").
     """
 
     def stage(df: DataFrame) -> DataFrame:
+        from ..conditions import IPV4_RE, _ipv6_hextets
+
         casts: list[tuple[str, Column, Column]] = []  # (to, cast, failed)
         for f in fields:
             src = f["from"]
             dst = f.get("to", src)
             ty = f.get("type", "string")
+            if not src.startswith("attrs.") and src not in df.columns:
+                if ignore_missing:
+                    continue
+                raise ValueError(f"convert: field [{src}] is missing from the schema")
             col = _get(df, src)
-            casted = cast_column(col, ty)
+            casted = cast_column(col, ty, signed_hex=True)
             failed = col.isNotNull() & casted.isNull() if ty not in ("string", "ip") else F.lit(False)
             if ty == "ip":
-                ok = col.rlike(r"^((\d{1,3}\.){3}\d{1,3}|([0-9A-Fa-f:]+))$")
+                ok = col.rlike(IPV4_RE) | _ipv6_hextets(col).isNotNull()
                 failed = col.isNotNull() & ~ok
                 casted = F.when(ok, col)
             casts.append((dst, casted, failed))
@@ -78,10 +91,14 @@ def convert(
                 df = df.withColumn(dst, F.when(~any_failed, casted).otherwise(orig.cast("string")))
             else:
                 df = df.withColumn(dst, casted)
+        # flag BEFORE rename-dropping the sources: any_failed references
+        # the source columns, and a withColumn after the drop fails
+        # analysis (found by the r5 convert_test.go mode-matrix port)
+        df = df.withColumn(FLAGS_COL, append_flag(_flags(df), FLAG_CONVERT_FAILURE, any_failed))
         if mode == "rename":
             drop = {f["from"] for f in fields if f.get("to") and f["to"] != f["from"]}
             df = df.drop(*[c for c in drop if c in df.columns])
-        return df.withColumn(FLAGS_COL, append_flag(_flags(df), FLAG_CONVERT_FAILURE, any_failed))
+        return df
 
     return stage
 

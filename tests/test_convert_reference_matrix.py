@@ -1,0 +1,162 @@
+"""Convert processor matrix — ported from the reference's
+libbeat/processors/convert/convert_test.go (TestDataTypes string
+battery + TestConvert/TestConvertRun event cases).
+
+Only string inputs port (a typed engine has no any-typed cells; the
+Go-typed rows of the battery exercise reflection the column model
+replaces). Engine divergences asserted here: a conversion failure is a
+NULL target + convert_error flag (no per-row error), and a missing
+source COLUMN is a build-time error (the plan-time analog of Run()'s
+"field [src] is missing").
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+
+# (type, input string, expected value or None-for-error) —
+# convert_test.go `testCases`, string rows.
+DATA_TYPE_CASES = [
+    ("string", "x", "x"),
+    ("long", "x", None),
+    ("long", "0x", None),
+    ("long", "0b1", None),
+    ("long", "1x2", None),
+    ("long", "1", 1),
+    ("long", "-1", -1),
+    ("long", "017", 17),   # base 10, NOT octal
+    ("long", "08", 8),
+    ("long", "0X0A", 10),
+    ("long", "-0x12", -18),  # convert's strToInt skips the sign (hasHexPrefix)
+    ("integer", "x", None),
+    ("integer", "0x", None),
+    ("integer", "0b1", None),
+    ("integer", "1x2", None),
+    ("integer", "1", 1),
+    ("integer", "-1", -1),
+    ("integer", "017", 17),
+    ("integer", "08", 8),
+    ("integer", "0X0A", 10),
+    ("integer", "-0x12", -18),
+    ("float", "x", None),
+    ("float", "1", 1.0),
+    ("float", "1.1", 1.100000023841858),  # float32("1.1")
+    ("double", "x", None),
+    ("double", "1", 1.0),
+    ("double", "1.1", 1.1),
+    ("boolean", "x", None),
+    ("boolean", "TrUe", None),  # ParseBool is case-SENSITIVE beyond its 12 forms
+    ("boolean", "yes", None),   # Spark's lenient boolean cast must not leak through
+    ("boolean", "1", True),
+    ("boolean", "t", True),
+    ("boolean", "T", True),
+    ("boolean", "TRUE", True),
+    ("boolean", "true", True),
+    ("boolean", "True", True),
+    ("boolean", "0", False),
+    ("boolean", "f", False),
+    ("boolean", "F", False),
+    ("boolean", "FALSE", False),
+    ("boolean", "false", False),
+    ("boolean", "False", False),
+    ("ip", "x", None),
+    ("ip", "abc", None),        # pure-hex garbage is NOT an ip
+    ("ip", "365.0.0.0", None),  # octet out of range
+    ("ip", "0.0.0.0", "0.0.0.0"),
+    ("ip", "::1", "::1"),
+]
+
+
+@pytest.mark.parametrize(
+    "case", DATA_TYPE_CASES, ids=[f"{t}-{v!r}" for t, v, _ in DATA_TYPE_CASES]
+)
+def test_data_types_string_battery(spark, case):
+    ty, value, want = case
+    df = spark.createDataFrame([(value,)], "src string")
+    out = build(
+        "convert", fields=[{"from": "src", "to": "dst", "type": ty}], fail_on_error=False
+    )(df).first()
+    got = out.dst
+    if want is None:
+        assert got is None, (ty, value, got)
+        assert "convert_error" in out.log_flags
+    elif isinstance(want, float) and not isinstance(want, bool):
+        assert got is not None and math.isclose(got, want, rel_tol=1e-9), (ty, value, got)
+    else:
+        assert got == want, (ty, value, got)
+
+
+def test_ignore_missing_matrix(spark):
+    """TestConvert 'ignore_missing': a missing source column errors at
+    build unless ignore_missing=True skips the field."""
+    df = spark.createDataFrame([(1,)], "other int")
+    with pytest.raises(ValueError, match=r"field \[src\] is missing"):
+        build("convert", fields=[{"from": "src", "to": "dst", "type": "integer"}])(df)
+    out = build(
+        "convert",
+        fields=[{"from": "src", "to": "dst", "type": "integer"}],
+        ignore_missing=True,
+    )(df)
+    assert "dst" not in out.columns and out.count() == 1
+
+
+def test_fail_on_error_rollback(spark):
+    """TestConvert 'fail_on_error' + TestConvertRun 'invalid conversion':
+    a failing ip conversion leaves the source intact; with rollback the
+    target stays unset (NULL here) and the row is flagged; with
+    fail_on_error=False the good field still converts."""
+    df = spark.createDataFrame(
+        [("host.local", "80")], "address string, port string"
+    )
+    out = build(
+        "convert",
+        fields=[
+            {"from": "address", "to": "ip", "type": "ip"},
+            {"from": "port", "to": "port_num", "type": "integer"},
+        ],
+        fail_on_error=True,
+    )(df).first()
+    assert out.address == "host.local"  # source untouched
+    assert out.ip is None
+    assert out.port_num is None  # rollback: the GOOD field is not written either
+    assert "convert_error" in out.log_flags
+    out2 = build(
+        "convert",
+        fields=[
+            {"from": "address", "to": "ip", "type": "ip"},
+            {"from": "port", "to": "port_num", "type": "integer"},
+        ],
+        fail_on_error=False,
+    )(df).first()
+    assert out2.ip is None and out2.port_num == 80
+
+
+def test_mode_copy_vs_rename(spark):
+    """TestConvert 'mode': copy keeps the source, rename drops it."""
+    df = spark.createDataFrame([("127.0.0.1",)], "address string")
+    cp = build(
+        "convert", fields=[{"from": "address", "to": "ip", "type": "ip"}], mode="copy"
+    )(df).first()
+    assert cp.address == "127.0.0.1" and cp.ip == "127.0.0.1"
+    rn = build(
+        "convert", fields=[{"from": "address", "to": "ip", "type": "ip"}], mode="rename"
+    )(df)
+    assert "address" not in rn.columns
+    assert rn.first().ip == "127.0.0.1"
+
+
+def test_dissect_hex_dialect_stays_unsigned(spark):
+    """The dissect strToInt (dissect.go:239) requires a literal '0x'
+    prefix — '-0x12' must stay a failure THERE even though the convert
+    processor accepts it (the two reference dialects differ)."""
+    from beats_spark.dissect import cast_column
+
+    df = spark.createDataFrame([("-0x12",), ("0x12",)], "v string")
+    out = {r.v: r.n for r in df.withColumn("n", cast_column(F.col("v"), "long")).collect()}
+    assert out["0x12"] == 18
+    assert out["-0x12"] is None
