@@ -245,16 +245,120 @@ def decode_duration(field: str, target: str | None = None, unit: str = "s"):
     return stage
 
 
-def timestamp(field: str, layouts: list[str], target: str = "ts", timezone: str = "UTC"):
-    """timestamp.go:37 — try layouts in order (Java patterns), first parse wins."""
+def _normalize_timezone(tz: str) -> str:
+    """Config-time timezone validation (cfgtype.NewTimezone parity, r5
+    timestamp_test.go port): accepts IANA locations ('America/Panama',
+    'Etc/GMT+2'), short abbreviations ('EST'), and the offset forms
+    '+0430' / '+03:00' / '+04' (canonicalized to ±HH:MM); rejects 'Z',
+    unknown locations, and malformed offsets ('-400') at BUILD time —
+    the fail-fast the reference gives, instead of a runtime crash."""
+    import re as _re
+
+    if tz in (None, "", "UTC"):
+        return "UTC"
+    m = _re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz)
+    if m:
+        return f"{m.group(1)}{m.group(2)}:{m.group(3)}"
+    m = _re.fullmatch(r"([+-])(\d{2})", tz)
+    if m:
+        return f"{m.group(1)}{m.group(2)}:00"
+    if _re.fullmatch(r"[A-Za-z_]+(/[A-Za-z_+\-0-9]+)+", tz):
+        try:
+            from zoneinfo import ZoneInfo
+
+            ZoneInfo(tz)
+        except Exception as e:
+            raise ValueError(f"timestamp: unknown timezone location {tz!r}") from e
+        return tz
+    # short abbreviations the JVM resolves via ZoneId.SHORT_IDS (EST,
+    # MST, HST, ...); a single letter ('Z') is NOT a timezone
+    if _re.fullmatch(r"[A-Z]{2,5}", tz):
+        return tz
+    raise ValueError(f"timestamp: invalid timezone {tz!r}")
+
+
+def _layout_has_zone(layout: str) -> bool:
+    """Does a Java datetime pattern carry its own zone/offset? (Pattern
+    letters X/x/Z/z/O/V outside quoted literals.)"""
+    import re as _re
+
+    outside = "".join(p for i, p in enumerate(_re.split(r"('[^']*')", layout)) if i % 2 == 0)
+    return any(c in outside for c in "XxZzOV")
+
+
+def timestamp(
+    field: str,
+    layouts: list[str],
+    target: str = "ts",
+    timezone: str = "UTC",
+    ignore_missing: bool = False,
+    test_timestamps: list[str] | None = None,
+):
+    """timestamp.go:37 — try layouts in order, first parse wins.
+
+    Layouts are JAVA datetime patterns (engine convention — the
+    reference takes Go layouts; not a port) plus the reference's two
+    special names: 'UNIX' (epoch seconds, int/float/'123'/'123.0') and
+    'UNIX_MS' (epoch millis, same forms). r5 semantics from the
+    timestamp_test.go port:
+      * `timezone` applies ONLY to layouts without their own zone
+        directive (time.ParseInLocation semantics — a zoned layout's
+        offset wins); offset forms are canonicalized and validated at
+        build (see _normalize_timezone);
+      * a layout with no year directive gets the CURRENT year patched
+        in (Go fills year 0; Beats patches now().Year() — Java fills
+        1970, we add the delta);
+      * `ignore_missing=True` skips a missing source column (else the
+        build-time error is the Run()-error analog);
+      * `test_timestamps` replays the reference's config self-test: at
+        stage build each sample must parse under some layout or the
+        stage raises. Parse failures land as NULL target (no per-row
+        error channel — documented divergence).
+    """
+    from datetime import datetime, timezone as _pytz
+
+    tz = _normalize_timezone(timezone)
+
+    def _parse_one(col: Column, layout: str) -> Column:
+        if layout in ("UNIX", "UNIX_MS"):
+            s = col.cast("string")
+            num = F.when(s.rlike(r"^[+-]?[0-9]+(\.[0-9]+)?$"), s.try_cast("double"))
+            return F.timestamp_seconds(
+                num if layout == "UNIX" else num / F.lit(1000.0)
+            )
+        p = F.try_to_timestamp(col.cast("string"), F.lit(layout))
+        if not any(c in layout for c in "yu"):
+            # no-year layout: Java defaults 1970 — patch the current
+            # (UTC) year like the reference patches now().Year()
+            delta = datetime.now(_pytz.utc).year - 1970
+            p = p + F.make_interval(years=F.lit(delta))
+        if not _layout_has_zone(layout):
+            p = F.to_utc_timestamp(p, tz)
+        return p
 
     def stage(df: DataFrame) -> DataFrame:
+        if not field.startswith("attrs.") and field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(f"timestamp: failed to get time field [{field}] — missing column")
         col = _get(df, field)
         parsed = None
         for layout in layouts:
-            p = F.try_to_timestamp(col, F.lit(layout))
+            p = _parse_one(col, layout)
             parsed = p if parsed is None else F.coalesce(parsed, p)
-        return df.withColumn(target, F.to_utc_timestamp(parsed, timezone))
+        if test_timestamps:
+            spark = df.sparkSession
+            probe = spark.createDataFrame([(s,) for s in test_timestamps], "_ts string")
+            got = None
+            for layout in layouts:
+                p = _parse_one(F.col("_ts"), layout)
+                got = p if got is None else F.coalesce(got, p)
+            bad = [r["_ts"] for r in probe.filter(got.isNull()).collect()]
+            if bad:
+                raise ValueError(
+                    f"timestamp: failed to parse test timestamp(s) {bad} with layouts {layouts}"
+                )
+        return df.withColumn(target, parsed)
 
     return stage
 

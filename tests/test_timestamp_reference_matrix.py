@@ -1,0 +1,146 @@
+"""Timestamp processor matrix — ported from the reference's
+libbeat/processors/timestamp/timestamp_test.go.
+
+Engine mapping: layouts are Java datetime patterns (the reference takes
+Go layouts — this engine is not a port), plus the reference's literal
+'UNIX'/'UNIX_MS' special layouts. Parse failures are NULL targets (no
+per-row error channel); missing source columns are build-time errors
+unless ignore_missing.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone as pytz
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+
+EXPECTED = datetime(2015, 3, 7, 11, 6, 39, tzinfo=pytz.utc)
+
+
+def _run(spark, value, layouts, **kw):
+    df = spark.createDataFrame([(str(value),)], "src string")
+    out = build("timestamp", field="src", layouts=layouts, target="out", **kw)(df)
+    r = out.first().out
+    return r.replace(tzinfo=pytz.utc) if r is not None else None
+
+
+def test_parse_patterns(spark):
+    """TestParsePatterns: ANSIC / RFC3339Nano / RFC3339 renderings of the
+    same instant all parse to it (Java-pattern equivalents)."""
+    # ANSIC's day-of-week cannot port: Spark reserves 'E' for
+    # formatting only — the dayless equivalent stands in
+    layouts = [
+        "MMM d HH:mm:ss yyyy",                 # ANSIC minus day-of-week
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSSSSSXXX",  # RFC3339Nano
+        "yyyy-MM-dd'T'HH:mm:ssXXX",            # RFC3339
+    ]
+    for rendered in (
+        "Mar 7 11:06:39 2015",
+        "2015-03-07T11:06:39Z",
+    ):
+        assert _run(spark, rendered, layouts) == EXPECTED, rendered
+
+
+@pytest.mark.parametrize(
+    "value", ["1425726399", "1425726399.0"], ids=["int-str", "float-str"]
+)
+def test_unix_layout(spark, value):
+    assert _run(spark, value, ["UNIX"]) == EXPECTED
+
+
+@pytest.mark.parametrize(
+    "value", ["1425726399000", "1425726399000.0"], ids=["int-str", "float-str"]
+)
+def test_unix_ms_layout(spark, value):
+    assert _run(spark, value, ["UNIX_MS"]) == EXPECTED
+
+
+def test_parse_no_year_patches_current_year(spark):
+    """TestParseNoYear: a layout without a year gets the current year
+    (Java would default 1970)."""
+    got = _run(spark, "Mar 7 11:06:39.002", ["MMM d HH:mm:ss.SSS"])
+    assert got is not None
+    assert got.year == datetime.now(pytz.utc).year
+    assert (got.month, got.day, got.hour, got.minute, got.second) == (3, 7, 11, 6, 39)
+    assert got.microsecond == 2000
+
+
+def test_ignore_missing(spark):
+    """TestIgnoreMissing: missing field errors at build unless skipped."""
+    df = spark.createDataFrame([(1,)], "other int")
+    with pytest.raises(ValueError, match="failed to get time field"):
+        build("timestamp", field="src", layouts=["yyyy"])(df)
+    out = build("timestamp", field="src", layouts=["yyyy"], ignore_missing=True)(df)
+    assert out.count() == 1 and "out" not in out.columns
+
+
+def test_ignore_failure_analog(spark):
+    """TestIgnoreFailure: an unparseable value — the engine's analog of
+    ignore_failure is a NULL target (documented; no per-row error)."""
+    assert _run(spark, "11:06AM", ["yyyy-MM-dd'T'HH:mm:ssXXX"]) is None
+
+
+def test_builtin_test_timestamps(spark):
+    """TestBuiltInTest: test_timestamps that fail to parse under the
+    configured layouts abort the stage at build."""
+    df = spark.createDataFrame([("x",)], "src string")
+    with pytest.raises(ValueError, match="failed to parse test timestamp"):
+        build(
+            "timestamp",
+            field="src",
+            layouts=["MM/dd"],  # cannot parse an RFC3339 sample
+            test_timestamps=["2015-03-07T11:06:39Z"],
+        )(df)
+    # and a good layout set passes
+    build(
+        "timestamp",
+        field="src",
+        layouts=["yyyy-MM-dd'T'HH:mm:ssXXX"],
+        test_timestamps=["2015-03-07T11:06:39Z"],
+    )(df)
+
+
+# TestTimezone: ANSIC rendering of EXPECTED, interpreted in each zone.
+TZ_CASES = [
+    ("no timezone", "UTC", 0),
+    ("location label", "America/Panama", 5 * 3600),
+    ("UTC label", "Etc/UTC", 0),
+    ("GMT label", "Etc/GMT+2", 2 * 3600),
+    ("UTC as standard offset", "+0000", 0),
+    ("standard offset", "+0430", -(4 * 3600 + 1800)),
+    ("hour and minute offset", "+03:00", -3 * 3600),
+    ("minute offset", "+00:30", -1800),
+    ("abbreviated hour offset", "+04", -4 * 3600),
+    ("negative hour and minute offset", "-03:30", 3 * 3600 + 1800),
+    ("negative minute offset", "-00:30", 1800),
+    ("negative abbreviated hour offset", "-04", 4 * 3600),
+]
+
+
+@pytest.mark.parametrize("case", TZ_CASES, ids=[c[0] for c in TZ_CASES])
+def test_timezone_matrix(spark, case):
+    _, tz, shift = case
+    got = _run(spark, "2015-03-07 11:06:39", ["yyyy-MM-dd HH:mm:ss"], timezone=tz)
+    want = datetime.fromtimestamp(EXPECTED.timestamp() + shift, pytz.utc)
+    assert got == want, (tz, got, want)
+
+
+@pytest.mark.parametrize("tz", ["Z", "Equatorial/Kundu", "-400"])
+def test_invalid_timezones_rejected_at_build(spark, tz):
+    with pytest.raises(ValueError):
+        build("timestamp", field="src", layouts=["yyyy"], timezone=tz)
+
+
+def test_zoned_layout_ignores_configured_timezone(spark):
+    """time.ParseInLocation semantics: a layout carrying its own offset
+    wins over the configured timezone."""
+    got = _run(
+        spark,
+        "2015-03-07T11:06:39Z",
+        ["yyyy-MM-dd'T'HH:mm:ssXXX"],
+        timezone="+0430",
+    )
+    assert got == EXPECTED
