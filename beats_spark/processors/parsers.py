@@ -142,8 +142,30 @@ def decode_json_fields(
     return stage
 
 
-def decode_csv_fields(field: str, target: str, separator: str = ",", max_columns: int = 64):
+def decode_csv_fields(
+    field: str | None = None,
+    target: str | None = None,
+    separator: str = ",",
+    max_columns: int = 64,
+    fields: dict[str, str] | None = None,
+    ignore_missing: bool = False,
+    overwrite_keys: bool = False,
+    trim_leading_space: bool = False,
+    fail_on_error: bool = True,
+):
     """decode_csv_fields.go:59 — RFC-4180 split into array<string>.
+
+    Config surface (r5, decode_csv_fields_test.go port): either the
+    single (field, target) pair or the reference's `fields` map
+    {src: target, ...}; `ignore_missing` skips absent source columns
+    (else build-time error); a pre-existing target column is refused
+    unless `overwrite_keys` (plan-time — which is also the reference's
+    clone-skip safety: no partial writes can exist);
+    `trim_leading_space` maps to the csv parser's leading-whitespace
+    trim (trailing space preserved, like Go's TrimLeadingSpace); with
+    several fields and `fail_on_error`, one row's failure nulls ALL its
+    targets (the restore-on-error rollback — the original strings stay
+    in the source columns).
 
     Implemented with from_csv over a fixed arity (`max_columns`);
     quoting/escapes handled by the CSV parser, not regex. Empty cells are
@@ -157,24 +179,59 @@ def decode_csv_fields(field: str, target: str, separator: str = ",", max_columns
     """
     import re as _re
 
+    if fields is None:
+        if field is None or target is None:
+            raise ValueError("decode_csv_fields needs (field, target) or fields={src: dst}")
+        fields = {field: target}
+
     def stage(df: DataFrame) -> DataFrame:
-        src = _get(df, field)
         n = max_columns
         schema = ", ".join(f"_c{i} string" for i in range(n))
-        # escape='"' ⇒ doubled-quote escaping, pure RFC4180 like the
-        # reference's Go csv.Reader (Spark's default escape is backslash,
-        # which silently mis-parses `"xb"","` -> 'xb"' + a stray cell)
-        parsed = F.from_csv(src, schema, {"sep": separator, "escape": '"'})
-        stripped = F.regexp_replace(src, '"([^"]|"")*"', "")
-        arity = F.regexp_count(stripped, F.lit(_re.escape(separator))) + F.lit(1)
-        cells = F.array(*[F.coalesce(parsed.getItem(f"_c{i}"), F.lit("")) for i in range(n)])
-        overflow = arity > n
-        df = df.withColumn(
-            target, F.when(~overflow, F.slice(cells, 1, F.least(arity, F.lit(n))))
+        opts = {"sep": separator, "escape": '"'}
+        if trim_leading_space:
+            opts["ignoreLeadingWhiteSpace"] = "true"
+        outs: list[tuple[str, Column, Column]] = []  # (target, cells, failed)
+        for fname, tname in fields.items():
+            if not fname.startswith("attrs.") and fname not in df.columns:
+                if ignore_missing:
+                    continue
+                raise ValueError(f"decode_csv_fields: field [{fname}] is missing")
+            # self-target (src == dst) is an in-place replace, always
+            # allowed; only a DIFFERENT existing column needs overwrite_keys
+            if tname != fname and tname in df.columns and not overwrite_keys:
+                raise ValueError(
+                    f"decode_csv_fields: target field [{tname}] already exists "
+                    "(pass overwrite_keys=True)"
+                )
+            src = _get(df, fname)
+            # escape='"' ⇒ doubled-quote escaping, pure RFC4180 like the
+            # reference's Go csv.Reader (Spark's default escape is
+            # backslash, which silently mis-parses `"xb"","`)
+            parsed = F.from_csv(src, schema, opts)
+            stripped = F.regexp_replace(src, '"([^"]|"")*"', "")
+            arity = F.regexp_count(stripped, F.lit(_re.escape(separator))) + F.lit(1)
+            cells = F.array(
+                *[F.coalesce(parsed.getItem(f"_c{i}"), F.lit("")) for i in range(n)]
+            )
+            overflow = arity > n
+            outs.append(
+                (tname, F.when(~overflow, F.slice(cells, 1, F.least(arity, F.lit(n)))), overflow)
+            )
+        any_failed = F.lit(False)
+        for _, _, failed in outs:
+            any_failed = any_failed | failed
+        # ONE withColumns: self-targets replace their own source, so a
+        # sequential withColumn chain would make later expressions (and
+        # the flags) read the already-replaced array instead of the
+        # original string
+        new_cols = {
+            tname: F.when(~(any_failed if fail_on_error else failed), cells)
+            for tname, cells, failed in outs
+        }
+        new_cols[FLAGS_COL] = append_flag(
+            _flags(df), "decode_csv_arity_exceeded", any_failed
         )
-        return df.withColumn(
-            FLAGS_COL, append_flag(_flags(df), "decode_csv_arity_exceeded", overflow)
-        )
+        return df.withColumns(new_cols)
 
     return stage
 

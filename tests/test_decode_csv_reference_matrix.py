@@ -1,0 +1,120 @@
+"""decode_csv_fields matrix — ported from the reference's
+libbeat/processors/decode_csv_fields/decode_csv_fields_test.go.
+
+Engine divergences (documented): per-event errors become plan-time
+errors (missing field, pre-existing target) or NULL-target+flag rows;
+dotted targets live as flat columns, so the reference's "a.b under
+scalar a" put-failures have no analog.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.processors import build
+
+
+def _one(spark, value, **cfg):
+    df = spark.createDataFrame([(value,)], "message string")
+    return build("decode_csv_fields", **cfg)(df).first()
+
+
+def test_self_target(spark):
+    r = _one(spark, "17,192.168.33.1,8.8.8.8", fields={"message": "message"})
+    assert r.message == ["17", "192.168.33.1", "8.8.8.8"]
+
+
+def test_alternative_target(spark):
+    df = spark.createDataFrame([("17,192.168.33.1,8.8.8.8",)], "my_field string")
+    r = build("decode_csv_fields", fields={"my_field": "message"})(df).first()
+    assert r.my_field == "17,192.168.33.1,8.8.8.8"  # source intact
+    assert r.message == ["17", "192.168.33.1", "8.8.8.8"]
+
+
+def test_non_existing_field_fails(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="missing"):
+        build("decode_csv_fields", fields={"my_field": "target"})(df)
+
+
+def test_ignore_missing(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    out = build("decode_csv_fields", fields={"my_field": "my_field"}, ignore_missing=True)(df)
+    assert out.count() == 1
+
+
+def test_overwrite_keys(spark):
+    df = spark.createDataFrame(
+        [('"hello ""world"""', 42)], "message string, existing_field int"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        build("decode_csv_fields", fields={"message": "existing_field"})(df)
+    r = build(
+        "decode_csv_fields", fields={"message": "existing_field"}, overwrite_keys=True
+    )(df).first()
+    assert r.message == '"hello ""world"""'
+    assert r.existing_field == ['hello "world"']
+
+
+def test_custom_separator(spark):
+    r = _one(
+        spark, "1.5;false;hello world;3", fields={"message": "message"}, separator=";"
+    )
+    assert r.message == ["1.5", "false", "hello world", "3"]
+
+
+def test_trim_leading_space(spark):
+    r = _one(
+        spark,
+        " Here's,   some,   extra ,whitespace",
+        fields={"message": "message"},
+        trim_leading_space=True,
+    )
+    assert r.message == ["Here's", "some", "extra ", "whitespace"]
+
+
+def test_tab_separator(spark):
+    r = _one(
+        spark,
+        'Tab\tin\tASCII\thas\tthe\t"decimal\tcharacter\tcode"\t9',
+        fields={"message": "message"},
+        separator="\t",
+        overwrite_keys=True,
+    )
+    assert r.message == ["Tab", "in", "ASCII", "has", "the", "decimal\tcharacter\tcode", "9"]
+
+
+def test_multiple_fields(spark):
+    df = spark.createDataFrame([("1,2", "hello,world")], "a string, b string")
+    r = build("decode_csv_fields", fields={"a": "a_csv", "b": "b_csv"})(df).first()
+    assert r.a == "1,2" and r.b == "hello,world"
+    assert r.a_csv == ["1", "2"] and r.b_csv == ["hello", "world"]
+
+
+def test_fail_on_error_rollback_multi_field(spark):
+    """restore-on-errors: a row where ONE field fails (arity overflow)
+    rolls back ALL its targets; fail_on_error=False keeps the good one."""
+    df = spark.createDataFrame(
+        [("1,2", ",".join(str(i) for i in range(100)))], "a string, b string"
+    )
+    r = build(
+        "decode_csv_fields",
+        fields={"a": "a_csv", "b": "b_csv"},
+        max_columns=64,
+        fail_on_error=True,
+    )(df).first()
+    assert r.a_csv is None and r.b_csv is None  # rollback both
+    assert "decode_csv_arity_exceeded" in r.log_flags
+    assert r.a == "1,2"  # sources intact
+    r2 = build(
+        "decode_csv_fields",
+        fields={"a": "a_csv", "b": "b_csv"},
+        max_columns=64,
+        fail_on_error=False,
+    )(df).first()
+    assert r2.a_csv == ["1", "2"] and r2.b_csv is None
+
+
+def test_empty_cells_preserved(spark):
+    r = _one(spark, "a,,c", fields={"message": "message"})
+    assert r.message == ["a", "", "c"]
