@@ -236,29 +236,126 @@ def decode_csv_fields(
     return stage
 
 
-def decode_base64_field(field: str, target: str):
+def decode_base64_field(
+    field: str,
+    target: str | None = None,
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+):
+    """decode_base64_field.go:51 (r5 matrix port): empty/absent target
+    decodes in place; padded AND unpadded input accepted (StdEncoding →
+    RawStdEncoding fallback). INVALID base64 ('bad data') is a failure —
+    Spark's unbase64 silently skips invalid characters, so validity is
+    checked first (charset + length mod 4 ≠ 1). Failure keeps the raw
+    value for in-place targets / NULL otherwise, flagged when
+    fail_on_error; a missing source column errors at build unless
+    ignore_missing."""
+
     def stage(df: DataFrame) -> DataFrame:
-        return df.withColumn(target, F.unbase64(_get(df, field)).cast("string"))
+        to = target or field
+        if not field.startswith("attrs.") and field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(f"decode_base64_field: field [{field}] is missing")
+        src = _get(df, field)
+        stripped = F.regexp_replace(src, r"[\r\n]", "")
+        valid = stripped.rlike(r"^[A-Za-z0-9+/]*={0,2}$") & (
+            F.length(stripped) % 4 != 1
+        )
+        dec = F.when(valid, F.unbase64(stripped).cast("string"))
+        failed = src.isNotNull() & dec.isNull()
+        keep = src if to == field else F.lit(None).cast("string")
+        new_cols = {to: F.when(~failed, dec).otherwise(keep)}
+        if fail_on_error:
+            new_cols[FLAGS_COL] = append_flag(_flags(df), "decode_base64_error", failed)
+        return df.withColumns(new_cols)
 
     return stage
 
 
-def urldecode(fields: list[dict[str, str]]):
+def urldecode(
+    fields: list[dict[str, str]],
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+):
+    """urldecode.go:51 (r5 matrix port): [{'from': f, 'to': t}] — an
+    empty/absent 'to' decodes in place. An invalid escape ('%ü') is a
+    per-row failure: with fail_on_error NO field of that row is written
+    (restore-on-error; in-place targets keep the raw value) and
+    `urldecode_error` is flagged; with it off, failed fields keep/skip
+    while good fields still decode. Missing source columns error at
+    build unless ignore_missing."""
+
     def stage(df: DataFrame) -> DataFrame:
+        plan: list[tuple[str, str, Column, Column]] = []  # (from, to, decoded, failed)
         for f in fields:
-            df = df.withColumn(f.get("to", f["from"]), F.url_decode(_get(df, f["from"])))
-        return df
+            src_name = f["from"]
+            to = f.get("to") or src_name
+            if not src_name.startswith("attrs.") and src_name not in df.columns:
+                if ignore_missing:
+                    continue
+                raise ValueError(f"urldecode: field [{src_name}] is missing")
+            src = _get(df, src_name)
+            dec = F.try_url_decode(src)
+            plan.append((src_name, to, dec, src.isNotNull() & dec.isNull()))
+        any_failed = F.lit(False)
+        for _, _, _, failed in plan:
+            any_failed = any_failed | failed
+        new_cols: dict[str, Column] = {}
+        for src_name, to, dec, failed in plan:
+            guard = any_failed if fail_on_error else failed
+            keep = _get(df, src_name) if to == src_name else F.lit(None).cast("string")
+            new_cols[to] = F.when(~guard, dec).otherwise(keep)
+        if fail_on_error:
+            new_cols[FLAGS_COL] = append_flag(_flags(df), "urldecode_error", any_failed)
+        return df.withColumns(new_cols)
 
     return stage
 
 
-def extract_array(field: str, mappings: dict[str, int]):
-    """extract_array.go:63 — {'target_col': index}."""
+def extract_array(
+    field: str,
+    mappings: dict[str, int],
+    fail_on_error: bool = True,
+    omit_empty: bool = False,
+):
+    """extract_array.go:63 — {'target_col': index}.
+
+    r5 (extract_array_test.go port): with `fail_on_error` an
+    out-of-range index rolls back EVERY target of that row (NULLs +
+    `extract_array_error` flag — the restore-on-error analog; sources
+    intact); with it off, in-range mappings still extract. `omit_empty`
+    skips empty strings and empty collections (the reference's
+    isEmpty — numeric zeros are NOT empty and are kept)."""
 
     def stage(df: DataFrame) -> DataFrame:
+        from pyspark.sql.types import ArrayType, MapType
+
+        arr = _get(df, field)
+        elem_t = None
+        if not field.startswith("attrs.") and field in df.columns:
+            ft = df.schema[field].dataType
+            elem_t = ft.elementType if isinstance(ft, ArrayType) else None
+        any_oob = F.lit(False)
+        for _, idx in mappings.items():
+            any_oob = any_oob | (arr.isNotNull() & (F.size(arr) <= F.lit(idx)))
+        new_cols: dict[str, Column] = {}
         for target, idx in mappings.items():
-            df = df.withColumn(target, _get(df, field).getItem(idx))
-        return df
+            # F.get, not getItem: ANSI mode makes an out-of-bounds index
+            # THROW; the tolerant form returns NULL and the oob handling
+            # stays with the fail_on_error policy above
+            v = F.get(arr, idx)
+            if omit_empty:
+                if isinstance(elem_t, (ArrayType, MapType)):
+                    v = F.when(F.size(v) > 0, v)
+                else:
+                    v = F.when(v.cast("string") != F.lit(""), v)
+            if fail_on_error:
+                v = F.when(~any_oob, v)
+            new_cols[target] = v
+        if fail_on_error:
+            new_cols[FLAGS_COL] = append_flag(_flags(df), "extract_array_error", any_oob)
+        return df.withColumns(new_cols)
 
     return stage
 
@@ -274,11 +371,22 @@ def extract_field(field: str, separator: str, index: int, target: str):
     return stage
 
 
-def decode_duration(field: str, target: str | None = None, unit: str = "s"):
+def decode_duration(
+    field: str, target: str | None = None, unit: str = "s", format: str | None = None
+):
     """decode_duration.go:33 — '1h3m50.5s' → numeric duration.
 
     Pure-Column: regexp_extract per unit + arithmetic (hours/minutes/
-    seconds/ms, fractional seconds supported)."""
+    seconds/ms, fractional seconds supported). `format` takes the
+    reference's config names — '' /'milliseconds', 'seconds', 'minutes',
+    'hours' ('' is the reference DEFAULT: milliseconds) and overrides
+    `unit`; bare `unit='s'` remains this engine's own default
+    (documented divergence — changing it would silently rescale every
+    existing config)."""
+    if format is not None:
+        unit = {"": "ms", "milliseconds": "ms", "seconds": "s", "minutes": "m", "hours": "h"}[
+            format
+        ]
     div = {"ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}[unit]
 
     def stage(df: DataFrame) -> DataFrame:

@@ -1,0 +1,165 @@
+"""Small-processor matrices ported from the reference:
+  extract_array_test.go    (fail_on_error rollback, omit_empty, multicopy)
+  urldecode_test.go        (from/to forms, invalid-escape failure)
+  decode_base64_field_test.go (padded/unpadded, strict invalid detection)
+  decode_duration_test.go  (format names battery)
+
+Engine divergences: per-event errors are NULL/kept-raw + flag rows or
+build-time errors (documented per processor); mixed-type any-arrays
+don't exist in a typed engine, so extract_array cases port on typed
+arrays.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+
+
+# -- extract_array -----------------------------------------------------------
+
+
+def test_extract_array_sample_and_multicopy(spark):
+    df = spark.createDataFrame([(["zero", "one", "two"],)], "array array<string>")
+    r = build("extract_array", field="array", mappings={"d1": 1, "d2": 2})(df).first()
+    assert r.d1 == "one" and r.d2 == "two" and r.array == ["zero", "one", "two"]
+    r = build("extract_array", field="array", mappings={"a": 1, "b": 1, "c": 1})(df).first()
+    assert r.a == r.b == r.c == "one"
+
+
+def test_extract_array_out_of_range_rollback(spark):
+    """'out of range mapping': one bad index rolls back every target of
+    the row and flags it; sources intact."""
+    df = spark.createDataFrame([(["127.0.0.1"],)], "array array<string>")
+    r = build(
+        "extract_array", field="array", mappings={"source_ip": 0, "destination_ip": 999}
+    )(df).first()
+    assert r.source_ip is None and r.destination_ip is None
+    assert "extract_array_error" in r.log_flags
+    assert r.array == ["127.0.0.1"]
+
+
+def test_extract_array_ignore_errors(spark):
+    """'ignore errors': fail_on_error=False keeps the in-range targets."""
+    df = spark.createDataFrame([([3.14, 9000.0],)], "array array<double>")
+    r = build(
+        "extract_array", field="array", mappings={"a": 0, "oob": 5}, fail_on_error=False
+    )(df).first()
+    assert r.a == 3.14 and r.oob is None
+
+
+def test_extract_array_omit_empty(spark):
+    """'omit_empty': empty strings skip; '0' is NOT empty and is kept."""
+    df = spark.createDataFrame([(["0", "", "x"],)], "array array<string>")
+    r = build(
+        "extract_array", field="array", mappings={"a": 0, "b": 1, "c": 2}, omit_empty=True
+    )(df).first()
+    assert r.a == "0" and r.b is None and r.c == "x"
+    # without omit_empty the empty string is extracted as ''
+    r2 = build("extract_array", field="array", mappings={"b": 1})(df).first()
+    assert r2.b == ""
+
+
+# -- urldecode ---------------------------------------------------------------
+
+
+def test_urldecode_matrix(spark):
+    df = spark.createDataFrame([("correct%20data",)], "field1 string")
+    r = build("urldecode", fields=[{"from": "field1", "to": "field2"}])(df).first()
+    assert r.field1 == "correct%20data" and r.field2 == "correct data"
+    # 'to' empty and from==to both decode in place
+    for spec in ({"from": "field1", "to": ""}, {"from": "field1", "to": "field1"}):
+        r = build("urldecode", fields=[spec])(df).first()
+        assert r.field1 == "correct data"
+
+
+def test_urldecode_multiple_fields(spark):
+    df = spark.createDataFrame(
+        [("correct%20field1", "correct%20field3")], "field1 string, field3 string"
+    )
+    r = build(
+        "urldecode",
+        fields=[{"from": "field1", "to": "field2"}, {"from": "field3", "to": "field4"}],
+    )(df).first()
+    assert r.field2 == "correct field1" and r.field4 == "correct field3"
+
+
+def test_urldecode_bad_escape(spark):
+    df = spark.createDataFrame([("Hello G%ünter",)], "field1 string")
+    r = build("urldecode", fields=[{"from": "field1", "to": "field1"}])(df).first()
+    assert r.field1 == "Hello G%ünter"  # raw value kept in place
+    assert "urldecode_error" in r.log_flags
+    r2 = build(
+        "urldecode", fields=[{"from": "field1", "to": "field2"}], fail_on_error=False
+    )(df).first()
+    assert r2.field1 == "Hello G%ünter" and r2.field2 is None
+
+
+def test_urldecode_missing_field(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="missing"):
+        build("urldecode", fields=[{"from": "field1", "to": "f2"}])(df)
+    out = build(
+        "urldecode", fields=[{"from": "field1", "to": "f2"}], ignore_missing=True
+    )(df)
+    assert out.count() == 1
+
+
+# -- decode_base64_field -----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "value,want",
+    [
+        ("Y29ycmVjdCBkYXRh", "correct data"),
+        ("Y29ycmVjdCBwYWRkZWQgZGF0YQ==", "correct padded data"),
+        ("dW5wYWRkZWQgZGF0YQ", "unpadded data"),  # RawStdEncoding fallback
+    ],
+    ids=["plain", "padded", "unpadded"],
+)
+def test_base64_decode_forms(spark, value, want):
+    df = spark.createDataFrame([(value,)], "field1 string")
+    r = build("decode_base64_field", field="field1")(df).first()  # in place
+    assert r.field1 == want
+
+
+def test_base64_bad_data(spark):
+    """'bad data' (contains a space) is INVALID base64 — the reference
+    errors; Spark's lenient unbase64 must not silently half-decode it."""
+    df = spark.createDataFrame([("bad data",)], "field1 string")
+    r = build("decode_base64_field", field="field1")(df).first()
+    assert r.field1 == "bad data"
+    assert "decode_base64_error" in r.log_flags
+    r2 = build(
+        "decode_base64_field", field="field1", target="field2", fail_on_error=False
+    )(df).first()
+    assert r2.field1 == "bad data" and r2.field2 is None
+
+
+def test_base64_missing_field(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    with pytest.raises(ValueError, match="missing"):
+        build("decode_base64_field", field="field1")(df)
+    assert build("decode_base64_field", field="field1", ignore_missing=True)(df).count() == 1
+
+
+# -- decode_duration ---------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "dur,fmt,want",
+    [
+        ("1.001s", "", 1001.0),
+        ("1.001s", "milliseconds", 1001.0),
+        ("1.001s", "seconds", 1.001),
+        ("3s", "minutes", 0.05),
+        ("3m0s", "hours", 0.05),
+    ],
+    ids=["default-ms", "milliseconds", "seconds", "minutes", "hours"],
+)
+def test_decode_duration_formats(spark, dur, fmt, want):
+    df = spark.createDataFrame([(dur,)], "duration string")
+    r = build("decode_duration", field="duration", target="out", format=fmt)(df).first()
+    assert r.out == pytest.approx(want, rel=1e-9)
