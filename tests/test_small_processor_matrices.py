@@ -163,3 +163,42 @@ def test_decode_duration_formats(spark, dur, fmt, want):
     df = spark.createDataFrame([(dur,)], "duration string")
     r = build("decode_duration", field="duration", target="out", format=fmt)(df).first()
     assert r.out == pytest.approx(want, rel=1e-9)
+
+
+# -- rate_limit (token-bucket timing battery, rate_limit_test.go) ------------
+
+
+def test_rate_limit_reference_timing_battery():
+    """TestRateLimit ported onto the shared token-bucket drain (the same
+    code the LIVE streaming processor runs): 6 events, various rates and
+    spacings — admissions must match the reference's expectations."""
+    from beats_spark.streaming.rate_limit import _drain_token_bucket
+
+    def admit(limit, period_s, spacing_s):
+        epochs = [i * spacing_s for i in range(6)]
+        keep, _, _ = _drain_token_bucket(epochs, float(limit), None, float(limit), period_s)
+        return [i + 1 for i, k in enumerate(keep) if k]
+
+    assert admit(0, 60.0, 0.0) == []                 # rate_0: drop everything
+    assert admit(1, 60.0, 0.0) == [1]                # 1/m burst
+    assert admit(2, 60.0, 0.0) == [1, 2]             # 2/m burst
+    assert admit(6, 60.0, 0.0) == [1, 2, 3, 4, 5, 6] # 6/m burst
+    assert admit(2, 1.0, 0.2) == [1, 2, 4, 6]        # 2/s at 200ms spacing
+
+
+def test_rate_limit_with_fields_batch(spark):
+    """'with_fields': the limit applies PER KEY; keyless events form
+    their own group (batch windowed stage)."""
+    rows = [
+        ("bar", 1, "2024-01-01 00:00:00"),
+        ("bar", 2, "2024-01-01 00:00:00"),
+        (None, 3, "2024-01-01 00:00:00"),
+        ("seger", 4, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "foo string, event_number int, t string").withColumn(
+        "ts", F.col("t").cast("timestamp")
+    )
+    out = build("rate_limit", key_fields=["foo"], limit=1, period="1 minute",
+                order_cols=["event_number"])(df)
+    got = sorted(r.event_number for r in out.collect())
+    assert got == [1, 3, 4]  # first per key: bar→1, null-key→3, seger→4
