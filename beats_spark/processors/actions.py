@@ -395,23 +395,47 @@ def fingerprint(
     when: dict | None = None,
 ):
     """fingerprint/fingerprint.go:40,93-116 — byte-compatible canonical
-    form: for each field in sorted order the reference writes
-    `|<key>|<value>` into the hash, then a trailing `|`
-    (writeFields, fingerprint.go:111-114). Same bytes here, so digests
-    are joinable with reference-produced fingerprints.
+    form: for each field in sorted order (duplicates ignored, like the
+    reference's key map) the reference writes `|<key>|<value>` into the
+    hash, then a trailing `|` (writeFields, fingerprint.go:111-114).
+    Timestamp-typed fields render as Go's UTC time.String() form
+    ('2019-10-29 00:00:00 +0000 UTC', trailing-zero-trimmed fraction) —
+    fingerprint_test.go's golden vectors for md5/sha*/encodings all
+    reproduce bit-for-bit (r5 matrix port). KNOWN divergence:
+    method='xxhash64' uses Spark's built-in (XXH64 over UTF8 bytes,
+    seed 42) — the reference's cespare/xxhash uses seed 0, so xxhash
+    digests are stable but NOT joinable with reference output (no
+    seed-0 XXH64 exists JVM-side; the crypto methods are the
+    byte-compatible ones).
     """
     if method not in _HASHES:
         raise ValueError(f"fingerprint: unknown method {method!r}")
 
     def stage(df: DataFrame) -> DataFrame:
+        dtypes = dict(df.dtypes)
         # coalesce each value to '' so one NULL field can't NULL the whole
         # digest via F.concat (the reference errors the event on a missing
         # field; a typed column's NULL maps to the empty value here — the
         # |key| marker still separates it from an absent field)
         parts: list[Column] = []
-        for f in sorted(fields):
+        for f in sorted(set(fields)):
             parts.append(F.lit(f"|{f}|"))
-            parts.append(F.coalesce(F.col(f).cast("string"), F.lit("")))
+            # exact-name resolution first: a literally-dotted column name
+            # ('nested.field') must hash under its dotted KEY bytes
+            c = F.col(f"`{f}`") if f in dtypes else F.col(f)
+            if dtypes.get(f) == "timestamp":
+                # Go renders time fields via %v = t.String() after UTC
+                # canonicalization; fraction printed only when nonzero,
+                # trailing zeros trimmed
+                frac = F.regexp_replace(F.date_format(c, "SSSSSS"), "0+$", "")
+                v = F.concat(
+                    F.date_format(c, "yyyy-MM-dd HH:mm:ss"),
+                    F.when(frac != "", F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+                    F.lit(" +0000 UTC"),
+                )
+            else:
+                v = c.cast("string")
+            parts.append(F.coalesce(v, F.lit("")))
         parts.append(F.lit("|"))
         joined = F.concat(*parts)
         if method == "md5":
@@ -424,6 +448,25 @@ def fingerprint(
             h = F.sha2(joined, int(method[3:]))
         if encoding == "base64":
             h = F.base64(F.unhex(h))
+        elif encoding == "base32":
+            # no JVM built-in — rare path, Arrow-batched like gzip
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _b32(s):  # no annotations: locally-imported pd would
+                # leave a string annotation the UDF resolver cannot eval
+                import base64 as _b64
+                import binascii as _ba
+
+                return s.map(
+                    lambda x: None
+                    if x is None
+                    else _b64.b32encode(_ba.unhexlify(x)).decode()
+                )
+
+            h = _b32(h)
+        elif encoding != "hex":
+            raise ValueError(f"fingerprint: unknown encoding {encoding!r}")
         return _with_guarded(df, target_field, h, when)
 
     return stage

@@ -202,3 +202,72 @@ def test_rate_limit_with_fields_batch(spark):
                 order_cols=["event_number"])(df)
     got = sorted(r.event_number for r in out.collect())
     assert got == [1, 3, 4]  # first per key: bar→1, null-key→3, seger→4
+
+
+# -- fingerprint golden vectors (fingerprint_test.go) ------------------------
+
+
+def test_fingerprint_golden_vectors(spark):
+    """The reference's exact digest values reproduce bit-for-bit: the
+    |key|value| canonical byte form, sorted + deduped fields, Go UTC
+    time.String() rendering for timestamp fields, hex/base32/base64."""
+    df = spark.createDataFrame(
+        [("foo", "bar", "qux", "baz")],
+        "field1 string, field2 string, `nested.field` string, unused_field string",
+    )
+    meth = {
+        "md5": "4c45df4792f3ef850c928ec5f5232538",
+        "sha1": "22f76427d626516d3f7a05785165b99617683b22",
+        "sha256": "1208288932231e313b369bae587ff574cd3016a408e52e7128d7bee752674003",
+        "sha384": "295adfe0bc03908948e4b0b6a54f441767867e426dda590430459c8a147fbba2"
+        "42a38cba282adee78335b9e08877b86c",
+        "sha512": "f50ad51b63c92a0ed0c910527119b81806f3110f0afaa1dcb93506a78371ea76"
+        "1e50c0fc09b08c441d832dd2da1b45e5d8361adfb240e1fffc2695122a23e183",
+    }
+    for m, want in meth.items():
+        r = build("fingerprint", fields=["field1", "field2"], method=m)(df).first()
+        assert r.fingerprint == want, m
+
+    # hello-world + escaping cases
+    d2 = spark.createDataFrame([('test message "hello world"',)], "message string")
+    assert (
+        build("fingerprint", fields=["message"])(d2).first().fingerprint
+        == "14a0364b79acbe4c78dd5e77db2c93ae8c750518b32581927d50b3eef407184e"
+    )
+
+    # TestSourceFields: order irrelevant + duplicates ignored, exact
+    # reference digest (dotted key hashed as its own bytes)
+    want_sf = "3d51237d384215a6e731f2cc67ead6d7d9a5138377897c8f542a915be3c25bcf"
+    for flds in (
+        ["field1", "nested.field"],
+        ["nested.field", "field1"],
+        ["nested.field", "field1", "nested.field"],
+    ):
+        got = build("fingerprint", fields=flds, method="sha256")(df).first().fingerprint
+        assert got == want_sf
+
+    # encodings over sha256(field2, nested_field)
+    enc = {
+        "hex": "49f15f7c03c606b4bdf43f60481842954ff7b45a020a22a1d0911d76f170c798",
+        "base32": "JHYV67ADYYDLJPPUH5QEQGCCSVH7PNC2AIFCFIOQSEOXN4LQY6MA====",
+        "base64": "SfFffAPGBrS99D9gSBhClU/3tFoCCiKh0JEddvFwx5g=",
+    }
+    for e, want in enc.items():
+        r = build(
+            "fingerprint", fields=["field2", "nested.field"], method="sha256", encoding=e
+        )(df).first()
+        assert r.fingerprint == want, e
+
+
+def test_fingerprint_timestamp_field_go_rendering(spark):
+    """TestConsistentHashingTimeFields: a timestamp field hashes as Go's
+    UTC time.String() bytes — the golden digest reproduces exactly, and
+    it is zone-independent by construction (instants are UTC here)."""
+    df = spark.createDataFrame([("2019-10-29 00:00:00",)], "t string").select(
+        F.col("t").cast("timestamp").alias("timestamp")
+    )
+    r = build("fingerprint", fields=["timestamp"], method="sha256")(df).first()
+    assert (
+        r.fingerprint
+        == "4534d56a673c2da41df32db5da87cf47e639e84fe82907f2c015c8dfcac5d4f5"
+    )
