@@ -84,19 +84,34 @@ def copy_fields(fields: list[dict[str, str]], when: dict | None = None):
     return stage
 
 
-def rename(fields: list[dict[str, str]], fail_on_error: bool = True):
-    """rename.go:34-51 — move a column; target must not exist."""
+def rename(
+    fields: list[dict[str, str]],
+    fail_on_error: bool = True,
+    ignore_missing: bool = False,
+):
+    """rename.go:34-51 — move a column; target must not exist.
+
+    Renames apply SEQUENTIALLY, so order matters exactly like the
+    reference (rename_test.go: freeing `b` via b→c lets a following
+    a→b succeed). A conflict/missing source raises at BUILD when
+    fail_on_error — which is also the reference's whole-batch rollback:
+    nothing is applied. `ignore_missing` skips absent sources without
+    suppressing target-exists errors; fail_on_error=False skips any
+    failing pair and applies the rest (the partial-success case)."""
 
     def stage(df: DataFrame) -> DataFrame:
         for f in fields:
             src, dst = f["from"], f["to"]
+            if src not in df.columns:
+                if ignore_missing or not fail_on_error:
+                    continue
+                raise ValueError(f"rename: source field {src!r} missing")
             if dst in df.columns:
                 if fail_on_error:
-                    raise ValueError(f"rename: target field {dst!r} already exists")
-                continue
-            if src not in df.columns:
-                if fail_on_error:
-                    raise ValueError(f"rename: source field {src!r} missing")
+                    raise ValueError(
+                        f"rename: target field {dst!r} already exists, "
+                        "drop or rename this field first"
+                    )
                 continue
             df = df.withColumnRenamed(src, dst)
         return df

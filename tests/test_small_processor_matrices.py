@@ -271,3 +271,42 @@ def test_fingerprint_timestamp_field_go_rendering(spark):
         r.fingerprint
         == "4534d56a673c2da41df32db5da87cf47e639e84fe82907f2c015c8dfcac5d4f5"
     )
+
+
+# -- rename (rename_test.go, flat-portable cases) ----------------------------
+
+
+def test_rename_matrix(spark):
+    df = spark.createDataFrame([("c",)], "a string")
+    out = build("rename", fields=[{"from": "a", "to": "b"}])(df)
+    assert out.columns == ["b"] and out.first().b == "c"
+
+    # target exists → refuse (plan-time = whole-batch rollback)
+    df2 = spark.createDataFrame([(2, "q")], "a int, b string")
+    with pytest.raises(ValueError, match="target field 'b' already exists"):
+        build("rename", fields=[{"from": "a", "to": "b"}])(df2)
+
+    # order matters: freeing b first lets a→b succeed
+    out = build(
+        "rename", fields=[{"from": "b", "to": "c"}, {"from": "a", "to": "b"}]
+    )(df2)
+    r = out.first()
+    assert r.b == 2 and r.c == "q"
+
+    # fail_on_error=False: failing pair skipped, rest applied
+    out = build(
+        "rename",
+        fields=[{"from": "missing", "to": "x"}, {"from": "a", "to": "z"}],
+        fail_on_error=False,
+    )(df2)
+    assert "z" in out.columns and "x" not in out.columns
+
+    # ignore_missing skips absent sources but still refuses conflicts
+    out = build(
+        "rename", fields=[{"from": "missing", "to": "x"}], ignore_missing=True
+    )(df2)
+    assert out.columns == ["a", "b"]
+    with pytest.raises(ValueError, match="already exists"):
+        build(
+            "rename", fields=[{"from": "a", "to": "b"}], ignore_missing=True
+        )(df2)
