@@ -310,3 +310,36 @@ def test_rename_matrix(spark):
         build(
             "rename", fields=[{"from": "a", "to": "b"}], ignore_missing=True
         )(df2)
+
+
+# -- registered_domain (registered_domain_test.go golden battery) ------------
+
+
+@pytest.mark.parametrize(
+    "domain,rd,sub,etld",
+    [
+        ("www.google.com", "google.com", "www", "com"),
+        ("www.google.co.uk", "google.co.uk", "www", "co.uk"),
+        ("www.mail.google.co.uk", "google.co.uk", "www.mail", "co.uk"),
+        ("google.com", "google.com", None, "com"),
+        ("www.ak.local", "ak.local", "www", "local"),
+        ("www.navy.mil", "navy.mil", "www", "mil"),
+        # error rows: bare eTLD / empty / single label → no registered
+        # domain (the engine's NULL is the Run()-error analog)
+        ("com", None, None, None),
+        ("", None, None, None),
+        ("localhost", None, None, None),
+    ],
+)
+def test_registered_domain_reference_battery(spark, domain, rd, sub, etld):
+    df = spark.createDataFrame([(domain,)], "domain string")
+    r = build(
+        "registered_domain",
+        field="domain",
+        target="registered_domain",
+        target_subdomain="subdomain",
+        target_etld="etld",
+    )(df).first()
+    assert r.registered_domain == rd, (domain, r.registered_domain)
+    assert r.subdomain == sub, (domain, r.subdomain)
+    assert r.etld == etld, (domain, r.etld)
