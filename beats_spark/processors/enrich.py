@@ -305,23 +305,35 @@ def add_network_direction(
 
     `internal_networks` accepts CIDRs AND the named networks the
     reference supports ('private', 'loopback', …) — same resolver as
-    the conditions DSL's `network` operator."""
-    from ..conditions import network_match
+    the conditions DSL's `network` operator; an unknown name raises at
+    BUILD like the reference's config error. r5
+    (add_network_direction_test.go port): a row whose source OR
+    destination is empty/unparseable gets NO direction (NULL) — the
+    reference early-returns without setting the field; classifying
+    garbage as 'external' was wrong."""
+    from ..conditions import IPV4_RE, _ipv6_hextets, network_match
 
     nets = internal_networks or ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"]
 
     def is_internal(col: Column) -> Column:
         return network_match(col, nets)
 
+    def is_ip(col: Column) -> Column:
+        return col.rlike(IPV4_RE) | _ipv6_hextets(col).isNotNull()
+
     def stage(df: DataFrame) -> DataFrame:
-        src_in = is_internal(F.col(source))
-        dst_in = is_internal(F.col(destination))
+        src, dst = F.col(source), F.col(destination)
+        src_in = is_internal(src)
+        dst_in = is_internal(dst)
         return df.withColumn(
             target,
-            F.when(src_in & dst_in, "internal")
-            .when(src_in, "outbound")
-            .when(dst_in, "inbound")
-            .otherwise("external"),
+            F.when(
+                is_ip(src) & is_ip(dst),
+                F.when(src_in & dst_in, "internal")
+                .when(src_in, "outbound")
+                .when(dst_in, "inbound")
+                .otherwise("external"),
+            ),
         )
 
     return stage

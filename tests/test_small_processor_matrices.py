@@ -343,3 +343,44 @@ def test_registered_domain_reference_battery(spark, domain, rd, sub, etld):
     assert r.registered_domain == rd, (domain, r.registered_domain)
     assert r.subdomain == sub, (domain, r.subdomain)
     assert r.etld == etld, (domain, r.etld)
+
+
+# -- add_network_direction (add_network_direction_test.go) -------------------
+
+
+@pytest.mark.parametrize(
+    "src,dst,want",
+    [
+        ("1.1.1.1", "8.8.8.8", "external"),
+        ("1.1.1.1", "192.168.1.218", "inbound"),
+        ("192.168.1.218", "8.8.8.8", "outbound"),
+        ("192.168.1.218", "192.168.1.219", "internal"),
+        # early-return rows: empty/garbage endpoints get NO direction
+        ("", "192.168.1.219", None),
+        ("foo", "192.168.1.219", None),
+        ("192.168.1.218", "foo", None),
+        ("192.168.1.218", "", None),
+    ],
+)
+def test_network_direction_matrix(spark, src, dst, want):
+    df = spark.createDataFrame([(src, dst)], "src string, dst string")
+    r = build(
+        "add_network_direction",
+        source="src",
+        destination="dst",
+        target="direction",
+        internal_networks=["private"],
+    )(df).first()
+    assert r.direction == want, (src, dst, r.direction)
+
+
+def test_network_direction_unknown_network_fails_at_build(spark):
+    df = spark.createDataFrame([("1.1.1.1", "8.8.8.8")], "src string, dst string")
+    with pytest.raises(ValueError):
+        build(
+            "add_network_direction",
+            source="src",
+            destination="dst",
+            target="direction",
+            internal_networks=["foo"],
+        )(df).collect()
