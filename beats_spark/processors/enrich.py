@@ -260,8 +260,12 @@ def community_id(
         s_ip, d_ip = F.col(src_ip), F.col(dst_ip)
         p = F.col(proto).cast("int")
         s_p0, d_p0 = F.col(src_port).cast("bigint"), F.col(dst_port).cast("bigint")
-        t_col = F.col(icmp_type).cast("bigint") if icmp_type else s_p0
-        c_col = F.col(icmp_code).cast("bigint") if icmp_code else d_p0
+        # ICMP with ABSENT type/code hashes the ZERO typecode (r5
+        # communityid_test.go port: type 0 = echo-reply, whose two-way
+        # equivalent 8 then drives normal ordering — golden 'PAE85…');
+        # tcp/udp/sctp with absent ports stay NULL → NULL id (invalid)
+        t_col = F.coalesce(F.col(icmp_type).cast("bigint") if icmp_type else s_p0, F.lit(0))
+        c_col = F.coalesce(F.col(icmp_code).cast("bigint") if icmp_code else d_p0, F.lit(0))
         is_icmp = p.isin(1, 58)
         equiv = F.when(p == 1, _icmp_equiv(t_col, _ICMP4_EQUIV)).when(
             p == 58, _icmp_equiv(t_col, _ICMP6_EQUIV)
@@ -293,7 +297,16 @@ def community_id(
             port_hex,
         )
         digest = F.base64(F.unhex(F.sha1(F.unhex(packed))))
-        return df.withColumn(target, F.when(packed.isNotNull(), F.concat(F.lit("1:"), digest)))
+        # validity (communityid_test.go): an out-of-range port (123456)
+        # or unparseable ip yields NO id — hex() of a >u16 port would
+        # otherwise silently widen the packed tuple into a wrong hash
+        ports_ok = ~has_ports | (
+            (a_p >= 0) & (a_p <= 0xFFFF) & (b_p >= 0) & (b_p <= 0xFFFF)
+        )
+        return df.withColumn(
+            target,
+            F.when(packed.isNotNull() & ports_ok, F.concat(F.lit("1:"), digest)),
+        )
 
     return stage
 

@@ -384,3 +384,41 @@ def test_network_direction_unknown_network_fails_at_build(spark):
             target="direction",
             internal_networks=["foo"],
         )(df).collect()
+
+
+# -- community_id (communityid_test.go golden vectors) -----------------------
+
+
+def _cid(spark, rows, **kw):
+    df = spark.createDataFrame(
+        rows, "sip string, dip string, sp int, dp int, proto int"
+    )
+    return [
+        r.community_id
+        for r in build(
+            "community_id",
+            src_ip="sip", dst_ip="dip", src_port="sp", dst_port="dp", proto="proto",
+            **kw,
+        )(df).collect()
+    ]
+
+
+def test_community_id_reference_vectors(spark):
+    tcp = ("128.232.110.120", "66.35.250.204", 34855, 80, 6)
+    assert _cid(spark, [tcp]) == ["1:LQU9qZlK+B5F3KDmev6m5PMibrg="]
+    assert _cid(spark, [tcp], seed=123) == ["1:hTSGlFQnR58UCk+NfKRZzA32dPg="]
+    # icmp 3/3 (one-way type: never reversed)
+    assert _cid(spark, [("128.232.110.120", "66.35.250.204", 3, 3, 1)]) == [
+        "1:KF3iG9XD24nhlSy4r1TcYIr5mfE="
+    ]
+    # icmp with ABSENT type/code: zero typecode, echo-reply equiv 8 orders
+    assert _cid(spark, [("128.232.110.120", "66.35.250.204", None, None, 1)]) == [
+        "1:PAE85ZfR4SbNXl5URZwWYyDehwU="
+    ]
+    # igmp (proto 2): port-less flow, ip-pair+proto only
+    assert _cid(spark, [("128.232.110.120", "66.35.250.204", None, None, 2)]) == [
+        "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="
+    ]
+    # invalid port / unparseable ip → NO id
+    assert _cid(spark, [("128.232.110.120", "66.35.250.204", 123456, 80, 6)]) == [None]
+    assert _cid(spark, [("308.111.1.2.3", "66.35.250.204", 34855, 80, 6)]) == [None]
