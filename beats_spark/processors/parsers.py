@@ -361,12 +361,20 @@ def extract_array(
 
 
 def extract_field(field: str, separator: str, index: int, target: str):
-    """extract_field.go:30-41."""
+    """extract_field.go:30-41 — index into the NON-EMPTY tokens: the
+    reference strings.Splits then skips empty parts, so '/var/lib/foo'
+    index 0 is 'var', not the empty leading token (r5 matrix port —
+    the raw-split form returned the token BEFORE the requested one for
+    every leading-separator path). Out-of-range → NULL target (the
+    engine's Run()-error analog; F.get, ANSI-safe)."""
 
     def stage(df: DataFrame) -> DataFrame:
         import re as _re
 
-        return df.withColumn(target, F.split(_get(df, field), _re.escape(separator)).getItem(index))
+        toks = F.filter(
+            F.split(_get(df, field), _re.escape(separator), -1), lambda x: x != ""
+        )
+        return df.withColumn(target, F.get(toks, index))
 
     return stage
 

@@ -422,3 +422,32 @@ def test_community_id_reference_vectors(spark):
     # invalid port / unparseable ip → NO id
     assert _cid(spark, [("128.232.110.120", "66.35.250.204", 123456, 80, 6)]) == [None]
     assert _cid(spark, [("308.111.1.2.3", "66.35.250.204", 34855, 80, 6)]) == [None]
+
+
+# -- extract_field (extract_field_test.go) -----------------------------------
+
+
+@pytest.mark.parametrize(
+    "value,sep,idx,want",
+    [
+        (
+            "/var/lib/docker/containers/f1510836197d7c34da22cf796dba5640f87c04de5c"
+            "95cf0adc11b85f1e1c1528/f1510836197d7c34da22cf796dba5640f87c04de5c95cf0"
+            "adc11b85f1e1c1528-json.log",
+            "/",
+            4,
+            "f1510836197d7c34da22cf796dba5640f87c04de5c95cf0adc11b85f1e1c1528",
+        ),
+        ("/var/lib/foo/bar", "/", 3, "bar"),
+        ("-var-lib-foo-bar", "-", 2, "foo"),
+        ("*var*lib*foo*bar", "*", 0, "var"),
+        ("/var/lib/foo/bar", "*", 10, None),  # out of range → NULL (error analog)
+    ],
+    ids=["docker-path", "leading-sep", "dash", "star-escaped", "out-of-range"],
+)
+def test_extract_field_matrix(spark, value, sep, idx, want):
+    df = spark.createDataFrame([(value,)], "source string")
+    r = build(
+        "extract_field", field="source", separator=sep, index=idx, target="destination"
+    )(df).first()
+    assert r.destination == want, (value, sep, idx, r.destination)
