@@ -359,21 +359,68 @@ def append(
     target_field: str,
     fields: list[str] | None = None,
     values: list[Any] | None = None,
+    ignore_missing: bool = False,
+    ignore_empty_values: bool = False,
+    fail_on_error: bool = True,
     allow_duplicate: bool = True,
     when: dict | None = None,
 ):
-    """append.go:33-49 — append values/other-field values to an array field."""
+    """append.go:94-139 — target array := existing target values ++ each
+    `fields` entry's values (listed order; array values FLATTEN, scalars
+    contribute one element — valueToArray, append.go:187-214) ++ static
+    `values`. An existing scalar target becomes the array's first
+    element (append_test.go 'target is a scaler').
+
+    ignore_empty_values drops '' and NULL from the result
+    (cleanEmptyValues); allow_duplicate=False keeps first occurrences in
+    listed order (removeDuplicates ≡ array_distinct). Element type is
+    string — the typed-column projection of mapstr's []any.
+
+    Missing-source mapping: a field absent from the SCHEMA is the
+    reference's per-event "key not found" made batch-uniform —
+      * ignore_missing skips it (append.go:109-111);
+      * else fail_on_error=True raises at BUILD: the reference reads all
+        sources before writing anything, so an error leaves the event
+        unchanged (TestAppendSafety's no-partial-state contract) —
+        plan-time refusal is that rollback, batch-wide;
+      * else (fail_on_error=False) the event passes through UNCHANGED —
+        the reference logs and skips the whole append, never a partial
+        one (Run only writes when appendValues succeeded).
+    A present column's NULL row value means "key absent" here
+    (schema-on-write rule, module docstring) and contributes nothing."""
 
     def stage(df: DataFrame) -> DataFrame:
-        base = (
-            F.coalesce(F.col(target_field), F.array().cast("array<string>"))
-            if target_field in df.columns
-            else F.array().cast("array<string>")
+        dtypes = dict(df.dtypes)
+
+        def _as_arr(name: str) -> Column:
+            col = F.col(f"`{name}`")
+            if dtypes[name].startswith("array<"):
+                flat = col.cast("array<string>")
+            else:
+                flat = F.array(col.cast("string"))
+            return F.when(col.isNotNull(), flat).otherwise(F.array().cast("array<string>"))
+
+        parts: list[Column] = []
+        if target_field in dtypes:
+            parts.append(_as_arr(target_field))
+        for f in fields or []:
+            if f not in dtypes:
+                if ignore_missing:
+                    continue
+                if fail_on_error:
+                    raise ValueError(
+                        f"append: could not fetch value for key: {f}, key not found"
+                    )
+                return df  # whole-append skip: no partial writes
+            parts.append(_as_arr(f))
+        parts.append(
+            F.array(
+                *[F.lit(v).cast("string") if v is not None else F.lit(None).cast("string") for v in (values or [])]
+            ).cast("array<string>")
         )
-        extra = [F.col(f).cast("string") for f in (fields or [])] + [
-            F.lit(str(v)) for v in (values or [])
-        ]
-        new = F.concat(base, F.array(*extra))
+        new = F.concat(*parts) if len(parts) > 1 else parts[0]
+        if ignore_empty_values:
+            new = F.filter(new, lambda x: x.isNotNull() & (x != ""))
         if not allow_duplicate:
             new = F.array_distinct(new)
         return _with_guarded(df, target_field, new, when)

@@ -451,3 +451,141 @@ def test_extract_field_matrix(spark, value, sep, idx, want):
         "extract_field", field="source", separator=sep, index=idx, target="destination"
     )(df).first()
     assert r.destination == want, (value, sep, idx, r.destination)
+
+
+# -- append (append_test.go Run + Safety + helper matrices) ------------------
+
+
+def test_append_positive_flow(spark):
+    """'positive flow': existing-target-less assembly — arrays flatten in
+    listed order, the scalar contributes one element, static values come
+    last; empty strings are KEPT without ignore_empty_values."""
+    df = spark.createDataFrame(
+        [("some-value", ["one", "", "two", "three"], ["four", "five", ""])],
+        "`concrete-field` string, `array-one` array<string>, `array-two` array<string>",
+    )
+    r = build(
+        "append",
+        target_field="target",
+        fields=["array-one", "array-two", "concrete-field"],
+        values=["value1", "value2"],
+    )(df).first()
+    assert r.target == [
+        "one", "", "two", "three", "four", "five", "", "some-value", "value1", "value2",
+    ]
+
+
+def test_append_scalar_target_becomes_first_element(spark):
+    """'target_field is present and it is a scaler'."""
+    df = spark.createDataFrame(
+        [("scaler-value", "I'm being appended")], "target string, field string"
+    )
+    r = build("append", target_field="target", fields=["field"])(df).first()
+    assert r.target == ["scaler-value", "I'm being appended"]
+
+
+def test_append_array_target_fields_then_values(spark):
+    """'target_field is present and it is an array': target ++ fields ++ values."""
+    df = spark.createDataFrame(
+        [(["value1", "value2"], "I'm being appended")],
+        "target array<string>, field string",
+    )
+    r = build(
+        "append", target_field="target", fields=["field"], values=["value3", "value4"]
+    )(df).first()
+    assert r.target == ["value1", "value2", "I'm being appended", "value3", "value4"]
+
+
+def test_append_values_only_onto_tags(spark):
+    """'append values when target field is []string'."""
+    df = spark.createDataFrame(
+        [(["forwarded", "another-tag-from-the-tags-field"],)], "tags array<string>"
+    )
+    r = build("append", target_field="tags", values=["foo_bar"])(df).first()
+    assert r.tags == ["forwarded", "another-tag-from-the-tags-field", "foo_bar"]
+
+
+def test_append_remove_duplicates(spark):
+    """'source field is []string and remove duplicates': first occurrence
+    wins, listed order kept (removeDuplicates)."""
+    df = spark.createDataFrame(
+        [(["one"], ["two", "two"])], "target array<string>, field array<string>"
+    )
+    r = build(
+        "append", target_field="target", fields=["field"], allow_duplicate=False
+    )(df).first()
+    assert r.target == ["one", "two"]
+    # removeDuplicates helper matrix (ints port as their string renders)
+    df2 = spark.createDataFrame(
+        [([str(x) for x in [1, 1, 4, 2, 3, 3, 3, 2, 3, 3, 4, 5]],)], "v array<string>"
+    )
+    r2 = build("append", target_field="out", fields=["v"], allow_duplicate=False)(df2).first()
+    assert r2.out == ["1", "4", "2", "3", "5"]
+
+
+def test_append_nested_dotted_fields(spark):
+    """'test for nested field': dotted keys resolve as literally-dotted
+    columns (the typed-schema projection of mapstr nesting)."""
+    df = spark.createDataFrame(
+        [("some-value", ["one", "", "two", "three"], ["four", "five", ""])],
+        "`concrete-field` string, `array.one` array<string>, `array.two` array<string>",
+    )
+    r = build(
+        "append",
+        target_field="target",
+        fields=["array.one", "array.two", "concrete-field"],
+        values=["value1", "value2"],
+    )(df).first()
+    assert r.target == [
+        "one", "", "two", "three", "four", "five", "", "some-value", "value1", "value2",
+    ]
+
+
+def test_append_ignore_empty_values(spark):
+    """'remove empty values form output': '' and nil vanish from arrays,
+    the scalar source, and the static values (cleanEmptyValues)."""
+    df = spark.createDataFrame(
+        [("", ["one", "", "two", "three"], ["four", "five", ""])],
+        "`concrete-field` string, `array-one` array<string>, `array-two` array<string>",
+    )
+    r = build(
+        "append",
+        target_field="target",
+        fields=["array-one", "array-two", "concrete-field"],
+        values=["value1", None, "value2", "", None],
+        ignore_empty_values=True,
+    )(df).first()
+    assert r.target == ["one", "two", "three", "four", "five", "value1", "value2"]
+
+
+def test_append_missing_field_matrix(spark):
+    """Missing-source battery (Run 'unknown field' + TestAppendSafety):
+    fail_on_error=True → build-time refusal (the no-partial-writes
+    rollback); ignore_missing skips just that field; fail_on_error=False
+    leaves the event untouched (whole-append skip, never partial)."""
+    df = spark.createDataFrame([("a", "c")], "field_a string, field_c string")
+    with pytest.raises(ValueError, match="key not found"):
+        build("append", target_field="target", fields=["field_a", "missing-field"])(df)
+    r = build(
+        "append",
+        target_field="target",
+        fields=["field_a", "missing_b", "field_c"],
+        ignore_missing=True,
+    )(df).first()
+    assert r.target == ["a", "c"]
+    out = build(
+        "append",
+        target_field="target",
+        fields=["field_a", "missing"],
+        fail_on_error=False,
+    )(df)
+    assert out.columns == ["field_a", "field_c"]  # unchanged: no target written
+
+
+def test_append_null_value_contributes_nothing(spark):
+    """Schema-on-write rule: a present column's NULL row value means
+    'key absent' and contributes no element (engine divergence from
+    mapstr's explicit nil, which ignore_empty_values would drop too)."""
+    df = spark.createDataFrame([(None, "x")], "a string, b string")
+    r = build("append", target_field="t", fields=["a", "b"])(df).first()
+    assert r.t == ["x"]
