@@ -261,7 +261,15 @@ def truncate_fields(
     return stage
 
 
-def _case_fold(fold, fields, values, when):
+def _case_fold(
+    fold,
+    fields,
+    values,
+    when,
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+    alter_full_field: bool = True,
+):
     # a top-level key rename is a compile-time schema change and cannot be
     # row-guarded — combining it with `when` would silently rename for
     # non-matching rows too (found in r3 review). attrs.* key folds are
@@ -275,12 +283,42 @@ def _case_fold(fold, fields, values, when):
                 "cannot be combined with a `when` guard (a column rename is "
                 "not row-scoped); guard the values= form or drop the guard"
             )
+    # MandatoryExportedFields discard (alterFieldProcessor.go:60-74,
+    # config.go:31): 'type' and 'type.*' keys are never renamed
+    fields = [
+        f
+        for f in (fields or [])
+        if f.lower() != "type" and not f.lower().startswith("type.")
+    ]
+
+    def _fold_key(name: str) -> str:
+        # AlterFullField=true folds every path segment (for a case fold,
+        # segment-wise == whole-string); false folds only the LAST
+        # segment (alterFieldProcessor.go:127-146)
+        if alter_full_field or "." not in name:
+            return fold(name)
+        head, _, last = name.rpartition(".")
+        return f"{head}.{fold(last)}"
+
+    def _missing(name: str):
+        # a key absent from the schema is the reference's per-event
+        # "key not found" made batch-uniform: ignore_missing skips it;
+        # fail_on_error=True raises at BUILD (the reference restores the
+        # backup event, so an error means nothing was applied — plan-time
+        # refusal is that whole-batch rollback); else it is skipped
+        if ignore_missing or not fail_on_error:
+            return
+        raise ValueError(f"case-fold: could not fetch value for key: {name}, key not found")
 
     def stage(df: DataFrame) -> DataFrame:
         # Beats contract (alterFieldProcessor.go:31, lowercase.go:31):
         # `fields` names the KEYS to case-fold (a compile-time column
         # rename here); `values` is the LIST of fields whose VALUES fold.
-        # Value folds first (they reference original names), then renames.
+        # Value folds first (they reference original names), then renames
+        # — the reference runs fields first and then resolves values
+        # EXACT-case against the renamed event, so a key listed in both
+        # errors there; here both apply (documented divergence).
+        dtypes = dict(df.dtypes)
         for f in values or []:
             if f.startswith(f"{ATTRS_COL}."):
                 if ATTRS_COL not in df.columns:
@@ -290,24 +328,44 @@ def _case_fold(fold, fields, values, when):
                     _attrs(df), lambda k, v: F.when(k == key, fold(v)).otherwise(v)
                 )
                 df = _with_guarded(df, ATTRS_COL, folded_v, when)
+            elif f not in dtypes:
+                # values resolve EXACT-case (alterValue uses GetValue,
+                # not CaseInsensitiveMode — lowercase_test.go 'Fail On
+                # Missing Key Error': a.B.c misses when only a.B.C exists)
+                _missing(f)
+            elif dtypes[f] != "string":
+                # 'Fail if given path to value is not a string' — not a
+                # key-not-found, so ignore_missing does NOT suppress it
+                if fail_on_error:
+                    raise ValueError(f'case-fold: value of key "{f}" is not a string')
             else:
-                df = _with_guarded(df, f, fold(F.col(f)), when)
-        for f in fields or []:
+                df = _with_guarded(df, f, fold(F.col(f"`{f}`")), when)
+        for f in fields:
             if f.startswith(f"{ATTRS_COL}."):
                 # nested-map key fold (alterFieldProcessor walks nested
                 # maps): rename the key INSIDE the attrs map, row-level —
-                # collisions with an existing folded key fail loudly at
-                # runtime via DUPLICATED_MAP_KEY, mirroring the loud
-                # top-level behavior below.
-                key = f[len(ATTRS_COL) + 1 :]
-                folded_key = fold(key)
-                if folded_key == key or ATTRS_COL not in df.columns:
+                # matched case-insensitively like AlterPath's
+                # CaseInsensitiveMode; collisions resolve by the session
+                # map dedup policy.
+                key = f[len(ATTRS_COL) + 1 :].lower()
+                if ATTRS_COL not in df.columns:
                     continue
+
+                def _fold_key_col(kc: Column) -> Column:
+                    if alter_full_field:
+                        return fold(kc)
+                    last = F.element_at(F.split(kc, r"\."), -1)
+                    head = F.substr(kc, F.lit(1), F.length(kc) - F.length(last))
+                    return F.concat(head, fold(last))
+
                 renamed = F.map_from_entries(
                     F.transform(
                         F.map_entries(_attrs(df)),
                         lambda e: F.struct(
-                            F.when(e.getField("key") == key, F.lit(folded_key))
+                            F.when(
+                                F.lower(e.getField("key")) == key,
+                                _fold_key_col(e.getField("key")),
+                            )
                             .otherwise(e.getField("key"))
                             .alias("key"),
                             e.getField("value").alias("value"),
@@ -316,17 +374,25 @@ def _case_fold(fold, fields, values, when):
                 )
                 df = _with_guarded(df, ATTRS_COL, renamed, when)
                 continue
-            folded = fold(f)
-            if f not in df.columns or folded == f:
+            # field NAMES match case-insensitively (CaseInsensitiveMode):
+            # every column spelled like `f` folds — {ab, Ab} both match 'ab'
+            matches = [c for c in df.columns if c.lower() == f.lower()]
+            if not matches:
+                _missing(f)
                 continue
-            if folded in df.columns:
-                # reference errors loudly on target collision — a silent
-                # rename would produce duplicate column names and fail
-                # with AMBIGUOUS_REFERENCE far from the cause
-                raise ValueError(
-                    f"case-fold: renaming {f!r} would collide with existing column {folded!r}"
-                )
-            df = df.withColumnRenamed(f, folded)
+            for c in matches:
+                folded = _fold_key(c)
+                if folded == c:
+                    continue
+                if folded in df.columns:
+                    # reference surfaces mapstr.ErrKeyCollision — a silent
+                    # rename would produce duplicate column names and fail
+                    # with AMBIGUOUS_REFERENCE far from the cause
+                    raise ValueError(
+                        f"case-fold: key collision — renaming {c!r} would "
+                        f"collide with existing column {folded!r}"
+                    )
+                df = df.withColumnRenamed(c, folded)
         return df
 
     return stage
@@ -336,12 +402,24 @@ def lowercase(
     fields: list[str] | None = None,
     values: list[str] | None = None,
     when: dict | None = None,
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+    alter_full_field: bool = True,
 ):
     """lowercase.go:31 + alterFieldProcessor.go:31 — Beats option shape:
-    `fields` = keys (column names) to fold, `values` = fields whose
-    values fold. A 1:1 YAML translation keeps its meaning."""
+    `fields` = KEYS (column/attrs-key names) to fold, matched
+    case-insensitively; `values` = fields whose string VALUES fold,
+    matched exact-case. 'type'-rooted fields are discarded
+    (MandatoryExportedFields); alter_full_field=False folds only the
+    last path segment. Error modes per _case_fold."""
     return _case_fold(
-        lambda x: F.lower(x) if isinstance(x, Column) else x.lower(), fields, values, when
+        lambda x: F.lower(x) if isinstance(x, Column) else x.lower(),
+        fields,
+        values,
+        when,
+        ignore_missing=ignore_missing,
+        fail_on_error=fail_on_error,
+        alter_full_field=alter_full_field,
     )
 
 
@@ -349,9 +427,18 @@ def uppercase(
     fields: list[str] | None = None,
     values: list[str] | None = None,
     when: dict | None = None,
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+    alter_full_field: bool = True,
 ):
     return _case_fold(
-        lambda x: F.upper(x) if isinstance(x, Column) else x.upper(), fields, values, when
+        lambda x: F.upper(x) if isinstance(x, Column) else x.upper(),
+        fields,
+        values,
+        when,
+        ignore_missing=ignore_missing,
+        fail_on_error=fail_on_error,
+        alter_full_field=alter_full_field,
     )
 
 

@@ -589,3 +589,86 @@ def test_append_null_value_contributes_nothing(spark):
     df = spark.createDataFrame([(None, "x")], "a string, b string")
     r = build("append", target_field="t", fields=["a", "b"])(df).first()
     assert r.t == ["x"]
+
+
+# -- lowercase / uppercase (lowercase_test.go + uppercase_test.go) -----------
+
+
+def test_case_fold_discards_mandatory_type_fields(spark):
+    """TestNewLowerCaseProcessor: 'type' and 'type.*' are mandatory
+    exported fields and are discarded from the rename list; 'typeKey'
+    is NOT type-rooted and folds."""
+    df = spark.createDataFrame(
+        [("a", "b", "c", "d")],
+        "Field1 string, `Type.Value.Key` string, typeKey string, type string",
+    )
+    out = build("lowercase", fields=["field1", "type", "Type.Value.Key", "typeKey"])(df)
+    assert out.columns == ["field1", "Type.Value.Key", "typekey", "type"]
+
+
+def test_case_fold_full_path_vs_last_segment(spark):
+    """'Lowercase Fields' + 'when full_path is false': full path folds
+    every segment of the matched key; alter_full_field=False folds only
+    the last segment, preserving the rest's casing."""
+    df = spark.createDataFrame(
+        [("v", "V", "D")], "Field1 string, Field3 string, `a.B.C` string"
+    )
+    out = build("lowercase", fields=["a.b.c", "Field1"])(df)
+    assert out.columns == ["field1", "Field3", "a.b.c"]
+    out2 = build("lowercase", fields=["a.B.c"], alter_full_field=False)(df)
+    assert out2.columns == ["Field1", "Field3", "a.B.c"]
+    up = build("uppercase", fields=["a.b.C"], alter_full_field=False)(df)
+    assert up.columns == ["Field1", "Field3", "a.B.C"]
+
+
+def test_case_fold_missing_key_modes(spark):
+    """'Revert to original map on error' / 'Ignore Missing Key Error' /
+    'Do Not Fail On Missing Key Error' / 'Fail On Missing Key Error':
+    build-time refusal is the reference's backup-restore rollback."""
+    df = spark.createDataFrame([("value1", "first")], "Field1 string, ab string")
+    with pytest.raises(ValueError, match="key not found"):
+        build("lowercase", fields=["Field1", "abcbd"])(df)
+    out = build("lowercase", fields=["Field4"], ignore_missing=True)(df)
+    assert out.columns == ["Field1", "ab"]
+    out = build("lowercase", fields=["Field4"], fail_on_error=False)(df)
+    assert out.columns == ["Field1", "ab"]
+    with pytest.raises(ValueError, match="key not found"):
+        build("uppercase", fields=["Field4"])(df)
+
+
+def test_case_fold_key_collision(spark):
+    """'test key collison': {ab, Ab} both match 'ab' case-insensitively;
+    folding Ab → ab collides with the existing key (ErrKeyCollision)."""
+    df = spark.createDataFrame([("first", "second")], "ab string, Ab string")
+    with pytest.raises(ValueError, match="collision"):
+        build("lowercase", fields=["ab"])(df)
+
+
+def test_case_fold_values_matrix(spark):
+    """TestLowerCaseProcessorValues: values fold string VALUES matched
+    exact-case; a non-string value errors (not suppressed by
+    ignore_missing); an exact-case miss is key-not-found."""
+    df = spark.createDataFrame([("D",)], "`a.b.c` string")
+    r = build("lowercase", values=["a.b.c"])(df).first()
+    assert r["a.b.c"] == "d"
+    # 'Fail if given path to value is not a string'
+    df2 = spark.createDataFrame([(("D",),)], "`a.B` struct<C:string>")
+    with pytest.raises(ValueError, match="is not a string"):
+        build("lowercase", values=["a.B"])(df2)
+    # exact-case miss: a.B.c does not resolve against a.B.C
+    df3 = spark.createDataFrame([("D",)], "`a.B.C` string")
+    with pytest.raises(ValueError, match="key not found"):
+        build("lowercase", values=["a.B.c"])(df3)
+    # fail_on_error=False skips both failure kinds silently
+    assert build("lowercase", values=["a.B"], fail_on_error=False)(df2).first() is not None
+    assert build("lowercase", values=["a.B.c"], fail_on_error=False)(df3).first()["a.B.C"] == "D"
+
+
+def test_case_fold_attrs_keys_case_insensitive(spark):
+    """attrs-map key folds match case-insensitively like AlterPath's
+    CaseInsensitiveMode; last-segment mode preserves the head's casing."""
+    df = spark.createDataFrame([({"A.B.C": "v"},)], "attrs map<string,string>")
+    r = build("lowercase", fields=["attrs.a.b.c"])(df).first()
+    assert r.attrs == {"a.b.c": "v"}
+    r2 = build("lowercase", fields=["attrs.a.b.c"], alter_full_field=False)(df).first()
+    assert r2.attrs == {"A.B.c": "v"}
