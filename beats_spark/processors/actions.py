@@ -73,15 +73,61 @@ def add_tags(tags: list[str], target: str = "tags", when: dict | None = None):
     return stage
 
 
-def copy_fields(fields: list[dict[str, str]], when: dict | None = None):
-    """copy_fields.go:45 — [{'from': a, 'to': b}, ...]."""
+def copy_fields(
+    fields: list[dict[str, str]],
+    fail_on_error: bool = True,
+    ignore_missing: bool = False,
+    when: dict | None = None,
+):
+    """copy_fields.go:71-115 — [{'from': a, 'to': b}, ...], applied
+    sequentially (a later pair sees an earlier pair's copy).
+
+    An EXISTING target refuses (copyField's first check — 'target field
+    already exists, drop or rename this field first'); a missing source
+    is key-not-found unless ignore_missing. With fail_on_error=True
+    either error raises at BUILD (the reference restores the backup
+    clone, so nothing is applied — plan-time refusal is that whole-batch
+    rollback); fail_on_error=False skips the failing pair and applies
+    the rest (copy_fields.go:77-91 keeps looping). Dotted names are
+    literally-dotted columns (the typed projection of mapstr paths)."""
 
     def stage(df: DataFrame) -> DataFrame:
         for f in fields:
-            df = _with_guarded(df, f["to"], F.col(f["from"]), when)
+            src, dst = f["from"], f["to"]
+            if _schema_path(df.schema, dst) is not None:
+                if fail_on_error:
+                    raise ValueError(
+                        f"copy_fields: target field {dst!r} already exists, "
+                        "drop or rename this field first"
+                    )
+                continue
+            src_col = _schema_path(df.schema, src)
+            if src_col is None:
+                if ignore_missing or not fail_on_error:
+                    continue
+                raise ValueError(
+                    f"copy_fields: could not fetch value for key: {src}, key not found"
+                )
+            df = _with_guarded(df, dst, src_col, when)
         return df
 
     return stage
+
+
+def _schema_path(schema, key: str, prefix: str = "") -> Column | None:
+    """GetValue-style path resolution against a typed schema: the full
+    key as a LITERAL field name wins first (mapstr tries the dotted key
+    directly), else the first dot splits off a struct to walk. Returns
+    the resolved Column, or None when the path doesn't exist."""
+    from pyspark.sql.types import StructType
+
+    names = {fld.name: fld for fld in schema.fields}
+    if key in names:
+        return F.col(f"{prefix}`{key}`")
+    head, dot, rest = key.partition(".")
+    if dot and head in names and isinstance(names[head].dataType, StructType):
+        return _schema_path(names[head].dataType, rest, prefix=f"{prefix}`{head}`.")
+    return None
 
 
 def rename(

@@ -13,6 +13,7 @@ arrays.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from beats_spark.processors import build
@@ -672,3 +673,86 @@ def test_case_fold_attrs_keys_case_insensitive(spark):
     assert r.attrs == {"a.b.c": "v"}
     r2 = build("lowercase", fields=["attrs.a.b.c"], alter_full_field=False)(df).first()
     assert r2.attrs == {"A.B.c": "v"}
+
+
+# -- copy_fields (copy_fields_test.go) ---------------------------------------
+
+
+def test_copy_fields_matrix(spark):
+    """TestCopyFields battery: literal dotted keys win over path walks
+    (mapstr GetValue order); structs copy whole; an existing target
+    refuses; a copy to a dotted name creates the literally-dotted column
+    (the typed projection of PutValue's nested map)."""
+    # 'copy string from message to message_copied'
+    df = spark.createDataFrame([("please copy this line",)], "message string")
+    r = build("copy_fields", fields=[{"from": "message", "to": "message_copied"}])(df).first()
+    assert r.message_copied == "please copy this line"
+
+    # 'from nested key nested.message to top level field'
+    df = spark.createDataFrame(
+        [(("please copy this line",),)], "nested struct<message:string>"
+    )
+    r = build("copy_fields", fields=[{"from": "nested.message", "to": "message_copied"}])(df).first()
+    assert r.message_copied == "please copy this line"
+
+    # 'from fieldname with dot' — the literal dotted key resolves
+    df = spark.createDataFrame([("please copy this line",)], "`dotted.message` string")
+    r = build("copy_fields", fields=[{"from": "dotted.message", "to": "message_copied"}])(df).first()
+    assert r.message_copied == "please copy this line"
+
+    # 'copy number from fieldname with dot to dotted message.copied'
+    df = spark.createDataFrame([(42,)], "`message.original` int")
+    out = build("copy_fields", fields=[{"from": "message.original", "to": "message.copied"}])(df)
+    assert out.first()["message.copied"] == 42
+
+    # 'from hierarchical message.original to top level message which
+    # fails': the target (the struct root) exists
+    df = spark.createDataFrame([((42,),)], "message struct<original:int>")
+    with pytest.raises(ValueError, match="already exists"):
+        build("copy_fields", fields=[{"from": "message.original", "to": "message"}])(df)
+    r = build(
+        "copy_fields",
+        fields=[{"from": "message.original", "to": "message"}],
+        fail_on_error=False,
+    )(df).first()
+    assert r.message == Row(original=42)
+
+    # same pair but a LITERAL dotted source and no target → succeeds
+    df = spark.createDataFrame([(42,)], "`message.original` int")
+    r = build("copy_fields", fields=[{"from": "message.original", "to": "message"}])(df).first()
+    assert r.message == 42
+
+    # 'copy map from nested key' — the struct value copies whole
+    df = spark.createDataFrame(
+        [((("original",),),)], "message struct<original:struct<original:string>>"
+    )
+    r = build("copy_fields", fields=[{"from": "message.original", "to": "message_copied"}])(df).first()
+    assert r.message_copied == Row(original="original")
+
+
+def test_copy_fields_single_field_errors(spark):
+    """TestCopyFieldsSingleFieldNoClone: source-missing and
+    target-exists both refuse at build (the no-partial-writes
+    rollback); the happy path lands under the dotted target name."""
+    df = spark.createDataFrame([("hello world",)], "message string")
+    r = build("copy_fields", fields=[{"from": "message", "to": "event.original"}])(df).first()
+    assert r["event.original"] == "hello world"
+
+    df2 = spark.createDataFrame([("hello",)], "message string")
+    with pytest.raises(ValueError, match="key not found"):
+        build("copy_fields", fields=[{"from": "nonexistent", "to": "dest"}])(df2)
+
+    df3 = spark.createDataFrame([("hello", "already here")], "message string, existing string")
+    with pytest.raises(ValueError, match="already exists"):
+        build("copy_fields", fields=[{"from": "message", "to": "existing"}])(df3)
+    # ignore_missing skips a missing source but still refuses conflicts
+    out = build(
+        "copy_fields", fields=[{"from": "nonexistent", "to": "dest"}], ignore_missing=True
+    )(df2)
+    assert out.columns == ["message"]
+    # sequential visibility: a later pair sees the earlier pair's copy
+    with pytest.raises(ValueError, match="already exists"):
+        build(
+            "copy_fields",
+            fields=[{"from": "message", "to": "a"}, {"from": "message", "to": "a"}],
+        )(df2)
