@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 FLAG_DISSECT_FAILURE = "dissect_parsing_error"  # dissect/processor.go:33
 FLAG_TRUNCATED = "truncated"                    # readfile/limit.go
 FLAG_CONVERT_FAILURE = "convert_error"          # convert.go failure tag analog
+FLAG_MULTILINE = "multiline"                    # reader/multiline/message_buffer.go:132
 
 FLAGS_COL = "log_flags"
 ATTRS_COL = "attrs"

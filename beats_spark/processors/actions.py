@@ -45,13 +45,27 @@ def add_fields(fields: dict[str, Any], target: str = "fields", when: dict | None
     into the attrs map as `target.key` entries (DeepUpdate analog).
     """
 
+    flat: dict[str, Any] = {}
+
+    def _flatten(prefix: str, v: Any) -> None:
+        # DeepUpdate's nesting projects to dotted keys in the flat
+        # attrs map (add_fields_test.go 'under root' uses a.b directly)
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                _flatten(f"{prefix}.{k2}", v2)
+        else:
+            flat[prefix] = v
+
+    for k, v in fields.items():
+        _flatten(k, v)
+
     def stage(df: DataFrame) -> DataFrame:
         if target == "":
-            for k, v in fields.items():
+            for k, v in flat.items():
                 df = _with_guarded(df, k, F.lit(v), when)
             return df
         kv = []
-        for k, v in fields.items():
+        for k, v in flat.items():
             kv.extend([F.lit(f"{target}.{k}" if target else k), F.lit(str(v))])
         merged = F.map_concat(_attrs(df), F.create_map(*kv))
         return _with_guarded(df, ATTRS_COL, merged, when)
@@ -59,8 +73,11 @@ def add_fields(fields: dict[str, Any], target: str = "fields", when: dict | None
     return stage
 
 
-def add_tags(tags: list[str], target: str = "tags", when: dict | None = None):
-    """add_tags.go:38 — append tags, no dedup."""
+def add_tags(tags: list[str] | str, target: str = "tags", when: dict | None = None):
+    """add_tags.go:38 — append tags, no dedup; a bare string is one tag
+    (add_tags_test.go 'single tag config without array notation')."""
+    if isinstance(tags, str):
+        tags = [tags]
 
     def stage(df: DataFrame) -> DataFrame:
         base = (
@@ -166,35 +183,133 @@ def rename(
 
 
 def drop_fields(fields: list[str], ignore_missing: bool = True):
-    """drop_fields.go:50 — @timestamp ('ts') and identity keys protected."""
+    """drop_fields.go:58-125 — @timestamp ('ts') and identity keys are
+    protected, plus the reference's MandatoryExportedFields ('type' and
+    'type.*' are discarded from the drop list at config time).
+
+    `/re/`-delimited entries are REGEXP fields (drop_fields.go:79-92):
+    matched with an unanchored search against every FLATTENED dotted key
+    — including intermediate struct/map keys, so a match on a parent
+    path deletes the whole subtree (drop_fields_test.go's 'field_2$'
+    also removes field_1.subfield_2). A malformed regexp refuses at
+    build. Engine divergences: column names match with Python `re`,
+    attrs-map keys with Java rlike (dialects agree on the reference
+    corpus); a struct whose subfields ALL drop is dropped whole (no
+    empty struct type exists here)."""
+    import re as _re
+
+    plain: list[str] = []
+    regexps: list[_re.Pattern] = []
+    for i, f in enumerate(fields):
+        if f == "type" or f.startswith("type."):
+            continue  # MandatoryExportedFields (config.go:31)
+        if f.startswith("/") and f.endswith("/") and len(f) > 2:
+            try:
+                regexps.append(_re.compile(f[1:-1]))
+            except _re.error as e:
+                raise ValueError(
+                    f"drop_fields: wrong configuration in drop_fields[{i}]={f}. "
+                    f"error parsing regexp: {e}"
+                )
+        else:
+            plain.append(f)
     protected = {"ts", "conv_id", "turn_idx"}
 
+    def _prune_struct(col: Column, dtype, prefix: str):
+        """Rebuild a struct column without regexp-matched subpaths.
+        Returns (column | None, changed): None when nothing survives,
+        changed=False when no subpath matched (caller keeps the original
+        column untouched)."""
+        from pyspark.sql.types import StructType
+
+        kept = []
+        changed = False
+        for fld in dtype.fields:
+            path = f"{prefix}.{fld.name}"
+            if any(r.search(path) for r in regexps):
+                changed = True
+                continue
+            sub = col.getField(fld.name)
+            if isinstance(fld.dataType, StructType):
+                pruned, sub_changed = _prune_struct(sub, fld.dataType, path)
+                changed = changed or sub_changed
+                if pruned is None:
+                    continue
+                kept.append(pruned.alias(fld.name))
+            else:
+                kept.append(sub.alias(fld.name))
+        return (F.struct(*kept) if kept else None), changed
+
     def stage(df: DataFrame) -> DataFrame:
-        top = [f for f in fields if f in df.columns and f not in protected]
+        from pyspark.sql.types import StructType
+
+        top = [f for f in plain if f in df.columns and f not in protected]
         if not ignore_missing:
-            missing = [f for f in fields if f not in df.columns and not f.startswith("attrs.")]
+            missing = [f for f in plain if f not in df.columns and not f.startswith("attrs.")]
             if missing:
                 raise ValueError(f"drop_fields: missing {missing}")
         out = df.drop(*top)
-        map_keys = [f[len("attrs.") :] for f in fields if f.startswith("attrs.")]
+        map_keys = [f[len("attrs.") :] for f in plain if f.startswith("attrs.")]
         if map_keys and ATTRS_COL in df.columns:
             keys_arr = F.array(*[F.lit(k) for k in map_keys])
             out = out.withColumn(
                 ATTRS_COL,
                 F.map_filter(F.col(ATTRS_COL), lambda k, _: ~F.array_contains(keys_arr, k)),
             )
+        if regexps:
+            for fld in list(out.schema.fields):
+                name = fld.name
+                if name in protected or name == FLAGS_COL:
+                    continue
+                if any(r.search(name) for r in regexps):
+                    out = out.drop(name)
+                elif isinstance(fld.dataType, StructType):
+                    pruned, changed = _prune_struct(F.col(f"`{name}`"), fld.dataType, name)
+                    if not changed:
+                        continue
+                    if pruned is None:
+                        out = out.drop(name)
+                    else:
+                        out = out.withColumn(name, pruned)
+            if ATTRS_COL in out.columns:
+                # attrs keys are flattened leaf names already
+                java_rx = [r.pattern for r in regexps]
+
+                def _none_match(k):
+                    cond = F.lit(False)
+                    for p in java_rx:
+                        cond = cond | k.rlike(p)
+                    return ~cond
+
+                out = out.withColumn(
+                    ATTRS_COL,
+                    F.map_filter(F.col(ATTRS_COL), lambda k, _: _none_match(k)),
+                )
         return out
 
     return stage
 
 
 def include_fields(fields: list[str]):
-    """include_fields.go:38 — keep-list; @timestamp + identity always kept."""
-    always = ["conv_id", "turn_idx", "ts"]
+    """include_fields.go:38-90 — keep-list; @timestamp + identity always
+    kept, and MandatoryExportedFields ('type') is auto-added to the keep
+    list (include_fields.go:54-64). attrs.* entries prune the attrs map
+    to the listed keys."""
+    always = ["conv_id", "turn_idx", "ts", "type"]
 
     def stage(df: DataFrame) -> DataFrame:
         keep = [c for c in df.columns if c in set(fields) | set(always) or c in (FLAGS_COL,)]
-        return df.select(*keep)
+        attr_keys = [f[len("attrs.") :] for f in fields if f.startswith("attrs.")]
+        if attr_keys and ATTRS_COL in df.columns and ATTRS_COL not in keep:
+            keep.append(ATTRS_COL)
+        out = df.select(*[F.col(f"`{c}`") for c in keep])
+        if attr_keys and ATTRS_COL in out.columns and ATTRS_COL not in fields:
+            keys_arr = F.array(*[F.lit(k) for k in attr_keys])
+            out = out.withColumn(
+                ATTRS_COL,
+                F.map_filter(F.col(ATTRS_COL), lambda k, _: F.array_contains(keys_arr, k)),
+            )
+        return out
 
     return stage
 

@@ -92,10 +92,27 @@ def if_then_else(condition: dict, then: list[dict], otherwise: list[dict] | None
 
 
 def add_labels(labels: dict[str, Any], when: dict | None = None):
-    """Flattened `labels.*` entries in the attrs map (add_labels.go:36)."""
+    """Flattened `labels.*` entries in the attrs map (add_labels.go:77-95):
+    dotted keys stay dotted ('a.b' is the flat key), nested dicts flatten
+    by joining with '.', and arrays flatten to index suffixes
+    (add_labels_test.go 'add array' → array.0, array.1, array.2.hello);
+    every value stringifies (flattenLabels renders via config.String)."""
     from .actions import add_fields
 
-    flat = {k.replace(".", "_"): v for k, v in labels.items()}
+    flat: dict[str, Any] = {}
+
+    def _flatten(prefix: str, v: Any) -> None:
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                _flatten(f"{prefix}.{k2}", v2)
+        elif isinstance(v, (list, tuple)):
+            for i, v2 in enumerate(v):
+                _flatten(f"{prefix}.{i}", v2)
+        else:
+            flat[prefix] = v
+
+    for k, v in labels.items():
+        _flatten(k, v)
     return add_fields(flat, target="labels", when=when)
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..events import FLAG_TRUNCATED, FLAGS_COL
+from ..events import FLAG_MULTILINE, FLAG_TRUNCATED, FLAGS_COL
 
 
 def _ordered_join(order_col: str, text_col: str, sep: str):
@@ -111,6 +111,7 @@ def multiline_pattern(
     timeout_seconds: float | None = None,
     ts_col: str = "ts",
     flush_pattern: str | None = None,
+    max_content_bytes: int | None = None,
 ):
     """multiline/pattern.go:44-129 — join physical lines into logical events.
 
@@ -191,9 +192,26 @@ def multiline_pattern(
             )
             .drop("_ml_grp")
         )
-        return agg
+        return _finalize_buffer(agg, text_col, max_content_bytes)
 
     return stage
+
+
+def _finalize_buffer(agg: DataFrame, text_col: str, max_content_bytes: int | None) -> DataFrame:
+    """message_buffer.go:126-134 finalize(): a joined event carries the
+    `multiline` flag when more than one source line contributed, and
+    `max_content_bytes` caps the JOINED content (separators included in
+    the byte budget, like addLine's space accounting) with the
+    `truncated` flag — reusing truncate_fields' UTF-8-safe byte cut."""
+    ml = F.when(F.col("n_lines") > 1, F.array(F.lit(FLAG_MULTILINE))).otherwise(
+        F.array().cast("array<string>")
+    )
+    agg = agg.withColumn(FLAGS_COL, F.array_distinct(F.concat(F.col(FLAGS_COL), ml)))
+    if max_content_bytes is not None:
+        from .actions import truncate_fields
+
+        agg = truncate_fields([text_col], max_bytes=max_content_bytes)(agg)
+    return agg
 
 
 def multiline_count(
@@ -202,22 +220,35 @@ def multiline_count(
     order_col: str = "turn_idx",
     text_col: str = "text",
     sep: str = "\n",
+    max_content_bytes: int | None = None,
 ):
-    """multiline/counter.go — join every N lines."""
+    """multiline/counter.go — join every N lines; the shared message
+    buffer's finalize flags/byte cap apply here too (message_buffer.go
+    backs every multiline mode)."""
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*groups).orderBy(order_col)
         df = df.withColumn("_ml_grp", ((F.row_number().over(w) - 1) / count).cast("int"))
-        return (
+        if FLAGS_COL in df.columns:
+            flags_agg = F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                )
+            ).alias(FLAGS_COL)
+        else:
+            flags_agg = F.array().cast("array<string>").alias(FLAGS_COL)
+        agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(
                 F.min(order_col).alias(order_col),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
+                flags_agg,
             )
             .drop("_ml_grp")
         )
+        return _finalize_buffer(agg, text_col, max_content_bytes)
 
     return stage
 

@@ -58,7 +58,7 @@ def test_add_data_stream_and_labels(df):
     out = build("add_data_stream", dataset="agentlogs")(df).first()
     assert out._meta_index == "logs-agentlogs-default"
     lab = build("add_labels", labels={"env.zone": "a"})(df).first()
-    assert lab.attrs["labels.env_zone"] == "a"
+    assert lab.attrs["labels.env.zone"] == "a"
 
 
 def test_move_fields(df):

@@ -3,6 +3,11 @@
   urldecode_test.go        (from/to forms, invalid-escape failure)
   decode_base64_field_test.go (padded/unpadded, strict invalid detection)
   decode_duration_test.go  (format names battery)
+  append_test.go           (flatten/clean/dedup + missing-field modes)
+  lowercase_test.go / uppercase_test.go (alterFieldProcessor semantics)
+  copy_fields_test.go      (target-exists refusal, mapstr path resolution)
+  add_fields/labels/tags_test.go (targets, flattening, merge order)
+  include_fields/drop_fields_test.go (keep-lists, /re/ flattened-key drops)
 
 Engine divergences: per-event errors are NULL/kept-raw + flag rows or
 build-time errors (documented per processor); mixed-type any-arrays
@@ -756,3 +761,166 @@ def test_copy_fields_single_field_errors(spark):
             "copy_fields",
             fields=[{"from": "message", "to": "a"}, {"from": "message", "to": "a"}],
         )(df2)
+
+
+# -- add_fields / add_labels / add_tags (add_*_test.go) ----------------------
+
+
+def test_add_fields_matrix(spark):
+    """TestAddFields: default target 'fields', custom target, overwrite
+    (last-wins merge), merge-with-existing, two processors combining,
+    under-root dotted keys, nested dict flattening."""
+    df = spark.createDataFrame([("x",)], "seed string")
+    r = build("add_fields", fields={"field": "test"})(df).first()
+    assert r.attrs["fields.field"] == "test"
+    r = build("add_fields", fields={"field": "test"}, target="my")(df).first()
+    assert r.attrs["my.field"] == "test"
+    # 'overwrite existing field' + 'merge with existing fields'
+    df2 = df.withColumn(
+        "attrs",
+        F.create_map(F.lit("fields.field"), F.lit("old"), F.lit("fields.existing"), F.lit("a")),
+    )
+    r = build("add_fields", fields={"field": "test"})(df2).first()
+    assert r.attrs["fields.field"] == "test" and r.attrs["fields.existing"] == "a"
+    # 'combine 2 processors' / 'different targets'
+    r = build("add_fields", fields={"l2": "b"}, target="b")(
+        build("add_fields", fields={"l1": "a"}, target="a")(df)
+    ).first()
+    assert r.attrs["a.l1"] == "a" and r.attrs["b.l2"] == "b"
+    # 'under root' → literal dotted top-level column; nested dict flattens
+    r = build("add_fields", fields={"a.b": "test"}, target="")(df).first()
+    assert r["a.b"] == "test"
+    r = build("add_fields", fields={"a": {"b": "test"}}, target="")(df).first()
+    assert r["a.b"] == "test"
+
+
+def test_add_labels_matrix(spark):
+    """TestAddLabels: dotted keys stay dotted, nested dicts flatten with
+    '.', merges are last-wins, arrays flatten to index suffixes."""
+    df = spark.createDataFrame([("x",)], "seed string")
+    r = build("add_labels", labels={"label": "test"})(df).first()
+    assert r.attrs["labels.label"] == "test"
+    r = build("add_labels", labels={"a.b": "test"})(df).first()
+    assert r.attrs["labels.a.b"] == "test"
+    r = build("add_labels", labels={"a": {"b": "test", "c": "test2"}})(df).first()
+    assert r.attrs["labels.a.b"] == "test" and r.attrs["labels.a.c"] == "test2"
+    # 'merge labels': lc=a then lc=b → b
+    r = build("add_labels", labels={"l2": "b", "lc": "b"})(
+        build("add_labels", labels={"l1": "a", "lc": "a"})(df)
+    ).first()
+    assert (r.attrs["labels.l1"], r.attrs["labels.l2"], r.attrs["labels.lc"]) == ("a", "b", "b")
+    # 'add array'
+    r = build("add_labels", labels={"array": ["foo", "bar", {"hello": "world"}]})(df).first()
+    assert r.attrs["labels.array.0"] == "foo"
+    assert r.attrs["labels.array.1"] == "bar"
+    assert r.attrs["labels.array.2.hello"] == "world"
+
+
+def test_add_tags_matrix(spark):
+    """TestAddTags: create, append, combine, custom target, different
+    targets, single-string config."""
+    df = spark.createDataFrame([("x",)], "seed string")
+    assert build("add_tags", tags=["t1", "t2"])(df).first().tags == ["t1", "t2"]
+    df2 = df.withColumn("tags", F.array(F.lit("t1")))
+    assert build("add_tags", tags=["t2", "t3"])(df2).first().tags == ["t1", "t2", "t3"]
+    r = build("add_tags", tags=["t3", "t4"])(build("add_tags", tags=["t1", "t2"])(df)).first()
+    assert r.tags == ["t1", "t2", "t3", "t4"]
+    assert build("add_tags", tags=["t1", "t2"], target="custom")(df).first().custom == ["t1", "t2"]
+    r = build("add_tags", tags=["t2"], target="tags2")(
+        build("add_tags", tags=["t1"], target="tags1")(df)
+    ).first()
+    assert r.tags1 == ["t1"] and r.tags2 == ["t2"]
+    assert build("add_tags", tags="t1")(df).first().tags == ["t1"]
+
+
+# -- include_fields / drop_fields (include_fields_test.go, drop_fields_test.go)
+
+
+def test_include_fields_matrix(spark):
+    """TestIncludeFields: keep-list projection; literal dotted names
+    resolve; 'type' (MandatoryExportedFields) is always kept."""
+    df = spark.createDataFrame([("world", 17)], "hello string, test int")
+    out = build("include_fields", fields=["test"])(df)
+    assert out.columns == ["test"] and out.first().test == 17
+    df2 = spark.createDataFrame([("b", "c", 17)], "`a.b` string, `a.c` string, test int")
+    out = build("include_fields", fields=["test", "a.b"])(df2)
+    assert sorted(out.columns) == ["a.b", "test"]
+    df3 = spark.createDataFrame([("world", 17, "log")], "hello string, test int, type string")
+    assert sorted(build("include_fields", fields=["test"])(df3).columns) == ["test", "type"]
+
+
+def test_drop_fields_mandatory_and_plain(spark):
+    """'supports a normal field' + 'Do not drop mandatory fields':
+    'type'/'type.*' are discarded from the drop list."""
+    df = spark.createDataFrame([("value", "log", "k")], "field string, type string, typeKey string")
+    out = build("drop_fields", fields=["field"])(df)
+    assert out.columns == ["type", "typeKey"]
+    out = build("drop_fields", fields=["field", "type", "type.value.key", "typeKey"])(df)
+    assert out.columns == ["type"]
+
+
+def test_drop_fields_regexp_matrix(spark):
+    """'supports a regexp field': /re/ entries match every FLATTENED
+    dotted key with an unanchored search — 'field_2$' also kills
+    field_1.subfield_2 (the intermediate key ends in 'field_2'), and an
+    intermediate-key match deletes the whole subtree."""
+    df = spark.createDataFrame(
+        [(("sf_1_value", ("sf_2_1_value", "sf_2_2_value"), ("sf_3_1_value", "sf_3_2_value")), "f_2_value")],
+        "field_1 struct<subfield_1:string, "
+        "subfield_2:struct<subfield_2_1:string,subfield_2_2:string>, "
+        "subfield_3:struct<subfield_3_1:string,subfield_3_2:string>>, "
+        "field_2 string",
+    )
+    out = build(
+        "drop_fields",
+        fields=["/field_2$/", r"/field_1\.(.*)\.subfield_2_1/", r"/field_1\.subfield_3(.*)/"],
+    )(df)
+    assert out.columns == ["field_1"]
+    assert out.first().field_1 == Row(subfield_1="sf_1_value")
+
+
+def test_drop_fields_regexp_config(spark):
+    """TestNewDropFields: non-delimited entries stay exact; a malformed
+    regexp refuses at build; regexp entries also prune attrs keys."""
+    df = spark.createDataFrame(
+        [("a", "b", "c", {"second_key": "v", "other": "w"})],
+        "field_x1 string, field_y1 string, third string, attrs map<string,string>",
+    )
+    out = build("drop_fields", fields=["/field_.*1/", "/second/", "third"])(df)
+    assert out.columns == ["attrs"]
+    assert out.first().attrs == {"other": "w"}
+    with pytest.raises(ValueError, match="wrong configuration"):
+        build("drop_fields", fields=["/[//"])
+
+
+# -- multiline message buffer (reader/multiline/message_buffer_test.go) ------
+
+
+def test_message_buffer_finalize_matrix(spark):
+    """TestFinalizeMessage + TestMessageBufferAddLine: a joined event
+    carries the `multiline` flag iff >1 source line; max_content_bytes
+    caps the JOINED content (separator inside the byte budget) with the
+    `truncated` flag; skip_newline ≡ sep=''."""
+    from beats_spark.processors.stateful import multiline_count
+
+    def run(rows, **kw):
+        df = spark.createDataFrame(
+            [("c", i, t) for i, t in enumerate(rows)], "conv_id string, turn_idx int, text string"
+        )
+        return multiline_count(count=len(rows), **kw)(df).first()
+
+    # 'one liner with no flags'
+    r = run(["one line"])
+    assert r.text == "one line" and r.log_flags == []
+    # 'truncated one liner message'
+    r = run(["tooooooooooooooooooo looooooong line"], max_content_bytes=20)
+    assert r.text == "tooooooooooooooooooo" and r.log_flags == ["truncated"]
+    # 'untruncated multiline message'
+    r = run(["line1", "line2"])
+    assert r.text == "line1\nline2" and r.log_flags == ["multiline"]
+    # 'truncated multiline message' — separator counts toward the budget
+    r = run(["line1", "line2"], max_content_bytes=8)
+    assert r.text == "line1\nli" and sorted(r.log_flags) == ["multiline", "truncated"]
+    # 'concatenating two events without newlines' (skip_newline)
+    r = run(['{"key1": "value",', '"key2": "value"}'], sep="")
+    assert r.text == '{"key1": "value","key2": "value"}'
