@@ -25,7 +25,9 @@ def _with_guarded(df: DataFrame, name: str, new_col: Column, when: dict | None) 
     if when is None:
         return df.withColumn(name, new_col)
     cond = compile_condition(when, schema=dict(df.dtypes))
-    orig = F.col(name) if name in df.columns else F.lit(None)
+    # backticked: `name` may be a literally-dotted column (r5 review —
+    # the unquoted form resolved it as a struct path and threw)
+    orig = F.col(f"`{name}`") if name in df.columns else F.lit(None)
     return df.withColumn(name, F.when(cond, new_col).otherwise(orig))
 
 
@@ -33,6 +35,21 @@ def _attrs(df: DataFrame) -> Column:
     if ATTRS_COL in df.columns:
         return F.coalesce(F.col(ATTRS_COL), F.create_map().cast(ATTRS_TYPE))
     return F.create_map().cast(ATTRS_TYPE)
+
+
+def _flatten_nested(prefix: str, v: Any, out: dict[str, Any], lists: bool) -> None:
+    """Flatten nested dicts (and, when `lists`, arrays) into dotted keys
+    — the flat-attrs projection of mapstr nesting. add_labels flattens
+    arrays to index suffixes (flattenLabels); add_fields' DeepUpdate
+    does not, so its arrays stay whole (stringified into the map)."""
+    if isinstance(v, dict):
+        for k2, v2 in v.items():
+            _flatten_nested(f"{prefix}.{k2}", v2, out, lists)
+    elif lists and isinstance(v, (list, tuple)):
+        for i, v2 in enumerate(v):
+            _flatten_nested(f"{prefix}.{i}", v2, out, lists)
+    else:
+        out[prefix] = v
 
 
 # -- add/copy/rename/drop ----------------------------------------------------
@@ -46,18 +63,8 @@ def add_fields(fields: dict[str, Any], target: str = "fields", when: dict | None
     """
 
     flat: dict[str, Any] = {}
-
-    def _flatten(prefix: str, v: Any) -> None:
-        # DeepUpdate's nesting projects to dotted keys in the flat
-        # attrs map (add_fields_test.go 'under root' uses a.b directly)
-        if isinstance(v, dict):
-            for k2, v2 in v.items():
-                _flatten(f"{prefix}.{k2}", v2)
-        else:
-            flat[prefix] = v
-
     for k, v in fields.items():
-        _flatten(k, v)
+        _flatten_nested(k, v, flat, lists=False)
 
     def stage(df: DataFrame) -> DataFrame:
         if target == "":
@@ -66,7 +73,7 @@ def add_fields(fields: dict[str, Any], target: str = "fields", when: dict | None
             return df
         kv = []
         for k, v in flat.items():
-            kv.extend([F.lit(f"{target}.{k}" if target else k), F.lit(str(v))])
+            kv.extend([F.lit(f"{target}.{k}"), F.lit(str(v))])
         merged = F.map_concat(_attrs(df), F.create_map(*kv))
         return _with_guarded(df, ATTRS_COL, merged, when)
 
@@ -109,22 +116,46 @@ def copy_fields(
     literally-dotted columns (the typed projection of mapstr paths)."""
 
     def stage(df: DataFrame) -> DataFrame:
+        attrs_prefix = f"{ATTRS_COL}."
         for f in fields:
             src, dst = f["from"], f["to"]
-            if _schema_path(df.schema, dst) is not None:
+            # attrs.* sources/targets are per-ROW map entries (module
+            # docstring's dot-path rule): missing-source and target-
+            # exists are row-level there — a row whose target key exists
+            # keeps its value (the reference's unchanged-on-error event,
+            # per row), one whose source key is absent copies NULL-free.
+            dst_is_attr = dst.startswith(attrs_prefix)
+            # target-exists check FIRST (copyField's order — it beats a
+            # source-missing error)
+            if not dst_is_attr and _schema_path(df.schema, dst) is not None:
                 if fail_on_error:
                     raise ValueError(
                         f"copy_fields: target field {dst!r} already exists, "
                         "drop or rename this field first"
                     )
                 continue
-            src_col = _schema_path(df.schema, src)
-            if src_col is None:
-                if ignore_missing or not fail_on_error:
-                    continue
-                raise ValueError(
-                    f"copy_fields: could not fetch value for key: {src}, key not found"
+            if src.startswith(attrs_prefix):
+                src_col = F.element_at(_attrs(df), src[len(attrs_prefix) :])
+            else:
+                src_col = _schema_path(df.schema, src)
+                if src_col is None:
+                    if ignore_missing or not fail_on_error:
+                        continue
+                    raise ValueError(
+                        f"copy_fields: could not fetch value for key: {src}, key not found"
+                    )
+            if dst_is_attr:
+                key = dst[len(attrs_prefix) :]
+                guarded = F.when(
+                    F.map_contains_key(_attrs(df), key) | src_col.isNull(),
+                    _attrs(df),
+                ).otherwise(
+                    F.map_concat(
+                        _attrs(df), F.create_map(F.lit(key), src_col.cast("string"))
+                    )
                 )
+                df = _with_guarded(df, ATTRS_COL, guarded, when)
+                continue
             df = _with_guarded(df, dst, src_col, when)
         return df
 
@@ -259,7 +290,10 @@ def drop_fields(fields: list[str], ignore_missing: bool = True):
         if regexps:
             for fld in list(out.schema.fields):
                 name = fld.name
-                if name in protected or name == FLAGS_COL:
+                # ATTRS_COL is an engine artifact, not an event key — its
+                # KEYS are regexp-filtered below; the column itself must
+                # never match (r5 review: /^at/ deleted the whole map)
+                if name in protected or name in (FLAGS_COL, ATTRS_COL):
                     continue
                 if any(r.search(name) for r in regexps):
                     out = out.drop(name)
@@ -431,26 +465,27 @@ def _case_fold(
     fail_on_error: bool = True,
     alter_full_field: bool = True,
 ):
+    # MandatoryExportedFields discard (alterFieldProcessor.go:60-74,
+    # config.go:31): 'type' and 'type.*' keys are never renamed —
+    # filtered FIRST so a discarded field can't trip the guard check
+    fields = [
+        f
+        for f in (fields or [])
+        if f.lower() != "type" and not f.lower().startswith("type.")
+    ]
     # a top-level key rename is a compile-time schema change and cannot be
     # row-guarded — combining it with `when` would silently rename for
     # non-matching rows too (found in r3 review). attrs.* key folds are
     # row-level and compose with `when` fine. Raising ValueError here also
     # makes if_then_else's guarded fast path fall back to the union form.
     if when is not None:
-        top = [f for f in (fields or []) if not f.startswith(f"{ATTRS_COL}.")]
+        top = [f for f in fields if not f.startswith(f"{ATTRS_COL}.")]
         if top:
             raise ValueError(
                 f"case-fold: field-NAME folding of top-level columns {top} "
                 "cannot be combined with a `when` guard (a column rename is "
                 "not row-scoped); guard the values= form or drop the guard"
             )
-    # MandatoryExportedFields discard (alterFieldProcessor.go:60-74,
-    # config.go:31): 'type' and 'type.*' keys are never renamed
-    fields = [
-        f
-        for f in (fields or [])
-        if f.lower() != "type" and not f.lower().startswith("type.")
-    ]
 
     def _fold_key(name: str) -> str:
         # AlterFullField=true folds every path segment (for a case fold,

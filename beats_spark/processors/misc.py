@@ -97,22 +97,11 @@ def add_labels(labels: dict[str, Any], when: dict | None = None):
     by joining with '.', and arrays flatten to index suffixes
     (add_labels_test.go 'add array' → array.0, array.1, array.2.hello);
     every value stringifies (flattenLabels renders via config.String)."""
-    from .actions import add_fields
+    from .actions import _flatten_nested, add_fields
 
     flat: dict[str, Any] = {}
-
-    def _flatten(prefix: str, v: Any) -> None:
-        if isinstance(v, dict):
-            for k2, v2 in v.items():
-                _flatten(f"{prefix}.{k2}", v2)
-        elif isinstance(v, (list, tuple)):
-            for i, v2 in enumerate(v):
-                _flatten(f"{prefix}.{i}", v2)
-        else:
-            flat[prefix] = v
-
     for k, v in labels.items():
-        _flatten(k, v)
+        _flatten_nested(k, v, flat, lists=True)
     return add_fields(flat, target="labels", when=when)
 
 
@@ -353,13 +342,17 @@ def multiline_while(
     order_col: str = "turn_idx",
     text_col: str = "text",
     sep: str = "\n",
+    max_content_bytes: int | None = None,
 ):
     """multiline/while.go — join CONSECUTIVE lines while pattern matches;
-    a non-matching line is its own single-line event."""
+    a non-matching line is its own single-line event. The shared message
+    buffer's finalize (multiline flag, byte cap, member-flag union)
+    applies like every other multiline mode (message_buffer.go)."""
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
-        from .stateful import _ordered_join
+        from ..events import FLAGS_COL
+        from .stateful import _finalize_buffer, _ordered_join
 
         matches = F.col(text_col).rlike(pattern)
         in_run = ~matches if negate else matches
@@ -369,14 +362,24 @@ def multiline_while(
         boundary = (~in_run) | (in_run & ~F.coalesce(prev_in_run, F.lit(False)))
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
-        return (
+        if FLAGS_COL in df.columns:
+            flags_agg = F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                )
+            ).alias(FLAGS_COL)
+        else:
+            flags_agg = F.array().cast("array<string>").alias(FLAGS_COL)
+        agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(
                 F.min(order_col).alias(order_col),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
+                flags_agg,
             )
             .drop("_ml_grp")
         )
+        return _finalize_buffer(agg, text_col, max_content_bytes)
 
     return stage

@@ -206,12 +206,14 @@ def _finalize_buffer(agg: DataFrame, text_col: str, max_content_bytes: int | Non
     ml = F.when(F.col("n_lines") > 1, F.array(F.lit(FLAG_MULTILINE))).otherwise(
         F.array().cast("array<string>")
     )
-    agg = agg.withColumn(FLAGS_COL, F.array_distinct(F.concat(F.col(FLAGS_COL), ml)))
+    agg = agg.withColumn(FLAGS_COL, F.concat(F.col(FLAGS_COL), ml))
     if max_content_bytes is not None:
         from .actions import truncate_fields
 
         agg = truncate_fields([text_col], max_bytes=max_content_bytes)(agg)
-    return agg
+    # dedup LAST: truncate_fields may append a 'truncated' the member
+    # lines already carried (r5 review — dedup-then-append doubled it)
+    return agg.withColumn(FLAGS_COL, F.array_distinct(F.col(FLAGS_COL)))
 
 
 def multiline_count(

@@ -612,3 +612,88 @@ def test_dedup_release_intermediates(spark):
     assert released == len(owned)
     assert all(p.storageLevel == StorageLevel.NONE for p in owned)
     assert release_intermediates(kept) == 0  # idempotent
+
+
+# -- round-5 session review findings (matrix-port batch) ---------------------
+
+
+def test_r5_drop_fields_regexp_spares_attrs_column(spark):
+    """r5 finding 1: a regexp matching the engine-internal column name
+    'attrs' must not delete the map — only its KEYS are filtered."""
+    df = spark.createDataFrame([({"zebra": "1", "attic": "2"},)], "attrs map<string,string>")
+    r = build("drop_fields", fields=["/^at/"])(df).first()
+    assert r.attrs == {"zebra": "1"}
+
+
+def test_r5_copy_fields_attrs_entries(spark):
+    """r5 finding 2: attrs.* sources and targets are per-row map entries
+    — reading one resolves element_at, writing one puts a new key only
+    where it does not already exist (row-level target-exists rule)."""
+    df = spark.createDataFrame(
+        [("v", {"k": "mapval"}), ("w", {"k": "x", "dst": "keep"})],
+        "top string, attrs map<string,string>",
+    )
+    out = build("copy_fields", fields=[{"from": "attrs.k", "to": "dest"}])(df)
+    assert sorted(r.dest for r in out.collect()) == ["mapval", "x"]
+    out2 = build("copy_fields", fields=[{"from": "top", "to": "attrs.dst"}])(df)
+    rows = {r.top: r.attrs for r in out2.collect()}
+    assert rows["v"]["dst"] == "v"          # absent key → copied
+    assert rows["w"]["dst"] == "keep"       # existing key → row unchanged
+
+
+def test_r5_when_guard_on_dotted_column(spark):
+    """r5 finding 3: a when-guarded write to a literally-dotted column
+    read the original via an unbackticked F.col and threw."""
+    df = spark.createDataFrame(
+        [("user", ["t"], "x")], "role string, `a.b` array<string>, src string"
+    )
+    r = build(
+        "append",
+        target_field="a.b",
+        fields=["src"],
+        when={"equals": {"role": "user"}},
+    )(df).first()
+    assert r["a.b"] == ["t", "x"]
+    r2 = build(
+        "append",
+        target_field="a.b",
+        fields=["src"],
+        when={"equals": {"role": "admin"}},
+    )(df).first()
+    assert r2["a.b"] == ["t"]  # guard false → original kept
+
+
+def test_r5_no_double_truncated_flag(spark):
+    """r5 finding 4: member lines already flagged 'truncated' plus a
+    buffer byte-cap produced the flag twice (dedup ran before append)."""
+    from beats_spark.processors.stateful import multiline_count
+
+    df = spark.createDataFrame(
+        [("c", 0, "line1", ["truncated"]), ("c", 1, "line2", ["truncated"])],
+        "conv_id string, turn_idx int, text string, log_flags array<string>",
+    )
+    r = multiline_count(count=2, max_content_bytes=8)(df).first()
+    assert sorted(r.log_flags) == ["multiline", "truncated"]
+
+
+def test_r5_multiline_while_buffer_finalize(spark):
+    """r5 finding 5: while-mode joins now carry the multiline flag and
+    preserve member-line flags like every other mode."""
+    from beats_spark.processors.misc import multiline_while
+
+    df = spark.createDataFrame(
+        [("c", 0, "run a", ["truncated"]), ("c", 1, "run b", []), ("c", 2, "solo", [])],
+        "conv_id string, turn_idx int, text string, log_flags array<string>",
+    )
+    out = multiline_while(pattern="^run ")(df)
+    rows = {r.text: r for r in out.collect()}
+    assert sorted(rows["run a\nrun b"].log_flags) == ["multiline", "truncated"]
+    assert rows["solo"].log_flags == []
+
+
+def test_r5_case_fold_mandatory_filter_before_guard(spark):
+    """r5 finding 6: fields=['type'] with a when guard must build (the
+    mandatory discard empties the rename list before the guard check)."""
+    df = spark.createDataFrame([("a", "T")], "x string, type string")
+    out = build("lowercase", fields=["type"], when={"equals": {"x": "a"}})(df)
+    assert out.columns == ["x", "type"]
