@@ -866,7 +866,9 @@ def detect_mime_type(field: str, target: str = "mime_type", when: dict | None = 
 
     def stage(df: DataFrame) -> DataFrame:
         dt = df.schema[field].dataType.simpleString()
-        col = F.col(field)
+        # backticked: `field` may be a literally-dotted column name
+        # (detect_mime_type_test.go's foo.bar.baz)
+        col = F.col(f"`{field}`")
         if dt == "binary":
             hx = F.upper(F.hex(F.substring(col, 1, 8)))
             out = F.lit(None).cast("string")

@@ -710,25 +710,61 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
     return stage
 
 
-def decompress_gzip_field(field: str, target: str):
-    """decompress_gzip_field.go:47 — rare path, Arrow-batched zlib."""
+def decompress_gzip_field(
+    field: str,
+    target: str | None = None,
+    ignore_missing: bool = False,
+    fail_on_error: bool = True,
+):
+    """decompress_gzip_field.go:62-103 + its test matrix — rare path,
+    Arrow-batched gzip. Accepts a BINARY source (the reference's []byte
+    case) or a STRING holding raw bytes (Go string case — re-encoded
+    latin-1, the lossless byte↔char mapping); empty/absent `target`
+    decompresses in place (To=From). Invalid data with fail_on_error
+    keeps the row unchanged (in place: raw value; separate target: not
+    written) and flags `decompress_gzip_error` — the per-row projection
+    of the reference's error.message + unchanged event (clone-skip
+    safety, TestDecompressGzipFailOnErrorSafety); with it off the
+    failure is silent. A source missing from the schema errors at build
+    unless ignore_missing (the batch-uniform key-not-found)."""
     from pyspark.sql.functions import pandas_udf
+
+    to = target or field
 
     @pandas_udf("string")
     def gunzip(s: pd.Series) -> pd.Series:
         import gzip
+        import zlib
 
         def one(b):
             if b is None:
                 return None
+            if isinstance(b, str):
+                try:
+                    b = b.encode("latin-1")
+                except UnicodeEncodeError:
+                    return None
             try:
                 return gzip.decompress(b).decode("utf-8", errors="replace")
-            except OSError:
+            except (OSError, EOFError, zlib.error):
                 return None
 
         return s.map(one)
 
     def stage(df: DataFrame) -> DataFrame:
-        return df.withColumn(target, gunzip(_get(df, field)))
+        if not field.startswith("attrs.") and field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(
+                f"decompress_gzip_field: could not fetch value for key: {field}, key not found"
+            )
+        src = _get(df, field)
+        dec = gunzip(src)
+        failed = src.isNotNull() & dec.isNull()
+        keep = src.cast("string") if to == field else F.lit(None).cast("string")
+        new_cols = {to: F.when(~failed, dec).otherwise(keep)}
+        if fail_on_error:
+            new_cols[FLAGS_COL] = append_flag(_flags(df), "decompress_gzip_error", failed)
+        return df.withColumns(new_cols)
 
     return stage

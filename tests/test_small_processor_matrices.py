@@ -924,3 +924,68 @@ def test_message_buffer_finalize_matrix(spark):
     # 'concatenating two events without newlines' (skip_newline)
     r = run(['{"key1": "value",', '"key2": "value"}'], sep="")
     assert r.text == '{"key1": "value","key2": "value"}'
+
+
+# -- decompress_gzip_field (decompress_gzip_field_test.go) -------------------
+
+_GZ = bytes(
+    [31, 139, 8, 0, 0, 0, 0, 0, 0, 255, 74, 73, 77, 206, 207, 45, 40, 74, 45,
+     46, 78, 77, 81, 72, 73, 44, 73, 4, 4, 0, 0, 255, 255, 108, 158, 105, 19,
+     17, 0, 0, 0]
+)
+
+
+def test_decompress_gzip_matrix(spark):
+    """TestDecompressGzip: bytes source, string-holding-bytes source
+    (latin-1 byte↔char mapping), in-place decompress."""
+    df = spark.createDataFrame([(bytearray(_GZ),)], "field1 binary")
+    r = build("decompress_gzip_field", field="field1", target="field2")(df).first()
+    assert r.field2 == "decompressed data" and bytes(r.field1) == _GZ
+    # 'string field gzip decompress'
+    dfs = spark.createDataFrame([(_GZ.decode("latin-1"),)], "field1 string")
+    r = build("decompress_gzip_field", field="field1", target="field2")(dfs).first()
+    assert r.field2 == "decompressed data"
+    # 'simple field gzip decompress in place' (target omitted ≡ To=From)
+    r = build("decompress_gzip_field", field="field1")(df).first()
+    assert r.field1 == "decompressed data"
+
+
+def test_decompress_gzip_error_modes(spark):
+    """'invalid data - fail on error' keeps the raw value + flags the
+    row (the per-row projection of error.message + unchanged event);
+    'do not fail' skips silently; missing-field modes are build-time."""
+    df = spark.createDataFrame([("invalid gzipped data",)], "field1 string")
+    r = build("decompress_gzip_field", field="field1")(df).first()
+    assert r.field1 == "invalid gzipped data"
+    assert "decompress_gzip_error" in r.log_flags
+    r2 = build(
+        "decompress_gzip_field", field="field1", target="field2", fail_on_error=False
+    )(df).first()
+    assert r2.field1 == "invalid gzipped data" and r2.field2 is None
+    assert "log_flags" not in r2.asDict() or "decompress_gzip_error" not in (r2.log_flags or [])
+    # 'missing field - do not ignore it' / 'missing field ignore'
+    with pytest.raises(ValueError, match="key not found"):
+        build("decompress_gzip_field", field="field2", target="field3")(df)
+    out = build(
+        "decompress_gzip_field", field="field2", target="field3", ignore_missing=True
+    )(df)
+    assert out.columns == ["field1"]
+
+
+# -- detect_mime_type (detect_mime_type_test.go) -----------------------------
+
+
+def test_detect_mime_type_from_to(spark):
+    """TestMimeTypeFromTo + TestMimeTypeTestNoMatch: dotted from/to
+    names, the exact reference vector, and no-match → target unset
+    (NULL here, the typed projection of HasKey=false)."""
+    df = spark.createDataFrame([("hello world!",)], "`foo.bar.baz` string")
+    r = build(
+        "detect_mime_type", field="foo.bar.baz", target="bar.baz.zoiks"
+    )(df).first()
+    assert r["bar.baz.zoiks"] == "text/plain; charset=utf-8"
+    df2 = spark.createDataFrame([("\x00\x00",)], "`foo.bar.baz` string")
+    r2 = build(
+        "detect_mime_type", field="foo.bar.baz", target="bar.baz.zoiks"
+    )(df2).first()
+    assert r2["bar.baz.zoiks"] is None
