@@ -108,9 +108,20 @@ def decode_json_fields(
     target: str = ATTRS_COL,
     overwrite_keys: bool = False,
     when: dict | None = None,
+    document_id: str | None = None,
+    add_error_key: bool = False,
 ):
     """decode_json_fields.go:38-93 — parse JSON object strings into the
-    attrs map (unknown shape ⇒ map<string,string>)."""
+    attrs map (unknown shape ⇒ map<string,string>).
+
+    `document_id` (decode_json_fields.go + TestDocumentID): the named
+    key is EXTRACTED from the decoded object into `_meta_id` (the
+    @metadata._id analog add_formatted_index uses for `_meta_index`)
+    and removed from the map. `add_error_key` flags unparseable rows
+    with `decode_json_error` (the error.message analog). A field missing
+    from the schema is skipped silently (TestMissingKey — the reference
+    logs debug and continues), as is a non-string field
+    (TestFieldNotString)."""
     from ..conditions import compile_condition
 
     if when is not None:
@@ -120,8 +131,25 @@ def decode_json_fields(
         guard = (
             compile_condition(when, schema=dict(df.dtypes)) if when is not None else None
         )
+        dtypes = dict(df.dtypes)
         for fname in fields:
-            parsed = F.from_json(_get(df, fname), ATTRS_TYPE)
+            if not fname.startswith(f"{ATTRS_COL}."):
+                if fname not in dtypes:
+                    continue  # TestMissingKey: debug-log + continue
+                if dtypes[fname] != "string":
+                    continue  # TestFieldNotString: not a parse candidate
+            src = _get(df, fname)
+            parsed = F.from_json(src, ATTRS_TYPE)
+            if add_error_key:
+                failed = src.isNotNull() & parsed.isNull()
+                df = df.withColumn(
+                    FLAGS_COL, append_flag(_flags(df), "decode_json_error", failed)
+                )
+            if document_id is not None:
+                doc_id = F.element_at(parsed, document_id)
+                prev = F.col("_meta_id") if "_meta_id" in df.columns else F.lit(None).cast("string")
+                df = df.withColumn("_meta_id", F.coalesce(doc_id, prev))
+                parsed = F.map_filter(parsed, lambda k, _: k != F.lit(document_id))
             if guard is not None:
                 # non-matching rows keep their original value (the `when`
                 # guard was previously accepted but silently ignored)

@@ -1164,3 +1164,26 @@ def test_replace_reference_cases(spark):
     # replace-ALL semantics (ReplaceAllString)
     r = build("replace", fields=[{"field": "h", "pattern": "a", "replacement": "x"}])(df).first()
     assert r.h == "xxx"
+
+
+def test_decode_json_document_id_and_error_key(spark):
+    """TestDocumentID: the document_id key lands in _meta_id and leaves
+    the decoded map; TestMissingKey / TestFieldNotString skip silently;
+    TestAddErrKeyOption flags unparseable rows."""
+    df = spark.createDataFrame(
+        [('{"log": "message", "myid": "myDocumentID"}',)], "msg string"
+    )
+    r = build("decode_json_fields", fields=["msg"], document_id="myid")(df).first()
+    assert r._meta_id == "myDocumentID"
+    assert r.attrs == {"log": "message"}
+    # missing + non-string fields skip silently (no error, no change)
+    df2 = spark.createDataFrame([(7,)], "num int")
+    out = build("decode_json_fields", fields=["missing", "num"])(df2)
+    assert out.columns == ["num"] and out.first().num == 7
+    # add_error_key flags the unparseable row only
+    df3 = spark.createDataFrame([("@timestamp:2015",), ('{"k":"v"}',)], "msg string")
+    rows = build("decode_json_fields", fields=["msg"], add_error_key=True)(df3).collect()
+    by_msg = {r.msg: r for r in rows}
+    assert "decode_json_error" in by_msg["@timestamp:2015"].log_flags
+    assert "decode_json_error" not in by_msg['{"k":"v"}'].log_flags
+    assert by_msg['{"k":"v"}'].attrs == {"k": "v"}
