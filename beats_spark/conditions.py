@@ -241,7 +241,19 @@ def compile_condition(cfg: dict[str, Any], schema: dict[str, str] | None = None)
             conds.append(F.coalesce(getattr(col, _RANGE_OPS[suffix])(F.lit(bound)), F.lit(False)))
         return _all(conds)
     if op == "has_fields":
-        return _all([_field(k).isNotNull() for k in (arg if isinstance(arg, list) else [arg])])
+
+        def _has(k: str) -> Column:
+            # a field absent from the SCHEMA can never be present —
+            # compile to false (conditionals.go HasFields: GetValue
+            # error → false) instead of an unresolvable reference;
+            # schema-less compiles keep the r1-r5 resolve-or-raise
+            if schema is not None:
+                root = "attrs" if k.startswith("attrs.") else _flat_name(k)
+                if root not in schema:
+                    return F.lit(False)
+            return _field(k).isNotNull()
+
+        return _all([_has(k) for k in (arg if isinstance(arg, list) else [arg])])
     if op == "network":
         conds = []
         for k, v in arg.items():

@@ -85,6 +85,38 @@ REGISTRY.update(
 )
 
 
+def _if_builder(when=None, **cfg):
+    """Reference-shaped `if` block (conditionals.go:181-268 +
+    TestIfElseThenProcessor): {'if': COND, 'then': X, 'else': Y} where X/Y
+    may be a processor LIST, a SINGLE processor dict
+    (ifThenElseSingleProcessor), or — for else — a nested if block
+    (ifThenElseIf). Normalizes to if_then_else's (condition, then,
+    otherwise) shape."""
+    if when is not None:
+        # a nested if cannot be row-guarded by an outer branch condition
+        # (its OWN else would fire for non-matching rows); refusing makes
+        # the enclosing if_then_else fall back to the union form — the
+        # r3 lesson: silently accepting an unread `when` is a no-guard
+        raise TypeError("if block does not accept a `when` guard")
+    cond = cfg.get("if") if "if" in cfg else cfg.get("condition")
+    then = cfg.get("then") or []
+    otherwise = cfg.get("else") if "else" in cfg else cfg.get("otherwise")
+
+    def _norm(branch):
+        if branch is None:
+            return None
+        if isinstance(branch, dict):
+            if "if" in branch:  # nested else-if block
+                return [{"if": branch}]
+            return [branch]  # single-processor form
+        return branch
+
+    return misc.if_then_else(cond, _norm(then) or [], _norm(otherwise))
+
+
+REGISTRY["if"] = _if_builder
+
+
 def dissect_builder(**cfg):
     from ..dissect import dissect_attrs, dissect_columns
 

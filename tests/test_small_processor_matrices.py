@@ -989,3 +989,67 @@ def test_detect_mime_type_from_to(spark):
         "detect_mime_type", field="foo.bar.baz", target="bar.baz.zoiks"
     )(df2).first()
     assert r2["bar.baz.zoiks"] is None
+
+
+# -- if / then / else (conditionals_test.go TestIfElseThenProcessor) ---------
+
+
+def test_if_then_else_reference_matrix(spark):
+    """The four config shapes: bare if-then, if-then-else, single-
+    processor (non-list) branches, and a nested else-if block."""
+    from beats_spark.processors import compile_chain
+
+    df = spark.createDataFrame([(411,), (500,), (501,)], "uid int")
+
+    def types_for(chain):
+        rows = compile_chain(chain)(df).collect()
+        return {r.uid: r.asDict().get("uid_type") for r in rows}
+
+    if_then = [{"if": {
+        "if": {"range": {"uid.lt": 500}},
+        "then": [{"add_fields": {"target": "", "fields": {"uid_type": "reserved"}}}],
+    }}]
+    assert types_for(if_then) == {411: "reserved", 500: None, 501: None}
+
+    if_then_else = [{"if": {
+        "if": {"range": {"uid.lt": 500}},
+        "then": [{"add_fields": {"target": "", "fields": {"uid_type": "reserved"}}}],
+        "else": [{"add_fields": {"target": "", "fields": {"uid_type": "user"}}}],
+    }}]
+    assert types_for(if_then_else) == {411: "reserved", 500: "user", 501: "user"}
+
+    single_processor = [{"if": {
+        "if": {"range": {"uid.lt": 500}},
+        "then": {"add_fields": {"target": "", "fields": {"uid_type": "reserved"}}},
+        "else": {"add_fields": {"target": "", "fields": {"uid_type": "user"}}},
+    }}]
+    assert types_for(single_processor) == {411: "reserved", 500: "user", 501: "user"}
+
+    else_if = [{"if": {
+        "if": {"range": {"uid.lt": 500}},
+        "then": {"add_fields": {"target": "", "fields": {"uid_type": "reserved"}}},
+        "else": {
+            "if": {"equals": {"uid": 500}},
+            "then": {"add_fields": {"target": "", "fields": {"uid_type": "eq_500"}}},
+            "else": {"add_fields": {"target": "", "fields": {"uid_type": "gt_500"}}},
+        },
+    }}]
+    assert types_for(else_if) == {411: "reserved", 500: "eq_500", 501: "gt_500"}
+
+
+def test_when_guard_reference_matrix(spark):
+    """TestWhenProcessor: equals match/fail, no condition, has_fields
+    match/fail — a failing guard leaves the event untouched."""
+    df = spark.createDataFrame([(10, "orig")], "i int, added string")
+    match = build("replace", fields=[{"field": "added", "pattern": "orig", "replacement": "yes"}],
+                  when={"equals": {"i": 10}})(df).first()
+    assert match.added == "yes"
+    fail = build("replace", fields=[{"field": "added", "pattern": "orig", "replacement": "yes"}],
+                 when={"equals": {"i": 11}})(df).first()
+    assert fail.added == "orig"
+    has = build("replace", fields=[{"field": "added", "pattern": "orig", "replacement": "yes"}],
+                when={"has_fields": ["i"]})(df).first()
+    assert has.added == "yes"
+    hasnt = build("replace", fields=[{"field": "added", "pattern": "orig", "replacement": "yes"}],
+                  when={"has_fields": ["j"]})(df).first()
+    assert hasnt.added == "orig"
