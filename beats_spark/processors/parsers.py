@@ -140,20 +140,29 @@ def decode_json_fields(
                     continue  # TestFieldNotString: not a parse candidate
             src = _get(df, fname)
             parsed = F.from_json(src, ATTRS_TYPE)
+            # every effect below — error flag, _meta_id extraction, map
+            # merge — is gated on the guard: the reference wraps the WHOLE
+            # processor in the conditional, so a non-matching row must not
+            # be flagged or contribute a document id either
+            g = F.coalesce(guard, F.lit(False)) if guard is not None else None
             if add_error_key:
                 failed = src.isNotNull() & parsed.isNull()
+                if g is not None:
+                    failed = g & failed
                 df = df.withColumn(
                     FLAGS_COL, append_flag(_flags(df), "decode_json_error", failed)
                 )
             if document_id is not None:
                 doc_id = F.element_at(parsed, document_id)
+                if g is not None:
+                    doc_id = F.when(g, doc_id)
                 prev = F.col("_meta_id") if "_meta_id" in df.columns else F.lit(None).cast("string")
                 df = df.withColumn("_meta_id", F.coalesce(doc_id, prev))
                 parsed = F.map_filter(parsed, lambda k, _: k != F.lit(document_id))
-            if guard is not None:
+            if g is not None:
                 # non-matching rows keep their original value (the `when`
                 # guard was previously accepted but silently ignored)
-                parsed = F.when(F.coalesce(guard, F.lit(False)), parsed)
+                parsed = F.when(g, parsed)
             if target in df.columns:
                 base = F.coalesce(F.col(target), F.create_map().cast(ATTRS_TYPE))
                 merged = (

@@ -1187,3 +1187,35 @@ def test_decode_json_document_id_and_error_key(spark):
     assert "decode_json_error" in by_msg["@timestamp:2015"].log_flags
     assert "decode_json_error" not in by_msg['{"k":"v"}'].log_flags
     assert by_msg['{"k":"v"}'].attrs == {"k": "v"}
+
+
+def test_decode_json_guard_gates_error_key_and_document_id(spark):
+    """A `when` guard wraps the WHOLE processor (the reference builds it
+    via NewConditional): rows the guard excludes must not be flagged by
+    add_error_key nor contribute a document_id — only guard-matching
+    rows take any effect."""
+    df = spark.createDataFrame(
+        [
+            ("yes", "not json at all"),
+            ("no", "also not json"),
+            ("yes", '{"log": "m1", "myid": "id-yes"}'),
+            ("no", '{"log": "m2", "myid": "id-no"}'),
+        ],
+        "gate string, msg string",
+    )
+    rows = build(
+        "decode_json_fields",
+        fields=["msg"],
+        document_id="myid",
+        add_error_key=True,
+        when={"equals": {"gate": "yes"}},
+    )(df).collect()
+    by_msg = {r.msg: r for r in rows}
+    # flag: only the guard-matching unparseable row
+    assert "decode_json_error" in by_msg["not json at all"].log_flags
+    assert "decode_json_error" not in (by_msg["also not json"].log_flags or [])
+    # _meta_id: only from the guard-matching row; excluded rows keep attrs
+    assert by_msg['{"log": "m1", "myid": "id-yes"}']._meta_id == "id-yes"
+    assert by_msg['{"log": "m2", "myid": "id-no"}']._meta_id is None
+    assert by_msg['{"log": "m1", "myid": "id-yes"}'].attrs == {"log": "m1"}
+    assert not by_msg['{"log": "m2", "myid": "id-no"}'].attrs
