@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -190,30 +191,187 @@ def schema_conv(spec: dict[str, dict], source_map: str = "attrs"):
     return stage
 
 
-def decode_xml(field: str, target: str = "xml", schema: str | None = None, fields: list[str] | None = None):
-    """decode_xml.go:53 — XML document → typed struct (from_xml).
+def decode_xml(
+    field: str = "message",
+    target: str | None = "xml",
+    schema: str | None = None,
+    fields: list[str] | None = None,
+    to_lower: bool = True,
+    overwrite_keys: bool = True,
+    ignore_missing: bool = False,
+    ignore_failure: bool = False,
+    document_id: str | None = None,
+):
+    """decode_xml.go:53 — XML document decode, three modes:
 
-    Two modes, both real on Spark 4:
-      * `schema` (DDL string): full typed decode — the 100 TB-friendly
-        form (typed columns prune and push down);
+      * `schema` (DDL string): full typed decode via from_xml — the
+        100 TB-friendly form (typed columns prune and push down);
       * `fields` (element names): schema-less extraction of the named
-        child elements as strings via xpath_string — the analog of the
-        reference's dynamic map for a known key set.
-    The reference's fully-dynamic any-shape decode has no typed-column
-    equivalent; pass one of the two. (decode_xml_wineventlog is this
-    with the fixed wineventlog schema.)
-    """
-    if schema is None and fields is None:
-        raise ValueError("decode_xml requires schema= (typed) or fields= (xpath)")
+        child elements as strings via xpath_string;
+      * neither (r5, the reference's DEFAULT mode): fully-dynamic
+        any-shape decode — an Arrow-batched expat walk reproducing
+        common/encoding/xml/decode.go's recursion exactly (repeated
+        element names → arrays in document order; attributes merge at
+        EndElement and overwrite same-named children; per text run the
+        LAST trimmed chunk wins and joins sub-elements as '#text';
+        prolog encoding declarations ignored like CharsetReader). The
+        nested result lands as canonical JSON text (sorted keys — Go
+        map order is non-semantic): `target` names the column,
+        target=None decodes in place (the reference's nil-Target
+        default), target='' merges the top-level keys into the attrs
+        map depth-1 (the WriteJSONKeys root-merge projected onto this
+        engine's attrs model; `overwrite_keys` picks the merge winner).
+        Rare path by design — for known shapes use `schema`.
+
+    Dynamic-mode config parity (decode_xml_test.go): `to_lower`
+    (default true, like the reference), `ignore_missing` /
+    `ignore_failure` (missing or non-string fields are batch-uniform
+    here, so both check at BUILD time; a per-row parse failure keeps
+    the row unchanged and flags `decode_xml_error` unless
+    ignore_failure), `document_id` (dotted path into the decoded map →
+    `_meta_id`, removed from the output — string values only, like
+    GetValue + SetID)."""
+    if schema is not None or fields is not None:
+
+        def stage_typed(df: DataFrame) -> DataFrame:
+            col = F.col(field)
+            if schema is not None:
+                return df.withColumn(target, F.from_xml(col, schema))
+            kv = []
+            for name in fields:
+                kv.extend([F.lit(name), F.xpath_string(col, F.lit(f"/*/{name}"))])
+            return df.withColumn(target, F.create_map(*kv))
+
+        return stage_typed
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("js string, doc_id string")
+    def dynxml(s: pd.Series) -> pd.DataFrame:
+        import json
+        import xml.parsers.expat as expat
+
+        def key_of(n):
+            return n.lower() if to_lower else n
+
+        def decode_one(text):
+            if text is None:
+                return None, None
+            if not text.strip():
+                # Go's tokenizer returns io.EOF → empty map, no error
+                return "{}", None
+            stack = [{"elems": {}, "buf": [], "cdata": "", "attrs": {}}]
+
+            def flush(fr):
+                if fr["buf"]:
+                    # each markup boundary ends a CharData token; the
+                    # token REPLACES the frame's cdata (decode.go:95-96)
+                    fr["cdata"] = "".join(fr["buf"]).strip()
+                    fr["buf"] = []
+
+            def start(name, attrs):
+                flush(stack[-1])
+                stack.append(
+                    {"elems": {}, "buf": [], "cdata": "", "attrs": attrs}
+                )
+
+            def chardata(d):
+                stack[-1]["buf"].append(d)
+
+            def end(name):
+                fr = stack.pop()
+                flush(fr)
+                elems, cdata = fr["elems"], fr["cdata"]
+                for ak, av in fr["attrs"].items():
+                    elems[key_of(ak)] = av
+                add = elems if elems else cdata
+                if elems and cdata:
+                    elems["#text"] = cdata
+                parent = stack[-1]["elems"]
+                k = key_of(name)
+                if k not in parent:
+                    parent[k] = add
+                elif isinstance(parent[k], list):
+                    parent[k].append(add)
+                else:
+                    parent[k] = [parent[k], add]
+
+            # explicit encoding OVERRIDES the document's declaration —
+            # the CharsetReader-ignores-encodings behavior
+            p = expat.ParserCreate(encoding="utf-8")
+            p.buffer_text = True
+            p.StartElementHandler = start
+            p.EndElementHandler = end
+            p.CharacterDataHandler = chardata
+            try:
+                p.Parse(text, True)
+            except expat.ExpatError:
+                return None, None
+            out = stack[0]["elems"]
+            doc_id = None
+            if document_id:
+                parts = document_id.split(".")
+                cur = out
+                for pp in parts[:-1]:
+                    cur = cur.get(pp) if isinstance(cur, dict) else None
+                    if cur is None:
+                        break
+                if isinstance(cur, dict) and isinstance(cur.get(parts[-1]), str):
+                    doc_id = cur.pop(parts[-1])
+            return (
+                json.dumps(out, ensure_ascii=False, separators=(",", ":"), sort_keys=True),
+                doc_id,
+            )
+
+        pairs = [decode_one(t) for t in s]
+        return pd.DataFrame({"js": [a for a, _ in pairs], "doc_id": [b for _, b in pairs]})
 
     def stage(df: DataFrame) -> DataFrame:
-        col = F.col(field)
-        if schema is not None:
-            return df.withColumn(target, F.from_xml(col, schema))
-        kv = []
-        for name in fields:
-            kv.extend([F.lit(name), F.xpath_string(col, F.lit(f"/*/{name}"))])
-        return df.withColumn(target, F.create_map(*kv))
+        from ..events import ATTRS_COL, ATTRS_TYPE, FLAGS_COL, append_flag
+
+        if field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(
+                f"decode_xml: could not fetch value for key: {field}, key not found"
+            )
+        if dict(df.dtypes)[field] != "string":
+            if ignore_failure:
+                return df
+            raise ValueError(f"decode_xml: field value is not a string: {field}")
+        src = F.col(field)
+        dec = dynxml(src)
+        js = dec.getField("js")
+        failed = src.isNotNull() & js.isNull()
+        to = field if target is None else target
+        new_cols: dict[str, Column] = {}
+        if document_id is not None:
+            prev = (
+                F.col("_meta_id") if "_meta_id" in df.columns else F.lit(None).cast("string")
+            )
+            new_cols["_meta_id"] = F.coalesce(dec.getField("doc_id"), prev)
+        if not ignore_failure:
+            flags = (
+                F.col(FLAGS_COL)
+                if FLAGS_COL in df.columns
+                else F.lit(None).cast("array<string>")
+            )
+            new_cols[FLAGS_COL] = append_flag(flags, "decode_xml_error", failed)
+        if to == "":
+            parsed = F.from_json(js, ATTRS_TYPE)
+            base = (
+                F.coalesce(F.col(ATTRS_COL), F.create_map().cast(ATTRS_TYPE))
+                if ATTRS_COL in df.columns
+                else F.create_map().cast(ATTRS_TYPE)
+            )
+            merged = (
+                F.map_concat(base, parsed) if overwrite_keys else F.map_concat(parsed, base)
+            )
+            new_cols[ATTRS_COL] = F.when(parsed.isNotNull(), merged).otherwise(base)
+        else:
+            keep = src if to == field else F.lit(None).cast("string")
+            new_cols[to] = F.when(~failed, js).otherwise(keep)
+        return df.withColumns(new_cols)
 
     return stage
 

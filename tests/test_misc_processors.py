@@ -71,11 +71,15 @@ def test_now_nondeterministic_stamp(df):
     assert out.ingested_ts is not None
 
 
-def test_decode_xml_requires_shape(df):
-    """Round-2: decode_xml is un-gated (Spark 4 ships from_xml); a call
-    without schema= or fields= is a config error, not a runtime gate."""
-    with pytest.raises(ValueError, match="schema"):
-        build("decode_xml", field="text")
+def test_decode_xml_default_mode_is_dynamic(spark):
+    """Round-5: a call without schema= or fields= is the reference's
+    DEFAULT fully-dynamic decode (decode_xml_test.go port in
+    test_small_processor_matrices.py), no longer a config error."""
+    import json
+
+    df2 = spark.createDataFrame([("<a><b>v</b></a>",)], "message string")
+    r = build("decode_xml", field="message")(df2).first()
+    assert json.loads(r.xml) == {"a": {"b": "v"}}
 
 
 def test_multiline_while(spark):
@@ -106,9 +110,6 @@ def test_decode_xml_typed_and_xpath(spark):
     assert (typed.ev.id, typed.ev.level, typed.ev.msg) == (7, "warn", "disk low")
     dyn = decode_xml("raw", target="m", fields=["level", "msg"])(df).collect()[0]
     assert dyn.m == {"level": "warn", "msg": "disk low"}
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="schema"):
-        decode_xml("raw")
 
 
 def _sel_case(rules, event, want, spark, lower=False):

@@ -303,7 +303,9 @@ def test_multiline_preserves_upstream_flags(spark):
             pattern="^level ", match="after", group_cols=["conv_id"], order_col="turn_idx"
         )(df).collect()
     }
-    assert sorted(out[0].log_flags) == ["convert_error"]
+    # r5: joined events ALSO carry the reference's 'multiline' flag
+    # (multiline/message_buffer.go:132); single-line events don't
+    assert sorted(out[0].log_flags) == ["convert_error", "multiline"]
     assert out[2].log_flags == []
 
 

@@ -1053,3 +1053,146 @@ def test_when_guard_reference_matrix(spark):
     hasnt = build("replace", fields=[{"field": "added", "pattern": "orig", "replacement": "yes"}],
                   when={"has_fields": ["j"]})(df).first()
     assert hasnt.added == "orig"
+
+
+# -- decode_xml dynamic mode (decode_xml_test.go) ----------------------------
+
+_CATALOG = """<catalog>
+\t<book seq="1">
+\t\t<author>William H. Gaddis</author>
+\t\t<title>The Recognitions</title>
+\t\t<review>One of the great seminal American novels of the 20th century.</review>
+\t</book>
+</catalog>"""
+
+_BOOK1 = {
+    "author": "William H. Gaddis",
+    "review": "One of the great seminal American novels of the 20th century.",
+    "title": "The Recognitions",
+}
+
+
+def _dyn(spark, xml, **cfg):
+    import json
+
+    df = spark.createDataFrame([(xml,)], "message string")
+    cfg.setdefault("to_lower", False)
+    r = build("decode_xml", field="message", **cfg)(df).first()
+    to = cfg.get("target", "xml")
+    return r, (json.loads(r[to]) if to and r[to] is not None else None)
+
+
+def test_decode_xml_dynamic_basic_shapes(spark):
+    """'Simple xml decode with target field set' / 'target set to root' /
+    'same field name when Target is null' — the three target routings."""
+    r, m = _dyn(spark, _CATALOG)
+    assert m == {"catalog": {"book": dict(_BOOK1, seq="1")}}
+    assert r.message == _CATALOG  # source intact with a named target
+    # root target: top-level keys merge into attrs depth-1
+    import json
+
+    df = spark.createDataFrame([(_CATALOG,)], "message string")
+    r2 = build("decode_xml", field="message", target="", to_lower=False)(df).first()
+    assert json.loads(r2.attrs["catalog"]) == {"book": dict(_BOOK1, seq="1")}
+    # in-place (Target nil → To=From)
+    r3, _ = _dyn(spark, "<?xml version=\"1.0\"?>" + _CATALOG, target=None)
+    assert json.loads(r3.message) == {"catalog": {"book": dict(_BOOK1, seq="1")}}
+
+
+def test_decode_xml_dynamic_arrays_and_lowercase(spark):
+    """'Decoding with array input' (repeated names → document-order
+    arrays), 'array and mixed-case keys' (to_lower), 'multiple xml
+    objects' (sibling subtrees)."""
+    two_books = (
+        "<catalog><book><author>William H. Gaddis</author></book>"
+        "<book><author>Ralls, Kim</author></book></catalog>"
+    )
+    _, m = _dyn(spark, two_books)
+    assert m == {
+        "catalog": {"book": [{"author": "William H. Gaddis"}, {"author": "Ralls, Kim"}]}
+    }
+    audit = (
+        "<AuditBase><ContextComponents>"
+        "<Component><RelyingParty>N/A</RelyingParty></Component>"
+        "<Component><PrimaryAuth>N/A</PrimaryAuth></Component>"
+        "</ContextComponents></AuditBase>"
+    )
+    _, m = _dyn(spark, audit, to_lower=True)
+    assert m == {
+        "auditbase": {
+            "contextcomponents": {
+                "component": [{"relyingparty": "N/A"}, {"primaryauth": "N/A"}]
+            }
+        }
+    }
+    multi = (
+        "<catalog><book><author>A</author></book><book><author>B</author></book>"
+        '<secondcategory><paper id="bk102"><test2>Ralls, Kim</test2></paper>'
+        "</secondcategory></catalog>"
+    )
+    _, m = _dyn(spark, multi)
+    assert m == {
+        "catalog": {
+            "book": [{"author": "A"}, {"author": "B"}],
+            "secondcategory": {"paper": {"id": "bk102", "test2": "Ralls, Kim"}},
+        }
+    }
+
+
+def test_decode_xml_dynamic_encoding_and_errors(spark):
+    """'utf-16 proc inst utf-8 encoding' (declaration ignored), broken
+    XML with ignore_failure false (flag + event unchanged) and true
+    (silent), missing/non-string field build-time modes."""
+    utf16 = '<?xml version="1.0" encoding="UTF-16"?><catalog><book><author>A</author></book></catalog>'
+    _, m = _dyn(spark, utf16)
+    assert m == {"catalog": {"book": {"author": "A"}}}
+    broken = '<?xml version="1.0"?><catalog><book><author>A</author></ook>catalog>'
+    r, m = _dyn(spark, broken)
+    assert m is None and r.message == broken
+    assert "decode_xml_error" in r.log_flags
+    r2, m2 = _dyn(spark, broken, ignore_failure=True)
+    assert m2 is None and r2.message == broken
+    assert "log_flags" not in r2.asDict()
+    df = spark.createDataFrame([("x",)], "message string")
+    with pytest.raises(ValueError, match="key not found"):
+        build("decode_xml", field="message2")(df)
+    assert build("decode_xml", field="message2", ignore_missing=True)(df).columns == [
+        "message"
+    ]
+    dfn = spark.createDataFrame([(1,)], "message int")
+    with pytest.raises(ValueError, match="not a string"):
+        build("decode_xml", field="message")(dfn)
+    assert build("decode_xml", field="message", ignore_failure=True)(dfn).columns == [
+        "message"
+    ]
+
+
+def test_decode_xml_dynamic_document_id(spark):
+    """TestXMLToDocumentID: dotted path into the decoded map → _meta_id,
+    removed from the output."""
+    import json
+
+    df = spark.createDataFrame([(_CATALOG.replace('seq="1"', 'seq="10"'),)], "message string")
+    r = build(
+        "decode_xml", field="message", target=None, document_id="catalog.book.seq",
+        to_lower=False,
+    )(df).first()
+    assert r._meta_id == "10"
+    assert json.loads(r.message) == {"catalog": {"book": _BOOK1}}
+
+
+def test_decode_xml_dynamic_text_and_attr_semantics(spark):
+    """decode.go corner semantics: '#text' joins cdata with
+    sub-elements; the LAST text run wins (each CharData token replaces);
+    attributes merge at EndElement and overwrite same-named children."""
+    _, m = _dyn(spark, '<a x="1">hello<b>c</b></a>')
+    # text BEFORE the child is replaced by the (empty) trailing run? No:
+    # no trailing text → last flushed run is "hello" at <b>'s start
+    assert m == {"a": {"#text": "hello", "b": "c", "x": "1"}}
+    _, m = _dyn(spark, '<a>first<b>c</b>second</a>')
+    assert m == {"a": {"#text": "second", "b": "c"}}
+    _, m = _dyn(spark, '<a b="attr-wins"><b>child</b></a>')
+    assert m == {"a": {"b": "attr-wins"}}
+    # text-only element with an attribute: both survive as a map
+    _, m = _dyn(spark, '<a href="x">text</a>')
+    assert m == {"a": {"#text": "text", "href": "x"}}
