@@ -52,6 +52,7 @@ REGISTRY.update(
         "add_observer_metadata": enrich.add_constant_metadata,
         "add_locale": enrich.add_constant_metadata,
         "cache_get": enrich.cache_get,
+        "cache": enrich.cache_sequential,
         "add_constant_metadata": enrich.add_constant_metadata,
         "registered_domain": enrich.registered_domain,
         "community_id": enrich.community_id,

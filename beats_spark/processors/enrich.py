@@ -394,3 +394,94 @@ def cache_put(df: DataFrame, key_field: str, value_cols: list[str], ts_col: str 
         .filter(F.col("_rn") == 1)
         .select(key_field, *value_cols, F.col(ts_col).alias("cached_at"))
     )
+
+
+def cache_sequential(
+    key_field: str,
+    value_field: str,
+    target_field: str,
+    put_when: dict,
+    get_when: dict,
+    ttl_seconds: float | None = None,
+    overwrite_keys: bool = False,
+    ignore_failure: bool = False,
+    ts_col: str = "ts",
+):
+    """The cache processor's SEQUENTIAL put→get semantics
+    (cache/cache.go:118-238 + mem_store.go, cache_test.go matrix) as one
+    windowed pass: a `get` event at time t reads the LATEST `put` at or
+    before t for its key (puts order before gets on equal timestamps —
+    the batch projection of "the put ran first"), within `ttl_seconds`
+    of the get's event time (an expired entry reads as a miss, like an
+    evicted key). This is the form to use when puts and gets live in ONE
+    stream; the two-phase cache_put/cache_get pair covers the
+    cross-run-lookup-table case.
+
+    Per-event error surface → per-row flags (`cache_get_error`), matching
+    the engine's convention: a get whose key has no live entry flags
+    unless `ignore_failure` (get_missing_value / _ignore_error cases); a
+    get whose target is already occupied refuses the write and flags
+    unless `overwrite_keys` (put_and_get_value_with_get_error_no_overwrite
+    vs _allow_overwrite). Non-get rows pass through untouched. The
+    reference's expected-map-but-string path error has no analog in a
+    flat-column model.
+
+    Scale shape: ONE shuffle on the cache key; the running last-put is a
+    single window aggregate (no join, no driver state, no per-key
+    collect) — hot keys cost one partition's sort, not a build side.
+    """
+    from ..conditions import compile_condition
+    from ..events import FLAGS_COL, append_flag
+    from pyspark.sql import Window
+
+    for w_cfg in (put_when, get_when):
+        compile_condition(w_cfg)  # fail-fast config validation at build
+
+    def stage(df: DataFrame) -> DataFrame:
+        schema = dict(df.dtypes)
+        is_put = F.coalesce(compile_condition(put_when, schema=schema), F.lit(False))
+        is_get = F.coalesce(compile_condition(get_when, schema=schema), F.lit(False))
+        val = F.col(value_field)
+        # puts before gets at equal ts; among equal puts the greatest
+        # value wins deterministically (the reference's "last Run" has no
+        # batch analog for true ties — pick a replay-stable rule)
+        w = (
+            Window.partitionBy(key_field)
+            .orderBy(
+                F.col(ts_col),
+                F.when(is_put, F.lit(0)).otherwise(F.lit(1)),
+                F.coalesce(val.cast("string"), F.lit("")),
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        entry = F.last(
+            F.when(is_put, F.struct(F.col(ts_col).alias("at"), val.alias("v"))),
+            ignorenulls=True,
+        ).over(w)
+        fresh = (
+            entry["at"] >= F.col(ts_col) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+            if ttl_seconds is not None
+            else F.lit(True)
+        )
+        found = is_get & entry.isNotNull() & fresh
+        if target_field in df.columns:
+            occupied = F.col(target_field).isNotNull()
+            cur = F.col(target_field)
+        else:
+            occupied = F.lit(False)
+            cur = F.lit(None).cast(schema.get(value_field, "string"))
+        writable = found & (F.lit(overwrite_keys) | ~occupied)
+        flags = (
+            F.col(FLAGS_COL)
+            if FLAGS_COL in df.columns
+            else F.lit(None).cast("array<string>")
+        )
+        err = (is_get & ~found & ~F.lit(ignore_failure)) | (found & ~writable)
+        return df.withColumns(
+            {
+                target_field: F.when(writable, entry["v"]).otherwise(cur),
+                FLAGS_COL: append_flag(flags, "cache_get_error", err),
+            }
+        )
+
+    return stage

@@ -1219,3 +1219,84 @@ def test_decode_json_guard_gates_error_key_and_document_id(spark):
     assert by_msg['{"log": "m2", "myid": "id-no"}']._meta_id is None
     assert by_msg['{"log": "m1", "myid": "id-yes"}'].attrs == {"log": "m1"}
     assert not by_msg['{"log": "m2", "myid": "id-no"}'].attrs
+
+
+def test_cache_sequential_matrix(spark):
+    """cache_test.go step matrix on the windowed as-of form:
+    put_and_get_value (a later get reads the put), get_missing_value
+    (flag) / _ignore_error (silent), no_overwrite refusal vs
+    allow_overwrite, plus the sequential essence — a get BEFORE the put
+    misses — and TTL expiry as an evicted key."""
+    rows = [
+        # (ts, kind, aid, metadata, pre_target)
+        ("2024-01-01 00:00:00", "put", "one", "metadata_value", None),
+        ("2024-01-01 00:00:10", "get", "one", None, None),          # hit
+        ("2023-12-31 23:59:00", "get", "one", None, None),          # get before put: miss
+        ("2024-01-01 00:00:20", "get", "two", None, None),          # missing key
+        ("2024-01-01 00:00:30", "get", "one", None, "occupied"),    # target occupied
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, kind string, aid string, metadata string, tgt string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = build(
+        "cache",
+        key_field="aid",
+        value_field="metadata",
+        target_field="tgt",
+        put_when={"equals": {"kind": "put"}},
+        get_when={"equals": {"kind": "get"}},
+    )(df).collect()
+    by_ts = {str(r.ts): r for r in out}
+    assert by_ts["2024-01-01 00:00:10"].tgt == "metadata_value"
+    assert "cache_get_error" not in by_ts["2024-01-01 00:00:10"].log_flags
+    # sequential semantics: the earlier get missed
+    miss = by_ts["2023-12-31 23:59:00"]
+    assert miss.tgt is None and "cache_get_error" in miss.log_flags
+    # unknown key: miss + flag (get_missing_value)
+    assert "cache_get_error" in by_ts["2024-01-01 00:00:20"].log_flags
+    # occupied target without overwrite_keys: refused + flag
+    occ = by_ts["2024-01-01 00:00:30"]
+    assert occ.tgt == "occupied" and "cache_get_error" in occ.log_flags
+    # put rows untouched, unflagged
+    put = by_ts["2024-01-01 00:00:00"]
+    assert put.tgt is None and "cache_get_error" not in put.log_flags
+
+    # allow_overwrite: the occupied target IS overwritten (no flag);
+    # ignore_failure: misses go silent
+    out2 = build(
+        "cache",
+        key_field="aid",
+        value_field="metadata",
+        target_field="tgt",
+        put_when={"equals": {"kind": "put"}},
+        get_when={"equals": {"kind": "get"}},
+        overwrite_keys=True,
+        ignore_failure=True,
+    )(df).collect()
+    by_ts2 = {str(r.ts): r for r in out2}
+    assert by_ts2["2024-01-01 00:00:30"].tgt == "metadata_value"
+    assert all("cache_get_error" not in r.log_flags for r in out2)
+
+    # TTL: a get 10 min after the put with ttl=60 s reads a miss
+    out3 = build(
+        "cache",
+        key_field="aid",
+        value_field="metadata",
+        target_field="tgt2",
+        put_when={"equals": {"kind": "put"}},
+        get_when={"equals": {"kind": "get"}},
+        ttl_seconds=60,
+    )(
+        spark.createDataFrame(
+            [
+                ("2024-01-01 00:00:00", "put", "one", "v", None),
+                ("2024-01-01 00:00:30", "get", "one", None, None),
+                ("2024-01-01 00:10:00", "get", "one", None, None),
+            ],
+            "ts string, kind string, aid string, metadata string, tgt string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).collect()
+    by_ts3 = {str(r.ts): r for r in out3}
+    assert by_ts3["2024-01-01 00:00:30"].tgt2 == "v"
+    expired = by_ts3["2024-01-01 00:10:00"]
+    assert expired.tgt2 is None and "cache_get_error" in expired.log_flags
