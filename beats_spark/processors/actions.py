@@ -213,7 +213,7 @@ def rename(
     return stage
 
 
-def drop_fields(fields: list[str], ignore_missing: bool = True):
+def drop_fields(fields: list[str], ignore_missing: bool = True, when: dict | None = None):
     """drop_fields.go:58-125 — @timestamp ('ts') and identity keys are
     protected, plus the reference's MandatoryExportedFields ('type' and
     'type.*' are discarded from the drop list at config time).
@@ -226,8 +226,17 @@ def drop_fields(fields: list[str], ignore_missing: bool = True):
     build. Engine divergences: column names match with Python `re`,
     attrs-map keys with Java rlike (dialects agree on the reference
     corpus); a struct whose subfields ALL drop is dropped whole (no
-    empty struct type exists here)."""
+    empty struct type exists here).
+
+    `when` (r5): per-event drops — matching rows NULL the listed
+    columns / filter the listed attrs keys, non-matching rows keep
+    them; columns stay in the schema (NULL = absent). A regexp entry
+    that would prune struct SUBfields refuses under `when` — a per-row
+    subtree prune has no typed analog."""
     import re as _re
+
+    if when is not None:
+        compile_condition(when)  # fail-fast config validation at BUILD time
 
     plain: list[str] = []
     regexps: list[_re.Pattern] = []
@@ -279,8 +288,47 @@ def drop_fields(fields: list[str], ignore_missing: bool = True):
             missing = [f for f in plain if f not in df.columns and not f.startswith("attrs.")]
             if missing:
                 raise ValueError(f"drop_fields: missing {missing}")
-        out = df.drop(*top)
         map_keys = [f[len("attrs.") :] for f in plain if f.startswith("attrs.")]
+        if when is not None:
+            dtypes = dict(df.dtypes)
+            g = F.coalesce(compile_condition(when, schema=dtypes), F.lit(False))
+            new_cols: dict[str, Column] = {}
+            rx_top = [
+                fld.name
+                for fld in df.schema.fields
+                if fld.name not in protected
+                and fld.name not in (FLAGS_COL, ATTRS_COL)
+                and any(r.search(fld.name) for r in regexps)
+            ]
+            for fld in df.schema.fields:
+                if (
+                    isinstance(fld.dataType, StructType)
+                    and fld.name not in rx_top
+                    and regexps
+                    and _prune_struct(F.col(f"`{fld.name}`"), fld.dataType, fld.name)[1]
+                ):
+                    raise ValueError(
+                        "drop_fields: a regexp matching struct subfields "
+                        f"({fld.name}) cannot combine with `when` — per-row "
+                        "subtree pruning has no typed analog"
+                    )
+            for c in {*top, *rx_top}:
+                new_cols[c] = F.when(g, F.lit(None).cast(dtypes[c])).otherwise(
+                    F.col(f"`{c}`")
+                )
+            if ATTRS_COL in df.columns and (map_keys or regexps):
+                keys_arr = F.array(*[F.lit(k) for k in map_keys])
+
+                def _keep_key(k):
+                    cond = F.array_contains(keys_arr, k) if map_keys else F.lit(False)
+                    for r in regexps:
+                        cond = cond | k.rlike(r.pattern)
+                    return ~cond
+
+                filtered = F.map_filter(F.col(ATTRS_COL), lambda k, _: _keep_key(k))
+                new_cols[ATTRS_COL] = F.when(g, filtered).otherwise(F.col(ATTRS_COL))
+            return df.withColumns(new_cols) if new_cols else df
+        out = df.drop(*top)
         if map_keys and ATTRS_COL in df.columns:
             keys_arr = F.array(*[F.lit(k) for k in map_keys])
             out = out.withColumn(
@@ -324,35 +372,66 @@ def drop_fields(fields: list[str], ignore_missing: bool = True):
     return stage
 
 
-def include_fields(fields: list[str]):
+def include_fields(fields: list[str], when: dict | None = None):
     """include_fields.go:38-90 — keep-list; @timestamp + identity always
     kept, and MandatoryExportedFields ('type') is auto-added to the keep
     list (include_fields.go:54-64). attrs.* entries prune the attrs map
-    to the listed keys."""
+    to the listed keys.
+
+    `when` (r5, processor_test.go TestIncludeFields /
+    TestMultipleIncludeFields): a PER-EVENT keep-list — matching rows
+    NULL their non-kept columns (NULL = absent, this engine's
+    convention) and prune attrs; non-matching rows keep everything.
+    Schema-level projection (columns physically dropped, the
+    column-pruning fast path) only happens in the unconditional form —
+    a column some rows keep must exist."""
     always = ["conv_id", "turn_idx", "ts", "type"]
+    if when is not None:
+        compile_condition(when)  # fail-fast config validation at BUILD time
 
     def stage(df: DataFrame) -> DataFrame:
         keep = [c for c in df.columns if c in set(fields) | set(always) or c in (FLAGS_COL,)]
         attr_keys = [f[len("attrs.") :] for f in fields if f.startswith("attrs.")]
         if attr_keys and ATTRS_COL in df.columns and ATTRS_COL not in keep:
             keep.append(ATTRS_COL)
-        out = df.select(*[F.col(f"`{c}`") for c in keep])
-        if attr_keys and ATTRS_COL in out.columns and ATTRS_COL not in fields:
+        if when is None:
+            out = df.select(*[F.col(f"`{c}`") for c in keep])
+            if attr_keys and ATTRS_COL in out.columns and ATTRS_COL not in fields:
+                keys_arr = F.array(*[F.lit(k) for k in attr_keys])
+                out = out.withColumn(
+                    ATTRS_COL,
+                    F.map_filter(F.col(ATTRS_COL), lambda k, _: F.array_contains(keys_arr, k)),
+                )
+            return out
+        dtypes = dict(df.dtypes)
+        g = F.coalesce(compile_condition(when, schema=dtypes), F.lit(False))
+        new_cols: dict[str, Column] = {}
+        for c in df.columns:
+            if c in keep:
+                continue
+            new_cols[c] = F.when(g, F.lit(None).cast(dtypes[c])).otherwise(F.col(f"`{c}`"))
+        if attr_keys and ATTRS_COL in df.columns and ATTRS_COL not in fields:
             keys_arr = F.array(*[F.lit(k) for k in attr_keys])
-            out = out.withColumn(
-                ATTRS_COL,
-                F.map_filter(F.col(ATTRS_COL), lambda k, _: F.array_contains(keys_arr, k)),
+            filtered = F.map_filter(
+                F.col(ATTRS_COL), lambda k, _: F.array_contains(keys_arr, k)
             )
-        return out
+            new_cols[ATTRS_COL] = F.when(g, filtered).otherwise(F.col(ATTRS_COL))
+        return df.withColumns(new_cols)
 
     return stage
 
 
-def drop_event(when: dict):
-    """drop_event.go:31-44 — always guarded by `when`."""
-    compile_condition(when)  # fail-fast config validation at BUILD time
+def drop_event(when: dict | None = None):
+    """drop_event.go:31-44 — guarded by `when`; an EMPTY config drops
+    every event (processor_test.go TestEmptyCondition — the reference
+    builds the processor with a nil condition and Run always returns
+    nil)."""
+    if when is not None:
+        compile_condition(when)  # fail-fast config validation at BUILD time
 
     def stage(df: DataFrame) -> DataFrame:
+        if when is None:
+            return df.filter(F.lit(False))
         cond = compile_condition(when, schema=dict(df.dtypes))
         return df.filter(~F.coalesce(cond, F.lit(False)))
 

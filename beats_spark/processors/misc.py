@@ -106,14 +106,51 @@ def add_labels(labels: dict[str, Any], when: dict | None = None):
     return add_fields(flat, target="labels", when=when)
 
 
-def move_fields(fields: list[str], from_prefix: str = "", to_prefix: str = ""):
-    """Re-parent columns by renaming prefix (move_fields.go:34)."""
+def move_fields(
+    fields: list[str] | None = None,
+    from_prefix: str = "",
+    to_prefix: str = "",
+    exclude: list[str] | None = None,
+):
+    """Re-parent columns by renaming prefix (move_fields.go:34-75 + its
+    test table, flat-column projection: the reference's From object is a
+    column-name prefix here, and To's object-vs-name-prefix distinction
+    both land as a rename). `fields=None` moves EVERY column under
+    `from_prefix` minus `exclude` (only honored with fields=None, like
+    the reference's excludeMap) and the identity/meta columns; a rename
+    landing on an existing column refuses at build (the rename
+    processor's no-partial-writes rule)."""
+    if fields is not None and exclude:
+        raise ValueError("move_fields: `exclude` only applies when fields is unset")
+    excl = set(exclude or [])
 
     def stage(df: DataFrame) -> DataFrame:
-        for f in fields:
-            src = from_prefix + f
-            if src in df.columns:
-                df = df.withColumnRenamed(src, to_prefix + f)
+        from ..events import ATTRS_COL, FLAGS_COL
+
+        protected = {"conv_id", "turn_idx", "ts", FLAGS_COL, ATTRS_COL}
+        if fields is None:
+            basenames = [
+                c[len(from_prefix):]
+                for c in df.columns
+                if c.startswith(from_prefix) and c not in protected
+            ]
+        else:
+            basenames = list(fields)
+        renames: dict[str, str] = {}
+        for b in basenames:
+            if b in excl:
+                continue
+            src = from_prefix + b
+            if src in df.columns and src not in protected:
+                renames[src] = to_prefix + b
+        taken = set(df.columns) - set(renames)
+        seen: set[str] = set()
+        for src, dst in renames.items():
+            if dst in taken or dst in seen:
+                raise ValueError(f"move_fields: target column already exists: {dst}")
+            seen.add(dst)
+        for src, dst in renames.items():
+            df = df.withColumnRenamed(src, dst)
         return df
 
     return stage

@@ -1196,3 +1196,138 @@ def test_decode_xml_dynamic_text_and_attr_semantics(spark):
     # text-only element with an attribute: both survive as a map
     _, m = _dyn(spark, '<a href="x">text</a>')
     assert m == {"a": {"#text": "text", "href": "x"}}
+
+
+# -- processor chain table (libbeat/processors/processor_test.go) ------------
+
+
+def test_processor_chain_reference_matrix(spark):
+    """TestIncludeFields / TestMultipleIncludeFields (per-event `when`
+    keep-lists: matching rows NULL non-kept columns — NULL = absent),
+    TestEmptyCondition (bare drop_event drops everything),
+    TestBadCondition / TestBadConditionConfig / TestMissingFields
+    (build-time config errors), TestDropMissingFields (silent),
+    TestBadConfig (two processors in one spec entry)."""
+    from beats_spark.processors import compile_chain
+
+    df = spark.createDataFrame(
+        [
+            ("my-shipper-1", "test-1", 0.5, "11194368", "/sbin/launchd", "process"),
+            ("other", "svc-9", 0.7, "22", "/bin/other", "process"),
+        ],
+        "beat_name string, proc_name string, proc_cpu_total_p double, "
+        "proc_mem string, proc_cmdline string, type string",
+    )
+    # TestIncludeFields: when-guarded keep-list
+    out = build(
+        "include_fields",
+        fields=["proc_cpu_total_p", "proc_mem", "dd"],
+        when={"contains": {"proc_name": "test"}},
+    )(df)
+    assert set(out.columns) == set(df.columns)  # schema intact under when
+    rows = {r.proc_cpu_total_p: r for r in out.collect()}
+    hit = rows[0.5]
+    assert hit.proc_mem == "11194368"
+    # non-kept fields read absent (NULL) on the matching row — incl. the
+    # key the guard itself read (include_fields.go keeps only the list)
+    assert hit.beat_name is None and hit.proc_cmdline is None and hit.proc_name is None
+    assert hit.type == "process"  # MandatoryExportedFields survives
+    miss = rows[0.7]
+    assert miss.beat_name == "other" and miss.proc_cmdline == "/bin/other"
+    assert miss.proc_name == "svc-9"
+
+    # TestMultipleIncludeFields: stacked guarded + unguarded keep-lists
+    chain = compile_chain(
+        [
+            {"include_fields": {
+                "fields": ["proc_name", "proc_cpu_total_p", "proc_mem", "proc_cmdline"],
+                "when": {"contains": {"beat_name": "my-shipper"}},
+            }},
+            {"include_fields": {"fields": ["proc_cpu_total_p", "proc_cmdline"]}},
+        ]
+    )
+    out2 = chain(df)
+    assert set(out2.columns) == {
+        "conv_id", "turn_idx", "ts", "type", "proc_cpu_total_p", "proc_cmdline",
+    } & set(out2.columns) | {"proc_cpu_total_p", "proc_cmdline", "type"}
+    r2 = {r.proc_cmdline: r for r in out2.collect()}
+    assert r2["/sbin/launchd"].proc_cpu_total_p == 0.5
+
+    # TestEmptyCondition: a bare drop_event drops every row
+    assert build("drop_event")(df).count() == 0
+
+    # TestBadCondition / TestBadConditionConfig: unknown ops refuse at build
+    for bad in ({"equal": {"type": "process"}}, {"fake": {"type": "process"}}):
+        with pytest.raises((ValueError, KeyError)):
+            build("drop_event", when=bad)
+    # TestMissingFields: include_fields without a fields list
+    with pytest.raises(TypeError):
+        build("include_fields", when={"equals": {"type": "process"}})
+    # TestDropMissingFields: absent fields drop silently
+    assert build("drop_fields", fields=["foo_bar", "proc_sss"])(df).count() == 2
+    # TestBadConfig: two processors in one chain entry refuse
+    with pytest.raises(ValueError, match="single-key"):
+        compile_chain([{"include_fields": {"fields": ["a"]}, "drop_fields": {"fields": ["b"]}}])
+
+
+def test_drop_fields_when_guard(spark):
+    """drop_fields under `when`: matching rows NULL the listed columns
+    and attrs keys; non-matching rows keep them; schema intact."""
+    df = spark.createDataFrame(
+        [("a", "x", {"k1": "v1", "k2": "v2"}), ("b", "y", {"k1": "w1", "k2": "w2"})],
+        "gate string, f string, attrs map<string,string>",
+    )
+    out = build(
+        "drop_fields",
+        fields=["f", "attrs.k1"],
+        when={"equals": {"gate": "a"}},
+    )(df)
+    assert set(out.columns) == {"gate", "f", "attrs"}
+    rows = {r.gate: r for r in out.collect()}
+    assert rows["a"].f is None and rows["a"].attrs == {"k2": "v2"}
+    assert rows["b"].f == "y" and rows["b"].attrs == {"k1": "w1", "k2": "w2"}
+    # regexp entries under when: flat-column matches conditionally NULL
+    out2 = build("drop_fields", fields=["/^f$/"], when={"equals": {"gate": "a"}})(df)
+    r2 = {r.gate: r for r in out2.collect()}
+    assert r2["a"].f is None and r2["b"].f == "y"
+    # regexp attrs-key drops under when
+    out3 = build("drop_fields", fields=["/k1/"], when={"equals": {"gate": "a"}})(df)
+    r3 = {r.gate: r for r in out3.collect()}
+    assert r3["a"].attrs == {"k2": "v2"} and r3["b"].attrs == {"k1": "w1", "k2": "w2"}
+    # struct-subfield regexp + when refuses
+    dfs = df.withColumn("s", F.struct(F.col("f").alias("sub_a"), F.col("gate").alias("sub_b")))
+    with pytest.raises(ValueError, match="subtree"):
+        build("drop_fields", fields=["/sub_a/"], when={"equals": {"gate": "a"}})(dfs)
+
+
+# -- move_fields (move_fields_test.go) ---------------------------------------
+
+
+def test_move_fields_reference_matrix(spark):
+    """The six-table flat projection: exclude list, named subset, whole
+    object, prefix forms, event root, re-parent into a deeper prefix."""
+    df = spark.createDataFrame(
+        [(1, "2", 3)], "app_version int, app_method string, other int"
+    )
+    # 'move fields to app.rpc exclude method'
+    out = build("move_fields", from_prefix="app_", to_prefix="rpc_", exclude=["method"])(df)
+    assert set(out.columns) == {"rpc_version", "app_method", "other"}
+    # 'move version to app.rpc'
+    out = build("move_fields", fields=["version"], from_prefix="app_", to_prefix="rpc_")(df)
+    assert set(out.columns) == {"rpc_version", "app_method", "other"}
+    # 'move fields from app object to rpc object' / prefix form
+    out = build("move_fields", from_prefix="app_", to_prefix="rpc_")(df)
+    assert set(out.columns) == {"rpc_version", "rpc_method", "other"}
+    # 'add prefix to fields in event root'
+    out = build("move_fields", to_prefix="my_prefix_")(df)
+    assert set(out.columns) == {"my_prefix_app_version", "my_prefix_app_method", "my_prefix_other"}
+    # 'move field other into app.b object'
+    out = build("move_fields", fields=["other"], to_prefix="app_b_my_prefix_")(df)
+    assert set(out.columns) == {"app_version", "app_method", "app_b_my_prefix_other"}
+    # collision refusal (rename-family safety)
+    df2 = spark.createDataFrame([(1, 2)], "app_x int, rpc_x int")
+    with pytest.raises(ValueError, match="already exists"):
+        build("move_fields", from_prefix="app_", to_prefix="rpc_")(df2)
+    # exclude requires fields unset
+    with pytest.raises(ValueError, match="exclude"):
+        build("move_fields", fields=["a"], exclude=["b"])
