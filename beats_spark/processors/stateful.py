@@ -27,6 +27,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -255,6 +256,53 @@ def multiline_count(
     return stage
 
 
+def dimensions_from_mapping(fields: list[dict]) -> tuple[dict, list[str]]:
+    """timeseries.go populateDimensions/isDimension — derive the
+    dimension name set and prefix list from a mapping.Fields-shaped
+    spec: [{'name', 'type', 'dimension' (bool|None), 'overwrite',
+    'object_type', 'fields' (nested group)}]. Rules: keyword fields are
+    dimensions by default; `dimension` overrides; `type: object` marks
+    a PREFIX (trailing '*' trimmed, '.' appended) that is a dimension
+    when object_type is keyword; the FIRST definition of a name wins
+    unless a later one sets overwrite."""
+    dims: dict[str, bool] = {}
+    prefixes: dict[str, bool] = {}
+
+    def is_dim(f: dict) -> bool:
+        if f.get("dimension") is None:
+            return f.get("type") == "keyword" or (
+                f.get("type") == "object" and f.get("object_type") == "keyword"
+            )
+        return bool(f["dimension"])
+
+    def walk(prefix: str, fs: list[dict]) -> None:
+        for f in fs:
+            name = f["name"] if not prefix else f"{prefix}.{f['name']}"
+            if f.get("fields"):
+                walk(name, f["fields"])
+                continue
+            if f.get("type") == "object":
+                name = name.rstrip("*")
+                if not name.endswith("."):
+                    name += "."
+                if name not in prefixes or f.get("overwrite"):
+                    prefixes[name] = is_dim(f)
+            else:
+                if name not in dims or f.get("overwrite"):
+                    dims[name] = is_dim(f)
+
+    walk("", fields)
+    return (
+        {k: v for k, v in dims.items() if v},
+        [k for k, v in prefixes.items() if v],
+    )
+
+
+def is_dimension_field(name: str, dims: dict, prefixes: list[str]) -> bool:
+    """timeseries.go isDimension lookup: exact name, else prefix match."""
+    return name in dims or any(name.startswith(p) for p in prefixes)
+
+
 def timeseries_instance(
     dimension_fields: list[str], target: str = "timeseries_instance", method: str = "xxhash64"
 ):
@@ -262,11 +310,65 @@ def timeseries_instance(
 
     method='xxhash64' (default, cheapest JVM hash) or 'md5' of the
     '|'-joined ordered values — the engine-portable form the DuckDB
-    oracle can replicate (xxhash64 exists only in Spark)."""
+    oracle can replicate (xxhash64 exists only in Spark).
+
+    method='hashstructure' (r5): BYTE-COMPATIBLE with the reference's
+    gohugoio/hashstructure v0.5.0 Hash of the dimension map
+    (timeseries.go:56-61), validated against timeseries_test.go's golden
+    uint64s. Algorithm (derived from the goldens + the public
+    mitchellh/hashstructure design): FNV-1 64 leaf hashes (int64/float64
+    little-endian, bool as int8, strings raw bytes), per-entry
+    FNV-1(LE(keyhash)||LE(valuehash)), XOR across entries, one finishing
+    FNV-1(LE(h)). NULL dimensions are ABSENT keys (Flatten() skips
+    them). Arrow-batched Python — the opt-in parity path, not the hot
+    default; emitted as the decimal string of the uint64 (Spark has no
+    unsigned 64-bit type)."""
 
     def stage(df: DataFrame) -> DataFrame:
-        cols = [F.col(c) for c in sorted(dimension_fields)]
-        if method == "md5":
+        cols = [F.col(f"`{c}`") for c in sorted(dimension_fields)]
+        if method == "hashstructure":
+            from pyspark.sql.functions import pandas_udf
+
+            names = sorted(dimension_fields)
+
+            @pandas_udf("string")
+            def hs(s: pd.DataFrame) -> pd.Series:
+                import math
+                import struct
+
+                M = (1 << 64) - 1
+
+                def fnv1(data: bytes) -> int:
+                    h = 14695981039346656037
+                    for b in data:
+                        h = ((h * 1099511628211) & M) ^ b
+                    return h
+
+                def leaf(v) -> int:
+                    if isinstance(v, bool):
+                        return fnv1(struct.pack("<b", 1 if v else 0))
+                    if isinstance(v, (int,)):
+                        return fnv1(struct.pack("<q", int(v)))
+                    if isinstance(v, float):
+                        return fnv1(struct.pack("<d", v))
+                    return fnv1(str(v).encode())
+
+                def one(row) -> str:
+                    h = 0
+                    for k in names:
+                        v = row[k]
+                        if v is None or (isinstance(v, float) and math.isnan(v)):
+                            continue
+                        if hasattr(v, "item"):
+                            v = v.item()  # numpy scalar → Python
+                        pair = struct.pack("<Q", leaf(k)) + struct.pack("<Q", leaf(v) & M)
+                        h ^= fnv1(pair)
+                    return str(fnv1(struct.pack("<Q", h)))
+
+                return pd.Series([one(row) for _, row in s.iterrows()])
+
+            h = hs(F.struct(*[c.alias(n) for c, n in zip(cols, sorted(dimension_fields))]))
+        elif method == "md5":
             h = F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
         else:
             h = F.xxhash64(*cols)

@@ -1331,3 +1331,81 @@ def test_move_fields_reference_matrix(spark):
     # exclude requires fields unset
     with pytest.raises(ValueError, match="exclude"):
         build("move_fields", fields=["a"], exclude=["b"])
+
+
+# -- timeseries (timeseries_test.go) -----------------------------------------
+
+_TS_MAPPING = [
+    {"name": "context.first", "type": "long", "dimension": True},
+    {"name": "context", "type": "group",
+     "fields": [{"name": "second", "type": "keyword", "dimension": True}]},
+    {"name": "context", "type": "group",
+     "fields": [{"name": "third", "dimension": True}]},
+    {"name": "type-less"},
+    {"name": "not-a-dimension", "type": "long"},
+    {"name": "dimension-by-default", "type": "keyword"},
+    {"name": "overwritten-field1", "type": "long", "dimension": True},
+    {"name": "overwritten-field1", "overwrite": True, "type": "long", "dimension": False},
+    {"name": "overwritten-field2", "overwrite": True, "type": "long"},
+    {"name": "overwritten-field2", "type": "keyword", "dimension": True},
+    {"name": "nested-obj", "type": "object", "fields": [
+        {"name": "object-of-keywords", "type": "object", "object_type": "keyword"},
+        {"name": "wildcard-object-of-keywords.*", "type": "object", "object_type": "keyword"},
+        {"name": "not-a-dimension", "type": "long"},
+    ]},
+    {"name": "obj1", "type": "object", "object_type": "keyword"},
+    {"name": "obj1-but-not-a-child-of-obj1", "dimension": False},
+]
+
+
+def test_timeseries_is_dimension_matrix():
+    """TestTimesSeriesIsDimension: the 13-row dimension-derivation table
+    (keyword default, dimension overrides, overwrite-wins, object
+    prefixes, wildcard trim, non-child prefix miss)."""
+    from beats_spark.processors.stateful import (
+        dimensions_from_mapping,
+        is_dimension_field,
+    )
+
+    dims, prefixes = dimensions_from_mapping(_TS_MAPPING)
+    cases = [
+        (True, "context.first"),
+        (True, "context.second"),
+        (False, "type-less"),
+        (True, "context.third"),
+        (False, "not-a-dimension"),
+        (True, "dimension-by-default"),
+        (False, "overwritten-field1"),
+        (False, "overwritten-field2"),
+        (True, "nested-obj.object-of-keywords.third-level"),
+        (True, "nested-obj.wildcard-object-of-keywords.third-level"),
+        (False, "nested-obj.second-level"),
+        (True, "obj1.key1"),
+        (False, "obj1-but-not-a-child-of-obj1.key1"),
+    ]
+    for want, name in cases:
+        assert is_dimension_field(name, dims, prefixes) == want, name
+
+
+def test_timeseries_hashstructure_golden(spark):
+    """TestTimesSeriesHashes: the reference's OWN uint64 instance hashes
+    reproduce bit-for-bit (gohugoio/hashstructure v0.5.0 parity),
+    including dimension-selection invariance (an ignored field leaves
+    the hash unchanged) and NULL-dimension = absent key."""
+    df = spark.createDataFrame(
+        [
+            (1, "word2", "word3", 1000, None),
+            (1, "word2", "word3", None, "dimension1"),
+        ],
+        "`context.first` long, `context.second` string, `context.third` string, "
+        "`not-a-dimension` long, `dimension-by-default` string",
+    )
+    out = build(
+        "timeseries_instance",
+        dimension_fields=["context.first", "context.second", "context.third",
+                          "dimension-by-default"],
+        method="hashstructure",
+    )(df).collect()
+    got = [r.timeseries_instance for r in out]
+    assert got[0] == "7532097560335212001"   # ignored field → same hash
+    assert got[1] == "16374068651038541136"  # + dimension-by-default
