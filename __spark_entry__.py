@@ -2021,7 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "container_parse": _ORACLE_WITH
         + """SELECT 'mixed' AS kind, CAST(event_id AS VARCHAR) AS k1,
                     CAST(NULL AS BIGINT) AS idx,
-                    CASE WHEN event_id % 2 = 0 THEN 'hello ' || CAST(event_id AS VARCHAR)
+                    CASE WHEN event_id % 2 = 0 THEN 'hello ' || CAST(event_id AS VARCHAR) || chr(10)
                          ELSE 'msg ' || CAST(event_id AS VARCHAR) END AS log,
                     CASE WHEN event_id % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS extra,
                     CAST(NULL AS BIGINT) AS n

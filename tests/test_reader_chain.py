@@ -50,7 +50,8 @@ def test_container_docker_and_cri(spark):
         "text string",
     )
     rows = build("container")(df).collect()
-    assert rows[0].container_log == "docker line" and rows[0].container_stream == "stdout"
+    # docker log content keeps its trailing newline (docker_json.go:207)
+    assert rows[0].container_log == "docker line\n" and rows[0].container_stream == "stdout"
     assert rows[1].container_log == "cri line" and rows[1].container_stream == "stderr"
     assert rows[0].container_time is not None and rows[1].container_time is not None
 
