@@ -260,13 +260,45 @@ def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """decode_json_fields on the events.props JSON column."""
-    from beats_spark.processors.parsers import decode_json_fields
+    """decode_json_fields on the events.props JSON column, plus the
+    WriteJSONKeys root-merge engine (r5 fold): per-row synthesized
+    (fields, keys) documents drive the @timestamp-overwrite validation,
+    the type-field rules and the deep merge; the oracle reconstructs the
+    canonical JSON output and the overwritten timestamp in SQL."""
+    from beats_spark.processors.parsers import decode_json_fields, write_json_keys
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = decode_json_fields(["props"], target="attrs")(ev)
+    i = F.col("event_id").cast("string")
+    out = out.withColumn(
+        "fields_json",
+        F.concat(F.lit('{"top_a": '), i, F.lit(', "top_b": {"inner_c": "see"}}')),
+    ).withColumn(
+        "keys_json",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"@timestamp": "2024-03-03T08:08:08.888Z", "top_b": {"inner_d": "d'),
+                i, F.lit('"}}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(F.lit('{"@timestamp": 42, "type": "ok'), i, F.lit('"}')),
+        )
+        .otherwise(
+            F.concat(F.lit('{"type": "_bad", "top_c": "c'), i, F.lit('"}')),
+        ),
+    ).withColumn("wjk_ts", F.to_timestamp(F.lit("2020-01-01 01:01:00")))
+    out = write_json_keys(
+        "keys_json", fields_col="fields_json", ts_col="wjk_ts",
+        overwrite_keys=True, add_error_key=True,
+    )(out)
     return out.select(
-        "event_id", F.col("attrs").getItem("k").alias("k_value")
+        "event_id",
+        F.col("attrs").getItem("k").alias("k_value"),
+        F.col("fields_json").alias("wjk_fields"),
+        F.date_format("wjk_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("wjk_ts_out"),
     )
 
 
@@ -1887,7 +1919,23 @@ def oracle_sql() -> dict[str, str]:
              FROM transcripts_base t
              LEFT JOIN lookup_role lr USING (role)
              LEFT JOIN lookup_tool lt USING (tool)""",
-        "decode_json": """SELECT event_id, json_extract_string(props, '$.k') AS k_value
+        "decode_json": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_value,
+                   CASE event_id % 3
+                     WHEN 0 THEN '{"top_a": ' || CAST(event_id AS VARCHAR)
+                          || ', "top_b": {"inner_c": "see", "inner_d": "d'
+                          || CAST(event_id AS VARCHAR) || '"}}'
+                     WHEN 1 THEN '{"error": {"message": "@timestamp not overwritten (not string)", "type": "json"}, "top_a": '
+                          || CAST(event_id AS VARCHAR)
+                          || ', "top_b": {"inner_c": "see"}, "type": "ok'
+                          || CAST(event_id AS VARCHAR) || '"}'
+                     ELSE '{"error": {"message": "type not overwritten (invalid value [_bad])", "type": "json"}, "top_a": '
+                          || CAST(event_id AS VARCHAR)
+                          || ', "top_b": {"inner_c": "see"}, "top_c": "c'
+                          || CAST(event_id AS VARCHAR) || '"}'
+                   END AS wjk_fields,
+                   CASE WHEN event_id % 3 = 0 THEN '2024-03-03 08:08:08.888'
+                        ELSE '2020-01-01 01:01:00.000' END AS wjk_ts_out
              FROM events""",
         "truncate_flag": _ORACLE_WITH
         + """SELECT conv_id, turn_idx, substr(text, 1, 40) AS text,

@@ -179,6 +179,221 @@ def decode_json_fields(
     return stage
 
 
+# --- WriteJSONKeys (jsontransform/jsonhelper.go:40-112, expand.go:48-112) ---
+
+_TS_RFC3339 = r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})([.,]\d+)?(Z|[+-]\d{2}:\d{2})$"
+_TS_ISO8601 = r"^(\d{4})-(\d{2})-(\d{2})T(\d{2}):(\d{2}):(\d{2})(\.\d{3})(Z|[+-]\d{4})$"
+
+
+def _wjk_parse_ts(s: str):
+    """parseTimestamp (jsonhelper.go:119-135): RFC3339 or the beats
+    iso8601 layout '2006-01-02T15:04:05.000Z0700' — exactly those two
+    (Go's RFC3339 parse also admits an optional '.'/',' fraction).
+    Returns an aware datetime or raises ValueError."""
+    import re
+    from datetime import datetime
+
+    m = re.match(_TS_RFC3339, s)
+    norm = None
+    if m:
+        norm = s.replace(",", ".")
+    else:
+        m = re.match(_TS_ISO8601, s)
+        if m:
+            off = m.group(8)
+            norm = s[: -len(off)] + (off if off == "Z" else f"{off[:3]}:{off[3:]}")
+    if norm is None:
+        raise ValueError("unknown format")
+    return datetime.fromisoformat(norm.replace("Z", "+00:00"))
+
+
+def _wjk_expand(m: dict) -> None:
+    """expandFields (expand.go:48-88): de-dot keys in place, merging
+    objects; conflicting prefixes raise ValueError. Iterates in document
+    order (Go iterates in map order — order only matters in the error
+    cases, where the reference is itself nondeterministic)."""
+
+    def put(d: dict, path: str, v):
+        parts = path.split(".")
+        for p in parts[:-1]:
+            cur = d.get(p)
+            if cur is None:
+                cur = d[p] = {}
+            elif not isinstance(cur, dict):
+                raise ValueError(f"cannot expand {path!r}: found conflicting key")
+            d = cur
+        old = d.get(parts[-1])
+        d[parts[-1]] = v
+        return old
+
+    def merge(lhs: dict, rhs: dict) -> None:
+        for k, rv in rhs.items():
+            if k not in lhs:
+                lhs[k] = rv
+                continue
+            lv = lhs[k]
+            if not isinstance(lv, dict) or not isinstance(rv, dict):
+                raise ValueError(f"cannot merge {k!r}: found conflicting value")
+            merge(lv, rv)
+
+    for k, v in list(m.items()):
+        if isinstance(v, dict):
+            _wjk_expand(v)
+        if "." not in k:
+            continue
+        del m[k]
+        old = put(m, k, v)
+        if old is None:
+            continue
+        if not isinstance(v, dict):
+            raise ValueError(f"cannot expand {k!r}: found existing value")
+        if not isinstance(old, dict):
+            raise ValueError(f"cannot expand {k!r}: found conflicting key")
+        merge(v, old)
+
+
+def _wjk_deep_update(dst: dict, src: dict, overwrite: bool) -> None:
+    """mapstr.DeepUpdate / DeepUpdateNoOverwrite."""
+    for k, v in src.items():
+        if k in dst and isinstance(dst[k], dict) and isinstance(v, dict):
+            _wjk_deep_update(dst[k], v, overwrite)
+        elif overwrite or k not in dst:
+            dst[k] = v
+
+
+def write_json_keys(
+    json_col: str,
+    fields_col: str = "fields_json",
+    ts_col: str | None = "ts",
+    meta_col: str | None = None,
+    expand_keys: bool = False,
+    overwrite_keys: bool = False,
+    add_error_key: bool = False,
+):
+    """jsontransform.WriteJSONKeys (jsonhelper.go:40-112) over JSON-text
+    event documents — the root-merge engine behind ndjson
+    keys_under_root and decode_json_fields target:'' in the reference.
+
+    `fields_col` holds the event's nested fields as a JSON object
+    string, `json_col` the decoded keys object; `ts_col` (optional) is
+    the event @timestamp column and `meta_col` (optional) a JSON-text
+    @metadata document. Semantics, per the reference:
+
+      * expand_keys: de-dot the keys first (expand.go); a conflict sets
+        the error and writes NOTHING (jsonhelper.go:41-46 early return);
+      * overwrite_keys=False: '@timestamp'/'@metadata' are dropped, the
+        rest deep-merges WITHOUT overwriting (:47-55);
+      * overwrite_keys=True: '@timestamp' must be an RFC3339/ISO8601
+        string (else "@timestamp not overwritten (not string|parse
+        error on %s)"); '@metadata' must be an object (deep-merged into
+        meta_col, else "failed to update @metadata"); 'type' must be a
+        non-empty string not starting with '_' (else "type not
+        overwritten …"); everything else deep-merges WITH overwrite;
+      * errors land INSIDE the fields document as
+        {"error": {"message": …, "type": "json"}} when add_error_key
+        (beat.Event.SetErrorWithOption).
+
+    Any-shape nested documents are beyond Column expressions, so this is
+    an Arrow-batched UDF over JSON text, same engine style and rationale
+    as decode_xml's dynamic mode (the typed expand_schema path stays the
+    100 TB scale path; this exists for shape-unknown parity). Output
+    JSON is canonical (sorted keys — Go map order is non-semantic).
+    jsonhelper_test.go's TestWriteJSONKeys matrix is ported in
+    tests/test_write_json_keys_matrix.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("fields string, ts string, meta string")
+    def wjk(fields_s: pd.Series, keys_s: pd.Series, meta_s: pd.Series) -> pd.DataFrame:
+        import json
+
+        out_f, out_t, out_m = [], [], []
+        for fs, ks, ms in zip(fields_s, keys_s, meta_s):
+            try:
+                fields = json.loads(fs) if fs else {}
+                keys = json.loads(ks) if ks else None
+            except (ValueError, TypeError):
+                keys = None
+                fields = None
+            if not isinstance(keys, dict) or not isinstance(fields, dict):
+                out_f.append(fs)
+                out_t.append(None)
+                out_m.append(ms)
+                continue
+            try:
+                meta = json.loads(ms) if ms else {}
+            except (ValueError, TypeError):
+                meta = {}
+            new_ts = None
+
+            def set_error(msg):
+                if add_error_key:
+                    fields["error"] = {"message": msg, "type": "json"}
+
+            if expand_keys:
+                try:
+                    _wjk_expand(keys)
+                except ValueError as e:
+                    set_error(str(e))
+                    out_f.append(json.dumps(fields, sort_keys=True))
+                    out_t.append(None)
+                    out_m.append(ms)
+                    continue
+            if not overwrite_keys:
+                keys.pop("@timestamp", None)
+                keys.pop("@metadata", None)
+                _wjk_deep_update(fields, keys, overwrite=False)
+            else:
+                for k in ("@timestamp", "@metadata", "type"):
+                    if k not in keys:
+                        continue
+                    v = keys[k]
+                    if k == "@timestamp":
+                        if not isinstance(v, str):
+                            set_error("@timestamp not overwritten (not string)")
+                        else:
+                            try:
+                                new_ts = _wjk_parse_ts(v).isoformat()
+                            except ValueError:
+                                set_error(f"@timestamp not overwritten (parse error on {v})")
+                    elif k == "@metadata":
+                        if isinstance(v, dict):
+                            _wjk_deep_update(meta, v, overwrite=True)
+                        else:
+                            set_error("failed to update @metadata")
+                    else:  # type
+                        if not isinstance(v, str):
+                            set_error("type not overwritten (not string)")
+                        elif not v or v[0] == "_":
+                            set_error(f"type not overwritten (invalid value [{v}])")
+                        else:
+                            fields["type"] = v
+                for k in ("@timestamp", "@metadata", "type"):
+                    keys.pop(k, None)
+                _wjk_deep_update(fields, keys, overwrite=True)
+            out_f.append(json.dumps(fields, sort_keys=True))
+            out_t.append(new_ts)
+            # a nil Meta is created when @metadata arrives (jsonhelper.go:77-84)
+            out_m.append(json.dumps(meta, sort_keys=True) if (ms is not None or meta) else None)
+        return pd.DataFrame({"fields": out_f, "ts": out_t, "meta": out_m})
+
+    def stage(df: DataFrame) -> DataFrame:
+        meta_in = F.col(meta_col) if meta_col else F.lit(None).cast("string")
+        df = df.withColumn("_wjk", wjk(F.col(fields_col), F.col(json_col), meta_in))
+        df = df.withColumn(fields_col, F.col("_wjk").getField("fields"))
+        if ts_col and ts_col in df.columns:
+            df = df.withColumn(
+                ts_col,
+                F.coalesce(
+                    F.try_to_timestamp(F.col("_wjk").getField("ts")), F.col(ts_col)
+                ),
+            )
+        if meta_col:
+            df = df.withColumn(meta_col, F.col("_wjk").getField("meta"))
+        return df.drop("_wjk")
+
+    return stage
+
+
 def decode_csv_fields(
     field: str | None = None,
     target: str | None = None,

@@ -1,0 +1,281 @@
+"""TestWriteJSONKeys (jsontransform/jsonhelper_test.go:31-238) and the
+TestMergeJSONFields rules it shares (readjson/json_test.go:209-428),
+ported onto write_json_keys. Events are JSON-text documents here; the
+assertions compare parsed dicts, so Go-map vs sorted-JSON ordering is
+moot."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors.parsers import write_json_keys
+
+EVENT_TS = "2020-01-01T01:01:00Z"
+EVENT_META = {"foo": "bar", "baz": {"qux": 17}}
+EVENT_FIELDS = {"top_a": 23, "top_b": {"inner_c": "see", "inner_d": "dee"}}
+
+NOW = "2021-03-03T08:08:08Z"
+NOW_ISO8601 = "2021-03-03T08:08:08.000+0000"
+
+CASES = {
+    "overwrite_true": dict(
+        keys={
+            "@metadata": {"foo": "NEW_bar", "baz": {"qux": "NEW_qux", "durrr": "COMPLETELY_NEW"}},
+            "@timestamp": NOW,
+            "top_b": {"inner_d": "NEW_dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+        overwrite_keys=True,
+        expected_meta={"foo": "NEW_bar", "baz": {"qux": "NEW_qux", "durrr": "COMPLETELY_NEW"}},
+        expected_ts="2021-03-03 08:08:08",
+        expected_fields={
+            "top_a": 23,
+            "top_b": {"inner_c": "see", "inner_d": "NEW_dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+    ),
+    "overwrite_true_ISO8601": dict(
+        keys={
+            "@metadata": {"foo": "NEW_bar", "baz": {"qux": "NEW_qux", "durrr": "COMPLETELY_NEW"}},
+            "@timestamp": NOW_ISO8601,
+            "top_b": {"inner_d": "NEW_dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+        overwrite_keys=True,
+        expected_meta={"foo": "NEW_bar", "baz": {"qux": "NEW_qux", "durrr": "COMPLETELY_NEW"}},
+        expected_ts="2021-03-03 08:08:08",
+        expected_fields={
+            "top_a": 23,
+            "top_b": {"inner_c": "see", "inner_d": "NEW_dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+    ),
+    "overwrite_false": dict(
+        keys={
+            "@metadata": {"foo": "NEW_bar", "baz": {"qux": "NEW_qux", "durrr": "COMPLETELY_NEW"}},
+            "@timestamp": NOW,
+            "top_b": {"inner_d": "NEW_dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+        overwrite_keys=False,
+        expected_meta=EVENT_META,
+        expected_ts="2020-01-01 01:01:00",
+        expected_fields={
+            "top_a": 23,
+            "top_b": {"inner_c": "see", "inner_d": "dee", "inner_e": "COMPLETELY_NEW_e"},
+            "top_c": "COMPLETELY_NEW_c",
+        },
+    ),
+    "expand_true": dict(
+        keys={"top_b": {"inner_d.inner_e": "COMPLETELY_NEW_e"}},
+        expand_keys=True,
+        overwrite_keys=True,
+        expected_meta=EVENT_META,
+        expected_ts="2020-01-01 01:01:00",
+        expected_fields={
+            "top_a": 23,
+            "top_b": {"inner_c": "see", "inner_d": {"inner_e": "COMPLETELY_NEW_e"}},
+        },
+    ),
+    "expand_false": dict(
+        keys={"top_b": {"inner_d.inner_e": "COMPLETELY_NEW_e"}},
+        expand_keys=False,
+        overwrite_keys=True,
+        expected_meta=EVENT_META,
+        expected_ts="2020-01-01 01:01:00",
+        expected_fields={
+            "top_a": 23,
+            "top_b": {
+                "inner_c": "see",
+                "inner_d": "dee",
+                "inner_d.inner_e": "COMPLETELY_NEW_e",
+            },
+        },
+    ),
+    "error_case": dict(
+        keys={
+            "top_b": {"inner_d.inner_e": "COMPLETELY_NEW_e"},
+            "@timestamp": {"when": "now", "another": "yesterday"},
+        },
+        expand_keys=False,
+        overwrite_keys=True,
+        add_error_key=True,
+        expected_meta=EVENT_META,
+        expected_ts="2020-01-01 01:01:00",
+        expected_fields={
+            "error": {"message": "@timestamp not overwritten (not string)", "type": "json"},
+            "top_a": 23,
+            "top_b": {
+                "inner_c": "see",
+                "inner_d": "dee",
+                "inner_d.inner_e": "COMPLETELY_NEW_e",
+            },
+        },
+    ),
+    "error_case_parse": dict(
+        keys={
+            "top_b": {"inner_d.inner_e": "COMPLETELY_NEW_e"},
+            "@timestamp": "invalid string",
+        },
+        expand_keys=False,
+        overwrite_keys=True,
+        add_error_key=True,
+        expected_meta=EVENT_META,
+        expected_ts="2020-01-01 01:01:00",
+        expected_fields={
+            "error": {
+                "message": "@timestamp not overwritten (parse error on invalid string)",
+                "type": "json",
+            },
+            "top_a": 23,
+            "top_b": {
+                "inner_c": "see",
+                "inner_d": "dee",
+                "inner_d.inner_e": "COMPLETELY_NEW_e",
+            },
+        },
+    ),
+}
+
+
+def _run(spark, keys, expand_keys=False, overwrite_keys=False, add_error_key=False,
+         fields=EVENT_FIELDS, meta=EVENT_META, ts=EVENT_TS):
+    df = spark.createDataFrame(
+        [(json.dumps(fields), json.dumps(keys), json.dumps(meta))],
+        "fields_json string, keys_json string, meta_json string",
+    ).withColumn("ts", F.to_timestamp(F.lit(ts)))
+    out = write_json_keys(
+        "keys_json", fields_col="fields_json", ts_col="ts", meta_col="meta_json",
+        expand_keys=expand_keys, overwrite_keys=overwrite_keys, add_error_key=add_error_key,
+    )(df)
+    return out.first()
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_write_json_keys_matrix(spark, name):
+    c = CASES[name]
+    r = _run(
+        spark, c["keys"],
+        expand_keys=c.get("expand_keys", False),
+        overwrite_keys=c.get("overwrite_keys", False),
+        add_error_key=c.get("add_error_key", False),
+    )
+    assert json.loads(r.fields_json) == c["expected_fields"], name
+    assert json.loads(r.meta_json) == c["expected_meta"], name
+    assert r.ts.strftime("%Y-%m-%d %H:%M:%S") == c["expected_ts"], name
+
+
+# --- TestMergeJSONFields rules not covered above (json_test.go:209-428) ---
+
+
+def test_type_field_rules(spark):
+    """'type' overwrite validation: non-string, empty, and underscore-
+    prefixed values are refused with the exact reference messages."""
+    for type_val, msg in [
+        (42, "type not overwritten (not string)"),
+        ("", "type not overwritten (invalid value [])"),
+        ("_type", "type not overwritten (invalid value [_type])"),
+    ]:
+        r = _run(
+            spark, {"type": type_val}, overwrite_keys=True, add_error_key=True,
+            fields={"type": "test_type"},
+        )
+        got = json.loads(r.fields_json)
+        assert got["type"] == "test_type", type_val
+        assert got["error"] == {"message": msg, "type": "json"}, type_val
+
+
+def test_type_field_valid_overwrite(spark):
+    r = _run(spark, {"type": "test"}, overwrite_keys=True, add_error_key=True,
+             fields={"type": "test_type"})
+    got = json.loads(r.fields_json)
+    assert got["type"] == "test" and "error" not in got
+
+
+def test_type_error_suppressed_without_error_key(spark):
+    """json_test.go 'do not set error if AddErrorKey is false'."""
+    r = _run(spark, {"type": "_type"}, overwrite_keys=True, add_error_key=False,
+             fields={"type": "test_type"})
+    got = json.loads(r.fields_json)
+    assert got["type"] == "test_type" and "error" not in got
+
+
+def test_timestamp_parse_error_keeps_existing(spark):
+    """json_test.go 'fail to parse @timestamp'."""
+    r = _run(
+        spark, {"type": "test", "@timestamp": "2016-04-05T18:47:18.44XX4Z"},
+        overwrite_keys=True, add_error_key=True, fields={"type": "test_type"},
+    )
+    got = json.loads(r.fields_json)
+    assert got["type"] == "test"
+    assert got["error"]["message"] == (
+        "@timestamp not overwritten (parse error on 2016-04-05T18:47:18.44XX4Z)"
+    )
+    assert r.ts.strftime("%Y-%m-%d %H:%M:%S") == "2020-01-01 01:01:00"
+
+
+def test_timestamp_valid_overwrite(spark):
+    """json_test.go 'parse @timestamp' (fractional RFC3339)."""
+    r = _run(
+        spark, {"@timestamp": "2016-04-05T18:47:18.444Z"},
+        overwrite_keys=True, add_error_key=True,
+    )
+    assert r.ts.strftime("%Y-%m-%d %H:%M:%S.%f") == "2016-04-05 18:47:18.444000"
+
+
+def test_no_overwrite_drops_timestamp_and_metadata(spark):
+    """jsonhelper.go:47-55: without overwrite, @timestamp/@metadata are
+    removed from the keys and never merged as fields."""
+    r = _run(
+        spark, {"@timestamp": NOW, "@metadata": {"x": "y"}, "newk": "v"},
+        overwrite_keys=False,
+    )
+    got = json.loads(r.fields_json)
+    assert got.get("newk") == "v"
+    assert "@timestamp" not in got and "@metadata" not in got
+    assert json.loads(r.meta_json) == EVENT_META
+    assert r.ts.strftime("%Y-%m-%d %H:%M:%S") == "2020-01-01 01:01:00"
+
+
+def test_metadata_wrong_type_errors(spark):
+    r = _run(spark, {"@metadata": "not a map"}, overwrite_keys=True, add_error_key=True)
+    got = json.loads(r.fields_json)
+    assert got["error"]["message"] == "failed to update @metadata"
+    assert json.loads(r.meta_json) == EVENT_META
+
+
+def test_expand_conflict_writes_nothing(spark):
+    """jsonhelper.go:41-46: an expand error sets the error key and
+    RETURNS — no keys are merged."""
+    r = _run(
+        spark, {"a.b": {"c": "c"}, "a": "scalar", "other": "v"},
+        expand_keys=True, overwrite_keys=True, add_error_key=True,
+    )
+    got = json.loads(r.fields_json)
+    assert "other" not in got and "a" not in got
+    assert got["error"]["type"] == "json"
+    assert got["error"]["message"].startswith("cannot expand")
+
+
+def test_expand_dotted_fields_merge(spark):
+    """json_test.go 'expand dotted fields': 'a.b' object and 'a.b.d'
+    scalar merge into one nested tree."""
+    r = _run(
+        spark, {"a.b": {"c": "c"}, "a.b.d": "d"},
+        expand_keys=True, overwrite_keys=True, fields={},
+    )
+    assert json.loads(r.fields_json) == {"a": {"b": {"c": "c", "d": "d"}}}
+
+
+def test_iso8601_offset_form(spark):
+    """the beats iso8601 layout admits ±HHMM (no colon) with a mandatory
+    3-digit fraction."""
+    r = _run(spark, {"@timestamp": "2021-03-03T08:08:08.888+0100"}, overwrite_keys=True)
+    assert r.ts.strftime("%Y-%m-%d %H:%M:%S.%f") == "2021-03-03 07:08:08.888000"
+    # ±HHMM without a fraction is NEITHER layout → parse error, ts kept
+    r2 = _run(spark, {"@timestamp": "2021-03-03T08:08:08+0100"},
+              overwrite_keys=True, add_error_key=True)
+    assert r2.ts.strftime("%Y") == "2020"
