@@ -123,8 +123,12 @@ def q_pipeline_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_routing_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sink routed totals + monitoring counters (r3 consolidation:
     was `routing_sink_counts` + `pipeline_metrics`;
-    pipeline/monitoring.go:87-113)."""
-    return (
+    pipeline/monitoring.go:87-113), plus the byte-parity kafka
+    fields-hash partitioner histogram (r5 fold: partition.go's
+    FNV-32a + Hash2Partition recomputed by the oracle per row)."""
+    from beats_spark.routing import kafka_partition_column
+
+    sinks = (
         _routed(spark, sf_dir)
         .groupBy("sink")
         .agg(
@@ -135,7 +139,22 @@ def q_routing_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("events_flagged"),
         )
+        .select(
+            F.lit("sink").alias("kind"), F.col("sink").alias("key"),
+            "n_events", "events_flagged",
+        )
     )
+    t = synth.transcripts(spark, sf_dir)
+    kp = (
+        t.select(kafka_partition_column(t, 15, ["conv_id", "turn_idx"]).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("kafkap").alias("kind"), F.col("p").cast("string").alias("key"),
+            "n_events", F.lit(None).cast("long").alias("events_flagged"),
+        )
+    )
+    return sinks.unionByName(kp)
 
 
 def q_agg_events_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,9 +1876,24 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_routed": _ORACLE_WITH + f"SELECT {routed_cols} FROM routed",
         "routing_sink_counts": _ORACLE_WITH
-        + """SELECT sink, count(*) AS n_events,
+        + """SELECT 'sink' AS kind, sink AS key, count(*) AS n_events,
                     CAST(sum(CASE WHEN (NOT dissect_ok) OR has_convert_error THEN 1 ELSE 0 END) AS BIGINT) AS events_flagged
-             FROM routed GROUP BY sink""",
+             FROM routed GROUP BY sink
+             UNION ALL
+             SELECT 'kafkap' AS kind, CAST(p AS VARCHAR) AS key,
+                    count(*) AS n_events, CAST(NULL AS BIGINT) AS events_flagged
+             FROM (
+               SELECT (list_reduce(
+                         list_prepend(2166136261::BIGINT,
+                           list_concat(
+                             list_transform(range(1, length(conv_id)+1),
+                                            i -> ord(substr(conv_id, i::INT, 1))::BIGINT),
+                             list_transform(range(0, 4),
+                                            i -> (CAST(turn_idx AS BIGINT) >> (8*i::INT)) & 255))),
+                         (acc, b) -> (xor(acc, b) * 16777619) % 4294967296
+                       ) & 2147483647) % 15 AS p
+               FROM transcripts_base)
+             GROUP BY p""",
         "agg_events_per_conv": _ORACLE_WITH
         + """SELECT sink, date_trunc('hour', ts) AS bucket, conv_id,
                     count(*) AS n_events

@@ -43,6 +43,113 @@ def salted_repartition(
     return df.repartition(F.col(key), salt)
 
 
+# FNV-32a parameters (Go hash/fnv, used by partition.go's hashers)
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
+
+# Spark integer dtype → Go binary.Write width in bytes (little-endian)
+_INT_WIDTHS = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
+
+
+def _hex_bytes(bin_col):
+    """array<long> of a binary column's bytes (via hex pairs) — pure
+    Column, no UDF."""
+    h = F.hex(bin_col)
+    n = (F.length(h) / 2).cast("int")
+    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")  # sequence(1, 0) DESCENDS — empty input needs a guard
+    )
+    return F.transform(
+        idx,
+        lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("long"),
+    )
+
+
+def _utf8_bytes(col):
+    return _hex_bytes(F.encode(col, "utf-8"))
+
+
+def _le_bytes(col, width: int):
+    """array<long> of an integer column's little-endian two's-complement
+    bytes at the Go native width (binary.Write semantics)."""
+    v = col.cast("long")
+    return F.array(*[F.shiftright(v, 8 * i).bitwiseAND(F.lit(255)) for i in range(width)])
+
+
+def fnv32a(byte_arrays) -> "F.Column":
+    """FNV-32a over the concatenation of array<long> byte arrays —
+    bit-identical to Go's hash/fnv New32a().Write(...).Sum32()."""
+    stream = F.concat(*byte_arrays) if len(byte_arrays) > 1 else byte_arrays[0]
+    return F.aggregate(
+        stream,
+        F.lit(_FNV_OFFSET).cast("long"),
+        lambda acc, b: acc.bitwiseXOR(b) * _FNV_PRIME % F.lit(4294967296),
+    )
+
+
+def hash2partition(hash_col, num_partitions: int):
+    """Hash2Partition (partition.go:272-275): reinterpret the uint32 as
+    int32, mask the sign bit, mod the partition count. The int32
+    reinterpretation + & 0x7FFFFFFF is equivalent to hash & 0x7FFFFFFF
+    on the uint32 value (golden vectors in TestHash2Partition ported)."""
+    return (hash_col.bitwiseAND(F.lit(0x7FFFFFFF)) % num_partitions).cast("int")
+
+
+def kafka_partition_column(
+    df: DataFrame,
+    n_partitions: int,
+    fields: list[str],
+    random_fallback: bool = True,
+):
+    """The Kafka PARTITION ID a reference fields-hash partitioner
+    (partition.go:241-270 makeFieldsHashPartitioner + Hash2Partition)
+    would assign — byte-compatible, as a pure Column.
+
+    Spark's kafka sink honors an optional int `partition` column per
+    row, so this IS the Spark-first shape of the reference's custom
+    partitioner: compute the id declaratively, let the sink place the
+    record. Field encodings per HashFieldValue (partition.go:277-320):
+    strings hash their UTF-8 bytes, integers their little-endian
+    two's-complement bytes at the Go native width (int→int32: Spark
+    int is 4 bytes like Go int32; bigint→8). Floats are refused at
+    build time: the reference feeds strconv.FormatFloat(v,'g',-1,32)
+    through the hasher and shortest-round-trip float32 formatting is
+    not expressible as a Column — hash a string/int key instead (the
+    reference itself hashes host/beat ids, not floats).
+
+    A NULL field value makes HashFieldValue error; the reference then
+    uses a random hash when `random: true` (the default) or sends the
+    event to partition 0 via the swallowed-error path (partition.go:
+    131-133) when random=false. The batch analogs: a deterministic
+    xxhash64 fallback (rand() is not replay-safe — same argument as
+    kafka_partitioner's random mode) / literal 0."""
+    dtypes = dict(df.dtypes)
+    streams = []
+    null_any = F.lit(False)
+    for name in fields:
+        if name not in dtypes:
+            raise ValueError(f"kafka_partition_column: unknown field {name!r}")
+        t = dtypes[name]
+        if t == "string":
+            streams.append(_utf8_bytes(F.col(name)))
+        elif t in _INT_WIDTHS:
+            streams.append(_le_bytes(F.col(name), _INT_WIDTHS[t]))
+        elif t == "binary":
+            streams.append(_hex_bytes(F.col(name)))
+        else:
+            raise ValueError(
+                f"kafka_partition_column: field {name!r} has unhashable type {t} "
+                "(reference FormatFloat parity is not Column-expressible)"
+            )
+        null_any = null_any | F.col(name).isNull()
+    good = hash2partition(fnv32a(streams), n_partitions)
+    if random_fallback:
+        fallback = F.pmod(F.xxhash64(*[F.col(f) for f in fields]), F.lit(n_partitions)).cast("int")
+    else:
+        fallback = F.lit(0)
+    return F.when(null_any, fallback).otherwise(good)
+
+
 def kafka_partitioner(
     df: DataFrame,
     n_partitions: int,
