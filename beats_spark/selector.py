@@ -27,8 +27,41 @@ from pyspark.sql import functions as F
 
 from .conditions import compile_condition
 
-# %{[a][b]}, %{[a]:default}, %{+yyyy.MM.dd} (timestamp format on @timestamp/ts)
-_FMT_RE = re.compile(r"%\{([^}]+)\}")
+def _fmt_tokens(template: str) -> list[tuple[str, str]]:
+    """Lex a format string into ('lit', text) / ('expr', content)
+    tokens — %{[a][b]}, %{[a]:default}, %{+yyyy.MM.dd} expansions.
+
+    Backslash escapes the next character (formatstring.go:128 + the
+    lexer's '\\\\' case): '\\%{abc}' renders the literal '%{abc}' and
+    '\\\\' a single backslash — formatstring_test.go's escape rows. An
+    unterminated '%{' raises like the reference's errMissingClose
+    (previously it silently fell through as literal text)."""
+    toks: list[tuple[str, str]] = []
+    lit: list[str] = []
+    i, n = 0, len(template)
+    while i < n:
+        c = template[i]
+        if c == "\\" and i + 1 < n:
+            lit.append(template[i + 1])
+            i += 2
+            continue
+        if c == "%" and template[i : i + 2] == "%{":
+            j = template.find("}", i + 2)
+            if j < 0:
+                raise ValueError(f"fmtstr: missing closing '}}' in {template!r}")
+            if j == i + 2:
+                raise ValueError(f"fmtstr: empty format expansion in {template!r}")
+            if lit:
+                toks.append(("lit", "".join(lit)))
+                lit = []
+            toks.append(("expr", template[i + 2 : j]))
+            i = j + 1
+            continue
+        lit.append(c)
+        i += 1
+    if lit:
+        toks.append(("lit", "".join(lit)))
+    return toks
 
 
 # Joda/dtfmt pattern letters Beats' +FORMAT accepts AND Spark's
@@ -89,11 +122,11 @@ def compile_fmtstr(
         columns = set(dtypes)
     parts: list[Column] = []
     required: list[Column] = []
-    pos = 0
-    for m in _FMT_RE.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos : m.start()]))
-        expr = m.group(1)
+    for kind, piece in _fmt_tokens(template):
+        if kind == "lit":
+            parts.append(F.lit(piece))
+            continue
+        expr = piece
         if expr.startswith("+"):
             parts.append(F.date_format(F.col(ts_col), _go_time_to_java(expr[1:])))
         else:
@@ -137,9 +170,6 @@ def compile_fmtstr(
             else:
                 required.append(col)
                 parts.append(col.cast("string"))
-        pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
     if not parts:
         parts = [F.lit("")]
     value = F.concat(*parts) if len(parts) > 1 else parts[0]

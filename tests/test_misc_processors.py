@@ -225,6 +225,13 @@ def test_fmtstr_reference_matrix(spark):
         ("%{[key]} - %{[key]:default}", "value - value"),
         ("%{[key]}: %{+YYYY.MM.dd}", "timestamp: 2015.05.01".replace("timestamp", "value")),
         ("%{[@timestamp]}: %{+YYYY.MM.dd}", "2015-05-01T20:12:34.000Z: 2015.05.01"),
+        # formatstring_test.go TestFormatString rows (r5): bare % text,
+        # backslash-escaped expansion, escaped backslash (lexer's escape
+        # rule, formatstring.go:128)
+        ("just with % symbol", "just with % symbol"),
+        ("\\%{abc}", "%{abc}"),
+        ("\\\\", "\\"),
+        ("pre \\%{x} %{[key]} post", "pre %{x} value post"),
     ]
     for template, want in cases:
         got, defined = run(template)
@@ -234,8 +241,10 @@ def test_fmtstr_reference_matrix(spark):
     _, defined = run("%{[nope]}")
     assert not defined
     # compile errors (TestEventFormatStringErrors) + Spark-unrunnable
-    # week-based/unknown Joda letters (r4 review pass 5)
-    for bad in ("%{[]}", "%{[field}", "%{[field]:a:b}", "%{+abc}", "%{+xxxx.ww}", "%{+CC}"):
+    # week-based/unknown Joda letters (r4 review pass 5) + the lexer's
+    # errMissingClose / errEmptyFormat (r5, formatstring.go:111-114)
+    for bad in ("%{[]}", "%{[field}", "%{[field]:a:b}", "%{+abc}", "%{+xxxx.ww}",
+                "%{+CC}", "%{unclosed", "%{}"):
         with _pytest.raises(ValueError):
             compile_fmtstr(bad, dtypes=dts)
     # dot ref whose root is a SCALAR column: falls through (absent),
