@@ -10,6 +10,7 @@ the `attrs` map (SURVEY.md §1.3 schema-on-write rule).
 
 from __future__ import annotations
 
+from hashlib import md5
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -793,16 +794,63 @@ def append(
 # -- ids / hashes ----------------------------------------------------------------
 
 
-def add_id(target_field: str = "event_id", deterministic: bool = True):
-    """add_id/add_id.go:32 — ES-style id. We default to a deterministic
-    content id (sha2 of the natural key) so retried partitions write
-    identical rows — the idempotence invariant of SURVEY.md §3.1."""
+def es_time_uuid(ts_ms, seq, mac_hex: str):
+    """The Elasticsearch time-based UUID byte layout (add_id/generator/
+    es_generator.go packID:104-130): 15 bytes — seq low/3rd bytes first
+    (index-sort friendly), then ts bytes 3-6 (slow-changing, compression
+    friendly), 6 MAC bytes, then the fast-changing ts/seq tail —
+    RawURLEncoding base64 (15 bytes → exactly 20 chars, no padding).
+
+    `ts_ms`/`seq` are COLUMNS (the reference feeds wall clock + a
+    process-random sequence; batch jobs must feed replay-deterministic
+    values — see add_id). `mac_hex` is the 12-hex-digit munged-MAC
+    analog (es_generator.go initOnce)."""
+    if len(mac_hex) != 12:
+        raise ValueError("es_time_uuid: mac_hex must be 6 bytes (12 hex digits)")
+    ts = ts_ms.cast("long")
+    sq = seq.cast("long")
+
+    def byte_hex(v, shift):
+        return F.lpad(F.hex(F.shiftright(v, shift).bitwiseAND(F.lit(255))), 2, "0")
+
+    hexstr = F.concat(
+        byte_hex(sq, 0), byte_hex(sq, 16),
+        byte_hex(ts, 16), byte_hex(ts, 24), byte_hex(ts, 32), byte_hex(ts, 40),
+        F.lit(mac_hex.upper()),
+        byte_hex(ts, 8), byte_hex(sq, 8), byte_hex(ts, 0),
+    )
+    return F.translate(F.base64(F.unhex(hexstr)), "+/", "-_")
+
+
+def add_id(
+    target_field: str = "event_id",
+    deterministic: bool = True,
+    type: str = "sha",
+):
+    """add_id/add_id.go:32 — per-event id into `target_field` (the
+    reference default target is @metadata._id; pass '_meta_id' for that
+    analog — add_id_test.go's TestNonDefaultTargetField shows the field
+    is whatever the config names).
+
+    type='sha' (engine default): deterministic content id (sha2 of the
+    natural key) so retried partitions write identical rows — the
+    idempotence invariant of SURVEY.md §3.1. type='elasticsearch': the
+    reference's ES time-based UUID BYTE FORMAT (packID layout, 20-char
+    URL-safe base64) with deterministic inputs — ts from the event's
+    `ts` column (epoch ms) standing in for wall clock, seq from the
+    natural key's hash (bottom 3 bytes), MAC from a fixed engine id —
+    format parity without replay-unsafe rand()/clock reads.
+    deterministic=False keeps the honest uuid() escape hatch."""
 
     def stage(df: DataFrame) -> DataFrame:
-        if deterministic:
-            col = F.sha2(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
-        else:
+        if not deterministic:
             col = F.expr("uuid()")
+        elif type == "elasticsearch":
+            seq = F.xxhash64(F.col("conv_id"), F.col("turn_idx")).bitwiseAND(F.lit(0xFFFFFF))
+            ts_ms = (F.unix_timestamp(F.col("ts")).cast("long") * 1000) if "ts" in df.columns else F.lit(0)
+            col = es_time_uuid(ts_ms, seq, mac_hex=md5(b"beats_spark").hexdigest()[:12])
+        else:
+            col = F.sha2(F.concat_ws("|", F.col("conv_id"), F.col("turn_idx").cast("string")), 256)
         return df.withColumn(target_field, col)
 
     return stage

@@ -1,0 +1,121 @@
+"""ES time-based UUID byte-layout parity for add_id(type='elasticsearch').
+
+Reference: libbeat/processors/add_id/generator/es_generator.go (packID:104-130,
+NextID:48-58) and es_generator_test.go (TestIDLen, TestIDDBytes,
+TestIDConsecutiveOrdering). The oracle here is an independent pure-Python
+re-implementation of packID + base64.RawURLEncoding, fed the same (ts, seq,
+mac) vectors as the Column expression.
+"""
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import functions as F
+
+from beats_spark.processors.actions import add_id, es_time_uuid
+
+MAC = "a1b2c3d4e5f6"
+
+
+def pack_id_py(ts: int, seq: int, mac_hex: str) -> str:
+    """Independent packID (es_generator.go:104-130) + RawURLEncoding."""
+    mac = bytes.fromhex(mac_hex)
+    buf = bytes(
+        [
+            seq & 0xFF,
+            (seq >> 16) & 0xFF,
+            (ts >> 16) & 0xFF,
+            (ts >> 24) & 0xFF,
+            (ts >> 32) & 0xFF,
+            (ts >> 40) & 0xFF,
+            *mac,
+            (ts >> 8) & 0xFF,
+            (seq >> 8) & 0xFF,
+            ts & 0xFF,
+        ]
+    )
+    assert len(buf) == 15
+    return base64.urlsafe_b64encode(buf).decode("ascii").rstrip("=")
+
+
+# (ts_ms, seq) vectors: epoch-ish wall clocks, byte-boundary edges, the
+# bottom-3-byte seq mask edges, and zero.
+VECTORS = [
+    (0, 0),
+    (1, 1),
+    (1755446400123, 17),           # realistic epoch ms
+    (1755446400123, 0xFFFFFF),     # seq at the 3-byte mask ceiling
+    (0xFFFFFFFFFFFF, 0xABCDEF),    # ts at 6-byte ceiling (packID uses 6 ts bytes)
+    (0x0000010203FF, 0x00FF00),
+    (255, 256),
+    (65536, 65535),
+]
+
+
+def test_packid_byte_parity(spark):
+    rows = [(i, ts, seq) for i, (ts, seq) in enumerate(VECTORS)]
+    df = spark.createDataFrame(rows, "i int, ts_ms long, seq long")
+    out = (
+        df.withColumn("uuid", es_time_uuid(F.col("ts_ms"), F.col("seq"), MAC))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (ts, seq) in zip(out, VECTORS):
+        assert row.uuid == pack_id_py(ts, seq, MAC), (ts, seq)
+
+
+def test_id_len_and_mac_bytes(spark):
+    """es_generator_test.go TestIDLen + TestIDDBytes: the decoded id is 15
+    bytes and bytes [6:12] are the munged-MAC analog."""
+    df = spark.createDataFrame([(1755446400123, 12345)], "ts_ms long, seq long")
+    uid = df.select(es_time_uuid(F.col("ts_ms"), F.col("seq"), MAC).alias("u")).first().u
+    assert len(uid) == 20 and "=" not in uid
+    decoded = base64.urlsafe_b64decode(uid + "=")  # 20 chars -> pad to 4k boundary
+    assert len(decoded) == 15
+    assert decoded[6:12] == bytes.fromhex(MAC)
+    # URL-safe alphabet only (RawURLEncoding)
+    assert "+" not in uid and "/" not in uid
+
+
+def test_consecutive_ordering():
+    """es_generator_test.go TestIDConsecutiveOrdering, on the Python oracle
+    (the Column path is pinned byte-identical to it above): with a
+    non-decreasing clock and incrementing seq, byte 0 increments mod 256 and
+    the id tail stays ordered across the wrap."""
+    ts = 1755446400123
+    prev = base64.urlsafe_b64decode(pack_id_py(ts, 0, MAC) + "=")
+    for seq in range(1, 2048):
+        if seq & 0xFFFFFF == 0:
+            ts += 1  # timestamp() forces the clock forward on seq wrap
+        cur = base64.urlsafe_b64decode(pack_id_py(ts, seq & 0xFFFFFF, MAC) + "=")
+        if cur[0] == 0x00:
+            assert prev[0] == 0xFF
+            assert cur[1:] >= prev[1:]
+        else:
+            assert cur[0] == prev[0] + 1
+        prev = cur
+
+
+def test_add_id_elasticsearch_mode(spark):
+    """add_id(type='elasticsearch') is deterministic over the natural key and
+    emits the 20-char URL-safe format; default sha mode is unchanged."""
+    df = spark.createDataFrame(
+        [("c1", 0, "2024-01-02 03:04:05"), ("c1", 1, "2024-01-02 03:04:06")],
+        "conv_id string, turn_idx int, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    stage = add_id(target_field="event_id", type="elasticsearch")
+    a = {(r.conv_id, r.turn_idx): r.event_id for r in stage(df).collect()}
+    b = {(r.conv_id, r.turn_idx): r.event_id for r in stage(df).collect()}
+    assert a == b  # replay-deterministic
+    assert all(len(v) == 20 and "=" not in v for v in a.values())
+    assert len(set(a.values())) == 2  # distinct turns get distinct ids
+    # sha default unchanged by the new mode plumbing
+    sha = add_id()(df).select("event_id").first().event_id
+    assert len(sha) == 64
+
+
+def test_bad_mac_rejected():
+    import pytest
+
+    with pytest.raises(ValueError):
+        es_time_uuid(F.lit(0), F.lit(0), "abc")
