@@ -26,15 +26,24 @@ from pyspark.sql import functions as F
 
 _RANGE_OPS = {"gt": "__gt__", "gte": "__ge__", "lt": "__lt__", "lte": "__le__"}
 
-# Named networks (network.go): name → list of CIDRs.
+# Named networks (network.go:44-56 namedNetworks). CIDR-expressible names
+# map to CIDR lists; the Go-stdlib-predicate names (global_unicast/unicast,
+# the scoped multicasts, public) are composed in network_match below with
+# the exact net.IP classifier semantics.
 NAMED_NETWORKS: dict[str, list[str]] = {
     "loopback": ["127.0.0.0/8", "::1/128"],
     "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8"],
-    "public": [],  # complement of private+loopback+link_local — handled specially
     "multicast": ["224.0.0.0/4", "ff00::/8"],
-    "unicast": [],
     "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
     "unspecified": ["0.0.0.0/32", "::/128"],
+}
+# names resolved by predicate composition rather than a CIDR list
+_COMPOSED_NETWORKS = {
+    "public",
+    "unicast",
+    "global_unicast",
+    "link_local_multicast",
+    "interface_local_multicast",
 }
 
 
@@ -129,30 +138,82 @@ def _cidr_match(col: Column, cidr: str) -> Column:
     return col.rlike(IPV4_RE) & (v >= F.lit(lo)) & (v <= F.lit(hi))
 
 
+def _v6_multicast_scope(col: Column, scope: int) -> Column:
+    """Go net.IP.IsInterfaceLocalMulticast / IsLinkLocalMulticast v6 arm:
+    first byte 0xff AND low nibble of second byte == scope (ff01/ff11/…
+    for scope 1) — a bit pattern, not a single CIDR."""
+    h0 = _ipv6_hextets(col).getItem(0)
+    return F.coalesce(
+        (F.shiftright(h0, 8) == F.lit(0xFF)) & (h0.bitwiseAND(F.lit(0x0F)) == F.lit(scope)),
+        F.lit(False),
+    )
+
+
 def network_match(col: Column, spec: Any) -> Column:
     """CIDR / named-network match against a Column (shared by the
-    conditions DSL and add_network_direction's internal_networks)."""
+    conditions DSL and add_network_direction's internal_networks).
+
+    Named-network semantics are the Go stdlib classifiers network.go
+    binds (namedNetworks, network.go:44-56):
+      unicast/global_unicast = net.IP.IsGlobalUnicast — a valid IP that
+        is not 255.255.255.255, unspecified, loopback, multicast, or
+        link-local unicast (private IS global unicast);
+      public = !isLocalOrPrivate (network.go:237-245) — excludes
+        private/loopback/unspecified/bcast/link-local unicast/link-local
+        multicast/interface-local multicast but NOT general multicast;
+      interface/link_local_multicast = the ffX1::/ffX2:: second-byte
+        nibble patterns (+ 224.0.0.0/24 for v4 link-local).
+    Non-string specs raise like network.go's invalidTypeError."""
     specs = spec if isinstance(spec, list) else [spec]
     # complement-defined networks (public/unicast) must first require the
     # string to BE an ip — network.go parses before classifying; without
     # this, 'host.example' matches 'unicast' (not multicast ⇒ true)
     is_ip = col.rlike(IPV4_RE) | _ipv6_hextets(col).isNotNull()
+
+    def named(name: str) -> Column:
+        return _any([_cidr_match(col, c) for c in NAMED_NETWORKS[name]])
+
+    bcast = _cidr_match(col, "255.255.255.255/32")
     conds = []
     for s in specs:
+        if not isinstance(s, str):
+            raise TypeError(
+                f"network condition: only strings or lists of strings are allowed, got {s!r}"
+            )
         if s in NAMED_NETWORKS:
-            cidrs = NAMED_NETWORKS[s]
-            if s == "public":
-                inner = [
-                    _cidr_match(col, c)
-                    for name in ("private", "loopback", "link_local_unicast")
-                    for c in NAMED_NETWORKS[name]
-                ]
-                cond = is_ip & ~_any(inner)
-            elif s == "unicast":
-                cond = is_ip & ~_any([_cidr_match(col, c) for c in NAMED_NETWORKS["multicast"]])
-            else:
-                cond = _any([_cidr_match(col, c) for c in cidrs])
+            cond = named(s)
+        elif s in ("unicast", "global_unicast"):
+            cond = is_ip & ~(
+                bcast
+                | named("unspecified")
+                | named("loopback")
+                | named("multicast")
+                | named("link_local_unicast")
+            )
+        elif s == "link_local_multicast":
+            cond = _cidr_match(col, "224.0.0.0/24") | _v6_multicast_scope(col, 2)
+        elif s == "interface_local_multicast":
+            cond = _v6_multicast_scope(col, 1)
+        elif s == "public":
+            cond = is_ip & ~(
+                named("private")
+                | named("loopback")
+                | named("unspecified")
+                | bcast
+                | named("link_local_unicast")
+                | _cidr_match(col, "224.0.0.0/24")
+                | _v6_multicast_scope(col, 2)
+                | _v6_multicast_scope(col, 1)
+            )
         else:
+            if "/" not in s:
+                # parseCIDR (network.go:195-203) requires an explicit prefix
+                # length; a bare IP is a config error, not an implicit /32
+                # (ipaddress.ip_network would silently accept it)
+                raise ValueError(
+                    f"network condition: {s!r} is not a named network and not "
+                    "a CIDR (values must be like '192.0.2.0/24' or '2001:db8::/32')"
+                )
             cond = _cidr_match(col, s)
         conds.append(cond)
     return _any(conds)

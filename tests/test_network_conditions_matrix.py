@@ -1,0 +1,276 @@
+"""Port of libbeat/conditions/network_test.go (TestNetworkCheck,
+TestNetworkCreate, TestNetworkPrivate, config-shape cases) plus a named-
+network battery checked against an independent Python oracle implementing
+the Go net.IP classifier semantics network.go binds (namedNetworks:44-56,
+isLocalOrPrivate:237-245).
+
+Fixtures are the reference's own httpResponseTestEvent /
+httpResponseEventIPList (conditions_test.go:79-129), flattened to the
+engine's column layout (nested maps -> underscore columns, string lists ->
+array<string> with schema-aware compilation).
+"""
+from __future__ import annotations
+
+import ipaddress
+
+import pytest
+
+from beats_spark.conditions import compile_condition, network_match
+
+from pyspark.sql import functions as F
+
+
+# -- the Go-classifier oracle -------------------------------------------------
+
+
+def _parse(s: str):
+    try:
+        return ipaddress.ip_address(s)
+    except ValueError:
+        return None
+
+
+def _in(ip, *cidrs) -> bool:
+    for c in cidrs:
+        net = ipaddress.ip_network(c)
+        if net.version == ip.version and ip in net:
+            return True
+    return False
+
+
+def go_named(name: str, s: str) -> bool:
+    """Reference semantics for namedNetworks[name] on one address string."""
+    ip = _parse(s)
+    if ip is None:
+        return False
+    v6 = ip.version == 6
+    loopback = _in(ip, "127.0.0.0/8", "::1/128")
+    multicast = _in(ip, "224.0.0.0/4", "ff00::/8")
+    llu = _in(ip, "169.254.0.0/16", "fe80::/10")
+    unspec = _in(ip, "0.0.0.0/32", "::/128")
+    bcast = str(ip) == "255.255.255.255"
+    llmc = _in(ip, "224.0.0.0/24") or (
+        v6 and ip.packed[0] == 0xFF and ip.packed[1] & 0x0F == 0x02
+    )
+    ilmc = v6 and ip.packed[0] == 0xFF and ip.packed[1] & 0x0F == 0x01
+    private = _in(ip, "10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fd00::/8")
+    table = {
+        "loopback": loopback,
+        "multicast": multicast,
+        "link_local_unicast": llu,
+        "link_local_multicast": llmc,
+        "interface_local_multicast": ilmc,
+        "unspecified": unspec,
+        "private": private,
+        "unicast": not (bcast or unspec or loopback or multicast or llu),
+        "global_unicast": not (bcast or unspec or loopback or multicast or llu),
+        "public": not (private or loopback or unspec or bcast or llu or llmc or ilmc),
+    }
+    return table[name]
+
+
+IPS = [
+    "127.0.0.1", "127.255.255.254", "::1",
+    "10.0.0.0", "10.255.255.255", "192.168.0.0", "192.168.255.255",
+    "172.16.0.0", "172.31.255.255", "172.32.0.1",
+    "fd11:3456:789a:1::1", "fc00::1",
+    "192.0.2.1", "2001:db8:ffff:ffff:ffff:ffff:ffff:1",
+    "169.254.1.1", "fe80::4001:aff:fe9a:53",
+    "224.0.0.5", "224.0.1.1", "239.255.255.255",
+    "ff02::1", "ff01::1", "ff05::2", "ff12::1",
+    "0.0.0.0", "::", "255.255.255.255",
+    "8.8.8.8", "2606:4700::1111",
+    "host.example", "OK", "",
+]
+
+ALL_NAMES = [
+    "loopback", "multicast", "link_local_unicast", "link_local_multicast",
+    "interface_local_multicast", "unspecified", "private", "unicast",
+    "global_unicast", "public",
+]
+
+
+def test_named_network_battery(spark):
+    """Every named network x every vector IP vs the Go-classifier oracle."""
+    df = spark.createDataFrame([(s,) for s in IPS], "ip string")
+    sel = [
+        network_match(F.col("ip"), name).alias(f"m{i}")
+        for i, name in enumerate(ALL_NAMES)
+    ]
+    rows = {r.ip: r for r in df.select("ip", *sel).collect()}
+    for s in IPS:
+        for i, name in enumerate(ALL_NAMES):
+            got = bool(rows[s][f"m{i}"])
+            want = go_named(name, s)
+            assert got == want, f"{name}({s!r}): spark={got} oracle={want}"
+
+
+# -- TestNetworkCheck / config-shape cases on the reference fixtures ---------
+
+
+@pytest.fixture(scope="module")
+def http_event(spark):
+    """httpResponseTestEvent, flattened to engine columns."""
+    return spark.createDataFrame(
+        [("127.0.0.1", "127.0.0.1", "OK", "http")],
+        "client_ip string, ip string, status string, type string",
+    )
+
+
+@pytest.fixture(scope="module")
+def ip_list_event(spark):
+    """httpResponseEventIPList: host.ip is a list of addresses."""
+    return spark.createDataFrame(
+        [(["10.1.0.55", "fe80::4001:aff:fe9a:55"], "testhost")],
+        "host_ip array<string>, host_hostname string",
+    )
+
+
+def _check(df, cfg) -> bool:
+    cond = compile_condition(cfg, schema=dict(df.dtypes))
+    return df.filter(cond).count() == 1
+
+
+CHECK_CASES = [
+    # (expected, config) — network_test.go TestNetworkCheck
+    (True, {"network": {"ip": "127.0.0.0/8"}}),                       # match loopback
+    (False, {"network": {"ip": "192.168.0.0/16"}}),                   # negative match
+    (False, {"network": {"status": "unicast"}}),                      # wrong value type
+    (True, {"network": {"client_ip": "loopback", "ip": "127.0.0.0/24"}}),  # multi-field AND
+    (False, {"network": {"client_ip": "multicast", "ip": "127.0.0.0/24"}}),
+    (True, {"network": {"client_ip": ["public", "loopback"]}}),       # multiple values OR
+    # config-shape cases (TestNetworkConfigUnpack string/array values)
+    (True, {"network": {"client_ip": "loopback", "ip": "loopback"}}),
+    (True, {"network": {"client_ip": ["loopback"], "ip": ["loopback"]}}),
+]
+
+
+@pytest.mark.parametrize("expected,cfg", CHECK_CASES)
+def test_network_check(http_event, expected, cfg):
+    assert _check(http_event, cfg) == expected
+
+
+def test_field_not_present(http_event):
+    """'field not present' -> false (Check: GetValue error -> false); a
+    column absent from the schema can never match."""
+    cond = compile_condition(
+        {"network": {"does_not_exist": "multicast"}}, schema=None
+    )
+    # schema-less compile references the column; with the fixture lacking it
+    # the filter fails analysis — the engine's has_fields-style guard is the
+    # schema-aware path:
+    import pyspark.sql.utils  # noqa: F401
+
+    with pytest.raises(Exception):
+        http_event.filter(cond).count()
+
+
+LIST_CASES = [
+    (True, {"network": {"host.ip": "10.1.0.0/24"}}),        # single match in list
+    (False, {"network": {"host.ip": "127.0.0.0/24"}}),      # negative
+    (True, {"network": {"host.ip": ["10.1.0.0/24", "127.0.0.0/24"]}}),
+    (False, {"network": {"host.ip": ["12.1.0.0/24", "127.0.0.0/24"]}}),
+]
+
+
+@pytest.mark.parametrize("expected,cfg", LIST_CASES)
+def test_network_ip_list(ip_list_event, expected, cfg):
+    """multiple-IPs-field cases: any element matching => match."""
+    assert _check(ip_list_event, cfg) == expected
+
+
+def test_nested_keys(spark):
+    """TestNetworkConfigUnpack 'nested keys' + 'IP list': flattened nested
+    refs AND a named network alongside a CIDR over a list field."""
+    df = spark.createDataFrame(
+        [("127.0.0.1", "127.0.0.1", ["10.10.0.83", "fe80::4001:aff:fe9a:53"])],
+        "ip_client string, ip_server string, ip_host array<string>",
+    )
+    cfg = {
+        "network": {
+            "ip.client": ["loopback"],
+            "ip.server": ["loopback"],
+            "ip.host": "10.10.0.0/8",
+        }
+    }
+    assert _check(df, cfg)
+
+
+# -- TestNetworkCreate error cases --------------------------------------------
+
+
+def test_create_all_options():
+    """every named network compiles (TestNetworkCreate 'all options')."""
+    compile_condition(
+        {
+            "network": {
+                "ipv4_ip": "192.168.10.1/16",   # host bits set: masked, not an error
+                "ipv6_ip": "fd00::/8",
+                "loopback_ip": "loopback",
+                "unicast_ip": "unicast",
+                "global_unicast_ip": "global_unicast",
+                "link_local_unicast_ip": "link_local_unicast",
+                "interface_local_multicast_ip": "interface_local_multicast",
+                "link_local_multicast_ip": "link_local_multicast",
+                "multicast_ip": "multicast",
+                "unspecified_ip": "unspecified",
+                "private_ip": "private",
+                "public_ip": "public",
+            }
+        }
+    )
+
+
+def test_create_invalid_keyword():
+    with pytest.raises(ValueError):
+        compile_condition({"network": {"invalid": "loop-back"}})
+
+
+def test_create_bad_cidr():
+    with pytest.raises(ValueError):
+        compile_condition({"network": {"bad_cidr": "127.0/8"}})
+
+
+def test_create_bad_type():
+    with pytest.raises(TypeError):
+        compile_condition({"network": {"bad_type": 1}})
+
+
+# -- TestNetworkPrivate -------------------------------------------------------
+
+
+PRIVATE_TRUE = [
+    "10.0.0.0", "10.255.255.255", "192.168.0.0", "192.168.255.255",
+    "172.16.0.0", "172.31.255.255", "fd11:3456:789a:1::1",
+]
+PRIVATE_FALSE = ["192.0.2.1", "2001:db8:ffff:ffff:ffff:ffff:ffff:1"]
+
+
+def test_private_ranges(spark):
+    df = spark.createDataFrame(
+        [(s,) for s in PRIVATE_TRUE + PRIVATE_FALSE], "ip string"
+    )
+    got = {
+        r.ip for r in df.filter(network_match(F.col("ip"), "private")).collect()
+    }
+    assert got == set(PRIVATE_TRUE)
+
+
+# -- NetworkContains ----------------------------------------------------------
+
+
+def test_network_contains_multi(spark):
+    """NetworkContains: first-match-wins across a list. Divergence from the
+    reference documented here: Go validates lazily (an invalid network AFTER
+    a match is never parsed); the engine compiles the whole spec up front,
+    so an invalid CIDR raises at build regardless of position — strictly
+    stricter, never wrong-answer."""
+    df = spark.createDataFrame([("192.168.0.1",)], "ip string")
+    ok = df.filter(
+        network_match(F.col("ip"), ["192.168.1.0/24", "192.168.0.0/24"])
+    ).count()
+    assert ok == 1
+    with pytest.raises(ValueError):
+        network_match(F.col("ip"), ["192.168.1.1", "192.168.0.0/24"])
+    with pytest.raises(ValueError):
+        network_match(F.col("ip"), ["192.168.0.0/24", "192.168.1.1"])
