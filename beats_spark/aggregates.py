@@ -19,7 +19,9 @@ timestamp column — directly comparable with the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .events import SINK_COL
@@ -73,4 +75,275 @@ def pipeline_metrics(df: DataFrame) -> DataFrame:
     return df.groupBy(SINK_COL).agg(
         F.count(F.lit(1)).alias("events_total"),
         F.sum(F.when(F.size(F.col("log_flags")) > 0, 1).otherwise(0)).alias("events_flagged"),
+    )
+
+
+def _gcd(a: int, b: int) -> int:
+    while b:
+        a, b = b, a % b
+    return a
+
+
+class FlowConfigError(ValueError):
+    """ErrInvalidTimeout / ErrInvalidPeriod (packetbeat/flows/flows.go)."""
+
+
+def flow_reports(
+    df: DataFrame,
+    keys: list[str],
+    timeout_seconds: int = 60,
+    period_seconds: int = 10,
+    ts_col: str = "ts",
+    align_seconds: int = 10,
+    t0_epoch: int | None = None,
+    delta: bool = False,
+    counters: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Batch replay of the packetbeat flows worker loop
+    (packetbeat/flows/worker.go:127-232, 244-295): given the event table,
+    emit exactly the report events the reference worker would have
+    published had it observed the same arrival times.
+
+    Reference semantics reproduced:
+      * tick = gcd(timeout, period), clamped to >= 1 s; timeout checks
+        run every `ticksTimeout` ticks and periodic reports every
+        `ticksPeriod` ticks (makeWorker, worker.go:196-231);
+      * the worker start is aligned UP to `align` seconds
+        (worker.go:203-210) — here ``t0`` defaults to the minimum event
+        ts aligned up, or pass ``t0_epoch`` explicitly;
+      * a flow is killed at the first check tick c with
+        c - last_seen > timeout (strict, worker.go:277), and events that
+        arrive at ts <= c are in the table before the check runs — so a
+        flow whose idle gap exceeded `timeout` BETWEEN check ticks
+        survives if a new event lands before the next check (this is NOT
+        a plain session window; the kill grid matters);
+      * periodic reports emit every live flow (cumulative counters), the
+        kill check emits one final report with flow.final = true — a
+        tick that is both check and report emits a single final report
+        (flowsProcessor.execute, worker.go:275-288);
+      * ``delta=True`` = enableDeltaFlowReporting: counters reset after
+        every report (createEvent, worker.go:341-345), while start/end
+        timestamps stay cumulative;
+      * period <= 0 → report only at flow end
+        (newFlowsWorker doc, worker.go:127-129).
+
+    `counters` maps output column name → per-event Column expression to
+    SUM (the reference counter registries are additive accumulators,
+    counters.go:17-60). Default: {"packets": 1}.
+
+    Scale shape: one window over (keys, ts) for flow segmentation
+    (single exchange on keys, same as sessionization), one hash
+    aggregate per (keys, flow, report-bucket) with map-side partials,
+    then a skeleton explode of report ticks joined back on the flow key
+    — every stage is keyed by `keys`, so the exchange is reused and hot
+    keys are absorbed by partial aggregation. The skeleton is bounded by
+    flow-lifetime/period rows per flow, never by event count.
+    """
+    if timeout_seconds < 1:
+        raise FlowConfigError("invalid flow timeout (must be >= 1s)")
+    if 0 < period_seconds < 1:
+        raise FlowConfigError("invalid flow reporting period (must be >= 1s)")
+    if counters is None:
+        counters = {"packets": F.lit(1)}
+    cnames = list(counters)
+
+    tick = _gcd(timeout_seconds, period_seconds) if period_seconds > 0 else timeout_seconds
+    tick = max(tick, 1)
+    ci = max(1, timeout_seconds // tick) * tick          # check interval
+    ri = max(1, period_seconds // tick) * tick if period_seconds > 0 else None
+
+    if t0_epoch is None:
+        row = df.agg(
+            F.min(F.col(ts_col).cast("timestamp").cast("double"))
+        ).first()
+        if row is None or row[0] is None:
+            t0_epoch = 0
+        else:
+            a = align_seconds if align_seconds > 0 else 1
+            t0_epoch = math.ceil(row[0] / a) * a
+    t0 = float(t0_epoch)
+
+    # NTZ-safe epoch seconds (TIMESTAMP_NTZ can't cast straight to double;
+    # the session tz is UTC so NTZ→TIMESTAMP is the identity rendering)
+    e = F.col(ts_col).cast("timestamp").cast("double")
+    kcols = [F.col(k) for k in keys]
+
+    # kill grid: K(p) = smallest T0 + k*CI (k>=1) strictly after p+timeout
+    def kill_tick(ts_d: Column) -> Column:
+        k = F.floor((ts_d + F.lit(float(timeout_seconds)) - F.lit(t0)) / F.lit(float(ci))) + 1
+        return F.lit(t0) + F.greatest(F.lit(1).cast("long"), k).cast("double") * F.lit(float(ci))
+
+    w_order = Window.partitionBy(*kcols).orderBy(e)
+    prev = F.lag(e).over(w_order)
+    new_flow = F.when(prev.isNull() | (e > kill_tick(prev)), 1).otherwise(0)
+    seg = df.withColumn("_nf", new_flow).withColumn(
+        "_flow", F.sum("_nf").over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+    # report-bucket index: the first report tick at which the event is visible
+    if ri is not None:
+        j_of = F.greatest(F.lit(1).cast("long"), F.ceil((e - F.lit(t0)) / F.lit(float(ri))))
+    else:
+        j_of = F.lit(1).cast("long")
+
+    per_bucket = seg.groupBy(*kcols, F.col("_flow"), j_of.alias("_j")).agg(
+        F.max(e).alias("_bkt_last"),
+        *[F.sum(expr).alias(f"_c_{n}") for n, expr in counters.items()],
+    )
+    flows = seg.groupBy(*kcols, F.col("_flow")).agg(
+        F.min(e).alias("_start"),
+        F.max(e).alias("_last"),
+        *[F.sum(expr).alias(f"_tot_{n}") for n, expr in counters.items()],
+    ).withColumn("_kill", kill_tick(F.col("_last")))
+
+    final_base = flows.select(
+        *kcols,
+        "_flow",
+        F.col("_kill").alias("_report"),
+        F.col("_start").alias("flow_start_d"),
+        F.col("_last").alias("flow_end_d"),
+        F.lit(True).alias("final"),
+        *[F.col(f"_tot_{n}").alias(n) for n in cnames],
+    )
+
+    if ri is None:
+        out = final_base
+    else:
+        # periodic skeleton: j in [max(1, ceil((start-T0)/RI)) .. last j with T0+j*RI < kill]
+        j_min = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil((F.col("_start") - F.lit(t0)) / F.lit(float(ri))),
+        )
+        # largest j with T0 + j*RI < kill (strict: the kill tick emits the final)
+        j_max = F.ceil((F.col("_kill") - F.lit(t0)) / F.lit(float(ri))) - 1
+        skel = (
+            flows.withColumn(
+                "_js",
+                F.when(j_min <= j_max, F.sequence(j_min, j_max)).otherwise(
+                    F.array().cast("array<long>")
+                ),
+            )
+            .select(*kcols, "_flow", "_start", "_last", F.explode("_js").alias("_j"))
+        )
+        w_run = (
+            Window.partitionBy(*kcols, "_flow")
+            .orderBy("_j")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        joined = skel.join(per_bucket, [*keys, "_flow", "_j"], "left")
+        running_last = F.max(F.col("_bkt_last")).over(w_run)
+        if delta:
+            cexprs = [F.coalesce(F.col(f"_c_{n}"), F.lit(0)).alias(n) for n in cnames]
+        else:
+            cexprs = [
+                F.sum(F.coalesce(F.col(f"_c_{n}"), F.lit(0))).over(w_run).alias(n)
+                for n in cnames
+            ]
+        periodic = joined.select(
+            *kcols,
+            "_flow",
+            (F.lit(t0) + F.col("_j").cast("double") * F.lit(float(ri))).alias("_report"),
+            F.col("_start").alias("flow_start_d"),
+            running_last.alias("flow_end_d"),
+            F.lit(False).alias("final"),
+            *cexprs,
+        )
+        if delta:
+            # final delta = totals minus everything already reported
+            # periodically = sum of buckets with j <= j_max
+            reported = (
+                per_bucket.join(
+                    flows.select(*kcols, "_flow", "_start", "_kill"), [*keys, "_flow"]
+                )
+                .where(
+                    F.col("_j")
+                    <= F.ceil((F.col("_kill") - F.lit(t0)) / F.lit(float(ri))) - 1
+                )
+                .groupBy(*kcols, "_flow")
+                .agg(*[F.sum(f"_c_{n}").alias(f"_rep_{n}") for n in cnames])
+            )
+            final_base = (
+                flows.join(reported, [*keys, "_flow"], "left")
+                .select(
+                    *kcols,
+                    "_flow",
+                    F.col("_kill").alias("_report"),
+                    F.col("_start").alias("flow_start_d"),
+                    F.col("_last").alias("flow_end_d"),
+                    F.lit(True).alias("final"),
+                    *[
+                        (
+                            F.col(f"_tot_{n}")
+                            - F.coalesce(F.col(f"_rep_{n}"), F.lit(0))
+                        ).alias(n)
+                        for n in cnames
+                    ],
+                )
+            )
+        out = periodic.unionByName(final_base)
+
+    return out.select(
+        *kcols,
+        F.col("_flow").alias("flow_idx"),
+        F.timestamp_seconds(F.col("_report")).alias("report_ts"),
+        F.timestamp_seconds("flow_start_d").alias("flow_start"),
+        F.timestamp_seconds("flow_end_d").alias("flow_end"),
+        (F.col("flow_end_d") - F.col("flow_start_d")).alias("duration_s"),
+        "final",
+        *cnames,
+    )
+
+
+def flow_ecs_events(
+    df: DataFrame,
+    keys: list[str],
+    forward: Column,
+    bytes_expr: Column,
+    **kw,
+) -> DataFrame:
+    """createEvent's ECS event shape (packetbeat/flows/worker.go:305-400,
+    asserted by worker_test.go TestCreateEvent) over flow_reports:
+    per-direction byte/packet counters (forward = source, reverse =
+    destination), network totals = source + destination, event.type
+    ["connection"] with "end" appended on the final report, flow.final,
+    event.start/end/duration, and a serialized flow.id (the reference
+    base64-packs the raw flow tuple, flowid.go Serialize — here the
+    key tuple).
+
+    For transcripts the biflow directions are the conversation's two
+    speakers: pass e.g. forward=(role == 'user')."""
+    cnt = {
+        "source_packets": F.when(forward, 1).otherwise(0),
+        "source_bytes": F.when(forward, bytes_expr).otherwise(0),
+        "destination_packets": F.when(forward, 0).otherwise(1),
+        "destination_bytes": F.when(forward, 0).otherwise(bytes_expr),
+    }
+    rep = flow_reports(df, keys, counters=cnt, **kw)
+    return rep.select(
+        F.base64(
+            F.to_binary(
+                F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys]),
+                F.lit("utf-8"),
+            )
+        ).alias("flow_id"),
+        *[F.col(k) for k in keys],
+        "flow_idx",
+        F.col("report_ts").alias("timestamp"),
+        F.col("flow_start").alias("event_start"),
+        F.col("flow_end").alias("event_end"),
+        F.col("duration_s").alias("event_duration_s"),
+        F.when(F.col("final"), F.array(F.lit("connection"), F.lit("end")))
+        .otherwise(F.array(F.lit("connection")))
+        .alias("event_type"),
+        F.lit("flow").alias("event_dataset"),
+        F.lit("event").alias("event_kind"),
+        F.array(F.lit("network")).alias("event_category"),
+        F.lit("network_flow").alias("event_action"),
+        F.col("final").alias("flow_final"),
+        "source_packets",
+        "source_bytes",
+        "destination_packets",
+        "destination_bytes",
+        (F.col("source_packets") + F.col("destination_packets")).alias("network_packets"),
+        (F.col("source_bytes") + F.col("destination_bytes")).alias("network_bytes"),
     )
