@@ -335,12 +335,33 @@ def q_truncate_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """flows-with-inactivity-timeout analog: session_window per conv."""
-    from beats_spark.aggregates import session_flows
+    """flows semantics, two layers (r5 fold): the session_window
+    inactivity-close analog, plus the full packetbeat worker-loop replay
+    (flow_reports — gcd-tick grid, aligned start, periodic cumulative
+    reports, kills only at check-grid ticks; worker.go:196-295) with the
+    oracle recomputing the replay in SQL."""
+    from beats_spark.aggregates import flow_reports, session_flows
 
     t = synth.transcripts(spark, sf_dir)
-    out = session_flows(t, keys=["conv_id"], gap="30 minutes")
-    return out.select("conv_id", "session_start", "n_events")
+    sess = session_flows(t, keys=["conv_id"], gap="30 minutes").select(
+        F.lit("session").alias("kind"),
+        "conv_id",
+        F.col("session_start").cast("timestamp_ntz").alias("ts_out"),
+        F.lit(None).cast("timestamp_ntz").alias("start_ts"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(None).cast("boolean").alias("final"),
+    )
+    rep = flow_reports(
+        t, ["conv_id"], timeout_seconds=1800, period_seconds=600
+    ).select(
+        F.lit("flowrep").alias("kind"),
+        "conv_id",
+        F.col("report_ts").cast("timestamp_ntz").alias("ts_out"),
+        F.col("flow_start").cast("timestamp_ntz").alias("start_ts"),
+        F.col("packets").cast("long").alias("n_events"),
+        "final",
+    )
+    return sess.unionByName(rep)
 
 
 def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2333,7 +2354,10 @@ def oracle_sql() -> dict[str, str]:
             FROM v)"""
         ),
         "sessionize": _ORACLE_WITH
-        + """SELECT conv_id, min(ts) AS session_start, count(*) AS n_events
+        + """SELECT 'session' AS kind, conv_id, min(ts) AS ts_out,
+                    CAST(NULL AS TIMESTAMP) AS start_ts,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(NULL AS BOOLEAN) AS final
              FROM (
                SELECT conv_id, ts, sum(new_s) OVER (
                         PARTITION BY conv_id ORDER BY ts, turn_idx
@@ -2345,7 +2369,69 @@ def oracle_sql() -> dict[str, str]:
                                      >= INTERVAL 30 MINUTE
                              THEN 1 ELSE 0 END AS new_s
                  FROM transcripts_base))
-             GROUP BY conv_id, grp""",
+             GROUP BY conv_id, grp
+             UNION ALL
+             SELECT kind, conv_id, ts_out, start_ts, n_events, final FROM (
+               -- packetbeat worker-loop replay: timeout=1800, period=600,
+               -- align=10 → tick=gcd=600, CI=1800, RI=600 (worker.go:196-231)
+               WITH fbase AS (
+                 SELECT conv_id, ts, epoch(ts) AS e FROM transcripts_base
+               ),
+               fpar AS (SELECT ceil(min(e)/10)*10 AS t0 FROM fbase),
+               fseg AS (
+                 SELECT conv_id, ts, e, t0,
+                        CASE WHEN lag(e) OVER w IS NULL
+                                  OR e > t0 + greatest(1, floor((lag(e) OVER w + 1800 - t0)/1800)+1)*1800
+                             THEN 1 ELSE 0 END AS nf
+                 FROM fbase, fpar
+                 WINDOW w AS (PARTITION BY conv_id ORDER BY e)
+               ),
+               fseg2 AS (
+                 SELECT *, sum(nf) OVER (PARTITION BY conv_id ORDER BY e
+                                         ROWS UNBOUNDED PRECEDING) AS flow
+                 FROM fseg
+               ),
+               fflows AS (
+                 SELECT conv_id, flow, any_value(t0) AS t0,
+                        min(e) AS start_e, max(e) AS last_e,
+                        min(ts) AS start_ts, max(ts) AS last_ts,
+                        CAST(count(*) AS BIGINT) AS tot
+                 FROM fseg2 GROUP BY conv_id, flow
+               ),
+               fflows2 AS (
+                 SELECT *, t0 + greatest(1, floor((last_e + 1800 - t0)/1800)+1)*1800 AS kill
+                 FROM fflows
+               ),
+               fbuckets AS (
+                 SELECT conv_id, flow,
+                        CAST(greatest(1, ceil((e - t0)/600)) AS BIGINT) AS j,
+                        CAST(count(*) AS BIGINT) AS cnt
+                 FROM fseg2 GROUP BY 1, 2, 3
+               ),
+               fskel AS (
+                 SELECT conv_id, flow, t0, start_ts,
+                        unnest(range(CAST(greatest(1, ceil((start_e - t0)/600)) AS BIGINT),
+                                     CAST(ceil((kill - t0)/600) AS BIGINT))) AS j
+                 FROM fflows2
+               ),
+               fper AS (
+                 SELECT s.conv_id, s.flow,
+                        make_timestamp(CAST((s.t0 + s.j*600)*1000000 AS BIGINT)) AS ts_out,
+                        s.start_ts,
+                        CAST(sum(COALESCE(b.cnt,0)) OVER (
+                          PARTITION BY s.conv_id, s.flow ORDER BY s.j
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_events,
+                        FALSE AS final
+                 FROM fskel s LEFT JOIN fbuckets b
+                   ON b.conv_id = s.conv_id AND b.flow = s.flow AND b.j = s.j
+               )
+               SELECT 'flowrep' AS kind, conv_id, ts_out, start_ts, n_events, final
+               FROM fper
+               UNION ALL
+               SELECT 'flowrep', conv_id,
+                      make_timestamp(CAST(kill*1000000 AS BIGINT)), start_ts, tot, TRUE
+               FROM fflows2
+             )""",
         "multimodal_features": """
             SELECT CAST(doc_id AS INTEGER) AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

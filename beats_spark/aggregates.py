@@ -186,13 +186,18 @@ def flow_reports(
     else:
         j_of = F.lit(1).cast("long")
 
+    # start/end ride the ORIGINAL timestamp column (exact, no
+    # double→timestamp reconstruction); doubles are used only for the
+    # grid arithmetic where they are exact (integer-second grids)
     per_bucket = seg.groupBy(*kcols, F.col("_flow"), j_of.alias("_j")).agg(
-        F.max(e).alias("_bkt_last"),
+        F.max(F.col(ts_col)).alias("_bkt_last_ts"),
         *[F.sum(expr).alias(f"_c_{n}") for n, expr in counters.items()],
     )
     flows = seg.groupBy(*kcols, F.col("_flow")).agg(
         F.min(e).alias("_start"),
         F.max(e).alias("_last"),
+        F.min(F.col(ts_col)).alias("_start_ts"),
+        F.max(F.col(ts_col)).alias("_last_ts"),
         *[F.sum(expr).alias(f"_tot_{n}") for n, expr in counters.items()],
     ).withColumn("_kill", kill_tick(F.col("_last")))
 
@@ -200,8 +205,8 @@ def flow_reports(
         *kcols,
         "_flow",
         F.col("_kill").alias("_report"),
-        F.col("_start").alias("flow_start_d"),
-        F.col("_last").alias("flow_end_d"),
+        F.col("_start_ts").alias("flow_start"),
+        F.col("_last_ts").alias("flow_end"),
         F.lit(True).alias("final"),
         *[F.col(f"_tot_{n}").alias(n) for n in cnames],
     )
@@ -223,7 +228,7 @@ def flow_reports(
                     F.array().cast("array<long>")
                 ),
             )
-            .select(*kcols, "_flow", "_start", "_last", F.explode("_js").alias("_j"))
+            .select(*kcols, "_flow", "_start_ts", F.explode("_js").alias("_j"))
         )
         w_run = (
             Window.partitionBy(*kcols, "_flow")
@@ -231,7 +236,7 @@ def flow_reports(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         joined = skel.join(per_bucket, [*keys, "_flow", "_j"], "left")
-        running_last = F.max(F.col("_bkt_last")).over(w_run)
+        running_last = F.max(F.col("_bkt_last_ts")).over(w_run)
         if delta:
             cexprs = [F.coalesce(F.col(f"_c_{n}"), F.lit(0)).alias(n) for n in cnames]
         else:
@@ -243,8 +248,8 @@ def flow_reports(
             *kcols,
             "_flow",
             (F.lit(t0) + F.col("_j").cast("double") * F.lit(float(ri))).alias("_report"),
-            F.col("_start").alias("flow_start_d"),
-            running_last.alias("flow_end_d"),
+            F.col("_start_ts").alias("flow_start"),
+            running_last.alias("flow_end"),
             F.lit(False).alias("final"),
             *cexprs,
         )
@@ -268,8 +273,8 @@ def flow_reports(
                     *kcols,
                     "_flow",
                     F.col("_kill").alias("_report"),
-                    F.col("_start").alias("flow_start_d"),
-                    F.col("_last").alias("flow_end_d"),
+                    F.col("_start_ts").alias("flow_start"),
+                    F.col("_last_ts").alias("flow_end"),
                     F.lit(True).alias("final"),
                     *[
                         (
@@ -282,13 +287,15 @@ def flow_reports(
             )
         out = periodic.unionByName(final_base)
 
+    fs = F.col("flow_start").cast("timestamp").cast("double")
+    fe = F.col("flow_end").cast("timestamp").cast("double")
     return out.select(
         *kcols,
         F.col("_flow").alias("flow_idx"),
         F.timestamp_seconds(F.col("_report")).alias("report_ts"),
-        F.timestamp_seconds("flow_start_d").alias("flow_start"),
-        F.timestamp_seconds("flow_end_d").alias("flow_end"),
-        (F.col("flow_end_d") - F.col("flow_start_d")).alias("duration_s"),
+        "flow_start",
+        "flow_end",
+        (fe - fs).alias("duration_s"),
         "final",
         *cnames,
     )
