@@ -246,3 +246,94 @@ def test_flow_ecs_event_shape(spark):
     assert per[0]["event_start"] == per[1]["event_start"]  # start is cumulative
     fin = [r for r in reps if r["flow_final"]]
     assert len(fin) == 1 and sum(r["source_bytes"] for r in reps) == 16
+
+
+def test_flow_reports_stream_matches_batch(spark, tmp_path):
+    """LIVE streaming flows worker (applyInPandasWithState +
+    EventTimeTimeout): the watermark-driven incremental simulation emits
+    exactly the batch replay's rows. Three availableNow runs over one
+    checkpoint; sentinel keys push the watermark past every kill tick
+    (timers fire for idle keys — B's final report arrives with no new B
+    data). Afterwards the dead keys hold NO state-store rows."""
+    import os
+
+    from beats_spark.streaming.flows import flow_reports_stream
+
+    base = 1_700_000_000  # multiple of 10 — the aligned t0
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    schema = "key string, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "key string, tsd double").select(
+            "key", F.timestamp_seconds("tsd").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 second")
+        )
+        rep = flow_reports_stream(
+            stream, ["key"], t0_epoch=base, timeout_seconds=60, period_seconds=20
+        )
+        q = (
+            rep.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # flows with in-flow gaps, a kill + restart, and grid-exact times
+    data = [
+        ("A", base + 5.0), ("A", base + 15.0), ("A", base + 25.0),
+        ("A", base + 200.0), ("A", base + 210.5),
+        ("B", base + 8.0), ("B", base + 130.0),
+    ]
+    write_file(data)
+    run_once()
+    write_file([("Z1", base + 10_000.0)])
+    run_once()
+    write_file([("Z2", base + 20_000.0)])
+    run_once()
+
+    got = {
+        (
+            r["key"],
+            r["report_ts"].timestamp(),
+            r["flow_start"].timestamp(),
+            r["flow_end"].timestamp(),
+            r["final"],
+            r["packets"],
+        )
+        for r in spark.read.parquet(out).collect()
+        if not r["key"].startswith("Z")
+    }
+
+    bdf = spark.createDataFrame(data, "key string, tsd double").select(
+        "key", F.timestamp_seconds("tsd").alias("ts")
+    )
+    from beats_spark.aggregates import flow_reports
+
+    want = {
+        (
+            r["key"],
+            r["report_ts"].timestamp(),
+            r["flow_start"].timestamp(),
+            r["flow_end"].timestamp(),
+            r["final"],
+            r["packets"],
+        )
+        for r in flow_reports(
+            bdf, ["key"], timeout_seconds=60, period_seconds=20, t0_epoch=base
+        ).collect()
+    }
+    assert got == want and any(f for *_, f, _ in got)  # finals present
+
+    # dead keys leave no state; the still-alive sentinel flows remain
+    state = spark.read.format("statestore").load(ckpt)
+    skeys = sorted({r["key"]["key"] for r in state.collect()})
+    assert "A" not in skeys and "B" not in skeys, skeys
+    assert "Z2" in skeys, skeys
