@@ -306,6 +306,7 @@ def flow_ecs_events(
     keys: list[str],
     forward: Column,
     bytes_expr: Column,
+    flow_id: Column | None = None,
     **kw,
 ) -> DataFrame:
     """createEvent's ECS event shape (packetbeat/flows/worker.go:305-400,
@@ -313,9 +314,14 @@ def flow_ecs_events(
     per-direction byte/packet counters (forward = source, reverse =
     destination), network totals = source + destination, event.type
     ["connection"] with "end" appended on the final report, flow.final,
-    event.start/end/duration, and a serialized flow.id (the reference
-    base64-packs the raw flow tuple, flowid.go Serialize — here the
-    key tuple).
+    event.start/end/duration, and a serialized flow.id.
+
+    `flow_id`: pass beats_spark.flowid.flow_id_column(...) when the key
+    is a real network tuple to get the reference's byte-compatible
+    Serialize() id (the keys must functionally determine its inputs —
+    it is evaluated per event and rides as an extra grouping key with
+    one distinct value per group). Default: base64 of the NUL-joined
+    key tuple (the transcripts analog).
 
     For transcripts the biflow directions are the conversation's two
     speakers: pass e.g. forward=(role == 'user')."""
@@ -325,14 +331,25 @@ def flow_ecs_events(
         "destination_packets": F.when(forward, 0).otherwise(1),
         "destination_bytes": F.when(forward, 0).otherwise(bytes_expr),
     }
-    rep = flow_reports(df, keys, counters=cnt, **kw)
-    return rep.select(
-        F.base64(
+    if flow_id is not None:
+        # functionally determined by the keys → safe as an extra
+        # grouping key (one distinct value per group)
+        df = df.withColumn("_flow_id", flow_id)
+    rep = flow_reports(
+        df, keys + (["_flow_id"] if flow_id is not None else []), counters=cnt, **kw
+    )
+    id_expr = (
+        F.col("_flow_id")
+        if flow_id is not None
+        else F.base64(
             F.to_binary(
                 F.concat_ws("\x00", *[F.col(k).cast("string") for k in keys]),
                 F.lit("utf-8"),
             )
-        ).alias("flow_id"),
+        )
+    )
+    return rep.select(
+        id_expr.alias("flow_id"),
         *[F.col(k) for k in keys],
         "flow_idx",
         F.col("report_ts").alias("timestamp"),

@@ -1,0 +1,320 @@
+"""packetbeat flow.id — byte-compatible port of flows/flowid.go.
+
+Two layers:
+
+* ``FlowID`` — an exact Python port of the reference builder
+  (packetbeat/flows/flowid.go:38-486): the 17-byte header (LE flags,
+  twelve offsets, three counters) + append-ordered payload, direction
+  normalization via bytes.Compare on the FIRST unequal pair (later
+  pairs follow the established direction, even against their own
+  ordering), outer-layer offset swapping for tunneled repeats, and
+  RawStdEncoding serialization. Used as the golden oracle and for
+  Arrow-UDF paths that need the full multi-layer grammar.
+
+* ``flow_id_column`` — the single-layer fast path as a pure Column
+  expression (the shape every non-tunneled packet takes: at most one
+  eth/vlan/ip/transport/connid add each, in decode order). Builds the
+  identical serialized id in codegen: hex-packed header literal +
+  direction-normalized payload → unhex → base64 (padding stripped =
+  Go's RawStdEncoding). Agreement with ``FlowID`` is pinned by a
+  randomized cross-check test.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+OFF_UNSET = 0xFF
+
+ETH_FLOW = 1 << 0
+OUTER_VLAN_FLOW = 1 << 1
+VLAN_FLOW = 1 << 2
+OUTER_IPV4_FLOW = 1 << 3
+IPV4_FLOW = 1 << 4
+OUTER_IPV6_FLOW = 1 << 5
+IPV6_FLOW = 1 << 6
+ICMPV4_FLOW = 1 << 7
+ICMPV6_FLOW = 1 << 8
+UDP_FLOW = 1 << 9
+TCP_FLOW = 1 << 10
+CONNECTION_ID = 1 << 11
+
+_DIR_UNSET, _DIR_FORWARD, _DIR_REVERSED = -1, 0, 1
+
+_OFF_FIELDS = (
+    "eth", "outer_vlan", "vlan", "outer_ipv4", "ipv4",
+    "outer_ipv6", "ipv6", "icmpv4", "icmpv6", "udp", "tcp", "id",
+)
+
+
+class FlowID:
+    """flowid.go's FlowID/rawFlowID, byte for byte."""
+
+    def __init__(self):
+        self.flow_id = bytearray()
+        self.flags = 0
+        self.dir = _DIR_UNSET
+        self.off = dict.fromkeys(_OFF_FIELDS, OFF_UNSET)
+        self.cnt_eth = self.cnt_vlan = self.cnt_ip = 0
+
+    # -- add_* (flowid.go:160-245) ------------------------------------
+
+    def add_eth(self, src: bytes, dst: bytes) -> None:
+        self._add_id("eth", ETH_FLOW, src, dst, _DIR_UNSET)
+        self.cnt_eth += 1
+
+    def add_ipv4(self, src: bytes, dst: bytes) -> None:
+        self._add_mult_layer_id("ipv4", "outer_ipv4", IPV4_FLOW, OUTER_IPV4_FLOW, src, dst)
+        self.cnt_ip += 1
+
+    def add_ipv6(self, src: bytes, dst: bytes) -> None:
+        self._add_mult_layer_id("ipv6", "outer_ipv6", IPV6_FLOW, OUTER_IPV6_FLOW, src, dst)
+        self.cnt_ip += 1
+
+    def add_vlan(self, vid: int) -> None:
+        self._add_mult_layer_id(
+            "vlan", "outer_vlan", VLAN_FLOW, OUTER_VLAN_FLOW,
+            vid.to_bytes(2, "little"), None,
+        )
+        self.cnt_vlan += 1
+
+    def add_icmpv4_request(self, icmp_id: int) -> None:
+        self._add_id("icmpv4", ICMPV4_FLOW, icmp_id.to_bytes(2, "little"), None, _DIR_FORWARD)
+
+    def add_icmpv4_response(self, icmp_id: int) -> None:
+        self._add_id("icmpv4", ICMPV4_FLOW, icmp_id.to_bytes(2, "little"), None, _DIR_REVERSED)
+
+    def add_icmpv6_request(self, icmp_id: int) -> None:
+        self._add_id("icmpv6", ICMPV6_FLOW, icmp_id.to_bytes(2, "little"), None, _DIR_FORWARD)
+
+    def add_icmpv6_response(self, icmp_id: int) -> None:
+        self._add_id("icmpv6", ICMPV6_FLOW, icmp_id.to_bytes(2, "little"), None, _DIR_REVERSED)
+
+    def add_udp(self, src: int, dst: int) -> None:
+        self._add_id("udp", UDP_FLOW, src.to_bytes(2, "little"), dst.to_bytes(2, "little"), _DIR_UNSET)
+
+    def add_tcp(self, src: int, dst: int) -> None:
+        self._add_id("tcp", TCP_FLOW, src.to_bytes(2, "little"), dst.to_bytes(2, "little"), _DIR_UNSET)
+
+    def add_connection_id(self, cid: int) -> None:
+        self._add_id("id", CONNECTION_ID, cid.to_bytes(8, "little"), None, _DIR_UNSET)
+
+    # -- internals (flowid.go:247-333) ---------------------------------
+
+    def _sort_addr_write(self, a: bytes, b: bytes | None, hint: int):
+        if b is None:
+            if self.dir == _DIR_UNSET:
+                self.dir = hint
+            return a, b
+        if self.dir == _DIR_FORWARD:
+            return a, b
+        if self.dir == _DIR_REVERSED:
+            return b, a
+        if a < b:
+            self.dir = _DIR_FORWARD
+        elif a > b:
+            self.dir = _DIR_REVERSED
+            a, b = b, a
+        else:
+            self.dir = hint
+        return a, b
+
+    def _append(self, a: bytes, b: bytes | None) -> int:
+        off = len(self.flow_id)
+        self.flow_id += a
+        if b is not None:
+            self.flow_id += b
+        return off
+
+    def _overwrite(self, off: int, a: bytes, b: bytes | None) -> None:
+        self.flow_id[off:off + len(a)] = a
+        if b is not None:
+            self.flow_id[off + len(a):off + len(a) + len(b)] = b
+
+    def _add_id(self, name: str, flag: int, a: bytes, b: bytes | None, hint: int) -> None:
+        a, b = self._sort_addr_write(a, b, hint)
+        if self.off[name] == OFF_UNSET:
+            self.off[name] = self._append(a, b)
+            self.flags |= flag
+        else:
+            self._overwrite(self.off[name], a, b)
+
+    def _add_mult_layer_id(self, name: str, outer: str, flag: int, outer_flag: int,
+                           a: bytes, b: bytes | None, hint: int = _DIR_UNSET) -> None:
+        a, b = self._sort_addr_write(a, b, hint)
+        present = self.flags & (flag | outer_flag)
+        if present == flag | outer_flag:
+            self.off[outer], self.off[name] = self.off[name], self.off[outer]
+            self._overwrite(self.off[name], a, b)
+        elif present == flag:
+            self.off[outer] = self.off[name]
+            self.off[name] = self._append(a, b)
+            self.flags |= outer_flag
+        else:
+            self.off[name] = self._append(a, b)
+            self.flags |= flag
+
+    # -- readback (flowid.go:362-486) ----------------------------------
+
+    def _extract(self, name: str, size: int) -> bytes | None:
+        off = self.off[name]
+        if off == OFF_UNSET:
+            return None
+        return bytes(self.flow_id[off:off + size])
+
+    def _sort_addr_read(self, name: str, half: int):
+        off = self.off[name]
+        if off == OFF_UNSET:
+            return None, None, False
+        tmp = bytes(self.flow_id[off:off + 2 * half])
+        if self.dir == _DIR_REVERSED:
+            return tmp[half:], tmp[:half], True
+        return tmp[:half], tmp[half:], True
+
+    def eth_addr(self):
+        return self._sort_addr_read("eth", 6)
+
+    def ipv4_addr(self):
+        return self._sort_addr_read("ipv4", 4)
+
+    def outer_ipv4_addr(self):
+        return self._sort_addr_read("outer_ipv4", 4)
+
+    def ipv6_addr(self):
+        return self._sort_addr_read("ipv6", 16)
+
+    def tcp_addr(self):
+        return self._sort_addr_read("tcp", 2)
+
+    def udp_addr(self):
+        return self._sort_addr_read("udp", 2)
+
+    def vlan(self):
+        return self._extract("vlan", 2)
+
+    def outer_vlan(self):
+        return self._extract("outer_vlan", 2)
+
+    def header_bytes(self) -> bytes:
+        o = self.off
+        return bytes([
+            self.flags & 0xFF, (self.flags >> 8) & 0xFF,
+            o["eth"], o["outer_vlan"], o["vlan"], o["outer_ipv4"], o["ipv4"],
+            o["outer_ipv6"], o["ipv6"], o["icmpv4"], o["icmpv6"],
+            o["udp"], o["tcp"], o["id"],
+            self.cnt_eth & 0xFF, self.cnt_vlan & 0xFF, self.cnt_ip & 0xFF,
+        ])
+
+    def serialize(self) -> str:
+        """Serialize (flowid.go:362-390): header + payload, base64
+        RawStdEncoding (std alphabet, no padding)."""
+        raw = self.header_bytes() + bytes(self.flow_id)
+        return base64.b64encode(raw).decode("ascii").rstrip("=")
+
+
+# -- the single-layer Column fast path ---------------------------------------
+
+
+def _hex_byte(v: Column | int) -> Column:
+    c = v if isinstance(v, Column) else F.lit(v)
+    return F.lpad(F.lower(F.hex(c.cast("long"))), 2, "0")
+
+
+def _le16_hex(v: Column) -> Column:
+    return F.concat(_hex_byte(v.bitwiseAND(F.lit(0xFF))), _hex_byte(F.shiftright(v, 8)))
+
+
+def _mac_hex(col: Column) -> Column:
+    clean = F.lower(F.regexp_replace(col, "[:-]", ""))
+    return F.when(clean.rlike("^[0-9a-f]{12}$"), clean)
+
+
+def flow_id_column(
+    ip_src: Column | None = None,
+    ip_dst: Column | None = None,
+    eth_src: Column | None = None,
+    eth_dst: Column | None = None,
+    vlan: Column | None = None,
+    src_port: Column | None = None,
+    dst_port: Column | None = None,
+    transport: str = "tcp",
+    ipv6: bool = False,
+    connection_id: Column | None = None,
+) -> Column:
+    """Serialized flow.id for the non-tunneled single-layer case, as one
+    Column expression (identical bytes to FlowID with the same adds in
+    decode order eth → vlan → ip → tcp/udp → connection id).
+
+    Direction follows flowid.go's first-unequal-pair rule: the eth pair
+    orients the flow; if the macs tie (or eth is absent) the ip pair
+    does; then the ports. Every later pair is swapped to the established
+    direction. NULL/invalid inputs for a configured layer make the whole
+    id NULL (the reference would never have decoded such a packet)."""
+    from .processors.enrich import IPV4_RE, _ip_raw_hex, _ipv6_hextets
+
+    header = FlowID()  # drives flags/offsets via the real builder
+    pieces: list[tuple[str, Column, Column]] = []  # (name, hex_a, hex_b|lit(""))
+
+    eth_cmp = ip_cmp = port_cmp = None
+    if eth_src is not None:
+        header.add_eth(b"\x00" * 6, b"\x00" * 6)
+        a, b = _mac_hex(eth_src), _mac_hex(eth_dst)
+        eth_cmp = F.when(a < b, 1).when(a > b, -1).otherwise(0)
+        pieces.append(("eth", a, b))
+    if vlan is not None:
+        header.add_vlan(0)
+        pieces.append(("vlan", _le16_hex(vlan), F.lit("")))
+    if ip_src is not None:
+        if ipv6:
+            header.add_ipv6(b"\x00" * 16, b"\x00" * 16)
+            a = F.when(_ipv6_hextets(ip_src).isNotNull(), _ip_raw_hex(ip_src))
+            b = F.when(_ipv6_hextets(ip_dst).isNotNull(), _ip_raw_hex(ip_dst))
+        else:
+            header.add_ipv4(b"\x00" * 4, b"\x00" * 4)
+            a = F.when(ip_src.rlike(IPV4_RE), _ip_raw_hex(ip_src))
+            b = F.when(ip_dst.rlike(IPV4_RE), _ip_raw_hex(ip_dst))
+        ip_cmp = F.when(a < b, 1).when(a > b, -1).otherwise(0)
+        pieces.append(("ip", a, b))
+    if src_port is not None:
+        if transport == "tcp":
+            header.add_tcp(0, 0)
+        else:
+            header.add_udp(0, 0)
+        a, b = _le16_hex(src_port), _le16_hex(dst_port)
+        port_cmp = F.when(a < b, 1).when(a > b, -1).otherwise(0)
+        pieces.append(("port", a, b))
+    if connection_id is not None:
+        header.add_connection_id(0)
+        cid = connection_id.cast("long")
+        le64 = F.concat(*[_hex_byte(F.shiftright(cid, 8 * i).bitwiseAND(F.lit(0xFF))) for i in range(8)])
+        pieces.append(("cid", le64, F.lit("")))
+
+    # direction at each layer = first unequal pair among itself and the
+    # layers added before it (sortAddrWrite: dir sticks once set)
+    zero = F.lit(0)
+
+    def first_nonzero(*cmps: Column | None) -> Column:
+        out = zero
+        for c in reversed([c for c in cmps if c is not None]):
+            out = F.when(c != 0, c).otherwise(out)
+        return out
+
+    order_at = {
+        "eth": first_nonzero(eth_cmp),
+        "ip": first_nonzero(eth_cmp, ip_cmp),
+        "port": first_nonzero(eth_cmp, ip_cmp, port_cmp),
+    }
+    payload = F.lit("")
+    for name, a, b in pieces:
+        if name in order_at:
+            pair = F.when(order_at[name] >= 0, F.concat(a, b)).otherwise(F.concat(b, a))
+        else:
+            pair = F.concat(a, b)
+        payload = F.concat(payload, pair)
+
+    hdr = F.lit(header.header_bytes().hex())
+    b64 = F.base64(F.unhex(F.concat(hdr, payload)))
+    return F.regexp_replace(b64, "=+$", "")

@@ -1,0 +1,251 @@
+"""Port of packetbeat/flows/flowid_test.go onto the FlowID byte-parity
+builder, plus a randomized agreement battery pinning the pure-Column
+single-layer path (flow_id_column) to the builder's serialization.
+
+The expected payload bytes, flags and address-readback pairs below are
+the reference test's own vectors (TestFlowIDAddressSorted's 15-case
+table and TestSimilarWithOffsets), translated 1:1.
+"""
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from beats_spark.flowid import (
+    ETH_FLOW,
+    IPV4_FLOW,
+    OUTER_VLAN_FLOW,
+    TCP_FLOW,
+    VLAN_FLOW,
+    FlowID,
+    flow_id_column,
+)
+
+mac1 = bytes([1, 2, 3, 4, 5, 6])
+mac2 = bytes([6, 5, 4, 3, 2, 1])
+ip1 = bytes([127, 0, 0, 1])
+ip2 = bytes([128, 0, 1, 2])
+ip3 = bytes([128, 1, 1, 3])
+ip4 = bytes([129, 2, 1, 4])
+port1, port2 = 0x0100, 0x0200  # LE bytes {0,1} and {0,2} like the Go test
+vlan1, vlan2, vlan3 = 0x0101, 0x0201, 0x0301  # LE bytes {1,1} {1,2} {1,3}
+
+
+def _eth(a, b):
+    return lambda f: f.add_eth(a, b)
+
+
+def _ip(a, b):
+    return lambda f: (f.add_ipv4(a, b) if len(a) <= 4 else f.add_ipv6(a, b))
+
+
+def _vlan(v):
+    return lambda f: f.add_vlan(v)
+
+
+def _tcp(a, b):
+    return lambda f: f.add_tcp(a, b)
+
+
+def _all(*adds):
+    def run(f):
+        for a in adds:
+            a(f)
+    return run
+
+
+CASES = [
+    (_eth(mac1, mac2), [ETH_FLOW], mac1 + mac2,
+     [("eth_addr", mac1, mac2)]),
+    (_eth(mac2, mac1), [ETH_FLOW], mac1 + mac2,
+     [("eth_addr", mac2, mac1)]),
+    (_all(_eth(mac1, mac2), _eth(mac2, mac1)), [ETH_FLOW], mac2 + mac1,
+     [("eth_addr", mac2, mac1)]),
+    (_ip(ip1, ip2), [IPV4_FLOW], ip1 + ip2,
+     [("ipv4_addr", ip1, ip2)]),
+    (_ip(ip2, ip1), [IPV4_FLOW], ip1 + ip2,
+     [("ipv4_addr", ip2, ip1)]),
+    (_all(_ip(ip2, ip1), _ip(ip3, ip4)), [IPV4_FLOW], ip1 + ip2 + ip4 + ip3,
+     [("outer_ipv4_addr", ip2, ip1), ("ipv4_addr", ip3, ip4)]),
+    (_tcp(port1, port2), [TCP_FLOW], bytes([0, 1, 0, 2]),
+     [("tcp_addr", bytes([0, 1]), bytes([0, 2]))]),
+    (_tcp(port2, port1), [TCP_FLOW], bytes([0, 1, 0, 2]),
+     [("tcp_addr", bytes([0, 2]), bytes([0, 1]))]),
+    (_all(_eth(mac1, mac2), _ip(ip1, ip2)), [ETH_FLOW, IPV4_FLOW],
+     mac1 + mac2 + ip1 + ip2,
+     [("eth_addr", mac1, mac2), ("ipv4_addr", ip1, ip2)]),
+    (_all(_eth(mac1, mac2), _ip(ip2, ip1)), [ETH_FLOW, IPV4_FLOW],
+     mac1 + mac2 + ip2 + ip1,
+     [("eth_addr", mac1, mac2), ("ipv4_addr", ip2, ip1)]),
+    (_all(_eth(mac2, mac1), _ip(ip1, ip2)), [ETH_FLOW, IPV4_FLOW],
+     mac1 + mac2 + ip2 + ip1,
+     [("eth_addr", mac2, mac1), ("ipv4_addr", ip1, ip2)]),
+    (_all(_eth(mac2, mac1), _ip(ip2, ip1)), [ETH_FLOW, IPV4_FLOW],
+     mac1 + mac2 + ip1 + ip2,
+     [("eth_addr", mac2, mac1), ("ipv4_addr", ip2, ip1)]),
+    (_all(_eth(mac1, mac2), _vlan(vlan1)), [ETH_FLOW, VLAN_FLOW],
+     mac1 + mac2 + bytes([1, 1]),
+     [("eth_addr", mac1, mac2), ("vlan", bytes([1, 1]), None)]),
+    (_all(_eth(mac1, mac2), _vlan(vlan1), _vlan(vlan2)),
+     [ETH_FLOW, VLAN_FLOW, OUTER_VLAN_FLOW],
+     mac1 + mac2 + bytes([1, 1]) + bytes([1, 2]),
+     [("eth_addr", mac1, mac2), ("outer_vlan", bytes([1, 1]), None),
+      ("vlan", bytes([1, 2]), None)]),
+    (_all(_eth(mac1, mac2), _vlan(vlan1), _vlan(vlan2), _vlan(vlan3)),
+     [ETH_FLOW, VLAN_FLOW, OUTER_VLAN_FLOW],
+     mac1 + mac2 + bytes([1, 3]) + bytes([1, 2]),
+     [("eth_addr", mac1, mac2), ("outer_vlan", bytes([1, 2]), None),
+      ("vlan", bytes([1, 3]), None)]),
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_flowid_address_sorted(i):
+    add, flags, payload, addr_checks = CASES[i]
+    f = FlowID()
+    add(f)
+    for flag in flags:
+        assert f.flags & flag
+    assert bytes(f.flow_id) == payload
+    for getter, a, b in addr_checks:
+        got = getattr(f, getter)()
+        if b is None:
+            assert got == a  # single-value getters (vlan/outer_vlan)
+        else:
+            ga, gb, ok = got
+            assert ok and ga == a and gb == b
+
+
+def test_similar_with_offsets():
+    """TestSimilarWithOffsets: two different add orders over the same
+    tunnel produce the same bytes+flags but different offsets."""
+    f1, f2 = FlowID(), FlowID()
+    for add in (_eth(mac1, mac2), _ip(ip1, ip2), _ip(ip1, ip2)):
+        add(f1)
+    for add in (_eth(mac1, mac2), _ip(ip2, ip1), _ip(ip1, ip2), _ip(ip1, ip2)):
+        add(f2)
+    assert bytes(f1.flow_id) == bytes(f2.flow_id)
+    assert f1.flags == f2.flags
+    assert f1.off != f2.off
+
+
+def test_serialize_layout():
+    """Serialize (flowid.go:362-390): 17-byte header (LE flags, twelve
+    offsets, three counters) + payload, RawStdEncoding (no '=')."""
+    f = FlowID()
+    f.add_eth(mac1, mac2)
+    f.add_vlan(171)
+    f.add_ipv4(bytes([203, 0, 113, 3]), bytes([198, 51, 100, 2]))
+    f.add_tcp(38901, 80)
+    s = f.serialize()
+    assert "=" not in s
+    raw = base64.b64decode(s + "=" * (-len(s) % 4))
+    flags = raw[0] | (raw[1] << 8)
+    assert flags == ETH_FLOW | VLAN_FLOW | IPV4_FLOW | TCP_FLOW
+    # offsets: eth=0, vlan=12, ipv4=14, tcp=22 (decode-order appends)
+    assert raw[2] == 0 and raw[4] == 12 and raw[6] == 14 and raw[13 - 1] == 22
+    assert raw[14] == 1 and raw[15] == 1 and raw[16] == 1  # cntEth/Vlan/IP
+    assert raw[17:] == bytes(f.flow_id)
+
+
+def _rand_tuple(rng):
+    m1 = bytes(rng.randint(0, 256, 6, dtype=np.int64).astype(np.uint8))
+    m2 = bytes(rng.randint(0, 256, 6, dtype=np.int64).astype(np.uint8))
+    i1 = bytes(rng.randint(0, 256, 4, dtype=np.int64).astype(np.uint8))
+    i2 = bytes(rng.randint(0, 256, 4, dtype=np.int64).astype(np.uint8))
+    p1, p2 = int(rng.randint(0, 65536)), int(rng.randint(0, 65536))
+    vl = int(rng.randint(0, 4096))
+    # force interesting ties sometimes
+    if rng.rand() < 0.3:
+        m2 = m1
+    if rng.rand() < 0.3:
+        i2 = i1
+    if rng.rand() < 0.2:
+        p2 = p1
+    return m1, m2, i1, i2, p1, p2, vl
+
+
+def test_flow_id_column_agrees_with_builder(spark):
+    """The pure-Column single-layer path serializes byte-identically to
+    the reference-ported builder over randomized tuples (incl. tied
+    macs/ips/ports, which exercise the direction fallthrough) and for
+    every presence combination of eth/vlan layers and tcp/udp."""
+    rng = np.random.RandomState(7)
+    rows, want = [], []
+    combos = [(True, True, "tcp"), (True, False, "tcp"), (False, False, "tcp"),
+              (False, True, "udp"), (True, True, "udp")]
+    for n in range(60):
+        m1, m2, i1, i2, p1, p2, vl = _rand_tuple(rng)
+        use_eth, use_vlan, proto = combos[n % len(combos)]
+        f = FlowID()
+        if use_eth:
+            f.add_eth(m1, m2)
+        if use_vlan:
+            f.add_vlan(vl)
+        f.add_ipv4(i1, i2)
+        if proto == "tcp":
+            f.add_tcp(p1, p2)
+        else:
+            f.add_udp(p1, p2)
+        rows.append((
+            n,
+            ":".join(f"{b:02x}" for b in m1), ":".join(f"{b:02x}" for b in m2),
+            ".".join(str(b) for b in i1), ".".join(str(b) for b in i2),
+            p1, p2, vl,
+        ))
+        want.append((n, use_eth, use_vlan, proto, f.serialize()))
+
+    df = spark.createDataFrame(
+        rows, "n int, m1 string, m2 string, s string, d string, p1 int, p2 int, vl int"
+    )
+    got = {}
+    for use_eth, use_vlan, proto in combos:
+        col = flow_id_column(
+            ip_src=F.col("s"), ip_dst=F.col("d"),
+            eth_src=F.col("m1") if use_eth else None,
+            eth_dst=F.col("m2") if use_eth else None,
+            vlan=F.col("vl") if use_vlan else None,
+            src_port=F.col("p1"), dst_port=F.col("p2"), transport=proto,
+        )
+        for r in df.select("n", col.alias("fid")).collect():
+            got[(r["n"], use_eth, use_vlan, proto)] = r["fid"]
+    for n, use_eth, use_vlan, proto, expect in want:
+        assert got[(n, use_eth, use_vlan, proto)] == expect, (n, use_eth, use_vlan, proto)
+
+
+def test_flow_ecs_events_with_real_flow_id(spark):
+    """flow_ecs_events(flow_id=flow_id_column(...)) stamps the report
+    rows with the reference Serialize() id — verified against the
+    FlowID builder for the same 5-tuple."""
+    from beats_spark.aggregates import flow_ecs_events
+
+    base = 1_700_000_000.0
+    rows = [
+        ("c", "10.0.0.1", "10.0.0.2", 38901, 80, "user", "xxxx", base + 1.0),
+        ("c", "10.0.0.1", "10.0.0.2", 38901, 80, "assistant", "yyyyyy", base + 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, s string, d string, p1 int, p2 int, role string, text string, tsd double",
+    ).select("conv_id", "s", "d", "p1", "p2", "role", "text",
+             F.timestamp_seconds("tsd").alias("ts"))
+    ev = flow_ecs_events(
+        df, ["conv_id"],
+        forward=F.col("role") == "user",
+        bytes_expr=F.length("text"),
+        flow_id=flow_id_column(
+            ip_src=F.col("s"), ip_dst=F.col("d"),
+            src_port=F.col("p1"), dst_port=F.col("p2"), transport="tcp",
+        ),
+        timeout_seconds=60, period_seconds=0, t0_epoch=int(base),
+    ).collect()
+    assert len(ev) == 1
+    f = FlowID()
+    f.add_ipv4(bytes([10, 0, 0, 1]), bytes([10, 0, 0, 2]))
+    f.add_tcp(38901, 80)
+    assert ev[0]["flow_id"] == f.serialize()
+    assert ev[0]["network_bytes"] == 10 and ev[0]["flow_final"]
