@@ -775,13 +775,31 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs with minimal-shingle blocking —
-    blocking keys + exact verify replicated in the oracle."""
-    from beats_spark.datapipe.dedup import ngram_jaccard_pairs
+    blocking keys + exact verify replicated in the oracle. r5 fold:
+    kind='dupspan' rows add the Lee-et-al exact repeated-substring
+    coverage (dup_span_stats — positional window hashes, corpus-wide
+    count >= 2, per-doc interval-union coverage), recomputed from
+    scratch by the oracle."""
+    from beats_spark.datapipe.dedup import dup_span_stats, ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, n=5, threshold=0.4, hash_method="md5").select(
-        "id_a", "id_b"
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.4, hash_method="md5").select(
+        F.lit("pairs").alias("kind"),
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(None).cast("long").alias("nt"),
+        F.lit(None).cast("long").alias("dupt"),
+        F.lit(None).cast("double").alias("dupf"),
     )
+    spans = dup_span_stats(docs, window=15, min_count=2, hash_method="md5").select(
+        F.lit("dupspan").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("n_tokens").alias("nt"),
+        F.col("dup_tokens").alias("dupt"),
+        F.col("dup_fraction").alias("dupf"),
+    )
+    return pairs.unionByName(spans)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,11 +1826,60 @@ cands AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM keyc a JOIN keyc b ON a.key = b.key AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b
+SELECT 'pairs' AS kind, id_a, id_b,
+       CAST(NULL AS BIGINT) AS nt, CAST(NULL AS BIGINT) AS dupt,
+       CAST(NULL AS DOUBLE) AS dupf
 FROM cands
 JOIN shing sa ON sa.doc_id = id_a
 JOIN shing sb ON sb.doc_id = id_b
 WHERE {_JACCARD} >= {threshold}
+UNION ALL
+SELECT kind, id_a, id_b, nt, dupt, dupf FROM ({_dupspan_oracle_sql()})
+"""
+
+
+def _dupspan_oracle_sql(window: int = 15, min_count: int = 2) -> str:
+    """Recomputes dup_span_stats from scratch: positional window-gram
+    md5s, corpus-wide occurrence counts (intra-doc repeats included),
+    per-doc interval-union coverage via the running-max-end window."""
+    return f"""
+WITH d0 AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
+  FROM documents
+),
+dt AS (
+  SELECT doc_id,
+         CASE WHEN length(norm) > 0 THEN len(string_split(norm, ' ')) ELSE 0 END AS n_tokens,
+         string_split(norm, ' ') AS toks
+  FROM d0
+),
+pg AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5('0:' || array_to_string(
+           toks[CAST(i AS INTEGER):CAST(i + {window} - 1 AS INTEGER)], ' ')) AS h
+  FROM dt, unnest(range(1, greatest(len(toks) - {window} + 1, 0) + 1)) AS t(i)
+  WHERE len(toks) >= {window}
+),
+hot AS (SELECT h FROM pg GROUP BY h HAVING count(*) >= {min_count}),
+dup_pos AS (SELECT pg.doc_id, pg.pos FROM pg JOIN hot USING (h)),
+cov AS (
+  SELECT doc_id,
+         CAST(sum(greatest(0, pos + {window} - greatest(pos, coalesce(pe, 0)))) AS BIGINT)
+           AS dup_tokens
+  FROM (
+    SELECT doc_id, pos,
+           max(pos + {window}) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM dup_pos)
+  GROUP BY doc_id
+)
+SELECT 'dupspan' AS kind, dt.doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       CAST(dt.n_tokens AS BIGINT) AS nt,
+       coalesce(cov.dup_tokens, 0) AS dupt,
+       CASE WHEN dt.n_tokens > 0
+            THEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE) / dt.n_tokens
+            ELSE 0.0 END AS dupf
+FROM dt LEFT JOIN cov USING (doc_id)
 """
 
 

@@ -690,3 +690,94 @@ def ngram_decontaminate(
         .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
         .withColumn("contaminated", F.col("n_hits") > 0)
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 50,
+    min_count: int = 2,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Exact repeated-substring coverage, the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    substring-dedup signal at word granularity: for every document, the
+    fraction of its tokens covered by some length-`window` token span
+    whose hash occurs >= `min_count` times CORPUS-WIDE (intra-document
+    repeats count — a doc that repeats its own boilerplate twice is
+    self-contaminating, exactly like the suffix-array formulation).
+
+    Returns (id, n_tokens, dup_tokens, dup_fraction). Filter/trim
+    downstream: `.filter(F.col('dup_fraction') < 0.5)` or feed the dup
+    spans to a cutter.
+
+    Scale shape: one explode (n_tokens - window + 1 positional hashes
+    per doc, hashes of joined-string grams — the measured-fastest
+    payload, see _word_gram_hashes), one hash-keyed count with map-side
+    partial combine, one join of the positional rows against the
+    `count >= min_count` hash set (hash-keyed shuffle; mega-duplicated
+    boilerplate hashes are exactly AQE skew-join territory — the joined
+    payload per row is only (id, pos)), then a per-doc ordered window
+    for interval-union coverage. No driver actions, no per-row Python.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toks = F.split(norm, " ")
+    nt = F.when(F.length(norm) > 0, F.size(toks)).otherwise(F.lit(0))
+    posgrams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                _seeded_hash(
+                    F.array_join(F.slice(toks, i + 1, window), " "), 0, hash_method
+                )
+                .cast("string")
+                .alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
+
+    base = df.select(F.col(id_col), nt.alias("n_tokens"), posgrams.alias("_pg"))
+    exploded = base.select(id_col, F.explode("_pg").alias("g")).select(
+        id_col, F.col("g.pos").alias("_pos"), F.col("g.h").alias("_h")
+    )
+    hot = (
+        exploded.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dup_pos = exploded.join(hot, "_h").select(id_col, "_pos")
+
+    w_ord = Window.partitionBy(id_col).orderBy("_pos")
+    prev_end = F.max(F.col("_pos") + window).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        (F.col("_pos") + window)
+        - F.greatest(F.col("_pos"), F.coalesce(prev_end, F.lit(0).cast("long"))),
+    )
+    covered = (
+        dup_pos.withColumn("_cv", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("_cv").alias("dup_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(covered, [id_col], "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup_tokens"), F.lit(0)) / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("dup_fraction"),
+        )
+    )

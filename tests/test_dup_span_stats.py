@@ -1,0 +1,106 @@
+"""dup_span_stats — exact repeated-substring coverage (the Lee et al.
+substring-dedup signal) checked against an independent brute-force
+Python oracle: enumerate every length-w token window, count occurrences
+corpus-wide (intra-doc repeats included), union the covered intervals
+per doc."""
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from beats_spark.datapipe.dedup import dup_span_stats
+
+
+def _toks(text: str) -> list[str]:
+    t = re.sub(r"\s+", " ", text.lower()).strip()
+    return t.split(" ") if t else []
+
+
+def oracle(docs: dict[str, str], window: int, min_count: int):
+    from collections import Counter
+
+    counts: Counter = Counter()
+    wins: dict[str, list[tuple[int, str]]] = {}
+    for did, text in docs.items():
+        tk = _toks(text)
+        ws = [
+            (i, " ".join(tk[i:i + window]))
+            for i in range(0, max(0, len(tk) - window + 1))
+        ]
+        wins[did] = ws
+        for _, w in ws:
+            counts[w] += 1
+    out = {}
+    for did, text in docs.items():
+        tk = _toks(text)
+        cov = 0
+        end = 0
+        for i, w in wins[did]:
+            if counts[w] >= min_count:
+                s = max(i, end)
+                e = i + window
+                if e > s:
+                    cov += e - s
+                    end = e
+        out[did] = (len(tk), cov, cov / len(tk) if tk else 0.0)
+    return out
+
+
+def _mk_docs(seed: int, n_docs=40, vocab=120):
+    """Docs with planted shared boilerplate, self-repeats, and unique
+    tails; some shorter than the window."""
+    rng = np.random.RandomState(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    boiler = " ".join(words[i % vocab] for i in rng.randint(0, vocab, 60))
+    docs = {}
+    for d in range(n_docs):
+        parts = []
+        if rng.rand() < 0.5:
+            parts.append(boiler)  # shared across many docs
+        parts.append(" ".join(words[i] for i in rng.randint(0, vocab, rng.randint(5, 120))))
+        if rng.rand() < 0.25:
+            parts.append(parts[-1])  # self-repeat
+        docs[f"d{d}"] = " ".join(parts)
+    docs["tiny"] = "a b c"  # shorter than any window
+    docs["empty"] = ""
+    return docs
+
+
+@pytest.mark.parametrize("seed,window,min_count", [(0, 50, 2), (1, 20, 2), (2, 20, 3)])
+def test_dup_span_stats_matches_bruteforce(spark, seed, window, min_count):
+    docs = _mk_docs(seed)
+    df = spark.createDataFrame(list(docs.items()), "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in dup_span_stats(
+            df, window=window, min_count=min_count
+        ).collect()
+    }
+    want = oracle(docs, window, min_count)
+    assert set(got) == set(want)
+    for did in want:
+        nt, cov, frac = want[did]
+        assert got[did][0] == nt, did
+        assert got[did][1] == cov, (did, got[did], want[did])
+        assert got[did][2] == pytest.approx(frac), did
+
+
+def test_dup_span_no_dups_and_total_dup(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", " ".join(f"x{i}" for i in range(30))),   # unique
+            ("b", " ".join(f"y{i}" for i in range(30))),   # unique
+            ("c", " ".join(f"z{i % 10}" for i in range(10)) * 1),  # short
+            ("d", " ".join(f"q{i}" for i in range(25))),
+            ("e", " ".join(f"q{i}" for i in range(25))),   # exact clone of d
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_span_stats(df, window=20).collect()}
+    assert out["a"]["dup_tokens"] == 0 and out["b"]["dup_fraction"] == 0.0
+    # d/e share every 20-window → full coverage of the window span
+    assert out["d"]["dup_tokens"] == 25 and out["e"]["dup_fraction"] == 1.0
