@@ -337,3 +337,84 @@ def test_flow_reports_stream_matches_batch(spark, tmp_path):
     skeys = sorted({r["key"]["key"] for r in state.collect()})
     assert "A" not in skeys and "B" not in skeys, skeys
     assert "Z2" in skeys, skeys
+
+
+def test_flow_reports_stream_delta_and_counters(spark, tmp_path):
+    """Streaming delta mode (enableDeltaFlowReporting) with a custom
+    summed counter matches the batch twin row-for-row."""
+    import os
+
+    from beats_spark.streaming.flows import flow_reports_stream
+
+    base = 1_700_000_000
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    schema = "key string, ts timestamp, b long"
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "key string, tsd double, b long").select(
+            "key", F.timestamp_seconds("tsd").alias("ts"), "b"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 second")
+        )
+        rep = flow_reports_stream(
+            stream, ["key"], t0_epoch=base, timeout_seconds=60, period_seconds=20,
+            delta=True, counters={"packets": None, "bytes": "b"},
+        )
+        q = (
+            rep.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    data = [
+        ("A", base + 3.0, 7), ("A", base + 27.0, 11), ("A", base + 41.0, 3),
+        ("A", base + 150.0, 5),
+        ("B", base + 12.0, 2),
+    ]
+    write_file(data)
+    run_once()
+    write_file([("Z1", base + 10_000.0, 1)])
+    run_once()
+    write_file([("Z2", base + 20_000.0, 1)])
+    run_once()
+
+    def rowset(rows):
+        return {
+            (
+                r["key"],
+                r["report_ts"].timestamp(),
+                r["flow_start"].timestamp(),
+                r["flow_end"].timestamp(),
+                r["final"],
+                r["packets"],
+                r["bytes"],
+            )
+            for r in rows
+        }
+
+    got = rowset(
+        r for r in spark.read.parquet(out).collect() if not r["key"].startswith("Z")
+    )
+
+    from beats_spark.aggregates import flow_reports
+
+    bdf = spark.createDataFrame(data, "key string, tsd double, b long").select(
+        "key", F.timestamp_seconds("tsd").alias("ts"), "b"
+    )
+    want = rowset(
+        flow_reports(
+            bdf, ["key"], timeout_seconds=60, period_seconds=20, t0_epoch=base,
+            delta=True, counters={"packets": F.lit(1), "bytes": F.col("b")},
+        ).collect()
+    )
+    assert got == want
+    # delta semantics visible: some periodic report has zero packets
+    assert any(p == 0 for *_, f, p, _b in got if not f)
