@@ -206,7 +206,12 @@ def flow_reports_stream(
             wm_sec = state.getCurrentWatermarkMs() / 1000.0
         except Exception:
             wm_sec = -float("inf")
-        target_k = int(math.floor((wm_sec - t0) / tick)) if wm_sec > t0 else 0
+        # process only ticks STRICTLY before the watermark: Spark drops
+        # rows with ts < wm, but a row with ts == wm can still arrive —
+        # tick c must wait until wm > c so every event with ts <= c is in
+        target_k = (
+            int(math.ceil((wm_sec - t0) / tick)) - 1 if wm_sec > t0 else 0
+        )
 
         out: list[tuple] = []
 
