@@ -1363,7 +1363,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       oracled), embedding_near_dupes→ann_lsh_topk (kind='topk'|'neardup'
       union of the SRP-bucket family); detect_mime_type folded into
       codec_json; decode_xml_wineventlog folded into decode_xml.
-    New r4: ngram_decontaminate, pq_adc_topk (VERDICT item 9)."""
+    New r4: ngram_decontaminate, pq_adc_topk (VERDICT item 9).
+    r5 folds: flows worker-loop replay→sessionize (kind='session'|
+    'flowrep' union — the oracle recomputes the replay in SQL);
+    dup_span_stats→ngram_jaccard (kind='pairs'|'dupspan' union);
+    kafka fields-hash partitioner histogram→routing_sink_counts."""
     return {
         "pipeline_routed": q_pipeline_routed,
         "routing_sink_counts": q_routing_sink_counts,

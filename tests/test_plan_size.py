@@ -107,3 +107,49 @@ class TestAnnPlanSize:
         out = ivfpq_topk(codes, queries, cents, books, k=3, nprobe=4)
         _assert_bounded(out, "ivfpq_topk")
         assert out.count() >= 0
+
+
+class TestFlowAndSpanPlanShape:
+    """Scale-promise regression tests for the r5 operators: no
+    cartesian/nested-loop nodes, map-side partial aggregation present,
+    bounded plan strings."""
+
+    def _plan(self, df):
+        return _plan_str(df)
+
+    def test_flow_reports_plan_shape(self, spark):
+        from beats_spark.aggregates import flow_reports
+
+        df = spark.range(0, 1000).select(
+            (F.col("id") % 20).cast("string").alias("key"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 7).alias("ts"),
+            (F.col("id") % 97).alias("b"),
+        )
+        rep = flow_reports(
+            df, ["key"], timeout_seconds=1800, period_seconds=600,
+            t0_epoch=1_700_000_000,
+            counters={"packets": F.lit(1), "bytes": F.col("b")},
+        )
+        s = self._plan(rep)
+        assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+        assert "partial_" in s  # map-side combine on the keyed aggregates
+        assert len(s) < PLAN_CHARS_MAX
+
+    def test_dup_span_stats_plan_shape(self, spark):
+        from beats_spark.datapipe.dedup import dup_span_stats
+
+        df = spark.range(0, 200).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(40)),
+                    lambda i: F.concat(F.lit("w"), ((i + F.col("id")) % 50).cast("string")),
+                ),
+            ).alias("text"),
+        )
+        out = dup_span_stats(df, window=15)
+        s = self._plan(out)
+        assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+        assert "partial_" in s
+        assert len(s) < PLAN_CHARS_MAX
