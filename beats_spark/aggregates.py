@@ -78,12 +78,6 @@ def pipeline_metrics(df: DataFrame) -> DataFrame:
     )
 
 
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
-
-
 class FlowConfigError(ValueError):
     """ErrInvalidTimeout / ErrInvalidPeriod (packetbeat/flows/flows.go)."""
 
@@ -147,7 +141,9 @@ def flow_reports(
         counters = {"packets": F.lit(1)}
     cnames = list(counters)
 
-    tick = _gcd(timeout_seconds, period_seconds) if period_seconds > 0 else timeout_seconds
+    # math.gcd, same as the streaming twin's _grid — the two tick grids
+    # must stay in lockstep
+    tick = math.gcd(timeout_seconds, period_seconds) if period_seconds > 0 else timeout_seconds
     tick = max(tick, 1)
     ci = max(1, timeout_seconds // tick) * tick          # check interval
     ri = max(1, period_seconds // tick) * tick if period_seconds > 0 else None

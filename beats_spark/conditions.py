@@ -37,14 +37,6 @@ NAMED_NETWORKS: dict[str, list[str]] = {
     "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
     "unspecified": ["0.0.0.0/32", "::/128"],
 }
-# names resolved by predicate composition rather than a CIDR list
-_COMPOSED_NETWORKS = {
-    "public",
-    "unicast",
-    "global_unicast",
-    "link_local_multicast",
-    "interface_local_multicast",
-}
 
 
 def _flat_name(name: str) -> str:

@@ -224,7 +224,16 @@ def _hex_byte(v: Column | int) -> Column:
 
 
 def _le16_hex(v: Column) -> Column:
-    return F.concat(_hex_byte(v.bitwiseAND(F.lit(0xFF))), _hex_byte(F.shiftright(v, 8)))
+    # range-guarded: out-of-range/negative values yield NULL (→ whole id
+    # NULL) instead of silently wrapping mod 2^16 — unmasked shiftright +
+    # lpad truncation made port 70000 produce the id of port 4464, a
+    # valid-looking flow.id for a packet that never existed (r5 review);
+    # the builder layer raises OverflowError on the same input
+    v = v.cast("long")
+    return F.when(
+        (v >= 0) & (v <= 0xFFFF),
+        F.concat(_hex_byte(v.bitwiseAND(F.lit(0xFF))), _hex_byte(F.shiftright(v, 8))),
+    )
 
 
 def _mac_hex(col: Column) -> Column:
@@ -289,7 +298,15 @@ def flow_id_column(
     if connection_id is not None:
         header.add_connection_id(0)
         cid = connection_id.cast("long")
-        le64 = F.concat(*[_hex_byte(F.shiftright(cid, 8 * i).bitwiseAND(F.lit(0xFF))) for i in range(8)])
+        # negative → NULL id: the builder's to_bytes raises OverflowError
+        # there (Go's AddConnectionID takes a uint64, which can't go
+        # negative) — NULL is the column-side analog of "never decoded"
+        le64 = F.when(
+            cid >= 0,
+            F.concat(
+                *[_hex_byte(F.shiftright(cid, 8 * i).bitwiseAND(F.lit(0xFF))) for i in range(8)]
+            ),
+        )
         pieces.append(("cid", le64, F.lit("")))
 
     # direction at each layer = first unequal pair among itself and the

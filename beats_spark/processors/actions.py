@@ -197,10 +197,10 @@ def rename(
     def stage(df: DataFrame) -> DataFrame:
         for f in fields:
             src, dst = f["from"], f["to"]
-            if src not in df.columns:
-                if ignore_missing or not fail_on_error:
-                    continue
-                raise ValueError(f"rename: source field {src!r} missing")
+            # target-exists check FIRST: renameField errors on the target
+            # before even fetching the source, so ignore_missing must NOT
+            # suppress a conflict whose source also happens to be absent
+            # (r5 review — matches copy_fields' documented order)
             if dst in df.columns:
                 if fail_on_error:
                     raise ValueError(
@@ -208,6 +208,10 @@ def rename(
                         "drop or rename this field first"
                     )
                 continue
+            if src not in df.columns:
+                if ignore_missing or not fail_on_error:
+                    continue
+                raise ValueError(f"rename: source field {src!r} missing")
             df = df.withColumnRenamed(src, dst)
         return df
 

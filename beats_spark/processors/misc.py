@@ -143,15 +143,18 @@ def move_fields(
             src = from_prefix + b
             if src in df.columns and src not in protected:
                 renames[src] = to_prefix + b
-        taken = set(df.columns) - set(renames)
+        # ONE atomic select, not a withColumnRenamed chain: sequential
+        # renames let a target equal a later rename's not-yet-vacated
+        # source ('b'→'x_b' while 'x_b'→'x_x_b' is pending renamed BOTH,
+        # yielding duplicate column names — r5 review finding). Collision
+        # check = duplicates among the FINAL names.
+        final = [renames.get(c, c) for c in df.columns]
         seen: set[str] = set()
-        for src, dst in renames.items():
-            if dst in taken or dst in seen:
-                raise ValueError(f"move_fields: target column already exists: {dst}")
-            seen.add(dst)
-        for src, dst in renames.items():
-            df = df.withColumnRenamed(src, dst)
-        return df
+        for name in final:
+            if name in seen:
+                raise ValueError(f"move_fields: target column already exists: {name}")
+            seen.add(name)
+        return df.select([F.col(c).alias(n) for c, n in zip(df.columns, final)])
 
     return stage
 

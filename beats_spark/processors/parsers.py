@@ -64,8 +64,10 @@ def convert(
 
     def stage(df: DataFrame) -> DataFrame:
         from ..conditions import IPV4_RE, _ipv6_hextets
+        from ..dissect import _SPARK_TYPES
 
-        casts: list[tuple[str, Column, Column]] = []  # (to, cast, failed)
+        dtypes = dict(df.dtypes)
+        casts: list[tuple[str, str, Column, Column]] = []  # (to, type, cast, failed)
         for f in fields:
             src = f["from"]
             dst = f.get("to", src)
@@ -81,20 +83,39 @@ def convert(
                 ok = col.rlike(IPV4_RE) | _ipv6_hextets(col).isNotNull()
                 failed = col.isNotNull() & ~ok
                 casted = F.when(ok, col)
-            casts.append((dst, casted, failed))
+            casts.append((dst, ty, casted, failed))
         any_failed = F.lit(False)
-        for _, _, failed in casts:
+        for _, _, _, failed in casts:
             any_failed = any_failed | failed
-        for dst, casted, _ in casts:
+        # materialize the failure predicate BEFORE any target write: an
+        # in-place convert overwrites its own source, and a name-resolved
+        # any_failed evaluated after that reads the REPLACED (NULL-on-
+        # failure) column — failed rows came out unflagged (r5 review)
+        df = df.withColumn("_cv_failed", any_failed)
+        any_failed = F.col("_cv_failed")
+        for dst, ty, casted, _ in casts:
             if fail_on_error:
-                orig = F.col(dst) if dst in df.columns else F.lit(None).cast("string")
-                df = df.withColumn(dst, F.when(~any_failed, casted).otherwise(orig.cast("string")))
+                # per-row rollback: the target keeps its ORIGINAL value only
+                # when that value already has the target's type (string→
+                # string, ip, reconverting a typed column); a type-changing
+                # convert rolls back to a TYPED NULL + flag — restoring the
+                # raw string into a when() branch would type-coerce it to
+                # the cast type and ANSI-crash the job on the very rows the
+                # rollback exists to protect (r5 review finding)
+                out_ty = _SPARK_TYPES.get(ty, "string")
+                if dst in dtypes and dtypes[dst] == out_ty:
+                    rollback = F.col(dst)
+                else:
+                    rollback = F.lit(None).cast(out_ty)
+                df = df.withColumn(dst, F.when(~any_failed, casted).otherwise(rollback))
             else:
                 df = df.withColumn(dst, casted)
         # flag BEFORE rename-dropping the sources: any_failed references
         # the source columns, and a withColumn after the drop fails
         # analysis (found by the r5 convert_test.go mode-matrix port)
-        df = df.withColumn(FLAGS_COL, append_flag(_flags(df), FLAG_CONVERT_FAILURE, any_failed))
+        df = df.withColumn(
+            FLAGS_COL, append_flag(_flags(df), FLAG_CONVERT_FAILURE, any_failed)
+        ).drop("_cv_failed")
         if mode == "rename":
             drop = {f["from"] for f in fields if f.get("to") and f["to"] != f["from"]}
             df = df.drop(*[c for c in drop if c in df.columns])
@@ -480,9 +501,14 @@ def decode_csv_fields(
             tname: F.when(~(any_failed if fail_on_error else failed), cells)
             for tname, cells, failed in outs
         }
-        new_cols[FLAGS_COL] = append_flag(
-            _flags(df), "decode_csv_arity_exceeded", any_failed
-        )
+        if fail_on_error:
+            # failOnError=false IGNORES the error entirely in the reference
+            # (decode_csv_fields.go Run: err != nil && failOnError gate) —
+            # flagging like the urldecode/base64/extract_array siblings,
+            # and only when errors are not explicitly ignored (r5 review)
+            new_cols[FLAGS_COL] = append_flag(
+                _flags(df), "decode_csv_arity_exceeded", any_failed
+            )
         return df.withColumns(new_cols)
 
     return stage
@@ -702,13 +728,19 @@ def _normalize_timezone(tz: str) -> str:
     raise ValueError(f"timestamp: invalid timezone {tz!r}")
 
 
+def _pattern_letters(layout: str) -> str:
+    """The PATTERN portion of a Java datetime layout — quoted literals
+    stripped, so letters inside 'day'/'uptime' text don't read as
+    directives."""
+    import re as _re
+
+    return "".join(p for i, p in enumerate(_re.split(r"('[^']*')", layout)) if i % 2 == 0)
+
+
 def _layout_has_zone(layout: str) -> bool:
     """Does a Java datetime pattern carry its own zone/offset? (Pattern
     letters X/x/Z/z/O/V outside quoted literals.)"""
-    import re as _re
-
-    outside = "".join(p for i, p in enumerate(_re.split(r"('[^']*')", layout)) if i % 2 == 0)
-    return any(c in outside for c in "XxZzOV")
+    return any(c in _pattern_letters(layout) for c in "XxZzOV")
 
 
 def timestamp(
@@ -752,9 +784,11 @@ def timestamp(
                 num if layout == "UNIX" else num / F.lit(1000.0)
             )
         p = F.try_to_timestamp(col.cast("string"), F.lit(layout))
-        if not any(c in layout for c in "yu"):
-            # no-year layout: Java defaults 1970 — patch the current
-            # (UTC) year like the reference patches now().Year()
+        if not any(c in _pattern_letters(layout) for c in "yu"):
+            # no-year layout (quote-aware: a 'y'/'u' inside quoted literal
+            # text like 'day' is not a year directive — r5 review finding):
+            # Java defaults 1970 — patch the current (UTC) year like the
+            # reference patches now().Year()
             delta = datetime.now(_pytz.utc).year - 1970
             p = p + F.make_interval(years=F.lit(delta))
         if not _layout_has_zone(layout):

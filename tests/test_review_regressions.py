@@ -699,3 +699,110 @@ def test_r5_case_fold_mandatory_filter_before_guard(spark):
     df = spark.createDataFrame([("a", "T")], "x string, type string")
     out = build("lowercase", fields=["type"], when={"equals": {"x": "a"}})(df)
     assert out.columns == ["x", "type"]
+
+
+# -- round-5 second review pass (flows/flowid/matrix-port batch) --------------
+
+
+def test_r5b_convert_inplace_rollback_does_not_crash(spark):
+    """r5b finding 1: in-place convert (no 'to') with the default
+    fail_on_error=True ANSI-crashed the job on any unconvertible value —
+    the rollback branch coerced the raw string to the numeric cast type.
+    Type-changing rollback = typed NULL + flag; same-type rollback (a
+    distinct existing target) restores the original value."""
+    df = spark.createDataFrame([("x",), ("42",)], "v string")
+    out = {r.v: r for r in build("convert", fields=[{"from": "v", "type": "integer"}])(df).collect()}
+    # in-place: column is now typed; failed row → NULL + flag
+    assert out is not None  # collect() itself was the crash
+    vals = {
+        bool(r["log_flags"]) and "convert_error" in r["log_flags"]: r["v"]
+        for r in out.values()
+    }
+    assert vals[True] is None and vals[False] == 42
+    # same-type existing target: rollback restores the ORIGINAL value
+    df2 = spark.createDataFrame([("x", "orig"), ("42", "old")], "v string, w string")
+    rows = {r.v: r for r in build(
+        "convert", fields=[{"from": "v", "to": "n", "type": "integer"}, {"from": "w", "type": "string"}]
+    )(df2).collect()}
+    assert rows["x"].n is None and rows["x"].w == "orig"
+    assert rows["42"].n == 42
+
+
+def test_r5b_move_fields_atomic_renames(spark):
+    """r5b finding 2: sequential withColumnRenamed let a rename target
+    equal a later rename's not-yet-vacated source, producing DUPLICATE
+    column names. Renames are one atomic select: chains work, and a
+    target colliding with a non-renamed column still refuses."""
+    from beats_spark.processors.misc import move_fields
+
+    df = spark.createDataFrame([("B", "XB")], "b string, x_b string")
+    out = move_fields(fields=["b", "x_b"], to_prefix="x_")(df)
+    assert sorted(out.columns) == ["x_b", "x_x_b"]
+    r = out.first()
+    assert r.x_b == "B" and r.x_x_b == "XB"
+    with pytest.raises(ValueError, match="already exists"):
+        move_fields(fields=["b"], to_prefix="x_")(df)  # x_b is taken
+
+
+def test_r5b_timestamp_quoted_literal_not_year_directive(spark):
+    """r5b finding 3: a 'y'/'u' inside QUOTED literal text ('day',
+    'uptime') is not a year directive — the current-year patch must
+    still apply (events landed in 1970)."""
+    from datetime import datetime, timezone
+
+    from beats_spark.processors.parsers import timestamp
+
+    df = spark.createDataFrame([("day 03-04 05:06:07",)], "t string")
+    r = timestamp("t", ["'day' MM-dd HH:mm:ss"], target="ts")(df).first()
+    assert r.ts is not None
+    assert r.ts.year == datetime.now(timezone.utc).year
+    assert (r.ts.month, r.ts.day, r.ts.hour) == (3, 4, 5)
+
+
+def test_r5b_flow_id_column_out_of_range_is_null(spark):
+    """r5b finding 4: out-of-range/negative ports wrapped mod 2^16 and
+    produced the flow.id of a DIFFERENT valid packet (70000 → 4464); the
+    builder raises OverflowError on the same input. Invalid inputs for a
+    configured layer now make the whole id NULL, per the docstring."""
+    from beats_spark.flowid import flow_id_column
+
+    df = spark.createDataFrame(
+        [(1, "10.0.0.1", "10.0.0.2", 70000, 80),
+         (2, "10.0.0.1", "10.0.0.2", 4464, 80),
+         (3, "10.0.0.1", "10.0.0.2", -1, 80),
+         (4, "10.0.0.1", "10.0.0.2", 443, 80)],
+        "i int, src string, dst string, sp int, dp int",
+    )
+    out = {r.i: r.fid for r in df.select(
+        "i",
+        flow_id_column(
+            ip_src=F.col("src"), ip_dst=F.col("dst"),
+            src_port=F.col("sp"), dst_port=F.col("dp"),
+        ).alias("fid"),
+    ).collect()}
+    assert out[1] is None and out[3] is None
+    assert out[2] is not None and out[4] is not None
+    assert out[1] != out[2]  # the wrap alias is dead
+
+
+def test_r5b_decode_csv_flag_gated_on_fail_on_error(spark):
+    """r5b finding 5: failOnError=false IGNORES the error in the
+    reference — the arity flag must not be appended (siblings urldecode/
+    base64/extract_array already gate theirs)."""
+    wide = ",".join(str(i) for i in range(70))  # > max_columns=64
+    df = spark.createDataFrame([(wide,)], "c string")
+    lax = build("decode_csv_fields", field="c", target="cells", fail_on_error=False)(df).first()
+    assert "decode_csv_arity_exceeded" not in (lax.asDict().get("log_flags") or [])
+    strict = build("decode_csv_fields", field="c", target="cells2", fail_on_error=True)(df).first()
+    assert "decode_csv_arity_exceeded" in strict.log_flags
+
+
+def test_r5b_rename_target_exists_beats_ignore_missing(spark):
+    """r5b finding 6: renameField errors on the TARGET before fetching
+    the source — ignore_missing must not suppress a conflict whose
+    source is also absent."""
+    from beats_spark.processors.actions import rename
+
+    df = spark.createDataFrame([("keep",)], "existing string")
+    with pytest.raises(ValueError, match="already exists"):
+        rename(fields=[{"from": "gone", "to": "existing"}], ignore_missing=True)(df)
