@@ -46,6 +46,46 @@ def _flat_name(name: str) -> str:
     return name.replace(".", "_") if "." in name else name
 
 
+def _split_top(s: str) -> list[str]:
+    """Split a dtype string's element list on TOP-LEVEL commas only
+    ('string,array<struct<a:int,b:int>>' → 2 parts, not 3)."""
+    parts: list[str] = []
+    depth, cur = 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
+def dtype_map_value(t: str) -> str | None:
+    """Value type of a map<k,v> dtype string, else None."""
+    if not t.startswith("map<") or not t.endswith(">"):
+        return None
+    kv = _split_top(t[4:-1])
+    return kv[1].strip() if len(kv) == 2 else None
+
+
+def dtype_struct_field(t: str, name: str) -> str | None:
+    """Type of field `name` in a struct<...> dtype string, else None
+    (also None for non-struct dtypes)."""
+    if not t.startswith("struct<") or not t.endswith(">"):
+        return None
+    for part in _split_top(t[7:-1]):
+        fname, colon, ftype = part.partition(":")
+        if colon and fname.strip() == name:
+            return ftype.strip()
+    return None
+
+
 def _field(name: str) -> Column:
     """Dot-path access: top-level column, else attrs map lookup.
 
@@ -226,7 +266,16 @@ def _all(conds: list[Column]) -> Column:
 
 
 def _is_array(name: str, schema: dict[str, str] | None) -> bool:
-    return schema is not None and schema.get(_flat_name(name), "").startswith("array")
+    if schema is None:
+        return False
+    if name.startswith("attrs."):
+        # an attrs-path field resolves to the MAP's value type, not the
+        # map column's own dtype — keying off 'attrs' compiled the scalar
+        # branch for map<string,array<string>> values and failed analysis
+        # with array-vs-scalar mismatches (r5 review)
+        vt = dtype_map_value(schema.get("attrs", ""))
+        return vt is not None and vt.startswith("array")
+    return schema.get(_flat_name(name), "").startswith("array")
 
 
 def compile_condition(cfg: dict[str, Any], schema: dict[str, str] | None = None) -> Column:

@@ -622,7 +622,11 @@ def dedup_transitive(
         on=id_col,
         how="left_anti",
     )
-    return keep
+    # inherit the persisted intermediates (buckets + pairs + shingle
+    # table) so release_intermediates(keep) frees them — without this the
+    # composed path leaked exactly the per-batch cache the _materialize
+    # ownership scheme exists to release (r5 review)
+    return _track(keep, inherit=[pairs])
 
 
 # -- benchmark decontamination -------------------------------------------------

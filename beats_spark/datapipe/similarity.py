@@ -92,6 +92,14 @@ def _nested_lit(df: DataFrame, name: str, data, dtype: str) -> DataFrame:
     one copy per executor, zero extra shuffles, constant plan size).
     `F.lit(nested_list)` is NOT equivalent: PySpark expands it into a
     CreateArray tree of per-element Literal nodes."""
+    if name in df.columns:
+        # the join would create TWO columns of this name and every later
+        # F.col(name) would die with AMBIGUOUS_REFERENCE (r5 review) —
+        # refuse loudly; callers use reserved underscore names
+        raise ValueError(
+            f"_nested_lit: input frame already has a column named {name!r} "
+            "(reserved for the broadcast constant) — rename it first"
+        )
     spark = df.sparkSession
     one = spark.createDataFrame([(data,)], f"{name} {dtype}")
     return df.crossJoin(F.broadcast(one))
@@ -971,14 +979,13 @@ def ivfpq_topk(
     # side ever sees a literal expression tree
     qv = F.col(vec_col).cast("array<double>")
     ranked = F.slice(_ranked_centroids(F.col(vec_col), F.col("_cents")), 1, nprobe)
+    clist = [[float(x) for x in c] for c in cents]
     cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        [(i, c) for i, c in enumerate(clist)],
         "cid int, cvec array<double>",
     )
     probes = (
-        _nested_lit(
-            queries, "_cents", [[float(x) for x in c] for c in cents], "array<array<double>>"
-        )
+        _nested_lit(queries, "_cents", clist, "array<array<double>>")
         .select(
             F.col(id_col).alias("query_id"),
             qv.alias("q_vec"),

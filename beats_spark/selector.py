@@ -146,9 +146,13 @@ def compile_fmtstr(
             # resolution order mirrors the conditions DSL (one addressing
             # model, r4 review pass 5): the FLATTENED engine column
             # (a.b → a_b) wins when it exists; otherwise the nested chain
-            # applies only when dtypes says the root is a struct/map (a
-            # scalar root must fall through to absent, not crash the
-            # analysis with getItem-on-string).
+            # applies only when dtypes proves EVERY step analyzable — the
+            # WHOLE path is walked through the dtype string (r5 review:
+            # validating only the root made a struct root with a missing
+            # inner field, or a scalar mid-level, raise AnalysisException
+            # at stage build instead of rendering 'produced nothing').
+            # Map steps are null-safe for any key; struct steps require
+            # the field to exist; anything else ends the walk as absent.
             fields = [seg for b in (brackets or [ref]) for seg in b.split(".")]
             flat = "_".join(fields)
             if fields == ["@timestamp"]:
@@ -156,8 +160,22 @@ def compile_fmtstr(
             elif len(fields) > 1 and columns is not None and flat in columns:
                 col = F.col(flat)
             else:
-                root_t = (dtypes or {}).get(fields[0], "")
-                nested_ok = len(fields) == 1 or root_t.startswith(("struct", "map"))
+                from .conditions import dtype_map_value, dtype_struct_field
+
+                t = (dtypes or {}).get(fields[0], "")
+                nested_ok = True
+                for sub in fields[1:]:
+                    if t.startswith("map<"):
+                        t = dtype_map_value(t) or ""
+                    elif t.startswith("struct<"):
+                        nt = dtype_struct_field(t, sub)
+                        if nt is None:
+                            nested_ok = False
+                            break
+                        t = nt
+                    else:
+                        nested_ok = False
+                        break
                 absent = (columns is not None and fields[0] not in columns) or not nested_ok
                 if absent:
                     col = F.lit(None).cast("string")

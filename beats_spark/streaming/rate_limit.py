@@ -156,11 +156,25 @@ def rate_limit_stream(
     admits from a full bucket; the FRESH drain starts (limit, None),
     sets last_epoch = e and admits from a full bucket. Keep decision AND
     successor state (limit - 1, e) are identical, so the equivalence is
-    inductive over the rest of the stream. Events with e < W are beyond
-    the caller's `withWatermark` allowed-lateness contract — the same
-    assumption every watermarked stateful operator's cleanup makes.
-    Without a watermark the watermark query raises (PySpark) — treated
-    as W = -inf, so state is retained exactly as under NoTimeout.
+    inductive over the rest of the stream.
+
+    Events with e < W are beyond
+    the caller's `withWatermark` allowed-lateness contract — and that
+    contract is ENFORCED MECHANICALLY here: Spark filters late rows for
+    flatMapGroupsWithState only under EventTimeTimeout, not
+    ProcessingTimeTimeout, so the data path drops rows with e < W itself
+    (r5 review — otherwise a late event arriving after its key's state
+    was evicted would be admitted from a fresh bucket where the stored,
+    drained bucket would have dropped it: eviction would change
+    admissions for exactly the rows the proof excludes).
+
+    Without a watermark on `ts_col` (detected via the column's
+    spark.watermarkDelayMs metadata) eviction can never fire, so the
+    operator keeps NoTimeout — zero timer overhead, state retained
+    forever, no late-row filtering: exactly the r4 semantics. Arming a
+    ProcessingTimeTimeout per key anyway would cost an O(#keys)
+    expired-timer sweep plus a raised-and-caught exception per key per
+    TTL for nothing (r5 review).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -169,6 +183,10 @@ def rate_limit_stream(
     ttl_ms = int(1000.0 * (per if state_ttl_seconds is None else float(state_ttl_seconds)))
     out_schema = df.schema
     names = [f.name for f in out_schema.fields]
+    has_wm = any(
+        f.name == tcol and f.metadata and "spark.watermarkDelayMs" in f.metadata
+        for f in df.schema.fields
+    )
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -197,6 +215,19 @@ def rate_limit_stream(
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            if has_wm:
+                # enforce the lateness contract the eviction proof rests
+                # on: Spark only pre-filters late rows for
+                # EventTimeTimeout operators (r5 review)
+                try:
+                    wm_sec = state.getCurrentWatermarkMs() / 1000.0
+                except Exception:
+                    wm_sec = -float("inf")
+                if wm_sec > 0:
+                    pdf = pdf[pdf[tcol].astype("int64") / 1e9 >= wm_sec]
+        else:
+            pdf = None
+        if pdf is not None and len(pdf):
             pdf = _sort_deterministic(pdf, tcol)
             epochs = pdf[tcol].astype("int64") / 1e9
             keep, tokens, last_epoch = _drain_token_bucket(
@@ -206,14 +237,17 @@ def rate_limit_stream(
             if len(kept):
                 yield kept[names]
         state.update((float(tokens), float(last_epoch) if last_epoch is not None else None))
-        state.setTimeoutDuration(ttl_ms)
+        if has_wm:
+            state.setTimeoutDuration(ttl_ms)
 
     return df.groupBy(*key_fields).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="tokens double, last_epoch double",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout if has_wm else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

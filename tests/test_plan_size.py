@@ -17,8 +17,6 @@ fix; they now run in seconds.
 
 from __future__ import annotations
 
-import time
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -49,16 +47,16 @@ def _plan_str(df) -> str:
 
 
 def _assert_bounded(df, label: str):
-    t0 = time.time()
     s = _plan_str(df)
-    elapsed = time.time() - t0
     assert len(s) < PLAN_CHARS_MAX, f"{label}: plan string {len(s)} chars (literal-tree regression?)"
     # a literal double-array tree renders as long runs of comma-separated
     # doubles ("0.1, 0.1, 0.1, ..."); the broadcast-column form carries
     # none.  Five consecutive inline doubles is already suspicious.
+    # (No wall-clock assertion: the plan-length bound already fails
+    # instantly on any literal-tree regression — the r4 form measured
+    # ~800k chars — and a timing bound only adds flake on loaded
+    # machines; r5 review.)
     assert ", 0.1, 0.1, 0.1, 0.1" not in s
-    # analysis must be interactive — the r4 form took ~99 s here
-    assert elapsed < 30, f"{label}: plan analysis took {elapsed:.1f}s"
 
 
 @pytest.mark.usefixtures("spark")

@@ -806,3 +806,90 @@ def test_r5b_rename_target_exists_beats_ignore_missing(spark):
     df = spark.createDataFrame([("keep",)], "existing string")
     with pytest.raises(ValueError, match="already exists"):
         rename(fields=[{"from": "gone", "to": "existing"}], ignore_missing=True)(df)
+
+
+# -- round-5 third review pass (early-r5 span: ANN constants, eviction) -------
+
+
+def test_r5c_fmtstr_unresolvable_inner_path_is_absent(spark):
+    """r5c finding 2: a nested ref whose ROOT is struct/map but whose
+    inner path cannot resolve (missing struct field, scalar mid-level)
+    must render 'produced nothing', not AnalysisException at build."""
+    df = spark.createDataFrame([(("c1",),)], "proc struct<pid:string>").withColumn(
+        "ts", F.lit("2024-01-02 03:04:05").cast("timestamp")
+    )
+    assert build("add_formatted_index", index="i-%{[proc][missing]}")(df).first()._meta_index is None
+    assert build("add_formatted_index", index="i-%{[proc][pid]}")(df).first()._meta_index == "i-c1"
+    df2 = spark.createDataFrame([("c1",)], "conv_id string").withColumn(
+        "attrs", F.create_map(F.lit("x"), F.lit("V"))
+    ).withColumn("ts", F.lit("2024-01-02 03:04:05").cast("timestamp"))
+    # scalar mid-level: attrs[x] is a string — [y] under it is absent
+    assert build("add_formatted_index", index="i-%{[attrs][x][y]}")(df2).first()._meta_index is None
+    assert build("codec_format", template="v=%{[attrs][x]}")(df2).first().serialized == "v=V"
+
+
+def test_r5c_conditions_on_attrs_map_array_values(spark):
+    """r5c finding 4: array semantics for contains/regexp/equals must
+    apply to attrs-path fields too — the guard keyed off the MAP column's
+    dtype instead of its VALUE type and compiled the scalar branch."""
+    df = spark.createDataFrame(
+        [(1, {"tags": ["prod", "eu"]}), (2, {"tags": ["dev"]})],
+        "id int, attrs map<string,array<string>>",
+    )
+    schema = dict(df.dtypes)
+    rx = compile_condition({"regexp": {"attrs.tags": "^prod$"}}, schema=schema)
+    assert [r.id for r in df.filter(rx).collect()] == [1]
+    ct = compile_condition({"contains": {"attrs.tags": "dev"}}, schema=schema)
+    assert [r.id for r in df.filter(ct).collect()] == [2]
+    eq = compile_condition({"equals": {"attrs.tags": "prod"}}, schema=schema)
+    assert df.filter(eq).count() == 0  # never-match, not AnalysisException
+
+
+def test_r5c_dedup_transitive_releases_intermediates(spark):
+    """r5c finding 3: the composed transitive-dedup path must inherit its
+    stages' persisted frames so release_intermediates frees them (it
+    returned a bare join and leaked the cache per batch)."""
+    from beats_spark.datapipe.dedup import dedup_transitive, release_intermediates
+
+    df = spark.createDataFrame(
+        [(i, f"the quick brown fox jumps over dog {i % 3}") for i in range(24)],
+        "doc_id int, text string",
+    )
+    kept = dedup_transitive(df, num_perm=8, bands=4, threshold=0.5)
+    kept.count()
+    assert release_intermediates(kept) >= 3  # buckets + pairs + shingles
+
+
+def test_r5c_nested_lit_reserved_name_clash_raises(spark):
+    """r5c finding 5: an input frame already carrying the reserved
+    broadcast-constant name must refuse loudly instead of dying later
+    with AMBIGUOUS_REFERENCE."""
+    from beats_spark.datapipe.similarity import ivf_topk
+
+    emb = spark.range(5).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"),
+        F.lit(1).alias("_cents"),
+    )
+    with pytest.raises(ValueError, match="_cents"):
+        ivf_topk(emb, emb, [[0.1, 0.2]], k=1, nprobe=1)
+
+
+def test_r5c_rate_limit_stream_timeout_mode_tracks_watermark(spark):
+    """r5c findings 1+6 (plan level): without a watermark the operator
+    must keep NoTimeout (no per-key timer overhead, NoTimeout-era
+    semantics); with one it arms ProcessingTimeTimeout for eviction."""
+    from beats_spark.streaming.rate_limit import rate_limit_stream
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.lit("k").alias("conv_id"), F.col("timestamp").alias("ts"))
+    )
+    no_wm = rate_limit_stream(stream, ["conv_id"], limit=2, period_seconds=10.0)
+    p = no_wm._jdf.queryExecution().logical().toString()
+    assert "NoTimeout" in p and "ProcessingTimeTimeout" not in p
+    wm = rate_limit_stream(
+        stream.withWatermark("ts", "1 second"), ["conv_id"], limit=2, period_seconds=10.0
+    )
+    p2 = wm._jdf.queryExecution().logical().toString()
+    assert "ProcessingTimeTimeout" in p2

@@ -463,3 +463,67 @@ def test_rate_limit_stream_state_eviction(spark, tmp_path):
     keys = sorted(r["key"]["conv_id"] for r in state.collect())
     assert "A" not in keys, f"idle key A still holds state: {keys}"
     assert "B" in keys and "C" in keys, keys
+
+
+def test_rate_limit_stream_drops_late_rows(spark, tmp_path):
+    """r5 review: the eviction safety proof assumes events never arrive
+    with ts < watermark, but Spark only pre-filters late rows for
+    EventTimeTimeout operators — the data path must drop them itself.
+    A late row (older than the watermark established by the previous
+    batch) must not be emitted NOR drain the bucket; an on-time row in
+    the same batch passes."""
+    import os
+    import time as _time
+
+    from beats_spark.streaming.rate_limit import rate_limit_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    schema = "conv_id string, turn_idx int, ts timestamp"
+
+    def write_file(rows):
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts_s string"
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "1 second")
+        limited = rate_limit_stream(
+            stream, ["conv_id"], limit=2, period_seconds=10.0, state_ttl_seconds=60.0
+        )
+        q = (
+            limited.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        deadline = _time.time() + 90
+        try:
+            while _time.time() < deadline:
+                progresses = q.recentProgress
+                if [p for p in progresses if p["numInputRows"] > 0]:
+                    break
+                if not q.isActive:
+                    break
+                _time.sleep(0.2)
+        finally:
+            if q.isActive:
+                q.stop()
+        q.awaitTermination(30)
+
+    # run 1: key A at 01:00:00 → watermark advances to ≈ 00:59:59
+    write_file([("A", 0, "2024-01-01 01:00:00")])
+    run_once()
+    # run 2: key B late (00:30:00 ≪ watermark) + on-time (01:00:05)
+    write_file([("B", 0, "2024-01-01 00:30:00"), ("B", 1, "2024-01-01 01:00:05")])
+    run_once()
+
+    got = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
+    assert ("B", 0) not in got, f"late row emitted: {got}"
+    assert ("A", 0) in got and ("B", 1) in got, got
