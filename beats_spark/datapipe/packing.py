@@ -1,0 +1,186 @@
+"""Distributed sequence packing for training-data pipelines.
+
+`pack_sequences` is the GPT-style packing step every pretraining run
+performs between curation and the data loader: lay the corpus's token
+stream out in ONE deterministic order and cut it into fixed-budget
+training sequences, letting documents span sequence boundaries (no
+padding waste; the loader masks across the boundary or not — policy
+outside this op). The output is the packing MANIFEST — one row per
+(document × sequence) span — which downstream assembly joins back to
+the text / token arrays. Every sequence except the last is exactly
+`budget` tokens by construction, so fill ratio is
+total_tokens / (n_sequences × budget) → 1.
+
+Determinism: documents are ordered by (48-bit md5 hash of id, id) — the
+same corpus-layout-independent, engine-portable hash family as
+sampling.hash_split, so the packing is a pure function of the corpus
+content: reruns, retries, engine swaps, and cluster-size changes all
+produce byte-identical manifests (the property a resumable pipeline
+needs — a doc must never move between sequences across reruns).
+
+Scale design — the global running offset is a DISTRIBUTED prefix sum,
+not a single-task window:
+
+  1. `repartitionByRange` on the order key: partition i holds a
+     contiguous key range below partition i+1's, so global order =
+     (partition id, intra-partition order);
+  2. per-partition token totals reach the driver (num_partitions rows —
+     bounded), a Python scan turns them into per-partition BASE offsets;
+  3. the bases broadcast-join back and an intra-partition running-sum
+     window (partitionBy the partition id — parallel) adds the local
+     offset.
+
+A bare `Window.orderBy(...)` with no partitionBy computes the same
+result on ONE task — correct at test scale, a straggler that serializes
+the whole corpus through one core at 100 TB. A pytest oracle pins the
+two paths equal on the same input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .sampling import _hash_int
+
+
+def packing_offsets(
+    df: DataFrame,
+    n_tokens_col: str,
+    id_col: str = "doc_id",
+    seed: str = "pack",
+    num_partitions: int | None = None,
+    distributed: bool = True,
+) -> DataFrame:
+    """(id, n_tokens, tok_start): each document's global token offset
+    under the deterministic hash order. Zero/negative-token documents
+    are dropped (nothing to pack). `distributed=False` selects the
+    single-task global window — the test oracle for the prefix-sum
+    path, never the plan you want at scale."""
+    base = (
+        df.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("_nt"))
+        .where(F.col("_nt") > 0)
+        .withColumn("_k", _hash_int(F.col(id_col), seed))
+    )
+    if not distributed:
+        w = Window.orderBy("_k", id_col)
+        return base.select(
+            id_col,
+            F.col("_nt").alias("n_tokens"),
+            (F.sum("_nt").over(w) - F.col("_nt")).alias("tok_start"),
+        )
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # persist: the per-partition totals and the final frame are two
+    # actions over the same range exchange; RangePartitioner SAMPLES its
+    # boundaries, so recomputing it between the actions must be off the
+    # table, not merely unlikely (ownership rides on the result via
+    # _track — callers release with dedup.release_intermediates)
+    parts = (
+        base.repartitionByRange(p, F.col("_k"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["_pid"]: r["s"]
+        for r in parts.groupBy("_pid").agg(F.sum("_nt").alias("s")).collect()
+    }
+    bases, acc = [], 0
+    for pid in range(p):
+        bases.append((pid, acc))
+        acc += int(totals.get(pid, 0))
+    bdf = spark.createDataFrame(bases, "_pid int, _base bigint")
+    w = Window.partitionBy("_pid").orderBy("_k", id_col)
+    out = (
+        parts.join(F.broadcast(bdf), "_pid")
+        .select(
+            id_col,
+            F.col("_nt").alias("n_tokens"),
+            (F.col("_base") + F.sum("_nt").over(w) - F.col("_nt")).alias("tok_start"),
+        )
+    )
+    from .dedup import _track
+
+    return _track(out, persisted=[parts])
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: Column | str | None = None,
+    seed: str = "pack",
+    num_partitions: int | None = None,
+    distributed: bool = True,
+) -> DataFrame:
+    """Packing manifest: (seq_id, id, doc_tok_start, doc_tok_end,
+    seq_offset) — document tokens [doc_tok_start, doc_tok_end) land in
+    sequence seq_id starting at seq_offset. `n_tokens` overrides the
+    default whitespace token_count with a precomputed count column (a
+    real tokenizer's lengths ride in the same way).
+
+    A document spans ceil over the budget grid: rows-out ∝ total tokens
+    / budget + docs — proportional to the manifest itself, nothing
+    quadratic. The only shuffles are the range exchange + the _pid
+    window of the prefix sum; the span explode is map-side."""
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    from .text import token_count
+
+    if n_tokens is None:
+        nt = token_count(F.col(text_col))
+    elif isinstance(n_tokens, str):
+        nt = F.col(n_tokens)
+    else:
+        nt = n_tokens
+    offs = packing_offsets(
+        df.select(F.col(id_col), nt.alias("_n")),
+        "_n",
+        id_col=id_col,
+        seed=seed,
+        num_partitions=num_partitions,
+        distributed=distributed,
+    )
+    first = F.floor(F.col("tok_start") / budget)
+    last = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget)
+    spans = offs.select(
+        id_col,
+        "n_tokens",
+        "tok_start",
+        F.explode(F.sequence(first, last)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * budget
+    span_lo = F.greatest(F.col("tok_start"), seq_lo)
+    span_hi = F.least(F.col("tok_start") + F.col("n_tokens"), seq_lo + budget)
+    out = spans.select(
+        F.col("seq_id").cast("long"),
+        F.col(id_col),
+        (span_lo - F.col("tok_start")).cast("long").alias("doc_tok_start"),
+        (span_hi - F.col("tok_start")).cast("long").alias("doc_tok_end"),
+        (span_lo - seq_lo).cast("long").alias("seq_offset"),
+    )
+    from .dedup import _track
+
+    return _track(out, inherit=[offs])
+
+
+def packing_stats(manifest: DataFrame, budget: int) -> DataFrame:
+    """One-row summary of a packing manifest: sequence count, token
+    count, fill ratio (== 1 except the final partial sequence), and the
+    max spans-per-sequence (a skew canary: every sequence holds
+    budget/median-doc-tokens spans, so a huge value means degenerate
+    token counts, not packing bugs)."""
+    per_seq = manifest.groupBy("seq_id").agg(
+        F.sum(F.col("doc_tok_end") - F.col("doc_tok_start")).alias("toks"),
+        F.count(F.lit(1)).alias("spans"),
+    )
+    return per_seq.agg(
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("toks").alias("total_tokens"),
+        F.round(
+            F.sum("toks") / (F.count(F.lit(1)) * F.lit(float(budget))), 6
+        ).alias("fill_ratio"),
+        F.max("spans").alias("max_spans_per_seq"),
+    )

@@ -279,6 +279,7 @@ def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
         simhash,
         simhash_near_pairs,
     )
+    from beats_spark.datapipe.packing import pack_sequences
     from beats_spark.datapipe.similarity import brute_topk
     from pyspark.sql import functions as F
 
@@ -314,6 +315,10 @@ def sf1_run(spark, sf_dir: str, scale: int = 10) -> dict:
             docs10, docs10.filter(F.col("doc_id") % 37 == 0).select("text"), n=13
         ),
         "ann_cosine_topk": lambda: brute_topk(emb10, emb10.filter(F.col("vec_id") < 10), k=5),
+        # packing at 10x docs: the distributed prefix sum must stay
+        # range-exchange-bound (wall ~ corpus scan), never the one-task
+        # global window
+        "pack_sequences": lambda: pack_sequences(docs10, budget=2048),
     }
     times: dict[str, float] = {}
     for name, job in jobs.items():

@@ -863,3 +863,136 @@ def test_arrow_assignment_paths_agree(spark):
     assert pkey(embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, bucketer="arrow")) == pkey(
         embedding_near_dupes(emb, threshold=0.3, p_bits=6, dim=64, bucketer="expr")
     )
+
+
+# -- sequence packing (r5) -----------------------------------------------------
+
+
+def test_pack_sequences_tiling_invariants(spark, docs):
+    """Every sequence except the last holds exactly `budget` tokens; a
+    document's spans are contiguous, tile its whole token count in
+    sequence order, and never overlap within a sequence."""
+    from beats_spark.datapipe.packing import pack_sequences, packing_stats
+    from beats_spark.datapipe.text import token_count
+
+    budget = 512
+    m = pack_sequences(docs, budget=budget).collect()
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in m:
+        by_seq.setdefault(r.seq_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    last_seq = max(by_seq)
+    for sid, rows in by_seq.items():
+        rows.sort(key=lambda r: r.seq_offset)
+        toks = sum(r.doc_tok_end - r.doc_tok_start for r in rows)
+        if sid != last_seq:
+            assert toks == budget, (sid, toks)
+        # spans tile [0, toks) without gap or overlap
+        pos = 0
+        for r in rows:
+            assert r.seq_offset == pos, (sid, r)
+            pos += r.doc_tok_end - r.doc_tok_start
+    want_counts = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+        if r.n > 0
+    }
+    assert set(by_doc) == set(want_counts)  # zero-token docs dropped
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r.doc_tok_start)
+        assert rows[0].doc_tok_start == 0
+        assert rows[-1].doc_tok_end == want_counts[did]
+        for a, b in zip(rows, rows[1:]):
+            assert a.doc_tok_end == b.doc_tok_start  # contiguous split
+            assert b.seq_id == a.seq_id + 1  # spans land in consecutive seqs
+    stats = packing_stats(spark.createDataFrame(m), budget).first()
+    assert stats.n_sequences == last_seq + 1
+    assert stats.total_tokens == sum(want_counts.values())
+    assert stats.fill_ratio > 0.9
+
+
+def test_pack_sequences_parallelism_independent(spark, docs):
+    """The manifest is a pure function of corpus content: identical
+    across num_partitions (the cluster-size-independence the north rule
+    demands of a resumable pipeline) and identical to the single-task
+    global-window oracle."""
+    from beats_spark.datapipe.packing import pack_sequences
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    a = key(pack_sequences(docs, budget=300, num_partitions=4))
+    assert a == key(pack_sequences(docs, budget=300, num_partitions=9))
+    assert a == key(pack_sequences(docs, budget=300, distributed=False))
+
+
+def test_pack_sequences_python_oracle_and_duckdb(spark, docs):
+    """Bit-exact replication of the whole manifest by (a) a pure-Python
+    recompute and (b) DuckDB SQL over the same parquet — the engine
+    portability the md5 order key buys."""
+    import hashlib
+
+    import duckdb
+
+    from beats_spark.datapipe.packing import pack_sequences
+    from beats_spark.datapipe.text import token_count
+
+    budget = 257  # deliberately not a divisor of anything
+    got = sorted(map(tuple, pack_sequences(docs, budget=budget).collect()))
+
+    counts = [
+        (r.doc_id, r.n)
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+        if r.n > 0
+    ]
+    horder = sorted(
+        counts,
+        key=lambda t: (int(hashlib.md5(f"pack:{t[0]}".encode()).hexdigest()[:12], 16), t[0]),
+    )
+    want, start = [], 0
+    for did, n in horder:
+        for sid in range(start // budget, (start + n - 1) // budget + 1):
+            lo, hi = max(start, sid * budget), min(start + n, (sid + 1) * budget)
+            want.append((sid, did, lo - start, hi - start, lo - sid * budget))
+        start += n
+    assert got == sorted(want)
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    rows = con.sql(rf"""
+        WITH nt AS (
+          SELECT doc_id,
+                 CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n
+          FROM documents
+        ),
+        ordered AS (
+          SELECT doc_id, n,
+                 SUM(n) OVER (ORDER BY CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id
+                              ROWS UNBOUNDED PRECEDING) - n AS start
+          FROM nt WHERE n > 0
+        )
+        SELECT CAST(s.sid AS BIGINT) AS seq_id, doc_id,
+               greatest(start, s.sid * {budget}) - start AS doc_tok_start,
+               least(start + n, (s.sid + 1) * {budget}) - start AS doc_tok_end,
+               greatest(start, s.sid * {budget}) - s.sid * {budget} AS seq_offset
+        FROM ordered, unnest(range(CAST(start // {budget} AS BIGINT),
+                                   CAST((start + n - 1) // {budget} + 1 AS BIGINT))) AS s(sid)
+    """).fetchall()
+    assert got == sorted(tuple(r) for r in rows)
+
+
+def test_pack_sequences_validation_and_release(spark, docs):
+    """budget must be positive; the prefix-sum's persisted range
+    partitioning is released via the dedup ownership scheme."""
+    import pytest as _pytest
+
+    from beats_spark.datapipe.dedup import release_intermediates
+    from beats_spark.datapipe.packing import pack_sequences
+
+    with _pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, budget=0)
+    m = pack_sequences(docs, budget=128)
+    m.count()
+    assert release_intermediates(m) == 1  # the persisted range partition
