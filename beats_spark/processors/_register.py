@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from . import REGISTRY, actions, enrich, misc, parsers, reader, stateful
+from . import REGISTRY, actions, encoding, enrich, misc, parsers, reader, stateful
 
 REGISTRY.update(
     {
@@ -36,6 +36,9 @@ REGISTRY.update(
         "timestamp": parsers.timestamp,
         "syslog": parsers.syslog,
         "decompress_gzip_field": parsers.decompress_gzip_field,
+        # the line-reader's encoding step (readfile/encoding) as a
+        # processor over a bytes column
+        "decode_text_field": encoding.decode_text_field,
         # enrich — the reference's whole lookup family IS a broadcast join
         # with a different build side; keep the reference config names so
         # a beats YAML translates 1:1 (caller supplies the lookup table

@@ -1,0 +1,181 @@
+"""Reader encoding battery — decode_text_field vs the reference's
+encoding.go table (every registered name builds; a representative
+charmap/CJK/utf-16 matrix decodes golden byte vectors correctly).
+
+Oracle: the bytes for each vector are PRODUCED by encoding a known text
+with the target charset and must decode back to it — the same
+round-trip contract encoding.go's users rely on; utf-16 BOM policies
+follow utf16.go:42-70 exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+from beats_spark.processors.encoding import (
+    _CP1047_TABLE,
+    _PLAIN_NAMES,
+    _PY_CODECS,
+    _UTF8_NAMES,
+    _UTF16_NAMES,
+    resolve_encoding,
+)
+
+# every name encoding.go registers (encoding.go:34-107), verbatim
+_ALL_REFERENCE_NAMES = sorted(
+    (_PLAIN_NAMES - {""}) | _UTF8_NAMES | _UTF16_NAMES | set(_PY_CODECS)
+)
+
+# (reference name, sample text that is representable in that charset)
+_GOLDEN = [
+    ("utf-8", "héllo wörld ✓"),
+    ("plain", "plain ascii"),
+    ("iso8859-1", "café naïve ±"),
+    ("iso8859-2", "žluťoučký kůň"),
+    ("iso8859-5", "привет мир"),
+    ("iso8859-7", "γειά σου κόσμε"),
+    ("iso8859-9", "ğüşıöç İstanbul"),
+    ("iso8859-15", "€ sign and œuvre"),
+    ("cp437", "line ─ drawing ═ chars"),
+    ("cp850", "résumé ±"),
+    ("cp866", "привет ПРИВЕТ"),
+    ("ebcdic-037", "EBCDIC hello 123"),
+    ("koi8r", "привет мир"),
+    ("koi8u", "привіт світ"),
+    ("macintosh", "curly “quotes” …"),
+    ("macintosh-cyrillic", "привет"),
+    ("windows1250", "žluťoučký"),
+    ("windows1251", "привет мир"),
+    ("windows1252", "smart “quotes” €"),
+    ("windows1253", "γειά σου"),
+    ("windows1254", "İstanbul ğüş"),
+    ("windows1256", "مرحبا"),
+    # cp1258 is combining-diacritic based: only base vowels ă â ơ ư đ are
+    # precomposed code points in the charmap
+    ("windows1258", "ăn cơm ư đi â"),
+    ("windows874", "สวัสดี"),
+    ("gbk", "你好，世界"),
+    # htmlindex-fallback names (not in the explicit table, FindEncoding
+    # resolves them via htmlindex → python codecs here)
+    ("shift_jis", "こんにちは"),
+    ("euc-kr", "안녕하세요"),
+    ("big5", "繁體中文"),
+]
+
+
+def _py_codec(name: str) -> str:
+    key = name.strip().lower()
+    if key in _PLAIN_NAMES or key in _UTF8_NAMES:
+        return "utf-8"
+    return _PY_CODECS.get(key, key)
+
+
+def test_every_reference_name_builds():
+    """FindEncoding parity: each registered name resolves at build;
+    unknown names are a build-time config error."""
+    for name in _ALL_REFERENCE_NAMES:
+        resolve_encoding(name)  # must not raise
+    resolve_encoding("")  # '' → plain, like FindEncoding
+    with pytest.raises(ValueError, match="unknown encoding"):
+        resolve_encoding("definitely-not-a-charset")
+    with pytest.raises(ValueError, match="unknown encoding"):
+        build("decode_text_field", field="b", encoding="nope-123")
+
+
+def test_golden_roundtrip_matrix(spark):
+    """Bytes encoded with each charset decode back to the original text
+    — one DataFrame per run, every vector as a binary cell."""
+    rows = [
+        (i, name, text.encode(_py_codec(name)))
+        for i, (name, text) in enumerate(_GOLDEN)
+    ]
+    df = spark.createDataFrame(rows, "i int, enc string, payload binary")
+    for i, (name, text) in enumerate(_GOLDEN):
+        one = df.filter(F.col("i") == i)
+        got = build("decode_text_field", field="payload", encoding=name, target="text")(
+            one
+        ).first()
+        assert got.text == text, (name, got.text, text)
+
+
+def test_cp1047_vendored_table_roundtrip(spark):
+    """ebcdic-1047 has no Python codec; the vendored JVM-extracted table
+    must round-trip (encode via the table's reverse map, decode through
+    the processor) and place the EBCDIC invariants + the 1047-specific
+    brackets correctly."""
+    assert _CP1047_TABLE[0xC1] == "A" and _CP1047_TABLE[0x81] == "a"
+    assert _CP1047_TABLE[0xF0] == "0" and _CP1047_TABLE[0x40] == " "
+    assert _CP1047_TABLE[0xAD] == "[" and _CP1047_TABLE[0xBD] == "]"  # vs 037
+    rev = {ch: i for i, ch in enumerate(_CP1047_TABLE)}
+    text = "Hello [EBCDIC] {posix} 123!"
+    payload = bytes(rev[c] for c in text)
+    df = spark.createDataFrame([(payload,)], "payload binary")
+    r = build("decode_text_field", field="payload", encoding="ebcdic-1047", target="t")(df).first()
+    assert r.t == text
+
+
+def test_utf16_bom_policies(spark):
+    """utf16.go: BOM always wins and is consumed; be/le variants fall
+    back to their endianness without a BOM; utf-16-bom REQUIRES one
+    (missing → fail + flag, raw kept in place)."""
+    text = "héllo ✓"
+    be = text.encode("utf-16-be")
+    le = text.encode("utf-16-le")
+    bom_be = b"\xfe\xff" + be
+    bom_le = b"\xff\xfe" + le
+    df = spark.createDataFrame(
+        [(1, bom_be), (2, bom_le), (3, be), (4, le)], "i int, payload binary"
+    )
+
+    def run(enc):
+        return {
+            r.i: r.text
+            for r in build("decode_text_field", field="payload", encoding=enc, target="text")(
+                df
+            ).collect()
+        }
+
+    got_be = run("utf-16be-bom")
+    assert got_be[1] == text and got_be[2] == text  # BOM consumed either way
+    assert got_be[3] == text  # fallback BE
+    got_le = run("utf-16le-bom")
+    assert got_le[1] == text and got_le[2] == text
+    assert got_le[4] == text  # fallback LE
+    strict = build("decode_text_field", field="payload", encoding="utf-16-bom")(df)
+    rows = {r.i: r for r in strict.collect()}
+    assert rows[1].payload == text and rows[2].payload == text
+    # no BOM: row unchanged (stringified raw) + flagged
+    assert "decode_text_error" in rows[3].log_flags
+    assert "decode_text_error" not in rows[1].log_flags
+
+
+def test_utf8_replacement_semantics(spark):
+    """mixed.go: invalid UTF-8 decodes with U+FFFD substitution, never
+    fails the row (the WHATWG replacement behavior)."""
+    df = spark.createDataFrame([(b"ok \xff\xfe bytes",)], "payload binary")
+    r = build("decode_text_field", field="payload", encoding="utf-8")(df).first()
+    assert r.payload == "ok �� bytes"
+
+
+def test_string_held_bytes_and_missing_field(spark):
+    """decompress_gzip convention: a STRING source holds raw bytes via
+    the latin-1 byte↔char map; missing fields error at build unless
+    ignore_missing."""
+    raw = "привет".encode("koi8_r").decode("latin-1")
+    df = spark.createDataFrame([(raw,)], "payload string")
+    r = build("decode_text_field", field="payload", encoding="koi8r")(df).first()
+    assert r.payload == "привет"
+    with pytest.raises(ValueError, match="missing"):
+        build("decode_text_field", field="nope", encoding="utf-8")(df)
+    out = build("decode_text_field", field="nope", encoding="utf-8", ignore_missing=True)(df)
+    assert out.columns == ["payload"]
+
+
+def test_charmap_undefined_bytes_replace(spark):
+    """Bytes undefined in a charmap decode to U+FFFD (x/text's
+    substitution policy ≡ python errors='replace'), not a row failure."""
+    df = spark.createDataFrame([(bytes([0x41, 0x81, 0x42]),)], "payload binary")
+    r = build("decode_text_field", field="payload", encoding="windows1252", target="t")(df).first()
+    assert r.t == "A�B"
