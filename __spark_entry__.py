@@ -600,36 +600,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis counters (integers → exact oracle comparison).
-    r5 fold — kind='pack' rows add the sequence-packing manifest
-    (pack_sequences, budget=512: distributed hash-ordered prefix sum →
-    budget-grid spans), fully recomputed by the oracle's window cumsum.
-    Column map: kind='quality' → (v1..v5) = (n_chars, n_tokens,
-    n_subtokens, n_punct, n_stopwords); kind='pack' → (v1..v4) =
-    (seq_id, doc_tok_start, doc_tok_end, seq_offset), v5 NULL."""
-    from beats_spark.datapipe.packing import pack_sequences
+    NOTE: this row is a pinned A/B + headline bench metric — nothing may
+    be folded in here without breaking longitudinal comparability (the
+    r5 pack_sequences fold lives in `ngram_jaccard` for that reason)."""
     from beats_spark.datapipe.text import token_count, bpe_ish_token_count, STOPWORDS_RE
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     col = F.col("text")
-    quality = docs.select(
-        F.lit("quality").alias("kind"),
-        F.col("doc_id"),
-        F.length(col).cast("long").alias("v1"),
-        token_count(col).cast("long").alias("v2"),
-        bpe_ish_token_count(col).cast("long").alias("v3"),
-        F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0))).cast("long").alias("v4"),
-        F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS_RE), F.lit(0))).cast("long").alias("v5"),
+    return docs.select(
+        "doc_id",
+        F.length(col).alias("n_chars_measured"),
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_subtokens"),
+        F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0))).alias("n_punct"),
+        F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS_RE), F.lit(0))).alias("n_stopwords"),
     )
-    pack = pack_sequences(docs, budget=512).select(
-        F.lit("pack").alias("kind"),
-        F.col("doc_id"),
-        F.col("seq_id").alias("v1"),
-        F.col("doc_tok_start").alias("v2"),
-        F.col("doc_tok_end").alias("v3"),
-        F.col("seq_offset").alias("v4"),
-        F.lit(None).cast("long").alias("v5"),
-    )
-    return quality.unionByName(pack)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -793,12 +778,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs with minimal-shingle blocking —
-    blocking keys + exact verify replicated in the oracle. r5 fold:
+    blocking keys + exact verify replicated in the oracle. r5 folds:
     kind='dupspan' rows add the Lee-et-al exact repeated-substring
     coverage (dup_span_stats — positional window hashes, corpus-wide
-    count >= 2, per-doc interval-union coverage), recomputed from
-    scratch by the oracle."""
+    count >= 2, per-doc interval-union coverage); kind='pack' rows add
+    the sequence-packing manifest (pack_sequences, budget=512 —
+    distributed hash-ordered prefix sum → budget-grid spans; id_a=doc,
+    id_b=seq_id, nt=doc_tok_start, dupt=doc_tok_end, dupf=seq_offset).
+    Both recomputed from scratch by the oracle. (Folded HERE, not into
+    text_quality: that row is a pinned A/B + headline bench metric.)"""
     from beats_spark.datapipe.dedup import dup_span_stats, ngram_jaccard_pairs
+    from beats_spark.datapipe.dedup import _track
+    from beats_spark.datapipe.packing import pack_sequences
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.4, hash_method="md5").select(
@@ -817,7 +808,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_tokens").alias("dupt"),
         F.col("dup_fraction").alias("dupf"),
     )
-    return pairs.unionByName(spans)
+    manifest = pack_sequences(docs, budget=512)
+    pack = manifest.select(
+        F.lit("pack").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("seq_id").alias("id_b"),
+        F.col("doc_tok_start").alias("nt"),
+        F.col("doc_tok_end").alias("dupt"),
+        F.col("seq_offset").cast("double").alias("dupf"),
+    )
+    # re-track the manifest's persisted range exchange through the union
+    # so release_intermediates(result) can free it (r5 review)
+    return _track(pairs.unionByName(spans).unionByName(pack), inherit=[manifest])
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,9 +1388,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     'flowrep' union — the oracle recomputes the replay in SQL);
     dup_span_stats→ngram_jaccard (kind='pairs'|'dupspan' union);
     kafka fields-hash partitioner histogram→routing_sink_counts;
-    pack_sequences→text_quality (kind='quality'|'pack' union — the
-    oracle recomputes the whole packing manifest via a window cumsum
-    over the same md5 order key)."""
+    pack_sequences→ngram_jaccard (kind='pack' rows — the oracle
+    recomputes the whole packing manifest via a window cumsum over the
+    same md5 order key; NOT folded into text_quality, which is a pinned
+    A/B + headline bench metric whose workload must stay comparable
+    across rounds)."""
     return {
         "pipeline_routed": q_pipeline_routed,
         "routing_sink_counts": q_routing_sink_counts,
@@ -1860,6 +1864,36 @@ JOIN shing sb ON sb.doc_id = id_b
 WHERE {_JACCARD} >= {threshold}
 UNION ALL
 SELECT kind, id_a, id_b, nt, dupt, dupf FROM ({_dupspan_oracle_sql()})
+UNION ALL
+SELECT kind, id_a, id_b, nt, dupt, dupf FROM ({_pack_oracle_sql()})
+"""
+
+
+def _pack_oracle_sql(budget: int = 512) -> str:
+    """Recomputes the pack_sequences manifest from scratch: whitespace
+    token counts, a window cumsum over the SAME (48-bit md5, doc_id)
+    order key, integer budget-grid spans (id_b=seq_id, nt=doc_tok_start,
+    dupt=doc_tok_end, dupf=seq_offset)."""
+    return rf"""
+WITH ntk AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tok
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tok AS strt
+  FROM ntk WHERE n_tok > 0
+)
+SELECT 'pack' AS kind, CAST(doc_id AS BIGINT) AS id_a,
+       CAST(s.sid AS BIGINT) AS id_b,
+       CAST(greatest(strt, s.sid * {budget}) - strt AS BIGINT) AS nt,
+       CAST(least(strt + n_tok, (s.sid + 1) * {budget}) - strt AS BIGINT) AS dupt,
+       CAST(greatest(strt, s.sid * {budget}) - s.sid * {budget} AS DOUBLE) AS dupf
+FROM ordered, unnest(range(CAST(strt // {budget} AS BIGINT),
+                           CAST((strt + n_tok - 1) // {budget} + 1 AS BIGINT))) AS s(sid)
 """
 
 
@@ -2317,37 +2351,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
               FROM documents) WHERE rn = 1""",
         "text_quality": r"""
-            WITH nt AS (
-              SELECT doc_id,
-                     length(text) AS n_chars,
-                     CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tok
-              FROM documents
-            ),
-            ordered AS (
-              SELECT doc_id, n_tok,
-                     SUM(n_tok) OVER (ORDER BY CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT), doc_id
-                                      ROWS UNBOUNDED PRECEDING) - n_tok AS strt
-              FROM nt WHERE n_tok > 0
-            )
-            SELECT 'quality' AS kind, doc_id,
-                   CAST(length(text) AS BIGINT) AS v1,
-                   CAST(CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
-                        ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS BIGINT) AS v2,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|\d|[^ \t\n\x0b\f\rA-Za-z\d]')) AS BIGINT) AS v3,
-                   CAST(len(regexp_extract_all(text, '[^\w \t\n\x0b\f\r]')) AS BIGINT) AS v4,
-                   CAST(len(regexp_extract_all(lower(text),
-                       '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS BIGINT) AS v5
-            FROM documents
-            UNION ALL
-            SELECT 'pack' AS kind, doc_id,
-                   CAST(s.sid AS BIGINT) AS v1,
-                   CAST(greatest(strt, s.sid * 512) - strt AS BIGINT) AS v2,
-                   CAST(least(strt + n_tok, (s.sid + 1) * 512) - strt AS BIGINT) AS v3,
-                   CAST(greatest(strt, s.sid * 512) - s.sid * 512 AS BIGINT) AS v4,
-                   CAST(NULL AS BIGINT) AS v5
-            FROM ordered, unnest(range(CAST(strt // 512 AS BIGINT),
-                                       CAST((strt + n_tok - 1) // 512 + 1 AS BIGINT))) AS s(sid)""",
+            SELECT doc_id,
+                   length(text) AS n_chars_measured,
+                   CASE WHEN length(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g')) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$', '', 'g'), '[ \t\n\x0b\f\r]+')) END AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\d|[^ \t\n\x0b\f\rA-Za-z\d]')) AS n_subtokens,
+                   len(regexp_extract_all(text, '[^\w \t\n\x0b\f\r]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS n_stopwords
+            FROM documents""",
         "text_signals": "WITH" + _repetition_oracle_ctes() + "," + r"""
             counts AS (
               SELECT doc_id,

@@ -143,8 +143,13 @@ def pack_sequences(
         num_partitions=num_partitions,
         distributed=distributed,
     )
-    first = F.floor(F.col("tok_start") / budget)
-    last = F.floor((F.col("tok_start") + F.col("n_tokens") - 1) / budget)
+    # INTEGER grid division: Column `/` on longs is double true-division,
+    # whose 53-bit mantissa misplaces floor() near grid boundaries once
+    # total tokens approach 2^53 — silently wrong manifests at exactly
+    # the corpus scale this module is for (r5 review). `div` is exact
+    # integral division at any long.
+    first = F.expr(f"tok_start div {int(budget)}")
+    last = F.expr(f"(tok_start + n_tokens - 1) div {int(budget)}")
     spans = offs.select(
         id_col,
         "n_tokens",

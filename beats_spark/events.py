@@ -73,3 +73,10 @@ def append_flag(flags_col, flag: str, cond):
     base = F.coalesce(flags_col, F.array().cast(FLAGS_TYPE))
     extra = F.when(cond, F.array(F.lit(flag))).otherwise(F.array().cast(FLAGS_TYPE))
     return F.concat(base, extra)
+
+
+def flags_column(df):
+    """The frame's flags column, or a typed NULL when no stage has
+    flagged yet — the standard first argument to append_flag (hoisted
+    here from per-module copies; r5 review)."""
+    return F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast(FLAGS_TYPE)

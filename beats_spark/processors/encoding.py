@@ -43,10 +43,10 @@ from __future__ import annotations
 import codecs as _codecs
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..events import FLAGS_COL, append_flag
+from ..events import FLAGS_COL, append_flag, flags_column as _flags
 
 # reference name → Python codec (encoding.go's table, names verbatim)
 _PY_CODECS: dict[str, str] = {
@@ -117,9 +117,16 @@ def resolve_encoding(name: str) -> tuple[str, str]:
     if key in _PY_CODECS:
         return "codecs", _PY_CODECS[key]
     try:
-        return "codecs", _codecs.lookup(key).name  # htmlindex fallback
+        info = _codecs.lookup(key)  # htmlindex fallback
     except LookupError:
         raise ValueError(f"decode_text_field: unknown encoding {name!r}") from None
+    # Python's registry also holds bytes↔bytes transforms (base64, hex,
+    # zlib, rot13, ...) that htmlindex would never resolve — accepting
+    # one here would pass build and then crash every TASK at runtime
+    # with LookupError('not a text encoding') inside the UDF (r5 review)
+    if not getattr(info, "_is_text_encoding", True):
+        raise ValueError(f"decode_text_field: unknown encoding {name!r} (not a text encoding)")
+    return "codecs", info.name
 
 
 def _decode_py(b, path: str, codec: str) -> str | None:
@@ -209,7 +216,3 @@ def decode_text_field(
         return df.withColumns(new_cols)
 
     return stage
-
-
-def _flags(df: DataFrame) -> Column:
-    return F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")

@@ -28,8 +28,7 @@ from ..dissect import cast_column
 from ..events import ATTRS_COL, ATTRS_TYPE, FLAG_CONVERT_FAILURE, FLAGS_COL, append_flag
 
 
-def _flags(df: DataFrame) -> Column:
-    return F.col(FLAGS_COL) if FLAGS_COL in df.columns else F.lit(None).cast("array<string>")
+from ..events import flags_column as _flags  # noqa: E402 (shared helper)
 
 
 def _get(df: DataFrame, name: str) -> Column:

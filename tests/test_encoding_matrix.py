@@ -179,3 +179,12 @@ def test_charmap_undefined_bytes_replace(spark):
     df = spark.createDataFrame([(bytes([0x41, 0x81, 0x42]),)], "payload binary")
     r = build("decode_text_field", field="payload", encoding="windows1252", target="t")(df).first()
     assert r.t == "A�B"
+
+
+def test_non_text_codec_rejected_at_build():
+    """r5 review: Python's codec registry also resolves bytes↔bytes
+    transforms (base64, hex, zlib, rot13) — these must be build-time
+    config errors, not per-task LookupError crashes."""
+    for name in ("base64", "hex", "zlib", "rot13", "quopri"):
+        with pytest.raises(ValueError, match="unknown encoding"):
+            resolve_encoding(name)
