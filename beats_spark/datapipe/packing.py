@@ -171,6 +171,61 @@ def pack_sequences(
     return _track(out, inherit=[offs])
 
 
+def assemble_sequences(
+    manifest: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: Column | str = "text",
+) -> DataFrame:
+    """Manifest → the packed sequences themselves: (seq_id, tokens).
+
+    `tokens_col` is the document's token ARRAY column, or a text column
+    name (whitespace-split like token_count — a real tokenizer's output
+    array rides in the same way). Each manifest span slices its
+    document's tokens [doc_tok_start, doc_tok_end) and the spans of a
+    sequence concatenate in seq_offset order.
+
+    Scale shape: ONE equi-join of the manifest against the docs table
+    on id (manifest rows ∝ tokens/budget + docs) and ONE groupBy(seq_id)
+    whose collect_list is bounded by `budget` tokens per group — no
+    window, no skew (every group is the same size by construction). The
+    struct-sort trick keeps span order without a per-group window."""
+    from .text import strip_ws, token_count
+
+    if isinstance(tokens_col, str):
+        dt = dict(docs.dtypes).get(tokens_col, "")
+        toks = (
+            F.col(tokens_col)
+            if dt.startswith("array")
+            else F.when(
+                token_count(F.col(tokens_col)) > 0, F.split(strip_ws(F.col(tokens_col)), r"\s+")
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    else:
+        toks = tokens_col
+    d = docs.select(F.col(id_col), toks.alias("_toks"))
+    sliced = manifest.join(d, id_col).select(
+        "seq_id",
+        "seq_offset",
+        F.slice(
+            F.col("_toks"),
+            (F.col("doc_tok_start") + 1).cast("int"),
+            (F.col("doc_tok_end") - F.col("doc_tok_start")).cast("int"),
+        ).alias("_span"),
+    )
+    return (
+        sliced.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seq_offset", "_span"))),
+                    lambda s: s.getField("_span"),
+                )
+            ).alias("tokens")
+        )
+    )
+
+
 def packing_stats(manifest: DataFrame, budget: int) -> DataFrame:
     """One-row summary of a packing manifest: sequence count, token
     count, fill ratio (== 1 except the final partial sequence), and the

@@ -996,3 +996,33 @@ def test_pack_sequences_validation_and_release(spark, docs):
     m = pack_sequences(docs, budget=128)
     m.count()
     assert release_intermediates(m) == 1  # the persisted range partition
+
+
+def test_assemble_sequences_reconstructs_global_stream(spark, docs):
+    """assemble_sequences: every sequence holds exactly `budget` tokens
+    (last partial), and the concatenation of sequences in seq_id order
+    equals the global token stream in the deterministic hash order —
+    packing loses and reorders nothing."""
+    import hashlib
+
+    from beats_spark.datapipe.packing import assemble_sequences, pack_sequences
+    from beats_spark.datapipe.text import token_count
+
+    budget = 384
+    m = pack_sequences(docs, budget=budget)
+    seqs = {r.seq_id: r.tokens for r in assemble_sequences(m, docs).collect()}
+    last = max(seqs)
+    for sid, toks in seqs.items():
+        assert len(toks) == budget or sid == last, (sid, len(toks))
+    stream = [t for sid in sorted(seqs) for t in seqs[sid]]
+    counts = {
+        r.doc_id: r.n
+        for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    order = sorted(
+        (d for d, n in counts.items() if n > 0),
+        key=lambda d: (int(hashlib.md5(f"pack:{d}".encode()).hexdigest()[:12], 16), d),
+    )
+    want = [t for d in order for t in texts[d].strip().split()]
+    assert stream == want
