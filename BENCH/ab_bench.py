@@ -1,10 +1,9 @@
-"""Same-session A/B bench (VERDICT r3 item 4): settle the r2→r3 +11-24%
-deltas on rate_limit / text_quality / agg_events_per_tool by running the
-r2-tagged checkout and HEAD interleaved, each sample in its own JVM,
-with the sandbox CPU calibration bracketing the run.
+"""Same-session A/B bench: run a BASELINE checkout and HEAD interleaved,
+each sample in its own JVM, with the sandbox CPU calibration bracketing
+the run (first used r4 to settle the r2->r3 deltas; reused per round).
 
-Usage: python BENCH/ab_bench.py <r2_checkout_path> [rounds]
-Writes BENCH/AB_r4.json and prints a summary table.
+Usage: python BENCH/ab_bench.py <baseline_checkout_path> [rounds] [out.json]
+Writes BENCH/AB_<label>.json and prints a summary table.
 """
 
 from __future__ import annotations
@@ -36,6 +35,7 @@ def worker(repo: str, reps: int = 3) -> dict[str, list[float]]:
 def main() -> None:
     r2 = sys.argv[1]
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "AB_r4.json"
     sys.path.insert(0, HEAD)
     from bench import cpu_calibration
 
@@ -73,7 +73,7 @@ def main() -> None:
         "cpu_calibration_before": cal_before,
         "cpu_calibration_after": cal_after,
     }
-    with open(os.path.join(HERE, "AB_r4.json"), "w") as f:
+    with open(os.path.join(HERE, out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({q: s["delta_median_pct"] for q, s in summary.items()}))
 

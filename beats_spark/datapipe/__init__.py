@@ -2,8 +2,10 @@
 
 Beyond the reference's operator surface: the operations a large-scale
 training-data pipeline needs at 100 TB — deduplication (exact, MinHash-
-LSH, SimHash, n-gram Jaccard), similarity search (brute-force + bucketed
-ANN), text analysis (language-ID, quality, tokens, fingerprints), and
-multimodal column plumbing. All are DataFrame-native: the only UDFs are
-Arrow-batched and off the hot path.
+LSH, SimHash, n-gram Jaccard, repeated-substring coverage), similarity
+search (brute-force + bucketed ANN + IVF/PQ), text analysis
+(language-ID, quality, tokens, fingerprints, Gopher battery),
+deterministic splits/sampling, sequence packing (distributed prefix-sum
+manifest + assembly), and multimodal column plumbing. All are
+DataFrame-native: the only UDFs are Arrow-batched and off the hot path.
 """
