@@ -1,0 +1,82 @@
+"""The reference trimmer semantics table, ported verbatim.
+
+libbeat/processors/dissect/trim_test.go:128-269 (TestTrimmer): 16 cases
+covering multi-char cutsets, UTF-8 cutsets (incl. astral-plane runes),
+cutset-vs-input encoding interplay (ASCII DELETE / U+0080 control), and
+the left/right flag combinations. The reference's (left, right) flags
+map onto trim_values: both='all', left-only='left', right-only='right'.
+
+Each case runs through ALL THREE execution paths - the scalar engine
+(Dissector.dissect), the Arrow/pandas batch path (pandas_dissect), and
+the pure-Column fast path (dissect_columns, where a non-space cutset
+lowers to a JVM regex character class - the path where escaping or
+code-point handling could silently diverge from Go's rune-set trimmer).
+Case tuples were extracted mechanically from the Go source (escapes
+decoded, literal non-ASCII runes preserved).
+"""
+
+import pandas as pd
+import pytest
+
+from beats_spark.dissect import Dissector, dissect_columns
+
+# (name, cutset, left, right, input, expected) - trim_test.go:129-254
+TRIM_CASES = [
+    ('single space right', ' ', False, True, ' hello world! ', ' hello world!'),
+    ('noop right', ' ', False, True, '  hello world!', '  hello world!'),
+    ('single space left', ' ', True, False, ' hello world! ', 'hello world! '),
+    ('noop left', ' ', True, False, 'hello world!  ', 'hello world!  '),
+    ('trim both', ' ', True, True, '  hello world!  ', 'hello world!'),
+    ('non-space', 'h', True, True, 'hello world!', 'ello world!'),
+    ('multiple chars', ' \t_-', True, True, '\t\t___here - -', 'here'),
+    ('empty string', ' \t_-', True, True, '', ''),
+    ('trim all', ' \t_-', True, True, ' \t__-', ''),
+    ('trim UTF-8', '߹༄𑁍', True, True, '༄𑅀߹꧁߹𑁍', '𑅀߹꧁'),
+    ('trim ASCII cutset in UTF-8 input', ' \t\rÿ', True, True, '\t\t༄𑅀߹꧁߹𑁍 ÿ', '༄𑅀߹꧁߹𑁍'),
+    ('trim ASCII TILDE', ' ', True, True, '  hello world! ~ ', 'hello world! ~'),
+    ('trim ASCII DELETE', ' ', True, True, '  hello world! \x7f ', 'hello world! \x7f'),
+    ('trim UTF-8 CONTROL', ' ', True, True, '  hello world! \x80 ', 'hello world! \x80'),
+    ('trim ASCII DELETE cutset in UTF-8 input', ' \x7f', True, True, '  hello world! \x80 \x7f', 'hello world! \x80'),
+    ('trim UTF-8 CONTROL cutset in UTF-8 input', ' \x80', True, True, '  hello world! \x7f \x80', 'hello world! \x7f'),
+]
+
+
+def _trim_values(left: bool, right: bool) -> str:
+    if left and right:
+        return "all"
+    return "left" if left else "right"
+
+
+@pytest.mark.parametrize("name,cutset,left,right,inp,expected",
+                         TRIM_CASES, ids=[c[0] for c in TRIM_CASES])
+def test_trimmer_scalar(name, cutset, left, right, inp, expected):
+    d = Dissector(">%{a}", trim_values=_trim_values(left, right), trim_chars=cutset)
+    assert d.dissect(">" + inp) == {"a": expected}
+
+
+@pytest.mark.parametrize("name,cutset,left,right,inp,expected",
+                         TRIM_CASES, ids=[c[0] for c in TRIM_CASES])
+def test_trimmer_pandas(name, cutset, left, right, inp, expected):
+    d = Dissector(">%{a}", trim_values=_trim_values(left, right), trim_chars=cutset)
+    out = d.pandas_dissect(pd.Series([">" + inp]))
+    assert out.iloc[0] == {"a": expected}
+
+
+def test_trimmer_column_fast_path(spark):
+    """All 16 cases through the JVM regex path, one job per distinct
+    (cutset, flags) config - the trimmer config is per-Dissector, the
+    rows within a config batch together."""
+    by_config = {}
+    for name, cutset, left, right, inp, expected in TRIM_CASES:
+        by_config.setdefault((_trim_values(left, right), cutset), []).append(
+            (inp, expected)
+        )
+    for (tv, cutset), rows in by_config.items():
+        df = spark.createDataFrame([(">" + i,) for i, _ in rows], "text string")
+        got = [
+            r.a
+            for r in dissect_columns(
+                df, ">%{a}", trim_values=tv, trim_chars=cutset
+            ).collect()
+        ]
+        assert got == [e for _, e in rows], (tv, cutset)
