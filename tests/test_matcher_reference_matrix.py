@@ -1,0 +1,77 @@
+"""The reference line-matcher semantics table, ported verbatim.
+
+libbeat/common/match/matcher_test.go:26-288 (TestMatchers): 23 regex
+patterns x match/no-match strings. In the reference these drive the
+include_lines/exclude_lines/include_message readers (Compile -> partial
+MatchString semantics); here the same patterns reach JVM rlike through
+the reader-chain stages. Go (RE2) and Java regex agree on this entire
+table - including inline-flag forms (?i)/(?i:...) and the ^/$ anchors
+under partial-match find() semantics - which is exactly what this test
+pins. Case tuples extracted mechanically from the Go source.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors.reader import exclude_lines, include_lines
+
+# (pattern, matches, noMatches) - matcher_test.go:30-260
+MATCH_CASES = [
+    ('.*', ['any matches always'], []),
+    ('^$', [''], ['not empty']),
+    ('^\\s*$', ['', ' ', '   ', '\t', '\n'], ['not empty']),
+    ('substring', ['has substring in middle', 'substring at beginning', 'ends with substring'], ['missing sub-string']),
+    ('^.*substring', ['has substring in middle', 'substring at beginning', 'ends with substring'], ['missing sub-string']),
+    ('substring.*$', ['has substring in middle', 'substring at beginning', 'ends with substring'], ['missing sub-string']),
+    ('^.*substring.*$', ['has substring in middle', 'substring at beginning', 'ends with substring'], ['missing sub-string']),
+    ('^equals$', ['equals'], ['not equals']),
+    ('(alt|substring)', ['has alt in middle', 'alt at beginning', 'uses substring'], ['missing sub-string']),
+    ('alt|substring', ['has alt in middle', 'alt at beginning', 'uses substring'], ['missing sub-string']),
+    ('^prefix', ['prefix string match'], ['missing prefix string']),
+    ('^(DEBUG|INFO|ERROR)', ['DEBUG - should match', 'INFO - should match too', 'ERROR - yep'], ['This should not match']),
+    ('^\\d\\d\\d\\d-\\d\\d-\\d\\d', ['2017-01-02 should match', '2017-01-03 should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('^\\d{4}-\\d{2}-\\d{2}', ['2017-01-02 should match', '2017-01-03 should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('^(\\d{2}){2}-\\d{2}-\\d{2}', ['2017-01-02 should match', '2017-01-03 should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('^\\d{4}-\\d{2}-\\d{2} - ', ['2017-01-02 - should match', '2017-01-03 - should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('^20\\d{2}-\\d{2}-\\d{2}', ['2017-01-02 should match', '2017-01-03 should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('^20\\d{2}-\\d{2}-\\d{2} \\d{2}:\\d{2}', ['2017-01-02 10:10 should match', '2017-01-03 10:11 should also match'], ['- 2017-01-02 should not match', 'fail']),
+    ('(?i:case)', ['case', 'Case', 'CaSe', 'cAsE'], []),
+    ('(?i)case', ['case', 'Case', 'CaSe', 'cAsE'], []),
+    ('(?i)[a-z]', ['case', 'Case', 'CaSe', 'cAsE'], []),
+    ('(?i)[A-Z]', ['case', 'Case', 'CaSe', 'cAsE'], []),
+    ('(c[aA]se)', ['case', 'cAse'], ['Case', 'CaSe', 'cAsE']),
+]
+
+
+def test_matcher_table_rlike(spark):
+    """Every (pattern, string, verdict) in one job through the same
+    rlike expression include_lines builds."""
+    rows = []
+    for i, (pat, yes, no) in enumerate(MATCH_CASES):
+        rows += [(i, s, True) for s in yes] + [(i, s, False) for s in no]
+    df = spark.createDataFrame(rows, "pid int, line string, expected boolean")
+    got = F.lit(None).cast("boolean")
+    for i, (pat, _, _) in enumerate(MATCH_CASES):
+        got = F.when(F.col("pid") == i, F.col("line").rlike(pat)).otherwise(got)
+    bad = df.withColumn("got", got).filter(F.col("got") != F.col("expected"))
+    assert bad.count() == 0, bad.collect()
+
+
+def test_include_exclude_stages(spark):
+    """The stage functions themselves on a representative pattern pair:
+    include keeps ANY-pattern matches, exclude drops them (the
+    filestream ordering - include runs before exclude - is pinned by
+    the reader_chain driver row)."""
+    pats = ["^(DEBUG|INFO|ERROR)", "(?i:case)"]
+    lines = [
+        "DEBUG - should match",
+        "INFO - should match too",
+        "This should not match",
+        "CaSe",
+        "missing sub-string",
+    ]
+    df = spark.createDataFrame([(s,) for s in lines], "text string")
+    kept = {r.text for r in include_lines(pats)(df).collect()}
+    assert kept == {"DEBUG - should match", "INFO - should match too", "CaSe"}
+    dropped = {r.text for r in exclude_lines(pats)(df).collect()}
+    assert dropped == {"This should not match", "missing sub-string"}
