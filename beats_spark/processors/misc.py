@@ -539,17 +539,21 @@ def multiline_while(
     group_cols: list[str] | None = None,
     order_col: str = "turn_idx",
     text_col: str = "text",
+    max_lines: int = 500,
     sep: str = "\n",
     max_content_bytes: int | None = None,
 ):
     """multiline/while.go — join CONSECUTIVE lines while pattern matches;
     a non-matching line is its own single-line event. The shared message
     buffer's finalize (multiline flag, byte cap, member-flag union)
-    applies like every other multiline mode (message_buffer.go)."""
+    applies like every other multiline mode (message_buffer.go), and so
+    does max_lines (while.go:57-59 reads the same config default): an
+    oversized run keeps its FIRST max_lines lines, drops the rest, and
+    carries the truncated flag — identical to the pattern mode."""
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
-        from ..events import FLAGS_COL
+        from ..events import FLAG_TRUNCATED, FLAGS_COL
         from .stateful import _finalize_buffer, _ordered_join
 
         matches = F.col(text_col).rlike(pattern)
@@ -560,14 +564,30 @@ def multiline_while(
         boundary = (~in_run) | (in_run & ~F.coalesce(prev_in_run, F.lit(False)))
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
+        # first-max_lines cap + truncated flag, sharing the group-key
+        # partitioning (no extra shuffle) — stateful.multiline_pattern's
+        # scheme verbatim
+        wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
+        wsz = Window.partitionBy(*groups, "_ml_grp")
+        df = (
+            df.withColumn("_ml_rn", F.row_number().over(wg))
+            .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("_ml_rn") <= max_lines)
+        )
+        trunc = F.when(
+            F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED))
+        ).otherwise(F.array().cast("array<string>"))
         if FLAGS_COL in df.columns:
             flags_agg = F.array_distinct(
-                F.flatten(
-                    F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                F.concat(
+                    F.flatten(
+                        F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                    ),
+                    trunc,
                 )
             ).alias(FLAGS_COL)
         else:
-            flags_agg = F.array().cast("array<string>").alias(FLAGS_COL)
+            flags_agg = trunc.alias(FLAGS_COL)
         agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(

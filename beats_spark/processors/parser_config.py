@@ -1,0 +1,240 @@
+"""The filestream `parsers:` config surface.
+
+libbeat/reader/parser/parser.go:68-127 (NewConfig) validates the parser
+list at CONFIG time — name registry, per-parser config unpack, the
+container stream-suffix rule — and Create():135+ composes the readers in
+list order. This module is that surface over the registry stages: the
+same names, the same validation errors (messages kept close to the Go
+originals so operators recognize them), the same composition order, all
+resolved on the driver before any job runs.
+
+Name registry (parser.go switch): multiline, ndjson, container, syslog,
+include_message, auditd. Unknown → "no such parser" (ErrNoSuchParser).
+auditd is a loud unsupported error here (its reader is filebeat-module
+machinery out of SURVEY scope).
+
+Multiline dispatch (multiline_config.go:28-103): type '' / 'pattern' →
+multiline_pattern (match must be 'after'/'before', pattern required —
+ErrMissingPattern), 'count' → multiline_count (count_lines required,
+positive — ErrMissingCount), 'while_pattern' → multiline_while (pattern
+required); unknown type string → "unknown multiline type". skip_newline
+joins without the separator; timeout accepts Go duration strings.
+
+Engine-split divergences (documented, loud): ndjson expand_keys and
+ignore_decoding_error are config errors (no de-dotting rewrite of the
+attrs map; decode errors always flag), syslog `timezone` is accepted
+but inert (timestamp TEXT is kept raw — zone resolution belongs to the
+separate `timestamp` processor in this engine's typed split).
+
+Common config (parser.go:31-34): max_bytes (default 10 MiB) prepends
+the max_bytes stage exactly where the reference's limit reader sits —
+before every parser.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+
+Stage = Callable[[DataFrame], DataFrame]
+
+_DUR_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ns|us|µs|ms|s|m|h)\s*$")
+_DUR_UNIT = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def _duration_seconds(v: Any, key: str) -> float:
+    """Go duration (config durations are '5s'/'1m'-style strings or bare
+    numbers of seconds); validate:"positive" like the reference tag."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        secs = float(v)
+    elif isinstance(v, str):
+        m = _DUR_RE.match(v)
+        if not m:
+            raise ValueError(f"{key}: invalid duration: {v!r}")
+        secs = float(m.group(1)) * _DUR_UNIT[m.group(2)]
+    else:
+        raise ValueError(f"{key}: invalid duration: {v!r}")
+    if secs <= 0:
+        raise ValueError(f"{key}: requires positive value")
+    return secs
+
+
+def _only(cfg: dict, allowed: set[str], section: str) -> None:
+    unknown = set(cfg) - allowed
+    if unknown:
+        # stricter than go-ucfg's silent ignore, deliberately: a config
+        # typo that silently no-ops is a top operational failure mode
+        raise ValueError(f"{section}: unknown config keys: {sorted(unknown)}")
+
+
+class ParsersConfig:
+    """Validated parser chain: call it like any stage. `suffix` is the
+    container stream selection (parser.go:96-102), used by callers the
+    way filestream suffixes its source identity."""
+
+    def __init__(self, stages: list[Stage], suffix: str):
+        self._stages = stages
+        self.suffix = suffix
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        for s in self._stages:
+            df = s(df)
+        return df
+
+
+def _syslog_content_rewrite(text_col: str, fmt: str) -> Stage:
+    from pyspark.sql import functions as F
+
+    from .parsers import _RFC3164, _RFC5424
+
+    def stage(df: DataFrame) -> DataFrame:
+        col = F.col(text_col)
+        # failure is a GRAMMAR decision, not a message-value one (an
+        # empty parsed message is still a parse): gate on the same
+        # regexes the parser ran, so unparsed lines keep their content
+        # exactly like the reference's error path
+        if fmt == "rfc5424":
+            matched = col.rlike(_RFC5424)
+        elif fmt == "rfc3164":
+            matched = col.rlike(_RFC3164)
+        else:
+            matched = col.rlike(_RFC5424) | col.rlike(_RFC3164)
+        return df.withColumn(
+            text_col,
+            F.when(matched, F.coalesce(F.col("syslog_message"), F.lit(""))).otherwise(col),
+        )
+
+    return stage
+
+
+def _build_multiline(cfg: dict, common: dict) -> Stage:
+    from . import build
+
+    _only(cfg, {"type", "negate", "match", "max_lines", "pattern", "timeout",
+                "flush_pattern", "count_lines", "skip_newline"}, "multiline")
+    mtype = cfg.get("type", "")
+    if mtype not in ("", "pattern", "count", "while_pattern"):
+        raise ValueError(f"unknown multiline type: {mtype}")
+    sep = "" if cfg.get("skip_newline") else "\n"
+    if mtype in ("", "pattern"):
+        match = cfg.get("match", "")
+        if match not in ("after", "before"):
+            raise ValueError(f"unknown matcher type: {match}")
+        if not cfg.get("pattern"):
+            raise ValueError(
+                "multiline.pattern cannot be empty when pattern based matching is selected"
+            )
+        kw: dict[str, Any] = dict(
+            pattern=cfg["pattern"], match=match, negate=bool(cfg.get("negate", False)),
+            sep=sep, **common,
+        )
+        if cfg.get("max_lines") is not None:
+            kw["max_lines"] = int(cfg["max_lines"])
+        if cfg.get("timeout") is not None:
+            kw["timeout_seconds"] = _duration_seconds(cfg["timeout"], "multiline.timeout")
+        if cfg.get("flush_pattern"):
+            kw["flush_pattern"] = cfg["flush_pattern"]
+        return build("multiline_pattern", **kw)
+    if mtype == "count":
+        n = cfg.get("count_lines")
+        if not n:
+            raise ValueError(
+                "multiline.count cannot be empty when count based aggregation is selected"
+            )
+        if int(n) < 0:
+            raise ValueError("multiline.count_lines: requires positive value")
+        return build("multiline_count", count=int(n), sep=sep, **common)
+    # while_pattern
+    if not cfg.get("pattern"):
+        raise ValueError(
+            "multiline.pattern cannot be empty when pattern based matching is selected"
+        )
+    kw = dict(pattern=cfg["pattern"], negate=bool(cfg.get("negate", False)), sep=sep, **common)
+    if cfg.get("max_lines") is not None:
+        kw["max_lines"] = int(cfg["max_lines"])
+    return build("multiline_while", **kw)
+
+
+def parsers_chain(
+    parsers: list[dict[str, Any]],
+    *,
+    max_bytes: int = 10 * 1024 * 1024,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    order_col: str = "turn_idx",
+) -> ParsersConfig:
+    """parser.go NewConfig + Create as one validated builder.
+
+    `parsers` is the reference's YAML list shape: one single-key dict
+    per parser, e.g. [{"ndjson": {...}}, {"multiline": {...}}]."""
+    from . import build
+
+    ml_common = {"text_col": text_col, "order_col": order_col}
+    if group_cols is not None:
+        ml_common["group_cols"] = group_cols
+
+    stages: list[Stage] = [build("max_bytes", limit=int(max_bytes), field=text_col)]
+    suffix = ""
+    for entry in parsers:
+        if not isinstance(entry, dict) or len(entry) != 1:
+            raise ValueError(f"each parser entry must be a single-key dict: {entry!r}")
+        name, cfg = next(iter(entry.items()))
+        cfg = dict(cfg or {})
+        if name == "multiline":
+            stages.append(_build_multiline(cfg, ml_common))
+        elif name == "ndjson":
+            _only(cfg, {"message_key", "document_id", "keys_under_root", "overwrite_keys",
+                        "add_error_key", "ignore_decoding_error", "expand_keys",
+                        "field", "target"}, "ndjson")
+            if cfg.pop("expand_keys", False):
+                raise ValueError(
+                    "ndjson.expand_keys: not supported by this engine — declare the shape "
+                    "with expand_schema (typed columns) instead of de-dotting the attrs map"
+                )
+            if cfg.pop("ignore_decoding_error", False):
+                raise ValueError(
+                    "ndjson.ignore_decoding_error: not supported — decode failures always "
+                    "flag error_message (drop or route on it downstream)"
+                )
+            cfg.setdefault("field", text_col)
+            stages.append(build("ndjson", **cfg))
+        elif name == "container":
+            _only(cfg, {"stream", "format"}, "container")
+            stream = cfg.get("stream", "all")
+            if stream not in ("all", "stdout", "stderr"):
+                raise ValueError(f"invalid value for stream: {stream}")
+            fmt = cfg.get("format", "auto")
+            if fmt not in ("auto", "docker", "cri"):
+                raise ValueError(f"invalid value for format: {fmt}")
+            if stream != "all":
+                if suffix:
+                    raise ValueError("only one stream selection is allowed")
+                suffix = stream
+            stages.append(build("container", field=text_col, stream=stream, fmt=fmt))
+        elif name == "syslog":
+            _only(cfg, {"format", "timezone", "log_errors", "add_error_key"}, "syslog")
+            fmt = cfg.get("format", "auto")
+            if fmt not in ("auto", "rfc3164", "rfc5424"):
+                raise ValueError(f"invalid value for format: {fmt}")
+            # timezone accepted but inert (module doc: typed engine split)
+            stages.append(build("syslog", field=text_col, format=fmt))
+            # the reference parser REPLACES message.Content with the
+            # parsed free-form message and keeps the original on a parse
+            # failure (reader/syslog/syslog.go Next); downstream chain
+            # stages (e.g. a following multiline) see that content
+            stages.append(_syslog_content_rewrite(text_col, fmt))
+        elif name == "include_message":
+            pats = cfg.get("patterns")
+            if not pats:
+                raise ValueError("include_message.patterns: missing required field")
+            stages.append(build("include_message", patterns=list(pats), field=text_col))
+        elif name == "auditd":
+            raise ValueError(
+                "auditd: parser not supported by this engine (filebeat-module reader "
+                "outside SURVEY scope)"
+            )
+        else:
+            raise ValueError(f"{name}: no such parser")
+    return ParsersConfig(stages, suffix)

@@ -832,7 +832,7 @@ _RFC3164 = (
     r"|\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?)\s"
     r"([^\s:]+)\s"  # hostname
     r"(?:([^\s:\[]+)(?:\[(\d+)\])?:\s?)?"  # tag[pid]:
-    r"(.*)$"  # message
+    r"([\s\S]*)$"  # message: REST of the bytes, newlines included
 )
 
 # RFC5424: <PRI>VERSION TS HOST APP PROCID MSGID SD [MSG]
@@ -850,7 +850,7 @@ _RFC5424 = (
     # sd-with-escape / non-compliant-sd; a bare [^\]]* would cut the
     # element at the first escaped bracket — r5 matrix port)
     r'(-|(?:\[(?:[^"\]]|"(?:[^"\\]|\\.)*")*\])+)'
-    r"(?:\s(.*))?$"  # message (optional)
+    r"(?:\s([\s\S]*))?$"  # message (optional): rest of the bytes, newlines included
 )
 
 # detection gate for format='auto': a version digit right after PRI

@@ -1,0 +1,233 @@
+"""The filestream `parsers:` config matrix, ported.
+
+libbeat/reader/parser/parser_test.go — TestParsersConfigSuffix (3
+cases), TestParsersConfigAndReading (config-validation + reading
+cases), TestParserIncludeMessages — against the parsers_chain surface.
+
+Terminator convention: the reference's testReader yields lines WITH
+their trailing '\\n' (AutoLineTerminator keeps it), so its multiline
+cases either expect '\\n\\n' joints or set skip_newline. This engine's
+input rows are terminator-less lines; where a case's expectations
+depend on embedded terminators, the test feeds lines with their
+trailing '\\n' preserved — making the expected message strings
+byte-identical to the Go table.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors.parser_config import parsers_chain
+
+
+def _df(spark, lines):
+    rows = [("c", i, line) for i, line in enumerate(lines)]
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def _messages(df):
+    return [r.text for r in df.orderBy("turn_idx").collect()]
+
+
+# -- TestParsersConfigSuffix (parser_test.go:38-105) --------------------------
+
+
+def test_suffix_no_stream_selection():
+    assert parsers_chain([{"container": {"stream": "all"}}]).suffix == ""
+
+
+def test_suffix_stream_selection():
+    assert parsers_chain([{"container": {"stream": "stdout"}}]).suffix == "stdout"
+
+
+def test_suffix_double_selection_rejected():
+    with pytest.raises(ValueError, match="only one stream selection is allowed"):
+        parsers_chain(
+            [{"container": {"stream": "stdout"}}, {"container": {"stream": "stderr"}}]
+        )
+
+
+# -- config-validation rows of TestParsersConfigAndReading --------------------
+
+
+def test_no_such_parser():
+    with pytest.raises(ValueError, match="no such parser"):
+        parsers_chain([{"no_such_parser": None}])
+
+
+def test_multiline_missing_pattern_caught_at_config_time():
+    with pytest.raises(ValueError, match="multiline.pattern cannot be empty"):
+        parsers_chain([{"multiline": {"match": "after"}}])
+
+
+def test_multiline_unknown_type():
+    with pytest.raises(ValueError, match="unknown multiline type"):
+        parsers_chain([{"multiline": {"type": "banana", "pattern": "^x"}}])
+
+
+def test_multiline_unknown_matcher_type():
+    with pytest.raises(ValueError, match="unknown matcher type"):
+        parsers_chain([{"multiline": {"pattern": "^x"}}])
+
+
+def test_multiline_count_missing():
+    with pytest.raises(ValueError, match="multiline.count cannot be empty"):
+        parsers_chain([{"multiline": {"type": "count"}}])
+
+
+def test_container_invalid_stream():
+    with pytest.raises(ValueError, match="invalid value for stream"):
+        parsers_chain([{"container": {"stream": "stdall"}}])
+
+
+def test_include_message_requires_patterns():
+    with pytest.raises(ValueError, match="patterns"):
+        parsers_chain([{"include_message": {}}])
+
+
+def test_auditd_is_a_loud_config_error():
+    with pytest.raises(ValueError, match="auditd"):
+        parsers_chain([{"auditd": {}}])
+
+
+def test_unknown_keys_rejected():
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "patern": "^y"}}])
+
+
+# -- reading rows of TestParsersConfigAndReading -------------------------------
+
+
+def test_no_parser_no_error(spark):
+    chain = parsers_chain([])
+    out = _messages(chain(_df(spark, ["line 1", "line 2"])))
+    assert out == ["line 1", "line 2"]
+
+
+def test_correct_multiline_count_parser(spark):
+    chain = parsers_chain(
+        [{"multiline": {"type": "count", "count_lines": 3}}]
+    )
+    lines = ["line 1.1", "line 1.2", "line 1.3", "line 2.1", "line 2.2", "line 2.3"]
+    out = _messages(chain(_df(spark, lines)))
+    assert out == ["line 1.1\nline 1.2\nline 1.3", "line 2.1\nline 2.2\nline 2.3"]
+
+
+DOCKER_LINES = [
+    '{"log":"[log] The following are log messages\\n","stream":"stdout","time":"2016-03-02T22:58:51.338462311Z"}',
+    '{"log":"[log] This one is\\n","stream":"stdout","time":"2016-03-02T22:58:51.338462311Z"}',
+    '{"log":" on multiple\\n","stream":"stdout","time":"2016-03-02T22:58:51.338462311Z"}',
+    '{"log":" lines","stream":"stdout","time":"2016-03-02T22:58:51.338462311Z"}',
+    '{"log":"[log] In total there should be 3 events\\n","stream":"stdout","time":"2016-03-02T22:58:51.338462311Z"}',
+]
+
+
+def test_multiline_docker_logs_parser(spark):
+    """ndjson(message_key) -> multiline(negate '^\\[log\\]'): the three
+    expected messages are byte-identical to the Go table (the '\\n\\n'
+    joints come from the log values' own trailing newlines plus the
+    multiline separator, same as the reference)."""
+    chain = parsers_chain(
+        [
+            {"ndjson": {"keys_under_root": True, "message_key": "log"}},
+            {"multiline": {"match": "after", "negate": True, "pattern": "^\\[log\\]"}},
+        ]
+    )
+    out = _messages(chain(_df(spark, DOCKER_LINES)))
+    assert out == [
+        "[log] The following are log messages\n",
+        "[log] This one is\n\n on multiple\n\n lines",
+        "[log] In total there should be 3 events\n",
+    ]
+
+
+def test_ndjson_with_syslog(spark):
+    chain = parsers_chain(
+        [
+            {"ndjson": {"keys_under_root": True, "message_key": "log"}},
+            {"syslog": {"format": "auto", "timezone": "Local"}},
+        ]
+    )
+    lines = [
+        '{"log": "<13>Jan 12 12:32:15 vagrant processd[123]: This is an RFC 3164 syslog message"}',
+        '{"log": "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1024 ID47 '
+        '[exampleSDID@32473 iut=\\"3\\" eventSource=\\"Application\\" eventID=\\"1011\\"]'
+        '[examplePriority@32473 class=\\"high\\"] This is an RFC 5424 syslog message"}',
+        '{"log": "Not a valid message"}',
+    ]
+    out = _messages(chain(_df(spark, lines)))
+    assert out == [
+        "This is an RFC 3164 syslog message",
+        "This is an RFC 5424 syslog message",
+        "Not a valid message",
+    ]
+
+
+SYSLOG_HDR15 = "<165>1 2003-08-24T05:14:15.000003-07:00 192.168.2.1 myproc 8710 - - "
+TRACE = [
+    "[beat-logstash-some-name-832-2015.11.28] IndexNotFoundException[no such index]",
+    "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver$WildcardExpressionResolver.resolve(IndexNameExpressionResolver.java:566)",
+    "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver.concreteIndices(IndexNameExpressionResolver.java:133)",
+    "    at org.elasticsearch.cluster.metadata.IndexNameExpressionResolver.concreteIndices(IndexNameExpressionResolver.java:77)",
+    "    at org.elasticsearch.action.admin.indices.delete.TransportDeleteIndexAction.checkBlock(TransportDeleteIndexAction.java:75)",
+]
+
+
+def test_multiline_then_syslog(spark):
+    """multiline(skip_newline, lines fed WITH terminators like the
+    reference's testReader) -> rfc5424 syslog over the joined event;
+    expected strings byte-identical to the Go table."""
+    hdr20 = SYSLOG_HDR15.replace("05:14:15", "05:14:20")
+    hdr30 = SYSLOG_HDR15.replace("05:14:15", "05:14:30")
+    lines = (
+        [SYSLOG_HDR15 + TRACE[0] + "\n"]
+        + [t + "\n" for t in TRACE[1:]]
+        + [hdr20 + TRACE[0] + "\n"]
+        + [t + "\n" for t in TRACE[1:]]
+        + [hdr30 + "This is some other debug message."]
+    )
+    chain = parsers_chain(
+        [
+            {"multiline": {"match": "after", "negate": True,
+                           "pattern": "^<\\d{1,3}>", "skip_newline": True}},
+            {"syslog": {"format": "rfc5424"}},
+        ]
+    )
+    out = _messages(chain(_df(spark, lines)))
+    joined_trace = "".join(t + "\n" for t in TRACE)
+    assert out == [joined_trace, joined_trace, "This is some other debug message."]
+
+
+def test_syslog_then_multiline(spark):
+    """rfc5424 syslog first (content replaced per line), then
+    multiline('^\\s') over the parsed messages."""
+    hdr = "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - "
+    hdr20 = "<165>1 2003-08-24T05:14:20.000003-07:00 192.168.2.1 myproc 8710 - - "
+    hdr30 = "<165>1 2003-08-24T05:14:30.000003-07:00 192.0.2.1 myproc 8710 - - "
+    lines = (
+        [hdr + TRACE[0] + "\n"]
+        + [hdr + t + "\n" for t in TRACE[1:]]
+        + [hdr20 + "This is some other debug message.\n"]
+        + [hdr30 + TRACE[0] + "\n"]
+        + [hdr30 + t + "\n" for t in TRACE[1:]]
+    )
+    chain = parsers_chain(
+        [
+            {"syslog": {"format": "rfc5424"}},
+            {"multiline": {"match": "after", "pattern": "^\\s", "skip_newline": True}},
+        ]
+    )
+    out = _messages(chain(_df(spark, lines)))
+    joined_trace = "".join(t + "\n" for t in TRACE)
+    assert out == [joined_trace, "This is some other debug message.\n", joined_trace]
+
+
+# -- TestParserIncludeMessages (parser_test.go:738-771) ------------------------
+
+
+def test_parser_include_messages(spark):
+    chain = parsers_chain(
+        [{"include_message": {"patterns": ["^INCLUDE"]}}]
+    )
+    lines = ["INCLUDE - FOO", "do not include this line", "", "INCLUDE BAR"]
+    out = _messages(chain(_df(spark, lines)))
+    assert out == ["INCLUDE - FOO", "INCLUDE BAR"]
