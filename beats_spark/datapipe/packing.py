@@ -21,14 +21,18 @@ needs — a doc must never move between sequences across reruns).
 Scale design — the global running offset is a DISTRIBUTED prefix sum,
 not a single-task window:
 
-  1. `repartitionByRange` on the order key: partition i holds a
-     contiguous key range below partition i+1's, so global order =
-     (partition id, intra-partition order);
-  2. per-partition token totals reach the driver (num_partitions rows —
-     bounded), a Python scan turns them into per-partition BASE offsets;
-  3. the bases broadcast-join back and an intra-partition running-sum
-     window (partitionBy the partition id — parallel) adds the local
-     offset.
+  1. bucket the order key into FIXED-WIDTH ranges: the key is a uniform
+     48-bit hash, so `_pid = key div ceil(2^48/P)` is an
+     order-preserving, balanced bucket id computed map-side — no
+     repartitionByRange (whose RangePartitioner costs a sampling pass
+     and draws nondeterministic boundaries that would force a persist);
+  2. per-bucket token totals reach the driver (P rows — bounded), a
+     Python scan turns them into per-bucket BASE offsets; the post-scan
+     (id, count, hash, bucket) projection is persisted so this action
+     and the final frame tokenize the corpus ONCE, not twice;
+  3. the bases broadcast-join back and an intra-bucket running-sum
+     window (partitionBy the bucket id — its hash exchange is the only
+     row-weight shuffle in the plan) adds the local offset.
 
 A bare `Window.orderBy(...)` with no partitionBy computes the same
 result on ONE task — correct at test scale, a straggler that serializes
@@ -42,7 +46,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from .sampling import _hash_int
+from .sampling import _HASH_MOD, _hash_int
 
 
 def packing_offsets(
@@ -72,19 +76,28 @@ def packing_offsets(
         )
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # persist: the per-partition totals and the final frame are two
-    # actions over the same range exchange; RangePartitioner SAMPLES its
-    # boundaries, so recomputing it between the actions must be off the
-    # table, not merely unlikely (ownership rides on the result via
-    # _track — callers release with dedup.release_intermediates)
-    parts = (
-        base.repartitionByRange(p, F.col("_k"), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # Bucket by FIXED-WIDTH ranges of the 48-bit order hash instead of
+    # repartitionByRange (r5 one-off finding): the RangePartitioner
+    # costs a whole sampling pass over the input, and its sampled
+    # boundaries are nondeterministic, so correctness itself depended on
+    # a persist. _k is uniform by construction, so _pid =
+    # _k div ceil(2^48 / p) is an order-preserving, balanced bucket id
+    # computed MAP-SIDE: no sampling job, deterministic placement, and
+    # the only exchanges left are the totals' map-side partial agg and
+    # the window's own hash exchange on _pid.
+    width = (_HASH_MOD + p - 1) // p
+    base = base.withColumn("_pid", F.expr(f"_k div {width}").cast("int"))
+    # persist the POST-SCAN projection (id, count, hash, bucket — no
+    # text): the totals action and the final frame are two actions, and
+    # without this each one re-reads and re-tokenizes the full corpus —
+    # at 100 TB that is the difference between scanning the text once
+    # and twice. Unlike the old sampled-range persist this is purely a
+    # performance cache (every column is a pure function of the row);
+    # ownership rides on the result via _track.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     totals = {
         r["_pid"]: r["s"]
-        for r in parts.groupBy("_pid").agg(F.sum("_nt").alias("s")).collect()
+        for r in base.groupBy("_pid").agg(F.sum("_nt").alias("s")).collect()
     }
     bases, acc = [], 0
     for pid in range(p):
@@ -93,7 +106,7 @@ def packing_offsets(
     bdf = spark.createDataFrame(bases, "_pid int, _base bigint")
     w = Window.partitionBy("_pid").orderBy("_k", id_col)
     out = (
-        parts.join(F.broadcast(bdf), "_pid")
+        base.join(F.broadcast(bdf), "_pid")
         .select(
             id_col,
             F.col("_nt").alias("n_tokens"),
@@ -102,7 +115,7 @@ def packing_offsets(
     )
     from .dedup import _track
 
-    return _track(out, persisted=[parts])
+    return _track(out, persisted=[base])
 
 
 def pack_sequences(
@@ -123,7 +136,7 @@ def pack_sequences(
 
     A document spans ceil over the budget grid: rows-out ∝ total tokens
     / budget + docs — proportional to the manifest itself, nothing
-    quadratic. The only shuffles are the range exchange + the _pid
+    quadratic. The only shuffles are the totals' partial agg + the _pid
     window of the prefix sum; the span explode is map-side."""
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be positive")

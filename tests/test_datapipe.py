@@ -984,8 +984,10 @@ def test_pack_sequences_python_oracle_and_duckdb(spark, docs):
 
 
 def test_pack_sequences_validation_and_release(spark, docs):
-    """budget must be positive; the prefix-sum's persisted range
-    partitioning is released via the dedup ownership scheme."""
+    """budget must be positive; the prefix sum's post-scan projection
+    (id/count/hash/bucket, no text) is persisted so the totals action
+    and the final frame scan the corpus once, and is released via the
+    dedup ownership scheme."""
     import pytest as _pytest
 
     from beats_spark.datapipe.dedup import release_intermediates
@@ -995,7 +997,7 @@ def test_pack_sequences_validation_and_release(spark, docs):
         pack_sequences(docs, budget=0)
     m = pack_sequences(docs, budget=128)
     m.count()
-    assert release_intermediates(m) == 1  # the persisted range partition
+    assert release_intermediates(m) == 1  # the persisted post-scan base
 
 
 def test_assemble_sequences_reconstructs_global_stream(spark, docs):
