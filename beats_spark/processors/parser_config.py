@@ -56,7 +56,9 @@ def _duration_seconds(v: Any, key: str) -> float:
         secs = float(m.group(1)) * _DUR_UNIT[m.group(2)]
     else:
         raise ValueError(f"{key}: invalid duration: {v!r}")
-    if secs <= 0:
+    if secs < 0:
+        # go-ucfg validate:"positive" is actually non-negative; 0 means
+        # "timeout disabled" in the reference (multiline.timeout: 0)
         raise ValueError(f"{key}: requires positive value")
     return secs
 
@@ -133,7 +135,9 @@ def _build_multiline(cfg: dict, common: dict) -> Stage:
         if cfg.get("max_lines") is not None:
             kw["max_lines"] = int(cfg["max_lines"])
         if cfg.get("timeout") is not None:
-            kw["timeout_seconds"] = _duration_seconds(cfg["timeout"], "multiline.timeout")
+            secs = _duration_seconds(cfg["timeout"], "multiline.timeout")
+            if secs > 0:  # 0 = disabled, like the reference
+                kw["timeout_seconds"] = secs
         if cfg.get("flush_pattern"):
             kw["flush_pattern"] = cfg["flush_pattern"]
         return build("multiline_pattern", **kw)

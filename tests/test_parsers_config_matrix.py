@@ -89,6 +89,17 @@ def test_auditd_is_a_loud_config_error():
         parsers_chain([{"auditd": {}}])
 
 
+def test_multiline_timeout_durations():
+    """Go durations parse; 0 = disabled (go-ucfg validate:positive is
+    non-negative), negatives rejected."""
+    for v in (0, "0s", "5s", "250ms", "1m", 2.5):
+        parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": v}}])
+    with pytest.raises(ValueError, match="positive"):
+        parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": -1}}])
+    with pytest.raises(ValueError, match="invalid duration"):
+        parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": "5 parsecs"}}])
+
+
 def test_unknown_keys_rejected():
     with pytest.raises(ValueError, match="unknown config keys"):
         parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "patern": "^y"}}])
