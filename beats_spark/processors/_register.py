@@ -140,3 +140,17 @@ REGISTRY["dissect"] = dissect_builder
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script
+
+
+def _parsers_builder(parsers=None, **common):
+    """filestream-style `parsers:` block as a registry entry, so a full
+    beats config (parsers + processors) compiles through one
+    compile_chain spec: {"parsers": {"parsers": [...], "max_bytes": N}}.
+    Validation happens here, at build time (parser_config.parsers_chain
+    = NewConfig parity)."""
+    from .parser_config import parsers_chain
+
+    return parsers_chain(parsers or [], **common)
+
+
+REGISTRY["parsers"] = _parsers_builder

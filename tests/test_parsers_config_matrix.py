@@ -232,6 +232,23 @@ def test_syslog_then_multiline(spark):
     assert out == [joined_trace, "This is some other debug message.\n", joined_trace]
 
 
+def test_parsers_block_in_compile_chain(spark):
+    """The parsers: block rides in a full processor-chain spec, like a
+    beats YAML with both sections; validation stays build-time."""
+    from beats_spark.processors import compile_chain
+
+    chain = compile_chain(
+        [
+            {"parsers": {"parsers": [{"multiline": {"type": "count", "count_lines": 3}}]}},
+            {"add_tags": {"tags": ["joined"]}},
+        ]
+    )
+    out = chain(_df(spark, ["a", "b", "c"])).collect()
+    assert len(out) == 1 and out[0].text == "a\nb\nc" and out[0].tags == ["joined"]
+    with pytest.raises(ValueError, match="no such parser"):
+        compile_chain([{"parsers": {"parsers": [{"nope": {}}]}}])
+
+
 # -- TestParserIncludeMessages (parser_test.go:738-771) ------------------------
 
 
