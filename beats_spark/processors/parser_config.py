@@ -24,7 +24,9 @@ Engine-split divergences (documented, loud): ndjson expand_keys and
 ignore_decoding_error are config errors (no de-dotting rewrite of the
 attrs map; decode errors always flag), syslog `timezone` is accepted
 but inert (timestamp TEXT is kept raw — zone resolution belongs to the
-separate `timestamp` processor in this engine's typed split).
+separate `timestamp` processor in this engine's typed split), and
+syslog `log_errors`/`add_error_key` are accepted but inert (parse
+failures are visible as NULL syslog_* columns, not flag fields).
 
 Common config (parser.go:31-34): max_bytes (default 10 MiB) prepends
 the max_bytes stage exactly where the reference's limit reader sits —
