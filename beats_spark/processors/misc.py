@@ -553,8 +553,7 @@ def multiline_while(
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
-        from ..events import FLAG_TRUNCATED, FLAGS_COL
-        from .stateful import _finalize_buffer, _ordered_join
+        from .stateful import _cap_and_flags, _finalize_buffer, _ordered_join
 
         matches = F.col(text_col).rlike(pattern)
         in_run = ~matches if negate else matches
@@ -564,30 +563,7 @@ def multiline_while(
         boundary = (~in_run) | (in_run & ~F.coalesce(prev_in_run, F.lit(False)))
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
-        # first-max_lines cap + truncated flag, sharing the group-key
-        # partitioning (no extra shuffle) — stateful.multiline_pattern's
-        # scheme verbatim
-        wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
-        wsz = Window.partitionBy(*groups, "_ml_grp")
-        df = (
-            df.withColumn("_ml_rn", F.row_number().over(wg))
-            .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
-            .filter(F.col("_ml_rn") <= max_lines)
-        )
-        trunc = F.when(
-            F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED))
-        ).otherwise(F.array().cast("array<string>"))
-        if FLAGS_COL in df.columns:
-            flags_agg = F.array_distinct(
-                F.concat(
-                    F.flatten(
-                        F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
-                    ),
-                    trunc,
-                )
-            ).alias(FLAGS_COL)
-        else:
-            flags_agg = trunc.alias(FLAGS_COL)
+        df, flags_agg = _cap_and_flags(df, groups, order_col, max_lines)
         agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(

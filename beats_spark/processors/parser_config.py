@@ -42,20 +42,19 @@ from pyspark.sql import DataFrame
 
 Stage = Callable[[DataFrame], DataFrame]
 
-_DUR_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ns|us|µs|ms|s|m|h)\s*$")
+_DUR_TERM = re.compile(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)")
+_DUR_RE = re.compile(r"^\s*(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h))+\s*$")
 _DUR_UNIT = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
 
 
 def _duration_seconds(v: Any, key: str) -> float:
-    """Go duration (config durations are '5s'/'1m'-style strings or bare
-    numbers of seconds); validate:"positive" like the reference tag."""
+    """Go duration — compound forms included ('1m30s', '1h3m50.5s'),
+    like time.ParseDuration — or a bare number of seconds;
+    validate:"positive" like the reference tag."""
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         secs = float(v)
-    elif isinstance(v, str):
-        m = _DUR_RE.match(v)
-        if not m:
-            raise ValueError(f"{key}: invalid duration: {v!r}")
-        secs = float(m.group(1)) * _DUR_UNIT[m.group(2)]
+    elif isinstance(v, str) and _DUR_RE.match(v):
+        secs = sum(float(n) * _DUR_UNIT[u] for n, u in _DUR_TERM.findall(v))
     else:
         raise ValueError(f"{key}: invalid duration: {v!r}")
     if secs < 0:
@@ -113,14 +112,24 @@ def _syslog_content_rewrite(text_col: str, fmt: str) -> Stage:
     return stage
 
 
-def _build_multiline(cfg: dict, common: dict) -> Stage:
+def _build_multiline(cfg: dict, common: dict, ts_col: str) -> Stage:
     from . import build
 
-    _only(cfg, {"type", "negate", "match", "max_lines", "pattern", "timeout",
-                "flush_pattern", "count_lines", "skip_newline"}, "multiline")
     mtype = cfg.get("type", "")
     if mtype not in ("", "pattern", "count", "while_pattern"):
         raise ValueError(f"unknown multiline type: {mtype}")
+    # per-TYPE allowlists: a key the selected mode never reads is a
+    # config error, not a silent no-op (a count-mode max_lines that
+    # validates clean but never caps is exactly the typo-shaped failure
+    # _only exists to catch)
+    if mtype in ("", "pattern"):
+        _only(cfg, {"type", "negate", "match", "max_lines", "pattern", "timeout",
+                    "flush_pattern", "skip_newline"}, "multiline(pattern)")
+    elif mtype == "count":
+        _only(cfg, {"type", "count_lines", "skip_newline"}, "multiline(count)")
+    else:
+        _only(cfg, {"type", "negate", "pattern", "max_lines", "skip_newline"},
+              "multiline(while_pattern)")
     sep = "" if cfg.get("skip_newline") else "\n"
     if mtype in ("", "pattern"):
         match = cfg.get("match", "")
@@ -140,6 +149,7 @@ def _build_multiline(cfg: dict, common: dict) -> Stage:
             secs = _duration_seconds(cfg["timeout"], "multiline.timeout")
             if secs > 0:  # 0 = disabled, like the reference
                 kw["timeout_seconds"] = secs
+                kw["ts_col"] = ts_col  # gap clock; frame must carry it
         if cfg.get("flush_pattern"):
             kw["flush_pattern"] = cfg["flush_pattern"]
         return build("multiline_pattern", **kw)
@@ -170,11 +180,14 @@ def parsers_chain(
     text_col: str = "text",
     group_cols: list[str] | None = None,
     order_col: str = "turn_idx",
+    ts_col: str = "ts",
 ) -> ParsersConfig:
     """parser.go NewConfig + Create as one validated builder.
 
     `parsers` is the reference's YAML list shape: one single-key dict
-    per parser, e.g. [{"ndjson": {...}}, {"multiline": {...}}]."""
+    per parser, e.g. [{"ndjson": {...}}, {"multiline": {...}}].
+    A multiline timeout > 0 reads event-time gaps from `ts_col` — the
+    input frame must carry that column (analysis error otherwise)."""
     from . import build
 
     ml_common = {"text_col": text_col, "order_col": order_col}
@@ -189,16 +202,18 @@ def parsers_chain(
         name, cfg = next(iter(entry.items()))
         cfg = dict(cfg or {})
         if name == "multiline":
-            stages.append(_build_multiline(cfg, ml_common))
+            stages.append(_build_multiline(cfg, ml_common, ts_col))
         elif name == "ndjson":
             _only(cfg, {"message_key", "document_id", "keys_under_root", "overwrite_keys",
                         "add_error_key", "ignore_decoding_error", "expand_keys",
-                        "field", "target"}, "ndjson")
+                        "expand_schema", "field", "target"}, "ndjson")
             if cfg.pop("expand_keys", False):
                 raise ValueError(
                     "ndjson.expand_keys: not supported by this engine — declare the shape "
                     "with expand_schema (typed columns) instead of de-dotting the attrs map"
                 )
+            # expand_schema IS accepted: it is the engine's advertised
+            # replacement for expand_keys (typed top-level columns)
             if cfg.pop("ignore_decoding_error", False):
                 raise ValueError(
                     "ndjson.ignore_decoding_error: not supported — decode failures always "

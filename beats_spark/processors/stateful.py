@@ -154,34 +154,7 @@ def multiline_pattern(
             boundary = boundary | (F.coalesce(gap, F.lit(0.0)) > timeout_seconds)
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
-        # max_lines semantics (multiline/pattern.go, message.go): an
-        # oversized group keeps its FIRST max_lines lines, DROPS the rest,
-        # and the emitted event carries the truncated flag — no sub-split
-        # into extra logical events. The size window shares the group-key
-        # partitioning, so no extra shuffle.
-        wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
-        wsz = Window.partitionBy(*groups, "_ml_grp")
-        df = (
-            df.withColumn("_ml_rn", F.row_number().over(wg))
-            .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
-            .filter(F.col("_ml_rn") <= max_lines)
-        )
-        # preserve flags set by earlier stages (ADVICE r3): the joined
-        # event's flags = union of every member line's flags + truncation
-        trunc = F.when(
-            F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED))
-        ).otherwise(F.array().cast("array<string>"))
-        if FLAGS_COL in df.columns:
-            flags_agg = F.array_distinct(
-                F.concat(
-                    F.flatten(
-                        F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
-                    ),
-                    trunc,
-                )
-            ).alias(FLAGS_COL)
-        else:
-            flags_agg = trunc.alias(FLAGS_COL)
+        df, flags_agg = _cap_and_flags(df, groups, order_col, max_lines)
         agg = (
             df.groupBy(*groups, "_ml_grp")
             .agg(
@@ -196,6 +169,38 @@ def multiline_pattern(
         return _finalize_buffer(agg, text_col, max_content_bytes)
 
     return stage
+
+
+def _cap_and_flags(df: DataFrame, groups, order_col: str, max_lines: int):
+    """max_lines semantics shared by the pattern and while modes
+    (multiline/pattern.go + while.go both read the buffer config): an
+    oversized group keeps its FIRST max_lines lines, DROPS the rest, and
+    the emitted event carries the truncated flag — no sub-split into
+    extra logical events. The size window shares the group-key
+    partitioning, so no extra shuffle. Returns (capped df, agg-side
+    flags expression = union of member flags + truncation, ADVICE r3)."""
+    wg = Window.partitionBy(*groups, "_ml_grp").orderBy(order_col)
+    wsz = Window.partitionBy(*groups, "_ml_grp")
+    df = (
+        df.withColumn("_ml_rn", F.row_number().over(wg))
+        .withColumn("_ml_sz", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("_ml_rn") <= max_lines)
+    )
+    trunc = F.when(
+        F.max("_ml_sz") > max_lines, F.array(F.lit(FLAG_TRUNCATED))
+    ).otherwise(F.array().cast("array<string>"))
+    if FLAGS_COL in df.columns:
+        flags_agg = F.array_distinct(
+            F.concat(
+                F.flatten(
+                    F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))
+                ),
+                trunc,
+            )
+        ).alias(FLAGS_COL)
+    else:
+        flags_agg = trunc.alias(FLAGS_COL)
+    return df, flags_agg
 
 
 def _finalize_buffer(agg: DataFrame, text_col: str, max_content_bytes: int | None) -> DataFrame:

@@ -90,14 +90,63 @@ def test_auditd_is_a_loud_config_error():
 
 
 def test_multiline_timeout_durations():
-    """Go durations parse; 0 = disabled (go-ucfg validate:positive is
+    """Go durations parse — compound forms included, like
+    time.ParseDuration; 0 = disabled (go-ucfg validate:positive is
     non-negative), negatives rejected."""
-    for v in (0, "0s", "5s", "250ms", "1m", 2.5):
+    for v in (0, "0s", "5s", "250ms", "1m", 2.5, "1m30s", "1h3m50.5s"):
         parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": v}}])
+    from beats_spark.processors.parser_config import _duration_seconds
+
+    assert _duration_seconds("1m30s", "t") == 90.0
     with pytest.raises(ValueError, match="positive"):
         parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": -1}}])
     with pytest.raises(ValueError, match="invalid duration"):
         parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "timeout": "5 parsecs"}}])
+
+
+def test_multiline_per_type_allowlists():
+    """A key the selected multiline mode never reads is a config error,
+    not a silent no-op: count-mode max_lines would otherwise validate
+    clean and never cap (r5 review)."""
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain(
+            [{"multiline": {"type": "count", "count_lines": 3, "max_lines": 500}}]
+        )
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain(
+            [{"multiline": {"type": "while_pattern", "pattern": "^x", "timeout": "5s"}}]
+        )
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain(
+            [{"multiline": {"type": "while_pattern", "pattern": "^x", "match": "after"}}]
+        )
+
+
+def test_ndjson_expand_schema_accepted():
+    """The expand_keys error advertises expand_schema as the migration
+    path — the advertised path must actually validate (r5 review)."""
+    parsers_chain([{"ndjson": {"message_key": "log", "expand_schema": "a INT, b STRING"}}])
+    with pytest.raises(ValueError, match="expand_keys"):
+        parsers_chain([{"ndjson": {"expand_keys": True}}])
+
+
+def test_multiline_timeout_ts_col_knob(spark):
+    """timeout > 0 reads gaps from ts_col; the knob reaches the stage
+    (a frame carrying the renamed column analyzes clean)."""
+    chain = parsers_chain(
+        [{"multiline": {"match": "after", "negate": True, "pattern": "^A",
+                        "timeout": "5s"}}],
+        ts_col="event_ts",
+    )
+    df = spark.createDataFrame(
+        [("c", 0, "A start", "2024-01-01 00:00:00"),
+         ("c", 1, "cont", "2024-01-01 00:00:01"),
+         ("c", 2, "cont after gap", "2024-01-01 01:00:00")],
+        "conv_id string, turn_idx int, text string, event_ts string",
+    )
+    out = {r.turn_idx: r.text for r in chain(df).collect()}
+    # the hour gap forces a new event even though the line continues
+    assert out == {0: "A start\ncont", 2: "cont after gap"}
 
 
 def test_unknown_keys_rejected():
