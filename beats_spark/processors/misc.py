@@ -541,15 +541,19 @@ def multiline_while(
     text_col: str = "text",
     max_lines: int = 500,
     sep: str = "\n",
+    timeout_seconds: float | None = None,
+    ts_col: str = "ts",
     max_content_bytes: int | None = None,
 ):
     """multiline/while.go — join CONSECUTIVE lines while pattern matches;
     a non-matching line is its own single-line event. The shared message
     buffer's finalize (multiline flag, byte cap, member-flag union)
     applies like every other multiline mode (message_buffer.go), and so
-    does max_lines (while.go:57-59 reads the same config default): an
-    oversized run keeps its FIRST max_lines lines, drops the rest, and
-    carries the truncated flag — identical to the pattern mode."""
+    do max_lines (while.go:57-59) and timeout (while.go:63-69 wraps the
+    same TimeoutReader as pattern mode — here, as everywhere in this
+    engine, the wall-clock idle flush becomes an event-time gap split):
+    an oversized run keeps its FIRST max_lines lines + truncated flag;
+    a gap > timeout starts a new event even mid-run."""
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
@@ -561,6 +565,10 @@ def multiline_while(
         prev_in_run = F.lag(in_run, 1, False).over(w0)
         # boundary: not in a run, or run just started
         boundary = (~in_run) | (in_run & ~F.coalesce(prev_in_run, F.lit(False)))
+        if timeout_seconds is not None:
+            epoch = F.unix_micros(F.col(ts_col).cast("timestamp")) / 1e6
+            gap = epoch - F.lag(epoch, 1).over(w0)
+            boundary = boundary | (F.coalesce(gap, F.lit(0.0)) > timeout_seconds)
         w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
         df = df.withColumn("_ml_grp", F.sum(boundary.cast("int")).over(w))
         df, flags_agg = _cap_and_flags(df, groups, order_col, max_lines)

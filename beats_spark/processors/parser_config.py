@@ -22,11 +22,19 @@ joins without the separator; timeout accepts Go duration strings.
 
 Engine-split divergences (documented, loud): ndjson expand_keys and
 ignore_decoding_error are config errors (no de-dotting rewrite of the
-attrs map; decode errors always flag), syslog `timezone` is accepted
-but inert (timestamp TEXT is kept raw — zone resolution belongs to the
-separate `timestamp` processor in this engine's typed split), and
-syslog `log_errors`/`add_error_key` are accepted but inert (parse
-failures are visible as NULL syslog_* columns, not flag fields).
+attrs map; decode errors always flag); ndjson keys_under_root without
+expand_schema is accepted but inert (the flat attrs map IS this
+engine's event root — pass expand_schema for typed top-level columns);
+syslog `timezone` is accepted but inert (timestamp TEXT is kept raw —
+zone resolution belongs to the separate `timestamp` processor in this
+engine's typed split), and syslog `log_errors`/`add_error_key` are
+accepted but inert (parse failures are visible as NULL syslog_*
+columns, not flag fields). Multiline timeout: the reference defaults
+to a 5-second WALL-CLOCK idle flush at the harvester
+(pattern.go:59,88-94); this engine reinterprets timeout as an
+EVENT-TIME gap split, where a 5 s default would be wrong (batch
+replays of hour-spaced turns would shatter every group), so an omitted
+timeout means NO gap splitting — set it explicitly to opt in.
 
 Common config (parser.go:31-34): max_bytes (default 10 MiB) prepends
 the max_bytes stage exactly where the reference's limit reader sits —
@@ -53,6 +61,8 @@ def _duration_seconds(v: Any, key: str) -> float:
     validate:"positive" like the reference tag."""
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         secs = float(v)
+    elif isinstance(v, str) and v.strip() == "0":
+        secs = 0.0  # time.ParseDuration special-cases bare "0"
     elif isinstance(v, str) and _DUR_RE.match(v):
         secs = sum(float(n) * _DUR_UNIT[u] for n, u in _DUR_TERM.findall(v))
     else:
@@ -90,20 +100,25 @@ class ParsersConfig:
 def _syslog_content_rewrite(text_col: str, fmt: str) -> Stage:
     from pyspark.sql import functions as F
 
-    from .parsers import _RFC3164, _RFC5424
-
     def stage(df: DataFrame) -> DataFrame:
         col = F.col(text_col)
         # failure is a GRAMMAR decision, not a message-value one (an
-        # empty parsed message is still a parse): gate on the same
-        # regexes the parser ran, so unparsed lines keep their content
-        # exactly like the reference's error path
+        # empty parsed message is still a parse). Rather than re-run the
+        # full grammar regexes per row (the heaviest regexes in the
+        # codebase, already evaluated by the syslog stage one select
+        # earlier — r5 review), gate on the parse's own output: the
+        # rfc5424 regex REQUIRES version (NULL ⟺ no 5424 match), the
+        # rfc3164 regex REQUIRES a real timestamp that _nil can never
+        # blank (month-name or RFC3339, '-' unmatchable), so
+        # version/timestamp non-null are exact match signals.
+        matched_24 = F.col("syslog_version").isNotNull()
+        matched_64 = F.col("syslog_timestamp").isNotNull()
         if fmt == "rfc5424":
-            matched = col.rlike(_RFC5424)
+            matched = matched_24
         elif fmt == "rfc3164":
-            matched = col.rlike(_RFC3164)
+            matched = matched_64
         else:
-            matched = col.rlike(_RFC5424) | col.rlike(_RFC3164)
+            matched = matched_24 | matched_64
         return df.withColumn(
             text_col,
             F.when(matched, F.coalesce(F.col("syslog_message"), F.lit(""))).otherwise(col),
@@ -119,17 +134,20 @@ def _build_multiline(cfg: dict, common: dict, ts_col: str) -> Stage:
     if mtype not in ("", "pattern", "count", "while_pattern"):
         raise ValueError(f"unknown multiline type: {mtype}")
     # per-TYPE allowlists: a key the selected mode never reads is a
-    # config error, not a silent no-op (a count-mode max_lines that
-    # validates clean but never caps is exactly the typo-shaped failure
-    # _only exists to catch)
+    # config error, not a silent no-op. Keys each mode DOES read, per
+    # the Go readers: pattern.go takes everything but count_lines;
+    # counter.go:41-43 reads count_lines + max_lines (cap override) +
+    # skip_newline; while.go:57-69 reads pattern/negate/max_lines/
+    # timeout/skip_newline (no match, no flush_pattern, no count_lines).
     if mtype in ("", "pattern"):
         _only(cfg, {"type", "negate", "match", "max_lines", "pattern", "timeout",
                     "flush_pattern", "skip_newline"}, "multiline(pattern)")
     elif mtype == "count":
-        _only(cfg, {"type", "count_lines", "skip_newline"}, "multiline(count)")
+        _only(cfg, {"type", "count_lines", "max_lines", "skip_newline"},
+              "multiline(count)")
     else:
-        _only(cfg, {"type", "negate", "pattern", "max_lines", "skip_newline"},
-              "multiline(while_pattern)")
+        _only(cfg, {"type", "negate", "pattern", "max_lines", "timeout",
+                    "skip_newline"}, "multiline(while_pattern)")
     sep = "" if cfg.get("skip_newline") else "\n"
     if mtype in ("", "pattern"):
         match = cfg.get("match", "")
@@ -161,7 +179,10 @@ def _build_multiline(cfg: dict, common: dict, ts_col: str) -> Stage:
             )
         if int(n) < 0:
             raise ValueError("multiline.count_lines: requires positive value")
-        return build("multiline_count", count=int(n), sep=sep, **common)
+        kw = dict(count=int(n), sep=sep, **common)
+        if cfg.get("max_lines") is not None:
+            kw["max_lines"] = int(cfg["max_lines"])
+        return build("multiline_count", **kw)
     # while_pattern
     if not cfg.get("pattern"):
         raise ValueError(
@@ -170,6 +191,11 @@ def _build_multiline(cfg: dict, common: dict, ts_col: str) -> Stage:
     kw = dict(pattern=cfg["pattern"], negate=bool(cfg.get("negate", False)), sep=sep, **common)
     if cfg.get("max_lines") is not None:
         kw["max_lines"] = int(cfg["max_lines"])
+    if cfg.get("timeout") is not None:
+        secs = _duration_seconds(cfg["timeout"], "multiline.timeout")
+        if secs > 0:  # 0 = disabled, like the reference
+            kw["timeout_seconds"] = secs
+            kw["ts_col"] = ts_col
     return build("multiline_while", **kw)
 
 

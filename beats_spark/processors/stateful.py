@@ -159,7 +159,11 @@ def multiline_pattern(
             df.groupBy(*groups, "_ml_grp")
             .agg(
                 F.min(order_col).alias(order_col),
-                F.min("ts").alias("ts") if "ts" in df.columns else F.lit(None).alias("ts"),
+                # keep the TS COLUMN THE STAGE READS (r5 review: a custom
+                # ts_col was silently replaced by a NULL literal 'ts')
+                F.min(ts_col).alias(ts_col)
+                if ts_col in df.columns
+                else F.lit(None).alias(ts_col),
                 _ordered_join(order_col, text_col, sep),
                 F.count(F.lit(1)).alias("n_lines"),
                 flags_agg,
@@ -227,18 +231,24 @@ def multiline_count(
     group_cols: list[str] | None = None,
     order_col: str = "turn_idx",
     text_col: str = "text",
+    max_lines: int | None = None,
     sep: str = "\n",
     max_content_bytes: int | None = None,
 ):
     """multiline/counter.go — join every N lines; the shared message
     buffer's finalize flags/byte cap apply here too (message_buffer.go
-    backs every multiline mode)."""
+    backs every multiline mode). A positive `max_lines` overrides the
+    buffer cap (counter.go:41-43): the reader still consumes `count`
+    lines per event, but only the first max_lines are kept and the
+    event carries the truncated flag."""
     groups = group_cols or ["conv_id"]
 
     def stage(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*groups).orderBy(order_col)
         df = df.withColumn("_ml_grp", ((F.row_number().over(w) - 1) / count).cast("int"))
-        if FLAGS_COL in df.columns:
+        if max_lines is not None and 0 < max_lines < count:
+            df, flags_agg = _cap_and_flags(df, groups, order_col, max_lines)
+        elif FLAGS_COL in df.columns:
             flags_agg = F.array_distinct(
                 F.flatten(
                     F.collect_list(F.coalesce(F.col(FLAGS_COL), F.array().cast("array<string>")))

@@ -106,20 +106,71 @@ def test_multiline_timeout_durations():
 
 def test_multiline_per_type_allowlists():
     """A key the selected multiline mode never reads is a config error,
-    not a silent no-op: count-mode max_lines would otherwise validate
-    clean and never cap (r5 review)."""
-    with pytest.raises(ValueError, match="unknown config keys"):
-        parsers_chain(
-            [{"multiline": {"type": "count", "count_lines": 3, "max_lines": 500}}]
-        )
-    with pytest.raises(ValueError, match="unknown config keys"):
-        parsers_chain(
-            [{"multiline": {"type": "while_pattern", "pattern": "^x", "timeout": "5s"}}]
-        )
+    not a silent no-op. What each mode reads comes from the Go readers:
+    counter.go DOES read max_lines (cap override), while.go DOES read
+    timeout; neither reads match/flush_pattern, count is pattern-free."""
+    # keys the mode READS must validate clean
+    parsers_chain([{"multiline": {"type": "count", "count_lines": 3, "max_lines": 2}}])
+    parsers_chain([{"multiline": {"type": "while_pattern", "pattern": "^x", "timeout": "5s"}}])
+    # keys the mode never reads are errors
     with pytest.raises(ValueError, match="unknown config keys"):
         parsers_chain(
             [{"multiline": {"type": "while_pattern", "pattern": "^x", "match": "after"}}]
         )
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain(
+            [{"multiline": {"type": "count", "count_lines": 3, "flush_pattern": "^x"}}]
+        )
+    with pytest.raises(ValueError, match="unknown config keys"):
+        parsers_chain(
+            [{"multiline": {"match": "after", "pattern": "^x", "count_lines": 3}}]
+        )
+
+
+def test_multiline_count_max_lines_cap(spark):
+    """counter.go:41-43: a positive max_lines overrides the buffer cap —
+    count lines are consumed per event, the first max_lines kept, and
+    the event carries the truncated flag."""
+    chain = parsers_chain(
+        [{"multiline": {"type": "count", "count_lines": 3, "max_lines": 2}}]
+    )
+    out = chain(_df(spark, ["a", "b", "c", "d", "e", "f"])).orderBy("turn_idx").collect()
+    assert [r.text for r in out] == ["a\nb", "d\ne"]
+    assert all("truncated" in r.log_flags for r in out)
+
+
+def test_multiline_while_timeout_gap_split(spark):
+    """while.go:63-69 wraps the same TimeoutReader as pattern mode; the
+    event-time analog splits a run at a gap > timeout."""
+    chain = parsers_chain(
+        [{"multiline": {"type": "while_pattern", "pattern": "^A", "timeout": "5s"}}],
+        ts_col="event_ts",
+    )
+    df = spark.createDataFrame(
+        [("c", 0, "A one", "2024-01-01 00:00:00"),
+         ("c", 1, "A two", "2024-01-01 00:00:01"),
+         ("c", 2, "A three after gap", "2024-01-01 01:00:00")],
+        "conv_id string, turn_idx int, text string, event_ts string",
+    )
+    out = {r.turn_idx: r.text for r in chain(df).collect()}
+    assert out == {0: "A one\nA two", 2: "A three after gap"}
+
+
+def test_multiline_pattern_keeps_custom_ts_col(spark):
+    """r5 review: the pattern agg replaced a custom ts_col with a NULL
+    literal 'ts'; the stage must keep the column it reads."""
+    from beats_spark.processors import build
+
+    df = spark.createDataFrame(
+        [("c", 0, "A start", "2024-01-01 00:00:00"),
+         ("c", 1, "cont", "2024-01-01 00:00:01")],
+        "conv_id string, turn_idx int, text string, event_ts string",
+    )
+    out = build(
+        "multiline_pattern", pattern="^A", negate=True, match="after",
+        timeout_seconds=5.0, ts_col="event_ts",
+    )(df).collect()
+    assert len(out) == 1 and out[0].event_ts == "2024-01-01 00:00:00"
 
 
 def test_ndjson_expand_schema_accepted():
