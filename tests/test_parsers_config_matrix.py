@@ -205,6 +205,39 @@ def test_unknown_keys_rejected():
         parsers_chain([{"multiline": {"match": "after", "pattern": "^x", "patern": "^y"}}])
 
 
+# -- multiline_config_test.go (TestInvalidConfiguration + TestValid...) -------
+
+
+@pytest.mark.parametrize(
+    "cfg,err",
+    [
+        ({"match": "before"}, "multiline.pattern cannot be empty"),
+        ({"type": "no_such_mode"}, "unknown multiline type: no_such_mode"),
+        ({"type": "count"}, "multiline.count cannot be empty"),
+        ({"type": "while_pattern"}, "multiline.pattern cannot be empty"),
+    ],
+    ids=["missing-pattern", "unknown-mode", "missing-count", "while-missing-pattern"],
+)
+def test_multiline_invalid_configuration(cfg, err):
+    """multiline_config_test.go TestInvalidConfiguration, verbatim."""
+    with pytest.raises(ValueError, match=err):
+        parsers_chain([{"multiline": cfg}])
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {"type": "pattern", "match": "before", "pattern": "^\n"},
+        {"type": "while_pattern", "pattern": "^\n"},
+        {"type": "count", "count_lines": 5},
+    ],
+    ids=["pattern", "while_pattern", "count"],
+)
+def test_multiline_valid_configuration(cfg):
+    """multiline_config_test.go TestValidConfiguration, verbatim."""
+    parsers_chain([{"multiline": cfg}])
+
+
 # -- reading rows of TestParsersConfigAndReading -------------------------------
 
 
