@@ -151,3 +151,47 @@ class TestFlowAndSpanPlanShape:
         assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
         assert "partial_" in s
         assert len(s) < PLAN_CHARS_MAX
+
+
+class TestParserChainPlanShape:
+    """The parsers: chain composes map-side stages around ONE group-key
+    exchange: ndjson/syslog/container/include are pure projections or
+    filters, and every multiline window partitions by the same group
+    key, so Catalyst reuses a single Exchange. A second exchange
+    appearing here means a stage broke the shared partitioning."""
+
+    def test_docker_chain_single_exchange(self, spark):
+        from beats_spark.processors.parser_config import parsers_chain
+
+        df = spark.range(0, 100).select(
+            (F.col("id") % 5).cast("string").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.to_json(F.struct(F.lit("x").alias("log"))).alias("text"),
+        )
+        chain = parsers_chain(
+            [
+                {"ndjson": {"message_key": "log"}},
+                {"multiline": {"match": "after", "negate": True, "pattern": "^!"}},
+            ]
+        )
+        s = _plan_str(chain(df))
+        assert s.count("Exchange") == 1, s
+        assert len(s) < PLAN_CHARS_MAX
+
+    def test_syslog_while_chain_single_exchange(self, spark):
+        from beats_spark.processors.parser_config import parsers_chain
+
+        df = spark.range(0, 100).select(
+            (F.col("id") % 5).cast("string").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("<13>Oct 11 22:14:15 host prog: msg").alias("text"),
+        )
+        chain = parsers_chain(
+            [
+                {"syslog": {"format": "rfc3164"}},
+                {"multiline": {"type": "while_pattern", "pattern": "^m"}},
+            ]
+        )
+        s = _plan_str(chain(df))
+        assert s.count("Exchange") == 1, s
+        assert len(s) < PLAN_CHARS_MAX
