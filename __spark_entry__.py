@@ -405,6 +405,8 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syslog_priority",
         "syslog_severity",
         "syslog_facility",
+        "syslog_severity_name",
+        "syslog_facility_name",
         "syslog_version",
         "syslog_hostname",
         "syslog_program",
@@ -2127,6 +2129,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 190 AS INTEGER) AS syslog_priority,
                    CAST((event_id % 190) % 8 AS INTEGER) AS syslog_severity,
                    CAST((event_id % 190) // 8 AS INTEGER) AS syslog_facility,
+                   list_extract(['Emergency','Alert','Critical','Error','Warning',
+                                 'Notice','Informational','Debug'],
+                                CAST((event_id % 190) % 8 AS INTEGER) + 1)
+                     AS syslog_severity_name,
+                   list_extract(['kernel','user-level','mail','system',
+                                 'security/authorization','syslogd','line printer',
+                                 'network news','UUCP','clock',
+                                 'security/authorization','FTP','NTP','log audit',
+                                 'log alert','clock','local0','local1','local2',
+                                 'local3','local4','local5','local6','local7'],
+                                CAST((event_id % 190) // 8 AS INTEGER) + 1)
+                     AS syslog_facility_name,
                    CASE WHEN event_id % 2 = 0 THEN 1 END AS syslog_version,
                    'host' || CAST(user_id AS VARCHAR) AS syslog_hostname,
                    CASE WHEN event_id % 2 = 0 THEN 'app' || CAST(event_id % 9 AS VARCHAR)

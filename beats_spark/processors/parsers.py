@@ -861,6 +861,22 @@ def _nil(col: Column) -> Column:
     return F.when((col != "-") & (col != ""), col)
 
 
+# reader/syslog/message.go:35-70 — label tables, verbatim (incl. the
+# repeated "security/authorization" at 4/10 and "clock" at 9/15)
+_SEVERITY_LABELS = [
+    "Emergency", "Alert", "Critical", "Error",
+    "Warning", "Notice", "Informational", "Debug",
+]
+_FACILITY_LABELS = [
+    "kernel", "user-level", "mail", "system",
+    "security/authorization", "syslogd", "line printer", "network news",
+    "UUCP", "clock", "security/authorization", "FTP",
+    "NTP", "log audit", "log alert", "clock",
+    "local0", "local1", "local2", "local3",
+    "local4", "local5", "local6", "local7",
+]
+
+
 _SD_ELEMENT = r'\[(?:[^"\]]|"(?:[^"\\]|\\.)*")*\]'
 # RFC5424 §6.3: SD-NAME = 1..32 PRINTUSASCII except '=', SP, ']', '"';
 # a compliant element is [SD-ID (SP PARAM-NAME="value")*]
@@ -963,10 +979,19 @@ def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"
         # sd-with-escaped-quote) — the value is escape-aware
         kv_keys = F.regexp_extract_all(sd, F.lit(r'(\w+)="(?:[^"\\]|\\.)*"'), F.lit(1))
         kv_vals = F.regexp_extract_all(sd, F.lit(r'\w+="((?:[^"\\]|\\.)*)"'), F.lit(1))
+        # label columns (message.go fields()): F.get is 0-based and NULL
+        # out-of-range (our PRI regex admits up to 999 → facility up to
+        # 124; element_at would raise under ANSI)
+        sev_names = F.array(*[F.lit(s) for s in _SEVERITY_LABELS])
+        fac_names = F.array(*[F.lit(s) for s in _FACILITY_LABELS])
         df = (
             df.withColumn(prefix + "priority", prin)
             .withColumn(prefix + "severity", prin % 8)
             .withColumn(prefix + "facility", (prin / 8).cast("int"))
+            .withColumn(prefix + "severity_name", F.get(sev_names, prin % 8))
+            .withColumn(
+                prefix + "facility_name", F.get(fac_names, (prin / 8).cast("int"))
+            )
             .withColumn(prefix + "version", version)
             .withColumn(prefix + "timestamp", _nil(pick(3, 2)))
             .withColumn(prefix + "hostname", _nil(pick(4, 3)))

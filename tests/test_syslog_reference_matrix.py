@@ -310,3 +310,21 @@ def test_parse_structured_data(spark, case):
 def test_structured_data_nilvalue_is_null(spark):
     r = _parse(spark, "<13>1 - - - - - -", "rfc5424")
     assert r.syslog_sd_structured is None
+
+
+def test_severity_facility_names(spark):
+    """reader/syslog/message.go:35-70 label tables + syslog_test.go
+    TestNewParser expectations: pri 165 → local4/Notice, pri 13 →
+    user-level/Notice; label columns NULL when PRI is absent."""
+    df = spark.createDataFrame(
+        [
+            ("<165>1 2003-10-11T22:14:15.003Z h app 1 ID1 - msg",),
+            ("<13>Oct 11 22:14:15 test-host su[1024]: this is the message",),
+            ("Not a valid message.",),
+        ],
+        "text string",
+    )
+    rows = build("syslog", format="auto")(df).collect()
+    assert (rows[0].syslog_facility_name, rows[0].syslog_severity_name) == ("local4", "Notice")
+    assert (rows[1].syslog_facility_name, rows[1].syslog_severity_name) == ("user-level", "Notice")
+    assert rows[2].syslog_facility_name is None and rows[2].syslog_severity_name is None
