@@ -219,3 +219,15 @@ def read_sink(spark, out_dir: str, sink: str, fmt: str = "parquet") -> DataFrame
         .load(os.path.join(out_dir, "sinks"))
         .filter(F.col(SINK_COL) == sink)
     )
+
+
+def kafka_topic_selector(cfg: dict) -> "Selector":
+    """kafka.go:88-106 buildTopicSelector: topic/topics config with
+    SelectorKeepCase (topics are case-sensitive, unlike ES indices) and
+    FailEmpty — a config with neither key is a build error."""
+    from .selector import selector_from_config
+
+    return selector_from_config(
+        cfg, key="topic", multi_key="topics",
+        enable_single_only=True, fail_empty=True, case_insensitive=False,
+    )

@@ -277,3 +277,50 @@ class Selector:
                 )
             result = F.when(cond, value).otherwise(result)
         return result
+
+
+def selector_from_config(
+    cfg: dict[str, Any],
+    key: str,
+    multi_key: str | None = None,
+    enable_single_only: bool = True,
+    fail_empty: bool = True,
+    case_insensitive: bool = False,
+    fallback: str | None = None,
+) -> Selector:
+    """outil.BuildSelectorFromConfig (select.go:107-177) — the config
+    surface every output shares: `key` holds a single format string,
+    `multi_key` an ordered rule list whose entries carry the format
+    under `key` plus optional when/mappings/default. Rule order is the
+    reference's: multi_key rules first, then the single-key rule
+    appended after (select.go:142-163). `case_insensitive` maps
+    outil.SelectorLowerCase (the ES index setting) vs SelectorKeepCase
+    (kafka topics — TestTopicSelection pins that topics keep case).
+
+    Validation is build-time like everything else on this surface: a
+    multi_key entry without `key` and a fail_empty config with neither
+    key are config errors with the reference's wording."""
+    rules: list[Rule] = []
+    found = False
+    if multi_key is not None and multi_key in cfg:
+        found = True
+        for entry in cfg[multi_key] or []:
+            if not isinstance(entry, dict) or key not in entry:
+                raise ValueError(f"missing {key} in {multi_key} entry: {entry!r}")
+            rules.append(
+                Rule(
+                    index=str(entry[key]),
+                    when=entry.get("when"),
+                    mappings=entry.get("mappings"),
+                    default=entry.get("default"),
+                    case_insensitive=case_insensitive,
+                )
+            )
+    if enable_single_only and key in cfg:
+        found = True
+        rules.append(Rule(index=str(cfg[key]), case_insensitive=case_insensitive))
+    if fail_empty and not found:
+        if enable_single_only:
+            raise ValueError(f"missing required '{key}' or '{multi_key}'")
+        raise ValueError(f"missing required '{multi_key}'")
+    return Selector(rules, fallback=fallback)

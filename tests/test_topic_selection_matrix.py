@@ -1,0 +1,67 @@
+"""Kafka topic selection matrix, ported verbatim.
+
+outputs/kafka/config_test.go:304-364 (TestTopicSelection) against
+`kafka_topic_selector` = BuildSelectorFromConfig(key='topic',
+multi_key='topics', SelectorKeepCase, FailEmpty). The table's load-
+bearing assertion is CASE: kafka topics keep case where ES index
+selection lowercases — both behaviors ride the same Selector with
+opposite case_insensitive settings.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.routing import kafka_topic_selector
+from beats_spark.selector import Rule, Selector, selector_from_config
+
+# (name, cfg, field value or None, want) — config_test.go:305-345
+CASES = [
+    ("topic configured", {"topic": "test"}, None, "test"),
+    ("topic must keep case", {"topic": "Test"}, None, "Test"),
+    ("topics setting", {"topics": [{"topic": "test"}]}, None, "test"),
+    ("topics setting must keep case", {"topics": [{"topic": "Test"}]}, None, "Test"),
+    ("use event field", {"topic": "test-%{[field]}"}, "from-event", "test-from-event"),
+    ("use event field must keep case", {"topic": "Test-%{[field]}"}, "From-Event",
+     "Test-From-Event"),
+]
+
+
+def test_topic_selection_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, c[2]) for i, c in enumerate(CASES)], "cid int, field string"
+    )
+    cols = [
+        kafka_topic_selector(cfg).column(columns={"field"}).alias(f"t{i}")
+        for i, (_, cfg, _, _) in enumerate(CASES)
+    ]
+    rows = {r.cid: r for r in df.select("cid", *cols).collect()}
+    for i, (name, _, _, want) in enumerate(CASES):
+        assert rows[i][f"t{i}"] == want, name
+
+
+def test_topic_keeps_case_where_index_folds():
+    """The same 'Test-%{[field]}' template: kafka keep-case vs the ES
+    index selector's SelectorLowerCase fold (select.go Case settings)."""
+    kafka = kafka_topic_selector({"topic": "Test"})
+    assert kafka.rules[0].case_insensitive is False
+    es = selector_from_config(
+        {"index": "Test"}, key="index", multi_key="indices", case_insensitive=True
+    )
+    assert es.rules[0].case_insensitive is True
+
+
+def test_multi_then_single_rule_order():
+    """select.go:118-163: multi_key rules first, the single-key rule
+    appended after."""
+    s = selector_from_config(
+        {"topic": "fallback-topic", "topics": [{"topic": "first", "when": {"x": 1}}]},
+        key="topic", multi_key="topics",
+    )
+    assert [r.index for r in s.rules] == ["first", "fallback-topic"]
+
+
+def test_missing_key_in_entry_and_fail_empty():
+    with pytest.raises(ValueError, match="missing topic"):
+        kafka_topic_selector({"topics": [{"when": {"x": 1}}]})
+    with pytest.raises(ValueError, match="missing required 'topic' or 'topics'"):
+        kafka_topic_selector({})
