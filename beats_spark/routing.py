@@ -231,3 +231,38 @@ def kafka_topic_selector(cfg: dict) -> "Selector":
         cfg, key="topic", multi_key="topics",
         enable_single_only=True, fail_empty=True, case_insensitive=False,
     )
+
+
+def es_index_selector(cfg: dict, default_index: str) -> "Selector":
+    """idxmgmt/index_support.go:160-204 BuildSelector: `indices` rules
+    first, the single `index` format after, with `default_index` (the
+    '{beat}-{version}-%{+yyyy.MM.dd}' name) substituted when `index` is
+    absent/empty — all SelectorLowerCase (std_test.go pins the folding).
+    The reference's event-Meta["index"] override is a COLUMN concern
+    here: see es_index_column."""
+    from .selector import selector_from_config
+
+    sel_cfg: dict = {}
+    if "indices" in cfg:
+        sel_cfg["indices"] = cfg["indices"]
+    sel_cfg["index"] = cfg.get("index") or default_index
+    return selector_from_config(
+        sel_cfg, key="index", multi_key="indices",
+        enable_single_only=True, fail_empty=True, case_insensitive=True,
+    )
+
+
+def es_index_column(
+    selector: "Selector",
+    dtypes: dict[str, str],
+    ts_col: str = "ts",
+    meta_col: str = "_meta_index",
+):
+    """The ES client's index pick for one event (client.go getIndex):
+    event Meta 'index' (lowercased) wins over the selector — that is
+    how add_formatted_index takes effect; absent meta falls through to
+    the selector column."""
+    sel = selector.column(ts_col=ts_col, dtypes=dtypes)
+    if meta_col in dtypes:
+        return F.coalesce(F.lower(F.col(meta_col)), sel)
+    return sel

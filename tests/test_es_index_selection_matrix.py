@@ -1,0 +1,58 @@
+"""ES index selection matrix, ported.
+
+idxmgmt/std_test.go TestIndexSelection (the non-ILM-template rows —
+ILM rollover-alias naming needs the mocked ILM client and is out of
+scope) against es_index_selector/es_index_column: SelectorLowerCase
+everywhere, `indices` rules before the single `index` format, the
+default index substituted for an absent `index`, and the event-meta
+index override (here the `_meta_index` column add_formatted_index
+writes) winning over the selector, lowercased.
+"""
+
+from pyspark.sql import functions as F
+
+from beats_spark.routing import es_index_column, es_index_selector
+
+DEFAULT = "test-9.9.9-%{+yyyy.MM.dd}"
+
+
+def _pick(spark, cfg, meta=None):
+    df = spark.createDataFrame(
+        [("9.9.9", meta)], "agent_version string, _meta_index string"
+    ).withColumn("ts", F.lit("2024-01-05 10:00:00").cast("timestamp"))
+    sel = es_index_selector(cfg, default_index=DEFAULT)
+    return df.select(
+        es_index_column(sel, dict(df.dtypes)).alias("idx")
+    ).first().idx
+
+
+def test_without_ilm(spark):
+    assert _pick(spark, {"index": "test-%{[agent_version]}"}) == "test-9.9.9"
+
+
+def test_without_ilm_must_be_lowercase(spark):
+    assert _pick(spark, {"index": "TeSt-%{[agent_version]}"}) == "test-9.9.9"
+
+
+def test_event_index_override(spark):
+    assert _pick(spark, {"index": "test-%{[agent_version]}"}, meta="event-index") == "event-index"
+
+
+def test_event_index_override_must_be_lowercase(spark):
+    assert _pick(spark, {"index": "test-%{[agent_version]}"}, meta="Test") == "test"
+
+
+def test_use_indices(spark):
+    cfg = {"index": "test-%{[agent_version]}", "indices": [{"index": "myindex"}]}
+    assert _pick(spark, cfg) == "myindex"
+
+
+def test_use_indices_must_be_lowercase(spark):
+    cfg = {"index": "test-%{[agent_version]}", "indices": [{"index": "MyIndex"}]}
+    assert _pick(spark, cfg) == "myindex"
+
+
+def test_default_index_substituted(spark):
+    """index_support.go:186-189: no index key → the beat default name
+    (with its date math) becomes the single rule."""
+    assert _pick(spark, {}) == "test-9.9.9-2024.01.05"
