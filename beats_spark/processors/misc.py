@@ -183,13 +183,53 @@ def now(target_field: str = "ingested_ts"):
     return stage
 
 
-def codec_json(target: str = "serialized", columns: list[str] | None = None, escape_html: bool = False):
+def codec_json(
+    target: str = "serialized",
+    columns: list[str] | None = None,
+    escape_html: bool = False,
+    envelope: dict | None = None,
+    ts_col: str = "ts",
+):
     """JSON codec (codec/json/json.go:54): serialize the event row for a
-    sink that wants one JSON document per row."""
+    sink that wants one JSON document per row.
+
+    `envelope={"beat": ..., "version": ...}` produces the reference's
+    wire shape byte-for-byte (json_test.go TestJsonCodec):
+    `@timestamp` first (millisecond ISO, 'Z'), then `@metadata`
+    {beat, type:"_doc", version}, then the fields sorted by name (Go
+    marshals maps key-sorted); float NaN serializes as null (Go's
+    encoder rejects NaN — the reference encodes it via its folder as
+    null — while Spark's to_json would emit the string "NaN").
+    Divergences: Pretty and LocalTime are not offered — one JSON doc
+    per line is the only shape a line-oriented sink reads back, and
+    timestamps are normalized UTC end-to-end in this engine."""
 
     def stage(df: DataFrame) -> DataFrame:
         cols = columns or [c for c in df.columns if not c.startswith("_")]
-        out = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        dtypes = dict(df.dtypes)
+
+        def _clean(c: str) -> Column:
+            if dtypes.get(c) in ("double", "float"):
+                return F.when(~F.isnan(F.col(c)), F.col(c)).alias(c)
+            return F.col(c).alias(c)
+
+        if envelope is not None:
+            ts = F.date_format(
+                F.col(ts_col).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+            ).alias("@timestamp")
+            meta = F.struct(
+                F.lit(str(envelope.get("beat", ""))).alias("beat"),
+                F.lit("_doc").alias("type"),
+                F.lit(str(envelope.get("version", ""))).alias("version"),
+            ).alias("@metadata")
+            fields = [_clean(c) for c in sorted(c for c in cols if c != ts_col)]
+            # Go's json.Marshal emits nil values as null; Spark's
+            # default drops null struct fields
+            out = F.to_json(
+                F.struct(ts, meta, *fields), {"ignoreNullFields": "false"}
+            )
+        else:
+            out = F.to_json(F.struct(*[_clean(c) for c in cols]))
         if escape_html:
             for ch, esc in (("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026")):
                 out = F.replace(out, F.lit(ch), F.lit(esc))

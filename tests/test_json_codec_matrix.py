@@ -1,0 +1,66 @@
+"""JSON codec envelope matrix, ported.
+
+outputs/codec/json/json_test.go TestJsonCodec — the portable rows:
+default envelope, HTML escaping on/off, NaN → null. Pretty and
+LocalTime are documented divergences (codec_json docstring): one doc
+per line, UTC-normalized timestamps. Expected strings byte-identical to the
+Go table modulo the timestamp value (Go's zero time, year 1, does not
+survive the Python/Arrow datetime boundary; the FORMAT — millisecond
+ISO, Z — is what the table pins).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from beats_spark.processors import build
+
+ENV = {"beat": "test", "version": "1.2.3"}
+
+
+def _encode(spark, msg_cols, schema, escape_html=False):
+    df = spark.createDataFrame([msg_cols], schema).withColumn(
+        "ts", F.lit("2024-01-05 10:00:00").cast("timestamp")
+    )
+    return (
+        build("codec_json", envelope=ENV, escape_html=escape_html)(df)
+        .first()
+        .serialized
+    )
+
+
+def test_default_json(spark):
+    assert _encode(spark, ("message",), "msg string") == (
+        '{"@timestamp":"2024-01-05T10:00:00.000Z",'
+        '"@metadata":{"beat":"test","type":"_doc","version":"1.2.3"},'
+        '"msg":"message"}'
+    )
+
+
+def test_html_escaping_enabled(spark):
+    assert _encode(spark, ("<hello>world</hello>",), "msg string", escape_html=True) == (
+        '{"@timestamp":"2024-01-05T10:00:00.000Z",'
+        '"@metadata":{"beat":"test","type":"_doc","version":"1.2.3"},'
+        '"msg":"\\u003chello\\u003eworld\\u003c/hello\\u003e"}'
+    )
+
+
+def test_html_escaping_disabled(spark):
+    assert _encode(spark, ("<hello>world</hello>",), "msg string") == (
+        '{"@timestamp":"2024-01-05T10:00:00.000Z",'
+        '"@metadata":{"beat":"test","type":"_doc","version":"1.2.3"},'
+        '"msg":"<hello>world</hello>"}'
+    )
+
+
+def test_float_undefined_values(spark):
+    assert _encode(spark, (math.nan,), "nan double") == (
+        '{"@timestamp":"2024-01-05T10:00:00.000Z",'
+        '"@metadata":{"beat":"test","type":"_doc","version":"1.2.3"},'
+        '"nan":null}'
+    )
+
+
+def test_fields_sorted_like_go_map_marshal(spark):
+    out = _encode(spark, ("v1", "v2"), "zfield string, afield string")
+    assert out.index('"afield"') < out.index('"zfield"')
