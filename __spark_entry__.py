@@ -154,7 +154,28 @@ def q_routing_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events", F.lit(None).cast("long").alias("events_flagged"),
         )
     )
-    return sinks.unionByName(kp)
+    # r5c fold: the ES bulk-response per-item policy
+    # (client.go:495-555 applyItemStatus) replayed over a synthesized
+    # bulk-result log — the oracle recomputes every branch of the
+    # decision table
+    from beats_spark.routing import bulk_item_action
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    statuses = F.array(*[F.lit(s) for s in (200, 201, 409, 429, 400, 403, 500, 503)])
+    bulk = (
+        ev.select(
+            F.get(statuses, (F.col("event_id") % 8).cast("int")).alias("status"),
+            (F.col("event_id") % 5 == 0).alias("adl"),
+        )
+        .select(bulk_item_action("status", "adl", True).alias("action"))
+        .groupBy("action")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("bulk").alias("kind"), F.col("action").alias("key"),
+            "n_events", F.lit(None).cast("long").alias("events_flagged"),
+        )
+    )
+    return sinks.unionByName(kp).unionByName(bulk)
 
 
 def q_agg_events_per_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,7 +2063,24 @@ def oracle_sql() -> dict[str, str]:
                          (acc, b) -> (xor(acc, b) * 16777619) % 4294967296
                        ) & 2147483647) % 15 AS p
                FROM transcripts_base)
-             GROUP BY p""",
+             GROUP BY p
+             UNION ALL
+             SELECT 'bulk' AS kind, action AS key, count(*) AS n_events,
+                    CAST(NULL AS BIGINT) AS events_flagged
+             FROM (
+               SELECT CASE
+                        WHEN status < 300 THEN (CASE WHEN adl THEN 'dead_letter_ack' ELSE 'ack' END)
+                        WHEN status = 409 THEN 'duplicate'
+                        WHEN status = 429 THEN 'retry'
+                        WHEN status < 500 THEN (CASE WHEN adl THEN 'drop' ELSE 'to_dead_letter' END)
+                        ELSE 'retry'
+                      END AS action
+               FROM (
+                 SELECT list_extract([200,201,409,429,400,403,500,503],
+                                     CAST(event_id % 8 AS INTEGER) + 1) AS status,
+                        (event_id % 5 = 0) AS adl
+                 FROM events))
+             GROUP BY action""",
         "agg_events_per_conv": _ORACLE_WITH
         + """SELECT sink, date_trunc('hour', ts) AS bucket, conv_id,
                     count(*) AS n_events

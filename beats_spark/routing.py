@@ -266,3 +266,62 @@ def es_index_column(
     if meta_col in dtypes:
         return F.coalesce(F.lower(F.col(meta_col)), sel)
     return sel
+
+
+def bulk_item_action(
+    status, already_dead_letter=None, dead_letter_configured: bool = True
+):
+    """elasticsearch/client.go:495-555 applyItemStatus — the per-item
+    bulk-response policy, as a pure Column decision (replayable over a
+    table of shipper bulk results):
+
+      <300 → 'ack' ('dead_letter_ack' when the item was already a
+      dead-letter retry); 409 → 'duplicate' (no retry); 429 → 'retry';
+      other <500 → fatal: 'drop' when already dead-lettered or no
+      dead-letter index is configured, else 'to_dead_letter' (redirected
+      and retried); ≥500 → 'retry'.
+    """
+    status = F.col(status) if isinstance(status, str) else status
+    if already_dead_letter is None:
+        adl = F.lit(False)
+    elif isinstance(already_dead_letter, str):
+        adl = F.coalesce(F.col(already_dead_letter), F.lit(False))
+    else:
+        adl = already_dead_letter
+    return (
+        F.when(status < 300, F.when(adl, "dead_letter_ack").otherwise("ack"))
+        .when(status == 409, F.lit("duplicate"))
+        .when(status == 429, F.lit("retry"))
+        .when(
+            status < 500,
+            F.when(adl | F.lit(not dead_letter_configured), "drop").otherwise(
+                "to_dead_letter"
+            ),
+        )
+        .otherwise(F.lit("retry"))
+    )
+
+
+def bulk_result_stats(
+    df: DataFrame,
+    status_col: str = "status",
+    already_dead_letter_col: str | None = None,
+    dead_letter_configured: bool = True,
+) -> DataFrame:
+    """bulkCollectPublishFails' bulkResultStats for a bulk-response
+    table: acked / deadLetter (acked into the dead-letter index) /
+    duplicates / nonIndexable (dropped) / tooMany / fails — fails
+    counts every retried item (429, ≥500, and the <500 redirect, which
+    client.go counts as a retryable failure)."""
+    a = bulk_item_action(status_col, already_dead_letter_col, dead_letter_configured)
+    c = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    df = df.withColumn("_act", a)
+    act = F.col("_act")
+    return df.agg(
+        c(act == "ack").alias("acked"),
+        c(act == "dead_letter_ack").alias("dead_letter"),
+        c(act == "duplicate").alias("duplicates"),
+        c(act == "drop").alias("non_indexable"),
+        c(F.col(status_col) == 429).alias("too_many"),
+        c(act.isin("retry", "to_dead_letter")).alias("fails"),
+    )

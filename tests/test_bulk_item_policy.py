@@ -1,0 +1,59 @@
+"""The ES bulk-response per-item policy, ported as a decision table.
+
+elasticsearch/client.go:495-555 (applyItemStatus) — every branch:
+(status, already-dead-letter, dead-letter-configured) → action +
+retry bookkeeping, and the bulkResultStats accounting (client.go's
+counters: the <500 dead-letter redirect counts as a retryable
+failure, 409 never retries, a <300 ack of a redirected event lands in
+deadLetter not acked).
+"""
+
+from beats_spark.routing import bulk_item_action, bulk_result_stats
+
+# (status, already_dead_letter, dead_letter_configured, action)
+CASES = [
+    (200, False, True, "ack"),
+    (201, False, True, "ack"),
+    (200, True, True, "dead_letter_ack"),
+    (409, False, True, "duplicate"),
+    (409, True, True, "duplicate"),
+    (429, False, True, "retry"),
+    (429, True, True, "retry"),
+    (400, False, True, "to_dead_letter"),
+    (403, False, True, "to_dead_letter"),
+    (400, True, True, "drop"),
+    (400, False, False, "drop"),
+    (500, False, True, "retry"),
+    (503, False, False, "retry"),
+    (500, True, True, "retry"),
+]
+
+
+def test_apply_item_status_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, s, adl, cfg) for i, (s, adl, cfg, _) in enumerate(CASES)],
+        "i int, status int, adl boolean, cfg boolean",
+    )
+    for configured in (True, False):
+        got = {
+            r.i: r.act
+            for r in df.filter(f"cfg = {str(configured).lower()}")
+            .withColumn("act", bulk_item_action("status", "adl", configured))
+            .collect()
+        }
+        for i, (_, _, cfg, want) in enumerate(CASES):
+            if cfg == configured:
+                assert got[i] == want, CASES[i]
+
+
+def test_bulk_result_stats(spark):
+    df = spark.createDataFrame(
+        [(s, adl) for s, adl, cfg, _ in CASES if cfg],
+        "status int, adl boolean",
+    )
+    r = bulk_result_stats(df, "status", "adl").first()
+    # of the 12 configured-dead-letter cases: 2 acks, 1 dead-letter ack,
+    # 2 duplicates, 1 drop, 2 tooMany, 6 fails (2×429 + 2 redirects + 2×5xx)
+    assert (r.acked, r.dead_letter, r.duplicates, r.non_indexable, r.too_many, r.fails) == (
+        2, 1, 2, 1, 2, 6,
+    )
