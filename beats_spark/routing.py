@@ -325,3 +325,29 @@ def bulk_result_stats(
         c(F.col(status_col) == 429).alias("too_many"),
         c(act.isin("retry", "to_dead_letter")).alias("fails"),
     )
+
+
+def dead_letter_reencode(
+    serialized,
+    err_type,
+    err_msg,
+    ts_col: str = "ts",
+):
+    """event_encoder.go:140-152 setDeadLetter: the dead-letter document
+    wraps the ORIGINAL encoded event as its `message` string plus
+    error.type (the HTTP item status) and error.message, keyed with the
+    event timestamp — so nothing is lost when a mapping-rejected event
+    is shunted to the dead-letter index. Field order is Go's sorted map
+    marshal; timestamps render in the codec's millisecond ISO form."""
+    ser = F.col(serialized) if isinstance(serialized, str) else serialized
+    et = F.col(err_type) if isinstance(err_type, str) else err_type
+    em = F.col(err_msg) if isinstance(err_msg, str) else err_msg
+    return F.to_json(
+        F.struct(
+            F.date_format(F.col(ts_col).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+            .alias("@timestamp"),
+            em.cast("string").alias("error.message"),
+            et.cast("int").alias("error.type"),
+            ser.cast("string").alias("message"),
+        )
+    )

@@ -57,3 +57,27 @@ def test_bulk_result_stats(spark):
     assert (r.acked, r.dead_letter, r.duplicates, r.non_indexable, r.too_many, r.fails) == (
         2, 1, 2, 1, 2, 6,
     )
+
+
+def test_set_dead_letter_reencode(spark):
+    """client_test.go TestSetDeadLetter: the dead-letter document
+    carries error.type/error.message and the original encoding as its
+    message string (decodable back out)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.routing import dead_letter_reencode
+
+    df = spark.createDataFrame(
+        [('{"msg":"original"}', 123, "test error string", "2024-01-05 10:00:00")],
+        "serialized string, status int, errmsg string, ts string",
+    )
+    doc = df.select(
+        dead_letter_reencode("serialized", "status", "errmsg").alias("d")
+    ).first().d
+    parsed = json.loads(doc)
+    assert parsed["error.type"] == 123
+    assert parsed["error.message"] == "test error string"
+    assert json.loads(parsed["message"]) == {"msg": "original"}
+    assert list(parsed) == ["@timestamp", "error.message", "error.type", "message"]
