@@ -723,7 +723,10 @@ def dup_span_stats(
     `count >= min_count` hash set (hash-keyed shuffle; mega-duplicated
     boilerplate hashes are exactly AQE skew-join territory — the joined
     payload per row is only (id, pos)), then a per-doc ordered window
-    for interval-union coverage. No driver actions, no per-row Python.
+    for interval-union coverage. The positional-gram table and the
+    (id, n_tokens) projection are MATERIALIZED (r5 one-off: the gram
+    transform otherwise ran three times over the corpus — release with
+    release_intermediates). No driver actions, no per-row Python.
     """
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     toks = F.split(norm, " ")
@@ -744,8 +747,17 @@ def dup_span_stats(
     ).otherwise(F.array().cast("array<struct<pos:long,h:string>>"))
 
     base = df.select(F.col(id_col), nt.alias("n_tokens"), posgrams.alias("_pg"))
-    exploded = base.select(id_col, F.explode("_pg").alias("g")).select(
-        id_col, F.col("g.pos").alias("_pos"), F.col("g.h").alias("_h")
+    # materialize BOTH reused projections (r5 one-off finding: without
+    # these the positional-gram transform — an xxhash of a 50-token
+    # joined string per position — ran THREE times over the corpus:
+    # once for the hot count, once for the join side, once for the
+    # n_tokens frame). `counts` is 2 longs/row; `exploded` is
+    # (id, pos, hash) — neither carries text.
+    counts = _materialize(base.select(id_col, "n_tokens"))
+    exploded = _materialize(
+        base.select(id_col, F.explode("_pg").alias("g")).select(
+            id_col, F.col("g.pos").alias("_pos"), F.col("g.h").alias("_h")
+        )
     )
     hot = (
         exploded.groupBy("_h")
@@ -769,8 +781,8 @@ def dup_span_stats(
         .groupBy(id_col)
         .agg(F.sum("_cv").alias("dup_tokens"))
     )
-    return (
-        base.select(id_col, "n_tokens")
+    out = (
+        counts
         .join(covered, [id_col], "left")
         .select(
             F.col(id_col),
@@ -785,3 +797,4 @@ def dup_span_stats(
             .alias("dup_fraction"),
         )
     )
+    return _track(out, persisted=[counts, exploded])
