@@ -44,7 +44,7 @@ REGISTRY.update(
         # a beats YAML translates 1:1 (caller supplies the lookup table
         # where the reference would call the OS/LDAP/DNS/cloud service)
         "lookup_join": enrich.lookup_join,
-        "translate_sid": enrich.lookup_join,
+        "translate_sid": enrich.translate_sid,
         "translate_ldap_attribute": enrich.lookup_join,
         "dns": enrich.lookup_join,
         "add_cloud_metadata": enrich.lookup_join,

@@ -38,6 +38,148 @@ def lookup_join(
     return stage
 
 
+# Microsoft "Well-known security identifiers in Windows operating systems"
+# (public documentation) — the subset every Windows box resolves without a
+# domain controller, i.e. what the reference's sid.LookupAccount("") returns
+# for these inputs (translate_sid/translatesid.go:105). (sid, domain,
+# account, type) with SIDType.String() renderings (winevent/sid.go:59-70).
+WELL_KNOWN_SIDS: list[tuple[str, str, str, str]] = [
+    ("S-1-0-0", "", "NULL SID", "Well Known Group"),
+    ("S-1-1-0", "", "Everyone", "Well Known Group"),
+    ("S-1-2-0", "", "LOCAL", "Well Known Group"),
+    ("S-1-2-1", "", "CONSOLE LOGON", "Well Known Group"),
+    ("S-1-3-0", "", "CREATOR OWNER", "Well Known Group"),
+    ("S-1-3-1", "", "CREATOR GROUP", "Well Known Group"),
+    ("S-1-5-1", "NT AUTHORITY", "DIALUP", "Well Known Group"),
+    ("S-1-5-2", "NT AUTHORITY", "NETWORK", "Well Known Group"),
+    ("S-1-5-3", "NT AUTHORITY", "BATCH", "Well Known Group"),
+    ("S-1-5-4", "NT AUTHORITY", "INTERACTIVE", "Well Known Group"),
+    ("S-1-5-6", "NT AUTHORITY", "SERVICE", "Well Known Group"),
+    ("S-1-5-7", "NT AUTHORITY", "ANONYMOUS LOGON", "Well Known Group"),
+    ("S-1-5-9", "NT AUTHORITY", "ENTERPRISE DOMAIN CONTROLLERS", "Well Known Group"),
+    ("S-1-5-10", "NT AUTHORITY", "SELF", "Well Known Group"),
+    ("S-1-5-11", "NT AUTHORITY", "Authenticated Users", "Well Known Group"),
+    ("S-1-5-12", "NT AUTHORITY", "RESTRICTED", "Well Known Group"),
+    ("S-1-5-18", "NT AUTHORITY", "SYSTEM", "Well Known Group"),
+    ("S-1-5-19", "NT AUTHORITY", "LOCAL SERVICE", "Well Known Group"),
+    ("S-1-5-20", "NT AUTHORITY", "NETWORK SERVICE", "Well Known Group"),
+    ("S-1-5-113", "NT AUTHORITY", "Local account", "Well Known Group"),
+    ("S-1-5-114", "NT AUTHORITY",
+     "Local account and member of Administrators group", "Well Known Group"),
+    ("S-1-5-32-544", "BUILTIN", "Administrators", "Alias"),
+    ("S-1-5-32-545", "BUILTIN", "Users", "Alias"),
+    ("S-1-5-32-546", "BUILTIN", "Guests", "Alias"),
+    ("S-1-5-32-547", "BUILTIN", "Power Users", "Alias"),
+    ("S-1-5-32-551", "BUILTIN", "Backup Operators", "Alias"),
+    ("S-1-5-32-555", "BUILTIN", "Remote Desktop Users", "Alias"),
+]
+
+# windows.StringToSid's string grammar: S-R-I(-S)* with numeric revision,
+# numeric-or-hex identifier authority, numeric subauthorities. "S-1-5" (no
+# subauthority) is a valid SID per ConvertStringSidToSid.
+_SID_RE = r"^[sS]-\d+-(\d+|0[xX][0-9a-fA-F]{1,12})(-\d+)*$"
+
+FLAG_SID_INVALID = "translate_sid_invalid"        # ERROR_INVALID_SID analog
+FLAG_SID_NONE_MAPPED = "translate_sid_none_mapped"  # ERROR_NONE_MAPPED analog
+
+
+def translate_sid(
+    field: str,
+    account_name_target: str | None = None,
+    account_type_target: str | None = None,
+    domain_target: str | None = None,
+    table: DataFrame | None = None,
+    ignore_missing: bool = False,
+    ignore_failure: bool = False,
+):
+    """translate_sid (translatesid.go:74-130) over a broadcast SID table.
+
+    Per-event Windows API lookups become ONE left broadcast join against a
+    (sid, domain, account, type) frame — `table` for a directory export,
+    default = the public well-known-SID set (the only set LookupAccount
+    resolves without a DC). Reference parity, re-expressed column-wise:
+
+    - missing field → mapstr.ErrKeyNotFound: build-time error unless
+      ignore_missing (Run():76-78); NULL values behave as unmapped.
+    - capability SIDs (S-1-15-3-*) are never looked up → NONE_MAPPED
+      (translatesid.go:93-97), targets stay NULL.
+    - malformed SID strings → ERROR_INVALID_SID: flagged
+      `translate_sid_invalid`, targets NULL (StringToSid:100-103).
+    - valid-but-unmapped → flagged `translate_sid_none_mapped`, targets
+      NULL (LookupAccount:105-108). ignore_failure suppresses both flags.
+    - only the configured targets are written (translatesid.go:112-128);
+      at least one must be set (defaultConfig requires a non-empty op).
+    """
+    from ..events import FLAGS_COL, append_flag, flags_column
+
+    targets = {
+        "account": account_name_target,
+        "type": account_type_target,
+        "domain": domain_target,
+    }
+    if not any(targets.values()):
+        raise ValueError(
+            "translate_sid: at least one of account_name_target, "
+            "account_type_target, domain_target is required"
+        )
+
+    def stage(df: DataFrame) -> DataFrame:
+        if field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(f"translate_sid: field not found: {field}")
+        if dict(df.dtypes)[field] != "string":
+            # errInvalidType — a column's type is uniform, so the
+            # reference's per-event check surfaces at build time.
+            raise ValueError(f"translate_sid: SID field value is not a string: {field}")
+
+        spark = df.sparkSession
+        lut = table
+        if lut is None:
+            lut = spark.createDataFrame(
+                WELL_KNOWN_SIDS, "_sid string, _sid_domain string, "
+                "_sid_account string, _sid_type string"
+            )
+        else:
+            lut = lut.toDF("_sid", "_sid_domain", "_sid_account", "_sid_type")
+
+        sid = F.col(field)
+        valid = sid.rlike(_SID_RE)
+        capability = sid.startswith("S-1-15-3-")
+        out = df.join(
+            F.broadcast(lut),
+            on=(sid == F.col("_sid")) & valid & ~capability,
+            how="left",
+        )
+        mapped = F.col("_sid").isNotNull()
+        src = {"account": "_sid_account", "type": "_sid_type", "domain": "_sid_domain"}
+        cols = []
+        for k, tgt in targets.items():
+            if tgt:
+                cols.append(F.when(mapped, F.col(src[k])).alias(tgt))
+        drop = {"_sid", "_sid_domain", "_sid_account", "_sid_type"}
+        drop |= {t for t in targets.values() if t}
+        if not ignore_failure:
+            drop.add(FLAGS_COL)  # re-emitted with the appended flags
+        keep = [c for c in out.columns if c not in drop]
+        out = out.select(*keep, *cols, *(
+            [] if ignore_failure else [
+                append_flag(
+                    append_flag(
+                        flags_column(out),
+                        FLAG_SID_INVALID,
+                        sid.isNotNull() & ~valid,
+                    ),
+                    FLAG_SID_NONE_MAPPED,
+                    sid.isNotNull() & valid & ~mapped,
+                ).alias(FLAGS_COL)
+            ]
+        ))
+        return out
+
+    return stage
+
+
 def add_constant_metadata(fields: dict[str, str], prefix: str = ""):
     """add_host_metadata / add_agent_metadata / add_locale analog —
     per-process constants become literal columns (driver-computed)."""

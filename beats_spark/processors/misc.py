@@ -160,14 +160,35 @@ def move_fields(
 
 
 def add_data_stream(ds_type: str = "logs", dataset: str = "generic", namespace: str = "default"):
-    """data_stream triple + derived index meta (add_data_stream/)."""
+    """data_stream triple + derived index meta (add_data_stream/
+    add_data_stream.go:53-90).
+
+    New() parity: empty dataset/namespace fall back to 'generic'/
+    'default' at build time (add_data_stream.go:54-59). Run() parity:
+    a per-event custom dataset — the reference's
+    Meta[FieldMetaCustomDataset], carried here as a `_meta_dataset`
+    column when present — overrides BOTH the dataset component of the
+    raw index (idxNamePartialCache, '%s-%%s-%s') and
+    data_stream.dataset / event.dataset; absent meta uses the cached
+    literal index (add_data_stream.go:68-90)."""
+    ds_type = ds_type or "logs"
+    dataset = dataset or "generic"
+    namespace = namespace or "default"
 
     def stage(df: DataFrame) -> DataFrame:
+        if "_meta_dataset" in df.columns:
+            ds_col = F.coalesce(F.col("_meta_dataset"), F.lit(dataset))
+        else:
+            ds_col = F.lit(dataset)
         return (
             df.withColumn("data_stream_type", F.lit(ds_type))
-            .withColumn("data_stream_dataset", F.lit(dataset))
+            .withColumn("data_stream_dataset", ds_col)
             .withColumn("data_stream_namespace", F.lit(namespace))
-            .withColumn("_meta_index", F.lit(f"{ds_type}-{dataset}-{namespace}"))
+            .withColumn("event_dataset", ds_col)
+            .withColumn(
+                "_meta_index",
+                F.concat_ws("-", F.lit(ds_type), ds_col, F.lit(namespace)),
+            )
         )
 
     return stage

@@ -288,3 +288,39 @@ def test_condition_build_time_validation(spark):
         build("drop_event", when={"bogus_op": {}})
     with _pytest.raises(ValueError, match="unknown condition operator"):
         build("decode_json_fields", fields=["text"], when={"bogus_op": {}})
+
+
+# -- add_data_stream reference matrix (add_data_stream_test.go TestAddDataStream)
+def test_add_data_stream_reference_matrix(spark):
+    """The four reference cases: literal triple, existing-but-empty meta,
+    per-event custom dataset (Meta[FieldMetaCustomDataset] →
+    `_meta_dataset` column), and New()'s generic/default fallbacks.
+    event.dataset mirrors the effective dataset in every case
+    (add_data_stream.go:86-87)."""
+    simple = build("add_data_stream", ds_type="mytype", dataset="myds", namespace="myns")
+
+    # "simple" + "existing meta": no _meta_dataset column → cached literal index.
+    df = spark.createDataFrame([("e1",)], "msg string")
+    r = simple(df).first()
+    assert r._meta_index == "mytype-myds-myns"
+    assert (r.data_stream_type, r.data_stream_dataset, r.data_stream_namespace) == (
+        "mytype", "myds", "myns",
+    )
+    assert r.event_dataset == "myds"
+
+    # "custom ds": _meta_dataset overrides the index's dataset segment AND
+    # data_stream.dataset/event.dataset; NULL meta falls through per-row.
+    df2 = spark.createDataFrame(
+        [("e1", "custom-ds"), ("e2", None)], "msg string, _meta_dataset string"
+    )
+    rows = {r.msg: r for r in simple(df2).collect()}
+    assert rows["e1"]._meta_index == "mytype-custom-ds-myns"
+    assert rows["e1"].data_stream_dataset == "custom-ds"
+    assert rows["e1"].event_dataset == "custom-ds"
+    assert rows["e2"]._meta_index == "mytype-myds-myns"
+    assert rows["e2"].data_stream_dataset == "myds"
+
+    # "defaults ds/ns": empty dataset/namespace → generic/default (New()).
+    r = build("add_data_stream", ds_type="mytype", dataset="", namespace="")(df).first()
+    assert r._meta_index == "mytype-generic-default"
+    assert (r.data_stream_dataset, r.data_stream_namespace) == ("generic", "default")

@@ -1409,3 +1409,108 @@ def test_timeseries_hashstructure_golden(spark):
     got = [r.timeseries_instance for r in out]
     assert got[0] == "7532097560335212001"   # ignored field → same hash
     assert got[1] == "16374068651038541136"  # + dimension-by-default
+
+
+# -- translate_sid (translatesid_test.go TestTranslateSID + EmptyTarget) ------
+
+def test_translate_sid_reference_battery(spark):
+    """translatesid_test.go:38-54's table over the well-known-SID set (the
+    only set LookupAccount resolves without a DC — assertEqualIgnoreCase
+    in the reference, mirrored here with lower())."""
+    from beats_spark.processors.enrich import translate_sid
+
+    rows = [
+        ("S-1-5-7",), ("S-1-0-0",), ("S-1-1-0",), ("S-1-5-32-544",),
+        ("S-1-5-113",), ("",), ("Not a SID",), ("S-1-5-2025429265-500",),
+    ]
+    df = spark.createDataFrame(rows, "sid string")
+    out = translate_sid(
+        "sid", account_name_target="account",
+        account_type_target="type", domain_target="domain",
+    )(df)
+    got = {r.sid: r for r in out.collect()}
+
+    def eq_ic(actual, expected):
+        assert (actual or "").lower() == expected.lower(), (actual, expected)
+
+    eq_ic(got["S-1-5-7"].domain, "NT AUTHORITY")
+    eq_ic(got["S-1-5-7"].account, "ANONYMOUS LOGON")
+    eq_ic(got["S-1-0-0"].account, "NULL SID")
+    eq_ic(got["S-1-1-0"].account, "Everyone")
+    eq_ic(got["S-1-5-32-544"].domain, "BUILTIN")
+    eq_ic(got["S-1-5-32-544"].account, "Administrators")
+    assert got["S-1-5-32-544"].type == "Alias"
+    eq_ic(got["S-1-5-113"].domain, "NT AUTHORITY")
+    eq_ic(got["S-1-5-113"].account, "Local Account")
+
+    # assertInvalidSID: ERROR_INVALID_SID, all targets nil.
+    for bad in ("", "Not a SID"):
+        r = got[bad]
+        assert r.domain is None and r.account is None and r.type is None
+        assert "translate_sid_invalid" in (r.log_flags or [])
+
+    # assertNoMapping: valid shape, ERROR_NONE_MAPPED, targets nil.
+    r = got["S-1-5-2025429265-500"]
+    assert r.domain is None and r.account is None and r.type is None
+    assert "translate_sid_none_mapped" in (r.log_flags or [])
+
+
+def test_translate_sid_capability_and_empty_targets(spark):
+    """Capability SIDs (S-1-15-3-*) are never looked up
+    (translatesid.go:93-97); TestTranslateSIDEmptyTarget pins that ONLY
+    the configured target is written."""
+    from beats_spark.processors.enrich import translate_sid
+
+    df = spark.createDataFrame(
+        [("S-1-15-3-1024-1065365936-1281604716-3511738428-1654721687",),
+         ("S-1-5-32-544",)],
+        "sid string",
+    )
+    out = translate_sid("sid", account_name_target="account")(df)
+    got = {r.sid.split("-")[2]: r for r in out.collect()}
+    assert got["15"].account is None
+    assert "translate_sid_none_mapped" in (got["15"].log_flags or [])
+    assert got["5"].account == "Administrators"
+    # only the configured target exists (EmptyTarget: Len == 2 → sid + target)
+    assert "domain" not in out.columns and "type" not in out.columns
+
+    # per-target variants write exactly their own column
+    for kw, col in (
+        ("account_name_target", "account_name"),
+        ("account_type_target", "account_type"),
+        ("domain_target", "domain"),
+    ):
+        cols = translate_sid("sid", **{kw: col})(df).columns
+        assert col in cols
+        assert {"account_name", "account_type", "domain"} & set(cols) == {col}
+
+
+def test_translate_sid_errors_and_custom_table(spark):
+    """errInvalidType surfaces at build (uniform column type);
+    ignore_missing parity; a directory-export table overrides the
+    built-in set; ignore_failure suppresses the flags column."""
+    import pytest
+    from beats_spark.processors.enrich import translate_sid
+
+    df = spark.createDataFrame([(1,)], "sid int")
+    with pytest.raises(ValueError, match="not a string"):
+        translate_sid("sid", account_name_target="a")(df)
+
+    sdf = spark.createDataFrame([("S-1-5-21-1-2-3-500",)], "sid string")
+    with pytest.raises(ValueError, match="field not found"):
+        translate_sid("nope", account_name_target="a")(sdf)
+    assert translate_sid("nope", account_name_target="a", ignore_missing=True)(sdf) is sdf
+
+    custom = spark.createDataFrame(
+        [("S-1-5-21-1-2-3-500", "CORP", "Administrator", "User")],
+        "sid string, domain string, account string, type string",
+    )
+    r = translate_sid(
+        "sid", account_name_target="acct", domain_target="dom", table=custom,
+    )(sdf).first()
+    assert (r.acct, r.dom) == ("Administrator", "CORP")
+
+    r2 = translate_sid(
+        "sid", account_name_target="acct", ignore_failure=True,
+    )(sdf.withColumnRenamed("sid", "sid")).first()
+    assert r2.acct is None and "log_flags" not in r2.asDict()
