@@ -26,6 +26,7 @@ REGISTRY.update(
         # parse / decode
         "convert": parsers.convert,
         "decode_json_fields": parsers.decode_json_fields,
+        "decode_json_deep": parsers.decode_json_deep,
         "write_json_keys": parsers.write_json_keys,
         "decode_csv_fields": parsers.decode_csv_fields,
         "decode_base64_field": parsers.decode_base64_field,

@@ -281,6 +281,69 @@ def _wjk_deep_update(dst: dict, src: dict, overwrite: bool) -> None:
             dst[k] = v
 
 
+def _wjk_root_merge(
+    fields: dict,
+    keys: dict,
+    meta: dict,
+    expand_keys: bool,
+    overwrite_keys: bool,
+    add_error_key: bool,
+) -> tuple[str | None, bool]:
+    """jsontransform.WriteJSONKeys (jsonhelper.go:40-112) over decoded
+    Python documents. Mutates `fields` and `meta` in place; returns
+    (new_ts_iso, expand_failed): the replaced @timestamp as an ISO
+    string when overwrite_keys accepted one, and whether expand_keys
+    failed (in which case the reference writes NOTHING beyond the error
+    key — jsonhelper.go:41-46 early return). Shared by write_json_keys
+    (the UDF over JSON-text documents) and decode_json_deep's
+    target:'' root-merge path."""
+    new_ts: str | None = None
+
+    def set_error(msg):
+        if add_error_key:
+            fields["error"] = {"message": msg, "type": "json"}
+
+    if expand_keys:
+        try:
+            _wjk_expand(keys)
+        except ValueError as e:
+            set_error(str(e))
+            return None, True
+    if not overwrite_keys:
+        keys.pop("@timestamp", None)
+        keys.pop("@metadata", None)
+        _wjk_deep_update(fields, keys, overwrite=False)
+        return new_ts, False
+    for k in ("@timestamp", "@metadata", "type"):
+        if k not in keys:
+            continue
+        v = keys[k]
+        if k == "@timestamp":
+            if not isinstance(v, str):
+                set_error("@timestamp not overwritten (not string)")
+            else:
+                try:
+                    new_ts = _wjk_parse_ts(v).isoformat()
+                except ValueError:
+                    set_error(f"@timestamp not overwritten (parse error on {v})")
+        elif k == "@metadata":
+            if isinstance(v, dict):
+                _wjk_deep_update(meta, v, overwrite=True)
+            else:
+                set_error("failed to update @metadata")
+        else:  # type
+            if not isinstance(v, str):
+                set_error("type not overwritten (not string)")
+            elif not v or v[0] == "_":
+                set_error(f"type not overwritten (invalid value [{v}])")
+            else:
+                fields["type"] = v
+    for k in ("@timestamp", "@metadata", "type"):
+        keys.pop(k, None)
+    _wjk_deep_update(fields, keys, overwrite=True)
+    return new_ts, False
+
+
 def write_json_keys(
     json_col: str,
     fields_col: str = "fields_json",
@@ -343,53 +406,14 @@ def write_json_keys(
                 meta = json.loads(ms) if ms else {}
             except (ValueError, TypeError):
                 meta = {}
-            new_ts = None
-
-            def set_error(msg):
-                if add_error_key:
-                    fields["error"] = {"message": msg, "type": "json"}
-
-            if expand_keys:
-                try:
-                    _wjk_expand(keys)
-                except ValueError as e:
-                    set_error(str(e))
-                    out_f.append(json.dumps(fields, sort_keys=True))
-                    out_t.append(None)
-                    out_m.append(ms)
-                    continue
-            if not overwrite_keys:
-                keys.pop("@timestamp", None)
-                keys.pop("@metadata", None)
-                _wjk_deep_update(fields, keys, overwrite=False)
-            else:
-                for k in ("@timestamp", "@metadata", "type"):
-                    if k not in keys:
-                        continue
-                    v = keys[k]
-                    if k == "@timestamp":
-                        if not isinstance(v, str):
-                            set_error("@timestamp not overwritten (not string)")
-                        else:
-                            try:
-                                new_ts = _wjk_parse_ts(v).isoformat()
-                            except ValueError:
-                                set_error(f"@timestamp not overwritten (parse error on {v})")
-                    elif k == "@metadata":
-                        if isinstance(v, dict):
-                            _wjk_deep_update(meta, v, overwrite=True)
-                        else:
-                            set_error("failed to update @metadata")
-                    else:  # type
-                        if not isinstance(v, str):
-                            set_error("type not overwritten (not string)")
-                        elif not v or v[0] == "_":
-                            set_error(f"type not overwritten (invalid value [{v}])")
-                        else:
-                            fields["type"] = v
-                for k in ("@timestamp", "@metadata", "type"):
-                    keys.pop(k, None)
-                _wjk_deep_update(fields, keys, overwrite=True)
+            new_ts, expand_failed = _wjk_root_merge(
+                fields, keys, meta, expand_keys, overwrite_keys, add_error_key
+            )
+            if expand_failed:
+                out_f.append(json.dumps(fields, sort_keys=True))
+                out_t.append(None)
+                out_m.append(ms)
+                continue
             out_f.append(json.dumps(fields, sort_keys=True))
             out_t.append(new_ts)
             # a nil Meta is created when @metadata arrives (jsonhelper.go:77-84)
@@ -410,6 +434,346 @@ def write_json_keys(
         if meta_col:
             df = df.withColumn(meta_col, F.col("_wjk").getField("meta"))
         return df.drop("_wjk")
+
+    return stage
+
+
+# --- decode_json_fields deep mode (decode_json_fields.go Run/unmarshal) ---
+
+# config target nil → decode back into the field. A *string* sentinel, not
+# object(): the UDF closure is cloudpickled to workers, and an object()
+# unpickles to a fresh identity there, breaking `is` checks.
+_DJF_TARGET_FIELD = "\x00decode-into-field\x00"
+
+
+class _DJFSkip(Exception):
+    """errProcessingSkipped (decode_json_fields.go:66): a decoded value
+    is a JSON array but process_array is off."""
+
+
+class _DJFKeyNotFound(KeyError):
+    """mapstr.ErrKeyNotFound — GetValue miss is skipped silently."""
+
+
+def _djf_is_structured(s: str) -> bool:
+    """isStructured (decode_json_fields.go:252-257)."""
+    s = s.strip()
+    return len(s) > 1 and (
+        (s[0] == "[" and s[-1] == "]") or (s[0] == "{" and s[-1] == "}")
+    )
+
+
+def _djf_decode_json(text: str):
+    """decodeJSON (decode_json_fields.go:226-249): one JSON value, any
+    trailing non-whitespace is 'multiple json elements found'. Python
+    int/float mirror TransformNumbers' Int64-else-Float64 rendering."""
+    import json as _json
+
+    dec = _json.JSONDecoder()
+    start = len(text) - len(text.lstrip())
+    obj, end = dec.raw_decode(text, start)
+    if text[end:].strip():
+        raise ValueError("multiple json elements found")
+    return obj
+
+
+def _djf_unmarshal(max_depth: int, text: str, process_array: bool):
+    """unmarshal (decode_json_fields.go:185-224): parse `text`, then —
+    while depth remains — re-parse the DIRECT children values that are
+    structured strings. The walk never descends into decoded maps or
+    arrays; nesting happens only through string re-parses, each one
+    spending a depth level. Raises _DJFSkip when the parse result is an
+    array and process_array is off (nested skips keep the original
+    string; a top-level skip is an error in Run), ValueError on bad
+    JSON."""
+    out = _djf_decode_json(text)
+    max_depth -= 1
+    if max_depth == 0:
+        return out
+
+    def try_un(v):
+        if not isinstance(v, str) or not _djf_is_structured(v):
+            return v, False
+        try:
+            return _djf_unmarshal(max_depth, v, process_array), True
+        except _DJFSkip:
+            return v, True  # errors.Is(err, errProcessingSkipped) → keep original
+        except ValueError:
+            return v, False
+
+    if isinstance(out, dict):
+        for k, v in list(out.items()):
+            d, ok = try_un(v)
+            if ok:
+                out[k] = d
+    elif isinstance(out, list):
+        if not process_array:
+            raise _DJFSkip("processing skipped")
+        for i, v in enumerate(out):
+            d, ok = try_un(v)
+            if ok:
+                out[i] = d
+    return out
+
+
+def _mapstr_get(m: dict, key: str):
+    """mapstr.M.GetValue: dot-walk. _DJFKeyNotFound on a missing key,
+    TypeError when an intermediate value is not a map."""
+    cur = m
+    for p in key.split("."):
+        if not isinstance(cur, dict):
+            raise TypeError(f"expected map but type is {type(cur).__name__}")
+        if p not in cur:
+            raise _DJFKeyNotFound(key)
+        cur = cur[p]
+    return cur
+
+
+def _mapstr_put(m: dict, key: str, value) -> None:
+    """mapstr.M.Put: dot-walk creating intermediate maps; TypeError when
+    an existing intermediate is not a map."""
+    cur = m
+    parts = key.split(".")
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if nxt is None:
+            nxt = cur[p] = {}
+        elif not isinstance(nxt, dict):
+            raise TypeError(f"expected map but type is {type(nxt).__name__}")
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def _mapstr_delete(m: dict, key: str) -> None:
+    parts = key.split(".")
+    cur = m
+    for p in parts[:-1]:
+        cur = cur[p]
+        if not isinstance(cur, dict):
+            raise TypeError(f"expected map but type is {type(cur).__name__}")
+    del cur[parts[-1]]
+
+
+def _djf_set_error_with_option(fields: dict, message: str, add_error_key: bool, data: str, field: str) -> None:
+    """beat.Event.SetErrorWithOption (event.go:303-316)."""
+    if not add_error_key:
+        return
+    err = {"message": message, "type": "json"}
+    if data:
+        err["data"] = data
+    if field:
+        err["field"] = field
+    fields["error"] = err
+
+
+def _djf_run_doc(
+    fields: dict,
+    meta: dict | None,
+    *,
+    field_names: list[str],
+    max_depth: int = 1,
+    process_array: bool = False,
+    expand_keys: bool = False,
+    overwrite_keys: bool = False,
+    add_error_key: bool = False,
+    document_id: str = "",
+    target=_DJF_TARGET_FIELD,
+) -> tuple[dict, dict | None, str | None, list[str]]:
+    """decode_json_fields.Run (decode_json_fields.go:105-183), verb for
+    verb, over a decoded event document. Returns (fields, meta, new_ts,
+    errs): `new_ts` is the ISO @timestamp replacement a target:''
+    overwrite_keys merge produced, `errs` the accumulated error strings
+    (the reference joins them into Run's returned error; the event is
+    still emitted). Pure Python on dicts — the scalar oracle for the
+    Arrow-batched decode_json_deep stage and the matrix tests."""
+    errs: list[str] = []
+    new_ts: str | None = None
+    meta_was_none = meta is None
+    meta_d: dict = {} if meta is None else meta
+    meta_touched = False
+    for field in field_names:
+        try:
+            if field == "@metadata":
+                data = meta_d
+            elif field.startswith("@metadata."):
+                data = _mapstr_get(meta_d, field[len("@metadata.") :])
+            else:
+                data = _mapstr_get(fields, field)
+        except _DJFKeyNotFound:
+            continue  # mapstr.ErrKeyNotFound → debug-log + continue
+        except TypeError as e:
+            errs.append(str(e))
+            continue
+        if not isinstance(data, str):
+            continue  # ignore non-string fields when unmarshaling
+        try:
+            output = _djf_unmarshal(max_depth, data, process_array)
+        except _DJFSkip:
+            errs.append("processing skipped")
+            _djf_set_error_with_option(
+                fields, "parsing input as JSON: processing skipped", add_error_key, data, field
+            )
+            continue
+        except (ValueError, RecursionError) as e:
+            errs.append(str(e))
+            _djf_set_error_with_option(
+                fields, f"parsing input as JSON: {e}", add_error_key, data, field
+            )
+            continue
+        tgt = field if target == _DJF_TARGET_FIELD else target
+        doc_id = ""
+        if document_id and isinstance(output, dict):
+            try:
+                tmp = _mapstr_get(output, document_id)
+                if isinstance(tmp, str):
+                    doc_id = tmp
+                    _mapstr_delete(output, document_id)
+            except (KeyError, TypeError):
+                pass
+        if tgt != "":
+            if expand_keys:
+                if isinstance(output, dict):
+                    try:
+                        _wjk_expand(output)  # jsontransform.ExpandFields
+                    except ValueError as e:
+                        # ExpandFields (expand.go:35-40): error lands on the
+                        # event (no data/field suffix), processing continues
+                        _djf_set_error_with_option(fields, str(e), add_error_key, "", "")
+                else:
+                    errs.append("failed to expand keys")
+            try:
+                if tgt.startswith("@metadata."):
+                    _mapstr_put(meta_d, tgt[len("@metadata.") :], output)
+                    meta_touched = True
+                else:
+                    _mapstr_put(fields, tgt, output)
+            except TypeError as e:
+                errs.append(str(e))
+                continue
+        else:
+            if isinstance(output, dict):
+                had_meta_key = overwrite_keys and isinstance(output.get("@metadata"), dict)
+                ts, _ = _wjk_root_merge(
+                    fields, output, meta_d, expand_keys, overwrite_keys, add_error_key
+                )
+                if ts is not None:
+                    new_ts = ts
+                meta_touched = meta_touched or had_meta_key
+            else:
+                errs.append("failed to add target to root")
+        if doc_id:
+            # events.FieldMetaID: a nil Meta is created for the id
+            meta_d["_id"] = doc_id
+            meta_touched = True
+    out_meta = None if (meta_was_none and not meta_touched and not meta_d) else meta_d
+    return fields, out_meta, new_ts, errs
+
+
+def decode_json_deep(
+    fields: list[str] | str,
+    max_depth: int = 1,
+    process_array: bool = False,
+    expand_keys: bool = False,
+    overwrite_keys: bool = False,
+    add_error_key: bool = False,
+    document_id: str = "",
+    target=_DJF_TARGET_FIELD,
+    when: dict | None = None,
+    fields_col: str = "fields_json",
+    meta_col: str | None = None,
+    ts_col: str | None = None,
+):
+    """decode_json_fields at FULL config fidelity (decode_json_fields.go)
+    over JSON-text event documents: max_depth counts how many levels of
+    nested-JSON-STRING re-parses are spent (the tree of one parse is
+    free), process_array gates array handling (a top-level array with it
+    off is a 'processing skipped' error at max_depth>1 — the reference's
+    own quirk), expand_keys de-dots (in the target it routes to),
+    target=None decodes back into the field, target='' root-merges via
+    WriteJSONKeys (shared _wjk_root_merge), '@metadata.x' targets the
+    meta document, document_id extracts into meta._id.
+
+    Shape-unknown nested documents are beyond Column expressions, so —
+    like write_json_keys and decode_xml's dynamic mode — this is an
+    Arrow-batched UDF over JSON text; the flat map<string,string>
+    `decode_json_fields` stays the 100 TB scale path. Output documents
+    are canonical (sorted keys). The whole matrix of
+    decode_json_fields_test.go is ported in
+    tests/test_decode_json_fields_matrix.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..conditions import compile_condition
+
+    if isinstance(fields, str):
+        fields = [fields]
+    if not fields:
+        raise ValueError("decode_json_deep: `fields` is required")  # RequireFields
+    if max_depth < 1:
+        raise ValueError("decode_json_deep: max_depth must be >= 1")  # validate:min=1
+    if when is not None:
+        compile_condition(when)  # fail-fast config validation at BUILD time
+    field_names = list(fields)
+
+    @pandas_udf("fields string, meta string, ts string, error string")
+    def djf(fields_s: pd.Series, meta_s: pd.Series) -> pd.DataFrame:
+        import json
+
+        out_f, out_m, out_t, out_e = [], [], [], []
+        for fs, ms in zip(fields_s, meta_s):
+            try:
+                doc = json.loads(fs) if fs else {}
+            except (ValueError, TypeError):
+                doc = None
+            if not isinstance(doc, dict):
+                out_f.append(fs)
+                out_m.append(ms)
+                out_t.append(None)
+                out_e.append(None)
+                continue
+            try:
+                meta = json.loads(ms) if ms else None
+            except (ValueError, TypeError):
+                meta = None
+            if meta is not None and not isinstance(meta, dict):
+                meta = None
+            new_f, new_m, new_ts, errs = _djf_run_doc(
+                doc,
+                meta,
+                field_names=field_names,
+                max_depth=max_depth,
+                process_array=process_array,
+                expand_keys=expand_keys,
+                overwrite_keys=overwrite_keys,
+                add_error_key=add_error_key,
+                document_id=document_id,
+                target=target,
+            )
+            out_f.append(json.dumps(new_f, sort_keys=True))
+            out_m.append(json.dumps(new_m, sort_keys=True) if new_m is not None else ms)
+            out_t.append(new_ts)
+            out_e.append(", ".join(errs) if errs else None)
+        return pd.DataFrame({"fields": out_f, "meta": out_m, "ts": out_t, "error": out_e})
+
+    def stage(df: DataFrame) -> DataFrame:
+        guard = (
+            compile_condition(when, schema=dict(df.dtypes)) if when is not None else None
+        )
+        meta_in = F.col(meta_col) if meta_col else F.lit(None).cast("string")
+        df = df.withColumn("_djf", djf(F.col(fields_col), meta_in))
+        g = F.coalesce(guard, F.lit(False)) if guard is not None else None
+
+        def pick(new: Column, old: Column) -> Column:
+            return F.when(g, new).otherwise(old) if g is not None else new
+
+        df = df.withColumn(fields_col, pick(F.col("_djf").getField("fields"), F.col(fields_col)))
+        if meta_col:
+            df = df.withColumn(meta_col, pick(F.col("_djf").getField("meta"), F.col(meta_col)))
+        if ts_col and ts_col in df.columns:
+            new_ts = F.coalesce(
+                F.try_to_timestamp(F.col("_djf").getField("ts")), F.col(ts_col)
+            )
+            df = df.withColumn(ts_col, pick(new_ts, F.col(ts_col)))
+        return df.drop("_djf")
 
     return stage
 

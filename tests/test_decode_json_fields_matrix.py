@@ -1,0 +1,356 @@
+"""decode_json_fields_test.go, ported verbatim (all 21 test functions).
+
+The scalar engine `_djf_run_doc` is the Run() port (the per-case
+oracle); `decode_json_deep` is the same engine Arrow-batched over
+JSON-text documents — one Spark test runs a batch of the cases through
+it and asserts the scalar and distributed paths agree.
+
+Reference: libbeat/processors/actions/decode_json_fields_test.go,
+libbeat/processors/actions/decode_json_fields.go:105-257.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pytest
+
+from beats_spark.processors.parsers import (
+    _DJF_TARGET_FIELD,
+    _djf_run_doc,
+    decode_json_deep,
+)
+
+
+def run(fields, meta=None, *, fnames=("msg",), **cfg):
+    f = json.loads(json.dumps(fields))  # deep copy
+    m = None if meta is None else json.loads(json.dumps(meta))
+    return _djf_run_doc(f, m, field_names=list(fnames), **cfg)
+
+
+# --- TestDecodeJSONFieldsCheckConfig (config surface) ---
+
+
+def test_check_config():
+    # fields is required (checks.RequireFields)
+    with pytest.raises(ValueError):
+        decode_json_deep([])
+    # max_depth validate:"min=1"
+    with pytest.raises(ValueError):
+        decode_json_deep(["msg"], max_depth=0)
+    # unknown options are build-time errors (checks.AllowedFields)
+    with pytest.raises(TypeError):
+        decode_json_deep(["msg"], extraneous="field")
+    # a malformed `when` fails at build, not per task
+    with pytest.raises(Exception):
+        decode_json_deep(["msg"], when={"equalz": {"x": 1}})
+
+
+# --- TestMissingKey / TestFieldNotString ---
+
+
+def test_missing_key():
+    f, m, ts, errs = run({"pipeline": "us1"})
+    assert f == {"pipeline": "us1"} and m is None and not errs
+
+
+def test_field_not_string():
+    f, _, _, errs = run({"msg": 123, "pipeline": "us1"})
+    assert f == {"msg": 123, "pipeline": "us1"} and not errs
+
+
+# --- TestInvalidJSON / TestInvalidJSONMultiple ---
+
+INVALID = '{"log":"{\\"level\\":\\"info\\"}","stream":"stderr","count":3'
+
+
+def test_invalid_json():
+    f, _, _, errs = run({"msg": INVALID, "pipeline": "us1"})
+    assert f == {"msg": INVALID, "pipeline": "us1"}
+    assert errs  # Run returns the joined error; the event is unchanged
+
+
+def test_invalid_json_multiple():
+    raw = "11:38:04,323 |-INFO testing"
+    f, _, _, errs = run({"msg": raw, "pipeline": "us1"})
+    assert f == {"msg": raw, "pipeline": "us1"}
+    assert errs
+
+
+# --- TestDocumentID ---
+
+
+def test_document_id():
+    f, m, _, errs = run(
+        {"msg": '{"log": "message", "myid": "myDocumentID"}'}, document_id="myid"
+    )
+    assert f == {"msg": {"log": "message"}}
+    assert m == {"_id": "myDocumentID"}
+    assert not errs
+
+
+# --- TestValidJSONDepthOne / DepthTwo ---
+
+VALID = '{"log":"{\\"level\\":\\"info\\"}","stream":"stderr","count":3}'
+
+
+def test_valid_json_depth_one():
+    f, _, _, _ = run({"msg": VALID, "pipeline": "us1"})
+    assert f == {
+        "msg": {"log": '{"level":"info"}', "stream": "stderr", "count": 3},
+        "pipeline": "us1",
+    }
+
+
+def test_valid_json_depth_two():
+    f, _, _, _ = run({"msg": VALID, "pipeline": "us1"}, max_depth=2)
+    assert f == {
+        "msg": {"log": {"level": "info"}, "stream": "stderr", "count": 3},
+        "pipeline": "us1",
+    }
+
+
+# --- TestTargetOption / TestTargetRootOption / TestTargetMetadata ---
+
+
+def test_target_option():
+    f, _, _, _ = run({"msg": VALID, "pipeline": "us1"}, max_depth=2, target="doc")
+    assert f == {
+        "doc": {"log": {"level": "info"}, "stream": "stderr", "count": 3},
+        "msg": VALID,
+        "pipeline": "us1",
+    }
+
+
+def test_target_root_option():
+    f, _, _, _ = run({"msg": VALID, "pipeline": "us1"}, max_depth=2, target="")
+    assert f == {
+        "log": {"level": "info"},
+        "stream": "stderr",
+        "count": 3,
+        "msg": VALID,
+        "pipeline": "us1",
+    }
+
+
+def test_target_metadata():
+    f, m, _, _ = run(
+        {"msg": VALID, "pipeline": "us1"}, meta={}, max_depth=2, target="@metadata.json"
+    )
+    assert m == {"json": {"log": {"level": "info"}, "stream": "stderr", "count": 3}}
+    assert f == {"msg": VALID, "pipeline": "us1"}
+
+
+# --- TestNotJsonObjectOrArray (max_depth 1 vs 10) ---
+
+NOT_OBJ = """{
+    "someDate": "2016-09-28T01:40:26.760+0000",
+    "someNumberAsString": "1475026826760",
+    "someNumber": 1475026826760,
+    "someString": "foobar",
+    "someString2": "2017 is awesome",
+    "someMap": "{\\"a\\":\\"b\\"}",
+    "someArray": "[1,2,3]"
+  }"""
+
+
+@pytest.mark.parametrize("depth", [1, 10])
+def test_not_json_object_or_array(depth):
+    f, _, _, _ = run({"msg": NOT_OBJ}, max_depth=depth, process_array=True)
+    want = {
+        "someDate": "2016-09-28T01:40:26.760+0000",
+        "someNumber": 1475026826760,
+        "someNumberAsString": "1475026826760",
+        "someString": "foobar",
+        "someString2": "2017 is awesome",
+        "someMap": '{"a":"b"}' if depth == 1 else {"a": "b"},
+        "someArray": "[1,2,3]" if depth == 1 else [1, 2, 3],
+    }
+    assert f == {"msg": want}
+
+
+# --- TestArrayWithArraysDisabled / Enabled / Invalid ---
+
+ARR = '{\n  "arrayOfMap": "[{\\"a\\":\\"b\\"}]"\n}'
+
+
+def test_array_with_arrays_disabled():
+    f, _, _, errs = run({"msg": ARR}, max_depth=10, process_array=False)
+    assert f == {"msg": {"arrayOfMap": '[{"a":"b"}]'}}
+    assert not errs  # the nested skip is swallowed (tryUnmarshal keeps v)
+
+
+def test_array_with_arrays_enabled():
+    f, _, _, _ = run({"msg": ARR}, max_depth=10, process_array=True)
+    assert f == {"msg": {"arrayOfMap": [{"a": "b"}]}}
+
+
+def test_array_with_invalid_array():
+    f, _, _, errs = run(
+        {"msg": '{\n  "arrayOfMap": "[]]"\n}'}, max_depth=10, process_array=True
+    )
+    assert f == {"msg": {"arrayOfMap": "[]]"}}
+    assert not errs  # nested non-skip errors keep the original, silently
+
+
+def test_top_level_array_skip_is_an_error():
+    """The reference quirk pinned by the Run/unmarshal interplay: a
+    top-level ARRAY with process_array=false parses fine at max_depth=1
+    (depth hits 0 before the switch) but is a 'processing skipped'
+    error at max_depth>=2."""
+    f, _, _, errs = run({"msg": "[1,2]"}, max_depth=1)
+    assert f == {"msg": [1, 2]} and not errs
+    f, _, _, errs = run({"msg": "[1,2]"}, max_depth=2, add_error_key=True)
+    assert errs == ["processing skipped"]
+    assert f["msg"] == "[1,2]"  # undecoded
+    assert f["error"]["message"] == "parsing input as JSON: processing skipped"
+
+
+# --- TestAddErrKeyOption ---
+
+
+@pytest.mark.parametrize("add_err", [True, False])
+def test_add_err_key_option(add_err):
+    raw = '{"@timestamp":"{}"}'
+    f, _, _, _ = run(
+        {"msg": raw}, add_error_key=add_err, overwrite_keys=True, target=""
+    )
+    want = {"msg": raw}
+    if add_err:
+        want["error"] = {
+            "message": "@timestamp not overwritten (parse error on {})",
+            "type": "json",
+        }
+    assert f == want
+
+
+# --- TestExpandKeys / WithTarget / Error ---
+
+
+def test_expand_keys():
+    f, _, _, _ = run(
+        {"msg": '{"a.b": {"c": "c"}, "a.b.d": "d"}'}, expand_keys=True, target=""
+    )
+    assert f == {
+        "msg": '{"a.b": {"c": "c"}, "a.b.d": "d"}',
+        "a": {"b": {"c": "c", "d": "d"}},
+    }
+
+
+def test_expand_keys_with_target():
+    f, _, _, _ = run(
+        {"msg": '{"a.b": {"c": "c"}, "a.b.d": "d"}'},
+        expand_keys=True,
+        target="my_target",
+    )
+    assert f == {
+        "msg": '{"a.b": {"c": "c"}, "a.b.d": "d"}',
+        "my_target": {"a": {"b": {"c": "c", "d": "d"}}},
+    }
+
+
+def test_expand_keys_error():
+    f, _, _, _ = run(
+        {"msg": '{"a.b": "c", "a.b.c": "d"}'},
+        expand_keys=True,
+        add_error_key=True,
+        target="",
+    )
+    assert f["msg"] == '{"a.b": "c", "a.b.c": "d"}'
+    assert "error" in f
+    assert re.match(r"cannot expand .*", f["error"]["message"])
+    assert f["error"]["type"] == "json"
+    assert set(f) == {"msg", "error"}  # nothing merged
+
+
+# --- TestOverwriteMetadata ---
+
+
+def test_overwrite_metadata():
+    f, m, _, _ = run(
+        {"msg": '{"@metadata":{"beat":"libbeat"},"msg":"overwrite metadata test"}'},
+        target="",
+        overwrite_keys=True,
+    )
+    assert f == {"msg": "overwrite metadata test"}
+    assert m == {"beat": "libbeat"}  # nil Meta created (jsonhelper.go:77-84)
+
+
+# --- TestAddErrorToEventOnUnmarshalError ---
+
+
+def test_add_error_to_event_on_unmarshal_error():
+    f, _, _, _ = run(
+        {"message": "Broken JSON [["}, fnames=["message"], add_error_key=True
+    )
+    err = f["error"]
+    assert err["field"] == "message"
+    assert err["data"]
+    assert err["message"]
+    assert err["type"] == "json"
+
+
+# --- the Arrow-batched stage agrees with the scalar engine ---
+
+SPARK_CASES = [
+    # (fields_doc, config)
+    ({"msg": VALID, "pipeline": "us1"}, {}),
+    ({"msg": VALID, "pipeline": "us1"}, {"max_depth": 2}),
+    ({"msg": VALID, "pipeline": "us1"}, {"max_depth": 2, "target": "doc"}),
+    ({"msg": VALID, "pipeline": "us1"}, {"max_depth": 2, "target": ""}),
+    ({"msg": INVALID}, {"add_error_key": True}),
+    ({"msg": NOT_OBJ}, {"max_depth": 10, "process_array": True}),
+    ({"msg": ARR}, {"max_depth": 10, "process_array": False}),
+    ({"msg": '{"a.b": {"c": "c"}, "a.b.d": "d"}'}, {"expand_keys": True, "target": ""}),
+    ({"msg": '{"@timestamp":"{}"}'}, {"add_error_key": True, "overwrite_keys": True, "target": ""}),
+    ({"msg": '{"log": "m", "myid": "id7"}'}, {"document_id": "myid"}),
+    ({"pipeline": "us1"}, {}),
+    ({"msg": 123}, {}),
+]
+
+
+def test_decode_json_deep_stage_matches_scalar(spark):
+    """Every config group runs ONE Spark job; each row's output document
+    must equal the scalar Run() port's."""
+    by_cfg: dict[str, list] = {}
+    for doc, cfg in SPARK_CASES:
+        by_cfg.setdefault(json.dumps(cfg, sort_keys=True), []).append(doc)
+    for cfg_key, docs in by_cfg.items():
+        cfg = json.loads(cfg_key)
+        if "target" in cfg and cfg["target"] is None:
+            cfg["target"] = _DJF_TARGET_FIELD
+        rows = [(i, json.dumps(d)) for i, d in enumerate(docs)]
+        df = spark.createDataFrame(rows, "id int, fields_json string")
+        out = decode_json_deep(["msg"], meta_col=None, **cfg)(df)
+        got = {r.id: r.fields_json for r in out.collect()}
+        for i, d in enumerate(docs):
+            want_f, _, _, _ = _djf_run_doc(
+                json.loads(json.dumps(d)),
+                None,
+                field_names=["msg"],
+                **{k: v for k, v in cfg.items()},
+            )
+            assert json.loads(got[i]) == want_f, (cfg_key, d)
+
+
+def test_decode_json_deep_meta_and_guard(spark):
+    """document_id lands in the meta document; a `when` guard leaves
+    non-matching rows untouched (including their meta and errors)."""
+    rows = [
+        (0, json.dumps({"msg": '{"log": "m", "myid": "id7"}', "take": "y"}), "{}"),
+        (1, json.dumps({"msg": '{"log": "n", "myid": "id8"}', "take": "n"}), "{}"),
+    ]
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "id int, fields_json string, meta_json string")
+    df = df.withColumn("take", F.get_json_object("fields_json", "$.take"))
+    out = decode_json_deep(
+        ["msg"], document_id="myid", meta_col="meta_json",
+        when={"equals": {"take": "y"}},
+    )(df)
+    got = {r.id: (json.loads(r.fields_json), json.loads(r.meta_json)) for r in out.collect()}
+    assert got[0][0]["msg"] == {"log": "m"}
+    assert got[0][1] == {"_id": "id7"}
+    assert got[1][0]["msg"] == '{"log": "n", "myid": "id8"}'  # untouched
+    assert got[1][1] == {}
