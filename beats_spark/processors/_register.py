@@ -46,8 +46,8 @@ REGISTRY.update(
         # where the reference would call the OS/LDAP/DNS/cloud service)
         "lookup_join": enrich.lookup_join,
         "translate_sid": enrich.translate_sid,
-        "translate_ldap_attribute": enrich.lookup_join,
-        "dns": enrich.lookup_join,
+        "translate_ldap_attribute": enrich.translate_guid,
+        "dns": enrich.dns_lookup,
         "add_cloud_metadata": enrich.lookup_join,
         "add_docker_metadata": enrich.lookup_join,
         "add_kubernetes_metadata": enrich.lookup_join,

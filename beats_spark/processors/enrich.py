@@ -627,3 +627,301 @@ def cache_sequential(
         )
 
     return stage
+
+
+# -- dns processor (processors/dns) ---------------------------------------------
+
+
+def reverse_dns_name(col: Column) -> Column:
+    """The PTR query name the reference resolver asks for
+    (resolver.go:150 → miekg dns.ReverseAddr): IPv4 → reversed octets +
+    '.in-addr.arpa.', IPv6 → the 32 hex nibbles reversed, dot-separated
+    + '.ip6.arpa.'. Pure Column; NULL for unrecognized addresses (the
+    resolver returns an error there — dns.ReverseAddr's "unrecognized
+    address"). Documented divergence: IPv4-mapped IPv6 text forms
+    ('::ffff:1.2.3.4') are unrecognized here, while net.ParseIP().To4()
+    folds them to in-addr.arpa form."""
+    o = F.split(col, r"\.")
+    v4 = F.concat(
+        o.getItem(3), F.lit("."), o.getItem(2), F.lit("."),
+        o.getItem(1), F.lit("."), o.getItem(0), F.lit(".in-addr.arpa."),
+    )
+    hx = _ipv6_hextets(col)
+    full = F.array_join(
+        F.transform(hx, lambda h: F.lpad(F.lower(F.hex(h)), 4, "0")), ""
+    )
+    # ReverseAddr emits, for bytes 15..0, low nibble then high nibble —
+    # exactly the 32-char hex string reversed character-wise
+    v6 = F.concat(
+        F.array_join(F.split(F.reverse(full), ""), "."), F.lit(".ip6.arpa.")
+    )
+    return F.when(col.rlike(IPV4_RE), v4).when(hx.isNotNull(), v6)
+
+
+def dns_lookup(
+    fields: dict[str, str],
+    table: DataFrame,
+    qtype: str = "reverse",
+    action: str = "append",
+    tag_on_failure: list[str] | None = None,
+    tags_col: str = "tags",
+):
+    """dns processor (dns/dns.go:80-160) over a broadcast answer table.
+
+    The reference resolves per event against nameservers through a
+    success/failure TTL cache; network resolution is environment-gated
+    here, so the resolved set arrives as `table` — (query string,
+    answers array<string>) — and the broadcast hash join IS the cache
+    (one copy per executor, map-side probes). Everything around the
+    lookup is the reference's Run, column-wise:
+
+    - `fields` = config `fields` flattened (source → target), processed
+      in the reference's map order for tag purposes;
+    - a missing/non-string/NULL source is NOT a failure (dns.go:94-101
+      nilerr) — the target is left untouched;
+    - PTR/reverse lookups write result.Data[0] (a scalar);
+      A/AAAA/TXT write the whole string slice (dns.go:113-117);
+    - action=replace overwrites the target on success and keeps the old
+      value on failure; action=append merges with an existing string or
+      array<string> target (setFieldValue/setFieldSliceValue). A column
+      is uniformly typed, so when append must merge with an existing
+      STRING column the whole column is promoted to array<string>
+      (miss rows become [old]) — the documented relational reading of
+      the reference's per-event string→[]string flip. Other existing
+      target dtypes are a build-time error (the reference silently
+      leaves the replaced value — a quirk not worth reproducing).
+    - `tag_on_failure` tags are appended ONCE per event (sync.Once) iff
+      ANY configured field had a lookup failure = present, string, but
+      unresolved; AddTags-style dedup against existing tags.
+    """
+    if action not in ("append", "replace"):
+        raise ValueError(f"invalid dns field action value '{action}'")
+    qt = qtype.lower()
+    if qt not in ("a", "aaaa", "txt", "ptr", "reverse"):
+        raise ValueError(
+            f"invalid dns lookup type '{qtype}' specified in "
+            "config (valid values are: A, AAAA, PTR, reverse, TXT)"
+        )
+    is_ptr = qt in ("ptr", "reverse")
+
+    def stage(df: DataFrame) -> DataFrame:
+        dtypes = dict(df.dtypes)
+        out = df
+        fail_cols: list[str] = []
+        for i, (src, tgt) in enumerate(fields.items()):
+            if src not in out.columns:
+                continue  # GetValue miss → nilerr, no failure
+            if dtypes.get(src) != "string":
+                continue  # non-string value → nilerr, no failure
+            key, ans = f"_dns_q{i}", f"_dns_a{i}"
+            lut = F.broadcast(table.toDF(key, ans))
+            out = out.join(lut, on=F.col(src) == F.col(key), how="left")
+            hit = F.col(key).isNotNull()
+            if tag_on_failure:
+                # the join key is dropped below — pin this field's failure
+                # verdict in its own boolean column first
+                fc = f"_dns_fail{i}"
+                out = out.withColumn(fc, F.col(src).isNotNull() & ~hit)
+                fail_cols.append(fc)
+            res = F.col(ans).getItem(0) if is_ptr else F.col(ans)
+            old_t = dtypes.get(tgt)
+            if old_t is None:
+                val = res  # new field: scalar for PTR, slice otherwise
+            elif old_t == "string":
+                if action == "replace":
+                    val = (
+                        F.when(hit, res).otherwise(F.col(tgt))
+                        if is_ptr
+                        else F.when(hit, res).otherwise(F.array(F.col(tgt)))
+                    )
+                else:  # append: promote to array<string>
+                    new_part = F.array(res) if is_ptr else res
+                    val = F.when(
+                        hit, F.concat(F.array(F.col(tgt)), new_part)
+                    ).otherwise(F.array(F.col(tgt)))
+            elif old_t == "array<string>":
+                if action == "replace":
+                    new_part = F.array(res) if is_ptr else res
+                    val = F.when(hit, new_part).otherwise(F.col(tgt))
+                else:
+                    new_part = F.array(res) if is_ptr else res
+                    val = F.when(
+                        hit, F.concat(F.col(tgt), new_part)
+                    ).otherwise(F.col(tgt))
+            else:
+                raise ValueError(
+                    f"dns_lookup: target {tgt!r} has dtype {old_t}; only "
+                    "string/array<string> targets are supported (the "
+                    "reference would silently replace the value here)"
+                )
+            out = out.withColumn(tgt, val).drop(key, ans)
+            stays_string = is_ptr and (old_t is None or (old_t == "string" and action == "replace"))
+            dtypes[tgt] = "string" if stays_string else "array<string>"
+        if tag_on_failure:
+            fail_any = F.lit(False)
+            for fc in fail_cols:
+                fail_any = fail_any | F.col(fc)
+            tag_arr = F.array(*[F.lit(t) for t in tag_on_failure])
+            existing = (
+                F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+                if tags_col in df.columns
+                else F.array().cast("array<string>")
+            )
+            out = out.withColumn(
+                tags_col,
+                F.when(
+                    fail_any, F.array_distinct(F.concat(existing, tag_arr))
+                ).otherwise(
+                    F.col(tags_col) if tags_col in df.columns else F.lit(None).cast("array<string>")
+                ),
+            ).drop(*fail_cols)
+        return out
+
+    return stage
+
+
+# -- translate_ldap_attribute (GUID handling is byte-compatible) ----------------
+
+_GUID_HEX_RE = r"^[0-9a-fA-F]{32}$"
+
+
+def _guid_swapped(g: Column) -> Column:
+    """Reorder the 32 hex chars per the Microsoft objectGUID byte
+    layout (guid.go:79-90): Data1 (4 bytes) + Data2 + Data3
+    little-endian, Data4 (8 bytes) untouched. The swap is symmetric —
+    the same reorder converts in both directions."""
+    return F.concat(
+        F.substring(g, 7, 2), F.substring(g, 5, 2),
+        F.substring(g, 3, 2), F.substring(g, 1, 2),
+        F.substring(g, 11, 2), F.substring(g, 9, 2),
+        F.substring(g, 15, 2), F.substring(g, 13, 2),
+        F.substring(g, 17, 16),
+    )
+
+
+def guid_to_ad_bytes(col: Column) -> Column:
+    """GUID string (braced / hyphenated / bare 32-hex) → the 16-byte
+    Active Directory objectGUID binary (guid.go guidToBytes), as a
+    BINARY column. NULL on invalid format (wrong length / non-hex),
+    where the reference returns errInvalidGUIDFormat."""
+    t = F.regexp_replace(col, r"^[{}]+|[{}]+$", "")  # strings.Trim(guid, "{}")
+    g = F.regexp_replace(t, "-", "")
+    return F.when(g.rlike(_GUID_HEX_RE), F.unhex(_guid_swapped(g)))
+
+
+def ad_bytes_to_guid(col: Column) -> Column:
+    """16-byte AD objectGUID binary → canonical lowercase GUID string
+    (guid.go guidBytesToString). NULL when the value is not 16 bytes."""
+    h = _guid_swapped(F.lower(F.hex(col)))
+    return F.when(
+        F.length(col) == 16,
+        F.concat_ws(
+            "-",
+            F.substring(h, 1, 8), F.substring(h, 9, 4), F.substring(h, 13, 4),
+            F.substring(h, 17, 4), F.substring(h, 21, 12),
+        ),
+    )
+
+
+def escape_binary_for_ldap(col: Column) -> Column:
+    """Binary → LDAP filter escape form `\\xx` per byte, lowercase hex
+    (guid.go escapeBinaryForLDAP)."""
+    return F.regexp_replace(F.lower(F.hex(col)), "(..)", r"\\$1")
+
+
+FLAG_GUID_INVALID = "translate_guid_invalid"
+FLAG_LDAP_NONE_MAPPED = "translate_ldap_none_mapped"
+
+
+def translate_guid(
+    field: str,
+    target_field: str | None = None,
+    table: DataFrame | None = None,
+    guid_translation: str = "auto",
+    search_attribute: str = "objectGUID",
+    ignore_missing: bool = False,
+    ignore_failure: bool = False,
+):
+    """translate_ldap_attribute (translate_ldap_attribute.go:140-186)
+    over a broadcast directory export.
+
+    The per-event LDAP search becomes a left broadcast join against
+    `table` = (search_value string, values array<string>) — the mapped
+    attribute values findObjectBy returns. Reference parity:
+
+    - guid_translation auto|always|never (prepareSearchFilter): when GUID
+      translation applies (always, or auto with search_attribute
+      objectGUID — EqualFold), the search key is the CANONICAL lowercase
+      GUID (byte-roundtripped), so '{ABC...}', 'abc...' and bare forms
+      all hit the same directory entry — exactly what matching on the
+      converted bytes gives the reference; `never` matches the raw
+      string (EscapeFilter passthrough).
+    - invalid GUID under translation → flag `translate_guid_invalid`
+      (the "failed to convert GUID" error), no lookup.
+    - lookup miss → flag `translate_ldap_none_mapped`; ignore_failure
+      suppresses both flags (Run():148-151).
+    - missing field → build error unless ignore_missing
+      (mapstr.ErrKeyNotFound); non-string field → build error
+      (errInvalidType — a column's type is uniform).
+    - result is written to target_field, default IN PLACE on `field`
+      (translate_ldap_attribute.go:180-184) — in-place replaces the
+      string column with the array<string> attribute values, NULL where
+      the lookup failed.
+    """
+    from ..events import FLAGS_COL, append_flag, flags_column
+
+    if guid_translation not in ("auto", "always", "never"):
+        raise ValueError(
+            f"invalid AD GUID translation value '{guid_translation}'"
+        )
+    translate = guid_translation == "always" or (
+        guid_translation == "auto" and search_attribute.lower() == "objectguid"
+    )
+
+    def stage(df: DataFrame) -> DataFrame:
+        if field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(f"translate_guid: field not found: {field}")
+        if dict(df.dtypes)[field] != "string":
+            raise ValueError(
+                f"translate_guid: search attribute field value is not a string: {field}"
+            )
+        if table is None:
+            raise ValueError("translate_guid: a directory `table` is required")
+        tgt = target_field or field
+        lut = table.toDF("_ldap_key", "_ldap_values")
+        if translate:
+            key = ad_bytes_to_guid(guid_to_ad_bytes(F.col(field)))
+            lut = lut.select(
+                F.coalesce(
+                    ad_bytes_to_guid(guid_to_ad_bytes(F.col("_ldap_key"))),
+                    F.col("_ldap_key"),
+                ).alias("_ldap_key"),
+                "_ldap_values",
+            )
+            invalid = F.col(field).isNotNull() & key.isNull()
+        else:
+            key = F.col(field)
+            invalid = F.lit(False)
+        out = df.join(
+            F.broadcast(lut), on=key == F.col("_ldap_key"), how="left"
+        )
+        hit = F.col("_ldap_key").isNotNull()
+        flags = flags_column(out)
+        if not ignore_failure:
+            flags = append_flag(flags, FLAG_GUID_INVALID, invalid)
+            flags = append_flag(
+                flags,
+                FLAG_LDAP_NONE_MAPPED,
+                F.col(field).isNotNull() & ~invalid & ~hit,
+            )
+        drop = {"_ldap_key", "_ldap_values", tgt, FLAGS_COL}
+        keep = [c for c in out.columns if c not in drop]
+        return out.select(
+            *keep,
+            F.col("_ldap_values").alias(tgt),
+            flags.alias(FLAGS_COL),
+        )
+
+    return stage

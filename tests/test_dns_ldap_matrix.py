@@ -1,0 +1,267 @@
+"""dns processor + translate_ldap_attribute reference matrices.
+
+Ports:
+  - processors/dns/dns_test.go TestDNSProcessorRun (default / append /
+    replace) and TestDNSProcessorTagOnFailure — the resolver stub
+    becomes the broadcast answer table;
+  - translate_ldap_attribute/guid_test.go TestGUIDToBytes /
+    TestEscapeBinaryForLDAP / TestGUIDBytesToString — byte-compatible
+    Column GUID handling;
+  - resolver.go's dns.ReverseAddr PTR-name construction, checked
+    against Python ipaddress.reverse_pointer.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.events import FLAGS_COL
+from beats_spark.processors.enrich import (
+    FLAG_GUID_INVALID,
+    FLAG_LDAP_NONE_MAPPED,
+    ad_bytes_to_guid,
+    dns_lookup,
+    escape_binary_for_ldap,
+    guid_to_ad_bytes,
+    reverse_dns_name,
+    translate_guid,
+)
+
+GATEWAY_IP = "192.168.0.1"
+GATEWAY_NAME = "default.gateway.test"
+FORWARD_DOMAIN = "www." + GATEWAY_NAME
+
+
+def _answers(spark):
+    return spark.createDataFrame(
+        [(GATEWAY_IP, [GATEWAY_NAME])], "query string, answers array<string>"
+    )
+
+
+def test_dns_ptr_default(spark):
+    df = spark.createDataFrame([(GATEWAY_IP,)], "source_ip string")
+    out = dns_lookup({"source_ip": "source_domain"}, _answers(spark))(df).collect()
+    assert out[0]["source_domain"] == GATEWAY_NAME
+
+
+def test_dns_ptr_append_merges_existing_string(spark):
+    df = spark.createDataFrame(
+        [(GATEWAY_IP, FORWARD_DOMAIN)], "source_ip string, source_domain string"
+    )
+    out = dns_lookup(
+        {"source_ip": "source_domain"}, _answers(spark), action="append"
+    )(df).collect()
+    assert sorted(out[0]["source_domain"]) == sorted([GATEWAY_NAME, FORWARD_DOMAIN])
+
+
+def test_dns_ptr_replace_overwrites(spark):
+    df = spark.createDataFrame(
+        [(GATEWAY_IP, FORWARD_DOMAIN)], "source_ip string, source_domain string"
+    )
+    out = dns_lookup(
+        {"source_ip": "source_domain"}, _answers(spark), action="replace"
+    )(df).collect()
+    assert out[0]["source_domain"] == GATEWAY_NAME
+
+
+def test_dns_tag_on_failure_once(spark):
+    # TestDNSProcessorTagOnFailure: both lookups fail → ONE tag
+    df = spark.createDataFrame(
+        [("192.0.2.1", "192.0.2.2")], "source_ip string, destination_ip string"
+    )
+    out = dns_lookup(
+        {"source_ip": "source_domain", "destination_ip": "destination_domain"},
+        _answers(spark),
+        tag_on_failure=["_lookup_failed"],
+    )(df).collect()
+    assert out[0]["tags"] == ["_lookup_failed"]
+    assert out[0]["source_domain"] is None
+    assert out[0]["destination_domain"] is None
+
+
+def test_dns_no_tag_on_success_or_missing_source(spark):
+    df = spark.createDataFrame(
+        [(GATEWAY_IP,), (None,)], "source_ip string"
+    )
+    rows = {
+        r["source_ip"]: r
+        for r in dns_lookup(
+            {"source_ip": "source_domain"},
+            _answers(spark),
+            tag_on_failure=["_lookup_failed"],
+        )(df).collect()
+    }
+    # success row: no tag; NULL source: nilerr, not a failure
+    assert rows[GATEWAY_IP]["tags"] is None
+    assert rows[None]["tags"] is None
+
+
+def test_dns_slice_type_appends_whole_answer_set(spark):
+    answers = spark.createDataFrame(
+        [("example.test", ["192.0.2.10", "192.0.2.11"])],
+        "query string, answers array<string>",
+    )
+    df = spark.createDataFrame([("example.test",)], "host string")
+    out = dns_lookup({"host": "host_ips"}, answers, qtype="a")(df).collect()
+    assert out[0]["host_ips"] == ["192.0.2.10", "192.0.2.11"]
+
+
+def test_dns_invalid_config_rejected(spark):
+    with pytest.raises(ValueError, match="invalid dns lookup type"):
+        dns_lookup({"a": "b"}, _answers(spark), qtype="mx")
+    with pytest.raises(ValueError, match="invalid dns field action"):
+        dns_lookup({"a": "b"}, _answers(spark), action="upsert")
+
+
+# --- reverse_dns_name (dns.ReverseAddr parity) ---------------------------------
+
+REVERSE_CASES = ["8.8.8.8", "192.0.2.1", "2001:db8::1", "::1", "fe80::dead:beef"]
+
+
+def test_reverse_dns_name_matches_stdlib(spark):
+    df = spark.createDataFrame([(a,) for a in REVERSE_CASES], "addr string")
+    got = {
+        r["addr"]: r["arpa"]
+        for r in df.select("addr", reverse_dns_name(F.col("addr")).alias("arpa")).collect()
+    }
+    for a in REVERSE_CASES:
+        expected = ipaddress.ip_address(a).reverse_pointer + "."
+        assert got[a] == expected, a
+
+
+def test_reverse_dns_name_unrecognized_is_null(spark):
+    df = spark.createDataFrame(
+        [("not-an-ip",), ("999.1.1.1",), ("",)], "addr string"
+    )
+    vals = [r["arpa"] for r in df.select(reverse_dns_name(F.col("addr")).alias("arpa")).collect()]
+    assert vals == [None, None, None]
+
+
+# --- guid_test.go matrices ------------------------------------------------------
+
+GUID_BYTES = bytes(
+    [0xEE, 0x25, 0xB1, 0x7F, 0xAF, 0xCE, 0xFF, 0x48,
+     0x83, 0x85, 0x32, 0xC5, 0x16, 0xAB, 0x10, 0xED]
+)
+
+GUID_TO_BYTES_CASES = [
+    ("{7fb125ee-ceaf-48ff-8385-32c516ab10ed}", GUID_BYTES),
+    ("7fb125ee-ceaf-48ff-8385-32c516ab10ed", GUID_BYTES),
+    ("7fb125eeceaf48ff838532c516ab10ed", GUID_BYTES),
+    (
+        "{a1b2c3d4-e5f6-0718-9293-a4b5c6d7e8f9}",
+        bytes([0xD4, 0xC3, 0xB2, 0xA1, 0xF6, 0xE5, 0x18, 0x07,
+               0x92, 0x93, 0xA4, 0xB5, 0xC6, 0xD7, 0xE8, 0xF9]),
+    ),
+    ("", None),
+    ("7fb125ee-ceaf-48ff-8385", None),
+    ("7fb125ee-ceaf-48ff-8385-32c516ab10xz", None),
+    ("7fb125ee-ceaf-48ff-8385-32c516ab10ed-extra", None),
+]
+
+
+def test_guid_to_bytes_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, g) for i, (g, _) in enumerate(GUID_TO_BYTES_CASES)], "i int, g string"
+    )
+    got = {
+        r["i"]: (bytes(r["b"]) if r["b"] is not None else None)
+        for r in df.select("i", guid_to_ad_bytes(F.col("g")).alias("b")).collect()
+    }
+    for i, (g, expected) in enumerate(GUID_TO_BYTES_CASES):
+        assert got[i] == expected, g
+
+
+ESCAPE_CASES = [
+    (bytes([0x7F, 0xB1, 0x25, 0xEE]), "\\7f\\b1\\25\\ee"),
+    (GUID_BYTES, "\\ee\\25\\b1\\7f\\af\\ce\\ff\\48\\83\\85\\32\\c5\\16\\ab\\10\\ed"),
+    (b"", ""),
+    (bytes([0x00]), "\\00"),
+    (bytes([0xFF, 0xFE, 0xFD]), "\\ff\\fe\\fd"),
+]
+
+
+def test_escape_binary_for_ldap_matrix(spark):
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, (b, _) in enumerate(ESCAPE_CASES)], "i int, b binary"
+    )
+    got = {
+        r["i"]: r["e"]
+        for r in df.select("i", escape_binary_for_ldap(F.col("b")).alias("e")).collect()
+    }
+    for i, (_, expected) in enumerate(ESCAPE_CASES):
+        assert got[i] == expected
+
+
+def test_guid_roundtrip_and_bad_length(spark):
+    # TestGUIDBytesToString: bytes → canonical lowercase string; 1 byte → error/NULL
+    original = "{7FB125EE-CEAF-48FF-8385-32C516AB10ED}"
+    df = spark.createDataFrame([(original,)], "g string")
+    out = df.select(
+        ad_bytes_to_guid(guid_to_ad_bytes(F.col("g"))).alias("round")
+    ).collect()
+    assert out[0]["round"] == "7fb125ee-ceaf-48ff-8385-32c516ab10ed"
+    short = spark.createDataFrame([(bytearray(b"\x00"),)], "b binary")
+    assert short.select(ad_bytes_to_guid(F.col("b")).alias("g")).collect()[0]["g"] is None
+
+
+# --- translate_guid processor ----------------------------------------------------
+
+
+def _directory(spark):
+    # directory export keyed by a DIFFERENT text form than the events use
+    return spark.createDataFrame(
+        [("{7FB125EE-CEAF-48FF-8385-32C516AB10ED}", ["CN=Alice,DC=example"])],
+        "search_value string, vals array<string>",
+    )
+
+
+def test_translate_guid_canonicalizes_both_sides(spark):
+    df = spark.createDataFrame(
+        [("7fb125eeceaf48ff838532c516ab10ed",), ("not-a-guid",), (None,)],
+        "user_guid string",
+    )
+    out = {
+        r["user_guid"]: r
+        for r in translate_guid(
+            "user_guid", target_field="user_name", table=_directory(spark)
+        )(df).collect()
+    }
+    assert out["7fb125eeceaf48ff838532c516ab10ed"]["user_name"] == ["CN=Alice,DC=example"]
+    assert out["not-a-guid"]["user_name"] is None
+    assert FLAG_GUID_INVALID in (out["not-a-guid"][FLAGS_COL] or [])
+    assert out[None]["user_name"] is None
+    assert not (out[None][FLAGS_COL] or [])
+
+
+def test_translate_guid_never_matches_raw_string(spark):
+    table = spark.createDataFrame(
+        [("alice@example.test", ["Alice A."])], "k string, v array<string>"
+    )
+    df = spark.createDataFrame(
+        [(1, "alice@example.test"), (2, "bob@example.test")], "i int, mail string"
+    )
+    out = {
+        r["i"]: r
+        for r in translate_guid(
+            "mail", table=table, guid_translation="never", search_attribute="mail"
+        )(df).collect()
+    }
+    # in-place: the field becomes the mapped attribute values
+    assert out[1]["mail"] == ["Alice A."]
+    assert out[2]["mail"] is None
+    assert FLAG_LDAP_NONE_MAPPED in (out[2][FLAGS_COL] or [])
+
+
+def test_translate_guid_build_errors(spark):
+    df = spark.createDataFrame([(1,)], "n int")
+    with pytest.raises(ValueError, match="field not found"):
+        translate_guid("missing", table=_directory(spark))(df)
+    assert translate_guid("missing", table=_directory(spark), ignore_missing=True)(df) is df
+    with pytest.raises(ValueError, match="not a string"):
+        translate_guid("n", table=_directory(spark))(df)
+    with pytest.raises(ValueError, match="invalid AD GUID translation"):
+        translate_guid("n", table=_directory(spark), guid_translation="sometimes")
