@@ -290,13 +290,45 @@ def q_multiline_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """broadcast-enrich (translate_* analog): role→team, tool→kind/risk."""
-    from beats_spark.processors.enrich import lookup_join
+    """broadcast-enrich (translate_* analog): role→team, tool→kind/risk.
+
+    r5d fold: byte-compatible GUID handling (translate_ldap_attribute's
+    guid.go) — per row a GUID is synthesized from md5(conv_id:turn_idx)
+    in one of three text forms (bare / hyphenated / braced-uppercase;
+    every 7th row corrupted), then pushed through guid_to_ad_bytes /
+    ad_bytes_to_guid / escape_binary_for_ldap. The DuckDB oracle
+    recomputes the Microsoft objectGUID mixed-endian byte swaps as
+    substring reorders over the same md5."""
+    from beats_spark.processors.enrich import (
+        ad_bytes_to_guid,
+        escape_binary_for_ldap,
+        guid_to_ad_bytes,
+        lookup_join,
+    )
 
     t = synth.transcripts(spark, sf_dir)
     t = lookup_join(synth.lookup_role(spark), on="role")(t)
     t = lookup_join(synth.lookup_tool(spark), on="tool")(t)
-    return t.select("conv_id", "turn_idx", "team", "is_agent", "tool_kind", "risk")
+    g0 = F.md5(F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")))
+    hyph = F.concat_ws(
+        "-",
+        F.substring(g0, 1, 8), F.substring(g0, 9, 4), F.substring(g0, 13, 4),
+        F.substring(g0, 17, 4), F.substring(g0, 21, 12),
+    )
+    form = F.col("turn_idx") % 3
+    gin = (
+        F.when(form == 0, g0)
+        .when(form == 1, hyph)
+        .otherwise(F.concat(F.lit("{"), F.upper(hyph), F.lit("}")))
+    )
+    gin = F.when(F.col("turn_idx") % 7 == 0, F.concat(gin, F.lit("z"))).otherwise(gin)
+    b = guid_to_ad_bytes(gin)
+    return t.select(
+        "conv_id", "turn_idx", "team", "is_agent", "tool_kind", "risk",
+        F.lower(F.hex(b)).alias("guid_ad_hex"),
+        ad_bytes_to_guid(b).alias("guid_canon"),
+        escape_binary_for_ldap(b).alias("guid_ldap"),
+    )
 
 
 def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2136,8 +2168,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM transcripts_base)
              GROUP BY conv_id, grp""",
         "enrich_lookup": _ORACLE_WITH
-        + """SELECT t.conv_id, t.turn_idx, lr.team, lr.is_agent, lt.tool_kind, lt.risk
-             FROM transcripts_base t
+        + r"""SELECT t.conv_id, t.turn_idx, lr.team, lr.is_agent, lt.tool_kind, lt.risk,
+                    -- guid.go byte swaps recomputed as substring reorders:
+                    -- Data1/Data2/Data3 little-endian, Data4 untouched
+                    CASE WHEN t.turn_idx % 7 <> 0 THEN
+                      substr(g0,7,2)||substr(g0,5,2)||substr(g0,3,2)||substr(g0,1,2)||
+                      substr(g0,11,2)||substr(g0,9,2)||substr(g0,15,2)||substr(g0,13,2)||
+                      substr(g0,17,16) END AS guid_ad_hex,
+                    -- roundtrip (swap twice = identity) renders canonical lowercase
+                    CASE WHEN t.turn_idx % 7 <> 0 THEN
+                      substr(g0,1,8)||'-'||substr(g0,9,4)||'-'||substr(g0,13,4)||'-'||
+                      substr(g0,17,4)||'-'||substr(g0,21,12) END AS guid_canon,
+                    CASE WHEN t.turn_idx % 7 <> 0 THEN
+                      regexp_replace(
+                        substr(g0,7,2)||substr(g0,5,2)||substr(g0,3,2)||substr(g0,1,2)||
+                        substr(g0,11,2)||substr(g0,9,2)||substr(g0,15,2)||substr(g0,13,2)||
+                        substr(g0,17,16), '(..)', '\\\1', 'g') END AS guid_ldap
+             FROM (SELECT *, md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS g0
+                   FROM transcripts_base) t
              LEFT JOIN lookup_role lr USING (role)
              LEFT JOIN lookup_tool lt USING (tool)""",
         "decode_json": """
