@@ -336,8 +336,22 @@ def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     WriteJSONKeys root-merge engine (r5 fold): per-row synthesized
     (fields, keys) documents drive the @timestamp-overwrite validation,
     the type-field rules and the deep merge; the oracle reconstructs the
-    canonical JSON output and the overwritten timestamp in SQL."""
-    from beats_spark.processors.parsers import decode_json_fields, write_json_keys
+    canonical JSON output and the overwritten timestamp in SQL.
+
+    r5d fold: decode_json_deep's depth machinery at max_depth=3 — even
+    rows carry a doubly-nested JSON-string document whose inner string
+    is only reachable by spending the re-parse budget; odd rows carry a
+    nested string that parses to an ARRAY, which process_array=False
+    must leave as the ORIGINAL STRING (decode_json_fields.go:221-223
+    errProcessingSkipped fires on the nested level only while budget
+    remains — at max_depth=2 the budget hits 0 first and the array IS
+    decoded; this fold pins the budget>0 skip). The oracle reconstructs
+    both canonical outputs by string construction."""
+    from beats_spark.processors.parsers import (
+        decode_json_deep,
+        decode_json_fields,
+        write_json_keys,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = decode_json_fields(["props"], target="attrs")(ev)
@@ -366,11 +380,28 @@ def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keys_json", fields_col="fields_json", ts_col="wjk_ts",
         overwrite_keys=True, add_error_key=True,
     )(out)
+    # depth-2 documents (json.dumps escaping precomputed):
+    #   even: {"msg": "{\"inner\": \"{\\\"k\\\": <i>}\"}"}
+    #   odd:  {"msg": "{\"a\": \"[1, 2]\"}"}
+    out = out.withColumn(
+        "djd_doc",
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(
+                F.lit('{"msg": "{\\"inner\\": \\"{\\\\\\"k\\\\\\": '),
+                i, F.lit('}\\"}"}'),
+            ),
+        ).otherwise(F.lit('{"msg": "{\\"a\\": \\"[1, 2]\\"}"}')),
+    )
+    out = decode_json_deep(
+        ["msg"], max_depth=3, process_array=False, fields_col="djd_doc"
+    )(out)
     return out.select(
         "event_id",
         F.col("attrs").getItem("k").alias("k_value"),
         F.col("fields_json").alias("wjk_fields"),
         F.date_format("wjk_ts", "yyyy-MM-dd HH:mm:ss.SSS").alias("wjk_ts_out"),
+        F.col("djd_doc").alias("djd_out"),
     )
 
 
@@ -2204,7 +2235,11 @@ def oracle_sql() -> dict[str, str]:
                           || CAST(event_id AS VARCHAR) || '"}'
                    END AS wjk_fields,
                    CASE WHEN event_id % 3 = 0 THEN '2024-03-03 08:08:08.888'
-                        ELSE '2020-01-01 01:01:00.000' END AS wjk_ts_out
+                        ELSE '2020-01-01 01:01:00.000' END AS wjk_ts_out,
+                   CASE WHEN event_id % 2 = 0
+                        THEN '{"msg": {"inner": {"k": ' || CAST(event_id AS VARCHAR) || '}}}'
+                        ELSE '{"msg": {"a": "[1, 2]"}}'
+                   END AS djd_out
              FROM events""",
         "truncate_flag": _ORACLE_WITH
         + """SELECT conv_id, turn_idx, substr(text, 1, 40) AS text,

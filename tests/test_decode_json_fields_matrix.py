@@ -207,6 +207,21 @@ def test_top_level_array_skip_is_an_error():
     assert f["error"]["message"] == "parsing input as JSON: processing skipped"
 
 
+def test_nested_array_skip_depends_on_remaining_budget():
+    """The NESTED twin of the quirk (unmarshal:198-226): a nested
+    JSON-string that parses to an array is DECODED at max_depth=2
+    (the recursive call's budget hits 0 before the array switch) but
+    silently kept as the original string at max_depth>=3
+    (errProcessingSkipped inside tryUnmarshal → ok=true with the
+    original value, and NO event-level error)."""
+    doc = '{"a": "[1, 2]"}'
+    f, _, _, errs = run({"msg": doc}, max_depth=2, add_error_key=True)
+    assert f == {"msg": {"a": [1, 2]}} and not errs
+    f, _, _, errs = run({"msg": doc}, max_depth=3, add_error_key=True)
+    assert f == {"msg": {"a": "[1, 2]"}} and not errs
+    assert "error" not in f
+
+
 # --- TestAddErrKeyOption ---
 
 
