@@ -142,6 +142,18 @@ def translate_sid(
             )
         else:
             lut = lut.toDF("_sid", "_sid_domain", "_sid_account", "_sid_type")
+            # one account per SID (LookupAccount is a function) — dup
+            # rows in a caller table must not multiply events
+            lut = lut.groupBy("_sid").agg(
+                F.min(
+                    F.struct("_sid_domain", "_sid_account", "_sid_type")
+                ).alias("_s")
+            ).select(
+                "_sid",
+                F.col("_s._sid_domain").alias("_sid_domain"),
+                F.col("_s._sid_account").alias("_sid_account"),
+                F.col("_s._sid_type").alias("_sid_type"),
+            )
 
         sid = F.col(field)
         valid = sid.rlike(_SID_RE)
@@ -714,7 +726,12 @@ def dns_lookup(
             if dtypes.get(src) != "string":
                 continue  # non-string value → nilerr, no failure
             key, ans = f"_dns_q{i}", f"_dns_a{i}"
-            lut = F.broadcast(table.toDF(key, ans))
+            # one answer per query, like the reference's cache — a
+            # duplicated key in the table would otherwise MULTIPLY the
+            # joined events; min() picks deterministically
+            lut = F.broadcast(
+                table.toDF(key, ans).groupBy(key).agg(F.min(ans).alias(ans))
+            )
             out = out.join(lut, on=F.col(src) == F.col(key), how="left")
             hit = F.col(key).isNotNull()
             if tag_on_failure:
@@ -904,6 +921,12 @@ def translate_guid(
         else:
             key = F.col(field)
             invalid = F.lit(False)
+        # one entry per key (findObjectBy returns one object) — dup keys
+        # in the export (or two text forms canonicalizing to the same
+        # GUID) must not multiply events; min() picks deterministically
+        lut = lut.groupBy("_ldap_key").agg(
+            F.min("_ldap_values").alias("_ldap_values")
+        )
         out = df.join(
             F.broadcast(lut), on=key == F.col("_ldap_key"), how="left"
         )

@@ -265,3 +265,50 @@ def test_translate_guid_build_errors(spark):
         translate_guid("n", table=_directory(spark))(df)
     with pytest.raises(ValueError, match="invalid AD GUID translation"):
         translate_guid("n", table=_directory(spark), guid_translation="sometimes")
+
+
+# --- duplicate build-side keys must not multiply events (r5d review) -----------
+
+
+def test_dns_duplicate_table_keys_do_not_multiply_events(spark):
+    answers = spark.createDataFrame(
+        [(GATEWAY_IP, [GATEWAY_NAME]), (GATEWAY_IP, ["other.name.test"])],
+        "query string, answers array<string>",
+    )
+    df = spark.createDataFrame([(GATEWAY_IP,)], "source_ip string")
+    rows = dns_lookup({"source_ip": "source_domain"}, answers)(df).collect()
+    assert len(rows) == 1
+    # min() over the answer arrays picks deterministically
+    assert rows[0]["source_domain"] == GATEWAY_NAME
+
+
+def test_translate_guid_duplicate_keys_do_not_multiply_events(spark):
+    table = spark.createDataFrame(
+        [
+            ("{7FB125EE-CEAF-48FF-8385-32C516AB10ED}", ["CN=Alice"]),
+            ("7fb125ee-ceaf-48ff-8385-32c516ab10ed", ["CN=Clone"]),
+        ],
+        "k string, v array<string>",
+    )
+    df = spark.createDataFrame([("7fb125eeceaf48ff838532c516ab10ed",)], "g string")
+    rows = translate_guid("g", target_field="who", table=table)(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["who"] == ["CN=Alice"]
+
+
+def test_translate_sid_duplicate_keys_do_not_multiply_events(spark):
+    from beats_spark.processors.enrich import translate_sid
+
+    table = spark.createDataFrame(
+        [
+            ("S-1-5-21-1-2-3-500", "CORP", "Administrator", "User"),
+            ("S-1-5-21-1-2-3-500", "CORP", "Clone", "User"),
+        ],
+        "sid string, dom string, acct string, typ string",
+    )
+    df = spark.createDataFrame([("S-1-5-21-1-2-3-500",)], "user_sid string")
+    rows = translate_sid(
+        "user_sid", account_name_target="acct_name", table=table
+    )(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["acct_name"] == "Administrator"
