@@ -122,3 +122,63 @@ def stratified_cap(
         .filter(F.col("_rn") <= max_rows_per_stratum)
         .drop("_rn")
     )
+
+
+def weighted_repeat(
+    df: DataFrame,
+    weights: dict[str, float] | float,
+    stratum_col: str | None = None,
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    target: str = "repeat_idx",
+) -> DataFrame:
+    """Deterministic per-source repetition — the 'epochs per domain'
+    mixing step of LLM training data recipes (e.g. weight 3.4 ⇒ every
+    document appears 3 times and a stable 40% of documents a 4th time;
+    weight 0.25 ⇒ a stable 25% appear once).
+
+    Each row is emitted floor(w) times plus one extra copy iff its
+    48-bit key hash falls under the integer cutoff round(frac(w)·2^48)
+    — the same no-rand() rule as hash_split, so the SAME documents get
+    the extra epoch on every rerun, retry, engine, and cluster size,
+    and the cutoff is integer-exact cross-engine. Weights below 1
+    degenerate to deterministic_sample; weight 0 drops the stratum.
+
+    `weights` is a single float, or {stratum value → weight} over
+    `stratum_col` (absent strata pass through once — weight 1).
+    Output rows gain `target` = 1..n (copy index, for downstream
+    packing/shuffling to separate the copies).
+
+    Scale shape: pure map-side — one CASE over the (small) weight
+    table, one explode(sequence(1, n)); no shuffle, no driver action.
+    """
+
+    def parts(w: float) -> tuple[int, int]:
+        if w < 0:
+            raise ValueError(f"weighted_repeat: negative weight {w}")
+        base = int(w)
+        return base, _cut(w - base)
+
+    if isinstance(weights, dict):
+        if stratum_col is None:
+            raise ValueError("weighted_repeat: dict weights require stratum_col")
+        base_c = None
+        cut_c = None
+        for k, v in weights.items():
+            b, c = parts(float(v))
+            cond = F.col(stratum_col) == k
+            base_c = (F.when(cond, b) if base_c is None else base_c.when(cond, b))
+            cut_c = (F.when(cond, c) if cut_c is None else cut_c.when(cond, c))
+        base_c = base_c.otherwise(F.lit(1)) if base_c is not None else F.lit(1)
+        cut_c = cut_c.otherwise(F.lit(0)) if cut_c is not None else F.lit(0)
+    else:
+        b, c = parts(float(weights))
+        base_c, cut_c = F.lit(b), F.lit(c)
+    extra = (_hash_int(F.col(key_col), seed) < cut_c.cast("bigint")).cast("int")
+    n = (base_c.cast("int") + extra).alias("_n_copies")
+    return (
+        df.withColumn("_n_copies", n)
+        .filter(F.col("_n_copies") > 0)
+        .withColumn(target, F.explode(F.sequence(F.lit(1), F.col("_n_copies"))))
+        .drop("_n_copies")
+    )

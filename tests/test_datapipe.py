@@ -1028,3 +1028,65 @@ def test_assemble_sequences_reconstructs_global_stream(spark, docs):
     )
     want = [t for d in order for t in texts[d].strip().split()]
     assert stream == want
+
+
+def test_weighted_repeat_matches_python_and_duckdb(spark, docs):
+    """weighted_repeat (r5d): copy counts equal an independent Python
+    replication of the rule (md5 48-bit cutoff per stratum), the op is
+    rerun-identical, weight<1 downsamples like deterministic_sample,
+    and the rule replicates exactly in DuckDB."""
+    import duckdb
+    import hashlib
+
+    from beats_spark.datapipe.sampling import weighted_repeat
+
+    d = docs.select("doc_id", (F.col("doc_id") % 3).cast("string").alias("src"))
+    w = {"0": 2.4, "1": 0.3, "2": 0.0}
+    out = weighted_repeat(d, w, stratum_col="src", key_col="doc_id", seed="mix")
+    rows1 = [(r.doc_id, r.repeat_idx) for r in out.collect()]
+    rows2 = [(r.doc_id, r.repeat_idx) for r in out.collect()]
+    assert sorted(rows1) == sorted(rows2)
+
+    def h48(key) -> int:
+        return int(hashlib.md5(f"mix:{key}".encode()).hexdigest()[:12], 16)
+
+    def n_copies(doc_id) -> int:
+        wv = w[str(doc_id % 3)]
+        base = int(wv)
+        return base + (1 if h48(doc_id) < round((wv - base) * 2**48) else 0)
+
+    got = {}
+    for doc_id, idx in rows1:
+        got.setdefault(doc_id, []).append(idx)
+    ids = [r.doc_id for r in d.collect()]
+    for i in ids:
+        exp = n_copies(i)
+        assert sorted(got.get(i, [])) == list(range(1, exp + 1)), i
+    # stratum '2' (weight 0) fully dropped; '1' strictly downsampled
+    assert not any(i % 3 == 2 for i in got)
+    n1_in = sum(1 for i in ids if i % 3 == 1)
+    n1_out = sum(1 for i in got if i % 3 == 1)
+    assert 0 < n1_out < n1_in
+    # DuckDB replication of the copy-count rule
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    duck = {
+        r[0]: r[1]
+        for r in con.sql(
+            """
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS VARCHAR)
+                     WHEN '0' THEN 2 + CASE WHEN h < CAST(round(0.4 * 281474976710656) AS BIGINT) THEN 1 ELSE 0 END
+                     WHEN '1' THEN CASE WHEN h < CAST(round(0.3 * 281474976710656) AS BIGINT) THEN 1 ELSE 0 END
+                     ELSE 0 END AS n
+            FROM (SELECT doc_id,
+                         CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+                  FROM documents)
+            """
+        ).fetchall()
+    }
+    for i in ids:
+        assert duck[i] == len(got.get(i, [])), i
