@@ -556,6 +556,7 @@ def cache_sequential(
     target_field: str,
     put_when: dict,
     get_when: dict,
+    delete_when: dict | None = None,
     ttl_seconds: float | None = None,
     overwrite_keys: bool = False,
     ignore_failure: bool = False,
@@ -569,7 +570,11 @@ def cache_sequential(
     of the get's event time (an expired entry reads as a miss, like an
     evicted key). This is the form to use when puts and gets live in ONE
     stream; the two-phase cache_put/cache_get pair covers the
-    cross-run-lookup-table case.
+    cross-run-lookup-table case. `delete_when` marks delete events
+    (cache.go:171-177 deleteFor): a delete TOMBSTONES the key — later
+    gets miss until a later put; deleting an absent key is a no-op like
+    store.Delete. On equal timestamps the replay-stable order is
+    put → delete → get (a delete wins over a simultaneous put).
 
     Per-event error surface → per-row flags (`cache_get_error`), matching
     the engine's convention: a get whose key has no live entry flags
@@ -588,28 +593,43 @@ def cache_sequential(
     from ..events import FLAGS_COL, append_flag
     from pyspark.sql import Window
 
-    for w_cfg in (put_when, get_when):
-        compile_condition(w_cfg)  # fail-fast config validation at build
+    for w_cfg in (put_when, get_when, delete_when):
+        if w_cfg is not None:
+            compile_condition(w_cfg)  # fail-fast config validation at build
 
     def stage(df: DataFrame) -> DataFrame:
         schema = dict(df.dtypes)
         is_put = F.coalesce(compile_condition(put_when, schema=schema), F.lit(False))
         is_get = F.coalesce(compile_condition(get_when, schema=schema), F.lit(False))
+        is_del = (
+            F.coalesce(compile_condition(delete_when, schema=schema), F.lit(False))
+            if delete_when is not None
+            else F.lit(False)
+        )
         val = F.col(value_field)
-        # puts before gets at equal ts; among equal puts the greatest
-        # value wins deterministically (the reference's "last Run" has no
-        # batch analog for true ties — pick a replay-stable rule)
+        # puts before deletes before gets at equal ts; among equal puts
+        # the greatest value wins deterministically (the reference's
+        # "last Run" has no batch analog for true ties — pick a
+        # replay-stable rule)
         w = (
             Window.partitionBy(key_field)
             .orderBy(
                 F.col(ts_col),
-                F.when(is_put, F.lit(0)).otherwise(F.lit(1)),
+                F.when(is_put, F.lit(0)).when(is_del, F.lit(1)).otherwise(F.lit(2)),
                 F.coalesce(val.cast("string"), F.lit("")),
             )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        vtype = schema.get(value_field, "string")
+        # a delete is a TOMBSTONE entry (v = NULL): it supersedes earlier
+        # puts in the running-last aggregate, so later gets miss
         entry = F.last(
-            F.when(is_put, F.struct(F.col(ts_col).alias("at"), val.alias("v"))),
+            F.when(is_put, F.struct(F.col(ts_col).alias("at"), val.alias("v"))).when(
+                is_del,
+                F.struct(
+                    F.col(ts_col).alias("at"), F.lit(None).cast(vtype).alias("v")
+                ),
+            ),
             ignorenulls=True,
         ).over(w)
         fresh = (
@@ -617,7 +637,7 @@ def cache_sequential(
             if ttl_seconds is not None
             else F.lit(True)
         )
-        found = is_get & entry.isNotNull() & fresh
+        found = is_get & entry.isNotNull() & entry["v"].isNotNull() & fresh
         if target_field in df.columns:
             occupied = F.col(target_field).isNotNull()
             cur = F.col(target_field)

@@ -1300,3 +1300,43 @@ def test_cache_sequential_matrix(spark):
     assert by_ts3["2024-01-01 00:00:30"].tgt2 == "v"
     expired = by_ts3["2024-01-01 00:10:00"]
     assert expired.tgt2 is None and "cache_get_error" in expired.log_flags
+
+
+def test_cache_sequential_delete_tombstones(spark):
+    """The delete op (cache.go:171-177): a delete tombstones the key —
+    later gets miss until a later put; deleting an absent key is a
+    no-op; on one timestamp the replay-stable order is put → delete."""
+    rows = [
+        ("2024-01-01 00:00:00", "put", "one", "v1", None),
+        ("2024-01-01 00:00:10", "del", "one", None, None),
+        ("2024-01-01 00:00:20", "get", "one", None, None),   # deleted → miss
+        ("2024-01-01 00:00:30", "put", "one", "v2", None),
+        ("2024-01-01 00:00:40", "get", "one", None, None),   # re-put → hit v2
+        ("2024-01-01 00:00:50", "del", "nope", None, None),  # absent key: no-op
+        ("2024-01-01 00:01:00", "put", "two", "w", None),
+        ("2024-01-01 00:01:00", "del", "two", None, None),   # same-ts: delete wins
+        ("2024-01-01 00:01:10", "get", "two", None, None),   # → miss
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, kind string, aid string, metadata string, tgt string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = build(
+        "cache",
+        key_field="aid",
+        value_field="metadata",
+        target_field="tgt",
+        put_when={"equals": {"kind": "put"}},
+        get_when={"equals": {"kind": "get"}},
+        delete_when={"equals": {"kind": "del"}},
+    )(df).collect()
+    by_ts = {str(r.ts) + r.kind: r for r in out}
+    miss = by_ts["2024-01-01 00:00:20get"]
+    assert miss.tgt is None and "cache_get_error" in miss.log_flags
+    hit = by_ts["2024-01-01 00:00:40get"]
+    assert hit.tgt == "v2" and "cache_get_error" not in hit.log_flags
+    tombed = by_ts["2024-01-01 00:01:10get"]
+    assert tombed.tgt is None and "cache_get_error" in tombed.log_flags
+    # delete rows themselves pass through unflagged
+    assert all(
+        "cache_get_error" not in r.log_flags for r in out if r.kind == "del"
+    )
