@@ -531,15 +531,18 @@ def _mapstr_get(m: dict, key: str):
 
 def _mapstr_put(m: dict, key: str, value) -> None:
     """mapstr.M.Put: dot-walk creating intermediate maps; TypeError when
-    an existing intermediate is not a map."""
+    an existing intermediate is not a map. An EXISTING null intermediate
+    is an error too (mapFind's toMapStr(nil) fails — a present-but-null
+    key is not 'missing'), not a silent map creation (r5d review)."""
     cur = m
     parts = key.split(".")
     for p in parts[:-1]:
-        nxt = cur.get(p)
-        if nxt is None:
+        if p not in cur:
             nxt = cur[p] = {}
-        elif not isinstance(nxt, dict):
-            raise TypeError(f"expected map but type is {type(nxt).__name__}")
+        else:
+            nxt = cur[p]
+            if not isinstance(nxt, dict):
+                raise TypeError(f"expected map but type is {type(nxt).__name__}")
         cur = nxt
     cur[parts[-1]] = value
 

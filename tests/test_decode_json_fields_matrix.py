@@ -369,3 +369,14 @@ def test_decode_json_deep_meta_and_guard(spark):
     assert got[0][1] == {"_id": "id7"}
     assert got[1][0]["msg"] == '{"log": "n", "myid": "id8"}'  # untouched
     assert got[1][1] == {}
+
+
+def test_put_through_null_intermediate_is_an_error():
+    """mapstr.Put parity (r5d review): a PRESENT-but-null intermediate
+    fails like mapFind's toMapStr(nil) — it is not 'missing', so the
+    target write errors and the document is left unchanged rather than
+    silently replacing the null with a map."""
+    f, _, _, errs = run({"msg": '{"x": 1}', "a": None}, target="a.b")
+    assert f["a"] is None
+    assert "a.b" not in str(f)
+    assert errs and "expected map but type is" in errs[0]
