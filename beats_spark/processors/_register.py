@@ -58,6 +58,8 @@ REGISTRY.update(
         "add_locale": enrich.add_constant_metadata,
         "cache_get": enrich.cache_get,
         "cache": enrich.cache_sequential,
+        # the beats-YAML form: list of single-op cache configs + whens
+        "cache_from_configs": enrich.cache_from_configs,
         "add_constant_metadata": enrich.add_constant_metadata,
         "registered_domain": enrich.registered_domain,
         "community_id": enrich.community_id,

@@ -593,19 +593,25 @@ def cache_sequential(
     from ..events import FLAGS_COL, append_flag
     from pyspark.sql import Window
 
+    # True = "no when guard" (a beats cache processor without a when
+    # runs on EVERY event); None = op not configured; dict = condition
     for w_cfg in (put_when, get_when, delete_when):
-        if w_cfg is not None:
+        if w_cfg is not None and w_cfg is not True:
             compile_condition(w_cfg)  # fail-fast config validation at build
 
     def stage(df: DataFrame) -> DataFrame:
         schema = dict(df.dtypes)
-        is_put = F.coalesce(compile_condition(put_when, schema=schema), F.lit(False))
-        is_get = F.coalesce(compile_condition(get_when, schema=schema), F.lit(False))
-        is_del = (
-            F.coalesce(compile_condition(delete_when, schema=schema), F.lit(False))
-            if delete_when is not None
-            else F.lit(False)
-        )
+
+        def cond(w_cfg):
+            if w_cfg is True:
+                return F.lit(True)
+            if w_cfg is None:
+                return F.lit(False)
+            return F.coalesce(compile_condition(w_cfg, schema=schema), F.lit(False))
+
+        is_put = cond(put_when)
+        is_get = cond(get_when)
+        is_del = cond(delete_when)
         val = F.col(value_field)
         # puts before deletes before gets at equal ts; among equal puts
         # the greatest value wins deterministically (the reference's
@@ -968,3 +974,126 @@ def translate_guid(
         )
 
     return stage
+
+
+def cache_config_validate(cfg: dict) -> dict:
+    """cache processor config surface (cache/config.go) — config.Validate
+    + storeConfig.Validate with the reference's error wording verbatim
+    (config_test.go's matrix). Returns a normalized descriptor:
+    {op, backend: (kind, id), key_field, value_field?, target_field?,
+    ttl_seconds?, ignore_missing, ignore_failure, overwrite_keys}."""
+    from .parser_config import _duration_seconds
+
+    def req_str(d: dict, path: str):
+        parts = path.split(".")
+        cur = d
+        for p in parts:
+            cur = cur.get(p) if isinstance(cur, dict) else None
+            if cur is None:
+                break
+        if not isinstance(cur, str) or not cur:
+            raise ValueError(f"string value is not set accessing '{path}'")
+        return cur
+
+    ops = [k for k in ("put", "get", "delete") if cfg.get(k) is not None]
+    if len(ops) == 0:
+        raise ValueError("no operation specified for cache processor accessing config")
+    if len(ops) > 1:
+        raise ValueError(
+            "cannot specify multiple operations together in a cache processor accessing config"
+        )
+    op = ops[0]
+    backend = cfg.get("backend")
+    if backend is None:
+        raise ValueError("missing required field accessing 'backend'")
+    mem, fil = backend.get("memory"), backend.get("file")
+    if mem is not None and fil is not None:
+        raise ValueError(
+            "must specify only one of backend.memory.id or backend.file.id accessing 'backend'"
+        )
+    if mem is None and fil is None:
+        raise ValueError(
+            "must specify one of backend.memory.id or backend.file.id accessing 'backend'"
+        )
+    if mem is not None:
+        be = ("memory", req_str(cfg, "backend.memory.id"))
+    else:
+        be = ("file", req_str(cfg, "backend.file.id"))
+    out = {
+        "op": op,
+        "backend": be,
+        # defaultConfig(): IgnoreMissing true, others false
+        "ignore_missing": bool(cfg.get("ignore_missing", True)),
+        "ignore_failure": bool(cfg.get("ignore_failure", False)),
+        "overwrite_keys": bool(cfg.get("overwrite_keys", False)),
+        "key_field": req_str(cfg, f"{op}.key_field"),
+    }
+    if op == "put":
+        out["value_field"] = req_str(cfg, "put.value_field")
+        if cfg["put"].get("ttl") is None:
+            raise ValueError("missing required field accessing 'put.ttl'")
+        out["ttl_seconds"] = _duration_seconds(cfg["put"]["ttl"], "put.ttl")
+    elif op == "get":
+        out["target_field"] = req_str(cfg, "get.target_field")
+    return out
+
+
+def cache_from_configs(entries: list[tuple[dict, dict | None]], ts_col: str = "ts"):
+    """The beats-YAML → batch translation for the cache processor: a
+    pipeline carries SEVERAL single-op `cache` processors sharing one
+    backend id (the put leg under one `when`, the get leg under
+    another); here they compose into ONE windowed cache_sequential
+    stage. `entries` = [(config dict, when condition | None), ...] in
+    pipeline order; a None when means the op runs on every event, like
+    a guardless beats processor.
+
+    Validation is the reference's per-processor surface
+    (cache_config_validate) plus the composition rules the batch
+    projection needs, each a loud build error: all entries must share
+    one backend (separate stores never interact), one put and one get
+    at most (the window carries one value column and one target), all
+    ops must key on the SAME field (the window partitions once), and a
+    get-only set is refused (with no put leg in the batch, every get
+    would silently miss). TTL comes from the put config (the reference
+    stamps expiry at put time; the window compares put-ts + TTL against
+    the get's event time — the same rule). overwrite_keys /
+    ignore_failure come from the GET entry's config (they gate the get
+    path in cache.go)."""
+    descs = [(cache_config_validate(c), when) for c, when in entries]
+    backends = {d["backend"] for d, _ in descs}
+    if len(backends) > 1:
+        raise ValueError(
+            f"cache_from_configs: entries use different backends {sorted(backends)}; "
+            "separate stores never interact"
+        )
+    keys = {d["key_field"] for d, _ in descs}
+    if len(keys) > 1:
+        raise ValueError(
+            f"cache_from_configs: entries key on different fields {sorted(keys)}; "
+            "the batch window partitions on one key column"
+        )
+    puts = [(d, w) for d, w in descs if d["op"] == "put"]
+    gets = [(d, w) for d, w in descs if d["op"] == "get"]
+    dels = [(d, w) for d, w in descs if d["op"] == "delete"]
+    if len(puts) > 1 or len(gets) > 1 or len(dels) > 1:
+        raise ValueError("cache_from_configs: at most one put/get/delete entry each")
+    if not gets:
+        raise ValueError("cache_from_configs: a get entry is required (nothing to emit)")
+    if not puts:
+        raise ValueError(
+            "cache_from_configs: a put entry is required (a get-only batch always misses)"
+        )
+    put_d, put_w = puts[0]
+    get_d, get_w = gets[0]
+    return cache_sequential(
+        key_field=put_d["key_field"],
+        value_field=put_d["value_field"],
+        target_field=get_d["target_field"],
+        put_when=put_w if put_w is not None else True,
+        get_when=get_w if get_w is not None else True,
+        delete_when=(dels[0][1] if dels[0][1] is not None else True) if dels else None,
+        ttl_seconds=put_d["ttl_seconds"],
+        overwrite_keys=get_d["overwrite_keys"],
+        ignore_failure=get_d["ignore_failure"],
+        ts_col=ts_col,
+    )

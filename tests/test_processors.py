@@ -1340,3 +1340,98 @@ def test_cache_sequential_delete_tombstones(spark):
     assert all(
         "cache_get_error" not in r.log_flags for r in out if r.kind == "del"
     )
+
+
+def test_cache_config_matrix():
+    """cache/config_test.go's full validation table, error wording
+    verbatim, plus the put.ttl Go-duration parse."""
+    import pytest
+
+    from beats_spark.processors.enrich import cache_config_validate
+
+    put = {"ttl": "168h", "key_field": "crowdstrike.aid", "value_field": "crowdstrike.metadata"}
+    ok_cases = [
+        {"backend": {"file": {"id": "aidmaster"}}, "put": dict(put)},
+        {"backend": {"file": {"id": "aidmaster", "write_interval": "15m"}}, "put": dict(put)},
+        {"backend": {"memory": {"id": "aidmaster"}}, "put": dict(put)},
+        {"backend": {"file": {"id": "aidmaster"}},
+         "get": {"key_field": "crowdstrike.aid", "target_field": "crowdstrike.metadata"}},
+        {"backend": {"file": {"id": "aidmaster"}}, "delete": {"key_field": "crowdstrike.aid"}},
+    ]
+    for cfg in ok_cases:
+        d = cache_config_validate(cfg)
+        assert d["key_field"] == "crowdstrike.aid"
+    assert cache_config_validate(ok_cases[0])["ttl_seconds"] == 168 * 3600.0
+    err_cases = [
+        ({"backend": {"memory": {}}, "put": dict(put)},
+         "string value is not set accessing 'backend.memory.id'"),
+        ({"backend": {"file": {}}, "put": dict(put)},
+         "string value is not set accessing 'backend.file.id'"),
+        ({"backend": {"file": {"id": "aidmaster"}}},
+         "no operation specified for cache processor accessing config"),
+        ({"backend": {"file": {"id": "aidmaster"}},
+          "put": dict(put),
+          "get": {"key_field": "crowdstrike.aid", "target_field": "crowdstrike.metadata"}},
+         "cannot specify multiple operations together in a cache processor accessing config"),
+        ({"put": dict(put)}, "missing required field accessing 'backend'"),
+        ({"backend": {}, "put": dict(put)},
+         "must specify one of backend.memory.id or backend.file.id accessing 'backend'"),
+        ({"backend": {"memory": {"id": "a"}, "file": {"id": "b"}}, "put": dict(put)},
+         "must specify only one of backend.memory.id or backend.file.id accessing 'backend'"),
+        ({"backend": {"memory": {"id": "a"}},
+          "put": {"key_field": "k", "value_field": "v"}},
+         "missing required field accessing 'put.ttl'"),
+        ({"backend": {"memory": {"id": "a"}},
+          "put": {"ttl": "168h", "key_field": "k"}},
+         "string value is not set accessing 'put.value_field'"),
+        ({"backend": {"memory": {"id": "a"}},
+          "get": {"key_field": "k"}},
+         "string value is not set accessing 'get.target_field'"),
+    ]
+    for cfg, want in err_cases:
+        with pytest.raises(ValueError, match=__import__("re").escape(want)):
+            cache_config_validate(cfg)
+
+
+def test_cache_from_configs_composition(spark):
+    """The YAML translation: a put leg + a get leg + a delete leg
+    sharing one backend id compose into one windowed stage; mismatched
+    backends / keys / missing legs are loud build errors."""
+    import pytest
+
+    from beats_spark.processors.enrich import cache_from_configs
+
+    be = {"backend": {"memory": {"id": "aidmaster"}}}
+    put_cfg = {**be, "put": {"ttl": "1h", "key_field": "aid", "value_field": "metadata"}}
+    get_cfg = {**be, "get": {"key_field": "aid", "target_field": "tgt"}}
+    del_cfg = {**be, "delete": {"key_field": "aid"}}
+    stage = cache_from_configs(
+        [
+            (put_cfg, {"equals": {"kind": "put"}}),
+            (get_cfg, {"equals": {"kind": "get"}}),
+            (del_cfg, {"equals": {"kind": "del"}}),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "put", "one", "v1", None),
+            ("2024-01-01 00:00:10", "get", "one", None, None),
+            ("2024-01-01 00:00:20", "del", "one", None, None),
+            ("2024-01-01 00:00:30", "get", "one", None, None),
+        ],
+        "ts string, kind string, aid string, metadata string, tgt string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    by_ts = {str(r.ts): r for r in stage(df).collect()}
+    assert by_ts["2024-01-01 00:00:10"].tgt == "v1"
+    assert by_ts["2024-01-01 00:00:30"].tgt is None  # deleted
+
+    other = {"backend": {"memory": {"id": "other"}}}
+    with pytest.raises(ValueError, match="different backends"):
+        cache_from_configs([(put_cfg, None), ({**other, "get": get_cfg["get"]}, None)])
+    get_k2 = {**be, "get": {"key_field": "k2", "target_field": "tgt"}}
+    with pytest.raises(ValueError, match="different fields"):
+        cache_from_configs([(put_cfg, None), (get_k2, None)])
+    with pytest.raises(ValueError, match="get entry is required"):
+        cache_from_configs([(put_cfg, None)])
+    with pytest.raises(ValueError, match="put entry is required"):
+        cache_from_configs([(get_cfg, None)])
