@@ -805,18 +805,27 @@ def dns_lookup(
             for fc in fail_cols:
                 fail_any = fail_any | F.col(fc)
             tag_arr = F.array(*[F.lit(t) for t in tag_on_failure])
-            existing = (
-                F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
-                if tags_col in df.columns
-                else F.array().cast("array<string>")
-            )
+            # mapstr.AddTagsWithKey promotes an existing scalar string
+            # tag to a list before appending — a string tags column is
+            # promoted to array<string> for ALL rows (uniform column
+            # type; same documented promotion rule as append targets)
+            tags_dtype = dict(df.dtypes).get(tags_col)
+            if tags_col in df.columns and tags_dtype == "string":
+                existing = F.when(
+                    F.col(tags_col).isNotNull(), F.array(F.col(tags_col))
+                ).otherwise(F.array().cast("array<string>"))
+                untouched = existing
+            elif tags_col in df.columns:
+                existing = F.coalesce(F.col(tags_col), F.array().cast("array<string>"))
+                untouched = F.col(tags_col)
+            else:
+                existing = F.array().cast("array<string>")
+                untouched = F.lit(None).cast("array<string>")
             out = out.withColumn(
                 tags_col,
                 F.when(
                     fail_any, F.array_distinct(F.concat(existing, tag_arr))
-                ).otherwise(
-                    F.col(tags_col) if tags_col in df.columns else F.lit(None).cast("array<string>")
-                ),
+                ).otherwise(untouched),
             ).drop(*fail_cols)
         return out
 

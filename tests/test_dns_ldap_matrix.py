@@ -312,3 +312,23 @@ def test_translate_sid_duplicate_keys_do_not_multiply_events(spark):
     )(df).collect()
     assert len(rows) == 1
     assert rows[0]["acct_name"] == "Administrator"
+
+
+def test_dns_tag_promotes_string_tags_column(spark):
+    """mapstr.AddTagsWithKey parity: an existing scalar-string `tags`
+    value becomes a list when the failure tag is appended; the whole
+    column promotes to array<string> (uniform column type)."""
+    df = spark.createDataFrame(
+        [("192.0.2.1", "preexisting"), (GATEWAY_IP, "keepme")],
+        "source_ip string, tags string",
+    )
+    rows = {
+        r["source_ip"]: r
+        for r in dns_lookup(
+            {"source_ip": "source_domain"},
+            _answers(spark),
+            tag_on_failure=["_lookup_failed"],
+        )(df).collect()
+    }
+    assert rows["192.0.2.1"]["tags"] == ["preexisting", "_lookup_failed"]
+    assert rows[GATEWAY_IP]["tags"] == ["keepme"]
