@@ -49,7 +49,7 @@ REGISTRY.update(
         "translate_ldap_attribute": enrich.translate_guid,
         "dns": enrich.dns_lookup,
         "add_cloud_metadata": enrich.lookup_join,
-        "add_docker_metadata": enrich.lookup_join,
+        "add_docker_metadata": enrich.add_docker_metadata,
         "add_kubernetes_metadata": enrich.lookup_join,
         "add_process_metadata": enrich.lookup_join,
         "add_host_metadata": enrich.add_constant_metadata,

@@ -1106,3 +1106,97 @@ def cache_from_configs(entries: list[tuple[dict, dict | None]], ts_col: str = "t
         ignore_failure=get_d["ignore_failure"],
         ts_col=ts_col,
     )
+
+
+def add_docker_metadata(
+    table: DataFrame,
+    match_fields: list[str] | None = None,
+    match_source: bool = True,
+    match_source_index: int = 4,
+    match_short_id: bool = False,
+    labels_dedot: bool = True,
+    source_col: str = "log_file_path",
+):
+    """add_docker_metadata (add_docker_metadata.go:267-326) over a
+    broadcast container table — the watcher's container map arrives as
+    `table` = (container_id, image, name, labels map<string,string>),
+    since the Docker socket is environment-gated here. Run parity,
+    column-wise:
+
+    - container ID resolution order: (1) the source LOG PATH — the
+      reference delegates to extract_field on log.file.path with
+      separator '/' and index `match_source_index` (default 4 matches
+      /var/lib/docker/containers/<cid>/*.log; empty tokens are skipped,
+      extract_field.go semantics), and writes container.id immediately
+      even when the lookup later misses; (2) the cgroups-by-PID path is
+      environment-gated (no /proc of a docker host here) and skipped;
+      (3) the FIRST configured match_field holding a non-null string
+      (matchFieldCID).
+    - `match_short_id` also indexes the table by the 12-char short id
+      (watcher WithShortID).
+    - on a hit, DeepUpdate writes container.id (the FULL id — it
+      overwrites a short/source-derived id), container.image.name,
+      container.name and the labels with dots in KEYS replaced by '_'
+      when labels_dedot (common.DeDot; the reference's default true).
+      Flat column model: container_id / container_image_name /
+      container_name / container_labels.
+    """
+    fields = list(match_fields or [])
+
+    def stage(df: DataFrame) -> DataFrame:
+        dtypes = dict(df.dtypes)
+        lut = table.toDF("_dkr_id", "_dkr_image", "_dkr_name", "_dkr_labels")
+        if labels_dedot:
+            lut = lut.withColumn(
+                "_dkr_labels",
+                F.transform_keys(
+                    F.col("_dkr_labels"), lambda k, v: F.replace(k, F.lit("."), F.lit("_"))
+                ),
+            )
+        if match_short_id:
+            lut = lut.unionByName(
+                lut.select(
+                    F.substring("_dkr_id", 1, 12).alias("_dkr_id"),
+                    "_dkr_image", "_dkr_name", "_dkr_labels",
+                )
+            )
+        # one row per (possibly short) id — a dup key must not multiply
+        # events (same rule as every lookup in this module). min() can't
+        # order a map, so min_by over a serialized ordering key.
+        ordk = F.struct(
+            F.col("_dkr_image"), F.col("_dkr_name"), F.to_json(F.col("_dkr_labels"))
+        )
+        lut = lut.groupBy("_dkr_id").agg(
+            F.min_by(
+                F.struct("_dkr_image", "_dkr_name", "_dkr_labels"), ordk
+            ).alias("_s")
+        ).select(
+            "_dkr_id",
+            F.col("_s._dkr_image").alias("_dkr_image"),
+            F.col("_s._dkr_name").alias("_dkr_name"),
+            F.col("_s._dkr_labels").alias("_dkr_labels"),
+        )
+        src_cid = F.lit(None).cast("string")
+        if match_source and source_col in dtypes and dtypes.get(source_col) == "string":
+            toks = F.filter(F.split(F.col(source_col), "/"), lambda x: x != "")
+            src_cid = F.get(toks, match_source_index)
+        cid = src_cid
+        for fld in fields:
+            if fld in dtypes and dtypes.get(fld) == "string":
+                cid = F.coalesce(cid, F.col(fld))
+        out = df.join(
+            F.broadcast(lut), on=cid == F.col("_dkr_id"), how="left"
+        )
+        hit = F.col("_dkr_id").isNotNull()
+        # Run writes container.id from the source path BEFORE the lookup;
+        # a hit's DeepUpdate then overwrites it with the table's full id
+        container_id = F.when(hit, F.col("_dkr_id")).otherwise(src_cid)
+        return out.select(
+            *[c for c in out.columns if not c.startswith("_dkr_")],
+            container_id.alias("container_id"),
+            F.col("_dkr_image").alias("container_image_name"),
+            F.col("_dkr_name").alias("container_name"),
+            F.col("_dkr_labels").alias("container_labels"),
+        )
+
+    return stage

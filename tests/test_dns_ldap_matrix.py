@@ -332,3 +332,76 @@ def test_dns_tag_promotes_string_tags_column(spark):
     }
     assert rows["192.0.2.1"]["tags"] == ["preexisting", "_lookup_failed"]
     assert rows[GATEWAY_IP]["tags"] == ["keepme"]
+
+
+# --- add_docker_metadata (add_docker_metadata_test.go main cases) ---------------
+
+CID = "lorem" + "a" * 59  # a 64-char id like the reference's test fixture
+
+
+def _containers(spark):
+    return spark.createDataFrame(
+        [(CID, "image", "name", {"a.x": "1", "b": "2"})],
+        "container_id string, image string, name string, labels map<string,string>",
+    )
+
+
+def test_docker_match_field(spark):
+    from beats_spark.processors.enrich import add_docker_metadata
+
+    df = spark.createDataFrame([(CID,), ("no-match",), (None,)], "cid string")
+    rows = {
+        r["cid"]: r
+        for r in add_docker_metadata(
+            _containers(spark), match_fields=["cid"], match_source=False
+        )(df).collect()
+    }
+    hit = rows[CID]
+    assert hit["container_id"] == CID
+    assert hit["container_image_name"] == "image"
+    assert hit["container_name"] == "name"
+    # labels.dedot default true: 'a.x' → 'a_x'
+    assert dict(hit["container_labels"]) == {"a_x": "1", "b": "2"}
+    assert rows["no-match"]["container_name"] is None
+    assert rows[None]["container_id"] is None
+
+
+def test_docker_match_source_path_and_short_id(spark):
+    from beats_spark.processors.enrich import add_docker_metadata
+
+    path = f"/var/lib/docker/containers/{CID}/{CID}-json.log"
+    short_path = f"/var/lib/docker/containers/{CID[:12]}/{CID[:12]}-json.log"
+    df = spark.createDataFrame(
+        [(path,), (short_path,), ("/var/log/other.log",)], "log_file_path string"
+    )
+    # default index 4 resolves the cid segment; short id only with the flag
+    out = {
+        r["log_file_path"]: r
+        for r in add_docker_metadata(_containers(spark))(df).collect()
+    }
+    assert out[path]["container_name"] == "name"
+    assert out[path]["container_id"] == CID
+    # the source-derived id is written even when the lookup misses
+    assert out[short_path]["container_id"] == CID[:12]
+    assert out[short_path]["container_name"] is None
+    assert out["/var/log/other.log"]["container_name"] is None
+    out2 = {
+        r["log_file_path"]: r
+        for r in add_docker_metadata(_containers(spark), match_short_id=True)(df).collect()
+    }
+    assert out2[short_path]["container_name"] == "name"
+    assert out2[short_path]["container_id"] == CID[:12]
+
+
+def test_docker_source_wins_over_match_fields(spark):
+    from beats_spark.processors.enrich import add_docker_metadata
+
+    path = f"/var/lib/docker/containers/{CID}/x.log"
+    df = spark.createDataFrame(
+        [(path, "ignored-field-cid")], "log_file_path string, cid string"
+    )
+    out = add_docker_metadata(
+        _containers(spark), match_fields=["cid"]
+    )(df).collect()[0]
+    assert out["container_id"] == CID
+    assert out["container_name"] == "name"
