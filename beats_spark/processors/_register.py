@@ -50,7 +50,7 @@ REGISTRY.update(
         "dns": enrich.dns_lookup,
         "add_cloud_metadata": enrich.lookup_join,
         "add_docker_metadata": enrich.add_docker_metadata,
-        "add_kubernetes_metadata": enrich.lookup_join,
+        "add_kubernetes_metadata": enrich.add_kubernetes_metadata,
         "add_process_metadata": enrich.lookup_join,
         "add_host_metadata": enrich.add_constant_metadata,
         "add_agent_metadata": enrich.add_constant_metadata,

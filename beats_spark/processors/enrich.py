@@ -1200,3 +1200,89 @@ def add_docker_metadata(
         )
 
     return stage
+
+
+def k8s_logs_path_index(
+    col: Column,
+    logs_path: str | None = None,
+    resource_type: str = "container",
+) -> Column:
+    """add_kubernetes_metadata's logs_path matcher
+    (filebeat/processor/add_kubernetes_metadata/matchers.go:49-130) as a
+    pure Column: the metadata-index key (container id or pod UID)
+    extracted from a log file path. NULL where the Go matcher returns ""
+    (no match / too short / wrong extension). Exact control flow:
+
+    - the path must CONTAIN logs_path (normalized to end with '/');
+    - resource_type='pod': only *.log paths that are not .gz; under
+      /var/lib/kubelet/pods/ the UID is path segment 5 (raw '/'-split,
+      leading empty token counted, like strings.Split); under
+      /var/log/pods/ segment 4 is '<ns>_<pod>_<uid>' and the UID is its
+      third '_'-part; any other pod logs_path never matches;
+    - resource_type='container': under /var/log/containers/ a *.log
+      path long enough takes the 64 chars before '.log' (the
+      '<pod>_<ns>_<container>-<cid>.log' layout); otherwise the 64
+      chars right after logs_path (the /var/lib/docker/containers/
+      layout) when the path is long enough."""
+    lp = logs_path or "/var/lib/docker/containers/"
+    if not lp.endswith("/"):
+        lp += "/"
+    src = col
+    slen = F.length(src)
+    lplen = len(lp)
+    if resource_type == "pod":
+        ok_ext = src.contains(".log") & ~src.endswith(".gz")
+        if lp.startswith("/var/lib/kubelet/pods/"):
+            dirs = F.split(src, "/")
+            res = F.when(F.size(dirs) > 5, F.get(dirs, 5))
+        elif lp.startswith("/var/log/pods/"):
+            parts = F.split(F.get(F.split(src, "/"), 4), "_")
+            res = F.when(F.size(parts) > 2, F.get(parts, 2))
+        else:
+            res = F.lit(None).cast("string")
+        res = F.when(ok_ext, res)
+    else:
+        chain = None
+        if lp.startswith("/var/log/containers/"):
+            c1 = src.endswith(".log") & (slen >= 64 + 4)
+            v1 = F.substr(src, slen - F.lit(67), F.lit(64))
+            chain = F.when(c1, v1)
+        c2 = slen >= lplen + 64
+        v2 = F.substr(src, F.lit(lplen + 1), F.lit(64))
+        res = chain.when(c2, v2) if chain is not None else F.when(c2, v2)
+    return F.nullif(F.when(src.contains(lp), res), F.lit(""))
+
+
+def add_kubernetes_metadata(
+    table: DataFrame,
+    index_cols: list[Column],
+):
+    """add_kubernetes_metadata over a broadcast pod-metadata table —
+    the watcher/indexer state (kubernetes.go; the API server is
+    environment-gated) arrives as `table` whose FIRST column is the
+    metadata index key (container id or pod UID, whatever the indexers
+    produced) and whose remaining columns are the metadata to attach.
+    `index_cols` are matcher Columns in config order (e.g.
+    k8s_logs_path_index(...), a field value) — the FIRST non-null one
+    is the event's index (Matchers.MetadataIndex:82-95 first-match
+    rule). Rows with no index or no table entry pass through with NULL
+    metadata, like the processor's no-op path."""
+    if not index_cols:
+        raise ValueError("add_kubernetes_metadata: at least one matcher is required")
+
+    def stage(df: DataFrame) -> DataFrame:
+        cols = table.columns
+        lut = table.toDF(*(["_k8s_key"] + [f"_k8s_{c}" for c in cols[1:]]))
+        ordk = F.struct(*[F.col(c) for c in lut.columns[1:]])
+        lut = lut.groupBy("_k8s_key").agg(F.min_by(ordk, F.to_json(ordk)).alias("_s"))
+        lut = lut.select(
+            "_k8s_key", *[F.col(f"_s._k8s_{c}").alias(f"_k8s_{c}") for c in cols[1:]]
+        )
+        idx = F.coalesce(*index_cols) if len(index_cols) > 1 else index_cols[0]
+        out = df.join(F.broadcast(lut), on=idx == F.col("_k8s_key"), how="left")
+        return out.select(
+            *[c for c in df.columns],
+            *[F.col(f"_k8s_{c}").alias(f"kubernetes_{c}") for c in cols[1:]],
+        )
+
+    return stage

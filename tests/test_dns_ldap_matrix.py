@@ -405,3 +405,80 @@ def test_docker_source_wins_over_match_fields(spark):
     )(df).collect()[0]
     assert out["container_id"] == CID
     assert out["container_name"] == "name"
+
+
+# --- add_kubernetes_metadata logs_path matcher (matchers_test.go, 11 cases) -----
+
+K8S_CID = "0069869de9adf97f574c62029aeba65d1ecd85a2a112e87fbc28afe4dec2b843"
+K8S_PUID = "005f3b90-4b9d-12f8-acf0-31020a840133"
+
+LOGS_PATH_CASES = [
+    # (logs_path cfg ('' = default), resource_type, source, expected)
+    ("", "container", "/var/log/messages", None),                        # InvalidSource1
+    ("", "container", "/var/lib/docker/containers/01234567/89abcdef-json.log", None),  # InvalidSource2
+    ("/var/log/containers/", "container",
+     "/var/log/containers/pod_ns_container_01234567.log", None),         # InvalidSource3
+    ("", "container",
+     f"/var/lib/docker/containers/{K8S_CID}/{K8S_CID}-json.log", K8S_CID),  # VarLibDockerContainers
+    ("/var/log/containers/", "container",
+     f"/var/log/containers/kube-proxy-4d7nt_kube-system_kube-proxy-{K8S_CID}.log", K8S_CID),  # VarLogContainers
+    ("/var/log/other/", "container", f"/var/log/other/{K8S_CID}.log", K8S_CID),  # AnotherLogDir
+    ("/var/lib/kubelet/pods/", "pod",
+     f"/var/lib/kubelet/pods/{K8S_PUID}/volumes/kubernetes.io~empty-dir/applogs/server.log", K8S_PUID),  # VarLibKubeletPods
+    ("/var/lib/kubelet/pods/", "pod",
+     f"/invalid/dir/{K8S_PUID}/volumes/kubernetes.io~empty-dir/applogs/server.log", None),  # InvalidSource4
+    ("/var/log/pods/", "pod",
+     f"/invalid/dir/namespace_pod-name_{K8S_PUID}/container/0.log", None),  # InvalidVarLogPodSource
+    ("/var/log/pods/", "pod",
+     f"/var/log/pods/namespace_pod-name_{K8S_PUID}/container/0.log.20220221-210912", K8S_PUID),  # ValidVarLogPodSource
+    ("/var/log/pods/", "pod",
+     f"/var/log/pods/namespace_pod-name_{K8S_PUID}/container/0.log.20220221-210526.gz", None),  # InvalidVarLogPodSource2
+    ("/var/log/pods/", "pod", f"/var/log/pods/{K8S_PUID}/container/0.log", None),  # InvalidVarLogPodIDFormat
+    ("/var/log/pods/", "pod",
+     f"/var/log/pods/namespace_pod-name_{K8S_PUID}/container/0.log", K8S_PUID),  # ValidVarLogPod
+]
+
+
+def test_k8s_logs_path_matcher_matrix(spark):
+    from beats_spark.processors.enrich import k8s_logs_path_index
+
+    rows = []
+    exprs = []
+    for i, (lp, rt, src, _) in enumerate(LOGS_PATH_CASES):
+        rows.append((i, src))
+    df = spark.createDataFrame(rows, "i int, src string")
+    got = {}
+    for i, (lp, rt, src, want) in enumerate(LOGS_PATH_CASES):
+        col = k8s_logs_path_index(F.col("src"), logs_path=(lp or None), resource_type=rt)
+        v = df.filter(F.col("i") == i).select(col.alias("idx")).collect()[0]["idx"]
+        got[i] = v
+        assert v == want, (i, lp, rt, src, v, want)
+
+
+def test_add_kubernetes_metadata_first_matcher_wins(spark):
+    from beats_spark.processors.enrich import (
+        add_kubernetes_metadata,
+        k8s_logs_path_index,
+    )
+
+    table = spark.createDataFrame(
+        [(K8S_CID, "web-0", "prod"), (K8S_PUID, "api-1", "dev")],
+        "idx string, pod string, namespace string",
+    )
+    df = spark.createDataFrame(
+        [
+            (f"/var/lib/docker/containers/{K8S_CID}/{K8S_CID}-json.log", None),
+            (None, K8S_PUID),
+            (None, "unknown-uid"),
+        ],
+        "log_file_path string, pod_uid string",
+    )
+    stage = add_kubernetes_metadata(
+        table,
+        [k8s_logs_path_index(F.col("log_file_path")), F.col("pod_uid")],
+    )
+    rows = stage(df).collect()
+    by_pod_uid = {r["pod_uid"]: r for r in rows}
+    assert by_pod_uid[None]["kubernetes_pod"] == "web-0"
+    assert by_pod_uid[K8S_PUID]["kubernetes_pod"] == "api-1"
+    assert by_pod_uid["unknown-uid"]["kubernetes_pod"] is None
