@@ -298,11 +298,18 @@ def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 7th row corrupted), then pushed through guid_to_ad_bytes /
     ad_bytes_to_guid / escape_binary_for_ldap. The DuckDB oracle
     recomputes the Microsoft objectGUID mixed-endian byte swaps as
-    substring reorders over the same md5."""
+    substring reorders over the same md5.
+
+    r5d fold #2: the add_kubernetes_metadata logs_path matcher — rows
+    cycle through a docker-containers path (64-char cid = md5||md5),
+    a /var/log/pods '<ns>_<pod>_<uid>' path (pod mode), and an
+    unmatchable path (NULL); the oracle recomputes the extraction with
+    substring/split arithmetic."""
     from beats_spark.processors.enrich import (
         ad_bytes_to_guid,
         escape_binary_for_ldap,
         guid_to_ad_bytes,
+        k8s_logs_path_index,
         lookup_join,
     )
 
@@ -323,11 +330,27 @@ def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gin = F.when(F.col("turn_idx") % 7 == 0, F.concat(gin, F.lit("z"))).otherwise(gin)
     b = guid_to_ad_bytes(gin)
+    cid64 = F.concat(g0, F.md5(g0))
+    kpath = (
+        F.when(
+            form == 0,
+            F.concat(F.lit("/var/lib/docker/containers/"), cid64, F.lit("/x-json.log")),
+        )
+        .when(
+            form == 1,
+            F.concat(F.lit("/var/log/pods/ns_pod-"), g0, F.lit("_"), g0, F.lit("/c/0.log")),
+        )
+        .otherwise(F.concat(F.lit("/var/log/other/"), g0, F.lit(".log")))
+    )
+    k8s_container = k8s_logs_path_index(kpath)
+    k8s_pod = k8s_logs_path_index(kpath, logs_path="/var/log/pods/", resource_type="pod")
     return t.select(
         "conv_id", "turn_idx", "team", "is_agent", "tool_kind", "risk",
         F.lower(F.hex(b)).alias("guid_ad_hex"),
         ad_bytes_to_guid(b).alias("guid_canon"),
         escape_binary_for_ldap(b).alias("guid_ldap"),
+        k8s_container.alias("k8s_cid"),
+        k8s_pod.alias("k8s_pod_uid"),
     )
 
 
@@ -2214,7 +2237,11 @@ def oracle_sql() -> dict[str, str]:
                       regexp_replace(
                         substr(g0,7,2)||substr(g0,5,2)||substr(g0,3,2)||substr(g0,1,2)||
                         substr(g0,11,2)||substr(g0,9,2)||substr(g0,15,2)||substr(g0,13,2)||
-                        substr(g0,17,16), '(..)', '\\\1', 'g') END AS guid_ldap
+                        substr(g0,17,16), '(..)', '\\\1', 'g') END AS guid_ldap,
+                    -- logs_path matcher: docker-dir cid (64 after prefix) /
+                    -- pods-dir uid (third '_' part of segment 4) / no match
+                    CASE WHEN t.turn_idx % 3 = 0 THEN g0 || md5(g0) END AS k8s_cid,
+                    CASE WHEN t.turn_idx % 3 = 1 THEN g0 END AS k8s_pod_uid
              FROM (SELECT *, md5(conv_id || ':' || CAST(turn_idx AS VARCHAR)) AS g0
                    FROM transcripts_base) t
              LEFT JOIN lookup_role lr USING (role)
