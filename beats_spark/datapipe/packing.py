@@ -257,3 +257,61 @@ def packing_stats(manifest: DataFrame, budget: int) -> DataFrame:
         ).alias("fill_ratio"),
         F.max("spans").alias("max_spans_per_seq"),
     )
+
+
+def mix_and_pack(
+    df: DataFrame,
+    budget: int,
+    weights,
+    stratum_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: Column | str | None = None,
+    seed: str = "mix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The end-to-end training-mix step: per-source epoch weights →
+    deterministic repetition → budget-sized packed sequences, i.e.
+    `weighted_repeat` composed with `pack_sequences`.
+
+    Each copy gets its own packing identity `<id>#<repeat_idx>` (the
+    manifest's id_col) so copies of one document land at independent,
+    deterministic positions in the token stream — repeated epochs are
+    spread by the md5 layout order rather than adjacent. The manifest
+    carries `src_<id_col>` and `repeat_idx` columns to join back to the
+    original corpus (assemble against the REPEATED frame, or strip the
+    suffix and join the original). Everything stays deterministic and
+    engine-replayable: the same corpus + weights + seed produce the
+    same manifest on every run and every parallelism (the
+    pack_sequences invariance).
+
+    Scale shape: weighted_repeat is map-side (explode); packing adds
+    its own distributed prefix sum. Nothing new shuffles."""
+    from .sampling import weighted_repeat
+
+    rep = weighted_repeat(
+        df, weights, stratum_col=stratum_col, key_col=id_col, seed=seed
+    )
+    rep = rep.withColumn(
+        "_mix_id",
+        F.concat(F.col(id_col).cast("string"), F.lit("#"), F.col("repeat_idx")),
+    )
+    manifest = pack_sequences(
+        rep,
+        budget,
+        id_col="_mix_id",
+        text_col=text_col,
+        n_tokens=n_tokens,
+        seed=seed,
+        num_partitions=num_partitions,
+    )
+    parts = F.split(F.col("_mix_id"), "#")
+    # a string id may itself contain '#': the repeat index is the LAST
+    # '#'-part; the source id is everything before it
+    n = F.size(parts)
+    src = F.array_join(F.slice(parts, 1, n - 1), "#")
+    return manifest.select(
+        "*",
+        src.alias(f"src_{id_col}"),
+        F.element_at(parts, -1).cast("int").alias("repeat_idx"),
+    )

@@ -1090,3 +1090,39 @@ def test_weighted_repeat_matches_python_and_duckdb(spark, docs):
     }
     for i in ids:
         assert duck[i] == len(got.get(i, [])), i
+
+
+def test_mix_and_pack_covers_repeated_corpus_exactly(spark, docs):
+    """mix_and_pack (r5d): the manifest covers EXACTLY the repeated
+    corpus (every copy's full token range, no overlaps, no gaps),
+    is rerun-identical, and src_doc_id/repeat_idx recover the source
+    identity (including '#' inside string ids)."""
+    from beats_spark.datapipe.packing import mix_and_pack
+    from beats_spark.datapipe.sampling import weighted_repeat
+
+    d = docs.select("doc_id", "text", (F.col("doc_id") % 2).cast("string").alias("src")).limit(200)
+    m1 = mix_and_pack(d, budget=512, weights={"0": 2.0, "1": 0.5}, stratum_col="src")
+    m2 = mix_and_pack(d, budget=512, weights={"0": 2.0, "1": 0.5}, stratum_col="src")
+    rows = m1.collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, m2.collect()))
+    # coverage: per copy, spans tile [0, n_tokens) exactly
+    rep = weighted_repeat(d, {"0": 2.0, "1": 0.5}, stratum_col="src", key_col="doc_id", seed="mix")
+    n_tok = {
+        (r["doc_id"], r["repeat_idx"]): len(r["text"].split())
+        for r in rep.collect()
+    }
+    spans = {}
+    for r in rows:
+        spans.setdefault((int(r["src_doc_id"]), r["repeat_idx"]), []).append(
+            (r["doc_tok_start"], r["doc_tok_end"])
+        )
+    assert set(spans) == set(n_tok)
+    for key, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0 and ss[-1][1] == n_tok[key]
+        for (a, b), (c, e) in zip(ss, ss[1:]):
+            assert b == c, (key, ss)
+    # string ids containing '#' round-trip
+    d2 = spark.createDataFrame([("a#b", "one two three")], "doc_id string, text string")
+    m3 = mix_and_pack(d2, budget=8, weights=1.0).collect()
+    assert m3 and all(r["src_doc_id"] == "a#b" and r["repeat_idx"] == 1 for r in m3)
