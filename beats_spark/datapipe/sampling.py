@@ -174,6 +174,10 @@ def weighted_repeat(
     else:
         b, c = parts(float(weights))
         base_c, cut_c = F.lit(b), F.lit(c)
+    # NULL keys are well-defined, not dropped: concat_ws skips NULLs, so
+    # every NULL key hashes as md5(seed) — they all draw (or all skip)
+    # the fractional extra together, the same rule hash_split gives a
+    # NULL id (r5d review pinned this by test)
     extra = (_hash_int(F.col(key_col), seed) < cut_c.cast("bigint")).cast("int")
     n = (base_c.cast("int") + extra).alias("_n_copies")
     return (

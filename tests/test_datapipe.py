@@ -1126,3 +1126,22 @@ def test_mix_and_pack_covers_repeated_corpus_exactly(spark, docs):
     d2 = spark.createDataFrame([("a#b", "one two three")], "doc_id string, text string")
     m3 = mix_and_pack(d2, budget=8, weights=1.0).collect()
     assert m3 and all(r["src_doc_id"] == "a#b" and r["repeat_idx"] == 1 for r in m3)
+
+
+def test_weighted_repeat_null_key_is_deterministic_not_dropped(spark):
+    """A NULL key is well-defined, not dropped: concat_ws skips NULLs,
+    so every NULL key hashes as md5(seed) and they all draw (or all
+    skip) the fractional extra together — same rule hash_split applies
+    to a NULL id. Pinned against the hash computed independently."""
+    import hashlib
+
+    from beats_spark.datapipe.sampling import weighted_repeat
+
+    df = spark.createDataFrame([(None,), ("k",)], "doc_id string")
+    h_null = int(hashlib.md5(b"mix").hexdigest()[:12], 16)
+    for w in (2.9, 0.9):
+        base = int(w)
+        expected = base + (1 if h_null < round((w - base) * 2**48) else 0)
+        out = weighted_repeat(df, w, seed="mix").collect()
+        n_null = sum(1 for r in out if r["doc_id"] is None)
+        assert n_null == expected, (w, n_null, expected)
