@@ -51,7 +51,7 @@ REGISTRY.update(
         "add_cloud_metadata": enrich.lookup_join,
         "add_docker_metadata": enrich.add_docker_metadata,
         "add_kubernetes_metadata": enrich.add_kubernetes_metadata,
-        "add_process_metadata": enrich.lookup_join,
+        "add_process_metadata": enrich.add_process_metadata,
         "add_host_metadata": enrich.add_constant_metadata,
         "add_agent_metadata": enrich.add_constant_metadata,
         "add_observer_metadata": enrich.add_constant_metadata,

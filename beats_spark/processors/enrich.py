@@ -1286,3 +1286,74 @@ def add_kubernetes_metadata(
         )
 
     return stage
+
+
+# libbeat/processors/add_process_metadata/config.go:30 — matches the
+# docker / kubepods(+cri-containerd/crio) / podman cgroup layouts
+DEFAULT_CGROUP_REGEX = r"[-/]([0-9a-f]{64})(\.scope)?$"
+
+
+def container_id_from_cgroup(col: Column, regex: str = DEFAULT_CGROUP_REGEX) -> Column:
+    """add_process_metadata's cgroup → container.id extraction
+    (cidProvider with defaultCgroupRegex; TestDefaultCgroupRegex's five
+    layouts). NULL where the path carries no id."""
+    return F.nullif(F.regexp_extract(col, regex, 1), F.lit(""))
+
+
+def add_process_metadata(
+    table: DataFrame,
+    match_pids: list[str] | None = None,
+    cgroup_col: str | None = None,
+    ignore_missing: bool = True,
+):
+    """add_process_metadata (add_process_metadata.go:207-330) over a
+    broadcast process table — /proc is environment-gated, so the
+    process snapshot arrives as `table` whose FIRST column is the pid
+    and whose remaining columns are the metadata (attached under
+    process_*). Run parity, column-wise:
+
+    - `match_pids` in config order; the FIRST non-null parseable pid is
+      the event's pid (the reference continues past a MISSING field;
+      per-row that is a coalesce). Unparseable pid strings try_cast to
+      NULL and read as missing — the reference's hard error has no
+      per-row analog worth a job abort.
+    - no pid anywhere → untouched row when ignore_missing (default
+      true, like defaultConfig), else a build error naming ErrNoMatch
+      when NONE of the fields exist at all.
+    - `cgroup_col` (a cgroup path column) additionally yields
+      process_container_id via the default cgroup regex — the
+      container.id mapping of the reference's cidProvider."""
+    pid_fields = match_pids or ["process.pid", "process.parent.pid"]
+
+    def stage(df: DataFrame) -> DataFrame:
+        dtypes = dict(df.dtypes)
+        present = [f for f in pid_fields if f in dtypes]
+        if not present:
+            if ignore_missing:
+                return df
+            raise ValueError(
+                "add_process_metadata: none of the match_pids fields exist "
+                f"({pid_fields}) — ErrNoMatch"
+            )
+        pid = F.coalesce(*[F.col(f).try_cast("bigint") for f in present])
+        cols = table.columns
+        lut = table.toDF(*(["_proc_pid"] + [f"_proc_{c}" for c in cols[1:]]))
+        ordk = F.struct(*[F.col(c) for c in lut.columns[1:]])
+        lut = lut.groupBy("_proc_pid").agg(F.min_by(ordk, F.to_json(ordk)).alias("_s"))
+        lut = lut.select(
+            F.col("_proc_pid").cast("bigint").alias("_proc_pid"),
+            *[F.col(f"_s._proc_{c}").alias(f"_proc_{c}") for c in cols[1:]],
+        )
+        out = df.join(F.broadcast(lut), on=pid == F.col("_proc_pid"), how="left")
+        extra = []
+        if cgroup_col and cgroup_col in dtypes:
+            extra.append(
+                container_id_from_cgroup(F.col(cgroup_col)).alias("process_container_id")
+            )
+        return out.select(
+            *[c for c in df.columns],
+            *[F.col(f"_proc_{c}").alias(f"process_{c}") for c in cols[1:]],
+            *extra,
+        )
+
+    return stage

@@ -482,3 +482,68 @@ def test_add_kubernetes_metadata_first_matcher_wins(spark):
     assert by_pod_uid[None]["kubernetes_pod"] == "web-0"
     assert by_pod_uid[K8S_PUID]["kubernetes_pod"] == "api-1"
     assert by_pod_uid["unknown-uid"]["kubernetes_pod"] is None
+
+
+# --- add_process_metadata (cgroup regex vectors = TestDefaultCgroupRegex) -------
+
+CGROUP_CASES = [
+    ("/kubepods.slice/kubepods-burstable.slice/kubepods-burstable-pod69349abe_d645_11ea_9c4c_08002709c05c.slice/docker-80d85a3a585f1575028ebe468d83093c301eda20d37d1671ff2a0be50fc0e460.scope",
+     "80d85a3a585f1575028ebe468d83093c301eda20d37d1671ff2a0be50fc0e460"),
+    ("/kubepods.slice/kubepods-burstable.slice/kubepods-burstable-pod2d5133c0_65f3_40b2_b375_c04866d418e1.slice/cri-containerd-e01a26336924e2fb8089bcf4cf943954fd9ea616cc5678f38f65928307979459.scope",
+     "e01a26336924e2fb8089bcf4cf943954fd9ea616cc5678f38f65928307979459"),
+    ("/kubepods.slice/kubepods-burstable.slice/kubepods-burstable-pod69349abe_d645_11ea_9c4c_08002709c05c.slice/crio-80d85a3a585f1575028ebe468d83093c301eda20d37d1671ff2a0be50fc0e460.scope",
+     "80d85a3a585f1575028ebe468d83093c301eda20d37d1671ff2a0be50fc0e460"),
+    ("/user.slice/user-1000.slice/user@1000.service/user.slice/libpod-conmon-ee059a097566fdc5ac9141bfcdfbed0c972163da891de076e0849d7b53597aac.scope",
+     "ee059a097566fdc5ac9141bfcdfbed0c972163da891de076e0849d7b53597aac"),
+    ("/docker/485776c9f6f2c22e2b44a2239b65471d6a02701b54d1cb5e1c55a09108a1b5b9",
+     "485776c9f6f2c22e2b44a2239b65471d6a02701b54d1cb5e1c55a09108a1b5b9"),
+    ("/system.slice/sshd.service", None),
+]
+
+
+def test_cgroup_container_id_matrix(spark):
+    from beats_spark.processors.enrich import container_id_from_cgroup
+
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(CGROUP_CASES)], "i int, p string"
+    )
+    got = {
+        r["i"]: r["cid"]
+        for r in df.select("i", container_id_from_cgroup(F.col("p")).alias("cid")).collect()
+    }
+    for i, (_, want) in enumerate(CGROUP_CASES):
+        assert got[i] == want, i
+
+
+def test_add_process_metadata_first_pid_wins(spark):
+    import pytest
+
+    from beats_spark.processors.enrich import add_process_metadata
+
+    table = spark.createDataFrame(
+        [(100, "bash", "/bin/bash"), (200, "sshd", "/usr/sbin/sshd")],
+        "pid int, name string, exe string",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "100", 200, CGROUP_CASES[4][0]),   # string pid field wins over parent
+            (2, None, 200, None),                  # falls through to parent pid
+            (3, "not-a-pid", None, None),          # unparseable reads as missing
+            (4, None, None, None),                 # no pid: untouched row
+        ],
+        "i int, process_pid string, parent_pid int, cg string",
+    )
+    stage = add_process_metadata(
+        table, match_pids=["process_pid", "parent_pid"], cgroup_col="cg"
+    )
+    rows = {r["i"]: r for r in stage(df).collect()}
+    assert rows[1]["process_name"] == "bash"
+    assert rows[1]["process_container_id"] == CGROUP_CASES[4][1]
+    assert rows[2]["process_name"] == "sshd"
+    assert rows[3]["process_name"] is None
+    assert rows[4]["process_name"] is None
+    # no matching field at all: no-op under ignore_missing, loud otherwise
+    df2 = spark.createDataFrame([(1,)], "x int")
+    assert add_process_metadata(table)(df2) is df2
+    with pytest.raises(ValueError, match="ErrNoMatch"):
+        add_process_metadata(table, ignore_missing=False)(df2)
