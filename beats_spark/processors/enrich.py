@@ -768,28 +768,41 @@ def dns_lookup(
                 fail_cols.append(fc)
             res = F.col(ans).getItem(0) if is_ptr else F.col(ans)
             old_t = dtypes.get(tgt)
+            # a NULL existing target is "no old value" (PutValue's old ==
+            # nil): promotion maps it to NULL, not [NULL], and a hit
+            # writes the new value alone (r5d review — F.array(NULL)
+            # fabricates an element; F.concat(NULL, x) nulls the hit out)
             if old_t is None:
                 val = res  # new field: scalar for PTR, slice otherwise
             elif old_t == "string":
+                old_arr = F.when(F.col(tgt).isNotNull(), F.array(F.col(tgt)))
                 if action == "replace":
                     val = (
                         F.when(hit, res).otherwise(F.col(tgt))
                         if is_ptr
-                        else F.when(hit, res).otherwise(F.array(F.col(tgt)))
+                        else F.when(hit, res).otherwise(old_arr)
                     )
                 else:  # append: promote to array<string>
                     new_part = F.array(res) if is_ptr else res
-                    val = F.when(
-                        hit, F.concat(F.array(F.col(tgt)), new_part)
-                    ).otherwise(F.array(F.col(tgt)))
+                    val = (
+                        F.when(
+                            hit & F.col(tgt).isNotNull(),
+                            F.concat(F.array(F.col(tgt)), new_part),
+                        )
+                        .when(hit, new_part)
+                        .otherwise(old_arr)
+                    )
             elif old_t == "array<string>":
+                new_part = F.array(res) if is_ptr else res
                 if action == "replace":
-                    new_part = F.array(res) if is_ptr else res
                     val = F.when(hit, new_part).otherwise(F.col(tgt))
                 else:
-                    new_part = F.array(res) if is_ptr else res
                     val = F.when(
-                        hit, F.concat(F.col(tgt), new_part)
+                        hit,
+                        F.concat(
+                            F.coalesce(F.col(tgt), F.array().cast("array<string>")),
+                            new_part,
+                        ),
                     ).otherwise(F.col(tgt))
             else:
                 raise ValueError(

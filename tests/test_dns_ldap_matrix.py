@@ -547,3 +547,31 @@ def test_add_process_metadata_first_pid_wins(spark):
     assert add_process_metadata(table)(df2) is df2
     with pytest.raises(ValueError, match="ErrNoMatch"):
         add_process_metadata(table, ignore_missing=False)(df2)
+
+
+def test_dns_null_existing_target_edges(spark):
+    """PutValue-old==nil parity (r5d review): a NULL existing target is
+    'no old value' — an append hit writes the new value alone (not
+    [NULL, new]), a miss leaves NULL (not [NULL]); an existing NULL
+    array target on a hit yields just the answers."""
+    df = spark.createDataFrame(
+        [(GATEWAY_IP, None), ("192.0.2.1", None)],
+        "source_ip string, source_domain string",
+    )
+    rows = {
+        r["source_ip"]: r
+        for r in dns_lookup(
+            {"source_ip": "source_domain"}, _answers(spark), action="append"
+        )(df).collect()
+    }
+    assert rows[GATEWAY_IP]["source_domain"] == [GATEWAY_NAME]
+    assert rows["192.0.2.1"]["source_domain"] is None
+    # array-typed NULL target, slice answers
+    answers = spark.createDataFrame(
+        [("h.test", ["1.1.1.1", "2.2.2.2"])], "q string, a array<string>"
+    )
+    df2 = spark.createDataFrame(
+        [("h.test", None)], "host string, ips array<string>"
+    )
+    out = dns_lookup({"host": "ips"}, answers, qtype="a", action="append")(df2).collect()
+    assert out[0]["ips"] == ["1.1.1.1", "2.2.2.2"]
