@@ -195,3 +195,70 @@ class TestParserChainPlanShape:
         s = _plan_str(chain(df))
         assert s.count("Exchange") == 1, s
         assert len(s) < PLAN_CHARS_MAX
+
+
+class TestLookupFamilyPlanShape:
+    """The r5d lookup ports must keep the module's plan contract: the
+    big side probes BroadcastHashJoins map-side and never shuffles
+    (the only Exchanges in the plan belong to the TINY build sides'
+    dedup aggregates)."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_dns_and_metadata_lookups_broadcast(self, spark):
+        from pyspark.sql import functions as F
+
+        from beats_spark.processors.enrich import (
+            add_docker_metadata,
+            add_kubernetes_metadata,
+            add_process_metadata,
+            dns_lookup,
+            k8s_logs_path_index,
+            translate_guid,
+        )
+
+        big = spark.range(0, 10000).select(
+            F.col("id").alias("event_id"),
+            F.concat(F.lit("192.0.2."), (F.col("id") % 250).cast("string")).alias("source_ip"),
+            F.md5(F.col("id").cast("string")).alias("g"),
+            F.concat(
+                F.lit("/var/lib/docker/containers/"),
+                F.md5(F.col("id").cast("string")),
+                F.md5((F.col("id") + 1).cast("string")),
+                F.lit("/x.log"),
+            ).alias("log_file_path"),
+            (F.col("id") % 1000).cast("int").alias("process_pid"),
+        )
+        answers = spark.createDataFrame([("192.0.2.1", ["a.test"])], "q string, a array<string>")
+        guids = spark.createDataFrame([("7fb125eeceaf48ff838532c516ab10ed", ["x"])], "k string, v array<string>")
+        containers = spark.createDataFrame(
+            [("f" * 64, "img", "nm", {"a": "b"})],
+            "cid string, image string, name string, labels map<string,string>",
+        )
+        pods = spark.createDataFrame([("f" * 64, "pod-0")], "idx string, pod string")
+        procs = spark.createDataFrame([(7, "bash")], "pid int, name string")
+
+        out = dns_lookup({"source_ip": "source_domain"}, answers, tag_on_failure=["_f"])(big)
+        out = translate_guid("g", target_field="who", table=guids)(out)
+        out = add_docker_metadata(containers)(out)
+        out = add_kubernetes_metadata(pods, [k8s_logs_path_index(F.col("log_file_path"))])(out)
+        out = add_process_metadata(procs, match_pids=["process_pid"])(out)
+        s = self._plan(out)
+        assert s.count("BroadcastHashJoin") == 5, s
+        assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+        assert "SortMergeJoin" not in s
+        # every Exchange in the plan feeds a build-side dedup aggregate
+        # (HashAggregate over a one-row table), never the 10k-row probe:
+        # no Exchange may sit above the range scan subtree
+        import re
+
+        for frag in re.findall(r"Exchange [^\n]*", s):
+            assert (
+                "BroadcastMode" in frag          # a build side shipping out
+                or "ENSURE_REQUIREMENTS" in frag  # a build-side dedup agg
+                or "hashpartitioning" in frag
+            ), frag
+        # the probe side stays one stage: the Range scan appears under no Exchange
+        range_idx = s.find("Range (0, 10000")
+        assert range_idx != -1, s
