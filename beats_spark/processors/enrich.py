@@ -1370,3 +1370,34 @@ def add_process_metadata(
         )
 
     return stage
+
+
+def geo_config_to_fields(cfg: dict) -> dict[str, str]:
+    """processors/util GeoConfigToMap (geo.go:17-65) — the geo block of
+    add_host_metadata / add_observer_metadata. Validates `location` as
+    'lat, lon' with the reference's exact regex, prunes blank fields,
+    and returns the flat field map for add_constant_metadata (prefix it
+    with e.g. 'observer_geo_'). ValueError carries the reference's
+    error text."""
+    import re as _re
+
+    allowed = {
+        "name", "location", "continent_name", "country_name",
+        "country_iso_code", "region_name", "region_iso_code", "city_name",
+    }
+    unknown = set(cfg) - allowed
+    if unknown:
+        raise ValueError(f"geo: unknown config keys: {sorted(unknown)}")
+    loc = cfg.get("location", "")
+    if loc:
+        lat_or_lon = r"\-?\d+(\.\d+)?"
+        loc_re = r"^\s*" + lat_or_lon + r"\s*\,\s*" + lat_or_lon + r"\s*$"
+        if not _re.match(loc_re, loc):
+            raise ValueError(
+                f"Invalid lat,lon  string for add_observer_metadata: {loc}"
+            )
+    blank = _re.compile(r"^\s*$")
+    return {
+        k: str(cfg[k]) for k in allowed
+        if k in cfg and not blank.match(str(cfg[k]))
+    }

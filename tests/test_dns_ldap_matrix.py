@@ -575,3 +575,38 @@ def test_dns_null_existing_target_edges(spark):
     )
     out = dns_lookup({"host": "ips"}, answers, qtype="a", action="append")(df2).collect()
     assert out[0]["ips"] == ["1.1.1.1", "2.2.2.2"]
+
+
+# --- geo config (processors/util geo_test.go) -----------------------------------
+
+
+def test_geo_config_matrix():
+    import pytest
+
+    from beats_spark.processors.enrich import geo_config_to_fields
+
+    full = {
+        "name": "yerevan-am",
+        "location": "40.177200, 44.503490",
+        "continent_name": "Asia",
+        "country_iso_code": "AM",
+        "region_name": "Erevan",
+        "region_iso_code": "AM-ER",
+        "city_name": "Yerevan",
+    }
+    assert geo_config_to_fields(full) == full
+    # TestPartialGeo: blank values pruned, absent keys absent
+    partial = geo_config_to_fields({"name": "yerevan-am", "city_name": "  "})
+    assert partial == {"name": "yerevan-am"}
+    # TestGeoLocationValidation
+    for loc, ok in [
+        ("40.177200, 44.503490", True),
+        ("-40.177200, -44.503490", True),
+        ("garbage", False),
+        ("9999999999", False),
+    ]:
+        if ok:
+            assert geo_config_to_fields({"location": loc})["location"] == loc
+        else:
+            with pytest.raises(ValueError, match="Invalid lat,lon"):
+                geo_config_to_fields({"location": loc})
