@@ -351,3 +351,78 @@ def dead_letter_reencode(
             ser.cast("string").alias("message"),
         )
     )
+
+
+def es_pipeline_column(
+    selector=None,
+    meta_col: str = "_meta_pipeline",
+    dtypes: dict[str, str] | None = None,
+    ts_col: str = "ts",
+):
+    """client.go getPipeline: the event-Meta pipeline (lowercased) wins;
+    absent meta falls through to the configured pipeline selector; no
+    selector → NULL (no pipeline parameter)."""
+    sel = selector.column(ts_col=ts_col, dtypes=dtypes) if selector is not None else None
+    meta = F.lower(F.col(meta_col)) if dtypes is not None and meta_col in dtypes else None
+    if meta is not None and sel is not None:
+        return F.coalesce(meta, sel)
+    if meta is not None:
+        return meta
+    return sel if sel is not None else F.lit(None).cast("string")
+
+
+def es_bulk_action(
+    index,
+    doc_id=None,
+    pipeline=None,
+    op_type=None,
+    es_version: tuple[int, int] = (8, 0),
+):
+    """client.go:396-423 createEventBulkMeta — the bulk ACTION LINE for
+    one event, as a JSON Column. Decision table exactly:
+
+      op_type 'delete' → {"delete": meta}, but an id is REQUIRED
+      (the reference fails the event; here the line is NULL — callers
+      route NULL lines to the failure path);
+      an id present, or ES ≥ 7.5 → 'index' op yields {"index": meta},
+      anything else {"create": meta} (the default op);
+      old ES without an id → {"index": meta}.
+
+    `meta` = {_index, _type (only below ES 7: 'doc'), pipeline, _id},
+    empty fields omitted like BulkMeta's omitempty (NULL struct fields
+    are dropped by to_json's default)."""
+    idx = F.col(index) if isinstance(index, str) else index
+    did = (
+        F.col(doc_id) if isinstance(doc_id, str)
+        else (doc_id if doc_id is not None else F.lit(None).cast("string"))
+    )
+    pipe = (
+        F.col(pipeline) if isinstance(pipeline, str)
+        else (pipeline if pipeline is not None else F.lit(None).cast("string"))
+    )
+    op = (
+        F.col(op_type) if isinstance(op_type, str)
+        else (op_type if op_type is not None else F.lit(None).cast("string"))
+    )
+    major, minor = es_version
+    doc_type = F.lit("doc") if major < 7 else F.lit(None).cast("string")
+    meta = F.struct(
+        idx.alias("_index"),
+        doc_type.alias("_type"),
+        F.nullif(pipe, F.lit("")).alias("pipeline"),
+        F.nullif(did, F.lit("")).alias("_id"),
+    )
+    modern = major > 7 or (major == 7 and minor >= 5)
+    has_id = did.isNotNull() & (did != "")
+    return (
+        F.when(
+            op == "delete",
+            F.when(has_id, F.to_json(F.struct(meta.alias("delete")))),
+        )
+        .when(
+            has_id | F.lit(modern),
+            F.when(op == "index", F.to_json(F.struct(meta.alias("index"))))
+            .otherwise(F.to_json(F.struct(meta.alias("create")))),
+        )
+        .otherwise(F.to_json(F.struct(meta.alias("index"))))
+    )

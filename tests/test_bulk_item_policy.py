@@ -81,3 +81,58 @@ def test_set_dead_letter_reencode(spark):
     assert parsed["error.message"] == "test error string"
     assert json.loads(parsed["message"]) == {"msg": "original"}
     assert list(parsed) == ["@timestamp", "error.message", "error.type", "message"]
+
+
+def test_es_bulk_action_decision_table(spark):
+    """createEventBulkMeta (client.go:396-423): delete-requires-id,
+    index-vs-create under the 7.5 threshold, _type only below ES 7,
+    omitempty meta fields."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.routing import es_bulk_action
+
+    df = spark.createDataFrame(
+        [
+            (1, "idx-a", "id1", "pipe", "index"),
+            (2, "idx-a", "id1", None, None),     # default op with id → create
+            (3, "idx-a", None, None, None),      # no id, modern ES → create
+            (4, "idx-a", "id1", None, "delete"),
+            (5, "idx-a", None, None, "delete"),  # delete without id → NULL
+        ],
+        "i int, index string, doc_id string, pipeline string, op string",
+    )
+    out = {
+        r["i"]: r["line"]
+        for r in df.select(
+            "i",
+            es_bulk_action("index", "doc_id", "pipeline", "op").alias("line"),
+        ).collect()
+    }
+    assert out[1] == '{"index":{"_index":"idx-a","pipeline":"pipe","_id":"id1"}}'
+    assert out[2] == '{"create":{"_index":"idx-a","_id":"id1"}}'
+    assert out[3] == '{"create":{"_index":"idx-a"}}'
+    assert out[4] == '{"delete":{"_index":"idx-a","_id":"id1"}}'
+    assert out[5] is None
+    # old ES: no id → index op; _type present below 7
+    out_old = {
+        r["i"]: r["line"]
+        for r in df.select(
+            "i",
+            es_bulk_action("index", "doc_id", "pipeline", "op", es_version=(6, 8)).alias("line"),
+        ).collect()
+    }
+    assert out_old[3] == '{"index":{"_index":"idx-a","_type":"doc"}}'
+    assert out_old[2] == '{"create":{"_index":"idx-a","_type":"doc","_id":"id1"}}'
+
+
+def test_es_pipeline_column_meta_wins(spark):
+    from pyspark.sql import functions as F
+
+    from beats_spark.routing import es_pipeline_column
+
+    df = spark.createDataFrame(
+        [("MY-Pipe",), (None,)], "_meta_pipeline string"
+    )
+    col = es_pipeline_column(dtypes=dict(df.dtypes))
+    vals = [r["p"] for r in df.select(col.alias("p")).collect()]
+    assert vals == ["my-pipe", None]
