@@ -48,7 +48,7 @@ REGISTRY.update(
         "translate_sid": enrich.translate_sid,
         "translate_ldap_attribute": enrich.translate_guid,
         "dns": enrich.dns_lookup,
-        "add_cloud_metadata": enrich.lookup_join,
+        "add_cloud_metadata": enrich.add_cloud_metadata,
         "add_docker_metadata": enrich.add_docker_metadata,
         "add_kubernetes_metadata": enrich.add_kubernetes_metadata,
         "add_process_metadata": enrich.add_process_metadata,

@@ -1401,3 +1401,25 @@ def geo_config_to_fields(cfg: dict) -> dict[str, str]:
         k: str(cfg[k]) for k in allowed
         if k in cfg and not blank.match(str(cfg[k]))
     }
+
+
+def add_cloud_metadata(fields: dict[str, str], overwrite: bool = False):
+    """add_cloud_metadata (add_cloud_metadata.go:128-160) — the provider
+    fetch happens once per process in the reference, so the fetched doc
+    arrives as `fields` (e.g. {'cloud_provider': 'aws',
+    'cloud_instance_id': ...}) and becomes literal columns. Overwrite
+    parity (the documented aws-module case): with overwrite=false an
+    EXISTING column is left untouched (DeepUpdateNoOverwrite — a key the
+    pipeline already wrote wins); overwrite=true replaces it. A
+    per-event key-exists check has no finer per-row analog than the
+    column's presence in the schema — documented reading."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        out = df
+        for col, val in fields.items():
+            if col in out.columns and not overwrite:
+                continue
+            out = out.withColumn(col, F.lit(val))
+        return out
+
+    return stage

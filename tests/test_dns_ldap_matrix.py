@@ -610,3 +610,18 @@ def test_geo_config_matrix():
         else:
             with pytest.raises(ValueError, match="Invalid lat,lon"):
                 geo_config_to_fields({"location": loc})
+
+
+def test_add_cloud_metadata_overwrite_policy(spark):
+    """add_cloud_metadata overwrite parity: an existing column (the aws
+    module already wrote cloud.instance.*) stays untouched under the
+    default overwrite=false and is replaced under overwrite=true."""
+    from beats_spark.processors.enrich import add_cloud_metadata
+
+    df = spark.createDataFrame([("from-module",)], "cloud_instance_id string")
+    meta = {"cloud_instance_id": "i-123", "cloud_provider": "aws"}
+    keep = add_cloud_metadata(meta)(df).collect()[0]
+    assert keep["cloud_instance_id"] == "from-module"
+    assert keep["cloud_provider"] == "aws"
+    repl = add_cloud_metadata(meta, overwrite=True)(df).collect()[0]
+    assert repl["cloud_instance_id"] == "i-123"
