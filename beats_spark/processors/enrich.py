@@ -1340,7 +1340,10 @@ def add_process_metadata(
 
     def stage(df: DataFrame) -> DataFrame:
         dtypes = dict(df.dtypes)
-        present = [f for f in pid_fields if f in dtypes]
+        # only pid-shaped dtypes: try_cast from array/struct/map is a
+        # plan-time error, and pidToInt rejects those types anyway
+        castable = ("tinyint", "smallint", "int", "bigint", "string")
+        present = [f for f in pid_fields if dtypes.get(f) in castable]
         if not present:
             if ignore_missing:
                 return df

@@ -625,3 +625,15 @@ def test_add_cloud_metadata_overwrite_policy(spark):
     assert keep["cloud_provider"] == "aws"
     repl = add_cloud_metadata(meta, overwrite=True)(df).collect()[0]
     assert repl["cloud_instance_id"] == "i-123"
+
+
+def test_add_process_metadata_non_castable_pid_field_skipped(spark):
+    """pidToInt rejects non-int/string types; a struct/array pid field
+    reads as missing instead of crashing analysis (try_cast from a
+    complex type is a plan-time error)."""
+    from beats_spark.processors.enrich import add_process_metadata
+
+    table = spark.createDataFrame([(1, "bash")], "pid int, name string")
+    df = spark.createDataFrame([([1, 2], 1)], "weird array<int>, real_pid int")
+    out = add_process_metadata(table, match_pids=["weird", "real_pid"])(df).collect()
+    assert out[0]["process_name"] == "bash"
