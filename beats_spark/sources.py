@@ -231,3 +231,227 @@ def read_udp_lines(spark: SparkSession, host: str = "127.0.0.1", port: int = 999
         .option("port", str(port))
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# Unix socket input — filebeat/input/unix (inputsource/unix server).
+# Stream mode: AF_UNIX SOCK_STREAM listener, frames split on
+# `line_delimiter` (default "\n", inputsource/unix/config.go:55); a frame
+# growing past `max_message_size` without a delimiter drops that
+# connection and its partial buffer — the same outcome as the reference's
+# bufio.Scanner ErrTooLong path (scanner error → connection handler
+# exits, buffered partial lost). A connection close flushes the final
+# unterminated token as a line (Scanner EOF behavior). Datagram mode:
+# AF_UNIX SOCK_DGRAM, one message per datagram, no splitting (the
+# reference validates line_delimiter only for StreamSocket,
+# inputsource/unix/config.go:66). Delivery is at-most-once like udp —
+# no cursor, no replay (readBetweenOffsets is empty).
+# ---------------------------------------------------------------------------
+
+
+def register_unix_source(spark: SparkSession) -> None:
+    """Register the `beats_unix` streaming format on this session.
+
+    Self-contained for the same cloudpickle-by-value reason as
+    `register_udp_source` — the runner process must not need the
+    beats_spark package importable.
+    """
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class UnixDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "beats_unix"
+
+        def schema(self) -> str:
+            return "line string, sender string, recv_ts timestamp"
+
+        def simpleStreamReader(self, schema):
+            options = dict(self.options)
+
+            class UnixSimpleStreamReader(SimpleDataSourceStreamReader):
+                def __init__(self):
+                    self._sock = None
+                    self._conns = {}  # fd -> (socket, bytearray buffer)
+                    self._path = options["path"]
+                    self._stream = options.get("sockettype", "stream") == "stream"
+                    self._delim = options.get("linedelimiter", "\n").encode("utf-8")
+                    # default 20 MiB, unix/input.go defaultConfig
+                    self._max = int(options.get("maxmessagesize", str(20 * 1024 * 1024)))
+                    self._max_per_batch = int(options.get("maxmessagesperbatch", "10000"))
+
+                def _socket_lazy(self):
+                    import os as _os
+                    import socket as _socket
+
+                    if self._sock is None:
+                        kind = _socket.SOCK_STREAM if self._stream else _socket.SOCK_DGRAM
+                        sock = _socket.socket(_socket.AF_UNIX, kind)
+                        # the reference server unlinks a stale socket file
+                        # before binding (inputsource/unix/server.go cleanup)
+                        try:
+                            _os.unlink(self._path)
+                        except FileNotFoundError:
+                            pass
+                        sock.bind(self._path)
+                        if self._stream:
+                            sock.listen(16)
+                        sock.setblocking(False)
+                        self._sock = sock
+                    return self._sock
+
+                def initialOffset(self) -> dict:
+                    return {"count": 0}
+
+                def _drain_stream(self, rows):
+                    import datetime
+
+                    sock = self._socket_lazy()
+                    while True:
+                        try:
+                            conn, _ = sock.accept()
+                        except (BlockingIOError, OSError):
+                            break
+                        conn.setblocking(False)
+                        self._conns[conn.fileno()] = (conn, bytearray())
+                    dead = []
+                    for fd, (conn, buf) in self._conns.items():
+                        closed = False
+                        while len(rows) < self._max_per_batch:
+                            try:
+                                chunk = conn.recv(65536)
+                            except BlockingIOError:
+                                break
+                            except OSError:
+                                closed = True
+                                break
+                            if not chunk:
+                                closed = True
+                                break
+                            buf.extend(chunk)
+                            while True:
+                                i = buf.find(self._delim)
+                                if i < 0:
+                                    break
+                                frame = bytes(buf[:i])
+                                del buf[: i + len(self._delim)]
+                                rows.append(
+                                    (
+                                        frame.decode("utf-8", errors="replace"),
+                                        self._path,
+                                        datetime.datetime.now(),
+                                    )
+                                )
+                            if len(buf) > self._max:
+                                # Scanner ErrTooLong parity: drop the
+                                # connection and the oversized partial
+                                closed = True
+                                buf.clear()
+                                break
+                        if closed:
+                            if buf:
+                                # Scanner EOF: final unterminated token
+                                rows.append(
+                                    (
+                                        bytes(buf).decode("utf-8", errors="replace"),
+                                        self._path,
+                                        datetime.datetime.now(),
+                                    )
+                                )
+                            try:
+                                conn.close()
+                            except OSError:
+                                pass
+                            dead.append(fd)
+                    for fd in dead:
+                        del self._conns[fd]
+
+                def _drain_dgram(self, rows):
+                    import datetime
+
+                    sock = self._socket_lazy()
+                    while len(rows) < self._max_per_batch:
+                        try:
+                            data = sock.recv(self._max)
+                        except (BlockingIOError, OSError):
+                            break
+                        rows.append(
+                            (
+                                data.decode("utf-8", errors="replace"),
+                                self._path,
+                                datetime.datetime.now(),
+                            )
+                        )
+
+                def read(self, start: dict):
+                    rows = []
+                    if self._stream:
+                        self._drain_stream(rows)
+                    else:
+                        self._drain_dgram(rows)
+                    return iter(rows), {"count": start["count"] + len(rows)}
+
+                def readBetweenOffsets(self, start: dict, end: dict):
+                    return iter([])  # at-most-once, like the reference
+
+            return UnixSimpleStreamReader()
+
+    spark.dataSource.register(UnixDataSource)
+
+
+def read_unix_lines(
+    spark: SparkSession,
+    path: str,
+    socket_type: str = "stream",
+    line_delimiter: str = "\n",
+    max_message_size: int = 20 * 1024 * 1024,
+) -> DataFrame:
+    """Unix socket input analog (filebeat/input/unix/input.go:44-57 —
+    defaults: StreamSocket, line_delimiter "\\n", max_message_size
+    20 MiB). One row per framed message in a `line` column; the
+    reader/parse stack applies unchanged, like tcp/udp/kafka."""
+    if socket_type not in ("stream", "datagram"):
+        raise ValueError(f"unix input: unknown socket_type {socket_type!r}")
+    if socket_type == "stream" and not line_delimiter:
+        # inputsource/unix/config.go:66 — delimiter required for stream
+        raise ValueError("unix input: line_delimiter cannot be empty for stream sockets")
+    register_unix_source(spark)
+    return (
+        spark.readStream.format("beats_unix")
+        .option("path", path)
+        .option("socketType", socket_type)
+        .option("lineDelimiter", line_delimiter)
+        .option("maxMessageSize", str(max_message_size))
+        .load()
+    )
+
+
+def read_stdin_lines(spark: SparkSession, fh=None) -> DataFrame:
+    """stdin input analog (filebeat/input/stdin/input.go — a log
+    harvester over file.State{Source: "-"}). The reference binds stdin
+    to the single filebeat process; here stdin belongs to the driver, so
+    the source drains the driver's stdin to EOF into a batch frame —
+    the `cat access.log | app` shape stdin input exists for. One row per
+    line in a `line` column (trailing \\n / \\r\\n stripped, like the
+    line reader); the whole downstream reader/parse stack (encodings,
+    include/exclude, multiline, …) applies unchanged. Not a distributed
+    source by nature — a single fd has no parallel scan — so at scale
+    this is the ingest-edge tool, not the table path.
+    """
+    import sys
+
+    if fh is None:
+        fh = sys.stdin
+    buf = fh.buffer if hasattr(fh, "buffer") else fh
+    data = buf.read()
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    lines = []
+    for raw in data.split(b"\n"):
+        lines.append(raw[:-1] if raw.endswith(b"\r") else raw)
+    # a trailing newline leaves one empty final token — not a line
+    if lines and lines[-1] == b"":
+        lines.pop()
+    return spark.createDataFrame(
+        [(ln.decode("utf-8", errors="replace"),) for ln in lines], "line string"
+    )

@@ -527,3 +527,136 @@ def test_rate_limit_stream_drops_late_rows(spark, tmp_path):
     got = {(r.conv_id, r.turn_idx) for r in spark.read.parquet(out).collect()}
     assert ("B", 0) not in got, f"late row emitted: {got}"
     assert ("A", 0) in got and ("B", 1) in got, got
+
+
+def test_unix_stream_input_framing(spark, tmp_path):
+    """Protocol input (§2.1 unix, stream mode): lines framed on the
+    delimiter even when a frame spans sends, a connection close flushes
+    the final unterminated token (bufio.Scanner EOF parity), and rows
+    flow through the standard parse stack."""
+    import socket
+    import threading
+
+    from beats_spark.sources import read_unix_lines
+
+    path = str(tmp_path / "beats.sock")
+    stream = read_unix_lines(spark, path)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unix_lines")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def send():
+        # the listener binds lazily inside the first trigger
+        deadline = time.time() + 30
+        tx = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        while True:
+            try:
+                tx.connect(path)
+                break
+            except (FileNotFoundError, ConnectionRefusedError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        tx.sendall(b"alpha\nbra")
+        time.sleep(0.3)  # frame split across sends
+        tx.sendall(b"vo\ncharlie")  # final token unterminated
+        tx.close()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    deadline = time.time() + 45
+    rows = []
+    try:
+        while time.time() < deadline:
+            rows = spark.table("unix_lines").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        th.join(5)
+    got = [r.line for r in rows]
+    assert got == ["alpha", "bravo", "charlie"], got
+    assert all(r.sender == path for r in rows)
+
+
+def test_unix_datagram_input(spark, tmp_path):
+    """§2.1 unix, datagram mode: one row per datagram, no splitting —
+    a datagram containing the delimiter stays one message
+    (inputsource/unix/config.go validates line_delimiter only for
+    stream sockets)."""
+    import socket
+    import threading
+
+    from beats_spark.sources import read_unix_lines
+
+    path = str(tmp_path / "beats_dgram.sock")
+    stream = read_unix_lines(spark, path, socket_type="datagram")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("unix_dgram")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    stop = threading.Event()
+
+    def send():
+        tx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        deadline = time.time() + 30
+        i = 0
+        while not stop.is_set() and time.time() < deadline:
+            try:
+                tx.sendto(f"one\ntwo {i}".encode(), path)
+            except (FileNotFoundError, ConnectionRefusedError):
+                pass
+            i += 1
+            time.sleep(0.2)
+        tx.close()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    deadline = time.time() + 45
+    rows = []
+    try:
+        while time.time() < deadline:
+            rows = spark.table("unix_dgram").collect()
+            if rows:
+                break
+            time.sleep(1)
+    finally:
+        stop.set()
+        q.stop()
+        th.join(5)
+    assert rows, "no datagram arrived"
+    assert rows[0].line.startswith("one\ntwo"), rows[0].line
+
+
+def test_unix_input_config_validation(spark):
+    from beats_spark.sources import read_unix_lines
+
+    with pytest.raises(ValueError, match="socket_type"):
+        read_unix_lines(spark, "/tmp/x.sock", socket_type="seqpacket")
+    with pytest.raises(ValueError, match="line_delimiter"):
+        read_unix_lines(spark, "/tmp/x.sock", line_delimiter="")
+
+
+def test_stdin_input_lines(spark):
+    """§2.1 stdin: the driver's stdin drains to a line frame through the
+    same splitting the line reader does (trailing \\n and \\r\\n
+    stripped; a trailing newline does not fabricate an empty line; an
+    unterminated final line is kept)."""
+    import io
+
+    from beats_spark.sources import read_stdin_lines
+
+    df = read_stdin_lines(spark, io.BytesIO(b"a\r\nb\n\nc"))
+    assert [r.line for r in df.collect()] == ["a", "b", "", "c"]
+    df2 = read_stdin_lines(spark, io.StringIO("x\ny\n"))
+    assert [r.line for r in df2.collect()] == ["x", "y"]
+    assert df2.columns == ["line"]
