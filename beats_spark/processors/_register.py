@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from . import REGISTRY, actions, encoding, enrich, misc, parsers, reader, stateful
+from . import REGISTRY, actions, encoding, enrich, misc, parsers, reader, stateful, syslog_input
 
 REGISTRY.update(
     {
@@ -36,6 +36,10 @@ REGISTRY.update(
         "decode_duration": parsers.decode_duration,
         "timestamp": parsers.timestamp,
         "syslog": parsers.syslog,
+        # the filebeat/input/syslog event layer (legacy ragel grammar +
+        # createEvent) — pure Column, composes over the tcp/udp/unix
+        # sources' line column in batch or streaming
+        "syslog_input": syslog_input.syslog_input_events,
         "decompress_gzip_field": parsers.decompress_gzip_field,
         # the line-reader's encoding step (readfile/encoding) as a
         # processor over a bytes column

@@ -1,0 +1,315 @@
+"""Syslog INPUT event layer — filebeat/input/syslog (the legacy ragel
+parser + createEvent), distinct from the libbeat reader/syslog processor
+already ported in parsers.py.
+
+The input accepts grammar the reader does not (filebeat/input/syslog/
+parser/syslog_rfc3164.rl): a Cisco sequence number after the PRI
+(`<190>589265: …`), fractional seconds in BSD stamps
+(`Feb 8 18:55:31.306`), space-separated RFC3339 dates with optional
+zone (`2018-06-19 02:13:38 host …`), full month names (`January`), a
+leading sync flag (` `/`*`/`.`), and a timestamp+message form with no
+hostname. It then maps the parse into a flat beat event
+(input.go:createEvent): `syslog.*`, `event.severity`, `process.*`,
+`log.source.address`, `event.sequence`, with an invalid parse falling
+back to a raw-message event stamped "now" (parseAndCreateEvent3164/5424).
+
+Spark shape: the whole 3164 battery is staged pure-Column regex work
+(PRI strip → sequence strip → timestamp token → hostname/program/message
+split), the 5424 branch rides the existing `syslog()` columns, and the
+timestamp is assembled with `make_timestamp` so the zone arithmetic
+(event.go:SetTimeZone — Z/z wins over any trailing bytes, ±HH, ±HHMM,
+±HH:MM) stays JVM-side. No per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .parsers import _FACILITY_LABELS, _SEVERITY_LABELS, syslog
+
+# syslog_rfc3164.rl: month accepts the abbreviation or the full name
+# ("Ma" "y"? admits bare "Ma" — mirrored verbatim). Order matters for
+# regex alternation: longer stems first so "Mar" is not eaten by "Ma".
+_MONTHS = (
+    "Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|Ma(?:y)?|Jun(?:e)?"
+    "|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?"
+)
+_TIME = r"(?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d(?:\.\d+)?"
+# timezone = (Z|z) | (Z|z)? (+|-) HH (:? MM)?   (event.go:SetTimeZone)
+_TZ = r"(?:[Zz]|[Zz]?[+-]\d{2}(?::?\d{2})?)"
+# day = (space? [1-9]) | [012]\d | 3[01]
+_BSD_TS = rf"(?:{_MONTHS})\s(?:\s?[1-9]|[012]\d|3[01])\s{_TIME}"
+_RFC3339_TS = rf"\d{{4}}-\d{{2}}-[0-3]\d[Tt ]{_TIME}(?:{_TZ})?"
+# timestamp = syncflag? (rfc3339 | rfc3164) ":"?   (syncflag = " "|"*"|".")
+_TS_TOKEN = rf"^[ *.]?((?:{_RFC3339_TS})|(?:{_BSD_TS})):?\s"
+
+# hostname = (charset* (alnum | "::"))+ — a unit ends with an alnum OR a
+# bare "::" (IPv6 "1::"); the + collapses into one repetition because any
+# concatenation is itself charset* ending in alnum/"::". hostVars adds an
+# optional ":" (syslog_rfc3164.rl:48-49).
+_HOST_HEAD = r"^([A-Za-z0-9._:\-]*(?:[A-Za-z0-9]|::)):?\s"
+# lookahead_duplicates (common.rl:80-89): a doubled '-' or '.' seen while
+# scanning the hostname token aborts the whole header into catch_all —
+# message restarts at the hostname's first byte (already-parsed timestamp
+# fields survive). The scan covers the maximal charset run, not just the
+# part a successful hostname match would keep.
+_HOST_RUN_DUPES = r"^[A-Za-z0-9._:\-]*(--|\.\.)"
+# syslogprog = program ("[" pid "]")? ":" space  (program: no space/brackets)
+_PROG_HEAD = r"^([^\s\[\]]+?)(?:\[(\d+)\])?:\s"
+
+# IsRFC5424Format (format_check.rl): <PRIVAL>VERSION SP digit{4}
+_RFC5424_CHECK = r"^<(?:1(?:9(?:0|1)?|[0-8]\d?)|[2-9]\d?|0)>[1-9]\d{0,2} \d{4}"
+
+_MONTH_NUM = {
+    m: i + 1
+    for i, m in enumerate(
+        ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    )
+}
+
+
+def _tz_column(tok: Column, default: str) -> Column:
+    """event.go:SetTimeZone — 'Z'/'z' means UTC and IGNORES any trailing
+    bytes ("z+00:00" → UTC); otherwise ±HH / ±HHMM / ±HH:MM. No token →
+    the configured input timezone."""
+    body = F.regexp_extract(tok, r"([+-]\d{2}(?::?\d{2})?)$", 1)
+    hh = F.substring(body, 1, 3)  # sign + HH
+    mm = F.when(F.length(body) == 6, F.substring(body, 5, 2)).when(
+        F.length(body) == 5, F.substring(body, 4, 2)
+    ).otherwise(F.lit("00"))
+    return (
+        F.when(tok.isNull() | (tok == ""), F.lit(default))
+        .when(tok.rlike("^[Zz]"), F.lit("UTC"))
+        .otherwise(F.concat(hh, F.lit(":"), mm))
+    )
+
+
+def _frac_seconds(sec: Column, frac_digits: Column) -> Column:
+    """Whole seconds + the fractional token as a decimal fraction —
+    event.go:SetNanosecond pads the digit string to 9 places, which is
+    exactly `0.<digits>` seconds (capped at micros here: make_timestamp
+    carries microsecond precision, like the reference's time.Time fed to
+    an ES date)."""
+    return F.when(
+        frac_digits.isNull() | (frac_digits == ""), sec.cast("decimal(18,6)")
+    ).otherwise(
+        (
+            sec.cast("decimal(18,9)")
+            + F.concat(F.lit("0."), frac_digits).cast("decimal(18,9)")
+        ).cast("decimal(18,6)")
+    )
+
+
+def syslog_input_events(
+    field: str = "line",
+    format: str = "rfc3164",
+    timezone: str = "UTC",
+    address_col: str | None = None,
+    truncated_col: str | None = None,
+    default_year: int | None = None,
+    invalid_ts: str | None = None,
+):
+    """filebeat/input/syslog: parse + createEvent (input.go:214-283).
+
+    format: 'rfc3164' | 'rfc5424' | 'auto' — auto routes per line on
+    IsRFC5424Format (format_check.rl: `<PRI>VERSION SP dddd`), NOT by
+    attempting both parses (GetCbByConfig, input.go:182-208).
+
+    Output columns (flat spellings of the event fields):
+      ts                    ev.Timestamp(timezone) — zone token wins,
+                            else the configured timezone; UTC out
+      message               TrimRight(msg, "\\n"); BOM stripped
+      hostname              only when parsed non-empty
+      event_severity        pri & 7        (when PRI present)
+      event_sequence        Cisco sequence (3164)
+      syslog_priority       raw PRI
+      syslog_facility       pri >> 3
+      syslog_severity_label / syslog_facility_label
+                            label tables (input.go:36-62); out-of-range
+                            facility (5-digit PRI) → NULL label, like
+                            mapValueToName's error path
+      syslog_msgid syslog_version syslog_data      (5424)
+      process_pid process_program                  (3164 tag[pid])
+      process_name process_entity_id               (5424 app/procid)
+      log_source_address    from `address_col` (newBeatEvent)
+      meta_truncated        from `truncated_col`
+      syslog_valid          False = the raw-message fallback row
+                            (parseAndCreateEvent*: unparseable input
+                            still ships, message = raw bytes, ts = now)
+
+    `default_year` pins newEvent()'s time.Now().Year() for deterministic
+    tests; `invalid_ts` pins the fallback timestamp (default
+    current_timestamp(), the reference's time.Now()).
+    """
+    if format not in ("rfc3164", "rfc5424", "auto"):
+        raise ValueError(f"unknown syslog input format: {format}")
+
+    def stage(df: DataFrame) -> DataFrame:
+        line = F.col(field)
+        is24 = (
+            F.lit(False)
+            if format == "rfc3164"
+            else (line.rlike(_RFC5424_CHECK) if format == "auto" else F.lit(True))
+        )
+
+        # ---------------- RFC3164 legacy battery (staged strips) ------
+        pri_tok = F.regexp_extract(line, r"^<(\d{1,5})>", 1)
+        rest0 = F.regexp_replace(line, r"^<\d{1,5}>", "")
+        seq_tok = F.regexp_extract(rest0, r"^(\d+):\s", 1)
+        rest1 = F.regexp_replace(rest0, r"^\d+:\s", "")
+        ts_tok = F.regexp_extract(rest1, _TS_TOKEN, 1)
+        rem = F.regexp_replace(rest1, _TS_TOKEN, "")
+
+        # header path: hostname then msg; else the whole remainder is msg
+        host_tok = F.regexp_extract(rem, _HOST_HEAD, 1)
+        has_host = (host_tok != "") & ~rem.rlike(_HOST_RUN_DUPES)
+        after_host = F.regexp_replace(rem, _HOST_HEAD, "")
+        prog_tok = F.when(has_host, F.regexp_extract(after_host, _PROG_HEAD, 1)).otherwise(
+            F.lit("")
+        )
+        pid_tok = F.when(has_host, F.regexp_extract(after_host, _PROG_HEAD, 2)).otherwise(
+            F.lit("")
+        )
+        msg64 = F.when(
+            has_host, F.regexp_replace(after_host, _PROG_HEAD, "")
+        ).otherwise(rem)
+        # SetMessage trims a leading BOM
+        msg64 = F.regexp_replace(msg64, "^﻿", "")
+
+        # timestamp pieces from the token
+        bsd_mon = F.regexp_extract(ts_tok, rf"^({_MONTHS})\s", 1)
+        mon_map = F.create_map(
+            *[x for k, v in _MONTH_NUM.items() for x in (F.lit(k), F.lit(v))]
+        )
+        month64 = F.when(
+            bsd_mon != "", mon_map[F.substring(bsd_mon, 1, 3)]
+        ).otherwise(F.regexp_extract(ts_tok, r"^\d{4}-(\d{2})-", 1).try_cast("int"))
+        day64 = F.coalesce(
+            F.nullif(
+                F.regexp_extract(ts_tok, rf"^(?:{_MONTHS})\s\s?(\d{{1,2}})\s", 1), F.lit("")
+            ),
+            F.nullif(F.regexp_extract(ts_tok, r"^\d{4}-\d{2}-([0-3]\d)", 1), F.lit("")),
+        ).try_cast("int")
+        year_default = (
+            F.lit(default_year) if default_year is not None else F.year(F.current_date())
+        )
+        year64 = F.coalesce(
+            F.nullif(F.regexp_extract(ts_tok, r"^(\d{4})-", 1), F.lit("")).try_cast("int"),
+            year_default,
+        )
+        t64 = F.regexp_extract(ts_tok, rf"((?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d(?:\.\d+)?)", 1)
+        hour64 = F.substring(t64, 1, 2).try_cast("int")
+        min64 = F.substring(t64, 4, 2).try_cast("int")
+        sec64 = F.substring(t64, 7, 2).try_cast("int")
+        frac64 = F.substring(F.regexp_extract(t64, r"\.(\d{1,9})", 1), 1, 9)
+        tz_tok64 = F.regexp_extract(ts_tok, rf"({_TZ})$", 1)
+        # BSD stamps never carry a zone; only the rfc3339 branch does
+        tz64 = _tz_column(F.when(bsd_mon == "", tz_tok64).otherwise(F.lit("")), timezone)
+        ts64 = F.to_utc_timestamp(
+            F.make_timestamp(year64, month64, day64, hour64, min64, _frac_seconds(sec64, frac64)),
+            tz64,
+        )
+        valid64 = (ts_tok != "") & (msg64 != "")
+
+        # ---------------- RFC5424 via the existing reader battery -----
+        if format == "rfc3164":
+            # pure-3164 config: don't pay for the 5424 battery at all —
+            # the _s24_ columns are typed NULLs the optimizer folds away
+            _nulls = {
+                "_s24_priority": "int",
+                "_s24_hostname": "string",
+                "_s24_program": "string",
+                "_s24_pid": "string",
+                "_s24_msgid": "string",
+                "_s24_version": "int",
+                "_s24_message": "string",
+                "_s24_timestamp": "string",
+                "_s24_sd_structured": "map<string,map<string,string>>",
+            }
+            for name, typ in _nulls.items():
+                df = df.withColumn(name, F.lit(None).cast(typ))
+        else:
+            df = syslog(field, prefix="_s24_", format="rfc5424")(df)
+        ts24_tok = F.col("_s24_timestamp")
+        t24 = F.regexp_extract(ts24_tok, r"T((?:[01]\d|2[0-3]):[0-5]\d:[0-5]\d(?:\.\d+)?)", 1)
+        frac24 = F.substring(F.regexp_extract(t24, r"\.(\d{1,9})", 1), 1, 9)
+        ts24 = F.to_utc_timestamp(
+            F.make_timestamp(
+                F.regexp_extract(ts24_tok, r"^(\d{4})-", 1).try_cast("int"),
+                F.regexp_extract(ts24_tok, r"^\d{4}-(\d{2})-", 1).try_cast("int"),
+                F.regexp_extract(ts24_tok, r"^\d{4}-\d{2}-(\d{2})T", 1).try_cast("int"),
+                F.substring(t24, 1, 2).try_cast("int"),
+                F.substring(t24, 4, 2).try_cast("int"),
+                _frac_seconds(F.substring(t24, 7, 2).try_cast("int"), frac24),
+            ),
+            _tz_column(F.regexp_extract(ts24_tok, rf"({_TZ})$", 1), timezone),
+        )
+        msg24 = F.coalesce(F.col("_s24_message"), F.lit(""))
+        data24 = F.col("_s24_sd_structured")
+        valid24 = (
+            ts24_tok.isNotNull()
+            & F.col("_s24_priority").isNotNull()
+            & ((msg24 != "") | (F.size(F.map_keys(data24)) > 0))
+        )
+
+        # ---------------- createEvent composition ---------------------
+        valid = F.when(is24, valid24).otherwise(valid64)
+        pri = F.when(is24, F.col("_s24_priority")).otherwise(
+            F.nullif(pri_tok, F.lit("")).try_cast("int")
+        )
+        sev = pri % 8
+        fac = (pri / 8).cast("int")
+        sev_names = F.array(*[F.lit(s) for s in _SEVERITY_LABELS])
+        fac_names = F.array(*[F.lit(s) for s in _FACILITY_LABELS])
+        msg = F.when(is24, msg24).otherwise(msg64)
+        host = F.when(is24, F.col("_s24_hostname")).otherwise(
+            F.when(has_host, F.nullif(host_tok, F.lit("")))
+        )
+        now_ts = (
+            F.lit(invalid_ts).cast("timestamp") if invalid_ts else F.current_timestamp()
+        )
+
+        def only_valid(c: Column) -> Column:
+            return F.when(valid, c)
+
+        out = (
+            df.withColumn("syslog_valid", valid)
+            .withColumn(
+                "message",
+                F.when(valid, F.regexp_replace(msg, r"\n+$", "")).otherwise(line),
+            )
+            .withColumn("hostname", only_valid(host))
+            .withColumn("syslog_priority", only_valid(pri))
+            .withColumn("event_severity", only_valid(sev))
+            .withColumn("syslog_facility", only_valid(fac))
+            .withColumn("syslog_severity_label", only_valid(F.get(sev_names, sev)))
+            .withColumn("syslog_facility_label", only_valid(F.get(fac_names, fac)))
+            .withColumn(
+                "event_sequence",
+                only_valid(
+                    F.when(~is24, F.nullif(seq_tok, F.lit("")).try_cast("int"))
+                ),
+            )
+            .withColumn(
+                "process_pid",
+                only_valid(F.when(~is24, F.nullif(pid_tok, F.lit("")).try_cast("int"))),
+            )
+            .withColumn(
+                "process_program",
+                only_valid(F.when(~is24, F.nullif(prog_tok, F.lit("")))),
+            )
+            .withColumn("process_name", only_valid(F.when(is24, F.col("_s24_program"))))
+            .withColumn("process_entity_id", only_valid(F.when(is24, F.col("_s24_pid"))))
+            .withColumn("syslog_msgid", only_valid(F.when(is24, F.col("_s24_msgid"))))
+            .withColumn("syslog_version", only_valid(F.when(is24, F.col("_s24_version"))))
+            .withColumn("syslog_data", only_valid(F.when(is24, data24)))
+            .withColumn("ts", F.when(valid, F.when(is24, ts24).otherwise(ts64)).otherwise(now_ts))
+        )
+        if address_col:
+            out = out.withColumn("log_source_address", F.col(address_col))
+        if truncated_col:
+            out = out.withColumn("meta_truncated", F.coalesce(F.col(truncated_col), F.lit(False)))
+        return out.drop(*[c for c in out.columns if c.startswith("_s24_")])
+
+    return stage

@@ -1,0 +1,290 @@
+"""filebeat/input/syslog matrix — the legacy ragel parser + createEvent.
+
+Ports rfc3164_test.go (every `log:` fixture incl. the generated
+month/day/hour sweeps), event_test.go's priority/label arithmetic, and
+input_test.go's createEvent field mapping (TestWhenPriorityIsSet,
+TestParseAndCreateEvent3164) + format_check_test.go. The reference
+asserts Message/Hostname/Priority/Pid/Program/Month/Day/Hour/Minute/
+Second (NOT Year — the 2016 in two fixtures is dead data); here the
+date fields collapse into one expected UTC timestamp built with the
+same rules (default year = newEvent's current year → pinned via
+default_year; zone token wins over the configured timezone; fraction
+digits pad to a decimal fraction).
+
+Known divergence: Spark timestamps are microseconds, so a 9-digit
+fraction (".000000005" = 5 ns) rounds to zero micros.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from beats_spark.processors.syslog_input import syslog_input_events
+
+YEAR = 2021
+UTC = dt.timezone.utc
+
+
+def ts(y, mo, d, h, mi, s, micro=0, offmin=0):
+    return dt.datetime(y, mo, d, h, mi, s, micro, tzinfo=dt.timezone(dt.timedelta(minutes=offmin))).astimezone(UTC).replace(tzinfo=None)
+
+
+# (log, valid, message, hostname, priority, program, pid, sequence, ts)
+RFC3164_CASES = [
+    (
+        "<190>589265: Feb 8 18:55:31.306: %SEC-11-IPACCESSLOGP: list 177 denied udp 10.0.0.1(53640) -> 10.100.0.1(15600), 1 packet",
+        True,
+        "%SEC-11-IPACCESSLOGP: list 177 denied udp 10.0.0.1(53640) -> 10.100.0.1(15600), 1 packet",
+        None, 190, None, None, 589265, ts(YEAR, 2, 8, 18, 55, 31, 306000),
+    ),
+    ("<190>2018-06-19 02:13:38 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38)),
+    ("<190>2018-06-19 02:13:38.0004 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 400)),
+    ("<190>2018-06-19T02:13:38.635322-07:00 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322, -7 * 60)),
+    ("<190>2018-06-19T02:13:38.635322-0700 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322, -7 * 60)),
+    ("<190>2018-06-19T02:13:38.635322-0730 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322, -(7 * 60 + 30))),
+    ("<190>2018-06-19T02:13:38.635322-07:10 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322, -(7 * 60 + 10))),
+    ("<190>2018-06-19T02:13:38.635322-07 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322, -7 * 60)),
+    ("<190>2018-06-19T02:13:38.635322Z super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322)),
+    # SetTimeZone: a leading Z/z wins and IGNORES trailing bytes
+    ("<190>2018-06-19T02:13:38.635322Z+0000 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322)),
+    ("<190>2018-06-19T02:13:38.635322Z+00:00 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322)),
+    ("<190>2018-06-19T02:13:38.635322Z+00 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38, 635322)),
+    ("<190>2018-06-19T02:13:38Z+00 super mon message", True, "mon message", "super", 190, None, None, None, ts(2018, 6, 19, 2, 13, 38)),
+    (
+        "<38>2018-05-08T10:31:24 localhost prg00000[1234]: seq: 0000000000, thread: 0000, runid: 1525768284, stamp: 2018-05-08T10:31:24 PADD PADD",
+        True,
+        "seq: 0000000000, thread: 0000, runid: 1525768284, stamp: 2018-05-08T10:31:24 PADD PADD",
+        "localhost", 38, "prg00000", 1234, None, ts(2018, 5, 8, 10, 31, 24),
+    ),
+    (
+        "2016-05-08T10:31:24 localhost prg00000[1234]: seq: 0000000000, thread: 0000, runid: 1525768284",
+        True, "seq: 0000000000, thread: 0000, runid: 1525768284", "localhost", None, "prg00000", 1234, None, ts(2016, 5, 8, 10, 31, 24),
+    ),
+    (
+        "2016-05-08T10:31:24.0004 localhost prg00000[1234]: seq: 0000000000, thread: 0000, runid: 1525768284",
+        True, "seq: 0000000000, thread: 0000, runid: 1525768284", "localhost", None, "prg00000", 1234, None, ts(2016, 5, 8, 10, 31, 24, 400),
+    ),
+    # IsValid=false (no date) → raw-message fallback event
+    ("--- last message repeated 1 time ---", False, "--- last message repeated 1 time ---", None, None, None, None, None, None),
+    ("Oct 11 22:14:15 --- last message repeated 1 time ---", True, "--- last message repeated 1 time ---", None, None, None, None, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    # 5 ns rounds to 0 micros (timestamp precision divergence, see module doc)
+    ("Oct 11 22:14:15.000000005 --- last message repeated 1 time ---", True, "--- last message repeated 1 time ---", None, None, None, None, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    ("Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8", True, "'su root' failed for lonvick on /dev/pts/8", "mymachine", None, "su", 230, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    (
+        "<13> Aug 16 12:25:24 10.12.255.2-1 TRAPMGR[53034492]: traputil.c(696) 135956 %% Link Up: g5.\x00",
+        True, "traputil.c(696) 135956 %% Link Up: g5.\x00", "10.12.255.2-1", 13, "TRAPMGR", 53034492, None, ts(YEAR, 8, 16, 12, 25, 24),
+    ),
+    ("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8", True, "'su root' failed for lonvick on /dev/pts/8", "mymachine", 34, "su", 230, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    ("<34>Oct 11 22:14:15.57643 mymachine su: 'su root' failed for lonvick on /dev/pts/8", True, "'su root' failed for lonvick on /dev/pts/8", "mymachine", 34, "su", None, None, ts(YEAR, 10, 11, 22, 14, 15, 576430)),
+    ("<34>Oct 11 22:14:15 mymachine postfix/smtpd[2000]: 'su root' failed for lonvick on /dev/pts/8", True, "'su root' failed for lonvick on /dev/pts/8", "mymachine", 34, "postfix/smtpd", 2000, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    ("<34>Oct 11 22:14:15 wopr.mymachine.co postfix/smtpd[2000]: 'su root' failed for lonvick on /dev/pts/8", True, "'su root' failed for lonvick on /dev/pts/8", "wopr.mymachine.co", 34, "postfix/smtpd", 2000, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    ("<13>Feb 25 17:32:18 10.0.0.99 Use the Force!", True, "Use the Force!", "10.0.0.99", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 wopr Use the Force!", True, "Use the Force!", "wopr", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 2607:f0d0:1002:51::4 Use the Force!", True, "Use the Force!", "2607:f0d0:1002:51::4", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 2607:f0d0:1002:0051:0000:0000:0000:0004 Use the Force!", True, "Use the Force!", "2607:f0d0:1002:0051:0000:0000:0000:0004", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 1:: Use the Force!", True, "Use the Force!", "1::", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 1::2 Use the Force!", True, "Use the Force!", "1::2", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 1::2:5 Use the Force!", True, "Use the Force!", "1::2:5", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 ::ffff:0:255.255.255.255 Use the Force!", True, "Use the Force!", "::ffff:0:255.255.255.255", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 60::ffff::10.0.1.120 Use the Force!", True, "Use the Force!", "60::ffff::10.0.1.120", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    ("<13>Feb 25 17:32:18 1:2:3:4:5:6:7:8 Use the Force!", True, "Use the Force!", "1:2:3:4:5:6:7:8", 13, None, None, None, ts(YEAR, 2, 25, 17, 32, 18)),
+    (
+        '<164>Oct 26 15:19:25 1.2.3.4 ASA1-2: Deny udp src DRAC:10.1.2.3/43434 dst outside:192.168.0.1/53 by access-group "acl_drac" [0x0, 0x0]',
+        True, 'Deny udp src DRAC:10.1.2.3/43434 dst outside:192.168.0.1/53 by access-group "acl_drac" [0x0, 0x0]',
+        "1.2.3.4", 164, "ASA1-2", None, None, ts(YEAR, 10, 26, 15, 19, 25),
+    ),
+    (
+        '<164>Oct 26 15:19:25 1.2.3.4 %ASA1-120: Deny udp src DRAC:10.1.2.3/43434 dst outside:192.168.0.1/53 by access-group "acl_drac" [0x0, 0x0]',
+        True, 'Deny udp src DRAC:10.1.2.3/43434 dst outside:192.168.0.1/53 by access-group "acl_drac" [0x0, 0x0]',
+        "1.2.3.4", 164, "%ASA1-120", None, None, ts(YEAR, 10, 26, 15, 19, 25),
+    ),
+    ("<123>Sep 01 02:03:04 hostname: message", True, "message", "hostname", 123, None, None, None, ts(YEAR, 9, 1, 2, 3, 4)),
+    # lookahead_duplicates (common.rl:80-89): doubled '.'/'-' in the
+    # hostname scan bails the header into catch_all — message restarts at
+    # the hostname byte, timestamp fields already parsed survive
+    ("<34>Oct 11 22:14:15 host..name su[230]: oops", True, "host..name su[230]: oops", None, 34, None, None, None, ts(YEAR, 10, 11, 22, 14, 15)),
+    ("<34>Oct 11 22:14:15 host--name su[230]: oops", True, "host--name su[230]: oops", None, 34, None, None, None, ts(YEAR, 10, 11, 22, 14, 15)),
+]
+
+SHORT_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+FULL_MONTHS = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+
+
+def _run(spark, lines, **kw):
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    kw.setdefault("format", "rfc3164")
+    kw.setdefault("default_year", YEAR)
+    kw.setdefault("invalid_ts", "2099-01-01 00:00:00")
+    out = syslog_input_events("line", **kw)(df)
+    return {r.line: r for r in out.collect()}
+
+
+def test_rfc3164_matrix(spark):
+    rows = _run(spark, [c[0] for c in RFC3164_CASES])
+    for log, valid, msg, host, pri, prog, pid, seq, expected_ts in RFC3164_CASES:
+        r = rows[log]
+        assert r.syslog_valid == valid, (log, "valid")
+        assert r.message == msg, (log, "message", r.message)
+        assert r.hostname == host, (log, "hostname", r.hostname)
+        assert r.syslog_priority == pri, (log, "priority", r.syslog_priority)
+        assert r.process_program == prog, (log, "program", r.process_program)
+        assert r.process_pid == pid, (log, "pid", r.process_pid)
+        assert r.event_sequence == seq, (log, "sequence", r.event_sequence)
+        if valid:
+            assert r.ts == expected_ts, (log, "ts", r.ts, expected_ts)
+        else:
+            assert r.ts == dt.datetime(2099, 1, 1), (log, "fallback ts", r.ts)
+
+
+def test_rfc3164_generated_sweeps(spark):
+    """rfc3164_test.go's generated batteries: every short month name,
+    every full month name, space-padded days 1-31, hours 0-23."""
+    lines, expect = [], {}
+    for i, m in enumerate(SHORT_MONTHS):
+        ln = f"<34>{m} 1 22:14:15 mymachine postfix/smtpd[2000]: 'su root' failed"
+        lines.append(ln)
+        expect[ln] = ts(YEAR, i + 1, 1, 22, 14, 15)
+    for i, m in enumerate(FULL_MONTHS):
+        ln = f"<34>{m} 1 22:14:15 mymachine postfix/smtpd[2000]: 'su root' failed"
+        lines.append(ln)
+        expect[ln] = ts(YEAR, i + 1, 1, 22, 14, 15)
+    for d in range(1, 32):
+        ln = f"<34>Oct {d:2d} 22:14:15 mymachine postfix/smtpd[2000]: 'su root' failed"
+        lines.append(ln)
+        expect[ln] = ts(YEAR, 10, d, 22, 14, 15)
+    for h in range(24):
+        ln = f"<34>Oct 11 {h:02d}:14:15 mymachine postfix/smtpd[2000]: 'su root' failed"
+        lines.append(ln)
+        expect[ln] = ts(YEAR, 10, 11, h, 14, 15)
+    rows = _run(spark, lines)
+    for ln, want in expect.items():
+        r = rows[ln]
+        assert r.syslog_valid, ln
+        assert r.ts == want, (ln, r.ts, want)
+        assert r.hostname == "mymachine" and r.process_program == "postfix/smtpd"
+        assert r.process_pid == 2000 and r.message == "'su root' failed"
+
+
+def test_create_event_field_mapping(spark):
+    """input_test.go TestWhenPriorityIsSet / labels / sequence routing +
+    input.go:236-252 — priority 13 → severity 5 'Notice', facility 1
+    'user-level'; no priority → no labels; out-of-range facility →
+    facility value but NULL label (mapValueToName error path)."""
+    rows = _run(
+        spark,
+        [
+            "<13>Oct 11 22:14:15 wopr app[123]: hello world",
+            "Oct 11 22:14:15 wopr app[123]: hello world",
+            "<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8",
+            "<999>Oct 11 22:14:15 wopr big priority",
+        ],
+        address_col=None,
+    )
+    r = rows["<13>Oct 11 22:14:15 wopr app[123]: hello world"]
+    assert (r.event_severity, r.syslog_facility) == (5, 1)
+    assert (r.syslog_severity_label, r.syslog_facility_label) == ("Notice", "user-level")
+    assert r.process_pid == 123 and r.hostname == "wopr"
+    r = rows["Oct 11 22:14:15 wopr app[123]: hello world"]
+    assert r.syslog_priority is None and r.syslog_severity_label is None
+    assert r.event_severity is None and r.syslog_facility is None
+    r = rows["<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed for lonvick on /dev/pts/8"]
+    assert (r.event_severity, r.syslog_facility) == (2, 4)
+    assert (r.syslog_severity_label, r.syslog_facility_label) == ("Critical", "security/authorization")
+    r = rows["<999>Oct 11 22:14:15 wopr big priority"]
+    assert r.syslog_priority == 999 and r.syslog_facility == 124
+    assert r.syslog_facility_label is None  # out of the 24-entry table
+    assert r.event_severity == 7 and r.syslog_severity_label == "Debug"
+
+
+def test_create_event_metadata_and_trailing_newline(spark):
+    """newBeatEvent: log.source.address + meta truncated ride every
+    event (valid or fallback); createEvent trims trailing newlines from
+    the message only (TrimRight '\\n')."""
+    df = spark.createDataFrame(
+        [("<13>Feb 25 17:32:18 wopr Use the Force!\n\n", "10.1.2.3:41000", True),
+         ("not syslog at all", "10.1.2.4:41001", False)],
+        "line string, peer string, trunc boolean",
+    )
+    out = syslog_input_events(
+        "line", default_year=YEAR, invalid_ts="2099-01-01 00:00:00",
+        address_col="peer", truncated_col="trunc",
+    )(df).collect()
+    by_peer = {r.log_source_address: r for r in out}
+    ok = by_peer["10.1.2.3:41000"]
+    assert ok.message == "Use the Force!" and ok.meta_truncated is True
+    bad = by_peer["10.1.2.4:41001"]
+    assert bad.syslog_valid is False and bad.message == "not syslog at all"
+    assert bad.meta_truncated is False
+
+
+def test_rfc5424_and_auto_routing(spark):
+    """GetCbByConfig auto mode routes per line on IsRFC5424Format
+    (format_check.rl: `<PRI>VERSION SP dddd`) — format_check_test.go's
+    verdicts ported — and parseAndCreateEvent5424 maps app-name/procid
+    to process.name/process.entity_id with structured data under
+    syslog.data."""
+    lines = [
+        # RFC 6.5 example 1
+        "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - BOM'su root' failed for lonvick on /dev/pts/8".replace("BOM", "﻿"),
+        # with SD and app/procid
+        '<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1024 ID47 [exampleSDID@32473 iut="3" eventSource="Application"] An application event',
+        # format_check false → 3164 path
+        "<190>2018-06-19T02:13:38.635322-0700 super mon message",
+        "<190>589265: Feb 8 18:55:31.306: %SEC-11-IPACCESSLOGP: list 177",
+    ]
+    rows = _run(spark, lines, format="auto")
+    r = rows[lines[0]]
+    assert r.syslog_valid and r.syslog_version == 1
+    assert r.message == "'su root' failed for lonvick on /dev/pts/8"  # BOM stripped
+    assert r.hostname == "mymachine.example.com"
+    assert r.process_name == "su" and r.process_entity_id is None
+    assert r.syslog_msgid == "ID47" and r.syslog_data is None
+    assert r.ts == ts(2003, 10, 11, 22, 14, 15, 3000)
+    r = rows[lines[1]]
+    assert r.process_name == "evntslog" and r.process_entity_id == "1024"
+    assert r.syslog_data == {"exampleSDID@32473": {"iut": "3", "eventSource": "Application"}}
+    assert (r.event_severity, r.syslog_facility) == (5, 20)
+    r = rows[lines[2]]  # routed to 3164 despite the RFC3339 timestamp
+    assert r.syslog_valid and r.hostname == "super" and r.syslog_version is None
+    assert r.ts == ts(2018, 6, 19, 2, 13, 38, 635322, -7 * 60)
+    r = rows[lines[3]]
+    assert r.event_sequence == 589265
+
+
+def test_rfc5424_nil_timestamp_is_invalid(spark):
+    """5424 NILVALUE timestamp leaves day/hour unset → IsValid false →
+    the raw-message fallback, even though the line is grammatical."""
+    line = "<34>1 - mymachine.example.com su - ID47 - hello"
+    rows = _run(spark, [line], format="rfc5424")
+    r = rows[line]
+    assert r.syslog_valid is False and r.message == line
+
+
+def test_timezone_config_applies_only_without_zone_token(spark):
+    """event.Timestamp(loc): the configured timezone fills in only when
+    the line carries no zone (loc==nil); a zone token always wins."""
+    lines = [
+        "<13>Feb 25 17:32:18 wopr Use the Force!",
+        "<190>2018-06-19T02:13:38.635322Z super mon message",
+    ]
+    rows = _run(spark, lines, timezone="-07:00")
+    assert rows[lines[0]].ts == ts(YEAR, 2, 25, 17, 32, 18, 0, -7 * 60)
+    assert rows[lines[1]].ts == ts(2018, 6, 19, 2, 13, 38, 635322)
+
+
+def test_format_check_verdicts(spark):
+    """format_check_test.go TestIsRFC5424 — the two negatives must route
+    to the 3164 parser in auto mode (checked above); the positives must
+    route to 5424: version column set proves the routing."""
+    doc_examples = [
+        "<34>1 2003-10-11T22:14:15.003Z mymachine.example.com su - ID47 - 'su root' failed",
+        "<165>1 2003-08-24T05:14:15.000003-07:00 192.0.2.1 myproc 8710 - - %% It's time to make the do-nuts.",
+    ]
+    rows = _run(spark, doc_examples, format="auto")
+    for ln in doc_examples:
+        assert rows[ln].syslog_version == 1, ln
