@@ -2,7 +2,18 @@
 
 from __future__ import annotations
 
-from . import REGISTRY, actions, encoding, enrich, misc, parsers, reader, stateful, syslog_input
+from . import (
+    REGISTRY,
+    actions,
+    encoding,
+    enrich,
+    framing,
+    misc,
+    parsers,
+    reader,
+    stateful,
+    syslog_input,
+)
 
 REGISTRY.update(
     {
@@ -40,6 +51,10 @@ REGISTRY.update(
         # createEvent) — pure Column, composes over the tcp/udp/unix
         # sources' line column in batch or streaming
         "syslog_input": syslog_input.syslog_input_events,
+        # stream framing over captured payload columns (scan.go port;
+        # the live sources inline the same SplitFunc per connection)
+        "split_frames": framing.split_frames,
+        "frame_lines": framing.frame_lines,
         "decompress_gzip_field": parsers.decompress_gzip_field,
         # the line-reader's encoding step (readfile/encoding) as a
         # processor over a bytes column

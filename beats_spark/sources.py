@@ -234,23 +234,30 @@ def read_udp_lines(spark: SparkSession, host: str = "127.0.0.1", port: int = 999
 
 
 # ---------------------------------------------------------------------------
-# Unix socket input — filebeat/input/unix (inputsource/unix server).
-# Stream mode: AF_UNIX SOCK_STREAM listener, frames split on
-# `line_delimiter` (default "\n", inputsource/unix/config.go:55); a frame
-# growing past `max_message_size` without a delimiter drops that
-# connection and its partial buffer — the same outcome as the reference's
-# bufio.Scanner ErrTooLong path (scanner error → connection handler
-# exits, buffered partial lost). A connection close flushes the final
-# unterminated token as a line (Scanner EOF behavior). Datagram mode:
-# AF_UNIX SOCK_DGRAM, one message per datagram, no splitting (the
-# reference validates line_delimiter only for StreamSocket,
+# Socket stream inputs — filebeat/input/unix + filebeat/input/tcp over
+# the shared inputsource/common/streaming server. Stream mode: a
+# listener accepts connections and frames each connection's byte stream
+# with the SplitFunc chosen by `framing` (listener.go:211-230):
+# "delimiter" (bufio.ScanLines for "\n", FactoryDelimiter otherwise) or
+# "rfc6587" (octet counting / non-transparent, scan.go:51-90 — the
+# syslog-over-tcp wire format). A scanner error or a frame growing past
+# `max_message_size` without progress drops that connection and its
+# partial buffer — the reference's handler-exit-on-scan-error path; a
+# clean close flushes the final token exactly as bufio does at EOF.
+# Datagram mode (unix only): one message per datagram, no splitting
+# (the reference validates line_delimiter/framing only for StreamSocket,
 # inputsource/unix/config.go:66). Delivery is at-most-once like udp —
 # no cursor, no replay (readBetweenOffsets is empty).
+#
+# The split logic is an inlined copy of processors/framing.py's
+# SplitFunc port — kept self-contained so the data-source runner process
+# never needs beats_spark importable; test_framing_matrix +
+# test_streaming pin the two copies to identical verdicts.
 # ---------------------------------------------------------------------------
 
 
-def register_unix_source(spark: SparkSession) -> None:
-    """Register the `beats_unix` streaming format on this session.
+def _register_socket_source(spark: SparkSession, fmt_name: str, family: str) -> None:
+    """Register a `beats_unix` / `beats_tcp` streaming format.
 
     Self-contained for the same cloudpickle-by-value reason as
     `register_udp_source` — the runner process must not need the
@@ -258,10 +265,10 @@ def register_unix_source(spark: SparkSession) -> None:
     """
     from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
-    class UnixDataSource(DataSource):
+    class SocketDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
-            return "beats_unix"
+            return fmt_name
 
         def schema(self) -> str:
             return "line string, sender string, recv_ts timestamp"
@@ -269,32 +276,113 @@ def register_unix_source(spark: SparkSession) -> None:
         def simpleStreamReader(self, schema):
             options = dict(self.options)
 
-            class UnixSimpleStreamReader(SimpleDataSourceStreamReader):
+            class SocketSimpleStreamReader(SimpleDataSourceStreamReader):
                 def __init__(self):
                     self._sock = None
-                    self._conns = {}  # fd -> (socket, bytearray buffer)
-                    self._path = options["path"]
+                    self._conns = {}  # fd -> (socket, bytearray buffer, sender)
+                    self._family = family
+                    self._path = options.get("path")
+                    self._host = options.get("host", "127.0.0.1")
+                    self._port = int(options.get("port", "9997"))
                     self._stream = options.get("sockettype", "stream") == "stream"
                     self._delim = options.get("linedelimiter", "\n").encode("utf-8")
+                    self._framing = options.get("framing", "delimiter")
                     # default 20 MiB, unix/input.go defaultConfig
                     self._max = int(options.get("maxmessagesize", str(20 * 1024 * 1024)))
                     self._max_per_batch = int(options.get("maxmessagesperbatch", "10000"))
+
+                # ---- SplitFunc (scan.go port, inlined — see module note)
+                def _split(self, data: bytes, at_eof: bool):
+                    delim = self._delim
+                    if at_eof and not data:
+                        return 0, None, None
+                    if self._framing == "rfc6587":
+                        if len(data) <= 1:
+                            return 0, None, None
+                        if data[0:1].isdigit():
+                            i = data.find(b" ")
+                            if i > 0:
+                                head = data[:i]
+                                if not head.isdigit():
+                                    return 0, None, f"invalid octet-count length {head!r}"
+                                end = int(head) + i + 1
+                                if len(data) >= end:
+                                    return end, data[i + 1 : end], None
+                            return 0, None, None
+                        # fall through to non-transparent delimiter framing
+                    elif delim == b"\n":
+                        # bufio.ScanLines: strips one trailing \r
+                        i = data.find(b"\n")
+                        if i >= 0:
+                            tok = data[:i]
+                            return i + 1, (tok[:-1] if tok.endswith(b"\r") else tok), None
+                        if at_eof:
+                            return len(data), (
+                                data[:-1] if data.endswith(b"\r") else data
+                            ), None
+                        return 0, None, None
+
+                    def drop_delim(piece: bytes) -> bytes:
+                        if len(piece) > len(delim) and piece.endswith(delim):
+                            return piece[: -len(delim)]
+                        return piece
+
+                    i = data.find(delim)
+                    if i >= 0:
+                        return i + len(delim), drop_delim(data[:i]), None
+                    if at_eof:
+                        return len(data), drop_delim(data), None
+                    return 0, None, None
+
+                def _scan_buf(self, buf: bytearray, rows, sender, at_eof: bool) -> bool:
+                    """Drain complete frames from buf; True = drop the
+                    connection (scanner error / ErrTooLong)."""
+                    import datetime
+
+                    while True:
+                        adv, tok, err = self._split(bytes(buf), at_eof)
+                        if err is not None:
+                            buf.clear()
+                            return True
+                        if adv == 0 and tok is None:
+                            if not at_eof and len(buf) > self._max:
+                                # bufio.ErrTooLong: no progress on a
+                                # full buffer → handler exits, partial lost
+                                buf.clear()
+                                return True
+                            return False
+                        del buf[:adv]
+                        if tok is not None:
+                            rows.append(
+                                (
+                                    tok.decode("utf-8", errors="replace"),
+                                    sender,
+                                    datetime.datetime.now(),
+                                )
+                            )
 
                 def _socket_lazy(self):
                     import os as _os
                     import socket as _socket
 
                     if self._sock is None:
-                        kind = _socket.SOCK_STREAM if self._stream else _socket.SOCK_DGRAM
-                        sock = _socket.socket(_socket.AF_UNIX, kind)
-                        # the reference server unlinks a stale socket file
-                        # before binding (inputsource/unix/server.go cleanup)
-                        try:
-                            _os.unlink(self._path)
-                        except FileNotFoundError:
-                            pass
-                        sock.bind(self._path)
-                        if self._stream:
+                        if self._family == "unix":
+                            kind = (
+                                _socket.SOCK_STREAM if self._stream else _socket.SOCK_DGRAM
+                            )
+                            sock = _socket.socket(_socket.AF_UNIX, kind)
+                            # the reference server unlinks a stale socket
+                            # file before binding (unix/server.go cleanup)
+                            try:
+                                _os.unlink(self._path)
+                            except FileNotFoundError:
+                                pass
+                            sock.bind(self._path)
+                        else:
+                            sock = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+                            sock.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+                            sock.bind((self._host, self._port))
+                        if self._stream or self._family != "unix":
                             sock.listen(16)
                         sock.setblocking(False)
                         self._sock = sock
@@ -304,19 +392,22 @@ def register_unix_source(spark: SparkSession) -> None:
                     return {"count": 0}
 
                 def _drain_stream(self, rows):
-                    import datetime
-
                     sock = self._socket_lazy()
                     while True:
                         try:
-                            conn, _ = sock.accept()
+                            conn, addr = sock.accept()
                         except (BlockingIOError, OSError):
                             break
                         conn.setblocking(False)
-                        self._conns[conn.fileno()] = (conn, bytearray())
+                        sender = (
+                            self._path
+                            if self._family == "unix"
+                            else f"{addr[0]}:{addr[1]}"
+                        )
+                        self._conns[conn.fileno()] = (conn, bytearray(), sender)
                     dead = []
-                    for fd, (conn, buf) in self._conns.items():
-                        closed = False
+                    for fd, (conn, buf, sender) in self._conns.items():
+                        closed = dropped = False
                         while len(rows) < self._max_per_batch:
                             try:
                                 chunk = conn.recv(65536)
@@ -329,35 +420,13 @@ def register_unix_source(spark: SparkSession) -> None:
                                 closed = True
                                 break
                             buf.extend(chunk)
-                            while True:
-                                i = buf.find(self._delim)
-                                if i < 0:
-                                    break
-                                frame = bytes(buf[:i])
-                                del buf[: i + len(self._delim)]
-                                rows.append(
-                                    (
-                                        frame.decode("utf-8", errors="replace"),
-                                        self._path,
-                                        datetime.datetime.now(),
-                                    )
-                                )
-                            if len(buf) > self._max:
-                                # Scanner ErrTooLong parity: drop the
-                                # connection and the oversized partial
-                                closed = True
-                                buf.clear()
+                            if self._scan_buf(buf, rows, sender, at_eof=False):
+                                dropped = True
                                 break
-                        if closed:
-                            if buf:
-                                # Scanner EOF: final unterminated token
-                                rows.append(
-                                    (
-                                        bytes(buf).decode("utf-8", errors="replace"),
-                                        self._path,
-                                        datetime.datetime.now(),
-                                    )
-                                )
+                        if closed and not dropped:
+                            # Scanner EOF: flush the final token(s)
+                            self._scan_buf(buf, rows, sender, at_eof=True)
+                        if closed or dropped:
                             try:
                                 conn.close()
                             except OSError:
@@ -385,7 +454,7 @@ def register_unix_source(spark: SparkSession) -> None:
 
                 def read(self, start: dict):
                     rows = []
-                    if self._stream:
+                    if self._stream or self._family != "unix":
                         self._drain_stream(rows)
                     else:
                         self._drain_dgram(rows)
@@ -394,9 +463,17 @@ def register_unix_source(spark: SparkSession) -> None:
                 def readBetweenOffsets(self, start: dict, end: dict):
                     return iter([])  # at-most-once, like the reference
 
-            return UnixSimpleStreamReader()
+            return SocketSimpleStreamReader()
 
-    spark.dataSource.register(UnixDataSource)
+    spark.dataSource.register(SocketDataSource)
+
+
+def register_unix_source(spark: SparkSession) -> None:
+    _register_socket_source(spark, "beats_unix", "unix")
+
+
+def register_tcp_source(spark: SparkSession) -> None:
+    _register_socket_source(spark, "beats_tcp", "inet")
 
 
 def read_unix_lines(
@@ -405,22 +482,57 @@ def read_unix_lines(
     socket_type: str = "stream",
     line_delimiter: str = "\n",
     max_message_size: int = 20 * 1024 * 1024,
+    framing: str = "delimiter",
 ) -> DataFrame:
     """Unix socket input analog (filebeat/input/unix/input.go:44-57 —
     defaults: StreamSocket, line_delimiter "\\n", max_message_size
-    20 MiB). One row per framed message in a `line` column; the
-    reader/parse stack applies unchanged, like tcp/udp/kafka."""
+    20 MiB, framing "delimiter"; "rfc6587" enables octet-counting /
+    non-transparent syslog framing). One row per framed message in a
+    `line` column; the reader/parse stack applies unchanged, like
+    tcp/udp/kafka."""
     if socket_type not in ("stream", "datagram"):
         raise ValueError(f"unix input: unknown socket_type {socket_type!r}")
-    if socket_type == "stream" and not line_delimiter:
-        # inputsource/unix/config.go:66 — delimiter required for stream
-        raise ValueError("unix input: line_delimiter cannot be empty for stream sockets")
+    if socket_type == "stream":
+        from .processors.framing import split_func
+
+        split_func(framing, line_delimiter)  # listener.go refusals at build
     register_unix_source(spark)
     return (
         spark.readStream.format("beats_unix")
         .option("path", path)
         .option("socketType", socket_type)
         .option("lineDelimiter", line_delimiter)
+        .option("framing", framing)
+        .option("maxMessageSize", str(max_message_size))
+        .load()
+    )
+
+
+def read_tcp_framed_lines(
+    spark: SparkSession,
+    host: str = "127.0.0.1",
+    port: int = 9997,
+    line_delimiter: str = "\n",
+    max_message_size: int = 20 * 1024 * 1024,
+    framing: str = "delimiter",
+) -> DataFrame:
+    """TCP input with the full framing surface (filebeat/input/tcp over
+    inputsource/tcp) — unlike `read_tcp_lines`' built-in socket source
+    (newline-only), this rides the beats_tcp Python Data Source and
+    supports custom delimiters and RFC 6587 octet-counting framing, and
+    carries the remote address in `sender` (the input's
+    log.source.address). Compose with the `syslog_input` stage for the
+    complete syslog-over-tcp path."""
+    from .processors.framing import split_func
+
+    split_func(framing, line_delimiter)  # listener.go refusals at build
+    register_tcp_source(spark)
+    return (
+        spark.readStream.format("beats_tcp")
+        .option("host", host)
+        .option("port", str(port))
+        .option("lineDelimiter", line_delimiter)
+        .option("framing", framing)
         .option("maxMessageSize", str(max_message_size))
         .load()
     )

@@ -1,0 +1,184 @@
+"""inputsource/common/streaming scan_test.go ported — TestCustomDelimiter
+(6 cases) + TestOctetCounting (5 cases) verbatim, plus the ScanLines
+branch (framing=delimiter + "\\n" → \\r stripping, final-line flush),
+error/ErrTooLong parity, and the chunk-boundary property the bufio driver
+guarantees (frames independent of how bytes arrive)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors.framing import (
+    frame_lines,
+    scan_stream,
+    split_frames,
+    split_func,
+)
+
+# scan_test.go TestCustomDelimiter
+DELIMITER_CASES = [
+    ("hello<END>bonjour<END>hola<END>hey", "<END>", ["hello", "bonjour", "hola", "hey"]),
+    ("hello<END>bonjour<ENDhola<END>hey", "<END>", ["hello", "bonjour<ENDhola", "hey"]),
+    ("hello<END>END>hola<END>hey", "<END>", ["hello", "END>hola", "hey"]),
+    ("hello<END>bonjour<END>hola<END>hey<END>", "<END>", ["hello", "bonjour", "hola", "hey"]),
+    ("hello;bonjour;hola;hey", ";", ["hello", "bonjour", "hola", "hey"]),
+    ("", ";", []),
+]
+
+# scan_test.go TestOctetCounting (delimiter "\n" throughout)
+RFC6587_CASES = [
+    ("<9> message 0\n<6> msg 1\n<3> message 2", ["<9> message 0", "<6> msg 1", "<3> message 2"]),
+    ("13 <9> message 09 <6> msg 113 <3> message 2", ["<9> message 0", "<6> msg 1", "<3> message 2"]),
+    (
+        "14 <9> message \n010 <6> msg \n114 <3> message \n2",
+        ["<9> message \n0", "<6> msg \n1", "<3> message \n2"],
+    ),
+    (
+        "14 <9> message \n0<6> msg 1\n14 <3> message \n2",
+        ["<9> message \n0", "<6> msg 1", "<3> message \n2"],
+    ),
+    (
+        "<9> message 0\n10 <6> msg \n1<3> message 2",
+        ["<9> message 0", "<6> msg \n1", "<3> message 2"],
+    ),
+]
+
+
+def test_custom_delimiter_matrix():
+    for text, delim, want in DELIMITER_CASES:
+        frames, err = scan_stream(text.encode(), "delimiter", delim)
+        assert err is None, (text, err)
+        assert [f.decode() for f in frames] == want, text
+
+
+def test_octet_counting_matrix():
+    for text, want in RFC6587_CASES:
+        frames, err = scan_stream(text.encode(), "rfc6587", "\n")
+        assert err is None, (text, err)
+        assert [f.decode() for f in frames] == want, text
+
+
+def test_scanlines_branch():
+    """listener.go:218-221 — delimiter framing with "\\n" routes to
+    bufio.ScanLines: one trailing \\r stripped per line, a final
+    unterminated line flushed at EOF, no empty final token."""
+    frames, err = scan_stream(b"a\r\nb\nc", "delimiter", "\n")
+    assert err is None and frames == [b"a", b"b", b"c"]
+    frames, _ = scan_stream(b"a\nb\n", "delimiter", "\n")
+    assert frames == [b"a", b"b"]
+    # FactoryDelimiter (custom delimiter) does NOT strip \r
+    frames, _ = scan_stream(b"a\r;b", "delimiter", ";")
+    assert frames == [b"a\r", b"b"]
+    # middle empty tokens are real tokens (bufio keeps them)
+    frames, _ = scan_stream(b"a;;b", "delimiter", ";")
+    assert frames == [b"a", b"", b"b"]
+
+
+def test_rfc6587_error_and_incomplete():
+    # strconv.Atoi failure on the length token = scanner error; frames
+    # already scanned survive (listener handler drop path)
+    frames, err = scan_stream(b"5 hello1x2 world", "rfc6587", "\n")
+    assert [f.decode() for f in frames] == ["hello"]
+    assert err is not None and "1x2" in err
+    # int() would accept '_' separators — Go Atoi must not
+    frames, err = scan_stream(b"1_0 aaaaaaaaaa", "rfc6587", "\n")
+    assert frames == [] and err is not None
+    # incomplete octet frame at EOF is silently dropped (bufio stops)
+    frames, err = scan_stream(b"10 short", "rfc6587", "\n")
+    assert frames == [] and err is None
+    # single byte at EOF: grammar needs 2 bytes to classify → dropped
+    frames, err = scan_stream(b"7", "rfc6587", "\n")
+    assert frames == [] and err is None
+
+
+def test_err_too_long_parity():
+    # token exceeding the buffer cap without progress = bufio.ErrTooLong
+    frames, err = scan_stream(b"x" * 100 + b"\ny", "delimiter", "\n", max_message_size=16)
+    assert frames == [] and err == "token too long"
+    # fits exactly → fine
+    frames, err = scan_stream(b"x" * 15 + b"\ny", "delimiter", "\n", max_message_size=16)
+    assert err is None and frames == [b"x" * 15, b"y"]
+    # octet-counted frame bigger than the buffer: same refusal
+    frames, err = scan_stream(b"100 " + b"x" * 100, "rfc6587", "\n", max_message_size=32)
+    assert frames == [] and err == "token too long"
+
+
+def test_chunk_boundary_independence():
+    """The bufio driver's contract: the frame stream is independent of
+    chunk arrival boundaries. Feed every prefix split of each matrix
+    input through the incremental protocol (not-eof scans + final eof
+    flush) and pin equality with the whole-stream scan."""
+    for text, want in RFC6587_CASES:
+        data = text.encode()
+        split = split_func("rfc6587", "\n")
+        for cut in range(len(data) + 1):
+            frames, buf = [], b""
+            for chunk in (data[:cut], data[cut:]):
+                buf += chunk
+                while True:
+                    adv, tok, err = split(buf, False)
+                    assert err is None
+                    if adv == 0 and tok is None:
+                        break
+                    buf = buf[adv:]
+                    if tok is not None:
+                        frames.append(tok)
+            while buf:  # eof flush
+                adv, tok, err = split(buf, True)
+                if adv == 0 and tok is None:
+                    break
+                buf = buf[adv:]
+                if tok is not None:
+                    frames.append(tok)
+            assert [f.decode() for f in frames] == want, (text, cut)
+
+
+def test_split_func_validation():
+    with pytest.raises(ValueError, match="line delimiter required"):
+        split_func("delimiter", "")
+    with pytest.raises(ValueError, match="unknown SplitFunc"):
+        split_func("octet", "\n")
+    with pytest.raises(ValueError, match="unknown SplitFunc"):
+        split_frames(framing="nope")
+
+
+def test_split_frames_stage(spark):
+    rows = [(name, text.encode()) for name, (text, _) in
+            zip("abcde", RFC6587_CASES)] + [("bad", b"5 hello1x2 world"), ("nul", None)]
+    df = spark.createDataFrame(rows, "stream string, payload binary")
+    out = {
+        r.stream: r
+        for r in split_frames("payload", framing="rfc6587")(df).collect()
+    }
+    for name, (text, want) in zip("abcde", RFC6587_CASES):
+        assert out[name].frames == want, name
+        assert out[name].framing_error is None
+    assert out["bad"].frames == ["hello"] and out["bad"].framing_error
+    assert out["nul"].frames is None and out["nul"].framing_error is None
+
+    # string input column works too (utf-8 encoded before scanning)
+    df2 = spark.createDataFrame([("13 <9> message 0",)], "payload string")
+    got = split_frames("payload", framing="rfc6587")(df2).collect()[0]
+    assert got.frames == ["<9> message 0"]
+
+
+def test_frame_lines_explode_and_syslog_compose(spark):
+    """frame_lines → syslog_input: the full syslog-over-TCP shape — an
+    octet-counted capture becomes parsed events, order preserved."""
+    from beats_spark.processors.syslog_input import syslog_input_events
+
+    payload = b"27 <13>Feb 25 17:32:18 h su: x<13>Feb 25 17:32:18 h su: y\n"
+    df = spark.createDataFrame([("c1", payload)], "conn string, payload binary")
+    out = frame_lines("payload", framing="rfc6587")(df)
+    ev = syslog_input_events("line", default_year=2021)(out).orderBy("frame_idx").collect()
+    assert [r.line for r in ev] == [
+        "<13>Feb 25 17:32:18 h su: x",
+        "<13>Feb 25 17:32:18 h su: y",
+    ]
+    assert [r.message for r in ev] == ["x", "y"]
+    assert all(
+        r.syslog_priority == 13 and r.hostname == "h" and r.process_program == "su"
+        for r in ev
+    )
+    assert [r.frame_idx for r in ev] == [0, 1]

@@ -584,6 +584,70 @@ def test_unix_stream_input_framing(spark, tmp_path):
     assert all(r.sender == path for r in rows)
 
 
+def test_tcp_rfc6587_syslog_input_live(spark):
+    """The full syslog-over-tcp path live (§2.1 tcp + framing rfc6587 +
+    the filebeat/input/syslog event layer): octet-counted and
+    non-transparent frames interleave on one connection, each frame
+    becomes a parsed event, the remote address rides `sender`."""
+    import socket
+    import threading
+
+    from beats_spark.processors.syslog_input import syslog_input_events
+    from beats_spark.sources import read_tcp_framed_lines
+
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    stream = read_tcp_framed_lines(spark, "127.0.0.1", port, framing="rfc6587")
+    events = syslog_input_events("line", default_year=2021, address_col="sender")(stream)
+    q = (
+        events.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tcp_syslog")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def send():
+        deadline = time.time() + 30
+        tx = socket.socket()
+        while True:
+            try:
+                tx.connect(("127.0.0.1", port))
+                break
+            except (ConnectionRefusedError, OSError):
+                if time.time() > deadline:
+                    raise
+                time.sleep(0.2)
+        # octet-counted frame split across sends, then non-transparent
+        tx.sendall(b"27 <13>Feb 25 17:32:18 h")
+        time.sleep(0.3)
+        tx.sendall(b" su: x<13>Feb 25 17:32:18 h su: y\n")
+        tx.close()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    deadline = time.time() + 45
+    rows = []
+    try:
+        while time.time() < deadline:
+            rows = spark.table("tcp_syslog").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        th.join(5)
+    by_msg = {r.message: r for r in rows}
+    assert set(by_msg) == {"x", "y"}, sorted(by_msg)
+    for r in rows:
+        assert r.syslog_valid and r.hostname == "h" and r.process_program == "su"
+        assert r.syslog_priority == 13
+        assert r.log_source_address.startswith("127.0.0.1:")
+
+
 def test_unix_datagram_input(spark, tmp_path):
     """§2.1 unix, datagram mode: one row per datagram, no splitting —
     a datagram containing the delimiter stays one message
@@ -642,8 +706,11 @@ def test_unix_input_config_validation(spark):
 
     with pytest.raises(ValueError, match="socket_type"):
         read_unix_lines(spark, "/tmp/x.sock", socket_type="seqpacket")
-    with pytest.raises(ValueError, match="line_delimiter"):
+    # listener.go SplitFunc's own refusals, verbatim wording
+    with pytest.raises(ValueError, match="line delimiter required"):
         read_unix_lines(spark, "/tmp/x.sock", line_delimiter="")
+    with pytest.raises(ValueError, match="unknown SplitFunc"):
+        read_unix_lines(spark, "/tmp/x.sock", framing="octet")
 
 
 def test_stdin_input_lines(spark):
