@@ -495,8 +495,89 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" host"), F.col("user_id").cast("string"),
         F.lit(" app["), (i % 100).cast("string"), F.lit("]: message "), (i % 7).cast("string"),
     )
-    df = ev.withColumn("text3164", line3164).withColumn(
+    # r5e fold: the filebeat/input/syslog event layer (legacy ragel
+    # grammar + createEvent — Cisco sequences, fractional BSD stamps,
+    # space-separated RFC3339 with zone, full month names, hostless and
+    # invalid-fallback forms). Runs FIRST with its outputs renamed to
+    # in_* (its output names collide with the reader processor's); the
+    # oracle reconstructs every output by string/timestamp construction
+    # from the same event_id formulas.
+    from beats_spark.processors.syslog_input import syslog_input_events
+
+    istr = i.cast("string")
+    full_months = F.array(*[
+        F.lit(m) for m in [
+            "January", "February", "March", "April", "May", "June", "July",
+            "August", "September", "October", "November", "December",
+        ]
+    ])
+    text_in = (
+        # m0: PRI + Cisco sequence + fractional BSD stamp + '%'-message
+        F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit("<190>"), (i % 100000).cast("string"),
+                F.lit(": Feb 8 18:55:31."), F.lpad((i % 1000).cast("string"), 3, "0"),
+                F.lit(": %CIS-6-1: denied "), istr,
+            ),
+        )
+        # m1: no PRI, space-separated RFC3339 date WITH zone, prog[pid]
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit("2018-06-19 02:13:38+"), F.lpad((i % 12).cast("string"), 2, "0"),
+                F.lit(":"), F.lpad(((i % 2) * 30).cast("string"), 2, "0"),
+                F.lit(" host"), F.col("user_id").cast("string"),
+                F.lit(" app"), (i % 9).cast("string"),
+                F.lit("["), (i % 100).cast("string"), F.lit("]: m "), istr,
+            ),
+        )
+        # m2: full month name, single-digit day, hostVars colon form
+        .when(
+            i % 5 == 2,
+            F.concat(
+                F.lit("<"), (i % 190).cast("string"), F.lit(">"),
+                F.get(full_months, (i % 12).cast("int")), F.lit(" "),
+                ((i % 9) + 1).cast("string"),
+                F.lit(" 22:14:"), F.lpad((i % 60).cast("string"), 2, "0"),
+                F.lit(" host"), F.col("user_id").cast("string"),
+                F.lit(": body "), istr,
+            ),
+        )
+        # m3: timestamp + message only (hostname scan bails on '--')
+        .when(
+            i % 5 == 3,
+            F.concat(
+                F.lit("Oct 11 22:14:"), F.lpad((i % 60).cast("string"), 2, "0"),
+                F.lit(" --- repeated "), istr, F.lit(" ---"),
+            ),
+        )
+        # m4: unparseable → raw-message fallback at the pinned now()
+        .otherwise(F.concat(F.lit("junk "), istr))
+    )
+    base = ev.withColumn("text3164", line3164).withColumn(
         "text", F.when(i % 2 == 0, line5424).otherwise(line3164)
+    )
+    inp = syslog_input_events(
+        "text_in", default_year=2021, invalid_ts="2099-01-01 00:00:00"
+    )(base.withColumn("text_in", text_in))
+    df = inp.select(
+        "event_id",
+        "user_id",
+        "text3164",
+        "text",
+        F.col("syslog_valid").alias("in_valid"),
+        F.col("message").alias("in_message"),
+        F.col("hostname").alias("in_hostname"),
+        F.col("syslog_priority").alias("in_priority"),
+        F.col("event_severity").alias("in_severity"),
+        F.col("syslog_facility").alias("in_facility"),
+        F.col("syslog_severity_label").alias("in_sev_label"),
+        F.col("syslog_facility_label").alias("in_fac_label"),
+        F.col("event_sequence").alias("in_sequence"),
+        F.col("process_program").alias("in_program"),
+        F.col("process_pid").alias("in_pid"),
+        F.col("ts").alias("in_ts"),
     )
     # default-format (RFC3164) path first; keep two of its outputs under
     # distinct names, then run the auto-detect path over the mixed column.
@@ -524,6 +605,18 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syslog_message",
         "d3164_hostname",
         "d3164_message",
+        "in_valid",
+        "in_message",
+        "in_hostname",
+        "in_priority",
+        "in_severity",
+        "in_facility",
+        "in_sev_label",
+        "in_fac_label",
+        "in_sequence",
+        "in_program",
+        "in_pid",
+        "in_ts",
     )
 
 
@@ -2303,7 +2396,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 2 = 0 THEN 'event body ' || CAST(event_id AS VARCHAR)
                         ELSE 'message ' || CAST(event_id % 7 AS VARCHAR) END AS syslog_message,
                    'host' || CAST(user_id AS VARCHAR) AS d3164_hostname,
-                   'message ' || CAST(event_id % 7 AS VARCHAR) AS d3164_message
+                   'message ' || CAST(event_id % 7 AS VARCHAR) AS d3164_message,
+                   -- r5e fold: the input event layer (grammar forms m0-m4)
+                   event_id % 5 <> 4 AS in_valid,
+                   CASE WHEN event_id % 5 = 0 THEN '%CIS-6-1: denied ' || CAST(event_id AS VARCHAR)
+                        WHEN event_id % 5 = 1 THEN 'm ' || CAST(event_id AS VARCHAR)
+                        WHEN event_id % 5 = 2 THEN 'body ' || CAST(event_id AS VARCHAR)
+                        WHEN event_id % 5 = 3 THEN '--- repeated ' || CAST(event_id AS VARCHAR) || ' ---'
+                        ELSE 'junk ' || CAST(event_id AS VARCHAR) END AS in_message,
+                   CASE WHEN event_id % 5 IN (1, 2) THEN 'host' || CAST(user_id AS VARCHAR) END AS in_hostname,
+                   CASE WHEN event_id % 5 = 0 THEN 190
+                        WHEN event_id % 5 = 2 THEN CAST(event_id % 190 AS INTEGER) END AS in_priority,
+                   CASE WHEN event_id % 5 = 0 THEN 6
+                        WHEN event_id % 5 = 2 THEN CAST((event_id % 190) % 8 AS INTEGER) END AS in_severity,
+                   CASE WHEN event_id % 5 = 0 THEN 23
+                        WHEN event_id % 5 = 2 THEN CAST((event_id % 190) // 8 AS INTEGER) END AS in_facility,
+                   CASE WHEN event_id % 5 = 0 THEN 'Informational'
+                        WHEN event_id % 5 = 2 THEN
+                          list_extract(['Emergency','Alert','Critical','Error','Warning',
+                                        'Notice','Informational','Debug'],
+                                       CAST((event_id % 190) % 8 AS INTEGER) + 1) END AS in_sev_label,
+                   CASE WHEN event_id % 5 = 0 THEN 'local7'
+                        WHEN event_id % 5 = 2 THEN
+                          list_extract(['kernel','user-level','mail','system',
+                                        'security/authorization','syslogd','line printer',
+                                        'network news','UUCP','clock',
+                                        'security/authorization','FTP','NTP','log audit',
+                                        'log alert','clock','local0','local1','local2',
+                                        'local3','local4','local5','local6','local7'],
+                                       CAST((event_id % 190) // 8 AS INTEGER) + 1) END AS in_fac_label,
+                   CASE WHEN event_id % 5 = 0 THEN CAST(event_id % 100000 AS INTEGER) END AS in_sequence,
+                   CASE WHEN event_id % 5 = 1 THEN 'app' || CAST(event_id % 9 AS VARCHAR) END AS in_program,
+                   CASE WHEN event_id % 5 = 1 THEN CAST(event_id % 100 AS INTEGER) END AS in_pid,
+                   CASE WHEN event_id % 5 = 0
+                          THEN TIMESTAMP '2021-02-08 18:55:31'
+                               + to_milliseconds(CAST(event_id % 1000 AS BIGINT))
+                        WHEN event_id % 5 = 1
+                          THEN TIMESTAMP '2018-06-19 02:13:38'
+                               - to_hours(CAST(event_id % 12 AS BIGINT))
+                               - to_minutes(CAST((event_id % 2) * 30 AS BIGINT))
+                        WHEN event_id % 5 = 2
+                          THEN make_timestamp(2021, (event_id % 12) + 1, (event_id % 9) + 1,
+                                              22, 14, CAST(event_id % 60 AS DOUBLE))
+                        WHEN event_id % 5 = 3
+                          THEN make_timestamp(2021, 10, 11, 22, 14, CAST(event_id % 60 AS DOUBLE))
+                        ELSE TIMESTAMP '2099-01-01 00:00:00' END AS in_ts
             FROM events""",
         "registered_domain": """
             SELECT event_id,
