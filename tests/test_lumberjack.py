@@ -1,0 +1,240 @@
+"""Lumberjack protocol (logstash output wire + x-pack lumberjack input).
+
+Ports window_test.go's slow-start matrix verbatim, pins the frame codec
+to hand-built byte vectors, checks the incremental parser against every
+chunk boundary, pins the module FrameParser and the data source's
+inlined parser to identical verdicts, and runs the protocol LIVE both
+ways: a raw v2/v1 client against the beats_lumberjack source (rows +
+ACK bytes), and the full duplex write_lumberjack → read_lumberjack
+round trip (the logstash output feeding the lumberjack input)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+import time
+import zlib
+
+import pytest
+
+from beats_spark.lumberjack import (
+    DEFAULT_START_MAX_WINDOW_SIZE,
+    FrameParser,
+    Window,
+    encode_ack,
+    encode_compressed,
+    encode_data_frame,
+    encode_json_frame,
+    encode_window,
+)
+
+
+# ---------------------------------------------------------------- window.go
+def _grown(initial, max_ok, window_size, batch_size):
+    w = Window(initial, window_size)
+    w.max_ok_window_size = max_ok
+    for _ in range(100):
+        w.try_grow_window(batch_size)
+    return w
+
+
+def test_shrink_window_never_zero():
+    w = Window(124, 2048)  # DefaultConfig().BulkMaxSize
+    for _ in range(100):
+        w.shrink_window()
+    assert w.window_size == 1
+
+
+def test_grow_window_matrix():
+    # window_test.go: (initial, maxOK, windowSize=max, batchSize) → expected
+    for initial, max_ok, window_size, batch_size, expected in [
+        (10, 0, 1024, 114, 114),  # up to batch size
+        (10, 0, 64, 114, 64),     # up to max
+        (1, 0, 1024, 114, 114),   # from 1
+        (1, 71, 1024, 114, 71),   # to maxOK only
+    ]:
+        w = _grown(initial, max_ok, window_size, batch_size)
+        assert w.window_size == expected, (initial, max_ok)
+        assert w.max_ok_window_size == expected
+
+
+# ------------------------------------------------------------- frame codec
+def test_frame_byte_vectors():
+    assert encode_window(2) == b"2W\x00\x00\x00\x02"
+    assert encode_ack(3) == b"2A\x00\x00\x00\x03"
+    assert encode_ack(0, version=1) == b"1A\x00\x00\x00\x00"
+    j = encode_json_frame(1, b'{"a":1}')
+    assert j == b"2J" + struct.pack(">II", 1, 7) + b'{"a":1}'
+    d = encode_data_frame(5, {"k": "v"})
+    assert d == b"1D" + struct.pack(">II", 5, 1) + b"\x00\x00\x00\x01k\x00\x00\x00\x01v"
+
+
+def test_parser_roundtrip_and_compressed():
+    frames = (
+        encode_window(3)
+        + encode_json_frame(1, b'{"x": 1}')
+        + encode_compressed(
+            encode_json_frame(2, b'{"y": 2}') + encode_data_frame(3, {"k": "v"}), 6
+        )
+        + encode_ack(3)
+    )
+    got = FrameParser().feed(frames)
+    assert got == [
+        ("W", 3),
+        ("J", 1, b'{"x": 1}'),
+        ("J", 2, b'{"y": 2}'),
+        ("D", 3, {"k": "v"}),
+        ("A", 3),
+    ]
+
+
+def test_parser_chunk_boundary_independence():
+    data = (
+        encode_window(2)
+        + encode_compressed(encode_json_frame(1, b'{"a": 1}') + encode_json_frame(2, b"{}"), 3)
+        + encode_window(1)
+        + encode_data_frame(1, {"kk": "vv", "z": ""})
+    )
+    want = FrameParser().feed(data)
+    assert len(want) == 5
+    for cut in range(len(data) + 1):
+        p = FrameParser()
+        got = p.feed(data[:cut]) + p.feed(data[cut:])
+        assert got == want, cut
+
+
+def test_parser_errors():
+    with pytest.raises(ValueError, match="bad version|unknown frame"):
+        FrameParser().feed(b"3W\x00\x00\x00\x01")
+    with pytest.raises(ValueError, match="unknown frame type"):
+        FrameParser().feed(b"2X\x00\x00\x00\x01")
+
+
+def test_read_lumberjack_validation(spark):
+    from beats_spark.lumberjack import read_lumberjack
+
+    with pytest.raises(ValueError, match="invalid lumberjack versions"):
+        read_lumberjack(spark, versions=("v3",))
+    with pytest.raises(ValueError, match="at least one"):
+        read_lumberjack(spark, versions=())
+
+
+def _free_port():
+    probe = socket.socket()
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+    return port
+
+
+def _connect(port, deadline_s=30):
+    deadline = time.time() + deadline_s
+    while True:
+        try:
+            return socket.create_connection(("127.0.0.1", port), timeout=10)
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+
+
+# ------------------------------------------------------------------- live
+def test_lumberjack_source_live_v2_and_v1(spark):
+    """Raw client → beats_lumberjack source: a compressed v2 window and
+    a v1 'D' window each produce rows and an ACK of their final seq."""
+    from beats_spark.lumberjack import read_lumberjack
+
+    port = _free_port()
+    q = (
+        read_lumberjack(spark, "127.0.0.1", port)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_rows")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    acks = []
+
+    def client():
+        tx = _connect(port)
+        tx.sendall(
+            encode_window(2)
+            + encode_compressed(
+                encode_json_frame(1, b'{"msg": "one"}')
+                + encode_json_frame(2, b'{"msg": "two"}'),
+                3,
+            )
+        )
+        acks.append(tx.recv(6))
+        tx.sendall(encode_window(1) + encode_data_frame(1, {"message": "three"}))
+        acks.append(tx.recv(6))
+        tx.close()
+
+    th = threading.Thread(target=client, daemon=True)
+    th.start()
+    rows, deadline = [], time.time() + 45
+    try:
+        while time.time() < deadline:
+            rows = spark.table("lj_rows").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+        th.join(5)
+    assert acks[0] == encode_ack(2) and acks[1] == encode_ack(1, version=1)
+    lines = sorted(r.line for r in rows)
+    assert lines == ['{"message": "three"}', '{"msg": "one"}', '{"msg": "two"}']
+    assert {r.seq for r in rows} == {1, 2}
+    assert all(r.sender.startswith("127.0.0.1:") for r in rows)
+
+
+def test_lumberjack_duplex_roundtrip(spark):
+    """Full wire round trip: write_lumberjack (the logstash output
+    analog, executor-side connections) ships a frame of serialized
+    events into read_lumberjack (the input analog); the received row
+    set equals the sent set."""
+    from beats_spark.lumberjack import read_lumberjack, write_lumberjack
+
+    port = _free_port()
+    q = (
+        read_lumberjack(spark, "127.0.0.1", port)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_duplex")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        # let the listener bind (first trigger)
+        time.sleep(3)
+        sent = [json.dumps({"n": i, "text": f"event {i}"}, sort_keys=True) for i in range(57)]
+        df = spark.createDataFrame([(s,) for s in sent], "line string").repartition(3)
+        write_lumberjack(
+            df, "127.0.0.1", port, bulk_max_size=16, slow_start=True, compression_level=3
+        )
+        rows, deadline = [], time.time() + 45
+        while time.time() < deadline:
+            rows = spark.table("lj_duplex").collect()
+            if len(rows) >= len(sent):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sorted(r.line for r in rows) == sorted(sent)
+    # slow-start: first window is DEFAULT_START_MAX_WINDOW_SIZE, so some
+    # batch was smaller than bulk_max_size — seqs restart per window
+    assert max(r.seq for r in rows) <= 16
+    assert DEFAULT_START_MAX_WINDOW_SIZE == 10
+
+
+def test_write_lumberjack_validation(spark):
+    from beats_spark.lumberjack import write_lumberjack
+
+    df = spark.createDataFrame([("x",)], "line string")
+    with pytest.raises(ValueError, match="compression_level"):
+        write_lumberjack(df, "127.0.0.1", 1, compression_level=10)
+    with pytest.raises(ValueError, match="bulk_max_size"):
+        write_lumberjack(df, "127.0.0.1", 1, bulk_max_size=0)
