@@ -411,6 +411,17 @@ def register_lumberjack_source(spark: SparkSession) -> None:
                 def initialOffset(self) -> dict:
                     return {"count": 0}
 
+                @staticmethod
+                def _send_ack(conn, version: str, seq: int) -> None:
+                    # the 6-byte ACK rides a briefly-blocking socket so a
+                    # momentarily-full send buffer doesn't read as a
+                    # protocol error and drop the connection
+                    conn.setblocking(True)
+                    try:
+                        conn.sendall(version.encode() + b"A" + seq.to_bytes(4, "big"))
+                    finally:
+                        conn.setblocking(False)
+
                 def _handle_frames(self, st, frames, rows):
                     """server.go processBatch: rows out per data frame;
                     ACK the final seq once the announced window count is
@@ -425,7 +436,7 @@ def register_lumberjack_source(spark: SparkSession) -> None:
                             st[3] = f[1]
                             st[4] = events = []
                             if f[1] == 0:  # empty batch ACKs immediately
-                                conn.sendall(b"%sA" % f[2].encode() + (0).to_bytes(4, "big"))
+                                self._send_ack(conn, f[2], 0)
                         elif f[0] == "J":
                             events.append((f[1], f[2], "2"))
                         elif f[0] == "D":
@@ -435,9 +446,7 @@ def register_lumberjack_source(spark: SparkSession) -> None:
                             for seq, payload, _v in events:
                                 rows.append((payload, sender, seq, now))
                             last = events[-1]
-                            conn.sendall(
-                                b"%sA" % last[2].encode() + last[0].to_bytes(4, "big")
-                            )
+                            self._send_ack(conn, last[2], last[0])
                             st[3] = 0
                             st[4] = events = []
 
