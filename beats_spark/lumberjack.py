@@ -213,16 +213,24 @@ def write_lumberjack(
     slow_start: bool = False,
     compression_level: int = 3,
     timeout: float = 30.0,
+    pipelining: int = 0,
 ) -> None:
     """Ship a serialized-JSON column to a lumberjack v2 server —
-    libbeat/outputs/logstash sync client semantics over
-    df.foreachPartition (one connection per partition, ON the executors:
-    the output's load-balanced worker pool becomes Spark's partition
-    parallelism). Per window: 'W' + ('C'-compressed) 'J' frames, block
-    until the final seq is ACKed (partial ACKs advance progress), then
-    slow-start growth; a failure raises so Spark's task retry replays
-    the partition — the batch.Retry path. compression_level 0 sends
+    libbeat/outputs/logstash client semantics over df.foreachPartition
+    (one connection per partition, ON the executors: the output's
+    load-balanced worker pool becomes Spark's partition parallelism).
+    Per window: 'W' + ('C'-compressed) 'J' frames; partial ACKs advance
+    progress; slow-start growth after success; a failure raises so
+    Spark's task retry replays the partition — the batch.Retry path
+    (coarser than the reference's RetryEvents(remainder): replay is the
+    whole partition, still at-least-once). compression_level 0 sends
     uncompressed J frames, like the output's config.
+
+    pipelining=0 is the sync client (block on each window's final ACK);
+    pipelining=k (the reference default is 2, config.go:56) is the async
+    client's shape: up to k windows in flight, ACKs drained in window
+    order (per-window sequences restart at 1, so an ACK always belongs
+    to the oldest in-flight window — go-lumber's async bookkeeping).
 
     Compose with `codec_json(envelope=True)` for the reference's exact
     event wire shape. Returns nothing; runs the job.
@@ -232,6 +240,9 @@ def write_lumberjack(
         raise ValueError("requires 0 <= compression_level <= 9")
     if bulk_max_size < 1:
         raise ValueError("bulk_max_size must be >= 1")
+    if pipelining < 0:
+        # config.go:38 validate:"min=0"
+        raise ValueError("pipelining must be >= 0")
 
     # executors import beats_spark from the shipped zip, so the protocol
     # helpers resolve by reference; only Python Data Source runners need
@@ -240,10 +251,51 @@ def write_lumberjack(
 
     def send_partition(rows):
         import socket
+        from collections import deque
 
         sock = socket.create_connection((host, port), timeout=timeout)
         win = lj.Window(lj.DEFAULT_START_MAX_WINDOW_SIZE, bulk_max_size) if slow_start else None
         parser = lj.FrameParser()
+        in_flight: deque = deque()  # [final_seq, acked_so_far] per window, oldest first
+
+        def drain_acks(block: bool) -> None:
+            """Apply ACK frames to the oldest in-flight window; pop it
+            when its final seq is reached. block=True does exactly one
+            timeout-guarded recv (the caller re-checks its condition);
+            block=False drains whatever already arrived."""
+            sock.settimeout(timeout if block else 0)
+            try:
+                while in_flight:
+                    try:
+                        data = sock.recv(65536)
+                    except (BlockingIOError, InterruptedError):
+                        return  # nothing buffered (non-blocking drain)
+                    if not data:
+                        raise ConnectionError("lumberjack: connection closed before ACK")
+                    for f in parser.feed(data):
+                        if f[0] != "A":
+                            continue
+                        head = in_flight[0]
+                        head[1] = max(head[1], f[1])
+                        if head[1] >= head[0]:
+                            in_flight.popleft()
+                    if block:
+                        return
+            finally:
+                sock.settimeout(timeout)
+
+        def send_window(evs) -> None:
+            frames = b"".join(
+                lj.encode_json_frame(i + 1, e.encode("utf-8"))
+                for i, e in enumerate(evs)
+            )
+            sock.sendall(lj.encode_window(len(evs)))
+            if compression_level > 0:
+                sock.sendall(lj.encode_compressed(frames, compression_level))
+            else:
+                sock.sendall(frames)
+            in_flight.append([len(evs), 0])
+
         try:
             pending = []
             it = iter(rows)
@@ -262,23 +314,12 @@ def write_lumberjack(
                     if win is not None:
                         n = min(n, win.get())
                     try:
-                        frames = b"".join(
-                            lj.encode_json_frame(i + 1, e.encode("utf-8"))
-                            for i, e in enumerate(events[:n])
-                        )
-                        sock.sendall(lj.encode_window(n))
-                        if compression_level > 0:
-                            sock.sendall(lj.encode_compressed(frames, compression_level))
-                        else:
-                            sock.sendall(frames)
-                        acked = 0
-                        while acked < n:
-                            data = sock.recv(65536)
-                            if not data:
-                                raise ConnectionError("lumberjack: connection closed before ACK")
-                            for f in parser.feed(data):
-                                if f[0] == "A":
-                                    acked = max(acked, f[1])
+                        send_window(events[:n])
+                        # sync shape (pipelining=0): wait this window
+                        # out; async shape: only wait past the cap
+                        drain_acks(block=False)
+                        while len(in_flight) > pipelining:
+                            drain_acks(block=True)
                     except Exception:
                         if win is not None:
                             win.shrink_window()
@@ -286,6 +327,8 @@ def write_lumberjack(
                     if win is not None:
                         win.try_grow_window(len(events))
                     events = events[n:]
+            while in_flight:  # final barrier: everything ACKed
+                drain_acks(block=True)
         finally:
             sock.close()
 

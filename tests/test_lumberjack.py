@@ -230,6 +230,39 @@ def test_lumberjack_duplex_roundtrip(spark):
     assert DEFAULT_START_MAX_WINDOW_SIZE == 10
 
 
+def test_lumberjack_pipelined_roundtrip(spark):
+    """pipelining=2 (the reference's async-client default): up to two
+    windows in flight, ACKs matched to the oldest window; the received
+    row set is still exactly the sent set."""
+    from beats_spark.lumberjack import read_lumberjack, write_lumberjack
+
+    port = _free_port()
+    q = (
+        read_lumberjack(spark, "127.0.0.1", port)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_pipe")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(3)
+        sent = [json.dumps({"i": i}, sort_keys=True) for i in range(41)]
+        df = spark.createDataFrame([(s,) for s in sent], "line string").coalesce(1)
+        write_lumberjack(
+            df, "127.0.0.1", port, bulk_max_size=5, pipelining=2, compression_level=0
+        )
+        rows, deadline = [], time.time() + 45
+        while time.time() < deadline:
+            rows = spark.table("lj_pipe").collect()
+            if len(rows) >= len(sent):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sorted(r.line for r in rows) == sorted(sent)
+
+
 def test_write_lumberjack_validation(spark):
     from beats_spark.lumberjack import write_lumberjack
 
