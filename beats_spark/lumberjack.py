@@ -369,6 +369,7 @@ def register_lumberjack_source(spark: SparkSession) -> None:
                     self._host = options.get("host", "127.0.0.1")
                     self._port = int(options.get("port", "5044"))
                     self._versions = options.get("versions", "v1,v2")
+                    self._max_conns = int(options.get("maxconnections", "0"))
                     self._max_per_batch = int(options.get("maxmessagesperbatch", "10000"))
 
                 # ---- inlined FrameParser (see register docstring) ----
@@ -496,6 +497,10 @@ def register_lumberjack_source(spark: SparkSession) -> None:
                 def _drain(self, rows):
                     sock = self._socket_lazy()
                     while True:
+                        if self._max_conns and len(self._conns) >= self._max_conns:
+                            # netutil.LimitListener: stop accepting at the
+                            # cap; excess connections wait in the backlog
+                            break
                         try:
                             conn, addr = sock.accept()
                         except (BlockingIOError, OSError):
@@ -555,24 +560,43 @@ def read_lumberjack(
     host: str = "127.0.0.1",
     port: int = 5044,
     versions: tuple = ("v1", "v2"),
+    keepalive: float = 0.0,
+    timeout: float = 0.0,
+    max_connections: int = 0,
 ) -> DataFrame:
     """Lumberjack input analog (x-pack/filebeat/input/lumberjack): one
     row per protocol event — `line` carries the event's JSON payload
     ('J' frames verbatim, 'D' key/value frames as key-sorted JSON),
     `sender` the remote address (makeEvent's source.address), `seq` the
     frame sequence. Batches are ACKed at the announced window boundary.
-    TLS is environment-gated (no cert infra here), like the kafka jar."""
-    bad = [v for v in versions if v not in ("v1", "v2")]
-    if bad:
-        # config.go Validate: only v1 and v2 are valid
-        raise ValueError(f"invalid lumberjack versions: {bad}")
+
+    Config surface per config.go: versions case-insensitive with only
+    v1/v2 allowed; keepalive/timeout/max_connections must be >= 0
+    (the reference's validation wording); max_connections bounds the
+    concurrently-served connections like netutil.LimitListener (0 = no
+    limit; excess connections wait in the accept backlog). keepalive is
+    accepted but behaviorally a no-op: it exists to notify clients
+    while a received batch waits on the beats pipeline, and this server
+    ACKs at the window boundary with no pipeline delay to bridge. TLS
+    is environment-gated (no cert infra here), like the kafka jar."""
+    for v in versions:
+        # config.go Validate — case-insensitive, exact wording
+        if str(v).lower() not in ("v1", "v2"):
+            raise ValueError(
+                f'invalid lumberjack version "{v}": allowed values are v1 and v2'
+            )
     if not versions:
         raise ValueError("at least one lumberjack protocol version required")
+    if keepalive < 0 or timeout < 0:
+        raise ValueError("requires duration >= 0")
+    if max_connections < 0:
+        raise ValueError("requires value >= 0 accessing 'max_connections'")
     register_lumberjack_source(spark)
     return (
         spark.readStream.format("beats_lumberjack")
         .option("host", host)
         .option("port", str(port))
-        .option("versions", ",".join(versions))
+        .option("maxConnections", str(max_connections))
+        .option("versions", ",".join(str(v).lower() for v in versions))
         .load()
     )

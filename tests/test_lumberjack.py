@@ -112,13 +112,28 @@ def test_parser_errors():
         FrameParser().feed(b"2X\x00\x00\x00\x01")
 
 
-def test_read_lumberjack_validation(spark):
+def test_read_lumberjack_config_matrix(spark):
+    """x-pack config_test.go TestConfig — validation rows with the
+    reference's wording; versions are case-insensitive (Validate
+    lowercases before matching); defaults are v1+v2 on port 5044."""
+    import inspect
+
     from beats_spark.lumberjack import read_lumberjack
 
-    with pytest.raises(ValueError, match="invalid lumberjack versions"):
+    sig = inspect.signature(read_lumberjack)
+    assert sig.parameters["port"].default == 5044  # localhost:5044
+    assert sig.parameters["versions"].default == ("v1", "v2")
+    with pytest.raises(ValueError, match='invalid lumberjack version "v3": allowed values are v1 and v2'):
         read_lumberjack(spark, versions=("v3",))
+    with pytest.raises(ValueError, match="requires duration >= 0"):
+        read_lumberjack(spark, keepalive=-1.0)
+    with pytest.raises(ValueError, match="requires value >= 0 accessing 'max_connections'"):
+        read_lumberjack(spark, max_connections=-1)
     with pytest.raises(ValueError, match="at least one"):
         read_lumberjack(spark, versions=())
+    # case-insensitive version names build fine (streaming frame only)
+    df = read_lumberjack(spark, port=_free_port(), versions=("V2",))
+    assert df.isStreaming
 
 
 def _free_port():
@@ -261,6 +276,59 @@ def test_lumberjack_pipelined_roundtrip(spark):
     finally:
         q.stop()
     assert sorted(r.line for r in rows) == sorted(sent)
+
+
+def test_flagship_to_logstash_wire(spark):
+    """The reference's most common deployment — filebeat → logstash —
+    end to end: the flagship parse→enrich→route pipeline, serialized
+    through the JSON codec's envelope wire shape, shipped over the
+    lumberjack protocol into the server source; the received documents
+    carry the envelope fields and cover every routed event exactly
+    once."""
+    from beats_spark.lumberjack import read_lumberjack, write_lumberjack
+    from beats_spark.pipeline import flagship
+    from beats_spark.processors.misc import codec_json
+
+    routed = (
+        flagship(spark, "/root/testdata/sf0.001")
+        .withColumnRenamed("_sink", "sink")
+        .limit(200)
+    )
+    wired = codec_json(
+        target="serialized",
+        columns=["conv_id", "turn_idx", "sink", "level"],
+        envelope={"beat": "beats-spark", "version": "0.1.0"},
+    )(routed)
+    expected = sorted(r.serialized for r in wired.collect())
+
+    port = _free_port()
+    q = (
+        read_lumberjack(spark, "127.0.0.1", port)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lj_flagship")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        time.sleep(3)
+        write_lumberjack(
+            wired, "127.0.0.1", port, line_col="serialized",
+            bulk_max_size=64, pipelining=2,
+        )
+        rows, deadline = [], time.time() + 45
+        while time.time() < deadline:
+            rows = spark.table("lj_flagship").collect()
+            if len(rows) >= len(expected):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert sorted(r.line for r in rows) == expected
+    doc = json.loads(rows[0].line)
+    assert list(doc)[0] == "@timestamp" and "@metadata" in doc
+    assert doc["@metadata"]["beat"] == "beats-spark"
+    assert {"conv_id", "turn_idx", "sink", "level"} <= set(doc)
 
 
 def test_write_lumberjack_validation(spark):
