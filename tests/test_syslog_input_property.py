@@ -1,0 +1,161 @@
+"""Property suite for the syslog INPUT battery: ~240 seeded random
+RFC3164 lines built from grammar-valid components, checked against an
+INDEPENDENT pure-Python model of syslog_rfc3164.rl + createEvent (coded
+from the grammar, not from the Column regexes — divergences indict one
+side or the other, never both)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+import re
+
+from beats_spark.processors.syslog_input import syslog_input_events
+
+YEAR = 2021
+
+MONTHS = [
+    ("Jan", "January"), ("Feb", "February"), ("Mar", "March"), ("Apr", "April"),
+    ("May", "May"), ("Jun", "June"), ("Jul", "July"), ("Aug", "August"),
+    ("Sep", "September"), ("Oct", "October"), ("Nov", "November"), ("Dec", "December"),
+]
+
+HOST_CHARS = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789.-_:"
+PROG_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789/._-%"
+
+
+def model_parse(line: str) -> dict:
+    """Pure-Python replay of the ragel grammar's staged consumption:
+    prio? sequence? (header msg | timestamp space message | message),
+    with hostname = (charset* (alnum|'::'))+ (+ optional ':' twice) and
+    the lookahead_duplicates bail (doubled '-'/'.' during the hostname
+    scan jumps to catch-all at the hostname's first byte)."""
+    out = {"valid": False, "msg": line, "host": None, "pri": None,
+           "seq": None, "prog": None, "pid": None, "month": None,
+           "day": None, "h": None, "mi": None, "s": None}
+    rest = line
+    m = re.match(r"<(\d{1,5})>", rest)
+    if m:
+        out["pri"] = int(m.group(1))
+        rest = rest[m.end():]
+    m = re.match(r"(\d+): ", rest)
+    if m:
+        out["seq"] = int(m.group(1))
+        rest = rest[m.end():]
+
+    # timestamp: syncflag? rfc3164 ':'? then space (rfc3339 not modeled
+    # here — the matrix test covers it; this suite generates BSD stamps)
+    month_alt = "|".join(f"{s}(?:{f[len(s):]})?" for s, f in MONTHS)
+    ts_re = re.compile(
+        rf"[ *.]?({month_alt}) ( ?[1-9]|[012]\d|3[01]) "
+        rf"([01]\d|2[0-3]):([0-5]\d):([0-5]\d)(\.\d+)?:? "
+    )
+    m = ts_re.match(rest)
+    if not m:
+        return out  # catch-all: message only, invalid (no day/hour)
+    out["month"] = next(i + 1 for i, (s, _) in enumerate(MONTHS) if m.group(1).startswith(s))
+    out["day"] = int(m.group(2))
+    out["h"], out["mi"], out["s"] = int(m.group(3)), int(m.group(4)), int(m.group(5))
+    out["frac"] = m.group(6) or ""
+    rest = rest[m.end():]
+
+    # hostname attempt (header branch); on failure or duplicates bail,
+    # the whole remainder is the message
+    hm = re.match(r"((?:[A-Za-z0-9._:\-]*(?:[A-Za-z0-9]|::))+):? ", rest)
+    run = re.match(r"[A-Za-z0-9._:\-]+", rest)
+    dup_bail = run and re.search(r"--|\.\.", run.group(0))
+    if hm and not dup_bail:
+        out["host"] = hm.group(1)
+        rest = rest[hm.end():]
+        pm = re.match(r"([^\s\[\]]+?)(?:\[(\d+)\])?: ", rest)
+        if pm:
+            out["prog"] = pm.group(1)
+            out["pid"] = int(pm.group(2)) if pm.group(2) else None
+            rest = rest[pm.end():]
+    out["msg"] = rest
+    out["valid"] = rest != ""
+    if not out["valid"]:
+        out["msg"] = line
+        out["host"] = out["prog"] = None
+        out["pid"] = None
+    return out
+
+
+def gen_host(rng: random.Random) -> str:
+    n = rng.randint(1, 12)
+    body = "".join(rng.choice(HOST_CHARS) for _ in range(n))
+    # grammar: must end alnum or '::'
+    if rng.random() < 0.15:
+        return body + "::"
+    return body + rng.choice("abcXYZ059")
+
+
+def gen_line(rng: random.Random) -> str:
+    parts = []
+    if rng.random() < 0.7:
+        parts.append(f"<{rng.randint(0, 99999)}>")
+    if rng.random() < 0.2:
+        parts.append(f"{rng.randint(0, 999999)}: ")
+    si, full = rng.choice(MONTHS)
+    mon = full if rng.random() < 0.3 else si
+    day = rng.randint(1, 28)
+    daystr = f" {day}" if day < 10 and rng.random() < 0.5 else f"{day:02d}" if day < 10 else str(day)
+    frac = f".{rng.randint(0, 999999)}" if rng.random() < 0.25 else ""
+    ts = f"{mon} {daystr} {rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:{rng.randint(0, 59):02d}{frac}"
+    colon = ":" if rng.random() < 0.15 else ""
+    parts.append(ts + colon + " ")
+    shape = rng.random()
+    if shape < 0.55:
+        parts.append(gen_host(rng))
+        if rng.random() < 0.3:
+            parts.append(":")
+        parts.append(" ")
+        if rng.random() < 0.6:
+            prog = "".join(rng.choice(PROG_CHARS) for _ in range(rng.randint(1, 8)))
+            pid = f"[{rng.randint(0, 99999)}]" if rng.random() < 0.5 else ""
+            parts.append(f"{prog}{pid}: ")
+        parts.append(f"the quick brown fox {rng.randint(0, 999)}")
+    elif shape < 0.75:
+        # duplicates-bail candidates and non-host leads
+        parts.append(rng.choice([
+            "host..name su[1]: oops",
+            "a--b message",
+            "--- repeated ---",
+            "%APP-5-X: something",
+            "host-.name: y",
+        ]))
+    else:
+        parts.append(f"plain message {rng.randint(0, 999)} with words")
+    return "".join(parts)
+
+
+def test_syslog_input_random_battery(spark):
+    rng = random.Random(20260818)
+    lines = list({gen_line(rng) for _ in range(240)})
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    out = syslog_input_events(
+        "line", default_year=YEAR, invalid_ts="2099-01-01 00:00:00"
+    )(df)
+    rows = {r.line: r for r in out.collect()}
+    mismatches = []
+    for ln in lines:
+        want, got = model_parse(ln), rows[ln]
+        checks = [
+            ("valid", want["valid"], got.syslog_valid),
+            ("message", want["msg"], got.message),
+            ("hostname", want["host"], got.hostname),
+            ("program", want["prog"], got.process_program),
+            ("pid", want["pid"], got.process_pid),
+        ]
+        if want["valid"]:
+            checks.append(("pri", want["pri"], got.syslog_priority))
+            checks.append(("seq", want["seq"], got.event_sequence))
+            micro = round(float("0" + want["frac"] or "0") * 1e6) if want["frac"] else 0
+            expected_ts = dt.datetime(
+                YEAR, want["month"], want["day"], want["h"], want["mi"], want["s"], micro
+            )
+            checks.append(("ts", expected_ts, got.ts))
+        for name, w, g in checks:
+            if w != g:
+                mismatches.append((ln, name, w, g))
+    assert not mismatches, mismatches[:8]
