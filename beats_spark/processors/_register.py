@@ -9,6 +9,7 @@ from . import (
     enrich,
     framing,
     misc,
+    netflow,
     parsers,
     reader,
     stateful,
@@ -55,6 +56,8 @@ REGISTRY.update(
         # the live sources inline the same SplitFunc per connection)
         "split_frames": framing.split_frames,
         "frame_lines": framing.frame_lines,
+        # NetFlow v1/v5 fixed-layout binary decode (pure Column)
+        "netflow_packets": netflow.netflow_packets,
         "decompress_gzip_field": parsers.decompress_gzip_field,
         # the line-reader's encoding step (readfile/encoding) as a
         # processor over a bytes column

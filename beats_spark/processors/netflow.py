@@ -1,0 +1,153 @@
+"""NetFlow v1/v5 decode — a pure-Column binary decoder.
+
+The reference's netflow input (x-pack/filebeat/input/netflow) receives
+export datagrams over UDP and decodes them with per-version protocol
+plugins. v1 and v5 are FIXED-LAYOUT formats (decoder/v1/v1.go:29-50,
+decoder/v5/v5.go:29-55): a 16/24-byte header carrying count + sysuptime
++ a 64-bit seconds|nanoseconds timestamp, then `count` 48-byte flow
+records. Fixed layout means the whole decode lowers to Catalyst byte
+arithmetic — substring/hex/conv per field, one `posexplode(sequence)`
+per packet — zero Python in the data path, fully codegen'd, and it
+scales to a 100 TB archive of captured datagrams the same way any
+column projection does.
+
+Field names match the reference templates verbatim (templateV1 /
+templateV5) so a reference user's queries port 1:1; IPv4 addresses are
+rendered dotted-quad (the reference carries net.IP bytes and renders
+the same form into its golden JSON). The exporter metadata map
+(readV1Header/ReadV5Header) becomes exporter_* columns. A packet with
+an unsupported version or a buffer shorter than its announced record
+count yields ZERO flow rows and a `netflow_error` string — OnPacket's
+errors, relationally.
+
+v9 and IPFIX are template-stateful: the exporter streams template
+definitions that reconfigure the record layout per (source, obs domain)
+session. That is an applyInPandasWithState shape, not a fixed
+projection, and is out of scope here — the scope note a kafka-jar-less
+sandbox earns, documented loudly.
+
+Input: a binary packets column (a kafka source's raw `value`, captured
+datagram payloads, a parquet archive). The live `read_udp_lines` source
+is text-typed; binary datagram capture is environment-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+V5_HEADER = 24  # v5.go ReadPacketHeader
+V1_HEADER = 16  # v1.go ReadPacketHeader
+RECORD_LEN = 48  # both templates
+
+
+def _u(col: Column, pos, length: int) -> Column:
+    """Big-endian unsigned int at 1-based byte `pos` (pos may be a
+    Column for per-record offsets)."""
+    return F.conv(F.hex(F.substring(col, pos, length)), 16, 10).cast("long")
+
+
+def _ip4(col: Column, pos) -> Column:
+    return F.concat_ws(
+        ".", *[_u(col, pos + k if isinstance(pos, int) else pos + F.lit(k), 1).cast("string") for k in range(4)]
+    )
+
+
+def netflow_packets(
+    field: str = "payload",
+    sender_col: str | None = None,
+    error_col: str = "netflow_error",
+):
+    """Stage: binary NetFlow export packets → one row per flow record.
+
+    Versions are dispatched per packet like the input's protocol
+    registry (v1 and v5 here). Output columns: the template field names
+    (sourceIPv4Address … destinationIPv4PrefixLength; v1 lacks the BGP
+    /mask fields — NULL there), `flow_seq_in_packet` (0-based record
+    index), exporter_* metadata, `ts` (the packet's seconds+nanoseconds
+    timestamp, microsecond precision), and `error_col` on the original
+    row when the packet is undecodable (those packets contribute no
+    flow rows, like OnPacket returning an error and no flows).
+    """
+
+    def stage(df: DataFrame) -> DataFrame:
+        p = F.col(field)
+        ver = _u(p, 1, 2)
+        count = _u(p, 3, 2)
+        hdr = F.when(ver == 5, F.lit(V5_HEADER)).when(ver == 1, F.lit(V1_HEADER))
+        plen = F.length(p)
+        err = (
+            F.when(p.isNull(), F.lit(None).cast("string"))
+            .when(plen < 4, F.lit("error reading netflow header: EOF"))
+            .when(~ver.isin(1, 5), F.concat(F.lit("unsupported netflow version "), ver))
+            .when(plen < hdr, F.lit("error reading netflow header: EOF"))
+            .when(
+                plen < hdr + F.lit(RECORD_LEN) * count,
+                F.lit("error parsing flows: short buffer"),
+            )
+        )
+        secs = _u(p, 9, 4)
+        nsecs = _u(p, 13, 4)
+        ts = F.timestamp_micros(
+            secs * F.lit(1_000_000) + F.floor(nsecs / F.lit(1000)).cast("long")
+        )
+        out = (
+            df.withColumn(error_col, err)
+            .withColumn("exporter_version", ver)
+            .withColumn("exporter_uptime_millis", _u(p, 5, 4))
+            .withColumn("ts", ts)
+            .withColumn("flow_sequence", F.when(ver == 5, _u(p, 17, 4)))
+            .withColumn("exporter_engine_type", F.when(ver == 5, _u(p, 21, 1)))
+            .withColumn("exporter_engine_id", F.when(ver == 5, _u(p, 22, 1)))
+            .withColumn("exporter_sampling_interval", F.when(ver == 5, _u(p, 23, 2)))
+        )
+        if sender_col:
+            out = out.withColumn("exporter_address", F.col(sender_col))
+        # one row per record; bad packets explode an empty sequence
+        n = F.when(F.col(error_col).isNull() & count.isNotNull(), count).otherwise(F.lit(0))
+        # sequence(1, 0) is illegal in Spark — empty/bad packets take the
+        # empty-array branch (CaseWhen evaluates branches lazily per row)
+        recs = F.when(n > 0, F.sequence(F.lit(1).cast("long"), n, F.lit(1).cast("long"))).otherwise(
+            F.array().cast("array<long>")
+        )
+        out = out.select(
+            "*",
+            F.posexplode_outer(recs).alias("flow_seq_in_packet", "_rec_no"),
+        )
+        base = hdr + (F.col("_rec_no") - 1) * RECORD_LEN + 1  # 1-based
+        is5 = F.col("exporter_version") == 5
+
+        def rec(offset: int, length: int) -> Column:
+            return _u(p, base + offset, length)
+
+        out = (
+            out.withColumn("sourceIPv4Address", _ip4(p, base))
+            .withColumn("destinationIPv4Address", _ip4(p, base + 4))
+            .withColumn("ipNextHopIPv4Address", _ip4(p, base + 8))
+            .withColumn("ingressInterface", rec(12, 2))
+            .withColumn("egressInterface", rec(14, 2))
+            .withColumn("packetDeltaCount", rec(16, 4))
+            .withColumn("octetDeltaCount", rec(20, 4))
+            .withColumn("flowStartSysUpTime", rec(24, 4))
+            .withColumn("flowEndSysUpTime", rec(28, 4))
+            .withColumn("sourceTransportPort", rec(32, 2))
+            .withColumn("destinationTransportPort", rec(34, 2))
+            # v5: pad@36 flags@37 proto@38 tos@39; v1: pad@36-37 proto@38
+            # tos@39 flags@40 (templates above)
+            .withColumn("tcpControlBits", F.when(is5, rec(37, 1)).otherwise(rec(40, 1)))
+            .withColumn("protocolIdentifier", rec(38, 1))
+            .withColumn("ipClassOfService", rec(39, 1))
+            .withColumn("bgpSourceAsNumber", F.when(is5, rec(40, 2)))
+            .withColumn("bgpDestinationAsNumber", F.when(is5, rec(42, 2)))
+            .withColumn("sourceIPv4PrefixLength", F.when(is5, rec(44, 1)))
+            .withColumn("destinationIPv4PrefixLength", F.when(is5, rec(45, 1)))
+        )
+        # rows for undecodable packets keep the error and NULL fields
+        # (posexplode_outer emitted one NULL-index row); drop the NULL
+        # flow row only when the packet decoded cleanly but was empty
+        out = out.filter(
+            F.col("_rec_no").isNotNull() | F.col(error_col).isNotNull()
+        )
+        return out.drop("_rec_no")
+
+    return stage

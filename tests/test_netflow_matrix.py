@@ -1,0 +1,113 @@
+"""NetFlow v1/v5 decoder — the reference decoder tests ported verbatim
+(decoder/v5/v5_test.go, decoder/v1/v1_test.go): the exact fixture
+packets decode to the exact expected records, and the BadPacket
+truncated buffers yield zero flows + an error."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from beats_spark.processors.netflow import netflow_packets
+
+V5_RAW = bytes.fromhex(
+    "00050002000000015bf68d8b35fcb9780000000000000000"
+    "acd910e5c0a8017b00000000000000000000000e00002cfa"
+    "ffe8086cffe80f6201bbd711001806000000000000000000"
+    "c0a8017bacd910e500000000000000000000000700000c5b"
+    "ffe8086cffe80f62d71101bb001806000000000000000000"
+)
+V5_TS = dt.datetime(2018, 11, 22, 11, 5, 47, 905755)
+
+V1_RAW = bytes.fromhex(
+    "00010002000000015bf689f605946fb0"
+    "acd910e5c0a8017b00000000000000000000000e00002cfa"
+    "fff609a0fff6109601bbd711000006001800000000000000"
+    "c0a8017bacd910e500000000000000000000000700000c5b"
+    "fff609a0fff61096d71101bb000006001800000000000000"
+)
+V1_TS = dt.datetime(2018, 11, 22, 10, 50, 30, 93614)
+
+
+def _decode(spark, payloads):
+    df = spark.createDataFrame(
+        [(name, p, "127.0.0.1:59707") for name, p in payloads],
+        "pkt string, payload binary, peer string",
+    )
+    return netflow_packets("payload", sender_col="peer")(df).collect()
+
+
+def test_v5_fixture(spark):
+    rows = sorted(_decode(spark, [("v5", V5_RAW)]), key=lambda r: r.flow_seq_in_packet)
+    assert len(rows) == 2
+    a, b = rows
+    for r in (a, b):
+        assert r.netflow_error is None
+        assert r.exporter_version == 5 and r.exporter_uptime_millis == 1
+        assert r.exporter_engine_type == 0 and r.exporter_engine_id == 0
+        assert r.exporter_sampling_interval == 0 and r.flow_sequence == 0
+        assert r.exporter_address == "127.0.0.1:59707"
+        assert r.ts == V5_TS
+        assert r.flowStartSysUpTime == 4293396588 and r.flowEndSysUpTime == 4293398370
+        assert r.protocolIdentifier == 6 and r.tcpControlBits == 24
+        assert r.ipClassOfService == 0
+        assert r.bgpSourceAsNumber == 0 and r.bgpDestinationAsNumber == 0
+        assert r.sourceIPv4PrefixLength == 0 and r.destinationIPv4PrefixLength == 0
+        assert r.ingressInterface == 0 and r.egressInterface == 0
+        assert r.ipNextHopIPv4Address == "0.0.0.0"
+    assert a.sourceIPv4Address == "172.217.16.229"
+    assert a.destinationIPv4Address == "192.168.1.123"
+    assert (a.sourceTransportPort, a.destinationTransportPort) == (443, 55057)
+    assert (a.packetDeltaCount, a.octetDeltaCount) == (14, 11514)
+    assert b.sourceIPv4Address == "192.168.1.123"
+    assert b.destinationIPv4Address == "172.217.16.229"
+    assert (b.sourceTransportPort, b.destinationTransportPort) == (55057, 443)
+    assert (b.packetDeltaCount, b.octetDeltaCount) == (7, 3163)
+
+
+def test_v1_fixture(spark):
+    rows = sorted(_decode(spark, [("v1", V1_RAW)]), key=lambda r: r.flow_seq_in_packet)
+    assert len(rows) == 2
+    a, b = rows
+    for r in (a, b):
+        assert r.netflow_error is None
+        assert r.exporter_version == 1 and r.exporter_uptime_millis == 1
+        assert r.ts == V1_TS
+        # v1 has no engine/sampling/BGP/mask fields
+        assert r.exporter_engine_type is None and r.flow_sequence is None
+        assert r.bgpSourceAsNumber is None and r.sourceIPv4PrefixLength is None
+        assert r.protocolIdentifier == 6 and r.ipClassOfService == 0
+        assert r.tcpControlBits == 24  # v1 layout: flags at offset 40
+        assert r.flowStartSysUpTime == 4294314400 and r.flowEndSysUpTime == 4294316182
+    assert a.sourceIPv4Address == "172.217.16.229"
+    assert (a.packetDeltaCount, a.octetDeltaCount) == (14, 11514)
+    assert b.sourceIPv4Address == "192.168.1.123"
+    assert (b.sourceTransportPort, b.destinationTransportPort) == (55057, 443)
+
+
+def test_bad_packets(spark):
+    """v5_test.go/v1_test.go TestNetflowProtocol_BadPacket (truncated
+    after the header prefix) + an unsupported version: zero flow rows,
+    one error row each."""
+    rows = _decode(
+        spark,
+        [
+            ("bad5", bytes.fromhex("00050002000000015bf689f605")),
+            ("bad1", bytes.fromhex("00010002000000015bf689f605")),
+            ("v9", bytes.fromhex("0009000400000001") + b"\x00" * 16),
+            ("tiny", bytes.fromhex("0005")),
+        ],
+    )
+    by = {r.pkt: r for r in rows}
+    assert len(rows) == 4  # one error row per packet, no flow rows
+    assert by["bad5"].netflow_error == "error reading netflow header: EOF"
+    assert by["bad1"].netflow_error == "error reading netflow header: EOF"
+    assert by["v9"].netflow_error == "unsupported netflow version 9"
+    assert by["tiny"].netflow_error == "error reading netflow header: EOF"
+    assert all(r.flow_seq_in_packet is None for r in rows)
+
+
+def test_count_zero_packet_is_silent(spark):
+    """A grammatical packet announcing zero records produces no rows at
+    all (OnPacket: no flows, no error)."""
+    v5_empty = bytes.fromhex("00050000000000015bf68d8b35fcb978") + b"\x00" * 8
+    assert _decode(spark, [("empty", v5_empty)]) == []
