@@ -1555,7 +1555,85 @@ def q_community_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("case_id"),
         F.col("flow_tuple").alias("val"),
     )
-    return digests.unionByName(tuples)
+
+    # r5e fold: NetFlow v1/v5 decode at scale. Each event synthesizes one
+    # export packet (even ids v5, odd ids v1) as hex → unhex binary, the
+    # pure-Column decoder (independently pinned byte-for-byte by the
+    # reference fixture tests) decodes it, and the oracle recomputes every
+    # field from the same event_id formulas — no binary on the DuckDB side.
+    from beats_spark.processors.netflow import netflow_packets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    i = F.col("event_id")
+
+    def hx(col, width):
+        return F.lpad(F.hex(col.cast("bigint")), width, "0")
+
+    secs = F.lit(1500000000) + (i % 10000)
+    nsecs = (i % 1000) * 1000000
+    uptime = i % 100000
+    s_l = (
+        F.lit(10 * 2**24) + (F.col("user_id") % 256) * 65536 + (i % 256) * 256 + 1
+    )
+    d_l = F.lit(192 * 2**24 + 168 * 2**16 + 256) + (i % 200) + 1
+    first = i % 1000000
+    last = first + (i % 1000)
+    rec_common = F.concat(
+        hx(s_l, 8), hx(d_l, 8), F.lit("00000000"),            # src, dst, nexthop
+        hx(i % 512, 4), hx((i * 3) % 512, 4),                  # ingress, egress
+        hx(i % 100000, 8), hx(i % 12345678, 8),                # pkts, octets
+        hx(first, 8), hx(last, 8),                             # first, last
+        hx(i % 60000, 4), hx(i % 443, 4),                      # sport, dport
+    )
+    v5_tail = F.concat(
+        F.lit("00"), hx(i % 256, 2),                           # pad, flags
+        hx(F.when(i % 2 == 0, 6).otherwise(17), 2),            # proto
+        hx(i % 64, 2),                                         # tos
+        hx(i % 65536, 4), hx((i * 7) % 65536, 4),              # src_as, dst_as
+        hx(i % 33, 2), hx((i * 5) % 33, 2), F.lit("0000"),     # masks, pad
+    )
+    v1_tail = F.concat(
+        F.lit("0000"),                                          # pad(2)
+        hx(F.when(i % 2 == 0, 6).otherwise(17), 2),            # proto
+        hx(i % 64, 2),                                         # tos
+        hx(i % 256, 2),                                        # flags
+        F.lit("00" * 7),                                        # pad(7)
+    )
+    v5_pkt = F.concat(
+        F.lit("0005"), F.lit("0001"), hx(uptime, 8), hx(secs, 8), hx(nsecs, 8),
+        hx(i, 8), F.lit("0001"), hx(i % 16384, 4),             # seq, engine, sampling
+        rec_common, v5_tail,
+    )
+    v1_pkt = F.concat(
+        F.lit("0001"), F.lit("0001"), hx(uptime, 8), hx(secs, 8), hx(nsecs, 8),
+        rec_common, v1_tail,
+    )
+    pkts = ev.select(
+        "event_id",
+        F.unhex(F.when(i % 2 == 0, v5_pkt).otherwise(v1_pkt)).alias("payload"),
+    )
+    nf = netflow_packets("payload")(pkts)
+    s = lambda c: F.coalesce(F.col(c).cast("string"), F.lit("-"))  # noqa: E731
+    flows = nf.select(
+        F.lit("netflow").alias("kind"),
+        F.col("event_id").cast("bigint").alias("case_id"),
+        F.concat_ws(
+            "|",
+            s("exporter_version"), s("exporter_uptime_millis"),
+            F.unix_micros(F.col("ts")).cast("string"),
+            s("flow_sequence"), s("exporter_engine_type"),
+            s("exporter_engine_id"), s("exporter_sampling_interval"),
+            s("sourceIPv4Address"), s("destinationIPv4Address"),
+            s("ipNextHopIPv4Address"), s("ingressInterface"),
+            s("egressInterface"), s("packetDeltaCount"), s("octetDeltaCount"),
+            s("flowStartSysUpTime"), s("flowEndSysUpTime"),
+            s("sourceTransportPort"), s("destinationTransportPort"),
+            s("tcpControlBits"), s("protocolIdentifier"), s("ipClassOfService"),
+            s("bgpSourceAsNumber"), s("bgpDestinationAsNumber"),
+            s("sourceIPv4PrefixLength"), s("destinationIPv4PrefixLength"),
+        ).alias("val"),
+    )
+    return digests.unionByName(tuples).unionByName(flows)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2776,7 +2854,37 @@ def oracle_sql() -> dict[str, str]:
                    || ':' || (CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN src_ip ELSE dst_ip END)
                    || ':6:' || CAST(CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN dp ELSE sp END AS VARCHAR)
                    || ':' || CAST(CASE WHEN s_l > d_l OR (s_l = d_l AND sp > dp) THEN sp ELSE dp END AS VARCHAR) AS flow_tuple
-            FROM v)"""
+            FROM v)
+            UNION ALL
+            -- r5e fold: netflow v5 (even ids) / v1 (odd ids) decode —
+            -- every field recomputed from the construction formulas
+            SELECT 'netflow' AS kind, CAST(event_id AS BIGINT) AS case_id,
+              CASE WHEN event_id % 2 = 0 THEN '5' ELSE '1' END || '|' ||
+              CAST(event_id % 100000 AS VARCHAR) || '|' ||
+              CAST((1500000000 + event_id % 10000) * 1000000 + (event_id % 1000) * 1000 AS VARCHAR) || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR) ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN '0' ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN '1' ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 16384 AS VARCHAR) ELSE '-' END || '|' ||
+              '10.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) || '.1|' ||
+              '192.168.1.' || CAST(event_id % 200 + 1 AS VARCHAR) || '|' ||
+              '0.0.0.0|' ||
+              CAST(event_id % 512 AS VARCHAR) || '|' ||
+              CAST((event_id * 3) % 512 AS VARCHAR) || '|' ||
+              CAST(event_id % 100000 AS VARCHAR) || '|' ||
+              CAST(event_id % 12345678 AS VARCHAR) || '|' ||
+              CAST(event_id % 1000000 AS VARCHAR) || '|' ||
+              CAST(event_id % 1000000 + event_id % 1000 AS VARCHAR) || '|' ||
+              CAST(event_id % 60000 AS VARCHAR) || '|' ||
+              CAST(event_id % 443 AS VARCHAR) || '|' ||
+              CAST(event_id % 256 AS VARCHAR) || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN '6' ELSE '17' END || '|' ||
+              CAST(event_id % 64 AS VARCHAR) || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 65536 AS VARCHAR) ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST((event_id * 7) % 65536 AS VARCHAR) ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 33 AS VARCHAR) ELSE '-' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN CAST((event_id * 5) % 33 AS VARCHAR) ELSE '-' END AS val
+            FROM events"""
         ),
         "sessionize": _ORACLE_WITH
         + """SELECT 'session' AS kind, conv_id, min(ts) AS ts_out,
