@@ -164,6 +164,10 @@ def register_udp_source(spark: SparkSession) -> None:
             return "beats_udp"
 
         def schema(self) -> str:
+            # binary mode: raw datagram payloads (the netflow/binary-
+            # protocol path — a lossy utf-8 decode would corrupt packets)
+            if self.options.get("binary", "").lower() == "true":
+                return "payload binary, sender string, recv_ts timestamp"
             return "line string, sender string, recv_ts timestamp"
 
         def simpleStreamReader(self, schema):
@@ -176,6 +180,7 @@ def register_udp_source(spark: SparkSession) -> None:
                     # first instance would hold the port against the one
                     # that actually reads
                     self._sock = None
+                    self._binary = options.get("binary", "").lower() == "true"
                     self._max_per_batch = int(options.get("maxdatagramsperbatch", "10000"))
 
                 def _socket_lazy(self):
@@ -205,7 +210,8 @@ def register_udp_source(spark: SparkSession) -> None:
                             break
                         rows.append(
                             (
-                                data.decode("utf-8", errors="replace"),
+                                data if self._binary
+                                else data.decode("utf-8", errors="replace"),
                                 f"{addr[0]}:{addr[1]}",
                                 datetime.datetime.now(),
                             )
@@ -229,6 +235,21 @@ def read_udp_lines(spark: SparkSession, host: str = "127.0.0.1", port: int = 999
         spark.readStream.format("beats_udp")
         .option("host", host)
         .option("port", str(port))
+        .load()
+    )
+
+
+def read_udp_packets(spark: SparkSession, host: str = "127.0.0.1", port: int = 9996) -> DataFrame:
+    """Binary-datagram UDP input — raw `payload` bytes per datagram (no
+    utf-8 decode), the ingest edge binary protocols need: compose with
+    `netflow_packets` for the netflow input's UDP-server shape
+    (x-pack/filebeat/input/netflow receives export packets this way)."""
+    register_udp_source(spark)
+    return (
+        spark.readStream.format("beats_udp")
+        .option("host", host)
+        .option("port", str(port))
+        .option("binary", "true")
         .load()
     )
 

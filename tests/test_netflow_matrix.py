@@ -106,6 +106,60 @@ def test_bad_packets(spark):
     assert all(r.flow_seq_in_packet is None for r in rows)
 
 
+def test_netflow_over_udp_live(spark):
+    """The netflow input's real shape: export datagrams over UDP
+    (binary source, no lossy text decode) → pure-Column decode. The v5
+    fixture packet and a truncated packet arrive on the wire; two flow
+    rows and one error row come out."""
+    import socket
+    import threading
+    import time
+
+    from beats_spark.sources import read_udp_packets
+
+    probe = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    stream = read_udp_packets(spark, "127.0.0.1", port)
+    decoded = netflow_packets("payload", sender_col="sender")(stream)
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nf_udp")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def send():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            tx.sendto(V5_RAW, ("127.0.0.1", port))
+            tx.sendto(bytes.fromhex("00050002000000015bf689f605"), ("127.0.0.1", port))
+            time.sleep(1.0)
+        tx.close()
+
+    th = threading.Thread(target=send, daemon=True)
+    th.start()
+    rows, deadline = [], time.time() + 45
+    try:
+        while time.time() < deadline:
+            rows = spark.table("nf_udp").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    flows = [r for r in rows if r.netflow_error is None]
+    errors = [r for r in rows if r.netflow_error is not None]
+    assert flows and errors
+    assert {r.sourceIPv4Address for r in flows} == {"172.217.16.229", "192.168.1.123"}
+    assert all(r.exporter_address.startswith("127.0.0.1:") for r in rows)
+    assert errors[0].netflow_error == "error reading netflow header: EOF"
+
+
 def test_count_zero_packet_is_silent(spark):
     """A grammatical packet announcing zero records produces no rows at
     all (OnPacket: no flows, no error)."""
