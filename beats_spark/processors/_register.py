@@ -58,6 +58,7 @@ REGISTRY.update(
         "frame_lines": framing.frame_lines,
         # NetFlow v1/v5 fixed-layout binary decode (pure Column)
         "netflow_packets": netflow.netflow_packets,
+        "netflow_ecs_events": netflow.netflow_ecs_events,
         "decompress_gzip_field": parsers.decompress_gzip_field,
         # the line-reader's encoding step (readfile/encoding) as a
         # processor over a bytes column

@@ -151,3 +151,284 @@ def netflow_packets(
         return out.drop("_rec_no")
 
     return stage
+
+
+# ---------------------------------------------------------------------------
+# ECS conversion (convert.go flowToBeatEvent / toBeatEventCommon — the
+# v5/v1-relevant subset) + byte-compatible flow.id.
+# ---------------------------------------------------------------------------
+
+# xxHash64 primes (public algorithm constants)
+_P1 = 11400714785074694791
+_P2 = 14029467366897019727
+_P3 = 1609587929392839161
+_P4 = 9650029242287828579
+_P5 = 2870177450012600261
+_TWO64 = 1 << 64
+_TWO63 = 1 << 63
+
+
+def _dec(n: int) -> Column:
+    from decimal import Decimal
+
+    return F.lit(Decimal(n)).cast("decimal(38,0)")
+
+
+def _u64d(l: Column) -> Column:
+    """Signed-long bit pattern → unsigned value as decimal(38,0)."""
+    d = l.cast("decimal(38,0)")
+    return F.when(l < 0, d + _dec(_TWO64)).otherwise(d)
+
+
+def _s64(d: Column) -> Column:
+    """Unsigned decimal in [0, 2^64) → signed-long bit pattern."""
+    return F.when(d >= _dec(_TWO63), (d - _dec(_TWO64)).cast("long")).otherwise(
+        d.cast("long")
+    )
+
+
+def _mul64c(l: Column, c: int) -> Column:
+    """l * c mod 2^64 under ANSI: 32-bit limb split (bit ops, no
+    overflow) + decimal products (< 2^97, fits decimal(38))."""
+    a0 = l.bitwiseAND(F.lit(0xFFFFFFFF)).cast("decimal(38,0)")
+    a1 = F.shiftrightunsigned(l, 32).cast("decimal(38,0)")
+    cd = _dec(c % _TWO64)
+    r = F.pmod(a0 * cd + F.pmod(a1 * cd, _dec(1 << 32)) * _dec(1 << 32), _dec(_TWO64))
+    return _s64(r)
+
+
+def _add64c(l: Column, c: int) -> Column:
+    return _s64(F.pmod(_u64d(l) + _dec(c % _TWO64), _dec(_TWO64)))
+
+
+def _rotl64(l: Column, r: int) -> Column:
+    return F.shiftleft(l, r).bitwiseOR(F.shiftrightunsigned(l, 64 - r))
+
+
+def _le_read(data: Column, pos: int, nbytes: int) -> Column:
+    """Little-endian unsigned read as a signed-long bit pattern (bit
+    ops only — safe under ANSI)."""
+    out = F.lit(0).cast("long")
+    for i in range(nbytes):
+        b = F.conv(F.hex(F.substring(data, pos + i, 1)), 16, 10).cast("long")
+        out = out.bitwiseOR(F.shiftleft(b, 8 * i))
+    return out
+
+
+def _xxhash13_steps(buf: Column) -> list[tuple[str, Column]]:
+    """xxHash64 (seed 0) of EXACTLY 13 bytes — the specialization the
+    netflow flow.id needs (4+2+4+2+1 bytes, convert.go:519-539). For a
+    13-byte input the stripe loop never runs: one 8-byte lane, one
+    4-byte read, one tail byte, then the avalanche.
+
+    Emitted as a LIST of named steps (each referencing the previous by
+    column name): every mod-2^64 helper uses its input 2-4 times, so an
+    inline expression tree grows 4^steps — building through named
+    intermediate columns keeps the analyzed plan linear (and Catalyst's
+    CollapseProject declines to re-inline multi-use non-cheap aliases).
+    The final step `_xx_out` holds the digest's signed-long bit pattern.
+    """
+    acc0 = (_P5 + 13) % _TWO64  # seed 0 + P5 + len
+    init = F.lit(acc0 - _TWO64 if acc0 >= _TWO63 else acc0).cast("long")
+    c = F.col
+    return [
+        ("_xx_k8", _le_read(buf, 1, 8)),
+        ("_xx_k4", _le_read(buf, 9, 4)),
+        ("_xx_tb", _le_read(buf, 13, 1)),
+        ("_xx_a", _mul64c(c("_xx_k8"), _P2)),
+        ("_xx_b", _rotl64(c("_xx_a"), 31)),
+        ("_xx_c", init.bitwiseXOR(_mul64c(c("_xx_b"), _P1))),
+        ("_xx_d", _rotl64(c("_xx_c"), 27)),
+        ("_xx_e", _add64c(_mul64c(c("_xx_d"), _P1), _P4)),
+        ("_xx_f", c("_xx_e").bitwiseXOR(_mul64c(c("_xx_k4"), _P1))),
+        ("_xx_g", _rotl64(c("_xx_f"), 23)),
+        ("_xx_h", _add64c(_mul64c(c("_xx_g"), _P2), _P3)),
+        ("_xx_i", c("_xx_h").bitwiseXOR(_mul64c(c("_xx_tb"), _P5))),
+        ("_xx_j", _rotl64(c("_xx_i"), 11)),
+        ("_xx_k", _mul64c(c("_xx_j"), _P1)),
+        ("_xx_l", c("_xx_k").bitwiseXOR(F.shiftrightunsigned(c("_xx_k"), 33))),
+        ("_xx_m", _mul64c(c("_xx_l"), _P2)),
+        ("_xx_n", c("_xx_m").bitwiseXOR(F.shiftrightunsigned(c("_xx_m"), 29))),
+        ("_xx_o", _mul64c(c("_xx_n"), _P3)),
+        ("_xx_out", c("_xx_o").bitwiseXOR(F.shiftrightunsigned(c("_xx_o"), 32))),
+    ]
+
+
+def with_xxhash64_13(df: DataFrame, buf: Column, out: str) -> DataFrame:
+    """Add `out` = xxHash64(13-byte buf) as a signed-long bit pattern."""
+    for name, expr in _xxhash13_steps(buf):
+        df = df.withColumn(name, expr)
+    return df.withColumnRenamed("_xx_out", out).drop(
+        *[n for n, _ in _xxhash13_steps(F.lit(b"")) if n != "_xx_out"]
+    )
+
+
+def _ip4_bytes_hex(ip: Column) -> Column:
+    """Dotted-quad string → 8 hex chars (4 bytes)."""
+    return F.concat(
+        *[
+            F.lpad(F.hex(F.split(ip, r"\.")[i].cast("int")), 2, "0")
+            for i in range(4)
+        ]
+    )
+
+
+def with_flow_id(
+    df: DataFrame,
+    src_ip: Column,
+    dst_ip: Column,
+    src_port: Column,
+    dst_port: Column,
+    proto: Column,
+    out: str = "flow_id",
+) -> DataFrame:
+    """convert.go:519-539 flowID, byte-compatible: xxHash64 over
+    (hiIP, hiPort, loIP, loPort) ordered by srcPort >= dstPort, then
+    the protocol byte; digest base64url-encoded without padding (Go's
+    RawURLEncoding of h.Sum(nil)). DataFrame-level so the hash builds
+    through named intermediates (see _xxhash13_steps)."""
+    swap = src_port < dst_port
+    first_ip = F.when(swap, dst_ip).otherwise(src_ip)
+    first_port = F.when(swap, dst_port).otherwise(src_port)
+    second_ip = F.when(swap, src_ip).otherwise(dst_ip)
+    second_port = F.when(swap, src_port).otherwise(dst_port)
+    buf = F.unhex(
+        F.concat(
+            _ip4_bytes_hex(first_ip),
+            F.lpad(F.hex(first_port.cast("int")), 4, "0"),
+            _ip4_bytes_hex(second_ip),
+            F.lpad(F.hex(second_port.cast("int")), 4, "0"),
+            F.lpad(F.hex(proto.cast("int")), 2, "0"),
+        )
+    )
+    df = with_xxhash64_13(df.withColumn("_fid_buf", buf), F.col("_fid_buf"), "_fid_h")
+    digest_be = F.unhex(F.lpad(F.hex(F.col("_fid_h")), 16, "0"))
+    return df.withColumn(
+        out,
+        F.when(
+            F.col("_fid_buf").isNotNull(),
+            F.regexp_replace(F.translate(F.base64(digest_be), "+/", "-_"), "=+$", ""),
+        ),
+    ).drop("_fid_buf", "_fid_h")
+
+
+def netflow_ecs_events(internal_networks: list[str] | None = None):
+    """convert.go's flowToBeatEvent + toBeatEventCommon over decoded
+    v1/v5 flow rows (the netflow_packets output) — flat ECS spellings:
+
+      event_kind/category/action/type, observer_ip (exporter address
+      sans port, extractIPFromIPPort), event_start/event_end (sysuptime
+      arithmetic with the bogus-uptime guard: an uptime offset in the
+      future is dropped), event_duration_ns, source_ip/port/bytes/
+      packets/locality, destination_*, flow_id (byte-compatible
+      xxHash64, flowID), flow_locality, network_transport (iana name
+      table)/iana_number/bytes/packets/direction ('unknown' — v5
+      carries no flowDirection), network_community_id (the
+      byte-compatible v1 digest already in enrich), related_ip
+      (lexically sorted unique, uniqueIPs).
+
+    Locality per getIPLocality: an address is internal iff it matches
+    `internal_networks` (CIDRs or named networks) OR is local
+    (loopback/unspecified/broadcast/link-local/interface-local —
+    isLocal, convert.go:468-475); flow_locality requires BOTH ends.
+    Only rows that decoded a flow are converted; error rows pass
+    through untouched."""
+    from ..conditions import network_match
+    from .enrich import community_id
+
+    nets = internal_networks or ["private"]
+    _LOCAL = [
+        "loopback",
+        "unspecified",
+        "link_local_unicast",
+        "link_local_multicast",
+        "interface_local_multicast",
+        "255.255.255.255/32",
+    ]
+    iana = {1: "icmp", 6: "tcp", 17: "udp", 58: "ipv6-icmp"}
+
+    def locality(*ips: Column) -> Column:
+        ok = F.lit(True)
+        for ip in ips:
+            ok = ok & (network_match(ip, nets) | network_match(ip, _LOCAL))
+        return F.when(ok, F.lit("internal")).otherwise(F.lit("external"))
+
+    def stage(df: DataFrame) -> DataFrame:
+        is_flow = F.col("flow_seq_in_packet").isNotNull()
+        up = F.col("exporter_uptime_millis")
+        start_up, end_up = F.col("flowStartSysUpTime"), F.col("flowEndSysUpTime")
+        base_us = F.unix_micros(F.col("ts"))
+        has_start = is_flow & start_up.isNotNull() & (start_up <= up)
+        has_end = is_flow & end_up.isNotNull() & (end_up <= up)
+        src, dst = F.col("sourceIPv4Address"), F.col("destinationIPv4Address")
+        proto = F.col("protocolIdentifier")
+        out = (
+            df.withColumn("event_kind", F.when(is_flow, F.lit("event")))
+            .withColumn("event_category", F.when(is_flow, F.array(F.lit("network"))))
+            .withColumn("event_action", F.when(is_flow, F.lit("netflow_flow")))
+            .withColumn("event_type", F.when(is_flow, F.array(F.lit("connection"))))
+            .withColumn(
+                "event_start",
+                F.when(has_start, F.timestamp_micros(base_us + (start_up - up) * 1000)),
+            )
+            .withColumn(
+                "event_end",
+                F.when(has_end, F.timestamp_micros(base_us + (end_up - up) * 1000)),
+            )
+            .withColumn(
+                "event_duration_ns",
+                F.when(has_start & has_end, (end_up - start_up) * 1000000),
+            )
+            .withColumn("source_ip", F.when(is_flow, src))
+            .withColumn("source_port", F.when(is_flow, F.col("sourceTransportPort")))
+            .withColumn("source_bytes", F.when(is_flow, F.col("octetDeltaCount")))
+            .withColumn("source_packets", F.when(is_flow, F.col("packetDeltaCount")))
+            .withColumn("source_locality", F.when(is_flow, locality(src)))
+            .withColumn("destination_ip", F.when(is_flow, dst))
+            .withColumn(
+                "destination_port", F.when(is_flow, F.col("destinationTransportPort"))
+            )
+            .withColumn("destination_locality", F.when(is_flow, locality(dst)))
+            .withColumn("flow_locality", F.when(is_flow, locality(src, dst)))
+            .withColumn(
+                "network_transport",
+                F.when(
+                    is_flow,
+                    F.coalesce(
+                        *[F.when(proto == k, F.lit(v)) for k, v in iana.items()],
+                        F.concat(F.lit("unknown ("), proto.cast("string"), F.lit(")")),
+                    ),
+                ),
+            )
+            .withColumn("network_iana_number", F.when(is_flow, proto))
+            .withColumn("network_bytes", F.when(is_flow, F.col("octetDeltaCount")))
+            .withColumn("network_packets", F.when(is_flow, F.col("packetDeltaCount")))
+            .withColumn("network_direction", F.when(is_flow, F.lit("unknown")))
+            .withColumn(
+                "related_ip",
+                F.when(is_flow, F.array_sort(F.array_distinct(F.array(src, dst)))),
+            )
+        )
+        if "exporter_address" in df.columns:
+            out = out.withColumn(
+                "observer_ip",
+                F.when(
+                    is_flow,
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("exporter_address"), r":[0-9]+$", ""),
+                        r"^\[|\]$",
+                        "",
+                    ),
+                ),
+            )
+        out = with_flow_id(
+            out, src, dst, F.col("sourceTransportPort"),
+            F.col("destinationTransportPort"), proto, out="flow_id",
+        )
+        cid = community_id(
+            "source_ip", "destination_ip", "source_port", "destination_port",
+            "protocolIdentifier", target="network_community_id",
+        )
+        return cid(out)
+
+    return stage

@@ -1,0 +1,189 @@
+"""netflow ECS conversion (convert.go flowToBeatEvent subset) + the
+byte-compatible flow.id: the Column xxHash64 specialization is checked
+against an INDEPENDENT full Python xxHash64 (validated on published
+vectors) over randomized 13-byte tuples, and the conversion semantics
+(uptime arithmetic with the bogus-uptime guard, locality, transport
+names, related.ip, direction-invariant flow.id) over the reference's v5
+fixture packet plus a synthetic packet with sane uptimes."""
+
+from __future__ import annotations
+
+import base64
+import datetime as dt
+import random
+import struct
+
+from pyspark.sql import functions as F
+
+from beats_spark.processors.netflow import (
+    netflow_ecs_events,
+    netflow_packets,
+    with_flow_id,
+    with_xxhash64_13,
+)
+from tests.test_netflow_matrix import V5_RAW
+
+_M = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    11400714785074694791, 14029467366897019727, 1609587929392839161,
+    9650029242287828579, 2870177450012600261,
+)
+
+
+def _rotl(x, r):
+    return ((x << r) | (x >> (64 - r))) & _M
+
+
+def py_xxh64(data: bytes, seed: int = 0) -> int:
+    """Independent xxHash64 (full algorithm, any length)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M, (seed + _P2) & _M
+        v3, v4 = seed & _M, (seed - _P1) & _M
+        while i <= n - 32:
+            vs = [v1, v2, v3, v4]
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                vs[j] = (_rotl((vs[j] + k * _P2) & _M, 31) * _P1) & _M
+            v1, v2, v3, v4 = vs
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
+        for v in (v1, v2, v3, v4):
+            h = (((h ^ ((_rotl((v * _P2) & _M, 31) * _P1) & _M)) * _P1) + _P4) & _M
+    else:
+        h = (seed + _P5) & _M
+    h = (h + n) & _M
+    while i <= n - 8:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M, 31) * _P1) & _M
+        h = ((_rotl(h, 27) * _P1) + _P4) & _M
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M
+        h = ((_rotl(h, 23) * _P2) + _P3) & _M
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M
+        h = (_rotl(h, 11) * _P1) & _M
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M
+    h ^= h >> 29
+    h = (h * _P3) & _M
+    h ^= h >> 32
+    return h
+
+
+def py_flow_id(src_ip, dst_ip, sp, dp, proto) -> str:
+    """convert.go flowID replayed over the Python hash."""
+    s = bytes(int(x) for x in src_ip.split("."))
+    d = bytes(int(x) for x in dst_ip.split("."))
+    if sp >= dp:
+        buf = s + struct.pack(">H", sp) + d + struct.pack(">H", dp)
+    else:
+        buf = d + struct.pack(">H", dp) + s + struct.pack(">H", sp)
+    buf += struct.pack(">B", proto)
+    digest = struct.pack(">Q", py_xxh64(buf))
+    return base64.urlsafe_b64encode(digest).decode().rstrip("=")
+
+
+def test_python_reference_matches_published_vectors():
+    assert py_xxh64(b"") == 0xEF46DB3751D8E999
+    assert py_xxh64(b"abc") == 0x44BC2CF5AD770999
+    # >=32-byte branch sanity (self-consistency on length boundaries)
+    assert py_xxh64(b"x" * 31) != py_xxh64(b"x" * 32)
+
+
+def test_column_xxhash_13_matches_python(spark):
+    rng = random.Random(20260818)
+    bufs = [bytes(rng.randrange(256) for _ in range(13)) for _ in range(64)]
+    df = spark.createDataFrame([(b,) for b in bufs], "buf binary")
+    rows = with_xxhash64_13(df, F.col("buf"), "h").collect()
+    for r in rows:
+        got = r.h & _M
+        assert got == py_xxh64(bytes(r.buf)), bytes(r.buf).hex()
+
+
+def test_flow_id_column_matches_python_and_is_direction_invariant(spark):
+    rng = random.Random(7)
+    tuples = [
+        (
+            f"{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}",
+            f"{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}.{rng.randrange(256)}",
+            rng.randrange(65536), rng.randrange(65536), rng.choice([1, 6, 17, 47]),
+        )
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(tuples, "s string, d string, sp int, dp int, proto int")
+    df = with_flow_id(df, F.col("s"), F.col("d"), F.col("sp"), F.col("dp"), F.col("proto"), out="fid")
+    df = with_flow_id(df, F.col("d"), F.col("s"), F.col("dp"), F.col("sp"), F.col("proto"), out="fid_rev")
+    out = df.collect()
+    for r in out:
+        assert r.fid == py_flow_id(r.s, r.d, r.sp, r.dp, r.proto), (r.s, r.d)
+        assert r.fid == r.fid_rev  # both directions share the ID
+
+
+def _ecs_rows(spark, payloads):
+    df = spark.createDataFrame(
+        [(name, p, "127.0.0.1:59707") for name, p in payloads],
+        "pkt string, payload binary, peer string",
+    )
+    decoded = netflow_packets("payload", sender_col="peer")(df)
+    return netflow_ecs_events()(decoded).collect()
+
+
+def test_ecs_conversion_v5_fixture(spark):
+    rows = sorted(_ecs_rows(spark, [("v5", V5_RAW)]), key=lambda r: r.flow_seq_in_packet)
+    a, b = rows
+    for r in rows:
+        assert r.event_kind == "event" and r.event_action == "netflow_flow"
+        assert r.event_category == ["network"] and r.event_type == ["connection"]
+        assert r.observer_ip == "127.0.0.1"
+        # fixture uptime is 1 ms but flow uptimes are huge — the
+        # bogus-uptime guard drops start/end/duration
+        assert r.event_start is None and r.event_end is None
+        assert r.event_duration_ns is None
+        assert r.network_transport == "tcp" and r.network_iana_number == 6
+        assert r.network_direction == "unknown"
+        assert r.related_ip == ["172.217.16.229", "192.168.1.123"]
+        assert r.network_community_id and r.network_community_id.startswith("1:")
+        assert r.flow_id == py_flow_id(
+            r.source_ip, r.destination_ip, r.source_port, r.destination_port, 6
+        )
+    assert (a.source_locality, a.destination_locality) == ("external", "internal")
+    assert (b.source_locality, b.destination_locality) == ("internal", "external")
+    assert a.flow_locality == b.flow_locality == "external"
+    # reverse flows share flow.id AND community_id
+    assert a.flow_id == b.flow_id
+    assert a.network_community_id == b.network_community_id
+    assert (a.source_bytes, a.source_packets) == (11514, 14)
+    assert (a.network_bytes, a.network_packets) == (11514, 14)
+
+
+def test_ecs_uptime_arithmetic(spark):
+    """A sane exporter uptime: start/end are ts shifted by the uptime
+    deltas, duration is their distance in nanoseconds."""
+    secs = 1700000000
+    pkt = (
+        struct.pack(">HHIII", 5, 1, 5000, secs, 0)
+        + struct.pack(">IBBH", 7, 0, 0, 0)
+        + bytes(4 * [10, 0, 0, 1])[:4] + bytes([10, 0, 0, 2]) + bytes(4)
+        + struct.pack(">HHIIII", 0, 0, 3, 300, 1000, 3000)
+        + struct.pack(">HH", 1234, 80)
+        + bytes([0, 24, 6, 0])
+        + struct.pack(">HH", 0, 0) + bytes([0, 0]) + bytes(2)
+    )
+    assert len(pkt) == 24 + 48
+    rows = _ecs_rows(spark, [("sane", pkt)])
+    assert len(rows) == 1
+    r = rows[0]
+    base = dt.datetime(1970, 1, 1) + dt.timedelta(seconds=secs)
+    assert r.event_start == base - dt.timedelta(milliseconds=4000)
+    assert r.event_end == base - dt.timedelta(milliseconds=2000)
+    assert r.event_duration_ns == 2000 * 1000000
+    assert (r.source_ip, r.destination_ip) == ("10.0.0.1", "10.0.0.2")
+    assert (r.source_locality, r.destination_locality, r.flow_locality) == (
+        "internal", "internal", "internal"
+    )
+    assert r.network_transport == "tcp"
+    assert r.flow_id == py_flow_id("10.0.0.1", "10.0.0.2", 1234, 80, 6)
