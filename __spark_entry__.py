@@ -34,6 +34,26 @@ from beats_spark.pipeline import flagship, parse_enrich, route_events
 _P = '^level=(.*?) ts=(.*?) tool=(.*?) msg="(.*?)".*$'
 _STEP_P = "^ran step (.*)$"
 
+# grok fold (r5): same lines through the grok engine.  The bank entries
+# used here (WORD, DATA, GREEDYDATA) plus the custom TSRE2 definition
+# expand to an RE2-compatible regex, so DuckDB replays the EXACT
+# compiled pattern with regexp_matches/regexp_extract.
+_GROK_FOLD_DEFS = {"TSRE2": r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"}
+_GROK_FOLD_PAT = (
+    '^level=%{WORD:gk_level} ts=%{TSRE2:gk_ts} tool=%{DATA:gk_tool} msg="%{GREEDYDATA:gk_msg}"$'
+)
+
+
+def _grok_fold_regex() -> str:
+    from beats_spark.grok import compile_grok
+
+    cg = compile_grok(_GROK_FOLD_PAT, _GROK_FOLD_DEFS)
+    assert [c.group for c in cg.captures] == [1, 2, 3, 4]
+    return cg.regex
+
+
+_GK_P = _grok_fold_regex()
+
 _ORACLE_WITH = (
     "WITH "
     + synth.DUCKDB_TRANSCRIPTS_CTE
@@ -193,12 +213,30 @@ def q_agg_events_per_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dissect_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dissect (flagship tokenizer) + grok (r5 fold: the north rule's
+    "grok/regex parse" stage over the same lines — pattern-bank
+    expansion to one Java regex, first-match semantics, failure tag).
+    The grok pattern is restricted to RE2-safe bank entries so DuckDB
+    replays the exact compiled regex."""
     from beats_spark.dissect import dissect_columns
+    from beats_spark.grok import FLAG_GROK_FAILURE, grok_columns
     from beats_spark.pipeline import FLAGSHIP_TOK
 
     t = synth.transcripts(spark, sf_dir)
-    return dissect_columns(t, FLAGSHIP_TOK, src="text").select(
-        "conv_id", "turn_idx", "level", "ts_str", "tool_tok", "msg"
+    out = dissect_columns(t, FLAGSHIP_TOK, src="text")
+    out = grok_columns(out, _GROK_FOLD_PAT, src="text", pattern_definitions=_GROK_FOLD_DEFS)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "level",
+        "ts_str",
+        "tool_tok",
+        "msg",
+        "gk_level",
+        "gk_ts",
+        "gk_tool",
+        "gk_msg",
+        F.array_contains("log_flags", FLAG_GROK_FAILURE).alias("gk_failed"),
     )
 
 
@@ -2347,9 +2385,14 @@ def oracle_sql() -> dict[str, str]:
                     count(*) AS n_events
              FROM routed GROUP BY 1, 2, 3""",
         "dissect_extract": _ORACLE_WITH
-        + """SELECT conv_id, turn_idx, level, ts_str,
-                    tool_tok, msg
-             FROM parsed""",
+        + f"""SELECT conv_id, turn_idx, level, ts_str,
+                    tool_tok, msg,
+                    CASE WHEN grok_ok THEN regexp_extract(text, '{_GK_P}', 1) END AS gk_level,
+                    CASE WHEN grok_ok THEN regexp_extract(text, '{_GK_P}', 2) END AS gk_ts,
+                    CASE WHEN grok_ok THEN regexp_extract(text, '{_GK_P}', 3) END AS gk_tool,
+                    CASE WHEN grok_ok THEN regexp_extract(text, '{_GK_P}', 4) END AS gk_msg,
+                    NOT grok_ok AS gk_failed
+             FROM (SELECT *, regexp_matches(text, '{_GK_P}') AS grok_ok FROM parsed)""",
         "conditions_filter": _ORACLE_WITH
         + """SELECT 'dsl' AS kind, conv_id AS k1, CAST(turn_idx AS BIGINT) AS n1,
                     role AS v1, tool AS v2

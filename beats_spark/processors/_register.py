@@ -163,6 +163,10 @@ def dissect_builder(**cfg):
 
 REGISTRY["dissect"] = dissect_builder
 
+from ..grok import grok_builder as _grok_builder  # noqa: E402
+
+REGISTRY["grok"] = _grok_builder
+
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script

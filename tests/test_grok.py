@@ -1,0 +1,270 @@
+"""Grok engine tests — compile-time contract, Python-re oracle parity,
+classic golden lines (apache / syslog / ISO8601), processor semantics.
+
+The oracle: the compiled Java regex is also a valid Python 3.11 regex
+for every bank pattern we ship (atomic groups landed in 3.11; all
+lookbehinds are fixed-width), so `re` replays the same match and the
+same numbered groups independently of Spark.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.grok import (
+    FLAG_GROK_FAILURE,
+    GrokError,
+    PATTERN_BANK,
+    compile_grok,
+    grok_columns,
+)
+
+# ---------------------------------------------------------------------------
+# compile-time contract
+# ---------------------------------------------------------------------------
+
+
+def test_unknown_pattern_is_compile_error():
+    with pytest.raises(GrokError, match="unknown grok pattern"):
+        compile_grok("%{NOSUCHPATTERN:x}")
+
+
+def test_cycle_is_compile_error():
+    with pytest.raises(GrokError, match="cycle"):
+        compile_grok("%{A:x}", {"A": "%{B}", "B": "%{A}"})
+
+
+def test_conflicting_types_one_pattern():
+    with pytest.raises(GrokError, match="conflicting types"):
+        compile_grok("%{INT:n:int} %{WORD:n:float}")
+
+
+def test_unsupported_type():
+    with pytest.raises(GrokError, match="unsupported grok conversion"):
+        compile_grok("%{INT:n:decimal}")
+
+
+def test_capture_indexing_with_user_groups():
+    """Raw capturing parens the caller writes shift our indexes; the
+    compiler must count them."""
+    cg = compile_grok(r"(a|b)=%{INT:n} (?:x) (?<nm>y) %{WORD:w}")
+    by_field = {c.field: c.group for c in cg.captures}
+    # groups: 1=(a|b), 2=n, 3=(?<nm>y) [Java named group], 4=w
+    assert by_field == {"n": 2, "w": 4}
+    # Python spells named groups (?P<...>; translate for the re replay
+    m = re.search(cg.regex.replace("(?<nm>", "(?P<nm>"), "b=42 x y hello")
+    assert m and m.group(2) == "42" and m.group(4) == "hello"
+
+
+def test_bank_embedded_semantics():
+    """SYSLOGPROG carries %{PROG:program}[%{POSINT:pid}] inside the bank."""
+    cg = compile_grok("%{SYSLOGPROG}")
+    assert [c.field for c in cg.captures] == ["program", "pid"]
+    m = re.search(cg.regex, "sshd[4397]")
+    groups = {c.field: m.group(c.group) for c in cg.captures}
+    assert groups == {"program": "sshd", "pid": "4397"}
+
+
+def test_every_bank_pattern_compiles_as_python_and_java_safe():
+    """Each bank entry expands to a regex Python 3.11 compiles (the
+    constructs we use are the Java-compatible subset)."""
+    for name in PATTERN_BANK:
+        cg = compile_grok(f"%{{{name}:v}}")
+        re.compile(cg.regex)
+
+
+# ---------------------------------------------------------------------------
+# Python-re oracle parity on Spark
+# ---------------------------------------------------------------------------
+
+# (pattern, [lines]) — mixed hits and misses per pattern.
+_MATRIX: list[tuple[str, list[str]]] = [
+    (
+        r"%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:lvl} %{GREEDYDATA:msg}",
+        [
+            "2024-03-01T10:11:12Z ERROR disk full",
+            "2024-03-01 10:11:12.500+02:30 warn slow response",
+            "not a timestamp at all",
+            "2024-13-01T10:11:12Z ERROR bad month",
+        ],
+    ),
+    (
+        r"%{IP:ip}:%{POSINT:port:int}",
+        [
+            "10.1.2.3:8080",
+            "256.1.2.3:80",
+            "[fe80::1]:443 ignored-bracket-case fe80::1:443",
+            "2001:db8::ff00:42:8329:9999",
+        ],
+    ),
+    (
+        r"%{SYSLOGBASE} %{GREEDYDATA:message}",
+        [
+            "Mar  1 10:11:12 web01 sshd[4397]: Failed password for root",
+            "Oct 11 22:14:15 mymachine su: 'su root' failed",
+            "garbage line",
+        ],
+    ),
+    (
+        r"%{URI:uri}",
+        [
+            "fetch https://user:pw@example.com:8443/a/b?x=1&y=2 now",
+            "plain text",
+        ],
+    ),
+    (
+        r"pid=%{NONNEGINT:pid:int} score=%{NUMBER:score:float} ok=%{WORD:ok:bool}",
+        [
+            "pid=17 score=-3.25 ok=true",
+            "pid=17 score=nope ok=true",
+        ],
+    ),
+    (
+        r"%{QS:quoted} %{UUID:uid}",
+        [
+            '"hello \\" world" 01234567-89ab-cdef-0123-456789abcdef',
+            "'single' 01234567-89ab-cdef-0123-456789abcdef",
+            '"unterminated 01234567-89ab-cdef-0123-456789abcdef',
+        ],
+    ),
+]
+
+
+def _py_expected(cg, line):
+    m = re.search(cg.regex, line)
+    if m is None:
+        return None
+    out = {}
+    for f in cg.fields:
+        groups = [c.group for c in cg.captures if c.field == f]
+        vals = [m.group(g) for g in groups]
+        nonempty = [v for v in vals if v]
+        out[f] = nonempty[0] if nonempty else ("" if any(v == "" for v in vals) else "")
+    return out
+
+
+def test_spark_matches_python_re_oracle(spark):
+    for pattern, lines in _MATRIX:
+        cg = compile_grok(pattern)
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(lines)], "id int, text string")
+        out = grok_columns(df, pattern, convert_types=False).orderBy("id").collect()
+        for row, line in zip(out, lines):
+            exp = _py_expected(cg, line)
+            if exp is None:
+                for f in cg.fields:
+                    assert row[f] is None, (pattern, line, f, row[f])
+                assert FLAG_GROK_FAILURE in (row["log_flags"] or [])
+            else:
+                for f in cg.fields:
+                    assert row[f] == exp[f], (pattern, line, f, row[f], exp[f])
+                assert FLAG_GROK_FAILURE not in (row["log_flags"] or [])
+
+
+# ---------------------------------------------------------------------------
+# classic goldens
+# ---------------------------------------------------------------------------
+
+_APACHE = (
+    '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+    '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+)
+
+
+def test_combined_apache_log(spark):
+    df = spark.createDataFrame([(_APACHE,)], "text string")
+    row = grok_columns(df, "%{COMBINEDAPACHELOG}").first()
+    assert row["clientip"] == "127.0.0.1"
+    assert row["ident"] == "-"
+    assert row["auth"] == "frank"
+    assert row["timestamp"] == "10/Oct/2000:13:55:36 -0700"
+    assert row["verb"] == "GET"
+    assert row["request"] == "/apache_pb.gif"
+    assert row["httpversion"] == "1.0"
+    assert row["response"] == "200"
+    assert row["bytes"] == "2326"
+    assert row["referrer"] == '"http://www.example.com/start.html"'
+    assert row["agent"] == '"Mozilla/4.08 [en] (Win98; I ;Nav)"'
+    assert row["rawrequest"] == ""  # non-participating alternate (documented "")
+
+
+def test_typed_captures(spark):
+    df = spark.createDataFrame(
+        [(0, "a=12 b=3.5 c=true"), (1, "a=xx b=3.5 c=true")], "id int, text string"
+    )
+    out = grok_columns(
+        df,
+        r"a=%{NOTSPACE:a:long} b=%{NUMBER:b:float} c=%{WORD:c:boolean}",
+    )
+    assert dict(out.dtypes)["a"] == "bigint"
+    assert dict(out.dtypes)["b"] == "double"
+    assert dict(out.dtypes)["c"] == "boolean"
+    rows = out.orderBy("id").collect()
+    assert rows[0]["a"] == 12 and rows[0]["b"] == 3.5 and rows[0]["c"] is True
+    # cast failure → NULL (documented divergence), row survives under ANSI
+    assert rows[1]["a"] is None and rows[1]["b"] == 3.5
+
+
+def test_first_match_wins(spark):
+    pats = [
+        r"^level=%{WORD:level} code=%{INT:code:int}$",
+        r"^level=%{WORD:level}$",
+        r"^%{GREEDYDATA:rest}$",
+    ]
+    df = spark.createDataFrame(
+        [(0, "level=warn code=7"), (1, "level=info"), (2, "something else")],
+        "id int, text string",
+    )
+    rows = grok_columns(df, pats).orderBy("id").collect()
+    assert rows[0]["level"] == "warn" and rows[0]["code"] == 7 and rows[0]["rest"] is None
+    # second pattern matched: fields only from IT (code NULL even though
+    # pattern 3 would also match)
+    assert rows[1]["level"] == "info" and rows[1]["code"] is None and rows[1]["rest"] is None
+    assert rows[2]["level"] is None and rows[2]["rest"] == "something else"
+    # no _grokparsefailure anywhere — every line matched some pattern
+    for r in rows:
+        assert FLAG_GROK_FAILURE not in (r["log_flags"] or [])
+
+
+def test_prefix_and_overwrite_refusal(spark):
+    df = spark.createDataFrame([("x=1", "keep")], "text string, x string")
+    with pytest.raises(GrokError, match="cannot override"):
+        grok_columns(df, r"x=%{INT:x}")
+    out = grok_columns(df, r"x=%{INT:x}", prefix="gk_").first()
+    assert out["x"] == "keep" and out["gk_x"] == "1"
+    out2 = grok_columns(df, r"x=%{INT:x}", overwrite_keys=True).first()
+    assert out2["x"] == "1"
+
+
+def test_pattern_definitions_override(spark):
+    df = spark.createDataFrame([(0, "id=CAFE"), (1, "id=cafe")], "id int, text string")
+    rows = (
+        grok_columns(df, r"id=%{HEXUP:h}", pattern_definitions={"HEXUP": "[0-9A-F]+"})
+        .orderBy("id")
+        .collect()
+    )
+    assert rows[0]["h"] == "CAFE"
+    assert rows[1]["h"] is None
+    assert FLAG_GROK_FAILURE in rows[1]["log_flags"]
+
+
+def test_registry_builder(spark):
+    from beats_spark.processors import compile_chain
+
+    chain = compile_chain(
+        [{"grok": {"patterns": [r"u=%{USERNAME:user} n=%{INT:n:int}"], "src": "line"}}]
+    )
+    df = spark.createDataFrame([("u=bob.s n=-4",)], "line string")
+    row = chain(df).first()
+    assert row["user"] == "bob.s" and row["n"] == -4
+    with pytest.raises(GrokError):
+        compile_chain([{"grok": {"patterns": [r"%{NOPE:x}"]}}])
+
+
+def test_unanchored_like_logstash(spark):
+    df = spark.createDataFrame([("prefix junk level=warn suffix",)], "text string")
+    row = grok_columns(df, r"level=%{WORD:level}").first()
+    assert row["level"] == "warn"
