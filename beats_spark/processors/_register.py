@@ -167,6 +167,10 @@ from ..grok import grok_builder as _grok_builder  # noqa: E402
 
 REGISTRY["grok"] = _grok_builder
 
+from .journald import journald_fields_builder as _journald_fields  # noqa: E402
+
+REGISTRY["journald_fields"] = _journald_fields
+
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script

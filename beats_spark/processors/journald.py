@@ -1,0 +1,541 @@
+"""journald input — field conversion, export-format parsing, matchers.
+
+The journald input was previously scoped out ("OS service"); like the
+r5 unix/stdin/lumberjack/netflow rescues, everything but the live
+systemd socket is implementable and testable here:
+
+  * `journald_fields` — the journalfield conversion layer
+    (filebeat/input/journald/pkg/journalfield/conv.go:58-84 Convert +
+    default.go's journaldEventFields table, ported verbatim): known
+    journal keys → typed ECS columns, integer conversion with the
+    "pid,username" retry quirk (conv.go:86-110 convertValue), unknown
+    keys → a normalized `journald_custom` map, dropped registry keys,
+    then the ECS enrichment passes (conv.go:112-204): uid/gid/audit
+    user fields, process fields with the cmdline tokenizer regex, and
+    the capabilities-bitmap expansion (libbeat/common/capabilities/
+    capabilities_linux.go:104-139 FromString/FromUint64).  Plus the
+    readerAdapter event shape (input.go:333-431): binary MESSAGE
+    decode, event.kind, container.partial → `partial_message` tag,
+    save_remote_hostname, @timestamp = __REALTIME_TIMESTAMP.
+  * `journald_json_parse` — one `journalctl -o json` line → the
+    journal map (from_json keeps non-string values as raw JSON text,
+    so the binary-MESSAGE corner — an array of byte values, see
+    input.go:341-386 — is re-parsed and reassembled to bytes).
+  * `journald_export_parse` — the systemd Journal Export Format
+    (public spec; the reference ships .export fixtures): blank-line
+    separated entries of KEY=value lines, with binary fields framed
+    as KEY\\n<le64 size><data>\\n.  Byte-level scan ⇒ Arrow-batched
+    mapInPandas (framing-layer precedent: processors/framing.py).
+  * `build_matcher` / `include_matches_predicate` — include_matches
+    (journalfield/matcher.go): validation ('+' or 'field=value',
+    matcher.go:63-75), ECS-name → journal-key translation
+    (matcher.go:77-97 Build), and systemd match semantics ('+' splits
+    OR groups; within a group, same-field matches OR and different
+    fields AND — systemd.journal_fields(7)).
+
+Documented divergences (flat typed-column engine, same family as the
+dissect/convert notes):
+  * an integer-typed journal field whose value fails BOTH ParseInt
+    attempts keeps the raw string in the reference (conv.go:70-72);
+    a bigint column cannot hold it, so it becomes NULL here — and the
+    downstream getIntegerFromFields(conv.go:211-215) would have read
+    such a value as 0 anyway, which the enrichment passes mirror;
+  * normalized custom keys that collide (`_FOO` and `FOO`) keep the
+    first map entry (Go's random-iteration Put keeps an arbitrary
+    winner);
+  * event.created (wall clock at read time, input.go:339) is left to
+    the add-metadata family — a deterministic engine does not stamp
+    wall-clock columns inside an operator.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# default.go journaldEventFields, ported verbatim.
+# value = (ecs field name, is_integer)
+# ---------------------------------------------------------------------------
+JOURNALD_EVENT_FIELDS: dict[str, tuple[str, bool]] = {
+    # provided by systemd journal
+    "COREDUMP_UNIT": ("journald.coredump.unit", False),
+    "COREDUMP_USER_UNIT": ("journald.coredump.user_unit", False),
+    "MESSAGE": ("message", False),
+    "MESSAGE_ID": ("message_id", False),
+    "OBJECT_AUDIT_LOGINUID": ("journald.object.audit.login_uid", True),
+    "OBJECT_AUDIT_SESSION": ("journald.object.audit.session", True),
+    "OBJECT_CMDLINE": ("journald.object.process.command_line", False),
+    "OBJECT_COMM": ("journald.object.process.name", False),
+    "OBJECT_EXE": ("journald.object.process.executable", False),
+    "OBJECT_GID": ("journald.object.gid", True),
+    "OBJECT_PID": ("journald.object.pid", True),
+    "OBJECT_SYSTEMD_OWNER_UID": ("journald.object.systemd.owner_uid", True),
+    "OBJECT_SYSTEMD_SESSION": ("journald.object.systemd.session", False),
+    "OBJECT_SYSTEMD_UNIT": ("journald.object.systemd.unit", False),
+    "OBJECT_SYSTEMD_USER_UNIT": ("journald.object.systemd.user_unit", False),
+    "OBJECT_UID": ("journald.object.uid", True),
+    "PRIORITY": ("log.syslog.priority", True),
+    "SYSLOG_FACILITY": ("log.syslog.facility.code", True),
+    "SYSLOG_IDENTIFIER": ("log.syslog.appname", False),
+    "SYSLOG_PID": ("log.syslog.procid", True),
+    "UNIT": ("journald.unit", False),
+    "_AUDIT_LOGINUID": ("journald.audit.login_uid", True),
+    "_AUDIT_SESSION": ("journald.audit.session", False),
+    "_BOOT_ID": ("journald.host.boot_id", False),
+    "_CAP_EFFECTIVE": ("journald.process.capabilities", False),
+    "_CMDLINE": ("journald.process.command_line", False),
+    "CODE_FILE": ("journald.code.file", False),
+    "CODE_FUNC": ("journald.code.func", False),
+    "CODE_LINE": ("journald.code.line", True),
+    "_COMM": ("journald.process.name", False),
+    "_EXE": ("journald.process.executable", False),
+    "_GID": ("journald.gid", True),
+    "_HOSTNAME": ("host.hostname", False),
+    "_KERNEL_DEVICE": ("journald.kernel.device", False),
+    "_KERNEL_SUBSYSTEM": ("journald.kernel.subsystem", False),
+    "_MACHINE_ID": ("host.id", False),
+    "_PID": ("journald.pid", True),
+    "_SYSTEMD_CGROUP": ("systemd.cgroup", False),
+    "_SYSTEMD_INVOCATION_ID": ("systemd.invocation_id", False),
+    "_SYSTEMD_OWNER_UID": ("systemd.owner_uid", True),
+    "_SYSTEMD_SESSION": ("systemd.session", False),
+    "_SYSTEMD_SLICE": ("systemd.slice", False),
+    "_SYSTEMD_UNIT": ("systemd.unit", False),
+    "_SYSTEMD_USER_SLICE": ("systemd.user_slice", False),
+    "_SYSTEMD_USER_UNIT": ("systemd.user_unit", False),
+    "_TRANSPORT": ("systemd.transport", False),
+    "_UDEV_DEVLINK": ("journald.kernel.device_symlinks", False),
+    "_UDEV_DEVNODE": ("journald.kernel.device_node_path", False),
+    "_UDEV_SYSNAME": ("journald.kernel.device_name", False),
+    "_UID": ("journald.uid", True),
+    # docker journald fields
+    "CONTAINER_ID_FULL": ("container.id", False),
+    "CONTAINER_NAME": ("container.name", False),
+    "CONTAINER_PARTIAL_MESSAGE": ("container.partial", False),
+    "IMAGE_NAME": ("container.image.name", False),
+}
+
+# dropped fields (default.go:84-90) — consumed by the registry /
+# @timestamp, never emitted as event fields.
+JOURNALD_DROPPED = frozenset(
+    {
+        "CONTAINER_ID",
+        "CONTAINER_TAG",
+        "_SOURCE_MONOTONIC_TIMESTAMP",
+        "_SOURCE_REALTIME_TIMESTAMP",
+        "__CURSOR",
+        "__MONOTONIC_TIMESTAMP",
+        "__REALTIME_TIMESTAMP",
+    }
+)
+
+# Linux capability names, kernel ABI order (capabilities_linux.go's
+# toECS = strings.ToUpper(cap.Value(i).String()); bits ≥ MaxBits render
+# as CAP_<n> — pinned by conv_expand_test.go's all/all_and_new cases).
+CAP_NAMES = (
+    "CAP_CHOWN",
+    "CAP_DAC_OVERRIDE",
+    "CAP_DAC_READ_SEARCH",
+    "CAP_FOWNER",
+    "CAP_FSETID",
+    "CAP_KILL",
+    "CAP_SETGID",
+    "CAP_SETUID",
+    "CAP_SETPCAP",
+    "CAP_LINUX_IMMUTABLE",
+    "CAP_NET_BIND_SERVICE",
+    "CAP_NET_BROADCAST",
+    "CAP_NET_ADMIN",
+    "CAP_NET_RAW",
+    "CAP_IPC_LOCK",
+    "CAP_IPC_OWNER",
+    "CAP_SYS_MODULE",
+    "CAP_SYS_RAWIO",
+    "CAP_SYS_CHROOT",
+    "CAP_SYS_PTRACE",
+    "CAP_SYS_PACCT",
+    "CAP_SYS_ADMIN",
+    "CAP_SYS_BOOT",
+    "CAP_SYS_NICE",
+    "CAP_SYS_RESOURCE",
+    "CAP_SYS_TIME",
+    "CAP_SYS_TTY_CONFIG",
+    "CAP_MKNOD",
+    "CAP_LEASE",
+    "CAP_AUDIT_WRITE",
+    "CAP_AUDIT_CONTROL",
+    "CAP_SETFCAP",
+    "CAP_MAC_OVERRIDE",
+    "CAP_MAC_ADMIN",
+    "CAP_SYSLOG",
+    "CAP_WAKE_ALARM",
+    "CAP_BLOCK_SUSPEND",
+    "CAP_AUDIT_READ",
+    "CAP_PERFMON",
+    "CAP_BPF",
+    "CAP_CHECKPOINT_RESTORE",
+)
+
+# Go strconv.ParseInt(s, 10, 64) accepts exactly an optional sign and
+# digits — no surrounding whitespace (Spark's bare cast would trim it).
+_GO_INT_RE = r"^[+-]?[0-9]+$"
+
+# conv.go:141 cmdlineRegexp — Go RE2 and Java agree on this pattern.
+_CMDLINE_TOKEN_RE = r'"(\\"|[^"])*?"|[^\s]+'
+
+# strconv.ParseBool's exact truth set (input.go:398 container.partial).
+_PARSEBOOL_TRUE = ("1", "t", "T", "TRUE", "true", "True")
+
+
+def _ecs_col(name: str) -> str:
+    """ECS dotted path → engine column name (source_port convention)."""
+    return name.replace(".", "_")
+
+
+def _go_parse_int(v: Column) -> Column:
+    """convertValue's integer path (conv.go:86-110): ParseInt, then on
+    failure retry on the prefix before the first ',' ("123,root" and
+    "123456, " both → 123456).  Double failure ⇒ NULL (divergence note
+    in the module docstring)."""
+    first = F.split(v, ",").getItem(0)
+    return F.coalesce(
+        F.when(v.rlike(_GO_INT_RE), v.try_cast("bigint")),
+        F.when(first.rlike(_GO_INT_RE), first.try_cast("bigint")),
+    )
+
+
+def _capabilities_names(hexstr: Column) -> Column:
+    """capabilities.FromString(s, 16) → ordered CAP_* names array.
+
+    ParseUint(s, 16, 64) parity: bare hex only (no 0x, no sign, no
+    underscores), ≤ 16 nibbles.  Unsigned-safe: the padded nibble
+    string is tested per bit, never materialized as a signed long.
+    """
+    ok = hexstr.rlike(r"^[0-9A-Fa-f]{1,16}$")
+    padded = F.lpad(hexstr, 16, "0")
+    names = []
+    for i in range(64):
+        nibble = F.substring(padded, 16 - i // 4, 1)
+        bit_set = F.conv(nibble, 16, 10).cast("int").bitwiseAND(F.lit(1 << (i % 4))) != 0
+        name = CAP_NAMES[i] if i < len(CAP_NAMES) else f"CAP_{i}"
+        names.append(F.when(bit_set, F.lit(name)))
+    arr = F.array_compact(F.array(*names))
+    # FromUint64 of 0 returns an empty list; expandCapabilities skips
+    # len(caps) == 0 (conv.go:199-201) — so "0" sets nothing.
+    return F.when(ok & (F.size(arr) > 0), arr)
+
+
+def journald_fields(
+    df: DataFrame,
+    src: str = "journal",
+    timestamp: bool = True,
+    save_remote_hostname: bool = False,
+    custom: bool = True,
+) -> DataFrame:
+    """Convert a journal-entry map column into typed ECS columns.
+
+    `src` is a ``map<string,string>`` column (from `journald_json_parse`
+    or `journald_export_parse`).  One pure-Column pass — per-row cost is
+    map lookups + the enrichment expressions; zero Python, no shuffle.
+    """
+    m = F.col(src)
+
+    # -- table conversion (conv.go Convert) --------------------------------
+    typed: dict[str, Column] = {}  # ecs name -> value column
+    present: dict[str, Column] = {}  # ecs name -> key-present predicate
+    for key, (name, is_int) in JOURNALD_EVENT_FIELDS.items():
+        raw = m[key]
+        typed[name] = _go_parse_int(raw) if is_int else raw
+        present[name] = F.map_contains_key(m, key)
+
+    new_cols: dict[str, Column] = {}
+    for name, col in typed.items():
+        if name == "container.partial":
+            continue  # deleted after the tag check (input.go:396-407)
+        new_cols[_ecs_col(name)] = col
+
+    # -- custom fields (conv.go:31-39,48-50) -------------------------------
+    if custom:
+        known = F.lit(sorted(set(JOURNALD_EVENT_FIELDS) | JOURNALD_DROPPED))
+        custom_m = F.map_filter(m, lambda k, _v: ~F.array_contains(known, k))
+        ents = F.map_entries(custom_m)
+        norm = F.transform(
+            ents,
+            lambda e: F.struct(
+                F.lower(F.regexp_replace(e["key"], "^_+", "")).alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+        keys = F.transform(norm, lambda e: e["key"])
+        deduped = F.filter(norm, lambda e, i: F.array_position(keys, e["key"]) == i + 1)
+        new_cols["journald_custom"] = F.when(
+            F.size(deduped) > 0, F.map_from_entries(deduped)
+        )
+
+    # -- setGidUidFields, journald then journald.object (object wins) ------
+    def _gid_uid(prefix: str) -> dict[str, Column]:
+        audit = f"{prefix}.audit.login_uid"
+        has_audit = present[audit]
+        # getIntegerFromFields reads 0 when the typed value is absent
+        audit_str = F.coalesce(typed[audit], F.lit(0)).cast("string")
+        has_uid = present[f"{prefix}.uid"]
+        uid_str = F.coalesce(typed[f"{prefix}.uid"], F.lit(0)).cast("string")
+        gid_str = F.coalesce(typed[f"{prefix}.gid"], F.lit(0)).cast("string")
+        effective = has_audit & (audit_str != uid_str)
+        return {
+            # audit Put first, then the non-effective uid branch overwrites
+            "user.id": F.when(has_uid & ~effective, uid_str).when(has_audit, audit_str),
+            "user.group.id": F.when(has_uid & ~effective, gid_str),
+            "user.effective.id": F.when(has_uid & effective, uid_str),
+            "user.effective.group.id": F.when(has_uid & effective, gid_str),
+        }
+
+    root_u, obj_u = _gid_uid("journald"), _gid_uid("journald.object")
+    for name in root_u:
+        new_cols[_ecs_col(name)] = F.coalesce(obj_u[name], root_u[name])
+
+    # -- setProcessFields (conv.go:142-181), object pass overwrites --------
+    # NOTE: the reference looks up `<prefix>.name` / `<prefix>.executable`,
+    # which the default table never populates (it writes
+    # `<prefix>.process.name` / `.executable`) — so process.name and
+    # process.executable are never set by this pass; mirrored faithfully
+    # by not emitting them.
+    def _process(prefix: str) -> dict[str, Column]:
+        has_pid = present[f"{prefix}.pid"]
+        pid = F.coalesce(typed[f"{prefix}.pid"], F.lit(0).cast("bigint"))
+        cmdline = typed[f"{prefix}.process.command_line"]
+        has_cmd = present[f"{prefix}.process.command_line"] & (cmdline != "")
+        args = F.regexp_extract_all(cmdline, F.lit(_CMDLINE_TOKEN_RE), 0)
+        return {
+            "pid": F.when(has_pid, pid),
+            "command_line": F.when(has_cmd, cmdline),
+            "args": F.when(has_cmd & (F.size(args) > 0), args),
+        }
+
+    root_p, obj_p = _process("journald"), _process("journald.object")
+    new_cols["process_pid"] = F.coalesce(obj_p["pid"], root_p["pid"])
+    new_cols["process_command_line"] = F.coalesce(
+        obj_p["command_line"], root_p["command_line"]
+    )
+    proc_args = F.coalesce(obj_p["args"], root_p["args"])
+    new_cols["process_args"] = proc_args
+    new_cols["process_args_count"] = F.when(
+        proc_args.isNotNull(), F.size(proc_args).cast("bigint")
+    )
+
+    # -- expandCapabilities -------------------------------------------------
+    new_cols["process_thread_capabilities_effective"] = _capabilities_names(
+        typed["journald.process.capabilities"]
+    )
+
+    # -- readerAdapter event shape (input.go:333-431) -----------------------
+    new_cols["event_kind"] = F.lit("event")
+    partial = typed["container.partial"]
+    new_cols["tags"] = F.when(
+        partial.isin(*_PARSEBOOL_TRUE), F.array(F.lit("partial_message"))
+    )
+    if save_remote_hostname:
+        new_cols["log_source_address"] = typed["host.hostname"]
+    if timestamp:
+        new_cols["journal_ts"] = F.timestamp_micros(
+            m["__REALTIME_TIMESTAMP"].try_cast("bigint")
+        )
+    return df.withColumns(new_cols)
+
+
+# ---------------------------------------------------------------------------
+# journalctl -o json line → journal map
+# ---------------------------------------------------------------------------
+def journald_json_parse(df: DataFrame, src: str = "line", target: str = "journal") -> DataFrame:
+    """Parse one `journalctl -o json` line into ``map<string,string>``.
+
+    from_json keeps non-string JSON values as their raw JSON text, so
+    the binary-MESSAGE corner (journalctl emits a JSON array of byte
+    values when the field holds \\n or unprintable bytes,
+    input.go:341-386) is re-parsed as array<int> and reassembled into
+    the original bytes — pure Column, no Python.
+    """
+    m = F.from_json(F.col(src), "map<string,string>")
+    msg = m["MESSAGE"]
+    bytes_arr = F.when(msg.startswith("["), F.from_json(msg, "array<int>"))
+    decoded = F.aggregate(
+        bytes_arr,
+        F.lit(b""),
+        lambda acc, b: F.concat(
+            acc, F.unhex(F.lpad(F.hex(b.bitwiseAND(F.lit(255))), 2, "0"))
+        ),
+    ).cast("string")
+    fixed = F.when(
+        bytes_arr.isNotNull(),
+        F.map_zip_with(
+            m,
+            F.create_map(F.lit("MESSAGE"), decoded),
+            lambda _k, v1, v2: F.coalesce(v2, v1),
+        ),
+    ).otherwise(m)
+    return df.withColumn(target, fixed)
+
+
+# ---------------------------------------------------------------------------
+# systemd Journal Export Format
+# ---------------------------------------------------------------------------
+def parse_export_blob(data: bytes) -> list[dict[str, str]]:
+    """Scan one export stream into entry dicts (driver/executor helper).
+
+    Entries are blank-line separated; a field is either ``KEY=value\\n``
+    or the binary frame ``KEY\\n<le64 size><data>\\n``.  Binary values
+    are decoded as UTF-8 (journal strings are raw bytes in Go; invalid
+    sequences are U+FFFD-replaced here — the same choice as the utf-8
+    reader path, processors/encoding.py).
+    """
+    entries: list[dict[str, str]] = []
+    cur: dict[str, str] = {}
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"\n", i)
+        if j < 0:
+            j = n
+        line = data[i:j]
+        if not line:  # blank line = entry boundary
+            if cur:
+                entries.append(cur)
+                cur = {}
+            i = j + 1
+            continue
+        eq = line.find(b"=")
+        if eq >= 0:
+            cur[line[:eq].decode("ascii", "replace")] = line[eq + 1 :].decode(
+                "utf-8", "replace"
+            )
+            i = j + 1
+        else:
+            key = line.decode("ascii", "replace")
+            size = struct.unpack("<Q", data[j + 1 : j + 9])[0]
+            val = data[j + 9 : j + 9 + size]
+            cur[key] = val.decode("utf-8", "replace")
+            i = j + 9 + size + 1  # skip the trailing \n
+    if cur:
+        entries.append(cur)
+    return entries
+
+
+def journald_export_parse(
+    df: DataFrame, src: str = "value", target: str = "journal"
+) -> DataFrame:
+    """Explode a binary export-stream column into one row per entry.
+
+    Byte-level scan with length-prefixed binary frames ⇒ Arrow-batched
+    mapInPandas (the framing-layer precedent); all other columns pass
+    through, `target` carries the entry map.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import MapType, StringType, StructType
+
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != src]
+    ).add(target, MapType(StringType(), StringType()))
+    passthrough = [c for c in df.columns if c != src]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[src]
+                if blob is None:
+                    continue
+                for entry in parse_export_blob(bytes(blob)):
+                    rows.append([row[c] for c in passthrough] + [entry])
+            yield pd.DataFrame(rows, columns=passthrough + [target])
+
+    return df.mapInPandas(scan, schema)
+
+
+# ---------------------------------------------------------------------------
+# include_matches (journalfield/matcher.go)
+# ---------------------------------------------------------------------------
+class MatcherError(ValueError):
+    """Invalid include_matches expression (matcher.go errInvalidMatcher)."""
+
+
+def validate_matcher(expr: str) -> None:
+    """Matcher.validate (matcher.go:63-75): '+' or 'field=value'."""
+    if len(expr) == 1:
+        if expr != "+":
+            raise MatcherError(
+                f"'{expr}' is invalid, expression must be '+' or in the "
+                "format 'field=value'"
+            )
+        return
+    if len(expr.split("=")) != 2:
+        raise MatcherError(
+            f"'{expr}' is invalid, expression must be '+' or in the "
+            "format 'field=value'"
+        )
+
+
+def build_matcher(expr: str) -> str:
+    """MatcherBuilder.Build (matcher.go:77-97): translate an ECS event
+    field name back to its journal key; custom fields pass as-is."""
+    if expr == "+":
+        return expr
+    elems = expr.split("=")
+    if len(elems) != 2:
+        raise MatcherError(f"invalid match format: {expr}")
+    for journal_key, (name, _) in JOURNALD_EVENT_FIELDS.items():
+        if name == elems[0]:
+            return f"{journal_key}={elems[1]}"
+    return expr
+
+
+def include_matches_predicate(matches: list[str], src: str = "journal") -> Column:
+    """Compile an include_matches list to one Column predicate.
+
+    systemd match semantics (systemd.journal_fields(7), which journalctl
+    applies to the reference's translated matches): '+' separates
+    disjunction groups; within a group, matches on the SAME field OR and
+    matches on different fields AND.  Empty list ⇒ everything matches.
+    """
+    built = [build_matcher(m) for m in matches]
+    for b in built:
+        validate_matcher(b)
+    m = F.col(src)
+
+    groups: list[list[str]] = [[]]
+    for b in built:
+        if b == "+":
+            groups.append([])
+        else:
+            groups[-1].append(b)
+
+    group_preds: list[Column] = []
+    for group in groups:
+        if not group:
+            continue
+        by_field: dict[str, list[str]] = {}
+        for item in group:
+            k, v = item.split("=", 1)
+            by_field.setdefault(k, []).append(v)
+        pred = F.lit(True)
+        for k, vals in by_field.items():
+            pred = pred & F.coalesce(m[k].isin(*vals), F.lit(False))
+        group_preds.append(pred)
+    if not group_preds:
+        return F.lit(True)
+    out = group_preds[0]
+    for p in group_preds[1:]:
+        out = out | p
+    return out
+
+
+def journald_fields_builder(**cfg):
+    """Registry builder: {"journald_fields": {"src": "journal", ...}}."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return journald_fields(df, **cfg)
+
+    return stage

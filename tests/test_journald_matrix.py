@@ -1,0 +1,308 @@
+"""journald field conversion — reference test matrices ported.
+
+Sources (fixtures only, per the golden-fixture methodology):
+  * filebeat/input/journald/pkg/journalfield/conv_test.go TestConversion
+  * .../journalfield/conv_expand_test.go TestExpandCapabilities
+  * .../journalfield/matcher.go + matcher_test.go TestValidate
+  * .../testdata/binary.export + pkg/journalctl/testdata/*.json
+    (real journalctl output, incl. the binary-MESSAGE corners)
+
+Pinned divergence (module docstring): an integer-typed field whose
+value fails BOTH ParseInt attempts keeps the raw string in Go but is
+NULL in a bigint column ("SYSLOG_PID": "" below).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors.journald import (
+    CAP_NAMES,
+    MatcherError,
+    build_matcher,
+    include_matches_predicate,
+    journald_export_parse,
+    journald_fields,
+    journald_json_parse,
+    parse_export_blob,
+    validate_matcher,
+)
+
+REF = "/root/reference/filebeat/input/journald"
+
+
+def _convert(spark, fields: dict[str, str], **kw):
+    df = spark.createDataFrame([(fields,)], "journal map<string,string>")
+    return journald_fields(df, **kw).first()
+
+
+# ---------------------------------------------------------------------------
+# conv_test.go TestConversion
+# ---------------------------------------------------------------------------
+def test_conversion_matrix(spark):
+    r = _convert(spark, {"_BOOT_ID": "123456"})
+    assert r["journald_host_boot_id"] == "123456"
+
+    r = _convert(spark, {"SYSLOG_PID": "123456"})
+    assert r["log_syslog_procid"] == 123456
+
+    # "'syslog.priority' field with junk": ParseInt fails on "123456, ",
+    # the comma-split retry succeeds (conv.go:95-101)
+    r = _convert(spark, {"PRIORITY": "123456, "})
+    assert r["log_syslog_priority"] == 123456
+
+    r = _convert(spark, {"SYSLOG_PID": "123456,root"})
+    assert r["log_syslog_procid"] == 123456
+
+    # divergence: Go keeps the raw "" string; a bigint column holds NULL
+    r = _convert(spark, {"SYSLOG_PID": ""})
+    assert r["log_syslog_procid"] is None
+
+    r = _convert(spark, {"my_custom_field": "value"})
+    assert r["journald_custom"] == {"my_custom_field": "value"}
+
+    # dropped field produces nothing
+    r = _convert(spark, {"_SOURCE_MONOTONIC_TIMESTAMP": "value"})
+    assert r["journald_custom"] is None
+    assert r["message"] is None
+
+
+def test_custom_field_normalization(spark):
+    # strings.ToLower(strings.TrimLeft(key, "_")) — conv.go:36
+    r = _convert(spark, {"__MY_Field": "v", "OTHER": "w"})
+    assert r["journald_custom"] == {"my_field": "v", "other": "w"}
+
+
+def test_go_parse_int_is_stricter_than_spark_cast(spark):
+    # Spark's bare cast would trim " 123"; strconv.ParseInt does not,
+    # so the comma-retry also fails and the value is NULL (raw in Go)
+    r = _convert(spark, {"_PID": " 123"})
+    assert r["journald_pid"] is None
+    r = _convert(spark, {"_PID": "0x12"})
+    assert r["journald_pid"] is None
+    r = _convert(spark, {"_PID": "-42"})
+    assert r["journald_pid"] == -42
+
+
+# ---------------------------------------------------------------------------
+# conv_expand_test.go TestExpandCapabilities (via _CAP_EFFECTIVE)
+# ---------------------------------------------------------------------------
+ALL_41 = list(CAP_NAMES)
+
+SPARSE_DEADBEEF = [
+    "CAP_CHOWN", "CAP_DAC_OVERRIDE", "CAP_DAC_READ_SEARCH", "CAP_FOWNER",
+    "CAP_KILL", "CAP_SETGID", "CAP_SETUID", "CAP_LINUX_IMMUTABLE",
+    "CAP_NET_BIND_SERVICE", "CAP_NET_BROADCAST", "CAP_NET_ADMIN",
+    "CAP_NET_RAW", "CAP_IPC_OWNER", "CAP_SYS_MODULE", "CAP_SYS_CHROOT",
+    "CAP_SYS_PTRACE", "CAP_SYS_ADMIN", "CAP_SYS_NICE", "CAP_SYS_TIME",
+    "CAP_SYS_TTY_CONFIG", "CAP_MKNOD", "CAP_LEASE", "CAP_AUDIT_CONTROL",
+    "CAP_SETFCAP",
+]
+
+CAP_CASES = [
+    ("none", "0", None),
+    ("cap_chown_short", "1", ["CAP_CHOWN"]),
+    ("cap_chown_long", "0000000000000001", ["CAP_CHOWN"]),
+    ("all", "1ffffffffff", ALL_41),
+    ("all_and_new", "7ffffffffff", ALL_41 + ["CAP_41", "CAP_42"]),
+    ("sparse", "deadbeef", SPARSE_DEADBEEF),
+]
+
+
+@pytest.mark.parametrize("name,hexstr,want", CAP_CASES, ids=[c[0] for c in CAP_CASES])
+def test_expand_capabilities(spark, name, hexstr, want):
+    r = _convert(spark, {"_CAP_EFFECTIVE": hexstr})
+    assert r["process_thread_capabilities_effective"] == want
+    # the original string field is untouched (conv.go:186-189)
+    assert r["journald_process_capabilities"] == hexstr
+
+
+def test_capabilities_parse_failure_sets_nothing(spark):
+    for bad in ("zz", "", "0x1f", "11111111111111111"):  # >16 nibbles too
+        r = _convert(spark, {"_CAP_EFFECTIVE": bad})
+        assert r["process_thread_capabilities_effective"] is None, bad
+
+
+# ---------------------------------------------------------------------------
+# setGidUidFields / setProcessFields (conv.go:112-181)
+# ---------------------------------------------------------------------------
+def test_uid_gid_else_branch(spark):
+    # audit == uid → user.id/user.group.id, no effective fields
+    r = _convert(spark, {"_AUDIT_LOGINUID": "1000", "_UID": "1000", "_GID": "1000"})
+    assert (r["user_id"], r["user_group_id"]) == ("1000", "1000")
+    assert r["user_effective_id"] is None
+
+
+def test_uid_gid_effective_branch(spark):
+    # audit != uid → user.id = audit, effective.* = uid/gid
+    r = _convert(spark, {"_AUDIT_LOGINUID": "1000", "_UID": "0", "_GID": "0"})
+    assert r["user_id"] == "1000"
+    assert (r["user_effective_id"], r["user_effective_group_id"]) == ("0", "0")
+    assert r["user_group_id"] is None
+
+
+def test_uid_without_audit(spark):
+    r = _convert(spark, {"_UID": "7", "_GID": "8"})
+    assert (r["user_id"], r["user_group_id"]) == ("7", "8")
+
+
+def test_missing_gid_reads_zero(spark):
+    # getIntegerFromFields returns 0 for an absent key (conv.go:211-215)
+    r = _convert(spark, {"_UID": "7"})
+    assert (r["user_id"], r["user_group_id"]) == ("7", "0")
+
+
+def test_object_fields_override_root(spark):
+    # conv.go:119-124: the journald.object pass runs second and wins
+    r = _convert(
+        spark,
+        {"_UID": "7", "_GID": "8", "OBJECT_UID": "70", "OBJECT_GID": "80",
+         "_PID": "1", "OBJECT_PID": "2"},
+    )
+    assert (r["user_id"], r["user_group_id"]) == ("70", "80")
+    assert r["process_pid"] == 2
+
+
+def test_cmdline_args_tokenizer(spark):
+    # cmdlineRegexp (conv.go:141): quoted strings with escapes + bare words
+    r = _convert(spark, {"_CMDLINE": '/bin/sh -c "echo \\"hi there\\"" --x'})
+    assert r["process_command_line"] == '/bin/sh -c "echo \\"hi there\\"" --x'
+    assert r["process_args"] == ["/bin/sh", "-c", '"echo \\"hi there\\""', "--x"]
+    assert r["process_args_count"] == 4
+
+
+def test_process_name_lookup_misses_by_design(spark):
+    # the reference reads `<prefix>.name`, which the default table never
+    # writes (it maps _COMM → journald.process.name) — mirrored exactly
+    r = _convert(spark, {"_COMM": "cat", "_EXE": "/usr/bin/cat"})
+    assert r["journald_process_name"] == "cat"
+    assert "process_name" not in r.asDict()
+
+
+# ---------------------------------------------------------------------------
+# readerAdapter event shape (input.go:333-431)
+# ---------------------------------------------------------------------------
+def test_container_partial_tag_and_delete(spark):
+    r = _convert(spark, {"CONTAINER_PARTIAL_MESSAGE": "true"})
+    assert r["tags"] == ["partial_message"]
+    assert "container_partial" not in r.asDict()
+    # strconv.ParseBool is strict: "yes" is not true
+    r = _convert(spark, {"CONTAINER_PARTIAL_MESSAGE": "yes"})
+    assert r["tags"] is None
+    r = _convert(spark, {"CONTAINER_PARTIAL_MESSAGE": "0"})
+    assert r["tags"] is None
+
+
+def test_timestamp_and_remote_hostname(spark):
+    r = _convert(
+        spark,
+        {"__REALTIME_TIMESTAMP": "1724080855230058", "_HOSTNAME": "falcon"},
+        save_remote_hostname=True,
+    )
+    assert r["journal_ts"].isoformat() == "2024-08-19T15:20:55.230058"
+    assert r["host_hostname"] == "falcon"
+    assert r["log_source_address"] == "falcon"
+    assert r["event_kind"] == "event"
+
+
+# ---------------------------------------------------------------------------
+# journalctl JSON corners (pkg/journalctl/testdata)
+# ---------------------------------------------------------------------------
+def test_json_corner_cases_binary_message(spark):
+    cases = json.load(open(f"{REF}/pkg/journalctl/testdata/corner-cases.json"))
+    lines = [(json.dumps(c),) for c in cases]
+    df = spark.createDataFrame(lines, "line string")
+    out = journald_fields(journald_json_parse(df)).select("message").collect()
+    for got, case in zip(out, cases):
+        want = case["MESSAGE"]
+        if isinstance(want, list):  # input.go:367-377 byte-array decode
+            want = bytes(b % 256 for b in want).decode("utf-8", "replace")
+        assert got["message"] == want
+
+
+def test_sample_journal_event_end_to_end(spark):
+    line = open(f"{REF}/pkg/journalctl/testdata/sample-journal-event.json").read()
+    df = spark.createDataFrame([(line.replace("\n", ""),)], "line string")
+    r = journald_fields(journald_json_parse(df)).first()
+    assert r["message"] == "Count: 0000000001"
+    assert r["log_syslog_appname"] == "TestRestartsJournalctlOnError"
+    assert r["process_pid"] == 235728
+    assert r["process_args"] == ["/bin/cat"]
+    assert (r["user_id"], r["user_group_id"]) == ("1000", "1000")  # audit==uid
+    assert r["journald_custom"]["runtime_scope"] == "system"
+    assert r["process_thread_capabilities_effective"] is None  # "0"
+
+
+# ---------------------------------------------------------------------------
+# journal export format (testdata/binary.export — real journalctl output)
+# ---------------------------------------------------------------------------
+def test_export_blob_binary_frames():
+    blob = open(f"{REF}/testdata/binary.export", "rb").read()
+    entries = parse_export_blob(blob)
+    assert len(entries) == 9
+    # the two hand-crafted binary MESSAGE frames (le64-size framing)
+    binmsgs = [e["MESSAGE"] for e in entries if e["SYSLOG_IDENTIFIER"] == "experiment"
+               and any(ord(c) < 9 for c in e["MESSAGE"])]
+    assert "\x00\x02\x04\x08\n\x0c\x0e\x10\x12" in binmsgs
+    assert "\x00\n\x14\x1e(2<FPZd" in binmsgs
+    # text fields parse too
+    assert all("__REALTIME_TIMESTAMP" in e for e in entries)
+
+
+def test_export_parse_distributed_matches_driver(spark):
+    blob = open(f"{REF}/testdata/binary.export", "rb").read()
+    df = spark.createDataFrame([(bytearray(blob),)], "value binary")
+    out = journald_fields(journald_export_parse(df))
+    rows = out.select("message", "journald_pid", "systemd_transport").collect()
+    driver = parse_export_blob(blob)
+    assert len(rows) == len(driver) == 9
+    assert sorted(r["message"] for r in rows) == sorted(e["MESSAGE"] for e in driver)
+    assert {r["systemd_transport"] for r in rows} == {"journal"}
+
+
+# ---------------------------------------------------------------------------
+# include_matches (matcher.go + matcher_test.go + systemd semantics)
+# ---------------------------------------------------------------------------
+def test_matcher_validate():
+    for ok in ("foo=bar", "+", "FOO=bar", "foo.bar=foo"):  # TestValidate rows
+        validate_matcher(ok)
+    with pytest.raises(MatcherError):
+        validate_matcher("x")
+    with pytest.raises(MatcherError):
+        validate_matcher("a=b=c")
+
+
+def test_matcher_build_translation():
+    # ECS name → journal key (matcher.go:88-93); custom passes as-is
+    assert build_matcher("container.id=abc") == "CONTAINER_ID_FULL=abc"
+    assert build_matcher("message=hi") == "MESSAGE=hi"
+    assert build_matcher("MY_FIELD=1") == "MY_FIELD=1"
+    assert build_matcher("+") == "+"
+    with pytest.raises(MatcherError):
+        build_matcher("a=b=c")
+
+
+def test_include_matches_semantics(spark):
+    # same field ORs, different fields AND, '+' is a disjunction
+    df = spark.createDataFrame(
+        [
+            ({"MESSAGE": "hi", "_TRANSPORT": "stdout"},),
+            ({"MESSAGE": "yo", "_TRANSPORT": "journal"},),
+            ({"MESSAGE": "no", "_TRANSPORT": "journal"},),
+            ({"_TRANSPORT": "kernel"},),
+        ],
+        "journal map<string,string>",
+    )
+    pred = include_matches_predicate(
+        ["message=hi", "message=yo", "systemd.transport=journal", "+",
+         "systemd.transport=kernel"]
+    )
+    got = [r.p for r in df.select(pred.alias("p")).collect()]
+    assert got == [False, True, False, True]
+    # empty list matches everything
+    assert all(
+        r.p for r in df.select(include_matches_predicate([]).alias("p")).collect()
+    )
