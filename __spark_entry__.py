@@ -54,6 +54,18 @@ def _grok_fold_regex() -> str:
 
 _GK_P = _grok_fold_regex()
 
+# journald fold (r5f): expected capability expansions, re-derived with a
+# plain Python bit loop (FromUint64's algorithm) — independent of the
+# engine's per-nibble Column arithmetic.  The name table itself is
+# pinned against the reference's literal expectations in
+# tests/test_journald_matrix.py.
+from beats_spark.processors.journald import CAP_NAMES as _JD_CAP_NAMES
+
+_JD_ALL41 = ",".join(_JD_CAP_NAMES)
+_JD_DEADBEEF = ",".join(
+    _JD_CAP_NAMES[i] for i in range(len(_JD_CAP_NAMES)) if (0xDEADBEEF >> i) & 1
+)
+
 _ORACLE_WITH = (
     "WITH "
     + synth.DUCKDB_TRANSCRIPTS_CTE
@@ -1225,7 +1237,12 @@ def q_ndjson_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """container reader (r3 consolidation: was `container_parse` +
     `cri_partials`): docker-json and CRI lines through format=auto, UNION
-    CRI P/F partial-line joining into logical events."""
+    CRI P/F partial-line joining into logical events.  r5f fold: a third
+    kind='journald' branch runs synthesized journal-entry maps through
+    journald_fields (conversion table, comma-retry integer parse,
+    uid/gid effective-branch, capabilities expansion, cmdline args,
+    custom-key normalization) — the oracle re-derives every output from
+    the same transcript columns."""
     from beats_spark.processors.reader import container, cri_join_partials
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1259,7 +1276,69 @@ def q_container_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("complete").cast("string").alias("extra"),
         F.col("n_fragments").cast("bigint").alias("n"),
     )
-    return mixed.unionByName(partials)
+
+    # journald fold (r5f): one synthesized journal entry per turn
+    from beats_spark.processors.journald import journald_fields
+
+    t2 = synth.transcripts(spark, sf_dir)
+    i = F.col("turn_idx").cast("bigint")
+    pid = (i + 100).cast("string")
+    prio = (i % 9).cast("string")
+    jmap = F.create_map(
+        F.lit("MESSAGE"), F.col("text"),
+        # "123456, " exercises convertValue's comma-retry (conv.go:95)
+        F.lit("PRIORITY"),
+        F.when(i % 4 == 0, F.concat(prio, F.lit(", "))).otherwise(prio),
+        # "" fails both ParseInt attempts; "N,root" takes the retry
+        F.lit("SYSLOG_PID"),
+        F.when(i % 11 == 0, F.lit(""))
+        .when(i % 7 == 0, F.concat(pid, F.lit(",root")))
+        .otherwise(pid),
+        F.lit("_UID"), (i % 3).cast("string"),
+        F.lit("_GID"), (i % 2).cast("string"),
+        F.lit("_AUDIT_LOGINUID"), (i % 2).cast("string"),
+        F.lit("_CMDLINE"),
+        F.concat(
+            F.lit("/usr/bin/"), F.col("tool"), F.lit(' -c "run '), F.col("role"),
+            F.lit('"'), F.when(i % 2 == 0, F.lit(" --v")).otherwise(F.lit("")),
+        ),
+        F.lit("_CAP_EFFECTIVE"),
+        F.element_at(
+            F.lit(["0", "1", "deadbeef", "1ffffffffff", "zz", "3"]),
+            (i % 6 + 1).cast("int"),
+        ),
+        F.lit("_HOSTNAME"), F.col("conv_id"),
+        F.lit("X_Custom"), F.col("role"),
+    )
+    # _AUDIT_LOGINUID is only PRESENT on turn_idx % 5 < 3 rows —
+    # journald_fields keys presence off map_contains_key
+    jmap = F.map_filter(
+        jmap, lambda k, _v: (k != "_AUDIT_LOGINUID") | (F.col("turn_idx") % 5 < 3)
+    )
+    jd = journald_fields(t2.withColumn("journal", jmap), timestamp=False)
+    journald = jd.select(
+        F.lit("journald").alias("kind"),
+        F.col("conv_id").alias("k1"),
+        i.alias("idx"),
+        F.col("message").alias("log"),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("log_syslog_priority").cast("string"), F.lit("-")),
+            F.coalesce(F.col("log_syslog_procid").cast("string"), F.lit("-")),
+            F.col("user_id"),
+            F.coalesce(F.col("user_group_id"), F.lit("-")),
+            F.coalesce(F.col("user_effective_id"), F.lit("-")),
+            F.coalesce(
+                F.array_join(F.col("process_thread_capabilities_effective"), ","),
+                F.lit("-"),
+            ),
+            F.col("journald_custom")["x_custom"],
+            F.col("process_command_line"),
+            F.col("host_hostname"),
+        ).alias("extra"),
+        F.col("process_args_count").alias("n"),
+    )
+    return mixed.unionByName(partials).unionByName(journald)
 
 
 def q_decode_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2689,7 +2768,34 @@ def oracle_sql() -> dict[str, str]:
                  SELECT conv_id, turn_idx,
                         lag(turn_idx % 3 = 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_final
                  FROM transcripts_base))
-             GROUP BY conv_id, grp""",
+             GROUP BY conv_id, grp
+             UNION ALL
+             SELECT 'journald' AS kind, conv_id AS k1,
+                    CAST(turn_idx AS BIGINT) AS idx,
+                    text AS log,
+                    concat_ws('|',
+                      CAST(turn_idx % 9 AS VARCHAR),
+                      coalesce(CASE WHEN turn_idx % 11 = 0 THEN NULL
+                                    ELSE CAST(turn_idx + 100 AS VARCHAR) END, '-'),
+                      CAST(CASE WHEN turn_idx % 5 < 3 AND turn_idx % 2 <> turn_idx % 3
+                                THEN turn_idx % 2 ELSE turn_idx % 3 END AS VARCHAR),
+                      coalesce(CASE WHEN NOT (turn_idx % 5 < 3 AND turn_idx % 2 <> turn_idx % 3)
+                                    THEN CAST(turn_idx % 2 AS VARCHAR) END, '-'),
+                      coalesce(CASE WHEN turn_idx % 5 < 3 AND turn_idx % 2 <> turn_idx % 3
+                                    THEN CAST(turn_idx % 3 AS VARCHAR) END, '-'),
+                      coalesce(CASE turn_idx % 6
+                                    WHEN 1 THEN 'CAP_CHOWN'
+                                    WHEN 2 THEN '{_JD_DEADBEEF}'
+                                    WHEN 3 THEN '{_JD_ALL41}'
+                                    WHEN 5 THEN 'CAP_CHOWN,CAP_DAC_OVERRIDE' END, '-'),
+                      role,
+                      '/usr/bin/' || tool || ' -c "run ' || role || '"' ||
+                        CASE WHEN turn_idx % 2 = 0 THEN ' --v' ELSE '' END,
+                      conv_id),
+                    CAST(CASE WHEN turn_idx % 2 = 0 THEN 4 ELSE 3 END AS BIGINT) AS n
+             FROM transcripts_base""".format(
+            _JD_DEADBEEF=_JD_DEADBEEF, _JD_ALL41=_JD_ALL41
+        ),
         "decode_csv": """
             SELECT event_id,
                    'f' || CAST(event_id AS VARCHAR) AS c0,
