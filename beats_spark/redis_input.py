@@ -1,0 +1,283 @@
+"""redis slowlog input — RESP wire codec from scratch + harvester replay.
+
+The redis input row was previously scoped out ("client libs absent").
+Like the lumberjack rescue, the client library is the only missing
+piece — so this module implements the PUBLIC RESP protocol (the Redis
+serialization protocol spec: ``*``/``$``/``:``/``+``/``-`` frames) from
+scratch and replays the reference harvester exactly
+(filebeat/input/redis/harvester.go):
+
+  * one pipelined round trip per poll: ``SLOWLOG GET`` + ``SLOWLOG
+    RESET`` + ``ROLE`` written together, three replies read back
+    (harvester.go:57-86 Send×3/Flush/Receive×3);
+  * entry scan parity (harvester.go:96-116): 4-field entries
+    (Redis < 6.0) and 6-field entries (≥ 6.0 adds clientAddr,
+    clientName); malformed entries are skipped, not fatal;
+  * the cmd/key/args split rules (harvester.go:117-127): args[0] →
+    cmd, args[1] → key, args[2:] → args (only when present);
+  * the event shape (harvester.go:128-160): ``message`` = the FULL
+    arg list joined with spaces (cmd and key included — the join runs
+    on the original slice), clientAddr/clientName only when non-empty,
+    args only when len > 2, timestamp = Unix(entry.timestamp) UTC;
+  * AUTH on connect when a password is configured (input.go CreatePool
+    DialUsername/DialPassword → ``AUTH [user] pass``).
+
+`read_redis_slowlog` polls each configured host from the driver — the
+faithful analog of input.go's per-host harvester loop (slowlog replies
+are bounded by the server's slowlog-max-len, default 128, so the result
+is small by construction).  `slowlog_from_hosts` is the fleet-scale
+path: a DataFrame of hosts fanned out with mapInPandas, one connection
+per host row ON the executors (the lumberjack-output pattern) — polling
+thousands of shards becomes an embarrassingly parallel scan.
+
+TLS is environment-gated like the kafka jar (config.go's ssl block
+needs a cert store; the socket layer here is pluggable).
+"""
+
+from __future__ import annotations
+
+import socket
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+SLOWLOG_SCHEMA = (
+    "ts timestamp, message string, slowlog_id bigint, cmd string, "
+    "key string, args array<string>, duration_us bigint, role string, "
+    "client_addr string, client_name string, host string"
+)
+
+
+class RedisProtocolError(ValueError):
+    """Malformed RESP frame, or an -ERR reply where data was expected."""
+
+
+# ---------------------------------------------------------------------------
+# RESP codec (protocol spec, not redigo: the wire format is public)
+# ---------------------------------------------------------------------------
+def encode_command(*args: str | bytes) -> bytes:
+    """One command as a RESP array of bulk strings."""
+    out = [b"*%d\r\n" % len(args)]
+    for a in args:
+        b = a.encode() if isinstance(a, str) else a
+        out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+    return b"".join(out)
+
+
+class _RespReader:
+    """Buffered RESP reply reader over a socket."""
+
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buf = b""
+
+    def _line(self) -> bytes:
+        while True:
+            i = self._buf.find(b"\r\n")
+            if i >= 0:
+                line, self._buf = self._buf[:i], self._buf[i + 2 :]
+                return line
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise RedisProtocolError("connection closed mid-reply")
+            self._buf += chunk
+
+    def _exact(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise RedisProtocolError("connection closed mid-bulk")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def read_reply(self) -> Any:
+        line = self._line()
+        if not line:
+            raise RedisProtocolError("empty RESP frame")
+        kind, rest = line[:1], line[1:]
+        if kind == b"+":
+            return rest.decode("utf-8", "replace")
+        if kind == b"-":
+            raise RedisProtocolError(rest.decode("utf-8", "replace"))
+        if kind == b":":
+            return int(rest)
+        if kind == b"$":
+            n = int(rest)
+            if n == -1:
+                return None
+            data = self._exact(n)
+            if self._exact(2) != b"\r\n":
+                raise RedisProtocolError("bulk string missing terminator")
+            return data
+        if kind == b"*":
+            n = int(rest)
+            if n == -1:
+                return None
+            return [self.read_reply() for _ in range(n)]
+        raise RedisProtocolError(f"unknown RESP type byte {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# harvester.Run replayed
+# ---------------------------------------------------------------------------
+def _as_int(v: Any) -> int:
+    # rd.Scan accepts RESP integers or bulk-string digits for int targets
+    if isinstance(v, int):
+        return v
+    if isinstance(v, bytes):
+        return int(v)
+    raise RedisProtocolError(f"expected integer, got {type(v).__name__}")
+
+
+def _as_str(v: Any) -> str:
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, str):
+        return v
+    raise RedisProtocolError(f"expected string, got {type(v).__name__}")
+
+
+def fetch_slowlog(
+    host: str,
+    port: int = 6379,
+    username: str | None = None,
+    password: str | None = None,
+    timeout: float = 10.0,
+) -> tuple[str, list[dict[str, Any]]]:
+    """One harvester poll: (replication role, slowlog entry dicts)."""
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        r = _RespReader(sock)
+        if password is not None:
+            auth = ("AUTH", username, password) if username else ("AUTH", password)
+            sock.sendall(encode_command(*auth))
+            r.read_reply()  # +OK or -ERR (raises)
+        # the reference buffers all three and flushes once
+        sock.sendall(
+            encode_command("SLOWLOG", "GET")
+            + encode_command("SLOWLOG", "RESET")
+            + encode_command("ROLE")
+        )
+        logs = r.read_reply()
+        r.read_reply()  # SLOWLOG RESET → +OK
+        role_reply = r.read_reply()
+        if not isinstance(role_reply, list) or not role_reply:
+            raise RedisProtocolError("unexpected ROLE reply shape")
+        role = _as_str(role_reply[0])
+
+    entries: list[dict[str, Any]] = []
+    for item in logs or []:
+        # malformed entries are logged-and-skipped in the reference
+        # (harvester.go:97-116's two `continue`s)
+        try:
+            if not isinstance(item, list) or len(item) < 4:
+                raise RedisProtocolError("slowlog entry is not a >=4 array")
+            sid = _as_int(item[0])
+            ts = _as_int(item[1])
+            duration = _as_int(item[2])
+            raw_args = item[3]
+            if not isinstance(raw_args, list):
+                raise RedisProtocolError("slowlog args is not an array")
+            args = [_as_str(a) for a in raw_args]
+            client_addr = _as_str(item[4]) if len(item) >= 6 else ""
+            client_name = _as_str(item[5]) if len(item) >= 6 else ""
+        except (RedisProtocolError, ValueError):
+            continue
+        entries.append(
+            {
+                "id": sid,
+                "timestamp": ts,
+                "duration": duration,
+                "cmd": args[0] if len(args) > 0 else "",
+                "key": args[1] if len(args) > 1 else "",
+                "args": args[2:] if len(args) > 2 else None,
+                "message": " ".join(args),
+                "client_addr": client_addr or None,
+                "client_name": client_name or None,
+                "role": role,
+            }
+        )
+    return role, entries
+
+
+def _entry_rows(host: str, entries: list[dict[str, Any]]) -> list[tuple]:
+    from datetime import datetime, timezone
+
+    return [
+        (
+            datetime.fromtimestamp(e["timestamp"], tz=timezone.utc).replace(tzinfo=None),
+            e["message"],
+            e["id"],
+            e["cmd"],
+            e["key"],
+            e["args"],
+            e["duration"],
+            e["role"],
+            e["client_addr"],
+            e["client_name"],
+            host,
+        )
+        for e in entries
+    ]
+
+
+def read_redis_slowlog(
+    spark: SparkSession,
+    hosts: list[str],
+    username: str | None = None,
+    password: str | None = None,
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Poll each host's slowlog once, driver-side (input.go's host loop).
+
+    Host strings are ``host`` or ``host:port``.  Per-host failures skip
+    the host like the reference's per-harvester error handling.
+    Timestamps are UTC wall times rendered naive (the engine's
+    session-tz-free convention).
+    """
+    rows: list[tuple] = []
+    for h in hosts:
+        host, _, port = h.partition(":")
+        try:
+            _, entries = fetch_slowlog(
+                host, int(port) if port else 6379, username, password, timeout
+            )
+        except (OSError, RedisProtocolError, ValueError):
+            continue
+        rows.extend(_entry_rows(h, entries))
+    return spark.createDataFrame(rows, SLOWLOG_SCHEMA)
+
+
+def slowlog_from_hosts(
+    hosts_df: DataFrame,
+    host_col: str = "host",
+    username: str | None = None,
+    password: str | None = None,
+    timeout: float = 10.0,
+) -> DataFrame:
+    """Fleet-scale poll: one slowlog fetch per host row, on executors.
+
+    `hosts_df` is repartitioned by the caller to spread connections;
+    each task opens one socket per host it owns (the lumberjack
+    foreachPartition pattern).  Unreachable hosts yield no rows.
+    """
+    import pandas as pd
+
+    cols = SLOWLOG_SCHEMA.split(", ")
+    names = [c.split(" ")[0] for c in cols]
+
+    def poll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for h in pdf[host_col]:
+                host, _, port = str(h).partition(":")
+                try:
+                    _, entries = fetch_slowlog(
+                        host, int(port) if port else 6379, username, password, timeout
+                    )
+                except (OSError, RedisProtocolError, ValueError):
+                    continue
+                rows.extend(_entry_rows(str(h), entries))
+            yield pd.DataFrame(rows, columns=names)
+
+    return hosts_df.mapInPandas(poll, SLOWLOG_SCHEMA)

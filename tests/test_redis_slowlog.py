@@ -1,0 +1,172 @@
+"""redis slowlog input — live wire tests against an in-test RESP server.
+
+The fake server hand-builds RESP reply bytes (never via this module's
+codec) and asserts the client's command bytes against literal RESP
+frames, so both directions of the protocol are pinned independently.
+Harvester semantics (filebeat/input/redis/harvester.go): 4- vs 6-field
+entries, cmd/key/args split rules, message = full arg join, empty
+client fields dropped, malformed entries skipped.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import pytest
+
+from beats_spark.redis_input import (
+    RedisProtocolError,
+    _RespReader,
+    encode_command,
+    fetch_slowlog,
+    read_redis_slowlog,
+    slowlog_from_hosts,
+)
+
+# the pipelined poll, byte-for-byte (harvester.go Send×3 + Flush)
+EXPECT_POLL = (
+    b"*2\r\n$7\r\nSLOWLOG\r\n$3\r\nGET\r\n"
+    b"*2\r\n$7\r\nSLOWLOG\r\n$5\r\nRESET\r\n"
+    b"*1\r\n$4\r\nROLE\r\n"
+)
+
+
+def _bulk(s: bytes) -> bytes:
+    return b"$%d\r\n%s\r\n" % (len(s), s)
+
+
+def _arr(*items: bytes) -> bytes:
+    return b"*%d\r\n" % len(items) + b"".join(items)
+
+
+def _int(n: int) -> bytes:
+    return b":%d\r\n" % n
+
+
+# SLOWLOG GET reply: 6-field (>=6.0), 4-field (<6.0), short-args forms,
+# and one malformed entry (a bare integer) that must be skipped.
+SLOWLOG_REPLY = _arr(
+    _arr(  # 6-field, args > 2
+        _int(14),
+        _int(1693748422),
+        _int(12344),
+        _arr(_bulk(b"SET"), _bulk(b"k1"), _bulk(b"v1"), _bulk(b"EX")),
+        _bulk(b"127.0.0.1:64772"),
+        _bulk(b""),  # empty clientName → dropped
+    ),
+    _arr(  # 4-field (redis < 6.0), args == 2
+        _int(13),
+        _int(1693748421),
+        _int(500),
+        _arr(_bulk(b"GET"), _bulk(b"k2")),
+    ),
+    _int(99),  # malformed entry → skipped (harvester.go:97-101)
+    _arr(  # args == 1
+        _int(12),
+        _int(1693748420),
+        _int(7),
+        _arr(_bulk(b"PING")),
+    ),
+)
+ROLE_REPLY = _arr(_bulk(b"master"), _int(0), b"*0\r\n")
+
+
+class FakeRedis(threading.Thread):
+    def __init__(self, password: bytes | None = None):
+        super().__init__(daemon=True)
+        self.password = password
+        self.received = b""
+        self.errors: list[str] = []
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+
+    def _read_commands(self, reader: _RespReader, n: int) -> list[list[bytes]]:
+        return [reader.read_reply() for _ in range(n)]
+
+    def run(self):
+        conn, _ = self._srv.accept()
+        with conn:
+            reader = _RespReader(conn)
+            if self.password is not None:
+                auth = reader.read_reply()
+                if auth[-1] != self.password:
+                    conn.sendall(b"-ERR invalid password\r\n")
+                    return
+                conn.sendall(b"+OK\r\n")
+            # capture the pipelined poll for byte-level assertion
+            cmds = self._read_commands(reader, 3)
+            self.received = b"".join(
+                encode_command(*[c.decode() for c in cmd]) for cmd in cmds
+            )
+            conn.sendall(SLOWLOG_REPLY + b"+OK\r\n" + ROLE_REPLY)
+        self._srv.close()
+
+
+def test_fetch_slowlog_wire_and_semantics():
+    srv = FakeRedis()
+    srv.start()
+    role, entries = fetch_slowlog("127.0.0.1", srv.port)
+    srv.join(timeout=5)
+    assert srv.received == EXPECT_POLL  # exact wire bytes
+    assert role == "master"
+    assert len(entries) == 3  # malformed entry skipped
+
+    e = entries[0]
+    assert (e["id"], e["duration"]) == (14, 12344)
+    assert (e["cmd"], e["key"], e["args"]) == ("SET", "k1", ["v1", "EX"])
+    assert e["message"] == "SET k1 v1 EX"  # full join, cmd+key included
+    assert e["client_addr"] == "127.0.0.1:64772"
+    assert e["client_name"] is None  # empty string dropped
+
+    e = entries[1]  # 4-field form
+    assert (e["cmd"], e["key"]) == ("GET", "k2")
+    assert e["args"] is None  # args only when len > 2
+    assert e["client_addr"] is None
+
+    e = entries[2]  # single-arg form
+    assert (e["cmd"], e["key"], e["args"]) == ("PING", "", None)
+    assert e["message"] == "PING"
+
+
+def test_auth_on_connect():
+    srv = FakeRedis(password=b"hunter2")
+    srv.start()
+    role, entries = fetch_slowlog("127.0.0.1", srv.port, password="hunter2")
+    srv.join(timeout=5)
+    assert role == "master" and len(entries) == 3
+
+
+def test_auth_failure_raises():
+    srv = FakeRedis(password=b"hunter2")
+    srv.start()
+    with pytest.raises(RedisProtocolError):
+        fetch_slowlog("127.0.0.1", srv.port, password="wrong")
+    srv.join(timeout=5)
+
+
+def test_read_redis_slowlog_dataframe(spark):
+    srv = FakeRedis()
+    srv.start()
+    df = read_redis_slowlog(
+        spark, [f"127.0.0.1:{srv.port}", "127.0.0.1:1"]  # second host is down
+    )
+    rows = df.orderBy("slowlog_id").collect()
+    srv.join(timeout=5)
+    assert [r.slowlog_id for r in rows] == [12, 13, 14]
+    assert rows[2].message == "SET k1 v1 EX"
+    assert rows[2].duration_us == 12344
+    assert rows[2].client_addr == "127.0.0.1:64772"
+    assert rows[0].ts.isoformat() == "2023-09-03T13:40:20"  # Unix(...).UTC()
+    assert {r.role for r in rows} == {"master"}
+    assert rows[0].host.endswith(str(srv.port))
+
+
+def test_slowlog_from_hosts_distributed(spark):
+    srv = FakeRedis()
+    srv.start()
+    hosts = spark.createDataFrame([(f"127.0.0.1:{srv.port}",)], "host string")
+    rows = slowlog_from_hosts(hosts).collect()
+    srv.join(timeout=5)
+    assert sorted(r.slowlog_id for r in rows) == [12, 13, 14]
+    assert all(r.role == "master" for r in rows)
