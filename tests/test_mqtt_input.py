@@ -1,0 +1,205 @@
+"""mqtt input — live wire tests against an in-test MQTT 3.1.1 broker.
+
+The fake broker asserts the client's handshake packets against
+hand-built byte literals (CONNECT, the single SubscribeMultiple-style
+SUBSCRIBE, PUBACK/PUBREC/PUBCOMP) and drives QoS 0/1/2 deliveries,
+so both directions of the wire format are pinned independently of the
+module's codec.  Input semantics per filebeat/input/mqtt/input.go:
+event shape, one SUBSCRIBE for all topics, client-id validation.
+"""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import pytest
+
+from beats_spark.mqtt_input import (
+    MQTTClient,
+    MQTTError,
+    decode_varint,
+    encode_ack,
+    encode_connack,
+    encode_publish,
+    encode_suback,
+    encode_varint,
+    mqtt_collect,
+    parse_packet,
+    read_mqtt_messages,
+    validate_client_id,
+)
+
+# hand-built handshake literals (MQTT 3.1.1 spec bytes)
+CONNECT_FILEBEAT = b"\x10\x14\x00\x04MQTT\x04\x02\x00\x3c\x00\x08filebeat"
+SUBSCRIBE_TWO_TOPICS = b"\x82\x0c\x00\x01\x00\x03a/#\x01\x00\x01b\x01"
+
+
+def test_varint_roundtrip():
+    for n in (0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 268435455):
+        enc = encode_varint(n)
+        assert decode_varint(enc, 0) == (n, len(enc))
+    assert decode_varint(b"\x80\x80", 0) is None  # incomplete
+    with pytest.raises(MQTTError):
+        encode_varint(268435456)
+
+
+def test_parse_packet_incremental():
+    pkt = encode_publish("t", b"payload", qos=1, packet_id=9)
+    for cut in range(len(pkt)):
+        assert parse_packet(pkt[:cut]) is None
+    ptype, flags, body, nxt = parse_packet(pkt)
+    assert (ptype, nxt) == (3, len(pkt))
+    assert (flags >> 1) & 3 == 1
+
+
+def test_client_id_validation():
+    validate_client_id("filebeat")
+    for bad in ("", "x" * 24):
+        with pytest.raises(MQTTError):
+            validate_client_id(bad)
+
+
+def _count_topics(sub_body: bytes) -> int:
+    pos, n = 2, 0  # skip packet id
+    while pos < len(sub_body):
+        tlen = int.from_bytes(sub_body[pos : pos + 2], "big")
+        pos += 2 + tlen + 1  # topic + qos byte
+        n += 1
+    return n
+
+
+class FakeBroker(threading.Thread):
+    """Scripted broker: handshake asserts + a delivery scenario."""
+
+    def __init__(self, script="qos_battery", rc=0):
+        super().__init__(daemon=True)
+        self.script = script
+        self.rc = rc
+        self.received: list[bytes] = []  # raw packets from the client
+        self.failures: list[str] = []
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+
+    def _read_pkt(self, conn, buf):
+        while True:
+            p = parse_packet(bytes(buf))
+            if p is not None:
+                self.received.append(bytes(buf[: p[3]]))
+                del buf[: p[3]]
+                return p
+            chunk = conn.recv(65536)
+            if not chunk:
+                return None
+            buf.extend(chunk)
+
+    def _expect(self, p, ptype: int, label: str, body: bytes | None = None):
+        if p is None or p[0] != ptype or (body is not None and p[2] != body):
+            self.failures.append(f"expected {label}, got {p}")
+
+    def run(self):
+        conn, _ = self._srv.accept()
+        buf = bytearray()
+        try:
+            self._expect(self._read_pkt(conn, buf), 1, "CONNECT")
+            conn.sendall(encode_connack(rc=self.rc))
+            if self.rc != 0:
+                return
+            p = self._read_pkt(conn, buf)
+            self._expect(p, 8, "SUBSCRIBE")
+            pid = int.from_bytes(p[2][:2], "big")
+            conn.sendall(encode_suback(pid, [1] * _count_topics(p[2])))
+
+            if self.script == "qos_battery":
+                # qos0 retained, qos1 (expect PUBACK), qos2 (full flow
+                # with a dup re-send before PUBREL), then a final qos0
+                conn.sendall(encode_publish("a/x", b"m0", qos=0, retain=True))
+                conn.sendall(encode_publish("a/y", b"m1", qos=1, packet_id=5))
+                self._expect(self._read_pkt(conn, buf), 4, "PUBACK 5", b"\x00\x05")
+                conn.sendall(encode_publish("b", b"m2", qos=2, packet_id=7))
+                self._expect(self._read_pkt(conn, buf), 5, "PUBREC 7", b"\x00\x07")
+                # re-send before PUBREL: deduped but re-PUBRECed
+                conn.sendall(encode_publish("b", b"m2", qos=2, packet_id=7, dup=True))
+                self._expect(self._read_pkt(conn, buf), 5, "second PUBREC", b"\x00\x07")
+                conn.sendall(encode_ack(0x62, 7))  # PUBREL
+                self._expect(self._read_pkt(conn, buf), 7, "PUBCOMP 7", b"\x00\x07")
+                conn.sendall(encode_publish("a/x", b"done", qos=0))
+                self._expect(self._read_pkt(conn, buf), 14, "DISCONNECT")
+            elif self.script == "stream":
+                for i in range(3):
+                    conn.sendall(
+                        encode_publish("s/t", b"msg%d" % i, qos=1, packet_id=10 + i)
+                    )
+                for i in range(3):
+                    self._expect(self._read_pkt(conn, buf), 4, f"PUBACK {10 + i}")
+                time.sleep(6)  # hold the session open while rows land
+        finally:
+            try:
+                conn.close()
+            except OSError:
+                pass
+            self._srv.close()
+
+
+def test_mqtt_collect_qos_battery(spark):
+    srv = FakeBroker()
+    srv.start()
+    df = mqtt_collect(
+        spark, "127.0.0.1", srv.port, topics=["a/#", "b"], qos=1,
+        max_messages=4, timeout=20,
+    )
+    rows = df.collect()
+    srv.join(timeout=15)
+    assert srv.failures == []
+    # handshake bytes, pinned literally
+    assert srv.received[0] == CONNECT_FILEBEAT
+    assert srv.received[1] == SUBSCRIBE_TWO_TOPICS
+    assert sorted(r.message for r in rows) == ["done", "m0", "m1", "m2"]  # dup deduped
+    m0 = next(r for r in rows if r.message == "m0")
+    assert (m0.mqtt_topic, m0.mqtt_qos, m0.mqtt_retained) == ("a/x", 0, True)
+    m1 = next(r for r in rows if r.message == "m1")
+    assert (m1.mqtt_qos, m1.mqtt_message_id) == (1, 5)
+    m2 = next(r for r in rows if r.message == "m2")
+    assert (m2.mqtt_qos, m2.mqtt_message_id, m2.mqtt_duplicate) == (2, 7, False)
+
+
+def test_connack_refusal():
+    srv = FakeBroker(rc=5)
+    srv.start()
+    with pytest.raises(MQTTError, match="not authorized"):
+        MQTTClient("127.0.0.1", srv.port)
+    srv.join(timeout=10)
+
+
+def test_read_mqtt_messages_stream(spark):
+    srv = FakeBroker(script="stream")
+    srv.start()
+    stream = read_mqtt_messages(spark, "127.0.0.1", srv.port, topics=["s/#"], qos=1)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mqtt_rows")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 45
+    rows = []
+    try:
+        while time.time() < deadline:
+            rows = spark.table("mqtt_rows").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    srv.join(timeout=15)
+    assert srv.failures == []
+    assert sorted(r.message for r in rows) == ["msg0", "msg1", "msg2"]
+    assert {r.mqtt_topic for r in rows} == {"s/t"}
+    assert sorted(r.mqtt_message_id for r in rows) == [10, 11, 12]
+
+
+def test_stream_qos2_is_a_loud_error(spark):
+    with pytest.raises(MQTTError, match="QoS 2"):
+        read_mqtt_messages(spark, "127.0.0.1", 1883, qos=2)
