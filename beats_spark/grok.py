@@ -43,8 +43,10 @@ as the dissect notes):
   * a typed capture that fails to cast becomes NULL (Logstash keeps
     the raw string; impossible in a typed column — see
     dissect.cast_column);
-  * ``break_on_match=False`` (apply every pattern, merge fields) is not
-    supported — a pattern list is always first-match-wins.
+  * ``break_on_match=False`` (apply every pattern, merge fields): a
+    field captured by several MATCHING patterns becomes an array in
+    Logstash; a flat column keeps the value from the first matching
+    pattern that captures it (coalesce order = pattern order).
 
 Like Logstash, patterns are NOT anchored: a grok expression matches
 anywhere in the input unless the caller writes ``^``/``$``.
@@ -354,13 +356,18 @@ def grok_columns(
     overwrite_keys: bool = False,
     flag_failures: bool = True,
     convert_types: bool = True,
+    break_on_match: bool = True,
 ) -> DataFrame:
     """Grok `src` into one top-level column per semantic capture.
 
-    `patterns` may be a list: patterns are tried in order and the FIRST
-    matching one supplies every field (Logstash break_on_match).  A
-    field absent from the matching pattern is NULL.  No pattern matching
-    ⇒ all fields NULL + `_grokparsefailure` appended to log_flags.
+    `patterns` may be a list: with `break_on_match=True` (the Logstash
+    default) patterns are tried in order and the FIRST matching one
+    supplies every field; a field absent from the matching pattern is
+    NULL.  With `break_on_match=False` every matching pattern
+    contributes — per field, the first matching pattern that captures
+    it wins (the flat-column reading of Logstash's merge; see the
+    module divergence notes).  No pattern matching ⇒ all fields NULL +
+    `_grokparsefailure` appended to log_flags (both modes).
 
     Same processor-level contract as dissect_columns: `prefix` is the
     target-prefix analog; `overwrite_keys=False` refuses to clobber an
@@ -402,11 +409,22 @@ def grok_columns(
     matches = [cg.matched(col) for cg in compiled]
 
     for f in fields:
-        expr = F.when(F.lit(False), F.lit(None).cast("string"))
-        for cg, m in zip(compiled, matches):
-            branch = cg.extract(col, f) if f in cg.fields else F.lit(None).cast("string")
-            expr = expr.when(m, branch)
-        val = expr.otherwise(F.lit(None).cast("string"))
+        if break_on_match:
+            expr = F.when(F.lit(False), F.lit(None).cast("string"))
+            for cg, m in zip(compiled, matches):
+                branch = (
+                    cg.extract(col, f) if f in cg.fields else F.lit(None).cast("string")
+                )
+                expr = expr.when(m, branch)
+            val = expr.otherwise(F.lit(None).cast("string"))
+        else:
+            # merge mode: first MATCHING pattern that captures f wins
+            branches = [
+                F.when(m, cg.extract(col, f))
+                for cg, m in zip(compiled, matches)
+                if f in cg.fields
+            ]
+            val = F.coalesce(*branches, F.lit(None).cast("string"))
         if convert_types and types[f] is not None:
             # ANSI-safe: try_cast semantics (cast failure → NULL, job survives)
             val = val.try_cast(types[f])

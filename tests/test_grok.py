@@ -268,3 +268,30 @@ def test_unanchored_like_logstash(spark):
     df = spark.createDataFrame([("prefix junk level=warn suffix",)], "text string")
     row = grok_columns(df, r"level=%{WORD:level}").first()
     assert row["level"] == "warn"
+
+
+def test_break_on_match_false_merges(spark):
+    """Merge mode: every matching pattern contributes; per field the
+    first matching capturing pattern wins (module divergence note)."""
+    from beats_spark.grok import grok_columns
+
+    df = spark.createDataFrame(
+        [("a=1 b=2",), ("b=9",), ("nope",)], "text string"
+    )
+    out = grok_columns(
+        df,
+        ["a=%{INT:va} b=%{INT:shared}", "b=%{INT:vb}", "b=%{INT:shared}"],
+        break_on_match=False,
+        convert_types=False,
+    ).collect()
+
+    r0 = out[0]  # first and third patterns both match "b=2" region
+    assert (r0["va"], r0["shared"]) == ("1", "2")
+    assert r0["vb"] == "2"  # unanchored: pattern 2 matches inside line 1
+    r1 = out[1]  # only patterns 2 and 3 match
+    assert r1["va"] is None
+    assert (r1["vb"], r1["shared"]) == ("9", "9")
+    r2 = out[2]  # nothing matches: all NULL + failure tag
+    assert r2["va"] is None and r2["vb"] is None and r2["shared"] is None
+    assert "_grokparsefailure" in (r2["log_flags"] or [])
+    assert "_grokparsefailure" not in (r0["log_flags"] or [])
