@@ -1789,7 +1789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     recomputes the whole packing manifest via a window cumsum over the
     same md5 order key; NOT folded into text_quality, which is a pinned
     A/B + headline bench metric whose workload must stay comparable
-    across rounds)."""
+    across rounds).
+    r5 sixth-session folds: grok→dissect_extract (gk_* columns — the
+    compiled RE2-safe regex replayed verbatim by DuckDB);
+    journald_fields→container_parse (kind='journald' rows — the oracle
+    re-derives the conversion + enrichment passes from the transcript
+    columns)."""
     return {
         "pipeline_routed": q_pipeline_routed,
         "routing_sink_counts": q_routing_sink_counts,

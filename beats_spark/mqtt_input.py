@@ -457,15 +457,30 @@ def register_mqtt_source(spark: SparkSession) -> None:
                     import datetime
 
                     rows = []
-                    sock = self._connect_lazy()
+                    try:
+                        sock = self._connect_lazy()
+                    except OSError:
+                        self._sock = None  # broker down: retry next trigger
+                        return iter([]), dict(start)
                     while len(rows) < self._max_per_batch:
                         p = self._parse()
                         if p is None:
                             try:
                                 chunk = sock.recv(65536)
-                            except (BlockingIOError, OSError):
-                                break
+                            except BlockingIOError:
+                                break  # drained; more next trigger
+                            except OSError:
+                                chunk = b""
                             if not chunk:
+                                # peer closed: reconnect + re-subscribe on
+                                # the next trigger (paho auto-reconnect +
+                                # onConnect resubscribe parity)
+                                try:
+                                    sock.close()
+                                except OSError:
+                                    pass
+                                self._sock = None
+                                self._buf = b""
                                 break
                             self._buf += chunk
                             continue

@@ -203,3 +203,80 @@ def test_read_mqtt_messages_stream(spark):
 def test_stream_qos2_is_a_loud_error(spark):
     with pytest.raises(MQTTError, match="QoS 2"):
         read_mqtt_messages(spark, "127.0.0.1", 1883, qos=2)
+
+
+class ReconnectBroker(threading.Thread):
+    """Serves two sequential sessions: 2 messages, close, then 1 more."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.connects = 0
+        self.failures: list[str] = []
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+
+    def _handshake(self, conn, buf):
+        reader_buf = buf
+
+        def read_pkt():
+            while True:
+                p = parse_packet(bytes(reader_buf))
+                if p is not None:
+                    del reader_buf[: p[3]]
+                    return p
+                chunk = conn.recv(65536)
+                if not chunk:
+                    return None
+                reader_buf.extend(chunk)
+        p = read_pkt()
+        if p is None or p[0] != 1:
+            self.failures.append(f"expected CONNECT, got {p}")
+            return None
+        self.connects += 1
+        conn.sendall(encode_connack())
+        p = read_pkt()
+        if p is None or p[0] != 8:
+            self.failures.append(f"expected SUBSCRIBE, got {p}")
+            return None
+        conn.sendall(encode_suback(int.from_bytes(p[2][:2], "big"), [0]))
+        return read_pkt
+
+    def run(self):
+        try:
+            for session, msgs in enumerate(([b"r0", b"r1"], [b"r2"])):
+                conn, _ = self._srv.accept()
+                with conn:
+                    if self._handshake(conn, bytearray()) is None:
+                        return
+                    for m in msgs:
+                        conn.sendall(encode_publish("r/t", m, qos=0))
+                    if session == 1:
+                        time.sleep(6)  # hold the final session open
+        finally:
+            self._srv.close()
+
+
+def test_stream_reconnects_after_broker_close(spark):
+    srv = ReconnectBroker()
+    srv.start()
+    stream = read_mqtt_messages(spark, "127.0.0.1", srv.port, topics=["r/#"], qos=0)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mqtt_reconnect")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = time.time() + 60
+    rows = []
+    try:
+        while time.time() < deadline:
+            rows = spark.table("mqtt_reconnect").collect()
+            if len(rows) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert srv.failures == []
+    assert srv.connects == 2  # the reader re-CONNECTed + re-subscribed
+    assert sorted(r.message for r in rows) == ["r0", "r1", "r2"]
