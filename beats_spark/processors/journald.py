@@ -532,6 +532,67 @@ def include_matches_predicate(matches: list[str], src: str = "journal") -> Colum
     return out
 
 
+def journald_input_predicate(
+    src: str = "journal",
+    units: list[str] | None = None,
+    syslog_identifiers: list[str] | None = None,
+    transports: list[str] | None = None,
+    facilities: list[int] | None = None,
+    include_matches: list[str] | None = None,
+    kernel: bool = False,
+) -> Column:
+    """The journald input's filter config surface as one predicate.
+
+    The reference delegates each option to journalctl flags
+    (pkg/journalctl/reader.go:300-323: ``--unit``, ``--identifier``,
+    raw matches, ``_TRANSPORT=``, ``SYSLOG_FACILITY=``), so the
+    semantics replayed here are journalctl's documented ones:
+
+      * per unit, systemd's add_matches_for_unit expansion —
+        ``_SYSTEMD_UNIT=u``, ``UNIT=u AND _PID=1``,
+        ``OBJECT_SYSTEMD_UNIT=u AND _UID=0``, ``COREDUMP_UNIT=u`` —
+        OR'd, and multiple units OR together;
+      * syslog_identifiers → same-field OR on SYSLOG_IDENTIFIER
+        (reader.go's own comment: same-field matches are ORed);
+      * include_matches → `include_matches_predicate` (translation +
+        systemd match semantics);
+      * transports / facilities → same-field ORs.
+
+    Options compose conjunctively (an event must pass every configured
+    option).  ``kernel`` is accepted and ignored — the current
+    reference reads the key but wires it to nothing (it appears only in
+    input_filtering_test.go's config maps).
+    """
+    del kernel
+    m = F.col(src)
+    preds: list[Column] = []
+    if units:
+        unit_preds = []
+        for u in units:
+            unit_preds.append(
+                (m["_SYSTEMD_UNIT"] == u)
+                | ((m["UNIT"] == u) & (m["_PID"] == "1"))
+                | ((m["OBJECT_SYSTEMD_UNIT"] == u) & (m["_UID"] == "0"))
+                | (m["COREDUMP_UNIT"] == u)
+            )
+        p = unit_preds[0]
+        for q in unit_preds[1:]:
+            p = p | q
+        preds.append(p)
+    if syslog_identifiers:
+        preds.append(m["SYSLOG_IDENTIFIER"].isin(*syslog_identifiers))
+    if transports:
+        preds.append(m["_TRANSPORT"].isin(*transports))
+    if facilities:
+        preds.append(m["SYSLOG_FACILITY"].isin(*[str(f) for f in facilities]))
+    if include_matches:
+        preds.append(include_matches_predicate(include_matches, src))
+    out = F.lit(True)
+    for p in preds:
+        out = out & F.coalesce(p, F.lit(False))
+    return out
+
+
 def journald_fields_builder(**cfg):
     """Registry builder: {"journald_fields": {"src": "journal", ...}}."""
 

@@ -385,3 +385,72 @@ def test_reference_golden_events_end_to_end(spark):
         # compare instants
         ts = datetime.fromisoformat(ev["Timestamp"])
         assert got["jts_us"] == int(ts.timestamp() * 1_000_000), ev["Timestamp"]
+
+
+# ---------------------------------------------------------------------------
+# input_filtering_test.go over the same 8-entry fixture
+# ---------------------------------------------------------------------------
+def _filtered_messages(spark, **cfg):
+    from beats_spark.processors.journald import journald_input_predicate
+
+    blob = open(f"{REF}/testdata/input-multiline-parser.export", "rb").read()
+    df = spark.createDataFrame([(bytearray(blob),)], "value binary")
+    out = journald_fields(journald_export_parse(df)).where(
+        journald_input_predicate(**cfg)
+    )
+    return sorted(r["message"] for r in out.select("message").collect())
+
+
+ALL_8 = sorted(
+    ["pam_unix(sudo:session): session closed for user root",
+     "Started Outputs some log lines.",
+     "1st line", "2nd line", "3rd line", "4th line", "5th line", "6th line"]
+)
+
+FILTER_CASES = [
+    # TestInputSyslogIdentifier
+    ("one identifier", dict(syslog_identifiers=["sudo"]),
+     ["pam_unix(sudo:session): session closed for user root"]),
+    ("two identifiers", dict(syslog_identifiers=["sudo", "systemd"]),
+     sorted(["pam_unix(sudo:session): session closed for user root",
+             "Started Outputs some log lines."])),
+    # TestInputUnits
+    ("one unit", dict(units=["session-1.scope"], kernel=True),
+     ["pam_unix(sudo:session): session closed for user root"]),
+    ("one unit with kernel", dict(units=["session-1.scope"]),
+     ["pam_unix(sudo:session): session closed for user root"]),
+    ("two units, all messages",
+     dict(units=["session-1.scope", "user@1000.service"]), ALL_8),
+    # TestInputIncludeMatches
+    ("single match condition",
+     dict(include_matches=["log.syslog.facility.code=3"]),
+     sorted(["Started Outputs some log lines.", "1st line", "2nd line",
+             "3rd line", "4th line", "5th line", "6th line"])),
+    ("multiple match condition",
+     dict(include_matches=["journald.process.name=systemd",
+                           "log.syslog.facility.code=3"]),
+     ["Started Outputs some log lines."]),
+]
+
+
+@pytest.mark.parametrize(
+    "name,cfg,want", FILTER_CASES, ids=[c[0] for c in FILTER_CASES]
+)
+def test_input_filtering_matrix(spark, name, cfg, want):
+    """input_filtering_test.go's three tables (syslog_identifiers,
+    units incl. the ignored `kernel` key, include_matches) over the
+    reference's own 8-entry fixture."""
+    assert _filtered_messages(spark, **cfg) == want
+
+
+def test_transport_and_facility_filters(spark):
+    # reader.go:313-323: _TRANSPORT= / SYSLOG_FACILITY= raw matches
+    assert _filtered_messages(spark, transports=["syslog"]) == [
+        "pam_unix(sudo:session): session closed for user root"
+    ]
+    assert len(_filtered_messages(spark, facilities=[3])) == 7
+    assert _filtered_messages(spark, facilities=[10, 3]) == ALL_8
+    # options compose conjunctively
+    assert _filtered_messages(
+        spark, facilities=[3], syslog_identifiers=["systemd"]
+    ) == ["Started Outputs some log lines."]
