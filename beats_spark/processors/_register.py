@@ -171,6 +171,14 @@ from .journald import journald_fields_builder as _journald_fields  # noqa: E402
 
 REGISTRY["journald_fields"] = _journald_fields
 
+from .evtx import evtx_records_builder as _evtx_records  # noqa: E402
+from .evtx import winlog_filter_builder as _winlog_filter  # noqa: E402
+
+# the winlog input: .evtx binary column -> EvtRender-parity XML records,
+# plus the file-mode simple query (record_filter.go) as a filter stage
+REGISTRY["evtx_records"] = _evtx_records
+REGISTRY["winlog_filter"] = _winlog_filter
+
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script

@@ -1,0 +1,886 @@
+"""Windows Event Log (.evtx) file input — the winlog source rescued.
+
+The reference's winlog input (filebeat/input/winlog/input.go,
+winlogbeat/eventlog/wineventlog.go:274 EvtQuery with EvtQueryFilePath)
+reads .evtx files through the Windows Event Log API, renders each record
+to the Event XML document (EvtRender), and feeds that XML into the
+winevent pipeline.  The API itself is Windows-only, but the on-disk
+format is public ("Windows XML Event Log (EVTX)" — the libevtx format
+specification and MS-EVEN6's BinXml grammar), so this module implements
+the file + chunk + record + binary-XML layers from that public spec and
+renders each record to the same XML string the Windows renderer emits.
+Parity is pinned by the reference's own cross-implementation goldens:
+winlogbeat/sys/wineventlog/testdata/*.evtx each ship with the
+EvtRender'd XML (testdata/*.xml) — tests/test_evtx.py parses every
+fixture and compares record-by-record, byte for byte.
+
+Pipeline position: `read_evtx` (binaryFile scan → Arrow-batched record
+explode) produces the XML column that `decode_xml_wineventlog`
+(processors/misc.py) already turns into the winlog/ECS event — together
+they reproduce the whole winlogbeat path on Spark.  At scale the unit
+of parallelism is the file (binaryFile splits per file; exported .evtx
+logs are ≤20 MB by default), and every chunk is self-contained
+(chunk-relative name/template offsets), so a single giant file can also
+be exploded chunk-wise — `evtx_records` parses chunks independently.
+
+The file-mode simple query (`winlogbeat/eventlog/record_filter.go`) is
+ported as a build-time-validated Column predicate: provider allow-list,
+level name/number sets, include/exclude event-ID ranges (excludes win),
+ignore_older against a caller-supplied reference time.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timedelta
+from typing import Iterator, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "parse_evtx",
+    "render_record_xml",
+    "evtx_records",
+    "read_evtx",
+    "winlog_events",
+    "parse_levels",
+    "parse_event_id_ranges",
+    "winlog_simple_query",
+]
+
+_EPOCH_1601 = datetime(1601, 1, 1)
+
+# ---------------------------------------------------------------------------
+# BinXML token constants (public BinXml grammar, MS-EVEN6 §2.2.4 / libevtx doc)
+# ---------------------------------------------------------------------------
+_TOK_EOF = 0x00
+_TOK_OPEN_START = 0x01  # | 0x40 when the element carries attributes
+_TOK_CLOSE_START = 0x02
+_TOK_CLOSE_EMPTY = 0x03
+_TOK_END_ELEMENT = 0x04
+_TOK_VALUE = 0x05
+_TOK_ATTRIBUTE = 0x06
+_TOK_CDATA = 0x07
+_TOK_CHARREF = 0x08
+_TOK_ENTITYREF = 0x09
+_TOK_PI_TARGET = 0x0A
+_TOK_PI_DATA = 0x0B
+_TOK_TEMPLATE_INSTANCE = 0x0C
+_TOK_NORMAL_SUB = 0x0D
+_TOK_CONDITIONAL_SUB = 0x0E
+_TOK_FRAGMENT_HEADER = 0x0F
+
+# value types
+_VT_NULL = 0x00
+_VT_STRING = 0x01
+_VT_ANSI = 0x02
+_VT_INT8 = 0x03
+_VT_UINT8 = 0x04
+_VT_INT16 = 0x05
+_VT_UINT16 = 0x06
+_VT_INT32 = 0x07
+_VT_UINT32 = 0x08
+_VT_INT64 = 0x09
+_VT_UINT64 = 0x0A
+_VT_REAL32 = 0x0B
+_VT_REAL64 = 0x0C
+_VT_BOOL = 0x0D
+_VT_BINARY = 0x0E
+_VT_GUID = 0x0F
+_VT_SIZET = 0x10
+_VT_FILETIME = 0x11
+_VT_SYSTIME = 0x12
+_VT_SID = 0x13
+_VT_HEX32 = 0x14
+_VT_HEX64 = 0x15
+_VT_BINXML = 0x21
+_VT_ARRAY = 0x80
+
+
+class EvtxError(ValueError):
+    """Structural error in an .evtx file / chunk / record."""
+
+
+# ---------------------------------------------------------------------------
+# parsed-node model
+# ---------------------------------------------------------------------------
+@dataclass
+class _Sub:
+    sub_id: int
+    vtype: int
+    optional: bool
+
+
+@dataclass
+class _Text:
+    text: str
+
+
+@dataclass
+class _CharRef:
+    value: int
+
+
+@dataclass
+class _EntityRef:
+    name: str
+
+
+@dataclass
+class _CData:
+    text: str
+
+
+@dataclass
+class _PI:
+    target: str
+    data: str
+
+
+@dataclass
+class _Element:
+    name: str
+    dep_id: int  # 0xFFFF = unconditional
+    attrs: List[Tuple[str, list]] = dc_field(default_factory=list)
+    content: list = dc_field(default_factory=list)
+    empty: bool = False  # closed via CloseEmptyElement → renders <x/>
+
+
+@dataclass
+class _TemplateRef:
+    """A template instance inside a fragment: definition tree + values."""
+
+    tree: list
+    # (value_type, raw bytes, chunk offset) per substitution id — the
+    # offset lets embedded BinXml values resolve their chunk-relative
+    # name/template references in place
+    values: List[Tuple[int, bytes, int]]
+
+
+# ---------------------------------------------------------------------------
+# the chunk parser — all offsets in BinXML are chunk-relative, so the
+# cursor always works against the full 64 KiB chunk buffer
+# ---------------------------------------------------------------------------
+class _ChunkReader:
+    def __init__(self, chunk: bytes):
+        self.b = chunk
+        self.names: dict = {}
+        self.templates: dict = {}
+
+    # -- primitives --------------------------------------------------------
+    def _name_at(self, ofs: int, cursor: int) -> Tuple[str, int]:
+        """Name structure: u32 next, u16 hash, u16 num_chars, UTF-16 + NUL.
+
+        Returns (name, new_cursor): the cursor advances past the structure
+        only when the name is stored inline (ofs == cursor).
+        """
+        if ofs in self.names:
+            name = self.names[ofs]
+        else:
+            (n,) = struct.unpack_from("<H", self.b, ofs + 6)
+            name = self.b[ofs + 8 : ofs + 8 + 2 * n].decode("utf-16-le")
+            self.names[ofs] = name
+        if ofs == cursor:
+            (n,) = struct.unpack_from("<H", self.b, ofs + 6)
+            cursor = ofs + 8 + 2 * n + 2
+        return name, cursor
+
+    # -- fragments ---------------------------------------------------------
+    def parse_fragment(self, pos: int, end: int) -> Tuple[list, int]:
+        """Parse one fragment (after its header) into a node list.
+
+        Stops at EOF token or `end`. Returns (nodes, new_pos).
+        """
+        nodes: list = []
+        while pos < end:
+            tok = self.b[pos]
+            if tok == _TOK_EOF:
+                pos += 1
+                break
+            if tok == _TOK_FRAGMENT_HEADER:
+                pos += 4
+                continue
+            if tok == _TOK_TEMPLATE_INSTANCE:
+                ref, pos = self.parse_template_instance(pos)
+                nodes.append(ref)
+                continue
+            node, pos = self._parse_element(pos)
+            nodes.append(node)
+        return nodes, pos
+
+    def parse_template_instance(self, pos: int) -> Tuple[_TemplateRef, int]:
+        # token(1) version(1) template_id(4) def_data_offset(4)
+        (def_ofs,) = struct.unpack_from("<I", self.b, pos + 6)
+        pos += 10
+        if def_ofs == pos:
+            # resident: u32 next_offset, GUID(16), u32 data_size, fragment
+            (size,) = struct.unpack_from("<I", self.b, def_ofs + 20)
+            body_start = def_ofs + 24
+            tree, _ = self.parse_fragment(body_start, body_start + size)
+            self.templates[def_ofs] = tree
+            pos = body_start + size
+        else:
+            tree = self.templates.get(def_ofs)
+            if tree is None:
+                (size,) = struct.unpack_from("<I", self.b, def_ofs + 20)
+                body_start = def_ofs + 24
+                tree, _ = self.parse_fragment(body_start, body_start + size)
+                self.templates[def_ofs] = tree
+        # instance data: u32 count, count×(u16 size, u8 type, u8 pad), data
+        (count,) = struct.unpack_from("<I", self.b, pos)
+        pos += 4
+        descs = []
+        for i in range(count):
+            sz, vt = struct.unpack_from("<HB", self.b, pos + 4 * i)
+            descs.append((sz, vt))
+        pos += 4 * count
+        values: List[Tuple[int, bytes, int]] = []
+        for sz, vt in descs:
+            values.append((vt, self.b[pos : pos + sz], pos))
+            pos += sz
+        return _TemplateRef(tree, values), pos
+
+    # -- elements ----------------------------------------------------------
+    def _parse_element(self, pos: int) -> Tuple[_Element, int]:
+        tok = self.b[pos]
+        if tok & 0x3F != _TOK_OPEN_START:
+            raise EvtxError(f"unexpected token 0x{tok:02x} at {pos}")
+        has_attrs = bool(tok & 0x40)
+        (dep_id,) = struct.unpack_from("<H", self.b, pos + 1)
+        (name_ofs,) = struct.unpack_from("<I", self.b, pos + 7)
+        pos += 11
+        name, pos = self._name_at(name_ofs, pos)
+        el = _Element(name, dep_id)
+        if has_attrs:
+            pos += 4  # attribute-list byte size (parsed token-wise below)
+            more = True
+            while more:
+                atok = self.b[pos]
+                if atok & 0x3F != _TOK_ATTRIBUTE:
+                    raise EvtxError(f"bad attribute token 0x{atok:02x} at {pos}")
+                more = bool(atok & 0x40)
+                (aname_ofs,) = struct.unpack_from("<I", self.b, pos + 1)
+                pos += 5
+                aname, pos = self._name_at(aname_ofs, pos)
+                parts, pos = self._parse_value_parts(pos)
+                el.attrs.append((aname, parts))
+        tok = self.b[pos]
+        pos += 1
+        if tok == _TOK_CLOSE_EMPTY:
+            el.empty = True
+            return el, pos
+        if tok != _TOK_CLOSE_START:
+            raise EvtxError(f"expected close-start at {pos - 1}, got 0x{tok:02x}")
+        # content until EndElement
+        while True:
+            tok = self.b[pos]
+            base = tok & 0x3F
+            if tok == _TOK_END_ELEMENT:
+                pos += 1
+                break
+            if base == _TOK_OPEN_START:
+                child, pos = self._parse_element(pos)
+                el.content.append(child)
+            elif base in (_TOK_VALUE, _TOK_NORMAL_SUB, _TOK_CONDITIONAL_SUB,
+                          _TOK_CHARREF, _TOK_ENTITYREF):
+                node, pos = self._parse_one_value(pos)
+                el.content.append(node)
+            elif base == _TOK_CDATA:
+                (n,) = struct.unpack_from("<H", self.b, pos + 1)
+                txt = self.b[pos + 3 : pos + 3 + 2 * n].decode("utf-16-le")
+                el.content.append(_CData(txt))
+                pos += 3 + 2 * n
+            elif base == _TOK_PI_TARGET:
+                (tname_ofs,) = struct.unpack_from("<I", self.b, pos + 1)
+                pos += 5
+                tname, pos = self._name_at(tname_ofs, pos)
+                data = ""
+                if self.b[pos] == _TOK_PI_DATA:
+                    (n,) = struct.unpack_from("<H", self.b, pos + 1)
+                    data = self.b[pos + 3 : pos + 3 + 2 * n].decode("utf-16-le")
+                    pos += 3 + 2 * n
+                el.content.append(_PI(tname, data))
+            elif base == _TOK_TEMPLATE_INSTANCE:
+                ref, pos = self.parse_template_instance(pos)
+                el.content.append(ref)
+            else:
+                raise EvtxError(f"unexpected content token 0x{tok:02x} at {pos}")
+        return el, pos
+
+    def _parse_one_value(self, pos: int) -> Tuple[object, int]:
+        tok = self.b[pos]
+        base = tok & 0x3F
+        if base == _TOK_VALUE:
+            # token(1) value_type(1) — always string — u16 chars, UTF-16
+            (n,) = struct.unpack_from("<H", self.b, pos + 2)
+            txt = self.b[pos + 4 : pos + 4 + 2 * n].decode("utf-16-le")
+            return _Text(txt), pos + 4 + 2 * n
+        if base in (_TOK_NORMAL_SUB, _TOK_CONDITIONAL_SUB):
+            sub_id, vtype = struct.unpack_from("<HB", self.b, pos + 1)
+            return _Sub(sub_id, vtype, base == _TOK_CONDITIONAL_SUB), pos + 4
+        if base == _TOK_CHARREF:
+            (v,) = struct.unpack_from("<H", self.b, pos + 1)
+            return _CharRef(v), pos + 3
+        if base == _TOK_ENTITYREF:
+            (nofs,) = struct.unpack_from("<I", self.b, pos + 1)
+            pos += 5
+            name, pos = self._name_at(nofs, pos)
+            return _EntityRef(name), pos
+        raise EvtxError(f"unexpected value token 0x{tok:02x} at {pos}")
+
+    def _parse_value_parts(self, pos: int) -> Tuple[list, int]:
+        """Attribute value: one or more parts chained via the 0x40 flag."""
+        parts = []
+        while True:
+            tok = self.b[pos]
+            more = bool(tok & 0x40)
+            node, pos = self._parse_one_value(pos)
+            parts.append(node)
+            if not more:
+                break
+        return parts, pos
+
+
+# ---------------------------------------------------------------------------
+# value rendering — string forms matching the Windows renderer, pinned by
+# the testdata goldens (FILETIME 7-digit fraction, {guid}, S-1-… SIDs,
+# 0x… hex64 keywords, …)
+# ---------------------------------------------------------------------------
+def _filetime_str(v: int) -> str:
+    secs, frac = divmod(v, 10_000_000)
+    dt = _EPOCH_1601 + timedelta(seconds=secs)
+    return f"{dt:%Y-%m-%dT%H:%M:%S}.{frac:07d}Z"
+
+
+def filetime_to_datetime(v: int) -> datetime:
+    return _EPOCH_1601 + timedelta(microseconds=v // 10)
+
+
+def _sid_str(b: bytes) -> str:
+    if len(b) < 8:
+        return ""
+    rev, cnt = b[0], b[1]
+    authority = int.from_bytes(b[2:8], "big")
+    subs = struct.unpack_from(f"<{cnt}I", b, 8)
+    return "S-{}-{}".format(rev, authority) + "".join(f"-{s}" for s in subs)
+
+
+def _guid_str(b: bytes) -> str:
+    d1, d2, d3 = struct.unpack_from("<IHH", b, 0)
+    return "{{{:08x}-{:04x}-{:04x}-{}-{}}}".format(
+        d1, d2, d3, b[8:10].hex(), b[10:16].hex()
+    )
+
+
+def _systime_str(b: bytes) -> str:
+    y, mo, _dow, d, h, mi, s, ms = struct.unpack_from("<8H", b, 0)
+    return f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}.{ms:03d}Z"
+
+
+_FIXED = {
+    _VT_INT8: ("<b", 1),
+    _VT_UINT8: ("<B", 1),
+    _VT_INT16: ("<h", 2),
+    _VT_UINT16: ("<H", 2),
+    _VT_INT32: ("<i", 4),
+    _VT_UINT32: ("<I", 4),
+    _VT_INT64: ("<q", 8),
+    _VT_UINT64: ("<Q", 8),
+    _VT_HEX32: ("<I", 4),
+    _VT_HEX64: ("<Q", 8),
+    _VT_FILETIME: ("<Q", 8),
+    _VT_REAL32: ("<f", 4),
+    _VT_REAL64: ("<d", 8),
+    _VT_BOOL: ("<i", 4),
+}
+
+
+def _render_scalar(reader: _ChunkReader, vtype: int, raw: bytes,
+                   chunk_pos: int) -> str:
+    if vtype == _VT_NULL or raw is None:
+        return ""
+    if vtype == _VT_STRING:
+        s = raw.decode("utf-16-le", errors="replace")
+        return s[:-1] if s.endswith("\x00") else s
+    if vtype == _VT_ANSI:
+        s = raw.decode("latin-1")
+        return s[:-1] if s.endswith("\x00") else s
+    if vtype in _FIXED:
+        fmt, sz = _FIXED[vtype]
+        if len(raw) < sz:
+            return ""
+        (v,) = struct.unpack_from(fmt, raw, 0)
+        if vtype in (_VT_HEX32, _VT_HEX64):
+            return f"0x{v:x}"
+        if vtype == _VT_FILETIME:
+            return _filetime_str(v)
+        if vtype == _VT_BOOL:
+            return "true" if v else "false"
+        if vtype in (_VT_REAL32, _VT_REAL64):
+            return f"{v:g}"
+        return str(v)
+    if vtype == _VT_SIZET:
+        return str(int.from_bytes(raw, "little"))
+    if vtype == _VT_BINARY:
+        return raw.hex().upper()
+    if vtype == _VT_GUID:
+        return _guid_str(raw) if len(raw) >= 16 else ""
+    if vtype == _VT_SYSTIME:
+        return _systime_str(raw) if len(raw) >= 16 else ""
+    if vtype == _VT_SID:
+        return _sid_str(raw)
+    if vtype == _VT_BINXML:
+        return _render_binxml_value(reader, raw, chunk_pos)
+    # unknown types render as hex, better than dropping data silently
+    return raw.hex().upper()
+
+
+def _array_items(vtype: int, raw: bytes) -> List[bytes]:
+    base = vtype & 0x7F
+    if base in (_VT_STRING,):
+        s = raw.decode("utf-16-le", errors="replace")
+        if s.endswith("\x00"):
+            s = s[:-1]
+        return [x.encode("utf-16-le") + b"\x00\x00" for x in s.split("\x00")]
+    if base == _VT_ANSI:
+        parts = raw.split(b"\x00")
+        if parts and parts[-1] == b"":
+            parts = parts[:-1]
+        return [p + b"\x00" for p in parts]
+    if base in _FIXED:
+        sz = _FIXED[base][1]
+        return [raw[i : i + sz] for i in range(0, len(raw) - sz + 1, sz)]
+    if base == _VT_GUID:
+        return [raw[i : i + 16] for i in range(0, len(raw) - 15, 16)]
+    if base == _VT_SID:
+        # SIDs are variable-length: walk the sub-authority count
+        items, i = [], 0
+        while i + 8 <= len(raw):
+            n = 8 + 4 * raw[i + 1]
+            items.append(raw[i : i + n])
+            i += n
+        return items
+    return [raw]
+
+
+def _render_binxml_value(reader: _ChunkReader, raw: bytes, chunk_pos: int) -> str:
+    """An embedded BinXml value: its offsets are chunk-relative, so parse
+    it in place at its position inside the chunk buffer."""
+    if chunk_pos >= 0:
+        nodes, _ = reader.parse_fragment(chunk_pos, chunk_pos + len(raw))
+    else:  # detached bytes (no chunk context) — parse standalone
+        sub = _ChunkReader(raw)
+        nodes, _ = sub.parse_fragment(0, len(raw))
+        reader = sub
+    return "".join(_render_node(reader, n, None) for n in nodes)
+
+
+# ---------------------------------------------------------------------------
+# XML rendering
+# ---------------------------------------------------------------------------
+def _esc_text(s: str) -> str:
+    # EvtRender leaves CR/LF literal in text content (pinned by the
+    # windows-error-reporting golden, whose Data values embed \r\n)
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _esc_attr(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("'", "&apos;")
+    )
+
+
+def _render_sub(reader: _ChunkReader, sub: _Sub, ref: Optional[_TemplateRef],
+                escape, in_attr: bool) -> Optional[str]:
+    """Render a substitution. None ⇒ null conditional (caller omits the
+    containing attribute / element per MS-EVEN6's optional-substitution
+    rule)."""
+    if ref is None or sub.sub_id >= len(ref.values):
+        return None if sub.optional else ""
+    vtype, raw, vpos = ref.values[sub.sub_id]
+    if vtype == _VT_NULL:
+        return None if sub.optional else ""
+    if vtype & _VT_ARRAY:
+        items = _array_items(vtype, raw)
+        base = vtype & 0x7F
+        rendered = [escape(_render_scalar(reader, base, it, -1)) for it in items]
+        return ",".join(rendered)
+    if vtype == _VT_BINXML:
+        return _render_binxml_value(reader, raw, vpos)
+    return escape(_render_scalar(reader, vtype, raw, -1))
+
+
+def _render_parts(reader: _ChunkReader, parts: list, ref: Optional[_TemplateRef],
+                  escape, in_attr: bool) -> Optional[str]:
+    """Concatenate value parts; None when every part is a null conditional
+    substitution (→ omit attribute)."""
+    out: List[str] = []
+    any_rendered = False
+    for p in parts:
+        if isinstance(p, _Sub):
+            r = _render_sub(reader, p, ref, escape, in_attr)
+            if r is None:
+                continue
+            any_rendered = True
+            out.append(r)
+        elif isinstance(p, _Text):
+            any_rendered = True
+            out.append(escape(p.text))
+        elif isinstance(p, _CharRef):
+            any_rendered = True
+            out.append(f"&#{p.value};")
+        elif isinstance(p, _EntityRef):
+            any_rendered = True
+            out.append(f"&{p.name};")
+        else:
+            any_rendered = True
+            out.append(_render_node(reader, p, ref))
+    if not any_rendered and parts and all(
+        isinstance(p, _Sub) and p.optional for p in parts
+    ):
+        return None
+    return "".join(out)
+
+
+def _sub_is_null(ref: Optional[_TemplateRef], sub_id: int) -> bool:
+    if ref is None or sub_id >= len(ref.values):
+        return True
+    return ref.values[sub_id][0] == _VT_NULL
+
+
+def _render_element(reader: _ChunkReader, el: _Element,
+                    ref: Optional[_TemplateRef]) -> str:
+    # element dependency: dropped entirely when its governing substitution
+    # value is NULL (observed in the goldens: <Binary> with dep id bound to
+    # a null value never renders)
+    if el.dep_id != 0xFFFF and ref is not None and _sub_is_null(ref, el.dep_id):
+        return ""
+    attrs = []
+    for aname, parts in el.attrs:
+        v = _render_parts(reader, parts, ref, _esc_attr, True)
+        if v is None:
+            continue  # optional substitution null → attribute omitted
+        attrs.append(f" {aname}='{v}'")
+    head = f"<{el.name}{''.join(attrs)}"
+    if el.empty:
+        return head + "/>"
+    # sole-content array substitution ⇒ the element repeats per item
+    if len(el.content) == 1 and isinstance(el.content[0], _Sub) and ref is not None:
+        sub = el.content[0]
+        if sub.sub_id < len(ref.values):
+            vtype, raw, _vpos = ref.values[sub.sub_id]
+            if vtype & _VT_ARRAY and vtype != _VT_NULL:
+                base = vtype & 0x7F
+                items = _array_items(vtype, raw)
+                return "".join(
+                    head + ">" + _esc_text(_render_scalar(reader, base, it, -1))
+                    + f"</{el.name}>"
+                    for it in items
+                )
+    body_parts: List[str] = []
+    for node in el.content:
+        if isinstance(node, _Sub):
+            r = _render_sub(reader, node, ref, _esc_text, False)
+            if r is None:
+                # null optional substitution in content → element omitted
+                return ""
+            body_parts.append(r)
+        else:
+            body_parts.append(_render_node(reader, node, ref))
+    return head + ">" + "".join(body_parts) + f"</{el.name}>"
+
+
+def _render_node(reader: _ChunkReader, node, ref: Optional[_TemplateRef]) -> str:
+    if isinstance(node, _Element):
+        return _render_element(reader, node, ref)
+    if isinstance(node, _TemplateRef):
+        return "".join(_render_node(reader, n, node) for n in node.tree)
+    if isinstance(node, _Text):
+        return _esc_text(node.text)
+    if isinstance(node, _CData):
+        return f"<![CDATA[{node.text}]]>"
+    if isinstance(node, _CharRef):
+        return f"&#{node.value};"
+    if isinstance(node, _EntityRef):
+        return f"&{node.name};"
+    if isinstance(node, _PI):
+        return f"<?{node.target} {node.data}?>"
+    if isinstance(node, _Sub):
+        return _render_sub(reader, node, ref, _esc_text, False) or ""
+    raise EvtxError(f"unrenderable node {node!r}")
+
+
+def render_record_xml(chunk: bytes, rec_ofs: int, rec_size: int,
+                      reader: Optional[_ChunkReader] = None) -> str:
+    """Render one event record's BinXML stream to the Event XML string."""
+    rd = reader if reader is not None else _ChunkReader(chunk)
+    start = rec_ofs + 24
+    end = rec_ofs + rec_size - 4
+    # one scan: parse_fragment walks consecutive fragments itself and the
+    # first EOF token ends the stream — bytes after it are alignment slack
+    # the record size rounds over (observed garbage in ec3.evtx's tail)
+    nodes, _ = rd.parse_fragment(start, end)
+    return "".join(_render_node(rd, n, None) for n in nodes)
+
+
+# ---------------------------------------------------------------------------
+# file / chunk / record walk
+# ---------------------------------------------------------------------------
+def parse_evtx(data: bytes) -> Iterator[dict]:
+    """Iterate event records of an .evtx byte stream.
+
+    Yields dicts: record_id (int), written (datetime), xml (str),
+    chunk_index (int), error (str|None).  Torn chunks/records surface as
+    error rows (the netflow OnPacket error-row precedent) instead of
+    failing the task.
+    """
+    if len(data) < 4096 or data[:8] != b"ElfFile\x00":
+        yield {"record_id": None, "written": None, "xml": None,
+               "chunk_index": None, "error": "bad file signature"}
+        return
+    n_chunks = (len(data) - 4096) // 65536
+    for ci in range(n_chunks):
+        base = 4096 + ci * 65536
+        chunk = data[base : base + 65536]
+        if len(chunk) < 512:
+            break
+        if chunk[:8] != b"ElfChnk\x00":
+            # dirty logs can carry unused trailing chunks — skip silently
+            # only if fully zeroed, else surface the corruption
+            if any(chunk[:8]):
+                yield {"record_id": None, "written": None, "xml": None,
+                       "chunk_index": ci, "error": "bad chunk signature"}
+            continue
+        (free_ofs,) = struct.unpack_from("<I", chunk, 48)
+        reader = _ChunkReader(chunk)
+        ofs = 512
+        limit = min(free_ofs if free_ofs else 65536, 65536)
+        while ofs + 24 <= limit:
+            sig, size = struct.unpack_from("<II", chunk, ofs)
+            if sig != 0x00002A2A:
+                break
+            if size < 28 or ofs + size > 65536:
+                yield {"record_id": None, "written": None, "xml": None,
+                       "chunk_index": ci, "error": f"torn record at {ofs}"}
+                break
+            rec_id, ft = struct.unpack_from("<QQ", chunk, ofs + 8)
+            try:
+                xml = render_record_xml(chunk, ofs, size, reader)
+                yield {"record_id": rec_id, "written": filetime_to_datetime(ft),
+                       "xml": xml, "chunk_index": ci, "error": None}
+            except Exception as exc:  # torn BinXML — keep scanning
+                yield {"record_id": rec_id, "written": filetime_to_datetime(ft),
+                       "xml": None, "chunk_index": ci,
+                       "error": f"binxml: {exc}"}
+            ofs += size
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+def evtx_records(df: DataFrame, src: str = "content",
+                 target_prefix: str = "winlog_") -> DataFrame:
+    """Explode a binary .evtx column into one row per event record.
+
+    Arrow-batched mapInPandas (binary length-framed decode — the
+    journald_export_parse / netflow precedent; everything downstream of
+    the XML column is pure Column).  All other columns pass through.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructType, TimestampType,
+    )
+
+    passthrough = [c for c in df.columns if c != src]
+    schema = StructType([f for f in df.schema.fields if f.name != src])
+    schema = (
+        schema.add(target_prefix + "record_id", LongType())
+        .add(target_prefix + "written", TimestampType())
+        .add(target_prefix + "chunk", IntegerType())
+        .add(target_prefix + "xml", StringType())
+        .add(target_prefix + "error", StringType())
+    )
+    cols = [f.name for f in schema.fields]
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[src]
+                if blob is None:
+                    continue
+                for rec in parse_evtx(bytes(blob)):
+                    rows.append(
+                        [row[c] for c in passthrough]
+                        + [rec["record_id"], rec["written"], rec["chunk_index"],
+                           rec["xml"], rec["error"]]
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(scan, schema)
+
+
+def read_evtx(spark: SparkSession, path: str,
+              target_prefix: str = "winlog_") -> DataFrame:
+    """Scan .evtx files (binaryFile source → per-record explode).
+
+    The unit of parallelism is the file — matching the reference, where
+    one EvtQuery handle walks one file
+    (winlogbeat/eventlog/wineventlog.go:274)."""
+    files = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "content")
+    )
+    return evtx_records(files, src="content", target_prefix=target_prefix)
+
+
+def winlog_events(spark: SparkSession, path: str, **decode_kwargs) -> DataFrame:
+    """The full winlog input: .evtx scan → EvtRender-parity XML →
+    decode_xml_wineventlog's winlog/ECS event (the reference pipeline
+    input.go → renderer → winevent.Event)."""
+    from .misc import decode_xml_wineventlog
+
+    recs = read_evtx(spark, path).where(F.col("winlog_error").isNull())
+    return decode_xml_wineventlog(field="winlog_xml", **decode_kwargs)(recs)
+
+
+# ---------------------------------------------------------------------------
+# the file-mode simple query (record_filter.go) as a Column predicate
+# ---------------------------------------------------------------------------
+_LEVEL_NAMES = {
+    "verbose": (5,), "5": (5,),
+    "information": (0, 4), "info": (0, 4), "4": (0, 4),
+    "warning": (3,), "warn": (3,), "3": (3,),
+    "error": (2,), "err": (2,), "2": (2,),
+    "critical": (1,), "crit": (1,), "1": (1,),
+    "0": (0,),
+}
+
+
+def parse_levels(raw: str) -> set:
+    """parseLevels (record_filter.go:117-146): comma list of names or
+    numbers; 'info' admits both 0 and 4."""
+    levels: set = set()
+    for expr in raw.split(","):
+        expr = expr.strip().lower()
+        if expr not in _LEVEL_NAMES:
+            raise ValueError(f"invalid level ('{raw}') for query")
+        levels.update(_LEVEL_NAMES[expr])
+    return levels
+
+
+def _parse_event_id(raw: str, original: str) -> int:
+    raw = raw.strip()
+    if not raw.isdigit():
+        raise ValueError(f"invalid event ID query component ('{original}')")
+    v = int(raw)
+    if v > 0xFFFFFFFF:
+        raise ValueError(f"invalid event ID query component ('{original}')")
+    return v
+
+
+def parse_event_id_ranges(raw: str):
+    """parseEventIDRanges (record_filter.go:148-215): '1, 100-200, -17'
+    → include ranges + exclude ranges (leading '-' = exclude)."""
+    if raw.strip() == "":
+        return [], []
+    includes, excludes = [], []
+    for component in raw.split(","):
+        component = component.strip()
+        if component == "":
+            raise ValueError(
+                f"invalid event ID query component ('{component}')")
+        exclude = component.startswith("-")
+        body = component[1:].strip() if exclude else component
+        parts = body.split("-")
+        if len(parts) == 1:
+            v = _parse_event_id(parts[0], component)
+            rng = (v, v)
+        elif len(parts) == 2:
+            start = _parse_event_id(parts[0], component)
+            end = _parse_event_id(parts[1], component)
+            if start >= end:
+                raise ValueError(f"event ID range '{component}' is invalid")
+            rng = (start, end)
+        else:
+            raise ValueError(
+                f"invalid event ID query component ('{component}')")
+        (excludes if exclude else includes).append(rng)
+    return includes, excludes
+
+
+def winlog_simple_query(
+    ignore_older_seconds: float = 0.0,
+    provider: Sequence[str] = (),
+    level: str = "",
+    event_id: str = "",
+    provider_col: str = "provider_name",
+    level_col: str = "level_raw",
+    event_id_col: str = "event_id",
+    time_col: str = "winlog_written",
+    now: Optional[datetime] = None,
+) -> Column:
+    """recordFilter.match (record_filter.go:78-116) as one predicate:
+
+    * ignore_older drops records older than `now - ignore_older` but
+      never drops a NULL/zero timestamp (the reference's IsZero guard);
+    * provider allow-list is exact case-sensitive match;
+    * level names resolve through parseLevels;
+    * exclude event-ID ranges take precedence over includes; with no
+      includes everything not excluded passes.
+
+    `now` must be supplied when ignore_older is used — the cutoff is a
+    plan literal so the scan can prune on it (and the plan stays
+    deterministic; the reference evaluates time.Since per record, which
+    a batch engine pins once per run).
+    """
+    pred = F.lit(True)
+    if ignore_older_seconds > 0:
+        if now is None:
+            raise ValueError("ignore_older requires an explicit `now`")
+        cutoff = now - timedelta(seconds=ignore_older_seconds)
+        t = F.col(time_col)
+        pred = pred & (t.isNull() | (t >= F.lit(cutoff)))
+    providers = [p for p in provider if p]
+    if providers:
+        pred = pred & F.col(provider_col).isin(providers)
+    if level:
+        levels = sorted(parse_levels(level))
+        pred = pred & F.col(level_col).cast("int").isin(levels)
+    includes, excludes = parse_event_id_ranges(event_id)
+    eid = F.col(event_id_col).cast("bigint")
+    for lo, hi in excludes:
+        pred = pred & ~eid.between(lo, hi)
+    if includes:
+        inc = F.lit(False)
+        for lo, hi in includes:
+            inc = inc | eid.between(lo, hi)
+        pred = pred & inc
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# registry builders (stage-builder convention of processors/_register.py)
+# ---------------------------------------------------------------------------
+def evtx_records_builder(src: str = "content", target_prefix: str = "winlog_"):
+    """Config-shaped builder for the .evtx record explode stage."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return evtx_records(df, src=src, target_prefix=target_prefix)
+
+    return stage
+
+
+def winlog_filter_builder(**query_kwargs):
+    """The winlog input's simple query as a filter stage — the predicate
+    is validated at build time (parse errors surface before any job
+    runs, like the reference's readConfig → Validate path)."""
+    pred = winlog_simple_query(**query_kwargs)
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.where(pred)
+
+    return stage

@@ -481,6 +481,39 @@ def decode_xml(
 # audit-outcome bits live in nibble 13 (0-indexed from the LSB) of the
 # 64-bit Keywords mask — 0x10000000000000 = failure, 0x20000000000000 =
 # success; failure is checked first (event.go:107-111).
+def _event_data_map(pairs):
+    """AddPairs (winlogbeat/sys/winevent/maputil.go:45-83): empty values
+    are ignored; an empty or default-'Data' key becomes param<N> where N
+    is the 1-based index over ALL pairs (the Go loop index counts skipped
+    pairs too); the FIRST occurrence of a key wins; values get Windows
+    line endings collapsed and trailing newlines trimmed
+    (sys/strings.go:43-46); no surviving pairs ⇒ NULL, not an empty map."""
+    named = F.transform(
+        pairs,
+        lambda d, i: F.struct(
+            F.when(
+                d["_Name"].isNull() | d["_Name"].isin("", "Data"),
+                F.concat(F.lit("param"), (i + F.lit(1)).cast("string")),
+            )
+            .otherwise(d["_Name"])
+            .alias("key"),
+            F.regexp_replace(
+                F.regexp_replace(d["_VALUE"], r"\r\n", "\n"), r"\n+$", ""
+            ).alias("value"),
+        ),
+    )
+    nonempty = F.filter(
+        named, lambda s: s["value"].isNotNull() & (s["value"] != "")
+    )
+    deduped = F.filter(
+        nonempty,
+        lambda s, i: ~F.exists(
+            F.slice(nonempty, F.lit(1), i), lambda p: p["key"] == s["key"]
+        ),
+    )
+    return F.when(F.size(deduped) > 0, F.map_from_entries(deduped))
+
+
 _WINEVENT_XML_SCHEMA = """struct<
   System: struct<
     Provider: struct<_Name: string, _Guid: string, _EventSourceName: string>,
@@ -559,12 +592,7 @@ def decode_xml_wineventlog(
             outcome.alias("outcome"),
             F.lower(rend["Level"]).alias("level"),
             msg.alias("message"),
-            F.map_from_entries(
-                F.transform(
-                    e["EventData"]["Data"],
-                    lambda d: F.struct(d["_Name"].alias("key"), d["_VALUE"].alias("value")),
-                )
-            ).alias("event_data"),
+            _event_data_map(e["EventData"]["Data"]).alias("event_data"),
             sysf["Correlation"]["_ActivityID"].alias("activity_id"),
             sysf["Correlation"]["_RelatedActivityID"].alias("related_activity_id"),
             F.struct(

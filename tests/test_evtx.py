@@ -1,0 +1,229 @@
+"""The winlog input: .evtx file format + BinXML renderer + simple query.
+
+Golden methodology: the reference ships real .evtx files WITH the XML the
+Windows renderer (EvtRender) produced for them
+(winlogbeat/sys/wineventlog/testdata/*.evtx + *.xml) — the strongest
+cross-implementation oracle available for this format.  Our renderer must
+reproduce every record byte-for-byte (modulo git's eol=lf normalization
+of the committed golden text files, which rewrote CRLF inside data
+values — see .gitattributes at the reference root).
+
+The simple-query tests port winlogbeat/eventlog/record_filter_test.go
+(TestParseLevels, TestParseEventIDRanges + invalids, TestRecordFilterMatch,
+TestRecordFilterIgnoreOlderZeroTimestamp) against the Column predicate.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from datetime import datetime, timedelta
+
+import pytest
+
+from beats_spark.processors.evtx import (
+    parse_evtx,
+    parse_event_id_ranges,
+    parse_levels,
+    read_evtx,
+    winlog_events,
+    winlog_simple_query,
+)
+
+TESTDATA = "/root/reference/winlogbeat/sys/wineventlog/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TESTDATA), reason="reference testdata not present"
+)
+
+
+def _golden_records(path: str) -> list[str]:
+    text = open(path).read()
+    return re.findall(r"<Event .*?</Event>", text, re.S)
+
+
+def _rid(xml: str) -> int:
+    m = re.search(r"<EventRecordID>(\d+)</EventRecordID>", xml)
+    return int(m.group(1)) if m else -1
+
+
+def _norm(xml: str) -> str:
+    # git checked the goldens in as text (eol=lf), rewriting the CRLF
+    # sequences INSIDE rendered data values; normalize both sides
+    return xml.replace("\r\n", "\n")
+
+
+# ---------------------------------------------------------------------------
+# cross-implementation goldens
+# ---------------------------------------------------------------------------
+def test_evtx_goldens_byte_equal():
+    """Every record of every paired fixture renders byte-identical to the
+    Windows EvtRender output."""
+    pairs = 0
+    for evtx_path in sorted(glob.glob(TESTDATA + "/*.evtx")):
+        golden_path = evtx_path[:-5] + ".xml"
+        if not os.path.exists(golden_path):
+            continue
+        pairs += 1
+        recs = list(parse_evtx(open(evtx_path, "rb").read()))
+        assert not [r for r in recs if r["error"]], evtx_path
+        mine = sorted((r["xml"] for r in recs), key=_rid)
+        gold = sorted(_golden_records(golden_path), key=_rid)
+        assert len(mine) == len(gold), evtx_path
+        for g, m in zip(gold, mine):
+            assert _norm(g) == _norm(m), evtx_path
+    assert pairs >= 8  # ec1-4, original, raw, sysmon, error-reporting
+
+
+def test_evtx_unpaired_fixtures_parse():
+    """4738/4752 have no golden — still must parse cleanly with the
+    security-audit shapes (keywords mask, SID rendering, named Data)."""
+    recs = list(parse_evtx(open(TESTDATA + "/4738.evtx", "rb").read()))
+    assert not [r for r in recs if r["error"]]
+    assert len(recs) == 2
+    xml = recs[0]["xml"]
+    assert "<EventID>4738</EventID>" in xml or "<EventID>4738</EventID>" in recs[1]["xml"]
+    assert "S-1-5-" in xml  # SubjectUserSid renders as an account SID
+    assert "Name='" in xml  # named EventData
+
+    recs = list(parse_evtx(open(TESTDATA + "/4752.evtx", "rb").read()))
+    assert len(recs) == 1 and not recs[0]["error"]
+    assert "<EventID>4752</EventID>" in recs[0]["xml"]
+
+
+def test_evtx_record_metadata():
+    recs = list(parse_evtx(open(TESTDATA + "/ec1.evtx", "rb").read()))
+    assert [r["record_id"] for r in recs] == [1]
+    # record-header FILETIME matches the rendered TimeCreated
+    assert recs[0]["written"].year == 2022
+    assert "SystemTime='2022-03-22T02:03:11.3106672Z'" in recs[0]["xml"]
+
+
+def test_evtx_bad_file_and_torn_chunk():
+    bad = list(parse_evtx(b"not an evtx file"))
+    assert bad[0]["error"] == "bad file signature"
+    data = bytearray(open(TESTDATA + "/ec1.evtx", "rb").read())
+    data[4096:4104] = b"XXXXXXXX"  # clobber the chunk signature
+    rows = list(parse_evtx(bytes(data)))
+    assert rows and rows[0]["error"] == "bad chunk signature"
+
+
+# ---------------------------------------------------------------------------
+# Spark path: distributed == driver-side, and the full winlogbeat chain
+# ---------------------------------------------------------------------------
+def test_read_evtx_distributed_equals_driver(spark):
+    df = read_evtx(spark, TESTDATA + "/*.evtx")
+    rows = df.where("winlog_error is null").select(
+        "path", "winlog_record_id", "winlog_xml"
+    ).collect()
+    driver = {}
+    for p in glob.glob(TESTDATA + "/*.evtx"):
+        for rec in parse_evtx(open(p, "rb").read()):
+            if rec["xml"] is not None:
+                driver[(os.path.basename(p), rec["record_id"])] = rec["xml"]
+    got = {
+        (os.path.basename(r["path"]), r["winlog_record_id"]): r["winlog_xml"]
+        for r in rows
+    }
+    assert got == driver
+    assert len(got) == 52  # 49 golden-paired records + 4738 (2) + 4752 (1)
+
+
+def test_winlog_events_full_chain(spark):
+    """.evtx → XML → decode_xml_wineventlog: the whole winlogbeat
+    pipeline (renderer → winevent.Event → ECS) on one fixture."""
+    out = winlog_events(spark, TESTDATA + "/ec1.evtx")
+    row = out.select(
+        "winlog_record_id", "event_code", "event_provider", "host_name",
+        "log_level", "winlog"
+    ).first()
+    assert row["winlog_record_id"] == 1
+    assert row["event_code"] == "1000"
+    assert row["event_provider"] == "EventCreate"
+    assert row["host_name"] == "vagrant"
+    assert row["winlog"]["channel"] == "Application"
+    assert row["winlog"]["record_id"] == 316
+    # unnamed <Data> gets the AddPairs param1 key (maputil.go:61-65)
+    assert (
+        row["winlog"]["event_data"]["param1"]
+        == "My custom error event for the application log"
+    )
+
+
+# ---------------------------------------------------------------------------
+# record_filter.go matrix (ported verbatim)
+# ---------------------------------------------------------------------------
+def test_parse_levels_reference_matrix():
+    levels = parse_levels("info, warning, 2, crit")
+    assert {0, 4, 3, 2, 1} <= levels and 5 not in levels
+    with pytest.raises(ValueError, match="invalid level"):
+        parse_levels("warning, potato")
+
+
+def test_parse_event_id_ranges_reference_matrix():
+    includes, excludes = parse_event_id_ranges("1, 100-200, -17, -300-303")
+    assert includes == [(1, 1), (100, 200)]
+    assert excludes == [(17, 17), (300, 303)]
+    for bad in ["foo", "7-3", ",", "-"]:
+        with pytest.raises(ValueError, match="invalid"):
+            parse_event_id_ranges(bad)
+    assert parse_event_id_ranges("  ") == ([], [])
+
+
+def test_record_filter_match_matrix(spark):
+    """TestRecordFilterMatch (record_filter_test.go:83-106): the 8
+    verdicts of the combined query, plus the zero-timestamp guard."""
+    now = datetime(2026, 8, 18, 12, 0, 0)
+    mins = lambda m: now - timedelta(minutes=m)
+    rows = [
+        # (id, ts, provider, level, event_id, expected_keep)
+        (1, mins(30), "MyProvider", 3, 100, True),
+        (2, mins(120), "MyProvider", 3, 100, False),   # too old
+        (3, mins(30), "other", 3, 100, False),         # provider miss
+        (4, mins(30), "myprovider", 3, 100, False),    # case-sensitive
+        (5, mins(30), "MyProvider", 3, 201, True),     # in 200-210
+        (6, mins(30), "MyProvider", 2, 100, False),    # level miss
+        (7, mins(30), "MyProvider", 3, 300, False),    # id not included
+        (8, mins(30), "MyProvider", 3, 205, False),    # exclude wins
+        (9, None, "MyProvider", 3, 100, True),         # zero ts passes
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+        "id int, winlog_written timestamp, provider_name string, "
+        "level_raw int, event_id int",
+    )
+    pred = winlog_simple_query(
+        ignore_older_seconds=3600,
+        provider=["MyProvider"],
+        level="warning",
+        event_id="100, 200-210, -205",
+        now=now,
+    )
+    kept = {r["id"] for r in df.where(pred).collect()}
+    assert kept == {r[0] for r in rows if r[5]}
+
+
+def test_record_filter_empty_query_passes_everything(spark):
+    df = spark.createDataFrame(
+        [(1, "X", 0, 999)],
+        "id int, provider_name string, level_raw int, event_id int",
+    )
+    assert df.where(winlog_simple_query()).count() == 1
+
+
+def test_ignore_older_requires_now():
+    with pytest.raises(ValueError, match="explicit"):
+        winlog_simple_query(ignore_older_seconds=60)
+
+
+def test_registry_builders(spark):
+    from beats_spark.processors import REGISTRY
+
+    stage = REGISTRY["evtx_records"](src="content")
+    files = spark.read.format("binaryFile").load(TESTDATA + "/ec2.evtx")
+    out = stage(files.select("path", "content"))
+    assert out.where("winlog_error is null").count() == 1
+    filt = REGISTRY["winlog_filter"](event_id="-5")
+    df = spark.createDataFrame([(5,), (6,)], "event_id int")
+    assert [r["event_id"] for r in filt(df).collect()] == [6]
