@@ -1566,14 +1566,138 @@ def _cid_expected(seed: int = 0) -> list[tuple[int, str]]:
     return out
 
 
+
+def _evtx_hex_parts() -> tuple[str, str, str, str]:
+    """Build a one-record .evtx file as a constant hex template with three
+    fixed-width holes (record id u64-LE; EventID text, 8 UTF-16 chars;
+    Data payload, 8 UTF-16 chars) — the netflow-fold recipe applied to
+    the winlog input: the layout is constant because every varying field
+    is fixed-width, so per-row synthesis is pure Column hex splicing.
+    Rendered XML: <Event><System><EventID>XXXXXXXX</EventID><Computer>
+    host</Computer></System><EventData><Data Name='Payload'>YYYYYYYY
+    </Data></EventData></Event>."""
+    import struct
+
+    def name_struct(s: str) -> bytes:
+        return struct.pack("<IHH", 0, 0, len(s)) + s.encode("utf-16-le") + b"\x00\x00"
+
+    def value_text(s: str) -> bytes:
+        return bytes([0x05, 0x01]) + struct.pack("<H", len(s)) + s.encode("utf-16-le")
+
+    bx = bytearray(b"\x0f\x01\x01\x00")  # fragment header
+    opens: list[tuple[int, str]] = []  # (size-field position, element name)
+
+    def open_elem(nm: str, has_attrs: bool = False) -> None:
+        bx.append(0x41 if has_attrs else 0x01)
+        bx.extend(struct.pack("<H", 0xFFFF))
+        opens.append((len(bx), nm))
+        bx.extend(b"\x00\x00\x00\x00")  # data size, backpatched
+        # inline name: offset == cursor position (record data starts at
+        # chunk offset 512+24=536, binxml at 536)
+        bx.extend(struct.pack("<I", 536 + len(bx) + 4))
+        bx.extend(name_struct(nm))
+
+    def end_elem() -> None:
+        bx.append(0x04)
+        pos, _ = opens.pop()
+        struct.pack_into("<I", bx, pos, len(bx) - pos - 4)
+
+    open_elem("Event")
+    bx.append(0x02)
+    open_elem("System")
+    bx.append(0x02)
+    open_elem("EventID")
+    bx.append(0x02)
+    bx.extend(value_text("AAAAAAAA"))  # hole: EventID text
+    end_elem()
+    open_elem("Computer")
+    bx.append(0x02)
+    bx.extend(value_text("host"))
+    end_elem()
+    end_elem()  # System
+    open_elem("EventData")
+    bx.append(0x02)
+    open_elem("Data", has_attrs=True)
+    attr = bytearray(b"\x06")  # last attribute
+    attr.extend(struct.pack("<I", 536 + len(bx) + len(attr) + 8))  # after list size + tok + ofs
+    attr.extend(name_struct("Name"))
+    attr.extend(value_text("Payload"))
+    bx.extend(struct.pack("<I", len(attr)))
+    bx.extend(attr)
+    bx.append(0x02)
+    bx.extend(value_text("BBBBBBBB"))  # hole: payload text
+    end_elem()
+    end_elem()  # EventData
+    end_elem()  # Event
+    bx.append(0x00)  # EOF
+
+    rec_size = 24 + len(bx) + 4
+    record = (
+        struct.pack("<II", 0x00002A2A, rec_size)
+        + b"\xee" * 8  # hole: record id (u64 LE)
+        + struct.pack("<Q", 132923881913106672)  # constant written FILETIME
+        + bytes(bx)
+        + struct.pack("<I", rec_size)
+    )
+    chunk_hdr = bytearray(512)
+    chunk_hdr[:8] = b"ElfChnk\x00"
+    struct.pack_into("<QQQQ", chunk_hdr, 8, 1, 1, 1, 1)
+    struct.pack_into("<III", chunk_hdr, 40, 128, 512, 512 + rec_size)
+    file_hdr = bytearray(4096)
+    file_hdr[:8] = b"ElfFile\x00"
+    struct.pack_into("<QQQ", file_hdr, 8, 0, 0, 2)
+    struct.pack_into("<IHHHH", file_hdr, 32, 128, 1, 3, 4096, 1)
+    whole = (bytes(file_hdr) + bytes(chunk_hdr) + record).hex().upper()
+
+    rid_hex, a_hex, b_hex = "EE" * 8, "4100" * 8, "4200" * 8
+    p0, rest = whole.split(rid_hex)
+    p1, rest = rest.split(a_hex)
+    p2, p3 = rest.split(b_hex)
+    return p0, p1, p2, p3
+
+
 def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decode_xml: typed from_xml decode of constructed XML docs; r4 fold
     (VERDICT item 6): + decode_xml_wineventlog over a constructed
     winevent doc per row — System/EventData/RenderingInfo projection,
-    Keywords audit-bit outcome, level lowering, ECS event_kind."""
+    Keywords audit-bit outcome, level lowering, ECS event_kind.
+    r5 fold (winlog input): every row also synthesizes a one-record
+    .evtx file (fixed-layout hex template, three spliced holes — record
+    id, EventID text, Data payload), the real chunk/record/BinXML
+    decoder parses it, and the oracle reconstructs the full rendered
+    XML string and record id from the same formulas."""
+    from beats_spark.processors.evtx import evtx_records
     from beats_spark.processors.misc import decode_xml, decode_xml_wineventlog
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p0, p1, p2, p3 = _evtx_hex_parts()
+    i0 = F.col("event_id")
+
+    def utf16_hex(col):
+        # ASCII string -> UTF-16LE hex: per-char code hex + '00'
+        return F.concat_ws(
+            "",
+            F.transform(
+                F.filter(F.split(col, ""), lambda c: F.length(c) == 1),
+                lambda c: F.concat(F.hex(F.ascii(c)), F.lit("00")),
+            ),
+        )
+
+    be = F.lpad(F.hex(i0.cast("bigint")), 16, "0")
+    rid_le = F.concat(*[F.substring(be, 15 - 2 * k, 2) for k in range(8)])
+    evtx_hex = F.concat(
+        F.lit(p0), rid_le,
+        F.lit(p1), utf16_hex(F.lpad((i0 % 100000000).cast("string"), 8, "0")),
+        F.lit(p2), utf16_hex(
+            F.concat(F.lit("u"), F.lpad((F.col("user_id") % 10000000).cast("string"), 7, "0"))
+        ),
+        F.lit(p3),
+    )
+    ev = evtx_records(
+        ev.select("event_id", "user_id", F.unhex(evtx_hex).alias("content")),
+        src="content",
+        target_prefix="evtx_",
+    )
     i = F.col("event_id")
     xml = F.concat(
         F.lit("<event><id>"), (i % 1000).cast("string"),
@@ -1622,6 +1746,8 @@ def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         w["event_data"]["SubjectUserName"].alias("wl_user"),
         F.col("host_name").alias("wl_host"),
         F.col("event_kind").alias("wl_kind"),
+        F.col("evtx_record_id").alias("ev_record_id"),
+        F.col("evtx_xml").alias("ev_xml"),
     )
 
 
@@ -2974,7 +3100,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(event_id % 500 AS BIGINT) AS wl_tid,
                    'u' || CAST(event_id % 10 AS VARCHAR) AS wl_user,
                    'host-' || CAST(event_id % 13 AS VARCHAR) AS wl_host,
-                   'event' AS wl_kind
+                   'event' AS wl_kind,
+                   CAST(event_id AS BIGINT) AS ev_record_id,
+                   '<Event><System><EventID>'
+                     || lpad(CAST(event_id % 100000000 AS VARCHAR), 8, '0')
+                     || '</EventID><Computer>host</Computer></System>'
+                     || '<EventData><Data Name=''Payload''>u'
+                     || lpad(CAST(user_id % 10000000 AS VARCHAR), 7, '0')
+                     || '</Data></EventData></Event>' AS ev_xml
             FROM events""",
         "community_id": (
             "SELECT 'digest' AS kind, CAST(case_id AS BIGINT) AS case_id, community_id AS val"

@@ -641,7 +641,9 @@ def parse_evtx(data: bytes) -> Iterator[dict]:
         yield {"record_id": None, "written": None, "xml": None,
                "chunk_index": None, "error": "bad file signature"}
         return
-    n_chunks = (len(data) - 4096) // 65536
+    # a trailing chunk may be truncated (dirty log / partial copy) — the
+    # record walk below is bounded by free_space_offset and buffer length
+    n_chunks = max(0, -(-(len(data) - 4096) // 65536))
     for ci in range(n_chunks):
         base = 4096 + ci * 65536
         chunk = data[base : base + 65536]
@@ -657,12 +659,12 @@ def parse_evtx(data: bytes) -> Iterator[dict]:
         (free_ofs,) = struct.unpack_from("<I", chunk, 48)
         reader = _ChunkReader(chunk)
         ofs = 512
-        limit = min(free_ofs if free_ofs else 65536, 65536)
+        limit = min(free_ofs if free_ofs else len(chunk), len(chunk))
         while ofs + 24 <= limit:
             sig, size = struct.unpack_from("<II", chunk, ofs)
             if sig != 0x00002A2A:
                 break
-            if size < 28 or ofs + size > 65536:
+            if size < 28 or ofs + size > len(chunk):
                 yield {"record_id": None, "written": None, "xml": None,
                        "chunk_index": ci, "error": f"torn record at {ofs}"}
                 break
