@@ -179,6 +179,14 @@ from .evtx import winlog_filter_builder as _winlog_filter  # noqa: E402
 REGISTRY["evtx_records"] = _evtx_records
 REGISTRY["winlog_filter"] = _winlog_filter
 
+from .metricset import fetch_health_builder as _fetch_health  # noqa: E402
+from .metricset import fetch_metricsets_builder as _fetch_metricsets  # noqa: E402
+
+# metricbeat's periodic fetch: the per-tick executor-side fan-out and the
+# handleFetchError consecutive-failure / Degraded window replay
+REGISTRY["metricset_fetch"] = _fetch_metricsets
+REGISTRY["metricset_health"] = _fetch_health
+
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script

@@ -1,0 +1,369 @@
+"""metricbeat's periodic fetch — the trigger-based source, rescued.
+
+The reference schedules one goroutine per metricset that fetches every
+`period` and standardizes results into beat events
+(metricbeat/mb/module/wrapper.go:209-338: run → startPeriodicFetching →
+fetch → handleFetchError; the eventReporter stamps Took/Period/
+Timestamp).  On Spark the same loop becomes: a tick clock (streaming
+rate-micro-batch triggered at `period`, or one batch per tick for
+replay) fanned out over the (module, metricset, host) table, with every
+fetch running ON an executor via mapInPandas — thousands of hosts
+become an embarrassingly parallel scan per tick (the
+`slowlog_from_hosts` fleet pattern).  Fetch is external I/O, the
+sanctioned Python path; everything downstream of the fetched rows is
+pure Column.
+
+The event layer is a faithful port of metricbeat/mb/event.go:
+`beat_event` (BeatEvent:55-112 — module/metricset namespacing incl. the
+"." root namespace, service.type fallback, Index → meta, ID, error →
+error.message), `add_metric_set_info` (AddMetricSetInfo:131-163 —
+event.dataset/module, metricset.name, service.address, event.duration
+in ns, metricset.period in ms), and `transform_map_to_event`
+(TransformMapStrToEvent:168-205 — the @timestamp/_module/_namespace/
+_rtt special keys).  mb/event_test.go's matrix is ported in
+tests/test_metricset.py.
+
+handleFetchError (wrapper.go:315-338) is replayed as a deterministic
+window stage, `fetch_health`: nil error resets consecutive_failures and
+the stream is Running; a PARTIAL error (mb.PartialMetricsError) reports
+the error but resets the counter and keeps Running; any other error
+increments it and the stream turns Degraded once the configured
+failure_threshold (default 1; 0 disables) is reached.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Callable, Iterator, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+__all__ = [
+    "PartialMetricsError",
+    "transform_map_to_event",
+    "add_metric_set_info",
+    "beat_event",
+    "fetch_metricsets",
+    "fetch_health",
+    "periodic_fetch_stream",
+]
+
+# mb/mb.go:39-59 — special keys a raw metricset map may carry
+TIMESTAMP_KEY = "@timestamp"
+MODULE_DATA_KEY = "_module"
+NAMESPACE_KEY = "_namespace"
+RTT_KEY = "_rtt"
+
+
+class PartialMetricsError(Exception):
+    """mb.PartialMetricsError (mb/event.go:218-229): metrics are only
+    partially filled — reported as an error event, but the consecutive
+    failure counter resets and the stream stays Running."""
+
+
+# ---------------------------------------------------------------------------
+# mapstr helpers (Put with dotted paths / DeepUpdate)
+# ---------------------------------------------------------------------------
+def _put(m: dict, key: str, value) -> None:
+    parts = key.split(".")
+    for p in parts[:-1]:
+        nxt = m.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            m[p] = nxt
+        m = nxt
+    m[parts[-1]] = value
+
+
+def _deep_update(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+# ---------------------------------------------------------------------------
+# the mb.Event layer (event.go ports)
+# ---------------------------------------------------------------------------
+def transform_map_to_event(module: str, m: dict, err: Optional[str] = None) -> dict:
+    """TransformMapStrToEvent (event.go:168-205): route the special keys
+    of a raw metricset map into the event structure; everything left is
+    MetricSetFields.  Timestamps are epoch-seconds floats (time.Time has
+    no Spark analog); `_namespace` gets the module prefix."""
+    m = dict(m)
+    event = {
+        "root_fields": {},
+        "module_fields": None,
+        "metricset_fields": None,
+        "namespace": "",
+        "timestamp": None,
+        "error": err,
+        "host": "",
+        "service": "",
+        "took_ns": 0,
+        "period_ms": 0,
+        "index": "",
+        "id": "",
+    }
+    if isinstance(m.get(TIMESTAMP_KEY), (int, float)):
+        event["timestamp"] = m.pop(TIMESTAMP_KEY)
+    if MODULE_DATA_KEY in m:
+        v = m.pop(MODULE_DATA_KEY)
+        event["module_fields"] = v if isinstance(v, dict) else None
+    if RTT_KEY in m:
+        v = m.pop(RTT_KEY)
+        if isinstance(v, (int, float)):
+            event["took_ns"] = int(v)
+    if NAMESPACE_KEY in m:
+        v = m.pop(NAMESPACE_KEY)
+        if isinstance(v, str):
+            # the _namespace value does not include the module name
+            event["namespace"] = f"{module}.{v}"
+    event["metricset_fields"] = m
+    return event
+
+
+def add_metric_set_info(module: str, metricset: str, event: dict) -> None:
+    """AddMetricSetInfo (event.go:131-163): dataset/module names always;
+    service.address, event.duration (ns) and metricset.period (ms) only
+    when non-zero."""
+    if not event.get("namespace"):
+        event["namespace"] = f"{module}.{metricset}"
+    e: dict = {
+        "event": {"dataset": event["namespace"], "module": module},
+        "metricset": {"name": metricset},
+    }
+    if event.get("host"):
+        _put(e, "service.address", event["host"])
+    if event.get("took_ns", 0) > 0:
+        _put(e, "event.duration", int(event["took_ns"]))
+    if event.get("period_ms", 0) > 0:
+        _put(e, "metricset.period", int(event["period_ms"]))
+    root = event.get("root_fields")
+    if not root:
+        event["root_fields"] = e
+    else:
+        _deep_update(root, e)
+
+
+def beat_event(
+    module: str,
+    metricset: str,
+    event: dict,
+    modifiers: Sequence[Callable[[str, str, dict], None]] = (),
+) -> dict:
+    """BeatEvent (event.go:55-112): produce {timestamp, fields, meta}.
+
+    ModuleFields nest under [module]; MetricSetFields under
+    [module].[metricset], under a custom namespace, or merge into the
+    root for namespace "."; service.type falls back to the module name;
+    Index → meta.index, ID → meta._id; error → error.message."""
+    for modify in modifiers:
+        modify(module, metricset, event)
+    fields = dict(event.get("root_fields") or {})
+    out = {"timestamp": event.get("timestamp"), "fields": fields, "meta": {}}
+    if event.get("module_fields"):
+        _put(fields, module, event["module_fields"])
+    service = event.get("service") or module
+    _put(fields, "service.type", service)
+    msf = event.get("metricset_fields")
+    if msf:
+        ns = event.get("namespace", "")
+        if ns == ".":
+            _deep_update(fields, msf)
+        elif ns == "":
+            _put(fields, f"{module}.{metricset}", msf)
+        else:
+            _put(fields, ns, msf)
+    if event.get("index"):
+        out["meta"]["index"] = event["index"]
+    if event.get("id"):
+        out["meta"]["_id"] = event["id"]
+    if event.get("error"):
+        fields["error"] = {"message": str(event["error"])}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the scheduler tick body: one fetch per metricset row, on the executors
+# ---------------------------------------------------------------------------
+def fetch_metricsets(
+    df: DataFrame,
+    fetch_fn: Callable[[str, str, str], List[dict]],
+    period_seconds: float = 10.0,
+    periodic: bool = True,
+    module_col: str = "module",
+    metricset_col: str = "metricset",
+    host_col: str = "host",
+    clock: Callable[[], float] = time.time,
+    target: str = "event_json",
+) -> DataFrame:
+    """Run `fetch_fn(module, metricset, host) -> [mb.Event dict]` for
+    every row, on the executors, and explode the standardized beat
+    events (wrapper.go fetch + eventReporter semantics):
+
+    * Took is measured around the fetch and clamped to ≥ 1 µs
+      (reporterV2.Event's "ensure elapsed time is always > 0");
+    * the period rides every event when periodic (metricset.period);
+    * a missing event timestamp becomes the fetch start time;
+    * a missing host falls back to the row's host;
+    * a raised exception becomes ONE error event (reporter.Error) with
+      `partial` flagged for PartialMetricsError — feed the result to
+      `fetch_health` for the consecutive-failures / Degraded replay.
+
+    Events serialize to key-sorted JSON (the codec envelope precedent) so
+    downstream stages stay columnar."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType, DoubleType, StringType, StructType,
+    )
+
+    passthrough = [c for c in df.columns]
+    schema = StructType(list(df.schema.fields))
+    schema = (
+        schema.add(target, StringType())
+        .add("fetch_error", StringType())
+        .add("fetch_partial", BooleanType())
+        .add("took_seconds", DoubleType())
+    )
+    cols = [f.name for f in schema.fields]
+    period_ms = int(period_seconds * 1000)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                module, metricset, host = (
+                    row[module_col], row[metricset_col], row[host_col],
+                )
+                start = clock()
+                err: Optional[Exception] = None
+                events: List[dict] = []
+                try:
+                    events = list(fetch_fn(module, metricset, host))
+                except Exception as exc:  # handleFetchError surface
+                    err = exc
+                took = max(clock() - start, 1e-6)
+                if err is not None:
+                    events = [
+                        {
+                            "root_fields": {},
+                            "metricset_fields": None,
+                            "module_fields": None,
+                            "namespace": "",
+                            "error": str(err),
+                        }
+                    ]
+                base = [row[c] for c in passthrough]
+                for ev in events:
+                    ev.setdefault("host", host or "")
+                    if not ev.get("took_ns"):
+                        ev["took_ns"] = int(took * 1e9)
+                    if periodic:
+                        ev["period_ms"] = period_ms
+                    if ev.get("timestamp") is None:
+                        ev["timestamp"] = start
+                    b = beat_event(module, metricset, ev,
+                                   modifiers=(add_metric_set_info,))
+                    b["fields"]["@timestamp"] = ev["timestamp"]
+                    if b["meta"]:
+                        b["fields"]["@metadata"] = b["meta"]
+                    rows.append(
+                        base
+                        + [
+                            json.dumps(b["fields"], sort_keys=True),
+                            str(err) if err is not None else None,
+                            isinstance(err, PartialMetricsError),
+                            took,
+                        ]
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, schema)
+
+
+def fetch_health(
+    df: DataFrame,
+    failure_threshold: int = 1,
+    keys: Sequence[str] = ("module", "metricset", "host"),
+    order_col: str = "tick",
+    error_col: str = "fetch_error",
+    partial_col: str = "fetch_partial",
+) -> DataFrame:
+    """handleFetchError (wrapper.go:315-338) as a replayable window:
+
+    * success (error NULL) → consecutive_failures = 0, status Running;
+    * partial error → reported, counter RESET, status Running;
+    * hard error → counter + 1; status Degraded once the counter
+      reaches failure_threshold (> 0; 0 disables degradation).
+
+    One window per key ordered by `order_col` — the per-metricset
+    goroutine's counter replayed exactly."""
+    ok = F.col(error_col).isNull() | F.col(partial_col)
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    run_id = F.sum(ok.cast("int")).over(w)
+    wrun = Window.partitionBy(*(list(keys) + [run_id])).orderBy(order_col)
+    consecutive = F.count(F.when(~ok, F.lit(1))).over(wrun)
+    status = F.when(
+        (F.lit(failure_threshold) > 0)
+        & (consecutive >= failure_threshold)
+        & ~ok,
+        F.lit("degraded"),
+    ).otherwise(F.lit("running"))
+    return df.withColumn("consecutive_failures", consecutive).withColumn(
+        "stream_status", status
+    )
+
+
+def periodic_fetch_stream(
+    spark: SparkSession,
+    metricsets: DataFrame,
+    fetch_fn: Callable[[str, str, str], List[dict]],
+    period_seconds: float,
+    start_timestamp_ms: int = 0,
+    **fetch_kwargs,
+) -> DataFrame:
+    """startPeriodicFetching (wrapper.go:250-269) on Structured
+    Streaming: a rate-micro-batch tick clock (one tick row per batch;
+    trigger the query with processingTime=`period`) stream-static-joined
+    to the broadcast metricset table, each tick fanning every metricset
+    out to the executors.  Batch 0 fires immediately — the reference's
+    "Fetch immediately" before the ticker.  maxStartDelay's random
+    stagger is intentionally NOT reproduced (it exists to avoid
+    thundering herds on one host's scheduler; Spark spreads the same
+    load across executor slots deterministically)."""
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("startTimestamp", start_timestamp_ms)
+        .option("advanceMillisPerBatch", int(period_seconds * 1000))
+        .load()
+        .select(F.col("value").alias("tick"), F.col("timestamp").alias("tick_ts"))
+    )
+    fanned = ticks.join(F.broadcast(metricsets))
+    return fetch_metricsets(
+        fanned, fetch_fn, period_seconds=period_seconds, **fetch_kwargs
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry builders
+# ---------------------------------------------------------------------------
+def fetch_metricsets_builder(fetch_fn, **cfg):
+    """Config-shaped builder for the executor-side fetch fan-out."""
+
+    def stage(df: DataFrame) -> DataFrame:
+        return fetch_metricsets(df, fetch_fn, **cfg)
+
+    return stage
+
+
+def fetch_health_builder(**cfg):
+    def stage(df: DataFrame) -> DataFrame:
+        return fetch_health(df, **cfg)
+
+    return stage

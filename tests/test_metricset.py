@@ -1,0 +1,268 @@
+"""metricbeat periodic fetch: mb/event_test.go matrix + wrapper replay.
+
+Ports TestEventConversionToBeatEvent / TestAddMetricSetInfo /
+TestTransformMapStrToEvent (metricbeat/mb/event_test.go) against the
+Python event layer, replays handleFetchError's consecutive-failure /
+Degraded logic (module/wrapper.go:315-338) through the window stage,
+runs the executor-side fetch fan-out (distributed == driver), and
+drives the rate-micro-batch tick clock live.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beats_spark.processors.metricset import (
+    PartialMetricsError,
+    add_metric_set_info,
+    beat_event,
+    fetch_health,
+    fetch_metricsets,
+    periodic_fetch_stream,
+    transform_map_to_event,
+)
+
+
+# ---------------------------------------------------------------------------
+# TestEventConversionToBeatEvent
+# ---------------------------------------------------------------------------
+def _docker_event():
+    return {
+        "root_fields": {"type": "docker"},
+        "module_fields": {"container": {"name": "wordpress"}},
+        "metricset_fields": {"ms": 1000},
+        "namespace": "",
+    }
+
+
+def test_beat_event_all_levels():
+    e = beat_event("docker", "uptime", _docker_event())
+    assert e["fields"] == {
+        "type": "docker",
+        "docker": {
+            "container": {"name": "wordpress"},
+            "uptime": {"ms": 1000},
+        },
+        "service": {"type": "docker"},
+    }
+
+
+def test_beat_event_idempotent():
+    ev = _docker_event()
+    first = beat_event("docker", "uptime", ev)
+    second = beat_event("docker", "uptime", _docker_event())
+    assert first == second
+
+
+def test_beat_event_modifiers():
+    def modifier(m, ms, e):
+        e["root_fields"]["module"] = m
+        e["root_fields"]["metricset"] = ms
+
+    e = beat_event("docker", "uptime", {"root_fields": {}}, modifiers=(modifier,))
+    assert e["fields"] == {
+        "module": "docker",
+        "metricset": "uptime",
+        "service": {"type": "docker"},
+    }
+
+
+def test_beat_event_id_goes_to_meta():
+    ev = _docker_event()
+    ev["id"] = "foobar"
+    e = beat_event("docker", "uptime", ev)
+    assert e["meta"]["_id"] == "foobar"
+
+
+def test_beat_event_index_goes_to_meta():
+    ev = _docker_event()
+    ev["index"] = "custom-index"
+    assert beat_event("docker", "uptime", ev)["meta"]["index"] == "custom-index"
+
+
+def test_beat_event_error_message():
+    e = beat_event("docker", "uptime", {"error": "something failed"})
+    assert e["fields"]["error"]["message"] == "something failed"
+
+
+def test_beat_event_dot_namespace_merges_root():
+    ev = {
+        "root_fields": {"a": 1},
+        "metricset_fields": {"b": {"c": 2}},
+        "namespace": ".",
+    }
+    e = beat_event("docker", "uptime", ev)
+    assert e["fields"]["a"] == 1 and e["fields"]["b"] == {"c": 2}
+    assert "docker" not in e["fields"] or "uptime" not in e["fields"].get("docker", {})
+
+
+def test_beat_event_custom_namespace():
+    ev = {"metricset_fields": {"x": 1}, "namespace": "foo.bar"}
+    assert beat_event("docker", "uptime", ev)["fields"]["foo"]["bar"] == {"x": 1}
+
+
+# ---------------------------------------------------------------------------
+# TestAddMetricSetInfo
+# ---------------------------------------------------------------------------
+def test_add_metric_set_info_all_fields():
+    ev = {"host": "localhost", "took_ns": 500_000_000, "root_fields": None}
+    add_metric_set_info("mymodule", "mymetricset", ev)
+    assert ev["root_fields"] == {
+        "event": {
+            "module": "mymodule",
+            "dataset": "mymodule.mymetricset",
+            "duration": 500_000_000,
+        },
+        "service": {"address": "localhost"},
+        "metricset": {"name": "mymetricset"},
+    }
+
+
+def test_add_metric_set_info_no_optional_fields():
+    ev = {"root_fields": None}
+    add_metric_set_info("mymodule", "mymetricset", ev)
+    assert ev["root_fields"] == {
+        "event": {"module": "mymodule", "dataset": "mymodule.mymetricset"},
+        "metricset": {"name": "mymetricset"},
+    }
+
+
+# ---------------------------------------------------------------------------
+# TestTransformMapStrToEvent
+# ---------------------------------------------------------------------------
+def test_transform_map_to_event_normal():
+    m = {
+        "@timestamp": 1700000000.5,
+        "_rtt": 1,
+        "_module": {"container_id": "busybox"},
+        "uptime": "1 day",
+    }
+    e = transform_map_to_event("module", m, err="failed")
+    assert e["timestamp"] == 1700000000.5
+    assert e["took_ns"] == 1
+    assert e["root_fields"] == {}
+    assert e["module_fields"] == {"container_id": "busybox"}
+    assert e["metricset_fields"] == {"uptime": "1 day"}
+    assert e["error"] == "failed"
+
+
+def test_transform_map_to_event_namespace():
+    m = {"_namespace": "foo.bar", "uptime": "1 day"}
+    e = transform_map_to_event("module", m)
+    # the _namespace value does not include the module name
+    assert e["namespace"] == "module.foo.bar"
+    assert e["metricset_fields"] == {"uptime": "1 day"}
+
+
+# ---------------------------------------------------------------------------
+# executor-side fetch fan-out
+# ---------------------------------------------------------------------------
+def _make_fake_fetch():
+    # a closure (not a module-level function) so cloudpickle ships it by
+    # value — executor workers cannot import the test module
+    from beats_spark.processors.metricset import PartialMetricsError as PME
+
+    def fake_fetch(module, metricset, host):
+        if host == "down":
+            raise RuntimeError("connection refused")
+        if host == "flaky":
+            raise PME("half the stats missing")
+        return [
+            {
+                "root_fields": {},
+                "module_fields": {"h": host},
+                "metricset_fields": {"value": len(host)},
+                "namespace": "",
+            }
+        ]
+
+    return fake_fetch
+
+
+def test_fetch_metricsets_distributed(spark):
+    df = spark.createDataFrame(
+        [("system", "cpu", "a"), ("system", "cpu", "down"),
+         ("system", "memory", "flaky"), ("docker", "uptime", "bb")],
+        "module string, metricset string, host string",
+    )
+    out = fetch_metricsets(df, _make_fake_fetch(), period_seconds=10).collect()
+    by_host = {r["host"]: r for r in out}
+    assert len(out) == 4
+    ok = json.loads(by_host["a"]["event_json"])
+    # the standardized event shape: namespaced fields + AddMetricSetInfo
+    assert ok["system"] == {"h": "a", "cpu": {"value": 1}}
+    assert ok["event"]["module"] == "system"
+    assert ok["event"]["dataset"] == "system.cpu"
+    assert ok["metricset"] == {"name": "cpu", "period": 10000}
+    assert ok["service"] == {"address": "a", "type": "system"}
+    assert ok["event"]["duration"] >= 1000  # took clamped to >= 1 microsecond
+    assert by_host["a"]["fetch_error"] is None
+    # hard failure: one error event, error.message carried
+    err = json.loads(by_host["down"]["event_json"])
+    assert err["error"]["message"] == "connection refused"
+    assert by_host["down"]["fetch_error"] == "connection refused"
+    assert not by_host["down"]["fetch_partial"]
+    # partial failure flagged
+    assert by_host["flaky"]["fetch_partial"]
+
+
+def test_fetch_health_replay(spark):
+    """handleFetchError: ok resets, partial reports-but-resets, hard
+    errors accumulate to Degraded at the threshold."""
+    rows = [
+        # (tick, error, partial) for one key
+        (0, None, False),
+        (1, "boom", False),
+        (2, "boom", False),
+        (3, None, False),
+        (4, "partial", True),
+        (5, "boom", False),
+    ]
+    df = spark.createDataFrame(
+        [("m", "ms", "h", t, e, p) for t, e, p in rows],
+        "module string, metricset string, host string, tick int, "
+        "fetch_error string, fetch_partial boolean",
+    )
+    out = {r["tick"]: r for r in fetch_health(df, failure_threshold=2).collect()}
+    assert [out[t]["consecutive_failures"] for t in range(6)] == [0, 1, 2, 0, 0, 1]
+    assert [out[t]["stream_status"] for t in range(6)] == [
+        "running", "running", "degraded", "running", "running", "running",
+    ]
+    # threshold 1: degraded on the first hard failure (the default)
+    one = {r["tick"]: r["stream_status"]
+           for r in fetch_health(df, failure_threshold=1).collect()}
+    assert one[1] == "degraded" and one[4] == "running"
+    # threshold 0 disables degradation entirely
+    zero = {r["tick"]: r["stream_status"]
+            for r in fetch_health(df, failure_threshold=0).collect()}
+    assert set(zero.values()) == {"running"}
+
+
+def test_periodic_fetch_stream_live(spark, tmp_path):
+    """The tick clock live: rate-micro-batch fires batch 0 immediately
+    (the reference's fetch-before-ticker), each tick fans out every
+    metricset, events carry the period."""
+    ms = spark.createDataFrame(
+        [("system", "cpu", "a"), ("system", "cpu", "b")],
+        "module string, metricset string, host string",
+    )
+    stream = periodic_fetch_stream(
+        spark, ms, _make_fake_fetch(), period_seconds=1.0
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("mb_ticks")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select * from mb_ticks").collect()
+    assert len(rows) >= 2  # >=1 tick x 2 metricsets
+    ev = json.loads(rows[0]["event_json"])
+    assert ev["metricset"]["period"] == 1000
+    assert {r["host"] for r in rows} == {"a", "b"}
+    ticks = {r["tick"] for r in rows}
+    assert 0 in ticks
