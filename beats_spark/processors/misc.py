@@ -518,18 +518,66 @@ _WINEVENT_XML_SCHEMA = """struct<
   System: struct<
     Provider: struct<_Name: string, _Guid: string, _EventSourceName: string>,
     EventID: bigint,
-    Version: bigint, Level: bigint, Task: bigint, Opcode: bigint, Keywords: string,
+    Version: string, Level: bigint, Task: bigint, Opcode: bigint, Keywords: string,
     TimeCreated: struct<_SystemTime: string>,
     EventRecordID: bigint,
     Correlation: struct<_ActivityID: string, _RelatedActivityID: string>,
     Execution: struct<_ProcessID: bigint, _ThreadID: bigint>,
     Channel: string, Computer: string, Security: struct<_UserID: string>
   >,
-  EventData: struct<Data: array<struct<_Name: string, _VALUE: string>>>,
+  EventData: struct<Data: array<struct<_Name: string, _VALUE: string>>,
+                    Binary: string>,
+  ProcessingErrorData: struct<ErrorCode: bigint, DataItemName: string>,
   RenderingInfo: struct<Message: string, Level: string, Task: string, Opcode: string,
                         Channel: string, Provider: string,
                         Keywords: struct<Keyword: array<string>>>
 >"""
+
+
+# libbeat/common/encoding/xml/safe_reader.go:70-77 — every rune with
+# unicode.IsControl && !unicode.IsSpace (C0 minus TAB/LF/VT/FF/CR, DEL,
+# C1 minus NEL) renders as the literal text "\u%04x" before the XML
+# decoder sees it
+_SAFE_XML_CODEPOINTS = tuple(
+    c
+    for c in list(range(0x00, 0x20)) + [0x7F] + list(range(0x80, 0xA0))
+    if c not in (0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x85)
+)
+
+
+def _safe_xml(col):
+    for c in _SAFE_XML_CODEPOINTS:
+        col = F.replace(col, F.lit(chr(c)), F.lit(f"\\u{c:04x}"))
+    return col
+
+
+_USER_DATA_MAX_PAIRS = 16
+
+
+def _user_data_map(col):
+    """UserData (winevent/event.go:233-265 + Fields():127-128): the pairs
+    are the children of UserData's single wrapper element, run through
+    the same AddPairs rules as event_data, with the wrapper's local name
+    appended as `xml_name` when any pair survives.  from_xml cannot
+    project arbitrary child names, so a bounded xpath walk (first
+    %d children — log a scan cap, not a silent one: deeper documents
+    keep their first %d pairs) extracts (name, value) pairs as Columns.
+    """ % (_USER_DATA_MAX_PAIRS, _USER_DATA_MAX_PAIRS)
+    base = "/*[local-name()='Event']/*[local-name()='UserData']/*[1]"
+    entries = []
+    for k in range(1, _USER_DATA_MAX_PAIRS + 1):
+        key = F.xpath_string(col, F.lit(f"local-name({base}/*[{k}])"))
+        val = F.xpath_string(col, F.lit(f"{base}/*[{k}]"))
+        entries.append(
+            F.when(key != "", F.struct(key.alias("_Name"), val.alias("_VALUE")))
+        )
+    pairs = F.filter(F.array(*entries), lambda s: s.isNotNull())
+    mp = _event_data_map(pairs)
+    wrapper = F.xpath_string(col, F.lit(f"local-name({base})"))
+    return F.when(
+        mp.isNotNull(),
+        F.map_concat(mp, F.create_map(F.lit("xml_name"), wrapper)),
+    )
 
 
 def decode_xml_wineventlog(
@@ -559,7 +607,8 @@ def decode_xml_wineventlog(
     """
 
     def stage(df: DataFrame) -> DataFrame:
-        e = F.from_xml(F.col(field), _WINEVENT_XML_SCHEMA)
+        raw = _safe_xml(F.col(field))
+        e = F.from_xml(raw, _WINEVENT_XML_SCHEMA)
         sysf, rend = e["System"], e["RenderingInfo"]
         # audit outcome from the Keywords hex mask: nibble 13 from LSB =
         # char 3 of the 0x-stripped, 16-lpadded hex string
@@ -572,7 +621,29 @@ def decode_xml_wineventlog(
             F.when(nib.bitwiseAND(F.lit(1)) > 0, F.lit("failure"))
             .when(nib.bitwiseAND(F.lit(2)) > 0, F.lit("success"))
         )
-        msg = F.regexp_replace(rend["Message"], "\r\n", "\n")
+        # RemoveWindowsLineEndings (sys/strings.go:43-46): CRLF -> LF AND
+        # trailing newlines trimmed
+        msg = F.regexp_replace(
+            F.regexp_replace(rend["Message"], "\r\n", "\n"), "\n+$", ""
+        )
+        # EventData.Pairs carries every child element (xml:",any") — the
+        # <Binary> sibling joins the Data pairs under its element name
+        bin_pair = F.when(
+            e["EventData"]["Binary"].isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("Binary").alias("_Name"),
+                    e["EventData"]["Binary"].alias("_VALUE"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<_Name: string, _VALUE: string>>"))
+        all_pairs = F.concat(
+            F.coalesce(
+                e["EventData"]["Data"],
+                F.array().cast("array<struct<_Name: string, _VALUE: string>>"),
+            ),
+            bin_pair,
+        )
         win = F.struct(
             sysf["Channel"].alias("channel"),
             sysf["EventID"].cast("string").alias("event_id"),
@@ -583,7 +654,11 @@ def decode_xml_wineventlog(
             rend["Keywords"]["Keyword"].alias("keywords"),
             rend["Opcode"].alias("opcode"),
             sysf["Provider"]["_Guid"].alias("provider_guid"),
-            sysf["Version"].alias("version"),
+            # xsd:unsignedByte, but producers ship junk ('101.3' on
+            # NetApp appliances) — the reference coerces invalid to 0,
+            # which AddOptional then omits; try_cast's NULL is the same
+            # observable absence without nulling the whole System struct
+            sysf["Version"].try_cast("bigint").alias("version"),
             F.try_to_timestamp(
                 F.regexp_replace(
                     sysf["TimeCreated"]["_SystemTime"], r"(\.\d{6})\d*Z?$", "$1"
@@ -592,7 +667,12 @@ def decode_xml_wineventlog(
             outcome.alias("outcome"),
             F.lower(rend["Level"]).alias("level"),
             msg.alias("message"),
-            _event_data_map(e["EventData"]["Data"]).alias("event_data"),
+            _event_data_map(all_pairs).alias("event_data"),
+            _user_data_map(raw).alias("user_data"),
+            F.when(
+                e["ProcessingErrorData"]["ErrorCode"] != 0,
+                e["ProcessingErrorData"]["ErrorCode"],
+            ).alias("error_code"),
             sysf["Correlation"]["_ActivityID"].alias("activity_id"),
             sysf["Correlation"]["_RelatedActivityID"].alias("related_activity_id"),
             F.struct(

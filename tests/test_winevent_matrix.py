@@ -1,0 +1,207 @@
+"""winevent event-shape matrix: winlogbeat/sys/winevent/event_test.go.
+
+Ports TestXML (the full-featured allXML doc + the Spanish PowerShell doc
+whose complete Fields() mapstr the reference pins), TestInvalidXML (the
+SafeReader control-character escaping), and the NetApp non-conforming
+sample (TestInvalidVersion) against decode_xml_wineventlog — covering
+the r5 hardening: EventData <Binary> pairs, UserData extraction with
+xml_name, ProcessingErrorData error codes, AddPairs empty-value drops,
+and message trailing-newline trimming.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.processors.misc import decode_xml_wineventlog
+
+ALL_XML = """<Event xmlns="http://schemas.microsoft.com/win/2004/08/events/event">
+  <System>
+    <Provider Name="Microsoft-Windows-WinRM" Guid="{a7975c8f-ac13-49f1-87da-5a984a4ab417}" EventSourceName="Service Control Manager"/>
+    <EventID>91</EventID>
+    <Version>1</Version>
+    <Level>4</Level>
+    <Task>9</Task>
+    <Opcode>0</Opcode>
+    <Keywords>0x8020000000000000</Keywords>
+    <TimeCreated SystemTime="2016-01-28T20:33:27.990735300Z"/>
+    <EventRecordID>100</EventRecordID>
+    <Correlation ActivityID="{A066CCF1-8AB3-459B-B62F-F79F957A5036}" RelatedActivityID="{85FC0930-9C49-42DA-804B-A7368104BD1B}" />
+    <Execution ProcessID="920" ThreadID="1152"/>
+    <Channel>Microsoft-Windows-WinRM/Operational</Channel>
+    <Computer>vagrant-2012-r2</Computer>
+    <Security UserID="S-1-5-21-3541430928-2051711210-1391384369-1001"/>
+  </System>
+  <EventData>
+    <Data Name="param1">winlogbeat</Data>
+    <Data Name="param2">running</Data>
+    <Binary>770069006E006C006F00670062006500610074002F0034000000</Binary>
+  </EventData>
+  <UserData>
+    <EventXML xmlns="Event_NS">
+      <ServerName>\\\\VAGRANT-2012-R2</ServerName>
+      <UserName>vagrant</UserName>
+    </EventXML>
+  </UserData>
+  <ProcessingErrorData>
+    <ErrorCode>15005</ErrorCode>
+    <DataItemName>shellId</DataItemName>
+    <EventPayload>68007400</EventPayload>
+  </ProcessingErrorData>
+  <RenderingInfo Culture="en-US">
+    <Message>Creating WSMan shell on server with ResourceUri: %1</Message>
+    <Level>Information</Level>
+    <Task>Request handling</Task>
+    <Opcode>Info</Opcode>
+    <Channel>Microsoft-Windows-WinRM/Operational</Channel>
+    <Provider>Microsoft-Windows-Windows Remote Management</Provider>
+    <Keywords>
+      <Keyword>Server</Keyword>
+    </Keywords>
+  </RenderingInfo>
+</Event>"""
+
+
+def _decode(spark, xml):
+    df = spark.createDataFrame([(xml,)], "message string")
+    return decode_xml_wineventlog(field="message")(df).first()
+
+
+def test_all_xml_fields(spark):
+    row = _decode(spark, ALL_XML)
+    w = row["winlog"]
+    assert w["channel"] == "Microsoft-Windows-WinRM/Operational"
+    assert w["event_id"] == "91"
+    assert w["provider_name"] == "Microsoft-Windows-WinRM"
+    assert w["provider_guid"] == "{a7975c8f-ac13-49f1-87da-5a984a4ab417}"
+    assert w["record_id"] == 100
+    assert w["version"] == 1
+    assert w["outcome"] == "success"  # 0x8020… carries the audit-success bit
+    assert w["level"] == "information"
+    assert w["task"] == "Request handling"
+    assert w["opcode"] == "Info"
+    assert w["keywords"] == ["Server"]
+    assert w["message"] == "Creating WSMan shell on server with ResourceUri: %1"
+    assert w["activity_id"] == "{A066CCF1-8AB3-459B-B62F-F79F957A5036}"
+    assert w["related_activity_id"] == "{85FC0930-9C49-42DA-804B-A7368104BD1B}"
+    assert w["process"]["pid"] == 920 and w["process"]["thread"]["id"] == 1152
+    assert w["user"]["identifier"] == "S-1-5-21-3541430928-2051711210-1391384369-1001"
+    # EventData: named pairs + the <Binary> sibling under its element name
+    assert w["event_data"] == {
+        "param1": "winlogbeat",
+        "param2": "running",
+        "Binary": "770069006E006C006F00670062006500610074002F0034000000",
+    }
+    # UserData pairs + the wrapper's local name as xml_name
+    assert w["user_data"] == {
+        "ServerName": "\\\\VAGRANT-2012-R2",
+        "UserName": "vagrant",
+        "xml_name": "EventXML",
+    }
+    # ProcessingErrorData
+    assert w["error_code"] == 15005
+    assert str(w["time_created"]).startswith("2016-01-28 20:33:27.990735")
+
+
+def test_spanish_powershell_event_data(spark):
+    """The mensajeEnEspañol case: 15 named pairs survive, the
+    empty-valued 'Id. de canalización' drops (AddPairs), Binary joins."""
+    xml = ALL_XML.replace(
+        """<Data Name="param1">winlogbeat</Data>
+    <Data Name="param2">running</Data>""",
+        """<Data Name="Nombre de script">C:\\WINDOWS\\Invoke.ps1</Data>
+    <Data Name="Id. de canalización"></Data>
+    <Data Name="Usuario">GENTE\\persona</Data>
+    <Data Name="Número de secuencia">4174</Data>""",
+    )
+    w = _decode(spark, xml)["winlog"]
+    assert w["event_data"] == {
+        "Nombre de script": "C:\\WINDOWS\\Invoke.ps1",
+        "Usuario": "GENTE\\persona",
+        "Número de secuencia": "4174",
+        "Binary": "770069006E006C006F00670062006500610074002F0034000000",
+    }
+    assert "Id. de canalización" not in w["event_data"]
+
+
+def test_invalid_xml_control_chars_escaped(spark):
+    """TestInvalidXML (event_test.go:392-398): control characters other
+    than whitespace render as literal \\uNNNN escapes (SafeReader)."""
+    xml = ALL_XML.replace("%1", "\t&#xD;\n\x1b")
+    w = _decode(spark, xml)["winlog"]
+    # the Go test asserts the raw Event.Message ("\t\r\n"); winlog
+    # carries the Fields() surface, where RemoveWindowsLineEndings has
+    # already collapsed the CRLF
+    assert (
+        w["message"]
+        == "Creating WSMan shell on server with ResourceUri: \t\n\\u001b"
+    )
+
+
+def test_wmi_userdata_only_event(spark):
+    """The third TestXML case: a bare WMI failure event that carries only
+    UserData."""
+    xml = """<Event>
+  <UserData>
+    <Operation_ClientFailure xmlns='http://manifests.microsoft.com/win/2006/windows/WMI'>
+      <Id>{00000000-0000-0000-0000-000000000000}</Id>
+    </Operation_ClientFailure>
+  </UserData>
+</Event>"""
+    w = _decode(spark, xml)["winlog"]
+    assert w["user_data"] == {
+        "Id": "{00000000-0000-0000-0000-000000000000}",
+        "xml_name": "Operation_ClientFailure",
+    }
+    assert w["event_data"] is None
+    assert w["error_code"] is None
+
+
+def test_netapp_nonconforming_sample(spark):
+    """TestInvalidVersion's anonymized NetApp doc: a non-unsignedByte
+    Version ('101.3') must not break the decode; empty-valued and
+    attribute-only Data elements drop per AddPairs."""
+    xml = """<Event xmlns="http://schemas.netapp.com/events/event">
+  <System>
+    <Provider Name="NetApp-Security-Auditing" Guid="{3CB2A168-FE19-4A4E-BDAD-DCF422F13473}"/>
+    <EventID>4656</EventID>
+    <Version>101.3</Version>
+    <Level>0</Level>
+    <Opcode>0</Opcode>
+    <Keywords>0x8020000000000000</Keywords>
+    <TimeCreated SystemTime="2019-03-26T23:27:07.015494000Z"/>
+    <Correlation/>
+    <Channel>Security</Channel>
+    <Computer>anvil/vs-anvil</Computer>
+    <Security/>
+  </System>
+  <EventData>
+    <Data Name="SubjectIP" IPVersion="4">192.168.1.2</Data>
+    <Data Name="SubjectHostname" Source=""/>
+    <Data Name="SubjectUnix" Uid="65534" Gid="65534" Local="false"/>
+    <Data Name="SubjectUserName">john.doe</Data>
+  </EventData>
+</Event>"""
+    w = _decode(spark, xml)["winlog"]
+    assert w["event_id"] == "4656"
+    # invalid version ⇒ absent (the reference coerces to 0, which its
+    # AddOptional then omits — same observable shape)
+    assert w["version"] is None
+    assert w["event_data"] == {
+        "SubjectIP": "192.168.1.2",
+        "SubjectUserName": "john.doe",
+    }
+
+
+def test_user_data_absent_is_null(spark):
+    xml = ALL_XML.replace(
+        """<UserData>
+    <EventXML xmlns="Event_NS">
+      <ServerName>\\\\VAGRANT-2012-R2</ServerName>
+      <UserName>vagrant</UserName>
+    </EventXML>
+  </UserData>""",
+        "",
+    )
+    w = _decode(spark, xml)["winlog"]
+    assert w["user_data"] is None
