@@ -187,6 +187,11 @@ from .metricset import fetch_metricsets_builder as _fetch_metricsets  # noqa: E4
 REGISTRY["metricset_fetch"] = _fetch_metricsets
 REGISTRY["metricset_health"] = _fetch_health
 
+from .netflow_v9 import netflow_v9_events_builder as _netflow_v9  # noqa: E402
+
+# template-stateful NetFlow v9 / IPFIX decode + full ECS conversion
+REGISTRY["netflow_v9_events"] = _netflow_v9
+
 from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script

@@ -22,9 +22,10 @@ errors, relationally.
 
 v9 and IPFIX are template-stateful: the exporter streams template
 definitions that reconfigure the record layout per (source, obs domain)
-session. That is an applyInPandasWithState shape, not a fixed
-projection, and is out of scope here — the scope note a kafka-jar-less
-sandbox earns, documented loudly.
+session. That is data-dependent layout, not a fixed projection — it
+lives in netflow_v9.py (r5) as an Arrow-batched codec partitioned by
+exporter session, golden-verified against the reference's full
+44-case dat corpus + pcap replays.
 
 Input: a binary packets column (a kafka source's raw `value`, captured
 datagram payloads, a parquet archive). The live `read_udp_lines` source

@@ -1,0 +1,230 @@
+"""NetFlow v9 / IPFIX golden matrix — the reference's full corpus.
+
+Replays every .dat test case from
+x-pack/filebeat/input/netflow/testdata/dat_tests.yaml (44 cases across
+24 vendors: options templates, variable-length fields, reduced-size
+encoding, enterprise PENs, custom field files, zero-filled padding,
+invalid packets) plus the pcap replays, comparing every produced event
+— the complete converted ECS JSON including flow.id, community_id,
+localities, and nanosecond timestamps — against the reference's golden
+files.  Also ports case_test.go's snake-case matrix and checks the
+distributed decode stage equals the sequential walk.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import struct
+
+import pytest
+import yaml
+
+from beats_spark.processors import netflow_v9 as N
+
+BASE = "/root/reference/x-pack/filebeat/input/netflow/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(BASE), reason="reference testdata not present"
+)
+
+
+def _golden_name(test_name: str) -> str:
+    return (
+        test_name.replace("-", "--").replace("/", "-").replace(",", "")
+        .replace(" ", "-") + ".golden.json"
+    )
+
+
+def _dat_cases():
+    tests = yaml.safe_load(open(BASE + "/dat_tests.yaml"))["tests"]
+    return sorted(tests.items())
+
+
+def _run_dat(tc: dict):
+    known = dict(N.load_global_fields())
+    for ff in tc.get("custom_fields") or []:
+        known.update(
+            N.load_field_definitions(yaml.safe_load(open(f"{BASE}/fields/{ff}")))
+        )
+    sessions = N.SessionMap()
+    events = []
+    for f in tc["files"]:
+        data = open(f"{BASE}/dat/{f}", "rb").read()
+        recs = N.decode_buffer(data, "192.0.2.1:4444", sessions, known)
+        events.extend(
+            N.event_to_jsonable(N.to_beat_event(r, ("private",))) for r in recs
+        )
+    return events
+
+
+@pytest.mark.parametrize(
+    "name,tc", _dat_cases(), ids=[n for n, _ in _dat_cases()]
+)
+def test_dat_golden(name, tc):
+    golden = json.load(open(f"{BASE}/golden/{_golden_name(name)}"))
+    gev = golden.get("events") or []
+    events = _run_dat(tc)
+    assert len(events) == len(gev)
+    for i, (g, m) in enumerate(zip(gev, events)):
+        assert g == m, f"event {i} differs"
+
+
+# ---------------------------------------------------------------------------
+# pcap replays (per-packet exporter addresses)
+# ---------------------------------------------------------------------------
+def pcap_udp_payloads(path):
+    data = open(path, "rb").read()
+    magic = data[:4]
+    endian = {b"\xa1\xb2\xc3\xd4": ">", b"\xd4\xc3\xb2\xa1": "<"}[magic]
+    linktype = struct.unpack(endian + "I", data[20:24])[0]
+    pos = 24
+    while pos + 16 <= len(data):
+        _s, _us, incl, _orig = struct.unpack(endian + "IIII", data[pos : pos + 16])
+        pos += 16
+        pkt = data[pos : pos + incl]
+        pos += incl
+        if linktype == 1:
+            ethertype = struct.unpack(">H", pkt[12:14])[0]
+            ofs = 14
+            while ethertype in (0x8100, 0x88A8):
+                ethertype = struct.unpack(">H", pkt[ofs + 2 : ofs + 4])[0]
+                ofs += 4
+            if ethertype != 0x0800:
+                continue
+        elif linktype == 101:
+            ofs = 0
+        else:
+            raise ValueError(f"linktype {linktype}")
+        ihl = (pkt[ofs] & 0xF) * 4
+        if pkt[ofs + 9] != 17:
+            continue
+        src_ip = ".".join(str(b) for b in pkt[ofs + 12 : ofs + 16])
+        u = ofs + ihl
+        sport = struct.unpack(">H", pkt[u : u + 2])[0]
+        yield pkt[u + 8 :], f"{src_ip}:{sport}"
+
+
+def _pcap_names():
+    return sorted(
+        os.path.basename(p)[:-5]
+        for p in glob.glob(BASE + "/pcap/*.pcap")
+        if not p.endswith(".reversed.pcap")  # reference skips it (flaky)
+    )
+
+
+@pytest.mark.parametrize("name", _pcap_names())
+def test_pcap_golden(name):
+    golden = json.load(open(f"{BASE}/golden/{name}.pcap.golden.json"))
+    gev = golden.get("events") or []
+    sessions = N.SessionMap()
+    events = []
+    for payload, source in pcap_udp_payloads(f"{BASE}/pcap/{name}.pcap"):
+        recs = N.decode_packet(bytes(payload), source, sessions)
+        events.extend(
+            N.event_to_jsonable(N.to_beat_event(r, ("private",))) for r in recs
+        )
+    assert len(events) == len(gev)
+    for i, (g, m) in enumerate(zip(gev, events)):
+        assert g == m, f"event {i} differs"
+
+
+# ---------------------------------------------------------------------------
+# case.go snake-case matrix (case_test.go:13-29)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "camel,snake",
+    [
+        ("aBCDe", "a_bc_de"),
+        ("postNATSourceIPv4Address", "post_nat_source_ipv4_address"),
+        ("selectorIDTotalFlowsObserved", "selector_id_total_flows_observed"),
+        ("engineId", "engine_id"),
+        ("samplerRandomInterval", "sampler_random_interval"),
+        ("dot1qVlanId", "dot1q_vlan_id"),
+        ("messageMD5Checksum", "message_md5_checksum"),
+        ("hashIPPayloadSize", "hash_ip_payload_size"),
+        ("upperCILimit", "upper_ci_limit"),
+        ("virtualStationUUID", "virtual_station_uuid"),
+        ("postMCastLayer2OctetDeltaCount", "post_mcast_layer2_octet_delta_count"),
+        ("IPSecSPI", "ip_sec_spi"),
+        ("VRFname", "vrf_name"),
+    ],
+)
+def test_camel_to_snake(camel, snake):
+    assert N.camel_to_snake(camel) == snake
+
+
+# ---------------------------------------------------------------------------
+# custom field definitions loader (definitions.go dialect)
+# ---------------------------------------------------------------------------
+def test_load_field_definitions_netflow_layout():
+    defs = N.load_field_definitions(
+        {33002: [":uint16", ":fw_ext_event"], 40000: [":string", ":asa_username"]}
+    )
+    assert defs[(0, 33002)] == ("fw_ext_event", "Unsigned16")
+    assert defs[(0, 40000)] == ("asa_username", "String")
+
+
+def test_load_field_definitions_ipfix_layout_and_skip():
+    defs = N.load_field_definitions(
+        {3054: {110: [":uint32", ":ixia_thing"], 111: [":skip"]}}
+    )
+    assert defs[(3054, 110)] == ("ixia_thing", "Unsigned32")
+    assert (3054, 111) not in defs
+
+
+def test_load_field_definitions_integer_type_means_uint():
+    defs = N.load_field_definitions({100: [2, ":two_bytes"], 101: [0, ":four"]})
+    assert defs[(0, 100)][1] == "Unsigned16"
+    assert defs[(0, 101)][1] == "Unsigned32"
+
+
+def test_load_field_definitions_rejects_bad_type():
+    with pytest.raises(ValueError, match="invalid field type"):
+        N.load_field_definitions({1: [":nosuch", ":x"]})
+
+
+# ---------------------------------------------------------------------------
+# Spark stages: distributed decode == sequential walk
+# ---------------------------------------------------------------------------
+def _all_pcap_datagrams():
+    rows = []
+    order = 0
+    for name in _pcap_names():
+        for payload, source in pcap_udp_payloads(f"{BASE}/pcap/{name}.pcap"):
+            rows.append((bytearray(payload), source, order))
+            order += 1
+    return rows
+
+
+def test_netflow_v9_events_distributed_matches_sequential(spark):
+    rows = _all_pcap_datagrams()
+    df = spark.createDataFrame(rows, "payload binary, source string, order long")
+    dist = N.netflow_v9_events_distributed(df)
+    got = sorted(r["event_json"] for r in dist.collect())
+
+    # driver-side sequential per exporter (sessions never cross sources)
+    by_source = {}
+    for payload, source, order in rows:
+        by_source.setdefault(source, []).append(bytes(payload))
+    expected = []
+    for source, packets in by_source.items():
+        sessions = N.SessionMap()
+        for data in packets:
+            for rec in N.decode_packet(data, source, sessions):
+                expected.append(
+                    json.dumps(
+                        N.event_to_jsonable(N.to_beat_event(rec, ("private",))),
+                        sort_keys=True,
+                    )
+                )
+    assert got == sorted(expected)
+    assert len(got) == 45  # 29 + 6 + 10 golden events
+
+
+def test_netflow_v9_events_sequential_stage(spark):
+    rows = _all_pcap_datagrams()
+    df = spark.createDataFrame(rows, "payload binary, source string, order long")
+    out = N.netflow_v9_events(df)
+    assert out.count() == 45
