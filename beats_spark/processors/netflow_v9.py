@@ -577,6 +577,8 @@ def decode_packet_at(
         sys_uptime = 0
         num_sets = 0xFFFF
         dialect = "ipfix"
+    elif version in (1, 5, 6, 7, 8):
+        return _decode_legacy(data, offset, source, version)
     else:
         raise DecodeError(f"unsupported protocol version {version}")
 
@@ -630,6 +632,284 @@ def decode_packet_at(
     if dialect == "ipfix":
         pos = end
     return records, pos
+
+
+# ---------------------------------------------------------------------------
+# legacy fixed-layout protocols: v1 / v5 / v6 / v7 / v8
+# (decoder/v1/v1.go, v5/v5.go, v6/v6.go, v7/v7.go, v8/v8.go — static
+# templates over the same record machinery; v8 dispatches per the
+# header's aggregation scheme)
+# ---------------------------------------------------------------------------
+def _static_template(rows, length):
+    fields = []
+    for row in rows:
+        if len(row) == 1:
+            fields.append((row[0], None))
+        else:
+            fields.append((row[0], (row[1], row[2])))
+    return Template(0, fields, length, False)
+
+
+_T_V1 = _static_template([
+    (4, "sourceIPv4Address", "Ipv4Address"),
+    (4, "destinationIPv4Address", "Ipv4Address"),
+    (4, "ipNextHopIPv4Address", "Ipv4Address"),
+    (2, "ingressInterface", "Unsigned32"),
+    (2, "egressInterface", "Unsigned32"),
+    (4, "packetDeltaCount", "Unsigned64"),
+    (4, "octetDeltaCount", "Unsigned64"),
+    (4, "flowStartSysUpTime", "Unsigned32"),
+    (4, "flowEndSysUpTime", "Unsigned32"),
+    (2, "sourceTransportPort", "Unsigned16"),
+    (2, "destinationTransportPort", "Unsigned16"),
+    (2,),
+    (1, "protocolIdentifier", "Unsigned8"),
+    (1, "ipClassOfService", "Unsigned8"),
+    (1, "tcpControlBits", "Unsigned16"),
+    (7,),
+], 48)
+
+_V5_ROWS = [
+    (4, "sourceIPv4Address", "Ipv4Address"),
+    (4, "destinationIPv4Address", "Ipv4Address"),
+    (4, "ipNextHopIPv4Address", "Ipv4Address"),
+    (2, "ingressInterface", "Unsigned32"),
+    (2, "egressInterface", "Unsigned32"),
+    (4, "packetDeltaCount", "Unsigned64"),
+    (4, "octetDeltaCount", "Unsigned64"),
+    (4, "flowStartSysUpTime", "Unsigned32"),
+    (4, "flowEndSysUpTime", "Unsigned32"),
+    (2, "sourceTransportPort", "Unsigned16"),
+    (2, "destinationTransportPort", "Unsigned16"),
+    (1,),
+    (1, "tcpControlBits", "Unsigned16"),
+    (1, "protocolIdentifier", "Unsigned8"),
+    (1, "ipClassOfService", "Unsigned8"),
+    (2, "bgpSourceAsNumber", "Unsigned32"),
+    (2, "bgpDestinationAsNumber", "Unsigned32"),
+    (1, "sourceIPv4PrefixLength", "Unsigned8"),
+    (1, "destinationIPv4PrefixLength", "Unsigned8"),
+]
+_T_V5 = _static_template(_V5_ROWS + [(2,)], 48)
+_T_V6 = _static_template(_V5_ROWS + [(6,)], 52)
+_T_V7 = _static_template(_V5_ROWS[:11] + [
+    (1,),
+    (1, "tcpControlBits", "Unsigned16"),
+    (1, "protocolIdentifier", "Unsigned8"),
+    (1, "ipClassOfService", "Unsigned8"),
+    (2, "bgpSourceAsNumber", "Unsigned32"),
+    (2, "bgpDestinationAsNumber", "Unsigned32"),
+    (1, "sourceIPv4PrefixLength", "Unsigned8"),
+    (1, "destinationIPv4PrefixLength", "Unsigned8"),
+    (2, "flagsAndSamplerId", "Unsigned32"),
+    (4, "ipv4RouterSc", "Ipv4Address"),
+], 52)
+
+_V8_COMMON = [
+    (4, "deltaFlowCount", "Unsigned64"),
+    (4, "packetDeltaCount", "Unsigned64"),
+    (4, "octetDeltaCount", "Unsigned64"),
+    (4, "flowStartSysUpTime", "Unsigned32"),
+    (4, "flowEndSysUpTime", "Unsigned32"),
+]
+_T_V8 = {
+    1: _static_template(_V8_COMMON + [  # RouterAS
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+    ], 28),
+    2: _static_template(_V8_COMMON + [  # RouterProtoPort
+        (1, "protocolIdentifier", "Unsigned8"),
+        (3,),
+        (2, "sourceTransportPort", "Unsigned16"),
+        (2, "destinationTransportPort", "Unsigned16"),
+    ], 28),
+    3: _static_template(_V8_COMMON + [  # RouterSrcPrefix
+        (4, "sourceIPv4Prefix", "Ipv4Address"),
+        (2,),
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2,),
+    ], 32),
+    4: _static_template(_V8_COMMON + [  # RouterDstPrefix
+        (4, "destinationIPv4Prefix", "Ipv4Address"),
+        (2,),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (2,),
+    ], 32),
+    5: _static_template(_V8_COMMON + [  # RouterPrefix
+        (4, "sourceIPv4Prefix", "Ipv4Address"),
+        (4, "destinationIPv4Prefix", "Ipv4Address"),
+        (4,),
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+    ], 40),
+    6: _static_template([  # DestOnly
+        (4, "destinationIPv4Address", "Ipv4Address"),
+        (4, "packetDeltaCount", "Unsigned64"),
+        (4, "octetDeltaCount", "Unsigned64"),
+        (4, "flowStartSysUpTime", "Unsigned32"),
+        (4, "flowEndSysUpTime", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (1, "postIpClassOfService", "Unsigned8"),
+        (4, "droppedPacketDeltaCount", "Unsigned64"),
+        (4, "ipv4RouterSc", "Ipv4Address"),
+    ], 32),
+    7: _static_template([  # SrcDst
+        (4, "destinationIPv4Address", "Ipv4Address"),
+        (4, "sourceIPv4Address", "Ipv4Address"),
+        (4, "packetDeltaCount", "Unsigned64"),
+        (4, "octetDeltaCount", "Unsigned64"),
+        (4, "flowStartSysUpTime", "Unsigned32"),
+        (4, "flowEndSysUpTime", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (1, "postIpClassOfService", "Unsigned8"),
+        (2,),
+        (4, "droppedPacketDeltaCount", "Unsigned64"),
+        (4, "ipv4RouterSc", "Ipv4Address"),
+    ], 40),
+    8: _static_template([  # FullFlow
+        (4, "destinationIPv4Address", "Ipv4Address"),
+        (4, "sourceIPv4Address", "Ipv4Address"),
+        (2, "destinationTransportPort", "Unsigned16"),
+        (2, "sourceTransportPort", "Unsigned16"),
+        (4, "packetDeltaCount", "Unsigned64"),
+        (4, "octetDeltaCount", "Unsigned64"),
+        (4, "flowStartSysUpTime", "Unsigned32"),
+        (4, "flowEndSysUpTime", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (1, "protocolIdentifier", "Unsigned8"),
+        (1, "postIpClassOfService", "Unsigned8"),
+        (1,),
+        (4, "droppedPacketDeltaCount", "Unsigned64"),
+        (4, "ipv4RouterSc", "Ipv4Address"),
+    ], 44),
+    9: _static_template(_V8_COMMON + [  # TosAS
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (3,),
+    ], 32),
+    10: _static_template(_V8_COMMON + [  # TosProtoPort
+        (1, "protocolIdentifier", "Unsigned8"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (2,),
+        (2, "sourceTransportPort", "Unsigned16"),
+        (2, "destinationTransportPort", "Unsigned16"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+    ], 32),
+    11: _static_template(_V8_COMMON + [  # TosSrcPrefix
+        (4, "sourceIPv4Prefix", "Ipv4Address"),
+        (1, "sourceIPv4PrefixLength", "Unsigned8"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2,),
+    ], 32),
+    12: _static_template(_V8_COMMON + [  # TosDstPrefix
+        (4, "destinationIPv4Prefix", "Ipv4Address"),
+        (1, "destinationIPv4PrefixLength", "Unsigned8"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+        (2,),
+    ], 32),
+    13: _static_template(_V8_COMMON + [  # TosPrefix
+        (4, "sourceIPv4Prefix", "Ipv4Address"),
+        (4, "destinationIPv4Prefix", "Ipv4Address"),
+        (1, "destinationIPv4PrefixLength", "Unsigned8"),
+        (1, "sourceIPv4PrefixLength", "Unsigned8"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (1,),
+        (2, "bgpSourceAsNumber", "Unsigned32"),
+        (2, "bgpDestinationAsNumber", "Unsigned32"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+    ], 40),
+    14: _static_template([  # PrePortProtocol
+        (4, "deltaFlowCount", "Unsigned64"),
+        (4, "packetDeltaCount", "Unsigned64"),
+        (4, "octetDeltaCount", "Unsigned64"),
+        (4, "flowStartSysUpTime", "Unsigned32"),
+        (4, "flowEndSysUpTime", "Unsigned32"),
+        (4, "sourceIPv4Prefix", "Ipv4Address"),
+        (4, "destinationIPv4Prefix", "Ipv4Address"),
+        (1, "destinationIPv4PrefixLength", "Unsigned8"),
+        (1, "sourceIPv4PrefixLength", "Unsigned8"),
+        (1, "ipClassOfService", "Unsigned8"),
+        (1, "protocolIdentifier", "Unsigned8"),
+        (2, "sourceTransportPort", "Unsigned16"),
+        (2, "destinationTransportPort", "Unsigned16"),
+        (2, "ingressInterface", "Unsigned32"),
+        (2, "egressInterface", "Unsigned32"),
+    ], 40),
+}
+
+
+def _legacy_ts(data: bytes, offset: int) -> GoTime:
+    # 32-bit unix seconds + 32-bit nanoseconds
+    secs = int.from_bytes(data[offset : offset + 4], "big")
+    nanos = int.from_bytes(data[offset + 4 : offset + 8], "big")
+    return GoTime(_EPOCH + timedelta(seconds=secs, microseconds=nanos // 1000),
+                  nanos % 1000)
+
+
+def _decode_legacy(data: bytes, offset: int, source: str,
+                   version: int) -> Tuple[List[dict], int]:
+    hdr_len = {1: 16, 5: 24, 6: 24, 7: 24, 8: 28}[version]
+    if len(data) - offset < hdr_len:
+        raise DecodeError("error reading netflow header")
+    count = (data[offset + 2] << 8) | data[offset + 3]
+    sys_uptime = int.from_bytes(data[offset + 4 : offset + 8], "big")
+    ts = _legacy_ts(data, offset + 8)
+    exporter = {
+        "version": version,
+        "timestamp": ts,
+        "uptimeMillis": sys_uptime,
+        "address": source,
+    }
+    if version in (5, 6):
+        exporter["engineType"] = data[offset + 20]
+        exporter["engineId"] = data[offset + 21]
+        exporter["samplingInterval"] = int.from_bytes(
+            data[offset + 22 : offset + 24], "big")
+        tpl = _T_V5 if version == 5 else _T_V6
+    elif version == 1:
+        tpl = _T_V1
+    elif version == 7:
+        tpl = _T_V7
+    else:  # v8
+        agg = data[offset + 22]
+        exporter["engineType"] = data[offset + 20]
+        exporter["engineId"] = data[offset + 21]
+        exporter["aggregation"] = agg
+        exporter["aggregationVersion"] = data[offset + 23]
+        tpl = _T_V8.get(agg)
+        if tpl is None:
+            raise DecodeError(f"unsupported V8 aggregation: {agg}")
+    pos = offset + hdr_len
+    body = memoryview(data)[pos:]
+    n = count
+    if n > len(body):  # the reference caps the count by remaining BYTES
+        n = len(body)
+    records = tpl.apply(body, n)
+    consumed = pos + len(records) * tpl.length
+    for rec in records:
+        rec["exporter"] = exporter
+        rec["ts"] = ts
+    return records, consumed
 
 
 def decode_packet(

@@ -228,3 +228,127 @@ def test_netflow_v9_events_sequential_stage(spark):
     df = spark.createDataFrame(rows, "payload binary, source string, order long")
     out = N.netflow_v9_events(df)
     assert out.count() == 45
+
+
+# ---------------------------------------------------------------------------
+# legacy fixed-layout protocols (decoder/v{1,5,6,7}_test.go vectors)
+# ---------------------------------------------------------------------------
+_V5_RAW = (
+    "00050002000000015bf68d8b35fcb9780000000000000000"
+    "acd910e5c0a8017b00000000000000000000000e00002cfa"
+    "ffe8086cffe80f6201bbd711001806000000000000000000"
+    "c0a8017bacd910e500000000000000000000000700000c5b"
+    "ffe8086cffe80f62d71101bb001806000000000000000000"
+)
+
+
+def _decode_legacy_hex(raw_hex):
+    sessions = N.SessionMap()
+    return N.decode_packet(bytes.fromhex(raw_hex), "127.0.0.1:59707", sessions)
+
+
+def test_v5_reference_vector():
+    flows = _decode_legacy_hex(_V5_RAW)
+    assert len(flows) == 2
+    f = flows[0]["fields"]
+    assert f["sourceIPv4Address"] == "172.217.16.229"
+    assert f["destinationIPv4Address"] == "192.168.1.123"
+    assert f["sourceTransportPort"] == 443
+    assert f["destinationTransportPort"] == 55057
+    assert f["octetDeltaCount"] == 11514
+    assert f["packetDeltaCount"] == 14
+    assert f["protocolIdentifier"] == 6
+    assert f["tcpControlBits"] == 24
+    assert f["flowStartSysUpTime"] == 4293396588
+    assert f["flowEndSysUpTime"] == 4293398370
+    exp = flows[0]["exporter"]
+    assert exp["version"] == 5 and exp["uptimeMillis"] == 1
+    assert exp["engineId"] == 0 and exp["samplingInterval"] == 0
+    assert flows[0]["ts"].json() == "2018-11-22T11:05:47.905755Z"
+    # second record is the reverse direction
+    assert flows[1]["fields"]["sourceIPv4Address"] == "192.168.1.123"
+    assert flows[1]["fields"]["octetDeltaCount"] == 3163
+
+
+def test_v1_reference_vector():
+    raw = (
+        "00010002000000015bf689f605946fb0"
+        "acd910e5c0a8017b00000000000000000000000e00002cfa"
+        "fff609a0fff6109601bbd711000006001800000000000000"
+        "c0a8017bacd910e500000000000000000000000700000c5b"
+        "fff609a0fff61096d71101bb000006001800000000000000"
+    )
+    flows = _decode_legacy_hex(raw)
+    assert len(flows) == 2
+    f = flows[0]["fields"]
+    assert f["sourceIPv4Address"] == "172.217.16.229"
+    assert f["protocolIdentifier"] == 6
+    assert f["tcpControlBits"] == 24
+    assert "bgpSourceAsNumber" not in f  # v1 has no AS fields
+    assert flows[0]["exporter"]["version"] == 1
+    assert "engineType" not in flows[0]["exporter"]
+
+
+def test_v6_and_v7_layouts():
+    v6 = (
+        "00060002000000015bf68d8b35fcb9780000000000000000"
+        + "acd910e5c0a8017b00000000000000000000000e00002cfa"
+          "ffe8086cffe80f6201bbd711001806000000000000"
+          "00000000000000"  # v6 record = 52 bytes (6-byte tail pad)
+        + "c0a8017bacd910e500000000000000000000000700000c5b"
+          "ffe8086cffe80f62d71101bb001806000000000000"
+          "00000000000000"
+    )
+    flows = _decode_legacy_hex(v6)
+    assert len(flows) == 2
+    assert flows[0]["fields"]["sourceTransportPort"] == 443
+    assert flows[0]["exporter"]["version"] == 6
+
+    v7 = (
+        "00070002000000015bf68d8b35fcb9780000000000000000"
+        + "acd910e5c0a8017b00000000000000000000000e00002cfa"
+          "ffe8086cffe80f6201bbd71100180600000000000000"
+          "0000" "0a0a0a0a"  # flagsAndSamplerId + ipv4RouterSc
+        + "c0a8017bacd910e500000000000000000000000700000c5b"
+          "ffe8086cffe80f62d71101bb00180600000000000000"
+          "0001" "0b0b0b0b"
+    )
+    flows = _decode_legacy_hex(v7)
+    assert len(flows) == 2
+    assert flows[0]["fields"]["ipv4RouterSc"] == "10.10.10.10"
+    assert flows[1]["fields"]["flagsAndSamplerId"] == 1
+
+
+def test_v8_router_as_aggregation():
+    import struct as _s
+
+    header = _s.pack(
+        ">HHIIII BBBB I",
+        8, 1, 1000, 1542886747, 905755000, 7, 1, 2, 1, 2, 0,
+    )
+    record = (
+        _s.pack(">IIIII", 5, 100, 2000, 10, 20)
+        + _s.pack(">HHHH", 64512, 64513, 3, 4)
+    )
+    flows = _decode_legacy_hex((header + record).hex())
+    assert len(flows) == 1
+    f = flows[0]["fields"]
+    assert f["deltaFlowCount"] == 5
+    assert f["packetDeltaCount"] == 100
+    assert f["octetDeltaCount"] == 2000
+    assert f["bgpSourceAsNumber"] == 64512
+    assert f["bgpDestinationAsNumber"] == 64513
+    assert f["ingressInterface"] == 3 and f["egressInterface"] == 4
+    exp = flows[0]["exporter"]
+    assert exp["aggregation"] == 1 and exp["aggregationVersion"] == 2
+    assert exp["engineType"] == 1 and exp["engineId"] == 2
+
+
+def test_v8_unknown_aggregation_is_error():
+    import struct as _s
+
+    header = _s.pack(
+        ">HHIIII BBBB I", 8, 1, 1000, 1542886747, 0, 7, 1, 2, 99, 2, 0
+    )
+    with pytest.raises(N.DecodeError, match="unsupported V8 aggregation"):
+        _decode_legacy_hex(header.hex())
