@@ -1876,7 +1876,54 @@ def q_community_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             s("sourceIPv4PrefixLength"), s("destinationIPv4PrefixLength"),
         ).alias("val"),
     )
-    return digests.unionByName(tuples).unionByName(flows)
+    # r5g fold: template-stateful v9 decode. Each event synthesizes a
+    # SELF-CONTAINED v9 packet (template flowset 256 + one data record in
+    # the same datagram — order-free by construction), the real
+    # session-stateful codec decodes it on executors (repartitioned by
+    # the per-event exporter address), and the oracle recomputes every
+    # extracted field from the same formulas.
+    from beats_spark.processors.netflow_v9 import netflow_v9_events_distributed
+
+    tmpl_hex = (
+        "0000" "0024"            # template flowset, length 36
+        "0100" "0007"            # template id 256, 7 fields
+        "00080004" "000c0004"    # sourceIPv4Address, destinationIPv4Address
+        "00070002" "000b0002"    # sourceTransportPort, destinationTransportPort
+        "00040001"               # protocolIdentifier
+        "00010004" "00020004"    # octetDeltaCount, packetDeltaCount
+    )
+    v9_pkt = F.concat(
+        F.lit("0009" "0002"), hx(i % 100000, 8), hx(secs, 8), hx(i, 8),
+        F.lit("00000000"),       # header: uptime, secs, seq, source id
+        F.lit(tmpl_hex),
+        F.lit("0100" "0019"),    # data flowset 256, length 4 + 21
+        hx(s_l, 8), hx(d_l, 8),
+        hx(i % 60000, 4), hx(i % 443, 4),
+        hx(F.when(i % 2 == 0, 6).otherwise(17), 2),
+        hx(i % 12345678, 8), hx(i % 100000, 8),
+    )
+    v9_in = ev.select(
+        F.unhex(v9_pkt).alias("payload"),
+        F.concat(i.cast("string"), F.lit(":2055")).alias("source"),
+        i.alias("order"),
+    )
+    v9_ev = netflow_v9_events_distributed(v9_in)
+    j = lambda p: F.get_json_object(F.col("event_json"), p)  # noqa: E731
+    nfv9 = v9_ev.select(
+        F.lit("nfv9").alias("kind"),
+        F.split(F.col("source"), ":")[0].cast("bigint").alias("case_id"),
+        F.concat_ws(
+            "|",
+            j("$.Fields.source.ip"), j("$.Fields.destination.ip"),
+            j("$.Fields.source.port"), j("$.Fields.destination.port"),
+            j("$.Fields.network.iana_number"), j("$.Fields.network.transport"),
+            j("$.Fields.network.bytes"), j("$.Fields.network.packets"),
+            j("$.Fields.netflow.exporter.version"),
+            j("$.Fields.netflow.exporter.address"),
+            j("$.Fields.netflow.octet_delta_count"),
+        ).alias("val"),
+    )
+    return digests.unionByName(tuples).unionByName(flows).unionByName(nfv9)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3171,6 +3218,21 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN event_id % 2 = 0 THEN CAST((event_id * 7) % 65536 AS VARCHAR) ELSE '-' END || '|' ||
               CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 33 AS VARCHAR) ELSE '-' END || '|' ||
               CASE WHEN event_id % 2 = 0 THEN CAST((event_id * 5) % 33 AS VARCHAR) ELSE '-' END AS val
+            FROM events
+            UNION ALL
+            -- r5g fold: v9 template+data self-contained packet decode
+            SELECT 'nfv9' AS kind, CAST(event_id AS BIGINT) AS case_id,
+              '10.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) || '.1|' ||
+              '192.168.1.' || CAST(event_id % 200 + 1 AS VARCHAR) || '|' ||
+              CAST(event_id % 60000 AS VARCHAR) || '|' ||
+              CAST(event_id % 443 AS VARCHAR) || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN '6' ELSE '17' END || '|' ||
+              CASE WHEN event_id % 2 = 0 THEN 'tcp' ELSE 'udp' END || '|' ||
+              CAST(event_id % 12345678 AS VARCHAR) || '|' ||
+              CAST(event_id % 100000 AS VARCHAR) || '|' ||
+              '9|' ||
+              CAST(event_id AS VARCHAR) || ':2055|' ||
+              CAST(event_id % 12345678 AS VARCHAR) AS val
             FROM events"""
         ),
         "sessionize": _ORACLE_WITH
