@@ -1,0 +1,97 @@
+"""Streaming NetFlow v9 / IPFIX — the live collector shape.
+
+The reference runs a UDP listener whose per-exporter sessions hold
+template state for as long as the exporter keeps talking
+(decoder/v9/session.go; expiry via SessionMap.CleanupLoop).  On
+Structured Streaming that is applyInPandasWithState keyed by exporter
+address: the GroupState carries the session's template dictionary
+across micro-batches (pickled — templates are a few KB per exporter),
+datagrams decode in event-time order within each batch, and a
+ProcessingTimeTimeout drops sessions idle past the expiration timeout —
+the reference's cleanup loop, whose template loss is recoverable by
+design (exporters re-send templates periodically; RFC 3954 §9).
+
+Batch path + goldens: processors/netflow_v9.py (this module reuses its
+codec and conversion verbatim).
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+from typing import Iterator, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+__all__ = ["netflow_v9_stream"]
+
+
+def netflow_v9_stream(
+    df: DataFrame,
+    payload_col: str = "payload",
+    source_col: str = "source",
+    ts_col: str = "ts",
+    internal_networks=("private",),
+    custom_fields: Optional[dict] = None,
+    expiration_seconds: float = 1800.0,
+) -> DataFrame:
+    """Decode a streaming datagram frame (payload binary, source string,
+    ts timestamp) into converted event JSON rows, template state held
+    per exporter across micro-batches."""
+    import pandas as pd
+
+    from ..processors import netflow_v9 as N
+
+    known = dict(N.load_global_fields())
+    if custom_fields:
+        known.update(custom_fields)
+    ttl_ms = int(expiration_seconds * 1000)
+    out_cols = [source_col, ts_col, "event_json"]
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            # session expiry == the reference CleanupLoop dropping the
+            # SessionState; templates re-learn from the exporter's next
+            # periodic template set
+            state.remove()
+            return
+        source = key[0]
+        sessions = N.SessionMap()
+        if state.exists:
+            (blob,) = state.get
+            if blob is not None:
+                sessions.sessions = pickle.loads(bytes(blob))
+        rows = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            for _, row in pdf.iterrows():
+                try:
+                    recs = N.decode_packet(
+                        bytes(row[payload_col]), source, sessions, known
+                    )
+                except (N.DecodeError, EOFError):
+                    continue
+                for rec in recs:
+                    ev = N.to_beat_event(rec, internal_networks)
+                    rows.append(
+                        (source, row[ts_col],
+                         json.dumps(N.event_to_jsonable(ev), sort_keys=True))
+                    )
+        if rows:
+            yield pd.DataFrame(rows, columns=out_cols)
+        state.update((pickle.dumps(sessions.sessions),))
+        state.setTimeoutDuration(ttl_ms)
+
+    out_schema = (
+        f"{source_col} string, {ts_col} timestamp, event_json string"
+    )
+    return df.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="templates binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

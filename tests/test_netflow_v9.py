@@ -352,3 +352,67 @@ def test_v8_unknown_aggregation_is_error():
     )
     with pytest.raises(N.DecodeError, match="unsupported V8 aggregation"):
         _decode_legacy_hex(header.hex())
+
+
+# ---------------------------------------------------------------------------
+# streaming decode: template state survives across micro-batches
+# ---------------------------------------------------------------------------
+def test_netflow_v9_stream_state_across_batches(spark, tmp_path):
+    """Live applyInPandasWithState decode: the template-bearing packets
+    arrive in micro-batch 1 (one file per trigger), the data packets in
+    batch 2 — records decode ONLY because the session's template state
+    survived the batch boundary. Output equals the sequential walk."""
+    from datetime import datetime, timedelta
+
+    from beats_spark.streaming.netflow import netflow_v9_stream
+
+    name = "netflow9_ubiquiti_edgerouter"
+    packets = [
+        (bytes(p), s) for p, s in pcap_udp_payloads(f"{BASE}/pcap/{name}.pcap")
+    ]
+    assert len(packets) >= 2
+    t0 = datetime(2026, 8, 19, 12, 0, 0)
+    rows = [
+        (bytearray(p), s, t0 + timedelta(seconds=i))
+        for i, (p, s) in enumerate(packets)
+    ]
+    half = max(1, len(rows) // 2)
+    src = str(tmp_path / "in")
+    schema = "payload binary, source string, ts timestamp"
+    spark.createDataFrame(rows[:half], schema).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+    spark.createDataFrame(rows[half:], schema).coalesce(1).write.parquet(
+        src + "/b2"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = netflow_v9_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nfv9_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_json"] for r in spark.sql("select * from nfv9_stream").collect()
+    )
+
+    sessions = N.SessionMap()
+    expected = []
+    for p, s in packets:
+        for rec in N.decode_packet(p, s, sessions):
+            expected.append(
+                json.dumps(
+                    N.event_to_jsonable(N.to_beat_event(rec, ("private",))),
+                    sort_keys=True,
+                )
+            )
+    assert got == sorted(expected)
+    assert len(got) == 10  # the golden's event count for this capture
