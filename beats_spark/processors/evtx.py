@@ -350,12 +350,20 @@ class _ChunkReader:
 # ---------------------------------------------------------------------------
 def _filetime_str(v: int) -> str:
     secs, frac = divmod(v, 10_000_000)
-    dt = _EPOCH_1601 + timedelta(seconds=secs)
+    try:
+        dt = _EPOCH_1601 + timedelta(seconds=secs)
+    except OverflowError as exc:  # surfaces as a per-record error row
+        raise EvtxError(f"filetime out of range: {v}") from exc
     return f"{dt:%Y-%m-%dT%H:%M:%S}.{frac:07d}Z"
 
 
-def filetime_to_datetime(v: int) -> datetime:
-    return _EPOCH_1601 + timedelta(microseconds=v // 10)
+def filetime_to_datetime(v: int) -> Optional[datetime]:
+    """None for values outside datetime's range (corrupt records carry
+    arbitrary u64s; the record still decodes, its timestamp is null)."""
+    try:
+        return _EPOCH_1601 + timedelta(microseconds=v // 10)
+    except OverflowError:
+        return None
 
 
 def _sid_str(b: bytes) -> str:

@@ -227,3 +227,24 @@ def test_registry_builders(spark):
     filt = REGISTRY["winlog_filter"](event_id="-5")
     df = spark.createDataFrame([(5,), (6,)], "event_id int")
     assert [r["event_id"] for r in filt(df).collect()] == [6]
+
+
+def test_evtx_corruption_robustness():
+    """Truncations and byte flips over a real multi-record file must
+    surface as error rows / skipped records, never as raised exceptions
+    (the task-level contract of the Arrow decode stage)."""
+    import random
+
+    rng = random.Random(7)
+    base = open(TESTDATA + "/sysmon-9.01.evtx", "rb").read()
+    for _ in range(120):
+        data = bytearray(base)
+        mode = rng.randrange(3)
+        if mode == 0:
+            data = data[: rng.randrange(len(data))]
+        else:
+            data = data[: rng.randrange(len(data))] if mode == 2 else data
+            for _ in range(rng.randrange(1, 20)):
+                if data:
+                    data[rng.randrange(len(data))] = rng.randrange(256)
+        list(parse_evtx(bytes(data)))  # must not raise

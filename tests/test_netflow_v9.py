@@ -416,3 +416,24 @@ def test_netflow_v9_stream_state_across_batches(spark, tmp_path):
             )
     assert got == sorted(expected)
     assert len(got) == 10  # the golden's event count for this capture
+
+
+def test_netflow_corruption_robustness():
+    """decode_buffer over truncated / bit-flipped packets must stop at
+    the first undecodable packet (the harness contract) and never raise
+    out of the walk."""
+    import random
+
+    rng = random.Random(11)
+    dats = sorted(glob.glob(BASE + "/dat/*.dat"))[:8]
+    for p in dats:
+        base = open(p, "rb").read()
+        for _ in range(40):
+            data = bytearray(base)
+            if rng.randrange(2):
+                data = data[: rng.randrange(max(1, len(data)))]
+            else:
+                for _ in range(rng.randrange(1, 15)):
+                    if data:
+                        data[rng.randrange(len(data))] = rng.randrange(256)
+            N.decode_buffer(bytes(data), "x:1", N.SessionMap())  # must not raise
