@@ -894,3 +894,57 @@ def winlog_filter_builder(**query_kwargs):
         return df.where(pred)
 
     return stage
+
+
+def winlog_config_validate(
+    name: str = "",
+    id: str = "",
+    xml_query: str = "",
+    ignore_older_seconds: float = 0.0,
+    level: str = "",
+    event_id: str = "",
+    provider: Sequence[str] = (),
+    no_more_events: str = "wait",
+) -> dict:
+    """config.Validate (winlogbeat/eventlog/config.go:111-141) +
+    NoMoreEventsAction.Unpack (config.go:95-104), reference error
+    wording verbatim; errors joined like errors.Join.  Returns the
+    normalized config dict on success."""
+    errs = []
+    if xml_query:
+        if not id:
+            errs.append("event log is missing an 'id'")
+        try:
+            import xml.etree.ElementTree as ET
+
+            ET.fromstring(xml_query)
+        except ET.ParseError as exc:
+            errs.append(f"invalid xml_query: {exc}")
+        # the reference's switch reports only the FIRST conflicting key
+        if name:
+            errs.append("xml_query cannot be used with 'name'")
+        elif ignore_older_seconds:
+            errs.append("xml_query cannot be used with 'ignore_older'")
+        elif level:
+            errs.append("xml_query cannot be used with 'level'")
+        elif event_id:
+            errs.append("xml_query cannot be used with 'event_id'")
+        elif provider:
+            errs.append("xml_query cannot be used with 'provider'")
+    elif not name:
+        errs.append("event log is missing a 'name'")
+    action = no_more_events.lower()
+    if action not in ("wait", "stop"):
+        errs.append(f"invalid no_more_events action: {no_more_events}")
+    if errs:
+        raise ValueError("\n".join(errs))
+    # build-time validation of the simple query pieces (readConfig path)
+    if level:
+        parse_levels(level)
+    parse_event_id_ranges(event_id)
+    return {
+        "name": name, "id": id, "xml_query": xml_query,
+        "ignore_older_seconds": ignore_older_seconds, "level": level,
+        "event_id": event_id, "provider": list(provider),
+        "no_more_events": action, "batch_read_size": 512,
+    }

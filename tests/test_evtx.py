@@ -248,3 +248,34 @@ def test_evtx_corruption_robustness():
                 if data:
                     data[rng.randrange(len(data))] = rng.randrange(256)
         list(parse_evtx(bytes(data)))  # must not raise
+
+
+def test_winlog_config_validate_matrix():
+    """config.Validate (config.go:111-141): the xml_query exclusivity
+    rules with the reference's error wording, first-conflict-only."""
+    from beats_spark.processors.evtx import winlog_config_validate
+
+    ok = winlog_config_validate(name="Application")
+    assert ok["batch_read_size"] == 512 and ok["no_more_events"] == "wait"
+    q = "<QueryList><Query Id='0'/></QueryList>"
+    assert winlog_config_validate(xml_query=q, id="x")["xml_query"] == q
+
+    with pytest.raises(ValueError, match="missing a 'name'"):
+        winlog_config_validate()
+    with pytest.raises(ValueError, match="missing an 'id'"):
+        winlog_config_validate(xml_query=q)
+    with pytest.raises(ValueError, match="invalid xml_query"):
+        winlog_config_validate(xml_query="<unclosed", id="x")
+    with pytest.raises(ValueError, match="cannot be used with 'name'"):
+        winlog_config_validate(xml_query=q, id="x", name="App")
+    # first conflict only (the Go switch)
+    try:
+        winlog_config_validate(
+            xml_query=q, id="x", ignore_older_seconds=60, level="error"
+        )
+    except ValueError as e:
+        assert "ignore_older" in str(e) and "level" not in str(e)
+    with pytest.raises(ValueError, match="invalid no_more_events action"):
+        winlog_config_validate(name="App", no_more_events="bogus")
+    with pytest.raises(ValueError, match="invalid level"):
+        winlog_config_validate(name="App", level="potato")
