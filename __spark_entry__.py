@@ -1399,14 +1399,48 @@ def q_cache_get(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_schema_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """schema.Conv declarative projection with typed cast + required drop."""
+    """schema.Conv declarative projection with typed cast + required drop.
+
+    r5g fold (metricbeat periodic fetch): every event row becomes one
+    metricset fetch on the executors with a deterministic fetch function
+    and a fixed clock — the standardized beat event (BeatEvent +
+    AddMetricSetInfo shaping, Took clamped to 1µs, per-event period) is
+    emitted as sorted-keys JSON the oracle reconstructs verbatim;
+    event_id%7==0 hosts fail to pin the error-event path."""
+    from beats_spark.processors.metricset import fetch_metricsets
     from beats_spark.processors.misc import schema_conv
     from beats_spark.processors.parsers import decode_json_fields
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = decode_json_fields(["props"], target="attrs")(ev)
     out = schema_conv({"k_typed": {"key": "k", "type": "long", "required": True}})(df)
-    return out.select("event_id", "k_typed")
+    out = out.select(
+        "event_id", "k_typed",
+        F.lit("system").alias("module"), F.lit("cpu").alias("metricset"),
+        F.concat(F.lit("h"), F.col("event_id").cast("string")).alias("host"),
+    )
+
+    def fetch(module, metricset, host):
+        # closure (pickled by value — executors cannot import this file)
+        if int(host[1:]) % 7 == 0:
+            raise RuntimeError(f"down {host}")
+        return [
+            {
+                "root_fields": {},
+                "module_fields": {"h": host},
+                "metricset_fields": {"host_len": len(host), "tag": host},
+                "namespace": "",
+            }
+        ]
+
+    fetched = fetch_metricsets(
+        out, fetch, period_seconds=10.0, clock=lambda: 1700000000.0
+    )
+    return fetched.select(
+        "event_id", "k_typed",
+        F.col("event_json").alias("ms_json"),
+        F.col("fetch_error").alias("ms_err"),
+    )
 
 
 def q_fmtstr_format(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3012,7 +3046,21 @@ def oracle_sql() -> dict[str, str]:
                          THEN 'cached-assistant' END AS cval
              FROM transcripts_base""",
         "schema_conv": """
-            SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+            SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed,
+                   CASE WHEN event_id % 7 = 0 THEN
+                     '{"@timestamp": 1700000000.0, "error": {"message": "down h' || CAST(event_id AS VARCHAR) || '"}, '
+                     || '"event": {"dataset": "system.cpu", "duration": 1000, "module": "system"}, '
+                     || '"metricset": {"name": "cpu", "period": 10000}, '
+                     || '"service": {"address": "h' || CAST(event_id AS VARCHAR) || '", "type": "system"}}'
+                   ELSE
+                     '{"@timestamp": 1700000000.0, '
+                     || '"event": {"dataset": "system.cpu", "duration": 1000, "module": "system"}, '
+                     || '"metricset": {"name": "cpu", "period": 10000}, '
+                     || '"service": {"address": "h' || CAST(event_id AS VARCHAR) || '", "type": "system"}, '
+                     || '"system": {"cpu": {"host_len": ' || CAST(length(CAST(event_id AS VARCHAR)) + 1 AS VARCHAR)
+                     || ', "tag": "h' || CAST(event_id AS VARCHAR) || '"}, "h": "h' || CAST(event_id AS VARCHAR) || '"}}'
+                   END AS ms_json,
+                   CASE WHEN event_id % 7 = 0 THEN 'down h' || CAST(event_id AS VARCHAR) END AS ms_err
             FROM events
             WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL""",
         "fmtstr_format": _ORACLE_WITH
