@@ -1409,22 +1409,25 @@ def netflow_v9_events(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        rows: List[tuple] = []
+        # Session state lives across Arrow batches; output flushes per
+        # batch so memory stays bounded by the Arrow batch size, not the
+        # partition size.  Batches arrive pre-sorted (sortWithinPartitions
+        # upstream); the per-batch sort keeps the walk correct even if a
+        # caller feeds an unsorted single-batch frame.
         sessions = SessionMap()
         for pdf in batches:
             pdf = pdf.sort_values(order_col)
-            for _, row in pdf.iterrows():
+            rows: List[tuple] = []
+            for payload, src in zip(pdf[payload_col], pdf[source_col]):
                 try:
-                    recs = decode_packet(bytes(row[payload_col]),
-                                         row[source_col], sessions, known)
+                    recs = decode_packet(bytes(payload), src, sessions, known)
                 except (DecodeError, EOFError):
                     continue
                 for rec in recs:
                     ev = to_beat_event(rec, internal_networks)
-                    rows.append((row[source_col],
-                                 json.dumps(event_to_jsonable(ev),
-                                            sort_keys=True)))
-        yield pd.DataFrame(rows, columns=[source_col, target])
+                    rows.append((src, json.dumps(event_to_jsonable(ev),
+                                                 sort_keys=True)))
+            yield pd.DataFrame(rows, columns=[source_col, target])
 
     return df.coalesce(1).sortWithinPartitions(order_col).mapInPandas(
         run, schema)
@@ -1459,22 +1462,24 @@ def netflow_v9_events_distributed(
     )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # Per-exporter session state survives across Arrow batches (a
+        # hot exporter's datagrams can span many batches within its
+        # partition); decoded output flushes per batch so task memory is
+        # bounded by the Arrow batch size, not the partition size.
         per_source: Dict[str, SessionMap] = {}
-        rows: List[tuple] = []
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                src = row[source_col]
+            rows: List[tuple] = []
+            for payload, src in zip(pdf[payload_col], pdf[source_col]):
                 sessions = per_source.setdefault(src, SessionMap())
                 try:
-                    recs = decode_packet(bytes(row[payload_col]), src,
-                                         sessions, known)
+                    recs = decode_packet(bytes(payload), src, sessions, known)
                 except (DecodeError, EOFError):
                     continue
                 for rec in recs:
                     ev = to_beat_event(rec, internal_networks)
                     rows.append((src, json.dumps(event_to_jsonable(ev),
                                                  sort_keys=True)))
-        yield pd.DataFrame(rows, columns=[source_col, target])
+            yield pd.DataFrame(rows, columns=[source_col, target])
 
     return out.mapInPandas(run, schema)
 
