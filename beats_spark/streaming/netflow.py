@@ -62,22 +62,26 @@ def netflow_v9_stream(
             (blob,) = state.get
             if blob is not None:
                 sessions.sessions = pickle.loads(bytes(blob))
+        # Concat-then-sort: the chunk iterator gives no cross-chunk
+        # ordering, and sorting each chunk alone can decode a data set
+        # before the template that precedes it in event time (the
+        # rate_limit_stream per-chunk-drain lesson).  Memory is bounded
+        # by this key's slice of ONE micro-batch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         rows = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            for _, row in pdf.iterrows():
+        if chunks:
+            batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            batch = batch.sort_values(ts_col, kind="stable")
+            for payload, ts in zip(batch[payload_col], batch[ts_col]):
                 try:
-                    recs = N.decode_packet(
-                        bytes(row[payload_col]), source, sessions, known
-                    )
+                    recs = N.decode_packet(bytes(payload), source, sessions,
+                                           known)
                 except (N.DecodeError, EOFError):
                     continue
                 for rec in recs:
                     ev = N.to_beat_event(rec, internal_networks)
                     rows.append(
-                        (source, row[ts_col],
+                        (source, ts,
                          json.dumps(N.event_to_jsonable(ev), sort_keys=True))
                     )
         if rows:
