@@ -45,6 +45,8 @@ __all__ = [
     "load_global_fields",
     "load_field_definitions",
     "SessionMap",
+    "Session",
+    "is_valid_sequence",
     "decode_packet",
     "decode_packet_at",
     "decode_buffer",
@@ -519,18 +521,60 @@ def _read_options_template_set(buf: memoryview, dialect: str,
 # ---------------------------------------------------------------------------
 # sessions (decoder/v9/session.go) + packet walk (v9.go OnPacket)
 # ---------------------------------------------------------------------------
+MAX_SEQUENCE_DIFFERENCE = 1000  # v9.go:25
+
+
+def is_valid_sequence(current: int, nxt: int) -> bool:
+    """isValidSequence (session.go:121-123): uint32 wraparound
+    arithmetic in BOTH directions, so out-of-order packets within the
+    window and 32-bit counter wraps are not resets."""
+    m = 0xFFFFFFFF
+    return (((nxt - current) & m) < MAX_SEQUENCE_DIFFERENCE
+            or ((current - nxt) & m) < MAX_SEQUENCE_DIFFERENCE)
+
+
+class Session(dict):
+    """One exporter session: template-id -> Template, plus the last
+    observed sequence number (SessionState, session.go:44-52)."""
+
+    def __init__(self):
+        super().__init__()
+        self.last_seq = 0
+
+    def check_reset(self, seq: int) -> bool:
+        """CheckReset (session.go:108-119): a sequence jump of >=
+        MaxSequenceDifference in both directions wipes the session's
+        templates (the exporter restarted; templates re-learn from its
+        next periodic template set)."""
+        reset = not is_valid_sequence(self.last_seq, seq)
+        if reset:
+            self.clear()
+        self.last_seq = seq
+        return reset
+
+
 class SessionMap:
-    """Per-(source, sourceID) template state.  Reset detection and
-    expiry are intentionally scoped to the streaming path; batch golden
-    replay runs with both disabled, like the reference's test config."""
+    """Per-(source, sourceID) template state.
 
-    def __init__(self, share_templates: bool = False):
-        self.sessions: Dict[tuple, Dict[int, Template]] = {}
+    detect_reset mirrors the input's detect_sequence_reset knob
+    (config.go:42 — default TRUE on the live input); the golden-corpus
+    harness runs with it disabled (netflow_test.go:306
+    WithSequenceResetEnabled(false)), so the default here is False and
+    the live Spark stages pass True.  Expiry is scoped to the streaming
+    path (ProcessingTimeTimeout = the reference CleanupLoop)."""
+
+    def __init__(self, share_templates: bool = False,
+                 detect_reset: bool = False):
+        self.sessions: Dict[tuple, Session] = {}
         self.share = share_templates
+        self.detect_reset = detect_reset
 
-    def get(self, source: str, source_id: int) -> Dict[int, Template]:
+    def get(self, source: str, source_id: int) -> Session:
         key = (None if self.share else source, source_id)
-        return self.sessions.setdefault(key, {})
+        sess = self.sessions.get(key)
+        if sess is None:
+            sess = self.sessions[key] = Session()
+        return sess
 
 
 def decode_packet_at(
@@ -559,6 +603,7 @@ def decode_packet_at(
         count = (data[offset + 2] << 8) | data[offset + 3]
         sys_uptime = int.from_bytes(data[offset + 4 : offset + 8], "big")
         unix_secs = int.from_bytes(data[offset + 8 : offset + 12], "big")
+        seq_no = int.from_bytes(data[offset + 12 : offset + 16], "big")
         source_id = int.from_bytes(data[offset + 16 : offset + 20], "big")
         pos = offset + 20
         end = len(data)
@@ -569,6 +614,7 @@ def decode_packet_at(
             raise DecodeError("error reading header")
         length = (data[offset + 2] << 8) | data[offset + 3]
         unix_secs = int.from_bytes(data[offset + 4 : offset + 8], "big")
+        seq_no = int.from_bytes(data[offset + 8 : offset + 12], "big")
         source_id = int.from_bytes(data[offset + 12 : offset + 16], "big")
         if length < 16 or len(data) - offset < length:
             raise DecodeError("error reading header")
@@ -583,6 +629,8 @@ def decode_packet_at(
         raise DecodeError(f"unsupported protocol version {version}")
 
     session = sessions.get(source, source_id)
+    if sessions.detect_reset:
+        session.check_reset(seq_no)  # OnPacket (v9.go:111-115)
     template_ids = {"v9": (0, 1), "ipfix": (2, 3)}[dialect]
     records: List[dict] = []
     for _ in range(num_sets):
@@ -1393,11 +1441,14 @@ def netflow_v9_events(
     internal_networks=("private",),
     custom_fields: Optional[dict] = None,
     target: str = "event_json",
+    detect_reset: bool = True,
 ) -> DataFrame:
     """Sequential decode of an ordered datagram table (exact worker-loop
     semantics: templates apply in arrival order).  The frame is coalesced
     to ONE ordered partition — correct for a single exporter capture;
-    use netflow_v9_events_distributed for fleet-scale decode."""
+    use netflow_v9_events_distributed for fleet-scale decode.
+    detect_reset follows the input's detect_sequence_reset default
+    (True; pass False for golden-harness semantics)."""
     import pandas as pd
     from pyspark.sql.types import StringType, StructField, StructType
 
@@ -1414,7 +1465,7 @@ def netflow_v9_events(
         # partition size.  Batches arrive pre-sorted (sortWithinPartitions
         # upstream); the per-batch sort keeps the walk correct even if a
         # caller feeds an unsorted single-batch frame.
-        sessions = SessionMap()
+        sessions = SessionMap(detect_reset=detect_reset)
         for pdf in batches:
             pdf = pdf.sort_values(order_col)
             rows: List[tuple] = []
@@ -1457,6 +1508,7 @@ def netflow_v9_events_distributed(
         known.update(kwargs["custom_fields"])
     internal_networks = kwargs.get("internal_networks", ("private",))
     target = kwargs.get("target", "event_json")
+    detect_reset = kwargs.get("detect_reset", True)
     schema = StructType(
         [df.schema[source_col], StructField(target, StringType())]
     )
@@ -1470,7 +1522,8 @@ def netflow_v9_events_distributed(
         for pdf in batches:
             rows: List[tuple] = []
             for payload, src in zip(pdf[payload_col], pdf[source_col]):
-                sessions = per_source.setdefault(src, SessionMap())
+                sessions = per_source.setdefault(
+                    src, SessionMap(detect_reset=detect_reset))
                 try:
                     recs = decode_packet(bytes(payload), src, sessions, known)
                 except (DecodeError, EOFError):

@@ -35,10 +35,14 @@ def netflow_v9_stream(
     internal_networks=("private",),
     custom_fields: Optional[dict] = None,
     expiration_seconds: float = 1800.0,
+    detect_reset: bool = True,
 ) -> DataFrame:
     """Decode a streaming datagram frame (payload binary, source string,
     ts timestamp) into converted event JSON rows, template state held
-    per exporter across micro-batches."""
+    per exporter across micro-batches.  detect_reset mirrors the input's
+    detect_sequence_reset default (True): a sequence jump wipes the
+    session's templates, which re-learn from the exporter's next
+    periodic template set."""
     import pandas as pd
 
     from ..processors import netflow_v9 as N
@@ -57,7 +61,7 @@ def netflow_v9_stream(
             state.remove()
             return
         source = key[0]
-        sessions = N.SessionMap()
+        sessions = N.SessionMap(detect_reset=detect_reset)
         if state.exists:
             (blob,) = state.get
             if blob is not None:

@@ -518,3 +518,71 @@ def test_netflow_v9_stream_fn_orders_across_chunks():
     assert state.updated is not None
     sessions = pickle.loads(bytes(state.updated[0]))
     assert 256 in sessions[("x:1", 5)]
+
+
+# ---------------------------------------------------------------------------
+# sequence reset detection (session.go CheckReset, v9.go OnPacket)
+# ---------------------------------------------------------------------------
+def test_session_check_reset_matrix():
+    """TestSessionCheckReset (session_test.go:232-276) ported verbatim."""
+    cases = [
+        ("regular advance", 12345, 12385, False),
+        ("out of order packet", 12388, 12345, False),
+        ("actual reset", 12345, 9, True),
+        ("32-bit wrap around", 0xFFFFFFFF, 9, False),
+        ("non-sequential stream", 12345, 78910, True),
+    ]
+    for title, current, nxt, want in cases:
+        s = N.Session()
+        s.last_seq = current
+        s[256] = "sentinel-template"
+        assert s.check_reset(nxt) is want, title
+        assert s.last_seq == nxt, title
+        assert (256 not in s) is want, title
+
+
+def _v9_pair(seq_tpl, seq_data):
+    tpl = struct.pack(">HHIIII", 9, 1, 1000, 1700000000, seq_tpl, 5)
+    tpl += struct.pack(">HH", 0, 24) + struct.pack(">HH", 256, 4)
+    tpl += struct.pack(">HHHHHHHH", 8, 4, 12, 4, 7, 2, 11, 2)
+    data = struct.pack(">HHIIII", 9, 1, 2000, 1700000100, seq_data, 5)
+    data += struct.pack(">HH", 256, 16) + bytes([10, 0, 0, 1, 192, 168, 1, 2])
+    data += struct.pack(">HH", 1234, 80)
+    return tpl, data
+
+
+def test_sequence_reset_drops_templates():
+    """A data packet whose sequence jumped >= MaxSequenceDifference
+    decodes nothing (templates wiped, the exporter restarted); the next
+    template re-send re-learns. With detect_reset off (the golden
+    harness config) the same stream keeps decoding."""
+    tpl, data_ok = _v9_pair(1, 2)
+    _, data_jump = _v9_pair(1, 50_000)
+
+    s = N.SessionMap(detect_reset=True)
+    assert N.decode_packet(tpl, "x:1", s) == []
+    assert len(N.decode_packet(data_ok, "x:1", s)) == 1
+    assert N.decode_packet(data_jump, "x:1", s) == []  # reset wiped tpl
+    tpl2, data2 = _v9_pair(50_001, 50_002)
+    assert N.decode_packet(tpl2, "x:1", s) == []
+    assert len(N.decode_packet(data2, "x:1", s)) == 1
+
+    s_off = N.SessionMap(detect_reset=False)
+    N.decode_packet(tpl, "x:1", s_off)
+    assert len(N.decode_packet(data_jump, "x:1", s_off)) == 1
+
+
+def test_session_pickle_roundtrip():
+    """The streaming state pickles Session objects: templates AND the
+    last sequence number must survive (reset detection across
+    micro-batches)."""
+    import pickle
+
+    tpl, data = _v9_pair(7, 8)
+    s = N.SessionMap(detect_reset=True)
+    N.decode_packet(tpl, "x:1", s)
+    restored = pickle.loads(pickle.dumps(s.sessions))
+    assert restored[("x:1", 5)].last_seq == 7
+    s2 = N.SessionMap(detect_reset=True)
+    s2.sessions = restored
+    assert len(N.decode_packet(data, "x:1", s2)) == 1
