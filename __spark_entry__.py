@@ -1763,6 +1763,34 @@ def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = ev.withColumn("raw", xml).withColumn("raw_win", wxml)
     out = decode_xml("raw", target="ev", schema="id bigint, lvl string")(df)
     out = decode_xml_wineventlog(field="raw_win", target="winlog")(out)
+    # r5 fold (decode_cef): each row synthesizes an ArcSight CEF line —
+    # escaped header fields (\| and \\), typed extensions (integer port,
+    # IP, epoch-ms timestamp, long byte count), an escaped '=' in msg —
+    # the full processor decodes it (tokenize → dictionary rename →
+    # typed conversion → ECS projection) and the oracle reconstructs
+    # every projected scalar from the same event_id formulas.
+    from beats_spark.processors.cef import decode_cef
+
+    proto = F.when(i % 2 == 0, F.lit("TCP")).otherwise(F.lit("UDP"))
+    cef_line = F.concat(
+        F.lit("CEF:0|vendor\\|"), (i % 5).cast("string"),
+        F.lit("|prod\\\\"), (i % 3).cast("string"),
+        F.lit("|1."), (i % 7).cast("string"),
+        F.lit("|C"), (i % 100).cast("string"),
+        F.lit("|Name "), (i % 11).cast("string"),
+        F.lit("|"), (i % 10).cast("string"),
+        F.lit("|src=10."), (i % 200).cast("string"),
+        F.lit("."), (i % 199).cast("string"),
+        F.lit("."), (i % 250).cast("string"),
+        F.lit(" spt="), (i % 65535).cast("string"),
+        F.lit(" rt="), (F.lit(1700000000000) + i * 1000).cast("string"),
+        F.lit(" out="), i.cast("string"),
+        F.lit(" proto="), proto,
+        F.lit(" msg=hello\\=world "), i.cast("string"),
+    )
+    out = decode_cef(field="raw_cef", target="cef_obj", current_year=2025)(
+        out.withColumn("raw_cef", cef_line)
+    )
     w = F.col("winlog")
     return out.select(
         "event_id",
@@ -1782,6 +1810,17 @@ def q_decode_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_kind").alias("wl_kind"),
         F.col("evtx_record_id").alias("ev_record_id"),
         F.col("evtx_xml").alias("ev_xml"),
+        F.get_json_object("cef_obj", "$.device.vendor").alias("cef_vendor"),
+        F.get_json_object("cef_obj", "$.device.product").alias("cef_product"),
+        F.get_json_object("cef_obj", "$.severity").alias("cef_sev_raw"),
+        F.col("event_code").alias("cef_code"),
+        F.col("source_ip").alias("cef_src"),
+        F.col("source_port").alias("cef_spt"),
+        F.col("event_severity").alias("cef_sev"),
+        F.col("cef_ecs")["destination"]["bytes"].alias("cef_out_bytes"),
+        F.col("network_transport").alias("cef_proto"),
+        F.col("message").alias("cef_msg"),
+        F.col("cef_ts").alias("cef_rt"),
     )
 
 
@@ -3202,7 +3241,20 @@ def oracle_sql() -> dict[str, str]:
                      || '</EventID><Computer>host</Computer></System>'
                      || '<EventData><Data Name=''Payload''>u'
                      || lpad(CAST(user_id % 10000000 AS VARCHAR), 7, '0')
-                     || '</Data></EventData></Event>' AS ev_xml
+                     || '</Data></EventData></Event>' AS ev_xml,
+                   'vendor|' || CAST(event_id % 5 AS VARCHAR) AS cef_vendor,
+                   'prod\\' || CAST(event_id % 3 AS VARCHAR) AS cef_product,
+                   CAST(event_id % 10 AS VARCHAR) AS cef_sev_raw,
+                   'C' || CAST(event_id % 100 AS VARCHAR) AS cef_code,
+                   '10.' || CAST(event_id % 200 AS VARCHAR)
+                     || '.' || CAST(event_id % 199 AS VARCHAR)
+                     || '.' || CAST(event_id % 250 AS VARCHAR) AS cef_src,
+                   CAST(event_id % 65535 AS BIGINT) AS cef_spt,
+                   CAST(event_id % 10 AS BIGINT) AS cef_sev,
+                   CAST(event_id AS BIGINT) AS cef_out_bytes,
+                   CASE WHEN event_id % 2 = 0 THEN 'tcp' ELSE 'udp' END AS cef_proto,
+                   'hello=world ' || CAST(event_id AS VARCHAR) AS cef_msg,
+                   epoch_ms(1700000000000 + event_id * 1000) AS cef_rt
             FROM events""",
         "community_id": (
             "SELECT 'digest' AS kind, CAST(case_id AS BIGINT) AS case_id, community_id AS val"

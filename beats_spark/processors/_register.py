@@ -196,6 +196,11 @@ from .script import script as _script  # noqa: E402
 
 REGISTRY["script"] = _script
 
+from .cef import decode_cef as _decode_cef  # noqa: E402
+
+# ArcSight CEF decode (x-pack decode_cef), golden-corpus verified
+REGISTRY["decode_cef"] = _decode_cef
+
 
 def _parsers_builder(parsers=None, **common):
     """filestream-style `parsers:` block as a registry entry, so a full

@@ -1,0 +1,879 @@
+"""decode_cef — ArcSight Common Event Format decode.
+
+Reference: x-pack/filebeat/processors/decode_cef/decode_cef.go:60-149
+(processor semantics), cef/cef.go:103-221 (Unpack contract + escape
+replacement), cef/parser.rl via cef/cef_test.go:15-470 (the grammar's
+observable behavior — the ragel machine itself is generated code, so
+the grammar here is re-derived from the documented rules at
+cef/cef.go:107-124 and pinned by the ported test matrix), cef/types.go
+(typed conversions), cef/keys.go (the ArcSight extension dictionary —
+vendored as data at beats_spark/data/cef_extension_keys.json; the table
+is public specification data from "Micro Focus Security ArcSight Common
+Event Format" v23/v25 and the Check Point CEF mapping doc),
+keys.ecs.go:27-148 (ECS projection).
+
+Execution model (Spark-first): the CEF grammar is stateful and
+escape-aware per character, so the tokenizer runs as an Arrow-batched
+pandas_udf (the dissect-full-grammar / netflow precedent — batch-at-a-
+time Python, never per-row rows); everything AFTER tokenization is
+columnar: the nested `cef` object and the ECS object land as canonical
+JSON strings, and the typed ECS projection is one `from_json` over a
+fixed DDL — a pure Column expression Catalyst can prune and push down,
+so downstream filters on e.g. `source_ip` never touch Python. At fleet
+scale the stage is embarrassingly parallel (no state across rows, no
+shuffle); cost ∝ message bytes.
+
+Determinism: the reference iterates Go maps (random order) when two
+extensions write one ECS target; this engine applies extension puts in
+message order (documented divergence — last write wins determinism).
+The `current_year` knob pins the year-less timestamp layouts for
+oracle-compared outputs (the reference reads the wall clock,
+cef/types.go:183-187).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from datetime import datetime, timedelta, timezone as _tz
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["decode_cef", "cef_unpack", "ECS_DDL"]
+
+# ---------------------------------------------------------------------------
+# vendored extension dictionary (cef/keys.go — public ArcSight spec data)
+# ---------------------------------------------------------------------------
+
+_EXT_MAPPING_LOWER: dict[str, tuple[str, str]] | None = None
+
+
+def _ext_mapping() -> dict[str, tuple[str, str]]:
+    """extensionMappingLowerCase (cef/keys.go:693-699): the dictionary
+    keyed by lowercased short name → (full name, data type)."""
+    global _EXT_MAPPING_LOWER
+    if _EXT_MAPPING_LOWER is None:
+        import importlib.resources as ir
+
+        raw = json.loads(
+            (ir.files("beats_spark") / "data" / "cef_extension_keys.json").read_text()
+        )
+        _EXT_MAPPING_LOWER = {k.lower(): (v[0], v[1]) for k, v in raw.items()}
+    return _EXT_MAPPING_LOWER
+
+
+# ---------------------------------------------------------------------------
+# tokenizer (grammar of cef/cef.go:107-124, behavior of cef_test.go)
+# ---------------------------------------------------------------------------
+
+# Extension keys: alnum/underscore start, then alnum _ . , [ ] - (the
+# reference is "less strict than the CEF specification" on purpose;
+# hyphen per cef_test.go hyphenInExtensionKey + key_with_dash).
+_KEY_RE = re.compile(r"[A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*\Z")
+_KEY_AT = re.compile(r"([A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*)=")
+# recovery scan: a space, then key=, like parser_recover's resync point
+_RESYNC = re.compile(r" ([A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*)=")
+# header-failure recovery: key= preceded by start or any non-key char
+_RECOVER_FIRST = re.compile(r"(?:^|[^A-Za-z0-9_.,\[\]\-])([A-Za-z0-9_][A-Za-z0-9_.,\[\]\-]*)=")
+
+_ERR_UNEXPECTED_END = "unexpected end of CEF event"
+_ERR_INCOMPLETE_HEADER = "incomplete CEF header"
+
+
+def _unescape_ext(v: str) -> str:
+    """replaceEscapes (cef/cef.go:184-221) for extension values: \\n and
+    \\r become control chars, any other escaped char drops the slash."""
+    if "\\" not in v:
+        return v
+    out = []
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\" and i + 1 < n:
+            nxt = v[i + 1]
+            if nxt == "n":
+                out.append("\n")
+            elif nxt == "r":
+                out.append("\r")
+            else:
+                out.append(nxt)
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _unescape_header(v: str) -> str:
+    """Header escapes: \\| and \\\\ only (cef/cef.go:111-113); any other
+    backslash stays literal (pinned by cef_test.go escapedMessage)."""
+    if "\\" not in v:
+        return v
+    out = []
+    i, n = 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\" and i + 1 < n and v[i + 1] in "|\\":
+            out.append(v[i + 1])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_extensions(
+    data: str, start: int, errors: list[str], pairs: dict[str, str], resync: bool
+) -> None:
+    """Scan `data[start:]` for key=value pairs into `pairs` (last key
+    wins, like Go map assignment at cef/cef.go:95-101).
+
+    Value boundary rule (the ragel machine's backtrack): a value runs to
+    the next unescaped '='; the token between the LAST space and that
+    '=' must be a valid key — that space is the single separator, and
+    everything before it belongs to the previous value (pinned by
+    paddedMessage: one space consumed, the rest preserved). An invalid
+    candidate key makes the CURRENT pair malformed: it is dropped with
+    "malformed value for <key> at pos <n>" and the scanner resyncs at
+    the next ' key=' (error-recovery-with-escape + tabNoSepMessage
+    behavior). The FINAL value is right-trimmed of ' \\t\\r\\n'
+    (crlfMessage) — interior whitespace is data (tabMessage).
+
+    `resync=True` enters in recovery mode (parser_recover analog): find
+    the first key= after any non-key character (truncatedHeader's
+    'Mgmt|activityID=...' boundary)."""
+    n = len(data)
+    i = start
+    key: str | None = None
+
+    if not resync:
+        # skip leading spaces after the 7th pipe (leadingWhitespace case)
+        while i < n and data[i] == " ":
+            i += 1
+        if i >= n:
+            if i > start:
+                # ' '* alone is not a valid (optional) extensions block:
+                # the machine ends mid-pattern (parser.rl cs<final, p==pe
+                # with a complete header)
+                errors.append(_ERR_UNEXPECTED_END)
+            return
+        m = _KEY_AT.match(data, i)
+        if m is not None:
+            key = m.group(1)
+            i = m.end()
+        else:
+            # first extension key is unparseable: the main machine halts
+            # ("error in CEF event at pos p+1"); the recovery machine
+            # re-walks the header and dies at the same char, so nothing
+            # more is extracted (parser.rl:55-64 + cef.go:132-141)
+            j = i
+            while j < n and re.match(r"[A-Za-z0-9_.,\[\]\-]", data[j]):
+                j += 1
+            if j >= n:
+                errors.append(_ERR_UNEXPECTED_END)
+            else:
+                errors.append(f"error in CEF event at pos {j + 1}")
+            return
+
+    if resync and key is None:
+        m = _RECOVER_FIRST.search(data, i)
+        if m is None:
+            errors.append(_ERR_UNEXPECTED_END)
+            return
+        key = m.group(1)
+        i = m.end()
+
+    # value scan for `key`, value starts at i
+    vstart = i
+    j = i
+    while True:
+        if j >= n:
+            # final value: trailing whitespace is not data, and a final
+            # pair whose value is EMPTY is not pushed at all
+            # (cef_actions.rl extension_eof: valueStart < valueEnd —
+            # pinned by the golden corpus record 24's trailing
+            # 'PanOSNSSAINetworkSliceDifferentiator=')
+            v = _unescape_ext(data[vstart:n].rstrip(" \t\r\n\v\f"))
+            if v != "":
+                pairs[key] = v
+            return
+        c = data[j]
+        if c == "\\" and j + 1 < n and data[j + 1] in "\\=nr":
+            j += 2
+            continue
+        if c == "\\":
+            # invalid escape (\| in an extension, lone trailing slash):
+            # the pair is malformed — drop it and resync
+            errors.append(f"malformed value for {key} at pos {j + 1}")
+            m = _RESYNC.search(data, j + 1)
+            if m is None:
+                errors.append(_ERR_UNEXPECTED_END)
+                return
+            key = m.group(1)
+            vstart = j = m.end()
+            continue
+        if c == "=":
+            k = data.rfind(" ", vstart, j)
+            cand = data[k + 1 : j]
+            if k >= vstart and _KEY_RE.match(cand):
+                # boundary: close the previous pair, open `cand`
+                pairs[key] = _unescape_ext(data[vstart:k])
+                key = cand
+                vstart = j = j + 1
+                continue
+            # unescaped '=' with no valid key before it → malformed
+            errors.append(f"malformed value for {key} at pos {j + 1}")
+            m = _RESYNC.search(data, j + 1)
+            if m is None:
+                errors.append(_ERR_UNEXPECTED_END)
+                return
+            key = m.group(1)
+            vstart = j = m.end()
+            continue
+        j += 1
+
+
+def _parse_cef(data: str) -> tuple[int, list[str], dict[str, str], list[str]]:
+    """Unpack's parse step → (version, 6 header fields, raw extensions,
+    errors). Version is -1 when even 'CEF:<int>|' is absent."""
+    errors: list[str] = []
+    headers = ["", "", "", "", "", ""]
+    pairs: dict[str, str] = {}
+
+    m = re.match(r"CEF:(\d+)\|", data)
+    if m is None:
+        # 'CEF:<int>|' never completed. Distinguish ran-out-of-input
+        # (p==pe → unexpected end + incomplete header) from an invalid
+        # character ("error in CEF event at pos p+1"), parser.rl:55-64.
+        t = re.match(r"CEF:\d*\Z", data)
+        if t is not None:
+            errors.append(_ERR_UNEXPECTED_END)
+            errors.append(_ERR_INCOMPLETE_HEADER)
+        else:
+            d = re.match(r"CEF:\d*", data)
+            errors.append(f"error in CEF event at pos {(d.end() if d else 0) + 1}")
+        _parse_extensions(data, 0, errors, pairs, resync=True)
+        return -1, headers, pairs, errors
+    version = int(m.group(1))
+    i = len(m.group(0))
+
+    # six more pipe-terminated fields. Fields 1-5 (vendor..name) use
+    # device_chars: any char except pipe/backslash, plus the \| and \\
+    # escapes — a bare backslash is a hard machine error. Field 6
+    # (severity) allows only [A-Za-z0-9-] (cef.rl severity_chars).
+    field = 0
+    fstart = i
+    n = len(data)
+    while field < 6:
+        if i >= n:
+            # incomplete header: completed fields stay, the torn one is
+            # not set; extensions recovered from the whole tail
+            errors.append(_ERR_UNEXPECTED_END)
+            errors.append(_ERR_INCOMPLETE_HEADER)
+            # recoverExtensions runs over the FULL data (cef.go:137) so
+            # the pipe before the first key counts as its boundary
+            _parse_extensions(data, 0, errors, pairs, resync=True)
+            return version, headers, pairs, errors
+        c = data[i]
+        if c == "|":
+            headers[field] = _unescape_header(data[fstart:i])
+            field += 1
+            i += 1
+            fstart = i
+            continue
+        if field < 5:
+            if c == "\\":
+                if i + 1 >= n:
+                    errors.append(_ERR_UNEXPECTED_END)
+                    errors.append(_ERR_INCOMPLETE_HEADER)
+                    _parse_extensions(data, 0, errors, pairs, resync=True)
+                    return version, headers, pairs, errors
+                if data[i + 1] not in "|\\":
+                    errors.append(f"error in CEF event at pos {i + 2}")
+                    _parse_extensions(data, 0, errors, pairs, resync=True)
+                    return version, headers, pairs, errors
+                i += 2
+                continue
+        elif not ("0" <= c <= "9" or "a" <= c <= "z" or "A" <= c <= "Z" or c == "-"):
+            errors.append(f"error in CEF event at pos {i + 1}")
+            _parse_extensions(data, 0, errors, pairs, resync=True)
+            return version, headers, pairs, errors
+        i += 1
+
+    if i < n:
+        _parse_extensions(data, i, errors, pairs, resync=False)
+    return version, headers, pairs, errors
+
+
+# ---------------------------------------------------------------------------
+# typed conversions (cef/types.go)
+# ---------------------------------------------------------------------------
+
+_GO_INT_RE = re.compile(
+    r"[+-]?(?:0[xX]_?[0-9a-fA-F](?:_?[0-9a-fA-F])*|0[bB]_?[01](?:_?[01])*"
+    r"|0[oO]_?[0-7](?:_?[0-7])*|0(?:_?[0-7])*|[1-9](?:_?[0-9])*)\Z"
+)
+
+
+def _go_parse_int(v: str, bits: int) -> int:
+    """strconv.ParseInt(v, 0, bits): base prefixes, bare-0 octal, no
+    surrounding whitespace."""
+    if not _GO_INT_RE.match(v):
+        raise ValueError(f"invalid syntax: {v!r}")
+    neg = v.startswith("-")
+    body = v.lstrip("+-").replace("_", "")
+    if body[:2].lower() in ("0x", "0b", "0o"):
+        n = int(body, 0)
+    elif body.startswith("0") and body != "0":
+        n = int(body, 8)
+    else:
+        n = int(body)
+    if neg:
+        n = -n
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if not lo <= n <= hi:
+        raise ValueError(f"value out of range: {v}")
+    return n
+
+
+def _go_parse_float(v: str) -> float:
+    if v == "" or v != v.strip():
+        raise ValueError(f"invalid syntax: {v!r}")
+    try:
+        return float(v)
+    except ValueError:
+        return float.fromhex(v)  # Go accepts hex float literals
+
+
+def _f32_json(x: float):
+    """float32 narrowing + shortest round-trip rendering, matching Go's
+    json.Marshal(float32)."""
+    import numpy as np
+
+    f = np.float32(x)
+    if np.isnan(f) or np.isinf(f):
+        raise ValueError("unsupported float value")
+    s = np.format_float_positional(f, unique=True, trim="-")
+    return json.loads(s) if "." in s or "e" in s else int(s)
+
+
+def _parse_bool(v: str) -> bool:
+    if v in ("1", "t", "T", "TRUE", "true", "True"):
+        return True
+    if v in ("0", "f", "F", "FALSE", "false", "False"):
+        return False
+    raise ValueError(f"invalid boolean: {v!r}")
+
+
+def _parse_ip(v: str) -> str:
+    import ipaddress
+
+    try:
+        ipaddress.ip_address(v)  # validation only, like net.ParseIP
+    except ValueError:
+        raise ValueError("value is not a valid IP address") from None
+    return v
+
+
+def _parse_mac(v: str) -> str:
+    """toMACAddress (cef/types.go:94-129): EUI-48/EUI-64 with colon,
+    dash, or dot separators — or bare hex — normalized to lowercase
+    colon-separated pairs."""
+    s = v
+    if len(s) in (12, 16) and re.fullmatch(r"[0-9a-fA-F]+", s):
+        s = ":".join(s[i : i + 2] for i in range(0, len(s), 2))
+    if re.fullmatch(r"(?:[0-9a-fA-F]{2}[:\-]){5}[0-9a-fA-F]{2}", s) or re.fullmatch(
+        r"(?:[0-9a-fA-F]{2}[:\-]){7}[0-9a-fA-F]{2}", s
+    ):
+        return s.replace("-", ":").lower()
+    if re.fullmatch(r"(?:[0-9a-fA-F]{4}\.){2,3}[0-9a-fA-F]{4}", s):
+        hexs = s.replace(".", "")
+        return ":".join(hexs[i : i + 2] for i in range(0, len(hexs), 2)).lower()
+    raise ValueError(f"invalid MAC address: {v!r}")
+
+
+_MONTHS = {
+    "Jan": 1, "Feb": 2, "Mar": 3, "Apr": 4, "May": 5, "Jun": 6,
+    "Jul": 7, "Aug": 8, "Sep": 9, "Oct": 10, "Nov": 11, "Dec": 12,
+}
+
+_TS_RE = re.compile(
+    r"([A-Z][a-z]{2}) +(\d{1,2})(?: (\d{4}))? (\d{2}):(\d{2}):(\d{2})"
+    r"(\.\d{3})?(?: (.+))?\Z"
+)
+_NUM_ZONE_RE = re.compile(r"(?:GMT)?([+-])(\d{2}):?(\d{2})\Z")
+
+
+def _parse_cef_timestamp(v: str, tzinfo, current_year: int | None) -> datetime:
+    """toTimestamp (cef/types.go:169-194): unix epoch millis, else the
+    'MMM dd [yyyy] HH:mm:ss[.SSS] [zone]' layout family. Zone forms:
+    numeric offsets (+0700 / +07:00 / GMT-07:00) or a name — UTC/GMT
+    pin zero, any other abbreviation means offset 0 like Go's
+    ParseInLocation with an unknown 3-letter zone. A missing year reads
+    the wall clock in the reference; `current_year` pins it here."""
+    try:
+        ms = _go_parse_int(v, 64)
+        return datetime.fromtimestamp(ms / 1000.0, _tz.utc)
+    except ValueError:
+        pass
+    m = _TS_RE.match(v)
+    if m is None or m.group(1) not in _MONTHS:
+        raise ValueError(f"value is not a valid timestamp: {v!r}")
+    mon, day, year = _MONTHS[m.group(1)], int(m.group(2)), m.group(3)
+    hh, mm, ss = int(m.group(4)), int(m.group(5)), int(m.group(6))
+    frac = m.group(7)
+    us = int(float(frac) * 1_000_000) if frac else 0
+    zone = m.group(8)
+    tz = tzinfo
+    if zone:
+        zm = _NUM_ZONE_RE.match(zone)
+        if zm:
+            sign = 1 if zm.group(1) == "+" else -1
+            tz = _tz(sign * timedelta(hours=int(zm.group(2)), minutes=int(zm.group(3))))
+        elif re.fullmatch(r"[A-Za-z]{1,4}", zone):
+            tz = _tz.utc  # unknown abbreviation → offset 0, like Go
+        else:
+            raise ValueError(f"value is not a valid timestamp: {v!r}")
+    if year is None:
+        if current_year is None:
+            current_year = datetime.now(tz).year
+        y = current_year
+    else:
+        y = int(year)
+    return datetime(y, mon, day, hh, mm, ss, us, tzinfo=tz)
+
+
+def _ts_iso(dt: datetime) -> str:
+    """libbeat common.Time JSON shape: UTC, millisecond precision, Z."""
+    u = dt.astimezone(_tz.utc)
+    return u.strftime("%Y-%m-%dT%H:%M:%S.") + f"{u.microsecond // 1000:03d}Z"
+
+
+def _convert(value: str, typ: str, tzinfo, current_year):
+    if typ == "string":
+        return value
+    if typ == "long":
+        return _go_parse_int(value, 64)
+    if typ == "integer":
+        return _go_parse_int(value, 32)
+    if typ == "float":
+        return _f32_json(_go_parse_float(value))
+    if typ == "double":
+        f = _go_parse_float(value)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError("unsupported float value")
+        return f
+    if typ == "boolean":
+        return _parse_bool(value)
+    if typ == "ip":
+        return _parse_ip(value)
+    if typ == "macaddress":
+        return _parse_mac(value)
+    if typ == "timestamp":
+        return _ts_iso(_parse_cef_timestamp(value, tzinfo, current_year))
+    raise ValueError(f"invalid data type: {typ}")
+
+
+# ---------------------------------------------------------------------------
+# Unpack (cef/cef.go:125-176) with the processor's fixed options
+# ---------------------------------------------------------------------------
+
+
+def cef_unpack(
+    data: str,
+    tzinfo=_tz.utc,
+    current_year: int | None = None,
+    remove_empty_values: bool = True,
+    mapping: dict[str, tuple[str, str]] | None = None,
+) -> tuple[int, list[str], dict[str, object], dict[str, str], list[str]]:
+    """Full Unpack with WithFullExtensionNames + WithTimezone and (by
+    default) WithRemoveEmptyValues — the exact option set
+    decode_cef.go:89 hardcodes. `remove_empty_values=False` reproduces
+    bare Unpack for the cef_test.go matrix (a mapped empty value then
+    fails its type conversion instead, e.g. toIP('')). Returns
+    (version, headers, typed extensions in message order, raw-string
+    view of the same keys, errors)."""
+    version, headers, raw_pairs, errors = _parse_cef(data)
+
+    typed: dict[str, object] = {}
+    raw_out: dict[str, str] = {}
+    if mapping is None:
+        mapping = _ext_mapping()
+    for key, raw in raw_pairs.items():
+        hit = mapping.get(key.lower())
+        if hit is None:
+            typed[key] = raw
+            raw_out[key] = raw
+            continue
+        full, typ = hit
+        if remove_empty_values and raw == "":
+            continue  # WithRemoveEmptyValues: mapped + empty → dropped
+        try:
+            typed[full] = _convert(raw, typ, tzinfo, current_year)
+            raw_out[full] = raw
+        except ValueError as exc:
+            errors.append(f"error in field '{key}': {exc}")
+    return version, headers, typed, raw_out, errors
+
+
+def _mapstr_put(root: dict, path: str, value) -> None:
+    """mapstr.Put: dots nest; a scalar in the way is replaced by a map."""
+    parts = path.split(".")
+    cur = root
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def _severity_number(severity: str) -> int | None:
+    s = severity.lower()
+    named = {"low": 0, "medium": 4, "high": 7, "very-high": 9}
+    if s in named:
+        return named[s]
+    if re.fullmatch(r"[+-]?[0-9]+", severity):  # Atoi: no space trim
+        return int(severity)
+    return None
+
+
+# ECS extension projection (keys.ecs.go:27-148). Targets with a
+# translate function are handled inline below.
+_ECS_EXT = {
+    "agentAddress": "agent.ip",
+    "agentDnsDomain": "agent.name",
+    "agentHostName": "agent.name",
+    "agentId": "agent.id",
+    "agentReceiptTime": "event.created",
+    "agentType": "agent.type",
+    "agentVersion": "agent.version",
+    "applicationProtocol": "network.application",
+    "bytesIn": "source.bytes",
+    "bytesOut": "destination.bytes",
+    "customerExternalID": "organization.id",
+    "customerURI": "organization.name",
+    "destinationAddress": "destination.ip",
+    "destinationDnsDomain": "destination.domain",
+    "destinationGeoLatitude": "destination.geo.location.lat",
+    "destinationGeoLongitude": "destination.geo.location.lon",
+    "destinationHostName": "destination.domain",
+    "destinationPort": "destination.port",
+    "destinationProcessId": "destination.process.pid",
+    "destinationProcessName": "destination.process.name",
+    "destinationServiceName": "destination.service.name",
+    "destinationTranslatedAddress": "destination.nat.ip",
+    "destinationTranslatedPort": "destination.nat.port",
+    "destinationUserId": "destination.user.id",
+    "destinationUserName": "destination.user.name",
+    "destinationUserPrivileges": "destination.user.group.name",
+    "deviceAction": "event.action",
+    "deviceDnsDomain": "observer.hostname",
+    "deviceHostName": "observer.hostname",
+    "devicePayloadId": "event.id",
+    "deviceProcessId": "process.pid",
+    "deviceProcessName": "process.name",
+    "deviceTimeZone": "event.timezone",
+    "endTime": "event.end",
+    "eventId": "event.id",
+    "eventOutcome": "event.outcome",
+    "fileCreateTime": "file.created",
+    "fileId": "file.inode",
+    "fileModificationTime": "file.mtime",
+    "filename": "file.name",
+    "filePath": "file.path",
+    "filePermission": "file.group",
+    "fileSize": "file.size",
+    "fileType": "file.type",
+    "message": "message",
+    "requestClientApplication": "user_agent.original",
+    "requestMethod": "http.request.method",
+    "requestUrl": "url.original",
+    "sourceAddress": "source.ip",
+    "sourceDnsDomain": "source.domain",
+    "sourceGeoLatitude": "source.geo.location.lat",
+    "sourceGeoLongitude": "source.geo.location.lon",
+    "sourceHostName": "source.domain",
+    "sourcePort": "source.port",
+    "sourceProcessId": "source.process.pid",
+    "sourceProcessName": "source.process.name",
+    "sourceServiceName": "source.service.name",
+    "sourceTranslatedAddress": "source.nat.ip",
+    "sourceTranslatedPort": "source.nat.port",
+    "sourceUserId": "source.user.id",
+    "sourceUserName": "source.user.name",
+    "sourceUserPrivileges": "source.user.group.name",
+    "startTime": "event.start",
+    "type": "event.kind",
+}
+
+# translate-function targets (keys.ecs.go): key → (target, fn(raw, typed))
+def _ecs_mac(raw: str, typed):
+    return str(raw).replace(":", "-").upper()
+
+
+_ECS_TRANSLATE = {
+    "agentMacAddress": ("agent.mac", _ecs_mac),
+    "destinationMacAddress": ("destination.mac", _ecs_mac),
+    "sourceMacAddress": ("source.mac", _ecs_mac),
+    "deviceMacAddress": ("observer.mac", _ecs_mac),
+    "deviceAddress": ("observer.ip", lambda raw, typed: [raw]),
+    "transportProtocol": ("network.transport", lambda raw, typed: raw.lower()),
+}
+
+
+def decode_cef_event(
+    data: str,
+    tzinfo=_tz.utc,
+    current_year: int | None = None,
+    ecs: bool = True,
+    mapping: dict[str, tuple[str, str]] | None = None,
+) -> tuple[dict | None, dict, str | None, list[str]]:
+    """decode_cef.go Run() for one message (already 'CEF:'-anchored):
+    → (cef object, ecs object, @timestamp ISO or None, error messages).
+    Returns cef=None when nothing parsed (version < 0 and errors)."""
+    version, headers, typed, raw, errors = cef_unpack(
+        data, tzinfo, current_year, mapping=mapping
+    )
+    if version < 0 and errors:
+        # decode_cef.go:89: version still negative + parse error → the
+        # whole decode is rejected, even if recovery salvaged pairs
+        return None, {}, None, errors
+
+    vendor, product, dversion, class_id, name, severity = headers
+
+    cef_obj: dict = {"version": str(version)}
+    if vendor:
+        _mapstr_put(cef_obj, "device.vendor", vendor)
+    if product:
+        _mapstr_put(cef_obj, "device.product", product)
+    if dversion:
+        _mapstr_put(cef_obj, "device.version", dversion)
+    if class_id:
+        _mapstr_put(cef_obj, "device.event_class_id", class_id)
+    if name:
+        _mapstr_put(cef_obj, "name", name)
+    if severity:
+        _mapstr_put(cef_obj, "severity", severity)
+    if typed:
+        ext: dict = {}
+        for k, v in typed.items():
+            _mapstr_put(ext, k, v)
+        cef_obj["extensions"] = ext
+
+    ecs_obj: dict = {}
+    ts: str | None = None
+    if ecs:
+        # header projection (decode_cef.go:189-216)
+        if vendor:
+            _mapstr_put(ecs_obj, "observer.vendor", vendor)
+        if product:
+            _mapstr_put(ecs_obj, "observer.product", product)
+        if dversion:
+            _mapstr_put(ecs_obj, "observer.version", dversion)
+        if class_id:
+            _mapstr_put(ecs_obj, "event.code", class_id)
+        if name:
+            _mapstr_put(ecs_obj, "message", name)
+        if severity:
+            sev = _severity_number(severity)
+            if sev is not None:
+                _mapstr_put(ecs_obj, "event.severity", sev)
+        # extension projection, message order (Go iterates randomly)
+        for k, v in typed.items():
+            if k == "deviceReceiptTime":
+                ts = v if isinstance(v, str) else None
+                continue
+            if k in _ECS_TRANSLATE:
+                target, fn = _ECS_TRANSLATE[k]
+                try:
+                    out = fn(raw.get(k, ""), v)
+                except ValueError as exc:
+                    errors.append(f"{k}: {exc}")
+                    continue
+                if out is not None:
+                    _mapstr_put(ecs_obj, target, out)
+                continue
+            if k == "deviceDirection":
+                sv = raw.get(k, "")
+                if sv == "0":
+                    _mapstr_put(ecs_obj, "network.direction", "inbound")
+                elif sv == "1":
+                    _mapstr_put(ecs_obj, "network.direction", "outbound")
+                else:
+                    errors.append(f"{k}: deviceDirection must be 0 or 1")
+                continue
+            if k == "requestContext":
+                if isinstance(v, str) and v.startswith("http"):
+                    _mapstr_put(ecs_obj, "http.request.referrer", v)
+                continue
+            target = _ECS_EXT.get(k)
+            if target is not None:
+                _mapstr_put(ecs_obj, target, v)
+    return cef_obj, ecs_obj, ts, errors
+
+
+# ---------------------------------------------------------------------------
+# the Spark stage
+# ---------------------------------------------------------------------------
+
+# typed DDL for the full keys.ecs.go target set — from_json over this is
+# the engine's pushdown surface for CEF-derived predicates
+ECS_DDL = (
+    "agent struct<id:string,ip:string,mac:string,name:string,type:string,version:string>,"
+    "destination struct<bytes:bigint,domain:string,"
+    "geo:struct<location:struct<lat:double,lon:double>>,ip:string,mac:string,"
+    "nat:struct<ip:string,port:bigint>,port:bigint,"
+    "process:struct<name:string,pid:bigint>,service:struct<name:string>,"
+    "user:struct<group:struct<name:string>,id:string,name:string>>,"
+    "event struct<action:string,code:string,created:string,end:string,id:string,"
+    "kind:string,outcome:string,severity:bigint,start:string,timezone:string>,"
+    "file struct<created:string,group:string,inode:string,mtime:string,name:string,"
+    "path:string,size:bigint,type:string>,"
+    "http struct<request:struct<method:string,referrer:string>>,"
+    "message string,"
+    "network struct<application:string,direction:string,transport:string>,"
+    "observer struct<hostname:string,ip:array<string>,mac:string,product:string,"
+    "vendor:string,version:string>,"
+    "organization struct<id:string,name:string>,"
+    "process struct<name:string,pid:bigint>,"
+    "source struct<bytes:bigint,domain:string,"
+    "geo:struct<location:struct<lat:double,lon:double>>,ip:string,mac:string,"
+    "nat:struct<ip:string,port:bigint>,port:bigint,"
+    "process:struct<name:string,pid:bigint>,service:struct<name:string>,"
+    "user:struct<group:struct<name:string>,id:string,name:string>>,"
+    "url struct<original:string>,"
+    "user_agent struct<original:string>"
+)
+
+_CANON = dict(sort_keys=True, ensure_ascii=False, separators=(",", ":"))
+
+
+def decode_cef(
+    field: str = "message",
+    target: str = "cef",
+    ecs: bool = True,
+    timezone: str = "UTC",
+    ignore_missing: bool = False,
+    ignore_failure: bool = False,
+    current_year: int | None = None,
+):
+    """decode_cef processor (decode_cef.go:60-149).
+
+    Output columns:
+      * `<target>` — the nested CEF object as canonical JSON (sorted
+        keys; the decode_xml dynamic-mode convention), NULL when the
+        message has no parseable CEF payload;
+      * `cef_ecs` — typed struct from `from_json(·, ECS_DDL)` when
+        `ecs=True` (pure Column; filters on its fields prune/push);
+      * flat convenience columns `source_ip destination_ip source_port
+        destination_port event_severity event_code network_transport`
+        plus `message` overwrite (the reference writes ECS at the event
+        root; this engine's flat-column convention) — only when ecs;
+      * `cef_ts` — @timestamp from deviceReceiptTime (timestamp type);
+      * `error_message` — array of parse/conversion errors, appended
+        to an existing error_message column with the reference's
+        appendErrorMessage dedup.
+
+    ignore_missing / ignore_failure check at build time where the
+    condition is batch-uniform (missing column, non-string column) —
+    per-row garbage (no 'CEF:' anywhere) yields NULL `<target>` plus an
+    error entry, or silently NULL with ignore_failure, mirroring
+    Run()'s per-event branches."""
+    from zoneinfo import ZoneInfo
+
+    tzinfo = _tz.utc if timezone in ("UTC", "") else ZoneInfo(timezone)
+
+    def stage(df: DataFrame) -> DataFrame:
+        if field not in df.columns:
+            if ignore_missing:
+                return df
+            raise ValueError(f"decode_cef field [{field}] not found")
+        if dict(df.dtypes)[field] != "string":
+            if ignore_failure:
+                return df
+            raise TypeError(f"decode_cef field [{field}] is not a string")
+
+        from pyspark.sql.functions import pandas_udf
+
+        # load the dictionary on the DRIVER and ship it in the UDF
+        # closure (the PSL / netflow-registry convention): executors
+        # never read package data files
+        ext_mapping = dict(_ext_mapping())
+
+        @pandas_udf("cef string, ecs string, ts string, errs array<string>")
+        def cef_udf(s: pd.Series) -> pd.DataFrame:
+            cefs, ecss, tss, errss = [], [], [], []
+            for v in s:
+                if v is None:
+                    cefs.append(None); ecss.append(None); tss.append(None); errss.append(None)
+                    continue
+                idx = v.find("CEF:")
+                if idx < 0:
+                    cefs.append(None); ecss.append(None); tss.append(None)
+                    errss.append(
+                        None
+                        if ignore_failure
+                        else [f"decode_cef field [{field}] does not contain a CEF header"]
+                    )
+                    continue
+                cef_obj, ecs_obj, ts, errors = decode_cef_event(
+                    v[idx:], tzinfo, current_year, ecs, mapping=ext_mapping
+                )
+                if cef_obj is None:
+                    cefs.append(None); ecss.append(None); tss.append(None)
+                    errss.append(None if ignore_failure else (errors or None))
+                    continue
+                cefs.append(json.dumps(cef_obj, **_CANON))
+                ecss.append(json.dumps(ecs_obj, **_CANON) if ecs else None)
+                tss.append(ts)
+                errss.append(errors or None)
+            return pd.DataFrame({"cef": cefs, "ecs": ecss, "ts": tss, "errs": errss})
+
+        dec = cef_udf(F.col(field)).alias("_cef_dec")
+        df = df.withColumn("_cef_dec", dec)
+        out = df.withColumn(target, F.col("_cef_dec.cef"))
+        out = out.withColumn("cef_ts", F.to_timestamp(F.col("_cef_dec.ts")))
+        # appendErrorMessage (decode_cef.go:218-249): string-array merge
+        # with duplicate suppression
+        new_errs = F.col("_cef_dec.errs")
+        if "error_message" in df.columns:
+            prev = F.col("error_message")
+            merged = F.when(
+                prev.isNull(), new_errs
+            ).when(
+                new_errs.isNull(), prev
+            ).otherwise(
+                F.concat(prev, F.array_except(new_errs, prev))
+            )
+            out = out.withColumn("error_message", merged)
+        else:
+            out = out.withColumn("error_message", new_errs)
+        if ecs:
+            e = F.from_json(F.col("_cef_dec.ecs"), ECS_DDL)
+            out = out.withColumn("cef_ecs", e)
+            flat = {
+                "source_ip": e["source"]["ip"],
+                "destination_ip": e["destination"]["ip"],
+                "source_port": e["source"]["port"],
+                "destination_port": e["destination"]["port"],
+                "event_severity": e["event"]["severity"],
+                "event_code": e["event"]["code"],
+                "network_transport": e["network"]["transport"],
+            }
+            for cname, cexpr in flat.items():
+                out = out.withColumn(cname, cexpr)
+            if target != "message":
+                # the reference puts the ECS message (name, or the msg
+                # extension) at the event root, overwriting any prior
+                # message only when the decode produced one
+                fallback = (
+                    F.col("message") if "message" in df.columns else F.lit(None).cast("string")
+                )
+                out = out.withColumn("message", F.coalesce(e["message"], fallback))
+        return out.drop("_cef_dec")
+
+    return stage

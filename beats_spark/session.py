@@ -31,17 +31,24 @@ def _ship_package(spark: SparkSession) -> None:
         # nothing to do, and os.walk over a zip path would yield nothing.
         return
     zip_path = os.path.join(tempfile.gettempdir(), "beats_spark_pkg.zip")
+
+    def _ship(f: str) -> bool:
+        # code plus the vendored data tables (PSL, IANA/vendor netflow
+        # registries, CEF dictionary) — loads are driver-side by
+        # convention, but executors must not 404 if one ever isn't
+        return f.endswith((".py", ".json", ".csv", ".dat", ".yml"))
+
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
         os.path.getmtime(os.path.join(r, f))
         for r, _, fs in os.walk(pkg_dir)
         for f in fs
-        if f.endswith(".py")
+        if _ship(f)
     ):
         tmp = zip_path + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
             for root, _, files in os.walk(pkg_dir):
                 for f in files:
-                    if f.endswith(".py"):
+                    if _ship(f):
                         full = os.path.join(root, f)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)

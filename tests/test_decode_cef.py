@@ -1,0 +1,472 @@
+"""decode_cef parity: the reference's own test matrix + golden corpus.
+
+Ports x-pack/filebeat/processors/decode_cef/cef/cef_test.go (tokenizer
+matrix), decode_cef_test.go TestProcessorRun (processor semantics), and
+TestGolden (testdata/samples.log vs samples.log.golden.json — all 24
+records compared field-for-field, including typed extension values,
+ECS projection, and error.message strings)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from beats_spark.processors.cef import (
+    _mapstr_put,
+    _parse_cef,
+    cef_unpack,
+    decode_cef,
+    decode_cef_event,
+)
+
+REF = "/root/reference/x-pack/filebeat/processors/decode_cef/testdata"
+
+
+# ---------------------------------------------------------------------------
+# tokenizer matrix (cef_test.go:15-90, TestEventUnpack)
+# ---------------------------------------------------------------------------
+
+HDR7 = ["security", "threatmanager", "1.0", "100", "trojan successfully stopped", "10"]
+
+
+@pytest.mark.parametrize(
+    "name,data,ver,hdr,ext,has_err",
+    [
+        (
+            "standard",
+            "CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            "src=10.0.0.192 dst=12.121.122.82 spt=1232 eventId=1 in=4294967296 out=4294967296",
+            26,
+            HDR7,
+            {
+                "src": "10.0.0.192",
+                "dst": "12.121.122.82",
+                "spt": "1232",
+                "eventId": "1",
+                "in": "4294967296",
+                "out": "4294967296",
+            },
+            False,
+        ),
+        (
+            "headerOnly",
+            "CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10|",
+            26,
+            HDR7,
+            {},
+            False,
+        ),
+        (
+            "escapedPipeInHeader",
+            r"CEF:26|security|threat\|->manager|1.0|100|trojan successfully stopped|10|"
+            "src=10.0.0.192 dst=12.121.122.82 spt=1232",
+            26,
+            ["security", "threat|->manager", "1.0", "100", "trojan successfully stopped", "10"],
+            {"src": "10.0.0.192", "dst": "12.121.122.82", "spt": "1232"},
+            False,
+        ),
+        (
+            "equalsSignInHeader",
+            "CEF:26|security|threat=manager|1.0|100|trojan successfully stopped|10|"
+            "src=10.0.0.192 dst=12.121.122.82 spt=1232",
+            26,
+            ["security", "threat=manager", "1.0", "100", "trojan successfully stopped", "10"],
+            {"src": "10.0.0.192", "dst": "12.121.122.82", "spt": "1232"},
+            False,
+        ),
+        (
+            "emptyDeviceFields",
+            "CEF:0|||1.0|100|trojan successfully stopped|10|"
+            "src=10.0.0.192 dst=12.121.122.82 spt=1232",
+            0,
+            ["", "", "1.0", "100", "trojan successfully stopped", "10"],
+            {"src": "10.0.0.192", "dst": "12.121.122.82", "spt": "1232"},
+            False,
+        ),
+        (
+            "leadingWhitespace",
+            "CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            " src=10.0.0.192 dst=12.121.122.82 spt=1232",
+            0,
+            HDR7[:5] + ["10"],
+            {"src": "10.0.0.192", "dst": "12.121.122.82", "spt": "1232"},
+            False,
+        ),
+        (
+            "escapedPipeInExtension",
+            r"CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            r"moo=this\|has an escaped pipe",
+            0,
+            None,
+            {},
+            True,  # pipes in extensions must not be escaped
+        ),
+        (
+            "pipeInMessage",
+            "CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            "moo=this|has an pipe",
+            0,
+            None,
+            {"moo": "this|has an pipe"},
+            False,
+        ),
+        (
+            "equalsInMessage",
+            r"CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            r"moo=this =has = equals\=",
+            0,
+            None,
+            {},
+            True,
+        ),
+        (
+            "escapesInExtension",
+            r"CEF:0|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            r"msg=a+b\=c x=c\\d\=z",
+            0,
+            None,
+            {"msg": "a+b=c", "x": r"c\d=z"},
+            False,
+        ),
+        (
+            "padded",
+            "CEF:0|security|threatmanager|1.0|100|message is padded|10|"
+            "spt=1232 msg=Trailing space in non-final extensions is  preserved    src=10.0.0.192 ",
+            0,
+            None,
+            {
+                "spt": "1232",
+                "msg": "Trailing space in non-final extensions is  preserved   ",
+                "src": "10.0.0.192",
+            },
+            False,
+        ),
+        (
+            "crlf",
+            "CEF:0|security|threatmanager|1.0|100|message is padded|10|"
+            "spt=1232 msg=Trailing space in final extensions is not preserved\t \r\n",
+            0,
+            None,
+            {"spt": "1232", "msg": "Trailing space in final extensions is not preserved"},
+            False,
+        ),
+        (
+            "tabs",
+            "CEF:0|security|threatmanager|1.0|100|message is padded|10|"
+            "spt=1232 msg=Tabs\tand\rcontrol\ncharacters are preserved\t src=127.0.0.1",
+            0,
+            None,
+            {
+                "spt": "1232",
+                "msg": "Tabs\tand\rcontrol\ncharacters are preserved\t",
+                "src": "127.0.0.1",
+            },
+            False,
+        ),
+        (
+            "tabNoSep",
+            "CEF:0|security|threatmanager|1.0|100|message has tabs|10|"
+            "spt=1232 msg=Tab is not a separator\tsrc=127.0.0.1",
+            0,
+            None,
+            {"spt": "1232"},
+            True,
+        ),
+        (
+            "escapedMessage",
+            "CEF:0|security\\\\compliance|threat\\|->manager|1.0|100|message contains escapes|10|"
+            "spt=1232 msg=Newlines in messages\\nare allowed.\\r\\nAnd so are carriage "
+            "feeds\\\\newlines\\\\\\=.",
+            0,
+            ["security\\compliance", "threat|->manager", "1.0", "100", "message contains escapes", "10"],
+            {
+                "spt": "1232",
+                "msg": "Newlines in messages\nare allowed.\r\nAnd so are carriage "
+                "feeds\\newlines\\=.",
+            },
+            False,
+        ),
+        (
+            "truncatedHeader",
+            "CEF:0|SentinelOne|Mgmt|activityID=1111111111111111111 activityType=3505 "
+            "siteId=None siteName=None accountId=1222222222222222222 "
+            "accountName=foo-bar mdr notificationScope=ACCOUNT",
+            0,
+            ["SentinelOne", "Mgmt", "", "", "", ""],
+            {
+                "activityID": "1111111111111111111",
+                "activityType": "3505",
+                "siteId": "None",
+                "siteName": "None",
+                "accountId": "1222222222222222222",
+                "accountName": "foo-bar mdr",
+                "notificationScope": "ACCOUNT",
+            },
+            True,
+        ),
+        (
+            "noValueInExtension",
+            "CEF:26|security|threat=manager|1.0|100|trojan successfully stopped|10|"
+            "src= dst=12.121.122.82 spt=",
+            26,
+            None,
+            # final empty pair is never pushed (extension_eof guard)
+            {"src": "", "dst": "12.121.122.82"},
+            False,
+        ),
+        (
+            "hyphenInExtensionKey",
+            "CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+            "Some-Key=123456",
+            26,
+            None,
+            {"Some-Key": "123456"},
+            False,
+        ),
+        (
+            "recoveryWithEscape",
+            r"CEF:0|||||||key1=\\hi= key2=a",
+            0,
+            None,
+            {"key2": "a"},
+            True,  # elastic/beats#30010 regression shape
+        ),
+        (
+            "multipleMalformed",
+            "CEF:0|vendor|product|version|event_id|name|Very-High| msg=Hello World "
+            "error=Failed because id==old_id user=root angle=106.7<=180",
+            0,
+            ["vendor", "product", "version", "event_id", "name", "Very-High"],
+            {"msg": "Hello World", "error": "Failed because", "user": "root"},
+            True,
+        ),
+        ("emptyFinalExtension", "CEF:0|||||||a=", 0, None, {}, False),
+    ],
+)
+def test_tokenizer_matrix(name, data, ver, hdr, ext, has_err):
+    version, headers, pairs, errors = _parse_cef(data)
+    assert version == ver
+    if hdr is not None:
+        assert headers == hdr
+    assert pairs == ext
+    assert bool(errors) == has_err
+
+
+def test_fuzz_no_crash():
+    for data in [r"CEF:0|a=\\ b|", r"CEF:0|\|a=|b=", r"CEF:0|\||a=b", r"CEF:0|a=|b\\ c=d"]:
+        _parse_cef(data)  # must not raise
+
+
+def test_error_messages_and_positions():
+    # decode_cef_test.go "parse_errors": exact strings including pos
+    _, _, _, errors = _parse_cef(
+        "CEF:0|Trend Micro|Deep Security Manager|1.2.3|600|User Signed In|Low|"
+        "msg=User signed in with =xyz"
+    )
+    assert errors == ["malformed value for msg at pos 94", "unexpected end of CEF event"]
+    # truncated header error pair, in the reference's order
+    _, _, _, errors = _parse_cef("CEF:0|SentinelOne|Mgmt|activityID=1 a=b")
+    assert errors[:2] == ["unexpected end of CEF event", "incomplete CEF header"]
+
+
+def test_unpack_conversions_and_rename():
+    # TestEventUnpackWithFullExtensionNames + typed conversions
+    version, headers, typed, raw, errors = cef_unpack(
+        "CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+        "src=10.0.0.192 dst=12.121.122.82 spt=1232 eventId=1 in=4294967296 out=4294967296"
+    )
+    assert not errors
+    assert typed == {
+        "sourceAddress": "10.0.0.192",
+        "destinationAddress": "12.121.122.82",
+        "sourcePort": 1232,
+        "eventId": 1,
+        "bytesIn": 4294967296,
+        "bytesOut": 4294967296,
+    }
+
+
+def test_unpack_bad_conversion_drops_key_with_error():
+    # cef_test.go emptyExtensionValue: bare Unpack (no remove-empty)
+    # feeds '' to toIP which fails, dropping dst with an error
+    _, _, typed, _, errors = cef_unpack(
+        "CEF:26|security|threatmanager|1.0|100|trojan successfully stopped|10|"
+        "src=10.0.0.192 dst= spt=1232",
+        remove_empty_values=False,
+    )
+    assert typed == {"sourceAddress": "10.0.0.192", "sourcePort": 1232}
+    assert errors == ["error in field 'dst': value is not a valid IP address"]
+
+
+def test_unpack_remove_empty_values():
+    # cef_test.go noValueInExtension with WithRemoveEmptyValues
+    _, _, typed, _, errors = cef_unpack(
+        "CEF:26|security|threat=manager|1.0|100|trojan successfully stopped|10|"
+        "src= dst=12.121.122.82 spt="
+    )
+    assert typed == {"destinationAddress": "12.121.122.82"}
+    assert not errors
+
+
+def test_mac_and_timestamp_conversions():
+    _, _, typed, _, errors = cef_unpack(
+        "CEF:0|a|b|c|d|e|1|amac=00-50-56-8E-C0-90 rt=1322005087000 "
+        "art=Sep 07 2018 14:50:39 start=1322004689000",
+        current_year=2025,
+    )
+    assert typed["agentMacAddress"] == "00:50:56:8e:c0:90"
+    assert typed["deviceReceiptTime"] == "2011-11-22T23:38:07.000Z"
+    assert typed["agentReceiptTime"] == "2018-09-07T14:50:39.000Z"
+    assert typed["startTime"] == "2011-11-22T23:31:29.000Z"
+    assert not errors
+
+
+# ---------------------------------------------------------------------------
+# golden corpus (TestGolden): all 24 samples, field-for-field
+# ---------------------------------------------------------------------------
+
+
+def _merge(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata not present")
+def test_golden_corpus():
+    lines = [
+        l
+        for l in open(f"{REF}/samples.log").read().split("\n")
+        if l and not l.startswith("#")
+    ]
+    golden = json.load(open(f"{REF}/samples.log.golden.json"))
+    assert len(lines) == len(golden)
+    for line, exp in zip(lines, golden):
+        cef_obj, ecs_obj, ts, errors = decode_cef_event(line, current_year=2025)
+        got: dict = {}
+        _mapstr_put(got, "event.original", line)
+        got["cef"] = cef_obj
+        _merge(got, ecs_obj)
+        uniq: list[str] = []
+        for e in errors:
+            if e not in uniq:
+                uniq.append(e)  # appendErrorMessage dedup
+        if uniq:
+            got.setdefault("error", {})["message"] = uniq[0] if len(uniq) == 1 else uniq
+        assert got == exp, line[:120]
+
+
+# ---------------------------------------------------------------------------
+# processor semantics on Spark (TestProcessorRun)
+# ---------------------------------------------------------------------------
+
+
+def test_processor_stage(spark):
+    rows = [
+        # custom_target_root message
+        (
+            "CEF:1|Trend Micro|Deep Security Manager|1.2.3|600|User Signed In|3|"
+            "src=10.52.116.160 suser=admin target=admin msg=User signed in from 2001:db8::5",
+        ),
+        # leading garbage is skipped up to 'CEF:'
+        (
+            "leading garbage"
+            "CEF:1|Trend Micro|Deep Security Manager|1.2.3|600|User Signed In|3|src=1.2.3.4",
+        ),
+        # not CEF at all
+        ("hello world!",),
+        # parse_errors case: severity Low → event.severity 0
+        (
+            "CEF:0|Trend Micro|Deep Security Manager|1.2.3|600|User Signed In|Low|"
+            "msg=User signed in with =xyz",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "message string")
+    out = decode_cef(current_year=2025)(df).collect()
+
+    r0 = out[0]
+    cef0 = json.loads(r0["cef"])
+    assert cef0["version"] == "1"
+    assert cef0["device"]["event_class_id"] == "600"
+    assert cef0["extensions"]["sourceAddress"] == "10.52.116.160"
+    assert cef0["extensions"]["sourceUserName"] == "admin"
+    assert cef0["extensions"]["target"] == "admin"
+    assert r0["source_ip"] == "10.52.116.160"
+    assert r0["event_severity"] == 3
+    assert r0["event_code"] == "600"
+    assert r0["message"] == "User signed in from 2001:db8::5"
+    assert r0["error_message"] is None
+
+    r1 = out[1]
+    assert json.loads(r1["cef"])["version"] == "1"
+    assert r1["source_ip"] == "1.2.3.4"
+
+    r2 = out[2]
+    assert r2["cef"] is None
+    assert r2["error_message"] == [
+        "decode_cef field [message] does not contain a CEF header"
+    ]
+    assert r2["message"] == "hello world!"  # unchanged
+
+    r3 = out[3]
+    cef3 = json.loads(r3["cef"])
+    assert cef3["severity"] == "Low"
+    assert "extensions" not in cef3
+    assert r3["event_severity"] == 0
+    assert r3["error_message"] == [
+        "malformed value for msg at pos 94",
+        "unexpected end of CEF event",
+    ]
+    assert r3["message"] == "User Signed In"
+
+
+def test_processor_stage_ecs_disabled(spark):
+    msg = (
+        "CEF:0|Trend Micro|Deep Security Manager|1.2.3|600|User Signed In|3|"
+        "src=10.52.116.160 suser=admin target=admin msg=User signed in from 2001:db8::5"
+    )
+    df = spark.createDataFrame([(msg,)], "message string")
+    out_df = decode_cef(ecs=False)(df)
+    assert "cef_ecs" not in out_df.columns
+    row = out_df.collect()[0]
+    assert row["message"] == msg  # no ECS → message untouched
+    assert json.loads(row["cef"])["extensions"]["sourceUserName"] == "admin"
+
+
+def test_processor_ignore_flags(spark):
+    df = spark.createDataFrame([("x",)], "other string")
+    # missing field
+    assert decode_cef(ignore_missing=True)(df) is df
+    with pytest.raises(ValueError):
+        decode_cef()(df)
+    # non-string field
+    df2 = spark.createDataFrame([(1,)], "message bigint")
+    assert decode_cef(ignore_failure=True)(df2) is df2
+    with pytest.raises(TypeError):
+        decode_cef()(df2)
+    # per-row garbage with ignore_failure → silent null
+    df3 = spark.createDataFrame([("nope",)], "message string")
+    row = decode_cef(ignore_failure=True)(df3).collect()[0]
+    assert row["cef"] is None and row["error_message"] is None
+
+
+def test_error_message_append_dedup(spark):
+    # appendErrorMessage semantics: merge without duplicates
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("hello world!",)], "message string").withColumn(
+        "error_message",
+        F.array(
+            F.lit("existing"),
+            F.lit("decode_cef field [message] does not contain a CEF header"),
+        ),
+    )
+    row = decode_cef()(df).collect()[0]
+    assert row["error_message"] == [
+        "existing",
+        "decode_cef field [message] does not contain a CEF header",
+    ]
