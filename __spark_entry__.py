@@ -288,8 +288,15 @@ def q_conditions_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_convert_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """convert processor incl. hex-prefixed longs (convert.go:399-418)."""
+    """convert processor incl. hex-prefixed longs (convert.go:399-418).
+    r5 fold (parse_aws_vpc_flow_log): every row also synthesizes an AWS
+    VPC flow-log line (v2-style format + tcp-flags; every 5th row the
+    dash-heavy NODATA shape) — the pure-Column positional parse, typed
+    casts, tcp-flags bit expansion, and the full ECS projection
+    (transport names, outcome, event.type array, related.ip dedup) are
+    all reconstructed by the oracle from the same formulas."""
     from beats_spark.processors import compile_chain
+    from beats_spark.processors.vpcflow import parse_aws_vpc_flow_log
 
     t = synth.transcripts(spark, sf_dir)
     t = t.withColumn(
@@ -303,11 +310,73 @@ def q_convert_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [{"convert": {"fields": [{"from": "raw_num", "to": "num", "type": "long"}], "fail_on_error": False}}]
     )
     out = chain(t)
+
+    i = F.col("event_id")
+    istr = i.cast("string")
+    dash = i % 5 == 4
+    proto = F.when(i % 3 == 0, F.lit("6")).when(i % 3 == 1, F.lit("17")).otherwise(F.lit("1"))
+    action = F.when(i % 2 == 0, F.lit("ACCEPT")).otherwise(F.lit("REJECT"))
+    body = F.concat(
+        F.lit("10."), (i % 200).cast("string"), F.lit("."), (i % 199).cast("string"),
+        F.lit("."), (i % 250).cast("string"),
+        F.lit(" 11."), (i % 197).cast("string"), F.lit("."), (i % 193).cast("string"),
+        F.lit("."), (i % 251).cast("string"),
+        F.lit(" "), (i % 65535).cast("string"),
+        F.lit(" "), (i % 1024).cast("string"),
+        F.lit(" "), proto,
+        F.lit(" "), (i % 1000).cast("string"),
+        F.lit(" "), istr,
+        F.lit(" "), (F.lit(1600000000) + i).cast("string"),
+        F.lit(" "), (F.lit(1600000060) + i).cast("string"),
+        F.lit(" "), action,
+        F.lit(" OK "), (i % 64).cast("string"),
+    )
+    line = F.concat(
+        F.lit("2 "), (i % 100000).cast("string"),
+        F.lit(" eni-"), (i % 1000).cast("string"),
+        F.lit(" "),
+        F.when(dash, F.lit("- - - - - - - "))
+        .otherwise(F.lit("")),
+        F.when(
+            dash,
+            F.concat(
+                (F.lit(1600000000) + i).cast("string"), F.lit(" "),
+                (F.lit(1600000060) + i).cast("string"), F.lit(" - NODATA -"),
+            ),
+        ).otherwise(body),
+    )
+    vfmt = (
+        "version account-id interface-id srcaddr dstaddr srcport dstport protocol "
+        "packets bytes start end action log-status tcp-flags"
+    )
+    out = parse_aws_vpc_flow_log(vfmt, mode="ecs_and_original", field="vpc_line")(
+        out.withColumn("vpc_line", line)
+    )
+    vpc = F.col("aws_vpcflow")
     return out.select(
         "conv_id",
         "turn_idx",
         F.col("num"),
         F.array_contains("log_flags", "convert_error").alias("convert_failed"),
+        vpc["version"].alias("vf_version"),
+        vpc["account_id"].alias("vf_acct"),
+        vpc["log_status"].alias("vf_status"),
+        F.col("source_ip").alias("vf_src"),
+        F.col("destination_ip").alias("vf_dst"),
+        F.col("source_port").alias("vf_sport"),
+        F.col("destination_port").alias("vf_dport"),
+        F.col("network_iana_number").alias("vf_iana"),
+        F.col("network_transport").alias("vf_proto"),
+        F.col("network_type").alias("vf_nettype"),
+        F.col("network_bytes").alias("vf_bytes"),
+        F.col("event_outcome").alias("vf_outcome"),
+        F.col("event_action").alias("vf_action"),
+        F.array_join("event_type", ",").alias("vf_etype"),
+        F.array_join(vpc["tcp_flags_array"], ",").alias("vf_flags"),
+        F.array_join("related_ip", ",").alias("vf_related"),
+        F.col("event_start").alias("vf_start"),
+        F.col("vpcflow_ts").alias("vf_ts"),
+        F.col("vpcflow_error").alias("vf_err"),
     )
 
 
@@ -2745,7 +2814,55 @@ def oracle_sql() -> dict[str, str]:
                     CASE WHEN event_id % 4 = 0 THEN event_id
                          WHEN event_id % 4 = 1 THEN event_id
                          WHEN event_id % 4 = 3 THEN -event_id END AS num,
-                    (event_id % 4 = 2) AS convert_failed
+                    (event_id % 4 = 2) AS convert_failed,
+                    CAST(2 AS INTEGER) AS vf_version,
+                    CAST(event_id % 100000 AS VARCHAR) AS vf_acct,
+                    CASE WHEN event_id % 5 = 4 THEN 'NODATA' ELSE 'OK' END AS vf_status,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
+                      CAST(event_id % 199 AS VARCHAR) || '.' || CAST(event_id % 250 AS VARCHAR)
+                    END AS vf_src,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      '11.' || CAST(event_id % 197 AS VARCHAR) || '.' ||
+                      CAST(event_id % 193 AS VARCHAR) || '.' || CAST(event_id % 251 AS VARCHAR)
+                    END AS vf_dst,
+                    CASE WHEN event_id % 5 <> 4 THEN CAST(event_id % 65535 AS INTEGER) END AS vf_sport,
+                    CASE WHEN event_id % 5 <> 4 THEN CAST(event_id % 1024 AS INTEGER) END AS vf_dport,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      CASE WHEN event_id % 3 = 0 THEN '6' WHEN event_id % 3 = 1 THEN '17' ELSE '1' END
+                    END AS vf_iana,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      CASE WHEN event_id % 3 = 0 THEN 'tcp' WHEN event_id % 3 = 1 THEN 'udp' ELSE 'icmp' END
+                    END AS vf_proto,
+                    CASE WHEN event_id % 5 <> 4 THEN 'ipv4' END AS vf_nettype,
+                    CASE WHEN event_id % 5 <> 4 THEN CAST(event_id AS BIGINT) END AS vf_bytes,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      CASE WHEN event_id % 2 = 0 THEN 'success' ELSE 'failure' END
+                    END AS vf_outcome,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      CASE WHEN event_id % 2 = 0 THEN 'accept' ELSE 'reject' END
+                    END AS vf_action,
+                    CASE WHEN event_id % 5 = 4 THEN 'connection'
+                         WHEN event_id % 2 = 0 THEN 'connection,allowed'
+                         ELSE 'connection,denied' END AS vf_etype,
+                    CASE WHEN event_id % 5 <> 4 THEN NULLIF(concat_ws(',',
+                      CASE WHEN (event_id % 64) & 1  > 0 THEN 'fin' END,
+                      CASE WHEN (event_id % 64) & 2  > 0 THEN 'syn' END,
+                      CASE WHEN (event_id % 64) & 4  > 0 THEN 'rst' END,
+                      CASE WHEN (event_id % 64) & 8  > 0 THEN 'psh' END,
+                      CASE WHEN (event_id % 64) & 16 > 0 THEN 'ack' END,
+                      CASE WHEN (event_id % 64) & 32 > 0 THEN 'urg' END), '')
+                    END AS vf_flags,
+                    CASE WHEN event_id % 5 <> 4 THEN
+                      '10.' || CAST(event_id % 200 AS VARCHAR) || '.' ||
+                      CAST(event_id % 199 AS VARCHAR) || '.' || CAST(event_id % 250 AS VARCHAR)
+                      || ',' ||
+                      '11.' || CAST(event_id % 197 AS VARCHAR) || '.' ||
+                      CAST(event_id % 193 AS VARCHAR) || '.' || CAST(event_id % 251 AS VARCHAR)
+                    END AS vf_related,
+                    epoch_ms((1600000000 + event_id) * 1000) AS vf_start,
+                    epoch_ms((1600000060 + event_id) * 1000) AS vf_ts,
+                    false AS vf_err
              FROM transcripts_base""",
         "rate_limit": _ORACLE_WITH
         + """SELECT conv_id, turn_idx, role FROM (

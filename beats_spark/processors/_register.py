@@ -201,6 +201,11 @@ from .cef import decode_cef as _decode_cef  # noqa: E402
 # ArcSight CEF decode (x-pack decode_cef), golden-corpus verified
 REGISTRY["decode_cef"] = _decode_cef
 
+from .vpcflow import parse_aws_vpc_flow_log as _vpcflow  # noqa: E402
+
+# AWS VPC flow-log parse (x-pack), pure-Column, golden-corpus verified
+REGISTRY["parse_aws_vpc_flow_log"] = _vpcflow
+
 
 def _parsers_builder(parsers=None, **common):
     """filestream-style `parsers:` block as a registry entry, so a full

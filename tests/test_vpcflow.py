@@ -1,0 +1,245 @@
+"""parse_aws_vpc_flow_log parity: the reference's full golden battery.
+
+Ports x-pack/filebeat/processors/aws_vpcflow/parse_aws_vpc_flow_log_test.go:
+TestGoldenFile runs every case in testdata/aws-vpc-flow-logs.yml (all
+formats × original/ecs/ecs_and_original modes) and compares
+field-for-field against the 15 *.golden.json files; TestProcessorRun's
+multi-format v5 case is ported explicitly. config_test.go's validation
+rules are pinned at build time."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+from beats_spark.processors.vpcflow import parse_aws_vpc_flow_log, parse_format
+
+REF = "/root/reference/x-pack/filebeat/processors/aws_vpcflow/testdata"
+
+FORMAT_V5 = (
+    "version account-id interface-id srcaddr dstaddr srcport dstport protocol "
+    "packets bytes start end action log-status vpc-id subnet-id instance-id "
+    "tcp-flags type pkt-srcaddr pkt-dstaddr region az-id sublocation-type "
+    "sublocation-id pkt-src-aws-service pkt-dst-aws-service flow-direction traffic-path"
+)
+SAMPLE_V5 = (
+    "5 64111117617 eni-069xxxxxb7a490 89.160.20.156 10.200.0.0 50041 33004 17 52 1 "
+    "1616729292 1616729349 REJECT OK vpc-09676f97xxxxxb8a7 subnet-02d645xxxxxxxdbc0 "
+    "i-0axxxxxx1ad77 1 IPv4 89.160.20.156 10.200.0.80 us-east-1 use1-az5 wavelength "
+    "fake-id AMAZON CLOUDFRONT ingress 1"
+)
+
+# flat ECS column → dotted event path
+_ECS_PATHS = {
+    "cloud_account_id": "cloud.account.id",
+    "source_address": "source.address",
+    "source_ip": "source.ip",
+    "network_type": "network.type",
+    "destination_address": "destination.address",
+    "destination_ip": "destination.ip",
+    "source_port": "source.port",
+    "destination_port": "destination.port",
+    "network_iana_number": "network.iana_number",
+    "network_transport": "network.transport",
+    "source_packets": "source.packets",
+    "network_packets": "network.packets",
+    "source_bytes": "source.bytes",
+    "network_bytes": "network.bytes",
+    "event_start": "event.start",
+    "event_end": "event.end",
+    "event_outcome": "event.outcome",
+    "event_action": "event.action",
+    "event_type": "event.type",
+    "cloud_instance_id": "cloud.instance.id",
+    "cloud_region": "cloud.region",
+    "cloud_availability_zone": "cloud.availability_zone",
+    "network_direction": "network.direction",
+    "orchestrator_cluster_id": "orchestrator.cluster.id",
+    "orchestrator_cluster_name": "orchestrator.cluster.name",
+    "orchestrator_type": "orchestrator.type",
+    "orchestrator_resource_name": "orchestrator.resource.name",
+    "orchestrator_resource_type": "orchestrator.resource.type",
+    "orchestrator_resource_id": "orchestrator.resource.id",
+    "container_id": "container.id",
+    "service_name": "service.name",
+    "event_reason": "event.reason",
+    "related_ip": "related.ip",
+}
+
+
+def _iso(v) -> str:
+    # Go time.Time JSON: RFC3339, no sub-second when zero
+    assert isinstance(v, datetime)
+    return v.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _put(root: dict, path: str, value) -> None:
+    parts = path.split(".")
+    cur = root
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = value
+
+
+def _rebuild_event(row, sample: str, mode: str) -> dict:
+    """Reassemble the beat.Event golden shape from the stage's columns."""
+    got: dict = {"message": sample}
+    assert not row["vpcflow_error"], sample
+    vpc = row["aws_vpcflow"].asDict() if row["aws_vpcflow"] is not None else {}
+    clean = {}
+    for k, v in vpc.items():
+        if v is None:
+            continue
+        clean[k] = _iso(v) if isinstance(v, datetime) else v
+    _put(got, "aws.vpcflow", clean)
+    if mode != "original":
+        for col, path in _ECS_PATHS.items():
+            try:
+                v = row[col]
+            except ValueError:
+                continue
+            if v is None:
+                continue
+            if isinstance(v, datetime):
+                v = _iso(v)
+            _put(got, path, v)
+        if row["vpcflow_ts"] is not None:
+            got["@timestamp"] = _iso(row["vpcflow_ts"])
+    return got
+
+
+def _load_cases():
+    import yaml
+
+    with open(f"{REF}/aws-vpc-flow-logs.yml") as f:
+        raw = yaml.safe_load(f)
+    return raw
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference testdata not present")
+def test_golden_files(spark):
+    cases = _load_cases()
+    goldens = 0
+    for name, tc in sorted(cases.items()):
+        golden_path = f"{REF}/{name}.golden.json"
+        expected = json.load(open(golden_path))
+        mode = tc.get("mode", "ecs")
+        samples = [s for s in tc["samples"]]
+        df = spark.createDataFrame([(s,) for s in samples], "message string")
+        rows = parse_aws_vpc_flow_log(tc["format"], mode=mode)(df).collect()
+        assert len(rows) == len(expected)
+        for row, sample, exp in zip(rows, samples, expected):
+            got = _rebuild_event(row, sample, mode)
+            assert got == exp, f"{name}: {sample[:80]}"
+        goldens += 1
+    import glob
+
+    assert goldens == len(glob.glob(f"{REF}/*.golden.json")) == 14
+
+
+def test_multi_format_dispatch(spark):
+    # TestProcessorRun ecs_and_original-mode-v5-message: two formats,
+    # dispatch on token count picks the right one
+    df = spark.createDataFrame([(SAMPLE_V5,)], "message string")
+    row = parse_aws_vpc_flow_log(
+        ["version account-id", FORMAT_V5], mode="ecs_and_original"
+    )(df).collect()[0]
+    vpc = row["aws_vpcflow"].asDict()
+    assert vpc["version"] == 5
+    assert vpc["srcaddr"] == "89.160.20.156"
+    assert vpc["tcp_flags"] == 1
+    assert vpc["tcp_flags_array"] == ["fin"]
+    assert vpc["traffic_path"] == 1
+    assert row["source_port"] == 50041
+    assert row["destination_port"] == 33004
+    assert row["network_transport"] == "udp"
+    assert row["network_iana_number"] == "17"
+    assert row["network_type"] == "ipv4"
+    assert row["event_action"] == "reject"
+    assert row["event_outcome"] == "failure"
+    assert row["event_type"] == ["connection", "denied"]
+    assert row["related_ip"] == ["89.160.20.156", "10.200.0.0", "10.200.0.80"]
+    assert _iso(row["vpcflow_ts"]) == "2021-03-26T03:29:09Z"
+    assert _iso(row["event_start"]) == "2021-03-26T03:28:12Z"
+    # two-token message matches the short format instead
+    df2 = spark.createDataFrame([("7 123456789",)], "message string")
+    row2 = parse_aws_vpc_flow_log(
+        ["version account-id", FORMAT_V5], mode="ecs_and_original"
+    )(df2).collect()[0]
+    assert row2["aws_vpcflow"]["version"] == 7
+    assert row2["cloud_account_id"] == "123456789"
+    assert row2["source_ip"] is None
+
+
+def test_dash_fields_and_no_match(spark):
+    fmt = (
+        "version account-id interface-id srcaddr dstaddr srcport dstport protocol "
+        "packets bytes start end action log-status"
+    )
+    rows = parse_aws_vpc_flow_log(fmt, mode="ecs_and_original")(
+        spark.createDataFrame(
+            [
+                (
+                    "2 123456789010 eni-1235b8ca123456789 - - - - - - - "
+                    "1431280876 1431280934 - NODATA",
+                ),
+                ("too few tokens",),
+            ],
+            "message string",
+        )
+    ).collect()
+    r0 = rows[0]
+    vpc = {k: v for k, v in r0["aws_vpcflow"].asDict().items() if v is not None}
+    assert vpc == {
+        "version": 2,
+        "account_id": "123456789010",
+        "interface_id": "eni-1235b8ca123456789",
+        "start": vpc["start"],
+        "end": vpc["end"],
+        "log_status": "NODATA",
+    }
+    assert r0["event_type"] == ["connection"]  # '-' action → base type only
+    assert r0["related_ip"] is None
+    assert not r0["vpcflow_error"]
+    r1 = rows[1]
+    assert r1["vpcflow_error"]
+    assert r1["aws_vpcflow"] is None
+    assert r1["event_type"] is None
+
+
+def test_config_validation(spark):
+    # config_test.go: unknown field, duplicate field counts, bad mode
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_format("version bogus-field")
+    with pytest.raises(ValueError, match="unique number"):
+        parse_aws_vpc_flow_log(["version account-id", "srcaddr dstaddr"])
+    with pytest.raises(ValueError, match="invalid mode"):
+        parse_aws_vpc_flow_log("version", mode="nope")
+    with pytest.raises(ValueError, match="at least one field"):
+        parse_format("")
+    # ignore_missing / non-string field guards
+    df = spark.createDataFrame([(1,)], "other bigint")
+    assert parse_aws_vpc_flow_log("version", ignore_missing=True)(df) is df
+    with pytest.raises(ValueError, match="missing"):
+        parse_aws_vpc_flow_log("version")(df)
+    df2 = spark.createDataFrame([(1,)], "message bigint")
+    assert parse_aws_vpc_flow_log("version", ignore_failure=True)(df2) is df2
+    with pytest.raises(TypeError):
+        parse_aws_vpc_flow_log("version")(df2)
+
+
+def test_plan_is_pure_column(spark):
+    # the whole parse must stay in WholeStageCodegen: no Python, no
+    # shuffle — one projection over the scan
+    df = spark.createDataFrame([(SAMPLE_V5,)], "message string")
+    plan = (
+        parse_aws_vpc_flow_log(FORMAT_V5, mode="ecs_and_original")(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan and "BatchEval" not in plan
