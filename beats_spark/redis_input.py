@@ -52,6 +52,19 @@ class RedisProtocolError(ValueError):
     """Malformed RESP frame, or an -ERR reply where data was expected."""
 
 
+class RedisErrorReply:
+    """A RESP '-' error reply captured as a value instead of raised —
+    the output's pipelined receive distinguishes per-event command
+    errors (retry just that event in the reference) from IO failures
+    that abort the connection (client.go:288-304)."""
+
+    def __init__(self, message: str):
+        self.message = message
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"RedisErrorReply({self.message!r})"
+
+
 # ---------------------------------------------------------------------------
 # RESP codec (protocol spec, not redigo: the wire format is public)
 # ---------------------------------------------------------------------------
@@ -91,7 +104,7 @@ class _RespReader:
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
 
-    def read_reply(self) -> Any:
+    def read_reply(self, raise_errors: bool = True) -> Any:
         line = self._line()
         if not line:
             raise RedisProtocolError("empty RESP frame")
@@ -99,7 +112,13 @@ class _RespReader:
         if kind == b"+":
             return rest.decode("utf-8", "replace")
         if kind == b"-":
-            raise RedisProtocolError(rest.decode("utf-8", "replace"))
+            # '-' is a complete, well-formed reply; raise_errors=False
+            # hands it back as a value (the output's pipelined receive
+            # treats per-command errors as per-event failures)
+            msg = rest.decode("utf-8", "replace")
+            if raise_errors:
+                raise RedisProtocolError(msg)
+            return RedisErrorReply(msg)
         if kind == b":":
             return int(rest)
         if kind == b"$":
@@ -281,3 +300,148 @@ def slowlog_from_hosts(
             yield pd.DataFrame(rows, columns=names)
 
     return hosts_df.mapInPandas(poll, SLOWLOG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Output — libbeat/outputs/redis over the same RESP codec
+# ---------------------------------------------------------------------------
+def _redis_connect(
+    host: str, port: int, password: str, db: int, timeout: float
+) -> tuple[socket.socket, _RespReader]:
+    """initRedisConn (client.go:114-132): AUTH when a password is set,
+    then PING, then SELECT for a non-zero db."""
+    sock = socket.create_connection((host, port), timeout=timeout)
+    try:
+        reader = _RespReader(sock)
+        if password:
+            sock.sendall(encode_command("AUTH", password))
+            reader.read_reply()
+        sock.sendall(encode_command("PING"))
+        reader.read_reply()
+        if db != 0:
+            sock.sendall(encode_command("SELECT", str(db)))
+            reader.read_reply()
+        return sock, reader
+    except BaseException:
+        sock.close()
+        raise
+
+
+def _redis_multi_value(sock: socket.socket, reader: _RespReader) -> bool:
+    """makePublishRPUSH's version gate (client.go:173-216): INFO →
+    redis_version major.minor; ≥ 2.4 accepts multi-value RPUSH (one
+    bulk call per batch), older servers need pipelining."""
+    import re
+
+    sock.sendall(encode_command("INFO"))
+    resp = reader.read_reply()
+    if not isinstance(resp, bytes):
+        raise RedisProtocolError("unable to read redis_version")
+    m = re.search(rb"redis_version:(\d+)\.(\d+)", resp)
+    if m is None:
+        raise RedisProtocolError("unable to read redis_version")
+    major, minor = int(m.group(1)), int(m.group(2))
+    return major > 2 or (major == 2 and minor >= 4)
+
+
+def write_redis(
+    df: DataFrame,
+    host: str,
+    port: int = 6379,
+    key: str = "beats",
+    key_col: str | None = None,
+    line_col: str = "serialized",
+    datatype: str = "list",
+    password: str = "",
+    db: int = 0,
+    bulk_max_size: int = 2048,
+    timeout: float = 5.0,
+) -> None:
+    """libbeat/outputs/redis analog — ship a serialized column to a
+    Redis list (RPUSH) or pub/sub channel (PUBLISH), one connection per
+    partition ON the executors (the write_lumberjack pattern: the
+    output's load-balanced worker pool becomes partition parallelism).
+
+    Publish strategy parity (client.go:163-216):
+      * datatype='list' + constant `key` → the INFO version gate picks
+        multi-value RPUSH (one bulk command per ≤ bulk_max_size chunk,
+        servers ≥ 2.4) or per-event pipelining (older);
+      * datatype='list' + `key_col` (the outil-selector column path) →
+        per-event pipelining, each command carrying its row's key;
+      * datatype='channel' → PUBLISH, always pipelined.
+    Connect = AUTH → PING → SELECT, exactly initRedisConn. Rows with a
+    NULL key are dropped (key.Select error = permanent, client.go:268);
+    per-event '-' replies collect and raise at partition end, IO errors
+    raise immediately — either way Spark's task retry replays the
+    partition (at-least-once, coarser than the reference's
+    RetryEvents(failed), same as the lumberjack sink's contract).
+    Compose with codec_json(envelope=...) for the wire shape and the
+    selector for key routing. datatype validation per config.go:69-76.
+    """
+    if datatype not in ("", "list", "channel"):
+        raise ValueError(f"redis data type {datatype} not supported")
+    if bulk_max_size < 1:
+        raise ValueError("bulk_max_size must be >= 1")
+    command = "PUBLISH" if datatype == "channel" else "RPUSH"
+    const_key = key_col is None
+
+    def send_partition(rows) -> None:
+        it = iter(rows)
+        first = next(it, None)
+        if first is None:
+            return  # empty partition: no connection, like an empty batch
+        import itertools
+
+        rows_iter = itertools.chain([first], it)
+        sock, reader = _redis_connect(host, port, password, db, timeout)
+        try:
+            bulk = command == "RPUSH" and const_key and _redis_multi_value(sock, reader)
+            failed = 0
+            pending: list = []
+
+            def flush_bulk() -> None:
+                if not pending:
+                    return
+                sock.sendall(encode_command(command, key, *pending))
+                reply = reader.read_reply(raise_errors=False)
+                if isinstance(reply, RedisErrorReply):
+                    # bulk RPUSH fails or succeeds as a unit
+                    raise RedisProtocolError(reply.message)
+                pending.clear()
+
+            def flush_pipeline() -> None:
+                nonlocal failed
+                if not pending:
+                    return
+                sock.sendall(
+                    b"".join(encode_command(command, k, v) for k, v in pending)
+                )
+                for _ in pending:
+                    if isinstance(reader.read_reply(raise_errors=False), RedisErrorReply):
+                        failed += 1
+                pending.clear()
+
+            for row in rows_iter:
+                value = getattr(row, line_col)
+                if value is None:
+                    continue
+                if bulk:
+                    pending.append(value)
+                    if len(pending) >= bulk_max_size:
+                        flush_bulk()
+                else:
+                    k = key if const_key else getattr(row, key_col)
+                    if k is None:
+                        continue  # dropped, permanent (client.go:268-272)
+                    pending.append((k, value))
+                    if len(pending) >= bulk_max_size:
+                        flush_pipeline()
+            flush_bulk() if bulk else flush_pipeline()
+            if failed:
+                raise RedisProtocolError(
+                    f"redis output: {failed} event(s) rejected by the server"
+                )
+        finally:
+            sock.close()
+
+    df.foreachPartition(send_partition)

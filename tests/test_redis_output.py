@@ -1,0 +1,171 @@
+"""redis OUTPUT — live wire tests against an in-test RESP server.
+
+Ports libbeat/outputs/redis semantics (client.go): initRedisConn's
+AUTH→PING→SELECT connect sequence, the INFO redis_version gate that
+picks multi-value RPUSH (≥ 2.4) vs pipelining, per-event pipelined
+RPUSH for selector keys, PUBLISH for the channel datatype, null-key
+drops, per-event '-' reply failure, and config.go's datatype
+validation."""
+
+from __future__ import annotations
+
+import socket
+import threading
+
+import pytest
+
+from beats_spark.redis_input import (
+    RedisProtocolError,
+    _RespReader,
+    write_redis,
+)
+
+
+class FakeRedisServer(threading.Thread):
+    """Minimal RESP command loop: replies per command verb, records
+    every decoded command, serves sequential connections until closed."""
+
+    def __init__(self, version: bytes = b"7.4", fail_values: set[bytes] = frozenset()):
+        super().__init__(daemon=True)
+        self.version = version
+        self.fail_values = set(fail_values)
+        self.commands: list[list[bytes]] = []
+        self.connections = 0
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self._srv.settimeout(10)
+        self.port = self._srv.getsockname()[1]
+        self._stop = False
+
+    def close(self):
+        self._stop = True
+        self._srv.close()
+
+    def run(self):
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            self.connections += 1
+            with conn:
+                reader = _RespReader(conn)
+                while True:
+                    try:
+                        cmd = reader.read_reply()
+                    except RedisProtocolError:
+                        break  # client closed
+                    self.commands.append(cmd)
+                    verb = cmd[0].upper()
+                    if verb == b"PING":
+                        conn.sendall(b"+PONG\r\n")
+                    elif verb in (b"AUTH", b"SELECT"):
+                        conn.sendall(b"+OK\r\n")
+                    elif verb == b"INFO":
+                        body = b"# Server\r\nredis_version:" + self.version + b"\r\n"
+                        conn.sendall(b"$%d\r\n%s\r\n" % (len(body), body))
+                    elif verb in (b"RPUSH", b"PUBLISH"):
+                        if any(v in self.fail_values for v in cmd[2:]):
+                            conn.sendall(b"-WRONGTYPE bad value\r\n")
+                        else:
+                            conn.sendall(b":%d\r\n" % (len(cmd) - 2))
+                    else:
+                        conn.sendall(b"-ERR unknown command\r\n")
+
+
+def _run(spark, rows, schema, srv, **kw):
+    df = spark.createDataFrame(rows, schema).repartition(1)
+    write_redis(df, "127.0.0.1", srv.port, **kw)
+
+
+def test_bulk_rpush_modern_server(spark):
+    srv = FakeRedisServer(version=b"7.4")
+    srv.start()
+    try:
+        _run(
+            spark,
+            [("a",), ("b",), ("c",)],
+            "serialized string",
+            srv,
+            key="flows",
+            password="pw",
+            db=3,
+            bulk_max_size=2,
+        )
+    finally:
+        srv.close()
+    # connect sequence then INFO gate then chunked multi-value RPUSH
+    verbs = [c[0] for c in srv.commands]
+    assert verbs == [b"AUTH", b"PING", b"SELECT", b"INFO", b"RPUSH", b"RPUSH"]
+    assert srv.commands[0] == [b"AUTH", b"pw"]
+    assert srv.commands[2] == [b"SELECT", b"3"]
+    assert srv.commands[4] == [b"RPUSH", b"flows", b"a", b"b"]  # bulk_max_size chunk
+    assert srv.commands[5] == [b"RPUSH", b"flows", b"c"]
+
+
+def test_pipelined_rpush_old_server(spark):
+    srv = FakeRedisServer(version=b"2.3")
+    srv.start()
+    try:
+        _run(spark, [("a",), ("b",)], "serialized string", srv, key="k")
+    finally:
+        srv.close()
+    verbs = [c[0] for c in srv.commands]
+    # 1.0-2.3 servers get one RPUSH per event (client.go:205-215)
+    assert verbs == [b"PING", b"INFO", b"RPUSH", b"RPUSH"]
+    assert srv.commands[2] == [b"RPUSH", b"k", b"a"]
+    assert srv.commands[3] == [b"RPUSH", b"k", b"b"]
+
+
+def test_selector_key_column(spark):
+    srv = FakeRedisServer()
+    srv.start()
+    try:
+        _run(
+            spark,
+            [("k1", "a"), ("k2", "b"), (None, "dropped"), ("k1", "c")],
+            "sink string, serialized string",
+            srv,
+            key_col="sink",
+        )
+    finally:
+        srv.close()
+    # selector path never version-gates (key varies per event); null key
+    # rows are dropped like a key.Select error
+    assert [c[0] for c in srv.commands] == [b"PING", b"RPUSH", b"RPUSH", b"RPUSH"]
+    assert srv.commands[1:] == [
+        [b"RPUSH", b"k1", b"a"],
+        [b"RPUSH", b"k2", b"b"],
+        [b"RPUSH", b"k1", b"c"],
+    ]
+
+
+def test_publish_channel(spark):
+    srv = FakeRedisServer()
+    srv.start()
+    try:
+        _run(spark, [("x",), ("y",)], "serialized string", srv, key="chan", datatype="channel")
+    finally:
+        srv.close()
+    # PUBLISH is always pipelined — no INFO version gate
+    assert [c[0] for c in srv.commands] == [b"PING", b"PUBLISH", b"PUBLISH"]
+    assert srv.commands[1] == [b"PUBLISH", b"chan", b"x"]
+
+
+def test_per_event_error_reply_fails_task(spark):
+    srv = FakeRedisServer(version=b"2.0", fail_values={b"bad"})
+    srv.start()
+    try:
+        with pytest.raises(Exception, match="rejected|WRONGTYPE"):
+            _run(spark, [("ok",), ("bad",)], "serialized string", srv, key="k")
+    finally:
+        srv.close()
+    # the good event's command still went out before the failure surfaced
+    assert [b"RPUSH", b"k", b"ok"] in srv.commands
+
+
+def test_config_validation(spark):
+    df = spark.createDataFrame([("x",)], "serialized string")
+    with pytest.raises(ValueError, match="not supported"):
+        write_redis(df, "h", 1, datatype="set")
+    with pytest.raises(ValueError, match="bulk_max_size"):
+        write_redis(df, "h", 1, bulk_max_size=0)
