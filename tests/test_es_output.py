@@ -1,0 +1,463 @@
+"""Live Elasticsearch bulk output — wire tests against an in-test HTTP
+server plus pure-Python policy tests.
+
+Pins libbeat/outputs/elasticsearch semantics: the bulk request shape
+(bulkapi.go/enc.go headers, filter_path params, NDJSON pairs, gzip),
+bulkCollectPublishFails' in-order item walk with the malformed-tail
+retry (client.go:450-489), applyItemStatus's decision table
+(client.go:495-554) INCLUDING parity with the repo's replayable Column
+twin routing.bulk_item_action, setDeadLetter's re-encode + index swap
+(event_encoder.go:140-152) byte-equal to routing.dead_letter_reencode,
+handleBulkResultError's 413 split (client.go:327-345), the max_retries
+backoff loop, Ping/getVersion, and the allow_older_versions gate."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.es_output import (
+    ESConnection,
+    ESProtocolError,
+    _Event,
+    bulk_publish,
+    check_older_version,
+    es_ping,
+    write_es_bulk,
+)
+
+
+def mk_events(n, index="logs", op="create", delete=False):
+    evs = []
+    for i in range(n):
+        meta = {"_index": index, "_id": f"id-{i}"}
+        action = json.dumps({("delete" if delete else op): meta}, separators=(",", ":"))
+        doc = None if delete else json.dumps({"n": i}, separators=(",", ":"))
+        evs.append(_Event(i, action, doc, "2024-03-01T10:00:00.000Z"))
+    return evs
+
+
+class ScriptedRequest:
+    """Fake request callable for bulk_publish: pops scripted responses.
+
+    Script entries: int → that HTTP status with empty body;
+    list[int|tuple] → 200 with those per-item statuses (tuple adds an
+    error message); callable(events_sent) → (status, body)."""
+
+    def __init__(self, script):
+        self.script = list(script)
+        self.bodies: list[bytes] = []
+        self.counts: list[int] = []
+
+    def __call__(self, body: bytes, raw_len: int, n_events: int):
+        self.bodies.append(body)
+        self.counts.append(n_events)
+        spec = self.script.pop(0) if self.script else [201] * n_events
+        if isinstance(spec, int):
+            return spec, b""
+        items = []
+        for s in spec:
+            status, err = s if isinstance(s, tuple) else (s, "")
+            inner = {"status": status}
+            if err:
+                inner["error"] = err
+            items.append({"create": inner})
+        return 200, json.dumps({"errors": True, "items": items}).encode()
+
+
+def run(events, req, **kw):
+    sleeps: list[float] = []
+    kw.setdefault("backoff_init", 0.5)
+    bulk_publish(events, req, sleep=sleeps.append, **kw)
+    return sleeps
+
+
+class TestPolicyLoop:
+    def test_full_status_battery_with_dead_letter(self):
+        evs = mk_events(5)
+        req = ScriptedRequest(
+            [[201, 409, 429, (400, "mapper_parsing_exception"), 503], [201, 201, 201]]
+        )
+        sleeps = run(evs, req, dead_letter_index="dead")
+        assert [e.result for e in evs] == [
+            "ack",
+            "duplicate",
+            "ack",
+            "dead_letter_ack",
+            "ack",
+        ]
+        assert [e.attempts for e in evs] == [1, 1, 2, 2, 2]
+        assert sleeps == [0.5]
+        # the 400 event was re-shipped to the dead-letter index with the
+        # setDeadLetter wrap
+        retry_lines = req.bodies[1].decode().splitlines()
+        dl_action = json.loads(retry_lines[2])
+        assert dl_action["create"]["_index"] == "dead"
+        assert dl_action["create"]["_id"] == "id-3"  # id survives the swap
+        dl_doc = json.loads(retry_lines[3])
+        assert list(dl_doc) == ["@timestamp", "error.message", "error.type", "message"]
+        assert dl_doc["error.type"] == 400
+        assert dl_doc["error.message"] == "mapper_parsing_exception"
+        assert json.loads(dl_doc["message"]) == {"n": 3}
+
+    def test_dead_letter_second_failure_drops(self):
+        evs = mk_events(1)
+        req = ScriptedRequest([[400], [400]])
+        run(evs, req, dead_letter_index="dead")
+        assert evs[0].result == "drop"
+        assert evs[0].status == 400
+
+    def test_no_dead_letter_configured_drops_immediately(self):
+        evs = mk_events(1)
+        req = ScriptedRequest([[400]])
+        run(evs, req, dead_letter_index=None)
+        assert evs[0].result == "drop"
+        assert evs[0].attempts == 1
+
+    def test_413_splits_in_halves(self):
+        def req(body, raw_len, n):
+            calls.append(n)
+            if n > 2:
+                return 413, b""
+            items = [{"create": {"status": 201}}] * n
+            return 200, json.dumps({"items": items}).encode()
+
+        calls: list[int] = []
+        evs = mk_events(5)
+        run(evs, req)
+        assert calls == [5, 2, 3, 1, 2]  # 5 → (2,3) → 3 → (1,2)
+        assert all(e.result == "ack" for e in evs)
+
+    def test_413_single_event_drops_like_errPayloadTooLarge(self):
+        evs = mk_events(1)
+        req = ScriptedRequest([413])
+        run(evs, req)
+        assert evs[0].result == "drop"
+        assert evs[0].status == 413
+
+    def test_non_200_retries_until_exhausted_with_backoff(self):
+        evs = mk_events(2)
+        req = ScriptedRequest([503, 503, 503, 503, 503])
+        sleeps = run(evs, req, max_retries=3, backoff_init=1.0, backoff_max=3.0)
+        assert all(e.result == "retry_exhausted" for e in evs)
+        assert all(e.status == 503 for e in evs)
+        assert all(e.attempts == 4 for e in evs)  # initial + 3 retries
+        assert sleeps == [1.0, 2.0, 3.0]  # capped at backoff_max
+
+    def test_malformed_item_tail_retries_remaining(self):
+        # 3 events, response carries only 1 item → events 2,3 retried
+        # (client.go:469-476)
+        evs = mk_events(3)
+        req = ScriptedRequest([[201], [201, 201]])
+        run(evs, req)
+        assert [e.result for e in evs] == ["ack", "ack", "ack"]
+        assert [e.attempts for e in evs] == [1, 2, 2]
+        assert req.counts == [3, 2]
+
+    def test_bulk_max_size_chunks(self):
+        evs = mk_events(5)
+        req = ScriptedRequest([])
+        run(evs, req, bulk_max_size=2)
+        assert req.counts == [2, 2, 1]
+
+    def test_delete_ships_action_line_only(self):
+        evs = mk_events(2, delete=True)
+        req = ScriptedRequest([])
+        run(evs, req)
+        lines = req.bodies[0].decode().splitlines()
+        assert len(lines) == 2 and all('"delete"' in ln for ln in lines)
+
+
+class TestColumnParity:
+    """The live policy and routing.bulk_item_action (the driver-oracled
+    Column twin) must give the same verdict for every (status,
+    already-dead-letter, dead-letter-configured) cell."""
+
+    STATUSES = [200, 201, 299, 300, 409, 429, 400, 404, 499, 500, 503]
+
+    def live_verdict(self, status, adl, dlc):
+        ev = _Event(0, '{"create":{"_index":"i"}}', "{}", "2024-01-01T00:00:00.000Z")
+        ev.dead_letter = adl
+        ev.status = status
+        from beats_spark.es_output import _apply_item_status
+
+        retry = _apply_item_status(ev, "m", "dead" if dlc else None)
+        if retry:
+            return "to_dead_letter" if (ev.dead_letter and not adl) else "retry"
+        return ev.result
+
+    def test_matches_bulk_item_action(self, spark):
+        from pyspark.sql import functions as F
+
+        from beats_spark.routing import bulk_item_action
+
+        rows = [
+            (s, adl, dlc)
+            for s in self.STATUSES
+            for adl in (False, True)
+            for dlc in (False, True)
+        ]
+        for dlc in (False, True):
+            df = spark.createDataFrame(
+                [(s, adl) for s, adl, d in rows if d == dlc], "status int, adl boolean"
+            )
+            got = {
+                (r["status"], r["adl"]): r["act"]
+                for r in df.withColumn(
+                    "act", bulk_item_action(F.col("status"), F.col("adl"), dlc)
+                ).collect()
+            }
+            for (s, adl), col_act in got.items():
+                assert self.live_verdict(s, adl, dlc) == col_act, (s, adl, dlc)
+
+    def test_dead_letter_doc_matches_column_twin(self, spark):
+        """_set_dead_letter (live) == dead_letter_reencode (Column)."""
+        from pyspark.sql import functions as F
+
+        from beats_spark.es_output import _set_dead_letter
+        from beats_spark.routing import dead_letter_reencode
+
+        ser = '{"a":1,"msg":"x\\"y"}'
+        row = (
+            spark.createDataFrame(
+                [(ser, 400, "mapper_parsing_exception: failed")],
+                "serialized string, et int, em string",
+            )
+            .withColumn("ts", F.to_timestamp(F.lit("2024-03-01 10:00:00.123")))
+            .select(dead_letter_reencode("serialized", "et", "em").alias("doc"))
+            .first()
+        )
+        live = _set_dead_letter(
+            ser, "2024-03-01T10:00:00.123Z", 400, "mapper_parsing_exception: failed"
+        )
+        assert json.loads(live) == json.loads(row["doc"])
+        assert list(json.loads(live)) == list(json.loads(row["doc"]))
+
+
+class FakeESHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _respond(self, status, payload: bytes):
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def do_GET(self):
+        srv = self.server.owner
+        srv.records.append({"method": "GET", "path": self.path, "headers": dict(self.headers)})
+        self._respond(
+            200,
+            json.dumps(
+                {
+                    "name": "fake",
+                    "version": {"number": srv.version, "build_flavor": srv.flavor},
+                }
+            ).encode(),
+        )
+
+    def do_POST(self):
+        srv = self.server.owner
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        raw = gzip.decompress(body) if self.headers.get("Content-Encoding") == "gzip" else body
+        lines = raw.decode().splitlines()
+        rec = {
+            "method": "POST",
+            "path": self.path,
+            "headers": dict(self.headers),
+            "lines": lines,
+            "gzipped": self.headers.get("Content-Encoding") == "gzip",
+            "raw_len": len(raw),
+        }
+        srv.records.append(rec)
+        spec = srv.script.pop(0) if srv.script else None
+        if isinstance(spec, int):
+            self._respond(spec, b"{}")
+            return
+        # count events = action lines: docs follow non-delete actions
+        actions = []
+        i = 0
+        while i < len(lines):
+            actions.append(lines[i])
+            i += 1 if lines[i].startswith('{"delete"') else 2
+        n = len(actions)
+        statuses = spec if spec is not None else [201] * n
+        items = []
+        for j, s in enumerate(statuses):
+            status, err = s if isinstance(s, tuple) else (s, "")
+            op = next(iter(json.loads(actions[j])))
+            inner = {"status": status}
+            if err:
+                inner["error"] = err
+            items.append({op: inner})
+        self._respond(200, json.dumps({"errors": True, "items": items}).encode())
+
+
+class FakeESServer:
+    def __init__(self, version="8.19.0", flavor="default", script=None):
+        self.version = version
+        self.flavor = flavor
+        self.script = list(script or [])
+        self.records: list[dict] = []
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), FakeESHandler)
+        self._httpd.owner = self
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.port}"
+
+    def close(self):
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def bulk_records(self):
+        return [r for r in self.records if r["method"] == "POST"]
+
+
+@pytest.fixture()
+def es_server():
+    srv = FakeESServer()
+    yield srv
+    srv.close()
+
+
+class TestConnection:
+    def test_ping_version_and_flavor(self, es_server):
+        conn = ESConnection(es_server.url)
+        info = es_ping(conn)
+        assert info["version"] == (8, 19)
+        assert info["number"] == "8.19.0"
+        assert info["flavor"] == "default"
+        conn.close()
+
+    def test_older_version_gate_wording(self):
+        with pytest.raises(ESProtocolError) as ei:
+            check_older_version((7, 17), (8, 19), allow_older=False)
+        assert "Elasticsearch is too old" in str(ei.value)
+        assert "allow_older_versions" in str(ei.value)
+        # default since 8.11: allowed
+        check_older_version((7, 17), (8, 19), allow_older=True)
+        check_older_version((8, 19), (8, 19), allow_older=False)
+
+    def test_basic_auth_header(self, es_server):
+        conn = ESConnection(es_server.url, username="elastic", password="s3cret")
+        es_ping(conn)
+        conn.close()
+        auth = es_server.records[0]["headers"]["Authorization"]
+        assert auth == "Basic ZWxhc3RpYzpzM2NyZXQ="
+
+    def test_api_key_header(self, es_server):
+        conn = ESConnection(es_server.url, api_key="idpart:keypart")
+        es_ping(conn)
+        conn.close()
+        auth = es_server.records[0]["headers"]["Authorization"]
+        assert auth == "ApiKey aWRwYXJ0OmtleXBhcnQ="
+
+
+def _routed_df(spark, n=6):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(F.lit("conv-"), F.col("id") % 2).alias("conv_id"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00.123")).alias("ts"),
+    )
+    return df.withColumn(
+        "serialized",
+        F.to_json(F.struct(F.col("conv_id"), F.col("turn_idx"))),
+    ).withColumn(
+        "es_action",
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.lit("logs-agent").alias("_index"),
+                    F.concat(F.lit("id-"), F.col("turn_idx")).alias("_id"),
+                ).alias("create")
+            )
+        ),
+    )
+
+
+class TestSparkStage:
+    def test_end_to_end_acked_and_wire_shape(self, spark, es_server):
+        df = _routed_df(spark).repartition(2)
+        out = write_es_bulk(
+            df,
+            es_server.url,
+            carry_cols=["conv_id", "turn_idx"],
+            compression_level=6,
+            backoff_init=0.01,
+        )
+        rows = out.collect()
+        assert len(rows) == 6
+        assert all(r["es_result"] == "ack" for r in rows)
+        assert all(r["es_status"] == 201 for r in rows)
+        recs = es_server.bulk_records()
+        assert len(recs) >= 1
+        for rec in recs:
+            assert rec["path"].startswith("/_bulk?")
+            assert "filter_path=" in rec["path"]
+            assert rec["headers"]["Content-Type"] == "application/json; charset=UTF-8"
+            assert rec["gzipped"]
+            assert int(rec["headers"]["X-Elastic-Uncompressed-Request-Length"]) == rec["raw_len"]
+            # NDJSON pairs: action line then doc line
+            n_events = int(rec["headers"]["X-Elastic-Event-Count"])
+            assert len(rec["lines"]) == 2 * n_events
+        # every row arrived exactly once
+        sent = []
+        for rec in recs:
+            sent.extend(json.loads(ln)["turn_idx"] for ln in rec["lines"][1::2])
+        assert sorted(sent) == list(range(6))
+
+    def test_dead_letter_roundtrip_live(self, spark):
+        # first bulk: item 0 gets a 400 → re-shipped to the dead-letter
+        # index; second bulk acks it
+        srv = FakeESServer(script=[[(400, "bad mapping"), 201], None])
+        try:
+            df = _routed_df(spark, n=2).coalesce(1)
+            out = write_es_bulk(
+                df,
+                srv.url,
+                carry_cols=["turn_idx"],
+                dead_letter_index="dead-index",
+                compression_level=0,
+                backoff_init=0.01,
+            )
+            res = {r["turn_idx"]: r for r in out.collect()}
+            assert res[0]["es_result"] == "dead_letter_ack"
+            assert res[1]["es_result"] == "ack"
+            recs = srv.bulk_records()
+            assert len(recs) == 2
+            assert not recs[0]["gzipped"]
+            action = json.loads(recs[1]["lines"][0])
+            assert action["create"]["_index"] == "dead-index"
+            doc = json.loads(recs[1]["lines"][1])
+            assert doc["error.type"] == 400
+            assert doc["error.message"] == "bad mapping"
+            assert json.loads(doc["message"])["turn_idx"] == 0
+            assert doc["@timestamp"] == "2024-03-01T10:00:00.123Z"
+        finally:
+            srv.close()
+
+    def test_encode_error_rows_skipped(self, spark, es_server):
+        from pyspark.sql import functions as F
+
+        df = _routed_df(spark, n=3).coalesce(1)
+        df = df.withColumn(
+            "serialized",
+            F.when(F.col("turn_idx") == 1, F.lit(None)).otherwise(F.col("serialized")),
+        )
+        out = write_es_bulk(df, es_server.url, carry_cols=["turn_idx"], compression_level=0)
+        res = {r["turn_idx"]: r["es_result"] for r in out.collect()}
+        assert res == {0: "ack", 1: "encode_error", 2: "ack"}
+        rec = es_server.bulk_records()[0]
+        assert int(rec["headers"]["X-Elastic-Event-Count"]) == 2
