@@ -1,0 +1,1051 @@
+"""Kafka wire protocol from scratch — the beats kafka input/output live.
+
+The kafka rows were the coverage table's last "partial": the
+spark-sql-kafka connector jar is absent from this image and there is no
+network to fetch it. As with the RESP / MQTT / lumberjack rescues, the
+only missing piece is a client library, and the Apache Kafka wire
+protocol is public (the protocol guide + KIP-32/KIP-74 message-format
+documents), so this module implements it directly — at the 0.10.2
+parity level the reference explicitly supports as a `version:` config
+(libbeat/common/kafka/version.go accepts 0.8.2.0 upward; message format
+v1 = magic 1 with per-message timestamps). The >= 0.11 record-batch /
+headers format is version-gated here EXACTLY like the reference gates
+headers below 0.11 (outputs/kafka/config.go:189-190) and the input
+gates the `headers` field (input.go:503-505 — only added at
+V0_11_0_0): a 0.10-level client simply has no headers, and both sides
+of this module document the same cut.
+
+APIs implemented (stable, non-flexible versions):
+  * Metadata    v0 (api key 3)
+  * Produce     v2 (api key 0) — MessageSet v1 (magic 1, CRC32-IEEE),
+    gzip compression (the output's DEFAULT, config.go:141) as the
+    magic-1 wrapper message with inner relative offsets
+  * Fetch       v2 (api key 1)
+  * ListOffsets v1 (api key 2)
+
+Offset management is deliberately Spark-first: partition assignment and
+consumer offsets live in the STREAMING CHECKPOINT, not in Kafka group
+commits — the same design as the official spark-sql-kafka connector,
+which never joins a consumer group either (the driver assigns
+partitions; the checkpoint owns offsets; `readBetweenOffsets` replays a
+closed range deterministically, which is strictly stronger than the
+reference's group rebalance + ack path, input.go:116-121). The group
+membership APIs (JoinGroup/SyncGroup/OffsetCommit) are therefore out of
+scope BY DESIGN, not as a gap.
+
+Surfaces:
+  * `KafkaClient` / `KafkaCluster` — the wire client (leader routing,
+    metadata refresh on NOT_LEADER, bounded retries).
+  * `write_kafka_live` — libbeat/outputs/kafka analog over
+    df.foreachPartition (one cluster client per Spark partition = the
+    output's worker pool, the write_lumberjack/write_redis pattern);
+    honors per-row topic (event.Meta["topic"] / selector parity,
+    client.go:253-275), per-row partition (event.Meta["partition"],
+    client.go:243-251) and key (client.go:295-299), max_message_bytes
+    oversize drop (client.go:424-431), required_acks, gzip.
+  * `kafka_output_config_validate` — config.go Validate() verbatim.
+  * `kafka_collect` — bounded consumer in the reference input's event
+    shape (composeEventMetadata/composeMessage, input.go:487-525),
+    incl. `expand_event_list_from_field` (parseMultipleMessages,
+    input.go:467-485).
+  * `read_kafka_messages` — a `beats_kafka` streaming Python Data
+    Source: checkpointed per-partition offsets, deterministic
+    readBetweenOffsets replay (exactly-once to an idempotent sink).
+
+TLS/SASL are environment-gated like the reference's ssl block (the
+sandbox has no TLS peer); PLAIN auth would ride a SaslHandshake v0 +
+SaslAuthenticate exchange on connect.
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import socket
+import struct
+import zlib
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+
+# Kafka protocol error codes (public protocol guide error table) — the
+# subset a 0.10-level client can see, named as the protocol names them.
+KAFKA_ERRORS = {
+    -1: "UNKNOWN_SERVER_ERROR",
+    1: "OFFSET_OUT_OF_RANGE",
+    2: "CORRUPT_MESSAGE",
+    3: "UNKNOWN_TOPIC_OR_PARTITION",
+    5: "LEADER_NOT_AVAILABLE",
+    6: "NOT_LEADER_OR_FOLLOWER",
+    7: "REQUEST_TIMED_OUT",
+    10: "MESSAGE_TOO_LARGE",
+    17: "INVALID_TOPIC_EXCEPTION",
+    18: "RECORD_LIST_TOO_LARGE",
+    19: "NOT_ENOUGH_REPLICAS",
+    20: "NOT_ENOUGH_REPLICAS_AFTER_APPEND",
+    29: "TOPIC_AUTHORIZATION_FAILED",
+}
+# Error codes produce() retries in place of failing the task outright —
+# the transient leadership/metadata family sarama's retrier covers.
+RETRIABLE = {5, 6, 7, 19, 20}
+
+
+class KafkaWireError(ValueError):
+    """Framing/codec violation (CRC mismatch, short frame)."""
+
+
+class KafkaProtocolError(RuntimeError):
+    """Broker returned a non-zero error code."""
+
+    def __init__(self, code: int, where: str):
+        self.code = code
+        self.name = KAFKA_ERRORS.get(code, f"ERROR_{code}")
+        super().__init__(f"kafka: {self.name} ({code}) in {where}")
+
+
+# ---------------------------------------------------------------------------
+# primitive codec (big-endian, non-flexible encoding)
+# ---------------------------------------------------------------------------
+def _enc_str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode("utf-8")
+    return struct.pack(">h", len(b)) + b
+
+
+def _enc_bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+class _Reader:
+    """Cursor over a response body."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise KafkaWireError("short kafka frame")
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def int8(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def int16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def int32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def string(self) -> str | None:
+        n = self.int16()
+        return None if n < 0 else self._take(n).decode("utf-8")
+
+    def bytes_(self) -> bytes | None:
+        n = self.int32()
+        return None if n < 0 else bytes(self._take(n))
+
+
+# ---------------------------------------------------------------------------
+# MessageSet v1 (magic 1) — KIP-32 on-disk/wire format
+# ---------------------------------------------------------------------------
+def encode_message(
+    key: bytes | None,
+    value: bytes | None,
+    timestamp_ms: int,
+    attributes: int = 0,
+    offset: int = 0,
+) -> bytes:
+    """One magic-1 message set entry: offset + size + crc|magic|attrs|
+    timestamp|key|value. CRC is IEEE CRC32 over magic..value."""
+    body = struct.pack(">bbq", 1, attributes, timestamp_ms) + _enc_bytes(key) + _enc_bytes(value)
+    crc = zlib.crc32(body) & 0xFFFFFFFF
+    msg = struct.pack(">I", crc) + body
+    return struct.pack(">qi", offset, len(msg)) + msg
+
+
+def encode_message_set(
+    messages: list[tuple[bytes | None, bytes | None, int]],
+    compression: str = "none",
+    compression_level: int = 4,
+) -> bytes:
+    """Encode (key, value, timestamp_ms) triples. gzip wraps the inner
+    set in one magic-1 message with attributes=1 and RELATIVE inner
+    offsets 0..n-1 (the broker rewrites); the wrapper timestamp is the
+    last inner timestamp (CreateTime rule)."""
+    inner = b"".join(
+        encode_message(k, v, ts, offset=i) for i, (k, v, ts) in enumerate(messages)
+    )
+    if compression == "none":
+        return inner
+    if compression != "gzip":
+        raise ValueError(f"compression mode '{compression}' unknown")
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=compression_level, mtime=0) as gz:
+        gz.write(inner)
+    wrapper_ts = messages[-1][2] if messages else 0
+    return encode_message(None, buf.getvalue(), wrapper_ts, attributes=1, offset=len(messages) - 1)
+
+
+def decode_message_set(buf: bytes) -> list[tuple[int, bytes | None, bytes | None, int]]:
+    """Decode to (offset, key, value, timestamp_ms) tuples, recursing
+    into gzip wrappers. Magic-1 compressed sets carry inner offsets
+    relative to 0 with the WRAPPER holding the last absolute offset —
+    absolute = wrapper_offset - (n-1) + inner_offset. A partial
+    trailing entry (a fetch truncated at max_bytes) is dropped, per the
+    protocol's explicit allowance."""
+    out: list[tuple[int, bytes | None, bytes | None, int]] = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        offset, size = struct.unpack(">qi", buf[pos : pos + 12])
+        if pos + 12 + size > len(buf):
+            break  # truncated trailing message: stop cleanly
+        msg = buf[pos + 12 : pos + 12 + size]
+        pos += 12 + size
+        crc = struct.unpack(">I", msg[:4])[0]
+        if zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+            raise KafkaWireError(f"kafka: CRC mismatch at offset {offset}")
+        magic = msg[4]
+        attributes = msg[5]
+        if magic == 1:
+            ts = struct.unpack(">q", msg[6:14])[0]
+            r = _Reader(msg[14:])
+        elif magic == 0:
+            ts = -1
+            r = _Reader(msg[6:])
+        else:
+            raise KafkaWireError(f"kafka: unsupported message magic {magic}")
+        key = r.bytes_()
+        value = r.bytes_()
+        codec = attributes & 0x07
+        if codec == 0:
+            out.append((offset, key, value, ts))
+        elif codec == 1:
+            inner = decode_message_set(_gzip.decompress(value or b""))
+            base = offset - (len(inner) - 1) if inner else offset
+            out.extend((base + io_, k, v, t) for io_, k, v, t in inner)
+        else:
+            raise KafkaWireError(f"kafka: unsupported compression codec {codec}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# request builders (header v1: key, version, correlation id, client id)
+# ---------------------------------------------------------------------------
+def build_request(
+    api_key: int, api_version: int, correlation_id: int, client_id: str, body: bytes
+) -> bytes:
+    payload = (
+        struct.pack(">hhi", api_key, api_version, correlation_id)
+        + _enc_str(client_id)
+        + body
+    )
+    return struct.pack(">i", len(payload)) + payload
+
+
+def build_metadata_v0(topics: list[str] | None) -> bytes:
+    topics = topics or []
+    return struct.pack(">i", len(topics)) + b"".join(_enc_str(t) for t in topics)
+
+
+def build_produce_v2(
+    acks: int,
+    timeout_ms: int,
+    sets: dict[tuple[str, int], bytes],
+) -> bytes:
+    by_topic: dict[str, list[tuple[int, bytes]]] = {}
+    for (topic, partition), mset in sets.items():
+        by_topic.setdefault(topic, []).append((partition, mset))
+    body = struct.pack(">hi", acks, timeout_ms) + struct.pack(">i", len(by_topic))
+    for topic, parts in by_topic.items():
+        body += _enc_str(topic) + struct.pack(">i", len(parts))
+        for partition, mset in parts:
+            body += struct.pack(">i", partition) + _enc_bytes(mset)
+    return body
+
+
+def build_fetch_v2(
+    parts: list[tuple[str, int, int, int]], max_wait_ms: int, min_bytes: int
+) -> bytes:
+    by_topic: dict[str, list[tuple[int, int, int]]] = {}
+    for topic, partition, offset, max_bytes in parts:
+        by_topic.setdefault(topic, []).append((partition, offset, max_bytes))
+    body = struct.pack(">iii", -1, max_wait_ms, min_bytes) + struct.pack(">i", len(by_topic))
+    for topic, plist in by_topic.items():
+        body += _enc_str(topic) + struct.pack(">i", len(plist))
+        for partition, offset, max_bytes in plist:
+            body += struct.pack(">iqi", partition, offset, max_bytes)
+    return body
+
+
+def build_list_offsets_v1(parts: list[tuple[str, int, int]]) -> bytes:
+    by_topic: dict[str, list[tuple[int, int]]] = {}
+    for topic, partition, ts in parts:
+        by_topic.setdefault(topic, []).append((partition, ts))
+    body = struct.pack(">i", -1) + struct.pack(">i", len(by_topic))
+    for topic, plist in by_topic.items():
+        body += _enc_str(topic) + struct.pack(">i", len(plist))
+        for partition, ts in plist:
+            body += struct.pack(">iq", partition, ts)
+    return body
+
+
+# ---------------------------------------------------------------------------
+# blocking client
+# ---------------------------------------------------------------------------
+class KafkaClient:
+    """One broker connection. client_id default = the reference's
+    (outputs/kafka/config.go:146 ClientID: "beats")."""
+
+    def __init__(self, host: str, port: int, client_id: str = "beats", timeout: float = 10.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._client_id = client_id
+        self._corr = 0
+
+    def close(self) -> None:
+        self._sock.close()
+
+    def _send(self, api_key: int, api_version: int, body: bytes) -> int:
+        self._corr += 1
+        self._sock.sendall(
+            build_request(api_key, api_version, self._corr, self._client_id, body)
+        )
+        return self._corr
+
+    def _recv_response(self, expect_corr: int) -> _Reader:
+        hdr = self._recv_exact(4)
+        (size,) = struct.unpack(">i", hdr)
+        payload = self._recv_exact(size)
+        r = _Reader(payload)
+        corr = r.int32()
+        if corr != expect_corr:
+            raise KafkaWireError(f"correlation id mismatch: {corr} != {expect_corr}")
+        return r
+
+    def _recv_exact(self, n: int) -> bytes:
+        chunks = []
+        while n:
+            c = self._sock.recv(min(n, 65536))
+            if not c:
+                raise KafkaWireError("connection closed mid-frame")
+            chunks.append(c)
+            n -= len(c)
+        return b"".join(chunks)
+
+    def _call(self, api_key: int, api_version: int, body: bytes) -> _Reader:
+        return self._recv_response(self._send(api_key, api_version, body))
+
+    # -- Metadata v0 --
+    def metadata(self, topics: list[str] | None = None) -> dict[str, Any]:
+        r = self._call(API_METADATA, 0, build_metadata_v0(topics))
+        brokers = {}
+        for _ in range(r.int32()):
+            node = r.int32()
+            brokers[node] = (r.string(), r.int32())
+        out_topics: dict[str, Any] = {}
+        for _ in range(r.int32()):
+            terr = r.int16()
+            name = r.string()
+            parts = {}
+            for _ in range(r.int32()):
+                perr = r.int16()
+                pid = r.int32()
+                leader = r.int32()
+                replicas = [r.int32() for _ in range(r.int32())]
+                isr = [r.int32() for _ in range(r.int32())]
+                parts[pid] = {"error": perr, "leader": leader, "replicas": replicas, "isr": isr}
+            out_topics[name] = {"error": terr, "partitions": parts}
+        return {"brokers": brokers, "topics": out_topics}
+
+    # -- Produce v2 --
+    def produce(
+        self,
+        topic: str,
+        partition: int,
+        messages: list[tuple[bytes | None, bytes | None, int]],
+        acks: int = -1,
+        timeout_ms: int = 10_000,
+        compression: str = "gzip",
+        compression_level: int = 4,
+    ) -> int:
+        """Returns the base offset assigned. acks=0 is fire-and-forget
+        (the broker sends no response, per the protocol)."""
+        mset = encode_message_set(messages, compression, compression_level)
+        corr = self._send(
+            API_PRODUCE, 2, build_produce_v2(acks, timeout_ms, {(topic, partition): mset})
+        )
+        if acks == 0:
+            return -1
+        r = self._recv_response(corr)
+        base_offset = -1
+        for _ in range(r.int32()):
+            rtopic = r.string()
+            for _ in range(r.int32()):
+                pid, err, off, _append_ts = r.int32(), r.int16(), r.int64(), r.int64()
+                if err != 0:
+                    raise KafkaProtocolError(err, f"produce {rtopic}/{pid}")
+                if rtopic == topic and pid == partition:
+                    base_offset = off
+        r.int32()  # throttle_time_ms
+        return base_offset
+
+    # -- Fetch v2 --
+    def fetch(
+        self,
+        topic: str,
+        partition: int,
+        offset: int,
+        max_bytes: int = 1 << 20,
+        max_wait_ms: int = 500,
+        min_bytes: int = 1,
+    ) -> tuple[int, list[tuple[int, bytes | None, bytes | None, int]]]:
+        """Returns (high_watermark, [(offset, key, value, timestamp_ms)])."""
+        r = self._call(
+            API_FETCH, 2, build_fetch_v2([(topic, partition, offset, max_bytes)], max_wait_ms, min_bytes)
+        )
+        r.int32()  # throttle_time_ms
+        hw, msgs = -1, []
+        for _ in range(r.int32()):
+            rtopic = r.string()
+            for _ in range(r.int32()):
+                pid, err, phw = r.int32(), r.int16(), r.int64()
+                mset = r.bytes_() or b""
+                if err != 0:
+                    raise KafkaProtocolError(err, f"fetch {rtopic}/{pid}")
+                if rtopic == topic and pid == partition:
+                    hw = phw
+                    # re-fetch from a mid-set offset returns the whole
+                    # stored set; drop entries below the asked offset
+                    msgs = [m for m in decode_message_set(mset) if m[0] >= offset]
+        return hw, msgs
+
+    # -- ListOffsets v1 --
+    def list_offset(self, topic: str, partition: int, time: int = -1) -> int:
+        """time: -1 latest, -2 earliest (the protocol's sentinels)."""
+        r = self._call(API_LIST_OFFSETS, 1, build_list_offsets_v1([(topic, partition, time)]))
+        out = -1
+        for _ in range(r.int32()):
+            rtopic = r.string()
+            for _ in range(r.int32()):
+                pid, err = r.int32(), r.int16()
+                _ts, off = r.int64(), r.int64()
+                if err != 0:
+                    raise KafkaProtocolError(err, f"list_offsets {rtopic}/{pid}")
+                if rtopic == topic and pid == partition:
+                    out = off
+        return out
+
+
+class KafkaCluster:
+    """Leader-routing layer over per-broker KafkaClients: resolves the
+    partition leader from metadata, refreshes + retries (bounded) on
+    the transient NOT_LEADER/metadata family — sarama's retrier loop,
+    with Spark task retry as the outer at-least-once layer."""
+
+    def __init__(
+        self,
+        hosts: list[str],
+        client_id: str = "beats",
+        timeout: float = 10.0,
+        metadata_retries: int = 3,
+    ):
+        if not hosts:
+            raise ValueError("no hosts configured")
+        self._hosts = [(h.rsplit(":", 1)[0], int(h.rsplit(":", 1)[1])) for h in hosts]
+        self._client_id = client_id
+        self._timeout = timeout
+        self._retries = metadata_retries
+        self._conns: dict[tuple[str, int], KafkaClient] = {}
+        self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
+        self._bootstrap = self._connect(*self._hosts[0])
+
+    def _connect(self, host: str, port: int) -> KafkaClient:
+        key = (host, port)
+        if key not in self._conns:
+            self._conns[key] = KafkaClient(host, port, self._client_id, self._timeout)
+        return self._conns[key]
+
+    def close(self) -> None:
+        for c in self._conns.values():
+            try:
+                c.close()
+            except OSError:
+                pass
+        self._conns.clear()
+
+    def refresh_metadata(self, topics: list[str]) -> dict[str, Any]:
+        md = self._bootstrap.metadata(topics)
+        for tname, t in md["topics"].items():
+            for pid, p in t["partitions"].items():
+                if p["leader"] in md["brokers"]:
+                    self._leaders[(tname, pid)] = md["brokers"][p["leader"]]
+        return md
+
+    def partitions(self, topic: str) -> list[int]:
+        md = self.refresh_metadata([topic])
+        t = md["topics"].get(topic)
+        if t is None or t["error"] != 0:
+            raise KafkaProtocolError(t["error"] if t else 3, f"metadata {topic}")
+        return sorted(t["partitions"])
+
+    def _leader(self, topic: str, partition: int) -> KafkaClient:
+        if (topic, partition) not in self._leaders:
+            self.refresh_metadata([topic])
+        addr = self._leaders.get((topic, partition))
+        if addr is None:
+            raise KafkaProtocolError(5, f"leader {topic}/{partition}")
+        return self._connect(*addr)
+
+    def _routed(self, topic: str, partition: int, op):
+        last: Exception | None = None
+        for _ in range(self._retries + 1):
+            try:
+                return op(self._leader(topic, partition))
+            except KafkaProtocolError as e:
+                if e.code not in RETRIABLE:
+                    raise
+                last = e
+                self._leaders.pop((topic, partition), None)
+        raise last  # type: ignore[misc]
+
+    def produce(self, topic: str, partition: int, messages, **kw) -> int:
+        return self._routed(topic, partition, lambda c: c.produce(topic, partition, messages, **kw))
+
+    def fetch(self, topic: str, partition: int, offset: int, **kw):
+        return self._routed(topic, partition, lambda c: c.fetch(topic, partition, offset, **kw))
+
+    def list_offset(self, topic: str, partition: int, time: int = -1) -> int:
+        return self._routed(topic, partition, lambda c: c.list_offset(topic, partition, time))
+
+
+# ---------------------------------------------------------------------------
+# output — libbeat/outputs/kafka analog
+# ---------------------------------------------------------------------------
+def kafka_output_config_validate(config: dict[str, Any]) -> None:
+    """outputs/kafka/config.go:161-205 Validate(), wording verbatim.
+
+    The version comparisons use the reference's string-prefix Version
+    type (libbeat/common/kafka): '0.11' <= version means the 2-part
+    prefix sorts at or above (0,11)."""
+    hosts = config.get("hosts") or []
+    if not hosts:
+        raise ValueError("no hosts configured")
+    compression = str(config.get("compression", "gzip")).lower()
+    if compression not in ("none", "no", "off", "gzip", "lz4", "snappy", "zstd"):
+        raise ValueError(f"compression mode '{config.get('compression')}' unknown")
+    if config.get("username") and not config.get("password"):
+        raise ValueError("password must be set when username is configured")
+    if compression == "gzip":
+        lvl = config.get("compression_level", 4)
+        if lvl != -1 and not 0 <= lvl <= 9:
+            raise ValueError("compression_level must be between 0 and 9")
+    if not config.get("topic") and not config.get("topics"):
+        raise ValueError("either 'topic' or 'topics' must be defined")
+    version = str(config.get("version", "2.1.0"))
+    vtuple = tuple(int(x) for x in version.split(".")[:2])
+    if config.get("headers") and vtuple < (0, 11):
+        raise ValueError("including headers is not supported for kafka versions < 0.11")
+    if config.get("idempotent"):
+        if config.get("required_acks") != -1:
+            raise ValueError("idempotent mode requires required_acks to be set to -1")
+        if config.get("max_retries", 3) == 0:
+            raise ValueError("idempotent mode requires max_retries to be greater than 0")
+        if vtuple < (0, 11):
+            raise ValueError("idempotent mode requires kafka version to be >= 0.11.0.0")
+
+
+def write_kafka_live(
+    df: DataFrame,
+    hosts: list[str],
+    topic: str | None = None,
+    topic_col: str | None = None,
+    partition_col: str | None = None,
+    key_col: str | None = None,
+    line_col: str = "serialized",
+    ts_col: str | None = None,
+    compression: str = "gzip",
+    compression_level: int = 4,
+    required_acks: int = 1,
+    bulk_max_size: int = 2048,
+    max_message_bytes: int | None = None,
+    client_id: str = "beats",
+    timeout: float = 10.0,
+) -> None:
+    """Ship a serialized column to Kafka — outputs/kafka/client.go's
+    publish path over df.foreachPartition (one KafkaCluster per Spark
+    partition ON the executors = the output's worker pool).
+
+    Per-row routing parity with getEventMessage (client.go:239-302):
+    `topic_col` (the kafka_topic_selector column) overrides the
+    constant `topic` like event.Meta["topic"]; `partition_col` (a
+    kafka_partition_column int) pins the partition like
+    event.Meta["partition"] — rows without one spread round-robin over
+    the topic's partitions from metadata; `key_col` becomes the
+    message key bytes; `ts_col` (epoch millis int) the magic-1 message
+    timestamp (only sent at version >= 0.10, which this wire IS —
+    client.go:291-293's version gate). Oversize messages
+    (len(key)+len(value) > max_message_bytes) are DROPPED and counted,
+    never sent (msgRef.dealErr "dropping message as it exceeds
+    max_mesage_bytes", client.go:424-431 — the reference's misspelling
+    not reproduced). Broker errors raise → Spark task retry replays
+    the partition (at-least-once, the lumberjack/redis sink contract).
+    """
+    if (topic is None) == (topic_col is None):
+        raise ValueError("either 'topic' or 'topics' must be defined")
+    if required_acks not in (-1, 0, 1):
+        raise ValueError("required_acks must be -1, 0 or 1")
+
+    def send_partition(rows: Iterable) -> None:
+        it = iter(rows)
+        first = next(it, None)
+        if first is None:
+            return  # empty partition: no connection
+        import itertools
+
+        rows_iter = itertools.chain([first], it)
+        cluster = KafkaCluster(hosts, client_id=client_id, timeout=timeout)
+        try:
+            npart: dict[str, list[int]] = {}
+            pending: dict[tuple[str, int], list] = {}
+            rr = 0
+            dropped_oversize = 0
+
+            def flush(tp: tuple[str, int]) -> None:
+                msgs = pending.pop(tp, None)
+                if msgs:
+                    cluster.produce(
+                        tp[0],
+                        tp[1],
+                        msgs,
+                        acks=required_acks,
+                        compression=compression,
+                        compression_level=compression_level,
+                    )
+
+            for row in rows_iter:
+                value = getattr(row, line_col)
+                if value is None:
+                    continue
+                vbytes = value if isinstance(value, (bytes, bytearray)) else str(value).encode()
+                t = getattr(row, topic_col) if topic_col else topic
+                if t is None or t == "":
+                    continue  # selector miss: dropped (errNoTopicsSelected)
+                kraw = getattr(row, key_col) if key_col else None
+                kbytes = (
+                    None
+                    if kraw is None
+                    else (kraw if isinstance(kraw, (bytes, bytearray)) else str(kraw).encode())
+                )
+                if max_message_bytes is not None and (
+                    len(kbytes or b"") + len(vbytes) > max_message_bytes
+                ):
+                    dropped_oversize += 1
+                    continue
+                p = getattr(row, partition_col) if partition_col else None
+                if p is None:
+                    if t not in npart:
+                        npart[t] = cluster.partitions(t)
+                    p = npart[t][rr % len(npart[t])]
+                    rr += 1
+                ts = getattr(row, ts_col) if ts_col else 0
+                tp = (t, int(p))
+                pending.setdefault(tp, []).append((kbytes, vbytes, int(ts or 0)))
+                if len(pending[tp]) >= bulk_max_size:
+                    flush(tp)
+            for tp in list(pending):
+                flush(tp)
+        finally:
+            cluster.close()
+
+    df.foreachPartition(send_partition)
+
+
+# ---------------------------------------------------------------------------
+# input — filebeat/input/kafka analog (bounded)
+# ---------------------------------------------------------------------------
+KAFKA_EVENT_SCHEMA = (
+    "message string, kafka_topic string, kafka_partition int, kafka_offset bigint, "
+    "kafka_key string, ts timestamp"
+)
+
+
+def expand_event_list_from_field(raw: bytes, field: str) -> list[str]:
+    """parseMultipleMessages (input.go:467-485): the value must be a
+    JSON object whose `field` key holds a list; each element re-encodes
+    as its own message. Unmarshal failure → empty list (logged +
+    skipped in the reference)."""
+    import json
+
+    try:
+        obj = json.loads(raw)
+        items = obj.get(field) if isinstance(obj, dict) else None
+        if not isinstance(items, list):
+            return []
+        return [json.dumps(m, separators=(",", ":")) for m in items]
+    except (ValueError, UnicodeDecodeError):
+        return []
+
+
+def kafka_collect(
+    spark: SparkSession,
+    hosts: list[str],
+    topics: list[str],
+    start: str = "earliest",
+    max_messages: int = 10_000,
+    expand_field: str | None = None,
+    client_id: str = "beats",
+) -> DataFrame:
+    """Bounded consume of every partition of `topics` → DataFrame in
+    the reference input's event shape (composeEventMetadata +
+    composeMessage, input.go:487-525): message = value as string, the
+    kafka.* coordinate fields, key as string, and — because this wire
+    is ≥ V0_10_0_0 — `ts` = the message's own timestamp (the version
+    gate at input.go:497-501; below 0.10 the reference stamps
+    time.Now()). `headers` is absent for the same reason the reference
+    only adds it at ≥ V0_11 (input.go:503-505): magic-1 messages have
+    none. With `expand_field`, each value splits per
+    parseMultipleMessages, every split row sharing its source message's
+    coordinates (the shared-ack analog: one offset row fans out)."""
+    from datetime import datetime, timezone
+
+    cluster = KafkaCluster(hosts, client_id=client_id)
+    rows = []
+    try:
+        for topic in topics:
+            for pid in cluster.partitions(topic):
+                off = cluster.list_offset(topic, pid, -2 if start == "earliest" else -1)
+                end = cluster.list_offset(topic, pid, -1)
+                while off < end and len(rows) < max_messages:
+                    _hw, msgs = cluster.fetch(topic, pid, off)
+                    if not msgs:
+                        break
+                    for moff, key, value, ts_ms in msgs:
+                        ts = datetime.fromtimestamp((ts_ms or 0) / 1000.0, tz=timezone.utc)
+                        kstr = None if key is None else key.decode("utf-8", "replace")
+                        contents = (
+                            expand_event_list_from_field(value or b"", expand_field)
+                            if expand_field
+                            else [(value or b"").decode("utf-8", "replace")]
+                        )
+                        rows.extend(
+                            (c, topic, pid, moff, kstr, ts.replace(tzinfo=None))
+                            for c in contents
+                        )
+                        off = moff + 1
+    finally:
+        cluster.close()
+    return spark.createDataFrame(rows, KAFKA_EVENT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# streaming source — checkpointed offsets, deterministic replay
+# ---------------------------------------------------------------------------
+def register_kafka_source(spark: SparkSession) -> None:
+    """Register the `beats_kafka` streaming format.
+
+    Self-contained (wire codec re-inlined) for the cloudpickle
+    by-value reason documented at sources.py:_register_socket_source —
+    the data-source runner process cannot import beats_spark. Offsets
+    are {"topic/partition": next_offset} dicts in the Spark checkpoint;
+    readBetweenOffsets re-fetches the exact closed range (Kafka reads
+    are deterministic by offset), so a restarted query replays its
+    uncommitted batch identically — exactly-once to an idempotent
+    sink, strictly stronger than the reference's group-commit
+    at-least-once."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class KafkaDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "beats_kafka"
+
+        def schema(self) -> str:
+            return KAFKA_EVENT_SCHEMA
+
+        def simpleStreamReader(self, schema):
+            options = dict(self.options)
+
+            class KafkaSimpleStreamReader(SimpleDataSourceStreamReader):
+                def __init__(self):
+                    self._hosts = options.get("hosts", "127.0.0.1:9092").split(",")
+                    self._topics = options.get("topics", "").split(",")
+                    self._start = options.get("startingoffsets", "latest")
+                    self._client_id = options.get("clientid", "beats")
+                    self._max_per_batch = int(options.get("maxmessagesperbatch", "10000"))
+                    self._corr = 0
+                    self._socks = {}
+
+                # -- minimal wire layer (inlined by necessity) --
+                def _conn(self, host, port):
+                    import socket as _socket
+
+                    if (host, port) not in self._socks:
+                        self._socks[(host, port)] = _socket.create_connection(
+                            (host, port), timeout=30
+                        )
+                    return self._socks[(host, port)]
+
+                def _rpc(self, sock, api_key, api_version, body):
+                    import struct as _struct
+
+                    self._corr += 1
+                    cid = self._client_id.encode()
+                    payload = (
+                        _struct.pack(">hhi", api_key, api_version, self._corr)
+                        + _struct.pack(">h", len(cid))
+                        + cid
+                        + body
+                    )
+                    sock.sendall(_struct.pack(">i", len(payload)) + payload)
+                    buf = b""
+                    while len(buf) < 4:
+                        c = sock.recv(65536)
+                        if not c:
+                            raise OSError("closed")
+                        buf += c
+                    (size,) = _struct.unpack(">i", buf[:4])
+                    while len(buf) < 4 + size:
+                        c = sock.recv(65536)
+                        if not c:
+                            raise OSError("closed")
+                        buf += c
+                    return buf[8 : 4 + size]  # skip size + correlation id
+
+                def _bootstrap(self):
+                    h, p = self._hosts[0].rsplit(":", 1)
+                    return self._conn(h, int(p))
+
+                def _leaders(self):
+                    """{(topic, pid): socket} via Metadata v0."""
+                    import struct as _struct
+
+                    body = _struct.pack(">i", len(self._topics)) + b"".join(
+                        _struct.pack(">h", len(t.encode())) + t.encode()
+                        for t in self._topics
+                    )
+                    r = self._rpc(self._bootstrap(), 3, 0, body)
+                    pos = 0
+
+                    def i16():
+                        nonlocal pos
+                        pos += 2
+                        return _struct.unpack(">h", r[pos - 2 : pos])[0]
+
+                    def i32():
+                        nonlocal pos
+                        pos += 4
+                        return _struct.unpack(">i", r[pos - 4 : pos])[0]
+
+                    def s():
+                        n = i16()
+                        nonlocal pos
+                        pos += n
+                        return r[pos - n : pos].decode()
+
+                    brokers = {}
+                    for _ in range(i32()):
+                        node = i32()
+                        host = s()
+                        brokers[node] = (host, i32())
+                    out = {}
+                    for _ in range(i32()):
+                        i16()  # topic error
+                        name = s()
+                        for _ in range(i32()):
+                            i16()  # partition error
+                            pid = i32()
+                            leader = i32()
+                            for _ in range(i32()):
+                                i32()
+                            for _ in range(i32()):
+                                i32()
+                            if leader in brokers:
+                                out[(name, pid)] = self._conn(*brokers[leader])
+                    return out
+
+                def _list_offset(self, sock, topic, pid, time):
+                    import struct as _struct
+
+                    t = topic.encode()
+                    body = (
+                        _struct.pack(">ii", -1, 1)
+                        + _struct.pack(">h", len(t))
+                        + t
+                        + _struct.pack(">i", 1)
+                        + _struct.pack(">iq", pid, time)
+                    )
+                    r = self._rpc(sock, 2, 1, body)
+                    # [1 topic] str, [1 part] pid, err, ts, offset
+                    tlen = _struct.unpack(">h", r[4:6])[0]
+                    base = 6 + tlen + 4
+                    _pid, err, _ts, off = _struct.unpack(">ihqq", r[base : base + 22])
+                    if err:
+                        raise OSError(f"kafka list_offsets error {err}")
+                    return off
+
+                def _fetch(self, sock, topic, pid, offset, lo, hi):
+                    """Fetch [lo, hi) from the stored log, decoding
+                    magic 0/1 + gzip wrappers."""
+                    import gzip as _gz
+                    import struct as _struct
+                    import zlib as _zlib
+
+                    t = topic.encode()
+                    body = (
+                        _struct.pack(">iii", -1, 200, 1)
+                        + _struct.pack(">i", 1)
+                        + _struct.pack(">h", len(t))
+                        + t
+                        + _struct.pack(">i", 1)
+                        + _struct.pack(">iqi", pid, offset, 1 << 20)
+                    )
+                    r = self._rpc(sock, 1, 2, body)
+                    pos = 4  # throttle
+                    pos += 4  # topic count (1)
+                    tlen = _struct.unpack(">h", r[pos : pos + 2])[0]
+                    pos += 2 + tlen + 4  # name + partition count (1)
+                    _pid, err, _hw = _struct.unpack(">ihq", r[pos : pos + 14])
+                    pos += 14
+                    (mlen,) = _struct.unpack(">i", r[pos : pos + 4])
+                    pos += 4
+                    mset = r[pos : pos + max(mlen, 0)]
+
+                    def walk(buf):
+                        out, p = [], 0
+                        while p + 12 <= len(buf):
+                            off, size = _struct.unpack(">qi", buf[p : p + 12])
+                            if p + 12 + size > len(buf):
+                                break
+                            msg = buf[p + 12 : p + 12 + size]
+                            p += 12 + size
+                            crc = _struct.unpack(">I", msg[:4])[0]
+                            if _zlib.crc32(msg[4:]) & 0xFFFFFFFF != crc:
+                                raise OSError("kafka CRC mismatch")
+                            magic, attrs = msg[4], msg[5]
+                            q = 6
+                            ts = -1
+                            if magic == 1:
+                                (ts,) = _struct.unpack(">q", msg[6:14])
+                                q = 14
+                            (klen,) = _struct.unpack(">i", msg[q : q + 4])
+                            q += 4
+                            key = None if klen < 0 else msg[q : q + klen]
+                            q += max(klen, 0)
+                            (vlen,) = _struct.unpack(">i", msg[q : q + 4])
+                            q += 4
+                            val = None if vlen < 0 else msg[q : q + vlen]
+                            if attrs & 0x07 == 0:
+                                out.append((off, key, val, ts))
+                            elif attrs & 0x07 == 1:
+                                inner = walk(_gz.decompress(val or b""))
+                                base = off - (len(inner) - 1) if inner else off
+                                out.extend((base + o, k, v, t2) for o, k, v, t2 in inner)
+                            else:
+                                raise OSError("kafka unsupported codec")
+                        return out
+
+                    return [m for m in walk(mset) if lo <= m[0] < hi]
+
+                def _offsets(self, time):
+                    return {
+                        f"{t}/{p}": self._list_offset(sock, t, p, time)
+                        for (t, p), sock in self._leaders().items()
+                    }
+
+                def initialOffset(self) -> dict:
+                    return self._offsets(-2 if self._start == "earliest" else -1)
+
+                def _read_range(self, start: dict, end: dict):
+                    import datetime as _dt
+
+                    rows = []
+                    leaders = self._leaders()
+                    for (t, p), sock in leaders.items():
+                        key = f"{t}/{p}"
+                        lo, hi = start.get(key, 0), end.get(key, 0)
+                        off = lo
+                        while off < hi:
+                            msgs = self._fetch(sock, t, p, off, off, hi)
+                            if not msgs:
+                                break
+                            for moff, k, v, ts_ms in msgs:
+                                rows.append(
+                                    (
+                                        (v or b"").decode("utf-8", "replace"),
+                                        t,
+                                        p,
+                                        moff,
+                                        None if k is None else k.decode("utf-8", "replace"),
+                                        _dt.datetime.fromtimestamp(
+                                            (ts_ms or 0) / 1000.0, _dt.timezone.utc
+                                        ).replace(tzinfo=None),
+                                    )
+                                )
+                                off = moff + 1
+                    return rows
+
+                def read(self, start: dict):
+                    try:
+                        end = self._offsets(-1)
+                    except OSError:
+                        self._socks = {}
+                        return iter([]), dict(start)
+                    # carry forward partitions the metadata lost sight of
+                    for k, v in start.items():
+                        end.setdefault(k, v)
+                    # bound the batch
+                    total = sum(max(end[k] - start.get(k, 0), 0) for k in end)
+                    if total > self._max_per_batch:
+                        budget = self._max_per_batch
+                        for k in sorted(end):
+                            take = min(max(end[k] - start.get(k, 0), 0), budget)
+                            end[k] = start.get(k, 0) + take
+                            budget -= take
+                    try:
+                        rows = self._read_range(start, end)
+                    except OSError:
+                        self._socks = {}
+                        return iter([]), dict(start)
+                    return iter(rows), end
+
+                def readBetweenOffsets(self, start: dict, end: dict):
+                    return iter(self._read_range(start, end))  # deterministic replay
+
+            return KafkaSimpleStreamReader()
+
+    spark.dataSource.register(KafkaDataSource)
+
+
+def read_kafka_messages(
+    spark: SparkSession,
+    hosts: list[str],
+    topics: list[str],
+    starting_offsets: str = "latest",
+    client_id: str = "beats",
+    max_messages_per_batch: int = 10_000,
+) -> DataFrame:
+    """Streaming DataFrame over the from-scratch wire (the native
+    alternative to sources.read_kafka_lines' connector-jar path)."""
+    register_kafka_source(spark)
+    return (
+        spark.readStream.format("beats_kafka")
+        .option("hosts", ",".join(hosts))
+        .option("topics", ",".join(topics))
+        .option("startingoffsets", starting_offsets)
+        .option("clientid", client_id)
+        .option("maxmessagesperbatch", str(max_messages_per_batch))
+        .load()
+    )
