@@ -72,6 +72,9 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_SASL_HANDSHAKE = 17
+
+SASL_MECHANISMS = ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
 
 # Kafka protocol error codes (public protocol guide error table) — the
 # subset a 0.10-level client can see, named as the protocol names them.
@@ -304,16 +307,128 @@ def build_list_offsets_v1(parts: list[tuple[str, int, int]]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# SASL (RFC 4616 PLAIN, RFC 5802 SCRAM) — libbeat/common/kafka/sasl.go's
+# mechanism set, over the legacy SaslHandshake v0 flow (raw size-prefixed
+# token frames after the handshake response — the 0.10-era exchange)
+# ---------------------------------------------------------------------------
+def validate_sasl_mechanism(mechanism: str) -> str:
+    """sasl.go:37-55 ConfigureSarama's mechanism switch (upper-cased —
+    'try not to force users to use all upper case'), with Validate()'s
+    error wording."""
+    if not mechanism:
+        return ""
+    up = mechanism.upper()
+    if up not in SASL_MECHANISMS:
+        raise ValueError(
+            f"not valid SASL mechanism '{mechanism}', "
+            "only supported with PLAIN|SCRAM-SHA-512|SCRAM-SHA-256"
+        )
+    return up
+
+
+class ScramClient:
+    """RFC 5802 client for SCRAM-SHA-256 / SCRAM-SHA-512 — the same
+    exchange libbeat/common/kafka/scram.go delegates to xdg-go/scram.
+    Channel binding is 'n' (none; no TLS in this sandbox)."""
+
+    def __init__(self, username: str, password: str, algo: str, nonce: str | None = None):
+        import base64 as _b64
+        import os
+
+        self._b64 = _b64
+        self.username = username
+        self.password = password
+        self.hash_name = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}[algo]
+        self.nonce = nonce or _b64.b64encode(os.urandom(18)).decode()
+        self.client_first_bare = f"n={self._saslname(username)},r={self.nonce}"
+        self._server_signature: bytes | None = None
+
+    @staticmethod
+    def _saslname(s: str) -> str:
+        return s.replace("=", "=3D").replace(",", "=2C")
+
+    def client_first(self) -> bytes:
+        return f"n,,{self.client_first_bare}".encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import hashlib
+        import hmac as _hmac
+
+        sf = server_first.decode()
+        attrs = dict(kv.split("=", 1) for kv in sf.split(","))
+        full_nonce, salt, iters = attrs["r"], self._b64.b64decode(attrs["s"]), int(attrs["i"])
+        if not full_nonce.startswith(self.nonce):
+            raise KafkaWireError("SCRAM: server nonce does not extend the client nonce")
+        salted = hashlib.pbkdf2_hmac(self.hash_name, self.password.encode(), salt, iters)
+        client_key = _hmac.new(salted, b"Client Key", self.hash_name).digest()
+        stored_key = hashlib.new(self.hash_name, client_key).digest()
+        without_proof = f"c=biws,r={full_nonce}"
+        auth_message = f"{self.client_first_bare},{sf},{without_proof}".encode()
+        client_sig = _hmac.new(stored_key, auth_message, self.hash_name).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = _hmac.new(salted, b"Server Key", self.hash_name).digest()
+        self._server_signature = _hmac.new(server_key, auth_message, self.hash_name).digest()
+        return f"{without_proof},p={self._b64.b64encode(proof).decode()}".encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        attrs = dict(kv.split("=", 1) for kv in server_final.decode().split(","))
+        if "e" in attrs:
+            raise KafkaWireError(f"SCRAM: server error: {attrs['e']}")
+        if self._b64.b64decode(attrs["v"]) != self._server_signature:
+            raise KafkaWireError("SCRAM: server signature mismatch")
+
+
+# ---------------------------------------------------------------------------
 # blocking client
 # ---------------------------------------------------------------------------
 class KafkaClient:
     """One broker connection. client_id default = the reference's
-    (outputs/kafka/config.go:146 ClientID: "beats")."""
+    (outputs/kafka/config.go:146 ClientID: "beats"). A non-empty
+    username enables SASL exactly like newSaramaConfig
+    (config.go:277-281: `case config.Username != ""`), with the
+    mechanism from the sasl.mechanism config (default PLAIN)."""
 
-    def __init__(self, host: str, port: int, client_id: str = "beats", timeout: float = 10.0):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        client_id: str = "beats",
+        timeout: float = 10.0,
+        username: str = "",
+        password: str = "",
+        sasl_mechanism: str = "PLAIN",
+    ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._client_id = client_id
         self._corr = 0
+        if username:
+            self._authenticate(username, password, validate_sasl_mechanism(sasl_mechanism))
+
+    def _authenticate(self, username: str, password: str, mechanism: str) -> None:
+        # SaslHandshake v0: mechanism negotiation as a normal request...
+        r = self._call(API_SASL_HANDSHAKE, 0, _enc_str(mechanism))
+        err = r.int16()
+        enabled = [r.string() for _ in range(r.int32())]
+        if err != 0:
+            raise KafkaProtocolError(err, f"sasl handshake (broker offers {enabled})")
+        # ...then raw size-prefixed token frames (no Kafka header)
+        if mechanism == "PLAIN":
+            token = b"\x00" + username.encode() + b"\x00" + password.encode()
+            self._raw_token(token)  # empty frame on success; close on failure
+            return
+        scram = ScramClient(username, password, mechanism)
+        server_first = self._raw_token(scram.client_first())
+        server_final = self._raw_token(scram.client_final(server_first))
+        scram.verify_server_final(server_final)
+
+    def _raw_token(self, token: bytes) -> bytes:
+        self._sock.sendall(struct.pack(">i", len(token)) + token)
+        try:
+            hdr = self._recv_exact(4)
+        except KafkaWireError:
+            raise KafkaWireError("kafka: SASL authentication failed (connection closed)")
+        (size,) = struct.unpack(">i", hdr)
+        return self._recv_exact(size) if size > 0 else b""
 
     def close(self) -> None:
         self._sock.close()
@@ -461,6 +576,9 @@ class KafkaCluster:
         client_id: str = "beats",
         timeout: float = 10.0,
         metadata_retries: int = 3,
+        username: str = "",
+        password: str = "",
+        sasl_mechanism: str = "PLAIN",
     ):
         if not hosts:
             raise ValueError("no hosts configured")
@@ -468,6 +586,7 @@ class KafkaCluster:
         self._client_id = client_id
         self._timeout = timeout
         self._retries = metadata_retries
+        self._auth = (username, password, sasl_mechanism)
         self._conns: dict[tuple[str, int], KafkaClient] = {}
         self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
         self._bootstrap = self._connect(*self._hosts[0])
@@ -475,7 +594,11 @@ class KafkaCluster:
     def _connect(self, host: str, port: int) -> KafkaClient:
         key = (host, port)
         if key not in self._conns:
-            self._conns[key] = KafkaClient(host, port, self._client_id, self._timeout)
+            u, p, m = self._auth
+            self._conns[key] = KafkaClient(
+                host, port, self._client_id, self._timeout,
+                username=u, password=p, sasl_mechanism=m,
+            )
         return self._conns[key]
 
     def close(self) -> None:
@@ -548,6 +671,8 @@ def kafka_output_config_validate(config: dict[str, Any]) -> None:
         raise ValueError(f"compression mode '{config.get('compression')}' unknown")
     if config.get("username") and not config.get("password"):
         raise ValueError("password must be set when username is configured")
+    # sasl.mechanism validation (libbeat/common/kafka/sasl_nofips.go:29-34)
+    validate_sasl_mechanism(str(config.get("sasl", {}).get("mechanism", "") or ""))
     if compression == "gzip":
         lvl = config.get("compression_level", 4)
         if lvl != -1 and not 0 <= lvl <= 9:
@@ -583,6 +708,9 @@ def write_kafka_live(
     max_message_bytes: int | None = None,
     client_id: str = "beats",
     timeout: float = 10.0,
+    username: str = "",
+    password: str = "",
+    sasl_mechanism: str = "PLAIN",
 ) -> None:
     """Ship a serialized column to Kafka — outputs/kafka/client.go's
     publish path over df.foreachPartition (one KafkaCluster per Spark
@@ -616,7 +744,10 @@ def write_kafka_live(
         import itertools
 
         rows_iter = itertools.chain([first], it)
-        cluster = KafkaCluster(hosts, client_id=client_id, timeout=timeout)
+        cluster = KafkaCluster(
+            hosts, client_id=client_id, timeout=timeout,
+            username=username, password=password, sasl_mechanism=sasl_mechanism,
+        )
         try:
             npart: dict[str, list[int]] = {}
             pending: dict[tuple[str, int], list] = {}
@@ -707,6 +838,9 @@ def kafka_collect(
     max_messages: int = 10_000,
     expand_field: str | None = None,
     client_id: str = "beats",
+    username: str = "",
+    password: str = "",
+    sasl_mechanism: str = "PLAIN",
 ) -> DataFrame:
     """Bounded consume of every partition of `topics` → DataFrame in
     the reference input's event shape (composeEventMetadata +
@@ -721,7 +855,10 @@ def kafka_collect(
     coordinates (the shared-ack analog: one offset row fans out)."""
     from datetime import datetime, timezone
 
-    cluster = KafkaCluster(hosts, client_id=client_id)
+    cluster = KafkaCluster(
+        hosts, client_id=client_id,
+        username=username, password=password, sasl_mechanism=sasl_mechanism,
+    )
     rows = []
     try:
         for topic in topics:

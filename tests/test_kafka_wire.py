@@ -1,10 +1,12 @@
 """Kafka wire protocol + live output/input tests against a fake broker.
 
-The fake broker implements the same four APIs the client speaks
-(Metadata v0 / Produce v2 / Fetch v2 / ListOffsets v1) over an
-in-memory log, validating CRCs and leadership on the way in — so every
+The fake broker implements the same APIs the client speaks
+(Metadata v0 / Produce v2 / Fetch v2 / ListOffsets v1 / SaslHandshake
+v0 with full PLAIN + SCRAM server sides) over an in-memory log,
+validating CRCs, leadership, and credentials on the way in — so every
 test here exercises the REAL wire bytes in both directions, the
-fake-RESP-server / fake-MQTT-broker methodology."""
+fake-RESP-server / fake-MQTT-broker methodology. The SCRAM client is
+additionally pinned to RFC 7677's published SCRAM-SHA-256 exchange."""
 
 from __future__ import annotations
 
@@ -47,6 +49,7 @@ class FakeClusterState:
         self.leaders: dict[tuple[str, int], int] = {}
         self.refused: set[str] = set()
         self.partitions_per_topic = 1
+        self.sasl_users: dict[str, str] | None = None  # None = auth disabled
 
     def ensure_topic(self, topic: str):
         with self.lock:
@@ -63,6 +66,9 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
         state: FakeClusterState = self.server.state  # type: ignore[attr-defined]
         node_id: int = self.server.node_id  # type: ignore[attr-defined]
         buf = b""
+        self._authed = state.sasl_users is None
+        self._sasl_mech: str | None = None
+        self._scram: dict | None = None
         while True:
             try:
                 while len(buf) < 4:
@@ -79,15 +85,99 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                 payload, buf = buf[4 : 4 + size], buf[4 + size :]
             except OSError:
                 return
+            if self._sasl_mech is not None and not self._authed:
+                # handshake v0: raw size-prefixed token frames, no header
+                reply = self._sasl_step(state, payload)
+                if reply is None:
+                    return  # auth failure: broker closes the connection
+                self.request.sendall(struct.pack(">i", len(reply)) + reply)
+                continue
             r = _Reader(payload)
             api_key, api_version, corr = r.int16(), r.int16(), r.int32()
             client_id = r.string()
             self.server.seen_client_ids.append(client_id)  # type: ignore[attr-defined]
-            body = self._dispatch(state, node_id, api_key, api_version, r)
+            if api_key == 17:  # SaslHandshake v0
+                mech = r.string()
+                mechs = [b"PLAIN", b"SCRAM-SHA-256", b"SCRAM-SHA-512"]
+                ok = mech in ("PLAIN", "SCRAM-SHA-256", "SCRAM-SHA-512")
+                body = struct.pack(">hi", 0 if ok else 33, len(mechs))
+                for m in mechs:
+                    body += struct.pack(">h", len(m)) + m
+                if ok:
+                    self._sasl_mech = mech
+            elif not self._authed:
+                return  # request before auth: close, like a real broker
+            else:
+                body = self._dispatch(state, node_id, api_key, api_version, r)
             if body is None:
                 continue  # acks=0 produce: no response frame
             resp = struct.pack(">i", corr) + body
             self.request.sendall(struct.pack(">i", len(resp)) + resp)
+
+    def _sasl_step(self, state, token: bytes) -> bytes | None:
+        """Server side of PLAIN / SCRAM. Returns the reply token, or
+        None to refuse (connection close)."""
+        import base64
+        import hashlib
+        import hmac
+
+        users = state.sasl_users or {}
+        if self._sasl_mech == "PLAIN":
+            parts = token.split(b"\x00")
+            if len(parts) != 3:
+                return None
+            _authz, user, pw = (p.decode() for p in parts)
+            if users.get(user) != pw:
+                return None
+            self._authed = True
+            return b""
+        algo = {"SCRAM-SHA-256": "sha256", "SCRAM-SHA-512": "sha512"}[self._sasl_mech]
+        if self._scram is None:
+            # client-first: "n,,n=<user>,r=<cnonce>"
+            text = token.decode()
+            if not text.startswith("n,,"):
+                return None
+            bare = text[3:]
+            attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+            user = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+            if user not in users:
+                return None
+            salt, iters = b"fake-broker-salt", 4096
+            snonce = attrs["r"] + "srvnonce"
+            server_first = (
+                f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+            )
+            salted = hashlib.pbkdf2_hmac(algo, users[user].encode(), salt, iters)
+            self._scram = {
+                "bare": bare,
+                "server_first": server_first,
+                "nonce": snonce,
+                "salted": salted,
+                "algo": algo,
+            }
+            return server_first.encode()
+        # client-final: "c=biws,r=<nonce>,p=<proof>"
+        s = self._scram
+        text = token.decode()
+        without_proof, _, proof_b64 = text.rpartition(",p=")
+        attrs = dict(kv.split("=", 1) for kv in without_proof.split(","))
+        if attrs.get("r") != s["nonce"]:
+            return None
+        auth_message = f"{s['bare']},{s['server_first']},{without_proof}".encode()
+        client_key_len = hashlib.new(s["algo"]).digest_size
+        client_key = hmac.new(s["salted"], b"Client Key", s["algo"]).digest()
+        stored_key = hashlib.new(s["algo"], client_key).digest()
+        client_sig = hmac.new(stored_key, auth_message, s["algo"]).digest()
+        proof = base64.b64decode(proof_b64)
+        if len(proof) != client_key_len:
+            return None
+        recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if hashlib.new(s["algo"], recovered).digest() != stored_key:
+            return None
+        server_key = hmac.new(s["salted"], b"Server Key", s["algo"]).digest()
+        server_sig = hmac.new(server_key, auth_message, s["algo"]).digest()
+        self._authed = True
+        return b"v=" + base64.b64encode(server_sig)
 
     def _dispatch(self, state, node_id, api_key, api_version, r):
         if api_key == 3:  # Metadata v0
@@ -566,3 +656,128 @@ def test_streaming_kafka_source(broker, spark, tmp_path):
             q.stop()
     finally:
         c.close()
+
+
+# ---------------------------------------------------------------------------
+# SASL (newSaramaConfig's `case config.Username != ""` path)
+# ---------------------------------------------------------------------------
+def test_sasl_plain_round_trip():
+    state = FakeClusterState()
+    state.sasl_users = {"beats_user": "s3cret"}
+    b = FakeBroker(state, node_id=0)
+    try:
+        c = KafkaClient(
+            "127.0.0.1", b.server_address[1], username="beats_user", password="s3cret"
+        )
+        try:
+            c.produce("auth-topic", 0, [(None, b"v", 1)], compression="none")
+            assert c.fetch("auth-topic", 0, 0)[1] == [(0, None, b"v", 1)]
+        finally:
+            c.close()
+    finally:
+        b.stop()
+
+
+def test_sasl_plain_bad_password_refused():
+    state = FakeClusterState()
+    state.sasl_users = {"beats_user": "s3cret"}
+    b = FakeBroker(state, node_id=0)
+    try:
+        with pytest.raises(KafkaWireError, match="SASL authentication failed"):
+            KafkaClient(
+                "127.0.0.1", b.server_address[1], username="beats_user", password="wrong"
+            )
+    finally:
+        b.stop()
+
+
+@pytest.mark.parametrize("mech", ["SCRAM-SHA-256", "SCRAM-SHA-512"])
+def test_sasl_scram_round_trip(mech):
+    state = FakeClusterState()
+    state.sasl_users = {"alice": "wonder,land=x"}  # exercises saslname escaping
+    b = FakeBroker(state, node_id=0)
+    try:
+        c = KafkaClient(
+            "127.0.0.1",
+            b.server_address[1],
+            username="alice",
+            password="wonder,land=x",
+            sasl_mechanism=mech,
+        )
+        try:
+            c.produce("scram-topic", 0, [(b"k", b"v", 9)], compression="gzip")
+            assert c.fetch("scram-topic", 0, 0)[1] == [(0, b"k", b"v", 9)]
+        finally:
+            c.close()
+    finally:
+        b.stop()
+
+
+def test_sasl_scram_bad_password_refused():
+    state = FakeClusterState()
+    state.sasl_users = {"alice": "right"}
+    b = FakeBroker(state, node_id=0)
+    try:
+        with pytest.raises(KafkaWireError, match="SASL authentication failed"):
+            KafkaClient(
+                "127.0.0.1",
+                b.server_address[1],
+                username="alice",
+                password="wrong",
+                sasl_mechanism="SCRAM-SHA-256",
+            )
+    finally:
+        b.stop()
+
+
+def test_unauthenticated_request_refused_when_sasl_required():
+    state = FakeClusterState()
+    state.sasl_users = {"u": "p"}
+    b = FakeBroker(state, node_id=0)
+    try:
+        c = KafkaClient("127.0.0.1", b.server_address[1])  # skips auth
+        try:
+            with pytest.raises(KafkaWireError, match="connection closed"):
+                c.metadata(["t"])
+        finally:
+            c.close()
+    finally:
+        b.stop()
+
+
+def test_scram_client_rfc7677_golden_vector():
+    """RFC 7677 §3's SCRAM-SHA-256 example, byte-for-byte — the
+    strongest cross-implementation oracle for the client side."""
+    from beats_spark.kafka_wire import ScramClient
+
+    c = ScramClient("user", "pencil", "SCRAM-SHA-256", nonce="rOprNGfwEbeRWgbNEkqO")
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    assert c.client_final(server_first) == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # the RFC's server-final verifies; a tampered signature does not
+    c.verify_server_final(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    with pytest.raises(KafkaWireError, match="server signature mismatch"):
+        c.verify_server_final(b"v=AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=")
+
+
+def test_sasl_mechanism_validation_wording():
+    from beats_spark.kafka_wire import validate_sasl_mechanism
+
+    assert validate_sasl_mechanism("scram-sha-256") == "SCRAM-SHA-256"  # case folded
+    assert validate_sasl_mechanism("") == ""
+    with pytest.raises(
+        ValueError,
+        match=r"not valid SASL mechanism 'GSSAPI', "
+        r"only supported with PLAIN\|SCRAM-SHA-512\|SCRAM-SHA-256",
+    ):
+        validate_sasl_mechanism("GSSAPI")
+    with pytest.raises(ValueError, match="not valid SASL mechanism"):
+        kafka_output_config_validate(
+            {"hosts": ["h:9092"], "topic": "t", "sasl": {"mechanism": "OAUTHBEARER"}}
+        )
