@@ -219,3 +219,21 @@ def _parsers_builder(parsers=None, **common):
 
 
 REGISTRY["parsers"] = _parsers_builder
+
+
+def _auditd_builder(**cfg):
+    """auditd log-line parse ({"auditd": {"field": "message"}}) —
+    reader/auditd golden-corpus parity, see processors/auditd.py."""
+    from .auditd import auditd_parse
+
+    field = cfg.pop("field", "message")
+    if cfg and set(cfg) - {"log_errors", "add_error_key"}:
+        raise ValueError(f"auditd: unsupported option(s) {sorted(set(cfg) - {'log_errors', 'add_error_key'})}")
+
+    def stage(df):
+        return auditd_parse(df, field=field)
+
+    return stage
+
+
+REGISTRY["auditd"] = _auditd_builder

@@ -10,8 +10,9 @@ resolved on the driver before any job runs.
 
 Name registry (parser.go switch): multiline, ndjson, container, syslog,
 include_message, auditd. Unknown → "no such parser" (ErrNoSuchParser).
-auditd is a loud unsupported error here (its reader is filebeat-module
-machinery out of SURVEY scope).
+auditd (r5) dispatches to processors/auditd.py — the audit-log grammar
+implemented from the public format and pinned to the reference reader's
+own 153-record golden corpus.
 
 Multiline dispatch (multiline_config.go:28-103): type '' / 'pattern' →
 multiline_pattern (match must be 'after'/'before', pattern required —
@@ -278,10 +279,13 @@ def parsers_chain(
                 raise ValueError("include_message.patterns: missing required field")
             stages.append(build("include_message", patterns=list(pats), field=text_col))
         elif name == "auditd":
-            raise ValueError(
-                "auditd: parser not supported by this engine (filebeat-module reader "
-                "outside SURVEY scope)"
-            )
+            # reader/auditd/config.go: log_errors (inert here — no logger
+            # surface) + add_error_key; implemented r5 from the public
+            # audit-log format, golden-pinned to the reference corpus
+            _only(cfg, {"log_errors", "add_error_key"}, "auditd")
+            from .auditd import auditd_parse
+
+            stages.append(lambda df: auditd_parse(df, field=text_col))
         else:
             raise ValueError(f"{name}: no such parser")
     return ParsersConfig(stages, suffix)

@@ -84,9 +84,14 @@ def test_include_message_requires_patterns():
         parsers_chain([{"include_message": {}}])
 
 
-def test_auditd_is_a_loud_config_error():
+def test_auditd_accepted_with_reader_config_surface():
+    # r5: auditd graduated from a loud unsupported error to a real
+    # parser (processors/auditd.py, reader/auditd golden-corpus
+    # parity); config.go's knobs accepted, unknown keys still refused
+    parsers_chain([{"auditd": {}}])
+    parsers_chain([{"auditd": {"log_errors": False, "add_error_key": True}}])
     with pytest.raises(ValueError, match="auditd"):
-        parsers_chain([{"auditd": {}}])
+        parsers_chain([{"auditd": {"stream": "stdout"}}])
 
 
 def test_multiline_timeout_durations():
