@@ -1,0 +1,567 @@
+"""Elasticsearch index-template generation — the ES setup phase.
+
+libbeat/template builds the index template every beat installs on
+startup: fields.yml definitions → ES mapping properties + dynamic
+templates + index settings. This module ports that surface so the
+setup story around the live es_output is complete (es_index_selector
+already carries the idxmgmt selection rules; this is the template the
+selected indices match).
+
+Reference anchors:
+  * processor.go:66-175 Process — per-type builders (ip, scaled_float,
+    half_float, integer→long, text, match_only_text, wildcard, keyword,
+    object, array, alias, histogram, nested, group, other), version
+    gates (7.6 field meta + histogram, 7.9 wildcard, 7.13 explicit
+    dynamic templates, 7.14 match_only_text), default_field collection,
+    analyzer consistency check;
+  * processor.go:408-456 object → dynamic templates (path_match '*'
+    rule, multi-param name suffixing, ordered dedup);
+  * template.go:61-145 New (fmtstr name/pattern over beat/agent/
+    observer, pattern = name + '*', esVersion fallback to beatVersion);
+  * template.go:230-351 Generate/buildMappings/buildDynTmpl/
+    buildIdxSettings (strings_as_keyword, total-fields limit 12500,
+    query.default_field + 'fields.*', serverless deletions,
+    DeepUpdate of user settings) and LoadMinimal;
+  * config.go DefaultConfig (priority 150);
+  * mapping/field.go:327-333 GenerateKey ('a.b' → 'a.properties.b').
+
+Everything here is driver-side setup tooling (one JSON body per beat,
+not per event) — plain Python by design, no Spark job involved.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+DEFAULT_FIELD = False  # processor.go:32 DefaultField
+DEFAULT_SCALING_FACTOR = 1000
+DEFAULT_IGNORE_ABOVE = 1024
+DEFAULT_TOTAL_FIELDS_LIMIT = 12500
+DEFAULT_MAX_DOCVALUE_FIELDS_SEARCH = 200
+DEFAULT_PRIORITY = 150  # config.go DefaultConfig
+
+MIN_VERSION_FIELD_META = (7, 6, 0)
+MIN_VERSION_HISTOGRAM = (7, 6, 0)
+MIN_VERSION_WILDCARD = (7, 9, 0)
+MIN_VERSION_EXPLICIT_DYNAMIC_TEMPLATE = (7, 13, 0)
+MIN_VERSION_MATCH_ONLY_TEXT = (7, 14, 0)
+
+
+def parse_version(v: str) -> tuple[int, int, int]:
+    m = re.match(r"^(\d+)\.(\d+)(?:\.(\d+))?", v or "")
+    if not m:
+        raise ValueError(f"invalid version {v!r}")
+    return int(m.group(1)), int(m.group(2)), int(m.group(3) or 0)
+
+
+def generate_key(key: str) -> str:
+    """mapping/field.go GenerateKey: dots nest through .properties."""
+    if "." in key:
+        head, rest = key.split(".", 1)
+        return head + ".properties." + generate_key(rest)
+    return key
+
+
+def _put(d: dict, dotted: str, value: Any) -> None:
+    """mapstr.Put: dotted path creates intermediate maps."""
+    parts = dotted.split(".")
+    for p in parts[:-1]:
+        nxt = d.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            d[p] = nxt
+        d = nxt
+    d[parts[-1]] = value
+
+
+def _get(d: dict, dotted: str) -> Any:
+    for p in dotted.split("."):
+        if not isinstance(d, dict) or p not in d:
+            raise KeyError(dotted)
+        d = d[p]
+    return d
+
+
+def _deep_update(dst: dict, src: dict) -> None:
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_update(dst[k], v)
+        else:
+            dst[k] = v
+
+
+def _analyzer(v: Any) -> tuple[str, Any]:
+    """mapping.Analyzer.Unpack: a bare name string or a one-key map of
+    name → definition."""
+    if v is None or v == "":
+        return "", None
+    if isinstance(v, str):
+        return v, None
+    if isinstance(v, dict) and len(v) == 1:
+        ((name, definition),) = v.items()
+        return name, definition
+    raise ValueError(f"'{v}' is invalid analyzer setting")
+
+
+class TemplateProcessor:
+    """processor.go Processor. `process(fields, state, output,
+    analyzers)` mutates output/analyzers and collects
+    `dynamic_templates` + `default_fields` on the instance."""
+
+    def __init__(
+        self,
+        es_version: str = "8.0.0",
+        migration: bool = False,
+        elastic_licensed: bool = False,
+    ):
+        self.es_version = parse_version(es_version)
+        self.migration = migration
+        self.elastic_licensed = elastic_licensed
+        self.dynamic_templates: list[dict] = []
+        self._dynamic_seen: set[tuple[str, str, str]] = set()
+        self.default_fields: list[str] = []
+
+    # -- entry point -------------------------------------------------------
+    def process(
+        self,
+        fields: list[dict],
+        state: dict | None,
+        output: dict,
+        analyzers: dict,
+    ) -> None:
+        if state is None:
+            state = {"default_field": DEFAULT_FIELD, "path": ""}
+        for raw in fields:
+            f = dict(raw)
+            if not f.get("name"):
+                continue
+            f["_path"] = state["path"]
+            if f.get("default_field") is None:
+                f["default_field"] = state["default_field"]
+            ftype = f.get("type", "")
+            analyzer = search_analyzer = ("", None)
+
+            if ftype == "ip":
+                mapping = self._simple(f, "ip")
+            elif ftype == "scaled_float":
+                mapping = self._scaled_float(f)
+            elif ftype == "half_float":
+                mapping = self._simple(f, "half_float")
+            elif ftype == "integer":
+                mapping = self._simple(f, "long")
+            elif ftype == "text":
+                mapping, analyzer, search_analyzer = self._text(f, analyzers)
+            elif ftype == "match_only_text":
+                if not self.elastic_licensed or self.es_version < MIN_VERSION_MATCH_ONLY_TEXT:
+                    mapping, analyzer, search_analyzer = self._text(f, analyzers)
+                else:
+                    mapping, analyzer, search_analyzer = self._match_only_text(f, analyzers)
+            elif ftype == "wildcard":
+                if not self.elastic_licensed or self.es_version < MIN_VERSION_WILDCARD:
+                    mapping = self._keyword(f, analyzers)
+                else:
+                    mapping = self._wildcard(f, analyzers)
+            elif ftype in ("", "keyword"):
+                mapping = self._keyword(f, analyzers)
+            elif ftype == "object":
+                mapping = self._object(f)
+            elif ftype == "array":
+                mapping = self._array(f)
+            elif ftype == "alias":
+                mapping = self._alias(f)
+            elif ftype == "histogram":
+                mapping = self._histogram(f)
+            elif ftype == "nested":
+                mapping = self._group(f, output, analyzers)
+                if mapping is not None:
+                    mapping["type"] = "nested"
+            elif ftype == "group":
+                mapping = self._group(f, output, analyzers)
+            else:
+                mapping = self._other(f)
+
+            if f["default_field"] and ftype in ("", "keyword", "text", "match_only_text", "wildcard"):
+                self._add_default_field(f)
+
+            if mapping:
+                if f.get("dynamic_template"):
+                    # explicit dynamic templates: ES >= 7.13 only
+                    if self.es_version >= MIN_VERSION_EXPLICIT_DYNAMIC_TEMPLATE:
+                        self._add_dynamic_template(f["name"], "", "", mapping)
+                else:
+                    _put(output, generate_key(f["name"]), mapping)
+
+            for name, definition in (analyzer, search_analyzer):
+                if definition is not None:
+                    prev = analyzers.get(name)
+                    if prev is not None and prev != definition:
+                        raise ValueError(
+                            f'inconsistent definitions for analyzers with the name "{name}"'
+                        )
+                    analyzers[name] = definition
+
+    # -- field-state helpers -----------------------------------------------
+    def _add_default_field(self, f: dict) -> None:
+        full = f["name"] if not f.get("_path") else f["_path"] + "." + f["name"]
+        if f.get("index") is None or f.get("index"):
+            self.default_fields.append(full)
+
+    @staticmethod
+    def _state_from(f: dict) -> dict:
+        path = f.get("name", "") if not f.get("_path") else f["_path"] + "." + f.get("name", "")
+        df = f.get("default_field")
+        return {"default_field": DEFAULT_FIELD if df is None else df, "path": path}
+
+    # -- per-type builders ---------------------------------------------------
+    def _defaults(self, f: dict) -> dict:
+        prop: dict = {}
+        if f.get("index") is not None:
+            prop["index"] = f["index"]
+        if f.get("doc_values") is not None:
+            prop["doc_values"] = f["doc_values"]
+        if f.get("copy_to"):
+            prop["copy_to"] = f["copy_to"]
+        if self.es_version >= MIN_VERSION_FIELD_META:
+            meta = {}
+            if f.get("metric_type"):
+                meta["metric_type"] = f["metric_type"]
+            if f.get("unit"):
+                meta["unit"] = f["unit"]
+            if meta:
+                prop["meta"] = meta
+        return prop
+
+    def _simple(self, f: dict, es_type: str) -> dict:
+        prop = self._defaults(f)
+        prop["type"] = es_type
+        return prop
+
+    def _other(self, f: dict) -> dict:
+        prop = self._defaults(f)
+        if f.get("type"):
+            prop["type"] = f["type"]
+        return prop
+
+    def _scaled_float(self, f: dict, override: int | None = None) -> dict:
+        prop = self._defaults(f)
+        prop["type"] = "scaled_float"
+        factor = DEFAULT_SCALING_FACTOR
+        if f.get("scaling_factor") and not f.get("object_type_params"):
+            factor = f["scaling_factor"]
+        if override:
+            factor = override
+        prop["scaling_factor"] = factor
+        return prop
+
+    def _keyword(self, f: dict, analyzers: dict) -> dict:
+        prop = self._defaults(f)
+        prop["type"] = "keyword"
+        ia = f.get("ignore_above", 0)
+        if ia == 0:
+            prop["ignore_above"] = DEFAULT_IGNORE_ABOVE
+        elif ia != -1:
+            prop["ignore_above"] = ia
+        self._multi_fields(f, prop, analyzers)
+        return prop
+
+    def _wildcard(self, f: dict, analyzers: dict) -> dict:
+        prop = self._defaults(f)
+        prop["type"] = "wildcard"
+        # no forced ignore_above default (processor.go:318-326)
+        if f.get("ignore_above", 0) > 0:
+            prop["ignore_above"] = f["ignore_above"]
+        self._multi_fields(f, prop, analyzers)
+        return prop
+
+    def _text(self, f: dict, analyzers: dict):
+        prop = self._defaults(f)
+        prop["type"] = "text"
+        if not f.get("norms"):
+            prop["norms"] = False
+        aname, adef = _analyzer(f.get("analyzer"))
+        sname, sdef = _analyzer(f.get("search_analyzer"))
+        if aname:
+            prop["analyzer"] = aname
+        if sname:
+            prop["search_analyzer"] = sname
+        self._multi_fields(f, prop, analyzers)
+        return prop, (aname, adef), (sname, sdef)
+
+    def _match_only_text(self, f: dict, analyzers: dict):
+        prop = self._defaults(f)
+        prop["type"] = "match_only_text"
+        aname, adef = _analyzer(f.get("analyzer"))
+        sname, sdef = _analyzer(f.get("search_analyzer"))
+        if aname:
+            prop["analyzer"] = aname
+        if sname:
+            prop["search_analyzer"] = sname
+        if f.get("multi_fields"):
+            sub: dict = {}
+            self.process(f["multi_fields"], None, sub, analyzers)
+            prop["fields"] = sub
+        return prop, (aname, adef), (sname, sdef)
+
+    def _multi_fields(self, f: dict, prop: dict, analyzers: dict) -> None:
+        if f.get("multi_fields"):
+            sub: dict = {}
+            self.process(f["multi_fields"], self._state_from(f), sub, analyzers)
+            prop["fields"] = sub
+
+    def _array(self, f: dict) -> dict:
+        prop = self._defaults(f)
+        if f.get("object_type"):
+            prop["type"] = f["object_type"]
+        return prop
+
+    def _alias(self, f: dict) -> dict | None:
+        if not self.migration and f.get("migration"):
+            return None
+        prop = self._defaults(f)
+        prop["type"] = "alias"
+        prop["path"] = f.get("alias_path") or f.get("path") or ""
+        return prop
+
+    def _histogram(self, f: dict) -> dict | None:
+        if self.es_version < MIN_VERSION_HISTOGRAM:
+            return None
+        prop = self._defaults(f)
+        prop["type"] = "histogram"
+        return prop
+
+    def _group(self, f: dict, output: dict, analyzers: dict) -> dict:
+        mapping: dict = {}
+        if f.get("dynamic") is not None:
+            mapping["dynamic"] = f["dynamic"]
+        # combine with previous same-named group definitions
+        key = generate_key(f["name"]) + ".properties"
+        try:
+            properties = _get(output, key)
+        except KeyError:
+            properties = {}
+        state = {
+            "path": f["name"] if not f.get("_path") else f["_path"] + "." + f["name"],
+            "default_field": f["default_field"],
+        }
+        self.process(f.get("fields") or [], state, properties, analyzers)
+        if properties:
+            mapping["properties"] = properties
+        return mapping
+
+    def _object(self, f: dict) -> dict:
+        ot_params = f.get("object_type_params") or [
+            {
+                "object_type": f.get("object_type", ""),
+                "object_type_mapping_type": f.get("object_type_mapping_type", ""),
+                "scaling_factor": f.get("scaling_factor", 0),
+            }
+        ]
+        for otp in ot_params:
+            ot = otp.get("object_type", "")
+            mt = otp.get("object_type_mapping_type", "")
+            dyn = self._defaults(f)
+            if ot == "scaled_float":
+                dyn = self._scaled_float(f, override=otp.get("scaling_factor") or None)
+                matching = mt or "*"
+            elif ot == "text":
+                dyn["type"] = "text"
+                matching = mt or "string"
+            elif ot == "keyword":
+                dyn["type"] = ot
+                matching = mt or "string"
+            elif ot in ("byte", "double", "float", "long", "short", "boolean"):
+                dyn["type"] = ot
+                matching = mt or ot
+            elif ot == "histogram":
+                dyn["type"] = ot
+                matching = mt or "*"
+            else:
+                continue
+            path = (f["_path"] + "." if f.get("_path") else "") + f["name"]
+            path_match = path if "*" in path else path + ".*"
+            if len(ot_params) > 1:
+                path = f"{path}_{matching}"
+            self._add_dynamic_template(path, path_match, matching, dyn)
+
+        prop = self._defaults(f)
+        prop["type"] = "object"
+        if f.get("enabled") is not None:
+            prop["enabled"] = f["enabled"]
+        if f.get("dynamic") is not None:
+            prop["dynamic"] = f["dynamic"]
+        return prop
+
+    def _add_dynamic_template(self, name: str, path_match: str, match_type: str, mapping: dict) -> None:
+        key = (name, path_match, match_type)
+        if key in self._dynamic_seen:
+            return
+        self._dynamic_seen.add(key)
+        body: dict = {"mapping": mapping}
+        if match_type:
+            body["match_mapping_type"] = match_type
+        if path_match:
+            body["path_match"] = path_match
+        self.dynamic_templates.append({name: body})
+
+
+# ---------------------------------------------------------------------------
+# fields.yml loading
+# ---------------------------------------------------------------------------
+def load_fields_yaml(data: str | bytes) -> list[dict]:
+    """template.go loadYamlByte: the file is a list of keys, each with
+    a `fields:` list — concatenated into one field list."""
+    import yaml
+
+    keys = yaml.safe_load(data) or []
+    fields: list[dict] = []
+    for key in keys:
+        fields.extend(key.get("fields") or [])
+    return fields
+
+
+# ---------------------------------------------------------------------------
+# template body
+# ---------------------------------------------------------------------------
+def _fmt_event_refs(s: str, event: dict) -> str:
+    """The %{[a][b]} subset of fmtstr the template name/pattern uses
+    (template.go:92-125 compiles against a beat/agent/observer event)."""
+
+    def sub(m: re.Match) -> str:
+        cur: Any = event
+        for part in re.findall(r"\[([^\]]+)\]", m.group(1)):
+            if not isinstance(cur, dict) or part not in cur:
+                raise ValueError(f"key not found: {m.group(0)}")
+            cur = cur[part]
+        return str(cur)
+
+    return re.sub(r"%\{((?:\[[^\]]+\])+)\}", sub, s)
+
+
+class EsTemplate:
+    """template.go Template: holds naming + config, generates the
+    composable index-template body."""
+
+    def __init__(
+        self,
+        beat_version: str,
+        beat_name: str,
+        es_version: str = "",
+        config: dict | None = None,
+        migration: bool = False,
+        elastic_licensed: bool = False,
+        is_serverless: bool = False,
+    ):
+        parse_version(beat_version)  # validates
+        config = dict(config or {})
+        name = config.get("name") or f"{beat_name}-{beat_version}"
+        pattern = config.get("pattern") or name + "*"
+        event = {
+            k: {"name": beat_name, "version": beat_version}
+            for k in ("beat", "agent", "observer")
+        }
+        self.name = _fmt_event_refs(name, event)
+        self.pattern = _fmt_event_refs(pattern, event)
+        self.beat_version = beat_version
+        self.beat_name = beat_name
+        self.es_version = es_version or beat_version
+        self.config = config
+        self.migration = migration
+        self.elastic_licensed = elastic_licensed
+        self.is_serverless = is_serverless
+        self.priority = config.get("priority", DEFAULT_PRIORITY)
+
+    def load(self, fields: list[dict]) -> dict:
+        if self.config.get("append_fields"):
+            fields = list(fields) + list(self.config["append_fields"])
+        properties: dict = {}
+        analyzers: dict = {}
+        p = TemplateProcessor(
+            es_version=self.es_version,
+            migration=self.migration,
+            elastic_licensed=self.elastic_licensed,
+        )
+        p.process(fields, None, properties, analyzers)
+        return self.generate(properties, analyzers, p.dynamic_templates, p.default_fields)
+
+    def load_yaml(self, data: str | bytes) -> dict:
+        return self.load(load_fields_yaml(data))
+
+    def generate(
+        self,
+        properties: dict,
+        analyzers: dict,
+        dynamic_templates: list[dict],
+        default_fields: list[str],
+    ) -> dict:
+        settings = dict(self.config.get("settings") or {})
+        tmpl: dict = {
+            "template": {
+                "mappings": self._mappings(
+                    properties,
+                    list(dynamic_templates) + [_strings_as_keyword()],
+                    settings.get("_source") or {},
+                ),
+                "settings": {
+                    "index": self._index_settings(dict(settings.get("index") or {}), default_fields)
+                },
+            },
+            "data_stream": {},
+            "priority": self.priority,
+            "index_patterns": [self.pattern],
+        }
+        if settings.get("lifecycle"):
+            tmpl["template"]["lifecycle"] = settings["lifecycle"]
+        if analyzers:
+            _put(tmpl, "template.settings.analysis.analyzer", analyzers)
+        return tmpl
+
+    def load_minimal(self) -> dict:
+        """template.go LoadMinimal: settings-only body."""
+        settings = dict(self.config.get("settings") or {})
+        index = dict(settings.get("index") or {})
+        templ: dict = {}
+        if settings.get("_source"):
+            templ["mappings"] = self._mappings(None, None, settings["_source"])
+        if self.is_serverless:
+            index.pop("number_of_shards", None)
+        templ["settings"] = {"index": index}
+        return {
+            "template": templ,
+            "data_stream": {},
+            "priority": self.priority,
+            "index_patterns": [self.pattern],
+        }
+
+    def _mappings(self, properties: dict | None, dyn_tmpls: list | None, source: dict) -> dict:
+        mapping: dict = {
+            "_meta": {"version": self.beat_version, "beat": self.beat_name},
+            "date_detection": False,
+            "dynamic_templates": dyn_tmpls,
+            "properties": properties,
+        }
+        if source:
+            mapping["_source"] = source
+        return mapping
+
+    def _index_settings(self, user: dict, default_fields: list[str]) -> dict:
+        idx: dict = {
+            "refresh_interval": "5s",
+            "mapping": {"total_fields": {"limit": DEFAULT_TOTAL_FIELDS_LIMIT}},
+            "query": {"default_field": list(default_fields) + ["fields.*"]},
+        }
+        if self.is_serverless:
+            user.pop("number_of_shards", None)
+        else:
+            idx["max_docvalue_fields_search"] = DEFAULT_MAX_DOCVALUE_FIELDS_SEARCH
+        _deep_update(idx, user)
+        return idx
+
+
+def _strings_as_keyword() -> dict:
+    return {
+        "strings_as_keyword": {
+            "mapping": {"ignore_above": 1024, "type": "keyword"},
+            "match_mapping_type": "string",
+        }
+    }
