@@ -1,0 +1,293 @@
+"""ES setup phase — index-template install + ILM/DSL lifecycle policies.
+
+The beat's `setup` command composes three installs against the ES
+cluster: the index template (libbeat/template/load.go ESLoader), the
+lifecycle policy (libbeat/idxmgmt/lifecycle — ILM on stateful, DSL on
+serverless), and the data stream. This module is that surface over the
+live `ESConnection` from es_output.py and the template body from
+es_template.py.
+
+Reference anchors:
+  * lifecycle/es_client_handler.go:42-122 NewESClientHandler — the
+    three mode-validation errors (wording verbatim), per-connection
+    defaults (ILM stateful / DSL serverless), policy-name fmtstr over
+    beat info, put paths `/_ilm/policy/<name>` vs
+    `/_data_stream/<name>/_lifecycle`;
+  * lifecycle/standard_manager.go:90-128 EnsurePolicy — check_exists
+    gate, overwrite OR-ing, exists-skip;
+  * lifecycle/es_client_handler.go:144-179 HasPolicy (404 = no) +
+    CreatePolicyFromConfig's second overwrite guard;
+  * lifecycle/client_handler.go:78-114 checkILMEnabled version gate +
+    createPolicy (policy_file overrides the default body);
+  * lifecycle/config.go DefaultILMPolicy (hot rollover 50gb/30d) and
+    DefaultDSLPolicy (data_retention 7d);
+  * template/load.go:104-175 ESLoader.Load — HEAD exists check,
+    exists && !overwrite skip, PUT `/_index_template/<name>`, then the
+    data-stream step: existing data streams are NEVER overwritten
+    (backing indices!), serverless updates the lifecycle in place,
+    missing ones are PUT.
+
+Driver-side setup tooling like es_template.py — one round of idempotent
+HTTP calls per beat, no Spark job.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any
+
+from .es_output import ESConnection, ESProtocolError, es_ping
+
+ES_ILM_PATH = "/_ilm/policy"
+ES_MIN_DEFAULT_ILM_VERSION = (7, 0)  # client_handler.go esMinDefaultILMVersion
+
+# config.go DefaultILMPolicy / DefaultDSLPolicy
+DEFAULT_ILM_POLICY: dict[str, Any] = {
+    "policy": {
+        "phases": {
+            "hot": {
+                "actions": {
+                    "rollover": {"max_primary_shard_size": "50gb", "max_age": "30d"}
+                }
+            }
+        }
+    }
+}
+DEFAULT_DSL_POLICY: dict[str, Any] = {"data_retention": "7d"}
+
+
+def apply_static_fmtstr(fmt: str, beat_name: str, beat_version: str) -> str:
+    """lifecycle.ApplyStaticFmtstr: %{[beat.name]} / %{[beat.version]}
+    refs over FieldsForBeat (dotted keys traverse)."""
+    fields: dict[str, Any] = {"beat": {"name": beat_name, "version": beat_version}}
+
+    def sub(m: re.Match) -> str:
+        cur: Any = fields
+        for group in re.findall(r"\[([^\]]+)\]", m.group(1)):
+            for part in group.split("."):
+                if not isinstance(cur, dict) or part not in cur:
+                    raise ValueError(f"key not found: {m.group(0)}")
+                cur = cur[part]
+        return str(cur)
+
+    return re.sub(r"%\{((?:\[[^\]]+\])+)\}", sub, fmt)
+
+
+class LifecycleHandler:
+    """lifecycle.ESClientHandler + stdManager in one: resolves the
+    mode from the connection flavor, validates, and installs."""
+
+    def __init__(
+        self,
+        conn: ESConnection,
+        beat_name: str,
+        beat_version: str,
+        ilm: dict[str, Any] | None = None,
+        dsl: dict[str, Any] | None = None,
+        template_name: str = "",
+        serverless: bool | None = None,
+        es_version: tuple[int, int] | None = None,
+    ):
+        self.conn = conn
+        if serverless is None or es_version is None:
+            info = es_ping(conn)
+            serverless = info["flavor"] == "serverless" if serverless is None else serverless
+            es_version = info["version"] if es_version is None else es_version
+        self.serverless = serverless
+        self.es_version = es_version
+
+        ilm_set = ilm is not None
+        dsl_set = dsl is not None
+        ilm = dict(ilm or {})
+        dsl = dict(dsl or {})
+        # NewESClientHandler's three mode checks, wording verbatim.
+        # A present section without an explicit `enabled` counts as
+        # enabled (config.C.Enabled() semantics); an absent one as not.
+        ilm_enabled = ilm.get("enabled", ilm_set)
+        dsl_enabled = dsl.get("enabled", dsl_set)
+        if not dsl_enabled and ilm_enabled and serverless:
+            raise ValueError(
+                f"ILM is enabled/configured but {beat_name} is connected to a serverless "
+                "instance; ILM isn't supported on Serverless Elasticsearch. Configure DSL "
+                "or set setup.ilm.enabled to false"
+            )
+        if not ilm_enabled and dsl_enabled and not serverless:
+            raise ValueError(
+                f"DSL is enabled/configured but {beat_name} is connected to a stateful "
+                "instance; DSL is only supported on Serverless Elasticsearch. Configure "
+                "ILM or set setup.dsl.enabled to false"
+            )
+        if ilm_enabled and dsl_enabled:
+            raise ValueError(
+                "only one lifecycle management type can be used, but both ILM and DSL are enabled"
+            )
+
+        # per-connection defaults (DefaultILMConfig / DefaultDSLConfig + DSL name)
+        if serverless:
+            cfg = {
+                "enabled": True,
+                "policy_name": "%{[beat.name]}-%{[beat.version]}",
+                "check_exists": True,
+                "overwrite": False,
+            }
+            cfg.update(dsl)
+            if "data_stream_pattern" in dsl:
+                cfg["policy_name"] = dsl["data_stream_pattern"]
+            self.default_policy = DEFAULT_DSL_POLICY
+            self.mode = "DSL"
+        else:
+            cfg = {
+                "enabled": True,
+                "policy_name": beat_name,
+                "check_exists": True,
+                "overwrite": False,
+            }
+            cfg.update(ilm)
+            self.default_policy = DEFAULT_ILM_POLICY
+            self.mode = "ILM"
+        self.cfg = cfg
+
+        name = apply_static_fmtstr(str(cfg["policy_name"]), beat_name, beat_version)
+        if name == "" and cfg["enabled"]:
+            raise ValueError(
+                "could not generate usable policy name from config. Check setup.*.policy_name fields"
+            )
+        self.name = name
+        self.put_path = (
+            f"/_data_stream/{name}/_lifecycle" if serverless else f"{ES_ILM_PATH}/{name}"
+        )
+
+        body = self.default_policy
+        if cfg.get("policy_file"):
+            with open(cfg["policy_file"], "rb") as fh:
+                body = json.loads(fh.read())
+        self.policy_body = body
+
+    # -- ClientHandler surface ----------------------------------------------
+    def check_enabled(self) -> bool:
+        """checkILMEnabled: disabled → False; too-old ES → error."""
+        if not self.cfg["enabled"]:
+            return False
+        if self.es_version < ES_MIN_DEFAULT_ILM_VERSION:
+            ver = ".".join(map(str, self.es_version))
+            raise ESProtocolError(
+                f"Elasticsearch {ver} does not support ILM"
+            )
+        return True
+
+    def has_policy(self) -> bool:
+        status, body = self.conn.request("GET", self.put_path)
+        if status == 404:
+            return False
+        if status >= 300:
+            raise ESProtocolError(
+                f"failed to check for policy name '{self.name}': (status={status}) {body!r}"
+            )
+        return status == 200
+
+    def create_policy_from_config(self) -> None:
+        # CreatePolicyFromConfig's own overwrite guard (es_client_handler.go:159-168)
+        if not self.cfg.get("overwrite") and self.has_policy():
+            return
+        status, body = self.conn.request(
+            "PUT",
+            self.put_path,
+            body=json.dumps(self.policy_body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        if status >= 300:
+            raise ESProtocolError(
+                f"error creating lifecycle policy: got {status} from elasticsearch: {body!r}"
+            )
+
+    def ensure_policy(self, overwrite: bool = False) -> bool:
+        """stdManager.EnsurePolicy: returns True iff a policy was
+        created (an overwrite of an existing one returns True too,
+        matching the `!exists || overwrite` branch)."""
+        if not self.cfg["check_exists"]:
+            return False
+        overwrite = overwrite or bool(self.cfg.get("overwrite"))
+        exists = False
+        if not overwrite:
+            exists = self.has_policy()
+        if exists and not overwrite:
+            return False
+        self.create_policy_from_config()
+        return True
+
+
+def load_template(
+    conn: ESConnection,
+    name: str,
+    body: dict[str, Any],
+    overwrite: bool = False,
+) -> bool:
+    """ESLoader.Load's install half: HEAD exists check, skip when
+    exists && !overwrite, PUT /_index_template/<name>. Returns True if
+    the template was written."""
+    status, _ = conn.request("HEAD", "/_index_template/" + name)
+    exists = status != 404
+    if exists and status >= 300 and status != 404:
+        raise ESProtocolError(f"failure while checking if template exists: status {status}")
+    if exists and not overwrite:
+        return False
+    put_status, resp = conn.request(
+        "PUT",
+        "/_index_template/" + name,
+        body=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    if put_status > 300:
+        raise ESProtocolError(f"couldn't load json. Status: {put_status}")
+    return True
+
+
+def ensure_data_stream(
+    conn: ESConnection,
+    name: str,
+    lifecycle: LifecycleHandler | None = None,
+) -> bool:
+    """load.go's data-stream step: an EXISTING data stream is never
+    overwritten (that would delete backing indices); on serverless the
+    lifecycle policy is updated in place instead. Returns True if a
+    new data stream was created."""
+    status, _ = conn.request("GET", "/_data_stream/" + name)
+    if status != 404:
+        if status >= 300:
+            raise ESProtocolError(f"failed to check data stream: status {status}")
+        if lifecycle is not None and lifecycle.serverless:
+            lifecycle.create_policy_from_config()
+        return False
+    put_status, body = conn.request("PUT", "/_data_stream/" + name)
+    if put_status >= 300:
+        raise ESProtocolError(f"could not put data stream: status {put_status}: {body!r}")
+    return True
+
+
+def setup_index_management(
+    conn: ESConnection,
+    template,
+    fields: list[dict[str, Any]],
+    overwrite: bool = False,
+    ilm: dict[str, Any] | None = None,
+    dsl: dict[str, Any] | None = None,
+) -> dict[str, bool]:
+    """The composed `setup` flow: lifecycle policy → index template →
+    data stream (template.pattern-named, like the data-stream-aware
+    default). `template` is an es_template.EsTemplate."""
+    lc = LifecycleHandler(
+        conn,
+        template.beat_name,
+        template.beat_version,
+        ilm=ilm,
+        dsl=dsl,
+        template_name=template.name,
+    )
+    out = {"policy": False, "template": False, "data_stream": False}
+    if lc.check_enabled():
+        out["policy"] = lc.ensure_policy(overwrite)
+    body = template.load(fields)
+    out["template"] = load_template(conn, template.name, body, overwrite)
+    out["data_stream"] = ensure_data_stream(conn, template.name, lc)
+    return out

@@ -1,0 +1,265 @@
+"""ES setup phase — lifecycle policy + index template + data stream
+against a fake setup-API ES server (the fake-HTTP methodology from
+test_es_output.py extended to the setup endpoints)."""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.es_output import ESConnection
+from beats_spark.es_setup import (
+    DEFAULT_DSL_POLICY,
+    DEFAULT_ILM_POLICY,
+    LifecycleHandler,
+    apply_static_fmtstr,
+    ensure_data_stream,
+    load_template,
+    setup_index_management,
+)
+from beats_spark.es_template import EsTemplate
+
+
+class SetupState:
+    def __init__(self, flavor="default", number="8.11.0"):
+        self.flavor = flavor
+        self.number = number
+        self.ilm_policies: dict[str, dict] = {}
+        self.templates: dict[str, dict] = {}
+        self.data_streams: dict[str, dict] = {}  # name -> lifecycle body
+        self.requests: list[tuple[str, str]] = []
+
+
+class _SetupHandler(BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _reply(self, status: int, body: bytes = b"{}"):
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def _route(self):
+        st: SetupState = self.server.state  # type: ignore[attr-defined]
+        st.requests.append((self.command, self.path))
+        n = int(self.headers.get("Content-Length") or 0)
+        payload = self.rfile.read(n) if n else b""
+        path = self.path.split("?")[0]
+        if path == "/":
+            return self._reply(
+                200,
+                json.dumps(
+                    {"version": {"number": st.number, "build_flavor": st.flavor}}
+                ).encode(),
+            )
+        if path.startswith("/_ilm/policy/"):
+            name = path.rsplit("/", 1)[1]
+            if self.command == "GET":
+                if name in st.ilm_policies:
+                    return self._reply(200, json.dumps(st.ilm_policies[name]).encode())
+                return self._reply(404)
+            if self.command == "PUT":
+                st.ilm_policies[name] = json.loads(payload)
+                return self._reply(200)
+        if path.startswith("/_index_template/"):
+            name = path.rsplit("/", 1)[1]
+            if self.command == "HEAD":
+                return self._reply(200 if name in st.templates else 404)
+            if self.command == "PUT":
+                st.templates[name] = json.loads(payload)
+                return self._reply(200)
+        if path.startswith("/_data_stream/") and path.endswith("/_lifecycle"):
+            name = path.split("/")[2]
+            if self.command == "GET":
+                if name in st.data_streams:
+                    return self._reply(200, json.dumps(st.data_streams[name]).encode())
+                return self._reply(404)
+            if self.command == "PUT":
+                st.data_streams.setdefault(name, {})
+                st.data_streams[name] = json.loads(payload)
+                return self._reply(200)
+        if path.startswith("/_data_stream/"):
+            name = path.split("/")[2]
+            if self.command == "GET":
+                return self._reply(200 if name in st.data_streams else 404)
+            if self.command == "PUT":
+                st.data_streams.setdefault(name, {})
+                return self._reply(200)
+        return self._reply(400, b'{"error":"unexpected"}')
+
+    do_GET = do_PUT = do_HEAD = _route
+
+
+@pytest.fixture()
+def es_server():
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _SetupHandler)
+    httpd.state = SetupState()
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield httpd
+    httpd.shutdown()
+    httpd.server_close()
+
+
+def _conn(httpd) -> ESConnection:
+    return ESConnection(f"http://127.0.0.1:{httpd.server_address[1]}")
+
+
+# ---------------------------------------------------------------------------
+# fmtstr + mode validation (NewESClientHandler wording)
+# ---------------------------------------------------------------------------
+def test_apply_static_fmtstr():
+    assert apply_static_fmtstr("%{[beat.name]}-%{[beat.version]}", "filebeat", "8.1.0") == (
+        "filebeat-8.1.0"
+    )
+    assert apply_static_fmtstr("plain", "x", "1") == "plain"
+
+
+def test_mode_validation_errors(es_server):
+    conn = _conn(es_server)
+    with pytest.raises(ValueError, match="ILM isn't supported on Serverless"):
+        LifecycleHandler(conn, "filebeat", "8.0.0", ilm={"enabled": True},
+                         serverless=True, es_version=(8, 11))
+    with pytest.raises(ValueError, match="DSL is only supported on Serverless"):
+        LifecycleHandler(conn, "filebeat", "8.0.0", dsl={"enabled": True},
+                         serverless=False, es_version=(8, 11))
+    with pytest.raises(ValueError, match="both ILM and DSL are enabled"):
+        LifecycleHandler(conn, "filebeat", "8.0.0", ilm={"enabled": True},
+                         dsl={"enabled": True}, serverless=False, es_version=(8, 11))
+    # a present-but-not-explicitly-enabled ILM section next to DSL on
+    # stateful counts as enabled (config.C.Enabled semantics) → the
+    # DSL-on-stateful error does NOT fire; both-enabled does
+    with pytest.raises(ValueError, match="both ILM and DSL"):
+        LifecycleHandler(conn, "filebeat", "8.0.0", ilm={}, dsl={"enabled": True},
+                         serverless=False, es_version=(8, 11))
+
+
+def test_empty_policy_name_refused(es_server):
+    with pytest.raises(ValueError, match="could not generate usable policy name"):
+        LifecycleHandler(_conn(es_server), "filebeat", "8.0.0",
+                         ilm={"policy_name": ""}, serverless=False, es_version=(8, 11))
+
+
+# ---------------------------------------------------------------------------
+# ILM on stateful
+# ---------------------------------------------------------------------------
+def test_ilm_defaults_and_ensure_policy(es_server):
+    conn = _conn(es_server)
+    lc = LifecycleHandler(conn, "filebeat", "8.11.0")  # pings: stateful
+    assert lc.mode == "ILM"
+    assert lc.name == "filebeat"  # DefaultILMConfig: PolicyName = info.Beat
+    assert lc.put_path == "/_ilm/policy/filebeat"
+    assert lc.check_enabled() is True
+    assert lc.ensure_policy() is True  # created
+    assert es_server.state.ilm_policies["filebeat"] == DEFAULT_ILM_POLICY
+    # second run: exists, no overwrite → untouched
+    es_server.state.ilm_policies["filebeat"] = {"policy": {"marker": 1}}
+    assert lc.ensure_policy() is False
+    assert es_server.state.ilm_policies["filebeat"] == {"policy": {"marker": 1}}
+    # reference quirk pinned: a call-site overwrite WITHOUT the config
+    # flag reports created (EnsurePolicy's `!exists || overwrite`
+    # branch) but CreatePolicyFromConfig's own guard
+    # (es_client_handler.go:159-168) still skips the PUT — only the
+    # CONFIG overwrite flag actually rewrites
+    assert lc.ensure_policy(overwrite=True) is True
+    assert es_server.state.ilm_policies["filebeat"] == {"policy": {"marker": 1}}
+    lc2 = LifecycleHandler(conn, "filebeat", "8.11.0", ilm={"overwrite": True})
+    assert lc2.ensure_policy() is True
+    assert es_server.state.ilm_policies["filebeat"] == DEFAULT_ILM_POLICY
+
+
+def test_check_exists_disabled_skips_install(es_server):
+    lc = LifecycleHandler(_conn(es_server), "filebeat", "8.11.0",
+                          ilm={"check_exists": False})
+    assert lc.ensure_policy(overwrite=True) is False  # standard_manager.go:95-98
+    assert es_server.state.ilm_policies == {}
+
+
+def test_policy_file_overrides_default(es_server, tmp_path):
+    pf = tmp_path / "policy.json"
+    pf.write_text(json.dumps({"policy": {"phases": {"delete": {"min_age": "1d"}}}}))
+    lc = LifecycleHandler(_conn(es_server), "filebeat", "8.11.0",
+                          ilm={"policy_file": str(pf)})
+    lc.ensure_policy()
+    assert es_server.state.ilm_policies["filebeat"]["policy"]["phases"] == {
+        "delete": {"min_age": "1d"}
+    }
+
+
+def test_ilm_version_gate(es_server):
+    lc = LifecycleHandler(_conn(es_server), "filebeat", "8.11.0",
+                          serverless=False, es_version=(6, 8))
+    with pytest.raises(Exception, match="does not support ILM"):
+        lc.check_enabled()
+
+
+# ---------------------------------------------------------------------------
+# DSL on serverless
+# ---------------------------------------------------------------------------
+def test_dsl_defaults_on_serverless(es_server):
+    es_server.state.flavor = "serverless"
+    conn = _conn(es_server)
+    lc = LifecycleHandler(conn, "filebeat", "8.11.0")
+    assert lc.mode == "DSL"
+    assert lc.name == "filebeat-8.11.0"  # DefaultDSLName pattern
+    assert lc.put_path == "/_data_stream/filebeat-8.11.0/_lifecycle"
+    assert lc.ensure_policy() is True
+    assert es_server.state.data_streams["filebeat-8.11.0"] == DEFAULT_DSL_POLICY
+
+
+# ---------------------------------------------------------------------------
+# template + data stream installs
+# ---------------------------------------------------------------------------
+def test_load_template_exists_skip_and_overwrite(es_server):
+    conn = _conn(es_server)
+    body = {"index_patterns": ["x-*"], "template": {}}
+    assert load_template(conn, "x", body) is True
+    assert es_server.state.templates["x"] == body
+    es_server.state.templates["x"] = {"marker": 1}
+    assert load_template(conn, "x", body) is False  # exists && !overwrite
+    assert es_server.state.templates["x"] == {"marker": 1}
+    assert load_template(conn, "x", body, overwrite=True) is True
+    assert es_server.state.templates["x"] == body
+
+
+def test_ensure_data_stream_never_overwrites(es_server):
+    conn = _conn(es_server)
+    assert ensure_data_stream(conn, "logs-x") is True
+    assert "logs-x" in es_server.state.data_streams
+    # an existing data stream is NEVER re-put (backing indices!)
+    puts_before = [r for r in es_server.state.requests if r == ("PUT", "/_data_stream/logs-x")]
+    assert ensure_data_stream(conn, "logs-x") is False
+    puts_after = [r for r in es_server.state.requests if r == ("PUT", "/_data_stream/logs-x")]
+    assert puts_before == puts_after
+
+
+def test_existing_data_stream_on_serverless_updates_lifecycle(es_server):
+    es_server.state.flavor = "serverless"
+    conn = _conn(es_server)
+    lc = LifecycleHandler(conn, "filebeat", "8.11.0", dsl={"overwrite": True})
+    es_server.state.data_streams[lc.name] = {"data_retention": "30d"}
+    assert ensure_data_stream(conn, lc.name, lc) is False
+    # load.go:155-161: serverless updates the lifecycle in place
+    assert es_server.state.data_streams[lc.name] == DEFAULT_DSL_POLICY
+
+
+def test_setup_index_management_end_to_end(es_server):
+    conn = _conn(es_server)
+    t = EsTemplate("8.11.0", "filebeat")
+    out = setup_index_management(conn, t, [{"name": "host", "type": "keyword"}])
+    assert out == {"policy": True, "template": True, "data_stream": True}
+    st = es_server.state
+    assert st.ilm_policies["filebeat"] == DEFAULT_ILM_POLICY
+    tmpl = st.templates["filebeat-8.11.0"]
+    assert tmpl["index_patterns"] == ["filebeat-8.11.0*"]
+    assert tmpl["template"]["mappings"]["properties"]["host"]["type"] == "keyword"
+    assert "filebeat-8.11.0" in st.data_streams
+    # idempotent second run: everything exists, nothing rewritten
+    out2 = setup_index_management(conn, t, [{"name": "host", "type": "keyword"}])
+    assert out2 == {"policy": False, "template": False, "data_stream": False}
