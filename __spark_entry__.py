@@ -674,9 +674,62 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         # m4: unparseable → raw-message fallback at the pinned now()
         .otherwise(F.concat(F.lit("junk "), istr))
     )
+    # r5 fold: the auditd parser (processors/auditd.py, reader/auditd
+    # golden-corpus port) — three grammar forms + the invalid fallback;
+    # the oracle recomputes every au_* output from the same event_id
+    # formulas (syscall/errno/hex-decode/inner-msg/'?'-drop semantics).
+    from beats_spark.processors.auditd import auditd_parse
+
+    au_sec = (F.lit(1700000000) + (i % 100000)).cast("string")
+    au_hdr = F.concat(F.lit(" msg=audit("), au_sec, F.lit(".250:"), istr, F.lit("): "))
+    text_au = (
+        # a0: SYSCALL — arch/syscall tables, success→result, errno exit,
+        # hex-encoded untrusted exe, (null)/quoted rule keys
+        F.when(
+            i % 4 == 0,
+            F.concat(
+                F.lit("type=SYSCALL"), au_hdr,
+                F.lit("arch=c000003e syscall="), (42 + (i % 3)).cast("string"),
+                F.lit(" success="), F.when(i % 2 == 0, F.lit("yes")).otherwise(F.lit("no")),
+                F.lit(" exit="), F.when(i % 2 == 0, F.lit("0")).otherwise(F.lit("-13")),
+                F.lit(" a0=3 pid="), (i % 9999).cast("string"),
+                F.lit(' comm="tool'), (i % 5).cast("string"), F.lit('"'),
+                F.lit(" exe="), F.hex(F.concat(F.lit("/bin/tool"), (i % 5).cast("string"))),
+                F.lit(" key="),
+                F.when(i % 3 == 0, F.lit("(null)")).otherwise(F.lit('"net"')),
+            ),
+        )
+        # a1: USER_END — inner msg='...' block, '?' drops, res→result
+        .when(
+            i % 4 == 1,
+            F.concat(
+                F.lit("type=USER_END"), au_hdr,
+                F.lit("user pid="), (i % 9999).cast("string"),
+                F.lit(" uid=0 auid="), (i % 1000).cast("string"),
+                F.lit(" ses=7 msg='op=PAM:session_close acct=\"user"),
+                (i % 7).cast("string"),
+                F.lit("\" exe=\"/usr/bin/sudo\" hostname=? addr=? terminal=? res=success'"),
+            ),
+        )
+        # a2: ADD_GROUP — multi-word inner op (the lookahead recovery)
+        .when(
+            i % 4 == 2,
+            F.concat(
+                F.lit("type=ADD_GROUP"), au_hdr,
+                F.lit("pid="), (i % 9999).cast("string"),
+                F.lit(" uid=0 auid="), (i % 1000).cast("string"),
+                F.lit(" ses=14 msg='op=adding group to /etc/group id="),
+                (i % 2000).cast("string"),
+                F.lit(" exe=\"/usr/sbin/groupadd\" res=success'"),
+            ),
+        )
+        # a3: invalid line → the parse-error surface
+        .otherwise(F.concat(F.lit("junk "), istr))
+    )
     base = ev.withColumn("text3164", line3164).withColumn(
         "text", F.when(i % 2 == 0, line5424).otherwise(line3164)
     )
+    base = auditd_parse(base.withColumn("text_au", text_au), field="text_au")
     inp = syslog_input_events(
         "text_in", default_year=2021, invalid_ts="2099-01-01 00:00:00"
     )(base.withColumn("text_in", text_in))
@@ -697,6 +750,20 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("process_program").alias("in_program"),
         F.col("process_pid").alias("in_pid"),
         F.col("ts").alias("in_ts"),
+        F.col("auditd_error").alias("au_error"),
+        F.col("auditd_record_type").alias("au_rt"),
+        F.col("auditd_sequence").alias("au_seq"),
+        F.col("auditd_ts").alias("au_ts"),
+        F.try_element_at("auditd_log", F.lit("syscall")).alias("au_syscall"),
+        F.try_element_at("auditd_log", F.lit("result")).alias("au_result"),
+        F.try_element_at("auditd_log", F.lit("exit")).alias("au_exit"),
+        F.try_element_at("auditd_log", F.lit("comm")).alias("au_comm"),
+        F.try_element_at("auditd_log", F.lit("exe")).alias("au_exe"),
+        F.try_element_at("auditd_log", F.lit("key")).alias("au_key"),
+        F.try_element_at("auditd_log", F.lit("op")).alias("au_op"),
+        F.try_element_at("auditd_log", F.lit("acct")).alias("au_acct"),
+        F.try_element_at("auditd_log", F.lit("hostname")).alias("au_hostname"),
+        F.try_element_at("auditd_log", F.lit("id")).alias("au_id"),
     )
     # default-format (RFC3164) path first; keep two of its outputs under
     # distinct names, then run the auto-detect path over the mixed column.
@@ -736,6 +803,20 @@ def q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in_program",
         "in_pid",
         "in_ts",
+        "au_error",
+        "au_rt",
+        "au_seq",
+        "au_ts",
+        "au_syscall",
+        "au_result",
+        "au_exit",
+        "au_comm",
+        "au_exe",
+        "au_key",
+        "au_op",
+        "au_acct",
+        "au_hostname",
+        "au_id",
     )
 
 
@@ -3008,7 +3089,38 @@ def oracle_sql() -> dict[str, str]:
                                               22, 14, CAST(event_id % 60 AS DOUBLE))
                         WHEN event_id % 5 = 3
                           THEN make_timestamp(2021, 10, 11, 22, 14, CAST(event_id % 60 AS DOUBLE))
-                        ELSE TIMESTAMP '2099-01-01 00:00:00' END AS in_ts
+                        ELSE TIMESTAMP '2099-01-01 00:00:00' END AS in_ts,
+                   -- r5 fold: auditd parser (grammar forms a0-a3)
+                   CASE WHEN event_id % 4 = 3
+                        THEN 'error parsing auditd log line: invalid audit message header'
+                        END AS au_error,
+                   CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'SYSCALL' WHEN 1 THEN 'USER_END'
+                        WHEN 2 THEN 'ADD_GROUP' END AS au_rt,
+                   CASE WHEN event_id % 4 <> 3 THEN CAST(event_id AS VARCHAR) END AS au_seq,
+                   CASE WHEN event_id % 4 <> 3
+                        THEN epoch_ms((1700000000 + event_id % 100000) * 1000 + 250)
+                        END AS au_ts,
+                   CASE WHEN event_id % 4 = 0 THEN
+                        list_extract(['connect','accept','sendto'],
+                                     CAST(event_id % 3 AS INTEGER) + 1) END AS au_syscall,
+                   CASE WHEN event_id % 4 = 0
+                          THEN (CASE WHEN event_id % 2 = 0 THEN 'success' ELSE 'fail' END)
+                        WHEN event_id % 4 IN (1, 2) THEN 'success' END AS au_result,
+                   CASE WHEN event_id % 4 = 0
+                        THEN (CASE WHEN event_id % 2 = 0 THEN '0' ELSE 'EACCES' END)
+                        END AS au_exit,
+                   CASE WHEN event_id % 4 = 0 THEN 'tool' || CAST(event_id % 5 AS VARCHAR)
+                        END AS au_comm,
+                   CASE WHEN event_id % 4 = 0 THEN '/bin/tool' || CAST(event_id % 5 AS VARCHAR)
+                        WHEN event_id % 4 = 1 THEN '/usr/bin/sudo'
+                        WHEN event_id % 4 = 2 THEN '/usr/sbin/groupadd' END AS au_exe,
+                   CASE WHEN event_id % 4 = 0 AND event_id % 3 <> 0 THEN 'net' END AS au_key,
+                   CASE WHEN event_id % 4 = 1 THEN 'PAM:session_close'
+                        WHEN event_id % 4 = 2 THEN 'adding group to /etc/group' END AS au_op,
+                   CASE WHEN event_id % 4 = 1 THEN 'user' || CAST(event_id % 7 AS VARCHAR)
+                        END AS au_acct,
+                   CAST(NULL AS VARCHAR) AS au_hostname,
+                   CASE WHEN event_id % 4 = 2 THEN CAST(event_id % 2000 AS VARCHAR) END AS au_id
             FROM events""",
         "registered_domain": """
             SELECT event_id,
