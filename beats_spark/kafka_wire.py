@@ -1056,6 +1056,14 @@ def register_kafka_source(spark: SparkSession) -> None:
                     pos += 2 + tlen + 4  # name + partition count (1)
                     _pid, err, _hw = _struct.unpack(">ihq", r[pos : pos + 14])
                     pos += 14
+                    if err:
+                        # MUST raise (like _list_offset): read() advances the
+                        # checkpoint to `end` over whatever _read_range
+                        # returned, so swallowing a broker error here would
+                        # silently skip the unread range — raising turns it
+                        # into read()'s no-advance path (or a task retry in
+                        # readBetweenOffsets' replay).
+                        raise OSError(f"kafka fetch error {err}")
                     (mlen,) = _struct.unpack(">i", r[pos : pos + 4])
                     pos += 4
                     mset = r[pos : pos + max(mlen, 0)]

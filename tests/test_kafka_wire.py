@@ -50,6 +50,7 @@ class FakeClusterState:
         self.refused: set[str] = set()
         self.partitions_per_topic = 1
         self.sasl_users: dict[str, str] | None = None  # None = auth disabled
+        self.fetch_error = 0  # force every Fetch to fail with this code
 
     def ensure_topic(self, topic: str):
         with self.lock:
@@ -248,6 +249,9 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                 for _ in range(r.int32()):
                     pid, offset, max_bytes = r.int32(), r.int64(), r.int32()
                     with state.lock:
+                        if state.fetch_error:
+                            out_parts.append((topic, pid, state.fetch_error, 0, b""))
+                            continue
                         if state.leaders.get((topic, pid)) != node_id:
                             out_parts.append((topic, pid, 6, 0, b""))
                             continue
@@ -652,6 +656,46 @@ def test_streaming_kafka_source(broker, spark, tmp_path):
             assert sorted(r["message"] for r in got) == ["m0", "m1", "m2"]
             offsets = sorted(r["kafka_offset"] for r in got)
             assert offsets == [0, 1, 2]
+        finally:
+            q.stop()
+    finally:
+        c.close()
+
+
+def test_streaming_kafka_fetch_error_does_not_skip_data(broker, spark, tmp_path):
+    """A broker-level Fetch error (NOT_LEADER, OFFSET_OUT_OF_RANGE, ...)
+    must NOT advance the checkpoint past the unread range: read()
+    computes `end` from ListOffsets BEFORE fetching, so a swallowed
+    fetch error would commit offsets for rows that were never read —
+    silent data loss. The reader raises instead, landing in read()'s
+    no-advance path; the rows arrive once the error clears."""
+    c = KafkaClient("127.0.0.1", broker.server_address[1])
+    try:
+        c.produce("err-topic", 0, [(None, b"m0", 10)], compression="none")
+        stream = read_kafka_messages(
+            spark, [broker.addr], ["err-topic"], starting_offsets="earliest"
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("kafka_err_sink")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("select message from kafka_err_sink").collect()
+            assert [r["message"] for r in got] == ["m0"]
+            # new data arrives while every Fetch fails transiently
+            broker.state.fetch_error = 7  # REQUEST_TIMED_OUT
+            c.produce("err-topic", 0, [(None, b"m1", 20)], compression="none")
+            q.processAllAvailable()  # no progress, no crash, NO offset advance
+            broker.state.fetch_error = 0
+            q.processAllAvailable()
+            got = spark.sql("select message, kafka_offset from kafka_err_sink").collect()
+            assert sorted((r["message"], r["kafka_offset"]) for r in got) == [
+                ("m0", 0),
+                ("m1", 1),
+            ]
         finally:
             q.stop()
     finally:
