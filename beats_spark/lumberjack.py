@@ -250,9 +250,15 @@ def write_lumberjack(
     from beats_spark import lumberjack as lj
 
     def send_partition(rows):
+        import itertools
         import socket
         from collections import deque
 
+        it0 = iter(rows)
+        first = next(it0, None)
+        if first is None:
+            return  # empty partition: no connection (the sibling-sink rule)
+        rows = itertools.chain([first], it0)
         sock = socket.create_connection((host, port), timeout=timeout)
         win = lj.Window(lj.DEFAULT_START_MAX_WINDOW_SIZE, bulk_max_size) if slow_start else None
         parser = lj.FrameParser()
@@ -308,7 +314,10 @@ def write_lumberjack(
                     except StopIteration:
                         done = True
                         break
-                events = [getattr(r, line_col) for r in pending]
+                # NULL lines drop (the encode-failure drop every sibling
+                # sink applies — write_redis/write_kafka_live/write_es_bulk);
+                # encoding None would otherwise fail the whole task.
+                events = [e for e in (getattr(r, line_col) for r in pending) if e is not None]
                 while events:
                     n = len(events)
                     if win is not None:

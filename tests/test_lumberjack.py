@@ -226,7 +226,11 @@ def test_lumberjack_duplex_roundtrip(spark):
         # let the listener bind (first trigger)
         time.sleep(3)
         sent = [json.dumps({"n": i, "text": f"event {i}"}, sort_keys=True) for i in range(57)]
-        df = spark.createDataFrame([(s,) for s in sent], "line string").repartition(3)
+        # NULL lines must DROP (the sibling sinks' encode-failure rule)
+        # instead of failing the task on None.encode().
+        df = spark.createDataFrame(
+            [(s,) for s in sent] + [(None,)] * 3, "line string"
+        ).repartition(3)
         write_lumberjack(
             df, "127.0.0.1", port, bulk_max_size=16, slow_start=True, compression_level=3
         )
@@ -339,3 +343,13 @@ def test_write_lumberjack_validation(spark):
         write_lumberjack(df, "127.0.0.1", 1, compression_level=10)
     with pytest.raises(ValueError, match="bulk_max_size"):
         write_lumberjack(df, "127.0.0.1", 1, bulk_max_size=0)
+
+
+def test_write_lumberjack_empty_partitions_open_no_connection(spark):
+    """Empty partitions must not open connections (the sibling-sink
+    rule): an all-empty frame against a port NOBODY LISTENS ON succeeds
+    iff no connect is attempted."""
+    from beats_spark.lumberjack import write_lumberjack
+
+    df = spark.createDataFrame([], "line string").repartition(4)
+    write_lumberjack(df, "127.0.0.1", _free_port(), bulk_max_size=16)
