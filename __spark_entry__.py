@@ -1273,10 +1273,19 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-signal battery (r3 consolidation: was `lang_id`
     + `doc_fingerprint` + `pii_scrub`; r4: + the Gopher REPETITION
     battery — dup line/para fractions, top/dup n-gram char fractions,
-    rep_pass): language id, rolling-hash fingerprint, typed PII masking,
-    quality flags are pure map-side Column regexes; the repetition
-    signals add one explode + two doc-keyed aggregations."""
+    rep_pass; r5: + the C4 cleaning battery (Raffel et al. 2020 §2.2
+    line/doc rules) and the CCNet-family stupid-backoff LM signals —
+    self-trained trigram LM, per-doc backoff-order histogram and the
+    cross-engine-exact fixed-point score sum; the float perplexity stays
+    out of the hash-compared columns by design, pinned in pytest
+    against an independent Python replica instead): language id,
+    rolling-hash fingerprint, typed PII masking, quality flags are pure
+    map-side Column regexes; the repetition signals add one explode +
+    two doc-keyed aggregations; the LM adds one train groupBy and five
+    broadcast joins over the position explode."""
+    from beats_spark.datapipe.lm import lm_score, ngram_lm_train
     from beats_spark.datapipe.text import (
+        c4_quality_signals,
         doc_fingerprint,
         gopher_quality_flags,
         gopher_repetition_signals,
@@ -1317,7 +1326,46 @@ def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in rep.columns if c.endswith("_frac")],
         F.col("rep_pass").cast("int").alias("rep_pass"),
     )
-    return base.join(rep, "doc_id")
+    # the synthetic documents are single-line word soup — synthesize a
+    # deterministic multi-line page per doc (the PII-fold pattern) so
+    # every C4 rule actually fires: javascript line, <3-word line,
+    # policy-phrase line, lorem-ipsum doc kill, curly-brace doc kill,
+    # non-terminal trailing line, sentence counting
+    d = F.col("doc_id")
+    c4t = F.concat(
+        F.lit("First proper sentence number "), i, F.lit(".\n"),
+        F.when(d % 7 == 0, F.lit("Enable javascript now please.\n")).otherwise(
+            F.lit("Another good sentence here!\n")
+        ),
+        F.when(d % 5 == 0, F.lit("short line.\n")).otherwise(
+            F.lit("A third full sentence?\n")
+        ),
+        F.when(d % 11 == 0, F.lit("Read our privacy policy today.\n")).otherwise(
+            F.lit("Fourth sentence stands here.\n")
+        ),
+        F.when(d % 13 == 0, F.lit("Lorem ipsum dolor sit amet.\n")).otherwise(
+            F.lit("Fifth sentence closes it.\n")
+        ),
+        F.when(d % 17 == 0, F.lit("code { braces }")).otherwise(
+            F.lit("trailing line no punct")
+        ),
+    )
+    c4 = c4_quality_signals(c4t)
+    c4_cols = docs.select(
+        "doc_id",
+        F.md5(c4["c4_cleaned"]).alias("c4_clean_fp"),
+        c4["c4_kept_lines"].alias("c4_kept_lines"),
+        c4["c4_n_sentences"].alias("c4_n_sentences"),
+        c4["c4_fail_curly_brace"].alias("c4_fail_curly_brace"),
+        c4["c4_fail_lorem_ipsum"].alias("c4_fail_lorem_ipsum"),
+        c4["c4_fail_min_sentences"].alias("c4_fail_min_sentences"),
+        c4["c4_pass"].alias("c4_pass"),
+    )
+    lm = ngram_lm_train(docs, order=3).persist()
+    lmc = lm_score(docs, lm, order=3).select(
+        "doc_id", "lm_n_scored", "lm_n_oov", "lm_m0", "lm_m1", "lm_m2", "lm_score_fp"
+    )
+    return base.join(rep, "doc_id").join(c4_cols, "doc_id").join(lmc, "doc_id")
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2474,6 +2522,140 @@ rep AS (
   FROM documents d LEFT JOIN rmetrics m ON d.doc_id = m.doc_id)"""
 
 
+def _c4_oracle_ctes() -> str:
+    """C4 battery oracle (Raffel et al. 2020 §2.2): identical line
+    filter (stripped line ends in terminal punct, ≥3 words, no
+    'javascript', no policy phrase — substring checks run on the
+    unstripped lowercase line, equivalent because stripping only
+    removes edge whitespace and every phrase starts/ends with a
+    letter), identical doc flags, md5 of the re-joined kept lines."""
+    ws = r"[ \t\n\x0b\f\r]"
+    strip = f"regexp_replace(l, '^{ws}+|{ws}+$', '', 'g')"
+    phrases = " AND ".join(
+        f"NOT contains(lower(l), '{p}')"
+        for p in (
+            "javascript", "terms of use", "privacy policy", "cookie policy",
+            "uses cookies", "use of cookies", "use cookies",
+        )
+    )
+    return f"""
+c4docs AS (
+  SELECT doc_id,
+    'First proper sentence number ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) ||
+    CASE WHEN doc_id % 7 = 0 THEN 'Enable javascript now please.' ELSE 'Another good sentence here!' END || chr(10) ||
+    CASE WHEN doc_id % 5 = 0 THEN 'short line.' ELSE 'A third full sentence?' END || chr(10) ||
+    CASE WHEN doc_id % 11 = 0 THEN 'Read our privacy policy today.' ELSE 'Fourth sentence stands here.' END || chr(10) ||
+    CASE WHEN doc_id % 13 = 0 THEN 'Lorem ipsum dolor sit amet.' ELSE 'Fifth sentence closes it.' END || chr(10) ||
+    CASE WHEN doc_id % 17 = 0 THEN 'code {{ braces }}' ELSE 'trailing line no punct' END AS text
+  FROM documents),
+c4k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l ->
+      regexp_matches({strip}, '[.!?"]$')
+      AND (CASE WHEN length({strip}) = 0 THEN 0
+                ELSE len(regexp_split_to_array({strip}, '{ws}+')) END) >= 3
+      AND {phrases}) AS kept
+  FROM c4docs),
+c4s AS (
+  SELECT doc_id,
+    coalesce(array_to_string(kept, chr(10)), '') AS cleaned,
+    CAST(len(kept) AS INTEGER) AS c4_kept_lines,
+    CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS INTEGER) AS c4_n_sentences,
+    (contains(text, '{{') OR contains(text, '}}')) AS c4_fail_curly_brace,
+    contains(lower(text), 'lorem ipsum') AS c4_fail_lorem_ipsum
+  FROM c4k),
+c4f AS (
+  SELECT doc_id, md5(cleaned) AS c4_clean_fp, c4_kept_lines, c4_n_sentences,
+    c4_fail_curly_brace, c4_fail_lorem_ipsum,
+    (c4_n_sentences < 5) AS c4_fail_min_sentences,
+    NOT (c4_fail_curly_brace OR c4_fail_lorem_ipsum OR c4_n_sentences < 5) AS c4_pass
+  FROM c4s)"""
+
+
+def _lm_oracle_ctes() -> str:
+    """Stupid-backoff trigram LM oracle: retrains the counts from the
+    same corpus, rescores every position, and recomputes the int64
+    fixed-point sum with the EXACT double ops the Spark path uses —
+    CAST(a AS DOUBLE)/CAST(b AS DOUBLE), one multiply by a repr()'d
+    alpha-power literal (repeated-multiplication values, not pow()),
+    one multiply by 1e6, floor. Every op is IEEE correctly-rounded, so
+    the sums match bit-for-bit (beats_spark/datapipe/lm.py docstring)."""
+    from beats_spark.datapipe.lm import alpha_powers
+
+    a1, a2 = (repr(v) for v in alpha_powers(3)[1:])
+    ws = r"[ \t\n\x0b\f\r]"
+    return f"""
+lmtoks AS (
+  SELECT doc_id,
+    CASE WHEN length(nrm) = 0 THEN CAST([] AS VARCHAR[])
+         ELSE string_split(nrm, ' ') END AS t
+  FROM (SELECT doc_id, trim(regexp_replace(lower(text), '{ws}+', ' ', 'g')) AS nrm
+        FROM documents)),
+lmgram AS (
+  SELECT k, gram, count(*) AS c FROM (
+    SELECT 1 AS k, t[CAST(i AS INTEGER)] AS gram
+    FROM lmtoks, unnest(range(1, len(t) + 1)) AS r(i)
+    UNION ALL
+    SELECT 2 AS k, array_to_string(t[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' ')
+    FROM lmtoks, unnest(range(1, len(t))) AS r(i)
+    UNION ALL
+    SELECT 3 AS k, array_to_string(t[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')
+    FROM lmtoks, unnest(range(1, len(t) - 1)) AS r(i)
+  ) GROUP BY k, gram),
+lmn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lmgram WHERE k = 1),
+lmpos AS (
+  SELECT doc_id, r.i AS pos,
+    t[CAST(r.i AS INTEGER)] AS n1,
+    CASE WHEN r.i >= 2 THEN array_to_string(t[CAST(r.i - 1 AS INTEGER):CAST(r.i AS INTEGER)], ' ') END AS n2,
+    CASE WHEN r.i >= 3 THEN array_to_string(t[CAST(r.i - 2 AS INTEGER):CAST(r.i AS INTEGER)], ' ') END AS n3,
+    CASE WHEN r.i >= 2 THEN t[CAST(r.i - 1 AS INTEGER)] END AS x2,
+    CASE WHEN r.i >= 3 THEN array_to_string(t[CAST(r.i - 2 AS INTEGER):CAST(r.i - 1 AS INTEGER)], ' ') END AS x3
+  FROM lmtoks, unnest(range(1, len(t) + 1)) AS r(i)),
+lmsc AS (
+  SELECT p.doc_id,
+    least(p.pos - 1, 2) AS avail,
+    CASE WHEN least(p.pos - 1, 2) >= 2 AND g3.c IS NOT NULL THEN 2
+         WHEN least(p.pos - 1, 2) >= 1 AND g2.c IS NOT NULL THEN 1
+         WHEN g1.c IS NOT NULL THEN 0 END AS used,
+    g1.c AS cn1, g2.c AS cn2, g3.c AS cn3, h2.c AS cd2, h3.c AS cd3
+  FROM lmpos p
+  LEFT JOIN lmgram g1 ON g1.k = 1 AND g1.gram = p.n1
+  LEFT JOIN lmgram g2 ON g2.k = 2 AND g2.gram = p.n2
+  LEFT JOIN lmgram g3 ON g3.k = 3 AND g3.gram = p.n3
+  LEFT JOIN lmgram h2 ON h2.k = 1 AND h2.gram = p.x2
+  LEFT JOIN lmgram h3 ON h3.k = 2 AND h3.gram = p.x3),
+lmfp AS (
+  SELECT doc_id, used,
+    CAST(floor((
+      (CASE WHEN used IS NULL THEN CAST(1 AS DOUBLE) / CAST((SELECT n FROM lmn) AS DOUBLE)
+            WHEN used = 2 THEN CAST(cn3 AS DOUBLE) / CAST(cd3 AS DOUBLE)
+            WHEN used = 1 THEN CAST(cn2 AS DOUBLE) / CAST(cd2 AS DOUBLE)
+            ELSE CAST(cn1 AS DOUBLE) / CAST((SELECT n FROM lmn) AS DOUBLE) END)
+      * (CASE WHEN (CASE WHEN used IS NULL THEN avail ELSE avail - used END) = 2 THEN CAST('{a2}' AS DOUBLE)
+              WHEN (CASE WHEN used IS NULL THEN avail ELSE avail - used END) = 1 THEN CAST('{a1}' AS DOUBLE)
+              ELSE CAST(1 AS DOUBLE) END)
+    ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS fp
+  FROM lmsc),
+lmdoc AS (
+  SELECT doc_id,
+    CAST(count(*) AS INTEGER) AS lm_n_scored,
+    CAST(sum(CASE WHEN used IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS lm_n_oov,
+    CAST(sum(CASE WHEN used = 0 THEN 1 ELSE 0 END) AS INTEGER) AS lm_m0,
+    CAST(sum(CASE WHEN used = 1 THEN 1 ELSE 0 END) AS INTEGER) AS lm_m1,
+    CAST(sum(CASE WHEN used = 2 THEN 1 ELSE 0 END) AS INTEGER) AS lm_m2,
+    CAST(sum(fp) AS BIGINT) AS lm_score_fp
+  FROM lmfp GROUP BY doc_id),
+lml AS (
+  SELECT d.doc_id,
+    coalesce(m.lm_n_scored, 0) AS lm_n_scored,
+    coalesce(m.lm_n_oov, 0) AS lm_n_oov,
+    coalesce(m.lm_m0, 0) AS lm_m0,
+    coalesce(m.lm_m1, 0) AS lm_m1,
+    coalesce(m.lm_m2, 0) AS lm_m2,
+    coalesce(m.lm_score_fp, 0) AS lm_score_fp
+  FROM documents d LEFT JOIN lmdoc m ON d.doc_id = m.doc_id)"""
+
+
 def _rep_select_cols() -> str:
     cols = [
         "dup_line_frac", "dup_para_frac", "dup_line_char_frac", "dup_para_char_frac",
@@ -3380,7 +3562,8 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(lower(text),
                        '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b')) AS n_stopwords
             FROM documents""",
-        "text_signals": "WITH" + _repetition_oracle_ctes() + "," + r"""
+        "text_signals": "WITH" + _repetition_oracle_ctes() + ","
+        + _c4_oracle_ctes() + "," + _lm_oracle_ctes() + "," + r"""
             counts AS (
               SELECT doc_id,
                 len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with)\b')) AS c_en,
@@ -3430,11 +3613,18 @@ def oracle_sql() -> dict[str, str]:
                         OR g.g_fail_symbol_ratio OR g.g_fail_bullet_lines
                         OR g.g_fail_ellipsis_lines OR g.g_fail_alpha_words
                         OR g.g_fail_stop_words) AS gopher_pass,
-                   """ + _rep_select_cols() + r"""
+                   """ + _rep_select_cols() + r""",
+                   c4.c4_clean_fp, c4.c4_kept_lines, c4.c4_n_sentences,
+                   c4.c4_fail_curly_brace, c4.c4_fail_lorem_ipsum,
+                   c4.c4_fail_min_sentences, c4.c4_pass,
+                   lm.lm_n_scored, lm.lm_n_oov, lm.lm_m0, lm.lm_m1,
+                   lm.lm_m2, lm.lm_score_fp
             FROM documents d
             JOIN counts c ON d.doc_id = c.doc_id
             JOIN gflags g ON d.doc_id = g.doc_id
-            JOIN rep r ON d.doc_id = r.doc_id""",
+            JOIN rep r ON d.doc_id = r.doc_id
+            JOIN c4f c4 ON d.doc_id = c4.doc_id
+            JOIN lml lm ON d.doc_id = lm.doc_id""",
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, rank FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,0 +1,259 @@
+"""N-gram language-model perplexity filtering (the CCNet filter family).
+
+Public provenance: CCNet (Wenzek et al. 2020) filters web documents by
+the perplexity of a 5-gram KenLM; stupid backoff (Brants et al. 2007,
+"Large Language Models in Machine Translation") is the standard
+smoothing for count-only distributed LMs:
+
+    S(w | ctx_k) = c(ctx_k w) / c(ctx_k)          if c(ctx_k w) > 0
+                 = alpha * S(w | ctx_{k-1})        otherwise
+    S(w)         = c(w) / N
+
+This module implements both halves Spark-first:
+
+  ngram_lm_train   ONE explode of tagged 1..n-grams + ONE groupBy —
+                   map-side partial combine bounds hot grams; shuffle
+                   rows ∝ distinct grams, never corpus size.
+  lm_score         per-position scoring via 2n-1 equi-joins of the
+                   position frame against the counts table (broadcast
+                   by default — a pruned filter LM is dim-table sized;
+                   broadcast=False falls back to shuffle hash joins on
+                   the gram key for LMs that outgrow broadcast). The
+                   corpus side is ONE explode (positions ∝ tokens) and
+                   ONE final doc-keyed aggregation; no other corpus
+                   shuffle. No Python anywhere.
+
+Cross-engine exactness: every per-position score is
+floor((c_num / c_den) * alpha^j * 1e6) with alpha^j embedded as a
+repr()'d double literal — division and multiplication are IEEE
+correctly-rounded, so the int64 fixed-point sum is bit-identical in
+any engine (the DuckDB driver oracle recomputes it). log10-based
+perplexity is reported alongside for users and is pinned to an
+independent Python replica in pytest (libm log10 may differ in the
+last ulp across engines, so it stays OUT of the hash-compared oracle
+columns by design).
+
+Tokenization matches dedup.shingles: lowercase, whitespace runs
+collapsed to one space, trim, split on ' '. Empty text → no tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+LM_ALPHA = 0.4  # Brants et al. 2007's published backoff multiplier
+LM_SCALE = 1000000.0  # fixed-point scale for the cross-engine-exact sum
+
+
+def alpha_powers(order: int, alpha: float = LM_ALPHA) -> list[float]:
+    """alpha^0..alpha^(order-1) by REPEATED MULTIPLICATION (not pow()):
+    each step is one correctly-rounded double multiply, so embedding
+    repr() of these values in SQL reproduces them bit-for-bit; libm
+    pow() is not guaranteed identical across engines."""
+    out = [1.0]
+    for _ in range(order - 1):
+        out.append(out[-1] * alpha)
+    return out
+
+
+def _tokens(col: Column) -> Column:
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _grams_ending_at(toks: Column, i: Column, k: int) -> Column:
+    """The k-gram ending at 0-based position i (tokens i-k+1..i), joined
+    with ' '; NULL when the position has fewer than k predecessors."""
+    return F.when(i >= k - 1, F.array_join(F.slice(toks, i - k + 2, k), " "))
+
+
+def ngram_lm_train(
+    df: DataFrame, text_col: str = "text", order: int = 3, min_count: int = 1
+) -> DataFrame:
+    """Count all 1..order word n-grams WITH multiplicity → (k, gram, c).
+
+    One explode + one groupBy; min_count prunes rare grams uniformly
+    (safe for backoff: c(k+1-gram) ≤ c(its context k-gram), so a pruned
+    context implies the longer gram was pruned too)."""
+    if order < 1:
+        raise ValueError(f"ngram_lm_train: order must be ≥ 1, got {order}")
+    toks = _tokens(F.col(text_col))
+
+    # factory closures, NOT default-arg lambdas: a two-parameter lambda
+    # makes F.transform pass the array INDEX as the second argument,
+    # silently clobbering the captured k
+    def _gram_at(k: int):
+        return lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+
+    def _tag(k: int):
+        return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
+
+    tagged = []
+    for k in range(1, order + 1):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+        grams = F.when(
+            F.size(toks) >= k, F.transform(idx, _gram_at(k))
+        ).otherwise(F.array().cast("array<string>"))
+        tagged.append(F.transform(grams, _tag(k)))
+    counts = (
+        df.select(F.explode(F.concat(*tagged)).alias("u"))
+        .groupBy(F.col("u.k").alias("k"), F.col("u.gram").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("c") >= min_count)
+    return counts
+
+
+def lm_vocab_size(lm: DataFrame) -> int:
+    """Total training token count N (bounded driver action: one scalar)."""
+    row = lm.filter(F.col("k") == 1).agg(F.sum("c")).collect()[0]
+    return int(row[0] or 0)
+
+
+def lm_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    order: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = LM_ALPHA,
+    broadcast: bool = True,
+    total_tokens: int | None = None,
+) -> DataFrame:
+    """Per-document stupid-backoff score: each position i is scored with
+    its LONGEST available context (min(i, order-1) tokens), backing off
+    with one alpha multiplier per dropped context token; an OOV word
+    scores alpha^avail / N (the standard 1/N floor).
+
+    Output per doc: lm_n_scored, lm_n_oov, lm_m{j} (positions resolved
+    at context length j, j=0..order-1), lm_score_fp (int64 sum of
+    floor((c_num/c_den) * alpha^j * 1e6) — bit-identical across
+    engines), lm_logprob10 (sum log10(score)), lm_ppl
+    (10^(−logprob/n)). Empty docs score 0 with NULL perplexity.
+    """
+    if order < 1:
+        raise ValueError(f"lm_score: order must be ≥ 1, got {order}")
+    n_total = total_tokens if total_tokens is not None else lm_vocab_size(lm)
+    if n_total <= 0:
+        raise ValueError("lm_score: the LM has no unigram mass (empty training set?)")
+    apow = alpha_powers(order, alpha)
+
+    toks = _tokens(F.col(text_col))
+    pos_struct = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            *[
+                _grams_ending_at(toks, i, k).alias(f"n{k}")
+                for k in range(1, order + 1)
+            ],
+            *[
+                # the context of the order-k numerator: the (k-1)-gram
+                # ending at i-1 == tokens i-k+1..i-1
+                F.when(
+                    i >= k - 1, F.array_join(F.slice(toks, i - k + 2, k - 1), " ")
+                ).alias(f"x{k}")
+                for k in range(2, order + 1)
+            ],
+        ),
+    )
+    # explode_outer: an empty doc keeps ONE all-NULL position row, so the
+    # final aggregation covers every doc without a restore join (the
+    # all-NULL row is excluded from every aggregate by the i-NULL guard)
+    pos = docs.select(
+        F.col(id_col), F.explode_outer(F.when(F.size(toks) > 0, pos_struct)).alias("p")
+    ).select(id_col, "p.*")
+
+    def side(frame: DataFrame) -> DataFrame:
+        return F.broadcast(frame) if broadcast else frame
+
+    out = pos
+    for k in range(1, order + 1):
+        num_k = side(
+            lm.filter(F.col("k") == k).select(
+                F.col("gram").alias(f"_g{k}"), F.col("c").alias(f"cn{k}")
+            )
+        )
+        out = out.join(num_k, on=out[f"n{k}"] == num_k[f"_g{k}"], how="left").drop(
+            f"_g{k}"
+        )
+    for k in range(2, order + 1):
+        den_k = side(
+            lm.filter(F.col("k") == k - 1).select(
+                F.col("gram").alias(f"_h{k}"), F.col("c").alias(f"cd{k}")
+            )
+        )
+        out = out.join(den_k, on=out[f"x{k}"] == den_k[f"_h{k}"], how="left").drop(
+            f"_h{k}"
+        )
+
+    avail = F.least(F.col("i"), F.lit(order - 1))  # max context length here
+    # used context length: largest k-1 with a live numerator (the context
+    # count is then provably > 0: c(ctx) ≥ c(ctx·w) > 0)
+    used = F.lit(None).cast("int")
+    for k in range(1, order + 1):
+        used = F.when(
+            (avail >= k - 1) & F.col(f"cn{k}").isNotNull(), F.lit(k - 1)
+        ).otherwise(used)
+    is_oov = used.isNull()
+
+    num = F.lit(None).cast("double")
+    den = F.lit(None).cast("double")
+    for k in range(1, order + 1):
+        num = F.when(used == k - 1, F.col(f"cn{k}").cast("double")).otherwise(num)
+        den = F.when(
+            used == k - 1,
+            (F.lit(float(n_total)) if k == 1 else F.col(f"cd{k}").cast("double")),
+        ).otherwise(den)
+    # backoff multiplier alpha^(avail-used) — repr()'d literals so any
+    # SQL engine reproduces the exact double (see alpha_powers)
+    jexp = F.when(is_oov, avail).otherwise(avail - used)
+    amult = F.lit(apow[0])
+    for j in range(1, order):
+        amult = F.when(jexp == j, F.lit(apow[j])).otherwise(amult)
+    ratio = F.when(is_oov, F.lit(1.0) / F.lit(float(n_total))).otherwise(num / den)
+    score = ratio * amult
+    score_fp = F.floor(score * F.lit(LM_SCALE)).cast("long")
+    used_or0 = F.coalesce(used, F.lit(0))
+    live = F.col("i").isNotNull()  # false only on the empty-doc NULL row
+
+    per_doc = out.groupBy(id_col).agg(
+        F.sum(live.cast("int")).cast("int").alias("lm_n_scored"),
+        F.sum((live & is_oov).cast("int")).cast("int").alias("lm_n_oov"),
+        *[
+            F.sum((live & ~is_oov & (used_or0 == j)).cast("int"))
+            .cast("int")
+            .alias(f"lm_m{j}")
+            for j in range(order)
+        ],
+        F.coalesce(F.sum(F.when(live, score_fp)), F.lit(0)).alias("lm_score_fp"),
+        F.sum(F.when(live, F.log10(score))).alias("lm_logprob10"),
+    )
+    return per_doc.withColumn(
+        "lm_ppl",
+        F.pow(
+            F.lit(10.0),
+            -F.col("lm_logprob10")
+            / F.nullif(F.col("lm_n_scored"), F.lit(0)).cast("double"),
+        ),
+    )
+
+
+def lm_perplexity_filter(
+    docs: DataFrame,
+    lm: DataFrame,
+    max_ppl: float,
+    order: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Keep documents whose stupid-backoff perplexity is ≤ max_ppl (the
+    CCNet head/middle/tail cut is two such thresholds). Empty docs
+    (NULL perplexity) are dropped — no evidence either way."""
+    scored = lm_score(docs, lm, order=order, text_col=text_col, id_col=id_col, **kw)
+    keep = scored.filter(F.col("lm_ppl") <= max_ppl).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

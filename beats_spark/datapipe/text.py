@@ -331,6 +331,72 @@ def gopher_repetition_signals(
     return out.withColumn("rep_pass", rep_pass)
 
 
+# C4 boilerplate-policy line phrases (Raffel et al. 2020, §2.2)
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def c4_quality_signals(col: Column) -> dict[str, Column]:
+    """C4 cleaning heuristics (Raffel et al. 2020, §2.2) — the other
+    standard pretraining filter battery next to the Gopher rules. Line
+    rules (a line SURVIVES iff it passes all):
+
+      * ends in a terminal punctuation mark (. ! ? or closing ");
+      * contains at least 3 words;
+      * does not contain the word "javascript" (case-insensitive);
+      * contains none of the C4_POLICY_PHRASES boilerplate strings.
+
+    Document rules (flag True = document FAILS):
+
+      * fail_curly_brace  — page contains '{' or '}' (code);
+      * fail_lorem_ipsum  — page contains "lorem ipsum";
+      * fail_min_sentences — cleaned text has fewer than 5 sentences.
+        C4 counts real (nltk-segmented) sentences; this engine counts
+        terminal-punctuation marks in the kept lines — a deterministic,
+        SQL-replicable approximation, documented as the divergence.
+
+    Everything is a pure-Column filter/regex battery — map-side at scan
+    speed, no shuffle, and every component is SQL-expressible so the
+    DuckDB oracle replicates it exactly. Returns the cleaned text
+    (kept lines re-joined), kept-line count, sentence count, per-rule
+    doc flags, and `c4_pass`.
+    """
+    lines = F.split(col, r"\n")
+
+    def line_ok(l: Column) -> Column:
+        s = strip_ws(l)
+        low = F.lower(s)
+        n_words = F.when(F.length(s) == 0, F.lit(0)).otherwise(
+            F.size(F.split(s, r"\s+"))
+        )
+        ok = s.rlike(r'[.!?"]$') & (n_words >= 3) & ~low.contains("javascript")
+        for phrase in C4_POLICY_PHRASES:
+            ok = ok & ~low.contains(phrase)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), F.lit(0)))
+    fail_curly = col.contains("{") | col.contains("}")
+    fail_lorem = F.lower(col).contains("lorem ipsum")
+    fail_min_sentences = n_sentences < 5
+    return {
+        "c4_cleaned": cleaned,
+        "c4_kept_lines": F.size(kept),
+        "c4_n_sentences": n_sentences,
+        "c4_fail_curly_brace": fail_curly,
+        "c4_fail_lorem_ipsum": fail_lorem,
+        "c4_fail_min_sentences": fail_min_sentences,
+        "c4_pass": ~(fail_curly | fail_lorem | fail_min_sentences),
+    }
+
+
 # tracking query parameters stripped by normalize_url (the common
 # analytics/click-id families — public knowledge, e.g. utm_* is
 # Google Analytics' urchin tag set)

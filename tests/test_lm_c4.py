@@ -1,0 +1,327 @@
+"""n-gram LM perplexity filter (CCNet family) + C4 cleaning battery.
+
+The LM tests pin Spark's stupid-backoff scorer against an INDEPENDENT
+pure-Python implementation (trained from the same corpus with plain
+dict counting): integer-exact equality on the fixed-point score sum and
+the backoff-order histogram, tolerance equality on the log-space
+perplexity (libm log10 may differ in the final ulp between JVM and
+CPython — exactly why lm_score_fp, not lm_ppl, is the oracle column).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.datapipe.lm import (
+    LM_SCALE,
+    alpha_powers,
+    lm_perplexity_filter,
+    lm_score,
+    lm_vocab_size,
+    ngram_lm_train,
+)
+
+
+# -- independent Python replica ----------------------------------------------
+
+
+def _py_tokens(text: str) -> list[str]:
+    norm = " ".join(text.lower().split())
+    return norm.split(" ") if norm else []
+
+
+def _py_train(texts: list[str], order: int) -> dict[tuple[int, str], int]:
+    counts: dict[tuple[int, str], int] = {}
+    for t in texts:
+        toks = _py_tokens(t)
+        for k in range(1, order + 1):
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i : i + k])
+                counts[(k, g)] = counts.get((k, g), 0) + 1
+    return counts
+
+
+def _py_score(
+    text: str, counts: dict[tuple[int, str], int], order: int, n_total: int
+) -> dict:
+    apow = alpha_powers(order)
+    toks = _py_tokens(text)
+    n_oov = 0
+    hist = [0] * order
+    fp_sum = 0
+    logprob = 0.0
+    for i, _w in enumerate(toks):
+        avail = min(i, order - 1)
+        used = None
+        for ctx_len in range(avail, -1, -1):
+            g = " ".join(toks[i - ctx_len : i + 1])
+            if counts.get((ctx_len + 1, g), 0) > 0:
+                used = ctx_len
+                break
+        if used is None:
+            n_oov += 1
+            ratio = 1.0 / float(n_total)
+            j = avail
+        else:
+            hist[used] += 1
+            g = " ".join(toks[i - used : i + 1])
+            num = float(counts[(used + 1, g)])
+            den = (
+                float(n_total)
+                if used == 0
+                else float(counts[(used, " ".join(toks[i - used : i]))])
+            )
+            ratio = num / den
+            j = avail - used
+        score = ratio * apow[j]
+        fp_sum += math.floor(score * LM_SCALE)
+        logprob += math.log10(score)
+    return {
+        "n_scored": len(toks),
+        "n_oov": n_oov,
+        "hist": hist,
+        "fp": fp_sum,
+        "logprob": logprob,
+    }
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+def _random_corpus(seed: int, n_docs: int) -> list[str]:
+    rng = random.Random(seed)
+    docs = []
+    for _ in range(n_docs):
+        n = rng.randint(0, 30)
+        docs.append(" ".join(rng.choice(WORDS) for _ in range(n)))
+    return docs
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_lm_score_matches_python_replica(spark, order):
+    texts = _random_corpus(seed=7, n_docs=40)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df, order=order)
+    n_total = lm_vocab_size(lm)
+    py_counts = _py_train(texts, order)
+    assert n_total == sum(c for (k, _), c in py_counts.items() if k == 1)
+
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df, lm, order=order).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        exp = _py_score(t, py_counts, order, n_total)
+        r = got[i]
+        assert r["lm_n_scored"] == exp["n_scored"], (i, t)
+        assert r["lm_n_oov"] == exp["n_oov"] == 0  # self-scored: no OOV
+        assert [r[f"lm_m{j}"] for j in range(order)] == exp["hist"], (i, t)
+        assert r["lm_score_fp"] == exp["fp"], (i, t)
+        if exp["n_scored"]:
+            assert r["lm_logprob10"] == pytest.approx(exp["logprob"], rel=1e-12)
+            assert r["lm_ppl"] == pytest.approx(
+                10.0 ** (-exp["logprob"] / exp["n_scored"]), rel=1e-12
+            )
+        else:
+            assert r["lm_logprob10"] is None and r["lm_ppl"] is None
+
+
+def test_lm_oov_and_heldout(spark):
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        "doc_id int, text string",
+    )
+    lm = ngram_lm_train(train, order=3)
+    n_total = lm_vocab_size(lm)
+    test_df = spark.createDataFrame(
+        [(0, "the cat sat quietly"), (1, "zzz unknown words only")],
+        "doc_id int, text string",
+    )
+    py_counts = _py_train(["the cat sat on the mat", "the dog sat on the rug"], 3)
+    got = {r["doc_id"]: r.asDict() for r in lm_score(test_df, lm, order=3).collect()}
+    for i, t in [(0, "the cat sat quietly"), (1, "zzz unknown words only")]:
+        exp = _py_score(t, py_counts, 3, n_total)
+        assert got[i]["lm_n_oov"] == exp["n_oov"]
+        assert got[i]["lm_score_fp"] == exp["fp"]
+    assert got[1]["lm_n_oov"] == 4  # every word unseen
+    # in-domain text must be far more probable than OOV noise
+    assert got[0]["lm_ppl"] < got[1]["lm_ppl"]
+
+
+def test_lm_edges(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "solo"), (3, "a b")], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df, order=3)
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df, lm, order=3).collect()}
+    assert got[0]["lm_n_scored"] == 0 and got[0]["lm_score_fp"] == 0
+    assert got[0]["lm_ppl"] is None
+    assert got[1]["lm_n_scored"] == 0  # whitespace-only == empty
+    assert got[2]["lm_n_scored"] == 1 and got[2]["lm_m0"] == 1
+    assert got[3]["lm_m0"] == 1 and got[3]["lm_m1"] == 1
+
+
+def test_lm_min_count_prunes_consistently(spark):
+    texts = _random_corpus(seed=11, n_docs=30)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df, order=2, min_count=3)
+    rows = lm.collect()
+    assert all(r["c"] >= 3 for r in rows)
+    # pruning keeps the invariant the scorer relies on: any surviving
+    # (k+1)-gram's context k-gram also survives
+    have = {(r["k"], r["gram"]) for r in rows}
+    for k, g in have:
+        if k == 2:
+            ctx = g.rsplit(" ", 1)[0]
+            assert (1, ctx) in have
+
+
+def test_lm_perplexity_filter(spark):
+    texts = ["the cat sat on the mat"] * 5 + ["qq ww ee rr tt yy"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df.filter(F.col("doc_id") < 5), order=3)
+    kept = lm_perplexity_filter(df, lm, max_ppl=10.0, order=3)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {0, 1, 2, 3, 4}  # the OOV doc's perplexity is enormous
+
+
+def test_lm_broadcast_and_shuffle_paths_agree(spark):
+    texts = _random_corpus(seed=23, n_docs=25)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df, order=3)
+    a = lm_score(df, lm, order=3, broadcast=True)
+    b = lm_score(df, lm, order=3, broadcast=False)
+    cols = [c for c in a.columns if c not in ("lm_logprob10", "lm_ppl")]
+    assert sorted(map(tuple, a.select(cols).collect())) == sorted(
+        map(tuple, b.select(cols).collect())
+    )
+
+
+def test_lm_rejects_bad_order(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        ngram_lm_train(df, order=0)
+    with pytest.raises(ValueError):
+        lm_score(df, ngram_lm_train(df, order=1), order=0)
+
+
+# -- C4 battery ---------------------------------------------------------------
+
+
+def _py_c4(text: str) -> dict:
+    phrases = (
+        "terms of use",
+        "privacy policy",
+        "cookie policy",
+        "uses cookies",
+        "use of cookies",
+        "use cookies",
+    )
+    kept = []
+    for line in text.split("\n"):
+        s = line.strip()
+        low = s.lower()
+        words = len(s.split()) if s else 0
+        ok = (
+            bool(s) and s[-1] in '.!?"'
+            and words >= 3
+            and "javascript" not in low
+            and not any(p in low for p in phrases)
+        )
+        if ok:
+            kept.append(line)
+    cleaned = "\n".join(kept)
+    n_sent = sum(cleaned.count(c) for c in ".!?")
+    return {
+        "cleaned": cleaned,
+        "kept": len(kept),
+        "n_sent": n_sent,
+        "curly": "{" in text or "}" in text,
+        "lorem": "lorem ipsum" in text.lower(),
+        "few": n_sent < 5,
+    }
+
+
+C4_DOCS = [
+    "This is a fine sentence.\nAnother good one here!\nShort.\nno punct line\n"
+    "Is this a question?\nYes it truly is.\nAnd one more for luck.",
+    "Enable JavaScript to view this page.\nReal content sentence here.\n"
+    "More real content follows now.\nThird real sentence appears here.\n"
+    "Fourth proper sentence lives here.\nFifth one closes the page.",
+    "function f() { return 1; }\nA sentence that is fine.\nAnother fine sentence here.\n"
+    "Third fine sentence here too.\nFourth sentence sits right here.\nFifth one too.",
+    "Lorem ipsum dolor sit amet.\nPlease read our privacy policy.\n"
+    "This site uses cookies today.\nA genuine content sentence here.\n"
+    "Another genuine content sentence.\nAnd here is one more line.\nFinal genuine sentence here.",
+    "",
+    'He said "stop right there."\nQuoted line ends with quote."\nthree ok words.',
+]
+
+
+def test_c4_matches_python_replica(spark):
+    from beats_spark.datapipe.text import c4_quality_signals
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(C4_DOCS)], "doc_id int, text string"
+    )
+    sig = c4_quality_signals(F.col("text"))
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(k) for k, c in sig.items()]).collect()
+    }
+    for i, t in enumerate(C4_DOCS):
+        exp = _py_c4(t)
+        r = out[i]
+        assert r["c4_cleaned"] == exp["cleaned"], (i, t)
+        assert r["c4_kept_lines"] == exp["kept"]
+        assert r["c4_n_sentences"] == exp["n_sent"]
+        assert r["c4_fail_curly_brace"] == exp["curly"]
+        assert r["c4_fail_lorem_ipsum"] == exp["lorem"]
+        assert r["c4_fail_min_sentences"] == exp["few"]
+        assert r["c4_pass"] == (not (exp["curly"] or exp["lorem"] or exp["few"]))
+
+
+def test_c4_doc_level_semantics(spark):
+    from beats_spark.datapipe.text import c4_quality_signals
+
+    # javascript / policy phrases kill the LINE, not the page; curly
+    # braces and lorem ipsum kill the PAGE even in a dropped line
+    doc = (
+        "This page uses cookies often.\nA first proper sentence here.\n"
+        "A second proper sentence here.\nA third proper sentence here.\n"
+        "A fourth proper sentence here.\nA fifth proper sentence here."
+    )
+    df = spark.createDataFrame([(0, doc)], "doc_id int, text string")
+    sig = c4_quality_signals(F.col("text"))
+    r = df.select(*[c.alias(k) for k, c in sig.items()]).collect()[0]
+    assert r["c4_kept_lines"] == 5  # cookie line dropped
+    assert r["c4_pass"]  # but the page survives
+
+
+def test_lm_plan_is_broadcast_and_single_corpus_scan(spark):
+    """Scale shape: the scoring plan must carry 2n-1 BroadcastHashJoins
+    and no corpus-side exchange before the final doc aggregation."""
+    texts = _random_corpus(seed=3, n_docs=10)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    lm = ngram_lm_train(df, order=3).persist()
+    lm.count()
+    try:
+        scored = lm_score(df, lm, order=3, broadcast=True)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    finally:
+        lm.unpersist()
