@@ -165,6 +165,16 @@ def test_lm_edges(spark):
     assert got[3]["lm_m0"] == 1 and got[3]["lm_m1"] == 1
 
 
+def test_lm_null_text_scores_as_empty(spark):
+    df = spark.createDataFrame([(0, None), (1, "a b a")], "doc_id int, text string")
+    lm = ngram_lm_train(df, order=2)
+    assert lm_vocab_size(lm) == 3  # the NULL row contributed nothing
+    got = {r["doc_id"]: r.asDict() for r in lm_score(df, lm, order=2).collect()}
+    assert got[0]["lm_n_scored"] == 0 and got[0]["lm_score_fp"] == 0
+    assert got[0]["lm_ppl"] is None
+    assert got[1]["lm_n_scored"] == 3
+
+
 def test_lm_min_count_prunes_consistently(spark):
     texts = _random_corpus(seed=11, n_docs=30)
     df = spark.createDataFrame(
