@@ -1,0 +1,38 @@
+"""httpjson input — the reference's generic HTTP/JSON API poller rebuilt
+from scratch (x-pack/filebeat/input/httpjson/, ~15.5k LoC Go).
+
+The input is a driver-side protocol client in the same family as the
+repo's live kafka/redis/ES/MQTT/lumberjack wire paths: everything that
+talks HTTP runs once per interval on the driver (or inside the
+`beats_httpjson` streaming source), and the resulting events feed the
+normal Spark pipeline as a DataFrame.  Nothing here is per-row Python
+on a hot path — one poll produces a bounded batch of events.
+
+Layout (reference file in parens):
+
+- ``mapstr``      — elastic mapstr.M Put/GetValue/Delete semantics
+- ``gotime``      — Go time layouts, time.Time / Duration analogs
+- ``tpl``         — value templates (value_tpl.go): the Go
+                    text/template subset httpjson configs use, with
+                    the full registered func map
+- ``transforms``  — transformable / transformContext / append,set,
+                    delete (transform*.go)
+- ``splitter``    — response split chains (split.go)
+- ``encdec``      — request encoders + response decoders (encoding.go)
+- ``engine``      — request factory, pagination, rate limit, cursor,
+                    the per-interval requester (request.go,
+                    response.go, pagination.go, rate_limiter.go,
+                    cursor.go, input.go) and the Spark surface
+                    (httpjson_collect / httpjson_events_df /
+                    read_httpjson streaming source)
+"""
+
+from .engine import (  # noqa: F401
+    HTTPJSONError,
+    httpjson_collect,
+    httpjson_events_df,
+    make_event,
+    read_httpjson,
+    register_httpjson_source,
+)
+from .tpl import ValueTpl, TemplateError  # noqa: F401

@@ -1,0 +1,163 @@
+"""httpjson request encoders / response decoders (encoding.go).
+
+Encoders build POST bodies from a transformable; decoders turn response
+bytes into the response body object.  The registries mirror
+encoding.go:41-61: json + form encoders; json, x-ndjson, csv, and zip
+decoders, with content-type dispatch and the same JSON default.  The
+reference's XML decoder rides elastic's mito typed-XML engine with XSD
+hints; that decoder (and the `xsd` knob) is out of scope here and
+fails loudly at config time — the JSON-family decoders cover the
+public-API configs the input ships with.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import json
+import zipfile
+from typing import Any, Callable, Dict, Optional, Tuple
+
+from .tpl import Header
+from .transforms import Response, Transformable
+
+
+class DecodeError(ValueError):
+    """Decoding failed; message carries a short text context like
+    textContextError (encoding.go:205-248)."""
+
+
+def _text_context(body: bytes, pos: int) -> str:
+    span = 10
+    left = max(0, pos - span)
+    right = min(pos + span + 1, len(body))
+    ctx = body[left:right].decode("utf-8", "replace")
+    if left != 0:
+        ctx = "..." + ctx
+    if right != len(body):
+        ctx += "..."
+    return ctx
+
+
+# ---------------------------------------------------------------- encoders
+
+def encode_as_json(tr_req: Transformable) -> Optional[bytes]:
+    if "body" not in tr_req.data:
+        return None
+    header = tr_req.header()
+    header.Set("Content-Type", "application/json")
+    return json.dumps(tr_req.data["body"], separators=(",", ":")).encode()
+
+
+def encode_as_form(tr_req: Transformable) -> bytes:
+    url = tr_req.url()
+    body = url.RawQuery.encode()
+    url.RawQuery = ""
+    tr_req.set_url(url)
+    header = tr_req.header()
+    header.Set("Content-Type", "application/x-www-form-urlencoded")
+    return body
+
+
+REGISTERED_ENCODERS: Dict[str, Callable] = {
+    "application/json": encode_as_json,
+    "application/x-www-form-urlencoded": encode_as_form,
+}
+
+
+def encode(content_type: str, tr_req: Transformable) -> Optional[bytes]:
+    enc = REGISTERED_ENCODERS.get(content_type, encode_as_json)
+    return enc(tr_req)
+
+
+# ---------------------------------------------------------------- decoders
+
+def decode_as_json(p: bytes, dst: Response) -> None:
+    try:
+        dst.body = json.loads(p)
+    except json.JSONDecodeError as e:
+        raise DecodeError(
+            f"{e.msg}: text context {_text_context(p, e.pos)!r}")
+
+
+def decode_as_ndjson(p: bytes, dst: Response) -> None:
+    """Relaxed JSON-object-stream decode (encoding.go:101-114)."""
+    results = []
+    dec = json.JSONDecoder()
+    text = p.decode("utf-8", "replace")
+    pos = 0
+    n = len(text)
+    while True:
+        while pos < n and text[pos] in " \t\r\n":
+            pos += 1
+        if pos >= n:
+            break
+        try:
+            obj, pos = dec.raw_decode(text, pos)
+        except json.JSONDecodeError as e:
+            raise DecodeError(
+                f"{e.msg}: text context {_text_context(p, e.pos)!r}")
+        results.append(obj)
+    dst.body = results
+
+
+def decode_as_csv(p: bytes, dst: Response) -> None:
+    """Headed CSV → list of {header: value} rows (encoding.go:117-153)."""
+    results = []
+    reader = _csv.reader(io.StringIO(p.decode("utf-8", "replace")))
+    try:
+        header = next(reader)
+    except StopIteration:
+        dst.body = None
+        return
+    except _csv.Error as e:
+        raise DecodeError(str(e))
+    try:
+        for event in reader:
+            if not event:
+                continue
+            if len(header) != len(event):
+                raise DecodeError(
+                    "malformed CSV, record does not match header length")
+            results.append({h: event[i] for i, h in enumerate(header)})
+    except _csv.Error as e:
+        raise DecodeError(str(e))
+    dst.body = results
+
+
+def decode_as_zip(p: bytes, dst: Response) -> None:
+    """ZIP of JSON streams → concatenated objects + X-Zip-Files header
+    (encoding.go:156-190)."""
+    results = []
+    names = []
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(p))
+    except zipfile.BadZipFile as e:
+        raise DecodeError(str(e))
+    for info in zf.infolist():
+        names.append(info.filename)
+        inner = Response()
+        decode_as_ndjson(zf.read(info), inner)
+        results.extend(inner.body or [])
+    dst.body = results
+    if dst.header is None:
+        dst.header = Header()
+    dst.header["X-Zip-Files"] = names
+
+
+REGISTERED_DECODERS: Dict[str, Callable] = {
+    "application/json": decode_as_json,
+    "application/x-ndjson": decode_as_ndjson,
+    "text/csv": decode_as_csv,
+    "application/zip": decode_as_zip,
+}
+
+
+def decode(content_type: str, p: bytes, dst: Response) -> None:
+    # mime parameters are ignored for dispatch except the registered
+    # literal keys, like the Go map lookup (encoding.go:52-58)
+    dec = REGISTERED_DECODERS.get(content_type)
+    if dec is None:
+        base = content_type.split(";", 1)[0].strip()
+        dec = REGISTERED_DECODERS.get(base, decode_as_json)
+    dec(p, dst)

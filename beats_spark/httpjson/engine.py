@@ -1,0 +1,753 @@
+"""httpjson engine: request → decode → split → transform → publish.
+
+Ports the reference's single-request program end to end
+(request.go, response.go, pagination.go, rate_limiter.go, cursor.go,
+input.go) over stdlib http.client — the same no-SDK discipline as the
+repo's live ES/kafka/redis wire paths.  Driver-side by design: one
+poll per interval produces a bounded batch of events that feed Spark
+as a DataFrame (`httpjson_events_df`) or stream through the
+`beats_httpjson` Python Data Source with the cursor checkpointed in
+stream offsets (the statestore registry analog, input.go:289-296).
+
+Scope lines (loud, config-time):
+- `chain` steps (request.go:112-239) are not implemented — raise;
+- OAuth2 is client_credentials only (fake-server testable); the
+  provider-specific flows (google/azure/okta JWT) are env-gated;
+- `response.xsd` / XML decode rides elastic's mito typed-XML engine —
+  out of scope (encdec.py).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import json
+import time as _time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from . import mapstr
+from .encdec import (REGISTERED_DECODERS, REGISTERED_ENCODERS, DecodeError,
+                     decode, encode)
+from .splitter import (ERR_EMPTY_FIELD, ERR_EMPTY_ROOT_FIELD, SplitError,
+                       new_split_response)
+from .tpl import (ERR_EMPTY_RESULT, ERR_EXECUTING, Header, URL, ValueTpl,
+                  user_agent_string)
+from .transforms import (ERR_NEW_URL_VALUE_NOT_SET, PAGINATION_NS,
+                         REQUEST_NS, RESPONSE_NS, Cursor, Response,
+                         Transformable, TransformContext, TransformError,
+                         new_transforms)
+
+_sleep = _time.sleep  # patchable in tests
+
+
+class HTTPJSONError(ValueError):
+    pass
+
+
+class HttpError(HTTPJSONError):
+    """httpError (request.go:38-49)."""
+
+    def __init__(self, status_code: int, status: str, body: bytes):
+        self.status_code = status_code
+        self.status = status
+        self.body = body
+        if body:
+            msg = (f"server responded with status code {status}: "
+                   f"{body.decode('utf-8', 'replace')}")
+        else:
+            msg = f"server responded with status code {status}"
+        super().__init__(msg)
+
+
+# ------------------------------------------------------------------ config
+
+def unflatten(flat: Dict[str, Any]) -> dict:
+    """Expand dotted config keys ('request.url') into nested dicts — the
+    shape the reference test matrix uses for its baseConfig maps."""
+    out: dict = {}
+    for k, v in flat.items():
+        mapstr.put(out, k, v)
+    return out
+
+
+class Config:
+    """config.go config + defaults + Validate()."""
+
+    def __init__(self, cfg: dict):
+        cfg = dict(cfg)
+        self.interval = _duration(cfg.get("interval", 60.0))
+        if self.interval <= 0:
+            raise HTTPJSONError("interval must be greater than 0")
+        if cfg.get("chain"):
+            raise NotImplementedError(
+                "httpjson chain steps are not implemented in this engine "
+                "(reference request.go:112-239); flatten the chain into "
+                "separate inputs or join the id fetch Spark-side")
+
+        auth = cfg.get("auth") or {}
+        basic = auth.get("basic") or {}
+        self.basic_user = basic.get("user", "")
+        self.basic_password = basic.get("password", "")
+        self.oauth2 = auth.get("oauth2") or None
+        if self.oauth2 and self.oauth2.get("provider") not in (None, "",
+                                                               "default"):
+            raise NotImplementedError(
+                "httpjson oauth2 providers other than client_credentials "
+                "are environment-gated (config_auth.go)")
+
+        req = cfg.get("request") or {}
+        if not req.get("url"):
+            raise HTTPJSONError("request.url is required")
+        self.url = URL(str(req["url"]))
+        if not self.url.Scheme:
+            raise HTTPJSONError(f'url {req["url"]!r} is missing scheme')
+        self.method = str(req.get("method", "GET")).upper()
+        self.body = req.get("body")
+        if self.method == "GET" and self.body is not None:
+            raise HTTPJSONError('body can\'t be used with method: "GET"')
+        if self.method not in ("GET", "POST"):
+            raise HTTPJSONError(f"unsupported method {self.method!r}")
+        self.encode_as = req.get("encode_as", "")
+        if self.encode_as and self.encode_as not in REGISTERED_ENCODERS:
+            raise HTTPJSONError(
+                f"encoder not found for contentType: {self.encode_as}")
+        retry = req.get("retry") or {}
+        self.retry_max_attempts = retry.get("max_attempts", 5)
+        self.retry_wait_min = _duration(retry.get("wait_min", 1.0))
+        self.retry_wait_max = _duration(retry.get("wait_max", 60.0))
+        self.timeout = _duration(req.get("timeout", 30.0))
+        self.max_redirects = req.get("redirect", {}).get("max_redirects", 10)
+        self.rate_limit = req.get("rate_limit") or None
+        self.request_transforms = new_transforms(req.get("transforms"),
+                                                 REQUEST_NS)
+
+        resp = cfg.get("response") or {}
+        self.decode_as = resp.get("decode_as", "")
+        if self.decode_as and self.decode_as not in REGISTERED_DECODERS:
+            raise HTTPJSONError(
+                f"decoder not found for contentType: {self.decode_as}")
+        if resp.get("xsd"):
+            raise NotImplementedError(
+                "response.xsd typed-XML decode is out of scope (encdec.py)")
+        self.response_transforms = new_transforms(resp.get("transforms"),
+                                                  RESPONSE_NS)
+        self.pagination_transforms_cfg = resp.get("pagination") or []
+        # validate at config time like responseConfig.Validate
+        new_transforms(self.pagination_transforms_cfg, PAGINATION_NS)
+        self.split = new_split_response(resp.get("split"))
+        self.save_first_response = resp.get("save_first_response", False)
+        self.request_body_on_pagination = resp.get(
+            "request_body_on_pagination", False)
+        self.pagination_allowed_hosts = resp.get("pagination_allowed_hosts",
+                                                 []) or []
+        self.cursor_cfg = cfg.get("cursor") or {}
+
+
+def _duration(v) -> float:
+    """Seconds from a number or a Go duration string ('30s', '1m')."""
+    if isinstance(v, (int, float)):
+        return float(v)
+    from .gotime import parse_go_duration
+    return parse_go_duration(str(v)) / 1e9
+
+
+# ------------------------------------------------------------- HTTP client
+
+class RateLimiter:
+    """rate_limiter.go rateLimiter."""
+
+    def __init__(self, cfg: Optional[dict]):
+        self.enabled = cfg is not None
+        cfg = cfg or {}
+        self.limit = ValueTpl(cfg["limit"]) if cfg.get("limit") else None
+        self.reset = ValueTpl(cfg["reset"]) if cfg.get("reset") else None
+        self.remaining = ValueTpl(cfg["remaining"]) \
+            if cfg.get("remaining") else None
+        self.early_limit = cfg.get("early_limit")
+
+    def execute(self, fn: Callable[[], Tuple[int, Header, bytes, URL]]):
+        while True:
+            resp = fn()
+            if not self.enabled:
+                return resp
+            applied = self._apply(resp)
+            if resp[0] == 200 or not applied:
+                return resp
+
+    def _apply(self, resp) -> bool:
+        limited, resume_at = self._get_rate_limit(resp[1])
+        from .tpl import _time_now as now_fn
+        now_unix = now_fn().Unix()
+        wait = resume_at - now_unix
+        if resume_at == 0 or wait <= 0:
+            return limited
+        _sleep(wait)
+        return limited
+
+    def _get_rate_limit(self, header: Header) -> Tuple[bool, int]:
+        """getRateLimit (rate_limiter.go:110-175)."""
+        if self.remaining is None:
+            return False, 0
+        ctx = TransformContext()
+        ctx.update_last_response(Response(header=header.clone()))
+        tr = Transformable()
+        remaining, _ = self.remaining.execute(ctx, tr, "rate-limit_remaining")
+        if remaining == "":
+            return False, 0
+        try:
+            m = int(remaining)
+        except ValueError as e:
+            raise HTTPJSONError(
+                f"failed to parse rate-limit remaining value: {e}")
+        min_remaining = 0
+        if self.early_limit is not None:
+            early = float(self.early_limit)
+            if 0 < early < 1 and self.limit is not None:
+                limit, _ = self.limit.execute(ctx, tr, "early_limit")
+                if limit:
+                    try:
+                        lim = int(limit)
+                        min_remaining = lim - int(early * lim)
+                    except ValueError:
+                        pass
+            elif early >= 1:
+                min_remaining = int(early)
+        if m > min_remaining:
+            return False, 0
+        if self.reset is None:
+            return False, 0
+        reset, _ = self.reset.execute(ctx, tr, "rate-limit_reset")
+        if reset == "":
+            return False, 0
+        try:
+            resume_at = int(reset)
+        except ValueError as e:
+            raise HTTPJSONError(
+                f"failed to parse rate-limit reset value: {e}")
+        from .tpl import _time_now as now_fn
+        if now_fn().Unix() > resume_at:
+            return True, 0
+        return True, resume_at
+
+
+class OAuth2ClientCredentials:
+    """config_auth.go oAuth2Config, the client_credentials grant only:
+    POST token_url with client id/secret + scopes + endpoint params,
+    cache until expiry, send Authorization: Bearer."""
+
+    def __init__(self, cfg: dict):
+        self.token_url = cfg["token_url"]
+        self.client_id = cfg.get("client", {}).get("id") or cfg.get(
+            "client.id", "")
+        self.client_secret = cfg.get("client", {}).get("secret") or cfg.get(
+            "client.secret", "")
+        self.scopes = cfg.get("scopes") or []
+        self.endpoint_params = cfg.get("endpoint_params") or {}
+        self._token: Optional[str] = None
+        self._expires_at = 0.0
+
+    def token(self, do_plain) -> str:
+        if self._token and _time.time() < self._expires_at - 10:
+            return self._token
+        from urllib.parse import urlencode
+        params = [("grant_type", "client_credentials")]
+        if self.scopes:
+            params.append(("scope", " ".join(self.scopes)))
+        for k, v in self.endpoint_params.items():
+            for item in (v if isinstance(v, list) else [v]):
+                params.append((k, item))
+        params.append(("client_id", self.client_id))
+        params.append(("client_secret", self.client_secret))
+        body = urlencode(params).encode()
+        hdr = Header()
+        hdr.Set("Content-Type", "application/x-www-form-urlencoded")
+        status, _h, data, _u = do_plain("POST", URL(self.token_url), hdr,
+                                        body)
+        if status != 200:
+            raise HttpError(status, str(status), data)
+        tok = json.loads(data)
+        self._token = tok["access_token"]
+        self._expires_at = _time.time() + float(tok.get("expires_in", 3600))
+        return self._token
+
+
+class HttpClient:
+    """httpClient: one-shot HTTP with retryablehttp-style retries and
+    the rate limiter wrapped around each attempt (request.go:266-289)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.limiter = RateLimiter(cfg.rate_limit)
+        self.oauth2 = OAuth2ClientCredentials(cfg.oauth2) \
+            if cfg.oauth2 else None
+
+    # -- single physical request, following redirects
+    def _do_plain(self, method: str, url: URL, header: Header,
+                  body: Optional[bytes]):
+        import http.client
+        redirects = 0
+        while True:
+            if url.Scheme == "https":
+                conn = http.client.HTTPSConnection(url.Host,
+                                                   timeout=self.cfg.timeout)
+            else:
+                conn = http.client.HTTPConnection(url.Host,
+                                                  timeout=self.cfg.timeout)
+            path = url.Path or "/"
+            if url.RawQuery:
+                path += "?" + url.RawQuery
+            headers = {k: ", ".join(v) for k, v in header.items()}
+            try:
+                conn.request(method, path, body=body, headers=headers)
+                resp = conn.getresponse()
+                data = resp.read()
+                h = Header()
+                for k, v in resp.getheaders():
+                    h.Add(k, v)
+                status = resp.status
+            finally:
+                conn.close()
+            if status in (301, 302, 303, 307, 308) and redirects < \
+                    self.cfg.max_redirects and h.Get("Location"):
+                from urllib.parse import urljoin
+                url = URL(urljoin(url.String(), h.Get("Location")))
+                if status == 303:
+                    method, body = "GET", None
+                redirects += 1
+                continue
+            if h.Get("Content-Encoding") == "gzip" and data:
+                data = _gzip.decompress(data)
+            return status, h, data, url
+
+    def do(self, method: str, url: URL, header: Header,
+           body: Optional[bytes]):
+        """httpClient.do: limiter(execute attempt-with-retries); raises
+        HttpError on terminal >=400 like request.go:280-288."""
+        header = header.clone()
+        if self.cfg.basic_user or self.cfg.basic_password:
+            import base64
+            cred = f"{self.cfg.basic_user}:{self.cfg.basic_password}"
+            header.Set("Authorization",
+                       "Basic " + base64.b64encode(cred.encode()).decode())
+        if self.oauth2 is not None:
+            header.Set("Authorization",
+                       "Bearer " + self.oauth2.token(self._do_plain))
+
+        def attempt():
+            max_attempts = max(1, self.cfg.retry_max_attempts)
+            last_exc: Optional[Exception] = None
+            for i in range(max_attempts):
+                try:
+                    resp = self._do_plain(method, url, header, body)
+                except OSError as e:
+                    last_exc = e
+                    resp = None
+                if resp is not None:
+                    status = resp[0]
+                    retryable = status == 429 or (500 <= status <= 599
+                                                  and status != 501)
+                    if not retryable:
+                        return resp
+                    last_exc = HttpError(status, str(status), resp[2])
+                if i + 1 < max_attempts:
+                    _sleep(min(self.cfg.retry_wait_max,
+                               self.cfg.retry_wait_min * (2 ** i)))
+            if resp is not None:
+                return resp
+            raise HTTPJSONError(f"failed to execute http {method}: "
+                                f"{last_exc}")
+
+        resp = self.limiter.execute(attempt)
+        status, h, data, final_url = resp
+        if status >= 400:
+            raise HttpError(status, str(status), data)
+        return resp
+
+
+# --------------------------------------------------------- request factory
+
+class RequestFactory:
+    """requestFactory (request.go:291-314) for the regular call and the
+    pagination factory (pagination.go:79-97)."""
+
+    def __init__(self, cfg: Config, transforms, origin_url: Optional[URL],
+                 body: Optional[dict], user_agent: str):
+        self.cfg = cfg
+        self.url = cfg.url
+        self.method = cfg.method
+        self.body = body
+        self.transforms = transforms
+        self.encoder = REGISTERED_ENCODERS.get(cfg.encode_as) \
+            if cfg.encode_as else None
+        self.origin_url = origin_url
+        self.allowed_origins = [URL(s) for s in
+                                cfg.pagination_allowed_hosts]
+        self.user_agent = user_agent
+
+    def new_request(self, ctx: TransformContext) -> Transformable:
+        """newRequest (request.go:511-543)."""
+        req = Transformable()
+        req.set_url(self.url.clone())
+        if self.body is not None:
+            req.set_body(mapstr.clone(self.body))
+        header = Header()
+        header.Set("Accept", "application/json")
+        header.Set("User-Agent", self.user_agent)
+        req.set_header(header)
+        for t in self.transforms:
+            req = t.run(ctx, req)
+        if self.method == "POST":
+            header = req.header()
+            if header.Get("Content-Type") == "":
+                header.Set("Content-Type", "application/json")
+        return req
+
+    def new_http_request(self, ctx: TransformContext):
+        """newHTTPRequest (request.go:466-509) → (method, url, header,
+        body bytes)."""
+        tr_req = self.new_request(ctx)
+        if self.origin_url is not None:
+            target = tr_req.url()
+            if not allowed_origin(self.origin_url, self.allowed_origins,
+                                  target):
+                raise HTTPJSONError(
+                    f'pagination URL origin "{target.Host}" does not match '
+                    f'configured origin "{self.origin_url.Host}"')
+        body = None
+        if self.method == "POST":
+            if self.encoder is not None:
+                body = self.encoder(tr_req)
+            else:
+                body = encode(tr_req.header().Get("Content-Type"), tr_req)
+        return self.method, tr_req.url(), tr_req.header(), body
+
+
+def _port_or_default(u: URL) -> str:
+    host = u.Host
+    if ":" in host:
+        return host.rsplit(":", 1)[1]
+    return {"https": "443", "http": "80"}.get(u.Scheme, "")
+
+
+def _hostname(u: URL) -> str:
+    return u.Host.rsplit(":", 1)[0] if ":" in u.Host else u.Host
+
+
+def same_origin(base: URL, target: URL) -> bool:
+    """sameOrigin (request.go:570-575)."""
+    if base.Scheme == "https" and target.Scheme != "https":
+        return False
+    return _hostname(base) == _hostname(target) and \
+        _port_or_default(base) == _port_or_default(target)
+
+
+def allowed_origin(base: URL, allowed: List[URL], target: URL) -> bool:
+    """allowedOrigin (request.go:550-563)."""
+    if same_origin(base, target):
+        return True
+    if base.Scheme == "https" and target.Scheme != "https":
+        return False
+    return any(same_origin(a, target) for a in allowed)
+
+
+# --------------------------------------------------------------- pagination
+
+_PAGINATION_STOPPERS = (ERR_NEW_URL_VALUE_NOT_SET, ERR_EMPTY_RESULT,
+                        ERR_EXECUTING)
+
+
+class Pagination:
+    """pagination.go pagination: the request factory built from request
+    transforms + response.pagination transforms."""
+
+    def __init__(self, cfg: Config, client: HttpClient, user_agent: str):
+        self.client = client
+        self.decoder = REGISTERED_DECODERS.get(cfg.decode_as) \
+            if cfg.decode_as else None
+        self.request_factory: Optional[RequestFactory] = None
+        if cfg.pagination_transforms_cfg:
+            rts = cfg.request_transforms
+            pts = new_transforms(cfg.pagination_transforms_cfg,
+                                 PAGINATION_NS)
+            body = cfg.body if cfg.request_body_on_pagination else {}
+            self.request_factory = RequestFactory(
+                cfg, list(rts) + list(pts), origin_url=cfg.url.clone(),
+                body=body, user_agent=user_agent)
+
+
+class PageIterator:
+    """pagination.go pageIterator."""
+
+    def __init__(self, pagination: Pagination, tr_ctx: TransformContext,
+                 resp):
+        self.pagination = pagination
+        self.tr_ctx = tr_ctx
+        self.resp = resp  # (status, Header, bytes, URL)
+        self.is_first = True
+        self.done = False
+        self.n = 0
+
+    def next(self) -> Tuple[Optional[Response], bool]:
+        if self.resp is None or self.done:
+            return None, False
+        if self.is_first:
+            self.is_first = False
+            page = self._get_page()
+            if self.pagination.request_factory is None:
+                self.done = True
+            return page, True
+
+        try:
+            method, url, header, body = \
+                self.pagination.request_factory.new_http_request(self.tr_ctx)
+        except TransformError as e:
+            if e.reason in _PAGINATION_STOPPERS:
+                self.done = True
+                return None, False
+            raise
+        self.resp = self.pagination.client.do(method, url, header, body)
+        page = self._get_page()
+        if page.body is None:
+            self.done = True
+            return None, False
+        return page, True
+
+    def _get_page(self) -> Response:
+        """getPage (pagination.go:178-210)."""
+        status, header, data, url = self.resp
+        r = Response(header=header, url=url, page=self.n)
+        self.n += 1
+        if data:
+            if self.pagination.decoder is not None:
+                self.pagination.decoder(data, r)
+            else:
+                decode(header.Get("Content-Type"), data, r)
+        return r
+
+
+# ---------------------------------------------------------------- response
+
+class Publisher:
+    """publisher (request.go:881-939): collect events + track
+    first/last event + cursor updates per published event."""
+
+    def __init__(self, tr_ctx: TransformContext, publish: bool = True):
+        self.tr_ctx = tr_ctx
+        self.publish = publish
+        self.events: List[dict] = []
+        self.errors: List[str] = []
+
+    def handle_event(self, msg: dict) -> None:
+        if self.publish:
+            self.events.append(mapstr.clone(msg))
+        if not self.tr_ctx.first_event:
+            self.tr_ctx.update_first_event(mapstr.clone(msg))
+        self.tr_ctx.update_last_event(mapstr.clone(msg))
+        self.tr_ctx.update_cursor()
+
+    def handle_error(self, err: Exception) -> None:
+        self.errors.append(str(err))
+
+
+class ResponseProcessor:
+    """responseProcessor.startProcessing (response.go:207-277), single
+    initial response (no chain)."""
+
+    def __init__(self, cfg: Config, pagination: Pagination):
+        self.transforms = cfg.response_transforms
+        self.split = cfg.split
+        self.pagination = pagination
+
+    def start_processing(self, tr_ctx: TransformContext, resp,
+                         paginate: bool, handler) -> None:
+        tr_ctx.clear_interval_data()
+        iterator = PageIterator(self.pagination, tr_ctx, resp)
+        while True:
+            try:
+                page, has_next = iterator.next()
+            except (HTTPJSONError, DecodeError, TransformError) as e:
+                handler.handle_error(e)
+                return
+            if not has_next:
+                return
+            resp_trs = page.as_transformables()
+            if not resp_trs:
+                return
+            tr_ctx.update_last_response(page)
+            for tr in resp_trs:
+                try:
+                    for t in self.transforms:
+                        tr = t.run(tr_ctx, tr)
+                except TransformError as e:
+                    handler.handle_error(e)
+                    return
+                if self.split is None:
+                    handler.handle_event(tr.body())
+                    continue
+                try:
+                    self.split.run(tr_ctx, tr, handler)
+                except SplitError as e:
+                    if e.kind in (ERR_EMPTY_FIELD, ERR_EMPTY_ROOT_FIELD):
+                        pass  # quiet page end (response.go:258-266)
+                    else:
+                        handler.handle_error(e)
+                        return
+            if not paginate:
+                return
+
+
+class Requester:
+    """requester.doRequest, the single-request-factory path
+    (request.go:104-110)."""
+
+    def __init__(self, cfg: Config, user_agent: str = ""):
+        self.cfg = cfg
+        self.user_agent = user_agent or user_agent_string()
+        self.client = HttpClient(cfg)
+        self.request_factory = RequestFactory(
+            cfg, cfg.request_transforms, origin_url=None, body=cfg.body,
+            user_agent=self.user_agent)
+        self.pagination = Pagination(cfg, self.client, self.user_agent)
+        self.response_processor = ResponseProcessor(cfg, self.pagination)
+
+    def do_request(self, tr_ctx: TransformContext,
+                   publisher: Publisher) -> None:
+        method, url, header, body = \
+            self.request_factory.new_http_request(tr_ctx)
+        resp = self.client.do(method, url, header, body)
+
+        if self.cfg.save_first_response:
+            status, h, data, u = resp
+            body_map: Any = None
+            try:
+                body_map = json.loads(data)
+            except (json.JSONDecodeError, ValueError):
+                pass
+            tr_ctx.update_first_response(
+                Response(body=body_map, header=h.clone(), url=u.clone()))
+
+        self.response_processor.start_processing(tr_ctx, resp, True,
+                                                  publisher)
+
+
+# --------------------------------------------------------------- run loop
+
+def make_event(body: dict) -> dict:
+    """makeEvent (input.go:493-510): the published event carries the
+    object as a JSON `message` + created timestamp."""
+    from .tpl import _time_now as now_fn
+    now = now_fn()
+    return {
+        "@timestamp": now.format("2006-01-02T15:04:05.999999999Z07:00"),
+        "event": {"created": now.format(
+            "2006-01-02T15:04:05.999999999Z07:00")},
+        "message": json.dumps(body, separators=(",", ":")),
+    }
+
+
+def httpjson_collect(config: dict, intervals: int = 1,
+                     cursor_state: Optional[dict] = None,
+                     raw: bool = False) -> Tuple[List[dict], dict]:
+    """Run the httpjson program for `intervals` polls and return
+    (events, cursor_state).  Events are makeEvent dicts unless `raw`,
+    in which case the bare body objects are returned (the shape the
+    reference test matrix asserts on)."""
+    cfg = Config(config)
+    requester = Requester(cfg)
+    tr_ctx = TransformContext()
+    tr_ctx.cursor = Cursor(cfg.cursor_cfg)
+    tr_ctx.cursor.load(cursor_state)
+
+    events: List[dict] = []
+    errors: List[str] = []
+    for i in range(intervals):
+        publisher = Publisher(tr_ctx)
+        try:
+            requester.do_request(tr_ctx, publisher)
+        except (HTTPJSONError, DecodeError, TransformError) as e:
+            errors.append(str(e))
+        events.extend(publisher.events)
+        errors.extend(publisher.errors)
+        # Clear response bodies between evaluations (input.go:247-250)
+        if tr_ctx.first_response is not None:
+            tr_ctx.first_response.body = None
+        tr_ctx.last_response.body = None
+        if i + 1 < intervals:
+            _sleep(cfg.interval)
+    out = events if raw else [make_event(e) for e in events]
+    return out, tr_ctx.cursor.clone()
+
+
+# ------------------------------------------------------------ spark surface
+
+def httpjson_events_df(spark, config: dict, intervals: int = 1,
+                       cursor_state: Optional[dict] = None):
+    """Poll once (or n intervals) and return the events as a DataFrame
+    with the reference event shape: (ts timestamp, message string)."""
+    events, _cursor = httpjson_collect(config, intervals, cursor_state)
+    rows = [(e["@timestamp"], e["message"]) for e in events]
+    df = spark.createDataFrame(rows, "ts string, message string")
+    from pyspark.sql import functions as F
+    return df.select(F.to_timestamp("ts").alias("ts"), "message")
+
+
+def register_httpjson_source(spark) -> None:
+    """Register the `beats_httpjson` streaming source: one poll per
+    microbatch, cursor state checkpointed in the offset (the
+    statestore/registry analog).  Same SimpleDataSourceStreamReader
+    pattern as the mqtt/udp sources (mqtt_input.py)."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    class HTTPJSONDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "beats_httpjson"
+
+        def schema(self):
+            return StructType([
+                StructField("ts", StringType()),
+                StructField("message", StringType()),
+            ])
+
+        def simpleStreamReader(self, schema):
+            options = dict(self.options)
+
+            class HTTPJSONSimpleStreamReader(SimpleDataSourceStreamReader):
+                def initialOffset(self):
+                    return {"cursor": "{}", "polls": 0}
+
+                def read(self, start):
+                    config = json.loads(options["config"])
+                    cursor_state = json.loads(start.get("cursor") or "{}")
+                    events, new_cursor = httpjson_collect(
+                        config, intervals=1, cursor_state=cursor_state)
+                    rows = [(e["@timestamp"], e["message"])
+                            for e in events]
+                    end = {"cursor": json.dumps(new_cursor),
+                           "polls": start.get("polls", 0) + 1}
+                    return iter(rows), end
+
+                def readBetweenOffsets(self, start, end):
+                    # Replay is best-effort for a live HTTP API: the
+                    # cursor in `start` re-fetches from the same point
+                    # (at-least-once, like the reference registry).
+                    config = json.loads(options["config"])
+                    cursor_state = json.loads(start.get("cursor") or "{}")
+                    events, _ = httpjson_collect(
+                        config, intervals=1, cursor_state=cursor_state)
+                    return iter([(e["@timestamp"], e["message"])
+                                 for e in events])
+
+                def commit(self, end):
+                    pass
+
+            return HTTPJSONSimpleStreamReader()
+
+    spark.dataSource.register(HTTPJSONDataSource)
+
+
+def read_httpjson(spark, config: dict):
+    """readStream wrapper: spark.readStream.format('beats_httpjson')."""
+    register_httpjson_source(spark)
+    return (spark.readStream.format("beats_httpjson")
+            .option("config", json.dumps(config)).load())

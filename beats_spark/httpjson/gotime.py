@@ -1,0 +1,477 @@
+"""Go time analogs for the httpjson value templates.
+
+The httpjson template functions traffic in Go `time.Time` and
+`time.Duration` values and print them with Go's formatting rules
+(value_tpl.go:178-305).  Python datetimes truncate at microseconds and
+print differently, so the engine carries its own nanosecond-precision
+GoTime and GoDuration with Go's reference-layout parse/format
+(`Mon Jan _2 15:04:05 MST 2006` tokens), Duration.String(), and
+ParseDuration — pinned by the ported value_tpl_test.go matrix.
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timedelta, timezone
+from typing import Optional, Tuple
+
+_EPOCH = datetime(1970, 1, 1)
+
+# value_tpl.go:181-193
+PREDEFINED_LAYOUTS = {
+    "ANSIC": "Mon Jan _2 15:04:05 2006",
+    "UnixDate": "Mon Jan _2 15:04:05 MST 2006",
+    "RubyDate": "Mon Jan 02 15:04:05 -0700 2006",
+    "RFC822": "02 Jan 06 15:04 MST",
+    "RFC822Z": "02 Jan 06 15:04 -0700",
+    "RFC850": "Monday, 02-Jan-06 15:04:05 MST",
+    "RFC1123": "Mon, 02 Jan 2006 15:04:05 MST",
+    "RFC1123Z": "Mon, 02 Jan 2006 15:04:05 -0700",
+    "RFC3339": "2006-01-02T15:04:05Z07:00",
+    "RFC3339Nano": "2006-01-02T15:04:05.999999999Z07:00",
+    "Kitchen": "3:04PM",
+}
+
+_MONTHS = ["January", "February", "March", "April", "May", "June", "July",
+           "August", "September", "October", "November", "December"]
+_DAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+         "Sunday"]
+
+
+class GoTimeError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- Duration
+
+_DUR_UNITS = {"ns": 1, "us": 1_000, "µs": 1_000, "μs": 1_000,
+              "ms": 1_000_000, "s": 1_000_000_000,
+              "m": 60_000_000_000, "h": 3_600_000_000_000}
+
+_DUR_PART = re.compile(r"(\d+(?:\.\d*)?|\.\d+)(ns|us|µs|μs|ms|s|m|h)")
+
+
+def parse_go_duration(s: str) -> int:
+    """time.ParseDuration → nanoseconds (raises on malformed input)."""
+    orig = s
+    neg = False
+    if s and s[0] in "+-":
+        neg = s[0] == "-"
+        s = s[1:]
+    if s == "0":
+        return 0
+    if not s:
+        raise GoTimeError(f"time: invalid duration {orig!r}")
+    total = 0
+    pos = 0
+    while pos < len(s):
+        m = _DUR_PART.match(s, pos)
+        if not m:
+            raise GoTimeError(f"time: invalid duration {orig!r}")
+        total += int(float(m.group(1)) * _DUR_UNITS[m.group(2)])
+        pos = m.end()
+    return -total if neg else total
+
+
+def duration_string(ns: int) -> str:
+    """time.Duration.String() — e.g. -3600e9 → '-1h0m0s'."""
+    if ns == 0:
+        return "0s"
+    sign = "-" if ns < 0 else ""
+    v = abs(ns)
+    if v < 1_000_000_000:
+        if v < 1_000:
+            return f"{sign}{v}ns"
+        if v < 1_000_000:
+            return sign + _trim_frac(v, 1_000) + "µs"
+        return sign + _trim_frac(v, 1_000_000) + "ms"
+    out = _trim_frac(v % 60_000_000_000, 1_000_000_000) + "s"
+    v //= 60_000_000_000
+    if v > 0:
+        out = f"{v % 60}m" + out
+        v //= 60
+        if v > 0:
+            out = f"{v}h" + out
+    return sign + out
+
+
+def _trim_frac(v: int, unit: int) -> str:
+    whole, frac = divmod(v, unit)
+    if frac == 0:
+        return str(whole)
+    digits = len(str(unit)) - 1
+    return f"{whole}.{frac:0{digits}d}".rstrip("0")
+
+
+class GoDuration:
+    __slots__ = ("ns",)
+
+    def __init__(self, ns: int):
+        self.ns = int(ns)
+
+    def __str__(self) -> str:
+        return duration_string(self.ns)
+
+    def __repr__(self) -> str:
+        return f"GoDuration({self.ns})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, GoDuration) and other.ns == self.ns
+
+    def __lt__(self, other) -> bool:
+        return self.ns < (other.ns if isinstance(other, GoDuration) else other)
+
+
+# ---------------------------------------------------------------- layouts
+
+# Longest-match-first reference-layout tokens (Go format.go nextStdChunk).
+_TOKENS = ["2006", "January", "Jan", "Monday", "Mon", "-07:00", "-0700",
+           "-07", "Z07:00", "Z0700", "Z07", "MST", "PM", "pm", "15", "06",
+           "01", "02", "_2", "03", "04", "05", "1", "2", "3", "4", "5"]
+
+
+def _tokenize(layout: str) -> list:
+    """Split a Go layout into (kind, text) chunks; kind None = literal."""
+    out = []
+    i = 0
+    lit = []
+    while i < len(layout):
+        c = layout[i]
+        if c in ".," and i + 1 < len(layout) and layout[i + 1] in "09":
+            d = layout[i + 1]
+            j = i + 1
+            while j < len(layout) and layout[j] == d:
+                j += 1
+            if lit:
+                out.append((None, "".join(lit)))
+                lit = []
+            out.append(("frac", layout[i:j]))
+            i = j
+            continue
+        for t in _TOKENS:
+            if layout.startswith(t, i):
+                if lit:
+                    out.append((None, "".join(lit)))
+                    lit = []
+                out.append((t, t))
+                i += len(t)
+                break
+        else:
+            lit.append(c)
+            i += 1
+    if lit:
+        out.append((None, "".join(lit)))
+    return out
+
+
+class GoTime:
+    """Nanosecond time with a display zone: (epoch nanos, offset sec, name)."""
+
+    __slots__ = ("unix_nanos", "offset", "zone")
+
+    def __init__(self, unix_nanos: int, offset: int = 0, zone: str = "UTC"):
+        self.unix_nanos = int(unix_nanos)
+        self.offset = int(offset)
+        self.zone = zone
+
+    # Go zero time is year 1; templates only compare/print, so epoch-0
+    # construction plus an is_zero flag by convention (year 1 sentinel).
+    @classmethod
+    def zero(cls) -> "GoTime":
+        return cls(-62135596800 * 1_000_000_000, 0, "UTC")
+
+    def is_zero(self) -> bool:
+        return self.unix_nanos == -62135596800 * 1_000_000_000
+
+    @classmethod
+    def from_unix(cls, sec: int, nsec: int = 0) -> "GoTime":
+        return cls(sec * 1_000_000_000 + nsec, 0, "UTC")
+
+    # -------------------------------------------------- template methods
+    # Exposed to templates with Go method names (now.Unix, now.Year).
+    def Unix(self) -> int:
+        return self.unix_nanos // 1_000_000_000
+
+    def UnixMilli(self) -> int:
+        return self.unix_nanos // 1_000_000
+
+    def UnixNano(self) -> int:
+        return self.unix_nanos
+
+    def Year(self) -> int:
+        return self._civil().year
+
+    def Month(self) -> int:
+        return self._civil().month
+
+    def Day(self) -> int:
+        return self._civil().day
+
+    def Hour(self) -> int:
+        return self._civil().hour
+
+    def Minute(self) -> int:
+        return self._civil().minute
+
+    def Second(self) -> int:
+        return self._civil().second
+
+    def Add(self, d: GoDuration) -> "GoTime":
+        return GoTime(self.unix_nanos + d.ns, self.offset, self.zone)
+
+    def UTC(self) -> "GoTime":
+        return GoTime(self.unix_nanos, 0, "UTC")
+
+    def Format(self, layout: str) -> str:
+        return self.format(layout)
+
+    # ------------------------------------------------------------ internals
+    def _civil(self) -> datetime:
+        sec, ns = divmod(self.unix_nanos, 1_000_000_000)
+        return _EPOCH + timedelta(seconds=sec + self.offset, microseconds=0) \
+            + timedelta(microseconds=ns // 1000)
+
+    def in_location(self, offset: int, zone: str) -> "GoTime":
+        return GoTime(self.unix_nanos, offset, zone)
+
+    def in_zoneinfo(self, tzname: str) -> "GoTime":
+        """time.Time.In(LoadLocation(name)); raises on unknown name."""
+        from zoneinfo import ZoneInfo
+        z = ZoneInfo(tzname)  # raises on unknown → caller falls back
+        sec = self.unix_nanos // 1_000_000_000
+        aware = datetime.fromtimestamp(sec, tz=timezone.utc).astimezone(z)
+        off = int(aware.utcoffset().total_seconds())
+        return GoTime(self.unix_nanos, off, aware.tzname() or "")
+
+    def __str__(self) -> str:
+        # time.Time.String(): reference layout with trimmed nanos.
+        return self.format("2006-01-02 15:04:05.999999999 -0700 MST")
+
+    def __repr__(self) -> str:
+        return f"GoTime({self.unix_nanos}, {self.offset}, {self.zone!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, GoTime) and other.unix_nanos == self.unix_nanos
+
+    def __lt__(self, other) -> bool:
+        return self.unix_nanos < other.unix_nanos
+
+    # -------------------------------------------------------------- format
+    def format(self, layout: str) -> str:
+        layout = PREDEFINED_LAYOUTS.get(layout, layout)
+        civ = self._civil()
+        sec_in = self.unix_nanos % 1_000_000_000
+        out = []
+        for kind, text in _tokenize(layout):
+            out.append(self._fmt_chunk(kind, text, civ, sec_in))
+        return "".join(out)
+
+    def _fmt_chunk(self, kind, text, civ: datetime, nanos: int) -> str:
+        if kind is None:
+            return text
+        if kind == "2006":
+            return f"{civ.year:04d}"
+        if kind == "06":
+            return f"{civ.year % 100:02d}"
+        if kind == "January":
+            return _MONTHS[civ.month - 1]
+        if kind == "Jan":
+            return _MONTHS[civ.month - 1][:3]
+        if kind == "Monday":
+            return _DAYS[civ.weekday()]
+        if kind == "Mon":
+            return _DAYS[civ.weekday()][:3]
+        if kind == "01":
+            return f"{civ.month:02d}"
+        if kind == "1":
+            return str(civ.month)
+        if kind == "02":
+            return f"{civ.day:02d}"
+        if kind == "2":
+            return str(civ.day)
+        if kind == "_2":
+            return f"{civ.day:2d}"
+        if kind == "15":
+            return f"{civ.hour:02d}"
+        if kind == "03":
+            h = civ.hour % 12 or 12
+            return f"{h:02d}"
+        if kind == "3":
+            return str(civ.hour % 12 or 12)
+        if kind == "04":
+            return f"{civ.minute:02d}"
+        if kind == "4":
+            return str(civ.minute)
+        if kind == "05":
+            return f"{civ.second:02d}"
+        if kind == "5":
+            return str(civ.second)
+        if kind in ("PM", "pm"):
+            s = "PM" if civ.hour >= 12 else "AM"
+            return s if kind == "PM" else s.lower()
+        if kind == "frac":
+            digits = len(text) - 1
+            frac = f"{nanos:09d}"[:digits]
+            if text[1] == "9":
+                frac = frac.rstrip("0")
+                return text[0] + frac if frac else ""
+            return text[0] + frac
+        if kind == "MST":
+            if self.zone:
+                return self.zone
+            return self._num_zone("-0700")
+        if kind in ("-07:00", "-0700", "-07"):
+            return self._num_zone(kind)
+        if kind in ("Z07:00", "Z0700", "Z07"):
+            if self.offset == 0:
+                return "Z"
+            return self._num_zone("-" + kind[1:])
+        return text
+
+    def _num_zone(self, style: str) -> str:
+        off = self.offset
+        sign = "-" if off < 0 else "+"
+        off = abs(off)
+        hh, mm = divmod(off // 60, 60)
+        if style == "-07":
+            return f"{sign}{hh:02d}"
+        if style == "-07:00":
+            return f"{sign}{hh:02d}:{mm:02d}"
+        return f"{sign}{hh:02d}{mm:02d}"
+
+    # --------------------------------------------------------------- parse
+    @classmethod
+    def parse(cls, layout: str, value: str) -> "GoTime":
+        """time.Parse — raises GoTimeError on mismatch.  Times without a
+        zone token parse as UTC (Go's documented default)."""
+        layout = PREDEFINED_LAYOUTS.get(layout, layout)
+        year, month, day = 1, 1, 1
+        hour, minute, second, nanos = 0, 0, 0, 0
+        pm: Optional[bool] = None
+        offset: Optional[int] = None
+        zone = ""
+        pos = 0
+
+        def digits(lo: int, hi: int) -> int:
+            nonlocal pos
+            j = pos
+            while j < len(value) and j - pos < hi and value[j].isdigit():
+                j += 1
+            if j - pos < lo:
+                raise GoTimeError(
+                    f"parsing time {value!r} as {layout!r}: cannot parse")
+            n = int(value[pos:j])
+            pos = j
+            return n
+
+        for kind, text in _tokenize(layout):
+            if kind is None:
+                if not value.startswith(text, pos):
+                    raise GoTimeError(
+                        f"parsing time {value!r} as {layout!r}: cannot parse")
+                pos += len(text)
+            elif kind == "2006":
+                year = digits(4, 4)
+            elif kind == "06":
+                yy = digits(2, 2)
+                year = 2000 + yy if yy < 69 else 1900 + yy
+            elif kind in ("January", "Jan"):
+                for i, name in enumerate(_MONTHS):
+                    cand = name if kind == "January" else name[:3]
+                    if value.startswith(cand, pos):
+                        month = i + 1
+                        pos += len(cand)
+                        break
+                else:
+                    raise GoTimeError(f"parsing time {value!r}: bad month")
+            elif kind in ("Monday", "Mon"):
+                for name in _DAYS:
+                    cand = name if kind == "Monday" else name[:3]
+                    if value.startswith(cand, pos):
+                        pos += len(cand)
+                        break
+                else:
+                    raise GoTimeError(f"parsing time {value!r}: bad weekday")
+            elif kind in ("01", "1"):
+                month = digits(1, 2)
+            elif kind in ("02", "2"):
+                day = digits(1, 2)
+            elif kind == "_2":
+                if pos < len(value) and value[pos] == " ":
+                    pos += 1
+                day = digits(1, 2)
+            elif kind == "15":
+                hour = digits(1, 2)
+            elif kind in ("03", "3"):
+                hour = digits(1, 2)
+            elif kind in ("04", "4"):
+                minute = digits(1, 2)
+            elif kind in ("05", "5"):
+                second = digits(1, 2)
+            elif kind in ("PM", "pm"):
+                tok = value[pos:pos + 2]
+                if tok.upper() not in ("AM", "PM"):
+                    raise GoTimeError(f"parsing time {value!r}: bad AM/PM")
+                pm = tok.upper() == "PM"
+                pos += 2
+            elif kind == "frac":
+                if pos < len(value) and value[pos] == text[0] \
+                        and pos + 1 < len(value) and value[pos + 1].isdigit():
+                    j = pos + 1
+                    while j < len(value) and value[j].isdigit():
+                        j += 1
+                    frac = value[pos + 1:j][:9]
+                    nanos = int(frac.ljust(9, "0"))
+                    pos = j
+                elif text[1] == "0":
+                    raise GoTimeError(f"parsing time {value!r}: missing frac")
+            elif kind in ("-07:00", "-0700", "-07", "Z07:00", "Z0700", "Z07"):
+                offset, zone, pos = cls._parse_zone(value, pos, kind)
+            elif kind == "MST":
+                j = pos
+                while j < len(value) and (value[j].isalpha()):
+                    j += 1
+                name = value[pos:j]
+                if not name:
+                    raise GoTimeError(f"parsing time {value!r}: bad zone")
+                zone = name
+                offset = 0 if name in ("UTC", "GMT") else 0
+                pos = j
+        if pos != len(value):
+            raise GoTimeError(
+                f"parsing time {value!r} as {layout!r}: extra text "
+                f"{value[pos:]!r}")
+        if pm is True and hour < 12:
+            hour += 12
+        elif pm is False and hour == 12:
+            hour = 0
+        civil = datetime(year, month, day, hour, minute, second)
+        unix = int((civil - _EPOCH).total_seconds())
+        off = offset or 0
+        unix -= off
+        if offset is None or (off == 0 and zone in ("", "UTC", "Z")):
+            zone = zone or "UTC"
+        return cls(unix * 1_000_000_000 + nanos, off, zone if off == 0 and zone else ("" if off else zone))
+
+    @staticmethod
+    def _parse_zone(value: str, pos: int, kind: str) -> Tuple[int, str, int]:
+        if kind.startswith("Z") and pos < len(value) and value[pos] == "Z":
+            return 0, "UTC", pos + 1
+        if pos >= len(value) or value[pos] not in "+-":
+            raise GoTimeError(f"parsing time {value!r}: bad zone")
+        sign = -1 if value[pos] == "-" else 1
+        pos += 1
+        hh = int(value[pos:pos + 2])
+        pos += 2
+        mm = 0
+        if kind.endswith(":00"):
+            if value[pos:pos + 1] == ":":
+                pos += 1
+                mm = int(value[pos:pos + 2])
+                pos += 2
+        elif kind.endswith("0700"):
+            if pos + 2 <= len(value) and value[pos:pos + 2].isdigit():
+                mm = int(value[pos:pos + 2])
+                pos += 2
+        off = sign * (hh * 3600 + mm * 60)
+        return off, ("UTC" if off == 0 else ""), pos

@@ -1,0 +1,85 @@
+"""elastic mapstr.M semantics over plain dicts.
+
+The httpjson transforms and splits operate on event bodies with
+mapstr.M's dotted-key walk (elastic-agent-libs mapstr/mapstr.go):
+at every level the FULL remaining key is tried as a literal map key
+first; only on a miss is it split at the first dot and descended.
+Put creates intermediate maps; Delete removes the final key.  The
+same literal-key-first rule is already encoded column-side in
+processors/actions.py — this is the driver-side dict twin for the
+httpjson engine, which mutates real nested objects.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+
+class KeyNotFound(KeyError):
+    """mapstr.ErrKeyNotFound."""
+
+
+def _walk(data: dict, key: str, create: bool) -> Tuple[dict, str]:
+    """Return (container, final_key) for `key`, mirroring mapstr.walkMap:
+    literal full-key first at each level, then split at the first dot."""
+    while True:
+        if key in data:
+            return data, key
+        idx = key.find(".")
+        if idx < 0:
+            return data, key
+        head, rest = key[:idx], key[idx + 1 :]
+        nxt = data.get(head)
+        if nxt is None and head not in data:
+            if not create:
+                raise KeyNotFound(key)
+            nxt = {}
+            data[head] = nxt
+        if not isinstance(nxt, dict):
+            if not create:
+                raise KeyNotFound(key)
+            raise TypeError(f"expected map but type is {type(nxt).__name__}")
+        data, key = nxt, rest
+
+
+def get_value(m: dict, key: str) -> Any:
+    """mapstr.M.GetValue — raises KeyNotFound on a miss."""
+    d, k = _walk(m, key, create=False)
+    if k not in d:
+        raise KeyNotFound(key)
+    return d[k]
+
+
+def has_key(m: dict, key: str) -> bool:
+    try:
+        get_value(m, key)
+        return True
+    except (KeyNotFound, TypeError):
+        return False
+
+
+def put(m: dict, key: str, value: Any) -> Any:
+    """mapstr.M.Put — returns the previous value (or None)."""
+    d, k = _walk(m, key, create=True)
+    prev = d.get(k)
+    d[k] = value
+    return prev
+
+
+def delete(m: dict, key: str) -> None:
+    """mapstr.M.Delete — silently ignores a missing key (the httpjson
+    delete transform swallows ErrKeyNotFound, transform_delete.go:109)."""
+    try:
+        d, k = _walk(m, key, create=False)
+    except (KeyNotFound, TypeError):
+        return
+    d.pop(k, None)
+
+
+def clone(v: Any) -> Any:
+    """Deep-clone of the JSON-ish object tree (mapstr.M.Clone)."""
+    if isinstance(v, dict):
+        return {k: clone(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [clone(x) for x in v]
+    return v

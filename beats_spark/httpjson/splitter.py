@@ -1,0 +1,201 @@
+"""httpjson response splits (split.go).
+
+A split chain fans one decoded response body out into events:
+array / map / string splits with keep_parent, key_field, delimiter,
+ignore_empty_value, per-split response transforms, and recursive child
+splits — the exact control flow of split.go:100-230 including its
+empty-field error taxonomy (the response processor distinguishes
+"empty root" from "empty nested" to decide whether a page ends the
+interval quietly).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from . import mapstr
+from .transforms import (RESPONSE_NS, Transformable, TransformContext,
+                         new_transforms)
+
+ERR_EMPTY_FIELD = "the requested field is empty"
+ERR_EMPTY_ROOT_FIELD = "the requested root field is empty"
+ERR_EXPECTED_SPLIT_ARR = "split was expecting field to be an array"
+ERR_EXPECTED_SPLIT_OBJ = "split was expecting field to be an object"
+ERR_EXPECTED_SPLIT_STRING = "split was expecting field to be a string"
+ERR_UNKNOWN_SPLIT_TYPE = "unknown split type"
+
+
+class SplitError(ValueError):
+    def __init__(self, kind: str):
+        super().__init__(kind)
+        self.kind = kind
+
+
+def _to_map(v, key: str):
+    """toMapStr (split.go:263-276): wrap scalars/arrays under `key`."""
+    if v is None:
+        return None
+    if isinstance(v, dict):
+        return v
+    if isinstance(v, (str, list)):
+        return {key: v}
+    return None
+
+
+class Split:
+    """One element of a split chain (split.go:31-97)."""
+
+    def __init__(self, cfg: dict, is_root: bool = False):
+        target = cfg.get("target", "")
+        parts = target.split(".", 1)
+        if len(parts) < 2 or parts[0] != "body":
+            # getTargetInfo + the targetBody-only check (split.go:63-70)
+            raise ValueError(f"invalid target type: {target}")
+        self.target_name = parts[1]
+        self.kind = (cfg.get("type") or "").lower()
+        if self.kind not in ("", "array", "map", "string"):
+            raise ValueError(f"invalid split type: {self.kind}")
+        if self.kind in ("", "array") and cfg.get("key_field"):
+            raise ValueError("key_field can only be used with a map split "
+                             "type")
+        if self.kind == "string" and not cfg.get("delimiter"):
+            raise ValueError("delimiter required for split type string")
+        self.keep_parent = cfg.get("keep_parent", False)
+        self.ignore_empty_value = cfg.get("ignore_empty_value", False)
+        self.key_field = cfg.get("key_field", "")
+        self.delimiter = cfg.get("delimiter", "")
+        self.transforms = new_transforms(cfg.get("transforms"), RESPONSE_NS)
+        self.child: Optional[Split] = (
+            Split(cfg["split"]) if cfg.get("split") else None)
+        self.is_root = is_root
+
+    # ------------------------------------------------------------- runtime
+    def run(self, tr_ctx: TransformContext, resp: Transformable,
+            handler) -> None:
+        self._split(tr_ctx, resp.body(), handler)
+
+    def _split(self, tr_ctx: TransformContext, root: dict, handler) -> None:
+        try:
+            v = mapstr.get_value(root, self.target_name)
+        except mapstr.KeyNotFound:
+            v = None
+
+        if v is None:
+            if self.ignore_empty_value:
+                if self.child is not None:
+                    return self.child._split(tr_ctx, root, handler)
+                if self.keep_parent:
+                    handler.handle_event(root)
+                return
+            if self.is_root:
+                if self.keep_parent:
+                    handler.handle_event(root)
+                    raise SplitError(ERR_EMPTY_FIELD)
+                raise SplitError(ERR_EMPTY_ROOT_FIELD)
+            handler.handle_event(root)
+            raise SplitError(ERR_EMPTY_FIELD)
+
+        if self.kind in ("", "array"):
+            if not isinstance(v, list):
+                raise SplitError(ERR_EXPECTED_SPLIT_ARR)
+            if len(v) == 0:
+                if self.ignore_empty_value:
+                    if self.child is not None:
+                        return self.child._split(tr_ctx, root, handler)
+                    if self.keep_parent:
+                        handler.handle_event(root)
+                    return
+                if self.is_root:
+                    handler.handle_event(root)
+                    raise SplitError(ERR_EMPTY_ROOT_FIELD)
+                handler.handle_event(root)
+                raise SplitError(ERR_EMPTY_FIELD)
+            for e in v:
+                try:
+                    self._process(tr_ctx, root, "", e, handler)
+                except SplitError:
+                    pass  # logged at debug in the reference (split.go:160)
+            return
+
+        if self.kind == "map":
+            vmap = _to_map(v, self.target_name)
+            if vmap is None or not isinstance(vmap, dict):
+                raise SplitError(ERR_EXPECTED_SPLIT_OBJ)
+            if len(vmap) == 0:
+                if self.ignore_empty_value:
+                    if self.child is not None:
+                        return self.child._split(tr_ctx, root, handler)
+                    if self.keep_parent:
+                        handler.handle_event(root)
+                    return
+                if self.is_root:
+                    raise SplitError(ERR_EMPTY_ROOT_FIELD)
+                handler.handle_event(root)
+                raise SplitError(ERR_EMPTY_FIELD)
+            for k, e in vmap.items():
+                try:
+                    self._process(tr_ctx, root, k, e, handler)
+                except SplitError:
+                    pass
+            return
+
+        if self.kind == "string":
+            if not isinstance(v, str):
+                raise SplitError(ERR_EXPECTED_SPLIT_STRING)
+            if len(v) == 0:
+                if self.ignore_empty_value:
+                    if self.child is not None:
+                        return self.child._split(tr_ctx, root, handler)
+                    return
+                if self.is_root:
+                    raise SplitError(ERR_EMPTY_ROOT_FIELD)
+                handler.handle_event(root)
+                raise SplitError(ERR_EMPTY_FIELD)
+            for substr in v.split(self.delimiter):
+                self._process_string(tr_ctx, root, substr, handler)
+            return
+
+        raise SplitError(ERR_UNKNOWN_SPLIT_TYPE)
+
+    def _process(self, tr_ctx: TransformContext, root: dict, key: str,
+                 v, handler) -> None:
+        """processMessage (split.go:233-270)."""
+        obj = _to_map(v, self.target_name)
+        if obj is None:
+            raise SplitError(ERR_EXPECTED_SPLIT_OBJ)
+        if self.key_field and key:
+            mapstr.put(obj, self.key_field, key)
+
+        if self.keep_parent:
+            clone = mapstr.clone(root)
+            mapstr.put(clone, self.target_name, v)
+        else:
+            clone = obj
+
+        tr = Transformable()
+        tr.set_body(clone)
+        for t in self.transforms:
+            tr = t.run(tr_ctx, tr)
+
+        if self.child is not None:
+            return self.child._split(tr_ctx, clone, handler)
+        handler.handle_event(clone)
+
+    def _process_string(self, tr_ctx: TransformContext, root: dict,
+                        v: str, handler) -> None:
+        """processMessageSplitString (split.go:278-300)."""
+        clone = mapstr.clone(root)
+        mapstr.put(clone, self.target_name, v)
+        tr = Transformable()
+        tr.set_body(clone)
+        for t in self.transforms:
+            tr = t.run(tr_ctx, tr)
+        if self.child is not None:
+            return self.child._split(tr_ctx, clone, handler)
+        handler.handle_event(clone)
+
+
+def new_split_response(cfg: Optional[dict]) -> Optional[Split]:
+    if cfg is None:
+        return None
+    return Split(cfg, is_root=True)

@@ -1,0 +1,980 @@
+"""httpjson value templates (reference value_tpl.go).
+
+The reference evaluates config values as Go text/template programs with
+`[[ ]]` delimiters, Option("missingkey=error"), and a registered func
+map (value_tpl.go:50-90).  This module implements the template-language
+subset those configs use — text + actions, pipelines, parenthesised
+calls, dot-path field/method chains, if/else/end, literals — plus the
+complete registered func map, with the reference's Execute contract
+(value_tpl.go:112-170):
+
+- soft errors (missing key, template exec error) fall back to the
+  `default` template, else return the error;
+- unexpected exceptions = Go panics → fallback with
+  errExecutingTemplate;
+- an empty result or one containing "<no value>" →
+  errEmptyTemplateResult → fallback;
+- `terminate` ends execution with ("", nil) and NO default fallback.
+
+All behaviors are pinned by the ported value_tpl_test.go matrix
+(tests/test_httpjson_tpl.py).
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+import hmac as hmac_mod
+import json
+import platform
+import re
+import sys
+import uuid as uuid_mod
+from typing import Any, Callable, List, Optional, Tuple
+from urllib.parse import quote_plus
+
+from .gotime import (GoDuration, GoTime, GoTimeError, parse_go_duration)
+
+LEFT_DELIM = "[["
+RIGHT_DELIM = "]]"
+
+ERR_EMPTY_RESULT = "the template result is empty"
+ERR_EXECUTING = "the template execution failed"
+
+ENGINE_VERSION = "1.0.0"
+
+# Patchable clock, like the reference's `timeNow` package var.
+_time_now: Callable[[], GoTime] = None  # set below
+
+
+def default_now() -> GoTime:
+    import time as _t
+    ns = _t.time_ns()
+    return GoTime.from_unix(ns // 1_000_000_000, ns % 1_000_000_000)
+
+
+_time_now = default_now
+
+
+def set_time_now(fn: Optional[Callable[[], GoTime]]) -> None:
+    """Test hook mirroring the reference's timeNow swap."""
+    global _time_now
+    _time_now = fn or default_now
+
+
+class TemplateError(ValueError):
+    """Template parse or execution error."""
+
+
+class _MissingKey(TemplateError):
+    pass
+
+
+class _Terminate(Exception):
+    def __init__(self, reason: str = ""):
+        self.reason = reason
+
+
+# ----------------------------------------------------------- Go-ish shims
+
+def _canonical(key: str) -> str:
+    """Go textproto.CanonicalMIMEHeaderKey."""
+    return "-".join(p.capitalize() for p in key.split("-"))
+
+
+class Header(dict):
+    """http.Header: canonical-cased map[string][]string with Go methods."""
+
+    def Get(self, key: str) -> str:
+        v = self.get(_canonical(key))
+        return v[0] if v else ""
+
+    def Set(self, key: str, value: str) -> None:
+        self[_canonical(key)] = [value]
+
+    def Add(self, key: str, value: str) -> None:
+        self.setdefault(_canonical(key), []).append(value)
+
+    def Del(self, key: str) -> None:
+        self.pop(_canonical(key), None)
+
+    def Values(self, key: str) -> list:
+        return list(self.get(_canonical(key), []))
+
+    def clone(self) -> "Header":
+        h = Header()
+        for k, v in self.items():
+            h[k] = list(v)
+        return h
+
+
+class Values(dict):
+    """url.Values: map[string][]string; Encode() sorts keys like Go."""
+
+    def Get(self, key: str) -> str:
+        v = self.get(key)
+        return v[0] if v else ""
+
+    def Set(self, key: str, value: str) -> None:
+        self[key] = [value]
+
+    def Add(self, key: str, value: str) -> None:
+        self.setdefault(key, []).append(value)
+
+    def Del(self, key: str) -> None:
+        self.pop(key, None)
+
+    def Encode(self) -> str:
+        parts = []
+        for k in sorted(self):
+            for v in self[k]:
+                parts.append(f"{quote_plus(k)}={quote_plus(v)}")
+        return "&".join(parts)
+
+
+class URL:
+    """The url.URL surface templates touch: Host, Query(), String()."""
+
+    def __init__(self, raw: str):
+        from urllib.parse import urlsplit
+        p = urlsplit(raw, allow_fragments=True)
+        self.Scheme = p.scheme
+        self.Host = p.netloc
+        self.Path = p.path
+        self.RawQuery = p.query
+        self.Fragment = p.fragment
+
+    def Query(self) -> Values:
+        vals = Values()
+        if self.RawQuery:
+            for part in self.RawQuery.split("&"):
+                if not part:
+                    continue
+                k, _, v = part.partition("=")
+                from urllib.parse import unquote_plus
+                vals.Add(unquote_plus(k), unquote_plus(v))
+        return vals
+
+    def set_query(self, vals: Values) -> None:
+        self.RawQuery = vals.Encode()
+
+    def String(self) -> str:
+        out = ""
+        if self.Scheme:
+            out += self.Scheme + ":"
+        if self.Host or self.Scheme:
+            out += "//" + self.Host
+        out += self.Path
+        if self.RawQuery:
+            out += "?" + self.RawQuery
+        if self.Fragment:
+            out += "#" + self.Fragment
+        return out
+
+    def clone(self) -> "URL":
+        return URL(self.String())
+
+    def __str__(self) -> str:
+        return self.String()
+
+
+# --------------------------------------------------------------- printing
+
+def go_sprint(v: Any) -> str:
+    """fmt %v for the value kinds templates produce."""
+    if v is None:
+        return "<no value>"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return go_float_str(v)
+    if isinstance(v, (GoTime, GoDuration)):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "surrogateescape")
+    if isinstance(v, list):
+        return "[" + " ".join(go_sprint(x) for x in v) + "]"
+    if isinstance(v, dict):
+        inner = " ".join(f"{k}:{go_sprint(v[k])}" for k in sorted(v, key=str))
+        return f"map[{inner}]"
+    return str(v)
+
+
+def go_float_str(f: float) -> str:
+    """strconv.FormatFloat(f, 'g', -1, 64) — shortest round-trip."""
+    if f != f:
+        return "NaN"
+    if f == float("inf"):
+        return "+Inf"
+    if f == float("-inf"):
+        return "-Inf"
+    s = repr(f)
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
+# ------------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\()|
+        (?P<rparen>\))|
+        (?P<pipe>\|)|
+        (?P<string>"(?:\\.|[^"\\])*")|
+        (?P<raw>`[^`]*`)|
+        (?P<number>-?\d+\.\d*|-?\.\d+|-?\d+)|
+        (?P<field>(?:\.[A-Za-z_][A-Za-z0-9_]*)+|\.)|
+        (?P<ident>[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(src: str) -> List[Tuple[str, str]]:
+    toks = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if not m or m.end() == m.start():
+            if src[pos:].strip() == "":
+                break
+            raise TemplateError(f"template: bad character in action: {src[pos:]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        toks.append((kind, m.group(kind)))
+    return toks
+
+
+# ----------------------------------------------------------------- parser
+
+class _Lit:
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+class _Field:
+    __slots__ = ("path",)
+
+    def __init__(self, path):
+        self.path = path
+
+
+class _Ident:
+    __slots__ = ("name", "path")
+
+    def __init__(self, name, path):
+        self.name = name
+        self.path = path
+
+
+class _Paren:
+    __slots__ = ("pipeline",)
+
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+
+
+class _Command:
+    __slots__ = ("operand", "args")
+
+    def __init__(self, operand, args):
+        self.operand = operand
+        self.args = args
+
+
+class _Text:
+    __slots__ = ("text",)
+
+    def __init__(self, text):
+        self.text = text
+
+
+class _Action:
+    __slots__ = ("pipeline",)
+
+    def __init__(self, pipeline):
+        self.pipeline = pipeline
+
+
+class _If:
+    __slots__ = ("pipeline", "then", "els")
+
+    def __init__(self, pipeline, then, els):
+        self.pipeline = pipeline
+        self.then = then
+        self.els = els
+
+
+class _ActionParser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def parse_pipeline(self):
+        cmds = [self.parse_command()]
+        while self.peek()[0] == "pipe":
+            self.next()
+            cmds.append(self.parse_command())
+        return cmds
+
+    def parse_command(self):
+        operand = self.parse_operand()
+        args = []
+        while True:
+            kind, _ = self.peek()
+            if kind in (None, "pipe", "rparen"):
+                break
+            args.append(self.parse_operand())
+        return _Command(operand, args)
+
+    def parse_operand(self):
+        kind, text = self.next()
+        if kind == "lparen":
+            inner = self.parse_pipeline()
+            k, _ = self.next()
+            if k != "rparen":
+                raise TemplateError("template: unclosed parenthesis")
+            return _Paren(inner)
+        if kind == "string":
+            return _Lit(_unquote(text))
+        if kind == "raw":
+            return _Lit(text[1:-1])
+        if kind == "number":
+            if "." in text:
+                return _Lit(float(text))
+            return _Lit(int(text))
+        if kind == "field":
+            if text == ".":
+                return _Field([])
+            return _Field(text[1:].split("."))
+        if kind == "ident":
+            parts = text.split(".")
+            if parts[0] in ("true", "false"):
+                if len(parts) > 1:
+                    raise TemplateError(f"template: bad literal {text!r}")
+                return _Lit(parts[0] == "true")
+            if parts[0] == "nil":
+                return _Lit(None)
+            return _Ident(parts[0], parts[1:])
+        raise TemplateError(f"template: unexpected token {text!r}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            mapping = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+                       "a": "\a", "b": "\b", "f": "\f", "v": "\v", "'": "'"}
+            if nxt in mapping:
+                out.append(mapping[nxt])
+                i += 2
+                continue
+            if nxt == "x" and i + 3 < len(body):
+                out.append(chr(int(body[i + 2:i + 4], 16)))
+                i += 4
+                continue
+            if nxt == "u" and i + 5 < len(body):
+                out.append(chr(int(body[i + 2:i + 6], 16)))
+                i += 6
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _parse_template(src: str) -> List[Any]:
+    """Parse text + [[...]] actions into a node list (if/else/end nested)."""
+    nodes: List[Any] = []
+    stack: List[dict] = []
+
+    def emit(node):
+        if stack:
+            frame = stack[-1]
+            (frame["els"] if frame["in_else"] else frame["then"]).append(node)
+        else:
+            nodes.append(node)
+
+    pos = 0
+    while True:
+        start = src.find(LEFT_DELIM, pos)
+        if start < 0:
+            if pos < len(src):
+                emit(_Text(src[pos:]))
+            break
+        if start > pos:
+            emit(_Text(src[pos:start]))
+        end = src.find(RIGHT_DELIM, start)
+        if end < 0:
+            raise TemplateError("template: unclosed action")
+        action = src[start + len(LEFT_DELIM):end].strip()
+        pos = end + len(RIGHT_DELIM)
+
+        if action.startswith("if ") or action.startswith("if\t"):
+            pipeline = _ActionParser(_lex(action[2:])).parse_pipeline()
+            stack.append({"pipeline": pipeline, "then": [], "els": [],
+                          "in_else": False})
+        elif action == "else":
+            if not stack:
+                raise TemplateError("template: unexpected else")
+            stack[-1]["in_else"] = True
+        elif action == "end":
+            if not stack:
+                raise TemplateError("template: unexpected end")
+            frame = stack.pop()
+            emit(_If(frame["pipeline"], frame["then"], frame["els"]))
+        elif action:
+            toks = _lex(action)
+            if toks:
+                emit(_Action(_ActionParser(toks).parse_pipeline()))
+    if stack:
+        raise TemplateError("template: unclosed if")
+    return nodes
+
+
+# -------------------------------------------------------------- evaluator
+
+def _truth(v: Any) -> bool:
+    if v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, (str, bytes, list, dict)):
+        return len(v) > 0
+    if isinstance(v, GoDuration):
+        return v.ns != 0
+    return True
+
+
+class _Evaluator:
+    def __init__(self, data: dict, funcs: dict):
+        self.data = data
+        self.funcs = funcs
+
+    def render(self, nodes: List[Any]) -> str:
+        out = []
+        for node in nodes:
+            if isinstance(node, _Text):
+                out.append(node.text)
+            elif isinstance(node, _Action):
+                out.append(go_sprint(self.eval_pipeline(node.pipeline)))
+            elif isinstance(node, _If):
+                cond = self.eval_pipeline(node.pipeline)
+                out.append(self.render(node.then if _truth(cond)
+                                       else node.els))
+        return "".join(out)
+
+    def eval_pipeline(self, cmds) -> Any:
+        value = self.eval_command(cmds[0], None, False)
+        for cmd in cmds[1:]:
+            value = self.eval_command(cmd, value, True)
+        return value
+
+    def eval_operand(self, op) -> Any:
+        return self.eval_command(_Command(op, []), None, False)
+
+    def eval_command(self, cmd: _Command, piped: Any, has_piped: bool) -> Any:
+        args = [self.eval_operand(a) for a in cmd.args]
+        if has_piped:
+            args.append(piped)
+        op = cmd.operand
+        if isinstance(op, _Lit):
+            if args:
+                raise TemplateError("template: literal is not a function")
+            return op.value
+        if isinstance(op, _Paren):
+            base = self.eval_pipeline(op.pipeline)
+            if args:
+                return self.call(base, args)
+            return base
+        if isinstance(op, _Field):
+            return self.walk(self.data, op.path, args)
+        if isinstance(op, _Ident):
+            fn = self.funcs.get(op.name)
+            if fn is None:
+                raise TemplateError(
+                    f'template: function "{op.name}" not defined')
+            if op.path:
+                return self.walk(fn(), op.path, args)
+            return fn(*args)
+        raise TemplateError("template: bad operand")
+
+    def walk(self, base: Any, path: List[str], args: List[Any]) -> Any:
+        cur = base
+        for i, seg in enumerate(path):
+            final = i == len(path) - 1
+            seg_args = args if final else []
+            cur = self.step(cur, seg, seg_args)
+        if not path and args:
+            cur = self.call(cur, args)
+        return cur
+
+    def step(self, cur: Any, seg: str, args: List[Any]) -> Any:
+        if isinstance(cur, dict):
+            # Methods on typed maps (Header.Get, Values.Get) win over
+            # indexing, as in Go; plain dicts only index, with
+            # missingkey=error semantics.
+            if type(cur) is not dict and seg[:1].isupper() \
+                    and callable(getattr(type(cur), seg, None)):
+                return getattr(cur, seg)(*args)
+            if seg not in cur:
+                raise _MissingKey(
+                    f'template: map has no entry for key "{seg}"')
+            val = cur[seg]
+            if args:
+                return self.call(val, args)
+            return val
+        attr = getattr(cur, seg, None)
+        if attr is None:
+            raise TemplateError(
+                f"template: can't evaluate field {seg} in type "
+                f"{type(cur).__name__}")
+        if callable(attr):
+            return attr(*args)
+        if args:
+            return self.call(attr, args)
+        return attr
+
+    @staticmethod
+    def call(v: Any, args: List[Any]) -> Any:
+        if callable(v):
+            return v(*args)
+        raise TemplateError("template: can't give arguments to non-function")
+
+
+# -------------------------------------------------------------- func map
+
+def _to_int(v: Any) -> int:
+    """toInt (value_tpl.go:341-357)."""
+    if isinstance(v, bool):
+        return 0
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return int(v)
+    if isinstance(v, str):
+        try:
+            return int(float(v))
+        except ValueError:
+            return 0
+    return 0
+
+
+def _go_lt(a: Any, b: Any):
+    if isinstance(a, GoDuration):
+        a = a.ns
+    if isinstance(b, GoDuration):
+        b = b.ns
+    if isinstance(a, bool) or isinstance(b, bool):
+        raise TemplateError("template: comparison of bool")
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return a < b
+    if isinstance(a, str) and isinstance(b, str):
+        return a < b
+    raise TemplateError("template: incompatible types for comparison")
+
+
+def _min(a, b):
+    return a if _go_lt(a, b) else b
+
+
+def _max(a, b):
+    return b if _go_lt(a, b) else a
+
+
+def _parse_date(date: str, *layout: str) -> GoTime:
+    ly = layout[0] if layout else "RFC3339"
+    try:
+        return GoTime.parse(ly, date).UTC()
+    except (GoTimeError, ValueError):
+        return GoTime.zero()
+
+
+def _parse_date_in_tz(date: str, tz: str, *layout: str) -> GoTime:
+    """parseDateInTZ (value_tpl.go:228-273): parse, then reinterpret the
+    civil components in tz, then convert to UTC."""
+    ly = layout[0] if layout else "RFC3339"
+    loc_off = None
+    loc_name = None
+    for fmt in ("-07", "-0700", "-07:00"):
+        try:
+            t = GoTime.parse(fmt, tz)
+            loc_off = t.offset
+            loc_name = t.zone
+            break
+        except (GoTimeError, ValueError):
+            continue
+    zinfo = None
+    if loc_off is None:
+        try:
+            from zoneinfo import ZoneInfo
+            zinfo = ZoneInfo(tz)
+        except Exception:
+            loc_off = 0
+            loc_name = "UTC"
+    try:
+        t = GoTime.parse(ly, date)
+    except (GoTimeError, ValueError):
+        return GoTime.zero()
+    civ = t._civil()
+    if zinfo is not None:
+        from datetime import datetime as _dt
+        local = _dt(civ.year, civ.month, civ.day, civ.hour, civ.minute,
+                    civ.second, civ.microsecond, tzinfo=zinfo)
+        unix = int(local.timestamp())
+    else:
+        unix = t.unix_nanos // 1_000_000_000 + t.offset - loc_off
+    nanos = t.unix_nanos % 1_000_000_000
+    return GoTime(unix * 1_000_000_000 + nanos, 0, "UTC")
+
+
+def _format_date(date: GoTime, *layouttz: str) -> str:
+    layout = layouttz[0] if layouttz else "RFC3339"
+    tz = layouttz[1] if len(layouttz) > 1 else ""
+    try:
+        date = date.in_zoneinfo(tz) if tz else date.UTC()
+    except Exception:
+        date = date.UTC()
+    return date.format(layout)
+
+
+_LINK_REL_RE = re.compile(r'<(.*)>.*;\s*rel\=("[^"]*"|[^"][^;]*[^"])')
+
+
+def _get_match_link(rel: str, links_split: list) -> str:
+    for link in links_split:
+        m = _LINK_REL_RE.search(link)
+        if not m:
+            continue
+        link_rel = m.group(2)
+        if len(link_rel) > 1 and link_rel[0] == '"':
+            link_rel = link_rel[1:-1]
+        if link_rel != rel:
+            continue
+        return m.group(1)
+    return ""
+
+
+def _get_rfc5988_link(rel: str, links: Any) -> str:
+    if not isinstance(links, list):
+        raise TemplateError("template: links must be a list")
+    if len(links) == 1 and links[0].count("rel=") > 1:
+        return _get_match_link(rel, links[0].split(","))
+    return _get_match_link(rel, links)
+
+
+def _join(v: Any, sep: str) -> str:
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (list, tuple)):
+        return sep.join(go_sprint(x) for x in v)
+    return go_sprint(v)
+
+
+def _hash_bytes(typ: str, parts) -> Optional[bytes]:
+    if typ == "sha256":
+        h = hashlib.sha256()
+    elif typ == "sha1":
+        h = hashlib.sha1()
+    else:
+        return None
+    for p in parts:
+        h.update(p.encode("utf-8", "surrogateescape"))
+    return h.digest()
+
+
+def _hmac_bytes(typ: str, key: str, data: str) -> Optional[bytes]:
+    if not data:
+        return None
+    if typ not in ("sha256", "sha1"):
+        return None
+    digestmod = hashlib.sha256 if typ == "sha256" else hashlib.sha1
+    return hmac_mod.new(key.encode(), data.encode("utf-8", "surrogateescape"),
+                        digestmod).digest()
+
+
+def _hmac_hex(typ: str, key: str, *values: str) -> str:
+    data = "".join(values)
+    raw = _hmac_bytes(typ, key, data)
+    return raw.hex() if raw else ""
+
+
+def _hmac_b64(typ: str, key: str, *values: str) -> str:
+    data = "".join(values)
+    raw = _hmac_bytes(typ, key, data)
+    return base64.b64encode(raw).decode() if raw else ""
+
+
+def _hash_hex(typ: str, *values: str) -> str:
+    raw = _hash_bytes(typ, values)
+    return raw.hex() if raw else ""
+
+
+def _hash_b64(typ: str, *values: str) -> str:
+    raw = _hash_bytes(typ, values)
+    return base64.b64encode(raw).decode() if raw else ""
+
+
+def _b64_encode(*values: str) -> str:
+    data = "".join(values)
+    return base64.b64encode(data.encode()).decode() if data else ""
+
+
+def _b64_encode_nopad(*values: str) -> str:
+    data = "".join(values)
+    return base64.b64encode(data.encode()).decode().rstrip("=") if data else ""
+
+
+def _b64_decode(enc: str) -> str:
+    try:
+        return base64.b64decode(enc).decode("utf-8", "surrogateescape")
+    except (binascii.Error, ValueError):
+        return ""
+
+
+def _b64_decode_nopad(enc: str) -> str:
+    try:
+        pad = "=" * (-len(enc) % 4)
+        return base64.b64decode(enc + pad).decode("utf-8", "surrogateescape")
+    except (binascii.Error, ValueError):
+        return ""
+
+
+def _hex_decode(enc: str) -> str:
+    try:
+        return bytes.fromhex(enc).decode("utf-8", "surrogateescape")
+    except ValueError:
+        return ""
+
+
+_SPRINTF_RE = re.compile(r"%[-+ #0]*\d*(?:\.\d+)?[sdqvfxXeEgGtc%]")
+
+
+def _sprintf(fmt: str, *args: Any) -> str:
+    """fmt.Sprintf for the verb subset configs use."""
+    out = []
+    pos = 0
+    it = iter(args)
+    for m in _SPRINTF_RE.finditer(fmt):
+        out.append(fmt[pos:m.start()])
+        spec = m.group(0)
+        verb = spec[-1]
+        if verb == "%":
+            out.append("%")
+        else:
+            a = next(it, None)
+            if verb == "q":
+                out.append(json.dumps(go_sprint(a)))
+            elif verb == "v":
+                out.append(go_sprint(a))
+            elif verb == "s":
+                out.append(spec % go_sprint(a) if len(spec) > 2
+                           else go_sprint(a))
+            elif verb in "dxXc":
+                out.append(spec % _to_int(a))
+            elif verb in "fgGeE":
+                out.append(spec % float(a))
+            elif verb == "t":
+                out.append(go_sprint(bool(a)))
+        pos = m.end()
+    out.append(fmt[pos:])
+    return "".join(out)
+
+
+def _to_json(v: Any) -> str:
+    return json.dumps(v, separators=(",", ":"))
+
+
+def _url_encode(value: str) -> str:
+    return quote_plus(value) if value else ""
+
+
+def _replace_all(old: str, new: str, s: str) -> str:
+    return s.replace(old, new)
+
+
+def user_agent_string(*values: str) -> str:
+    """Our engine's UA analog of useragent.UserAgent (value_tpl.go:544)."""
+    base = (f"beats-spark-httpjson/{ENGINE_VERSION} "
+            f"(Python {platform.python_version()}; {sys.platform})")
+    extras = [v for v in values if v]
+    if extras:
+        base += " " + " ".join(extras)
+    return base
+
+
+def beat_info() -> dict:
+    return {
+        "goos": sys.platform,
+        "goarch": platform.machine(),
+        "commit": "unknown",
+        "buildtime": "unknown",
+        "version": ENGINE_VERSION,
+    }
+
+
+def _eq(a, b, *rest):
+    for x in (b, *rest):
+        if a == x:
+            return True
+    return False
+
+
+def build_funcs() -> dict:
+    return {
+        "add": lambda *vs: sum(_to_int(v) for v in vs),
+        "base64Decode": _b64_decode,
+        "base64DecodeNoPad": _b64_decode_nopad,
+        "base64Encode": _b64_encode,
+        "base64EncodeNoPad": _b64_encode_nopad,
+        "beatInfo": beat_info,
+        "div": lambda a, b: _to_int(a) // _to_int(b)
+        if (_to_int(a) < 0) == (_to_int(b) < 0)
+        else -(-_to_int(a) // _to_int(b)),
+        "formatDate": _format_date,
+        "getRFC5988Link": _get_rfc5988_link,
+        "hash": _hash_hex,
+        "hashBase64": _hash_b64,
+        "hexDecode": _hex_decode,
+        "hmac": _hmac_hex,
+        "hmacBase64": _hmac_b64,
+        "join": _join,
+        "toJSON": _to_json,
+        "max": _max,
+        "min": _min,
+        "mul": lambda a, b: _to_int(a) * _to_int(b),
+        "now": lambda *add: (_time_now() if not add
+                             else _time_now().Add(add[0])),
+        "parseDate": _parse_date,
+        "parseDateInTZ": _parse_date_in_tz,
+        "parseDuration": lambda s: GoDuration(
+            _parse_duration_quiet(s)),
+        "parseTimestamp": lambda s: GoTime.from_unix(_to_int(s)),
+        "parseTimestampMilli": lambda ms: GoTime(_to_int(ms) * 1_000_000),
+        "parseTimestampNano": lambda ns: GoTime(_to_int(ns)),
+        "replaceAll": _replace_all,
+        "sprintf": _sprintf,
+        "toInt": _to_int,
+        "urlEncode": _url_encode,
+        "userAgent": user_agent_string,
+        "uuid": lambda: str(uuid_mod.uuid4()),
+        "terminate": _terminate_fn,
+        # Go text/template builtins that appear in real configs
+        "eq": _eq,
+        "ne": lambda a, b: a != b,
+        "lt": _go_lt,
+        "le": lambda a, b: _go_lt(a, b) or a == b,
+        "gt": lambda a, b: _go_lt(b, a),
+        "ge": lambda a, b: _go_lt(b, a) or a == b,
+        "not": lambda v: not _truth(v),
+        "and": lambda *vs: next((v for v in vs if not _truth(v)), vs[-1]),
+        "or": lambda *vs: next((v for v in vs if _truth(v)), vs[-1]),
+        "len": lambda v: len(v),
+        "index": lambda c, *ks: _index(c, ks),
+        "printf": _sprintf,
+        "print": lambda *vs: "".join(go_sprint(v) for v in vs),
+    }
+
+
+def _index(c, ks):
+    for k in ks:
+        if isinstance(c, dict):
+            if k not in c:
+                raise _MissingKey(f'template: map has no entry for key "{k}"')
+            c = c[k]
+        elif isinstance(c, (list, tuple, str)):
+            c = c[_to_int(k)]
+        else:
+            raise TemplateError("template: can't index")
+    return c
+
+
+def _parse_duration_quiet(s: str) -> int:
+    """parseDuration swallows errors (value_tpl.go:200-203)."""
+    try:
+        return parse_go_duration(s)
+    except GoTimeError:
+        return 0
+
+
+def _terminate_fn(s: str):
+    raise _Terminate(s)
+
+
+_FUNCS = build_funcs()
+
+
+# ----------------------------------------------------------------- public
+
+class ValueTpl:
+    """valueTpl: parsed template + the reference Execute contract."""
+
+    def __init__(self, src: str):
+        self.src = src
+        self.nodes = _parse_template(src)
+
+    def execute(self, tr_ctx, tr, target_name: str = "",
+                default: Optional["ValueTpl"] = None,
+                ignore_empty: bool = False) -> Tuple[str, Optional[str]]:
+        """Returns (value, error_message|None) like valueTpl.Execute.
+
+        tr_ctx is a transforms.TransformContext (or None → panic path),
+        tr a transforms.Transformable (or None/{}).
+        """
+
+        def fallback(err):
+            if default is not None:
+                from .transforms import TransformContext, Transformable
+                return default.execute(TransformContext(), Transformable(),
+                                       target_name, None)
+            return "", err
+
+        try:
+            data = self._assemble(tr_ctx, tr)
+            val = _Evaluator(data, _FUNCS).render(self.nodes)
+        except _Terminate:
+            return "", None
+        except _MissingKey as e:
+            return fallback(str(e))
+        except TemplateError as e:
+            return fallback(str(e))
+        except Exception:
+            # Go panic path (value_tpl.go:124-128)
+            return fallback(ERR_EXECUTING)
+        if val == "" or "<no value>" in val:
+            return fallback(ERR_EMPTY_RESULT)
+        return val, None
+
+    @staticmethod
+    def _assemble(tr_ctx, tr) -> dict:
+        data = tr.clone_data() if tr is not None else {}
+        data["cursor"] = tr_ctx.cursor_map()
+        data["first_event"] = tr_ctx.first_event
+        data["last_event"] = tr_ctx.last_event
+        data["last_response"] = tr_ctx.last_response.template_values() \
+            if tr_ctx.last_response is not None else {}
+        if tr_ctx.first_response is not None:
+            data["first_response"] = tr_ctx.first_response.template_values()
+        if tr_ctx.parent_tr_ctx is not None:
+            data["parent_last_response"] = \
+                tr_ctx.parent_tr_ctx.last_response.template_values()
+        return data

@@ -1,0 +1,472 @@
+"""httpjson transformable / context / transforms (transform*.go).
+
+A transformable is the mapstr carrying `body`, `header`, and `url`
+that request building, response processing, and splits mutate
+(transform.go:93-160).  The transform context carries the cursor and
+the first/last event/response objects templates can reference
+(transform.go:25-91).  append / set / delete are the three registered
+transforms, constructed per namespace exactly like
+transform_registry.go + transform_{set,append,delete}.go — including
+the per-namespace target-type whitelists and the reference error
+strings.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from . import mapstr
+from .tpl import Header, URL, Values, ValueTpl, ERR_EMPTY_RESULT
+
+REQUEST_NS = "request"
+RESPONSE_NS = "response"
+PAGINATION_NS = "pagination"
+
+ERR_NEW_URL_VALUE_NOT_SET = "the new url.value was not set"
+
+
+class TransformError(ValueError):
+    """A transform failed; .reason carries the sentinel for pagination."""
+
+    def __init__(self, msg: str, reason: str = ""):
+        super().__init__(msg)
+        self.reason = reason or msg
+
+
+# ------------------------------------------------------------ value types
+
+def new_value_type(s: str) -> str:
+    vt = s or "string"
+    if vt not in ("string", "json", "int"):
+        raise ValueError(f"invalid value_type: {s}")
+    return vt
+
+
+def convert_to_type(vt: str, v: str) -> Any:
+    if vt == "string":
+        return v
+    if vt == "int":
+        return int(v)
+    if vt == "json":
+        return json.loads(v)
+    raise ValueError(f"can't convert to unknown value_type: {vt}")
+
+
+# ----------------------------------------------------------------- target
+
+TARGET_BODY = "body"
+TARGET_HEADER = "header"
+TARGET_URL_VALUE = "url.value"
+TARGET_URL_PARAMS = "url.params"
+
+
+def get_target_info(t: str) -> Tuple[str, str]:
+    """transform_target.go getTargetInfo → (type, name)."""
+    parts = t.split(".", 1)
+    if len(parts) < 2:
+        raise ValueError(f"invalid target: {t}")
+    if parts[0] == "url":
+        if parts[1] == "value":
+            return TARGET_URL_VALUE, ""
+        param_parts = parts[1].split(".", 1)
+        if len(param_parts) < 2 or param_parts[0] != "params":
+            raise ValueError(f"invalid target: {t}")
+        return TARGET_URL_PARAMS, param_parts[1]
+    if parts[0] == "header":
+        return TARGET_HEADER, parts[1]
+    if parts[0] == "body":
+        return TARGET_BODY, parts[1]
+    raise ValueError(f"invalid target: {t}")
+
+
+# ----------------------------------------------------------- transformable
+
+class Transformable:
+    """mapstr with body/header/url accessors (transform.go:93-160)."""
+
+    def __init__(self, data: Optional[dict] = None):
+        self.data = data if data is not None else {}
+
+    def header(self) -> Header:
+        h = self.data.get("header")
+        if h is None:
+            h = Header()
+            self.data["header"] = h
+        return h
+
+    def set_header(self, h: Header) -> None:
+        self.data["header"] = h
+
+    def body(self) -> dict:
+        b = self.data.get("body")
+        if b is None:
+            b = {}
+            self.data["body"] = b
+        return b
+
+    def set_body(self, b: dict) -> None:
+        self.data["body"] = b
+
+    def url(self) -> URL:
+        u = self.data.get("url")
+        if u is None:
+            return URL("")
+        return u
+
+    def set_url(self, u: URL) -> None:
+        self.data["url"] = u
+
+    def clone_data(self) -> dict:
+        """tr.Clone() for template data: deep-clone the body, share the
+        Go-typed header/url values (as the reference effectively does)."""
+        out = {}
+        for k, v in self.data.items():
+            out[k] = mapstr.clone(v) if isinstance(v, (dict, list)) and \
+                not isinstance(v, (Header, Values)) else v
+        return out
+
+
+class Response:
+    """response.go response: decoded page + header/url/page number."""
+
+    def __init__(self, body: Any = None, header: Optional[Header] = None,
+                 url: Optional[URL] = None, page: int = 0):
+        self.body = body
+        self.header = header if header is not None else Header()
+        self.url = url if url is not None else URL("")
+        self.page = page
+
+    def clone(self) -> "Response":
+        return Response(mapstr.clone(self.body), self.header.clone(),
+                        self.url.clone(), self.page)
+
+    def template_values(self) -> dict:
+        """response.templateValues() (response.go:95-111)."""
+        return {
+            "header": self.header.clone(),
+            "page": self.page,
+            "url": {"value": self.url.String(), "params": self.url.Query()},
+            "body": self.body,
+        }
+
+    def as_transformables(self, allow_string_array: bool = False,
+                          log=None) -> List[Transformable]:
+        """response.asTransformables (response.go:49-93): one
+        transformable per object; arrays fan out, scalars are skipped
+        with the reference's debug message."""
+        ts: List[Transformable] = []
+
+        def convert_and_append(m: dict):
+            tr = Transformable()
+            tr.set_header(self.header.clone())
+            tr.set_url(self.url.clone())
+            tr.set_body(mapstr.clone(m))
+            ts.append(tr)
+
+        body = self.body
+        if isinstance(body, list):
+            scalars = 0
+            for v in body:
+                if isinstance(v, (str, float, int)) and \
+                        not isinstance(v, bool):
+                    scalars += 1
+                elif isinstance(v, dict):
+                    convert_and_append(v)
+            if scalars > 0 and (scalars != len(body)
+                                or not allow_string_array) and log:
+                log(f"events must be JSON objects, but got {scalars} scalar "
+                    f"values in array of length {len(body)}")
+        elif isinstance(body, dict):
+            convert_and_append(body)
+        elif log:
+            log("response is not a valid JSON")
+        return ts
+
+
+# --------------------------------------------------------------- context
+
+class Cursor:
+    """cursor.go cursor: named value templates persisted across runs."""
+
+    def __init__(self, cfg: Optional[Dict[str, dict]] = None):
+        # cfg: name → {value, default, ignore_empty_value, do_not_log_failure}
+        self.cfg = cfg or {}
+        self.entries: Dict[str, dict] = {}
+        for name, c in self.cfg.items():
+            self.entries[name] = {
+                "value": ValueTpl(c["value"]) if c.get("value") else None,
+                "default": ValueTpl(str(c["default"]))
+                if c.get("default") is not None else None,
+                "ignore_empty_value": c.get("ignore_empty_value", True),
+            }
+        self.state: Dict[str, Any] = {}
+
+    def load(self, state: Optional[dict]) -> None:
+        if state:
+            self.state = dict(state)
+
+    def update(self, tr_ctx: "TransformContext") -> None:
+        """cursor.update (cursor.go:46-66)."""
+        if not self.entries:
+            return
+        for name, e in self.entries.items():
+            if e["value"] is None:
+                continue
+            v, _ = e["value"].execute(tr_ctx, Transformable(), name,
+                                      e["default"])
+            if v != "" or not e["ignore_empty_value"]:
+                mapstr.put(self.state, name, v)
+
+    def clone(self) -> dict:
+        return mapstr.clone(self.state)
+
+
+class TransformContext:
+    """transform.go transformContext."""
+
+    def __init__(self):
+        self.cursor = Cursor()
+        self.parent_tr_ctx: Optional["TransformContext"] = None
+        self.first_event: dict = {}
+        self.last_event: dict = {}
+        self.last_response: Response = Response()
+        self.first_response: Optional[Response] = Response()
+
+    def cursor_map(self) -> dict:
+        return self.cursor.clone()
+
+    def update_cursor(self) -> None:
+        # we do not want to pass the cursor data to itself
+        # (transform.go:48-57)
+        new_ctx = TransformContext()
+        new_ctx.last_event = self.last_event
+        new_ctx.first_event = self.first_event
+        new_ctx.last_response = self.last_response
+        new_ctx.first_response = self.first_response
+        self.cursor.update(new_ctx)
+
+    def clone(self) -> "TransformContext":
+        new_ctx = TransformContext()
+        new_ctx.last_event = self.last_event
+        new_ctx.first_event = self.first_event
+        new_ctx.last_response = self.last_response
+        new_ctx.first_response = self.first_response
+        new_ctx.cursor = self.cursor
+        new_ctx.parent_tr_ctx = self
+        return new_ctx
+
+    def update_last_event(self, e: dict) -> None:
+        self.last_event.clear()
+        self.last_event.update(e)
+
+    def update_first_event(self, e: dict) -> None:
+        self.first_event.clear()
+        self.first_event.update(e)
+
+    def update_last_response(self, r: Response) -> None:
+        self.last_response = r
+
+    def update_first_response(self, r: Response) -> None:
+        self.first_response = r
+
+    def clear_interval_data(self) -> None:
+        self.first_event = {}
+        self.last_event = {}
+        self.last_response = Response()
+
+
+# -------------------------------------------------------------- transforms
+
+class _ValueTransform:
+    """Shared machinery of set/append (transform_set.go run)."""
+
+    name = ""
+
+    def __init__(self, cfg: dict, run_func: Callable):
+        self.target_type, self.target_name = get_target_info(cfg["target"])
+        self.value = ValueTpl(cfg.get("value") or "")
+        self.default = ValueTpl(str(cfg["default"])) \
+            if cfg.get("default") is not None else None
+        self.fail_on_template_error = cfg.get("fail_on_template_error", False)
+        self.do_not_log_failure = cfg.get("do_not_log_failure", False)
+        self.value_type = new_value_type(cfg.get("value_type", ""))
+        self.run_func = run_func
+
+    def run(self, ctx: TransformContext, tr: Transformable) -> Transformable:
+        value, err = self.value.execute(ctx, tr, self.target_name,
+                                        self.default)
+        if err is not None and self.fail_on_template_error:
+            raise TransformError(err, reason=err)
+        if value == "":
+            return tr
+        try:
+            converted = convert_to_type(self.value_type, value)
+        except (ValueError, json.JSONDecodeError) as e:
+            raise TransformError(
+                f"can't convert template value to {self.value_type}: {e}")
+        self.run_func(ctx, tr, self.target_name, converted)
+        return tr
+
+
+def _set_body(ctx, tr: Transformable, key: str, value: Any) -> None:
+    mapstr.put(tr.body(), key, value)
+
+
+def _set_header(ctx, tr: Transformable, key: str, value: Any) -> None:
+    if not isinstance(value, str):
+        raise TransformError(
+            f"headers can only contain string values, but got: "
+            f"{type(value).__name__}")
+    tr.header().Add(key, value)
+
+
+def _set_url_params(ctx, tr: Transformable, key: str, value: Any) -> None:
+    if not isinstance(value, str):
+        raise TransformError(
+            f"URL params can only contain string values, but got: "
+            f"{type(value).__name__}")
+    url = tr.url()
+    q = url.Query()
+    q.Set(key, value)
+    url.set_query(q)
+    tr.set_url(url)
+
+
+def _set_url_value(ctx, tr: Transformable, key: str, value: Any) -> None:
+    if not isinstance(value, str):
+        raise TransformError(
+            f"URL value can only contain string values, but got: "
+            f"{type(value).__name__}")
+    try:
+        u = URL(value)
+        if not u.Scheme and not u.Host:
+            raise ValueError(value)
+    except ValueError:
+        raise TransformError(ERR_NEW_URL_VALUE_NOT_SET,
+                             reason=ERR_NEW_URL_VALUE_NOT_SET)
+    tr.set_url(u)
+
+
+def _append_common(m: dict, key: str, val: Any) -> None:
+    """appendToCommonMap (transform_append.go:157-180)."""
+    if mapstr.has_key(m, key):
+        prev = mapstr.get_value(m, key)
+        if isinstance(prev, list):
+            value = prev + [val]
+        else:
+            value = [prev, val]
+    else:
+        value = [val]
+    mapstr.put(m, key, value)
+
+
+def _append_body(ctx, tr: Transformable, key: str, value: Any) -> None:
+    _append_common(tr.body(), key, value)
+
+
+def _append_url_params(ctx, tr: Transformable, key: str, value: Any) -> None:
+    if not isinstance(value, str):
+        raise TransformError(
+            f"URL params can only contain string values, but got: "
+            f"{type(value).__name__}")
+    url = tr.url()
+    q = url.Query()
+    q.Add(key, value)
+    url.set_query(q)
+    tr.set_url(url)
+
+
+class SetTransform(_ValueTransform):
+    name = "set"
+
+
+class AppendTransform(_ValueTransform):
+    name = "append"
+
+
+class DeleteTransform:
+    name = "delete"
+
+    def __init__(self, cfg: dict, run_func: Callable):
+        self.target_type, self.target_name = get_target_info(cfg["target"])
+        self.run_func = run_func
+
+    def run(self, ctx: TransformContext, tr: Transformable) -> Transformable:
+        self.run_func(ctx, tr, self.target_name)
+        return tr
+
+
+def _delete_body(ctx, tr: Transformable, key: str) -> None:
+    mapstr.delete(tr.body(), key)
+
+
+def _delete_header(ctx, tr: Transformable, key: str) -> None:
+    tr.header().Del(key)
+
+
+def _delete_url_params(ctx, tr: Transformable, key: str) -> None:
+    url = tr.url()
+    q = url.Query()
+    q.Del(key)
+    url.set_query(q)
+    tr.set_url(url)
+
+
+def _make_set(cfg: dict, namespace: str) -> SetTransform:
+    tt, _ = get_target_info(cfg["target"])
+    if namespace == RESPONSE_NS:
+        allowed = {TARGET_BODY: _set_body}
+    else:  # request + pagination share newSetRequestPagination
+        allowed = {TARGET_BODY: _set_body, TARGET_HEADER: _set_header,
+                   TARGET_URL_PARAMS: _set_url_params,
+                   TARGET_URL_VALUE: _set_url_value}
+    if tt not in allowed:
+        raise ValueError(f"invalid target type: {tt}")
+    return SetTransform(cfg, allowed[tt])
+
+
+def _make_append(cfg: dict, namespace: str) -> AppendTransform:
+    tt, _ = get_target_info(cfg["target"])
+    if namespace == RESPONSE_NS:
+        allowed = {TARGET_BODY: _append_body}
+    else:
+        allowed = {TARGET_BODY: _append_body, TARGET_HEADER: _set_header,
+                   TARGET_URL_PARAMS: _append_url_params}
+    if tt not in allowed:
+        raise ValueError(f"invalid target type: {tt}")
+    return AppendTransform(cfg, allowed[tt])
+
+
+def _make_delete(cfg: dict, namespace: str) -> DeleteTransform:
+    tt, _ = get_target_info(cfg["target"])
+    if namespace == RESPONSE_NS:
+        allowed = {TARGET_BODY: _delete_body}
+    else:
+        allowed = {TARGET_BODY: _delete_body, TARGET_HEADER: _delete_header,
+                   TARGET_URL_PARAMS: _delete_url_params}
+    if tt not in allowed:
+        raise ValueError(f"invalid target type: {tt}")
+    return DeleteTransform(cfg, allowed[tt])
+
+
+_CONSTRUCTORS = {"set": _make_set, "append": _make_append,
+                 "delete": _make_delete}
+
+
+def new_transforms(config: Optional[List[dict]], namespace: str) -> list:
+    """newBasicTransformsFromConfig (transform.go:166-216)."""
+    out = []
+    for tf_config in config or []:
+        if len(tf_config) != 1:
+            raise ValueError(
+                "each transform must have exactly one action, but found "
+                f"{len(tf_config)} actions")
+        action_name, cfg = next(iter(tf_config.items()))
+        ctor = _CONSTRUCTORS.get(action_name)
+        if ctor is None:
+            raise ValueError(
+                f"the transform {action_name} does not exist. Valid "
+                "transforms: append, delete, set")
+        out.append(ctor(cfg, namespace))
+    return out

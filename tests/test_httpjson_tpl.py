@@ -1,0 +1,374 @@
+"""httpjson value templates — value_tpl_test.go's matrix ported whole.
+
+Every case from the reference's TestValueTpl (value_tpl_test.go:22-807)
+that does not depend on Go-binary identity (userAgent/beatInfo literal
+strings) asserts the same template → same expected value, including the
+error taxonomy: empty-result fallback, panic fallback (nil context),
+terminate's no-fallback contract, and default-value rendering.
+"""
+
+import pytest
+
+from beats_spark.httpjson.gotime import GoDuration, GoTime, parse_go_duration
+from beats_spark.httpjson.tpl import (ERR_EMPTY_RESULT, ERR_EXECUTING,
+                                      Header, URL, ValueTpl, set_time_now)
+from beats_spark.httpjson.transforms import (Response, Transformable,
+                                             TransformContext)
+
+
+@pytest.fixture(autouse=True)
+def _restore_clock():
+    yield
+    set_time_now(None)
+
+
+def _ctx(body=None, header=None, url=""):
+    ctx = TransformContext()
+    resp = Response(body=body, header=Header(header or {}),
+                    url=URL(url) if url else URL(""))
+    ctx.update_last_response(resp)
+    return ctx
+
+
+def run(value, ctx=None, tr=None, default=None):
+    tpl = ValueTpl(value)
+    d = ValueTpl(default) if default is not None else None
+    tr = tr if tr is not None else Transformable()
+    return tpl.execute(ctx if ctx is not None else TransformContext(),
+                       tr, "test", d)
+
+
+def freeze(unix):
+    set_time_now(lambda: GoTime.from_unix(unix))
+
+
+# --- context access ------------------------------------------------------
+
+def test_can_access_go_types_in_context():
+    ctx = _ctx({"param": 25}, {"Foo": ["bar"]}, "http://localhost?foo=bar")
+    tr = Transformable({"url": URL("http://localhost?bar=bazz")})
+    got, err = run('[[.last_response.header.Get "foo"]] '
+                   '[[.last_response.url.params.Get "foo"]] [[.url.Host]] '
+                   '[[.url.Query.Get "bar"]]', ctx, tr)
+    assert (got, err) == ("bar bar localhost bazz", None)
+
+
+def test_can_render_values_from_ctx():
+    got, err = run("[[.last_response.body.param]]", _ctx({"param": 25}))
+    assert (got, err) == ("25", None)
+
+
+def test_default_value_if_execute_fails():
+    got, err = run("[[.last_response.body.does_not_exist]]",
+                   TransformContext(), default="25")
+    assert (got, err) == ("25", None)
+
+
+def test_default_value_if_template_empty():
+    got, err = run("", default="25")
+    assert (got, err) == ("25", None)
+
+
+def test_terminate_no_default_fallback():
+    got, err = run('[[if false]]ok[[else]][[terminate "because reasons"]]'
+                   '[[end]]', default="this should not be seen")
+    assert (got, err) == ("", None)
+
+
+def test_error_if_empty_result_and_no_default():
+    got, err = run("")
+    assert (got, err) == ("", ERR_EMPTY_RESULT)
+
+
+def test_default_value_if_execute_panics():
+    # nil transformContext → the reference panics and falls back
+    got, err = ValueTpl("[[.last_response.panic]]").execute(
+        None, Transformable(), "t", ValueTpl("25"))
+    assert (got, err) == ("25", None)
+
+
+def test_error_if_panics_and_no_default():
+    got, err = ValueTpl("[[.last_response.panic]]").execute(
+        None, Transformable(), "t", None)
+    assert (got, err) == ("", ERR_EXECUTING)
+
+
+# --- date/time functions -------------------------------------------------
+
+def test_func_parse_duration():
+    assert run('[[ parseDuration "-1h" ]]') == ("-1h0m0s", None)
+
+
+def test_func_now():
+    freeze(1604582732)
+    assert run("[[ now ]]") == ("2020-11-05 13:25:32 +0000 UTC", None)
+
+
+def test_func_now_with_duration():
+    freeze(1604582732)
+    assert run('[[ now (parseDuration "-1h") ]]') == \
+        ("2020-11-05 12:25:32 +0000 UTC", None)
+
+
+@pytest.mark.parametrize("value,expected", [
+    ('[[ parseDate "2020-11-05T12:25:32.1234567Z" "RFC3339Nano" ]]',
+     "2020-11-05 12:25:32.1234567 +0000 UTC"),
+    ('[[ parseDate "2020-11-05T12:25:32Z" ]]',
+     "2020-11-05 12:25:32 +0000 UTC"),
+    ('[[ (parseDate "Thu Nov  5 12:25:32 +0000 2020" '
+     '"Mon Jan _2 15:04:05 -0700 2006") ]]',
+     "2020-11-05 12:25:32 +0000 UTC"),
+    ('[[ parseDateInTZ "2020-11-05T12:25:32.1234567Z" "-0700" '
+     '"RFC3339Nano" ]]', "2020-11-05 19:25:32.1234567 +0000 UTC"),
+    ('[[ parseDateInTZ "2020-11-05T12:25:32+04:00" "-0700" ]]',
+     "2020-11-05 19:25:32 +0000 UTC"),
+    ('[[ parseDateInTZ "2020-11-05T12:25:32Z" "America/New_York" ]]',
+     "2020-11-05 17:25:32 +0000 UTC"),
+    ('[[ parseDateInTZ "Thu Nov  5 12:25:32 2020" "Europe/Paris" '
+     '"Mon Jan _2 15:04:05 2006" ]]', "2020-11-05 11:25:32 +0000 UTC"),
+    ('[[ parseDateInTZ "2020-11-05T12:25:32Z" "Invalid/Timezone" ]]',
+     "2020-11-05 12:25:32 +0000 UTC"),
+    ('[[ (parseTimestamp 1604582732) ]]', "2020-11-05 13:25:32 +0000 UTC"),
+    ('[[ (parseTimestampMilli 1604582732000) ]]',
+     "2020-11-05 13:25:32 +0000 UTC"),
+    ('[[ (parseTimestampNano 1604582732000000000) ]]',
+     "2020-11-05 13:25:32 +0000 UTC"),
+])
+def test_func_parse_dates(value, expected):
+    assert run(value) == (expected, None)
+
+
+@pytest.mark.parametrize("value,expected", [
+    ('[[ formatDate (now) "UnixDate" "America/New_York" ]]',
+     "Thu Nov  5 08:25:32 EST 2020"),
+    ('[[ formatDate (now) "UnixDate" ]]', "Thu Nov  5 13:25:32 UTC 2020"),
+    ('[[ formatDate (now) "UnixDate" "wrong/tz"]]',
+     "Thu Nov  5 13:25:32 UTC 2020"),
+    ('[[ (parseDuration "-1h") | now | formatDate ]]',
+     "2020-11-05T12:25:32Z"),
+])
+def test_func_format_date(value, expected):
+    freeze(1604582732)
+    assert run(value) == (expected, None)
+
+
+# --- RFC5988 links -------------------------------------------------------
+
+NEXT = ('<https://example.com/api/v1/users?after=00ubfjQEMYBLRUWIEDKK>; '
+        'title="Page 3"; rel="next"')
+PREV = ('<https://example.com/api/v1/users?before=00ubfjQEMYBLRUWIEDKK>; '
+        'title="Page 1"; rel="previous"')
+
+
+@pytest.mark.parametrize("rel,links,expected", [
+    ("next", [NEXT], "https://example.com/api/v1/users"
+     "?after=00ubfjQEMYBLRUWIEDKK"),
+    ("previous", [NEXT, PREV], "https://example.com/api/v1/users"
+     "?before=00ubfjQEMYBLRUWIEDKK"),
+    ("previous", [PREV, NEXT], "https://example.com/api/v1/users"
+     "?before=00ubfjQEMYBLRUWIEDKK"),
+    ("previous", [PREV + ",\n\t\t\t\t\t\t" + NEXT],
+     "https://example.com/api/v1/users?before=00ubfjQEMYBLRUWIEDKK"),
+    ("next", [PREV + ",\n\t\t\t\t\t\t" + NEXT],
+     "https://example.com/api/v1/users?after=00ubfjQEMYBLRUWIEDKK"),
+    ("next", ['<https://example.com/api/v1/users?before=x>;title="Page 1";'
+              'rel="previous",\n\t\t\t\t\t\t<https://example.com/api/v1/'
+              'users?after=00ubfjQEMYBLRUWIEDKK>;title="Page 3";'
+              'rel="next"'],
+     "https://example.com/api/v1/users?after=00ubfjQEMYBLRUWIEDKK"),
+])
+def test_func_get_rfc5988_link(rel, links, expected):
+    ctx = _ctx(None, {"Link": links})
+    got, err = run(f'[[ getRFC5988Link "{rel}" .last_response.header.Link ]]',
+                   ctx)
+    assert (got, err) == (expected, None)
+
+
+def test_get_rfc5988_link_does_not_match_falls_back():
+    ctx = _ctx(None, {"Link": ["<https://example.com/api/v1/users?after=x>"]})
+    got, err = run('[[ getRFC5988Link "previous" '
+                   '.last_response.header.Link ]]', ctx,
+                   default="https://example.com/default")
+    assert (got, err) == ("https://example.com/default", None)
+
+
+def test_get_rfc5988_link_empty_header_falls_back():
+    got, err = run('[[ getRFC5988Link "previous" '
+                   '.last_response.header.Empty ]]', TransformContext(),
+                   default="https://example.com/default")
+    assert (got, err) == ("https://example.com/default", None)
+
+
+# --- numeric + string functions ------------------------------------------
+
+@pytest.mark.parametrize("value,expected", [
+    ('[[(toInt "1")]] [[(toInt 1.0)]] [[(toInt "1,0")]] [[(toInt 2)]]',
+     "1 1 0 2"),
+    ("[[add 1 2 3 4]]", "10"),
+    ("[[mul 4 4]]", "16"),
+    ("[[div 16 4]]", "4"),
+    ("[[min 4 1]]", "1"),
+    ("[[max 4 1]]", "4"),
+    ("[[max 1.23 4.666]]", "4.666"),
+    ("[[min 1.23 4.666]]", "1.23"),
+    ('[[min "a" "b"]]', "a"),
+    ('[[max "a" "b"]]', "b"),
+    ('[[ min (now.Year) 2020 ]]', "2020"),
+    ('[[ max (parseDuration "59m") (parseDuration "1h") ]]', "1h0m0s"),
+])
+def test_numeric_funcs(value, expected):
+    assert run(value) == (expected, None)
+
+
+def test_min_unix_seconds():
+    freeze(1604582732)
+    assert run("[[ min (now.Unix) 1689771139 ]]") == ("1604582732", None)
+
+
+@pytest.mark.parametrize("value,expected", [
+    ('[[hmac "sha1" "secret" "string1" "string2"]]',
+     "87eca1e7cba012b2dd4a907c2ad4345a252a38f4"),
+    ('[[hash "sha1"]]', "da39a3ee5e6b4b0d3255bfef95601890afd80709"),
+    ('[[hash "sha1" "string1" "string2"]]',
+     "6b3966bea9fe56d1f9708517fd22b70c682b8a3d"),
+    ('[[base64Encode "string1" "string2"]]', "c3RyaW5nMXN0cmluZzI="),
+    ('[[hmacBase64 "sha1" "secret" "string1" "string2"]]',
+     "h+yh58ugErLdSpB8KtQ0WiUqOPQ="),
+    ('[[hashBase64 "sha1"]]', "2jmj7l5rSw0yVb/vlWAYkK/YBwk="),
+    ('[[hashBase64 "sha1" "string1" "string2"]]',
+     "azlmvqn+VtH5cIUX/SK3DGgrij0="),
+    ('[[base64Decode "c3RyaW5nMXN0cmluZzI="]]', "string1string2"),
+])
+def test_hash_funcs(value, expected):
+    assert run(value) == (expected, None)
+
+
+def test_sha256_hmac_with_date():
+    freeze(1627697597)
+    got, err = run('[[hmac "sha256" "superlongsecret" "string1" "string2" '
+                   '(formatDate (now) "RFC1123")]]')
+    assert (got, err) == ("531c01c163a976b73bd2d8eb7e4f0f8ee7eb381f56457580"
+                          "d3be95a09b91a9c4", None)
+
+
+def test_sha256_hash_with_date():
+    freeze(1627697597)
+    got, err = run('[[hash "sha256" "string1" "string2" '
+                   '(formatDate (now) "RFC1123")]]')
+    assert (got, err) == ("b0a92a08a9b4883aa3aa2d0957be12a678cbdbb32dc5db09"
+                          "fe68239a09872f96", None)
+
+
+def test_sha256_hmac_base64():
+    got, err = run('[[hmacBase64 "sha256" "superlongsecret" "string1" '
+                   '"string2"]]')
+    assert (got, err) == ("++mWjiSNsREpOxXjbi0pBmBaQad/+Gt+MQtRP7CoKD0=",
+                          None)
+
+
+def test_sha256_hash_base64():
+    got, err = run('[[hashBase64 "sha256" "string1" "string2"]]')
+    assert (got, err) == ("usCapy5jLnbDbmwcTlArc8Paf8poxHUnPcVReBVYfMQ=",
+                          None)
+
+
+@pytest.mark.parametrize("value", [
+    '[[hmac "md5" "secret" "string1" "string2"]]',
+    '[[hash "md5" "string1" "string2"]]',
+    '[[hmacBase64 "md5" "secret" "string1" "string2"]]',
+    '[[base64Encode ""]]',
+    '[[base64Decode ""]]',
+    '[[hexDecode ""]]',
+    '[[hexDecode "abcdefghijklmnopqrstuvwxyz"]]',
+    '[[urlEncode ""]]',
+])
+def test_empty_results_error(value):
+    assert run(value) == ("", ERR_EMPTY_RESULT)
+
+
+def test_hex_decode():
+    hexstr = ("b0a92a08a9b4883aa3aa2d0957be12a678cbdbb32dc5db09fe68239a"
+              "09872f96")
+    expected = bytes.fromhex(hexstr).decode("utf-8", "surrogateescape")
+    assert run(f'[[hexDecode "{hexstr}"]]') == (expected, None)
+
+
+def test_func_join():
+    ctx = _ctx({"strarr": ["foo", "bar"], "iarr": ["foo", 2],
+                "narr": [1, 2], "singlevalstr": "foo", "singlevalint": 2})
+    got, err = run('[[join .last_response.body.strarr ","]] '
+                   '[[join .last_response.body.iarr ","]] '
+                   '[[join .last_response.body.narr ","]] '
+                   '[[join .last_response.body.singlevalstr ","]] '
+                   '[[join .last_response.body.singlevalint ","]]', ctx)
+    assert (got, err) == ("foo,bar foo,2 1,2 foo 2", None)
+
+
+def test_func_sprintf():
+    ctx = _ctx({"arr": ["foo", "bar"]})
+    got, err = run('[[sprintf "%q:%d" (join .last_response.body.arr ",") '
+                   "1]]", ctx)
+    assert (got, err) == ('"foo,bar":1', None)
+
+
+def test_url_encode():
+    assert run('[[urlEncode "asdf"]]') == ("asdf", None)
+    assert run('[[urlEncode "2022-02-17T04:37:10.406+0000"]]') == \
+        ("2022-02-17T04%3A37%3A10.406%2B0000", None)
+
+
+def test_replace_all():
+    assert run('[[ "some value" | replaceAll "some" "my" ]]') == \
+        ("my value", None)
+
+
+def test_to_json():
+    ctx = TransformContext()
+    ctx.first_event.update({"events": [{"id": 1234}]})
+    assert run("[[ toJSON .first_event.events ]]", ctx) == \
+        ('[{"id":1234}]', None)
+
+
+def test_user_agent_and_beat_info_shapes():
+    got, err = run("[[userAgent]]")
+    assert err is None and got.startswith("beats-spark-httpjson/")
+    got2, _ = run('[[userAgent "integration_name/1.2.3"]]')
+    assert got2.endswith("integration_name/1.2.3")
+    got3, err3 = run("[[beatInfo.version]]")
+    assert err3 is None and got3
+    got4, err4 = run("[[beatInfo.goarch]]")
+    assert err4 is None and got4
+
+
+def test_uuid_well_formed():
+    got, err = run("[[uuid]]")
+    assert err is None
+    import uuid
+    uuid.UUID(got)
+
+
+# --- Go Duration parity spot checks --------------------------------------
+
+@pytest.mark.parametrize("s,ns", [
+    ("-1h", -3600_000_000_000),
+    ("1h30m", 5400_000_000_000),
+    ("1.5s", 1_500_000_000),
+    ("100ms", 100_000_000),
+    ("2µs", 2_000),
+    ("0", 0),
+])
+def test_parse_go_duration(s, ns):
+    assert parse_go_duration(s) == ns
+
+
+@pytest.mark.parametrize("ns,s", [
+    (-3600_000_000_000, "-1h0m0s"),
+    (5400_000_000_000, "1h30m0s"),
+    (1_500_000_000, "1.5s"),
+    (100_000_000, "100ms"),
+    (2_000, "2µs"),
+    (0, "0s"),
+    (59 * 60_000_000_000, "59m0s"),
+])
+def test_duration_string(ns, s):
+    assert str(GoDuration(ns)) == s
