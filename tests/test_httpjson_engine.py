@@ -1,0 +1,649 @@
+"""httpjson ENGINE battery — the reference's input test matrix ported
+over a live fake HTTP server.
+
+Ports x-pack/filebeat/input/httpjson/input_test.go's non-chain cases
+(the chain cases exercise the loud NotImplementedError gate instead):
+the fake server handlers (defaultHandler / rateLimitHandler /
+retryHandler / dateCursorHandler / paginationHandler /
+paginationArrayHandler / oauth2Handler, input_test.go:2028-2246) are
+re-implemented verbatim and each case's `expected` list is asserted
+as parsed JSON against httpjson_collect(raw=True) — the same
+comparison the Go harness does on the published `message` field.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+from urllib.parse import parse_qs, urlparse
+
+import pytest
+
+from beats_spark.httpjson import engine as eng
+from beats_spark.httpjson.engine import (HTTPJSONError, httpjson_collect,
+                                         unflatten)
+from beats_spark.httpjson.gotime import GoTime
+from beats_spark.httpjson.tpl import set_time_now
+
+DEFAULT_MSG = '{"hello":[{"world":"moon"},{"space":[{"cake":"pumpkin"}]}]}'
+
+
+@pytest.fixture(autouse=True)
+def _fast_and_fixed(monkeypatch):
+    """No real sleeps (retry/interval/rate-limit waits) in any case."""
+    monkeypatch.setattr(eng, "_sleep", lambda s: None)
+    yield
+    set_time_now(None)
+
+
+class Req:
+    def __init__(self, method, path, query, headers, body):
+        self.method = method
+        self.path = path
+        self.query = query  # dict[str, str] (first value)
+        self.headers = headers
+        self.body = body
+
+
+class FakeServer:
+    """httptest.NewServer analog: handler(Req) -> (status, headers, body)."""
+
+    def __init__(self, handler):
+        outer = self
+
+        class H(http.server.BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def _serve(self):
+                u = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(u.query,
+                                                  keep_blank_values=True).items()}
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                status, hdrs, out = outer.handler(
+                    Req(self.command, u.path, q, self.headers, body))
+                out = out.encode() if isinstance(out, str) else out
+                self.send_response(status)
+                for k, v in hdrs.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            do_GET = do_POST = do_PUT = _serve
+
+            def log_message(self, *a):
+                pass
+
+        self.handler = handler
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = "http://127.0.0.1:%d" % self.httpd.server_address[1]
+        self.thread = threading.Thread(target=self.httpd.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture
+def serve():
+    servers = []
+
+    def _start(handler):
+        s = FakeServer(handler)
+        servers.append(s)
+        return s
+
+    yield _start
+    for s in servers:
+        s.close()
+
+
+def collect_raw(server, flat_cfg, intervals=1, cursor_state=None):
+    cfg = dict(flat_cfg)
+    cfg.setdefault("request.url", server.url)
+    events, cursor = httpjson_collect(unflatten(cfg), intervals=intervals,
+                                      cursor_state=cursor_state, raw=True)
+    return events, cursor
+
+
+def expect(events, *json_strs):
+    assert [json.loads(j) for j in json_strs] == events
+
+
+# ------------------------------------------------------------- handlers
+
+def default_handler(expected_method, expected_body, msg=""):
+    """defaultHandler (input_test.go:2028)."""
+    msg = msg or DEFAULT_MSG
+
+    def h(r: Req):
+        out = msg
+        status = 200
+        if r.method != expected_method:
+            status, out = 400, json.dumps(
+                {"error": 'expected method was "%s"' % expected_method})
+        elif expected_body and expected_body != r.body.decode():
+            status, out = 400, json.dumps(
+                {"error": "expected body was %r, but got %r"
+                 % (expected_body, r.body.decode())})
+        return status, {"content-type": "application/json"}, out
+
+    return h
+
+
+def rate_limit_handler(now_unix):
+    state = {"retry": False}
+
+    def h(r: Req):
+        if state["retry"]:
+            return 200, {"content-type": "application/json"}, '{"hello":"world"}'
+        state["retry"] = True
+        return 429, {"content-type": "application/json",
+                     "X-Rate-Limit-Limit": "0",
+                     "X-Rate-Limit-Remaining": "0",
+                     "X-Rate-Limit-Reset": str(now_unix)}, \
+            '{"error":"too many requests"}'
+
+    return h
+
+
+def retry_handler():
+    state = {"count": 0}
+
+    def h(r: Req):
+        if state["count"] == 2:
+            return 200, {"content-type": "application/json"}, '{"hello":"world"}'
+        state["count"] += 1
+        return 500, {"content-type": "application/json"}, ""
+
+    return h
+
+
+def date_cursor_handler():
+    state = {"count": 0}
+    expected = ["alertCreationTime ge 2002-10-02T14:50:00Z",
+                "alertCreationTime ge 2002-10-02T15:00:00Z",
+                "alertCreationTime ge 2002-10-02T15:00:01Z"]
+    bodies = ['{"@timestamp":"2002-10-02T15:00:00Z","foo":"bar"}',
+              '{"@timestamp":"2002-10-02T15:00:01Z","foo":"bar"}',
+              '{"@timestamp":"2002-10-02T15:00:02Z","foo":"bar"}']
+
+    def h(r: Req):
+        i = state["count"]
+        state["count"] += 1
+        if r.query.get("$filter") != expected[i]:
+            return 400, {"content-type": "application/json"}, \
+                json.dumps({"error": "wrong cursor value",
+                            "got": r.query.get("$filter")})
+        return 200, {"content-type": "application/json"}, bodies[i]
+
+    return h
+
+
+def pagination_handler():
+    state = {"count": 0}
+
+    def h(r: Req):
+        c = state["count"]
+        if c == 0:
+            state["count"] = 1
+            return 200, {"content-type": "application/json"}, \
+                '{"@timestamp":"2002-10-02T15:00:00Z","nextPageToken":"bar","items":[{"foo":"a"}]}'
+        if c == 1:
+            state["count"] = 2
+            if r.query.get("page") != "bar":
+                return 400, {"content-type": "application/json"}, \
+                    '{"error":"wrong page token value"}'
+            return 200, {"content-type": "application/json"}, \
+                '{"@timestamp":"2002-10-02T15:00:01Z","items":[{"foo":"b"}]}'
+        if c == 2:
+            state["count"] = 3
+            return 200, {"content-type": "application/json"}, \
+                '{"@timestamp":"2002-10-02T15:00:02Z","items":[{"foo":"c"}]}'
+        state["count"] = 0
+        return 200, {"content-type": "application/json"}, \
+            '{"@timestamp":"2002-10-02T15:00:03Z","items":[{"foo":"d"}]}'
+
+    return h
+
+
+def pagination_array_handler():
+    state = {"count": 0}
+
+    def h(r: Req):
+        if state["count"] == 0:
+            state["count"] = 1
+            return 200, {"content-type": "application/json"}, \
+                '[{"nextPageToken":"bar","foo":"bar"},{"foo":"bar"}]'
+        if r.query.get("page") != "bar":
+            return 400, {"content-type": "application/json"}, \
+                '{"error":"wrong page token value"}'
+        return 200, {"content-type": "application/json"}, '[{"foo":"bar"}]'
+
+    return h
+
+
+def oauth2_handler(r: Req):
+    """oauth2Handler + oauth2TokenHandler (input_test.go:2114-2158)."""
+    if r.path == "/token":
+        form = {k: v[0] for k, v in
+                parse_qs(r.body.decode(), keep_blank_values=True).items()}
+        checks = [(r.method == "POST", "wrong method"),
+                  (form.get("grant_type") == "client_credentials",
+                   "wrong grant_type"),
+                  (form.get("client_id") == "a_client_id", "wrong client_id"),
+                  (form.get("client_secret") == "a_client_secret",
+                   "wrong client_secret"),
+                  (form.get("scope") == "scope1 scope2", "wrong scope"),
+                  (form.get("param1") == "v1", "wrong param1")]
+        for ok, msg in checks:
+            if not ok:
+                return 400, {"content-type": "application/json"}, \
+                    json.dumps({"error": msg})
+        return 200, {"content-type": "application/json"}, \
+            '{"token_type": "Bearer", "expires_in": "60", "access_token": "abcd"}'
+    if r.method != "POST":
+        return 400, {"content-type": "application/json"}, '{"error":"wrong method"}'
+    if r.headers.get("Authorization") != "Bearer abcd":
+        return 400, {"content-type": "application/json"}, '{"error":"wrong bearer"}'
+    return 200, {"content-type": "application/json"}, '{"hello":"world"}'
+
+
+# ----------------------------------------------------------- the matrix
+
+def test_simple_get_request(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET"})
+    expect(events, DEFAULT_MSG)
+
+
+def test_get_array_of_strings_no_events(serve):
+    s = serve(default_handler("GET", "", '["123", "456"]'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET"})
+    assert events == []
+
+
+def test_request_honors_rate_limit(serve):
+    now = GoTime.parse("2006-01-02T15:04:05Z07:00", "2002-10-02T15:00:00Z")
+    set_time_now(lambda: now)
+    s = serve(rate_limit_handler(now.Unix()))
+    events, _ = collect_raw(s, {
+        "interval": 1,
+        "request.rate_limit.limit":
+            '[[.last_response.header.Get "X-Rate-Limit-Limit"]]',
+        "request.rate_limit.remaining":
+            '[[.last_response.header.Get "X-Rate-Limit-Remaining"]]',
+        "request.rate_limit.reset":
+            '[[.last_response.header.Get "X-Rate-Limit-Reset"]]',
+    })
+    expect(events, '{"hello":"world"}')
+
+
+def test_request_retries_when_failed(serve):
+    s = serve(retry_handler())
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET"})
+    expect(events, '{"hello":"world"}')
+
+
+def test_post_request_with_body(serve):
+    s = serve(default_handler("POST", '{"test":"abc"}', ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "POST",
+                                "request.body": {"test": "abc"}})
+    expect(events, DEFAULT_MSG)
+
+
+def test_post_request_with_empty_object_body(serve):
+    s = serve(default_handler("POST", "{}", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "POST",
+                                "request.body": {}})
+    expect(events, DEFAULT_MSG)
+
+
+def test_repeated_post_requests(serve):
+    s = serve(default_handler("POST", "", ""))
+    events, _ = collect_raw(s, {"interval": "100ms",
+                                "request.method": "POST"}, intervals=2)
+    expect(events, DEFAULT_MSG, DEFAULT_MSG)
+
+
+def test_split_by_json_objects_array(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {"target": "body.hello"}})
+    expect(events, '{"world":"moon"}', '{"space":[{"cake":"pumpkin"}]}')
+
+
+def test_split_with_keep_parent(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {"target": "body.hello",
+                                                   "keep_parent": True}})
+    expect(events, '{"hello":{"world":"moon"}}',
+           '{"hello":{"space":[{"cake":"pumpkin"}]}}')
+
+
+def test_split_on_empty_array_without_ignore_empty_value(serve):
+    s = serve(default_handler("GET", "", '{"response":{"empty":[]}}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response.empty"}})
+    expect(events, '{"response":{"empty":[]}}')
+
+
+def test_split_on_empty_array_with_ignore_empty_value(serve):
+    s = serve(default_handler("GET", "", '{"response":{"empty":[]}}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response.empty",
+                                    "ignore_empty_value": True}})
+    assert events == []
+
+
+def test_split_on_null_field_ignore_empty_keep_parent(serve):
+    s = serve(default_handler("GET", "", '{"response":{"empty":null}}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response.empty",
+                                    "ignore_empty_value": True,
+                                    "keep_parent": True}})
+    expect(events, '{"response":{"empty":null}}')
+
+
+def test_split_on_empty_array_ignore_empty_keep_parent(serve):
+    s = serve(default_handler("GET", "", '{"response":{"empty":[]}}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response.empty",
+                                    "ignore_empty_value": True,
+                                    "keep_parent": True}})
+    expect(events, '{"response":{"empty":[]}}')
+
+
+def test_split_on_null_root_ignore_empty_keep_parent(serve):
+    s = serve(default_handler("GET", "", '{"response":null,"other":"data"}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response",
+                                    "ignore_empty_value": True,
+                                    "keep_parent": True}})
+    expect(events, '{"other":"data","response":null}')
+
+
+def test_split_on_empty_array_root_ignore_empty_keep_parent(serve):
+    s = serve(default_handler("GET", "", '{"response":[],"other":"data"}'))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.response",
+                                    "ignore_empty_value": True,
+                                    "keep_parent": True}})
+    expect(events, '{"other":"data","response":[]}')
+
+
+def test_nested_split(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {
+                                    "target": "body.hello",
+                                    "split": {"target": "body.space",
+                                              "keep_parent": True}}})
+    expect(events, '{"world":"moon"}', '{"space":{"cake":"pumpkin"}}')
+
+
+def test_split_events_by_not_found(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.split": {"target": "body.unknown"}})
+    assert events == []
+
+
+def test_date_cursor(serve):
+    set_time_now(lambda: GoTime.parse("2006-01-02T15:04:05Z07:00",
+                                      "2002-10-02T15:00:00Z"))
+    s = serve(date_cursor_handler())
+    events, cursor = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "request.transforms": [{"set": {
+            "target": "url.params.$filter",
+            "value": "alertCreationTime ge [[.cursor.timestamp]]",
+            "default": 'alertCreationTime ge [[formatDate (now (parseDuration '
+                       '"-10m")) "2006-01-02T15:04:05Z"]]',
+        }}],
+        "cursor": {"timestamp": {
+            "value": '[[index .last_response.body "@timestamp"]]'}},
+    }, intervals=3)
+    expect(events,
+           '{"@timestamp":"2002-10-02T15:00:00Z","foo":"bar"}',
+           '{"@timestamp":"2002-10-02T15:00:01Z","foo":"bar"}',
+           '{"@timestamp":"2002-10-02T15:00:02Z","foo":"bar"}')
+    assert cursor == {"timestamp": "2002-10-02T15:00:02Z"}
+
+
+def test_date_cursor_resumes_from_state(serve):
+    """The statestore analog: a fresh engine resumes from the cursor the
+    previous run returned (input.go:289-296 Publish(event, cursor))."""
+    set_time_now(lambda: GoTime.parse("2006-01-02T15:04:05Z07:00",
+                                      "2002-10-02T15:00:00Z"))
+    h = date_cursor_handler()
+    s = serve(h)
+    _, cursor = collect_raw(s, _date_cursor_cfg(), intervals=1)
+    events, cursor = collect_raw(s, _date_cursor_cfg(), intervals=2,
+                                 cursor_state=cursor)
+    expect(events,
+           '{"@timestamp":"2002-10-02T15:00:01Z","foo":"bar"}',
+           '{"@timestamp":"2002-10-02T15:00:02Z","foo":"bar"}')
+    assert cursor == {"timestamp": "2002-10-02T15:00:02Z"}
+
+
+def _date_cursor_cfg():
+    return {
+        "interval": 1, "request.method": "GET",
+        "request.transforms": [{"set": {
+            "target": "url.params.$filter",
+            "value": "alertCreationTime ge [[.cursor.timestamp]]",
+            "default": 'alertCreationTime ge [[formatDate (now (parseDuration '
+                       '"-10m")) "2006-01-02T15:04:05Z"]]',
+        }}],
+        "cursor": {"timestamp": {
+            "value": '[[index .last_response.body "@timestamp"]]'}},
+    }
+
+
+_PAGINATION_CFG = {
+    "interval": "1ms", "request.method": "GET",
+    "response.split": {
+        "target": "body.items",
+        "transforms": [{"set": {"target": "body.page",
+                                "value": "[[.last_response.page]]"}}],
+    },
+    "response.pagination": [{"set": {
+        "target": "url.params.page",
+        "value": "[[.last_response.body.nextPageToken]]",
+        "fail_on_template_error": True,
+    }}],
+}
+
+
+def test_pagination(serve):
+    s = serve(pagination_handler())
+    events, _ = collect_raw(s, _PAGINATION_CFG, intervals=6)
+    expect(events,
+           '{"foo":"a","page":"0"}', '{"foo":"b","page":"1"}',
+           '{"foo":"c","page":"0"}', '{"foo":"d","page":"0"}',
+           '{"foo":"a","page":"0"}', '{"foo":"b","page":"1"}',
+           '{"foo":"c","page":"0"}', '{"foo":"d","page":"0"}')
+
+
+def test_pagination_not_log_fail(serve):
+    cfg = json.loads(json.dumps(_PAGINATION_CFG))
+    cfg["response.pagination"][0]["set"]["do_not_log_failure"] = True
+    s = serve(pagination_handler())
+    events, _ = collect_raw(s, cfg, intervals=6)
+    assert len(events) == 8
+
+
+def test_first_event(serve):
+    s = serve(pagination_handler())
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "response.split": {
+            "target": "body.items",
+            "transforms": [{"set": {"target": "body.first",
+                                    "value": "[[.cursor.first]]",
+                                    "default": "none"}}],
+        },
+        "response.pagination": [{"set": {
+            "target": "url.params.page",
+            "value": "[[.last_response.body.nextPageToken]]",
+            "fail_on_template_error": True,
+        }}],
+        "cursor": {"first": {"value": "[[.first_event.foo]]"}},
+    }, intervals=3)
+    expect(events,
+           '{"first":"none", "foo":"a"}', '{"first":"a", "foo":"b"}',
+           '{"first":"a", "foo":"c"}', '{"first":"c", "foo":"d"}')
+
+
+def test_pagination_with_array_response(serve):
+    s = serve(pagination_array_handler())
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "response.pagination": [{"set": {
+            "target": "url.params.page",
+            "value": '[[index (index .last_response.body 0) "nextPageToken"]]',
+        }}],
+    })
+    expect(events, '{"nextPageToken":"bar","foo":"bar"}', '{"foo":"bar"}',
+           '{"foo":"bar"}')
+
+
+def test_oauth2(serve):
+    s = serve(oauth2_handler)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "POST",
+        "auth.oauth2.client.id": "a_client_id",
+        "auth.oauth2.client.secret": "a_client_secret",
+        "auth.oauth2.endpoint_params": {"param1": "v1"},
+        "auth.oauth2.scopes": ["scope1", "scope2"],
+        "auth.oauth2.token_url": s.url + "/token",
+    })
+    expect(events, '{"hello": "world"}')
+
+
+def test_request_transforms_can_access_state_from_previous_transforms(serve):
+    s = serve(default_handler(
+        "POST", '{"bar":"foo","url":{"path":"/test-path"}}', ""))
+    cfg = {
+        "interval": 1, "request.method": "POST",
+        "request.url": s.url + "/test-path",
+        "request.transforms": [
+            {"set": {"target": "header.X-Foo", "value": "foo"}},
+            {"set": {"target": "body.bar",
+                     "value": '[[.header.Get "X-Foo"]]'}},
+            {"set": {"target": "body.url.path", "value": "[[.url.Path]]"}},
+        ],
+    }
+    events, _ = collect_raw(s, cfg)
+    expect(events, DEFAULT_MSG)
+
+
+def test_response_transforms_cant_access_request_state(serve):
+    s = serve(default_handler("GET", "", ""))
+    events, _ = collect_raw(s, {
+        "interval": 10, "request.method": "GET",
+        "request.transforms": [
+            {"set": {"target": "header.X-Foo", "value": "foo"}}],
+        "response.transforms": [
+            {"set": {"target": "body.bar",
+                     "value": '[[.header.Get "X-Foo"]]'}}],
+    })
+    expect(events, DEFAULT_MSG)
+
+
+# ------------------------------------------------- live streaming source
+
+def test_read_httpjson_stream_cursor_in_offsets(serve, spark):
+    """`beats_httpjson` end-to-end: the cursor rides the stream offsets
+    (the registry/statestore analog), so successive microbatches poll
+    with the advancing cursor — the dateCursorHandler asserts the
+    $filter value each poll and 400s on a stale cursor."""
+    import time as wall
+
+    # The poll runs in the data-source runner process (its own clock),
+    # so the fixed-clock golden can't be pinned here; the handler checks
+    # cursor PROGRESSION instead: after poll 0, $filter must carry the
+    # @timestamp the previous poll's body returned.
+    state = {"count": 0}
+    bodies = ['{"@timestamp":"2002-10-02T15:00:00Z","foo":"bar"}',
+              '{"@timestamp":"2002-10-02T15:00:01Z","foo":"bar"}',
+              '{"@timestamp":"2002-10-02T15:00:02Z","foo":"bar"}']
+
+    def progression_handler(r: Req):
+        i = min(state["count"], 2)
+        filt = r.query.get("$filter", "")
+        if state["count"] == 0:
+            ok = filt.startswith("alertCreationTime ge ")
+        else:
+            prev = json.loads(bodies[min(state["count"], 3) - 1])
+            ok = filt == "alertCreationTime ge " + prev["@timestamp"]
+        state["count"] += 1
+        if not ok:
+            return 400, {"content-type": "application/json"}, \
+                json.dumps({"error": "wrong cursor value", "got": filt})
+        return 200, {"content-type": "application/json"}, bodies[i]
+
+    s = serve(progression_handler)
+    cfg = _date_cursor_cfg()
+    cfg["request.url"] = s.url
+    from beats_spark.httpjson import read_httpjson
+
+    stream = read_httpjson(spark, unflatten(cfg))
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("httpjson_rows").trigger(processingTime="1 second")
+         .start())
+    rows = []
+    try:
+        deadline = wall.time() + 60
+        while wall.time() < deadline:
+            rows = spark.table("httpjson_rows").collect()
+            if len(rows) >= 3:
+                break
+            wall.sleep(0.5)
+    finally:
+        q.stop()
+    msgs = sorted(r["message"] for r in rows[:3])
+    assert msgs == [
+        '{"@timestamp":"2002-10-02T15:00:00Z","foo":"bar"}',
+        '{"@timestamp":"2002-10-02T15:00:01Z","foo":"bar"}',
+        '{"@timestamp":"2002-10-02T15:00:02Z","foo":"bar"}',
+    ]
+
+
+# ------------------------------------------------------------ loud gates
+
+def test_chain_steps_are_loudly_gated():
+    with pytest.raises(NotImplementedError, match="chain"):
+        httpjson_collect(unflatten({
+            "interval": 1, "request.url": "http://localhost:1/",
+            "chain": [{"step": {"request.url": "http://localhost:1/$.x",
+                                "replace": "$.x"}}],
+        }))
+
+
+def test_xsd_is_loudly_gated():
+    with pytest.raises(NotImplementedError, match="xsd"):
+        httpjson_collect(unflatten({
+            "interval": 1, "request.url": "http://localhost:1/",
+            "response.xsd": "<xs:schema/>",
+        }))
+
+
+def test_get_with_body_rejected():
+    with pytest.raises(HTTPJSONError, match="body can't be used"):
+        httpjson_collect(unflatten({
+            "interval": 1, "request.url": "http://localhost:1/",
+            "request.method": "GET", "request.body": {"a": 1},
+        }))
