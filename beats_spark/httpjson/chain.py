@@ -1,0 +1,274 @@
+"""httpjson chain helpers: jsonpath id extraction, URL skeleton
+replacement, context-expression fetch, and the while-block `until`
+response evaluation (request.go:611-657, 854-1008, 429-457;
+config_chain.go).
+
+The jsonpath evaluator covers the subset the reference configs use
+with PaesslerAG/jsonpath: `$` root, `.field` child access, `[:]` /
+`[*]` wildcard over arrays, and `[n]` indexing.  `getIdsFromResponses`
+then keeps only string/number leaves exactly like request.go:636-652.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, List, Optional, Tuple
+
+from .tpl import URL, go_sprint
+from .transforms import Response, TransformContext, Transformable
+
+
+class ChainError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------------- jsonpath
+
+_TOKEN = re.compile(r"\.([^.\[]+)|\[([^\]]*)\]")
+
+
+def jsonpath_get(expr: str, v: Any) -> Any:
+    """jsonpath.Get for the replace-expression subset: returns a scalar
+    for a plain path, a list when any wildcard `[:]` is crossed."""
+    if not expr.startswith("$"):
+        raise ChainError(f"parsing error: {expr!r} :1:1 - 1:2 "
+                         "unexpected token")
+    pos = 1
+    nodes: List[Any] = [v]
+    plural = False
+    while pos < len(expr):
+        m = _TOKEN.match(expr, pos)
+        if m is None:
+            raise ChainError(f"parsing error: {expr!r} could not parse "
+                             f"token at offset {pos}")
+        pos = m.end()
+        if m.group(1) is not None:
+            key = m.group(1)
+            nxt = []
+            for n in nodes:
+                if not isinstance(n, dict) or key not in n:
+                    raise ChainError(f"unknown key {key}")
+                nxt.append(n[key])
+            nodes = nxt
+        else:
+            sel = m.group(2)
+            if sel in (":", "*"):
+                nxt = []
+                for n in nodes:
+                    if not isinstance(n, list):
+                        raise ChainError(
+                            f"could not select value, invalid key: "
+                            f"expected array but got {type(n).__name__}")
+                    nxt.extend(n)
+                nodes = nxt
+                plural = True
+            else:
+                try:
+                    idx = int(sel)
+                except ValueError:
+                    raise ChainError(f"unsupported selector {sel!r}")
+                nxt = []
+                for n in nodes:
+                    if not isinstance(n, list) or not \
+                            (-len(n) <= idx < len(n)):
+                        raise ChainError(
+                            f"could not select value, invalid index "
+                            f"{idx}")
+                    nxt.append(n[idx])
+                nodes = nxt
+    if plural:
+        return nodes
+    return nodes[0]
+
+
+def ids_from_bodies(bodies: List[bytes], replace: str) -> List[str]:
+    """getIdsFromResponses (request.go:611-657): jsonpath over each
+    decoded body; keep string/number leaves, skip the rest."""
+    ids: List[str] = []
+    for b in bodies:
+        try:
+            v = json.loads(b) if b else None
+        except (json.JSONDecodeError, ValueError) as e:
+            raise ChainError(f"cannot unmarshal data: {e}")
+        try:
+            values = jsonpath_get(replace, v)
+        except ChainError as e:
+            raise ChainError(f"error while getting keys: {e}")
+        if isinstance(values, list):
+            for item in values:
+                if isinstance(item, (str, int, float)) and \
+                        not isinstance(item, bool):
+                    ids.append(_sprint_scalar(item))
+                # else: "events must a number or string ... skipping"
+        elif isinstance(values, (str, int, float)) and \
+                not isinstance(values, bool):
+            ids.append(_sprint_scalar(values))
+        # else: "cannot collect IDs from type %T" — logged, skipped
+    return ids
+
+
+def _sprint_scalar(v: Any) -> str:
+    """fmt.Sprintf("%v", v) for JSON scalars (Go sees float64 for all
+    JSON numbers; Python keeps ints — both print 1 as "1")."""
+    if isinstance(v, str):
+        return v
+    return go_sprint(float(v) if isinstance(v, float) else v)
+
+
+# ---------------------------------------------------------------- URL edit
+
+def generate_new_url(replacement: str, old_url: str, id_: str) -> str:
+    """generateNewUrl (request.go:854-876): replace the first occurrence
+    of `replacement` in the URL skeleton with the id.  An opaque URL
+    (scheme:non-slash-rest, e.g. `placeholder:$.records[:]`) drops the
+    scheme and uses the remainder as the replacement target."""
+    from urllib.parse import urlsplit
+    try:
+        p = urlsplit(old_url)
+        if p.scheme and not p.netloc and p.path and \
+                not p.path.startswith("/"):
+            old_url = old_url.split(":", 1)[1]
+    except ValueError:
+        pass  # url.Parse error path — fall through to plain replace
+    new_url = old_url.replace(replacement, id_, 1)
+    try:
+        urlsplit(new_url)
+    except ValueError as e:
+        raise ChainError(f"failed to replace value in url: {e}")
+    return new_url
+
+
+# ---------------------------------------------------- context expressions
+
+LAST_RESPONSE = "last_response"
+FIRST_RESPONSE = "first_response"
+PARENT_LAST_RESPONSE = "parent_last_response"
+
+
+def process_expression(expression: str) -> List[str]:
+    """processExpression (request.go:995-1008): split only when the
+    expression is a dotted reference to a supported response object;
+    anything else is a hardcoded value."""
+    if not expression.startswith("."):
+        return [expression]
+    for kw in (FIRST_RESPONSE, LAST_RESPONSE, PARENT_LAST_RESPONSE):
+        if expression.startswith("." + kw + "."):
+            return expression.split(".")[1:]
+    return [expression]
+
+
+def response_to_map(r: Optional[Response]) -> dict:
+    """responseToMap (request.go:1012-1027)."""
+    if r is None or r.body is None:
+        url = r.url.String() if r is not None else ""
+        raise ChainError(
+            f"response body is empty for request url: {url}")
+    out: dict = {"header": {}, "body": r.body}
+    for key in r.header:
+        out["header"] = {key: r.header.Values(key)}
+    return out
+
+
+def iterate_recursive(m: dict, keys: List[str], depth: int = 0) -> Any:
+    """iterateRecursive (request.go:1029-1059)."""
+    val = m.get(keys[depth]) if isinstance(m, dict) else None
+    if val is None:
+        path = ".".join(keys[:depth + 1])
+        raise ChainError(
+            f"value of expression could not be determined for key {path}")
+    if isinstance(val, bool) or isinstance(val, (int, float, str)):
+        return val
+    if isinstance(val, dict):
+        depth += 1
+        if depth >= len(keys):
+            raise ChainError("value of expression could not be determined")
+        return iterate_recursive(val, keys, depth)
+    path = ".".join(keys[:depth + 1])
+    raise ChainError(f"unable to parse the value of the expression {path}: "
+                     f"type {type(val).__name__} is not handled")
+
+
+def fetch_value_from_context(tr_ctx: TransformContext,
+                             expression: str) -> Tuple[str, bool]:
+    """fetchValueFromContext (request.go:952-991): resolve the second
+    replace_with parameter to a value — from first/last/parent-last
+    response, or verbatim when it is a hardcoded string."""
+    keys = process_expression(expression)
+    k0 = keys[0]
+    if k0 == LAST_RESPONSE:
+        resp_map = response_to_map(tr_ctx.last_response)
+    elif k0 == PARENT_LAST_RESPONSE:
+        parent = tr_ctx.parent_tr_ctx
+        resp_map = response_to_map(
+            parent.last_response if parent is not None else None)
+    elif k0 == FIRST_RESPONSE:
+        resp_map = response_to_map(tr_ctx.first_response)
+    elif k0 == expression:
+        # hardcoded value replaces the fixed pattern verbatim
+        return expression, True
+    else:
+        raise ChainError(f'context value not supported for key: "{k0}" '
+                         f'in expression "{expression}"')
+    val = iterate_recursive(resp_map, keys[1:])
+    return go_sprint(val), True
+
+
+# ------------------------------------------------------- while/until eval
+
+_GO_TRUE = {"1", "t", "T", "TRUE", "true", "True"}
+_GO_FALSE = {"0", "f", "F", "FALSE", "false", "False"}
+
+
+def _go_quote(s: str) -> str:
+    """strconv.Quote for the ParseBool error string."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ord(ch) < 0x20:
+            out.append("\\x%02x" % ord(ch))
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def parse_go_bool(s: str) -> bool:
+    """strconv.ParseBool with Go's exact error wording."""
+    if s in _GO_TRUE:
+        return True
+    if s in _GO_FALSE:
+        return False
+    raise ChainError(f"strconv.ParseBool: parsing {_go_quote(s)}: "
+                     "invalid syntax")
+
+
+def evaluate_response(expression, data: bytes) -> bool:
+    """evaluateResponse (request.go:429-457): unmarshal the body, run
+    the `until` template against {last_response: {body}}, ParseBool."""
+    try:
+        data_map = json.loads(data)
+    except (json.JSONDecodeError, ValueError) as e:
+        raise ChainError(f"error while unmarshalling data: {e}")
+    ctx = TransformContext()
+    ctx.update_last_response(Response(body=data_map))
+    val, err = expression.execute(ctx, Transformable(),
+                                  "response_evaluation")
+    if err is not None:
+        raise ChainError(f"error while evaluating expression: {err}")
+    if val == "":
+        return False
+    try:
+        return parse_go_bool(val)
+    except ChainError as e:
+        raise ChainError(
+            f"error while parsing boolean value of string: {e}")

@@ -46,7 +46,9 @@ def encode_as_json(tr_req: Transformable) -> Optional[bytes]:
         return None
     header = tr_req.header()
     header.Set("Content-Type", "application/json")
-    return json.dumps(tr_req.data["body"], separators=(",", ":")).encode()
+    # Go json.Marshal emits object keys in sorted order
+    return json.dumps(tr_req.data["body"], sort_keys=True,
+                      separators=(",", ":")).encode()
 
 
 def encode_as_form(tr_req: Transformable) -> bytes:

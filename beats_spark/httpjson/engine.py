@@ -9,8 +9,16 @@ as a DataFrame (`httpjson_events_df`) or stream through the
 `beats_httpjson` Python Data Source with the cursor checkpointed in
 stream offsets (the statestore registry analog, input.go:289-296).
 
+Chain steps and while blocks (request.go:112-239, config_chain.go) are
+implemented: ids collected over jsonpath replace expressions, per-step
+clients with tryAssignAuth credentials and the while `until` retry
+policy, replace_with context fetches, origin locking for replace-less
+steps, and chain replay per root pagination page
+(processRemainingChainEvents).  Intermediate step responses publish no
+events — their bodies are consumed by the id extraction, exactly like
+the reference (request.go:618-627).
+
 Scope lines (loud, config-time):
-- `chain` steps (request.go:112-239) are not implemented — raise;
 - OAuth2 is client_credentials only (fake-server testable); the
   provider-specific flows (google/azure/okta JWT) are env-gated;
 - `response.xsd` / XML decode rides elastic's mito typed-XML engine —
@@ -25,6 +33,7 @@ import time as _time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 from . import mapstr
+from .chain import ChainError, ids_from_bodies
 from .encdec import (REGISTERED_DECODERS, REGISTERED_ENCODERS, DecodeError,
                      decode, encode)
 from .splitter import (ERR_EMPTY_FIELD, ERR_EMPTY_ROOT_FIELD, SplitError,
@@ -77,12 +86,6 @@ class Config:
         self.interval = _duration(cfg.get("interval", 60.0))
         if self.interval <= 0:
             raise HTTPJSONError("interval must be greater than 0")
-        if cfg.get("chain"):
-            raise NotImplementedError(
-                "httpjson chain steps are not implemented in this engine "
-                "(reference request.go:112-239); flatten the chain into "
-                "separate inputs or join the id fetch Spark-side")
-
         auth = cfg.get("auth") or {}
         basic = auth.get("basic") or {}
         self.basic_user = basic.get("user", "")
@@ -140,6 +143,78 @@ class Config:
         self.pagination_allowed_hosts = resp.get("pagination_allowed_hosts",
                                                  []) or []
         self.cursor_cfg = cfg.get("cursor") or {}
+        self.chain = [ChainStepConfig(c, self)
+                      for c in (cfg.get("chain") or [])]
+
+
+class ChainStepConfig:
+    """config_chain.go chainConfig: one step or while block.  Step/while
+    dicts may carry dotted keys ('request.url') like the reference test
+    matrix — they are unflattened here, matching go-ucfg."""
+
+    def __init__(self, raw: dict, parent: Config):
+        raw = unflatten(dict(raw))
+        step = raw.get("step")
+        while_ = raw.get("while")
+        if step is None and while_ is None:
+            raise HTTPJSONError(
+                "both step & while blocks in a chain cannot be empty")
+        self.kind = "step" if step is not None else "while"
+        c = unflatten(dict(step if step is not None else while_))
+
+        req = c.get("request") or {}
+        if not req.get("url"):
+            raise HTTPJSONError("chain step request.url is required")
+        self.url_raw = str(req["url"])
+        self.method = str(req.get("method", "GET")).upper()
+        if self.method not in ("GET", "POST"):
+            raise HTTPJSONError(f"unsupported method {self.method!r}")
+        self.body = req.get("body")
+        self.transforms = new_transforms(req.get("transforms"), REQUEST_NS)
+        retry = req.get("retry") or {}
+        # getMaxAttempts()==0 when unset → no retryable client wrap: one
+        # attempt and the until policy never runs (config_chain.go:84-88)
+        self.retry_max_attempts = retry.get("max_attempts", 1)
+        self.retry_wait_min = _duration(retry.get("wait_min", 1.0))
+        self.retry_wait_max = _duration(retry.get("wait_max", 60.0))
+        self.timeout = _duration(req.get("timeout", 30.0))
+        self.rate_limit = req.get("rate_limit") or None
+
+        resp = c.get("response") or {}
+        self.split = new_split_response(resp.get("split"))
+        self.response_transforms = new_transforms(resp.get("transforms"),
+                                                  RESPONSE_NS)
+
+        self.replace = c.get("replace", "") or ""
+        self.replace_with = c.get("replace_with", "") or ""
+        if self.replace_with and \
+                len(self.replace_with.split(",", 2)) > 2:
+            raise HTTPJSONError(
+                "invalid number of parameters inside step replace_with: "
+                f'"{self.replace_with}"')
+
+        self.until = None
+        if self.kind == "while":
+            if not c.get("until"):
+                raise HTTPJSONError(
+                    "a while block in a chain requires an until expression")
+            self.until = ValueTpl(str(c["until"]))
+
+        # tryAssignAuth (request.go:459-464): parent auth when the step
+        # does not define its own
+        auth = c.get("auth")
+        if auth is None:
+            self.basic_user = parent.basic_user
+            self.basic_password = parent.basic_password
+            self.oauth2 = parent.oauth2
+        else:
+            auth = unflatten(dict(auth))
+            basic = auth.get("basic") or {}
+            self.basic_user = basic.get("user", "")
+            self.basic_password = basic.get("password", "")
+            self.oauth2 = auth.get("oauth2") or None
+        self.max_redirects = parent.max_redirects
+        self.encode_as = parent.encode_as  # request.go:375 uses root's
 
 
 def _duration(v) -> float:
@@ -274,11 +349,18 @@ class HttpClient:
     """httpClient: one-shot HTTP with retryablehttp-style retries and
     the rate limiter wrapped around each attempt (request.go:266-289)."""
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg, until=None):
+        """cfg is the Config (root client) or a ChainStepConfig (chain
+        client) — both carry the same client attribute surface.  `until`
+        is the while-block expression compiled into the retry policy
+        (newHTTPPolicy, request.go:391); like the reference it is only
+        active when a retryable client exists (max_attempts > 1,
+        input.go:352-366)."""
         self.cfg = cfg
         self.limiter = RateLimiter(cfg.rate_limit)
         self.oauth2 = OAuth2ClientCredentials(cfg.oauth2) \
             if cfg.oauth2 else None
+        self.until = until if cfg.retry_max_attempts > 1 else None
 
     # -- single physical request, following redirects
     def _do_plain(self, method: str, url: URL, header: Header,
@@ -345,13 +427,29 @@ class HttpClient:
                     status = resp[0]
                     retryable = status == 429 or (500 <= status <= 599
                                                   and status != 501)
-                    if not retryable:
+                    if not retryable and self.until is not None:
+                        # CustomRetryPolicy (policy.go:62-133): evaluate
+                        # the while-block expression on the body; a
+                        # template/ParseBool error is terminal, a false
+                        # result retries
+                        from .chain import ChainError, evaluate_response
+                        try:
+                            done = evaluate_response(self.until, resp[2])
+                        except ChainError as e:
+                            raise HTTPJSONError(str(e))
+                        if done:
+                            return resp
+                        retryable = True
+                        last_exc = HTTPJSONError(
+                            f"giving up after {max_attempts} attempt(s)")
+                    elif not retryable:
                         return resp
-                    last_exc = HttpError(status, str(status), resp[2])
+                    else:
+                        last_exc = HttpError(status, str(status), resp[2])
                 if i + 1 < max_attempts:
                     _sleep(min(self.cfg.retry_wait_max,
                                self.cfg.retry_wait_min * (2 ** i)))
-            if resp is not None:
+            if resp is not None and self.until is None:
                 return resp
             raise HTTPJSONError(f"failed to execute http {method}: "
                                 f"{last_exc}")
@@ -370,10 +468,11 @@ class RequestFactory:
     pagination factory (pagination.go:79-97)."""
 
     def __init__(self, cfg: Config, transforms, origin_url: Optional[URL],
-                 body: Optional[dict], user_agent: str):
+                 body: Optional[dict], user_agent: str,
+                 url: Optional[URL] = None, method: Optional[str] = None):
         self.cfg = cfg
-        self.url = cfg.url
-        self.method = cfg.method
+        self.url = url if url is not None else cfg.url
+        self.method = method or cfg.method
         self.body = body
         self.transforms = transforms
         self.encoder = REGISTERED_ENCODERS.get(cfg.encode_as) \
@@ -382,6 +481,7 @@ class RequestFactory:
         self.allowed_origins = [URL(s) for s in
                                 cfg.pagination_allowed_hosts]
         self.user_agent = user_agent
+        self.is_chain = False
 
     def new_request(self, ctx: TransformContext) -> Transformable:
         """newRequest (request.go:511-543)."""
@@ -473,6 +573,16 @@ class Pagination:
                 cfg, list(rts) + list(pts), origin_url=cfg.url.clone(),
                 body=body, user_agent=user_agent)
 
+    @classmethod
+    def bare(cls, client: "HttpClient", decoder=None) -> "Pagination":
+        """A factory-less pagination over an existing client — the
+        chain response processor's shape (response.go:167)."""
+        p = cls.__new__(cls)
+        p.client = client
+        p.decoder = decoder
+        p.request_factory = None
+        return p
+
 
 class PageIterator:
     """pagination.go pageIterator."""
@@ -530,11 +640,14 @@ class Publisher:
     """publisher (request.go:881-939): collect events + track
     first/last event + cursor updates per published event."""
 
-    def __init__(self, tr_ctx: TransformContext, publish: bool = True):
+    def __init__(self, tr_ctx: TransformContext, publish: bool = True,
+                 sink: Optional[List[dict]] = None,
+                 error_sink: Optional[List[str]] = None):
         self.tr_ctx = tr_ctx
         self.publish = publish
-        self.events: List[dict] = []
-        self.errors: List[str] = []
+        self.events: List[dict] = sink if sink is not None else []
+        self.errors: List[str] = error_sink if error_sink is not None \
+            else []
 
     def handle_event(self, msg: dict) -> None:
         if self.publish:
@@ -549,55 +662,101 @@ class Publisher:
 
 
 class ResponseProcessor:
-    """responseProcessor.startProcessing (response.go:207-277), single
-    initial response (no chain)."""
+    """responseProcessor.startProcessing (response.go:207-277) over a
+    list of responses — the chain path feeds several."""
 
-    def __init__(self, cfg: Config, pagination: Pagination):
-        self.transforms = cfg.response_transforms
-        self.split = cfg.split
+    def __init__(self, transforms, split, pagination: Pagination):
+        self.transforms = transforms
+        self.split = split
         self.pagination = pagination
 
-    def start_processing(self, tr_ctx: TransformContext, resp,
-                         paginate: bool, handler) -> None:
+    @classmethod
+    def from_config(cls, cfg: Config, pagination: Pagination
+                    ) -> "ResponseProcessor":
+        return cls(cfg.response_transforms, cfg.split, pagination)
+
+    def start_processing(self, tr_ctx: TransformContext, resps: list,
+                         paginate: bool, handler,
+                         allow_string_array: bool = False) -> None:
         tr_ctx.clear_interval_data()
-        iterator = PageIterator(self.pagination, tr_ctx, resp)
-        while True:
-            try:
-                page, has_next = iterator.next()
-            except (HTTPJSONError, DecodeError, TransformError) as e:
-                handler.handle_error(e)
-                return
-            if not has_next:
-                return
-            resp_trs = page.as_transformables()
-            if not resp_trs:
-                return
-            tr_ctx.update_last_response(page)
-            for tr in resp_trs:
+        for i, resp in enumerate(resps):
+            iterator = PageIterator(self.pagination, tr_ctx, resp)
+            while True:
                 try:
-                    for t in self.transforms:
-                        tr = t.run(tr_ctx, tr)
-                except TransformError as e:
+                    page, has_next = iterator.next()
+                except (HTTPJSONError, DecodeError, TransformError) as e:
                     handler.handle_error(e)
                     return
-                if self.split is None:
-                    handler.handle_event(tr.body())
-                    continue
-                try:
-                    self.split.run(tr_ctx, tr, handler)
-                except SplitError as e:
-                    if e.kind in (ERR_EMPTY_FIELD, ERR_EMPTY_ROOT_FIELD):
-                        pass  # quiet page end (response.go:258-266)
-                    else:
+                if not has_next:
+                    if i + 1 != len(resps):
+                        break
+                    return
+                resp_trs = page.as_transformables(allow_string_array)
+                if not resp_trs:
+                    return
+                tr_ctx.update_last_response(page)
+                for tr in resp_trs:
+                    try:
+                        for t in self.transforms:
+                            tr = t.run(tr_ctx, tr)
+                    except TransformError as e:
                         handler.handle_error(e)
                         return
-            if not paginate:
-                return
+                    if self.split is None:
+                        handler.handle_event(tr.body())
+                        continue
+                    try:
+                        self.split.run(tr_ctx, tr, handler)
+                    except SplitError as e:
+                        if e.kind in (ERR_EMPTY_FIELD,
+                                      ERR_EMPTY_ROOT_FIELD):
+                            pass  # quiet page end (response.go:258-266)
+                        else:
+                            handler.handle_error(e)
+                            return
+                if not paginate:
+                    break
+
+
+class ChainRequestFactory(RequestFactory):
+    """The chain-step requestFactory (request.go:354-424): its own
+    client (step retry/rate-limit + tryAssignAuth credentials, plus the
+    while-block until policy), its own response processor (step
+    response.split/transforms over a factory-less pagination), and the
+    replace/replace_with URL skeleton."""
+
+    def __init__(self, step: "ChainStepConfig", root_cfg: Config,
+                 user_agent: str):
+        super().__init__(root_cfg, step.transforms, origin_url=None,
+                         body=step.body, user_agent=user_agent,
+                         url=URL(step.url_raw), method=step.method)
+        self.is_chain = True
+        self.url_template = step.url_raw
+        self.replace = step.replace
+        self.replace_with = step.replace_with
+        self.until = step.until
+        self.chain_client = HttpClient(step, until=step.until)
+        # newChainResponseProcessor (response.go:166-205): pagination
+        # with no request factory over the chain client
+        chain_pagination = Pagination.bare(
+            self.chain_client,
+            REGISTERED_DECODERS.get(root_cfg.decode_as)
+            if root_cfg.decode_as else None)
+        self.chain_response_processor = ResponseProcessor(
+            step.response_transforms, step.split, chain_pagination)
+        if step.replace == "":
+            # request.go:381-384: a step with no replace pattern is
+            # origin-locked to its configured URL (+ allowlist)
+            self.origin_url = URL(step.url_raw)
+            self.allowed_origins = [
+                URL(s) for s in root_cfg.pagination_allowed_hosts]
 
 
 class Requester:
-    """requester.doRequest, the single-request-factory path
-    (request.go:104-110)."""
+    """requester.doRequest (request.go:52-242): the single-request
+    path plus the chain step/while execution over collected ids,
+    including chain-with-root-pagination replay
+    (processRemainingChainEvents, request.go:660-666)."""
 
     def __init__(self, cfg: Config, user_agent: str = ""):
         self.cfg = cfg
@@ -606,27 +765,201 @@ class Requester:
         self.request_factory = RequestFactory(
             cfg, cfg.request_transforms, origin_url=None, body=cfg.body,
             user_agent=self.user_agent)
+        self.request_factories: List[RequestFactory] = \
+            [self.request_factory] + \
+            [ChainRequestFactory(s, cfg, self.user_agent)
+             for s in cfg.chain]
         self.pagination = Pagination(cfg, self.client, self.user_agent)
-        self.response_processor = ResponseProcessor(cfg, self.pagination)
+        self.response_processor = ResponseProcessor.from_config(
+            cfg, self.pagination)
+
+    def _collect_response(self, rf: RequestFactory,
+                          tr_ctx: TransformContext):
+        """collectResponse (request.go:244-263): chain steps go through
+        their own client."""
+        method, url, header, body = rf.new_http_request(tr_ctx)
+        if rf.is_chain:
+            try:
+                return rf.chain_client.do(method, url, header, body)
+            except (HTTPJSONError, HttpError) as e:
+                raise HTTPJSONError(
+                    f"failed to execute chain http {method}: {e}")
+        return self.client.do(method, url, header, body)
+
+    def _run_chain_step(self, i: int, ids: List[str],
+                        tr_ctx: TransformContext,
+                        publisher: Publisher) -> List[str]:
+        """One chain factory over the collected ids — the shared body of
+        doRequest's tail branch (request.go:149-228) and
+        processChainPaginationEvents (request.go:772-848).  Returns the
+        ids for the NEXT factory (unchanged for the last).  Responses of
+        intermediate steps are processed body-drained, exactly like the
+        reference (getIdsFromResponses closes the bodies,
+        request.go:618-627), so only the last step publishes events."""
+        from .chain import fetch_value_from_context, generate_new_url
+        rf = self.request_factories[i]
+        n_factories = len(self.request_factories)
+        chain_tr_ctx = tr_ctx.clone()
+
+        do_replace_with = False
+        val = ""
+        replace_arr: List[str] = []
+        if rf.replace_with:
+            replace_arr = rf.replace_with.split(",")
+            val, do_replace_with = fetch_value_from_context(
+                chain_tr_ctx, replace_arr[1].strip())
+
+        final_resps = []
+        intermediate = []
+        for id_ in ids:
+            url_str = generate_new_url(rf.replace, rf.url_template, id_)
+            if do_replace_with:
+                url_str = generate_new_url(replace_arr[0].strip(),
+                                           url_str, val)
+            rf.url = URL(url_str)
+            try:
+                resp = self._collect_response(rf, chain_tr_ctx)
+            finally:
+                rf.url = URL(rf.url_template)
+            if i == n_factories - 1:
+                final_resps.append(resp)
+            else:
+                intermediate.append(resp)
+
+        if i == n_factories - 1:
+            resps = final_resps
+            next_ids = ids
+        else:
+            next_ids = ids_from_bodies(
+                [r[2] for r in intermediate],
+                self.request_factories[i + 1].replace)
+            # bodies are consumed by the id extraction — the processor
+            # sees drained pages and publishes nothing for this step
+            resps = [(r[0], r[1], b"", r[3]) for r in intermediate]
+
+        p = Publisher(chain_tr_ctx, publish=True, sink=publisher.events,
+                      error_sink=publisher.errors)
+        rf.chain_response_processor.start_processing(
+            chain_tr_ctx, resps, True, p,
+            allow_string_array=i < n_factories - 1)
+        return next_ids
 
     def do_request(self, tr_ctx: TransformContext,
                    publisher: Publisher) -> None:
-        method, url, header, body = \
-            self.request_factory.new_http_request(tr_ctx)
-        resp = self.client.do(method, url, header, body)
+        n_factories = len(self.request_factories)
+        ids: List[str] = []
+        is_chain_with_page_expected = False
+        initial_response: list = []
+        chain_index = 0
 
-        if self.cfg.save_first_response:
-            status, h, data, u = resp
-            body_map: Any = None
-            try:
-                body_map = json.loads(data)
-            except (json.JSONDecodeError, ValueError):
-                pass
-            tr_ctx.update_first_response(
-                Response(body=body_map, header=h.clone(), url=u.clone()))
+        for i in range(n_factories):
+            if i == 0:
+                rf = self.request_factories[0]
+                resp = self._collect_response(rf, tr_ctx)
 
-        self.response_processor.start_processing(tr_ctx, resp, True,
-                                                  publisher)
+                if self.cfg.save_first_response:
+                    status, h, data, u = resp
+                    body_map: Any = None
+                    try:
+                        parsed = json.loads(data)
+                        # Go unmarshals into map[string]interface{}
+                        if isinstance(parsed, dict):
+                            body_map = parsed
+                    except (json.JSONDecodeError, ValueError):
+                        pass
+                    tr_ctx.update_first_response(
+                        Response(body=body_map, header=h.clone(),
+                                 url=u.clone()))
+
+                if n_factories == 1:
+                    self.response_processor.start_processing(
+                        tr_ctx, [resp], True, publisher)
+                    continue
+
+                # a chain follows (request.go:112-146)
+                chain_index = 1
+                final_resps = [resp]
+                if self.pagination.request_factory is not None:
+                    is_chain_with_page_expected = True
+                    initial_response = [resp]
+                ids = ids_from_bodies(
+                    [resp[2]], self.request_factories[1].replace)
+                # no pagination here — it would update cursor values the
+                # chain replay owns; events are not published either
+                p = Publisher(tr_ctx, publish=False,
+                              sink=publisher.events,
+                              error_sink=publisher.errors)
+                self.response_processor.start_processing(
+                    tr_ctx, final_resps, False, p,
+                    allow_string_array=True)
+            else:
+                if not ids:
+                    continue
+                ids = self._run_chain_step(i, ids, tr_ctx, publisher)
+
+        # for each further page of the parent request, replay the chain
+        if is_chain_with_page_expected:
+            self._process_remaining_chain_events(
+                tr_ctx, publisher, initial_response, chain_index)
+
+    def _process_remaining_chain_events(self, tr_ctx: TransformContext,
+                                        publisher: Publisher,
+                                        initial_resps: list,
+                                        chain_index: int) -> None:
+        """processRemainingChainEvents (request.go:660-666): paginate
+        the root response; the first event was already processed, each
+        later one re-enters the chain."""
+        p = _ChainProcessor(self, tr_ctx, publisher, chain_index)
+        self.response_processor.start_processing(
+            tr_ctx, initial_resps, True, p, allow_string_array=True)
+
+    def _process_chain_pagination_events(self, tr_ctx: TransformContext,
+                                         publisher: Publisher,
+                                         response, chain_index: int
+                                         ) -> None:
+        """processChainPaginationEvents (request.go:754-851)."""
+        ids = ids_from_bodies(
+            [response[2]], self.request_factories[chain_index].replace)
+        for i in range(chain_index, len(self.request_factories)):
+            if not ids:
+                continue
+            ids = self._run_chain_step(i, ids, tr_ctx, publisher)
+
+
+class _ChainProcessor:
+    """chainProcessor (request.go:669-750): handles the paginated root
+    events, skipping the first, re-running the chain for each."""
+
+    def __init__(self, requester: Requester, tr_ctx: TransformContext,
+                 publisher: Publisher, idx: int):
+        self.requester = requester
+        self.tr_ctx = tr_ctx
+        self.publisher = publisher
+        self.idx = idx
+        self.tail = False
+
+    def handle_event(self, msg: dict) -> None:
+        if not self.tail:
+            # skip the first event — already processed
+            self.tail = True
+            return
+        body = json.dumps(msg, sort_keys=True,
+                          separators=(",", ":")).encode()
+        # updates last_event & cursor for the pagination page
+        self.tr_ctx.update_last_event(mapstr.clone(msg))
+        self.tr_ctx.update_cursor()
+        from .chain import ChainError
+        try:
+            self.requester._process_chain_pagination_events(
+                self.tr_ctx, self.publisher,
+                (200, Header(), body, URL("")), self.idx)
+        except (HTTPJSONError, ChainError, DecodeError,
+                TransformError) as e:
+            self.publisher.errors.append(
+                f"error processing chain event: {e}")
+
+    def handle_error(self, err: Exception) -> None:
+        self.publisher.errors.append(f"error processing response: {err}")
 
 
 # --------------------------------------------------------------- run loop
@@ -640,7 +973,7 @@ def make_event(body: dict) -> dict:
         "@timestamp": now.format("2006-01-02T15:04:05.999999999Z07:00"),
         "event": {"created": now.format(
             "2006-01-02T15:04:05.999999999Z07:00")},
-        "message": json.dumps(body, separators=(",", ":")),
+        "message": json.dumps(body, sort_keys=True, separators=(",", ":")),
     }
 
 
@@ -663,7 +996,8 @@ def httpjson_collect(config: dict, intervals: int = 1,
         publisher = Publisher(tr_ctx)
         try:
             requester.do_request(tr_ctx, publisher)
-        except (HTTPJSONError, DecodeError, TransformError) as e:
+        except (HTTPJSONError, ChainError, DecodeError,
+                TransformError) as e:
             errors.append(str(e))
         events.extend(publisher.events)
         errors.extend(publisher.errors)

@@ -1,0 +1,667 @@
+"""httpjson CHAIN battery — the reference's chain test cases ported
+over live fake HTTP servers.
+
+Ports x-pack/filebeat/input/httpjson/input_test.go's chain cases
+(simple/naked/multiple steps, splits inside chains, chaining with root
+pagination, every replace_with variant, the parent_last_response
+context-separation case, cursor updates across chain+pagination) plus
+request_test.go's Test_evaluateResponse matrix (exact Go error
+wording) and TestChainStepOriginValidation, and while-block `until`
+retry semantics per config_chain.go:78-88 / policy.go:62-133.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beats_spark.httpjson import engine as eng
+from beats_spark.httpjson.chain import (ChainError, evaluate_response,
+                                        fetch_value_from_context,
+                                        generate_new_url, ids_from_bodies,
+                                        jsonpath_get)
+from beats_spark.httpjson.engine import (ChainRequestFactory, Config,
+                                         HTTPJSONError, httpjson_collect,
+                                         unflatten)
+from beats_spark.httpjson.tpl import URL, ValueTpl, set_time_now
+from beats_spark.httpjson.transforms import (Response, TransformContext,
+                                             new_transforms)
+from test_httpjson_engine import (DEFAULT_MSG, FakeServer, default_handler,
+                                  serve)  # noqa: F401 (serve fixture)
+
+__ = serve  # keep the fixture import alive for linters
+
+
+@pytest.fixture(autouse=True)
+def _fast(monkeypatch):
+    monkeypatch.setattr(eng, "_sleep", lambda s: None)
+    yield
+    set_time_now(None)
+
+
+def collect_raw(server, flat_cfg, intervals=1, cursor_state=None):
+    cfg = dict(flat_cfg)
+    cfg.setdefault("request.url", server.url)
+    events, cursor = httpjson_collect(unflatten(cfg), intervals=intervals,
+                                      cursor_state=cursor_state, raw=True)
+    return events, cursor
+
+
+def expect(events, *json_strs):
+    assert [json.loads(j) for j in json_strs] == events
+
+
+def path_handler(routes):
+    """Serve a fixed body per path (the chain test servers' shape)."""
+
+    def h(r):
+        body = routes.get(r.path)
+        if body is None:
+            return 404, {"content-type": "application/json"}, "{}"
+        return 200, {"content-type": "application/json"}, body
+
+    return h
+
+
+def match_body_handler(routes):
+    """matchBody (input_test.go:2020-2027): reply only when the POST
+    body matches; routes: path -> (expected_body, response)."""
+
+    def h(r):
+        entry = routes.get(r.path)
+        if entry is None:
+            return 404, {"content-type": "application/json"}, "{}"
+        if isinstance(entry, str):
+            return 200, {"content-type": "application/json"}, entry
+        want, resp = entry
+        if r.body.decode() != want:
+            return 200, {"content-type": "application/json"}, ""
+        return 200, {"content-type": "application/json"}, resp
+
+    return h
+
+
+# ------------------------------------------------- input_test.go matrix
+
+def chain_server(serve):
+    """newChainTestServer (input_test.go:1939-1956)."""
+    return serve(path_handler({
+        "/": '{"records":[{"id":1}]}',
+        "/1": DEFAULT_MSG,
+    }))
+
+
+def step(url=None, method="GET", replace=None, replace_with=None,
+         split=None, transforms=None):
+    s = {"request.method": method}
+    if url is not None:
+        s["request.url"] = url
+    if replace is not None:
+        s["replace"] = replace
+    if replace_with is not None:
+        s["replace_with"] = replace_with
+    if split is not None:
+        s["response.split"] = split
+    if transforms is not None:
+        s["request.transforms"] = transforms
+    return {"step": s}
+
+
+def test_simple_chain_get_request(serve):
+    s = chain_server(serve)
+    events, _ = collect_raw(s, {
+        "interval": 10, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id")],
+    })
+    expect(events, DEFAULT_MSG)
+
+
+def test_simple_naked_chain_get_request(serve):
+    # the ids ARE full URLs; the step URL is an opaque placeholder
+    holder = {}
+    s = serve(path_handler({}))
+    s.handler = path_handler({
+        "/": json.dumps({"records": [s.url + "/1"]}),
+        "/1": DEFAULT_MSG,
+    })
+    holder["s"] = s
+    events, _ = collect_raw(s, {
+        "interval": 10, "request.method": "GET",
+        "chain": [step(url="placeholder:$.records[:]",
+                       replace="$.records[:]")],
+    })
+    expect(events, DEFAULT_MSG)
+
+
+def test_multiple_chain_get_request(serve):
+    s = serve(path_handler({
+        "/": '{"records":[{"id":1}]}',
+        "/1": '{"file_name": "file_1"}',
+        "/file_1": DEFAULT_MSG,
+    }))
+    events, _ = collect_raw(s, {
+        "interval": 10, "request.method": "GET",
+        "chain": [
+            step(url=s.url + "/$.records[:].id",
+                 replace="$.records[:].id"),
+            step(url=s.url + "/$.file_name", replace="$.file_name"),
+        ],
+    })
+    # only the LAST step publishes — intermediate bodies are drained
+    expect(events, DEFAULT_MSG)
+
+
+def test_date_cursor_while_using_chain(serve):
+    from beats_spark.httpjson.gotime import GoTime
+    set_time_now(lambda: GoTime.parse("2006-01-02T15:04:05Z07:00",
+                                      "2002-10-02T15:00:00Z"))
+    s = serve(None)
+
+    def h(r):
+        if r.path == "/":
+            if not r.query.get("$filter", "").startswith(
+                    "alertCreationTime ge 2002-10-02T14:50:00Z"):
+                return 400, {}, json.dumps(
+                    {"error": r.query.get("$filter")})
+            return 200, {"content-type": "application/json"}, \
+                '{"records":[{"id":1}]}'
+        if r.path == "/1":
+            return 200, {"content-type": "application/json"}, DEFAULT_MSG
+        return 404, {}, "{}"
+
+    s.handler = h
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "request.transforms": [{"set": {
+            "target": "url.params.$filter",
+            "value": "alertCreationTime ge [[.cursor.timestamp]]",
+            "default": ('alertCreationTime ge [[formatDate (now '
+                        '(parseDuration "-10m")) '
+                        '"2006-01-02T15:04:05Z"]]'),
+        }}],
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id")],
+        "cursor": {"timestamp": {
+            "value": '[[index .last_response.body "@timestamp"]]'}},
+    })
+    expect(events, DEFAULT_MSG)
+
+
+def test_split_by_json_objects_array_in_chain(serve):
+    s = chain_server(serve)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id",
+                       split={"target": "body.hello"})],
+    })
+    expect(events, '{"world":"moon"}', '{"space":[{"cake":"pumpkin"}]}')
+
+
+def test_split_with_keep_parent_in_chain(serve):
+    s = chain_server(serve)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id",
+                       split={"target": "body.hello",
+                              "keep_parent": True})],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"hello":{"space":[{"cake":"pumpkin"}]}}')
+
+
+def test_nested_split_in_chain(serve):
+    s = chain_server(serve)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "response.split": {"target": "body.hello"},
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id",
+                       split={"target": "body.hello",
+                              "split": {"target": "body.space",
+                                        "keep_parent": True}})],
+    })
+    expect(events, '{"world":"moon"}', '{"space":{"cake":"pumpkin"}}')
+
+
+def chain_pagination_server(serve):
+    """newChainPaginationTestServer (input_test.go:1977-2002)."""
+    s = serve(None)
+    s.handler = path_handler({
+        "/": json.dumps({"records": [{"id": 1}],
+                         "nextLink": s.url + "/link2"}),
+        "/1": '{"hello":{"world":"moon"}}',
+        "/link2": '{"records":[{"id":2}]}',
+        "/2": '{"space":{"cake":"pumpkin"}}',
+    })
+    return s
+
+
+@pytest.mark.parametrize("extra", [{}, {"do_not_log_failure": True}])
+def test_pagination_when_used_with_chaining(serve, extra):
+    s = chain_pagination_server(serve)
+    pag = {"set": {"target": "url.value",
+                   "value": "[[.last_response.body.nextLink]]",
+                   "fail_on_template_error": True}}
+    pag["set"].update(extra)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "response.pagination": [pag],
+        "chain": [step(url=s.url + "/$.records[:].id",
+                       replace="$.records[:].id")],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}')
+
+
+def test_replace_with_clause_and_first_response_object(serve):
+    s = serve(None)
+    s.handler = path_handler({
+        "/": '{"exportId":"2212"}',
+        "/2212": '{"files":[{"id":"1"},{"id":"2"}]}',
+        "/2212/1": '{"hello":{"world":"moon"}}',
+        "/2212/2": '{"space":{"cake":"pumpkin"}}',
+    })
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "response.save_first_response": True,
+        "chain": [
+            step(url=s.url + "/$.exportId", replace="$.exportId"),
+            step(url=s.url + "/$.exportId/$.files[:].id",
+                 replace="$.files[:].id",
+                 replace_with="$.exportId,.first_response.body.exportId"),
+        ],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}')
+
+
+def test_replace_with_values_from_string_array(serve):
+    s = serve(path_handler({
+        "/": '{"text":["1", "2"]}',
+        "/2212/1": '{"hello":{"world":"moon"}}',
+        "/2212/2": '{"space":{"cake":"pumpkin"}}',
+    }))
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.exportId/$.text[:]",
+                       replace="$.text[:]",
+                       replace_with="$.exportId,2212")],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}')
+
+
+@pytest.mark.parametrize("root_body", ['["1", "2"]', "[1, 2]"])
+def test_replace_clause_with_scalar_root_array(serve, root_body):
+    # replace_clause_with_string_from_string_array /
+    # replace_clause_with_int_from_int_array
+    s = serve(path_handler({
+        "/": root_body,
+        "/2212/1": '{"hello":{"world":"moon"}}',
+        "/2212/2": '{"space":{"cake":"pumpkin"}}',
+    }))
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.exportId/$[:]", replace="$[:]",
+                       replace_with="$.exportId,2212")],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}')
+
+
+@pytest.mark.parametrize("replace_with,prefix,save_first", [
+    ("$.exportId,2212", "/2212", False),
+    # a non-dotted or unknown-prefix expression is HARDCODED verbatim
+    ("$.exportId,first_response.body.id", "/first_response.body.id", True),
+    ("$.exportId,..first_response.body.id", "/..first_response.body.id",
+     True),
+    ("$.exportId,.xyz.2212.abc.", "/.xyz.2212.abc.", False),
+])
+def test_replace_with_hardcoded_values(serve, replace_with, prefix,
+                                       save_first):
+    s = serve(path_handler({
+        "/": '{"files":[{"id":"1"},{"id":"2"}]}',
+        prefix + "/1": '{"hello":{"world":"moon"}}',
+        prefix + "/2": '{"space":{"cake":"pumpkin"}}',
+    }))
+    cfg = {
+        "interval": 1, "request.method": "GET",
+        "chain": [step(url=s.url + "/$.exportId/$.files[:].id",
+                       replace="$.files[:].id",
+                       replace_with=replace_with)],
+    }
+    if save_first:
+        cfg["response.save_first_response"] = True
+    events, _ = collect_raw(s, cfg)
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}')
+
+
+def test_global_transform_context_separation_parent_last_response(serve):
+    s = serve(None)
+    s.handler = match_body_handler({
+        "/": json.dumps({"files": [{"id": "1"}, {"id": "2"}],
+                         "exportId": "2212",
+                         "nextLink": s.url + "/link1"}),
+        "/link1": '{"files":[{"id":"3"},{"id":"4"}], "exportId":"2213"}',
+        "/2212/1": ('{"exportId":"2212"}', '{"hello":{"world":"moon"}}'),
+        "/2212/2": ('{"exportId":"2212"}', '{"space":{"cake":"pumpkin"}}'),
+        "/2213/3": ('{"exportId":"2213"}', '{"hello":{"cake":"pumpkin"}}'),
+        "/2213/4": ('{"exportId":"2213"}', '{"space":{"world":"moon"}}'),
+    })
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "POST",
+        "response.request_body_on_pagination": True,
+        "response.pagination": [{"set": {
+            "target": "url.value",
+            "value": "[[.last_response.body.nextLink]]",
+            "fail_on_template_error": True}}],
+        "chain": [step(
+            url=s.url + "/$.exportId/$.files[:].id", method="POST",
+            replace="$.files[:].id",
+            replace_with="$.exportId,.parent_last_response.body.exportId",
+            transforms=[{"set": {
+                "target": "body.exportId",
+                "value": "[[ .parent_last_response.body.exportId ]]"}}])],
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}',
+           '{"hello":{"cake":"pumpkin"}}',
+           '{"space":{"world":"moon"}}')
+
+
+def test_cursor_updated_for_root_response_with_chaining_and_pagination(
+        serve):
+    s = serve(None)
+    s.handler = match_body_handler({
+        "/": json.dumps({"files": [{"id": "1"}, {"id": "2"}],
+                         "exportId": "2212", "createdAt": "22/02/2022",
+                         "nextLink": s.url + "/link1"}),
+        "/link1": ('{"files":[{"id":"3"},{"id":"4"}], "exportId":"2213",'
+                   ' "createdAt":"24/04/2022"}'),
+        "/2212/1": ('{"createdAt":"22/02/2022","exportId":"2212"}',
+                    '{"hello":{"world":"moon"}}'),
+        "/2212/2": ('{"createdAt":"22/02/2022","exportId":"2212"}',
+                    '{"space":{"cake":"pumpkin"}}'),
+        "/2213/3": ('{"createdAt":"24/04/2022","exportId":"2213"}',
+                    '{"hello":{"cake":"pumpkin"}}'),
+        "/2213/4": ('{"createdAt":"24/04/2022","exportId":"2213"}',
+                    '{"space":{"world":"moon"}}'),
+    })
+    events, cursor = collect_raw(s, {
+        "interval": 1, "request.method": "POST",
+        "response.request_body_on_pagination": True,
+        "response.pagination": [{"set": {
+            "target": "url.value",
+            "value": "[[.last_response.body.nextLink]]",
+            "fail_on_template_error": True}}],
+        "chain": [step(
+            url=s.url + "/$.exportId/$.files[:].id", method="POST",
+            replace="$.files[:].id",
+            replace_with="$.exportId,.parent_last_response.body.exportId",
+            transforms=[
+                {"set": {"target": "body.exportId",
+                         "value":
+                         "[[ .parent_last_response.body.exportId ]]"}},
+                {"set": {"target": "body.createdAt",
+                         "value": "[[ .cursor.last_published_login ]]"}},
+            ])],
+        "cursor": {"last_published_login": {
+            "value": "[[ .last_event.createdAt ]]"}},
+    })
+    expect(events,
+           '{"hello":{"world":"moon"}}',
+           '{"space":{"cake":"pumpkin"}}',
+           '{"hello":{"cake":"pumpkin"}}',
+           '{"space":{"world":"moon"}}')
+    # the chain replay advanced the cursor to the LAST page's value
+    assert cursor == {"last_published_login": "24/04/2022"}
+
+
+# --------------------------------------------------------- while blocks
+
+def test_while_block_retries_until_expression_true(serve):
+    state = {"polls": 0}
+
+    def h(r):
+        if r.path == "/":
+            return 200, {"content-type": "application/json"}, \
+                '{"exportId":"2212"}'
+        if r.path == "/2212":
+            state["polls"] += 1
+            status = "completed" if state["polls"] >= 3 else "initiated"
+            return 200, {"content-type": "application/json"}, \
+                json.dumps({"status": status,
+                            "files": [{"id": "1"}]})
+        if r.path == "/2212/1":
+            return 200, {"content-type": "application/json"}, \
+                '{"hello":{"world":"moon"}}'
+        return 404, {}, "{}"
+
+    s = serve(h)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [
+            {"while": {
+                "request.url": s.url + "/$.exportId",
+                "request.method": "GET",
+                "request.retry.max_attempts": 5,
+                "replace": "$.exportId",
+                "until": '[[ eq .last_response.body.status "completed" ]]',
+            }},
+            step(url=s.url + "/$.exportId/$.files[:].id",
+                 replace="$.files[:].id", replace_with="$.exportId,2212"),
+        ],
+    })
+    assert state["polls"] == 3
+    expect(events, '{"hello":{"world":"moon"}}')
+
+
+def test_while_block_exhaustion_fails_the_chain(serve):
+    def h(r):
+        if r.path == "/":
+            return 200, {"content-type": "application/json"}, \
+                '{"exportId":"2212"}'
+        return 200, {"content-type": "application/json"}, \
+            '{"status":"initiated","files":[{"id":"1"}]}'
+
+    s = serve(h)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [{"while": {
+            "request.url": s.url + "/$.exportId",
+            "request.method": "GET",
+            "request.retry.max_attempts": 3,
+            "replace": "$.exportId",
+            "until": '[[ eq .last_response.body.status "completed" ]]',
+        }}],
+    })
+    assert events == []
+
+
+def test_while_without_retry_config_runs_single_attempt(serve):
+    # config_chain.go:84-88: no max_attempts → one attempt, the until
+    # policy never runs (no retryable client wrap, input.go:352)
+    state = {"polls": 0}
+
+    def h(r):
+        if r.path == "/":
+            return 200, {"content-type": "application/json"}, \
+                '{"records":[{"id":1}]}'
+        state["polls"] += 1
+        return 200, {"content-type": "application/json"}, DEFAULT_MSG
+
+    s = serve(h)
+    events, _ = collect_raw(s, {
+        "interval": 1, "request.method": "GET",
+        "chain": [{"while": {
+            "request.url": s.url + "/$.records[:].id",
+            "request.method": "GET",
+            "replace": "$.records[:].id",
+            "until": "[[ false ]]",
+        }}],
+    })
+    assert state["polls"] == 1
+    expect(events, DEFAULT_MSG)
+
+
+# --------------------------------- request_test.go Test_evaluateResponse
+
+@pytest.mark.parametrize("expression,body,want,want_err", [
+    ('[[ eq .last_response.body.status "completed" ]]',
+     b'{"status": "completed"}', True, None),
+    ('[[ eq .last_response.body.status "completed" ]]',
+     b'{"status": "initiated"}', False, None),
+    ('eq .last_response.body.status "completed" ]]',
+     b'{"status": "initiated"}', None,
+     'error while parsing boolean value of string: strconv.ParseBool: '
+     'parsing "eq .last_response.body.status \\"completed\\" ]]": '
+     'invalid syntax'),
+    ("", b'{"status": "initiated"}', None,
+     "error while evaluating expression: the template result is empty"),
+    ("[[.last_response.body.status]]", b'{"status": "initiated"}', None,
+     'error while parsing boolean value of string: strconv.ParseBool: '
+     'parsing "initiated": invalid syntax'),
+])
+def test_evaluate_response_matrix(expression, body, want, want_err):
+    tpl = ValueTpl(expression)
+    if want_err is None:
+        assert evaluate_response(tpl, body) is want
+    else:
+        with pytest.raises(ChainError) as ei:
+            evaluate_response(tpl, body)
+        assert str(ei.value) == want_err
+
+
+# --------------------------------------- TestChainStepOriginValidation
+
+@pytest.mark.parametrize("base,target,allowed,want_err", [
+    ("https://api.example.com/v1/details",
+     "https://api.example.com/v1/details", [], None),
+    ("https://api.example.com/v1/details",
+     "https://evil.example.net/steal", [],
+     'pagination URL origin "evil.example.net" does not match configured '
+     'origin "api.example.com"'),
+    ("https://api.example.com/v1/details",
+     "https://api.example.com:8443/steal", [],
+     'pagination URL origin "api.example.com:8443" does not match '
+     'configured origin "api.example.com"'),
+    ("https://api.example.com/v1/details",
+     "https://cdn.example.net/v1/details",
+     ["https://cdn.example.net"], None),
+    ("https://api.example.com/v1/details",
+     "https://evil.example.org/steal", ["https://cdn.example.net"],
+     'pagination URL origin "evil.example.org" does not match configured '
+     'origin "api.example.com"'),
+])
+def test_chain_step_origin_validation(base, target, allowed, want_err):
+    cfg = Config(unflatten({
+        "request.url": base,
+        "response.pagination_allowed_hosts": allowed,
+        "chain": [step(url=base)],  # replace="" → origin-locked
+    }))
+    rf = ChainRequestFactory(cfg.chain[0], cfg, "UA")
+    # simulate a transform that rewrote the URL cross-origin
+    rf.url = URL(target)
+    ctx = TransformContext()
+    if want_err is None:
+        rf.new_http_request(ctx)
+    else:
+        with pytest.raises(HTTPJSONError) as ei:
+            rf.new_http_request(ctx)
+        assert str(ei.value) == want_err
+
+
+# ----------------------------------------------------- config validation
+
+def test_chain_validate_replace_with_params():
+    with pytest.raises(HTTPJSONError,
+                       match="invalid number of parameters inside step "
+                             "replace_with"):
+        Config(unflatten({
+            "request.url": "http://h/",
+            "chain": [step(url="http://h/$.a", replace="$.a",
+                           replace_with="a,b,c")],
+        }))
+
+
+def test_chain_while_requires_until():
+    with pytest.raises(HTTPJSONError, match="until"):
+        Config(unflatten({
+            "request.url": "http://h/",
+            "chain": [{"while": {"request.url": "http://h/$.a",
+                                 "replace": "$.a"}}],
+        }))
+
+
+# ------------------------------------------------------- helper batteries
+
+def test_jsonpath_subset():
+    v = {"records": [{"id": 1}, {"id": 2}], "file_name": "f",
+         "n": 3.5, "arr": ["a", "b"]}
+    assert jsonpath_get("$.records[:].id", v) == [1, 2]
+    assert jsonpath_get("$.file_name", v) == "f"
+    assert jsonpath_get("$.arr[:]", v) == ["a", "b"]
+    assert jsonpath_get("$[:]", [1, 2]) == [1, 2]
+    assert jsonpath_get("$.records[0].id", v) == 1
+    with pytest.raises(ChainError, match="unknown key"):
+        jsonpath_get("$.missing", v)
+
+
+def test_ids_from_bodies_scalars_only():
+    # strings and numbers collect; objects/bools/nulls skip
+    # (request.go:636-652); floats print like Go %v
+    body = json.dumps({"x": [1, "two", 3.5, True, None, {"o": 1}]}).encode()
+    assert ids_from_bodies([body], "$.x[:]") == ["1", "two", "3.5"]
+    assert ids_from_bodies([b'{"id": 7}'], "$.id") == ["7"]
+    with pytest.raises(ChainError, match="error while getting keys"):
+        ids_from_bodies([b'{"id": 7}'], "$.nope")
+    with pytest.raises(ChainError, match="cannot unmarshal data"):
+        ids_from_bodies([b"{nope"], "$.id")
+
+
+def test_generate_new_url_forms():
+    assert generate_new_url("$.a", "http://h/$.a/x", "1") == \
+        "http://h/1/x"
+    # opaque URL drops the scheme (request.go:855-863)
+    assert generate_new_url("$.r[:]", "placeholder:$.r[:]",
+                            "http://h/9") == "http://h/9"
+    # only the FIRST occurrence is replaced
+    assert generate_new_url("$.a", "http://h/$.a/$.a", "1") == \
+        "http://h/1/$.a"
+
+
+def test_fetch_value_from_context_forms():
+    ctx = TransformContext()
+    ctx.update_last_response(Response(body={"a": {"b": "v"}, "n": 2}))
+    assert fetch_value_from_context(ctx, ".last_response.body.a.b") == \
+        ("v", True)
+    assert fetch_value_from_context(ctx, ".last_response.body.n") == \
+        ("2", True)
+    # hardcoded forms
+    assert fetch_value_from_context(ctx, "2212") == ("2212", True)
+    assert fetch_value_from_context(ctx, ".xyz.2212.abc.") == \
+        (".xyz.2212.abc.", True)
+    assert fetch_value_from_context(
+        ctx, "..first_response.body.id") == \
+        ("..first_response.body.id", True)
+    # missing key inside a known response object is an error
+    with pytest.raises(ChainError,
+                       match="value of expression could not be "
+                             "determined for key body.zzz"):
+        fetch_value_from_context(ctx, ".last_response.body.zzz")
+    # empty first_response body is an error (request.go:1013)
+    with pytest.raises(ChainError, match="response body is empty"):
+        fetch_value_from_context(TransformContext(),
+                                 ".first_response.body.id")

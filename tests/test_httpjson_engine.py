@@ -2,7 +2,7 @@
 over a live fake HTTP server.
 
 Ports x-pack/filebeat/input/httpjson/input_test.go's non-chain cases
-(the chain cases exercise the loud NotImplementedError gate instead):
+(the chain matrix lives in test_httpjson_chain.py):
 the fake server handlers (defaultHandler / rateLimitHandler /
 retryHandler / dateCursorHandler / paginationHandler /
 paginationArrayHandler / oauth2Handler, input_test.go:2028-2246) are
@@ -624,12 +624,15 @@ def test_read_httpjson_stream_cursor_in_offsets(serve, spark):
 
 # ------------------------------------------------------------ loud gates
 
-def test_chain_steps_are_loudly_gated():
-    with pytest.raises(NotImplementedError, match="chain"):
+def test_chain_empty_blocks_rejected():
+    # config.go:46-49 — chain entries need a step or while block;
+    # the chain execution matrix lives in test_httpjson_chain.py
+    with pytest.raises(HTTPJSONError,
+                       match="both step & while blocks in a chain "
+                             "cannot be empty"):
         httpjson_collect(unflatten({
             "interval": 1, "request.url": "http://localhost:1/",
-            "chain": [{"step": {"request.url": "http://localhost:1/$.x",
-                                "replace": "$.x"}}],
+            "chain": [{}],
         }))
 
 
