@@ -2,12 +2,12 @@
 
 Encoders build POST bodies from a transformable; decoders turn response
 bytes into the response body object.  The registries mirror
-encoding.go:41-61: json + form encoders; json, x-ndjson, csv, and zip
-decoders, with content-type dispatch and the same JSON default.  The
-reference's XML decoder rides elastic's mito typed-XML engine with XSD
-hints; that decoder (and the `xsd` knob) is out of scope here and
-fails loudly at config time — the JSON-family decoders cover the
-public-API configs the input ships with.
+encoding.go:41-61: json + form encoders; json, x-ndjson, csv, zip, and
+XML decoders, with content-type dispatch and the same JSON default.
+The XML decoder re-derives elastic's mito lib/xml behavior (typed
+leaves, prefix-stripped string attributes, XSD maxOccurs list hints,
+XML-CDATA header) from the reference's own "Test simple XML decode"
+golden, since mito itself is an external module.
 """
 
 from __future__ import annotations
@@ -147,19 +147,171 @@ def decode_as_zip(p: bytes, dst: Response) -> None:
     dst.header["X-Zip-Files"] = names
 
 
+# ------------------------------------------------------------- XML + XSD
+
+_XS = "{http://www.w3.org/2001/XMLSchema}"
+_COMPOSITORS = (_XS + "sequence", _XS + "choice", _XS + "all")
+_INT_RE = __import__("re").compile(r"^[+-]?[0-9]+$")
+_GO_TRUE = {"1", "t", "T", "TRUE", "true", "True"}
+_GO_FALSE = {"0", "f", "F", "FALSE", "false", "False"}
+
+
+def xsd_details(xsd: str) -> dict:
+    """mito/lib/xml Details re-derived from the reference's own golden
+    ("Test simple XML decode", input_test.go): walk the XSD's
+    xs:element tree and mark which element paths decode as LISTS
+    (maxOccurs unbounded or >1) so a single occurrence still lands as
+    a one-element array.  Returns {name: {"is_list", "children"}}."""
+    import xml.etree.ElementTree as ET
+    try:
+        root = ET.fromstring(xsd)
+    except ET.ParseError as e:
+        raise DecodeError(f"error while collecting xml decoder type "
+                          f"hints: {e}")
+
+    def elements_under(node) -> dict:
+        out = {}
+        for child in node:
+            if child.tag == _XS + "element" and child.get("name"):
+                mo = child.get("maxOccurs", "1")
+                is_list = mo == "unbounded" or \
+                    (mo.isdigit() and int(mo) > 1)
+                children: dict = {}
+                for ct in child.findall(_XS + "complexType"):
+                    children.update(elements_under(ct))
+                out[child.get("name")] = {"is_list": is_list,
+                                          "children": children}
+            elif child.tag in _COMPOSITORS or \
+                    child.tag == _XS + "complexType":
+                out.update(elements_under(child))
+        return out
+
+    return elements_under(root)
+
+
+def _typed(s: str):
+    """mito's leaf typing cascade: int → float → bool → string (the
+    golden pins 1 as int, 99.95 as float, FALSE as false, and string
+    attributes staying strings)."""
+    if _INT_RE.match(s):
+        try:
+            return int(s)
+        except ValueError:
+            pass
+    if s:
+        try:
+            return float(s)
+        except ValueError:
+            pass
+    if s in _GO_TRUE:
+        return True
+    if s in _GO_FALSE:
+        return False
+    return s
+
+
+def xml_unmarshal(p: bytes, details: Optional[dict] = None
+                  ) -> Tuple[str, dict]:
+    """mito lib/xml Unmarshal: XML → map with typed leaves.  Attribute
+    names lose their namespace prefix (xmlns:xsi → "xsi",
+    xsi:noNamespaceSchemaLocation → "noNamespaceSchemaLocation" — Go's
+    xml.Name.Local) and attribute VALUES stay strings; element text is
+    typed; repeated children or XSD-listed paths become arrays.
+    Returns (cdata, body) — cdata is the document element's own
+    character data, shipped in the XML-CDATA header like
+    encoding.go:195-201."""
+    from xml.parsers import expat
+
+    def local(n: str) -> str:
+        return n.rsplit(":", 1)[-1]
+
+    root = {"name": "", "attrs": {}, "children": [], "text": [],
+            "det": {}}
+    stack = [(root, details or {})]
+
+    parser = expat.ParserCreate()
+
+    def on_start(name, attrs):
+        parent, det_children = stack[-1]
+        det = (det_children or {}).get(local(name)) or {}
+        node = {"name": local(name), "attrs": attrs, "children": [],
+                "text": [], "det": det}
+        parent["children"].append(node)
+        stack.append((node, det.get("children") or {}))
+
+    def on_end(name):
+        stack.pop()
+
+    def on_chardata(data):
+        stack[-1][0]["text"].append(data)
+
+    parser.StartElementHandler = on_start
+    parser.EndElementHandler = on_end
+    parser.CharacterDataHandler = on_chardata
+    try:
+        parser.Parse(p, True)
+    except expat.ExpatError as e:
+        raise DecodeError(str(e))
+
+    def build_map(node) -> Tuple[dict, str]:
+        m: dict = {}
+        for k, v in node["attrs"].items():
+            m[local(k)] = v
+        for child in node["children"]:
+            key = child["name"]
+            val = build_value(child)
+            if key in m:
+                if not isinstance(m[key], list):
+                    m[key] = [m[key]]
+                m[key].append(val)
+            elif child["det"].get("is_list"):
+                m[key] = [val]
+            else:
+                m[key] = val
+        return m, "".join(node["text"]).strip()
+
+    def build_value(node):
+        m, text = build_map(node)
+        if m:
+            if text:
+                # mixed content — not pinned by any reference golden;
+                # keep the text under #text rather than dropping it
+                m["#text"] = _typed(text)
+            return m
+        return _typed(text)
+
+    body, _ = build_map(root)
+    cdata = ""
+    if root["children"]:
+        cdata = "".join(root["children"][0]["text"]).strip()
+    return cdata, body
+
+
+def decode_as_xml(p: bytes, dst: Response) -> None:
+    """decodeAsXML (encoding.go:193-201): XSD-hinted typed decode; the
+    document element's character data rides the XML-CDATA header."""
+    cdata, body = xml_unmarshal(p, getattr(dst, "xml_details", None))
+    dst.body = body
+    if dst.header is None:
+        dst.header = Header()
+    dst.header["XML-CDATA"] = [cdata]
+
+
 REGISTERED_DECODERS: Dict[str, Callable] = {
     "application/json": decode_as_json,
     "application/x-ndjson": decode_as_ndjson,
     "text/csv": decode_as_csv,
     "application/zip": decode_as_zip,
+    # the two literal keys the reference registers (encoding.go:55-56);
+    # bare "text/xml" intentionally falls through to the JSON default
+    "application/xml": decode_as_xml,
+    "text/xml; charset=utf-8": decode_as_xml,
 }
 
 
 def decode(content_type: str, p: bytes, dst: Response) -> None:
-    # mime parameters are ignored for dispatch except the registered
-    # literal keys, like the Go map lookup (encoding.go:52-58)
-    dec = REGISTERED_DECODERS.get(content_type)
-    if dec is None:
-        base = content_type.split(";", 1)[0].strip()
-        dec = REGISTERED_DECODERS.get(base, decode_as_json)
-    dec(p, dst)
+    # the Go dispatch is an exact map lookup on the raw header value
+    # (encoding.go:31-36) — mime parameters are NOT normalized, which
+    # is why "text/xml; charset=utf-8" is registered literally and a
+    # bare "text/xml" falls through to the JSON default
+    REGISTERED_DECODERS.get(content_type, decode_as_json)(p, dst)

@@ -128,9 +128,9 @@ class Config:
         if self.decode_as and self.decode_as not in REGISTERED_DECODERS:
             raise HTTPJSONError(
                 f"decoder not found for contentType: {self.decode_as}")
-        if resp.get("xsd"):
-            raise NotImplementedError(
-                "response.xsd typed-XML decode is out of scope (encdec.py)")
+        from .encdec import xsd_details
+        self.xml_details = xsd_details(str(resp["xsd"])) \
+            if resp.get("xsd") else None
         self.response_transforms = new_transforms(resp.get("transforms"),
                                                   RESPONSE_NS)
         self.pagination_transforms_cfg = resp.get("pagination") or []
@@ -563,6 +563,7 @@ class Pagination:
         self.client = client
         self.decoder = REGISTERED_DECODERS.get(cfg.decode_as) \
             if cfg.decode_as else None
+        self.xml_details = cfg.xml_details
         self.request_factory: Optional[RequestFactory] = None
         if cfg.pagination_transforms_cfg:
             rts = cfg.request_transforms
@@ -574,12 +575,14 @@ class Pagination:
                 body=body, user_agent=user_agent)
 
     @classmethod
-    def bare(cls, client: "HttpClient", decoder=None) -> "Pagination":
+    def bare(cls, client: "HttpClient", decoder=None,
+             xml_details=None) -> "Pagination":
         """A factory-less pagination over an existing client — the
         chain response processor's shape (response.go:167)."""
         p = cls.__new__(cls)
         p.client = client
         p.decoder = decoder
+        p.xml_details = xml_details
         p.request_factory = None
         return p
 
@@ -625,6 +628,7 @@ class PageIterator:
         """getPage (pagination.go:178-210)."""
         status, header, data, url = self.resp
         r = Response(header=header, url=url, page=self.n)
+        r.xml_details = self.pagination.xml_details
         self.n += 1
         if data:
             if self.pagination.decoder is not None:
@@ -741,7 +745,8 @@ class ChainRequestFactory(RequestFactory):
         chain_pagination = Pagination.bare(
             self.chain_client,
             REGISTERED_DECODERS.get(root_cfg.decode_as)
-            if root_cfg.decode_as else None)
+            if root_cfg.decode_as else None,
+            xml_details=root_cfg.xml_details)
         self.chain_response_processor = ResponseProcessor(
             step.response_transforms, step.split, chain_pagination)
         if step.replace == "":

@@ -636,11 +636,149 @@ def test_chain_empty_blocks_rejected():
         }))
 
 
-def test_xsd_is_loudly_gated():
-    with pytest.raises(NotImplementedError, match="xsd"):
+# ------------------------------------------------------- XML + XSD decode
+
+_ORDER_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<order orderid="56733" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance" xsi:noNamespaceSchemaLocation="sales.xsd">
+  <sender>Ástríðr Ragnar</sender>
+  <address>
+    <name>Joord Lennart</name>
+    <company>Sydøstlige Gruppe</company>
+    <address>Beekplantsoen 594, 2 hoog, 6849 IG</address>
+    <city>Boekend</city>
+    <country>Netherlands</country>
+  </address>
+  <item>
+    <name>Egil's Saga</name>
+    <note>Free Sample</note>
+    <number>1</number>
+    <cost>99.95</cost>
+    <sent>FALSE</sent>
+  </item>
+</order>
+"""
+
+_ORDER_XSD = """<?xml version="1.0" encoding="UTF-8" ?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="sender" type="xs:string"/>
+        <xs:element name="address">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="name" type="xs:string"/>
+              <xs:element name="company" type="xs:string"/>
+              <xs:element name="address" type="xs:string"/>
+              <xs:element name="city" type="xs:string"/>
+              <xs:element name="country" type="xs:string"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:element>
+        <xs:element name="item" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="name" type="xs:string"/>
+              <xs:element name="note" type="xs:string" minOccurs="0"/>
+              <xs:element name="number" type="xs:positiveInteger"/>
+              <xs:element name="cost" type="xs:decimal"/>
+              <xs:element name="sent" type="xs:boolean"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="orderid" type="xs:string" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+def test_simple_xml_decode(serve):
+    """input_test.go:1643 "Test simple XML decode" — the full golden:
+    typed leaves (1 int / 99.95 float / FALSE bool), attributes kept
+    as strings with their namespace prefix stripped, and the XSD's
+    maxOccurs="unbounded" hint turning the single <item> into a
+    one-element list.  The server replies with Go's sniffed
+    content type for an XML document (DetectContentType on the
+    <?xml prolog -> "text/xml; charset=utf-8")."""
+    s = serve(lambda r: (200, {"content-type": "text/xml; charset=utf-8"},
+                         _ORDER_XML))
+    events, _ = collect_raw(s, {"interval": 1, "request.method": "GET",
+                                "response.xsd": _ORDER_XSD})
+    assert events == [{
+        "order": {
+            "address": {
+                "address": "Beekplantsoen 594, 2 hoog, 6849 IG",
+                "city": "Boekend",
+                "company": "Sydøstlige Gruppe",
+                "country": "Netherlands",
+                "name": "Joord Lennart",
+            },
+            "item": [{
+                "cost": 99.95,
+                "name": "Egil's Saga",
+                "note": "Free Sample",
+                "number": 1,
+                "sent": False,
+            }],
+            "noNamespaceSchemaLocation": "sales.xsd",
+            "orderid": "56733",
+            "sender": "Ástríðr Ragnar",
+            "xsi": "http://www.w3.org/2001/XMLSchema-instance",
+        },
+    }]
+    # ints stay ints and the bool is a real bool, not a string
+    assert isinstance(events[0]["order"]["item"][0]["number"], int)
+    assert events[0]["order"]["item"][0]["sent"] is False
+
+
+def test_xml_unmarshal_units():
+    from beats_spark.httpjson.encdec import (DecodeError, decode,
+                                             xml_unmarshal, xsd_details)
+    from beats_spark.httpjson.transforms import Response
+
+    # repeated siblings become arrays even without an XSD hint
+    _, body = xml_unmarshal(b"<r><x>1</x><x>2</x><y>solo</y></r>")
+    assert body == {"r": {"x": [1, 2], "y": "solo"}}
+
+    # XSD maxOccurs > 1 (numeric form) also lists a single occurrence
+    det = xsd_details(
+        '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+        '<xs:element name="r"><xs:complexType><xs:sequence>'
+        '<xs:element name="x" maxOccurs="3"/>'
+        "</xs:sequence></xs:complexType></xs:element></xs:schema>")
+    assert det["r"]["children"]["x"]["is_list"] is True
+    _, body = xml_unmarshal(b"<r><x>only</x></r>", det)
+    assert body == {"r": {"x": ["only"]}}
+
+    # document-element character data rides the XML-CDATA header
+    r = Response()
+    decode("application/xml", b"<a>cdata here<b>1</b></a>", r)
+    assert r.header["XML-CDATA"] == ["cdata here"]
+
+    # malformed XSD fails loudly with the input.go:233 wording
+    with pytest.raises(DecodeError,
+                       match="error while collecting xml decoder type "
+                             "hints"):
+        xsd_details("<xs:schema")
+
+    # malformed XML raises a decode error
+    with pytest.raises(DecodeError):
+        xml_unmarshal(b"<a><b></a>")
+
+    # dispatch is the Go exact-string map lookup: bare "text/xml" is
+    # NOT registered and falls through to the JSON default decoder
+    with pytest.raises(Exception):
+        decode("text/xml", b"<a>1</a>", Response())
+
+
+def test_xsd_config_error_is_loud():
+    from beats_spark.httpjson.encdec import DecodeError
+    with pytest.raises(DecodeError, match="xml decoder type hints"):
         httpjson_collect(unflatten({
             "interval": 1, "request.url": "http://localhost:1/",
-            "response.xsd": "<xs:schema/>",
+            "response.xsd": "<xs:schema",
         }))
 
 
