@@ -1,0 +1,51 @@
+"""awss3 input — S3 bucket polling + SQS notification modes.
+
+The reference input (x-pack/filebeat/input/awss3/) rides aws-sdk-go-v2;
+this package implements the two AWS wire protocols the input actually
+speaks — the S3 REST XML API and the SQS JSON 1.0 API — from scratch
+over stdlib http.client with from-scratch SigV4 request signing
+(sigv4.py, pinned to AWS's published test vectors AND cross-checked
+against botocore when present), then composes the input semantics:
+
+- notifications.py — sqs_s3_event.go: S3 / SNS-envelope / EventBridge
+  notification parsing, s3:TestEvent skip, ObjectCreated filter.
+- objects.py — s3_objects.go: per-object download → gzip sniff →
+  content-type dispatch (JSON stream / NDJSON / line reader) →
+  expand_event_list_from_field → createEvent shape, plus the x-pack
+  decoder codecs (CSV, parquet — real here via pyarrow).
+- states.py — state.go/states.go/s3_filters.go/polling_strategy.go:
+  the bucket-poll registry, ignore_older/start_timestamp filters and
+  both polling strategies.
+- config.py — config.go's Validate matrix.
+- input.py — the composed input: driver-side polls feeding Spark
+  (`s3_poll_records` / `sqs_collect`) and the distributed
+  `s3_objects_df` stage (object fetch+decode ON executors via
+  mapInPandas, the slowlog_from_hosts/write_es_bulk pattern).
+"""
+
+from .sigv4 import sign_request  # noqa: F401
+from .client import (  # noqa: F401
+    AWSError, S3Client, SQSClient, get_bucket_name_from_arn,
+    get_region_from_queue_url, gzip_decode_if_needed,
+    is_valid_access_point_arn,
+)
+from .notifications import (  # noqa: F401
+    NonRetryableError, S3EventRecord, get_s3_notifications,
+)
+from .objects import (  # noqa: F401
+    FileSelector, ReaderConfig, S3DownloadError, find_reader_config,
+    object_id, process_s3_object, s3_object_hash,
+)
+from .states import (  # noqa: F401
+    FileStore, FilterProvider, LexicographicalStateRegistry,
+    NormalStateRegistry, S3State, StateRegistry, new_state_registry,
+    polling_strategy, state_id,
+)
+from .config import (  # noqa: F401
+    backup_prefix_to_exclude, default_config, get_bucket_arn,
+    get_bucket_name, get_file_selectors, validate_config,
+)
+from .input import (  # noqa: F401
+    SQSResult, awss3_records_schema, s3_objects_df, s3_poll_once,
+    s3_poll_records, sqs_collect,
+)

@@ -1,0 +1,231 @@
+"""awss3 input config surface (config.go:29-205) — defaults and the
+full Validate() decision table, error wordings verbatim where the
+reference formats them."""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime
+from typing import Any
+from urllib.parse import urlparse
+
+from .client import is_valid_access_point_arn, get_bucket_name_from_arn
+from .objects import ReaderConfig
+
+__all__ = ["default_config", "validate_config", "backup_prefix_to_exclude",
+           "get_bucket_arn", "get_bucket_name", "get_file_selectors"]
+
+
+def default_config() -> dict[str, Any]:
+    """defaultConfig (config.go:57-72); durations in seconds."""
+    return {
+        "api_timeout": 120.0,
+        "visibility_timeout": 300.0,
+        "bucket_list_interval": 120.0,
+        "bucket_list_prefix": "",
+        "lexicographical_ordering": False,
+        "lexicographical_lookback_keys": 100,
+        "sqs.wait_time": 20.0,
+        "sqs.shutdown_grace_time": 20.0,
+        "sqs.max_receive_count": 5,
+        "number_of_workers": 5,
+        "path_style": False,
+    }
+
+
+def _dur(v) -> float:
+    return float(v or 0)
+
+
+def validate_config(c: dict[str, Any]) -> dict[str, Any]:
+    """config.Validate (config.go:74-177) over a flat dict; returns
+    the dict with defaults applied. Raises ValueError with the
+    reference's wording."""
+    cfg = default_config()
+    cfg.update(c or {})
+    queue_url = cfg.get("queue_url", "") or ""
+    bucket_arn = cfg.get("bucket_arn", "") or ""
+    access_point = cfg.get("access_point_arn", "") or ""
+    non_aws = cfg.get("non_aws_bucket_name", "") or ""
+
+    enabled = [x for x in (queue_url, bucket_arn, access_point, non_aws)
+               if x]
+    if not enabled:
+        raise ValueError("neither queue_url, bucket_arn, "
+                         "access_point_arn, nor non_aws_bucket_name "
+                         "were provided")
+    if len(enabled) > 1:
+        raise ValueError(
+            f"queue_url <{queue_url}>, bucket_arn <{bucket_arn}>, "
+            f"access_point_arn <{access_point}>, non_aws_bucket_name "
+            f"<{non_aws}> cannot be set at the same time")
+
+    polling = bucket_arn or access_point or non_aws
+    if polling and _dur(cfg["bucket_list_interval"]) <= 0:
+        raise ValueError(
+            f"bucket_list_interval <{cfg['bucket_list_interval']}> "
+            "must be greater than 0")
+    if polling and cfg["number_of_workers"] <= 0:
+        raise ValueError(
+            f"number_of_workers <{cfg['number_of_workers']}> must be "
+            "greater than 0")
+    if access_point and not is_valid_access_point_arn(access_point):
+        raise ValueError(
+            f"invalid format for access_point_arn <{access_point}>")
+    if cfg["lexicographical_ordering"] and not polling:
+        raise ValueError(
+            "lexicographical_ordering can only be used when polling "
+            "AWS S3, S3 Access Point, or non-AWS S3 bucket")
+    if cfg["lexicographical_ordering"] and \
+            cfg["lexicographical_lookback_keys"] <= 0:
+        raise ValueError(
+            f"lexicographical_lookback_keys "
+            f"<{cfg['lexicographical_lookback_keys']}> must be greater "
+            "than 0")
+    if queue_url:
+        vt = _dur(cfg["visibility_timeout"])
+        if vt <= 0 or vt > 12 * 3600:
+            raise ValueError(
+                f"visibility_timeout <{cfg['visibility_timeout']}> must "
+                "be greater than 0 and less than or equal to 12h")
+        wt = _dur(cfg["sqs.wait_time"])
+        if wt <= 0 or wt > 20:
+            raise ValueError(
+                f"wait_time <{cfg['sqs.wait_time']}> must be greater "
+                "than 0 and less than or equal to 20s")
+        if _dur(cfg["sqs.shutdown_grace_time"]) < 0:
+            raise ValueError(
+                f"shutdown_grace_time <{cfg['sqs.shutdown_grace_time']}>"
+                " must not be negative")
+        if _dur(cfg["api_timeout"]) < wt:
+            raise ValueError(
+                f"api_timeout <{cfg['api_timeout']}> must be greater "
+                f"than the sqs.wait_time <{cfg['sqs.wait_time']}")
+    if cfg.get("fips_enabled") and non_aws:
+        raise ValueError(
+            "fips_enabled cannot be used with a non-AWS S3 bucket")
+    if cfg["path_style"] and not non_aws and not queue_url:
+        raise ValueError(
+            "path_style can only be used when polling non-AWS S3 "
+            "services or SQS/SNS QueueURL")
+    if cfg.get("provider") and not non_aws:
+        raise ValueError("provider can only be overridden when polling "
+                         "non-AWS S3 services")
+    if cfg.get("endpoint"):
+        u = urlparse(str(cfg["endpoint"]))
+        if u.scheme and not u.netloc:
+            raise ValueError(
+                f"failed to parse endpoint: {cfg['endpoint']}")
+
+    backup_arn = cfg.get("backup_to_bucket_arn", "") or ""
+    backup_non_aws = cfg.get("non_aws_backup_to_bucket_name", "") or ""
+    backup_prefix = cfg.get("backup_to_bucket_prefix", "") or ""
+    if backup_non_aws and not non_aws:
+        raise ValueError("backup to non-AWS bucket can only be used "
+                         "for non-AWS sources")
+    if backup_arn and not bucket_arn and not access_point:
+        raise ValueError("backup to AWS bucket can only be used for "
+                         "AWS sources")
+    if backup_arn and backup_non_aws:
+        raise ValueError("backup_to_bucket_arn and "
+                         "non_aws_backup_to_bucket_name cannot be used "
+                         "together")
+    backup_bucket = get_bucket_name_from_arn(backup_arn) if backup_arn \
+        else backup_non_aws
+    if backup_bucket and not queue_url:
+        same = ((backup_arn and backup_arn in (bucket_arn, access_point))
+                or (backup_non_aws and backup_non_aws == non_aws))
+        if same:
+            if not backup_prefix:
+                raise ValueError(
+                    "backup_to_bucket_prefix is a required property "
+                    "when source and backup bucket are the same")
+            if backup_prefix == cfg["bucket_list_prefix"]:
+                raise ValueError(
+                    "backup_to_bucket_prefix cannot be the same as "
+                    "bucket_list_prefix, this will create an infinite "
+                    "loop")
+    if non_aws and not cfg.get("region"):
+        raise ValueError(
+            "region must be configured when using non_aws_bucket_name")
+    if cfg.get("start_timestamp"):
+        ts = str(cfg["start_timestamp"])
+        if not re.match(
+                r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+                r"(\.\d+)?(Z|[+-]\d{2}:\d{2})$", ts):
+            raise ValueError(f"invalid input for start_timestamp: {ts}")
+        try:
+            datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        except ValueError as e:
+            raise ValueError(
+                f"invalid input for start_timestamp: {e}")
+    return cfg
+
+
+def backup_prefix_to_exclude(cfg: dict[str, Any]) -> str:
+    """backupPrefixToExclude (config.go:197-221)."""
+    backup_prefix = cfg.get("backup_to_bucket_prefix", "") or ""
+    if not backup_prefix:
+        return ""
+    backup_arn = cfg.get("backup_to_bucket_arn", "") or ""
+    backup_non_aws = cfg.get("non_aws_backup_to_bucket_name", "") or ""
+    same = ((backup_arn and backup_arn in (
+        cfg.get("bucket_arn", ""), cfg.get("access_point_arn", "")))
+        or (backup_non_aws
+            and backup_non_aws == cfg.get("non_aws_bucket_name", "")))
+    if not same:
+        return ""
+    list_prefix = cfg.get("bucket_list_prefix", "") or ""
+    generated = backup_prefix + list_prefix
+    if not generated.startswith(list_prefix):
+        return ""
+    return generated
+
+
+def get_bucket_arn(cfg: dict[str, Any]) -> str:
+    """getBucketARN (config.go:296-306)."""
+    if cfg.get("non_aws_bucket_name"):
+        return cfg["non_aws_bucket_name"]
+    if cfg.get("access_point_arn"):
+        return cfg["access_point_arn"]
+    return cfg.get("bucket_arn", "") or ""
+
+
+def get_bucket_name(cfg: dict[str, Any]) -> str:
+    return get_bucket_name_from_arn(get_bucket_arn(cfg))
+
+
+def get_file_selectors(cfg: dict[str, Any]):
+    """getFileSelectors: configured selectors, else one catch-all from
+    the inline reader config (s3_objects.go:78-83)."""
+    from .objects import FileSelector
+
+    sels = cfg.get("file_selectors") or []
+    out = []
+    for s in sels:
+        reader = _reader_config(s)
+        reader.validate()
+        out.append(FileSelector(regex=s.get("regex"), reader=reader))
+    if not out:
+        reader = _reader_config(cfg)
+        reader.validate()
+        out = [FileSelector(regex=None, reader=reader)]
+    return out
+
+
+def _reader_config(d: dict[str, Any]) -> ReaderConfig:
+    rc = ReaderConfig()
+    for cfg_key, attr in (
+        ("buffer_size", "buffer_size"),
+        ("content_type", "content_type"),
+        ("encoding", "encoding"),
+        ("expand_event_list_from_field", "expand_event_list_from_field"),
+        ("include_s3_metadata", "include_s3_metadata"),
+        ("line_terminator", "line_terminator"),
+        ("max_bytes", "max_bytes"),
+        ("parsers", "parsers"),
+        ("decoding", "decoding"),
+    ):
+        if d.get(cfg_key) is not None:
+            setattr(rc, attr, d[cfg_key])
+    return rc

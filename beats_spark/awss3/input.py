@@ -1,0 +1,440 @@
+"""The composed awss3 input: bucket polling and SQS modes.
+
+Three execution surfaces, mirroring the repo's source playbook
+(httpjson / kafka_wire / redis):
+
+- `s3_poll_once` — one driver-side poll cycle of the bucket-list
+  input (s3_input.go runPoll: readerLoop + workerLoop + state
+  cleanup), sequential by design; feeds Spark like
+  httpjson_events_df.
+- `s3_objects_df` — the fleet-scale stage: the driver lists object
+  METADATA only (bounded: key/etag/mtime per object) and filters
+  against the registry, then object fetch + decode runs ON EXECUTORS
+  via mapInPandas with one S3 connection per task (the
+  slowlog_from_hosts / write_es_bulk pattern). Shuffle ∝ pending
+  object count, payload bytes never touch the driver.
+- `sqs_collect` — the SQS notification mode (sqs_input.go +
+  sqs_s3_event.go ProcessSQS/Done): receive → parse notifications →
+  fetch+decode → per-message disposition (delete on success, delete
+  poison pills with the reference's wording, return-to-queue on
+  retryable errors), with the visibility keepalive applied inline
+  between objects (the goroutine ticker re-expressed
+  deterministically).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator, Optional
+
+from .client import AWSError, S3Client, SQSClient, SQSMessage
+from .config import (
+    backup_prefix_to_exclude,
+    get_bucket_arn,
+    get_bucket_name,
+    get_file_selectors,
+)
+from .notifications import (
+    NonRetryableError,
+    S3EventRecord,
+    get_s3_notifications,
+)
+from .objects import (
+    ReaderConfig,
+    S3DownloadError,
+    find_reader_config,
+    process_s3_object,
+)
+from .states import FilterProvider, S3State, StateRegistry, polling_strategy
+
+__all__ = ["s3_poll_once", "s3_poll_records", "sqs_collect",
+           "SQSResult", "s3_objects_df", "awss3_records_schema"]
+
+
+# ------------------------------------------------------------ bucket poll
+
+def _event_for_state(cfg: dict, st: S3State) -> S3EventRecord:
+    """s3EventForState (s3_input.go:337-347)."""
+    return S3EventRecord(
+        aws_region=cfg.get("region", "") or "",
+        provider=cfg.get("provider", "") or "aws",
+        bucket_name=st.bucket,
+        bucket_arn=get_bucket_arn(cfg),
+        object_key=st.key,
+        object_last_modified=st.last_modified,
+        event_source="aws:s3", event_name="ObjectCreated:Put",
+    )
+
+
+def _list_pending(cfg: dict, client: S3Client, registry: StateRegistry,
+                  filters: FilterProvider
+                  ) -> tuple[list[S3State], list[str]]:
+    """readerLoop (s3_input.go:266-335): list → exclude backup prefix
+    → strategy skip → known-id tracking → registry skip. Returns
+    (to_process, known_ids)."""
+    bucket = get_bucket_name(cfg)
+    strategy = polling_strategy(cfg.get("lexicographical_ordering",
+                                        False))
+    is_valid = filters.get_applier()
+    exclude = backup_prefix_to_exclude(cfg)
+    known_ids: list[str] = []
+    pending: list[S3State] = []
+    for page in client.list_objects(
+            bucket, prefix=cfg.get("bucket_list_prefix", "") or "",
+            start_after=registry.get_start_after_key()):
+        for obj in page:
+            if exclude and obj.key.startswith(exclude):
+                continue
+            st = S3State(bucket=bucket, key=obj.key, etag=obj.etag,
+                         last_modified=obj.last_modified)
+            if strategy.should_skip_object(st, is_valid):
+                continue
+            sid = strategy.get_state_id(st)
+            known_ids.append(sid)
+            if registry.is_processed(sid):
+                continue
+            pending.append(st)
+    return pending, known_ids
+
+
+def _process_state(cfg: dict, client: S3Client, registry: StateRegistry,
+                   st: S3State, selectors, publish) -> S3State:
+    """One workerLoop iteration (s3_input.go:166-262): returns the
+    state with stored/failed set; the caller persists it."""
+    registry.mark_object_in_flight(st.key)
+    event = _event_for_state(cfg, st)
+    reader = find_reader_config(selectors, st.key)
+    if reader is None:
+        registry.unmark_object_in_flight(st.key)
+        return st
+    try:
+        result = client.get_object(st.bucket, st.key)
+    except AWSError as e:
+        # download errors are ephemeral: unmark, back off, neither
+        # stored nor failed (s3_input.go:208-219)
+        registry.unmark_object_in_flight(st.key)
+        raise S3DownloadError(f"S3 download failure: {e}") from e
+    try:
+        for rec in process_s3_object(result, event, reader,
+                                     request_url=result.request_url):
+            publish(rec)
+        st.stored = True
+    except S3DownloadError:
+        registry.unmark_object_in_flight(st.key)
+        raise
+    except Exception:
+        st.failed = True
+    _finalize(cfg, client, st)
+    registry.add_state(st)
+    return st
+
+
+def _finalize(cfg: dict, client: S3Client, st: S3State) -> None:
+    """FinalizeS3Object (s3_objects.go:462-480): optional backup copy
+    (+delete) after successful processing."""
+    if not st.stored:
+        return
+    backup_arn = cfg.get("backup_to_bucket_arn", "") or ""
+    backup_bucket = ""
+    if backup_arn:
+        from .client import get_bucket_name_from_arn
+        backup_bucket = get_bucket_name_from_arn(backup_arn)
+    else:
+        backup_bucket = cfg.get("non_aws_backup_to_bucket_name", "") or ""
+    if not backup_bucket:
+        return
+    backup_key = (cfg.get("backup_to_bucket_prefix", "") or "") + st.key
+    client.copy_object(st.bucket, backup_bucket, st.key, backup_key)
+    if cfg.get("delete_after_backup"):
+        client.delete_object(st.bucket, st.key)
+
+
+def s3_poll_once(cfg: dict, client: S3Client, registry: StateRegistry,
+                 publish: Callable[[dict], None],
+                 filters: Optional[FilterProvider] = None) -> int:
+    """runPoll (s3_input.go:139-167): one complete poll cycle with
+    state cleanup. Returns the number of objects processed."""
+    if filters is None:
+        filters = FilterProvider(
+            ignore_older_seconds=float(cfg.get("ignore_older", 0) or 0),
+            start_timestamp=cfg.get("start_timestamp", "") or "")
+    selectors = get_file_selectors(cfg)
+    pending, known_ids = _list_pending(cfg, client, registry, filters)
+    for st in pending:
+        _process_state(cfg, client, registry, st, selectors, publish)
+    registry.clean_up(known_ids)
+    return len(pending)
+
+
+def s3_poll_records(cfg: dict, client: S3Client,
+                    registry: StateRegistry,
+                    filters: Optional[FilterProvider] = None
+                    ) -> list[dict]:
+    out: list[dict] = []
+    s3_poll_once(cfg, client, registry, out.append, filters)
+    return out
+
+
+# ----------------------------------------------------------------- SQS
+
+@dataclass
+class SQSResult:
+    """What one sqs_collect cycle did — the Done() dispositions
+    (sqs_s3_event.go:221-281)."""
+
+    records: list[dict] = field(default_factory=list)
+    deleted: list[str] = field(default_factory=list)
+    returned: list[str] = field(default_factory=list)  # back to queue
+    errors: list[str] = field(default_factory=list)
+
+
+def sqs_collect(cfg: dict, sqs: SQSClient,
+                s3_factory: Callable[[S3EventRecord], S3Client],
+                *, max_messages: int = 10,
+                now: Callable[[], float] = time.monotonic) -> SQSResult:
+    """One receive→process→dispose cycle of the SQS mode.
+
+    The reference runs ProcessSQS per message with a background
+    keepalive goroutine; here the visibility extension happens
+    deterministically between objects when more than half the
+    visibility window elapsed (keepalive ticks at timeout/2,
+    sqs_s3_event.go:283-311)."""
+    res = SQSResult()
+    selectors = get_file_selectors(cfg)
+    visibility = float(cfg.get("visibility_timeout", 300.0))
+    max_receive = int(cfg.get("sqs.max_receive_count", 5))
+
+    msgs = sqs.receive_message(max_messages)
+    for msg in msgs:
+        received_at = now()
+        extended = {"deadline": received_at + visibility / 2}
+
+        def keepalive(m=msg, ext=extended):
+            if now() >= ext["deadline"]:
+                try:
+                    sqs.change_message_visibility(m, visibility)
+                except AWSError as e:
+                    if e.code in ("ReceiptHandleIsInvalid",
+                                  "InvalidParameterValue"):
+                        return
+                ext["deadline"] = now() + visibility / 2
+
+        receive_count = int(
+            msg.attributes.get("ApproximateReceiveCount", -1) or -1)
+        processing_err: Optional[Exception] = None
+        event_count = 0
+        try:
+            events = get_s3_notifications(msg.body)
+        except ValueError as e:
+            processing_err = NonRetryableError(e)
+            events = []
+        for i, event in enumerate(events):
+            keepalive()
+            reader = find_reader_config(selectors, event.object_key)
+            if reader is None:
+                continue
+            client = s3_factory(event)
+            try:
+                result = client.get_object(event.bucket_name,
+                                           event.object_key)
+                for rec in process_s3_object(
+                        result, event, reader,
+                        request_url=result.request_url):
+                    res.records.append(rec)
+                    event_count += 1
+            except Exception as e:
+                processing_err = Exception(
+                    f"failed processing S3 event for object key "
+                    f"\"{event.object_key}\" in bucket "
+                    f"\"{event.bucket_name}\" (object record {i + 1} of "
+                    f"{len(events)} in SQS notification): {e}")
+
+        # Done() decision table (sqs_s3_event.go:221-281)
+        if processing_err is None:
+            sqs.delete_message(msg)
+            res.deleted.append(msg.message_id)
+            continue
+        if max_receive > 0 and receive_count >= max_receive:
+            processing_err = NonRetryableError(Exception(
+                f"sqs ApproximateReceiveCount <{receive_count}> exceeds "
+                f"threshold {max_receive}: {processing_err}"))
+        if isinstance(processing_err, NonRetryableError):
+            sqs.delete_message(msg)
+            res.deleted.append(msg.message_id)
+            res.errors.append(str(processing_err))
+        else:
+            res.returned.append(msg.message_id)
+            res.errors.append(str(processing_err))
+    return res
+
+
+# ------------------------------------------------------------- Spark DF
+
+AWSS3_RECORDS_DDL = (
+    "message string, offset bigint, meta_id string, bucket_name string,"
+    " bucket_arn string, object_key string, region string,"
+    " provider string, last_modified string, content_type string,"
+    " log_file_path string, s3_metadata map<string,string>,"
+    " fields string, error string"
+)
+
+
+def awss3_records_schema() -> str:
+    return AWSS3_RECORDS_DDL
+
+
+def s3_objects_df(spark, cfg: dict, *, endpoint: str,
+                  access_key: str = "", secret_key: str = "",
+                  registry: Optional[StateRegistry] = None,
+                  filters: Optional[FilterProvider] = None,
+                  objects_per_task: int = 8):
+    """The distributed bucket-poll stage.
+
+    Driver: list object metadata, filter via registry/filters (both
+    optional). Executors: fetch + decode via mapInPandas — one
+    S3Client per task, `objects_per_task` objects per input row
+    group so a huge object list spreads across the cluster. Returns
+    (records_df, pending_states); after a successful write, call
+    registry.add_state(st with stored=True) per pending state and
+    registry.clean_up(known_ids) — checkpoint-after-commit like the
+    kafka/mqtt sources."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cfg = dict(cfg)
+    client = S3Client(endpoint, cfg.get("region", "") or "us-east-1",
+                      access_key=access_key, secret_key=secret_key,
+                      path_style=bool(cfg.get("path_style")))
+    if filters is None:
+        filters = FilterProvider(
+            ignore_older_seconds=float(cfg.get("ignore_older", 0) or 0),
+            start_timestamp=cfg.get("start_timestamp", "") or "")
+    if registry is None:
+        from .states import FileStore, NormalStateRegistry
+        registry = NormalStateRegistry(FileStore(None))
+    pending, known_ids = _list_pending(cfg, client, registry, filters)
+    client.close()
+
+    region = cfg.get("region", "") or "us-east-1"
+    path_style = bool(cfg.get("path_style"))
+    bucket_arn = get_bucket_arn(cfg)
+    provider = cfg.get("provider", "") or "aws"
+    selectors_cfg = {k: cfg.get(k) for k in (
+        "file_selectors", "content_type", "encoding",
+        "expand_event_list_from_field", "include_s3_metadata",
+        "line_terminator", "max_bytes", "buffer_size", "parsers",
+        "decoding") if cfg.get(k) is not None}
+
+    if not pending:
+        empty = spark.createDataFrame([], AWSS3_RECORDS_DDL)
+        return empty, [], known_ids
+
+    rows = [(st.bucket, st.key, st.etag, st.last_modified)
+            for st in pending]
+    objs = spark.createDataFrame(
+        rows, "bucket string, key string, etag string,"
+        " last_modified string")
+    # spread objects across tasks — fetch parallelism is the lever at
+    # fleet scale, so one shuffle on a synthetic task id is worth it
+    n_tasks = max(1, (len(rows) + objects_per_task - 1)
+                  // objects_per_task)
+    objs = objs.repartition(n_tasks)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        selectors = get_file_selectors(selectors_cfg)
+        task_client = S3Client(endpoint, region, access_key=access_key,
+                               secret_key=secret_key,
+                               path_style=path_style)
+        cols = ["message", "offset", "meta_id", "bucket_name",
+                "bucket_arn", "object_key", "region", "provider",
+                "last_modified", "content_type", "log_file_path",
+                "s3_metadata", "fields", "error"]
+        try:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    st = S3State(bucket=row.bucket, key=row.key,
+                                 etag=row.etag,
+                                 last_modified=row.last_modified)
+                    event = S3EventRecord(
+                        aws_region=region, provider=provider,
+                        bucket_name=st.bucket, bucket_arn=bucket_arn,
+                        object_key=st.key,
+                        object_last_modified=st.last_modified,
+                        event_source="aws:s3",
+                        event_name="ObjectCreated:Put")
+                    reader = find_reader_config(selectors, st.key)
+                    if reader is None:
+                        continue
+                    try:
+                        result = task_client.get_object(st.bucket,
+                                                        st.key)
+                        for rec in process_s3_object(
+                                result, event, reader,
+                                request_url=result.request_url):
+                            rec["fields"] = json.dumps(rec["fields"]) \
+                                if rec.get("fields") else None
+                            rec["error"] = None
+                            out.append([rec.get(c) for c in cols])
+                    except Exception as e:  # decode errors are rows,
+                        # download errors retry via task retry
+                        if isinstance(e, (S3DownloadError, AWSError)):
+                            raise
+                        out.append([None, None, None, st.bucket,
+                                    bucket_arn, st.key, region,
+                                    provider, st.last_modified, None,
+                                    None, None, None, str(e)])
+                yield pd.DataFrame(out, columns=cols)
+        finally:
+            task_client.close()
+
+    df = objs.mapInPandas(fetch, schema=AWSS3_RECORDS_DDL)
+    return df, pending, known_ids
+
+
+def s3_poll_stream(spark, cfg: dict, *, endpoint: str,
+                   access_key: str = "", secret_key: str = "",
+                   registry: StateRegistry,
+                   sink: Callable[[Any, int], None],
+                   checkpoint_dir: str,
+                   objects_per_task: int = 8):
+    """The bucket-poll input as a continuously-running stream.
+
+    s3_input.go's run loop ("scan the bucket in a loop, delaying by
+    bucket_list_interval", s3_input.go:120-137) re-expressed on the
+    repo's tick-clock pattern (metricset.periodic_fetch_stream): a
+    rate-micro-batch stream is the poll clock; each tick runs ONE
+    distributed poll (s3_objects_df — fetch+decode on executors) and
+    hands the records DataFrame to `sink(df, batch_id)`; object
+    states commit AFTER the sink returns (checkpoint-after-commit,
+    the kafka/mqtt source contract), so a crash mid-batch re-ships
+    that batch's objects — at-least-once, like the reference's
+    ack-then-persist ordering. Returns the StreamingQuery."""
+    interval = float(cfg.get("bucket_list_interval", 120.0))
+    filters = FilterProvider(
+        ignore_older_seconds=float(cfg.get("ignore_older", 0) or 0),
+        start_timestamp=cfg.get("start_timestamp", "") or "")
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("advanceMillisPerBatch", int(interval * 1000))
+        .load()
+    )
+
+    def one_poll(_tick_df, batch_id: int) -> None:
+        df, pending, known_ids = s3_objects_df(
+            spark, cfg, endpoint=endpoint, access_key=access_key,
+            secret_key=secret_key, registry=registry, filters=filters,
+            objects_per_task=objects_per_task)
+        sink(df, batch_id)
+        for st in pending:
+            st.stored = True
+            registry.add_state(st)
+        registry.clean_up(known_ids)
+
+    return (ticks.writeStream.foreachBatch(one_poll)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{interval} seconds")
+            .start())

@@ -1,0 +1,150 @@
+"""SQS-message-body → S3 event records (sqs_s3_event.go).
+
+Handles the three notification shapes the reference autodetects —
+native S3 (Records), SNS envelope (TopicArn + Message), EventBridge —
+plus the s3:TestEvent skip, the ObjectCreated:* filter, and the
+object-key QueryUnescape, with the reference's exact error wording.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from urllib.parse import unquote_plus
+
+_BAD_ESCAPE = re.compile(r"%(?![0-9a-fA-F]{2}).{0,2}")
+
+__all__ = ["S3EventRecord", "NonRetryableError", "get_s3_notifications"]
+
+
+class NonRetryableError(Exception):
+    """nonRetryableError (sqs_s3_event.go:33-55): reprocessing cannot
+    correct it — the SQS message should be deleted, not returned."""
+
+    def __init__(self, err: Exception | str):
+        super().__init__(f"non-retryable error: {err}")
+        self.err = err
+
+
+@dataclass
+class S3EventRecord:
+    """s3EventV2 — just the fields the input consumes."""
+
+    aws_region: str = ""
+    provider: str = ""
+    event_name: str = ""
+    event_source: str = ""
+    bucket_name: str = ""
+    bucket_arn: str = ""
+    object_key: str = ""
+    object_last_modified: str = ""  # RFC3339 when present
+    raw: dict = field(default_factory=dict)
+
+
+def _record_from_dict(r: dict) -> S3EventRecord:
+    s3 = r.get("s3") or {}
+    bucket = s3.get("bucket") or {}
+    obj = s3.get("object") or {}
+    return S3EventRecord(
+        aws_region=r.get("awsRegion", "") or "",
+        provider=r.get("provider", "") or "",
+        event_name=r.get("eventName", "") or "",
+        event_source=r.get("eventSource", "") or "",
+        bucket_name=bucket.get("name", "") or "",
+        bucket_arn=bucket.get("arn", "") or "",
+        object_key=obj.get("key", "") or "",
+        object_last_modified=obj.get("lastModified", "") or "",
+        raw=r,
+    )
+
+
+def _convert_event_bridge(body: dict) -> list[S3EventRecord]:
+    """convertEventBridge (sqs_s3_event.go:368-388): one record per
+    `resources` ARN."""
+    detail = body.get("detail") or {}
+    out = []
+    for resource in body.get("resources") or []:
+        rec = S3EventRecord(bucket_arn=resource)
+        if body.get("detail-type") == "Object Created":
+            rec.event_name = "ObjectCreated:Put"
+        rec.aws_region = body.get("region", "") or ""
+        if body.get("source") == "aws.s3":
+            rec.event_source = "aws:s3"
+        rec.bucket_name = (detail.get("bucket") or {}).get("name", "") or ""
+        rec.object_key = (detail.get("object") or {}).get("key", "") or ""
+        out.append(rec)
+    return out
+
+
+def _is_object_created(rec: S3EventRecord) -> bool:
+    return (rec.event_source == "aws:s3"
+            and rec.event_name.startswith("ObjectCreated:"))
+
+
+def get_s3_notifications(body: str, *, warnings: list | None = None
+                         ) -> list[S3EventRecord]:
+    """getS3Notifications + getS3Info (sqs_s3_event.go:313-414).
+
+    Returns the ObjectCreated records with unescaped keys; [] for test
+    events; raises ValueError with the reference's wording for bodies
+    that are not S3 notifications (the caller wraps it non-retryable).
+    """
+    try:
+        events = json.loads(body)
+        if not isinstance(events, dict):
+            raise ValueError("not an object")
+    except ValueError as e:
+        raise ValueError(
+            "failed to decode SQS message body as an S3 notification: "
+            f"{e}") from e
+
+    # s3:TestEvent → skip (nil, nil)
+    if events.get("Event") == "s3:TestEvent":
+        return []
+
+    # S3 → SNS → SQS: the real notification is the Message string
+    if events.get("TopicArn"):
+        try:
+            inner = json.loads(events.get("Message") or "")
+            if not isinstance(inner, dict):
+                raise ValueError("not an object")
+        except ValueError as e:
+            raise ValueError(
+                "failed to decode SQS message body as an S3 "
+                f"notification: {e}") from e
+        if inner.get("Event") == "s3:TestEvent":
+            return []
+        events = inner
+
+    records = events.get("Records")
+    if records is None:
+        # S3 → EventBridge → SQS
+        eb = _convert_event_bridge(events)
+        if eb:
+            records_list = eb
+        else:
+            raise ValueError("the message is an invalid S3 "
+                             "notification: missing Records field")
+    else:
+        # an empty-but-present Records list is a valid notification
+        # with nothing to do (Go: non-nil slice, no error)
+        records_list = [_record_from_dict(r) for r in records
+                        if isinstance(r, dict)]
+
+    out = []
+    for rec in records_list:
+        if not _is_object_created(rec):
+            if warnings is not None:
+                warnings.append(rec.event_name)
+            continue
+        # QueryUnescape: '+' decodes to space and %3D back to '='; an
+        # invalid escape is an error in Go (sqs_s3_event.go:404-408)
+        bad = _BAD_ESCAPE.search(rec.object_key)
+        if bad:
+            raise ValueError(
+                f"url unescape failed for '{rec.object_key}': invalid "
+                f"URL escape \"{bad.group(0)}\"")
+        rec.object_key = unquote_plus(rec.object_key)
+        out.append(rec)
+    return out

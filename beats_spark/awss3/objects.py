@@ -1,0 +1,512 @@
+"""Per-object download → decode → event records (s3_objects.go).
+
+The decode dispatch mirrors ProcessS3Object (s3_objects.go:119-226):
+
+1. a configured `decoding.codec` takes precedence — CSV rows become
+   JSON-object messages (x-pack/libbeat/reader/decoder/csv.go, with
+   Go json.Marshal's sorted keys), parquet batches become JSON arrays
+   walked by the JSON-slice reader (decoder/parquet.go — REAL here
+   via pyarrow);
+2. content types application/json / application/x-ndjson stream
+   top-level JSON values (readJSON), each published with its RAW
+   bytes (json.RawMessage keeps original formatting) and its decoder
+   InputOffset, with expand_event_list_from_field splitting a named
+   array (".[]" = the root) into per-element events;
+3. everything else is the line reader (readFile): encoding → line
+   split (CollectOnEOF: a final unterminated line still publishes) →
+   strip newline → parsers (multiline / ndjson subset) → max_bytes
+   truncation.
+
+Gzip is sniffed from the body magic regardless of headers
+(AddGzipDecoderIfNeeded), and a user-configured content_type
+overrides the response's.
+"""
+
+from __future__ import annotations
+
+import codecs
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Iterator, Optional
+
+from .client import S3GetResult, gzip_decode_if_needed
+from .notifications import S3EventRecord
+
+__all__ = ["ReaderConfig", "S3DownloadError", "process_s3_object",
+           "object_id", "s3_object_hash", "find_encoding"]
+
+
+class S3DownloadError(Exception):
+    """errS3DownloadFailed: ephemeral, retry-with-backoff, never mark
+    the object failed (s3_objects.go:64-67)."""
+
+
+# --------------------------------------------------------------- identity
+
+def s3_object_hash(bucket_arn: str, key: str) -> str:
+    """s3ObjectHash (s3_objects.go:489-496): first 10 hex chars of
+    sha256(bucket ARN + key)."""
+    h = hashlib.sha256()
+    h.update(bucket_arn.encode())
+    h.update(key.encode())
+    return h.hexdigest()[:10]
+
+
+def _parse_rfc3339(ts: str) -> Optional[datetime]:
+    if not ts:
+        return None
+    try:
+        return datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+
+
+def object_id(last_modified: str | datetime | None, object_hash: str,
+              offset: int) -> str:
+    """objectID (s3_objects.go:484-486):
+    "<unixnano>-<hash>-<offset:012d>"."""
+    if isinstance(last_modified, str) or last_modified is None:
+        last_modified = _parse_rfc3339(last_modified or "")
+    nanos = 0
+    if last_modified is not None:
+        if last_modified.tzinfo is None:
+            last_modified = last_modified.replace(tzinfo=timezone.utc)
+        nanos = int(last_modified.timestamp() * 1_000_000) * 1000
+    return f"{nanos}-{object_hash}-{offset:012d}"
+
+
+# ----------------------------------------------------------------- config
+
+_ENCODING_ALIASES = {
+    "": "utf-8", "plain": "utf-8", "utf-8": "utf-8", "utf8": "utf-8",
+    "latin1": "latin-1", "iso8859-1": "latin-1",
+    "utf-16be": "utf-16-be", "utf-16le": "utf-16-le",
+    "utf-16be-bom": "utf-16", "utf-16le-bom": "utf-16",
+    "gbk": "gbk", "big5": "big5", "shift-jis": "shift_jis",
+    "euc-jp": "euc_jp", "euc-kr": "euc_kr",
+}
+
+
+def find_encoding(name: str) -> str:
+    """encoding.FindEncoding subset over Python codecs; unknown names
+    fail with readerConfig.Validate's wording (config.go:254-257)."""
+    name = (name or "").lower()
+    codec = _ENCODING_ALIASES.get(name, name)
+    try:
+        codecs.lookup(codec)
+    except LookupError:
+        raise ValueError(f"encoding type <{name}> not found")
+    return codec
+
+
+@dataclass
+class ReaderConfig:
+    """readerConfig (config.go:223-234) — defaults from
+    InitDefaults (config.go:286-290)."""
+
+    buffer_size: int = 16 * 1024
+    content_type: str = ""
+    encoding: str = ""
+    expand_event_list_from_field: str = ""
+    include_s3_metadata: list[str] = field(default_factory=list)
+    line_terminator: str = "auto"
+    max_bytes: int = 10 * 1024 * 1024
+    parsers: list[dict] = field(default_factory=list)
+    decoding: dict = field(default_factory=dict)  # {"codec": {...}}
+
+    def validate(self) -> None:
+        if self.buffer_size <= 0:
+            raise ValueError(
+                f"buffer_size <{self.buffer_size}> must be greater than 0")
+        if self.max_bytes <= 0:
+            raise ValueError(
+                f"max_bytes <{self.max_bytes}> must be greater than 0")
+        if (self.expand_event_list_from_field and self.content_type
+                and self.content_type != "application/json"):
+            raise ValueError(
+                "content_type must be `application/json` when "
+                "expand_event_list_from_field is used")
+        find_encoding(self.encoding)
+        codec = (self.decoding or {}).get("codec") or {}
+        if sum(1 for k in ("csv", "parquet") if codec.get(k)) > 1:
+            raise ValueError("more than one decoder configured")
+
+
+@dataclass
+class FileSelector:
+    """fileSelectorConfig: regex → reader config; None regex matches
+    everything (s3_objects.go:92-99)."""
+
+    regex: Optional[str]
+    reader: ReaderConfig
+
+    def matches(self, key: str) -> bool:
+        return self.regex is None or re.search(self.regex, key) is not None
+
+
+def find_reader_config(selectors: list[FileSelector], key: str
+                       ) -> Optional[ReaderConfig]:
+    for sel in selectors:
+        if sel.matches(key):
+            return sel.reader
+    return None
+
+
+# ------------------------------------------------------------ raw JSON walk
+
+_WS = " \t\n\r"
+
+
+def _iter_raw_json(text: str) -> Iterator[tuple[int, str, Any]]:
+    """Streamed top-level JSON values like Go's json.Decoder over a
+    body: yields (input_offset_before_value, raw_bytes, parsed).
+    input_offset matches dec.InputOffset() before Decode — the
+    position right after the previous value."""
+    dec = json.JSONDecoder()
+    pos = 0
+    n = len(text)
+    while True:
+        offset = pos
+        i = pos
+        while i < n and text[i] in _WS:
+            i += 1
+        if i >= n:
+            return
+        try:
+            value, end = dec.raw_decode(text, i)
+        except ValueError as e:
+            raise ValueError(f"failed to decode json: {e}") from e
+        yield offset, text[i:end], value
+        pos = end
+
+
+def _iter_raw_json_array(text: str) -> Iterator[tuple[int, str, Any]]:
+    """Elements of one JSON array with Go-decoder offsets: yields
+    (InputOffset_before_element, raw_bytes, parsed)."""
+    dec = json.JSONDecoder()
+    i = 0
+    n = len(text)
+    while i < n and text[i] in _WS:
+        i += 1
+    if i >= n or text[i] != "[":
+        raise ValueError("not an array")
+    pos = i + 1
+    while True:
+        offset = pos
+        i = pos
+        while i < n and text[i] in _WS + ",":
+            i += 1
+        if i < n and text[i] == "]":
+            return
+        if i >= n:
+            raise ValueError("unexpected end of JSON input")
+        value, end = dec.raw_decode(text, i)
+        yield offset, text[i:end], value
+        pos = end
+
+
+# ------------------------------------------------------------ line reader
+
+def _split_lines(text: str, terminator: str) -> list[tuple[str, int]]:
+    """readfile's line scanner with CollectOnEOF: returns
+    (line_without_terminator, consumed_bytes) pairs. "auto" is
+    LF-terminated with a trailing CR stripped (AutoLineTerminator)."""
+    sep = {"auto": "\n", "line_feed": "\n",
+           "carriage_return_line_feed": "\r\n"}.get(terminator, "\n")
+    out = []
+    start = 0
+    while start <= len(text) - 1:
+        idx = text.find(sep, start)
+        if idx < 0:
+            out.append((text[start:], len(text) - start))
+            break
+        line = text[start:idx]
+        consumed = idx + len(sep) - start
+        if terminator == "auto" and line.endswith("\r"):
+            line = line[:-1]
+        out.append((line, consumed))
+        start = idx + len(sep)
+    return out
+
+
+def _apply_parsers(lines: list[tuple[str, int]], parsers: list[dict]
+                   ) -> list[tuple[str, int, dict]]:
+    """The per-object subset of the reader parsers (multiline pattern
+    mode + ndjson) used by the driver-side path; at fleet scale the
+    SAME configs compile to the repo's DataFrame stages
+    (processors/stateful.multiline_pattern keyed by object). Returns
+    (content, consumed_bytes, fields)."""
+    msgs: list[tuple[str, int, dict]] = [(c, b, {}) for c, b in lines]
+    for p in parsers or []:
+        if "multiline" in p:
+            cfg = p["multiline"] or {}
+            pattern = re.compile(cfg.get("pattern", ""))
+            negate = bool(cfg.get("negate", False))
+            match = cfg.get("match", "after")
+            max_lines = int(cfg.get("max_lines", 500))
+            out: list[list[tuple[str, int, dict]]] = []
+            for item in msgs:
+                matched = bool(pattern.search(item[0])) != negate
+                # match=after: a matching line continues the PREVIOUS
+                # message; before: it belongs to the NEXT one
+                if match == "after":
+                    if out and matched and len(out[-1]) < max_lines:
+                        out[-1].append(item)
+                    else:
+                        out.append([item])
+                else:
+                    if out and out[-1] and matched \
+                            and len(out[-1]) < max_lines:
+                        out[-1].append(item)
+                        continue
+                    if out and matched:
+                        out[-1].append(item)
+                    else:
+                        out.append([item])
+            msgs = [("\n".join(i[0] for i in grp),
+                     sum(i[1] for i in grp), {})
+                    for grp in out]
+        elif "ndjson" in p:
+            cfg = p["ndjson"] or {}
+            new = []
+            for content, nbytes, fields in msgs:
+                try:
+                    doc = json.loads(content)
+                    if not isinstance(doc, dict):
+                        raise ValueError("not an object")
+                except ValueError:
+                    new.append((content, nbytes, fields))
+                    continue
+                target = cfg.get("target", "")
+                if target:
+                    f = {target: doc}
+                else:
+                    f = doc
+                mk = cfg.get("message_key", "")
+                content_out = ""
+                if mk and isinstance(doc.get(mk), str):
+                    content_out = doc[mk]
+                new.append((content_out, nbytes, f))
+            msgs = new
+    return msgs
+
+
+# --------------------------------------------------------------- processor
+
+def _select_metadata(result: S3GetResult, keys: list[str]) -> dict:
+    """s3Metadata (s3_objects.go:499-553): selected lowercase response
+    headers; user metadata keeps its x-amz-meta- prefix."""
+    if not keys:
+        return {}
+    all_meta = dict(result.headers)
+    for k, v in result.metadata.items():
+        all_meta[f"x-amz-meta-{k.lower()}"] = v
+    out = {}
+    for key in keys:
+        key = key.lower()
+        if key in all_meta:
+            out[key] = all_meta[key]
+    return out
+
+
+def process_s3_object(
+    result: Optional[S3GetResult],
+    event: S3EventRecord,
+    reader: ReaderConfig,
+    *,
+    request_url: str = "",
+) -> Iterator[dict]:
+    """ProcessS3Object's decode stage over an already-downloaded body.
+
+    Yields flat record dicts (message/offset/meta_id/fields + the
+    aws.s3/cloud identity columns) ready for DataFrame construction;
+    createEvent's nesting (s3_objects.go:421-460) is re-established by
+    the eventing layer. Raises S3DownloadError for download-shaped
+    failures and ValueError with the reference wordings for content
+    errors."""
+    if result is None:
+        raise S3DownloadError("empty response from s3 get object")
+
+    body = gzip_decode_if_needed(result.body)
+    content_type = reader.content_type or result.content_type
+    obj_hash = s3_object_hash(event.bucket_arn, event.object_key)
+    s3_meta = _select_metadata(result, reader.include_s3_metadata)
+
+    def make(message: str, offset: int | None,
+             fields: dict | None = None) -> dict:
+        rec = {
+            "message": message,
+            "offset": offset,
+            "meta_id": object_id(event.object_last_modified, obj_hash,
+                                 offset) if offset is not None else None,
+            "bucket_name": event.bucket_name,
+            "bucket_arn": event.bucket_arn,
+            "object_key": event.object_key,
+            "region": event.aws_region,
+            "provider": event.provider,
+            "last_modified": event.object_last_modified,
+            "content_type": content_type,
+            "log_file_path": request_url,
+            "s3_metadata": s3_meta or None,
+            "fields": fields or None,
+        }
+        return rec
+
+    codec = (reader.decoding or {}).get("codec") or {}
+
+    if codec.get("csv"):
+        yield from _decode_csv(body, codec["csv"], make)
+        return
+    if codec.get("parquet"):
+        yield from _decode_parquet(body, codec["parquet"], reader, make)
+        return
+
+    if content_type.startswith("application/json") or \
+            content_type.startswith("application/x-ndjson"):
+        yield from _read_json(body, reader, obj_hash, make)
+        return
+
+    yield from _read_file(body, reader, make)
+
+
+def _expand_event_list(key: str, raw: str, parsed: Any, offset: int,
+                       make) -> Iterator[dict]:
+    """splitEventList (s3_objects.go:326-364)."""
+    if key != ".[]":
+        if not isinstance(parsed, dict):
+            raise ValueError(f"expand_event_list_from_field key <{key}> "
+                             "is not in event")
+        if key not in parsed:
+            raise ValueError(f"expand_event_list_from_field key <{key}> "
+                             "is not in event")
+        # re-derive the raw bytes of the field value so element
+        # offsets and formatting stay faithful to the original
+        m = re.search(r'"%s"\s*:' % re.escape(key), raw)
+        sub = raw[m.end():] if m else json.dumps(parsed[key])
+        i = 0
+        while i < len(sub) and sub[i] in _WS:
+            i += 1
+        raw = sub[i:]
+        parsed = parsed[key]
+    if not isinstance(parsed, list):
+        raise ValueError(f"expand_event_list_from_field <{key}> is not "
+                         "an array")
+    for arr_off, elem_raw, _ in _iter_raw_json_array(raw):
+        yield make(elem_raw, offset + arr_off)
+
+
+def _read_json(body: bytes, reader: ReaderConfig, obj_hash: str, make
+               ) -> Iterator[dict]:
+    """readJSON (s3_objects.go:259-283)."""
+    text = body.decode("utf-8", "replace")
+    for offset, raw, parsed in _iter_raw_json(text):
+        if reader.expand_event_list_from_field:
+            yield from _expand_event_list(
+                reader.expand_event_list_from_field, raw, parsed,
+                offset, make)
+        else:
+            yield make(raw, offset)
+
+
+def _read_file(body: bytes, reader: ReaderConfig, make) -> Iterator[dict]:
+    """readFile (s3_objects.go:366-418)."""
+    enc = find_encoding(reader.encoding)
+    try:
+        text = body.decode(enc)
+    except UnicodeDecodeError:
+        text = body.decode(enc, "replace")
+    lines = _split_lines(text, reader.line_terminator)
+    offset = 0
+    for content, nbytes, fields in _apply_parsers(lines, reader.parsers):
+        if content or fields:
+            if len(content.encode()) > reader.max_bytes:
+                # LimitReader: truncate, keep the event
+                content = content.encode()[:reader.max_bytes].decode(
+                    "utf-8", "ignore")
+            rec = make(content, offset, fields)
+            offset += nbytes
+            yield rec
+        else:
+            offset += nbytes
+
+
+def _decode_csv(body: bytes, cfg: dict, make) -> Iterator[dict]:
+    """decoder/csv.go: each row → a JSON object message with string
+    values; header from fields_names or the first row. Go json.Marshal
+    sorts object keys — mirrored for byte parity."""
+    import csv as _csv
+    import io
+
+    opts = {}
+    if cfg.get("comma"):
+        opts["delimiter"] = cfg["comma"]
+    text = body.decode("utf-8", "replace")
+    comment = cfg.get("comment") or ""
+    lines = [ln for ln in text.splitlines()
+             if not (comment and ln.startswith(comment))]
+    r = _csv.reader(io.StringIO("\n".join(lines)), **opts)
+    header = cfg.get("fields_names") or None
+    offset = 0
+    for row in r:
+        if not row:
+            continue
+        if header is None:
+            header = row
+            continue
+        if len(row) != len(header):
+            raise ValueError(
+                f"record on line {r.line_num}: wrong number of fields")
+        m = dict(zip(header, (str(v) for v in row)))
+        yield make(json.dumps(m, sort_keys=True,
+                              separators=(",", ":")), offset)
+        offset += 1
+
+
+def _decode_parquet(body: bytes, cfg: dict, reader: ReaderConfig, make
+                    ) -> Iterator[dict]:
+    """decoder/parquet.go: batches of rows as JSON arrays, walked by
+    the JSON-slice reader (the `case decoder.Decoder` branch,
+    s3_objects.go:189-205) — REAL here via pyarrow."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    batch_size = int(cfg.get("batch_size", 1))
+    pf = pq.ParquetFile(io.BytesIO(body))
+    evt_offset = 0
+    for batch in pf.iter_batches(batch_size=batch_size):
+        rows = batch.to_pylist()
+        for row in rows:
+            raw = json.dumps(_jsonable(row), sort_keys=True,
+                             separators=(",", ":"))
+            if reader.expand_event_list_from_field:
+                key = reader.expand_event_list_from_field
+                parsed = _jsonable(row)
+                yield from _expand_event_list(key, raw, parsed,
+                                              evt_offset, make)
+            else:
+                yield make(raw, evt_offset)
+            evt_offset += 1
+
+
+def _jsonable(v):
+    import datetime as _dt
+
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, list):
+        # pyarrow renders map<k,v> columns as [(k, v), ...] tuples;
+        # arrow-go's JSON marshaling (pinned by the cloudtrail.parquet
+        # golden) renders them as a list of {"key","value"} structs
+        if v and all(isinstance(x, tuple) and len(x) == 2 for x in v):
+            return [{"key": _jsonable(k), "value": _jsonable(x)}
+                    for k, x in v]
+        return [_jsonable(x) for x in v]
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v

@@ -1,0 +1,134 @@
+"""AWS Signature Version 4 request signing, from the public spec.
+
+Implements the algorithm documented at
+https://docs.aws.amazon.com/IAM/latest/UserGuide/create-signed-request.html
+(canonical request → string-to-sign → HMAC chain → Authorization
+header). Nothing here is derived from any SDK's source; the tests pin
+the published doc-example vectors (the IAM ListUsers example and the
+S3 GET object example) and, when botocore happens to be importable,
+cross-check randomized requests against it as an independent
+implementation.
+
+S3 dialect notes (both from the public S3 signing docs):
+- the canonical URI is the RAW path, percent-encoded segment by
+  segment but NOT dot-normalized (every other service normalizes);
+- every S3 request carries x-amz-content-sha256 (the payload hash,
+  or UNSIGNED-PAYLOAD).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+from urllib.parse import quote
+
+__all__ = ["sign_request", "payload_hash", "SigV4Error"]
+
+_ALGO = "AWS4-HMAC-SHA256"
+EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
+
+
+class SigV4Error(ValueError):
+    pass
+
+
+def _uri_encode(s: str, *, encode_slash: bool) -> str:
+    # RFC 3986 unreserved set only; spaces become %20 (never '+').
+    safe = "-._~" + ("" if encode_slash else "/")
+    return quote(s, safe=safe)
+
+
+def payload_hash(body: bytes | None) -> str:
+    return hashlib.sha256(body or b"").hexdigest()
+
+
+def canonical_query(query: list[tuple[str, str]] | dict[str, str] | None) -> str:
+    """URI-encode keys and values, sort by key then value, join k=v&."""
+    if not query:
+        return ""
+    items = query.items() if isinstance(query, dict) else query
+    enc = sorted(
+        (_uri_encode(k, encode_slash=True), _uri_encode(v, encode_slash=True))
+        for k, v in items
+    )
+    return "&".join(f"{k}={v}" for k, v in enc)
+
+
+def _trim(value: str) -> str:
+    # "trimall": strip, and collapse sequential spaces to one.
+    return " ".join(value.split())
+
+
+def canonical_headers(headers: dict[str, str]) -> tuple[str, str]:
+    low = sorted((k.lower(), _trim(v)) for k, v in headers.items())
+    canon = "".join(f"{k}:{v}\n" for k, v in low)
+    signed = ";".join(k for k, _ in low)
+    return canon, signed
+
+
+def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    def h(key: bytes, msg: str) -> bytes:
+        return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+    k = h(("AWS4" + secret_key).encode(), date)
+    k = h(k, region)
+    k = h(k, service)
+    return h(k, "aws4_request")
+
+
+def sign_request(
+    method: str,
+    path: str,
+    query: list[tuple[str, str]] | dict[str, str] | None,
+    headers: dict[str, str],
+    body_sha256: str,
+    *,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str,
+    amz_date: str,
+    session_token: str | None = None,
+) -> dict[str, str]:
+    """Return the headers to add: Authorization (+ the token header).
+
+    `headers` must already contain every header to sign (Host at
+    minimum; x-amz-date/x-amz-content-sha256 are the caller's job so
+    the signed set is explicit). `amz_date` is YYYYMMDD'T'HHMMSS'Z'.
+    """
+    if "host" not in {k.lower() for k in headers}:
+        raise SigV4Error("Host header is required for signing")
+    if session_token:
+        headers = dict(headers)
+        headers["x-amz-security-token"] = session_token
+
+    # S3: raw path, segment-encoded, not normalized. Other services
+    # normalize; for our two services (s3, sqs) the SQS paths are
+    # always /account/queue with no dot segments, so the raw form is
+    # the normalized form and one rule serves both.
+    canon_uri = _uri_encode(path or "/", encode_slash=False)
+    canon = "\n".join([
+        method.upper(),
+        canon_uri,
+        canonical_query(query),
+        *canonical_headers(headers),
+        body_sha256,
+    ])
+    date = amz_date[:8]
+    scope = f"{date}/{region}/{service}/aws4_request"
+    sts = "\n".join([
+        _ALGO, amz_date, scope, hashlib.sha256(canon.encode()).hexdigest(),
+    ])
+    sig = hmac.new(
+        signing_key(secret_key, date, region, service),
+        sts.encode(), hashlib.sha256,
+    ).hexdigest()
+    _, signed = canonical_headers(headers)
+    auth = (
+        f"{_ALGO} Credential={access_key}/{scope}, "
+        f"SignedHeaders={signed}, Signature={sig}"
+    )
+    out = {"Authorization": auth}
+    if session_token:
+        out["x-amz-security-token"] = session_token
+    return out

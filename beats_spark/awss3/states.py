@@ -1,0 +1,398 @@
+"""Bucket-poll state registry + filters + polling strategies
+(state.go, states.go, s3_filters.go, polling_strategy.go).
+
+The reference persists states in beats' statestore (a bolt-backed
+KV); here the store is a JSON file with atomic-rename writes — same
+contract (keys `filebeat::aws-s3::state::<id>` and
+`filebeat::aws-s3::tail`), so a restart resumes exactly like the
+reference's registry reload.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import re
+import tempfile
+from dataclasses import asdict, dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Callable, Optional
+
+__all__ = ["S3State", "state_id", "FileStore", "StateRegistry",
+           "NormalStateRegistry", "LexicographicalStateRegistry",
+           "new_state_registry", "FilterProvider", "polling_strategy",
+           "NormalPollingStrategy", "LexicographicalPollingStrategy"]
+
+STATE_PREFIX = "filebeat::aws-s3::state::"
+TAIL_KEY = "filebeat::aws-s3::tail"
+
+
+# ------------------------------------------------------------------ state
+
+@dataclass
+class S3State:
+    """state (state.go:12-30)."""
+
+    bucket: str
+    key: str
+    etag: str
+    last_modified: str  # RFC3339
+    stored: bool = False
+    failed: bool = False
+
+    def id(self) -> str:
+        return state_id(self.bucket, self.key, self.etag,
+                        self.last_modified)
+
+    def id_lexicographical(self) -> str:
+        return state_id(self.bucket, self.key, self.etag,
+                        self.last_modified) + "::lexicographical"
+
+    def is_equal(self, other: "S3State") -> bool:
+        return (self.bucket == other.bucket and self.key == other.key
+                and self.etag == other.etag
+                and self.last_modified == other.last_modified)
+
+
+def _go_time_string(ts: str) -> str:
+    """state.go:35 builds the ID with Go's time.Time.String()
+    ("2024-11-07 12:44:22 +0000 UTC"); reproduce it from the RFC3339
+    listing value so IDs stay stable across restarts."""
+    try:
+        dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError:
+        return ts
+    dt = dt.astimezone(timezone.utc)
+    frac = ""
+    if dt.microsecond:
+        frac = ("%.9f" % (dt.microsecond / 1e6))[1:].rstrip("0")
+    return dt.strftime("%Y-%m-%d %H:%M:%S") + frac + " +0000 UTC"
+
+
+def state_id(bucket: str, key: str, etag: str, last_modified: str,
+             lexicographical_ordering: bool = False) -> str:
+    """stateID (state.go:33-41): bucket + key + etag +
+    lastModified.String() — changing this breaks store back-compat."""
+    sid = bucket + key + etag + _go_time_string(last_modified)
+    if lexicographical_ordering:
+        sid += "::lexicographical"
+    return sid
+
+
+# ------------------------------------------------------------------ store
+
+class FileStore:
+    """statestore.Store analog: a JSON dict persisted by atomic
+    rename. None path = in-memory only (tests)."""
+
+    def __init__(self, path: Optional[str]):
+        self.path = path
+        self.data: dict[str, dict] = {}
+        if path and os.path.exists(path):
+            with open(path) as f:
+                self.data = json.load(f)
+
+    def set(self, key: str, value: dict) -> None:
+        self.data[key] = value
+        self._flush()
+
+    def get(self, key: str) -> Optional[dict]:
+        return self.data.get(key)
+
+    def remove(self, key: str) -> None:
+        self.data.pop(key, None)
+        self._flush()
+
+    def each(self, prefix: str):
+        for k, v in list(self.data.items()):
+            if k.startswith(prefix):
+                yield k, v
+
+    def _flush(self) -> None:
+        if not self.path:
+            return
+        d = os.path.dirname(self.path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".s3states-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(self.data, f)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+
+def _store_key(sid: str) -> str:
+    return STATE_PREFIX + sid
+
+
+# --------------------------------------------------------------- registry
+
+class StateRegistry:
+    """stateRegistry interface (states.go:20-50)."""
+
+    def is_processed(self, sid: str) -> bool:
+        raise NotImplementedError
+
+    def add_state(self, st: S3State) -> None:
+        raise NotImplementedError
+
+    def clean_up(self, known_ids: list[str]) -> None:
+        raise NotImplementedError
+
+    def get_start_after_key(self) -> str:
+        raise NotImplementedError
+
+    def mark_object_in_flight(self, key: str) -> None:
+        raise NotImplementedError
+
+    def unmark_object_in_flight(self, key: str) -> None:
+        raise NotImplementedError
+
+
+def _load_states(store: FileStore, key_prefix: str,
+                 lexicographical: bool) -> dict[str, S3State]:
+    """loadS3StatesFromRegistry: keep only entries whose object key
+    carries the configured prefix and whose ID dialect matches the
+    mode (states.go:230-282)."""
+    table: dict[str, S3State] = {}
+    for k, v in store.each(STATE_PREFIX):
+        sid = k[len(STATE_PREFIX):]
+        is_lex = sid.endswith("::lexicographical")
+        if is_lex != lexicographical:
+            continue
+        st = S3State(bucket=v.get("bucket", ""), key=v.get("key", ""),
+                     etag=v.get("etag", ""),
+                     last_modified=v.get("last_modified", ""),
+                     stored=v.get("stored", False),
+                     failed=v.get("failed", False))
+        if not st.key.startswith(key_prefix):
+            continue
+        table[sid] = st
+    return table
+
+
+class NormalStateRegistry(StateRegistry):
+    """Default mode: unbounded states keyed by
+    bucket+key+etag+mtime; every cycle lists from the beginning
+    (states.go:122-206)."""
+
+    def __init__(self, store: FileStore, key_prefix: str = ""):
+        self.store = store
+        self.key_prefix = key_prefix
+        self.states = _load_states(store, key_prefix, False)
+
+    def is_processed(self, sid: str) -> bool:
+        return sid in self.states
+
+    def add_state(self, st: S3State) -> None:
+        if not st.key.startswith(self.key_prefix):
+            raise ValueError(
+                f"expected prefix {self.key_prefix} in key {st.key}, "
+                "skipping state registering")
+        sid = st.id()
+        self.states[sid] = st
+        self.store.set(_store_key(sid), asdict(st))
+
+    def clean_up(self, known_ids: list[str]) -> None:
+        known = set(known_ids)
+        for sid in [s for s in self.states if s not in known]:
+            del self.states[sid]
+            self.store.remove(_store_key(sid))
+
+    def get_start_after_key(self) -> str:
+        return ""
+
+    def mark_object_in_flight(self, key: str) -> None:
+        pass
+
+    def unmark_object_in_flight(self, key: str) -> None:
+        pass
+
+
+class LexicographicalStateRegistry(StateRegistry):
+    """Lexicographical mode (states.go:293-530): keep only the N
+    largest completed keys in a min-heap, track in-flight keys, and
+    persist tail = min(in-flight, completed) as the crash-safe
+    StartAfter key."""
+
+    def __init__(self, store: FileStore, key_prefix: str = "",
+                 capacity: int = 100):
+        self.store = store
+        self.key_prefix = key_prefix
+        self.capacity = capacity
+        self.states = _load_states(store, key_prefix, True)
+        self.in_flight: set[str] = set()
+        # heap of (key, sid)
+        self._heap: list[tuple[str, str]] = [
+            (st.key, sid) for sid, st in self.states.items()]
+        heapq.heapify(self._heap)
+        while len(self._heap) > self.capacity:
+            _, sid = heapq.heappop(self._heap)
+            self.states.pop(sid, None)
+            self.store.remove(_store_key(sid))
+        persisted = store.get(TAIL_KEY) or {}
+        self.persisted_tail = persisted.get("tail", "")
+
+    def _prune_heap(self) -> None:
+        while self._heap and self._heap[0][1] not in self.states:
+            heapq.heappop(self._heap)
+
+    def _heap_min(self) -> str:
+        self._prune_heap()
+        return self._heap[0][0] if self._heap else ""
+
+    def is_processed(self, sid: str) -> bool:
+        return sid in self.states
+
+    def add_state(self, st: S3State) -> None:
+        if not st.key.startswith(self.key_prefix):
+            raise ValueError(
+                f"expected prefix {self.key_prefix} in key {st.key}, "
+                "skipping state registering")
+        sid = st.id_lexicographical()
+        self.in_flight.discard(st.key)
+        self._prune_heap()
+        if len(self._heap) >= self.capacity:
+            # keep the N LARGEST keys: skip if not above the minimum
+            if self._heap and st.key <= self._heap[0][0]:
+                self._recompute_tail()
+                return
+            _, evicted = heapq.heappop(self._heap)
+            self.states.pop(evicted, None)
+            self.store.remove(_store_key(evicted))
+        self.states[sid] = st
+        heapq.heappush(self._heap, (st.key, sid))
+        self.store.set(_store_key(sid), asdict(st))
+        self._recompute_tail()
+
+    def clean_up(self, known_ids: list[str]) -> None:
+        known = set(known_ids)
+        to_remove = [s for s in self.states if s not in known]
+        if not to_remove:
+            return
+        # preserve at least one state — the greatest removed ID —
+        # so startAfterKey survives a full turnover (states.go:463-476)
+        if len(self.states) - len(to_remove) < 1:
+            to_remove.remove(max(to_remove))
+        for sid in to_remove:
+            del self.states[sid]
+            self.store.remove(_store_key(sid))
+        self._recompute_tail()
+
+    def get_start_after_key(self) -> str:
+        return self.persisted_tail
+
+    def mark_object_in_flight(self, key: str) -> None:
+        self.in_flight.add(key)
+        if not self.persisted_tail or key < self.persisted_tail:
+            self.persisted_tail = key
+            self.store.remove(TAIL_KEY)
+            self.store.set(TAIL_KEY, {"tail": key})
+
+    def unmark_object_in_flight(self, key: str) -> None:
+        self.in_flight.discard(key)
+        self._recompute_tail()
+
+    def _recompute_tail(self) -> None:
+        min_in_flight = min(self.in_flight) if self.in_flight else ""
+        min_completed = self._heap_min()
+        if not min_in_flight:
+            new_tail = min_completed
+        elif not min_completed or min_in_flight < min_completed:
+            new_tail = min_in_flight
+        else:
+            new_tail = min_completed
+        if new_tail == self.persisted_tail:
+            return
+        self.persisted_tail = new_tail
+        self.store.remove(TAIL_KEY)
+        if new_tail:
+            self.store.set(TAIL_KEY, {"tail": new_tail})
+
+
+def new_state_registry(store: FileStore, key_prefix: str = "",
+                       lexicographical_ordering: bool = False,
+                       lookback_keys: int = 100) -> StateRegistry:
+    if lexicographical_ordering:
+        return LexicographicalStateRegistry(store, key_prefix,
+                                            lookback_keys)
+    return NormalStateRegistry(store, key_prefix)
+
+
+# ---------------------------------------------------------------- filters
+
+def _parse_rfc3339(ts: str) -> Optional[datetime]:
+    try:
+        dt = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
+
+
+class FilterProvider:
+    """filterProvider (s3_filters.go): start_timestamp is static;
+    ignore_older re-derives its horizon each poll; when BOTH are set,
+    the FIRST poll ignores ignore_older so backfill from
+    start_timestamp works (the sync.Once dance, s3_filters.go:57-63)."""
+
+    def __init__(self, ignore_older_seconds: float = 0.0,
+                 start_timestamp: str = "",
+                 now: Callable[[], datetime] | None = None):
+        self.ignore_older = ignore_older_seconds
+        self.start = _parse_rfc3339(start_timestamp) \
+            if start_timestamp else None
+        self._now = now or (lambda: datetime.now(timezone.utc))
+        self._first = True
+
+    def get_applier(self) -> Callable[[S3State], bool]:
+        filters: list[Callable[[S3State], bool]] = []
+        if self.ignore_older:
+            oldest = self._now() - timedelta(seconds=self.ignore_older)
+            ignore_older_filter = (
+                lambda st: (_parse_rfc3339(st.last_modified) or oldest)
+                > oldest)
+        else:
+            ignore_older_filter = None
+        if ignore_older_filter is not None and not (
+                self._first and self.start is not None):
+            filters.append(ignore_older_filter)
+        if self.start is not None:
+            start = self.start
+            filters.append(
+                lambda st: (_parse_rfc3339(st.last_modified)
+                            or start) > start)
+        self._first = False
+        return lambda st: all(f(st) for f in filters)
+
+
+# ------------------------------------------------------- polling strategy
+
+class NormalPollingStrategy:
+    def should_skip_object(self, st: S3State,
+                           is_valid: Callable[[S3State], bool]) -> bool:
+        return not is_valid(st)
+
+    def get_state_id(self, st: S3State) -> str:
+        return st.id()
+
+
+class LexicographicalPollingStrategy:
+    def should_skip_object(self, st: S3State,
+                           is_valid: Callable[[S3State], bool]) -> bool:
+        return False
+
+    def get_state_id(self, st: S3State) -> str:
+        return st.id_lexicographical()
+
+
+def polling_strategy(lexicographical_ordering: bool):
+    if lexicographical_ordering:
+        return LexicographicalPollingStrategy()
+    return NormalPollingStrategy()

@@ -1,0 +1,350 @@
+"""In-memory fake S3 (REST XML) and SQS (JSON 1.0) servers for the
+awss3 test batteries.
+
+Both verify SigV4 server-side: they rebuild the canonical request from
+the RAW wire bytes and reject a bad signature with the services' real
+error envelopes — so every test doubles as a signing test of what the
+client actually sent (the signer itself is independently grounded
+against botocore in test_awss3_sigv4.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import threading
+import time
+from dataclasses import dataclass, field
+from email.utils import formatdate
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+from urllib.parse import parse_qsl, unquote, urlparse
+from xml.sax.saxutils import escape
+
+from beats_spark.awss3.sigv4 import sign_request
+
+ACCESS_KEY = "AKIDEXAMPLE"
+SECRET_KEY = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+
+
+def _verify_sigv4(handler, body: bytes, service: str, region: str) -> bool:
+    auth = handler.headers.get("Authorization", "")
+    m = re.match(
+        r"AWS4-HMAC-SHA256 Credential=([^/]+)/(\d{8})/([^/]+)/([^/]+)/"
+        r"aws4_request, SignedHeaders=([^,]+), Signature=([0-9a-f]{64})",
+        auth)
+    if not m:
+        return False
+    akid, date, rgn, svc, signed_headers, got_sig = m.groups()
+    if akid != ACCESS_KEY or svc != service or rgn != region:
+        return False
+    u = urlparse(handler.path)
+    # reconstruct the signed header set from the wire headers
+    hdrs = {}
+    for name in signed_headers.split(";"):
+        v = handler.headers.get(name)
+        if v is None:
+            return False
+        hdrs[name] = v
+    amz_date = handler.headers.get("x-amz-date", "")
+    sha = handler.headers.get(
+        "x-amz-content-sha256", hashlib.sha256(body).hexdigest())
+    query = [(unquote(k), unquote(v))
+             for k, v in parse_qsl(u.query, keep_blank_values=True)]
+    want = sign_request(
+        handler.command, unquote(u.path), query, hdrs, sha,
+        access_key=ACCESS_KEY, secret_key=SECRET_KEY,
+        region=region, service=service, amz_date=amz_date,
+    )["Authorization"]
+    return want.endswith("Signature=" + got_sig)
+
+
+@dataclass
+class FakeObject:
+    body: bytes
+    content_type: str = ""
+    metadata: dict = field(default_factory=dict)
+    last_modified: str = "2024-11-07T12:44:22.000Z"
+
+    @property
+    def etag(self) -> str:
+        return hashlib.md5(self.body).hexdigest()
+
+
+class FakeS3Server:
+    """Buckets as dict[bucket][key] -> FakeObject; path-style only."""
+
+    def __init__(self, region: str = "us-east-1",
+                 fail_get: Optional[Callable[[str], Optional[tuple]]] = None):
+        self.region = region
+        self.buckets: dict[str, dict[str, FakeObject]] = {}
+        self.requests: list[str] = []  # "METHOD path?query" log
+        self.fail_get = fail_get  # key -> (status, code) or None
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, body=b"", headers=None):
+                self.send_response(status)
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _error(self, status, code, msg=""):
+                xml = (f"<?xml version=\"1.0\"?><Error><Code>{code}"
+                       f"</Code><Message>{escape(msg)}</Message></Error>"
+                       ).encode()
+                self._send(status, xml,
+                           {"Content-Type": "application/xml"})
+
+            def _serve(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                u = urlparse(self.path)
+                outer.requests.append(f"{self.command} {self.path}")
+                if not _verify_sigv4(self, body, "s3", outer.region):
+                    return self._error(403, "SignatureDoesNotMatch",
+                                       "signature mismatch")
+                q = dict(parse_qsl(u.query, keep_blank_values=True))
+                parts = unquote(u.path).lstrip("/").split("/", 1)
+                bucket = parts[0]
+                key = parts[1] if len(parts) > 1 else ""
+                store = outer.buckets.setdefault(bucket, {})
+
+                if self.command == "GET" and "location" in q:
+                    loc = "" if outer.region == "us-east-1" \
+                        else outer.region
+                    xml = ("<?xml version=\"1.0\"?><LocationConstraint>"
+                           f"{loc}</LocationConstraint>").encode()
+                    return self._send(200, xml)
+                if self.command == "GET" and q.get("list-type") == "2":
+                    return self._list(store, bucket, q)
+                if self.command == "GET":
+                    if outer.fail_get:
+                        planned = outer.fail_get(key)
+                        if planned:
+                            return self._error(*planned)
+                    obj = store.get(key)
+                    if obj is None:
+                        return self._error(404, "NoSuchKey",
+                                           "The specified key does "
+                                           "not exist.")
+                    headers = {"ETag": f'"{obj.etag}"',
+                               "Last-Modified": formatdate(usegmt=True)}
+                    if obj.content_type:
+                        headers["Content-Type"] = obj.content_type
+                    for k, v in obj.metadata.items():
+                        headers[f"x-amz-meta-{k}"] = v
+                    return self._send(200, obj.body, headers)
+                if self.command == "PUT":
+                    src = self.headers.get("x-amz-copy-source")
+                    if src:
+                        sb, sk = unquote(src).lstrip("/").split("/", 1)
+                        sobj = outer.buckets.get(sb, {}).get(sk)
+                        if sobj is None:
+                            return self._error(404, "NoSuchKey", "")
+                        store[key] = sobj
+                        return self._send(
+                            200, b"<?xml version=\"1.0\"?>"
+                            b"<CopyObjectResult/>")
+                    store[key] = FakeObject(
+                        body=body,
+                        content_type=self.headers.get("Content-Type", ""),
+                        metadata={
+                            k[len("x-amz-meta-"):].lower(): v
+                            for k, v in self.headers.items()
+                            if k.lower().startswith("x-amz-meta-")})
+                    return self._send(200, b"", {"ETag": "\"%s\""
+                                                 % store[key].etag})
+                if self.command == "DELETE":
+                    store.pop(key, None)
+                    return self._send(204)
+                return self._error(400, "MethodNotAllowed", "")
+
+            def _list(self, store, bucket, q):
+                prefix = q.get("prefix", "")
+                start_after = q.get("start-after", "")
+                token = q.get("continuation-token", "")
+                max_keys = int(q.get("max-keys", "1000"))
+                keys = sorted(k for k in store
+                              if k.startswith(prefix)
+                              and (not start_after or k > start_after))
+                if token:
+                    keys = [k for k in keys if k > token]
+                page, rest = keys[:max_keys], keys[max_keys:]
+                contents = "".join(
+                    "<Contents><Key>%s</Key><ETag>&quot;%s&quot;</ETag>"
+                    "<LastModified>%s</LastModified><Size>%d</Size>"
+                    "</Contents>" % (escape(k), store[k].etag,
+                                     store[k].last_modified,
+                                     len(store[k].body))
+                    for k in page)
+                trunc = "true" if rest else "false"
+                nxt = ("<NextContinuationToken>%s</NextContinuationToken>"
+                       % escape(page[-1])) if rest else ""
+                xml = ("<?xml version=\"1.0\"?><ListBucketResult>"
+                       f"<Name>{escape(bucket)}</Name>"
+                       f"<IsTruncated>{trunc}</IsTruncated>{nxt}"
+                       f"{contents}</ListBucketResult>").encode()
+                self._send(200, xml,
+                           {"Content-Type": "application/xml"})
+
+            do_GET = do_PUT = do_DELETE = do_POST = _serve
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.endpoint = "http://127.0.0.1:%d" % self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def put(self, bucket: str, key: str, body: bytes,
+            content_type: str = "", **kw) -> FakeObject:
+        obj = FakeObject(body=body, content_type=content_type, **kw)
+        self.buckets.setdefault(bucket, {})[key] = obj
+        return obj
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class FakeSQSServer:
+    """One queue over the JSON 1.0 protocol with real visibility
+    semantics: received messages are hidden until their visibility
+    deadline, ApproximateReceiveCount increments per receive."""
+
+    def __init__(self, region: str = "us-east-1", account: str
+                 = "123456789012", name: str = "test-queue"):
+        self.region = region
+        self._lock = threading.Lock()
+        self._seq = 0
+        # message_id -> dict(body, receive_count, visible_at,
+        #                    receipt, sent_ms, deleted)
+        self.messages: dict[str, dict] = {}
+        self.deleted: list[str] = []
+        self.visibility_changes: list[tuple[str, int]] = []
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send_json(self, status, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type",
+                                 "application/x-amz-json-1.0")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                if not _verify_sigv4(self, body, "sqs", outer.region):
+                    return self._send_json(403, {
+                        "__type": "com.amazon.coral.service#"
+                                  "InvalidSignatureException",
+                        "message": "signature mismatch"})
+                target = self.headers.get("X-Amz-Target", "")
+                op = target.split(".")[-1]
+                payload = json.loads(body) if body else {}
+                fn = getattr(self, "_op_" + op, None)
+                if fn is None:
+                    return self._send_json(400, {
+                        "__type": "com.amazonaws.sqs#UnsupportedOperation",
+                        "message": op})
+                with outer._lock:
+                    fn(payload)
+
+            def _op_ReceiveMessage(self, p):
+                now = time.monotonic()
+                vis = int(p.get("VisibilityTimeout", 30))
+                out = []
+                for mid, m in outer.messages.items():
+                    if len(out) >= int(p.get("MaxNumberOfMessages", 1)):
+                        break
+                    if m["deleted"] or m["visible_at"] > now:
+                        continue
+                    m["receive_count"] += 1
+                    m["visible_at"] = now + vis
+                    m["receipt"] = f"rh-{mid}-{m['receive_count']}"
+                    out.append({
+                        "MessageId": mid,
+                        "ReceiptHandle": m["receipt"],
+                        "Body": m["body"],
+                        "Attributes": {
+                            "ApproximateReceiveCount":
+                                str(m["receive_count"]),
+                            "SentTimestamp": str(m["sent_ms"]),
+                        },
+                    })
+                self._send_json(200, {"Messages": out} if out else {})
+
+            def _find(self, receipt):
+                for mid, m in outer.messages.items():
+                    if m["receipt"] == receipt and not m["deleted"]:
+                        return mid, m
+                return None, None
+
+            def _op_DeleteMessage(self, p):
+                mid, m = self._find(p.get("ReceiptHandle", ""))
+                if m is None:
+                    return self._send_json(404, {
+                        "__type": "com.amazonaws.sqs#ReceiptHandleIsInvalid",
+                        "message": "invalid receipt handle"})
+                m["deleted"] = True
+                outer.deleted.append(mid)
+                self._send_json(200, {})
+
+            def _op_ChangeMessageVisibility(self, p):
+                mid, m = self._find(p.get("ReceiptHandle", ""))
+                if m is None:
+                    return self._send_json(404, {
+                        "__type": "com.amazonaws.sqs#ReceiptHandleIsInvalid",
+                        "message": "invalid receipt handle"})
+                t = int(p.get("VisibilityTimeout", 0))
+                m["visible_at"] = time.monotonic() + t
+                outer.visibility_changes.append((mid, t))
+                self._send_json(200, {})
+
+            def _op_GetQueueAttributes(self, p):
+                visible = sum(
+                    1 for m in outer.messages.values()
+                    if not m["deleted"]
+                    and m["visible_at"] <= time.monotonic())
+                self._send_json(200, {"Attributes": {
+                    "ApproximateNumberOfMessages": str(visible)}})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        port = self.httpd.server_address[1]
+        # shaped like a real queue URL so getRegionFromQueueURL-style
+        # parsing has something to chew on; the client's endpoint
+        # override points it at 127.0.0.1
+        self.queue_url = f"http://127.0.0.1:{port}/{account}/{name}"
+        self.endpoint = f"http://127.0.0.1:{port}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def send(self, body: str) -> str:
+        with self._lock:
+            self._seq += 1
+            mid = f"msg-{self._seq:04d}"
+            self.messages[mid] = {
+                "body": body, "receive_count": 0, "visible_at": 0.0,
+                "receipt": "", "deleted": False,
+                "sent_ms": int(time.time() * 1000),
+            }
+            return mid
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()

@@ -1,0 +1,184 @@
+"""S3/SQS wire clients against live fake servers with server-side
+SigV4 verification — every request that lands is also a signing test
+of the exact bytes sent."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+from awss3_fakes import ACCESS_KEY, SECRET_KEY, FakeS3Server, FakeSQSServer
+from beats_spark.awss3.client import (
+    AWSError,
+    S3Client,
+    SQSClient,
+    get_bucket_name_from_arn,
+    get_region_from_queue_url,
+    gzip_decode_if_needed,
+    is_valid_access_point_arn,
+)
+
+
+@pytest.fixture
+def s3srv():
+    s = FakeS3Server()
+    yield s
+    s.close()
+
+
+@pytest.fixture
+def sqssrv():
+    s = FakeSQSServer()
+    yield s
+    s.close()
+
+
+def s3c(srv, **kw):
+    return S3Client(srv.endpoint, srv.region, access_key=ACCESS_KEY,
+                    secret_key=SECRET_KEY, path_style=True, **kw)
+
+
+def sqsc(srv, **kw):
+    kw.setdefault("wait_time", 0)
+    return SQSClient(srv.queue_url, region=srv.region,
+                     access_key=ACCESS_KEY, secret_key=SECRET_KEY, **kw)
+
+
+# ------------------------------------------------------------------- S3
+
+def test_get_object_roundtrip(s3srv):
+    s3srv.put("logs", "a/b c/file.txt", b"hello\nworld\n",
+              content_type="text/plain", metadata={"owner": "me"})
+    c = s3c(s3srv)
+    got = c.get_object("logs", "a/b c/file.txt")
+    assert got.body == b"hello\nworld\n"
+    assert got.content_type == "text/plain"
+    assert got.metadata == {"owner": "me"}
+    assert got.etag
+
+
+def test_get_object_missing_raises_code(s3srv):
+    with pytest.raises(AWSError) as ei:
+        s3c(s3srv).get_object("logs", "nope")
+    assert ei.value.code == "NoSuchKey"
+    assert ei.value.status == 404
+
+
+def test_bad_signature_rejected(s3srv):
+    c = S3Client(s3srv.endpoint, s3srv.region, access_key=ACCESS_KEY,
+                 secret_key="wrong-secret", path_style=True)
+    with pytest.raises(AWSError) as ei:
+        c.get_object("logs", "x")
+    assert ei.value.code == "SignatureDoesNotMatch"
+
+
+def test_list_objects_pagination_and_start_after(s3srv):
+    for i in range(7):
+        s3srv.put("logs", f"p/k{i:02d}", b"x")
+    s3srv.put("logs", "other/k", b"x")
+    c = s3c(s3srv)
+    pages = list(c.list_objects("logs", prefix="p/", page_size=3))
+    assert [len(p) for p in pages] == [3, 3, 1]
+    keys = [o.key for p in pages for o in p]
+    assert keys == [f"p/k{i:02d}" for i in range(7)]
+    # start-after skips the earlier keys (the lexicographical mode's
+    # StartAfter parameter, interfaces.go:328-330)
+    after = [o.key for p in c.list_objects("logs", prefix="p/",
+                                           start_after="p/k03")
+             for o in p]
+    assert after == ["p/k04", "p/k05", "p/k06"]
+
+
+def test_get_bucket_location_default_region(s3srv):
+    s3srv.put("logs", "k", b"x")
+    assert s3c(s3srv).get_bucket_location("logs") == "us-east-1"
+
+
+def test_copy_and_delete_object(s3srv):
+    s3srv.put("logs", "src.txt", b"payload")
+    c = s3c(s3srv)
+    c.copy_object("logs", "backup", "src.txt", "pfx/src.txt")
+    assert s3srv.buckets["backup"]["pfx/src.txt"].body == b"payload"
+    c.delete_object("logs", "src.txt")
+    assert "src.txt" not in s3srv.buckets["logs"]
+
+
+def test_gzip_sniff():
+    raw = b'{"a": 1}\n'
+    assert gzip_decode_if_needed(gzip.compress(raw)) == raw
+    assert gzip_decode_if_needed(raw) == raw
+
+
+# ------------------------------------------------------------------ SQS
+
+def test_receive_delete_cycle(sqssrv):
+    sqssrv.send('{"hello": 1}')
+    c = sqsc(sqssrv)
+    msgs = c.receive_message(10)
+    assert len(msgs) == 1
+    m = msgs[0]
+    assert m.body == '{"hello": 1}'
+    assert m.attributes["ApproximateReceiveCount"] == "1"
+    assert "SentTimestamp" in m.attributes
+    # invisible while in flight
+    assert c.receive_message(10) == []
+    c.delete_message(m)
+    assert sqssrv.deleted == [m.message_id]
+
+
+def test_receive_count_increments_on_redelivery(sqssrv):
+    sqssrv.send("body")
+    c = sqsc(sqssrv, visibility_timeout=0)
+    first = c.receive_message(10)[0]
+    second = c.receive_message(10)[0]
+    assert first.message_id == second.message_id
+    assert second.attributes["ApproximateReceiveCount"] == "2"
+    # the first receipt handle is stale now
+    with pytest.raises(AWSError) as ei:
+        c.delete_message(first)
+    assert ei.value.code == "ReceiptHandleIsInvalid"
+    assert "sqs DeleteMessage failed" in str(ei.value)
+
+
+def test_change_visibility_and_queue_attributes(sqssrv):
+    sqssrv.send("a")
+    c = sqsc(sqssrv)
+    m = c.receive_message(10)[0]
+    c.change_message_visibility(m, 120)
+    assert sqssrv.visibility_changes[-1] == (m.message_id, 120)
+    attrs = c.get_queue_attributes(["ApproximateNumberOfMessages"])
+    assert attrs["ApproximateNumberOfMessages"] == "0"
+
+
+def test_receive_caps_at_ten(sqssrv):
+    for i in range(15):
+        sqssrv.send(f"m{i}")
+    msgs = sqsc(sqssrv).receive_message(100)
+    assert len(msgs) == 10  # interfaces.go:115's hard SQS limit
+
+
+# --------------------------------------------------------------- helpers
+
+def test_region_from_queue_url():
+    # sqs.go:36-63's exact examples
+    assert get_region_from_queue_url(
+        "https://sqs.us-east-1.amazonaws.com/12345678912/test-s3-logs"
+    ) == "us-east-1"
+    assert get_region_from_queue_url(
+        "https://sqs.us-east-1.abc.xyz/12345678912/test-s3-logs"
+    ) == "us-east-1"
+    assert get_region_from_queue_url(
+        "https://vpce-test.sqs.us-east-1.vpce.amazonaws.com/12345678912/"
+        "sqs-queue"
+    ) == "us-east-1"
+    assert get_region_from_queue_url("https://example.com/q") == ""
+
+
+def test_bucket_name_from_arn():
+    assert get_bucket_name_from_arn("arn:aws:s3:::examplebucket") == \
+        "examplebucket"
+    ap = "arn:aws:s3:us-west-2:123456789012:accesspoint/my-access-point"
+    assert is_valid_access_point_arn(ap)
+    assert get_bucket_name_from_arn(ap) == ap
+    assert not is_valid_access_point_arn("arn:aws:s3:::bucket")

@@ -1,0 +1,549 @@
+"""awss3 composed input: states_test.go + config_test.go matrices and
+live end-to-end polls against the fake S3/SQS servers."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from awss3_fakes import ACCESS_KEY, SECRET_KEY, FakeS3Server, FakeSQSServer
+from beats_spark.awss3.client import S3Client, SQSClient
+from beats_spark.awss3.config import (
+    backup_prefix_to_exclude,
+    validate_config,
+)
+from beats_spark.awss3.input import (
+    s3_objects_df,
+    s3_poll_records,
+    sqs_collect,
+)
+from beats_spark.awss3.states import (
+    FileStore,
+    FilterProvider,
+    LexicographicalStateRegistry,
+    NormalStateRegistry,
+    S3State,
+    new_state_registry,
+    state_id,
+)
+
+pytestmark = []
+
+
+def s3c(srv, **kw):
+    return S3Client(srv.endpoint, srv.region, access_key=ACCESS_KEY,
+                    secret_key=SECRET_KEY, path_style=True, **kw)
+
+
+@pytest.fixture
+def s3srv():
+    s = FakeS3Server()
+    yield s
+    s.close()
+
+
+@pytest.fixture
+def sqssrv():
+    s = FakeSQSServer()
+    yield s
+    s.close()
+
+
+def st(key, bucket="bucket", etag="etag",
+       lm="2022-06-30T14:13:00Z") -> S3State:
+    return S3State(bucket=bucket, key=key, etag=etag, last_modified=lm)
+
+
+# ------------------------------------------------------- states matrix
+
+def test_normal_add_state_and_is_processed(tmp_path):
+    store = FileStore(str(tmp_path / "states.json"))
+    reg = NormalStateRegistry(store)
+    s = st("a")
+    assert not reg.is_processed(s.id())
+    reg.add_state(s)
+    assert reg.is_processed(s.id())
+    # reload from disk — the registry survives restarts
+    reg2 = NormalStateRegistry(FileStore(str(tmp_path / "states.json")))
+    assert reg2.is_processed(s.id())
+
+
+def test_state_id_is_go_time_string():
+    # state.go:35 uses time.Time.String(); the listing value is
+    # RFC3339 — the ID must come out in Go's rendering either way
+    sid = state_id("b", "k", "e", "2024-11-07T12:44:22Z")
+    assert sid == "bke2024-11-07 12:44:22 +0000 UTC"
+    sid = state_id("b", "k", "e", "2024-11-07T12:44:22.123Z")
+    assert sid == "bke2024-11-07 12:44:22.123 +0000 UTC"
+    assert state_id("b", "k", "e", "2024-11-07T12:44:22Z",
+                    True).endswith("::lexicographical")
+
+
+def test_normal_cleanup_removes_unknown():
+    reg = NormalStateRegistry(FileStore(None))
+    s1, s2 = st("a"), st("b")
+    reg.add_state(s1)
+    reg.add_state(s2)
+    reg.clean_up([s1.id()])
+    assert reg.is_processed(s1.id())
+    assert not reg.is_processed(s2.id())
+
+
+def test_normal_prefix_handling(tmp_path):
+    path = str(tmp_path / "states.json")
+    reg = NormalStateRegistry(FileStore(path), key_prefix="logs/")
+    with pytest.raises(ValueError, match="expected prefix logs/"):
+        reg.add_state(st("other/a"))
+    reg.add_state(st("logs/a"))
+    # the registry reload only keeps entries matching the prefix
+    full = NormalStateRegistry(FileStore(path), key_prefix="")
+    full.add_state(st("other/b"))
+    again = NormalStateRegistry(FileStore(path), key_prefix="logs/")
+    assert again.is_processed(st("logs/a").id())
+    assert not again.is_processed(st("other/b").id())
+
+
+def test_normal_mode_invariants():
+    reg = NormalStateRegistry(FileStore(None))
+    assert reg.get_start_after_key() == ""
+    reg.mark_object_in_flight("k")  # no-ops
+    reg.unmark_object_in_flight("k")
+
+
+def test_lexicographical_eviction_keeps_largest():
+    reg = LexicographicalStateRegistry(FileStore(None), capacity=2)
+    for k in ("a", "b", "c"):
+        reg.add_state(st(k))
+    # capacity 2 keeps the two LARGEST keys
+    assert not reg.is_processed(st("a").id_lexicographical())
+    assert reg.is_processed(st("b").id_lexicographical())
+    assert reg.is_processed(st("c").id_lexicographical())
+    # a key below the current minimum is not re-admitted
+    reg.add_state(st("a"))
+    assert not reg.is_processed(st("a").id_lexicographical())
+
+
+def test_lexicographical_tail_tracking(tmp_path):
+    path = str(tmp_path / "states.json")
+    reg = LexicographicalStateRegistry(FileStore(path), capacity=10)
+    reg.mark_object_in_flight("m")
+    assert reg.get_start_after_key() == "m"
+    reg.mark_object_in_flight("k")  # smaller → new tail
+    assert reg.get_start_after_key() == "k"
+    reg.mark_object_in_flight("z")  # larger → unchanged
+    assert reg.get_start_after_key() == "k"
+    # completing k: tail = min(in-flight m,z ; completed k) = k
+    reg.add_state(st("k"))
+    assert reg.get_start_after_key() == "k"
+    # the tail survives a reload (crash recovery)
+    reg2 = LexicographicalStateRegistry(FileStore(path), capacity=10)
+    assert reg2.get_start_after_key() == "k"
+
+
+def test_lexicographical_cleanup_preserves_newest():
+    reg = LexicographicalStateRegistry(FileStore(None), capacity=10)
+    for k in ("a", "b", "c"):
+        reg.add_state(st(k))
+    # removing everything preserves the greatest ID for StartAfter
+    reg.clean_up([])
+    assert reg.is_processed(st("c").id_lexicographical())
+    assert not reg.is_processed(st("a").id_lexicographical())
+
+
+def test_lexicographical_trims_on_load(tmp_path):
+    path = str(tmp_path / "states.json")
+    reg = LexicographicalStateRegistry(FileStore(path), capacity=10)
+    for k in ("a", "b", "c", "d"):
+        reg.add_state(st(k))
+    reg2 = LexicographicalStateRegistry(FileStore(path), capacity=2)
+    assert not reg2.is_processed(st("a").id_lexicographical())
+    assert reg2.is_processed(st("d").id_lexicographical())
+
+
+def test_new_state_registry_dispatch():
+    assert isinstance(new_state_registry(FileStore(None)),
+                      NormalStateRegistry)
+    assert isinstance(
+        new_state_registry(FileStore(None),
+                           lexicographical_ordering=True),
+        LexicographicalStateRegistry)
+
+
+# -------------------------------------------------------- filter matrix
+
+def test_filter_start_timestamp_overrides_ignore_older_once():
+    from datetime import datetime, timezone
+
+    now = lambda: datetime(2024, 6, 1, tzinfo=timezone.utc)  # noqa: E731
+    fp = FilterProvider(ignore_older_seconds=3600,
+                        start_timestamp="2024-01-01T00:00:00Z", now=now)
+    old_but_after_start = st("k", lm="2024-03-01T00:00:00Z")
+    # FIRST poll: ignore_older suspended → valid (backfill)
+    assert fp.get_applier()(old_but_after_start)
+    # SECOND poll: ignore_older active again → filtered
+    assert not fp.get_applier()(old_but_after_start)
+    fresh = st("k", lm="2024-05-31T23:30:00Z")
+    assert fp.get_applier()(fresh)
+
+
+def test_filter_ignore_older_alone():
+    from datetime import datetime, timezone
+
+    now = lambda: datetime(2024, 6, 1, tzinfo=timezone.utc)  # noqa: E731
+    fp = FilterProvider(ignore_older_seconds=3600, now=now)
+    assert not fp.get_applier()(st("k", lm="2024-05-31T22:00:00Z"))
+    assert fp.get_applier()(st("k", lm="2024-05-31T23:30:00Z"))
+
+
+# -------------------------------------------------------- config matrix
+
+GOOD_QUEUE = {"queue_url": "https://sqs.us-east-1.amazonaws.com/1/q"}
+GOOD_BUCKET = {"bucket_arn": "arn:aws:s3:::aBucket"}
+
+
+@pytest.mark.parametrize("cfg,err", [
+    (GOOD_QUEUE, ""),
+    (GOOD_BUCKET, ""),
+    ({}, "neither queue_url, bucket_arn, access_point_arn, nor "
+         "non_aws_bucket_name were provided"),
+    ({"queue_url": "https://example.com",
+      "bucket_arn": "arn:aws:s3:::aBucket"},
+     "queue_url <https://example.com>, bucket_arn <arn:aws:s3:::aBucket"
+     ">, access_point_arn <>, non_aws_bucket_name <> cannot be set at "
+     "the same time"),
+    (dict(GOOD_QUEUE, **{"api_timeout": 0}),
+     "api_timeout <0"),
+    (dict(GOOD_QUEUE, **{"visibility_timeout": 0}),
+     "visibility_timeout <0"),
+    (dict(GOOD_QUEUE, **{"visibility_timeout": 12 * 3600 + 1}),
+     "visibility_timeout <"),
+    (dict(GOOD_BUCKET, **{"bucket_list_interval": 0}),
+     "bucket_list_interval <0"),
+    (dict(GOOD_BUCKET, **{"number_of_workers": 0}),
+     "number_of_workers <0> must be greater than 0"),
+    ({"non_aws_bucket_name": "minio"},
+     "region must be configured when using non_aws_bucket_name"),
+    ({"non_aws_bucket_name": "minio", "region": "us-east-1"}, ""),
+    ({"non_aws_bucket_name": "minio", "region": "r",
+      "fips_enabled": True},
+     "fips_enabled cannot be used with a non-AWS S3 bucket"),
+    (dict(GOOD_BUCKET, path_style=True),
+     "path_style can only be used when polling non-AWS S3 services"),
+    (dict(GOOD_BUCKET, provider="custom"),
+     "provider can only be overridden when polling non-AWS S3"),
+    (dict(GOOD_QUEUE, provider="custom"),
+     "provider can only be overridden when polling non-AWS S3"),
+    (dict(GOOD_BUCKET, backup_to_bucket_arn="arn:aws:s3:::backup"), ""),
+    (dict(GOOD_BUCKET, non_aws_backup_to_bucket_name="b"),
+     "backup to non-AWS bucket can only be used for non-AWS sources"),
+    ({"non_aws_bucket_name": "m", "region": "r",
+      "backup_to_bucket_arn": "arn:aws:s3:::b"},
+     "backup to AWS bucket can only be used for AWS sources"),
+    (dict(GOOD_BUCKET, backup_to_bucket_arn="arn:aws:s3:::aBucket"),
+     "backup_to_bucket_prefix is a required property when source and "
+     "backup bucket are the same"),
+    (dict(GOOD_BUCKET, backup_to_bucket_arn="arn:aws:s3:::aBucket",
+          backup_to_bucket_prefix="p/", bucket_list_prefix="p/"),
+     "backup_to_bucket_prefix cannot be the same as bucket_list_prefix"),
+    (dict(GOOD_BUCKET,
+          access_point_arn_removed="x",
+          start_timestamp="2024-11-20 20:20:00"),
+     "invalid input for start_timestamp"),
+    (dict(GOOD_BUCKET, start_timestamp="2024-11-20T20:20:00Z"), ""),
+    ({"access_point_arn": "arn:aws:s3:::not-an-accesspoint"},
+     "invalid format for access_point_arn"),
+    ({"access_point_arn":
+      "arn:aws:s3:us-west-2:123456789012:accesspoint/my-ap"}, ""),
+    (dict(GOOD_QUEUE, lexicographical_ordering=True),
+     "lexicographical_ordering can only be used when polling"),
+    (dict(GOOD_BUCKET, lexicographical_ordering=True,
+          lexicographical_lookback_keys=0),
+     "lexicographical_lookback_keys <0> must be greater than 0"),
+])
+def test_config_validate_matrix(cfg, err):
+    if err:
+        with pytest.raises(ValueError) as ei:
+            validate_config(cfg)
+        assert err in str(ei.value)
+    else:
+        validate_config(cfg)
+
+
+@pytest.mark.parametrize("cfg,want", [
+    # config_test.go TestBackupPrefixToExclude, verbatim
+    ({"bucket_arn": "arn:aws:s3:::my-bucket"}, ""),
+    ({"bucket_arn": "arn:aws:s3:::my-bucket",
+      "backup_to_bucket_arn": "arn:aws:s3:::other-bucket",
+      "backup_to_bucket_prefix": "processed/"}, ""),
+    ({"bucket_arn": "arn:aws:s3:::my-bucket",
+      "backup_to_bucket_arn": "arn:aws:s3:::my-bucket",
+      "backup_to_bucket_prefix": "processed/"}, "processed/"),
+    ({"bucket_arn": "arn:aws:s3:::my-bucket",
+      "bucket_list_prefix": "logs/",
+      "backup_to_bucket_arn": "arn:aws:s3:::my-bucket",
+      "backup_to_bucket_prefix": "logs/processed/"},
+     "logs/processed/logs/"),
+    ({"bucket_arn": "arn:aws:s3:::my-bucket",
+      "bucket_list_prefix": "logs/",
+      "backup_to_bucket_arn": "arn:aws:s3:::my-bucket",
+      "backup_to_bucket_prefix": "archived/"}, ""),
+    ({"access_point_arn": "arn:aws:s3:us-east-1:123456789:accesspoint/ap",
+      "backup_to_bucket_arn":
+      "arn:aws:s3:us-east-1:123456789:accesspoint/ap",
+      "backup_to_bucket_prefix": "done/"}, "done/"),
+    ({"non_aws_bucket_name": "minio-bucket",
+      "non_aws_backup_to_bucket_name": "minio-bucket",
+      "backup_to_bucket_prefix": "backup/"}, "backup/"),
+])
+def test_backup_prefix_to_exclude(cfg, want):
+    assert backup_prefix_to_exclude(cfg) == want
+
+
+# ------------------------------------------------- bucket poll end-to-end
+
+BUCKET_CFG = {
+    "bucket_arn": "arn:aws:s3:::logs",
+    "region": "us-east-1",
+    "path_style": True,  # validated against non-AWS only; fake is local
+}
+
+
+def test_s3_poll_records_and_resume(s3srv):
+    s3srv.put("logs", "a.txt", b"l1\nl2\n", content_type="text/plain")
+    s3srv.put("logs", "b.json", b'{"x":1}',
+              content_type="application/json")
+    client = s3c(s3srv)
+    reg = NormalStateRegistry(FileStore(None))
+
+    recs = s3_poll_records(BUCKET_CFG, client, reg)
+    assert sorted(r["message"] for r in recs) == ["l1", "l2", '{"x":1}']
+    assert all(r["bucket_arn"] == "arn:aws:s3:::logs" for r in recs)
+    assert all(r["region"] == "us-east-1" for r in recs)
+
+    # a second poll ships nothing new…
+    assert s3_poll_records(BUCKET_CFG, client, reg) == []
+    # …until an object changes (new etag → new state ID)
+    s3srv.put("logs", "a.txt", b"l3\n", content_type="text/plain")
+    recs = s3_poll_records(BUCKET_CFG, client, reg)
+    assert [r["message"] for r in recs] == ["l3"]
+
+
+def test_s3_poll_finalize_backup_and_delete(s3srv):
+    s3srv.put("logs", "a.txt", b"x\n", content_type="text/plain")
+    cfg = dict(BUCKET_CFG, backup_to_bucket_arn="arn:aws:s3:::backup",
+               delete_after_backup=True)
+    client = s3c(s3srv)
+    recs = s3_poll_records(cfg, client, NormalStateRegistry(
+        FileStore(None)))
+    assert len(recs) == 1
+    assert s3srv.buckets["backup"]["a.txt"].body == b"x\n"
+    assert "a.txt" not in s3srv.buckets["logs"]
+
+
+def test_s3_poll_backup_prefix_excluded_from_listing(s3srv):
+    s3srv.put("logs", "a.txt", b"x\n")
+    cfg = dict(BUCKET_CFG, backup_to_bucket_arn="arn:aws:s3:::logs",
+               backup_to_bucket_prefix="backup/")
+    client = s3c(s3srv)
+    reg = NormalStateRegistry(FileStore(None))
+    assert len(s3_poll_records(cfg, client, reg)) == 1
+    # the backup copy must never be re-ingested
+    assert "backup/a.txt" in s3srv.buckets["logs"]
+    assert s3_poll_records(cfg, client, reg) == []
+
+
+def test_s3_poll_download_error_is_ephemeral(s3srv):
+    from beats_spark.awss3.objects import S3DownloadError
+
+    s3srv.put("logs", "a.txt", b"x\n")
+    s3srv.fail_get = lambda key: (500, "InternalError", "try later") \
+        if key == "a.txt" else None
+    client = s3c(s3srv)
+    reg = NormalStateRegistry(FileStore(None))
+    with pytest.raises(S3DownloadError):
+        s3_poll_records(BUCKET_CFG, client, reg)
+    # NOT marked processed — the next poll retries it
+    s3srv.fail_get = None
+    recs = s3_poll_records(BUCKET_CFG, client, reg)
+    assert [r["message"] for r in recs] == ["x"]
+
+
+def test_s3_poll_lexicographical_start_after(s3srv):
+    for k in ("k1", "k2", "k3"):
+        s3srv.put("logs", k, f"{k}\n".encode())
+    cfg = dict(BUCKET_CFG, lexicographical_ordering=True)
+    client = s3c(s3srv)
+    reg = new_state_registry(FileStore(None),
+                             lexicographical_ordering=True)
+    recs = s3_poll_records(cfg, client, reg)
+    assert len(recs) == 3
+    assert reg.get_start_after_key() == "k1"
+    # the next poll lists with start-after (nothing new → no records)
+    assert s3_poll_records(cfg, client, reg) == []
+    listing = [r for r in s3srv.requests if "start-after" in r]
+    assert listing, "second poll must use the StartAfter parameter"
+
+
+# ------------------------------------------------------ SQS end-to-end
+
+def sqs_notification(bucket, key):
+    return json.dumps({"Records": [{
+        "awsRegion": "us-east-1", "eventSource": "aws:s3",
+        "eventName": "ObjectCreated:Put",
+        "s3": {"bucket": {"name": bucket,
+                          "arn": f"arn:aws:s3:::{bucket}"},
+               "object": {"key": key}}}]})
+
+
+def sqs_cfg():
+    return {"queue_url": "https://sqs.us-east-1.amazonaws.com/1/q",
+            "visibility_timeout": 300, "sqs.max_receive_count": 5}
+
+
+def make_clients(s3srv, sqssrv, **sqs_kw):
+    sqs = SQSClient(sqssrv.queue_url, region=sqssrv.region,
+                    access_key=ACCESS_KEY, secret_key=SECRET_KEY,
+                    wait_time=0, **sqs_kw)
+    client = s3c(s3srv)
+    return sqs, (lambda event: client)
+
+
+def test_sqs_collect_success_deletes(s3srv, sqssrv):
+    s3srv.put("logs", "a.txt", b"l1\nl2\n", content_type="text/plain")
+    sqssrv.send(sqs_notification("logs", "a.txt"))
+    sqs, factory = make_clients(s3srv, sqssrv)
+    res = sqs_collect(sqs_cfg(), sqs, factory)
+    assert [r["message"] for r in res.records] == ["l1", "l2"]
+    assert len(res.deleted) == 1 and not res.returned
+    assert sqssrv.deleted == res.deleted
+
+
+def test_sqs_collect_invalid_body_is_nonretryable_delete(s3srv, sqssrv):
+    sqssrv.send("this is not an s3 notification")
+    sqs, factory = make_clients(s3srv, sqssrv)
+    res = sqs_collect(sqs_cfg(), sqs, factory)
+    assert res.records == []
+    assert len(res.deleted) == 1
+    assert "non-retryable error" in res.errors[0]
+
+
+def test_sqs_collect_retryable_error_returns_to_queue(s3srv, sqssrv):
+    # the notification references an object that fails to download
+    sqssrv.send(sqs_notification("logs", "missing.txt"))
+    sqs, factory = make_clients(s3srv, sqssrv)
+    res = sqs_collect(sqs_cfg(), sqs, factory)
+    assert len(res.returned) == 1 and not res.deleted
+    assert "failed processing S3 event for object key" in res.errors[0]
+    assert "(object record 1 of 1 in SQS notification)" in res.errors[0]
+
+
+def test_sqs_collect_poison_pill_wording(s3srv, sqssrv):
+    sqssrv.send(sqs_notification("logs", "missing.txt"))
+    cfg = dict(sqs_cfg(), **{"sqs.max_receive_count": 2,
+                             "visibility_timeout": 0})
+    sqs, factory = make_clients(s3srv, sqssrv, visibility_timeout=0)
+    res1 = sqs_collect(cfg, sqs, factory)
+    assert res1.returned and not res1.deleted
+    res2 = sqs_collect(cfg, sqs, factory)
+    assert res2.deleted
+    assert "sqs ApproximateReceiveCount <2> exceeds threshold 2" in \
+        res2.errors[0]
+    assert res2.errors[0].startswith("non-retryable error:")
+
+
+def test_sqs_collect_keepalive_extends_visibility(s3srv, sqssrv):
+    s3srv.put("logs", "a.txt", b"x\n")
+    s3srv.put("logs", "b.txt", b"y\n")
+    body = json.dumps({"Records": [
+        json.loads(sqs_notification("logs", "a.txt"))["Records"][0],
+        json.loads(sqs_notification("logs", "b.txt"))["Records"][0],
+    ]})
+    sqssrv.send(body)
+    sqs, factory = make_clients(s3srv, sqssrv)
+    clock = {"t": 0.0}
+
+    def fake_now():
+        clock["t"] += 200.0  # each step jumps past visibility/2=150
+        return clock["t"]
+
+    res = sqs_collect(sqs_cfg(), sqs, factory, now=fake_now)
+    assert len(res.records) == 2
+    assert sqssrv.visibility_changes, \
+        "keepalive must extend visibility mid-processing"
+
+
+def test_sqs_collect_test_event_deleted_without_records(s3srv, sqssrv):
+    sqssrv.send(json.dumps({"Service": "Amazon S3",
+                            "Event": "s3:TestEvent"}))
+    sqs, factory = make_clients(s3srv, sqssrv)
+    res = sqs_collect(sqs_cfg(), sqs, factory)
+    assert res.records == [] and len(res.deleted) == 1
+    assert res.errors == []
+
+
+# --------------------------------------------------- distributed stage
+
+def test_s3_objects_df_distributed(spark, s3srv):
+    for i in range(6):
+        s3srv.put("logs", f"d/part-{i}.txt",
+                  f"m{i}a\nm{i}b\n".encode(), content_type="text/plain")
+    reg = NormalStateRegistry(FileStore(None))
+    df, pending, known_ids = s3_objects_df(
+        spark, BUCKET_CFG, endpoint=s3srv.endpoint,
+        access_key=ACCESS_KEY, secret_key=SECRET_KEY,
+        registry=reg, objects_per_task=2)
+    rows = df.collect()
+    assert len(rows) == 12
+    assert len(pending) == 6 and len(known_ids) == 6
+    msgs = sorted(r.message for r in rows)
+    assert msgs[0] == "m0a" and msgs[-1] == "m5b"
+    assert all(r.meta_id for r in rows)
+    assert all(r.bucket_arn == "arn:aws:s3:::logs" for r in rows)
+    # checkpoint-after-commit: persist states, second listing is empty
+    for st_ in pending:
+        st_.stored = True
+        reg.add_state(st_)
+    df2, pending2, _ = s3_objects_df(
+        spark, BUCKET_CFG, endpoint=s3srv.endpoint,
+        access_key=ACCESS_KEY, secret_key=SECRET_KEY,
+        registry=reg, objects_per_task=2)
+    assert pending2 == [] and df2.count() == 0
+
+
+# ------------------------------------------------------- streaming poll
+
+def test_s3_poll_stream_live(spark, s3srv, tmp_path):
+    import time as _time
+
+    from beats_spark.awss3.input import s3_poll_stream
+
+    s3srv.put("logs", "s/one.txt", b"first\n")
+    reg = NormalStateRegistry(FileStore(str(tmp_path / "states.json")))
+    got: list = []
+
+    def sink(df, batch_id):
+        got.extend(r.message for r in df.collect())
+
+    cfg = dict(BUCKET_CFG, bucket_list_interval=1)
+    q = s3_poll_stream(
+        spark, cfg, endpoint=s3srv.endpoint, access_key=ACCESS_KEY,
+        secret_key=SECRET_KEY, registry=reg, sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        deadline = _time.time() + 30
+        while "first" not in got and _time.time() < deadline:
+            _time.sleep(0.25)
+        assert "first" in got
+        # a new object lands mid-stream; the next poll ships ONLY it
+        n_before = len(got)
+        s3srv.put("logs", "s/two.txt", b"second\n")
+        deadline = _time.time() + 30
+        while "second" not in got and _time.time() < deadline:
+            _time.sleep(0.25)
+        assert "second" in got
+        assert got.count("first") == 1, "processed objects must not reship"
+    finally:
+        q.stop()
+    # the registry persisted both objects for the next session
+    assert len(reg.states) == 2
