@@ -1,0 +1,25 @@
+"""gcs input — Google Cloud Storage bucket polling.
+
+The reference input (x-pack/filebeat/input/gcs/) rides
+cloud.google.com/go/storage; this package implements the wire that
+SDK produces — the GCS JSON API over stdlib http.client (bucket
+attrs, paged object listing, media download; the exact request
+shapes the reference's own mock server pins) — plus the OAuth2
+service-account flow from the public spec (auth.py: RS256-signed
+JWT grant against token_uri, built on the `cryptography` primitives)
+and the input semantics: the scheduler's checkpoint
+(ObjectName/LatestEntryTime cursor + the FailedJobs retry map),
+bucket-level config overrides, allowed-content-type gate, JSON
+stream decode with root-array detection, expand_event_list_from_field,
+parse_json objectification, and CSV/parquet decoding codecs (shared
+with awss3). Execution surfaces mirror the awss3 playbook: driver
+polls, the executor-distributed `gcs_objects_df` stage, and the
+tick-clock streaming poll.
+"""
+
+from .auth import ServiceAccountAuth, load_credentials  # noqa: F401
+from .client import GCSClient, GCSError, GCSObject  # noqa: F401
+from .input import (  # noqa: F401
+    Checkpoint, gcs_objects_df, gcs_poll_records, gcs_poll_once,
+    resolve_sources, process_gcs_object,
+)

@@ -1,0 +1,486 @@
+"""The composed gcs input: scheduler, jobs, checkpoint, Spark stages.
+
+Mirrors x-pack/filebeat/input/gcs/{input,scheduler,job,state}.go:
+
+- `resolve_sources` — the global-vs-bucket override resolution
+  (input.go configure: bucket values always win).
+- `gcs_poll_once` — one scheduleOnce cycle: paged listing →
+  createJobs (file selectors, timestamp_epoch, directory skip) →
+  moveToLastSeenJob checkpoint advance (timestamp-or-name with the
+  sort-around-pivot) → failed-job re-adds → per-job decode/publish →
+  checkpoint save semantics (case-insensitive max name, max updated,
+  FailedJobs retry map capped at 3).
+- `process_gcs_object` — job.do's decode stage: allowed-content-type
+  gate (unsupported type publishes the error event), gzip, CSV /
+  parquet codecs (shared with the awss3 module — the same x-pack
+  decoder package backs both inputs), JSON stream with root-array
+  detection (evaluateJSON incl. the BOM discard), expand lists,
+  parse_json objectification, createEvent field shape with
+  objectID(hash, offset) ids.
+- `gcs_objects_df` — the fleet-scale stage: listing + checkpoint on
+  the driver (object metadata only), download+decode ON executors
+  via mapInPandas (one client per task).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Any, Callable, Iterator, Optional
+
+from ..awss3.objects import (
+    _decode_csv,
+    _decode_parquet,
+    _iter_raw_json,
+    _iter_raw_json_array,
+)
+from .client import OBJECT_NOT_EXIST, GCSClient, GCSError, GCSObject
+
+__all__ = ["Checkpoint", "resolve_sources", "process_gcs_object",
+           "gcs_poll_once", "gcs_poll_records", "gcs_objects_df",
+           "MAX_FAILED_JOB_RETRIES"]
+
+MAX_FAILED_JOB_RETRIES = 3  # state.go:14
+
+_ALLOWED_CONTENT_TYPES = {
+    "application/json", "application/octet-stream",
+    "application/x-ndjson", "application/x-gzip", "text/csv",
+}
+_GZ_TYPE = "application/x-gzip"
+_ENCODING_GZIP = "gzip"
+
+
+# ----------------------------------------------------------------- config
+
+_SOURCE_KEYS = ("batch_size", "max_workers", "poll", "poll_interval",
+                "parse_json", "timestamp_epoch",
+                "expand_event_list_from_field", "file_selectors",
+                "content_type", "encoding", "override_content_type",
+                "override_encoding", "parsers", "decoding", "retry")
+
+_DEFAULTS = {
+    "max_workers": 1, "poll": True, "poll_interval": 300.0,
+    "parse_json": False, "batch_size": 0,
+    "retry": {"max_attempts": 3, "initial_backoff_duration": 1,
+              "max_backoff_duration": 30, "backoff_multiplier": 2},
+}
+
+
+def resolve_sources(cfg: dict[str, Any]) -> list[dict[str, Any]]:
+    """config → one resolved Source dict per bucket; bucket-level
+    values override the globals (config.go:36-118)."""
+    if not cfg.get("project_id"):
+        raise ValueError("project_id is required")
+    buckets = cfg.get("buckets") or []
+    if not buckets:
+        raise ValueError("buckets is required")
+    out = []
+    for b in buckets:
+        src = dict(_DEFAULTS)
+        for k in _SOURCE_KEYS:
+            if cfg.get(k) is not None:
+                src[k] = cfg[k]
+        for k in _SOURCE_KEYS:
+            if b.get(k) is not None:
+                src[k] = b[k]
+        if not b.get("name"):
+            raise ValueError("bucket name is required")
+        src["bucket_name"] = b["name"]
+        src["project_id"] = cfg["project_id"]
+        out.append(src)
+    return out
+
+
+# ------------------------------------------------------------- checkpoint
+
+@dataclass
+class Checkpoint:
+    """state.go Checkpoint: the lexicographic/time cursor + the
+    failed-jobs retry map."""
+
+    object_name: str = ""
+    latest_entry_time: str = ""  # RFC3339
+    failed_jobs: dict[str, int] = field(default_factory=dict)
+
+    def save(self, name: str, updated: str) -> None:
+        """saveForTx (state.go:47-68)."""
+        if name not in self.failed_jobs:
+            if not self.object_name or \
+                    name.lower() > self.object_name.lower():
+                self.object_name = name
+            if not self.latest_entry_time or \
+                    _ts(updated) > _ts(self.latest_entry_time):
+                self.latest_entry_time = updated
+        else:
+            del self.failed_jobs[name]
+
+    def update_failed(self, name: str) -> None:
+        """updateFailedJobs (state.go:74-88): capped at 3 retries."""
+        self.failed_jobs[name] = self.failed_jobs.get(name, 0) + 1
+        if self.failed_jobs[name] > MAX_FAILED_JOB_RETRIES:
+            del self.failed_jobs[name]
+
+    def to_dict(self) -> dict:
+        return {"object_name": self.object_name,
+                "latest_entry_time": self.latest_entry_time,
+                "failed_jobs": dict(self.failed_jobs)}
+
+    @classmethod
+    def from_dict(cls, d: Optional[dict]) -> "Checkpoint":
+        d = d or {}
+        return cls(object_name=d.get("object_name", ""),
+                   latest_entry_time=d.get("latest_entry_time", ""),
+                   failed_jobs=dict(d.get("failed_jobs") or {}))
+
+
+def _ts(s: str) -> datetime:
+    try:
+        return datetime.fromisoformat((s or "").replace("Z", "+00:00"))
+    except ValueError:
+        return datetime.min.replace(tzinfo=timezone.utc)
+
+
+# ---------------------------------------------------------------- events
+
+def gcs_object_hash(bucket_name: str, object_name: str) -> str:
+    """gcsObjectHash (job.go:85-90): sha256(bucket+name)[:5 bytes]."""
+    h = hashlib.sha256()
+    h.update(bucket_name.encode())
+    h.update(object_name.encode())
+    return h.hexdigest()[:10]
+
+
+def object_id(object_hash: str, offset: int) -> str:
+    return f"{object_hash}-{offset:012d}"
+
+
+def _decode_json_objects(raw: str) -> Optional[list]:
+    """helper.go decodeJSON: objectify for parse_json — objects pass
+    through, arrays flatten one level to their object elements;
+    anything else is an error (logged, not fatal)."""
+    objs: list = []
+    for _, _, parsed in _iter_raw_json(raw):
+        if isinstance(parsed, dict):
+            objs.append(parsed)
+        elif isinstance(parsed, list):
+            objs.extend(x for x in parsed if isinstance(x, dict))
+        else:
+            raise ValueError("only JSON objects are accepted")
+    return objs
+
+
+def _evaluate_json(text: str) -> tuple[str, bool]:
+    """evaluateJSON (job.go:425-466): BOM discard + root-array
+    detection without consuming the stream."""
+    if text.startswith("\ufeff"):
+        text = text[1:]
+    for ch in text:
+        if ch == "[":
+            return text, True
+        if ch == "{":
+            return text, False
+        if ch.isspace():
+            continue
+        raise ValueError(
+            "unexpected error: JSON data is malformed "
+            f"{text[:20]!r}")
+    raise ValueError(
+        "unexpected error: JSON data is malformed unexpected EOF")
+
+
+def process_gcs_object(body: Optional[bytes], obj: GCSObject, src: dict,
+                       *, object_uri: str = "",
+                       job_id: str = "") -> Iterator[dict]:
+    """job.do's decode/publish stage over a downloaded body. Yields
+    flat record dicts; raises for processing errors (the caller adds
+    the object to FailedJobs)."""
+    bucket = src["bucket_name"]
+    obj_hash = gcs_object_hash(bucket, obj.name)
+    object_uri = object_uri or f"gs://{bucket}/{obj.name}"
+    parse_json = bool(src.get("parse_json"))
+
+    def make(message: str, offset: int,
+             json_data: Optional[list] = None) -> dict:
+        return {
+            "message": message,
+            "offset": offset,
+            "meta_id": object_id(obj_hash, offset),
+            "bucket_name": bucket,
+            "object_name": obj.name,
+            "object_content_type": obj.content_type,
+            "object_uri": object_uri,
+            "json_data": json_data,
+            "provider": "google cloud",
+        }
+
+    # content-type gate (job.do, job.go:106-143): unsupported types
+    # publish ONE event carrying the error message
+    content_type = obj.content_type
+    if content_type not in _ALLOWED_CONTENT_TYPES:
+        yield make(
+            f"job with jobId {job_id} encountered an error: "
+            f"content-type {content_type} not supported", 0)
+        return
+    if body is None:
+        raise GCSError(f"failed to open reader for object: {obj.name}")
+
+    if content_type == _GZ_TYPE or obj.content_encoding == _ENCODING_GZIP \
+            or body[:2] == b"\x1f\x8b":
+        from ..awss3.client import gzip_decode_if_needed
+
+        body = gzip_decode_if_needed(body)
+
+    codec = ((src.get("decoding") or {}).get("codec")) or {}
+    if codec.get("csv"):
+        for rec in _decode_csv(body, codec["csv"],
+                               lambda m, off, fields=None: make(
+                                   m, off or 0)):
+            if parse_json:
+                rec["json_data"] = _decode_json_objects(rec["message"])
+            yield rec
+        return
+    if codec.get("parquet"):
+        reader = _ParquetReaderShim(src)
+        for rec in _decode_parquet(body, codec["parquet"], reader,
+                                   lambda m, off, fields=None: make(
+                                       m, off or 0)):
+            if parse_json:
+                rec["json_data"] = _decode_json_objects(rec["message"])
+            yield rec
+        return
+
+    # readJsonAndPublish (job.go:259-321)
+    text, is_root_array = _evaluate_json(
+        body.decode("utf-8", "replace"))
+    items = _iter_raw_json_array(text) if is_root_array \
+        else _iter_raw_json(text)
+    expand = src.get("expand_event_list_from_field", "") or ""
+    for offset, raw, parsed in items:
+        if expand:
+            yield from _split_event_list(expand, raw, parsed, offset,
+                                         make, job_id, obj.name)
+            continue
+        json_data = None
+        if parse_json:
+            try:
+                json_data = _decode_json_objects(raw)
+            except ValueError:
+                json_data = None  # cosmetic/optional — logged in Go
+        yield make(raw, offset, json_data)
+
+
+class _ParquetReaderShim:
+    expand_event_list_from_field = ""
+
+    def __init__(self, src):
+        self.expand_event_list_from_field = \
+            src.get("expand_event_list_from_field", "") or ""
+
+
+def _split_event_list(key: str, raw: str, parsed: Any, offset: int,
+                      make, job_id: str, obj_name: str
+                      ) -> Iterator[dict]:
+    """splitEventList (job.go:346-423)."""
+    if not isinstance(parsed, dict):
+        raise ValueError(f"job with job id {job_id} encountered an "
+                         "unmarshaling error")
+    if key not in parsed:
+        raise ValueError(
+            f"expand_event_list_from_field key <{key}> is not in event")
+    m = re.search(r'"%s"\s*:' % re.escape(key), raw)
+    sub = raw[m.end():] if m else json.dumps(parsed[key])
+    i = 0
+    while i < len(sub) and sub[i] in " \t\r\n":
+        i += 1
+    sub = sub[i:]
+    if not sub.startswith("["):
+        raise ValueError(
+            f"expand_event_list_from_field <{key}> is not an array")
+    for arr_off, elem_raw, _ in _iter_raw_json_array(sub):
+        yield make(elem_raw, offset + arr_off)
+
+
+# -------------------------------------------------------------- scheduler
+
+def _create_jobs(src: dict, objects: list[GCSObject]) -> list[GCSObject]:
+    """createJobs (scheduler.go:177-203): selector regexes, epoch
+    filter, emulated-directory skip."""
+    sels = src.get("file_selectors") or []
+    epoch = src.get("timestamp_epoch")
+    out = []
+    for obj in objects:
+        if sels and not any(re.search(s["regex"], obj.name)
+                            for s in sels):
+            continue
+        if epoch is not None and \
+                _ts(obj.updated).timestamp() < float(epoch):
+            continue
+        parts = obj.name.split("/")
+        if len(parts) > 1 and parts[-1] == "":
+            continue
+        out.append(obj)
+    return out
+
+
+def _move_to_last_seen(jobs: list[GCSObject], cp: Checkpoint
+                       ) -> list[GCSObject]:
+    """moveToLastSeenJob (scheduler.go:218-236): keep jobs newer by
+    timestamp OR greater by name, then stable-sort timestamp-newer
+    jobs first."""
+    pivot = _ts(cp.latest_entry_time)
+    jobs = [j for j in jobs
+            if _ts(j.updated) > pivot or j.name > cp.object_name]
+    return sorted(jobs, key=lambda j: 0 if _ts(j.updated) > pivot
+                  else 1)
+
+
+def _apply_overrides(src: dict, obj: GCSObject) -> GCSObject:
+    """scheduler.go:135-146: content-type/encoding overrides."""
+    ct = src.get("content_type") or ""
+    if ct and (src.get("override_content_type")
+               or not obj.content_type):
+        obj.content_type = ct
+    enc = src.get("encoding") or ""
+    if enc and (src.get("override_encoding")
+                or not obj.content_encoding):
+        obj.content_encoding = enc
+    return obj
+
+
+def gcs_poll_once(src: dict, client: GCSClient, cp: Checkpoint,
+                  publish: Callable[[dict], None]) -> int:
+    """scheduleOnce (scheduler.go:101-167). Returns jobs run."""
+    n = 0
+    for i, page in enumerate(client.list_objects(
+            src["bucket_name"], page_size=src.get("batch_size") or 0)):
+        jobs = _create_jobs(src, page)
+        if cp.latest_entry_time:
+            jobs = _move_to_last_seen(jobs, cp)
+            if cp.failed_jobs:
+                jobs = _add_failed_jobs(src, client, cp, jobs)
+        for worker_i, obj in enumerate(jobs):
+            job_id = (f"{src['bucket_name']}-{obj.name}-worker-"
+                      f"{worker_i}")
+            obj = _apply_overrides(src, obj)
+            n += 1
+            try:
+                body = client.download(src["bucket_name"], obj.name)
+                for rec in process_gcs_object(
+                        body, obj, src, job_id=job_id):
+                    publish(rec)
+            except Exception:
+                cp.update_failed(obj.name)
+                continue
+            cp.save(obj.name, obj.updated)
+    return n
+
+
+def _add_failed_jobs(src: dict, client: GCSClient, cp: Checkpoint,
+                     jobs: list[GCSObject]) -> list[GCSObject]:
+    """addFailedJobs (scheduler.go:238-262): re-add failed names not
+    already scheduled; drop vanished objects from the map."""
+    names = {j.name for j in jobs}
+    for name in list(cp.failed_jobs):
+        if name in names:
+            continue
+        try:
+            obj = client.object_attrs(src["bucket_name"], name)
+        except GCSError as e:
+            if OBJECT_NOT_EXIST in str(e) or e.status == 404:
+                del cp.failed_jobs[name]
+            else:
+                cp.update_failed(name)
+            continue
+        jobs.append(obj)
+    return jobs
+
+
+def gcs_poll_records(src: dict, client: GCSClient, cp: Checkpoint
+                     ) -> list[dict]:
+    out: list[dict] = []
+    gcs_poll_once(src, client, cp, out.append)
+    return out
+
+
+# -------------------------------------------------------------- Spark DF
+
+GCS_RECORDS_DDL = (
+    "message string, offset bigint, meta_id string, bucket_name string,"
+    " object_name string, object_content_type string, object_uri string,"
+    " json_data string, provider string, error string"
+)
+
+
+def gcs_objects_df(spark, src: dict, *, endpoint: str,
+                   token_provider=None, cp: Optional[Checkpoint] = None,
+                   objects_per_task: int = 8):
+    """Distributed poll: listing + checkpoint filter on the driver,
+    download+decode on executors via mapInPandas. Returns
+    (records_df, scheduled_objects); advance the checkpoint with
+    cp.save per object AFTER the records are written."""
+    import pandas as pd
+
+    cp = cp or Checkpoint()
+    client = GCSClient(endpoint, token_provider=token_provider,
+                       retry=src.get("retry"))
+    scheduled: list[GCSObject] = []
+    for page in client.list_objects(src["bucket_name"],
+                                    page_size=src.get("batch_size") or 0):
+        jobs = _create_jobs(src, page)
+        if cp.latest_entry_time:
+            jobs = _move_to_last_seen(jobs, cp)
+        scheduled.extend(_apply_overrides(src, o) for o in jobs)
+    client.close()
+
+    if not scheduled:
+        return spark.createDataFrame([], GCS_RECORDS_DDL), []
+
+    rows = [(o.name, o.content_type, o.content_encoding, o.updated)
+            for o in scheduled]
+    objs = spark.createDataFrame(
+        rows, "name string, content_type string, content_encoding "
+        "string, updated string")
+    n_tasks = max(1, (len(rows) + objects_per_task - 1)
+                  // objects_per_task)
+    objs = objs.repartition(n_tasks)
+    src_b = dict(src)
+    cols = ["message", "offset", "meta_id", "bucket_name",
+            "object_name", "object_content_type", "object_uri",
+            "json_data", "provider", "error"]
+
+    def fetch(batches):
+        task_client = GCSClient(endpoint, token_provider=token_provider,
+                                retry=src_b.get("retry"))
+        try:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    obj = GCSObject(name=row.name,
+                                    bucket=src_b["bucket_name"],
+                                    content_type=row.content_type,
+                                    content_encoding=row.content_encoding,
+                                    updated=row.updated)
+                    try:
+                        body = task_client.download(
+                            src_b["bucket_name"], obj.name)
+                        for rec in process_gcs_object(body, obj, src_b):
+                            rec["json_data"] = (
+                                json.dumps(rec["json_data"])
+                                if rec.get("json_data") else None)
+                            rec["error"] = None
+                            out.append([rec.get(c) for c in cols])
+                    except GCSError:
+                        raise  # transport → task retry
+                    except Exception as e:  # decode error → row
+                        out.append([None, None, None,
+                                    src_b["bucket_name"], obj.name,
+                                    obj.content_type, None, None,
+                                    "google cloud", str(e)])
+                yield pd.DataFrame(out, columns=cols)
+        finally:
+            task_client.close()
+
+    return objs.mapInPandas(fetch, schema=GCS_RECORDS_DDL), scheduled
