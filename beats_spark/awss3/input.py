@@ -153,9 +153,15 @@ def _finalize(cfg: dict, client: S3Client, st: S3State) -> None:
 
 def s3_poll_once(cfg: dict, client: S3Client, registry: StateRegistry,
                  publish: Callable[[dict], None],
-                 filters: Optional[FilterProvider] = None) -> int:
+                 filters: Optional[FilterProvider] = None,
+                 download_errors: Optional[list] = None) -> int:
     """runPoll (s3_input.go:139-167): one complete poll cycle with
-    state cleanup. Returns the number of objects processed."""
+    state cleanup. Returns the number of objects processed.
+
+    A download error skips ONLY that object (the workerLoop's
+    rateLimitWaiter + continue, s3_input.go:208-219) — the object is
+    left unprocessed for the next poll; pass `download_errors` to
+    collect them."""
     if filters is None:
         filters = FilterProvider(
             ignore_older_seconds=float(cfg.get("ignore_older", 0) or 0),
@@ -163,7 +169,12 @@ def s3_poll_once(cfg: dict, client: S3Client, registry: StateRegistry,
     selectors = get_file_selectors(cfg)
     pending, known_ids = _list_pending(cfg, client, registry, filters)
     for st in pending:
-        _process_state(cfg, client, registry, st, selectors, publish)
+        try:
+            _process_state(cfg, client, registry, st, selectors,
+                           publish)
+        except S3DownloadError as e:
+            if download_errors is not None:
+                download_errors.append(str(e))
     registry.clean_up(known_ids)
     return len(pending)
 
@@ -224,6 +235,7 @@ def sqs_collect(cfg: dict, sqs: SQSClient,
         receive_count = int(
             msg.attributes.get("ApproximateReceiveCount", -1) or -1)
         processing_err: Optional[Exception] = None
+        errs: list[str] = []
         event_count = 0
         try:
             events = get_s3_notifications(msg.body)
@@ -245,11 +257,14 @@ def sqs_collect(cfg: dict, sqs: SQSClient,
                     res.records.append(rec)
                     event_count += 1
             except Exception as e:
-                processing_err = Exception(
+                errs.append(
                     f"failed processing S3 event for object key "
                     f"\"{event.object_key}\" in bucket "
                     f"\"{event.bucket_name}\" (object record {i + 1} of "
                     f"{len(events)} in SQS notification): {e}")
+        if errs and processing_err is None:
+            # errors.Join keeps every per-object error
+            processing_err = Exception("\n".join(errs))
 
         # Done() decision table (sqs_s3_event.go:221-281)
         if processing_err is None:

@@ -247,26 +247,25 @@ def _apply_parsers(lines: list[tuple[str, int]], parsers: list[dict]
             negate = bool(cfg.get("negate", False))
             match = cfg.get("match", "after")
             max_lines = int(cfg.get("max_lines", 500))
+            # the boundary rule the repo's reference-matrix-tested
+            # DataFrame stage uses (processors/stateful.py
+            # multiline_pattern): continuation = matches XOR negate;
+            # after → boundary when the line itself is not a
+            # continuation; before → boundary when the PREVIOUS line
+            # did not match (a matching line joins the FOLLOWING one)
+            conts = [bool(pattern.search(c)) != negate
+                     for c, _, _ in msgs]
             out: list[list[tuple[str, int, dict]]] = []
-            for item in msgs:
-                matched = bool(pattern.search(item[0])) != negate
-                # match=after: a matching line continues the PREVIOUS
-                # message; before: it belongs to the NEXT one
+            for i, item in enumerate(msgs):
                 if match == "after":
-                    if out and matched and len(out[-1]) < max_lines:
-                        out[-1].append(item)
-                    else:
-                        out.append([item])
+                    boundary = not conts[i]
                 else:
-                    if out and out[-1] and matched \
-                            and len(out[-1]) < max_lines:
-                        out[-1].append(item)
-                        continue
-                    if out and matched:
-                        out[-1].append(item)
-                    else:
-                        out.append([item])
-            msgs = [("\n".join(i[0] for i in grp),
+                    boundary = not (conts[i - 1] if i > 0 else False)
+                if boundary or not out:
+                    out.append([item])
+                else:
+                    out.append(out.pop() + [item])
+            msgs = [("\n".join(i[0] for i in grp[:max_lines]),
                      sum(i[1] for i in grp), {})
                     for grp in out]
         elif "ndjson" in p:
@@ -372,6 +371,35 @@ def process_s3_object(
     yield from _read_file(body, reader, make)
 
 
+def _object_field_raw(raw: str, key: str) -> Optional[str]:
+    """The RAW bytes of one top-level field's value inside a JSON
+    object — a real token walk, not a regex, so a key-lookalike
+    inside an earlier string value cannot mis-slice."""
+    dec = json.JSONDecoder()
+    i = raw.find("{")
+    if i < 0:
+        return None
+    i += 1
+    n = len(raw)
+    while True:
+        while i < n and raw[i] in _WS + ",":
+            i += 1
+        if i >= n or raw[i] == "}":
+            return None
+        k, i = dec.raw_decode(raw, i)
+        while i < n and raw[i] in _WS:
+            i += 1
+        if i >= n or raw[i] != ":":
+            return None
+        i += 1
+        while i < n and raw[i] in _WS:
+            i += 1
+        start = i
+        _, i = dec.raw_decode(raw, i)
+        if k == key:
+            return raw[start:i]
+
+
 def _expand_event_list(key: str, raw: str, parsed: Any, offset: int,
                        make) -> Iterator[dict]:
     """splitEventList (s3_objects.go:326-364)."""
@@ -382,14 +410,9 @@ def _expand_event_list(key: str, raw: str, parsed: Any, offset: int,
         if key not in parsed:
             raise ValueError(f"expand_event_list_from_field key <{key}> "
                              "is not in event")
-        # re-derive the raw bytes of the field value so element
-        # offsets and formatting stay faithful to the original
-        m = re.search(r'"%s"\s*:' % re.escape(key), raw)
-        sub = raw[m.end():] if m else json.dumps(parsed[key])
-        i = 0
-        while i < len(sub) and sub[i] in _WS:
-            i += 1
-        raw = sub[i:]
+        # the raw bytes of the field value, so element offsets and
+        # formatting stay faithful to the original
+        raw = _object_field_raw(raw, key) or json.dumps(parsed[key])
         parsed = parsed[key]
     if not isinstance(parsed, list):
         raise ValueError(f"expand_event_list_from_field <{key}> is not "
@@ -423,9 +446,12 @@ def _read_file(body: bytes, reader: ReaderConfig, make) -> Iterator[dict]:
     for content, nbytes, fields in _apply_parsers(lines, reader.parsers):
         if content or fields:
             if len(content.encode()) > reader.max_bytes:
-                # LimitReader: truncate, keep the event
+                # LimitReader: truncate, keep the event, carry the
+                # reader's truncated flag (readfile/limit.go)
                 content = content.encode()[:reader.max_bytes].decode(
                     "utf-8", "ignore")
+                fields = dict(fields or {})
+                fields["log.flags"] = ["truncated"]
             rec = make(content, offset, fields)
             offset += nbytes
             yield rec

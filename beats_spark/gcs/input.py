@@ -290,12 +290,9 @@ def _split_event_list(key: str, raw: str, parsed: Any, offset: int,
     if key not in parsed:
         raise ValueError(
             f"expand_event_list_from_field key <{key}> is not in event")
-    m = re.search(r'"%s"\s*:' % re.escape(key), raw)
-    sub = raw[m.end():] if m else json.dumps(parsed[key])
-    i = 0
-    while i < len(sub) and sub[i] in " \t\r\n":
-        i += 1
-    sub = sub[i:]
+    from ..awss3.objects import _object_field_raw
+
+    sub = _object_field_raw(raw, key) or json.dumps(parsed[key])
     if not sub.startswith("["):
         raise ValueError(
             f"expand_event_list_from_field <{key}> is not an array")

@@ -354,16 +354,22 @@ def test_s3_poll_backup_prefix_excluded_from_listing(s3srv):
 
 
 def test_s3_poll_download_error_is_ephemeral(s3srv):
-    from beats_spark.awss3.objects import S3DownloadError
+    from beats_spark.awss3.input import s3_poll_once
 
+    # the failing object is SKIPPED, the rest of the poll continues
+    # (workerLoop's continue, s3_input.go:208-219)
     s3srv.put("logs", "a.txt", b"x\n")
+    s3srv.put("logs", "b.txt", b"y\n")
     s3srv.fail_get = lambda key: (500, "InternalError", "try later") \
         if key == "a.txt" else None
     client = s3c(s3srv)
     reg = NormalStateRegistry(FileStore(None))
-    with pytest.raises(S3DownloadError):
-        s3_poll_records(BUCKET_CFG, client, reg)
-    # NOT marked processed — the next poll retries it
+    recs, errs = [], []
+    s3_poll_once(BUCKET_CFG, client, reg, recs.append,
+                 download_errors=errs)
+    assert [r["message"] for r in recs] == ["y"]
+    assert len(errs) == 1 and "S3 download failure" in errs[0]
+    # NOT marked processed or failed — the next poll retries it
     s3srv.fail_get = None
     recs = s3_poll_records(BUCKET_CFG, client, reg)
     assert [r["message"] for r in recs] == ["x"]

@@ -336,3 +336,44 @@ def test_invalid_json_body_errors():
                        match="failed to decode SQS message body as an "
                              "S3 notification"):
         get_s3_notifications("this is not json")
+
+
+def test_expand_event_list_key_lookalike_in_string():
+    """The raw slice must find the real field, not a key-lookalike
+    inside an earlier string value (review regression)."""
+    from beats_spark.awss3.objects import _object_field_raw
+
+    raw = '{"decoy": "\\"Events\\": [1,2],", "Events": [ {"a": 1} ]}'
+    assert _object_field_raw(raw, "Events") == '[ {"a": 1} ]'
+    body = raw.encode()
+    reader = ReaderConfig(expand_event_list_from_field="Events")
+    result = S3GetResult(body=body, content_type="application/json",
+                         content_encoding="", etag="e",
+                         last_modified="", metadata={}, headers={})
+    events = list(process_s3_object(result, s3event("k"), reader))
+    assert [e["message"] for e in events] == ['{"a": 1}']
+
+
+def test_multiline_equivalence_with_dataframe_stage(spark):
+    """The per-object Python multiline must group EXACTLY like the
+    reference-matrix-tested DataFrame stage, in both match modes."""
+    import pandas as pd
+
+    from beats_spark.awss3.objects import _apply_parsers
+    from beats_spark.processors.stateful import multiline_pattern
+
+    lines = ["<Event>a", " b", " c", "<Event>d", " e", "plain",
+             "<Event>f"]
+    for match, negate in (("after", True), ("after", False),
+                          ("before", True), ("before", False)):
+        cfg = [{"multiline": {"pattern": "^<Event", "negate": negate,
+                              "match": match}}]
+        got = [m for m, _, _ in
+               _apply_parsers([(ln, len(ln) + 1) for ln in lines], cfg)]
+        df = spark.createDataFrame(
+            [("k", i, ln) for i, ln in enumerate(lines)],
+            "conv_id string, turn_idx int, text string")
+        stage = multiline_pattern("^<Event", match=match, negate=negate)
+        want = [r.text for r in
+                stage(df).orderBy("turn_idx").collect()]
+        assert got == want, (match, negate, got, want)
