@@ -199,12 +199,16 @@ class SQSResult:
     deleted: list[str] = field(default_factory=list)
     returned: list[str] = field(default_factory=list)  # back to queue
     errors: list[str] = field(default_factory=list)
+    # set when sqs_collect(dispose=False): call AFTER the records are
+    # durably written to run the Done() dispositions (ack-after-sink)
+    finalize: Optional[Callable[[], None]] = None
 
 
 def sqs_collect(cfg: dict, sqs: SQSClient,
                 s3_factory: Callable[[S3EventRecord], S3Client],
                 *, max_messages: int = 10,
-                now: Callable[[], float] = time.monotonic) -> SQSResult:
+                now: Callable[[], float] = time.monotonic,
+                dispose: bool = True) -> SQSResult:
     """One receive→process→dispose cycle of the SQS mode.
 
     The reference runs ProcessSQS per message with a background
@@ -216,6 +220,7 @@ def sqs_collect(cfg: dict, sqs: SQSClient,
     selectors = get_file_selectors(cfg)
     visibility = float(cfg.get("visibility_timeout", 300.0))
     max_receive = int(cfg.get("sqs.max_receive_count", 5))
+    pending: list = []
 
     msgs = sqs.receive_message(max_messages)
     for msg in msgs:
@@ -266,22 +271,32 @@ def sqs_collect(cfg: dict, sqs: SQSClient,
             # errors.Join keeps every per-object error
             processing_err = Exception("\n".join(errs))
 
+        pending.append((msg, receive_count, processing_err))
+
+    def finalize() -> None:
         # Done() decision table (sqs_s3_event.go:221-281)
-        if processing_err is None:
-            sqs.delete_message(msg)
-            res.deleted.append(msg.message_id)
-            continue
-        if max_receive > 0 and receive_count >= max_receive:
-            processing_err = NonRetryableError(Exception(
-                f"sqs ApproximateReceiveCount <{receive_count}> exceeds "
-                f"threshold {max_receive}: {processing_err}"))
-        if isinstance(processing_err, NonRetryableError):
-            sqs.delete_message(msg)
-            res.deleted.append(msg.message_id)
-            res.errors.append(str(processing_err))
-        else:
-            res.returned.append(msg.message_id)
-            res.errors.append(str(processing_err))
+        for msg, receive_count, processing_err in pending:
+            if processing_err is None:
+                sqs.delete_message(msg)
+                res.deleted.append(msg.message_id)
+                continue
+            if max_receive > 0 and receive_count >= max_receive:
+                processing_err = NonRetryableError(Exception(
+                    f"sqs ApproximateReceiveCount <{receive_count}> "
+                    f"exceeds threshold {max_receive}: "
+                    f"{processing_err}"))
+            if isinstance(processing_err, NonRetryableError):
+                sqs.delete_message(msg)
+                res.deleted.append(msg.message_id)
+                res.errors.append(str(processing_err))
+            else:
+                res.returned.append(msg.message_id)
+                res.errors.append(str(processing_err))
+
+    if dispose:
+        finalize()
+    else:
+        res.finalize = finalize
     return res
 
 
@@ -452,4 +467,51 @@ def s3_poll_stream(spark, cfg: dict, *, endpoint: str,
     return (ticks.writeStream.foreachBatch(one_poll)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{interval} seconds")
+            .start())
+
+
+def sqs_stream(spark, cfg: dict, *, sqs: SQSClient,
+               s3_factory: Callable[[S3EventRecord], S3Client],
+               sink: Callable[[Any, int], None],
+               checkpoint_dir: str,
+               poll_seconds: float = 1.0,
+               max_messages: int = 10):
+    """The SQS notification mode as a continuously-running stream.
+
+    sqs_input.go's run loop on the tick-clock pattern: each tick runs
+    one `sqs_collect` cycle (receive → fetch → decode → disposition)
+    and hands the batch's records to `sink(df, batch_id)` as a
+    DataFrame. SQS's own visibility/delete semantics carry the
+    at-least-once contract — a message is deleted only after its
+    events were handed to the sink, and a crash before that leaves it
+    to reappear after the visibility timeout (exactly the reference's
+    ack-then-delete ordering). Returns the StreamingQuery."""
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("advanceMillisPerBatch", int(poll_seconds * 1000))
+        .load()
+    )
+
+    def one_cycle(_tick_df, batch_id: int) -> None:
+        res = sqs_collect(cfg, sqs, s3_factory,
+                          max_messages=max_messages, dispose=False)
+        rows = []
+        for rec in res.records:
+            rec = dict(rec)
+            rec["fields"] = json.dumps(rec["fields"]) \
+                if rec.get("fields") else None
+            rec["error"] = None
+            rows.append(tuple(rec.get(c) for c in (
+                "message", "offset", "meta_id", "bucket_name",
+                "bucket_arn", "object_key", "region", "provider",
+                "last_modified", "content_type", "log_file_path",
+                "s3_metadata", "fields", "error")))
+        df = spark.createDataFrame(rows, AWSS3_RECORDS_DDL)
+        sink(df, batch_id)
+        res.finalize()  # delete/return AFTER the sink consumed them
+
+    return (ticks.writeStream.foreachBatch(one_cycle)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{poll_seconds} seconds")
             .start())

@@ -553,3 +553,52 @@ def test_s3_poll_stream_live(spark, s3srv, tmp_path):
         q.stop()
     # the registry persisted both objects for the next session
     assert len(reg.states) == 2
+
+
+def test_sqs_stream_live(spark, s3srv, sqssrv, tmp_path):
+    import time as _time
+
+    from beats_spark.awss3.input import sqs_stream
+
+    s3srv.put("logs", "q/a.txt", b"alpha\n")
+    sqssrv.send(sqs_notification("logs", "q/a.txt"))
+    sqs, factory = make_clients(s3srv, sqssrv)
+    got: list = []
+
+    def sink(df, batch_id):
+        got.extend(r.message for r in df.collect())
+
+    q = sqs_stream(spark, sqs_cfg(), sqs=sqs, s3_factory=factory,
+                   sink=sink, checkpoint_dir=str(tmp_path / "ckpt"),
+                   poll_seconds=1)
+    try:
+        deadline = _time.time() + 30
+        while "alpha" not in got and _time.time() < deadline:
+            _time.sleep(0.25)
+        assert "alpha" in got
+        # disposition runs AFTER the sink: the message is deleted
+        deadline = _time.time() + 10
+        while not sqssrv.deleted and _time.time() < deadline:
+            _time.sleep(0.1)
+        assert len(sqssrv.deleted) == 1
+        # a new notification mid-stream ships exactly once
+        s3srv.put("logs", "q/b.txt", b"beta\n")
+        sqssrv.send(sqs_notification("logs", "q/b.txt"))
+        deadline = _time.time() + 30
+        while "beta" not in got and _time.time() < deadline:
+            _time.sleep(0.25)
+        assert "beta" in got
+        assert got.count("alpha") == 1
+    finally:
+        q.stop()
+
+
+def test_sqs_collect_deferred_dispositions(s3srv, sqssrv):
+    s3srv.put("logs", "a.txt", b"x\n")
+    sqssrv.send(sqs_notification("logs", "a.txt"))
+    sqs, factory = make_clients(s3srv, sqssrv)
+    res = sqs_collect(sqs_cfg(), sqs, factory, dispose=False)
+    assert [r["message"] for r in res.records] == ["x"]
+    assert sqssrv.deleted == []  # nothing disposed yet
+    res.finalize()
+    assert len(sqssrv.deleted) == 1
