@@ -1,0 +1,32 @@
+"""cel input — the CEL-programmable API consumer.
+
+The reference input (x-pack/filebeat/input/cel/) evaluates a CEL
+program against a `state` variable each period, publishing the
+returned `events` and persisting the returned `cursor`; the program
+reaches the outside world through elastic's mito extension library
+(HTTP, JSON/CSV/XML codecs, collections, time).
+
+This package implements that from scratch:
+
+- engine.py — a CEL expression engine (lexer → Pratt parser →
+  evaluator) from the public cel-spec: operators with CEL semantics,
+  comprehension macros (map/filter/all/exists), `has()`, optional
+  types (`.?field`, `[?k]`, optional.of/none/unwrap/orValue), CEL
+  error propagation (errors as values captured by try/is_error),
+  int/uint/double/bytes/timestamp/duration arithmetic.
+- library.py — the mito surface the reference's own test corpus
+  exercises (collections, strings, crypto digests/codecs, JSON/CSV/
+  XML decode, URL parse/format, HTTP request objects + AWS SigV4
+  signing via the awss3 module, rate-limit header parsing, try/
+  debug, the emit session extension). Unknown functions fail at
+  compile time, loudly.
+- input.py — input.go's run loop: periodic evaluation, the
+  events/cursor validation table with the reference's exact error
+  wording, want_more re-evaluation with the max_executions budget
+  (and the remaining_executions global), single-object error events,
+  cursor array/single bookkeeping, and handleResponse's
+  429/Retry-After + rate_limit wait policy.
+"""
+
+from .engine import CELError, compile_program, evaluate  # noqa: F401
+from .input import cel_collect, CelResult  # noqa: F401

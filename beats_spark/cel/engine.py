@@ -1,0 +1,888 @@
+"""A CEL expression engine from the public cel-spec.
+
+Lexer → recursive-descent/Pratt parser → tree-walking evaluator.
+Covers the language surface the reference input's program corpus
+uses (x-pack/filebeat/input/cel/input_test.go): the full operator
+set with CEL precedence, list/map literals with trailing commas,
+comments, string escapes (single/double/raw/bytes literals),
+comprehension macros (`map`, `filter`, `all`, `exists`,
+`exists_one`), `has()`, mito's `as()` let-binding, optional types
+(`.?field`, `[?key]`, `optional.of/none`, `orValue`, `hasValue`),
+and CEL's error-as-value propagation (errors flow until absorbed by
+`try`/`is_error`/`||`/`&&`/`?:` short-circuits).
+
+Value model: int→int, uint→UInt(int), double→float, bool→bool,
+string→str, bytes→bytes, null→None, list→list, map→dict,
+timestamp→datetime (UTC), duration→timedelta, optional→Optional_.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+from typing import Any, Callable, Optional
+
+__all__ = ["CELError", "UInt", "Optional_", "OPT_NONE", "parse",
+           "compile_program", "evaluate", "Env", "format_value"]
+
+
+class CELError(Exception):
+    """A CEL evaluation error — a VALUE in the data flow (cel-spec
+    errors propagate; mito's try/is_error absorb them)."""
+
+
+class UInt(int):
+    def __repr__(self):
+        return f"{int(self)}u"
+
+
+@dataclass
+class Optional_:
+    """CEL optional: optional.of(v) / optional.none()."""
+
+    value: Any = None
+    has: bool = False
+
+    def __repr__(self):
+        return f"optional.of({self.value!r})" if self.has \
+            else "optional.none()"
+
+
+OPT_NONE = Optional_()
+
+
+# ------------------------------------------------------------------ lexer
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|//[^\n]*)
+  | (?P<float>\d+\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+)
+  | (?P<uint>(?:0x[0-9a-fA-F]+|\d+)[uU])
+  | (?P<int>0x[0-9a-fA-F]+|\d+)
+  | (?P<bytesstr>[bB](?:"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'))
+  | (?P<rawstr>[rR](?:"[^"]*"|'[^']*'))
+  | (?P<str>"""
+  + r'"""(?:\\.|[^\\])*?"""|' + r"'''(?:\\.|[^\\])*?'''|"
+  + r""""(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<ident>[_a-zA-Z][_a-zA-Z0-9]*)
+  | (?P<op>\|\||&&|==|!=|<=|>=|\.\?|\[\?|\{\?|[-+*/%!<>?:.,\[\]{}()])
+""", re.X)
+
+_KEYWORDS = {"true": True, "false": False, "null": None}
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'",
+            '"': '"', "a": "\a", "b": "\b", "f": "\f", "v": "\v",
+            "`": "`", "?": "?"}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def _unescape(s: str) -> str:
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        e = s[i]
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 1
+        elif e == "x":
+            out.append(chr(int(s[i + 1:i + 3], 16)))
+            i += 3
+        elif e == "u":
+            out.append(chr(int(s[i + 1:i + 5], 16)))
+            i += 5
+        elif e == "U":
+            out.append(chr(int(s[i + 1:i + 9], 16)))
+            i += 9
+        elif e.isdigit():
+            out.append(chr(int(s[i:i + 3], 8)))
+            i += 3
+        else:
+            raise CELError(f"invalid escape: \\{e}")
+    return "".join(out)
+
+
+def _strip_quotes(s: str) -> str:
+    for q in ('"""', "'''"):
+        if s.startswith(q):
+            return s[3:-3]
+    return s[1:-1]
+
+
+def tokenize(src: str) -> list[Tok]:
+    toks: list[Tok] = []
+    pos = 0
+    n = len(src)
+    while pos < n:
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise CELError(f"unexpected character {src[pos]!r} at {pos}")
+        kind = m.lastgroup
+        text = m.group()
+        if kind != "ws":
+            toks.append(Tok(kind, text, pos))
+        pos = m.end()
+    toks.append(Tok("eof", "", pos))
+    return toks
+
+
+# ------------------------------------------------------------------ parser
+
+# AST: tuples (op, ...)
+#  ("lit", v) ("ident", name) ("list", items) ("map", [(k,v)...])
+#  ("cond", c, t, f) ("or", a, b) ("and", a, b)
+#  ("binop", op, a, b) ("not", a) ("neg", a)
+#  ("select", obj, name, optional: bool)
+#  ("index", obj, idx, optional: bool)
+#  ("call", name, args)             # global f(...)
+#  ("mcall", obj, name, args)       # obj.f(...)
+#  ("macro", name, obj_or_None, raw_arg_asts)
+
+_MACROS = {"map", "filter", "all", "exists", "exists_one", "as",
+           "emit", "transformMap"}
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise CELError(f"expected {text!r}, got {t.text!r} at "
+                           f"{t.pos}")
+        return t
+
+    def accept(self, text: str) -> bool:
+        if self.peek().text == text:
+            self.i += 1
+            return True
+        return False
+
+    # Expr = ConditionalOr ["?" ConditionalOr ":" Expr]
+    def expr(self):
+        cond = self.or_()
+        if self.accept("?"):
+            t = self.or_()
+            self.expect(":")
+            f = self.expr()
+            return ("cond", cond, t, f)
+        return cond
+
+    def or_(self):
+        node = self.and_()
+        while self.accept("||"):
+            node = ("or", node, self.and_())
+        return node
+
+    def and_(self):
+        node = self.rel()
+        while self.accept("&&"):
+            node = ("and", node, self.rel())
+        return node
+
+    def rel(self):
+        node = self.add()
+        while self.peek().text in ("==", "!=", "<", "<=", ">", ">=") \
+                or (self.peek().kind == "ident"
+                    and self.peek().text == "in"):
+            op = self.next().text
+            node = ("binop", op, node, self.add())
+        return node
+
+    def add(self):
+        node = self.mul()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            node = ("binop", op, node, self.mul())
+        return node
+
+    def mul(self):
+        node = self.unary()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            node = ("binop", op, node, self.unary())
+        return node
+
+    def unary(self):
+        if self.accept("!"):
+            return ("not", self.unary())
+        if self.accept("-"):
+            return ("neg", self.unary())
+        return self.member()
+
+    def member(self):
+        node = self.primary()
+        while True:
+            t = self.peek().text
+            if t == ".":
+                self.next()
+                name = self.next()
+                if name.kind != "ident":
+                    raise CELError(f"expected field name at {name.pos}")
+                if self.peek().text == "(":
+                    node = self._call_or_macro(node, name.text)
+                else:
+                    node = ("select", node, name.text, False)
+            elif t == ".?":
+                self.next()
+                name = self.next()
+                node = ("select", node, name.text, True)
+            elif t == "[":
+                self.next()
+                idx = self.expr()
+                self.expect("]")
+                node = ("index", node, idx, False)
+            elif t == "[?":
+                self.next()
+                idx = self.expr()
+                self.expect("]")
+                node = ("index", node, idx, True)
+            else:
+                return node
+
+    def _call_or_macro(self, obj, name: str):
+        self.expect("(")
+        args = []
+        if self.peek().text != ")":
+            args.append(self.expr())
+            while self.accept(","):
+                if self.peek().text == ")":
+                    break
+                args.append(self.expr())
+        self.expect(")")
+        if obj is not None and name in _MACROS:
+            return ("macro", name, obj, args)
+        if obj is None and name == "has":
+            return ("macro", "has", None, args)
+        if obj is None:
+            return ("call", name, args)
+        return ("mcall", obj, name, args)
+
+    def primary(self):
+        t = self.next()
+        if t.kind == "int":
+            return ("lit", int(t.text, 0))
+        if t.kind == "uint":
+            return ("lit", UInt(int(t.text[:-1], 0)))
+        if t.kind == "float":
+            return ("lit", float(t.text))
+        if t.kind == "str":
+            return ("lit", _unescape(_strip_quotes(t.text)))
+        if t.kind == "rawstr":
+            return ("lit", _strip_quotes(t.text[1:]))
+        if t.kind == "bytesstr":
+            body = _strip_quotes(t.text[1:])
+            return ("lit", _unescape(body).encode("utf-8"))
+        if t.kind == "ident":
+            if t.text in _KEYWORDS:
+                return ("lit", _KEYWORDS[t.text])
+            if self.peek().text == "(":
+                return self._call_or_macro(None, t.text)
+            return ("ident", t.text)
+        if t.text == "(":
+            node = self.expr()
+            self.expect(")")
+            return node
+        if t.text == "[":
+            items = []
+            while self.peek().text != "]":
+                items.append(self.expr())
+                if not self.accept(","):
+                    break
+            self.expect("]")
+            return ("list", items)
+        if t.text in ("{", "{?"):
+            pairs = []
+            first_optional = t.text == "{?"
+            while self.peek().text != "}":
+                opt = first_optional or self.accept("{?")
+                first_optional = False
+                if self.peek().text == "?":
+                    self.next()
+                    opt = True
+                k = self.expr()
+                self.expect(":")
+                v = self.expr()
+                pairs.append((k, v, opt))
+                if not self.accept(","):
+                    break
+            self.expect("}")
+            return ("map", pairs)
+        raise CELError(f"unexpected token {t.text!r} at {t.pos}")
+
+
+def parse(src: str):
+    p = _Parser(tokenize(src))
+    node = p.expr()
+    if p.peek().kind != "eof":
+        t = p.peek()
+        raise CELError(f"unexpected trailing input {t.text!r} at "
+                       f"{t.pos}")
+    return node
+
+
+# --------------------------------------------------------------- evaluator
+
+_NUM = (int, float)
+
+
+def _same_num_kind(a, b) -> bool:
+    # CEL arithmetic requires same-type operands (int+int, double+double,
+    # uint+uint); cross-type arithmetic is an error ("no such overload")
+    if isinstance(a, bool) or isinstance(b, bool):
+        return False
+    if isinstance(a, UInt) != isinstance(b, UInt):
+        return False
+    return (isinstance(a, int) and isinstance(b, int)) or \
+           (isinstance(a, float) and isinstance(b, float))
+
+
+def _type_name(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, UInt):
+        return "uint"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, list):
+        return "list"
+    if isinstance(v, dict):
+        return "map"
+    if isinstance(v, datetime):
+        return "google.protobuf.Timestamp"
+    if isinstance(v, timedelta):
+        return "google.protobuf.Duration"
+    if v is None:
+        return "null_type"
+    return type(v).__name__
+
+
+def format_value(v) -> str:
+    """CEL string(x) / %v-ish rendering."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and math.isfinite(v) and abs(v) < 1e15:
+            return str(v)
+        return repr(v)
+    if isinstance(v, datetime):
+        return _format_ts(v)
+    if isinstance(v, timedelta):
+        return _format_dur(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if v is None:
+        return "null"
+    return str(v)
+
+
+def _format_ts(dt: datetime) -> str:
+    dt = dt.astimezone(timezone.utc)
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    ns = dt.microsecond * 1000
+    if ns:
+        frac = f"{ns:09d}".rstrip("0")
+        base += "." + frac
+    return base + "Z"
+
+
+def _format_dur(td: timedelta) -> str:
+    # Go time.Duration.String()
+    total = td.total_seconds()
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    ns = round(total * 1e9)
+    if ns == 0:
+        return "0s"
+    units = [("h", 3600 * 10**9), ("m", 60 * 10**9), ("s", 10**9)]
+    out = ""
+    for name, size in units:
+        if name == "s":
+            secs = ns / 10**9
+            if secs or not out:
+                s = f"{secs:.9f}".rstrip("0").rstrip(".")
+                out += f"{s}s"
+            break
+        q, ns_rem = divmod(ns, size)
+        if q or out:
+            if q or out:
+                if q:
+                    out += f"{q}{name}"
+        ns = ns_rem
+    return sign + out
+
+
+class Env:
+    """Evaluation environment: globals + the function registries.
+    `lazy` functions receive their argument ASTs unevaluated (mito's
+    try/is_error/debug need to observe CEL error propagation)."""
+
+    def __init__(self, globals_: dict[str, Any],
+                 functions: dict[str, Callable],
+                 methods: dict[str, Callable],
+                 lazy: Optional[dict[str, Callable]] = None):
+        self.globals = globals_
+        self.functions = functions
+        self.methods = methods
+        self.lazy = lazy or {}
+
+    def child(self, name: str, value: Any) -> "Env":
+        g = dict(self.globals)
+        g[name] = value
+        return Env(g, self.functions, self.methods, self.lazy)
+
+
+def evaluate(node, env: Env):
+    op = node[0]
+    if op == "lit":
+        return node[1]
+    if op == "ident":
+        name = node[1]
+        if name in env.globals:
+            return env.globals[name]
+        raise CELError(f"undeclared reference to '{name}'")
+    if op == "list":
+        return [evaluate(x, env) for x in node[1]]
+    if op == "map":
+        out = {}
+        for k, v, opt in node[1]:
+            kv = evaluate(k, env)
+            vv = evaluate(v, env)
+            if opt:
+                if isinstance(vv, Optional_):
+                    if not vv.has:
+                        continue
+                    vv = vv.value
+            out[kv] = vv
+        return out
+    if op == "cond":
+        c = evaluate(node[1], env)
+        if not isinstance(c, bool):
+            raise CELError("no such overload: condition is "
+                           + _type_name(c))
+        return evaluate(node[2], env) if c else evaluate(node[3], env)
+    if op == "or":
+        # CEL or: true short-circuits even past errors
+        try:
+            a = evaluate(node[1], env)
+        except CELError:
+            a = None
+            a_err = True
+        else:
+            a_err = False
+            if a is True:
+                return True
+        b = evaluate(node[2], env)
+        if b is True:
+            return True
+        if a_err:
+            raise CELError("no such overload")
+        if isinstance(a, bool) and isinstance(b, bool):
+            return a or b
+        raise CELError("no such overload")
+    if op == "and":
+        try:
+            a = evaluate(node[1], env)
+        except CELError:
+            a = None
+            a_err = True
+        else:
+            a_err = False
+            if a is False:
+                return False
+        b = evaluate(node[2], env)
+        if b is False:
+            return False
+        if a_err:
+            raise CELError("no such overload")
+        if isinstance(a, bool) and isinstance(b, bool):
+            return a and b
+        raise CELError("no such overload")
+    if op == "not":
+        v = evaluate(node[1], env)
+        if not isinstance(v, bool):
+            raise CELError("no such overload: !" + _type_name(v))
+        return not v
+    if op == "neg":
+        v = evaluate(node[1], env)
+        if isinstance(v, bool) or not isinstance(v, (_NUM, timedelta)):
+            raise CELError("no such overload: -" + _type_name(v))
+        return -v
+    if op == "binop":
+        return _binop(node[1], evaluate(node[2], env),
+                      evaluate(node[3], env))
+    if op == "select":
+        _, objn, name, optional = node
+        obj = evaluate(objn, env) if not optional else \
+            _eval_optional_chain(objn, env)
+        return _select(obj, name, optional)
+    if op == "index":
+        _, objn, idxn, optional = node
+        obj = evaluate(objn, env) if not optional else \
+            _eval_optional_chain(objn, env)
+        idx = evaluate(idxn, env)
+        return _index(obj, idx, optional)
+    if op == "call":
+        name = node[1]
+        lz = env.lazy.get(name)
+        if lz is not None:
+            return lz(env, node[2])
+        fn = env.functions.get(name)
+        if fn is None:
+            raise CELError(f"undeclared reference to '{name}'")
+        return fn(env, [evaluate(a, env) for a in node[2]])
+    if op == "mcall":
+        _, objn, name, argns = node
+        obj = evaluate(objn, env)
+        fn = env.methods.get(name)
+        if fn is None:
+            raise CELError(f"undeclared reference to '{name}'")
+        return fn(env, obj, [evaluate(a, env) for a in argns])
+    if op == "macro":
+        return _macro(node, env)
+    raise CELError(f"unknown node {op}")
+
+
+def _eval_optional_chain(objn, env):
+    """Receiver of an optional select: an absent-key error from an
+    enclosing optional chain propagates as optional.none."""
+    try:
+        return evaluate(objn, env)
+    except CELError:
+        raise
+
+
+def _select(obj, name: str, optional: bool):
+    if isinstance(obj, Optional_):
+        if not obj.has:
+            return OPT_NONE
+        inner = _select(obj.value, name, optional)
+        if optional:
+            return inner  # already optional
+        return inner
+    if isinstance(obj, dict):
+        if name in obj:
+            return Optional_(obj[name], True) if optional else obj[name]
+        if optional:
+            return OPT_NONE
+        raise CELError(f"no such key: {name}")
+    if optional:
+        return OPT_NONE
+    raise CELError(
+        f"no such key: {name}" if obj is None
+        else f"no such overload: {_type_name(obj)}.{name}")
+
+
+def _index(obj, idx, optional: bool):
+    if isinstance(obj, Optional_):
+        if not obj.has:
+            return OPT_NONE
+        return _index(obj.value, idx, optional)
+    if isinstance(obj, dict):
+        if idx in obj:
+            return Optional_(obj[idx], True) if optional else obj[idx]
+        if optional:
+            return OPT_NONE
+        raise CELError(f"no such key: {idx}")
+    if isinstance(obj, list):
+        if isinstance(idx, bool) or not isinstance(idx, int):
+            if optional:
+                return OPT_NONE
+            raise CELError("no such overload: list["
+                           + _type_name(idx) + "]")
+        if 0 <= idx < len(obj):
+            return Optional_(obj[idx], True) if optional else obj[idx]
+        if optional:
+            return OPT_NONE
+        raise CELError(f"index out of range: {idx}")
+    if optional:
+        return OPT_NONE
+    raise CELError("no such overload: " + _type_name(obj) + "[_]")
+
+
+def _eq(a, b) -> bool:
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, _NUM) and isinstance(b, _NUM) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        return float(a) == float(b)
+    if type(a) is not type(b) and not (
+            isinstance(a, (dict, list)) and isinstance(b, (dict, list))):
+        if a is None or b is None:
+            return a is None and b is None
+    try:
+        return a == b
+    except Exception:
+        return False
+
+
+def _binop(op: str, a, b):
+    if op == "==":
+        return _eq(a, b)
+    if op == "!=":
+        return not _eq(a, b)
+    if op == "in":
+        if isinstance(b, dict):
+            return a in b
+        if isinstance(b, (list, str)):
+            return a in b
+        raise CELError("no such overload: in " + _type_name(b))
+    if op in ("<", "<=", ">", ">="):
+        ok = (
+            (isinstance(a, _NUM) and isinstance(b, _NUM)
+             and not isinstance(a, bool) and not isinstance(b, bool))
+            or (isinstance(a, str) and isinstance(b, str))
+            or (isinstance(a, bytes) and isinstance(b, bytes))
+            or (isinstance(a, datetime) and isinstance(b, datetime))
+            or (isinstance(a, timedelta) and isinstance(b, timedelta))
+            or (isinstance(a, bool) and isinstance(b, bool))
+        )
+        if not ok:
+            raise CELError(f"no such overload: {_type_name(a)} {op} "
+                           f"{_type_name(b)}")
+        return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b}[op]
+    if op == "+":
+        if isinstance(a, str) and isinstance(b, str):
+            return a + b
+        if isinstance(a, bytes) and isinstance(b, bytes):
+            return a + b
+        if isinstance(a, list) and isinstance(b, list):
+            return a + b
+        if isinstance(a, datetime) and isinstance(b, timedelta):
+            return a + b
+        if isinstance(a, timedelta) and isinstance(b, datetime):
+            return b + a
+        if isinstance(a, timedelta) and isinstance(b, timedelta):
+            return a + b
+        if _same_num_kind(a, b):
+            r = a + b
+            return UInt(r) if isinstance(a, UInt) else r
+        raise CELError(f"no such overload: {_type_name(a)} + "
+                       f"{_type_name(b)}")
+    if op == "-":
+        if isinstance(a, datetime) and isinstance(b, timedelta):
+            return a - b
+        if isinstance(a, datetime) and isinstance(b, datetime):
+            return a - b
+        if isinstance(a, timedelta) and isinstance(b, timedelta):
+            return a - b
+        if _same_num_kind(a, b):
+            r = a - b
+            return UInt(r) if isinstance(a, UInt) else r
+        raise CELError(f"no such overload: {_type_name(a)} - "
+                       f"{_type_name(b)}")
+    if op == "*":
+        if _same_num_kind(a, b):
+            r = a * b
+            return UInt(r) if isinstance(a, UInt) else r
+        raise CELError(f"no such overload: {_type_name(a)} * "
+                       f"{_type_name(b)}")
+    if op == "/":
+        if _same_num_kind(a, b):
+            if isinstance(a, float):
+                return math.inf if b == 0 and a > 0 else (
+                    -math.inf if b == 0 and a < 0 else (
+                        math.nan if b == 0 else a / b))
+            if b == 0:
+                raise CELError("division by zero")
+            q = abs(a) // abs(b)
+            if (a < 0) != (b < 0):
+                q = -q
+            return UInt(q) if isinstance(a, UInt) else int(q)
+        raise CELError(f"no such overload: {_type_name(a)} / "
+                       f"{_type_name(b)}")
+    if op == "%":
+        if _same_num_kind(a, b) and isinstance(a, int):
+            if b == 0:
+                raise CELError("modulus by zero")
+            r = abs(a) % abs(b)
+            if a < 0:
+                r = -r
+            return UInt(r) if isinstance(a, UInt) else int(r)
+        raise CELError(f"no such overload: {_type_name(a)} % "
+                       f"{_type_name(b)}")
+    raise CELError(f"unknown operator {op}")
+
+
+def _macro(node, env: Env):
+    _, name, objn, argns = node
+    if name == "has":
+        # has(e.f): true if the select would succeed
+        (argn,) = argns
+        if argn[0] not in ("select",):
+            raise CELError("invalid argument to has() macro")
+        try:
+            v = evaluate(argn, env)
+        except CELError:
+            return False
+        if isinstance(v, Optional_):
+            return v.has
+        return True
+    obj = evaluate(objn, env)
+    if name == "as":
+        # mito Let: v.as(x, expr)
+        var, body = argns
+        if var[0] != "ident":
+            raise CELError("as() variable must be an identifier")
+        return evaluate(body, env.child(var[1], obj))
+    if name == "transformMap":
+        kvar, vvar, body = argns
+        if not isinstance(obj, dict):
+            raise CELError("no such overload: transformMap on "
+                           + _type_name(obj))
+        out = {}
+        for k, v in obj.items():
+            out[k] = evaluate(
+                body, env.child(kvar[1], k).child(vvar[1], v))
+        return out
+    if name == "emit":
+        emitter = env.globals.get("__emitter__")
+        if emitter is None:
+            raise CELError("emit: no emitter in this context")
+        return emitter(env, obj, argns)
+    # comprehensions
+    var = argns[0]
+    if var[0] != "ident":
+        raise CELError(f"{name}() variable must be an identifier")
+    vname = var[1]
+    if isinstance(obj, dict):
+        items = list(obj.keys())
+    elif isinstance(obj, list):
+        items = obj
+    else:
+        raise CELError(f"no such overload: {_type_name(obj)}.{name}")
+    if name == "map":
+        if len(argns) == 2:
+            return [evaluate(argns[1], env.child(vname, x))
+                    for x in items]
+        # map(x, filter, expr)
+        out = []
+        for x in items:
+            e = env.child(vname, x)
+            if evaluate(argns[1], e) is True:
+                out.append(evaluate(argns[2], e))
+        return out
+    if name == "filter":
+        return [x for x in items
+                if evaluate(argns[1], env.child(vname, x)) is True]
+    if name == "all":
+        return all(evaluate(argns[1], env.child(vname, x)) is True
+                   for x in items)
+    if name == "exists":
+        return any(evaluate(argns[1], env.child(vname, x)) is True
+                   for x in items)
+    if name == "exists_one":
+        return sum(1 for x in items
+                   if evaluate(argns[1], env.child(vname, x)) is True
+                   ) == 1
+    raise CELError(f"unknown macro {name}")
+
+
+class _Program:
+    def __init__(self, ast, functions, methods, lazy=None):
+        self.ast = ast
+        self.functions = functions
+        self.methods = methods
+        self.lazy = lazy or {}
+
+    def eval(self, globals_: dict[str, Any]):
+        return evaluate(self.ast, Env(globals_, self.functions,
+                                      self.methods, self.lazy))
+
+
+def _validate(node, functions, methods, bound: set[str],
+              globals_: set[str]) -> None:
+    """Compile-time check: every referenced function must exist —
+    unknown mito surface fails LOUDLY at compile, not mid-poll."""
+    op = node[0]
+    if op == "call":
+        if node[1] not in functions:
+            raise CELError(
+                f"undeclared reference to '{node[1]}' (in container "
+                "'', overload matching may be required)")
+        for a in node[2]:
+            _validate(a, functions, methods, bound, globals_)
+    elif op == "mcall":
+        if node[2] not in methods:
+            raise CELError(
+                f"undeclared reference to '{node[2]}' (in container "
+                "'', overload matching may be required)")
+        _validate(node[1], functions, methods, bound, globals_)
+        for a in node[3]:
+            _validate(a, functions, methods, bound, globals_)
+    elif op == "macro":
+        _, name, objn, argns = node
+        if objn is not None:
+            _validate(objn, functions, methods, bound, globals_)
+        nb = set(bound)
+        if name in ("as", "map", "filter", "all", "exists",
+                    "exists_one", "emit"):
+            if argns and argns[0][0] == "ident":
+                nb = nb | {argns[0][1]}
+            for a in argns[1:]:
+                _validate(a, functions, methods, nb, globals_)
+        elif name == "transformMap":
+            nb = nb | {argns[0][1], argns[1][1]}
+            _validate(argns[2], functions, methods, nb, globals_)
+        elif name == "has":
+            _validate(argns[0], functions, methods, bound, globals_)
+    elif op in ("select",):
+        _validate(node[1], functions, methods, bound, globals_)
+    elif op in ("index",):
+        _validate(node[1], functions, methods, bound, globals_)
+        _validate(node[2], functions, methods, bound, globals_)
+    elif op in ("not", "neg"):
+        _validate(node[1], functions, methods, bound, globals_)
+    elif op in ("or", "and"):
+        _validate(node[1], functions, methods, bound, globals_)
+        _validate(node[2], functions, methods, bound, globals_)
+    elif op == "binop":
+        _validate(node[2], functions, methods, bound, globals_)
+        _validate(node[3], functions, methods, bound, globals_)
+    elif op == "cond":
+        for a in node[1:]:
+            _validate(a, functions, methods, bound, globals_)
+    elif op == "list":
+        for a in node[1]:
+            _validate(a, functions, methods, bound, globals_)
+    elif op == "map":
+        for k, v, _opt in node[1]:
+            _validate(k, functions, methods, bound, globals_)
+            _validate(v, functions, methods, bound, globals_)
+
+
+def compile_program(src: str, functions: dict, methods: dict,
+                    lazy: Optional[dict] = None,
+                    globals_: Optional[set[str]] = None) -> _Program:
+    ast = parse(src)
+    fns = dict(functions)
+    fns.update(lazy or {})
+    _validate(ast, fns, methods, set(), globals_ or set())
+    return _Program(ast, functions, methods, lazy)

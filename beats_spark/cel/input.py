@@ -1,0 +1,311 @@
+"""The cel input's run loop (x-pack/filebeat/input/cel/input.go).
+
+`cel_collect` runs one or more periodic cycles of the reference's
+runCycle/execute pipeline over the from-scratch engine:
+
+- evaluation globals per eval: `state`, `now` (shadowed per eval,
+  input.go:1624-1634), `remaining_executions` (budget-1,
+  input.go:1635-1638), `env` (allowed environment), `useragent`,
+  and `optional`.
+- evalWith error contract (input.go:1641-1654): an uncaught program
+  error becomes the single error event
+  {"error": {"message": "failed eval: ..."}} and clears want_more.
+- execute()'s response-control and validation table: missing events
+  → "unexpected missing events array from evaluation"; non-list/map
+  events → "unexpected type returned for evaluation events: %T";
+  single-object events are degraded (cursor dropped); cursor must be
+  a list matched to events or a single trailing object, element type
+  errors use the reference's exact wording
+  ("unexpected type returned for evaluation cursor element: %T").
+- the want_more loop bounded by max_executions (default 1000), with
+  the goodCursor/cursor bookkeeping of publish() and the url
+  restoration from the last good value.
+- handleResponse: 429 + Retry-After (seconds or HTTP date) and the
+  rate_limit map (reset wait when rate<=0) set the next-eval wait.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from email.utils import parsedate_to_datetime
+from typing import Any, Callable, Optional
+
+from .engine import CELError, Env, compile_program
+from .library import HttpDialer, build_registry, go_type_name
+
+__all__ = ["CelResult", "cel_collect", "compile_input_program"]
+
+DEFAULT_MAX_EXECUTIONS = 1000  # config.go:25
+
+
+@dataclass
+class CelResult:
+    events: list = field(default_factory=list)
+    cursors: list = field(default_factory=list)  # published cursors
+    errors: list = field(default_factory=list)
+    final_cursor: Optional[dict] = None
+    waits: list = field(default_factory=list)  # rate-limit waits (s)
+    debug_log: list = field(default_factory=list)
+
+
+def _error_event(msg: str) -> list:
+    return [{"error": {"message": msg}}]
+
+
+def compile_input_program(src: str, *, dialer=None, now=None,
+                          xsds=None):
+    functions, lazy, methods, optional_ns = build_registry(
+        dialer=dialer, now=now, xsds=xsds)
+    prog = compile_program(src, functions, methods, lazy=lazy)
+    return prog, optional_ns
+
+
+def cel_collect(cfg: dict, *, cycles: int = 1,
+                cursor: Optional[dict] = None,
+                now: Optional[Callable[[], datetime]] = None,
+                env_vars: Optional[dict] = None,
+                sleep: Callable[[float], None] = _time.sleep,
+                useragent: str = "beats_spark-cel") -> CelResult:
+    """Run `cycles` periodic evaluations of the configured program.
+
+    cfg keys (config.go): program, state, resource.url, interval,
+    max_executions, allowed_environment, redact, auth.basic/token,
+    resource.headers, xsds."""
+    res = CelResult()
+    resource = cfg.get("resource") or {}
+    basic = (cfg.get("auth") or {}).get("basic") or {}
+    token = (cfg.get("auth") or {}).get("token") or {}
+    dialer = HttpDialer(
+        useragent=useragent,
+        headers=resource.get("headers") or {},
+        basic_auth=(basic.get("user"), basic.get("password"))
+        if basic.get("user") or basic.get("password") else None,
+        token_auth=(token.get("type"), token.get("value"))
+        if token.get("value") else None,
+    )
+    now = now or (lambda: datetime.now(timezone.utc))
+    prog, optional_ns = compile_input_program(
+        cfg["program"], dialer=dialer, now=now, xsds=cfg.get("xsds"))
+
+    allowed = cfg.get("allowed_environment") or []
+    envmap = {k: v for k, v in (env_vars or {}).items() if k in allowed}
+
+    state: dict[str, Any] = dict(cfg.get("state") or {})
+    if cursor is not None:
+        state["cursor"] = cursor
+    good_cursor = cursor
+    good_url = resource.get("url", "")
+    state["url"] = good_url
+    max_exec = int(cfg.get("max_executions")
+                   or DEFAULT_MAX_EXECUTIONS)
+
+    session = {"cursor": cursor, "good_cursor": good_cursor}
+
+    def publish(event: dict, pub_cursor) -> None:
+        # the CEL output in Go is a fresh proto conversion; deep-copy
+        # so later state mutation can't reach into published events
+        import copy
+
+        res.events.append(copy.deepcopy(event))
+        if pub_cursor is not None:
+            res.cursors.append(copy.deepcopy(pub_cursor))
+
+    def emitter(env: Env, obj, argns):
+        """sessionEmitter + the Emit macro (input.go:383-409):
+        publishes each transformed element; a non-map element stops
+        with the reference's exact error string."""
+        from .engine import evaluate
+
+        if not isinstance(obj, list):
+            raise CELError("emit: source must be a list, got "
+                           + go_type_name(obj))
+        var = argns[0]
+        published = 0
+        last_cursor = None
+        for item in obj:
+            child = env.child(var[1], item)
+            value = evaluate(argns[1], child)
+            cur = evaluate(argns[2], child) if len(argns) > 2 else None
+            if not isinstance(value, dict):
+                return {"error": "emit: event must be a map, got "
+                        + go_type_name(value)}
+            publish(value, cur)
+            published += 1
+            if cur is not None:
+                last_cursor = cur
+        out: dict[str, Any] = {"published": published}
+        if last_cursor is not None:
+            out["cursor"] = last_cursor
+        return out
+
+    for _cycle in range(cycles):
+        budget = max_exec
+        wait_until: Optional[datetime] = None
+        while True:
+            if wait_until is not None:
+                delta = (wait_until - now()).total_seconds()
+                if delta > 0:
+                    res.waits.append(delta)
+                    sleep(delta)
+                wait_until = None
+            count, more, err = _execute(
+                prog, state, session, publish, emitter, envmap,
+                optional_ns, now, useragent, good_url, budget,
+                res)
+            if err is not None:
+                res.errors.append(err)
+                break
+            if count == 0:
+                break
+            if not more:
+                break
+            budget -= 1
+            if budget <= 0:
+                res.errors.append(
+                    "reached maximum number of CEL executions")
+                break
+            wait_until = state.pop("__wait_until__", None)
+    res.final_cursor = session["cursor"]
+    return res
+
+
+def _execute(prog, state, session, publish, emitter, envmap,
+             optional_ns, now, useragent, good_url, budget, res):
+    """execute (input.go:578-785). Returns (event_count, want_more,
+    fatal_error)."""
+    globals_ = {
+        "state": state,
+        "now": now(),
+        "remaining_executions": budget - 1,
+        "env": envmap,
+        "useragent": useragent,
+        "optional": optional_ns,
+        "__emitter__": emitter,
+        "__debug_log__": res.debug_log,
+    }
+    try:
+        out = prog.eval(globals_)
+        if not isinstance(out, dict):
+            raise CELError("failed proto conversion: program result "
+                           "is not a map")
+        new_state = dict(state)
+        new_state.update(out)
+        state.clear()
+        state.update(new_state)
+    except CELError as e:
+        # evalWith (input.go:1650-1654): error event + cleared
+        # want_more; the cycle then publishes it and stops
+        state["events"] = _error_event(f"failed eval: ERROR: "
+                                       f"<input>: {e}")
+        state.pop("want_more", None)
+
+    # handleResponse (input.go:978-1084)
+    header = state.pop("header", None) or {}
+    rate = state.pop("rate_limit", None)
+    status_code = state.pop("status_code", None)
+    wait_until = None
+    if isinstance(rate, dict) and "error" not in rate:
+        limit = rate.get("rate")
+        if isinstance(limit, (int, float)) and limit <= 0:
+            reset = rate.get("reset")
+            if isinstance(reset, str):
+                try:
+                    reset = datetime.fromisoformat(
+                        reset.replace("Z", "+00:00"))
+                except ValueError:
+                    reset = None
+            if isinstance(reset, datetime):
+                wait_until = reset
+    if status_code == 429:
+        retry = ""
+        for k, v in (header or {}).items():
+            if k.lower() == "retry-after":
+                retry = v[0] if isinstance(v, list) else v
+        t = None
+        if retry:
+            try:
+                t = now() + __import__("datetime").timedelta(
+                    seconds=int(retry))
+            except ValueError:
+                try:
+                    t = parsedate_to_datetime(retry)
+                except (TypeError, ValueError):
+                    t = None
+        if t is not None and (wait_until is None or t > wait_until):
+            wait_until = t
+    if wait_until is not None:
+        state["__wait_until__"] = wait_until
+
+    if "url" not in state and good_url:
+        state["url"] = good_url
+
+    if "events" not in state:
+        return 0, False, ("unexpected missing events array from "
+                          "evaluation")
+    e = state["events"]
+    if isinstance(e, list):
+        if not e:
+            state.pop("events")
+            return 0, False, None
+        events = e
+    elif isinstance(e, dict):
+        # single event object — degraded; cursor must not advance
+        events = [e]
+        state.pop("cursor", None)
+    else:
+        return 0, False, ("unexpected type returned for evaluation "
+                          f"events: {go_type_name(e)}")
+    state.pop("events")
+
+    cursors = None
+    single_cursor = False
+    if "cursor" in state:
+        c = state.pop("cursor")
+        if isinstance(c, list):
+            cursors = c
+            if len(cursors) != len(events):
+                if len(cursors) < len(events):
+                    cursors = None
+        else:
+            cursors = [c]
+            single_cursor = True
+
+    for i, event in enumerate(events):
+        if not isinstance(event, dict):
+            return 0, False, ("unexpected type returned for "
+                              "evaluation events: "
+                              + go_type_name(event))
+        pub_cursor = None
+        if cursors is not None:
+            if single_cursor:
+                if i == len(events) - 1:
+                    cur = cursors[0]
+                    if not isinstance(cur, dict):
+                        return 0, False, (
+                            "unexpected type returned for evaluation "
+                            "cursor element: " + go_type_name(cur))
+                    session["good_cursor"] = session["cursor"]
+                    session["cursor"] = cur
+                    pub_cursor = cur
+            else:
+                cur = cursors[i]
+                if not isinstance(cur, dict):
+                    return 0, False, (
+                        "unexpected type returned for evaluation "
+                        "cursor element: " + go_type_name(cur))
+                session["good_cursor"] = session["cursor"]
+                session["cursor"] = cur
+                pub_cursor = cur
+        publish(event, pub_cursor)
+
+    session["good_cursor"] = session["cursor"]
+    # Go re-injects goodCursor as a TYPED nil map when no cursor has
+    # been seen — observable as "no cursor"; keep the key absent
+    if session["good_cursor"] is not None:
+        state["cursor"] = session["good_cursor"]
+    else:
+        state.pop("cursor", None)
+    more = state.get("want_more") is True
+    return len(events), more, None

@@ -1,0 +1,758 @@
+"""cel input — the reference's program corpus
+(x-pack/filebeat/input/cel/input_test.go) ported over the
+from-scratch CEL engine. Go's wants are asserted post-JSON (float64
+for all numbers); here numbers keep their CEL types, so integer wants
+are integers — the serialized JSON is identical."""
+
+from __future__ import annotations
+
+import json
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.cel.engine import CELError, parse
+from beats_spark.cel.input import cel_collect
+
+FIXED_NOW = lambda: datetime(2010, 2, 8, tzinfo=timezone.utc)  # noqa: E731
+
+
+def run(program, state=None, url="", cycles=1, **kw):
+    cfg = {"program": program, "state": state,
+           "resource": {"url": url}}
+    cfg.update(kw.pop("cfg", {}))
+    kw.setdefault("now", FIXED_NOW)
+    return cel_collect(cfg, cycles=cycles, **kw)
+
+
+# ------------------------------------------------------------ hello world
+
+def test_hello_world():
+    r = run('{"events":[{"message":"Hello, World!"}]}')
+    assert r.events == [{"message": "Hello, World!"}]
+    assert r.errors == []
+
+
+def test_hello_world_sprintf():
+    r = run('{"events":[{"message":sprintf("Hello, %s!", ["World"])}]}')
+    assert r.events == [{"message": "Hello, World!"}]
+
+
+def test_hello_world_time():
+    r = run('{"events":[{"message":{"Hello, World!": now}}]}')
+    assert r.events == [{"message": {
+        "Hello, World!": datetime(2010, 2, 8, tzinfo=timezone.utc)}}]
+
+
+def test_hello_world_sum():
+    r = run('{"events":[{"message":string(sum([1,2,3,4]))}]}')
+    assert r.events == [{"message": "10"}]
+
+
+def test_hello_world_bytes():
+    r = run('{"events":[{"message":string(hex_decode('
+            '"68656c6c6f20776f726c64"))}]}')
+    assert r.events == [{"message": "hello world"}]
+
+
+def test_front_and_tail():
+    r = run('{"events":[{"message":front([1,2,3,4,5],2)}, '
+            '{"message":tail([1,2,3,4,5],2)}]}')
+    assert r.events == [{"message": [1, 2]}, {"message": [3, 4, 5]}]
+
+
+def test_bad_events_type():
+    # "hello_world_time_error"-family: events elements must be maps
+    r = run('{"events":["Hello, World!"]}')
+    assert r.errors == ["unexpected type returned for evaluation "
+                        "events: string"]
+
+
+def test_cursor_returned():
+    r = run('{"events":[{"message":"Hello, World!"}],'
+            '"cursor":[{"todo":"What\'s next?"}]}')
+    assert r.events == [{"message": "Hello, World!"}]
+    assert r.final_cursor == {"todo": "What's next?"}
+
+
+def test_bad_cursor_type():
+    r = run('{"events":[{"message":"Hello, World!"}],'
+            '"cursor":["What\'s next?"]}')
+    assert r.errors == ["unexpected type returned for evaluation "
+                        "cursor element: string"]
+
+
+def test_show_state():
+    r = run('{"events":[state]}')
+    assert r.events == [{"url": ""}]
+
+
+def test_show_provided_state():
+    r = run('{"events":[state]}',
+            state={"we": "can", "put": ["a", "bunch"], "of": "stuff",
+                   "here": "!"})
+    assert r.events == [{"we": "can", "put": ["a", "bunch"],
+                         "of": "stuff", "here": "!", "url": ""}]
+
+
+def test_iterative_state_cursor():
+    prog = """
+    {
+        "events":[
+            {"message": state.data[state.cursor.next]},
+        ],
+        "cursor":[
+            {"next": int(state.cursor.next)+1},
+        ],
+        "data": state.data,
+    }
+    """
+    r = run(prog, state={"data": ["a", "b", "c"]},
+            cursor={"next": 0}, cycles=3)
+    assert [e["message"] for e in r.events] == ["a", "b", "c"]
+    assert r.final_cursor == {"next": 3}
+
+
+def test_iterative_state_has_guard():
+    prog = """
+    int(has(state.cursor) && has(state.cursor.next) ?
+        state.cursor.next : 0).as(index, {
+        "events":[
+            {"message": state.data[index]},
+        ],
+        "cursor":[
+            {"next": index+1},
+        ],
+        "data": state.data,
+    })
+    """
+    r = run(prog, state={"data": ["x", "y"]}, cycles=2)
+    assert [e["message"] for e in r.events] == ["x", "y"]
+
+
+def test_split_events():
+    prog = """
+    {
+        "events": state.data.split(":").map(s,
+            {
+                "message": s
+            }
+        )
+    }
+    """
+    r = run(prog, state={"data": "a:b:c"})
+    assert r.events == [{"message": "a"}, {"message": "b"},
+                        {"message": "c"}]
+
+
+def test_optional_chain_has():
+    prog = """{"events":[
+        has(state.?field.?does.?not.exist) ?
+            {"message":"Hello, World!"}
+        :
+            {"message":"Hello, Void!"}
+    ]}"""
+    r = run(prog, state={})
+    assert r.events == [{"message": "Hello, Void!"}]
+    r = run(prog, state={"field": {"does": {"not": {"exist": 1}}}})
+    assert r.events == [{"message": "Hello, World!"}]
+
+
+def test_env_allowed_environment():
+    prog = """{"events":[
+        {"message":env.?CELTESTENVVAR.orValue("not present")},
+        {"message":env.?NONCELTESTENVVAR.orValue("not present")},
+        {"message":env.?DISALLOWEDCELTESTENVVAR.orValue("not present")},
+    ]}"""
+    r = run(prog, cfg={"allowed_environment":
+                       ["CELTESTENVVAR", "NONCELTESTENVVAR"]},
+            env_vars={"CELTESTENVVAR": "TESTVALUE",
+                      "DISALLOWEDCELTESTENVVAR": "DISALLOWEDTESTVALUE"})
+    assert [e["message"] for e in r.events] == [
+        "TESTVALUE", "not present", "not present"]
+
+
+def test_env_optional_index():
+    prog = ('{"events": ["CELTESTENVVAR","NONCELTESTENVVAR",'
+            '"DISALLOWEDCELTESTENVVAR"].map(k,'
+            '{"message":env[?k].orValue("not present")})}')
+    r = run(prog, cfg={"allowed_environment":
+                       ["CELTESTENVVAR", "NONCELTESTENVVAR"]},
+            env_vars={"CELTESTENVVAR": "TESTVALUE",
+                      "DISALLOWEDCELTESTENVVAR": "X"})
+    assert [e["message"] for e in r.events] == [
+        "TESTVALUE", "not present", "not present"]
+
+
+def test_sign_aws_from_static():
+    prog = """{"events": [{
+        "message": post_request("http://www.example.com/",
+            "text/plain", "request data").sign_aws_from_static(
+            "id", "long_enough_secret", "token",
+            {
+                "service": "service",
+                "region": "region",
+                "sign_time": timestamp("2009-11-10T23:00:00Z"),
+                "no_hoist": false,
+                "no_escape": false,
+                "disable_session_token": false,
+            }
+        ).Header.Authorization[?0].orValue("nope")
+    }]}"""
+    r = run(prog)
+    assert len(r.events) == 1
+    auth = r.events[0]["message"]
+    assert auth.startswith("AWS4-HMAC-SHA256 Credential=id/20091110/"
+                           "region/service/aws4_request")
+    assert "Signature=" in auth
+    # deterministic: same sign_time → same signature
+    assert run(prog).events[0]["message"] == auth
+
+
+def test_optional_unwrap_and_transform_map():
+    r = run('{"events": [{"message": optional.unwrap([optional.of(42),'
+            ' optional.none()]).encode_json()}]}')
+    assert r.events == [{"message": "[42]"}]
+    r = run('{"events": [{"message": {\'hello\': \'world\'}'
+            '.transformMap(k, v, v + \'!\').encode_json()}]}')
+    assert r.events == [{"message": '{"hello":"world!"}'}]
+
+
+def test_timestamp_round_truncate():
+    r = run('{"events":[{"message":timestamp("2009-11-10T23:00:00Z")'
+            '.round(duration("24h"))}]}')
+    assert r.events == [{"message": datetime(2009, 11, 11,
+                                             tzinfo=timezone.utc)}]
+    r = run('{"events":[{"message":timestamp("2009-11-10T23:00:00Z")'
+            '.truncate(duration("24h"))}]}')
+    assert r.events == [{"message": datetime(2009, 11, 10,
+                                             tzinfo=timezone.utc)}]
+
+
+# ------------------------------------------------------------------ emit
+
+def test_emit_simple():
+    r = run('{"events":[], "emit_result": [{"message":"hello"},'
+            '{"message":"world"}].emit(e, e)}')
+    assert r.events == [{"message": "hello"}, {"message": "world"}]
+
+
+def test_emit_with_cursor():
+    r = run('{"events":[], "emit_result": '
+            '[{"message":"hello","id":1},{"message":"world","id":2}]'
+            '.emit(e, {"message":e.message}, {"id":e.id})}')
+    assert r.events == [{"message": "hello"}, {"message": "world"}]
+    assert r.cursors == [{"id": 1}, {"id": 2}]
+
+
+def test_emit_error_handling_success():
+    prog = """
+    [{"msg":"a"},{"msg":"b"}].emit(e, e, {"id": e.msg}).as(r,
+        has(r.error) ?
+            {"events": [{"error": r.error}]}
+        :
+            {"events": [r], "cursor": [r.cursor]}
+    )
+    """
+    r = run(prog)
+    assert r.events == [
+        {"msg": "a"}, {"msg": "b"},
+        {"published": 2, "cursor": {"id": "b"}},
+    ]
+    assert r.cursors == [{"id": "a"}, {"id": "b"}, {"id": "b"}]
+
+
+def test_emit_error_handling_failure():
+    prog = """
+    [{"msg":"a"}, "bad"].emit(e, e, {"id": "x"}).as(r,
+        has(r.error) ?
+            {"events": [{"error": r.error}]}
+        :
+            {"events": [r], "cursor": [r.cursor]}
+    )
+    """
+    r = run(prog)
+    assert r.events == [
+        {"msg": "a"},
+        {"error": "emit: event must be a map, got string"},
+    ]
+    assert r.cursors == [{"id": "x"}]
+
+
+# --------------------------------------------------------- stream decode
+
+GZ_CSV_HDR = ("H4sIAAAAAAAAA8tLzE3VSUxP1UnOLKnkcszJTE7VMTbQ8UstV4jML8rmc"
+              "spP0jEy1fHJz0vJz+MCACmhrnIuAAAA")
+GZ_CSV_NOHDR = ("H4sIAAAAAAAAA3PMyUxO1TE20PFLLVeIzC/K5nLKT9IxMtXxyc9Lyc/"
+                "jAgAMH1FQIAAAAA==")
+GZ_LINES = ("H4sIAAAAAAAAA8tIzcnJVyjPL8pJ4UrLz1dISiziSkqsUigsreACAEowr"
+            "ZIcAAAA")
+
+
+def test_decode_csv_stream_lazy_gzip():
+    prog = ('base64_decode("%s").stream_gzip().decode_csv_stream_lazy()'
+            '.map(row, row).as(rows, {"events": rows})' % GZ_CSV_HDR)
+    r = run(prog)
+    assert r.events == [
+        {"name": "Alice", "age": "30", "city": "New York"},
+        {"name": "Bob", "age": "25", "city": "London"},
+    ]
+
+
+def test_decode_csv_stream_lazy_no_header_gzip():
+    prog = ('base64_decode("%s").stream_gzip()'
+            '.decode_csv_stream_lazy_no_header().map(row,'
+            ' {"fields": row}).as(rows, {"events": rows})'
+            % GZ_CSV_NOHDR)
+    r = run(prog)
+    assert r.events == [
+        {"fields": ["Alice", "30", "New York"]},
+        {"fields": ["Bob", "25", "London"]},
+    ]
+
+
+def test_decode_lines_gzip():
+    prog = ('base64_decode("%s").stream_gzip().decode_lines()'
+            '.map(line, {"line": line}).as(lines, {"events": lines})'
+            % GZ_LINES)
+    r = run(prog)
+    assert r.events == [{"line": "hello world"}, {"line": "foo bar"},
+                        {"line": "baz qux"}]
+
+
+def test_decode_lines_emit():
+    prog = ('base64_decode("%s").stream_gzip().decode_lines()'
+            '.emit(line, {"line": line}).as(result,'
+            ' {"events": [], "emit_result": result})' % GZ_LINES)
+    r = run(prog)
+    assert r.events == [{"line": "hello world"}, {"line": "foo bar"},
+                        {"line": "baz qux"}]
+
+
+# ------------------------------------------------------------- try/debug
+
+def test_debug_partial_sum():
+    r = run('{"events":[{"message":{"value": '
+            '1+debug("partial sum", 2+3)}}]}')
+    assert r.events == [{"message": {"value": 6}}]
+    assert r.debug_log == [("partial sum", 5)]
+
+
+def test_try_debug_error():
+    r = run('{"events":[{"message":{"value": '
+            'try(debug("divide by zero", 0/0))}}]}')
+    assert r.events == [{"message": {"value": "division by zero"}}]
+
+
+def test_uncaught_error_becomes_error_event():
+    r = run('{"events":[{"message":{"value": '
+            'debug("divide by zero", 0/0)}}]}')
+    assert len(r.events) == 1
+    msg = r.events[0]["error"]["message"]
+    assert msg.startswith("failed eval: ERROR: <input>")
+    assert "division by zero" in msg
+
+
+# ------------------------------------------------------- want_more budget
+
+def test_max_executions_with_remaining_executions():
+    prog = '''debug("STATE", int(state.n).as(n, {
+        "events": [{"n": n+1, "remaining_executions":
+                    remaining_executions}],
+        "n":          n+1,
+        "want_more":  remaining_executions != 0,
+    }))'''
+    # the Go test cancels its harness after 7 collected events; a
+    # full second periodic cycle runs its complete 5-eval budget
+    r = run(prog, state={"n": 0}, cycles=2,
+            cfg={"max_executions": 5})
+    assert [(e["n"], e["remaining_executions"]) for e in r.events] == [
+        (1, 4), (2, 3), (3, 2), (4, 1), (5, 0),
+        (6, 4), (7, 3), (8, 2), (9, 1), (10, 0)]
+    # the program itself stops at remaining_executions == 0, so the
+    # budget backstop never fires
+    assert r.errors == []
+
+
+def test_want_more_loop():
+    prog = '''int(state.n).as(n, {
+        "events": [{"n": n+1}],
+        "n":          n+1,
+        "want_more":  n+1 < 5,
+    })'''
+    r = run(prog, state={"n": 0})
+    assert [e["n"] for e in r.events] == [1, 2, 3, 4, 5]
+
+
+# ------------------------------------------------------------- FS / file
+
+def test_ndjson_log_file(tmp_path):
+    p = tmp_path / "log.ndjson"
+    p.write_text('{"a": 1}\n{"b": 2}\n')
+    prog = ('{"events": try(file(state.url, "application/x-ndjson")'
+            '.map(e, try(e, "error.message")), "file.error")}')
+    r = run(prog, url=str(p))
+    assert r.events == [{"a": 1}, {"b": 2}]
+
+
+def test_ndjson_log_file_missing(tmp_path):
+    prog = ('{"events": try(file(state.url, "application/x-ndjson")'
+            '.map(e, try(e, "error.message")), "file.error")}')
+    r = run(prog, url=str(tmp_path / "nope.ndjson"))
+    assert len(r.events) == 1
+    assert "file" in r.events[0] and "error" in r.events[0]["file"]
+
+
+def test_ndjson_log_file_corrupted(tmp_path):
+    p = tmp_path / "log.ndjson"
+    p.write_text('{"a": 1}\nnot json\n{"b": 2}\n')
+    prog = ('{"events": try(file(state.url, "application/x-ndjson")'
+            '.map(e, try(e, "error.message")), "file.error")}')
+    r = run(prog, url=str(p))
+    assert r.events[0] == {"a": 1}
+    assert "failed to unmarshal JSON message" in \
+        r.events[1]["error"]["message"]
+    assert r.events[2] == {"b": 2}
+
+
+# ------------------------------------------------------------------ HTTP
+
+class FakeHTTP:
+    def __init__(self, handler):
+        outer_handler = handler
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _serve(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                status, hdrs, out = outer_handler(self, body)
+                out = out.encode() if isinstance(out, str) else out
+                self.send_response(status)
+                for k, v in hdrs.items():
+                    self.send_header(k, v)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            do_GET = do_POST = _serve
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = "http://127.0.0.1:%d" % self.httpd.server_address[1]
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture
+def serve():
+    servers = []
+
+    def start(handler):
+        s = FakeHTTP(handler)
+        servers.append(s)
+        return s
+
+    yield start
+    for s in servers:
+        s.close()
+
+
+GET_BODY_PROG = '''
+bytes(get(state.url).Body).as(body, {
+    "events": [body.decode_json()]
+})
+'''
+
+
+def test_get_json(serve):
+    s = serve(lambda req, body: (200, {"Content-Type":
+                                       "application/json"},
+                                 '{"hello":["world","moon"]}'))
+    r = run(GET_BODY_PROG, url=s.url)
+    assert r.events == [{"hello": ["world", "moon"]}]
+
+
+def test_get_body_string_event(serve):
+    s = serve(lambda req, body: (200, {}, '{"a":1}'))
+    r = run('get(state.url).Body.as(body, {"events": '
+            '[{"message": string(body)}]})', url=s.url)
+    assert r.events == [{"message": '{"a":1}'}]
+
+
+def test_get_with_status_and_header(serve):
+    s = serve(lambda req, body: (200, {"Content-Type":
+                                       "application/json"},
+                                 '{"hello":"world"}'))
+    prog = '''
+    get(state.url).as(resp, {
+        "url": state.url,
+        "events": [bytes(resp.Body).decode_json()],
+        "status_code": resp.StatusCode,
+        "header": resp.Header,
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [{"hello": "world"}]
+    assert r.errors == []
+
+
+def test_post_json(serve):
+    seen = {}
+
+    def h(req, body):
+        seen["body"] = body.decode()
+        seen["ct"] = req.headers.get("Content-Type")
+        return 200, {}, '{"ok":true}'
+
+    s = serve(h)
+    prog = ('bytes(post(state.url, "application/json", '
+            '\'{"test":"abc"}\').Body).as(body, '
+            '{"url": state.url, "events": [body.decode_json()]})')
+    r = run(prog, url=s.url)
+    assert r.events == [{"ok": True}]
+    assert seen == {"body": '{"test":"abc"}',
+                    "ct": "application/json"}
+
+
+def test_custom_user_agent(serve):
+    seen = {}
+
+    def h(req, body):
+        seen["ua"] = req.headers.get("User-Agent")
+        return 200, {}, '{"ok":1}'
+
+    s = serve(h)
+    prog = '''
+    get_request(state.url).with({
+        "Header": {
+            "User-Agent": ["custom user agent"]
+        }
+    }).do_request().Body.as(body, {
+        "events": [body.decode_json()]
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [{"ok": 1}]
+    assert seen["ua"] == "custom user agent"
+    # and the default rides when not overridden
+    run(GET_BODY_PROG, url=s.url, useragent="beats-agent/9")
+    assert seen["ua"] == "beats-agent/9"
+
+
+def test_events_from_field_map(serve):
+    s = serve(lambda req, body: (200, {},
+                                 '{"hello":["world","moon"]}'))
+    prog = '''
+    bytes(get(state.url).Body).as(body, {
+        "events": body.decode_json().hello.map(e,
+        {
+            "hello": e
+        })
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [{"hello": "world"}, {"hello": "moon"}]
+
+
+def test_conditional_flatten(serve):
+    s = serve(lambda req, body: (200, {}, json.dumps({
+        "hello": [{"space": ["world", "moon"]}, {"planet": "mars"}]})))
+    prog = '''
+    bytes(get(state.url).Body).decode_json().as(e0, {
+        "events": e0.hello.map(e1, has(e1.space) ?
+            e1.space.map(e2, {
+                "space": e2,
+            })
+        :
+            [e1]
+        ).flatten()
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [{"space": "world"}, {"space": "moon"},
+                        {"planet": "mars"}]
+
+
+def test_absent_field_empty_events(serve):
+    s = serve(lambda req, body: (200, {}, '{"hello":"world"}'))
+    prog = '''
+    bytes(get(state.url).Body).decode_json().as(e, {
+        "url": state.url,
+        "events": has(e.unknown) ?
+            e.unknown.map(u, {
+                "unknown": u,
+            })
+        :
+            []
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [] and r.errors == []
+
+
+def test_retry_after_429(serve):
+    state = {"n": 0}
+
+    def h(req, body):
+        state["n"] += 1
+        if state["n"] == 1:
+            return 429, {"Retry-After": "1"}, '{"error":"slow down"}'
+        return 200, {}, '{"hello":"world"}'
+
+    s = serve(h)
+    prog = '''
+    get(state.url).as(resp, {
+        "url": state.url,
+        "events": [bytes(resp.Body).decode_json()],
+        "status_code": resp.StatusCode,
+        "header": resp.Header,
+        "want_more": resp.StatusCode == 429,
+    })
+    '''
+    slept = []
+    r = run(prog, url=s.url, sleep=slept.append)
+    # first eval published the 429 body, waited Retry-After, re-ran
+    assert r.events[-1] == {"hello": "world"}
+    assert slept and 0 < slept[0] <= 1.0
+
+
+def test_okta_rate_limit_wait(serve):
+    import time as _t
+
+    state = {"n": 0}
+
+    def h(req, body):
+        state["n"] += 1
+        if state["n"] == 1:
+            return 429, {"X-Rate-Limit-Limit": "60",
+                         "X-Rate-Limit-Remaining": "0",
+                         "X-Rate-Limit-Reset":
+                         str(int(_t.time()) + 2)}, '{"busy":1}'
+        return 200, {"X-Rate-Limit-Limit": "60",
+                     "X-Rate-Limit-Remaining": "59",
+                     "X-Rate-Limit-Reset":
+                     str(int(_t.time()) + 60)}, '{"hello":"world"}'
+
+    s = serve(h)
+    prog = '''
+    get(state.url).as(resp, {
+        "url": state.url,
+        "events": [bytes(resp.Body).decode_json()],
+        "status_code": resp.StatusCode,
+        "header": resp.Header,
+        "rate_limit": rate_limit(resp.Header, 'okta', duration('1m')),
+        "want_more": resp.StatusCode == 429,
+    })
+    '''
+    slept = []
+    r = run(prog, url=s.url, sleep=slept.append,
+            now=lambda: datetime.now(timezone.utc))
+    assert r.events[-1] == {"hello": "world"}
+    assert slept, "zero-quota rate limit must wait until reset"
+
+
+def test_date_cursor_pagination(serve):
+    calls = []
+
+    def h(req, body):
+        calls.append(req.path)
+        return 200, {}, json.dumps(
+            {"@timestamp": "2002-10-02T15:00:00Z", "foo": "bar"})
+
+    s = serve(h)
+    prog = '''
+    (!is_error(state.cursor.timestamp) ?
+        state.cursor.timestamp
+    :
+        timestamp(state.fake_now)-duration('10m')
+    ).as(time_cursor,
+    string(state.url).parse_url().with_replace({
+        "RawQuery": {"$filter": ["alertCreationTime ge "+string(time_cursor)]}.format_query()
+    }).format_url().as(url, bytes(get(url).Body)).decode_json().as(event, {
+        "events": [event],
+        "cursor": [{"timestamp": !is_error(event["@timestamp"]) ? event["@timestamp"] : time_cursor+duration('1s')}],
+        "fake_now": state.fake_now
+    }))
+    '''
+    r = run(prog, state={"fake_now": "2002-10-02T15:00:00Z"},
+            url=s.url, cycles=2)
+    assert len(r.events) == 2
+    assert r.final_cursor == {"timestamp": "2002-10-02T15:00:00Z"}
+    # first call derives the filter from fake_now-10m; the second
+    # from the cursor timestamp
+    assert "alertCreationTime+ge+2002-10-02T14%3A50%3A00Z" in calls[0]
+    assert "alertCreationTime+ge+2002-10-02T15%3A00%3A00Z" in calls[1]
+
+
+def test_page_token_pagination(serve):
+    pages = {"": {"items": [{"foo": "a"}], "nextPageToken": "p2"},
+             "p2": {"items": [{"foo": "b"}]}}
+
+    def h(req, body):
+        from urllib.parse import parse_qs, urlparse as up
+
+        q = parse_qs(up(req.path).query)
+        page = q.get("page", [""])[0]
+        return 200, {}, json.dumps(pages[page])
+
+    s = serve(h)
+    prog = '''
+    (!is_error(state.cursor.page) ?
+        state.cursor.page
+    :
+        ""
+    ).as(page_cursor,
+    string(state.url).parse_url().with_replace({
+        "RawQuery": (page_cursor != "" ? {"page": [page_cursor]}.format_query() : "")
+    }).format_url().as(url, bytes(get(url).Body)).decode_json().as(resp, {
+        "events": resp.items,
+        "cursor": (has(resp.nextPageToken) ? resp.nextPageToken : "").as(page, {"page": page}),
+    }))
+    '''
+    r = run(prog, url=s.url, cycles=2)
+    assert [e["foo"] for e in r.events] == ["a", "b"]
+    assert r.final_cursor == {"page": ""}
+
+
+def test_per_record_fetch_chain(serve):
+    def h(req, body):
+        if req.path == "/":
+            return 200, {}, json.dumps({"records": [{"id": 1},
+                                                    {"id": 2}]})
+        rid = req.path.rsplit("/", 1)[-1]
+        return 200, {}, json.dumps({"data": f"event-{rid}"})
+
+    s = serve(h)
+    prog = '''
+    bytes(get(state.url).Body).decode_json().records.map(r,
+        bytes(get(state.url+'/'+string(r.id)).Body).decode_json()).as(events, {
+            "events": events,
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert r.events == [{"data": "event-1"}, {"data": "event-2"}]
+
+
+def test_type_error_in_chain_is_error_event(serve):
+    s = serve(lambda req, body: (200, {}, json.dumps(
+        {"records": [{"id": 1}]})))
+    prog = '''
+    get(state.url).Body.decode_json().records.map(r,
+        get(state.url+'/'+r.id).Body.decode_json()).as(events, {
+            "events": events,
+    })
+    '''
+    r = run(prog, url=s.url)
+    assert len(r.events) == 1
+    assert r.events[0]["error"]["message"].startswith(
+        "failed eval: ERROR: <input>")
