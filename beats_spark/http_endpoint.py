@@ -1,0 +1,1555 @@
+"""http_endpoint input — the push-mode webhook receiver, live.
+
+The reference input (x-pack/filebeat/input/http_endpoint/) runs an HTTP
+server whose handler validates each request (basic auth, secret header,
+method, content type, HMAC signature), optionally transforms the JSON
+body with a CEL program, answers provider CRC challenges (Zoom), applies
+hysteresis-based admission control over in-flight body bytes, and
+publishes one event per received JSON object, optionally waiting for
+end-to-end ACK (`wait_for_completion_timeout`).
+
+This module implements that from scratch on the stdlib HTTP server:
+
+- config.go        → Config/default_config/validate (exact wordings,
+                     in-flight water-mark defaults and relationships)
+- validate.go      → ApiValidator (constant-time compares; the HMAC
+                     header decode tries hex → raw base64 → padded
+                     base64 with Go's exact error strings, joined like
+                     errors.Join)
+- crc.go           → the Zoom CRC challenge/response handler
+- handler.go       → Handler.serve: the full request flow including the
+                     JSON stream decode (Go json.Decoder semantics:
+                     concatenated values, arrays flattened, UseNumber +
+                     TransformNumbers), the CEL `program` hook with the
+                     numberAdapter large-integer rule and the structpb
+                     output conversion, include_headers,
+                     preserve_original_event, and the ACK wait
+- count_reader.go  → CountReader (shared in-flight counter, hard limit)
+- gzip.go          → Content-Encoding gzip body decode
+- ack.go           → BatchAckTracker
+- input.go         → Mux (exact/prefix patterns, path.Clean conformance,
+                     longest-prefix-wins, 307 redirect for unclean
+                     paths) and ServerPool (shared servers per address,
+                     TLS-consistency and duplicate-pattern refusals,
+                     joiner/creator deregistration keeping the server
+                     alive until the last pattern is removed)
+
+The CEL `program` option rides the beats_spark.cel engine with the same
+restricted environment the reference builds (handler.go:507-537: the
+`obj` variable, optional types, and mito's Debug extension — none of the
+mito HTTP/file surface), plus its numberAdapter: integers that fit int64
+stay integers, larger values become doubles unless they are ≥ 2^53 and
+written without '.'/'e' in which case they are literalised as strings;
+program output follows the proto3 JSON mapping (ints outside ±(2^53-1)
+render as strings).
+
+TLS serving and the lumberjack request tracer are environment-gated
+(config surface + consistency checks only), like the kafka jar.
+
+Spark surface: EndpointCollector buffers published events (immediate or
+ack-after-drain dispositions) and endpoint_events_df lands them as a
+DataFrame for the processor pipeline — the established wire-input
+pattern (tcp/udp/mqtt sources).
+"""
+from __future__ import annotations
+
+import gzip as _gzip
+import hashlib
+import hmac as _hmac
+import io
+import json
+import posixpath
+import socketserver
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler
+from typing import Any, Callable, Optional
+from urllib.parse import parse_qsl, urlsplit
+
+from .httpjson.gotime import GoTimeError, parse_go_duration
+from .httpjson import mapstr
+
+__all__ = [
+    "Config", "default_config", "new_http_endpoint", "HTTPEndpoint",
+    "ApiValidator", "ApiError", "Handler", "Request", "ResponseRecorder",
+    "Mux", "ServerPool", "BatchAckTracker", "CountReader", "AtomicInt64",
+    "MaxInFlightExceeded", "http_read_json", "decode_json_body",
+    "new_program", "Program", "Event", "get_timeout_wait", "clean_path",
+    "decode_header_value", "go_hex_decode", "go_base64_decode",
+    "canonical_mime_header_key", "new_crc", "EndpointCollector",
+    "endpoint_events_df", "join_host_port",
+]
+
+INT64_MIN, INT64_MAX = -(1 << 63), (1 << 63) - 1
+MAX_INT_JSON = (1 << 53) - 1  # proto3 JSON safe-integer bound
+
+
+# ---------------------------------------------------------------------------
+# Go-parity codecs (validate.go:128-152 decodeHeaderValue)
+
+class GoDecodeError(ValueError):
+    pass
+
+
+def go_hex_decode(s: str) -> bytes:
+    """encoding/hex DecodeString with Go's error strings."""
+    out = bytearray()
+    b = s.encode("utf-8", "surrogateescape")
+    i = 0
+    while i + 1 < len(b):
+        hi = _from_hex_char(b[i])
+        if hi < 0:
+            raise GoDecodeError(
+                "encoding/hex: invalid byte: " + _go_hash_u(b[i]))
+        lo = _from_hex_char(b[i + 1])
+        if lo < 0:
+            raise GoDecodeError(
+                "encoding/hex: invalid byte: " + _go_hash_u(b[i + 1]))
+        out.append(hi << 4 | lo)
+        i += 2
+    if len(b) % 2 == 1:
+        # hex.Decode: an invalid byte in the dangling half reports
+        # InvalidByteError before ErrLength
+        if _from_hex_char(b[-1]) < 0:
+            raise GoDecodeError(
+                "encoding/hex: invalid byte: " + _go_hash_u(b[-1]))
+        raise GoDecodeError("encoding/hex: odd length hex string")
+    return bytes(out)
+
+
+def _from_hex_char(c: int) -> int:
+    ch = chr(c)
+    if "0" <= ch <= "9":
+        return c - 48
+    if "a" <= ch <= "f":
+        return c - 87
+    if "A" <= ch <= "F":
+        return c - 55
+    return -1
+
+
+def _go_hash_u(c: int) -> str:
+    """fmt %#U — 'U+006E' plus the quoted rune when printable."""
+    out = f"U+{c:04X}"
+    ch = chr(c)
+    if ch.isprintable():
+        out += f" '{ch}'"
+    return out
+
+
+_B64_STD = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+_B64_MAP = {ord(c): i for i, c in enumerate(_B64_STD)}
+
+
+def go_base64_decode(s: str, padded: bool) -> bytes:
+    """encoding/base64 (Std or RawStd) with Go's CorruptInputError
+    positions ("illegal base64 data at input byte %d")."""
+    src = s.encode("utf-8", "surrogateescape")
+    out = bytearray()
+    si = 0
+    n = len(src)
+    while si < n:
+        dbuf = [0, 0, 0, 0]
+        dlen = 4
+        j = 0
+        while j < 4:
+            if si == n:
+                if j == 0:
+                    return bytes(out)
+                if j == 1 or padded:
+                    raise GoDecodeError(
+                        f"illegal base64 data at input byte {si - j}")
+                dlen = j
+                break
+            c = src[si]
+            si += 1
+            v = _B64_MAP.get(c)
+            if v is not None:
+                dbuf[j] = v
+                j += 1
+                continue
+            if c in (0x0A, 0x0D):  # \n \r skipped
+                continue
+            if not padded or c != ord("="):
+                raise GoDecodeError(
+                    f"illegal base64 data at input byte {si - 1}")
+            # padding
+            if j in (0, 1):
+                raise GoDecodeError(
+                    f"illegal base64 data at input byte {si - 1}")
+            if j == 2:
+                while si < n and src[si] in (0x0A, 0x0D):
+                    si += 1
+                if si == n:
+                    raise GoDecodeError(
+                        f"illegal base64 data at input byte {n}")
+                if src[si] != ord("="):
+                    raise GoDecodeError(
+                        f"illegal base64 data at input byte {si - 1}")
+                si += 1
+            while si < n and src[si] in (0x0A, 0x0D):
+                si += 1
+            if si < n:
+                raise GoDecodeError(
+                    f"illegal base64 data at input byte {si}")
+            dlen = j
+            break
+        else:
+            dlen = 4
+        val = dbuf[0] << 18 | dbuf[1] << 12 | dbuf[2] << 6 | dbuf[3]
+        if dlen >= 4:
+            out.extend(((val >> 16) & 0xFF, (val >> 8) & 0xFF, val & 0xFF))
+        elif dlen == 3:
+            out.extend(((val >> 16) & 0xFF, (val >> 8) & 0xFF))
+        elif dlen == 2:
+            out.append((val >> 16) & 0xFF)
+        if dlen < 4:
+            break
+    return bytes(out)
+
+
+def decode_header_value(s: str) -> bytes:
+    """validate.go decodeHeaderValue: hex → raw base64 → padded base64;
+    on total failure the three errors join with newlines (errors.Join)."""
+    if s == "":
+        raise GoDecodeError("unexpected empty header value")
+    errs = []
+    for dec in (go_hex_decode,
+                lambda v: go_base64_decode(v, padded=False),
+                lambda v: go_base64_decode(v, padded=True)):
+        try:
+            return dec(s)
+        except GoDecodeError as e:
+            errs.append(str(e))
+    raise GoDecodeError("\n".join(errs))
+
+
+_TOKEN_OK = set("!#$%&'*+-.^_`|~0123456789"
+                "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def canonical_mime_header_key(s: str) -> str:
+    """textproto.CanonicalMIMEHeaderKey — Title-Case per '-' segment;
+    returned unchanged when it contains non-token characters."""
+    if not s or any(c not in _TOKEN_OK for c in s):
+        return s
+    out = []
+    upper = True
+    for c in s:
+        out.append(c.upper() if upper else c.lower())
+        upper = c == "-"
+    return "".join(out)
+
+
+def _dedot(s: str) -> str:
+    """libbeat common.DeDot — '.' in keys becomes '_'."""
+    return s.replace(".", "_")
+
+
+def join_host_port(host: str, port: str) -> str:
+    """net.JoinHostPort — IPv6 literals are bracketed."""
+    if ":" in host:
+        return f"[{host}]:{port}"
+    return f"{host}:{port}"
+
+
+def _go_marshal(v: Any, html_escape: bool = True) -> str:
+    """json.Marshal: sorted keys, compact, HTML-escaped by default."""
+    s = json.dumps(v, sort_keys=True, separators=(",", ":"),
+                   ensure_ascii=False)
+    if html_escape:
+        s = (s.replace("&", "\\u0026").replace("<", "\\u003c")
+             .replace(">", "\\u003e")
+             .replace("\u2028", "\\u2028").replace("\u2029", "\\u2029"))
+    return s
+
+
+def html_escape_json(s: str) -> str:
+    """json.HTMLEscape over an already-encoded JSON string (the
+    response_body passes through this at handler build, input.go:585)."""
+    return (s.replace("<", "\\u003c").replace(">", "\\u003e")
+            .replace("&", "\\u0026")
+            .replace("\u2028", "\\u2028").replace("\u2029", "\\u2029"))
+
+
+# ---------------------------------------------------------------------------
+# Config (config.go)
+
+@dataclass
+class Config:
+    method: str = "POST"
+    tls: Optional[dict] = None
+    basic_auth: bool = False
+    username: str = ""
+    password: str = ""
+    response_code: int = 200
+    response_body: str = '{"message": "success"}'
+    options_headers: Optional[dict] = None  # name → [values]; None = unset
+    options_status: int = 200
+    listen_address: str = "127.0.0.1"
+    listen_port: str = "8000"
+    url: str = "/"
+    prefix: str = "json"
+    content_type: str = "application/json"
+    max_body_bytes: Optional[int] = None
+    max_in_flight_bytes: int = 0
+    high_water_in_flight_bytes: int = 0
+    low_water_in_flight_bytes: int = 0
+    retry_after: int = 10
+    program: str = ""
+    secret_header: str = ""
+    secret_value: str = ""
+    hmac_header: str = ""
+    hmac_key: str = ""
+    hmac_type: str = ""
+    hmac_prefix: str = ""
+    crc_provider: str = ""
+    crc_secret: str = ""
+    include_headers: list = field(default_factory=list)
+    preserve_original_event: bool = False
+    tracer_filename: str = ""
+    tracer_enabled: Optional[bool] = None
+
+    def validate(self) -> None:
+        try:
+            json.loads(self.response_body)
+        except ValueError:
+            raise ValueError("response_body must be valid JSON")
+        if self.method not in ("POST", "PUT", "PATCH"):
+            raise ValueError(
+                f"method must be POST, PUT or PATCH: {self.method}")
+        if self.basic_auth and (not self.username or not self.password):
+            raise ValueError(
+                "username and password required when basicauth is enabled")
+        if ((self.secret_header != "" and self.secret_value == "")
+                or (self.secret_header == "" and self.secret_value != "")):
+            raise ValueError("both secret.header and secret.value must be set")
+        if ((self.hmac_header != "" and self.hmac_key == "")
+                or (self.hmac_header == "" and self.hmac_key != "")):
+            raise ValueError("both hmac.header and hmac.key must be set")
+        if self.hmac_type not in ("", "sha1", "sha256"):
+            raise ValueError("hmac.type must be sha1 or sha256")
+        if self.crc_provider != "":
+            if self.crc_provider.lower() not in _CRC_PROVIDERS:
+                raise ValueError(
+                    f'not a valid CRC provider: "{self.crc_provider}"')
+            if self.crc_secret == "":
+                raise ValueError(
+                    "crc.secret is required when crc.provider is defined")
+        elif self.crc_secret != "":
+            raise ValueError(
+                "crc.provider is required when crc.secret is defined")
+        if self.max_body_bytes is not None and self.max_body_bytes < 0:
+            raise ValueError(
+                f"max_body_bytes is negative: {self.max_body_bytes}")
+        self.apply_in_flight_defaults()
+        self.validate_in_flight_limits()
+        if self.tracer_enabled and not self.tracer_filename:
+            raise ValueError("request tracer must have a filename if used")
+
+    def apply_in_flight_defaults(self) -> None:
+        # config.go:152-166: high water defaults to max/2; low water to
+        # the lesser of 80% of high water or high water − 64 kB, clamped
+        # non-negative.
+        if self.max_in_flight_bytes <= 0:
+            return
+        if self.high_water_in_flight_bytes == 0:
+            self.high_water_in_flight_bytes = self.max_in_flight_bytes // 2
+        if self.low_water_in_flight_bytes == 0:
+            hw = self.high_water_in_flight_bytes
+            self.low_water_in_flight_bytes = min(
+                hw * 4 // 5, max(0, hw - 64 * 1024))
+
+    def validate_in_flight_limits(self) -> None:
+        mx = self.max_in_flight_bytes
+        hw = self.high_water_in_flight_bytes
+        lw = self.low_water_in_flight_bytes
+        if mx < 0:
+            raise ValueError(f"max_in_flight_bytes is negative: {mx}")
+        if hw < 0:
+            raise ValueError(f"high_water_in_flight_bytes is negative: {hw}")
+        if lw < 0:
+            raise ValueError(f"low_water_in_flight_bytes is negative: {lw}")
+        if mx == 0 and (hw != 0 or lw != 0):
+            raise ValueError(
+                "high_water_in_flight_bytes and low_water_in_flight_bytes "
+                "require max_in_flight_bytes to be set")
+        if mx > 0:
+            if mx < 2:
+                raise ValueError(
+                    "max_in_flight_bytes must be at least 2: "
+                    f"currently set to {mx}")
+            if hw >= mx:
+                raise ValueError(
+                    f"high_water_in_flight_bytes ({hw}) must be less than "
+                    f"max_in_flight_bytes ({mx})")
+            if lw >= hw:
+                raise ValueError(
+                    f"low_water_in_flight_bytes ({lw}) must be less than "
+                    f"high_water_in_flight_bytes ({hw})")
+
+
+def default_config() -> Config:
+    return Config()
+
+
+# ---------------------------------------------------------------------------
+# Request / response abstractions (httptest-shaped, so the handler test
+# matrix ports directly; the live server adapts onto these)
+
+class Request:
+    def __init__(self, method: str, path: str, body: Any = b"",
+                 headers: Optional[dict] = None, query: str = "",
+                 remote_addr: str = "192.0.2.1:1234"):
+        self.method = method
+        if "?" in path and not query:
+            path, query = path.split("?", 1)
+        self.path = path
+        self.query = query
+        self.headers: dict[str, list[str]] = {}
+        for k, v in (headers or {}).items():
+            ck = canonical_mime_header_key(k)
+            if isinstance(v, (list, tuple)):
+                self.headers[ck] = list(v)
+            else:
+                self.headers[ck] = [v]
+        if isinstance(body, str):
+            body = body.encode()
+        if isinstance(body, (bytes, bytearray)):
+            self.content_length = len(body)
+            self.body = io.BytesIO(bytes(body))
+        else:  # file-like (streamed)
+            self.content_length = None
+            self.body = body
+        self.remote_addr = remote_addr
+
+    def header_get(self, name: str) -> str:
+        vs = self.headers.get(canonical_mime_header_key(name))
+        return vs[0] if vs else ""
+
+    def header_values(self, name: str) -> list:
+        return self.headers.get(canonical_mime_header_key(name), [])
+
+
+class ResponseRecorder:
+    def __init__(self):
+        self.code = 200
+        self.headers: dict[str, list[str]] = {}
+        self.buf = io.BytesIO()
+        self._wrote_header = False
+
+    def set_header(self, k: str, v: str) -> None:
+        self.headers[canonical_mime_header_key(k)] = [v]
+
+    def add_header(self, k: str, v: str) -> None:
+        self.headers.setdefault(canonical_mime_header_key(k), []).append(v)
+
+    def set_header_values(self, k: str, vs: list) -> None:
+        self.headers[canonical_mime_header_key(k)] = list(vs)
+
+    def write_header(self, code: int) -> None:
+        if not self._wrote_header:
+            self.code = code
+            self._wrote_header = True
+
+    def write(self, data) -> None:
+        if isinstance(data, str):
+            data = data.encode()
+        if not self._wrote_header:
+            self.write_header(200)
+        self.buf.write(data)
+
+    @property
+    def body(self) -> str:
+        return self.buf.getvalue().decode("utf-8", "replace")
+
+
+# ---------------------------------------------------------------------------
+# Validator (validate.go)
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str):
+        super().__init__(message)
+        self.status = status
+        self.message = message
+
+
+def _ct_eq(a: str, b: str) -> bool:
+    # subtle.ConstantTimeCompare semantics (length leak matches Go's
+    # early false on length mismatch)
+    return _hmac.compare_digest(a.encode(), b.encode())
+
+
+def _parse_basic_auth(value: str):
+    prefix = "basic "
+    if len(value) < len(prefix) or value[:len(prefix)].lower() != prefix:
+        return "", ""
+    try:
+        raw = go_base64_decode(value[len(prefix):], padded=True)
+    except GoDecodeError:
+        return "", ""
+    try:
+        s = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return "", ""
+    if ":" not in s:
+        return "", ""
+    u, _, p = s.partition(":")
+    return u, p
+
+
+@dataclass
+class ApiValidator:
+    basic_auth: bool = False
+    username: str = ""
+    password: str = ""
+    method: str = "POST"
+    content_type: str = ""
+    secret_header: str = ""
+    secret_value: str = ""
+    hmac_header: str = ""
+    hmac_key: str = ""
+    hmac_type: str = ""
+    hmac_prefix: str = ""
+    max_body_size: int = -1
+    options_headers: Optional[dict] = None
+    options_status: int = 200
+
+    def validate_request(self, r: Request) -> None:
+        if self.basic_auth:
+            u, p = _parse_basic_auth(r.header_get("Authorization"))
+            if not (_ct_eq(self.username, u) and _ct_eq(self.password, p)):
+                raise ApiError(401, "incorrect username or password")
+        if self.secret_header and self.secret_value:
+            if not _ct_eq(self.secret_value,
+                          r.header_get(self.secret_header)):
+                raise ApiError(401, "incorrect header or header secret")
+        if not self._is_method_ok(r.method):
+            if r.method == "OPTIONS":
+                raise ApiError(
+                    400,
+                    "OPTIONS requests are only allowed with "
+                    "options_headers set")
+            raise ApiError(405, f"only {self.method} requests are allowed")
+        if (self.content_type
+                and r.header_get("Content-Type") != self.content_type):
+            raise ApiError(
+                415,
+                f"wrong Content-Type header, expecting {self.content_type}")
+        if self.hmac_header and self.hmac_key and self.hmac_type:
+            if not r.header_values(self.hmac_header):
+                raise ApiError(401, "missing HMAC header")
+            hv = r.header_get(self.hmac_header)
+            if hv.startswith(self.hmac_prefix):
+                hv = hv[len(self.hmac_prefix):]
+            try:
+                signature = decode_header_value(hv)
+            except GoDecodeError as e:
+                raise ApiError(
+                    401, f"invalid HMAC signature encoding: {e}")
+            # Read (bounded) raw body for the MAC, then restore it
+            # untouched for later processing (validate.go:86-97).
+            if self.max_body_size >= 0:
+                buf = r.body.read(self.max_body_size)
+            else:
+                buf = r.body.read()
+            r.body = io.BytesIO(buf)
+            digestmod = (hashlib.sha256 if self.hmac_type == "sha256"
+                         else hashlib.sha1)
+            mac = _hmac.new(self.hmac_key.encode(), buf, digestmod).digest()
+            if not _hmac.compare_digest(signature, mac):
+                raise ApiError(401, "invalid HMAC signature")
+
+    def _is_method_ok(self, m: str) -> bool:
+        if m == "OPTIONS":
+            return self.options_headers is not None
+        return self.method == "" or m == self.method
+
+
+# ---------------------------------------------------------------------------
+# CRC (crc.go) — Zoom challenge/response
+
+class _NotCRC(Exception):
+    pass
+
+
+class CRCValidator:
+    def __init__(self, provider, key, value, challenge, secret, fn):
+        self.provider = provider
+        self.key = key
+        self.value = value
+        self.challenge = challenge
+        self.secret = secret
+        self.fn = fn
+
+    def validate(self, obj: dict):
+        """Returns (status, response_body); raises _NotCRC when the
+        object is not a CRC request, ApiError for malformed ones."""
+        return self.fn(self, obj)
+
+
+def _validate_zoom_crc(crc: CRCValidator, obj: dict):
+    event = obj.get("event")
+    if not isinstance(event, str) or event != "endpoint.url_validation":
+        raise _NotCRC()
+    payload = obj.get("payload")
+    if not isinstance(payload, dict):
+        raise _NotCRC()
+    challenge = payload.get("plainToken")
+    if not isinstance(challenge, str):
+        raise _NotCRC()
+    if challenge == "":
+        raise ApiError(
+            400, f'failed decoding "{crc.challenge}" from CRC request')
+    token = _hmac.new(crc.secret.encode(), challenge.encode(),
+                      hashlib.sha256).hexdigest()
+    return 200, _go_marshal(
+        {"plainToken": challenge, "encryptedToken": token})
+
+
+_CRC_PROVIDERS = {
+    "zoom": lambda secret: CRCValidator(
+        "zoom", "event", "endpoint.url_validation", "payload.plainToken",
+        secret, _validate_zoom_crc),
+}
+
+
+def new_crc(name: str, secret: str) -> Optional[CRCValidator]:
+    fn = _CRC_PROVIDERS.get(name.lower()) if name else None
+    return fn(secret) if fn else None
+
+
+# ---------------------------------------------------------------------------
+# JSON stream decode (handler.go:441-500) with Go error wordings
+
+class JSONStreamError(Exception):
+    pass
+
+
+_GO_CHAR_ESCAPES = {"\n": "\\n", "\r": "\\r", "\t": "\\t",
+                    "\\": "\\\\", "'": "\\'"}
+
+
+def _go_quote_char(c: str) -> str:
+    if c in _GO_CHAR_ESCAPES:
+        return f"'{_GO_CHAR_ESCAPES[c]}'"
+    if c.isprintable() and ord(c) < 0x80:
+        return f"'{c}'"
+    if ord(c) < 0x80:
+        return f"'\\x{ord(c):02x}'"
+    return f"'{c}'"
+
+
+def _enclosing_container(doc: str, pos: int) -> str:
+    """Walk doc[:pos] tracking the open bracket stack (string-aware) to
+    phrase Go's ',' errors ("after array element" vs "after object
+    key:value pair")."""
+    stack = []
+    in_str = False
+    esc = False
+    for ch in doc[:pos]:
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "[{":
+            stack.append(ch)
+        elif ch in "]}" and stack:
+            stack.pop()
+    return stack[-1] if stack else ""
+
+
+def _go_json_error(e: json.JSONDecodeError, doc: str) -> str:
+    """Render a Python json error in encoding/json's words."""
+    msg = e.msg
+    pos = e.pos
+    c = doc[pos] if pos < len(doc) else ""
+    if msg.startswith("Invalid control character"):
+        return f"invalid character {_go_quote_char(c)} in string literal"
+    if msg.startswith("Invalid \\escape") or msg.startswith(
+            "Invalid \\uXXXX"):
+        return (f"invalid character {_go_quote_char(c)} "
+                "in string escape code")
+    if msg.startswith("Unterminated string"):
+        return "unexpected end of JSON input"
+    if msg.startswith("Expecting value"):
+        if not c:
+            return "unexpected end of JSON input"
+        return (f"invalid character {_go_quote_char(c)} "
+                "looking for beginning of value")
+    if msg.startswith("Expecting property name"):
+        if not c:
+            return "unexpected end of JSON input"
+        return (f"invalid character {_go_quote_char(c)} "
+                "looking for beginning of object key string")
+    if msg.startswith("Expecting ':'"):
+        return f"invalid character {_go_quote_char(c)} after object key"
+    if msg.startswith("Expecting ','"):
+        if not c:
+            return "unexpected end of JSON input"
+        where = ("array element"
+                 if _enclosing_container(doc, pos) == "["
+                 else "object key:value pair")
+        return f"invalid character {_go_quote_char(c)} after {where}"
+    return f"invalid character {_go_quote_char(c)}" if c else msg
+
+
+def _plain_int(s: str):
+    # UseNumber + jsontransform.TransformNumbers: Int64 when it fits,
+    # else Float64
+    i = int(s)
+    if INT64_MIN <= i <= INT64_MAX:
+        return i
+    return float(s)
+
+
+def _adapter_int(s: str):
+    # handler.go numberAdapter: ints that fit int64 stay ints; larger
+    # values ≥ 2^53 written without '.'/'e' literalise to strings, the
+    # rest become doubles
+    i = int(s)
+    if INT64_MIN <= i <= INT64_MAX:
+        return i
+    f = float(s)
+    if f >= float(1 << 53) and not any(ch in s for ch in ".eE"):
+        return s
+    return f
+
+
+def _structpb(v: Any) -> Any:
+    """cel-go's structpb output conversion: proto3 JSON mapping — int64
+    outside ±(2^53-1) renders as a decimal string."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, int):
+        if v > MAX_INT_JSON or v < -MAX_INT_JSON:
+            return str(v)
+        return v
+    if isinstance(v, bytes):
+        import base64
+        return base64.b64encode(v).decode()
+    if isinstance(v, list):
+        return [_structpb(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _structpb(x) for k, x in v.items()}
+    return v
+
+
+def _json_go_type(v: Any, from_stream: bool) -> str:
+    """%T for errUnsupportedType — stream values are json.Number."""
+    if v is None:
+        return "<nil>"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, float):
+        return "json.Number" if from_stream else "float64"
+    if isinstance(v, int):
+        return "json.Number" if from_stream else "int64"
+    return type(v).__name__
+
+
+class Program:
+    """handler.go newProgram — the CEL hook with the reference's
+    restricted environment (obj + optional types + debug only)."""
+
+    _FUNCTIONS = {"string", "int", "uint", "double", "bytes", "bool",
+                  "size", "timestamp", "duration"}
+    _METHODS = {"contains", "startsWith", "endsWith", "matches", "size",
+                "orValue", "hasValue", "of", "none", "unwrap"}
+
+    def __init__(self, src: str):
+        from .cel.engine import CELError, compile_program
+        from .cel.library import build_registry
+        functions, lazy, methods, optional_ns = build_registry()
+        functions = {k: v for k, v in functions.items()
+                     if k in self._FUNCTIONS}
+        lazy = {k: v for k, v in lazy.items() if k == "debug"}
+        methods = {k: v for k, v in methods.items() if k in self._METHODS}
+        self._optional_ns = optional_ns
+        self._cel_error = CELError
+        try:
+            self._prog = compile_program(
+                src, functions, methods, lazy=lazy,
+                globals_={"obj", "optional"})
+        except CELError as e:
+            raise ValueError(f"failed compilation: {e}")
+
+    def eval(self, obj: Any, debug_log: Optional[list] = None) -> Any:
+        g = {"obj": obj, "optional": self._optional_ns,
+             "__debug_log__": debug_log if debug_log is not None else []}
+        try:
+            out = self._prog.eval(g)
+        except self._cel_error as e:
+            raise JSONStreamError(f"failed eval: {e}")
+        if isinstance(out, self._cel_error):
+            raise JSONStreamError(f"failed eval: {out}")
+        return _structpb(out)
+
+
+def new_program(src: str) -> Optional[Program]:
+    if not src:
+        return None
+    return Program(src)
+
+
+def decode_json_body(text: str, prg: Optional[Program] = None,
+                     debug_log: Optional[list] = None) -> list:
+    """decodeJSON: a stream of whitespace/nothing-separated JSON values;
+    objects publish, arrays flatten (one level), anything else refuses.
+    Raises JSONStreamError with Go's wording and the stream position of
+    the end of the last complete value (json.Decoder.InputOffset)."""
+    objs: list = []
+    dec_plain = json.JSONDecoder(parse_int=_plain_int)
+    dec_adapter = json.JSONDecoder(parse_int=_adapter_int)
+    dec = dec_adapter if prg is not None else dec_plain
+    i = 0
+    last_end = 0
+    n = len(text)
+    while True:
+        while i < n and text[i] in " \t\n\r":
+            i += 1
+        if i >= n:
+            break
+        try:
+            val, end = dec.raw_decode(text, i)
+        except json.JSONDecodeError as e:
+            raise JSONStreamError(
+                f"malformed JSON object at stream position {last_end}: "
+                + _go_json_error(e, text))
+        i = end
+        last_end = end
+        from_stream = True
+        if prg is not None:
+            val = prg.eval(val, debug_log)
+            from_stream = False
+        if isinstance(val, dict):
+            objs.append(val)
+        elif isinstance(val, list):
+            # decodeJSONArray keeps only the object elements
+            objs.extend(x for x in val if isinstance(x, dict))
+        else:
+            raise JSONStreamError(
+                "only JSON objects are accepted: "
+                + _json_go_type(val, from_stream))
+    return objs
+
+
+def http_read_json(text: str, prg: Optional[Program] = None):
+    """httpReadJSON → (objs, status); raises ApiError on failure."""
+    if text == "":
+        raise ApiError(406, "body cannot be empty")
+    try:
+        return decode_json_body(text, prg), 200
+    except JSONStreamError as e:
+        raise ApiError(400, str(e))
+
+
+# ---------------------------------------------------------------------------
+# In-flight byte tracking (count_reader.go) + ACK (ack.go)
+
+class MaxInFlightExceeded(Exception):
+    def __str__(self):
+        return "max_in_flight_bytes exceeded"
+
+
+class AtomicInt64:
+    def __init__(self, v: int = 0):
+        self._v = v
+        self._mu = threading.Lock()
+
+    def add(self, n: int) -> int:
+        with self._mu:
+            self._v += n
+            return self._v
+
+    def load(self) -> int:
+        with self._mu:
+            return self._v
+
+    def store(self, v: int) -> None:
+        with self._mu:
+            self._v = v
+
+
+class CountReader:
+    """Counts bytes read against the shared in-flight counter; raises
+    MaxInFlightExceeded past the hard limit. close() releases."""
+
+    def __init__(self, r, in_flight: AtomicInt64, max_bytes: int):
+        self.r = r
+        self.in_flight = in_flight
+        self.read_bytes = 0
+        self.max = max_bytes
+        self.closed = False
+
+    def read(self, n: int = -1) -> bytes:
+        chunk = self.r.read(n)
+        if chunk:
+            self.read_bytes += len(chunk)
+            current = self.in_flight.add(len(chunk))
+            if self.max != 0 and current > self.max:
+                raise MaxInFlightExceeded()
+        return chunk
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        self.closed = True
+        self.in_flight.add(-self.read_bytes)
+        close = getattr(self.r, "close", None)
+        if close:
+            close()
+
+
+class _LimitReader:
+    def __init__(self, r, n: int):
+        self.r = r
+        self.n = n
+
+    def read(self, size: int = -1) -> bytes:
+        if self.n <= 0:
+            return b""
+        if size < 0 or size > self.n:
+            size = self.n
+        chunk = self.r.read(size)
+        self.n -= len(chunk)
+        return chunk
+
+    def close(self) -> None:
+        pass
+
+
+class BatchAckTracker:
+    """ack.go batchACKTracker — pending starts at 1; ready() consumes
+    it, each add()/ack() pair brackets one event."""
+
+    def __init__(self, on_complete: Callable[[], None]):
+        self._fn = on_complete
+        self._mu = threading.Lock()
+        self._pending = 1
+
+    def add(self) -> None:
+        with self._mu:
+            self._pending += 1
+
+    def ack(self) -> None:
+        with self._mu:
+            if self._pending <= 0:
+                raise RuntimeError(
+                    "misuse detected: negative ACK counter")
+            self._pending -= 1
+            done = self._pending == 0
+        if done:
+            self._fn()
+
+    def ready(self) -> None:
+        self.ack()
+
+
+# ---------------------------------------------------------------------------
+# Handler (handler.go)
+
+@dataclass
+class Event:
+    ts: datetime
+    fields: dict
+    ack: Callable[[], None] = lambda: None
+
+
+def get_timeout_wait(query: str) -> float:
+    """handler.go getTimeoutWait → seconds; raises ApiError-less
+    ValueError with the reference wording."""
+    pairs = parse_qsl(query, keep_blank_values=True)
+    keys = []
+    for k, _ in pairs:
+        if k not in keys:
+            keys.append(k)
+    if not keys:
+        return 0.0
+    if len(keys) == 1:
+        if keys[0] != "wait_for_completion_timeout":
+            raise ValueError(f"unexpected URL query: {keys[0]}")
+    else:
+        # delete the wait key, report the rest sorted (handler.go:313-319)
+        others = sorted(k for k in keys
+                        if k != "wait_for_completion_timeout")
+        raise ValueError("unexpected URL query: " + ", ".join(others))
+    p = next(v for k, v in pairs if k == "wait_for_completion_timeout")
+    if p == "":
+        return 0.0
+    try:
+        ns = parse_go_duration(p)
+    except GoTimeError as e:
+        raise ValueError(
+            f"could not parse wait_for_completion_timeout parameter: {e}")
+    if ns < 0:
+        # the reference wraps a nil error here (handler.go:332) — fmt
+        # renders it as %!w(<nil>); preserved verbatim
+        raise ValueError(
+            "negative wait_for_completion_timeout parameter: %!w(<nil>)")
+    return ns / 1e9
+
+
+class Handler:
+    def __init__(self, config: Config, prg: Optional[Program],
+                 publish: Callable[[Event], None],
+                 cancel_event: Optional[threading.Event] = None,
+                 now: Callable[[], datetime] = None):
+        c = config
+        self.validator = ApiValidator(
+            basic_auth=c.basic_auth, username=c.username,
+            password=c.password, method=c.method,
+            content_type=c.content_type, secret_header=c.secret_header,
+            secret_value=c.secret_value, hmac_header=c.hmac_header,
+            hmac_key=c.hmac_key, hmac_type=c.hmac_type,
+            hmac_prefix=c.hmac_prefix,
+            max_body_size=(c.max_body_bytes
+                           if c.max_body_bytes is not None else -1),
+            options_headers=c.options_headers,
+            options_status=c.options_status)
+        self.max_in_flight = c.max_in_flight_bytes
+        self.high_water = c.high_water_in_flight_bytes
+        self.low_water = c.low_water_in_flight_bytes
+        self.retry_after = c.retry_after
+        self.program = prg
+        self.message_field = c.prefix
+        self.response_code = c.response_code
+        self.response_body = html_escape_json(c.response_body)
+        self.include_headers = [canonical_mime_header_key(h)
+                                for h in c.include_headers]
+        self.preserve_original_event = c.preserve_original_event
+        self.crc = new_crc(c.crc_provider, c.crc_secret)
+        self.publish = publish
+        self.in_flight = AtomicInt64(0)
+        self.accepting = True
+        self._mu = threading.Lock()
+        self.cancel_event = cancel_event or threading.Event()
+        self.now = now or (lambda: datetime.now(timezone.utc))
+        self.debug_log: list = []
+        # counters (inputMetrics subset; gauges/histograms are the
+        # monitoring registry's concern, out of scope)
+        self.metrics = {"api_errors": 0, "batches_received": 0,
+                        "batches_published": 0, "events_published": 0}
+
+    # -- handler.go ServeHTTP
+    def serve(self, r: Request, w: ResponseRecorder) -> None:
+        try:
+            self.validator.validate_request(r)
+        except ApiError as e:
+            self._send_api_error(w, e.status, e.message)
+            return
+
+        if r.method == "OPTIONS":
+            for k, vs in (self.validator.options_headers or {}).items():
+                w.set_header_values(canonical_mime_header_key(k),
+                                    vs if isinstance(vs, list) else [vs])
+            w.write_header(self.validator.options_status)
+            return
+
+        try:
+            wait = get_timeout_wait(r.query)
+        except ValueError as e:
+            self._send_api_error(w, 400, str(e))
+            return
+
+        # Hysteresis admission control (handler.go:127-155)
+        if self.high_water != 0:
+            with self._mu:
+                current = self.in_flight.load()
+                accepting = self.accepting
+                if not accepting and current <= self.low_water:
+                    accepting = True
+                if accepting and current >= self.high_water:
+                    accepting = False
+                self.accepting = accepting
+            if not accepting:
+                w.set_header("Content-Type", "application/json")
+                w.set_header("Retry-After", str(self.retry_after))
+                w.write_header(503)
+                w.write('{"warn":"in flight bytes above high water mark"'
+                        f',"high_water":{self.high_water}'
+                        f',"in_flight":{current}}}')
+                return
+
+        acked = threading.Event() if wait else None
+        acker = BatchAckTracker(
+            lambda: acked.set() if acked is not None else None)
+        self.metrics["batches_received"] += 1
+
+        try:
+            body = self._get_body_reader(r)
+        except ApiError as e:
+            self._send_api_error(w, e.status, e.message)
+            self.metrics["api_errors"] += 1
+            return
+
+        counted = None
+        if self.max_in_flight > 0:
+            counted = CountReader(body, self.in_flight, self.max_in_flight)
+            body = counted
+        try:
+            if self.validator.max_body_size >= 0:
+                body = _LimitReader(body, self.validator.max_body_size)
+            try:
+                chunks = []
+                while True:
+                    c = body.read(512)
+                    if not c:
+                        break
+                    chunks.append(c)
+                text = b"".join(chunks).decode("utf-8", "replace")
+            except MaxInFlightExceeded:
+                w.set_header("Content-Type", "application/json")
+                w.set_header("Retry-After", str(self.retry_after * 2))
+                w.write_header(503)
+                w.write('{"error":"max in flight bytes exceeded during '
+                        f'read","max_in_flight":{self.max_in_flight}'
+                        f',"in_flight":{self.in_flight.load()}}}')
+                self.metrics["api_errors"] += 1
+                return
+            except OSError as e:
+                self._send_api_error(w, 500, str(e))
+                self.metrics["api_errors"] += 1
+                return
+
+            try:
+                objs, _ = http_read_json(text, self.program)
+            except ApiError as e:
+                self._send_api_error(w, e.status, e.message)
+                self.metrics["api_errors"] += 1
+                return
+
+            headers = None
+            if self.include_headers:
+                headers = self._included_headers(r)
+
+            resp_code, resp_body = 0, ""
+            for obj in objs:
+                if self.crc is not None:
+                    try:
+                        resp_code, resp_body = self.crc.validate(obj)
+                        break  # CRC request processed
+                    except _NotCRC:
+                        pass
+                    except ApiError as e:
+                        self.metrics["api_errors"] += 1
+                        self._send_api_error(w, 400, e.message)
+                        return
+                acker.add()
+                try:
+                    self._publish_event(obj, headers, acker)
+                except Exception as e:  # publishEvent error → 500
+                    self.metrics["api_errors"] += 1
+                    self._send_api_error(w, 500, str(e))
+                    return
+                self.metrics["events_published"] += 1
+                resp_code, resp_body = self.response_code, self.response_body
+
+            acker.ready()
+            if acked is None:
+                self._send_response(w, resp_code, resp_body)
+            else:
+                deadline = _time.monotonic() + wait
+                while True:
+                    if acked.is_set():
+                        self._send_response(w, resp_code, resp_body)
+                        break
+                    if self.cancel_event.is_set():
+                        self._send_api_error(w, 504, "context canceled")
+                        break
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        self._send_api_error(
+                            w, 504,
+                            "could not publish event within timeout")
+                        break
+                    acked.wait(min(remaining, 0.01))
+            self.metrics["batches_published"] += 1
+        finally:
+            if counted is not None:
+                counted.close()
+
+    def _get_body_reader(self, r: Request):
+        enc = r.header_get("Content-Encoding")
+        if enc in ("gzip", "x-gzip"):
+            magic = r.body.read(2)
+            if len(magic) < 2:
+                # gzip.NewReader on a short body returns io.EOF /
+                # io.ErrUnexpectedEOF (gzip.go:28)
+                raise ApiError(
+                    500, "failed to create gzip reader: EOF"
+                    if not magic else
+                    "failed to create gzip reader: unexpected EOF")
+            if magic != b"\x1f\x8b":
+                raise ApiError(
+                    500,
+                    "failed to create gzip reader: gzip: invalid header")
+            rest = r.body.read()
+            return _gzip.GzipFile(fileobj=io.BytesIO(magic + rest))
+        if enc == "":
+            if r.content_length == 0:
+                # http.NoBody → errBodyEmpty surfaces from httpReadJSON
+                return io.BytesIO(b"")
+            return r.body
+        raise ApiError(
+            415, f'unsupported Content-Encoding type "{enc}"')
+
+    def _included_headers(self, r: Request) -> dict:
+        out = {}
+        for h in self.include_headers:
+            vs = r.headers.get(h)
+            if vs is not None:
+                out[_dedot(h)] = list(vs)
+        return out
+
+    def _publish_event(self, obj: dict, headers: Optional[dict],
+                       acker: BatchAckTracker) -> None:
+        if self.message_field == ".":
+            fields = obj
+        else:
+            fields = {}
+            try:
+                mapstr.put(fields, self.message_field, obj)
+            except Exception as e:
+                raise RuntimeError(
+                    "failed to put data into event key "
+                    f'"{self.message_field}": {e}')
+        if self.preserve_original_event:
+            fields["event"] = {"original": _go_marshal(obj)}
+        if headers:
+            fields["headers"] = headers
+        self.publish(Event(ts=self.now(), fields=fields, ack=acker.ack))
+
+    def _send_api_error(self, w: ResponseRecorder, status: int,
+                        message: str) -> None:
+        w.add_header("Content-Type", "application/json")
+        w.write_header(status)
+        # json.Encoder with SetEscapeHTML(false) appends a newline
+        w.write(json.dumps({"message": message}, ensure_ascii=False,
+                           separators=(",", ":")) + "\n")
+
+    def _send_response(self, w: ResponseRecorder, status: int,
+                       message: str) -> None:
+        w.add_header("Content-Type", "application/json")
+        w.write_header(status)
+        w.write(message)
+
+
+# ---------------------------------------------------------------------------
+# Mux (input.go:387-507)
+
+class Mux:
+    def __init__(self):
+        self._mu = threading.Lock()
+        self.exact: dict[str, Any] = {}
+        self.prefix: list[tuple[str, Any]] = []  # sorted longest-first
+
+    def add(self, pattern: str, handler) -> None:
+        with self._mu:
+            if pattern.endswith("/"):
+                self.prefix.append((pattern, handler))
+                self.prefix.sort(key=lambda e: -len(e[0]))
+            else:
+                self.exact[pattern] = handler
+
+    def remove(self, pattern: str) -> bool:
+        with self._mu:
+            if pattern.endswith("/"):
+                self.prefix = [e for e in self.prefix if e[0] != pattern]
+            else:
+                self.exact.pop(pattern, None)
+            return not self.exact and not self.prefix
+
+    def match(self, path: str):
+        if path in self.exact:
+            return self.exact[path]
+        for pattern, h in self.prefix:
+            if path.startswith(pattern):
+                return h
+        return None
+
+    def serve(self, r: Request, w: ResponseRecorder) -> None:
+        clean = clean_path(r.path)
+        if clean != r.path:
+            loc = clean + (f"?{r.query}" if r.query else "")
+            w.set_header("Location", loc)
+            w.write_header(307)
+            return
+        with self._mu:
+            h = self.match(clean)
+        if h is None:
+            w.set_header("Content-Type", "text/plain; charset=utf-8")
+            w.write_header(404)
+            w.write("404 page not found\n")
+            return
+        h.serve(r, w)
+
+
+def clean_path(p: str) -> str:
+    """input.go cleanPath — path.Clean preserving a trailing slash."""
+    if p == "":
+        return "/"
+    if p[0] != "/":
+        p = "/" + p
+    np = posixpath.normpath(p)
+    if p[-1] == "/" and np != "/":
+        np += "/"
+    return np
+
+
+# ---------------------------------------------------------------------------
+# Server pool (input.go:140-296)
+
+class HTTPEndpoint:
+    def __init__(self, config: Config):
+        self.config = config
+        self.addr = join_host_port(config.listen_address,
+                                   config.listen_port)
+
+
+def new_http_endpoint(config: Config) -> HTTPEndpoint:
+    config.validate()
+    if config.tls and config.tls.get("enabled", True):
+        # TLS serving is environment-gated; the consistency checks below
+        # still apply so shared-port refusals match the reference.
+        pass
+    return HTTPEndpoint(config)
+
+
+class _PoolServer:
+    def __init__(self, addr, tls):
+        self.addr = addr
+        self.tls = tls
+        self.mux = Mux()
+        self.id_of: dict[str, str] = {}
+        self.handler_cancel: dict[str, threading.Event] = {}
+        self.httpd = None
+        self.thread = None
+        self.done = threading.Event()
+        self.err: Optional[Exception] = None
+
+
+class _ThreadingHTTPServer(socketserver.ThreadingMixIn,
+                           socketserver.TCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+def _make_wsgi_handler(pool_server: _PoolServer):
+    class _Adapter(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _dispatch(self):
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            path, _, query = self.path.partition("?")
+            headers: dict[str, list] = {}
+            for k in set(self.headers.keys()):
+                headers[k] = self.headers.get_all(k) or []
+            req = Request(self.command, path, body, headers, query,
+                          remote_addr="%s:%d" % self.client_address)
+            rec = ResponseRecorder()
+            try:
+                pool_server.mux.serve(req, rec)
+            except Exception as e:  # pragma: no cover - defensive
+                rec = ResponseRecorder()
+                rec.write_header(500)
+                rec.write(str(e))
+            out = rec.buf.getvalue()
+            self.send_response_only(rec.code)
+            for k, vs in rec.headers.items():
+                for v in vs:
+                    self.send_header(k, v)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            if out:
+                self.wfile.write(out)
+
+        do_GET = do_POST = do_PUT = do_PATCH = _dispatch
+        do_DELETE = do_OPTIONS = do_HEAD = _dispatch
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    return _Adapter
+
+
+class Registration:
+    def __init__(self, pool: "ServerPool", server: _PoolServer,
+                 pattern: str, cancel: threading.Event):
+        self.pool = pool
+        self.server = server
+        self.pattern = pattern
+        self.cancel = cancel
+        self.closed = False
+
+    def close(self) -> None:
+        """Deregister (input.go:278-295): cancel in-flight ACK waits,
+        remove the pattern; the last pattern closes the server."""
+        if self.closed:
+            return
+        self.closed = True
+        with self.pool._mu:
+            self.cancel.set()
+            self.server.handler_cancel.pop(self.pattern, None)
+            empty = self.server.mux.remove(self.pattern)
+            self.server.id_of.pop(self.pattern, None)
+        if empty:
+            self.pool._close_server(self.server)
+
+
+class ServerPool:
+    """input.go pool — one HTTP server per listen address, shared by all
+    inputs registered on it; lives until the last input deregisters."""
+
+    def __init__(self):
+        self._mu = threading.Lock()
+        self.servers: dict[str, _PoolServer] = {}
+
+    def register(self, e: HTTPEndpoint,
+                 publish: Callable[[Event], None],
+                 input_id: str = "input") -> Registration:
+        pattern = urlsplit(e.config.url).path
+        prg = new_program(e.config.program)
+        cancel = threading.Event()
+        with self._mu:
+            s = self.servers.get(e.addr)
+            if s is not None:
+                _check_tls_consistency(e.addr, s.tls, e.config.tls)
+                if pattern in s.id_of:
+                    raise ValueError(
+                        f"pattern already exists for {e.addr}: {pattern} "
+                        f"old={s.id_of[pattern]} new={input_id}")
+                s.mux.add(pattern,
+                          Handler(e.config, prg, publish, cancel))
+                s.id_of[pattern] = input_id
+                s.handler_cancel[pattern] = cancel
+                return Registration(self, s, pattern, cancel)
+            if e.config.tls and e.config.tls.get("enabled", True):
+                raise NotImplementedError(
+                    "TLS serving is environment-gated in this build "
+                    "(no server certificates); the consistency checks "
+                    "still apply")
+            s = _PoolServer(e.addr, e.config.tls)
+            s.mux.add(pattern, Handler(e.config, prg, publish, cancel))
+            s.id_of[pattern] = input_id
+            s.handler_cancel[pattern] = cancel
+            host, _, port = e.addr.rpartition(":")
+            host = host.strip("[]")
+            httpd = _ThreadingHTTPServer((host, int(port)),
+                                         _make_wsgi_handler(s))
+            s.httpd = httpd
+            self.servers[e.addr] = s
+
+            def run():
+                try:
+                    httpd.serve_forever(poll_interval=0.05)
+                finally:
+                    # the listener goroutine removes the pool entry
+                    # after the port is released (input.go:250-254)
+                    httpd.server_close()
+                    with self._mu:
+                        if self.servers.get(e.addr) is s:
+                            del self.servers[e.addr]
+                    s.done.set()
+
+            t = threading.Thread(target=run, daemon=True)
+            s.thread = t
+            t.start()
+            return Registration(self, s, pattern, cancel)
+
+    def _close_server(self, s: _PoolServer) -> None:
+        if s.httpd is not None:
+            s.httpd.shutdown()
+        s.done.wait(timeout=5)
+
+    def close(self) -> None:
+        with self._mu:
+            servers = list(self.servers.values())
+        for s in servers:
+            for ev in list(s.handler_cancel.values()):
+                ev.set()
+            self._close_server(s)
+
+    @property
+    def bound_port(self):
+        # convenience for tests binding port 0
+        with self._mu:
+            for s in self.servers.values():
+                return s.httpd.server_address[1]
+        return None
+
+
+def _check_tls_consistency(addr, old, new) -> None:
+    if old is None and new is None:
+        return
+    if (old is None) != (new is None):
+        raise ValueError(
+            f"inconsistent TLS usage on {addr}: mixed TLS and unencrypted")
+    if old != new:
+        raise ValueError(
+            f"inconsistent TLS configuration on {addr}: configuration "
+            f"options do not agree: old={_go_marshal(old)} "
+            f"new={_go_marshal(new)}")
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+class EndpointCollector:
+    """Publish target buffering events for Spark. ack='immediate' acks
+    each event on publish (the reference's pipeline client acking on
+    delivery); ack='drain' defers the ACK until drain() hands the batch
+    over — the ack-after-sink disposition the sqs_stream precedent
+    uses, which is what makes wait_for_completion_timeout mean
+    "persisted", not "buffered"."""
+
+    def __init__(self, ack: str = "immediate"):
+        if ack not in ("immediate", "drain"):
+            raise ValueError("ack must be 'immediate' or 'drain'")
+        self._mode = ack
+        self._mu = threading.Lock()
+        self._events: list[Event] = []
+
+    def publish(self, event: Event) -> None:
+        with self._mu:
+            self._events.append(event)
+        if self._mode == "immediate":
+            event.ack()
+
+    def drain(self) -> list[Event]:
+        with self._mu:
+            out, self._events = self._events, []
+        if self._mode == "drain":
+            for e in out:
+                e.ack()
+        return out
+
+    def __len__(self):
+        with self._mu:
+            return len(self._events)
+
+
+def endpoint_events_df(spark, events: list):
+    """Buffered events → DataFrame (ts, fields as canonical JSON) for
+    the processor pipeline. Driver-side handoff is bounded by the
+    webhook receive rate; the heavy lifting (parse/enrich/route) runs
+    distributed downstream."""
+    from pyspark.sql import types as T
+    rows = [(e.ts, _go_marshal(e.fields, html_escape=False))
+            for e in events]
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("fields", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)

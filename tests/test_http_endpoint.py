@@ -1,0 +1,1237 @@
+"""http_endpoint input tests.
+
+Ports the reference matrices over the from-scratch implementation:
+- handler_test.go  Test_httpReadJSON (incl. the kinesis CEL program and
+  its large-integer literalization rules), Test_apiResponse (HMAC
+  hex/base64/raw-base64 golden signatures, gzip, OPTIONS trio, Zoom CRC
+  challenge + malformed + empty-challenge), the hysteresis admission
+  battery, in-flight byte tracking, count-reader-with-compression, and
+  the concurrent slow-reader rejection
+- config_test.go   validate wordings, TestApplyInFlightDefaults,
+  TestValidateInFlightLimits
+- input_test.go    TestMux (exact/prefix/longest-prefix/exact-beats-
+  prefix/remove/not-found/path-clean), TestServerPool live subset
+  (single/put/patch/options/distinct_ports/shared_ports/TLS
+  inconsistencies/sequential in-flight with wait_for_completion_timeout/
+  Retry-After absence), joiner+creator deregistration semantics, pattern
+  re-registration, TestNewHTTPEndpoint
+- validate.go      decodeHeaderValue priority and Go error strings
+- crc.go           Zoom golden encryptedToken
+
+plus the Spark handoff (EndpointCollector → endpoint_events_df) with the
+ack-after-drain disposition driving wait_for_completion_timeout.
+"""
+import gzip
+import io
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from beats_spark.http_endpoint import (
+    ApiError, ApiValidator, AtomicInt64, BatchAckTracker, Config,
+    CountReader, EndpointCollector, Handler, HTTPEndpoint,
+    MaxInFlightExceeded, Mux, Request, ResponseRecorder, ServerPool,
+    clean_path, decode_header_value, decode_json_body, default_config,
+    endpoint_events_df, get_timeout_wait, go_base64_decode,
+    go_hex_decode, http_read_json, join_host_port, new_crc,
+    new_http_endpoint, new_program,
+)
+
+
+# ---------------------------------------------------------------------------
+# Test_httpReadJSON (handler_test.go:39-188)
+
+KINESIS_PROGRAM = """obj.records.map(r, {
+    "requestId": debug("REQID", obj.requestId),
+    "timestamp": string(obj.timestamp), // leave timestamp in unix milli for ingest to handle.
+    "event": r,
+})"""
+
+KINESIS_BODY = """{
+  "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+  "timestamp": 1578090901599,
+  "records": [
+    {"data": "aGVsbG8=", "number": 1},
+    {"data": "c21hbGwgd29ybGQ=", "number": 9007199254740991},
+    {"data": "aGVsbG8gd29ybGQ=", "number": 9007199254740992},
+    {"data": "YmlnIHdvcmxk", "number": 9223372036854775808},
+    {"data": "d2lsbCBpdCBiZSBmcmllbmRzIHdpdGggbWU=", "number": 3.14}
+  ]
+}"""
+
+READ_JSON_CASES = [
+    ("single object", '{"a": 42, "b": "c"}', "",
+     [{"a": 42, "b": "c"}], False),
+    ("array accepted", '[{"a":"b"},{"c":"d"}]', "",
+     [{"a": "b"}, {"c": "d"}], False),
+    ("not an object not accepted", "42", "", None, True),
+    ("not an object mixed", "[{a:1},\n42,\n{a:2}]", "", None, True),
+    ("sequence of objects (CRLF)", '{"a":1}\r{"a":2}', "",
+     [{"a": 1}, {"a": 2}], False),
+    ("sequence of objects (LF)", '{"a":"1"}\n{"a":"2"}', "",
+     [{"a": "1"}, {"a": "2"}], False),
+    ("sequence of objects (SP)", '{"a":"2"} {"a":"2"}', "",
+     [{"a": "2"}, {"a": "2"}], False),
+    ("sequence of objects (no sep)", '{"a":"2"}{"a":"2"}', "",
+     [{"a": "2"}, {"a": "2"}], False),
+    ("not an object in sequence", '{"a":"2"}\n42\n{"a":"2"}', "",
+     None, True),
+    ("array of objects in stream",
+     '{"a":"1"} [{"a":"2"},{"a":"3"}] {"a":"4"}', "",
+     [{"a": "1"}, {"a": "2"}, {"a": "3"}, {"a": "4"}], False),
+    ("numbers", '{"a":1} [{"a":false},{"a":3.14}] {"a":-4}', "",
+     [{"a": 1}, {"a": False}, {"a": 3.14}, {"a": -4}], False),
+    ("kinesis", KINESIS_BODY, KINESIS_PROGRAM,
+     [
+         {"event": {"data": "aGVsbG8=", "number": 1},
+          "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+          "timestamp": "1578090901599"},
+         {"event": {"data": "c21hbGwgd29ybGQ=",
+                    "number": 9007199254740991},
+          "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+          "timestamp": "1578090901599"},
+         {"event": {"data": "aGVsbG8gd29ybGQ=",
+                    "number": "9007199254740992"},
+          "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+          "timestamp": "1578090901599"},
+         {"event": {"data": "YmlnIHdvcmxk",
+                    "number": "9223372036854775808"},
+          "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+          "timestamp": "1578090901599"},
+         {"event": {"data": "d2lsbCBpdCBiZSBmcmllbmRzIHdpdGggbWU=",
+                    "number": 3.14},
+          "requestId": "ed4acda5-034f-9f42-bba1-f29aea6d7d8f",
+          "timestamp": "1578090901599"},
+     ], False),
+]
+
+
+@pytest.mark.parametrize("name,body,program,want,want_err",
+                         READ_JSON_CASES,
+                         ids=[c[0] for c in READ_JSON_CASES])
+def test_http_read_json(name, body, program, want, want_err):
+    prg = new_program(program)
+    if want_err:
+        with pytest.raises(ApiError) as ei:
+            http_read_json(body, prg)
+        assert ei.value.status == 400
+    else:
+        objs, status = http_read_json(body, prg)
+        assert status == 200
+        assert objs == want
+        # type fidelity: bools must not alias ints
+        for o, w in zip(objs, want):
+            for k in w:
+                assert type(o[k]) is type(w[k])
+
+
+def test_read_json_empty_body_406():
+    with pytest.raises(ApiError) as ei:
+        http_read_json("", None)
+    assert ei.value.status == 406
+    assert ei.value.message == "body cannot be empty"
+
+
+# ---------------------------------------------------------------------------
+# decodeHeaderValue (validate.go) — Go codec error strings
+
+def test_decode_header_value_priority_and_errors():
+    # hex wins when valid hex
+    assert decode_header_value("f6bf") == bytes.fromhex("f6bf")
+    # raw base64 before padded
+    assert decode_header_value("aGVsbG8") == b"hello"
+    assert decode_header_value("aGVsbG8=") == b"hello"
+    with pytest.raises(Exception) as ei:
+        decode_header_value("")
+    assert str(ei.value) == "unexpected empty header value"
+    with pytest.raises(Exception) as ei:
+        decode_header_value("not-hex-or-base64")
+    assert str(ei.value) == (
+        "encoding/hex: invalid byte: U+006E 'n'\n"
+        "illegal base64 data at input byte 3\n"
+        "illegal base64 data at input byte 3")
+
+
+def test_go_hex_decode_errors():
+    with pytest.raises(Exception) as ei:
+        go_hex_decode("abc")
+    assert str(ei.value) == "encoding/hex: odd length hex string"
+    with pytest.raises(Exception) as ei:
+        go_hex_decode("zz")
+    assert str(ei.value) == "encoding/hex: invalid byte: U+007A 'z'"
+
+
+def test_go_base64_matches_python_on_valid_inputs():
+    import base64 as pyb64
+    for raw in [b"", b"a", b"ab", b"abc", b"abcd", b"hello world",
+                bytes(range(256))]:
+        enc = pyb64.b64encode(raw).decode()
+        assert go_base64_decode(enc, padded=True) == raw
+        assert go_base64_decode(enc.rstrip("="), padded=False) == raw
+
+
+def test_go_base64_error_positions():
+    with pytest.raises(Exception) as ei:
+        go_base64_decode("ab=c", padded=True)
+    # decodeQuantum's "==" branch errors at si-1 after consuming the
+    # first '=' (encoding/base64: byte 2 for "ab=c")
+    assert str(ei.value) == "illegal base64 data at input byte 2"
+    with pytest.raises(Exception) as ei:
+        go_base64_decode("abcde", padded=True)
+    assert str(ei.value) == "illegal base64 data at input byte 4"
+    with pytest.raises(Exception) as ei:
+        go_base64_decode("a", padded=False)
+    assert str(ei.value) == "illegal base64 data at input byte 0"
+
+
+# ---------------------------------------------------------------------------
+# Test_apiResponse (handler_test.go:204-618)
+
+class Publisher:
+    def __init__(self):
+        self.events = []
+
+    def __call__(self, e):
+        self.events.append(e)
+        e.ack()
+
+
+def run_handler(conf, req, program=None):
+    pub = Publisher()
+    prg = new_program(program if program is not None else conf.program)
+    h = Handler(conf, prg, pub)
+    w = ResponseRecorder()
+    h.serve(req, w)
+    return w, pub.events, h
+
+
+def _crc_config():
+    # the reference case uses a zero config{} — only CRC set
+    c = Config(method="", content_type="", prefix="", response_code=0,
+               response_body="", crc_provider="Zoom",
+               crc_secret="secretValueTest")
+    return c
+
+
+API_RESPONSE_CASES = [
+    ("single_event", default_config(),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json"}),
+     [{"json": {"id": 0}}], 200, '{"message": "success"}'),
+    ("single_event_root",
+     Config(prefix="."),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json"}),
+     [{"id": 0}], 200, '{"message": "success"}'),
+    ("options_with_headers",
+     Config(options_headers={
+         "optional-response-header": ["Optional-response-value"]}),
+     Request("OPTIONS", "/", b"",
+             {"Content-Type": "application/json"}),
+     [], 200, ""),
+    ("options_empty_headers",
+     Config(options_headers={}),
+     Request("OPTIONS", "/", b"",
+             {"Content-Type": "application/json"}),
+     [], 200, ""),
+    ("options_no_header", default_config(),
+     Request("OPTIONS", "/", b"",
+             {"Content-Type": "application/json"}),
+     [], 400,
+     '{"message":"OPTIONS requests are only allowed with '
+     'options_headers set"}'),
+    ("hmac_hex",
+     Config(prefix=".", hmac_header="Test-HMAC",
+            hmac_key="Test-HMAC-Key", hmac_type="sha1",
+            hmac_prefix="sha1:"),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Test-HMAC":
+              "sha1:f6bf232bf1f0ca3d768f8b6bd5c26a204ba57e89"}),
+     [{"id": 0}], 200, '{"message": "success"}'),
+    ("hmac_base64",
+     Config(prefix=".", hmac_header="Test-HMAC",
+            hmac_key="Test-HMAC-Key", hmac_type="sha1",
+            hmac_prefix="sha1:"),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Test-HMAC": "sha1:9r8jK/Hwyj12j4tr1cJqIEulfok="}),
+     [{"id": 0}], 200, '{"message": "success"}'),
+    ("hmac_raw_base64",
+     Config(prefix=".", hmac_header="Test-HMAC",
+            hmac_key="Test-HMAC-Key", hmac_type="sha1",
+            hmac_prefix="sha1:"),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Test-HMAC": "sha1:9r8jK/Hwyj12j4tr1cJqIEulfok"}),
+     [{"id": 0}], 200, '{"message": "success"}'),
+    ("hmac_header_not_present",
+     Config(hmac_header="Authorization", hmac_key="mysecretkey",
+            hmac_type="sha256", hmac_prefix="HMAC-SHA256 "),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json"}),
+     [], 401, '{"message":"missing HMAC header"}'),
+    ("hmac_header_value_is_empty",
+     Config(hmac_header="Authorization", hmac_key="mysecretkey",
+            hmac_type="sha256", hmac_prefix="HMAC-SHA256 "),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Authorization": ""}),
+     [], 401,
+     '{"message":"invalid HMAC signature encoding: unexpected empty '
+     'header value"}'),
+    ("hmac_header_value_only_contains_prefix",
+     Config(hmac_header="Authorization", hmac_key="mysecretkey",
+            hmac_type="sha256", hmac_prefix="HMAC-SHA256 "),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Authorization": "HMAC-SHA256 "}),
+     [], 401,
+     '{"message":"invalid HMAC signature encoding: unexpected empty '
+     'header value"}'),
+    ("hmac_header_value_bad_encoding",
+     Config(hmac_header="Authorization", hmac_key="mysecretkey",
+            hmac_type="sha256", hmac_prefix="HMAC-SHA256 "),
+     Request("POST", "/", b'{"id":0}',
+             {"Content-Type": "application/json",
+              "Authorization": "HMAC-SHA256 not-hex-or-base64"}),
+     [], 401,
+     '{"message":"invalid HMAC signature encoding: encoding/hex: '
+     "invalid byte: U+006E 'n'\\nillegal base64 data at input byte 3"
+     '\\nillegal base64 data at input byte 3"}'),
+    ("validate_CRC_request", _crc_config(),
+     Request("POST", "/",
+             b'{"event_ts":1654503849680,'
+             b'"event":"endpoint.url_validation",'
+             b'"payload": {"plainToken":"qgg8vlvZRS6UYooatFL8Aw"}}',
+             {"Content-Type": "application/json"}),
+     [], 200,
+     '{"encryptedToken":"70c1f2e2e6ca2d39297490d1f9142c7d701415ea8e6151'
+     'f6562a08fa657a40ff","plainToken":"qgg8vlvZRS6UYooatFL8Aw"}'),
+    ("empty_CRC_challenge", _crc_config(),
+     Request("POST", "/",
+             b'{"event_ts":1654503849680,'
+             b'"event":"endpoint.url_validation",'
+             b'"payload": {"plainToken":""}}',
+             {"Content-Type": "application/json"}),
+     [], 400,
+     '{"message":"failed decoding \\"payload.plainToken\\" from CRC '
+     'request"}'),
+]
+
+
+@pytest.mark.parametrize("name,conf,req,want_events,want_status,want_resp",
+                         API_RESPONSE_CASES,
+                         ids=[c[0] for c in API_RESPONSE_CASES])
+def test_api_response(name, conf, req, want_events, want_status,
+                      want_resp):
+    w, events, _ = run_handler(conf, req)
+    assert w.code == want_status
+    assert w.body.rstrip("\n") == want_resp
+    assert [e.fields for e in events] == want_events
+
+
+def test_api_response_malformed_crc():
+    # multi-line body with a raw newline inside a string literal —
+    # position and wording pinned (handler_test.go:544-566)
+    body = ('{\n\t\t\t\t\t\t"event_ts":1654503849680,\n'
+            '\t\t\t\t\t\t"event":"endpoint.url_validation",\n'
+            '\t\t\t\t\t\t"payload": {\n'
+            '\t\t\t\t\t\t\t"plainToken":"qgg8vlvZRS6UYooatFL8Aw\n'
+            '\t\t\t\t\t\t}\n\t\t\t\t\t}')
+    w, events, _ = run_handler(
+        _crc_config(),
+        Request("POST", "/", body.encode(),
+                {"Content-Type": "application/json"}))
+    assert w.code == 400
+    assert w.body.rstrip("\n") == (
+        '{"message":"malformed JSON object at stream position 0: '
+        "invalid character '\\\\n' in string literal\"}")
+    assert events == []
+
+
+def test_api_response_multiple_events_gzip():
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as z:
+        z.write(b'{"id":0}\n{"id":1}')
+    w, events, _ = run_handler(
+        default_config(),
+        Request("POST", "/", buf.getvalue(),
+                {"Content-Type": "application/json",
+                 "Content-Encoding": "gzip"}))
+    assert w.code == 200
+    assert [e.fields for e in events] == [
+        {"json": {"id": 0}}, {"json": {"id": 1}}]
+
+
+def test_unsupported_content_encoding():
+    w, events, _ = run_handler(
+        default_config(),
+        Request("POST", "/", b'{"id":0}',
+                {"Content-Type": "application/json",
+                 "Content-Encoding": "deflate"}))
+    assert w.code == 415
+    assert json.loads(w.body)["message"] == (
+        'unsupported Content-Encoding type "deflate"')
+
+
+def test_method_and_content_type_refusals():
+    w, _, _ = run_handler(
+        default_config(),
+        Request("GET", "/", b'{"id":0}',
+                {"Content-Type": "application/json"}))
+    assert w.code == 405
+    assert json.loads(w.body)["message"] == "only POST requests are allowed"
+    w, _, _ = run_handler(
+        default_config(),
+        Request("POST", "/", b'{"id":0}', {"Content-Type": "text/plain"}))
+    assert w.code == 415
+    assert json.loads(w.body)["message"] == (
+        "wrong Content-Type header, expecting application/json")
+
+
+def test_basic_auth_and_secret_header():
+    import base64
+    c = Config(basic_auth=True, username="u", password="p")
+    ok = base64.b64encode(b"u:p").decode()
+    bad = base64.b64encode(b"u:x").decode()
+    w, ev, _ = run_handler(c, Request(
+        "POST", "/", b'{"id":1}',
+        {"Content-Type": "application/json",
+         "Authorization": f"Basic {ok}"}))
+    assert w.code == 200 and len(ev) == 1
+    w, ev, _ = run_handler(c, Request(
+        "POST", "/", b'{"id":1}',
+        {"Content-Type": "application/json",
+         "Authorization": f"Basic {bad}"}))
+    assert w.code == 401
+    assert json.loads(w.body)["message"] == "incorrect username or password"
+
+    c = Config(secret_header="X-Secret", secret_value="s3cret")
+    w, ev, _ = run_handler(c, Request(
+        "POST", "/", b'{"id":1}',
+        {"Content-Type": "application/json", "X-Secret": "s3cret"}))
+    assert w.code == 200
+    w, ev, _ = run_handler(c, Request(
+        "POST", "/", b'{"id":1}',
+        {"Content-Type": "application/json", "X-Secret": "wrong"}))
+    assert w.code == 401
+    assert json.loads(w.body)["message"] == (
+        "incorrect header or header secret")
+
+
+def test_include_headers_and_preserve_original():
+    c = Config(include_headers=["x-request-id", "Missing-One"],
+               preserve_original_event=True)
+    w, ev, _ = run_handler(c, Request(
+        "POST", "/", b'{"id":7}',
+        {"Content-Type": "application/json",
+         "X-Request-Id": "abc123"}))
+    assert w.code == 200
+    assert len(ev) == 1
+    f = ev[0].fields
+    # canonical name, DeDot'ed key, list values; absent headers omitted
+    assert f["headers"] == {"X-Request-Id": ["abc123"]}
+    assert f["event"] == {"original": '{"id":7}'}
+    assert f["json"] == {"id": 7}
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis + in-flight byte tracking (handler_test.go:630-814)
+
+def _mk_handler(c, pub=None):
+    return Handler(c, None, pub or Publisher())
+
+
+def test_hysteresis_accepts_below_high_water():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 5000
+    c.low_water_in_flight_bytes = 3000
+    h = _mk_handler(c)
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":1}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 200
+
+
+def test_hysteresis_rejects_at_high_water():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 100
+    c.low_water_in_flight_bytes = 50
+    h = _mk_handler(c)
+    h.in_flight.store(150)
+    h.accepting = False
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":1}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 503
+    assert "high water mark" in w.body
+    assert w.headers["Retry-After"] == ["10"]
+
+
+def test_hysteresis_resumes_below_low_water():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 1000
+    c.low_water_in_flight_bytes = 500
+    h = _mk_handler(c)
+    h.in_flight.store(100)
+    h.accepting = False
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":1}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 200
+    assert h.accepting is True
+
+
+def test_hysteresis_prevents_oscillation():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 1000
+    c.low_water_in_flight_bytes = 500
+    h = _mk_handler(c)
+    h.in_flight.store(700)  # between low and high water
+    h.accepting = False
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":1}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 503
+    assert h.accepting is False
+
+
+def test_in_flight_returns_to_baseline():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 5000
+    c.low_water_in_flight_bytes = 2000
+    h = _mk_handler(c)
+    assert h.in_flight.load() == 0
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":12345}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 200
+    assert h.in_flight.load() == 0
+    h.in_flight.store(1000)
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"data":"test"}',
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 200
+    assert h.in_flight.load() == 1000
+
+
+def test_count_reader_counts_decompressed_bytes():
+    c = default_config()
+    c.max_in_flight_bytes = 10000
+    c.high_water_in_flight_bytes = 5000
+    c.low_water_in_flight_bytes = 3000
+    h = _mk_handler(c)
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as z:
+        z.write(b'{"id":1,"data":"test"}')
+    w = ResponseRecorder()
+    before = h.in_flight.load()
+    h.serve(Request("POST", "/", buf.getvalue(),
+                    {"Content-Type": "application/json",
+                     "Content-Encoding": "gzip"}), w)
+    assert w.code == 200
+    assert h.in_flight.load() == before
+
+
+def test_max_in_flight_exceeded_during_read():
+    c = default_config()
+    c.max_in_flight_bytes = 16
+    c.retry_after = 10
+    h = _mk_handler(c)
+    body = b'{"data":"' + b"x" * 100 + b'"}'
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", body,
+                    {"Content-Type": "application/json"}), w)
+    assert w.code == 503
+    assert w.headers["Retry-After"] == ["20"]  # retry_after * 2
+    got = json.loads(w.body)
+    assert got["error"] == "max in flight bytes exceeded during read"
+    assert got["max_in_flight"] == 16
+    # bytes released after the request despite the abort
+    assert h.in_flight.load() == 0
+
+
+class SlowReader:
+    """handler_test.go slowReader — limited chunk size + delay."""
+
+    def __init__(self, data, delay, chunk):
+        self.buf = io.BytesIO(data)
+        self.delay = delay
+        self.chunk = chunk
+
+    def read(self, n=-1):
+        if n < 0 or n > self.chunk:
+            n = self.chunk
+        c = self.buf.read(n)
+        if c:
+            time.sleep(self.delay)
+        return c
+
+
+def test_concurrent_requests_exceed_high_water():
+    c = default_config()
+    c.max_in_flight_bytes = 1000
+    c.high_water_in_flight_bytes = 30
+    c.low_water_in_flight_bytes = 15
+    h = _mk_handler(c)
+
+    body = b'{"data":"' + b"x" * 100 + b'"}'
+    slow = SlowReader(body, delay=0.05, chunk=20)
+    results = {}
+
+    def slow_req():
+        w = ResponseRecorder()
+        h.serve(Request("POST", "/", slow,
+                        {"Content-Type": "application/json"}), w)
+        results["slow"] = w.code
+
+    t = threading.Thread(target=slow_req)
+    t.start()
+    deadline = time.monotonic() + 5
+    while h.in_flight.load() < c.high_water_in_flight_bytes:
+        assert time.monotonic() < deadline, "in-flight never rose"
+        time.sleep(0.005)
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/", b'{"id":1}',
+                    {"Content-Type": "application/json"}), w)
+    results["fast"] = w.code
+    t.join()
+    assert results["slow"] == 200
+    assert results["fast"] == 503
+
+
+# ---------------------------------------------------------------------------
+# ACK tracker + wait_for_completion_timeout
+
+def test_batch_ack_tracker_fires_once_after_ready():
+    fired = []
+    t = BatchAckTracker(lambda: fired.append(1))
+    t.add()
+    t.add()
+    t.ack()
+    assert not fired
+    t.ready()
+    assert not fired  # one event ack still pending
+    t.ack()
+    assert fired == [1]
+
+
+def test_wait_for_completion_timeout_acked():
+    # publisher acks immediately → 200 within the wait
+    w, ev, _ = run_handler(
+        default_config(),
+        Request("POST", "/?wait_for_completion_timeout=1s", b'{"a":1}',
+                {"Content-Type": "application/json"}))
+    assert w.code == 200
+    assert w.body == '{"message": "success"}'
+
+
+def test_wait_for_completion_timeout_times_out():
+    pub_events = []
+
+    def no_ack(e):
+        pub_events.append(e)  # never acks
+
+    h = Handler(default_config(), None, no_ack)
+    w = ResponseRecorder()
+    start = time.monotonic()
+    h.serve(Request("POST", "/?wait_for_completion_timeout=100ms",
+                    b'{"a":1}', {"Content-Type": "application/json"}), w)
+    assert time.monotonic() - start >= 0.1
+    assert w.code == 504
+    assert json.loads(w.body)["message"] == (
+        "could not publish event within timeout")
+    assert len(pub_events) == 1
+
+
+def test_wait_cancelled_by_handler_context():
+    cancel = threading.Event()
+    h = Handler(default_config(), None, lambda e: None, cancel)
+
+    def fire():
+        time.sleep(0.05)
+        cancel.set()
+
+    threading.Thread(target=fire).start()
+    w = ResponseRecorder()
+    h.serve(Request("POST", "/?wait_for_completion_timeout=5s",
+                    b'{"a":1}', {"Content-Type": "application/json"}), w)
+    assert w.code == 504
+    assert json.loads(w.body)["message"] == "context canceled"
+
+
+def test_get_timeout_wait_query_errors():
+    assert get_timeout_wait("") == 0.0
+    assert get_timeout_wait("wait_for_completion_timeout=2s") == 2.0
+    with pytest.raises(ValueError) as ei:
+        get_timeout_wait("other=1")
+    assert str(ei.value) == "unexpected URL query: other"
+    with pytest.raises(ValueError) as ei:
+        get_timeout_wait("wait_for_completion_timeout=1s&b=2&a=1")
+    assert str(ei.value) == "unexpected URL query: a, b"
+    with pytest.raises(ValueError) as ei:
+        get_timeout_wait("wait_for_completion_timeout=-1s")
+    assert str(ei.value) == (
+        "negative wait_for_completion_timeout parameter: %!w(<nil>)")
+    with pytest.raises(ValueError) as ei:
+        get_timeout_wait("wait_for_completion_timeout=bogus")
+    assert str(ei.value).startswith(
+        "could not parse wait_for_completion_timeout parameter: ")
+
+
+# ---------------------------------------------------------------------------
+# Config (config_test.go)
+
+def test_config_validate_wordings():
+    c = Config(response_body="")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "response_body must be valid JSON"
+    c = Config(method="random")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "method must be POST, PUT or PATCH: random"
+    c = Config(basic_auth=True)
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == (
+        "username and password required when basicauth is enabled")
+    c = Config(secret_header="X-S")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "both secret.header and secret.value must be set"
+    c = Config(hmac_key="k")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "both hmac.header and hmac.key must be set"
+    c = Config(hmac_header="h", hmac_key="k", hmac_type="md5")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "hmac.type must be sha1 or sha256"
+    c = Config(crc_provider="slack", crc_secret="s")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == 'not a valid CRC provider: "slack"'
+    c = Config(crc_provider="zoom")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == (
+        "crc.secret is required when crc.provider is defined")
+    c = Config(crc_secret="s")
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == (
+        "crc.provider is required when crc.secret is defined")
+    c = Config(max_body_bytes=-5)
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "max_body_bytes is negative: -5"
+    c = Config(tracer_enabled=True)
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value) == "request tracer must have a filename if used"
+    default_config().validate()  # defaults are valid
+
+
+IN_FLIGHT_DEFAULT_CASES = [
+    # (max, high, low, want_high, want_low) — config_test.go:98-160
+    (1000000, 0, 0, 500000, 400000),
+    (200000, 0, 0, 100000, 100000 - 64 * 1024),
+    (1000000, 700000, 600000, 700000, 600000),
+    (1000000, 800000, 0, 800000, 640000),
+    (0, 0, 0, 0, 0),
+    (1000, 0, 0, 500, 0),
+]
+
+
+@pytest.mark.parametrize("mx,hw,lw,want_hw,want_lw",
+                         IN_FLIGHT_DEFAULT_CASES)
+def test_apply_in_flight_defaults(mx, hw, lw, want_hw, want_lw):
+    c = Config(max_in_flight_bytes=mx, high_water_in_flight_bytes=hw,
+               low_water_in_flight_bytes=lw)
+    c.apply_in_flight_defaults()
+    assert c.high_water_in_flight_bytes == want_hw
+    assert c.low_water_in_flight_bytes == want_lw
+
+
+IN_FLIGHT_LIMIT_CASES = [
+    (1000, 800, 500, ""),
+    (0, 0, 0, ""),
+    (-100, 0, 0, "max_in_flight_bytes is negative"),
+    (1000, -100, 0, "high_water_in_flight_bytes is negative"),
+    (1000, 800, -100, "low_water_in_flight_bytes is negative"),
+    (1000, 1000, 500,
+     "high_water_in_flight_bytes (1000) must be less than "
+     "max_in_flight_bytes (1000)"),
+    (1000, 800, 800,
+     "low_water_in_flight_bytes (800) must be less than "
+     "high_water_in_flight_bytes (800)"),
+    (0, 500, 0, "high_water_in_flight_bytes and low_water_in_flight_bytes "
+     "require max_in_flight_bytes to be set"),
+    (0, 0, 100, "high_water_in_flight_bytes and low_water_in_flight_bytes "
+     "require max_in_flight_bytes to be set"),
+    (0, 500, 100, "high_water_in_flight_bytes and "
+     "low_water_in_flight_bytes require max_in_flight_bytes to be set"),
+    (1, 0, 0, "max_in_flight_bytes must be at least 2"),
+]
+
+
+@pytest.mark.parametrize("mx,hw,lw,want", IN_FLIGHT_LIMIT_CASES)
+def test_validate_in_flight_limits(mx, hw, lw, want):
+    c = Config(max_in_flight_bytes=mx, high_water_in_flight_bytes=hw,
+               low_water_in_flight_bytes=lw)
+    if not want:
+        c.validate_in_flight_limits()
+    else:
+        with pytest.raises(ValueError) as ei:
+            c.validate_in_flight_limits()
+        assert want in str(ei.value)
+
+
+def test_new_http_endpoint_ipv6_join():
+    c = Config(listen_address="0:0:0:0:0:0:0:1", listen_port="9200",
+               response_body="{}", method="POST")
+    h = new_http_endpoint(c)
+    assert h.addr == "[0:0:0:0:0:0:0:1]:9200"
+    assert join_host_port("127.0.0.1", "8000") == "127.0.0.1:8000"
+
+
+# ---------------------------------------------------------------------------
+# Mux (input_test.go TestMux)
+
+class _OK:
+    def __init__(self, code=200):
+        self.code = code
+
+    def serve(self, r, w):
+        w.write_header(self.code)
+
+
+def test_mux_exact_match():
+    m = Mux()
+    m.add("/foo", _OK())
+    assert m.match("/foo") is not None
+    assert m.match("/foo/bar") is None
+
+
+def test_mux_prefix_match():
+    m = Mux()
+    m.add("/a/", _OK())
+    assert m.match("/a/") is not None
+    assert m.match("/a/b") is not None
+    assert m.match("/b/") is None
+
+
+def test_mux_longest_prefix_wins():
+    m = Mux()
+    m.add("/a/", _OK(200))
+    m.add("/a/b/", _OK(202))
+    w = ResponseRecorder()
+    m.serve(Request("GET", "/a/b/c"), w)
+    assert w.code == 202
+
+
+def test_mux_exact_beats_prefix():
+    m = Mux()
+    m.add("/a/", _OK(200))
+    m.add("/a/b", _OK(202))
+    w = ResponseRecorder()
+    m.serve(Request("GET", "/a/b"), w)
+    assert w.code == 202
+
+
+def test_mux_remove():
+    m = Mux()
+    m.add("/foo", _OK())
+    m.add("/bar", _OK())
+    assert m.remove("/foo") is False
+    assert m.match("/foo") is None
+    assert m.remove("/bar") is True
+    m = Mux()
+    m.add("/a/", _OK())
+    m.add("/b/", _OK())
+    assert m.remove("/a/") is False
+    assert m.match("/a/x") is None
+    assert m.remove("/b/") is True
+
+
+def test_mux_not_found():
+    m = Mux()
+    m.add("/foo", _OK())
+    w = ResponseRecorder()
+    m.serve(Request("GET", "/bar"), w)
+    assert w.code == 404
+
+
+def test_mux_path_clean_conformance():
+    # input_test.go path_clean_conformance paths over the reference's
+    # own rules: unclean → 307 + cleaned Location (input.go:461-467)
+    m = Mux()
+    for p in ["/a/b", "/a/", "/x/y/z/"]:
+        m.add(p, _OK())
+    cases = {
+        "/a/b": (200, None),
+        "/a//b": (307, "/a/b"),
+        "/a/b/": (200, None),       # prefix /a/ matches
+        "/a/": (200, None),
+        "/a/b/../": (307, "/a/"),
+        "/a/./b": (307, "/a/b"),
+        "/x///y/z/": (307, "/x/y/z/"),
+        "/x/y/z/../z/": (307, "/x/y/z/"),
+        "/x/y/../y/z/": (307, "/x/y/z/"),
+        "/clean": (404, None),
+    }
+    for p, (code, loc) in cases.items():
+        w = ResponseRecorder()
+        m.serve(Request("GET", p), w)
+        assert w.code == code, p
+        if loc is not None:
+            assert w.headers["Location"] == [loc], p
+    assert clean_path("") == "/"
+    assert clean_path("a/b") == "/a/b"
+
+
+# ---------------------------------------------------------------------------
+# Server pool — live (input_test.go TestServerPool et al.)
+
+@pytest.fixture
+def pool():
+    p = ServerPool()
+    yield p
+    p.close()
+
+
+def _register(pool, publish, url="/", port="0", addr_key=None,
+              input_id="input", **kw):
+    c = default_config()
+    c.listen_port = port
+    c.url = url
+    for k, v in kw.items():
+        setattr(c, k, v)
+    e = new_http_endpoint(c)
+    if addr_key is not None:
+        e.addr = addr_key
+    reg = pool.register(e, publish, input_id)
+    return reg, e
+
+
+def _post(port, path, body, method="POST", headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body.encode(),
+        headers={"Content-Type": "application/json", **(headers or {})},
+        method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return r.status, r.read().decode(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read().decode(), dict(e.headers)
+
+
+def test_server_pool_single(pool):
+    pub = Publisher()
+    reg, e = _register(pool, pub)
+    port = reg.server.httpd.server_address[1]
+    for body in ['{"a":1}', '{"b":2}', '{"c":3}']:
+        status, resp, _ = _post(port, "/", body)
+        assert status == 200
+        assert resp == '{"message": "success"}'
+    assert [ev.fields for ev in pub.events] == [
+        {"json": {"a": 1}}, {"json": {"b": 2}}, {"json": {"c": 3}}]
+
+
+@pytest.mark.parametrize("method", ["PUT", "PATCH"])
+def test_server_pool_put_patch(pool, method):
+    pub = Publisher()
+    reg, e = _register(pool, pub, method=method)
+    port = reg.server.httpd.server_address[1]
+    status, resp, _ = _post(port, "/", '{"a":1}', method=method)
+    assert status == 200
+    # wrong method refused
+    status, resp, _ = _post(port, "/", '{"a":1}', method="POST")
+    assert status == 405
+    assert [ev.fields for ev in pub.events] == [{"json": {"a": 1}}]
+
+
+def test_server_pool_options(pool):
+    pub = Publisher()
+    reg, _ = _register(
+        pool, pub,
+        options_headers={"option-header": ["options-header-value"]})
+    port = reg.server.httpd.server_address[1]
+    status, resp, headers = _post(port, "/", "", method="OPTIONS")
+    assert status == 200
+    assert headers.get("Option-Header") == "options-header-value"
+    assert headers.get("Content-Length") == "0"
+    assert resp == ""
+
+
+def test_server_pool_options_no_headers(pool):
+    pub = Publisher()
+    reg, _ = _register(pool, pub)
+    port = reg.server.httpd.server_address[1]
+    status, resp, _ = _post(port, "/", "", method="OPTIONS")
+    assert status == 400
+    assert resp == ('{"message":"OPTIONS requests are only allowed with '
+                    'options_headers set"}\n')
+
+
+def _free_port():
+    import socket
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_server_pool_distinct_and_shared_ports(pool):
+    pub = Publisher()
+    pa, pc = _free_port(), _free_port()
+    reg_a, e_a = _register(pool, pub, url="/a/", port=str(pa),
+                           input_id="input-a")
+    port_a = reg_a.server.httpd.server_address[1]
+    # distinct port: second server
+    reg_c, e_c = _register(pool, pub, url="/c/", port=str(pc),
+                           input_id="input-c")
+    port_c = reg_c.server.httpd.server_address[1]
+    assert port_a != port_c
+    # shared port: join the first server by addr key
+    reg_b, _ = _register(pool, pub, url="/b/", addr_key=e_a.addr,
+                         input_id="input-b")
+    assert _post(port_a, "/a/", '{"a":1}')[0] == 200
+    assert _post(port_a, "/b/", '{"b":2}')[0] == 200
+    assert _post(port_c, "/c/", '{"c":3}')[0] == 200
+    assert [ev.fields for ev in pub.events] == [
+        {"json": {"a": 1}}, {"json": {"b": 2}}, {"json": {"c": 3}}]
+
+
+def test_server_pool_duplicate_pattern_refused(pool):
+    pub = Publisher()
+    reg, e = _register(pool, pub, url="/a/", input_id="old-input")
+    with pytest.raises(ValueError) as ei:
+        _register(pool, pub, url="/a/", addr_key=e.addr,
+                  input_id="new-input")
+    assert str(ei.value) == (
+        f"pattern already exists for {e.addr}: /a/ "
+        "old=old-input new=new-input")
+
+
+def test_server_pool_tls_consistency(pool):
+    pub = Publisher()
+    reg, e = _register(pool, pub, url="/a/")
+    c2 = default_config()
+    c2.url = "/b/"
+    c2.tls = {"verification_mode": "strict"}
+    e2 = HTTPEndpoint(c2)
+    e2.addr = e.addr
+    with pytest.raises(ValueError) as ei:
+        pool.register(e2, pub)
+    assert str(ei.value) == (
+        f"inconsistent TLS usage on {e.addr}: mixed TLS and unencrypted")
+    # differing TLS configs between two TLS endpoints
+    from beats_spark.http_endpoint import _check_tls_consistency
+    with pytest.raises(ValueError) as ei:
+        _check_tls_consistency("127.0.0.1:9001",
+                               {"verification_mode": "strict"},
+                               {"verification_mode": "none"})
+    assert str(ei.value).startswith(
+        "inconsistent TLS configuration on 127.0.0.1:9001: "
+        "configuration options do not agree: old=")
+
+
+def test_server_pool_sequential_in_flight_tracking(pool):
+    pub = Publisher()
+    reg, _ = _register(pool, pub, max_in_flight_bytes=100,
+                       high_water_in_flight_bytes=50,
+                       low_water_in_flight_bytes=25)
+    port = reg.server.httpd.server_address[1]
+    for body in ['{"a":1}', '{"b":2}', '{"c":3}']:
+        status, resp, headers = _post(
+            port, "/?wait_for_completion_timeout=1s", body)
+        assert status == 200
+        assert resp == '{"message": "success"}'
+    assert len(pub.events) == 3
+
+
+def test_server_pool_not_exceed_max_in_flight(pool):
+    pub = Publisher()
+    reg, _ = _register(pool, pub, max_in_flight_bytes=20)
+    port = reg.server.httpd.server_address[1]
+    for body in ['{"a":1}', '{"b":2}', '{"c":3}']:
+        status, resp, headers = _post(
+            port, "/?wait_for_completion_timeout=1s", body)
+        assert status == 200
+        assert "Retry-After" not in headers
+    assert len(pub.events) == 3
+
+
+def test_joiner_deregister_keeps_server(pool):
+    pub = Publisher()
+    reg_a, e = _register(pool, pub, url="/a/", input_id="input-a")
+    port = reg_a.server.httpd.server_address[1]
+    reg_b, _ = _register(pool, pub, url="/b/", addr_key=e.addr,
+                         input_id="input-b")
+    assert _post(port, "/b/", '{"b":1}')[0] == 200
+    reg_b.close()  # joiner leaves: server must stay up
+    assert _post(port, "/a/", '{"a":1}')[0] == 200
+    assert _post(port, "/b/", '{"b":2}')[0] == 404
+    reg_a.close()
+    import socket
+    s = socket.socket()
+    with pytest.raises(OSError):
+        s.connect(("127.0.0.1", port))
+    s.close()
+
+
+def test_creator_deregister_keeps_server(pool):
+    pub = Publisher()
+    reg_a, e = _register(pool, pub, url="/a/", input_id="input-a")
+    port = reg_a.server.httpd.server_address[1]
+    reg_b, _ = _register(pool, pub, url="/b/", addr_key=e.addr,
+                         input_id="input-b")
+    reg_a.close()  # the CREATOR leaves first: server must stay up
+    assert _post(port, "/b/", '{"b":1}')[0] == 200
+    assert _post(port, "/a/", '{"a":1}')[0] == 404
+    reg_b.close()
+
+
+def test_pattern_reregistration(pool):
+    pub = Publisher()
+    reg_a, e = _register(pool, pub, url="/a/", input_id="input-a")
+    port = reg_a.server.httpd.server_address[1]
+    reg_b, _ = _register(pool, pub, url="/b/", addr_key=e.addr,
+                         input_id="input-b")
+    reg_a.close()
+    # the same pattern can be re-registered after removal
+    reg_a2, _ = _register(pool, pub, url="/a/", addr_key=e.addr,
+                          input_id="input-a2")
+    assert _post(port, "/a/", '{"a":2}')[0] == 200
+    reg_a2.close()
+    reg_b.close()
+
+
+def test_deregister_aborts_inflight_ack_wait(pool):
+    held = []
+    reg, _ = _register(pool, lambda ev: held.append(ev),
+                       input_id="input-w")
+    port = reg.server.httpd.server_address[1]
+    out = {}
+
+    def req():
+        out["resp"] = _post(
+            port, "/?wait_for_completion_timeout=10s", '{"a":1}')
+
+    t = threading.Thread(target=req)
+    t.start()
+    deadline = time.monotonic() + 5
+    while not held and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert held, "event never published"
+    reg.close()  # cancels the handler context → in-flight wait aborts
+    t.join(timeout=5)
+    assert not t.is_alive()
+    status, body, _ = out["resp"]
+    assert status == 504
+    assert json.loads(body)["message"] == "context canceled"
+
+
+# ---------------------------------------------------------------------------
+# CEL program on the live path + CRC golden
+
+def test_program_live_kinesis(pool):
+    pub = Publisher()
+    reg, _ = _register(pool, pub, program=KINESIS_PROGRAM, prefix=".")
+    port = reg.server.httpd.server_address[1]
+    status, _, _ = _post(port, "/", KINESIS_BODY)
+    assert status == 200
+    assert len(pub.events) == 5
+    assert pub.events[2].fields["event"]["number"] == "9007199254740992"
+    assert pub.events[0].fields["timestamp"] == "1578090901599"
+
+
+def test_program_compile_failure_is_loud():
+    with pytest.raises(ValueError) as ei:
+        new_program("obj.records.nosuchfn(r, r)")
+    assert str(ei.value).startswith("failed compilation: ")
+
+
+def test_crc_zoom_not_crc_publishes_normally():
+    # a non-CRC event through a CRC-configured handler publishes
+    c = _crc_config()
+    c.prefix = "json"
+    c.response_code = 200
+    c.response_body = '{"message": "success"}'
+    w, ev, _ = run_handler(
+        c, Request("POST", "/", b'{"event":"meeting.started","id":7}',
+                   {"Content-Type": "application/json"}))
+    assert w.code == 200
+    assert [e.fields for e in ev] == [
+        {"json": {"event": "meeting.started", "id": 7}}]
+    assert new_crc("", "x") is None
+    assert new_crc("nope", "x") is None
+
+
+# ---------------------------------------------------------------------------
+# Spark handoff
+
+def test_endpoint_events_to_dataframe(spark, pool):
+    coll = EndpointCollector(ack="drain")
+    reg, _ = _register(pool, coll.publish,
+                       include_headers=["X-Request-Id"])
+    port = reg.server.httpd.server_address[1]
+    resp = {}
+
+    def waiter():
+        resp["r"] = _post(
+            port, "/?wait_for_completion_timeout=10s",
+            '{"conv":"c1","turn":3}', headers={"X-Request-Id": "r-9"})
+
+    t = threading.Thread(target=waiter)
+    t.start()
+    deadline = time.monotonic() + 5
+    while len(coll) < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert len(coll) == 1
+    assert "r" not in resp  # ack deferred until the sink drains
+    events = coll.drain()  # sink consumed → ACK → HTTP 200 completes
+    t.join(timeout=5)
+    assert resp["r"][0] == 200
+    _post(port, "/", '{"conv":"c2","turn":1}')
+    events += coll.drain()
+    df = endpoint_events_df(spark, events)
+    rows = df.selectExpr(
+        "get_json_object(fields, '$.json.conv') AS conv",
+        "get_json_object(fields, \"$['headers']['X-Request-Id'][0]\")"
+        " AS rid").collect()
+    convs = sorted((r["conv"], r["rid"]) for r in rows)
+    assert convs == [("c1", "r-9"), ("c2", None)]
+
+
+def test_count_reader_unit():
+    shared = AtomicInt64(0)
+    r = CountReader(io.BytesIO(b"abcdefgh"), shared, 0)
+    assert r.read(4) == b"abcd"
+    assert shared.load() == 4
+    assert r.read() == b"efgh"
+    assert shared.load() == 8
+    r.close()
+    r.close()  # idempotent
+    assert shared.load() == 0
+
+    shared = AtomicInt64(0)
+    r = CountReader(io.BytesIO(b"abcdefgh"), shared, 6)
+    r.read(4)
+    with pytest.raises(MaxInFlightExceeded):
+        r.read(4)
+    r.close()
+    assert shared.load() == 0
