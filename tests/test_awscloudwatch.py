@@ -1,0 +1,712 @@
+"""aws-cloudwatch input battery.
+
+Ports the reference matrices (x-pack/filebeat/input/awscloudwatch/):
+config_test-style validation, input_test.go Test_FromConfig +
+TestCreateEvent, state_handler_test.go TestStateHandler /
+TestStoreAndGetState / TestGenerateID, cloudwatch_worker_test.go
+TestAckTracker + TestFilterLogEventsInput, cloudwatch_test.go
+TestReceive (the scan-window scheduler) — plus live tests against a
+fake CloudWatch Logs JSON-1.1 server that verifies SigV4 server-side
+(the awss3 fakes recipe), the driver collect with ack-after-sink
+state advancement, the distributed mapInPandas stage, and the
+tick-clock streaming poll with watermark resume.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.awscloudwatch import (
+    AckTracker, CloudWatchLogsClient, CloudwatchPoller, Config,
+    StateHandler, WorkResponse, cloudwatch_collect, cloudwatch_events_df,
+    create_event, default_config, filter_log_events_input, from_config,
+    generate_id, get_log_events, get_log_group_names, parse_arn,
+    unix_ms_from_time,
+)
+from beats_spark.awss3.client import AWSError
+from beats_spark.awss3.states import FileStore
+
+from awss3_fakes import ACCESS_KEY, SECRET_KEY, _verify_sigv4
+
+
+# ------------------------------------------------------------- fake API
+
+class FakeCloudWatchLogs:
+    """CloudWatch Logs over the AWS JSON 1.1 protocol; SigV4 verified
+    from the raw wire bytes like the awss3 fakes. Log groups hold
+    (stream, ts_ms, message) events; FilterLogEvents applies the
+    [startTime, endTime) window, stream filters, and paginates at
+    `page_size` with an opaque nextToken."""
+
+    def __init__(self, region: str = "us-east-1", page_size: int = 2):
+        self.region = region
+        self.page_size = page_size
+        self.groups: dict[str, list[dict]] = {}
+        self.group_arns: dict[str, str] = {}
+        self.calls: list[str] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type",
+                                 "application/x-amz-json-1.1")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                if not _verify_sigv4(self, body, "logs", outer.region):
+                    return self._send(403, {
+                        "__type": "com.amazon.coral.service#"
+                                  "InvalidSignatureException",
+                        "message": "signature mismatch"})
+                op = self.headers.get("X-Amz-Target", "").split(".")[-1]
+                payload = json.loads(body) if body else {}
+                with outer._lock:
+                    outer.calls.append(op)
+                    fn = getattr(self, "_op_" + op, None)
+                    if fn is None:
+                        return self._send(400, {
+                            "__type": "com.amazonaws.cloudwatchlogs#"
+                                      "UnrecognizedClientException",
+                            "message": op})
+                    fn(payload)
+
+            def _op_DescribeLogGroups(self, p):
+                prefix = p.get("logGroupNamePrefix") or ""
+                names = sorted(n for n in outer.groups
+                               if n.startswith(prefix))
+                start = int(p.get("nextToken") or 0)
+                page = names[start:start + outer.page_size]
+                out = {"logGroups": [
+                    {"logGroupName": n,
+                     "logGroupArn": outer.group_arns.get(
+                         n, f"arn:aws:logs:{outer.region}:"
+                            f"123456789012:log-group:{n}"),
+                     "arn": outer.group_arns.get(
+                         n, f"arn:aws:logs:{outer.region}:"
+                            f"123456789012:log-group:{n}") + ":*"}
+                    for n in page]}
+                if start + outer.page_size < len(names):
+                    out["nextToken"] = str(start + outer.page_size)
+                self._send(200, out)
+
+            def _op_FilterLogEvents(self, p):
+                gid = p.get("logGroupIdentifier") or ""
+                # accept both bare names and ARNs (logGroupIdentifier)
+                name = gid.rsplit("log-group:", 1)[-1]
+                evs = outer.groups.get(name)
+                if evs is None:
+                    return self._send(400, {
+                        "__type": "com.amazonaws.cloudwatchlogs#"
+                                  "ResourceNotFoundException",
+                        "message": "The specified log group does "
+                                   "not exist."})
+                start, end = int(p["startTime"]), int(p["endTime"])
+                streams = p.get("logStreamNames")
+                sp = p.get("logStreamNamePrefix")
+                hits = [e for e in evs
+                        if start <= e["timestamp"] < end
+                        and (streams is None
+                             or e["logStreamName"] in streams)
+                        and (sp is None
+                             or e["logStreamName"].startswith(sp))]
+                tok = int(p.get("nextToken") or 0)
+                page = hits[tok:tok + outer.page_size]
+                out = {"events": page, "searchedLogStreams": []}
+                if tok + outer.page_size < len(hits):
+                    out["nextToken"] = str(tok + outer.page_size)
+                self._send(200, out)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.endpoint = f"http://127.0.0.1:{self.port}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def add_event(self, group, stream, ts_ms, message, seq=[0]):
+        seq[0] += 1
+        self.groups.setdefault(group, []).append({
+            "eventId": f"ev-{seq[0]:06d}",
+            "ingestionTime": ts_ms + 500,
+            "logStreamName": stream,
+            "message": message,
+            "timestamp": ts_ms,
+        })
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_cw():
+    srv = FakeCloudWatchLogs()
+    yield srv
+    srv.close()
+
+
+def _client(srv, **kw):
+    return CloudWatchLogsClient(srv.endpoint, srv.region,
+                                access_key=ACCESS_KEY,
+                                secret_key=SECRET_KEY, **kw)
+
+
+# ------------------------------------------------------------ config
+
+def test_default_config():
+    c = default_config()
+    assert c.start_position == "beginning"
+    assert c.scan_frequency == 60.0
+    assert c.api_timeout == 120.0
+    assert c.api_sleep == 0.2
+    assert c.number_of_workers == 1
+
+
+@pytest.mark.parametrize("cfg,msg", [
+    (Config(log_group_name="g", region_name="r", start_position="nope"),
+     "start_position config parameter can only be one of beginning, "
+     "end or lastSync"),
+    (Config(),
+     "log_group_arn, log_group_name and log_group_name_prefix config "
+     "parameter cannot all be empty"),
+    (Config(log_group_name="a", log_group_name_prefix="b",
+            region_name="r"),
+     "log_group_name and log_group_name_prefix cannot be given at the "
+     "same time"),
+    (Config(log_group_name="a"),
+     "region_name is required when log_group_name or "
+     "log_group_name_prefix config parameter is given"),
+    (Config(log_group_name_prefix="p"),
+     "region_name is required when log_group_name or "
+     "log_group_name_prefix config parameter is given"),
+])
+def test_config_validate_errors(cfg, msg):
+    with pytest.raises(ValueError) as ei:
+        cfg.validate()
+    assert str(ei.value) == msg
+
+
+def test_config_validate_ok():
+    Config(log_group_arn="arn:aws:logs:us-east-1:1:g").validate()
+    Config(log_group_name="g", region_name="us-east-1").validate()
+
+
+# ------------------------------------------------- fromConfig matrix
+
+@pytest.mark.parametrize("cfg,aws_region,groups,region,err", [
+    # Valid log group ARN
+    (Config(log_group_arn="arn:aws:logs:us-east-1:123456789012:myLogs"),
+     "us-east-1",
+     ["arn:aws:logs:us-east-1:123456789012:myLogs"], "us-east-1", None),
+    # Invalid ARN results in an error
+    (Config(log_group_arn="invalidARN"), "us-east-1", None, None,
+     "failed to parse log group ARN: arn: invalid prefix"),
+    # Valid ARN but empty region causes an error
+    (Config(log_group_arn="arn:aws:logs::123456789012:otherLogs"),
+     "us-east-1", None, None,
+     "failed to parse log group ARN: missing region"),
+    # ARN :* suffix trimming (logGroupIdentifier requirement)
+    (Config(log_group_arn="arn:aws:logs:us-east-1:123456789012:"
+                          "log-group:/aws/kinesisfirehose/ProjectA:*"),
+     "us-east-1",
+     ["arn:aws:logs:us-east-1:123456789012:log-group:"
+      "/aws/kinesisfirehose/ProjectA"], "us-east-1", None),
+    # LogGroupName only
+    (Config(log_group_name="myLogGroup"), "us-east-1",
+     ["myLogGroup"], "us-east-1", None),
+    # LogGroupName and region override
+    (Config(log_group_name="myLogGroup", region_name="sa-east-1"),
+     "us-east-1", ["myLogGroup"], "sa-east-1", None),
+    # prefix only: empty group list, fallback applies
+    (Config(log_group_name_prefix="pfx", region_name="eu-west-1"),
+     "us-east-1", [], "eu-west-1", None),
+])
+def test_from_config(cfg, aws_region, groups, region, err):
+    if err:
+        with pytest.raises(ValueError) as ei:
+            from_config(cfg, aws_region)
+        assert str(ei.value) == err
+        return
+    got_groups, got_region = from_config(cfg, aws_region)
+    assert got_groups == groups
+    assert got_region == region
+
+
+def test_parse_arn_sections():
+    with pytest.raises(ValueError, match="arn: not enough sections"):
+        parse_arn("arn:aws:logs")
+    p = parse_arn("arn:aws:logs:us-east-1:123:log-group:/a/b:*")
+    assert p["region"] == "us-east-1"
+    assert p["resource"] == "log-group:/a/b:*"
+
+
+# --------------------------------------------------------- generateID
+
+@pytest.mark.parametrize("cfg,want", [
+    (Config(log_group_arn="logGroupARN"),
+     "filebeat::aws-cloudwatch::state::groupArn::logGroupARN"),
+    (Config(log_group_name="logGroupName", region_name="region-A"),
+     "filebeat::aws-cloudwatch::state::groupName::logGroupName"
+     "::region-A"),
+    (Config(log_group_name_prefix="groupPrefix", region_name="region-A"),
+     "filebeat::aws-cloudwatch::state::groupPrefix::groupPrefix"
+     "::region-A"),
+])
+def test_generate_id(cfg, want):
+    assert generate_id(cfg) == want
+
+
+def test_generate_id_invalid():
+    with pytest.raises(ValueError, match="incorrect configurations "
+                       "received, missing log_group_arn"):
+        generate_id(Config())
+
+
+# ------------------------------------------------------ state handler
+
+def test_state_handler_simple():
+    st = StateHandler(Config(log_group_arn="logGroupARN"))
+    st.work_register(100, 1)
+    st.work_complete(100)
+    assert st.get_state()["last_sync_epoch"] == 100
+
+
+def test_state_handler_multiple_work_counts():
+    st = StateHandler(Config(log_group_arn="logGroupARN"))
+    st.work_register(100, 5)
+    for _ in range(4):
+        st.work_complete(100)
+        # zero value — state not updated until all 5 complete
+        assert st.get_state()["last_sync_epoch"] == 0
+    st.work_complete(100)
+    assert st.get_state()["last_sync_epoch"] == 100
+
+
+def test_state_handler_oldest_gates_newest():
+    st = StateHandler(Config(log_group_arn="logGroupARN"))
+    st.work_register(100, 1)
+    st.work_register(200, 1)
+    # complete the newest — state must NOT advance
+    st.work_complete(200)
+    assert st.get_state()["last_sync_epoch"] == 0
+    # complete the oldest — state jumps to the most recent complete
+    st.work_complete(100)
+    assert st.get_state()["last_sync_epoch"] == 200
+
+
+@pytest.mark.parametrize("cfg,epoch", [
+    (Config(log_group_arn="logGroupARN"), 1111111111),
+    (Config(log_group_name="LogGroupName"), 22222222),
+    (Config(log_group_name_prefix="LogGroupNamePrefix"), 333333333),
+])
+def test_store_and_get_state(cfg, epoch):
+    st = StateHandler(cfg)
+    st.store_state({"last_sync_epoch": epoch})
+    assert st.get_state()["last_sync_epoch"] == epoch
+
+
+def test_state_handler_persists_across_instances(tmp_path):
+    path = str(tmp_path / "state.json")
+    cfg = Config(log_group_arn="logGroupARN")
+    st = StateHandler(cfg, FileStore(path))
+    st.work_register(500, 1)
+    st.work_complete(500)
+    st2 = StateHandler(cfg, FileStore(path))
+    assert st2.get_state()["last_sync_epoch"] == 500
+
+
+# -------------------------------------------------------- ackTracker
+
+def test_ack_tracker_simple():
+    t = AckTracker()
+    t.increase_ack(10)
+    assert t.wait_for(10, timeout=0.1)
+
+
+def test_ack_tracker_reusable_for_zero_or_more():
+    t = AckTracker()
+
+    def inc():
+        t.increase_ack(0)
+        t.increase_ack(5)
+        t.increase_ack(0)
+
+    threading.Thread(target=inc, daemon=True).start()
+    assert t.wait_for(0, timeout=0.1)
+    assert t.wait_for(5, timeout=0.1)
+    assert t.wait_for(0, timeout=0.1)
+
+
+def test_ack_tracker_increments_never_block():
+    t = AckTracker()
+    done = threading.Event()
+
+    def inc():
+        t.increase_ack(1)
+        t.increase_ack(1)
+        done.set()
+
+    threading.Thread(target=inc, daemon=True).start()
+    time.sleep(0.2)  # delay the wait call
+    assert done.wait(0.05), "increments have not completed"
+    assert t.wait_for(2, timeout=0.05)
+
+
+# -------------------------------------------- receive scheduler matrix
+
+def _run_receive(cfg, log_group_ids, steps, start_time):
+    """Ports cloudwatch_test.go TestReceive's step protocol onto the
+    generator: pull a cycle, drain responses one at a time, advance
+    the mock clock on the step's last request."""
+    clock = {"t": start_time}
+    handler = StateHandler(Config(log_group_name="LogGroup",
+                                  region_name="r"))
+    p = CloudwatchPoller(cfg, handler)
+    cycles = p.receive_cycles(log_group_ids, lambda: clock["t"])
+
+    cycle = iter(())
+    for step in steps:
+        expected, next_time = step
+        for i, want in enumerate(expected):
+            resp = next(cycle, None)
+            if resp is None:
+                cycle = next(cycles)
+                resp = next(cycle)
+            if i + 1 == len(expected) and next_time is not None:
+                clock["t"] = next_time
+            assert resp == want, (resp, want)
+
+
+T0 = 0.0
+T1 = T0 + 3600.0
+T2 = T1 + 60.0
+T3 = T2 + 3600.0
+SCAN = 1e-6  # the mocked-clock "microsecond" scan frequency
+
+
+def _cfg(**over):
+    c = Config(log_group_name="LogGroup", region_name="r",
+               scan_frequency=SCAN)
+    for k, v in over.items():
+        setattr(c, k, v)
+    return c
+
+
+def test_receive_default_one_group():
+    _run_receive(_cfg(), ["a"], [
+        ([WorkResponse("a", T0, T1)], T2),
+        ([WorkResponse("a", T1, T2)], T3),
+        ([WorkResponse("a", T2, T3)], None),
+    ], start_time=T1)
+
+
+def test_receive_default_two_groups():
+    # start/end for the second log group stay fixed even though the
+    # clock advanced between the two handoffs
+    _run_receive(_cfg(), ["a", "b"], [
+        ([WorkResponse("a", T0, T1)], T2),
+        ([WorkResponse("b", T0, T1)], None),
+        ([WorkResponse("a", T1, T2), WorkResponse("b", T1, T2)], T3),
+        ([WorkResponse("a", T2, T3), WorkResponse("b", T2, T3)], None),
+    ], start_time=T1)
+
+
+def test_receive_start_position_end():
+    _run_receive(_cfg(start_position="end"), ["a"], [
+        ([WorkResponse("a", T1 - SCAN, T1)], T2),
+        ([WorkResponse("a", T1, T2)], None),
+    ], start_time=T1)
+
+
+def test_receive_end_with_latency():
+    _run_receive(_cfg(start_position="end", latency=1.0), ["a", "b"], [
+        ([WorkResponse("a", T1 - SCAN - 1.0, T1 - 1.0),
+          WorkResponse("b", T1 - SCAN - 1.0, T1 - 1.0)], T2),
+        ([WorkResponse("a", T1 - 1.0, T2 - 1.0),
+          WorkResponse("b", T1 - 1.0, T2 - 1.0)], None),
+    ], start_time=T1)
+
+
+def test_receive_three_groups_with_latency():
+    _run_receive(_cfg(latency=1.0), ["a", "b", "c"], [
+        ([WorkResponse("a", T0, T1 - 1.0),
+          WorkResponse("b", T0, T1 - 1.0),
+          WorkResponse("c", T0, T1 - 1.0)], T2),
+        ([WorkResponse("a", T1 - 1.0, T2 - 1.0),
+          WorkResponse("b", T1 - 1.0, T2 - 1.0),
+          WorkResponse("c", T1 - 1.0, T2 - 1.0)], None),
+    ], start_time=T1)
+
+
+def test_receive_last_sync_resumes_from_state():
+    handler = StateHandler(Config(log_group_name="LogGroup",
+                                  region_name="r"))
+    handler.store_state({"last_sync_epoch": int(T1 * 1000)})
+    p = CloudwatchPoller(_cfg(start_position="lastSync"), handler)
+    cycle = next(p.receive_cycles(["a"], lambda: T2))
+    assert next(cycle) == WorkResponse("a", T1, T2)
+
+
+# ------------------------------------------------- worker primitives
+
+def test_filter_log_events_input_zero_time():
+    # TestFilterLogEventsInput: the Go zero value converts to 0 ms
+    cfg = Config(log_group_name="myLogGroup", region_name="r")
+    now = 1720789200.0  # 2024-07-12T13:00:00Z
+    got = filter_log_events_input(cfg, None, now, "myLogGroup")
+    assert got == {"logGroupIdentifier": "myLogGroup",
+                   "startTime": 0, "endTime": 1720789200000}
+
+
+def test_filter_log_events_input_streams():
+    cfg = Config(log_group_name="g", region_name="r",
+                 log_streams=["s1", "s2"], log_stream_prefix="pfx")
+    got = filter_log_events_input(cfg, 1.0, 2.0, "g")
+    assert got["logStreamNames"] == ["s1", "s2"]
+    assert got["logStreamNamePrefix"] == "pfx"
+    assert got["startTime"] == 1000 and got["endTime"] == 2000
+
+
+def test_unix_ms_from_time():
+    assert unix_ms_from_time(None) == 0
+    assert unix_ms_from_time(1600000000.0) == 1600000000000
+
+
+def test_create_event_golden():
+    # TestCreateEvent's expected field shape
+    log_event = {"eventId": "id-1", "ingestionTime": 1590000000000,
+                 "logStreamName": "logStreamName1",
+                 "message": "test-message-1",
+                 "timestamp": 1600000000000}
+    ev = create_event(log_event, "logGroup1", "us-east-1", now=42.0)
+    assert ev["ts"] == 1600000000.0
+    assert ev["meta_id"] == "id-1"
+    f = dict(ev["fields"])
+    f["event"] = {k: v for k, v in f["event"].items()
+                  if k != "ingested"}
+    assert f == {
+        "message": "test-message-1",
+        "event": {"id": "id-1"},
+        "log": {"file": {"path": "logGroup1/logStreamName1"}},
+        "aws": {"cloudwatch": {
+            "log_group": "logGroup1",
+            "log_stream": "logStreamName1",
+            "ingestion_time": 1590000000.0,
+        }},
+        "cloud": {"provider": "aws", "region": "us-east-1"},
+    }
+
+
+# ----------------------------------------------------------- live API
+
+def test_describe_log_groups_pagination(fake_cw):
+    for n in ("app-a", "app-b", "app-c", "other"):
+        fake_cw.groups[n] = []
+    c = _client(fake_cw)
+    try:
+        got = get_log_group_names(c, "app-", False)
+    finally:
+        c.close()
+    assert got == [
+        f"arn:aws:logs:us-east-1:123456789012:log-group:app-{x}"
+        for x in "abc"]
+    # page_size=2 → two DescribeLogGroups calls
+    assert fake_cw.calls.count("DescribeLogGroups") == 2
+
+
+def test_filter_log_events_pagination_and_api_sleep(fake_cw):
+    for i in range(5):
+        fake_cw.add_event("g1", "s", 1000 + i, f"m{i}")
+    c = _client(fake_cw)
+    cfg = Config(log_group_name="g1", region_name="us-east-1",
+                 api_sleep=0.01)
+    sleeps = []
+    try:
+        pages = list(get_log_events(c, cfg, "g1", 0.0, 10.0,
+                                    sleep=sleeps.append))
+    finally:
+        c.close()
+    msgs = [e["message"] for p in pages for e in p]
+    assert msgs == [f"m{i}" for i in range(5)]
+    # the TPS guard sleeps api_sleep once per page
+    assert sleeps == [0.01] * 3
+    assert fake_cw.calls.count("FilterLogEvents") == 3
+
+
+def test_filter_log_events_window_is_half_open(fake_cw):
+    fake_cw.add_event("g1", "s", 999, "before")
+    fake_cw.add_event("g1", "s", 1000, "at-start")
+    fake_cw.add_event("g1", "s", 1999, "in")
+    fake_cw.add_event("g1", "s", 2000, "at-end")
+    c = _client(fake_cw)
+    cfg = Config(log_group_name="g1", region_name="us-east-1")
+    try:
+        pages = list(get_log_events(c, cfg, "g1", 1.0, 2.0,
+                                    sleep=lambda s: None))
+    finally:
+        c.close()
+    assert [e["message"] for p in pages for e in p] == \
+        ["at-start", "in"]
+
+
+def test_filter_log_events_error_wording(fake_cw):
+    c = _client(fake_cw)
+    cfg = Config(log_group_name="missing", region_name="us-east-1")
+    try:
+        with pytest.raises(AWSError) as ei:
+            list(get_log_events(c, cfg, "missing", 0.0, 10.0,
+                                sleep=lambda s: None))
+    finally:
+        c.close()
+    assert str(ei.value).startswith(
+        "error FilterLogEvents with Paginator: ")
+    assert ei.value.code == "ResourceNotFoundException"
+
+
+def test_bad_signature_refused(fake_cw):
+    c = CloudWatchLogsClient(fake_cw.endpoint, fake_cw.region,
+                             access_key=ACCESS_KEY,
+                             secret_key="wrong-secret")
+    try:
+        with pytest.raises(AWSError) as ei:
+            c.describe_log_groups_page(None, False)
+    finally:
+        c.close()
+    assert ei.value.code == "InvalidSignatureException"
+
+
+def test_collect_ack_after_sink(fake_cw):
+    fake_cw.add_event("g1", "s1", 5000, "hello")
+    fake_cw.add_event("g1", "s2", 6000, "world")
+    cfg = Config(log_group_name="g1", region_name="us-east-1")
+    handler = StateHandler(cfg)
+    c = _client(fake_cw)
+    try:
+        res = cloudwatch_collect(c, cfg, ["g1"], "us-east-1",
+                                 0.0, 10.0, state_handler=handler,
+                                 sleep=lambda s: None)
+    finally:
+        c.close()
+    assert [r["fields"]["message"] for r in res.records] == \
+        ["hello", "world"]
+    assert [r["fields"]["log"]["file"]["path"] for r in res.records] \
+        == ["g1/s1", "g1/s2"]
+    # ack-after-sink: the watermark must NOT advance before finalize
+    assert handler.get_state()["last_sync_epoch"] == 0
+    res.finalize()
+    assert handler.get_state()["last_sync_epoch"] == 10000
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_cloudwatch_events_df_distributed(spark, fake_cw):
+    for i in range(6):
+        fake_cw.add_event("g1", f"s{i % 2}", 1000 + i, f"g1-m{i}")
+    for i in range(3):
+        fake_cw.add_event("g2", "s", 2000 + i, f"g2-m{i}")
+    cfg = Config(log_group_name="x", region_name="us-east-1",
+                 api_sleep=0.001)
+    df = cloudwatch_events_df(
+        spark, cfg, ["g1", "g2"], "us-east-1", None, 10.0,
+        endpoint=fake_cw.endpoint, access_key=ACCESS_KEY,
+        secret_key=SECRET_KEY)
+    rows = {(r.log_group, r.message) for r in df.collect()}
+    assert rows == ({("g1", f"g1-m{i}") for i in range(6)}
+                    | {("g2", f"g2-m{i}") for i in range(3)})
+    # distributed == driver-side collect
+    c = _client(fake_cw)
+    try:
+        res = cloudwatch_collect(c, cfg, ["g1", "g2"], "us-east-1",
+                                 None, 10.0, sleep=lambda s: None)
+    finally:
+        c.close()
+    assert {(r["fields"]["aws"]["cloudwatch"]["log_group"],
+             r["fields"]["message"]) for r in res.records} == rows
+    # schema carries the processor shape
+    got = {r.message: r for r in df.collect()}
+    r0 = got["g1-m0"]
+    assert r0.log_stream == "s0" and r0.region == "us-east-1"
+    assert r0.meta_id.startswith("ev-")
+
+
+def test_cloudwatch_events_df_empty(spark, fake_cw):
+    cfg = Config(log_group_name="x", region_name="us-east-1")
+    df = cloudwatch_events_df(spark, cfg, [], "us-east-1", None, 1.0,
+                              endpoint=fake_cw.endpoint)
+    assert df.count() == 0
+
+
+def test_cloudwatch_poll_stream_resume(spark, fake_cw, tmp_path):
+    """The tick-clock stream: events ship exactly once across ticks
+    and the lastSync watermark advances only after the sink consumed
+    the batch; a new poller with start_position=lastSync resumes from
+    the stored watermark."""
+    from beats_spark.awscloudwatch import cloudwatch_poll_stream
+
+    cfg = Config(log_group_name="g1", region_name="us-east-1",
+                 scan_frequency=0.3, api_sleep=0.001)
+    handler = StateHandler(cfg)
+    now0 = time.time()
+    fake_cw.add_event("g1", "s", int((now0 - 5) * 1000), "early")
+
+    seen: list[tuple[int, list[str]]] = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        msgs = [r.message for r in df.collect()]
+        with lock:
+            seen.append((batch_id, msgs))
+
+    q = cloudwatch_poll_stream(
+        spark, cfg, endpoint=fake_cw.endpoint, region="us-east-1",
+        access_key=ACCESS_KEY, secret_key=SECRET_KEY,
+        state_handler=handler, sink=sink,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if len(seen) >= 1 and any(m for _, m in seen):
+                    break
+            time.sleep(0.1)
+        # a mid-stream event ships in a later tick
+        fake_cw.add_event("g1", "s", int(time.time() * 1000), "late")
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                flat = [m for _, ms in seen for m in ms]
+            if "late" in flat:
+                break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+
+    flat = [m for _, ms in seen for m in ms]
+    assert flat.count("early") == 1, flat
+    assert flat.count("late") == 1, flat
+    # watermark advanced past the last completed window
+    wm = handler.get_state()["last_sync_epoch"]
+    assert wm > (now0 - 5) * 1000
+    # a fresh lastSync poller starts from the stored watermark
+    p = CloudwatchPoller(
+        Config(log_group_name="g1", region_name="us-east-1",
+               start_position="lastSync"), handler)
+    assert p.initial_start_time(time.time()) == wm / 1000.0
