@@ -1,0 +1,509 @@
+"""gcp-pubsub input battery.
+
+Ports the reference's emulator test suite
+(x-pack/filebeat/input/gcppubsub/pubsub_test.go) against a fake
+Pub/Sub REST emulator with real ack-deadline/redelivery semantics:
+TestTopicDoesNotExist, TestSubscriptionDoesNotExistError,
+TestSubscriptionExists, TestSubscriptionCreate, TestEndToEndACK
+(the half-acker NACK/redelivery case), plus the makeTopicID /
+makeEvent goldens (input.go), the config validation matrix
+(config.go) and the Spark handoff + tick-clock stream with
+ack-after-sink.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.gcppubsub import (
+    Config, PubSubClient, PubSubError, PubSubMessage, default_config,
+    get_or_create_subscription, make_event, make_topic_id,
+    new_pubsub_client, pubsub_collect, pubsub_events_df, pubsub_stream,
+)
+
+PROJECT = "test-project-id"
+TOPIC = "test-topic-foo"
+SUB = "test-subscription-bar"
+
+
+# ------------------------------------------------------- fake emulator
+
+class FakePubSub:
+    """The REST v1 surface with real visibility semantics: pulled
+    messages hide until their ack deadline (default 1 s here so
+    redelivery tests run fast); modifyAckDeadline 0 makes them
+    immediately redeliverable; acknowledge removes them."""
+
+    def __init__(self, ack_deadline: float = 1.0,
+                 require_bearer: str = ""):
+        self.ack_deadline = ack_deadline
+        self.require_bearer = require_bearer
+        self.topics: set[str] = set()
+        # sub -> {"topic": t, "msgs": {msg_id: dict}}
+        self.subs: dict[str, dict] = {}
+        self._seq = 0
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, obj):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _err(self, status, reason, msg):
+                self._send(status, {"error": {
+                    "code": status, "message": msg, "status": reason}})
+
+            def _auth_ok(self):
+                if not outer.require_bearer:
+                    return True
+                return (self.headers.get("Authorization")
+                        == "Bearer " + outer.require_bearer)
+
+            def do_GET(self):
+                self._dispatch(b"")
+
+            def do_PUT(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                self._dispatch(self.rfile.read(n) if n else b"")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                self._dispatch(self.rfile.read(n) if n else b"")
+
+            def _dispatch(self, body):
+                if not self._auth_ok():
+                    return self._err(401, "UNAUTHENTICATED",
+                                     "missing or invalid bearer token")
+                parts = self.path.strip("/").split("/")
+                # v1 / projects / {project} / {kind} / {name[:verb]}
+                if (len(parts) != 5 or parts[0] != "v1"
+                        or parts[1] != "projects"):
+                    return self._err(404, "NOT_FOUND", "bad path")
+                kind = parts[3]
+                name, _, verb = parts[4].partition(":")
+                payload = json.loads(body) if body else {}
+                with outer._lock:
+                    if kind == "topics":
+                        return self._topics(name, verb, payload)
+                    if kind == "subscriptions":
+                        return self._subs(name, verb, payload)
+                return self._err(404, "NOT_FOUND", "bad kind")
+
+            def _topics(self, name, verb, p):
+                if self.command == "PUT" and not verb:
+                    if name in outer.topics:
+                        return self._err(409, "ALREADY_EXISTS",
+                                         "Topic already exists")
+                    outer.topics.add(name)
+                    return self._send(200, {
+                        "name": f"projects/{PROJECT}/topics/{name}"})
+                if verb == "publish":
+                    if name not in outer.topics:
+                        return self._err(404, "NOT_FOUND",
+                                         "Topic not found")
+                    ids = []
+                    now = time.time()
+                    for m in p.get("messages") or []:
+                        outer._seq += 1
+                        mid = str(outer._seq)
+                        ids.append(mid)
+                        for s in outer.subs.values():
+                            if s["topic"] != name:
+                                continue
+                            s["msgs"][mid] = {
+                                "data": m.get("data", ""),
+                                "attributes": m.get("attributes") or {},
+                                "publish": now, "visible_at": 0.0,
+                                "deliveries": 0}
+                    return self._send(200, {"messageIds": ids})
+                return self._err(404, "NOT_FOUND", "bad verb")
+
+            def _subs(self, name, verb, p):
+                if self.command == "GET":
+                    if name in outer.subs:
+                        return self._send(200, {
+                            "name": f"projects/{PROJECT}/"
+                                    f"subscriptions/{name}"})
+                    return self._err(404, "NOT_FOUND",
+                                     "Subscription does not exist")
+                if self.command == "PUT" and not verb:
+                    topic = (p.get("topic") or "").rsplit("/", 1)[-1]
+                    if topic not in outer.topics:
+                        return self._err(404, "NOT_FOUND",
+                                         "Topic not found")
+                    if name in outer.subs:
+                        return self._err(409, "ALREADY_EXISTS",
+                                         "Subscription already exists")
+                    outer.subs[name] = {"topic": topic, "msgs": {}}
+                    return self._send(200, {
+                        "name": f"projects/{PROJECT}/"
+                                f"subscriptions/{name}"})
+                sub = outer.subs.get(name)
+                if sub is None:
+                    return self._err(404, "NOT_FOUND",
+                                     "Subscription does not exist")
+                if verb == "pull":
+                    now = time.time()
+                    out = []
+                    for mid, m in sub["msgs"].items():
+                        if len(out) >= int(p.get("maxMessages", 1)):
+                            break
+                        if m["visible_at"] > now:
+                            continue
+                        m["visible_at"] = now + outer.ack_deadline
+                        m["deliveries"] += 1
+                        ack = f"ack-{mid}-{m['deliveries']}"
+                        m["ack"] = ack
+                        out.append({"ackId": ack, "message": {
+                            "data": m["data"],
+                            "attributes": m["attributes"],
+                            "messageId": mid,
+                            "publishTime": time.strftime(
+                                "%Y-%m-%dT%H:%M:%S",
+                                time.gmtime(m["publish"]))
+                            + (".%06dZ" % int(m["publish"] % 1 * 1e6)),
+                        }})
+                    return self._send(
+                        200, {"receivedMessages": out} if out else {})
+                if verb == "acknowledge":
+                    acks = set(p.get("ackIds") or [])
+                    sub["msgs"] = {
+                        mid: m for mid, m in sub["msgs"].items()
+                        if m.get("ack") not in acks}
+                    return self._send(200, {})
+                if verb == "modifyAckDeadline":
+                    acks = set(p.get("ackIds") or [])
+                    secs = int(p.get("ackDeadlineSeconds", 0))
+                    now = time.time()
+                    for m in sub["msgs"].values():
+                        if m.get("ack") in acks:
+                            m["visible_at"] = now + secs
+                    return self._send(200, {})
+                return self._err(404, "NOT_FOUND", "bad verb")
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.endpoint = f"http://127.0.0.1:{self.port}"
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def emulator():
+    srv = FakePubSub()
+    yield srv
+    srv.close()
+
+
+def _cfg(**over):
+    c = Config(project_id=PROJECT, topic=TOPIC, subscription_name=SUB)
+    for k, v in over.items():
+        setattr(c, k, v)
+    return c
+
+
+def _client(srv):
+    return PubSubClient(srv.endpoint, PROJECT)
+
+
+# -------------------------------------------------------------- config
+
+def test_default_config():
+    c = default_config()
+    assert c.subscription_num_goroutines == 1
+    assert c.subscription_max_outstanding_messages == 1600
+    assert c.subscription_create is True
+
+
+def test_config_validate_alternative_host_with_proxy():
+    c = _cfg(alternative_host="localhost:1", proxy_url="http://p:1")
+    with pytest.raises(ValueError, match="alternative_host may not be "
+                       "configured with a proxy"):
+        c.validate()
+
+
+def test_config_validate_missing_credentials_file(tmp_path):
+    c = _cfg(credentials_file=str(tmp_path / "nope.json"))
+    with pytest.raises(ValueError) as ei:
+        c.validate()
+    assert str(ei.value).startswith(
+        "credentials_file is configured, but the file ")
+    assert "cannot be found" in str(ei.value)
+
+
+def test_config_validate_no_credentials(monkeypatch):
+    monkeypatch.delenv("GOOGLE_APPLICATION_CREDENTIALS", raising=False)
+    with pytest.raises(ValueError) as ei:
+        _cfg().validate()
+    assert str(ei.value) == (
+        "no authentication credentials were configured or detected "
+        "(credentials_file, credentials_json, and application default "
+        "credentials (ADC))")
+
+
+def test_config_validate_credentials_json_ok():
+    _cfg(credentials_json='{"type":"service_account"}').validate()
+
+
+def test_config_validate_credentials_file_ok(tmp_path):
+    f = tmp_path / "fake.json"
+    f.write_text("{}")
+    _cfg(credentials_file=str(f)).validate()
+
+
+# ----------------------------------------------------------- makeEvent
+
+def test_make_topic_id():
+    want = hashlib.sha256(
+        (PROJECT + TOPIC).encode()).hexdigest()[:10]
+    assert make_topic_id(PROJECT, TOPIC) == want
+    assert len(make_topic_id("a", "b")) == 10
+
+
+def test_make_event_golden():
+    msg = PubSubMessage(id="42", data=b"hello world",
+                        attributes={"k": "v"},
+                        publish_time=1600000000.25, ack_id="a1")
+    tid = make_topic_id(PROJECT, TOPIC)
+    ev = make_event(tid, msg, now=7.0)
+    assert ev["ts"] == 1600000000.25
+    assert ev["meta_id"] == tid + "-42"
+    assert ev["fields"]["event"] == {"id": tid + "-42", "created": 7.0}
+    assert ev["fields"]["message"] == "hello world"
+    assert ev["fields"]["labels"] == {"k": "v"}
+
+
+def test_make_event_no_labels_key_when_empty():
+    msg = PubSubMessage(id="1", data=b"x", attributes={},
+                        publish_time=1.0)
+    ev = make_event("t", msg, now=0.0)
+    assert "labels" not in ev["fields"]
+
+
+# ----------------------------------------------- emulator test matrix
+
+def test_topic_does_not_exist(emulator):
+    c = _client(emulator)
+    try:
+        with pytest.raises(PubSubError) as ei:
+            pubsub_collect(c, _cfg())
+    finally:
+        c.close()
+    assert "failed to subscribe to pub/sub topic" in str(ei.value)
+
+
+def test_subscription_does_not_exist_error(emulator):
+    c = _client(emulator)
+    c.create_topic(TOPIC)
+    try:
+        with pytest.raises(PubSubError) as ei:
+            pubsub_collect(c, _cfg(subscription_create=False))
+    finally:
+        c.close()
+    assert ("no subscription exists and 'subscription.create' is not "
+            "enabled") in str(ei.value)
+
+
+def test_subscription_exists(emulator):
+    c = _client(emulator)
+    try:
+        c.create_topic(TOPIC)
+        c.create_subscription(SUB, TOPIC)
+        c.publish(TOPIC, [{"data": f"msg-{i}".encode()}
+                          for i in range(5)])
+        res = pubsub_collect(c, _cfg())
+        assert sorted(r["fields"]["message"] for r in res.records) == \
+            [f"msg-{i}" for i in range(5)]
+        res.finalize()
+        # all acked — nothing left to pull
+        assert pubsub_collect(c, _cfg()).records == []
+    finally:
+        c.close()
+
+
+def test_subscription_create(emulator):
+    c = _client(emulator)
+    try:
+        c.create_topic(TOPIC)
+        res = pubsub_collect(c, _cfg())  # creates the subscription
+        assert res.records == []
+        assert SUB in emulator.subs
+        c.publish(TOPIC, [{"data": b"after-create"}])
+        res = pubsub_collect(c, _cfg())
+        assert [r["fields"]["message"] for r in res.records] == \
+            ["after-create"]
+    finally:
+        c.close()
+
+
+def test_end_to_end_ack_with_nack_redelivery(emulator):
+    """TestEndToEndACK: NACK every other message; every message is
+    eventually received and ACKed exactly once."""
+    c = _client(emulator)
+    try:
+        c.create_topic(TOPIC)
+        c.create_subscription(SUB, TOPIC)
+        c.publish(TOPIC, [{"data": f"m-{i}".encode()}
+                          for i in range(10)])
+        seen: set[str] = set()
+        acked: set[str] = set()
+        count = 0
+        deadline = time.time() + 10
+        while len(acked) < 10 and time.time() < deadline:
+            res = pubsub_collect(c, _cfg())
+            for r in res.records:
+                seen.add(r["message_id"])
+                count += 1
+                if count & 1:  # NACK every other delivery
+                    res.reject(r)
+                else:
+                    acked.add(r["message_id"])
+            res.finalize()
+            time.sleep(0.02)
+        assert acked == seen and len(acked) == 10
+        # everything acked: queue drained
+        assert pubsub_collect(c, _cfg()).records == []
+    finally:
+        c.close()
+
+
+def test_redelivery_after_ack_deadline(emulator):
+    emulator.ack_deadline = 0.2
+    c = _client(emulator)
+    try:
+        c.create_topic(TOPIC)
+        c.create_subscription(SUB, TOPIC)
+        c.publish(TOPIC, [{"data": b"crash-case"}])
+        res = pubsub_collect(c, _cfg())
+        assert len(res.records) == 1
+        # crash before finalize(): message must come back
+        time.sleep(0.3)
+        res2 = pubsub_collect(c, _cfg())
+        assert [r["fields"]["message"] for r in res2.records] == \
+            ["crash-case"]
+        res2.finalize()
+    finally:
+        c.close()
+
+
+def test_bearer_token_required():
+    srv = FakePubSub(require_bearer="tok-123")
+    try:
+        bad = PubSubClient(srv.endpoint, PROJECT)
+        with pytest.raises(PubSubError) as ei:
+            bad.create_topic(TOPIC)
+        assert ei.value.status == 401
+        bad.close()
+
+        class TP:
+            def token(self):
+                return "tok-123"
+
+        good = PubSubClient(srv.endpoint, PROJECT, token_provider=TP())
+        good.create_topic(TOPIC)
+        good.close()
+    finally:
+        srv.close()
+
+
+def test_new_pubsub_client_alternative_host(emulator):
+    cfg = _cfg(alternative_host=f"127.0.0.1:{emulator.port}")
+    c = new_pubsub_client(cfg)
+    try:
+        c.create_topic(TOPIC)
+        assert TOPIC in emulator.topics
+    finally:
+        c.close()
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_pubsub_events_df(spark, emulator):
+    c = _client(emulator)
+    try:
+        c.create_topic(TOPIC)
+        c.create_subscription(SUB, TOPIC)
+        c.publish(TOPIC, [
+            {"data": b"with-label", "attributes": {"env": "prod"}},
+            {"data": b"plain"}])
+        res = pubsub_collect(c, _cfg())
+        df = pubsub_events_df(spark, res.records)
+        rows = {r.message: r for r in df.collect()}
+        assert set(rows) == {"with-label", "plain"}
+        assert rows["with-label"].labels == {"env": "prod"}
+        assert rows["plain"].labels is None
+        tid = make_topic_id(PROJECT, TOPIC)
+        assert all(r.event_id.startswith(tid + "-")
+                   for r in rows.values())
+        assert all(r.meta_id == r.event_id for r in rows.values())
+        res.finalize()
+    finally:
+        c.close()
+
+
+def test_pubsub_stream_ack_after_sink(spark, emulator, tmp_path):
+    """Tick-clock stream: a message published mid-stream ships exactly
+    once, and ACK follows the sink."""
+    c = _client(emulator)
+    c.create_topic(TOPIC)
+    c.create_subscription(SUB, TOPIC)
+    cfg = _cfg()
+    seen: list[str] = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        msgs = [r.message for r in df.collect()]
+        with lock:
+            seen.extend(msgs)
+
+    q = pubsub_stream(spark, cfg, c, sink=sink,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      poll_seconds=0.2)
+    try:
+        c2 = _client(emulator)
+        c2.publish(TOPIC, [{"data": b"live-1"}])
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "live-1" in seen:
+                    break
+            time.sleep(0.1)
+        c2.publish(TOPIC, [{"data": b"live-2"}])
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "live-2" in seen:
+                    break
+            time.sleep(0.1)
+        c2.close()
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+        c.close()
+
+    assert seen.count("live-1") == 1, seen
+    assert seen.count("live-2") == 1, seen
+    # acked after sink: the emulator queue is empty
+    assert not any(emulator.subs[SUB]["msgs"]), emulator.subs[SUB]
