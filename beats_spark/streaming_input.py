@@ -1,0 +1,643 @@
+"""streaming input (websocket follower) — live.
+
+The reference input (x-pack/filebeat/input/streaming/) follows a
+persistent stream (websocket by default), runs a CEL `program` over
+every received message (state.response → events + cursor), publishes
+the events with last-known-good-cursor semantics, and reconnects with
+a logistic-backoff retry policy. This module implements the websocket
+follower on the from-scratch RFC 6455 layer (websocket_wire) and the
+repo's CEL engine:
+
+- config.go        → validation with the exact wordings (stream type,
+                     regexp compilation, program check, url scheme,
+                     retry relationships, auth style), defaults
+                     (180 s transport timeout, retry 5×1 s..30 s,
+                     keep-alive 30 s/10 s, 2 m token buffer)
+- input.go         → formHeader's auth precedence (oauth2 token →
+                     bearer → basic → custom header), getURL's
+                     url_program evaluation (state.url primed, string
+                     result parsed as a URL), and processor.process:
+                     the events type contract (list / single map /
+                     error), single-vs-array cursor semantics with
+                     goodCursor advancement, events dropped from state
+                     before publication, the error-event shape on
+                     failed evals
+- websocket.go     → the FollowStream loop: connect (with the
+                     logistic-jitter backoff wait() and the
+                     BadHandshake/no-response error wordings),
+                     per-message state.response eval, reconnect on
+                     retryable errors (close-code set + network
+                     patterns; blanket_retries retries everything),
+                     keep-alive heartbeat (ping every interval, pong
+                     resets the 3× read deadline), OAuth2 token
+                     refresh re-dialing with a re-evaluated URL
+- crowdstrike support is scoped out loudly (NewFalconHoseFollower) —
+  the websocket follower is the default stream type
+
+Execution surfaces: `websocket_collect` follows the stream
+driver-side until the server closes / a bound is reached and returns
+records + final cursor; `websocket_stream` hands batches to a sink on
+the tick-clock pattern with cursor-after-sink checkpointing;
+`websocket_events_df` is the DataFrame handoff.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator, Optional
+from urllib.parse import urlparse
+
+from .cel.engine import CELError
+from .cel.input import compile_input_program
+from .websocket_wire import (
+    RETRYABLE_CLOSE_CODES, BadHandshake, CloseError, WSConn, WSError,
+    connect_websocket,
+)
+
+__all__ = [
+    "validate_config", "default_config", "form_header", "wait_time",
+    "Processor", "get_url", "WebsocketFollower", "websocket_collect",
+    "websocket_events_df", "websocket_stream", "go_type_of",
+    "is_retryable_error",
+]
+
+ROOT = "state"
+SPREAD = 1.0
+
+
+# -------------------------------------------------------------- config
+
+def default_config() -> dict:
+    """config.go defaultConfig."""
+    return {
+        "transport_timeout": 180.0,
+        "auth": {"token_expiry_buffer": 120.0},
+        "retry": {"max_attempts": 5, "wait_min": 1.0, "wait_max": 30.0},
+        "keep_alive": {"enable": False, "interval": 30.0,
+                       "write_control_deadline": 10.0},
+    }
+
+
+def validate_config(cfg: dict) -> None:
+    """config.go:162-213 Validate with the exact wordings."""
+    typ = cfg.get("stream_type", "") or ""
+    if typ not in ("", "websocket", "crowdstrike"):
+        raise ValueError(f"unknown stream type: {typ}")
+    for name, pat in (cfg.get("regexp") or {}).items():
+        try:
+            re.compile(pat)
+        except re.error as e:
+            raise ValueError(
+                f"failed to check regular expressions: {e}") from e
+    if cfg.get("program"):
+        try:
+            compile_input_program(cfg["program"])
+        except Exception as e:
+            raise ValueError(f"failed to check program: {e}") from e
+    url = cfg.get("url") or ""
+    scheme = urlparse(url).scheme
+    if typ in ("", "websocket"):
+        if scheme not in ("ws", "wss"):
+            raise ValueError(f"unsupported scheme: {scheme}")
+    elif typ == "crowdstrike":
+        if scheme not in ("http", "https"):
+            raise ValueError(f"unsupported scheme: {scheme}")
+    retry = cfg.get("retry")
+    if retry is not None:
+        if (retry.get("max_attempts", 0) or 0) <= 0 \
+                and not retry.get("infinite_retries"):
+            raise ValueError("max_attempts must be greater than zero")
+        if (retry.get("wait_min", 0) or 0) > \
+                (retry.get("wait_max", 0) or 0):
+            raise ValueError(
+                "wait_min must be less than or equal to wait_max")
+    o = (cfg.get("auth") or {})
+    if o.get("client_id") and o.get("client_secret") \
+            and o.get("token_url"):
+        style = o.get("auth_style", "") or ""
+        if style not in ("", "in_header", "in_params"):
+            raise ValueError(f"unsupported auth style: {style}")
+
+
+def form_header(cfg: dict, access_token: str = "") -> dict:
+    """input.go:391-404 — auth precedence."""
+    auth = cfg.get("auth") or {}
+    if access_token:
+        return {"Authorization": "Bearer " + access_token}
+    if auth.get("bearer_token"):
+        return {"Authorization": "Bearer " + auth["bearer_token"]}
+    if auth.get("basic_token"):
+        return {"Authorization": "Basic " + auth["basic_token"]}
+    custom = auth.get("custom")
+    if custom:
+        return {custom["header"]: custom["value"]}
+    return {}
+
+
+# ------------------------------------------------------------- backoff
+
+def _logistic(i: int, n: int) -> float:
+    """websocket.go:582-584."""
+    return 1 / (1 + math.exp(n / 2 - i))
+
+
+def _jitter(f: float, rand: Callable[[], float]) -> float:
+    """websocket.go:588-590."""
+    return (rand() - 0.5) * f * (1 - f)
+
+
+def wait_time(wait_min: float, wait_max: float, attempt: int,
+              max_attempts: int,
+              rand: Callable[[], float] = lambda: 0.5) -> float:
+    """calculateWaitTime (websocket.go:559-578): a logistic curve
+    from wait_min to wait_max over the attempts, jittered by
+    spread=1.0, capped at wait_max. rand=0.5 gives zero jitter —
+    deterministic for tests."""
+    l = _logistic(attempt, max_attempts - 1)
+    t = wait_min + (wait_max - wait_min) * (l + SPREAD * _jitter(
+        l, rand))
+    return min(t, wait_max)
+
+
+# ------------------------------------------------------------ CEL glue
+
+def go_type_of(v: Any) -> str:
+    """Go's %T rendering of the structpb-decoded value (the
+    processor's type-error wordings)."""
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, (int, float)):
+        return "float64"
+    if isinstance(v, list):
+        return "[]interface {}"
+    if isinstance(v, dict):
+        return "map[string]interface {}"
+    if v is None:
+        return "<nil>"
+    return type(v).__name__
+
+
+def _eval_program(prog, state: dict, now) -> dict:
+    """evalWith (input.go:328-352): the program output REPLACES the
+    state; an eval failure leaves state carrying the error event and
+    raises."""
+    globals_ = {
+        ROOT: state,
+        "now": now(),
+        "optional": None,
+        "__emitter__": None,
+        "__debug_log__": [],
+    }
+    try:
+        out = prog.eval(globals_)
+    except CELError as e:
+        msg = f"failed eval: ERROR: <input>: {e}"
+        state["events"] = {"error": {"message": msg}}
+        if "want_more" in state:
+            state["want_more"] = False
+        raise CELError(msg) from e
+    if not isinstance(out, dict):
+        msg = ("failed proto conversion: program result is not a map")
+        state["events"] = {"error": {"message": msg}}
+        raise CELError(msg)
+    return out
+
+
+def get_url(url_program: str, url: str, state: dict, now) -> str:
+    """getURL (input.go:125-146): prime state.url, evaluate, require
+    a parseable string result."""
+    if not url_program:
+        return url
+    state["url"] = url
+    prog, _ = compile_input_program(url_program, now=now)
+    out = prog.eval({ROOT: state, "now": now(), "optional": None,
+                     "__emitter__": None, "__debug_log__": []})
+    if not isinstance(out, str):
+        raise CELError("failed type conversion: result is "
+                       + go_type_of(out))
+    urlparse(out)  # url.Parse — raises only on severe malformation
+    return out
+
+
+class Processor:
+    """processor.process (input.go:183-326): evaluate the program
+    over state, extract events + cursors, publish with
+    last-known-good-cursor semantics."""
+
+    def __init__(self, program: str, *,
+                 publish: Callable[[dict, Any], None],
+                 now=None):
+        self.now = now or (lambda: __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc))
+        self.prg, _ = compile_input_program(program, now=self.now)
+        self.publish = publish
+
+    def process(self, state: dict, cursor: Optional[dict]
+                ) -> tuple[Optional[dict], Optional[str]]:
+        """Returns (good_cursor, fatal_error)."""
+        good_cursor = cursor
+        try:
+            new_state = _eval_program(self.prg, state, self.now)
+            state.clear()
+            state.update(new_state)
+        except CELError:
+            # the error event was placed in state; fall through so it
+            # publishes exactly like the reference's evalWith contract
+            pass
+
+        e = state.get("events", None)
+        if isinstance(e, list):
+            if not e:
+                return good_cursor, None
+            events = e
+        elif isinstance(e, dict):
+            events = [e]
+        elif e is None:
+            # "unexpected missing events from evaluation" — logged
+            return good_cursor, None
+        else:
+            return good_cursor, ("unexpected type returned for "
+                                 f"evaluation events: {go_type_of(e)}")
+
+        state.pop("events", None)
+
+        cursors: Optional[list] = None
+        single_cursor = False
+        if "cursor" in state:
+            c = state["cursor"]
+            if isinstance(c, list):
+                cursors = c
+                if len(cursors) != len(events):
+                    if len(cursors) < len(events):
+                        cursors = None
+            else:
+                cursors = [c]
+                single_cursor = True
+        state.pop("cursor", None)
+
+        for i, ev in enumerate(events):
+            if not isinstance(ev, dict):
+                return good_cursor, ("unexpected type returned for "
+                                     "evaluation events: "
+                                     + go_type_of(ev))
+            pub_cursor = None
+            if cursors is not None:
+                if single_cursor:
+                    if i == len(events) - 1:
+                        good_cursor = cursor
+                        if not isinstance(cursors[0], dict):
+                            return good_cursor, (
+                                "unexpected type returned for "
+                                "evaluation cursor element: "
+                                + go_type_of(cursors[0]))
+                        cursor = cursors[0]
+                        pub_cursor = cursor
+                else:
+                    good_cursor = cursor
+                    if not isinstance(cursors[i], dict):
+                        return good_cursor, (
+                            "unexpected type returned for evaluation "
+                            "cursor element: " + go_type_of(cursors[i]))
+                    cursor = cursors[i]
+                    pub_cursor = cursor
+            self.publish(ev, pub_cursor)
+
+        good_cursor = cursor
+        state["cursor"] = good_cursor
+        return good_cursor, None
+
+
+# ------------------------------------------------------------ follower
+
+def is_retryable_error(err: Exception) -> bool:
+    """websocket.go:405-446 — the retryable close-code set plus the
+    common transient network patterns."""
+    if isinstance(err, CloseError):
+        return err.code in RETRYABLE_CLOSE_CODES
+    s = str(err)
+    return ("timeout" in s or "connection reset" in s
+            or "connection refused" in s or "connection closed" in s
+            or "temporary failure" in s or "server is busy" in s)
+
+
+@dataclass
+class FollowResult:
+    records: list = field(default_factory=list)
+    cursors: list = field(default_factory=list)
+    final_cursor: Optional[dict] = None
+    error: Optional[str] = None
+    connects: int = 0
+
+
+class WebsocketFollower:
+    """NewWebsocketFollower + FollowStream, driver-side.
+
+    token_source: optional callable returning (access_token,
+    expires_in_seconds) — the OAuth2 client-credentials refresh hook
+    (the reference's oauth2.TokenSource). keep_alive pings ride the
+    wire layer's control frames; a pong resets the read deadline to
+    3× write_control_deadline exactly like heartBeat."""
+
+    def __init__(self, cfg: dict, *,
+                 publish: Callable[[dict, Any], None],
+                 cursor: Optional[dict] = None,
+                 token_source=None, now=None,
+                 sleep: Callable[[float], None] = _time.sleep,
+                 rand: Callable[[], float] = lambda: 0.5):
+        validate_config(cfg)
+        self.cfg = cfg
+        self.cursor = cursor
+        self.sleep = sleep
+        self.rand = rand
+        self.token_source = token_source
+        self.access_token = ""
+        self.token_deadline: Optional[float] = None
+        self._result = FollowResult()
+        self.processor = Processor(cfg.get("program") or "",
+                                   publish=self._wrap_publish(publish),
+                                   now=now)
+        self.now = self.processor.now
+        self._stop = threading.Event()
+        self.conn: Optional[WSConn] = None
+        if token_source is not None:
+            self._refresh_token()
+
+    def _wrap_publish(self, publish):
+        def inner(ev, cur):
+            publish(ev, cur)
+            self._result.records.append(ev)
+            if cur is not None:
+                self._result.cursors.append(cur)
+        return inner
+
+    def _refresh_token(self) -> None:
+        token, expires_in = self.token_source()
+        self.access_token = token
+        buffer = ((self.cfg.get("auth") or {})
+                  .get("token_expiry_buffer", 120.0))
+        self.token_deadline = _time.monotonic() + expires_in - buffer
+
+    def _connect(self, url: str) -> WSConn:
+        """connectWebSocket (websocket.go:475-556) with the
+        logistic-backoff retry loop and its exact failure wordings."""
+        headers = form_header(self.cfg, self.access_token)
+        retry = self.cfg.get("retry")
+        if retry is None:
+            conn, _ = connect_websocket(
+                url, headers,
+                timeout=self.cfg.get("transport_timeout", 180.0))
+            self._result.connects += 1
+            return conn
+        max_attempts = int(retry.get("max_attempts", 5) or 5)
+        infinite = bool(retry.get("infinite_retries"))
+        wmin = float(retry.get("wait_min", 1.0))
+        wmax = float(retry.get("wait_max", 30.0))
+        attempt = 0
+        last_err: Optional[Exception] = None
+        last_status: Optional[int] = None
+        while True:
+            attempt += 1
+            if not infinite and attempt > max_attempts:
+                break
+            if self._stop.is_set():
+                raise WSError("context canceled")
+            try:
+                conn, _ = connect_websocket(
+                    url, headers,
+                    timeout=self.cfg.get("transport_timeout", 180.0))
+                self._result.connects += 1
+                return conn
+            except BadHandshake as e:
+                last_err, last_status = e, e.status
+            except (WSError, OSError) as e:
+                last_err, last_status = e, None
+            self.sleep(wait_time(wmin, wmax, attempt, max_attempts,
+                                 self.rand))
+        if last_status is None:
+            raise WSError(
+                f"failed to establish WebSocket connection after "
+                f"{max_attempts} attempts with error {last_err}")
+        raise WSError(
+            f"failed to establish WebSocket connection after "
+            f"{max_attempts} attempts with error {last_err} and "
+            f"(status {last_status})")
+
+    def _arm_keepalive(self, conn: WSConn) -> Optional[threading.Event]:
+        ka = self.cfg.get("keep_alive") or {}
+        if not ka.get("enable"):
+            return None
+        interval = float(ka.get("interval", 30.0))
+        wcd = float(ka.get("write_control_deadline", 10.0))
+        read_deadline = 3 * wcd  # config.go:100-102
+        conn.set_read_deadline(read_deadline)
+
+        def on_pong(_data: bytes) -> None:
+            conn.set_read_deadline(read_deadline)
+
+        conn.pong_handler = on_pong
+        cancel = threading.Event()
+
+        def heartbeat():
+            while not cancel.wait(interval):
+                try:
+                    conn.ping()
+                except OSError:
+                    return
+
+        threading.Thread(target=heartbeat, daemon=True).start()
+        return cancel
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self.conn is not None:
+            try:
+                self.conn.close()
+            except OSError:
+                pass
+
+    def follow(self, *, max_messages: int = 0) -> FollowResult:
+        """FollowStream (websocket.go:211-402). Returns when the
+        connection fails non-retryably, the reconnect budget is
+        exhausted, stop() was called, or max_messages were processed
+        (the test bound)."""
+        state = dict(self.cfg.get("state") or {})
+        if self.cursor is not None:
+            state["cursor"] = self.cursor
+        cursor = self.cursor
+
+        try:
+            url = get_url(self.cfg.get("url_program") or "",
+                          self.cfg["url"], state, self.now)
+        except CELError as e:
+            self._result.error = f"failed to get url: {e}"
+            return self._result
+
+        try:
+            conn = self._connect(url)
+        except (WSError, OSError) as e:
+            self._result.error = (
+                f"failed to establish websocket connection: {e}")
+            return self._result
+        self.conn = conn
+        hb_cancel = self._arm_keepalive(conn)
+        n = 0
+        blanket = bool((self.cfg.get("retry") or {})
+                       .get("blanket_retries"))
+
+        try:
+            while not self._stop.is_set():
+                if self.token_deadline is not None \
+                        and _time.monotonic() >= self.token_deadline:
+                    # token refresh: re-dial with the new token and a
+                    # re-evaluated URL (websocket.go:280-328)
+                    if hb_cancel:
+                        hb_cancel.set()
+                    self._refresh_token()
+                    conn.close()
+                    try:
+                        url = get_url(
+                            self.cfg.get("url_program") or "",
+                            self.cfg["url"], state, self.now)
+                    except CELError:
+                        pass  # keep previous url (logged in Go)
+                    conn = self._connect(url)
+                    self.conn = conn
+                    hb_cancel = self._arm_keepalive(conn)
+                try:
+                    _, message = conn.read_message()
+                except (WSError, OSError) as e:
+                    if hb_cancel:
+                        hb_cancel.set()
+                    if self._stop.is_set():
+                        break
+                    if not blanket and not is_retryable_error(e):
+                        self._result.error = (
+                            f"failed to read websocket data: {e}")
+                        return self._result
+                    conn.close()
+                    try:
+                        url = get_url(
+                            self.cfg.get("url_program") or "",
+                            self.cfg["url"], state, self.now)
+                    except CELError:
+                        pass
+                    try:
+                        conn = self._connect(url)
+                    except (WSError, OSError) as e2:
+                        self._result.error = (
+                            "failed to reconnect websocket "
+                            f"connection: {e2}")
+                        return self._result
+                    self.conn = conn
+                    hb_cancel = self._arm_keepalive(conn)
+                    continue
+
+                state["response"] = message
+                current = state.get("cursor")
+                if not isinstance(current, dict):
+                    current = cursor
+                new_cursor, fatal = self.processor.process(
+                    state, current)
+                if new_cursor is not None:
+                    state["cursor"] = new_cursor
+                    cursor = new_cursor
+                if fatal is not None:
+                    self._result.error = (
+                        f"failed to process and publish data: {fatal}")
+                    return self._result
+                n += 1
+                if max_messages and n >= max_messages:
+                    break
+        finally:
+            if hb_cancel:
+                hb_cancel.set()
+            conn.close()
+            self.conn = None
+        self._result.final_cursor = cursor
+        return self._result
+
+
+# ------------------------------------------------------- Spark surfaces
+
+def websocket_collect(cfg: dict, *, cursor: Optional[dict] = None,
+                      max_messages: int = 0, token_source=None,
+                      now=None, sleep=_time.sleep) -> FollowResult:
+    """Follow the configured stream driver-side until the server
+    closes (a normal close is retryable — bound with max_messages for
+    finite runs) and return the published records + final cursor."""
+    f = WebsocketFollower(cfg, publish=lambda ev, cur: None,
+                          cursor=cursor, token_source=token_source,
+                          now=now, sleep=sleep)
+    return f.follow(max_messages=max_messages)
+
+
+WEBSOCKET_RECORDS_DDL = "ts timestamp, fields string"
+
+
+def websocket_events_df(spark, records: list[dict], *,
+                        now: Optional[float] = None):
+    import datetime as _dt
+
+    ts = _dt.datetime.fromtimestamp(now or _time.time(),
+                                    _dt.timezone.utc
+                                    ).replace(tzinfo=None)
+    rows = [(ts, json.dumps(ev, sort_keys=True)) for ev in records]
+    return spark.createDataFrame(rows, WEBSOCKET_RECORDS_DDL)
+
+
+def websocket_stream(spark, cfg: dict, *,
+                     sink: Callable[[Any, int], None],
+                     checkpoint_dir: str,
+                     cursor_store: Optional[dict] = None,
+                     poll_seconds: float = 1.0,
+                     token_source=None):
+    """The follower as a continuously-running Spark stream: a
+    background follower buffers (event, cursor) pairs; each tick
+    drains the buffer, hands the DataFrame to `sink`, then commits
+    the drained batch's last cursor (cursor-after-sink — the
+    inputcursor.Publisher contract where the cursor persists only
+    after the event is acknowledged)."""
+    buf: list[tuple[dict, Any]] = []
+    lock = threading.Lock()
+    store = cursor_store if cursor_store is not None else {}
+
+    def publish(ev, cur):
+        with lock:
+            buf.append((ev, cur))
+
+    follower = WebsocketFollower(
+        cfg, publish=publish, cursor=store.get("cursor"),
+        token_source=token_source)
+    t = threading.Thread(target=follower.follow, daemon=True)
+    t.start()
+
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("advanceMillisPerBatch", int(poll_seconds * 1000))
+        .load()
+    )
+
+    def one_drain(_tick_df, batch_id: int) -> None:
+        with lock:
+            batch, buf[:] = list(buf), []
+        df = websocket_events_df(spark, [ev for ev, _ in batch])
+        sink(df, batch_id)
+        for _, cur in reversed(batch):
+            if cur is not None:
+                store["cursor"] = cur  # after the sink consumed it
+                break
+
+    q = (ticks.writeStream.foreachBatch(one_drain)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(processingTime=f"{poll_seconds} seconds")
+         .start())
+    q._beats_follower = follower  # keep a stop handle for callers
+    return q

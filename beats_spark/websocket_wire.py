@@ -1,0 +1,366 @@
+"""RFC 6455 WebSocket wire protocol, from scratch (client + server).
+
+The reference streaming input consumes websocket servers through
+gorilla/websocket (x-pack/filebeat/input/streaming/websocket.go); this
+module implements the protocol layer those calls produce, from the
+public RFC 6455 specification, on stdlib sockets (the repo's
+MQTT/RESP/lumberjack playbook):
+
+- opening handshake: GET + Upgrade with a random 16-byte
+  Sec-WebSocket-Key, the server's Sec-WebSocket-Accept verified as
+  base64(SHA1(key + RFC 6455 GUID)); a non-101 response surfaces as
+  BadHandshake carrying the HTTP status (gorilla's ErrBadHandshake
+  shape, which the reconnect logic branches on)
+- frame codec: FIN/opcode, 7/16/64-bit lengths, the mandatory
+  client→server masking (and the unmasked server→client rule),
+  fragmented messages reassembled across continuation frames, control
+  frames (ping/pong/close ≤125 bytes, never fragmented) interleaved
+  mid-message
+- close handshake: close frames echo status codes; the reader raises
+  CloseError(code) so callers can apply the reference's retryable
+  close-code set
+- read deadlines via socket timeouts (SetReadDeadline), automatic
+  pong responses to server pings, and a pong callback hook for the
+  keep-alive heartbeat (websocket.go:83-119)
+
+The server half (accept_websocket/read loop) exists for the test
+harness — the fake streaming servers speak the same wire, so every
+test doubles as a codec test of what the client actually sent.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+import socket
+import ssl
+import struct
+import time as _time
+from typing import Callable, Optional
+from urllib.parse import urlparse
+
+__all__ = [
+    "WSError", "BadHandshake", "CloseError", "WSConn",
+    "connect_websocket", "accept_websocket", "CLOSE_NORMAL",
+    "CLOSE_GOING_AWAY", "RETRYABLE_CLOSE_CODES",
+]
+
+GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT, OP_TEXT, OP_BINARY = 0x0, 0x1, 0x2
+OP_CLOSE, OP_PING, OP_PONG = 0x8, 0x9, 0xA
+
+CLOSE_NORMAL = 1000
+CLOSE_GOING_AWAY = 1001
+CLOSE_ABNORMAL = 1006
+
+# websocket.go isRetryableError's close-code set (1000,1001,1005,
+# 1006,1009,1011,1012,1013,1015)
+RETRYABLE_CLOSE_CODES = {1000, 1001, 1005, 1006, 1009, 1011, 1012,
+                         1013, 1015}
+
+
+class WSError(Exception):
+    pass
+
+
+class BadHandshake(WSError):
+    """gorilla websocket.ErrBadHandshake with the HTTP status."""
+
+    def __init__(self, status: int, body: bytes = b""):
+        super().__init__("websocket: bad handshake")
+        self.status = status
+        self.body = body
+
+
+class CloseError(WSError):
+    def __init__(self, code: int, reason: str = ""):
+        super().__init__(
+            f"websocket: close {code}" + (f" ({reason})" if reason
+                                          else ""))
+        self.code = code
+        self.reason = reason
+
+
+def _mask(payload: bytes, key: bytes) -> bytes:
+    if not payload:
+        return payload
+    # vectorized XOR of the repeating 4-byte mask
+    reps = (len(payload) + 3) // 4
+    keystream = (key * reps)[:len(payload)]
+    return (int.from_bytes(payload, "big")
+            ^ int.from_bytes(keystream, "big")
+            ).to_bytes(len(payload), "big")
+
+
+def _encode_frame(opcode: int, payload: bytes, *, fin: bool = True,
+                  masked: bool = False) -> bytes:
+    b0 = (0x80 if fin else 0) | opcode
+    mask_bit = 0x80 if masked else 0
+    n = len(payload)
+    if n < 126:
+        header = struct.pack("!BB", b0, mask_bit | n)
+    elif n < 1 << 16:
+        header = struct.pack("!BBH", b0, mask_bit | 126, n)
+    else:
+        header = struct.pack("!BBQ", b0, mask_bit | 127, n)
+    if masked:
+        key = os.urandom(4)
+        return header + key + _mask(payload, key)
+    return header + payload
+
+
+class _Reader:
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+
+    def read_exact(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise WSError("websocket: connection closed: EOF")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def read_line(self) -> bytes:
+        while b"\r\n" not in self.buf:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise WSError("websocket: connection closed: EOF")
+            self.buf += chunk
+        line, _, self.buf = self.buf.partition(b"\r\n")
+        return line
+
+
+class WSConn:
+    """One websocket connection (either side)."""
+
+    def __init__(self, sock: socket.socket, *, client_side: bool):
+        self.sock = sock
+        self.client_side = client_side  # client frames are masked
+        self._r = _Reader(sock)
+        self.pong_handler: Optional[Callable[[bytes], None]] = None
+        self.closed = False
+
+    # ---- deadlines (SetReadDeadline analog)
+
+    def set_read_deadline(self, seconds: Optional[float]) -> None:
+        self.sock.settimeout(seconds)
+
+    # ---- frame IO
+
+    def _send_frame(self, opcode: int, payload: bytes,
+                    fin: bool = True) -> None:
+        self.sock.sendall(_encode_frame(opcode, payload, fin=fin,
+                                        masked=self.client_side))
+
+    def _read_frame(self) -> tuple[int, bool, bytes]:
+        h = self._r.read_exact(2)
+        fin = bool(h[0] & 0x80)
+        opcode = h[0] & 0x0F
+        masked = bool(h[1] & 0x80)
+        n = h[1] & 0x7F
+        if n == 126:
+            n = struct.unpack("!H", self._r.read_exact(2))[0]
+        elif n == 127:
+            n = struct.unpack("!Q", self._r.read_exact(8))[0]
+        key = self._r.read_exact(4) if masked else b""
+        payload = self._r.read_exact(n)
+        if masked:
+            payload = _mask(payload, key)
+        return opcode, fin, payload
+
+    def read_message(self) -> tuple[int, bytes]:
+        """gorilla ReadMessage: returns (message_type, data);
+        control frames are handled inline (pings answered with pongs,
+        pongs routed to the handler, close raises CloseError)."""
+        msg_op: Optional[int] = None
+        parts: list[bytes] = []
+        while True:
+            try:
+                opcode, fin, payload = self._read_frame()
+            except socket.timeout as e:
+                raise WSError(
+                    "websocket: read i/o timeout") from e
+            if opcode == OP_PING:
+                self._send_frame(OP_PONG, payload)
+                continue
+            if opcode == OP_PONG:
+                if self.pong_handler is not None:
+                    self.pong_handler(payload)
+                continue
+            if opcode == OP_CLOSE:
+                code, reason = CLOSE_ABNORMAL, ""
+                if len(payload) >= 2:
+                    code = struct.unpack("!H", payload[:2])[0]
+                    reason = payload[2:].decode("utf-8", "replace")
+                # echo the close (RFC 6455 §5.5.1) then surface it
+                try:
+                    self._send_frame(OP_CLOSE, payload[:125])
+                except OSError:
+                    pass
+                self.closed = True
+                raise CloseError(code, reason)
+            if opcode in (OP_TEXT, OP_BINARY):
+                if msg_op is not None:
+                    raise WSError(
+                        "websocket: protocol error: new data frame "
+                        "inside fragmented message")
+                msg_op = opcode
+                parts.append(payload)
+            elif opcode == OP_CONT:
+                if msg_op is None:
+                    raise WSError("websocket: protocol error: "
+                                  "continuation without start")
+                parts.append(payload)
+            else:
+                raise WSError(
+                    f"websocket: protocol error: opcode {opcode}")
+            if fin and msg_op is not None:
+                return msg_op, b"".join(parts)
+
+    def write_message(self, message_type: int, data: bytes) -> None:
+        self._send_frame(message_type, data)
+
+    def write_fragmented(self, message_type: int,
+                         chunks: list[bytes]) -> None:
+        """Send one message as len(chunks) frames (test surface for
+        the reassembly path)."""
+        for i, chunk in enumerate(chunks):
+            op = message_type if i == 0 else OP_CONT
+            self._send_frame(op, chunk, fin=(i == len(chunks) - 1))
+
+    def ping(self, data: bytes = b"") -> None:
+        """WriteControl(PingMessage) — ≤125-byte control frame."""
+        self._send_frame(OP_PING, data[:125])
+
+    def close(self, code: int = CLOSE_NORMAL, reason: str = "") -> None:
+        if self.closed:
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+            return
+        self.closed = True
+        payload = struct.pack("!H", code) + reason.encode()[:123]
+        try:
+            self._send_frame(OP_CLOSE, payload)
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+# ------------------------------------------------------------ client
+
+def connect_websocket(url: str, headers: Optional[dict] = None, *,
+                      timeout: float = 30.0,
+                      origin: str = "") -> tuple[WSConn, int]:
+    """Dialer.DialContext: the RFC 6455 opening handshake. Returns
+    (conn, http_status); a non-101 response raises BadHandshake with
+    the status (the gorilla contract the retry logic branches on)."""
+    u = urlparse(url)
+    if u.scheme not in ("ws", "wss"):
+        raise WSError(f"unsupported scheme: {u.scheme}")
+    host = u.hostname or ""
+    port = u.port or (443 if u.scheme == "wss" else 80)
+    sock = socket.create_connection((host, port), timeout=timeout)
+    if u.scheme == "wss":
+        ctx = ssl.create_default_context()
+        sock = ctx.wrap_socket(sock, server_hostname=host)
+
+    key = base64.b64encode(os.urandom(16)).decode()
+    path = u.path or "/"
+    if u.query:
+        path += "?" + u.query
+    hostport = host if port in (80, 443) else f"{host}:{port}"
+    lines = [
+        f"GET {path} HTTP/1.1",
+        f"Host: {hostport}",
+        "Upgrade: websocket",
+        "Connection: Upgrade",
+        f"Sec-WebSocket-Key: {key}",
+        "Sec-WebSocket-Version: 13",
+    ]
+    if origin:
+        lines.append(f"Origin: {origin}")
+    for k, vs in (headers or {}).items():
+        if isinstance(vs, str):
+            vs = [vs]
+        for v in vs:
+            lines.append(f"{k}: {v}")
+    sock.sendall(("\r\n".join(lines) + "\r\n\r\n").encode())
+
+    conn = WSConn(sock, client_side=True)
+    status_line = conn._r.read_line().decode("latin-1")
+    parts = status_line.split(" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        sock.close()
+        raise WSError(f"websocket: malformed status line "
+                      f"{status_line!r}")
+    resp_headers = {}
+    while True:
+        line = conn._r.read_line()
+        if not line:
+            break
+        name, _, value = line.decode("latin-1").partition(":")
+        resp_headers[name.strip().lower()] = value.strip()
+    if status != 101:
+        body = b""
+        n = int(resp_headers.get("content-length") or 0)
+        if n:
+            body = conn._r.read_exact(n)
+        sock.close()
+        raise BadHandshake(status, body)
+    want = base64.b64encode(hashlib.sha1(
+        (key + GUID).encode()).digest()).decode()
+    if resp_headers.get("sec-websocket-accept") != want:
+        sock.close()
+        raise WSError("websocket: invalid Sec-WebSocket-Accept")
+    return conn, status
+
+
+# ------------------------------------------------------------ server
+
+def accept_websocket(sock: socket.socket,
+                     *, require_auth: Optional[Callable[[dict], bool]]
+                     = None,
+                     reject_status: int = 403
+                     ) -> Optional[tuple[WSConn, str, dict]]:
+    """Server side of the opening handshake (the fake-server half).
+    Returns (conn, path, headers) or None when the handshake was
+    refused (require_auth returned False → reject_status sent)."""
+    conn = WSConn(sock, client_side=False)
+    request_line = conn._r.read_line().decode("latin-1")
+    parts = request_line.split(" ")
+    path = parts[1] if len(parts) >= 2 else "/"
+    headers: dict[str, str] = {}
+    while True:
+        line = conn._r.read_line()
+        if not line:
+            break
+        name, _, value = line.decode("latin-1").partition(":")
+        headers[name.strip().lower()] = value.strip()
+    if require_auth is not None and not require_auth(headers):
+        body = b"unauthorized"
+        sock.sendall((
+            f"HTTP/1.1 {reject_status} Unauthorized\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body)
+        sock.close()
+        return None
+    key = headers.get("sec-websocket-key", "")
+    accept = base64.b64encode(hashlib.sha1(
+        (key + GUID).encode()).digest()).decode()
+    sock.sendall((
+        "HTTP/1.1 101 Switching Protocols\r\n"
+        "Upgrade: websocket\r\n"
+        "Connection: Upgrade\r\n"
+        f"Sec-WebSocket-Accept: {accept}\r\n\r\n").encode())
+    return conn, path, headers
