@@ -1,0 +1,342 @@
+"""cometd input battery.
+
+Ports the reference's test server and cases
+(x-pack/filebeat/input/cometd/input_test.go): the oauth2Handler
+fixture shapes verbatim (token endpoint, handshake, subscribe,
+connect with payload / sobject variants and the drained `{}`
+sentinel), TestSingleInput's event assertion (message == raw payload
+JSON), makeEvent's field shape, the config_auth validation wordings,
+the recoverable "trying again" retry path, and the Spark handoff.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from beats_spark.cometd import (
+    BayeuxClient, CometDError, Config, cometd_collect,
+    cometd_events_df, default_config, get_salesforce_credentials,
+    make_event, validate_oauth2,
+)
+
+HANDSHAKE_RESP = (
+    '[{"ext":{"replay":true,"payload.format":true},'
+    '"minimumVersion":"1.0","clientId":"client_id",'
+    '"supportedConnectionTypes":["long-polling"],'
+    '"channel":"/meta/handshake","version":"1.0","successful":true}]')
+SUBSCRIBE_RESP = (
+    '[{"clientId": "client_id", "channel": "/meta/subscribe", '
+    '"subscription": "channel_name", "successful":true}]')
+EVENT_PAYLOAD = ('[{"data": {"payload": {"CountryIso": "IN"}, '
+                 '"event": {"replayId":1234}}, '
+                 '"channel": "channel_name"}]')
+EVENT_SOBJECT = ('[{"data": {"sobject": {"CountryIso": "IN"}, '
+                 '"event": {"replayId":1234}}, '
+                 '"channel": "channel_name"}]')
+
+
+class FakeSalesforce:
+    """The reference's oauth2Handler as a live server: /token issues
+    credentials pointing back at this server; the bayeux endpoint
+    dispatches on the request body's channel field."""
+
+    def __init__(self, events=None, connect_failures: int = 0):
+        self.events = list(events if events is not None
+                           else [EVENT_PAYLOAD])
+        self.connect_failures = connect_failures
+        self.bodies: list[dict] = []
+        self.cookies_seen: list[str] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, body: str, cookie=None):
+                data = body.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                if cookie:
+                    self.send_header("Set-Cookie", cookie)
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b""
+                if self.path == "/token":
+                    return self._send(200, json.dumps({
+                        "instance_url": outer.url,
+                        "expires_in": "60",
+                        "access_token": "abcd"}))
+                with outer._lock:
+                    try:
+                        body = json.loads(raw)
+                    except ValueError:
+                        body = {}
+                    outer.bodies.append(body)
+                    outer.cookies_seen.append(
+                        self.headers.get("Cookie", ""))
+                    channel = body.get("channel", "")
+                    if channel == "/meta/handshake":
+                        return self._send(200, HANDSHAKE_RESP,
+                                          cookie="BAYEUX_ID=sess-1")
+                    if channel == "/meta/subscribe":
+                        return self._send(200, SUBSCRIBE_RESP)
+                    if channel == "/meta/connect":
+                        if outer.connect_failures > 0:
+                            outer.connect_failures -= 1
+                            return self._send(500, "busy")
+                        if outer.events:
+                            return self._send(200,
+                                              outer.events.pop(0))
+                        return self._send(200, "{}")
+                self._send(404, "{}")
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _cfg(srv, **over):
+    c = Config(channel_name="channel_name", client_id="client.id",
+               client_secret="client.secret", user="user",
+               password="password", token_url=srv.url + "/token")
+    for k, v in over.items():
+        setattr(c, k, v)
+    return c
+
+
+# -------------------------------------------------------------- config
+
+def test_default_config():
+    assert default_config().channel_name == "cometd-channel"
+
+
+@pytest.mark.parametrize("field,msg", [
+    ("token_url", "token_url must be provided"),
+    ("client_id", "client.id must be provided"),
+    ("client_secret", "client.secret must be provided"),
+    ("user", "both user and password must be provided"),
+    ("password", "both user and password must be provided"),
+])
+def test_oauth2_validation_wordings(field, msg):
+    c = Config(channel_name="c", client_id="a", client_secret="b",
+               user="u", password="p", token_url="http://t/")
+    setattr(c, field, "")
+    with pytest.raises(ValueError) as ei:
+        validate_oauth2(c)
+    assert str(ei.value) == msg
+
+
+def test_channel_name_required():
+    c = Config(channel_name="", client_id="a", client_secret="b",
+               user="u", password="p", token_url="http://t/")
+    with pytest.raises(ValueError, match="no channel name was "
+                       "configured or detected"):
+        c.validate()
+
+
+# ----------------------------------------------------------- makeEvent
+
+def test_make_event_shape():
+    ev = make_event("DEMOID", "DEMOCHANNEL", "DEMOBODY", now=42.0)
+    assert ev == {
+        "ts": 42.0,
+        "meta_id": "DEMOID",
+        "fields": {
+            "event": {"id": "DEMOID", "created": 42.0},
+            "message": "DEMOBODY",
+            "cometd": {"channel_name": "DEMOCHANNEL"},
+        },
+    }
+
+
+# ------------------------------------------------------------- live API
+
+def test_credentials_flow():
+    srv = FakeSalesforce()
+    try:
+        creds = get_salesforce_credentials(_cfg(srv))
+        assert creds == {"access_token": "abcd",
+                         "instance_url": srv.url}
+    finally:
+        srv.close()
+
+
+def test_single_input_payload():
+    """TestSingleInput: message equals the raw payload JSON."""
+    srv = FakeSalesforce([EVENT_PAYLOAD])
+    try:
+        res = cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    assert res.error is None
+    assert len(res.records) == 1
+    r = res.records[0]
+    assert json.loads(r["fields"]["message"]) == {"CountryIso": "IN"}
+    assert r["fields"]["cometd"]["channel_name"] == "channel_name"
+
+
+def test_sobject_variant_and_drained_sentinel():
+    """TestMultiEventForEOFRetryHandlerInput's message sequence:
+    payload event, sobject event, then the drained `{}` ends the
+    cycle."""
+    srv = FakeSalesforce([EVENT_PAYLOAD, EVENT_SOBJECT])
+    try:
+        res = cometd_collect(_cfg(srv))
+    finally:
+        srv.close()
+    assert res.error is None
+    assert [json.loads(r["fields"]["message"]) for r in res.records] \
+        == [{"CountryIso": "IN"}, {"CountryIso": "IN"}]
+
+
+def test_event_identifier_extracted():
+    payload = ('[{"data": {"payload": {"EventIdentifier": "evt-7", '
+               '"x": 1}, "event": {"replayId": 9}}, '
+               '"channel": "channel_name"}]')
+    srv = FakeSalesforce([payload])
+    try:
+        res = cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    assert res.records[0]["meta_id"] == "evt-7"
+    assert res.records[0]["fields"]["event"]["id"] == "evt-7"
+
+
+def test_wire_shapes_pinned():
+    """The handshake/subscribe/connect request bodies carry the
+    bayeux library's exact shapes (subscription /topic/<name>, the
+    replay -1 ext, long-polling connect), and the handshake cookie
+    rides subsequent requests."""
+    srv = FakeSalesforce([EVENT_PAYLOAD])
+    try:
+        cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    hs, sub, conn = srv.bodies[0], srv.bodies[1], srv.bodies[2]
+    assert hs == {"channel": "/meta/handshake",
+                  "supportedConnectionTypes": ["long-polling"],
+                  "version": "1.0", "minimumVersion": "1.0"}
+    assert sub == {"channel": "/meta/subscribe",
+                   "clientId": "client_id",
+                   "subscription": "/topic/channel_name",
+                   "ext": {"replay": {"/topic/channel_name": "-1"}}}
+    assert conn == {"channel": "/meta/connect",
+                    "connectionType": "long-polling",
+                    "clientId": "client_id"}
+    # cookie from the handshake response carried afterwards
+    assert srv.cookies_seen[0] == ""
+    assert "BAYEUX_ID=sess-1" in srv.cookies_seen[1]
+    assert "BAYEUX_ID=sess-1" in srv.cookies_seen[2]
+
+
+def test_recoverable_connect_retries():
+    """A transient connect failure carries 'trying again' and the
+    loop continues (input.go:89-99)."""
+    srv = FakeSalesforce([EVENT_PAYLOAD], connect_failures=2)
+    try:
+        res = cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    assert res.error is None
+    assert len(res.records) == 1
+    assert len(res.warnings) == 2
+    assert all("trying again" in w for w in res.warnings)
+
+
+def test_meta_acks_skipped():
+    """Messages with successful=true are meta acks, not events
+    (input.go:100)."""
+    mixed = ('[{"clientId": "client_id", "channel": "/meta/connect", '
+             '"successful": true},'
+             '{"data": {"payload": {"a": 1}, '
+             '"event": {"replayId": 1}}, "channel": "channel_name"}]')
+    srv = FakeSalesforce([mixed])
+    try:
+        res = cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    assert [json.loads(r["fields"]["message"]) for r in res.records] \
+        == [{"a": 1}]
+
+
+def test_bad_credentials_error():
+    srv = FakeSalesforce()
+    cfg = _cfg(srv, token_url=srv.url + "/nope")
+    try:
+        with pytest.raises(CometDError, match="unable to fetch "
+                           "access token"):
+            get_salesforce_credentials(cfg)
+    finally:
+        srv.close()
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_cometd_events_df(spark):
+    srv = FakeSalesforce([EVENT_PAYLOAD])
+    try:
+        res = cometd_collect(_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    df = cometd_events_df(spark, res.records)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert json.loads(rows[0].message) == {"CountryIso": "IN"}
+    assert rows[0].channel_name == "channel_name"
+
+
+def test_cometd_stream_tick_clock(spark, tmp_path):
+    from beats_spark.cometd import cometd_stream
+
+    srv = FakeSalesforce([EVENT_PAYLOAD])
+    cfg = _cfg(srv)
+    seen = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        msgs = [r.message for r in df.collect()]
+        with lock:
+            seen.extend(msgs)
+
+    q = cometd_stream(spark, cfg, sink=sink,
+                      checkpoint_dir=str(tmp_path / "ckpt"),
+                      poll_seconds=0.2)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if seen:
+                    break
+            time.sleep(0.1)
+        # a mid-stream event ships on a later tick
+        with srv._lock:
+            srv.events.append(EVENT_PAYLOAD.replace("IN", "US"))
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if any("US" in s for s in seen):
+                    break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+        srv.close()
+    assert any(json.loads(s) == {"CountryIso": "IN"} for s in seen)
+    assert any(json.loads(s) == {"CountryIso": "US"} for s in seen)
