@@ -1,0 +1,514 @@
+"""cloudfoundry input battery.
+
+Ports the reference matrices (x-pack/libbeat/common/cloudfoundry/ +
+x-pack/filebeat/input/cloudfoundry/): every events_test.go ToFields
+golden (access/log/counter/value/container/error + the
+tags-with-metadata routing case, incl. the little-endian UUID format
+vector), config Validate wordings, the getSelectors matrix lowered to
+gateway query flags, the UAA authTokenDoer verified server-side, the
+RLP address derivation, and a live fake RLP gateway emitting v2
+envelope batches over SSE that must convert v2→v1→fields into the
+same golden shapes.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+from beats_spark.cloudfoundry import (
+    AuthTokenDoer, CloudFoundryError, Config, RlpGatewayClient,
+    cloudfoundry_collect, cloudfoundry_events_df, configure,
+    convert_v2_to_v1, envelope_to_event, event_to_fields, format_uuid,
+    get_selector_params, rlp_address_from_api, validate_config,
+)
+
+# events_test.go makeUUID: f47ac10b-58cc-4372-a567-0e02b2c3d479
+UUID_LOW = 0x7243CC580BC17AF4
+UUID_HIGH = 0x79D4C3B2020E67A5
+UUID_STR = "f47ac10b-58cc-4372-a567-0e02b2c3d479"
+
+BASE_ENV = {"origin": "origin", "timestamp": 1587469726082,
+            "deployment": "deployment", "job": "job", "index": "index",
+            "ip": "ip", "tags": {"tag": "value"}}
+ENVELOPE_FIELDS = {"origin": "origin", "deployment": "deployment",
+                   "ip": "ip", "job": "job", "index": "index"}
+
+
+def _env(event_type, payload_key, payload):
+    e = dict(BASE_ENV, eventType=event_type)
+    e[payload_key] = payload
+    e["tags"] = dict(BASE_ENV["tags"])
+    return e
+
+
+# -------------------------------------------------------------- config
+
+def test_validate_config_wording():
+    with pytest.raises(ValueError) as ei:
+        validate_config(Config(version="v3"))
+    assert str(ei.value) == ("not supported version v3, expected one "
+                             "of v1, v2")
+    validate_config(Config(version="v2"))
+
+
+def test_configure_v1_gated():
+    with pytest.raises(NotImplementedError, match="dropsonde protobuf"):
+        configure(Config(version="v1"))
+    assert configure(Config(version="v2"))
+
+
+def test_rlp_address_from_api():
+    assert rlp_address_from_api("https://api.sys.example.com") == \
+        "https://log-stream.sys.example.com"
+
+
+def test_format_uuid_vector():
+    assert format_uuid(UUID_LOW, UUID_HIGH) == UUID_STR
+    assert format_uuid(None, None) == ""
+
+
+# ----------------------------------------------- events.go ToFields
+
+def test_event_http_access_golden():
+    env = _env("HttpStartStop", "httpStartStop", {
+        "startTimestamp": 1587469726082, "stopTimestamp": 1587469875895,
+        "requestId": {"low": UUID_LOW, "high": UUID_HIGH},
+        "peerType": "Client", "method": "GET",
+        "uri": "https://uri.full-domain.com:8443/subpath",
+        "remoteAddress": "remote_address", "userAgent": "user_agent",
+        "statusCode": 200, "contentLength": 128,
+        "applicationId": {"low": UUID_LOW, "high": UUID_HIGH},
+        "instanceIndex": 1, "forwarded": ["forwarded"]})
+    evt = envelope_to_event(env)
+    assert evt["type"] == "access"
+    assert evt["app_guid"] == UUID_STR
+    assert evt["request_id"] == UUID_STR
+    assert evt["peer_type"] == "client"
+    assert event_to_fields(evt) == {
+        "cloudfoundry": {
+            "type": "access",
+            "envelope": ENVELOPE_FIELDS,
+            "app": {"id": UUID_STR},
+            "tags": {"tag": "value"},
+        },
+        "http": {"response": {"status_code": 200, "method": "GET",
+                              "bytes": 128}},
+        "user_agent": {"original": "user_agent"},
+        "url": {"original": "https://uri.full-domain.com:8443/subpath",
+                "scheme": "https", "port": "8443", "path": "/subpath",
+                "domain": "uri.full-domain.com"},
+    }
+
+
+def test_event_log_golden():
+    env = _env("LogMessage", "logMessage", {
+        "message": "log message", "message_type": 1,
+        "app_id": UUID_STR, "source_type": "source_type",
+        "source_instance": "source_instance"})
+    evt = envelope_to_event(env)
+    assert evt["message_type"] == "stdout"
+    assert event_to_fields(evt) == {
+        "cloudfoundry": {
+            "type": "log",
+            "log": {"source": {"instance": "source_instance",
+                               "type": "source_type"}},
+            "envelope": ENVELOPE_FIELDS,
+            "app": {"id": UUID_STR},
+            "tags": {"tag": "value"},
+        },
+        "message": "log message",
+        "stream": "stdout",
+    }
+
+
+def test_event_counter_golden():
+    env = _env("CounterEvent", "counterEvent",
+               {"name": "name", "delta": 10, "total": 999})
+    assert event_to_fields(envelope_to_event(env)) == {
+        "cloudfoundry": {
+            "type": "counter",
+            "counter": {"name": "name", "delta": 10, "total": 999},
+            "envelope": ENVELOPE_FIELDS,
+            "tags": {"tag": "value"},
+        },
+    }
+
+
+def test_event_value_metric_golden():
+    env = _env("ValueMetric", "valueMetric",
+               {"name": "name", "value": 10.1, "unit": "unit"})
+    assert event_to_fields(envelope_to_event(env)) == {
+        "cloudfoundry": {
+            "type": "value",
+            "value": {"name": "name", "value": 10.1, "unit": "unit"},
+            "envelope": ENVELOPE_FIELDS,
+            "tags": {"tag": "value"},
+        },
+    }
+
+
+def test_event_container_metric_golden():
+    env = _env("ContainerMetric", "containerMetric", {
+        "applicationId": UUID_STR, "instanceIndex": 1,
+        "cpuPercentage": 0.2, "memoryBytes": 1024, "diskBytes": 2048,
+        "memoryBytesQuota": 2048, "diskBytesQuota": 4096})
+    assert event_to_fields(envelope_to_event(env)) == {
+        "cloudfoundry": {
+            "type": "container",
+            "container": {"instance_index": 1, "cpu.pct": 0.2,
+                          "memory.bytes": 1024,
+                          "memory.quota.bytes": 2048,
+                          "disk.bytes": 2048,
+                          "disk.quota.bytes": 4096},
+            "envelope": ENVELOPE_FIELDS,
+            "app": {"id": UUID_STR},
+            "tags": {"tag": "value"},
+        },
+    }
+
+
+def test_event_error_golden():
+    env = _env("Error", "error",
+               {"source": "source", "code": 100, "message": "message"})
+    assert event_to_fields(envelope_to_event(env)) == {
+        "cloudfoundry": {
+            "type": "error",
+            "error": {"source": "source"},
+            "envelope": ENVELOPE_FIELDS,
+            "tags": {"tag": "value"},
+        },
+        "message": "message",
+        "code": 100,
+    }
+
+
+def test_event_tags_with_metadata_golden():
+    env = _env("LogMessage", "logMessage", {
+        "message": "log message", "message_type": 1,
+        "app_id": UUID_STR, "source_type": "source_type",
+        "source_instance": "source_instance"})
+    env["tags"] = {
+        "app_id": UUID_STR, "app_name": "some-app",
+        "space_id": "e1114e92-155c-11eb-ada9-27b81025a657",
+        "space_name": "some-space",
+        "organization_id": "baeef1ba-155c-11eb-a1af-8f14964c35d2",
+        "organization_name": "some-org",
+        "custom_tag": "foo",
+    }
+    assert event_to_fields(envelope_to_event(env)) == {
+        "cloudfoundry": {
+            "type": "log",
+            "log": {"source": {"instance": "source_instance",
+                               "type": "source_type"}},
+            "envelope": ENVELOPE_FIELDS,
+            "app": {"id": UUID_STR, "name": "some-app"},
+            "space": {"id": "e1114e92-155c-11eb-ada9-27b81025a657",
+                      "name": "some-space"},
+            "org": {"id": "baeef1ba-155c-11eb-a1af-8f14964c35d2",
+                    "name": "some-org"},
+            "tags": {"custom_tag": "foo"},
+        },
+        "message": "log message",
+        "stream": "stdout",
+    }
+
+
+def test_dedot_custom_tags():
+    env = _env("CounterEvent", "counterEvent",
+               {"name": "n", "delta": 1, "total": 2})
+    env["tags"] = {"dotted.tag": "v"}
+    f = event_to_fields(envelope_to_event(env))
+    assert f["cloudfoundry"]["tags"] == {"dotted_tag": "v"}
+
+
+# ----------------------------------------------------------- selectors
+
+@pytest.mark.parametrize("callbacks,want", [
+    ({"http_access"}, ["timer"]),
+    ({"log"}, ["log"]),
+    ({"counter"}, ["counter"]),
+    ({"value_metric"}, ["gauge"]),
+    ({"container_metric"}, ["gauge"]),
+    ({"error"}, ["event"]),
+    ({"value_metric", "container_metric"}, ["gauge"]),
+    ({"http_access", "log", "counter", "value_metric",
+      "container_metric", "error"},
+     ["timer", "log", "counter", "gauge", "event"]),
+])
+def test_get_selector_params(callbacks, want):
+    assert get_selector_params(callbacks) == want
+
+
+# ----------------------------------------------------------- v2 → v1
+
+def _v2_base(**over):
+    env = {"timestamp": "1587469726082", "source_id": UUID_STR,
+           "instance_id": "3",
+           "tags": {"origin": "origin", "deployment": "deployment",
+                    "job": "job", "index": "index", "ip": "ip",
+                    "tag": "value"}}
+    env.update(over)
+    return env
+
+
+def test_convert_v2_log():
+    env = _v2_base(log={"payload": base64.b64encode(
+        b"log message").decode(), "type": "OUT"})
+    env["tags"]["source_type"] = "source_type"
+    v1s = convert_v2_to_v1(env)
+    assert len(v1s) == 1
+    v1 = v1s[0]
+    assert v1["eventType"] == "LogMessage"
+    assert v1["origin"] == "origin"
+    assert v1["tags"] == {"tag": "value"}
+    assert v1["logMessage"] == {
+        "message": "log message", "message_type": 1,
+        "app_id": UUID_STR, "source_type": "source_type",
+        "source_instance": "3"}
+    # ERR stream
+    env2 = _v2_base(log={"payload": base64.b64encode(b"e").decode(),
+                         "type": "ERR"})
+    assert convert_v2_to_v1(env2)[0]["logMessage"]["message_type"] == 2
+
+
+def test_convert_v2_counter_string_ints():
+    env = _v2_base(counter={"name": "requests", "delta": "10",
+                            "total": "999"})
+    v1 = convert_v2_to_v1(env)[0]
+    assert v1["counterEvent"] == {"name": "requests", "delta": 10,
+                                  "total": 999}
+
+
+def test_convert_v2_gauge_fans_out_value_metrics():
+    env = _v2_base(gauge={"metrics": {
+        "cpu_load": {"unit": "pct", "value": 0.5},
+        "heap": {"unit": "bytes", "value": 1024.0}}})
+    v1s = convert_v2_to_v1(env)
+    got = {v["valueMetric"]["name"]: v["valueMetric"] for v in v1s}
+    assert got == {
+        "cpu_load": {"name": "cpu_load", "value": 0.5, "unit": "pct"},
+        "heap": {"name": "heap", "value": 1024.0, "unit": "bytes"}}
+
+
+def test_convert_v2_container_metric_five_keys():
+    env = _v2_base(gauge={"metrics": {
+        "cpu": {"unit": "percentage", "value": 0.2},
+        "memory": {"unit": "bytes", "value": 1024},
+        "disk": {"unit": "bytes", "value": 2048},
+        "memory_quota": {"unit": "bytes", "value": 2048},
+        "disk_quota": {"unit": "bytes", "value": 4096}}})
+    v1s = convert_v2_to_v1(env)
+    assert len(v1s) == 1
+    assert v1s[0]["eventType"] == "ContainerMetric"
+    assert v1s[0]["containerMetric"] == {
+        "applicationId": UUID_STR, "instanceIndex": 3,
+        "cpuPercentage": 0.2, "memoryBytes": 1024, "diskBytes": 2048,
+        "memoryBytesQuota": 2048, "diskBytesQuota": 4096}
+
+
+def test_convert_v2_http_timer_roundtrip():
+    env = _v2_base(timer={"name": "http", "start": "1587469726082",
+                          "stop": "1587469875895"})
+    env["tags"].update({
+        "request_id": UUID_STR, "peer_type": "Client",
+        "method": "GET", "uri": "https://x/y",
+        "remote_address": "1.2.3.4", "user_agent": "ua",
+        "status_code": "200", "content_length": "128",
+        "instance_index": "1"})
+    v1 = convert_v2_to_v1(env)[0]
+    hss = v1["httpStartStop"]
+    assert hss["statusCode"] == 200 and hss["contentLength"] == 128
+    # the request id survives the low/high round trip
+    evt = envelope_to_event(v1)
+    assert evt["request_id"] == UUID_STR
+    assert evt["app_guid"] == UUID_STR
+    # non-http timers are dropped
+    assert convert_v2_to_v1(_v2_base(
+        timer={"name": "other", "start": "1", "stop": "2"})) == []
+
+
+def test_convert_v2_event_to_error():
+    env = _v2_base(event={"title": "fire", "body": "it burns"})
+    env["tags"].update({"source": "doppler", "code": "7"})
+    v1 = convert_v2_to_v1(env)[0]
+    assert v1["eventType"] == "Error"
+    assert v1["error"] == {"source": "doppler", "code": 7,
+                           "message": "it burns"}
+
+
+# ------------------------------------------------------------- live
+
+class FakeCF:
+    """/v2/info + UAA /oauth/token + the RLP gateway /v2/read SSE."""
+
+    def __init__(self, batches):
+        self.batches = batches
+        self.token_posts = []
+        self.read_queries = []
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if u.path == "/v2/info":
+                    body = json.dumps({
+                        "token_endpoint": outer.url,
+                        "doppler_logging_endpoint":
+                            "wss://doppler.example:443"}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if u.path == "/v2/read":
+                    outer.read_queries.append(u.query)
+                    if self.headers.get("Authorization", "") != \
+                            "bearer tok-cf":
+                        self.send_response(401)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/event-stream")
+                    self.end_headers()
+                    for batch in outer.batches:
+                        data = json.dumps({"batch": batch})
+                        self.wfile.write(
+                            f"data: {data}\n\n".encode())
+                        self.wfile.flush()
+                    # end of stream: close so bounded collects return
+                    self.close_connection = True
+                    return
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                form = dict(parse_qsl(self.rfile.read(n).decode()))
+                if urlparse(self.path).path == "/oauth/token":
+                    outer.token_posts.append(
+                        (form, self.headers.get("Authorization", "")))
+                    body = json.dumps({"token_type": "bearer",
+                                       "access_token": "tok-cf",
+                                       "expires_in": 300}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def _cf_cfg(srv):
+    return Config(client_id="cf-client", client_secret="cf-secret",
+                  api_address=srv.url, shard_id="shard-1",
+                  version="v2", rlp_address=srv.url,
+                  uaa_address=srv.url)
+
+
+def test_uaa_doer_verified_server_side():
+    srv = FakeCF([])
+    try:
+        doer = AuthTokenDoer(srv.url, "cf-client", "cf-secret")
+        assert doer.token() == "bearer tok-cf"
+    finally:
+        srv.close()
+    form, auth = srv.token_posts[0]
+    assert form == {"client_id": "cf-client",
+                    "grant_type": "client_credentials"}
+    want = base64.b64encode(b"cf-client:cf-secret").decode()
+    assert auth == "Basic " + want
+
+
+def test_collect_live_stream():
+    log_env = _v2_base(log={"payload": base64.b64encode(
+        b"hello cf").decode(), "type": "OUT"})
+    log_env["tags"]["source_type"] = "APP/PROC/WEB"
+    counter_env = _v2_base(counter={"name": "egress", "delta": "1",
+                                    "total": "5"})
+    srv = FakeCF([[log_env], [counter_env]])
+    try:
+        recs = cloudfoundry_collect(_cf_cfg(srv), max_events=3)
+    finally:
+        srv.close()
+    assert [r["type"] for r in recs] == ["log", "counter"]
+    assert recs[0]["fields"]["message"] == "hello cf"
+    assert recs[0]["fields"]["stream"] == "stdout"
+    assert recs[0]["fields"]["cloudfoundry"]["app"]["id"] == UUID_STR
+    assert recs[1]["fields"]["cloudfoundry"]["counter"] == {
+        "name": "egress", "delta": 1, "total": 5}
+    # the selector flags and shard id reached the gateway
+    q = srv.read_queries[0]
+    assert "shard_id=shard-1" in q
+    for flag in ("timer", "log", "counter", "gauge", "event"):
+        assert flag in q
+
+
+def test_collect_selector_subset():
+    srv = FakeCF([])
+    try:
+        cloudfoundry_collect(_cf_cfg(srv), callbacks={"log"})
+    finally:
+        srv.close()
+    q = srv.read_queries[0]
+    assert "log" in q and "counter" not in q and "timer" not in q
+
+
+def test_gateway_auth_failure():
+    srv = FakeCF([])
+    try:
+        doer = AuthTokenDoer(srv.url, "cf-client", "wrong")
+
+        class BadDoer:
+            def token(self):
+                return "bearer wrong"
+
+        client = RlpGatewayClient(srv.url, BadDoer())
+        with pytest.raises(CloudFoundryError, match="RLP gateway "
+                           "returned 401"):
+            client.connect(["log"])
+        client.close()
+    finally:
+        srv.close()
+
+
+def test_cloudfoundry_events_df(spark):
+    log_env = _v2_base(log={"payload": base64.b64encode(
+        b"df row").decode(), "type": "ERR"})
+    srv = FakeCF([[log_env]])
+    try:
+        recs = cloudfoundry_collect(_cf_cfg(srv), max_events=1)
+    finally:
+        srv.close()
+    df = cloudfoundry_events_df(spark, recs)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].type == "log" and rows[0].message == "df row"
+    assert rows[0].app_id == UUID_STR
+    assert rows[0].origin == "origin"
+    assert json.loads(rows[0].fields)["stream"] == "stderr"
