@@ -1,0 +1,424 @@
+"""unifiedlogs input — the macOS unified logging `log` CLI, live.
+
+The reference input (x-pack/filebeat/input/unifiedlogs/) shells out to
+/usr/bin/log (`log stream` for the live follow, `log show` for
+archives/backfills), parses the `--style ndjson` output line by line,
+and coordinates a backfill `show` run with the live `stream` run so no
+events are lost across a restart. This module ports the whole program
+(the shell-out pattern is OS-neutral — tests pin it against a fake
+`log` executable on PATH):
+
+- config.go    → Validate with the exact wordings (the Go date-layout
+                 list rendering, .logarchive/.tracev3 extension
+                 checks) and the accepted date layouts
+- input.go     → newLogCmdArgs' exact argument order (show/stream,
+                 --style ndjson, archive/file, repeated predicate/
+                 process, the seven flags, start/end), mustStream /
+                 mustBackfill, processLogs (blank-line skip, invalid
+                 JSON and empty-record skips, the microsecond
+                 timestamp layout, one event per raw line with the
+                 parse time as cursor), runLogCmd's stderr-carrying
+                 failure wording, the wrappedPublisher backfill
+                 handshake (the stream's FIRST event time + 1 s
+                 becomes the show command's --end; cursor updates are
+                 suppressed until backfilling completes so resume
+                 always restarts from the oldest unfinished point),
+                 and loadCursor's second-resolution resume format
+- makeEvent    → the published shape: @timestamp = record time,
+                 message = the raw ndjson line, event.created = now
+
+Surfaces: `unifiedlogs_collect` (one bounded run — backfill and/or
+stream — returning records + final cursor), `unifiedlogs_events_df`
+(DataFrame handoff), `unifiedlogs_stream` (background follower +
+tick-clock drain with cursor-after-sink).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from typing import Any, Callable, Iterator, Optional
+
+__all__ = [
+    "Config", "default_config", "validate_config", "new_log_cmd_args",
+    "must_stream", "must_backfill", "process_logs", "parse_log_date",
+    "make_event", "unifiedlogs_collect", "unifiedlogs_events_df",
+    "unifiedlogs_stream", "CURSOR_DATE_LAYOUT", "UNIFIEDLOGS_DDL",
+]
+
+# Go layouts: logDateLayout / cursorDateLayout (input.go:40-41)
+CURSOR_DATE_LAYOUT = "%Y-%m-%d %H:%M:%S%z"
+
+ACCEPTED_LAYOUTS = ["2006-01-02", "2006-01-02 15:04:05",
+                    "2006-01-02 15:04:05-0700"]
+_PY_LAYOUTS = ["%Y-%m-%d", "%Y-%m-%d %H:%M:%S",
+               "%Y-%m-%d %H:%M:%S%z"]
+
+
+@dataclass
+class Config:
+    archive_file: str = ""
+    trace_file: str = ""
+    start: str = ""
+    end: str = ""
+    predicate: list[str] = field(default_factory=list)
+    process: list[str] = field(default_factory=list)
+    source: bool = False
+    info: bool = False
+    debug: bool = False
+    backtrace: bool = False
+    signpost: bool = False
+    unreliable: bool = False
+    mach_continuous_time: bool = False
+    backfill: bool = False
+
+
+def default_config() -> Config:
+    return Config()
+
+
+def _check_date_format(date: str) -> None:
+    if date == "":
+        return
+    for layout in _PY_LAYOUTS:
+        try:
+            datetime.strptime(date, layout)
+            return
+        except ValueError:
+            continue
+    raise ValueError("not a valid date, accepted layouts are: ["
+                     + " ".join(ACCEPTED_LAYOUTS) + "]")
+
+
+def validate_config(cfg: Config) -> None:
+    """config.go:40-54 with the exact wordings."""
+    try:
+        _check_date_format(cfg.start)
+    except ValueError as e:
+        raise ValueError(f"start date is not valid: {e}") from e
+    try:
+        _check_date_format(cfg.end)
+    except ValueError as e:
+        raise ValueError(f"end date is not valid: {e}") from e
+    if cfg.archive_file and not cfg.archive_file.endswith(
+            ".logarchive"):
+        raise ValueError(f"archive_file {cfg.archive_file} has the "
+                         "wrong extension")
+    if cfg.trace_file and not cfg.trace_file.endswith(".tracev3"):
+        raise ValueError(f"trace_file {cfg.trace_file} has the wrong "
+                         "extension")
+
+
+def must_stream(cfg: Config) -> bool:
+    """input.go:175-177."""
+    return (cfg.archive_file == "" and cfg.trace_file == ""
+            and cfg.end == "")
+
+
+def must_backfill(cfg: Config) -> bool:
+    """input.go:182-184."""
+    return (cfg.backfill or cfg.archive_file != ""
+            or cfg.trace_file != "" or cfg.start != ""
+            or cfg.end != "")
+
+
+def new_log_cmd_args(subcmd: str, cfg: Config) -> list[str]:
+    """newLogCmdArgs (input.go:330-376) — exact order."""
+    args = [subcmd, "--style", "ndjson"]
+    if cfg.archive_file:
+        args += ["--archive", cfg.archive_file]
+    if cfg.trace_file:
+        args += ["--file", cfg.trace_file]
+    for p in cfg.predicate:
+        args += ["--predicate", p]
+    for p in cfg.process:
+        args += ["--process", p]
+    if cfg.source:
+        args.append("--source")
+    if cfg.info:
+        args.append("--info")
+    if cfg.debug:
+        args.append("--debug")
+    if cfg.backtrace:
+        args.append("--backtrace")
+    if cfg.signpost:
+        args.append("--signpost")
+    if cfg.unreliable:
+        args.append("--unreliable")
+    if cfg.mach_continuous_time:
+        args.append("--mach-continuous-time")
+    if cfg.start:
+        args += ["--start", cfg.start]
+    if cfg.end:
+        args += ["--end", cfg.end]
+    return args
+
+
+def _stream_args(cfg: Config) -> list[str]:
+    """newLogStreamCmd passes ONLY the common config (input.go:326)."""
+    common = Config(predicate=cfg.predicate, process=cfg.process,
+                    source=cfg.source, info=cfg.info, debug=cfg.debug,
+                    backtrace=cfg.backtrace, signpost=cfg.signpost,
+                    unreliable=cfg.unreliable,
+                    mach_continuous_time=cfg.mach_continuous_time)
+    return new_log_cmd_args("stream", common)
+
+
+def parse_log_date(s: str) -> datetime:
+    """logDateLayout 2006-01-02 15:04:05.999999-0700 — the fraction
+    is optional in Go's layout."""
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f%z", "%Y-%m-%d %H:%M:%S%z"):
+        try:
+            return datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"invalid timestamp: {s!r}")
+
+
+def make_event(timestamp: datetime, message: str,
+               now: Optional[float] = None) -> dict:
+    """makeEvent (input.go:378-391)."""
+    if now is None:
+        now = _time.time()
+    return {"ts": timestamp.timestamp(),
+            "fields": {"event": {"created": now},
+                       "message": message}}
+
+
+def process_logs(stdout, publish: Callable[[dict, Any], None],
+                 errors: Optional[list] = None) -> None:
+    """processLogs (input.go:215-262): ndjson line loop with the
+    skip semantics; the cursor is the record's parse time."""
+    for raw in stdout:
+        if isinstance(raw, bytes):
+            raw = raw.decode("utf-8", "replace")
+        line = raw.strip(" \n\t\r")
+        if line == "":
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError as e:
+            if errors is not None:
+                errors.append(f"invalid json log: {e}")
+            continue
+        ts_str = rec.get("timestamp", "") if isinstance(rec, dict) \
+            else ""
+        if ts_str == "":
+            continue  # logRecord zero value
+        try:
+            ts = parse_log_date(ts_str)
+        except ValueError as e:
+            if errors is not None:
+                errors.append(str(e))
+            continue
+        publish(make_event(ts, line), ts)
+
+
+# ----------------------------------------------------------- run loops
+
+class _WrappedPublisher:
+    """wrappedPublisher (input.go:266-305): records the stream's first
+    event time and gates cursor updates until backfilling is done."""
+
+    def __init__(self, update_cursor: bool, inner):
+        self.inner = inner
+        self._update = threading.Event()
+        if update_cursor:
+            self._update.set()
+        self._first_evt = threading.Event()
+        self.first_processed_time: Optional[datetime] = None
+
+    def publish(self, event: dict, cursor) -> None:
+        if not self._first_evt.is_set():
+            self.first_processed_time = cursor
+            self._first_evt.set()
+        if not self._update.is_set():
+            cursor = None
+        self.inner(event, cursor)
+
+    def get_first_processed_time(self, timeout=None
+                                 ) -> Optional[datetime]:
+        self._first_evt.wait(timeout)
+        return self.first_processed_time
+
+    def start_updating_cursor(self) -> None:
+        self._update.set()
+
+
+def _run_log_cmd(args: list[str], publish, errors: list, *,
+                 log_path: str = "log",
+                 stop: Optional[threading.Event] = None) -> None:
+    """runLogCmd (input.go:186-213)."""
+    proc = subprocess.Popen([log_path] + args, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE)
+    if stop is not None:
+        def killer():
+            stop.wait()
+            if proc.poll() is None:
+                proc.terminate()
+        threading.Thread(target=killer, daemon=True).start()
+    try:
+        process_logs(proc.stdout, publish, errors)
+    finally:
+        stderr = proc.stderr.read()
+        proc.wait()
+    if proc.returncode != 0 and (stop is None or not stop.is_set()):
+        raise RuntimeError(
+            f'"{log_path} {" ".join(args)}" exited with an error: '
+            f'exit status {proc.returncode}, '
+            f'{stderr.decode("utf-8", "replace")!r}')
+
+
+@dataclass
+class CollectResult:
+    records: list = field(default_factory=list)
+    cursors: list = field(default_factory=list)
+    final_cursor: Optional[str] = None  # cursorDateLayout string
+    errors: list = field(default_factory=list)
+    stream_args: Optional[list] = None
+    show_args: Optional[list] = None
+
+
+def unifiedlogs_collect(cfg: Config, *, resume_cursor: str = "",
+                        log_path: str = "log",
+                        max_stream_seconds: float = 0.0
+                        ) -> CollectResult:
+    """One Run() (input.go:109-171): resume the start date from the
+    cursor, run the stream and/or backfill commands with the
+    wrapped-publisher handshake. max_stream_seconds bounds the live
+    stream for finite runs (the reference runs until cancelled)."""
+    validate_config(cfg)
+    if resume_cursor:
+        cfg = Config(**{**cfg.__dict__, "start": resume_cursor})
+    res = CollectResult()
+    lock = threading.Lock()
+    last_cursor: list[Optional[datetime]] = [None]
+
+    def inner(event, cursor):
+        with lock:
+            res.records.append(event)
+            res.cursors.append(cursor)
+            if cursor is not None:
+                if last_cursor[0] is None or cursor > last_cursor[0]:
+                    last_cursor[0] = cursor
+
+    wrapped = _WrappedPublisher(not must_backfill(cfg), inner)
+    threads = []
+    stream_err: list = []
+    stop = threading.Event()
+    if must_stream(cfg):
+        res.stream_args = _stream_args(cfg)
+
+        def run_stream():
+            try:
+                _run_log_cmd(res.stream_args, wrapped.publish,
+                             res.errors, log_path=log_path, stop=stop)
+            except RuntimeError as e:
+                stream_err.append(str(e))
+
+        t = threading.Thread(target=run_stream, daemon=True)
+        t.start()
+        threads.append(t)
+        if max_stream_seconds:
+            def stopper():
+                _time.sleep(max_stream_seconds)
+                stop.set()
+            threading.Thread(target=stopper, daemon=True).start()
+
+    if must_backfill(cfg):
+        show_cfg = cfg
+        if must_stream(cfg):
+            t0 = wrapped.get_first_processed_time(timeout=30)
+            if t0 is not None:
+                # one-second forward slack: the log tool accepts only
+                # second resolution for --end (input.go:149-154)
+                end = (t0 + timedelta(seconds=1)).strftime(
+                    CURSOR_DATE_LAYOUT)
+                show_cfg = Config(**{**cfg.__dict__, "end": end})
+        res.show_args = new_log_cmd_args("show", show_cfg)
+        try:
+            _run_log_cmd(res.show_args, inner, res.errors,
+                         log_path=log_path)
+        except RuntimeError as e:
+            res.errors.append(str(e))
+        finally:
+            wrapped.start_updating_cursor()
+
+    for t in threads:
+        t.join(timeout=max(max_stream_seconds * 4, 30))
+    res.errors.extend(stream_err)
+    if last_cursor[0] is not None:
+        res.final_cursor = last_cursor[0].strftime(CURSOR_DATE_LAYOUT)
+    return res
+
+
+# ------------------------------------------------------------ Spark DF
+
+UNIFIEDLOGS_DDL = "ts timestamp, message string"
+
+
+def unifiedlogs_events_df(spark, records: list[dict]):
+    import datetime as _dt
+
+    rows = [(_dt.datetime.fromtimestamp(r["ts"], _dt.timezone.utc
+                                        ).replace(tzinfo=None),
+             r["fields"]["message"]) for r in records]
+    return spark.createDataFrame(rows, UNIFIEDLOGS_DDL)
+
+
+def unifiedlogs_stream(spark, cfg: Config, *,
+                       sink: Callable[[Any, int], None],
+                       checkpoint_dir: str, log_path: str = "log",
+                       poll_seconds: float = 1.0,
+                       cursor_store: Optional[dict] = None):
+    """The live follow as a Spark stream: a background `log stream`
+    follower buffers (event, cursor) pairs; each tick drains them to
+    the sink and then commits the batch's max cursor
+    (cursor-after-sink)."""
+    buf: list[tuple[dict, Optional[datetime]]] = []
+    lock = threading.Lock()
+    store = cursor_store if cursor_store is not None else {}
+    stop = threading.Event()
+    errors: list = []
+
+    def publish(event, cursor):
+        with lock:
+            buf.append((event, cursor))
+
+    args = _stream_args(cfg)
+
+    def follower():
+        try:
+            _run_log_cmd(args, publish, errors, log_path=log_path,
+                         stop=stop)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    threading.Thread(target=follower, daemon=True).start()
+
+    ticks = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 1)
+        .option("advanceMillisPerBatch", int(poll_seconds * 1000))
+        .load()
+    )
+
+    def one_drain(_tick_df, batch_id: int) -> None:
+        with lock:
+            batch, buf[:] = list(buf), []
+        sink(unifiedlogs_events_df(spark, [e for e, _ in batch]),
+             batch_id)
+        curs = [c for _, c in batch if c is not None]
+        if curs:
+            store["cursor"] = max(curs).strftime(CURSOR_DATE_LAYOUT)
+
+    q = (ticks.writeStream.foreachBatch(one_drain)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(processingTime=f"{poll_seconds} seconds")
+         .start())
+    q._beats_stop = stop
+    return q

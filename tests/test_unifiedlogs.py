@@ -1,0 +1,294 @@
+"""unifiedlogs input battery.
+
+Ports the reference matrices (x-pack/filebeat/input/unifiedlogs/):
+config_test.go's validation wordings (Go layout-list rendering),
+input_test.go's command-construction matrix (the exact argument
+strings for stream/show across archive/trace/start/end/predicate/
+process/flags), processLogs' skip semantics, and the
+backfill-and-stream handshake — all driven against a FAKE `log`
+executable on PATH that records its argv and replays ndjson fixtures
+(the reference runs against darwin's real /usr/bin/log; the fake
+pins the same contract cross-platform).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import stat
+import threading
+import time
+from datetime import datetime, timezone
+
+import pytest
+
+from beats_spark.unifiedlogs import (
+    Config, must_backfill, must_stream, new_log_cmd_args,
+    parse_log_date, process_logs, unifiedlogs_collect,
+    unifiedlogs_events_df, unifiedlogs_stream, validate_config,
+)
+
+LINE1 = ('{"timestamp":"2024-12-04 13:45:01.123456+0200",'
+         '"subsystem":"com.apple.sharing","eventMessage":"hello"}')
+LINE2 = ('{"timestamp":"2024-12-04 13:45:02.000001+0200",'
+         '"subsystem":"com.apple.network","eventMessage":"world"}')
+
+
+# ---------------------------------------------------------- fake `log`
+
+@pytest.fixture()
+def fake_log(tmp_path):
+    """A `log` executable that records its argv and replays fixture
+    files keyed by subcommand: $FAKE_LOG_DIR/{stream,show}.ndjson.
+    `stream` sleeps afterwards (a live follow) until terminated."""
+    d = tmp_path / "fakelog"
+    d.mkdir()
+    script = d / "log"
+    script.write_text(f"""#!/bin/sh
+echo "$@" >> "{d}/argv.log"
+case "$1" in
+  stream) cat "{d}/stream.ndjson" 2>/dev/null; exec sleep 30 ;;
+  show)   cat "{d}/show.ndjson" 2>/dev/null ;;
+  fail)   echo "boom" >&2; exit 3 ;;
+esac
+""")
+    script.chmod(script.stat().st_mode | stat.S_IEXEC)
+
+    class F:
+        path = str(script)
+        dir = d
+
+        def argv(self):
+            p = d / "argv.log"
+            return [l for l in p.read_text().splitlines()] \
+                if p.exists() else []
+
+        def set_stream(self, lines):
+            (d / "stream.ndjson").write_text("\n".join(lines) + "\n")
+
+        def set_show(self, lines):
+            (d / "show.ndjson").write_text("\n".join(lines) + "\n")
+
+    return F()
+
+
+# -------------------------------------------------------------- config
+
+def test_validate_wordings():
+    want = ("not a valid date, accepted layouts are: [2006-01-02 "
+            "2006-01-02 15:04:05 2006-01-02 15:04:05-0700]")
+    with pytest.raises(ValueError) as ei:
+        validate_config(Config(start="12/04/2024"))
+    assert str(ei.value) == f"start date is not valid: {want}"
+    with pytest.raises(ValueError) as ei:
+        validate_config(Config(end="not-a-date"))
+    assert str(ei.value) == f"end date is not valid: {want}"
+    with pytest.raises(ValueError, match=r"archive_file a\.zip has "
+                       "the wrong extension"):
+        validate_config(Config(archive_file="a.zip"))
+    with pytest.raises(ValueError, match=r"trace_file t\.bin has the "
+                       "wrong extension"):
+        validate_config(Config(trace_file="t.bin"))
+    # all accepted layouts
+    validate_config(Config(start="2024-12-04"))
+    validate_config(Config(start="2024-12-04 13:46:00"))
+    validate_config(Config(start="2024-12-04 13:46:00+0200",
+                           end="2024-12-05"))
+    validate_config(Config(archive_file="x.logarchive",
+                           trace_file="y.tracev3"))
+
+
+# -------------------------------------------- command-construction
+
+def _show(cfg):
+    return "log " + " ".join(new_log_cmd_args("show", cfg))
+
+
+@pytest.mark.parametrize("cfg,want", [
+    (Config(archive_file="notfound.logarchive"),
+     "log show --style ndjson --archive notfound.logarchive"),
+    (Config(trace_file="logdata.LiveData.tracev3"),
+     "log show --style ndjson --file logdata.LiveData.tracev3"),
+    (Config(archive_file="a.logarchive",
+            start="2024-12-04 13:46:00+0200"),
+     "log show --style ndjson --archive a.logarchive "
+     "--start 2024-12-04 13:46:00+0200"),
+    (Config(archive_file="a.logarchive",
+            start="2024-12-04 13:45:00+0200",
+            end="2024-12-04 13:46:00+0200"),
+     "log show --style ndjson --archive a.logarchive "
+     "--start 2024-12-04 13:45:00+0200 --end 2024-12-04 13:46:00+0200"),
+    (Config(archive_file="a.logarchive",
+            predicate=['processImagePath == "/kernel"']),
+     'log show --style ndjson --archive a.logarchive '
+     '--predicate processImagePath == "/kernel"'),
+    (Config(archive_file="a.logarchive", process=["0"]),
+     "log show --style ndjson --archive a.logarchive --process 0"),
+    (Config(archive_file="a.logarchive", info=True, debug=True,
+            backtrace=True, signpost=True, mach_continuous_time=True),
+     "log show --style ndjson --archive a.logarchive --info --debug "
+     "--backtrace --signpost --mach-continuous-time"),
+    (Config(archive_file="a.logarchive", source=True,
+            unreliable=True),
+     "log show --style ndjson --archive a.logarchive --source "
+     "--unreliable"),
+])
+def test_show_cmd_matrix(cfg, want):
+    assert _show(cfg) == want
+
+
+def test_stream_cmd_default():
+    assert "log " + " ".join(new_log_cmd_args("stream", Config())) == \
+        "log stream --style ndjson"
+
+
+def test_must_stream_backfill():
+    assert must_stream(Config()) and not must_backfill(Config())
+    assert not must_stream(Config(archive_file="a.logarchive"))
+    assert not must_stream(Config(end="2024-12-04"))
+    assert must_stream(Config(start="2024-12-04"))  # stream + backfill
+    assert must_backfill(Config(start="2024-12-04"))
+    assert must_backfill(Config(backfill=True))
+    assert must_backfill(Config(trace_file="t.tracev3"))
+
+
+# --------------------------------------------------------- processLogs
+
+def test_process_logs_skip_semantics():
+    out = io.StringIO("\n".join([
+        "", "   ", "not json {", '{"no_timestamp": true}',
+        '{"timestamp": "garbage"}', LINE1, LINE2]) + "\n")
+    events, cursors, errors = [], [], []
+    process_logs(out, lambda e, c: (events.append(e),
+                                    cursors.append(c)), errors)
+    assert [e["fields"]["message"] for e in events] == [LINE1, LINE2]
+    assert len(errors) == 2  # invalid json + invalid timestamp
+    assert cursors[0] == parse_log_date(
+        "2024-12-04 13:45:01.123456+0200")
+
+
+def test_parse_log_date_optional_fraction():
+    a = parse_log_date("2024-12-04 13:45:01.123456+0200")
+    b = parse_log_date("2024-12-04 13:45:01+0200")
+    assert a.microsecond == 123456 and b.microsecond == 0
+    with pytest.raises(ValueError):
+        parse_log_date("2024/12/04")
+
+
+# -------------------------------------------------------------- live
+
+def test_show_only_collect(fake_log):
+    fake_log.set_show([LINE1, LINE2])
+    cfg = Config(archive_file="a.logarchive")
+    res = unifiedlogs_collect(cfg, log_path=fake_log.path)
+    assert res.stream_args is None
+    assert [e["fields"]["message"] for e in res.records] == \
+        [LINE1, LINE2]
+    # cursor = max record time in cursorDateLayout (second resolution)
+    assert res.final_cursor == "2024-12-04 13:45:02+0200"
+    assert fake_log.argv() == [
+        "show --style ndjson --archive a.logarchive"]
+
+
+def test_resume_cursor_becomes_start(fake_log):
+    fake_log.set_show([LINE2])
+    cfg = Config(archive_file="a.logarchive")
+    res = unifiedlogs_collect(cfg, log_path=fake_log.path,
+                              resume_cursor="2024-12-04 13:45:01+0200")
+    assert res.errors == []
+    assert fake_log.argv() == [
+        "show --style ndjson --archive a.logarchive "
+        "--start 2024-12-04 13:45:01+0200"]
+
+
+def test_stream_only_collect(fake_log):
+    fake_log.set_stream([LINE1, LINE2])
+    res = unifiedlogs_collect(Config(), log_path=fake_log.path,
+                              max_stream_seconds=0.5)
+    assert res.show_args is None
+    assert [e["fields"]["message"] for e in res.records] == \
+        [LINE1, LINE2]
+    # stream-only: cursors update immediately
+    assert res.cursors[0] is not None
+    assert res.final_cursor == "2024-12-04 13:45:02+0200"
+    assert fake_log.argv() == ["stream --style ndjson"]
+
+
+def test_backfill_and_stream_handshake(fake_log):
+    """The stream's first event time + 1 s becomes the show --end;
+    stream cursors are suppressed until backfilling completes."""
+    fake_log.set_stream([LINE2])
+    fake_log.set_show([LINE1])
+    cfg = Config(backfill=True)
+    res = unifiedlogs_collect(cfg, log_path=fake_log.path,
+                              max_stream_seconds=1.0)
+    argv = fake_log.argv()
+    assert argv[0] == "stream --style ndjson"
+    # first stream event 13:45:02 + 1s → 13:45:03
+    assert argv[1] == ("show --style ndjson "
+                       "--end 2024-12-04 13:45:03+0200")
+    msgs = {e["fields"]["message"] for e in res.records}
+    assert msgs == {LINE1, LINE2}
+    # the stream event published BEFORE backfill completion carries
+    # no cursor (input.go:291-293)
+    stream_idx = [i for i, e in enumerate(res.records)
+                  if e["fields"]["message"] == LINE2][0]
+    assert res.cursors[stream_idx] is None
+
+
+def test_failed_command_wording(fake_log):
+    cfg = Config(archive_file="a.logarchive")
+    import beats_spark.unifiedlogs as ul
+
+    errors: list = []
+    with pytest.raises(RuntimeError) as ei:
+        ul._run_log_cmd(["fail"], lambda e, c: None, errors,
+                        log_path=fake_log.path)
+    msg = str(ei.value)
+    assert "exited with an error: exit status 3" in msg
+    assert "boom" in msg
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_unifiedlogs_events_df(spark, fake_log):
+    fake_log.set_show([LINE1, LINE2])
+    res = unifiedlogs_collect(Config(archive_file="a.logarchive"),
+                              log_path=fake_log.path)
+    df = unifiedlogs_events_df(spark, res.records)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert json.loads(rows[0].message)["eventMessage"] == "hello"
+    # @timestamp is the record time (UTC) — 13:45:01+0200 = 11:45:01Z
+    assert rows[0].ts == datetime(2024, 12, 4, 11, 45, 1, 123456)
+
+
+def test_unifiedlogs_stream_cursor_after_sink(spark, fake_log,
+                                              tmp_path):
+    fake_log.set_stream([LINE1, LINE2])
+    seen, store = [], {}
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        msgs = [r.message for r in df.collect()]
+        with lock:
+            seen.extend(msgs)
+
+    q = unifiedlogs_stream(spark, Config(), sink=sink,
+                           checkpoint_dir=str(tmp_path / "ckpt"),
+                           log_path=fake_log.path, poll_seconds=0.2,
+                           cursor_store=store)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if len(seen) >= 2:
+                    break
+            time.sleep(0.1)
+    finally:
+        q._beats_stop.set()
+        q.stop()
+        q.awaitTermination(10)
+    assert seen == [LINE1, LINE2]
+    assert store["cursor"] == "2024-12-04 13:45:02+0200"
