@@ -1,0 +1,542 @@
+"""o365audit input battery.
+
+Ports the reference matrices (x-pack/filebeat/input/o365audit/):
+config validation wordings + the stringList unpack errors, the
+checkpoint semantics (state.go: TryAdvance's equal-timestamp line
+rule, ForNextLine, Before), adjustTimes' window math, toBeatEvent /
+apiError shapes (input_test.go TestPreserveOriginalEvent), and the
+poller against a live fake Management Activity API: subscription
+bootstrap (AF20022 → subscribe → retry), blob listing with
+created-then-id ordering, NextPageUri pagination, line-exact resume
+via skipLines, 404 blob drops, fatal error codes, and the Spark
+surfaces with checkpoint-after-sink.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from datetime import datetime, timedelta, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+from beats_spark.o365audit import (
+    APIConfig, Checkpoint, Config, O365Error, Poller, TokenProvider,
+    api_error_event, force_url_scheme, init_checkpoint, o365_collect,
+    o365_events_df, parse_api_date, string_list, to_beat_event,
+    validate_config,
+)
+
+TENANT = "1234-5678"
+CTYPE = "Audit.Exchange"
+
+T0 = datetime(2020, 2, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+def _cfg(**over):
+    c = Config(application_id="app-id", client_secret="s3cret",
+               tenant_id=[TENANT], content_type=[CTYPE])
+    for k, v in over.items():
+        setattr(c, k, v)
+    return c
+
+
+# -------------------------------------------------------------- config
+
+def test_validate_wordings():
+    with pytest.raises(ValueError) as ei:
+        validate_config(Config())
+    assert str(ei.value) == ("no authentication configured. Configure "
+                             "a client_secret or a certificate and "
+                             "key.")
+    with pytest.raises(ValueError) as ei:
+        validate_config(Config(client_secret="a", certificate="b"))
+    assert str(ei.value) == ("both client_secret and certificate are "
+                             "configured. Only one authentication "
+                             "method can be used.")
+    c = _cfg()
+    c.api.resource = "manage.office.com"
+    validate_config(c)
+    assert c.api.resource == "https://manage.office.com"
+
+
+def test_string_list_unpack():
+    assert string_list("a") == ["a"]
+    assert string_list(["a", "b"]) == ["a", "b"]
+    with pytest.raises(ValueError) as ei:
+        string_list(["a", 3])
+    assert str(ei.value) == ("string value required. Found 3 "
+                             "(type int) at position 2")
+    with pytest.raises(ValueError, match="array of strings required"):
+        string_list(7)
+
+
+def test_default_content_types():
+    assert Config().content_type == [
+        "Audit.AzureActiveDirectory", "Audit.Exchange",
+        "Audit.SharePoint", "Audit.General", "DLP.All"]
+    api = APIConfig()
+    assert api.max_retention == 7 * 24 * 3600
+    assert api.max_query_size == 24 * 3600
+    assert api.max_requests_per_minute == 2000
+
+
+# --------------------------------------------------------- checkpoint
+
+def test_checkpoint_try_advance():
+    """TestAdvance: older blobs are skipped; an equal-timestamp blob
+    reprocesses only when seeking a line inside it."""
+    cp = Checkpoint(timestamp=T0)
+    assert not cp.try_advance(T0 - timedelta(seconds=1))
+    assert not cp.try_advance(T0)  # line == 0 → already done
+    cp_line = Checkpoint(timestamp=T0, line=3)
+    assert cp_line.try_advance(T0)  # seeking into the blob
+    assert cp_line.line == 3
+    assert cp.try_advance(T0 + timedelta(seconds=1))
+    assert cp.timestamp == T0 + timedelta(seconds=1) and cp.line == 0
+
+
+def test_checkpoint_ordering_and_lines():
+    a = Checkpoint(timestamp=T0, line=1)
+    b = Checkpoint(timestamp=T0, line=2)
+    c = Checkpoint(timestamp=T0 + timedelta(seconds=1))
+    assert a.before(b) and b.before(c) and not c.before(a)
+    assert a.for_next_line().line == 2
+    rt = Checkpoint.from_dict(b.to_dict())
+    assert rt == b
+
+
+def test_init_checkpoint_retention_clamp():
+    now = lambda: T0
+    api_ret = 7 * 24 * 3600.0
+    limit = T0 - timedelta(seconds=api_ret)
+    assert init_checkpoint(None, api_ret, now).timestamp == limit
+    old = Checkpoint(timestamp=limit - timedelta(days=2))
+    assert init_checkpoint(old, api_ret, now).timestamp == limit
+    fresh = Checkpoint(timestamp=T0 - timedelta(hours=1))
+    assert init_checkpoint(fresh, api_ret, now) is fresh
+
+
+# --------------------------------------------------------- window math
+
+def _poller(now, **api_over):
+    cfg = _cfg()
+    for k, v in api_over.items():
+        setattr(cfg.api, k, v)
+
+    class TP:
+        def token(self):
+            return "tok"
+
+    return Poller(cfg, TENANT, CTYPE, token_provider=TP(),
+                  publish=lambda e, c: None, now=lambda: now,
+                  sleep=lambda s: None)
+
+
+def test_adjust_times_past_window():
+    from beats_spark.o365audit import Transaction
+
+    now = T0
+    p = _poller(now)
+    tx = Transaction(kind="list",
+                     cursor=Checkpoint(timestamp=now
+                                       - timedelta(days=3)))
+    tx = p.adjust_times(tx, now - timedelta(days=3))
+    assert tx.start_time == now - timedelta(days=3)
+    assert tx.end_time == now - timedelta(days=2)  # 24h max window
+    assert tx.delay == 0.0
+
+
+def test_adjust_times_live_window_delays():
+    from beats_spark.o365audit import Transaction
+
+    now = T0
+    p = _poller(now)
+    since = now - timedelta(minutes=5)
+    tx = Transaction(kind="list", cursor=Checkpoint(timestamp=since))
+    tx = p.adjust_times(tx, since)
+    assert tx.end_time == now
+    assert tx.start_time == since  # clamped to the cursor
+    assert tx.delay == p.api.poll_interval
+
+
+def test_adjust_times_retention_clamp():
+    from beats_spark.o365audit import Transaction
+
+    now = T0
+    p = _poller(now)
+    tx = Transaction(kind="list",
+                     cursor=Checkpoint(timestamp=now
+                                       - timedelta(days=30)))
+    tx = p.adjust_times(tx, now - timedelta(days=30))
+    assert tx.start_time == now - timedelta(days=7)
+
+
+# ------------------------------------------------------------- events
+
+def test_to_beat_event_shapes():
+    now = lambda: T0
+    api = APIConfig()
+    doc = {"CreationTime": "2020-02-01T12:42:33", "Id": "rec-1",
+           "Operation": "FileAccessed"}
+    ev = to_beat_event('{"raw": 1}', doc, api, now)
+    assert ev["ts"] == parse_api_date("2020-02-01T12:42:33").timestamp()
+    assert ev["meta_id"] == "rec-1"
+    assert ev["fields"]["o365audit"] is doc
+    assert "event" not in ev["fields"]
+    # preserve_original_event (input_test.go TestPreserveOriginalEvent)
+    api2 = APIConfig(preserve_original_event=True)
+    ev2 = to_beat_event('{"raw": 1}', doc, api2, now)
+    assert ev2["fields"]["event"] == {"original": '{"raw": 1}'}
+    # bad CreationTime → now + error.message list
+    ev3 = to_beat_event("{}", {"CreationTime": "garbage"}, api, now)
+    assert ev3["ts"] == T0.timestamp()
+    assert ev3["fields"]["error"]["message"][0].startswith(
+        "failed parsing CreationTime: ")
+
+
+def test_api_error_event_placeholders():
+    ev = api_error_event("", "", lambda: T0)
+    assert ev["fields"] == {"error": {"code": "(none)",
+                                      "message": "(none)"},
+                            "event": {"kind": "pipeline_error"}}
+
+
+def test_parse_api_date_formats():
+    for s in ("2020-02-01T12:42:33", "2020-02-01T12:42:33Z",
+              "2020-02-01T12:42:33.123456+00:00",
+              "2020-02-01T12:42:33+02:00"):
+        parse_api_date(s)
+    with pytest.raises(O365Error, match="unable to parse date"):
+        parse_api_date("02/01/2020")
+
+
+# ---------------------------------------------------------- fake API
+
+class FakeO365:
+    """Token endpoint + the Management Activity API surface: content
+    listing windows with NextPageUri pagination, blob bodies,
+    subscriptions/start, error injection."""
+
+    def __init__(self):
+        # blobs: list of dicts {id, created(iso-sec), body(list)}
+        self.blobs: list[dict] = []
+        self.subscribed = False
+        self.require_subscription = False
+        self.page_size = 100
+        self.fail_blob_ids: dict[str, int] = {}  # id -> status
+        self.fatal_code = ""
+        self.list_requests: list[dict] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, obj, headers=None):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (headers or {}).items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                if u.path.endswith("/oauth2/token"):
+                    form = dict(parse_qsl(body.decode()))
+                    if form.get("client_secret") != "s3cret":
+                        return self._send(401, {"error":
+                                                "invalid_client"})
+                    return self._send(200, {"access_token": "tok-365",
+                                            "expires_in": 3600})
+                if u.path.endswith("/subscriptions/start"):
+                    with outer._lock:
+                        outer.subscribed = True
+                    return self._send(200, {"status": "enabled"})
+                self._send(404, {})
+
+            def do_GET(self):
+                if self.headers.get("Authorization") != \
+                        "Bearer tok-365":
+                    return self._send(401, {"error": {
+                        "code": "AF10001", "message": "bad token"}})
+                u = urlparse(self.path)
+                q = dict(parse_qsl(u.query))
+                with outer._lock:
+                    if u.path.endswith("/subscriptions/content"):
+                        return self._list(q)
+                    if u.path.startswith("/blob/"):
+                        return self._blob(u.path.rsplit("/", 1)[-1])
+                self._send(404, {})
+
+            def _list(self, q):
+                outer.list_requests.append(dict(q))
+                if outer.fatal_code:
+                    return self._send(400, {"error": {
+                        "code": outer.fatal_code,
+                        "message": "fatal thing happened"}})
+                if outer.require_subscription and not outer.subscribed:
+                    return self._send(400, {"error": {
+                        "code": "AF20022",
+                        "message": "No subscription found for the "
+                                   "specified content type"}})
+                start = parse_api_date(q["startTime"])
+                end = parse_api_date(q["endTime"])
+                hits = [b for b in outer.blobs
+                        if start <= parse_api_date(b["created"]) < end]
+                page_idx = int(q.get("page", 0))
+                page = hits[page_idx * outer.page_size:
+                            (page_idx + 1) * outer.page_size]
+                headers = {}
+                if (page_idx + 1) * outer.page_size < len(hits):
+                    nxt = (f"http://127.0.0.1:{outer.port}"
+                           f"/api/v1.0/{TENANT}/activity/feed/"
+                           f"subscriptions/content?contentType="
+                           f"{q['contentType']}&startTime="
+                           f"{q['startTime']}&endTime={q['endTime']}"
+                           f"&page={page_idx + 1}")
+                    headers["NextPageUri"] = nxt
+                self._send(200, [{
+                    "contentType": CTYPE, "contentId": b["id"],
+                    "contentUri": f"http://127.0.0.1:{outer.port}"
+                                  f"/blob/{b['id']}",
+                    "contentCreated": b["created"],
+                    "contentExpiration": b["created"],
+                } for b in page], headers)
+
+            def _blob(self, blob_id):
+                st = outer.fail_blob_ids.get(blob_id)
+                if st:
+                    return self._send(st, {"error": {
+                        "code": "", "message": "boom"}})
+                for b in outer.blobs:
+                    if b["id"] == blob_id:
+                        return self._send(200, b["body"])
+                self._send(404, {})
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.url = f"http://127.0.0.1:{self.port}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def add_blob(self, blob_id, created_iso, records):
+        self.blobs.append({"id": blob_id, "created": created_iso,
+                           "body": records})
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_o365():
+    srv = FakeO365()
+    yield srv
+    srv.close()
+
+
+def _collect(srv, cfg=None, cp=None, now=None, **kw):
+    return o365_collect(
+        cfg or _cfg(), TENANT, CTYPE, checkpoint=cp,
+        resource_override=srv.url, auth_endpoint_override=srv.url,
+        now=now, **kw)
+
+
+def _iso(dt):
+    return dt.strftime("%Y-%m-%dT%H:%M:%S")
+
+
+def test_token_flow_and_collect(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.add_blob("b1", "2020-02-05T10:00:00", [
+        {"CreationTime": "2020-02-05T09:59:00", "Id": "e1",
+         "Operation": "FileAccessed", "Workload": "SharePoint"},
+        {"CreationTime": "2020-02-05T09:59:30", "Id": "e2",
+         "Operation": "FileModified", "Workload": "SharePoint"},
+    ])
+    recs, final = _collect(fake_o365, now=lambda: now)
+    assert [r["meta_id"] for r in recs] == ["e1", "e2"]
+    assert final.timestamp == parse_api_date("2020-02-05T10:00:00")
+    assert final.line == 2
+    # the listing carried the publisherIdentifier and window params
+    q = fake_o365.list_requests[0]
+    assert q["publisherIdentifier"] == TENANT
+    assert q["contentType"] == CTYPE
+
+
+def test_blob_ordering_created_then_id(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.add_blob("zz", "2020-02-05T10:00:00",
+                       [{"CreationTime": "2020-02-05T10:00:00",
+                         "Id": "from-zz"}])
+    fake_o365.add_blob("aa", "2020-02-05T09:00:00",
+                       [{"CreationTime": "2020-02-05T09:00:00",
+                         "Id": "from-aa"}])
+    recs, _ = _collect(fake_o365, now=lambda: now)
+    assert [r["meta_id"] for r in recs] == ["from-aa", "from-zz"]
+
+
+def test_resume_line_exact(fake_o365):
+    """skipLines: resuming from (blob ts, line 1) republishes only
+    the lines after the cursor."""
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    created = "2020-02-05T10:00:00"
+    fake_o365.add_blob("b1", created, [
+        {"CreationTime": created, "Id": "e1"},
+        {"CreationTime": created, "Id": "e2"},
+        {"CreationTime": created, "Id": "e3"},
+    ])
+    cp = Checkpoint(timestamp=parse_api_date(created), line=1,
+                    start_time=parse_api_date("2020-02-05T00:00:00"))
+    recs, final = _collect(fake_o365, cp=cp, now=lambda: now)
+    assert [r["meta_id"] for r in recs] == ["e2", "e3"]
+    assert final.line == 3
+
+
+def test_already_seen_blob_skipped(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    created = "2020-02-05T10:00:00"
+    fake_o365.add_blob("b1", created, [{"CreationTime": created,
+                                        "Id": "e1"}])
+    cp = Checkpoint(timestamp=parse_api_date(created), line=0)
+    recs, _ = _collect(fake_o365, cp=cp, now=lambda: now)
+    assert recs == []
+
+
+def test_pagination_next_page_uri(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.page_size = 2
+    for i in range(5):
+        created = _iso(datetime(2020, 2, 5, 10, i,
+                                tzinfo=timezone.utc))
+        fake_o365.add_blob(f"b{i}", created,
+                           [{"CreationTime": created, "Id": f"e{i}"}])
+    recs, _ = _collect(fake_o365, now=lambda: now)
+    assert [r["meta_id"] for r in recs] == [f"e{i}" for i in range(5)]
+    # three pages of the window containing the blobs (page_size=2,
+    # 5 blobs → 3 pages chained through NextPageUri)
+    feb5 = [q for q in fake_o365.list_requests
+            if q.get("startTime", "").startswith("2020-02-05")]
+    assert len(feb5) >= 3
+    assert {q.get("page") for q in feb5} >= {"1", "2"}
+
+
+def test_subscription_bootstrap(fake_o365):
+    """AF20022 → subscribe → retry (listblobs.go:207-216)."""
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.require_subscription = True
+    created = "2020-02-05T10:00:00"
+    fake_o365.add_blob("b1", created, [{"CreationTime": created,
+                                        "Id": "e1"}])
+    recs, _ = _collect(fake_o365, now=lambda: now)
+    assert fake_o365.subscribed
+    assert [r["meta_id"] for r in recs] == ["e1"]
+
+
+def test_fatal_error_terminates(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.fatal_code = "AF20011"
+    errors = []
+    with pytest.raises(O365Error, match="fatal thing happened"):
+        _collect(fake_o365, now=lambda: now)
+
+
+def test_blob_404_dropped(fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.add_blob("gone", "2020-02-05T10:00:00",
+                       [{"CreationTime": "2020-02-05T10:00:00",
+                         "Id": "lost"}])
+    fake_o365.add_blob("ok", "2020-02-05T11:00:00",
+                       [{"CreationTime": "2020-02-05T11:00:00",
+                         "Id": "kept"}])
+    fake_o365.fail_blob_ids["gone"] = 404
+    recs, _ = _collect(fake_o365, now=lambda: now)
+    assert [r["meta_id"] for r in recs] == ["kept"]
+
+
+def test_bad_secret_token_error(fake_o365):
+    cfg = _cfg(client_secret="wrong")
+    with pytest.raises(O365Error) as ei:
+        _collect(fake_o365, cfg=cfg)
+    assert str(ei.value).startswith(
+        f"unable to acquire authentication token for tenant:{TENANT}")
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_o365_events_df(spark, fake_o365):
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.add_blob("b1", "2020-02-05T10:00:00", [
+        {"CreationTime": "2020-02-05T09:59:00", "Id": "e1",
+         "Operation": "FileAccessed", "Workload": "SharePoint"}])
+    recs, _ = _collect(fake_o365, now=lambda: now)
+    df = o365_events_df(spark, recs, TENANT, CTYPE)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.record_id, r.operation, r.workload) == \
+        ("e1", "FileAccessed", "SharePoint")
+    assert r.tenant_id == TENANT and r.content_type == CTYPE
+    assert json.loads(r.fields)["o365audit"]["Id"] == "e1"
+
+
+def test_o365_stream_checkpoint_after_sink(spark, fake_o365,
+                                           tmp_path):
+    from beats_spark.o365audit import o365_stream
+
+    t_early = datetime.now(timezone.utc) - timedelta(hours=2)
+    t_late = datetime.now(timezone.utc) - timedelta(hours=1)
+    fake_o365.add_blob("b1", _iso(t_early),
+                       [{"CreationTime": _iso(t_early),
+                         "Id": "early"}])
+    cfg = _cfg()
+    seen: list[str] = []
+    lock = threading.Lock()
+    cps: dict = {}
+
+    def sink(df, batch_id):
+        ids = [r.record_id for r in df.collect()]
+        with lock:
+            seen.extend(ids)
+
+    q = o365_stream(spark, cfg, sink=sink,
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    checkpoints=cps, resource_override=fake_o365.url,
+                    auth_endpoint_override=fake_o365.url,
+                    poll_seconds=0.3)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "early" in seen:
+                    break
+            time.sleep(0.1)
+        with fake_o365._lock:
+            fake_o365.add_blob(
+                "b2", _iso(t_late),
+                [{"CreationTime": _iso(t_late), "Id": "late"}])
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "late" in seen:
+                    break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    assert seen.count("early") == 1, seen
+    assert seen.count("late") == 1, seen
+    key = f"{TENANT}::{CTYPE}"
+    assert cps[key].timestamp == parse_api_date(_iso(t_late))
