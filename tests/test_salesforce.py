@@ -1,0 +1,589 @@
+"""salesforce input battery.
+
+Ports the reference matrices (x-pack/filebeat/input/salesforce/):
+config.Validate's exact wordings incl. the batch placeholder
+cross-checks and version gate (config_test.go), the auth flow
+validation tables (config_auth_test.go), value_tpl semantics
+(value_tpl_test.go's now/parseDuration/formatTime forms + default
+fallback), normalizeOAuthTokenURL, the batch window math
+(batch_test.go: progress-first priority, legacy watermark seeding,
+clamping, laterBatchStart), processCSVRecords semantics, the
+cursor side-effect rules of runObjectQuery / RunEventLogFile, and
+the end-to-end flows against a live fake Salesforce (password grant,
+SOQL pagination, EventLogFile CSV downloads, 401 reauth-retry-once,
+cursor snapshot rollback).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from datetime import datetime, timedelta, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, unquote, urlparse
+
+import pytest
+
+from beats_spark.httpjson.gotime import GoTime
+from beats_spark.salesforce import (
+    BatchConfig, Config, CursorConfig, DateTimeCursor, MethodConfig,
+    OAuth2Config, QueryConfig, SalesforceCollector, SalesforceError,
+    SalesforceSession, SfValueTpl, State, format_batch_cursor_time,
+    format_collection_status, is_auth_error, later_batch_start,
+    next_backoff_until, next_object_batch_window,
+    normalize_oauth_token_url, parse_batch_cursor_time, parse_cursor,
+    process_csv_records, publish_event_shape, salesforce_collect,
+    salesforce_events_df, validate_config,
+)
+
+T0 = datetime(2020, 6, 1, 12, 0, 0, tzinfo=timezone.utc)
+
+
+def _tpl(src):
+    return SfValueTpl(src, now=lambda: GoTime.from_unix(
+        int(T0.timestamp()), 0))
+
+
+def _method(default, value, field="EventDate", **over):
+    m = MethodConfig(enabled=True, interval=60.0,
+                     query=QueryConfig(default=_tpl(default),
+                                       value=_tpl(value)),
+                     cursor=CursorConfig(field=field))
+    for k, v in over.items():
+        setattr(m, k, v)
+    return m
+
+
+def _auth(**over):
+    a = OAuth2Config(up_enabled=True, client_id="cid",
+                     client_secret="csec", password="pw",
+                     token_url="http://token.example",
+                     username="user@example.com")
+    for k, v in over.items():
+        setattr(a, k, v)
+    return a
+
+
+def _cfg(**over):
+    cfg = Config(url="http://sf.example", version=56, auth=_auth(),
+                 object=_method(
+                     "SELECT Id,EventDate FROM LoginEvent ORDER BY "
+                     "EventDate ASC",
+                     "SELECT Id,EventDate FROM LoginEvent WHERE "
+                     "EventDate > [[ .cursor.object.last_event_time "
+                     "]] ORDER BY EventDate ASC"))
+    for k, v in over.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+# -------------------------------------------------------------- config
+
+def test_validate_wordings():
+    with pytest.raises(ValueError, match="no auth provider enabled"):
+        validate_config(Config(url="u", version=56))
+    with pytest.raises(ValueError,
+                       match="only one auth provider must be enabled"):
+        validate_config(Config(url="u", version=56,
+                               auth=_auth(jwt_enabled=True),
+                               object=_method("a", "b")))
+    with pytest.raises(ValueError, match="no instance url is "
+                       "configured"):
+        validate_config(Config(url="", version=56, auth=_auth()))
+    with pytest.raises(ValueError, match='at least one of '
+                       '"event_monitoring_method'):
+        validate_config(Config(url="u", version=56, auth=_auth()))
+    with pytest.raises(ValueError,
+                       match="not a valid version i.e., 46.0 or above"):
+        validate_config(_cfg(version=45))
+    validate_config(_cfg())
+
+
+def test_validate_method_requirements():
+    cfg = _cfg()
+    cfg.object.cursor = None
+    with pytest.raises(ValueError) as ei:
+        validate_config(cfg)
+    assert str(ei.value) == (
+        '"event_monitoring_method.object.cursor" must be configured '
+        'when "event_monitoring_method.object.enabled" is true')
+    cfg = _cfg()
+    cfg.object.interval = 0
+    with pytest.raises(ValueError, match="not a valid interval 0"):
+        validate_config(cfg)
+
+
+def test_validate_batch_placeholder_crosscheck():
+    batched_value = ("SELECT Id FROM LoginEvent WHERE EventDate >= "
+                     "[[ .cursor.object.batch_start_time ]] AND "
+                     "EventDate < [[ .cursor.object.batch_end_time ]]")
+    cfg = _cfg()
+    cfg.object = _method("d", batched_value,
+                         batch=BatchConfig(enabled=True,
+                                           initial_interval=3600.0,
+                                           window=600.0))
+    validate_config(cfg)
+    # batching on without the placeholders
+    cfg.object = _method("d", "SELECT Id FROM LoginEvent",
+                         batch=BatchConfig(enabled=True,
+                                           initial_interval=3600.0,
+                                           window=600.0))
+    with pytest.raises(ValueError, match="must reference both"):
+        validate_config(cfg)
+    # batching off but placeholders present
+    cfg.object = _method("d", batched_value)
+    with pytest.raises(ValueError, match="must not reference"):
+        validate_config(cfg)
+    # zero window
+    cfg.object = _method("d", batched_value,
+                         batch=BatchConfig(enabled=True,
+                                           initial_interval=3600.0,
+                                           window=0.0))
+    with pytest.raises(ValueError, match=r"batch\.window\" must be "
+                       "greater than zero"):
+        validate_config(cfg)
+
+
+@pytest.mark.parametrize("field,msg", [
+    ("token_url", "token_url must be provided"),
+    ("client_id", "client.id must be provided"),
+    ("client_secret", "client.secret must be provided"),
+    ("username", "username must be provided"),
+    ("password", "password must be provided"),
+])
+def test_user_password_flow_validation(field, msg):
+    from beats_spark.salesforce import validate_user_password_flow
+
+    a = _auth()
+    setattr(a, field, "")
+    with pytest.raises(ValueError) as ei:
+        validate_user_password_flow(a)
+    assert str(ei.value) == msg
+
+
+def test_jwt_flow_validation():
+    from beats_spark.salesforce import validate_jwt_bearer_flow
+
+    a = OAuth2Config(jwt_enabled=True, jwt_url="u",
+                     jwt_client_id="c", jwt_client_username="un",
+                     jwt_client_key_path="p")
+    validate_jwt_bearer_flow(a)
+    a.jwt_client_key_path = ""
+    with pytest.raises(ValueError, match="client.key_path must be "
+                       "provided"):
+        validate_jwt_bearer_flow(a)
+
+
+def test_normalize_oauth_token_url():
+    assert normalize_oauth_token_url(
+        "https://login.salesforce.com/services/oauth2/token") == \
+        "https://login.salesforce.com"
+    assert normalize_oauth_token_url(
+        " https://login.salesforce.com/ ") == \
+        "https://login.salesforce.com"
+
+
+# ------------------------------------------------------------ template
+
+def test_value_template_forms():
+    t = _tpl('[[ (formatTime (now.Add (parseDuration "-720h")) '
+             '"CustomRFC3339Like") ]]')
+    assert t.execute({"cursor": None}) == "2020-05-02T12:00:00Z"
+    t = _tpl("[[ .cursor.object.first_event_time ]]")
+    assert t.execute({"cursor": {"object": {
+        "first_event_time": "X"}}}) == "X"
+
+
+def test_parse_cursor_default_vs_value():
+    q = QueryConfig(default=_tpl("DEFAULT-QUERY"),
+                    value=_tpl("VALUE [[ .cursor.object.last_event_time"
+                               " ]]"))
+    assert parse_cursor(q, None) == "DEFAULT-QUERY"
+    assert parse_cursor(q, {"object": {"last_event_time": "T"}}) == \
+        "VALUE T"
+
+
+def test_template_missing_key_fallback():
+    # the value template with a missing cursor key falls back only
+    # through the explicit default argument (value_tpl.go Execute)
+    t = _tpl("[[ .cursor.object.nope ]]")
+    with pytest.raises(SalesforceError):
+        t.execute({"cursor": {"object": {}}})
+    assert t.execute({"cursor": {"object": {}}},
+                     default=_tpl("FALLBACK")) == "FALLBACK"
+
+
+# ---------------------------------------------------------- batch math
+
+def test_batch_cursor_time_roundtrip():
+    s = format_batch_cursor_time(T0)
+    assert s == "2020-06-01T12:00:00.000Z"
+    assert parse_batch_cursor_time(s) == T0
+    # legacy Z0700 form
+    assert parse_batch_cursor_time("2020-06-01T12:00:00.000+0000") \
+        == T0
+    with pytest.raises(SalesforceError, match="unsupported Salesforce "
+                       "cursor time format"):
+        parse_batch_cursor_time("06/01/2020")
+
+
+def test_next_object_batch_window_priority():
+    batch = BatchConfig(enabled=True, initial_interval=3600.0,
+                        window=600.0)
+    run_end = T0
+    # clean install: runEnd - initial_interval
+    w = next_object_batch_window(DateTimeCursor(), batch, run_end)
+    assert w == (T0 - timedelta(hours=1),
+                 T0 - timedelta(hours=1) + timedelta(minutes=10))
+    # progress_time wins and legacy watermarks project forward
+    c = DateTimeCursor(
+        progress_time="2020-06-01T10:00:00.000Z",
+        last_event_time="2020-06-01T11:00:00.000Z")
+    w = next_object_batch_window(c, batch, run_end)
+    assert w[0] == datetime(2020, 6, 1, 11, tzinfo=timezone.utc)
+    # clamp at run end
+    c = DateTimeCursor(progress_time="2020-06-01T11:55:00.000Z")
+    w = next_object_batch_window(c, batch, run_end)
+    assert w == (datetime(2020, 6, 1, 11, 55, tzinfo=timezone.utc), T0)
+    # nothing to do
+    c = DateTimeCursor(progress_time=format_batch_cursor_time(T0))
+    assert next_object_batch_window(c, batch, run_end) is None
+
+
+def test_later_batch_start_ignores_corrupt():
+    base = T0
+    assert later_batch_start(base, "corrupt",
+                             "2020-06-01T13:00:00.000Z") == \
+        datetime(2020, 6, 1, 13, tzinfo=timezone.utc)
+    assert later_batch_start(base, "corrupt") == base
+
+
+# --------------------------------------------------------------- misc
+
+def test_is_auth_error():
+    assert is_auth_error("x INVALID_SESSION_ID y")
+    assert is_auth_error("request failed: 401 Unauthorized"
+                         .replace("failed:", "failed :"))
+    assert is_auth_error("soql query failed: status code 401")
+    assert not is_auth_error("503 unavailable")
+
+
+def test_format_collection_status_and_backoff():
+    assert format_collection_status("Object", 1, "boom") == \
+        "Error running Object collection: boom"
+    assert format_collection_status("Object", 3, "boom") == \
+        "Error running Object collection (3 consecutive failures): boom"
+    assert next_backoff_until(60.0, now=100.0) == 190.0
+
+
+def test_process_csv_records():
+    rows = []
+    n = process_csv_records(
+        'A,B\n1,"x,y"\n2,z\n', rows.append)
+    assert n == 2
+    assert rows == [{"A": "1", "B": "x,y"}, {"A": "2", "B": "z"}]
+    assert process_csv_records("", lambda r: None) == 0
+    assert process_csv_records("OnlyHeader\n", lambda r: None) == 0
+
+
+def test_publish_event_shape():
+    ev = publish_event_shape('{"a": 1}', "EventLogFile", now=5.0)
+    assert ev == {"ts": 5.0, "fields": {
+        "message": '{"a": 1}',
+        "event": {"provider": "EventLogFile"}}}
+
+
+# ------------------------------------------------------------ fake SF
+
+class FakeSalesforceAPI:
+    """Password-grant token endpoint + the SOQL query REST surface
+    with nextRecordsUrl pagination + EventLogFile downloads."""
+
+    def __init__(self):
+        self.soql_responses: dict[str, list[dict]] = {}
+        self.logfiles: dict[str, str] = {}
+        self.page_size = 100
+        self.queries: list[str] = []
+        self.tokens_issued = 0
+        self.expire_first_token = False
+        self._cursors: dict = {}
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, obj, raw=None):
+                body = raw if raw is not None else \
+                    json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                form = dict(parse_qsl(self.rfile.read(n).decode()))
+                if self.path == "/services/oauth2/token":
+                    if form.get("password") != "pw":
+                        return self._send(400, {"error":
+                                                "invalid_grant"})
+                    with outer._lock:
+                        outer.tokens_issued += 1
+                        tok = f"sf-tok-{outer.tokens_issued}"
+                    return self._send(200, {
+                        "access_token": tok,
+                        "instance_url": outer.url,
+                        "token_type": "Bearer"})
+                self._send(404, {})
+
+            def _authed(self):
+                auth = self.headers.get("Authorization", "")
+                if not auth.startswith("Bearer sf-tok-"):
+                    return False
+                if outer.expire_first_token and \
+                        auth == "Bearer sf-tok-1":
+                    return False
+                return True
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                if not self._authed():
+                    return self._send(401, [{
+                        "message": "Session expired or invalid",
+                        "errorCode": "INVALID_SESSION_ID"}])
+                with outer._lock:
+                    if u.path.endswith("/query"):
+                        q = dict(parse_qsl(u.query))["q"]
+                        outer.queries.append(q)
+                        return self._page(q, 0)
+                    if "/query/next/" in u.path:
+                        cursor_id = u.path.rsplit("/", 1)[-1]
+                        q, idx = outer._cursors[cursor_id]
+                        return self._page(q, idx)
+                    if u.path.startswith("/logfile/"):
+                        name = u.path.rsplit("/", 1)[-1]
+                        body = outer.logfiles.get(name)
+                        if body is None:
+                            return self._send(404, {})
+                        return self._send(200, None, body.encode())
+                self._send(404, {})
+
+            def _page(self, q, idx):
+                rows = None
+                for frag, r in outer.soql_responses.items():
+                    if frag in q:
+                        rows = r
+                        break
+                if rows is None:
+                    rows = []
+                page = rows[idx * outer.page_size:
+                            (idx + 1) * outer.page_size]
+                done = (idx + 1) * outer.page_size >= len(rows)
+                out = {
+                    "totalSize": len(rows), "done": done,
+                    "records": [dict(
+                        {"attributes": {"type": "X", "url": "/x"}},
+                        **r) for r in page],
+                }
+                if not done:
+                    cid = f"c{len(outer._cursors)}"
+                    outer._cursors[cid] = (q, idx + 1)
+                    out["nextRecordsUrl"] = f"/query/next/{cid}"
+                self._send(200, out)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_sf():
+    srv = FakeSalesforceAPI()
+    yield srv
+    srv.close()
+
+
+def _live_cfg(srv, **over):
+    cfg = _cfg(**over)
+    cfg.url = srv.url
+    cfg.auth.token_url = srv.url
+    return cfg
+
+
+def test_object_collection_live(fake_sf):
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": "a1", "EventDate": "2020-06-01T10:00:00.000Z",
+         "UserId": "u1"},
+        {"Id": "a2", "EventDate": "2020-06-01T10:05:00.000Z",
+         "UserId": "u2"},
+    ]
+    cfg = _live_cfg(fake_sf)
+    recs, st = salesforce_collect(cfg, now=lambda: T0)
+    assert len(recs) == 2
+    msgs = [json.loads(r["fields"]["message"]) for r in recs]
+    assert [m["Id"] for m in msgs] == ["a1", "a2"]
+    assert all(r["fields"]["event"]["provider"] == "Object"
+               for r in recs)
+    # cursor side effects: first row → first, every row → last, Id
+    assert st.object.first_event_time == "2020-06-01T10:00:00.000Z"
+    assert st.object.last_event_time == "2020-06-01T10:05:00.000Z"
+    assert st.object.last_event_id == "a2"
+    # default template used on the first run, value on the next
+    assert "WHERE" not in fake_sf.queries[0]
+    recs2, _ = salesforce_collect(cfg, state=st, now=lambda: T0)
+    assert "WHERE EventDate > 2020-06-01T10:05:00.000Z" in \
+        fake_sf.queries[-1]
+
+
+def test_soql_pagination(fake_sf):
+    fake_sf.page_size = 2
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": f"r{i}", "EventDate": f"2020-06-01T10:0{i}:00.000Z"}
+        for i in range(5)]
+    recs, _ = salesforce_collect(_live_cfg(fake_sf), now=lambda: T0)
+    assert [json.loads(r["fields"]["message"])["Id"] for r in recs] \
+        == [f"r{i}" for i in range(5)]
+
+
+def test_event_log_file_live(fake_sf):
+    fake_sf.soql_responses["FROM EventLogFile"] = [
+        {"Id": "elf1", "CreatedDate": "2020-06-01T09:00:00.000Z",
+         "LogFile": "/logfile/one.csv"}]
+    fake_sf.logfiles["one.csv"] = \
+        'EVENT_TYPE,USER_ID\nLogin,u1\nLogout,"u2,x"\n'
+    cfg = Config(url=fake_sf.url, version=56, auth=_auth(),
+                 event_log_file=_method(
+                     "SELECT Id,CreatedDate,LogFile FROM EventLogFile",
+                     "SELECT Id,CreatedDate,LogFile FROM EventLogFile "
+                     "WHERE CreatedDate > [[ .cursor.event_log_file."
+                     "last_event_time ]]", field="CreatedDate"))
+    cfg.auth.token_url = fake_sf.url
+    recs, st = salesforce_collect(cfg, now=lambda: T0)
+    msgs = [json.loads(r["fields"]["message"]) for r in recs]
+    assert msgs == [{"EVENT_TYPE": "Login", "USER_ID": "u1"},
+                    {"EVENT_TYPE": "Logout", "USER_ID": "u2,x"}]
+    assert all(r["fields"]["event"]["provider"] == "EventLogFile"
+               for r in recs)
+    assert st.event_log_file.last_event_time == \
+        "2020-06-01T09:00:00.000Z"
+    assert st.event_log_file.last_event_id == "elf1"
+
+
+def test_reauth_retry_once(fake_sf):
+    """An INVALID_SESSION_ID response re-opens the session and
+    retries exactly once (queryWithReauth)."""
+    fake_sf.expire_first_token = True
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": "a1", "EventDate": "2020-06-01T10:00:00.000Z"}]
+    recs, _ = salesforce_collect(_live_cfg(fake_sf), now=lambda: T0)
+    assert len(recs) == 1
+    assert fake_sf.tokens_issued == 2
+
+
+def test_object_batched_windows(fake_sf):
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": "a1", "EventDate": "2020-06-01T11:30:00.000Z"}]
+    batched_value = (
+        "SELECT Id,EventDate FROM LoginEvent WHERE EventDate >= "
+        "[[ .cursor.object.batch_start_time ]] AND EventDate < "
+        "[[ .cursor.object.batch_end_time ]]")
+    cfg = _live_cfg(fake_sf)
+    cfg.object = _method("default-q", batched_value,
+                         batch=BatchConfig(enabled=True,
+                                           initial_interval=3600.0,
+                                           window=1800.0,
+                                           max_windows_per_run=5))
+    recs, st = salesforce_collect(cfg, now=lambda: T0)
+    # two 30-min windows cover the initial hour; progress reaches now
+    assert st.object.progress_time == format_batch_cursor_time(T0)
+    batch_queries = [q for q in fake_sf.queries if "batch" not in q
+                     and ">=" in q]
+    assert any("2020-06-01T11:00:00.000Z" in q
+               and "2020-06-01T11:30:00.000Z" in q
+               for q in batch_queries)
+    assert any("2020-06-01T11:30:00.000Z" in q
+               and "2020-06-01T12:00:00.000Z" in q
+               for q in batch_queries)
+    # resume: no further window at the same instant
+    n_before = len(fake_sf.queries)
+    recs2, _ = salesforce_collect(cfg, state=st, now=lambda: T0)
+    assert recs2 == [] and len(fake_sf.queries) == n_before
+
+
+def test_missing_logfile_field_error(fake_sf):
+    fake_sf.soql_responses["FROM EventLogFile"] = [
+        {"Id": "elf1", "CreatedDate": "2020-06-01T09:00:00.000Z"}]
+    cfg = Config(url=fake_sf.url, version=56, auth=_auth(),
+                 event_log_file=_method(
+                     "SELECT Id FROM EventLogFile", "x [[ .cursor ]]",
+                     field="CreatedDate"))
+    cfg.auth.token_url = fake_sf.url
+    with pytest.raises(SalesforceError, match="LogFile field not "
+                       "found or not a string"):
+        salesforce_collect(cfg, now=lambda: T0)
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_salesforce_events_df(spark, fake_sf):
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": "a1", "EventDate": "2020-06-01T10:00:00.000Z"}]
+    recs, _ = salesforce_collect(_live_cfg(fake_sf), now=lambda: T0)
+    df = salesforce_events_df(spark, recs)
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].provider == "Object"
+    assert json.loads(rows[0].message)["Id"] == "a1"
+
+
+def test_salesforce_stream_cursor_after_sink(spark, fake_sf,
+                                             tmp_path):
+    from beats_spark.salesforce import salesforce_stream
+
+    fake_sf.soql_responses["FROM LoginEvent"] = [
+        {"Id": "s1", "EventDate": "2020-06-01T10:00:00.000Z"}]
+    cfg = _live_cfg(fake_sf)
+    st = State()
+    seen = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        ids = [json.loads(r.message)["Id"] for r in df.collect()]
+        with lock:
+            seen.extend(ids)
+
+    q = salesforce_stream(spark, cfg, sink=sink,
+                          checkpoint_dir=str(tmp_path / "ckpt"),
+                          state=st, poll_seconds=0.3)
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "s1" in seen:
+                    break
+            time.sleep(0.1)
+        with fake_sf._lock:
+            fake_sf.soql_responses["FROM LoginEvent"] = [
+                {"Id": "s2", "EventDate": "2020-06-01T10:10:00.000Z"}]
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if "s2" in seen:
+                    break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    assert seen.count("s1") >= 1
+    assert "s2" in seen
+    assert st.object.last_event_time == "2020-06-01T10:10:00.000Z"
