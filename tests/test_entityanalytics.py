@@ -1,0 +1,500 @@
+"""entity-analytics (okta provider) battery.
+
+Ports the reference matrices
+(x-pack/filebeat/input/entityanalytics/provider/okta/): the
+internal/okta TestNext Link-header fixtures verbatim, the Okta Error
+rendering, the rate-limiter policy translation (incl. the zero-quota
+block-until-reset path of TestRateLimitRetries), the statestore
+Discovered/Modified semantics, supervises derivation
+(assignSupervises' ID-sorted subordinate lists + the
+changed-manager-outside-batch republish), and the full-sync /
+incremental-update flows against a live fake Okta management API
+(SSWS auth verified server-side, search=status pr, Link pagination,
+per-user enrichment, the lastUpdated ge watermark, markers,
+state rollback on failure).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+from beats_spark.entityanalytics import (
+    Conf, KVStore, OktaClient, OktaError, OktaRateLimiter, StateStore,
+    default_conf, entity_events_df, next_link_query, okta_full_sync,
+    okta_incremental_update,
+)
+
+TOKEN = "tok-okta"
+
+
+# ------------------------------------------------------------ Next()
+
+@pytest.mark.parametrize("links,want", [
+    # nextTests[0]: spaced separators
+    (['<https://d/api/v1/logs?limit=20>; rel="self"',
+      '<https://d/api/v1/logs?limit=20&after=1627500044869_1>; '
+      'rel="next"'],
+     {"limit": "20", "after": "1627500044869_1"}),
+    # nextTests[1]: no spaces
+    (['<https://d/api/v1/logs?limit=20>;rel="self"',
+      '<https://d/api/v1/logs?limit=20&after=1627500044869_1>;'
+      'rel="next"'],
+     {"limit": "20", "after": "1627500044869_1"}),
+    # nextTests[2]: spaces around '='
+    (['<https://d/api/v1/logs?limit=20>; rel = "self"',
+      '<https://d/api/v1/logs?limit=20&after=1627500044869_1>; '
+      'rel = "next"'],
+     {"limit": "20", "after": "1627500044869_1"}),
+    # nextTests[3]: no next → EOF (None)
+    (['<https://d/api/v1/logs?limit=20>; rel="self"'], None),
+])
+def test_next_link_fixtures(links, want):
+    assert next_link_query({"link": links}) == want
+
+
+def test_okta_error_rendering():
+    e = OktaError({"errorCode": "E0000007",
+                   "errorSummary": "Not found: Resource not found.",
+                   "errorCauses": [
+                       {"errorSummary": "Inner cause."},
+                       {"errorSummary": "Another."}]})
+    assert str(e) == "not found: resource not found: inner cause," \
+                     "another"
+    assert str(OktaError({"errorSummary": "Bad."})) == "bad"
+
+
+# -------------------------------------------------------- rate limiter
+
+def test_rate_limiter_header_translation():
+    clock = {"t": 1000.0}
+    lim = OktaRateLimiter(window=60.0, clock=lambda: clock["t"])
+    # first request is free (burst 1)
+    assert lim.wait_time("/api/v1/users") == 0.0
+    # headers: 30 remaining over 15 seconds → 2 rps
+    lim.update("/api/v1/users", {"X-Rate-Limit-Limit": "60",
+                                 "X-Rate-Limit-Remaining": "30",
+                                 "X-Rate-Limit-Reset": "1015"})
+    w = lim.wait_time("/api/v1/users")
+    assert w == pytest.approx(0.5, abs=0.01)
+
+
+def test_rate_limiter_zero_quota_blocks_until_reset():
+    clock = {"t": 1000.0}
+    lim = OktaRateLimiter(window=60.0, clock=lambda: clock["t"])
+    assert lim.wait_time("/e") == 0.0
+    lim.update("/e", {"X-Rate-Limit-Limit": "600",
+                      "X-Rate-Limit-Remaining": "0",
+                      "X-Rate-Limit-Reset": "1010"})
+    # blocked until t=1010, then resumes at lim/window = 10 rps
+    w = lim.wait_time("/e")
+    assert w == pytest.approx(10.1, abs=0.2)  # wait + first token
+
+
+def test_rate_limiter_fixed_override():
+    clock = {"t": 0.0}
+    lim = OktaRateLimiter(window=10.0, fixed_limit=20,
+                          clock=lambda: clock["t"])
+    assert lim.wait_time("/e") == 0.0
+    # 2 rps fixed; headers are ignored
+    lim.update("/e", {"X-Rate-Limit-Limit": "1",
+                      "X-Rate-Limit-Remaining": "0",
+                      "X-Rate-Limit-Reset": "100"})
+    assert lim.wait_time("/e") == pytest.approx(0.5, abs=0.01)
+
+
+# ----------------------------------------------------------- statestore
+
+def test_statestore_discovered_then_modified(tmp_path):
+    store = KVStore(str(tmp_path / "state.json"))
+    st = StateStore(store)
+    u = st.store_user({"id": "u1", "profile": {}})
+    assert u.state == 1  # Discovered
+    st.close(True)
+    st2 = StateStore(store)
+    u = st2.store_user({"id": "u1", "profile": {}})
+    assert u.state == 2  # Modified
+    u2 = st2.store_user({"id": "u2", "profile": {}})
+    assert u2.state == 1
+    st2.close(True)
+    # persisted across instances
+    st3 = StateStore(KVStore(str(tmp_path / "state.json")))
+    assert set(st3.users) == {"u1", "u2"}
+
+
+def test_statestore_rollback_discards(tmp_path):
+    store = KVStore(str(tmp_path / "state.json"))
+    st = StateStore(store)
+    st.store_user({"id": "u1"})
+    st.close(False)  # rollback
+    assert StateStore(store).users == {}
+
+
+# --------------------------------------------------------- supervises
+
+def test_assign_supervises_sorted_and_republish():
+    from beats_spark.entityanalytics import _assign_supervises
+
+    store = KVStore(None)
+    st = StateStore(store)
+    st.store_user({"id": "mgr", "profile": {
+        "email": "m@x", "login": "mgr@x"}})
+    st.store_user({"id": "b", "profile": {
+        "managerId": "mgr", "email": "b@x", "login": "b@x"}})
+    st.store_user({"id": "a", "profile": {
+        "managerId": "mgr", "email": "a@x", "login": "a@x"}})
+    _assign_supervises(st)
+    assert st.users["mgr"].supervises == [
+        {"id": "a", "email": "a@x", "username": "a@x"},
+        {"id": "b", "email": "b@x", "username": "b@x"}]
+    assert st.users["a"].supervises == []
+
+
+# ------------------------------------------------------------ fake API
+
+class FakeOkta:
+    """The management-API subset with SSWS verification, Link
+    pagination, rate-limit headers, and per-user enrichment routes."""
+
+    def __init__(self, page_size: int = 100):
+        self.users: list[dict] = []
+        self.devices: list[dict] = []
+        self.device_users: dict[str, list] = {}
+        self.groups: dict[str, list] = {}
+        self.roles: dict[str, list] = {}
+        self.perms: dict[str, list] = {}
+        self.page_size = page_size
+        self.queries: list[str] = []
+        self._lock = threading.Lock()
+        outer = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, status, obj, extra=None):
+                body = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra or []):
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.headers.get("Authorization") != \
+                        "SSWS " + TOKEN:
+                    return self._send(401, {
+                        "errorCode": "E0000011",
+                        "errorSummary": "Invalid token provided."})
+                u = urlparse(self.path)
+                q = dict(parse_qsl(u.query))
+                with outer._lock:
+                    outer.queries.append(self.path)
+                    parts = u.path.strip("/").split("/")
+                    if u.path == "/api/v1/users":
+                        return self._list(outer.users, u.path, q)
+                    if u.path == "/api/v1/devices":
+                        return self._list(outer.devices, u.path, q)
+                    if (len(parts) == 5 and parts[2] == "devices"
+                            and parts[4] == "users"):
+                        return self._list(
+                            outer.device_users.get(parts[3], []),
+                            u.path, q)
+                    if (len(parts) == 5 and parts[2] == "users"
+                            and parts[4] == "groups"):
+                        return self._send(
+                            200, outer.groups.get(parts[3], []))
+                    if (len(parts) == 5 and parts[2] == "users"
+                            and parts[4] == "roles"):
+                        return self._send(
+                            200, outer.roles.get(parts[3], []))
+                    if (len(parts) == 6 and parts[2] == "iam"
+                            and parts[5] == "permissions"):
+                        return self._send(200, {
+                            "permissions":
+                                outer.perms.get(parts[4], [])})
+                self._send(404, {"errorCode": "E0000007",
+                                 "errorSummary": "Not found."})
+
+            def _list(self, items, path, q):
+                # honor the search filter on incremental updates
+                search = q.get("search", "")
+                rows = items
+                if search.startswith('lastUpdated ge "'):
+                    ts = search.split('"')[1]
+                    rows = [r for r in items
+                            if r.get("lastUpdated", "") >= ts]
+                start = int(q.get("after", 0))
+                page = rows[start:start + outer.page_size]
+                extra = [("x-rate-limit-limit", "1000000"),
+                         ("x-rate-limit-remaining", "999999"),
+                         ("x-rate-limit-reset",
+                          str(int(time.time()) + 60))]
+                if start + outer.page_size < len(rows):
+                    nxt = (f"http://{self.headers['Host']}{path}"
+                           f"?after={start + outer.page_size}")
+                    extra.append(("link", f'<{nxt}>; rel="next"'))
+                self._send(200, page, extra)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.domain = f"127.0.0.1:{self.httpd.server_address[1]}"
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_okta():
+    srv = FakeOkta()
+    yield srv
+    srv.close()
+
+
+def _client(srv, **kw):
+    return OktaClient(srv.domain, TOKEN, scheme="http",
+                      sleep=lambda s: None, **kw)
+
+
+def _user(uid, last_updated="2023-05-15T01:50:32.000Z", **profile):
+    return {"id": uid, "status": "ACTIVE",
+            "lastUpdated": last_updated,
+            "profile": dict({"login": f"{uid}@example.com",
+                             "email": f"{uid}@example.com"},
+                            **profile),
+            "credentials": {"password": {"value": "secret"},
+                            "provider": {"type": "OKTA"}},
+            "transitioningToStatus": "DEPROVISIONED"}
+
+
+def test_omit_redaction(fake_okta):
+    """OmitCredentials | OmitTransitioningToStatus strips the
+    sensitive fields client-side (okta.go const omit)."""
+    fake_okta.users = [_user("u1")]
+    c = _client(fake_okta)
+    batch, _ = next(iter(c.get_users({"search": "status pr"})))
+    assert "credentials" not in batch[0]
+    assert "transitioningToStatus" not in batch[0]
+
+
+def test_full_sync_markers_and_entities(fake_okta, tmp_path):
+    fake_okta.users = [_user("u1"), _user("u2")]
+    fake_okta.groups = {"u1": [{"id": "g1", "profile":
+                               {"name": "Admins"}}],
+                        "u2": []}
+    store = KVStore(str(tmp_path / "okta.json"))
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users")
+    recs = okta_full_sync(cfg, store, input_id="ea-1",
+                          client=_client(fake_okta))
+    actions = [r["fields"]["event"]["action"] for r in recs]
+    assert actions == ["started", "user-discovered",
+                       "user-discovered", "completed"]
+    # publishUser document shape
+    u1 = recs[1]["fields"]
+    assert u1["user"]["id"] == "u1"
+    assert u1["labels"]["identity_source"] == "ea-1"
+    assert u1["groups"] == [{"id": "g1",
+                             "profile": {"name": "Admins"}}]
+    assert u1["okta"]["profile"]["login"] == "u1@example.com"
+    # the default search used (status pr for DEPROVISIONED users)
+    assert any("search=status+pr" in q for q in fake_okta.queries)
+    # state committed with the ge-watermark link
+    link = store.data["state"]["users_link"]
+    assert "lastUpdated+ge+%222023-05-15T01%3A50%3A32.000Z%22" in link
+    assert "status+pr" in link
+
+
+def test_second_full_sync_marks_modified(fake_okta, tmp_path):
+    fake_okta.users = [_user("u1")]
+    store = KVStore(str(tmp_path / "okta.json"))
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["none"])
+    okta_full_sync(cfg, store, input_id="i",
+                   client=_client(fake_okta))
+    recs = okta_full_sync(cfg, store, input_id="i",
+                          client=_client(fake_okta))
+    assert [r["fields"]["event"]["action"] for r in recs] == \
+        ["started", "user-modified", "completed"]
+
+
+def test_incremental_update_watermark(fake_okta, tmp_path):
+    fake_okta.users = [_user("u1", "2023-05-15T01:00:00.000Z")]
+    store = KVStore(str(tmp_path / "okta.json"))
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["none"])
+    okta_full_sync(cfg, store, input_id="i",
+                   client=_client(fake_okta))
+    # nothing changed → the ge filter still matches u1 (ge not gt)
+    recs = okta_incremental_update(cfg, store, input_id="i",
+                                   client=_client(fake_okta))
+    assert [r["fields"]["event"]["action"] for r in recs] == \
+        ["user-modified"]
+    # a newly updated user appears; an older one filtered out
+    with fake_okta._lock:
+        fake_okta.users = [
+            _user("u0", "2023-05-14T00:00:00.000Z"),
+            _user("u1", "2023-05-15T01:00:00.000Z"),
+            _user("u3", "2023-05-16T00:00:00.000Z")]
+    recs = okta_incremental_update(cfg, store, input_id="i",
+                                   client=_client(fake_okta))
+    ids = [r["fields"]["user"]["id"] for r in recs]
+    assert ids == ["u1", "u3"]
+
+
+def test_pagination_via_link_header(fake_okta, tmp_path):
+    fake_okta.page_size = 2
+    fake_okta.users = [_user(f"u{i}") for i in range(5)]
+    store = KVStore(None)
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["none"], batch_size=2)
+    recs = okta_full_sync(cfg, store, input_id="i",
+                          client=_client(fake_okta))
+    ids = [r["fields"]["user"]["id"] for r in recs
+           if "user" in r["fields"]]
+    assert ids == [f"u{i}" for i in range(5)]
+    assert any("limit=2" in q for q in fake_okta.queries)
+
+
+def test_supervises_enrichment(fake_okta):
+    fake_okta.users = [
+        _user("mgr"),
+        _user("sub1", managerId="mgr"),
+        _user("sub2", managerId="mgr")]
+    store = KVStore(None)
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["supervises"])
+    recs = okta_full_sync(cfg, store, input_id="i",
+                          client=_client(fake_okta))
+    by_id = {r["fields"]["user"]["id"]: r["fields"] for r in recs
+             if "user" in r["fields"]}
+    assert [s["id"] for s in by_id["mgr"]["supervises"]] == \
+        ["sub1", "sub2"]
+    assert by_id["sub1"]["supervises"] == []
+
+
+def test_roles_and_perms_cached(fake_okta):
+    fake_okta.users = [_user("u1"), _user("u2")]
+    role = {"id": "r1", "role": "cr1", "type": "CUSTOM",
+            "label": "Custom"}
+    fake_okta.roles = {"u1": [dict(role)], "u2": [dict(role)]}
+    fake_okta.perms = {"cr1": [{"label": "okta.users.read"}]}
+    store = KVStore(None)
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["perms"])
+    recs = okta_full_sync(cfg, store, input_id="i",
+                          client=_client(fake_okta))
+    by_id = {r["fields"]["user"]["id"]: r["fields"] for r in recs
+             if "user" in r["fields"]}
+    assert by_id["u1"]["roles"][0]["permissions"] == \
+        [{"label": "okta.users.read"}]
+    # the permissions endpoint was hit exactly once (cache)
+    perm_calls = [q for q in fake_okta.queries if "permissions" in q]
+    assert len(perm_calls) == 1
+
+
+def test_devices_with_device_users(fake_okta, tmp_path):
+    fake_okta.devices = [{"id": "d1", "status": "ACTIVE",
+                          "lastUpdated": "2023-05-15T01:00:00.000Z",
+                          "profile": {"displayName": "laptop"}}]
+    fake_okta.device_users = {"d1": [{"user": _user("u1")}]}
+    store = KVStore(None)
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="devices")
+    recs = okta_full_sync(cfg, store, input_id="i",
+                          client=_client(fake_okta))
+    dev = [r["fields"] for r in recs if "device" in r["fields"]]
+    assert len(dev) == 1
+    assert dev[0]["device"]["id"] == "d1"
+    assert dev[0]["event"]["action"] == "device-discovered"
+    assert len(dev[0]["okta"]["users"]) == 1
+
+
+def test_error_rolls_back_state(fake_okta, tmp_path):
+    store = KVStore(str(tmp_path / "okta.json"))
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token="wrong",
+               dataset="users", enrich_with=["none"])
+    with pytest.raises(OktaError, match="invalid token provided"):
+        okta_full_sync(cfg, store, input_id="i",
+                       client=OktaClient(fake_okta.domain, "wrong",
+                                         scheme="http",
+                                         sleep=lambda s: None))
+    assert store.data == {}
+
+
+# ------------------------------------------------------ Spark surfaces
+
+def test_entity_events_df(spark, fake_okta):
+    fake_okta.users = [_user("u1")]
+    store = KVStore(None)
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["none"])
+    recs = okta_full_sync(cfg, store, input_id="ea-df",
+                          client=_client(fake_okta))
+    df = entity_events_df(spark, recs)
+    rows = df.collect()
+    assert [r.action for r in rows] == \
+        ["started", "user-discovered", "completed"]
+    assert rows[1].entity_id == "u1"
+    assert rows[1].identity_source == "ea-df"
+    assert json.loads(rows[1].fields)["okta"]["id"] == "u1"
+
+
+def test_okta_stream_sync_then_update(spark, fake_okta, tmp_path):
+    from beats_spark.entityanalytics import okta_stream
+
+    fake_okta.users = [_user("u1", "2023-05-15T01:00:00.000Z")]
+    store = KVStore(str(tmp_path / "okta.json"))
+    cfg = Conf(okta_domain=fake_okta.domain, okta_token=TOKEN,
+               dataset="users", enrich_with=["none"],
+               sync_interval=3600.0, update_interval=0.2)
+    seen = []
+    lock = threading.Lock()
+
+    def sink(df, batch_id):
+        acts = [(r.action, r.entity_id) for r in df.collect()]
+        with lock:
+            seen.extend(acts)
+
+    q = okta_stream(spark, cfg, store, input_id="i", sink=sink,
+                    checkpoint_dir=str(tmp_path / "ckpt"),
+                    poll_seconds=0.2,
+                    client_factory=lambda: _client(fake_okta))
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if ("user-discovered", "u1") in seen:
+                    break
+            time.sleep(0.1)
+        # a changed user arrives through the incremental update
+        with fake_okta._lock:
+            fake_okta.users = [
+                _user("u1", "2023-05-15T01:00:00.000Z"),
+                _user("u9", "2023-05-17T00:00:00.000Z")]
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with lock:
+                if any(e == ("user-discovered", "u9")
+                       for e in seen):
+                    break
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination(10)
+    assert ("user-discovered", "u1") in seen
+    assert ("user-discovered", "u9") in seen
+    # the full sync committed last_sync; updates committed last_update
+    assert store.data["state"].get("last_sync")
+    assert store.data["state"].get("last_update")
