@@ -1,0 +1,309 @@
+"""azure-eventhub input battery (processing layer).
+
+Ports the reference matrices (x-pack/filebeat/input/azureeventhub/):
+sanitizers_test.go's fixture battery verbatim (NEW_LINES,
+SINGLE_QUOTES, the combined pass, the replace_all PostgreSQL blob
+case) plus the spec validation wordings, decoder.go's
+records/array/single expansion, connection_string.go's parse matrix
+with the joined-error wordings, config.go's auth_type decision table,
+and the v2 event shape over the Spark handoff. The AMQP transport is
+environment-gated (documented in the module docstring); the
+processing pipeline is what this battery certifies.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beats_spark.azureeventhub import (
+    Config, EventHubError, SanitizerSpec, decode_message,
+    eventhub_events_df, eventhub_records, new_sanitizer,
+    new_sanitizers, parse_connection_string, sanitize_new_lines,
+    sanitize_single_quotes, storage_container_validate,
+    validate_config,
+)
+
+CONN = ("Endpoint=sb://ns.servicebus.windows.net/;"
+        "SharedAccessKeyName=RootManageSharedAccessKey;"
+        "SharedAccessKey=secret+key=;EntityPath=hub-1")
+
+
+# ----------------------------------------------------------- sanitizers
+
+ORIGINAL = (b"{'test':\"this is 'some' message\n\",\n"
+            b"\"time\":\"2019-12-17T13:43:44.4946995Z\"}")
+
+
+def test_new_lines_fixture():
+    assert sanitize_new_lines(ORIGINAL) == \
+        (b"{'test':\"this is 'some' message\","
+         b"\"time\":\"2019-12-17T13:43:44.4946995Z\"}")
+
+
+def test_single_quotes_fixture():
+    assert sanitize_single_quotes(ORIGINAL) == \
+        (b"{\"test\":\"this is 'some' message\n\",\n"
+         b"\"time\":\"2019-12-17T13:43:44.4946995Z\"}")
+
+
+def test_combined_fixture():
+    out = sanitize_single_quotes(sanitize_new_lines(ORIGINAL))
+    assert out == (b"{\"test\":\"this is 'some' message\","
+                   b"\"time\":\"2019-12-17T13:43:44.4946995Z\"}")
+    assert json.loads(out)  # the result is valid JSON
+
+
+def test_replace_all_blob_fixture():
+    s = new_sanitizer(SanitizerSpec("replace_all", {
+        "pattern": r"\[\s*([^\[\]{},\s]+(?:\s+[^\[\]{},\s]+)*)\s*\]",
+        "replacement": "{}"}))
+    original = b'{"properties": [\n\t\t218 B blob data\n\t]}'
+    assert s(original) == b'{"properties": {}}'
+    # real arrays of quoted strings survive (they contain commas)
+    keep = b'{"a": ["x", "y"]}'
+    assert s(keep) == keep
+
+
+def test_sanitizer_spec_wordings():
+    with pytest.raises(EventHubError, match="unknown sanitizer type: "
+                       "bogus"):
+        new_sanitizer(SanitizerSpec("bogus"))
+    with pytest.raises(EventHubError,
+                       match="failed to initialize sanitizer "
+                       "'replace_all': missing required sanitizer "
+                       "spec"):
+        new_sanitizer(SanitizerSpec("replace_all", None))
+    with pytest.raises(EventHubError, match="missing sanitizer spec "
+                       "entry: pattern"):
+        new_sanitizer(SanitizerSpec("replace_all",
+                                    {"replacement": "x"}))
+    with pytest.raises(EventHubError, match="sanitizer spec entry "
+                       "replacement must be a string"):
+        new_sanitizer(SanitizerSpec("replace_all",
+                                    {"pattern": "x",
+                                     "replacement": 3}))
+    with pytest.raises(EventHubError, match="can't compile regex "
+                       "pattern"):
+        new_sanitizer(SanitizerSpec("replace_all",
+                                    {"pattern": "([",
+                                     "replacement": ""}))
+
+
+def test_legacy_options():
+    sans = new_sanitizers([], ["NEW_LINES", "SINGLE_QUOTES"])
+    assert len(sans) == 2
+    out = ORIGINAL
+    for s in sans:
+        out = s(out)
+    assert json.loads(out)
+
+
+# -------------------------------------------------------------- decoder
+
+def test_decode_records_envelope():
+    msg = json.dumps({"records": [
+        {"time": "2019-12-17T13:43:44.4946995Z",
+         "test": "this is some message"},
+        {"test": "second"}]}).encode()
+    recs = decode_message(msg)
+    assert [json.loads(r) for r in recs] == [
+        {"time": "2019-12-17T13:43:44.4946995Z",
+         "test": "this is some message"},
+        {"test": "second"}]
+
+
+def test_decode_bare_array():
+    recs = decode_message(b'[{"a": 1}, {"b": 2}]')
+    assert [json.loads(r) for r in recs] == [{"a": 1}, {"b": 2}]
+
+
+def test_decode_single_event_passthrough():
+    # decoder_test.go: a single object without records is returned
+    # whole (through the array-unmarshal failure path)
+    msg = (b'{"key1":"value1","nestedKey":{"nestedKey1":'
+           b'"nestedValue1"},"arrayKey":["arrayValue1",'
+           b'"arrayValue2"]}')
+    # our dict-without-records path returns [] per the reference's
+    # map[string][]interface{} success with no records... but the Go
+    # unmarshal FAILS for non-array field values, falling through to
+    # the whole-message return. Pin the whole-message behavior.
+    recs = decode_message(msg)
+    assert len(recs) == 1
+    assert json.loads(recs[0]) == json.loads(msg)
+
+
+def test_decode_invalid_json_sanitized():
+    sans = new_sanitizers([], ["NEW_LINES", "SINGLE_QUOTES"])
+    recs = decode_message(
+        b"{'records': [{'test': 'quoted'}\n]}", sans)
+    assert [json.loads(r) for r in recs] == [{"test": "quoted"}]
+
+
+def test_decode_unparseable_returns_whole():
+    recs = decode_message(b"not json at all")
+    assert recs == ["not json at all"]
+
+
+# ----------------------------------------------------- connection string
+
+def test_parse_connection_string_full():
+    csp = parse_connection_string(CONN)
+    assert csp["fully_qualified_namespace"] == \
+        "ns.servicebus.windows.net"
+    assert csp["entity_path"] == "hub-1"
+    assert csp["shared_access_key_name"] == \
+        "RootManageSharedAccessKey"
+    # '=' inside the value is preserved (SplitN semantics)
+    assert csp["shared_access_key"] == "secret+key="
+
+
+def test_parse_connection_string_errors_joined():
+    with pytest.raises(EventHubError) as ei:
+        parse_connection_string("Endpoint=sb://x.net/")
+    msg = str(ei.value)
+    assert ('key "SharedAccessKeyName" and "SharedAccessSignature" '
+            "must not be empty") in msg
+    assert ('key "SharedAccessKey" or "SharedAccessSignature" '
+            "cannot both be empty") in msg
+    with pytest.raises(EventHubError, match="unmatched key value "
+                       "separated by '='"):
+        parse_connection_string("JustAKey")
+
+
+def test_parse_connection_string_sas_form():
+    csp = parse_connection_string(
+        "Endpoint=sb://sb.servicebus.windows.net;"
+        "SharedAccessSignature=SharedAccessSignature "
+        "sr=sb.servicebus.windows.net&sig=c2ln&se=123&skn=name")
+    assert csp["shared_access_signature"].startswith(
+        "SharedAccessSignature sr=")
+
+
+def test_parse_connection_string_emulator_rule():
+    csp = parse_connection_string(
+        "Endpoint=sb://localhost:6765;SharedAccessKeyName=n;"
+        "SharedAccessKey=k;UseDevelopmentEmulator=true")
+    assert csp["emulator"] is True
+    with pytest.raises(EventHubError, match="UseDevelopmentEmulator="
+                       "true can only be used with sb://"):
+        parse_connection_string(
+            "Endpoint=https://localhost;SharedAccessKeyName=n;"
+            "SharedAccessKey=k;UseDevelopmentEmulator=true")
+
+
+# -------------------------------------------------------------- config
+
+def _cfg(**over):
+    c = Config(connection_string=CONN, storage_account="stacct")
+    for k, v in over.items():
+        setattr(c, k, v)
+    return c
+
+
+def test_validate_auth_type_matrix():
+    with pytest.raises(EventHubError) as ei:
+        validate_config(_cfg(auth_type="bogus"))
+    assert str(ei.value) == ("unknown auth_type: bogus (valid values:"
+                             " connection_string, client_secret, "
+                             "managed_identity)")
+    with pytest.raises(EventHubError, match="connection_string is "
+                       "required when auth_type is empty"):
+        validate_config(_cfg(connection_string=""))
+    with pytest.raises(EventHubError, match="invalid connection "
+                       "string: "):
+        validate_config(_cfg(connection_string="Endpoint=sb://x.net/"))
+    with pytest.raises(EventHubError, match="tenant_id is required "
+                       "when using client_secret authentication"):
+        validate_config(_cfg(auth_type="client_secret",
+                             eventhub_namespace="ns"))
+    with pytest.raises(EventHubError, match="eventhub_namespace is "
+                       "required when using managed_identity"):
+        validate_config(_cfg(auth_type="managed_identity"))
+    with pytest.raises(EventHubError, match="no storage account "
+                       r"configured \(config: storage_account\)"):
+        validate_config(_cfg(storage_account=""))
+
+
+def test_validate_eventhub_from_entity_path():
+    c = _cfg()
+    validate_config(c)
+    assert c.eventhub == "hub-1"  # pulled from EntityPath
+    c2 = _cfg(connection_string=CONN.replace(";EntityPath=hub-1", ""))
+    with pytest.raises(EventHubError, match="no event hub name "
+                       "configured"):
+        validate_config(c2)
+
+
+def test_validate_v1_requires_storage_key():
+    with pytest.raises(EventHubError, match="storage_account_key is "
+                       "required when using connection_string "
+                       "authentication with processor v1"):
+        validate_config(_cfg(processor_version="v1"))
+
+
+def test_storage_container_validate():
+    with pytest.raises(EventHubError, match=r"\(ab\) must be 3 or "
+                       "more characters"):
+        storage_container_validate("ab")
+    with pytest.raises(EventHubError, match="must be less than 63 "
+                       "characters"):
+        storage_container_validate("x" * 63)
+    storage_container_validate("abc")
+
+
+# ------------------------------------------------------------- pipeline
+
+def _msg(body, **over):
+    m = {"body": body, "partition_id": "0", "offset": 1234,
+         "sequence_number": 5, "enqueued_time":
+         "2019-12-17T13:43:44Z"}
+    m.update(over)
+    return m
+
+
+def test_eventhub_records_shape():
+    cfg = _cfg()
+    validate_config(cfg)
+    body = json.dumps({"records": [{"a": 1}, {"b": 2}]}).encode()
+    recs = eventhub_records(cfg, [_msg(body, partition_key="pk-9")],
+                            now=42.0)
+    assert len(recs) == 2
+    f = recs[0]["fields"]
+    assert json.loads(f["message"]) == {"a": 1}
+    assert f["azure"] == {
+        "partition_id": "0", "eventhub": "hub-1",
+        "consumer_group": "$Default", "offset": 1234,
+        "sequence_number": 5,
+        "enqueued_time": "2019-12-17T13:43:44Z",
+        "partition_key": "pk-9"}
+    # partition_key omitted when absent
+    recs2 = eventhub_records(cfg, [_msg(body)], now=42.0)
+    assert "partition_key" not in recs2[0]["fields"]["azure"]
+
+
+def test_eventhub_records_with_sanitizers():
+    cfg = _cfg(legacy_sanitize_options=["NEW_LINES",
+                                        "SINGLE_QUOTES"])
+    validate_config(cfg)
+    recs = eventhub_records(
+        cfg, [_msg(b"{'records': [{'x': 'y'}\n]}")], now=1.0)
+    assert [json.loads(r["fields"]["message"]) for r in recs] == \
+        [{"x": "y"}]
+
+
+def test_eventhub_events_df(spark):
+    cfg = _cfg()
+    validate_config(cfg)
+    body = json.dumps({"records": [
+        {"time": "2019-12-17T13:43:44.4946995Z",
+         "test": "this is some message"}]}).encode()
+    recs = eventhub_records(cfg, [_msg(body)], now=1600000000.0)
+    df = eventhub_events_df(spark, recs)
+    rows = df.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.eventhub == "hub-1" and r.consumer_group == "$Default"
+    assert r.partition_id == "0" and r.offset == 1234
+    assert json.loads(r.message)["test"] == "this is some message"
