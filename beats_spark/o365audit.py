@@ -370,6 +370,10 @@ def api_error_event(code: str, message: str,
 class Transaction:
     kind: str                      # "list" | "blob" | "subscribe"
     delay: float = 0.0
+    # live marks the poll-interval delay of a window clamped at the
+    # present (adjustTimes' to>now branch) — the bounded runner stops
+    # there; error-retry delays are NOT live and are slept through
+    live: bool = False
     # list
     cursor: Optional[Checkpoint] = None
     start_time: Optional[datetime] = None
@@ -426,7 +430,7 @@ class Poller:
             delay = self.api.poll_interval
         return replace(tx, start_time=since.astimezone(timezone.utc),
                        end_time=to.astimezone(timezone.utc),
-                       delay=delay)
+                       delay=delay, live=delay > 0)
 
     # ---- requests
 
@@ -474,7 +478,7 @@ class Poller:
         while queue and n < max_requests:
             tx = queue.pop(0)
             if tx.delay > 0:
-                if tx.kind == "list" and stop_when_live:
+                if tx.live and stop_when_live:
                     return final
                 self.sleep(tx.delay)
             else:
@@ -555,9 +559,11 @@ class Poller:
             msg = {}
         err = (msg.get("error") or {})
         code = err.get("code", "")
-        tx = replace(tx, delay=self.api.error_retry_interval)
+        tx = replace(tx, delay=self.api.error_retry_interval,
+                     live=False)
         if status == 401:
-            return [replace(tx, delay=self.api.poll_interval)]
+            return [replace(tx, delay=self.api.poll_interval,
+                            live=False)]
         if status in (408, 503):
             return [tx]
         if code in FATAL_ERRORS:

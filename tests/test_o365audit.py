@@ -453,6 +453,38 @@ def test_fatal_error_terminates(fake_o365):
         _collect(fake_o365, now=lambda: now)
 
 
+def test_transient_503_retries_within_collect(fake_o365):
+    """An error-retry delay is NOT the live-window delay: a 503 on
+    the listing sleeps error_retry_interval and retries inside the
+    same bounded run instead of ending it (listblobs.go:192-198)."""
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    created = "2020-02-05T10:00:00"
+    fake_o365.add_blob("b1", created, [{"CreationTime": created,
+                                        "Id": "survives"}])
+    flaky = {"n": 2}
+
+    # monkey-patch the fake: the first two list requests return 503
+    def flaky_list(handler, q):
+        if flaky["n"] > 0:
+            flaky["n"] -= 1
+            return handler._send(503, {"error": {
+                "code": "", "message": "Service Unavailable"}})
+        return type(handler)._orig_list(handler, q)
+
+    htype = fake_o365.httpd.RequestHandlerClass
+    htype._orig_list = htype._list
+    htype._list = flaky_list
+    sleeps = []
+    try:
+        recs, _ = _collect(fake_o365, now=lambda: now,
+                           sleep=sleeps.append)
+    finally:
+        htype._list = htype._orig_list
+    assert [r["meta_id"] for r in recs] == ["survives"]
+    # the error-retry interval was slept through, twice
+    assert sleeps.count(300.0) == 2
+
+
 def test_blob_404_dropped(fake_o365):
     now = datetime(2020, 2, 8, tzinfo=timezone.utc)
     fake_o365.add_blob("gone", "2020-02-05T10:00:00",
