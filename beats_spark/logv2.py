@@ -1,0 +1,296 @@
+"""logv2 input — the Log→Filestream configuration migration, live.
+
+The reference input (filebeat/input/logv2/) is the migration shim
+that accepts a legacy `log` (or `container`) input configuration,
+converts it to the equivalent `filestream` configuration
+(convert.go's conversion tables), forces take_over, and hands the
+result to the filestream plugin. The repo's filestream equivalent is
+the scan/checkpoint stack (beats_spark.checkpoint + the reader
+chain), so this module ports the conversion itself:
+
+- inputConvTable     → the per-field rename/retype table (backoff →
+                       backoff.init, close_* → close.on_state_change/
+                       reader.*, scan_frequency → prospector.scanner.
+                       check_interval, tail_files → the
+                       ignore_inactive=since_last_start constant, …)
+- logInputExclusiveKeys → removed from the converted config before
+                       translation
+- translateField     → the type-coercion semantics: malformed values
+                       warn and are IGNORED (never fatal), the "null"
+                       string for empty keys is skipped, constants
+                       apply only when true
+- handleParsers      → container inputs become a `container` parser
+                       (stream/format defaults, take_over.stream only
+                       when != all, symlinks forced on), `json:`
+                       becomes an `ndjson` parser (keys_under_root
+                       false → target "json" — note the reference
+                       MUTATES the original json block), `multiline:`
+                       is appended AS-IS (handleMultiline builds a
+                       translated copy but appends the original — the
+                       quirk is preserved because every multiline key
+                       maps to itself), then any pre-existing
+                       `parsers` are copied after the generated ones
+- handleFileIdentity → defaults to file_identity.native when unset
+- the final type=filestream + take_over.enabled=true stamps
+
+The converter operates on plain nested dicts; dotted YAML keys
+("multiline.type", "recursive_glob.enabled") are normalized to
+nested paths first, matching go-ucfg's path semantics. The output
+matches the reference's testdata/filestream-all.json golden
+key-for-key.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Optional
+
+__all__ = ["convert_config", "normalize_dotted_keys"]
+
+# inputConvTable (convert.go:54-77)
+INPUT_CONV_TABLE: dict[str, tuple[str, str, str]] = {
+    # log key -> (filestream key, kind, constant value)
+    "backoff": ("backoff.init", "string", ""),
+    "clean_inactive": ("clean_inactive", "string", ""),
+    "clean_removed": ("clean_removed", "bool", ""),
+    "close_eof": ("close.reader.on_eof", "bool", ""),
+    "close_inactive": ("close.on_state_change.inactive", "string", ""),
+    "close_removed": ("close.on_state_change.removed", "bool", ""),
+    "close_renamed": ("close.on_state_change.renamed", "bool", ""),
+    "close_timeout": ("close.reader.after_interval", "string", ""),
+    "encoding": ("encoding", "string", ""),
+    "exclude_files": ("prospector.scanner.exclude_files", "map", ""),
+    "exclude_lines": ("exclude_lines", "map", ""),
+    "file_identity": ("file_identity", "map", ""),
+    "harvester_buffer_size": ("buffer_size", "int", ""),
+    "harvester_limit": ("harvester_limit", "int", ""),
+    "ignore_older": ("ignore_older", "string", ""),
+    "include_lines": ("include_lines", "map", ""),
+    "max_backoff": ("backoff.max", "string", ""),
+    "max_bytes": ("message_max_bytes", "int", ""),
+    "recursive_glob.enabled":
+        ("prospector.scanner.recursive_glob", "bool", ""),
+    "scan_frequency":
+        ("prospector.scanner.check_interval", "string", ""),
+    "symlinks": ("prospector.scanner.symlinks", "bool", ""),
+    "tail_files": ("ignore_inactive", "constant", "since_last_start"),
+}
+
+# logInputExclusiveKeys (convert.go:94-115)
+LOG_EXCLUSIVE_KEYS = [
+    "backoff", "backoff_factor", "close_eof", "close_inactive",
+    "close_removed", "close_renamed", "close_timeout",
+    "exclude_files", "harvester_buffer_size", "json", "max_backoff",
+    "max_bytes", "multiline", "recursive_glob.enabled", "scan",
+    "scan_frequency", "stream", "format", "symlinks", "tail_files",
+]
+
+
+def normalize_dotted_keys(obj: Any) -> Any:
+    """go-ucfg path semantics: a YAML key containing '.' addresses a
+    nested path."""
+    if isinstance(obj, list):
+        return [normalize_dotted_keys(x) for x in obj]
+    if not isinstance(obj, dict):
+        return obj
+    out: dict = {}
+    for k, v in obj.items():
+        v = normalize_dotted_keys(v)
+        parts = str(k).split(".")
+        cur = out
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        leaf = parts[-1]
+        if isinstance(cur.get(leaf), dict) and isinstance(v, dict):
+            cur[leaf].update(v)
+        else:
+            cur[leaf] = v
+    return out
+
+
+def _get(cfg: dict, path: str):
+    cur: Any = cfg
+    for p in path.split("."):
+        if not isinstance(cur, dict) or p not in cur:
+            return False, None
+        cur = cur[p]
+    return True, cur
+
+
+def _set(cfg: dict, path: str, value) -> None:
+    parts = path.split(".")
+    cur = cfg
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            cur[p] = nxt
+        cur = nxt
+    cur[parts[-1]] = value
+
+
+def _remove(cfg: dict, path: str) -> None:
+    parts = path.split(".")
+    parents = [cfg]
+    cur = cfg
+    for p in parts[:-1]:
+        nxt = cur.get(p)
+        if not isinstance(nxt, dict):
+            return
+        parents.append(nxt)
+        cur = nxt
+    cur.pop(parts[-1], None)
+    # prune parents emptied by the removal (the golden shows no
+    # residual recursive_glob: {} after removing its only child)
+    for i in range(len(parents) - 1, 0, -1):
+        if not parents[i]:
+            parents[i - 1].pop(parts[i - 1], None)
+
+
+def _translate_field(src: dict, dst: dict, key: str,
+                     fs_name: str, kind: str, fs_val: str,
+                     warn: Callable[[str], None]) -> None:
+    """translateField (convert.go:176-233): malformed entries warn
+    and are ignored."""
+    _, v = _get(src, key)
+    if kind == "string":
+        if v is None:
+            # empty config keys appear as the `null` string — skipped
+            return
+        if isinstance(v, (dict, list)):
+            warn(f'cannot read "{key}" as string, ignoring malformed '
+                 "config entry")
+            return
+        s = str(v).lower() if isinstance(v, bool) else str(v)
+        if s != "null":
+            _set(dst, fs_name, s)
+    elif kind == "bool":
+        if not isinstance(v, bool):
+            warn(f'cannot read "{key}" as bool, ignoring malformed '
+                 "config entry")
+            return
+        _set(dst, fs_name, v)
+    elif kind == "int":
+        if isinstance(v, bool) or not isinstance(v, int):
+            warn(f'cannot read "{key}" as int, ignoring malformed '
+                 "config entry")
+            return
+        _set(dst, fs_name, v)
+    elif kind == "map":
+        if not isinstance(v, (dict, list)):
+            warn(f'cannot read "{key}" as map, ignoring malformed '
+                 "config entry")
+            return
+        _set(dst, fs_name, v)
+    elif kind == "constant":
+        if not isinstance(v, bool):
+            warn(f'cannot read "{key}" as bool, ignoring malformed '
+                 "config entry")
+            return
+        if v:
+            _set(dst, fs_name, fs_val)
+
+
+def _handle_container(cfg: dict, new_cfg: dict,
+                      parsers: list) -> None:
+    """handleContainerInput (convert.go:335-384)."""
+    if cfg.get("type") != "container":
+        return
+    stream = "all"
+    if "stream" in cfg:
+        stream = str(cfg["stream"])
+        if stream != "all":
+            _set(new_cfg, "take_over.stream", stream)
+    fmt = str(cfg.get("format", "auto")) if "format" in cfg else "auto"
+    parsers.append({"container": {"stream": stream, "format": fmt}})
+    _set(new_cfg, "prospector.scanner.symlinks", True)
+
+
+def _handle_json(cfg: dict, parsers: list,
+                 warn: Callable[[str], None]) -> None:
+    """handleJSON (convert.go:289-332)."""
+    if "json" not in cfg:
+        return
+    json_cfg = cfg["json"]
+    if not isinstance(json_cfg, dict):
+        warn("cannot read 'json' as map, ignoring malformed config "
+             "entry")
+        return
+    if not json_cfg:
+        return
+    keys_under_root = json_cfg.get("keys_under_root")
+    if keys_under_root is not None \
+            and not isinstance(keys_under_root, bool):
+        warn("cannot read 'json.keys_under_root' as boolean, "
+             "ignoring malformed config entry")
+        keys_under_root = False
+    if not keys_under_root:
+        # the reference mutates the original json block
+        json_cfg["target"] = "json"
+    parsers.append({"ndjson": json_cfg})
+
+
+MULTILINE_KEYS = {"count_lines", "flush_pattern", "match",
+                  "max_lines", "negate", "pattern", "skip_newline",
+                  "timeout", "type"}
+
+
+def _handle_multiline(cfg: dict, parsers: list,
+                      warn: Callable[[str], None]) -> None:
+    """handleMultiline (convert.go:240-286) — the reference builds a
+    translated copy but appends the ORIGINAL multiline block (every
+    key maps to itself, so the quirk is observable only through
+    unknown keys surviving); preserved faithfully."""
+    if "multiline" not in cfg:
+        return
+    ml = cfg["multiline"]
+    if not isinstance(ml, dict):
+        warn("cannot read 'multiline' as map, ignoring malformed "
+             "config entry")
+        return
+    if not ml:
+        return
+    parsers.append({"multiline": ml})
+
+
+def convert_config(cfg: dict,
+                   warn: Optional[Callable[[str], None]] = None
+                   ) -> dict:
+    """convertConfig (convert.go:118-173): Log input dict →
+    Filestream dict. The input may use dotted keys; the output is
+    nested."""
+    warnings: list[str] = []
+    warn = warn or warnings.append
+    cfg = normalize_dotted_keys(json.loads(json.dumps(cfg)))
+    new_cfg = json.loads(json.dumps(cfg))  # merge = deep copy
+
+    for key in LOG_EXCLUSIVE_KEYS:
+        _remove(new_cfg, key)
+
+    for key, (fs_name, kind, fs_val) in INPUT_CONV_TABLE.items():
+        has, _ = _get(cfg, key)
+        if has:
+            _translate_field(cfg, new_cfg, key, fs_name, kind,
+                             fs_val, warn)
+
+    # handleParsers (convert.go:412-449)
+    parsers: list = []
+    _handle_container(cfg, new_cfg, parsers)
+    _handle_json(cfg, parsers, warn)
+    _handle_multiline(cfg, parsers, warn)
+    if parsers:
+        if isinstance(cfg.get("parsers"), list):
+            parsers = parsers + list(cfg["parsers"])
+        new_cfg["parsers"] = parsers
+
+    # handleFileIdentity (convert.go:452-465)
+    if "file_identity" not in cfg:
+        _set(new_cfg, "file_identity.native", None)
+
+    new_cfg["type"] = "filestream"
+    _set(new_cfg, "take_over.enabled", True)
+    return new_cfg

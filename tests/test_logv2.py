@@ -1,0 +1,210 @@
+"""logv2 (Log→Filestream migration) battery.
+
+Ports the reference goldens (filebeat/input/logv2/): the full
+testdata/log-input-all.yaml → filestream-all.json pair key-for-key,
+and convert_test.go's special cases (container parser conversion with
+stream/take_over.stream, container+multiline ordering, file_identity
+defaulting/passthrough, pre-existing parsers appended after the
+generated ones, json target mutation)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from beats_spark.logv2 import convert_config, normalize_dotted_keys
+
+# testdata/log-input-all.yaml as a dict (dotted keys as in the YAML)
+LOG_INPUT_ALL = {
+    "type": "log",
+    "backoff": "20s",
+    "max_backoff": "200s",
+    "harvester_buffer_size": 42000,
+    "clean_inactive": "20h",
+    "clean_removed": False,
+    "close_inactive": "3h",
+    "close_timeout": "42s",
+    "close_eof": True,
+    "close_removed": False,
+    "close_renamed": True,
+    "encoding": "utf-8",
+    "exclude_lines": ["foo-exclude"],
+    "harvester_limit": 10000,
+    "id": "foo",
+    "tail_files": True,
+    "ignore_older": "10h",
+    "include_lines": ["foo-include", "bar-include"],
+    "max_bytes": 44000,
+    "paths": ["/var/log/*.log", "/foo/bar.log"],
+    "scan_frequency": "50s",
+    "exclude_files": ["excluded-file glob goes here"],
+    "recursive_glob.enabled": False,
+    "symlinks": True,
+    "json": {
+        "keys_under_root": False,
+        "overwrite_keys": True,
+        "expand_keys": True,
+        "add_error_key": True,
+        "message_key": "message",
+        "document_id": "the_id_key",
+        "ignore_decoding_error": True,
+    },
+    "multiline.type": "pattern",
+    "multiline.pattern": "reg exp goes here",
+    "multiline.negate": True,
+    "multiline.match": "after",
+    "multiline.count_lines": 42,
+}
+
+# testdata/filestream-all.json
+FILESTREAM_ALL = {
+    "backoff": {"init": "20s", "max": "200s"},
+    "buffer_size": 42000,
+    "clean_inactive": "20h",
+    "clean_removed": False,
+    "close": {
+        "on_state_change": {"inactive": "3h", "removed": False,
+                            "renamed": True},
+        "reader": {"after_interval": "42s", "on_eof": True},
+    },
+    "encoding": "utf-8",
+    "exclude_lines": ["foo-exclude"],
+    "file_identity": {"native": None},
+    "harvester_limit": 10000,
+    "id": "foo",
+    "ignore_inactive": "since_last_start",
+    "ignore_older": "10h",
+    "include_lines": ["foo-include", "bar-include"],
+    "message_max_bytes": 44000,
+    "parsers": [
+        {"ndjson": {
+            "add_error_key": True, "document_id": "the_id_key",
+            "expand_keys": True, "ignore_decoding_error": True,
+            "keys_under_root": False, "message_key": "message",
+            "overwrite_keys": True, "target": "json"}},
+        {"multiline": {
+            "count_lines": 42, "match": "after", "negate": True,
+            "pattern": "reg exp goes here", "type": "pattern"}},
+    ],
+    "paths": ["/var/log/*.log", "/foo/bar.log"],
+    "prospector": {"scanner": {
+        "check_interval": "50s",
+        "exclude_files": ["excluded-file glob goes here"],
+        "recursive_glob": False, "symlinks": True}},
+    "take_over": {"enabled": True},
+    "type": "filestream",
+}
+
+
+def test_all_fields_golden():
+    got = convert_config(LOG_INPUT_ALL)
+    assert got == FILESTREAM_ALL
+
+
+def test_container_input_converted():
+    got = convert_config({
+        "type": "container", "id": "container-id",
+        "paths": ["/var/log/containers/*.log"]})
+    assert got == {
+        "file_identity": {"native": None},
+        "id": "container-id",
+        "parsers": [{"container": {"format": "auto",
+                                   "stream": "all"}}],
+        "paths": ["/var/log/containers/*.log"],
+        "prospector": {"scanner": {"symlinks": True}},
+        "take_over": {"enabled": True},
+        "type": "filestream",
+    }
+
+
+def test_container_with_stream():
+    got = convert_config({
+        "type": "container", "id": "container-id",
+        "stream": "stderr",
+        "paths": ["/var/log/containers/*.log"]})
+    assert got["parsers"] == [{"container": {"format": "auto",
+                                             "stream": "stderr"}}]
+    assert got["take_over"] == {"enabled": True, "stream": "stderr"}
+    # the log-exclusive `stream` key itself is removed
+    assert "stream" not in got
+
+
+def test_container_multiline_order():
+    got = convert_config({
+        "type": "container", "id": "container-id",
+        "paths": ["/var/log/containers/*.log"],
+        "multiline.type": "count"})
+    assert got["parsers"] == [
+        {"container": {"format": "auto", "stream": "all"}},
+        {"multiline": {"type": "count"}}]
+
+
+def test_file_identity_defaults_to_native():
+    got = convert_config({"type": "log", "id": "foo",
+                          "paths": ["/tmp/foo"]})
+    assert got == {
+        "file_identity": {"native": None},
+        "id": "foo", "paths": ["/tmp/foo"],
+        "take_over": {"enabled": True}, "type": "filestream"}
+
+
+@pytest.mark.parametrize("ident", ["path", "fingerprint"])
+def test_file_identity_passthrough(ident):
+    got = convert_config({"type": "log", "id": "foo",
+                          "paths": ["/tmp/foo"],
+                          "file_identity": {ident: None}})
+    assert got["file_identity"] == {ident: None}
+
+
+def test_existing_parsers_appended_after_generated():
+    got = convert_config({
+        "type": "log", "id": "foo", "paths": ["/tmp/foo"],
+        "json": {"expand_keys": True},
+        "parsers": [{"container": None}]})
+    assert got["parsers"] == [
+        {"ndjson": {"expand_keys": True, "target": "json"}},
+        {"container": None}]
+
+
+def test_keys_under_root_true_keeps_no_target():
+    got = convert_config({
+        "type": "log", "id": "foo", "paths": ["/tmp/foo"],
+        "json": {"keys_under_root": True, "add_error_key": True}})
+    assert got["parsers"] == [{"ndjson": {
+        "keys_under_root": True, "add_error_key": True}}]
+
+
+def test_empty_json_and_multiline_ignored():
+    got = convert_config({"type": "log", "id": "foo",
+                          "paths": ["/tmp/foo"], "json": {},
+                          "multiline": {}})
+    assert "parsers" not in got
+
+
+def test_malformed_entries_warn_and_survive_merge():
+    """translateField warns and skips the translation — but the Merge
+    step already copied the original value, and same-named keys are
+    not in the exclusive-removal list, so the malformed originals
+    REMAIN verbatim (the reference behavior)."""
+    warnings = []
+    got = convert_config({
+        "type": "log", "id": "foo", "paths": ["/tmp/foo"],
+        "clean_removed": "not-a-bool",
+        "harvester_limit": "not-an-int"}, warn=warnings.append)
+    assert got["clean_removed"] == "not-a-bool"
+    assert got["harvester_limit"] == "not-an-int"
+    assert len(warnings) == 2
+
+
+def test_tail_files_false_sets_nothing():
+    got = convert_config({"type": "log", "id": "foo",
+                          "paths": ["/tmp/foo"],
+                          "tail_files": False})
+    assert "ignore_inactive" not in got
+
+
+def test_normalize_dotted_keys():
+    assert normalize_dotted_keys(
+        {"a.b.c": 1, "a.b.d": 2, "x": {"y.z": 3}}) == \
+        {"a": {"b": {"c": 1, "d": 2}}, "x": {"y": {"z": 3}}}
