@@ -1,0 +1,241 @@
+"""netmetrics — /proc/net socket-queue metrics for the TCP/UDP inputs.
+
+The reference (filebeat/input/netmetrics/) periodically reads the
+Linux procfs socket tables to report receive-queue depth (TCP/UDP)
+and datagram drops (UDP) for the socket its input is bound to — the
+observability half of the tcp/udp sources this repo already runs
+live. This module ports the procfs layer:
+
+- netmetrics.go addrs → host:port resolution to the procfs hex forms
+  (byte-REVERSED IPv4 "%08X:%04X" and IPv6 "%032X:%04X" — the kernel
+  tables store addresses little-endian per 32-bit word group, which
+  the reference approximates by whole-address reversal), with the
+  IPv4-in-IPv6 canonicalization quirk handled the same way
+- containsUnspecifiedAddr → unspecified (0.0.0.0/[::]) binds match
+  any address with the same port, and bad hex prefixes are reported
+  back to the caller
+- tcp.go procNetTCP → the rx_queue field (hex, field 4 after the
+  colon split) summed across matches for unspecified binds, with the
+  reference's exact "entry not found" error wording
+- udp.go procNetUDP → rx_queue plus the drops field (field 12,
+  decimal)
+
+The polling surface (`poll_tcp_metrics` / `poll_udp_metrics`) reads a
+configurable procfs root so the battery runs against the reference's
+own testdata tables; on a live Linux host the default /proc works
+as-is alongside `read_tcp_lines` / `read_udp_lines`.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+from typing import Optional
+
+__all__ = [
+    "addrs", "ip_v4", "ip_v6", "contains_unspecified_addr",
+    "proc_net_tcp", "proc_net_udp", "poll_tcp_metrics",
+    "poll_udp_metrics",
+]
+
+
+def _reverse(b: bytes) -> bytes:
+    return bytes(reversed(b))
+
+
+def ip_v4(ip: Optional[bytes], port: int) -> str:
+    """ipV4 (netmetrics.go:76-78)."""
+    b = ip or b""
+    return f"{_reverse(b).hex().upper():0>8}:{port:04X}" if b else \
+        f"{'0' * 8}:{port:04X}"
+
+
+def ip_v6(ip: Optional[bytes], port: int) -> str:
+    """ipV6 (netmetrics.go:81-83) — a nil IP renders as 32 zeros
+    (Go's %032X of an empty slice), which is the unspecified form."""
+    b = ip or b""
+    hexed = _reverse(b).hex().upper()
+    return f"{hexed:0>32}:{port:04X}"
+
+
+def addrs(addr: str) -> tuple[list[str], list[str], list[str]]:
+    """addrs (netmetrics.go:43-73): returns (addr4, addr6, warnings)."""
+    host, sep, port = addr.rpartition(":")
+    if not sep:
+        raise ValueError(f"failed to get address for {addr}: could "
+                         "not split host and port")
+    host = host.strip("[]")
+    try:
+        pn = int(port)
+    except ValueError as e:
+        raise ValueError(
+            f"failed to get port for {addr}: {e}") from e
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except socket.gaierror as e:
+        raise ValueError(
+            f"failed to get address for {addr}: {e}") from e
+    addr4, addr6, warnings = [], [], []
+    seen = set()
+    for family, _, _, _, sockaddr in infos:
+        ip_str = sockaddr[0]
+        if ip_str in seen:
+            continue
+        seen.add(ip_str)
+        if family == socket.AF_INET:
+            addr4.append(ip_v4(socket.inet_aton(ip_str), pn))
+        elif family == socket.AF_INET6:
+            addr6.append(ip_v6(socket.inet_pton(
+                socket.AF_INET6, ip_str), pn))
+        else:
+            warnings.append(f"unexpected addr family for {ip_str}")
+    return addr4, addr6, warnings
+
+
+def _contains(b: str, addr: list[str],
+              addr_is_unspecified: list[bool]) -> bool:
+    """contains (netmetrics.go:93-106) — case-insensitive."""
+    for a, unspec in zip(addr, addr_is_unspecified):
+        if unspec:
+            _, _, ap = a.partition(":")
+            _, _, bp = b.partition(":")
+            if ap and bp and bp.lower() == ap.lower():
+                return True
+        elif b.lower() == a.lower():
+            return True
+    return False
+
+
+def contains_unspecified_addr(addr: list[str]
+                              ) -> tuple[bool, list[bool], list[str]]:
+    """containsUnspecifiedAddr (netmetrics.go:108-125)."""
+    which = [False] * len(addr)
+    has = False
+    bad: list[str] = []
+    for i, a in enumerate(addr):
+        prefix, sep, _ = a.partition(":")
+        if not sep:
+            continue
+        try:
+            ip = bytes.fromhex(prefix)
+        except ValueError:
+            bad.append(a)
+            continue
+        if ip and not any(ip):
+            has = True
+            which[i] = True
+    return has, which, bad or None
+
+
+def proc_net_tcp(path: str, addr: list[str], has_unspecified: bool,
+                 addr_is_unspecified: list[bool]) -> int:
+    """procNetTCP (tcp.go:143-186) — sums rx_queue (hex) for
+    matching sockets; exact error wordings."""
+    if not addr:
+        return 0
+    if len(addr) != len(addr_is_unspecified):
+        raise ValueError("mismatched address/unspecified lists: "
+                         "please report this")
+    with open(path, "rb") as fh:
+        lines = fh.read().split(b"\n")
+    if len(lines) < 2:
+        raise ValueError(f"{path} entry not found for {addr} "
+                         "(no line)")
+    rx = 0
+    found = False
+    for line in lines[1:]:
+        f = line.split()
+        if len(f) > 4 and _contains(f[1].decode(), addr,
+                                    addr_is_unspecified):
+            _, sep, r = f[4].partition(b":")
+            if not sep:
+                raise ValueError("no rx_queue field "
+                                 + f[4].decode())
+            found = True
+            rx += int(r, 16)
+            if has_unspecified:
+                continue
+            return rx
+    if found:
+        return rx
+    raise ValueError(f"{path} entry not found for {addr}")
+
+
+def proc_net_udp(path: str, addr: list[str], has_unspecified: bool,
+                 addr_is_unspecified: list[bool]) -> tuple[int, int]:
+    """procNetUDP (udp.go:161-215) — (rx_queue, drops); drops is the
+    DECIMAL field 12."""
+    if not addr:
+        return 0, 0
+    if len(addr) != len(addr_is_unspecified):
+        raise ValueError("mismatched address/unspecified lists: "
+                         "please report this")
+    with open(path, "rb") as fh:
+        lines = fh.read().split(b"\n")
+    if len(lines) < 2:
+        raise ValueError(f"{path} entry not found for {addr} "
+                         "(no line)")
+    rx = drops = 0
+    found = False
+    for line in lines[1:]:
+        f = line.split()
+        if len(f) > 12 and _contains(f[1].decode(), addr,
+                                     addr_is_unspecified):
+            _, sep, r = f[4].partition(b":")
+            if not sep:
+                raise ValueError("no rx_queue field " + f[4].decode())
+            found = True
+            rx += int(r, 16)
+            drops += int(f[12], 10)
+            if has_unspecified:
+                continue
+            return rx, drops
+    if found:
+        return rx, drops
+    raise ValueError(f"{path} entry not found for {addr}")
+
+
+def poll_tcp_metrics(device: str, proc_root: str = "/proc") -> dict:
+    """One TCP poll cycle (tcp.go poll): rx_queue summed across the
+    v4 and v6 tables for the bound device."""
+    addr4, addr6, _ = addrs(device)
+    has4, unspec4, _ = contains_unspecified_addr(addr4)
+    has6, unspec6, _ = contains_unspecified_addr(addr6)
+    rx = 0
+    ok = False
+    for path, a, h, u in (
+            (os.path.join(proc_root, "net", "tcp"), addr4, has4,
+             unspec4),
+            (os.path.join(proc_root, "net", "tcp6"), addr6, has6,
+             unspec6)):
+        try:
+            rx += proc_net_tcp(path, a, h, u)
+            ok = True
+        except (ValueError, OSError):
+            continue
+    return {"device": device, "receive_queue_length": rx if ok else None}
+
+
+def poll_udp_metrics(device: str, proc_root: str = "/proc") -> dict:
+    """One UDP poll cycle (udp.go poll): rx_queue + drops across the
+    v4 and v6 tables."""
+    addr4, addr6, _ = addrs(device)
+    has4, unspec4, _ = contains_unspecified_addr(addr4)
+    has6, unspec6, _ = contains_unspecified_addr(addr6)
+    rx = drops = 0
+    ok = False
+    for path, a, h, u in (
+            (os.path.join(proc_root, "net", "udp"), addr4, has4,
+             unspec4),
+            (os.path.join(proc_root, "net", "udp6"), addr6, has6,
+             unspec6)):
+        try:
+            r, d = proc_net_udp(path, a, h, u)
+            rx += r
+            drops += d
+            ok = True
+        except (ValueError, OSError):
+            continue
+    return {"device": device,
+            "receive_queue_length": rx if ok else None,
+            "system_packet_drops": drops if ok else None}
