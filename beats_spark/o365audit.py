@@ -492,8 +492,9 @@ class Poller:
                 actions = self._do_subscribe()
             else:
                 raise AssertionError(tx.kind)
-            queue = actions + queue if tx.kind == "subscribe" \
-                else queue + actions
+            # poll.go's transactionList is pure FIFO: every action
+            # appends to the tail
+            queue = queue + actions
         return final
 
     def _do_list(self, tx: Transaction, final: Checkpoint
