@@ -54,3 +54,23 @@ def test_mime_bin_vectors_subset_of_product_table():
             f"processors/actions._MIME_MAGIC ({product.get(hx)!r}) — update "
             "_MIME_BIN_VECTORS and the codec_json DuckDB oracle CASE together"
         )
+
+
+def test_all_package_modules_import():
+    """Every beats_spark module imports cleanly — a packaging
+    regression guard across the 90+ module tree (the executor zip
+    ships the whole package, so one broken import breaks every
+    distributed stage that touches it)."""
+    import pkgutil
+    import importlib
+
+    import beats_spark
+
+    failures = []
+    for m in pkgutil.walk_packages(beats_spark.__path__,
+                                   "beats_spark."):
+        try:
+            importlib.import_module(m.name)
+        except Exception as e:  # noqa: BLE001 - report all
+            failures.append((m.name, repr(e)))
+    assert failures == []
