@@ -1,0 +1,1105 @@
+"""entity-analytics azure-ad provider.
+
+Re-expresses the reference's Azure Active Directory identity provider
+(x-pack/filebeat/input/entityanalytics/provider/azuread/) as a
+driver-side input program feeding `entity_events_df`:
+
+* ``UUIDSet`` / ``UUIDTree`` — the membership collections
+  (internal/collections/uuid_set.go, uuid_tree.go) with the
+  byte-ordered ``values()`` rendering and the cycle-safe ``expand``.
+* ``GraphFetcher`` — the Microsoft Graph delta-query fetcher
+  (fetcher/graph/graph.go): /users/delta, /groups/delta,
+  /devices/delta paged loops with nextLink/deltaLink handling and
+  the loop/missing-link failure modes, $select/$expand query
+  formatting (formatQuery, graph.go:607-627), registered
+  owners/users sub-fetches per device (addRegistered,
+  graph.go:383-394), and the non-delta MFA
+  (/reports/authenticationMethods/userRegistrationDetails) and
+  sign-in-activity (/users?$select=id,signInActivity) report loops.
+* ``OAuth2Auth`` — the client-credentials login flow with token
+  caching (authenticator/oauth2/oauth2.go).
+* ``AzureStateStore`` — the kvstore-backed state
+  (statestore.go): users/devices/groups buckets, delta links, the
+  relationships tree, and discovered/modified merge semantics
+  (storeUser/storeDevice, statestore.go:133-158).
+* ``azuread_do_fetch`` — the doFetch algorithm (azure.go:305-467):
+  delta collection, group-membership graph maintenance including
+  deleted groups and member@delta removals, transitive-membership
+  expansion, and the best-effort MFA / sign-in-activity enrichment
+  gates.
+* ``azuread_full_sync`` / ``azuread_incremental_update`` — the
+  runFullSync/runIncrementalUpdate transactions (azure.go:186-303):
+  markers around a full publish vs. changed-only publishes, state
+  committed only on success.
+
+Documented divergence: azure.go:431 aliases TransitiveMemberOf to
+MemberOf's underlying map before expanding, so expansion results leak
+into the persisted direct-membership set; here the direct set is
+copied first, so a later membership removal also retires the
+transitive parents it implied (published documents for any given
+cycle are identical either way).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional
+
+from .entityanalytics import KVStore, entity_events_df
+
+__all__ = [
+    "UUIDSet", "UUIDTree", "User", "Group", "Device", "Member",
+    "GraphError", "NextLinkLoopError", "MissingLinkError",
+    "GraphFetcher", "OAuth2Auth", "AzureadConf", "default_azuread_conf",
+    "AzureStateStore", "format_query", "azuread_do_fetch",
+    "azuread_full_sync", "azuread_incremental_update", "decide_next",
+    "azuread_stream",
+]
+
+MEMBER_USER = "user"
+MEMBER_GROUP = "group"
+MEMBER_DEVICE = "device"
+
+API_USER_TYPE = "#microsoft.graph.user"
+API_GROUP_TYPE = "#microsoft.graph.group"
+API_DEVICE_TYPE = "#microsoft.graph.device"
+
+DEFAULT_USERS_QUERY = ("accountEnabled,userPrincipalName,mail,"
+                       "displayName,givenName,surname,jobTitle,"
+                       "officeLocation,mobilePhone,businessPhones")
+DEFAULT_GROUPS_QUERY = "displayName,members"
+DEFAULT_DEVICES_QUERY = ("accountEnabled,deviceId,displayName,"
+                         "operatingSystem,operatingSystemVersion,"
+                         "physicalIds,extensionAttributes,"
+                         "alternativeSecurityIds")
+
+MFA_DETAILS_PATH = "/reports/authenticationMethods/userRegistrationDetails"
+
+
+def parse_uuid(s: str) -> str:
+    """Canonical lowercase UUID string (uuid.FromString parity —
+    raises ValueError on malformed input)."""
+    return str(_uuid.UUID(str(s)))
+
+
+def _uuid_sort_key(s: str) -> bytes:
+    return _uuid.UUID(s).bytes
+
+
+class UUIDSet:
+    """collections.UUIDSet: a set of UUID strings whose values() are
+    ordered by UUID byte comparison (uuid_set.go:55-66)."""
+
+    def __init__(self, values: Iterable[str] = ()):  # NewUUIDSet
+        self._m: set[str] = {parse_uuid(v) for v in values}
+
+    def __len__(self) -> int:
+        return len(self._m)
+
+    def __iter__(self):
+        return iter(self.values())
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, UUIDSet) and self._m == other._m
+
+    def add(self, *values: str) -> None:
+        self._m.update(parse_uuid(v) for v in values)
+
+    def remove(self, *values: str) -> None:
+        for v in values:
+            self._m.discard(parse_uuid(v))
+
+    def contains(self, value: str) -> bool:
+        return parse_uuid(value) in self._m
+
+    def values(self) -> list[str]:
+        return sorted(self._m, key=_uuid_sort_key)
+
+    def copy(self) -> "UUIDSet":
+        s = UUIDSet()
+        s._m = set(self._m)
+        return s
+
+    def to_json(self) -> Optional[list[str]]:
+        """MarshalJSON: empty set renders as null (uuid_set.go:38-44)."""
+        return self.values() or None
+
+    @classmethod
+    def from_json(cls, raw) -> "UUIDSet":
+        return cls(raw or ())
+
+
+class UUIDTree:
+    """collections.UUIDTree: a directed membership graph with
+    cycle-safe transitive expansion (uuid_tree.go)."""
+
+    def __init__(self):
+        self._edges: dict[str, UUIDSet] = {}
+
+    def add_edge(self, frm: str, *to: str) -> None:
+        vertex = self._edges.setdefault(parse_uuid(frm), UUIDSet())
+        vertex.add(*to)
+
+    def remove_edge(self, frm: str, to: str) -> None:
+        frm = parse_uuid(frm)
+        vertex = self._edges.get(frm)
+        if vertex is not None:
+            vertex.remove(to)
+            if len(vertex) == 0:
+                del self._edges[frm]
+
+    def remove_vertex(self, value: str) -> None:
+        value = parse_uuid(value)
+        self._edges.pop(value, None)
+        for k in list(self._edges):
+            v = self._edges[k]
+            v.remove(value)
+            if len(v) == 0:
+                del self._edges[k]
+
+    def contains_vertex(self, value: str) -> bool:
+        return parse_uuid(value) in self._edges
+
+    def contains_edge(self, frm: str, to: str) -> bool:
+        v = self._edges.get(parse_uuid(frm))
+        return v is not None and v.contains(to)
+
+    def expand(self, *values: str) -> UUIDSet:
+        found = UUIDSet()
+        for v in values:
+            self._expand(parse_uuid(v), found)
+        return found
+
+    def expand_from_set(self, values: UUIDSet) -> UUIDSet:
+        found = UUIDSet()
+        for v in values:
+            self._expand(v, found)
+        return found
+
+    def _expand(self, value: str, seen: UUIDSet) -> None:
+        # uuid_tree.go:105-119 — a vertex with no out-edges is not
+        # added to the result by itself.
+        if seen.contains(value):
+            return
+        members = self._edges.get(value)
+        if members is None:
+            return
+        seen.add(value)
+        for member in members.values():
+            self._expand(member, seen)
+            seen.add(member)
+
+    def to_json(self) -> Optional[dict]:
+        if not self._edges:
+            return None
+        return {k: v.to_json() for k, v in self._edges.items()}
+
+    @classmethod
+    def from_json(cls, raw) -> "UUIDTree":
+        t = cls()
+        for k, v in (raw or {}).items():
+            t._edges[parse_uuid(k)] = UUIDSet.from_json(v)
+        return t
+
+
+# ----------------------------------------------------------- entities
+
+@dataclass
+class User:
+    """fetcher.User (fetcher/user.go:15-44)."""
+    id: str
+    fields: dict = field(default_factory=dict)
+    member_of: UUIDSet = field(default_factory=UUIDSet)
+    transitive_member_of: UUIDSet = field(default_factory=UUIDSet)
+    discovered: bool = False   # not persisted
+    modified: bool = False     # not persisted
+    deleted: bool = False
+    mfa: Optional[dict] = None             # not persisted
+    sign_in_activity: Optional[dict] = None  # not persisted
+
+    def merge(self, other: "User") -> None:
+        """User.Merge (fetcher/user.go:78-94)."""
+        if self.id != other.id:
+            return
+        self.fields.update(other.fields)
+        for g in other.member_of:
+            self.member_of.add(g)
+        for g in other.transitive_member_of:
+            self.transitive_member_of.add(g)
+        self.deleted = other.deleted
+
+
+@dataclass
+class Device:
+    """fetcher.Device (fetcher/device.go:15-39)."""
+    id: str
+    fields: dict = field(default_factory=dict)
+    member_of: UUIDSet = field(default_factory=UUIDSet)
+    transitive_member_of: UUIDSet = field(default_factory=UUIDSet)
+    registered_owners: UUIDSet = field(default_factory=UUIDSet)
+    registered_users: UUIDSet = field(default_factory=UUIDSet)
+    discovered: bool = False
+    modified: bool = False
+    deleted: bool = False
+
+    def merge(self, other: "Device") -> None:
+        """Device.Merge (fetcher/device.go:43-63)."""
+        if self.id != other.id:
+            return
+        self.fields.update(other.fields)
+        for g in other.member_of:
+            self.member_of.add(g)
+        for g in other.transitive_member_of:
+            self.transitive_member_of.add(g)
+        for u in other.registered_owners:
+            self.registered_owners.add(u)
+        for u in other.registered_users:
+            self.registered_users.add(u)
+        self.deleted = other.deleted
+
+
+@dataclass
+class Member:
+    id: str
+    type: str
+    deleted: bool = False
+
+
+@dataclass
+class Group:
+    """fetcher.Group (fetcher/group.go:22-40)."""
+    id: str
+    name: str = ""
+    deleted: bool = False
+    members: list = field(default_factory=list)  # not persisted
+
+    def to_ecs(self) -> dict:
+        return {"id": self.id, "name": self.name}
+
+
+# ------------------------------------------------------------- config
+
+@dataclass
+class AzureadConf:
+    """conf (conf.go:22-28). Intervals are seconds."""
+    tenant_id: str = ""
+    sync_interval: float = 24 * 3600.0
+    update_interval: float = 15 * 60.0
+    dataset: str = ""
+    enrich_with: tuple = ()
+
+    def validate(self) -> None:
+        """conf.Validate (conf.go:31-56) — same error strings."""
+        if self.sync_interval < self.update_interval:
+            raise ValueError(
+                "sync_interval must be longer than update_interval")
+        if self.sync_interval == 0:
+            raise ValueError("sync_interval must not be zero")
+        if self.update_interval == 0:
+            raise ValueError("update_interval must not be zero")
+        if self.dataset.lower() not in ("", "all", "users", "devices"):
+            raise ValueError(
+                "dataset must be 'all', 'users', 'devices' or empty")
+        for v in self.enrich_with:
+            if v.lower() not in ("mfa", "none", "sign_in_activity"):
+                raise ValueError(
+                    f"enrich_with value {v!r} is not supported; valid "
+                    "values are 'mfa', 'none' and 'sign_in_activity'")
+
+    def want_users(self) -> bool:
+        return self.dataset.lower() in ("", "all", "users")
+
+    def want_devices(self) -> bool:
+        return self.dataset.lower() in ("", "all", "devices")
+
+    def want_mfa(self) -> bool:
+        return any(v.lower() == "mfa" for v in self.enrich_with)
+
+    def want_sign_in_activity(self) -> bool:
+        return any(v.lower() == "sign_in_activity"
+                   for v in self.enrich_with)
+
+
+def default_azuread_conf() -> AzureadConf:
+    return AzureadConf()
+
+
+# --------------------------------------------------------------- auth
+
+class OAuth2Auth:
+    """authenticator/oauth2/oauth2.go — client-credentials token with
+    expiry-based caching."""
+
+    DEFAULT_ENDPOINT = "https://login.microsoftonline.com"
+    DEFAULT_SCOPES = ("https://graph.microsoft.com/.default",)
+
+    def __init__(self, client_id: str, tenant_id: str, secret: str, *,
+                 endpoint: str = "", scopes: Iterable[str] = (),
+                 clock: Callable[[], float] = time.time,
+                 http_post=None):
+        self.client_id = client_id
+        self.tenant_id = tenant_id
+        self.secret = secret
+        self.endpoint = endpoint or self.DEFAULT_ENDPOINT
+        self.scopes = tuple(scopes) or self.DEFAULT_SCOPES
+        self._clock = clock
+        self._post = http_post or _default_http_post
+        self._token = ""
+        self._expires = 0.0
+
+    def token(self) -> str:
+        """Token (oauth2.go:118-131)."""
+        if self._clock() < self._expires and self._token:
+            return self._token
+        self._renew()
+        return self._token
+
+    def _renew(self) -> None:
+        """renewToken (oauth2.go:69-115)."""
+        from urllib.parse import urlencode
+        url = (self.endpoint + "/" + self.tenant_id
+               + "/oauth2/v2.0/token")
+        body = urlencode({
+            "client_id": self.client_id,
+            "scope": " ".join(self.scopes),
+            "client_secret": self.secret,
+            "grant_type": "client_credentials",
+        })
+        status, data = self._post(url, body.encode(),
+                                  "application/x-www-form-urlencoded")
+        if status != 200:
+            raise GraphError(
+                "token request returned unexpected status code: "
+                f"{status}, body: {data.decode(errors='replace')}")
+        res = json.loads(data)
+        self._token = res.get("access_token", "")
+        self._expires = (self._clock()
+                         + float(res.get("expires_in", 0)))
+
+
+def _default_http_post(url: str, body: bytes, content_type: str):
+    req = urllib.request.Request(url, data=body, method="POST",
+                                 headers={"Content-Type": content_type})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as res:
+            return res.status, res.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+# ------------------------------------------------------------ fetcher
+
+class GraphError(Exception):
+    pass
+
+
+class NextLinkLoopError(GraphError):
+    """nextLinkLoopError (graph.go:834-840) carrying partial results."""
+
+    def __init__(self, endpoint: str, partial=None):
+        super().__init__(f"error during fetch {endpoint}, encountered "
+                         "nextLink fetch infinite loop")
+        self.endpoint = endpoint
+        self.partial = partial
+
+
+class MissingLinkError(GraphError):
+    """missingLinkError (graph.go:842-848) carrying partial results."""
+
+    def __init__(self, endpoint: str, partial=None):
+        super().__init__(f"error during fetch {endpoint}, encountered "
+                         "response without nextLink or deltaLink")
+        self.endpoint = endpoint
+        self.partial = partial
+
+
+def format_query(name: str, query: Iterable[str], dflt: str,
+                 expand: Optional[dict] = None) -> str:
+    """formatQuery (graph.go:607-627): $select list with the default
+    fallback, $expand entries sorted by key, each carrying a recursive
+    sub-select that defaults to the parent's select; rendered
+    unescaped (url.QueryUnescape(vals.Encode()))."""
+    query = list(query or ())
+    q = ",".join(query) if query else dflt
+    pairs = [(name, q)]
+    if expand:
+        exp = []
+        for k in sorted(expand):
+            exp.append(f"{k}({format_query(name, expand[k], q)})")
+        pairs.append(("$expand", ",".join(exp)))
+    pairs.sort(key=lambda kv: kv[0])
+    return "&".join(f"{k}={v}" for k, v in pairs)
+
+
+def _new_user_from_api(raw: dict) -> User:
+    """newUserFromAPI (graph.go:630-652): id is popped and required;
+    @removed marks deletion."""
+    fields = dict(raw)
+    if "id" not in fields:
+        raise GraphError("user missing required id field")
+    uid = parse_uuid(fields.pop("id"))
+    deleted = "@removed" in fields
+    fields.pop("@removed", None)
+    return User(id=uid, fields=fields, deleted=deleted)
+
+
+def _new_device_from_api(raw: dict) -> Device:
+    """newDeviceFromAPI (graph.go:683-705)."""
+    fields = dict(raw)
+    if "id" not in fields:
+        raise GraphError("device missing required id field")
+    did = parse_uuid(fields.pop("id"))
+    deleted = "@removed" in fields
+    fields.pop("@removed", None)
+    return Device(id=did, fields=fields, deleted=deleted)
+
+
+def _new_group_from_api(raw: dict) -> Group:
+    """newGroupFromAPI (graph.go:655-680): unknown member types are
+    skipped."""
+    g = Group(id=parse_uuid(raw["id"]),
+              name=raw.get("displayName", ""),
+              deleted="@removed" in raw and raw["@removed"] is not None)
+    for m in raw.get("members@delta") or ():
+        typ = {API_USER_TYPE: MEMBER_USER,
+               API_GROUP_TYPE: MEMBER_GROUP,
+               API_DEVICE_TYPE: MEMBER_DEVICE}.get(m.get("@odata.type"))
+        if typ is None:
+            continue
+        g.members.append(Member(id=parse_uuid(m["id"]), type=typ,
+                                deleted=m.get("@removed") is not None))
+    return g
+
+
+def _default_http_get(url: str, headers: dict):
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as res:
+            return res.status, res.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+class GraphFetcher:
+    """fetcher/graph/graph.go — the Microsoft Graph delta fetcher."""
+
+    def __init__(self, api_endpoint: str, auth, *,
+                 select_users: Iterable[str] = (),
+                 select_groups: Iterable[str] = (),
+                 select_devices: Iterable[str] = (),
+                 expand_users: Optional[dict] = None,
+                 expand_groups: Optional[dict] = None,
+                 expand_devices: Optional[dict] = None,
+                 http_get=None,
+                 log: Callable[[str], None] = lambda msg: None):
+        self.auth = auth
+        self._get = http_get or _default_http_get
+        self.log = log
+        self.users_url = (api_endpoint + "/users/delta?" + format_query(
+            "$select", select_users, DEFAULT_USERS_QUERY, expand_users))
+        self.groups_url = (api_endpoint + "/groups/delta?" + format_query(
+            "$select", select_groups, DEFAULT_GROUPS_QUERY,
+            expand_groups))
+        self.devices_url = (api_endpoint + "/devices/delta?"
+                            + format_query("$select", select_devices,
+                                           DEFAULT_DEVICES_QUERY,
+                                           expand_devices))
+        self.device_owner_user_url = api_endpoint + "/devices/"
+        self.mfa_details_url = api_endpoint + MFA_DETAILS_PATH
+        self.sign_in_activity_url = (api_endpoint
+                                     + "/users?$select=id,signInActivity")
+
+    # -- transport
+
+    def _do_request(self, url: str) -> dict:
+        """doRequest (graph.go:510-534): bearer auth, 200-only."""
+        bearer = self.auth.token()
+        status, data = self._get(
+            url, {"Authorization": "Bearer " + bearer})
+        if status != 200:
+            raise GraphError(f"unexpected status code: {status} body: "
+                             f"{data.decode(errors='replace')}")
+        return json.loads(data)
+
+    # -- delta endpoints
+
+    def _delta_loop(self, endpoint: str, start_url: str,
+                    delta_link: str, parse_one):
+        items: list = []
+        fetch_url = delta_link or start_url
+        while True:
+            response = self._do_request(fetch_url)
+            for raw in response.get("value") or ():
+                try:
+                    items.append(parse_one(raw))
+                except (GraphError, ValueError, KeyError) as e:
+                    # graph.go:315-319 — parse failures log and skip
+                    self.log(f"Unable to parse {endpoint} entry: {e}")
+            dl = response.get("@odata.deltaLink", "")
+            if dl:
+                return items, dl
+            nl = response.get("@odata.nextLink", "")
+            if nl == fetch_url:
+                raise NextLinkLoopError(endpoint, items)
+            if not nl:
+                raise MissingLinkError(endpoint, items)
+            fetch_url = nl
+
+    def users(self, delta_link: str = ""):
+        """Users (graph.go:287-341)."""
+        return self._delta_loop("users", self.users_url, delta_link,
+                                _new_user_from_api)
+
+    def groups(self, delta_link: str = ""):
+        """Groups (graph.go:240-281)."""
+        return self._delta_loop("groups", self.groups_url, delta_link,
+                                _new_group_from_api)
+
+    def devices(self, delta_link: str = ""):
+        """Devices (graph.go:347-380): each device additionally picks
+        up its registered owners and users via sub-fetches."""
+        devices, dl = self._delta_loop(
+            "devices", self.devices_url, delta_link,
+            _new_device_from_api)
+        for d in devices:
+            self._add_registered(d, "registeredOwners",
+                                 d.registered_owners)
+            self._add_registered(d, "registeredUsers",
+                                 d.registered_users)
+        return devices, dl
+
+    def _add_registered(self, device: Device, typ: str,
+                        dest: UUIDSet) -> None:
+        """addRegistered (graph.go:383-394): a single page without any
+        link is the normal shape here — the collected users are used
+        and the link error tolerated."""
+        users_link = f"{self.device_owner_user_url}{device.id}/{typ}"
+        try:
+            users, _ = self.users(users_link)
+        except (NextLinkLoopError, MissingLinkError) as e:
+            users = e.partial or []
+        except GraphError as e:
+            self.log(f"Failed to obtain some registered user data: {e}")
+            return
+        for u in users:
+            dest.add(u.id)
+
+    # -- report endpoints (nextLink only, no delta)
+
+    def _report_loop(self, endpoint: str, start_url: str):
+        pages = []
+        fetch_url = start_url
+        while True:
+            response = self._do_request(fetch_url)
+            pages.extend(response.get("value") or ())
+            nl = response.get("@odata.nextLink", "")
+            if not nl:
+                return pages
+            if nl == fetch_url:
+                raise NextLinkLoopError(endpoint, pages)
+            fetch_url = nl
+
+    def user_mfa_details(self) -> dict:
+        """UserMFADetails (graph.go:399-448): map user-id → details.
+        Invalid IDs are skipped."""
+        result = {}
+        for d in self._report_loop("mfa_registration_details",
+                                   self.mfa_details_url):
+            try:
+                uid = parse_uuid(d.get("id", ""))
+            except ValueError:
+                self.log(f"Skipping MFA entry with invalid user ID "
+                         f"{d.get('id')!r}")
+                continue
+            details = dict(d)
+            details.pop("id", None)
+            result[uid] = details
+        return result
+
+    def user_sign_in_activity(self) -> dict:
+        """UserSignInActivity (graph.go:453-513): only entries with a
+        signInActivity object are kept."""
+        result = {}
+        for u in self._report_loop("sign_in_activity",
+                                   self.sign_in_activity_url):
+            if not u.get("signInActivity"):
+                continue
+            try:
+                uid = parse_uuid(u.get("id", ""))
+            except ValueError:
+                self.log(f"Skipping sign-in activity entry with "
+                         f"invalid user ID {u.get('id')!r}")
+                continue
+            result[uid] = dict(u["signInActivity"])
+        return result
+
+
+# --------------------------------------------------------- statestore
+
+class AzureStateStore:
+    """statestore.go over the shared KVStore snapshot transaction.
+    Only persisted fields survive a reload: discovered/modified/
+    mfa/sign-in data are per-cycle (fetcher/user.go json tags)."""
+
+    def __init__(self, store: KVStore):
+        self.store = store
+        self.snapshot = store.begin()
+        st = self.snapshot.setdefault("azuread_state", {})
+        self.last_sync = st.get("last_sync", 0.0)
+        self.last_update = st.get("last_update", 0.0)
+        self.users_link = st.get("users_link", "")
+        self.devices_link = st.get("devices_link", "")
+        self.groups_link = st.get("groups_link", "")
+        self.users: dict[str, User] = {}
+        for uid, raw in (self.snapshot.get("azuread_users")
+                         or {}).items():
+            self.users[uid] = User(
+                id=uid, fields=raw.get("fields") or {},
+                member_of=UUIDSet.from_json(raw.get("memberOf")),
+                transitive_member_of=UUIDSet.from_json(
+                    raw.get("transitiveMemberOf")),
+                deleted=bool(raw.get("deleted")))
+        self.devices: dict[str, Device] = {}
+        for did, raw in (self.snapshot.get("azuread_devices")
+                         or {}).items():
+            self.devices[did] = Device(
+                id=did, fields=raw.get("fields") or {},
+                member_of=UUIDSet.from_json(raw.get("memberOf")),
+                transitive_member_of=UUIDSet.from_json(
+                    raw.get("transitiveMemberOf")),
+                registered_owners=UUIDSet.from_json(
+                    raw.get("registeredOwners")),
+                registered_users=UUIDSet.from_json(
+                    raw.get("registeredUsers")),
+                deleted=bool(raw.get("deleted")))
+        self.groups: dict[str, Group] = {}
+        for gid, raw in (self.snapshot.get("azuread_groups")
+                         or {}).items():
+            self.groups[gid] = Group(id=gid, name=raw.get("name", ""),
+                                     deleted=bool(raw.get("deleted")))
+        self.relationships = UUIDTree.from_json(
+            self.snapshot.get("azuread_relationships"))
+
+    def store_user(self, u: User) -> None:
+        """storeUser (statestore.go:133-142): existing users merge and
+        mark modified; unknown deleted users are dropped."""
+        existing = self.users.get(u.id)
+        if existing is not None:
+            u.modified = True
+            existing.merge(u)
+        elif not u.deleted:
+            u.discovered = True
+            self.users[u.id] = u
+
+    def store_device(self, d: Device) -> None:
+        """storeDevice (statestore.go:147-155)."""
+        existing = self.devices.get(d.id)
+        if existing is not None:
+            d.modified = True
+            existing.merge(d)
+        elif not d.deleted:
+            d.discovered = True
+            self.devices[d.id] = d
+
+    def store_group(self, g: Group) -> None:
+        """storeGroup (statestore.go:158-160): overwrite."""
+        self.groups[g.id] = g
+
+    def close(self, commit: bool) -> None:
+        """close (statestore.go:167-229): links/times persist only when
+        set; rollback discards the snapshot."""
+        if not commit:
+            return
+        st = self.snapshot["azuread_state"]
+        if self.last_sync:
+            st["last_sync"] = self.last_sync
+        if self.last_update:
+            st["last_update"] = self.last_update
+        if self.users_link:
+            st["users_link"] = self.users_link
+        if self.devices_link:
+            st["devices_link"] = self.devices_link
+        if self.groups_link:
+            st["groups_link"] = self.groups_link
+        self.snapshot["azuread_users"] = {
+            u.id: {"fields": u.fields,
+                   "memberOf": u.member_of.to_json(),
+                   "transitiveMemberOf":
+                       u.transitive_member_of.to_json(),
+                   "deleted": u.deleted}
+            for u in self.users.values()}
+        self.snapshot["azuread_devices"] = {
+            d.id: {"fields": d.fields,
+                   "memberOf": d.member_of.to_json(),
+                   "transitiveMemberOf":
+                       d.transitive_member_of.to_json(),
+                   "registeredOwners": d.registered_owners.to_json(),
+                   "registeredUsers": d.registered_users.to_json(),
+                   "deleted": d.deleted}
+            for d in self.devices.values()}
+        self.snapshot["azuread_groups"] = {
+            g.id: {"name": g.name, "deleted": g.deleted}
+            for g in self.groups.values()}
+        self.snapshot["azuread_relationships"] = \
+            self.relationships.to_json()
+        self.store.commit(self.snapshot)
+
+
+# ------------------------------------------------------------ doFetch
+
+def azuread_do_fetch(fetcher, cfg: AzureadConf, state: AzureStateStore,
+                     full_sync: bool,
+                     log: Callable[[str], None] = lambda msg: None
+                     ) -> tuple[set, set]:
+    """doFetch (azure.go:305-467). Returns (updated user ids,
+    updated device ids)."""
+    users_delta = devices_delta = groups_delta = ""
+    if not full_sync:
+        users_delta = state.users_link
+        devices_delta = state.devices_link
+        groups_delta = state.groups_link
+
+    want_users = cfg.want_users()
+    want_devices = cfg.want_devices()
+
+    changed_users: list[User] = []
+    user_link = ""
+    if want_users:
+        changed_users, user_link = fetcher.users(users_delta)
+
+    changed_devices: list[Device] = []
+    device_link = ""
+    if want_devices:
+        changed_devices, device_link = fetcher.devices(devices_delta)
+
+    # Groups are required for both datasets — always collected.
+    changed_groups, group_link = fetcher.groups(groups_delta)
+
+    state.users_link = user_link
+    state.devices_link = device_link
+    state.groups_link = group_link
+
+    updated_users: set[str] = set()
+    updated_devices: set[str] = set()
+    for u in changed_users:
+        updated_users.add(u.id)
+        state.store_user(u)
+    for d in changed_devices:
+        updated_devices.add(d.id)
+        state.store_device(d)
+    for g in changed_groups:
+        state.store_group(g)
+
+    # Populate the group relationships tree (azure.go:379-424).
+    for g in changed_groups:
+        if g.deleted:
+            for u in state.users.values():
+                if u.transitive_member_of.contains(g.id):
+                    updated_users.add(u.id)
+            state.relationships.remove_vertex(g.id)
+            continue
+        for member in g.members:
+            if member.type == MEMBER_GROUP:
+                if not want_users:
+                    continue
+                for u in state.users.values():
+                    if u.transitive_member_of.contains(member.id):
+                        updated_users.add(u.id)
+                if member.deleted:
+                    state.relationships.remove_edge(member.id, g.id)
+                else:
+                    state.relationships.add_edge(member.id, g.id)
+            elif member.type == MEMBER_USER:
+                if not want_users:
+                    continue
+                u = state.users.get(member.id)
+                if u is not None:
+                    updated_users.add(u.id)
+                    if member.deleted:
+                        u.member_of.remove(g.id)
+                    else:
+                        u.member_of.add(g.id)
+            elif member.type == MEMBER_DEVICE:
+                if not want_devices:
+                    continue
+                d = state.devices.get(member.id)
+                if d is not None:
+                    updated_devices.add(d.id)
+                    if member.deleted:
+                        d.member_of.remove(g.id)
+                    else:
+                        d.member_of.add(g.id)
+
+    # Expand user group memberships (azure.go:426-441).
+    if want_users:
+        for uid in updated_users:
+            u = state.users.get(uid)
+            if u is None:
+                log(f"Unable to find user {uid!r} in state")
+                continue
+            u.modified = True
+            if u.deleted:
+                continue
+            u.transitive_member_of = u.member_of.copy()
+            for elem in state.relationships.expand_from_set(
+                    u.member_of):
+                u.transitive_member_of.add(elem)
+
+    # MFA enrichment: best-effort, only when a user delta occurred or
+    # on a full sync (azure.go:443-466).
+    if want_users and cfg.want_mfa() and (full_sync or updated_users):
+        for u in state.users.values():
+            u.mfa = None
+        try:
+            mfa_details = fetcher.user_mfa_details()
+        except GraphError as e:
+            log(f"Failed to fetch MFA registration details, skipping "
+                f"MFA enrichment: {e}")
+        else:
+            for uid, details in mfa_details.items():
+                u = state.users.get(uid)
+                if u is not None:
+                    u.mfa = details
+
+    # Sign-in activity enrichment, same gating (azure.go:468-489).
+    if (want_users and cfg.want_sign_in_activity()
+            and (full_sync or updated_users)):
+        for u in state.users.values():
+            u.sign_in_activity = None
+        try:
+            activity = fetcher.user_sign_in_activity()
+        except GraphError as e:
+            log(f"Failed to fetch sign-in activity, skipping sign-in "
+                f"activity enrichment: {e}")
+        else:
+            for uid, details in activity.items():
+                u = state.users.get(uid)
+                if u is not None:
+                    u.sign_in_activity = details
+
+    # Expand device group memberships (azure.go:491-509).
+    if want_devices:
+        for did in updated_devices:
+            d = state.devices.get(did)
+            if d is None:
+                log(f"Unable to find device {did!r} in state")
+                continue
+            d.modified = True
+            if d.deleted:
+                continue
+            d.transitive_member_of = d.member_of.copy()
+            for elem in state.relationships.expand_from_set(
+                    d.member_of):
+                d.transitive_member_of.add(elem)
+
+    return updated_users, updated_devices
+
+
+# ---------------------------------------------------------- publishing
+
+def _marker(records: list, ts: float, input_id: str,
+            start: bool) -> None:
+    """publishMarker (azure.go:511-538)."""
+    fields: dict[str, Any] = {
+        "labels": {"identity_source": input_id},
+        "event": {"action": "started" if start else "completed"},
+    }
+    fields["event"]["start" if start else "end"] = ts
+    records.append({"ts": ts, "fields": fields})
+
+
+def _event_action(kind: str, ent) -> Optional[str]:
+    if ent.deleted:
+        return f"{kind}-deleted"
+    if ent.discovered:
+        return f"{kind}-discovered"
+    if ent.modified:
+        return f"{kind}-modified"
+    return None
+
+
+def _publish_user(records: list, u: User, state: AzureStateStore,
+                  input_id: str, now: float,
+                  log: Callable[[str], None]) -> None:
+    """publishUser (azure.go:541-586)."""
+    doc: dict[str, Any] = {
+        "azure_ad": dict(u.fields),
+        "labels": {"identity_source": input_id},
+        "user": {"id": u.id},
+    }
+    action = _event_action("user", u)
+    if action:
+        doc["event"] = {"action": action}
+    groups = []
+    for gid in u.transitive_member_of:
+        g = state.groups.get(gid)
+        if g is None:
+            log(f"Unable to lookup group {gid!r} for user {u.id!r}")
+            continue
+        groups.append(g.to_ecs())
+    if groups:
+        doc["user"]["group"] = groups
+    if u.mfa is not None:
+        doc["azure_ad"]["mfa"] = u.mfa
+    if u.sign_in_activity is not None:
+        doc["azure_ad"]["signInActivity"] = u.sign_in_activity
+    records.append({"ts": now, "fields": doc})
+
+
+def _publish_device(records: list, d: Device, state: AzureStateStore,
+                    input_id: str, now: float,
+                    log: Callable[[str], None]) -> None:
+    """publishDevice (azure.go:589-655)."""
+    doc: dict[str, Any] = {
+        "azure_ad": dict(d.fields),
+        "labels": {"identity_source": input_id},
+        "device": {"id": d.id},
+    }
+    action = _event_action("device", d)
+    if action:
+        doc["event"] = {"action": action}
+    groups = []
+    for gid in d.transitive_member_of:
+        g = state.groups.get(gid)
+        if g is None:
+            log(f"Unable to lookup group {gid!r} for device {d.id!r}")
+            continue
+        groups.append(g.to_ecs())
+    if groups:
+        doc["device"]["group"] = groups
+    for key, ids in (("registered_owners", d.registered_owners),
+                     ("registered_users", d.registered_users)):
+        docs = []
+        for uid in ids:
+            u = state.users.get(uid)
+            if u is None:
+                log(f"Unable to lookup {key} {uid!r} for device "
+                    f"{d.id!r}")
+                continue
+            m = dict(u.fields)
+            m["user"] = {"id": u.id}
+            docs.append(m)
+        if docs:
+            doc["device"][key] = docs
+    records.append({"ts": now, "fields": doc})
+
+
+def azuread_full_sync(fetcher, cfg: AzureadConf, store: KVStore, *,
+                      input_id: str,
+                      now: Callable[[], float] = time.time,
+                      log: Callable[[str], None] = lambda msg: None
+                      ) -> list[dict]:
+    """runFullSync (azure.go:186-245): fetch everything, publish ALL
+    known users/devices between start/completed markers, commit state
+    only on success."""
+    state = AzureStateStore(store)
+    try:
+        azuread_do_fetch(fetcher, cfg, state, True, log)
+        records: list[dict] = []
+        want_users = cfg.want_users()
+        want_devices = cfg.want_devices()
+        if ((state.users and want_users)
+                or (state.devices and want_devices)):
+            start = now()
+            _marker(records, start, input_id, True)
+            if state.users and want_users:
+                for u in state.users.values():
+                    _publish_user(records, u, state, input_id, now(),
+                                  log)
+            if state.devices and want_devices:
+                for d in state.devices.values():
+                    _publish_device(records, d, state, input_id,
+                                    now(), log)
+            _marker(records, now(), input_id, False)
+        state.last_sync = now()
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise
+
+
+def azuread_incremental_update(
+        fetcher, cfg: AzureadConf, store: KVStore, *, input_id: str,
+        now: Callable[[], float] = time.time,
+        log: Callable[[str], None] = lambda msg: None) -> list[dict]:
+    """runIncrementalUpdate (azure.go:250-303): publish only changed
+    entities, no markers."""
+    state = AzureStateStore(store)
+    try:
+        updated_users, updated_devices = azuread_do_fetch(
+            fetcher, cfg, state, False, log)
+        records: list[dict] = []
+        for uid in sorted(updated_users, key=_uuid_sort_key):
+            u = state.users.get(uid)
+            if u is None:
+                log(f"Unable to lookup user {uid!r}")
+                continue
+            _publish_user(records, u, state, input_id, now(), log)
+        for did in sorted(updated_devices, key=_uuid_sort_key):
+            d = state.devices.get(did)
+            if d is None:
+                log(f"Unable to lookup device {did!r}")
+                continue
+            _publish_device(records, d, state, input_id, now(), log)
+        state.last_update = now()
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise
+
+
+def decide_next(store: KVStore, cfg: AzureadConf,
+                now: float) -> tuple[str, float]:
+    """The Run loop's timer arithmetic (azure.go:118-135 and the
+    post-sync update-timer reset at azure.go:157-163): a zero stored
+    time means never ran (time.Until of the zero time is hugely
+    negative in the reference) so both timers are due at start; a
+    completed full sync resets the update cadence, so the update
+    deadline rides the LATER of last_update/last_sync; an overdue
+    sync always wins."""
+    snap = store.begin().get("azuread_state", {})
+    last_sync = snap.get("last_sync", 0.0)
+    last_update = max(snap.get("last_update", 0.0), last_sync)
+    sync_due = (last_sync + cfg.sync_interval) if last_sync else now
+    update_due = ((last_update + cfg.update_interval)
+                  if last_update else now)
+    sync_wait = max(0.0, sync_due - now)
+    update_wait = max(0.0, update_due - now)
+    if sync_wait <= 0.0 or sync_wait <= update_wait:
+        return "sync", sync_wait
+    return "update", update_wait
+
+
+def azuread_stream(spark, fetcher, cfg: AzureadConf, store: KVStore, *,
+                   input_id: str, sink: Callable, tick_seconds: float = 1.0,
+                   now: Callable[[], float] = time.time):
+    """Continuous driver: a rate-source tick stream whose foreachBatch
+    runs the provider's scheduler (sync first, then updates) and hands
+    each cycle's records to the sink as an entity-events DataFrame.
+    Mirrors okta_stream for run-loop parity."""
+
+    def one_cycle(_tick_df, batch_id: int) -> None:
+        action, wait = decide_next(store, cfg, now())
+        if wait > 0:
+            return
+        if action == "sync":
+            records = azuread_full_sync(
+                fetcher, cfg, store, input_id=input_id, now=now)
+        else:
+            records = azuread_incremental_update(
+                fetcher, cfg, store, input_id=input_id, now=now)
+        if records:
+            sink(entity_events_df(spark, records), batch_id)
+
+    ticks = (spark.readStream.format("rate")
+             .option("rowsPerSecond", max(1, int(1 / tick_seconds)))
+             .load())
+    return (ticks.writeStream.foreachBatch(one_cycle)
+            .trigger(processingTime=f"{int(tick_seconds)} seconds"))

@@ -1,0 +1,881 @@
+"""entity-analytics azure-ad provider battery.
+
+Ports the reference matrices
+(x-pack/filebeat/input/entityanalytics/provider/azuread/):
+collections fixtures (uuid_set_test.go ordering, uuid_tree_test.go
+Expand/ExpandFromSet), conf.Validate's table, formatQuery rendering,
+graph_test.go's testServer verbatim (users/groups/devices delta
+pagination, registered owners/users sub-fetches, MFA and
+sign-in-activity report pagination) over a live fake Graph API,
+azure_test.go's doFetch dataset matrix and enrichment gates, and the
+statestore discovered/modified/merge + rollback semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+from beats_spark.azuread import (
+    AzureStateStore, AzureadConf, Device, GraphError, GraphFetcher,
+    Group, Member, MissingLinkError, NextLinkLoopError, OAuth2Auth,
+    UUIDSet, UUIDTree, User, azuread_do_fetch, azuread_full_sync,
+    azuread_incremental_update, decide_next, default_azuread_conf,
+    format_query,
+)
+from beats_spark.entityanalytics import KVStore, entity_events_df
+
+# uuid_set_test.go fixtures
+U1 = "187f924c-e867-477e-8d74-dd762d6379dd"
+U2 = "80c3f9af-75ae-45f5-b22b-53f005d5880d"
+U3 = "ca777ad5-9abf-4c9b-be1f-c38c6ec28f28"
+U4 = "ec8b17ae-ce9d-4099-97ee-4a959638bc29"
+U5 = "fcda226a-c920-4d99-81bc-d2d691a6c212"
+
+# mock.go entity fixtures
+USER1 = "5ebc6a0f-05b7-4f42-9c8a-682bbc75d0fc"
+USER2 = "d897d560-3d17-4dae-81b3-c898fe82bf84"
+DEV1 = "6a59ea83-02bd-468f-a40b-f2c3d1821983"
+DEV2 = "adbbe40a-0627-4328-89f1-88cac84dbc7f"
+GRP1 = "331676df-b8fd-4492-82ed-02b927f8dd80"
+GRP2 = "d140978f-d641-4f01-802f-4ecc1acf8935"
+GRP3 = "10db9800-3908-40cc-81c5-511fa8ccf7fd"
+
+
+# ---------------------------------------------------------- collections
+
+def test_uuid_set_ordering_and_null_marshal():
+    s = UUIDSet([U3, U1, U2, U2])
+    assert s.values() == [U1, U2, U3]
+    assert s.to_json() == [U1, U2, U3]
+    assert UUIDSet().to_json() is None
+    assert UUIDSet.from_json(None).values() == []
+
+
+def test_uuid_set_add_remove_contains():
+    s = UUIDSet()
+    s.add(U1, U2)
+    assert s.contains(U1) and len(s) == 2
+    s.remove(U1)
+    assert not s.contains(U1)
+    s.remove(U5)  # absent: no-op
+
+
+def test_uuid_set_rejects_invalid():
+    with pytest.raises(ValueError):
+        UUIDSet(["not-a-uuid"])
+
+
+def test_uuid_tree_expand_fixtures():
+    # uuid_tree_test.go TestUUIDTree_Expand "elements"
+    t = UUIDTree()
+    t.add_edge(U1, U2, U4)
+    t.add_edge(U2, U3, U5)
+    t.add_edge(U3, U2)
+    assert t.expand(U1).values() == [U1, U2, U3, U4, U5]
+    assert UUIDTree().expand(U1).values() == []
+    # ExpandFromSet mirrors Expand
+    assert t.expand_from_set(UUIDSet([U1])).values() == \
+        [U1, U2, U3, U4, U5]
+    assert UUIDTree().expand_from_set(UUIDSet([U1])).values() == []
+
+
+def test_uuid_tree_vertex_edge_maintenance():
+    t = UUIDTree()
+    t.add_edge(U1, U2)
+    t.add_edge(U3, U1)
+    assert t.contains_edge(U1, U2) and t.contains_vertex(U1)
+    t.remove_vertex(U1)
+    # U1's vertex is gone AND edges pointing at U1 are gone; U3's
+    # now-empty vertex is pruned (uuid_tree.go:36-44).
+    assert not t.contains_vertex(U1)
+    assert not t.contains_vertex(U3)
+    t.add_edge(U1, U2)
+    t.remove_edge(U1, U2)
+    assert not t.contains_vertex(U1)
+
+
+def test_uuid_tree_json_roundtrip():
+    t = UUIDTree()
+    t.add_edge(U1, U2, U3)
+    raw = json.loads(json.dumps(t.to_json()))
+    t2 = UUIDTree.from_json(raw)
+    assert t2.contains_edge(U1, U2) and t2.contains_edge(U1, U3)
+    assert UUIDTree().to_json() is None
+
+
+# --------------------------------------------------------------- conf
+
+@pytest.mark.parametrize("kw,err", [
+    ({}, None),
+    ({"dataset": "all"}, None),
+    ({"dataset": "USERS"}, None),
+    ({"dataset": "bad"}, "dataset must be"),
+    ({"enrich_with": ("mfa", "sign_in_activity")}, None),
+    ({"enrich_with": ("none",)}, None),
+    ({"enrich_with": ("bogus",)}, "is not supported"),
+    ({"sync_interval": 60.0, "update_interval": 900.0},
+     "must be longer than"),
+    ({"sync_interval": 0.0, "update_interval": 0.0},
+     "must not be zero"),
+])
+def test_conf_validate_table(kw, err):
+    c = AzureadConf(tenant_id="t", **kw)
+    if err is None:
+        c.validate()
+    else:
+        with pytest.raises(ValueError, match=err):
+            c.validate()
+
+
+def test_conf_dataset_wants():
+    # azure_test.go TestAzure_DoFetch dataset table
+    table = [("", True, True), ("all", True, True),
+             ("users", True, False), ("devices", False, True)]
+    for ds, wu, wd in table:
+        c = AzureadConf(dataset=ds)
+        assert c.want_users() is wu and c.want_devices() is wd
+
+
+def test_format_query():
+    # default select only
+    assert format_query("$select", (), "a,b") == "$select=a,b"
+    # explicit select overrides the default
+    assert format_query("$select", ("x", "y"), "a,b") == "$select=x,y"
+    # expand renders first ($expand < $select), keys sorted, each with
+    # the recursive sub-select defaulting to the parent's select
+    got = format_query("$select", (), "a,b",
+                       {"members": (), "owners": ("id",)})
+    assert got == ("$expand=members($select=a,b),owners($select=id)"
+                   "&$select=a,b")
+
+
+# --------------------------------------------------------------- auth
+
+def test_oauth2_caching_and_renewal():
+    clock = {"t": 0.0}
+    calls = []
+
+    def post(url, body, ctype):
+        calls.append((url, dict(parse_qsl(body.decode()))))
+        return 200, json.dumps({"token_type": "Bearer",
+                                "access_token": f"tok{len(calls)}",
+                                "expires_in": 100}).encode()
+
+    a = OAuth2Auth("cid", "tid", "sec", endpoint="http://login",
+                   clock=lambda: clock["t"], http_post=post)
+    assert a.token() == "tok1"
+    assert a.token() == "tok1"  # cached
+    url, form = calls[0]
+    assert url == "http://login/tid/oauth2/v2.0/token"
+    assert form == {"client_id": "cid", "client_secret": "sec",
+                    "grant_type": "client_credentials",
+                    "scope": "https://graph.microsoft.com/.default"}
+    clock["t"] = 101.0
+    assert a.token() == "tok2"  # expired → renewed
+
+
+def test_oauth2_error_status():
+    a = OAuth2Auth("c", "t", "s", endpoint="http://login",
+                   http_post=lambda *args: (400, b'{"error":"bad"}'))
+    with pytest.raises(GraphError, match="unexpected status code: 400"):
+        a.token()
+
+
+class StaticAuth:
+    def __init__(self, tok="test-token"):
+        self.tok = tok
+
+    def token(self):
+        return self.tok
+
+
+# ------------------------------------------------- fake Graph API
+
+USERS_PAGE1 = {
+    "id": USER1, "userPrincipalName": "user.one@example.com",
+    "mail": "user.one@example.com", "displayName": "User One",
+    "givenName": "User", "surname": "One",
+    "jobTitle": "Software Engineer", "mobilePhone": "123-555-1000",
+    "businessPhones": ["123-555-0122"],
+}
+USERS_PAGE2 = {
+    "id": USER2, "userPrincipalName": "user.two@example.com",
+    "mail": "user.two@example.com", "displayName": "User Two",
+    "givenName": "User", "surname": "Two", "jobTitle": "Accountant",
+    "mobilePhone": "205-555-2000",
+    "businessPhones": ["205-555-5488", "205-555-7724"],
+}
+DEVICES_PAGE1 = {
+    "id": DEV1, "accountEnabled": True,
+    "deviceId": "eab73519-780d-4d43-be6d-a4a89af2a348",
+    "displayName": "DESKTOP-LK3PESR", "operatingSystem": "Windows",
+    "operatingSystemVersion": "10.0.19043.1237", "physicalIds": [],
+    "extensionAttributes": {"extensionAttribute1": "BYOD-Device",
+                            "extensionAttribute2": None,
+                            "extensionAttribute3": None,
+                            "extensionAttribute4": None},
+    "alternativeSecurityIds": [{"type": "2", "identityProvider": None,
+                                "key": "WAA1ADAAOQA6AD...QBnAD0A"}],
+}
+DEVICES_PAGE2 = {
+    "id": DEV2, "accountEnabled": True,
+    "deviceId": "2fbbb8f9-ff67-4a21-b867-a344d18a4198",
+    "displayName": "DESKTOP-LETW452G", "operatingSystem": "Windows",
+    "operatingSystemVersion": "10.0.19043.1337", "physicalIds": [],
+    "extensionAttributes": {"extensionAttribute1": "BYOD-Device",
+                            "extensionAttribute2": None,
+                            "extensionAttribute3": None,
+                            "extensionAttribute4": None},
+    "alternativeSecurityIds": [{"type": "2", "identityProvider": None,
+                                "key": "DGFSGHSGGTH345A...35DSFH0A"}],
+}
+DEVICE_OWNERS = {DEV1: [USER1], DEV2: [USER1]}
+DEVICE_USERS = {DEV1: [USER2, USER1], DEV2: [USER1]}
+GROUPS_PAGE1 = {
+    "id": GRP1, "displayName": "group1",
+    "members@delta": [{"id": USER1,
+                       "@odata.type": "#microsoft.graph.user"}],
+}
+GROUPS_PAGE2 = {
+    "id": GRP2, "displayName": "group2",
+    "members@delta": [
+        {"id": GRP1, "@odata.type": "#microsoft.graph.group"},
+        {"id": USER1, "@odata.type": "#microsoft.graph.group",
+         "@removed": {"reason": "changed"}},
+    ],
+}
+MFA_PAGE1 = {
+    "id": USER1, "isMfaCapable": True, "isMfaRegistered": True,
+    "methodsRegistered": ["microsoftAuthenticatorPush",
+                          "softwareOneTimePasscode"],
+    "userPreferredMethodForSecondaryAuthentication": "push",
+    "userType": "member",
+}
+MFA_PAGE2 = {
+    "id": USER2, "isMfaCapable": False, "isMfaRegistered": False,
+    "methodsRegistered": [],
+    "userPreferredMethodForSecondaryAuthentication": "",
+    "userType": "member",
+}
+SIGNIN_PAGE1 = {
+    "id": USER1,
+    "signInActivity": {"lastSignInDateTime": "2024-01-15T08:00:00Z",
+                       "lastSignInRequestId": "req-id-1"},
+}
+SIGNIN_PAGE2 = {
+    "id": USER2,
+    "signInActivity": {"lastSignInDateTime": "2024-01-14T10:00:00Z",
+                       "lastSignInRequestId": "req-id-2"},
+}
+
+
+class FakeGraph:
+    """graph_test.go's testServer: every delta endpoint serves two
+    pages ($skiptoken) ending in a deltaLink; report endpoints end
+    with no nextLink; auth is enforced."""
+
+    def __init__(self):
+        self.requests: list[str] = []
+        srv_ref = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, obj, status=200):
+                data = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                srv_ref.requests.append(self.path)
+                if self.headers.get("Authorization") != \
+                        "Bearer test-token":
+                    self._send({"error": "unauthorized"}, 401)
+                    return
+                u = urlparse(self.path)
+                q = dict(parse_qsl(u.query))
+                base = f"http://{srv_ref.addr}{u.path}"
+                skip = q.get("$skiptoken", "")
+                if u.path == "/users/delta":
+                    if skip == "":
+                        self._send({"@odata.nextLink":
+                                    base + "?$skiptoken=test",
+                                    "value": [USERS_PAGE1]})
+                    else:
+                        self._send({"@odata.deltaLink":
+                                    base + "?$deltatoken=test",
+                                    "value": [USERS_PAGE2]})
+                elif u.path == "/devices/delta":
+                    if skip == "":
+                        self._send({"@odata.nextLink":
+                                    base + "?$skiptoken=test",
+                                    "value": [DEVICES_PAGE1]})
+                    else:
+                        self._send({"@odata.deltaLink":
+                                    base + "?$deltatoken=test",
+                                    "value": [DEVICES_PAGE2]})
+                elif u.path == "/groups/delta":
+                    if skip == "":
+                        self._send({"@odata.nextLink":
+                                    base + "?$skiptoken=test",
+                                    "value": [GROUPS_PAGE1]})
+                    else:
+                        self._send({"@odata.deltaLink":
+                                    base + "?$deltatoken=test",
+                                    "value": [GROUPS_PAGE2]})
+                elif u.path.startswith("/devices/"):
+                    parts = u.path.strip("/").split("/")
+                    dev, typ = parts[1], parts[2]
+                    ids = (DEVICE_OWNERS if typ == "registeredOwners"
+                           else DEVICE_USERS)[dev]
+                    self._send({"value": [{"id": i} for i in ids]})
+                elif u.path == ("/reports/authenticationMethods/"
+                                "userRegistrationDetails"):
+                    if skip == "":
+                        self._send({"@odata.nextLink":
+                                    base + "?$skiptoken=test",
+                                    "value": [MFA_PAGE1]})
+                    else:
+                        self._send({"value": [MFA_PAGE2]})
+                elif u.path == "/users":
+                    if skip == "":
+                        self._send({"@odata.nextLink":
+                                    base + "?$skiptoken=test",
+                                    "value": [SIGNIN_PAGE1]})
+                    else:
+                        self._send({"value": [SIGNIN_PAGE2]})
+                else:
+                    self._send({"error": f"unknown route {u.path}"},
+                               404)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.addr = "%s:%d" % self.httpd.server_address
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def endpoint(self):
+        return "http://" + self.addr
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_graph():
+    srv = FakeGraph()
+    yield srv
+    srv.close()
+
+
+def _fetcher(srv, **kw):
+    return GraphFetcher(srv.endpoint, StaticAuth(), **kw)
+
+
+# ------------------------------------------------ graph fetcher parity
+
+def test_graph_users(fake_graph):
+    # TestGraph_Users: two pages, id popped, deltaLink returned
+    users, delta = _fetcher(fake_graph).users()
+    assert delta == (fake_graph.endpoint
+                     + "/users/delta?$deltatoken=test")
+    assert [u.id for u in users] == [USER1, USER2]
+    want1 = dict(USERS_PAGE1)
+    want1.pop("id")
+    assert users[0].fields == want1
+    assert not users[0].deleted
+
+
+def test_graph_groups(fake_graph):
+    # TestGraph_Groups: member types and @removed flags
+    groups, delta = _fetcher(fake_graph).groups()
+    assert delta == (fake_graph.endpoint
+                     + "/groups/delta?$deltatoken=test")
+    assert [g.id for g in groups] == [GRP1, GRP2]
+    assert groups[0].name == "group1"
+    assert groups[0].members == [Member(id=USER1, type="user")]
+    assert groups[1].members == [
+        Member(id=GRP1, type="group"),
+        Member(id=USER1, type="group", deleted=True)]
+
+
+def test_graph_devices_with_registered(fake_graph):
+    # TestGraph_Devices: registered owners/users come from the
+    # per-device sub-endpoints (single page, no links — tolerated).
+    devices, delta = _fetcher(fake_graph).devices()
+    assert delta == (fake_graph.endpoint
+                     + "/devices/delta?$deltatoken=test")
+    assert [d.id for d in devices] == [DEV1, DEV2]
+    want1 = dict(DEVICES_PAGE1)
+    want1.pop("id")
+    assert devices[0].fields == want1
+    assert devices[0].registered_owners.values() == [USER1]
+    assert devices[0].registered_users.values() == \
+        sorted([USER1, USER2],
+               key=lambda s: __import__("uuid").UUID(s).bytes)
+    assert devices[1].registered_owners.values() == [USER1]
+    assert devices[1].registered_users.values() == [USER1]
+
+
+def test_graph_select_query_sent(fake_graph):
+    # default $select reaches the wire ($select=accountEnabled,...)
+    _fetcher(fake_graph).users()
+    first = [p for p in fake_graph.requests
+             if p.startswith("/users/delta")][0]
+    q = dict(parse_qsl(urlparse(first).query))
+    assert q["$select"].startswith("accountEnabled,userPrincipalName")
+
+
+def test_graph_delta_link_resume(fake_graph):
+    # passing a deltaLink skips the initial URL entirely
+    f = _fetcher(fake_graph)
+    users, _ = f.users(fake_graph.endpoint
+                       + "/users/delta?$skiptoken=test")
+    assert [u.id for u in users] == [USER2]
+
+
+def test_graph_mfa_and_signin_reports(fake_graph):
+    f = _fetcher(fake_graph)
+    mfa = f.user_mfa_details()
+    assert set(mfa) == {USER1, USER2}
+    assert mfa[USER1]["isMfaCapable"] is True
+    assert "id" not in mfa[USER1]
+    act = f.user_sign_in_activity()
+    assert act[USER2]["lastSignInRequestId"] == "req-id-2"
+
+
+def test_graph_auth_failure_surfaces(fake_graph):
+    f = GraphFetcher(fake_graph.endpoint, StaticAuth("wrong"))
+    with pytest.raises(GraphError, match="unexpected status code: 401"):
+        f.users()
+
+
+def test_graph_link_failure_modes():
+    # loop: nextLink == fetchURL; missing: neither link present
+    def get_loop(url, headers):
+        return 200, json.dumps({"@odata.nextLink": url,
+                                "value": []}).encode()
+
+    f = GraphFetcher("http://x", StaticAuth(), http_get=get_loop)
+    with pytest.raises(NextLinkLoopError,
+                       match="nextLink fetch infinite loop"):
+        f.users()
+
+    def get_missing(url, headers):
+        return 200, json.dumps({"value": []}).encode()
+
+    f = GraphFetcher("http://x", StaticAuth(), http_get=get_missing)
+    with pytest.raises(MissingLinkError,
+                       match="without nextLink or deltaLink"):
+        f.groups()
+
+
+# ------------------------------------------------------- mock fetcher
+
+class MockFetcher:
+    """fetcher/mock/mock.go fixtures: three groups (group3 contains
+    group2 contains group1/user2/device2; group1 contains
+    user1/device1), two users, two devices."""
+
+    def __init__(self):
+        self.group_response = [
+            Group(id=GRP1, name="group1", members=[
+                Member(id=USER1, type="user"),
+                Member(id=DEV1, type="device")]),
+            Group(id=GRP2, name="group2", members=[
+                Member(id=GRP1, type="group"),
+                Member(id=USER2, type="user"),
+                Member(id=DEV2, type="device")]),
+            Group(id=GRP3, name="group3", members=[
+                Member(id=GRP2, type="group")]),
+        ]
+        self.mfa_response = {
+            USER1: {"isMfaCapable": True, "isMfaRegistered": True,
+                    "methodsRegistered": ["microsoftAuthenticatorPush"],
+                    "userType": "member"},
+            USER2: {"isMfaCapable": False, "isMfaRegistered": False,
+                    "methodsRegistered": [], "userType": "member"},
+        }
+        self.signin_response = {
+            USER1: {"lastSignInDateTime": "2024-01-15T08:00:00Z",
+                    "lastSignInRequestId": "req-id-1"},
+            USER2: {"lastSignInDateTime": "2024-01-14T10:00:00Z",
+                    "lastSignInRequestId": "req-id-2"},
+        }
+        self.fail_reports = False
+
+    def users(self, delta_link=""):
+        return ([User(id=USER1,
+                      fields={"displayName": "User One",
+                              "jobTitle": "Software Engineer"}),
+                 User(id=USER2,
+                      fields={"displayName": "User Two",
+                              "jobTitle": "Accountant"})],
+                "user-delta-link")
+
+    def devices(self, delta_link=""):
+        return ([Device(id=DEV1,
+                        fields={"displayName": "DESKTOP-LK3PESR"},
+                        registered_owners=UUIDSet([USER1]),
+                        registered_users=UUIDSet([USER1, USER2])),
+                 Device(id=DEV2,
+                        fields={"displayName": "DESKTOP-LETW452G"},
+                        registered_owners=UUIDSet([USER1]),
+                        registered_users=UUIDSet([USER1]))],
+                "device-delta-link")
+
+    def groups(self, delta_link=""):
+        return self.group_response, "group-delta-link"
+
+    def user_mfa_details(self):
+        if self.fail_reports:
+            raise GraphError("boom")
+        return dict(self.mfa_response)
+
+    def user_sign_in_activity(self):
+        if self.fail_reports:
+            raise GraphError("boom")
+        return dict(self.signin_response)
+
+
+def _ordered(ids):
+    return sorted(ids, key=lambda s: __import__("uuid").UUID(s).bytes)
+
+
+# ------------------------------------------------------------- doFetch
+
+@pytest.mark.parametrize("dataset,wu,wd", [
+    ("", True, True), ("all", True, True),
+    ("users", True, False), ("devices", False, True)])
+def test_do_fetch_dataset_matrix(dataset, wu, wd, tmp_path):
+    # azure_test.go TestAzure_DoFetch
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    cfg = AzureadConf(dataset=dataset)
+    uu, ud = azuread_do_fetch(MockFetcher(), cfg, state, False)
+    if wu:
+        assert _ordered(uu) == _ordered([USER1, USER2])
+    else:
+        assert not uu
+    if wd:
+        assert _ordered(ud) == _ordered([DEV1, DEV2])
+    else:
+        assert not ud
+
+
+def test_do_fetch_transitive_expansion(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    azuread_do_fetch(MockFetcher(), AzureadConf(), state, True)
+    # group1 ⊂ group2 ⊂ group3 ⇒ user1 transitively in all three
+    assert state.users[USER1].member_of.values() == [GRP1]
+    assert state.users[USER1].transitive_member_of.values() == \
+        _ordered([GRP1, GRP2, GRP3])
+    assert state.users[USER2].transitive_member_of.values() == \
+        _ordered([GRP2, GRP3])
+    assert state.devices[DEV1].transitive_member_of.values() == \
+        _ordered([GRP1, GRP2, GRP3])
+    assert state.devices[DEV2].transitive_member_of.values() == \
+        _ordered([GRP2, GRP3])
+
+
+def test_do_fetch_mfa_and_signin_enrichment(tmp_path):
+    # TestAzure_DoFetch_MFAEnrichment / SignInActivityEnrichment
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    cfg = AzureadConf(dataset="users",
+                      enrich_with=("mfa", "sign_in_activity"))
+    f = MockFetcher()
+    azuread_do_fetch(f, cfg, state, False)
+    for uid in (USER1, USER2):
+        assert state.users[uid].mfa == f.mfa_response[uid]
+        assert state.users[uid].sign_in_activity == \
+            f.signin_response[uid]
+
+
+def test_do_fetch_no_enrichment_without_opt_in(tmp_path):
+    # TestAzure_DoFetch_NoMFAEnrichment / NoSignInActivityEnrichment
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    azuread_do_fetch(MockFetcher(), AzureadConf(dataset="users"),
+                     state, False)
+    for u in state.users.values():
+        assert u.mfa is None and u.sign_in_activity is None
+
+
+def test_do_fetch_enrichment_is_best_effort(tmp_path):
+    # azure.go:443-466 — report failures warn and skip, not fail
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    f = MockFetcher()
+    f.fail_reports = True
+    logs = []
+    azuread_do_fetch(f, AzureadConf(enrich_with=("mfa",)), state,
+                     True, log=logs.append)
+    assert any("skipping MFA enrichment" in m for m in logs)
+    assert all(u.mfa is None for u in state.users.values())
+
+
+def test_do_fetch_deleted_group_republishes_members(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    f = MockFetcher()
+    azuread_do_fetch(f, AzureadConf(), state, True)
+    # Second cycle: group3 deleted → users transitively in it are
+    # republished and its vertex leaves the relationships tree.
+    f2 = MockFetcher()
+    f2.group_response = [Group(id=GRP3, name="group3", deleted=True)]
+    uu, _ = azuread_do_fetch(f2, AzureadConf(), state, False)
+    assert USER1 in uu and USER2 in uu
+    assert not state.relationships.contains_vertex(GRP2)  # g2→g3 edge pruned
+
+
+def test_do_fetch_member_removal_updates_membership(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+    azuread_do_fetch(MockFetcher(), AzureadConf(), state, True)
+    f2 = MockFetcher()
+    f2.group_response = [Group(id=GRP1, name="group1", members=[
+        Member(id=USER1, type="user", deleted=True)])]
+    uu, _ = azuread_do_fetch(f2, AzureadConf(), state, False)
+    assert USER1 in uu
+    assert state.users[USER1].member_of.values() == []
+    assert state.users[USER1].transitive_member_of.values() == []
+
+
+def test_do_fetch_unknown_deleted_user_not_stored(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    state = AzureStateStore(store)
+
+    class F(MockFetcher):
+        def users(self, delta_link=""):
+            return [User(id=USER1, fields={}, deleted=True)], "dl"
+
+        def groups(self, delta_link=""):
+            return [], "gl"
+
+        def devices(self, delta_link=""):
+            return [], "dvl"
+
+    azuread_do_fetch(F(), AzureadConf(), state, False)
+    assert USER1 not in state.users  # statestore.go:133-142
+
+
+# ---------------------------------------------------------- statestore
+
+def test_statestore_merge_and_roundtrip(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    st = AzureStateStore(store)
+    u = User(id=USER1, fields={"a": 1}, member_of=UUIDSet([GRP1]))
+    st.store_user(u)
+    assert u.discovered and not u.modified
+    st.relationships.add_edge(GRP1, GRP2)
+    st.groups[GRP1] = Group(id=GRP1, name="g1")
+    st.users_link = "ul"
+    st.last_sync = 123.0
+    st.close(True)
+
+    st2 = AzureStateStore(store)
+    assert st2.users_link == "ul" and st2.last_sync == 123.0
+    assert st2.users[USER1].fields == {"a": 1}
+    assert st2.users[USER1].member_of.values() == [GRP1]
+    assert st2.relationships.contains_edge(GRP1, GRP2)
+    # merge: second store of the same user marks modified, merges
+    # fields and unions memberships, adopts the deleted flag
+    u2 = User(id=USER1, fields={"b": 2}, member_of=UUIDSet([GRP2]))
+    st2.store_user(u2)
+    assert u2.modified
+    got = st2.users[USER1]
+    assert got.fields == {"a": 1, "b": 2}
+    assert got.member_of.values() == _ordered([GRP1, GRP2])
+
+
+def test_statestore_rollback_discards(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    st = AzureStateStore(store)
+    st.store_user(User(id=USER1, fields={}))
+    st.close(False)
+    assert USER1 not in AzureStateStore(store).users
+
+
+# ----------------------------------------------------- sync lifecycles
+
+def _actions(records):
+    return [r["fields"].get("event", {}).get("action")
+            for r in records]
+
+
+def test_full_sync_markers_and_docs(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    clock = {"t": 1000.0}
+    records = azuread_full_sync(
+        MockFetcher(), AzureadConf(), store, input_id="azure-1",
+        now=lambda: clock["t"])
+    acts = _actions(records)
+    assert acts[0] == "started" and acts[-1] == "completed"
+    users = [r for r in records if "user" in r["fields"]
+             and "device" not in r["fields"]]
+    devices = [r for r in records if "device" in r["fields"]]
+    assert len(users) == 2 and len(devices) == 2
+    u1 = next(r for r in users
+              if r["fields"]["user"]["id"] == USER1)
+    assert u1["fields"]["event"]["action"] == "user-discovered"
+    assert u1["fields"]["azure_ad"]["displayName"] == "User One"
+    assert u1["fields"]["labels"]["identity_source"] == "azure-1"
+    # transitive groups rendered as ECS {id,name}
+    assert sorted(g["name"] for g in u1["fields"]["user"]["group"]) \
+        == ["group1", "group2", "group3"]
+    d1 = next(r for r in devices
+              if r["fields"]["device"]["id"] == DEV1)
+    assert d1["fields"]["event"]["action"] == "device-discovered"
+    owners = d1["fields"]["device"]["registered_owners"]
+    assert [o["user"]["id"] for o in owners] == [USER1]
+    assert owners[0]["displayName"] == "User One"
+    regs = d1["fields"]["device"]["registered_users"]
+    assert sorted(r_["user"]["id"] for r_ in regs) == \
+        sorted([USER1, USER2])
+    # state committed
+    st = AzureStateStore(store)
+    assert st.last_sync == 1000.0
+    assert st.users_link == "user-delta-link"
+
+
+def test_second_full_sync_marks_modified(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    azuread_full_sync(MockFetcher(), AzureadConf(), store,
+                      input_id="a")
+    records = azuread_full_sync(MockFetcher(), AzureadConf(), store,
+                                input_id="a")
+    u1 = next(r for r in records
+              if r["fields"].get("user", {}).get("id") == USER1)
+    assert u1["fields"]["event"]["action"] == "user-modified"
+
+
+def test_incremental_publishes_only_changed_no_markers(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    azuread_full_sync(MockFetcher(), AzureadConf(), store,
+                      input_id="a")
+
+    class NoChange(MockFetcher):
+        def users(self, delta_link=""):
+            assert delta_link == "user-delta-link"  # resumed
+            return [], "user-delta-link2"
+
+        def devices(self, delta_link=""):
+            return [], "device-delta-link2"
+
+        def groups(self, delta_link=""):
+            return [], "group-delta-link2"
+
+    records = azuread_incremental_update(
+        NoChange(), AzureadConf(), store, input_id="a")
+    assert records == []  # no markers, nothing changed
+    st = AzureStateStore(store)
+    assert st.users_link == "user-delta-link2"
+
+    class OneUser(NoChange):
+        def users(self, delta_link=""):
+            return [User(id=USER1, fields={"jobTitle": "Chef"})], "l"
+
+    records = azuread_incremental_update(
+        OneUser(), AzureadConf(), store, input_id="a")
+    assert len(records) == 1
+    assert records[0]["fields"]["event"]["action"] == "user-modified"
+    assert records[0]["fields"]["azure_ad"]["jobTitle"] == "Chef"
+    # merged, not replaced (User.Merge)
+    assert records[0]["fields"]["azure_ad"]["displayName"] == \
+        "User One"
+
+
+def test_fetch_error_rolls_back_state(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    azuread_full_sync(MockFetcher(), AzureadConf(), store,
+                      input_id="a")
+
+    class Boom(MockFetcher):
+        def groups(self, delta_link=""):
+            raise GraphError("graph down")
+
+    with pytest.raises(GraphError):
+        azuread_incremental_update(Boom(), AzureadConf(), store,
+                                   input_id="a")
+    st = AzureStateStore(store)
+    assert st.users_link == "user-delta-link"  # unchanged
+
+
+def test_deleted_user_event_action(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    azuread_full_sync(MockFetcher(), AzureadConf(), store,
+                      input_id="a")
+
+    class Del(MockFetcher):
+        def users(self, delta_link=""):
+            return [User(id=USER1, fields={}, deleted=True)], "l"
+
+        def devices(self, delta_link=""):
+            return [], "dl"
+
+        def groups(self, delta_link=""):
+            return [], "gl"
+
+    records = azuread_incremental_update(Del(), AzureadConf(), store,
+                                         input_id="a")
+    assert records[0]["fields"]["event"]["action"] == "user-deleted"
+
+
+def test_decide_next_schedule(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    cfg = AzureadConf(sync_interval=3600.0, update_interval=60.0)
+    # empty state: both due immediately, sync wins ties at t=0
+    assert decide_next(store, cfg, now=0.0) == ("sync", 0.0)
+    azuread_full_sync(MockFetcher(), cfg, store, input_id="a",
+                      now=lambda: 100.0)
+    # after a sync, updates come due first
+    action, wait = decide_next(store, cfg, now=100.0)
+    assert action == "update" and wait == pytest.approx(60.0)
+    action, wait = decide_next(store, cfg, now=3800.0)
+    assert action == "sync" and wait == 0.0
+
+
+def test_end_to_end_against_fake_graph(fake_graph, tmp_path):
+    # the full wire path: oauth-less static token, delta pagination,
+    # registered users, group member@delta removal semantics
+    store = KVStore(str(tmp_path / "s.json"))
+    f = _fetcher(fake_graph)
+    records = azuread_full_sync(f, AzureadConf(), store,
+                                input_id="wire")
+    u1 = next(r for r in records
+              if r["fields"].get("user", {}).get("id") == USER1)
+    # group1 is a direct membership; group2 is transitive (group1 is
+    # a member-group of group2 via members@delta); the @removed
+    # group-typed entry for USER1's id is an edge no-op
+    assert sorted(g["id"] for g in u1["fields"]["user"]["group"]) == \
+        sorted([GRP1, GRP2])
+    st = AzureStateStore(store)
+    assert st.users_link.endswith("$deltatoken=test")
+    assert st.devices[DEV1].registered_owners.values() == [USER1]
+
+
+def test_entity_events_df_from_azuread(spark, fake_graph, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    records = azuread_full_sync(_fetcher(fake_graph), AzureadConf(),
+                                store, input_id="wire")
+    df = entity_events_df(spark, records)
+    rows = df.collect()
+    assert len(rows) == len(records)
+    assert {"ts", "action", "entity_id", "identity_source",
+            "fields"} <= set(df.columns)
+    u1 = next(r for r in rows if r["entity_id"] == USER1)
+    assert u1["action"] == "user-discovered"
+    assert u1["identity_source"] == "wire"
