@@ -1,0 +1,471 @@
+"""entity-analytics jamf provider.
+
+Re-expresses the reference's Jamf Pro computer-asset provider
+(x-pack/filebeat/input/entityanalytics/provider/jamf/) as a
+driver-side input program feeding `entity_events_df`:
+
+* ``JamfToken`` / ``get_token`` — the bearer-token lifecycle
+  (internal/jamf/jamf.go:22-83): Basic-auth POST to
+  /api/v1/auth/token, validity with a grace window, the
+  "Bearer …"/"invalid" rendering.
+* ``get_computers`` / ``get_users`` — the preview computers and
+  JSSResource users endpoints (internal/jamf/jamf.go:189-225) with
+  the ``errors`` sentinel-field detection and the Error rendering
+  (internal/jamf/jamf.go:286-310).
+* ``JamfStateStore`` — the computers bucket with the
+  Discovered/Modified/Deleted lifecycle (statestore.go:30-125).
+* ``jamf_do_fetch`` — the page/page-size pagination loop with
+  in-loop token renewal and the totalCount stop rule
+  (jamf.go:383-440).
+* ``jamf_full_sync`` / ``jamf_incremental_update`` — markers around
+  a publish of every known computer vs. changed-only publishes
+  (jamf.go:285-377), state committed only on success.
+
+Documented divergence: statestore.go:116 guards the deleted-state
+transition with ``c.IsManaged != nil || !*c.IsManaged``, which marks
+every re-stored computer Deleted whenever the flag is present and
+dereferences nil when it is absent; the comment on that line ("Assume
+no flag means unmanaged") and the published schema make the intent
+clear, so this port implements it as written there in words: a
+re-seen computer whose IsManaged flag is nil or False is Deleted,
+otherwise changed fields mark it Modified.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from .entityanalytics import KVStore
+
+__all__ = [
+    "DISCOVERED", "MODIFIED", "DELETED", "JamfError", "JamfToken",
+    "JamfConf", "default_jamf_conf", "get_token", "get_computers",
+    "get_users", "normalize_computer", "computers_equal",
+    "JamfStateStore", "jamf_do_fetch", "jamf_full_sync",
+    "jamf_incremental_update",
+]
+
+DISCOVERED = 1
+MODIFIED = 2
+DELETED = 3
+
+_STATE_ACTION = {DISCOVERED: "discovered", MODIFIED: "modified",
+                 DELETED: "deleted"}
+
+# The Computer schema (internal/jamf/jamf.go:94-117). Unknown API
+# fields are dropped at parse, like the Go struct decode.
+COMPUTER_FIELDS = (
+    "site", "name", "udid", "serialNumber", "operatingSystemVersion",
+    "operatingSystemBuild", "operatingSystemSupplementalBuildVersion",
+    "operatingSystemRapidSecurityResponse", "macAddress", "assetTag",
+    "modelIdentifier", "mdmAccessRights", "lastContactDate",
+    "lastReportDate", "lastEnrolledDate", "ipAddress", "managementId",
+    "isManaged",
+)
+LOCATION_FIELDS = (
+    "username", "realName", "emailAddress", "position", "phoneNumber",
+    "department", "building", "room",
+)
+
+
+class JamfError(Exception):
+    """jamf.Error (internal/jamf/jamf.go:286-310) — same rendering."""
+
+    def __init__(self, status: int = 0, errors: Optional[list] = None):
+        self.status = status
+        self.errors = errors or []
+        if not self.errors:
+            msg = f"error http status: {status}"
+        else:
+            parts = []
+            for c in self.errors:
+                e = (f"code={c.get('code', '')} "
+                     f"description={c.get('description', '')}")
+                if c.get("field") is not None:
+                    e += f" field={c['field']}"
+                parts.append(e)
+            msg = f"error http status: {status}: " + ",".join(parts)
+        super().__init__(msg)
+
+
+def _recover_error(body: dict) -> Optional[JamfError]:
+    """recoverError (internal/jamf/jamf.go:275-284): a zero status is
+    not an error."""
+    status = body.get("httpStatus", 0)
+    if not status:
+        return None
+    return JamfError(status, body.get("errors") or [])
+
+
+@dataclass
+class JamfToken:
+    """jamf.Token (internal/jamf/jamf.go:22-37)."""
+    token: str = ""
+    expires: float = 0.0  # epoch seconds
+
+    def is_valid_for(self, grace: float,
+                     now: Callable[[], float] = time.time) -> bool:
+        return bool(self.token) and self.expires > 0 \
+            and self.expires > now() - grace
+
+    def __str__(self) -> str:
+        if not self.is_valid_for(0):
+            return "invalid"
+        return "Bearer " + self.token
+
+
+def get_token(tenant: str, username: str, password: str, *,
+              http_post=None, scheme: str = "https") -> JamfToken:
+    """GetToken (internal/jamf/jamf.go:40-83): Basic-auth POST; the
+    errors sentinel field marks failure even on a 2xx body."""
+    import base64
+    post = http_post or _basic_auth_post
+    url = f"{scheme}://{tenant}/api/v1/auth/token"
+    basic = base64.b64encode(f"{username}:{password}".encode()).decode()
+    status, data = post(url, b"", "application/json",
+                        {"Authorization": "Basic " + basic,
+                         "Accept": "application/json"})
+    body = json.loads(data)
+    if body.get("errors") is not None:
+        err = _recover_error(body)
+        raise err if err else JamfError(status)
+    from datetime import datetime
+    expires = body.get("expires", "")
+    try:
+        exp = datetime.fromisoformat(
+            str(expires).replace("Z", "+00:00")).timestamp()
+    except ValueError:
+        exp = 0.0
+    return JamfToken(token=body.get("token", ""), expires=exp)
+
+
+def _basic_auth_post(url, body, ctype, headers):
+    import urllib.error
+    import urllib.request
+    req = urllib.request.Request(
+        url, data=body, method="POST",
+        headers=dict(headers, **{"Content-Type": ctype}))
+    try:
+        with urllib.request.urlopen(req, timeout=30) as res:
+            return res.status, res.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _bearer_get(url, headers):
+    import urllib.error
+    import urllib.request
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as res:
+            return res.status, res.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def _get_details(url: str, tok: JamfToken, http_get=None) -> dict:
+    """getDetails (internal/jamf/jamf.go:230-273): expired tokens are
+    refused client-side; the errors sentinel marks API failure."""
+    if not tok.is_valid_for(0):
+        from datetime import datetime, timezone
+        exp = datetime.fromtimestamp(tok.expires, timezone.utc)
+        raise JamfError(0, [{"code": "EXPIRED", "description":
+                             "expired token: "
+                             + exp.strftime("%Y-%m-%dT%H:%M:%SZ")}])
+    get = http_get or _bearer_get
+    status, data = get(url, {"Authorization": str(tok),
+                             "Accept": "application/json"})
+    body = json.loads(data)
+    if body.get("errors") is not None:
+        err = _recover_error(body)
+        if err:
+            raise err
+        if status != 200:
+            raise JamfError(status)
+    return body
+
+
+def get_computers(tenant: str, tok: JamfToken, *,
+                  query: Optional[dict] = None, http_get=None,
+                  scheme: str = "https") -> dict:
+    """GetComputers (internal/jamf/jamf.go:193-204): the preview
+    computers endpoint; returns {"totalCount", "results"}."""
+    from urllib.parse import urlencode
+    url = f"{scheme}://{tenant}/api/preview/computers"
+    if query:
+        url += "?" + urlencode(sorted(query.items()))
+    body = _get_details(url, tok, http_get)
+    return {"totalCount": body.get("totalCount", 0),
+            "results": [normalize_computer(c)
+                        for c in body.get("results") or ()]}
+
+
+def get_users(tenant: str, tok: JamfToken, *,
+              query: Optional[dict] = None, http_get=None,
+              scheme: str = "https") -> list:
+    """GetUsers (internal/jamf/jamf.go:211-225): the JSSResource list
+    users endpoint."""
+    from urllib.parse import urlencode
+    url = f"{scheme}://{tenant}/JSSResource/users"
+    if query:
+        url += "?" + urlencode(sorted(query.items()))
+    body = _get_details(url, tok, http_get)
+    return [{"id": u.get("id"), "name": u.get("name")}
+            for u in body.get("users") or ()]
+
+
+def normalize_computer(raw: dict) -> dict:
+    """Project a raw API record onto the Computer schema, the way the
+    Go struct decode drops unknown fields. Absent keys become None
+    (nil pointers)."""
+    c = {k: raw.get(k) for k in COMPUTER_FIELDS}
+    loc = raw.get("location") or {}
+    c["location"] = {k: loc.get(k) for k in LOCATION_FIELDS}
+    return c
+
+
+def computers_equal(a: dict, b: dict) -> bool:
+    """Computer.Equal (internal/jamf/jamf.go:118-137): field-by-field
+    over the known schema only."""
+    return normalize_computer(a) == normalize_computer(b)
+
+
+# ------------------------------------------------------------- config
+
+@dataclass
+class JamfConf:
+    """conf (conf.go:41-68). Intervals/grace are seconds."""
+    jamf_tenant: str = ""
+    jamf_username: str = ""
+    jamf_password: str = ""
+    page_size: int = 0
+    token_grace: float = 60.0
+    sync_interval: float = 24 * 3600.0
+    update_interval: float = 15 * 60.0
+
+    def validate(self) -> None:
+        """conf.Validate (conf.go:167-175) — same error strings."""
+        if self.sync_interval <= 0:
+            raise ValueError("zero or negative sync_interval")
+        if self.update_interval <= 0:
+            raise ValueError("zero or negative update_interval")
+        if self.sync_interval <= self.update_interval:
+            raise ValueError(
+                "sync_interval not longer than update_interval")
+
+
+def default_jamf_conf() -> JamfConf:
+    return JamfConf()
+
+
+# --------------------------------------------------------- statestore
+
+@dataclass
+class Computer:
+    properties: dict = field(default_factory=dict)
+    state: int = 0
+
+    @property
+    def udid(self) -> Optional[str]:
+        return self.properties.get("udid")
+
+
+class JamfStateStore:
+    """statestore.go over the shared KVStore snapshot transaction."""
+
+    def __init__(self, store: KVStore):
+        self.store = store
+        self.snapshot = store.begin()
+        st = self.snapshot.setdefault("jamf_state", {})
+        self.last_sync = st.get("last_sync", 0.0)
+        self.last_update = st.get("last_update", 0.0)
+        self.computers: dict[str, Computer] = {}
+        for udid, raw in (self.snapshot.get("jamf_computers")
+                          or {}).items():
+            self.computers[udid] = Computer(
+                properties=raw.get("properties") or {},
+                state=raw.get("state", 0))
+
+    def store_computer(self, raw: dict
+                       ) -> tuple[Optional[Computer], bool]:
+        """storeComputer (statestore.go:102-125): new → Discovered;
+        re-seen → Deleted when unmanaged (nil flag means unmanaged),
+        else Modified when any schema field changed. Returns
+        (record, changed)."""
+        c = normalize_computer(raw)
+        udid = c.get("udid")
+        if not udid:
+            return None, False
+        stored = self.computers.get(udid)
+        if stored is None:
+            curr = Computer(properties=c, state=DISCOVERED)
+            self.computers[udid] = curr
+            return curr, True
+        changed = stored.properties != c
+        stored.properties = c
+        managed = c.get("isManaged")
+        if managed is None or not managed:
+            stored.state = DELETED
+            return stored, changed
+        if changed:
+            stored.state = MODIFIED
+        return stored, changed
+
+    def close(self, commit: bool) -> None:
+        if not commit:
+            return
+        st = self.snapshot["jamf_state"]
+        if self.last_sync:
+            st["last_sync"] = self.last_sync
+        if self.last_update:
+            st["last_update"] = self.last_update
+        self.snapshot["jamf_computers"] = {
+            udid: {"properties": c.properties, "state": c.state}
+            for udid, c in self.computers.items()}
+        self.store.commit(self.snapshot)
+
+
+# ------------------------------------------------------------- fetch
+
+class JamfClient:
+    """The provider's API surface with in-loop token renewal
+    (jamf.go:383-440's token handling)."""
+
+    def __init__(self, cfg: JamfConf, *, http_get=None, http_post=None,
+                 scheme: str = "https",
+                 now: Callable[[], float] = time.time):
+        self.cfg = cfg
+        self.http_get = http_get
+        self.http_post = http_post
+        self.scheme = scheme
+        self.now = now
+        self.token = JamfToken()
+
+    def _ensure_token(self) -> None:
+        if not self.token.is_valid_for(self.cfg.token_grace,
+                                       self.now):
+            self.token = get_token(
+                self.cfg.jamf_tenant, self.cfg.jamf_username,
+                self.cfg.jamf_password, http_post=self.http_post,
+                scheme=self.scheme)
+
+    def computers_page(self, query: Optional[dict]) -> dict:
+        self._ensure_token()
+        return get_computers(self.cfg.jamf_tenant, self.token,
+                             query=query, http_get=self.http_get,
+                             scheme=self.scheme)
+
+
+def jamf_do_fetch(client: JamfClient, state: JamfStateStore,
+                  full_sync: bool,
+                  log: Callable[[str], None] = lambda msg: None
+                  ) -> list[Computer]:
+    """doFetchComputers (jamf.go:383-440): page/page-size pagination,
+    stop on an empty page or when the running count reaches
+    totalCount; full syncs store everything, updates collect the
+    changed records."""
+    changed: list[Computer] = []
+    page_size = client.cfg.page_size
+    page, n = 0, 0
+    while True:
+        query = None
+        if page_size > 0:
+            query = {"page-size": str(page_size), "page": str(page)}
+        resp = client.computers_page(query)
+        results = resp["results"]
+        if not results:
+            break
+        log(f"received batch of {len(results)} computers from API")
+        if full_sync:
+            for c in results:
+                state.store_computer(c)
+        else:
+            for c in results:
+                stored, was_changed = state.store_computer(c)
+                if stored is None:
+                    continue
+                if was_changed:
+                    changed.append(stored)
+        n += len(results)
+        if n >= resp["totalCount"]:
+            break
+        page += 1
+    log(f"received {len(changed)} modified computer records from API")
+    return changed
+
+
+# --------------------------------------------------------- publishing
+
+def _marker(records: list, ts: float, input_id: str,
+            start: bool) -> None:
+    """publishMarker (jamf.go:442-468)."""
+    fields_ = {
+        "labels": {"identity_source": input_id},
+        "event": {"action": "started" if start else "completed"},
+    }
+    fields_["event"]["start" if start else "end"] = ts
+    records.append({"ts": ts, "fields": fields_})
+
+
+def _publish_computer(records: list, c: Computer, input_id: str,
+                      now: float) -> None:
+    """publishComputer (jamf.go:470-509): device.id falls back to
+    'unknown' when the udid is absent."""
+    doc = {
+        "jamf": dict(c.properties),
+        "labels": {"identity_source": input_id},
+        "device": {"id": c.udid or "unknown"},
+    }
+    action = _STATE_ACTION.get(c.state)
+    if action:
+        doc["event"] = {"action": f"device-{action}"}
+    records.append({"ts": now, "fields": doc})
+
+
+def jamf_full_sync(client: JamfClient, store: KVStore, *,
+                   input_id: str,
+                   now: Callable[[], float] = time.time,
+                   log: Callable[[str], None] = lambda msg: None
+                   ) -> list[dict]:
+    """runFullSync (jamf.go:285-334): publish every known computer
+    between markers, commit only on success."""
+    state = JamfStateStore(store)
+    try:
+        jamf_do_fetch(client, state, True, log)
+        records: list[dict] = []
+        if state.computers:
+            start = now()
+            _marker(records, start, input_id, True)
+            for c in state.computers.values():
+                _publish_computer(records, c, input_id, now())
+            _marker(records, now(), input_id, False)
+        state.last_sync = now()
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise
+
+
+def jamf_incremental_update(client: JamfClient, store: KVStore, *,
+                            input_id: str,
+                            now: Callable[[], float] = time.time,
+                            log: Callable[[str], None] = lambda m: None
+                            ) -> list[dict]:
+    """runIncrementalUpdate (jamf.go:339-377): publish only changed
+    computers, no markers."""
+    state = JamfStateStore(store)
+    try:
+        updated = jamf_do_fetch(client, state, False, log)
+        records: list[dict] = []
+        for c in updated:
+            _publish_computer(records, c, input_id, now())
+        state.last_update = now()
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise

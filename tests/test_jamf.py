@@ -1,0 +1,389 @@
+"""entity-analytics jamf provider battery.
+
+Ports the reference matrices
+(x-pack/filebeat/input/entityanalytics/provider/jamf/): the
+testjamf/testdata/computers.json fixture (8 computers) served by a
+live fake Jamf Pro (token endpoint with Basic auth + expiring bearer
+tokens, preview computers endpoint with page/page-size pagination),
+TestJamfDoFetch's discovered-everything expectation, conf.Validate's
+table, the Error rendering (internal/jamf/jamf.go:286-310), the token
+validity grace rules, and the statestore
+Discovered/Modified/Deleted lifecycle (statestore.go:102-125, with
+the managed-flag intent implemented as documented in the module
+docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import uuid as _uuid
+from datetime import datetime, timedelta, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+from beats_spark.entityanalytics import KVStore, entity_events_df
+from beats_spark.jamf import (
+    DELETED, DISCOVERED, MODIFIED, Computer, JamfClient, JamfConf,
+    JamfError, JamfStateStore, JamfToken, computers_equal, get_token,
+    get_users, jamf_do_fetch, jamf_full_sync, jamf_incremental_update,
+    normalize_computer,
+)
+
+FIXTURE = Path("/root/reference/x-pack/filebeat/input/entityanalytics"
+               "/provider/jamf/testjamf/testdata/computers.json")
+USERS_FIXTURE = Path("/root/reference/x-pack/filebeat/input/"
+                     "entityanalytics/provider/jamf/internal/jamf/"
+                     "testdata/users.json")
+pytestmark = pytest.mark.skipif(not FIXTURE.exists(),
+                                reason="reference fixture absent")
+
+USERNAME = "testuser"
+PASSWORD = "testuser_password"
+DEVICE_UDID = "5982CE36-4526-580B-B4B9-ECC6782535BC"
+
+
+def _fixture_computers():
+    return json.loads(FIXTURE.read_text())
+
+
+# ----------------------------------------------------------- fixtures
+
+class FakeJamf:
+    """testjamf.StartServer over plain HTTP: Basic-auth token mint,
+    bearer-checked computers/users endpoints, optional page-size
+    pagination over the reference fixture."""
+
+    def __init__(self, paginate: bool = False):
+        self.tokens: list[str] = []
+        self.computer_requests: list[dict] = []
+        data = _fixture_computers()
+        users = (json.loads(USERS_FIXTURE.read_text())
+                 if USERS_FIXTURE.exists() else {"users": []})
+        srv = self
+
+        class H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def _send(self, obj, status=200):
+                raw = json.dumps(obj).encode()
+                self.send_response(status)
+                self.send_header("Content-Type",
+                                 "application/json;charset=UTF-8")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+
+            def do_POST(self):
+                import base64
+                if urlparse(self.path).path != "/api/v1/auth/token":
+                    self._send({"httpStatus": 404, "errors": []}, 404)
+                    return
+                want = "Basic " + base64.b64encode(
+                    f"{USERNAME}:{PASSWORD}".encode()).decode()
+                if self.headers.get("Authorization") != want:
+                    self._send({"httpStatus": 401, "errors": []}, 401)
+                    return
+                tok = str(_uuid.uuid4())
+                srv.tokens.append(tok)
+                exp = (datetime.now(timezone.utc)
+                       + timedelta(hours=1))
+                self._send({"token": tok,
+                            "expires":
+                            exp.strftime("%Y-%m-%dT%H:%M:%SZ")})
+
+            def do_GET(self):
+                auth = self.headers.get("Authorization", "")
+                if (not srv.tokens
+                        or auth != "Bearer " + srv.tokens[-1]):
+                    self._send({"httpStatus": 401, "errors": [
+                        {"code": "INVALID_TOKEN",
+                         "description": "Unauthorized", "id": "0",
+                         "field": None}]}, 401)
+                    return
+                u = urlparse(self.path)
+                q = dict(parse_qsl(u.query))
+                if u.path == "/api/preview/computers":
+                    srv.computer_requests.append(q)
+                    results = data["results"]
+                    if paginate and "page-size" in q:
+                        size = int(q["page-size"])
+                        page = int(q.get("page", "0"))
+                        results = results[page * size:
+                                          (page + 1) * size]
+                    self._send({"totalCount": data["totalCount"],
+                                "results": results})
+                elif u.path == "/JSSResource/users":
+                    self._send(users)
+                else:
+                    self._send({"httpStatus": 404, "errors": []}, 404)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.addr = "%s:%d" % self.httpd.server_address
+        self.thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def fake_jamf():
+    srv = FakeJamf()
+    yield srv
+    srv.close()
+
+
+def _client(srv, **kw):
+    cfg = JamfConf(jamf_tenant=srv.addr, jamf_username=USERNAME,
+                   jamf_password=PASSWORD, **kw)
+    return JamfClient(cfg, scheme="http")
+
+
+# --------------------------------------------------------------- conf
+
+@pytest.mark.parametrize("kw,err", [
+    ({}, None),  # defaults
+    ({"sync_interval": 0.0, "update_interval": 2.0},
+     "zero or negative sync_interval"),
+    ({"sync_interval": 1.0, "update_interval": 0.0},
+     "zero or negative update_interval"),
+    ({"sync_interval": 1.0, "update_interval": 2.0},
+     "sync_interval not longer than update_interval"),
+])
+def test_conf_validate_table(kw, err):
+    # conf_test.go validateTests
+    c = JamfConf(jamf_tenant="t", jamf_username="u",
+                 jamf_password="p", **kw)
+    if err is None:
+        c.validate()
+    else:
+        with pytest.raises(ValueError, match=err):
+            c.validate()
+
+
+# -------------------------------------------------------------- token
+
+def test_token_validity_and_rendering():
+    t = JamfToken()
+    assert str(t) == "invalid"
+    assert not t.is_valid_for(0, now=lambda: 100.0)
+    t = JamfToken(token="abc", expires=200.0)
+    assert t.is_valid_for(0, now=lambda: 100.0)
+    # grace window: valid up to `grace` past expiry
+    assert t.is_valid_for(60.0, now=lambda: 250.0)
+    assert not t.is_valid_for(0.0, now=lambda: 250.0)
+    # String() rides the real clock (jamf.go:33-37)
+    import time as _t
+    live = JamfToken(token="abc", expires=_t.time() + 3600)
+    assert str(live) == "Bearer abc"
+
+
+def test_get_token_against_fake(fake_jamf):
+    tok = get_token(fake_jamf.addr, USERNAME, PASSWORD, scheme="http")
+    assert tok.token == fake_jamf.tokens[-1]
+    assert tok.is_valid_for(0)
+
+
+def test_get_token_bad_credentials(fake_jamf):
+    with pytest.raises(JamfError, match="error http status: 401"):
+        get_token(fake_jamf.addr, USERNAME, "wrong", scheme="http")
+
+
+def test_error_rendering():
+    e = JamfError(401, [{"code": "INVALID_TOKEN",
+                         "description": "Unauthorized",
+                         "field": None},
+                        {"code": "X", "description": "Y",
+                         "field": "f"}])
+    assert str(e) == ("error http status: 401: "
+                      "code=INVALID_TOKEN description=Unauthorized,"
+                      "code=X description=Y field=f")
+    assert str(JamfError(500)) == "error http status: 500"
+
+
+def test_expired_token_refused_client_side(fake_jamf):
+    from beats_spark.jamf import get_computers
+    with pytest.raises(JamfError, match="expired token"):
+        get_computers(fake_jamf.addr, JamfToken("stale", 1.0),
+                      scheme="http")
+
+
+# ---------------------------------------------------------- normalize
+
+def test_normalize_projects_known_schema():
+    raw = dict(_fixture_computers()["results"][0])
+    raw["unknownField"] = "dropped"
+    c = normalize_computer(raw)
+    assert "unknownField" not in c
+    assert c["udid"] == DEVICE_UDID
+    assert c["location"]["username"] == "john.doe"
+    assert "id" not in c  # not part of the Computer struct
+
+
+def test_computers_equal_known_fields_only():
+    a = _fixture_computers()["results"][0]
+    b = dict(a, extraneous="x")
+    assert computers_equal(a, b)
+    c = dict(a, name="changed")
+    assert not computers_equal(a, c)
+
+
+# ------------------------------------------------------------ doFetch
+
+def test_do_fetch_discovers_all(fake_jamf, tmp_path):
+    # TestJamfDoFetch: every fixture computer lands Discovered
+    store = KVStore(str(tmp_path / "s.json"))
+    state = JamfStateStore(store)
+    changed = jamf_do_fetch(_client(fake_jamf), state, False)
+    want = _fixture_computers()["results"]
+    assert len(changed) == len(want)
+    assert all(c.state == DISCOVERED for c in changed)
+    got_udids = {c.udid for c in changed}
+    assert got_udids == {c["udid"] for c in want}
+
+
+def test_do_fetch_pagination_and_single_auth(tmp_path):
+    srv = FakeJamf(paginate=True)
+    try:
+        store = KVStore(str(tmp_path / "s.json"))
+        state = JamfStateStore(store)
+        client = _client(srv, page_size=3)
+        jamf_do_fetch(client, state, True)
+        # 8 computers at page-size 3 → pages 0,1,2
+        assert [q.get("page") for q in srv.computer_requests] == \
+            ["0", "1", "2"]
+        assert len(state.computers) == 8
+        # one token mint covers all pages (grace window)
+        assert len(srv.tokens) == 1
+    finally:
+        srv.close()
+
+
+def test_get_users_fixture(fake_jamf):
+    if not USERS_FIXTURE.exists():
+        pytest.skip("users fixture absent")
+    client = _client(fake_jamf)
+    client._ensure_token()
+    users = get_users(fake_jamf.addr, client.token, scheme="http")
+    assert {"id": 3, "name": "john.doe"} in users
+    assert len(users) == 21
+
+
+# ---------------------------------------------------------- lifecycle
+
+def _computer(udid="u-1", managed=True, **kw):
+    raw = {"udid": udid, "isManaged": managed,
+           "name": kw.pop("name", "mac-1")}
+    raw.update(kw)
+    return raw
+
+
+def test_statestore_lifecycle(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    st = JamfStateStore(store)
+    c, changed = st.store_computer(_computer())
+    assert c.state == DISCOVERED and changed
+    # unchanged re-store: managed → stays, not changed
+    c, changed = st.store_computer(_computer())
+    assert not changed and c.state == DISCOVERED
+    # field change on a managed device → Modified
+    c, changed = st.store_computer(_computer(name="mac-renamed"))
+    assert changed and c.state == MODIFIED
+    # unmanaged (or missing flag) → Deleted
+    c, _ = st.store_computer(_computer(name="mac-renamed",
+                                       managed=False))
+    assert c.state == DELETED
+    c, _ = st.store_computer({"udid": "u-1", "name": "mac-renamed"})
+    assert c.state == DELETED
+    # records without a udid are ignored
+    assert st.store_computer({"name": "no-id"}) == (None, False)
+
+
+def test_statestore_roundtrip_and_rollback(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    st = JamfStateStore(store)
+    st.store_computer(_computer())
+    st.last_sync = 42.0
+    st.close(True)
+    st2 = JamfStateStore(store)
+    assert st2.last_sync == 42.0
+    assert st2.computers["u-1"].state == DISCOVERED
+    st2.store_computer(_computer(udid="u-2"))
+    st2.close(False)
+    assert "u-2" not in JamfStateStore(store).computers
+
+
+# ----------------------------------------------------- sync lifecycles
+
+def test_full_sync_markers_and_docs(fake_jamf, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    clock = {"t": 500.0}
+    records = jamf_full_sync(_client(fake_jamf), store,
+                             input_id="jamf-1",
+                             now=lambda: clock["t"])
+    acts = [r["fields"].get("event", {}).get("action")
+            for r in records]
+    assert acts[0] == "started" and acts[-1] == "completed"
+    devices = [r for r in records if "device" in r["fields"]]
+    assert len(devices) == 8
+    d1 = next(r for r in devices
+              if r["fields"]["device"]["id"] == DEVICE_UDID)
+    assert d1["fields"]["event"]["action"] == "device-discovered"
+    assert d1["fields"]["jamf"]["serialNumber"] == "C07DM3AZQ6NV"
+    assert d1["fields"]["jamf"]["location"]["username"] == "john.doe"
+    assert d1["fields"]["labels"]["identity_source"] == "jamf-1"
+    st = JamfStateStore(store)
+    assert st.last_sync == 500.0 and len(st.computers) == 8
+
+
+def test_incremental_publishes_only_changed(fake_jamf, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    jamf_full_sync(_client(fake_jamf), store, input_id="a")
+    # no changes → no records (the fixture is re-served identically;
+    # managed computers with equal fields stay silent)
+    records = jamf_incremental_update(_client(fake_jamf), store,
+                                      input_id="a")
+    managed = [c for c in _fixture_computers()["results"]
+               if c.get("isManaged")]
+    unmanaged = [c for c in _fixture_computers()["results"]
+                 if not c.get("isManaged")]
+    # unmanaged fixtures transition Discovered → Deleted but are NOT
+    # published (storeComputer returns changed=false when fields are
+    # identical — jamf.go:421-428 collects only changed records)
+    assert records == []
+    st = JamfStateStore(store)
+    for c in unmanaged:
+        assert st.computers[c["udid"]].state == DELETED
+    for c in managed:
+        assert st.computers[c["udid"]].state == DISCOVERED
+
+
+def test_incremental_fetch_error_rolls_back(fake_jamf, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    jamf_full_sync(_client(fake_jamf), store, input_id="a")
+    bad = _client(fake_jamf)
+    bad.cfg.jamf_password = "wrong"
+    bad.token = JamfToken()  # force re-auth
+    with pytest.raises(JamfError):
+        jamf_incremental_update(bad, store, input_id="a")
+    st = JamfStateStore(store)
+    assert st.last_update == 0.0  # unchanged
+
+
+def test_entity_events_df_from_jamf(spark, fake_jamf, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    records = jamf_full_sync(_client(fake_jamf), store,
+                             input_id="wire")
+    df = entity_events_df(spark, records)
+    rows = df.collect()
+    assert len(rows) == len(records)
+    d = next(r for r in rows if r["entity_id"] == DEVICE_UDID)
+    assert d["action"] == "device-discovered"
+    assert d["identity_source"] == "wire"
