@@ -1,0 +1,732 @@
+"""entity-analytics activedirectory provider.
+
+Re-expresses the reference's Active Directory identity provider
+(x-pack/filebeat/input/entityanalytics/provider/activedirectory/) as
+a driver-side input program over the from-scratch LDAP wire layer in
+``ldap_wire``:
+
+* ``parse_base_dn`` — CN-vs-container base-DN splitting
+  (internal/activedirectory/activedirectory.go:51-101): CN components
+  that precede the first OU/DC become potential group DNs that must
+  be validated against (objectClass=group) before they turn into
+  memberOf filters, since groups are leaf objects.
+* ``build_member_of_filter`` — the LDAP_MATCHING_RULE_IN_CHAIN
+  memberOf filter (activedirectory.go:152-167).
+* ``entype`` / ``collate`` — attribute typing (booleans, dense times,
+  Windows NT tick times with the accountExpires sentinel values,
+  objectGUID/objectSid bytes) and group annotation via memberOf
+  (activedirectory.go:475-607), plus ``from_windows_nt``.
+* ``get_details`` / ``get_empty_groups`` — the full query flows
+  (activedirectory.go:206-419): group-DN validation, the combined
+  user filter (query ∧ memberOf ∧ whenChanged>=since), the changed-
+  groups second pass that pulls members of recently-changed groups,
+  and the members-absent empty-group query.
+* ``ADStateStore`` / ``unify_state`` — the statestore lifecycle
+  (statestore.go:139-262: overwrite-with-Modified semantics, Deleted
+  entries dropped at commit) and the absence-means-deleted
+  reconciliation of full syncs (activedirectory.go:296-341).
+* ``ad_full_sync`` / ``ad_incremental_update`` — markers around a
+  full publish vs. changed-only publishes, with the whenChanged
+  watermark threaded through state (activedirectory.go:215-407).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from typing import Callable, Iterable, Optional
+
+from .entityanalytics import KVStore
+from .ldap_wire import (
+    LDAPClient, LDAPError, MATCHING_RULE_IN_CHAIN, SCOPE_BASE,
+    dn_to_string, escape_filter, parse_dn,
+)
+
+__all__ = [
+    "DISCOVERED", "MODIFIED", "DELETED", "ADConf", "ADEntity",
+    "ADStateStore", "parse_base_dn", "build_member_of_filter",
+    "entype", "collate", "from_windows_nt", "when_changed",
+    "with_mandatory", "get_details", "get_empty_groups",
+    "unify_state", "ad_full_sync", "ad_incremental_update",
+]
+
+DISCOVERED = 1
+MODIFIED = 2
+DELETED = 3
+_STATE_ACTION = {DISCOVERED: "discovered", MODIFIED: "modified",
+                 DELETED: "deleted"}
+
+DEFAULT_USER_QUERY = "(&(objectCategory=person)(objectClass=user))"
+DEFAULT_DEVICE_QUERY = "(&(objectClass=computer)(objectClass=user))"
+
+# since filter rendering (activedirectory.go:237-241)
+_DENSE_SINCE = "%Y%m%d%H%M%S.0Z"
+# entype dense-time layout (activedirectory.go:560)
+_UNIX_EPOCH_NT = 116444736000000000
+
+
+@dataclass
+class ParsedBaseDN:
+    container_base_dn: str = ""
+    potential_group_dns: list = field(default_factory=list)
+    original_base_dn: str = ""
+
+
+def parse_base_dn(base: Optional[str]) -> ParsedBaseDN:
+    """parseBaseDN (activedirectory.go:51-101)."""
+    result = ParsedBaseDN()
+    if not base:
+        return result
+    rdns = parse_dn(base)
+    if not rdns:
+        return result
+    result.original_base_dn = dn_to_string(rdns)
+
+    container_start = -1
+    for i, (typ, _val) in enumerate(rdns):
+        if typ.upper() in ("OU", "DC"):
+            container_start = i
+            break
+    if container_start <= 0:
+        result.container_base_dn = result.original_base_dn
+        return result
+    for i in range(container_start):
+        typ, _val = rdns[i]
+        if typ.upper() == "CN":
+            result.potential_group_dns.append(dn_to_string(rdns[i:]))
+    result.container_base_dn = dn_to_string(rdns[container_start:])
+    return result
+
+
+def build_member_of_filter(group_dns: Iterable[str]) -> str:
+    """buildMemberOfFilter (activedirectory.go:152-167)."""
+    group_dns = list(group_dns)
+    if not group_dns:
+        return ""
+    parts = [f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+             f"{escape_filter(dn)})" for dn in group_dns]
+    if len(parts) == 1:
+        return parts[0]
+    return "(|" + "".join(parts) + ")"
+
+
+def from_windows_nt(ts: int) -> datetime:
+    """fromWindowsNT (activedirectory.go:609-611): 100 ns ticks since
+    1601-01-01."""
+    return (datetime(1970, 1, 1, tzinfo=timezone.utc)
+            + timedelta(microseconds=(ts - _UNIX_EPOCH_NT) / 10))
+
+
+_BOOL_ATTRS = ("isCriticalSystemObject", "showInAdvancedViewOnly")
+_DENSE_TIME_ATTRS = ("whenCreated", "whenChanged",
+                     "dSCorePropagationData")
+_NT_TIME_ATTRS = ("accountExpires", "lastLogon", "lastLogonTimestamp",
+                  "pwdLastSet")
+_BYTE_ATTRS = ("objectGUID", "objectSid")
+
+
+def _parse_dense_time(v: str) -> datetime:
+    # "20060102150405.999999999Z": seconds with optional fraction
+    base, _, frac = v.rstrip("Z").partition(".")
+    t = datetime.strptime(base, "%Y%m%d%H%M%S").replace(
+        tzinfo=timezone.utc)
+    if frac:
+        t += timedelta(seconds=float("0." + frac))
+    return t
+
+
+def entype(name: str, values: list):
+    """entype (activedirectory.go:537-607): typed conversion with
+    string fallback on any parse failure. values hold str for normal
+    attributes and bytes for binary ones."""
+    svals = [v.decode(errors="surrogateescape")
+             if isinstance(v, (bytes, bytearray)) else v
+             for v in values]
+    if not values:
+        return svals
+    if name in _BOOL_ATTRS:
+        if len(svals) != 1:
+            return svals
+        low = svals[0].lower()
+        if low == "true":
+            return True
+        if low == "false":
+            return False
+        return svals[0]
+    if name in _DENSE_TIME_ATTRS:
+        times = []
+        for v in svals:
+            try:
+                t = _parse_dense_time(v)
+            except ValueError:
+                return svals
+            if len(svals) == 1:
+                return t
+            times.append(t)
+        return times
+    if name in _NT_TIME_ATTRS:
+        times = []
+        for v in svals:
+            try:
+                ts = int(v)
+            except ValueError:
+                return svals
+            # accountExpires sentinel values stay raw strings
+            # (activedirectory.go:585-588)
+            if name == "accountExpires" and ts in (
+                    0, 0x7FFF_FFFF_FFFF_FFFF):
+                return v
+            if len(svals) == 1:
+                return from_windows_nt(ts)
+            times.append(from_windows_nt(ts))
+        return times
+    if name in _BYTE_ATTRS:
+        bvals = [bytes(v) if isinstance(v, (bytes, bytearray))
+                 else v.encode() for v in values]
+        if len(bvals) == 1:
+            return bvals[0]
+        return bvals
+    if len(svals) == 1:
+        return svals[0]
+    return svals
+
+
+def collate(entries: list, groups: Optional[dict],
+            ent_typ: str) -> dict:
+    """collate (activedirectory.go:475-535): entries is
+    [(dn, {attr: [values]})]; returns dn → entry map. When groups is
+    given, each entry's attributes nest under ent_typ and memberOf
+    values that resolve in groups land under "groups"."""
+    out: dict[str, dict] = {}
+    for dn, attrs in entries:
+        u: dict = {}
+        m: dict = u
+        if groups is not None:
+            m = {ent_typ: u}
+        for name, values in attrs.items():
+            val = entype(name, values)
+            u[name] = val
+            if groups is not None and name == "memberOf":
+                vals = val if isinstance(val, list) else [val]
+                grps = [groups[n] for n in vals
+                        if isinstance(n, str) and n in groups]
+                if grps:
+                    m["groups"] = grps
+        out[dn] = m
+    return out
+
+
+def when_changed(attrs: dict, groups: list) -> Optional[datetime]:
+    """whenChanged (activedirectory.go:420-436): the max of the
+    entity's and its groups' whenChanged values."""
+    latest = attrs.get("whenChanged")
+    if not isinstance(latest, datetime):
+        latest = None
+    for g in groups or ():
+        if not isinstance(g, dict):
+            continue
+        gl = g.get("whenChanged")
+        if isinstance(gl, datetime) and (latest is None
+                                         or gl > latest):
+            latest = gl
+    return latest
+
+
+def with_mandatory(attrs: list, *include: str) -> list:
+    """withMandatory (activedirectory.go:195-212): empty attrs means
+    all attributes, so stays empty."""
+    if not attrs:
+        return []
+    out = list(attrs)
+    for m in include:
+        if m not in out:
+            out.append(m)
+    return out
+
+
+def _validate_group_dns(client: LDAPClient,
+                        potential: list) -> list:
+    """validateGroupDNs (activedirectory.go:107-139): a base-scope
+    (objectClass=group) probe per candidate; failures skip."""
+    confirmed = []
+    for dn in potential:
+        try:
+            res = client.search(dn, "(objectClass=group)",
+                                ["objectClass"], scope=SCOPE_BASE,
+                                size_limit=1)
+        except LDAPError:
+            continue
+        if res.entries:
+            confirmed.append(dn)
+    return confirmed
+
+
+@dataclass
+class Entry:
+    """activedirectory.Entry (activedirectory.go:170-181)."""
+    id: str
+    user: Optional[dict] = None
+    device: Optional[dict] = None
+    group: Optional[dict] = None
+    groups: list = field(default_factory=list)
+    when_changed: Optional[datetime] = None
+
+
+def get_details(query: str, url: str, user: str, password: str,
+                base: str, since: Optional[datetime],
+                user_attrs: list, grp_attrs: list, paging_size: int,
+                ent_typ: str, *,
+                client_factory: Callable[[str], LDAPClient]
+                = LDAPClient) -> tuple[list, list]:
+    """GetDetails (activedirectory.go:206-367). Returns (entries,
+    soft errors) — group-query failures are collected, not fatal."""
+    if ent_typ not in ("user", "device"):
+        raise ValueError(f"invalid entity type: {ent_typ!r}")
+    if not base or not parse_dn(base):
+        raise ValueError("invalid base distinguished name: no path")
+
+    conn = client_factory(url)
+    try:
+        conn.bind(user, password)
+        errs: list[str] = []
+
+        since_fmtd = since.strftime(_DENSE_SINCE) if since else ""
+
+        parsed = parse_base_dn(base)
+        confirmed = _validate_group_dns(conn,
+                                        parsed.potential_group_dns)
+        if confirmed:
+            base_dn = parsed.container_base_dn
+            member_of_filter = build_member_of_filter(confirmed)
+        else:
+            base_dn = parsed.original_base_dn
+            member_of_filter = ""
+
+        # All groups, independent of since (they may not have
+        # changed for changed users).
+        try:
+            grps = conn.search(base_dn, "(objectClass=group)",
+                               grp_attrs, paging=paging_size)
+            groups = collate(grps.entries, None, "")
+        except LDAPError as e:
+            errs.append(f"failed to get group details: {e}")
+            groups = {}
+
+        user_filter = query
+        if member_of_filter:
+            user_filter = "(&" + query + member_of_filter + ")"
+        if since_fmtd:
+            user_filter = ("(&" + user_filter
+                           + "(whenChanged>=" + since_fmtd + "))")
+        usrs = conn.search(base_dn, user_filter, user_attrs,
+                           paging=paging_size)
+        users = collate(usrs.entries, groups, ent_typ)
+
+        # Users of recently-changed groups (activedirectory.go:
+        # 309-345): their membership sets may have changed without a
+        # whenChanged bump on the user.
+        if since_fmtd:
+            try:
+                changed = conn.search(
+                    base_dn,
+                    "(&(objectClass=group)(whenChanged>="
+                    + since_fmtd + "))", grp_attrs,
+                    paging=paging_size)
+                changed_groups = collate(changed.entries, None, "")
+                mod_grps = []
+                for e in changed_groups.values():
+                    dn = e.get("distinguishedName")
+                    if isinstance(dn, str):
+                        mod_grps.append(dn)
+                if mod_grps:
+                    ors = "".join(
+                        f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+                        f"{escape_filter(dn)})" for dn in mod_grps)
+                    changed_filter = ("(&" + query + "(|" + ors
+                                      + "))")
+                    if member_of_filter:
+                        changed_filter = ("(&" + changed_filter
+                                          + member_of_filter + ")")
+                    extra = conn.search(base_dn, changed_filter,
+                                        user_attrs,
+                                        paging=paging_size)
+                    for dn, u in collate(extra.entries,
+                                         changed_groups,
+                                         ent_typ).items():
+                        users.setdefault(dn, u)
+            except LDAPError as e:
+                errs.append("failed to collect changed groups: "
+                            f"failed to get group details: {e}")
+
+        docs = []
+        for dn, u in users.items():
+            attrs = u[ent_typ]
+            grps_of = u.get("groups") or []
+            e = Entry(id=dn, groups=grps_of,
+                      when_changed=when_changed(attrs, grps_of))
+            if ent_typ == "user":
+                e.user = attrs
+            else:
+                e.device = attrs
+            docs.append(e)
+        return docs, errs
+    finally:
+        conn.unbind()
+
+
+def get_empty_groups(url: str, user: str, password: str, base: str,
+                     since: Optional[datetime], grp_attrs: list,
+                     paging_size: int, *,
+                     client_factory: Callable[[str], LDAPClient]
+                     = LDAPClient) -> list:
+    """GetEmptyGroups (activedirectory.go:370-419):
+    (&(objectClass=group)(!(member=*))) with the since conjunct."""
+    if not base or not parse_dn(base):
+        raise ValueError("invalid base distinguished name: no path")
+    conn = client_factory(url)
+    try:
+        conn.bind(user, password)
+        parsed = parse_base_dn(base)
+        base_dn = (parsed.container_base_dn
+                   if parsed.potential_group_dns
+                   else parsed.original_base_dn)
+        flt = "(&(objectClass=group)(!(member=*)))"
+        if since:
+            flt = ("(&(objectClass=group)(!(member=*))(whenChanged>="
+                   + since.strftime(_DENSE_SINCE) + "))")
+        result = conn.search(base_dn, flt, grp_attrs,
+                             paging=paging_size)
+        groups = collate(result.entries, None, "")
+        docs = []
+        for _dn, g in groups.items():
+            dn = g.get("distinguishedName")
+            dn = dn if isinstance(dn, str) else ""
+            wc = g.get("whenChanged")
+            wc = wc if isinstance(wc, datetime) else None
+            docs.append(Entry(id=dn, group=g, when_changed=wc))
+        return docs
+    finally:
+        conn.unbind()
+
+
+# ------------------------------------------------------------- config
+
+@dataclass
+class ADConf:
+    """conf (conf.go:25-60)."""
+    ad_base_dn: str = ""
+    ad_url: str = ""
+    ad_user: str = ""
+    ad_password: str = ""
+    dataset: str = ""
+    user_query: str = ""
+    device_query: str = ""
+    include_empty_groups: bool = False
+    user_attrs: list = field(default_factory=list)
+    grp_attrs: list = field(default_factory=list)
+    paging_size: int = 0
+    sync_interval: float = 24 * 3600.0
+    update_interval: float = 15 * 60.0
+
+    def want_users(self) -> bool:
+        return self.dataset.lower() in ("", "all", "users")
+
+    def want_devices(self) -> bool:
+        return self.dataset.lower() in ("", "all", "devices")
+
+    def want_empty_groups(self) -> bool:
+        return self.include_empty_groups
+
+
+# --------------------------------------------------------- statestore
+
+def _iso(dt: Optional[datetime]) -> str:
+    return dt.astimezone(timezone.utc).isoformat() if dt else ""
+
+
+def _from_iso(s: str) -> Optional[datetime]:
+    return datetime.fromisoformat(s) if s else None
+
+
+@dataclass
+class ADEntity:
+    """statestore User (statestore.go:39-42): a person, computer or
+    empty group."""
+    entry: Entry
+    state: int = 0
+
+    @property
+    def id(self) -> str:
+        return self.entry.id
+
+
+def _entry_to_json(e: Entry) -> dict:
+    def conv(v):
+        if isinstance(v, datetime):
+            return {"$time": v.isoformat()}
+        if isinstance(v, bytes):
+            import base64
+            return {"$bytes": base64.b64encode(v).decode()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        return v
+
+    return {"id": e.id, "user": conv(e.user), "device": conv(e.device),
+            "group": conv(e.group), "groups": conv(e.groups),
+            "whenChanged": _iso(e.when_changed)}
+
+
+def _entry_from_json(raw: dict) -> Entry:
+    def conv(v):
+        if isinstance(v, dict):
+            if set(v) == {"$time"}:
+                return datetime.fromisoformat(v["$time"])
+            if set(v) == {"$bytes"}:
+                import base64
+                return base64.b64decode(v["$bytes"])
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, list):
+            return [conv(x) for x in v]
+        return v
+
+    return Entry(id=raw["id"], user=conv(raw.get("user")),
+                 device=conv(raw.get("device")),
+                 group=conv(raw.get("group")),
+                 groups=conv(raw.get("groups")) or [],
+                 when_changed=_from_iso(raw.get("whenChanged", "")))
+
+
+class ADStateStore:
+    """statestore.go over the shared KVStore snapshot transaction.
+    Deleted entities are dropped at commit (statestore.go:221-258)."""
+
+    def __init__(self, store: KVStore):
+        self.store = store
+        self.snapshot = store.begin()
+        st = self.snapshot.setdefault("ad_state", {})
+        self.last_sync = _from_iso(st.get("last_sync", ""))
+        self.last_update = _from_iso(st.get("last_update", ""))
+        self.when_changed = _from_iso(st.get("when_changed", ""))
+        self.users = self._load("ad_users")
+        self.devices = self._load("ad_devices")
+        self.groups = self._load("ad_groups")
+
+    def _load(self, bucket: str) -> dict:
+        out = {}
+        for key, raw in (self.snapshot.get(bucket) or {}).items():
+            out[key] = ADEntity(
+                entry=_entry_from_json(raw["entry"]),
+                state=raw.get("state", 0))
+        return out
+
+    @staticmethod
+    def _store(table: dict, e: Entry) -> ADEntity:
+        """storeUser/storeDevice/storeGroup (statestore.go:139-182):
+        replace wholesale, Discovered on first sight else Modified."""
+        ent = ADEntity(entry=e)
+        if e.id in table:
+            ent.state = MODIFIED
+            table[e.id] = ent
+        else:
+            ent.state = DISCOVERED
+            table[e.id] = ent
+        return ent
+
+    def store_user(self, e: Entry) -> ADEntity:
+        return self._store(self.users, e)
+
+    def store_device(self, e: Entry) -> ADEntity:
+        return self._store(self.devices, e)
+
+    def store_group(self, e: Entry) -> ADEntity:
+        return self._store(self.groups, e)
+
+    def close(self, commit: bool) -> None:
+        if not commit:
+            return
+        st = self.snapshot["ad_state"]
+        if self.last_sync:
+            st["last_sync"] = _iso(self.last_sync)
+        if self.last_update:
+            st["last_update"] = _iso(self.last_update)
+        if self.when_changed:
+            st["when_changed"] = _iso(self.when_changed)
+        for bucket, table in (("ad_users", self.users),
+                              ("ad_devices", self.devices),
+                              ("ad_groups", self.groups)):
+            self.snapshot[bucket] = {
+                key: {"entry": _entry_to_json(v.entry),
+                      "state": v.state}
+                for key, v in table.items() if v.state != DELETED}
+        self.store.commit(self.snapshot)
+
+
+# ------------------------------------------------------------ provider
+
+def _do_fetch(cfg: ADConf, state: ADStateStore, full_sync: bool,
+              kind: str, client_factory, log) -> list:
+    """doFetchUsers/doFetchDevices/doFetchEmptyGroups
+    (activedirectory.go:413-499): threads the whenChanged watermark
+    through state."""
+    since = None if full_sync else state.when_changed
+    if kind == "groups":
+        entries = get_empty_groups(
+            cfg.ad_url, cfg.ad_user, cfg.ad_password, cfg.ad_base_dn,
+            since, with_mandatory(cfg.grp_attrs, "distinguishedName",
+                                  "whenChanged"),
+            cfg.paging_size, client_factory=client_factory)
+        store = state.store_group
+    else:
+        query = (cfg.user_query or DEFAULT_USER_QUERY
+                 if kind == "user"
+                 else cfg.device_query or DEFAULT_DEVICE_QUERY)
+        entries, errs = get_details(
+            query, cfg.ad_url, cfg.ad_user, cfg.ad_password,
+            cfg.ad_base_dn, since,
+            with_mandatory(cfg.user_attrs, "distinguishedName",
+                           "whenChanged"),
+            with_mandatory(cfg.grp_attrs, "distinguishedName",
+                           "whenChanged"),
+            cfg.paging_size, kind, client_factory=client_factory)
+        for e in errs:
+            log(e)
+        store = (state.store_user if kind == "user"
+                 else state.store_device)
+    out = []
+    for e in entries:
+        out.append(store(e))
+        if e.when_changed and (state.when_changed is None
+                               or e.when_changed
+                               > state.when_changed):
+            state.when_changed = e.when_changed
+    log(f"processed {len(out)} {kind} records from API")
+    return out
+
+
+def unify_state(state_table: dict, entries: list,
+                now: Optional[datetime] = None) -> list:
+    """unifyState (activedirectory.go:296-341): entities in state but
+    absent from a full sync are marked Deleted (absence is AD's only
+    deletion signal) and appended for publication."""
+    if not entries and not state_table:
+        return []
+    if state_table:
+        found = {u.id for u in entries}
+        now = now or datetime.now(timezone.utc)
+        deleted = []
+        for e in state_table.values():
+            if e.state == DELETED or e.id in found:
+                continue
+            e.state = DELETED
+            e.entry.when_changed = now
+            deleted.append(e)
+        entries = list(entries) + deleted
+    return entries
+
+
+def _publish(records: list, kind: str, e: ADEntity, input_id: str,
+             now: float) -> None:
+    """publishUser/publishDevice/publishGroup
+    (activedirectory.go:500-620)."""
+    body = e.entry.user if kind == "user" else (
+        e.entry.device if kind == "device" else e.entry.group)
+    # Entry's json tags are omitempty (activedirectory.go:175-181)
+    ad: dict = {"id": e.id}
+    if body:
+        ad[kind] = body
+    if e.entry.groups:
+        ad["groups"] = e.entry.groups
+    if e.entry.when_changed:
+        ad["whenChanged"] = _iso(e.entry.when_changed)
+    doc = {
+        "activedirectory": ad,
+        "labels": {"identity_source": input_id},
+        kind: {"id": e.id},
+    }
+    action = _STATE_ACTION.get(e.state)
+    if action:
+        doc["event"] = {"action": f"{kind}-{action}"}
+    records.append({"ts": now, "fields": doc})
+
+
+def ad_full_sync(cfg: ADConf, store: KVStore, *, input_id: str,
+                 client_factory: Callable[[str], LDAPClient]
+                 = LDAPClient,
+                 now: Callable[[], float] = time.time,
+                 log: Callable[[str], None] = lambda msg: None
+                 ) -> list[dict]:
+    """runFullSync (activedirectory.go:215-294)."""
+    state = ADStateStore(store)
+    try:
+        records: list[dict] = []
+        want = [(k, wanted) for k, wanted in
+                (("user", cfg.want_users()),
+                 ("device", cfg.want_devices()),
+                 ("groups", cfg.want_empty_groups())) if wanted]
+        if want:
+            fetched = {k: _do_fetch(cfg, state, True, k,
+                                    client_factory, log)
+                       for k, _ in want}
+            _marker(records, now(), input_id, True)
+            for u in unify_state(state.users,
+                                 fetched.get("user", [])):
+                _publish(records, "user", u, input_id, now())
+            for d in unify_state(state.devices,
+                                 fetched.get("device", [])):
+                _publish(records, "device", d, input_id, now())
+            for g in unify_state(state.groups,
+                                 fetched.get("groups", [])):
+                _publish(records, "group", g, input_id, now())
+            _marker(records, now(), input_id, False)
+        state.last_sync = state.when_changed
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise
+
+
+def ad_incremental_update(cfg: ADConf, store: KVStore, *,
+                          input_id: str,
+                          client_factory: Callable[[str], LDAPClient]
+                          = LDAPClient,
+                          now: Callable[[], float] = time.time,
+                          log: Callable[[str], None] = lambda m: None
+                          ) -> list[dict]:
+    """runIncrementalUpdate (activedirectory.go:343-407): only
+    changed entities, no markers, no deletion reconciliation."""
+    state = ADStateStore(store)
+    try:
+        records: list[dict] = []
+        updated = {}
+        for kind, wanted in (("user", cfg.want_users()),
+                             ("device", cfg.want_devices()),
+                             ("groups", cfg.want_empty_groups())):
+            if wanted:
+                updated[kind] = _do_fetch(cfg, state, False, kind,
+                                          client_factory, log)
+        for u in updated.get("user", []):
+            _publish(records, "user", u, input_id, now())
+        for d in updated.get("device", []):
+            _publish(records, "device", d, input_id, now())
+        for g in updated.get("groups", []):
+            _publish(records, "group", g, input_id, now())
+        state.last_update = state.when_changed
+        state.close(True)
+        return records
+    except Exception:
+        state.close(False)
+        raise
+
+
+def _marker(records: list, ts: float, input_id: str,
+            start: bool) -> None:
+    fields_ = {
+        "labels": {"identity_source": input_id},
+        "event": {"action": "started" if start else "completed"},
+    }
+    fields_["event"]["start" if start else "end"] = ts
+    records.append({"ts": ts, "fields": fields_})

@@ -751,7 +751,8 @@ def entity_events_df(spark, records: list[dict]):
     for r in records:
         f = r["fields"]
         eid = (f.get("user") or {}).get("id") \
-            or (f.get("device") or {}).get("id")
+            or (f.get("device") or {}).get("id") \
+            or (f.get("group") or {}).get("id")
         rows.append((
             _dt.datetime.fromtimestamp(r["ts"], _dt.timezone.utc
                                        ).replace(tzinfo=None),

@@ -1,0 +1,914 @@
+"""Minimal LDAPv3 wire layer (RFC 4511/4514/4515 subset), both halves.
+
+Provides what the activedirectory entity-analytics provider needs from
+go-ldap (x-pack/filebeat/input/entityanalytics/provider/
+activedirectory/internal/activedirectory/activedirectory.go): simple
+bind, subtree/base search with string filters, the simple-paged-results
+control (RFC 2696, OID 1.2.840.113556.1.4.319), unbind, DN
+parse/serialize with go-ldap's lowercased-attribute-type rendering,
+``escape_filter`` (RFC 4515 §3), and a string-filter parser/evaluator.
+The server half backs the test fake the way ``websocket_wire`` backs
+the streaming input tests; the filter evaluator implements AD's
+case-insensitive matching plus the LDAP_MATCHING_RULE_IN_CHAIN
+(1.2.840.113556.1.4.1941) transitive-membership rule used by
+buildMemberOfFilter.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+from dataclasses import dataclass, field
+from typing import Callable, Iterable, Optional
+from urllib.parse import urlparse
+
+__all__ = [
+    "LDAPError", "LDAPClient", "LDAPServer", "SearchResult",
+    "parse_dn", "dn_to_string", "normalize_dn", "escape_filter",
+    "parse_filter", "eval_filter", "MATCHING_RULE_IN_CHAIN",
+    "PAGED_CONTROL_OID",
+]
+
+MATCHING_RULE_IN_CHAIN = "1.2.840.113556.1.4.1941"
+PAGED_CONTROL_OID = "1.2.840.113556.1.4.319"
+
+SCOPE_BASE = 0
+SCOPE_ONE = 1
+SCOPE_SUBTREE = 2
+
+
+class LDAPError(Exception):
+    def __init__(self, code: int, message: str = ""):
+        self.code = code
+        super().__init__(f"ldap result {code}: {message}"
+                         if message else f"ldap result {code}")
+
+
+# ------------------------------------------------------------ BER
+
+def _ber_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(raw)]) + raw
+
+
+def _ber(tag: int, content: bytes) -> bytes:
+    return bytes([tag]) + _ber_len(len(content)) + content
+
+
+def _ber_int(v: int, tag: int = 0x02) -> bytes:
+    if v == 0:
+        return _ber(tag, b"\x00")
+    length = (v.bit_length() // 8) + 1
+    return _ber(tag, v.to_bytes(length, "big", signed=True))
+
+
+def _ber_enum(v: int) -> bytes:
+    return _ber_int(v, 0x0A)
+
+
+def _ber_str(s, tag: int = 0x04) -> bytes:
+    if isinstance(s, str):
+        s = s.encode()
+    return _ber(tag, s)
+
+
+def _ber_bool(b: bool) -> bytes:
+    return _ber(0x01, b"\xff" if b else b"\x00")
+
+
+def _ber_seq(parts: Iterable[bytes], tag: int = 0x30) -> bytes:
+    return _ber(tag, b"".join(parts))
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+    def tlv(self) -> tuple[int, bytes]:
+        tag = self.data[self.pos]
+        self.pos += 1
+        first = self.data[self.pos]
+        self.pos += 1
+        if first < 0x80:
+            length = first
+        else:
+            nbytes = first & 0x7F
+            length = int.from_bytes(
+                self.data[self.pos:self.pos + nbytes], "big")
+            self.pos += nbytes
+        content = self.data[self.pos:self.pos + length]
+        self.pos += length
+        return tag, content
+
+
+def _int_of(content: bytes) -> int:
+    return int.from_bytes(content, "big", signed=True)
+
+
+# ------------------------------------------------------------- DN
+
+def parse_dn(s: str) -> list[tuple[str, str]]:
+    """RFC 4514 parse (single-attribute RDNs, the subset AD base DNs
+    use) to a list of (attributeType, value). Handles backslash
+    escapes and hex pairs."""
+    rdns: list[tuple[str, str]] = []
+    if not s:
+        return rdns
+    part: list[str] = []
+    parts: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            nxt = s[i + 1]
+            if nxt in ',+"\\<>;= #':
+                part.append(nxt)
+                i += 2
+                continue
+            if i + 2 < len(s):
+                try:
+                    part.append(chr(int(s[i + 1:i + 3], 16)))
+                    i += 3
+                    continue
+                except ValueError:
+                    pass
+            part.append(nxt)
+            i += 2
+            continue
+        if c == ",":
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(c)
+        i += 1
+    parts.append("".join(part))
+    for p in parts:
+        if "=" not in p:
+            raise ValueError(f"invalid RDN: {p!r}")
+        typ, _, val = p.partition("=")
+        rdns.append((typ.strip(), val.strip()))
+    return rdns
+
+
+def _escape_dn_value(v: str) -> str:
+    out = []
+    for i, c in enumerate(v):
+        if c in ',+"\\<>;':
+            out.append("\\" + c)
+        elif c == "#" and i == 0:
+            out.append("\\#")
+        elif c == " " and (i == 0 or i == len(v) - 1):
+            out.append("\\ ")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def dn_to_string(rdns: list[tuple[str, str]]) -> str:
+    """go-ldap's DN.String(): attribute types lowercased, values
+    escaped (activedirectory_test.go:21-22 relies on this)."""
+    return ",".join(f"{t.lower()}={_escape_dn_value(v)}"
+                    for t, v in rdns)
+
+
+def normalize_dn(s: str) -> str:
+    return dn_to_string(parse_dn(s))
+
+
+def _dn_key(s: str) -> str:
+    """Case-insensitive DN comparison key (AD DNs are
+    case-insensitive)."""
+    return ",".join(f"{t.lower()}={v.lower()}"
+                    for t, v in parse_dn(s))
+
+
+# --------------------------------------------------------- filters
+
+def escape_filter(s: str) -> str:
+    """ldap.EscapeFilter: RFC 4515 §3 — NUL, '(', ')', '*', '\\' and
+    non-ASCII bytes become \\XX hex pairs."""
+    out = []
+    for b in s.encode():
+        if b in (0x00, 0x28, 0x29, 0x2A, 0x5C) or b > 0x7F:
+            out.append("\\%02x" % b)
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def _unescape_filter_value(s: str) -> str:
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 2 <= len(s) - 1 + 1:
+            try:
+                out.append(int(s[i + 1:i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.extend(s[i].encode())
+        i += 1
+    return out.decode(errors="surrogateescape")
+
+
+@dataclass
+class Filter:
+    """A parsed search filter node. op is one of and/or/not/eq/ge/le/
+    approx/present/substr/ext."""
+    op: str
+    children: list = field(default_factory=list)
+    attr: str = ""
+    value: str = ""
+    pieces: Optional[list] = None  # substr: [initial, [any...], final]
+    rule: str = ""                 # ext: matchingRule OID
+    dn_attrs: bool = False
+
+
+def parse_filter(s: str) -> Filter:
+    """RFC 4515 string filter parser (the subset the provider
+    emits)."""
+    s = s.strip()
+    node, rest = _parse_filter(s)
+    if rest:
+        raise ValueError(f"trailing filter data: {rest!r}")
+    return node
+
+
+def _parse_filter(s: str) -> tuple[Filter, str]:
+    if not s.startswith("("):
+        raise ValueError(f"filter must start with '(': {s!r}")
+    body = s[1:]
+    if body[:1] in "&|":
+        op = "and" if body[0] == "&" else "or"
+        rest = body[1:]
+        children = []
+        while rest.startswith("("):
+            child, rest = _parse_filter(rest)
+            children.append(child)
+        if not rest.startswith(")"):
+            raise ValueError("unterminated composite filter")
+        return Filter(op, children=children), rest[1:]
+    if body[:1] == "!":
+        child, rest = _parse_filter(body[1:])
+        if not rest.startswith(")"):
+            raise ValueError("unterminated not filter")
+        return Filter("not", children=[child]), rest[1:]
+    # simple item up to the matching ')': values never contain a raw
+    # ')' (escaped as \29), so scan to the next one.
+    end = body.index(")")
+    item, rest = body[:end], body[end + 1:]
+    for sym, op in ((">=", "ge"), ("<=", "le"), ("~=", "approx")):
+        ix = item.find(sym)
+        if ix > 0 and ":" not in item[:ix]:
+            return Filter(op, attr=item[:ix],
+                          value=_unescape_filter_value(
+                              item[ix + 2:])), rest
+    ix = item.find(":=")
+    if ix >= 0 and ":" in item[:ix + 1]:
+        # extensibleMatch: attr[:dn][:rule]:=value
+        head = item[:ix]
+        value = _unescape_filter_value(item[ix + 2:])
+        bits = head.split(":")
+        attr = bits[0]
+        rule = ""
+        dn_attrs = False
+        for b in bits[1:]:
+            if not b:
+                continue
+            if b.lower() == "dn":
+                dn_attrs = True
+            else:
+                rule = b
+        return Filter("ext", attr=attr, value=value, rule=rule,
+                      dn_attrs=dn_attrs), rest
+    ix = item.find("=")
+    if ix < 0:
+        raise ValueError(f"invalid filter item: {item!r}")
+    attr, raw = item[:ix], item[ix + 1:]
+    if raw == "*":
+        return Filter("present", attr=attr), rest
+    if "*" in raw:
+        segs = raw.split("*")
+        initial = _unescape_filter_value(segs[0])
+        final = _unescape_filter_value(segs[-1])
+        mids = [_unescape_filter_value(x) for x in segs[1:-1] if x]
+        return Filter("substr", attr=attr,
+                      pieces=[initial, mids, final]), rest
+    return Filter("eq", attr=attr,
+                  value=_unescape_filter_value(raw)), rest
+
+
+def _encode_filter(f: Filter) -> bytes:
+    if f.op == "and":
+        return _ber_seq([_encode_filter(c) for c in f.children], 0xA0)
+    if f.op == "or":
+        return _ber_seq([_encode_filter(c) for c in f.children], 0xA1)
+    if f.op == "not":
+        return _ber_seq([_encode_filter(f.children[0])], 0xA2)
+    if f.op == "eq":
+        return _ber_seq([_ber_str(f.attr), _ber_str(f.value)], 0xA3)
+    if f.op == "ge":
+        return _ber_seq([_ber_str(f.attr), _ber_str(f.value)], 0xA5)
+    if f.op == "le":
+        return _ber_seq([_ber_str(f.attr), _ber_str(f.value)], 0xA6)
+    if f.op == "approx":
+        return _ber_seq([_ber_str(f.attr), _ber_str(f.value)], 0xA8)
+    if f.op == "present":
+        return _ber_str(f.attr, 0x87)
+    if f.op == "substr":
+        initial, mids, final = f.pieces
+        subs = []
+        if initial:
+            subs.append(_ber_str(initial, 0x80))
+        for m in mids:
+            subs.append(_ber_str(m, 0x81))
+        if final:
+            subs.append(_ber_str(final, 0x82))
+        return _ber_seq([_ber_str(f.attr), _ber_seq(subs)], 0xA4)
+    if f.op == "ext":
+        parts = []
+        if f.rule:
+            parts.append(_ber_str(f.rule, 0x81))
+        if f.attr:
+            parts.append(_ber_str(f.attr, 0x82))
+        parts.append(_ber_str(f.value, 0x83))
+        if f.dn_attrs:
+            parts.append(_ber(0x84, b"\xff"))
+        return _ber_seq(parts, 0xA9)
+    raise ValueError(f"unknown filter op: {f.op}")
+
+
+def _decode_filter(tag: int, content: bytes) -> Filter:
+    if tag in (0xA0, 0xA1):
+        r = _Reader(content)
+        children = []
+        while not r.eof():
+            t, c = r.tlv()
+            children.append(_decode_filter(t, c))
+        return Filter("and" if tag == 0xA0 else "or",
+                      children=children)
+    if tag == 0xA2:
+        t, c = _Reader(content).tlv()
+        return Filter("not", children=[_decode_filter(t, c)])
+    if tag in (0xA3, 0xA5, 0xA6, 0xA8):
+        r = _Reader(content)
+        _, attr = r.tlv()
+        _, val = r.tlv()
+        op = {0xA3: "eq", 0xA5: "ge", 0xA6: "le",
+              0xA8: "approx"}[tag]
+        return Filter(op, attr=attr.decode(),
+                      value=val.decode(errors="surrogateescape"))
+    if tag == 0x87:
+        return Filter("present", attr=content.decode())
+    if tag == 0xA4:
+        r = _Reader(content)
+        _, attr = r.tlv()
+        _, subs = r.tlv()
+        sr = _Reader(subs)
+        initial, mids, final = "", [], ""
+        while not sr.eof():
+            st, sc = sr.tlv()
+            txt = sc.decode(errors="surrogateescape")
+            if st == 0x80:
+                initial = txt
+            elif st == 0x81:
+                mids.append(txt)
+            elif st == 0x82:
+                final = txt
+        return Filter("substr", attr=attr.decode(),
+                      pieces=[initial, mids, final])
+    if tag == 0xA9:
+        r = _Reader(content)
+        rule = attr = value = ""
+        dn_attrs = False
+        while not r.eof():
+            t, c = r.tlv()
+            if t == 0x81:
+                rule = c.decode()
+            elif t == 0x82:
+                attr = c.decode()
+            elif t == 0x83:
+                value = c.decode(errors="surrogateescape")
+            elif t == 0x84:
+                dn_attrs = c != b"\x00"
+        return Filter("ext", attr=attr, value=value, rule=rule,
+                      dn_attrs=dn_attrs)
+    raise ValueError(f"unknown filter tag: 0x{tag:02x}")
+
+
+def eval_filter(f: Filter, dn: str, attrs: dict,
+                directory: Optional[dict] = None) -> bool:
+    """Evaluate a filter against an entry (attrs: name → [values]),
+    with AD's case-insensitive matching. ``directory`` (dn-key →
+    attrs) enables LDAP_MATCHING_RULE_IN_CHAIN transitive memberOf
+    evaluation."""
+
+    def values(name):
+        for k, v in attrs.items():
+            if k.lower() == name.lower():
+                return [x if isinstance(x, str)
+                        else x.decode(errors="surrogateescape")
+                        for x in v]
+        return []
+
+    if f.op == "and":
+        return all(eval_filter(c, dn, attrs, directory)
+                   for c in f.children)
+    if f.op == "or":
+        return any(eval_filter(c, dn, attrs, directory)
+                   for c in f.children)
+    if f.op == "not":
+        return not eval_filter(f.children[0], dn, attrs, directory)
+    if f.op == "present":
+        return bool(values(f.attr))
+    if f.op in ("eq", "approx"):
+        return any(v.lower() == f.value.lower()
+                   for v in values(f.attr))
+    if f.op == "ge":
+        return any(v >= f.value for v in values(f.attr))
+    if f.op == "le":
+        return any(v <= f.value for v in values(f.attr))
+    if f.op == "substr":
+        initial, mids, final = f.pieces
+        for v in values(f.attr):
+            lv = v.lower()
+            ok = lv.startswith(initial.lower())
+            pos = len(initial)
+            for m in mids:
+                ix = lv.find(m.lower(), pos)
+                if ix < 0:
+                    ok = False
+                    break
+                pos = ix + len(m)
+            if ok and final and not lv.endswith(final.lower()):
+                ok = False
+            if ok and final and len(lv) - len(final) < pos:
+                ok = False
+            if ok:
+                return True
+        return False
+    if f.op == "ext":
+        if (f.rule == MATCHING_RULE_IN_CHAIN
+                and f.attr.lower() == "memberof"
+                and directory is not None):
+            want = _dn_key(f.value)
+            seen: set[str] = set()
+            stack = [v for v in values("memberOf")]
+            while stack:
+                g = stack.pop()
+                key = _dn_key(g)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if key == want:
+                    return True
+                parent = directory.get(key)
+                if parent:
+                    for k, v in parent.items():
+                        if k.lower() == "memberof":
+                            stack.extend(
+                                x if isinstance(x, str)
+                                else x.decode() for x in v)
+        # plain rule-less extensible match degrades to equality
+        return any(v.lower() == f.value.lower()
+                   for v in values(f.attr))
+    raise ValueError(f"unknown filter op: {f.op}")
+
+
+# ------------------------------------------------------------ client
+
+@dataclass
+class SearchResult:
+    entries: list  # [(dn, {attr: [bytes, ...]})]
+    referrals: list = field(default_factory=list)
+    controls: list = field(default_factory=list)  # control OIDs seen
+
+
+def _paged_control(size: int, cookie: bytes,
+                   criticality: bool = False) -> bytes:
+    value = _ber_seq([_ber_int(size), _ber_str(cookie)])
+    parts = [_ber_str(PAGED_CONTROL_OID)]
+    if criticality:
+        parts.append(_ber_bool(True))
+    parts.append(_ber_str(value))
+    return _ber_seq(parts)
+
+
+class LDAPClient:
+    """A blocking LDAPv3 client: simple bind, (paged) search,
+    unbind."""
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        u = urlparse(url)
+        if u.scheme not in ("ldap", ""):
+            raise LDAPError(0, f"unsupported scheme: {u.scheme}")
+        host = u.hostname or "127.0.0.1"
+        port = u.port or 389
+        self.sock = socket.create_connection((host, port),
+                                             timeout=timeout)
+        self._buf = b""
+        self._msgid = 0
+
+    # -- transport
+
+    def _send(self, op: bytes, controls: Optional[bytes] = None):
+        self._msgid += 1
+        parts = [_ber_int(self._msgid), op]
+        if controls is not None:
+            parts.append(_ber(0xA0, controls))
+        self.sock.sendall(_ber_seq(parts))
+        return self._msgid
+
+    def _recv_message(self) -> tuple[int, int, bytes, Optional[bytes]]:
+        while True:
+            msg = self._try_parse()
+            if msg is not None:
+                return msg
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise LDAPError(0, "connection closed")
+            self._buf += chunk
+
+    def _try_parse(self):
+        data = self._buf
+        if len(data) < 2:
+            return None
+        first = data[1]
+        if first < 0x80:
+            hlen, length = 2, first
+        else:
+            n = first & 0x7F
+            if len(data) < 2 + n:
+                return None
+            hlen, length = 2 + n, int.from_bytes(data[2:2 + n], "big")
+        if len(data) < hlen + length:
+            return None
+        frame = data[:hlen + length]
+        self._buf = data[hlen + length:]
+        r = _Reader(frame)
+        _, content = r.tlv()
+        mr = _Reader(content)
+        _, mid = mr.tlv()
+        op_tag, op_content = mr.tlv()
+        controls = None
+        if not mr.eof():
+            t, c = mr.tlv()
+            if t == 0xA0:
+                controls = c
+        return _int_of(mid), op_tag, op_content, controls
+
+    # -- operations
+
+    def bind(self, dn: str, password: str) -> None:
+        op = _ber_seq([_ber_int(3), _ber_str(dn),
+                       _ber_str(password, 0x80)], 0x60)
+        self._send(op)
+        _, tag, content, _ = self._recv_message()
+        if tag != 0x61:
+            raise LDAPError(0, f"unexpected bind response 0x{tag:02x}")
+        r = _Reader(content)
+        _, code = r.tlv()
+        _, _matched = r.tlv()
+        _, diag = r.tlv()
+        if _int_of(code) != 0:
+            raise LDAPError(_int_of(code),
+                            diag.decode(errors="replace"))
+
+    def unbind(self) -> None:
+        try:
+            self._send(_ber(0x42, b""))
+        finally:
+            self.sock.close()
+
+    def search(self, base: str, filter_str: str,
+               attrs: Iterable[str] = (), *,
+               scope: int = SCOPE_SUBTREE, size_limit: int = 0,
+               paging: int = 0) -> SearchResult:
+        """Search; with paging, loops the RFC 2696 control until the
+        server returns an empty cookie (ldap.SearchWithPaging)."""
+        flt = parse_filter(filter_str)
+        result = SearchResult(entries=[])
+        cookie = b""
+        while True:
+            op = _ber_seq([
+                _ber_str(base), _ber_enum(scope), _ber_enum(0),
+                _ber_int(size_limit), _ber_int(0), _ber_bool(False),
+                _encode_filter(flt),
+                _ber_seq([_ber_str(a) for a in attrs]),
+            ], 0x63)
+            controls = (_paged_control(paging, cookie)
+                        if paging else None)
+            self._send(op, controls)
+            cookie = self._drain_search(result)
+            if not paging or not cookie:
+                return result
+
+    def _drain_search(self, result: SearchResult) -> bytes:
+        next_cookie = b""
+        while True:
+            _, tag, content, controls = self._recv_message()
+            if tag == 0x64:  # SearchResultEntry
+                r = _Reader(content)
+                _, dn = r.tlv()
+                _, attrseq = r.tlv()
+                ar = _Reader(attrseq)
+                entry_attrs: dict[str, list] = {}
+                while not ar.eof():
+                    _, one = ar.tlv()
+                    orr = _Reader(one)
+                    _, name = orr.tlv()
+                    _, vals = orr.tlv()
+                    vr = _Reader(vals)
+                    out = []
+                    while not vr.eof():
+                        _, v = vr.tlv()
+                        out.append(v)
+                    entry_attrs[name.decode()] = out
+                result.entries.append((dn.decode(), entry_attrs))
+            elif tag == 0x73:  # SearchResultReference
+                r = _Reader(content)
+                while not r.eof():
+                    _, ref = r.tlv()
+                    result.referrals.append(ref.decode())
+            elif tag == 0x65:  # SearchResultDone
+                r = _Reader(content)
+                _, code = r.tlv()
+                _, _matched = r.tlv()
+                _, diag = r.tlv()
+                if _int_of(code) != 0:
+                    raise LDAPError(_int_of(code),
+                                    diag.decode(errors="replace"))
+                if controls:
+                    cr = _Reader(controls)
+                    while not cr.eof():
+                        _, ctrl = cr.tlv()
+                        xr = _Reader(ctrl)
+                        _, oid = xr.tlv()
+                        rest_tag = None
+                        val = b""
+                        while not xr.eof():
+                            rest_tag, c = xr.tlv()
+                            if rest_tag == 0x04:
+                                val = c
+                        if oid.decode() == PAGED_CONTROL_OID and val:
+                            pr = _Reader(val)
+                            _, inner = pr.tlv()
+                            ir = _Reader(inner)
+                            _, _size = ir.tlv()
+                            _, ck = ir.tlv()
+                            next_cookie = ck
+                        result.controls.append(oid.decode())
+                return next_cookie
+            else:
+                raise LDAPError(0, f"unexpected op 0x{tag:02x}")
+
+
+# ------------------------------------------------------------ server
+
+class LDAPServer:
+    """The server half, for tests: serves a static directory
+    (dn → {attr: [str values]}) with real filter evaluation, base /
+    subtree scopes, simple-bind credential checks, and paged
+    results."""
+
+    def __init__(self, directory: dict, *, bind_dn: str = "",
+                 bind_password: str = "", page_all: bool = True):
+        self.directory = {normalize_dn(dn): dict(attrs)
+                          for dn, attrs in directory.items()}
+        self._eval_dir = {_dn_key(dn): attrs
+                          for dn, attrs in directory.items()}
+        self.bind_dn = bind_dn
+        self.bind_password = bind_password
+        self.search_log: list[tuple[str, str]] = []
+        srv_self = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                buf = b""
+                paging_state: dict[bytes, list] = {}
+                while True:
+                    parsed = srv_self._parse_frame(buf)
+                    while parsed is None:
+                        try:
+                            chunk = self.request.recv(65536)
+                        except OSError:
+                            return
+                        if not chunk:
+                            return
+                        buf += chunk
+                        parsed = srv_self._parse_frame(buf)
+                    frame, buf = parsed
+                    done = srv_self._handle_frame(
+                        frame, self.request, paging_state)
+                    if done:
+                        return
+
+        self.httpd = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", 0), Handler)
+        self.httpd.daemon_threads = True
+        self.addr = "%s:%d" % self.httpd.server_address
+        self.url = "ldap://" + self.addr
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    @staticmethod
+    def _parse_frame(data: bytes):
+        if len(data) < 2:
+            return None
+        first = data[1]
+        if first < 0x80:
+            hlen, length = 2, first
+        else:
+            n = first & 0x7F
+            if len(data) < 2 + n:
+                return None
+            hlen, length = 2 + n, int.from_bytes(data[2:2 + n], "big")
+        if len(data) < hlen + length:
+            return None
+        return data[:hlen + length], data[hlen + length:]
+
+    def _handle_frame(self, frame: bytes, sock,
+                      paging_state: dict) -> bool:
+        r = _Reader(frame)
+        _, content = r.tlv()
+        mr = _Reader(content)
+        _, mid_raw = mr.tlv()
+        mid = _int_of(mid_raw)
+        op_tag, op = mr.tlv()
+        controls = None
+        if not mr.eof():
+            t, c = mr.tlv()
+            if t == 0xA0:
+                controls = c
+
+        def send(op_bytes, ctrl: Optional[bytes] = None):
+            parts = [_ber_int(mid), op_bytes]
+            if ctrl is not None:
+                parts.append(_ber(0xA0, ctrl))
+            sock.sendall(_ber_seq(parts))
+
+        if op_tag == 0x60:  # bind
+            br = _Reader(op)
+            _, _ver = br.tlv()
+            _, name = br.tlv()
+            _, pw = br.tlv()
+            if self.bind_dn:
+                try:
+                    ok = (_dn_key(name.decode()) ==
+                          _dn_key(self.bind_dn)
+                          and pw.decode() == self.bind_password)
+                except ValueError:
+                    ok = False
+            else:
+                ok = True
+            code = 0 if ok else 49  # invalidCredentials
+            send(_ber_seq([_ber_enum(code), _ber_str(""),
+                           _ber_str("" if ok
+                                    else "invalid credentials")],
+                          0x61))
+            return False
+        if op_tag == 0x42:  # unbind
+            return True
+        if op_tag == 0x63:  # search
+            self._handle_search(op, controls, send, paging_state)
+            return False
+        # unsupported op → protocolError done
+        send(_ber_seq([_ber_enum(2), _ber_str(""),
+                       _ber_str("unsupported operation")], 0x65))
+        return False
+
+    def _handle_search(self, op: bytes, controls: Optional[bytes],
+                       send, paging_state: dict) -> None:
+        r = _Reader(op)
+        _, base = r.tlv()
+        _, scope_raw = r.tlv()
+        _, _deref = r.tlv()
+        _, _size = r.tlv()
+        _, _time = r.tlv()
+        _, _types = r.tlv()
+        ftag, fcontent = r.tlv()
+        _, attrseq = r.tlv()
+        ar = _Reader(attrseq)
+        want_attrs = []
+        while not ar.eof():
+            _, a = ar.tlv()
+            want_attrs.append(a.decode())
+        flt = _decode_filter(ftag, fcontent)
+        scope = _int_of(scope_raw)
+        base_dn = base.decode()
+        self.search_log.append((base_dn, _filter_to_string(flt)))
+
+        page_size, cookie = 0, b""
+        if controls:
+            cr = _Reader(controls)
+            while not cr.eof():
+                _, ctrl = cr.tlv()
+                xr = _Reader(ctrl)
+                _, oid = xr.tlv()
+                val = b""
+                while not xr.eof():
+                    t, c = xr.tlv()
+                    if t == 0x04:
+                        val = c
+                if oid.decode() == PAGED_CONTROL_OID and val:
+                    pr = _Reader(val)
+                    _, inner = pr.tlv()
+                    ir = _Reader(inner)
+                    _, sz = ir.tlv()
+                    _, ck = ir.tlv()
+                    page_size = _int_of(sz)
+                    cookie = ck
+
+        if cookie and cookie in paging_state:
+            matches = paging_state.pop(cookie)
+        else:
+            matches = self._match(base_dn, scope, flt)
+
+        next_cookie = b""
+        if page_size and len(matches) > page_size:
+            remainder = matches[page_size:]
+            matches = matches[:page_size]
+            next_cookie = b"ck%d" % len(paging_state)
+            paging_state[next_cookie] = remainder
+
+        for dn, attrs in matches:
+            out = []
+            for name, vals in attrs.items():
+                if want_attrs and name.lower() not in \
+                        [a.lower() for a in want_attrs]:
+                    continue
+                vs = [v.encode(errors="surrogateescape")
+                      if isinstance(v, str) else v for v in vals]
+                out.append(_ber_seq([
+                    _ber_str(name),
+                    _ber_seq([_ber(0x04, v) for v in vs], 0x31)]))
+            send(_ber_seq([_ber_str(dn), _ber_seq(out)], 0x64))
+
+        ctrl = None
+        if page_size:
+            value = _ber_seq([_ber_int(0), _ber_str(next_cookie)])
+            ctrl = _ber_seq([_ber_str(PAGED_CONTROL_OID),
+                             _ber_str(value)])
+        send(_ber_seq([_ber_enum(0), _ber_str(""), _ber_str("")],
+                      0x65), ctrl)
+
+    def _match(self, base_dn: str, scope: int,
+               flt: Filter) -> list:
+        base_key = _dn_key(base_dn) if base_dn else ""
+        out = []
+        for dn, attrs in self.directory.items():
+            key = _dn_key(dn)
+            if scope == SCOPE_BASE:
+                if key != base_key:
+                    continue
+            elif base_key and not (key == base_key
+                                   or key.endswith("," + base_key)):
+                continue
+            if eval_filter(flt, dn, attrs, self._eval_dir):
+                out.append((dn, attrs))
+        return out
+
+
+def _filter_to_string(f: Filter) -> str:
+    if f.op == "and":
+        return "(&" + "".join(map(_filter_to_string, f.children)) + ")"
+    if f.op == "or":
+        return "(|" + "".join(map(_filter_to_string, f.children)) + ")"
+    if f.op == "not":
+        return "(!" + _filter_to_string(f.children[0]) + ")"
+    if f.op == "present":
+        return f"({f.attr}=*)"
+    if f.op == "eq":
+        return f"({f.attr}={escape_filter(f.value)})"
+    if f.op == "ge":
+        return f"({f.attr}>={escape_filter(f.value)})"
+    if f.op == "le":
+        return f"({f.attr}<={escape_filter(f.value)})"
+    if f.op == "approx":
+        return f"({f.attr}~={escape_filter(f.value)})"
+    if f.op == "substr":
+        initial, mids, final = f.pieces
+        core = "*".join([escape_filter(initial),
+                         *map(escape_filter, mids),
+                         escape_filter(final)])
+        return f"({f.attr}={core})"
+    if f.op == "ext":
+        head = f.attr
+        if f.dn_attrs:
+            head += ":dn"
+        if f.rule:
+            head += ":" + f.rule
+        return f"({head}:={escape_filter(f.value)})"
+    raise ValueError(f.op)

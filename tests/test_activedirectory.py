@@ -1,0 +1,521 @@
+"""entity-analytics activedirectory provider battery.
+
+Ports the reference matrices
+(x-pack/filebeat/input/entityanalytics/provider/activedirectory/):
+TestParseBaseDN's 7-case table + nil cases, TestBuildMemberOfFilter,
+TestGetDetailsInvalidEntTyp's error string, TestCollateEntityKey and
+TestEntryDeviceFieldJSON semantics, the entype conversion matrix
+(booleans, dense times, Windows NT tick times with the accountExpires
+sentinels, objectGUID bytes, string fallback), and the provider flows
+(testactivedirectory.go's alice/bob/workstation1 fixtures extended
+with a real group graph) against the from-scratch LDAP server: full
+sync with markers and group annotation, whenChanged watermark
+incremental updates, the changed-groups second pass, CN-base-DN group
+extraction with in-chain member filtering, empty-group collection,
+and the absence-means-deleted full-sync reconciliation.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+
+import pytest
+
+from beats_spark.activedirectory import (
+    ADConf, ADStateStore, DELETED, DISCOVERED, MODIFIED, Entry,
+    ad_full_sync, ad_incremental_update, build_member_of_filter,
+    collate, entype, from_windows_nt, get_details, get_empty_groups,
+    parse_base_dn, unify_state, when_changed, with_mandatory,
+)
+from beats_spark.entityanalytics import KVStore, entity_events_df
+from beats_spark.ldap_wire import LDAPServer
+
+
+# --------------------------------------------------------- parseBaseDN
+
+@pytest.mark.parametrize("base,container,potential", [
+    # TestParseBaseDN table (activedirectory_test.go:20-108)
+    ("OU=Users,DC=example,DC=com",
+     "ou=Users,dc=example,dc=com", []),
+    ("DC=example,DC=com", "dc=example,dc=com", []),
+    ("CN=Admin Users,OU=Groups,DC=example,DC=com",
+     "ou=Groups,dc=example,dc=com",
+     ["cn=Admin Users,ou=Groups,dc=example,dc=com"]),
+    ("CN=Domain Admins,DC=example,DC=com",
+     "dc=example,dc=com",
+     ["cn=Domain Admins,dc=example,dc=com"]),
+    ("OU=IT,OU=Departments,DC=example,DC=com",
+     "ou=IT,ou=Departments,dc=example,dc=com", []),
+    ("CN=Users,DC=example,DC=com",
+     "dc=example,dc=com", ["cn=Users,dc=example,dc=com"]),
+    ("CN=Security Team,OU=IT Groups,OU=Groups,DC=corp,DC=example,"
+     "DC=com",
+     "ou=IT Groups,ou=Groups,dc=corp,dc=example,dc=com",
+     ["cn=Security Team,ou=IT Groups,ou=Groups,dc=corp,dc=example,"
+      "dc=com"]),
+])
+def test_parse_base_dn_table(base, container, potential):
+    got = parse_base_dn(base)
+    assert got.container_base_dn == container
+    assert got.potential_group_dns == potential
+    assert got.original_base_dn == base.replace("CN=", "cn=") \
+        .replace("OU=", "ou=").replace("DC=", "dc=")
+
+
+def test_parse_base_dn_nil():
+    for empty in (None, ""):
+        got = parse_base_dn(empty)
+        assert got.container_base_dn == ""
+        assert got.original_base_dn == ""
+        assert got.potential_group_dns == []
+
+
+# --------------------------------------------------- buildMemberOfFilter
+
+@pytest.mark.parametrize("dns,want", [
+    # TestBuildMemberOfFilter (activedirectory_test.go:122-155)
+    ([], ""),
+    (["cn=Admin Users,ou=Groups,dc=example,dc=com"],
+     "(memberOf:1.2.840.113556.1.4.1941:="
+     "cn=Admin Users,ou=Groups,dc=example,dc=com)"),
+    (["cn=Admins,dc=example,dc=com", "cn=Users,dc=example,dc=com"],
+     "(|(memberOf:1.2.840.113556.1.4.1941:="
+     "cn=Admins,dc=example,dc=com)"
+     "(memberOf:1.2.840.113556.1.4.1941:="
+     "cn=Users,dc=example,dc=com))"),
+])
+def test_build_member_of_filter(dns, want):
+    assert build_member_of_filter(dns) == want
+
+
+# --------------------------------------------------------------- entype
+
+def _dt(s):
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+def test_entype_matrix():
+    # booleans
+    assert entype("isCriticalSystemObject", ["TRUE"]) is True
+    assert entype("showInAdvancedViewOnly", ["false"]) is False
+    assert entype("isCriticalSystemObject", ["maybe"]) == "maybe"
+    assert entype("isCriticalSystemObject", ["a", "b"]) == ["a", "b"]
+    # dense times
+    assert entype("whenChanged", ["20260101120000.0Z"]) == \
+        _dt("2026-01-01 12:00:00")
+    assert entype("whenCreated", ["garbage"]) == ["garbage"]
+    assert entype("dSCorePropagationData",
+                  ["20260101120000.0Z", "20260102120000.0Z"]) == \
+        [_dt("2026-01-01 12:00:00"), _dt("2026-01-02 12:00:00")]
+    # Windows NT tick times
+    assert entype("lastLogon", ["116444736000000000"]) == \
+        _dt("1970-01-01 00:00:00")
+    assert entype("pwdLastSet", ["not-a-number"]) == ["not-a-number"]
+    # accountExpires sentinels stay raw strings
+    assert entype("accountExpires", ["0"]) == "0"
+    assert entype("accountExpires",
+                  [str(0x7FFFFFFFFFFFFFFF)]) == \
+        str(0x7FFFFFFFFFFFFFFF)
+    assert isinstance(entype("accountExpires", ["133500000000000000"]),
+                      datetime)
+    # binary attributes pass through as bytes
+    assert entype("objectGUID", [b"\x01\x02"]) == b"\x01\x02"
+    assert entype("objectSid", [b"\x01", b"\x02"]) == \
+        [b"\x01", b"\x02"]
+    # plain attributes: single value unwraps
+    assert entype("cn", ["alice"]) == "alice"
+    assert entype("memberOf", ["a", "b"]) == ["a", "b"]
+    assert entype("cn", []) == []
+
+
+def test_from_windows_nt():
+    assert from_windows_nt(116444736000000000) == \
+        _dt("1970-01-01 00:00:00")
+    # +1 second = 1e7 ticks
+    assert from_windows_nt(116444736010000000) == \
+        _dt("1970-01-01 00:00:01")
+
+
+# -------------------------------------------------------------- collate
+
+def test_collate_entity_key():
+    # TestCollateEntityKey (activedirectory_test.go:313-375)
+    groups = {"cn=Admins,dc=example,dc=com": {"cn": "Admins"}}
+    entries = [("cn=host1,dc=example,dc=com",
+                {"cn": ["host1"],
+                 "memberOf": ["cn=Admins,dc=example,dc=com"]})]
+    for ent_typ, other in (("user", "device"), ("device", "user")):
+        dir_ = collate(entries, groups, ent_typ)
+        entry = dir_["cn=host1,dc=example,dc=com"]
+        assert ent_typ in entry and other not in entry
+        assert entry["groups"] == [{"cn": "Admins"}]
+    # groups=None → flat entry, no nesting
+    flat = collate(entries, None, "")
+    assert flat["cn=host1,dc=example,dc=com"]["cn"] == "host1"
+
+
+def test_when_changed_max_of_entity_and_groups():
+    t1, t2 = _dt("2026-01-01 00:00:00"), _dt("2026-02-01 00:00:00")
+    assert when_changed({"whenChanged": t1},
+                        [{"whenChanged": t2}]) == t2
+    assert when_changed({"whenChanged": t2},
+                        [{"whenChanged": t1}]) == t2
+    assert when_changed({}, []) is None
+
+
+def test_with_mandatory():
+    # withMandatory (activedirectory.go:195-212): empty stays empty
+    assert with_mandatory([], "distinguishedName") == []
+    assert with_mandatory(["cn"], "distinguishedName",
+                          "whenChanged") == \
+        ["cn", "distinguishedName", "whenChanged"]
+    assert with_mandatory(["cn", "whenChanged"], "whenChanged") == \
+        ["cn", "whenChanged"]
+
+
+def test_get_details_invalid_ent_typ():
+    # TestGetDetailsInvalidEntTyp error string
+    with pytest.raises(ValueError,
+                       match="invalid entity type: 'bogus'"):
+        get_details("(objectClass=*)", "ldap://localhost", "", "",
+                    "DC=example,DC=com", None, [], [], 0, "bogus")
+    with pytest.raises(ValueError, match="no path"):
+        get_details("(objectClass=*)", "ldap://localhost", "", "",
+                    "", None, [], [], 0, "user")
+
+
+def test_entry_json_omits_empty_fields(tmp_path):
+    # TestEntryDeviceFieldJSON via the published document shape
+    from beats_spark.activedirectory import _publish, ADEntity
+    records = []
+    e = ADEntity(entry=Entry(id="cn=host1,dc=example,dc=com",
+                             device={"cn": "host1"},
+                             groups=[{"cn": "Admins"}]),
+                 state=DISCOVERED)
+    _publish(records, "device", e, "src", 1.0)
+    ad = records[0]["fields"]["activedirectory"]
+    assert "device" in ad and "user" not in ad
+    assert records[0]["fields"]["device"]["id"] == \
+        "cn=host1,dc=example,dc=com"
+
+
+# --------------------------------------------------- live LDAP fixtures
+
+# testactivedirectory.go's users/devices, extended with real groups so
+# memberOf annotation and the changed-group pass have teeth.
+def _directory():
+    return {
+        "cn=alice,dc=example,dc=com": {
+            "cn": ["alice"],
+            "distinguishedName": ["cn=alice,dc=example,dc=com"],
+            "mail": ["alice@example.com"],
+            "memberOf": ["cn=staff,dc=example,dc=com"],
+            "whenChanged": ["20260101120000.0Z"],
+            "objectCategory": ["person"],
+            "objectClass": ["user"],
+        },
+        "cn=bob,dc=example,dc=com": {
+            "cn": ["bob"],
+            "distinguishedName": ["cn=bob,dc=example,dc=com"],
+            "mail": ["bob@example.com"],
+            "whenChanged": ["20260101130000.0Z"],
+            "objectCategory": ["person"],
+            "objectClass": ["user"],
+        },
+        "cn=workstation1,dc=example,dc=com": {
+            "cn": ["workstation1"],
+            "distinguishedName":
+                ["cn=workstation1,dc=example,dc=com"],
+            "whenChanged": ["20260101140000.0Z"],
+            "objectClass": ["computer", "user"],
+        },
+        "cn=staff,dc=example,dc=com": {
+            "cn": ["staff"],
+            "distinguishedName": ["cn=staff,dc=example,dc=com"],
+            "member": ["cn=alice,dc=example,dc=com"],
+            "whenChanged": ["20260101100000.0Z"],
+            "objectClass": ["group"],
+        },
+        "cn=empty,dc=example,dc=com": {
+            "cn": ["empty"],
+            "distinguishedName": ["cn=empty,dc=example,dc=com"],
+            "whenChanged": ["20260101090000.0Z"],
+            "objectClass": ["group"],
+        },
+        "dc=example,dc=com": {"objectClass": ["domain"]},
+    }
+
+
+BIND_DN = "cn=admin,dc=example,dc=com"
+BIND_PW = "hunter2"
+
+
+@pytest.fixture()
+def ad_server():
+    srv = LDAPServer(_directory(), bind_dn=BIND_DN,
+                     bind_password=BIND_PW)
+    yield srv
+    srv.close()
+
+
+def _conf(srv, **kw):
+    return ADConf(ad_base_dn="DC=example,DC=com", ad_url=srv.url,
+                  ad_user=BIND_DN, ad_password=BIND_PW, **kw)
+
+
+def test_get_details_users(ad_server):
+    entries, errs = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW, "DC=example,DC=com", None,
+        [], [], 0, "user")
+    assert errs == []
+    by_id = {e.id: e for e in entries}
+    assert set(by_id) == {"cn=alice,dc=example,dc=com",
+                          "cn=bob,dc=example,dc=com"}
+    alice = by_id["cn=alice,dc=example,dc=com"]
+    assert alice.user["mail"] == "alice@example.com"
+    assert alice.device is None
+    # group annotation resolved through collate
+    assert alice.groups[0]["cn"] == "staff"
+    # whenChanged = max(user, groups) — alice's own is later
+    assert alice.when_changed == _dt("2026-01-01 12:00:00")
+
+
+def test_get_details_devices(ad_server):
+    entries, errs = get_details(
+        "(&(objectClass=computer)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW, "DC=example,DC=com", None,
+        [], [], 0, "device")
+    assert errs == []
+    assert [e.id for e in entries] == \
+        ["cn=workstation1,dc=example,dc=com"]
+    assert entries[0].device["cn"] == "workstation1"
+    assert entries[0].user is None
+
+
+def test_get_details_since_filters_by_when_changed(ad_server):
+    # only bob changed at/after 13:00
+    entries, _ = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW, "DC=example,DC=com",
+        _dt("2026-01-01 12:30:00"), [], [], 0, "user")
+    assert [e.id for e in entries] == ["cn=bob,dc=example,dc=com"]
+
+
+def test_get_details_changed_group_pulls_members(ad_server):
+    # staff changed after since; alice's own whenChanged predates it,
+    # but the changed-groups second pass pulls her in via in-chain
+    # membership (activedirectory.go:309-345)
+    ad_server.directory["cn=staff,dc=example,dc=com"][
+        "whenChanged"] = ["20260102000000.0Z"]
+    entries, _ = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW, "DC=example,DC=com",
+        _dt("2026-01-01 23:00:00"), [], [], 0, "user")
+    assert [e.id for e in entries] == ["cn=alice,dc=example,dc=com"]
+    # the entry's whenChanged rides the group's newer stamp
+    assert entries[0].when_changed == _dt("2026-01-02 00:00:00")
+
+
+def test_get_details_cn_base_dn_uses_membership(ad_server):
+    # base CN=staff,...: validated as a group → container search with
+    # the in-chain memberOf filter; only alice is a member
+    entries, _ = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW,
+        "CN=staff,DC=example,DC=com", None, [], [], 0, "user")
+    assert [e.id for e in entries] == ["cn=alice,dc=example,dc=com"]
+    # and the probe actually ran against the group DN
+    assert any(base == "cn=staff,dc=example,dc=com"
+               for base, _ in ad_server.search_log)
+
+
+def test_get_details_cn_users_container_falls_back(ad_server):
+    # CN=Users is NOT a group in the directory → validation fails →
+    # original base DN used as-is (subtree search finds nothing under
+    # a nonexistent base)
+    entries, _ = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW,
+        "CN=Users,DC=example,DC=com", None, [], [], 0, "user")
+    assert entries == []
+
+
+def test_get_empty_groups(ad_server):
+    groups = get_empty_groups(ad_server.url, BIND_DN, BIND_PW,
+                              "DC=example,DC=com", None,
+                              ["distinguishedName", "whenChanged"],
+                              0)
+    assert [g.id for g in groups] == ["cn=empty,dc=example,dc=com"]
+    assert groups[0].group["distinguishedName"] == \
+        "cn=empty,dc=example,dc=com"
+    assert groups[0].when_changed == _dt("2026-01-01 09:00:00")
+    # since excludes it
+    assert get_empty_groups(ad_server.url, BIND_DN, BIND_PW,
+                            "DC=example,DC=com",
+                            _dt("2026-01-01 09:30:00"),
+                            [], 0) == []
+
+
+def test_paged_get_details(ad_server):
+    entries, _ = get_details(
+        "(&(objectCategory=person)(objectClass=user))",
+        ad_server.url, BIND_DN, BIND_PW, "DC=example,DC=com", None,
+        [], [], 1, "user")  # page size 1 → paged loop
+    assert len(entries) == 2
+
+
+# ------------------------------------------------------------ statestore
+
+def test_statestore_lifecycle_and_deleted_dropped(tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    st = ADStateStore(store)
+    e = Entry(id="cn=a,dc=x", user={"cn": "a"},
+              when_changed=_dt("2026-01-01 00:00:00"))
+    ent = st.store_user(e)
+    assert ent.state == DISCOVERED
+    ent = st.store_user(e)
+    assert ent.state == MODIFIED
+    st.when_changed = _dt("2026-01-01 00:00:00")
+    st.close(True)
+    st2 = ADStateStore(store)
+    assert st2.users["cn=a,dc=x"].entry.user == {"cn": "a"}
+    assert st2.when_changed == _dt("2026-01-01 00:00:00")
+    # deleted entities are dropped at commit (statestore.go:221-236)
+    st2.users["cn=a,dc=x"].state = DELETED
+    st2.close(True)
+    assert ADStateStore(store).users == {}
+
+
+def test_unify_state_marks_absent_deleted():
+    st = {"cn=a,dc=x": __import__(
+        "beats_spark.activedirectory",
+        fromlist=["ADEntity"]).ADEntity(
+        entry=Entry(id="cn=a,dc=x"), state=DISCOVERED)}
+    kept = Entry(id="cn=b,dc=x")
+    from beats_spark.activedirectory import ADEntity
+    entries = [ADEntity(entry=kept, state=DISCOVERED)]
+    out = unify_state(st, entries, now=_dt("2026-06-01 00:00:00"))
+    assert len(out) == 2
+    deleted = [e for e in out if e.id == "cn=a,dc=x"][0]
+    assert deleted.state == DELETED
+    assert deleted.entry.when_changed == _dt("2026-06-01 00:00:00")
+    # already-deleted entries are not re-published
+    out = unify_state(st, entries, now=_dt("2026-06-02 00:00:00"))
+    assert [e.id for e in out] == ["cn=b,dc=x"]
+
+
+# ----------------------------------------------------- sync lifecycles
+
+def test_full_sync_markers_and_docs(ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    records = ad_full_sync(_conf(ad_server,
+                                 include_empty_groups=True), store,
+                           input_id="ad-1")
+    acts = [r["fields"].get("event", {}).get("action")
+            for r in records]
+    assert acts[0] == "started" and acts[-1] == "completed"
+    users = [r for r in records if "user" in r["fields"]]
+    devices = [r for r in records if "device" in r["fields"]]
+    groups = [r for r in records if "group" in r["fields"]]
+    assert len(users) == 2 and len(devices) == 1 and len(groups) == 1
+    alice = next(r for r in users if r["fields"]["user"]["id"]
+                 == "cn=alice,dc=example,dc=com")
+    assert alice["fields"]["event"]["action"] == "user-discovered"
+    ad = alice["fields"]["activedirectory"]
+    assert ad["user"]["mail"] == "alice@example.com"
+    assert ad["groups"][0]["cn"] == "staff"
+    assert groups[0]["fields"]["event"]["action"] == \
+        "group-discovered"
+    # watermark = latest whenChanged seen (workstation1, 14:00)
+    st = ADStateStore(store)
+    assert st.when_changed == _dt("2026-01-01 14:00:00")
+    assert st.last_sync == _dt("2026-01-01 14:00:00")
+
+
+def test_incremental_uses_watermark(ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    ad_full_sync(_conf(ad_server), store, input_id="a")
+    # the since filter is whenChanged>= (inclusive, second
+    # resolution — activedirectory.go:237-241), so the watermark
+    # record itself (workstation1 at 14:00) re-publishes as modified;
+    # earlier records do not
+    records = ad_incremental_update(_conf(ad_server), store,
+                                    input_id="a")
+    assert [r["fields"].get("device", {}).get("id")
+            for r in records] == \
+        ["cn=workstation1,dc=example,dc=com"]
+    assert records[0]["fields"]["event"]["action"] == \
+        "device-modified"
+    # bob changes after the watermark
+    ad_server.directory["cn=bob,dc=example,dc=com"][
+        "whenChanged"] = ["20260102000000.0Z"]
+    records = ad_incremental_update(_conf(ad_server), store,
+                                    input_id="a")
+    bob = [r for r in records if r["fields"].get("user", {}).get(
+        "id") == "cn=bob,dc=example,dc=com"]
+    assert len(bob) == 1
+    assert bob[0]["fields"]["event"]["action"] == "user-modified"
+    # alice (12:00, before the watermark) is not republished
+    assert not any(r["fields"].get("user", {}).get("id")
+                   == "cn=alice,dc=example,dc=com" for r in records)
+    st = ADStateStore(store)
+    assert st.when_changed == _dt("2026-01-02 00:00:00")
+
+
+def test_full_sync_absence_means_deleted(ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    ad_full_sync(_conf(ad_server), store, input_id="a")
+    # bob leaves the directory entirely
+    del ad_server.directory["cn=bob,dc=example,dc=com"]
+    records = ad_full_sync(_conf(ad_server), store, input_id="a")
+    bob = next(r for r in records
+               if r["fields"].get("user", {}).get("id")
+               == "cn=bob,dc=example,dc=com")
+    assert bob["fields"]["event"]["action"] == "user-deleted"
+    # and the deleted entity is dropped from committed state
+    st = ADStateStore(store)
+    assert "cn=bob,dc=example,dc=com" not in st.users
+
+
+def test_fetch_error_rolls_back(ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    ad_full_sync(_conf(ad_server), store, input_id="a")
+    from beats_spark.ldap_wire import LDAPError
+    bad = _conf(ad_server)
+    bad.ad_password = "wrong"
+    with pytest.raises(LDAPError):
+        ad_incremental_update(bad, store, input_id="a")
+    st = ADStateStore(store)
+    assert st.last_update is None
+
+
+def test_dataset_gating(ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    records = ad_full_sync(_conf(ad_server, dataset="devices"),
+                           store, input_id="a")
+    assert not [r for r in records if "user" in r["fields"]]
+    assert [r for r in records if "device" in r["fields"]]
+
+
+def test_entity_events_df_from_ad(spark, ad_server, tmp_path):
+    store = KVStore(str(tmp_path / "s.json"))
+    records = ad_full_sync(_conf(ad_server), store, input_id="wire")
+    df = entity_events_df(spark, records)
+    rows = df.collect()
+    assert len(rows) == len(records)
+    alice = next(r for r in rows
+                 if r["entity_id"] == "cn=alice,dc=example,dc=com")
+    assert alice["action"] == "user-discovered"
+    # empty-group docs surface group.id as the entity id
+    records = ad_full_sync(_conf(ad_server,
+                                 include_empty_groups=True),
+                           KVStore(str(tmp_path / "s2.json")),
+                           input_id="wire")
+    rows = entity_events_df(spark, records).collect()
+    assert any(r["entity_id"] == "cn=empty,dc=example,dc=com"
+               and r["action"] == "group-discovered" for r in rows)
+    fields = json.loads(alice["fields"])
+    assert fields["activedirectory"]["user"]["mail"] == \
+        "alice@example.com"

@@ -1,0 +1,240 @@
+"""LDAP wire-layer battery (both halves).
+
+Exercises the from-scratch LDAPv3 subset in beats_spark.ldap_wire:
+BER framing over a real socket (bind / search / unbind), RFC 4514 DN
+parse/serialize with go-ldap's lowercased-type rendering, RFC 4515
+filter parse → BER encode → decode round-trips, the evaluator's AD
+case-insensitive semantics and LDAP_MATCHING_RULE_IN_CHAIN transitive
+membership, and the RFC 2696 simple-paged-results loop.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from beats_spark.ldap_wire import (
+    LDAPClient, LDAPError, LDAPServer, MATCHING_RULE_IN_CHAIN,
+    SCOPE_BASE, dn_to_string, escape_filter, eval_filter,
+    normalize_dn, parse_dn, parse_filter,
+)
+from beats_spark.ldap_wire import _decode_filter, _encode_filter, \
+    _filter_to_string, _Reader
+
+
+# ----------------------------------------------------------------- DN
+
+@pytest.mark.parametrize("raw,want", [
+    ("OU=Users,DC=example,DC=com", "ou=Users,dc=example,dc=com"),
+    ("CN=Admin Users,OU=Groups,DC=example,DC=com",
+     "cn=Admin Users,ou=Groups,dc=example,dc=com"),
+    ("cn=a\\,b,dc=com", "cn=a\\,b,dc=com"),  # escaped comma kept
+])
+def test_dn_normalization(raw, want):
+    # go-ldap DN.String() lowercases attribute types
+    # (activedirectory_test.go:21-22)
+    assert normalize_dn(raw) == want
+
+
+def test_dn_parse_escapes():
+    assert parse_dn("cn=a\\,b,dc=com") == [("cn", "a,b"),
+                                           ("dc", "com")]
+    assert parse_dn("cn=a\\2cb,dc=com") == [("cn", "a,b"),
+                                            ("dc", "com")]
+    assert dn_to_string([("CN", "a,b"), ("DC", "com")]) == \
+        "cn=a\\,b,dc=com"
+    with pytest.raises(ValueError):
+        parse_dn("not-an-rdn")
+
+
+# ------------------------------------------------------------ filters
+
+def test_escape_filter():
+    # RFC 4515 §3 escapes: NUL ( ) * \ and non-ASCII
+    assert escape_filter("a*b(c)d\\e") == "a\\2ab\\28c\\29d\\5ce"
+    assert escape_filter("plain,dn=ok") == "plain,dn=ok"
+
+
+@pytest.mark.parametrize("s", [
+    "(objectClass=group)",
+    "(member=*)",
+    "(&(objectCategory=person)(objectClass=user))",
+    "(|(cn=a)(cn=b))",
+    "(!(member=*))",
+    "(whenChanged>=20240101000000.0Z)",
+    "(cn<=m)",
+    "(cn~=alice)",
+    "(cn=ali*)",
+    "(cn=*ce)",
+    "(cn=a*li*ce)",
+    "(memberOf:1.2.840.113556.1.4.1941:=cn=staff,dc=example,dc=com)",
+    "(&(objectClass=group)(!(member=*))"
+    "(whenChanged>=20240101000000.0Z))",
+])
+def test_filter_parse_encode_decode_roundtrip(s):
+    ast = parse_filter(s)
+    wire = _encode_filter(ast)
+    r = _Reader(wire)
+    tag, content = r.tlv()
+    back = _decode_filter(tag, content)
+    assert _filter_to_string(back) == _filter_to_string(ast)
+    # and the string renderer is a fixed point on canonical input
+    assert _filter_to_string(ast) == s
+
+
+def test_filter_value_unescaping():
+    ast = parse_filter("(cn=a\\2ab)")
+    assert ast.value == "a*b"
+
+
+ENTRY = {"cn": ["Alice"], "mail": ["alice@example.com"],
+         "memberOf": ["cn=staff,dc=example,dc=com"],
+         "whenChanged": ["20260101120000.0Z"]}
+
+
+@pytest.mark.parametrize("f,want", [
+    ("(cn=alice)", True),          # case-insensitive match
+    ("(cn=ALICE)", True),
+    ("(cn=bob)", False),
+    ("(mail=*)", True),
+    ("(phone=*)", False),
+    ("(cn=Al*)", True),
+    ("(cn=*ice)", True),
+    ("(cn=A*i*e)", True),
+    ("(cn=A*z*e)", False),
+    ("(whenChanged>=20260101000000.0Z)", True),
+    ("(whenChanged>=20270101000000.0Z)", False),
+    ("(&(cn=alice)(mail=*))", True),
+    ("(|(cn=bob)(cn=alice))", True),
+    ("(!(cn=bob))", True),
+])
+def test_eval_filter_semantics(f, want):
+    ast = parse_filter(f)
+    assert eval_filter(ast, "cn=Alice,dc=example,dc=com",
+                       ENTRY) is want
+
+
+def test_eval_in_chain_transitive():
+    # alice ∈ staff ∈ all: chain matching resolves nested membership
+    directory = {
+        "cn=staff,dc=example,dc=com":
+            {"memberOf": ["cn=all,dc=example,dc=com"]},
+        "cn=all,dc=example,dc=com": {},
+    }
+    directory = {k.lower(): v for k, v in directory.items()}
+    direct = parse_filter(
+        f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+        "cn=staff,dc=example,dc=com)")
+    nested = parse_filter(
+        f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+        "cn=all,dc=example,dc=com)")
+    other = parse_filter(
+        f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+        "cn=other,dc=example,dc=com)")
+    assert eval_filter(direct, "", ENTRY, directory)
+    assert eval_filter(nested, "", ENTRY, directory)
+    assert not eval_filter(other, "", ENTRY, directory)
+
+
+# --------------------------------------------------------- wire (live)
+
+DIRECTORY = {
+    "cn=alice,dc=example,dc=com": {
+        "cn": ["alice"], "mail": ["alice@example.com"],
+        "objectClass": ["user"],
+        "memberOf": ["cn=staff,dc=example,dc=com"],
+    },
+    "cn=bob,dc=example,dc=com": {
+        "cn": ["bob"], "objectClass": ["user"],
+    },
+    "cn=staff,dc=example,dc=com": {
+        "cn": ["staff"], "objectClass": ["group"],
+        "member": ["cn=alice,dc=example,dc=com"],
+    },
+    "dc=example,dc=com": {"objectClass": ["domain"]},
+}
+
+
+@pytest.fixture()
+def ldap_server():
+    srv = LDAPServer(DIRECTORY, bind_dn="cn=admin,dc=example,dc=com",
+                     bind_password="s3cret")
+    yield srv
+    srv.close()
+
+
+def test_bind_and_search_subtree(ldap_server):
+    c = LDAPClient(ldap_server.url)
+    c.bind("cn=admin,dc=example,dc=com", "s3cret")
+    res = c.search("dc=example,dc=com", "(objectClass=user)",
+                   ["cn", "mail"])
+    c.unbind()
+    dns = sorted(dn for dn, _ in res.entries)
+    assert dns == ["cn=alice,dc=example,dc=com",
+                   "cn=bob,dc=example,dc=com"]
+    alice = dict(res.entries)["cn=alice,dc=example,dc=com"]
+    # attribute selection applied; values arrive as bytes
+    assert set(alice) == {"cn", "mail"}
+    assert alice["mail"] == [b"alice@example.com"]
+
+
+def test_bind_failure(ldap_server):
+    c = LDAPClient(ldap_server.url)
+    with pytest.raises(LDAPError) as ei:
+        c.bind("cn=admin,dc=example,dc=com", "wrong")
+    assert ei.value.code == 49  # invalidCredentials
+    c.unbind()
+
+
+def test_base_scope_probe(ldap_server):
+    # validateGroupDNs-style probe: base-object search on the group DN
+    c = LDAPClient(ldap_server.url)
+    c.bind("cn=admin,dc=example,dc=com", "s3cret")
+    res = c.search("cn=staff,dc=example,dc=com",
+                   "(objectClass=group)", ["objectClass"],
+                   scope=SCOPE_BASE, size_limit=1)
+    assert len(res.entries) == 1
+    res = c.search("cn=alice,dc=example,dc=com",
+                   "(objectClass=group)", ["objectClass"],
+                   scope=SCOPE_BASE, size_limit=1)
+    assert res.entries == []
+    c.unbind()
+
+
+def test_in_chain_filter_over_wire(ldap_server):
+    c = LDAPClient(ldap_server.url)
+    c.bind("cn=admin,dc=example,dc=com", "s3cret")
+    res = c.search(
+        "dc=example,dc=com",
+        f"(memberOf:{MATCHING_RULE_IN_CHAIN}:="
+        "cn=staff,dc=example,dc=com)", [])
+    c.unbind()
+    assert [dn for dn, _ in res.entries] == \
+        ["cn=alice,dc=example,dc=com"]
+
+
+def test_paged_search_loops_until_empty_cookie():
+    directory = {f"cn=u{i},dc=example,dc=com":
+                 {"cn": [f"u{i}"], "objectClass": ["user"]}
+                 for i in range(5)}
+    srv = LDAPServer(directory)
+    try:
+        c = LDAPClient(srv.url)
+        c.bind("", "")
+        res = c.search("dc=example,dc=com", "(objectClass=user)",
+                       ["cn"], paging=2)
+        c.unbind()
+        assert len(res.entries) == 5
+        # 3 paged requests: 2 + 2 + 1
+        assert len(srv.search_log) == 3
+    finally:
+        srv.close()
+
+
+def test_search_empty_result_and_not_filter(ldap_server):
+    c = LDAPClient(ldap_server.url)
+    c.bind("cn=admin,dc=example,dc=com", "s3cret")
+    # groups with no members: staff HAS a member so none match
+    res = c.search("dc=example,dc=com",
+                   "(&(objectClass=group)(!(member=*)))", [])
+    assert res.entries == []
+    c.unbind()
