@@ -150,7 +150,7 @@ def tokenize(src: str) -> list[Tok]:
 #  ("macro", name, obj_or_None, raw_arg_asts)
 
 _MACROS = {"map", "filter", "all", "exists", "exists_one", "as",
-           "emit", "transformMap"}
+           "emit", "transformMap", "optMap", "optFlatMap"}
 
 
 class _Parser:
@@ -752,6 +752,24 @@ def _macro(node, env: Env):
         if var[0] != "ident":
             raise CELError("as() variable must be an identifier")
         return evaluate(body, env.child(var[1], obj))
+    if name in ("optMap", "optFlatMap"):
+        # cel-spec optional extensions: opt.optMap(v, expr) maps over
+        # the contained value (absent stays optional.none);
+        # optFlatMap expects the body to produce an optional itself.
+        var, body = argns
+        if var[0] != "ident":
+            raise CELError(f"{name}() variable must be an identifier")
+        if not isinstance(obj, Optional_):
+            raise CELError("no such overload: "
+                           f"{_type_name(obj)}.{name}")
+        if not obj.has:
+            return OPT_NONE
+        res = evaluate(body, env.child(var[1], obj.value))
+        if name == "optMap":
+            return Optional_(res, True)
+        if not isinstance(res, Optional_):
+            raise CELError("optFlatMap must return an optional")
+        return res
     if name == "transformMap":
         kvar, vvar, body = argns
         if not isinstance(obj, dict):
@@ -843,7 +861,7 @@ def _validate(node, functions, methods, bound: set[str],
             _validate(objn, functions, methods, bound, globals_)
         nb = set(bound)
         if name in ("as", "map", "filter", "all", "exists",
-                    "exists_one", "emit"):
+                    "exists_one", "emit", "optMap", "optFlatMap"):
             if argns and argns[0][0] == "ident":
                 nb = nb | {argns[0][1]}
             for a in argns[1:]:

@@ -1,0 +1,645 @@
+"""streaming input — CrowdStrike FalconHose follower.
+
+Re-expresses the reference's FalconHose stream follower
+(x-pack/filebeat/input/streaming/crowdstrike.go + _ratelimit.go) as a
+driver-side program on the repo's CEL processor:
+
+* discovery — GET {url}?appId=… through the OAuth2 client-credentials
+  client, with the 429 Retry-After rate-limit transport beneath the
+  token layer (crowdstrike_ratelimit.go), the transient/soft/hard
+  error taxonomy (network + empty-body = transient and retried
+  forever with back-off; origin violations and processor failures =
+  hard and terminate; everything else = soft and capped by the retry
+  policy), and origin pinning of the returned feed/refresh URLs
+  (sameOrigin's eTLD+1 rule over the vendored public suffix list,
+  plus the resource_origins allowlist — crowdstrike.go:87-132).
+* session following — per-resource session-token feeds of
+  concatenated JSON documents (non-object documents skipped), cursor
+  offsets re-applied to the feed URL, a session-scoped refresh loop
+  POSTing refreshActiveSessionURL at 90% of the advertised interval
+  with a 15 s floor (refreshSessionWait, crowdstrike.go:55-86), and
+  per-message CEL processing through the shared streaming Processor
+  with last-known-good-cursor semantics.
+* the retry loop — failures drive back-off and DEGRADED reporting
+  (after 3 consecutive), attempts count only non-transient failures
+  against max_attempts (10 when unconfigured; infinite_retries
+  uncaps), and a discover 429's Retry-After raises the wait floor
+  (FollowStream, crowdstrike.go:256-352).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+from email.utils import parsedate_to_datetime
+from typing import Callable, Optional
+from urllib.parse import urlencode, urlsplit, urlunsplit, parse_qs
+
+from .streaming_input import Processor, wait_time
+from .processors.enrich import _psl_rules
+
+__all__ = [
+    "HardError", "TransientError", "RateLimitedError", "AuthError",
+    "refresh_session_wait", "run_refresh_loop", "same_origin",
+    "allowed_origin", "port_or_default", "effective_tld_plus_one",
+    "parse_retry_after", "RateLimitHTTP", "OAuth2CC",
+    "validate_crowdstrike_config", "FalconHoseFollower",
+    "falconhose_collect",
+]
+
+
+class HardError(Exception):
+    """Terminates the input immediately (origin violations, processor
+    failures)."""
+
+
+class TransientError(Exception):
+    """Self-healing connection-level failure: backs off and retries
+    without counting toward the attempt limit."""
+
+
+class RateLimitedError(Exception):
+    """A 429 from the discover endpoint carrying its Retry-After."""
+
+    def __init__(self, wait: float, message: str):
+        super().__init__(message)
+        self.wait = wait
+
+
+class AuthError(Exception):
+    """A non-network OAuth2 failure (bad credentials): an ordinary
+    soft error so misconfiguration still terminates the input."""
+
+
+# -------------------------------------------------------- origin rules
+
+_psl_map: Optional[dict] = None
+
+
+def _psl() -> dict:
+    global _psl_map
+    if _psl_map is None:
+        _psl_map = {k: (x, w, e) for k, _n, x, w, e in _psl_rules()}
+    return _psl_map
+
+
+def effective_tld_plus_one(host: str) -> Optional[str]:
+    """publicsuffix.EffectiveTLDPlusOne over the vendored PSL: the
+    registrable domain, or None when undefined (the host IS a public
+    suffix)."""
+    host = host.lower().rstrip(".")
+    if not host:
+        return None
+    labels = host.split(".")
+    n = len(labels)
+    rules = _psl()
+    depth = 1
+    exc_depth = None
+    for k in range(1, min(n, 6) + 1):
+        sfx = ".".join(labels[n - k:])
+        r = rules.get(sfx)
+        if r is None:
+            continue
+        x, w, e = r
+        if x:
+            depth = max(depth, k)
+        if w and n >= k + 1:
+            depth = max(depth, k + 1)
+        if e:
+            exc_depth = k - 1  # deepest exception wins (scan ascends)
+    ps = exc_depth if exc_depth is not None else depth
+    if n <= ps:
+        return None
+    return ".".join(labels[n - ps - 1:])
+
+
+def same_origin(base: str, target: str) -> bool:
+    """sameOrigin (crowdstrike.go:87-103): identical hostname or same
+    registrable domain; HTTPS→HTTP downgrades rejected."""
+    b, t = urlsplit(base), urlsplit(target)
+    if b.scheme == "https" and t.scheme != "https":
+        return False
+    bh = (b.hostname or "").lower()
+    th = (t.hostname or "").lower()
+    if bh == th:
+        return True
+    bd = effective_tld_plus_one(bh)
+    td = effective_tld_plus_one(th)
+    if bd is None or td is None:
+        return False
+    return bd == td
+
+
+def port_or_default(url: str) -> str:
+    """portOrDefault (crowdstrike.go:121-132)."""
+    u = urlsplit(url)
+    if u.port is not None:
+        return str(u.port)
+    return "443" if u.scheme in ("https", "wss") else "80"
+
+
+def allowed_origin(base: str, allowed: list, target: str) -> bool:
+    """allowedOrigin (crowdstrike.go:109-119): sameOrigin or an exact
+    scheme/host/port allowlist match (absent ports normalised)."""
+    if same_origin(base, target):
+        return True
+    t = urlsplit(target)
+    for a in allowed:
+        au = urlsplit(a)
+        if (au.scheme == t.scheme
+                and (au.hostname or "").lower()
+                == (t.hostname or "").lower()
+                and port_or_default(a) == port_or_default(target)):
+            return True
+    return False
+
+
+# ------------------------------------------------------- refresh loop
+
+def refresh_session_wait(refresh_after: float) -> float:
+    """refreshSessionWait (crowdstrike.go:55-64): 90% of the interval
+    with a 15 s floor against tight refresh loops."""
+    wait = refresh_after * 9 / 10
+    return 15.0 if wait < 15.0 else wait
+
+
+def run_refresh_loop(stop: threading.Event, wait: float,
+                     after: Callable[[float], threading.Event],
+                     refresh: Callable[[], Optional[str]]) -> None:
+    """runRefreshLoopWithAfter (crowdstrike.go:69-80): refresh until
+    stopped or refresh errors. after(wait) yields the waitable tick
+    (injectable for deterministic tests)."""
+    while True:
+        fired = after(wait)
+        try:
+            while not fired.wait(0.05):
+                if stop.is_set():
+                    return
+            if stop.is_set():
+                return
+        finally:
+            cancel = getattr(fired, "cancel", None)
+            if cancel is not None:
+                cancel()
+        if refresh() is not None:
+            return
+
+
+# --------------------------------------------------------- rate limit
+
+def parse_retry_after(val: str, fallback: float, ref: float) -> float:
+    """parseRetryAfter (crowdstrike_ratelimit.go:96-125): integer
+    seconds or an HTTP-date; empty/unparseable/past → fallback."""
+    val = (val or "").strip()
+    if not val:
+        return fallback
+    try:
+        secs = int(val)
+        return float(secs) if secs > 0 else fallback
+    except ValueError:
+        pass
+    try:
+        t = parsedate_to_datetime(val)
+    except (TypeError, ValueError):
+        return fallback
+    d = t.timestamp() - ref
+    return d if d > 0 else fallback
+
+
+class RateLimitHTTP:
+    """rateLimitTransport (crowdstrike_ratelimit.go:28-93): retries
+    429 responses up to max_retry times, waiting Retry-After (default
+    60 s). Sits beneath the OAuth2 layer so rate-limited token
+    requests are retried before auth sees the failure."""
+
+    def __init__(self, *, timeout: float = 30.0, max_retry: int = 3,
+                 wait: float = 60.0,
+                 now: Callable[[], float] = time.time,
+                 sleep: Callable[[float], None] = time.sleep,
+                 transport=None):
+        self.timeout = timeout
+        self.max_retry = max_retry
+        self.wait = wait
+        self.now = now
+        self.sleep = sleep
+        self.transport = transport or _urllib_transport
+
+    def request(self, method: str, url: str, headers: dict,
+                body: Optional[bytes] = None):
+        attempt = 0
+        while True:
+            status, rhdrs, data = self.transport(
+                method, url, headers, body, self.timeout)
+            if status != 429 or attempt >= self.max_retry:
+                return status, rhdrs, data
+            wait = parse_retry_after(rhdrs.get("Retry-After", ""),
+                                     self.wait, self.now())
+            self.sleep(wait)
+            attempt += 1
+
+
+def _urllib_transport(method, url, headers, body, timeout):
+    req = urllib.request.Request(url, data=body, method=method,
+                                 headers=headers)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as res:
+            return res.status, dict(res.headers), res.read()
+    except urllib.error.HTTPError as e:
+        return e.code, dict(e.headers or {}), e.read()
+
+
+def _is_network_error(err: Exception) -> bool:
+    if isinstance(err, urllib.error.HTTPError):
+        return False
+    if isinstance(err, urllib.error.URLError):
+        return True
+    return isinstance(err, (socket.timeout, TimeoutError,
+                            ConnectionError, OSError))
+
+
+class OAuth2CC:
+    """The client-credentials token source riding RateLimitHTTP."""
+
+    def __init__(self, client_id: str, client_secret: str,
+                 token_url: str, *, scopes=(), endpoint_params=None,
+                 http: Optional[RateLimitHTTP] = None,
+                 now: Callable[[], float] = time.time):
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.token_url = token_url
+        self.scopes = tuple(scopes)
+        self.endpoint_params = dict(endpoint_params or {})
+        self.http = http or RateLimitHTTP()
+        self.now = now
+        self._token = ""
+        self._expires = 0.0
+
+    def token(self) -> str:
+        if self._token and self.now() < self._expires - 10:
+            return self._token
+        form = {"grant_type": "client_credentials",
+                "client_id": self.client_id,
+                "client_secret": self.client_secret}
+        if self.scopes:
+            form["scope"] = " ".join(self.scopes)
+        form.update(self.endpoint_params)
+        status, _hdrs, data = self.http.request(
+            "POST", self.token_url,
+            {"Content-Type": "application/x-www-form-urlencoded"},
+            urlencode(form).encode())
+        if status != 200:
+            raise AuthError(
+                "oauth2: cannot fetch token: "
+                f"{status}: {data.decode(errors='replace')}")
+        body = json.loads(data)
+        self._token = body.get("access_token", "")
+        self._expires = self.now() + float(body.get("expires_in", 0))
+        if not self._token:
+            raise AuthError("oauth2: server response missing "
+                            "access_token")
+        return self._token
+
+
+# ------------------------------------------------------------- config
+
+def validate_crowdstrike_config(cfg: dict) -> None:
+    """config.Validate's crowdstrike-relevant rules (config.go:162-
+    213) — same error strings."""
+    typ = cfg.get("stream_type", "crowdstrike")
+    if typ not in ("", "websocket", "crowdstrike"):
+        raise ValueError(f"unknown stream type: {typ}")
+    scheme = urlsplit(cfg.get("url", "")).scheme
+    if scheme not in ("http", "https"):
+        raise ValueError(f"unsupported scheme: {scheme}")
+    if cfg.get("program"):
+        from .cel.input import compile_input_program
+        compile_input_program(cfg["program"])
+    r = cfg.get("retry")
+    if r is not None:
+        if r.get("max_attempts", 0) <= 0 \
+                and not r.get("infinite_retries"):
+            raise ValueError("max_attempts must be greater than zero")
+        if r.get("wait_min", 0) > r.get("wait_max", 0):
+            raise ValueError(
+                "wait_min must be less than or equal to wait_max")
+    for i, raw in enumerate(cfg.get("resource_origins", ())):
+        u = urlsplit(raw)
+        if not u.scheme or not u.netloc:
+            raise ValueError(f"resource_origins[{i}] must have a "
+                             f"scheme and host: {raw!r}")
+
+
+# ------------------------------------------------------------ follower
+
+@dataclass
+class FollowOutcome:
+    sessions: int = 0
+    error: Optional[str] = None
+
+
+class FalconHoseFollower:
+    """NewFalconHoseFollower + FollowStream + followSession
+    (crowdstrike.go:136-575), driver-side."""
+
+    DEGRADE_AFTER_FAILURES = 3
+    MAX_ATTEMPTS_UNCONFIGURED = 10
+
+    def __init__(self, cfg: dict, *,
+                 publish: Callable[[dict, Optional[dict]], None],
+                 cursor: Optional[dict] = None,
+                 status: Optional[Callable[[str, str], None]] = None,
+                 now: Callable[[], float] = time.time,
+                 sleep: Callable[[float], None] = time.sleep,
+                 transport=None, log: Callable[[str], None]
+                 = lambda msg: None):
+        validate_crowdstrike_config(cfg)
+        self.cfg = cfg
+        self.cursor = cursor
+        self.status = status or (lambda s, m: None)
+        self.now = now
+        self.sleep = sleep
+        self.log = log
+        self.processor = Processor(cfg["program"], publish=publish)
+
+        auth = cfg.get("auth", {}).get("oauth2", {})
+        self._auth_http = RateLimitHTTP(
+            timeout=cfg.get("timeout", 30.0), now=now, sleep=sleep,
+            transport=transport)
+        self.creds = OAuth2CC(
+            auth.get("client_id", ""), auth.get("client_secret", ""),
+            auth.get("token_url", ""),
+            scopes=auth.get("scopes", ()),
+            endpoint_params=auth.get("endpoint_params"),
+            http=self._auth_http, now=now)
+        # The feed client streams: no per-request timeout
+        # (crowdstrike.go:228-233 zeroes the streaming timeouts).
+        self._transport = transport or _urllib_transport
+
+        u = urlsplit(cfg["url"])
+        query = urlencode({"appId": cfg.get("crowdstrike_app_id",
+                                            "")})
+        self.discover_url = urlunsplit(
+            (u.scheme, u.netloc, u.path, query, ""))
+        self.allowed_origins = list(cfg.get("resource_origins", ()))
+        self.user_agent = cfg.get("user_agent", "beats-spark")
+        self._refresh_calls: list[str] = []
+
+    # -- authorized requests (the oauth client)
+
+    def _authed_get(self, url: str):
+        token = self.creds.token()
+        return self._transport(
+            "GET", url, {"Authorization": "Bearer " + token,
+                         "User-Agent": self.user_agent}, None,
+            self.cfg.get("timeout", 30.0))
+
+    # -- the retry loop
+
+    def follow(self, *, stop: Callable[[], bool] = lambda: False,
+               max_sessions: int = 0) -> FollowOutcome:
+        """FollowStream (crowdstrike.go:256-352)."""
+        state = dict(self.cfg.get("state") or {})
+        if self.cursor is not None:
+            state["cursor"] = self.cursor
+        retry = self.cfg.get("retry")
+        attempt = 0
+        failures = 0
+        out = FollowOutcome()
+        while not stop():
+            try:
+                state = self._follow_session(state)
+            except HardError:
+                raise
+            except Exception as err:
+                transient = isinstance(err, TransientError)
+                failures += 1
+                if not transient:
+                    attempt += 1
+                    if retry is not None:
+                        if (not retry.get("infinite_retries")
+                                and attempt
+                                >= retry.get("max_attempts", 0)):
+                            raise RuntimeError(
+                                "max retry attempts "
+                                f"({retry['max_attempts']}) "
+                                f"exceeded: {err}") from err
+                    elif attempt >= self.MAX_ATTEMPTS_UNCONFIGURED:
+                        raise RuntimeError(
+                            "max retry attempts "
+                            f"({self.MAX_ATTEMPTS_UNCONFIGURED} "
+                            f"unconfigured) exceeded: {err}") from err
+                if retry is not None:
+                    wait = wait_time(retry.get("wait_min", 1.0),
+                                     retry.get("wait_max", 30.0),
+                                     failures,
+                                     retry.get("max_attempts", 0))
+                else:
+                    self.log("no retry configured: using linear "
+                             "back-off")
+                    wait = min(float(failures), 30.0)
+                if isinstance(err, RateLimitedError) \
+                        and err.wait > wait:
+                    wait = err.wait
+                if failures >= self.DEGRADE_AFTER_FAILURES:
+                    self.status("degraded", str(err))
+                self.log(f"session warning: {err} "
+                         f"(transient={transient}, attempt={attempt},"
+                         f" failures={failures}, wait={wait})")
+                self.sleep(wait)
+                continue
+            attempt = 0
+            failures = 0
+            out.sessions += 1
+            self.status("running", "")
+            if max_sessions and out.sessions >= max_sessions:
+                break
+        return out
+
+    # -- one session
+
+    def _follow_session(self, state: dict) -> dict:
+        """followSession (crowdstrike.go:354-575)."""
+        try:
+            status, hdrs, body = self._authed_get(self.discover_url)
+        except AuthError as err:
+            raise RuntimeError(
+                f"failed GET to discover stream: {err}") from err
+        except Exception as err:
+            if _is_network_error(err):
+                raise TransientError(
+                    f"failed GET to discover stream: {err}") from err
+            raise RuntimeError(
+                f"failed GET to discover stream: {err}") from err
+
+        if status == 429:
+            wait = parse_retry_after(hdrs.get("Retry-After", ""),
+                                     60.0, self.now())
+            raise RateLimitedError(
+                wait, "rate limited by discover endpoint: "
+                f"{status} Too Many Requests")
+        if status != 200:
+            raise RuntimeError(
+                f"unsuccessful request: {status}: "
+                f"{body.decode(errors='replace')}")
+        if not body:
+            raise TransientError(
+                "discover stream returned an empty body")
+        try:
+            doc = json.loads(body)
+        except ValueError as err:
+            raise RuntimeError(
+                f"failed to decode discover body: {err}") from err
+
+        cursors = state.get("cursor")
+        if not isinstance(cursors, dict):
+            cursors = {}
+        session_stop = threading.Event()
+        try:
+            for r in doc.get("resources") or ():
+                self._follow_resource(r, state, cursors,
+                                      session_stop)
+        finally:
+            session_stop.set()
+            state.pop("feed", None)
+        return state
+
+    def _follow_resource(self, r: dict, state: dict, cursors: dict,
+                         session_stop: threading.Event) -> None:
+        feed_url = r.get("dataFeedURL", "")
+        refresh_url = r.get("refreshActiveSessionURL", "")
+        token = (r.get("sessionToken") or {}).get("token", "")
+        refresh_after = float(r.get("refreshActiveSessionInterval",
+                                    0))
+        if not allowed_origin(self.discover_url,
+                              self.allowed_origins, feed_url):
+            raise HardError(
+                f"feed url origin {urlsplit(feed_url).netloc!r} does "
+                "not match discover origin "
+                f"{urlsplit(self.discover_url).netloc!r}")
+        if not allowed_origin(self.discover_url,
+                              self.allowed_origins, refresh_url):
+            raise HardError(
+                f"refresh url origin "
+                f"{urlsplit(refresh_url).netloc!r} does not match "
+                "discover origin "
+                f"{urlsplit(self.discover_url).netloc!r}")
+
+        feed_name = feed_url  # retained: the URL is mutated below
+        offset = 0
+        c = cursors.get(feed_name)
+        if isinstance(c, dict):
+            off = c.get("offset")
+            if isinstance(off, (int, float)):
+                offset = int(off)
+
+        def do_refresh() -> Optional[str]:
+            self._refresh_calls.append(refresh_url)
+            try:
+                token_ = self.creds.token()
+                status, _h, _b = self._transport(
+                    "POST", refresh_url,
+                    {"Authorization": "Bearer " + token_,
+                     "Content-Type": "application/json",
+                     "User-Agent": self.user_agent}, None,
+                    self.cfg.get("timeout", 30.0))
+                _ = status
+                return None
+            except Exception as err:
+                self.status("failed",
+                            "failed to refresh stream connection: "
+                            + str(err))
+                return str(err)
+
+        def after(wait: float) -> threading.Event:
+            ev = threading.Event()
+            timer = threading.Timer(wait, ev.set)
+            timer.daemon = True
+            timer.start()
+            # the loop cancels the timer thread when it stops waiting
+            # (the Go version's timers are GC'd; Timer threads would
+            # otherwise outlive the session by up to the wait)
+            ev.cancel = timer.cancel  # type: ignore[attr-defined]
+            return ev
+
+        threading.Thread(
+            target=run_refresh_loop,
+            args=(session_stop, refresh_session_wait(refresh_after),
+                  after, do_refresh),
+            daemon=True).start()
+
+        if offset > 0:
+            u = urlsplit(feed_url)
+            q = parse_qs(u.query)
+            q["offset"] = [str(offset)]
+            feed_url = urlunsplit(
+                (u.scheme, u.netloc, u.path,
+                 urlencode(sorted((k, v[0]) for k, v in q.items())),
+                 ""))
+
+        try:
+            status, _hdrs, body = self._transport(
+                "GET", feed_url,
+                {"Accept": "application/json",
+                 "Authorization": "Token " + token,
+                 "User-Agent": self.user_agent}, None, None)
+        except Exception as err:
+            raise RuntimeError(
+                f"failed to get firehose from {feed_url}: "
+                f"{err}") from err
+        if status != 200:
+            raise RuntimeError(
+                f"unsuccessful firehose request: {status}: "
+                f"{body.decode(errors='replace')}")
+
+        state["feed"] = feed_name
+        dec = json.JSONDecoder()
+        text = body.decode(errors="surrogateescape")
+        pos = 0
+        while True:
+            while pos < len(text) and text[pos].isspace():
+                pos += 1
+            if pos >= len(text):
+                self.log("stream ended, restarting")
+                return  # io.EOF — session ends normally
+            try:
+                _value, end = dec.raw_decode(text, pos)
+            except ValueError as err:
+                raise RuntimeError(
+                    f"error decoding event: {err}") from err
+            raw = text[pos:end]
+            pos = end
+            if not raw or raw.lstrip()[:1] != "{":
+                self.log("skipping non-object message from firehose")
+                continue
+            state["response"] = raw.encode(errors="surrogateescape")
+            current = state.get("cursor")
+            if not isinstance(current, dict):
+                current = self.cursor
+            new_cursor, fatal = self.processor.process(state, current)
+            if new_cursor is not None:
+                state["cursor"] = new_cursor
+            if fatal is not None:
+                self.status("failed",
+                            "failed to process and publish data: "
+                            + fatal)
+                raise HardError(fatal)
+
+
+def falconhose_collect(cfg: dict, *, cursor: Optional[dict] = None,
+                       max_sessions: int = 1,
+                       **kw) -> tuple[list, FollowOutcome]:
+    """Convenience driver: follow for max_sessions sessions and
+    collect (event, cursor) pairs."""
+    records: list = []
+
+    def publish(ev, cur):
+        records.append({"event": ev, "cursor": cur})
+
+    f = FalconHoseFollower(cfg, publish=publish, cursor=cursor, **kw)
+    out = f.follow(max_sessions=max_sessions)
+    return records, out

@@ -1,0 +1,691 @@
+"""CrowdStrike FalconHose follower battery.
+
+Ports the reference matrices (x-pack/filebeat/input/streaming/
+crowdstrike_test.go, crowdstrike_unit_test.go,
+crowdstrike_ratelimit_test.go): TestRefreshSessionWait,
+TestFollowSessionRefreshDoesNotSpinForShortIntervals's deterministic
+timer protocol, TestSameOrigin/TestAllowedOrigin verbatim,
+parseRetryAfter, the rate-limit transport retry behavior, the
+transient/soft/hard error taxonomy over a live fake FalconHose
+(TestFollowStreamRetryCapHonorsMaxAttempts, DefersDegraded,
+TransientFailuresDoNotConsumeAttemptCap, FirehoseHTTPError,
+NonObjectMessage, RejectsCrossOriginResourceURLs), cursor offset
+resume across sessions with the reference integration test's CEL
+program, and session-refresh lifecycle (threads exit per session).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+import pytest
+
+import beats_spark.crowdstrike as cs
+from beats_spark.crowdstrike import (
+    FalconHoseFollower, HardError, OAuth2CC, RateLimitHTTP,
+    RateLimitedError, TransientError, allowed_origin,
+    effective_tld_plus_one, falconhose_collect, parse_retry_after,
+    port_or_default, refresh_session_wait, run_refresh_loop,
+    same_origin, validate_crowdstrike_config,
+)
+
+PROGRAM = ('state.response.decode_json().as(body, '
+           '{"events": [body]})')
+CURSOR_PROGRAM = '''
+state.response.decode_json().as(body,{
+  "events": [body],
+  "cursor": state.cursor.with({
+    ?state.feed: body.?metadata.optMap(m, {"offset": m.offset}),
+  }),
+})'''
+
+
+# --------------------------------------------------------- unit ports
+
+@pytest.mark.parametrize("refresh_after,want", [
+    (600.0, 540.0),   # long interval uses 90 percent rule
+    (30.0, 27.0),     # short interval uses 90 percent rule
+    (10.0, 15.0),     # very short interval uses minimum clamp
+    (0.0, 15.0),      # zero interval uses minimum clamp
+])
+def test_refresh_session_wait(refresh_after, want):
+    assert refresh_session_wait(refresh_after) == want
+
+
+def test_run_refresh_loop_deterministic_timer():
+    # TestFollowSessionRefreshDoesNotSpinForShortIntervals: the loop
+    # asks for the full wait, runs refresh only on timer fire, and
+    # exits on stop.
+    stop = threading.Event()
+    fired = threading.Event()
+    asked = []
+    calls = []
+
+    def after(wait):
+        asked.append(wait)
+        return fired
+
+    def refresh():
+        calls.append(1)
+        return None
+
+    t = threading.Thread(target=run_refresh_loop,
+                         args=(stop, 15.0, after, refresh),
+                         daemon=True)
+    t.start()
+    time.sleep(0.15)
+    assert asked[:1] == [15.0]
+    assert calls == []  # nothing before the timer fires
+    fired.set()
+    time.sleep(0.15)
+    assert len(calls) >= 1
+    stop.set()
+    t.join(timeout=2)
+    assert not t.is_alive()
+
+
+def test_run_refresh_loop_stops_on_refresh_error():
+    stop = threading.Event()
+    ev = threading.Event()
+    ev.set()
+    calls = []
+
+    def refresh():
+        calls.append(1)
+        return "boom"
+
+    t = threading.Thread(
+        target=run_refresh_loop,
+        args=(stop, 0.0, lambda w: ev, refresh), daemon=True)
+    t.start()
+    t.join(timeout=2)
+    assert not t.is_alive() and calls == [1]
+
+
+@pytest.mark.parametrize("base,tgt,want", [
+    # TestSameOrigin verbatim
+    ("https://api.crowdstrike.com/sensors",
+     "https://api.crowdstrike.com/other", True),
+    ("https://api.crowdstrike.com/sensors",
+     "https://firehose.crowdstrike.com/feed", True),
+    ("https://api.crowdstrike.com/sensors",
+     "https://evil.example.com/capture", False),
+    ("https://api.crowdstrike.com/sensors",
+     "http://api.crowdstrike.com/sensors", False),
+    ("http://api.crowdstrike.com/sensors",
+     "https://api.crowdstrike.com/sensors", True),
+    ("https://192.168.1.1:8080/api",
+     "https://192.168.1.1:9090/feed", True),
+    ("https://192.168.1.1:8080/api",
+     "https://10.0.0.1:8080/api", False),
+    ("https://api.us-2.crowdstrike.com/sensors",
+     "https://firehose.us-2.crowdstrike.com/feed", True),
+])
+def test_same_origin(base, tgt, want):
+    assert same_origin(base, tgt) is want
+
+
+@pytest.mark.parametrize("base,allowed,tgt,want", [
+    # TestAllowedOrigin verbatim
+    ("https://api.crowdstrike.com", [],
+     "https://firehose.crowdstrike.com/feed", True),
+    ("https://api.crowdstrike.com", [],
+     "https://evil.example.com/capture", False),
+    ("https://api.crowdstrike.com", ["https://evil.example.com"],
+     "https://evil.example.com/capture", True),
+    ("https://api.crowdstrike.com",
+     ["https://streaming.newdomain.com"],
+     "http://streaming.newdomain.com/feed", False),
+    ("https://api.crowdstrike.com",
+     ["https://streaming.newdomain.com"],
+     "https://other.newdomain.com/feed", False),
+    ("https://api.crowdstrike.com",
+     ["https://streaming.newdomain.com"],
+     "https://streaming.newdomain.com:443/feed", True),
+    ("https://api.crowdstrike.com",
+     ["https://streaming.newdomain.com"],
+     "https://streaming.newdomain.com:8443/feed", False),
+])
+def test_allowed_origin(base, allowed, tgt, want):
+    assert allowed_origin(base, allowed, tgt) is want
+
+
+def test_etld_plus_one_and_ports():
+    assert effective_tld_plus_one("firehose.crowdstrike.com") == \
+        "crowdstrike.com"
+    assert effective_tld_plus_one("a.b.example.co.uk") == \
+        "example.co.uk"
+    assert effective_tld_plus_one("com") is None
+    assert port_or_default("https://x.com") == "443"
+    assert port_or_default("http://x.com") == "80"
+    assert port_or_default("https://x.com:8443") == "8443"
+
+
+def test_parse_retry_after():
+    now = 1_700_000_000.0
+    assert parse_retry_after("", 60.0, now) == 60.0
+    assert parse_retry_after("30", 60.0, now) == 30.0
+    assert parse_retry_after("0", 60.0, now) == 60.0
+    assert parse_retry_after("garbage", 60.0, now) == 60.0
+    # HTTP-date 90 s in the future
+    from email.utils import formatdate
+    hd = formatdate(now + 90, usegmt=True)
+    got = parse_retry_after(hd, 60.0, now)
+    assert 88.0 <= got <= 92.0
+    # past date falls back
+    assert parse_retry_after(formatdate(now - 90, usegmt=True),
+                             60.0, now) == 60.0
+
+
+def test_rate_limit_http_retries_429():
+    responses = [(429, {"Retry-After": "7"}, b""),
+                 (429, {}, b""),
+                 (200, {}, b"ok")]
+    calls = []
+    sleeps = []
+
+    def transport(method, url, headers, body, timeout):
+        calls.append(url)
+        return responses[len(calls) - 1]
+
+    h = RateLimitHTTP(max_retry=3, wait=60.0, sleep=sleeps.append,
+                      transport=transport)
+    status, _, data = h.request("GET", "http://x", {})
+    assert status == 200 and data == b"ok"
+    assert sleeps == [7.0, 60.0]  # header, then default wait
+
+
+def test_rate_limit_http_gives_up_after_max_retry():
+    def transport(method, url, headers, body, timeout):
+        return 429, {}, b"limited"
+
+    h = RateLimitHTTP(max_retry=2, sleep=lambda s: None,
+                      transport=transport)
+    status, _, _ = h.request("GET", "http://x", {})
+    assert status == 429
+
+
+def test_oauth2cc_caching():
+    calls = []
+
+    def transport(method, url, headers, body, timeout):
+        calls.append(dict(parse_qsl(body.decode())))
+        return 200, {}, json.dumps(
+            {"access_token": f"t{len(calls)}",
+             "expires_in": 3600}).encode()
+
+    clock = {"t": 0.0}
+    o = OAuth2CC("id", "sec", "http://tok",
+                 http=RateLimitHTTP(transport=transport),
+                 now=lambda: clock["t"])
+    assert o.token() == "t1"
+    assert o.token() == "t1"
+    assert calls[0]["grant_type"] == "client_credentials"
+    clock["t"] = 3601.0
+    assert o.token() == "t2"
+
+
+@pytest.mark.parametrize("cfg,err", [
+    ({"url": "https://x", "program": PROGRAM}, None),
+    ({"url": "wss://x"}, "unsupported scheme: wss"),
+    ({"url": "https://x", "stream_type": "bogus"},
+     "unknown stream type"),
+    ({"url": "https://x", "retry": {"max_attempts": 0}},
+     "max_attempts must be greater than zero"),
+    ({"url": "https://x",
+      "retry": {"max_attempts": 2, "wait_min": 5, "wait_max": 1}},
+     "wait_min must be less than or equal to wait_max"),
+    ({"url": "https://x", "resource_origins": ["not a url"]},
+     "must have a scheme and host"),
+    ({"url": "https://x", "program": "nonsense("},
+     None if False else ""),  # compile failure raises CELError
+])
+def test_validate_config(cfg, err):
+    if err is None:
+        validate_crowdstrike_config(cfg)
+    elif err == "":
+        with pytest.raises(Exception):
+            validate_crowdstrike_config(cfg)
+    else:
+        with pytest.raises(ValueError, match=err):
+            validate_crowdstrike_config(cfg)
+
+
+# --------------------------------------------------- fake FalconHose
+
+class FakeFalconHose:
+    """startDiscover + the feed/refresh servers of
+    crowdstrike_test.go, in one mux."""
+
+    def __init__(self):
+        self.discover_hits = 0
+        self.feed_queries: list[dict] = []
+        self.refresh_hits = 0
+        self.token_hits = 0
+        # programmable behaviors
+        self.discover_mode = "ok"  # ok|empty|error|ratelimit
+        self.feed_bodies: list[str] = ['{"metadata":{"offset":5}}']
+        self.feed_status = 200
+        self.feed_delay = 0.0
+        self.feed_host_override = None
+        self.refresh_host_override = None
+        self.token_status = 200
+        srv = self
+
+        class H(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):
+                pass
+
+            def _send(self, data: bytes, status=200, ctype="application/json",
+                      headers=()):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                for k, v in headers:
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_POST(self):
+                u = urlparse(self.path)
+                if u.path == "/token":
+                    srv.token_hits += 1
+                    if srv.token_status != 200:
+                        self._send(b'{"error":"denied"}',
+                                   srv.token_status)
+                        return
+                    self._send(json.dumps(
+                        {"access_token": "tok",
+                         "token_type": "bearer",
+                         "expires_in": 3600}).encode())
+                elif u.path == "/refresh":
+                    srv.refresh_hits += 1
+                    self._send(b"{}")
+                else:
+                    self._send(b"{}", 404)
+
+            def do_GET(self):
+                u = urlparse(self.path)
+                q = dict(parse_qsl(u.query))
+                if u.path == "/sensors/entities/datafeed/v2":
+                    srv.discover_hits += 1
+                    if srv.discover_mode == "empty":
+                        self._send(b"")
+                        return
+                    if srv.discover_mode == "error":
+                        self._send(b"internal server error", 500,
+                                   "text/plain")
+                        return
+                    if srv.discover_mode == "ratelimit":
+                        self._send(b"slow down", 429, "text/plain",
+                                   [("Retry-After", "42")])
+                        return
+                    feed_base = (srv.feed_host_override
+                                 or f"http://{srv.addr}")
+                    refresh_base = (srv.refresh_host_override
+                                    or f"http://{srv.addr}")
+                    self._send(json.dumps({
+                        "resources": [{
+                            "dataFeedURL": feed_base + "/feed",
+                            "sessionToken": {
+                                "token": "feed-tok",
+                                "expiration": "2099-01-01T00:00:00Z"},
+                            "refreshActiveSessionURL":
+                                refresh_base + "/refresh",
+                            "refreshActiveSessionInterval": 30,
+                        }],
+                        "meta": {"pagination": {}},
+                    }).encode())
+                elif u.path == "/feed":
+                    if (self.headers.get("Authorization")
+                            != "Token feed-tok"):
+                        self._send(b'{"errors":[{"code":401}]}', 401)
+                        return
+                    srv.feed_queries.append(q)
+                    if srv.feed_delay:
+                        time.sleep(srv.feed_delay)
+                    if srv.feed_status != 200:
+                        self._send(b"feed broken", srv.feed_status,
+                                   "text/plain")
+                        return
+                    body = "\n".join(srv.feed_bodies).encode()
+                    self._send(body)
+                else:
+                    self._send(b"{}", 404)
+
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.addr = "%s:%d" % self.httpd.server_address
+        threading.Thread(target=self.httpd.serve_forever,
+                         daemon=True).start()
+
+    @property
+    def discover_url(self):
+        return f"http://{self.addr}/sensors/entities/datafeed/v2"
+
+    @property
+    def token_url(self):
+        return f"http://{self.addr}/token"
+
+    def close(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture()
+def hose():
+    srv = FakeFalconHose()
+    yield srv
+    srv.close()
+
+
+def _cfg(srv, program=PROGRAM, retry=None, **kw):
+    cfg = {
+        "stream_type": "crowdstrike",
+        "url": srv.discover_url,
+        "crowdstrike_app_id": "test",
+        "program": program,
+        "auth": {"oauth2": {"client_id": "id",
+                            "client_secret": "secret",
+                            "token_url": srv.token_url}},
+    }
+    if retry is not None:
+        cfg["retry"] = retry
+    cfg.update(kw)
+    return cfg
+
+
+FAST_RETRY = {"max_attempts": 1, "wait_min": 0.001,
+              "wait_max": 0.001}
+
+
+def test_one_session_publishes_events(hose):
+    hose.feed_bodies = ['{"metadata":{"offset":1,"eventType":"t"}}',
+                        '{"metadata":{"offset":2,"eventType":"t"}}']
+    records, out = falconhose_collect(
+        _cfg(hose), max_sessions=1, sleep=lambda s: None)
+    assert out.sessions == 1
+    assert [r["event"]["metadata"]["offset"] for r in records] == \
+        [1, 2]
+    # appId reached the discover endpoint
+    assert hose.discover_hits == 1
+
+
+def test_cursor_offset_resumes_across_sessions(hose):
+    # the reference integration test's program: cursor[feed].offset
+    # from each event; session 2's feed URL carries offset=7
+    hose.feed_bodies = ['{"metadata":{"offset":7}}']
+    records, out = falconhose_collect(
+        _cfg(hose, program=CURSOR_PROGRAM), cursor={},
+        max_sessions=2, sleep=lambda s: None)
+    assert out.sessions == 2
+    assert len(records) == 2
+    assert hose.feed_queries[0].get("offset") is None
+    assert hose.feed_queries[1].get("offset") == "7"
+
+
+@pytest.mark.parametrize("status,body", [
+    (400, "400 Bad Request"),
+    (401, '{"errors":[{"code":401,"message":"access denied"}]}'),
+    (500, "Internal Server Error"),
+])
+def test_firehose_http_error_is_soft(hose, status, body):
+    # TestFollowSession_FirehoseHTTPError: non-200 feed responses are
+    # soft errors that honor the attempt cap
+    hose.feed_status = status
+    with pytest.raises(RuntimeError,
+                       match=r"max retry attempts \(1\) exceeded.*"
+                             "unsuccessful firehose request"):
+        falconhose_collect(_cfg(hose, retry=FAST_RETRY),
+                           max_sessions=1, sleep=lambda s: None)
+
+
+def test_non_object_messages_skipped(hose):
+    # TestFollowSession_NonObjectMessage: numbers, strings and arrays
+    # are skipped; a following valid event still publishes
+    hose.feed_bodies = ["17", '"a string"', "[1,2]",
+                        '{"metadata":{"offset":9}}']
+    records, _ = falconhose_collect(_cfg(hose), max_sessions=1,
+                                    sleep=lambda s: None)
+    assert [r["event"] for r in records] == \
+        [{"metadata": {"offset": 9}}]
+
+
+def test_retry_cap_honors_max_attempts(hose):
+    # TestFollowStreamRetryCapHonorsMaxAttempts: a configured cap
+    # above the unconfigured 10 is honored
+    hose.discover_mode = "error"
+    with pytest.raises(RuntimeError,
+                       match=r"max retry attempts \(15\) exceeded"):
+        falconhose_collect(
+            _cfg(hose, retry={"max_attempts": 15, "wait_min": 0.001,
+                              "wait_max": 0.001}),
+            max_sessions=1, sleep=lambda s: None)
+    assert hose.discover_hits == 15
+
+
+def test_unconfigured_cap_is_ten(hose):
+    hose.discover_mode = "error"
+    sleeps = []
+    records = []
+    f = FalconHoseFollower(_cfg(hose), publish=lambda e, c: None,
+                           sleep=sleeps.append)
+    with pytest.raises(RuntimeError,
+                       match=r"max retry attempts \(10 unconfigured\)"
+                             " exceeded"):
+        f.follow(max_sessions=1)
+    assert hose.discover_hits == 10
+    # linear back-off without a retry policy: 1,2,...,capped at 30
+    assert sleeps[:3] == [1.0, 2.0, 3.0]
+    _ = records
+
+
+def test_degraded_deferred_to_third_failure(hose):
+    # TestFollowStreamDefersDegraded: DEGRADED only on failures 3..4
+    # with max_attempts=5
+    hose.discover_mode = "error"
+    degraded = []
+
+    def status(s, m):
+        if s == "degraded":
+            degraded.append(m)
+
+    f = FalconHoseFollower(
+        _cfg(hose, retry={"max_attempts": 5, "wait_min": 0.001,
+                          "wait_max": 0.001}),
+        publish=lambda e, c: None, status=status,
+        sleep=lambda s: None)
+    with pytest.raises(RuntimeError):
+        f.follow(max_sessions=1)
+    assert len(degraded) == 2
+
+
+def test_transient_failures_do_not_consume_attempt_cap(hose):
+    # TestFollowStreamTransientFailuresDoNotConsumeAttemptCap: five
+    # empty bodies (transient), then 500s; termination after
+    # transient + max_attempts discover requests
+    transient_failures, max_attempts = 5, 3
+    real_mode = {"served": 0}
+    orig = hose.discover_mode
+
+    class Switcher:
+        pass
+
+    # flip discover behavior per request via a wrapper attribute
+    def discover_mode():
+        real_mode["served"] += 1
+        return ("empty" if real_mode["served"] <= transient_failures
+                else "error")
+
+    # FakeFalconHose reads .discover_mode per request; use a property
+    # shim via __class__ juggling is overkill — drive it with a
+    # counter-based property object instead.
+    class ModeProxy(str):
+        def __eq__(self, other):
+            return str(self.current()) == other
+
+        def __hash__(self):
+            return hash("proxy")
+
+    hose.discover_mode = property  # placeholder, replaced below
+    # simplest: subclassless monkeypatch of the attribute lookup
+    FakeFalconHose.discover_mode = property(
+        lambda self: discover_mode())
+    try:
+        with pytest.raises(RuntimeError,
+                           match=r"max retry attempts \(3\) "
+                                 "exceeded"):
+            falconhose_collect(
+                _cfg(hose, retry={"max_attempts": max_attempts,
+                                  "wait_min": 0.001,
+                                  "wait_max": 0.001}),
+                max_sessions=1, sleep=lambda s: None)
+    finally:
+        del FakeFalconHose.discover_mode
+        hose.discover_mode = orig
+    assert hose.discover_hits == transient_failures + max_attempts
+
+
+def test_empty_discover_body_is_transient(hose):
+    hose.discover_mode = "empty"
+    f = FalconHoseFollower(_cfg(hose), publish=lambda e, c: None)
+    with pytest.raises(TransientError,
+                       match="discover stream returned an empty "
+                             "body"):
+        f._follow_session({})
+
+
+def test_discover_connection_refused_is_transient():
+    # TestFollowSession_DiscoverGETFailureIsTransient
+    srv = FakeFalconHose()
+    cfg = _cfg(srv)
+    srv.close()  # nothing listening any more
+    f = FalconHoseFollower(cfg, publish=lambda e, c: None)
+    with pytest.raises(TransientError,
+                       match="failed GET to discover stream"):
+        f._follow_session({})
+
+
+def test_discover_rate_limit_raises_wait(hose):
+    hose.discover_mode = "ratelimit"
+    f = FalconHoseFollower(_cfg(hose), publish=lambda e, c: None)
+    with pytest.raises(RateLimitedError,
+                       match="rate limited by discover endpoint") \
+            as ei:
+        f._follow_session({})
+    assert ei.value.wait == 42.0
+
+
+def test_rate_limit_wait_overrides_backoff(hose):
+    hose.discover_mode = "ratelimit"
+    sleeps = []
+    f = FalconHoseFollower(
+        _cfg(hose, retry={"max_attempts": 2, "wait_min": 0.001,
+                          "wait_max": 0.001}),
+        publish=lambda e, c: None, sleep=sleeps.append)
+    with pytest.raises(RuntimeError):
+        f.follow(max_sessions=1)
+    assert sleeps and max(sleeps) == 42.0
+
+
+@pytest.mark.parametrize("which,wording", [
+    ("feed", "feed url origin"),
+    ("refresh", "refresh url origin"),
+])
+def test_cross_origin_resources_are_hard_errors(hose, which,
+                                                wording):
+    # TestFollowSessionRejectsCrossOriginResourceURLs
+    if which == "feed":
+        hose.feed_host_override = "https://evil.example.com"
+    else:
+        hose.refresh_host_override = "https://evil.example.com"
+    with pytest.raises(HardError, match=wording):
+        falconhose_collect(_cfg(hose, retry=FAST_RETRY),
+                           max_sessions=1, sleep=lambda s: None)
+
+
+def test_resource_origins_allowlist_permits_cross_origin(hose):
+    # a second server on another loopback port is cross-origin by
+    # host:port, permitted via resource_origins
+    other = FakeFalconHose()
+    try:
+        hose.feed_host_override = f"http://{other.addr}"
+        hose.refresh_host_override = f"http://{other.addr}"
+        records, out = falconhose_collect(
+            _cfg(hose,
+                 resource_origins=[f"http://{other.addr}"]),
+            max_sessions=1, sleep=lambda s: None)
+        assert out.sessions == 1
+    finally:
+        other.close()
+
+
+def test_cross_loopback_ports_same_host_are_same_origin(hose):
+    # two servers on 127.0.0.1 share a hostname → sameOrigin holds
+    # regardless of port (crowdstrike.go:95-97 hostname equality)
+    other = FakeFalconHose()
+    try:
+        hose.feed_host_override = f"http://{other.addr}"
+        hose.refresh_host_override = f"http://{other.addr}"
+        records, out = falconhose_collect(
+            _cfg(hose), max_sessions=1, sleep=lambda s: None)
+        assert out.sessions == 1
+    finally:
+        other.close()
+
+
+def test_bad_credentials_is_soft_not_transient(hose):
+    hose.token_status = 401
+    with pytest.raises(RuntimeError,
+                       match=r"max retry attempts \(1\) exceeded: "
+                             "failed GET to discover stream: "
+                             "oauth2"):
+        falconhose_collect(_cfg(hose, retry=FAST_RETRY),
+                           max_sessions=1, sleep=lambda s: None)
+
+
+def test_processor_failure_is_hard(hose):
+    # events of a non-map type → processor fatal → hardError
+    hose.feed_bodies = ['{"a":1}']
+    prog = ('state.response.decode_json().as(body, '
+            '{"events": ["not-a-map"]})')
+    with pytest.raises(HardError,
+                       match="unexpected type returned for "
+                             "evaluation events"):
+        falconhose_collect(_cfg(hose, program=prog), max_sessions=1,
+                           sleep=lambda s: None)
+
+
+def test_session_refresh_posts_and_thread_exits(hose,
+                                                monkeypatch):
+    # the refresh loop fires while the feed is open (floor shrunk for
+    # the test) and its thread exits when the session ends
+    monkeypatch.setattr(cs, "refresh_session_wait",
+                        lambda after: 0.05)
+    hose.feed_delay = 0.4
+    before = threading.active_count()
+    records, out = falconhose_collect(_cfg(hose), max_sessions=1,
+                                      sleep=lambda s: None)
+    assert out.sessions == 1
+    assert hose.refresh_hits >= 1
+    time.sleep(0.3)  # let the stopped refresh thread exit
+    assert threading.active_count() <= before + 1
+
+
+def test_no_thread_leak_across_sessions(hose):
+    # TestFollowStreamCancelsRefreshOnReconnect: thread count stays
+    # roughly constant across many sessions
+    total_sessions = 8
+    falconhose_collect(_cfg(hose), max_sessions=2,
+                       sleep=lambda s: None)
+    base = threading.active_count()
+    falconhose_collect(_cfg(hose), max_sessions=total_sessions,
+                       sleep=lambda s: None)
+    time.sleep(0.5)
+    growth = threading.active_count() - base
+    assert growth < total_sessions / 2
