@@ -41,10 +41,11 @@ layer:
                   vector and the tagsToMeta app/space/org routing
                   with DeDot'ed custom tags)
 
-The v1 doppler consumer stays environment-gated and loud: its wire is
-dropsonde protobuf over websocket and the sonde-go schema is not
-vendored in the reference to pin field numbers against — the v2 RLP
-path is the live consumer here (`version: v2`).
+The v1 doppler consumer is live too (`beats_spark.dropsonde`): the
+dropsonde protobuf codec is re-derived from the public
+dropsonde-protocol definitions and the firehose runs over the repo's
+RFC 6455 websocket client, feeding the same envelope_to_event /
+event_to_fields layer below.
 
 Surfaces: `cloudfoundry_collect` (bounded driver-side stream read),
 `cloudfoundry_events_df` (typed DataFrame handoff), and
@@ -104,15 +105,13 @@ def validate_config(cfg: Config) -> None:
 
 
 def configure(cfg: Config):
-    """input.go:42-55's dispatch."""
-    if cfg.version == "v2":
+    """input.go:42-55's dispatch. Both consumer versions are live:
+    v2 = the RLP gateway (this module), v1 = the doppler firehose
+    (beats_spark.dropsonde — the dropsonde protobuf codec re-derived
+    from the public dropsonde-protocol definitions, over the repo's
+    RFC 6455 client)."""
+    if cfg.version in ("v1", "v2"):
         return cfg
-    if cfg.version == "v1":
-        raise NotImplementedError(
-            "consumer version v1 (doppler firehose) is environment-"
-            "gated: its wire is dropsonde protobuf over websocket and "
-            "the sonde-go schema is not available here to pin field "
-            "numbers against — use version: v2 (RLP gateway)")
     raise ValueError(f"not supported consumer version: {cfg.version}")
 
 

@@ -1,0 +1,564 @@
+"""cloudfoundry v1 — dropsonde protobuf codec + doppler firehose.
+
+Completes the v1 consumer path the RLP (v2) implementation in
+`cloudfoundry.py` left environment-gated: the reference consumes
+`wss://{doppler}/firehose/{subscription}` websocket binary frames,
+each one a protobuf-encoded dropsonde ``events.Envelope``
+(x-pack/libbeat/common/cloudfoundry/dopplerconsumer.go via
+cloudfoundry/noaa + cloudfoundry/sonde-go). Everything here derives
+from the PUBLIC dropsonde-protocol definitions
+(github.com/cloudfoundry/dropsonde-protocol: envelope.proto,
+log.proto, metric.proto, http.proto, error.proto, uuid.proto) and the
+protobuf wire-format spec:
+
+* a minimal protobuf wire codec (varints, 64-bit fields,
+  length-delimited) — both halves, so the test doppler serves real
+  frames;
+* ``decode_envelope`` / ``encode_envelope`` — Envelope ⇄ the same v1
+  envelope dict shape `convert_v2_to_v1` produces, so
+  `envelope_to_event` and the whole events.go ToFields layer run
+  unchanged on v1 wire input;
+* ``DopplerConsumer`` — the noaa consumer loop on the repo's RFC 6455
+  client: the logs firehose (filtered to
+  HttpStartStop/LogMessage/Error, dopplerconsumer.go:117-126) and the
+  metrics firehose (unfiltered), EnvelopeToEvent dispatch to
+  Log/Metric/Error callbacks, reconnect on connection errors, and
+  token refresh on auth rejection (noaa refreshes on 401).
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+import time
+from typing import Callable, Optional
+
+from .cloudfoundry import envelope_to_event
+from .websocket_wire import (
+    BadHandshake, CloseError, WSError, connect_websocket,
+)
+
+__all__ = [
+    "decode_envelope", "encode_envelope", "filter_logs",
+    "DopplerConsumer", "doppler_collect", "doppler_collect_records",
+]
+
+
+# ----------------------------------------------------- protobuf wire
+
+def _varint(v: int) -> bytes:
+    if v < 0:
+        v &= (1 << 64) - 1  # two's complement 64-bit
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint too long")
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _signed32(v: int) -> int:
+    v &= (1 << 32) - 1
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _field(num: int, wire: int, payload: bytes) -> bytes:
+    return _varint((num << 3) | wire) + payload
+
+
+def _f_varint(num: int, v: int) -> bytes:
+    return _field(num, 0, _varint(v))
+
+
+def _f_bytes(num: int, v: bytes) -> bytes:
+    return _field(num, 2, _varint(len(v)) + v)
+
+
+def _f_string(num: int, v: str) -> bytes:
+    return _f_bytes(num, v.encode())
+
+
+def _f_double(num: int, v: float) -> bytes:
+    return _field(num, 1, struct.pack("<d", v))
+
+
+def _fields(data: bytes):
+    """Iterate (field_number, wire_type, value) over a message.
+    Varints yield ints, fixed64 yields raw 8 bytes, length-delimited
+    yields bytes."""
+    pos = 0
+    while pos < len(data):
+        key, pos = _read_varint(data, pos)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = _read_varint(data, pos)
+        elif wire == 1:
+            v = data[pos:pos + 8]
+            pos += 8
+        elif wire == 2:
+            ln, pos = _read_varint(data, pos)
+            v = data[pos:pos + ln]
+            pos += ln
+        elif wire == 5:
+            v = data[pos:pos + 4]
+            pos += 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield num, wire, v
+
+
+# --------------------------------------------------------- sub-codecs
+
+# envelope.proto EventType
+_EVENT_TYPES = {4: "HttpStartStop", 5: "LogMessage", 6: "ValueMetric",
+                7: "CounterEvent", 8: "Error", 9: "ContainerMetric"}
+_EVENT_TYPE_NUMS = {v: k for k, v in _EVENT_TYPES.items()}
+
+# http.proto PeerType / Method (the commonly-used rows; unknown
+# numbers fall back to their decimal rendering)
+_PEER_TYPES = {1: "Client", 2: "Server"}
+_METHODS = {1: "GET", 2: "POST", 3: "PUT", 4: "DELETE", 5: "HEAD",
+            24: "OPTIONS", 26: "PATCH", 36: "TRACE", 11: "CONNECT"}
+_PEER_NUMS = {v: k for k, v in _PEER_TYPES.items()}
+_METHOD_NUMS = {v: k for k, v in _METHODS.items()}
+
+
+def _decode_uuid(data: bytes) -> dict:
+    low = high = None
+    for num, _w, v in _fields(data):
+        if num == 1:
+            low = v
+        elif num == 2:
+            high = v
+    return {"low": low, "high": high}
+
+
+def _encode_uuid(u: dict) -> bytes:
+    out = b""
+    if u.get("low") is not None:
+        out += _f_varint(1, int(u["low"]))
+    if u.get("high") is not None:
+        out += _f_varint(2, int(u["high"]))
+    return out
+
+
+def _decode_log_message(data: bytes) -> dict:
+    m = {"message": "", "message_type": 1, "app_id": "",
+         "source_type": "", "source_instance": ""}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["message"] = v.decode("utf-8", "replace")
+        elif num == 2:
+            m["message_type"] = v
+        elif num == 3:
+            m["timestamp"] = _signed64(v)
+        elif num == 4:
+            m["app_id"] = v.decode()
+        elif num == 5:
+            m["source_type"] = v.decode()
+        elif num == 6:
+            m["source_instance"] = v.decode()
+    return m
+
+
+def _decode_value_metric(data: bytes) -> dict:
+    m = {"name": "", "value": 0.0, "unit": ""}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["name"] = v.decode()
+        elif num == 2:
+            m["value"] = struct.unpack("<d", v)[0]
+        elif num == 3:
+            m["unit"] = v.decode()
+    return m
+
+
+def _decode_counter_event(data: bytes) -> dict:
+    m = {"name": "", "delta": 0, "total": 0}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["name"] = v.decode()
+        elif num == 2:
+            m["delta"] = v
+        elif num == 3:
+            m["total"] = v
+    return m
+
+
+def _decode_container_metric(data: bytes) -> dict:
+    m = {"applicationId": "", "instanceIndex": 0,
+         "cpuPercentage": 0.0, "memoryBytes": 0, "diskBytes": 0,
+         "memoryBytesQuota": 0, "diskBytesQuota": 0}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["applicationId"] = v.decode()
+        elif num == 2:
+            m["instanceIndex"] = _signed32(v)
+        elif num == 3:
+            m["cpuPercentage"] = struct.unpack("<d", v)[0]
+        elif num == 4:
+            m["memoryBytes"] = v
+        elif num == 5:
+            m["diskBytes"] = v
+        elif num == 6:
+            m["memoryBytesQuota"] = v
+        elif num == 7:
+            m["diskBytesQuota"] = v
+    return m
+
+
+def _decode_error(data: bytes) -> dict:
+    m = {"source": "", "code": 0, "message": ""}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["source"] = v.decode()
+        elif num == 2:
+            m["code"] = _signed32(v)
+        elif num == 3:
+            m["message"] = v.decode()
+    return m
+
+
+def _decode_http_start_stop(data: bytes) -> dict:
+    m = {"startTimestamp": 0, "stopTimestamp": 0,
+         "requestId": {"low": None, "high": None}, "peerType": "",
+         "method": "", "uri": "", "remoteAddress": "",
+         "userAgent": "", "statusCode": 0, "contentLength": 0,
+         "applicationId": {"low": None, "high": None},
+         "instanceIndex": 0, "forwarded": []}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            m["startTimestamp"] = _signed64(v)
+        elif num == 2:
+            m["stopTimestamp"] = _signed64(v)
+        elif num == 3:
+            m["requestId"] = _decode_uuid(v)
+        elif num == 4:
+            m["peerType"] = _PEER_TYPES.get(v, str(v))
+        elif num == 5:
+            m["method"] = _METHODS.get(v, str(v))
+        elif num == 6:
+            m["uri"] = v.decode()
+        elif num == 7:
+            m["remoteAddress"] = v.decode()
+        elif num == 8:
+            m["userAgent"] = v.decode()
+        elif num == 9:
+            m["statusCode"] = _signed32(v)
+        elif num == 10:
+            m["contentLength"] = _signed64(v)
+        elif num == 12:
+            m["applicationId"] = _decode_uuid(v)
+        elif num == 13:
+            m["instanceIndex"] = _signed32(v)
+        elif num == 14:
+            m["instanceId"] = v.decode()
+        elif num == 15:
+            m["forwarded"].append(v.decode())
+    return m
+
+
+def decode_envelope(data: bytes) -> dict:
+    """events.Envelope → the v1 envelope dict shape that
+    `convert_v2_to_v1` produces and `envelope_to_event` consumes."""
+    env: dict = {"origin": "", "timestamp": 0, "deployment": "",
+                 "job": "", "index": "", "ip": "", "tags": {}}
+    for num, _w, v in _fields(data):
+        if num == 1:
+            env["origin"] = v.decode()
+        elif num == 2:
+            env["eventType"] = _EVENT_TYPES.get(v, str(v))
+        elif num == 6:
+            env["timestamp"] = _signed64(v)
+        elif num == 13:
+            env["deployment"] = v.decode()
+        elif num == 14:
+            env["job"] = v.decode()
+        elif num == 15:
+            env["index"] = v.decode()
+        elif num == 16:
+            env["ip"] = v.decode()
+        elif num == 17:
+            key = val = ""
+            for n2, _w2, v2 in _fields(v):
+                if n2 == 1:
+                    key = v2.decode()
+                elif n2 == 2:
+                    val = v2.decode()
+            env["tags"][key] = val
+        elif num == 7:
+            env["httpStartStop"] = _decode_http_start_stop(v)
+        elif num == 8:
+            env["logMessage"] = _decode_log_message(v)
+        elif num == 9:
+            env["valueMetric"] = _decode_value_metric(v)
+        elif num == 10:
+            env["counterEvent"] = _decode_counter_event(v)
+        elif num == 11:
+            env["error"] = _decode_error(v)
+        elif num == 12:
+            env["containerMetric"] = _decode_container_metric(v)
+    return env
+
+
+def encode_envelope(env: dict) -> bytes:
+    """The inverse codec, used by the test doppler to serve real
+    frames."""
+    out = _f_string(1, env.get("origin", ""))
+    et = env.get("eventType", "")
+    out += _f_varint(2, _EVENT_TYPE_NUMS.get(et, 0))
+    if env.get("timestamp"):
+        out += _f_varint(6, int(env["timestamp"]))
+    for num, key in ((13, "deployment"), (14, "job"), (15, "index"),
+                     (16, "ip")):
+        if env.get(key):
+            out += _f_string(num, env[key])
+    for k, v in (env.get("tags") or {}).items():
+        entry = _f_string(1, k) + _f_string(2, v)
+        out += _f_bytes(17, entry)
+
+    if "logMessage" in env:
+        m = env["logMessage"]
+        body = _f_bytes(1, m.get("message", "").encode())
+        body += _f_varint(2, int(m.get("message_type", 1)))
+        body += _f_varint(3, int(m.get("timestamp",
+                                       env.get("timestamp", 0))))
+        for num, key in ((4, "app_id"), (5, "source_type"),
+                         (6, "source_instance")):
+            if m.get(key):
+                body += _f_string(num, m[key])
+        out += _f_bytes(8, body)
+    if "valueMetric" in env:
+        m = env["valueMetric"]
+        body = (_f_string(1, m.get("name", ""))
+                + _f_double(2, float(m.get("value", 0.0)))
+                + _f_string(3, m.get("unit", "")))
+        out += _f_bytes(9, body)
+    if "counterEvent" in env:
+        m = env["counterEvent"]
+        body = (_f_string(1, m.get("name", ""))
+                + _f_varint(2, int(m.get("delta", 0)))
+                + _f_varint(3, int(m.get("total", 0))))
+        out += _f_bytes(10, body)
+    if "error" in env:
+        m = env["error"]
+        body = (_f_string(1, m.get("source", ""))
+                + _f_varint(2, int(m.get("code", 0)))
+                + _f_string(3, m.get("message", "")))
+        out += _f_bytes(11, body)
+    if "containerMetric" in env:
+        m = env["containerMetric"]
+        body = (_f_string(1, m.get("applicationId", ""))
+                + _f_varint(2, int(m.get("instanceIndex", 0)))
+                + _f_double(3, float(m.get("cpuPercentage", 0.0)))
+                + _f_varint(4, int(m.get("memoryBytes", 0)))
+                + _f_varint(5, int(m.get("diskBytes", 0)))
+                + _f_varint(6, int(m.get("memoryBytesQuota", 0)))
+                + _f_varint(7, int(m.get("diskBytesQuota", 0))))
+        out += _f_bytes(12, body)
+    if "httpStartStop" in env:
+        m = env["httpStartStop"]
+        body = _f_varint(1, int(m.get("startTimestamp", 0)))
+        body += _f_varint(2, int(m.get("stopTimestamp", 0)))
+        body += _f_bytes(3, _encode_uuid(m.get("requestId") or {}))
+        body += _f_varint(4, _PEER_NUMS.get(m.get("peerType",
+                                                  "Client"), 1))
+        body += _f_varint(5, _METHOD_NUMS.get(m.get("method",
+                                                    "GET"), 1))
+        for num, key in ((6, "uri"), (7, "remoteAddress"),
+                         (8, "userAgent")):
+            body += _f_string(num, m.get(key, ""))
+        body += _f_varint(9, int(m.get("statusCode", 0)))
+        body += _f_varint(10, int(m.get("contentLength", 0)))
+        app = m.get("applicationId") or {}
+        if app.get("low") is not None or app.get("high") is not None:
+            body += _f_bytes(12, _encode_uuid(app))
+        if m.get("instanceIndex") is not None:
+            body += _f_varint(13, int(m["instanceIndex"]))
+        if m.get("instanceId"):
+            body += _f_string(14, m["instanceId"])
+        for f in m.get("forwarded") or ():
+            body += _f_string(15, f)
+        out += _f_bytes(7, body)
+    return out
+
+
+# ------------------------------------------------------------ consumer
+
+def filter_logs(env: dict) -> bool:
+    """filterLogs (dopplerconsumer.go:117-126): only HttpStartStop,
+    LogMessage and Error envelopes pass the logs firehose."""
+    return env.get("eventType") in ("HttpStartStop", "LogMessage",
+                                    "Error")
+
+
+class DopplerConsumer:
+    """DopplerConsumer (dopplerconsumer.go:27-150) on the repo's
+    RFC 6455 client: the noaa firehose endpoints
+    ws(s)://{doppler}/firehose/{subscription_id} with the
+    filter-type query (logs / metrics) and token auth."""
+
+    def __init__(self, doppler_address: str, subscription_id: str, *,
+                 token: Callable[[], str],
+                 on_log: Optional[Callable[[dict], None]] = None,
+                 on_metric: Optional[Callable[[dict], None]] = None,
+                 on_error: Optional[Callable[[dict], None]] = None,
+                 log: Callable[[str], None] = lambda msg: None):
+        self.address = doppler_address.rstrip("/")
+        self.subscription_id = subscription_id
+        self.token = token
+        self.on_log = on_log
+        self.on_metric = on_metric
+        self.on_error = on_error
+        self.log = log
+        self._stop = threading.Event()
+
+    def _url(self, filter_type: str) -> str:
+        base = self.address
+        if base.startswith("http"):
+            base = "ws" + base[4:]
+        return (f"{base}/firehose/{self.subscription_id}"
+                + (f"?filter-type={filter_type}" if filter_type
+                   else ""))
+
+    def _firehose(self, filter_type: str, filter_fn, cb,
+                  max_messages: int) -> int:
+        """firehose (dopplerconsumer.go:86-115): one stream; on
+        connection errors reconnect (noaa retries; a 401/403
+        handshake asks the refresher for a new token first)."""
+        n = 0
+        while not self._stop.is_set() and (not max_messages
+                                           or n < max_messages):
+            try:
+                conn, _ = connect_websocket(
+                    self._url(filter_type),
+                    headers={"Authorization": self.token()})
+            except BadHandshake as e:
+                if e.status in (401, 403):
+                    self.log("authorization rejected, refreshing "
+                             "token")
+                    time.sleep(0.01)
+                    continue
+                self.log(f"error received on firehose: {e}")
+                time.sleep(0.01)
+                continue
+            except (WSError, OSError) as e:
+                self.log(f"error received on firehose: {e}")
+                time.sleep(0.01)
+                continue
+            try:
+                while not self._stop.is_set() and (
+                        not max_messages or n < max_messages):
+                    _opcode, data = conn.read_message()
+                    env = decode_envelope(data)
+                    if not filter_fn(env):
+                        continue
+                    event = envelope_to_event(env)
+                    if event is None:
+                        self.log("envelope couldn't be converted "
+                                 f"to event: {env!r}")
+                        continue
+                    if event.get("type") == "error":
+                        # reportError (dopplerconsumer.go:128-134):
+                        # no error callback → log only
+                        if self.on_error is not None:
+                            self.on_error(event)
+                        else:
+                            self.log("no callback for errors, error "
+                                     f"received: {event!r}")
+                    else:
+                        cb(event)
+                    n += 1
+            except (CloseError, WSError, OSError) as e:
+                # connection-level, not a cloud foundry error
+                # envelope; the firehose reconnects
+                self.log(f"error received on firehose: {e}")
+            finally:
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+        return n
+
+    def run(self, *, max_logs: int = 0, max_metrics: int = 0) -> None:
+        """Run (dopplerconsumer.go:56-77): a logs stream when the Log
+        callback is set, a metrics stream when Metric is. Bounded
+        message counts make the driver testable; zero means run until
+        stop()."""
+        threads = []
+        if self.on_log is not None:
+            threads.append(threading.Thread(
+                target=self._firehose,
+                args=("logs", filter_logs, self.on_log, max_logs),
+                daemon=True))
+        if self.on_metric is not None:
+            threads.append(threading.Thread(
+                target=self._firehose,
+                args=("metrics", lambda e: True, self.on_metric,
+                      max_metrics),
+                daemon=True))
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
+def doppler_collect(doppler_address: str, subscription_id: str, *,
+                    token: Callable[[], str], max_logs: int = 0,
+                    max_metrics: int = 0,
+                    collect_errors: bool = True
+                    ) -> tuple[list, list, list]:
+    """Bounded driver: returns (log events, metric events, error
+    events)."""
+    logs: list = []
+    metrics: list = []
+    errors: list = []
+    c = DopplerConsumer(
+        doppler_address, subscription_id, token=token,
+        on_log=logs.append if max_logs else None,
+        on_metric=metrics.append if max_metrics else None,
+        on_error=errors.append if collect_errors else None)
+    c.run(max_logs=max_logs, max_metrics=max_metrics)
+    c.stop()
+    return logs, metrics, errors
+
+
+def doppler_collect_records(doppler_address: str,
+                            subscription_id: str, *,
+                            token: Callable[[], str],
+                            max_logs: int = 0,
+                            max_metrics: int = 0) -> list[dict]:
+    """The v1 twin of `cloudfoundry_collect`: the same record shape
+    ({"ts", "type", "fields"}) so `cloudfoundry_events_df` consumes
+    either consumer version unchanged."""
+    from .cloudfoundry import event_to_fields
+    logs, metrics, errors = doppler_collect(
+        doppler_address, subscription_id, token=token,
+        max_logs=max_logs, max_metrics=max_metrics)
+    return [{"ts": e["timestamp"], "type": e["type"],
+             "fields": event_to_fields(e)}
+            for e in logs + metrics + errors]

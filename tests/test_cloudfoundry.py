@@ -58,10 +58,12 @@ def test_validate_config_wording():
     validate_config(Config(version="v2"))
 
 
-def test_configure_v1_gated():
-    with pytest.raises(NotImplementedError, match="dropsonde protobuf"):
-        configure(Config(version="v1"))
+def test_configure_both_versions_live():
+    # v1 went live with beats_spark.dropsonde (the firehose consumer)
+    assert configure(Config(version="v1"))
     assert configure(Config(version="v2"))
+    with pytest.raises(ValueError, match="not supported"):
+        configure(Config(version="v3"))
 
 
 def test_rlp_address_from_api():

@@ -1,0 +1,292 @@
+"""dropsonde protobuf codec + doppler firehose battery.
+
+Verifies the from-scratch protobuf wire (varints incl. negative
+int64, doubles, nested messages, the tags map), envelope round-trips
+for every dropsonde event type, cross-path equivalence (a v2 JSON
+envelope converted by convert_v2_to_v1 and the same envelope pushed
+through encode_envelope→decode_envelope produce identical published
+events), filterLogs (dopplerconsumer.go:117-126), and the live
+firehose consumer over the repo's RFC 6455 server: filter-type
+routing, token auth with 401-refresh-reconnect, error-envelope
+dispatch, and mid-stream reconnects.
+"""
+
+from __future__ import annotations
+
+import base64
+import socket
+import threading
+
+import pytest
+
+from beats_spark.cloudfoundry import (
+    convert_v2_to_v1, envelope_to_event, event_to_fields, format_uuid,
+)
+from beats_spark.dropsonde import (
+    DopplerConsumer, _read_varint, _varint, decode_envelope,
+    doppler_collect, encode_envelope, filter_logs,
+)
+from beats_spark.websocket_wire import accept_websocket
+
+UUID_STR = "cd797e55-c5cd-4fa4-9a97-0aeb4f2740c1"
+UUID_LOW = int.from_bytes(bytes.fromhex("cd797e55c5cd4fa4"),
+                          "little")
+UUID_HIGH = int.from_bytes(bytes.fromhex("9a970aeb4f2740c1"),
+                           "little")
+
+
+# ----------------------------------------------------------- wire
+
+@pytest.mark.parametrize("v", [0, 1, 127, 128, 300, 2 ** 32,
+                               2 ** 63 - 1, -1, -1587469726082])
+def test_varint_roundtrip(v):
+    enc = _varint(v)
+    got, pos = _read_varint(enc, 0)
+    assert pos == len(enc)
+    if v < 0:
+        assert got == v + (1 << 64)  # two's complement on the wire
+    else:
+        assert got == v
+    if v == -1:
+        assert len(enc) == 10  # negative int64s are 10 bytes
+
+
+def _base_env(event_type, key, payload):
+    return {"origin": "origin", "eventType": event_type,
+            "timestamp": 1587469726082, "deployment": "deployment",
+            "job": "job", "index": "index", "ip": "ip",
+            "tags": {"tag": "value", "custom": "x"},
+            key: payload}
+
+
+ENVELOPES = [
+    _base_env("LogMessage", "logMessage", {
+        "message": "log message", "message_type": 2,
+        "app_id": UUID_STR, "source_type": "APP",
+        "source_instance": "3"}),
+    _base_env("ValueMetric", "valueMetric", {
+        "name": "cpu_load", "value": 0.57, "unit": "pct"}),
+    _base_env("CounterEvent", "counterEvent", {
+        "name": "requests", "delta": 10, "total": 999}),
+    _base_env("ContainerMetric", "containerMetric", {
+        "applicationId": UUID_STR, "instanceIndex": 3,
+        "cpuPercentage": 0.2, "memoryBytes": 1024,
+        "diskBytes": 2048, "memoryBytesQuota": 4096,
+        "diskBytesQuota": 8192}),
+    _base_env("Error", "error", {
+        "source": "doppler", "code": 7, "message": "it burns"}),
+    _base_env("HttpStartStop", "httpStartStop", {
+        "startTimestamp": 1587469726082,
+        "stopTimestamp": 1587469875895,
+        "requestId": {"low": UUID_LOW, "high": UUID_HIGH},
+        "peerType": "Client", "method": "GET",
+        "uri": "https://uri.full-domain.com:8443/subpath",
+        "remoteAddress": "1.2.3.4", "userAgent": "ua",
+        "statusCode": 200, "contentLength": 128,
+        "applicationId": {"low": UUID_LOW, "high": UUID_HIGH},
+        "instanceIndex": 1, "forwarded": ["a", "b"]}),
+]
+
+
+@pytest.mark.parametrize("env", ENVELOPES,
+                         ids=[e["eventType"] for e in ENVELOPES])
+def test_envelope_event_roundtrip(env):
+    # the published event is identical after a wire round trip
+    want = envelope_to_event(env)
+    got = envelope_to_event(decode_envelope(encode_envelope(env)))
+    assert got == want
+    assert event_to_fields(got) == event_to_fields(want)
+
+
+def test_decode_envelope_base_fields_and_tags():
+    env = decode_envelope(encode_envelope(ENVELOPES[0]))
+    assert env["origin"] == "origin"
+    assert env["timestamp"] == 1587469726082
+    assert env["deployment"] == "deployment"
+    assert env["tags"] == {"tag": "value", "custom": "x"}
+    assert env["eventType"] == "LogMessage"
+    assert env["logMessage"]["message"] == "log message"
+    assert env["logMessage"]["message_type"] == 2
+
+
+def test_http_uuid_survives_wire():
+    env = decode_envelope(encode_envelope(ENVELOPES[5]))
+    evt = envelope_to_event(env)
+    assert evt["request_id"] == UUID_STR
+    assert evt["app_guid"] == UUID_STR
+    assert evt["forwarded"] == ["a", "b"]
+
+
+def test_v2_conversion_and_wire_paths_agree():
+    # the same logical data through BOTH ingestion paths (v2 RLP JSON
+    # and v1 dropsonde wire) publishes identical events
+    v2 = {"timestamp": "1587469726082", "source_id": UUID_STR,
+          "instance_id": "3",
+          "tags": {"origin": "origin", "deployment": "deployment",
+                   "job": "job", "index": "index", "ip": "ip",
+                   "tag": "value", "source_type": "APP"},
+          "log": {"payload": base64.b64encode(b"log message"
+                                              ).decode(),
+                  "type": "ERR"}}
+    v1 = convert_v2_to_v1(v2)[0]
+    via_v2 = envelope_to_event(v1)
+    via_wire = envelope_to_event(
+        decode_envelope(encode_envelope(v1)))
+    assert via_wire == via_v2
+
+
+@pytest.mark.parametrize("et,want", [
+    ("HttpStartStop", True), ("LogMessage", True), ("Error", True),
+    ("ValueMetric", False), ("CounterEvent", False),
+    ("ContainerMetric", False), (None, False),
+])
+def test_filter_logs(et, want):
+    env = {"eventType": et} if et else {}
+    assert filter_logs(env) is want
+
+
+# --------------------------------------------------- live firehose
+
+class FakeDoppler:
+    """A doppler firehose endpoint on the repo's RFC 6455 server
+    half: /firehose/{sub}?filter-type=..., Authorization-checked,
+    binary protobuf frames, optional mid-stream disconnects."""
+
+    def __init__(self, *, token="good-token"):
+        self.token = token
+        self.rejected = 0
+        self.paths: list[str] = []
+        # envelopes per filter-type; 'per_conn' serves that many per
+        # connection then closes, forcing a reconnect
+        self.streams: dict[str, list] = {"logs": [], "metrics": []}
+        self.per_conn = 0
+        self.sock = socket.socket()
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR,
+                             1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(8)
+        self.addr = "%s:%d" % self.sock.getsockname()
+        self.served: dict[str, int] = {}
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        while True:
+            try:
+                client, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._one, args=(client,),
+                             daemon=True).start()
+
+    def _one(self, client):
+        def check(headers):
+            ok = headers.get("authorization") == self.token
+            if not ok:
+                self.rejected += 1
+            return ok
+
+        got = accept_websocket(client, require_auth=check,
+                               reject_status=401)
+        if got is None:
+            return
+        conn, path, _headers = got
+        self.paths.append(path)
+        ft = "logs" if "filter-type=logs" in path else "metrics"
+        start = self.served.get(ft, 0)
+        envs = self.streams[ft][start:]
+        if self.per_conn:
+            envs = envs[:self.per_conn]
+        for env in envs:
+            try:
+                conn.write_message(0x2, encode_envelope(env))
+            except OSError:
+                return
+        self.served[ft] = start + len(envs)
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    @property
+    def url(self):
+        return f"ws://{self.addr}"
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture()
+def doppler():
+    srv = FakeDoppler()
+    yield srv
+    srv.close()
+
+
+def test_logs_firehose_filters_and_publishes(doppler):
+    doppler.streams["logs"] = [ENVELOPES[0], ENVELOPES[1],
+                               ENVELOPES[5]]
+    logs, _metrics, _errs = doppler_collect(
+        doppler.url, "sub-1", token=lambda: "good-token",
+        max_logs=2)
+    # the ValueMetric is dropped by filterLogs; log + access survive
+    assert [e["type"] for e in logs] == ["log", "access"]
+    assert any(p.startswith("/firehose/sub-1?filter-type=logs")
+               for p in doppler.paths)
+
+
+def test_metrics_firehose_unfiltered(doppler):
+    doppler.streams["metrics"] = [ENVELOPES[1], ENVELOPES[2],
+                                  ENVELOPES[3]]
+    _logs, metrics, _errs = doppler_collect(
+        doppler.url, "sub-2", token=lambda: "good-token",
+        max_metrics=3)
+    assert [e["type"] for e in metrics] == \
+        ["value", "counter", "container"]
+    assert any("filter-type=metrics" in p for p in doppler.paths)
+
+
+def test_error_envelopes_hit_error_callback(doppler):
+    doppler.streams["logs"] = [ENVELOPES[4], ENVELOPES[0]]
+    logs, _m, errors = doppler_collect(
+        doppler.url, "sub-3", token=lambda: "good-token",
+        max_logs=2)
+    assert [e["type"] for e in logs] == ["log"]
+    assert [e["type"] for e in errors] == ["error"]
+    assert errors[0]["code"] == 7 and errors[0]["source"] == \
+        "doppler"
+
+
+def test_auth_rejection_refreshes_token(doppler):
+    doppler.streams["logs"] = [ENVELOPES[0]]
+    tokens = iter(["stale", "good-token", "good-token"])
+    logs, _m, _e = doppler_collect(
+        doppler.url, "sub-4", token=lambda: next(tokens),
+        max_logs=1)
+    assert [e["type"] for e in logs] == ["log"]
+    assert doppler.rejected == 1  # one 401 before the refresh
+
+
+def test_records_surface_matches_v2_shape(doppler, spark):
+    doppler.streams["logs"] = [ENVELOPES[0]]
+    from beats_spark.cloudfoundry import cloudfoundry_events_df
+    from beats_spark.dropsonde import doppler_collect_records
+    records = doppler_collect_records(
+        doppler.url, "sub-df", token=lambda: "good-token",
+        max_logs=1)
+    df = cloudfoundry_events_df(spark, records)
+    row = df.collect()[0]
+    assert row["type"] == "log" and row["message"] == "log message"
+    assert row["origin"] == "origin"
+
+
+def test_reconnect_continues_after_disconnect(doppler):
+    doppler.streams["logs"] = [ENVELOPES[0], ENVELOPES[5],
+                               ENVELOPES[4]]
+    doppler.per_conn = 1  # one envelope per connection, then close
+    logs, _m, errors = doppler_collect(
+        doppler.url, "sub-5", token=lambda: "good-token",
+        max_logs=3)
+    assert [e["type"] for e in logs] == ["log", "access"]
+    assert [e["type"] for e in errors] == ["error"]
+    assert len([p for p in doppler.paths
+                if "filter-type=logs" in p]) >= 3
