@@ -1,0 +1,912 @@
+"""Minimal AMQP 1.0 wire layer (OASIS spec subset), both halves.
+
+Provides what the azureeventhub input needs from the Azure SDK's
+transport (x-pack/filebeat/input/azureeventhub/v2_input.go rides
+azeventhubs, whose wire is AMQP 1.0): the type system (fixed/variable
+widths, lists, maps, arrays, symbols, described types), frame framing
+(SASL + AMQP layers), the connection/session/link performative
+handshakes, SASL PLAIN/ANONYMOUS, sender and receiver links with
+credit flow, transfer/disposition, message encode/decode (header,
+annotations, properties, application-properties, data / amqp-value
+bodies), and a request/response node helper used for the Event Hubs
+$cbs (claims-based security) and $management (partition discovery)
+interactions. The server half backs the in-test broker the way
+``ldap_wire``'s server backs the activedirectory tests.
+
+Everything derives from the public OASIS AMQP 1.0 specification; no
+Azure SDK types are referenced.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable, Optional
+
+__all__ = [
+    "AMQPError", "Described", "Symbol", "encode_value",
+    "decode_value", "encode_frame", "FrameReader", "Message",
+    "encode_message", "decode_message", "AMQPConnection",
+    "AMQPBroker", "PERFORMATIVES",
+]
+
+
+class AMQPError(Exception):
+    pass
+
+
+class Symbol(str):
+    """An AMQP symbol (encoded 0xa3/0xb3 rather than str)."""
+
+
+@dataclass
+class Described:
+    descriptor: Any
+    value: Any
+
+
+# ------------------------------------------------------ type encoding
+
+def encode_value(v: Any) -> bytes:
+    if v is None:
+        return b"\x40"
+    if isinstance(v, Described):
+        return b"\x00" + encode_value(v.descriptor) \
+            + encode_value(v.value)
+    if isinstance(v, bool):
+        return b"\x41" if v else b"\x42"
+    if isinstance(v, Symbol):
+        raw = v.encode()
+        if len(raw) < 256:
+            return b"\xa3" + bytes([len(raw)]) + raw
+        return b"\xb3" + struct.pack(">I", len(raw)) + raw
+    if isinstance(v, str):
+        raw = v.encode()
+        if len(raw) < 256:
+            return b"\xa1" + bytes([len(raw)]) + raw
+        return b"\xb1" + struct.pack(">I", len(raw)) + raw
+    if isinstance(v, (bytes, bytearray)):
+        raw = bytes(v)
+        if len(raw) < 256:
+            return b"\xa0" + bytes([len(raw)]) + raw
+        return b"\xb0" + struct.pack(">I", len(raw)) + raw
+    if isinstance(v, _ULong):
+        if v == 0:
+            return b"\x44"
+        if v < 256:
+            return b"\x53" + bytes([v])
+        return b"\x80" + struct.pack(">Q", v)
+    if isinstance(v, _UInt):
+        if v == 0:
+            return b"\x43"
+        if v < 256:
+            return b"\x52" + bytes([v])
+        return b"\x70" + struct.pack(">I", v)
+    if isinstance(v, _UByte):
+        return b"\x50" + bytes([v])
+    if isinstance(v, _Timestamp):
+        return b"\x83" + struct.pack(">q", int(v))
+    if isinstance(v, int):
+        if -128 <= v < 128:
+            return b"\x55" + struct.pack(">b", v)
+        return b"\x81" + struct.pack(">q", v)
+    if isinstance(v, float):
+        return b"\x82" + struct.pack(">d", v)
+    if isinstance(v, _uuid.UUID):
+        return b"\x98" + v.bytes
+    if isinstance(v, dict):
+        body = b"".join(encode_value(k) + encode_value(x)
+                        for k, x in v.items())
+        count = 2 * len(v)
+        if len(body) + 1 < 256 and count < 256:
+            return b"\xc1" + bytes([len(body) + 1, count]) + body
+        return (b"\xd1" + struct.pack(">II", len(body) + 4, count)
+                + body)
+    if isinstance(v, (list, tuple)):
+        body = b"".join(encode_value(x) for x in v)
+        count = len(v)
+        if count == 0:
+            return b"\x45"
+        if len(body) + 1 < 256 and count < 256:
+            return b"\xc0" + bytes([len(body) + 1, count]) + body
+        return (b"\xd0" + struct.pack(">II", len(body) + 4, count)
+                + body)
+    raise AMQPError(f"cannot encode {type(v).__name__}")
+
+
+class _ULong(int):
+    """Force ulong encoding (descriptors)."""
+
+
+class _UInt(int):
+    """Force uint encoding."""
+
+
+class _UByte(int):
+    """Force ubyte encoding."""
+
+
+class _Timestamp(int):
+    """Force timestamp encoding (ms since epoch)."""
+
+
+# exported aliases
+ULong, UInt, UByte, Timestamp = _ULong, _UInt, _UByte, _Timestamp
+
+
+def decode_value(data: bytes, pos: int = 0) -> tuple[Any, int]:
+    code = data[pos]
+    pos += 1
+    return _decode_body(code, data, pos)
+
+
+def _decode_body(code: int, data: bytes,
+                 pos: int) -> tuple[Any, int]:
+    if code == 0x00:  # described
+        desc, pos = decode_value(data, pos)
+        val, pos = decode_value(data, pos)
+        return Described(desc, val), pos
+    if code == 0x40:
+        return None, pos
+    if code == 0x41:
+        return True, pos
+    if code == 0x42:
+        return False, pos
+    if code == 0x56:
+        return data[pos] != 0, pos + 1
+    if code == 0x50:
+        return _UByte(data[pos]), pos + 1
+    if code == 0x60:
+        return struct.unpack_from(">H", data, pos)[0], pos + 2
+    if code == 0x43:
+        return _UInt(0), pos
+    if code == 0x52:
+        return _UInt(data[pos]), pos + 1
+    if code == 0x70:
+        return _UInt(struct.unpack_from(">I", data, pos)[0]), pos + 4
+    if code == 0x44:
+        return _ULong(0), pos
+    if code == 0x53:
+        return _ULong(data[pos]), pos + 1
+    if code == 0x80:
+        return _ULong(struct.unpack_from(">Q", data, pos)[0]), pos + 8
+    if code == 0x51:
+        return struct.unpack_from(">b", data, pos)[0], pos + 1
+    if code == 0x61:
+        return struct.unpack_from(">h", data, pos)[0], pos + 2
+    if code == 0x54:
+        return struct.unpack_from(">b", data, pos)[0], pos + 1
+    if code == 0x71:
+        return struct.unpack_from(">i", data, pos)[0], pos + 4
+    if code == 0x55:
+        return struct.unpack_from(">b", data, pos)[0], pos + 1
+    if code == 0x81:
+        return struct.unpack_from(">q", data, pos)[0], pos + 8
+    if code == 0x72:
+        return struct.unpack_from(">f", data, pos)[0], pos + 4
+    if code == 0x82:
+        return struct.unpack_from(">d", data, pos)[0], pos + 8
+    if code == 0x83:
+        return _Timestamp(struct.unpack_from(">q", data, pos)[0]), \
+            pos + 8
+    if code == 0x98:
+        return _uuid.UUID(bytes=data[pos:pos + 16]), pos + 16
+    if code in (0xA0, 0xA1, 0xA3):
+        ln = data[pos]
+        pos += 1
+        raw = data[pos:pos + ln]
+        pos += ln
+        if code == 0xA0:
+            return raw, pos
+        return (Symbol(raw.decode()) if code == 0xA3
+                else raw.decode()), pos
+    if code in (0xB0, 0xB1, 0xB3):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        pos += 4
+        raw = data[pos:pos + ln]
+        pos += ln
+        if code == 0xB0:
+            return raw, pos
+        return (Symbol(raw.decode()) if code == 0xB3
+                else raw.decode()), pos
+    if code == 0x45:
+        return [], pos
+    if code in (0xC0, 0xD0):
+        if code == 0xC0:
+            _size, count = data[pos], data[pos + 1]
+            pos += 2
+        else:
+            _size, count = struct.unpack_from(">II", data, pos)
+            pos += 8
+        out = []
+        for _ in range(count):
+            item, pos = decode_value(data, pos)
+            out.append(item)
+        return out, pos
+    if code in (0xC1, 0xD1):
+        if code == 0xC1:
+            _size, count = data[pos], data[pos + 1]
+            pos += 2
+        else:
+            _size, count = struct.unpack_from(">II", data, pos)
+            pos += 8
+        out = {}
+        for _ in range(count // 2):
+            k, pos = decode_value(data, pos)
+            v, pos = decode_value(data, pos)
+            out[k] = v
+        return out, pos
+    if code in (0xE0, 0xF0):
+        # array: one shared element constructor, then the elements
+        # without their own constructors
+        if code == 0xE0:
+            _size, count = data[pos], data[pos + 1]
+            pos += 2
+        else:
+            _size, count = struct.unpack_from(">II", data, pos)
+            pos += 8
+        ctor = data[pos]
+        pos += 1
+        out = []
+        for _ in range(count):
+            item, pos = _decode_body(ctor, data, pos)
+            out.append(item)
+        return out, pos
+    raise AMQPError(f"cannot decode type 0x{code:02x}")
+
+
+# ---------------------------------------------------------- framing
+
+AMQP_HEADER = b"AMQP\x00\x01\x00\x00"
+SASL_HEADER = b"AMQP\x03\x01\x00\x00"
+
+# performative descriptors (transport §2.7, security §5.3)
+P_OPEN = 0x10
+P_BEGIN = 0x11
+P_ATTACH = 0x12
+P_FLOW = 0x13
+P_TRANSFER = 0x14
+P_DISPOSITION = 0x15
+P_DETACH = 0x16
+P_END = 0x17
+P_CLOSE = 0x18
+P_SASL_MECHANISMS = 0x40
+P_SASL_INIT = 0x41
+P_SASL_OUTCOME = 0x44
+# messaging §3.2 section descriptors
+S_HEADER = 0x70
+S_DELIVERY_ANNOTATIONS = 0x71
+S_MESSAGE_ANNOTATIONS = 0x72
+S_PROPERTIES = 0x73
+S_APPLICATION_PROPERTIES = 0x74
+S_DATA = 0x75
+S_AMQP_SEQUENCE = 0x76
+S_AMQP_VALUE = 0x77
+S_FOOTER = 0x78
+# source/target/outcomes
+D_SOURCE = 0x28
+D_TARGET = 0x29
+D_ACCEPTED = 0x24
+D_ERROR = 0x1D
+
+PERFORMATIVES = {
+    P_OPEN: "open", P_BEGIN: "begin", P_ATTACH: "attach",
+    P_FLOW: "flow", P_TRANSFER: "transfer",
+    P_DISPOSITION: "disposition", P_DETACH: "detach", P_END: "end",
+    P_CLOSE: "close", P_SASL_MECHANISMS: "sasl-mechanisms",
+    P_SASL_INIT: "sasl-init", P_SASL_OUTCOME: "sasl-outcome",
+}
+
+
+def encode_frame(channel: int, performative: Optional[Described],
+                 payload: bytes = b"", *, sasl: bool = False) -> bytes:
+    body = (encode_value(performative) if performative is not None
+            else b"") + payload
+    size = 8 + len(body)
+    return struct.pack(">IBBH", size, 2, 1 if sasl else 0,
+                       channel) + body
+
+
+class FrameReader:
+    """Incremental frame parser over a socket-like recv."""
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+
+    def _fill(self, n: int) -> None:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise AMQPError("connection closed")
+            self.buf += chunk
+
+    def read_protocol_header(self) -> bytes:
+        self._fill(8)
+        hdr, self.buf = self.buf[:8], self.buf[8:]
+        return hdr
+
+    def read_frame(self) -> tuple[int, Optional[Described], bytes,
+                                  bool]:
+        """Returns (channel, performative, payload, is_sasl). Empty
+        (keepalive) frames yield performative None."""
+        self._fill(8)
+        size, doff, ftype, channel = struct.unpack_from(
+            ">IBBH", self.buf)
+        self._fill(size)
+        frame, self.buf = self.buf[:size], self.buf[size:]
+        body = frame[doff * 4:]
+        if not body:
+            return channel, None, b"", ftype == 1
+        perf, pos = decode_value(body)
+        return channel, perf, body[pos:], ftype == 1
+
+
+# ---------------------------------------------------------- messages
+
+@dataclass
+class Message:
+    """An AMQP message: the sections the Event Hubs path uses."""
+    body: Any = None                      # bytes (data) or value
+    properties: Optional[list] = None     # properties field list
+    application_properties: Optional[dict] = None
+    message_annotations: Optional[dict] = None
+    header: Optional[list] = None
+    delivery_annotations: Optional[dict] = None
+
+
+def encode_message(m: Message) -> bytes:
+    out = b""
+    if m.header is not None:
+        out += encode_value(Described(_ULong(S_HEADER), m.header))
+    if m.delivery_annotations is not None:
+        out += encode_value(Described(_ULong(S_DELIVERY_ANNOTATIONS),
+                                      m.delivery_annotations))
+    if m.message_annotations is not None:
+        out += encode_value(Described(_ULong(S_MESSAGE_ANNOTATIONS),
+                                      m.message_annotations))
+    if m.properties is not None:
+        out += encode_value(Described(_ULong(S_PROPERTIES),
+                                      m.properties))
+    if m.application_properties is not None:
+        out += encode_value(Described(
+            _ULong(S_APPLICATION_PROPERTIES),
+            m.application_properties))
+    if isinstance(m.body, (bytes, bytearray)):
+        out += encode_value(Described(_ULong(S_DATA), bytes(m.body)))
+    elif m.body is not None:
+        out += encode_value(Described(_ULong(S_AMQP_VALUE), m.body))
+    return out
+
+
+def decode_message(payload: bytes) -> Message:
+    m = Message()
+    pos = 0
+    while pos < len(payload):
+        section, pos = decode_value(payload, pos)
+        if not isinstance(section, Described):
+            continue
+        d = int(section.descriptor)
+        if d == S_HEADER:
+            m.header = section.value
+        elif d == S_DELIVERY_ANNOTATIONS:
+            m.delivery_annotations = section.value
+        elif d == S_MESSAGE_ANNOTATIONS:
+            m.message_annotations = section.value
+        elif d == S_PROPERTIES:
+            m.properties = section.value
+        elif d == S_APPLICATION_PROPERTIES:
+            m.application_properties = section.value
+        elif d == S_DATA:
+            if isinstance(m.body, (bytes, bytearray)):
+                m.body = bytes(m.body) + section.value
+            else:
+                m.body = section.value
+        elif d in (S_AMQP_VALUE, S_AMQP_SEQUENCE):
+            m.body = section.value
+    return m
+
+
+def _get(lst: Optional[list], i: int, default=None):
+    if lst is None or i >= len(lst):
+        return default
+    v = lst[i]
+    return default if v is None else v
+
+
+# --------------------------------------------------------- connection
+
+class _Link:
+    def __init__(self, name: str, handle: int, role_receiver: bool):
+        self.name = name
+        self.handle = handle
+        self.role_receiver = role_receiver
+        self.remote_handle: Optional[int] = None
+        self.attached = threading.Event()
+        self.deliveries: list[tuple[int, Message]] = []
+        self.delivery_event = threading.Condition()
+        self.credit = 0
+        self.delivery_count = 0
+        self.drained = threading.Event()
+
+
+class AMQPConnection:
+    """The client half: one connection, one session, n links."""
+
+    def __init__(self, host: str, port: int, *,
+                 container_id: str = "beats-spark",
+                 hostname: str = "",
+                 sasl_plain: Optional[tuple] = None,
+                 timeout: float = 30.0,
+                 max_frame_size: int = 1 << 20):
+        self.sock = socket.create_connection((host, port),
+                                             timeout=timeout)
+        self.reader = FrameReader(self.sock)
+        self.hostname = hostname or host
+        self.container_id = container_id
+        self.max_frame_size = max_frame_size
+        self._links: dict[int, _Link] = {}
+        self._by_remote: dict[int, _Link] = {}
+        self._next_handle = 0
+        self._next_delivery_id = 0
+        self._lock = threading.Lock()
+        self._closed = threading.Event()
+        self._open_done = threading.Event()
+        self._begin_done = threading.Event()
+
+        if sasl_plain is not None:
+            self._sasl(sasl_plain)
+        self.sock.sendall(AMQP_HEADER)
+        hdr = self.reader.read_protocol_header()
+        if hdr != AMQP_HEADER:
+            raise AMQPError(f"unexpected protocol header: {hdr!r}")
+        self._send_perf(0, P_OPEN, [
+            self.container_id, self.hostname,
+            _UInt(self.max_frame_size), 0xFFFF])
+        self._send_perf(0, P_BEGIN, [None, _UInt(0), _UInt(5000),
+                                     _UInt(5000)])
+        self._pump_thread = threading.Thread(target=self._pump,
+                                             daemon=True)
+        self._pump_thread.start()
+        if not self._open_done.wait(timeout):
+            raise AMQPError("open handshake timed out")
+        if not self._begin_done.wait(timeout):
+            raise AMQPError("begin handshake timed out")
+
+    # -- low level
+
+    def _sasl(self, creds: tuple) -> None:
+        self.sock.sendall(SASL_HEADER)
+        hdr = self.reader.read_protocol_header()
+        if hdr != SASL_HEADER:
+            raise AMQPError(f"unexpected SASL header: {hdr!r}")
+        _ch, perf, _payload, _ = self.reader.read_frame()
+        if int(perf.descriptor) != P_SASL_MECHANISMS:
+            raise AMQPError("expected sasl-mechanisms")
+        user, password = creds
+        if user is None:
+            init = [Symbol("ANONYMOUS"), b"", None]
+        else:
+            resp = b"\x00" + user.encode() + b"\x00" \
+                + password.encode()
+            init = [Symbol("PLAIN"), resp, None]
+        self.sock.sendall(encode_frame(
+            0, Described(_ULong(P_SASL_INIT), init), sasl=True))
+        _ch, perf, _payload, _ = self.reader.read_frame()
+        if int(perf.descriptor) != P_SASL_OUTCOME:
+            raise AMQPError("expected sasl-outcome")
+        code = _get(perf.value, 0, 1)
+        if int(code) != 0:
+            raise AMQPError(f"sasl outcome code {int(code)}")
+
+    def _send_perf(self, channel: int, descriptor: int, fields: list,
+                   payload: bytes = b"") -> None:
+        self.sock.sendall(encode_frame(
+            channel, Described(_ULong(descriptor), fields), payload))
+
+    # -- the reactor
+
+    def _pump(self) -> None:
+        partial: dict[int, bytes] = {}
+        try:
+            while not self._closed.is_set():
+                _ch, perf, payload, _ = self.reader.read_frame()
+                if perf is None:
+                    continue
+                d = int(perf.descriptor)
+                f = perf.value
+                if d == P_OPEN:
+                    self._open_done.set()
+                elif d == P_BEGIN:
+                    self._begin_done.set()
+                elif d == P_ATTACH:
+                    name = _get(f, 0, "")
+                    remote_handle = int(_get(f, 1, 0))
+                    with self._lock:
+                        for link in self._links.values():
+                            if link.name == name:
+                                link.remote_handle = remote_handle
+                                self._by_remote[remote_handle] = link
+                                link.attached.set()
+                elif d == P_FLOW:
+                    handle = _get(f, 4)
+                    if handle is not None:
+                        link = self._links.get(int(handle))
+                        if link is not None and not \
+                                link.role_receiver:
+                            link.credit = int(_get(f, 6, 0))
+                elif d == P_TRANSFER:
+                    remote_handle = int(_get(f, 0, 0))
+                    delivery_id = _get(f, 1)
+                    more = bool(_get(f, 5, False))
+                    link = self._by_remote.get(remote_handle)
+                    if link is None:
+                        continue
+                    key = remote_handle
+                    partial[key] = partial.get(key, b"") + payload
+                    if more:
+                        continue
+                    msg = decode_message(partial.pop(key))
+                    did = int(delivery_id) if delivery_id is not None \
+                        else self._next_delivery_id
+                    with link.delivery_event:
+                        link.deliveries.append((did, msg))
+                        link.delivery_event.notify_all()
+                elif d == P_DETACH:
+                    handle = _get(f, 0)
+                    with self._lock:
+                        link = self._by_remote.get(int(handle or 0))
+                    if link is not None:
+                        with link.delivery_event:
+                            link.delivery_event.notify_all()
+                elif d == P_CLOSE:
+                    self._closed.set()
+                    with self._lock:
+                        for link in self._links.values():
+                            with link.delivery_event:
+                                link.delivery_event.notify_all()
+                    return
+        except (AMQPError, OSError):
+            self._closed.set()
+            with self._lock:
+                for link in self._links.values():
+                    with link.delivery_event:
+                        link.delivery_event.notify_all()
+
+    # -- links
+
+    def attach_sender(self, name: str, target_address: str,
+                      timeout: float = 10.0) -> _Link:
+        link = self._new_link(name, receiver=False)
+        source = Described(_ULong(D_SOURCE), [name])
+        target = Described(_ULong(D_TARGET), [target_address])
+        self._send_perf(0, P_ATTACH, [
+            name, _UInt(link.handle), False, _UByte(2), _UByte(0),
+            source, target, None, None, _UInt(0)])
+        if not link.attached.wait(timeout):
+            raise AMQPError(f"attach timed out for {name}")
+        return link
+
+    def attach_receiver(self, name: str, source_address: str, *,
+                        filter_map: Optional[dict] = None,
+                        timeout: float = 10.0) -> _Link:
+        link = self._new_link(name, receiver=True)
+        source = Described(_ULong(D_SOURCE), [
+            source_address, None, None, None, None, None, None,
+            filter_map])
+        target = Described(_ULong(D_TARGET), [name])
+        self._send_perf(0, P_ATTACH, [
+            name, _UInt(link.handle), True, _UByte(0), _UByte(0),
+            source, target, None, None, _UInt(0)])
+        if not link.attached.wait(timeout):
+            raise AMQPError(f"attach timed out for {name}")
+        return link
+
+    def _new_link(self, name: str, receiver: bool) -> _Link:
+        with self._lock:
+            handle = self._next_handle
+            self._next_handle += 1
+            link = _Link(name, handle, receiver)
+            self._links[handle] = link
+        return link
+
+    def flow(self, link: _Link, credit: int) -> None:
+        self._send_perf(0, P_FLOW, [
+            None, _UInt(5000), _UInt(0), _UInt(5000),
+            _UInt(link.handle), _UInt(link.delivery_count),
+            _UInt(credit)])
+
+    def send(self, link: _Link, message: Message, *,
+             settled: bool = True) -> None:
+        with self._lock:
+            did = self._next_delivery_id
+            self._next_delivery_id += 1
+        tag = did.to_bytes(4, "big")
+        self._send_perf(0, P_TRANSFER, [
+            _UInt(link.handle), _UInt(did), tag, _UInt(0), settled],
+            encode_message(message))
+
+    def receive(self, link: _Link, timeout: float = 10.0
+                ) -> Optional[tuple[int, Message]]:
+        with link.delivery_event:
+            if not link.deliveries:
+                link.delivery_event.wait(timeout)
+            if not link.deliveries:
+                return None
+            return link.deliveries.pop(0)
+
+    def detach(self, link: _Link) -> None:
+        """Detach and forget a link (request/response pairs detach
+        after each exchange so handles do not accumulate)."""
+        try:
+            self._send_perf(0, P_DETACH, [_UInt(link.handle), True])
+        except OSError:
+            pass
+        with self._lock:
+            self._links.pop(link.handle, None)
+            if link.remote_handle is not None:
+                self._by_remote.pop(link.remote_handle, None)
+
+    def accept(self, delivery_id: int) -> None:
+        state = Described(_ULong(D_ACCEPTED), [])
+        self._send_perf(0, P_DISPOSITION, [
+            True, _UInt(delivery_id), _UInt(delivery_id), True,
+            state])
+
+    def close(self) -> None:
+        if not self._closed.is_set():
+            try:
+                self._send_perf(0, P_END, [])
+                self._send_perf(0, P_CLOSE, [])
+            except OSError:
+                pass
+        self._closed.set()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    # -- request/response (management + CBS §Event Hubs usage)
+
+    def request(self, node: str, message: Message, *,
+                timeout: float = 10.0) -> Message:
+        """One request/response exchange against a management-style
+        node: attach a sender to the node and a receiver to a private
+        reply address, correlate on message-id."""
+        reply_to = f"{node}-reply-{_uuid.uuid4().hex[:8]}"
+        sender = self.attach_sender(f"{reply_to}-snd", node)
+        receiver = self.attach_receiver(f"{reply_to}-rcv", node)
+        self.flow(receiver, 10)
+        msg_id = _uuid.uuid4().hex
+        props = list(message.properties or [])
+        while len(props) < 5:
+            props.append(None)
+        props[0] = msg_id          # message-id
+        props[2] = node            # to
+        props[4] = reply_to        # reply-to
+        message.properties = props
+        self.send(sender, message)
+        got = self.receive(receiver, timeout=timeout)
+        self.detach(sender)
+        self.detach(receiver)
+        if got is None:
+            raise AMQPError(f"no response from {node}")
+        return got[1]
+
+
+def _drain(links: dict, handle: int, deliver) -> None:
+    info = links.get(handle)
+    if info is None:
+        return
+    while info["credit"] > 0 and info["pending"]:
+        deliver(handle, info["pending"].pop(0))
+        info["credit"] -= 1
+
+
+# ------------------------------------------------------------- broker
+
+class AMQPBroker:
+    """The server half, for tests: SASL PLAIN (optional credential
+    check), open/begin/attach echo, per-node handlers. A node handler
+    receives (broker_conn, link_info, message) for sender links
+    (client→broker) and can queue messages on receiver links
+    (broker→client) when credit arrives."""
+
+    def __init__(self, *, sasl_check: Optional[Callable[[str, str],
+                                                        bool]] = None,
+                 node_handler: Optional[Callable] = None,
+                 source_messages: Optional[Callable] = None):
+        """source_messages(address, filter_map) -> list[Message] is
+        called when a receiver link attaches; its messages are sent
+        as credit arrives."""
+        self.sasl_check = sasl_check
+        self.node_handler = node_handler
+        self.source_messages = source_messages or (lambda a, f: [])
+        self.attach_log: list[tuple[str, Optional[dict]]] = []
+        self.sock = socket.socket()
+        self.sock.setsockopt(socket.SOL_SOCKET,
+                             socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(8)
+        self.host, self.port = self.sock.getsockname()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        while True:
+            try:
+                client, _ = self.sock.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._session, args=(client,),
+                             daemon=True).start()
+
+    def close(self):
+        self.sock.close()
+
+    # one connection
+    def _session(self, sock: socket.socket):
+        try:
+            self._run_session(sock)
+        except (AMQPError, OSError):
+            pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _run_session(self, sock: socket.socket):
+        reader = FrameReader(sock)
+        hdr = reader.read_protocol_header()
+        if hdr == SASL_HEADER:
+            sock.sendall(SASL_HEADER)
+            mechs = [Symbol("PLAIN"), Symbol("ANONYMOUS")]
+            sock.sendall(encode_frame(
+                0, Described(_ULong(P_SASL_MECHANISMS),
+                             [mechs]), sasl=True))
+            _ch, perf, _p, _ = reader.read_frame()
+            mech = _get(perf.value, 0)
+            resp = _get(perf.value, 1, b"") or b""
+            ok = True
+            if str(mech) == "PLAIN" and self.sasl_check is not None:
+                parts = bytes(resp).split(b"\x00")
+                user = parts[1].decode() if len(parts) > 1 else ""
+                pw = parts[2].decode() if len(parts) > 2 else ""
+                ok = self.sasl_check(user, pw)
+            code = 0 if ok else 1
+            sock.sendall(encode_frame(
+                0, Described(_ULong(P_SASL_OUTCOME),
+                             [_UByte(code)]), sasl=True))
+            if not ok:
+                return
+            hdr = reader.read_protocol_header()
+        if hdr != AMQP_HEADER:
+            raise AMQPError(f"bad protocol header {hdr!r}")
+        sock.sendall(AMQP_HEADER)
+
+        send_lock = threading.Lock()
+
+        def send_perf(descriptor, fields, payload=b""):
+            with send_lock:
+                sock.sendall(encode_frame(
+                    0, Described(_ULong(descriptor), fields),
+                    payload))
+
+        # link state on the broker side
+        links: dict[int, dict] = {}   # remote handle → info
+        delivery_id = [0]
+        reply_links: dict[str, int] = {}  # address → remote handle
+
+        def deliver(remote_handle: int, message: Message):
+            info = links.get(remote_handle)
+            if info is None:
+                return
+            did = delivery_id[0]
+            delivery_id[0] += 1
+            send_perf(P_TRANSFER, [
+                _UInt(info["local_handle"]), _UInt(did),
+                did.to_bytes(4, "big"), _UInt(0), True],
+                encode_message(message))
+
+        while True:
+            _ch, perf, payload, _ = reader.read_frame()
+            if perf is None:
+                continue
+            d = int(perf.descriptor)
+            f = perf.value
+            if d == P_OPEN:
+                send_perf(P_OPEN, ["broker", None, _UInt(1 << 20),
+                                   0xFFFF])
+            elif d == P_BEGIN:
+                send_perf(P_BEGIN, [0, _UInt(0), _UInt(5000),
+                                    _UInt(5000)])
+            elif d == P_ATTACH:
+                name = _get(f, 0, "")
+                remote_handle = int(_get(f, 1, 0))
+                receiver = bool(_get(f, 2, False))
+                source = _get(f, 5)
+                target = _get(f, 6)
+                src_addr = _get(source.value, 0, "") if isinstance(
+                    source, Described) else ""
+                tgt_addr = _get(target.value, 0, "") if isinstance(
+                    target, Described) else ""
+                filt = _get(source.value, 7) if isinstance(
+                    source, Described) else None
+                info = {"name": name, "receiver": receiver,
+                        "source": src_addr, "target": tgt_addr,
+                        "filter": filt,
+                        "local_handle": remote_handle,
+                        "pending": [], "credit": 0}
+                links[remote_handle] = info
+                self.attach_log.append(
+                    (src_addr if receiver else tgt_addr,
+                     dict(filt) if isinstance(filt, dict) else None))
+                # echo the attach back (role inverted)
+                send_perf(P_ATTACH, [
+                    name, _UInt(remote_handle), not receiver,
+                    _UByte(0), _UByte(0), source, target, None,
+                    None, _UInt(0)])
+                if receiver:
+                    # client receives from src_addr: stage messages
+                    info["pending"] = list(self.source_messages(
+                        src_addr, info["filter"]))
+                    reply_links[src_addr] = remote_handle
+                else:
+                    # client sends to tgt_addr: grant credit
+                    send_perf(P_FLOW, [
+                        _UInt(0), _UInt(5000), _UInt(0),
+                        _UInt(5000), _UInt(remote_handle),
+                        _UInt(0), _UInt(1000)])
+            elif d == P_FLOW:
+                handle = _get(f, 4)
+                if handle is None:
+                    continue
+                info = links.get(int(handle))
+                if info is None or not info["receiver"]:
+                    continue
+                info["credit"] = int(_get(f, 6, 0))
+                _drain(links, int(handle), deliver)
+            elif d == P_TRANSFER:
+                remote_handle = int(_get(f, 0, 0))
+                info = links.get(remote_handle)
+                msg = decode_message(payload)
+                if self.node_handler is not None and info is not None:
+                    reply = self.node_handler(info["target"], msg)
+                    if reply is not None:
+                        # route to the client's reply-to receiver
+                        reply_to = _get(msg.properties or [], 4)
+                        rh = reply_links.get(reply_to)
+                        if rh is None:
+                            # the LATEST receiver on this node
+                            rh = reply_links.get(info["target"])
+                        if rh is None:
+                            for h, i2 in links.items():
+                                if i2["receiver"] and \
+                                        i2["source"] == \
+                                        info["target"]:
+                                    rh = h
+                        if rh is not None:
+                            props = [None] * 6
+                            mid = _get(msg.properties or [], 0)
+                            props[5] = mid  # correlation-id
+                            reply.properties = props
+                            links[rh]["pending"].append(reply)
+                            _drain(links, rh, deliver)
+            elif d == P_DISPOSITION:
+                pass
+            elif d == P_DETACH:
+                handle = _get(f, 0)
+                info = links.pop(int(handle or 0), None)
+                if info is not None and info["receiver"]:
+                    if reply_links.get(info["source"]) == \
+                            int(handle or 0):
+                        reply_links.pop(info["source"], None)
+                send_perf(P_DETACH, [handle, True])
+            elif d == P_END:
+                send_perf(P_END, [])
+            elif d == P_CLOSE:
+                send_perf(P_CLOSE, [])
+                return

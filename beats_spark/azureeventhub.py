@@ -35,9 +35,10 @@ everything except the AMQP transport from scratch:
                          offset/sequence_number/enqueued_time and the
                          optional partition_key)
 
-The AMQP 1.0 transport itself is environment-gated loudly (the kafka
--jar precedent): Event Hubs speaks AMQP (or Kafka ≥1.0 with
-SASL/TLS), neither of which this sandbox can certify live. The
+The AMQP 1.0 transport is live in `beats_spark.eventhub_amqp`: a
+from-scratch AMQP 1.0 wire subset (`beats_spark.amqp_wire`, OASIS
+spec, both halves) with the $cbs SAS-token handshake, $management
+partition discovery, and selector-filter receiver links. The
 processing pipeline accepts received message dicts from any
 transport and is fully oracled; `eventhub_records` /
 `eventhub_events_df` are the Spark surfaces.

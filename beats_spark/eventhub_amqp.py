@@ -1,0 +1,286 @@
+"""azureeventhub — the AMQP 1.0 transport, live.
+
+Completes the layer `azureeventhub.py` gated: the reference's v2
+input rides the Azure Event Hubs SDK, whose wire is AMQP 1.0 with
+claims-based security. This module implements that path over the
+from-scratch `amqp_wire` layer, from public material only (the OASIS
+AMQP spec, the published Service Bus SAS-token formula, and the
+documented Event Hubs AMQP conventions):
+
+* ``generate_sas_token`` — SharedAccessSignature over the resource
+  URI (HMAC-SHA256 of url-encoded-uri + "\\n" + expiry with the
+  shared key).
+* ``EventHubClient`` — SASL ANONYMOUS connect, the $cbs put-token
+  handshake (operation=put-token,
+  type=servicebus.windows.net:sastoken, name=sb://{ns}/{hub};
+  status-code 202 = accepted), partition discovery via the
+  $management READ com.microsoft:eventhub operation, and receiver
+  links on {hub}/ConsumerGroups/{cg}/Partitions/{id} carrying the
+  apache.org:selector-filter:string start-position filter
+  (x-opt-offset exclusive, or x-opt-enqueued-time) with credit flow;
+  received messages surface (body, offset, sequence_number,
+  enqueued_time, partition_key) from the x-opt-* message
+  annotations — the exact received-event dict
+  `eventhub_records` consumes.
+* ``EventHubCheckpointStore`` — the per-partition
+  offset/sequence-number checkpoints the SDK's blob store persists
+  (one entry per {namespace}/{hub}/{cg}/{partition}), on the shared
+  KVStore snapshot transaction.
+* ``eventhub_poll`` — the per-partition processor pass: resume from
+  the checkpoint (offset exclusive), decode through the existing
+  sanitizer/decoder layer, checkpoint after the batch
+  (processEventsForPartition's update-after-publish contract,
+  v2_input.go:452-511).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import time
+import urllib.parse
+from typing import Callable, Optional
+
+from .amqp_wire import (
+    AMQPConnection, AMQPError, Described, Message, Symbol, ULong,
+)
+from .azureeventhub import Config, eventhub_records, \
+    parse_connection_string
+from .entityanalytics import KVStore
+
+__all__ = [
+    "generate_sas_token", "EventHubClient", "EventHubCheckpointStore",
+    "eventhub_poll", "SELECTOR_FILTER",
+]
+
+SELECTOR_FILTER = Symbol("apache.org:selector-filter:string")
+CBS_NODE = "$cbs"
+MANAGEMENT_NODE = "$management"
+
+
+def generate_sas_token(uri: str, key_name: str, key: str,
+                       expiry: Optional[int] = None,
+                       now: Callable[[], float] = time.time) -> str:
+    """The published Service Bus SharedAccessSignature formula."""
+    if expiry is None:
+        expiry = int(now()) + 3600
+    encoded = urllib.parse.quote(uri, safe="").lower()
+    to_sign = f"{encoded}\n{expiry}".encode()
+    sig = base64.b64encode(
+        hmac.new(key.encode(), to_sign, hashlib.sha256).digest()
+    ).decode()
+    return ("SharedAccessSignature "
+            f"sr={encoded}&sig={urllib.parse.quote(sig, safe='')}"
+            f"&se={expiry}&skn={key_name}")
+
+
+class EventHubClient:
+    """The Event Hubs AMQP conventions over amqp_wire."""
+
+    def __init__(self, host: str, eventhub: str, *,
+                 port: int, key_name: str, key: str,
+                 consumer_group: str = "$Default",
+                 now: Callable[[], float] = time.time,
+                 connection: Optional[AMQPConnection] = None):
+        self.host = host
+        self.eventhub = eventhub
+        self.consumer_group = consumer_group
+        self.key_name = key_name
+        self.key = key
+        self.now = now
+        self.conn = connection or AMQPConnection(
+            host, port, hostname=host, sasl_plain=(None, ""))
+        self._rx_seq = 0
+        self.cbs_put_token()
+
+    @classmethod
+    def from_config(cls, cfg: Config, *, port: int,
+                    host_override: str = "",
+                    **kw) -> "EventHubClient":
+        props = parse_connection_string(cfg.connection_string)
+        host = props.get("fully_qualified_namespace") or ""
+        return cls(host_override or host, cfg.eventhub, port=port,
+                   key_name=props.get("shared_access_key_name") or "",
+                   key=props.get("shared_access_key") or "",
+                   consumer_group=cfg.consumer_group or "$Default",
+                   **kw)
+
+    # -- CBS
+
+    def audience(self) -> str:
+        return f"sb://{self.host}/{self.eventhub}"
+
+    def cbs_put_token(self) -> None:
+        """The claims-based-security handshake: a put-token request
+        to $cbs; 202 means the claim is active."""
+        token = generate_sas_token(self.audience(), self.key_name,
+                                   self.key, now=self.now)
+        reply = self.conn.request(CBS_NODE, Message(
+            application_properties={
+                "operation": "put-token",
+                "type": "servicebus.windows.net:sastoken",
+                "name": self.audience(),
+            },
+            body=token))
+        code = (reply.application_properties or {}).get(
+            "status-code")
+        if int(code or 0) not in (200, 202):
+            desc = (reply.application_properties or {}).get(
+                "status-description", "")
+            raise AMQPError(
+                f"cbs put-token rejected: {code}: {desc}")
+
+    # -- management
+
+    def partition_ids(self) -> list[str]:
+        """READ com.microsoft:eventhub on $management."""
+        reply = self.conn.request(MANAGEMENT_NODE, Message(
+            application_properties={
+                "operation": "READ",
+                "name": self.eventhub,
+                "type": "com.microsoft:eventhub",
+            },
+            body=None))
+        body = reply.body or {}
+        ids = None
+        for k, v in (body.items() if isinstance(body, dict)
+                     else ()):
+            if str(k) == "partition_ids":
+                ids = v
+        if ids is None:
+            raise AMQPError("management response missing "
+                            "partition_ids")
+        return [str(i) for i in ids]
+
+    # -- receiving
+
+    def _start_filter(self, *, start_offset: Optional[str],
+                      start_enqueued_ms: Optional[int]) -> dict:
+        if start_enqueued_ms is not None:
+            expr = ("amqp.annotation.x-opt-enqueued-time > "
+                    f"{int(start_enqueued_ms)}")
+        else:
+            off = start_offset if start_offset is not None else "-1"
+            expr = f"amqp.annotation.x-opt-offset > '{off}'"
+        return {SELECTOR_FILTER: Described(SELECTOR_FILTER, expr)}
+
+    def receive(self, partition_id: str, *,
+                start_offset: Optional[str] = None,
+                start_enqueued_ms: Optional[int] = None,
+                max_events: int = 100,
+                timeout: float = 5.0) -> list[dict]:
+        """One bounded read from a partition. Returns received-event
+        dicts in `eventhub_records` shape."""
+        addr = (f"{self.eventhub}/ConsumerGroups/"
+                f"{self.consumer_group}/Partitions/{partition_id}")
+        self._rx_seq += 1
+        link = self.conn.attach_receiver(
+            f"receiver-{partition_id}-{self._rx_seq}", addr,
+            filter_map=self._start_filter(
+                start_offset=start_offset,
+                start_enqueued_ms=start_enqueued_ms))
+        self.conn.flow(link, max_events)
+        out: list[dict] = []
+        while len(out) < max_events:
+            got = self.conn.receive(link, timeout=timeout)
+            if got is None:
+                break
+            did, msg = got
+            ann = {str(k): v
+                   for k, v in (msg.message_annotations or {}).items()}
+            body = msg.body
+            if not isinstance(body, (bytes, bytearray)):
+                body = str(body).encode() if body is not None else b""
+            seq = ann.get("x-opt-sequence-number")
+            enq = ann.get("x-opt-enqueued-time")
+            out.append({
+                "body": bytes(body),
+                "partition_id": partition_id,
+                "offset": _maybe_int(ann.get("x-opt-offset")),
+                "sequence_number": int(seq) if seq is not None
+                else None,
+                "enqueued_time": _iso_ms(enq),
+                "partition_key": ann.get("x-opt-partition-key"),
+            })
+            self.conn.accept(did)
+        self.conn.detach(link)
+        return out
+
+    def close(self) -> None:
+        self.conn.close()
+
+
+def _maybe_int(v):
+    if v is None:
+        return None
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return v
+
+
+def _iso_ms(v) -> Optional[str]:
+    if v is None:
+        return None
+    from datetime import datetime, timezone
+    return datetime.fromtimestamp(int(v) / 1000.0, timezone.utc
+                                  ).isoformat()
+
+
+# --------------------------------------------------------- checkpoints
+
+class EventHubCheckpointStore:
+    """The SDK blob checkpoint semantics (one checkpoint per
+    {namespace}/{eventhub}/{consumer group}/{partition}, carrying
+    offset + sequence number) on the shared KVStore."""
+
+    def __init__(self, store: KVStore, *, namespace: str,
+                 eventhub: str, consumer_group: str):
+        self.store = store
+        self.prefix = (f"{namespace.lower()}/{eventhub.lower()}/"
+                       f"{consumer_group.lower()}")
+
+    def _key(self, partition_id: str) -> str:
+        return f"{self.prefix}/checkpoint/{partition_id}"
+
+    def get(self, partition_id: str) -> Optional[dict]:
+        snap = self.store.begin().get("eventhub_checkpoints", {})
+        return snap.get(self._key(partition_id))
+
+    def update(self, partition_id: str, *, offset,
+               sequence_number) -> None:
+        snap = self.store.begin()
+        cps = snap.setdefault("eventhub_checkpoints", {})
+        cps[self._key(partition_id)] = {
+            "offset": offset, "sequence_number": sequence_number}
+        self.store.commit(snap)
+
+
+# ----------------------------------------------------------- processor
+
+def eventhub_poll(cfg: Config, client: EventHubClient,
+                  checkpoints: EventHubCheckpointStore, *,
+                  max_per_partition: int = 100,
+                  timeout: float = 5.0,
+                  partition_ids: Optional[list] = None) -> list[dict]:
+    """One processor pass (processEventsForPartition,
+    v2_input.go:452-511): every partition resumes exclusively after
+    its checkpointed offset, decoded records ride
+    `eventhub_records`, and the checkpoint advances only after the
+    batch is assembled (update-after-publish)."""
+    pids = partition_ids or client.partition_ids()
+    records: list[dict] = []
+    for pid in pids:
+        cp = checkpoints.get(pid)
+        start = str(cp["offset"]) if cp else None
+        events = client.receive(pid, start_offset=start,
+                                max_events=max_per_partition,
+                                timeout=timeout)
+        if not events:
+            continue
+        records.extend(eventhub_records(cfg, events))
+        last = events[-1]
+        checkpoints.update(pid, offset=last["offset"],
+                           sequence_number=last["sequence_number"])
+    return records
