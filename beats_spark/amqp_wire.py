@@ -429,6 +429,7 @@ class _Link:
         self.deliveries: list[tuple[int, Message]] = []
         self.delivery_event = threading.Condition()
         self.credit = 0
+        self.credit_event = threading.Condition()
         self.delivery_count = 0
         self.drained = threading.Event()
 
@@ -453,6 +454,7 @@ class AMQPConnection:
         self._next_handle = 0
         self._next_delivery_id = 0
         self._lock = threading.Lock()
+        self._send_lock = threading.Lock()
         self._closed = threading.Event()
         self._open_done = threading.Event()
         self._begin_done = threading.Event()
@@ -463,6 +465,9 @@ class AMQPConnection:
         hdr = self.reader.read_protocol_header()
         if hdr != AMQP_HEADER:
             raise AMQPError(f"unexpected protocol header: {hdr!r}")
+        # the connect timeout bounded the handshake; the pump must
+        # survive idle periods (a socket timeout is NOT a close)
+        self.sock.settimeout(None)
         self._send_perf(0, P_OPEN, [
             self.container_id, self.hostname,
             _UInt(self.max_frame_size), 0xFFFF])
@@ -504,8 +509,10 @@ class AMQPConnection:
 
     def _send_perf(self, channel: int, descriptor: int, fields: list,
                    payload: bytes = b"") -> None:
-        self.sock.sendall(encode_frame(
-            channel, Described(_ULong(descriptor), fields), payload))
+        frame = encode_frame(
+            channel, Described(_ULong(descriptor), fields), payload)
+        with self._send_lock:  # frames must not interleave
+            self.sock.sendall(frame)
 
     # -- the reactor
 
@@ -513,7 +520,10 @@ class AMQPConnection:
         partial: dict[int, bytes] = {}
         try:
             while not self._closed.is_set():
-                _ch, perf, payload, _ = self.reader.read_frame()
+                try:
+                    _ch, perf, payload, _ = self.reader.read_frame()
+                except (socket.timeout, TimeoutError):
+                    continue  # idle is not a close
                 if perf is None:
                     continue
                 d = int(perf.descriptor)
@@ -534,10 +544,17 @@ class AMQPConnection:
                 elif d == P_FLOW:
                     handle = _get(f, 4)
                     if handle is not None:
-                        link = self._links.get(int(handle))
+                        # the handle field carries the PEER's handle
+                        # for the link; a real peer numbers its own
+                        # handle space (the test broker happens to
+                        # echo ours, so check both maps)
+                        link = self._by_remote.get(int(handle)) \
+                            or self._links.get(int(handle))
                         if link is not None and not \
                                 link.role_receiver:
-                            link.credit = int(_get(f, 6, 0))
+                            with link.credit_event:
+                                link.credit = int(_get(f, 6, 0))
+                                link.credit_event.notify_all()
                 elif d == P_TRANSFER:
                     remote_handle = int(_get(f, 0, 0))
                     delivery_id = _get(f, 1)
@@ -592,12 +609,13 @@ class AMQPConnection:
 
     def attach_receiver(self, name: str, source_address: str, *,
                         filter_map: Optional[dict] = None,
+                        target_address: Optional[str] = None,
                         timeout: float = 10.0) -> _Link:
         link = self._new_link(name, receiver=True)
         source = Described(_ULong(D_SOURCE), [
             source_address, None, None, None, None, None, None,
             filter_map])
-        target = Described(_ULong(D_TARGET), [name])
+        target = Described(_ULong(D_TARGET), [target_address or name])
         self._send_perf(0, P_ATTACH, [
             name, _UInt(link.handle), True, _UByte(0), _UByte(0),
             source, target, None, None, _UInt(0)])
@@ -620,7 +638,17 @@ class AMQPConnection:
             _UInt(credit)])
 
     def send(self, link: _Link, message: Message, *,
-             settled: bool = True) -> None:
+             settled: bool = True, timeout: float = 10.0) -> None:
+        # AMQP flow control: a transfer may only ride available link
+        # credit granted by the peer's flow frame
+        with link.credit_event:
+            if link.credit <= 0:
+                link.credit_event.wait(timeout)
+            if link.credit <= 0:
+                raise AMQPError(
+                    f"no link credit on {link.name} after "
+                    f"{timeout}s")
+            link.credit -= 1
         with self._lock:
             did = self._next_delivery_id
             self._next_delivery_id += 1
@@ -678,7 +706,10 @@ class AMQPConnection:
         reply address, correlate on message-id."""
         reply_to = f"{node}-reply-{_uuid.uuid4().hex[:8]}"
         sender = self.attach_sender(f"{reply_to}-snd", node)
-        receiver = self.attach_receiver(f"{reply_to}-rcv", node)
+        # the reply link's TARGET must be the reply-to address so the
+        # peer can route the response to it
+        receiver = self.attach_receiver(f"{reply_to}-rcv", node,
+                                        target_address=reply_to)
         self.flow(receiver, 10)
         msg_id = _uuid.uuid4().hex
         props = list(message.properties or [])
@@ -688,13 +719,30 @@ class AMQPConnection:
         props[2] = node            # to
         props[4] = reply_to        # reply-to
         message.properties = props
-        self.send(sender, message)
-        got = self.receive(receiver, timeout=timeout)
-        self.detach(sender)
-        self.detach(receiver)
-        if got is None:
-            raise AMQPError(f"no response from {node}")
-        return got[1]
+        try:
+            self.send(sender, message, timeout=timeout)
+            deadline = _now_monotonic() + timeout
+            while True:
+                remaining = deadline - _now_monotonic()
+                if remaining <= 0:
+                    raise AMQPError(f"no response from {node}")
+                got = self.receive(receiver, timeout=remaining)
+                if got is None:
+                    raise AMQPError(f"no response from {node}")
+                reply = got[1]
+                corr = _get(reply.properties or [], 5)
+                # correlate on message-id; tolerate peers that omit
+                # the correlation-id entirely
+                if corr is None or str(corr) == msg_id:
+                    return reply
+        finally:
+            self.detach(sender)
+            self.detach(receiver)
+
+
+def _now_monotonic() -> float:
+    import time
+    return time.monotonic()
 
 
 def _drain(links: dict, handle: int, deliver) -> None:
@@ -726,6 +774,7 @@ class AMQPBroker:
         self.node_handler = node_handler
         self.source_messages = source_messages or (lambda a, f: [])
         self.attach_log: list[tuple[str, Optional[dict]]] = []
+        self.link_log: list[dict] = []
         self.sock = socket.socket()
         self.sock.setsockopt(socket.SOL_SOCKET,
                              socket.SO_REUSEADDR, 1)
@@ -844,6 +893,10 @@ class AMQPBroker:
                 self.attach_log.append(
                     (src_addr if receiver else tgt_addr,
                      dict(filt) if isinstance(filt, dict) else None))
+                self.link_log.append({"name": name,
+                                      "receiver": receiver,
+                                      "source": src_addr,
+                                      "target": tgt_addr})
                 # echo the attach back (role inverted)
                 send_perf(P_ATTACH, [
                     name, _UInt(remote_handle), not receiver,
@@ -854,6 +907,10 @@ class AMQPBroker:
                     info["pending"] = list(self.source_messages(
                         src_addr, info["filter"]))
                     reply_links[src_addr] = remote_handle
+                    if tgt_addr:
+                        # RPC pattern: replies route to the link
+                        # whose TARGET equals the reply-to address
+                        reply_links[tgt_addr] = remote_handle
                 else:
                     # client sends to tgt_addr: grant credit
                     send_perf(P_FLOW, [
@@ -901,9 +958,9 @@ class AMQPBroker:
                 handle = _get(f, 0)
                 info = links.pop(int(handle or 0), None)
                 if info is not None and info["receiver"]:
-                    if reply_links.get(info["source"]) == \
-                            int(handle or 0):
-                        reply_links.pop(info["source"], None)
+                    for key in (info["source"], info["target"]):
+                        if reply_links.get(key) == int(handle or 0):
+                            reply_links.pop(key, None)
                 send_perf(P_DETACH, [handle, True])
             elif d == P_END:
                 send_perf(P_END, [])

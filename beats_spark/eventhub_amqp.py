@@ -92,7 +92,13 @@ class EventHubClient:
         self.conn = connection or AMQPConnection(
             host, port, hostname=host, sasl_plain=(None, ""))
         self._rx_seq = 0
-        self.cbs_put_token()
+        self._claim_expiry = 0.0
+        try:
+            self.cbs_put_token()
+        except Exception:
+            # a rejected claim must not leak the connection
+            self.conn.close()
+            raise
 
     @classmethod
     def from_config(cls, cfg: Config, *, port: int,
@@ -111,11 +117,20 @@ class EventHubClient:
     def audience(self) -> str:
         return f"sb://{self.host}/{self.eventhub}"
 
+    def _ensure_claim(self) -> None:
+        """Renew the CBS claim before it lapses (the SDK refreshes
+        tokens on a schedule; a lapsed claim refuses new link
+        attaches)."""
+        if self.now() > self._claim_expiry - 300:
+            self.cbs_put_token()
+
     def cbs_put_token(self) -> None:
         """The claims-based-security handshake: a put-token request
         to $cbs; 202 means the claim is active."""
+        expiry = int(self.now()) + 3600
         token = generate_sas_token(self.audience(), self.key_name,
-                                   self.key, now=self.now)
+                                   self.key, expiry=expiry,
+                                   now=self.now)
         reply = self.conn.request(CBS_NODE, Message(
             application_properties={
                 "operation": "put-token",
@@ -130,11 +145,13 @@ class EventHubClient:
                 "status-description", "")
             raise AMQPError(
                 f"cbs put-token rejected: {code}: {desc}")
+        self._claim_expiry = float(expiry)
 
     # -- management
 
     def partition_ids(self) -> list[str]:
         """READ com.microsoft:eventhub on $management."""
+        self._ensure_claim()
         reply = self.conn.request(MANAGEMENT_NODE, Message(
             application_properties={
                 "operation": "READ",
@@ -172,6 +189,7 @@ class EventHubClient:
                 timeout: float = 5.0) -> list[dict]:
         """One bounded read from a partition. Returns received-event
         dicts in `eventhub_records` shape."""
+        self._ensure_claim()
         addr = (f"{self.eventhub}/ConsumerGroups/"
                 f"{self.consumer_group}/Partitions/{partition_id}")
         self._rx_seq += 1

@@ -304,6 +304,57 @@ def test_events_df_from_amqp(spark, hub, tmp_path):
     assert {r["offset"] for r in p0} == {100, 250}
 
 
+def test_connection_survives_idle_past_socket_timeout(hub):
+    # the connect timeout bounds only the handshake; an idle period
+    # longer than it must not kill the pump (review finding: a
+    # socket timeout was treated as a fatal close)
+    import time as _t
+    from beats_spark.amqp_wire import AMQPConnection
+    conn = AMQPConnection(hub.host, hub.port, sasl_plain=(None, ""),
+                          timeout=1.0)
+    c = EventHubClient(hub.host, HUB, port=hub.port,
+                       key_name=KEY_NAME, key=KEY, connection=conn)
+    _t.sleep(1.5)
+    assert c.partition_ids() == ["0", "1"]
+    c.close()
+
+
+def test_send_requires_link_credit(hub):
+    # a transfer may not be emitted without peer credit
+    c = _client(hub)
+    link = c.conn._new_link("uncredited", receiver=False)
+    with pytest.raises(AMQPError, match="no link credit"):
+        c.conn.send(link, Message(body=b"x"), timeout=0.2)
+    c.close()
+
+
+def test_reply_link_target_is_reply_to_address(hub):
+    # the RPC receiver's TARGET must equal the reply-to property so
+    # a real broker can route the response (the node-address
+    # fallback in the test broker previously masked this)
+    c = _client(hub)
+    c.partition_ids()
+    replies = [l for l in hub.broker.link_log
+               if l["receiver"] and "-reply-" in str(l["target"])]
+    assert replies, hub.broker.link_log
+    assert all(not l["target"].endswith("-rcv") for l in replies)
+    c.close()
+
+
+def test_cbs_claim_renews_before_expiry(hub):
+    clock = {"t": 1_700_000_000.0}
+    c = EventHubClient(hub.host, HUB, port=hub.port,
+                       key_name=KEY_NAME, key=KEY,
+                       now=lambda: clock["t"])
+    assert len(hub.cbs_names) == 1
+    c.receive("1", max_events=1, timeout=1.0)
+    assert len(hub.cbs_names) == 1  # claim still fresh
+    clock["t"] += 3400.0            # within 300 s of expiry
+    c.receive("1", max_events=1, timeout=1.0)
+    assert len(hub.cbs_names) == 2  # renewed
+    c.close()
+
+
 def test_from_config_connection_string(hub):
     cfg = Config(
         connection_string=(
