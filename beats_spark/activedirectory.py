@@ -37,7 +37,8 @@ from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 from typing import Callable, Iterable, Optional
 
-from .entityanalytics import KVStore
+from .entityanalytics import DELETED, DISCOVERED, KVStore, MODIFIED, \
+    _STATE_ACTION
 from .ldap_wire import (
     LDAPClient, LDAPError, MATCHING_RULE_IN_CHAIN, SCOPE_BASE,
     dn_to_string, escape_filter, parse_dn,
@@ -50,12 +51,6 @@ __all__ = [
     "with_mandatory", "get_details", "get_empty_groups",
     "unify_state", "ad_full_sync", "ad_incremental_update",
 ]
-
-DISCOVERED = 1
-MODIFIED = 2
-DELETED = 3
-_STATE_ACTION = {DISCOVERED: "discovered", MODIFIED: "modified",
-                 DELETED: "deleted"}
 
 DEFAULT_USER_QUERY = "(&(objectCategory=person)(objectClass=user))"
 DEFAULT_DEVICE_QUERY = "(&(objectClass=computer)(objectClass=user))"
@@ -670,6 +665,12 @@ def ad_full_sync(cfg: ADConf, store: KVStore, *, input_id: str,
             fetched = {k: _do_fetch(cfg, state, True, k,
                                     client_factory, log)
                        for k, _ in want}
+            # unify_state runs for every kind like the reference
+            # (activedirectory.go:260-268 passes nil slices for
+            # unwanted kinds): stored entities of a kind excluded by
+            # dataset are reconciled as deleted — absence is AD's
+            # only deletion signal, and a dataset change means those
+            # entities are no longer observed
             _marker(records, now(), input_id, True)
             for u in unify_state(state.users,
                                  fetched.get("user", [])):
@@ -681,6 +682,10 @@ def ad_full_sync(cfg: ADConf, store: KVStore, *, input_id: str,
                                  fetched.get("groups", [])):
                 _publish(records, "group", g, input_id, now())
             _marker(records, now(), input_id, False)
+        # last_sync rides the whenChanged DATA watermark, exactly like
+        # the reference (activedirectory.go:282-284 `latest :=
+        # state.whenChanged; state.lastSync = latest`) — not the wall
+        # clock the azuread/jamf providers store
         state.last_sync = state.when_changed
         state.close(True)
         return records
@@ -722,11 +727,6 @@ def ad_incremental_update(cfg: ADConf, store: KVStore, *,
         raise
 
 
-def _marker(records: list, ts: float, input_id: str,
-            start: bool) -> None:
-    fields_ = {
-        "labels": {"identity_source": input_id},
-        "event": {"action": "started" if start else "completed"},
-    }
-    fields_["event"]["start" if start else "end"] = ts
-    records.append({"ts": ts, "fields": fields_})
+# publishMarker (activedirectory.go:530-556) = the shared
+# entityanalytics._publish_marker.
+from .entityanalytics import _publish_marker as _marker  # noqa: E402

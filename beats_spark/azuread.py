@@ -806,6 +806,10 @@ def azuread_do_fetch(fetcher, cfg: AzureadConf, state: AzureStateStore,
         for member in g.members:
             if member.type == MEMBER_GROUP:
                 if not want_users:
+                    # faithful to azure.go:393-395's `break` out of
+                    # the member switch: with dataset=devices the
+                    # reference also skips relationship-tree edges,
+                    # so device transitive membership stays direct
                     continue
                 for u in state.users.values():
                     if u.transitive_member_of.contains(member.id):
@@ -901,16 +905,10 @@ def azuread_do_fetch(fetcher, cfg: AzureadConf, state: AzureStateStore,
 
 
 # ---------------------------------------------------------- publishing
+# publishMarker (azure.go:511-538) = the shared
+# entityanalytics._publish_marker.
 
-def _marker(records: list, ts: float, input_id: str,
-            start: bool) -> None:
-    """publishMarker (azure.go:511-538)."""
-    fields: dict[str, Any] = {
-        "labels": {"identity_source": input_id},
-        "event": {"action": "started" if start else "completed"},
-    }
-    fields["event"]["start" if start else "end"] = ts
-    records.append({"ts": ts, "fields": fields})
+from .entityanalytics import _publish_marker as _marker  # noqa: E402
 
 
 def _event_action(kind: str, ent) -> Optional[str]:

@@ -332,6 +332,11 @@ def validate_crowdstrike_config(cfg: dict) -> None:
         if not u.scheme or not u.netloc:
             raise ValueError(f"resource_origins[{i}] must have a "
                              f"scheme and host: {raw!r}")
+    if not cfg.get("program"):
+        # the follower's processor requires a program; fail the
+        # config check rather than a KeyError at construction
+        raise ValueError(
+            "program is required for the crowdstrike stream")
 
 
 # ------------------------------------------------------------ follower

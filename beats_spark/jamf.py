@@ -38,7 +38,10 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
 
-from .entityanalytics import KVStore
+from .entityanalytics import (
+    DELETED, DISCOVERED, KVStore, MODIFIED, _publish_marker as
+    _marker, _STATE_ACTION,
+)
 
 __all__ = [
     "DISCOVERED", "MODIFIED", "DELETED", "JamfError", "JamfToken",
@@ -47,13 +50,6 @@ __all__ = [
     "JamfStateStore", "jamf_do_fetch", "jamf_full_sync",
     "jamf_incremental_update",
 ]
-
-DISCOVERED = 1
-MODIFIED = 2
-DELETED = 3
-
-_STATE_ACTION = {DISCOVERED: "discovered", MODIFIED: "modified",
-                 DELETED: "deleted"}
 
 # The Computer schema (internal/jamf/jamf.go:94-117). Unknown API
 # fields are dropped at parse, like the Go struct decode.
@@ -345,7 +341,14 @@ class JamfClient:
         self.token = JamfToken()
 
     def _ensure_token(self) -> None:
-        if not self.token.is_valid_for(self.cfg.token_grace,
+        # Renew token_grace seconds BEFORE expiry. The reference's
+        # check (jamf.go:393 IsValidFor(TokenGrace), with IsValidFor
+        # = expires > now-grace) leaves a dead window between expiry
+        # and expiry+grace where the freshness check passes but
+        # getDetails' IsValidFor(0) then refuses the token — the
+        # negated grace here closes that window while keeping
+        # JamfToken.is_valid_for itself reference-faithful.
+        if not self.token.is_valid_for(-self.cfg.token_grace,
                                        self.now):
             self.token = get_token(
                 self.cfg.jamf_tenant, self.cfg.jamf_username,
@@ -367,6 +370,10 @@ def jamf_do_fetch(client: JamfClient, state: JamfStateStore,
     stop on an empty page or when the running count reaches
     totalCount; full syncs store everything, updates collect the
     changed records."""
+    # page_size=0 sends no paging params at all, exactly like the
+    # reference (jamf.go:389-392 only builds query when PageSize>0):
+    # the server's default page plus the totalCount stop rule governs
+    # the loop, duplicates and all.
     changed: list[Computer] = []
     page_size = client.cfg.page_size
     page, n = 0, 0
@@ -398,16 +405,8 @@ def jamf_do_fetch(client: JamfClient, state: JamfStateStore,
 
 
 # --------------------------------------------------------- publishing
-
-def _marker(records: list, ts: float, input_id: str,
-            start: bool) -> None:
-    """publishMarker (jamf.go:442-468)."""
-    fields_ = {
-        "labels": {"identity_source": input_id},
-        "event": {"action": "started" if start else "completed"},
-    }
-    fields_["event"]["start" if start else "end"] = ts
-    records.append({"ts": ts, "fields": fields_})
+# publishMarker (jamf.go:442-468) = the shared
+# entityanalytics._publish_marker, imported above as _marker.
 
 
 def _publish_computer(records: list, c: Computer, input_id: str,

@@ -272,8 +272,10 @@ def _parse_filter(s: str) -> tuple[Filter, str]:
                           value=_unescape_filter_value(
                               item[ix + 2:])), rest
     ix = item.find(":=")
-    if ix >= 0 and ":" in item[:ix + 1]:
-        # extensibleMatch: attr[:dn][:rule]:=value
+    if ix >= 0 and "=" not in item[:ix]:
+        # extensibleMatch: attr[:dn][:rule]:=value. An '=' BEFORE the
+        # ':=' means this is an equality whose value contains ':='
+        # (escape_filter does not escape ':').
         head = item[:ix]
         value = _unescape_filter_value(item[ix + 2:])
         bits = head.split(":")

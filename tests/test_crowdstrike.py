@@ -241,6 +241,7 @@ def test_oauth2cc_caching():
      "wait_min must be less than or equal to wait_max"),
     ({"url": "https://x", "resource_origins": ["not a url"]},
      "must have a scheme and host"),
+    ({"url": "https://x"}, "program is required"),
     ({"url": "https://x", "program": "nonsense("},
      None if False else ""),  # compile failure raises CELError
 ])

@@ -266,6 +266,23 @@ def test_do_fetch_pagination_and_single_auth(tmp_path):
         srv.close()
 
 
+def test_token_renewed_before_expiry(fake_jamf, tmp_path):
+    # the client renews token_grace seconds BEFORE expiry (no dead
+    # window between expiry and expiry+grace — see the module
+    # docstring's note on jamf.go:393)
+    import time as _t
+    clock = {"t": _t.time()}
+    cfg = JamfConf(jamf_tenant=fake_jamf.addr,
+                   jamf_username=USERNAME, jamf_password=PASSWORD,
+                   token_grace=60.0)
+    client = JamfClient(cfg, scheme="http", now=lambda: clock["t"])
+    client.computers_page(None)
+    assert len(fake_jamf.tokens) == 1
+    clock["t"] += 3600 - 30  # within grace of the 1 h expiry
+    client.computers_page(None)
+    assert len(fake_jamf.tokens) == 2  # renewed early, no failure
+
+
 def test_get_users_fixture(fake_jamf):
     if not USERS_FIXTURE.exists():
         pytest.skip("users fixture absent")

@@ -86,6 +86,19 @@ def test_filter_value_unescaping():
     assert ast.value == "a*b"
 
 
+def test_equality_value_containing_colon_equals():
+    # ':' is not escaped by escape_filter, so an equality value may
+    # legally contain ':=' — only a colon-spec BEFORE ':=' makes an
+    # item an extensibleMatch
+    ast = parse_filter("(description=a:=b)")
+    assert ast.op == "eq" and ast.attr == "description"
+    assert ast.value == "a:=b"
+    assert eval_filter(ast, "", {"description": ["a:=b"]})
+    # plain attr:=value IS extensible
+    ast = parse_filter("(cn:=x)")
+    assert ast.op == "ext" and ast.attr == "cn" and ast.rule == ""
+
+
 ENTRY = {"cn": ["Alice"], "mail": ["alice@example.com"],
          "memberOf": ["cn=staff,dc=example,dc=com"],
          "whenChanged": ["20260101120000.0Z"]}
