@@ -51,7 +51,8 @@ from .entityanalytics import KVStore
 
 __all__ = [
     "generate_sas_token", "EventHubClient", "EventHubCheckpointStore",
-    "eventhub_poll", "SELECTOR_FILTER",
+    "eventhub_poll", "eventhub_partitions_df", "pending_checkpoints",
+    "SELECTOR_FILTER",
 ]
 
 SELECTOR_FILTER = Symbol("apache.org:selector-filter:string")
@@ -276,6 +277,110 @@ class EventHubCheckpointStore:
 
 
 # ----------------------------------------------------------- processor
+
+EVENTHUB_DIST_DDL = (
+    "message string, eventhub string, consumer_group string,"
+    " partition_id string, offset bigint, sequence_number bigint,"
+    " enqueued_time string")
+
+
+def eventhub_partitions_df(spark, cfg: Config, *, host: str,
+                           port: int, key_name: str, key: str,
+                           checkpoints: EventHubCheckpointStore,
+                           max_per_partition: int = 1000,
+                           timeout: float = 5.0):
+    """The distributed partition-fetch stage (the scale path the
+    driver-side `eventhub_poll` verifies): the driver discovers
+    partitions and reads checkpoints — metadata only — then each
+    executor task opens its OWN AMQP connection, claims via CBS, and
+    drains one partition through the selector filter. Shuffle is
+    ∝ partition metadata, payload bytes stay on executors. After the
+    caller SINKS (or caches) the frame, `pending_checkpoints`
+    aggregates the per-partition offset advances to apply to the
+    checkpoint store — checkpoint-after-commit, like the awss3/gcs
+    distributed stages."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    driver = EventHubClient(host, cfg.eventhub, port=port,
+                            key_name=key_name, key=key,
+                            consumer_group=cfg.consumer_group
+                            or "$Default")
+    try:
+        pids = driver.partition_ids()
+    finally:
+        driver.close()
+
+    rows = []
+    for pid in pids:
+        cp = checkpoints.get(pid)
+        rows.append((pid,
+                     str(cp["offset"]) if cp else None))
+    if not rows:
+        return spark.createDataFrame([], EVENTHUB_DIST_DDL), {}
+
+    work = spark.createDataFrame(
+        rows, "partition_id string, start_offset string")
+    work = work.repartition(len(rows))
+
+    eventhub = cfg.eventhub
+    consumer_group = cfg.consumer_group or "$Default"
+    sanitizer_specs = list(cfg.sanitizers)
+    legacy_opts = list(cfg.legacy_sanitize_options)
+
+    def fetch(batches: "Iterator[pd.DataFrame]"
+              ) -> "Iterator[pd.DataFrame]":
+        from .azureeventhub import decode_message, new_sanitizers
+        sanitizers = new_sanitizers(sanitizer_specs, legacy_opts)
+        cols = ["message", "eventhub", "consumer_group",
+                "partition_id", "offset", "sequence_number",
+                "enqueued_time"]
+        client = EventHubClient(host, eventhub, port=port,
+                                key_name=key_name, key=key,
+                                consumer_group=consumer_group)
+        try:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples(index=False):
+                    events = client.receive(
+                        row.partition_id,
+                        start_offset=row.start_offset,
+                        max_events=max_per_partition,
+                        timeout=timeout)
+                    for ev in events:
+                        for rec in decode_message(ev["body"],
+                                                  sanitizers):
+                            out.append([
+                                rec, eventhub, consumer_group,
+                                ev["partition_id"], ev["offset"],
+                                ev["sequence_number"],
+                                ev["enqueued_time"]])
+                yield pd.DataFrame(out, columns=cols)
+        finally:
+            client.close()
+
+    return work.mapInPandas(fetch, EVENTHUB_DIST_DDL)
+
+
+def pending_checkpoints(records_df) -> dict:
+    """Derive the per-partition checkpoint advances from a
+    MATERIALIZED (sunk or cached) distributed-records frame: a tiny
+    aggregation over (partition_id, offset, sequence_number)
+    metadata, no payload bytes to the driver. Apply via
+    `checkpoints.update(pid, **cp)` AFTER the sink commits."""
+    from pyspark.sql import functions as F
+
+    rows = (records_df
+            .groupBy("partition_id")
+            .agg(F.max("offset").alias("offset"),
+                 F.max("sequence_number").alias("sequence_number"))
+            .collect())
+    return {r["partition_id"]: {"offset": r["offset"],
+                                "sequence_number":
+                                    r["sequence_number"]}
+            for r in rows}
+
 
 def eventhub_poll(cfg: Config, client: EventHubClient,
                   checkpoints: EventHubCheckpointStore, *,

@@ -355,6 +355,40 @@ def test_cbs_claim_renews_before_expiry(hub):
     c.close()
 
 
+def test_distributed_partitions_df(spark, hub, tmp_path):
+    # the scale path: partition fetch + decode on EXECUTORS via
+    # mapInPandas (one AMQP connection per task), checkpoint
+    # advances derived from the materialized frame
+    from beats_spark.eventhub_amqp import (
+        eventhub_partitions_df, pending_checkpoints,
+    )
+    cfg = Config(eventhub=HUB, consumer_group="$Default")
+    store = KVStore(str(tmp_path / "cp.json"))
+    cps = EventHubCheckpointStore(store, namespace=hub.host,
+                                  eventhub=HUB,
+                                  consumer_group="$Default")
+    df = eventhub_partitions_df(
+        spark, cfg, host=hub.host, port=hub.port,
+        key_name=KEY_NAME, key=KEY, checkpoints=cps, timeout=2.0)
+    df = df.cache()
+    rows = df.collect()
+    assert len(rows) == 4  # 3 records on p0 + 1 on p1
+    msgs = sorted(json.loads(r["message"]).get("a", 0)
+                  for r in rows if r["partition_id"] == "0")
+    assert msgs == [1, 2, 3]
+    pending = pending_checkpoints(df)
+    assert pending["0"] == {"offset": 250, "sequence_number": 1}
+    assert pending["1"] == {"offset": 7, "sequence_number": 0}
+    for pid, cp in pending.items():
+        cps.update(pid, **cp)
+    df.unpersist()
+    # resume: nothing new
+    df2 = eventhub_partitions_df(
+        spark, cfg, host=hub.host, port=hub.port,
+        key_name=KEY_NAME, key=KEY, checkpoints=cps, timeout=1.0)
+    assert df2.count() == 0
+
+
 def test_from_config_connection_string(hub):
     cfg = Config(
         connection_string=(
