@@ -1,0 +1,316 @@
+"""OAuth 2.0 Demonstrating Proof of Possession (RFC 9449), from
+scratch.
+
+Re-expresses the reference's DPoP client behaviour
+(x-pack/filebeat/input/internal/dpop/: proof.go + client.go) on
+`cryptography`:
+
+* ``ProofGenerator`` — signed DPoP proof JWTs (header typ=dpop+jwt
+  with the minimal public JWK; claims jti/htm/htu with the URL
+  fragment stripped, plus the caller's registered claims, the ath
+  access-token hash and the server-issued nonce) for ECDSA
+  (ES256/384/512), RSA (RS256) and Ed25519 (EdDSA) keys, with the
+  reference's zero-padded EC coordinates.
+* the token-endpoint behaviour (client.go TokenTransport): attach a
+  DPoP proof; on a 401/400/429 carrying a DPoP-Nonce header, retry
+  ONCE with the nonce.
+* the resource behaviour (client.go Transport): Authorization =
+  "DPoP «access_token»" plus a proof carrying ath, with the same
+  one-shot nonce retry.
+* ``verify_proof`` — the server half for tests: reconstruct the
+  public key from the proof's own jwk header and verify signature +
+  claims, so fake endpoints validate proofs cryptographically.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Optional
+
+__all__ = [
+    "b64url", "random_jti", "public_jwk", "sign_jwt",
+    "ProofGenerator", "token_request_with_dpop",
+    "resource_request_with_dpop", "verify_proof", "DPoPError",
+]
+
+
+class DPoPError(Exception):
+    pass
+
+
+def b64url(data: bytes) -> str:
+    return base64.urlsafe_b64encode(data).rstrip(b"=").decode()
+
+
+def _unb64url(s: str) -> bytes:
+    pad = "=" * (-len(s) % 4)
+    return base64.urlsafe_b64decode(s + pad)
+
+
+def random_jti() -> str:
+    """RandomJTI (client.go:166-171)."""
+    return b64url(os.urandom(16))
+
+
+# ------------------------------------------------------------ signing
+
+_EC_ALGS = {256: "ES256", 384: "ES384", 521: "ES512"}
+_EC_HASH_LEN = {"ES256": 32, "ES384": 48, "ES512": 66}
+
+
+def _alg_for_key(key) -> str:
+    from cryptography.hazmat.primitives.asymmetric import (
+        ec, ed25519, rsa,
+    )
+    if isinstance(key, rsa.RSAPrivateKey):
+        return "RS256"
+    if isinstance(key, ec.EllipticCurvePrivateKey):
+        alg = _EC_ALGS.get(key.curve.key_size)
+        if alg is None:
+            raise DPoPError(
+                f"unsupported EC curve size {key.curve.key_size}")
+        return alg
+    if isinstance(key, ed25519.Ed25519PrivateKey):
+        return "EdDSA"
+    raise DPoPError(
+        "unsupported private key type for DPoP: expected EC, RSA or "
+        "Ed25519")
+
+
+def public_jwk(key) -> dict:
+    """buildJWKAndAlg (proof.go:70-151): the minimal public JWK, with
+    zero-padded EC coordinates."""
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import (
+        ec, ed25519, rsa,
+    )
+    if isinstance(key, rsa.RSAPrivateKey):
+        pub = key.public_key().public_numbers()
+        n = pub.n.to_bytes((pub.n.bit_length() + 7) // 8, "big")
+        e = pub.e.to_bytes((pub.e.bit_length() + 7) // 8, "big")
+        return {"e": b64url(e), "n": b64url(n), "kty": "RSA"}
+    if isinstance(key, ec.EllipticCurvePrivateKey):
+        pub = key.public_key().public_numbers()
+        size = (key.curve.key_size + 7) // 8
+        return {"x": b64url(pub.x.to_bytes(size, "big")),
+                "y": b64url(pub.y.to_bytes(size, "big")),
+                "crv": {"secp256r1": "P-256", "secp384r1": "P-384",
+                        "secp521r1": "P-521"}.get(
+                            key.curve.name, key.curve.name),
+                "kty": "EC"}
+    if isinstance(key, ed25519.Ed25519PrivateKey):
+        raw = key.public_key().public_bytes(
+            serialization.Encoding.Raw,
+            serialization.PublicFormat.Raw)
+        return {"x": b64url(raw), "kty": "OKP"}
+    raise DPoPError("unsupported private key type for DPoP")
+
+
+def _sign(key, alg: str, message: bytes) -> bytes:
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import (
+        ec, padding, utils,
+    )
+    if alg == "RS256":
+        return key.sign(message, padding.PKCS1v15(), hashes.SHA256())
+    if alg in _EC_HASH_LEN:
+        h = {"ES256": hashes.SHA256(), "ES384": hashes.SHA384(),
+             "ES512": hashes.SHA512()}[alg]
+        der = key.sign(message, ec.ECDSA(h))
+        r, s = utils.decode_dss_signature(der)
+        size = _EC_HASH_LEN[alg]
+        return r.to_bytes(size, "big") + s.to_bytes(size, "big")
+    if alg == "EdDSA":
+        return key.sign(message)
+    raise DPoPError(f"unsupported signing algorithm {alg}")
+
+
+def sign_jwt(header: dict, claims: dict, key, alg: str) -> str:
+    signing_input = (
+        b64url(json.dumps(header, separators=(",", ":")).encode())
+        + "." +
+        b64url(json.dumps(claims, separators=(",", ":")).encode()))
+    sig = _sign(key, alg, signing_input.encode())
+    return signing_input + "." + b64url(sig)
+
+
+# -------------------------------------------------------------- proof
+
+class ProofGenerator:
+    """ProofGenerator (proof.go:22-203). `claimer` returns the
+    registered claims dict for each proof (must carry a non-empty
+    jti)."""
+
+    def __init__(self, claimer: Callable[[], dict], key,
+                 alg: Optional[str] = None):
+        if claimer is None:
+            raise DPoPError("nil claimer")
+        if key is None:
+            raise DPoPError("nil private key")
+        self.claimer = claimer
+        self.key = key
+        self.alg = alg or _alg_for_key(key)
+        self.jwk = public_jwk(key)
+
+    def build_proof(self, method: str, url: str, *,
+                    nonce: str = "",
+                    access_token: str = "") -> str:
+        """BuildProof (proof.go:163-203)."""
+        claims = dict(self.claimer() or {})
+        if not claims.get("jti"):
+            raise DPoPError("proof generator jti claim is not set")
+        htu = url.split("#", 1)[0]  # strip fragment per RFC
+        claims["htm"] = method
+        claims["htu"] = htu
+        if nonce:
+            claims["nonce"] = nonce
+        if access_token:
+            claims["ath"] = b64url(hashlib.sha256(
+                access_token.encode()).digest())
+        header = {"typ": "dpop+jwt", "alg": self.alg,
+                  "jwk": self.jwk}
+        return sign_jwt(header, claims, self.key, self.alg)
+
+
+def default_claimer(issuer: str, audience: str, *,
+                    now: Callable[[], float] = time.time,
+                    lifetime: float = 3600.0) -> Callable[[], dict]:
+    """The okta flow's claim shape (config_okta_auth.go:59-70)."""
+
+    def claims() -> dict:
+        iat = int(now())
+        return {"aud": [audience], "iss": issuer, "sub": issuer,
+                "iat": iat, "exp": iat + int(lifetime),
+                "jti": random_jti()}
+
+    return claims
+
+
+# ---------------------------------------------------------- transports
+
+_NONCE_STATUSES = (400, 401, 429)
+
+
+def token_request_with_dpop(do_request, pg: ProofGenerator,
+                            method: str, url: str, headers: dict,
+                            body: Optional[bytes]):
+    """TokenTransport.RoundTrip (client.go:50-87): one nonce retry.
+    do_request(method, url, headers, body) -> (status, resp_headers,
+    data); resp_headers is dict-like with .get."""
+    h = dict(headers)
+    h["DPoP"] = pg.build_proof(method, url)
+    status, rh, data = do_request(method, url, h, body)
+    if status in _NONCE_STATUSES:
+        nonce = rh.get("DPoP-Nonce", "") or rh.get("dpop-nonce", "")
+        if nonce:
+            h = dict(headers)
+            h["DPoP"] = pg.build_proof(method, url, nonce=nonce)
+            return do_request(method, url, h, body)
+    return status, rh, data
+
+
+def resource_request_with_dpop(do_request, pg: ProofGenerator,
+                               access_token: str, method: str,
+                               url: str, headers: dict,
+                               body: Optional[bytes]):
+    """Transport.RoundTrip (client.go:116-160): Authorization =
+    'DPoP «token»' + a proof with ath; one nonce retry."""
+
+    def attempt(nonce: str):
+        h = dict(headers)
+        if access_token:
+            h["Authorization"] = "DPoP " + access_token
+        h["DPoP"] = pg.build_proof(method, url, nonce=nonce,
+                                   access_token=access_token)
+        return do_request(method, url, h, body)
+
+    status, rh, data = attempt("")
+    if status in _NONCE_STATUSES:
+        nonce = rh.get("DPoP-Nonce", "") or rh.get("dpop-nonce", "")
+        if nonce:
+            return attempt(nonce)
+    return status, rh, data
+
+
+# --------------------------------------------------- verification half
+
+def _key_from_jwk(jwk: dict):
+    from cryptography.hazmat.primitives.asymmetric import (
+        ec, ed25519, rsa,
+    )
+    kty = jwk.get("kty")
+    if kty == "RSA":
+        n = int.from_bytes(_unb64url(jwk["n"]), "big")
+        e = int.from_bytes(_unb64url(jwk["e"]), "big")
+        return rsa.RSAPublicNumbers(e, n).public_key()
+    if kty == "EC":
+        curve = {"P-256": ec.SECP256R1(), "P-384": ec.SECP384R1(),
+                 "P-521": ec.SECP521R1()}[jwk["crv"]]
+        x = int.from_bytes(_unb64url(jwk["x"]), "big")
+        y = int.from_bytes(_unb64url(jwk["y"]), "big")
+        return ec.EllipticCurvePublicNumbers(x, y, curve).public_key()
+    if kty == "OKP":
+        return ed25519.Ed25519PublicKey.from_public_bytes(
+            _unb64url(jwk["x"]))
+    raise DPoPError(f"unsupported jwk kty {kty!r}")
+
+
+def verify_proof(proof: str, method: str, url: str, *,
+                 access_token: Optional[str] = None,
+                 require_nonce: Optional[str] = None) -> dict:
+    """The server half (for fake endpoints): verify the proof's
+    signature with the public key carried in its own jwk header and
+    check typ/htm/htu/ath/nonce/jti. Returns the claims."""
+    from cryptography.hazmat.primitives import hashes
+    from cryptography.hazmat.primitives.asymmetric import (
+        ec, padding, utils,
+    )
+    try:
+        h_raw, c_raw, sig_raw = proof.split(".")
+    except ValueError:
+        raise DPoPError("malformed proof JWT")
+    header = json.loads(_unb64url(h_raw))
+    claims = json.loads(_unb64url(c_raw))
+    if header.get("typ") != "dpop+jwt":
+        raise DPoPError(f"wrong typ {header.get('typ')!r}")
+    key = _key_from_jwk(header.get("jwk") or {})
+    alg = header.get("alg", "")
+    message = f"{h_raw}.{c_raw}".encode()
+    sig = _unb64url(sig_raw)
+    from cryptography.exceptions import InvalidSignature
+    try:
+        if alg == "RS256":
+            key.verify(sig, message, padding.PKCS1v15(),
+                       hashes.SHA256())
+        elif alg in _EC_HASH_LEN:
+            size = _EC_HASH_LEN[alg]
+            r = int.from_bytes(sig[:size], "big")
+            s = int.from_bytes(sig[size:], "big")
+            der = utils.encode_dss_signature(r, s)
+            h = {"ES256": hashes.SHA256(), "ES384": hashes.SHA384(),
+                 "ES512": hashes.SHA512()}[alg]
+            key.verify(der, message, ec.ECDSA(h))
+        elif alg == "EdDSA":
+            key.verify(sig, message)
+        else:
+            raise DPoPError(f"unsupported alg {alg!r}")
+    except InvalidSignature:
+        raise DPoPError("invalid proof signature")
+    if not claims.get("jti"):
+        raise DPoPError("proof missing jti")
+    if claims.get("htm") != method:
+        raise DPoPError(f"htm mismatch: {claims.get('htm')!r}")
+    if claims.get("htu") != url.split("#", 1)[0]:
+        raise DPoPError(f"htu mismatch: {claims.get('htu')!r}")
+    if require_nonce is not None and \
+            claims.get("nonce") != require_nonce:
+        raise DPoPError("nonce mismatch")
+    if access_token is not None:
+        want = b64url(hashlib.sha256(access_token.encode()).digest())
+        if claims.get("ath") != want:
+            raise DPoPError("ath mismatch")
+    return claims

@@ -19,8 +19,9 @@ events — their bodies are consumed by the id extraction, exactly like
 the reference (request.go:618-627).
 
 Scope lines (loud, config-time):
-- OAuth2 is client_credentials only (fake-server testable); the
-  provider-specific flows (google/azure/okta JWT) are env-gated;
+- OAuth2 = client_credentials + the okta provider (okta_auth.py:
+  JWT-bearer assertion with optional RFC 9449 DPoP, both live against
+  fake servers); the google/azure flows stay env-gated;
 - `response.xsd` / XML decode rides elastic's mito typed-XML engine —
   out of scope (encdec.py).
 """
@@ -91,11 +92,17 @@ class Config:
         self.basic_user = basic.get("user", "")
         self.basic_password = basic.get("password", "")
         self.oauth2 = auth.get("oauth2") or None
-        if self.oauth2 and self.oauth2.get("provider") not in (None, "",
-                                                               "default"):
+        if self.oauth2 and self.oauth2.get("provider") not in (
+                None, "", "default", "okta"):
+            # okta is live (okta_auth.py: JWT-bearer + optional DPoP);
+            # google/azure flows stay env-gated (config_auth.go)
             raise NotImplementedError(
-                "httpjson oauth2 providers other than client_credentials "
-                "are environment-gated (config_auth.go)")
+                "httpjson oauth2 providers other than "
+                "client_credentials and okta are environment-gated "
+                "(config_auth.go)")
+        if self.oauth2 and self.oauth2.get("provider") == "okta":
+            from .okta_auth import validate_okta_config
+            validate_okta_config(self.oauth2)
 
         req = cfg.get("request") or {}
         if not req.get("url"):
@@ -358,8 +365,13 @@ class HttpClient:
         input.go:352-366)."""
         self.cfg = cfg
         self.limiter = RateLimiter(cfg.rate_limit)
-        self.oauth2 = OAuth2ClientCredentials(cfg.oauth2) \
-            if cfg.oauth2 else None
+        if cfg.oauth2 and cfg.oauth2.get("provider") == "okta":
+            from .okta_auth import OktaOAuth2
+            self.oauth2 = OktaOAuth2(cfg.oauth2)
+        elif cfg.oauth2:
+            self.oauth2 = OAuth2ClientCredentials(cfg.oauth2)
+        else:
+            self.oauth2 = None
         self.until = until if cfg.retry_max_attempts > 1 else None
 
     # -- single physical request, following redirects
@@ -411,8 +423,13 @@ class HttpClient:
             header.Set("Authorization",
                        "Basic " + base64.b64encode(cred.encode()).decode())
         if self.oauth2 is not None:
-            header.Set("Authorization",
-                       "Bearer " + self.oauth2.token(self._do_plain))
+            if hasattr(self.oauth2, "authorize"):
+                # okta: Bearer, or DPoP token + per-request ath proof
+                self.oauth2.authorize(header, method, url.String(),
+                                      self._do_plain)
+            else:
+                header.Set("Authorization", "Bearer "
+                           + self.oauth2.token(self._do_plain))
 
         def attempt():
             max_attempts = max(1, self.cfg.retry_max_attempts)

@@ -1,0 +1,273 @@
+"""httpjson — the okta OAuth2 provider flow, live.
+
+Re-expresses config_okta_auth.go (and the identical flow in the cel
+input) on `cryptography` + the from-scratch RFC 9449 layer in
+`beats_spark.dpop`:
+
+* ``rsa_key_from_okta_jwk`` — reconstruct the RSA private key from
+  the Okta JWK's base64url big-int components
+  (generateOktaJWT, config_okta_auth.go:148-185).
+* ``pem_pkcs8_private_key`` — PKCS#8 PEM loading with the
+  reference's exact trailing-data / no-data wordings
+  (config_okta_auth.go:218-236).
+* ``generate_okta_jwt`` — the RS256 client-assertion JWT
+  (aud=token_url, iss=sub=client_id, 1 h — signJWT,
+  config_okta_auth.go:239-252).
+* ``validate_okta_config`` — config_auth.go:370-407's validation
+  wordings.
+* ``OktaOAuth2`` — the token source: a client_credentials exchange
+  carrying client_assertion_type=jwt-bearer + the assertion
+  (exchangeForBearerToken, config_okta_auth.go:255-270), with the
+  optional DPoP proof on the token POST (one nonce retry) and, when
+  DPoP is configured, 'Authorization: DPoP «token»' + a per-request
+  ath proof on resource requests.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time as _time
+from typing import Callable, Optional
+
+from ..dpop import (
+    DPoPError, ProofGenerator, default_claimer,
+    resource_request_with_dpop, token_request_with_dpop,
+)
+
+__all__ = [
+    "rsa_key_from_okta_jwk", "pem_pkcs8_private_key",
+    "generate_okta_jwt", "validate_okta_config", "OktaOAuth2",
+]
+
+
+def _b64_int(s: str) -> int:
+    pad = "=" * (-len(s) % 4)
+    return int.from_bytes(
+        base64.urlsafe_b64decode(s + pad), "big")
+
+
+def rsa_key_from_okta_jwk(jwk_json) -> object:
+    """generateOktaJWT's JWK → rsa.PrivateKey reconstruction
+    (config_okta_auth.go:148-185)."""
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    data = json.loads(jwk_json) if isinstance(
+        jwk_json, (str, bytes)) else dict(jwk_json)
+    try:
+        n = _b64_int(data["n"])
+        e = _b64_int(data["e"])
+        d = _b64_int(data["d"])
+        p = _b64_int(data["p"])
+        q = _b64_int(data["q"])
+        dp = _b64_int(data["dp"])
+        dq = _b64_int(data["dq"])
+        qi = _b64_int(data["qi"])
+    except KeyError as err:
+        raise DPoPError(f"error decoding JWK: missing {err}")
+    numbers = rsa.RSAPrivateNumbers(
+        p=p, q=q, d=d, dmp1=dp, dmq1=dq, iqmp=qi,
+        public_numbers=rsa.RSAPublicNumbers(e, n))
+    return numbers.private_key()
+
+
+def pem_pkcs8_private_key(pemdata: str):
+    """pemPKCS8PrivateKey (config_okta_auth.go:218-236) — same error
+    wordings."""
+    from cryptography.hazmat.primitives import serialization
+    text = pemdata.strip()
+    if not text.startswith("-----BEGIN"):
+        raise DPoPError("no PEM data")
+    end = text.find("-----END")
+    if end >= 0:
+        close = text.find("-----", end + 8)
+        trailing = text[close + 5:].strip() if close >= 0 else ""
+        if trailing:
+            raise DPoPError(
+                f"PEM text has trailing data: {len(trailing)} bytes")
+    try:
+        return serialization.load_pem_private_key(
+            text.encode(), password=None)
+    except ValueError as err:
+        raise DPoPError(str(err))
+
+
+def generate_okta_jwt(key, client_id: str, token_url: str, *,
+                      now: Callable[[], float] = _time.time) -> str:
+    """signJWT (config_okta_auth.go:239-252): the RS256
+    client-assertion."""
+    from ..dpop import sign_jwt
+    iat = int(now())
+    claims = {"aud": [token_url], "iss": client_id,
+              "sub": client_id, "iat": iat, "exp": iat + 3600}
+    return sign_jwt({"alg": "RS256", "typ": "JWT"}, claims, key,
+                    "RS256")
+
+
+def validate_okta_config(cfg: dict) -> None:
+    """config_auth.go:370-407's okta rows — same wordings."""
+    if not (cfg.get("token_url") and _client_id(cfg)
+            and cfg.get("scopes")):
+        raise ValueError("okta validation error: token_url, "
+                         "client_id, scopes must be provided")
+    n = sum(1 for k in ("okta.jwk_json", "okta.jwk_file",
+                        "okta.jwk_pem") if cfg.get(k))
+    if n > 1:
+        raise ValueError(
+            "okta validation error: only one of okta.jwk_json, "
+            "okta.jwk_file or okta.jwk_pem can be provided")
+    if n == 0:
+        raise ValueError(
+            "okta validation error: one of okta.jwk_json, "
+            "okta.jwk_file or okta.jwk_pem must be provided")
+    if cfg.get("okta.jwk_pem"):
+        try:
+            pem_pkcs8_private_key(cfg["okta.jwk_pem"])
+        except DPoPError as err:
+            raise ValueError(f"okta validation error: {err}")
+
+
+def _client_id(cfg: dict) -> str:
+    return (cfg.get("client", {}) or {}).get("id") \
+        or cfg.get("client.id", "")
+
+
+class OktaOAuth2:
+    """fetchOktaOauthClient + oktaTokenSource
+    (config_okta_auth.go:43-146): the JWT-bearer client_credentials
+    exchange with token caching and optional DPoP."""
+
+    def __init__(self, cfg: dict, *,
+                 now: Callable[[], float] = _time.time):
+        validate_okta_config(cfg)
+        self.token_url = cfg["token_url"]
+        self.client_id = _client_id(cfg)
+        self.scopes = list(cfg.get("scopes") or [])
+        self.now = now
+        if cfg.get("okta.jwk_pem"):
+            self.key = pem_pkcs8_private_key(cfg["okta.jwk_pem"])
+        elif cfg.get("okta.jwk_file"):
+            with open(cfg["okta.jwk_file"]) as fh:
+                self.key = rsa_key_from_okta_jwk(fh.read())
+        else:
+            self.key = rsa_key_from_okta_jwk(cfg["okta.jwk_json"])
+        self.proof_gen: Optional[ProofGenerator] = None
+        if cfg.get("okta.dpop_key_pem"):
+            dpop_key = pem_pkcs8_private_key(
+                cfg["okta.dpop_key_pem"])
+            self.proof_gen = ProofGenerator(
+                default_claimer(self.client_id, self.token_url,
+                                now=now),
+                dpop_key, "RS256")
+        self._token: Optional[str] = None
+        self._expires_at = 0.0
+
+    # -- token source
+
+    def token(self, do_plain) -> str:
+        """oktaTokenSource.Token: refresh via a fresh assertion when
+        the cached token lapses."""
+        if self._token and self.now() < self._expires_at - 10:
+            return self._token
+        from urllib.parse import urlencode
+        assertion = generate_okta_jwt(self.key, self.client_id,
+                                      self.token_url, now=self.now)
+        body = urlencode([
+            ("grant_type", "client_credentials"),
+            ("scope", " ".join(self.scopes)),
+            ("client_assertion_type",
+             "urn:ietf:params:oauth:client-assertion-type:"
+             "jwt-bearer"),
+            ("client_assertion", assertion),
+            ("client_id", self.client_id),
+        ]).encode()
+        headers = {"Content-Type":
+                   "application/x-www-form-urlencoded"}
+
+        def do_request(method, url, hdrs, data):
+            status, rh, resp_data, _u = do_plain(
+                method, _URL(url), _mk_header(hdrs), data)
+            return status, _HeaderView(rh), resp_data
+
+        if self.proof_gen is not None:
+            status, rh, data = token_request_with_dpop(
+                do_request, self.proof_gen, "POST", self.token_url,
+                headers, body)
+        else:
+            status, rh, data = do_request("POST", self.token_url,
+                                          headers, body)
+        if status != 200:
+            from .engine import HttpError
+            raise HttpError(status, str(status), data)
+        tok = json.loads(data)
+        self._token = tok["access_token"]
+        self._expires_at = self.now() + float(
+            tok.get("expires_in", 3600))
+        return self._token
+
+    # -- resource authorization (HttpClient hook)
+
+    def authorize(self, header, method: str, url: str,
+                  do_plain) -> None:
+        """Set the request's auth headers: Bearer without DPoP,
+        'DPoP «token»' + ath proof with it."""
+        tok = self.token(do_plain)
+        if self.proof_gen is None:
+            header.Set("Authorization", "Bearer " + tok)
+            return
+        header.Set("Authorization", "DPoP " + tok)
+        header.Set("DPoP", self.proof_gen.build_proof(
+            method, url, access_token=tok))
+
+    def resource_request(self, do_request, method: str, url: str,
+                         headers: dict, body: Optional[bytes]):
+        """The standalone resource path (client.go Transport) for
+        callers outside HttpClient (e.g. the cel input)."""
+        tok = self.token_raw(do_request)
+        if self.proof_gen is None:
+            h = dict(headers, Authorization="Bearer " + tok)
+            return do_request(method, url, h, body)
+        return resource_request_with_dpop(
+            do_request, self.proof_gen, tok, method, url, headers,
+            body)
+
+    def token_raw(self, do_request) -> str:
+        """token() over a plain (status, headers, data) requester."""
+
+        def do_plain(method, url, header, data):
+            status, rh, resp = do_request(
+                method, url.String() if hasattr(url, "String")
+                else str(url),
+                {k: ", ".join(v) for k, v in header.items()},
+                data)
+            return status, rh, resp, url
+
+        return self.token(do_plain)
+
+
+def _URL(url: str):
+    from .engine import URL
+    return URL(url)
+
+
+def _mk_header(hdrs: dict):
+    from .engine import Header
+    h = Header()
+    for k, v in hdrs.items():
+        h.Set(k, v)
+    return h
+
+
+class _HeaderView:
+    """dict-like .get over either a Header or a plain dict."""
+
+    def __init__(self, h):
+        self.h = h
+
+    def get(self, name, default=""):
+        if hasattr(self.h, "Get"):
+            v = self.h.Get(name)
+            return v if v else default
+        for k, v in self.h.items():
+            if k.lower() == name.lower():
+                return v if isinstance(v, str) else ", ".join(v)
+        return default
