@@ -92,17 +92,17 @@ class Config:
         self.basic_user = basic.get("user", "")
         self.basic_password = basic.get("password", "")
         self.oauth2 = auth.get("oauth2") or None
-        if self.oauth2 and self.oauth2.get("provider") not in (
-                None, "", "default", "okta"):
-            # okta is live (okta_auth.py: JWT-bearer + optional DPoP);
-            # google/azure flows stay env-gated (config_auth.go)
-            raise NotImplementedError(
-                "httpjson oauth2 providers other than "
-                "client_credentials and okta are environment-gated "
-                "(config_auth.go)")
-        if self.oauth2 and self.oauth2.get("provider") == "okta":
-            from .okta_auth import validate_okta_config
-            validate_okta_config(self.oauth2)
+        if self.oauth2:
+            provider = self.oauth2.get("provider") or "default"
+            if provider == "okta":
+                from .okta_auth import validate_okta_config
+                validate_okta_config(self.oauth2)
+            elif provider in ("", "default", "azure", "google"):
+                from .provider_auth import validate_oauth2
+                validate_oauth2(self.oauth2)
+            else:
+                raise HTTPJSONError(
+                    f"unknown provider {provider!r}")
 
         req = cfg.get("request") or {}
         if not req.get("url"):
@@ -352,6 +352,28 @@ class OAuth2ClientCredentials:
         return self._token
 
 
+def _make_oauth2(cfg: dict):
+    """config_auth.go's client() provider dispatch."""
+    provider = cfg.get("provider") or "default"
+    if provider == "okta":
+        from .okta_auth import OktaOAuth2
+        return OktaOAuth2(cfg)
+    if provider == "google":
+        from .provider_auth import GoogleOAuth2
+        return GoogleOAuth2(cfg)
+    if provider == "azure":
+        from .provider_auth import (azure_endpoint_params,
+                                    azure_token_url)
+        derived = dict(cfg)
+        derived["token_url"] = azure_token_url(cfg)
+        derived["endpoint_params"] = azure_endpoint_params(cfg)
+        return OAuth2ClientCredentials(derived)
+    if cfg.get("user") or cfg.get("password"):
+        from .provider_auth import OAuth2PasswordGrant
+        return OAuth2PasswordGrant(cfg)
+    return OAuth2ClientCredentials(cfg)
+
+
 class HttpClient:
     """httpClient: one-shot HTTP with retryablehttp-style retries and
     the rate limiter wrapped around each attempt (request.go:266-289)."""
@@ -365,13 +387,7 @@ class HttpClient:
         input.go:352-366)."""
         self.cfg = cfg
         self.limiter = RateLimiter(cfg.rate_limit)
-        if cfg.oauth2 and cfg.oauth2.get("provider") == "okta":
-            from .okta_auth import OktaOAuth2
-            self.oauth2 = OktaOAuth2(cfg.oauth2)
-        elif cfg.oauth2:
-            self.oauth2 = OAuth2ClientCredentials(cfg.oauth2)
-        else:
-            self.oauth2 = None
+        self.oauth2 = _make_oauth2(cfg.oauth2) if cfg.oauth2 else None
         self.until = until if cfg.retry_max_attempts > 1 else None
 
     # -- single physical request, following redirects

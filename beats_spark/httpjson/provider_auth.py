@@ -1,0 +1,233 @@
+"""httpjson — the azure and google OAuth2 providers, live.
+
+Re-expresses config_auth.go's remaining provider branches:
+
+* azure — the client_credentials grant against the AAD v2.0 token
+  endpoint derived from azure.tenant_id (endpoints.AzureAD), with
+  azure.resource folded into the endpoint params
+  (getTokenURL/getEndpointParams, config_auth.go:266-296) and
+  validateAzureProvider's exact wordings (config_auth.go:429-441).
+* google — the service-account JWT grant (the same public flow the
+  gcs input implements): google.credentials_json / credentials_file /
+  jwt_json / jwt_file / Application Default Credentials resolution
+  with validateGoogleProvider's wordings (config_auth.go:329-368),
+  RS256 assertions carrying scope (and sub for the delegated
+  account on the jwt flow), exchanged at the key's token_uri.
+* the default provider's resource-owner password grant
+  (PasswordCredentialsToken, config_auth.go:204-216) and its
+  validation wordings (config_auth.go:311-317).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time as _time
+from typing import Callable, Optional
+
+__all__ = [
+    "azure_token_url", "azure_endpoint_params", "validate_oauth2",
+    "GoogleOAuth2", "OAuth2PasswordGrant",
+]
+
+AZURE_LOGIN = "https://login.microsoftonline.com"
+
+
+def azure_token_url(cfg: dict) -> str:
+    """getTokenURL (config_auth.go:266-275): the AAD v2.0 endpoint
+    derived from the tenant when token_url is unset."""
+    if cfg.get("token_url"):
+        return cfg["token_url"]
+    tenant = cfg.get("azure.tenant_id", "")
+    return f"{AZURE_LOGIN}/{tenant}/oauth2/v2.0/token"
+
+
+def azure_endpoint_params(cfg: dict) -> dict:
+    """getEndpointParams (config_auth.go:283-296)."""
+    params = dict(cfg.get("endpoint_params") or {})
+    if cfg.get("azure.resource"):
+        params["resource"] = [cfg["azure.resource"]]
+    return params
+
+
+def _client_id(cfg: dict) -> str:
+    return (cfg.get("client", {}) or {}).get("id") \
+        or cfg.get("client.id", "")
+
+
+def _client_secret(cfg: dict) -> Optional[str]:
+    c = cfg.get("client", {}) or {}
+    if "secret" in c:
+        return c["secret"]
+    return cfg.get("client.secret")
+
+
+def validate_oauth2(cfg: dict) -> None:
+    """oAuth2Config.Validate (config_auth.go:298-323) — the azure,
+    google and default branches with the reference wordings (the okta
+    branch lives in okta_auth.validate_okta_config)."""
+    provider = cfg.get("provider") or "default"
+    if provider == "azure":
+        if not cfg.get("token_url") and not cfg.get(
+                "azure.tenant_id"):
+            raise ValueError("at least one of token_url or "
+                             "tenant_id must be provided")
+        if cfg.get("token_url") and cfg.get("azure.tenant_id"):
+            raise ValueError("only one of token_url and tenant_id "
+                             "can be used")
+        if not _client_id(cfg) or _client_secret(cfg) is None:
+            raise ValueError("client credentials must be provided")
+        return
+    if provider == "google":
+        if (cfg.get("token_url") or _client_id(cfg)
+                or _client_secret(cfg) is not None
+                or cfg.get("azure.tenant_id")
+                or cfg.get("azure.resource")
+                or cfg.get("endpoint_params")):
+            raise ValueError(
+                "none of token_url and client credentials can be "
+                "used, use google.credentials_file, google.jwt_file,"
+                " google.credentials_json or ADC instead")
+        delegated = cfg.get("google.delegated_account", "")
+        if cfg.get("google.credentials_json") or cfg.get(
+                "google.credentials_file"):
+            if delegated:
+                raise ValueError("google.delegated_account can only "
+                                 "be provided with a jwt_file")
+            return
+        if cfg.get("google.jwt_file") or cfg.get("google.jwt_json"):
+            return
+        if os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"):
+            return
+        raise ValueError("no authentication credentials were "
+                         "configured or detected (ADC)")
+    if provider in ("", "default"):
+        user, pw = cfg.get("user", ""), cfg.get("password", "")
+        if (user and not pw) or (pw and not user):
+            raise ValueError("both user and password credentials "
+                             "must be provided")
+        has_client = _client_id(cfg) \
+            and _client_secret(cfg) is not None
+        if not cfg.get("token_url") or (not has_client
+                                        and not (user and pw)):
+            raise ValueError("both token_url and client credentials "
+                             "must be provided")
+
+
+def _resolve_google_creds(cfg: dict) -> dict:
+    """The credentials_json → credentials_file → jwt_json → jwt_file
+    → ADC resolution (config_auth.go:329-368 + the client branch)."""
+    for key in ("google.credentials_json", "google.jwt_json"):
+        if cfg.get(key):
+            raw = cfg[key]
+            return json.loads(raw) if isinstance(raw, (str, bytes)) \
+                else dict(raw)
+    for key in ("google.credentials_file", "google.jwt_file"):
+        if cfg.get(key):
+            with open(cfg[key]) as fh:
+                return json.load(fh)
+    adc = os.environ.get("GOOGLE_APPLICATION_CREDENTIALS")
+    if adc:
+        with open(adc) as fh:
+            return json.load(fh)
+    raise ValueError("oauth2 client: no valid auth specified")
+
+
+class GoogleOAuth2:
+    """The google provider's token source: an RS256 service-account
+    assertion (scope = the configured scopes; sub = the delegated
+    account on the jwt flow) exchanged at the key's token_uri."""
+
+    def __init__(self, cfg: dict, *,
+                 now: Callable[[], float] = _time.time):
+        self.creds = _resolve_google_creds(cfg)
+        self.scopes = list(cfg.get("scopes") or [])
+        self.subject = cfg.get("google.delegated_account", "") \
+            if (cfg.get("google.jwt_json")
+                or cfg.get("google.jwt_file")) else ""
+        self.token_uri = self.creds.get(
+            "token_uri", "https://oauth2.googleapis.com/token")
+        self.now = now
+        self._token: Optional[str] = None
+        self._expires_at = 0.0
+
+    def _assertion(self) -> str:
+        from ..dpop import sign_jwt
+        from cryptography.hazmat.primitives import serialization
+        key = serialization.load_pem_private_key(
+            self.creds["private_key"].encode(), password=None)
+        iat = int(self.now())
+        claims = {"iss": self.creds.get("client_email", ""),
+                  "scope": " ".join(self.scopes),
+                  "aud": self.token_uri, "iat": iat,
+                  "exp": iat + 3600}
+        if self.subject:
+            claims["sub"] = self.subject
+        header = {"alg": "RS256", "typ": "JWT"}
+        if self.creds.get("private_key_id"):
+            header["kid"] = self.creds["private_key_id"]
+        return sign_jwt(header, claims, key, "RS256")
+
+    def token(self, do_plain) -> str:
+        if self._token and self.now() < self._expires_at - 10:
+            return self._token
+        from urllib.parse import urlencode
+        from .engine import Header, HttpError, URL
+        body = urlencode({
+            "grant_type": "urn:ietf:params:oauth:grant-type:"
+                          "jwt-bearer",
+            "assertion": self._assertion()}).encode()
+        hdr = Header()
+        hdr.Set("Content-Type", "application/x-www-form-urlencoded")
+        status, _h, data, _u = do_plain("POST", URL(self.token_uri),
+                                        hdr, body)
+        if status != 200:
+            raise HttpError(status, str(status), data)
+        tok = json.loads(data)
+        self._token = tok["access_token"]
+        self._expires_at = self.now() + float(
+            tok.get("expires_in", 3600))
+        return self._token
+
+
+class OAuth2PasswordGrant:
+    """The default provider's resource-owner password grant
+    (config_auth.go:204-216): grant_type=password with the client
+    credentials alongside."""
+
+    def __init__(self, cfg: dict, *,
+                 now: Callable[[], float] = _time.time):
+        self.token_url = cfg["token_url"]
+        self.client_id = _client_id(cfg)
+        self.client_secret = _client_secret(cfg) or ""
+        self.user = cfg.get("user", "")
+        self.password = cfg.get("password", "")
+        self.scopes = list(cfg.get("scopes") or [])
+        self.now = now
+        self._token: Optional[str] = None
+        self._expires_at = 0.0
+
+    def token(self, do_plain) -> str:
+        if self._token and self.now() < self._expires_at - 10:
+            return self._token
+        from urllib.parse import urlencode
+        from .engine import Header, HttpError, URL
+        params = [("grant_type", "password"),
+                  ("username", self.user),
+                  ("password", self.password)]
+        if self.scopes:
+            params.append(("scope", " ".join(self.scopes)))
+        params.append(("client_id", self.client_id))
+        params.append(("client_secret", self.client_secret))
+        hdr = Header()
+        hdr.Set("Content-Type", "application/x-www-form-urlencoded")
+        status, _h, data, _u = do_plain(
+            "POST", URL(self.token_url), hdr,
+            urlencode(params).encode())
+        if status != 200:
+            raise HttpError(status, str(status), data)
+        tok = json.loads(data)
+        self._token = tok["access_token"]
+        self._expires_at = self.now() + float(
+            tok.get("expires_in", 3600))
+        return self._token

@@ -379,12 +379,14 @@ def test_httpjson_okta_flow_with_dpop_live():
         srv.close()
 
 
-def test_httpjson_other_providers_still_gated():
+def test_httpjson_google_without_creds_fails_validation():
+    # google went live (provider_auth.py); a credential-less config
+    # fails with the reference's ADC wording instead of a gate
     from beats_spark.httpjson.engine import httpjson_collect
     cfg = {"interval": 1, "request": {"url": "http://x"},
            "auth": {"oauth2": {"provider": "google"}}}
-    with pytest.raises(NotImplementedError,
-                       match="environment-gated"):
+    with pytest.raises(ValueError,
+                       match="no authentication credentials"):
         httpjson_collect(cfg)
 
 
