@@ -1317,12 +1317,23 @@ class HTTPEndpoint:
                                    config.listen_port)
 
 
+def _tls_server_context(tls: dict):
+    """TLS serving (server.go's ListenAndServeTLS path): a real
+    ssl.SSLContext over the configured certificate/key."""
+    import ssl
+    cert = tls.get("certificate", "")
+    key = tls.get("key", "")
+    if not cert or not key:
+        raise ValueError(
+            "TLS is enabled but certificate and key are not "
+            "configured")
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=cert, keyfile=key)
+    return ctx
+
+
 def new_http_endpoint(config: Config) -> HTTPEndpoint:
     config.validate()
-    if config.tls and config.tls.get("enabled", True):
-        # TLS serving is environment-gated; the consistency checks below
-        # still apply so shared-port refusals match the reference.
-        pass
     return HTTPEndpoint(config)
 
 
@@ -1435,11 +1446,9 @@ class ServerPool:
                 s.id_of[pattern] = input_id
                 s.handler_cancel[pattern] = cancel
                 return Registration(self, s, pattern, cancel)
+            tls_ctx = None
             if e.config.tls and e.config.tls.get("enabled", True):
-                raise NotImplementedError(
-                    "TLS serving is environment-gated in this build "
-                    "(no server certificates); the consistency checks "
-                    "still apply")
+                tls_ctx = _tls_server_context(e.config.tls)
             s = _PoolServer(e.addr, e.config.tls)
             s.mux.add(pattern, Handler(e.config, prg, publish, cancel))
             s.id_of[pattern] = input_id
@@ -1448,6 +1457,9 @@ class ServerPool:
             host = host.strip("[]")
             httpd = _ThreadingHTTPServer((host, int(port)),
                                          _make_wsgi_handler(s))
+            if tls_ctx is not None:
+                httpd.socket = tls_ctx.wrap_socket(
+                    httpd.socket, server_side=True)
             s.httpd = httpd
             self.servers[e.addr] = s
 

@@ -19,9 +19,9 @@ events — their bodies are consumed by the id extraction, exactly like
 the reference (request.go:618-627).
 
 Scope lines (loud, config-time):
-- OAuth2 = client_credentials + the okta provider (okta_auth.py:
-  JWT-bearer assertion with optional RFC 9449 DPoP, both live against
-  fake servers); the google/azure flows stay env-gated;
+- OAuth2 = every config_auth.go provider, live: client_credentials,
+  the password grant, okta (okta_auth.py: JWT-bearer with optional
+  RFC 9449 DPoP), azure and google (provider_auth.py);
 - `response.xsd` / XML decode rides elastic's mito typed-XML engine —
   out of scope (encdec.py).
 """

@@ -72,7 +72,8 @@ __all__ = [
     "O365Error", "Config", "APIConfig", "default_config",
     "validate_config", "force_url_scheme", "string_list",
     "Checkpoint", "parse_api_date", "API_DATE_FORMAT",
-    "TokenProvider", "Poller", "make_list_blob", "o365_collect",
+    "TokenProvider", "CertTokenProvider", "Poller",
+    "make_list_blob", "o365_collect",
     "o365_events_df", "o365_stream", "O365_RECORDS_DDL",
     "FATAL_ERRORS", "init_checkpoint", "to_beat_event",
     "api_error_event",
@@ -112,6 +113,7 @@ class Config:
     application_id: str = ""
     client_secret: str = ""
     certificate: str = ""
+    key: str = ""
     tenant_id: list[str] = field(default_factory=list)
     content_type: list[str] = field(default_factory=lambda: [
         "Audit.AzureActiveDirectory", "Audit.Exchange",
@@ -205,6 +207,84 @@ class TokenProvider:
         obj = json.loads(data)
         self._token = obj["access_token"]
         self._expiry = _time.time() + float(obj.get("expires_in", 3600))
+        return self._token
+
+
+class CertTokenProvider(TokenProvider):
+    """auth/cert.go — certificate-based authentication: the AAD
+    client-assertion flow (an RS256 JWT whose x5t header carries the
+    certificate's SHA-1 thumbprint, exchanged with
+    client_assertion_type=jwt-bearer against the same v1 token
+    endpoint). PEM certificate + RSA key, matching loadConfigCerts'
+    error wordings."""
+
+    def __init__(self, endpoint: str, resource: str, application_id:
+                 str, tenant_id: str, certificate: str, key: str,
+                 timeout: float = 60.0,
+                 now: Callable[[], float] = _time.time):
+        super().__init__(endpoint, resource, application_id,
+                         tenant_id, "", timeout)
+        self.now = now
+        from cryptography import x509 as _x509
+        from cryptography.hazmat.primitives import serialization
+        from cryptography.hazmat.primitives.asymmetric import rsa
+        try:
+            with open(certificate, "rb") as fh:
+                self.cert = _x509.load_pem_x509_certificate(
+                    fh.read())
+        except (OSError, ValueError) as err:
+            raise O365Error("error loading X509 certificate from "
+                            f"'{certificate}': {err}")
+        try:
+            with open(key, "rb") as fh:
+                self.key = serialization.load_pem_private_key(
+                    fh.read(), password=None)
+        except (OSError, ValueError) as err:
+            raise O365Error(
+                f"failed loading private key from '{key}': {err}")
+        if not isinstance(self.key, rsa.RSAPrivateKey):
+            raise O365Error(f"private key at '{key}' is not an RSA "
+                            "private key")
+
+    def _assertion(self, aud: str) -> str:
+        import hashlib
+        import uuid as _uuid
+        from cryptography.hazmat.primitives import serialization
+        from .dpop import b64url, sign_jwt
+        der = self.cert.public_bytes(serialization.Encoding.DER)
+        x5t = b64url(hashlib.sha1(der).digest())
+        iat = int(self.now())
+        header = {"alg": "RS256", "typ": "JWT", "x5t": x5t}
+        claims = {"aud": aud, "iss": self.application_id,
+                  "sub": self.application_id,
+                  "jti": str(_uuid.uuid4()), "nbf": iat,
+                  "exp": iat + 600}
+        return sign_jwt(header, claims, self.key, "RS256")
+
+    def token(self) -> str:
+        if self._token and self.now() < self._expiry - 60:
+            return self._token
+        url = f"{self.endpoint}/{self.tenant_id}/oauth2/token"
+        body = urlencode({
+            "grant_type": "client_credentials",
+            "client_id": self.application_id,
+            "client_assertion_type":
+                "urn:ietf:params:oauth:client-assertion-type:"
+                "jwt-bearer",
+            "client_assertion": self._assertion(url),
+            "resource": self.resource,
+        }).encode()
+        status, data, _ = _http("POST", url, body, {
+            "Content-Type": "application/x-www-form-urlencoded"},
+            self.timeout)
+        if status != 200:
+            raise O365Error(
+                "unable to acquire authentication token for tenant:"
+                f"{self.tenant_id}: http status {status}")
+        obj = json.loads(data)
+        self._token = obj["access_token"]
+        self._expiry = self.now() + float(obj.get("expires_in",
+                                                  3600))
         return self._token
 
 
@@ -669,14 +749,16 @@ def o365_collect(cfg: Config, tenant_id: str, content_type: str, *,
     validate_config(cfg)
     clock = now or (lambda: datetime.now(timezone.utc))
     if token_provider is None:
+        endpoint = (auth_endpoint_override
+                    or cfg.api.authentication_endpoint)
         if cfg.certificate:
-            raise NotImplementedError(
-                "certificate authentication is environment-gated "
-                "(pkcs12 + signed JWT assertion); use client_secret")
-        token_provider = TokenProvider(
-            auth_endpoint_override or cfg.api.authentication_endpoint,
-            cfg.api.resource, cfg.application_id, tenant_id,
-            cfg.client_secret)
+            token_provider = CertTokenProvider(
+                endpoint, cfg.api.resource, cfg.application_id,
+                tenant_id, cfg.certificate, cfg.key)
+        else:
+            token_provider = TokenProvider(
+                endpoint, cfg.api.resource, cfg.application_id,
+                tenant_id, cfg.client_secret)
     records: list = []
 
     def publish(event, cursor):

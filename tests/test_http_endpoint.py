@@ -949,6 +949,73 @@ def test_server_pool_single(pool):
         {"json": {"a": 1}}, {"json": {"b": 2}}, {"json": {"c": 3}}]
 
 
+def _self_signed_cert(tmp_path):
+    import datetime
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    import ipaddress
+    key = rsa.generate_private_key(public_exponent=65537,
+                                   key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(minutes=1))
+            .not_valid_after(now + datetime.timedelta(hours=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.IPAddress(
+                    ipaddress.IPv4Address("127.0.0.1"))]),
+                critical=False)
+            .sign(key, hashes.SHA256()))
+    cert_path = tmp_path / "srv.crt"
+    key_path = tmp_path / "srv.key"
+    cert_path.write_bytes(cert.public_bytes(
+        serialization.Encoding.PEM))
+    key_path.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    return str(cert_path), str(key_path)
+
+
+def test_server_pool_tls_live(pool, tmp_path):
+    # TLS serving is live: a real handshake against the configured
+    # certificate, events published like the plain path
+    import ssl
+    cert, key = _self_signed_cert(tmp_path)
+    pub = Publisher()
+    reg, e = _register(pool, pub,
+                       tls={"enabled": True, "certificate": cert,
+                            "key": key})
+    port = reg.server.httpd.server_address[1]
+    ctx = ssl.create_default_context(cafile=cert)
+    req = urllib.request.Request(
+        f"https://127.0.0.1:{port}/", data=b'{"secure":1}',
+        headers={"Content-Type": "application/json"},
+        method="POST")
+    with urllib.request.urlopen(req, timeout=10,
+                                context=ctx) as r:
+        assert r.status == 200
+    assert [ev.fields for ev in pub.events] == \
+        [{"json": {"secure": 1}}]
+    # plain HTTP against the TLS port fails the handshake
+    with pytest.raises(Exception):
+        _post(port, "/", '{"plain":1}')
+
+
+def test_server_pool_tls_requires_cert_config(pool):
+    pub = Publisher()
+    with pytest.raises(ValueError,
+                       match="certificate and key are not "
+                             "configured"):
+        _register(pool, pub, tls={"enabled": True})
+
+
 @pytest.mark.parametrize("method", ["PUT", "PATCH"])
 def test_server_pool_put_patch(pool, method):
     pub = Publisher()

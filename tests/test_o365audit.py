@@ -255,6 +255,16 @@ class FakeO365:
                 body = self.rfile.read(n) if n else b""
                 if u.path.endswith("/oauth2/token"):
                     form = dict(parse_qsl(body.decode()))
+                    if form.get("client_assertion"):
+                        check = getattr(outer, "assertion_check",
+                                        None)
+                        if check is None or not check(
+                                form["client_assertion"]):
+                            return self._send(
+                                401, {"error": "invalid_client"})
+                        return self._send(
+                            200, {"access_token": "tok-365",
+                                  "expires_in": 3600})
                     if form.get("client_secret") != "s3cret":
                         return self._send(401, {"error":
                                                 "invalid_client"})
@@ -496,6 +506,97 @@ def test_blob_404_dropped(fake_o365):
     fake_o365.fail_blob_ids["gone"] = 404
     recs, _ = _collect(fake_o365, now=lambda: now)
     assert [r["meta_id"] for r in recs] == ["kept"]
+
+
+def _cert_pair(tmp_path):
+    import datetime as _dt
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    key = rsa.generate_private_key(public_exponent=65537,
+                                   key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "o365-app")])
+    now = _dt.datetime.now(_dt.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - _dt.timedelta(minutes=1))
+            .not_valid_after(now + _dt.timedelta(hours=1))
+            .sign(key, hashes.SHA256()))
+    cert_path = tmp_path / "app.crt"
+    key_path = tmp_path / "app.key"
+    cert_path.write_bytes(cert.public_bytes(
+        serialization.Encoding.PEM))
+    key_path.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    return cert, key, str(cert_path), str(key_path)
+
+
+def test_certificate_auth_flow(fake_o365, tmp_path):
+    # auth/cert.go live: the client-assertion JWT carries the cert's
+    # SHA-1 x5t thumbprint and verifies with the cert's own key —
+    # checked SERVER-SIDE by the fake AAD
+    import base64
+    import hashlib
+    from cryptography.hazmat.primitives import hashes as _h
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+    cert, key, cert_path, key_path = _cert_pair(tmp_path)
+
+    def check(assertion):
+        h, c, s = assertion.split(".")
+
+        def unb64(x):
+            return base64.urlsafe_b64decode(x + "=" * (-len(x) % 4))
+
+        header = json.loads(unb64(h))
+        der = cert.public_bytes(serialization.Encoding.DER)
+        want_x5t = base64.urlsafe_b64encode(
+            hashlib.sha1(der).digest()).rstrip(b"=").decode()
+        if header.get("x5t") != want_x5t:
+            return False
+        claims = json.loads(unb64(c))
+        if claims.get("iss") != "app-id" or \
+                claims.get("sub") != "app-id":
+            return False
+        try:
+            key.public_key().verify(unb64(s), f"{h}.{c}".encode(),
+                                    padding.PKCS1v15(), _h.SHA256())
+        except Exception:
+            return False
+        return True
+
+    fake_o365.assertion_check = check
+    now = datetime(2020, 2, 8, tzinfo=timezone.utc)
+    fake_o365.add_blob("b1", "2020-02-05T10:00:00", [
+        {"CreationTime": "2020-02-05T09:59:00", "Id": "c-1",
+         "Operation": "FileAccessed", "Workload": "SharePoint"}])
+    cfg = _cfg(client_secret="", certificate=cert_path,
+               key=key_path)
+    records, _cp = _collect(fake_o365, cfg=cfg,
+                            now=lambda: now)
+    assert [r["fields"]["o365audit"]["Id"] for r in records] == \
+        ["c-1"]
+
+
+def test_certificate_auth_error_wordings(tmp_path):
+    from beats_spark.o365audit import CertTokenProvider
+    _cert, _key, cert_path, key_path = _cert_pair(tmp_path)
+    with pytest.raises(O365Error,
+                       match="error loading X509 certificate from "
+                             "'/nope.crt'"):
+        CertTokenProvider("http://a", "r", "app", TENANT,
+                          "/nope.crt", key_path)
+    with pytest.raises(O365Error,
+                       match="failed loading private key from "
+                             "'/nope.key'"):
+        CertTokenProvider("http://a", "r", "app", TENANT,
+                          cert_path, "/nope.key")
 
 
 def test_bad_secret_token_error(fake_o365):
