@@ -1,0 +1,390 @@
+"""DNS wire client (RFC 1035 subset), both halves.
+
+Completes the dns processor's network half (the repo's
+`processors.enrich.dns` consumes a broadcast answer table; the
+reference resolves live via miekg/dns — libbeat/processors/dns/
+resolver.go). Everything derives from the public DNS message format:
+
+* the message codec — header/question/answer encode+decode with name
+  compression pointers (decode follows them; the test server emits
+  them so the decoder path is exercised), A/AAAA/PTR/TXT rdata.
+* ``reverse_addr`` — the in-addr.arpa / ip6.arpa nibble names
+  (dns.ReverseAddr).
+* ``DNSResolver`` — Lookup(q, qtype) over UDP: try the configured
+  nameservers in order, skip on communication errors, a non-zero
+  rcode is a cacheable dnsError ("nameserver {s} returned NXDOMAIN",
+  resolver.go:165-181), answers filtered to the query type with
+  min-TTL aggregation and PTR short-circuiting to the first record
+  (trailing dot trimmed), the "no {type} resource records were found
+  in the response" wording.
+* ``LookupCache`` — the success/failure caches (cache.go): TTL from
+  the response floored at min_ttl, fixed failure TTL, random-evict at
+  capacity, "(from failure cache)" error suffix. (cache.go:170 keys
+  the success cache's enabled flag off FailureCache.Enabled — an
+  obvious copy-paste slip; each cache honours its own flag here.)
+* ``FakeDNSServer`` — the UDP server half for tests, serving a zone
+  dict with optional rcode overrides and drop-mode (timeout paths).
+* ``resolve_answer_table`` — resolve the DISTINCT query strings and
+  return rows for the dns processor's broadcast table: live
+  resolution feeds the existing map-side join, so per-event cost at
+  scale stays a broadcast probe, exactly the success cache's role in
+  the reference.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import random
+import socket
+import struct
+import threading
+import time
+from typing import Callable, Iterable, Optional
+
+__all__ = [
+    "DNSError", "QTYPES", "encode_query", "decode_message",
+    "encode_response", "reverse_addr", "DNSResolver", "LookupCache",
+    "FakeDNSServer", "resolve_answer_table",
+]
+
+QTYPES = {"A": 1, "PTR": 12, "TXT": 16, "AAAA": 28}
+_QTYPE_NAMES = {v: k for k, v in QTYPES.items()}
+
+
+class DNSError(Exception):
+    """dnsError (resolver.go:128-138): a failure RESPONSE (like
+    NXDOMAIN) — cacheable, unlike a communication failure."""
+
+
+RCODE_NAMES = {0: "NOERROR", 1: "FORMERR", 2: "SERVFAIL",
+               3: "NXDOMAIN", 4: "NOTIMP", 5: "REFUSED"}
+
+
+# ------------------------------------------------------------- codec
+
+def _encode_name(name: str) -> bytes:
+    out = b""
+    for label in name.rstrip(".").split("."):
+        if label:
+            raw = label.encode()
+            out += bytes([len(raw)]) + raw
+    return out + b"\x00"
+
+
+def _decode_name(data: bytes, pos: int) -> tuple[str, int]:
+    labels = []
+    jumped = False
+    end = pos
+    hops = 0
+    while True:
+        ln = data[pos]
+        if ln & 0xC0 == 0xC0:  # compression pointer
+            ptr = ((ln & 0x3F) << 8) | data[pos + 1]
+            if not jumped:
+                end = pos + 2
+            pos = ptr
+            jumped = True
+            hops += 1
+            if hops > 64:
+                raise DNSError("compression pointer loop")
+            continue
+        pos += 1
+        if ln == 0:
+            if not jumped:
+                end = pos
+            break
+        labels.append(data[pos:pos + ln].decode("ascii",
+                                                "surrogateescape"))
+        pos += ln
+    return ".".join(labels) + ".", end
+
+
+def encode_query(qid: int, name: str, qtype: int, *,
+                 recursion_desired: bool = True) -> bytes:
+    flags = 0x0100 if recursion_desired else 0
+    header = struct.pack(">HHHHHH", qid, flags, 1, 0, 0, 0)
+    return header + _encode_name(name) + struct.pack(">HH", qtype, 1)
+
+
+def _encode_rdata(rtype: int, value) -> bytes:
+    if rtype == QTYPES["A"]:
+        return ipaddress.IPv4Address(value).packed
+    if rtype == QTYPES["AAAA"]:
+        return ipaddress.IPv6Address(value).packed
+    if rtype == QTYPES["PTR"]:
+        return _encode_name(value)
+    if rtype == QTYPES["TXT"]:
+        segs = value if isinstance(value, (list, tuple)) else [value]
+        out = b""
+        for s in segs:
+            raw = s.encode()
+            out += bytes([len(raw)]) + raw
+        return out
+    raise DNSError(f"cannot encode rdata type {rtype}")
+
+
+def encode_response(qid: int, name: str, qtype: int,
+                    answers: Iterable[tuple], *, rcode: int = 0,
+                    compress: bool = True) -> bytes:
+    """The server half: answers = [(rtype, ttl, value), ...]. With
+    compress, answer names are emitted as a pointer to the question
+    name so the client decoder's pointer path runs on every reply."""
+    answers = list(answers)
+    flags = 0x8180 | (rcode & 0xF)
+    header = struct.pack(">HHHHHH", qid, flags, 1, len(answers), 0,
+                         0)
+    question = _encode_name(name) + struct.pack(">HH", qtype, 1)
+    out = header + question
+    name_pos = 12
+    for rtype, ttl, value in answers:
+        if compress:
+            out += struct.pack(">H", 0xC000 | name_pos)
+        else:
+            out += _encode_name(name)
+        rdata = _encode_rdata(rtype, value)
+        out += struct.pack(">HHIH", rtype, 1, int(ttl), len(rdata))
+        out += rdata
+    return out
+
+
+def decode_message(data: bytes) -> dict:
+    qid, flags, qd, an, _ns, _ar = struct.unpack_from(">HHHHHH",
+                                                      data)
+    pos = 12
+    questions = []
+    for _ in range(qd):
+        name, pos = _decode_name(data, pos)
+        qtype, qclass = struct.unpack_from(">HH", data, pos)
+        pos += 4
+        questions.append((name, qtype, qclass))
+    answers = []
+    for _ in range(an):
+        name, pos = _decode_name(data, pos)
+        rtype, _rclass, ttl, rdlen = struct.unpack_from(">HHIH",
+                                                        data, pos)
+        pos += 10
+        rdata = data[pos:pos + rdlen]
+        if rtype == QTYPES["A"]:
+            value = str(ipaddress.IPv4Address(rdata))
+        elif rtype == QTYPES["AAAA"]:
+            value = str(ipaddress.IPv6Address(rdata))
+        elif rtype == QTYPES["PTR"]:
+            value, _ = _decode_name(data, pos)
+        elif rtype == QTYPES["TXT"]:
+            segs = []
+            tp = 0
+            while tp < len(rdata):
+                ln = rdata[tp]
+                segs.append(rdata[tp + 1:tp + 1 + ln].decode(
+                    "ascii", "surrogateescape"))
+                tp += 1 + ln
+            value = segs
+        else:
+            value = rdata
+        pos += rdlen
+        answers.append({"name": name, "type": rtype, "ttl": ttl,
+                        "value": value})
+    return {"id": qid, "rcode": flags & 0xF,
+            "questions": questions, "answers": answers}
+
+
+def reverse_addr(ip: str) -> str:
+    """dns.ReverseAddr: the PTR name for an address."""
+    try:
+        addr = ipaddress.ip_address(ip)
+    except ValueError:
+        raise DNSError(f"dns: invalid address: {ip}")
+    if addr.version == 4:
+        return ".".join(reversed(ip.split("."))) + ".in-addr.arpa."
+    nibbles = addr.exploded.replace(":", "")
+    return ".".join(reversed(nibbles)) + ".ip6.arpa."
+
+
+# ----------------------------------------------------------- resolver
+
+class DNSResolver:
+    """miekgResolver.Lookup (resolver.go:140-222) over UDP."""
+
+    def __init__(self, servers: list, *, timeout: float = 0.5):
+        if not servers:
+            # matched lazily by Lookup like the reference
+            pass
+        self.servers = list(servers)
+        self.timeout = timeout
+
+    def lookup(self, q: str, qtype: str) -> tuple[list, int]:
+        """Returns (data, ttl). Raises DNSError on failure responses
+        and OSError-ish on communication failure with all servers."""
+        if not self.servers:
+            raise DNSError("no dns servers configured")
+        qt = QTYPES[qtype.upper() if qtype.upper() != "REVERSE"
+                    else "PTR"]
+        if qt == QTYPES["PTR"]:
+            name = reverse_addr(q)
+        else:
+            name = q if q.endswith(".") else q + "."
+        qid = random.randrange(1 << 16)
+        packet = encode_query(qid, name, qt)
+
+        comm_err: Optional[Exception] = None
+        for server in self.servers:
+            host, _, port = server.rpartition(":")
+            try:
+                sock = socket.socket(socket.AF_INET,
+                                     socket.SOCK_DGRAM)
+                sock.settimeout(self.timeout)
+                try:
+                    sock.sendto(packet, (host or "127.0.0.1",
+                                         int(port)))
+                    data, _ = sock.recvfrom(4096)
+                finally:
+                    sock.close()
+            except OSError as err:
+                comm_err = err  # try next server
+                continue
+            msg = decode_message(data)
+            if msg["rcode"] != 0:
+                rname = RCODE_NAMES.get(
+                    msg["rcode"],
+                    "response code " + str(msg["rcode"]))
+                raise DNSError(
+                    f"nameserver {server} returned {rname}")
+            data_out: list = []
+            ttl = 0xFFFFFFFF
+            for a in msg["answers"]:
+                if a["type"] != qt:
+                    continue
+                if qt == QTYPES["PTR"]:
+                    return [a["value"].rstrip(".")], a["ttl"]
+                if qt == QTYPES["TXT"]:
+                    data_out.extend(a["value"])
+                else:
+                    data_out.append(a["value"])
+                ttl = min(ttl, a["ttl"])
+            if not data_out:
+                raise DNSError(
+                    f"no {qtype.upper()} resource records were "
+                    "found in the response")
+            return data_out, ttl
+        if comm_err is not None:
+            raise comm_err
+        raise DNSError("dns resolver lookup failed")
+
+
+class LookupCache:
+    """lookupCache (cache.go): success results cached for their TTL
+    (floored at min_ttl), failures for failure_ttl, random-evict at
+    capacity."""
+
+    def __init__(self, resolver, *, min_ttl: float = 60.0,
+                 failure_ttl: float = 60.0, max_capacity: int = 10000,
+                 now: Callable[[], float] = time.time):
+        self.resolver = resolver
+        self.min_ttl = min_ttl
+        self.failure_ttl = failure_ttl
+        self.max_capacity = max_capacity
+        self.now = now
+        self._success: dict = {}
+        self._failure: dict = {}
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def lookup(self, q: str, qtype: str) -> list:
+        now = self.now()
+        with self._lock:
+            rec = self._success.get(q)
+            if rec is not None and now <= rec[1]:
+                self.hits += 1
+                return rec[0]
+            err = self._failure.get(q)
+            if err is not None and now <= err[1]:
+                self.hits += 1
+                raise DNSError(str(err[0])
+                               + " (from failure cache)")
+            self.misses += 1
+        try:
+            data, ttl = self.resolver.lookup(q, qtype)
+        except Exception as err:
+            with self._lock:
+                if len(self._failure) >= self.max_capacity:
+                    self._failure.pop(next(iter(self._failure)))
+                self._failure[q] = (err, now + self.failure_ttl)
+            raise
+        ttl = max(float(ttl), self.min_ttl)
+        with self._lock:
+            if len(self._success) >= self.max_capacity:
+                self._success.pop(next(iter(self._success)))
+            self._success[q] = (data, now + ttl)
+        return data
+
+
+# ------------------------------------------------------------- server
+
+class FakeDNSServer:
+    """The UDP server half: a zone dict {(name, qtype): [(ttl,
+    value), ...]} with optional rcode overrides and a drop mode."""
+
+    def __init__(self, zone: Optional[dict] = None):
+        self.zone = dict(zone or {})
+        self.rcode_for: dict = {}   # name → rcode override
+        self.drop = False           # swallow queries (timeout path)
+        self.queries: list = []
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(("127.0.0.1", 0))
+        self.addr = "%s:%d" % self.sock.getsockname()
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        while True:
+            try:
+                data, peer = self.sock.recvfrom(4096)
+            except OSError:
+                return
+            try:
+                msg = decode_message(data)
+            except Exception:
+                continue
+            if not msg["questions"]:
+                continue
+            name, qtype, _ = msg["questions"][0]
+            self.queries.append((name, qtype))
+            if self.drop:
+                continue
+            rcode = self.rcode_for.get(name, 0)
+            answers = []
+            if rcode == 0:
+                for ttl, value in self.zone.get((name, qtype), []):
+                    answers.append((qtype, ttl, value))
+            resp = encode_response(msg["id"], name, qtype, answers,
+                                   rcode=rcode)
+            try:
+                self.sock.sendto(resp, peer)
+            except OSError:
+                return
+
+    def close(self):
+        self.sock.close()
+
+
+# -------------------------------------------------- processor bridge
+
+def resolve_answer_table(queries: Iterable[str], *, servers: list,
+                         qtype: str = "PTR",
+                         cache: Optional[LookupCache] = None,
+                         timeout: float = 0.5) -> list[tuple]:
+    """Resolve the DISTINCT query strings and return (query,
+    answers) rows for `processors.enrich.dns`'s broadcast table —
+    live resolution feeding the existing map-side join. Failures
+    (incl. NXDOMAIN) simply omit the row, which the processor reads
+    as a lookup failure (tag_on_failure)."""
+    if cache is None:
+        cache = LookupCache(DNSResolver(servers, timeout=timeout))
+    rows = []
+    for q in dict.fromkeys(queries):
+        try:
+            data = cache.lookup(q, qtype)
+        except (DNSError, OSError):
+            continue
+        rows.append((q, data))
+    return rows

@@ -707,11 +707,14 @@ def dns_lookup(
     """dns processor (dns/dns.go:80-160) over a broadcast answer table.
 
     The reference resolves per event against nameservers through a
-    success/failure TTL cache; network resolution is environment-gated
-    here, so the resolved set arrives as `table` — (query string,
-    answers array<string>) — and the broadcast hash join IS the cache
-    (one copy per executor, map-side probes). Everything around the
-    lookup is the reference's Run, column-wise:
+    success/failure TTL cache; here the resolved set arrives as
+    `table` — (query string, answers array<string>) — and the
+    broadcast hash join IS the cache (one copy per executor, map-side
+    probes). LIVE resolution builds that table from the wire:
+    `beats_spark.dns_wire.resolve_answer_table` runs the from-scratch
+    RFC 1035 client (resolver.go semantics + cache.go's
+    success/failure TTL caches) over the DISTINCT query values.
+    Everything around the lookup is the reference's Run, column-wise:
 
     - `fields` = config `fields` flattened (source → target), processed
       in the reference's map order for tag purposes;

@@ -1,0 +1,222 @@
+"""DNS wire client battery (both halves).
+
+Exercises the from-scratch RFC 1035 subset: codec round-trips with
+the server's compression pointers, reverse_addr nibble names, the
+resolver's reference semantics (multi-nameserver fallback on
+communication errors, the NXDOMAIN / no-records wordings, PTR
+first-record short-circuit, TXT segment flattening, min-TTL
+aggregation — resolver.go), the success/failure lookup cache
+(cache.go: TTL floor, failure suffix, eviction), and the live bridge
+into the existing dns processor's broadcast table on a Spark frame.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from beats_spark.dns_wire import (
+    DNSError, DNSResolver, FakeDNSServer, LookupCache, QTYPES,
+    decode_message, encode_query, encode_response, reverse_addr,
+    resolve_answer_table,
+)
+
+
+# -------------------------------------------------------------- codec
+
+def test_codec_roundtrip_with_compression():
+    resp = encode_response(7, "example.com.", QTYPES["A"],
+                           [(QTYPES["A"], 300, "192.0.2.1"),
+                            (QTYPES["A"], 120, "192.0.2.2")])
+    msg = decode_message(resp)
+    assert msg["id"] == 7 and msg["rcode"] == 0
+    assert msg["questions"] == [("example.com.", 1, 1)]
+    # the answers rode compression pointers back to the question name
+    assert [a["name"] for a in msg["answers"]] == \
+        ["example.com."] * 2
+    assert [a["value"] for a in msg["answers"]] == \
+        ["192.0.2.1", "192.0.2.2"]
+    assert [a["ttl"] for a in msg["answers"]] == [300, 120]
+
+
+def test_codec_txt_and_ptr():
+    resp = encode_response(1, "q.example.", QTYPES["TXT"],
+                           [(QTYPES["TXT"], 60, ["seg1", "seg2"])])
+    msg = decode_message(resp)
+    assert msg["answers"][0]["value"] == ["seg1", "seg2"]
+    resp = encode_response(1, "1.2.0.192.in-addr.arpa.",
+                           QTYPES["PTR"],
+                           [(QTYPES["PTR"], 60, "host.example.com.")])
+    msg = decode_message(resp)
+    assert msg["answers"][0]["value"] == "host.example.com."
+
+
+def test_query_encoding_parses_back():
+    q = encode_query(99, "www.example.com.", QTYPES["AAAA"])
+    msg = decode_message(q)
+    assert msg["id"] == 99
+    assert msg["questions"] == [("www.example.com.", 28, 1)]
+
+
+def test_reverse_addr():
+    assert reverse_addr("192.0.2.1") == "1.2.0.192.in-addr.arpa."
+    assert reverse_addr("2001:db8::1").endswith(".ip6.arpa.")
+    assert reverse_addr("2001:db8::1").startswith(
+        "1.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0.0")
+    with pytest.raises(DNSError, match="invalid address"):
+        reverse_addr("not-an-ip")
+
+
+# ----------------------------------------------------------- resolver
+
+ZONE = {
+    ("1.2.0.192.in-addr.arpa.", QTYPES["PTR"]):
+        [(3600, "host.example.com.")],
+    ("www.example.com.", QTYPES["A"]):
+        [(300, "192.0.2.10"), (120, "192.0.2.11")],
+    ("www.example.com.", QTYPES["AAAA"]): [(60, "2001:db8::10")],
+    ("txt.example.com.", QTYPES["TXT"]):
+        [(60, ["part1", "part2"])],
+    ("empty.example.com.", QTYPES["A"]): [],
+}
+
+
+@pytest.fixture()
+def dns_srv():
+    srv = FakeDNSServer(ZONE)
+    yield srv
+    srv.close()
+
+
+def test_resolver_a_and_min_ttl(dns_srv):
+    r = DNSResolver([dns_srv.addr])
+    data, ttl = r.lookup("www.example.com", "A")
+    assert data == ["192.0.2.10", "192.0.2.11"]
+    assert ttl == 120  # min across records
+    data, _ = r.lookup("www.example.com", "AAAA")
+    assert data == ["2001:db8::10"]
+
+
+def test_resolver_ptr_and_txt(dns_srv):
+    r = DNSResolver([dns_srv.addr])
+    data, ttl = r.lookup("192.0.2.1", "PTR")
+    assert data == ["host.example.com"]  # trailing dot trimmed
+    assert ttl == 3600
+    # 'reverse' is the PTR alias the processor config uses
+    assert r.lookup("192.0.2.1", "reverse")[0] == \
+        ["host.example.com"]
+    data, _ = r.lookup("txt.example.com", "TXT")
+    assert data == ["part1", "part2"]
+
+
+def test_resolver_nxdomain_wording(dns_srv):
+    dns_srv.rcode_for["missing.example.com."] = 3
+    r = DNSResolver([dns_srv.addr])
+    with pytest.raises(DNSError,
+                       match=f"nameserver {dns_srv.addr} returned "
+                             "NXDOMAIN"):
+        r.lookup("missing.example.com", "A")
+
+
+def test_resolver_no_records_wording(dns_srv):
+    r = DNSResolver([dns_srv.addr])
+    with pytest.raises(DNSError,
+                       match="no A resource records were found in "
+                             "the response"):
+        r.lookup("empty.example.com", "A")
+
+
+def test_resolver_falls_back_to_next_nameserver(dns_srv):
+    # first server swallows queries (communication timeout), the
+    # second answers — resolver.go:161-171's continue-on-error
+    dead = FakeDNSServer({})
+    dead.drop = True
+    try:
+        r = DNSResolver([dead.addr, dns_srv.addr], timeout=0.2)
+        data, _ = r.lookup("www.example.com", "A")
+        assert data == ["192.0.2.10", "192.0.2.11"]
+    finally:
+        dead.close()
+
+
+def test_resolver_all_servers_dead_raises_comm_error():
+    dead = FakeDNSServer({})
+    dead.drop = True
+    try:
+        r = DNSResolver([dead.addr], timeout=0.2)
+        with pytest.raises(OSError):
+            r.lookup("www.example.com", "A")
+    finally:
+        dead.close()
+
+
+def test_resolver_no_servers():
+    with pytest.raises(DNSError, match="no dns servers configured"):
+        DNSResolver([]).lookup("x", "A")
+
+
+# -------------------------------------------------------------- cache
+
+def test_cache_hits_ttl_and_failure_suffix(dns_srv):
+    clock = {"t": 1000.0}
+    cache = LookupCache(DNSResolver([dns_srv.addr]), min_ttl=60.0,
+                        failure_ttl=30.0, now=lambda: clock["t"])
+    assert cache.lookup("www.example.com", "A") == \
+        ["192.0.2.10", "192.0.2.11"]
+    assert cache.lookup("www.example.com", "A")  # hit
+    assert cache.hits == 1 and cache.misses == 1
+    # ttl=120 > min_ttl → expires at t+120
+    clock["t"] += 121
+    cache.lookup("www.example.com", "A")
+    assert cache.misses == 2
+    # failures cache with the reference suffix
+    with pytest.raises(DNSError, match="no A resource records"):
+        cache.lookup("empty.example.com", "A")
+    with pytest.raises(DNSError, match=r"\(from failure cache\)"):
+        cache.lookup("empty.example.com", "A")
+    clock["t"] += 31  # failure_ttl elapsed → resolver hit again
+    with pytest.raises(DNSError) as ei:
+        cache.lookup("empty.example.com", "A")
+    assert "(from failure cache)" not in str(ei.value)
+
+
+def test_cache_min_ttl_floor(dns_srv):
+    clock = {"t": 0.0}
+    cache = LookupCache(DNSResolver([dns_srv.addr]), min_ttl=3600.0,
+                        now=lambda: clock["t"])
+    cache.lookup("www.example.com", "AAAA")  # record ttl 60 < floor
+    clock["t"] += 120
+    cache.lookup("www.example.com", "AAAA")
+    assert cache.misses == 1  # still cached thanks to the floor
+
+
+def test_cache_eviction_at_capacity(dns_srv):
+    cache = LookupCache(DNSResolver([dns_srv.addr]),
+                        max_capacity=1)
+    cache.lookup("www.example.com", "A")
+    cache.lookup("txt.example.com", "TXT")
+    assert len(cache._success) == 1  # random-evict at capacity
+
+
+# ----------------------------------------------- processor bridge
+
+def test_resolve_answer_table_and_processor(spark, dns_srv):
+    # live wire → the existing broadcast-join dns processor
+    from beats_spark.processors.enrich import dns_lookup as dns_processor
+    rows = resolve_answer_table(
+        ["192.0.2.1", "192.0.2.99", "192.0.2.1"],
+        servers=[dns_srv.addr], qtype="PTR")
+    assert rows == [("192.0.2.1", ["host.example.com"])]
+    table = spark.createDataFrame(
+        rows, "query string, answers array<string>")
+    df = spark.createDataFrame(
+        [("192.0.2.1", ["t"]), ("192.0.2.99", ["t"])],
+        "source_ip string, tags array<string>")
+    out = dns_processor({"source_ip": "source_host"}, table,
+                        qtype="reverse",
+                        tag_on_failure=["_dns_fail"])(df)
+    got = {r["source_ip"]: (r["source_host"], r["tags"])
+           for r in out.collect()}
+    assert got["192.0.2.1"] == ("host.example.com", ["t"])
+    assert got["192.0.2.99"] == (None, ["t", "_dns_fail"])
