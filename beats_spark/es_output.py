@@ -100,8 +100,10 @@ class ESConnection:
     `Authorization: ApiKey base64(...)` (connection.go:190-192,490).
     `params` are merged under the bulk call's filter_path like
     mergeParams (bulkapi.go:184-199, call params win). TLS rides
-    http.client.HTTPSConnection; cert pinning is environment-gated
-    here like the kafka jar (no CA material in this sandbox).
+    http.client.HTTPSConnection built from the beats-style `tls`
+    config block (beats_spark.tlsutil: certificate_authorities,
+    client cert, verification_mode) with the ca_sha256 pin checked
+    after the handshake.
     """
 
     def __init__(
@@ -113,6 +115,7 @@ class ESConnection:
         headers: dict[str, str] | None = None,
         params: dict[str, str] | None = None,
         timeout: float = 30.0,
+        tls: dict | None = None,
     ):
         parts = urlsplit(url)
         if parts.scheme not in ("http", "https"):
@@ -132,17 +135,28 @@ class ESConnection:
                 "ApiKey " + base64.b64encode(api_key.encode()).decode()
             )
         self._conn = None
+        self._tls = tls
 
     def _http(self):
         if self._conn is None:
             import http.client
 
-            cls = (
-                http.client.HTTPSConnection
-                if self._scheme == "https"
-                else http.client.HTTPConnection
-            )
-            self._conn = cls(self._host, self._port, timeout=self._timeout)
+            if self._scheme == "https":
+                kw = {}
+                if self._tls:
+                    from .tlsutil import client_ssl_context
+                    kw["context"] = client_ssl_context(self._tls)
+                self._conn = http.client.HTTPSConnection(
+                    self._host, self._port, timeout=self._timeout,
+                    **kw)
+                if self._tls and self._tls.get("ca_sha256"):
+                    from .tlsutil import check_ca_sha256
+                    self._conn.connect()
+                    check_ca_sha256(self._conn.sock,
+                                    self._tls["ca_sha256"])
+            else:
+                self._conn = http.client.HTTPConnection(
+                    self._host, self._port, timeout=self._timeout)
         return self._conn
 
     def request(

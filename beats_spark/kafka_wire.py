@@ -52,9 +52,10 @@ Surfaces:
     Source: checkpointed per-partition offsets, deterministic
     readBetweenOffsets replay (exactly-once to an idempotent sink).
 
-TLS/SASL are environment-gated like the reference's ssl block (the
-sandbox has no TLS peer); PLAIN auth would ride a SaslHandshake v0 +
-SaslAuthenticate exchange on connect.
+TLS is live (the reference's ssl block over beats_spark.tlsutil:
+certificate_authorities, client certs, verification_mode, ca_sha256);
+SASL PLAIN/SCRAM ride a SaslHandshake v0 + raw token exchange on
+connect.
 """
 
 from __future__ import annotations
@@ -397,8 +398,17 @@ class KafkaClient:
         username: str = "",
         password: str = "",
         sasl_mechanism: str = "PLAIN",
+        tls: dict | None = None,
     ):
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls and tls.get("enabled", True):
+            # config.go's ssl block, live over beats_spark.tlsutil
+            from .tlsutil import check_ca_sha256, client_ssl_context
+            ctx = client_ssl_context(tls)
+            self._sock = ctx.wrap_socket(
+                self._sock,
+                server_hostname=host if ctx.check_hostname else None)
+            check_ca_sha256(self._sock, tls.get("ca_sha256"))
         self._client_id = client_id
         self._corr = 0
         if username:
@@ -579,6 +589,7 @@ class KafkaCluster:
         username: str = "",
         password: str = "",
         sasl_mechanism: str = "PLAIN",
+        tls: dict | None = None,
     ):
         if not hosts:
             raise ValueError("no hosts configured")
@@ -587,6 +598,7 @@ class KafkaCluster:
         self._timeout = timeout
         self._retries = metadata_retries
         self._auth = (username, password, sasl_mechanism)
+        self._tls = tls
         self._conns: dict[tuple[str, int], KafkaClient] = {}
         self._leaders: dict[tuple[str, int], tuple[str, int]] = {}
         self._bootstrap = self._connect(*self._hosts[0])
@@ -598,6 +610,7 @@ class KafkaCluster:
             self._conns[key] = KafkaClient(
                 host, port, self._client_id, self._timeout,
                 username=u, password=p, sasl_mechanism=m,
+                tls=self._tls,
             )
         return self._conns[key]
 
@@ -711,6 +724,7 @@ def write_kafka_live(
     username: str = "",
     password: str = "",
     sasl_mechanism: str = "PLAIN",
+    tls: dict | None = None,
 ) -> None:
     """Ship a serialized column to Kafka — outputs/kafka/client.go's
     publish path over df.foreachPartition (one KafkaCluster per Spark
@@ -747,6 +761,7 @@ def write_kafka_live(
         cluster = KafkaCluster(
             hosts, client_id=client_id, timeout=timeout,
             username=username, password=password, sasl_mechanism=sasl_mechanism,
+            tls=tls,
         )
         try:
             npart: dict[str, list[int]] = {}
@@ -841,6 +856,7 @@ def kafka_collect(
     username: str = "",
     password: str = "",
     sasl_mechanism: str = "PLAIN",
+    tls: dict | None = None,
 ) -> DataFrame:
     """Bounded consume of every partition of `topics` → DataFrame in
     the reference input's event shape (composeEventMetadata +
@@ -858,6 +874,7 @@ def kafka_collect(
     cluster = KafkaCluster(
         hosts, client_id=client_id,
         username=username, password=password, sasl_mechanism=sasl_mechanism,
+        tls=tls,
     )
     rows = []
     try:

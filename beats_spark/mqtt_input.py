@@ -32,7 +32,8 @@ Two execution surfaces, mirroring the unix/tcp sources:
     the cloudpickle-by-value constraint documented at
     sources.py:_register_socket_source.
 
-TLS is environment-gated like the kafka jar (config.go's ssl block).
+TLS is live (config.go's ssl block over beats_spark.tlsutil:
+certificate_authorities, client certs, verification_mode, ca_sha256).
 """
 
 from __future__ import annotations
@@ -211,9 +212,18 @@ class MQTTClient:
         password: str | None = None,
         clean_session: bool = True,
         timeout: float = 10.0,
+        tls: dict | None = None,
     ):
         validate_client_id(client_id)
         self._sock = socket.create_connection((host, port), timeout=timeout)
+        if tls and tls.get("enabled", True):
+            # config.go's ssl block, live over beats_spark.tlsutil
+            from .tlsutil import check_ca_sha256, client_ssl_context
+            ctx = client_ssl_context(tls)
+            self._sock = ctx.wrap_socket(
+                self._sock,
+                server_hostname=host if ctx.check_hostname else None)
+            check_ca_sha256(self._sock, tls.get("ca_sha256"))
         self._buf = b""
         self._qos2_open: set[int] = set()
         self._sock.sendall(

@@ -1,0 +1,82 @@
+"""Shared TLS plumbing for the socket-level wire clients.
+
+Builds ssl contexts from the beats-style `ssl` config block
+(libbeat/common/transport/tlscommon): certificate_authorities,
+client certificate/key, verification_mode (full / certificate /
+none), and the ca_sha256 pin (the base64 SHA-256 of a certificate in
+the peer's chain; here checked against the peer's leaf after the
+handshake). The server-side helper backs the in-test TLS servers.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import ssl
+from typing import Optional
+
+__all__ = ["client_ssl_context", "server_ssl_context",
+           "check_ca_sha256", "cert_sha256_b64", "TLSConfigError"]
+
+
+class TLSConfigError(ValueError):
+    pass
+
+
+def client_ssl_context(tls: dict) -> ssl.SSLContext:
+    """The client half of tlscommon.TLSConfig: CAs, client cert, and
+    the verification_mode table (full = hostname + chain,
+    certificate = chain only, none = skip — 'strict' rides full)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    mode = (tls.get("verification_mode") or "full").lower()
+    if mode in ("full", "strict"):
+        ctx.check_hostname = True
+        ctx.verify_mode = ssl.CERT_REQUIRED
+    elif mode == "certificate":
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_REQUIRED
+    elif mode == "none":
+        ctx.check_hostname = False
+        ctx.verify_mode = ssl.CERT_NONE
+    else:
+        raise TLSConfigError(
+            f"unsupported verification_mode: {mode}")
+    for ca in tls.get("certificate_authorities") or ():
+        ctx.load_verify_locations(cafile=ca)
+    if tls.get("certificate"):
+        if not tls.get("key"):
+            raise TLSConfigError(
+                "certificate and key must both be configured")
+        ctx.load_cert_chain(certfile=tls["certificate"],
+                            keyfile=tls["key"])
+    return ctx
+
+
+def server_ssl_context(certificate: str, key: str) -> ssl.SSLContext:
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(certfile=certificate, keyfile=key)
+    return ctx
+
+
+def cert_sha256_b64(der: bytes) -> str:
+    return base64.b64encode(hashlib.sha256(der).digest()).decode()
+
+
+def check_ca_sha256(sock: ssl.SSLSocket,
+                    pin: Optional[str]) -> None:
+    """The ca_sha256 pin (outputs/elasticsearch ssl.ca_sha256 /
+    tlscommon): the handshake must have produced a peer certificate
+    whose SHA-256 matches the configured base64 digest."""
+    if not pin:
+        return
+    der = sock.getpeercert(binary_form=True)
+    if der is None:
+        raise TLSConfigError(
+            "ca_sha256 is configured but no peer certificate was "
+            "presented")
+    got = cert_sha256_b64(der)
+    if got != pin:
+        raise TLSConfigError(
+            "provided CA certificate pins "
+            f"({pin}) do not match any of the certificate chain "
+            f"(got {got})")

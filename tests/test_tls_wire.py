@@ -1,0 +1,219 @@
+"""TLS for the socket wire clients (kafka, mqtt, ES output).
+
+Exercises beats_spark.tlsutil's beats-style ssl block (CAs,
+verification modes, client certs, the ca_sha256 pin) over live TLS
+servers: the kafka fake broker and mqtt fake broker wrapped in
+server contexts, and an https ES endpoint with pin match/mismatch.
+"""
+
+from __future__ import annotations
+
+import ssl
+import threading
+
+import pytest
+
+from beats_spark.tlsutil import (
+    TLSConfigError, cert_sha256_b64, check_ca_sha256,
+    client_ssl_context, server_ssl_context,
+)
+
+
+def _self_signed(tmp_path, cn="127.0.0.1"):
+    import datetime
+    import ipaddress
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    key = rsa.generate_private_key(public_exponent=65537,
+                                   key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(minutes=1))
+            .not_valid_after(now + datetime.timedelta(hours=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.IPv4Address("127.0.0.1"))]),
+                critical=False)
+            .sign(key, hashes.SHA256()))
+    cert_path = tmp_path / f"{cn}.crt"
+    key_path = tmp_path / f"{cn}.key"
+    cert_path.write_bytes(cert.public_bytes(
+        serialization.Encoding.PEM))
+    key_path.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    der = cert.public_bytes(serialization.Encoding.DER)
+    return str(cert_path), str(key_path), der
+
+
+# ------------------------------------------------------------ tlsutil
+
+def test_verification_modes(tmp_path):
+    cert, _key, _der = _self_signed(tmp_path)
+    ctx = client_ssl_context({"certificate_authorities": [cert]})
+    assert ctx.check_hostname and ctx.verify_mode == \
+        ssl.CERT_REQUIRED
+    ctx = client_ssl_context({"verification_mode": "certificate",
+                              "certificate_authorities": [cert]})
+    assert not ctx.check_hostname
+    assert ctx.verify_mode == ssl.CERT_REQUIRED
+    ctx = client_ssl_context({"verification_mode": "none"})
+    assert ctx.verify_mode == ssl.CERT_NONE
+    with pytest.raises(TLSConfigError,
+                       match="unsupported verification_mode"):
+        client_ssl_context({"verification_mode": "bogus"})
+    with pytest.raises(TLSConfigError,
+                       match="certificate and key must both"):
+        client_ssl_context({"certificate": cert})
+
+
+def test_ca_sha256_pin_values(tmp_path):
+    _cert, _key, der = _self_signed(tmp_path)
+    pin = cert_sha256_b64(der)
+    assert len(pin) == 44  # base64 of 32 bytes
+
+
+# ------------------------------------------------------- kafka client
+
+def _tls_broker(tmp_path):
+    from test_kafka_wire import FakeBroker, FakeClusterState
+    cert, key, der = _self_signed(tmp_path)
+    ctx = server_ssl_context(cert, key)
+    state = FakeClusterState()
+    b = FakeBroker(state, node_id=0)
+
+    orig_get_request = b.get_request
+
+    def get_request():
+        sock, addr = orig_get_request()
+        return ctx.wrap_socket(sock, server_side=True), addr
+
+    b.get_request = get_request
+    return b, state, cert, der
+
+
+def test_kafka_client_over_tls(tmp_path):
+    from beats_spark.kafka_wire import KafkaClient
+    b, state, cert, der = _tls_broker(tmp_path)
+    try:
+        state.ensure_topic("events")
+        c = KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"certificate_authorities": [cert],
+                             "ca_sha256": cert_sha256_b64(der)})
+        md = c.metadata(["events"])
+        assert "events" in str(md)
+    finally:
+        b.stop()
+
+
+def test_kafka_client_tls_pin_mismatch(tmp_path):
+    from beats_spark.kafka_wire import KafkaClient
+    b, state, cert, _der = _tls_broker(tmp_path)
+    try:
+        with pytest.raises(TLSConfigError,
+                           match="do not match any of the "
+                                 "certificate chain"):
+            KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"certificate_authorities": [cert],
+                             "ca_sha256": "A" * 43 + "="})
+    finally:
+        b.stop()
+
+
+def test_kafka_client_tls_untrusted_ca_fails(tmp_path):
+    from beats_spark.kafka_wire import KafkaClient
+    b, _state, _cert, _der = _tls_broker(tmp_path)
+    other_cert, _k, _d = _self_signed(tmp_path, cn="other")
+    try:
+        with pytest.raises(ssl.SSLError):
+            KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"certificate_authorities":
+                             [other_cert]})
+    finally:
+        b.stop()
+
+
+# -------------------------------------------------------- mqtt client
+
+def test_mqtt_client_over_tls(tmp_path):
+    import socket as _socket
+    from beats_spark.mqtt_input import MQTTClient, encode_connack
+    cert, key, der = _self_signed(tmp_path)
+    ctx = server_ssl_context(cert, key)
+    srv = _socket.socket()
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        sock, _ = srv.accept()
+        tls_sock = ctx.wrap_socket(sock, server_side=True)
+        tls_sock.recv(4096)  # CONNECT
+        tls_sock.sendall(encode_connack(0))
+        tls_sock.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        c = MQTTClient("127.0.0.1", port,
+                       tls={"certificate_authorities": [cert],
+                            "ca_sha256": cert_sha256_b64(der)})
+        c.disconnect()
+    finally:
+        srv.close()
+
+
+# ---------------------------------------------------------- es output
+
+def test_es_connection_over_tls_with_pin(tmp_path):
+    import json
+    from http.server import BaseHTTPRequestHandler, \
+        ThreadingHTTPServer
+    from beats_spark.es_output import ESConnection
+    cert, key, der = _self_signed(tmp_path)
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            data = json.dumps({"version": {"number": "8.0.0"}}
+                              ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    httpd.socket = server_ssl_context(cert, key).wrap_socket(
+        httpd.socket, server_side=True)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever,
+                     daemon=True).start()
+    try:
+        conn = ESConnection(
+            f"https://127.0.0.1:{port}",
+            tls={"certificate_authorities": [cert],
+                 "ca_sha256": cert_sha256_b64(der)})
+        status, body = conn.request("GET", "/")
+        assert status == 200
+        assert json.loads(body)["version"]["number"] == "8.0.0"
+        # a wrong pin refuses before any request
+        conn2 = ESConnection(
+            f"https://127.0.0.1:{port}",
+            tls={"certificate_authorities": [cert],
+                 "ca_sha256": "B" * 43 + "="})
+        with pytest.raises(TLSConfigError,
+                           match="do not match"):
+            conn2.request("GET", "/")
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
