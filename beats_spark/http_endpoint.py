@@ -43,8 +43,9 @@ written without '.'/'e' in which case they are literalised as strings;
 program output follows the proto3 JSON mapping (ints outside ±(2^53-1)
 render as strings).
 
-TLS serving and the lumberjack request tracer are environment-gated
-(config surface + consistency checks only), like the kafka jar.
+TLS serving is LIVE (_tls_server_context over the configured
+certificate/key); the lumberjack request tracer stays a config
+surface only.
 
 Spark surface: EndpointCollector buffers published events (immediate or
 ack-after-drain dispositions) and endpoint_events_df lands them as a

@@ -214,6 +214,7 @@ def write_lumberjack(
     compression_level: int = 3,
     timeout: float = 30.0,
     pipelining: int = 0,
+    tls: dict | None = None,
 ) -> None:
     """Ship a serialized-JSON column to a lumberjack v2 server —
     libbeat/outputs/logstash client semantics over df.foreachPartition
@@ -260,6 +261,15 @@ def write_lumberjack(
             return  # empty partition: no connection (the sibling-sink rule)
         rows = itertools.chain([first], it0)
         sock = socket.create_connection((host, port), timeout=timeout)
+        if tls and tls.get("enabled", True):
+            # the output's ssl block, live over beats_spark.tlsutil
+            from beats_spark.tlsutil import (check_ca_sha256,
+                                             client_ssl_context)
+            ctx = client_ssl_context(tls)
+            sock = ctx.wrap_socket(
+                sock,
+                server_hostname=host if ctx.check_hostname else None)
+            check_ca_sha256(sock, tls.get("ca_sha256"))
         win = lj.Window(lj.DEFAULT_START_MAX_WINDOW_SIZE, bulk_max_size) if slow_start else None
         parser = lj.FrameParser()
         in_flight: deque = deque()  # [final_seq, acked_so_far] per window, oldest first
@@ -587,7 +597,7 @@ def read_lumberjack(
     accepted but behaviorally a no-op: it exists to notify clients
     while a received batch waits on the beats pipeline, and this server
     ACKs at the window boundary with no pipeline delay to bridge. TLS
-    is environment-gated (no cert infra here), like the kafka jar."""
+    is live (the output ssl block over beats_spark.tlsutil)."""
     for v in versions:
         # config.go Validate — case-insensitive, exact wording
         if str(v).lower() not in ("v1", "v2"):

@@ -15,7 +15,8 @@ implements it from scratch on stdlib http.client:
 - auth/secret.go→ the AAD v1 client-credentials grant: POST
                   {auth_endpoint}/{tenant}/oauth2/token with
                   grant_type/client_id/client_secret/resource;
-                  certificate auth is environment-gated loudly
+                  certificate auth is LIVE (CertTokenProvider:
+                  the x5t client-assertion flow)
 - state.go      → checkpoint: Before / TryAdvance (equal-timestamp
                   blobs reprocess only when seeking a line) /
                   WithStartTime / ForNextLine
@@ -172,8 +173,8 @@ def validate_config(cfg: Config) -> None:
 
 class TokenProvider:
     """auth/secret.go — the AAD v1 client-credentials grant. The
-    certificate flow (auth/cert.go, pkcs12 + JWT assertion) is
-    environment-gated loudly."""
+    certificate flow lives in CertTokenProvider below (auth/cert.go:
+    the x5t client-assertion JWT)."""
 
     def __init__(self, endpoint: str, resource: str, application_id:
                  str, tenant_id: str, secret: str,

@@ -30,7 +30,7 @@ path: a DataFrame of hosts fanned out with mapInPandas, one connection
 per host row ON the executors (the lumberjack-output pattern) — polling
 thousands of shards becomes an embarrassingly parallel scan.
 
-TLS is environment-gated like the kafka jar (config.go's ssl block
+TLS is live over beats_spark.tlsutil (config.go's ssl block
 needs a cert store; the socket layer here is pluggable).
 """
 
@@ -306,11 +306,19 @@ def slowlog_from_hosts(
 # Output — libbeat/outputs/redis over the same RESP codec
 # ---------------------------------------------------------------------------
 def _redis_connect(
-    host: str, port: int, password: str, db: int, timeout: float
+    host: str, port: int, password: str, db: int, timeout: float,
+    tls: dict | None = None,
 ) -> tuple[socket.socket, _RespReader]:
     """initRedisConn (client.go:114-132): AUTH when a password is set,
-    then PING, then SELECT for a non-zero db."""
+    then PING, then SELECT for a non-zero db. TLS rides the ssl
+    config block over beats_spark.tlsutil."""
     sock = socket.create_connection((host, port), timeout=timeout)
+    if tls and tls.get("enabled", True):
+        from .tlsutil import check_ca_sha256, client_ssl_context
+        ctx = client_ssl_context(tls)
+        sock = ctx.wrap_socket(
+            sock, server_hostname=host if ctx.check_hostname else None)
+        check_ca_sha256(sock, tls.get("ca_sha256"))
     try:
         reader = _RespReader(sock)
         if password:
@@ -356,6 +364,7 @@ def write_redis(
     db: int = 0,
     bulk_max_size: int = 2048,
     timeout: float = 5.0,
+    tls: dict | None = None,
 ) -> None:
     """libbeat/outputs/redis analog — ship a serialized column to a
     Redis list (RPUSH) or pub/sub channel (PUBLISH), one connection per
@@ -393,7 +402,7 @@ def write_redis(
         import itertools
 
         rows_iter = itertools.chain([first], it)
-        sock, reader = _redis_connect(host, port, password, db, timeout)
+        sock, reader = _redis_connect(host, port, password, db, timeout, tls)
         try:
             bulk = command == "RPUSH" and const_key and _redis_multi_value(sock, reader)
             failed = 0

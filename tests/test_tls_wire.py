@@ -170,6 +170,57 @@ def test_mqtt_client_over_tls(tmp_path):
         srv.close()
 
 
+# -------------------------------------------------------- redis client
+
+def test_redis_connect_over_tls(tmp_path):
+    from test_redis_output import FakeRedisServer
+    from beats_spark.redis_input import _redis_connect, \
+        encode_command
+    import socket as _socket
+    cert, key, der = _self_signed(tmp_path)
+    ctx = server_ssl_context(cert, key)
+    srv = FakeRedisServer()
+    srv.start()
+    # a TLS-terminating front: accept TLS, pipe plaintext to the fake
+    front = _socket.create_server(("127.0.0.1", 0))
+    front_port = front.getsockname()[1]
+
+    def pipe(a, b):
+        try:
+            while True:
+                data = a.recv(65536)
+                if not data:
+                    return
+                b.sendall(data)
+        except OSError:
+            pass
+
+    def serve():
+        sock, _ = front.accept()
+        tls_sock = ctx.wrap_socket(sock, server_side=True)
+        back = _socket.create_connection(("127.0.0.1", srv.port))
+        threading.Thread(target=pipe, args=(back, tls_sock),
+                         daemon=True).start()
+        pipe(tls_sock, back)
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        sock, reader = _redis_connect(
+            "127.0.0.1", front_port, password="pw", db=2,
+            timeout=5.0,
+            tls={"certificate_authorities": [cert],
+                 "ca_sha256": cert_sha256_b64(der)})
+        sock.sendall(encode_command("PING"))
+        assert reader.read_reply() in (b"PONG", "PONG")
+        sock.close()
+        # AUTH/PING/SELECT ran through the TLS socket
+        verbs = [c[0].upper() for c in srv.commands]
+        assert verbs[:3] == [b"AUTH", b"PING", b"SELECT"]
+    finally:
+        srv.close()
+        front.close()
+
+
 # ---------------------------------------------------------- es output
 
 def test_es_connection_over_tls_with_pin(tmp_path):
