@@ -228,14 +228,17 @@ class DNSResolver:
 
         comm_err: Optional[Exception] = None
         for server in self.servers:
-            host, _, port = server.rpartition(":")
+            if ":" in server:
+                host, _, port_s = server.rpartition(":")
+                port = int(port_s)
+            else:
+                host, port = server, 53
             try:
                 sock = socket.socket(socket.AF_INET,
                                      socket.SOCK_DGRAM)
                 sock.settimeout(self.timeout)
                 try:
-                    sock.sendto(packet, (host or "127.0.0.1",
-                                         int(port)))
+                    sock.sendto(packet, (host, port))
                     data, _ = sock.recvfrom(4096)
                 finally:
                     sock.close()
@@ -292,12 +295,13 @@ class LookupCache:
 
     def lookup(self, q: str, qtype: str) -> list:
         now = self.now()
+        key = (q, qtype.upper())
         with self._lock:
-            rec = self._success.get(q)
+            rec = self._success.get(key)
             if rec is not None and now <= rec[1]:
                 self.hits += 1
                 return rec[0]
-            err = self._failure.get(q)
+            err = self._failure.get(key)
             if err is not None and now <= err[1]:
                 self.hits += 1
                 raise DNSError(str(err[0])
@@ -305,17 +309,19 @@ class LookupCache:
             self.misses += 1
         try:
             data, ttl = self.resolver.lookup(q, qtype)
-        except Exception as err:
+        except DNSError as err:
+            # only failure RESPONSES are cacheable; communication
+            # failures (timeouts) pass through uncached
             with self._lock:
                 if len(self._failure) >= self.max_capacity:
                     self._failure.pop(next(iter(self._failure)))
-                self._failure[q] = (err, now + self.failure_ttl)
+                self._failure[key] = (err, now + self.failure_ttl)
             raise
         ttl = max(float(ttl), self.min_ttl)
         with self._lock:
             if len(self._success) >= self.max_capacity:
                 self._success.pop(next(iter(self._success)))
-            self._success[q] = (data, now + ttl)
+            self._success[key] = (data, now + ttl)
         return data
 
 

@@ -1459,8 +1459,12 @@ class ServerPool:
             httpd = _ThreadingHTTPServer((host, int(port)),
                                          _make_wsgi_handler(s))
             if tls_ctx is not None:
+                # handshake lazily in the per-connection handler
+                # thread, not inside the single accept loop — a
+                # stalled ClientHello must not block other senders
                 httpd.socket = tls_ctx.wrap_socket(
-                    httpd.socket, server_side=True)
+                    httpd.socket, server_side=True,
+                    do_handshake_on_connect=False)
             s.httpd = httpd
             self.servers[e.addr] = s
 

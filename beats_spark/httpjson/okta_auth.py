@@ -34,6 +34,7 @@ from ..dpop import (
     DPoPError, ProofGenerator, default_claimer,
     resource_request_with_dpop, token_request_with_dpop,
 )
+from .provider_auth import _client_id
 
 __all__ = [
     "rsa_key_from_okta_jwk", "pem_pkcs8_private_key",
@@ -126,11 +127,6 @@ def validate_okta_config(cfg: dict) -> None:
             raise ValueError(f"okta validation error: {err}")
 
 
-def _client_id(cfg: dict) -> str:
-    return (cfg.get("client", {}) or {}).get("id") \
-        or cfg.get("client.id", "")
-
-
 class OktaOAuth2:
     """fetchOktaOauthClient + oktaTokenSource
     (config_okta_auth.go:43-146): the JWT-bearer client_credentials
@@ -157,7 +153,7 @@ class OktaOAuth2:
             self.proof_gen = ProofGenerator(
                 default_claimer(self.client_id, self.token_url,
                                 now=now),
-                dpop_key, "RS256")
+                dpop_key)  # alg auto-detected (RSA/EC/Ed25519)
         self._token: Optional[str] = None
         self._expires_at = 0.0
 

@@ -263,13 +263,8 @@ def write_lumberjack(
         sock = socket.create_connection((host, port), timeout=timeout)
         if tls and tls.get("enabled", True):
             # the output's ssl block, live over beats_spark.tlsutil
-            from beats_spark.tlsutil import (check_ca_sha256,
-                                             client_ssl_context)
-            ctx = client_ssl_context(tls)
-            sock = ctx.wrap_socket(
-                sock,
-                server_hostname=host if ctx.check_hostname else None)
-            check_ca_sha256(sock, tls.get("ca_sha256"))
+            from beats_spark.tlsutil import wrap_client_socket
+            sock = wrap_client_socket(sock, host, tls)
         win = lj.Window(lj.DEFAULT_START_MAX_WINDOW_SIZE, bulk_max_size) if slow_start else None
         parser = lj.FrameParser()
         in_flight: deque = deque()  # [final_seq, acked_so_far] per window, oldest first
@@ -597,7 +592,8 @@ def read_lumberjack(
     accepted but behaviorally a no-op: it exists to notify clients
     while a received batch waits on the beats pipeline, and this server
     ACKs at the window boundary with no pipeline delay to bridge. TLS
-    is live (the output ssl block over beats_spark.tlsutil)."""
+    is live on the OUTPUT client (write_lumberjack's tls param);
+    this server-side input remains plaintext."""
     for v in versions:
         # config.go Validate — case-insensitive, exact wording
         if str(v).lower() not in ("v1", "v2"):

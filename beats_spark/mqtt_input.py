@@ -218,12 +218,8 @@ class MQTTClient:
         self._sock = socket.create_connection((host, port), timeout=timeout)
         if tls and tls.get("enabled", True):
             # config.go's ssl block, live over beats_spark.tlsutil
-            from .tlsutil import check_ca_sha256, client_ssl_context
-            ctx = client_ssl_context(tls)
-            self._sock = ctx.wrap_socket(
-                self._sock,
-                server_hostname=host if ctx.check_hostname else None)
-            check_ca_sha256(self._sock, tls.get("ca_sha256"))
+            from .tlsutil import wrap_client_socket
+            self._sock = wrap_client_socket(self._sock, host, tls)
         self._buf = b""
         self._qos2_open: set[int] = set()
         self._sock.sendall(

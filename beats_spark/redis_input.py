@@ -314,11 +314,8 @@ def _redis_connect(
     config block over beats_spark.tlsutil."""
     sock = socket.create_connection((host, port), timeout=timeout)
     if tls and tls.get("enabled", True):
-        from .tlsutil import check_ca_sha256, client_ssl_context
-        ctx = client_ssl_context(tls)
-        sock = ctx.wrap_socket(
-            sock, server_hostname=host if ctx.check_hostname else None)
-        check_ca_sha256(sock, tls.get("ca_sha256"))
+        from .tlsutil import wrap_client_socket
+        sock = wrap_client_socket(sock, host, tls)
     try:
         reader = _RespReader(sock)
         if password:

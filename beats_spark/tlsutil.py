@@ -16,7 +16,8 @@ import ssl
 from typing import Optional
 
 __all__ = ["client_ssl_context", "server_ssl_context",
-           "check_ca_sha256", "cert_sha256_b64", "TLSConfigError"]
+           "check_ca_sha256", "cert_sha256_b64", "TLSConfigError",
+           "wrap_client_socket"]
 
 
 class TLSConfigError(ValueError):
@@ -41,8 +42,12 @@ def client_ssl_context(tls: dict) -> ssl.SSLContext:
     else:
         raise TLSConfigError(
             f"unsupported verification_mode: {mode}")
-    for ca in tls.get("certificate_authorities") or ():
+    cas = tls.get("certificate_authorities") or ()
+    for ca in cas:
         ctx.load_verify_locations(cafile=ca)
+    if not cas and ctx.verify_mode != ssl.CERT_NONE:
+        # beats semantics: no configured CAs = the system trust pool
+        ctx.load_default_certs()
     if tls.get("certificate"):
         if not tls.get("key"):
             raise TLSConfigError(
@@ -50,6 +55,18 @@ def client_ssl_context(tls: dict) -> ssl.SSLContext:
         ctx.load_cert_chain(certfile=tls["certificate"],
                             keyfile=tls["key"])
     return ctx
+
+
+def wrap_client_socket(sock, host: str, tls: dict):
+    """The shared client path for the socket wire clients: build the
+    context, wrap with SNI always set (beats keeps ServerName even
+    when only hostname VERIFICATION is skipped), then check the
+    ca_sha256 pin against the leaf and the configured CAs."""
+    ctx = client_ssl_context(tls)
+    wrapped = ctx.wrap_socket(sock, server_hostname=host)
+    check_ca_sha256(wrapped, tls.get("ca_sha256"),
+                    tls.get("certificate_authorities"))
+    return wrapped
 
 
 def server_ssl_context(certificate: str, key: str) -> ssl.SSLContext:
@@ -62,11 +79,32 @@ def cert_sha256_b64(der: bytes) -> str:
     return base64.b64encode(hashlib.sha256(der).digest()).decode()
 
 
-def check_ca_sha256(sock: ssl.SSLSocket,
-                    pin: Optional[str]) -> None:
+def _pem_cert_digests(path: str) -> list[str]:
+    import re
+    try:
+        text = open(path, "rb").read()
+    except OSError:
+        return []
+    out = []
+    for block in re.findall(
+            rb"-----BEGIN CERTIFICATE-----(.*?)"
+            rb"-----END CERTIFICATE-----", text, re.S):
+        try:
+            der = base64.b64decode(b"".join(block.split()))
+        except Exception:
+            continue
+        out.append(cert_sha256_b64(der))
+    return out
+
+
+def check_ca_sha256(sock: ssl.SSLSocket, pin: Optional[str],
+                    ca_files: Optional[list] = None) -> None:
     """The ca_sha256 pin (outputs/elasticsearch ssl.ca_sha256 /
-    tlscommon): the handshake must have produced a peer certificate
-    whose SHA-256 matches the configured base64 digest."""
+    tlscommon): the pin must match a certificate in the verified
+    chain. Python (< 3.13) exposes only the peer's leaf, so the leaf
+    is checked directly and — because a successful verification
+    proves the chain runs through a configured CA — the configured
+    CA certificates stand in for the rest of the chain."""
     if not pin:
         return
     der = sock.getpeercert(binary_form=True)
@@ -74,9 +112,11 @@ def check_ca_sha256(sock: ssl.SSLSocket,
         raise TLSConfigError(
             "ca_sha256 is configured but no peer certificate was "
             "presented")
-    got = cert_sha256_b64(der)
-    if got != pin:
+    candidates = [cert_sha256_b64(der)]
+    for ca in ca_files or ():
+        candidates.extend(_pem_cert_digests(ca))
+    if pin not in candidates:
         raise TLSConfigError(
             "provided CA certificate pins "
             f"({pin}) do not match any of the certificate chain "
-            f"(got {got})")
+            f"(got {candidates[0]})")

@@ -199,6 +199,43 @@ def test_cache_eviction_at_capacity(dns_srv):
     assert len(cache._success) == 1  # random-evict at capacity
 
 
+def test_portless_nameserver_defaults_to_53():
+    # a nameserver without :port must parse (host, 53) and fail with
+    # a COMMUNICATION error, not a ValueError crash
+    r = DNSResolver(["127.0.0.1"], timeout=0.15)
+    with pytest.raises(OSError):
+        r.lookup("www.example.com", "A")
+
+
+def test_cache_keyed_by_qtype(dns_srv):
+    cache = LookupCache(DNSResolver([dns_srv.addr]))
+    a = cache.lookup("www.example.com", "A")
+    txt = cache.lookup("txt.example.com", "TXT")
+    # same-name different-type must NOT share entries
+    aaaa = cache.lookup("www.example.com", "AAAA")
+    assert a == ["192.0.2.10", "192.0.2.11"]
+    assert aaaa == ["2001:db8::10"]
+    assert cache.misses == 3
+    _ = txt
+
+
+def test_cache_does_not_cache_comm_errors():
+    dead = FakeDNSServer({})
+    dead.drop = True
+    try:
+        cache = LookupCache(DNSResolver([dead.addr], timeout=0.15))
+        with pytest.raises(OSError):
+            cache.lookup("x.example.com", "A")
+        # a second attempt hits the resolver again (no failure-cache
+        # poisoning from a transient timeout)
+        with pytest.raises(OSError) as ei:
+            cache.lookup("x.example.com", "A")
+        assert "(from failure cache)" not in str(ei.value)
+        assert cache.misses == 2
+    finally:
+        dead.close()
+
+
 # ----------------------------------------------- processor bridge
 
 def test_resolve_answer_table_and_processor(spark, dns_srv):

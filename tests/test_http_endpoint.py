@@ -1008,6 +1008,33 @@ def test_server_pool_tls_live(pool, tmp_path):
         _post(port, "/", '{"plain":1}')
 
 
+def test_server_pool_tls_stalled_client_does_not_block(pool,
+                                                       tmp_path):
+    # a TCP connection that never sends a ClientHello must not stall
+    # the accept loop (the handshake runs lazily per-connection)
+    import socket as _socket
+    import ssl as _ssl
+    cert, key = _self_signed_cert(tmp_path)
+    pub = Publisher()
+    reg, e = _register(pool, pub,
+                       tls={"enabled": True, "certificate": cert,
+                            "key": key})
+    port = reg.server.httpd.server_address[1]
+    stalled = _socket.create_connection(("127.0.0.1", port))
+    try:
+        ctx = _ssl.create_default_context(cafile=cert)
+        req = urllib.request.Request(
+            f"https://127.0.0.1:{port}/", data=b'{"ok":1}',
+            headers={"Content-Type": "application/json"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=10,
+                                    context=ctx) as r:
+            assert r.status == 200
+    finally:
+        stalled.close()
+    assert [ev.fields for ev in pub.events] == [{"json": {"ok": 1}}]
+
+
 def test_server_pool_tls_requires_cert_config(pool):
     pub = Publisher()
     with pytest.raises(ValueError,

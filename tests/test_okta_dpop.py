@@ -390,6 +390,27 @@ def test_httpjson_google_without_creds_fails_validation():
         httpjson_collect(cfg)
 
 
+def test_httpjson_okta_dpop_with_ec_key():
+    # DPoP keys are typically EC (P-256): the proof alg must be
+    # auto-detected, not hard-coded RS256
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from beats_spark.httpjson.engine import httpjson_collect
+    ec_key = ec.generate_private_key(ec.SECP256R1())
+    ec_pem = ec_key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+    srv = FakeOktaAuth(require_dpop=True)
+    try:
+        cfg = _engine_cfg(srv)
+        cfg["auth"]["oauth2"]["okta.dpop_key_pem"] = ec_pem
+        events, _ = httpjson_collect(cfg, raw=True)
+        assert [e["event"] for e in events] == ["login"]
+    finally:
+        srv.close()
+
+
 def test_okta_token_source_caches_and_refreshes():
     # TestOktaTokenSource_Token: cached until expiry, then refreshed
     srv = FakeOktaAuth()

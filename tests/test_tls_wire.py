@@ -170,6 +170,85 @@ def test_mqtt_client_over_tls(tmp_path):
         srv.close()
 
 
+def _ca_signed_pair(tmp_path):
+    """A CA certificate and a leaf it signs — the shape the ca_sha256
+    pin documents (pin the CA, serve the leaf)."""
+    import datetime
+    import ipaddress
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+    now = datetime.datetime.now(datetime.timezone.utc)
+
+    def name(cn):
+        return x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                             cn)])
+
+    ca_key = rsa.generate_private_key(public_exponent=65537,
+                                      key_size=2048)
+    ca_cert = (x509.CertificateBuilder()
+               .subject_name(name("test-ca")).issuer_name(
+                   name("test-ca"))
+               .public_key(ca_key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now - datetime.timedelta(minutes=1))
+               .not_valid_after(now + datetime.timedelta(hours=1))
+               .add_extension(x509.BasicConstraints(
+                   ca=True, path_length=None), critical=True)
+               .sign(ca_key, hashes.SHA256()))
+    leaf_key = rsa.generate_private_key(public_exponent=65537,
+                                        key_size=2048)
+    leaf = (x509.CertificateBuilder()
+            .subject_name(name("127.0.0.1")).issuer_name(
+                name("test-ca"))
+            .public_key(leaf_key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(minutes=1))
+            .not_valid_after(now + datetime.timedelta(hours=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.IPv4Address("127.0.0.1"))]),
+                critical=False)
+            .sign(ca_key, hashes.SHA256()))
+    ca_path = tmp_path / "ca.crt"
+    ca_path.write_bytes(ca_cert.public_bytes(
+        serialization.Encoding.PEM))
+    leaf_path = tmp_path / "leaf.crt"
+    leaf_path.write_bytes(leaf.public_bytes(
+        serialization.Encoding.PEM))
+    key_path = tmp_path / "leaf.key"
+    key_path.write_bytes(leaf_key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    ca_der = ca_cert.public_bytes(serialization.Encoding.DER)
+    return str(ca_path), str(leaf_path), str(key_path), ca_der
+
+
+def test_ca_sha256_matches_configured_ca(tmp_path):
+    # the documented usage: pin the CA's digest while the server
+    # presents a CA-signed leaf — the pin must pass via the
+    # configured CA file (the chain the verification ran through)
+    from beats_spark.kafka_wire import KafkaClient
+    from test_kafka_wire import FakeBroker, FakeClusterState
+    ca, leaf, key, ca_der = _ca_signed_pair(tmp_path)
+    ctx = server_ssl_context(leaf, key)
+    state = FakeClusterState()
+    b = FakeBroker(state, node_id=0)
+    orig = b.get_request
+    b.get_request = lambda: (lambda s, a:
+                             (ctx.wrap_socket(s, server_side=True),
+                              a))(*orig())
+    try:
+        state.ensure_topic("t")
+        c = KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"certificate_authorities": [ca],
+                             "ca_sha256": cert_sha256_b64(ca_der)})
+        assert c.metadata(["t"])
+    finally:
+        b.stop()
+
+
 # -------------------------------------------------------- redis client
 
 def test_redis_connect_over_tls(tmp_path):
