@@ -1316,6 +1316,82 @@ def container_id_from_cgroup(col: Column, regex: str = DEFAULT_CGROUP_REGEX) -> 
     return F.nullif(F.regexp_extract(col, regex, 1), F.lit(""))
 
 
+def local_process_table(spark, pids: list | None = None):
+    """Build the broadcast process table LIVE from the local /proc
+    (the gosysinfo provider's data source, add_process_metadata.go's
+    GetProcessMetadata): pid, name (comm), title (joined cmdline),
+    exe (readlink, best-effort), args, ppid, start_time (boot time +
+    starttime ticks), username/userid from /proc/<pid>/status Uid.
+    The netmetrics precedent: this host's procfs is real; a docker
+    HOST's /proc remains environment-bound."""
+    import os
+
+    try:
+        with open("/proc/stat") as fh:
+            btime = next((int(line.split()[1])
+                          for line in fh
+                          if line.startswith("btime ")), 0)
+    except OSError:
+        btime = 0
+    hz = os.sysconf("SC_CLK_TCK")
+
+    def one(pid: int):
+        base = f"/proc/{pid}"
+        try:
+            with open(base + "/stat") as fh:
+                stat = fh.read()
+        except OSError:
+            return None
+        # comm may contain spaces/parens: take the outermost parens
+        lp, rp = stat.index("("), stat.rindex(")")
+        name = stat[lp + 1:rp]
+        rest = stat[rp + 2:].split()
+        ppid = int(rest[1])       # field 4
+        starttime = int(rest[19])  # field 22
+        start_iso = None
+        if btime:
+            from datetime import datetime, timezone
+            start_iso = datetime.fromtimestamp(
+                btime + starttime / hz, timezone.utc).isoformat()
+        try:
+            with open(base + "/cmdline", "rb") as fh:
+                args = [a.decode("utf-8", "replace")
+                        for a in fh.read().split(b"\0") if a]
+        except OSError:
+            args = []
+        try:
+            exe = os.readlink(base + "/exe")
+        except OSError:
+            exe = None
+        username = userid = None
+        try:
+            with open(base + "/status") as fh:
+                for line in fh:
+                    if line.startswith("Uid:"):
+                        userid = line.split()[1]
+                        break
+            if userid is not None:
+                import pwd
+                try:
+                    username = pwd.getpwuid(int(userid)).pw_name
+                except KeyError:
+                    pass
+        except OSError:
+            pass
+        return (int(pid), name, " ".join(args) or name, exe, args,
+                ppid, start_iso, username, userid)
+
+    if pids is None:
+        pids = [int(d) for d in os.listdir("/proc") if d.isdigit()]
+    rows = [r for r in (one(p) for p in pids) if r is not None]
+    # bare column names: add_process_metadata prefixes `process_`
+    return spark.createDataFrame(
+        rows,
+        "pid int, name string, title string, exe string,"
+        " args array<string>, ppid int, start_time string,"
+        " username string, userid string")
+
+
 def add_process_metadata(
     table: DataFrame,
     match_pids: list[str] | None = None,

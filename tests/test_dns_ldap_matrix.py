@@ -637,3 +637,34 @@ def test_add_process_metadata_non_castable_pid_field_skipped(spark):
     df = spark.createDataFrame([([1, 2], 1)], "weird array<int>, real_pid int")
     out = add_process_metadata(table, match_pids=["weird", "real_pid"])(df).collect()
     assert out[0]["process_name"] == "bash"
+
+
+def test_local_process_table_live(spark):
+    # the live /proc provider (the netmetrics precedent): this very
+    # process must appear with its real name/args/ppid, and feed
+    # add_process_metadata end-to-end
+    import os
+
+    from beats_spark.processors.enrich import (
+        add_process_metadata, local_process_table,
+    )
+
+    me, parent = os.getpid(), os.getppid()
+    table = local_process_table(spark, pids=[me, parent, 999999999])
+    rows = {r["pid"]: r for r in table.collect()}
+    assert set(rows) <= {me, parent}  # the bogus pid is skipped
+    mine = rows[me]
+    assert mine["name"].startswith("py")
+    assert mine["ppid"] == parent
+    assert any("python" in a for a in mine["args"])
+    assert mine["userid"] is not None
+    assert mine["start_time"] is not None
+
+    df = spark.createDataFrame([(str(me),), ("999999999",)],
+                               "process_pid string")
+    out = add_process_metadata(table,
+                               match_pids=["process_pid"])(df)
+    got = {r["process_pid"]: r["process_name"]
+           for r in out.collect()}
+    assert got[str(me)].startswith("python")
+    assert got["999999999"] is None
