@@ -73,7 +73,8 @@ __all__ = [
     "Conf", "default_conf", "KVStore", "StateStore", "User", "Device",
     "DISCOVERED", "MODIFIED", "DELETED", "okta_full_sync",
     "okta_incremental_update", "entity_events_df", "okta_stream",
-    "ENTITY_RECORDS_DDL", "ISO8601",
+    "ENTITY_RECORDS_DDL", "ISO8601", "okta_oauth2_validate",
+    "okta_oauth2_authorization",
 ]
 
 ISO8601 = "%Y-%m-%dT%H:%M:%S.000Z"
@@ -101,6 +102,102 @@ class OktaError(Exception):
             return summary
         return summary + ": " + ",".join(c._render()
                                          for c in self.causes)
+
+
+# ------------------------------------------------------------- oauth2
+
+def okta_oauth2_validate(cfg: dict) -> None:
+    """provider/okta oAuth2Config.Validate (conf.go:118-189) — the
+    OAuth2 alternative to the SSWS token, with the exact wordings."""
+    client_id = (cfg.get("client", {}) or {}).get("id") \
+        or cfg.get("client.id", "")
+    if not client_id:
+        raise ValueError(
+            "oauth2 validation error: client.id is required")
+    if not cfg.get("scopes"):
+        raise ValueError(
+            "oauth2 validation error: scopes are required")
+    if not cfg.get("token_url"):
+        raise ValueError(
+            "oauth2 validation error: token_url is required")
+    secret = (cfg.get("client", {}) or {}).get("secret") \
+        or cfg.get("client.secret", "")
+    jwk_keys = [k for k in ("jwk_file", "jwk_json", "jwk_pem")
+                if cfg.get(k)]
+    if secret and jwk_keys:
+        raise ValueError("oauth2 validation error: cannot use both "
+                         "client secret and JWT private keys")
+    if not secret and not jwk_keys:
+        raise ValueError(
+            "oauth2 validation error: must provide either "
+            "client.secret or one of jwk_file, jwk_json, or jwk_pem")
+    if len(jwk_keys) > 1:
+        raise ValueError(
+            "oauth2 validation error: only one of jwk_file, "
+            "jwk_json, or jwk_pem should be provided")
+    if cfg.get("jwk_file") and not os.path.exists(cfg["jwk_file"]):
+        raise ValueError(
+            "oauth2 validation error: jwk file "
+            f"\"{cfg['jwk_file']}\" does not exist")
+    if cfg.get("jwk_json"):
+        try:
+            json.loads(cfg["jwk_json"]) if isinstance(
+                cfg["jwk_json"], str) else dict(cfg["jwk_json"])
+        except (ValueError, TypeError) as err:
+            raise ValueError("oauth2 validation error: invalid JWK "
+                             f"JSON format: {err}")
+    if cfg.get("jwk_pem"):
+        from .httpjson.okta_auth import pem_pkcs8_private_key
+        from .dpop import DPoPError
+        try:
+            pem_pkcs8_private_key(cfg["jwk_pem"])
+        except DPoPError as err:
+            raise ValueError(f"oauth2 validation error: {err}")
+
+
+def okta_oauth2_authorization(cfg: dict, *,
+                              http_post=None) -> Callable[[], str]:
+    """fetchOktaOauthClient (provider/okta/oauth2.go:55-146) on the
+    shared okta machinery: client-secret OR JWT-key token sources
+    producing the 'Bearer …' Authorization value for OktaClient's
+    `authorization` hook."""
+    okta_oauth2_validate(cfg)
+    from .crowdstrike import OAuth2CC, RateLimitHTTP
+    secret = (cfg.get("client", {}) or {}).get("secret") \
+        or cfg.get("client.secret", "")
+    client_id = (cfg.get("client", {}) or {}).get("id") \
+        or cfg.get("client.id", "")
+    if secret:
+        cc = OAuth2CC(client_id, secret, cfg["token_url"],
+                      scopes=cfg.get("scopes") or (),
+                      http=RateLimitHTTP(transport=http_post)
+                      if http_post else None)
+        return lambda: "Bearer " + cc.token()
+    # JWT-bearer: translate the provider's bare key names onto the
+    # shared httpjson okta flow
+    from .httpjson.okta_auth import OktaOAuth2
+    mapped = {"token_url": cfg["token_url"],
+              "client": {"id": client_id},
+              "scopes": list(cfg.get("scopes") or [])}
+    for src, dst in (("jwk_file", "okta.jwk_file"),
+                     ("jwk_json", "okta.jwk_json"),
+                     ("jwk_pem", "okta.jwk_pem")):
+        if cfg.get(src):
+            mapped[dst] = cfg[src]
+    source = OktaOAuth2(mapped)
+
+    def do_request(method, url, headers, body):
+        import urllib.error
+        import urllib.request
+        req = urllib.request.Request(url, data=body,
+                                     headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return r.status, dict(r.headers), r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), e.read()
+
+    return lambda: "Bearer " + source.token_raw(do_request)
 
 
 # --------------------------------------------------------- rate limits
@@ -233,12 +330,17 @@ class OktaClient:
     def __init__(self, domain: str, token: str, *,
                  limiter: Optional[OktaRateLimiter] = None,
                  sleep: Callable[[float], None] = _time.sleep,
-                 timeout: float = 30.0, scheme: str = ""):
+                 timeout: float = 30.0, scheme: str = "",
+                 authorization: Optional[Callable[[], str]] = None):
         u = urlparse(domain if "://" in domain
                      else "https://" + domain)
         self.scheme = scheme or u.scheme
         self.netloc = u.netloc
         self.token = token
+        # OAuth2 alternative to the SSWS token (okta/oauth2.go): a
+        # callable returning the full Authorization header value
+        # ("Bearer …"); see okta_oauth2_authorization below
+        self.authorization = authorization
         self.lim = limiter or OktaRateLimiter()
         self.sleep = sleep
         self.timeout = timeout
@@ -261,7 +363,9 @@ class OktaClient:
         conn = cls(self.netloc, **kw)
         try:
             headers = {"Accept": "application/json"}
-            if self.token:
+            if self.authorization is not None:
+                headers["Authorization"] = self.authorization()
+            elif self.token:
                 headers["Authorization"] = "SSWS " + self.token
             conn.request("GET", url, headers=headers)
             resp = conn.getresponse()

@@ -190,8 +190,9 @@ class FakeOkta:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.headers.get("Authorization") != \
-                        "SSWS " + TOKEN:
+                want = getattr(outer, "expect_authorization",
+                               None) or ("SSWS " + TOKEN)
+                if self.headers.get("Authorization") != want:
                     return self._send(401, {
                         "errorCode": "E0000011",
                         "errorSummary": "Invalid token provided."})
@@ -498,3 +499,60 @@ def test_okta_stream_sync_then_update(spark, fake_okta, tmp_path):
     # the full sync committed last_sync; updates committed last_update
     assert store.data["state"].get("last_sync")
     assert store.data["state"].get("last_update")
+
+
+# ------------------------------------------- provider OAuth2 (conf.go)
+
+@pytest.mark.parametrize("cfg,err", [
+    ({"client": {"id": "c"}, "scopes": ["s"],
+      "token_url": "https://t", "jwk_pem": None,
+      "client.secret": "sec"}, None),
+    ({}, "client.id is required"),
+    ({"client": {"id": "c"}}, "scopes are required"),
+    ({"client": {"id": "c"}, "scopes": ["s"]},
+     "token_url is required"),
+    ({"client": {"id": "c", "secret": "x"}, "scopes": ["s"],
+      "token_url": "https://t", "jwk_json": "{}"},
+     "cannot use both client secret and JWT private keys"),
+    ({"client": {"id": "c"}, "scopes": ["s"],
+      "token_url": "https://t"},
+     "must provide either client.secret or one of jwk_file, "
+     "jwk_json, or jwk_pem"),
+    ({"client": {"id": "c"}, "scopes": ["s"],
+      "token_url": "https://t", "jwk_json": "{}",
+      "jwk_pem": "x"},
+     "only one of jwk_file, jwk_json, or jwk_pem should be"),
+    ({"client": {"id": "c"}, "scopes": ["s"],
+      "token_url": "https://t", "jwk_file": "/nope.jwk"},
+     'jwk file "/nope.jwk" does not exist'),
+    ({"client": {"id": "c"}, "scopes": ["s"],
+      "token_url": "https://t", "jwk_json": "not json"},
+     "invalid JWK JSON format"),
+])
+def test_okta_oauth2_validate_wordings(cfg, err):
+    from beats_spark.entityanalytics import okta_oauth2_validate
+    if err is None:
+        okta_oauth2_validate(cfg)
+    else:
+        with pytest.raises(ValueError, match=err):
+            okta_oauth2_validate(cfg)
+
+
+def test_okta_client_oauth2_bearer(fake_okta):
+    # OktaClient with an OAuth2 authorization provider sends Bearer
+    # instead of SSWS (provider/okta/oauth2.go's client-secret path)
+    calls = []
+
+    def authorization():
+        calls.append(1)
+        return "Bearer oauth-tok"
+
+    client = OktaClient(f"http://{fake_okta.domain}", "",
+                        authorization=authorization,
+                        sleep=lambda s: None)
+    fake_okta.expect_authorization = "Bearer oauth-tok"
+    try:
+        users = list(client.get_users({"limit": "200"}))
+        assert users and calls
+    finally:
+        fake_okta.expect_authorization = None
