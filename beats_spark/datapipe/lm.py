@@ -79,26 +79,33 @@ def ngram_lm_train(
     context implies the longer gram was pruned too)."""
     if order < 1:
         raise ValueError(f"ngram_lm_train: order must be ≥ 1, got {order}")
-    toks = _tokens(F.col(text_col))
+    from .dedup import _bind1
 
-    # factory closures, NOT default-arg lambdas: a two-parameter lambda
-    # makes F.transform pass the array INDEX as the second argument,
-    # silently clobbering the captured k
-    def _gram_at(k: int):
-        return lambda i: F.array_join(F.slice(toks, i + 1, k), " ")
+    toks = _tokens(F.col(text_col))
 
     def _tag(k: int):
         return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
 
-    tagged = []
-    for k in range(1, order + 1):
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
-        grams = F.when(
-            F.size(toks) >= k, F.transform(idx, _gram_at(k))
-        ).otherwise(F.array().cast("array<string>"))
-        tagged.append(F.transform(grams, _tag(k)))
+    # bind the token array once per row (r6: outer `toks` references in
+    # the gram lambdas re-ran the normalize+split chain per gram — see
+    # dedup._bind1). Factory closures, NOT default-arg lambdas: a
+    # two-parameter lambda makes F.transform pass the array INDEX as the
+    # second argument, silently clobbering the captured k.
+    def units_of(tk):
+        def _gram_at(k: int):
+            return lambda i: F.array_join(F.slice(tk, i + 1, k), " ")
+
+        tagged = []
+        for k in range(1, order + 1):
+            idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
+            grams = F.when(
+                F.size(tk) >= k, F.transform(idx, _gram_at(k))
+            ).otherwise(F.array().cast("array<string>"))
+            tagged.append(F.transform(grams, _tag(k)))
+        return F.concat(*tagged)
+
     counts = (
-        df.select(F.explode(F.concat(*tagged)).alias("u"))
+        df.select(F.explode(_bind1(toks, units_of)).alias("u"))
         .groupBy(F.col("u.k").alias("k"), F.col("u.gram").alias("gram"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -141,30 +148,39 @@ def lm_score(
         raise ValueError("lm_score: the LM has no unigram mass (empty training set?)")
     apow = alpha_powers(order, alpha)
 
+    from .dedup import _bind1
+
     toks = _tokens(F.col(text_col))
-    pos_struct = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 1),
-        lambda i: F.struct(
-            i.alias("i"),
-            *[
-                _grams_ending_at(toks, i, k).alias(f"n{k}")
-                for k in range(1, order + 1)
-            ],
-            *[
-                # the context of the order-k numerator: the (k-1)-gram
-                # ending at i-1 == tokens i-k+1..i-1
-                F.when(
-                    i >= k - 1, F.array_join(F.slice(toks, i - k + 2, k - 1), " ")
-                ).alias(f"x{k}")
-                for k in range(2, order + 1)
-            ],
-        ),
-    )
+
+    # bind the token array once per row (r6: outer `toks` references in
+    # the per-position lambda re-ran the normalize+split chain per
+    # position × per gram — see dedup._bind1)
+    def pos_units_of(tk):
+        pos_struct = F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                *[
+                    _grams_ending_at(tk, i, k).alias(f"n{k}")
+                    for k in range(1, order + 1)
+                ],
+                *[
+                    # the context of the order-k numerator: the (k-1)-gram
+                    # ending at i-1 == tokens i-k+1..i-1
+                    F.when(
+                        i >= k - 1, F.array_join(F.slice(tk, i - k + 2, k - 1), " ")
+                    ).alias(f"x{k}")
+                    for k in range(2, order + 1)
+                ],
+            ),
+        )
+        return F.when(F.size(tk) > 0, pos_struct)
+
     # explode_outer: an empty doc keeps ONE all-NULL position row, so the
     # final aggregation covers every doc without a restore join (the
     # all-NULL row is excluded from every aggregate by the i-NULL guard)
     pos = docs.select(
-        F.col(id_col), F.explode_outer(F.when(F.size(toks) > 0, pos_struct)).alias("p")
+        F.col(id_col), F.explode_outer(_bind1(toks, pos_units_of)).alias("p")
     ).select(id_col, "p.*")
 
     def side(frame: DataFrame) -> DataFrame:

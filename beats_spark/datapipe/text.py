@@ -200,13 +200,20 @@ def _word_grams_all(col: Column, n: int) -> Column:
     needs multiplicity), same normalization as dedup.shingles: lower,
     whitespace runs → single space, trim; texts with < n words emit
     nothing."""
+    from .dedup import _bind1
+
     norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
-    toks = F.split(norm, " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+
+    # bind the token array once per row (r6: an outer `toks` reference in
+    # the gram lambda re-ran the normalize+split chain per gram — _bind1)
+    def grams_of(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return _bind1(F.split(norm, " "), grams_of)
 
 
 # Gopher repetition thresholds (Rae et al. 2021, Table A1) — a doc FAILS

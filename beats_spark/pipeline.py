@@ -87,8 +87,22 @@ def parse_enrich(transcripts: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def route_events(df: DataFrame) -> DataFrame:
-    """Stages 4-5: drop_event + selector routing (+ dead-letter)."""
-    df = df.filter(~(F.col("_f_dissect") & F.col("text").contains("debug")))
+    """Stages 4-5: drop_event + selector routing (+ dead-letter).
+
+    The drop_event predicate is guarded by an always-false
+    spark_partition_id() disjunct: the predicate references parse
+    outcomes (`_f_dissect` ⇐ the dissect regex), and Catalyst's filter
+    pushdown SUBSTITUTES the referenced expressions when pushing the
+    filter through the parse Projects — the r5 plan evaluated the full
+    text-construction subtree 4× and the flagship regex twice extra per
+    row inside the pushed filter (guide §4.4's duplication, JVM-side).
+    OR-ing a nondeterministic always-false term keeps the predicate a
+    single non-pushable conjunct, so it stays ABOVE the parse projection
+    and evaluates cheap attribute references; the ~1.4% of rows it drops
+    are not worth re-deriving the parse chain per surviving row. Result
+    truth table is unchanged (x | false ≡ x, null | false ≡ null)."""
+    keep = ~(F.col("_f_dissect") & F.col("text").contains("debug"))
+    df = df.filter(keep | (F.spark_partition_id() < F.lit(0)))
     df = df.withColumn("has_convert_error", F.col("_f_convert"))
     # materialize the Beats-convention flags array once, from the booleans
     df = df.withColumn(
