@@ -1014,8 +1014,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(col).alias("n_chars_measured"),
         token_count(col).alias("n_tokens"),
         bpe_ish_token_count(col).alias("n_subtokens"),
-        F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0))).alias("n_punct"),
-        F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS_RE), F.lit(0))).alias("n_stopwords"),
+        # regexp_count ≡ size(regexp_extract_all) without materializing
+        # the match array (r6) — counts unchanged
+        F.regexp_count(col, F.lit(r"[^\w\s]")).alias("n_punct"),
+        F.regexp_count(F.lower(col), F.lit(STOPWORDS_RE)).alias("n_stopwords"),
     )
 
 

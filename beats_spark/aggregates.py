@@ -185,17 +185,37 @@ def flow_reports(
     # start/end ride the ORIGINAL timestamp column (exact, no
     # double→timestamp reconstruction); doubles are used only for the
     # grid arithmetic where they are exact (integer-second grids)
+    #
+    # r6 plan shape: the r5 form aggregated `seg` TWICE (per_bucket and
+    # flows as independent aggregations) and then referenced `flows`
+    # from up to three subtrees (skeleton, join, final) — Catalyst does
+    # not deduplicate common subtrees, so the whole upstream
+    # window-segmentation (exchange + sort + lag + running sum) executed
+    # 3× per run. Now: ONE pass over seg builds per_bucket (extended
+    # with the min/max fields flows needs), per_bucket is persisted
+    # (rows ∝ flows × report-buckets — far smaller than events, spills
+    # to disk if not), and `flows` is a re-aggregation of per_bucket:
+    # min-of-mins / max-of-maxes / sum-of-partial-sums are exactly the
+    # direct aggregates. Every downstream subtree reads the cached
+    # per_bucket/flows instead of re-running the window.
     per_bucket = seg.groupBy(*kcols, F.col("_flow"), j_of.alias("_j")).agg(
+        F.min(e).alias("_bkt_start"),
+        F.max(e).alias("_bkt_last"),
+        F.min(F.col(ts_col)).alias("_bkt_start_ts"),
         F.max(F.col(ts_col)).alias("_bkt_last_ts"),
         *[F.sum(expr).alias(f"_c_{n}") for n, expr in counters.items()],
     )
-    flows = seg.groupBy(*kcols, F.col("_flow")).agg(
-        F.min(e).alias("_start"),
-        F.max(e).alias("_last"),
-        F.min(F.col(ts_col)).alias("_start_ts"),
-        F.max(F.col(ts_col)).alias("_last_ts"),
-        *[F.sum(expr).alias(f"_tot_{n}") for n, expr in counters.items()],
+    from .datapipe.dedup import _materialize, _track
+
+    per_bucket = _materialize(per_bucket)
+    flows = per_bucket.groupBy(*kcols, F.col("_flow")).agg(
+        F.min("_bkt_start").alias("_start"),
+        F.max("_bkt_last").alias("_last"),
+        F.min("_bkt_start_ts").alias("_start_ts"),
+        F.max("_bkt_last_ts").alias("_last_ts"),
+        *[F.sum(f"_c_{n}").alias(f"_tot_{n}") for n in cnames],
     ).withColumn("_kill", kill_tick(F.col("_last")))
+    flows = _materialize(flows)
 
     final_base = flows.select(
         *kcols,
@@ -285,7 +305,7 @@ def flow_reports(
 
     fs = F.col("flow_start").cast("timestamp").cast("double")
     fe = F.col("flow_end").cast("timestamp").cast("double")
-    return out.select(
+    result = out.select(
         *kcols,
         F.col("_flow").alias("flow_idx"),
         F.timestamp_seconds(F.col("_report")).alias("report_ts"),
@@ -295,6 +315,11 @@ def flow_reports(
         "final",
         *cnames,
     )
+    # ownership of the persisted intermediates rides on the result (the
+    # dedup-module convention): callers that loop can free them eagerly
+    # with datapipe.dedup.release_intermediates; otherwise the
+    # ContextCleaner reclaims the (small) blocks on GC.
+    return _track(result, persisted=[per_bucket, flows])
 
 
 def flow_ecs_events(

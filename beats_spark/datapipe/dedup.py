@@ -326,32 +326,56 @@ def minhash_dedup(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_method: str = "xxhash64"
 ) -> DataFrame:
-    """64-bit SimHash per document — explode tokens, 64 signed bit-sums,
-    reassemble; all JVM-side, one doc_id shuffle.
+    """64-bit SimHash per document — explode tokens, packed bit-count
+    sums, reassemble; all JVM-side, one doc_id shuffle.
 
     hash_method='md5' derives bit b from hex nibble b//4 of md5(token)
-    (bit-in-nibble b%4) — replicable in the DuckDB oracle."""
+    (bit-in-nibble b%4) — replicable in the DuckDB oracle.
+
+    r6 aggregation shape: instead of 64 per-bit ±1 conditional sums
+    (64 × shift+mask+compare+CASE per token), each token's 64-bit hash
+    is split into 32 two-lane accumulators — lane j packs the counts of
+    bit j (low 32 bits) and bit j+32 (high 32 bits) of one sum via
+    `(h >> j) & 0x0000000100000001` — plus one token count. Bit b of
+    the simhash is set iff 2·count_b > n_tokens, which is exactly the
+    old `sum(±1) > 0` decision, so simhash values are bit-identical
+    with ~4× less per-token aggregate work. Lanes cannot carry into
+    each other below 2^31 tokens per doc (count_b ≤ n_tokens)."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     )
     if hash_method == "md5":
-        toks = toks.withColumn("h", F.md5("tok"))
-
-        def bit(b: int) -> Column:
-            nib = F.conv(F.substring(F.col("h"), b // 4 + 1, 1), 16, 10).cast("int")
-            return nib.bitwiseAND(F.lit(1 << (b % 4))) != 0
+        # assemble the 64-bit value whose bit b is (nibble b//4 >> b%4)&1:
+        # v = Σ_i nib_i · 2^(4i) places hex nibble i at bits 4i..4i+3
+        h = F.md5("tok")
+        v = F.lit(0).cast("bigint")
+        for i in range(16):
+            nib = F.conv(F.substring(h, i + 1, 1), 16, 10).cast("bigint")
+            v = v + F.shiftleft(nib, 4 * i)
+        toks = toks.withColumn("h64", v)
     else:
-        toks = toks.withColumn("h", F.xxhash64("tok"))
+        toks = toks.withColumn("h64", F.xxhash64("tok"))
 
-        def bit(b: int) -> Column:
-            return F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1
-
+    lane_mask = F.lit(0x0000000100000001).cast("bigint")
     sums = toks.groupBy(id_col).agg(
-        *[F.sum(F.when(bit(b), 1).otherwise(-1)).alias(f"_b{b}") for b in range(64)]
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftrightunsigned(F.col("h64"), j).bitwiseAND(lane_mask)).alias(f"_l{j}")
+            for j in range(32)
+        ],
     )
+    low32 = F.lit((1 << 32) - 1).cast("bigint")
+
+    def count_of(b: int) -> Column:
+        lane = F.col(f"_l{b % 32}")
+        return F.shiftrightunsigned(lane, 32) if b >= 32 else lane.bitwiseAND(low32)
+
     sim = F.lit(0).cast("bigint")
     for b in range(64):
-        sim = sim + F.when(F.col(f"_b{b}") > 0, F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63))).otherwise(0)
+        sim = sim + F.when(
+            count_of(b) * 2 > F.col("_n"),
+            F.lit(1).cast("bigint") * (2**b if b < 63 else -(2**63)),
+        ).otherwise(0)
     return sums.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -376,37 +400,49 @@ def simhash_near_pairs(
     blocks, so a hot 16-bit block value would otherwise self-join
     quadratically — max_bucket_rows caps each block bucket
     (see _cap_buckets)."""
+    # r6 plan shape: the r5 form ran FOUR separate self-joins (one per
+    # 16-bit block) each with its own per-side bucket-cap window — 8
+    # exchanges + 8 window sorts + 4 joins. Exploding the 4 blocks into
+    # (id, simhash, block_idx, block_val) rows turns that into ONE
+    # bucket-cap window + ONE self-join keyed on (block_idx, block_val)
+    # — the cap window's exchange key equals the join key, so the plan
+    # is 2 exchanges total. Candidate set is identical: a pair sharing
+    # block i appears exactly under key (i, value), and the per-(i,val)
+    # cap is the same per-block cap as before.
     blocks = sims.select(
         F.col(id_col),
         "simhash",
-        *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"blk{i}")
-            for i in range(4)
-        ],
-    )
-    # materialize ONCE: the 4 per-block equi-joins reference this table
-    # on BOTH sides (8 subtree copies) and Spark does not deduplicate
-    # them — without this the upstream simhash explode+aggregate would
-    # run 8× over the corpus (r4 plan audit). (id, simhash, 4×int) rows
-    # are tiny and spill-safe.
-    blocks = _materialize(blocks)
-    per_block = []
-    for i in range(4):
-        side = blocks.select(F.col(id_col), "simhash", F.col(f"blk{i}").alias("_blk"))
-        side = _cap_buckets(side, ["_blk"], id_col, max_bucket_rows)
-        a, b = side.alias("a"), side.alias("b")
-        per_block.append(
-            a.join(b, "_blk")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("b"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("h"),
+                    )
+                    for i in range(4)
+                ]
             )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.b").alias("_bi"), F.col("bk.h").alias("_blk"))
+    blocks = _cap_buckets(blocks, ["_bi", "_blk"], id_col, max_bucket_rows)
+    # materialize ONCE: the self-join references this table on BOTH
+    # sides and Spark does not deduplicate the subtrees — without this
+    # the upstream simhash explode+aggregate would run twice over the
+    # corpus (r4 plan audit). (id, simhash, 2×int) rows are tiny and
+    # spill-safe.
+    blocks = _materialize(blocks)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(b, ["_bi", "_blk"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-    cands = per_block[0]
-    for p in per_block[1:]:
-        cands = cands.unionAll(p)
+    )
     return _track(
         cands.filter(F.col("hamming") <= max_hamming).dropDuplicates(["id_a", "id_b"]),
         persisted=[blocks],

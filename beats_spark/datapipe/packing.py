@@ -103,7 +103,14 @@ def packing_offsets(
     for pid in range(p):
         bases.append((pid, acc))
         acc += int(totals.get(pid, 0))
-    bdf = spark.createDataFrame(bases, "_pid int, _base bigint")
+    # VALUES LocalRelation, not createDataFrame (r6): the P-row bases
+    # table rides into a broadcast join — the Python-RDD plan pays a
+    # Python-worker round trip per run (see synth._values_df)
+    vals = ", ".join(f"({int(pid)}, {int(base)})" for pid, base in bases)
+    bdf = spark.sql(f"SELECT * FROM VALUES {vals} AS t(_pid, _base)").select(
+        F.col("_pid").cast("int").alias("_pid"),
+        F.col("_base").cast("bigint").alias("_base"),
+    )
     w = Window.partitionBy("_pid").orderBy("_k", id_col)
     out = (
         base.join(F.broadcast(bdf), "_pid")

@@ -45,14 +45,28 @@ def brute_topk(
 
     Deterministic ranking: (rounded sim desc, neighbor id asc) so results
     are reproducible and oracle-comparable across engines."""
+    # hoist the float→double cast AND the norm to once per SIDE (r6,
+    # guide §1.2 step 2): the naive per-pair cosine_sim recomputes
+    # norm(q) × Q·N times and norm(c) × Q times, plus two array casts per
+    # pair. norm/cast are pure functions of one side, so precomputing
+    # them changes WHERE the identical double ops run, not their order —
+    # cos_sim stays bit-identical (dot unchanged; sqrt(Σa²)·sqrt(Σb²)
+    # multiplies the same two doubles).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    ).withColumn("_q_norm", norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("_c_norm", norm(F.col("c_vec")))
     joined = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(
         "cos_sim",
-        F.round(cosine_sim(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")), 6),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("_q_norm") * F.col("_c_norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -29,25 +29,31 @@ STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
 def token_count(col: Column) -> Column:
     """Whitespace tokens; empty/blank string → 0. Full-whitespace strip
     (F.trim strips ASCII space only — a leading tab/newline would inject
-    an empty first token and inflate the count)."""
+    an empty first token and inflate the count).
+
+    Counted as separator runs + 1 (r6): identical to
+    size(split(trimmed, \\s+)) on stripped text, without materializing
+    the token array just to take its length."""
     trimmed = strip_ws(col)
     return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
     )
 
 
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish subword proxy: words + digits + punctuation marks counted
-    separately (a cheap, deterministic stand-in for tokenizer length)."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|\d|[^\sA-Za-z\d]"), F.lit(0)))
+    separately (a cheap, deterministic stand-in for tokenizer length).
+    regexp_count = size(regexp_extract_all) without building the match
+    array (r6)."""
+    return F.regexp_count(col, F.lit(r"[A-Za-z]+|\d|[^\sA-Za-z\d]"))
 
 
 def quality_columns(col: Column) -> dict[str, Column]:
     n_chars = F.length(col)
     n_tokens = token_count(col)
-    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
-    n_stop = F.size(F.regexp_extract_all(F.lower(col), F.lit(STOPWORDS_RE), F.lit(0)))
-    n_upper = F.size(F.regexp_extract_all(col, F.lit(r"[A-Z]"), F.lit(0)))
+    n_punct = F.regexp_count(col, F.lit(r"[^\w\s]"))
+    n_stop = F.regexp_count(F.lower(col), F.lit(STOPWORDS_RE))
+    n_upper = F.regexp_count(col, F.lit(r"[A-Z]"))
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
     return {
@@ -77,7 +83,7 @@ def lang_id(col: Column) -> Column:
     """Argmax of marker-regex hit counts; tie/zero → 'und'. Deterministic
     tie-break: language order as listed (en > es > de > fr)."""
     low = F.lower(col)
-    counts = {lang: F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))) for lang, pat in LANG_MARKERS.items()}
+    counts = {lang: F.regexp_count(low, F.lit(pat)) for lang, pat in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
     result = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):
@@ -122,7 +128,7 @@ def scrub_pii(col: Column, kinds: list[str] | None = None) -> Column:
 def pii_counts(col: Column) -> dict[str, Column]:
     """Per-kind PII hit counts (for corpus auditing before scrubbing)."""
     return {
-        f"n_{k}": F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        f"n_{k}": F.regexp_count(col, F.lit(pat))
         for k, (pat, _) in PII_PATTERNS.items()
     }
 
@@ -155,9 +161,9 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     words = token_count(col)
     safe_words = F.greatest(words, F.lit(1)).cast("double")
     # mean word length over alphabetic-ish word chars (letters only)
-    n_letters = F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z]"), F.lit(0)))
+    n_letters = F.regexp_count(col, F.lit(r"[A-Za-z]"))
     mean_wlen = n_letters / safe_words
-    n_symbols = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    n_symbols = F.regexp_count(col, F.lit(r"#|\.\.\.|…"))
     lines = F.split(col, r"\n")
     n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
     # full-whitespace strip (F.trim strips ASCII space only — a
@@ -167,10 +173,8 @@ def gopher_quality_flags(col: Column) -> dict[str, Column]:
     alpha_words = F.size(
         F.filter(F.split(strip_ws(col), r"\s+"), lambda w: w.rlike(r"[A-Za-z]"))
     )
-    n_stop = F.size(
-        F.regexp_extract_all(
-            F.lower(col), F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(0)
-        )
+    n_stop = F.regexp_count(
+        F.lower(col), F.lit(r"\b(the|be|to|of|and|that|have|with)\b")
     )
     flags = {
         "fail_word_count": (words < 50) | (words > 100000),
@@ -389,7 +393,7 @@ def c4_quality_signals(col: Column) -> dict[str, Column]:
 
     kept = F.filter(lines, line_ok)
     cleaned = F.array_join(kept, "\n")
-    n_sentences = F.size(F.regexp_extract_all(cleaned, F.lit(r"[.!?]"), F.lit(0)))
+    n_sentences = F.regexp_count(cleaned, F.lit(r"[.!?]"))
     fail_curly = col.contains("{") | col.contains("}")
     fail_lorem = F.lower(col).contains("lorem ipsum")
     fail_min_sentences = n_sentences < 5

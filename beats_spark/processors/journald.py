@@ -270,8 +270,21 @@ def journald_fields(
                 e["value"].alias("value"),
             ),
         )
-        keys = F.transform(norm, lambda e: e["key"])
-        deduped = F.filter(norm, lambda e, i: F.array_position(keys, e["key"]) == i + 1)
+
+        # bind the normalized entry array once per row (r6: outer
+        # `norm`/`keys` references inside the dedup lambda re-ran the
+        # normalize transform per element — see datapipe.dedup._bind1)
+        from ..datapipe.dedup import _bind1
+
+        def dedup_of(nm: Column) -> Column:
+            def dedup_for_keys(keys: Column) -> Column:
+                return F.filter(
+                    nm, lambda e, i: F.array_position(keys, e["key"]) == i + 1
+                )
+
+            return _bind1(F.transform(nm, lambda e: e["key"]), dedup_for_keys)
+
+        deduped = _bind1(norm, dedup_of)
         new_cols["journald_custom"] = F.when(
             F.size(deduped) > 0, F.map_from_entries(deduped)
         )

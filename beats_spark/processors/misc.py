@@ -502,14 +502,22 @@ def _event_data_map(pairs):
             ).alias("value"),
         ),
     )
-    nonempty = F.filter(
-        named, lambda s: s["value"].isNotNull() & (s["value"] != "")
-    )
-    deduped = F.filter(
-        nonempty,
-        lambda s, i: ~F.exists(
-            F.slice(nonempty, F.lit(1), i), lambda p: p["key"] == s["key"]
-        ),
+    # bind the filtered array once per row (r6: the outer `nonempty`
+    # reference inside the first-wins dedup lambda re-ran the whole
+    # transform+filter chain per element — see datapipe.dedup._bind1)
+    from ..datapipe.dedup import _bind1
+
+    def dedup_of(ne):
+        return F.filter(
+            ne,
+            lambda s, i: ~F.exists(
+                F.slice(ne, F.lit(1), i), lambda p: p["key"] == s["key"]
+            ),
+        )
+
+    deduped = _bind1(
+        F.filter(named, lambda s: s["value"].isNotNull() & (s["value"] != "")),
+        dedup_of,
     )
     return F.when(F.size(deduped) > 0, F.map_from_entries(deduped))
 

@@ -1260,45 +1260,64 @@ def _sd_structured(sd: Column) -> Column:
     raw string survives, exactly like the reference returning nil.
     Pure-Column: HOFs over the element array; duplicate-key merge rides
     the session's LAST_WIN map policy."""
-    elements = F.regexp_extract_all(sd, F.lit(_SD_ELEMENT), F.lit(0))
-    compliant = (F.size(elements) > 0) & F.forall(
-        elements, lambda e: e.rlike(_SD_COMPLIANT)
-    )
-    structs = F.transform(
-        elements,
-        lambda e: F.struct(
-            F.regexp_extract(e, r"^\[([^\s\]]+)", 1).alias("id"),
-            F.regexp_extract_all(e, F.lit(r'([^ =\]"]+)="(?:[^"\\]|\\.)*"'), F.lit(1)).alias(
-                "ks"
+    from ..datapipe.dedup import _bind1
+
+    # bind the element array and the per-element regex parse ONCE per row
+    # (r6: outer `structs`/`elements` references inside the per-id merge
+    # lambdas re-ran the whole regex battery per sd-id — see _bind1)
+    def build(elements: Column) -> Column:
+        compliant = (F.size(elements) > 0) & F.forall(
+            elements, lambda e: e.rlike(_SD_COMPLIANT)
+        )
+        structs = F.transform(
+            elements,
+            lambda e: F.struct(
+                F.regexp_extract(e, r"^\[([^\s\]]+)", 1).alias("id"),
+                F.regexp_extract_all(
+                    e, F.lit(r'([^ =\]"]+)="(?:[^"\\]|\\.)*"'), F.lit(1)
+                ).alias("ks"),
+                F.transform(
+                    F.regexp_extract_all(
+                        e, F.lit(r'[^ =\]"]+="((?:[^"\\]|\\.)*)"'), F.lit(1)
+                    ),
+                    lambda v: F.regexp_replace(v, r"\\(.)", r"$1"),
+                ).alias("vs"),
             ),
-            F.transform(
-                F.regexp_extract_all(e, F.lit(r'[^ =\]"]+="((?:[^"\\]|\\.)*)"'), F.lit(1)),
-                lambda v: F.regexp_replace(v, r"\\(.)", r"$1"),
-            ).alias("vs"),
-        ),
-    )
-    ids = F.array_distinct(F.transform(structs, lambda s: s.getField("id")))
-    merged = F.map_from_arrays(
-        ids,
-        F.transform(
-            ids,
-            lambda i: F.map_from_arrays(
-                F.flatten(
+        )
+
+        def merged_of(sts: Column) -> Column:
+            def merged_for_ids(ids: Column) -> Column:
+                return F.map_from_arrays(
+                    ids,
                     F.transform(
-                        F.filter(structs, lambda s: s.getField("id") == i),
-                        lambda s: s.getField("ks"),
-                    )
-                ),
-                F.flatten(
-                    F.transform(
-                        F.filter(structs, lambda s: s.getField("id") == i),
-                        lambda s: s.getField("vs"),
-                    )
-                ),
-            ),
-        ),
+                        ids,
+                        lambda i: F.map_from_arrays(
+                            F.flatten(
+                                F.transform(
+                                    F.filter(sts, lambda s: s.getField("id") == i),
+                                    lambda s: s.getField("ks"),
+                                )
+                            ),
+                            F.flatten(
+                                F.transform(
+                                    F.filter(sts, lambda s: s.getField("id") == i),
+                                    lambda s: s.getField("vs"),
+                                )
+                            ),
+                        ),
+                    ),
+                )
+
+            return _bind1(
+                F.array_distinct(F.transform(sts, lambda s: s.getField("id"))),
+                merged_for_ids,
+            )
+
+        return F.when(compliant, _bind1(structs, merged_of))
+
+    return F.when(
+        sd.isNotNull(), _bind1(F.regexp_extract_all(sd, F.lit(_SD_ELEMENT), F.lit(0)), build)
     )
-    return F.when(sd.isNotNull() & compliant, merged)
 
 
 def syslog(field: str = "text", prefix: str = "syslog_", format: str = "rfc3164"):

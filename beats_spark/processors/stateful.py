@@ -10,9 +10,10 @@ per period per key; the batch analog is row_number() over
 streaming variant (transformWithState) reuses the same keying.
 
 Scale notes:
-  * rate_limit is skew-safe by construction (two-phase salted cap — see
-    its docstring; the hot key splits across salt groups and Spark 4's
-    WindowGroupLimit pre-filters map-side before both exchanges).
+  * rate_limit is skew-safe via Spark's WindowGroupLimit (see its
+    docstring: the map-side top-`limit` pre-filter bounds a hot key's
+    shuffle to limit × map-partitions rows — r6 removed the redundant
+    salted pre-cap phase and its extra exchange+sort).
   * multiline (and sessionize in aggregates.py) are ORDER-DEPENDENT
     per-key folds — they cannot be salted without changing semantics
     (a group may span any two adjacent rows). Constraint at scale: one
@@ -60,16 +61,15 @@ def rate_limit(
     `limit` also accepts the reference's rate-string form ('100/m',
     ratelimit/rate.go) — '<N>/<s|m|h|d>' sets both limit and period.
 
-    Two-phase salted cap (skew-safe): a single window over (key, bucket)
-    puts a hot key's entire bucket in ONE task — a 5%-of-corpus key is a
-    50 TB straggler at design scale, and AQE does not split window
-    partitions. Phase 1 windows over (key, bucket, salt) where salt is a
-    deterministic hash of the order columns: the hot key's rows spread
-    across `salt_buckets` tasks and each keeps at most `limit` rows.
-    Any row in the global top-`limit` is in its own salt's top-`limit`,
-    so phase 1's ≤ salt_buckets×limit survivors are a superset of the
-    winners; phase 2 re-ranks that tiny set exactly. Result is identical
-    to the single-window form for any input.
+    Skew note (r6: the salted pre-cap phase was REMOVED): Spark ≥3.5
+    plans a `row_number() ≤ limit` filter as WindowGroupLimit, which
+    pre-filters each MAP partition to its own top-`limit` rows per
+    (key, bucket) BEFORE the exchange. A hot key therefore shuffles at
+    most limit × map-partitions rows and its reduce task sorts that
+    bounded set — the same bound the r5 two-phase salted form achieved,
+    without its extra exchange (on a table not already partitioned by
+    `key`, the salted window shuffled the full input TWICE) and extra
+    sort. `salt_buckets` is kept for API compatibility and ignored.
     """
     if isinstance(limit, str):
         import re
@@ -83,13 +83,6 @@ def rate_limit(
         bucket = F.window(F.col(ts_col), period).getField("start")
         order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or ["turn_idx"]) if c in df.columns]
         keys = [F.col(k) for k in key_fields]
-        salt = F.pmod(F.xxhash64(*order), F.lit(salt_buckets))
-        w1 = Window.partitionBy(*keys, bucket, salt).orderBy(*order)
-        df = (
-            df.withColumn("_rl_p1", F.row_number().over(w1))
-            .filter(F.col("_rl_p1") <= limit)
-            .drop("_rl_p1")
-        )
         w = Window.partitionBy(*keys, bucket).orderBy(*order)
         return (
             df.withColumn("_rl_rn", F.row_number().over(w))

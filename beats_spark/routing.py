@@ -53,16 +53,22 @@ _INT_WIDTHS = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
 
 def _hex_bytes(bin_col):
     """array<long> of a binary column's bytes (via hex pairs) — pure
-    Column, no UDF."""
-    h = F.hex(bin_col)
-    n = (F.length(h) / 2).cast("int")
-    idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")  # sequence(1, 0) DESCENDS — empty input needs a guard
-    )
-    return F.transform(
-        idx,
-        lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("long"),
-    )
+    Column, no UDF. The hex string is bound once per row (r6: an outer
+    reference inside the transform lambda re-ran hex(encode(...)) per
+    byte — see datapipe.dedup._bind1)."""
+    from .datapipe.dedup import _bind1
+
+    def bytes_of(h):
+        n = (F.length(h) / 2).cast("int")
+        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")  # sequence(1, 0) DESCENDS — empty input needs a guard
+        )
+        return F.transform(
+            idx,
+            lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("long"),
+        )
+
+    return _bind1(F.hex(bin_col), bytes_of)
 
 
 def _utf8_bytes(col):

@@ -200,9 +200,27 @@ lookup_tool(tool, tool_kind, risk) AS (
 """
 
 
+def _values_df(spark: SparkSession, rows, cols: list[str]) -> DataFrame:
+    """Tiny constant table as a VALUES LocalRelation (r6): createDataFrame
+    over a Python list plans as `Scan ExistingRDD` — every broadcast
+    build pays a Python-worker round trip (~0.2 s per enrich join per
+    query invocation). A VALUES relation is a pure-JVM LocalTableScan:
+    same rows, same schema, no Python on the execution path."""
+
+    def sql_lit(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    vals = ", ".join("(" + ", ".join(sql_lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({', '.join(cols)})")
+
+
 def lookup_role(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(LOOKUP_ROLE_ROWS, "role string, team string, is_agent boolean")
+    return _values_df(spark, LOOKUP_ROLE_ROWS, ["role", "team", "is_agent"])
 
 
 def lookup_tool(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(LOOKUP_TOOL_ROWS, "tool string, tool_kind string, risk string")
+    return _values_df(spark, LOOKUP_TOOL_ROWS, ["tool", "tool_kind", "risk"])
