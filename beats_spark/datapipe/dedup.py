@@ -341,6 +341,11 @@ def simhash(
     old `sum(±1) > 0` decision, so simhash values are bit-identical
     with ~4× less per-token aggregate work. Lanes cannot carry into
     each other below 2^31 tokens per doc (count_b ≤ n_tokens)."""
+    # (A fully map-side variant — 32 F.aggregate folds over the
+    # token-hash array, zero exchange — was tried and measured 3×
+    # SLOWER: higher-order aggregate evaluation is interpreted per step,
+    # while the explode feeds a codegen'd hash aggregate. Negative
+    # result recorded; the explode+groupBy stays.)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     )

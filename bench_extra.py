@@ -1,0 +1,134 @@
+"""Per-query isolation bench (guide §1.4) — NOT the driver surface.
+
+`bench.py` is frozen for measurement; this harness exists for the
+optimization loop: it times the same headline + sf1-shaped jobs with the
+noop sink, each labelled via setJobDescription, and prints one JSON line
+per suite so before/after numbers can be cited in OPTIMIZATION_r06.md.
+
+Usage:
+  python bench_extra.py [headline|sf1|all]   (default all)
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPS = int(os.environ.get("BENCH_EXTRA_REPS", "3"))
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_jobs(spark, jobs: dict, reps: int = REPS) -> dict[str, float]:
+    from beats_spark.datapipe.dedup import release_intermediates
+
+    sc = spark.sparkContext
+    out: dict[str, float] = {}
+    for name, job in jobs.items():
+        best = None
+        for _ in range(reps):
+            sc.setJobDescription(name)
+            t0 = time.perf_counter()
+            df = job()
+            _force(df)
+            dt = time.perf_counter() - t0
+            release_intermediates(df)
+            best = dt if best is None else min(best, dt)
+        sc.setJobDescription(None)
+        out[name] = round(best, 3)
+    return out
+
+
+def headline_jobs(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = [
+        "pipeline_routed",
+        "agg_events_per_conv",
+        "agg_events_per_tool",
+        "rate_limit",
+        "multiline_count",
+        "sessionize",
+        "dedup_exact",
+        "ann_cosine_topk",
+        "text_quality",
+    ]
+    return {n: (lambda q=qs[n]: q(spark, sf_dir)) for n in names if n in qs}
+
+
+def sf1_jobs(spark, sf_dir: str, scale: int = 10) -> dict:
+    """The sf1 cliff-check jobs, same shapes as bench.py's sf1_run but
+    WITHOUT the materialized-transcripts setup cost (transcripts ride
+    in-memory) — for relative comparisons only."""
+    from pyspark.sql import functions as F
+
+    from beats_spark import synth
+    from beats_spark.aggregates import session_flows
+    from beats_spark.datapipe.dedup import (
+        exact_dedup,
+        ngram_decontaminate,
+        simhash,
+        simhash_near_pairs,
+    )
+    from beats_spark.datapipe.packing import pack_sequences
+    from beats_spark.datapipe.similarity import brute_topk
+    from beats_spark.pipeline import parse_enrich, route_events
+    from beats_spark.processors.stateful import multiline_count, rate_limit
+
+    t = synth.transcripts_scaled(spark, sf_dir, replicas=scale)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = F.explode(F.sequence(F.lit(0), F.lit(scale - 1))).alias("_r")
+    docs10 = (
+        docs.select("*", r)
+        .withColumn("doc_id", F.col("doc_id") * scale + F.col("_r"))
+        .drop("_r")
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb10 = (
+        emb.select("*", r)
+        .withColumn("vec_id", F.col("vec_id") * scale + F.col("_r"))
+        .drop("_r")
+    )
+    return {
+        "pipeline_routed": lambda: route_events(parse_enrich(t, spark)),
+        "rate_limit": lambda: rate_limit(
+            ["conv_id"], limit=3, period="1 hour", order_cols=["turn_idx"]
+        )(t),
+        "multiline_count": lambda: multiline_count(
+            count=5, group_cols=["conv_id"], order_col="turn_idx"
+        )(t),
+        "sessionize": lambda: session_flows(t, keys=["conv_id"], gap="30 minutes"),
+        "dedup_exact": lambda: exact_dedup(docs10),
+        "simhash_pairs": lambda: simhash_near_pairs(simhash(docs10), max_hamming=3),
+        "ngram_decontaminate": lambda: ngram_decontaminate(
+            docs10, docs10.filter(F.col("doc_id") % 37 == 0).select("text"), n=13
+        ),
+        "ann_cosine_topk": lambda: brute_topk(emb10, emb10.filter(F.col("vec_id") < 10), k=5),
+        "pack_sequences": lambda: pack_sequences(docs10, budget=2048),
+    }
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from beats_spark.session import get_spark
+
+    spark = get_spark("bench_extra", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8))
+    if which in ("headline", "all"):
+        print(json.dumps({"suite": "headline", "queries": time_jobs(spark, headline_jobs(spark, SF_DIR))}))
+    if which in ("sf1", "all"):
+        print(json.dumps({"suite": "sf1", "queries": time_jobs(spark, sf1_jobs(spark, SF_DIR))}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
