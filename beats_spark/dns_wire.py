@@ -239,13 +239,34 @@ class DNSResolver:
                 sock.settimeout(self.timeout)
                 try:
                     sock.sendto(packet, (host, port))
-                    data, _ = sock.recvfrom(4096)
+                    # accept only a datagram from the queried server
+                    # whose transaction id echoes ours (r6 ADVICE:
+                    # without this ANY datagram landing on the socket —
+                    # delayed answers, trivial off-path spoofing — was
+                    # decoded as the answer; miekg/dns validates the
+                    # message id the same way). Mismatches re-recv
+                    # until the per-server timeout, then the next
+                    # server is tried via the OSError path.
+                    deadline = time.time() + self.timeout
+                    while True:
+                        remaining = deadline - time.time()
+                        if remaining <= 0:
+                            raise socket.timeout(
+                                "timed out waiting for a matching "
+                                "DNS response")
+                        sock.settimeout(remaining)
+                        data, addr = sock.recvfrom(4096)
+                        if addr[1] != port:
+                            continue
+                        msg = decode_message(data)
+                        if msg["id"] != qid:
+                            continue
+                        break
                 finally:
                     sock.close()
             except OSError as err:
                 comm_err = err  # try next server
                 continue
-            msg = decode_message(data)
             if msg["rcode"] != 0:
                 rname = RCODE_NAMES.get(
                     msg["rcode"],
@@ -335,6 +356,7 @@ class FakeDNSServer:
         self.zone = dict(zone or {})
         self.rcode_for: dict = {}   # name → rcode override
         self.drop = False           # swallow queries (timeout path)
+        self.spoof_wrong_id = False  # send a bogus-id datagram first
         self.queries: list = []
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind(("127.0.0.1", 0))
@@ -357,6 +379,17 @@ class FakeDNSServer:
             self.queries.append((name, qtype))
             if self.drop:
                 continue
+            if self.spoof_wrong_id:
+                # an off-path spoof: right answer shape, WRONG
+                # transaction id — the resolver must ignore it
+                bogus = encode_response(
+                    (msg["id"] + 1) & 0xFFFF, name, qtype,
+                    [(qtype, 300, "6.6.6.6")]
+                    if qtype == QTYPES["A"] else [])
+                try:
+                    self.sock.sendto(bogus, peer)
+                except OSError:
+                    return
             rcode = self.rcode_for.get(name, 0)
             answers = []
             if rcode == 0:

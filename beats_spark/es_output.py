@@ -146,14 +146,27 @@ class ESConnection:
                 if self._tls:
                     from .tlsutil import client_ssl_context
                     kw["context"] = client_ssl_context(self._tls)
-                self._conn = http.client.HTTPSConnection(
+                conn = http.client.HTTPSConnection(
                     self._host, self._port, timeout=self._timeout,
                     **kw)
                 if self._tls and self._tls.get("ca_sha256"):
+                    # run the pin check BEFORE caching the connection
+                    # (r6 ADVICE: assigning self._conn first left a
+                    # pinned-but-unchecked connection cached when the
+                    # check raised), and pass the configured CAs so the
+                    # ES path accepts a CA-cert pin exactly like
+                    # wrap_client_socket does
                     from .tlsutil import check_ca_sha256
-                    self._conn.connect()
-                    check_ca_sha256(self._conn.sock,
-                                    self._tls["ca_sha256"])
+                    conn.connect()
+                    try:
+                        check_ca_sha256(
+                            conn.sock,
+                            self._tls["ca_sha256"],
+                            self._tls.get("certificate_authorities"))
+                    except Exception:
+                        conn.close()
+                        raise
+                self._conn = conn
             else:
                 self._conn = http.client.HTTPConnection(
                     self._host, self._port, timeout=self._timeout)

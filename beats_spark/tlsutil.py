@@ -64,8 +64,13 @@ def wrap_client_socket(sock, host: str, tls: dict):
     ca_sha256 pin against the leaf and the configured CAs."""
     ctx = client_ssl_context(tls)
     wrapped = ctx.wrap_socket(sock, server_hostname=host)
-    check_ca_sha256(wrapped, tls.get("ca_sha256"),
-                    tls.get("certificate_authorities"))
+    try:
+        check_ca_sha256(wrapped, tls.get("ca_sha256"),
+                        tls.get("certificate_authorities"))
+    except TLSConfigError:
+        # do not leak the connection on pin failure (r6 ADVICE)
+        wrapped.close()
+        raise
     return wrapped
 
 
@@ -104,7 +109,14 @@ def check_ca_sha256(sock: ssl.SSLSocket, pin: Optional[str],
     chain. Python (< 3.13) exposes only the peer's leaf, so the leaf
     is checked directly and — because a successful verification
     proves the chain runs through a configured CA — the configured
-    CA certificates stand in for the rest of the chain."""
+    CA certificates stand in for the rest of the chain.
+
+    The configured-CA fallback applies ONLY when the handshake actually
+    verified the chain (verify_mode CERT_REQUIRED): under
+    verification_mode 'none' nothing proves the peer chains to a
+    configured CA, so a pin naming a configured CA would pass vacuously
+    for ANY peer — there the pin is compared against the presented leaf
+    alone (r6 ADVICE fix)."""
     if not pin:
         return
     der = sock.getpeercert(binary_form=True)
@@ -113,8 +125,10 @@ def check_ca_sha256(sock: ssl.SSLSocket, pin: Optional[str],
             "ca_sha256 is configured but no peer certificate was "
             "presented")
     candidates = [cert_sha256_b64(der)]
-    for ca in ca_files or ():
-        candidates.extend(_pem_cert_digests(ca))
+    chain_verified = sock.context.verify_mode == ssl.CERT_REQUIRED
+    if chain_verified:
+        for ca in ca_files or ():
+            candidates.extend(_pem_cert_digests(ca))
     if pin not in candidates:
         raise TLSConfigError(
             "provided CA certificate pins "

@@ -257,3 +257,16 @@ def test_resolve_answer_table_and_processor(spark, dns_srv):
            for r in out.collect()}
     assert got["192.0.2.1"] == ("host.example.com", ["t"])
     assert got["192.0.2.99"] == (None, ["t", "_dns_fail"])
+
+
+def test_resolver_ignores_wrong_transaction_id(dns_srv):
+    # a spoofed datagram with the right answer shape but the wrong
+    # message id arrives FIRST — the resolver must skip it and take
+    # the genuine response (r6 ADVICE: any datagram on the socket was
+    # previously decoded as the answer; miekg/dns validates the id)
+    dns_srv.spoof_wrong_id = True
+    r = DNSResolver([dns_srv.addr])
+    data, ttl = r.lookup("www.example.com", "A")
+    assert data == ["192.0.2.10", "192.0.2.11"]
+    assert "6.6.6.6" not in data
+    assert ttl == 120

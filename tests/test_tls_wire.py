@@ -347,3 +347,32 @@ def test_es_connection_over_tls_with_pin(tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_ca_sha256_under_verification_mode_none(tmp_path):
+    """verification_mode 'none' + ca_sha256: the pin must be checked
+    against the PRESENTED leaf only — a pin naming a configured CA
+    passed vacuously for any peer before the r6 fix (no chain
+    verification proves the peer chains to that CA)."""
+    from beats_spark.kafka_wire import KafkaClient
+    b, state, _cert, der = _tls_broker(tmp_path)
+    other_cert, _k, other_der = _self_signed(tmp_path, cn="otherca")
+    try:
+        state.ensure_topic("events")
+        # pin names a *configured CA file* the peer does NOT chain to:
+        # must FAIL under verification_mode none
+        with pytest.raises(TLSConfigError,
+                           match="do not match any of the "
+                                 "certificate chain"):
+            KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"verification_mode": "none",
+                             "certificate_authorities": [other_cert],
+                             "ca_sha256": cert_sha256_b64(other_der)})
+        # pin of the actual presented leaf still passes
+        c = KafkaClient("127.0.0.1", b.server_address[1],
+                        tls={"verification_mode": "none",
+                             "ca_sha256": cert_sha256_b64(der)})
+        md = c.metadata(["events"])
+        assert "events" in str(md)
+    finally:
+        b.stop()
