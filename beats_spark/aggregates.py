@@ -369,7 +369,9 @@ def flow_ecs_events(
             )
         )
     )
-    return rep.select(
+    from .datapipe.dedup import _track
+
+    return _track(rep.select(
         id_expr.alias("flow_id"),
         *[F.col(k) for k in keys],
         "flow_idx",
@@ -391,4 +393,4 @@ def flow_ecs_events(
         "destination_bytes",
         (F.col("source_packets") + F.col("destination_packets")).alias("network_packets"),
         (F.col("source_bytes") + F.col("destination_bytes")).alias("network_bytes"),
-    )
+    ), inherit=[rep])
