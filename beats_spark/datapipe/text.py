@@ -27,17 +27,15 @@ STOPWORDS_RE = r"\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\b"
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace tokens; empty/blank string → 0. Full-whitespace strip
-    (F.trim strips ASCII space only — a leading tab/newline would inject
-    an empty first token and inflate the count).
+    """Whitespace tokens; empty/blank string → 0.
 
-    Counted as separator runs + 1 (r6): identical to
-    size(split(trimmed, \\s+)) on stripped text, without materializing
-    the token array just to take its length."""
-    trimmed = strip_ws(col)
-    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.regexp_count(trimmed, F.lit(r"\s+")) + 1
-    )
+    Counted as non-whitespace runs (r6): regexp_count(col, \\S+) is
+    exactly the token count of split-on-\\s+ over fully-stripped text —
+    leading/trailing whitespace contributes no \\S+ run, a blank/empty
+    string counts 0 — in ONE regex pass with no strip copy. (The prior
+    form paid a regexp_replace strip + a separator count; measured 8.5 s
+    for the count alone on the 500k-doc shape, ~3× this form.)"""
+    return F.regexp_count(col, F.lit(r"\S+"))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
