@@ -105,9 +105,10 @@ def packing_offsets(
         acc += int(totals.get(pid, 0))
     # VALUES LocalRelation, not createDataFrame (r6): the P-row bases
     # table rides into a broadcast join — the Python-RDD plan pays a
-    # Python-worker round trip per run (see synth._values_df)
-    vals = ", ".join(f"({int(pid)}, {int(base)})" for pid, base in bases)
-    bdf = spark.sql(f"SELECT * FROM VALUES {vals} AS t(_pid, _base)").select(
+    # Python-worker round trip per run
+    from ..synth import _values_df
+
+    bdf = _values_df(spark, bases, ["_pid", "_base"]).select(
         F.col("_pid").cast("int").alias("_pid"),
         F.col("_base").cast("bigint").alias("_base"),
     )

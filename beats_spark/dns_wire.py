@@ -238,15 +238,22 @@ class DNSResolver:
                                      socket.SOCK_DGRAM)
                 sock.settimeout(self.timeout)
                 try:
-                    sock.sendto(packet, (host, port))
+                    # resolve a hostname-form nameserver once so the
+                    # peer check below compares IP against IP
+                    try:
+                        dest = (socket.gethostbyname(host), port)
+                    except OSError:
+                        dest = (host, port)
+                    sock.sendto(packet, dest)
                     # accept only a datagram from the queried server
-                    # whose transaction id echoes ours (r6 ADVICE:
-                    # without this ANY datagram landing on the socket —
-                    # delayed answers, trivial off-path spoofing — was
-                    # decoded as the answer; miekg/dns validates the
-                    # message id the same way). Mismatches re-recv
-                    # until the per-server timeout, then the next
-                    # server is tried via the OSError path.
+                    # (peer ADDRESS and port) whose transaction id
+                    # echoes ours (r6 ADVICE: without this ANY datagram
+                    # landing on the socket — delayed answers, trivial
+                    # off-path spoofing — was decoded as the answer;
+                    # miekg/dns validates the message id the same way).
+                    # Mismatched or undecodable datagrams re-recv until
+                    # the per-server timeout, then the next server is
+                    # tried via the OSError path.
                     deadline = time.time() + self.timeout
                     while True:
                         remaining = deadline - time.time()
@@ -256,9 +263,15 @@ class DNSResolver:
                                 "DNS response")
                         sock.settimeout(remaining)
                         data, addr = sock.recvfrom(4096)
-                        if addr[1] != port:
+                        if (addr[0], addr[1]) != dest:
                             continue
-                        msg = decode_message(data)
+                        try:
+                            msg = decode_message(data)
+                        except Exception:
+                            # a garbage/truncated datagram must not
+                            # kill the lookup while the genuine answer
+                            # is still in flight
+                            continue
                         if msg["id"] != qid:
                             continue
                         break
@@ -357,6 +370,7 @@ class FakeDNSServer:
         self.rcode_for: dict = {}   # name → rcode override
         self.drop = False           # swallow queries (timeout path)
         self.spoof_wrong_id = False  # send a bogus-id datagram first
+        self.spoof_garbage = False   # send an undecodable datagram first
         self.queries: list = []
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.sock.bind(("127.0.0.1", 0))
@@ -379,6 +393,12 @@ class FakeDNSServer:
             self.queries.append((name, qtype))
             if self.drop:
                 continue
+            if self.spoof_garbage:
+                # not even a DNS header — the resolver must skip it
+                try:
+                    self.sock.sendto(b"\x00\x01\x02", peer)
+                except OSError:
+                    return
             if self.spoof_wrong_id:
                 # an off-path spoof: right answer shape, WRONG
                 # transaction id — the resolver must ignore it

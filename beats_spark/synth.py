@@ -208,11 +208,29 @@ def _values_df(spark: SparkSession, rows, cols: list[str]) -> DataFrame:
     same rows, same schema, no Python on the execution path."""
 
     def sql_lit(v) -> str:
+        if v is None:
+            return "NULL"
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
-        return repr(v)
+            # Spark SQL single-quoted literals process backslash
+            # escapes — escape the escapes first, then the quote
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, int):
+            # match createDataFrame's inference (python int → bigint;
+            # a bare small literal would infer INT)
+            return f"CAST({v} AS BIGINT)"
+        if isinstance(v, float):
+            import math
+
+            if math.isnan(v):
+                return "CAST('NaN' AS DOUBLE)"
+            if math.isinf(v):
+                return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+            # the D suffix makes it a DOUBLE literal (a bare decimal
+            # would infer DECIMAL); repr round-trips exactly
+            return repr(v) + "D"
+        raise TypeError(f"_values_df: unsupported literal type {type(v).__name__}")
 
     vals = ", ".join("(" + ", ".join(sql_lit(v) for v in r) + ")" for r in rows)
     return spark.sql(f"SELECT * FROM VALUES {vals} AS t({', '.join(cols)})")

@@ -62,7 +62,11 @@ def test_locate_plan_equals_regex_reference(spark, tok):
     assert pattern is not None
     assert d.locate_plan(F.col("text")) is not None  # eligible for the fast path
     keys = d.output_keys()
-    rows = [(i, s) for i, s in enumerate(_random_strings(400, seed=hash(tok) & 0xFFFF))]
+    import zlib
+
+    # deterministic per-tokenizer seed (built-in hash() is salted per
+    # process — a failure found by a randomized case must reproduce)
+    rows = [(i, s) for i, s in enumerate(_random_strings(400, seed=zlib.crc32(tok.encode())))]
     df = spark.createDataFrame(rows, "i long, text string")
     got = {
         r["i"]: tuple(r[k] for k in keys)

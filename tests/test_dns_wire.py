@@ -270,3 +270,13 @@ def test_resolver_ignores_wrong_transaction_id(dns_srv):
     assert data == ["192.0.2.10", "192.0.2.11"]
     assert "6.6.6.6" not in data
     assert ttl == 120
+
+
+def test_resolver_skips_undecodable_datagram(dns_srv):
+    # 3 bytes of garbage arrive before the genuine answer; the
+    # validation loop must skip it (a decode error there previously
+    # crashed the lookup and lost the in-flight real response)
+    dns_srv.spoof_garbage = True
+    r = DNSResolver([dns_srv.addr])
+    data, ttl = r.lookup("www.example.com", "A")
+    assert data == ["192.0.2.10", "192.0.2.11"]
