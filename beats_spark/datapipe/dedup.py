@@ -346,6 +346,22 @@ def simhash(
     # SLOWER: higher-order aggregate evaluation is interpreted per step,
     # while the explode feeds a codegen'd hash aggregate. Negative
     # result recorded; the explode+groupBy stays.)
+    #
+    # (A 16-lane variant — 4×16-bit fields per long via
+    # & 0x0001000100010001 — was prototyped and REJECTED (r6 session 2).
+    # Unguarded it is ~20% faster on the lane aggregation (2.24 vs
+    # 2.67 s at the sf1 shape) but WRONG for big documents, and under
+    # Spark 4's default ANSI mode it does not even fail soft: the packed
+    # long overflows and THROWS once a doc reaches 2^15 tokens (top
+    # 16-bit field × 2^48 exceeds Long.MAX), well before the 2^16
+    # field-carry bound. The exact guard — try_sum lanes, persist the
+    # sums, route _n ≥ 2^15 docs through this 32-lane path via a
+    # broadcast semi-join — measured consistently SLOWER than plain
+    # 32-lane (2.83–3.24 vs 2.22–2.38 s best-of-5 interleaved): the
+    # persist materialization plus the always-planned fallback subtree
+    # (AQE does not elide the empty-broadcast branch here) cost more
+    # than lane-halving saves. 32 two-lane counters stay; they are exact
+    # to 2^31 tokens/doc.)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok")
     )
