@@ -79,33 +79,29 @@ def ngram_lm_train(
     context implies the longer gram was pruned too)."""
     if order < 1:
         raise ValueError(f"ngram_lm_train: order must be ≥ 1, got {order}")
-    from .dedup import _bind1
-
-    toks = _tokens(F.col(text_col))
+    # r6 session 2: the per-k gram streams are exactly
+    # text._word_grams_all(col, k) — all occurrences with multiplicity,
+    # same normalization, [] below k words / for empty or NULL text —
+    # so the train reuses that helper and inherits its compiled-regex
+    # fast path (one lookahead pass per k instead of the per-gram HOF
+    # slice+join) plus its supplementary-plane substr guard. Only the
+    # (k, gram) struct tag stays here.
+    from .text import _word_grams_all
 
     def _tag(k: int):
+        # factory closure, NOT a default-arg lambda: a two-parameter
+        # lambda makes F.transform pass the array INDEX as the second
+        # argument, silently clobbering the captured k
         return lambda g: F.struct(F.lit(k).alias("k"), g.alias("gram"))
 
-    # bind the token array once per row (r6: outer `toks` references in
-    # the gram lambdas re-ran the normalize+split chain per gram — see
-    # dedup._bind1). Factory closures, NOT default-arg lambdas: a
-    # two-parameter lambda makes F.transform pass the array INDEX as the
-    # second argument, silently clobbering the captured k.
-    def units_of(tk):
-        def _gram_at(k: int):
-            return lambda i: F.array_join(F.slice(tk, i + 1, k), " ")
-
-        tagged = []
-        for k in range(1, order + 1):
-            idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
-            grams = F.when(
-                F.size(tk) >= k, F.transform(idx, _gram_at(k))
-            ).otherwise(F.array().cast("array<string>"))
-            tagged.append(F.transform(grams, _tag(k)))
-        return F.concat(*tagged)
-
+    units = F.concat(
+        *[
+            F.transform(_word_grams_all(F.col(text_col), k), _tag(k))
+            for k in range(1, order + 1)
+        ]
+    )
     counts = (
-        df.select(F.explode(_bind1(toks, units_of)).alias("u"))
+        df.select(F.explode(units).alias("u"))
         .groupBy(F.col("u.k").alias("k"), F.col("u.gram").alias("gram"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
