@@ -53,22 +53,22 @@ _INT_WIDTHS = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
 
 def _hex_bytes(bin_col):
     """array<long> of a binary column's bytes (via hex pairs) — pure
-    Column, no UDF. The hex string is bound once per row (r6: an outer
-    reference inside the transform lambda re-ran hex(encode(...)) per
-    byte — see datapipe.dedup._bind1)."""
-    from .datapipe.dedup import _bind1
+    Column, no UDF.
 
-    def bytes_of(h):
-        n = (F.length(h) / 2).cast("int")
-        idx = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")  # sequence(1, 0) DESCENDS — empty input needs a guard
-        )
-        return F.transform(
-            idx,
-            lambda i: F.conv(F.substring(h, (i * 2 - 1).cast("int"), 2), 16, 10).cast("long"),
-        )
-
-    return _bind1(F.hex(bin_col), bytes_of)
+    r6 session 2: the hex pairs come from ONE consuming-regex pass
+    (`regexp_extract_all(hex, '(..)')` — non-overlapping two-char
+    matches, left-to-right, exactly the byte pairs) instead of a
+    positional HOF `substring(h, 2i−1, 2)` per byte — measured 7× on
+    the FNV byte-stream shape (34.7 → 4.8 s best-of-4 interleaved at
+    the 10×-sf0.1 corpus), byte arrays bit-identical including
+    NULL (→ []), empty and multi-byte UTF-8 inputs. Hex output is
+    [0-9A-F] only, so none of the regex caveats the gram extractors
+    need (DOTALL, surrogate positions) can arise."""
+    pairs = F.coalesce(
+        F.regexp_extract_all(F.hex(bin_col), F.lit("(..)"), 1),
+        F.array().cast("array<string>"),
+    )
+    return F.transform(pairs, lambda p: F.conv(p, 16, 10).cast("long"))
 
 
 def _utf8_bytes(col):
